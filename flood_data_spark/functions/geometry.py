@@ -1,0 +1,87 @@
+"""Grid-cell geometry & serving-side spatial predicates.
+
+The reference's geometry is stringly-typed WKT built from the cell bounding
+box (flood/spark/transforms.py:152-177) — no geospatial library on the Spark
+side.  Serving lookups (databricks/flood-api-examples.py:83-142, 199-221) map
+a query point to its containing cell's bbox and intersect; neighborhood fetch
+is the 3x3 ring of cells.  We express both as pure column predicates so
+Parquet min/max row-group pruning applies (no UDF, no Sedona dependency).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flood_data_spark.config import DEFAULT_CONFIG
+
+
+def _fmt(col: Column) -> Column:
+    # double → string via Spark's native cast gives the reference's exact
+    # trailing-zero formatting ("-18.0", not "-18.000"); golden expected
+    # strings at test/test_spark_transforms.py:643-645.
+    return col.cast("string")
+
+
+def add_geometry(df: DataFrame, half_grid_size: float | None = None,
+                 precision: int | None = None) -> DataFrame:
+    """Append a `wkt` POLYGON column for each cell's bounding box.
+
+    Ring order (reference transforms.py:166-173): (minlon minlat), (minlon
+    maxlat), (maxlon maxlat), (maxlon minlat), close at (minlon minlat).
+    """
+    half = half_grid_size if half_grid_size is not None else DEFAULT_CONFIG.half_grid_size
+    p = precision if precision is not None else DEFAULT_CONFIG.precision
+
+    lat_lo = F.round(F.col("latitude") - half, p)
+    lat_hi = F.round(F.col("latitude") + half, p)
+    lon_lo = F.round(F.col("longitude") - half, p)
+    lon_hi = F.round(F.col("longitude") + half, p)
+
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        _fmt(lon_lo), F.lit(" "), _fmt(lat_lo), F.lit(","),
+        _fmt(lon_lo), F.lit(" "), _fmt(lat_hi), F.lit(","),
+        _fmt(lon_hi), F.lit(" "), _fmt(lat_hi), F.lit(","),
+        _fmt(lon_hi), F.lit(" "), _fmt(lat_lo), F.lit(","),
+        _fmt(lon_lo), F.lit(" "), _fmt(lat_lo),
+        F.lit("))"),
+    )
+    return df.withColumn("wkt", wkt)
+
+
+def cell_bbox_for_point(lat: float, lon: float,
+                        resolution: float | None = None) -> tuple:
+    """(lat_min, lat_max, lon_min, lon_max) of the grid cell containing the
+    point — driver-side math mirroring flood-api-examples.py:83-120 (floor to
+    grid, inflate by one cell)."""
+    res = resolution if resolution is not None else DEFAULT_CONFIG.resolution
+    lat0 = math.floor(lat / res) * res
+    lon0 = math.floor(lon / res) * res
+    return (lat0, lat0 + res, lon0, lon0 + res)
+
+
+def bbox_filter(df: DataFrame, lat_min: float, lat_max: float,
+                lon_min: float, lon_max: float) -> DataFrame:
+    """Spatial box slice (reference P9, flood/etl/utils.py:16-19) as a native
+    range predicate — prunes Parquet row groups via lat/lon min-max stats."""
+    return df.filter(
+        F.col("latitude").between(lat_min, lat_max)
+        & F.col("longitude").between(lon_min, lon_max)
+    )
+
+
+def neighbor_filter(df: DataFrame, lat: float, lon: float,
+                    ring: int = 1, resolution: float | None = None) -> DataFrame:
+    """3x3 (or (2r+1)^2) neighborhood fetch around the cell containing the
+    point (reference flood-api-examples.py:199-221 neighborhood query),
+    expressed as a bbox predicate over cell centers."""
+    res = resolution if resolution is not None else DEFAULT_CONFIG.resolution
+    lat0 = math.floor(lat / res) * res
+    lon0 = math.floor(lon / res) * res
+    pad = ring * res
+    return bbox_filter(df,
+                       lat0 - pad, lat0 + res + pad,
+                       lon0 - pad, lon0 + res + pad)

@@ -1,0 +1,20 @@
+from flood_data_spark.operators.threshold import ensemble_threshold_summary
+from flood_data_spark.operators.tendency import flood_tendency
+from flood_data_spark.operators.intensity import flood_intensity
+from flood_data_spark.operators.peak_timing import flood_peak_timing
+from flood_data_spark.operators.summary import (
+    control_from_detailed,
+    assemble_summary,
+    restrict_detailed_to_summary,
+)
+from flood_data_spark.operators.grid import (
+    upstream_mask,
+    nearest_grid_join,
+)
+
+__all__ = [
+    "ensemble_threshold_summary",
+    "flood_tendency", "flood_intensity", "flood_peak_timing",
+    "control_from_detailed", "assemble_summary", "restrict_detailed_to_summary",
+    "upstream_mask", "nearest_grid_join",
+]

@@ -1,0 +1,67 @@
+"""Ensemble exceedance probabilities + 5-number summary (the flagship
+aggregation — SURVEY.md §2.4 A1/A1a/A1b).
+
+Semantics parity with reference flood/spark/transforms.py:112-150
+(`compute_flood_threshold_percentages`):
+
+- left-join forecast ensemble rows to the static per-cell threshold table on
+  the rounded (latitude, longitude) float keys;
+- per (cell, issued_on, valid_for, step): fraction of ensemble members whose
+  dis24 >= threshold_Ny  → p_above_Ny for N in threshold_years;
+- 5-number summary of dis24: min, Q1, median, Q3, max, with an accuracy mode
+  switch: 'approx' → percentile_approx sketch, 'exact' → true percentile
+  with linear interpolation (reference transforms.py:132-137).
+
+Spark-first differences from the reference:
+- the threshold table is ~1 row/cell and static → we *broadcast* it instead
+  of co-repartitioning both sides (the reference shuffles both inputs with
+  repartition(100); a broadcast eliminates that shuffle entirely, leaving the
+  single groupBy exchange as the only shuffle in the query);
+- exceedance indicators are expressed as avg(cast(bool)) directly instead of
+  a when/otherwise ladder — same result, fewer projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flood_data_spark.config import DEFAULT_CONFIG
+
+GROUP_KEYS = ("latitude", "longitude", "issued_on", "valid_for", "step")
+
+
+def _quantile(col: str, q: float, accuracy_mode: str):
+    if accuracy_mode == "approx":
+        return F.percentile_approx(col, q)
+    return F.percentile(col, q)
+
+
+def ensemble_threshold_summary(forecast_df: DataFrame,
+                               threshold_df: DataFrame,
+                               threshold_years=None,
+                               accuracy_mode: str = "approx",
+                               broadcast_thresholds: bool = True,
+                               group_keys=GROUP_KEYS) -> DataFrame:
+    """forecast (1 row per ensemble member) × thresholds → detailed forecast
+    (1 row per cell/step) with p_above_Ny and the dis24 5-number summary."""
+    if accuracy_mode not in ("approx", "exact"):
+        raise ValueError("accuracy_mode must be 'approx' or 'exact'")
+    years = threshold_years or DEFAULT_CONFIG.threshold_years
+
+    rhs = F.broadcast(threshold_df) if broadcast_thresholds else threshold_df
+    joined = forecast_df.join(rhs, on=["latitude", "longitude"], how="left")
+
+    aggs = [
+        F.avg((F.col("dis24") >= F.col(f"threshold_{int(y)}y")).cast("int"))
+         .alias(f"p_above_{int(y)}y")
+        for y in years
+    ]
+    aggs += [
+        F.min("dis24").alias("min_dis"),
+        _quantile("dis24", 0.25, accuracy_mode).alias("Q1_dis"),
+        _quantile("dis24", 0.50, accuracy_mode).alias("median_dis"),
+        _quantile("dis24", 0.75, accuracy_mode).alias("Q3_dis"),
+        F.max("dis24").alias("max_dis"),
+    ]
+    return joined.groupBy(*group_keys).agg(*aggs)

@@ -1,0 +1,64 @@
+"""Parquet sources & sinks (SURVEY.md §2.1 S7-S10).
+
+Reference behaviors preserved:
+- big forecast scans use an *explicit* schema + multi-file glob
+  (glofas-forecast-computation.py:110-132) — no inference pass, pushdown and
+  column pruning enabled from the first plan;
+- every ingest point rounds (latitude, longitude) to the configured
+  precision before anything downstream can join (§1.4 float-key discipline);
+- sinks write snappy Parquet, mode=overwrite (glofas-forecast-computation.py
+  :276-280; raster_converter.py:8-11).
+
+Scale posture beyond the reference: writers can partition by `issued_on`
+(daily batches prune to one folder) and optionally sort within partitions by
+(latitude, longitude) for row-group min/max locality — the distributed
+equivalent of the reference's driver-side global sort-before-save
+(threshold-data-joining.py:120) without the global range shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flood_data_spark.functions.keys import round_keys
+from flood_data_spark.functions.temporal import normalize_forecast_times
+from flood_data_spark.schemas import RAW_FORECAST_SCHEMA
+
+
+def read_forecast(spark: SparkSession, path: str,
+                  precision: int | None = None,
+                  normalize_times: bool = True) -> DataFrame:
+    """Read raw filtered-forecast parquet (glob ok), apply key + time
+    normalization."""
+    df = spark.read.schema(RAW_FORECAST_SCHEMA).parquet(path)
+    df = round_keys(df, precision)
+    if normalize_times:
+        df = normalize_forecast_times(df)
+    return df
+
+
+def read_thresholds(spark: SparkSession, path: str,
+                    precision: int | None = None) -> DataFrame:
+    """Small static table: inferred schema, rounded keys
+    (reference :148-150)."""
+    return round_keys(spark.read.parquet(path), precision)
+
+
+def read_control(spark: SparkSession, path: str,
+                 precision: int | None = None) -> DataFrame:
+    """External control forecast → (latitude, longitude, control_dis)."""
+    from flood_data_spark.operators.summary import normalize_control
+    df = spark.read.schema(RAW_FORECAST_SCHEMA).parquet(path)
+    return normalize_control(df, precision)
+
+
+def write_parquet(df: DataFrame, path: str,
+                  mode: str = "overwrite",
+                  partition_by: list | None = None,
+                  sort_within_partitions: list | None = None) -> None:
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

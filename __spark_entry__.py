@@ -1,38 +1,707 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry demonstrates one operator family from SURVEY.md §2
+(or a beyond-reference training-data-pipeline operator) on the driver's
+synthetic tables, routed through the ``flood_data_spark`` library operators
+wherever the semantics map.  ``oracle_sql()`` holds the DuckDB-equivalent
+ANSI SQL; column names/aliases match pairwise (the driver sorts columns by
+name and hash-compares values).
+
+Conventions for hash-stable parity:
+- every probability / interpolated / averaged double is round(…, 6) on BOTH
+  sides; money sums are round(…, 2);
+- min/max/raw values stay unrounded (bit-identical by construction);
+- every windowed top-1 carries a deterministic final tiebreaker.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from flood_data_spark.datapipe.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from flood_data_spark.datapipe.similarity import (
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+)
+from flood_data_spark.datapipe.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_signals,
+    with_token_count,
+)
+from flood_data_spark.functions.geometry import add_geometry
+from flood_data_spark.operators.grid import upstream_mask
+from flood_data_spark.operators.intensity import flood_intensity
+from flood_data_spark.operators.peak_timing import flood_peak_timing
+from flood_data_spark.operators.tendency import flood_tendency
+from flood_data_spark.operators.threshold import ensemble_threshold_summary
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as ns-epoch long via
+    # spark.sql.legacy.parquet.nanosAsLong; normalize to a real timestamp
+    # (truncate ns → µs, matching DuckDB's µs-precision TIMESTAMP).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+# =====================================================================
+# Flood-engine operators mapped onto the synthetic tables
+# =====================================================================
+
+def q_threshold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 A1/A1a/A1b + §2.3 J1: ensemble exceedance fractions and
+    exact 5-number summary.  lineitem plays the ensemble (one row per
+    member), part plays the static threshold table (broadcast left join)."""
+    forecast = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_extendedprice").alias("dis24"))
+    thresholds = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        (F.col("p_retailprice") * 0.8).alias("threshold_2y"),
+        F.col("p_retailprice").alias("threshold_5y"),
+        (F.col("p_retailprice") * 1.2).alias("threshold_20y"))
+    out = ensemble_threshold_summary(
+        forecast, thresholds, accuracy_mode="exact",
+        join_keys=("partkey",), group_keys=("partkey",))
+    return out.select(
+        "partkey",
+        F.round("p_above_2y", 6).alias("p_above_2y"),
+        F.round("p_above_5y", 6).alias("p_above_5y"),
+        F.round("p_above_20y", 6).alias("p_above_20y"),
+        F.col("min_dis"),
+        F.round("Q1_dis", 6).alias("q1_dis"),
+        F.round("median_dis", 6).alias("median_dis"),
+        F.round("Q3_dis", 6).alias("q3_dis"),
+        F.col("max_dis"))
+
+
+def q_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 A2 + when-ladder: per-customer tendency of order totals
+    vs the account balance as 'control'."""
+    detailed = (_t(spark, sf_dir, "orders")
+                .join(_t(spark, sf_dir, "customer"),
+                      F.col("o_custkey") == F.col("c_custkey"))
+                .select(F.col("c_custkey").alias("custkey"),
+                        F.col("o_totalprice").alias("median_dis"),
+                        F.col("c_acctbal").alias("control_dis"),
+                        (F.col("o_totalprice") * 1.05).alias("max_dis"),
+                        (F.col("o_totalprice") * 0.95).alias("min_dis")))
+    return flood_tendency(detailed, key_cols=("custkey",))
+
+
+def q_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 A3 + ladder: per-(user, event_type) exceedance fractions,
+    then per-user max and intensity color."""
+    per_type = (_t(spark, sf_dir, "events")
+                .groupBy("user_id", "event_type")
+                .agg(F.round(F.avg((F.col("value") >= 150).cast("int")), 6)
+                     .alias("p_above_20y"),
+                     F.round(F.avg((F.col("value") >= 100).cast("int")), 6)
+                     .alias("p_above_5y"),
+                     F.round(F.avg((F.col("value") >= 50).cast("int")), 6)
+                     .alias("p_above_2y")))
+    return flood_intensity(per_type, key_cols=("user_id",))
+
+
+def q_peak_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 W1 + §2.4 A4: per-order peak line (argmax by severity
+    then price, deterministic step tiebreak), early-window max as a shared
+    window aggregate, BB/GC/GB ladder."""
+    p2 = F.least(F.lit(1.0), F.col("l_discount") * 12)
+    detailed = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("step"),
+        p2.alias("p_above_2y"),
+        F.greatest(F.lit(0.0), p2 - 0.25).alias("p_above_5y"),
+        F.greatest(F.lit(0.0), p2 - 0.5).alias("p_above_20y"),
+        F.col("l_extendedprice").alias("median_dis"),
+        F.to_date("l_shipdate").alias("valid_for"))
+    return flood_peak_timing(
+        detailed, key_cols=("orderkey",), carry_cols=(),
+        early_window=(1, 3), black_border_window=(1, 2))
+
+
+def q_wkt_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 string family: grid-cell WKT polygon assembly from
+    synthetic cell centers derived from part keys."""
+    cells = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.round(F.lit(0.025) + (F.col("p_partkey") % 200) * 0.05, 3)
+        .alias("latitude"),
+        F.round(F.lit(0.025) + (F.floor(F.col("p_partkey") / 200) % 200) * 0.05, 3)
+        .alias("longitude"))
+    return add_geometry(cells, half_grid_size=0.025, precision=3)
+
+
+def q_round_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §1.4 float-key discipline: equi-join on doubles canonicalized
+    by round() — customer × supplier matched on rounded balances."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.round("c_acctbal", 0).alias("bal_key"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.round("s_acctbal", 0).alias("bal_key"))
+    return (c.join(s, "bal_key")
+            .groupBy("bal_key")
+            .agg(F.count("*").alias("n_pairs")))
+
+
+def q_upstream_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 J7 + §2.2 P10: nearest-grid snap join + catchment-area
+    mask.  Events carry synthetic cell coords; suppliers play the upstream
+    raster (uparea = acctbal × 1e6, threshold 2.5e8)."""
+    forecast = _t(spark, sf_dir, "events").select(
+        F.round(F.lit(0.025) + (F.col("user_id") % 50) * 0.05, 3)
+        .alias("latitude"),
+        F.round(F.lit(0.025) + (F.col("user_id") % 20) * 0.05, 3)
+        .alias("longitude"),
+        F.col("value"))
+    upstream = _t(spark, sf_dir, "supplier").select(
+        F.round(F.lit(0.025) + (F.col("s_suppkey") % 50) * 0.05, 3)
+        .alias("latitude"),
+        F.round(F.lit(0.025) + (F.col("s_suppkey") % 20) * 0.05, 3)
+        .alias("longitude"),
+        (F.col("s_acctbal") * 1e6).alias("uparea"))
+    masked = upstream_mask(forecast, upstream, threshold=2.5e8)
+    return (masked.groupBy("latitude", "longitude")
+            .agg(F.count("*").alias("n_rows"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# =====================================================================
+# Relational core (scan/filter/agg/join/window/semi/union — §2.2-2.7)
+# =====================================================================
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 hash aggregation with multiple aggregates (TPC-H Q1 shape)."""
+    return (_t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 multi-way equi-joins with broadcast dims: orders ⋈ customer ⋈
+    nation ⋈ region, revenue by region × market segment."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (orders
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy(F.col("r_name").alias("region_name"),
+                     F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 W1 generic form: top-1 per group with deterministic tiebreak."""
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(_t(spark, sf_dir, "nation")),
+               F.col("c_nationkey") == F.col("n_nationkey")))
+    w = (Window.partitionBy("n_name")
+         .orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+    return (c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n_name").alias("nation_name"),
+                    F.col("c_custkey").alias("custkey"),
+                    F.col("c_acctbal").alias("acctbal")))
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 J6: left-semi restriction — customers with >= 1 open order."""
+    return (_t(spark, sf_dir, "customer")
+            .join(_t(spark, sf_dir, "orders")
+                  .filter(F.col("o_orderstatus") == "O")
+                  .select(F.col("o_custkey").alias("c_custkey")),
+                  on="c_custkey", how="left_semi")
+            .select(F.col("c_custkey").alias("custkey"),
+                    F.col("c_acctbal").alias("acctbal")))
+
+
+def q_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 U1 unionByName: two filtered projections stacked, then agg."""
+    ev = _t(spark, sf_dir, "events")
+    high = ev.filter(F.col("value") >= 400).select(
+        F.lit("high_value").alias("bucket"), F.col("value"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("bucket"), F.col("value"))
+    return (high.unionByName(clicks)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 P5/P9: pushdown-friendly range predicates (between on date and
+    quantity), then agg."""
+    return (_t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+                    & F.col("l_quantity").between(10, 20))
+            .groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming-equivalent tumbling window (batch form; the streaming
+    wrapper in flood_data_spark.streaming runs the same plan with
+    availableNow)."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                     F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.round(F.avg("value"), 6).alias("avg_value")))
+
+
+# =====================================================================
+# Training-data-pipeline operators (beyond-reference, BASELINE.json)
+# =====================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (with_token_count(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "n_tokens"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (with_quality_signals(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "q_n_chars", "q_n_tokens", "q_alpha_ratio",
+                    "q_punct_ratio", "q_stop_ratio", "q_score"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (with_lang_id(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (with_fingerprint(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "fingerprint"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """char-3-gram Jaccard similarity join (low threshold so the synthetic
+    corpus yields pairs)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(emb, queries, k=5)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs — not SQL-expressible (xxhash64 sketch);
+    driver records rows-only check."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — rows-only check (xxhash64 sketch)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_dup_pairs(docs, max_hamming=8)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant of cosine top-k — rows-only check (approximate recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_bucketed_topk(emb, queries, k=5)
+
+
+# =====================================================================
+# Driver contract
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the ensemble threshold summary."""
+    return q_threshold_summary(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_threshold_summary": q_threshold_summary,
+        "q_tendency": q_tendency,
+        "q_intensity": q_intensity,
+        "q_peak_timing": q_peak_timing,
+        "q_wkt_geometry": q_wkt_geometry,
+        "q_round_join": q_round_join,
+        "q_upstream_mask": q_upstream_mask,
+        "q_pricing_summary": q_pricing_summary,
+        "q_region_revenue": q_region_revenue,
+        "q_top_customer_per_nation": q_top_customer_per_nation,
+        "q_semi_join": q_semi_join,
+        "q_union_events": q_union_events,
+        "q_range_filter": q_range_filter,
+        "q_events_daily": q_events_daily,
+        "q_dedup_exact": q_dedup_exact,
+        "q_token_count": q_token_count,
+        "q_quality": q_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_cosine_topk": q_cosine_topk,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_dups": q_simhash_dups,
+        "q_lsh_topk": q_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    p2 = "least(1.0, l_discount * 12)"
+    return {
+        "q_threshold_summary": f"""
+            SELECT l_partkey AS partkey,
+                   round(avg(CASE WHEN l_extendedprice >= p_retailprice * 0.8
+                             THEN 1 ELSE 0 END), 6) AS p_above_2y,
+                   round(avg(CASE WHEN l_extendedprice >= p_retailprice
+                             THEN 1 ELSE 0 END), 6) AS p_above_5y,
+                   round(avg(CASE WHEN l_extendedprice >= p_retailprice * 1.2
+                             THEN 1 ELSE 0 END), 6) AS p_above_20y,
+                   min(l_extendedprice) AS min_dis,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS q1_dis,
+                   round(quantile_cont(l_extendedprice, 0.50), 6) AS median_dis,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS q3_dis,
+                   max(l_extendedprice) AS max_dis
+            FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+            GROUP BY l_partkey
+        """,
+        "q_tendency": """
+            WITH detailed AS (
+                SELECT c_custkey AS custkey,
+                       o_totalprice AS median_dis,
+                       c_acctbal AS control_dis,
+                       o_totalprice * 1.05 AS max_dis,
+                       o_totalprice * 0.95 AS min_dis
+                FROM orders JOIN customer ON o_custkey = c_custkey),
+            agg AS (
+                SELECT custkey,
+                       max(median_dis) AS max_median_dis,
+                       min(median_dis) AS min_median_dis,
+                       min(control_dis) AS control_dis,
+                       max(max_dis) AS max_max_dis,
+                       min(min_dis) AS min_min_dis
+                FROM detailed GROUP BY custkey)
+            SELECT *,
+                   CASE WHEN max_median_dis > control_dis * 1.10 THEN 'U'
+                        WHEN min_median_dis <= control_dis * 0.90
+                             AND max_median_dis <= control_dis * 1.10 THEN 'D'
+                        ELSE 'C' END AS tendency
+            FROM agg
+        """,
+        "q_intensity": """
+            WITH per_type AS (
+                SELECT user_id, event_type,
+                       round(avg(CASE WHEN value >= 150 THEN 1 ELSE 0 END), 6) AS p_above_20y,
+                       round(avg(CASE WHEN value >= 100 THEN 1 ELSE 0 END), 6) AS p_above_5y,
+                       round(avg(CASE WHEN value >= 50 THEN 1 ELSE 0 END), 6) AS p_above_2y
+                FROM events GROUP BY user_id, event_type),
+            agg AS (
+                SELECT user_id,
+                       max(p_above_20y) AS max_p_above_20y,
+                       max(p_above_5y) AS max_p_above_5y,
+                       max(p_above_2y) AS max_p_above_2y
+                FROM per_type GROUP BY user_id)
+            SELECT *,
+                   CASE WHEN max_p_above_20y >= 0.30 THEN 'P'
+                        WHEN max_p_above_5y >= 0.30 THEN 'R'
+                        WHEN max_p_above_2y >= 0.30 THEN 'Y'
+                        ELSE 'G' END AS intensity
+            FROM agg
+        """,
+        "q_peak_timing": f"""
+            WITH base AS (
+                SELECT l_orderkey AS orderkey,
+                       l_linenumber AS step,
+                       {p2} AS p_above_2y,
+                       greatest(0.0, {p2} - 0.25) AS p_above_5y,
+                       greatest(0.0, {p2} - 0.5) AS p_above_20y,
+                       l_extendedprice AS median_dis,
+                       CAST(l_shipdate AS DATE) AS valid_for
+                FROM lineitem),
+            cond AS (
+                SELECT *,
+                       CASE WHEN p_above_20y >= 0.3 THEN 1
+                            WHEN p_above_5y >= 0.3 THEN 2
+                            WHEN p_above_2y >= 0.3 THEN 3
+                            ELSE 4 END AS condition
+                FROM base),
+            win AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY orderkey
+                           ORDER BY condition ASC, median_dis DESC, step ASC) AS rn,
+                       max(CASE WHEN step BETWEEN 1 AND 3 THEN p_above_2y END)
+                           OVER (PARTITION BY orderkey) AS max_2y_start
+                FROM cond)
+            SELECT orderkey,
+                   step AS peak_step,
+                   valid_for AS peak_day,
+                   CASE WHEN step BETWEEN 1 AND 2 THEN 'BB'
+                        WHEN step > 3 AND max_2y_start < 0.30 THEN 'GC'
+                        ELSE 'GB' END AS peak_timing
+            FROM win WHERE rn = 1
+        """,
+        "q_wkt_geometry": """
+            WITH cells AS (
+                -- CAST to DOUBLE: DuckDB decimal-literal arithmetic would
+                -- otherwise yield DECIMAL(…,3) whose VARCHAR form keeps
+                -- trailing zeros ('0.050'), unlike double→string ('0.05')
+                SELECT p_partkey AS partkey,
+                       CAST(round(0.025 + (p_partkey % 200) * 0.05, 3) AS DOUBLE) AS latitude,
+                       CAST(round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT) % 200) * 0.05, 3) AS DOUBLE) AS longitude
+                FROM part),
+            bounds AS (
+                SELECT *,
+                       CAST(round(latitude - 0.025, 3) AS DOUBLE) AS lat_lo,
+                       CAST(round(latitude + 0.025, 3) AS DOUBLE) AS lat_hi,
+                       CAST(round(longitude - 0.025, 3) AS DOUBLE) AS lon_lo,
+                       CAST(round(longitude + 0.025, 3) AS DOUBLE) AS lon_hi
+                FROM cells)
+            SELECT partkey, latitude, longitude,
+                   'POLYGON ((' ||
+                   CAST(lon_lo AS VARCHAR) || ' ' || CAST(lat_lo AS VARCHAR) || ',' ||
+                   CAST(lon_lo AS VARCHAR) || ' ' || CAST(lat_hi AS VARCHAR) || ',' ||
+                   CAST(lon_hi AS VARCHAR) || ' ' || CAST(lat_hi AS VARCHAR) || ',' ||
+                   CAST(lon_hi AS VARCHAR) || ' ' || CAST(lat_lo AS VARCHAR) || ',' ||
+                   CAST(lon_lo AS VARCHAR) || ' ' || CAST(lat_lo AS VARCHAR) ||
+                   '))' AS wkt
+            FROM bounds
+        """,
+        "q_round_join": """
+            SELECT bal_key, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM (SELECT round(c_acctbal, 0) AS bal_key FROM customer) c
+            JOIN (SELECT round(s_acctbal, 0) AS bal_key FROM supplier) s
+            USING (bal_key)
+            GROUP BY bal_key
+        """,
+        "q_upstream_mask": """
+            WITH forecast AS (
+                SELECT round(0.025 + (user_id % 50) * 0.05, 3) AS latitude,
+                       round(0.025 + (user_id % 20) * 0.05, 3) AS longitude,
+                       value
+                FROM events),
+            upstream AS (
+                SELECT round(0.025 + (s_suppkey % 50) * 0.05, 3) AS latitude,
+                       round(0.025 + (s_suppkey % 20) * 0.05, 3) AS longitude,
+                       s_acctbal * 1e6 AS uparea
+                FROM supplier)
+            SELECT f.latitude, f.longitude,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(f.value), 2) AS sum_value
+            FROM forecast f
+            JOIN upstream u
+              ON floor(f.latitude / 0.05) = floor(u.latitude / 0.05)
+             AND floor(f.longitude / 0.05) = floor(u.longitude / 0.05)
+            WHERE u.uparea IS NOT NULL AND u.uparea >= 2.5e8
+            GROUP BY f.latitude, f.longitude
+        """,
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_region_revenue": """
+            SELECT r_name AS region_name, c_mktsegment AS mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, c_mktsegment
+        """,
+        "q_top_customer_per_nation": """
+            SELECT n_name AS nation_name, c_custkey AS custkey,
+                   c_acctbal AS acctbal
+            FROM (SELECT n_name, c_custkey, c_acctbal,
+                         row_number() OVER (PARTITION BY n_name
+                             ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+            WHERE rn = 1
+        """,
+        "q_semi_join": """
+            SELECT c_custkey AS custkey, c_acctbal AS acctbal
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        """,
+        "q_union_events": """
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM (
+                SELECT 'high_value' AS bucket, value FROM events WHERE value >= 400
+                UNION ALL
+                SELECT 'click' AS bucket, value FROM events WHERE event_type = 'click'
+            )
+            GROUP BY bucket
+        """,
+        "q_range_filter": """
+            SELECT l_returnflag AS returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                 AND TIMESTAMP '1997-12-31 00:00:00'
+              AND l_quantity BETWEEN 10 AND 20
+            GROUP BY l_returnflag
+        """,
+        "q_events_daily": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q_dedup_exact": """
+            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS dup_key,
+                   min(doc_id) AS rep_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "q_token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   END AS n_tokens
+            FROM documents
+        """,
+        "q_quality": """
+            WITH raw AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0.0
+                            ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                       END AS n_tokens,
+                       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+                       CAST(len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is)\\b')) AS DOUBLE) AS n_stop
+                FROM documents),
+            ratios AS (
+                SELECT doc_id, n_chars, n_tokens,
+                       n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+                       n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+                       n_stop / greatest(n_tokens, 1.0) AS stop_ratio,
+                       n_chars / greatest(n_tokens, 1.0) AS mean_token_len
+                FROM raw)
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS q_n_chars,
+                   CAST(n_tokens AS BIGINT) AS q_n_tokens,
+                   round(alpha_ratio, 6) AS q_alpha_ratio,
+                   round(punct_ratio, 6) AS q_punct_ratio,
+                   round(stop_ratio, 6) AS q_stop_ratio,
+                   round(least(1.0,
+                         0.4 * alpha_ratio
+                       + 0.3 * least(1.0, stop_ratio * 5)
+                       + 0.2 * (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12
+                                     THEN 1.0 ELSE 0.0 END)
+                       + 0.1 * least(1.0, punct_ratio * 20)), 6) AS q_score
+            FROM ratios
+        """,
+        "q_lang_id": """
+            WITH hits AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is)\\b')) AS h_en,
+                       len(regexp_extract_all(text, '(?i)\\b(der|und|die|nicht|ist)\\b')) AS h_de,
+                       len(regexp_extract_all(text, '(?i)\\b(le|la|et|les|est)\\b')) AS h_fr,
+                       len(regexp_extract_all(text, '(?i)\\b(el|los|que|es|una)\\b')) AS h_es
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM hits
+        """,
+        "q_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "q_ngram_jaccard": """
+            WITH norm AS (
+                SELECT doc_id AS id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 200),
+            shingled AS (
+                SELECT id,
+                       unnest(list_distinct(list_filter(
+                           list_transform(range(1, greatest(length(t) - 1, 2)),
+                                          i -> substr(t, CAST(i AS INT), 3)),
+                           g -> length(g) = 3))) AS g
+                FROM norm),
+            counts AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM shingled GROUP BY id),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                FROM shingled a JOIN shingled b
+                  ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(common * 1.0 / (ga.n_grams + gb.n_grams - common), 6) AS jaccard
+            FROM pairs
+            JOIN counts ga ON ga.id = id_a
+            JOIN counts gb ON gb.id = id_b
+            WHERE common * 1.0 / (ga.n_grams + gb.n_grams - common) >= 0.5
+        """,
+        "q_cosine_topk": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.e, c.e)
+                             / (sqrt(list_dot_product(q.e, q.e))
+                                * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+                FROM v q JOIN v c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 20),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # q_minhash_lsh, q_simhash_dups, q_lsh_topk: intentionally omitted —
+        # hash-sketch operators with no ANSI-SQL equivalent (rows-only check).
+    }

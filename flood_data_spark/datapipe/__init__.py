@@ -1,0 +1,26 @@
+from flood_data_spark.datapipe.text import (
+    with_token_count,
+    with_quality_signals,
+    with_lang_id,
+    with_fingerprint,
+)
+from flood_data_spark.datapipe.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+from flood_data_spark.datapipe.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+__all__ = [
+    "with_token_count", "with_quality_signals", "with_lang_id", "with_fingerprint",
+    "exact_dedup", "ngram_jaccard_pairs", "minhash_signatures",
+    "minhash_lsh_pairs", "simhash", "simhash_dup_pairs",
+    "cosine_topk_bruteforce", "embedding_near_dup_pairs", "lsh_bucketed_topk",
+]

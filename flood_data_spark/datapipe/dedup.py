@@ -1,0 +1,232 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale posture (the whole point at 100 TB):
+- exact dedup is a hash-groupBy on a digest — one shuffle of (digest, id),
+  never of the payload;
+- n-gram Jaccard is a similarity *join*: explode shingles → per-shingle
+  equi-join → per-pair overlap count — not an O(n²) cross product, and the
+  shingle is hashed to a long so shuffle rows stay narrow;
+- MinHash = one groupBy over (id, shingle-hash) rows with K min-aggregates
+  (single shuffle, whole-stage codegen — deliberately NOT nested
+  higher-order-function transforms, which Spark evaluates interpreted);
+  LSH banding turns near-dup search into an equi-join on band keys;
+- SimHash packs a 64-bit signature per doc; near-dup = small Hamming
+  distance, candidates via pigeonhole equi-join on signature chunks.
+
+All signature relations are cached before self-joins: they are tiny
+(ids + longs) relative to the corpus, and without the cache Spark would
+re-derive the whole shingle pipeline for each join side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                normalize: bool = True) -> DataFrame:
+    """One representative row (minimum id) per distinct text.
+
+    Returns (dup_key, rep_id, n_copies).  groupBy on the md5 digest keeps the
+    shuffle narrow: the text payload never moves.
+    """
+    key = F.col(text_col)
+    if normalize:
+        key = F.lower(F.regexp_replace(F.trim(key), r"\s+", " "))
+    return (df
+            .select(F.md5(key).alias("dup_key"), F.col(id_col))
+            .groupBy("dup_key")
+            .agg(F.min(id_col).alias("rep_id"),
+                 F.count("*").alias("n_copies")))
+
+
+# ---------------------------------------------------------------- shingles
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    """(id, gh) — one row per DISTINCT char n-gram of the normalized text,
+    shingle hashed to long.  explode + substring + distinct: every step is
+    codegen-friendly (no higher-order functions, no per-row array ops)."""
+    return (df
+            .select(F.col(id_col).alias("id"),
+                    F.lower(F.regexp_replace(F.trim(F.col(text_col)),
+                                             r"\s+", " ")).alias("t"))
+            .filter(F.length("t") >= n)
+            .select("id",
+                    F.expr(f"explode(sequence(1, length(t) - {n - 1}))")
+                    .alias("pos"), "t")
+            .select("id", F.xxhash64(F.expr(f"substring(t, pos, {n})"))
+                    .alias("gh"))
+            .distinct())
+
+
+def char_shingles(text_col, n: int = 3) -> Column:
+    """Distinct character n-grams of the normalized text (array<string>).
+    Column-level variant for small inputs / tests; the distributed operators
+    use _shingle_rows (row form) instead."""
+    normalized = F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " "))
+    idx = F.sequence(F.lit(0), F.greatest(F.length(normalized) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: normalized.substr(i + 1, F.lit(n)))
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """All (id_a < id_b) pairs with char-n-gram Jaccard >= threshold.
+
+    Jaccard = |∩| / (|A| + |B| - |∩|); only pairs sharing >= 1 shingle are
+    ever materialized.
+    """
+    shingles = _shingle_rows(df, id_col, text_col, n).cache()
+    counts = shingles.groupBy("id").agg(F.count("*").alias("n_grams"))
+
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pair_common = (
+        a.join(b, (F.col("a.gh") == F.col("b.gh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (pair_common
+            .join(F.broadcast(ca), "id_a").join(F.broadcast(cb), "id_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------- minhash
+
+def _minhash_cols(df: DataFrame, id_col: str, text_col: str, n: int,
+                  num_hashes: int) -> DataFrame:
+    """(id, m0..m{K-1}): MinHash values as K min-aggregates over the
+    (id, shingle-hash) rows — one shuffle, fully codegen."""
+    shingles = _shingle_rows(df, id_col, text_col, n)
+    aggs = [F.min(F.xxhash64("gh", F.lit(s))).alias(f"m{s}")
+            for s in range(num_hashes)]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 64) -> DataFrame:
+    """(id, signature: array<long>) MinHash signature per document."""
+    wide = _minhash_cols(df, id_col, text_col, n, num_hashes)
+    return wide.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+        .alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 64, bands: int = 16,
+                      min_band_matches: int = 1) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate near-dup pairs.
+
+    Docs agreeing on all rows of >= min_band_matches bands become candidates;
+    the search is an equi-join on (band_idx, band_hash) — scales with true
+    collisions, not n².
+    """
+    rows_per_band = num_hashes // bands
+    wide = _minhash_cols(df, id_col, text_col, n, num_hashes)
+
+    band_hashes = [
+        F.xxhash64(*[F.col(f"m{b * rows_per_band + r}")
+                     for r in range(rows_per_band)])
+        for b in range(bands)]
+    banded = (wide
+              .select("id", F.posexplode(F.array(*band_hashes))
+                      .alias("band_idx", "band_hash"))
+              .cache())
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("band_matches"))
+            .filter(F.col("band_matches") >= min_band_matches))
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Per token, xxhash64 gives 64 bits; each bit votes +1/-1; signature bit b
+    is 1 iff the vote sum > 0.  Expressed as explode over bit positions +
+    groupBy-sum (narrow rows), then bit reassembly — no UDF.
+    """
+    toks = (df
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+                    .alias("tok"))
+            .filter(F.col("tok") != "")
+            .select("id", F.xxhash64("tok").alias("h")))
+
+    # one row per (id, bit) with summed votes; shift amounts must be Python
+    # ints (the shiftleft/shiftright column API takes literal counts)
+    bit_votes = (toks
+                 .select("id",
+                         F.posexplode(F.array(*[
+                             F.when(F.shiftright(F.col("h"), b)
+                                    .bitwiseAND(F.lit(1)) == 1,
+                                    F.lit(1)).otherwise(F.lit(-1))
+                             for b in range(bits)]))
+                         .alias("bit", "vote"))
+                 .groupBy("id", "bit")
+                 .agg(F.sum("vote").alias("votes")))
+
+    weight = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+    return (bit_votes
+            .groupBy("id")
+            .agg(F.sum(F.when(F.col("votes") > 0, weight)
+                       .otherwise(F.lit(0).cast("long"))).alias("simhash")))
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_hamming: int = 3,
+                      chunks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole: with `chunks` signature chunks and max_hamming < chunks, any
+    qualifying pair agrees exactly on >= 1 chunk → candidates via equi-join
+    on (chunk_idx, chunk_value), then exact popcount verify.
+    """
+    sigs = simhash(df, id_col, text_col).cache()
+    bits_per_chunk = 64 // chunks
+    mask = (1 << bits_per_chunk) - 1
+
+    chunked = (sigs
+               .select("id", "simhash",
+                       F.posexplode(F.array(*[
+                           F.shiftright(F.col("simhash"), c * bits_per_chunk)
+                           .bitwiseAND(F.lit(mask))
+                           for c in range(chunks)]))
+                       .alias("chunk_idx", "chunk_val")))
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                   & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.simhash").alias("sig_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk_bruteforce`: exact top-k neighbors; the dot product is a
+  JVM-side `aggregate`/`zip_with` fold (no Python), the pair space is a
+  broadcast-join of the (usually small) query set against the corpus, and
+  top-k is a row_number window — the correct baseline and the oracle for
+  ANN variants.
+- `lsh_bucketed_topk`: scale path.  Deterministic random-hyperplane LSH:
+  plane p's component for dimension d is derived from xxhash64(p, d) mapped
+  to [-1, 1] — no stored model, reproducible across runs/engines.  Buckets
+  become equi-join keys; exact cosine re-ranks within buckets.
+- `embedding_near_dup_pairs`: all pairs above a cosine threshold (embedding
+  near-dup dedup), same bucketing trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a, b) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col) -> Column:
+    # float32 embeddings → double before arithmetic so Spark and oracle
+    # engines agree bit-for-bit on the accumulation.
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           broadcast_queries: bool = True) -> DataFrame:
+    """For each query vector: its k nearest corpus vectors by cosine.
+
+    Returns (query_id, neighbor_id, cosine, rank).  Self-matches excluded.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qvec"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+
+    scored = (c.join(q, F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6)
+                      .alias("cosine")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _hyperplane_sign(vec, plane_idx: int) -> Column:
+    """Sign of <vec, plane>: plane component for dim d is a deterministic
+    pseudo-random value in [-1, 1] from xxhash64(plane_idx, d)."""
+    comp = F.transform(
+        vec,
+        lambda x, d: x * ((F.xxhash64(F.lit(plane_idx), d).cast("double")
+                           / F.lit(float(2 ** 63))))
+    )
+    dot = F.aggregate(comp, F.lit(0.0), lambda acc, v: acc + v)
+    return (dot >= 0).cast("int")
+
+
+def lsh_signature(vec, num_planes: int = 16) -> Column:
+    """num_planes-bit random-hyperplane signature packed into a long."""
+    bits = [_hyperplane_sign(vec, p) for p in range(num_planes)]
+    sig = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        sig = sig + F.shiftleft(b.cast("long"), i)
+    return sig
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      num_planes: int = 12, num_tables: int = 3) -> DataFrame:
+    """ANN top-k: candidates = corpus vectors sharing an LSH bucket with the
+    query in any of `num_tables` tables (bucket = equi-join key), then exact
+    cosine re-rank.  Recall < 1 by construction; tune planes/tables."""
+    # one row per (id, table, bucket); table t uses plane set
+    # [t*num_planes, (t+1)*num_planes) so tables are independent
+    def sig_rows(df, id_alias):
+        v = _as_double(F.col(vec_col))
+        base = df.select(F.col(id_col).alias(id_alias), v.alias(id_alias + "_vec"))
+        rows = None
+        for t in range(num_tables):
+            bits = [_hyperplane_sign(F.col(id_alias + "_vec"),
+                                     t * num_planes + p)
+                    for p in range(num_planes)]
+            sig = F.lit(0).cast("long")
+            for i, b in enumerate(bits):
+                sig = sig + F.shiftleft(b.cast("long"), i)
+            part = base.select(id_alias, id_alias + "_vec",
+                               F.lit(t).alias("table"), sig.alias("bucket"))
+            rows = part if rows is None else rows.unionByName(part)
+        return rows
+
+    cq = sig_rows(queries, "query_id")
+    cc = sig_rows(corpus, "neighbor_id")
+    cand = (cq.join(cc, ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
+            .distinct())
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_similarity(F.col("query_id_vec"),
+                                  F.col("neighbor_id_vec")), 6).alias("cosine"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             exact: bool = True,
+                             num_planes: int = 12, num_tables: int = 3) -> DataFrame:
+    """(id_a < id_b) pairs with cosine >= threshold.  exact=True does the
+    full self-join (correctness baseline); exact=False goes through LSH
+    buckets first (scale path)."""
+    a = df.select(F.col(id_col).alias("id_a"),
+                  _as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  _as_double(F.col(vec_col)).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if not exact:
+        # reuse bucketing: keep only pairs sharing >= 1 bucket
+        topk = lsh_bucketed_topk(df, df, k=1 << 30, id_col=id_col,
+                                 vec_col=vec_col, num_planes=num_planes,
+                                 num_tables=num_tables)
+        cand = (topk.select(F.col("query_id").alias("id_a"),
+                            F.col("neighbor_id").alias("id_b"))
+                .filter(F.col("id_a") < F.col("id_b")).distinct())
+        pairs = pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    return (pairs
+            .select("id_a", "id_b",
+                    F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

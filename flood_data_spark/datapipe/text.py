@@ -1,0 +1,97 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage-codegen friendly) — no
+Python UDFs, so they stream through a 100 TB `documents` scan at parquet
+speed and every one is DuckDB-oracle comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic.  Word-boundary regexes keep the count semantics identical in
+# Spark and ANSI-SQL oracles.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+
+def token_count(text_col) -> Column:
+    """Whitespace token count; empty/blank strings count 0 tokens."""
+    t = F.trim(text_col)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text",
+                     out_col: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out_col, token_count(F.col(text_col)))
+
+
+def _marker_hits(text_col, words) -> Column:
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(text_col, F.lit(pat))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID: count marker-word hits per language,
+    argmax with deterministic tie-break (markers order), 'und' (undetermined)
+    when nothing matches."""
+    hits = {lang: _marker_hits(F.col(text_col), words)
+            for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # dict order = deterministic priority
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return df.withColumn(out_col, expr)
+
+
+def with_quality_signals(df: DataFrame, text_col: str = "text",
+                         prefix: str = "q_") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals + a composite
+    score in [0, 1].  Heuristics in the spirit of C4/Gopher text filters."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_tokens = token_count(t).cast("double")
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]")).cast("double")
+    n_alpha = F.regexp_count(t, F.lit(r"[A-Za-z]")).cast("double")
+    n_stop = _marker_hits(t, LANG_MARKERS["en"]).cast("double")
+
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    safe_tokens = F.greatest(n_tokens, F.lit(1.0))
+    alpha_ratio = n_alpha / safe_chars
+    punct_ratio = n_punct / safe_chars
+    stop_ratio = n_stop / safe_tokens
+    mean_token_len = n_chars / safe_tokens
+
+    score = F.round(
+        F.least(F.lit(1.0),
+                F.lit(0.4) * alpha_ratio
+                + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * 5)
+                + F.lit(0.2) * F.when((mean_token_len >= 3) & (mean_token_len <= 12),
+                                      F.lit(1.0)).otherwise(F.lit(0.0))
+                + F.lit(0.1) * F.least(F.lit(1.0), punct_ratio * 20)),
+        6)
+
+    return (df
+            .withColumn(prefix + "n_chars", n_chars.cast("long"))
+            .withColumn(prefix + "n_tokens", n_tokens.cast("long"))
+            .withColumn(prefix + "alpha_ratio", F.round(alpha_ratio, 6))
+            .withColumn(prefix + "punct_ratio", F.round(punct_ratio, 6))
+            .withColumn(prefix + "stop_ratio", F.round(stop_ratio, 6))
+            .withColumn(prefix + "score", score))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     out_col: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized, lower-cased text.
+    Whitespace-insensitive exact-dup key (cheap first pass before fuzzy
+    dedup)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(normalized))

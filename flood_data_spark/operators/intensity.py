@@ -22,14 +22,15 @@ from flood_data_spark.config import DEFAULT_CONFIG
 def flood_intensity(detailed_df: DataFrame,
                     intensities: dict | None = None,
                     prob_threshold: float | None = None,
-                    col_name: str = "intensity") -> DataFrame:
+                    col_name: str = "intensity",
+                    key_cols=("latitude", "longitude")) -> DataFrame:
     c = intensities or DEFAULT_CONFIG.intensities
     bar = (prob_threshold if prob_threshold is not None
            else DEFAULT_CONFIG.intensity_prob_threshold)
 
     per_cell = (
         detailed_df
-        .groupBy("latitude", "longitude")
+        .groupBy(*key_cols)
         .agg(
             F.max("p_above_20y").alias("max_p_above_20y"),
             F.max("p_above_5y").alias("max_p_above_5y"),

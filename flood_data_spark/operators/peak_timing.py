@@ -47,14 +47,16 @@ def flood_peak_timing(detailed_df: DataFrame,
                       prob_threshold: float | None = None,
                       early_window: tuple | None = None,
                       black_border_window: tuple | None = None,
-                      col_name: str = "peak_timing") -> DataFrame:
+                      col_name: str = "peak_timing",
+                      key_cols=("latitude", "longitude"),
+                      carry_cols=("issued_on",)) -> DataFrame:
     labels = peak_timings or DEFAULT_CONFIG.peak_timings
     bar = (prob_threshold if prob_threshold is not None
            else DEFAULT_CONFIG.intensity_prob_threshold)
     early_lo, early_hi = early_window or DEFAULT_CONFIG.peak_early_window
     bb_lo, bb_hi = black_border_window or DEFAULT_CONFIG.peak_black_border_window
 
-    cell = Window.partitionBy("latitude", "longitude")
+    cell = Window.partitionBy(*key_cols)
     by_severity = cell.orderBy(
         F.asc("condition"), F.desc("median_dis"), F.asc("step"))
 
@@ -70,7 +72,7 @@ def flood_peak_timing(detailed_df: DataFrame,
         .withColumn("rn", F.row_number().over(by_severity))
         .filter(F.col("rn") == 1)
         .select(
-            "latitude", "longitude", "max_2y_start", "issued_on",
+            *key_cols, "max_2y_start", *carry_cols,
             F.col("step").alias("peak_step"),
             F.col("valid_for").alias("peak_day"),
         )

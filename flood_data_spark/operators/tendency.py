@@ -27,14 +27,15 @@ def flood_tendency(detailed_with_control: DataFrame,
                    tendencies: dict | None = None,
                    up_factor: float | None = None,
                    down_factor: float | None = None,
-                   col_name: str = "tendency") -> DataFrame:
+                   col_name: str = "tendency",
+                   key_cols=("latitude", "longitude")) -> DataFrame:
     t = tendencies or DEFAULT_CONFIG.tendencies
     up = up_factor if up_factor is not None else DEFAULT_CONFIG.tendency_up_factor
     down = down_factor if down_factor is not None else DEFAULT_CONFIG.tendency_down_factor
 
     per_cell = (
         detailed_with_control
-        .groupBy("latitude", "longitude")
+        .groupBy(*key_cols)
         .agg(
             F.max("median_dis").alias("max_median_dis"),
             F.min("median_dis").alias("min_median_dis"),

@@ -42,26 +42,32 @@ def ensemble_threshold_summary(forecast_df: DataFrame,
                                threshold_years=None,
                                accuracy_mode: str = "approx",
                                broadcast_thresholds: bool = True,
-                               group_keys=GROUP_KEYS) -> DataFrame:
+                               group_keys=GROUP_KEYS,
+                               join_keys=("latitude", "longitude"),
+                               value_col: str = "dis24") -> DataFrame:
     """forecast (1 row per ensemble member) × thresholds → detailed forecast
-    (1 row per cell/step) with p_above_Ny and the dis24 5-number summary."""
+    (1 row per cell/step) with p_above_Ny and the value 5-number summary.
+
+    `join_keys` / `group_keys` / `value_col` default to the flood schema but
+    are configurable so the operator applies to any ensemble-shaped table.
+    """
     if accuracy_mode not in ("approx", "exact"):
         raise ValueError("accuracy_mode must be 'approx' or 'exact'")
     years = threshold_years or DEFAULT_CONFIG.threshold_years
 
     rhs = F.broadcast(threshold_df) if broadcast_thresholds else threshold_df
-    joined = forecast_df.join(rhs, on=["latitude", "longitude"], how="left")
+    joined = forecast_df.join(rhs, on=list(join_keys), how="left")
 
     aggs = [
-        F.avg((F.col("dis24") >= F.col(f"threshold_{int(y)}y")).cast("int"))
+        F.avg((F.col(value_col) >= F.col(f"threshold_{int(y)}y")).cast("int"))
          .alias(f"p_above_{int(y)}y")
         for y in years
     ]
     aggs += [
-        F.min("dis24").alias("min_dis"),
-        _quantile("dis24", 0.25, accuracy_mode).alias("Q1_dis"),
-        _quantile("dis24", 0.50, accuracy_mode).alias("median_dis"),
-        _quantile("dis24", 0.75, accuracy_mode).alias("Q3_dis"),
-        F.max("dis24").alias("max_dis"),
+        F.min(value_col).alias("min_dis"),
+        _quantile(value_col, 0.25, accuracy_mode).alias("Q1_dis"),
+        _quantile(value_col, 0.50, accuracy_mode).alias("median_dis"),
+        _quantile(value_col, 0.75, accuracy_mode).alias("Q3_dis"),
+        F.max(value_col).alias("max_dis"),
     ]
     return joined.groupBy(*group_keys).agg(*aggs)

@@ -30,6 +30,9 @@ def get_spark(app_name: str = "flood_data_spark",
         .config("spark.sql.session.timeZone", "UTC")
         # parquet posture: vectorized reads + pushdown are defaults, keep them
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # tolerate TIMESTAMP(NANOS) parquet (read as ns-epoch long; callers
+        # convert — same ns-long convention as the reference's GRIB times)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions
                     or int(os.getenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))))

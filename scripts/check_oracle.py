@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark at sf0.01 and its
+oracle_sql() twin on DuckDB over the same parquet files, then compares:
+row count, sorted column names, and order-insensitive values (floats rounded
+to 9 significant digits, dates/timestamps ISO-normalized).
+
+Usage:  python scripts/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm_val(r[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main():
+    import __spark_entry__ as entry_mod
+    from flood_data_spark.session import get_spark
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = sys.argv[1:] or list(qs.keys())
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; available: {sorted(qs)}")
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failures = []
+    for name in names:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only "
+                  f"check), {time.time()-t0:.1f}s")
+            continue
+        try:
+            o = con.execute(oracles[name])
+            o_cols = [d[0] for d in o.description]
+            o_rows = o.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+
+        problems = []
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(o_rows)}")
+        if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
+            problems.append(f"columns spark={sorted(s_cols)} duck={sorted(o_cols)}")
+        if not problems:
+            cs, co = canon(s_rows, s_cols), canon(o_rows, o_cols)
+            if cs != co:
+                ndiff = sum(1 for a, b in zip(cs, co) if a != b)
+                problems.append(f"values differ ({ndiff} of {len(cs)} rows)")
+                for a, b in zip(cs, co):
+                    if a != b:
+                        problems.append(f"  spark {a}")
+                        problems.append(f"  duck  {b}")
+                        break
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:4]:
+                print("      " + p)
+        else:
+            print(f"ok    {name}: {len(s_rows)} rows match, "
+                  f"{time.time()-t0:.1f}s")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILED: {failures}")
+        sys.exit(1)
+    print(f"all {len(names)} queries passed")
+
+
+if __name__ == "__main__":
+    main()

@@ -4,5 +4,15 @@ from flood_data_spark.sources.parquet import (
     read_control,
     write_parquet,
 )
+from flood_data_spark.sources.raster import (
+    read_rasters,
+    merge_control_and_ensemble,
+    synthetic_grib_decoder,
+)
+from flood_data_spark.sources.external import CDSRequest, CDSFetcher, write_jdbc
 
-__all__ = ["read_forecast", "read_thresholds", "read_control", "write_parquet"]
+__all__ = [
+    "read_forecast", "read_thresholds", "read_control", "write_parquet",
+    "read_rasters", "merge_control_and_ensemble", "synthetic_grib_decoder",
+    "CDSRequest", "CDSFetcher", "write_jdbc",
+]

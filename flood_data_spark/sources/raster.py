@@ -1,0 +1,141 @@
+"""Distributed raster ingestion (SURVEY.md §2.1 S2-S6, §3 E2).
+
+The reference decodes GRIB/NetCDF on the driver with xarray in a Python loop
+over 30 lead-time files (databricks/glofas-transform.py:95-139), then
+flattens to pandas and writes parquet per file.  That caps ingest throughput
+at one node.  Spark-native redesign:
+
+    spark.read.format("binaryFile").load(glob)      # 1 row per raster file
+      → mapInPandas(decode_fn)                      # THE one pandas boundary
+      → native range filter / upstream mask / unionByName downstream
+
+The decode callable turns one file's bytes into long-form rows
+(number, step, latitude, longitude, time, valid_time, dis24) — i.e. the
+xarray `to_dataframe().reset_index()` flattening (reference
+flood/etl/raster_converter.py:55-85) happens inside executors, one task per
+file, embarrassingly parallel across the 30 lead times × historical days.
+
+cfgrib/netCDF4 are not installed in this container, so the real decoders
+raise NotImplementedError behind an import-try; `synthetic_grib_decoder`
+provides a deterministic stand-in with the same output contract so the whole
+pipeline (schema, partitioning, batch shapes) is exercised end-to-end in
+tests.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flood_data_spark.schemas import RAW_FORECAST_SCHEMA
+
+# output columns of every decoder, matching RAW_FORECAST_SCHEMA
+DECODED_COLUMNS = ["number", "latitude", "longitude", "time", "step",
+                   "valid_time", "dis24"]
+
+
+def grib_decoder(content: bytes, *, member_filter: str | None = None) -> pd.DataFrame:
+    """Decode one GRIB message set to long-form rows.
+
+    member_filter: None → all, 'cf' → control only, 'pf' → perturbed only
+    (the reference's filter_by_keys dataType dispatch,
+    databricks/glofas-transform.py:104-109).
+    """
+    try:
+        import cfgrib  # noqa: F401
+        import xarray as xr
+    except ImportError as e:
+        raise NotImplementedError(
+            "cfgrib/xarray not available in this environment; plug in a "
+            "decoder or use synthetic_grib_decoder for testing") from e
+    kwargs = {}
+    if member_filter:
+        kwargs["backend_kwargs"] = {
+            "filter_by_keys": {"dataType": member_filter}}
+    ds = xr.open_dataset(io.BytesIO(content), engine="cfgrib", **kwargs)
+    return ds.to_dataframe().reset_index()[DECODED_COLUMNS]
+
+
+def netcdf_decoder(content: bytes) -> pd.DataFrame:
+    """Decode one NetCDF static raster (upstream area / thresholds)."""
+    try:
+        import xarray as xr
+    except ImportError as e:
+        raise NotImplementedError(
+            "netCDF4/xarray not available in this environment") from e
+    ds = xr.open_dataset(io.BytesIO(content), engine="h5netcdf")
+    return ds.to_dataframe().reset_index()
+
+
+def synthetic_grib_decoder(content: bytes, *,
+                           member_filter: str | None = None) -> pd.DataFrame:
+    """Deterministic fake decoder with the real output contract.
+
+    The 'file' is a JSON header: {"step_days": s, "time_ns": t, "members": m,
+    "lat0": .., "lon0": .., "nlat": .., "nlon": .., "resolution": ..}.
+    Discharge is a deterministic function of (member, cell) so tests can
+    compute ground truth independently.
+    """
+    hdr = json.loads(content.decode("utf-8"))
+    res = hdr.get("resolution", 0.05)
+    members = range(hdr.get("members", 3))
+    if member_filter == "cf":
+        members = [0]
+    elif member_filter == "pf":
+        members = range(1, hdr.get("members", 3))
+    rows = []
+    step_ns = int(hdr["step_days"] * 86400 * 1e9)
+    for m in members:
+        for i in range(hdr.get("nlat", 4)):
+            for j in range(hdr.get("nlon", 4)):
+                lat = hdr.get("lat0", 0.025) + i * res
+                lon = hdr.get("lon0", 0.025) + j * res
+                dis = float(10 + m + i * 100 + j + hdr["step_days"] * 1000)
+                rows.append((m, lat, lon, hdr["time_ns"], step_ns,
+                             hdr["time_ns"] + step_ns, dis))
+    return pd.DataFrame(rows, columns=DECODED_COLUMNS)
+
+
+def read_rasters(spark: SparkSession, path_glob: str,
+                 decoder: Callable[..., pd.DataFrame] = grib_decoder,
+                 member_filter: str | None = None,
+                 path_filter: str | None = None) -> DataFrame:
+    """binaryFile scan + mapInPandas decode → raw-forecast DataFrame.
+
+    One decode task per raster file; Arrow-batched output.  Everything
+    downstream (rounding, masking, aggregation) is native DataFrame code.
+    """
+    reader = spark.read.format("binaryFile")
+    if path_filter:
+        reader = reader.option("pathGlobFilter", path_filter)
+    files = reader.load(path_glob).select("path", "content")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                out = decoder(bytes(content), member_filter=member_filter) \
+                    if member_filter is not None else decoder(bytes(content))
+                if len(out):
+                    yield out[DECODED_COLUMNS].astype({
+                        "number": "int64", "latitude": "float64",
+                        "longitude": "float64", "time": "int64",
+                        "step": "int64", "valid_time": "int64",
+                        "dis24": "float32"})
+
+    return files.mapInPandas(decode, schema=RAW_FORECAST_SCHEMA)
+
+
+def merge_control_and_ensemble(control_df: DataFrame,
+                               ensemble_df: DataFrame,
+                               control_number: int = 0) -> DataFrame:
+    """U1: stack control + perturbed members along the member dimension
+    (reference xr.concat dim='number', glofas-transform.py:111-114), as a
+    shuffle-free unionByName."""
+    from pyspark.sql import functions as F
+    ctl = control_df.withColumn("number", F.lit(control_number).cast("long"))
+    return ctl.unionByName(ensemble_df.select(ctl.columns))

@@ -1,0 +1,8 @@
+from flood_data_spark.streaming.file_stream import (
+    read_forecast_stream,
+    daily_windowed_aggregate,
+    run_available_now,
+)
+
+__all__ = ["read_forecast_stream", "daily_windowed_aggregate",
+           "run_available_now"]

@@ -1,0 +1,87 @@
+"""Structured-Streaming wrapper over the daily-batch convention
+(SURVEY.md §2.9).
+
+The reference has no streaming: new data arrives as a dated folder of
+parquet files and a daily job processes it
+(databricks/glofas-forecast-computation.py:110-113).  That convention maps
+1:1 onto a file-source Structured Stream:
+
+- `readStream.schema(S).parquet(root)` watches the folder tree; each new
+  file is an increment;
+- every reference aggregation is keyed by (cell, issued_on), so late data
+  handling is a watermark on `issued_on` with 1-day tumbling windows;
+- `Trigger.AvailableNow` reproduces batch semantics exactly (process all
+  pending input, then stop) — the daily job becomes "run the stream once",
+  and the same code scales down to micro-batch latency if the cadence ever
+  tightens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flood_data_spark.functions.keys import round_keys
+from flood_data_spark.functions.temporal import normalize_forecast_times
+from flood_data_spark.schemas import RAW_FORECAST_SCHEMA
+
+
+def read_forecast_stream(spark: SparkSession, root_path: str,
+                         precision: int | None = None,
+                         max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of raw forecast parquet with the same key/time
+    normalization as the batch reader."""
+    reader = (spark.readStream
+              .schema(RAW_FORECAST_SCHEMA))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(root_path)
+    return normalize_forecast_times(round_keys(df, precision))
+
+
+def daily_windowed_aggregate(stream_df: DataFrame,
+                             watermark_delay: str = "2 days") -> DataFrame:
+    """Per (cell, 1-day window of issued_on): ensemble mean/min/max.
+
+    Watermark bounds state: members arriving later than the delay are
+    dropped, everything else lands in its day's window.  The full
+    threshold-percentage aggregation composes the same way (exceedance
+    indicators before the groupBy).
+    """
+    return (stream_df
+            .withColumn("issued_ts", F.col("issued_on").cast("timestamp"))
+            .withWatermark("issued_ts", watermark_delay)
+            .groupBy(F.window("issued_ts", "1 day").alias("w"),
+                     "latitude", "longitude", "step")
+            .agg(F.avg("dis24").alias("mean_dis"),
+                 F.min("dis24").alias("min_dis"),
+                 F.max("dis24").alias("max_dis"),
+                 F.count("*").alias("n_members"))
+            .select(F.col("w.start").cast("date").alias("issued_on"),
+                    "latitude", "longitude", "step",
+                    "mean_dis", "min_dis", "max_dis", "n_members"))
+
+
+def run_available_now(agg_df: DataFrame, checkpoint_dir: str,
+                      output_path: str | None = None,
+                      query_name: str = "flood_daily") -> "object":
+    """Execute the streaming plan in catch-up-then-stop mode.
+
+    output_path=None → in-memory sink (tests / interactive); otherwise a
+    parquet sink with exactly-once file commit via the checkpoint.
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    writer = (agg_df.writeStream
+              .option("checkpointLocation", checkpoint_dir)
+              .trigger(availableNow=True))
+    if output_path is None:
+        q = (writer.format("memory")
+             .queryName(query_name)
+             .outputMode("complete")
+             .start())
+    else:
+        q = (writer.format("parquet")
+             .option("path", output_path)
+             .outputMode("append")
+             .start())
+    return q

@@ -1,0 +1,64 @@
+"""Multimodal column plumbing tests: binaryFile ingestion, metadata-only
+filters, and the mapInPandas decode boundary with the deterministic fake."""
+
+import os
+
+import pytest
+
+from flood_data_spark.datapipe.multimodal import (
+    decode_image_stub,
+    extract_image_features,
+    fake_image_decoder,
+    filter_by_size,
+    read_media,
+)
+
+
+def _write_blobs(tmpdir, n=5):
+    paths = []
+    for i in range(n):
+        p = os.path.join(tmpdir, f"img_{i}.bin")
+        with open(p, "wb") as f:
+            f.write(bytes([i + 1, (i + 1) * 2]) + b"\x07" * (10 + i * 100))
+        paths.append(p)
+    return paths
+
+
+def test_read_media_schema_and_ids(spark, tmp_path):
+    _write_blobs(str(tmp_path))
+    media = read_media(spark, str(tmp_path) + "/*.bin", mime="image/test")
+    assert media.columns == ["media_id", "path", "mime", "n_bytes", "content"]
+    rows = media.collect()
+    assert len(rows) == 5
+    assert len({r.media_id for r in rows}) == 5  # stable distinct ids
+    assert all(r.mime == "image/test" for r in rows)
+
+
+def test_metadata_filter_never_touches_payload(spark, tmp_path):
+    _write_blobs(str(tmp_path))
+    media = read_media(spark, str(tmp_path) + "/*.bin")
+    small = filter_by_size(media, min_bytes=1, max_bytes=120)
+    # blobs are 12, 112, 212, 312, 412 bytes
+    assert small.count() == 2
+
+
+def test_extract_features_with_fake_decoder(spark, tmp_path):
+    _write_blobs(str(tmp_path), n=3)
+    media = read_media(spark, str(tmp_path) + "/*.bin")
+    feats = extract_image_features(media, decoder=fake_image_decoder)
+    rows = {r.width: r for r in feats.collect()}
+    assert len(rows) == 3
+    # width = first byte + 1; blob i starts with byte i+1
+    assert set(rows) == {2, 3, 4}
+    r = rows[2]
+    assert r.channels == 3
+    assert len(r.embedding) == 8
+    assert r.embedding[0] == pytest.approx(1 / 255.0)
+
+
+def test_stub_decoder_raises(spark, tmp_path):
+    _write_blobs(str(tmp_path), n=1)
+    media = read_media(spark, str(tmp_path) + "/*.bin")
+    feats = extract_image_features(media, decoder=decode_image_stub)
+    with pytest.raises(Exception, match="image codec not available"):
+        feats.collect()

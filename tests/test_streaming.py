@@ -1,0 +1,88 @@
+"""Structured-Streaming wrapper tests: availableNow over the date-folder
+convention reproduces batch semantics."""
+
+import datetime
+import os
+
+import pandas as pd
+import pytest
+
+from flood_data_spark.streaming.file_stream import (
+    daily_windowed_aggregate,
+    read_forecast_stream,
+    run_available_now,
+)
+
+
+def _write_day(dirpath, day_offset, cells=2, members=3):
+    os.makedirs(dirpath, exist_ok=True)
+    t0 = int((datetime.datetime(2024, 1, 1)
+              + datetime.timedelta(days=day_offset)).timestamp() * 1e9)
+    rows = []
+    for c in range(cells):
+        for m in range(members):
+            rows.append((m, 0.025 + 0.05 * c, 0.025, t0,
+                         86400 * 10**9, t0 + 86400 * 10**9,
+                         float(100 + 10 * m + c)))
+    pd.DataFrame(rows, columns=["number", "latitude", "longitude", "time",
+                                "step", "valid_time", "dis24"]) \
+        .astype({"dis24": "float32"}) \
+        .to_parquet(os.path.join(dirpath, f"filtered-{day_offset}.parquet"),
+                    index=False)
+
+
+def test_available_now_matches_batch(spark, tmp_path):
+    data_dir = str(tmp_path / "in")
+    _write_day(data_dir, 0)
+    _write_day(data_dir, 1)
+
+    stream = read_forecast_stream(spark, data_dir)
+    assert stream.isStreaming
+    agg = daily_windowed_aggregate(stream)
+    q = run_available_now(agg, str(tmp_path / "ckpt"),
+                          query_name="t_flood_daily")
+    q.awaitTermination(60)
+
+    out = spark.sql("SELECT * FROM t_flood_daily")
+    rows = {(r.issued_on, r.latitude): r for r in out.collect()}
+    # 2 days x 2 cells
+    assert len(rows) == 4
+    r = rows[(datetime.date(2024, 1, 1), 0.025)]
+    assert r.n_members == 3
+    assert r.mean_dis == pytest.approx(110.0)
+    assert r.min_dis == 100.0 and r.max_dis == 120.0
+
+
+def test_incremental_catchup_append_mode(spark, tmp_path):
+    """Successive availableNow runs over one checkpoint process only new
+    files, and append mode emits exactly the windows the watermark has
+    closed: a day-D window [D, D+1) finalizes only once an event beyond
+    D+1 + delay has been seen."""
+    data_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = read_forecast_stream(spark, data_dir)
+        q = run_available_now(
+            daily_windowed_aggregate(stream, watermark_delay="1 second"),
+            ckpt, output_path=out_dir)
+        q.awaitTermination(60)
+
+    # days 0..2 present: watermark lands just below day 2, so only the
+    # day-0 window (ends day 1) is closed → 1 day x 2 cells
+    for d in range(3):
+        _write_day(data_dir, d)
+    run_once()
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 2
+    assert {r.issued_on for r in first.collect()} == {
+        datetime.date(2024, 1, 1)}
+
+    # day 3 arrives: watermark passes day 2 → day-1 window finalizes too;
+    # day-0 output is NOT re-emitted (exactly-once increments)
+    _write_day(data_dir, 3)
+    run_once()
+    total = spark.read.parquet(out_dir)
+    assert total.count() == 4
+    assert total.select("issued_on").distinct().count() == 2

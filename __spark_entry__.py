@@ -29,6 +29,8 @@ from flood_data_spark.datapipe.dedup import (
 )
 from flood_data_spark.datapipe.similarity import (
     cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from flood_data_spark.datapipe.text import (
@@ -41,6 +43,8 @@ from flood_data_spark.functions.geometry import add_geometry
 from flood_data_spark.operators.grid import upstream_mask
 from flood_data_spark.operators.intensity import flood_intensity
 from flood_data_spark.operators.peak_timing import flood_peak_timing
+from flood_data_spark.operators.serving import neighborhood_lookup, point_lookup
+from flood_data_spark.operators.summary import assemble_summary
 from flood_data_spark.operators.tendency import flood_tendency
 from flood_data_spark.operators.threshold import ensemble_threshold_summary
 
@@ -145,6 +149,57 @@ def q_wkt_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(0.025) + (F.floor(F.col("p_partkey") / 200) % 200) * 0.05, 3)
         .alias("longitude"))
     return add_geometry(cells, half_grid_size=0.025, precision=3)
+
+
+def _grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic cell-center table from part keys (same derivation as
+    q_wkt_geometry): lat index = partkey % 200, lon index = partkey // 200."""
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.round(F.lit(0.025) + (F.col("p_partkey") % 200) * 0.05, 3)
+        .alias("latitude"),
+        F.round(F.lit(0.025) + (F.floor(F.col("p_partkey") / 200) % 200) * 0.05, 3)
+        .alias("longitude"),
+        F.col("p_retailprice").alias("val"))
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 J8: serving point lookup — the cell containing
+    (5.03, 0.31) via pushdown range predicates on the cell-center keys
+    (reference flood-api-examples.py:199-221 deflated-intersects)."""
+    return point_lookup(_grid_cells(spark, sf_dir), 5.03, 0.31)
+
+
+def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 J8: 3×3 neighbor fetch around (5.03, 0.31) with the
+    primary-cell flag (reference inflated-intersects + mask)."""
+    return neighborhood_lookup(_grid_cells(spark, sf_dir), 5.03, 0.31)
+
+
+def q_summary_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3 E1 steps 5-7 end-to-end: control extraction
+    (USE_FIRST_AS_CONTROL), tendency + intensity + peak-timing over one
+    shared detail, 3-way 1:1 assembly (J4), gray-cell filter (P7)."""
+    p2 = F.least(F.lit(1.0), F.col("l_discount") * 12)
+    detailed = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("step"),
+        p2.alias("p_above_2y"),
+        F.greatest(F.lit(0.0), p2 - 0.25).alias("p_above_5y"),
+        F.greatest(F.lit(0.0), p2 - 0.5).alias("p_above_20y"),
+        F.col("l_extendedprice").alias("median_dis"),
+        (F.col("l_extendedprice") * 1.05).alias("max_dis"),
+        (F.col("l_extendedprice") * 0.95).alias("min_dis"),
+        F.to_date("l_shipdate").alias("valid_for"))
+    control = (detailed.filter(F.col("step") == 1)
+               .select("orderkey", F.col("median_dis").alias("control_dis")))
+    tendency = flood_tendency(detailed.join(control, "orderkey"),
+                              key_cols=("orderkey",))
+    intensity = flood_intensity(detailed, key_cols=("orderkey",))
+    peak = flood_peak_timing(detailed, key_cols=("orderkey",), carry_cols=(),
+                             early_window=(1, 3), black_border_window=(1, 2))
+    return assemble_summary(tendency, intensity, peak,
+                            key_cols=("orderkey",))
 
 
 def q_round_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,6 +395,22 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + inverted-list probe) — rows-only
+    check (approximate recall, model-fitted)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=5, nlist=8, nprobe=2)
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline); the
+    synthetic embeddings are near-orthogonal so the threshold sits at the
+    far tail of the cosine distribution (~99.9th pct)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35)
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -357,6 +428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_peak_timing": q_peak_timing,
         "q_wkt_geometry": q_wkt_geometry,
         "q_round_join": q_round_join,
+        "q_point_lookup": q_point_lookup,
+        "q_neighborhood": q_neighborhood,
+        "q_summary_forecast": q_summary_forecast,
         "q_upstream_mask": q_upstream_mask,
         "q_pricing_summary": q_pricing_summary,
         "q_region_revenue": q_region_revenue,
@@ -375,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_dups": q_simhash_dups,
         "q_lsh_topk": q_lsh_topk,
+        "q_ivf_topk": q_ivf_topk,
+        "q_embedding_dedup": q_embedding_dedup,
     }
 
 
@@ -497,6 +573,106 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lon_lo AS VARCHAR) || ' ' || CAST(lat_lo AS VARCHAR) ||
                    '))' AS wkt
             FROM bounds
+        """,
+        "q_point_lookup": """
+            WITH cells AS (
+                SELECT p_partkey AS partkey,
+                       round(0.025 + (p_partkey % 200) * 0.05, 3) AS latitude,
+                       round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT) % 200) * 0.05, 3) AS longitude,
+                       p_retailprice AS val
+                FROM part)
+            SELECT * FROM cells
+            WHERE latitude BETWEEN 5.0 AND 5.05
+              AND longitude BETWEEN 0.3 AND 0.35
+        """,
+        "q_neighborhood": """
+            WITH cells AS (
+                SELECT p_partkey AS partkey,
+                       round(0.025 + (p_partkey % 200) * 0.05, 3) AS latitude,
+                       round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT) % 200) * 0.05, 3) AS longitude,
+                       p_retailprice AS val
+                FROM part)
+            SELECT *,
+                   (latitude BETWEEN 5.0 AND 5.05
+                    AND longitude BETWEEN 0.3 AND 0.35) AS is_primary
+            FROM cells
+            WHERE latitude BETWEEN 4.95 AND 5.1
+              AND longitude BETWEEN 0.25 AND 0.4
+        """,
+        "q_summary_forecast": f"""
+            WITH base AS (
+                SELECT l_orderkey AS orderkey,
+                       l_linenumber AS step,
+                       {p2} AS p_above_2y,
+                       greatest(0.0, {p2} - 0.25) AS p_above_5y,
+                       greatest(0.0, {p2} - 0.5) AS p_above_20y,
+                       l_extendedprice AS median_dis,
+                       l_extendedprice * 1.05 AS max_dis,
+                       l_extendedprice * 0.95 AS min_dis,
+                       CAST(l_shipdate AS DATE) AS valid_for
+                FROM lineitem),
+            ctrl AS (
+                SELECT orderkey, median_dis AS control_dis
+                FROM base WHERE step = 1),
+            tend AS (
+                SELECT orderkey,
+                       max(median_dis) AS max_median_dis,
+                       min(median_dis) AS min_median_dis,
+                       min(control_dis) AS control_dis,
+                       max(max_dis) AS max_max_dis,
+                       min(min_dis) AS min_min_dis
+                FROM base JOIN ctrl USING (orderkey)
+                GROUP BY orderkey),
+            tendl AS (
+                SELECT *,
+                       CASE WHEN max_median_dis > control_dis * 1.10 THEN 'U'
+                            WHEN min_median_dis <= control_dis * 0.90
+                                 AND max_median_dis <= control_dis * 1.10 THEN 'D'
+                            ELSE 'C' END AS tendency
+                FROM tend),
+            inten AS (
+                SELECT orderkey,
+                       max(p_above_20y) AS max_p_above_20y,
+                       max(p_above_5y) AS max_p_above_5y,
+                       max(p_above_2y) AS max_p_above_2y
+                FROM base GROUP BY orderkey),
+            intenl AS (
+                SELECT *,
+                       CASE WHEN max_p_above_20y >= 0.30 THEN 'P'
+                            WHEN max_p_above_5y >= 0.30 THEN 'R'
+                            WHEN max_p_above_2y >= 0.30 THEN 'Y'
+                            ELSE 'G' END AS intensity
+                FROM inten),
+            cond AS (
+                SELECT *,
+                       CASE WHEN p_above_20y >= 0.3 THEN 1
+                            WHEN p_above_5y >= 0.3 THEN 2
+                            WHEN p_above_2y >= 0.3 THEN 3
+                            ELSE 4 END AS condition
+                FROM base),
+            win AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY orderkey
+                           ORDER BY condition ASC, median_dis DESC, step ASC) AS rn,
+                       max(CASE WHEN step BETWEEN 1 AND 3 THEN p_above_2y END)
+                           OVER (PARTITION BY orderkey) AS max_2y_start
+                FROM cond),
+            peak AS (
+                SELECT orderkey,
+                       step AS peak_step,
+                       valid_for AS peak_day,
+                       CASE WHEN step BETWEEN 1 AND 2 THEN 'BB'
+                            WHEN step > 3 AND max_2y_start < 0.30 THEN 'GC'
+                            ELSE 'GB' END AS peak_timing
+                FROM win WHERE rn = 1)
+            SELECT orderkey, peak_step, peak_day, peak_timing,
+                   max_median_dis, min_median_dis, control_dis,
+                   max_max_dis, min_min_dis, tendency,
+                   max_p_above_20y, max_p_above_5y, max_p_above_2y, intensity
+            FROM peak
+            JOIN tendl USING (orderkey)
+            JOIN intenl USING (orderkey)
+            WHERE intensity != 'G'
         """,
         "q_round_join": """
             SELECT bal_key, CAST(count(*) AS BIGINT) AS n_pairs
@@ -702,6 +878,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5
         """,
-        # q_minhash_lsh, q_simhash_dups, q_lsh_topk: intentionally omitted —
-        # hash-sketch operators with no ANSI-SQL equivalent (rows-only check).
+        "q_embedding_dedup": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+        """,
+        # q_minhash_lsh, q_simhash_dups, q_lsh_topk, q_ivf_topk:
+        # intentionally omitted — hash-sketch / model-fitted approximate
+        # operators with no ANSI-SQL equivalent (rows-only check).
     }

@@ -123,6 +123,63 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             nlist: int = 16, nprobe: int = 4, seed: int = 42,
+             max_iter: int = 8) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path.
+
+    1. Fit an nlist-centroid k-means coarse quantizer (pyspark.ml, fixed
+       seed) over the corpus embeddings.
+    2. Assign every corpus vector to its nearest centroid → the inverted
+       lists.  At scale this assignment is written once, partitioned by
+       ``list_id``, and reused across queries.
+    3. Each query probes its ``nprobe`` nearest centroids; candidates are
+       fetched by an equi-join on ``list_id`` (centroid table is tiny →
+       broadcast both directions), then exact cosine re-ranks.
+
+    Search cost drops from O(|corpus|) to ~O(|corpus| · nprobe / nlist)
+    per query; recall < 1 by construction (rows-only correctness check).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    dvec = _as_double(F.col(vec_col))
+    train = corpus.select(array_to_vector(dvec).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter,
+                   initMode="k-means||", initSteps=2).fit(train)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, cvec array<double>")
+
+    def assign(df, id_alias, n_keep):
+        base = df.select(F.col(id_col).alias(id_alias),
+                         dvec.alias(id_alias + "_vec"))
+        scored = base.join(F.broadcast(centroids)).select(
+            id_alias, id_alias + "_vec", "list_id",
+            cosine_similarity(F.col(id_alias + "_vec"),
+                              F.col("cvec")).alias("c_sim"))
+        w = (Window.partitionBy(id_alias)
+             .orderBy(F.desc("c_sim"), F.asc("list_id")))
+        return (scored.withColumn("crank", F.row_number().over(w))
+                .filter(F.col("crank") <= n_keep)
+                .drop("c_sim", "crank"))
+
+    lists = assign(corpus, "neighbor_id", 1)
+    probes = assign(queries, "query_id", nprobe)
+    scored = (probes.join(lists, "list_id")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_similarity(F.col("query_id_vec"),
+                                                F.col("neighbor_id_vec")), 6)
+                      .alias("cosine"))
+              .distinct())
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              exact: bool = True,

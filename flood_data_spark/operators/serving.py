@@ -1,0 +1,93 @@
+"""Serving-time lookup queries (SURVEY.md §2.3 J8, reference
+databricks/flood-api-examples.py:83-142,199-221).
+
+The reference serves point queries by parsing every row's WKT polygon with
+geopandas and running a driver-side ``geometry.intersects`` scan against an
+inflated/deflated query box.  That is O(table) python-side work per lookup.
+
+Spark-first redesign: grid cells are axis-aligned and the table rows are
+keyed by *cell center* (latitude, longitude), so "polygon intersects the
+deflated query box" is exactly "cell center inside the query cell's bounds",
+and the 3×3 neighbor fetch ("intersects the inflated box") is "center within
+one grid step of those bounds".  Both become native ``between`` range
+predicates — Catalyst pushes them into the Parquet scan (row-group min/max
+pruning), so a point lookup against a 100 TB history touches only the
+row groups covering one grid cell.  No geometry parsing, no UDF, no
+collect.
+
+Boundary semantics match the reference's ``get_grid_cell_bounds``
+(flood-api-examples.py:108-120): a point on a cell edge belongs to the cell
+to its east/north (``floor`` snap).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flood_data_spark.config import DEFAULT_CONFIG
+
+
+def grid_cell_bounds(lat: float, lon: float,
+                     grid_size: float | None = None,
+                     precision: int | None = None) -> tuple:
+    """(min_lat, max_lat, min_lon, max_lon) of the cell containing the
+    point; edge points snap east/north (reference flood-api-examples.py:
+    108-120)."""
+    g = grid_size if grid_size is not None else DEFAULT_CONFIG.resolution
+    p = precision if precision is not None else DEFAULT_CONFIG.precision
+    min_lat = math.floor(lat / g) * g
+    min_lon = math.floor(lon / g) * g
+    return (round(min_lat, p), round(min_lat + g, p),
+            round(min_lon, p), round(min_lon + g, p))
+
+
+def point_lookup(cells_df: DataFrame, lat: float, lon: float,
+                 grid_size: float | None = None,
+                 precision: int | None = None,
+                 lat_col: str = "latitude",
+                 lon_col: str = "longitude") -> DataFrame:
+    """Rows of the cell containing (lat, lon) — the reference's
+    "intersects deflated polygon" query (flood-api-examples.py:221)
+    as a pushdown-friendly range predicate on the cell-center keys.
+
+    Cell centers never sit on cell edges, so strict/inclusive bounds are
+    equivalent; ``between`` keeps the predicate in the scan.
+    """
+    lat_lo, lat_hi, lon_lo, lon_hi = grid_cell_bounds(
+        lat, lon, grid_size, precision)
+    return cells_df.filter(
+        F.col(lat_col).between(lat_lo, lat_hi)
+        & F.col(lon_col).between(lon_lo, lon_hi))
+
+
+def neighborhood_lookup(cells_df: DataFrame, lat: float, lon: float,
+                        grid_size: float | None = None,
+                        precision: int | None = None,
+                        lat_col: str = "latitude",
+                        lon_col: str = "longitude",
+                        include_primary: bool = True,
+                        flag_col: str = "is_primary") -> DataFrame:
+    """The 3×3 block of cells around the point's cell — the reference's
+    ``fetch_neighbors`` path (flood-api-examples.py:199-217): inflated-box
+    intersects = centers within one grid step of the primary cell bounds.
+
+    Adds ``flag_col`` distinguishing the primary cell from neighbors
+    (the reference computes the same mask with a second intersects pass).
+    """
+    g = grid_size if grid_size is not None else DEFAULT_CONFIG.resolution
+    p = precision if precision is not None else DEFAULT_CONFIG.precision
+    lat_lo, lat_hi, lon_lo, lon_hi = grid_cell_bounds(lat, lon, g, p)
+    out = (cells_df
+           .filter(F.col(lat_col).between(round(lat_lo - g, p),
+                                          round(lat_hi + g, p))
+                   & F.col(lon_col).between(round(lon_lo - g, p),
+                                            round(lon_hi + g, p)))
+           .withColumn(flag_col,
+                       F.col(lat_col).between(lat_lo, lat_hi)
+                       & F.col(lon_col).between(lon_lo, lon_hi)))
+    if not include_primary:
+        out = out.filter(~F.col(flag_col)).drop(flag_col)
+    return out

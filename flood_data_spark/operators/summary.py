@@ -47,14 +47,16 @@ def assemble_summary(tendency_df: DataFrame,
                      intensity_df: DataFrame,
                      peak_timing_df: DataFrame,
                      drop_gray: bool = True,
-                     intensities: dict | None = None) -> DataFrame:
-    """Inner 3-way equi-join on (lat, lon) — 1:1 per cell — then drop cells
-    with no relevant flood signal (intensity == gray)."""
+                     intensities: dict | None = None,
+                     key_cols=("latitude", "longitude")) -> DataFrame:
+    """Inner 3-way equi-join on the cell key — 1:1 per cell — then drop
+    cells with no relevant flood signal (intensity == gray)."""
     c = intensities or DEFAULT_CONFIG.intensities
+    keys = list(key_cols)
     summary = (
         peak_timing_df
-        .join(tendency_df, on=["latitude", "longitude"], how="inner")
-        .join(intensity_df, on=["latitude", "longitude"], how="inner")
+        .join(tendency_df, on=keys, how="inner")
+        .join(intensity_df, on=keys, how="inner")
     )
     if drop_gray:
         summary = summary.filter(F.col("intensity") != c["gray"])

@@ -1,0 +1,75 @@
+"""Serving-lookup tests (SURVEY §2.3 J8) — grid-cell point and 3×3
+neighborhood queries as pushdown-friendly range predicates, matching the
+reference's intersects semantics (flood-api-examples.py:83-142,199-221)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flood_data_spark.operators.serving import (
+    grid_cell_bounds,
+    neighborhood_lookup,
+    point_lookup,
+)
+
+
+def _cells(spark, n=10):
+    # n x n grid of cell centers at 0.05 resolution, value = encoded index
+    rows = [(round(0.025 + i * 0.05, 3), round(0.025 + j * 0.05, 3),
+             float(i * 100 + j))
+            for i in range(n) for j in range(n)]
+    return spark.createDataFrame(
+        rows, "latitude double, longitude double, val double")
+
+
+def test_grid_cell_bounds_matches_reference_examples():
+    # the two worked examples in the reference docstring
+    # (flood-api-examples.py:93-97)
+    assert grid_cell_bounds(-5.8, 37.75) == (-5.8, -5.75, 37.75, 37.8)
+    assert grid_cell_bounds(-5.81, 37.7501) == (-5.85, -5.8, 37.75, 37.8)
+
+
+def test_point_lookup_single_cell(spark):
+    cells = _cells(spark)
+    got = point_lookup(cells, 0.26, 0.12).collect()
+    assert len(got) == 1
+    # 0.26 → cell [0.25,0.30) center 0.275 (i=5); 0.12 → center 0.125 (j=2)
+    assert got[0].latitude == 0.275 and got[0].longitude == 0.125
+    assert got[0].val == 502.0
+
+
+def test_point_on_boundary_snaps_east_north(spark):
+    cells = _cells(spark)
+    got = point_lookup(cells, 0.25, 0.10).collect()
+    assert len(got) == 1
+    assert (got[0].latitude, got[0].longitude) == (0.275, 0.125)
+
+
+def test_neighborhood_3x3_with_primary_flag(spark):
+    cells = _cells(spark)
+    got = neighborhood_lookup(cells, 0.26, 0.12)
+    rows = got.collect()
+    assert len(rows) == 9
+    primaries = [r for r in rows if r.is_primary]
+    assert len(primaries) == 1
+    assert (primaries[0].latitude, primaries[0].longitude) == (0.275, 0.125)
+    lats = {r.latitude for r in rows}
+    lons = {r.longitude for r in rows}
+    assert lats == {0.225, 0.275, 0.325}
+    assert lons == {0.075, 0.125, 0.175}
+
+
+def test_neighborhood_truncated_at_grid_edge(spark):
+    cells = _cells(spark)
+    got = neighborhood_lookup(cells, 0.01, 0.01, include_primary=False)
+    # corner cell: only 3 neighbors exist, primary excluded
+    assert got.count() == 3
+    assert "is_primary" not in got.columns
+
+
+def test_point_lookup_predicate_pushes_down(spark, tmp_path):
+    # written to parquet, the range predicate must reach the scan
+    _cells(spark).write.parquet(str(tmp_path / "cells"))
+    df = spark.read.parquet(str(tmp_path / "cells"))
+    plan = point_lookup(df, 0.26, 0.12)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(latitude,0.25)" in plan

@@ -1,0 +1,95 @@
+"""Scale posture: shuffle-shaping helpers for the 100 TB deployment.
+
+The reference hand-rolls its scale strategy as ``repartition(100, latitude,
+longitude)`` on every join input (databricks/glofas-forecast-computation.py:
+138,155,197) — a fixed partition count chosen for one cluster size, re-paid
+as a full shuffle on every run.  This module provides the Spark-native
+replacements:
+
+- **Bucketed storage** (`bucketed_write` / `read_bucketed`): persist the big
+  per-cell tables bucketed by the grid key so every downstream equi-join or
+  groupBy on that key is co-located — the shuffle is paid ONCE at write time
+  and amortized over every subsequent query.  This is the 1000-executor
+  answer to the reference's per-run repartition.
+- **Salted joins** (`salted_join`): grid workloads skew (dense river networks
+  concentrate cells; a hot ensemble date concentrates rows).  AQE skew-join
+  splitting (on in our session factory) handles sort-merge skew at runtime;
+  salting is the declarative fallback when one key dominates a
+  non-broadcastable join.
+- **Layout-aware writes** (`sorted_partitioned_write`): the reference sorts
+  globally before save (threshold-data-joining.py:120) — a full range
+  shuffle.  `sortWithinPartitions` gets the same parquet min/max row-group
+  pruning for lat/lon predicates without the extra exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketed_write(df: DataFrame, table_name: str, bucket_cols,
+                   num_buckets: int = 256, sort_cols=None,
+                   mode: str = "overwrite", path: str | None = None) -> None:
+    """Persist `df` hash-bucketed (and optionally sorted) by `bucket_cols`.
+
+    Joins/groupBys between tables bucketed the same way on the same keys run
+    shuffle-free: Catalyst recognizes the bucketing as a satisfied hash
+    distribution requirement on both sides.
+    """
+    cols = list(bucket_cols)
+    writer = (df.write.mode(mode)
+              .bucketBy(num_buckets, cols[0], *cols[1:]))
+    if sort_cols:
+        sc = list(sort_cols)
+        writer = writer.sortBy(sc[0], *sc[1:])
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def read_bucketed(spark, table_name: str) -> DataFrame:
+    """Read a table written by `bucketed_write`, bucketing metadata intact."""
+    return spark.table(table_name)
+
+
+def salted_join(large: DataFrame, small: DataFrame, on,
+                how: str = "inner", salt_buckets: int = 16,
+                salt_col: str = "_salt") -> DataFrame:
+    """Equi-join resilient to heavy key skew on the `large` side.
+
+    The large side gets a deterministic salt derived from its whole row
+    (xxhash64 over all columns — reproducible, no RNG), splitting each hot
+    key across `salt_buckets` reducers; the small side is exploded across
+    all salt values so every (key, salt) pair still meets its match.
+    Row-multiplicity semantics are exactly those of the unsalted join.
+
+    Use when the small side is too big to broadcast AND one key dominates;
+    otherwise prefer plain joins + AQE skew splitting.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_large = large.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]),
+                         F.lit(salt_buckets)).cast("int"))
+    salted_small = small.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    return (salted_large
+            .join(salted_small, keys + [salt_col], how)
+            .drop(salt_col))
+
+
+def sorted_partitioned_write(df: DataFrame, path: str, partition_by=None,
+                             sort_cols=("latitude", "longitude"),
+                             mode: str = "overwrite") -> None:
+    """Parquet write with in-partition ordering on the lookup keys.
+
+    Equivalent pruning benefit to the reference's global pre-save sort
+    (row-group min/max stats become selective for lat/lon predicates) at the
+    cost of a local sort only — no range-partitioning exchange.
+    """
+    out = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        pb = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*pb)
+    writer.parquet(path)

@@ -1,0 +1,92 @@
+"""Scale-posture tests: salted joins preserve semantics, bucketed tables
+join without a shuffle, sorted writes keep pruning-friendly layout."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flood_data_spark.plans.scale import (
+    bucketed_write,
+    read_bucketed,
+    salted_join,
+    sorted_partitioned_write,
+)
+
+
+@pytest.fixture()
+def skewed(spark):
+    # key 1 dominates: 900 of 1000 rows
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 2).alias("payload"))
+    small = spark.createDataFrame(
+        [(1, "hot"), (950, "cold"), (999, "cold")], "k long, tag string")
+    return big, small
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    big, small = skewed
+    plain = big.join(small, "k").select("k", "payload", "tag")
+    salted = salted_join(big, small, "k", salt_buckets=8) \
+        .select("k", "payload", "tag")
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+    assert plain.count() == 902
+
+
+def test_salted_left_join_keeps_unmatched(spark, skewed):
+    big, small = skewed
+    out = salted_join(big, small, "k", how="left", salt_buckets=4)
+    assert out.count() == 1000
+    assert out.filter(F.col("tag").isNull()).count() == 98
+
+
+def test_salt_actually_splits_hot_key(spark, skewed):
+    big, _ = skewed
+    salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                        F.lit(8)).cast("int"))
+    n_salts = (salted.filter(F.col("k") == 1)
+               .select("_salt").distinct().count())
+    assert n_salts == 8
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    left = spark.range(500).select(
+        F.col("id").alias("cell"), (F.col("id") * 1.5).alias("a"))
+    right = spark.range(500).select(
+        F.col("id").alias("cell"), (F.col("id") * 2.5).alias("b"))
+    bucketed_write(left, "t_bleft", ["cell"], num_buckets=4,
+                   sort_cols=["cell"], path=str(tmp_path / "bleft"))
+    bucketed_write(right, "t_bright", ["cell"], num_buckets=4,
+                   sort_cols=["cell"], path=str(tmp_path / "bright"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_bucketed(spark, "t_bleft").join(
+                read_bucketed(spark, "t_bright"), "cell")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 500
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_sorted_partitioned_write_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0.075, 0.025, "2024-01-01", 1.0),
+         (0.025, 0.125, "2024-01-01", 2.0),
+         (0.025, 0.025, "2024-01-02", 3.0)],
+        "latitude double, longitude double, issued_on string, v double")
+    sorted_partitioned_write(df, str(tmp_path / "out"),
+                             partition_by="issued_on")
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 3
+    # partition pruning: only day-2 files scanned for the date predicate
+    pruned = back.filter(F.col("issued_on") == "2024-01-02")
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(issued_on" in plan

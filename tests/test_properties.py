@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the load-bearing invariants:
+float-key discipline, grid snapping, serving bounds, and ladder totality.
+
+Pure-Python properties run at full example counts; Spark-backed properties
+batch all generated rows into ONE DataFrame per test so the property holds
+over many examples at single-job cost.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from flood_data_spark.config import DEFAULT_CONFIG
+from flood_data_spark.operators.serving import grid_cell_bounds
+
+coords = st.floats(min_value=-179.9, max_value=179.9,
+                   allow_nan=False, allow_infinity=False)
+
+
+@given(lat=coords, lon=coords)
+@settings(max_examples=300, deadline=None)
+def test_grid_cell_bounds_contains_point(lat, lon):
+    lat_lo, lat_hi, lon_lo, lon_hi = grid_cell_bounds(lat, lon)
+    g = DEFAULT_CONFIG.resolution
+    # bounds are one grid step wide and contain the point (edges snap
+    # east/north so the lower bound may equal the point)
+    assert math.isclose(lat_hi - lat_lo, g, abs_tol=1e-9)
+    assert math.isclose(lon_hi - lon_lo, g, abs_tol=1e-9)
+    assert lat_lo <= lat + 1e-9 and lat <= lat_hi + 1e-9
+    assert lon_lo <= lon + 1e-9 and lon <= lon_hi + 1e-9
+
+
+@given(lat=coords, lon=coords)
+@settings(max_examples=300, deadline=None)
+def test_grid_cell_bounds_idempotent_on_cell_center(lat, lon):
+    # the center of any cell maps back to the same cell
+    lat_lo, lat_hi, lon_lo, lon_hi = grid_cell_bounds(lat, lon)
+    c_lat, c_lon = (lat_lo + lat_hi) / 2, (lon_lo + lon_hi) / 2
+    assert grid_cell_bounds(c_lat, c_lon) == (lat_lo, lat_hi, lon_lo, lon_hi)
+
+
+def test_round_keys_recovers_jittered_joins(spark):
+    """For any grid center and |noise| < 0.5e-3 (half an ulp at precision
+    3), round_keys maps the jittered value back to the exact key — the
+    §1.4 join-repair property, en masse."""
+    from flood_data_spark.functions.keys import round_keys
+
+    import numpy as np
+    rng = np.random.default_rng(3)
+    centers = np.round(0.025 + np.arange(500) * 0.05, 3)
+    noise = rng.uniform(-4.9e-4, 4.9e-4, 500)
+    df = spark.createDataFrame(
+        [(float(c + e), float(c)) for c, e in zip(centers, noise)],
+        "latitude double, expected double")
+    df = df.withColumn("longitude", F.lit(0.025))
+    bad = round_keys(df).filter(F.col("latitude") != F.col("expected"))
+    assert bad.count() == 0
+
+
+def test_snap_to_grid_is_idempotent_and_center_valued(spark):
+    from flood_data_spark.functions.keys import snap_to_grid
+
+    import numpy as np
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-80, 80, 400)
+    df = spark.createDataFrame(
+        [(float(p), float(p)) for p in pts], "latitude double, longitude double")
+    once = snap_to_grid(df)
+    twice = snap_to_grid(once)
+    assert once.subtract(twice).count() == 0 and twice.subtract(once).count() == 0
+    # every snapped coordinate is a cell center: (coord - res/2) / res ≈ int
+    res = DEFAULT_CONFIG.resolution
+    off = once.select(
+        ((F.col("latitude") - res / 2) / res).alias("q")).collect()
+    assert all(abs(r.q - round(r.q)) < 1e-6 for r in off)
+
+
+def test_classification_ladders_are_total(spark):
+    """Every (p_above_20y, p_above_5y, p_above_2y) triple gets exactly one
+    intensity label; every (max_median, min_median, control) triple gets
+    exactly one tendency label — including exact-threshold boundaries."""
+    from flood_data_spark.operators.intensity import flood_intensity
+    from flood_data_spark.operators.tendency import flood_tendency
+
+    import itertools
+    probs = [0.0, 0.29999, 0.3, 0.30001, 1.0]
+    rows = [(i, a, b, c) for i, (a, b, c) in
+            enumerate(itertools.product(probs, probs, probs))]
+    df = spark.createDataFrame(
+        rows, "k long, p_above_20y double, p_above_5y double, p_above_2y double")
+    out = flood_intensity(df, key_cols=("k",))
+    got = out.select("intensity").distinct().collect()
+    assert {r.intensity for r in got} <= {"P", "R", "Y", "G"}
+    assert out.filter(F.col("intensity").isNull()).count() == 0
+    assert out.count() == len(rows)
+
+    vals = [1.0, 99.0, 100.0, 101.0, 110.0, 111.0]
+    trows = [(i, m, m, 100.0, m * 1.05, m * 0.95)
+             for i, m in enumerate(vals)]
+    tdf = spark.createDataFrame(
+        trows, "k long, median_dis double, control_dis double, c double,"
+               " max_dis double, min_dis double") \
+        .withColumn("control_dis", F.col("c")).drop("c")
+    tout = flood_tendency(tdf, key_cols=("k",))
+    assert tout.filter(F.col("tendency").isNull()).count() == 0
+    labels = {r.k: r.tendency for r in tout.collect()}
+    assert labels[0] == "D"      # 1.0 << control*0.9
+    assert labels[5] == "U"      # 111 > 110 = control*1.1
+    assert labels[3] == "C"      # 101 in (90, 110]

@@ -36,6 +36,7 @@ from flood_data_spark.datapipe.similarity import (
 from flood_data_spark.datapipe.text import (
     with_fingerprint,
     with_lang_id,
+    with_bpe_token_count,
     with_quality_signals,
     with_token_count,
 )
@@ -342,8 +343,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (with_token_count(_t(spark, sf_dir, "documents"))
-            .select("doc_id", "n_tokens"))
+    """Whitespace tokens + BPE-ish pre-tokenizer subword count."""
+    return (with_bpe_token_count(with_token_count(_t(spark, sf_dir, "documents")))
+            .select("doc_id", "n_tokens", "n_bpe_tokens"))
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,7 +780,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-                   END AS n_tokens
+                   END AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)
+                   AS n_bpe_tokens
             FROM documents
         """,
         "q_quality": """

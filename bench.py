@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "q_quality",
     "q_cosine_topk",
     "q_minhash_lsh",
+    "q_summary_forecast",
+    "q_embedding_dedup",
+    "q_ngram_jaccard",
+    "q_point_lookup",
 ]
 
 

@@ -33,6 +33,26 @@ def with_token_count(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, token_count(F.col(text_col)))
 
 
+# BPE-ish pre-tokenizer: runs of letters, runs of digits, runs of other
+# non-space symbols — each optionally glued to one leading space (the GPT-2
+# pre-tokenization shape).  Kept to ASCII classes so the Java-regex (Spark)
+# and RE2 (oracle) interpretations coincide exactly.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text_col) -> Column:
+    """Subword-proxy token count via the BPE-ish pre-tokenizer regex — the
+    cheap estimator of LLM token cost a training pipeline budgets with
+    (true BPE needs a merges table; the pre-tokenizer count is its upper
+    bound and is fully vectorizable JVM-side)."""
+    return F.regexp_count(text_col, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text",
+                         out_col: str = "n_bpe_tokens") -> DataFrame:
+    return df.withColumn(out_col, bpe_token_count(F.col(text_col)))
+
+
 def _marker_hits(text_col, words) -> Column:
     pat = r"(?i)\b(" + "|".join(words) + r")\b"
     return F.regexp_count(text_col, F.lit(pat))

@@ -62,6 +62,42 @@ def daily_windowed_aggregate(stream_df: DataFrame,
                     "mean_dis", "min_dis", "max_dis", "n_members"))
 
 
+def streaming_threshold_summary(stream_df: DataFrame,
+                                threshold_df: DataFrame,
+                                watermark_delay: str = "2 days",
+                                threshold_years=(2, 5, 20)) -> DataFrame:
+    """The flagship exceedance aggregation in streaming form: stream-static
+    broadcast join against the (small, static) threshold table, exceedance
+    indicators, then a watermarked 1-day-window groupBy.
+
+    Streaming quantiles aren't supported by Spark's windowed aggregation, so
+    the streaming product carries the exceedance probabilities and min/max —
+    the alerting signal; the full 5-number summary remains the batch
+    product's job (same inputs, same keys, run `availableNow` on the same
+    folder).
+    """
+    joined = stream_df.join(F.broadcast(threshold_df),
+                            on=["latitude", "longitude"], how="left")
+    aggs = [
+        F.avg((F.col("dis24") >= F.col(f"threshold_{int(y)}y")).cast("int"))
+         .alias(f"p_above_{int(y)}y")
+        for y in threshold_years
+    ]
+    aggs += [F.min("dis24").alias("min_dis"),
+             F.max("dis24").alias("max_dis"),
+             F.count("*").alias("n_members")]
+    return (joined
+            .withColumn("issued_ts", F.col("issued_on").cast("timestamp"))
+            .withWatermark("issued_ts", watermark_delay)
+            .groupBy(F.window("issued_ts", "1 day").alias("w"),
+                     "latitude", "longitude", "step")
+            .agg(*aggs)
+            .select(F.col("w.start").cast("date").alias("issued_on"),
+                    "latitude", "longitude", "step",
+                    *[f"p_above_{int(y)}y" for y in threshold_years],
+                    "min_dis", "max_dis", "n_members"))
+
+
 def run_available_now(agg_df: DataFrame, checkpoint_dir: str,
                       output_path: str | None = None,
                       query_name: str = "flood_daily") -> "object":

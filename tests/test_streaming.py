@@ -86,3 +86,48 @@ def test_incremental_catchup_append_mode(spark, tmp_path):
     total = spark.read.parquet(out_dir)
     assert total.count() == 4
     assert total.select("issued_on").distinct().count() == 2
+
+
+def test_streaming_threshold_summary_matches_batch(spark, tmp_path):
+    """Stream-static broadcast join + windowed exceedance agg produces the
+    same probabilities as the batch operator on the same files."""
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.operators.threshold import ensemble_threshold_summary
+    from flood_data_spark.sources.parquet import read_forecast
+    from flood_data_spark.streaming.file_stream import (
+        read_forecast_stream,
+        run_available_now,
+        streaming_threshold_summary,
+    )
+
+    data_dir = str(tmp_path / "in")
+    _write_day(data_dir, 0, cells=3, members=4)
+
+    thresholds = spark.createDataFrame(
+        [(round(0.025 + 0.05 * c, 3), 0.025, 105.0, 115.0, 130.0)
+         for c in range(3)],
+        "latitude double, longitude double, threshold_2y double,"
+        " threshold_5y double, threshold_20y double")
+
+    stream = read_forecast_stream(spark, data_dir)
+    agg = streaming_threshold_summary(stream, thresholds)
+    q = run_available_now(agg, str(tmp_path / "ck"),
+                          query_name="t_stream_thresh")
+    q.awaitTermination(60)
+    got = {(r.latitude, r.step): r
+           for r in spark.sql("SELECT * FROM t_stream_thresh").collect()}
+
+    batch = ensemble_threshold_summary(
+        read_forecast(spark, data_dir + "/*.parquet"), thresholds,
+        accuracy_mode="exact")
+    want = {(r.latitude, r.step): r for r in batch.collect()}
+
+    assert set(got) == set(want) and len(got) == 3
+    for key, g in got.items():
+        w = want[key]
+        for col in ("p_above_2y", "p_above_5y", "p_above_20y",
+                    "min_dis", "max_dis"):
+            assert abs(getattr(g, col) - getattr(w, col)) < 1e-9, (key, col)
+        assert g.n_members == 4
+        assert g.issued_on == w.issued_on

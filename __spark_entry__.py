@@ -45,6 +45,7 @@ from flood_data_spark.operators.grid import upstream_mask
 from flood_data_spark.operators.intensity import flood_intensity
 from flood_data_spark.operators.peak_timing import flood_peak_timing
 from flood_data_spark.operators.serving import neighborhood_lookup, point_lookup
+from flood_data_spark.operators.timeseries import asof_join, sessionize
 from flood_data_spark.operators.summary import assemble_summary
 from flood_data_spark.operators.tendency import flood_tendency
 from flood_data_spark.operators.threshold import ensemble_threshold_summary
@@ -58,8 +59,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # spark.sql.legacy.parquet.nanosAsLong; normalize to a real timestamp
     # (truncate ns → µs, matching DuckDB's µs-precision TIMESTAMP).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer `div`, NOT `/`: float division of ns-epoch longs loses the
+        # low bits past double precision (observed +1 µs drift)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -338,6 +340,44 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data-pipeline operators (beyond-reference, BASELINE.json)
 # =====================================================================
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join (union + ordered-window forward-fill,
+    one shuffle): each purchase matched to the user's most recent click."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"))
+    out = asof_join(purchases, clicks, on="user_id",
+                    right_cols=["click_value"])
+    return out.select("event_id", "user_id", "ts", "value",
+                      F.col("ts_right").alias("click_ts"),
+                      F.col("click_value_right").alias("click_value"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h gap) over the event stream."""
+    return sessionize(_t(spark, sf_dir, "events"), gap_seconds=3600,
+                      order_tiebreak="event_id")
+
+
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation pipeline end-to-end: quality gate + language
+    filter + token-budget range + exact dedup keeping the representative —
+    the datapipe operators composing in one plan."""
+    docs = _t(spark, sf_dir, "documents")
+    enriched = with_bpe_token_count(with_token_count(
+        with_lang_id(with_quality_signals(docs))))
+    kept = enriched.filter((F.col("q_score") >= 0.6)
+                           & (F.col("lang_pred") == "en")
+                           & F.col("n_tokens").between(5, 5000))
+    reps = exact_dedup(kept)
+    return (kept.join(reps.select(F.col("rep_id").alias("doc_id")),
+                      "doc_id", "left_semi")
+            .select("doc_id", "n_tokens", "n_bpe_tokens", "q_score",
+                    "lang_pred"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -441,6 +481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_events": q_union_events,
         "q_range_filter": q_range_filter,
         "q_events_daily": q_events_daily,
+        "q_asof_join": q_asof_join,
+        "q_sessionize": q_sessionize,
+        "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
@@ -768,6 +811,84 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_asof_join": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'),
+            clicks AS (
+                SELECT user_id, ts, max(value) AS click_value FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   c.ts AS click_ts, c.click_value
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > CAST(3600 AS BIGINT) * 1000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            numbered AS (
+                SELECT *,
+                       sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "q_curation": """
+            WITH raw AS (
+                SELECT doc_id, text,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0.0
+                            ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                       END AS n_tokens,
+                       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+                       len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is)\\b')) AS h_en,
+                       len(regexp_extract_all(text, '(?i)\\b(der|und|die|nicht|ist)\\b')) AS h_de,
+                       len(regexp_extract_all(text, '(?i)\\b(le|la|et|les|est)\\b')) AS h_fr,
+                       len(regexp_extract_all(text, '(?i)\\b(el|los|que|es|una)\\b')) AS h_es,
+                       CAST(len(regexp_extract_all(text,
+                            ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)
+                       AS n_bpe_tokens
+                FROM documents),
+            scored AS (
+                SELECT doc_id, text, n_bpe_tokens,
+                       CAST(n_tokens AS BIGINT) AS n_tokens,
+                       round(least(1.0,
+                             0.4 * (n_alpha / greatest(n_chars, 1.0))
+                           + 0.3 * least(1.0, (CAST(h_en AS DOUBLE) / greatest(n_tokens, 1.0)) * 5)
+                           + 0.2 * (CASE WHEN n_chars / greatest(n_tokens, 1.0)
+                                              BETWEEN 3 AND 12
+                                         THEN 1.0 ELSE 0.0 END)
+                           + 0.1 * least(1.0, (n_punct / greatest(n_chars, 1.0)) * 20)), 6)
+                       AS q_score,
+                       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                            WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                            ELSE 'es' END AS lang_pred
+                FROM raw),
+            kept AS (
+                SELECT * FROM scored
+                WHERE q_score >= 0.6 AND lang_pred = 'en'
+                  AND n_tokens BETWEEN 5 AND 5000),
+            reps AS (
+                SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS dup_key,
+                       min(doc_id) AS rep_id
+                FROM kept GROUP BY 1)
+            SELECT k.doc_id, k.n_tokens, k.n_bpe_tokens, k.q_score, k.lang_pred
+            FROM kept k JOIN reps r ON k.doc_id = r.rep_id
         """,
         "q_dedup_exact": """
             SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS dup_key,

@@ -1,0 +1,113 @@
+"""Event-time operators: as-of join and gap-based sessionization.
+
+Beyond-reference operators a large-scale event/training-data pipeline needs
+(the reference's only temporal logic is daily batch dating, SURVEY §2.9).
+Both are pure window/aggregation compositions — no UDFs, no per-key driver
+loops — so they scale with the shuffle, not with the key count.
+
+The as-of join deliberately avoids the pandas ``merge_asof``-per-group
+pattern: a union + ordered-window forward-fill computes every match in one
+pass, one shuffle on (key, time) — the standard scalable formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_LEFT, _RIGHT = 0, 1
+
+
+def asof_join(left: DataFrame, right: DataFrame, on, left_ts: str = "ts",
+              right_ts: str = "ts", right_cols=None, suffix: str = "_right",
+              tolerance_seconds: int | None = None) -> DataFrame:
+    """Backward (inclusive) as-of join: each left row gets the most recent
+    right row with ``right.ts <= left.ts`` for the same key(s); null when
+    no prior right row exists (left-outer semantics).
+
+    Implementation: tag and union both inputs, sort each key's timeline once
+    (right rows before left rows at equal timestamps → inclusive), and
+    forward-fill the right payload with ``last(ignorenulls)`` over the
+    ordered window.  Equivalent SQL: DuckDB/ANSI ``ASOF LEFT JOIN``.
+
+    ``tolerance_seconds`` optionally voids matches older than the window
+    (pandas merge_asof tolerance semantics).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rcols = list(right_cols) if right_cols is not None \
+        else [c for c in right.columns if c not in keys and c != right_ts]
+
+    # one right row per (key, ts): keep the greatest payload tuple so the
+    # fill is deterministic under timestamp collisions
+    r = (right
+         .select(*keys, F.col(right_ts).alias("_ts"),
+                 F.struct(*[F.col(c) for c in rcols]).alias("_payload"))
+         .groupBy(*keys, "_ts").agg(F.max("_payload").alias("_payload"))
+         .withColumn("_side", F.lit(_RIGHT)))
+
+    left_row = F.struct(*[F.col(c) for c in left.columns]).alias("_row")
+    l = left.select(*keys, F.col(left_ts).alias("_ts"),
+                    F.lit(_LEFT).alias("_side"),
+                    F.lit(None).cast(r.schema["_payload"].dataType)
+                    .alias("_payload"),
+                    left_row)
+    row_type = l.schema["_row"].dataType
+    timeline = l.unionByName(
+        r.select(*keys, "_ts", F.col("_side"), "_payload",
+                 F.lit(None).cast(row_type).alias("_row")))
+
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (timeline
+              .withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+              .withColumn("_match_ts",
+                          F.last(F.when(F.col("_side") == _RIGHT,
+                                        F.col("_ts")), ignorenulls=True).over(w))
+              .filter(F.col("_side") == _LEFT))
+
+    if tolerance_seconds is not None:
+        in_window = (F.col("_ts").cast("long")
+                     - F.col("_match_ts").cast("long")) <= tolerance_seconds
+        filled = (filled
+                  .withColumn("_match", F.when(in_window, F.col("_match")))
+                  .withColumn("_match_ts", F.when(in_window, F.col("_match_ts"))))
+
+    out_cols = [F.col(f"_row.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("_match_ts").alias(right_ts + suffix))
+    out_cols += [F.col(f"_match.{c}").alias(c + suffix) for c in rcols]
+    return filled.select(*out_cols)
+
+
+def sessionize(events: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", gap_seconds: int = 1800,
+               order_tiebreak: str | None = None) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event exceeds ``gap_seconds``.
+
+    Returns one row per session: (key, session_id 1..n per key,
+    session_start, session_end, n_events).  Two ordered windows + one
+    aggregation — a single shuffle on the key.
+    """
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # microsecond arithmetic: second-truncated casts would disagree with
+    # µs-precision engines exactly at the gap boundary
+    gap_us = (F.unix_micros(F.col(ts_col))
+              - F.unix_micros(F.lag(F.col(ts_col)).over(w)))
+    with_ids = (events
+                .withColumn("_new",
+                            F.when(gap_us.isNull()
+                                   | (gap_us > gap_seconds * 1_000_000), 1)
+                            .otherwise(0))
+                .withColumn("session_id",
+                            F.sum("_new").over(
+                                w.rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow))))
+    return (with_ids
+            .groupBy(key_col, "session_id")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count("*").alias("n_events")))

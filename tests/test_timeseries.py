@@ -1,0 +1,104 @@
+"""as-of join and sessionization golden tests."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from flood_data_spark.operators.timeseries import asof_join, sessionize
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(20), "p2"), (2, _ts(5), "p3")],
+        "user_id long, ts timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, _ts(9), 100.0), (1, _ts(10), 150.0), (1, _ts(15), 200.0),
+         (2, _ts(6), 300.0)],
+        "user_id long, ts timestamp, quote double")
+
+    out = {r.name: r for r in
+           asof_join(left, right, on="user_id").collect()}
+    # inclusive: left@10 matches right@10, not right@9
+    assert out["p1"].quote_right == 150.0 and out["p1"].ts_right == _ts(10)
+    # most recent prior: left@20 → right@15
+    assert out["p2"].quote_right == 200.0
+    # no prior right row for user 2 at ts 5 → null (left-outer)
+    assert out["p3"].quote_right is None and out["p3"].ts_right is None
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(30), "late")], "user_id long, ts timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0)], "user_id long, ts timestamp, quote double")
+    hit = asof_join(left, right, on="user_id").first()
+    assert hit.quote_right == 1.0
+    missed = asof_join(left, right, on="user_id",
+                       tolerance_seconds=600).first()
+    assert missed.quote_right is None
+
+
+def test_asof_matches_duckdb_asof_join(spark):
+    """Differential check against DuckDB's native ASOF LEFT JOIN on a
+    seeded random workload."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame({
+        "k": rng.integers(0, 5, 60),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10_000, 60), unit="s"),
+        "lv": np.arange(60.0)})
+    rpdf = pd.DataFrame({
+        "k": rng.integers(0, 5, 80),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10_000, 80), unit="s"),
+        "rv": np.arange(80.0)})
+    # unique (k, ts) on the right so match values are well-defined
+    rpdf = rpdf.drop_duplicates(subset=["k", "ts"])
+
+    got = (asof_join(spark.createDataFrame(lpdf),
+                     spark.createDataFrame(rpdf),
+                     on="k", left_ts="ts", right_ts="ts")
+           .select("k", "ts", "lv", "rv_right").toPandas()
+           .sort_values(["k", "ts", "lv"]).reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("l", lpdf)
+    con.register("r", rpdf)
+    want = con.execute("""
+        SELECT l.k, l.ts, l.lv, r.rv AS rv_right
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+        ORDER BY l.k, l.ts, l.lv
+    """).df().reset_index(drop=True)
+
+    assert len(got) == len(want) == 60
+    for g, w in zip(got.itertuples(), want.itertuples()):
+        assert g.k == w.k and g.lv == w.lv
+        if pd.isna(w.rv_right):
+            assert pd.isna(g.rv_right)
+        else:
+            assert g.rv_right == w.rv_right
+
+
+def test_sessionize_gap_splits(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(0), 1), (1, _ts(10), 2), (1, _ts(50), 3), (1, _ts(55), 4),
+         (2, _ts(0), 5)],
+        "user_id long, ts timestamp, event_id long")
+    out = {(r.user_id, r.session_id): r
+           for r in sessionize(ev, gap_seconds=1800,
+                               order_tiebreak="event_id").collect()}
+    # user 1: events at 0,10 then 40-min gap → second session at 50,55
+    assert len(out) == 3
+    s1 = out[(1, 1)]
+    assert s1.n_events == 2 and s1.session_start == _ts(0) \
+        and s1.session_end == _ts(10)
+    s2 = out[(1, 2)]
+    assert s2.n_events == 2 and s2.session_start == _ts(50)
+    assert out[(2, 1)].n_events == 1

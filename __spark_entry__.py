@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flood_data_spark.datapipe.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -445,6 +446,14 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, nlist=8, nprobe=2)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over n-gram Jaccard near-dup pairs (iterative
+    min-label propagation + pointer jumping) — the keep/drop decision step.
+    Iterative, not SQL-expressible; rows-only check."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup_clusters(ngram_jaccard_pairs(docs, threshold=0.5))
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs baseline); the
     synthetic embeddings are near-orthogonal so the threshold sits at the
@@ -495,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_dups": q_simhash_dups,
         "q_lsh_topk": q_lsh_topk,
         "q_ivf_topk": q_ivf_topk,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_embedding_dedup": q_embedding_dedup,
     }
 

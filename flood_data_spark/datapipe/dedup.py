@@ -230,3 +230,61 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
             .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------- dedup clusters
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair relation → one cluster id
+    per document: the step that turns pairwise similarity (from
+    `ngram_jaccard_pairs` / `minhash_lsh_pairs` / `simhash_dup_pairs` /
+    `embedding_near_dup_pairs`) into an actual keep/drop decision
+    (keep = the min-id representative of each cluster).
+
+    Iterative min-label propagation with pointer jumping: each round every
+    node adopts the smallest label among itself and its neighbors, then
+    jumps to its label's label (doubling) — O(log component-diameter)
+    rounds, each a narrow (id, label) shuffle.  `localCheckpoint` truncates
+    the lineage every round (without it the iterated plan grows
+    exponentially and the driver stack-overflows before round 20).
+
+    Returns (doc_id, cluster_id) for every node appearing in `pairs`,
+    cluster_id = min doc_id of the component.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node")))
+
+    for _ in range(max_iterations):
+        neighbor_min = (edges
+                        .join(labels, edges.dst == labels.node)
+                        .groupBy("src").agg(F.min("label").alias("nmin")))
+        updated = (labels
+                   .join(neighbor_min, labels.node == neighbor_min.src, "left")
+                   .select("node",
+                           F.least("label", F.coalesce("nmin", "label"))
+                           .alias("label")))
+        # pointer jumping: adopt the current label of your label
+        jump = updated.select(F.col("node").alias("pnode"),
+                              F.col("label").alias("plabel"))
+        updated = (updated
+                   .join(jump, updated.label == jump.pnode, "left")
+                   .select("node",
+                           F.least("label", F.coalesce("plabel", "label"))
+                           .alias("label"))
+                   .localCheckpoint(eager=True))
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "node")
+                   .filter(F.col("u.label") != F.col("l.label"))
+                   .limit(1).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

@@ -110,6 +110,44 @@ def sample_frames_stub(content: bytes, every_n: int = 30) -> list:
         "video codec not available in this environment")
 
 
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def fake_frame_sampler(content: bytes, every_n: int = 30) -> list:
+    """Deterministic stand-in for ffmpeg frame extraction: 'frames' are
+    fixed-size byte slices so tests can assert the one-row-per-frame
+    explode shape and per-frame payload plumbing."""
+    n_frames = max(1, len(content) // max(every_n, 1))
+    return [content[i * every_n:(i + 1) * every_n] for i in range(n_frames)]
+
+
+def extract_frames(media_df: DataFrame,
+                   sampler: Callable[[bytes], list] = sample_frames_stub,
+                   every_n: int = 30) -> DataFrame:
+    """Video → one row per sampled frame via mapInPandas (a flatMap: each
+    input row yields `n_frames` output rows, so downstream per-frame ops —
+    dedup, feature extraction, filtering — parallelize past the video
+    boundary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for idx, frame in enumerate(sampler(bytes(content), every_n)):
+                    out.append({"media_id": int(mid), "frame_idx": idx,
+                                "frame": frame})
+            if out:
+                yield pd.DataFrame(out)
+
+    return (media_df
+            .select("media_id", "content")
+            .mapInPandas(run, schema=FRAME_SCHEMA))
+
+
 def filter_by_size(media_df: DataFrame, min_bytes: int = 1,
                    max_bytes: int = 50 * 1024 * 1024) -> DataFrame:
     """Metadata-only gate: runs native (pushdown-friendly), payload untouched."""

@@ -98,6 +98,23 @@ def streaming_threshold_summary(stream_df: DataFrame,
                     "min_dis", "max_dis", "n_members"))
 
 
+def dedup_stream(stream_df: DataFrame, key_cols,
+                 ts_col: str = "issued_ts",
+                 watermark_delay: str = "2 days") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    `dropDuplicatesWithinWatermark` keeps each key's state only until the
+    watermark passes, so re-delivered raster rows (file re-uploads, replayed
+    batches) are dropped without unbounded key memory — the streaming
+    counterpart of datapipe.dedup.exact_dedup.
+    """
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    out = stream_df
+    if ts_col not in out.columns:
+        out = out.withColumn(ts_col, F.col("issued_on").cast("timestamp"))
+    return (out.withWatermark(ts_col, watermark_delay)
+            .dropDuplicatesWithinWatermark(cols))
+
+
 def run_available_now(agg_df: DataFrame, checkpoint_dir: str,
                       output_path: str | None = None,
                       query_name: str = "flood_daily") -> "object":

@@ -1,0 +1,87 @@
+"""Empty-input hardening: every main operator degrades to an empty result
+with the right schema — no crashes, no null-pointer plans.  At 100 TB an
+empty day partition, an all-filtered region, or a dup-free corpus are
+routine, not edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flood_data_spark.datapipe.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    ngram_jaccard_pairs,
+)
+from flood_data_spark.datapipe.similarity import cosine_topk_bruteforce
+from flood_data_spark.operators.intensity import flood_intensity
+from flood_data_spark.operators.serving import point_lookup
+from flood_data_spark.operators.tendency import flood_tendency
+from flood_data_spark.operators.threshold import ensemble_threshold_summary
+from flood_data_spark.operators.timeseries import asof_join, sessionize
+from flood_data_spark.plans.daily_pipeline import DailyForecastPipeline
+
+
+@pytest.fixture()
+def empty_forecast(spark):
+    return spark.createDataFrame(
+        [], "latitude double, longitude double, issued_on date,"
+            " valid_for date, step int, dis24 float")
+
+
+@pytest.fixture()
+def thresholds(spark):
+    return spark.createDataFrame(
+        [(0.025, 0.025, 10.0, 20.0, 30.0)],
+        "latitude double, longitude double, threshold_2y double,"
+        " threshold_5y double, threshold_20y double")
+
+
+def test_empty_daily_pipeline(spark, empty_forecast, thresholds):
+    products = DailyForecastPipeline(accuracy_mode="exact").run(
+        empty_forecast, thresholds)
+    assert products.detailed.count() == 0
+    assert products.summary.count() == 0
+    assert "wkt" in products.summary.columns
+
+
+def test_empty_threshold_summary_schema(spark, empty_forecast, thresholds):
+    out = ensemble_threshold_summary(empty_forecast, thresholds,
+                                     accuracy_mode="exact")
+    assert out.count() == 0
+    for c in ("p_above_2y", "median_dis", "max_dis"):
+        assert c in out.columns
+
+
+def test_empty_classifications(spark):
+    t = spark.createDataFrame(
+        [], "k long, median_dis double, control_dis double,"
+            " max_dis double, min_dis double")
+    assert flood_tendency(t, key_cols=("k",)).count() == 0
+    i = spark.createDataFrame(
+        [], "k long, p_above_20y double, p_above_5y double, p_above_2y double")
+    assert flood_intensity(i, key_cols=("k",)).count() == 0
+
+
+def test_empty_dedup_and_similarity(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(pairs).count() == 0
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_topk_bruteforce(emb, emb, k=3).count() == 0
+
+
+def test_empty_timeseries(spark):
+    left = spark.createDataFrame([], "k long, ts timestamp, v double")
+    right = spark.createDataFrame([], "k long, ts timestamp, q double")
+    out = asof_join(left, right, on="k")
+    assert out.count() == 0
+    assert "q_right" in out.columns
+    ev = spark.createDataFrame([], "user_id long, ts timestamp")
+    assert sessionize(ev).count() == 0
+
+
+def test_lookup_miss_is_empty_not_error(spark):
+    cells = spark.createDataFrame(
+        [(0.025, 0.025, 1.0)], "latitude double, longitude double, v double")
+    assert point_lookup(cells, 50.0, 50.0).count() == 0

@@ -62,3 +62,30 @@ def test_stub_decoder_raises(spark, tmp_path):
     feats = extract_image_features(media, decoder=decode_image_stub)
     with pytest.raises(Exception, match="image codec not available"):
         feats.collect()
+
+
+def test_extract_frames_explodes_one_row_per_frame(spark, tmp_path):
+    from flood_data_spark.datapipe.multimodal import (
+        extract_frames,
+        fake_frame_sampler,
+        sample_frames_stub,
+    )
+
+    _write_blobs(str(tmp_path), n=3)
+    media = read_media(spark, str(tmp_path) + "/*.bin", mime="video/test")
+    frames = extract_frames(media, sampler=fake_frame_sampler, every_n=16)
+    rows = frames.collect()
+    assert frames.columns == ["media_id", "frame_idx", "frame"]
+    # blob i has 12 + i*100 bytes → (12+i*100)//16 frames, min 1
+    sizes = {r.n_bytes for r in media.select("n_bytes").collect()}
+    expected = sum(max(1, s // 16) for s in sizes)
+    assert len(rows) == expected
+    # per-video frame indices are dense from 0
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.media_id, []).append(r.frame_idx)
+    for idxs in by_vid.values():
+        assert sorted(idxs) == list(range(len(idxs)))
+    # real codec path stays explicitly unimplemented
+    with pytest.raises(NotImplementedError):
+        sample_frames_stub(b"RIFF")

@@ -131,3 +131,40 @@ def test_streaming_threshold_summary_matches_batch(spark, tmp_path):
             assert abs(getattr(g, col) - getattr(w, col)) < 1e-9, (key, col)
         assert g.n_members == 4
         assert g.issued_on == w.issued_on
+
+
+def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
+    """Re-delivered rows (same cell/member/step re-uploaded in a later
+    file) are dropped while the key is within the watermark; state stays
+    bounded by the delay."""
+    from flood_data_spark.streaming.file_stream import dedup_stream
+
+    data_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = read_forecast_stream(spark, data_dir)
+        deduped = dedup_stream(
+            stream, ["latitude", "longitude", "number", "step", "issued_on"])
+        q = (deduped.drop("issued_ts").writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    _write_day(data_dir, 0, cells=2, members=3)
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 6
+
+    # identical content re-delivered under a new file name → all dupes
+    import shutil
+    shutil.copy(os.path.join(data_dir, "filtered-0.parquet"),
+                os.path.join(data_dir, "filtered-0-redelivery.parquet"))
+    _write_day(data_dir, 1, cells=2, members=3)
+    run_once()
+    out = spark.read.parquet(out_dir)
+    # 6 original + 6 new day-1 rows; the 6 re-delivered day-0 rows dropped
+    assert out.count() == 12
+    assert out.groupBy("latitude", "longitude", "number", "step",
+                       "issued_on").count().filter("count > 1").count() == 0

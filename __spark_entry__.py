@@ -325,6 +325,51 @@ def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
 
 
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join with a pushed-down predicate on the right side:
+    customers who never placed a large (>300k) order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_acctbal"))
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation: ROLLUP over (event_type, day) with grouping
+    flags so subtotal rows are unambiguous."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return (ev.rollup("event_type", "day")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.grouping("event_type").cast("int").alias("g_type"),
+                 F.grouping("day").cast("int").alias("g_day"))
+            .select("event_type", "day", "n_events", "sum_value",
+                    "g_type", "g_day"))
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot the event-type dimension into columns (explicit value list →
+    deterministic schema), one row per user."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (ev.groupBy("user_id")
+           .pivot("event_type", types)
+           .agg(F.round(F.sum("value"), 2)))
+    return out.select("user_id", *[F.col(t).alias(f"sum_{t}") for t in types])
+
+
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time range frame: per user, the mean of values in the
+    trailing 1-hour window ending at each event (RANGE BETWEEN interval)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3600 * 1_000_000, 0))
+    return (ev.select("event_id", "user_id", "ts", "value")
+            .withColumn("rolling_avg", F.round(F.avg("value").over(w), 6))
+            .withColumn("rolling_n", F.count("*").over(w)))
+
+
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 streaming-equivalent tumbling window (batch form; the streaming
     wrapper in flood_data_spark.streaming runs the same plan with
@@ -489,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_join": q_semi_join,
         "q_union_events": q_union_events,
         "q_range_filter": q_range_filter,
+        "q_anti_join": q_anti_join,
+        "q_rollup": q_rollup,
+        "q_pivot": q_pivot,
+        "q_rolling": q_rolling,
         "q_events_daily": q_events_daily,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
@@ -821,6 +870,40 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000)
+        """,
+        "q_rollup": """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   CAST(grouping(event_type) AS INT) AS g_type,
+                   CAST(grouping(CAST(ts AS DATE)) AS INT) AS g_day
+            FROM events
+            GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+        """,
+        "q_pivot": """
+            SELECT user_id,
+                   round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS sum_click,
+                   round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS sum_error,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS sum_purchase,
+                   round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS sum_signup,
+                   round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS sum_view
+            FROM events GROUP BY user_id
+        """,
+        "q_rolling": """
+            SELECT event_id, user_id, ts, value,
+                   round(avg(value) OVER w, 6) AS rolling_avg,
+                   CAST(count(*) OVER w AS BIGINT) AS rolling_n
+            FROM events
+            WHERE user_id < 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
         "q_asof_join": """
             WITH purchases AS (

@@ -97,6 +97,23 @@ def q_threshold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_dis"))
 
 
+def q_threshold_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same plan as q_threshold_summary with accuracy_mode='approx'
+    (percentile_approx sketch, single pass, mergeable) — the 100 TB scale
+    path.  Sketch values differ from exact quantiles: rows-only check."""
+    forecast = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_extendedprice").alias("dis24"))
+    thresholds = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        (F.col("p_retailprice") * 0.8).alias("threshold_2y"),
+        F.col("p_retailprice").alias("threshold_5y"),
+        (F.col("p_retailprice") * 1.2).alias("threshold_20y"))
+    return ensemble_threshold_summary(
+        forecast, thresholds, accuracy_mode="approx",
+        join_keys=("partkey",), group_keys=("partkey",))
+
+
 def q_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.4 A2 + when-ladder: per-customer tendency of order totals
     vs the account balance as 'control'."""
@@ -519,6 +536,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_threshold_summary": q_threshold_summary,
+        "q_threshold_summary_approx": q_threshold_summary_approx,
         "q_tendency": q_tendency,
         "q_intensity": q_intensity,
         "q_peak_timing": q_peak_timing,

@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the scale-relevant plan shapes asserted
+so optimizer-hostile edits can't land silently.
+
+These lock in what `.explain()` review established:
+- thresholds broadcast into the ensemble join (no shuffle of the fact side
+  for the join itself);
+- the step-1 control filter reaches the scan as a pushed filter;
+- the flagship aggregation keeps a single exchange (join → agg share the
+  pipeline);
+- pair-scoring joins inherit multi-partition parallelism (the
+  BroadcastNestedLoopJoin regression behind the 53s near-dup query).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flood_data_spark.datapipe.similarity import embedding_near_dup_pairs
+from flood_data_spark.operators.threshold import ensemble_threshold_summary
+
+
+@pytest.fixture(scope="module")
+def forecast_parquet(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("plans")
+    rng = np.random.default_rng(23)
+    n = 2000
+    pd.DataFrame({
+        "latitude": np.round(0.025 + rng.integers(0, 20, n) * 0.05, 3),
+        "longitude": np.round(0.025 + rng.integers(0, 20, n) * 0.05, 3),
+        "issued_on": pd.Timestamp("2024-01-01"),
+        "valid_for": pd.Timestamp("2024-01-02"),
+        "step": rng.integers(1, 31, n).astype("int32"),
+        "dis24": rng.gamma(2.0, 50.0, n).astype("float32"),
+    }).to_parquet(root / "forecast.parquet")
+    pd.DataFrame({
+        "latitude": np.round(0.025 + np.arange(20).repeat(20) * 0.05, 3),
+        "longitude": np.round(0.025 + np.tile(np.arange(20), 20) * 0.05, 3),
+        "threshold_2y": 80.0, "threshold_5y": 150.0, "threshold_20y": 260.0,
+    }).to_parquet(root / "thresholds.parquet")
+    return str(root)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_threshold_summary_broadcasts_and_single_exchange(spark, forecast_parquet):
+    forecast = spark.read.parquet(forecast_parquet + "/forecast.parquet") \
+        .withColumn("issued_on", F.to_date("issued_on")) \
+        .withColumn("valid_for", F.to_date("valid_for"))
+    thresholds = spark.read.parquet(forecast_parquet + "/thresholds.parquet")
+    out = ensemble_threshold_summary(forecast, thresholds,
+                                     accuracy_mode="exact")
+    out.count()  # materialize so AQE finalizes the plan
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one shuffle: the groupBy; the join must not add another
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_step_filter_pushed_to_scan(spark, forecast_parquet):
+    forecast = spark.read.parquet(forecast_parquet + "/forecast.parquet")
+    plan = _plan(forecast.filter(F.col("step") == 1))
+    assert "PushedFilters: [IsNotNull(step), EqualTo(step,1)]" in plan
+
+
+def test_pair_join_is_parallel(spark, forecast_parquet):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>").coalesce(1)
+    pairs = embedding_near_dup_pairs(emb, threshold=-1.0)
+    assert pairs.rdd.getNumPartitions() > 1, \
+        "pair join collapsed to single-partition BNLJ"

@@ -148,6 +148,97 @@ def extract_frames(media_df: DataFrame,
             .mapInPandas(run, schema=FRAME_SCHEMA))
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_samples", LongType(), True),
+    StructField("duration_s", FloatType(), True),
+    StructField("spectral", ArrayType(FloatType()), True),
+])
+
+
+def decode_audio_stub(content: bytes) -> dict:
+    """Real implementation would be torchaudio/librosa; not available here."""
+    raise NotImplementedError(
+        "audio codec not available in this environment — inject a decoder "
+        "into extract_audio_features(decoder=...)")
+
+
+def fake_audio_decoder(content: bytes) -> dict:
+    """Deterministic stand-in: sample-rate/duration/spectral vector derived
+    from the byte content."""
+    h = np.frombuffer(content[:32].ljust(32, b"\0"), dtype=np.uint8)
+    n_samples = int(len(content)) * 4
+    return {
+        "sample_rate": 16000,
+        "n_samples": n_samples,
+        "duration_s": float(n_samples) / 16000.0,
+        "spectral": (h[:8].astype(np.float32) / 255.0).tolist(),
+    }
+
+
+def extract_audio_features(media_df: DataFrame,
+                           decoder: Callable[[bytes], dict] = decode_audio_stub
+                           ) -> DataFrame:
+    """mapInPandas decode: (media_id, content) batches → audio feature rows
+    (same Arrow-batch shape as the image path)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                feats = decoder(bytes(content))
+                out.append({"media_id": int(mid), **feats})
+            if out:
+                yield pd.DataFrame(out)
+
+    return (media_df
+            .select("media_id", "content")
+            .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA))
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("content", BinaryType(), True),
+])
+
+
+def resize_image_stub(content: bytes, width: int, height: int) -> bytes:
+    """Real implementation would be PIL/libvips; not available here."""
+    raise NotImplementedError(
+        "image codec not available in this environment — inject a resizer "
+        "into resize_images(resizer=...)")
+
+
+def fake_image_resizer(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: payload truncated/padded to width*height
+    bytes, so output size tracks the target dimensions."""
+    return content[:width * height].ljust(width * height, b"\0")
+
+
+def resize_images(media_df: DataFrame, width: int, height: int,
+                  resizer: Callable[[bytes, int, int], bytes] = resize_image_stub
+                  ) -> DataFrame:
+    """Batch image resize behind the same mapInPandas boundary; output rows
+    carry the new payload + target dims (re-ingestable as MEDIA rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out.append({"media_id": int(mid), "width": width,
+                            "height": height,
+                            "content": resizer(bytes(content), width, height)})
+            if out:
+                yield pd.DataFrame(out)
+
+    return (media_df
+            .select("media_id", "content")
+            .mapInPandas(run, schema=RESIZED_SCHEMA))
+
+
 def filter_by_size(media_df: DataFrame, min_bytes: int = 1,
                    max_bytes: int = 50 * 1024 * 1024) -> DataFrame:
     """Metadata-only gate: runs native (pushdown-friendly), payload untouched."""

@@ -89,3 +89,35 @@ def test_extract_frames_explodes_one_row_per_frame(spark, tmp_path):
     # real codec path stays explicitly unimplemented
     with pytest.raises(NotImplementedError):
         sample_frames_stub(b"RIFF")
+
+
+def test_audio_features_and_resize(spark, tmp_path):
+    from flood_data_spark.datapipe.multimodal import (
+        decode_audio_stub,
+        extract_audio_features,
+        fake_audio_decoder,
+        fake_image_resizer,
+        resize_image_stub,
+        resize_images,
+    )
+
+    _write_blobs(str(tmp_path), n=4)
+    media = read_media(spark, str(tmp_path) + "/*.bin", mime="audio/test")
+
+    audio = extract_audio_features(media, decoder=fake_audio_decoder)
+    rows = {r.media_id: r for r in audio.collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r.sample_rate == 16000
+        assert abs(r.duration_s - r.n_samples / 16000.0) < 1e-6
+        assert len(r.spectral) == 8
+
+    resized = resize_images(media, 8, 4, resizer=fake_image_resizer)
+    got = resized.collect()
+    assert all(len(bytes(r.content)) == 8 * 4 for r in got)
+    assert all((r.width, r.height) == (8, 4) for r in got)
+
+    with pytest.raises(NotImplementedError):
+        decode_audio_stub(b"RIFF")
+    with pytest.raises(NotImplementedError):
+        resize_image_stub(b"PNG", 2, 2)

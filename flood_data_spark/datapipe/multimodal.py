@@ -56,7 +56,11 @@ IMAGE_FEATURES_SCHEMA = StructType([
 def read_media(spark: SparkSession, path_glob: str,
                mime: str | None = None) -> DataFrame:
     """binaryFile ingestion → MEDIA_SCHEMA rows; media_id is a stable hash
-    of the path (deterministic across runs, no driver-side enumeration)."""
+    of the path (deterministic across runs, no driver-side enumeration).
+
+    `path` is carried alongside precisely because a 64-bit hash key has
+    material birthday-collision odds past ~10⁹ files — at that scale join
+    on (media_id, path) or switch the key to the path itself."""
     df = (spark.read.format("binaryFile").load(path_glob)
           .select(F.xxhash64("path").alias("media_id"),
                   F.col("path"),
@@ -86,8 +90,8 @@ def fake_image_decoder(content: bytes) -> dict:
 
 
 def extract_image_features(media_df: DataFrame,
-                           decoder: Callable[[bytes], dict] = decode_image_stub,
-                           batch_size_hint: int = 64) -> DataFrame:
+                           decoder: Callable[[bytes], dict] = decode_image_stub
+                           ) -> DataFrame:
     """mapInPandas decode: (media_id, content) batches → feature rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

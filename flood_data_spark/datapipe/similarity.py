@@ -159,7 +159,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     spark = corpus.sparkSession
     dvec = _as_double(F.col(vec_col))
-    train = corpus.select(array_to_vector(dvec).alias("features"))
+    # L2-normalize before the Euclidean k-means fit (spherical k-means):
+    # assignment below is by cosine, and on unit vectors the Euclidean and
+    # cosine Voronoi cells coincide — unnormalized training would hand
+    # cosine-assignment centroids it never associated with those vectors
+    nrm = _norm(dvec)
+    unit = F.transform(dvec, lambda x: x / nrm)
+    train = corpus.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter,
                    initMode="k-means||", initSteps=2).fit(train)
     centroids = spark.createDataFrame(
@@ -200,21 +206,27 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     """(id_a < id_b) pairs with cosine >= threshold.  exact=True does the
     full self-join (correctness baseline); exact=False goes through LSH
     buckets first (scale path)."""
+    if not exact:
+        # scale path: only bucket-sharing pairs ever materialize — the LSH
+        # join already scored them, so no all-pairs join exists in the plan
+        # at all (candidate volume ~ bucket collision rate, not n²)
+        topk = lsh_bucketed_topk(df, df, k=1 << 30, id_col=id_col,
+                                 vec_col=vec_col, num_planes=num_planes,
+                                 num_tables=num_tables)
+        return (topk
+                .filter(F.col("query_id") < F.col("neighbor_id"))
+                .select(F.col("query_id").alias("id_a"),
+                        F.col("neighbor_id").alias("id_b"), "cosine")
+                .filter(F.col("cosine") >= threshold))
+
+    # exact baseline: all-pairs BNLJ — inherently O(n²), corpus must fit in
+    # a broadcast; that is the price of the correctness oracle
     a = _spread(df.select(F.col(id_col).alias("id_a"),
                           _as_double(F.col(vec_col)).alias("va")))
     b = df.select(F.col(id_col).alias("id_b"),
                   _as_double(F.col(vec_col)).alias("vb"))
     cos = cosine_similarity(F.col("va"), F.col("vb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    if not exact:
-        # reuse bucketing: keep only pairs sharing >= 1 bucket
-        topk = lsh_bucketed_topk(df, df, k=1 << 30, id_col=id_col,
-                                 vec_col=vec_col, num_planes=num_planes,
-                                 num_tables=num_tables)
-        cand = (topk.select(F.col("query_id").alias("id_a"),
-                            F.col("neighbor_id").alias("id_b"))
-                .filter(F.col("id_a") < F.col("id_b")).distinct())
-        pairs = pairs.join(cand, ["id_a", "id_b"], "left_semi")
     return (pairs
             .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))

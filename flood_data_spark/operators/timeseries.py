@@ -67,8 +67,11 @@ def asof_join(left: DataFrame, right: DataFrame, on, left_ts: str = "ts",
               .filter(F.col("_side") == _LEFT))
 
     if tolerance_seconds is not None:
-        in_window = (F.col("_ts").cast("long")
-                     - F.col("_match_ts").cast("long")) <= tolerance_seconds
+        # µs arithmetic: second-truncated casts would keep matches up to
+        # ~1s staler than the tolerance at the boundary
+        in_window = (F.unix_micros(F.col("_ts"))
+                     - F.unix_micros(F.col("_match_ts"))
+                     ) <= tolerance_seconds * 1_000_000
         filled = (filled
                   .withColumn("_match", F.when(in_window, F.col("_match")))
                   .withColumn("_match_ts", F.when(in_window, F.col("_match_ts"))))

@@ -66,7 +66,17 @@ def salted_join(large: DataFrame, small: DataFrame, on,
 
     Use when the small side is too big to broadcast AND one key dominates;
     otherwise prefer plain joins + AQE skew splitting.
+
+    Supported join types: inner / left / left_semi / left_anti — the ones
+    whose multiplicity is unchanged by exploding the small side.  Right and
+    full-outer would emit each unmatched small row once per salt value and
+    are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join does not preserve {how!r} join semantics: "
+            "unmatched small-side rows would be duplicated per salt bucket")
     keys = [on] if isinstance(on, str) else list(on)
     salted_large = large.withColumn(
         salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]),

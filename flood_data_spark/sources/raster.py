@@ -57,8 +57,23 @@ def grib_decoder(content: bytes, *, member_filter: str | None = None) -> pd.Data
     if member_filter:
         kwargs["backend_kwargs"] = {
             "filter_by_keys": {"dataType": member_filter}}
-    ds = xr.open_dataset(io.BytesIO(content), engine="cfgrib", **kwargs)
-    return ds.to_dataframe().reset_index()[DECODED_COLUMNS]
+    # cfgrib rides on ecCodes, which needs a real filesystem path (it builds
+    # .idx sidecar files) — spool the executor-local bytes to a temp file
+    import os
+    import tempfile
+    fd, tmp = tempfile.mkstemp(suffix=".grib")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(content)
+        ds = xr.open_dataset(tmp, engine="cfgrib", **kwargs)
+        pdf = ds.to_dataframe().reset_index()[DECODED_COLUMNS]
+        ds.close()
+    finally:
+        os.unlink(tmp)
+        idx = tmp + ".idx"
+        if os.path.exists(idx):
+            os.unlink(idx)
+    return pdf
 
 
 def netcdf_decoder(content: bytes) -> pd.DataFrame:

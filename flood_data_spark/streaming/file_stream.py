@@ -117,12 +117,19 @@ def dedup_stream(stream_df: DataFrame, key_cols,
 
 def run_available_now(agg_df: DataFrame, checkpoint_dir: str,
                       output_path: str | None = None,
-                      query_name: str = "flood_daily") -> "object":
+                      query_name: str = "flood_daily",
+                      output_mode: str | None = None) -> "object":
     """Execute the streaming plan in catch-up-then-stop mode.
 
     output_path=None → in-memory sink (tests / interactive); otherwise a
     parquet sink with exactly-once file commit via the checkpoint.
     Returns the StreamingQuery (caller awaits termination).
+
+    output_mode defaults per sink: 'complete' for memory (right for
+    aggregate plans), 'append' for parquet.  Non-aggregated plans
+    (e.g. dedup_stream) must pass output_mode='append' explicitly when
+    using the memory sink — Spark rejects 'complete' without a streaming
+    aggregation.
     """
     writer = (agg_df.writeStream
               .option("checkpointLocation", checkpoint_dir)
@@ -130,11 +137,11 @@ def run_available_now(agg_df: DataFrame, checkpoint_dir: str,
     if output_path is None:
         q = (writer.format("memory")
              .queryName(query_name)
-             .outputMode("complete")
+             .outputMode(output_mode or "complete")
              .start())
     else:
         q = (writer.format("parquet")
              .option("path", output_path)
-             .outputMode("append")
+             .outputMode(output_mode or "append")
              .start())
     return q

@@ -6,7 +6,10 @@ The batch pipeline recomputes every cell's summary from scratch each day.
 With `applyInPandasWithState` the same signal becomes incremental: per grid
 cell we keep the running maximum exceedance probability and current alert
 level across micro-batches, and emit a row ONLY when the cell's alert level
-changes (gray→yellow→red escalation or de-escalation).  At 100 TB this
+escalates (gray→yellow→red).  The tracker is deliberately monotone — the
+running max never decreases, so levels never clear; de-escalation belongs
+to a windowed restatement (re-run the tracker per forecast issue date), not
+to this state machine.  At 100 TB this
 turns the daily 644k-cell full rewrite into a delta stream proportional to
 the number of state changes.
 

@@ -90,3 +90,11 @@ def test_sorted_partitioned_write_layout(spark, tmp_path):
     assert pruned.count() == 1
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(issued_on" in plan
+
+
+def test_salted_join_rejects_outer_variants(spark, skewed):
+    big, small = skewed
+    with pytest.raises(ValueError, match="salted_join does not preserve"):
+        salted_join(big, small, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", how="right")

@@ -47,3 +47,20 @@ def test_ivf_output_shape(spark, emb):
     assert {r.query_id for r in rows} == {0, 1}
     assert all(1 <= r.rank <= 4 for r in rows)
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_near_dup_lsh_path_has_no_all_pairs_join(spark, emb):
+    from flood_data_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    approx = embedding_near_dup_pairs(emb, threshold=0.9, exact=False,
+                                      num_planes=8, num_tables=4)
+    # structural check: no BroadcastNestedLoopJoin (the all-pairs shape)
+    phys = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in phys
+    exact = embedding_near_dup_pairs(emb, threshold=0.9, exact=True)
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    a = {(r.id_a, r.id_b) for r in approx.collect()}
+    # LSH candidates are a subset; on well-separated clusters with 4 tables
+    # recall should be high
+    assert a <= e
+    assert len(a) >= int(0.8 * len(e))

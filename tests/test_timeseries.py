@@ -102,3 +102,16 @@ def test_sessionize_gap_splits(spark):
     s2 = out[(1, 2)]
     assert s2.n_events == 2 and s2.session_start == _ts(50)
     assert out[(2, 1)].n_events == 1
+
+
+def test_asof_tolerance_subsecond_boundary(spark):
+    import datetime as _dt
+    # age = 600.9s with tolerance 600s: truncation to seconds would keep it
+    left = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 1, 0, 10, 0, 950000), "x")],
+        "user_id long, ts timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 1, 0, 0, 0, 50000), 1.0)],
+        "user_id long, ts timestamp, quote double")
+    out = asof_join(left, right, on="user_id", tolerance_seconds=600).first()
+    assert out.quote_right is None

@@ -30,6 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flood_data_spark.config import DEFAULT_CONFIG, EngineConfig
 from flood_data_spark.functions.geometry import add_geometry
@@ -58,11 +59,28 @@ class DailyForecastPipeline:
 
     def run(self, forecast_df: DataFrame, threshold_df: DataFrame,
             control_df: DataFrame | None = None,
-            cache_detailed: bool = True) -> DailyProducts:
+            cache_detailed: bool = True,
+            run_checks: bool = False) -> DailyProducts:
         """forecast + thresholds (+ optional external control) → the two
         published products.  Inputs must already be key-rounded (see
-        sources.parquet.read_forecast / read_thresholds)."""
+        sources.parquet.read_forecast / read_thresholds).
+
+        run_checks=True adds the reference's runtime QA invariants
+        (threshold-data-joining.py:84-100 pattern): non-null keys in, the
+        §1.4 empty-join tripwire, and the 1-row-per-cell summary grain.
+        Costs extra actions — use on the daily increment, not backfills.
+        """
         cfg = self.config
+        if run_checks:
+            from flood_data_spark.plans.checks import (
+                assert_no_nulls,
+                assert_join_not_empty,
+                assert_unique_key,
+            )
+            assert_no_nulls(forecast_df, ["latitude", "longitude"],
+                            label="forecast input")
+            assert_no_nulls(threshold_df, ["latitude", "longitude"],
+                            label="threshold input")
 
         detailed = ensemble_threshold_summary(
             forecast_df, threshold_df,
@@ -98,5 +116,16 @@ class DailyForecastPipeline:
 
         detailed_out = add_geometry(detailed, cfg.half_grid_size, cfg.precision)
         detailed_out = restrict_detailed_to_summary(detailed_out, summary)
+
+        if run_checks:
+            # J1 is a LEFT join, so key drift doesn't drop rows — it nulls
+            # the threshold side.  The §1.4 tripwire is therefore "no row
+            # matched any threshold", not "no rows at all".
+            assert_join_not_empty(
+                detailed.filter(
+                    F.col(f"p_above_{int(cfg.threshold_years[0])}y").isNotNull()),
+                label="forecast ⋈ thresholds (matched rows)")
+            assert_unique_key(summary, ("latitude", "longitude"),
+                              label="summary product")
 
         return DailyProducts(detailed=detailed_out, summary=summary)

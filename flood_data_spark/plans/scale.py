@@ -88,6 +88,37 @@ def salted_join(large: DataFrame, small: DataFrame, on,
             .drop(salt_col))
 
 
+def compact_partition(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+                      sort_cols=("latitude", "longitude")) -> int:
+    """Rewrite one table/partition directory into ~target-sized files.
+
+    Streaming sinks and incremental appends accumulate small files; at
+    100 TB the resulting task explosion (1 task per tiny file) dominates
+    scan time.  Reads the directory, coalesces to
+    ceil(input_bytes / target_file_bytes) files (coalesce, not repartition:
+    no shuffle — existing partitions are merged), restores the sorted
+    layout, and atomically replaces via a staging directory.  Returns the
+    new file count.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path).coalesce(n_files)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    staging = path.rstrip("/") + "._compact_tmp"
+    df.write.mode("overwrite").parquet(staging)
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath)
+    return n_files
+
+
 def sorted_partitioned_write(df: DataFrame, path: str, partition_by=None,
                              sort_cols=("latitude", "longitude"),
                              mode: str = "overwrite") -> None:

@@ -488,9 +488,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — rows-only check (xxhash64 sketch)."""
+    """SimHash near-dup pairs — rows-only check (xxhash64 sketch).
+    chunks=16 > max_hamming=8 satisfies the pigeonhole precondition
+    (a pair may differ in every 4-bit chunk otherwise and be missed)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_dup_pairs(docs, max_hamming=8)
+    return simhash_dup_pairs(docs, max_hamming=8, chunks=16)
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3,9 +3,9 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice: a warm-up pass is NOT taken (timings include
-plan + execution, cold), matching how the daily pipeline actually runs —
-single-shot batch jobs.
+Each query runs once, cold (timings include planning + execution), matching
+how the daily pipeline actually runs — single-shot batch jobs.  Results are
+materialized through the noop sink so every projected column is computed.
 """
 
 from __future__ import annotations
@@ -57,11 +57,14 @@ def main():
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
-        n = df.count()
+        # noop sink, NOT count(): count() lets Catalyst prune unreferenced
+        # projections, so pure per-row transform queries (token counting,
+        # quality scoring) would measure only the parquet scan
+        df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -15,7 +15,11 @@ Scale posture (the whole point at 100 TB):
 
 All signature relations are cached before self-joins: they are tiny
 (ids + longs) relative to the corpus, and without the cache Spark would
-re-derive the whole shingle pipeline for each join side.
+re-derive the whole shingle pipeline for each join side.  The caches are
+session-scoped (LRU-evicted under memory pressure, cleared on session
+stop); a long-lived driver looping these operators over many batches
+should call `spark.catalog.clearCache()` between batches or wrap each
+batch in its own session.
 """
 
 from __future__ import annotations
@@ -96,8 +100,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     ca = counts.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
     cb = counts.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    # plain equi-joins: `counts` is one row per corpus document, so a
+    # broadcast would collect the whole corpus's ids to the driver
     return (pair_common
-            .join(F.broadcast(ca), "id_a").join(F.broadcast(cb), "id_b")
+            .join(ca, "id_a").join(cb, "id_b")
             .withColumn("jaccard", F.round(jac, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
@@ -135,6 +141,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     the search is an equi-join on (band_idx, band_hash) — scales with true
     collisions, not n².
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); trailing hashes would be silently unused")
     rows_per_band = num_hashes // bands
     wide = _minhash_cols(df, id_col, text_col, n, num_hashes)
 
@@ -188,10 +198,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  .agg(F.sum("vote").alias("votes")))
 
     weight = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
-    return (bit_votes
+    sigs = (bit_votes
             .groupBy("id")
             .agg(F.sum(F.when(F.col("votes") > 0, weight)
                        .otherwise(F.lit(0).cast("long"))).alias("simhash")))
+    # token-free documents (empty/blank text) produce no vote rows; keep
+    # them with the all-zero signature so dedup coverage matches exact_dedup
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (all_ids.join(sigs, "id", "left")
+            .na.fill({"simhash": 0}))
 
 
 def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -204,6 +219,11 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     qualifying pair agrees exactly on >= 1 chunk → candidates via equi-join
     on (chunk_idx, chunk_value), then exact popcount verify.
     """
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"pigeonhole requires max_hamming ({max_hamming}) < chunks "
+            f"({chunks}): a pair can differ in every chunk and still "
+            "qualify, so candidates would be silently missed")
     sigs = simhash(df, id_col, text_col).cache()
     bits_per_chunk = 64 // chunks
     mask = (1 << bits_per_chunk) - 1

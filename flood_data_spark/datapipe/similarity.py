@@ -88,9 +88,12 @@ def _hyperplane_sign(vec, plane_idx: int) -> Column:
     return (dot >= 0).cast("int")
 
 
-def lsh_signature(vec, num_planes: int = 16) -> Column:
-    """num_planes-bit random-hyperplane signature packed into a long."""
-    bits = [_hyperplane_sign(vec, p) for p in range(num_planes)]
+def lsh_signature(vec, num_planes: int = 16, plane_offset: int = 0) -> Column:
+    """num_planes-bit random-hyperplane signature packed into a long.
+
+    plane_offset selects an independent plane set (multi-table LSH uses
+    offset t*num_planes for table t)."""
+    bits = [_hyperplane_sign(vec, plane_offset + p) for p in range(num_planes)]
     sig = F.lit(0).cast("long")
     for i, b in enumerate(bits):
         sig = sig + F.shiftleft(b.cast("long"), i)
@@ -110,12 +113,8 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         base = df.select(F.col(id_col).alias(id_alias), v.alias(id_alias + "_vec"))
         rows = None
         for t in range(num_tables):
-            bits = [_hyperplane_sign(F.col(id_alias + "_vec"),
-                                     t * num_planes + p)
-                    for p in range(num_planes)]
-            sig = F.lit(0).cast("long")
-            for i, b in enumerate(bits):
-                sig = sig + F.shiftleft(b.cast("long"), i)
+            sig = lsh_signature(F.col(id_alias + "_vec"), num_planes,
+                                plane_offset=t * num_planes)
             part = base.select(id_alias, id_alias + "_vec",
                                F.lit(t).alias("table"), sig.alias("bucket"))
             rows = part if rows is None else rows.unionByName(part)

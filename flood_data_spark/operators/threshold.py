@@ -58,8 +58,14 @@ def ensemble_threshold_summary(forecast_df: DataFrame,
     rhs = F.broadcast(threshold_df) if broadcast_thresholds else threshold_df
     joined = forecast_df.join(rhs, on=list(join_keys), how="left")
 
+    # when/otherwise(0), NOT avg(cast(cmp)): a NULL threshold (cell missing
+    # from the threshold table) must count as "not exceeded" (p = 0.0), the
+    # reference's exceedance semantics (flood/spark/transforms.py:121-129);
+    # avg over a NULL comparison would skip the row and emit NULL, which
+    # later flips peak-timing GC/GB labels (NULL < 0.30 is not true)
     aggs = [
-        F.avg((F.col(value_col) >= F.col(f"threshold_{int(y)}y")).cast("int"))
+        F.avg(F.when(F.col(value_col) >= F.col(f"threshold_{int(y)}y"),
+                     F.lit(1)).otherwise(F.lit(0)))
          .alias(f"p_above_{int(y)}y")
         for y in years
     ]

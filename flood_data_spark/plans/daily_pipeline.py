@@ -118,13 +118,13 @@ class DailyForecastPipeline:
         detailed_out = restrict_detailed_to_summary(detailed_out, summary)
 
         if run_checks:
-            # J1 is a LEFT join, so key drift doesn't drop rows — it nulls
-            # the threshold side.  The §1.4 tripwire is therefore "no row
-            # matched any threshold", not "no rows at all".
+            # J1 is a LEFT join and unmatched cells legitimately score
+            # p_above = 0, so key drift is invisible in the output — the
+            # §1.4 tripwire therefore probes key overlap directly.
             assert_join_not_empty(
-                detailed.filter(
-                    F.col(f"p_above_{int(cfg.threshold_years[0])}y").isNotNull()),
-                label="forecast ⋈ thresholds (matched rows)")
+                forecast_df.join(threshold_df,
+                                 on=["latitude", "longitude"], how="left_semi"),
+                label="forecast ⋈ thresholds (key overlap)")
             assert_unique_key(summary, ("latitude", "longitude"),
                               label="summary product")
 

@@ -1,6 +1,7 @@
 """Golden tests for ensemble_threshold_summary — models reference
 test/test_spark_transforms.py:528-615 (both accuracy modes, odd-count
-quantile interpolation, missing-threshold cells → null probabilities)."""
+quantile interpolation, missing-threshold cells → zero probabilities, the
+reference's when/otherwise(0) semantics)."""
 
 import datetime
 
@@ -63,9 +64,10 @@ def test_exact_mode_probabilities_and_quantiles(spark):
     assert b.p_above_2y == pytest.approx(0.8)
 
     c = rows[(0.125, 0.025)]
-    # left join with no threshold row → exceedance undefined (null), but the
-    # 5-number summary still computes
-    assert c.p_above_2y is None and c.p_above_5y is None and c.p_above_20y is None
+    # left join with no threshold row → NOT exceeded (0.0), matching the
+    # reference's when(cond, 1).otherwise(0) indicator
+    # (flood/spark/transforms.py:121-129); the 5-number summary still computes
+    assert c.p_above_2y == 0.0 and c.p_above_5y == 0.0 and c.p_above_20y == 0.0
     assert c.min_dis == 5.0 and c.max_dis == 15.0
 
 

@@ -331,6 +331,18 @@ def q_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 beyond-union set ops: INTERSECT and EXCEPT over customer
+    nations vs supplier nations, tagged and unioned into one result."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    only_c = c.subtract(s).withColumn("tag", F.lit("customer_only"))
+    return both.unionByName(only_c)
+
+
 def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 P5/P9: pushdown-friendly range predicates (between on date and
     quantity), then agg."""
@@ -553,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customer_per_nation": q_top_customer_per_nation,
         "q_semi_join": q_semi_join,
         "q_union_events": q_union_events,
+        "q_set_ops": q_set_ops,
         "q_range_filter": q_range_filter,
         "q_anti_join": q_anti_join,
         "q_rollup": q_rollup,
@@ -890,6 +903,17 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_set_ops": """
+            SELECT nationkey, 'both' AS tag FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                INTERSECT
+                SELECT s_nationkey AS nationkey FROM supplier)
+            UNION ALL
+            SELECT nationkey, 'customer_only' AS tag FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                EXCEPT
+                SELECT s_nationkey AS nationkey FROM supplier)
         """,
         "q_anti_join": """
             SELECT c_custkey, c_name, c_acctbal

@@ -224,7 +224,12 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
             f"pigeonhole requires max_hamming ({max_hamming}) < chunks "
             f"({chunks}): a pair can differ in every chunk and still "
             "qualify, so candidates would be silently missed")
-    sigs = simhash(df, id_col, text_col).cache()
+    # exclude the all-zero signature (token-free/blank docs) from the
+    # pairwise path: b blank docs all collide on every chunk → O(b²) pair
+    # explosion, and they are byte-identical anyway — exact_dedup's job
+    sigs = (simhash(df, id_col, text_col)
+            .filter(F.col("simhash") != 0)
+            .cache())
     bits_per_chunk = 64 // chunks
     mask = (1 << bits_per_chunk) - 1
 
@@ -306,5 +311,13 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = updated
         if changed == 0:
             break
+    else:
+        # with pointer jumping 20 rounds cover component diameters beyond
+        # 2^20 — exhausting them means something is wrong; returning the
+        # unconverged labels would silently keep several "representatives"
+        # per cluster
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} "
+            "iterations; raise max_iterations or inspect the pair graph")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

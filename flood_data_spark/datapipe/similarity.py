@@ -162,7 +162,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # assignment below is by cosine, and on unit vectors the Euclidean and
     # cosine Voronoi cells coincide — unnormalized training would hand
     # cosine-assignment centroids it never associated with those vectors
-    nrm = _norm(dvec)
+    # greatest(norm, eps): an all-zero embedding (padding / failed encoder)
+    # would otherwise divide by zero → NULL elements → KMeans.fit crash
+    nrm = F.greatest(_norm(dvec), F.lit(1e-12))
     unit = F.transform(dvec, lambda x: x / nrm)
     train = corpus.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter,

@@ -17,8 +17,10 @@ Spark-first differences from the reference:
   of co-repartitioning both sides (the reference shuffles both inputs with
   repartition(100); a broadcast eliminates that shuffle entirely, leaving the
   single groupBy exchange as the only shuffle in the query);
-- exceedance indicators are expressed as avg(cast(bool)) directly instead of
-  a when/otherwise ladder — same result, fewer projections.
+- exceedance indicators keep the reference's when/otherwise(0) ladder
+  inside an avg(): a NULL threshold (cell missing from the threshold table)
+  must score 0.0, not NULL — avg over a raw boolean cast would skip those
+  rows and the NULL later flips peak-timing labels.
 """
 
 from __future__ import annotations

@@ -30,7 +30,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from flood_data_spark.config import DEFAULT_CONFIG, EngineConfig
 from flood_data_spark.functions.geometry import add_geometry
@@ -120,11 +119,15 @@ class DailyForecastPipeline:
         if run_checks:
             # J1 is a LEFT join and unmatched cells legitimately score
             # p_above = 0, so key drift is invisible in the output — the
-            # §1.4 tripwire therefore probes key overlap directly.
-            assert_join_not_empty(
-                forecast_df.join(threshold_df,
-                                 on=["latitude", "longitude"], how="left_semi"),
-                label="forecast ⋈ thresholds (key overlap)")
+            # §1.4 tripwire therefore probes key overlap directly.  Guard
+            # on a non-empty forecast: an empty day partition is routine,
+            # not a rounding bug.
+            if forecast_df.limit(1).count() > 0:
+                assert_join_not_empty(
+                    forecast_df.join(
+                        threshold_df,
+                        on=["latitude", "longitude"], how="left_semi"),
+                    label="forecast ⋈ thresholds (key overlap)")
             assert_unique_key(summary, ("latitude", "longitude"),
                               label="summary product")
 

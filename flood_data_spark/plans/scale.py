@@ -58,10 +58,13 @@ def salted_join(large: DataFrame, small: DataFrame, on,
                 salt_col: str = "_salt") -> DataFrame:
     """Equi-join resilient to heavy key skew on the `large` side.
 
-    The large side gets a deterministic salt derived from its whole row
-    (xxhash64 over all columns — reproducible, no RNG), splitting each hot
-    key across `salt_buckets` reducers; the small side is exploded across
-    all salt values so every (key, salt) pair still meets its match.
+    The large side gets a per-row salt from xxhash64 over the row content
+    plus `monotonically_increasing_id()`, splitting each hot key across
+    `salt_buckets` reducers even when the hot key's rows are byte-identical
+    (a content-only hash would send duplicates to one bucket and leave the
+    straggler intact).  Salt values depend on the scan's partition layout,
+    so they are not stable across runs — irrelevant for correctness, since
+    every (key, salt) pair still meets its exploded small-side match.
     Row-multiplicity semantics are exactly those of the unsalted join.
 
     Use when the small side is too big to broadcast AND one key dominates;
@@ -79,7 +82,8 @@ def salted_join(large: DataFrame, small: DataFrame, on,
             "unmatched small-side rows would be duplicated per salt bucket")
     keys = [on] if isinstance(on, str) else list(on)
     salted_large = large.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]),
+        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id(),
+                                    *[F.col(c) for c in large.columns]),
                          F.lit(salt_buckets)).cast("int"))
     salted_small = small.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
@@ -113,9 +117,16 @@ def compact_partition(spark, path: str, target_file_bytes: int = 128 * 1024 * 10
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     staging = path.rstrip("/") + "._compact_tmp"
+    retired = path.rstrip("/") + "._compact_old"
     df.write.mode("overwrite").parquet(staging)
-    fs.delete(hpath, True)
+    # two renames, not delete-then-rename: a crash mid-swap leaves the data
+    # recoverable under one of the side names instead of gone
+    rpath = jvm.org.apache.hadoop.fs.Path(retired)
+    if fs.exists(rpath):
+        fs.delete(rpath, True)
+    fs.rename(hpath, rpath)
     fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath)
+    fs.delete(rpath, True)
     return n_files
 
 

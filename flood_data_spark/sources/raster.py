@@ -69,9 +69,11 @@ def grib_decoder(content: bytes, *, member_filter: str | None = None) -> pd.Data
         pdf = ds.to_dataframe().reset_index()[DECODED_COLUMNS]
         ds.close()
     finally:
+        import glob as _glob
         os.unlink(tmp)
-        idx = tmp + ".idx"
-        if os.path.exists(idx):
+        # cfgrib's sidecar is '{path}.{short_hash}.idx' (hash varies with
+        # filter keys) — glob, or executors leak one index per file
+        for idx in _glob.glob(tmp + "*.idx"):
             os.unlink(idx)
     return pdf
 

@@ -78,8 +78,13 @@ def streaming_threshold_summary(stream_df: DataFrame,
     """
     joined = stream_df.join(F.broadcast(threshold_df),
                             on=["latitude", "longitude"], how="left")
+    # when/otherwise(0) like the batch operator (threshold.py): a cell
+    # missing from the threshold table is NOT exceeded (0.0), not NULL —
+    # avg over a NULL comparison would skip rows and feed NaN state into
+    # downstream alert tracking
     aggs = [
-        F.avg((F.col("dis24") >= F.col(f"threshold_{int(y)}y")).cast("int"))
+        F.avg(F.when(F.col("dis24") >= F.col(f"threshold_{int(y)}y"),
+                     F.lit(1)).otherwise(F.lit(0)))
          .alias(f"p_above_{int(y)}y")
         for y in threshold_years
     ]

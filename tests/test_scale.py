@@ -40,14 +40,19 @@ def test_salted_left_join_keeps_unmatched(spark, skewed):
     assert out.filter(F.col("tag").isNull()).count() == 98
 
 
-def test_salt_actually_splits_hot_key(spark, skewed):
-    big, _ = skewed
+def test_salt_actually_splits_hot_key_even_for_identical_rows(spark):
+    # 900 byte-identical rows under one key: a content-only hash would put
+    # them all in ONE salt bucket; the id-mixed salt must spread them
+    big = spark.range(900).select(F.lit(1).alias("k"),
+                                  F.lit(42).alias("payload"))
+    small = spark.createDataFrame([(1, "hot")], "k long, tag string")
+    out = salted_join(big, small, "k", salt_buckets=8)
+    assert out.count() == 900
     salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id(),
+                                   *[F.col(c) for c in big.columns]),
                         F.lit(8)).cast("int"))
-    n_salts = (salted.filter(F.col("k") == 1)
-               .select("_salt").distinct().count())
-    assert n_salts == 8
+    assert salted.select("_salt").distinct().count() == 8
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):

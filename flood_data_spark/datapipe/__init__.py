@@ -1,5 +1,6 @@
 from flood_data_spark.datapipe.text import (
     with_token_count,
+    with_bpe_token_count,
     with_quality_signals,
     with_lang_id,
     with_fingerprint,
@@ -11,16 +12,20 @@ from flood_data_spark.datapipe.dedup import (
     minhash_lsh_pairs,
     simhash,
     simhash_dup_pairs,
+    dedup_clusters,
 )
 from flood_data_spark.datapipe.similarity import (
     cosine_topk_bruteforce,
     embedding_near_dup_pairs,
     lsh_bucketed_topk,
+    ivf_topk,
 )
 
 __all__ = [
-    "with_token_count", "with_quality_signals", "with_lang_id", "with_fingerprint",
+    "with_token_count", "with_bpe_token_count", "with_quality_signals",
+    "with_lang_id", "with_fingerprint",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_signatures",
-    "minhash_lsh_pairs", "simhash", "simhash_dup_pairs",
-    "cosine_topk_bruteforce", "embedding_near_dup_pairs", "lsh_bucketed_topk",
+    "minhash_lsh_pairs", "simhash", "simhash_dup_pairs", "dedup_clusters",
+    "cosine_topk_bruteforce", "embedding_near_dup_pairs",
+    "lsh_bucketed_topk", "ivf_topk",
 ]

@@ -4,6 +4,7 @@ from flood_data_spark.operators.intensity import flood_intensity
 from flood_data_spark.operators.peak_timing import flood_peak_timing
 from flood_data_spark.operators.summary import (
     control_from_detailed,
+    normalize_control,
     assemble_summary,
     restrict_detailed_to_summary,
 )
@@ -11,10 +12,22 @@ from flood_data_spark.operators.grid import (
     upstream_mask,
     nearest_grid_join,
 )
+from flood_data_spark.operators.serving import (
+    grid_cell_bounds,
+    point_lookup,
+    neighborhood_lookup,
+)
+from flood_data_spark.operators.timeseries import (
+    asof_join,
+    sessionize,
+)
 
 __all__ = [
     "ensemble_threshold_summary",
     "flood_tendency", "flood_intensity", "flood_peak_timing",
-    "control_from_detailed", "assemble_summary", "restrict_detailed_to_summary",
+    "control_from_detailed", "normalize_control", "assemble_summary",
+    "restrict_detailed_to_summary",
     "upstream_mask", "nearest_grid_join",
+    "grid_cell_bounds", "point_lookup", "neighborhood_lookup",
+    "asof_join", "sessionize",
 ]

@@ -104,9 +104,11 @@ def test_streaming_threshold_summary_matches_batch(spark, tmp_path):
     data_dir = str(tmp_path / "in")
     _write_day(data_dir, 0, cells=3, members=4)
 
+    # only 2 of 3 cells have threshold rows: the unmatched cell must score
+    # 0.0 (not NULL) in BOTH engines — the when/otherwise(0) parity case
     thresholds = spark.createDataFrame(
         [(round(0.025 + 0.05 * c, 3), 0.025, 105.0, 115.0, 130.0)
-         for c in range(3)],
+         for c in range(2)],
         "latitude double, longitude double, threshold_2y double,"
         " threshold_5y double, threshold_20y double")
 

@@ -399,6 +399,28 @@ def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rolling_n", F.count("*").over(w)))
 
 
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead ordered-window family: per-user previous/next event values
+    and step delta (deterministic (ts, event_id) ordering)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("event_id", "user_id", "ts", "value")
+            .withColumn("prev_value", F.lag("value").over(w))
+            .withColumn("next_value", F.lead("value").over(w))
+            .withColumn("delta",
+                        F.round(F.col("value") - F.lag("value").over(w), 6)))
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (floor bucketing — portable
+    across engines, unlike sketch-based histograms)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.floor(F.col("value") / 20).cast("long")
+                       .alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 6).alias("avg_value")))
+
+
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 streaming-equivalent tumbling window (batch form; the streaming
     wrapper in flood_data_spark.streaming runs the same plan with
@@ -566,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_join": q_semi_join,
         "q_union_events": q_union_events,
         "q_set_ops": q_set_ops,
+        "q_window_lag": q_window_lag,
+        "q_histogram": q_histogram,
         "q_range_filter": q_range_filter,
         "q_anti_join": q_anti_join,
         "q_rollup": q_rollup,
@@ -903,6 +927,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_window_lag": """
+            SELECT event_id, user_id, ts, value,
+                   lag(value) OVER w AS prev_value,
+                   lead(value) OVER w AS next_value,
+                   round(value - lag(value) OVER w, 6) AS delta
+            FROM events
+            WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q_histogram": """
+            SELECT CAST(floor(value / 20) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1
         """,
         "q_set_ops": """
             SELECT nationkey, 'both' AS tag FROM (

@@ -49,8 +49,10 @@ def main():
     spark = get_spark(app_name="bench")
     qs = entry_mod.queries()
 
-    # trigger JVM + parquet footer warm-up outside the timed region
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # trigger JVM + parquet footer + noop-sink warm-up outside the timed
+    # region (the first noop write otherwise pays one-time codegen setup)
+    spark.read.parquet(f"{SF_DIR}/region.parquet") \
+        .write.format("noop").mode("overwrite").save()
 
     timings = {}
     total = 0.0

@@ -1,0 +1,56 @@
+"""External-connector contract tests (SURVEY S1/S11): the CDS request
+template matches the reference's field-for-field, and the fetcher degrades
+explicitly without the cdsapi package."""
+
+import pytest
+
+from flood_data_spark.sources.external import CDSFetcher, CDSRequest
+
+
+def test_cds_request_template_fields():
+    # field parity with the reference template
+    # (flood/api/config.py:23-34): same keys, same defaults
+    req = CDSRequest(year="2024", month="01", day="15",
+                     leadtime_hour=["24", "48"],
+                     area=[17.0, -18.0, -6.0, 52.0])
+    d = req.to_dict()
+    assert d["variable"] == "river_discharge_in_the_last_24_hours"
+    assert d["product_type"] == ["control_forecast",
+                                 "ensemble_perturbed_forecasts"]
+    assert d["system_version"] == "operational"
+    assert d["hydrological_model"] == "lisflood"
+    assert (d["year"], d["month"], d["day"]) == ("2024", "01", "15")
+    assert d["leadtime_hour"] == ["24", "48"]
+    assert d["area"] == [17.0, -18.0, -6.0, 52.0]
+
+
+def test_cds_request_area_omitted_when_none():
+    d = CDSRequest(year="2024", month="01", day="15").to_dict()
+    assert "area" not in d
+
+
+def test_fetcher_raises_without_cdsapi():
+    f = CDSFetcher()
+    assert f.dataset == "cems-glofas-forecast"
+    with pytest.raises(NotImplementedError):
+        f.fetch(CDSRequest(year="2024", month="01", day="15"), "/tmp/x.grib")
+
+
+def test_fetch_loop_shape_with_fake_client():
+    """The per-leadtime fetch loop (reference glofas-API-query.py:131-150)
+    works against any client exposing retrieve()."""
+    calls = []
+
+    class FakeClient:
+        def retrieve(self, dataset, request, target):
+            calls.append((dataset, request["leadtime_hour"], target))
+
+    f = CDSFetcher()
+    f._client = FakeClient()
+    for lt in ("24", "48", "72"):
+        req = CDSRequest(year="2024", month="01", day="15",
+                         leadtime_hour=[lt])
+        out = f.fetch(req, f"/tmp/fc-{lt}.grib")
+        assert out == f"/tmp/fc-{lt}.grib"
+    assert [c[1] for c in calls] == [["24"], ["48"], ["72"]]
+    assert all(c[0] == "cems-glofas-forecast" for c in calls)

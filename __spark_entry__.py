@@ -415,8 +415,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values (floor bucketing — portable
     across engines, unlike sketch-based histograms)."""
     ev = _t(spark, sf_dir, "events")
-    return (ev.groupBy(F.floor(F.col("value") / 20).cast("long")
-                       .alias("bucket"))
+    return (ev.groupBy(F.floor(F.col("value") / 20).alias("bucket"))
             .agg(F.count("*").alias("n"),
                  F.round(F.avg("value"), 6).alias("avg_value")))
 

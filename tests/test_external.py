@@ -29,9 +29,10 @@ def test_cds_request_area_omitted_when_none():
     assert "area" not in d
 
 
-def test_fetcher_raises_without_cdsapi():
+def test_fetcher_raises_without_client():
     f = CDSFetcher()
     assert f.dataset == "cems-glofas-forecast"
+    f._client = None  # environment-independent: force the no-cdsapi state
     with pytest.raises(NotImplementedError):
         f.fetch(CDSRequest(year="2024", month="01", day="15"), "/tmp/x.grib")
 

@@ -33,7 +33,10 @@ def products(spark):
     # per-cell base discharge with a mid-horizon bump so all three peak
     # timings and all intensities occur
     base = rng.gamma(2.0, 60.0, CELLS)[cell]
-    bump = 1.0 + 0.8 * np.exp(-((step - rng.integers(1, 31)) ** 2) / 18.0)
+    # per-cell bump centers so every peak-timing class occurs (a single
+    # global center lands in one regime and BB never appears)
+    centers = rng.integers(1, 31, CELLS)[cell]
+    bump = 1.0 + 0.8 * np.exp(-((step - centers) ** 2) / 18.0)
     dis = (base * bump * rng.lognormal(0.0, 0.25, n)).astype("float32")
 
     forecast = spark.createDataFrame(pd.DataFrame({
@@ -88,8 +91,10 @@ def test_label_domains_and_ranges(products):
         <= {"U", "D", "C"}
     assert {r.intensity for r in s.select("intensity").distinct().collect()} \
         <= {"P", "R", "Y"}  # gray dropped
+    # every peak-timing class must actually occur (subset-only assertions
+    # pass vacuously when a classifier regression drops a class)
     assert {r.peak_timing for r in
-            s.select("peak_timing").distinct().collect()} <= {"BB", "GC", "GB"}
+            s.select("peak_timing").distinct().collect()} == {"BB", "GC", "GB"}
     assert s.filter((F.col("peak_step") < 1)
                     | (F.col("peak_step") > STEPS)).count() == 0
     assert s.filter(F.col("wkt").rlike(r"^POLYGON \(\(")).count() == s.count()

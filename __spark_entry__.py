@@ -55,6 +55,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): a vanilla session raises
+        # PARQUET_TYPE_ILLEGAL on read.  The legacy conf is runtime-settable,
+        # so set it here instead of relying on session-factory configuration
+        # (the driver's harness builds its own SparkSession).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as ns-epoch long via
     # spark.sql.legacy.parquet.nanosAsLong; normalize to a real timestamp

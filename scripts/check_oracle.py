@@ -53,7 +53,6 @@ def canon(rows, cols):
 
 def main():
     import __spark_entry__ as entry_mod
-    from flood_data_spark.session import get_spark
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -62,7 +61,16 @@ def main():
     if unknown:
         sys.exit(f"unknown queries: {unknown}; available: {sorted(qs)}")
 
-    spark = get_spark(app_name="oracle-check")
+    if os.environ.get("CHECK_ORACLE_VANILLA"):
+        # Replicate the driver's harness: a bare SparkSession with NO
+        # factory confs — queries must be self-sufficient (e.g. set the
+        # nanos-parquet conf at runtime themselves).
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("oracle-check-vanilla").getOrCreate())
+    else:
+        from flood_data_spark.session import get_spark
+        spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

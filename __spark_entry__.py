@@ -55,11 +55,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Queries must be self-sufficient under a vanilla SparkSession (the
+    # driver's harness builds its own): pin the session timezone so
+    # timestamp bucketing (to_date / date_trunc / window) matches the
+    # UTC-normalized DuckDB oracle on any driver host, not just UTC ones.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): a vanilla session raises
         # PARQUET_TYPE_ILLEGAL on read.  The legacy conf is runtime-settable,
-        # so set it here instead of relying on session-factory configuration
-        # (the driver's harness builds its own SparkSession).
+        # so set it here instead of relying on session-factory configuration.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as ns-epoch long via
@@ -513,6 +517,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-mode similarity join: same as q_ngram_jaccard but with the
+    shingle document-frequency cap on (max_doc_freq=50) — hot stopword-like
+    shingles are dropped before the per-shingle self-join, bounding the
+    per-key fan-out at cap² instead of corpus²."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
@@ -610,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "q_cosine_topk": q_cosine_topk,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_dups": q_simhash_dups,
@@ -1159,6 +1173,38 @@ def oracle_sql() -> dict[str, str]:
             pairs AS (
                 SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
                 FROM shingled a JOIN shingled b
+                  ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(common * 1.0 / (ga.n_grams + gb.n_grams - common), 6) AS jaccard
+            FROM pairs
+            JOIN counts ga ON ga.id = id_a
+            JOIN counts gb ON gb.id = id_b
+            WHERE common * 1.0 / (ga.n_grams + gb.n_grams - common) >= 0.5
+        """,
+        "q_ngram_jaccard_capped": """
+            WITH norm AS (
+                SELECT doc_id AS id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 200),
+            shingled AS (
+                SELECT id,
+                       unnest(list_distinct(list_filter(
+                           list_transform(range(1, greatest(length(t) - 1, 2)),
+                                          i -> substr(t, CAST(i AS INT), 3)),
+                           g -> length(g) = 3))) AS g
+                FROM norm),
+            kept AS (
+                -- document-frequency cap: shingled is distinct per (id, g),
+                -- so count(*) per g IS the doc frequency
+                SELECT id, g FROM shingled
+                QUALIFY count(*) OVER (PARTITION BY g) <= 50),
+            counts AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM kept GROUP BY id),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                FROM kept a JOIN kept b
                   ON a.g = b.g AND a.id < b.id
                 GROUP BY a.id, b.id)
             SELECT id_a, id_b,

@@ -68,6 +68,37 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str,
             .distinct())
 
 
+def _cap_doc_freq(shingles: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Drop shingles appearing in more than `max_doc_freq` documents.
+
+    The 100 TB skew guard: the per-shingle self-join downstream emits one
+    row per doc-pair sharing the shingle, so a stopword-like shingle present
+    in k documents produces O(k²) candidate rows — at corpus scale a single
+    hot shingle (" th", "ing") is a shuffle-partition bomb.  Hot shingles
+    carry ~no Jaccard signal (they discriminate nothing), so dropping them
+    bounds per-key join fan-out at max_doc_freq² while barely moving the
+    similarity estimate — the standard document-frequency filter from the
+    MinHash/shingling literature.
+
+    `shingles` rows are distinct per (id, gh), so count(*) per gh IS the
+    document frequency.  The hot-shingle relation is tiny (only the offenders)
+    → AQE turns the anti-join into a broadcast at runtime.
+
+    A document whose shingles are ALL hot drops out of the relation entirely
+    (no candidate pairs, no signature) — it is indistinguishable from pure
+    boilerplate at the chosen cap; exact_dedup still covers byte-identical
+    copies of it.
+    """
+    if max_doc_freq is None:
+        return shingles
+    if max_doc_freq < 1:
+        raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+    hot = (shingles.groupBy("gh").agg(F.count("*").alias("doc_freq"))
+           .filter(F.col("doc_freq") > max_doc_freq)
+           .select("gh"))
+    return shingles.join(hot, "gh", "left_anti")
+
+
 def char_shingles(text_col, n: int = 3) -> Column:
     """Distinct character n-grams of the normalized text (array<string>).
     Column-level variant for small inputs / tests; the distributed operators
@@ -80,13 +111,22 @@ def char_shingles(text_col, n: int = 3) -> Column:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """All (id_a < id_b) pairs with char-n-gram Jaccard >= threshold.
 
     Jaccard = |∩| / (|A| + |B| - |∩|); only pairs sharing >= 1 shingle are
     ever materialized.
+
+    max_doc_freq (None = off): drop shingles present in more than that many
+    documents before the self-join — see `_cap_doc_freq`.  With the cap on,
+    both the intersection AND the per-doc gram counts are over the capped
+    shingle sets, i.e. the score is the Jaccard of the *discriminative*
+    shingles.  At 100 TB run with a cap always; the uncapped mode exists as
+    the exact oracle baseline.
     """
-    shingles = _shingle_rows(df, id_col, text_col, n).cache()
+    shingles = _cap_doc_freq(
+        _shingle_rows(df, id_col, text_col, n), max_doc_freq).cache()
     counts = shingles.groupBy("id").agg(F.count("*").alias("n_grams"))
 
     a = shingles.alias("a")
@@ -112,10 +152,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------- minhash
 
 def _minhash_cols(df: DataFrame, id_col: str, text_col: str, n: int,
-                  num_hashes: int) -> DataFrame:
+                  num_hashes: int,
+                  max_doc_freq: int | None = None) -> DataFrame:
     """(id, m0..m{K-1}): MinHash values as K min-aggregates over the
-    (id, shingle-hash) rows — one shuffle, fully codegen."""
-    shingles = _shingle_rows(df, id_col, text_col, n)
+    (id, shingle-hash) rows — one shuffle, fully codegen.  max_doc_freq
+    drops hot shingles first (`_cap_doc_freq`)."""
+    shingles = _cap_doc_freq(
+        _shingle_rows(df, id_col, text_col, n), max_doc_freq)
     aggs = [F.min(F.xxhash64("gh", F.lit(s))).alias(f"m{s}")
             for s in range(num_hashes)]
     return shingles.groupBy("id").agg(*aggs)
@@ -123,9 +166,10 @@ def _minhash_cols(df: DataFrame, id_col: str, text_col: str, n: int,
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
-                       num_hashes: int = 64) -> DataFrame:
+                       num_hashes: int = 64,
+                       max_doc_freq: int | None = None) -> DataFrame:
     """(id, signature: array<long>) MinHash signature per document."""
-    wide = _minhash_cols(df, id_col, text_col, n, num_hashes)
+    wide = _minhash_cols(df, id_col, text_col, n, num_hashes, max_doc_freq)
     return wide.select(
         "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
         .alias("signature"))
@@ -134,19 +178,23 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
-                      min_band_matches: int = 1) -> DataFrame:
+                      min_band_matches: int = 1,
+                      max_doc_freq: int | None = None) -> DataFrame:
     """LSH banding over MinHash signatures → candidate near-dup pairs.
 
     Docs agreeing on all rows of >= min_band_matches bands become candidates;
     the search is an equi-join on (band_idx, band_hash) — scales with true
-    collisions, not n².
+    collisions, not n².  max_doc_freq caps hot shingles before signature
+    computation (`_cap_doc_freq`): boilerplate-only band collisions (every
+    doc sharing a site header hashing into the same bucket → O(k²) pairs)
+    disappear at the source.
     """
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands "
             f"({bands}); trailing hashes would be silently unused")
     rows_per_band = num_hashes // bands
-    wide = _minhash_cols(df, id_col, text_col, n, num_hashes)
+    wide = _minhash_cols(df, id_col, text_col, n, num_hashes, max_doc_freq)
 
     band_hashes = [
         F.xxhash64(*[F.col(f"m{b * rows_per_band + r}")

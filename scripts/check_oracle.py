@@ -63,10 +63,12 @@ def main():
 
     if os.environ.get("CHECK_ORACLE_VANILLA"):
         # Replicate the driver's harness: a bare SparkSession with NO
-        # factory confs — queries must be self-sufficient (e.g. set the
-        # nanos-parquet conf at runtime themselves).
+        # factory SQL confs — queries must be self-sufficient (e.g. set the
+        # nanos-parquet and timezone confs at runtime themselves).  Only the
+        # master string follows the env (parallelism isn't a SQL conf).
         from pyspark.sql import SparkSession
-        spark = (SparkSession.builder.master("local[8]")
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+        spark = (SparkSession.builder.master(f"local[{cpus}]")
                  .appName("oracle-check-vanilla").getOrCreate())
     else:
         from flood_data_spark.session import get_spark

@@ -565,7 +565,8 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over n-gram Jaccard near-dup pairs (iterative
     min-label propagation + pointer jumping) — the keep/drop decision step.
-    Iterative, not SQL-expressible; rows-only check."""
+    Oracle: DuckDB recursive CTE computing the min-reachable-label fixpoint
+    over the same (hash-matched) pair relation."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup_clusters(ngram_jaccard_pairs(docs, threshold=0.5))
 
@@ -1242,6 +1243,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.e, b.e)
                         / (sqrt(list_dot_product(a.e, a.e))
                            * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+        """,
+        "q_dedup_clusters": """
+            -- Connected components as a recursive reachability fixpoint over
+            -- the (already hash-matched) jaccard pair relation: walk(node,
+            -- label) enumerates labels reachable from each node; UNION
+            -- dedup guarantees termination on the cyclic graph, and the
+            -- label < src guard prunes non-minimal paths (the component
+            -- minimum always survives: every hop away from the min node
+            -- goes to a larger id).
+            WITH RECURSIVE norm AS (
+                SELECT doc_id AS id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 200),
+            shingled AS (
+                SELECT id,
+                       unnest(list_distinct(list_filter(
+                           list_transform(range(1, greatest(length(t) - 1, 2)),
+                                          i -> substr(t, CAST(i AS INT), 3)),
+                           g -> length(g) = 3))) AS g
+                FROM norm),
+            counts AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM shingled GROUP BY id),
+            prs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                FROM shingled a JOIN shingled b
+                  ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id),
+            sim AS (
+                SELECT id_a, id_b
+                FROM prs
+                JOIN counts ga ON ga.id = id_a
+                JOIN counts gb ON gb.id = id_b
+                WHERE common * 1.0 / (ga.n_grams + gb.n_grams - common) >= 0.5),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM sim
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM sim),
+            walk (node, label) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.src, w.label
+                FROM walk w JOIN edges e ON e.dst = w.node
+                WHERE w.label < e.src)
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM walk GROUP BY node
         """,
         # q_minhash_lsh, q_simhash_dups, q_lsh_topk, q_ivf_topk:
         # intentionally omitted — hash-sketch / model-fitted approximate

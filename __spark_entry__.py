@@ -41,7 +41,7 @@ from flood_data_spark.datapipe.text import (
     with_quality_signals,
     with_token_count,
 )
-from flood_data_spark.functions.geometry import add_geometry
+from flood_data_spark.functions.geometry import add_geometry, restrict_area
 from flood_data_spark.operators.grid import upstream_mask
 from flood_data_spark.operators.intensity import flood_intensity
 from flood_data_spark.operators.peak_timing import flood_peak_timing
@@ -205,6 +205,14 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.3 J8: 3×3 neighbor fetch around (5.03, 0.31) with the
     primary-cell flag (reference inflated-intersects + mask)."""
     return neighborhood_lookup(_grid_cells(spark, sf_dir), 5.03, 0.31)
+
+
+def q_restrict_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 P9: named region-of-interest slice with the reference's
+    quarter-cell buffer semantics (restrict_dataset_area,
+    flood/etl/utils.py:16-19) — edge cell centers survive the buffered box,
+    neighboring cells never do."""
+    return restrict_area(_grid_cells(spark, sf_dir), 1.0, 2.0, 0.0, 0.5)
 
 
 def q_summary_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_round_join": q_round_join,
         "q_point_lookup": q_point_lookup,
         "q_neighborhood": q_neighborhood,
+        "q_restrict_area": q_restrict_area,
         "q_summary_forecast": q_summary_forecast,
         "q_upstream_mask": q_upstream_mask,
         "q_pricing_summary": q_pricing_summary,
@@ -779,6 +788,17 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
             WHERE latitude BETWEEN 4.95 AND 5.1
               AND longitude BETWEEN 0.25 AND 0.4
+        """,
+        "q_restrict_area": """
+            WITH cells AS (
+                SELECT p_partkey AS partkey,
+                       round(0.025 + (p_partkey % 200) * 0.05, 3) AS latitude,
+                       round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT) % 200) * 0.05, 3) AS longitude,
+                       p_retailprice AS val
+                FROM part)
+            SELECT * FROM cells
+            WHERE latitude BETWEEN 1.0 - 0.0125 AND 2.0 + 0.0125
+              AND longitude BETWEEN 0.0 - 0.0125 AND 0.5 + 0.0125
         """,
         "q_summary_forecast": f"""
             WITH base AS (

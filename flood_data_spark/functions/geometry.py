@@ -73,6 +73,43 @@ def bbox_filter(df: DataFrame, lat_min: float, lat_max: float,
     )
 
 
+def restrict_area(df: DataFrame, lat_min: float, lat_max: float,
+                  lon_min: float, lon_max: float,
+                  buffer: float | None = None,
+                  lat_col: str = "latitude", lon_col: str = "longitude",
+                  raster_order: bool = False) -> DataFrame:
+    """Region-of-interest slice with the reference's buffered-edge semantics
+    (P9 — flood/etl/utils.py:16-19 `restrict_dataset_area`, unit-tested at
+    test/test_restrict_dataset_area.py:28-40).
+
+    Keeps rows with lat in [lat_min - buffer, lat_max + buffer] and lon in
+    [lon_min - buffer, lon_max + buffer], both ends inclusive.  The default
+    buffer is a QUARTER cell (resolution / buffer_div = 0.05/4 = 0.0125°,
+    the reference's default): cell CENTERS sit half a cell inside the box
+    edge, so the quarter-cell buffer tolerates float fuzz on the stored
+    center coordinates without ever pulling in the next cell's center
+    (which is a full half-cell outside).
+
+    The reference selects latitude with a DESCENDING slice
+    (`slice(lat_max + buffer, lat_min - buffer)`) because GloFAS rasters
+    store latitude north→south; a DataFrame is unordered, so the predicate
+    covers both orientations.  Pass raster_order=True to also sort the
+    result into the raster convention (latitude descending, longitude
+    ascending) before a write — a global sort, so leave it off mid-plan.
+
+    A plain range predicate → pushed to the parquet scan (row-group
+    min/max pruning + partition pruning on lat/lon-partitioned layouts).
+    """
+    b = (buffer if buffer is not None
+         else DEFAULT_CONFIG.resolution / DEFAULT_CONFIG.buffer_div)
+    out = df.filter(
+        F.col(lat_col).between(lat_min - b, lat_max + b)
+        & F.col(lon_col).between(lon_min - b, lon_max + b))
+    if raster_order:
+        out = out.orderBy(F.desc(lat_col), F.asc(lon_col))
+    return out
+
+
 def neighbor_filter(df: DataFrame, lat: float, lon: float,
                     ring: int = 1, resolution: float | None = None) -> DataFrame:
     """3x3 (or (2r+1)^2) neighborhood fetch around the cell containing the

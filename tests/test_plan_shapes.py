@@ -66,6 +66,25 @@ def test_step_filter_pushed_to_scan(spark, forecast_parquet):
     assert "PushedFilters: [IsNotNull(step), EqualTo(step,1)]" in plan
 
 
+def test_restrict_area_pushes_range_predicates(spark, forecast_parquet):
+    """P9's buffered box slice must reach the parquet scan as pushed
+    GreaterThanOrEqual/LessThanOrEqual filters on both coordinates (row-group
+    min/max pruning is what makes region slicing cheap at 100 TB)."""
+    from flood_data_spark.functions.geometry import restrict_area
+    forecast = spark.read.parquet(forecast_parquet + "/forecast.parquet")
+    out = restrict_area(forecast, 0.1, 0.4, 0.1, 0.4)
+    # formatted explain: plan.toString truncates long PushedFilters lists
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    # float-literal prefixes (0.1 - 0.0125 prints as 0.08750000000000001)
+    for frag in ("GreaterThanOrEqual(latitude,0.0875",
+                 "LessThanOrEqual(latitude,0.4125",
+                 "GreaterThanOrEqual(longitude,0.0875",
+                 "LessThanOrEqual(longitude,0.4125"):
+        assert frag in plan, f"{frag} not pushed:\n{plan}"
+
+
 def test_pair_join_is_parallel(spark, forecast_parquet):
     emb = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(50)],

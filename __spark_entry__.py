@@ -49,7 +49,10 @@ from flood_data_spark.operators.serving import neighborhood_lookup, point_lookup
 from flood_data_spark.operators.timeseries import asof_join, sessionize
 from flood_data_spark.operators.summary import assemble_summary
 from flood_data_spark.operators.tendency import flood_tendency
-from flood_data_spark.operators.threshold import ensemble_threshold_summary
+from flood_data_spark.operators.threshold import (
+    combine_threshold_rasters,
+    ensemble_threshold_summary,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -205,6 +208,32 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.3 J8: 3×3 neighbor fetch around (5.03, 0.31) with the
     primary-cell flag (reference inflated-intersects + mask)."""
     return neighborhood_lookup(_grid_cells(spark, sf_dir), 5.03, 0.31)
+
+
+def q_threshold_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 J5: build the per-cell threshold table from 3 synthetic
+    per-return-period rasters — raw column names renamed per raster, float
+    keys noised then canonicalized by rounding, fold inner-join with
+    count-preservation asserts, WKT geometry, sorted layout (reference
+    databricks/threshold-data-joining.py:70-110)."""
+    def raster(rp_col: str, factor: float) -> DataFrame:
+        # float-noisy coordinates (±1e-7, far below the 1e-3 rounding
+        # quantum) model raw raster coords; the combine must survive them
+        return _t(spark, sf_dir, "part").select(
+            (F.lit(0.025) + (F.col("p_partkey") % 200) * 0.05
+             + F.lit(1e-7)).alias("latitude"),
+            (F.lit(0.025) + (F.floor(F.col("p_partkey") / 200) % 200) * 0.05
+             - F.lit(1e-7)).alias("longitude"),
+            (F.col("p_retailprice") * factor).alias(rp_col))
+
+    combined = combine_threshold_rasters(
+        [raster("2yRP", 0.8), raster("5yRP", 1.0), raster("20yRP", 1.2)],
+        rename_maps=[{"2yRP": "threshold_2y"},
+                     {"5yRP": "threshold_5y"},
+                     {"20yRP": "threshold_20y"}],
+        precision=3, half_grid_size=0.025)
+    return combined.select("latitude", "longitude", "threshold_2y",
+                           "threshold_5y", "threshold_20y", "wkt")
 
 
 def q_restrict_area(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_point_lookup": q_point_lookup,
         "q_neighborhood": q_neighborhood,
         "q_restrict_area": q_restrict_area,
+        "q_threshold_combine": q_threshold_combine,
         "q_summary_forecast": q_summary_forecast,
         "q_upstream_mask": q_upstream_mask,
         "q_pricing_summary": q_pricing_summary,
@@ -788,6 +818,46 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
             WHERE latitude BETWEEN 4.95 AND 5.1
               AND longitude BETWEEN 0.25 AND 0.4
+        """,
+        "q_threshold_combine": """
+            WITH r2 AS (
+                SELECT CAST(round(0.025 + (p_partkey % 200) * 0.05 + 1e-7, 3) AS DOUBLE) AS latitude,
+                       CAST(round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT) % 200) * 0.05 - 1e-7, 3) AS DOUBLE) AS longitude,
+                       p_retailprice * 0.8 AS threshold_2y
+                FROM part),
+            r5 AS (
+                SELECT CAST(round(0.025 + (p_partkey % 200) * 0.05 + 1e-7, 3) AS DOUBLE) AS latitude,
+                       CAST(round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT) % 200) * 0.05 - 1e-7, 3) AS DOUBLE) AS longitude,
+                       p_retailprice * 1.0 AS threshold_5y
+                FROM part),
+            r20 AS (
+                SELECT CAST(round(0.025 + (p_partkey % 200) * 0.05 + 1e-7, 3) AS DOUBLE) AS latitude,
+                       CAST(round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT) % 200) * 0.05 - 1e-7, 3) AS DOUBLE) AS longitude,
+                       p_retailprice * 1.2 AS threshold_20y
+                FROM part),
+            combined AS (
+                SELECT latitude, longitude,
+                       threshold_2y, threshold_5y, threshold_20y
+                FROM r2
+                JOIN r5 USING (latitude, longitude)
+                JOIN r20 USING (latitude, longitude)),
+            bounds AS (
+                SELECT *,
+                       CAST(round(latitude - 0.025, 3) AS DOUBLE) AS lat_lo,
+                       CAST(round(latitude + 0.025, 3) AS DOUBLE) AS lat_hi,
+                       CAST(round(longitude - 0.025, 3) AS DOUBLE) AS lon_lo,
+                       CAST(round(longitude + 0.025, 3) AS DOUBLE) AS lon_hi
+                FROM combined)
+            SELECT latitude, longitude,
+                   threshold_2y, threshold_5y, threshold_20y,
+                   'POLYGON ((' ||
+                   CAST(lon_lo AS VARCHAR) || ' ' || CAST(lat_lo AS VARCHAR) || ',' ||
+                   CAST(lon_lo AS VARCHAR) || ' ' || CAST(lat_hi AS VARCHAR) || ',' ||
+                   CAST(lon_hi AS VARCHAR) || ' ' || CAST(lat_hi AS VARCHAR) || ',' ||
+                   CAST(lon_hi AS VARCHAR) || ' ' || CAST(lat_lo AS VARCHAR) || ',' ||
+                   CAST(lon_lo AS VARCHAR) || ' ' || CAST(lat_lo AS VARCHAR) ||
+                   '))' AS wkt
+            FROM bounds
         """,
         "q_restrict_area": """
             WITH cells AS (

@@ -25,6 +25,8 @@ Spark-first differences from the reference:
 
 from __future__ import annotations
 
+from collections.abc import Mapping, Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +39,79 @@ def _quantile(col: str, q: float, accuracy_mode: str):
     if accuracy_mode == "approx":
         return F.percentile_approx(col, q)
     return F.percentile(col, q)
+
+
+def combine_threshold_rasters(dfs: Sequence[DataFrame],
+                              rename_maps: Sequence[Mapping[str, str] | None] | None = None,
+                              precision: int | None = None,
+                              half_grid_size: float | None = None,
+                              add_geom: bool = True,
+                              sort: bool = True,
+                              check: bool = True) -> DataFrame:
+    """J5: fold-join N per-return-period threshold rasters into the single
+    per-cell threshold table (reference databricks/threshold-data-joining.py:
+    70-110, with the per-raster column renames of
+    threshold-data-conversion.py:58-65 folded in via `rename_maps`).
+
+    Per input: apply its rename map (e.g. {'2yRP_GloFASv4': 'threshold_2y'}),
+    round latitude/longitude to `precision` (the §1.4 float-key discipline —
+    raw raster coordinates carry float noise that would silently empty the
+    equi-join).  Then inner-join all inputs on the rounded (latitude,
+    longitude) keys, guard with the reference's count-preservation asserts
+    (equal input counts; output count unchanged — an inner join that loses or
+    fans out rows means misaligned grids), append the WKT cell geometry, and
+    sort by (latitude, longitude) for the serving layout.
+
+    Scale posture: the N rasters share the same grain and the same join key,
+    so after the first shuffle every subsequent join reuses the existing
+    hash partitioning — N inputs cost N input shuffles, not 2(N-1) (the
+    reference forces repartition(100) by hand; AQE sizes the exchanges here).
+    `sort` is a global sort for the final write layout — disable it mid-plan.
+
+    check=True runs count() actions (cheap QA on the once-per-deployment
+    thresholds build, the reference runs them unconditionally).  Note the
+    count check's inherited blind spot: a cell duplicated on only ONE side
+    cancels out (+1 fan-out, -1 unmatched loss); for a watertight grain
+    guarantee also run plans.checks.assert_unique_key per input.
+    """
+    if len(dfs) < 2:
+        raise ValueError("combine_threshold_rasters needs >= 2 rasters")
+    from flood_data_spark.plans.checks import PipelineCheckError
+
+    p = precision if precision is not None else DEFAULT_CONFIG.precision
+    rounded = []
+    for i, df in enumerate(dfs):
+        if rename_maps and rename_maps[i]:
+            for old, new in rename_maps[i].items():
+                df = df.withColumnRenamed(old, new)
+        rounded.append(df
+                       .withColumn("latitude", F.round("latitude", p))
+                       .withColumn("longitude", F.round("longitude", p)))
+
+    if check:
+        counts = [df.count() for df in rounded]
+        if len(set(counts)) != 1:
+            raise PipelineCheckError(
+                f"threshold rasters disagree on cell count: {counts}")
+
+    combined = rounded[0]
+    for nxt in rounded[1:]:
+        combined = combined.join(nxt, on=["latitude", "longitude"],
+                                 how="inner")
+
+    if check:
+        after = combined.count()
+        if after != counts[0]:
+            raise PipelineCheckError(
+                f"threshold combine changed row count {counts[0]} -> {after} "
+                f"({'fan-out (duplicate cells)' if after > counts[0] else 'row loss (misaligned grids)'})")
+
+    if add_geom:
+        from flood_data_spark.functions.geometry import add_geometry
+        combined = add_geometry(combined, half_grid_size, p)
+    if sort:
+        combined = combined.orderBy("latitude", "longitude")
+    return combined
 
 
 def ensemble_threshold_summary(forecast_df: DataFrame,

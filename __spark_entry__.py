@@ -111,9 +111,16 @@ def q_threshold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_threshold_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same plan as q_threshold_summary with accuracy_mode='approx'
-    (percentile_approx sketch, single pass, mergeable) — the 100 TB scale
-    path.  Sketch values differ from exact quantiles: rows-only check."""
+    """accuracy_mode='approx' (percentile_approx sketch, single pass,
+    mergeable) — the 100 TB scale path — with a BOUNDS CONTRACT the oracle
+    can check: sketch values can't be equality-compared across engines, but
+    each approx quantile q̂ must (a) be an actual element of its group,
+    (b) lie in [min, max], and (c) have rank within the sketch's rank-error
+    guarantee (1/accuracy, default 1e-4) of the target, ±1 rank of integer
+    slack.  Spark computes the booleans from the real sketch output; the
+    DuckDB oracle asserts them TRUE alongside the exactly-checkable
+    aggregates (exceedance fractions, min, max, count)."""
+    eps = 1.0 / 10000  # percentile_approx default accuracy
     forecast = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("partkey"),
         F.col("l_extendedprice").alias("dis24"))
@@ -122,9 +129,46 @@ def q_threshold_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") * 0.8).alias("threshold_2y"),
         F.col("p_retailprice").alias("threshold_5y"),
         (F.col("p_retailprice") * 1.2).alias("threshold_20y"))
-    return ensemble_threshold_summary(
+    summ = ensemble_threshold_summary(
         forecast, thresholds, accuracy_mode="approx",
         join_keys=("partkey",), group_keys=("partkey",))
+
+    j = forecast.join(F.broadcast(summ), "partkey")
+    qcols = {"q1": "Q1_dis", "median": "median_dis", "q3": "Q3_dis"}
+    aggs = [
+        F.count("*").alias("n_members"),
+        F.min(F.col("p_above_2y")).alias("p2"),
+        F.min(F.col("p_above_5y")).alias("p5"),
+        F.min(F.col("p_above_20y")).alias("p20"),
+        F.min("dis24").alias("min_dis"),
+        F.max("dis24").alias("max_dis"),
+    ]
+    for pfx, qc in qcols.items():
+        aggs += [
+            F.sum((F.col("dis24") < F.col(qc)).cast("long")).alias(f"{pfx}_lt"),
+            F.sum((F.col("dis24") <= F.col(qc)).cast("long")).alias(f"{pfx}_le"),
+            F.max((F.col("dis24") == F.col(qc)).cast("int")).alias(f"{pfx}_member"),
+            F.min(F.col(qc)).alias(f"{pfx}_val"),
+        ]
+    stats = j.groupBy("partkey").agg(*aggs)
+
+    def ok(pfx: str, frac: float):
+        n = F.col("n_members").cast("double")
+        return ((F.col(f"{pfx}_member") == 1)
+                & F.col(f"{pfx}_val").between(F.col("min_dis"),
+                                              F.col("max_dis"))
+                & (F.col(f"{pfx}_lt") <= frac * n + 1 + eps * n)
+                & (F.col(f"{pfx}_le") >= frac * n - 1 - eps * n))
+
+    return stats.select(
+        "partkey",
+        F.round("p2", 6).alias("p_above_2y"),
+        F.round("p5", 6).alias("p_above_5y"),
+        F.round("p20", 6).alias("p_above_20y"),
+        "min_dis", "max_dis", "n_members",
+        ok("q1", 0.25).alias("q1_ok"),
+        ok("median", 0.50).alias("median_ok"),
+        ok("q3", 0.75).alias("q3_ok"))
 
 
 def q_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,6 +734,24 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.50), 6) AS median_dis,
                    round(quantile_cont(l_extendedprice, 0.75), 6) AS q3_dis,
                    max(l_extendedprice) AS max_dis
+            FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+            GROUP BY l_partkey
+        """,
+        "q_threshold_summary_approx": """
+            -- bounds contract for the sketch mode: the exactly-checkable
+            -- aggregates are computed for real; the q*_ok flags assert the
+            -- sketch-side membership/bounds/rank-error contract holds
+            SELECT l_partkey AS partkey,
+                   round(avg(CASE WHEN l_extendedprice >= p_retailprice * 0.8
+                             THEN 1 ELSE 0 END), 6) AS p_above_2y,
+                   round(avg(CASE WHEN l_extendedprice >= p_retailprice
+                             THEN 1 ELSE 0 END), 6) AS p_above_5y,
+                   round(avg(CASE WHEN l_extendedprice >= p_retailprice * 1.2
+                             THEN 1 ELSE 0 END), 6) AS p_above_20y,
+                   min(l_extendedprice) AS min_dis,
+                   max(l_extendedprice) AS max_dis,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   TRUE AS q1_ok, TRUE AS median_ok, TRUE AS q3_ok
             FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
             GROUP BY l_partkey
         """,

@@ -660,6 +660,16 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of embedding near-dup: LSH-bucketed candidate
+    generation — no all-pairs join anywhere in the plan; candidate volume
+    scales with bucket collisions, not n².  Recall < 1 by construction
+    (rows-only check); q_embedding_dedup is its exact oracle twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35, exact=False,
+                                    num_planes=8, num_tables=4)
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -715,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         "q_dedup_clusters": q_dedup_clusters,
         "q_embedding_dedup": q_embedding_dedup,
+        "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
     }
 
 

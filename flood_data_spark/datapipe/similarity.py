@@ -76,82 +76,180 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
-def _hyperplane_sign(vec, plane_idx: int) -> Column:
-    """Sign of <vec, plane>: plane component for dim d is a deterministic
-    pseudo-random value in [-1, 1] from xxhash64(plane_idx, d)."""
-    comp = F.transform(
-        vec,
-        lambda x, d: x * ((F.xxhash64(F.lit(plane_idx), d).cast("double")
-                           / F.lit(float(2 ** 63))))
-    )
-    dot = F.aggregate(comp, F.lit(0.0), lambda acc, v: acc + v)
-    return (dot >= 0).cast("int")
+def _plane_component(plane_idx: int, d: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1): md5 of
+    "lsh:{plane}:{dim}" → uint64 → unit interval.  Pure Python, engine- and
+    run-independent — the 'model' is a formula, nothing is stored."""
+    import hashlib
+    import struct
+
+    h = hashlib.md5(f"lsh:{plane_idx}:{d}".encode()).digest()
+    (u,) = struct.unpack("<Q", h[:8])
+    return u / float(2 ** 63) - 1.0
 
 
-def lsh_signature(vec, num_planes: int = 16, plane_offset: int = 0) -> Column:
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
+    if row is None or row.d is None or row.d <= 0:
+        raise ValueError(f"cannot infer embedding dimension from '{vec_col}'")
+    return row.d
+
+
+def lsh_signature(vec, num_planes: int = 16, plane_offset: int = 0,
+                  dim: int = 64) -> Column:
     """num_planes-bit random-hyperplane signature packed into a long.
 
+    Plane components are DRIVER-SIDE literals (`_plane_component`), so each
+    bit is one zip_with/aggregate fold against a constant array — no per-row
+    per-element hashing (the previous xxhash64-per-component formulation
+    cost ~1.6 ms/row at d=64, P=32: 30× the scoring work it was saving).
     plane_offset selects an independent plane set (multi-table LSH uses
-    offset t*num_planes for table t)."""
-    bits = [_hyperplane_sign(vec, plane_offset + p) for p in range(num_planes)]
+    offset t*num_planes for table t); `dim` must match the embedding length.
+    """
     sig = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        sig = sig + F.shiftleft(b.cast("long"), i)
+    for i in range(num_planes):
+        plane = F.lit([_plane_component(plane_offset + i, d)
+                       for d in range(dim)])
+        dot = F.aggregate(F.zip_with(vec, plane, lambda x, c: x * c),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        sig = sig + F.shiftleft((dot >= 0).cast("long"), i)
     return sig
+
+
+def _lsh_bucket_rows(df: DataFrame, id_alias: str, id_col: str, vec_col: str,
+                     num_planes: int, num_tables: int, dim: int) -> DataFrame:
+    """Narrow (id, table, bucket) relation — one row per (vector, table).
+
+    The (num_tables·num_planes × dim) plane matrix is ONE array<array>
+    Literal (F.lit on the nested Python list), not P×d individual F.lit
+    nodes: inlining 2k+ expression nodes at P=36, d=64 made Catalyst
+    analysis/codegen dominate the whole query.  All tables' dot products
+    come from one transform over the matrix literal; the embedding is
+    dropped before any shuffle (candidate generation moves ids + longs
+    only)."""
+    mat = F.lit([[_plane_component(t * num_planes + i, d)
+                  for d in range(dim)]
+                 for t in range(num_tables) for i in range(num_planes)])
+    v = _as_double(F.col(vec_col))
+    dots = F.transform(
+        mat,
+        lambda p: F.aggregate(F.zip_with(F.col("_v"), p, lambda x, c: x * c),
+                              F.lit(0.0), lambda acc, y: acc + y))
+    buckets = []
+    for t in range(num_tables):
+        b = F.lit(0).cast("long")
+        for i in range(num_planes):
+            bit = (F.element_at("_dots", t * num_planes + i + 1) >= 0)
+            b = b + F.shiftleft(bit.cast("long"), i)
+        buckets.append(b)
+    return (df.select(F.col(id_col).alias(id_alias), v.alias("_v"))
+            .withColumn("_dots", dots)
+            .select(id_alias,
+                    F.posexplode(F.array(*buckets)).alias("table", "bucket")))
+
+
+def _lsh_candidates(corpus: DataFrame, queries: DataFrame, id_col: str,
+                    vec_col: str, num_planes: int, num_tables: int,
+                    dim: int | None, self_join: bool) -> DataFrame:
+    """Distinct (query_id, neighbor_id) pairs sharing >= 1 LSH bucket.
+
+    self_join=True (near-dup over one relation) computes the bucket rows
+    once, caches the narrow relation, and joins it to itself — signatures
+    are the expensive part and must not be derived per join side.
+    """
+    dim = dim if dim is not None else _infer_dim(corpus, vec_col)
+    if self_join:
+        b = _lsh_bucket_rows(corpus, "id", id_col, vec_col,
+                             num_planes, num_tables, dim).cache()
+        cq = b.select(F.col("id").alias("query_id"), "table", "bucket")
+        cc = b.select(F.col("id").alias("neighbor_id"), "table", "bucket")
+    else:
+        cq = _lsh_bucket_rows(queries, "query_id", id_col, vec_col,
+                              num_planes, num_tables, dim)
+        cc = _lsh_bucket_rows(corpus, "neighbor_id", id_col, vec_col,
+                              num_planes, num_tables, dim)
+    return (cq.join(cc, ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct())
+
+
+def _score_pairs(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """Join the embeddings back onto narrow candidate pairs and score the
+    exact cosine — vectors are touched once, after dedup, not carried
+    through the bucket join."""
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("qvec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("cvec"))
+    return (cand.join(qv, "query_id").join(cv, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6)
+                    .alias("cosine")))
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      num_planes: int = 12, num_tables: int = 3) -> DataFrame:
+                      num_planes: int = 12, num_tables: int = 3,
+                      dim: int | None = None) -> DataFrame:
     """ANN top-k: candidates = corpus vectors sharing an LSH bucket with the
     query in any of `num_tables` tables (bucket = equi-join key), then exact
     cosine re-rank.  Recall < 1 by construction; tune planes/tables."""
-    # one row per (id, table, bucket); table t uses plane set
-    # [t*num_planes, (t+1)*num_planes) so tables are independent
-    def sig_rows(df, id_alias):
-        v = _as_double(F.col(vec_col))
-        base = df.select(F.col(id_col).alias(id_alias), v.alias(id_alias + "_vec"))
-        rows = None
-        for t in range(num_tables):
-            sig = lsh_signature(F.col(id_alias + "_vec"), num_planes,
-                                plane_offset=t * num_planes)
-            part = base.select(id_alias, id_alias + "_vec",
-                               F.lit(t).alias("table"), sig.alias("bucket"))
-            rows = part if rows is None else rows.unionByName(part)
-        return rows
-
-    cq = sig_rows(queries, "query_id")
-    cc = sig_rows(corpus, "neighbor_id")
-    cand = (cq.join(cc, ["table", "bucket"])
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
-            .distinct())
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        F.round(cosine_similarity(F.col("query_id_vec"),
-                                  F.col("neighbor_id_vec")), 6).alias("cosine"))
+    cand = _lsh_candidates(corpus, queries, id_col, vec_col,
+                           num_planes, num_tables, dim, self_join=False)
+    scored = _score_pairs(cand, corpus, queries, id_col, vec_col)
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             nlist: int = 16, nprobe: int = 4, seed: int = 42,
-             max_iter: int = 8) -> DataFrame:
-    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path.
+def _ivf_assign(df: DataFrame, id_alias: str, n_keep: int,
+                centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, id_vec, list_id) rows assigning each vector to its n_keep
+    nearest centroids by cosine (centroid table is tiny → broadcast)."""
+    base = df.select(F.col(id_col).alias(id_alias),
+                     _as_double(F.col(vec_col)).alias(id_alias + "_vec"))
+    scored = base.join(F.broadcast(centroids)).select(
+        id_alias, id_alias + "_vec", "list_id",
+        cosine_similarity(F.col(id_alias + "_vec"),
+                          F.col("cvec")).alias("c_sim"))
+    w = (Window.partitionBy(id_alias)
+         .orderBy(F.desc("c_sim"), F.asc("list_id")))
+    return (scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_keep)
+            .drop("c_sim", "crank"))
 
-    1. Fit an nlist-centroid k-means coarse quantizer (pyspark.ml, fixed
-       seed) over the corpus embeddings.
-    2. Assign every corpus vector to its nearest centroid → the inverted
-       lists.  At scale this assignment is written once, partitioned by
-       ``list_id``, and reused across queries.
-    3. Each query probes its ``nprobe`` nearest centroids; candidates are
-       fetched by an equi-join on ``list_id`` (centroid table is tiny →
-       broadcast both directions), then exact cosine re-ranks.
 
-    Search cost drops from O(|corpus|) to ~O(|corpus| · nprobe / nlist)
-    per query; recall < 1 by construction (rows-only correctness check).
+def ivf_build(corpus: DataFrame,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              nlist: int = 16, seed: int = 42, max_iter: int = 8,
+              train_fraction: float | None = None,
+              max_train_rows: int = 262_144) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: fit the coarse quantizer on a SAMPLE, assign the
+    full corpus once.  Returns (centroids, lists):
+
+    - centroids: (list_id int, cvec array<double>) — nlist rows, driver-side
+      tiny, broadcast at probe time;
+    - lists: (neighbor_id, neighbor_id_vec, list_id) — one row per corpus
+      vector, its inverted-list membership.
+
+    Scale contract: k-means never sees the whole corpus.  train_fraction
+    (or, by default, a fraction targeting ~max_train_rows rows — one cheap
+    count() against, typically, parquet metadata decides it) bounds the fit
+    input; centroid quality depends on the sample capturing cluster
+    structure, not on seeing every row.  The expensive full-corpus step is
+    the single narrow assignment pass producing `lists` — at 100 TB persist
+    it once, partitioned by list_id::
+
+        centroids, lists = ivf_build(corpus, nlist=4096)
+        lists.write.partitionBy("list_id").parquet(index_path)
+
+    and probe against the parquet (`ivf_probe` takes any lists DataFrame) —
+    probes then touch only the nprobe matching list partitions
+    (partition pruning on the list_id equi-join), and the fit cost is paid
+    exactly once, not per query batch.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -159,35 +257,41 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     spark = corpus.sparkSession
     dvec = _as_double(F.col(vec_col))
     # L2-normalize before the Euclidean k-means fit (spherical k-means):
-    # assignment below is by cosine, and on unit vectors the Euclidean and
+    # assignment is by cosine, and on unit vectors the Euclidean and
     # cosine Voronoi cells coincide — unnormalized training would hand
     # cosine-assignment centroids it never associated with those vectors
     # greatest(norm, eps): an all-zero embedding (padding / failed encoder)
     # would otherwise divide by zero → NULL elements → KMeans.fit crash
     nrm = F.greatest(_norm(dvec), F.lit(1e-12))
     unit = F.transform(dvec, lambda x: x / nrm)
-    train = corpus.select(array_to_vector(unit).alias("features"))
+
+    train_src = corpus
+    if train_fraction is None:
+        n = corpus.count()
+        train_fraction = min(1.0, max_train_rows / max(n, 1))
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+    if train_fraction < 1.0:
+        train_src = corpus.sample(fraction=train_fraction, seed=seed)
+    train = train_src.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter,
                    initMode="k-means||", initSteps=2).fit(train)
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "list_id int, cvec array<double>")
+    lists = _ivf_assign(corpus, "neighbor_id", 1, centroids, id_col, vec_col)
+    return centroids, lists
 
-    def assign(df, id_alias, n_keep):
-        base = df.select(F.col(id_col).alias(id_alias),
-                         dvec.alias(id_alias + "_vec"))
-        scored = base.join(F.broadcast(centroids)).select(
-            id_alias, id_alias + "_vec", "list_id",
-            cosine_similarity(F.col(id_alias + "_vec"),
-                              F.col("cvec")).alias("c_sim"))
-        w = (Window.partitionBy(id_alias)
-             .orderBy(F.desc("c_sim"), F.asc("list_id")))
-        return (scored.withColumn("crank", F.row_number().over(w))
-                .filter(F.col("crank") <= n_keep)
-                .drop("c_sim", "crank"))
 
-    lists = assign(corpus, "neighbor_id", 1)
-    probes = assign(queries, "query_id", nprobe)
+def ivf_probe(centroids: DataFrame, lists: DataFrame, queries: DataFrame,
+              k: int = 5, nprobe: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF search against a prebuilt (centroids, lists) index: each query
+    probes its nprobe nearest centroids, candidates come from an equi-join
+    on list_id, exact cosine re-ranks.  Search cost ~O(|corpus| · nprobe /
+    nlist) per query, independent of the k-means fit (`ivf_build`)."""
+    probes = _ivf_assign(queries, "query_id", nprobe, centroids,
+                         id_col, vec_col)
     scored = (probes.join(lists, "list_id")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
@@ -197,25 +301,49 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .distinct())
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             nlist: int = 16, nprobe: int = 4, seed: int = 42,
+             max_iter: int = 8,
+             train_fraction: float | None = None) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — one-shot build + probe convenience.
+
+    For repeated query batches build once and probe many::
+
+        centroids, lists = ivf_build(corpus, nlist=...)
+        ivf_probe(centroids, lists, batch1); ivf_probe(..., batch2)
+
+    Recall < 1 by construction (rows-only correctness check).
+    """
+    centroids, lists = ivf_build(corpus, id_col, vec_col, nlist=nlist,
+                                 seed=seed, max_iter=max_iter,
+                                 train_fraction=train_fraction)
+    return ivf_probe(centroids, lists, queries, k=k, nprobe=nprobe,
+                     id_col=id_col, vec_col=vec_col)
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              exact: bool = True,
-                             num_planes: int = 12, num_tables: int = 3) -> DataFrame:
+                             num_planes: int = 12, num_tables: int = 3,
+                             dim: int | None = None) -> DataFrame:
     """(id_a < id_b) pairs with cosine >= threshold.  exact=True does the
     full self-join (correctness baseline); exact=False goes through LSH
     buckets first (scale path)."""
     if not exact:
-        # scale path: only bucket-sharing pairs ever materialize — the LSH
-        # join already scored them, so no all-pairs join exists in the plan
-        # at all (candidate volume ~ bucket collision rate, not n²)
-        topk = lsh_bucketed_topk(df, df, k=1 << 30, id_col=id_col,
-                                 vec_col=vec_col, num_planes=num_planes,
-                                 num_tables=num_tables)
-        return (topk
-                .filter(F.col("query_id") < F.col("neighbor_id"))
+        # scale path: only bucket-sharing pairs ever materialize — no
+        # all-pairs join exists in the plan at all (candidate volume ~
+        # bucket collision rate, not n²).  Signatures computed ONCE (the
+        # self-join reuses the cached narrow bucket relation) and no topk
+        # window: near-dup is a threshold filter, not a ranking.
+        cand = (_lsh_candidates(df, df, id_col, vec_col, num_planes,
+                                num_tables, dim, self_join=True)
+                .filter(F.col("query_id") < F.col("neighbor_id")))
+        return (_score_pairs(cand, df, df, id_col, vec_col)
                 .select(F.col("query_id").alias("id_a"),
                         F.col("neighbor_id").alias("id_b"), "cosine")
                 .filter(F.col("cosine") >= threshold))

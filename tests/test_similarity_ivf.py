@@ -6,6 +6,8 @@ import pytest
 
 from flood_data_spark.datapipe.similarity import (
     cosine_topk_bruteforce,
+    ivf_build,
+    ivf_probe,
     ivf_topk,
 )
 
@@ -47,6 +49,52 @@ def test_ivf_output_shape(spark, emb):
     assert {r.query_id for r in rows} == {0, 1}
     assert all(1 <= r.rank <= 4 for r in rows)
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_ivf_build_probe_equals_one_shot(spark, emb):
+    queries = emb.filter("vec_id < 6")
+    one_shot = ivf_topk(emb, queries, k=3, nlist=3, nprobe=2)
+    centroids, lists = ivf_build(emb, nlist=3)
+    split = ivf_probe(centroids, lists, queries, k=3, nprobe=2)
+    o = {(r.query_id, r.rank): r.neighbor_id for r in one_shot.collect()}
+    s = {(r.query_id, r.rank): r.neighbor_id for r in split.collect()}
+    assert o == s
+
+
+def test_ivf_probe_from_persisted_index(spark, emb, tmp_path):
+    """The 100 TB shape: lists written once partitioned by list_id; probes
+    run against the parquet without refitting k-means."""
+    centroids, lists = ivf_build(emb, nlist=3)
+    path = str(tmp_path / "ivf_lists")
+    lists.write.partitionBy("list_id").parquet(path)
+    lists_back = spark.read.parquet(path)
+    out = ivf_probe(centroids, lists_back, emb.filter("vec_id < 6"),
+                    k=3, nprobe=3)
+    exact = cosine_topk_bruteforce(emb, emb.filter("vec_id < 6"), k=3)
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    a = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    assert e == a  # full probe over the persisted index == brute force
+
+
+def test_ivf_sample_fit(spark, emb):
+    """k-means fit on a corpus sample (the scale contract) still produces a
+    usable quantizer: every query gets k results and single-probe recall on
+    separated clusters stays total."""
+    queries = emb.filter("vec_id < 6")
+    out = ivf_topk(emb, queries, k=3, nlist=3, nprobe=1,
+                   train_fraction=0.5)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4, 5}
+    assert all(1 <= r.rank <= 3 for r in rows)
+    exact = cosine_topk_bruteforce(emb, queries, k=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(e & a) / len(e) == 1.0
+
+
+def test_ivf_train_fraction_validation(spark, emb):
+    with pytest.raises(ValueError, match="train_fraction"):
+        ivf_build(emb, nlist=3, train_fraction=1.5)
 
 
 def test_near_dup_lsh_path_has_no_all_pairs_join(spark, emb):

@@ -34,6 +34,12 @@ from flood_data_spark.datapipe.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from flood_data_spark.datapipe.curation import (
+    cap_per_key,
+    chunk_documents,
+    hash_sample,
+    pack_sequences,
+)
 from flood_data_spark.datapipe.text import (
     with_fingerprint,
     with_lang_id,
@@ -569,6 +575,39 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% corpus sample keyed on md5(doc_id) — reproducible
+    across engines/runs/partitionings (train/eval split discipline)."""
+    return (hash_sample(_t(spark, sf_dir, "documents"), rate=0.25)
+            .select("doc_id", "source", "n_chars"))
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (training-context windows):
+    chunk_size=120, overlap=24, one row per chunk, short docs = 1 chunk."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (chunk_documents(docs, chunk_size=120, overlap=24)
+            .select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+                    "chunk_text",
+                    F.col("chunk_chars").cast("long").alias("chunk_chars")))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing within each source (streaming
+    first-fit in doc_id order, budget 256 whitespace tokens)."""
+    docs = with_token_count(_t(spark, sf_dir, "documents"))
+    return (pack_sequences(docs, token_budget=256,
+                           partition_cols=("source",))
+            .select("doc_id", "source", "n_tokens", "pack_id"))
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-over-representation: keep at most 10 docs per source
+    (deterministic doc_id order)."""
+    return (cap_per_key(_t(spark, sf_dir, "documents"), cap=10)
+            .select("doc_id", "source"))
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + BPE-ish pre-tokenizer subword count."""
     return (with_bpe_token_count(with_token_count(_t(spark, sf_dir, "documents")))
@@ -712,6 +751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
+        "q_hash_sample": q_hash_sample,
+        "q_chunk_docs": q_chunk_docs,
+        "q_pack_sequences": q_pack_sequences,
+        "q_cap_per_source": q_cap_per_source,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
         "q_lang_id": q_lang_id,
@@ -1255,6 +1298,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM documents
             GROUP BY 1
+        """,
+        "q_hash_sample": """
+            -- 0.25 * 65536 = 16384 = 0x4000; lowercase-hex string compare
+            -- of the md5 prefix == numeric compare (same predicate Spark
+            -- evaluates)
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        """,
+        "q_chunk_docs": """
+            -- stride = 120 - 24 = 96; n_chunks = max(1,
+            -- ceil((len - overlap) / stride)) via integer arithmetic
+            WITH base AS (
+                SELECT doc_id, text,
+                       unnest(range(0, greatest(1,
+                           (length(text) - 24 + 95) // 96))) AS chunk_id
+                FROM documents WHERE doc_id < 100)
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   substr(text, CAST(chunk_id * 96 + 1 AS INT), 120) AS chunk_text,
+                   CAST(length(substr(text, CAST(chunk_id * 96 + 1 AS INT), 120)) AS BIGINT)
+                   AS chunk_chars
+            FROM base
+        """,
+        "q_pack_sequences": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       END AS n_tokens
+                FROM documents)
+            SELECT doc_id, source, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 256 AS pack_id
+            FROM toks
+        """,
+        "q_cap_per_source": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 10
         """,
         "q_token_count": """
             SELECT doc_id,

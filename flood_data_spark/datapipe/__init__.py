@@ -17,8 +17,16 @@ from flood_data_spark.datapipe.dedup import (
 from flood_data_spark.datapipe.similarity import (
     cosine_topk_bruteforce,
     embedding_near_dup_pairs,
-    lsh_bucketed_topk,
+    ivf_build,
+    ivf_probe,
     ivf_topk,
+    lsh_bucketed_topk,
+)
+from flood_data_spark.datapipe.curation import (
+    cap_per_key,
+    chunk_documents,
+    hash_sample,
+    pack_sequences,
 )
 
 __all__ = [
@@ -27,5 +35,6 @@ __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_signatures",
     "minhash_lsh_pairs", "simhash", "simhash_dup_pairs", "dedup_clusters",
     "cosine_topk_bruteforce", "embedding_near_dup_pairs",
-    "lsh_bucketed_topk", "ivf_topk",
+    "lsh_bucketed_topk", "ivf_topk", "ivf_build", "ivf_probe",
+    "hash_sample", "chunk_documents", "pack_sequences", "cap_per_key",
 ]

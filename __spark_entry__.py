@@ -25,6 +25,7 @@ from flood_data_spark.datapipe.dedup import (
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_containment,
     ngram_jaccard_pairs,
     simhash_dup_pairs,
 )
@@ -41,6 +42,7 @@ from flood_data_spark.datapipe.curation import (
     pack_sequences,
 )
 from flood_data_spark.datapipe.text import (
+    tfidf_topk,
     with_fingerprint,
     with_lang_id,
     with_bpe_token_count,
@@ -646,6 +648,23 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: for each 'training' doc (id < 100), the
+    fraction of its char-8-grams appearing anywhere in the 'evaluation'
+    corpus (id 100-199).  Linear in gram volume — no doc×doc pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 100)
+    evalset = docs.filter(F.col("doc_id").between(100, 199))
+    return ngram_containment(train, evalset, n=8)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (corpus-statistics family: vocabulary, doc frequency, idf)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return tfidf_topk(docs, k=3)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
@@ -761,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "q_contamination": q_contamination,
+        "q_tfidf_topk": q_tfidf_topk,
         "q_cosine_topk": q_cosine_topk,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_dups": q_simhash_dups,
@@ -1465,6 +1486,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts ga ON ga.id = id_a
             JOIN counts gb ON gb.id = id_b
             WHERE common * 1.0 / (ga.n_grams + gb.n_grams - common) >= 0.5
+        """,
+        "q_contamination": """
+            WITH norm AS (
+                SELECT doc_id AS id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                FROM documents),
+            cand AS (
+                SELECT id,
+                       unnest(list_distinct(list_filter(
+                           list_transform(range(1, greatest(length(t) - 6, 2)),
+                                          i -> substr(t, CAST(i AS INT), 8)),
+                           g -> length(g) = 8))) AS g
+                FROM norm WHERE id < 100),
+            ref AS (
+                SELECT DISTINCT unnest(list_distinct(list_filter(
+                           list_transform(range(1, greatest(length(t) - 6, 2)),
+                                          i -> substr(t, CAST(i AS INT), 8)),
+                           g -> length(g) = 8))) AS g
+                FROM norm WHERE id BETWEEN 100 AND 199),
+            total AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM cand GROUP BY id),
+            matched AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_matched
+                FROM cand WHERE g IN (SELECT g FROM ref) GROUP BY id)
+            SELECT total.id AS doc_id, n_grams,
+                   CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched,
+                   round(coalesce(n_matched, 0) * 1.0 / n_grams, 6) AS containment
+            FROM total LEFT JOIN matched USING (id)
+        """,
+        "q_tfidf_topk": """
+            WITH terms AS (
+                SELECT doc_id AS id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                FROM documents WHERE doc_id < 100),
+            terms_f AS (SELECT * FROM terms WHERE term != ''),
+            tf AS (
+                SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM terms_f GROUP BY id, term),
+            dfreq AS (
+                SELECT term, count(DISTINCT id) AS df
+                FROM terms_f GROUP BY term),
+            n AS (
+                SELECT count(DISTINCT doc_id) AS n
+                FROM documents WHERE doc_id < 100),
+            scored AS (
+                SELECT id, term, tf,
+                       round(tf * (ln((n + 1) * 1.0 / (df + 1)) + 1), 6) AS tfidf
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+                FROM scored)
+            SELECT id, term, tf, tfidf, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "q_cosine_topk": """
             WITH v AS (

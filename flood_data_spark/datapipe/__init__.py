@@ -1,4 +1,6 @@
 from flood_data_spark.datapipe.text import (
+    tfidf_topk,
+    term_rows,
     with_token_count,
     with_bpe_token_count,
     with_quality_signals,
@@ -7,6 +9,7 @@ from flood_data_spark.datapipe.text import (
 )
 from flood_data_spark.datapipe.dedup import (
     exact_dedup,
+    ngram_containment,
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -32,8 +35,9 @@ from flood_data_spark.datapipe.curation import (
 __all__ = [
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
-    "exact_dedup", "ngram_jaccard_pairs", "minhash_signatures",
-    "minhash_lsh_pairs", "simhash", "simhash_dup_pairs", "dedup_clusters",
+    "exact_dedup", "ngram_containment", "ngram_jaccard_pairs",
+    "minhash_signatures", "minhash_lsh_pairs", "simhash",
+    "simhash_dup_pairs", "dedup_clusters", "tfidf_topk", "term_rows",
     "cosine_topk_bruteforce", "embedding_near_dup_pairs",
     "lsh_bucketed_topk", "ivf_topk", "ivf_build", "ivf_probe",
     "hash_sample", "chunk_documents", "pack_sequences", "cap_per_key",

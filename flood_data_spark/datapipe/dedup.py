@@ -305,6 +305,38 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "hamming"))
 
 
+# ---------------------------------------------------- contamination
+
+def ngram_containment(candidates: DataFrame, reference: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 8) -> DataFrame:
+    """Per candidate document: the fraction of its distinct char n-grams
+    that appear ANYWHERE in the reference corpus — the decontamination
+    check (flag/drop training documents that contain evaluation data).
+
+    containment(c) = |grams(c) ∩ grams(ref)| / |grams(c)|; returns
+    (doc_id, n_grams, n_matched, containment) for every candidate with at
+    least one n-gram (documents shorter than n characters have no grams and
+    no row — nothing to leak).
+
+    Plan: reference grams collapse to a DISTINCT hashed set once (narrow —
+    one long per gram, not the text), candidates left-semi join against it
+    per gram, then two counts per doc.  No pairwise doc×doc work at all:
+    cost is linear in total gram volume, which is what lets the check run
+    train-corpus-wide instead of per (train, eval) document pair.
+    """
+    cand = _shingle_rows(candidates, id_col, text_col, n).cache()
+    ref = _shingle_rows(reference, id_col, text_col, n).select("gh").distinct()
+    total = cand.groupBy("id").agg(F.count("*").alias("n_grams"))
+    matched = (cand.join(ref, "gh", "left_semi")
+               .groupBy("id").agg(F.count("*").alias("n_matched")))
+    return (total.join(matched, "id", "left")
+            .na.fill({"n_matched": 0})
+            .select(F.col("id").alias(id_col), "n_grams", "n_matched",
+                    F.round(F.col("n_matched") / F.col("n_grams"), 6)
+                    .alias("containment")))
+
+
 # ---------------------------------------------------- dedup clusters
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",

@@ -7,7 +7,7 @@ speed and every one is DuckDB-oracle comparable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -106,6 +106,52 @@ def with_quality_signals(df: DataFrame, text_col: str = "text",
             .withColumn(prefix + "punct_ratio", F.round(punct_ratio, 6))
             .withColumn(prefix + "stop_ratio", F.round(stop_ratio, 6))
             .withColumn(prefix + "score", score))
+
+
+def term_rows(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, term) — one row per occurrence of each lowercase whitespace
+    token.  The long-form relation every corpus-statistics operator
+    (vocabulary, doc frequency, TF-IDF) aggregates over; explode is
+    row-local, all downstream shuffles move (hashable term, id) only."""
+    return (df
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                      r"\s+")).alias("term"))
+            .filter(F.col("term") != ""))
+
+
+def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    tf = in-document occurrence count; idf = ln((N + 1) / (df + 1)) + 1
+    (sklearn's smooth idf — never zero, no division hazards); returns
+    (id, term, tf, tfidf, rank) with rank by tfidf desc, term asc (a full
+    deterministic tiebreak so top-k is reproducible).
+
+    Plan: one narrow (id, term) explode feeds BOTH aggregations; doc
+    frequency is a per-term count over distinct (id, term); N is a scalar
+    broadcast.  Two hash-agg shuffles + one window — no UDF, no collect of
+    term space (the vocabulary never concentrates on the driver).
+    """
+    terms = term_rows(df, id_col, text_col)
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    docfreq = (terms.select("id", "term").distinct()
+               .groupBy("term").agg(F.count("*").alias("df")))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    scored = (tf.join(docfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "tfidf",
+                  F.round(F.col("tf") * (F.log((F.col("n") + 1)
+                                               / (F.col("df") + 1)) + 1), 6)))
+    w = (Window.partitionBy("id")
+         .orderBy(F.desc("tfidf"), F.asc("term")))
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "term", "tf", "tfidf", "rank"))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text",

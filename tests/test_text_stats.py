@@ -1,0 +1,62 @@
+"""TF-IDF top-k and n-gram containment (decontamination) operators."""
+
+import math
+
+import pytest
+
+from flood_data_spark.datapipe.dedup import ngram_containment
+from flood_data_spark.datapipe.text import tfidf_topk
+
+
+def test_tfidf_topk_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(0, "apple apple banana"),
+         (1, "banana cherry"),
+         (2, "cherry cherry cherry date")],
+        "doc_id long, text string")
+    out = {(r.id, r.term): r for r in tfidf_topk(df, k=2).collect()}
+    # doc 0: apple tf=2 df=1, banana tf=1 df=2; N=3
+    idf = lambda df_: math.log((3 + 1) / (df_ + 1)) + 1
+    assert out[(0, "apple")].tfidf == pytest.approx(round(2 * idf(1), 6))
+    assert out[(0, "banana")].tfidf == pytest.approx(round(1 * idf(2), 6))
+    assert out[(0, "apple")].rank == 1            # rarer + more frequent
+    # doc 2: cherry tf=3 beats date tf=1 despite date's higher idf here?
+    assert out[(2, "cherry")].tfidf == pytest.approx(round(3 * idf(2), 6))
+    assert out[(2, "date")].tfidf == pytest.approx(round(1 * idf(1), 6))
+    assert out[(2, "cherry")].rank == 1
+    # k=2 bound respected
+    assert all(r.rank <= 2 for r in out.values())
+
+
+def test_tfidf_case_and_whitespace_normalized(spark):
+    df = spark.createDataFrame([(0, "  Apple APPLE  aPPle ")],
+                               "doc_id long, text string")
+    rows = tfidf_topk(df, k=5).collect()
+    assert len(rows) == 1 and rows[0].term == "apple" and rows[0].tf == 3
+
+
+def test_containment_planted_leak(spark):
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [(0, f"intro words then {eval_text} and some trailer"),  # contains eval
+         (1, "zzzz completely unrelated content xxxx qqqq yyyy")],
+        "doc_id long, text string")
+    evalset = spark.createDataFrame([(100, eval_text)],
+                                    "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_containment(train, evalset, n=8).collect()}
+    # doc 0 embeds the eval sentence verbatim → high containment
+    assert out[0].containment > 0.4
+    # doc 1 shares no 8-gram with the eval text
+    assert out[1].containment == 0.0
+    assert out[1].n_matched == 0
+    # counts are consistent
+    assert 0 < out[0].n_matched <= out[0].n_grams
+
+
+def test_containment_short_docs_have_no_row(spark):
+    train = spark.createDataFrame([(0, "tiny"), (1, "long enough text here")],
+                                  "doc_id long, text string")
+    evalset = spark.createDataFrame([(9, "whatever reference text")],
+                                    "doc_id long, text string")
+    out = ngram_containment(train, evalset, n=8)
+    assert [r.doc_id for r in out.collect()] == [1]  # len("tiny") < 8

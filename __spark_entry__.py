@@ -40,8 +40,10 @@ from flood_data_spark.datapipe.curation import (
     chunk_documents,
     hash_sample,
     pack_sequences,
+    redact_pii,
 )
 from flood_data_spark.datapipe.text import (
+    repetition_signals,
     tfidf_topk,
     with_fingerprint,
     with_lang_id,
@@ -648,6 +650,27 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token ratio and
+    most-common-token share per document."""
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email + phone-shaped spans replaced with [REDACTED].
+    The synthetic corpus is PII-free, so two literal rows with planted PII
+    ride along (mirrored as VALUES in the oracle) to make the redaction
+    observable end-to-end."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50) \
+        .select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(9001, "contact jane.doe@example.com or +1 555-123-4567 today"),
+         (9002, "no personal identifiers in this row at all")],
+        "doc_id long, text string")
+    return (redact_pii(docs.unionByName(planted))
+            .select("doc_id", "clean_text", "n_redactions"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination check: for each 'training' doc (id < 100), the
     fraction of its char-8-grams appearing anywhere in the 'evaluation'
@@ -782,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "q_contamination": q_contamination,
         "q_tfidf_topk": q_tfidf_topk,
+        "q_repetition": q_repetition,
+        "q_redact_pii": q_redact_pii,
         "q_cosine_topk": q_cosine_topk,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_dups": q_simhash_dups,
@@ -1486,6 +1511,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts ga ON ga.id = id_a
             JOIN counts gb ON gb.id = id_b
             WHERE common * 1.0 / (ga.n_grams + gb.n_grams - common) >= 0.5
+        """,
+        "q_repetition": """
+            WITH terms AS (
+                SELECT doc_id AS id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                FROM documents),
+            terms_f AS (SELECT * FROM terms WHERE term != ''),
+            per_term AS (
+                SELECT id, term, count(*) AS c
+                FROM terms_f GROUP BY id, term),
+            agg AS (
+                SELECT id,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(max(c) AS BIGINT) AS top_tf
+                FROM per_term GROUP BY id)
+            SELECT d.doc_id,
+                   coalesce(n_tokens, 0) AS n_tokens,
+                   coalesce(n_distinct, 0) AS n_distinct,
+                   round(1 - coalesce(n_distinct, 0) * 1.0
+                         / greatest(coalesce(n_tokens, 0), 1), 6) AS dup_ratio,
+                   coalesce(top_tf, 0) AS top_tf,
+                   round(coalesce(top_tf, 0) * 1.0
+                         / greatest(coalesce(n_tokens, 0), 1), 6) AS top_ratio
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN agg ON agg.id = d.doc_id
+        """,
+        "q_redact_pii": """
+            WITH src AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 50
+                UNION ALL
+                SELECT * FROM (VALUES
+                    (9001, 'contact jane.doe@example.com or +1 555-123-4567 today'),
+                    (9002, 'no personal identifiers in this row at all'))
+                    AS v(doc_id, text)),
+            pass1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[REDACTED]', 'g') AS t1
+                FROM src)
+            SELECT doc_id,
+                   regexp_replace(t1, '\\+?[0-9][0-9\\-\\s()]{6,}[0-9]',
+                                  '[REDACTED]', 'g') AS clean_text,
+                   CAST(c1 + len(regexp_extract_all(t1,
+                        '\\+?[0-9][0-9\\-\\s()]{6,}[0-9]')) AS BIGINT)
+                   AS n_redactions
+            FROM pass1
         """,
         "q_contamination": """
             WITH norm AS (

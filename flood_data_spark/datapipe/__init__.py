@@ -30,7 +30,9 @@ from flood_data_spark.datapipe.curation import (
     chunk_documents,
     hash_sample,
     pack_sequences,
+    redact_pii,
 )
+from flood_data_spark.datapipe.text import repetition_signals
 
 __all__ = [
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
@@ -41,4 +43,5 @@ __all__ = [
     "cosine_topk_bruteforce", "embedding_near_dup_pairs",
     "lsh_bucketed_topk", "ivf_topk", "ivf_build", "ivf_probe",
     "hash_sample", "chunk_documents", "pack_sequences", "cap_per_key",
+    "redact_pii", "repetition_signals",
 ]

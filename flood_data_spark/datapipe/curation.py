@@ -113,6 +113,36 @@ def pack_sequences(df: DataFrame, token_budget: int,
         .cast("long"))
 
 
+# ASCII-class patterns so the Java-regex (Spark) and RE2 (SQL oracles)
+# interpretations coincide exactly — same discipline as text.BPE_ISH_PATTERN
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9\-\s()]{6,}[0-9]"
+DEFAULT_PII_PATTERNS = (EMAIL_PATTERN, PHONE_PATTERN)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "clean_text",
+               patterns=DEFAULT_PII_PATTERNS,
+               token: str = "[REDACTED]") -> DataFrame:
+    """Scrub PII-shaped spans (emails, phone-number-like digit runs by
+    default) before text ships to training: adds `out_col` with every match
+    replaced by `token` and `n_redactions` counting the replacements.
+
+    Patterns apply in order, each counted against the text as the previous
+    ones left it (a span can't be double-counted).  Pure regexp_count /
+    regexp_replace columns — codegen, streams at scan speed, and the
+    heuristic's limits are the usual ones (it flags lookalikes, it is not a
+    PII guarantee).
+    """
+    cur = F.col(text_col)
+    total = F.lit(0)
+    for pat in patterns:
+        total = total + F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    return (df.withColumn(out_col, cur)
+            .withColumn("n_redactions", total.cast("long")))
+
+
 def cap_per_key(df: DataFrame, cap: int, partition_cols=("source",),
                 order_col: str = "doc_id") -> DataFrame:
     """Keep at most `cap` rows per key (anti-over-representation: cap

@@ -154,6 +154,35 @@ def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
             .select("id", "term", "tf", "tfidf", "rank"))
 
 
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token ratio
+    and most-common-token share — the cheap detector for degenerate /
+    keyword-stuffed / looping text that slips past length and language
+    filters.
+
+    Returns (id_col, n_tokens, n_distinct, dup_ratio, top_tf, top_ratio);
+    token-free documents keep a row with zeros (a blank doc is maximally
+    suspicious to a later gate, not invisible).  One explode + two hash
+    aggregations — the same narrow (id, term) relation as `tfidf_topk`.
+    """
+    terms = term_rows(df, id_col, text_col)
+    per_term = terms.groupBy("id", "term").agg(F.count("*").alias("c"))
+    agg = per_term.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_tf"))
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    out = (all_ids.join(agg, "id", "left")
+           .na.fill({"n_tokens": 0, "n_distinct": 0, "top_tf": 0}))
+    safe = F.greatest(F.col("n_tokens"), F.lit(1))
+    return out.select(
+        F.col("id").alias(id_col), "n_tokens", "n_distinct",
+        F.round(1 - F.col("n_distinct") / safe, 6).alias("dup_ratio"),
+        "top_tf",
+        F.round(F.col("top_tf") / safe, 6).alias("top_ratio"))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text",
                      out_col: str = "fingerprint") -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized, lower-cased text.

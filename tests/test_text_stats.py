@@ -53,6 +53,38 @@ def test_containment_planted_leak(spark):
     assert 0 < out[0].n_matched <= out[0].n_grams
 
 
+def test_repetition_signals(spark):
+    from flood_data_spark.datapipe.text import repetition_signals
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam eggs"),   # 5 tokens, 2 distinct, top=4
+         (1, "all tokens here differ"),     # fully distinct
+         (2, "   ")],                       # token-free
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[0].n_tokens == 5 and out[0].n_distinct == 2
+    assert out[0].dup_ratio == pytest.approx(0.6)
+    assert out[0].top_tf == 4 and out[0].top_ratio == pytest.approx(0.8)
+    assert out[1].dup_ratio == 0.0
+    assert out[2].n_tokens == 0 and out[2].dup_ratio == 1.0  # blank = flagged
+
+
+def test_redact_pii(spark):
+    from flood_data_spark.datapipe.curation import redact_pii
+    df = spark.createDataFrame(
+        [(0, "mail a.b@c.org and x_y%z@d.co.uk now"),
+         (1, "call +44 20 7946-0958 or (555) 123 4567"),
+         (2, "nothing sensitive 42 here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[0].n_redactions == 2
+    assert "@" not in out[0].clean_text
+    assert out[0].clean_text.count("[REDACTED]") == 2
+    assert out[1].n_redactions >= 1
+    assert "7946" not in out[1].clean_text
+    assert out[2].n_redactions == 0
+    assert out[2].clean_text == "nothing sensitive 42 here"  # untouched
+
+
 def test_containment_short_docs_have_no_row(spark):
     train = spark.createDataFrame([(0, "tiny"), (1, "long enough text here")],
                                   "doc_id long, text string")

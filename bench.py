@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "q_threshold_summary_approx_plain",
     "q_ivf_build",
     "q_ivf_probe",
+    # round-3 curation/corpus-statistics families
+    "q_chunk_docs",
+    "q_pack_sequences",
+    "q_tfidf_topk",
+    "q_contamination",
 ]
 
 _IVF_INDEX = {}

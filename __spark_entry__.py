@@ -27,6 +27,7 @@ from flood_data_spark.datapipe.dedup import (
     minhash_lsh_pairs,
     ngram_containment,
     ngram_jaccard_pairs,
+    simhash,
     simhash_dup_pairs,
 )
 from flood_data_spark.datapipe.similarity import (
@@ -751,6 +752,151 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     num_planes=8, num_tables=4)
 
 
+# ---------------------------------------------------------------------
+# Sketch/ANN contract queries: each rows-only operator paired with its
+# exact, oracle-checkable ground truth.  The single output row carries
+# (a) exact-side aggregates DuckDB recomputes for real (hash-checked) and
+# (b) recall/precision/completeness booleans Spark derives from the real
+# sketch output; the oracle asserts them TRUE — the same pattern the
+# approx-quantile bounds contract uses.  Bounds sit well under measured
+# values at sf0.01 AND sf0.1 (minhash .997/.998, lsh-topk .77/.68,
+# ivf .50/.62, emb-lsh .118/.091) so SF drift / k-means jitter can't flip
+# them without a genuine regression.
+# ---------------------------------------------------------------------
+
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for MinHash+LSH banding against the exact n-gram
+    Jaccard truth (itself hash-checked via q_ngram_jaccard).  bands=16
+    (r=2) puts the S-curve midpoint at J=(1/16)^(1/2)=0.25, so pairs at
+    the J>=0.5 truth threshold are caught w.p. 1-(1-J^2)^16 >= 0.99 —
+    measured recall 0.997 (sf0.01) / 0.998 (sf0.1), asserted >= 0.9.
+    Pairs at J>=0.9 must ALL be caught (capture prob ~1-2e-23)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    truth = ngram_jaccard_pairs(docs, threshold=0.5).cache()
+    cand = minhash_lsh_pairs(docs, num_hashes=32, bands=16)
+    hit = truth.join(cand.select("id_a", "id_b"), ["id_a", "id_b"],
+                     "left_semi")
+    stats = truth.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        F.sum((F.col("jaccard") >= 0.9).cast("long")).alias("n_high"))
+    hits = hit.agg(
+        F.count("*").alias("n_hit"),
+        F.sum((F.col("jaccard") >= 0.9).cast("long")).alias("n_high_hit"))
+    return (stats.crossJoin(hits).select(
+        "n_true_pairs", "avg_jaccard",
+        (F.col("n_hit") >= 0.9 * F.col("n_true_pairs")).alias("recall_ok"),
+        (F.col("n_high_hit") == F.col("n_high")).alias("high_pairs_ok")))
+
+
+def q_simhash_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness contract for the SimHash pigeonhole join: with
+    chunks=16 > max_hamming=8, candidate generation provably misses
+    nothing, so the chunked equi-join output must EQUAL the brute-force
+    all-pairs Hamming join over the same signatures — checked as mutual
+    set containment on (id_a, id_b, hamming), not just counts."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sigs = simhash(docs).filter(F.col("simhash") != 0).cache()
+    a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("hamming",
+                         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+             .filter(F.col("hamming") <= 8)
+             .select("id_a", "id_b", "hamming").cache())
+    pig = simhash_dup_pairs(docs, max_hamming=8, chunks=16).cache()
+    n_brute = brute.count()
+    n_pig_in_brute = pig.join(brute, ["id_a", "id_b", "hamming"],
+                              "left_semi").count()
+    pair_stats = pig.agg(
+        F.count("*").alias("n_pig"),
+        F.coalesce(F.max((F.col("hamming") > 8).cast("int")), F.lit(0))
+        .alias("bad_hamming"),
+        F.coalesce(F.max((F.col("id_a") >= F.col("id_b")).cast("int")),
+                   F.lit(0)).alias("bad_order"))
+    return (docs.agg(F.count("*").alias("n_docs")).crossJoin(pair_stats)
+            .select(
+        "n_docs",
+        ((F.col("n_pig") == F.lit(n_brute))
+         & (F.lit(n_pig_in_brute) == F.col("n_pig"))).alias("complete_ok"),
+        (F.col("bad_hamming") == 0).alias("hamming_ok"),
+        (F.col("bad_order") == 0).alias("canonical_ok")))
+
+
+def _topk_recall_contract(exact: DataFrame, ann: DataFrame,
+                          bound: float) -> DataFrame:
+    """Shared shape for ANN-vs-exact top-k contracts: exact-side stats the
+    oracle recomputes + recall/bounded booleans from the real ANN rows."""
+    ex = exact.cache()
+    stats = ex.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        F.round(F.avg(F.when(F.col("rank") == 1, F.col("cosine"))), 6)
+        .alias("avg_top1_cosine"))
+    n_exact_hit = ex.join(ann.select("query_id", "neighbor_id"),
+                          ["query_id", "neighbor_id"], "left_semi").count()
+    # ANN may never report a better neighbor than the exact top-1
+    top1 = ex.filter(F.col("rank") == 1).select(
+        "query_id", F.col("cosine").alias("best_cosine"))
+    viol = (ann.join(top1, "query_id")
+            .filter(F.col("cosine") > F.col("best_cosine")).count())
+    return stats.select(
+        "n_queries", "n_exact", "avg_top1_cosine",
+        (F.lit(n_exact_hit) >= bound * F.col("n_exact")).alias("recall_ok"),
+        F.lit(viol == 0).alias("bounded_ok"))
+
+
+def q_lsh_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for hyperplane-LSH ANN vs exact cosine top-k (the
+    truth side is q_cosine_topk, hash-checked).  The synthetic embeddings
+    are near-orthogonal — deliberately adversarial for angle-LSH — so the
+    contract uses 4 planes x 8 tables (collision prob ~0.53 at the top-5
+    cosine range): measured recall 0.77 (sf0.01) / 0.68 (sf0.1),
+    asserted >= 0.4."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    ann = lsh_bucketed_topk(emb, queries, k=5, num_planes=4, num_tables=8)
+    return _topk_recall_contract(exact, ann, bound=0.4)
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for IVF ANN (sample-fit k-means quantizer, nprobe=2
+    of nlist=8) vs exact cosine top-k: measured recall 0.50 (sf0.01) /
+    0.62 (sf0.1), asserted >= 0.25 — margin covers k-means init jitter
+    across environments."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    ann = ivf_topk(emb, queries, k=5, nlist=8, nprobe=2)
+    return _topk_recall_contract(exact, ann, bound=0.25)
+
+
+def q_embedding_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall contract for the LSH near-dup scale path vs the
+    exact all-pairs truth (q_embedding_dedup, hash-checked).  Precision is
+    EXACTLY 1 by construction — candidates are re-scored with the exact
+    cosine before thresholding, so every emitted pair must appear in the
+    exact set (subset_ok).  Recall on this near-orthogonal corpus (the
+    0.35 threshold sits at the far cosine tail) measured 0.118 (sf0.01) /
+    0.091 (sf0.1), asserted >= 0.02."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex_pairs = embedding_near_dup_pairs(emb, threshold=0.35).cache()
+    lsh_pairs = embedding_near_dup_pairs(emb, threshold=0.35, exact=False,
+                                         num_planes=8, num_tables=4).cache()
+    n_lsh = lsh_pairs.count()
+    n_sub = lsh_pairs.join(ex_pairs.select("id_a", "id_b"),
+                           ["id_a", "id_b"], "left_semi").count()
+    return (ex_pairs.agg(
+        F.count("*").alias("n_exact_pairs"),
+        F.round(F.avg("cosine"), 6).alias("avg_exact_cosine"))
+        .select(
+            "n_exact_pairs", "avg_exact_cosine",
+            F.lit(n_sub == n_lsh).alias("subset_ok"),
+            (F.lit(n_lsh) >= 0.02 * F.col("n_exact_pairs")).alias("recall_ok"),
+            F.lit(n_lsh > 0).alias("nonempty_ok")))
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -815,6 +961,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_embedding_dedup": q_embedding_dedup,
         "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "q_minhash_recall": q_minhash_recall,
+        "q_simhash_contract": q_simhash_contract,
+        "q_lsh_topk_recall": q_lsh_topk_recall,
+        "q_ivf_recall": q_ivf_recall,
+        "q_embedding_dedup_lsh_recall": q_embedding_dedup_lsh_recall,
     }
 
 
@@ -1692,7 +1843,107 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(label) AS cluster_id
             FROM walk GROUP BY node
         """,
-        # q_minhash_lsh, q_simhash_dups, q_lsh_topk, q_ivf_topk:
-        # intentionally omitted — hash-sketch / model-fitted approximate
-        # operators with no ANSI-SQL equivalent (rows-only check).
+        # q_minhash_lsh, q_simhash_dups, q_lsh_topk, q_ivf_topk,
+        # q_embedding_dedup_lsh: intentionally omitted — hash-sketch /
+        # model-fitted approximate operators with no ANSI-SQL equivalent
+        # (rows-only check).  Their *_recall / *_contract twins below carry
+        # the checkable side: exact ground-truth aggregates recomputed here
+        # for real, plus TRUE assertions on the recall/precision/
+        # completeness booleans Spark derives from the actual sketch output.
+        "q_minhash_recall": """
+            WITH norm AS (
+                SELECT doc_id AS id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 200),
+            shingled AS (
+                SELECT id,
+                       unnest(list_distinct(list_filter(
+                           list_transform(range(1, greatest(length(t) - 1, 2)),
+                                          i -> substr(t, CAST(i AS INT), 3)),
+                           g -> length(g) = 3))) AS g
+                FROM norm),
+            counts AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM shingled GROUP BY id),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                FROM shingled a JOIN shingled b
+                  ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id),
+            truth AS (
+                SELECT round(common * 1.0
+                             / (ga.n_grams + gb.n_grams - common), 6) AS jaccard
+                FROM pairs
+                JOIN counts ga ON ga.id = id_a
+                JOIN counts gb ON gb.id = id_b
+                WHERE common * 1.0 / (ga.n_grams + gb.n_grams - common) >= 0.5)
+            SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+                   round(avg(jaccard), 6) AS avg_jaccard,
+                   TRUE AS recall_ok, TRUE AS high_pairs_ok
+            FROM truth
+        """,
+        "q_simhash_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   TRUE AS complete_ok, TRUE AS hamming_ok,
+                   TRUE AS canonical_ok
+            FROM documents WHERE doc_id < 200
+        """,
+        "q_lsh_topk_recall": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.e, c.e)
+                             / (sqrt(list_dot_product(q.e, q.e))
+                                * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+                FROM v q JOIN v c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 20),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   round(avg(CASE WHEN rank = 1 THEN cosine END), 6)
+                       AS avg_top1_cosine,
+                   TRUE AS recall_ok, TRUE AS bounded_ok
+            FROM ranked WHERE rank <= 5
+        """,
+        "q_ivf_recall": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.e, c.e)
+                             / (sqrt(list_dot_product(q.e, q.e))
+                                * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+                FROM v q JOIN v c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 20),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   round(avg(CASE WHEN rank = 1 THEN cosine END), 6)
+                       AS avg_top1_cosine,
+                   TRUE AS recall_ok, TRUE AS bounded_ok
+            FROM ranked WHERE rank <= 5
+        """,
+        "q_embedding_dedup_lsh_recall": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            exact AS (
+                SELECT round(list_dot_product(a.e, b.e)
+                             / (sqrt(list_dot_product(a.e, a.e))
+                                * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+                FROM v a JOIN v b ON a.vec_id < b.vec_id
+                WHERE round(list_dot_product(a.e, b.e)
+                            / (sqrt(list_dot_product(a.e, a.e))
+                               * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35)
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                   round(avg(cosine), 6) AS avg_exact_cosine,
+                   TRUE AS subset_ok, TRUE AS recall_ok, TRUE AS nonempty_ok
+            FROM exact
+        """,
     }

@@ -39,6 +39,8 @@ from flood_data_spark.datapipe.similarity import (
 from flood_data_spark.datapipe.curation import (
     cap_per_key,
     chunk_documents,
+    clean_lines,
+    dedup_lines,
     hash_sample,
     pack_sequences,
     redact_pii,
@@ -752,6 +754,42 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     num_planes=8, num_tables=4)
 
 
+def _multiline_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line reshaping of the single-line synthetic
+    corpus (the line-level operators need real line structure): words are
+    regrouped into 4-word lines and every 3rd line (i % 3 == 0) gets a
+    terminal '.' — mirrored verbatim in the oracle SQL, so exact-duplicate
+    documents still share every line and the filters see both passing and
+    failing lines."""
+    words = F.split(F.col("text"), " ")
+    ngroups = F.ceil(F.size(words) / 4)
+    lines = F.transform(
+        F.sequence(F.lit(0), (ngroups - 1).cast("int")),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 4 + 1, 4), " "),
+            F.when(i % 3 == 0, F.lit(".")).otherwise(F.lit(""))))
+    return docs.withColumn("mtext", F.array_join(lines, "\n"))
+
+
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filter (>= 4 words AND terminal punctuation) as a
+    pure array expression — zero shuffle, the cheap first cleaning pass
+    of a training-data pipeline."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = clean_lines(_multiline_docs(docs), text_col="mtext", min_words=4)
+    return out.select("doc_id", "n_lines", "n_lines_kept", "clean_text")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup, first occurrence wins, with the
+    doc-frequency boilerplate cap (lines in > 50 documents removed
+    everywhere) — the C4 move that also bounds window-partition skew at
+    100 TB."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ml = _multiline_docs(docs).select("doc_id", "mtext")
+    return dedup_lines(ml, text_col="mtext", max_doc_freq=50)
+
+
 # ---------------------------------------------------------------------
 # Sketch/ANN contract queries: each rows-only operator paired with its
 # exact, oracle-checkable ground truth.  The single output row carries
@@ -940,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
         "q_hash_sample": q_hash_sample,
+        "q_clean_lines": q_clean_lines,
+        "q_line_dedup": q_line_dedup,
         "q_chunk_docs": q_chunk_docs,
         "q_pack_sequences": q_pack_sequences,
         "q_cap_per_source": q_cap_per_source,
@@ -1850,6 +1890,80 @@ def oracle_sql() -> dict[str, str]:
         # the checkable side: exact ground-truth aggregates recomputed here
         # for real, plus TRUE assertions on the recall/precision/
         # completeness booleans Spark derives from the actual sketch output.
+        "q_clean_lines": """
+            WITH ml AS (
+                SELECT doc_id, array_to_string(
+                    list_transform(range(0, CAST(ceil(len(ws) / 4.0) AS INT)),
+                        i -> array_to_string(
+                                 list_slice(ws, CAST(i * 4 + 1 AS INT),
+                                            CAST(i * 4 + 4 AS INT)), ' ')
+                             || CASE WHEN i % 3 = 0 THEN '.' ELSE '' END),
+                    chr(10)) AS mtext
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents WHERE doc_id < 200)),
+            filt AS (
+                SELECT doc_id,
+                       string_split(mtext, chr(10)) AS ls,
+                       list_filter(string_split(mtext, chr(10)),
+                           l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 4
+                                AND regexp_matches(trim(l), '[.!?"]$')) AS kept
+                FROM ml)
+            SELECT doc_id,
+                   CAST(len(ls) AS INT) AS n_lines,
+                   CAST(len(kept) AS INT) AS n_lines_kept,
+                   array_to_string(kept, chr(10)) AS clean_text
+            FROM filt
+        """,
+        "q_line_dedup": """
+            WITH ml AS (
+                SELECT doc_id, array_to_string(
+                    list_transform(range(0, CAST(ceil(len(ws) / 4.0) AS INT)),
+                        i -> array_to_string(
+                                 list_slice(ws, CAST(i * 4 + 1 AS INT),
+                                            CAST(i * 4 + 4 AS INT)), ' ')
+                             || CASE WHEN i % 3 = 0 THEN '.' ELSE '' END),
+                    chr(10)) AS mtext
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents WHERE doc_id < 200)),
+            lines AS (
+                SELECT doc_id, pl.pos AS pos, pl.line AS line FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ls) + 1),
+                               i -> {'pos': i,
+                                     'line': ls[CAST(i AS INT)]})) AS pl
+                    FROM (SELECT doc_id,
+                                 string_split(mtext, chr(10)) AS ls
+                          FROM ml))),
+            content AS (
+                SELECT doc_id, pos, line, lower(trim(line)) AS nrm
+                FROM lines WHERE trim(line) <> ''),
+            hot AS (
+                SELECT nrm FROM content
+                GROUP BY nrm HAVING count(DISTINCT doc_id) > 50),
+            kept AS (
+                SELECT doc_id, pos, line FROM (
+                    SELECT doc_id, pos, line,
+                           row_number() OVER (PARTITION BY nrm
+                               ORDER BY doc_id, pos) AS rn
+                    FROM content
+                    WHERE nrm NOT IN (SELECT nrm FROM hot))
+                WHERE rn = 1
+                UNION ALL
+                SELECT doc_id, pos, line
+                FROM lines WHERE trim(line) = ''),
+            tot AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                FROM lines GROUP BY doc_id),
+            agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_lines_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, t.n_lines,
+                   coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
         "q_minhash_recall": """
             WITH norm AS (
                 SELECT doc_id AS id,

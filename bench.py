@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q_pack_sequences",
     "q_tfidf_topk",
     "q_contamination",
+    "q_clean_lines",
+    "q_line_dedup",
 ]
 
 _IVF_INDEX = {}

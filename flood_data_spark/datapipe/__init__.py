@@ -28,6 +28,8 @@ from flood_data_spark.datapipe.similarity import (
 from flood_data_spark.datapipe.curation import (
     cap_per_key,
     chunk_documents,
+    clean_lines,
+    dedup_lines,
     hash_sample,
     pack_sequences,
     redact_pii,
@@ -43,5 +45,5 @@ __all__ = [
     "cosine_topk_bruteforce", "embedding_near_dup_pairs",
     "lsh_bucketed_topk", "ivf_topk", "ivf_build", "ivf_probe",
     "hash_sample", "chunk_documents", "pack_sequences", "cap_per_key",
-    "redact_pii", "repetition_signals",
+    "redact_pii", "repetition_signals", "clean_lines", "dedup_lines",
 ]

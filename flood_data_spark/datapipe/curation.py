@@ -143,6 +143,96 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             .withColumn("n_redactions", total.cast("long")))
 
 
+def clean_lines(df: DataFrame, text_col: str = "text",
+                out_col: str = "clean_text", min_words: int = 3,
+                require_terminal: bool = True,
+                terminal_pattern: str = r'[.!?"]$') -> DataFrame:
+    """C4-style line-level filter: keep only lines with >= min_words
+    whitespace tokens and (optionally) a terminal-punctuation ending;
+    adds (n_lines, n_lines_kept, out_col).
+
+    Entirely a per-row array expression — split / filter / array_join on
+    the line array, ZERO shuffle; the filter streams at scan speed inside
+    whole-stage codegen.  This is the cheap first cleaning pass that runs
+    before any corpus-wide (shuffling) operator like `dedup_lines`.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(l):
+        t = F.trim(l)
+        ok = F.size(F.split(t, r"\s+")) >= F.lit(min_words)
+        if require_terminal:
+            ok = ok & t.rlike(terminal_pattern)
+        return ok
+
+    kept = F.filter(lines, _keep)
+    return (df.withColumn("n_lines", F.size(lines))
+            .withColumn("n_lines_kept", F.size(kept))
+            .withColumn(out_col, F.array_join(kept, "\n")))
+
+
+def dedup_lines(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", out_col: str = "clean_text",
+                max_doc_freq: int | None = None) -> DataFrame:
+    """Cross-document line deduplication (the C4 move): each distinct
+    normalized line survives only at its FIRST occurrence corpus-wide
+    (min (doc, position) order); every later occurrence is removed.
+    max_doc_freq additionally drops lines present in more than that many
+    documents EVERYWHERE — boilerplate (headers, footers, cookie banners)
+    removal and, at 100 TB, the skew guard: a line shared by k documents
+    puts k rows into one window partition, and the boilerplate cap bounds
+    k for exactly the lines where it explodes.
+
+    Returns (id_col, n_lines, n_lines_kept, out_col) — one row per input
+    document (empty clean_text when everything was removed); join back on
+    id for the remaining columns.  Blank lines are structural, not
+    content: always kept, never deduplicated.
+
+    Plan shape: posexplode -> narrow (id, pos, line-hash) rows; one
+    groupBy for the doc-freq cap, one window over the line hash for
+    first-occurrence, one groupBy(id) to reassemble with an array_sort on
+    (pos, line) — deterministic regardless of collect_list order.  The
+    dedup key is xxhash64(normalized line): a 64-bit collision merges two
+    unrelated lines (vanishingly rare, and only ever removes a line, never
+    corrupts one).
+    """
+    rows = (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(F.split(F.col(text_col), "\n"))
+                      .alias("pos", "line"))
+            .withColumn("nrm", F.lower(F.trim(F.col("line")))))
+    content = rows.filter(F.col("nrm") != "").withColumn(
+        "lh", F.xxhash64("nrm"))
+    if max_doc_freq is not None:
+        if max_doc_freq < 1:
+            raise ValueError(
+                f"max_doc_freq must be >= 1, got {max_doc_freq}")
+        hot = (content.groupBy("lh")
+               .agg(F.countDistinct("id").alias("line_df"))
+               .filter(F.col("line_df") > max_doc_freq)
+               .select("lh"))
+        content = content.join(hot, "lh", "left_anti")
+    w = Window.partitionBy("lh").orderBy("id", "pos")
+    first = (content.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .select("id", "pos", "line"))
+    blanks = rows.filter(F.col("nrm") == "").select("id", "pos", "line")
+    kept = first.unionByName(blanks)
+    totals = rows.groupBy("id").agg(F.count("*").alias("n_lines"))
+    rebuilt = (kept.groupBy("id")
+               .agg(F.count("*").alias("n_lines_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "line"))),
+                            lambda x: x["line"]),
+                        "\n").alias(out_col)))
+    return (totals.join(rebuilt, "id", "left")
+            .na.fill({"n_lines_kept": 0})
+            .na.fill({out_col: ""})
+            .select(F.col("id").alias(id_col),
+                    "n_lines", "n_lines_kept", out_col))
+
+
 def cap_per_key(df: DataFrame, cap: int, partition_cols=("source",),
                 order_col: str = "doc_id") -> DataFrame:
     """Keep at most `cap` rows per key (anti-over-representation: cap

@@ -106,3 +106,80 @@ def test_cap_per_key_keeps_first_n(spark, docs):
     assert all(r["count"] == 5 for r in per)
     kept = sorted(r.doc_id for r in out.filter("source = 'src0'").collect())
     assert kept == [0, 4, 8, 12, 16]       # first 5 in doc_id order
+
+
+# ---------------------------------------------------------------- lines
+
+from flood_data_spark.datapipe.curation import clean_lines, dedup_lines
+
+
+@pytest.fixture(scope="module")
+def line_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps.\nshort one\n\nanother good long line here.\nno punct but five words"),
+        (1, "the quick brown fox jumps.\nunique to doc one here.\n\nBOILER PLATE FOOTER LINE."),
+        (2, "BOILER PLATE FOOTER LINE.\nthe quick brown fox jumps.\nfresh content in document two."),
+        (3, "BOILER PLATE FOOTER LINE.\nonly boiler here."),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_clean_lines_drops_short_and_unterminated(spark, line_docs):
+    out = {r.doc_id: r for r in clean_lines(line_docs, min_words=4).collect()}
+    assert out[0].n_lines == 5
+    # kept: 'the quick brown fox jumps.' and 'another good long line here.'
+    assert out[0].n_lines_kept == 2
+    assert out[0].clean_text == (
+        "the quick brown fox jumps.\nanother good long line here.")
+    assert out[4].n_lines == 1 and out[4].n_lines_kept == 0
+    assert out[4].clean_text == ""
+
+
+def test_clean_lines_no_terminal_requirement(spark, line_docs):
+    out = {r.doc_id: r for r in
+           clean_lines(line_docs, min_words=4,
+                       require_terminal=False).collect()}
+    assert out[0].n_lines_kept == 3   # 'short one' and the blank drop
+
+
+def test_clean_lines_is_shuffle_free(spark, line_docs):
+    plan = clean_lines(line_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dedup_lines_keeps_first_occurrence(spark, line_docs):
+    out = {r.doc_id: r for r in dedup_lines(line_docs).collect()}
+    # 'the quick brown fox jumps.' first occurs at (doc 0, pos 0)
+    assert out[0].clean_text.startswith("the quick brown fox jumps.")
+    assert "the quick brown fox" not in out[1].clean_text
+    assert "the quick brown fox" not in out[2].clean_text
+    # doc 1 keeps its unique line and the first BOILER occurrence
+    assert "unique to doc one here." in out[1].clean_text
+    assert "BOILER PLATE FOOTER LINE." in out[1].clean_text
+    assert "BOILER" not in out[2].clean_text
+    # blank lines are preserved, not deduplicated
+    assert out[0].n_lines == 5 and "\n\n" in out[0].clean_text
+    assert out[1].clean_text.count("\n") == out[1].n_lines_kept - 1
+    # every input doc is present, even fully-emptied ones
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[4].clean_text == "" and out[4].n_lines_kept >= 0
+
+
+def test_dedup_lines_doc_freq_cap_removes_boilerplate(spark, line_docs):
+    out = {r.doc_id: r for r in
+           dedup_lines(line_docs, max_doc_freq=2).collect()}
+    # both 3-doc lines exceed cap=2: removed EVERYWHERE, incl. first
+    for i in (1, 2, 3):
+        assert "BOILER" not in out[i].clean_text
+    assert "the quick brown fox" not in out[0].clean_text
+    # unique (under-cap) lines are untouched
+    assert "another good long line here." in out[0].clean_text
+    assert "unique to doc one here." in out[1].clean_text
+
+
+def test_dedup_lines_order_is_positional(spark, line_docs):
+    out = {r.doc_id: r for r in dedup_lines(line_docs).collect()}
+    lines = out[0].clean_text.split("\n")
+    orig = line_docs.filter(F.col("doc_id") == 0).first().text.split("\n")
+    assert lines == [l for l in orig]   # doc 0 is fully first-occurrence

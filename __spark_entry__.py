@@ -37,6 +37,7 @@ from flood_data_spark.datapipe.similarity import (
     lsh_bucketed_topk,
 )
 from flood_data_spark.datapipe.curation import (
+    assign_split,
     cap_per_key,
     chunk_documents,
     clean_lines,
@@ -44,6 +45,8 @@ from flood_data_spark.datapipe.curation import (
     hash_sample,
     pack_sequences,
     redact_pii,
+    stratified_sample,
+    with_shuffle_key,
 )
 from flood_data_spark.datapipe.text import (
     repetition_signals,
@@ -754,6 +757,33 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     num_planes=8, num_tables=4)
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from the md5-prefix ranges
+    — stable under corpus growth, unlike randomSplit.  Hash-checked
+    per-document (every single assignment must match the oracle's)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (assign_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+            .select("doc_id", "split"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates (corpus mixing: keep all of src0, none
+    of src1, 40% of everything else) via the engine-portable md5 cut."""
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, {"src0": 1.0, "src1": 0.0},
+                            default_rate=0.4)
+    return out.select("doc_id", "source")
+
+
+def q_shuffle_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle key (seeded md5): the
+    scalable global-shuffle recipe is repartitionByRange + local sort on
+    this key; the key values themselves are hash-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return (with_shuffle_key(docs, seed="42")
+            .select("doc_id", "shuffle_key"))
+
+
 def _multiline_docs(docs: DataFrame) -> DataFrame:
     """Deterministic multi-line reshaping of the single-line synthetic
     corpus (the line-level operators need real line structure): words are
@@ -978,6 +1008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
         "q_hash_sample": q_hash_sample,
+        "q_split_assign": q_split_assign,
+        "q_stratified_sample": q_stratified_sample,
+        "q_shuffle_key": q_shuffle_key,
         "q_clean_lines": q_clean_lines,
         "q_line_dedup": q_line_dedup,
         "q_chunk_docs": q_chunk_docs,
@@ -1890,6 +1923,32 @@ def oracle_sql() -> dict[str, str]:
         # the checkable side: exact ground-truth aggregates recomputed here
         # for real, plus TRUE assertions on the recall/precision/
         # completeness booleans Spark derives from the actual sketch output.
+        "q_split_assign": """
+            -- cumulative cuts: 0.8 -> 0xcccc, 0.9 -> 0xe666; the last
+            -- label takes the remainder
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                             < 'cccc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                             < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "q_stratified_sample": """
+            -- per-stratum cuts: 1.0 -> 'g' (keep all; sorts after every
+            -- hex digit), 0.0 -> '0000' (keep none), default 0.4 -> 0x6666
+            SELECT doc_id, source
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE source WHEN 'src0' THEN 'g'
+                              WHEN 'src1' THEN '0000'
+                              ELSE '6666' END
+        """,
+        "q_shuffle_key": """
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':' || '42') AS shuffle_key
+            FROM documents
+        """,
         "q_clean_lines": """
             WITH ml AS (
                 SELECT doc_id, array_to_string(

@@ -26,6 +26,7 @@ from flood_data_spark.datapipe.similarity import (
     lsh_bucketed_topk,
 )
 from flood_data_spark.datapipe.curation import (
+    assign_split,
     cap_per_key,
     chunk_documents,
     clean_lines,
@@ -33,6 +34,8 @@ from flood_data_spark.datapipe.curation import (
     hash_sample,
     pack_sequences,
     redact_pii,
+    stratified_sample,
+    with_shuffle_key,
 )
 from flood_data_spark.datapipe.text import repetition_signals
 
@@ -46,4 +49,5 @@ __all__ = [
     "lsh_bucketed_topk", "ivf_topk", "ivf_build", "ivf_probe",
     "hash_sample", "chunk_documents", "pack_sequences", "cap_per_key",
     "redact_pii", "repetition_signals", "clean_lines", "dedup_lines",
+    "assign_split", "stratified_sample", "with_shuffle_key",
 ]

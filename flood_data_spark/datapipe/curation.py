@@ -143,6 +143,87 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             .withColumn("n_redactions", total.cast("long")))
 
 
+def assign_split(df: DataFrame, weights: dict[str, float],
+                 key_col: str = "doc_id", salt: str = "",
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: md5(key || salt)'s 4-hex
+    prefix lands in one of the cumulative weight ranges, and the row gets
+    that range's label.  A function of the KEY alone — stable across
+    re-runs, engines, partition layouts, and incremental corpus growth (a
+    document never migrates between splits when other documents arrive),
+    which is exactly what DataFrame.randomSplit does not guarantee.
+
+    Weights must sum to ~1; label order follows dict insertion order, so
+    {'train': .9, 'val': .05, 'test': .05} puts train on [0, .9), etc.
+    Pure per-row expression: no shuffle, no state.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    prefix = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 4)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        acc += w
+        cond = prefix < F.lit(hash_cut(acc))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "source",
+                      key_col: str = "doc_id", salt: str = "",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum s keeps ~rates[s] of
+    its rows (default_rate for strata not listed), selected by the same
+    md5-prefix cut as `hash_sample` — the up/down-weighting step of corpus
+    mixing (e.g. books at 2x web rate).
+
+    The rate table becomes a CASE ladder over the stratum column —
+    per-row predicate, no shuffle, no join, reproducible everywhere.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    cut = None
+    for s, r in rates.items():
+        cond = F.col(stratum_col) == s
+        cut = (F.when(cond, F.lit(hash_cut(r))) if cut is None
+               else cut.when(cond, F.lit(hash_cut(r))))
+    cut = (F.lit(hash_cut(default_rate)) if cut is None
+           else cut.otherwise(F.lit(hash_cut(default_rate))))
+    prefix = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 4)
+    return df.filter(prefix < cut)
+
+
+def with_shuffle_key(df: DataFrame, seed: str = "0",
+                     key_col: str = "doc_id",
+                     out_col: str = "shuffle_key") -> DataFrame:
+    """Deterministic corpus shuffle: adds a pseudo-random md5 sort key
+    derived from (key, seed).  Writing ordered by it::
+
+        with_shuffle_key(df, seed).repartitionByRange(N, "shuffle_key")
+          .sortWithinPartitions("shuffle_key").write...
+
+    gives a globally shuffled, reproducible training order WITHOUT a
+    single-task global sort: repartitionByRange samples range bounds and
+    each partition sorts locally.  Different seeds give independent
+    orders (per-epoch reshuffle); ties are impossible for distinct keys
+    (the key is part of the digest input).
+    """
+    return df.withColumn(
+        out_col,
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":"),
+                       F.lit(seed))))
+
+
 def clean_lines(df: DataFrame, text_col: str = "text",
                 out_col: str = "clean_text", min_words: int = 3,
                 require_terminal: bool = True,

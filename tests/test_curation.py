@@ -183,3 +183,63 @@ def test_dedup_lines_order_is_positional(spark, line_docs):
     lines = out[0].clean_text.split("\n")
     orig = line_docs.filter(F.col("doc_id") == 0).first().text.split("\n")
     assert lines == [l for l in orig]   # doc 0 is fully first-occurrence
+
+
+# ------------------------------------------------- splits / strata / shuffle
+
+from flood_data_spark.datapipe.curation import (
+    assign_split, stratified_sample, with_shuffle_key)
+
+
+def test_assign_split_partitions_every_row_once(spark, docs):
+    out = assign_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.c for r in
+              out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert sum(counts.values()) == 200
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    assert 0.6 * 200 < counts["train"] < 0.95 * 200
+
+
+def test_assign_split_stable_under_corpus_growth(spark, docs):
+    full = {r.doc_id: r.split for r in
+            assign_split(docs, {"train": 0.9, "val": 0.1}).collect()}
+    half = {r.doc_id: r.split for r in
+            assign_split(docs.filter(F.col("doc_id") < 100),
+                         {"train": 0.9, "val": 0.1}).collect()}
+    assert all(full[k] == v for k, v in half.items())
+
+
+def test_assign_split_rejects_bad_weights(spark, docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_stratified_sample_honors_per_stratum_rates(spark, docs):
+    out = stratified_sample(docs, {"src0": 1.0, "src1": 0.0},
+                            default_rate=0.4)
+    counts = {r.source: r.c for r in
+              out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts["src0"] == 50          # rate 1.0 keeps all
+    assert "src1" not in counts          # rate 0.0 drops all
+    for s in ("src2", "src3"):           # default applies to the rest
+        assert 0.15 * 50 < counts[s] < 0.7 * 50
+
+
+def test_stratified_sample_consistent_with_hash_sample(spark, docs):
+    strat = {r.doc_id for r in
+             stratified_sample(docs, {}, default_rate=0.3).collect()}
+    plain = {r.doc_id for r in hash_sample(docs, 0.3).collect()}
+    assert strat == plain                # same cut, same keys
+
+
+def test_with_shuffle_key_deterministic_and_seed_sensitive(spark, docs):
+    a = [r.doc_id for r in with_shuffle_key(docs, "1")
+         .orderBy("shuffle_key").collect()]
+    b = [r.doc_id for r in with_shuffle_key(docs.repartition(5), "1")
+         .orderBy("shuffle_key").collect()]
+    c = [r.doc_id for r in with_shuffle_key(docs, "2")
+         .orderBy("shuffle_key").collect()]
+    assert a == b                        # layout-independent
+    assert a != c                        # seed changes the order
+    assert sorted(a) == list(range(200)) # a permutation, nothing lost

@@ -85,3 +85,19 @@ def test_lookup_miss_is_empty_not_error(spark):
     cells = spark.createDataFrame(
         [(0.025, 0.025, 1.0)], "latitude double, longitude double, v double")
     assert point_lookup(cells, 50.0, 50.0).count() == 0
+
+
+def test_empty_curation_lines_and_splits(spark):
+    from flood_data_spark.datapipe.curation import (
+        assign_split, clean_lines, dedup_lines, stratified_sample,
+        with_shuffle_key)
+    docs = spark.createDataFrame([], "doc_id long, source string, text string")
+    out = clean_lines(docs)
+    assert out.count() == 0
+    assert {"n_lines", "n_lines_kept", "clean_text"} <= set(out.columns)
+    dd = dedup_lines(docs)
+    assert dd.count() == 0
+    assert dd.columns == ["doc_id", "n_lines", "n_lines_kept", "clean_text"]
+    assert assign_split(docs, {"train": 1.0}).count() == 0
+    assert stratified_sample(docs, {"src0": 0.5}).count() == 0
+    assert with_shuffle_key(docs).count() == 0

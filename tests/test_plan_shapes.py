@@ -92,3 +92,19 @@ def test_pair_join_is_parallel(spark, forecast_parquet):
     pairs = embedding_near_dup_pairs(emb, threshold=-1.0)
     assert pairs.rdd.getNumPartitions() > 1, \
         "pair join collapsed to single-partition BNLJ"
+
+
+def test_dedup_lines_plan_is_hash_joins_only(spark):
+    """Line dedup at scale must never degrade to a nested-loop or
+    cartesian plan, and its shuffle count stays bounded (explode + cap
+    groupBy + window + reassembly — all narrow (id, pos, hash) rows)."""
+    from flood_data_spark.datapipe.curation import dedup_lines
+    docs = spark.createDataFrame(
+        [(i, "a b c.\nd e f.\nshared line here." ) for i in range(40)],
+        "doc_id long, text string")
+    out = dedup_lines(docs, max_doc_freq=30)
+    out.count()  # let AQE finalize
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 6, plan

@@ -820,6 +820,27 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(ml, text_col="mtext", max_doc_freq=50)
 
 
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full line-level assembly line composed in ONE Spark plan — no
+    inter-stage materialization: shuffle-free line filter (clean_lines) →
+    cross-document line dedup with the boilerplate cap (dedup_lines) →
+    token gate on the surviving text → hash-stable split assignment →
+    per-source sequence packing of the train split."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ml = _multiline_docs(docs).select("doc_id", "mtext")
+    cleaned = clean_lines(ml, text_col="mtext", min_words=4)
+    dd = dedup_lines(cleaned, text_col="clean_text", max_doc_freq=50)
+    final = dd.join(docs.select("doc_id", "source"), "doc_id")
+    toks = with_token_count(final, text_col="clean_text")
+    train = (assign_split(toks.filter(F.col("n_tokens") >= 8),
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+             .filter(F.col("split") == "train"))
+    packed = pack_sequences(train, token_budget=64, token_col="n_tokens",
+                            partition_cols=("source",), order_col="doc_id")
+    return packed.select("doc_id", "source", "n_tokens", "n_lines_kept",
+                         "pack_id")
+
+
 # ---------------------------------------------------------------------
 # Sketch/ANN contract queries: each rows-only operator paired with its
 # exact, oracle-checkable ground truth.  The single output row carries
@@ -1014,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shuffle_key": q_shuffle_key,
         "q_clean_lines": q_clean_lines,
         "q_line_dedup": q_line_dedup,
+        "q_curation_v2": q_curation_v2,
         "q_chunk_docs": q_chunk_docs,
         "q_pack_sequences": q_pack_sequences,
         "q_cap_per_source": q_cap_per_source,
@@ -2023,6 +2045,79 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_lines_kept, 0) AS n_lines_kept,
                    coalesce(a.clean_text, '') AS clean_text
             FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "q_curation_v2": """
+            WITH ml AS (
+                SELECT doc_id, array_to_string(
+                    list_transform(range(0, CAST(ceil(len(ws) / 4.0) AS INT)),
+                        i -> array_to_string(
+                                 list_slice(ws, CAST(i * 4 + 1 AS INT),
+                                            CAST(i * 4 + 4 AS INT)), ' ')
+                             || CASE WHEN i % 3 = 0 THEN '.' ELSE '' END),
+                    chr(10)) AS mtext
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents WHERE doc_id < 200)),
+            cleaned AS (
+                SELECT doc_id, array_to_string(
+                    list_filter(string_split(mtext, chr(10)),
+                        l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 4
+                             AND regexp_matches(trim(l), '[.!?"]$')),
+                    chr(10)) AS ct
+                FROM ml),
+            lines AS (
+                SELECT doc_id, pl.pos AS pos, pl.line AS line FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ls) + 1),
+                               i -> {'pos': i,
+                                     'line': ls[CAST(i AS INT)]})) AS pl
+                    FROM (SELECT doc_id, string_split(ct, chr(10)) AS ls
+                          FROM cleaned))),
+            content AS (
+                SELECT doc_id, pos, line, lower(trim(line)) AS nrm
+                FROM lines WHERE trim(line) <> ''),
+            hot AS (
+                SELECT nrm FROM content
+                GROUP BY nrm HAVING count(DISTINCT doc_id) > 50),
+            keptl AS (
+                SELECT doc_id, pos, line FROM (
+                    SELECT doc_id, pos, line,
+                           row_number() OVER (PARTITION BY nrm
+                               ORDER BY doc_id, pos) AS rn
+                    FROM content
+                    WHERE nrm NOT IN (SELECT nrm FROM hot))
+                WHERE rn = 1
+                UNION ALL
+                SELECT doc_id, pos, line
+                FROM lines WHERE trim(line) = ''),
+            rebuilt AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_lines_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS ctext
+                FROM keptl GROUP BY doc_id),
+            final AS (
+                SELECT d.doc_id, d.source,
+                       coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+                       coalesce(r.ctext, '') AS ctext
+                FROM (SELECT doc_id, source FROM documents
+                      WHERE doc_id < 200) d
+                LEFT JOIN rebuilt r USING (doc_id)),
+            toks AS (
+                SELECT doc_id, source, n_lines_kept,
+                       CASE WHEN trim(ctext) = '' THEN 0
+                            ELSE CAST(len(string_split_regex(trim(ctext),
+                                      '\\s+')) AS BIGINT)
+                       END AS n_tokens
+                FROM final),
+            train AS (
+                SELECT * FROM toks
+                WHERE n_tokens >= 8
+                  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc')
+            SELECT doc_id, source, n_tokens, n_lines_kept,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 64 AS pack_id
+            FROM train
         """,
         "q_minhash_recall": """
             WITH norm AS (

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "q_contamination",
     "q_clean_lines",
     "q_line_dedup",
+    "q_curation_v2",
 ]
 
 _IVF_INDEX = {}

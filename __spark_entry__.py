@@ -22,10 +22,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flood_data_spark.datapipe.dedup import (
+    dedup_against,
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_containment,
+    ngram_jaccard_join,
     ngram_jaccard_pairs,
     simhash,
     simhash_dup_pairs,
@@ -820,6 +822,28 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(ml, text_col="mtext", max_doc_freq=50)
 
 
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup, the daily-ingest shape: today's batch
+    (doc_id >= 250) against the published corpus (doc_id < 250) — only
+    reference DIGESTS move, then a min-id representative per in-batch
+    duplicate group."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") >= 250)
+    ref = docs.filter(F.col("doc_id") < 250)
+    return (dedup_against(batch, ref)
+            .select("doc_id", "source", "n_chars"))
+
+
+def q_jaccard_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-relation n-gram Jaccard join (batch-vs-corpus near-dedup)
+    with the per-side document-frequency cap — candidate generation is a
+    per-shingle equi-join, never a cross product."""
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") < 100)
+    right = docs.filter(F.col("doc_id").between(100, 199))
+    return ngram_jaccard_join(left, right, threshold=0.25, max_doc_freq=50)
+
+
 def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full line-level assembly line composed in ONE Spark plan — no
     inter-stage materialization: shuffle-free line filter (clean_lines) →
@@ -1029,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
+        "q_dedup_against": q_dedup_against,
+        "q_jaccard_cross": q_jaccard_cross,
         "q_hash_sample": q_hash_sample,
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
@@ -2045,6 +2071,57 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_lines_kept, 0) AS n_lines_kept,
                    coalesce(a.clean_text, '') AS clean_text
             FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "q_dedup_against": """
+            WITH k AS (
+                SELECT doc_id, source, n_chars,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                           AS dk
+                FROM documents),
+            ref AS (SELECT DISTINCT dk FROM k WHERE doc_id < 250),
+            fresh AS (
+                SELECT doc_id, source, n_chars, dk FROM k
+                WHERE doc_id >= 250
+                  AND dk NOT IN (SELECT dk FROM ref))
+            SELECT doc_id, source, n_chars FROM (
+                SELECT *, row_number() OVER (PARTITION BY dk
+                           ORDER BY doc_id) AS rn
+                FROM fresh)
+            WHERE rn = 1
+        """,
+        "q_jaccard_cross": """
+            WITH norm AS (
+                SELECT doc_id AS id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 200),
+            shingled AS (
+                SELECT id,
+                       unnest(list_distinct(list_filter(
+                           list_transform(range(1, greatest(length(t) - 1, 2)),
+                                          i -> substr(t, CAST(i AS INT), 3)),
+                           g -> length(g) = 3))) AS g
+                FROM norm),
+            ls AS (
+                SELECT id, g FROM shingled WHERE id < 100
+                QUALIFY count(*) OVER (PARTITION BY g) <= 50),
+            rs AS (
+                SELECT id, g FROM shingled WHERE id >= 100
+                QUALIFY count(*) OVER (PARTITION BY g) <= 50),
+            lc AS (SELECT id, CAST(count(*) AS BIGINT) AS nl
+                   FROM ls GROUP BY id),
+            rc AS (SELECT id, CAST(count(*) AS BIGINT) AS nr
+                   FROM rs GROUP BY id),
+            pairs AS (
+                SELECT ls.id AS id_l, rs.id AS id_r, count(*) AS common
+                FROM ls JOIN rs ON ls.g = rs.g
+                GROUP BY ls.id, rs.id)
+            SELECT id_l, id_r,
+                   round(common * 1.0 / (lc.nl + rc.nr - common), 6)
+                       AS jaccard
+            FROM pairs
+            JOIN lc ON lc.id = id_l
+            JOIN rc ON rc.id = id_r
+            WHERE common * 1.0 / (lc.nl + rc.nr - common) >= 0.25
         """,
         "q_curation_v2": """
             WITH ml AS (

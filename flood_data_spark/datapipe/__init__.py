@@ -8,8 +8,10 @@ from flood_data_spark.datapipe.text import (
     with_fingerprint,
 )
 from flood_data_spark.datapipe.dedup import (
+    dedup_against,
     exact_dedup,
     ngram_containment,
+    ngram_jaccard_join,
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -42,7 +44,8 @@ from flood_data_spark.datapipe.text import repetition_signals
 __all__ = [
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
-    "exact_dedup", "ngram_containment", "ngram_jaccard_pairs",
+    "dedup_against", "exact_dedup", "ngram_containment",
+    "ngram_jaccard_join", "ngram_jaccard_pairs",
     "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_dup_pairs", "dedup_clusters", "tfidf_topk", "term_rows",
     "cosine_topk_bruteforce", "embedding_near_dup_pairs",

@@ -24,7 +24,7 @@ batch in its own session.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,6 +46,34 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
             .groupBy("dup_key")
             .agg(F.min(id_col).alias("rep_id"),
                  F.count("*").alias("n_copies")))
+
+
+def dedup_against(batch: DataFrame, reference: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  normalize: bool = True) -> DataFrame:
+    """Incremental exact dedup — the daily-ingest shape: drop batch
+    documents whose normalized text already exists in the `reference`
+    corpus (yesterday's published data), then keep one representative
+    (min id) per remaining duplicate group WITHIN the batch.
+
+    Returns the surviving batch rows unchanged (schema preserved).
+    Scale: only digests of the reference ever move — at 100 TB keep a
+    digest-only table alongside the corpus and pass it here; the
+    anti-join shuffles (digest, id) pairs, never text payloads.
+    """
+    def _key(col):
+        if normalize:
+            col = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+        return F.md5(col)
+
+    keyed = batch.withColumn("_dk", _key(F.col(text_col)))
+    ref_keys = (reference.select(_key(F.col(text_col)).alias("_dk"))
+                .distinct())
+    fresh = keyed.join(ref_keys, "_dk", "left_anti")
+    w = Window.partitionBy("_dk").orderBy(id_col)
+    return (fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_dk", "_rn"))
 
 
 # ---------------------------------------------------------------- shingles
@@ -147,6 +175,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .withColumn("jaccard", F.round(jac, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def ngram_jaccard_join(left: DataFrame, right: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3, threshold: float = 0.8,
+                       max_doc_freq: int | None = None) -> DataFrame:
+    """Cross-relation n-gram Jaccard similarity join: all (id_l, id_r)
+    pairs with char-n-gram Jaccard >= threshold, one doc from each side —
+    batch-vs-corpus near-dedup and fuzzy decontamination (where
+    `ngram_containment` flags gram overlap, this scores whole-document
+    similarity).
+
+    Same candidate-generation shape as the self-join variant
+    (`ngram_jaccard_pairs`): per-shingle equi-join on the hashed gram —
+    never a cross product — with the shared document-frequency cap
+    (`_cap_doc_freq`) applied to EACH side's shingle relation (a hot
+    shingle in k_l x k_r documents emits k_l*k_r candidate rows on one
+    key; the cap bounds both factors).
+    """
+    ls = _cap_doc_freq(_shingle_rows(left, id_col, text_col, n),
+                       max_doc_freq).cache()
+    rs = _cap_doc_freq(_shingle_rows(right, id_col, text_col, n),
+                       max_doc_freq).cache()
+    lc = ls.groupBy("id").agg(F.count("*").alias("nl"))
+    rc = rs.groupBy("id").agg(F.count("*").alias("nr"))
+
+    common = (ls.alias("l")
+              .join(rs.alias("r"), F.col("l.gh") == F.col("r.gh"))
+              .groupBy(F.col("l.id").alias("id_l"),
+                       F.col("r.id").alias("id_r"))
+              .agg(F.count("*").alias("common")))
+    jac = F.col("common") / (F.col("nl") + F.col("nr") - F.col("common"))
+    return (common
+            .join(lc.select(F.col("id").alias("id_l"), "nl"), "id_l")
+            .join(rc.select(F.col("id").alias("id_r"), "nr"), "id_r")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_l", "id_r", "jaccard"))
 
 
 # ---------------------------------------------------------------- minhash

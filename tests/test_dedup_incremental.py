@@ -1,0 +1,84 @@
+"""Incremental (batch-vs-corpus) dedup: dedup_against exact anti-join and
+ngram_jaccard_join cross-relation similarity (datapipe/dedup.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flood_data_spark.datapipe.dedup import (
+    dedup_against, ngram_jaccard_join, ngram_jaccard_pairs)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    ref = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "pack my box with five dozen liquor jugs"),
+         (2, "sphinx of black quartz judge my vow")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "The quick brown   fox jumps over the lazy dog"),  # dup of 0 (normalized)
+         (11, "a genuinely new document about spark"),
+         (12, "a genuinely new document about spark"),            # in-batch dup of 11
+         (13, "pack my box with five dozen liquor jugs"),         # dup of 1
+         (14, "completely novel text with no twin")],
+        "doc_id long, text string")
+    return ref, batch
+
+
+def test_dedup_against_drops_ref_dups_and_batch_dups(spark, corpus):
+    ref, batch = corpus
+    out = dedup_against(batch, ref)
+    assert sorted(r.doc_id for r in out.collect()) == [11, 14]
+    assert out.columns == batch.columns     # schema preserved
+
+
+def test_dedup_against_without_normalization(spark, corpus):
+    ref, batch = corpus
+    out = dedup_against(batch, ref, normalize=False)
+    # doc 10 differs in case/whitespace from doc 0 → survives raw
+    assert sorted(r.doc_id for r in out.collect()) == [10, 11, 14]
+
+
+def test_dedup_against_empty_reference_is_batch_dedup(spark, corpus):
+    _, batch = corpus
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = dedup_against(batch, empty)
+    assert sorted(r.doc_id for r in out.collect()) == [10, 11, 13, 14]
+
+
+def test_ngram_jaccard_join_matches_self_join_on_split_corpus(spark):
+    """Splitting one corpus into two relations and cross-joining must find
+    exactly the cross pairs the self-join finds."""
+    rows = [(i, f"document number {i} about shared spark topics common text")
+            for i in range(10)]
+    rows += [(100 + i, f"document number {i} about shared spark topics common text")
+             for i in range(5)]  # near/exact twins of 0..4 across the split
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    left = df.filter(F.col("doc_id") < 100)
+    right = df.filter(F.col("doc_id") >= 100)
+    cross = {(r.id_l, r.id_r, r.jaccard) for r in
+             ngram_jaccard_join(left, right, threshold=0.5).collect()}
+    full = {(r.id_a, r.id_b, r.jaccard) for r in
+            ngram_jaccard_pairs(df, threshold=0.5).collect()
+            if r.id_a < 100 <= r.id_b}
+    assert cross == full
+    assert (0, 100, 1.0) in cross           # exact twin scores 1.0
+
+
+def test_ngram_jaccard_join_doc_freq_cap(spark):
+    boiler = "shared boilerplate header line common to every doc "
+    left = spark.createDataFrame(
+        [(i, boiler + f"left unique {i}") for i in range(8)],
+        "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(100 + i, boiler + f"right unique {i}") for i in range(8)],
+        "doc_id long, text string")
+    uncapped = ngram_jaccard_join(left, right, threshold=0.5)
+    capped = ngram_jaccard_join(left, right, threshold=0.5, max_doc_freq=4)
+    # boilerplate makes EVERY cross pair look similar (8x8 all above 0.5);
+    # with hot shingles capped, similarity is scored over discriminative
+    # shingles only — exactly the digit-twin pairs (i, 100+i) survive
+    assert uncapped.count() == 64
+    assert sorted((r.id_l, r.id_r) for r in capped.collect()) == \
+        [(i, 100 + i) for i in range(8)]

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q_clean_lines",
     "q_line_dedup",
     "q_curation_v2",
+    "q_dedup_against",
 ]
 
 _IVF_INDEX = {}

@@ -108,3 +108,52 @@ def test_classification_ladders_are_total(spark):
     assert labels[0] == "D"      # 1.0 << control*0.9
     assert labels[5] == "U"      # 111 > 110 = control*1.1
     assert labels[3] == "C"      # 101 in (90, 110]
+
+
+def test_dedup_lines_invariants_on_generated_corpus(spark):
+    """Batched invariants of cross-document line dedup over a generated
+    corpus with heavy cross-doc repetition:
+    (1) every surviving content line is globally unique (normalized);
+    (2) output lines of a doc are a subsequence of its input lines;
+    (3) the operator is idempotent: dedup(dedup(x)) == dedup(x)."""
+    import random
+    rng = random.Random(7)
+    shared = [f"shared sentence number {k} repeated." for k in range(12)]
+    rows = []
+    for i in range(60):
+        lines = [rng.choice(shared) for _ in range(rng.randrange(0, 4))]
+        lines += [f"own line {i}-{j} text." for j in range(rng.randrange(0, 3))]
+        if rng.random() < 0.3:
+            lines.insert(min(1, len(lines)), "")
+        rng.shuffle(lines)
+        rows.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from flood_data_spark.datapipe.curation import dedup_lines
+    once = dedup_lines(docs).cache()
+
+    out = {r.doc_id: r.clean_text for r in once.collect()}
+    orig = dict(rows)
+    seen = {}
+    for i in sorted(out):
+        if out[i] == "":
+            continue   # everything removed (or empty input) — nothing to check
+        out_lines = out[i].split("\n")
+        in_lines = orig[i].split("\n")
+        # (2) subsequence: consume input lines in order
+        it = iter(in_lines)
+        assert all(any(l == x for x in it) for l in out_lines), \
+            f"doc {i} output is not a subsequence of its input"
+        for l in out_lines:
+            n = l.strip().lower()
+            if n == "":
+                continue
+            # (1) each normalized content line appears exactly once globally
+            assert n not in seen, f"line {n!r} survived twice ({seen[n]}, {i})"
+            seen[n] = i
+
+    twice = {r.doc_id: r.clean_text for r in
+             dedup_lines(once.select("doc_id",
+                                     F.col("clean_text").alias("text")))
+             .collect()}
+    assert twice == out   # (3) idempotent

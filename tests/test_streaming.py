@@ -170,3 +170,43 @@ def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
     assert out.count() == 12
     assert out.groupBy("latitude", "longitude", "number", "step",
                        "issued_on").count().filter("count > 1").count() == 0
+
+
+def test_datapipe_cleaning_composes_with_streams(spark, tmp_path):
+    """The stateless curation operators (clean_lines, quality/token
+    signals, split assignment) are pure Column expressions, so the SAME
+    functions apply unchanged to a readStream relation — stream output
+    must equal the batch run over the same files."""
+    import pandas as pd
+    from flood_data_spark.datapipe.curation import assign_split, clean_lines
+    from flood_data_spark.datapipe.text import with_token_count
+
+    data_dir = str(tmp_path / "docs")
+    os.makedirs(data_dir, exist_ok=True)
+    rows = [(i, "good long line number one.\nshort\n"
+                f"unique content for doc {i} here.") for i in range(20)]
+    pd.DataFrame(rows, columns=["doc_id", "text"]) \
+        .to_parquet(os.path.join(data_dir, "batch-0.parquet"), index=False)
+
+    def pipeline(df):
+        cleaned = clean_lines(df, min_words=4)
+        toks = with_token_count(cleaned, text_col="clean_text")
+        return (assign_split(toks, {"train": 0.8, "val": 0.2})
+                .select("doc_id", "n_lines_kept", "n_tokens", "split"))
+
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).parquet(data_dir)
+    assert stream.isStreaming
+    q = (pipeline(stream).writeStream
+         .format("memory").queryName("t_clean_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {r.doc_id: (r.n_lines_kept, r.n_tokens, r.split)
+           for r in spark.sql("SELECT * FROM t_clean_stream").collect()}
+    want = {r.doc_id: (r.n_lines_kept, r.n_tokens, r.split)
+            for r in pipeline(spark.read.schema(schema).parquet(data_dir))
+            .collect()}
+    assert got == want and len(got) == 20

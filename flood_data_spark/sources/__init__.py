@@ -10,9 +10,15 @@ from flood_data_spark.sources.raster import (
     synthetic_grib_decoder,
 )
 from flood_data_spark.sources.external import CDSRequest, CDSFetcher, write_jdbc
+from flood_data_spark.sources.text_corpus import (
+    read_csv_docs,
+    read_jsonl,
+    write_jsonl,
+)
 
 __all__ = [
     "read_forecast", "read_thresholds", "read_control", "write_parquet",
     "read_rasters", "merge_control_and_ensemble", "synthetic_grib_decoder",
     "CDSRequest", "CDSFetcher", "write_jdbc",
+    "read_jsonl", "read_csv_docs", "write_jsonl",
 ]

@@ -138,6 +138,18 @@ def main():
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        # isolate queries: internal .cache()/.persist() calls (LSH bucket
+        # relations, IVF lists) otherwise accumulate across the session and
+        # turn later timings into GC noise.  Outside the timed region — the
+        # next query rebuilds its own caches inside its own wall time.  The
+        # IVF probe entry keeps its prebuilt-index semantics regardless: the
+        # lists plan embeds the fitted centroid matrix as a literal, so
+        # re-materializing it never refits k-means.
+        spark.catalog.clearCache()
+        # nudge a full GC between queries (outside the timed region):
+        # accumulated broadcast/cache garbage otherwise surfaces as multi-
+        # second pauses inside whichever later query trips the collector
+        spark._jvm.System.gc()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -51,6 +51,24 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _matrix_lit(matrix) -> Column:
+    """Constant array<array<double>> built via ONE parsed SQL expression.
+
+    `F.lit(nested_list)` constructs the literal element-by-element over py4j
+    (one round-trip per cell: ~1 s of pure driver time for a 16×64 matrix,
+    measured) — rendering the matrix as SQL text and letting the JVM parser
+    build the tree is ~300× faster and yields the identical expression."""
+    body = ",".join(
+        "array(%s)" % ",".join(repr(float(x)) + "D" for x in row)
+        for row in matrix)
+    return F.expr(f"array({body})")
+
+
+def _int_array_lit(values) -> Column:
+    """Constant array<int> via one parsed SQL expression (see _matrix_lit)."""
+    return F.expr("array(%s)" % ",".join(str(int(v)) for v in values))
+
+
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            broadcast_queries: bool = True) -> DataFrame:
@@ -108,8 +126,9 @@ def lsh_signature(vec, num_planes: int = 16, plane_offset: int = 0,
     """
     sig = F.lit(0).cast("long")
     for i in range(num_planes):
-        plane = F.lit([_plane_component(plane_offset + i, d)
-                       for d in range(dim)])
+        plane = F.expr("array(%s)" % ",".join(
+            repr(float(_plane_component(plane_offset + i, d))) + "D"
+            for d in range(dim)))
         dot = F.aggregate(F.zip_with(vec, plane, lambda x, c: x * c),
                           F.lit(0.0), lambda acc, v: acc + v)
         sig = sig + F.shiftleft((dot >= 0).cast("long"), i)
@@ -127,9 +146,9 @@ def _lsh_bucket_rows(df: DataFrame, id_alias: str, id_col: str, vec_col: str,
     come from one transform over the matrix literal; the embedding is
     dropped before any shuffle (candidate generation moves ids + longs
     only)."""
-    mat = F.lit([[_plane_component(t * num_planes + i, d)
-                  for d in range(dim)]
-                 for t in range(num_tables) for i in range(num_planes)])
+    mat = _matrix_lit([[_plane_component(t * num_planes + i, d)
+                        for d in range(dim)]
+                       for t in range(num_tables) for i in range(num_planes)])
     v = _as_double(F.col(vec_col))
     dots = F.transform(
         mat,
@@ -205,10 +224,81 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
+# nlist × dim budget for inlining the centroid matrix as ONE nested-array
+# Literal (the `_lsh_bucket_rows` trick): 4096 lists × 64 dims = 2 MB of
+# doubles in a single Literal node — fine; beyond that the assignment falls
+# back to the broadcast-join + window formulation.
+_MAX_LITERAL_CELLS = 262_144
+_MAX_LITERAL_LISTS = 4_096
+
+
+def _ivf_assign_literal(df: DataFrame, id_alias: str, n_keep: int,
+                        list_ids: list, matrix: list,
+                        id_col: str, vec_col: str) -> DataFrame:
+    """Shuffle-free centroid assignment: the (nlist × dim) centroid matrix is
+    one nested-array Literal; each row computes all nlist dot products in one
+    `transform` fold, ranks them with `array_sort` over (−dot, position)
+    structs, and explodes the top n_keep — a narrow map, no join, no window
+    exchange.  Centroid rows are unit-normalized driver-side so ranking by
+    plain dot equals ranking by cosine (the row's own norm is a per-row
+    positive constant).  Tie order matches the join path: cosine desc, then
+    list_id asc."""
+    import math
+
+    unit_mat = []
+    for row in matrix:
+        n = math.sqrt(sum(x * x for x in row))
+        unit_mat.append([x / n if n > 1e-12 else 0.0 for x in row])
+    mat = _matrix_lit(unit_mat)
+    ids = _int_array_lit(list_ids)
+    v = _as_double(F.col(vec_col))
+    dots = F.transform(
+        mat,
+        lambda p: F.aggregate(F.zip_with(F.col("_v"), p, lambda x, c: x * c),
+                              F.lit(0.0), lambda acc, y: acc + y))
+    # struct(-dot, pos): ascending struct sort == descending dot, pos tiebreak
+    ranked = F.slice(
+        F.array_sort(F.transform(
+            F.col("_dots"),
+            lambda d, i: F.struct((-d).alias("nd"), i.alias("pos")))),
+        1, n_keep)
+    return (df.select(F.col(id_col).alias(id_alias), v.alias("_v"))
+            .withColumn("_dots", dots)
+            .select(id_alias, F.col("_v").alias(id_alias + "_vec"),
+                    F.explode(F.transform(
+                        ranked,
+                        lambda s: F.element_at(ids, s.pos + 1))).alias("list_id")))
+
+
 def _ivf_assign(df: DataFrame, id_alias: str, n_keep: int,
                 centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, id_vec, list_id) rows assigning each vector to its n_keep
-    nearest centroids by cosine (centroid table is tiny → broadcast)."""
+    nearest centroids by cosine.
+
+    The centroid table is tiny by construction (nlist rows), so the default
+    path pulls it to the driver (bounded `take`, never the corpus) and
+    assigns via the matrix-literal narrow map — zero shuffles.  Quantizers
+    beyond the literal budget (> 4096 lists) use broadcast-join + window.
+
+    ivf_build stashes the driver-side centers on the DataFrame it returns
+    (`_ivf_driver_centers`) so build→probe in one process skips even the
+    bounded take — relevant only because a local action has a ~1 s floor;
+    centroids re-read from parquet take the normal path."""
+    stashed = getattr(centroids, "_ivf_driver_centers", None)
+    if stashed is not None:
+        ids, mat = stashed
+        return _ivf_assign_literal(df, id_alias, n_keep, ids, mat,
+                                   id_col, vec_col)
+    head = centroids.select("list_id", "cvec").take(_MAX_LITERAL_LISTS + 1)
+    if not head:
+        raise ValueError("empty centroid table")
+    dim = len(head[0].cvec)
+    if len(head) <= _MAX_LITERAL_LISTS and len(head) * dim <= _MAX_LITERAL_CELLS:
+        head.sort(key=lambda r: r.list_id)
+        return _ivf_assign_literal(df, id_alias, n_keep,
+                                   [r.list_id for r in head],
+                                   [list(r.cvec) for r in head],
+                                   id_col, vec_col)
     base = df.select(F.col(id_col).alias(id_alias),
                      _as_double(F.col(vec_col)).alias(id_alias + "_vec"))
     scored = base.join(F.broadcast(centroids)).select(
@@ -222,12 +312,55 @@ def _ivf_assign(df: DataFrame, id_alias: str, n_keep: int,
             .drop("c_sim", "crank"))
 
 
+def _kmeans_driver(train_src: DataFrame, vec_col: str, nlist: int,
+                   seed: int, max_iter: int) -> list:
+    """Spherical k-means over the train sample, run on the DRIVER in numpy.
+
+    This is the engine's one deliberate driver-side materialization: the
+    quantizer train sample is bounded (≤ max_train_rows) by the ivf_build
+    contract — the same contract FAISS's train() makes — so Lloyd's
+    iterations are in-memory matmuls costing milliseconds, instead of
+    max_iter distributed MLlib jobs whose per-iteration scheduling overhead
+    (~0.6 s each on local[32]) dominated the whole index build at bench
+    scale.  The full corpus NEVER comes to the driver; only the sample does.
+    Deterministic given (seed, sample)."""
+    import numpy as np
+
+    rows = train_src.select(_as_double(F.col(vec_col)).alias("v")).collect()
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] == 0:
+        raise ValueError("empty or ragged quantizer train sample")
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms < 1e-12] = 1e-12
+    X = X / norms[:, None]
+    m = X.shape[0]
+    k = min(nlist, m)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(m, size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        assign = (X @ C.T).argmax(axis=1)
+        newC = np.empty_like(C)
+        for j in range(k):
+            members = X[assign == j]
+            newC[j] = members.mean(axis=0) if len(members) else \
+                X[rng.integers(0, m)]
+        cn = np.linalg.norm(newC, axis=1)
+        cn[cn < 1e-12] = 1.0
+        newC /= cn[:, None]
+        if np.abs(newC - C).max() < 1e-9:
+            C = newC
+            break
+        C = newC
+    return [[float(x) for x in row] for row in C]
+
+
 def ivf_build(corpus: DataFrame,
               id_col: str = "vec_id", vec_col: str = "embedding",
               nlist: int = 16, seed: int = 42, max_iter: int = 8,
               train_fraction: float | None = None,
               max_train_rows: int = 262_144,
-              init_mode: str = "random") -> tuple[DataFrame, DataFrame]:
+              init_mode: str = "random",
+              fit_backend: str = "auto") -> tuple[DataFrame, DataFrame]:
     """IVF index build: fit the coarse quantizer on a SAMPLE, assign the
     full corpus once.  Returns (centroids, lists):
 
@@ -251,20 +384,14 @@ def ivf_build(corpus: DataFrame,
     probes then touch only the nprobe matching list partitions
     (partition pruning on the list_id equi-join), and the fit cost is paid
     exactly once, not per query batch.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    fit_backend: "driver" runs spherical k-means in numpy on the (bounded)
+    sample — the FAISS shape, and ~10× faster than MLlib at small/medium
+    nlist because Lloyd's iterations stop being distributed jobs;
+    "distributed" keeps the MLlib fit for quantizers beyond driver budget;
+    "auto" (default) picks driver for nlist ≤ 1024.
+    """
     spark = corpus.sparkSession
-    dvec = _as_double(F.col(vec_col))
-    # L2-normalize before the Euclidean k-means fit (spherical k-means):
-    # assignment is by cosine, and on unit vectors the Euclidean and
-    # cosine Voronoi cells coincide — unnormalized training would hand
-    # cosine-assignment centroids it never associated with those vectors
-    # greatest(norm, eps): an all-zero embedding (padding / failed encoder)
-    # would otherwise divide by zero → NULL elements → KMeans.fit crash
-    nrm = F.greatest(_norm(dvec), F.lit(1e-12))
-    unit = F.transform(dvec, lambda x: x / nrm)
 
     train_src = corpus
     if train_fraction is None:
@@ -274,20 +401,51 @@ def ivf_build(corpus: DataFrame,
         raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
     if train_fraction < 1.0:
         train_src = corpus.sample(fraction=train_fraction, seed=seed)
-    train = train_src.select(array_to_vector(unit).alias("features"))
-    # random init by default: a coarse quantizer needs roughly-balanced
-    # Voronoi cells, not optimal centroids (probe recall is governed by
-    # nprobe/nlist) — and k-means|| init costs ~2.7x the fit for no
-    # measurable recall gain here (0.47-0.55 vs 0.50-0.62 at nlist=8,
-    # nprobe=2 on the near-orthogonal test corpus, contract bound 0.25)
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter,
-                   initMode=init_mode,
-                   **({"initSteps": 2} if init_mode == "k-means||" else {})
-                   ).fit(train)
+
+    if fit_backend not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown fit_backend {fit_backend!r}")
+    if fit_backend == "driver" or (fit_backend == "auto" and nlist <= 1024):
+        centers = _kmeans_driver(train_src, vec_col, nlist, seed, max_iter)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        dvec = _as_double(F.col(vec_col))
+        # L2-normalize before the Euclidean k-means fit (spherical k-means):
+        # assignment is by cosine, and on unit vectors the Euclidean and
+        # cosine Voronoi cells coincide — unnormalized training would hand
+        # cosine-assignment centroids it never associated with those vectors
+        # greatest(norm, eps): an all-zero embedding (padding / failed
+        # encoder) would otherwise divide by zero → NULL → KMeans.fit crash
+        nrm = F.greatest(_norm(dvec), F.lit(1e-12))
+        unit = F.transform(dvec, lambda x: x / nrm)
+        train = train_src.select(array_to_vector(unit).alias("features"))
+        # random init by default: a coarse quantizer needs roughly-balanced
+        # Voronoi cells, not optimal centroids (probe recall is governed by
+        # nprobe/nlist) — and k-means|| init costs ~2.7x the fit for no
+        # measurable recall gain here (0.47-0.55 vs 0.50-0.62 at nlist=8,
+        # nprobe=2 on the near-orthogonal test corpus, contract bound 0.25)
+        model = KMeans(k=nlist, seed=seed, maxIter=max_iter,
+                       initMode=init_mode,
+                       **({"initSteps": 2} if init_mode == "k-means||" else {})
+                       ).fit(train)
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(centers)],
         "list_id int, cvec array<double>")
-    lists = _ivf_assign(corpus, "neighbor_id", 1, centroids, id_col, vec_col)
+    # centers is already driver-side — assign via the literal path directly
+    # instead of round-tripping through the centroids DataFrame (saves one
+    # collect action; on local mode every action costs ~0.5 s of floor)
+    if len(centers) <= _MAX_LITERAL_LISTS and \
+            len(centers) * len(centers[0]) <= _MAX_LITERAL_CELLS:
+        ids = list(range(len(centers)))
+        centroids._ivf_driver_centers = (ids, centers)
+        lists = _ivf_assign_literal(corpus, "neighbor_id", 1, ids, centers,
+                                    id_col, vec_col)
+    else:
+        lists = _ivf_assign(corpus, "neighbor_id", 1, centroids,
+                            id_col, vec_col)
     return centroids, lists
 
 
@@ -300,13 +458,17 @@ def ivf_probe(centroids: DataFrame, lists: DataFrame, queries: DataFrame,
     nlist) per query, independent of the k-means fit (`ivf_build`)."""
     probes = _ivf_assign(queries, "query_id", nprobe, centroids,
                          id_col, vec_col)
-    scored = (probes.join(lists, "list_id")
+    # (query, neighbor) pairs are already unique: ivf_build assigns each
+    # corpus vector to exactly ONE list and a query probes each list at most
+    # once — no distinct (a whole shuffle) needed.  The probe side is tiny
+    # (|queries| × nprobe) → broadcast it so candidate generation is a
+    # map-side join over the lists partitions.
+    scored = (F.broadcast(probes).join(lists, "list_id")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       F.round(cosine_similarity(F.col("query_id_vec"),
                                                 F.col("neighbor_id_vec")), 6)
-                      .alias("cosine"))
-              .distinct())
+                      .alias("cosine")))
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -60,6 +60,12 @@ from flood_data_spark.datapipe.text import (
     with_token_count,
 )
 from flood_data_spark.functions.geometry import add_geometry, restrict_area
+from flood_data_spark.functions.keys import with_morton_key
+from flood_data_spark.datapipe.quantize import (
+    cosine_topk_quantized,
+    quantize_embeddings,
+)
+from flood_data_spark.datapipe.sketches import hll_contract, token_heavy_hitters
 from flood_data_spark.operators.grid import upstream_mask
 from flood_data_spark.operators.intensity import flood_intensity
 from flood_data_spark.operators.peak_timing import flood_peak_timing
@@ -270,6 +276,16 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.3 J8: 3×3 neighbor fetch around (5.03, 0.31) with the
     primary-cell flag (reference inflated-intersects + mask)."""
     return neighborhood_lookup(_grid_cells(spark, sf_dir), 5.03, 0.31)
+
+
+def q_morton_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale layout (SURVEY §2.11 / plans.scale.zorder_write): Z-order
+    (Morton) key over grid-cell centers — bit-interleaved integer grid
+    indices, the single-column clustering key that makes bbox serving scans
+    prune on both lat and lon at once.  Pure JVM shift/mask Column ops;
+    the DuckDB oracle runs the identical bit arithmetic."""
+    return (with_morton_key(_grid_cells(spark, sf_dir), resolution=0.05)
+            .select("partkey", "latitude", "longitude", "z_key"))
 
 
 def q_threshold_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,6 +718,41 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries, k=5)
 
 
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.11: symmetric per-vector int8 quantization of the embedding
+    column — deterministic codes + scale, fully value-checked against the
+    DuckDB replica of the same arithmetic (datapipe/quantize.py)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return (quantize_embeddings(emb)
+            .select("vec_id", F.round(F.col("qscale"), 9).alias("qscale"),
+                    "qvec"))
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.11: brute-force cosine top-k over the int8-quantized corpus
+    (the compressed scan/broadcast path) — quantization is deterministic, so
+    the oracle reproduces the exact ranking, not just a recall bound."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_quantized(emb, queries, k=5)
+
+
+def q_hll_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.11 sketches: one-pass HLL++ cardinality with a 4σ bounds
+    contract — exact distincts are oracle-checked, the booleans assert the
+    sketch landed inside tolerance (datapipe/sketches.py)."""
+    return hll_contract(_t(spark, sf_dir, "documents"),
+                        ["doc_id", "lang", "source"])
+
+
+def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.11 sketches family: vocabulary-bounded heavy hitters —
+    tokens covering ≥1% of all token positions; the shuffle carries one row
+    per distinct token (map-side partial agg), not per occurrence."""
+    return token_heavy_hitters(_t(spark, sf_dir, "documents"),
+                               min_fraction=0.01)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs — not SQL-expressible (xxhash64 sketch);
     driver records rows-only check."""
@@ -1028,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_intensity": q_intensity,
         "q_peak_timing": q_peak_timing,
         "q_wkt_geometry": q_wkt_geometry,
+        "q_morton_key": q_morton_key,
         "q_round_join": q_round_join,
         "q_point_lookup": q_point_lookup,
         "q_neighborhood": q_neighborhood,
@@ -1076,6 +1128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_redact_pii": q_redact_pii,
         "q_cosine_topk": q_cosine_topk,
+        "q_quantize": q_quantize,
+        "q_quantized_topk": q_quantized_topk,
+        "q_hll_contract": q_hll_contract,
+        "q_heavy_tokens": q_heavy_tokens,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_dups": q_simhash_dups,
         "q_lsh_topk": q_lsh_topk,
@@ -1202,6 +1258,38 @@ def oracle_sql() -> dict[str, str]:
                         WHEN step > 3 AND max_2y_start < 0.30 THEN 'GC'
                         ELSE 'GB' END AS peak_timing
             FROM win WHERE rn = 1
+        """,
+        "q_morton_key": """
+            WITH cells AS (
+                SELECT p_partkey AS partkey,
+                       CAST(round(0.025 + (p_partkey % 200) * 0.05, 3) AS DOUBLE) AS latitude,
+                       CAST(round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT) % 200) * 0.05, 3) AS DOUBLE) AS longitude
+                FROM part),
+            idx AS (
+                SELECT partkey, latitude, longitude,
+                       CAST(floor(latitude / 0.05) AS BIGINT) + 1048576 AS bx,
+                       CAST(floor(longitude / 0.05) AS BIGINT) + 1048576 AS by
+                FROM cells),
+            -- part1by1 spread (5 shift/mask rounds), lat lane then lon lane
+            s0 AS (SELECT partkey, latitude, longitude,
+                          bx & 4294967295 AS x, by & 4294967295 AS y FROM idx),
+            s1 AS (SELECT partkey, latitude, longitude,
+                          (x | (x << 16)) & 281470681808895 AS x,
+                          (y | (y << 16)) & 281470681808895 AS y FROM s0),
+            s2 AS (SELECT partkey, latitude, longitude,
+                          (x | (x << 8)) & 71777214294589695 AS x,
+                          (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+            s3 AS (SELECT partkey, latitude, longitude,
+                          (x | (x << 4)) & 1085102592571150095 AS x,
+                          (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+            s4 AS (SELECT partkey, latitude, longitude,
+                          (x | (x << 2)) & 3689348814741910323 AS x,
+                          (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+            s5 AS (SELECT partkey, latitude, longitude,
+                          (x | (x << 1)) & 6148914691236517205 AS x,
+                          (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+            SELECT partkey, latitude, longitude, x | (y << 1) AS z_key
+            FROM s5
         """,
         "q_wkt_geometry": """
             WITH cells AS (
@@ -1889,6 +1977,70 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT id, term, tf, tfidf, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        "q_hll_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_id_distinct,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+                   CAST(count(DISTINCT source) AS BIGINT) AS source_distinct,
+                   TRUE AS doc_id_hll_ok, TRUE AS lang_hll_ok,
+                   TRUE AS source_hll_ok
+            FROM documents
+        """,
+        "q_heavy_tokens": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+                FROM documents),
+            t2 AS (SELECT token FROM toks WHERE token != ''),
+            total AS (SELECT count(*) AS n FROM t2),
+            counts AS (SELECT token, count(*) AS occurrences
+                       FROM t2 GROUP BY token)
+            SELECT token, CAST(occurrences AS BIGINT) AS occurrences,
+                   round(occurrences * 1.0 / n, 6) AS fraction
+            FROM counts, total
+            WHERE occurrences >= n * 0.01
+        """,
+        "q_quantize": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id < 500),
+            sc AS (
+                SELECT vec_id, e,
+                       greatest(CAST(list_max(list_transform(e, x -> abs(x)))
+                                     AS DOUBLE), 1.0) / 127.0 AS s
+                FROM v)
+            SELECT vec_id, round(s, 9) AS qscale,
+                   list_transform(e, x -> CAST(round(x / s) AS TINYINT)) AS qvec
+            FROM sc
+        """,
+        "q_quantized_topk": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            sc AS (
+                SELECT vec_id, e,
+                       greatest(CAST(list_max(list_transform(e, x -> abs(x)))
+                                     AS DOUBLE), 1.0) / 127.0 AS s
+                FROM v),
+            deq AS (
+                SELECT vec_id,
+                       list_transform(
+                           list_transform(e, x -> CAST(round(x / s) AS TINYINT)),
+                           q -> q * s) AS d
+                FROM sc),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.e, c.d)
+                             / greatest(sqrt(list_dot_product(q.e, q.e))
+                                        * sqrt(list_dot_product(c.d, c.d)),
+                                        1e-300), 6) AS cosine
+                FROM v q JOIN deq c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 20),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "q_cosine_topk": """
             WITH v AS (

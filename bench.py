@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "q_token_count",
     "q_quality",
     "q_cosine_topk",
+    "q_quantized_topk",
     "q_minhash_lsh",
     "q_summary_forecast",
     "q_embedding_dedup_lsh",
@@ -52,6 +53,7 @@ BENCH_QUERIES = [
     "q_chunk_docs",
     "q_pack_sequences",
     "q_tfidf_topk",
+    "q_heavy_tokens",
     "q_contamination",
     "q_clean_lines",
     "q_line_dedup",

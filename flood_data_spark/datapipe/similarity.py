@@ -29,7 +29,11 @@ def _norm(a) -> Column:
 
 
 def cosine_similarity(a, b) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # greatest(·, tiny): a zero-norm vector (padding / failed encoder) would
+    # otherwise be a divide-by-zero ERROR under ANSI mode; for any nonzero
+    # pair the guard is numerically a no-op (norm product ≥ 1e-300), so
+    # oracle parity is unaffected — zero vectors simply score cosine 0
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-300))
 
 
 def _spread(df: DataFrame) -> DataFrame:

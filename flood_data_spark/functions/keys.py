@@ -56,6 +56,49 @@ def with_grid_index(df: DataFrame, resolution: float | None = None,
             .withColumn(out_prefix + "lon", grid_index(lon_col, resolution)))
 
 
+def _part1by1(col):
+    """Spread the low 32 bits of a long so bit i lands at position 2i
+    (Morton-code 'part1by1'), expressed as 5 shift/mask rounds — pure JVM
+    bitwise Column ops, whole-stage-codegen friendly."""
+    x = col.bitwiseAND(F.lit(0xFFFFFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x3333333333333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x5555555555555555))
+    return x
+
+
+#: offset added to grid indices before interleaving so negative indices
+#: (southern/western hemisphere) map to non-negative bit patterns.  2^20
+#: dwarfs any real grid index (|lat|/res ≤ 1800 at res=0.05) while keeping
+#: the interleaved key < 2^42 — far from long overflow.
+MORTON_BIAS = 1 << 20
+
+
+def morton_key(lat_idx, lon_idx, bias: int = MORTON_BIAS):
+    """Z-order (Morton) key: bit-interleave two integer grid indices.
+
+    Rows close in 2-D space get numerically close keys, so sorting by this
+    single long clusters both dimensions at once — the layout lever behind
+    `plans.scale.zorder_write`.  Input columns are biased to non-negative
+    before interleaving; the result is deterministic and engine-portable
+    (plain shifts/masks — the DuckDB oracle runs the same expression).
+    """
+    x = (lat_idx + F.lit(bias)).cast("long")
+    y = (lon_idx + F.lit(bias)).cast("long")
+    return _part1by1(x).bitwiseOR(F.shiftleft(_part1by1(y), 1))
+
+
+def with_morton_key(df: DataFrame, resolution: float | None = None,
+                    lat_col: str = "latitude", lon_col: str = "longitude",
+                    out_col: str = "z_key") -> DataFrame:
+    """Attach the Z-order key derived from (lat, lon) grid indices."""
+    return df.withColumn(
+        out_col, morton_key(grid_index(lat_col, resolution),
+                            grid_index(lon_col, resolution)))
+
+
 def snap_to_grid(df: DataFrame, resolution: float | None = None,
                  precision: int | None = None,
                  lat_col: str = "latitude", lon_col: str = "longitude") -> DataFrame:

@@ -130,6 +130,36 @@ def compact_partition(spark, path: str, target_file_bytes: int = 128 * 1024 * 10
     return n_files
 
 
+def zorder_write(df: DataFrame, path: str, num_files: int,
+                 resolution: float | None = None,
+                 lat_col: str = "latitude", lon_col: str = "longitude",
+                 mode: str = "overwrite") -> None:
+    """Z-order-clustered parquet write for 2-D (lat, lon) lookup tables.
+
+    Range-partition + locally sort by the Morton key of the grid indices:
+    each output file then covers a compact 2-D tile, so parquet min/max
+    stats on BOTH lat and lon become selective simultaneously — a bbox
+    serving query (`operators/serving.py`) skips every file outside the
+    box, where a lat-major sort (`sorted_partitioned_write`) prunes only
+    the leading column and a bbox scan still touches one thin stripe of
+    files per latitude band.
+
+    One range exchange at write time (same cost class as the reference's
+    global pre-save sort, threshold-data-joining.py:120), amortized over
+    every subsequent serving read.  The key column is dropped from the
+    persisted schema — it is derivable, and keeping predicates on the
+    natural lat/lon columns lets stock pushdown do the pruning with no
+    reader-side cooperation.
+    """
+    from flood_data_spark.functions.keys import with_morton_key
+
+    keyed = with_morton_key(df, resolution, lat_col, lon_col, out_col="_zk")
+    (keyed.repartitionByRange(num_files, "_zk")
+     .sortWithinPartitions("_zk")
+     .drop("_zk")
+     .write.mode(mode).parquet(path))
+
+
 def sorted_partitioned_write(df: DataFrame, path: str, partition_by=None,
                              sort_cols=("latitude", "longitude"),
                              mode: str = "overwrite") -> None:

@@ -443,6 +443,50 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c_acctbal").alias("acctbal")))
 
 
+def q_stream_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9 streaming, driver-gated: the flagship exceedance
+    aggregation executed as a Structured Stream — file source over the same
+    lineitem parquet, stream × static broadcast threshold join,
+    `availableNow` trigger into a memory sink — and returned as the final
+    batch DataFrame.  The DuckDB oracle checks full stream/batch parity
+    (rows + schema + value hash), not just a row count
+    (streaming/file_stream.py: exceedance_summary_stream)."""
+    import os
+    import tempfile
+    import uuid
+
+    from flood_data_spark.streaming.file_stream import (
+        exceedance_summary_stream, run_available_now)
+
+    path = f"{sf_dir}/lineitem.parquet"
+    # the file-stream source watches a DIRECTORY (the daily-folder
+    # convention); testdata ships single files, so expose one via symlink
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(path, f"{src_dir}/lineitem.parquet")
+    schema = spark.read.parquet(path).schema  # footer-only metadata read
+    stream = (spark.readStream.schema(schema).parquet(src_dir)
+              .select(F.col("l_partkey").alias("partkey"),
+                      F.col("l_extendedprice").alias("dis24")))
+    thresholds = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        (F.col("p_retailprice") * 0.8).alias("threshold_2y"),
+        F.col("p_retailprice").alias("threshold_5y"),
+        (F.col("p_retailprice") * 1.2).alias("threshold_20y"))
+    agg = exceedance_summary_stream(stream, thresholds,
+                                    join_keys=("partkey",),
+                                    group_keys=("partkey",))
+    name = "stream_threshold_" + uuid.uuid4().hex[:8]
+    q = run_available_now(agg, tempfile.mkdtemp(prefix="ckpt_"),
+                          query_name=name)
+    q.awaitTermination()
+    return spark.table(name).select(
+        "partkey",
+        F.round("p_above_2y", 6).alias("p_above_2y"),
+        F.round("p_above_5y", 6).alias("p_above_5y"),
+        F.round("p_above_20y", 6).alias("p_above_20y"),
+        "min_dis", "max_dis", "n_members")
+
+
 def q_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 U1 unionByName: two filtered projections stacked, then agg."""
     ev = _t(spark, sf_dir, "events")
@@ -772,7 +816,8 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant of cosine top-k — rows-only check (approximate recall)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_bucketed_topk(emb, queries, k=5)
+    # dim passed explicitly: skips the inference action (one ~0.5 s job)
+    return lsh_bucketed_topk(emb, queries, k=5, dim=64)
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,7 +852,7 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only check); q_embedding_dedup is its exact oracle twin."""
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.35, exact=False,
-                                    num_planes=8, num_tables=4)
+                                    num_planes=8, num_tables=4, dim=64)
 
 
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,7 +1065,7 @@ def q_lsh_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     exact = cosine_topk_bruteforce(emb, queries, k=5)
-    ann = lsh_bucketed_topk(emb, queries, k=5, num_planes=4, num_tables=8)
+    ann = lsh_bucketed_topk(emb, queries, k=5, num_planes=4, num_tables=8, dim=64)
     return _topk_recall_contract(exact, ann, bound=0.4)
 
 
@@ -1047,7 +1092,7 @@ def q_embedding_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.091 (sf0.1), asserted >= 0.02."""
     emb = _t(spark, sf_dir, "embeddings")
     ex_pairs = embedding_near_dup_pairs(emb, threshold=0.35).cache()
-    lsh_pairs = embedding_near_dup_pairs(emb, threshold=0.35, exact=False,
+    lsh_pairs = embedding_near_dup_pairs(emb, threshold=0.35, exact=False, dim=64,
                                          num_planes=8, num_tables=4).cache()
     n_lsh = lsh_pairs.count()
     n_sub = lsh_pairs.join(ex_pairs.select("id_a", "id_b"),
@@ -1092,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customer_per_nation": q_top_customer_per_nation,
         "q_semi_join": q_semi_join,
         "q_union_events": q_union_events,
+        "q_stream_threshold": q_stream_threshold,
         "q_set_ops": q_set_ops,
         "q_window_lag": q_window_lag,
         "q_histogram": q_histogram,
@@ -1532,6 +1578,20 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        """,
+        "q_stream_threshold": """
+            SELECT l.l_partkey AS partkey,
+                   round(avg(CASE WHEN l.l_extendedprice >= p.p_retailprice * 0.8
+                                  THEN 1 ELSE 0 END), 6) AS p_above_2y,
+                   round(avg(CASE WHEN l.l_extendedprice >= p.p_retailprice
+                                  THEN 1 ELSE 0 END), 6) AS p_above_5y,
+                   round(avg(CASE WHEN l.l_extendedprice >= p.p_retailprice * 1.2
+                                  THEN 1 ELSE 0 END), 6) AS p_above_20y,
+                   min(l.l_extendedprice) AS min_dis,
+                   max(l.l_extendedprice) AS max_dis,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY l.l_partkey
         """,
         "q_union_events": """
             SELECT bucket, CAST(count(*) AS BIGINT) AS n,

@@ -103,6 +103,32 @@ def streaming_threshold_summary(stream_df: DataFrame,
                     "min_dis", "max_dis", "n_members"))
 
 
+def exceedance_summary_stream(stream_df: DataFrame, threshold_df: DataFrame,
+                              join_keys, group_keys,
+                              threshold_years=(2, 5, 20),
+                              value_col: str = "dis24") -> DataFrame:
+    """Schema-agnostic streaming twin of
+    `operators.threshold.ensemble_threshold_summary` (minus the quantile
+    block — percentile buffers aren't a mergeable streaming state): stream ×
+    static broadcast join, NULL-threshold-safe exceedance fractions,
+    min/max/count.  No watermark/window — callers running continuous
+    pipelines add `withWatermark` + a time window on top; `availableNow` +
+    complete-mode batch-parity runs (the driver-contract q_stream_threshold)
+    use it as is."""
+    joined = stream_df.join(F.broadcast(threshold_df),
+                            on=list(join_keys), how="left")
+    aggs = [
+        F.avg(F.when(F.col(value_col) >= F.col(f"threshold_{int(y)}y"),
+                     F.lit(1)).otherwise(F.lit(0)))
+         .alias(f"p_above_{int(y)}y")
+        for y in threshold_years
+    ]
+    aggs += [F.min(value_col).alias("min_dis"),
+             F.max(value_col).alias("max_dis"),
+             F.count(F.lit(1)).alias("n_members")]
+    return joined.groupBy(*group_keys).agg(*aggs)
+
+
 def dedup_stream(stream_df: DataFrame, key_cols,
                  ts_col: str = "issued_ts",
                  watermark_delay: str = "2 days") -> DataFrame:

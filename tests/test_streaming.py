@@ -210,3 +210,50 @@ def test_datapipe_cleaning_composes_with_streams(spark, tmp_path):
             for r in pipeline(spark.read.schema(schema).parquet(data_dir))
             .collect()}
     assert got == want and len(got) == 20
+
+
+def test_exceedance_summary_stream_batch_parity(spark, tmp_path):
+    """The generic (schema-agnostic) streaming exceedance operator produces
+    byte-identical results to the batch ensemble_threshold_summary on the
+    same input (minus the quantile block, which has no mergeable streaming
+    state)."""
+    import numpy as np
+    from flood_data_spark.operators.threshold import ensemble_threshold_summary
+    from flood_data_spark.streaming.file_stream import exceedance_summary_stream
+
+    rng = np.random.default_rng(3)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pd.DataFrame({
+        "partkey": np.repeat(np.arange(50), 20),
+        "dis24": rng.uniform(50, 150, 1000),
+    }).to_parquet(os.path.join(src, "batch-0.parquet"), index=False)
+
+    thresholds = spark.createDataFrame(
+        [(int(k), 80.0, 100.0, 120.0) for k in range(40)],  # 10 keys missing
+        "partkey int, threshold_2y double, threshold_5y double, threshold_20y double")
+
+    batch_df = spark.read.parquet(src)
+    batch = ensemble_threshold_summary(
+        batch_df, thresholds, accuracy_mode="exact",
+        join_keys=("partkey",), group_keys=("partkey",)) \
+        .drop("Q1_dis", "median_dis", "Q3_dis")
+
+    stream = (spark.readStream.schema(batch_df.schema).parquet(src))
+    agg = exceedance_summary_stream(stream, thresholds,
+                                    join_keys=("partkey",),
+                                    group_keys=("partkey",))
+    q = run_available_now(agg, str(tmp_path / "ckpt2"),
+                          query_name="t_exceed_parity")
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM t_exceed_parity")
+
+    b = {r.partkey: r for r in batch.collect()}
+    s = {r.partkey: r for r in got.collect()}
+    assert set(b) == set(s)
+    for k in b:
+        assert abs(b[k].p_above_2y - s[k].p_above_2y) < 1e-12
+        assert abs(b[k].p_above_20y - s[k].p_above_20y) < 1e-12
+        assert b[k].min_dis == s[k].min_dis and b[k].max_dis == s[k].max_dis
+    # missing-threshold keys (40..49) score 0.0, never NULL
+    assert all(s[k].p_above_2y == 0.0 for k in range(40, 50))

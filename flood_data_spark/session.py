@@ -30,6 +30,10 @@ def get_spark(app_name: str = "flood_data_spark",
         .config("spark.sql.session.timeZone", "UTC")
         # parquet posture: vectorized reads + pushdown are defaults, keep them
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # push whole-table MIN/MAX/COUNT to parquet footer statistics —
+        # metadata-only answers for the QA count asserts (plans/checks.py)
+        # and cardinality probes, no row ever decoded
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # tolerate TIMESTAMP(NANOS) parquet (read as ns-epoch long; callers
         # convert — same ns-long convention as the reference's GRIB times)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -70,7 +70,11 @@ from flood_data_spark.operators.grid import upstream_mask
 from flood_data_spark.operators.intensity import flood_intensity
 from flood_data_spark.operators.peak_timing import flood_peak_timing
 from flood_data_spark.operators.serving import neighborhood_lookup, point_lookup
-from flood_data_spark.operators.timeseries import asof_join, sessionize
+from flood_data_spark.operators.timeseries import (
+    asof_join,
+    resample_ffill,
+    sessionize,
+)
 from flood_data_spark.operators.summary import assemble_summary
 from flood_data_spark.operators.tendency import flood_tendency
 from flood_data_spark.operators.threshold import (
@@ -604,6 +608,20 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 # Training-data-pipeline operators (beyond-reference, BASELINE.json)
 # =====================================================================
+
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.11 timeseries: gap-fill resample — each user's daily value
+    series densified over their [first, last] active day, gaps forward-
+    filled and flagged (operators/timeseries.resample_ffill; sequence +
+    explode grid, one ordered window, no driver loops)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("user_id",
+                      F.datediff(F.to_date(F.date_trunc("day", "ts")),
+                                 F.lit("2024-01-01").cast("date"))
+                      .alias("day_idx"))
+             .agg(F.round(F.sum("value"), 2).alias("day_value")))
+    return resample_ffill(daily, "user_id", "day_idx", "day_value")
+
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward-inclusive as-of join (union + ordered-window forward-fill,
@@ -1147,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_rolling": q_rolling,
         "q_events_daily": q_events_daily,
+        "q_resample": q_resample,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
         "q_curation": q_curation,
@@ -1680,6 +1699,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id < 30
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "q_resample": """
+            WITH daily AS (
+                SELECT user_id,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(date_trunc('day', ts) AS DATE)) AS day_idx,
+                       round(sum(value), 2) AS day_value
+                FROM events GROUP BY 1, 2),
+            span AS (
+                SELECT user_id, min(day_idx) AS lo, max(day_idx) AS hi
+                FROM daily GROUP BY 1),
+            grid AS (
+                SELECT user_id, unnest(generate_series(lo, hi)) AS day_idx
+                FROM span),
+            j AS (
+                SELECT g.user_id, g.day_idx, d.day_value,
+                       d.day_idx IS NOT NULL AS is_observed
+                FROM grid g LEFT JOIN daily d
+                  ON g.user_id = d.user_id AND g.day_idx = d.day_idx)
+            SELECT user_id, CAST(day_idx AS INT) AS day_idx,
+                   last_value(day_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS day_value,
+                   is_observed
+            FROM j
         """,
         "q_asof_join": """
             WITH purchases AS (

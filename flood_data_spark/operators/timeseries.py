@@ -114,3 +114,41 @@ def sessionize(events: DataFrame, key_col: str = "user_id",
             .agg(F.min(ts_col).alias("session_start"),
                  F.max(ts_col).alias("session_end"),
                  F.count("*").alias("n_events")))
+
+
+def resample_ffill(df: DataFrame, key_cols, step_col: str,
+                   value_cols, step: int = 1) -> DataFrame:
+    """Regularize a sparse integer-step series: per key, emit every step
+    from the key's min to its max (spacing `step`) and forward-fill the
+    value columns from the most recent observed row (NULL before the first
+    observation — no value is invented).
+
+    Plan shape (the scalable formulation): one groupBy builds each key's
+    [min, max] span, `sequence` + `explode` materializes the dense grid
+    JVM-side (no driver loop, no per-key Python), a left join attaches the
+    observed rows, and one ordered window per key forward-fills — two
+    shuffles total (span agg + join/window share the key exchange), row
+    count bounded by the grid, not by keys × global span: a key covering
+    one week never inflates to another key's year.
+
+    Output: key_cols + step_col + value_cols + `is_observed` (false for
+    gap rows).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vals = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+
+    span = (df.groupBy(*keys)
+            .agg(F.min(step_col).alias("_lo"), F.max(step_col).alias("_hi")))
+    grid = (span.select(*keys,
+                        F.explode(F.sequence(F.col("_lo"), F.col("_hi"),
+                                             F.lit(step))).alias(step_col)))
+    observed = df.select(*keys, step_col,
+                         F.lit(True).alias("is_observed"),
+                         *[F.col(v) for v in vals])
+    joined = grid.join(observed, on=keys + [step_col], how="left")
+    w = (Window.partitionBy(*keys).orderBy(step_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = [F.last(v, ignorenulls=True).over(w).alias(v) for v in vals]
+    return joined.select(*keys, step_col, *filled,
+                         F.coalesce("is_observed", F.lit(False))
+                         .alias("is_observed"))

@@ -62,3 +62,22 @@ def write_parquet(df: DataFrame, path: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def upsert_partitions(df: DataFrame, path: str, partition_by) -> None:
+    """Replace exactly the partitions present in `df`, leave the rest.
+
+    The daily-operations primitive the reference performs by rewriting
+    whole dated folders (databricks/glofas-forecast-computation.py:110-113
+    convention): a re-issued forecast for 2024-01-05 must replace that
+    day's data without touching any other day and without the
+    read-modify-write of the full table.  `partitionOverwriteMode=dynamic`
+    scopes mode="overwrite" to the partitions the incoming frame actually
+    contains — set per-write here, not globally, so plain overwrite writes
+    elsewhere keep their whole-table semantics.
+    """
+    pb = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*pb)
+     .parquet(path))

@@ -103,3 +103,27 @@ def test_salted_join_rejects_outer_variants(spark, skewed):
         salted_join(big, small, "k", how="full")
     with pytest.raises(ValueError):
         salted_join(big, small, "k", how="right")
+
+
+def test_upsert_partitions_replaces_only_incoming(spark, tmp_path):
+    """Dynamic partition overwrite: re-issuing one day replaces that day,
+    other days' files untouched."""
+    from flood_data_spark.sources.parquet import upsert_partitions
+
+    path = str(tmp_path / "upsert")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 1, 30.0)],
+        "issued_on string, cell int, v double")
+    upsert_partitions(base, path, "issued_on")
+
+    revised = spark.createDataFrame(
+        [("2024-01-02", 1, 99.0), ("2024-01-02", 2, 98.0)],
+        "issued_on string, cell int, v double")
+    upsert_partitions(revised, path, "issued_on")
+
+    # partition-column type inference reads the string back as a date
+    got = {(str(r.issued_on), r.cell): r.v
+           for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1): 10.0, ("2024-01-01", 2): 20.0,
+                   ("2024-01-02", 1): 99.0, ("2024-01-02", 2): 98.0}

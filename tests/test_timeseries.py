@@ -115,3 +115,35 @@ def test_asof_tolerance_subsecond_boundary(spark):
         "user_id long, ts timestamp, quote double")
     out = asof_join(left, right, on="user_id", tolerance_seconds=600).first()
     assert out.quote_right is None
+
+
+def test_resample_ffill_fills_gaps_per_key(spark):
+    from flood_data_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 4, 40.0), ("b", 2, 5.0), ("b", 3, None)],
+        "k string, step int, v double")
+    out = resample_ffill(df, "k", "step", "v").collect()
+    rows = {(r.k, r.step): r for r in out}
+    # a: dense 1..4, gaps 2,3 carry 10.0
+    assert {(s) for (k, s) in rows if k == "a"} == {1, 2, 3, 4}
+    assert rows[("a", 2)].v == 10.0 and not rows[("a", 2)].is_observed
+    assert rows[("a", 3)].v == 10.0
+    assert rows[("a", 4)].v == 40.0 and rows[("a", 4)].is_observed
+    # b spans only 2..3 (per-key span, not global), observed NULL stays
+    # filled from the prior observation
+    assert {(s) for (k, s) in rows if k == "b"} == {2, 3}
+    assert rows[("b", 3)].v == 5.0 and rows[("b", 3)].is_observed
+
+
+def test_resample_ffill_null_before_first_observation(spark):
+    from flood_data_spark.operators.timeseries import resample_ffill
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 3, 7.0)], "k string, step int, v double")
+    out = {r.step: r for r in
+           resample_ffill(df, "k", "step", "v").collect()}
+    assert out[1].v is None          # nothing to carry yet
+    assert out[2].v is None
+    assert out[3].v == 7.0

@@ -157,3 +157,50 @@ def test_dedup_lines_invariants_on_generated_corpus(spark):
                                      F.col("clean_text").alias("text")))
              .collect()}
     assert twice == out   # (3) idempotent
+
+
+@given(st.lists(st.tuples(
+    st.integers(min_value=-(2 ** 20) + 1, max_value=2 ** 20 - 1),
+    st.integers(min_value=-(2 ** 20) + 1, max_value=2 ** 20 - 1)),
+    min_size=1, max_size=200, unique=True))
+@settings(max_examples=200, deadline=None)
+def test_morton_key_python_properties(pairs):
+    """Pure-Python mirror of the Column implementation: injective over the
+    biased domain, and monotone along each axis within a fixed other-axis
+    value (the property that makes range-partitioned z-keys tile 2-D
+    space)."""
+    from tests.test_zorder import _py_morton
+
+    keys = [_py_morton(a, b) for a, b in pairs]
+    assert len(set(keys)) == len(pairs)              # injective
+    for (a, b) in pairs[:20]:
+        assert _py_morton(a + 1, b) > _py_morton(a, b)   # lat-monotone
+        assert _py_morton(a, b + 1) > _py_morton(a, b)   # lon-monotone
+
+
+def test_quantize_roundtrip_bound_property(spark):
+    """∀ vectors (mixed magnitudes across 12 decades, zero vectors
+    included): |dequantize(quantize(v)) − v|∞ ≤ scale/2, codes ∈ [−127,
+    127].  All examples batched into ONE DataFrame."""
+    import numpy as np
+    from flood_data_spark.datapipe.quantize import (
+        dequantize_col, quantize_embeddings)
+
+    rng = np.random.default_rng(17)
+    examples = [list(rng.normal(0, 10.0 ** rng.integers(-6, 7), 4))
+                for _ in range(150)]
+    examples.append([0.0, 0.0, 0.0, 0.0])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(examples)],
+        "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df)
+    rows = q.select(
+        F.aggregate(F.zip_with(dequantize_col(F.col("qvec"), F.col("qscale")),
+                               F.col("embedding"),
+                               lambda d, o: F.abs(d - o)),
+                    F.lit(0.0), lambda a, e: F.greatest(a, e)).alias("err"),
+        F.array_max("qvec").alias("hi"), F.array_min("qvec").alias("lo"),
+        "qscale").collect()
+    for r in rows:
+        assert r.err <= r.qscale / 2 * (1 + 1e-12)
+        assert -127 <= r.lo <= r.hi <= 127

@@ -108,3 +108,59 @@ def test_dedup_lines_plan_is_hash_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 6, plan
+
+
+def test_ivf_lists_plan_is_shuffle_free(spark):
+    """The full-corpus IVF list assignment must stay a narrow map: the
+    centroid matrix is a literal, argmax is array_sort — NO Exchange, NO
+    Join, NO Window may appear in the lists plan (the round-4 rewrite;
+    a regression re-introduces a corpus shuffle at 100 TB)."""
+    import numpy as np
+    from flood_data_spark.datapipe.similarity import ivf_build
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    _, lists = ivf_build(emb, nlist=4)
+    plan = lists._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "Join", "Window"):
+        assert node not in plan, f"lists plan grew a {node}:\n{plan}"
+
+
+def test_quantized_topk_prunes_topk_before_exchange(spark):
+    """Rank-limit pushdown: WindowGroupLimit must run in Partial mode below
+    the query_id exchange, so the shuffle carries <= k rows per (partition,
+    query) instead of the full scored cross product."""
+    import numpy as np
+    from flood_data_spark.datapipe.quantize import cosine_topk_quantized
+
+    rng = np.random.default_rng(6)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    out = cosine_topk_quantized(emb, emb.filter("vec_id < 3"), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    head = plan.split("Exchange hashpartitioning(query_id")[-1]
+    # a Partial WindowGroupLimit must exist BELOW (after, in toString order)
+    # the query_id exchange
+    assert "WindowGroupLimit" in head and "Partial" in head
+
+
+def test_zorder_write_plan_single_range_exchange(spark, tmp_path):
+    """zorder_write = exactly one rangepartitioning exchange (the clustering
+    shuffle) + local sort; a second exchange means the write is paying the
+    layout twice."""
+    from flood_data_spark.functions.keys import with_morton_key
+
+    grid = spark.range(1000).select(
+        (F.col("id") % 40 * 0.05 + 0.025).alias("latitude"),
+        (F.floor(F.col("id") / 40) * 0.05 + 0.025).alias("longitude"))
+    keyed = (with_morton_key(grid, resolution=0.05, out_col="_zk")
+             .repartitionByRange(8, "_zk")
+             .sortWithinPartitions("_zk")
+             .drop("_zk"))
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 0

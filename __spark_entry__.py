@@ -51,6 +51,7 @@ from flood_data_spark.datapipe.curation import (
     with_shuffle_key,
 )
 from flood_data_spark.datapipe.text import (
+    build_vocab,
     repetition_signals,
     tfidf_topk,
     with_fingerprint,
@@ -807,6 +808,15 @@ def q_hll_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["doc_id", "lang", "source"])
 
 
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.11 text: frequency-ranked vocabulary with deterministic
+    contiguous ids — the corpus→tokenizer id-assignment step; ranking window
+    input is vocabulary-bounded, never corpus-bounded
+    (datapipe/text.build_vocab)."""
+    return build_vocab(_t(spark, sf_dir, "documents"),
+                       max_vocab=200, min_count=5)
+
+
 def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.11 sketches family: vocabulary-bounded heavy hitters —
     tokens covering ≥1% of all token positions; the shuffle carries one row
@@ -1197,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantized_topk": q_quantized_topk,
         "q_hll_contract": q_hll_contract,
         "q_heavy_tokens": q_heavy_tokens,
+        "q_vocab": q_vocab,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_dups": q_simhash_dups,
         "q_lsh_topk": q_lsh_topk,
@@ -2091,6 +2102,21 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS doc_id_hll_ok, TRUE AS lang_hll_ok,
                    TRUE AS source_hll_ok
             FROM documents
+        """,
+        "q_vocab": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+                FROM documents),
+            counts AS (
+                SELECT token, count(*) AS cnt
+                FROM toks WHERE token != ''
+                GROUP BY token HAVING count(*) >= 5)
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1
+                        AS INT) AS token_id,
+                   CAST(cnt AS BIGINT) AS count
+            FROM counts
+            QUALIFY token_id < 200
         """,
         "q_heavy_tokens": """
             WITH toks AS (

@@ -190,3 +190,32 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     dedup)."""
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.md5(normalized))
+
+
+def build_vocab(df: DataFrame, text_col: str = "text",
+                max_vocab: int | None = None,
+                min_count: int = 1) -> DataFrame:
+    """Frequency-ranked vocabulary with deterministic contiguous ids:
+    (token, token_id, count), token_id 0-based by (count desc, token asc).
+
+    The explode→groupBy stage partial-aggregates map-side (shuffle carries
+    one row per distinct token per partition — vocabulary-bounded).  The
+    global ranking window necessarily runs on a single partition, but its
+    input is the post-`min_count` VOCABULARY (≤ ~1M narrow rows even at
+    100 TB corpora), not the corpus; this is the standard id-assignment
+    shape and the only total order in the plan.
+    """
+    from pyspark.sql import Window
+
+    toks = (df.select(F.explode(
+        F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"))
+        .filter(F.col("token") != ""))
+    counts = (toks.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("count"))
+              .filter(F.col("count") >= min_count))
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    vocab = counts.select(
+        "token", (F.row_number().over(w) - 1).alias("token_id"), "count")
+    if max_vocab is not None:
+        vocab = vocab.filter(F.col("token_id") < max_vocab)
+    return vocab

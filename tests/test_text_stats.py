@@ -92,3 +92,20 @@ def test_containment_short_docs_have_no_row(spark):
                                     "doc_id long, text string")
     out = ngram_containment(train, evalset, n=8)
     assert [r.doc_id for r in out.collect()] == [1]  # len("tiny") < 8
+
+
+def test_build_vocab_ids_deterministic_and_truncated(spark):
+    from flood_data_spark.datapipe.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a d  d"), (2, " ")],
+        "doc_id long, text string")
+    rows = {r.token: r for r in build_vocab(df).collect()}
+    # counts: a=3 b=3 d=2 c=1 -> ties broken by token asc: a(0) b(1) d(2) c(3)
+    assert (rows["a"].token_id, rows["b"].token_id,
+            rows["d"].token_id, rows["c"].token_id) == (0, 1, 2, 3)
+    # r["count"]: attribute access collides with Row.count() the method
+    assert rows["a"]["count"] == 3 and rows["d"]["count"] == 2
+    top2 = build_vocab(df, max_vocab=2).collect()
+    assert sorted(r.token for r in top2) == ["a", "b"]
+    assert build_vocab(df, min_count=3).count() == 2

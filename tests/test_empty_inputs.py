@@ -101,3 +101,30 @@ def test_empty_curation_lines_and_splits(spark):
     assert assign_split(docs, {"train": 1.0}).count() == 0
     assert stratified_sample(docs, {"src0": 0.5}).count() == 0
     assert with_shuffle_key(docs).count() == 0
+
+
+def test_round4_operators_on_empty_inputs(spark):
+    """Empty frames flow through the round-4 operators without error and
+    produce empty (or degenerate-but-typed) results."""
+    from flood_data_spark.datapipe.quantize import quantize_embeddings
+    from flood_data_spark.datapipe.sketches import (
+        corpus_distinct_stats, token_heavy_hitters)
+    from flood_data_spark.functions.keys import with_morton_key
+    from flood_data_spark.operators.timeseries import resample_ffill
+    from flood_data_spark.datapipe.text import build_vocab
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert quantize_embeddings(empty_emb).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert token_heavy_hitters(empty_docs).count() == 0
+    assert build_vocab(empty_docs).count() == 0
+    stats = corpus_distinct_stats(empty_docs, ["doc_id"]).collect()[0]
+    assert stats.n_rows == 0 and stats.doc_id_approx_distinct == 0
+
+    empty_grid = spark.createDataFrame(
+        [], "latitude double, longitude double")
+    assert with_morton_key(empty_grid).count() == 0
+
+    empty_ts = spark.createDataFrame([], "k string, step int, v double")
+    assert resample_ffill(empty_ts, "k", "step", "v").count() == 0

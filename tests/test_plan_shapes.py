@@ -164,3 +164,24 @@ def test_zorder_write_plan_single_range_exchange(spark, tmp_path):
     plan = keyed._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange rangepartitioning") == 1
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_ivf_probe_gets_dynamic_partition_pruning(spark, tmp_path):
+    """Probing a lists table persisted partitionBy(list_id): the broadcast
+    probe side must inject a dynamic-partition-pruning filter into the lists
+    scan, so only the nprobe matching list partitions are read — the claim
+    behind 'persist lists partitioned by list_id' in ivf_build's contract."""
+    import numpy as np
+    from flood_data_spark.datapipe.similarity import ivf_build, ivf_probe
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(500)],
+        "vec_id long, embedding array<double>")
+    centroids, lists = ivf_build(emb, nlist=8)
+    path = str(tmp_path / "lists")
+    lists.write.partitionBy("list_id").parquet(path)
+    out = ivf_probe(centroids, spark.read.parquet(path),
+                    emb.filter("vec_id < 2"), k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

@@ -453,13 +453,44 @@ def ivf_build(corpus: DataFrame,
     return centroids, lists
 
 
+def quantize_index(lists: DataFrame,
+                   vec_col: str = "neighbor_id_vec") -> DataFrame:
+    """IVF-SQ8: re-encode the inverted lists with symmetric per-vector int8
+    codes (datapipe.quantize) — the persisted index shrinks ~8× (the lists
+    table IS the index cost at 100 TB), and `ivf_probe` detects the codes
+    and dequantizes inline during scoring::
+
+        centroids, lists = ivf_build(corpus, nlist=4096)
+        quantize_index(lists).write.partitionBy("list_id").parquet(idx)
+
+    Ranking error is bounded by the scalar-quantization noise
+    (q_ivf_sq8_recall contract)."""
+    from flood_data_spark.datapipe.quantize import quantize_embeddings
+
+    q = quantize_embeddings(lists, vec_col=vec_col,
+                            q_col=vec_col + "_q", scale_col=vec_col + "_s")
+    return q.drop(vec_col)
+
+
 def ivf_probe(centroids: DataFrame, lists: DataFrame, queries: DataFrame,
               k: int = 5, nprobe: int = 4,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF search against a prebuilt (centroids, lists) index: each query
     probes its nprobe nearest centroids, candidates come from an equi-join
     on list_id, exact cosine re-ranks.  Search cost ~O(|corpus| · nprobe /
-    nlist) per query, independent of the k-means fit (`ivf_build`)."""
+    nlist) per query, independent of the k-means fit (`ivf_build`).
+
+    Accepts full-precision lists (`neighbor_id_vec`) or the int8-encoded
+    form from `quantize_index` (`neighbor_id_vec_q` + `_s`), dequantized
+    inline — same plan, 8× fewer index bytes scanned."""
+    if "neighbor_id_vec" not in lists.columns and \
+            "neighbor_id_vec_q" in lists.columns:
+        from flood_data_spark.datapipe.quantize import dequantize_col
+        lists = (lists.withColumn(
+            "neighbor_id_vec",
+            dequantize_col(F.col("neighbor_id_vec_q"),
+                           F.col("neighbor_id_vec_s")))
+            .drop("neighbor_id_vec_q", "neighbor_id_vec_s"))
     probes = _ivf_assign(queries, "query_id", nprobe, centroids,
                          id_col, vec_col)
     # (query, neighbor) pairs are already unique: ivf_build assigns each

@@ -112,3 +112,33 @@ def test_near_dup_lsh_path_has_no_all_pairs_join(spark, emb):
     # recall should be high
     assert a <= e
     assert len(a) >= int(0.8 * len(e))
+
+
+def test_ivf_sq8_index_roundtrip_and_recall(spark, emb, tmp_path):
+    """quantize_index shrinks the persisted lists to int8 codes; probing the
+    quantized index from parquet matches the full-precision probe on the
+    well-separated cluster corpus (quantization noise << cluster margins)."""
+    from flood_data_spark.datapipe.similarity import quantize_index
+
+    centroids, lists = ivf_build(emb, nlist=3)
+    path = str(tmp_path / "sq8")
+    quantize_index(lists).write.partitionBy("list_id").parquet(path)
+    back = spark.read.parquet(path)
+    [qf] = [f for f in back.schema.fields if f.name == "neighbor_id_vec_q"]
+    assert qf.dataType.elementType.typeName() == "byte"
+    assert "neighbor_id_vec" not in back.columns
+
+    queries = emb.filter("vec_id < 6")
+    full = ivf_probe(centroids, lists, queries, k=3, nprobe=3)
+    sq8 = ivf_probe(centroids, back, queries, k=3, nprobe=3)
+    f = {(r.query_id, r.rank): r.cosine for r in full.collect()}
+    s = {(r.query_id, r.rank): r.cosine for r in sq8.collect()}
+    assert set(f) == set(s)
+    # in-cluster neighbors are near-ties, so int8 noise may swap ids at a
+    # given rank — the guarantee is on SCORES: the r-th best quantized
+    # cosine sits within quantization noise of the r-th best exact cosine
+    assert all(abs(f[key] - s[key]) <= 0.02 for key in f), (f, s)
+    # id overlap still high in aggregate
+    fid = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    sid = {(r.query_id, r.neighbor_id) for r in sq8.collect()}
+    assert len(fid & sid) / len(fid) >= 0.7

@@ -283,6 +283,22 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_lookup(_grid_cells(spark, sf_dir), 5.03, 0.31)
 
 
+def q_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 J8 batch form: N serving points resolved in ONE
+    grid-index equi-join (operators/serving.batch_point_lookup) instead of
+    N pushdown scans — points derived from nation keys, cells from part
+    keys, both sides floor-snapped to the 0.05° grid."""
+    from flood_data_spark.operators.serving import batch_point_lookup
+
+    points = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") * 0.25 + 0.01).alias("latitude"),
+        ((F.col("n_nationkey") % 3) * 0.15 + 0.02).alias("longitude"),
+        F.col("n_nationkey").alias("point_id"))
+    out = batch_point_lookup(_grid_cells(spark, sf_dir), points)
+    return out.select("point_id", "query_latitude", "query_longitude",
+                      "partkey", "latitude", "longitude", "val")
+
+
 def q_morton_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale layout (SURVEY §2.11 / plans.scale.zorder_write): Z-order
     (Morton) key over grid-cell centers — bit-interleaved integer grid
@@ -1175,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_peak_timing": q_peak_timing,
         "q_wkt_geometry": q_wkt_geometry,
         "q_morton_key": q_morton_key,
+        "q_batch_lookup": q_batch_lookup,
         "q_round_join": q_round_join,
         "q_point_lookup": q_point_lookup,
         "q_neighborhood": q_neighborhood,
@@ -1357,6 +1374,26 @@ def oracle_sql() -> dict[str, str]:
                         WHEN step > 3 AND max_2y_start < 0.30 THEN 'GC'
                         ELSE 'GB' END AS peak_timing
             FROM win WHERE rn = 1
+        """,
+        "q_batch_lookup": """
+            WITH cells AS (
+                SELECT p_partkey AS partkey,
+                       CAST(round(0.025 + (p_partkey % 200) * 0.05, 3) AS DOUBLE) AS latitude,
+                       CAST(round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT) % 200) * 0.05, 3) AS DOUBLE) AS longitude,
+                       p_retailprice AS val
+                FROM part),
+            points AS (
+                SELECT n_nationkey * 0.25 + 0.01 AS query_latitude,
+                       (n_nationkey % 3) * 0.15 + 0.02 AS query_longitude,
+                       n_nationkey AS point_id
+                FROM nation)
+            SELECT point_id, query_latitude, query_longitude,
+                   partkey, latitude, longitude, val
+            FROM cells c JOIN points p
+              ON CAST(floor(c.latitude / 0.05) AS BIGINT)
+                 = CAST(floor(p.query_latitude / 0.05) AS BIGINT)
+             AND CAST(floor(c.longitude / 0.05) AS BIGINT)
+                 = CAST(floor(p.query_longitude / 0.05) AS BIGINT)
         """,
         "q_morton_key": """
             WITH cells AS (

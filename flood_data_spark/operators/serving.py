@@ -91,3 +91,33 @@ def neighborhood_lookup(cells_df: DataFrame, lat: float, lon: float,
     if not include_primary:
         out = out.filter(~F.col(flag_col)).drop(flag_col)
     return out
+
+
+def batch_point_lookup(cells_df: DataFrame, points_df: DataFrame,
+                       grid_size: float | None = None,
+                       lat_col: str = "latitude",
+                       lon_col: str = "longitude",
+                       point_lat_col: str = "latitude",
+                       point_lon_col: str = "longitude") -> DataFrame:
+    """Resolve MANY query points to their containing cells in one job: both
+    sides get an integer grid index (floor snap — same east/north edge
+    semantics as `point_lookup`) and meet in a broadcast equi-join, so N
+    points cost one pass over the cells instead of N pushdown scans.
+
+    Output: every point column (point coords prefixed `query_`) + the
+    matched cell's row; points outside the grid drop out (inner join —
+    the per-point analog of the reference's empty intersects result).
+    """
+    from flood_data_spark.functions.keys import grid_index
+
+    g = grid_size if grid_size is not None else DEFAULT_CONFIG.resolution
+    cells = (cells_df.withColumn("_glat", grid_index(lat_col, g))
+             .withColumn("_glon", grid_index(lon_col, g)))
+    renamed = points_df
+    for c in (point_lat_col, point_lon_col):
+        renamed = renamed.withColumnRenamed(c, "query_" + c)
+    points = (renamed
+              .withColumn("_glat", grid_index("query_" + point_lat_col, g))
+              .withColumn("_glon", grid_index("query_" + point_lon_col, g)))
+    return (cells.join(F.broadcast(points), ["_glat", "_glon"])
+            .drop("_glat", "_glon"))

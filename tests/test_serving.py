@@ -73,3 +73,27 @@ def test_point_lookup_predicate_pushes_down(spark, tmp_path):
     plan = point_lookup(df, 0.26, 0.12)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(latitude,0.25)" in plan
+
+
+def test_batch_point_lookup_matches_single_lookups(spark):
+    from flood_data_spark.operators.serving import (
+        batch_point_lookup, point_lookup)
+
+    cells = spark.createDataFrame(
+        [(round(0.025 + i * 0.05, 3), round(0.025 + j * 0.05, 3),
+          float(i * 100 + j))
+         for i in range(10) for j in range(10)],
+        "latitude double, longitude double, val double")
+    pts = spark.createDataFrame(
+        [(0.03, 0.01), (0.26, 0.26), (0.499, 0.499), (99.0, 99.0)],
+        "latitude double, longitude double")
+
+    out = batch_point_lookup(cells, pts).collect()
+    got = {(r.query_latitude, r.query_longitude): (r.latitude, r.longitude)
+           for r in out}
+    # out-of-grid point drops; others match the single-point operator
+    assert len(got) == 3 and (99.0, 99.0) not in got
+    for (qla, qlo), cell in got.items():
+        single = point_lookup(cells, qla, qlo).collect()
+        assert len(single) == 1
+        assert (single[0].latitude, single[0].longitude) == cell

@@ -247,3 +247,68 @@ def filter_by_size(media_df: DataFrame, min_bytes: int = 1,
                    max_bytes: int = 50 * 1024 * 1024) -> DataFrame:
     """Metadata-only gate: runs native (pushdown-friendly), payload untouched."""
     return media_df.filter(F.col("n_bytes").between(min_bytes, max_bytes))
+
+
+# ---------------------------------------------------------------------------
+# Text-encoder plumbing (documents -> embeddings bridge)
+
+TEXT_EMBEDDING_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("embedding", ArrayType(FloatType()), True),
+])
+
+
+def encode_text_stub(texts: "pd.Series") -> np.ndarray:
+    """Real-model seam: swap in a sentence-transformer / API call here.
+    Not available in this container."""
+    raise NotImplementedError("no text encoder in this environment")
+
+
+def fake_text_encoder(dim: int = 16) -> Callable:
+    """Deterministic fake encoder: per-document hash seeds a per-row RNG, so
+    the 'embedding' depends only on the text — stable across runs,
+    partitionings, and batch boundaries (the property the tests pin)."""
+    import hashlib
+    import struct
+
+    def encode(texts: "pd.Series") -> np.ndarray:
+        out = np.empty((len(texts), dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            # md5, NOT hash(): the builtin is salted per interpreter
+            # (PYTHONHASHSEED), which would make embeddings differ across
+            # executors — exactly the nondeterminism the tests pin against
+            (seed,) = struct.unpack(
+                "<Q", hashlib.md5(str(t).encode()).digest()[:8])
+            out[i] = np.random.default_rng(seed).normal(0, 1, dim)
+        return out
+    return encode
+
+
+def embed_text(docs_df: DataFrame, encoder: Callable,
+               text_col: str = "text", id_col: str = "doc_id",
+               batch_rows: int = 256) -> DataFrame:
+    """documents → (doc_id, embedding) through ONE mapInPandas boundary.
+
+    The encoder sees pandas Series batches of at most `batch_rows` texts
+    (re-chunked inside the Arrow batch: encoder peak memory is bounded by
+    batch_rows × dim regardless of maxRecordsPerBatch), and only (id, text)
+    cross to Python — project other columns away before the boundary, join
+    features back on doc_id after.  Compose downstream with
+    datapipe.quantize / similarity exactly like the stored embeddings
+    table.
+    """
+    narrow = docs_df.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("_text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo:lo + batch_rows]
+                vecs = encoder(chunk["_text"])
+                yield pd.DataFrame({
+                    "doc_id": chunk["doc_id"].to_numpy(),
+                    "embedding": [np.asarray(v, dtype=np.float32)
+                                  for v in vecs],
+                })
+
+    return narrow.mapInPandas(run, TEXT_EMBEDDING_SCHEMA)

@@ -121,3 +121,36 @@ def test_audio_features_and_resize(spark, tmp_path):
         decode_audio_stub(b"RIFF")
     with pytest.raises(NotImplementedError):
         resize_image_stub(b"PNG", 2, 2)
+
+
+def test_embed_text_deterministic_and_partition_independent(spark):
+    from flood_data_spark.datapipe.multimodal import (
+        embed_text, fake_text_encoder)
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i % 7}") for i in range(100)],
+        "doc_id long, text string")
+    enc = fake_text_encoder(dim=8)
+    a = {r.doc_id: r.embedding for r in embed_text(docs, enc).collect()}
+    b = {r.doc_id: r.embedding
+         for r in embed_text(docs.repartition(7), enc, batch_rows=3).collect()}
+    assert a == b                       # layout/batching never changes values
+    assert len(a) == 100 and all(len(v) == 8 for v in a.values())
+    # same text -> same embedding (encoder is content-addressed)
+    assert a[0] == a[7] and a[1] != a[2]
+
+
+def test_embed_text_composes_with_quantize_and_topk(spark):
+    from flood_data_spark.datapipe.multimodal import (
+        embed_text, fake_text_encoder)
+    from flood_data_spark.datapipe.quantize import quantize_embeddings
+    from flood_data_spark.datapipe.similarity import cosine_topk_bruteforce
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(30)], "doc_id long, text string")
+    emb = embed_text(docs, fake_text_encoder(dim=8)) \
+        .withColumnRenamed("doc_id", "vec_id")
+    q = quantize_embeddings(emb)
+    assert q.filter("size(qvec) != 8").count() == 0
+    top = cosine_topk_bruteforce(emb, emb.filter("vec_id < 3"), k=2)
+    assert top.count() == 6

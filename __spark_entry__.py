@@ -66,7 +66,11 @@ from flood_data_spark.datapipe.quantize import (
     cosine_topk_quantized,
     quantize_embeddings,
 )
-from flood_data_spark.datapipe.sketches import hll_contract, token_heavy_hitters
+from flood_data_spark.datapipe.sketches import (
+    corpus_report,
+    hll_contract,
+    token_heavy_hitters,
+)
 from flood_data_spark.operators.grid import upstream_mask
 from flood_data_spark.operators.intensity import flood_intensity
 from flood_data_spark.operators.peak_timing import flood_peak_timing
@@ -824,6 +828,13 @@ def q_hll_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["doc_id", "lang", "source"])
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.11 sketches: long-format corpus summary — ONE scan, one
+    single-row agg, `stack`-unpivoted to (metric, value) rows
+    (datapipe/sketches.corpus_report)."""
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.11 text: frequency-ranked vocabulary with deterministic
     contiguous ids — the corpus→tokenizer id-assignment step; ranking window
@@ -1247,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_contract": q_hll_contract,
         "q_heavy_tokens": q_heavy_tokens,
         "q_vocab": q_vocab,
+        "q_corpus_report": q_corpus_report,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_dups": q_simhash_dups,
         "q_lsh_topk": q_lsh_topk,
@@ -2162,6 +2174,23 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS doc_id_hll_ok, TRUE AS lang_hll_ok,
                    TRUE AS source_hll_ok
             FROM documents
+        """,
+        "q_corpus_report": """
+            WITH a AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(length(text)) AS DOUBLE) AS total_chars,
+                       CAST(round(avg(length(text)), 6) AS DOUBLE) AS avg_chars,
+                       CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS n_blank,
+                       CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+                       CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs
+                FROM documents)
+            SELECT 'n_docs' AS metric, n_docs AS value FROM a
+            UNION ALL SELECT 'total_chars', total_chars FROM a
+            UNION ALL SELECT 'avg_chars', avg_chars FROM a
+            UNION ALL SELECT 'n_blank', n_blank FROM a
+            UNION ALL SELECT 'n_sources', n_sources FROM a
+            UNION ALL SELECT 'n_langs', n_langs FROM a
         """,
         "q_vocab": """
             WITH toks AS (

@@ -77,3 +77,28 @@ def token_heavy_hitters(df: DataFrame, text_col: str = "text",
                     F.round(F.col("occurrences") / F.col("_total"), 6)
                     .alias("fraction"))
             .orderBy(F.desc("occurrences"), F.asc("token")))
+
+
+def corpus_report(df: DataFrame, text_col: str = "text",
+                  lang_col: str = "lang",
+                  source_col: str = "source") -> DataFrame:
+    """Long-format corpus summary: (metric, value) rows from ONE scan —
+    the ops artifact a curation run logs next to its output.  All metrics
+    are conditional aggregates of a single groupBy-less agg (one partial-
+    agg pass, one single-row merge), unpivoted JVM-side with `stack`."""
+    t = F.trim(F.col(text_col))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+        F.round(F.avg(F.length(text_col)), 6).alias("avg_chars"),
+        F.sum((t == "").cast("long")).alias("n_blank"),
+    ]
+    # lang/source are conventions, not requirements — report what exists
+    if source_col in df.columns:
+        aggs.append(F.countDistinct(source_col).alias("n_sources"))
+    if lang_col in df.columns:
+        aggs.append(F.countDistinct(lang_col).alias("n_langs"))
+    agg = df.agg(*aggs)
+    n = len(agg.columns)
+    pairs = ", ".join(f"'{c}', cast({c} as double)" for c in agg.columns)
+    return agg.select(F.expr(f"stack({n}, {pairs}) as (metric, value)"))

@@ -52,3 +52,16 @@ def test_token_heavy_hitters_exact_truth(spark, docs):
 def test_token_heavy_hitters_empty_text(spark):
     df = spark.createDataFrame([(0, " "), (1, "")], "doc_id long, text string")
     assert token_heavy_hitters(df, min_fraction=0.01).count() == 0
+
+
+def test_corpus_report_long_format(spark, docs):
+    from flood_data_spark.datapipe.sketches import corpus_report
+
+    rows = {r.metric: r.value for r in corpus_report(docs).collect()}
+    assert rows["n_docs"] == 2000.0
+    assert rows["n_sources"] == 7.0
+    assert rows["n_blank"] == 0.0
+    assert rows["total_chars"] > 0
+    # fixture has no lang column -> n_langs reported only when present
+    assert set(rows) == {"n_docs", "total_chars", "avg_chars", "n_blank",
+                         "n_sources"}

@@ -51,8 +51,10 @@ from flood_data_spark.datapipe.curation import (
     with_shuffle_key,
 )
 from flood_data_spark.datapipe.text import (
+    bpe_token_count,
     build_vocab,
     repetition_signals,
+    token_count,
     tfidf_topk,
     with_fingerprint,
     with_lang_id,
@@ -919,6 +921,20 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "split"))
 
 
+def q_split_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.11 assembly: the dataset-card accounting step — per split:
+    document count, whitespace-token and BPE-ish token budgets, char
+    volume.  One groupBy over the deterministic split assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    split = assign_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (split
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_count(F.col("text"))).alias("ws_tokens"),
+                 F.sum(bpe_token_count(F.col("text"))).alias("bpe_tokens"),
+                 F.sum(F.length("text")).alias("n_chars")))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum sampling rates (corpus mixing: keep all of src0, none
     of src1, 40% of everything else) via the engine-portable md5 cut."""
@@ -1234,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_cross": q_jaccard_cross,
         "q_hash_sample": q_hash_sample,
         "q_split_assign": q_split_assign,
+        "q_split_budget": q_split_budget,
         "q_stratified_sample": q_stratified_sample,
         "q_shuffle_key": q_shuffle_key,
         "q_clean_lines": q_clean_lines,
@@ -2344,6 +2361,26 @@ def oracle_sql() -> dict[str, str]:
         # the checkable side: exact ground-truth aggregates recomputed here
         # for real, plus TRUE assertions on the recall/precision/
         # completeness booleans Spark derives from the actual sketch output.
+        "q_split_budget": """
+            WITH split AS (
+                SELECT *,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                                 < 'cccc' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                                 < 'e666' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents)
+            SELECT split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                            END) AS BIGINT) AS ws_tokens,
+                   CAST(sum(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')))
+                        AS BIGINT) AS bpe_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars
+            FROM split GROUP BY split
+        """,
         "q_split_assign": """
             -- cumulative cuts: 0.8 -> 0xcccc, 0.9 -> 0xe666; the last
             -- label takes the remainder

@@ -111,6 +111,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, NOT `/`: float division of ns-epoch longs loses the
         # low bits past double precision (observed +1 µs drift)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Spark 4 reads timezone-less parquet timestamps (timestamp[us], no tz)
+    # as TIMESTAMP_NTZ, which unix_micros()/range frames reject.  Under the
+    # UTC session pinned above, casting NTZ -> TIMESTAMP (LTZ) is
+    # value-identical to DuckDB's naive-µs TIMESTAMP reading.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -1941,11 +1948,14 @@ def oracle_sql() -> dict[str, str]:
                             ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
                        END AS n_tokens
                 FROM documents)
+            -- CAST to BIGINT: DuckDB's window sum(BIGINT) is HUGEINT, and
+            -- HUGEINT-derived columns surface as float64 through pandas —
+            -- the r4/r5 hash divergence vs Spark's integer pack_id
             SELECT doc_id, source, n_tokens,
-                   coalesce(sum(n_tokens) OVER (
+                   CAST(coalesce(sum(n_tokens) OVER (
                        PARTITION BY source ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   // 256 AS pack_id
+                   // 256 AS BIGINT) AS pack_id
             FROM toks
         """,
         "q_cap_per_source": """
@@ -2598,11 +2608,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM toks
                 WHERE n_tokens >= 8
                   AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc')
+            -- CAST as in q_pack_sequences: HUGEINT window sum -> float64
+            -- through pandas, diverging from Spark's integer hash
             SELECT doc_id, source, n_tokens, n_lines_kept,
-                   coalesce(sum(n_tokens) OVER (
+                   CAST(coalesce(sum(n_tokens) OVER (
                        PARTITION BY source ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   // 64 AS pack_id
+                   // 64 AS BIGINT) AS pack_id
             FROM train
         """,
         "q_minhash_recall": """

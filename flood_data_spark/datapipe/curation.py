@@ -107,10 +107,14 @@ def pack_sequences(df: DataFrame, token_budget: int,
          if parts else Window.orderBy(order_col))
     cum_before = (F.sum(F.col(token_col)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)))
-    return df.withColumn(
-        "pack_id",
-        (F.coalesce(cum_before, F.lit(0)) / token_budget)
-        .cast("long"))
+    # integer `div`, not `/`+cast: double division of a long cumulative sum
+    # loses bits past 2^53 — reachable for corpus-scale token counts
+    return (df
+            .withColumn("_cum_before",
+                        F.coalesce(cum_before, F.lit(0)).cast("long"))
+            .withColumn("pack_id",
+                        F.expr(f"_cum_before div {int(token_budget)}"))
+            .drop("_cum_before"))
 
 
 # ASCII-class patterns so the Java-regex (Spark) and RE2 (SQL oracles)

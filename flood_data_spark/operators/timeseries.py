@@ -18,6 +18,17 @@ from pyspark.sql import functions as F
 _LEFT, _RIGHT = 0, 1
 
 
+def _us(col):
+    """µs-epoch of a timestamp column, NTZ-tolerant.
+
+    Spark 4 surfaces timezone-less parquet timestamps as TIMESTAMP_NTZ,
+    which ``unix_micros`` rejects; casting to TIMESTAMP first is a no-op
+    on LTZ inputs and interprets NTZ in the session timezone — consistent
+    within a query, and exact for the differences these operators take.
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, on, left_ts: str = "ts",
               right_ts: str = "ts", right_cols=None, suffix: str = "_right",
               tolerance_seconds: int | None = None) -> DataFrame:
@@ -69,8 +80,7 @@ def asof_join(left: DataFrame, right: DataFrame, on, left_ts: str = "ts",
     if tolerance_seconds is not None:
         # µs arithmetic: second-truncated casts would keep matches up to
         # ~1s staler than the tolerance at the boundary
-        in_window = (F.unix_micros(F.col("_ts"))
-                     - F.unix_micros(F.col("_match_ts"))
+        in_window = (_us(F.col("_ts")) - _us(F.col("_match_ts"))
                      ) <= tolerance_seconds * 1_000_000
         filled = (filled
                   .withColumn("_match", F.when(in_window, F.col("_match")))
@@ -98,8 +108,7 @@ def sessionize(events: DataFrame, key_col: str = "user_id",
     w = Window.partitionBy(key_col).orderBy(*order)
     # microsecond arithmetic: second-truncated casts would disagree with
     # µs-precision engines exactly at the gap boundary
-    gap_us = (F.unix_micros(F.col(ts_col))
-              - F.unix_micros(F.lag(F.col(ts_col)).over(w)))
+    gap_us = (_us(F.col(ts_col)) - _us(F.lag(F.col(ts_col)).over(w)))
     with_ids = (events
                 .withColumn("_new",
                             F.when(gap_us.isNull()

@@ -98,12 +98,28 @@ def main():
             o = con.execute(oracles[name])
             o_cols = [d[0] for d in o.description]
             o_rows = o.fetchall()
+            # typed view: HUGEINT-derived columns (e.g. a window sum(BIGINT))
+            # surface as float64 through pandas even when every value is an
+            # integer — the driver's comparator sees 3.0 vs Spark's 3 and
+            # hash-fails while this script's stringified compare passes
+            # (the r4/r5 q_pack_sequences divergence).  Flag any column
+            # that is float in pandas but integral on the Spark side.
+            o_pdtypes = dict(con.execute(oracles[name]).fetchdf().dtypes
+                             .astype(str))
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
         problems = []
+        s_types = dict(sdf.dtypes)
+        for c in s_types:
+            if (s_types[c] in ("bigint", "int", "smallint", "tinyint")
+                    and o_pdtypes.get(c, "").startswith("float")):
+                problems.append(
+                    f"typed mismatch: {c} is {s_types[c]} on Spark but "
+                    f"{o_pdtypes[c]} via DuckDB->pandas (cast the oracle "
+                    f"column to BIGINT)")
         if len(s_rows) != len(o_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(o_rows)}")
         if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):

@@ -147,3 +147,48 @@ def test_resample_ffill_null_before_first_observation(spark):
     assert out[1].v is None          # nothing to carry yet
     assert out[2].v is None
     assert out[3].v == 7.0
+
+
+def test_ntz_timestamp_parquet(spark, tmp_path):
+    """Spark 4 reads timezone-less parquet timestamps as TIMESTAMP_NTZ;
+    sessionize/asof_join must tolerate it (regression: CORRECTNESS_r05
+    q_rolling/q_sessionize DATATYPE_MISMATCH on unix_micros(ntz))."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ntz.parquet")
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:10:00",
+                              "2024-01-01 02:00:00", "2024-01-01 00:00:00"]),
+    })
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    assert table.schema.field("ts").type == pa.timestamp("ns") or \
+        table.schema.field("ts").type.tz is None
+    pq.write_table(table.cast(pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),  # no tz -> Spark 4 TIMESTAMP_NTZ
+    ])), path)
+
+    df = spark.read.parquet(path)
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+
+    sessions = sessionize(df, key_col="user_id", ts_col="ts",
+                          gap_seconds=3600,
+                          order_tiebreak="event_id").collect()
+    by_key = {}
+    for r in sessions:
+        by_key.setdefault(r.user_id, []).append(r)
+    # user 1: events at 0:00/0:10 in one session, 2:00 opens a new one
+    assert len(by_key[1]) == 2 and len(by_key[2]) == 1
+    assert sorted(s.n_events for s in by_key[1]) == [1, 2]
+
+    # asof_join with tolerance exercises the other unix_micros site
+    left = df.select("user_id", "ts", "event_id")
+    right = df.select("user_id", "ts",
+                      F.col("event_id").alias("payload"))
+    out = asof_join(left, right, on="user_id",
+                    tolerance_seconds=1).collect()
+    assert all(r.payload_right is not None for r in out)

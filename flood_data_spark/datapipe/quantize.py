@@ -27,9 +27,12 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     """Attach (int8 codes, per-vector scale) for `vec_col`.
 
     Symmetric quantization: scale = max|v| / 127 so codes span the full
-    [-127, 127] range; an all-zero vector gets scale 1/127 (codes all 0,
-    dequantizes back to exact zeros).  The original column is kept —
-    drop it at persist time to realize the byte savings::
+    [-127, 127] range whatever the vector's magnitude — L2-normalized
+    embeddings routinely have max|v| << 1, so the floor on the scale is an
+    epsilon guard against the all-zero vector ONLY (codes all 0,
+    dequantizes back to exact zeros), never a clamp that would collapse
+    sub-unit vectors onto a few code levels.  The original column is
+    kept — drop it at persist time to realize the byte savings::
 
         quantize_embeddings(emb).drop("embedding").write.parquet(idx)
     """
@@ -37,7 +40,7 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     maxabs = F.aggregate(v, F.lit(0.0),
                          lambda acc, x: F.greatest(acc, F.abs(x)))
     out = df.withColumn(scale_col,
-                        F.greatest(maxabs, F.lit(1.0)) / F.lit(127.0))
+                        F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0))
     return out.withColumn(
         q_col,
         F.transform(_as_double(F.col(vec_col)),

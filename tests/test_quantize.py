@@ -67,3 +67,20 @@ def test_quantized_topk_recall_against_exact(spark, emb):
     # int8 on 16-dim gaussians: ranking perturbed only within quantization
     # noise -> overlap stays high
     assert len(e & a) / len(e) >= 0.9
+
+
+def test_full_code_range_on_subunit_vectors(spark):
+    """L2-normalized embeddings have max|v| < 1; the scale floor must be an
+    epsilon (all-zero guard), not a 1.0 clamp that collapses sub-unit
+    vectors onto a handful of code levels (ADVICE r5, high severity)."""
+    df = spark.createDataFrame(
+        [(1, [0.1, -0.05, 0.02]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    # max|v| = 0.1 -> scale = 0.1/127; the max component must hit code 127
+    assert max(abs(c) for c in rows[1].qvec) == 127
+    assert abs(rows[1].qscale - 0.1 / 127.0) < 1e-12
+    # all-zero vector: codes all zero, finite scale, exact reconstruction
+    assert all(c == 0 for c in rows[2].qvec)
+    deq = [c * rows[2].qscale for c in rows[2].qvec]
+    assert deq == [0.0, 0.0, 0.0]

@@ -308,7 +308,8 @@ def q_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_nationkey") % 3) * 0.15 + 0.02).alias("longitude"),
         F.col("n_nationkey").alias("point_id"))
     out = batch_point_lookup(_grid_cells(spark, sf_dir), points)
-    return out.select("point_id", "query_latitude", "query_longitude",
+    return out.select(F.col("query_point_id").alias("point_id"),
+                      "query_latitude", "query_longitude",
                       "partkey", "latitude", "longitude", "val")
 
 
@@ -1076,6 +1077,10 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_high_hit") == F.col("n_high")).alias("high_pairs_ok")))
 
 
+# test-harness bound for the quadratic truth side of the simhash contract
+_SIMHASH_CONTRACT_MAX_ROWS = 20_000
+
+
 def q_simhash_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completeness contract for the SimHash pigeonhole join: with
     chunks=16 > max_hamming=8, candidate generation provably misses
@@ -1084,6 +1089,16 @@ def q_simhash_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     set containment on (id_a, id_b, hamming), not just counts."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     sigs = simhash(docs).filter(F.col("simhash") != 0).cache()
+    # The brute-force ground-truth side is O(n²) BY DESIGN (it exists to
+    # prove the pigeonhole join complete) — hard-cap it so the contract can
+    # never be pointed at a corpus-scale input by accident.
+    n_sigs = sigs.count()
+    if n_sigs > _SIMHASH_CONTRACT_MAX_ROWS:
+        raise ValueError(
+            f"simhash completeness contract is quadratic in its input: "
+            f"{n_sigs} signatures exceeds the "
+            f"{_SIMHASH_CONTRACT_MAX_ROWS}-row harness cap; run it on a "
+            f"sample, the scale path is simhash_dup_pairs alone")
     a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
     brute = (a.join(b, F.col("id_a") < F.col("id_b"))

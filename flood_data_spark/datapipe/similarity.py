@@ -474,7 +474,8 @@ def quantize_index(lists: DataFrame,
 
 def ivf_probe(centroids: DataFrame, lists: DataFrame, queries: DataFrame,
               k: int = 5, nprobe: int = 4,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              broadcast_probes: bool = True) -> DataFrame:
     """IVF search against a prebuilt (centroids, lists) index: each query
     probes its nprobe nearest centroids, candidates come from an equi-join
     on list_id, exact cosine re-ranks.  Search cost ~O(|corpus| · nprobe /
@@ -482,7 +483,14 @@ def ivf_probe(centroids: DataFrame, lists: DataFrame, queries: DataFrame,
 
     Accepts full-precision lists (`neighbor_id_vec`) or the int8-encoded
     form from `quantize_index` (`neighbor_id_vec_q` + `_s`), dequantized
-    inline — same plan, 8× fewer index bytes scanned."""
+    inline — same plan, 8× fewer index bytes scanned.
+
+    ``broadcast_probes=True`` (default) assumes an interactive-size query
+    batch: the probe relation is |queries| × nprobe rows, each carrying one
+    query vector — fine to broadcast for thousands of queries, NOT for a
+    corpus-scale batch (a corpus-vs-corpus probe would OOM the driver
+    rather than degrade).  Pass False for bulk batches to fall back to a
+    shuffled equi-join on list_id."""
     if "neighbor_id_vec" not in lists.columns and \
             "neighbor_id_vec_q" in lists.columns:
         from flood_data_spark.datapipe.quantize import dequantize_col
@@ -495,10 +503,12 @@ def ivf_probe(centroids: DataFrame, lists: DataFrame, queries: DataFrame,
                          id_col, vec_col)
     # (query, neighbor) pairs are already unique: ivf_build assigns each
     # corpus vector to exactly ONE list and a query probes each list at most
-    # once — no distinct (a whole shuffle) needed.  The probe side is tiny
-    # (|queries| × nprobe) → broadcast it so candidate generation is a
-    # map-side join over the lists partitions.
-    scored = (F.broadcast(probes).join(lists, "list_id")
+    # once — no distinct (a whole shuffle) needed.  For interactive batches
+    # the probe side is tiny (|queries| × nprobe) → broadcast it so
+    # candidate generation is a map-side join over the lists partitions.
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    scored = (probes.join(lists, "list_id")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       F.round(cosine_similarity(F.col("query_id_vec"),

@@ -104,18 +104,20 @@ def batch_point_lookup(cells_df: DataFrame, points_df: DataFrame,
     semantics as `point_lookup`) and meet in a broadcast equi-join, so N
     points cost one pass over the cells instead of N pushdown scans.
 
-    Output: every point column (point coords prefixed `query_`) + the
-    matched cell's row; points outside the grid drop out (inner join —
-    the per-point analog of the reference's empty intersects result).
+    Output: every point column prefixed `query_` + the matched cell's row;
+    points outside the grid drop out (inner join — the per-point analog of
+    the reference's empty intersects result).  The blanket prefix (not just
+    the coordinate pair) keeps any point metadata column — id, label,
+    `val`, even a second `latitude` — from colliding with a cell column in
+    the join output.
     """
     from flood_data_spark.functions.keys import grid_index
 
     g = grid_size if grid_size is not None else DEFAULT_CONFIG.resolution
     cells = (cells_df.withColumn("_glat", grid_index(lat_col, g))
              .withColumn("_glon", grid_index(lon_col, g)))
-    renamed = points_df
-    for c in (point_lat_col, point_lon_col):
-        renamed = renamed.withColumnRenamed(c, "query_" + c)
+    renamed = points_df.select(
+        *[F.col(c).alias("query_" + c) for c in points_df.columns])
     points = (renamed
               .withColumn("_glat", grid_index("query_" + point_lat_col, g))
               .withColumn("_glon", grid_index("query_" + point_lon_col, g)))

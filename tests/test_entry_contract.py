@@ -81,3 +81,13 @@ def test_contract_twins_not_in_bench():
     # benching them would reintroduce the noisy exact path as a headline
     for twin in CONTRACT_TWIN.values():
         assert twin not in bench.BENCH_QUERIES
+
+
+def test_simhash_contract_row_cap(spark, monkeypatch):
+    """The contract's brute-force truth side is quadratic by design; it must
+    refuse corpus-scale inputs instead of running them."""
+    import pytest
+
+    monkeypatch.setattr(entry, "_SIMHASH_CONTRACT_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="quadratic"):
+        entry.q_simhash_contract(spark, "/root/testdata/sf0.001")

@@ -185,3 +185,22 @@ def test_ivf_probe_gets_dynamic_partition_pruning(spark, tmp_path):
                     emb.filter("vec_id < 2"), k=3, nprobe=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_ivf_probe_bulk_batch_falls_back_to_shuffle_join(spark):
+    """broadcast_probes=False (corpus-scale query batches): the probe/lists
+    join must become a shuffled join — no broadcast of the probe relation,
+    which at bulk scale would OOM the driver instead of degrading."""
+    import numpy as np
+    from flood_data_spark.datapipe.similarity import ivf_build, ivf_probe
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    centroids, lists = ivf_build(emb, nlist=4)
+    out = ivf_probe(centroids, lists, emb, k=3, nprobe=2,
+                    broadcast_probes=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan

@@ -97,3 +97,20 @@ def test_batch_point_lookup_matches_single_lookups(spark):
         single = point_lookup(cells, qla, qlo).collect()
         assert len(single) == 1
         assert (single[0].latitude, single[0].longitude) == cell
+
+
+def test_batch_point_lookup_colliding_columns(spark):
+    """Every point column is query_-prefixed, so a points_df column named
+    like a cell column (here `val`) can't collide in the join output."""
+    from flood_data_spark.operators.serving import batch_point_lookup
+
+    cells = spark.createDataFrame(
+        [(0.025, 0.025, 7.0)], "latitude double, longitude double, val double")
+    pts = spark.createDataFrame(
+        [(0.03, 0.01, 99.0)], "latitude double, longitude double, val double")
+    out = batch_point_lookup(cells, pts)
+    assert sorted(out.columns) == sorted(
+        ["latitude", "longitude", "val",
+         "query_latitude", "query_longitude", "query_val"])
+    row = out.collect()[0]
+    assert row.val == 7.0 and row.query_val == 99.0

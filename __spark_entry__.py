@@ -313,6 +313,27 @@ def q_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "partkey", "latitude", "longitude", "val")
 
 
+def q_nearest_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General nearest-neighbor reindex (reference filter_by_upstream.py:21-23
+    `method='nearest'` WITHOUT the aligned-grids assumption): serving points
+    offset arbitrarily from the 0.05° cell grid each match their truly
+    nearest cell via the 3×3-bucket candidate join + deterministic argmin
+    (operators/grid.nearest_reindex) — never a cross join."""
+    from flood_data_spark.operators.grid import nearest_reindex
+
+    cells = _grid_cells(spark, sf_dir)
+    points = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("point_id"),
+        (F.col("n_nationkey") * 0.37 + 0.013).alias("latitude"),
+        ((F.col("n_nationkey") % 5) * 0.09 + 0.021).alias("longitude"))
+    out = nearest_reindex(points, cells, resolution=0.05)
+    return out.select(
+        "point_id", "latitude", "longitude",
+        "latitude_src", "longitude_src",
+        F.round("distance_src", 6).alias("distance_src"),
+        "partkey_src", "val_src")
+
+
 def q_morton_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale layout (SURVEY §2.11 / plans.scale.zorder_write): Z-order
     (Morton) key over grid-cell centers — bit-interleaved integer grid
@@ -1273,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_pack_sequences": q_pack_sequences,
         "q_curation_v2": q_curation_v2,
+        # --- new this round ---
+        "q_nearest_reindex": q_nearest_reindex,
         # --- long-stable greens rotate through the remaining slots ---
         "q_threshold_summary": q_threshold_summary,
         "q_threshold_summary_approx": q_threshold_summary_approx,
@@ -1964,6 +1987,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(substr(text, CAST(chunk_id * 96 + 1 AS INT), 120)) AS BIGINT)
                    AS chunk_chars
             FROM base
+        """,
+        "q_nearest_reindex": """
+            WITH cells AS (
+                SELECT p_partkey AS partkey,
+                       round(0.025 + (p_partkey % 200) * 0.05, 3) AS slat,
+                       round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT)
+                                      % 200) * 0.05, 3) AS slon,
+                       p_retailprice AS val
+                FROM part),
+            points AS (
+                SELECT n_nationkey AS point_id,
+                       n_nationkey * 0.37 + 0.013 AS latitude,
+                       (n_nationkey % 5) * 0.09 + 0.021 AS longitude
+                FROM nation),
+            -- brute-force argmin truth (the Spark side is the bucketed
+            -- candidate join; on a full grid both agree exactly)
+            ranked AS (
+                SELECT p.point_id, p.latitude, p.longitude,
+                       c.slat, c.slon, c.partkey, c.val,
+                       sqrt((p.latitude - c.slat) * (p.latitude - c.slat)
+                            + (p.longitude - c.slon) * (p.longitude - c.slon))
+                       AS dist,
+                       row_number() OVER (PARTITION BY p.point_id
+                           ORDER BY (p.latitude - c.slat) * (p.latitude - c.slat)
+                                    + (p.longitude - c.slon) * (p.longitude - c.slon),
+                                    c.slat, c.slon) AS rn
+                FROM points p, cells c)
+            SELECT point_id, latitude, longitude,
+                   slat AS latitude_src, slon AS longitude_src,
+                   round(dist, 6) AS distance_src,
+                   partkey AS partkey_src, val AS val_src
+            FROM ranked WHERE rn = 1
         """,
         "q_pack_sequences": """
             WITH toks AS (

@@ -44,6 +44,85 @@ def nearest_grid_join(left: DataFrame, right: DataFrame,
     return lhs.join(rhs, on=["_glat", "_glon"], how=how).drop("_glat", "_glon")
 
 
+def nearest_reindex(target: DataFrame, source: DataFrame,
+                    resolution: float | None = None,
+                    value_cols=None, max_distance: float | None = None,
+                    suffix: str = "_src") -> DataFrame:
+    """General nearest-neighbor reindex for ARBITRARILY OFFSET grids — the
+    exact semantics of xarray's ``reindex(method='nearest')`` (reference
+    flood/etl/filter_by_upstream.py:21-23) without the aligned-grids
+    assumption `nearest_grid_join`'s snap-equi-join relies on.
+
+    Each target row gains the nearest source row's value columns (suffixed),
+    the matched source coordinates, and the euclidean degree distance
+    (left-outer: unmatched targets keep nulls).  ``max_distance`` voids
+    matches farther than the bound (xarray's ``tolerance``).
+
+    Plan shape (the 100 TB formulation): both sides bucket into
+    ``resolution``-sized cells; each target row fans out to its 3×3
+    neighboring buckets (two tiny explodes, 9×), candidates meet in a plain
+    equi-join on the bucket key, and one aggregation takes the per-target
+    argmin via ``min(struct(distance, lat, lon, …))`` — lexicographic struct
+    ordering makes the tie-break (distance, then source lat, lon)
+    deterministic.  Two shuffles, never a cross join.  Correct whenever the
+    source grid's spacing is <= ``resolution`` (a full grid's nearest point
+    then always lies inside the 3×3 neighborhood); for sparser sources raise
+    ``resolution`` to their spacing.
+    """
+    res = resolution if resolution is not None else DEFAULT_CONFIG.resolution
+    vals = (list(value_cols) if value_cols is not None
+            else [c for c in source.columns
+                  if c not in ("latitude", "longitude")])
+
+    t = (target
+         .withColumn("_rid", F.monotonically_increasing_id())
+         .withColumn("_di", F.explode(F.expr("array(-1L, 0L, 1L)")))
+         .withColumn("_dj", F.explode(F.expr("array(-1L, 0L, 1L)")))
+         .withColumn("_gi", F.floor(F.col("latitude") / res) + F.col("_di"))
+         .withColumn("_gj", F.floor(F.col("longitude") / res) + F.col("_dj"))
+         .drop("_di", "_dj"))
+    s = (source
+         .select(F.floor(F.col("latitude") / res).alias("_gi"),
+                 F.floor(F.col("longitude") / res).alias("_gj"),
+                 F.col("latitude").alias("_slat"),
+                 F.col("longitude").alias("_slon"),
+                 *[F.col(c).alias("_v_" + c) for c in vals]))
+
+    dist = F.sqrt(
+        (F.col("latitude") - F.col("_slat")) ** 2
+        + (F.col("longitude") - F.col("_slon")) ** 2)
+    cand = (t.join(s, ["_gi", "_gj"])
+            .withColumn("_dist", dist))
+    if max_distance is not None:
+        cand = cand.filter(F.col("_dist") <= max_distance)
+
+    target_cols = [c for c in target.columns]
+    best = (cand
+            .groupBy("_rid")
+            .agg(*[F.first(c).alias(c) for c in target_cols],
+                 F.min(F.struct(
+                     F.col("_dist").alias("d"),
+                     F.col("_slat").alias("slat"),
+                     F.col("_slon").alias("slon"),
+                     *[F.col("_v_" + c).alias(c) for c in vals]))
+                 .alias("_best")))
+    matched = best.select(
+        "_rid", *target_cols,
+        F.col("_best.slat").alias("latitude" + suffix),
+        F.col("_best.slon").alias("longitude" + suffix),
+        F.col("_best.d").alias("distance" + suffix),
+        *[F.col("_best." + c).alias(c + suffix) for c in vals])
+    # left-outer semantics: targets with no in-range candidate keep nulls
+    missing = (t.select("_rid", *target_cols).distinct()
+               .join(matched.select("_rid"), "_rid", "left_anti")
+               .select("_rid", *target_cols,
+                       *[F.lit(None).cast(matched.schema[c + suffix].dataType)
+                         .alias(c + suffix)
+                         for c in ["latitude", "longitude", "distance"]
+                         + vals]))
+    return matched.unionByName(missing).drop("_rid")
+
+
 def upstream_mask(forecast_df: DataFrame, upstream_df: DataFrame,
                   threshold: float | None = None,
                   resolution: float | None = None,

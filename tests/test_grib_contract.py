@@ -143,3 +143,27 @@ def test_netcdf_decoder_contract(monkeypatch):
     assert log["engine"] == "h5netcdf"
     assert log["content"] == b"NC-bytes"
     assert list(out.columns) == DECODED_COLUMNS
+
+
+# A syntactically real (minimal) GRIB2 envelope: 'GRIB' magic, edition 2,
+# '7777' terminator — the golden byte fixture the decoders receive.
+GOLDEN_GRIB_BYTES = (
+    b"GRIB" + b"\x00\x00\x02\x02" + b"\x00" * 8 + b"\x00" * 16 + b"7777")
+
+
+def test_grib_decoder_not_implemented_without_cfgrib(monkeypatch):
+    """With cfgrib genuinely absent the decoder must raise the documented
+    NotImplementedError (pointing at the injectable synthetic twin), chained
+    from the ImportError — never a bare ImportError or a silent empty frame."""
+    monkeypatch.setitem(sys.modules, "cfgrib", None)  # import -> ImportError
+    with pytest.raises(NotImplementedError,
+                       match="synthetic_grib_decoder") as exc:
+        grib_decoder(GOLDEN_GRIB_BYTES)
+    assert isinstance(exc.value.__cause__, ImportError)
+
+
+def test_netcdf_decoder_not_implemented_without_xarray(monkeypatch):
+    monkeypatch.setitem(sys.modules, "xarray", None)
+    with pytest.raises(NotImplementedError) as exc:
+        netcdf_decoder(b"\x89HDF\r\n\x1a\n")
+    assert isinstance(exc.value.__cause__, ImportError)

@@ -41,3 +41,65 @@ def test_nearest_grid_join_snaps_float_noise(spark):
     assert out[0].w == 42.0
     # canonical coordinates come from the left side
     assert out[0].latitude == 0.025 and out[0].longitude == 0.075
+
+
+def test_nearest_reindex_offset_grids(spark):
+    """Source grid offset by an arbitrary delta (the case the snap-equi-join
+    cannot express): every target must match the truly nearest source point,
+    verified against a brute-force python argmin."""
+    from flood_data_spark.operators.grid import nearest_reindex
+
+    res = 0.05
+    # source on a grid shifted +0.018/+0.007 from the canonical centers
+    src_pts = [(round(0.018 + i * res, 6), round(0.007 + j * res, 6),
+                float(i * 10 + j))
+               for i in range(6) for j in range(6)]
+    source = spark.createDataFrame(
+        src_pts, "latitude double, longitude double, uparea double")
+    tgt_pts = [(0.0, 0.0), (0.11, 0.04), (0.26, 0.26), (0.029, 0.251)]
+    target = spark.createDataFrame(
+        tgt_pts, "latitude double, longitude double")
+
+    out = {(r.latitude, r.longitude): r
+           for r in nearest_reindex(target, source, resolution=res).collect()}
+    assert len(out) == len(tgt_pts)
+    for (tla, tlo) in tgt_pts:
+        best = min(src_pts,
+                   key=lambda s: ((tla - s[0]) ** 2 + (tlo - s[1]) ** 2,
+                                  s[0], s[1]))
+        r = out[(tla, tlo)]
+        assert (r.latitude_src, r.longitude_src) == (best[0], best[1])
+        assert r.uparea_src == best[2]
+        assert abs(r.distance_src
+                   - ((tla - best[0]) ** 2 + (tlo - best[1]) ** 2) ** 0.5) < 1e-12
+
+
+def test_nearest_reindex_max_distance_and_left_outer(spark):
+    from flood_data_spark.operators.grid import nearest_reindex
+
+    source = spark.createDataFrame(
+        [(0.025, 0.025, 1.0)], "latitude double, longitude double, v double")
+    target = spark.createDataFrame(
+        [(0.03, 0.03), (5.0, 5.0)], "latitude double, longitude double")
+    rows = {(r.latitude, r.longitude): r
+            for r in nearest_reindex(target, source, resolution=0.05,
+                                     max_distance=0.1).collect()}
+    # in-range point matches; far point survives with nulls (left outer)
+    assert rows[(0.03, 0.03)].v_src == 1.0
+    assert rows[(5.0, 5.0)].v_src is None
+    assert rows[(5.0, 5.0)].distance_src is None
+
+
+def test_nearest_reindex_plan_no_cross_join(spark):
+    """The candidate stage must be an equi-join on the bucket key — never a
+    cartesian/BNLJ (the anti-scale formulation)."""
+    from flood_data_spark.operators.grid import nearest_reindex
+
+    source = spark.createDataFrame(
+        [(0.025, 0.025, 1.0)], "latitude double, longitude double, v double")
+    target = spark.createDataFrame(
+        [(0.03, 0.03)], "latitude double, longitude double")
+    plan = (nearest_reindex(target, source, resolution=0.05)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -22,6 +22,28 @@ class PipelineCheckError(AssertionError):
     """A pipeline invariant failed."""
 
 
+def fast_table_count(spark, path: str) -> int:
+    """Metadata-only row count of a parquet table: the read happens under
+    the DataSource-v2 scan, where `spark.sql.parquet.aggregatePushdown`
+    (set by the session factory) pushes COUNT(*) to the footer statistics —
+    no row group is ever decoded.  At 100 TB this turns the before/after
+    table-level count asserts into pure metadata reads.
+
+    Scoped: only this read uses v2 (the session default stays v1 — the
+    rest of the engine's plan-shape contracts are written against the v1
+    scan's `PushedFilters` output); the conf is restored afterwards.
+    """
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        return spark.read.parquet(path).count()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+
+
 def assert_count_preserved(before: DataFrame, after: DataFrame,
                            label: str = "join") -> None:
     """1:1 joins and projections must not change cardinality (the

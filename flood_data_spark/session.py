@@ -30,9 +30,11 @@ def get_spark(app_name: str = "flood_data_spark",
         .config("spark.sql.session.timeZone", "UTC")
         # parquet posture: vectorized reads + pushdown are defaults, keep them
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # push whole-table MIN/MAX/COUNT to parquet footer statistics —
-        # metadata-only answers for the QA count asserts (plans/checks.py)
-        # and cardinality probes, no row ever decoded
+        # push whole-table MIN/MAX/COUNT to parquet footer statistics.
+        # Only effective on DataSource-v2 scans — the session default stays
+        # v1, so this fires where the engine opts into v2 explicitly:
+        # plans/checks.fast_table_count scopes a v2 read for metadata-only
+        # QA counts (no row group decoded)
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # tolerate TIMESTAMP(NANOS) parquet (read as ns-epoch long; callers
         # convert — same ns-long convention as the reference's GRIB times)

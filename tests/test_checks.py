@@ -93,3 +93,27 @@ def test_pipeline_run_checks_flag(spark):
             drifted, thresholds.withColumn(
                 "latitude", F.col("latitude") - F.lit(1e-7)),
             run_checks=True)
+
+
+def test_fast_table_count_metadata_only(spark, tmp_path):
+    """fast_table_count must (a) agree with the row count, (b) run under a
+    v2 scan whose plan shows the pushed COUNT aggregate, and (c) restore the
+    session's v1 default afterwards."""
+    from flood_data_spark.plans.checks import fast_table_count
+
+    path = str(tmp_path / "t")
+    spark.range(1234).write.parquet(path)
+
+    before = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    assert fast_table_count(spark, path) == 1234
+    assert spark.conf.get("spark.sql.sources.useV1SourceList",
+                          None) == before
+
+    # the pushed-aggregation claim, verified on the plan fast_table_count uses
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        plan = (spark.read.parquet(path).groupBy().count()
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PushedAggregation: [COUNT(*)]" in plan
+    finally:
+        spark.conf.unset("spark.sql.sources.useV1SourceList")

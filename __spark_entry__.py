@@ -37,6 +37,7 @@ from flood_data_spark.datapipe.similarity import (
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_bucketed_topk,
+    semantic_dedup,
 )
 from flood_data_spark.datapipe.curation import (
     assign_split,
@@ -45,6 +46,7 @@ from flood_data_spark.datapipe.curation import (
     clean_lines,
     dedup_lines,
     hash_sample,
+    length_buckets,
     pack_sequences,
     redact_pii,
     stratified_sample,
@@ -743,6 +745,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "n_tokens", "pack_id"))
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly (datapipe/curation.length_buckets):
+    power-of-two token-length tiers (bit-length arithmetic, no float log),
+    fixed-size batches numbered per (source, bucket) in doc_id order."""
+    docs = with_token_count(_t(spark, sf_dir, "documents"))
+    return (length_buckets(docs, batch_size=8)
+            .select("doc_id", "source", "n_tokens", "bucket", "batch_id"))
+
+
 def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-over-representation: keep at most 10 docs per source
     (deterministic doc_id order)."""
@@ -939,6 +950,39 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.35, exact=False,
                                     num_planes=8, num_tables=4, dim=64)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (datapipe/similarity.semantic_dedup):
+    k-means clusters, within-cluster cosine pairs only, lowest id survives.
+    Rows-only (the k-means fit is not SQL-expressible);
+    q_semantic_dedup_contract is its oracle-checked twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35, nlist=16).select("vec_id")
+
+
+def q_semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract for q_semantic_dedup against the exact all-pairs truth:
+    (a) kept + dropped partition the corpus, (b) every dropped vector
+    really has a lower-id near-duplicate globally (within-cluster pairs
+    are a subset of global pairs), (c) the near-orthogonal synthetic
+    corpus keeps a clear majority.  n_total is recomputed by the oracle;
+    the booleans are asserted TRUE."""
+    emb = _t(spark, sf_dir, "embeddings").cache()
+    kept = (semantic_dedup(emb, threshold=0.35, nlist=16)
+            .select("vec_id").cache())
+    dropped = emb.select("vec_id").join(kept, "vec_id", "left_anti").cache()
+    exact_greater = (embedding_near_dup_pairs(emb, threshold=0.35, exact=True)
+                     .select(F.col("id_b").alias("vec_id")).distinct())
+    n_kept = kept.count()
+    n_dropped = dropped.count()
+    n_outside = dropped.join(exact_greater, "vec_id", "left_anti").count()
+    return (emb.agg(F.count("*").alias("n_total"))
+            .select(
+        "n_total",
+        (F.lit(n_kept + n_dropped) == F.col("n_total")).alias("partition_ok"),
+        F.lit(n_outside == 0).alias("containment_ok"),
+        (F.lit(n_kept) * 2 >= F.col("n_total")).alias("kept_majority_ok")))
 
 
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,6 +1340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_v2": q_curation_v2,
         # --- new this round ---
         "q_nearest_reindex": q_nearest_reindex,
+        "q_length_buckets": q_length_buckets,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_semantic_dedup_contract": q_semantic_dedup_contract,
         # --- long-stable greens rotate through the remaining slots ---
         "q_threshold_summary": q_threshold_summary,
         "q_threshold_summary_approx": q_threshold_summary_approx,
@@ -1987,6 +2034,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(substr(text, CAST(chunk_id * 96 + 1 AS INT), 120)) AS BIGINT)
                    AS chunk_chars
             FROM base
+        """,
+        "q_length_buckets": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       END AS n_tokens
+                FROM documents),
+            b AS (
+                SELECT doc_id, source, n_tokens,
+                       CASE WHEN n_tokens <= 0 THEN 0
+                            ELSE CAST(length(bin(n_tokens)) AS BIGINT)
+                       END AS bucket
+                FROM toks)
+            SELECT doc_id, source, n_tokens, bucket,
+                   CAST((row_number() OVER (PARTITION BY source, bucket
+                         ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_id
+            FROM b
+        """,
+        "q_semantic_dedup_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   TRUE AS partition_ok,
+                   TRUE AS containment_ok,
+                   TRUE AS kept_majority_ok
+            FROM embeddings
         """,
         "q_nearest_reindex": """
             WITH cells AS (

@@ -207,6 +207,43 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(prefix < cut)
 
 
+def length_buckets(df: DataFrame, batch_size: int,
+                   token_col: str = "n_tokens",
+                   partition_cols=("source",),
+                   order_col: str = "doc_id") -> DataFrame:
+    """Length-bucketed batch assembly: documents go into power-of-two
+    length buckets (bucket = floor(log2(tokens)), so sequences in a batch
+    are within 2× of each other — bounded padding waste), then each
+    bucket's documents are numbered into fixed-size batches in `order_col`
+    order.
+
+    Adds `bucket` (log2 tier, 0 for empty docs) and `batch_id` (0-based
+    within (partition_cols…, bucket)).  The log2 tier is computed as the
+    bit length of the token count (`length(bin(n))`) — pure integer
+    arithmetic, portable to any engine with a binary formatter, no float
+    log edge cases at exact powers of two.
+
+    One ordered-window pass per (partition_cols…, bucket).  As with
+    `pack_sequences`, `partition_cols` is mandatory at scale: an empty
+    tuple numbers each bucket through a single task (fine for tests,
+    corpus-serializing at 100 TB — number per shard/source and renumber
+    downstream if global batch ids are needed).
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    parts = list(partition_cols or ())
+    bucket = (F.when(F.col(token_col) <= 0, F.lit(0))
+              .otherwise(F.length(F.bin(F.col(token_col))))).cast("long")
+    out = df.withColumn("bucket", bucket)
+    w = (Window.partitionBy(*parts, "bucket").orderBy(order_col))
+    # integer div (same discipline as pack_sequences): no float division
+    # on the counting path
+    return (out
+            .withColumn("_rn0", F.row_number().over(w).cast("long") - 1)
+            .withColumn("batch_id", F.expr(f"_rn0 div {int(batch_size)}"))
+            .drop("_rn0"))
+
+
 def with_shuffle_key(df: DataFrame, seed: str = "0",
                      key_col: str = "doc_id",
                      out_col: str = "shuffle_key") -> DataFrame:

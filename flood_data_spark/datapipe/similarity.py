@@ -541,6 +541,43 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col=id_col, vec_col=vec_col)
 
 
+def semantic_dedup(df: DataFrame, threshold: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   nlist: int = 16, seed: int = 42, max_iter: int = 8,
+                   train_fraction: float | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embeddings
+    (`ivf_build`'s sample-fit k-means — bounded driver fit, shuffle-free
+    assignment), compare pairs WITHIN each cluster only, and drop every
+    vector that has a lower-id near-duplicate (cosine >= threshold) in its
+    cluster — the lowest id of each duplicate group survives as the
+    canonical representative.
+
+    Returns the kept rows of `df` (all original columns).
+
+    Scale posture: the only join is the per-cluster self-join — candidate
+    volume is Σ |cluster|², never corpus² (pick nlist so clusters stay
+    bounded; the standard SemDeDup regime is |cluster| ≈ corpus/nlist ≪
+    corpus).  Like the published method, near-duplicates straddling a
+    cluster boundary are missed by construction — recall < 1, which is the
+    accepted trade for never materializing the global pair set
+    (q_semantic_dedup_contract asserts the containment + partition
+    invariants against the exact pair oracle).
+    """
+    _, lists = ivf_build(df, id_col, vec_col, nlist=nlist, seed=seed,
+                         max_iter=max_iter, train_fraction=train_fraction)
+    a = lists.select("list_id", F.col("neighbor_id").alias("id_a"),
+                     F.col("neighbor_id_vec").alias("va"))
+    b = lists.select("list_id", F.col("neighbor_id").alias("id_b"),
+                     F.col("neighbor_id_vec").alias("vb"))
+    dup_ids = (a.join(b, "list_id")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .filter(cosine_similarity(F.col("va"), F.col("vb"))
+                       >= threshold)
+               .select(F.col("id_b").alias(id_col))
+               .distinct())
+    return df.join(dup_ids, id_col, "left_anti")
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              exact: bool = True,

@@ -243,3 +243,34 @@ def test_with_shuffle_key_deterministic_and_seed_sensitive(spark, docs):
     assert a == b                        # layout-independent
     assert a != c                        # seed changes the order
     assert sorted(a) == list(range(200)) # a permutation, nothing lost
+
+
+def test_length_buckets_tiers_and_batches(spark):
+    from flood_data_spark.datapipe.curation import length_buckets
+
+    df = spark.createDataFrame(
+        [(i, "s", n) for i, n in enumerate([0, 1, 2, 3, 4, 7, 8, 100])],
+        "doc_id long, source string, n_tokens long")
+    rows = {r.doc_id: r for r in
+            length_buckets(df, batch_size=2).collect()}
+    # bit-length tiers: 0->0, 1->1, 2..3->2, 4..7->3, 8->4, 100->7
+    assert [rows[i].bucket for i in range(8)] == [0, 1, 2, 2, 3, 3, 4, 7]
+    # bucket 2 holds doc 2,3 -> one batch; bucket 3 holds 4,5 -> one batch
+    assert rows[2].batch_id == 0 and rows[3].batch_id == 0
+    # batch splits at batch_size within a bucket
+    df2 = spark.createDataFrame(
+        [(i, "s", 5) for i in range(5)],
+        "doc_id long, source string, n_tokens long")
+    r2 = {r.doc_id: r.batch_id for r in
+          length_buckets(df2, batch_size=2).collect()}
+    assert [r2[i] for i in range(5)] == [0, 0, 1, 1, 2]
+
+
+def test_length_buckets_rejects_bad_batch_size(spark):
+    import pytest
+    from flood_data_spark.datapipe.curation import length_buckets
+
+    df = spark.createDataFrame([(1, "s", 5)],
+                               "doc_id long, source string, n_tokens long")
+    with pytest.raises(ValueError, match="batch_size"):
+        length_buckets(df, batch_size=0)

@@ -31,6 +31,7 @@ ROWS_ONLY = {
     "q_lsh_topk",
     "q_ivf_topk",
     "q_embedding_dedup_lsh",
+    "q_semantic_dedup",
 }
 # ... and each must carry an oracle-checked contract twin asserting
 # recall/precision/completeness against the exact ground truth
@@ -40,6 +41,7 @@ CONTRACT_TWIN = {
     "q_lsh_topk": "q_lsh_topk_recall",
     "q_ivf_topk": "q_ivf_recall",
     "q_embedding_dedup_lsh": "q_embedding_dedup_lsh_recall",
+    "q_semantic_dedup": "q_semantic_dedup_contract",
 }
 
 

@@ -142,3 +142,42 @@ def test_ivf_sq8_index_roundtrip_and_recall(spark, emb, tmp_path):
     fid = {(r.query_id, r.neighbor_id) for r in full.collect()}
     sid = {(r.query_id, r.neighbor_id) for r in sq8.collect()}
     assert len(fid & sid) / len(fid) >= 0.7
+
+
+def test_semantic_dedup_drops_within_cluster_dups(spark):
+    """Two well-separated groups, each containing a near-identical pair:
+    the lower id of each pair survives, singletons survive."""
+    from flood_data_spark.datapipe.similarity import semantic_dedup
+
+    def vec(base, eps=0.0):
+        v = [0.0] * 8
+        v[base] = 1.0
+        v[(base + 4) % 8] = eps
+        return v
+
+    rows = [
+        (0, vec(0)), (1, vec(0, 0.01)),      # group A dup pair -> keep 0
+        (2, vec(0, 0.9)),                     # group A distinct  -> keep
+        (10, vec(1)), (11, vec(1, 0.01)),    # group B dup pair -> keep 10
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(r.vec_id for r in
+                  semantic_dedup(emb, threshold=0.95, nlist=2,
+                                 train_fraction=1.0).collect())
+    assert kept == [0, 2, 10]
+
+
+def test_semantic_dedup_plan_no_cross_join(spark):
+    """Candidate generation must stay a per-cluster equi-join — no
+    cartesian/BNLJ anywhere in the dedup plan."""
+    from flood_data_spark.datapipe.similarity import semantic_dedup
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    plan = (semantic_dedup(emb, nlist=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

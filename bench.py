@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     "q_line_dedup",
     "q_curation_v2",
     "q_dedup_against",
+    # round-6: the capped similarity join on REAL volume — the registry
+    # jaccard twins filter to 200 docs and measure fixed overhead; this
+    # entry runs the 100 TB mode at 15x that size, where the doc-freq
+    # cap's measured crossover advantage (14x at 3k docs, BASELINE.md
+    # round 6) is actually exercised
+    "q_ngram_jaccard_capped_3k",
 ]
 
 _IVF_INDEX = {}
@@ -106,12 +112,23 @@ def _q_ivf_probe(spark, sf_dir):
     return ivf_probe(centroids, lists, queries, k=5, nprobe=4)
 
 
+def _q_ngram_jaccard_capped_3k(spark, sf_dir):
+    """Doc-freq-capped n-gram Jaccard over 3,000 documents (vs the
+    200-doc registry twin): real shingle volume, real hot-key pressure —
+    the uncapped form takes ~48 s here and grows quadratically."""
+    from flood_data_spark.datapipe.dedup import ngram_jaccard_pairs
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id < 3000"))
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
+
+
 # bench-local callables: same (spark, sf_dir) -> DataFrame contract as
 # __spark_entry__.queries() entries
 EXTRA_QUERIES = {
     "q_threshold_summary_approx_plain": _q_threshold_summary_approx_plain,
     "q_ivf_build": _q_ivf_build,
     "q_ivf_probe": _q_ivf_probe,
+    "q_ngram_jaccard_capped_3k": _q_ngram_jaccard_capped_3k,
 }
 
 

@@ -29,6 +29,7 @@ from flood_data_spark.datapipe.dedup import (
     ngram_containment,
     ngram_jaccard_join,
     ngram_jaccard_pairs,
+    repeated_span_stats,
     simhash,
     simhash_dup_pairs,
 )
@@ -754,6 +755,15 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "n_tokens", "bucket", "batch_id"))
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication stats (datapipe/dedup.repeated_span_stats,
+    Lee et al. 2022 token-window form): per document, the 8-token spans
+    shared with other documents and the fraction of tokens they cover —
+    linear explode + two hash shuffles, never a doc×doc join."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return repeated_span_stats(docs, window=8)
+
+
 def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-over-representation: keep at most 10 docs per source
     (deterministic doc_id order)."""
@@ -1343,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_buckets": q_length_buckets,
         "q_semantic_dedup": q_semantic_dedup,
         "q_semantic_dedup_contract": q_semantic_dedup_contract,
+        "q_repeated_spans": q_repeated_spans,
         # --- long-stable greens rotate through the remaining slots ---
         "q_threshold_summary": q_threshold_summary,
         "q_threshold_summary_approx": q_threshold_summary_approx,
@@ -2034,6 +2045,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(substr(text, CAST(chunk_id * 96 + 1 AS INT), 120)) AS BIGINT)
                    AS chunk_chars
             FROM base
+        """,
+        "q_repeated_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS ts
+                FROM documents WHERE doc_id < 300),
+            spans AS (
+                SELECT doc_id, i AS pos,
+                       md5(array_to_string(
+                           ts[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS h
+                FROM toks, unnest(range(1, greatest(len(ts) - 8 + 2, 1)))
+                     AS t(i)),
+            dup AS (
+                SELECT h FROM spans
+                GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (
+                SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (h)),
+            nds AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+                FROM hits GROUP BY doc_id),
+            cov AS (
+                SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_dup_tokens
+                FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS p
+                      FROM hits)
+                GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   coalesce(n.n_dup_spans, 0) AS n_dup_spans,
+                   coalesce(c.n_dup_tokens, 0) AS n_dup_tokens,
+                   round(coalesce(c.n_dup_tokens, 0) * 1.0
+                         / greatest(len(t.ts), 1), 6) AS dup_fraction
+            FROM toks t
+            LEFT JOIN nds n USING (doc_id)
+            LEFT JOIN cov c USING (doc_id)
         """,
         "q_length_buckets": """
             WITH toks AS (

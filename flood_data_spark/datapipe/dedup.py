@@ -403,6 +403,75 @@ def ngram_containment(candidates: DataFrame, reference: DataFrame,
                     .alias("containment")))
 
 
+# ------------------------------------------------ repeated substrings
+
+def repeated_span_stats(df: DataFrame, window: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        min_distinct_docs: int = 2) -> DataFrame:
+    """Exact substring-duplication signal (the token-window form of Lee et
+    al. 2022's exact substring dedup): for each document, how much of it is
+    covered by `window`-token spans that ALSO occur in at least
+    `min_distinct_docs` distinct documents — the boilerplate/mirror signal
+    MinHash-style whole-document similarity cannot see (two long documents
+    sharing one paragraph have tiny Jaccard but that paragraph still
+    memorizes).
+
+    Output, one row per input document: (id, n_tokens, n_dup_spans — span
+    START positions whose window is cross-document duplicated, n_dup_tokens
+    — distinct token positions covered by such spans, dup_fraction).
+
+    Plan (linear, never pairwise): explode each document into its rolling
+    token windows (one md5 per start position), one groupBy over span
+    hashes keeps those meeting the distinct-doc floor (hot boilerplate
+    spans are a COUNT per hash here, never a pair join — the fan-out bomb
+    the jaccard cap guards against cannot exist in this operator), join the
+    hits back, and cover-count distinct positions per document.  Cost is
+    O(total tokens) rows through two hash shuffles; suffix-array maximal
+    matches are the single-node refinement, this is the distributable form.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.trim(F.col(text_col)) == "",
+               F.expr("array()").cast("array<string>"))
+        .otherwise(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ts"))
+    n_spans = F.greatest(F.size("ts") - window + 1, F.lit(0))
+    spans = (toks
+             .withColumn("_n", n_spans)
+             .filter(F.col("_n") >= 1)
+             .select("id", "ts",
+                     F.explode(F.sequence(F.lit(1), F.col("_n")))
+                     .alias("pos"))
+             .select("id", "pos",
+                     F.md5(F.array_join(
+                         F.expr(f"slice(ts, pos, {window})"), " "))
+                     .alias("h")))
+    dup = (spans.groupBy("h")
+           .agg(F.count_distinct("id").alias("_nd"))
+           .filter(F.col("_nd") >= min_distinct_docs)
+           .select("h"))
+    hits = spans.join(dup, "h", "left_semi").cache()
+    n_dup_spans = hits.groupBy("id").agg(F.count("*").alias("n_dup_spans"))
+    covered = (hits
+               .select("id", F.explode(
+                   F.sequence(F.col("pos"),
+                              F.col("pos") + F.lit(window - 1))).alias("p"))
+               .groupBy("id")
+               .agg(F.count_distinct("p").alias("n_dup_tokens")))
+    return (toks.select("id", F.size("ts").cast("long").alias("n_tokens"))
+            .join(n_dup_spans, "id", "left")
+            .join(covered, "id", "left")
+            .na.fill({"n_dup_spans": 0, "n_dup_tokens": 0})
+            .select(F.col("id").alias(id_col),
+                    "n_tokens",
+                    F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+                    F.col("n_dup_tokens").cast("long").alias("n_dup_tokens"),
+                    F.round(F.col("n_dup_tokens")
+                            / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+                    .alias("dup_fraction")))
+
+
 # ---------------------------------------------------- dedup clusters
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",

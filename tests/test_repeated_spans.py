@@ -1,0 +1,61 @@
+"""Golden tests for exact substring-duplication stats
+(datapipe/dedup.repeated_span_stats — Lee et al. 2022 token-window form)."""
+
+import pytest
+
+from flood_data_spark.datapipe.dedup import repeated_span_stats
+
+
+def test_repeated_spans_golden(spark):
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h i j"),    # spans a-h, b-i shared with doc 2
+        (2, "x a b c d e f g h i y"),
+        (3, "completely different words here no overlap at all ok"),
+        (4, ""),                        # empty doc: all-zero row, not dropped
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            repeated_span_stats(docs, window=8).collect()}
+    assert len(rows) == 4
+    # doc 1: 3 spans total, 2 duplicated (a-h @1, b-i @2), covering pos 1-9
+    assert (rows[1].n_tokens, rows[1].n_dup_spans,
+            rows[1].n_dup_tokens) == (10, 2, 9)
+    assert rows[1].dup_fraction == 0.9
+    # doc 2: same two spans at pos 2-3, covering pos 2-10 of 11 tokens
+    assert (rows[2].n_tokens, rows[2].n_dup_spans,
+            rows[2].n_dup_tokens) == (11, 2, 9)
+    # unique and empty docs report zeros
+    assert rows[3].n_dup_spans == 0 and rows[3].dup_fraction == 0.0
+    assert (rows[4].n_tokens, rows[4].n_dup_tokens) == (0, 0)
+
+
+def test_repeated_spans_within_doc_repeat_not_flagged(spark):
+    """min_distinct_docs=2 (default): a doc repeating its OWN boilerplate
+    is not cross-document duplication."""
+    docs = spark.createDataFrame([
+        (1, "p q r s t u v w p q r s t u v w"),
+        (2, "nothing in common with anything else at all here"),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            repeated_span_stats(docs, window=8).collect()}
+    assert rows[1].n_dup_spans == 0
+    # min_distinct_docs=1 flags the self-repeat
+    rows1 = {r.doc_id: r for r in
+             repeated_span_stats(docs, window=8,
+                                 min_distinct_docs=1).collect()}
+    assert rows1[1].n_dup_spans > 0
+
+
+def test_repeated_spans_rejects_bad_window(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        repeated_span_stats(docs, window=0)
+
+
+def test_repeated_spans_plan_no_pair_join(spark):
+    """The scale claim: no doc-pair join exists — the only joins are the
+    span-hash semi-join and the final stat left joins."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (repeated_span_stats(docs, window=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

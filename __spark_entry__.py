@@ -47,6 +47,7 @@ from flood_data_spark.datapipe.curation import (
     clean_lines,
     dedup_lines,
     hash_sample,
+    leakage_safe_split,
     length_buckets,
     pack_sequences,
     redact_pii,
@@ -764,6 +765,18 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_stats(docs, window=8)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware split assignment (datapipe/curation.leakage_safe_split):
+    near-duplicate documents (jaccard >= 0.5 components) share one group id
+    and therefore one split — no train/test twin leakage.  Oracle recomputes
+    the components via recursive reachability + the same md5 ladder."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    prs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return (leakage_safe_split(docs, prs,
+                               {"train": 0.8, "val": 0.1, "test": 0.1})
+            .select("doc_id", "group_id", "split"))
+
+
 def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-over-representation: keep at most 10 docs per source
     (deterministic doc_id order)."""
@@ -1354,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_semantic_dedup_contract": q_semantic_dedup_contract,
         "q_repeated_spans": q_repeated_spans,
+        "q_leakage_safe_split": q_leakage_safe_split,
         # --- long-stable greens rotate through the remaining slots ---
         "q_threshold_summary": q_threshold_summary,
         "q_threshold_summary_approx": q_threshold_summary_approx,
@@ -2045,6 +2059,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(substr(text, CAST(chunk_id * 96 + 1 AS INT), 120)) AS BIGINT)
                    AS chunk_chars
             FROM base
+        """,
+        "q_leakage_safe_split": """
+            -- same recursive reachability as q_dedup_clusters, then the
+            -- assign_split md5 ladder over the GROUP id (cuts 'cccc'/'e666'
+            -- = 0.8/0.9 of the 16-bit prefix space)
+            WITH RECURSIVE norm AS (
+                SELECT doc_id AS id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 200),
+            shingled AS (
+                SELECT id,
+                       unnest(list_distinct(list_filter(
+                           list_transform(range(1, greatest(length(t) - 1, 2)),
+                                          i -> substr(t, CAST(i AS INT), 3)),
+                           g -> length(g) = 3))) AS g
+                FROM norm),
+            counts AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM shingled GROUP BY id),
+            prs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                FROM shingled a JOIN shingled b
+                  ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id),
+            sim AS (
+                SELECT id_a, id_b
+                FROM prs
+                JOIN counts ga ON ga.id = id_a
+                JOIN counts gb ON gb.id = id_b
+                WHERE common * 1.0 / (ga.n_grams + gb.n_grams - common) >= 0.5),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM sim
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM sim),
+            walk (node, label) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.src, w.label
+                FROM walk w JOIN edges e ON e.dst = w.node
+                WHERE w.label < e.src),
+            comp AS (
+                SELECT node AS doc_id, min(label) AS cluster_id
+                FROM walk GROUP BY node),
+            grouped AS (
+                SELECT d.doc_id,
+                       coalesce(c.cluster_id, d.doc_id) AS group_id
+                FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+                LEFT JOIN comp c USING (doc_id))
+            SELECT doc_id, group_id,
+                   CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 4)
+                             < 'cccc' THEN 'train'
+                        WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 4)
+                             < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM grouped
         """,
         "q_repeated_spans": """
             WITH toks AS (

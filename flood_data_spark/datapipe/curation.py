@@ -178,6 +178,40 @@ def assign_split(df: DataFrame, weights: dict[str, float],
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_split(df: DataFrame, pairs: DataFrame,
+                       weights: dict[str, float], id_col: str = "doc_id",
+                       id_a: str = "id_a", id_b: str = "id_b",
+                       salt: str = "", out_col: str = "split") -> DataFrame:
+    """Cluster-aware split assignment: documents connected by a near-dup
+    pair relation ALWAYS land in the same split — the guard against the
+    classic leakage failure where `assign_split` puts one copy of a
+    near-duplicate in train and its twin in test, silently inflating eval.
+
+    `pairs` is any (id_a, id_b) near-dup relation (`ngram_jaccard_pairs`,
+    `minhash_lsh_pairs`, `embedding_near_dup_pairs`, ...).  Connected
+    components collapse it to one group id per document
+    (`dedup_clusters`); the md5 split ladder then hashes the GROUP id, so
+    every member of a component shares the group's fate, and documents
+    with no near-dup keep their own id as the group key (identical to
+    plain `assign_split` for them — adding pairs never reshuffles
+    untouched documents).
+
+    Adds `group_id` (the split key used) and `out_col`.  Cost on top of
+    assign_split: the O(log diameter) label-propagation rounds over the
+    PAIR relation only — corpus-size work stays one narrow left join.
+    """
+    from flood_data_spark.datapipe.dedup import dedup_clusters
+
+    clusters = (dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+                .select(F.col("doc_id").alias(id_col), "cluster_id"))
+    keyed = (df.join(clusters, id_col, "left")
+             .withColumn("group_id",
+                         F.coalesce(F.col("cluster_id"), F.col(id_col)))
+             .drop("cluster_id"))
+    return assign_split(keyed, weights, key_col="group_id", salt=salt,
+                        out_col=out_col)
+
+
 def stratified_sample(df: DataFrame, rates: dict[str, float],
                       stratum_col: str = "source",
                       key_col: str = "doc_id", salt: str = "",

@@ -274,3 +274,30 @@ def test_length_buckets_rejects_bad_batch_size(spark):
                                "doc_id long, source string, n_tokens long")
     with pytest.raises(ValueError, match="batch_size"):
         length_buckets(df, batch_size=0)
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    from flood_data_spark.datapipe.curation import (
+        assign_split, leakage_safe_split)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string")
+    # components: {0,7,15} and {20,21}; everything else is a singleton
+    pairs = spark.createDataFrame(
+        [(0, 7), (7, 15), (20, 21)], "id_a long, id_b long")
+    out = leakage_safe_split(docs, pairs,
+                             {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 40
+    # every member of a component shares group id AND split
+    assert {rows[i].group_id for i in (0, 7, 15)} == {0}
+    assert len({rows[i].split for i in (0, 7, 15)}) == 1
+    assert {rows[i].group_id for i in (20, 21)} == {20}
+    assert rows[20].split == rows[21].split
+    # untouched documents: same assignment plain assign_split would give
+    plain = {r.doc_id: r.split
+             for r in assign_split(docs, {"train": 0.8, "val": 0.1,
+                                          "test": 0.1}).collect()}
+    for i in rows:
+        if i not in (0, 7, 15, 20, 21):
+            assert rows[i].group_id == i and rows[i].split == plain[i]

@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     # cap's measured crossover advantage (14x at 3k docs, BASELINE.md
     # round 6) is actually exercised
     "q_ngram_jaccard_capped_3k",
+    # round-6: substring-duplication stats over the FULL sf0.1 corpus
+    # (5,000 docs, every token exploded once) — the linear-scaling dedup
+    # signal measured on real volume
+    "q_repeated_spans_full",
 ]
 
 _IVF_INDEX = {}
@@ -122,6 +126,15 @@ def _q_ngram_jaccard_capped_3k(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
 
 
+def _q_repeated_spans_full(spark, sf_dir):
+    """Repeated 8-token-span stats over the whole documents table (the
+    registry entry filters to 300 docs for the oracle; this measures the
+    full corpus — cost is linear in total tokens)."""
+    from flood_data_spark.datapipe.dedup import repeated_span_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repeated_span_stats(docs, window=8)
+
+
 # bench-local callables: same (spark, sf_dir) -> DataFrame contract as
 # __spark_entry__.queries() entries
 EXTRA_QUERIES = {
@@ -129,6 +142,7 @@ EXTRA_QUERIES = {
     "q_ivf_build": _q_ivf_build,
     "q_ivf_probe": _q_ivf_probe,
     "q_ngram_jaccard_capped_3k": _q_ngram_jaccard_capped_3k,
+    "q_repeated_spans_full": _q_repeated_spans_full,
 }
 
 

@@ -204,3 +204,82 @@ def test_quantize_roundtrip_bound_property(spark):
     for r in rows:
         assert r.err <= r.qscale / 2 * (1 + 1e-12)
         assert -127 <= r.lo <= r.hi <= 127
+
+
+def test_nearest_reindex_matches_bruteforce_on_random_grids(spark):
+    """For random offset grids and random in-range targets, the bucketed
+    3×3-candidate formulation equals the brute-force argmin (ties broken
+    by (dist, slat, slon)) — the operator's core claim, en masse."""
+    import numpy as np
+    from flood_data_spark.operators.grid import nearest_reindex
+
+    rng = np.random.default_rng(29)
+    res = 0.05
+    for trial in range(3):
+        dlat, dlon = (float(x) for x in rng.uniform(0, res, 2))
+        src = [(round(dlat + i * res, 9), round(dlon + j * res, 9),
+                float(i * 100 + j))
+               for i in range(8) for j in range(8)]
+        lo_lat, hi_lat = src[0][0], src[-1][0]
+        lo_lon, hi_lon = src[0][1], src[-1][1]
+        tgt = [(float(rng.uniform(lo_lat, hi_lat)),
+                float(rng.uniform(lo_lon, hi_lon))) for _ in range(25)]
+        sdf = spark.createDataFrame(
+            src, "latitude double, longitude double, v double")
+        tdf = spark.createDataFrame(tgt, "latitude double, longitude double")
+        got = {(r.latitude, r.longitude): (r.latitude_src, r.longitude_src)
+               for r in nearest_reindex(tdf, sdf, resolution=res).collect()}
+        assert len(got) == len(tgt)
+        for tla, tlo in tgt:
+            want = min(src, key=lambda s: ((tla - s[0]) ** 2
+                                           + (tlo - s[1]) ** 2, s[0], s[1]))
+            assert got[(tla, tlo)] == (want[0], want[1]), (trial, tla, tlo)
+
+
+def test_pack_and_batch_ids_are_dense_and_monotone(spark):
+    """pack_sequences / length_buckets invariants on random token counts:
+    ids start at 0, never decrease along doc order, and step by at most 1
+    (pack) / are exactly-batch_size-dense except the last (batch)."""
+    import numpy as np
+    from flood_data_spark.datapipe.curation import (
+        length_buckets, pack_sequences)
+
+    rng = np.random.default_rng(31)
+    rows = [(i, "s", int(t)) for i, t in
+            enumerate(rng.integers(0, 300, 200))]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    packed = sorted(pack_sequences(df, token_budget=256).collect(),
+                    key=lambda r: r.doc_id)
+    assert packed[0].pack_id == 0
+    for a, b in zip(packed, packed[1:]):
+        jump = b.pack_id - a.pack_id
+        # monotone, and a jump is bounded by the tokens the PREVIOUS doc
+        # contributed (an over-budget doc may skip pack ids, never invent
+        # them backwards)
+        assert 0 <= jump <= a.n_tokens // 256 + 1
+
+    bucketed = length_buckets(df, batch_size=4).collect()
+    from collections import Counter
+    per_batch = Counter((r.bucket, r.batch_id) for r in bucketed)
+    for (bucket, batch_id), n in per_batch.items():
+        max_batch = max(b for (bk, b) in per_batch if bk == bucket)
+        assert n == 4 or batch_id == max_batch
+
+
+def test_repeated_spans_bounds(spark):
+    """Structural bounds on random corpora: 0 <= n_dup_spans <= spans(doc),
+    n_dup_tokens <= n_tokens, dup_fraction in [0, 1]."""
+    import numpy as np
+    from flood_data_spark.datapipe.dedup import repeated_span_stats
+
+    rng = np.random.default_rng(37)
+    vocab = ["w%d" % k for k in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab, rng.integers(0, 40))))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for r in repeated_span_stats(df, window=5).collect():
+        n_spans = max(r.n_tokens - 5 + 1, 0)
+        assert 0 <= r.n_dup_spans <= n_spans
+        assert 0 <= r.n_dup_tokens <= r.n_tokens
+        assert 0.0 <= r.dup_fraction <= 1.0

@@ -649,6 +649,22 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("value"), 6).alias("avg_value")))
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props handling (functions/semistructured
+    .with_json_fields): the JSON string column is parsed ONCE per row with
+    a declared schema (from_json struct), then typed fields project out —
+    per-event-type stats over the extracted numeric field."""
+    from flood_data_spark.functions.semistructured import with_json_fields
+
+    ev = with_json_fields(_t(spark, sf_dir, "events"), "props", {"k": "long"})
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.count("k").alias("n_with_k"),
+                 F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 streaming-equivalent tumbling window (batch form; the streaming
     wrapper in flood_data_spark.streaming runs the same plan with
@@ -1368,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup_contract": q_semantic_dedup_contract,
         "q_repeated_spans": q_repeated_spans,
         "q_leakage_safe_split": q_leakage_safe_split,
+        "q_json_extract": q_json_extract,
         # --- long-stable greens rotate through the remaining slots ---
         "q_threshold_summary": q_threshold_summary,
         "q_threshold_summary_approx": q_threshold_summary_approx,
@@ -2059,6 +2076,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(substr(text, CAST(chunk_id * 96 + 1 AS INT), 120)) AS BIGINT)
                    AS chunk_chars
             FROM base
+        """,
+        "q_json_extract": """
+            WITH parsed AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(k) AS BIGINT) AS n_with_k,
+                   round(avg(k), 6) AS avg_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k
+            FROM parsed GROUP BY event_type
         """,
         "q_leakage_safe_split": """
             -- same recursive reachability as q_dedup_clusters, then the

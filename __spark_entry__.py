@@ -605,6 +605,19 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "g_type", "g_day"))
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping-set combinations
+    (the rollup twin that also emits per-day-across-types subtotals)."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return (ev.cube("event_type", "day")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.grouping("event_type").cast("int").alias("g_type"),
+                 F.grouping("day").cast("int").alias("g_day"))
+            .select("event_type", "day", "n_events", "sum_value",
+                    "g_type", "g_day"))
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot the event-type dimension into columns (explicit value list →
     deterministic schema), one row per user."""
@@ -1385,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeated_spans": q_repeated_spans,
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_json_extract": q_json_extract,
+        "q_cube": q_cube,
         # --- long-stable greens rotate through the remaining slots ---
         "q_threshold_summary": q_threshold_summary,
         "q_threshold_summary_approx": q_threshold_summary_approx,
@@ -2076,6 +2090,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(substr(text, CAST(chunk_id * 96 + 1 AS INT), 120)) AS BIGINT)
                    AS chunk_chars
             FROM base
+        """,
+        "q_cube": """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   CAST(grouping(event_type) AS INT) AS g_type,
+                   CAST(grouping(CAST(ts AS DATE)) AS INT) AS g_day
+            FROM events
+            GROUP BY CUBE (event_type, CAST(ts AS DATE))
         """,
         "q_json_extract": """
             WITH parsed AS (

@@ -729,6 +729,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       order_tiebreak="event_id")
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window sessionization (F.session_window — the
+    idiomatic Spark operator, also valid under Structured Streaming):
+    same event stream as q_sessionize, Spark's boundary semantics (an
+    event exactly gap seconds after the previous one opens a NEW session;
+    window end = last event + gap)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))
+
+
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation pipeline end-to-end: quality gate + language
     filter + token-budget range + exact dedup keeping the representative —
@@ -1399,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_json_extract": q_json_extract,
         "q_cube": q_cube,
+        "q_session_window": q_session_window,
         # --- long-stable greens rotate through the remaining slots ---
         "q_threshold_summary": q_threshold_summary,
         "q_threshold_summary_approx": q_threshold_summary_approx,
@@ -2090,6 +2107,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(substr(text, CAST(chunk_id * 96 + 1 AS INT), 120)) AS BIGINT)
                    AS chunk_chars
             FROM base
+        """,
+        "q_session_window": """
+            -- Spark session_window boundary semantics: an event exactly
+            -- `gap` after the previous opens a NEW session (>=, not >,
+            -- unlike q_sessionize), and the window end extends gap past
+            -- the last event
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    >= CAST(3600 AS BIGINT) * 1000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            numbered AS (
+                SELECT *,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 1 HOUR AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM numbered GROUP BY user_id, session_id
         """,
         "q_cube": """
             SELECT event_type, CAST(ts AS DATE) AS day,

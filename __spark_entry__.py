@@ -83,6 +83,7 @@ from flood_data_spark.operators.peak_timing import flood_peak_timing
 from flood_data_spark.operators.serving import neighborhood_lookup, point_lookup
 from flood_data_spark.operators.timeseries import (
     asof_join,
+    pattern_topk,
     resample_ffill,
     sessionize,
 )
@@ -743,6 +744,30 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "n_events"))
+
+
+# query pattern for the subsequence-similarity search (a spike shape);
+# z-normalized ONCE here so the Spark operator and the DuckDB oracle embed
+# bit-identical constants
+_TS_PATTERN = [10.0, 20.0, 40.0, 80.0, 40.0, 20.0, 10.0, 5.0]
+
+
+def _znorm(p):
+    m = len(p)
+    mu = sum(p) / m
+    sd = max((sum((x - mu) ** 2 for x in p) / m) ** 0.5, 1e-12)
+    return [(x - mu) / sd for x in p]
+
+
+def q_ts_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (operators/timeseries
+    .pattern_topk): the 10 windows across all user value-series closest to
+    the spike pattern by z-normalized euclidean distance — per-key lead()
+    windows, fold distance, per-key prune + TakeOrdered global top-k."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return pattern_topk(ev, _TS_PATTERN, key_col="user_id",
+                        order_cols=("ts", "event_id"),
+                        value_col="value", k=10)
 
 
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_cube": q_cube,
         "q_session_window": q_session_window,
+        "q_ts_pattern_topk": q_ts_pattern_topk,
         # --- long-stable greens rotate through the remaining slots ---
         "q_threshold_summary": q_threshold_summary,
         "q_threshold_summary_approx": q_threshold_summary_approx,
@@ -1468,6 +1494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     p2 = "least(1.0, l_discount * 12)"
+    # bit-identical z-normalized pattern constants for q_ts_pattern_topk
+    # (same python arithmetic the Spark operator runs driver-side)
+    zp = ", ".join(repr(x) for x in _znorm(_TS_PATTERN))
     return {
         "q_threshold_summary": f"""
             SELECT l_partkey AS partkey,
@@ -2107,6 +2136,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(substr(text, CAST(chunk_id * 96 + 1 AS INT), 120)) AS BIGINT)
                    AS chunk_chars
             FROM base
+        """,
+        "q_ts_pattern_topk": f"""
+            WITH ser AS (
+                SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+                FROM events WHERE user_id < 50 GROUP BY user_id),
+            wins AS (
+                SELECT user_id, CAST(i AS INT) AS pos,
+                       vs[CAST(i AS INT):CAST(i + 7 AS INT)] AS w
+                FROM ser, unnest(range(1, greatest(len(vs) - 8 + 2, 1)))
+                     AS t(i)),
+            mu AS (
+                SELECT user_id, pos, w, list_sum(w) / 8 AS m FROM wins),
+            sd AS (
+                SELECT user_id, pos, w, m,
+                       greatest(sqrt(list_sum(list_transform(w,
+                           x -> (x - m) * (x - m))) / 8), 1e-12) AS s
+                FROM mu),
+            z AS (
+                SELECT user_id, pos, w,
+                       list_transform(w, x -> (x - m) / s) AS zw
+                FROM sd),
+            d AS (
+                SELECT user_id, pos, w,
+                       round(sqrt(list_sum(list_transform(range(1, 9), i ->
+                           (zw[CAST(i AS INT)] - c.zp[CAST(i AS INT)])
+                           * (zw[CAST(i AS INT)] - c.zp[CAST(i AS INT)])))), 6)
+                       AS dist
+                FROM z CROSS JOIN
+                     (SELECT CAST([{zp}] AS DOUBLE[]) AS zp) c),
+            ranked AS (
+                SELECT user_id, pos, dist, w,
+                       CAST(row_number() OVER (ORDER BY dist, user_id, pos)
+                            AS INT) AS rank
+                FROM d)
+            SELECT user_id, pos, dist, w AS window, rank
+            FROM ranked WHERE rank <= 10
         """,
         "q_session_window": """
             -- Spark session_window boundary semantics: an event exactly

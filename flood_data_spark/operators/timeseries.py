@@ -125,6 +125,81 @@ def sessionize(events: DataFrame, key_col: str = "user_id",
                  F.count("*").alias("n_events")))
 
 
+def pattern_topk(df: DataFrame, pattern, key_col: str = "user_id",
+                 order_cols=("ts",), value_col: str = "value",
+                 k: int = 10, normalize: bool = True) -> DataFrame:
+    """Time-series subsequence similarity search: the k windows (length =
+    len(pattern)) across all keys' ordered value series most similar to
+    the query pattern, by z-normalized euclidean distance (the standard
+    shape-matching metric — normalization makes it amplitude/offset
+    invariant; pass normalize=False for raw euclidean).
+
+    Output: (key, pos, dist, window) — pos is the 1-based window start in
+    the key's series, ordered by (dist rounded to 6, key, pos) with rank
+    <= k.
+
+    Plan shape (distributable, no UDF): each row's window materializes as
+    an array of `lead()` values over ONE ordered window per key (explicit
+    per-offset leads — deterministic, unlike collect_list over a moving
+    frame), the distance is a fold over zip_with against the constant
+    normalized pattern, and the global top-k is a TakeOrdered — no global
+    sort materializes.  Cost: one shuffle on the key + m doubles per row;
+    m (pattern length) is small by construction.
+    """
+    m = len(pattern)
+    if m < 2:
+        raise ValueError(f"pattern must have >= 2 points, got {m}")
+    p = [float(x) for x in pattern]
+    if normalize:
+        pm = sum(p) / m
+        pv = sum((x - pm) ** 2 for x in p) / m
+        ps = max(pv ** 0.5, 1e-12)
+        p = [(x - pm) / ps for x in p]
+    p_lit = F.expr("array(%s)" % ",".join(repr(x) + "D" for x in p))
+
+    order = [F.col(c).asc() for c in order_cols]
+    wo = Window.partitionBy(key_col).orderBy(*order)
+    win = F.array(*[F.lead(value_col, i).over(wo) for i in range(m)])
+    rows = (df
+            .withColumn("pos", F.row_number().over(wo))
+            .withColumn("_w", win)
+            # tail rows whose window runs off the series end carry nulls
+            .filter(F.size(F.filter("_w", lambda x: x.isNotNull())) == m)
+            .select(F.col(key_col), "pos",
+                    F.transform("_w", lambda x: x.cast("double"))
+                    .alias("_w")))
+
+    wcol = F.col("_w")
+    if normalize:
+        mean = F.aggregate(wcol, F.lit(0.0), lambda a, x: a + x) / m
+        var = F.aggregate(F.transform(wcol, lambda x: (x - mean) * (x - mean)),
+                          F.lit(0.0), lambda a, x: a + x) / m
+        std = F.greatest(F.sqrt(var), F.lit(1e-12))
+        zcol = F.transform(wcol, lambda x: (x - mean) / std)
+    else:
+        zcol = wcol
+    dist2 = F.aggregate(
+        F.zip_with(zcol, p_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda a, x: a + x)
+    scored = rows.withColumn("dist", F.round(F.sqrt(dist2), 6))
+    # rounded distance in the ranking: sub-ULP fold differences across
+    # engines must not reorder the top-k; (key, pos) breaks rounded ties.
+    # Global top-k WITHOUT a global sort: per-key prune to k inside the
+    # existing key partitioning, then TakeOrdered (orderBy + limit) over
+    # the k-per-key survivors; the rank column is a window over only the
+    # final k rows.
+    order_keys = [F.col("dist").asc(), F.col(key_col).asc(),
+                  F.col("pos").asc()]
+    wk = Window.partitionBy(key_col).orderBy(*order_keys)
+    local = (scored.withColumn("_lr", F.row_number().over(wk))
+             .filter(F.col("_lr") <= k).drop("_lr"))
+    top = local.orderBy(*order_keys).limit(k)
+    wr = Window.orderBy(*order_keys)
+    return (top.withColumn("rank", F.row_number().over(wr))
+            .select(key_col, "pos", "dist",
+                    F.col("_w").alias("window"), "rank"))
+
+
 def resample_ffill(df: DataFrame, key_cols, step_col: str,
                    value_cols, step: int = 1) -> DataFrame:
     """Regularize a sparse integer-step series: per key, emit every step

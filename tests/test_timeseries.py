@@ -192,3 +192,51 @@ def test_ntz_timestamp_parquet(spark, tmp_path):
     out = asof_join(left, right, on="user_id",
                     tolerance_seconds=1).collect()
     assert all(r.payload_right is not None for r in out)
+
+
+def test_pattern_topk_finds_planted_spike(spark):
+    """A series with one planted spike shaped like the (scaled+shifted)
+    query pattern must rank it #1 under z-normalized distance."""
+    from flood_data_spark.operators.timeseries import pattern_topk
+
+    pattern = [1.0, 2.0, 4.0, 8.0, 4.0, 2.0, 1.0, 0.5]
+    # key 1: flat noise then the pattern scaled by 10 and shifted by 100
+    series = [5.0, 6.0, 5.5, 6.2] + [100 + 10 * x for x in pattern] + [5.8, 6.1]
+    rows = [(1, i + 1, float(v)) for i, v in enumerate(series)]
+    rows += [(2, i + 1, float(v)) for i, v in
+             enumerate([3.0, 3.1, 2.9, 3.0, 3.2, 3.1, 3.0, 2.8, 3.3, 2.9])]
+    df = spark.createDataFrame(rows, "user_id long, seq long, value double")
+
+    out = pattern_topk(df, pattern, key_col="user_id", order_cols=("seq",),
+                       value_col="value", k=3).collect()
+    best = out[0]
+    assert best.rank == 1
+    # the planted window starts at position 5 of key 1's series
+    assert (best.user_id, best.pos) == (1, 5)
+    # scale+shift invariance: z-normalized distance of the planted copy ~ 0
+    assert best.dist < 1e-6
+    assert best.window == [100 + 10 * x for x in pattern]
+
+
+def test_pattern_topk_no_global_sort(spark):
+    """Global top-k must go through TakeOrdered (per-key prune + limit),
+    never a full global Sort of all candidate windows."""
+    from flood_data_spark.operators.timeseries import pattern_topk
+
+    df = spark.createDataFrame(
+        [(u, i, float(u * 10 + i)) for u in range(3) for i in range(20)],
+        "user_id long, seq long, value double")
+    plan = (pattern_topk(df, [1.0, 2.0, 1.0], key_col="user_id",
+                         order_cols=("seq",), value_col="value", k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pattern_topk_rejects_short_pattern(spark):
+    import pytest
+    from flood_data_spark.operators.timeseries import pattern_topk
+
+    df = spark.createDataFrame([(1, 1, 1.0)],
+                               "user_id long, seq long, value double")
+    with pytest.raises(ValueError, match="pattern"):
+        pattern_topk(df, [1.0])

@@ -146,6 +146,33 @@ def dedup_stream(stream_df: DataFrame, key_cols,
             .dropDuplicatesWithinWatermark(cols))
 
 
+def session_stream(stream_df: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", gap: str = "1 hour",
+                   watermark_delay: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via the native session-window state
+    machine: per key, events within `gap` of the session's last event
+    merge; the watermark closes (and emits, in append mode) sessions whose
+    end has passed, bounding state to the open sessions plus the
+    watermark horizon — the continuous counterpart of the batch
+    `q_session_window` plan, which is this same aggregation minus the
+    watermark.
+
+    Output: (key, session_start, session_end = last event + gap,
+    n_events).  In `availableNow` + complete-mode runs this reproduces
+    the batch result exactly (parity-tested); in continuous append-mode
+    runs sessions emit once closed.
+    """
+    return (stream_df
+            .withWatermark(ts_col, watermark_delay)
+            .groupBy(F.col(key_col),
+                     F.session_window(ts_col, gap).alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(key_col,
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))
+
+
 def run_available_now(agg_df: DataFrame, checkpoint_dir: str,
                       output_path: str | None = None,
                       query_name: str = "flood_daily",

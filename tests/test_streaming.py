@@ -257,3 +257,56 @@ def test_exceedance_summary_stream_batch_parity(spark, tmp_path):
         assert b[k].min_dis == s[k].min_dis and b[k].max_dis == s[k].max_dis
     # missing-threshold keys (40..49) score 0.0, never NULL
     assert all(s[k].p_above_2y == 0.0 for k in range(40, 50))
+
+
+def test_session_stream_batch_parity(spark, tmp_path):
+    """availableNow session_stream == the batch session_window plan on the
+    same files — streaming sessionization parity."""
+    import os
+
+    import pandas as pd
+    from flood_data_spark.streaming.file_stream import (
+        run_available_now, session_stream)
+    from pyspark.sql import functions as F
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": [base, base + pd.Timedelta(minutes=10),
+               base + pd.Timedelta(hours=3),
+               base + pd.Timedelta(hours=3, minutes=20),
+               base, base + pd.Timedelta(hours=5)],
+    })
+    # µs timestamps: pandas' default ns parquet would surface as BIGINT
+    # under the session's nanosAsLong conf
+    table = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+        pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))]))
+    pq.write_table(table, os.path.join(src, "b0.parquet"))
+
+    batch_df = spark.read.parquet(src)
+    if dict(batch_df.dtypes)["ts"] == "timestamp_ntz":
+        batch_df = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = (batch_df
+             .groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+             .agg(F.count("*").alias("n_events"))
+             .select("user_id", F.col("w.start").alias("session_start"),
+                     F.col("w.end").alias("session_end"), "n_events"))
+
+    stream = (spark.readStream.schema(batch_df.schema).parquet(src))
+    if dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = run_available_now(session_stream(stream, gap="1 hour"),
+                          str(tmp_path / "ckpt_sess"),
+                          query_name="t_sessions")
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM t_sessions")
+
+    from conftest import rows_set
+    b = rows_set(batch)
+    s = rows_set(got)
+    assert b == s and len(b) == 4  # u1: 2 sessions, u2: 2 sessions

@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     # (5,000 docs, every token exploded once) — the linear-scaling dedup
     # signal measured on real volume
     "q_repeated_spans_full",
+    # round-6: subsequence similarity search over the full event stream
+    # (100k events, all users) — lead()-window shape matching at volume
+    "q_ts_pattern_full",
 ]
 
 _IVF_INDEX = {}
@@ -135,6 +138,19 @@ def _q_repeated_spans_full(spark, sf_dir):
     return repeated_span_stats(docs, window=8)
 
 
+def _q_ts_pattern_full(spark, sf_dir):
+    """Z-normalized pattern top-k over ALL users' event series (the
+    registry entry bounds to 50 users for the oracle; this measures the
+    full stream)."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.operators.timeseries import pattern_topk
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return pattern_topk(ev, [10.0, 20.0, 40.0, 80.0, 40.0, 20.0, 10.0, 5.0],
+                        key_col="user_id", order_cols=("ts", "event_id"),
+                        value_col="value", k=10)
+
+
 # bench-local callables: same (spark, sf_dir) -> DataFrame contract as
 # __spark_entry__.queries() entries
 EXTRA_QUERIES = {
@@ -143,6 +159,7 @@ EXTRA_QUERIES = {
     "q_ivf_probe": _q_ivf_probe,
     "q_ngram_jaccard_capped_3k": _q_ngram_jaccard_capped_3k,
     "q_repeated_spans_full": _q_repeated_spans_full,
+    "q_ts_pattern_full": _q_ts_pattern_full,
 }
 
 

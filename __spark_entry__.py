@@ -573,6 +573,23 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only_c)
 
 
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (the join type no other entry exercises): per-nation
+    big-balance customer counts vs big-balance supplier counts — thresholds
+    leave some nations one-sided, so both null-padding directions appear;
+    keys coalesced, counts zero-filled."""
+    c = (_t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+         .groupBy(F.col("c_nationkey").alias("nk"))
+         .agg(F.count("*").alias("n_customers")))
+    s = (_t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+         .groupBy(F.col("s_nationkey").alias("nk"))
+         .agg(F.count("*").alias("n_suppliers")))
+    return (c.join(s, "nk", "full_outer")
+            .select(F.col("nk").alias("nationkey"),
+                    F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+                    F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers")))
+
+
 def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 P5/P9: pushdown-friendly range predicates (between on date and
     quantity), then agg."""
@@ -1442,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube": q_cube,
         "q_session_window": q_session_window,
         "q_ts_pattern_topk": q_ts_pattern_topk,
+        "q_full_outer": q_full_outer,
         # --- long-stable greens rotate through the remaining slots ---
         "q_threshold_summary": q_threshold_summary,
         "q_threshold_summary_approx": q_threshold_summary_approx,
@@ -2136,6 +2154,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(substr(text, CAST(chunk_id * 96 + 1 AS INT), 120)) AS BIGINT)
                    AS chunk_chars
             FROM base
+        """,
+        "q_full_outer": """
+            WITH c AS (
+                SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_customers
+                FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+            s AS (
+                SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers
+                FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+            SELECT coalesce(c.nk, s.nk) AS nationkey,
+                   coalesce(n_customers, 0) AS n_customers,
+                   coalesce(n_suppliers, 0) AS n_suppliers
+            FROM c FULL OUTER JOIN s ON c.nk = s.nk
         """,
         "q_ts_pattern_topk": f"""
             WITH ser AS (

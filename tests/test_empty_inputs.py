@@ -128,3 +128,55 @@ def test_round4_operators_on_empty_inputs(spark):
 
     empty_ts = spark.createDataFrame([], "k string, step int, v double")
     assert resample_ffill(empty_ts, "k", "step", "v").count() == 0
+
+
+def test_round6_operators_degrade_gracefully(spark):
+    """Round-6 operators on empty/degenerate inputs: empty results with
+    the right schema or left-outer nulls — never a crash."""
+    from flood_data_spark.datapipe.curation import (
+        leakage_safe_split, length_buckets)
+    from flood_data_spark.datapipe.dedup import repeated_span_stats
+    from flood_data_spark.datapipe.similarity import semantic_dedup
+    from flood_data_spark.operators.grid import nearest_reindex
+    from flood_data_spark.operators.timeseries import pattern_topk
+
+    # empty target -> empty result; empty source -> left-outer null row
+    src = spark.createDataFrame([(0.025, 0.025, 1.0)],
+                                "latitude double, longitude double, v double")
+    assert nearest_reindex(
+        spark.createDataFrame([], "latitude double, longitude double"),
+        src, resolution=0.05).count() == 0
+    row = nearest_reindex(
+        spark.createDataFrame([(0.03, 0.03)],
+                              "latitude double, longitude double"),
+        spark.createDataFrame([],
+                              "latitude double, longitude double, v double"),
+        resolution=0.05).collect()[0]
+    assert row.v_src is None and row.distance_src is None
+
+    # every series shorter than the pattern -> zero windows, zero rows
+    short = spark.createDataFrame([(1, 1, 1.0), (1, 2, 2.0)],
+                                  "user_id long, seq long, value double")
+    assert pattern_topk(short, [1.0, 2.0, 3.0], key_col="user_id",
+                        order_cols=("seq",), value_col="value").count() == 0
+
+    # empty corpus -> empty stats
+    assert repeated_span_stats(
+        spark.createDataFrame([], "doc_id long, text string")).count() == 0
+
+    # fewer vectors than nlist: k-means degenerates but dedup still runs
+    few = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                                "vec_id long, embedding array<double>")
+    assert sorted(r.vec_id for r in
+                  semantic_dedup(few, nlist=16,
+                                 train_fraction=1.0).collect()) == [1, 2]
+
+    # empty frames through batching / empty pair relation through splits
+    assert length_buckets(
+        spark.createDataFrame([], "doc_id long, source string, n_tokens long"),
+        batch_size=4).count() == 0
+    out = leakage_safe_split(
+        spark.createDataFrame([(1, "t")], "doc_id long, text string"),
+        spark.createDataFrame([], "id_a long, id_b long"),
+        {"train": 1.0}).collect()
+    assert out[0].group_id == 1 and out[0].split == "train"

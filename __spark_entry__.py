@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flood_data_spark.datapipe.dedup import (
+    corpus_diff,
     dedup_against,
     dedup_clusters,
     exact_dedup,
@@ -571,6 +572,20 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = c.intersect(s).withColumn("tag", F.lit("both"))
     only_c = c.subtract(s).withColumn("tag", F.lit("customer_only"))
     return both.unionByName(only_c)
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (datapipe/dedup.corpus_diff): 'old' = docs
+    0..299 as stored, 'new' = docs 100..399 with every 10th text rewritten
+    — all four statuses appear; digest-only full outer join."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 300)
+    new = (docs.filter(F.col("doc_id").between(100, 399))
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 10 == 0,
+                              F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text"))))
+    return corpus_diff(old, new)
 
 
 def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1460,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": q_session_window,
         "q_ts_pattern_topk": q_ts_pattern_topk,
         "q_full_outer": q_full_outer,
+        "q_corpus_diff": q_corpus_diff,
         # --- long-stable greens rotate through the remaining slots ---
         "q_threshold_summary": q_threshold_summary,
         "q_threshold_summary_approx": q_threshold_summary_approx,
@@ -2154,6 +2170,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(substr(text, CAST(chunk_id * 96 + 1 AS INT), 120)) AS BIGINT)
                    AS chunk_chars
             FROM base
+        """,
+        "q_corpus_diff": """
+            WITH o AS (
+                SELECT doc_id AS id, md5(text) AS old_digest
+                FROM documents WHERE doc_id < 300),
+            n AS (
+                SELECT doc_id AS id,
+                       md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                                ELSE text END) AS new_digest
+                FROM documents WHERE doc_id BETWEEN 100 AND 399)
+            SELECT coalesce(o.id, n.id) AS doc_id,
+                   CASE WHEN old_digest IS NULL THEN 'added'
+                        WHEN new_digest IS NULL THEN 'removed'
+                        WHEN old_digest = new_digest THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   old_digest, new_digest
+            FROM o FULL OUTER JOIN n ON o.id = n.id
         """,
         "q_full_outer": """
             WITH c AS (

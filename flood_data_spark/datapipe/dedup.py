@@ -371,6 +371,30 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "hamming"))
 
 
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two corpus versions: per id, `added` /
+    `removed` / `changed` / `unchanged` by content digest — the audit step
+    before shipping a refreshed training corpus (how much churned, what to
+    re-embed / re-dedup incrementally).
+
+    Digest-only full outer join: text never shuffles, one md5 per side —
+    the same at-scale discipline as `dedup_against`.  Output: (id, status,
+    old_digest, new_digest).
+    """
+    o = old.select(F.col(id_col).alias("_id"),
+                   F.md5(F.col(text_col)).alias("old_digest"))
+    n = new.select(F.col(id_col).alias("_id"),
+                   F.md5(F.col(text_col)).alias("new_digest"))
+    status = (F.when(F.col("old_digest").isNull(), "added")
+              .when(F.col("new_digest").isNull(), "removed")
+              .when(F.col("old_digest") == F.col("new_digest"), "unchanged")
+              .otherwise("changed"))
+    return (o.join(n, "_id", "full_outer")
+            .select(F.col("_id").alias(id_col), status.alias("status"),
+                    "old_digest", "new_digest"))
+
+
 # ---------------------------------------------------- contamination
 
 def ngram_containment(candidates: DataFrame, reference: DataFrame,

@@ -82,3 +82,18 @@ def test_ngram_jaccard_join_doc_freq_cap(spark):
     assert uncapped.count() == 64
     assert sorted((r.id_l, r.id_r) for r in capped.collect()) == \
         [(i, 100 + i) for i in range(8)]
+
+
+def test_corpus_diff_statuses(spark):
+    from flood_data_spark.datapipe.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+    assert rows[1].status == "removed" and rows[1].new_digest is None
+    assert rows[2].status == "unchanged"
+    assert rows[3].status == "changed" \
+        and rows[3].old_digest != rows[3].new_digest
+    assert rows[4].status == "added" and rows[4].old_digest is None

@@ -324,13 +324,28 @@ def q_nearest_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     `method='nearest'` WITHOUT the aligned-grids assumption): serving points
     offset arbitrarily from the 0.05° cell grid each match their truly
     nearest cell via the 3×3-bucket candidate join + deterministic argmin
-    (operators/grid.nearest_reindex) — never a cross join."""
+    (operators/grid.nearest_reindex) — never a cross join.
+
+    Own grid derivation (lat = partkey % 20, lon = partkey DIV 20 % 200),
+    NOT _grid_cells: that one degenerates to a single longitude column at
+    sf0.001 (part = 200 rows), violating the operator's source-spacing <=
+    resolution precondition and desyncing from the brute-force oracle;
+    this derivation is 2-D (20 × >= 10 cells) at every SF, and the point
+    coordinates sit inside the sf0.001 extent (lat <= 0.853 + lon <=
+    0.381 vs grid max 0.975/0.475)."""
     from flood_data_spark.operators.grid import nearest_reindex
 
-    cells = _grid_cells(spark, sf_dir)
+    cells = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.round(F.lit(0.025) + (F.col("p_partkey") % 20) * 0.05, 3)
+        .alias("latitude"),
+        F.round(F.lit(0.025)
+                + (F.floor(F.col("p_partkey") / 20) % 200) * 0.05, 3)
+        .alias("longitude"),
+        F.col("p_retailprice").alias("val"))
     points = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("point_id"),
-        (F.col("n_nationkey") * 0.37 + 0.013).alias("latitude"),
+        (F.col("n_nationkey") * 0.035 + 0.013).alias("latitude"),
         ((F.col("n_nationkey") % 5) * 0.09 + 0.021).alias("longitude"))
     out = nearest_reindex(points, cells, resolution=0.05)
     return out.select(
@@ -2172,18 +2187,23 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         """,
         "q_corpus_diff": """
+            -- presence flags, not digest nullness (NULL-text rows are
+            -- still present) — mirrors corpus_diff
             WITH o AS (
-                SELECT doc_id AS id, md5(text) AS old_digest
+                SELECT doc_id AS id, md5(text) AS old_digest,
+                       TRUE AS in_old
                 FROM documents WHERE doc_id < 300),
             n AS (
                 SELECT doc_id AS id,
                        md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
-                                ELSE text END) AS new_digest
+                                ELSE text END) AS new_digest,
+                       TRUE AS in_new
                 FROM documents WHERE doc_id BETWEEN 100 AND 399)
             SELECT coalesce(o.id, n.id) AS doc_id,
-                   CASE WHEN old_digest IS NULL THEN 'added'
-                        WHEN new_digest IS NULL THEN 'removed'
-                        WHEN old_digest = new_digest THEN 'unchanged'
+                   CASE WHEN in_old IS NULL THEN 'added'
+                        WHEN in_new IS NULL THEN 'removed'
+                        WHEN old_digest IS NOT DISTINCT FROM new_digest
+                             THEN 'unchanged'
                         ELSE 'changed' END AS status,
                    old_digest, new_digest
             FROM o FULL OUTER JOIN n ON o.id = n.id
@@ -2205,10 +2225,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, list(value ORDER BY ts, event_id) AS vs
                 FROM events WHERE user_id < 50 GROUP BY user_id),
             wins AS (
+                -- windows containing a NULL value are not scored (matches
+                -- pattern_topk's interior-null exclusion, not just tails)
                 SELECT user_id, CAST(i AS INT) AS pos,
                        vs[CAST(i AS INT):CAST(i + 7 AS INT)] AS w
                 FROM ser, unnest(range(1, greatest(len(vs) - 8 + 2, 1)))
-                     AS t(i)),
+                     AS t(i)
+                WHERE len(list_filter(vs[CAST(i AS INT):CAST(i + 7 AS INT)],
+                                      x -> x IS NOT NULL)) = 8),
             mu AS (
                 SELECT user_id, pos, w, list_sum(w) / 8 AS m FROM wins),
             sd AS (
@@ -2401,14 +2425,14 @@ def oracle_sql() -> dict[str, str]:
         "q_nearest_reindex": """
             WITH cells AS (
                 SELECT p_partkey AS partkey,
-                       round(0.025 + (p_partkey % 200) * 0.05, 3) AS slat,
-                       round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT)
+                       round(0.025 + (p_partkey % 20) * 0.05, 3) AS slat,
+                       round(0.025 + (CAST(floor(p_partkey / 20) AS BIGINT)
                                       % 200) * 0.05, 3) AS slon,
                        p_retailprice AS val
                 FROM part),
             points AS (
                 SELECT n_nationkey AS point_id,
-                       n_nationkey * 0.37 + 0.013 AS latitude,
+                       n_nationkey * 0.035 + 0.013 AS latitude,
                        (n_nationkey % 5) * 0.09 + 0.021 AS longitude
                 FROM nation),
             -- brute-force argmin truth (the Spark side is the bucketed
@@ -2419,10 +2443,14 @@ def oracle_sql() -> dict[str, str]:
                        sqrt((p.latitude - c.slat) * (p.latitude - c.slat)
                             + (p.longitude - c.slon) * (p.longitude - c.slon))
                        AS dist,
+                       -- partkey last: at SFs where the wrapped lon index
+                       -- makes cells coincide, (dist, slat, slon) ties and
+                       -- Spark's min(struct) falls through to the first
+                       -- value column (partkey)
                        row_number() OVER (PARTITION BY p.point_id
                            ORDER BY (p.latitude - c.slat) * (p.latitude - c.slat)
                                     + (p.longitude - c.slon) * (p.longitude - c.slon),
-                                    c.slat, c.slon) AS rn
+                                    c.slat, c.slon, c.partkey) AS rn
                 FROM points p, cells c)
             SELECT point_id, latitude, longitude,
                    slat AS latitude_src, slon AS longitude_src,

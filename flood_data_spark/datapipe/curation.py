@@ -246,16 +246,17 @@ def length_buckets(df: DataFrame, batch_size: int,
                    partition_cols=("source",),
                    order_col: str = "doc_id") -> DataFrame:
     """Length-bucketed batch assembly: documents go into power-of-two
-    length buckets (bucket = floor(log2(tokens)), so sequences in a batch
-    are within 2× of each other — bounded padding waste), then each
-    bucket's documents are numbered into fixed-size batches in `order_col`
-    order.
+    length buckets (bucket = bit_length(tokens) = floor(log2(tokens)) + 1,
+    so sequences in a batch are within 2× of each other — bounded padding
+    waste), then each bucket's documents are numbered into fixed-size
+    batches in `order_col` order.
 
-    Adds `bucket` (log2 tier, 0 for empty docs) and `batch_id` (0-based
-    within (partition_cols…, bucket)).  The log2 tier is computed as the
-    bit length of the token count (`length(bin(n))`) — pure integer
-    arithmetic, portable to any engine with a binary formatter, no float
-    log edge cases at exact powers of two.
+    Adds `bucket` (bit-length tier: 0 for empty docs, 1 for 1 token,
+    2 for 2-3, 3 for 4-7, …) and `batch_id` (0-based within
+    (partition_cols…, bucket)).  The tier is computed as the bit length
+    of the token count (`length(bin(n))`) — pure integer arithmetic,
+    portable to any engine with a binary formatter, no float log edge
+    cases at exact powers of two.
 
     One ordered-window pass per (partition_cols…, bucket).  As with
     `pack_sequences`, `partition_cols` is mandatory at scale: an empty

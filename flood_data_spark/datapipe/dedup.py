@@ -381,14 +381,22 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     Digest-only full outer join: text never shuffles, one md5 per side —
     the same at-scale discipline as `dedup_against`.  Output: (id, status,
     old_digest, new_digest).
+
+    Presence is tracked by explicit per-side flags, NOT digest nullness:
+    a row present with NULL text has a NULL digest but is still present —
+    two NULL-text versions of a doc are `unchanged`, a NULL-text -> real
+    text transition is `changed`.
     """
     o = old.select(F.col(id_col).alias("_id"),
-                   F.md5(F.col(text_col)).alias("old_digest"))
+                   F.md5(F.col(text_col)).alias("old_digest"),
+                   F.lit(True).alias("_in_old"))
     n = new.select(F.col(id_col).alias("_id"),
-                   F.md5(F.col(text_col)).alias("new_digest"))
-    status = (F.when(F.col("old_digest").isNull(), "added")
-              .when(F.col("new_digest").isNull(), "removed")
-              .when(F.col("old_digest") == F.col("new_digest"), "unchanged")
+                   F.md5(F.col(text_col)).alias("new_digest"),
+                   F.lit(True).alias("_in_new"))
+    status = (F.when(F.col("_in_old").isNull(), "added")
+              .when(F.col("_in_new").isNull(), "removed")
+              .when(F.col("old_digest").eqNullSafe(F.col("new_digest")),
+                    "unchanged")
               .otherwise("changed"))
     return (o.join(n, "_id", "full_outer")
             .select(F.col("_id").alias(id_col), status.alias("status"),
@@ -475,17 +483,20 @@ def repeated_span_stats(df: DataFrame, window: int = 8,
            .agg(F.count_distinct("id").alias("_nd"))
            .filter(F.col("_nd") >= min_distinct_docs)
            .select("h"))
-    hits = spans.join(dup, "h", "left_semi").cache()
-    n_dup_spans = hits.groupBy("id").agg(F.count("*").alias("n_dup_spans"))
-    covered = (hits
-               .select("id", F.explode(
-                   F.sequence(F.col("pos"),
-                              F.col("pos") + F.lit(window - 1))).alias("p"))
-               .groupBy("id")
-               .agg(F.count_distinct("p").alias("n_dup_tokens")))
+    hits = spans.join(dup, "h", "left_semi")
+    # both stats from ONE consumption of hits (no cache to pin, nothing
+    # recomputed): explode each hit span into its covered positions —
+    # distinct `pos` values among the exploded rows are exactly the span
+    # starts, distinct `p` values the covered tokens
+    stats = (hits
+             .select("id", "pos", F.explode(
+                 F.sequence(F.col("pos"),
+                            F.col("pos") + F.lit(window - 1))).alias("p"))
+             .groupBy("id")
+             .agg(F.count_distinct("pos").alias("n_dup_spans"),
+                  F.count_distinct("p").alias("n_dup_tokens")))
     return (toks.select("id", F.size("ts").cast("long").alias("n_tokens"))
-            .join(n_dup_spans, "id", "left")
-            .join(covered, "id", "left")
+            .join(stats, "id", "left")
             .na.fill({"n_dup_spans": 0, "n_dup_tokens": 0})
             .select(F.col("id").alias(id_col),
                     "n_tokens",

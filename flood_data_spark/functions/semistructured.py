@@ -28,11 +28,23 @@ def with_json_fields(df: DataFrame, json_col: str,
     `fields` maps field name -> Spark SQL type string (e.g. {"k": "long",
     "tag": "string"}); each becomes a column `prefix + name`.  One
     `from_json` parse per row regardless of how many fields are pulled.
+
+    Raises if an output column name collides with an existing column —
+    silent withColumn overwrite would destroy caller data.
     """
     if not fields:
         raise ValueError("fields must name at least one JSON field")
+    collisions = [prefix + n for n in fields
+                  if prefix + n in df.columns]
+    if collisions:
+        raise ValueError(
+            f"output column(s) {collisions} already exist in the input; "
+            "pass a prefix to disambiguate")
+    tmp = "_json"
+    while tmp in df.columns:
+        tmp += "_"
     schema = ", ".join(f"`{name}` {dtype}" for name, dtype in fields.items())
-    parsed = df.withColumn("_json", F.from_json(F.col(json_col), schema))
+    parsed = df.withColumn(tmp, F.from_json(F.col(json_col), schema))
     for name in fields:
-        parsed = parsed.withColumn(prefix + name, F.col(f"_json.`{name}`"))
-    return parsed.drop("_json")
+        parsed = parsed.withColumn(prefix + name, F.col(f"`{tmp}`.`{name}`"))
+    return parsed.drop(tmp)

@@ -74,6 +74,12 @@ def nearest_reindex(target: DataFrame, source: DataFrame,
             else [c for c in source.columns
                   if c not in ("latitude", "longitude")])
 
+    # _rid exists only to group one target row's 9 bucket probes back
+    # together; the whole computation is ONE plan branch (left join +
+    # aggregate), so the nondeterministic id is generated and consumed
+    # within a single evaluation — a two-branch formulation (matched ∪
+    # anti-join missing) would re-evaluate the id per branch and
+    # desynchronize under nondeterministic input row order.
     t = (target
          .withColumn("_rid", F.monotonically_increasing_id())
          .withColumn("_di", F.explode(F.expr("array(-1L, 0L, 1L)")))
@@ -91,36 +97,35 @@ def nearest_reindex(target: DataFrame, source: DataFrame,
     dist = F.sqrt(
         (F.col("latitude") - F.col("_slat")) ** 2
         + (F.col("longitude") - F.col("_slon")) ** 2)
-    cand = (t.join(s, ["_gi", "_gj"])
+    # LEFT join: targets with no bucket-sharing source row keep their 9
+    # probe rows with null candidates, so they survive to the aggregate
+    # (null best -> null outputs = left-outer semantics) without a second
+    # plan branch
+    cand = (t.join(s, ["_gi", "_gj"], "left")
             .withColumn("_dist", dist))
+    best_struct = F.struct(
+        F.col("_dist").alias("d"),
+        F.col("_slat").alias("slat"),
+        F.col("_slon").alias("slon"),
+        *[F.col("_v_" + c).alias(c) for c in vals])
     if max_distance is not None:
-        cand = cand.filter(F.col("_dist") <= max_distance)
+        # null out (rather than filter out) candidates beyond the bound:
+        # min() ignores nulls, and the target row itself must survive
+        best_struct = F.when(F.col("_dist") <= max_distance, best_struct)
+    else:
+        best_struct = F.when(F.col("_dist").isNotNull(), best_struct)
 
     target_cols = [c for c in target.columns]
     best = (cand
             .groupBy("_rid")
             .agg(*[F.first(c).alias(c) for c in target_cols],
-                 F.min(F.struct(
-                     F.col("_dist").alias("d"),
-                     F.col("_slat").alias("slat"),
-                     F.col("_slon").alias("slon"),
-                     *[F.col("_v_" + c).alias(c) for c in vals]))
-                 .alias("_best")))
-    matched = best.select(
-        "_rid", *target_cols,
+                 F.min(best_struct).alias("_best")))
+    return best.select(
+        *target_cols,
         F.col("_best.slat").alias("latitude" + suffix),
         F.col("_best.slon").alias("longitude" + suffix),
         F.col("_best.d").alias("distance" + suffix),
         *[F.col("_best." + c).alias(c + suffix) for c in vals])
-    # left-outer semantics: targets with no in-range candidate keep nulls
-    missing = (t.select("_rid", *target_cols).distinct()
-               .join(matched.select("_rid"), "_rid", "left_anti")
-               .select("_rid", *target_cols,
-                       *[F.lit(None).cast(matched.schema[c + suffix].dataType)
-                         .alias(c + suffix)
-                         for c in ["latitude", "longitude", "distance"]
-                         + vals]))
-    return matched.unionByName(missing).drop("_rid")
 
 
 def upstream_mask(forecast_df: DataFrame, upstream_df: DataFrame,

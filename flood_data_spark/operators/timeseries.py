@@ -163,7 +163,9 @@ def pattern_topk(df: DataFrame, pattern, key_col: str = "user_id",
     rows = (df
             .withColumn("pos", F.row_number().over(wo))
             .withColumn("_w", win)
-            # tail rows whose window runs off the series end carry nulls
+            # drops tail windows that run off the series end AND windows
+            # with an interior NULL value — a window with a missing
+            # observation has no well-defined shape distance
             .filter(F.size(F.filter("_w", lambda x: x.isNotNull())) == m)
             .select(F.col(key_col), "pos",
                     F.transform("_w", lambda x: x.cast("double"))

@@ -104,8 +104,12 @@ def main():
             # hash-fails while this script's stringified compare passes
             # (the r4/r5 q_pack_sequences divergence).  Flag any column
             # that is float in pandas but integral on the Spark side.
-            o_pdtypes = dict(con.execute(oracles[name]).fetchdf().dtypes
-                             .astype(str))
+            # LIMIT 0: the pandas dtype mapping is schema-driven, so the
+            # probe must not re-execute the (sometimes deliberately
+            # quadratic) oracle a second time for its rows.
+            o_pdtypes = dict(
+                con.execute(f"SELECT * FROM ({oracles[name]}) _q LIMIT 0")
+                .fetchdf().dtypes.astype(str))
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")

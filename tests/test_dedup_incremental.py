@@ -97,3 +97,17 @@ def test_corpus_diff_statuses(spark):
     assert rows[3].status == "changed" \
         and rows[3].old_digest != rows[3].new_digest
     assert rows[4].status == "added" and rows[4].old_digest is None
+
+
+def test_corpus_diff_null_text_is_presence_not_absence(spark):
+    """NULL text != missing row: same-id NULL->NULL is unchanged,
+    NULL->text is changed (review finding: digest-null conflation)."""
+    from flood_data_spark.datapipe.dedup import corpus_diff
+
+    old = spark.createDataFrame([(1, None), (2, None)],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(1, None), (2, "now real")],
+                                "doc_id long, text string")
+    rows = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert rows[1] == "unchanged"
+    assert rows[2] == "changed"

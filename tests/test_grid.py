@@ -103,3 +103,22 @@ def test_nearest_reindex_plan_no_cross_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_reindex_single_branch_consistency(spark):
+    """One output row per target even through nondeterministic input
+    layout (repartition) — the monotonically_increasing_id is generated
+    and consumed inside one plan branch (review finding: two-branch
+    desync)."""
+    from flood_data_spark.operators.grid import nearest_reindex
+
+    src = spark.createDataFrame(
+        [(0.025 + i * 0.05, 0.025, float(i)) for i in range(4)],
+        "latitude double, longitude double, v double")
+    tgt = (spark.createDataFrame(
+        [(0.03 + i * 0.01, 0.02) for i in range(40)],
+        "latitude double, longitude double")
+        .repartition(7))
+    out = nearest_reindex(tgt, src, resolution=0.05)
+    assert out.count() == 40
+    assert out.select("latitude", "longitude").distinct().count() == 40

@@ -38,3 +38,15 @@ def test_rejects_empty_fields(spark):
     df = spark.createDataFrame([(1, "{}")], "id long, props string")
     with pytest.raises(ValueError, match="at least one"):
         with_json_fields(df, "props", {})
+
+
+def test_collision_and_reserved_name_guards(spark):
+    df = spark.createDataFrame([(1, '{"k": 2}', 9)],
+                               "id long, props string, k long")
+    with pytest.raises(ValueError, match="already exist"):
+        with_json_fields(df, "props", {"k": "long"})
+    # prefix disambiguates; a pre-existing _json column survives untouched
+    df2 = spark.createDataFrame([(1, '{"k": 2}', "keepme")],
+                                "id long, props string, _json string")
+    out = with_json_fields(df2, "props", {"k": "long"}, prefix="j_").collect()
+    assert out[0].j_k == 2 and out[0]._json == "keepme"

@@ -1293,7 +1293,8 @@ def q_simhash_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs Hamming join over the same signatures — checked as mutual
     set containment on (id_a, id_b, hamming), not just counts."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sigs = simhash(docs).filter(F.col("simhash") != 0).cache()
+    sigs = (simhash(docs).filter(F.col("has_tokens"))
+            .drop("has_tokens").cache())
     # The brute-force ground-truth side is O(n²) BY DESIGN (it exists to
     # prove the pigeonhole join complete) — hard-cap it so the contract can
     # never be pointed at a corpus-scale input by accident.

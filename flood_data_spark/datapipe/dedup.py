@@ -317,9 +317,14 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             .agg(F.sum(F.when(F.col("votes") > 0, weight)
                        .otherwise(F.lit(0).cast("long"))).alias("simhash")))
     # token-free documents (empty/blank text) produce no vote rows; keep
-    # them with the all-zero signature so dedup coverage matches exact_dedup
+    # them with the all-zero signature so dedup coverage matches
+    # exact_dedup.  `has_tokens` records blankness EXPLICITLY — a
+    # signature of 0 does not imply blank (a real document's bit votes can
+    # all land <= 0), so downstream filters must use the flag, never the
+    # signature value.
     all_ids = df.select(F.col(id_col).alias("id")).distinct()
     return (all_ids.join(sigs, "id", "left")
+            .withColumn("has_tokens", F.col("simhash").isNotNull())
             .na.fill({"simhash": 0}))
 
 
@@ -338,11 +343,15 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
             f"pigeonhole requires max_hamming ({max_hamming}) < chunks "
             f"({chunks}): a pair can differ in every chunk and still "
             "qualify, so candidates would be silently missed")
-    # exclude the all-zero signature (token-free/blank docs) from the
-    # pairwise path: b blank docs all collide on every chunk → O(b²) pair
-    # explosion, and they are byte-identical anyway — exact_dedup's job
+    # exclude token-free/blank docs from the pairwise path: b blank docs
+    # all collide on every chunk → O(b²) pair explosion, and they are
+    # byte-identical anyway — exact_dedup's job.  Filter on the explicit
+    # blankness flag, NOT on simhash == 0: a real document's votes can
+    # legitimately produce the zero signature, and its near-duplicates
+    # must still be found.
     sigs = (simhash(df, id_col, text_col)
-            .filter(F.col("simhash") != 0)
+            .filter(F.col("has_tokens"))
+            .drop("has_tokens")
             .cache())
     bits_per_chunk = 64 // chunks
     mask = (1 << bits_per_chunk) - 1

@@ -62,9 +62,12 @@ def read_media(spark: SparkSession, path_glob: str,
     material birthday-collision odds past ~10⁹ files — at that scale join
     on (media_id, path) or switch the key to the path itself."""
     df = (spark.read.format("binaryFile").load(path_glob)
+          # cast: F.lit(None) alone is a NullType (void) column, which
+          # parquet sinks reject — the default mime=None must still yield
+          # the StringType MEDIA_SCHEMA promises
           .select(F.xxhash64("path").alias("media_id"),
                   F.col("path"),
-                  F.lit(mime).alias("mime"),
+                  F.lit(mime).cast("string").alias("mime"),
                   F.col("length").alias("n_bytes"),
                   F.col("content")))
     return df

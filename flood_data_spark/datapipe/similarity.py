@@ -117,28 +117,6 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     return row.d
 
 
-def lsh_signature(vec, num_planes: int = 16, plane_offset: int = 0,
-                  dim: int = 64) -> Column:
-    """num_planes-bit random-hyperplane signature packed into a long.
-
-    Plane components are DRIVER-SIDE literals (`_plane_component`), so each
-    bit is one zip_with/aggregate fold against a constant array — no per-row
-    per-element hashing (the previous xxhash64-per-component formulation
-    cost ~1.6 ms/row at d=64, P=32: 30× the scoring work it was saving).
-    plane_offset selects an independent plane set (multi-table LSH uses
-    offset t*num_planes for table t); `dim` must match the embedding length.
-    """
-    sig = F.lit(0).cast("long")
-    for i in range(num_planes):
-        plane = F.expr("array(%s)" % ",".join(
-            repr(float(_plane_component(plane_offset + i, d))) + "D"
-            for d in range(dim)))
-        dot = F.aggregate(F.zip_with(vec, plane, lambda x, c: x * c),
-                          F.lit(0.0), lambda acc, v: acc + v)
-        sig = sig + F.shiftleft((dot >= 0).cast("long"), i)
-    return sig
-
-
 def _lsh_bucket_rows(df: DataFrame, id_alias: str, id_col: str, vec_col: str,
                      num_planes: int, num_tables: int, dim: int) -> DataFrame:
     """Narrow (id, table, bucket) relation — one row per (vector, table).

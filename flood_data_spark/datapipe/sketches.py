@@ -63,14 +63,16 @@ def token_heavy_hitters(df: DataFrame, text_col: str = "text",
 
     explode → groupBy partial-aggregates map-side: the shuffle moves one
     row per distinct token per partition — vocabulary-bounded, not
-    corpus-bounded.  The total count reuses the same exploded relation, so
-    the text is scanned once.
+    corpus-bounded.  The total derives from the already-aggregated counts
+    relation (sum of per-token occurrences == total token positions), so
+    the corpus text is scanned and tokenized exactly ONCE — an
+    independent `toks.agg(count)` plan would pay the full explode twice.
     """
     toks = (df.select(F.explode(
         F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"))
         .filter(F.col("token") != ""))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("occurrences"))
-    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    total = counts.agg(F.sum("occurrences").alias("_total"))
     return (counts.crossJoin(F.broadcast(total))
             .filter(F.col("occurrences") >= F.col("_total") * min_fraction)
             .select("token", "occurrences",

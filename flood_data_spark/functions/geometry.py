@@ -56,11 +56,16 @@ def cell_bbox_for_point(lat: float, lon: float,
                         resolution: float | None = None) -> tuple:
     """(lat_min, lat_max, lon_min, lon_max) of the grid cell containing the
     point — driver-side math mirroring flood-api-examples.py:83-120 (floor to
-    grid, inflate by one cell)."""
-    res = resolution if resolution is not None else DEFAULT_CONFIG.resolution
-    lat0 = math.floor(lat / res) * res
-    lon0 = math.floor(lon / res) * res
-    return (lat0, lat0 + res, lon0, lon0 + res)
+    grid, inflate by one cell).
+
+    Delegates to operators.serving.grid_cell_bounds so the two entry
+    points can never drift: this used to return unrounded floats
+    (0.15000000000000002-style) while the serving path rounded to key
+    precision, giving subtly different predicates for the same point.
+    """
+    from flood_data_spark.operators.serving import grid_cell_bounds
+
+    return grid_cell_bounds(lat, lon, grid_size=resolution)
 
 
 def bbox_filter(df: DataFrame, lat_min: float, lat_max: float,

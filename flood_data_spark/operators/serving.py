@@ -98,7 +98,8 @@ def batch_point_lookup(cells_df: DataFrame, points_df: DataFrame,
                        lat_col: str = "latitude",
                        lon_col: str = "longitude",
                        point_lat_col: str = "latitude",
-                       point_lon_col: str = "longitude") -> DataFrame:
+                       point_lon_col: str = "longitude",
+                       broadcast_points: bool = True) -> DataFrame:
     """Resolve MANY query points to their containing cells in one job: both
     sides get an integer grid index (floor snap — same east/north edge
     semantics as `point_lookup`) and meet in a broadcast equi-join, so N
@@ -121,5 +122,10 @@ def batch_point_lookup(cells_df: DataFrame, points_df: DataFrame,
     points = (renamed
               .withColumn("_glat", grid_index("query_" + point_lat_col, g))
               .withColumn("_glon", grid_index("query_" + point_lon_col, g)))
-    return (cells.join(F.broadcast(points), ["_glat", "_glon"])
+    # broadcast_points=True assumes an interactive-size point batch; pass
+    # False for corpus-scale batches to fall back to a shuffled equi-join
+    # instead of collecting the points to the driver
+    if broadcast_points:
+        points = F.broadcast(points)
+    return (cells.join(points, ["_glat", "_glon"])
             .drop("_glat", "_glon"))

@@ -35,12 +35,6 @@ from flood_data_spark.config import DEFAULT_CONFIG
 GROUP_KEYS = ("latitude", "longitude", "issued_on", "valid_for", "step")
 
 
-def _quantile(col: str, q: float, accuracy_mode: str):
-    if accuracy_mode == "approx":
-        return F.percentile_approx(col, q)
-    return F.percentile(col, q)
-
-
 def _quantiles_array(col: str, qs, accuracy_mode: str):
     """All requested quantiles from ONE aggregate buffer: the per-group value
     buffer (exact) / sketch (approx) is built once instead of once per
@@ -86,6 +80,10 @@ def combine_threshold_rasters(dfs: Sequence[DataFrame],
     """
     if len(dfs) < 2:
         raise ValueError("combine_threshold_rasters needs >= 2 rasters")
+    if rename_maps is not None and len(rename_maps) != len(dfs):
+        raise ValueError(
+            f"rename_maps has {len(rename_maps)} entries for {len(dfs)} "
+            "rasters — pass one map (or None) per input")
     from flood_data_spark.plans.checks import PipelineCheckError
 
     p = precision if precision is not None else DEFAULT_CONFIG.precision

@@ -204,10 +204,14 @@ def pattern_topk(df: DataFrame, pattern, key_col: str = "user_id",
 
 def resample_ffill(df: DataFrame, key_cols, step_col: str,
                    value_cols, step: int = 1) -> DataFrame:
-    """Regularize a sparse integer-step series: per key, emit every step
-    from the key's min to its max (spacing `step`) and forward-fill the
-    value columns from the most recent observed row (NULL before the first
-    observation — no value is invented).
+    """Regularize a sparse integer-step series: per key, emit the lattice
+    anchored at the key's min step (spacing `step`, up to its max) and
+    forward-fill the value columns from the most recent observed row at or
+    before each lattice point — observations BETWEEN lattice points (any
+    misalignment when step > 1) still fill forward; nothing is silently
+    dropped.  NULL before the first observation — no value is invented.
+    `is_observed` marks lattice points with an observation at exactly that
+    step.  Input grain: at most one observation per (key, step).
 
     Plan shape (the scalable formulation): one groupBy builds each key's
     [min, max] span, `sequence` + `explode` materializes the dense grid
@@ -227,14 +231,30 @@ def resample_ffill(df: DataFrame, key_cols, step_col: str,
             .agg(F.min(step_col).alias("_lo"), F.max(step_col).alias("_hi")))
     grid = (span.select(*keys,
                         F.explode(F.sequence(F.col("_lo"), F.col("_hi"),
-                                             F.lit(step))).alias(step_col)))
+                                             F.lit(step))).alias(step_col),
+                        F.lit(None).cast("boolean").alias("_obs")))
+    # union + ordered fill, NOT a join on exact step equality: with
+    # step > 1 an observation between grid points (or off the min-anchored
+    # lattice entirely) would never match an equi-join and its value
+    # would silently vanish — here it rides the same timeline and
+    # forward-fills the next grid point, which is what "most recent
+    # observed row" means.
     observed = df.select(*keys, step_col,
-                         F.lit(True).alias("is_observed"),
+                         F.lit(True).alias("_obs"),
                          *[F.col(v) for v in vals])
-    joined = grid.join(observed, on=keys + [step_col], how="left")
-    w = (Window.partitionBy(*keys).orderBy(step_col)
+    timeline = observed.unionByName(
+        grid, allowMissingColumns=True)
+    # at equal step, the observed row must precede its grid twin in the
+    # fill order (nulls-last on _obs==True first via desc_nulls_last)
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col(step_col).asc(), F.col("_obs").desc_nulls_last())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = [F.last(v, ignorenulls=True).over(w).alias(v) for v in vals]
-    return joined.select(*keys, step_col, *filled,
-                         F.coalesce("is_observed", F.lit(False))
-                         .alias("is_observed"))
+    is_obs = (F.max(F.when(F.col("_obs"), F.col(step_col))).over(w)
+              == F.col(step_col))
+    return (timeline
+            .select(*keys, step_col, *filled,
+                    F.coalesce(is_obs, F.lit(False)).alias("is_observed"),
+                    "_obs")
+            .filter(F.col("_obs").isNull())
+            .drop("_obs"))

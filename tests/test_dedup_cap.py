@@ -104,3 +104,19 @@ def test_cap_validation(spark):
     docs = _corpus(spark)
     with pytest.raises(ValueError, match="max_doc_freq"):
         ngram_jaccard_pairs(docs, max_doc_freq=0)
+
+
+def test_simhash_blankness_is_flag_not_signature(spark):
+    """simhash() reports blankness via has_tokens, and simhash_dup_pairs
+    filters on THAT flag — a legitimate zero signature (all bit votes
+    <= 0) must not eject a document from the pairwise path (review
+    finding)."""
+    from flood_data_spark.datapipe.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "real text here"), (2, "   "), (3, "")],
+        "doc_id long, text string")
+    rows = {r.id: r for r in simhash(df).collect()}
+    assert rows[1].has_tokens and rows[1].simhash != 0
+    assert not rows[2].has_tokens and rows[2].simhash == 0
+    assert not rows[3].has_tokens

@@ -154,3 +154,21 @@ def test_embed_text_composes_with_quantize_and_topk(spark):
     assert q.filter("size(qvec) != 8").count() == 0
     top = cosine_topk_bruteforce(emb, emb.filter("vec_id < 3"), k=2)
     assert top.count() == 6
+
+
+def test_read_media_default_mime_is_parquet_writable(spark, tmp_path):
+    """mime=None must yield a StringType column (F.lit(None) alone is a
+    void type that parquet sinks reject — review finding)."""
+    import os
+
+    from flood_data_spark.datapipe.multimodal import read_media
+
+    src = tmp_path / "media"
+    os.makedirs(src)
+    (src / "a.bin").write_bytes(b"\x00\x01")
+    df = read_media(spark, str(src / "*.bin"))
+    assert dict(df.dtypes)["mime"] == "string"
+    out = str(tmp_path / "out")
+    df.write.parquet(out)
+    back = spark.read.parquet(out).collect()
+    assert len(back) == 1 and back[0].mime is None

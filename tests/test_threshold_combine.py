@@ -88,3 +88,15 @@ def test_combine_check_off_skips_actions(spark):
 def test_combine_needs_two(spark):
     with pytest.raises(ValueError, match=">= 2"):
         combine_threshold_rasters([_raster(spark, "threshold_2y")])
+
+
+def test_rename_maps_length_mismatch_raises(spark):
+    import pytest
+
+    from flood_data_spark.operators.threshold import combine_threshold_rasters
+
+    df = spark.createDataFrame([(0.025, 0.025, 1.0)],
+                               "latitude double, longitude double, x double")
+    with pytest.raises(ValueError, match="rename_maps"):
+        combine_threshold_rasters([df, df, df],
+                                  rename_maps=[{"x": "threshold_2y"}])

@@ -240,3 +240,21 @@ def test_pattern_topk_rejects_short_pattern(spark):
                                "user_id long, seq long, value double")
     with pytest.raises(ValueError, match="pattern"):
         pattern_topk(df, [1.0])
+
+
+def test_resample_ffill_misaligned_observations_not_dropped(spark):
+    """step > 1 with observations off the min-anchored lattice: the values
+    must forward-fill the next lattice point, never vanish (review
+    finding: exact-equality join dropped them)."""
+    from flood_data_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 4, 40.0)],
+        "k long, step long, v double")
+    rows = {r.step: r for r in
+            resample_ffill(df, "k", "step", "v", step=2).collect()}
+    # lattice anchored at min: steps 1 and 3
+    assert sorted(rows) == [1, 3]
+    assert rows[1].v == 10.0 and rows[1].is_observed
+    # step 3 fills from the MOST RECENT observation (step 2), not step 1
+    assert rows[3].v == 20.0 and not rows[3].is_observed

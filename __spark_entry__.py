@@ -131,6 +131,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Flood-engine operators mapped onto the synthetic tables
 # =====================================================================
 
+def _thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared part→thresholds projection (2y/5y/20y = retailprice ×
+    0.8/1.0/1.2) — ONE definition for the flagship, its approx twin, and
+    the streaming parity query, so a factor change cannot silently desync
+    the twins (each oracle SQL mirrors these constants)."""
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        (F.col("p_retailprice") * 0.8).alias("threshold_2y"),
+        F.col("p_retailprice").alias("threshold_5y"),
+        (F.col("p_retailprice") * 1.2).alias("threshold_20y"))
+
+
 def q_threshold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.4 A1/A1a/A1b + §2.3 J1: ensemble exceedance fractions and
     exact 5-number summary.  lineitem plays the ensemble (one row per
@@ -138,11 +150,7 @@ def q_threshold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecast = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("partkey"),
         F.col("l_extendedprice").alias("dis24"))
-    thresholds = _t(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("partkey"),
-        (F.col("p_retailprice") * 0.8).alias("threshold_2y"),
-        F.col("p_retailprice").alias("threshold_5y"),
-        (F.col("p_retailprice") * 1.2).alias("threshold_20y"))
+    thresholds = _thresholds(spark, sf_dir)
     out = ensemble_threshold_summary(
         forecast, thresholds, accuracy_mode="exact",
         join_keys=("partkey",), group_keys=("partkey",))
@@ -172,11 +180,7 @@ def q_threshold_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecast = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("partkey"),
         F.col("l_extendedprice").alias("dis24"))
-    thresholds = _t(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("partkey"),
-        (F.col("p_retailprice") * 0.8).alias("threshold_2y"),
-        F.col("p_retailprice").alias("threshold_5y"),
-        (F.col("p_retailprice") * 1.2).alias("threshold_20y"))
+    thresholds = _thresholds(spark, sf_dir)
     summ = ensemble_threshold_summary(
         forecast, thresholds, accuracy_mode="approx",
         join_keys=("partkey",), group_keys=("partkey",))
@@ -535,27 +539,32 @@ def q_stream_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flood_data_spark.streaming.file_stream import (
         exceedance_summary_stream, run_available_now)
 
+    import shutil
+
     path = f"{sf_dir}/lineitem.parquet"
     # the file-stream source watches a DIRECTORY (the daily-folder
     # convention); testdata ships single files, so expose one via symlink
     src_dir = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(path, f"{src_dir}/lineitem.parquet")
-    schema = spark.read.parquet(path).schema  # footer-only metadata read
-    stream = (spark.readStream.schema(schema).parquet(src_dir)
-              .select(F.col("l_partkey").alias("partkey"),
-                      F.col("l_extendedprice").alias("dis24")))
-    thresholds = _t(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("partkey"),
-        (F.col("p_retailprice") * 0.8).alias("threshold_2y"),
-        F.col("p_retailprice").alias("threshold_5y"),
-        (F.col("p_retailprice") * 1.2).alias("threshold_20y"))
-    agg = exceedance_summary_stream(stream, thresholds,
-                                    join_keys=("partkey",),
-                                    group_keys=("partkey",))
-    name = "stream_threshold_" + uuid.uuid4().hex[:8]
-    q = run_available_now(agg, tempfile.mkdtemp(prefix="ckpt_"),
-                          query_name=name)
-    q.awaitTermination()
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        os.symlink(path, f"{src_dir}/lineitem.parquet")
+        schema = spark.read.parquet(path).schema  # footer-only metadata read
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .select(F.col("l_partkey").alias("partkey"),
+                          F.col("l_extendedprice").alias("dis24")))
+        thresholds = _thresholds(spark, sf_dir)
+        agg = exceedance_summary_stream(stream, thresholds,
+                                        join_keys=("partkey",),
+                                        group_keys=("partkey",))
+        name = "stream_threshold_" + uuid.uuid4().hex[:8]
+        q = run_available_now(agg, ckpt_dir, query_name=name)
+        q.awaitTermination()
+    finally:
+        # the memory-sink table holds the result; the source symlink and
+        # checkpoint state are dead weight once the query terminates —
+        # without this, every gate round leaks two /tmp directories
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(name).select(
         "partkey",
         F.round("p_above_2y", 6).alias("p_above_2y"),

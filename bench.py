@@ -141,11 +141,13 @@ def _q_repeated_spans_full(spark, sf_dir):
 def _q_ts_pattern_full(spark, sf_dir):
     """Z-normalized pattern top-k over ALL users' event series (the
     registry entry bounds to 50 users for the oracle; this measures the
-    full stream)."""
-    from pyspark.sql import functions as F
+    full stream).  Events load through __spark_entry__._t, which owns the
+    timestamp normalization — a bare cast("timestamp") would misread a
+    TIMESTAMP(NANOS) events table (surfaced as ns-epoch bigint under the
+    session's nanosAsLong conf) as SECONDS since epoch."""
+    import __spark_entry__ as entry_mod
     from flood_data_spark.operators.timeseries import pattern_topk
-    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .withColumn("ts", F.col("ts").cast("timestamp")))
+    ev = entry_mod._t(spark, sf_dir, "events")
     return pattern_topk(ev, [10.0, 20.0, 40.0, 80.0, 40.0, 20.0, 10.0, 5.0],
                         key_col="user_id", order_cols=("ts", "event_id"),
                         value_col="value", k=10)
@@ -206,11 +208,13 @@ def main():
         # isolate queries: internal .cache()/.persist() calls (LSH bucket
         # relations, IVF lists) otherwise accumulate across the session and
         # turn later timings into GC noise.  Outside the timed region — the
-        # next query rebuilds its own caches inside its own wall time.  The
-        # IVF probe entry keeps its prebuilt-index semantics regardless: the
-        # lists plan embeds the fitted centroid matrix as a literal, so
-        # re-materializing it never refits k-means.
-        spark.catalog.clearCache()
+        # next query rebuilds its own caches inside its own wall time.
+        # EXCEPT after q_ivf_build: clearing there would unpersist the
+        # inverted lists the probe entry is documented to reuse, silently
+        # folding the full-corpus list assignment back into the "pure
+        # search" probe timing.
+        if name != "q_ivf_build":
+            spark.catalog.clearCache()
         # nudge a full GC between queries (outside the timed region):
         # accumulated broadcast/cache garbage otherwise surfaces as multi-
         # second pauses inside whichever later query trips the collector

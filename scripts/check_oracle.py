@@ -19,6 +19,15 @@ import time
 
 import duckdb
 
+# Pin the PROCESS timezone, not just the Spark session: PySpark collect()
+# converts TimestampType to naive datetimes in the host's LOCAL zone
+# (session timeZone governs computation, not Python-side conversion), while
+# DuckDB returns the stored UTC-equivalent naive value — on a non-UTC host
+# every timestamp-returning query would spuriously mismatch.
+os.environ["TZ"] = "UTC"
+if hasattr(time, "tzset"):
+    time.tzset()
+
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("CHECK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
@@ -43,7 +52,10 @@ def norm_val(v):
 
 
 def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # lowercase sort key: the column-name equality check is
+    # case-insensitive, so the value alignment must be too — a case-only
+    # alias difference must not permute columns differently per side
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
     out = []
     for r in rows:
         out.append(tuple(norm_val(r[i]) for i in order))
@@ -124,6 +136,15 @@ def main():
                     f"typed mismatch: {c} is {s_types[c]} on Spark but "
                     f"{o_pdtypes[c]} via DuckDB->pandas (cast the oracle "
                     f"column to BIGINT)")
+            # and the reverse direction: a Spark double against a DuckDB
+            # integer stringifies equal here ('3' == '3') but 3.0 vs 3
+            # hash-fails at the driver just the same
+            if (s_types[c] in ("double", "float")
+                    and o_pdtypes.get(c, "").startswith("int")):
+                problems.append(
+                    f"typed mismatch: {c} is {s_types[c]} on Spark but "
+                    f"{o_pdtypes[c]} via DuckDB->pandas (cast one side so "
+                    f"the value types agree)")
         if len(s_rows) != len(o_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(o_rows)}")
         if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
@@ -146,6 +167,12 @@ def main():
         else:
             print(f"ok    {name}: {len(s_rows)} rows match, "
                   f"{time.time()-t0:.1f}s")
+        # the contract queries cache relations internally (kept/dropped,
+        # sigs, exact truth sides) and cannot unpersist before their
+        # result is consumed — clear between queries so a full run doesn't
+        # accumulate pinned blocks for its whole lifetime (same hygiene as
+        # bench.py)
+        spark.catalog.clearCache()
 
     print()
     if failures:

@@ -819,11 +819,23 @@ def q_ts_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series subsequence similarity search (operators/timeseries
     .pattern_topk): the 10 windows across all user value-series closest to
     the spike pattern by z-normalized euclidean distance — per-key lead()
-    windows, fold distance, per-key prune + TakeOrdered global top-k."""
+    windows, fold distance, per-key prune + TakeOrdered global top-k.
+
+    The raw window is array<double>; the driver's canonicalizer (pandas
+    factorize) cannot hash list cells, so the contract projection serializes
+    it to a fixed-precision CSV string ("%.6f" per element, exactly mirrored
+    by printf in the DuckDB oracle)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    return pattern_topk(ev, _TS_PATTERN, key_col="user_id",
-                        order_cols=("ts", "event_id"),
-                        value_col="value", k=10)
+    top = pattern_topk(ev, _TS_PATTERN, key_col="user_id",
+                       order_cols=("ts", "event_id"),
+                       value_col="value", k=10)
+    # x + 0.0 normalizes IEEE -0.0 to +0.0 before formatting so Spark's
+    # "%.6f" and DuckDB's printf render the same sign
+    return top.withColumn(
+        "window",
+        F.concat_ws(",", F.transform(
+            F.col("window"),
+            lambda x: F.format_string("%.6f", x + F.lit(0.0)))))
 
 
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -995,11 +1007,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.11: symmetric per-vector int8 quantization of the embedding
     column — deterministic codes + scale, fully value-checked against the
-    DuckDB replica of the same arithmetic (datapipe/quantize.py)."""
+    DuckDB replica of the same arithmetic (datapipe/quantize.py).
+
+    qvec is array<tinyint>; the driver's canonicalizer cannot hash list
+    cells, so the contract serializes the codes to an exact CSV string
+    (integer rendering is identical in Spark and DuckDB)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return (quantize_embeddings(emb)
             .select("vec_id", F.round(F.col("qscale"), 9).alias("qscale"),
-                    "qvec"))
+                    F.concat_ws(",", F.col("qvec").cast("array<string>"))
+                     .alias("qvec")))
 
 
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2267,7 +2284,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(row_number() OVER (ORDER BY dist, user_id, pos)
                             AS INT) AS rank
                 FROM d)
-            SELECT user_id, pos, dist, w AS window, rank
+            SELECT user_id, pos, dist,
+                   array_to_string(list_transform(w,
+                       x -> printf('%.6f', x + 0.0)), ',') AS window,
+                   rank
             FROM ranked WHERE rank <= 10
         """,
         "q_session_window": """
@@ -2784,7 +2804,9 @@ def oracle_sql() -> dict[str, str]:
                                      AS DOUBLE), 1e-30) / 127.0 AS s
                 FROM v)
             SELECT vec_id, round(s, 9) AS qscale,
-                   list_transform(e, x -> CAST(round(x / s) AS TINYINT)) AS qvec
+                   array_to_string(list_transform(e,
+                       x -> CAST(CAST(round(x / s) AS TINYINT) AS VARCHAR)),
+                       ',') AS qvec
             FROM sc
         """,
         "q_quantized_topk": """

@@ -102,6 +102,8 @@ def pack_sequences(df: DataFrame, token_budget: int,
     for tests, corpus-serializing at 100 TB (pack per shard/source and
     renumber downstream if global ids are needed).
     """
+    if token_budget < 1:
+        raise ValueError(f"token_budget must be >= 1, got {token_budget}")
     parts = list(partition_cols or ())
     w = (Window.partitionBy(*parts).orderBy(order_col)
          if parts else Window.orderBy(order_col))

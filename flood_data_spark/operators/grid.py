@@ -94,7 +94,11 @@ def nearest_reindex(target: DataFrame, source: DataFrame,
                  F.col("longitude").alias("_slon"),
                  *[F.col(c).alias("_v_" + c) for c in vals]))
 
-    dist = F.sqrt(
+    # squared distance in the argmin struct: sqrt can collapse two distinct
+    # squared distances to equal doubles, falling through to the (slat,
+    # slon) tie-break where a squared-distance oracle still distinguishes —
+    # rank on the exact quantity, sqrt only for the output column
+    dist2 = (
         (F.col("latitude") - F.col("_slat")) ** 2
         + (F.col("longitude") - F.col("_slon")) ** 2)
     # LEFT join: targets with no bucket-sharing source row keep their 9
@@ -102,18 +106,22 @@ def nearest_reindex(target: DataFrame, source: DataFrame,
     # (null best -> null outputs = left-outer semantics) without a second
     # plan branch
     cand = (t.join(s, ["_gi", "_gj"], "left")
-            .withColumn("_dist", dist))
+            .withColumn("_dist2", dist2))
     best_struct = F.struct(
-        F.col("_dist").alias("d"),
+        F.col("_dist2").alias("d2"),
         F.col("_slat").alias("slat"),
         F.col("_slon").alias("slon"),
         *[F.col("_v_" + c).alias(c) for c in vals])
     if max_distance is not None:
         # null out (rather than filter out) candidates beyond the bound:
         # min() ignores nulls, and the target row itself must survive
-        best_struct = F.when(F.col("_dist") <= max_distance, best_struct)
+        # compare in squared space so the bound uses the same exact
+        # quantity as the ranking (no sqrt rounding at the boundary)
+        best_struct = F.when(
+            F.col("_dist2") <= float(max_distance) * float(max_distance),
+            best_struct)
     else:
-        best_struct = F.when(F.col("_dist").isNotNull(), best_struct)
+        best_struct = F.when(F.col("_dist2").isNotNull(), best_struct)
 
     target_cols = [c for c in target.columns]
     best = (cand
@@ -124,7 +132,7 @@ def nearest_reindex(target: DataFrame, source: DataFrame,
         *target_cols,
         F.col("_best.slat").alias("latitude" + suffix),
         F.col("_best.slon").alias("longitude" + suffix),
-        F.col("_best.d").alias("distance" + suffix),
+        F.sqrt(F.col("_best.d2")).alias("distance" + suffix),
         *[F.col("_best." + c).alias(c + suffix) for c in vals])
 
 

@@ -18,15 +18,18 @@ from pyspark.sql import functions as F
 _LEFT, _RIGHT = 0, 1
 
 
-def _us(col):
-    """µs-epoch of a timestamp column, NTZ-tolerant.
+def _diff_us(later, earlier):
+    """``later - earlier`` in microseconds, type-preserving.
 
-    Spark 4 surfaces timezone-less parquet timestamps as TIMESTAMP_NTZ,
-    which ``unix_micros`` rejects; casting to TIMESTAMP first is a no-op
-    on LTZ inputs and interprets NTZ in the session timezone — consistent
-    within a query, and exact for the differences these operators take.
+    These operators only ever need *differences*, so instead of converting
+    to an epoch (the old ``unix_micros(cast)`` path interpreted
+    TIMESTAMP_NTZ in the session timezone — off by the offset change for a
+    gap straddling a DST transition under a non-UTC zone),
+    ``timestamp_diff`` subtracts the two columns directly in their own
+    type: wall-clock micros for NTZ (no timezone involved), instant micros
+    for LTZ.  Null-propagating, like the subtraction it replaces.
     """
-    return F.unix_micros(col.cast("timestamp"))
+    return F.timestamp_diff("MICROSECOND", earlier, later)
 
 
 def asof_join(left: DataFrame, right: DataFrame, on, left_ts: str = "ts",
@@ -80,8 +83,8 @@ def asof_join(left: DataFrame, right: DataFrame, on, left_ts: str = "ts",
     if tolerance_seconds is not None:
         # µs arithmetic: second-truncated casts would keep matches up to
         # ~1s staler than the tolerance at the boundary
-        in_window = (_us(F.col("_ts")) - _us(F.col("_match_ts"))
-                     ) <= tolerance_seconds * 1_000_000
+        in_window = (_diff_us(F.col("_ts"), F.col("_match_ts"))
+                     <= tolerance_seconds * 1_000_000)
         filled = (filled
                   .withColumn("_match", F.when(in_window, F.col("_match")))
                   .withColumn("_match_ts", F.when(in_window, F.col("_match_ts"))))
@@ -108,7 +111,7 @@ def sessionize(events: DataFrame, key_col: str = "user_id",
     w = Window.partitionBy(key_col).orderBy(*order)
     # microsecond arithmetic: second-truncated casts would disagree with
     # µs-precision engines exactly at the gap boundary
-    gap_us = (_us(F.col(ts_col)) - _us(F.lag(F.col(ts_col)).over(w)))
+    gap_us = _diff_us(F.col(ts_col), F.lag(F.col(ts_col)).over(w))
     with_ids = (events
                 .withColumn("_new",
                             F.when(gap_us.isNull()

@@ -29,19 +29,15 @@ def fast_table_count(spark, path: str) -> int:
     no row group is ever decoded.  At 100 TB this turns the before/after
     table-level count asserts into pure metadata reads.
 
-    Scoped: only this read uses v2 (the session default stays v1 — the
-    rest of the engine's plan-shape contracts are written against the v1
-    scan's `PushedFilters` output); the conf is restored afterwards.
+    Scoped: the v2 conf is set on a `newSession()` clone (own SQLConf,
+    shared SparkContext/executors), so concurrent queries on the caller's
+    session keep planning against the v1 scan — mutating and restoring the
+    shared conf would briefly flip THEIR plans to v2 too.
     """
-    prev = spark.conf.get("spark.sql.sources.useV1SourceList", None)
-    spark.conf.set("spark.sql.sources.useV1SourceList", "")
-    try:
-        return spark.read.parquet(path).count()
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.useV1SourceList")
-        else:
-            spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    return s2.read.parquet(path).count()
 
 
 def assert_count_preserved(before: DataFrame, after: DataFrame,

@@ -802,6 +802,44 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events"))
 
 
+def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9 streaming, driver-gated: sessionization executed as a
+    Structured Stream — file source over the same events parquet, native
+    `session_window` state machine with a watermark, `availableNow` into a
+    memory sink (streaming/file_stream.session_stream).  The oracle is the
+    SAME SQL as the batch q_session_window, so the gate proves full
+    stream/batch parity (rows + schema + value hash), like
+    q_stream_threshold does for the exceedance aggregation."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from flood_data_spark.streaming.file_stream import (
+        run_available_now, session_stream)
+
+    path = f"{sf_dir}/events.parquet"
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        os.symlink(path, f"{src_dir}/events.parquet")
+        schema = spark.read.parquet(path).schema  # footer-only metadata read
+        # watermarks require TIMESTAMP (LTZ); the parquet ts is NTZ and the
+        # session timezone is pinned UTC, so the cast is exact
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .select("user_id", F.col("ts").cast("timestamp").alias("ts")))
+        agg = session_stream(stream, key_col="user_id", ts_col="ts",
+                             gap="1 hour", watermark_delay="2 hours")
+        name = "session_stream_" + uuid.uuid4().hex[:8]
+        q = run_available_now(agg, ckpt_dir, query_name=name)
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return spark.table(name).select("user_id", "session_start",
+                                    "session_end", "n_events")
+
+
 # query pattern for the subsequence-similarity search (a spike shape);
 # z-normalized ONCE here so the Spark operator and the DuckDB oracle embed
 # bit-identical constants
@@ -1515,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_cube": q_cube,
         "q_session_window": q_session_window,
+        "q_session_stream": q_session_stream,
         "q_ts_pattern_topk": q_ts_pattern_topk,
         "q_full_outer": q_full_outer,
         "q_corpus_diff": q_corpus_diff,
@@ -2289,6 +2328,29 @@ def oracle_sql() -> dict[str, str]:
                        x -> printf('%.6f', x + 0.0)), ',') AS window,
                    rank
             FROM ranked WHERE rank <= 10
+        """,
+        # q_session_stream's oracle is the identical batch sessionization
+        # SQL: the streaming availableNow run must reproduce it exactly
+        # (stream/batch parity, like q_stream_threshold)
+        "q_session_stream": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    >= CAST(3600 AS BIGINT) * 1000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            numbered AS (
+                SELECT *,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 1 HOUR AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM numbered GROUP BY user_id, session_id
         """,
         "q_session_window": """
             -- Spark session_window boundary semantics: an event exactly

@@ -2,10 +2,12 @@
 
 Images/audio/video ride as opaque `binary` columns with typed metadata
 structs.  The Spark-side machinery — schemas, binaryFile ingestion, Arrow
-batch shapes, partition sizing — is real and tested; the codec step itself
-(PIL/ffmpeg/torchaudio are not in this container) is isolated behind
-per-modality decode callables that raise NotImplementedError, with
-deterministic fakes used by tests.
+batch shapes, partition sizing — is real and tested.  The codec step is an
+injected callable: `datapipe.codecs` ships REAL dependency-free PNG and
+WAV codecs (`png_image_decoder`, `png_image_resizer`, `wav_audio_decoder`)
+that decode genuine bytes in this container; the production choice
+(PIL/ffmpeg/torchaudio, not installed here) slots into the same seam, and
+deterministic fakes remain for plumbing tests on arbitrary blobs.
 
 Scale notes:
 - decode runs inside mapInPandas: one Arrow batch of (id, bytes) in, one
@@ -74,10 +76,12 @@ def read_media(spark: SparkSession, path_glob: str,
 
 
 def decode_image_stub(content: bytes) -> dict:
-    """Real implementation would be PIL/libvips; not available here."""
+    """Production implementation would be PIL/libvips; for PNG bytes use
+    the real dependency-free `codecs.png_image_decoder`."""
     raise NotImplementedError(
-        "image codec not available in this environment — inject a decoder "
-        "into extract_image_features(decoder=...)")
+        "no general image codec in this environment — inject a decoder "
+        "into extract_image_features(decoder=...); for PNG, "
+        "flood_data_spark.datapipe.codecs.png_image_decoder works here")
 
 
 def fake_image_decoder(content: bytes) -> dict:
@@ -165,10 +169,12 @@ AUDIO_FEATURES_SCHEMA = StructType([
 
 
 def decode_audio_stub(content: bytes) -> dict:
-    """Real implementation would be torchaudio/librosa; not available here."""
+    """Production implementation would be torchaudio/librosa; for WAV bytes
+    use the real dependency-free `codecs.wav_audio_decoder`."""
     raise NotImplementedError(
-        "audio codec not available in this environment — inject a decoder "
-        "into extract_audio_features(decoder=...)")
+        "no general audio codec in this environment — inject a decoder "
+        "into extract_audio_features(decoder=...); for WAV, "
+        "flood_data_spark.datapipe.codecs.wav_audio_decoder works here")
 
 
 def fake_audio_decoder(content: bytes) -> dict:
@@ -213,10 +219,12 @@ RESIZED_SCHEMA = StructType([
 
 
 def resize_image_stub(content: bytes, width: int, height: int) -> bytes:
-    """Real implementation would be PIL/libvips; not available here."""
+    """Production implementation would be PIL/libvips; for PNG bytes use
+    the real dependency-free `codecs.png_image_resizer`."""
     raise NotImplementedError(
-        "image codec not available in this environment — inject a resizer "
-        "into resize_images(resizer=...)")
+        "no general image codec in this environment — inject a resizer "
+        "into resize_images(resizer=...); for PNG, "
+        "flood_data_spark.datapipe.codecs.png_image_resizer works here")
 
 
 def fake_image_resizer(content: bytes, width: int, height: int) -> bytes:

@@ -60,7 +60,7 @@ def test_stub_decoder_raises(spark, tmp_path):
     _write_blobs(str(tmp_path), n=1)
     media = read_media(spark, str(tmp_path) + "/*.bin")
     feats = extract_image_features(media, decoder=decode_image_stub)
-    with pytest.raises(Exception, match="image codec not available"):
+    with pytest.raises(Exception, match="no general image codec"):
         feats.collect()
 
 

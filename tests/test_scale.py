@@ -127,3 +127,53 @@ def test_upsert_partitions_replaces_only_incoming(spark, tmp_path):
            for r in spark.read.parquet(path).collect()}
     assert got == {("2024-01-01", 1): 10.0, ("2024-01-01", 2): 20.0,
                    ("2024-01-02", 1): 99.0, ("2024-01-02", 2): 98.0}
+
+
+def test_salted_join_balances_planted_skew(spark):
+    """The scale argument itself, measured: with one hot key holding 50% of
+    the large side and broadcast/AQE-skew-splitting off (the regime salting
+    exists for — a small side too big to broadcast, a shuffle AQE cannot
+    re-split), the plain shuffle join lands the hot key's entire output in
+    ONE reduce partition, while the salted join spreads it across the salt
+    buckets.  Asserted on actual post-shuffle row distribution, which is
+    deterministic, rather than wall-clock, which is not."""
+    confs = {"spark.sql.autoBroadcastJoinThreshold": "-1",
+             "spark.sql.adaptive.enabled": "false",
+             # enough reducers that salt-value hash collisions don't mask
+             # the distribution difference being measured
+             "spark.sql.shuffle.partitions": "32"}
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n = 40_000
+        big = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"))
+        small = (spark.range(n)
+                 .select(F.col("id").alias("k"),
+                         (F.col("id") % 7).alias("tag")))
+
+        def max_partition_share(df):
+            sizes = (df.select(F.spark_partition_id().alias("pid"))
+                     .groupBy("pid").count().collect())
+            total = sum(r["count"] for r in sizes)
+            return max(r["count"] for r in sizes) / total
+
+        plain = big.join(small, "k")
+        salted = salted_join(big, small, "k", salt_buckets=32)
+        assert salted.count() == plain.count() == n
+        # hot key = 50% of output: plain concentrates it in one partition
+        assert max_partition_share(plain) >= 0.5
+        # salted splits it across the buckets; ideal is 1/32 ~ 0.03 —
+        # allow generous slack for hash unevenness and still show >3x
+        # better balance than plain
+        assert max_partition_share(salted) <= 0.15
+
+        # plan assert: the exchange hashes on (k, _salt), not k alone
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan and "hashpartitioning" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

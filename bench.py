@@ -72,6 +72,14 @@ BENCH_QUERIES = [
     # round-6: subsequence similarity search over the full event stream
     # (100k events, all users) — lead()-window shape matching at volume
     "q_ts_pattern_full",
+    # round-7: the flagship pair at 10x volume (6M-row ensemble,
+    # pre-materialized to parquet once — generation is NOT timed).  The
+    # sf0.1 flagship entries are partly scheduling-bound (±0.5 s on ~2-3 s
+    # totals); at this tier compute dominates and the numbers carry a
+    # ~±10% envelope over repeated runs — the round-over-round comparator
+    # for the two plans that matter most.
+    "q_threshold_summary_x10",
+    "q_peak_timing_x10",
 ]
 
 _IVF_INDEX = {}
@@ -153,6 +161,72 @@ def _q_ts_pattern_full(spark, sf_dir):
                         value_col="value", k=10)
 
 
+def _scaled_lineitem_path(spark, sf_dir):
+    """Materialize (once, cached on disk across rounds) a deterministic
+    10x lineitem: each source row replicated with perturbed price/discount
+    so group counts, value distributions, and percentile buffers all see
+    10x volume.  Kept OUT of the timed region — the tier measures the
+    flagship plans, not synthetic-data generation (the skew-bench lesson:
+    a generation-dominated pair shows no plan signal)."""
+    from pyspark.sql import functions as F
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".bench_scale", f"lineitem_x10_{sf_tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        (li.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(9))))
+         .withColumn("l_extendedprice",
+                     F.col("l_extendedprice")
+                     * (1.0 + (F.col("_r") - 4.5) / 100.0))
+         .withColumn("l_discount",
+                     F.least(F.lit(0.1),
+                             F.abs(F.col("l_discount")
+                                   + (F.col("_r") - 4.5) / 1000.0)))
+         # 10x distinct groups for the window query: replicas are NEW
+         # orders, not longer ones (the 100 TB growth mode is more cells)
+         .withColumn("l_orderkey",
+                     F.col("l_orderkey") * 16 + F.col("_r"))
+         .drop("_r")
+         .write.mode("overwrite").parquet(out))
+    return out
+
+
+def _q_threshold_summary_x10(spark, sf_dir):
+    """Flagship exceedance + exact 5-number summary on the 6M-row tier:
+    same plan as q_threshold_summary (broadcast threshold join + one
+    exchange + one-buffer percentile array), 10x the ensemble rows."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as entry_mod
+    from flood_data_spark.operators.threshold import ensemble_threshold_summary
+    forecast = spark.read.parquet(_scaled_lineitem_path(spark, sf_dir)) \
+        .select(F.col("l_partkey").alias("partkey"),
+                F.col("l_extendedprice").alias("dis24"))
+    thresholds = entry_mod._thresholds(spark, sf_dir)
+    return ensemble_threshold_summary(
+        forecast, thresholds, accuracy_mode="exact",
+        join_keys=("partkey",), group_keys=("partkey",))
+
+
+def _q_peak_timing_x10(spark, sf_dir):
+    """Flagship peak-timing window query on the 6M-row tier: 10x the
+    orders (groups), same per-order series length — the shared-exchange
+    window plan's scaling mode at 100 TB."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.operators.peak_timing import flood_peak_timing
+    p2 = F.least(F.lit(1.0), F.col("l_discount") * 12)
+    detailed = spark.read.parquet(_scaled_lineitem_path(spark, sf_dir)) \
+        .select(F.col("l_orderkey").alias("orderkey"),
+                F.col("l_linenumber").alias("step"),
+                p2.alias("p_above_2y"),
+                F.greatest(F.lit(0.0), p2 - 0.25).alias("p_above_5y"),
+                F.greatest(F.lit(0.0), p2 - 0.5).alias("p_above_20y"),
+                F.col("l_extendedprice").alias("median_dis"),
+                F.to_date("l_shipdate").alias("valid_for"))
+    return flood_peak_timing(detailed, key_cols=("orderkey",),
+                             carry_cols=(), early_window=(1, 3),
+                             black_border_window=(1, 2))
+
+
 # bench-local callables: same (spark, sf_dir) -> DataFrame contract as
 # __spark_entry__.queries() entries
 EXTRA_QUERIES = {
@@ -162,6 +236,8 @@ EXTRA_QUERIES = {
     "q_ngram_jaccard_capped_3k": _q_ngram_jaccard_capped_3k,
     "q_repeated_spans_full": _q_repeated_spans_full,
     "q_ts_pattern_full": _q_ts_pattern_full,
+    "q_threshold_summary_x10": _q_threshold_summary_x10,
+    "q_peak_timing_x10": _q_peak_timing_x10,
 }
 
 
@@ -176,6 +252,8 @@ def main():
     # region (the first noop write otherwise pays one-time codegen setup)
     spark.read.parquet(f"{SF_DIR}/region.parquet") \
         .write.format("noop").mode("overwrite").save()
+    # materialize the 10x tier input before any timing starts
+    _scaled_lineitem_path(spark, SF_DIR)
     # prime the heavyweight operator classes (ObjectHashAggregate percentile
     # buffers, window exec, broadcast exchange) on a 100-row synthetic frame:
     # a long-running cluster has these JIT-ed long before any daily batch,

@@ -1503,67 +1503,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS THE GATE WINDOW: the driver checks the first 50 entries.
-    # Rotation discipline (round 6): the 28 entries never / not-recently
-    # driver-checked come first, then the four queries fixed this round
-    # (NTZ timestamps, pack_id hashing), then long-stable greens — every
-    # registry entry gets a driver row across consecutive rounds.
+    # Rotation discipline (round 7): the two r6 reds (array serialization
+    # fixed this round) and the new streaming-parity query lead, then ALL
+    # 40 entries last driver-checked on r5 code (round-6/7 commits touched
+    # their shared modules), then the r6 greens whose modules changed this
+    # round (timeseries/grid/curation) — every registry entry is
+    # driver-checked within the last two rounds.
     return {
-        # --- never driver-checked through r5 (18) ---
-        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "q_contamination": q_contamination,
-        "q_tfidf_topk": q_tfidf_topk,
-        "q_repetition": q_repetition,
-        "q_redact_pii": q_redact_pii,
+        # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
-        "q_quantized_topk": q_quantized_topk,
-        "q_hll_contract": q_hll_contract,
-        "q_heavy_tokens": q_heavy_tokens,
-        "q_vocab": q_vocab,
-        "q_corpus_report": q_corpus_report,
-        "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
-        "q_minhash_recall": q_minhash_recall,
-        "q_simhash_contract": q_simhash_contract,
-        "q_lsh_topk_recall": q_lsh_topk_recall,
-        "q_ivf_recall": q_ivf_recall,
-        "q_ivf_sq8_recall": q_ivf_sq8_recall,
-        "q_embedding_dedup_lsh_recall": q_embedding_dedup_lsh_recall,
-        # --- r2-era dropouts, unchecked since (10) ---
-        "q_lang_id": q_lang_id,
-        "q_fingerprint": q_fingerprint,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_cosine_topk": q_cosine_topk,
-        "q_embedding_dedup": q_embedding_dedup,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_simhash_dups": q_simhash_dups,
-        "q_lsh_topk": q_lsh_topk,
-        "q_ivf_topk": q_ivf_topk,
-        # --- fixed this round; must re-enter the gate (4) ---
-        "q_rolling": q_rolling,
-        "q_sessionize": q_sessionize,
-        "q_pack_sequences": q_pack_sequences,
-        "q_curation_v2": q_curation_v2,
-        # --- new this round ---
-        "q_nearest_reindex": q_nearest_reindex,
-        "q_length_buckets": q_length_buckets,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_semantic_dedup_contract": q_semantic_dedup_contract,
-        "q_repeated_spans": q_repeated_spans,
-        "q_leakage_safe_split": q_leakage_safe_split,
-        "q_json_extract": q_json_extract,
-        "q_cube": q_cube,
-        "q_session_window": q_session_window,
-        "q_session_stream": q_session_stream,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        "q_full_outer": q_full_outer,
-        "q_corpus_diff": q_corpus_diff,
-        # --- long-stable greens rotate through the remaining slots ---
-        "q_threshold_summary": q_threshold_summary,
-        "q_threshold_summary_approx": q_threshold_summary_approx,
-        "q_tendency": q_tendency,
-        "q_intensity": q_intensity,
-        "q_peak_timing": q_peak_timing,
-        "q_wkt_geometry": q_wkt_geometry,
+        # --- new this round (1) ---
+        "q_session_stream": q_session_stream,
+        # --- last checked r5; modules touched since (40) ---
         "q_morton_key": q_morton_key,
         "q_batch_lookup": q_batch_lookup,
         "q_round_join": q_round_join,
@@ -1604,6 +1556,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cap_per_source": q_cap_per_source,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
+        # --- r6 greens whose modules changed this round (7) ---
+        "q_nearest_reindex": q_nearest_reindex,          # grid.py argmin
+        "q_sessionize": q_sessionize,                    # timeseries _diff_us
+        "q_session_window": q_session_window,
+        "q_rolling": q_rolling,
+        "q_pack_sequences": q_pack_sequences,            # curation guard
+        "q_curation_v2": q_curation_v2,
+        "q_leakage_safe_split": q_leakage_safe_split,
+        # ---------------- gate window boundary (50) ----------------
+        # --- r6 greens, stable, re-enter next rotation ---
+        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "q_contamination": q_contamination,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_repetition": q_repetition,
+        "q_redact_pii": q_redact_pii,
+        "q_quantized_topk": q_quantized_topk,
+        "q_hll_contract": q_hll_contract,
+        "q_heavy_tokens": q_heavy_tokens,
+        "q_vocab": q_vocab,
+        "q_corpus_report": q_corpus_report,
+        "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "q_minhash_recall": q_minhash_recall,
+        "q_simhash_contract": q_simhash_contract,
+        "q_lsh_topk_recall": q_lsh_topk_recall,
+        "q_ivf_recall": q_ivf_recall,
+        "q_ivf_sq8_recall": q_ivf_sq8_recall,
+        "q_embedding_dedup_lsh_recall": q_embedding_dedup_lsh_recall,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_cosine_topk": q_cosine_topk,
+        "q_embedding_dedup": q_embedding_dedup,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_dups": q_simhash_dups,
+        "q_lsh_topk": q_lsh_topk,
+        "q_ivf_topk": q_ivf_topk,
+        "q_length_buckets": q_length_buckets,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_semantic_dedup_contract": q_semantic_dedup_contract,
+        "q_repeated_spans": q_repeated_spans,
+        "q_json_extract": q_json_extract,
+        "q_cube": q_cube,
+        "q_full_outer": q_full_outer,
+        "q_corpus_diff": q_corpus_diff,
+        "q_threshold_summary": q_threshold_summary,
+        "q_threshold_summary_approx": q_threshold_summary_approx,
+        "q_tendency": q_tendency,
+        "q_intensity": q_intensity,
+        "q_peak_timing": q_peak_timing,
+        "q_wkt_geometry": q_wkt_geometry,
     }
 
 

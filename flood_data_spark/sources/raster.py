@@ -79,12 +79,21 @@ def grib_decoder(content: bytes, *, member_filter: str | None = None) -> pd.Data
 
 
 def netcdf_decoder(content: bytes) -> pd.DataFrame:
-    """Decode one NetCDF static raster (upstream area / thresholds)."""
+    """Decode one NetCDF static raster (upstream area / thresholds).
+
+    Classic-format files (magic CDF1/2/5) decode through the REAL
+    dependency-free reader (`sources.netcdf3`, stdlib struct + numpy —
+    same long-form/CF semantics as xarray's to_dataframe); NetCDF-4/HDF5
+    files need the xarray/h5netcdf stack and raise without it."""
+    if content[:3] == b"CDF":
+        from flood_data_spark.sources.netcdf3 import to_dataframe
+        return to_dataframe(content)
     try:
         import xarray as xr
     except ImportError as e:
         raise NotImplementedError(
-            "netCDF4/xarray not available in this environment") from e
+            "NetCDF-4/HDF5 input and netCDF4/xarray not available in this "
+            "environment (classic CDF files decode natively)") from e
     ds = xr.open_dataset(io.BytesIO(content), engine="h5netcdf")
     return ds.to_dataframe().reset_index()
 

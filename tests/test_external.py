@@ -55,3 +55,32 @@ def test_fetch_loop_shape_with_fake_client():
         assert out == f"/tmp/fc-{lt}.grib"
     assert [c[1] for c in calls] == [["24"], ["48"], ["72"]]
     assert all(c[0] == "cems-glofas-forecast" for c in calls)
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """REAL JDBC round-trip: write_jdbc publishes through Spark's JDBC sink
+    into an embedded Derby database (the Derby jars ship inside the Spark
+    distribution — no external service), then spark.read.jdbc reads the
+    rows back.  Pins the writer options end-to-end, not just their shape
+    (reference publish sink: glofas-forecast-computation.py:331-347)."""
+    from flood_data_spark.sources.external import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/publishdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(1, 0.25, "2024-01-01"), (2, 0.75, "2024-01-01"),
+         (3, 0.5, "2024-01-02")],
+        "cell_id long, p_above double, issued_on string")
+
+    write_jdbc(df, url, "forecast_publish", mode="overwrite",
+               properties=props, num_partitions=1)
+    back = spark.read.jdbc(url, "forecast_publish", properties=props)
+    got = {(r.cell_id, r.p_above, r.issued_on) for r in back.collect()}
+    assert got == {(1, 0.25, "2024-01-01"), (2, 0.75, "2024-01-01"),
+                   (3, 0.5, "2024-01-02")}
+
+    # overwrite mode replaces, never appends
+    write_jdbc(df.limit(1), url, "forecast_publish", mode="overwrite",
+               properties=props, num_partitions=1)
+    assert spark.read.jdbc(url, "forecast_publish",
+                           properties=props).count() == 1

@@ -15,11 +15,14 @@ xarray `to_dataframe().reset_index()` flattening (reference
 flood/etl/raster_converter.py:55-85) happens inside executors, one task per
 file, embarrassingly parallel across the 30 lead times × historical days.
 
-cfgrib/netCDF4 are not installed in this container, so the real decoders
-raise NotImplementedError behind an import-try; `synthetic_grib_decoder`
-provides a deterministic stand-in with the same output contract so the whole
-pipeline (schema, partitioning, batch shapes) is exercised end-to-end in
-tests.
+Codec dispatch: cfgrib/xarray when installed (full template coverage);
+without them, REAL dependency-free readers handle the common encodings —
+GRIB2 simple-packed regular lat/lon fields (`sources/grib2.py`) and
+classic-format NetCDF (`sources/netcdf3.py`) — so genuine bytes decode in
+this container too.  Only exotic inputs (JPEG2000/spectral GRIB packings,
+NetCDF-4/HDF5) still raise NotImplementedError behind the import-try;
+`synthetic_grib_decoder` remains the deterministic stand-in for tests that
+need arbitrary planted values.
 """
 
 from __future__ import annotations
@@ -45,14 +48,23 @@ def grib_decoder(content: bytes, *, member_filter: str | None = None) -> pd.Data
     member_filter: None → all, 'cf' → control only, 'pf' → perturbed only
     (the reference's filter_by_keys dataType dispatch,
     databricks/glofas-transform.py:104-109).
-    """
+
+    Dispatch: cfgrib/xarray when installed (full template coverage);
+    otherwise GRIB2 simple-packed lat/lon fields decode through the REAL
+    dependency-free reader (`sources.grib2`) — only exotic packings
+    require the ecCodes stack."""
     try:
         import cfgrib  # noqa: F401
         import xarray as xr
     except ImportError as e:
-        raise NotImplementedError(
-            "cfgrib/xarray not available in this environment; plug in a "
-            "decoder or use synthetic_grib_decoder for testing") from e
+        from flood_data_spark.sources.grib2 import grib2_to_dataframe
+        try:
+            return grib2_to_dataframe(content, member_filter=member_filter)
+        except (NotImplementedError, ValueError) as inner:
+            raise NotImplementedError(
+                f"cfgrib/xarray not available and the native GRIB2 reader "
+                f"cannot decode this file ({inner}); install cfgrib or use "
+                "synthetic_grib_decoder for testing") from e
     kwargs = {}
     if member_filter:
         kwargs["backend_kwargs"] = {

@@ -1,0 +1,182 @@
+"""Native GRIB2 reader tests.  The messages under test are hand-assembled
+section-by-section from the public WMO GRIB2 spec inside this module (the
+package ships no GRIB writer, so decode correctness cannot lean on a
+sibling encoder), with hand-computed expected values for the simple-packing
+formula, sign-magnitude fields, bitmaps, and non-byte-aligned bit widths."""
+
+import calendar
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from flood_data_spark.sources.grib2 import grib2_to_dataframe
+from flood_data_spark.sources.raster import (
+    DECODED_COLUMNS,
+    grib_decoder,
+    read_rasters,
+)
+
+NS = 10**9
+H24 = 24 * 3600 * NS
+
+
+def _sec(num: int, body: bytes) -> bytes:
+    return struct.pack(">IB", len(body) + 5, num) + body
+
+
+def _sm32(v: float) -> bytes:
+    """Sign-magnitude int32 of microdegrees."""
+    raw = abs(int(round(v)))
+    return struct.pack(">I", raw | (0x80000000 if v < 0 else 0))
+
+
+def _pack_bits(xs, nbits: int) -> bytes:
+    bits = "".join(format(x, f"0{nbits}b") for x in xs)
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def build_message(xs, *, nj=2, ni=3, la1=50.0, lo1=10.0, d=0.5,
+                  ref=100.0, e_scale=1, d_scale=0, nbits=8,
+                  member=None, year=2024, month=1, day=15,
+                  ftime_hours=24, bitmap=None, scan=0x00) -> bytes:
+    """One GRIB2 message: template 3.0 grid, 4.0 (member=None) or 4.1
+    product, 5.0 simple packing."""
+    s1 = _sec(1, struct.pack(">HHBBB", 0, 0, 2, 0, 1)
+              + struct.pack(">HBBBBB", year, month, day, 0, 0, 0)
+              + bytes([0, 1]))
+    grid = (bytes([6, 0]) + b"\x00" * 4 + bytes([0]) + b"\x00" * 4
+            + bytes([0]) + b"\x00" * 4
+            + struct.pack(">II", ni, nj) + b"\x00" * 8
+            + _sm32(la1 * 1e6) + _sm32(lo1 * 1e6) + bytes([0x30])
+            + _sm32((la1 - (nj - 1) * d) * 1e6)
+            + _sm32((lo1 + (ni - 1) * d) * 1e6)
+            + struct.pack(">II", int(d * 1e6), int(d * 1e6))
+            + bytes([scan]))
+    s3 = _sec(3, bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
+              + struct.pack(">H", 0) + grid)
+    prod = (bytes([0, 4, 2, 0, 0]) + struct.pack(">HB", 0, 0)
+            + bytes([1]) + struct.pack(">I", ftime_hours)
+            + bytes([1, 0]) + b"\x00" * 4 + bytes([255, 0]) + b"\x00" * 4)
+    if member is None:
+        s4 = _sec(4, struct.pack(">HH", 0, 0) + prod)
+    else:
+        s4 = _sec(4, struct.pack(">HH", 0, 1) + prod
+                  + bytes([3, member, 51]))
+    e_raw = abs(e_scale) | (0x8000 if e_scale < 0 else 0)
+    d_raw = abs(d_scale) | (0x8000 if d_scale < 0 else 0)
+    s5 = _sec(5, struct.pack(">I", len(xs)) + struct.pack(">H", 0)
+              + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
+              + bytes([nbits, 0]))
+    if bitmap is None:
+        s6 = _sec(6, bytes([255]))
+    else:
+        s6 = _sec(6, bytes([0]) + np.packbits(
+            np.asarray(bitmap, dtype=np.uint8)).tobytes())
+    s7 = _sec(7, _pack_bits(xs, nbits))
+    body = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
+    return (b"GRIB" + b"\x00\x00" + bytes([1, 2])
+            + struct.pack(">Q", 16 + len(body)) + body)
+
+
+REF_NS = calendar.timegm((2024, 1, 15, 0, 0, 0)) * NS
+
+
+def test_simple_packing_values_and_grid():
+    # value = (R + X * 2^E) / 10^D = 100 + X*2
+    msg = build_message([0, 1, 2, 3, 4, 5])
+    pdf = grib2_to_dataframe(msg)
+    assert list(pdf.columns) == DECODED_COLUMNS
+    assert len(pdf) == 6
+    assert pdf["dis24"].tolist() == [100.0, 102.0, 104.0,
+                                     106.0, 108.0, 110.0]
+    # scan mode 0: lat descends from la1, lon ascends, i fastest
+    assert pdf["latitude"].tolist() == [50.0, 50.0, 50.0, 49.5, 49.5, 49.5]
+    assert pdf["longitude"].tolist() == [10.0, 10.5, 11.0] * 2
+    assert (pdf["time"] == REF_NS).all()
+    assert (pdf["step"] == H24).all()
+    assert (pdf["valid_time"] == REF_NS + H24).all()
+    assert pdf["number"].tolist() == [0] * 6  # template 4.0 = control
+
+
+def test_negative_coordinates_and_scales_sign_magnitude():
+    # la1 = -10 (southern hemisphere), E = -1 -> value = 50 + X/2, D=1 -> /10
+    msg = build_message([0, 1, 2, 3, 4, 5], la1=-10.0, lo1=-20.0,
+                        ref=50.0, e_scale=-1, d_scale=1)
+    pdf = grib2_to_dataframe(msg)
+    assert pdf["latitude"].tolist()[:3] == [-10.0] * 3
+    assert pdf["latitude"].tolist()[3:] == [-10.5] * 3
+    assert pdf["longitude"].tolist()[:3] == [-20.0, -19.5, -19.0]
+    assert pdf["dis24"].tolist() == pytest.approx(
+        [(50.0 + x * 0.5) / 10.0 for x in range(6)])
+
+
+def test_non_byte_aligned_12bit_packing():
+    xs = [1, 2049, 4095, 0, 7, 100]
+    msg = build_message(xs, nbits=12, e_scale=0)
+    pdf = grib2_to_dataframe(msg)
+    assert pdf["dis24"].tolist() == pytest.approx(
+        [100.0 + x for x in xs])
+
+
+def test_bitmap_missing_points_are_nan():
+    bitmap = [1, 0, 1, 1, 0, 1]  # 4 present values
+    msg = build_message([0, 1, 2, 3], bitmap=bitmap)
+    pdf = grib2_to_dataframe(msg)
+    got = pdf["dis24"].tolist()
+    assert got[0] == 100.0 and got[2] == 102.0
+    assert math.isnan(got[1]) and math.isnan(got[4])
+    assert got[3] == 104.0 and got[5] == 106.0
+
+
+def test_multi_message_ensemble_and_member_filter():
+    blob = b"".join(build_message([m] * 6, member=m) for m in range(3))
+    all_m = grib2_to_dataframe(blob)
+    assert sorted(all_m["number"].unique().tolist()) == [0, 1, 2]
+    assert len(all_m) == 18
+    cf = grib2_to_dataframe(blob, member_filter="cf")
+    assert cf["number"].unique().tolist() == [0]
+    pf = grib2_to_dataframe(blob, member_filter="pf")
+    assert sorted(pf["number"].unique().tolist()) == [1, 2]
+    # member value rides the packing: member m encodes X=m -> 100 + 2m
+    assert pf[pf["number"] == 2]["dis24"].unique().tolist() == [104.0]
+
+
+def test_unsupported_templates_raise():
+    msg = bytearray(build_message([0] * 6))
+    # corrupt the grid template number (section order: 0 is 16 bytes, then
+    # s1 is 21 bytes; s3 template at its 0-idx 12)
+    s3_off = 16 + 21
+    msg[s3_off + 12:s3_off + 14] = struct.pack(">H", 30)  # 3.30 = Lambert
+    with pytest.raises(NotImplementedError, match="grid template"):
+        grib2_to_dataframe(bytes(msg))
+
+
+def test_grib_decoder_falls_back_to_native_reader():
+    """Without cfgrib installed, the default grib_decoder path decodes real
+    GRIB2 bytes through sources.grib2 — the pipeline's actual entry."""
+    pdf = grib_decoder(build_message([0, 1, 2, 3, 4, 5]))
+    assert list(pdf.columns) == DECODED_COLUMNS
+    assert len(pdf) == 6
+
+
+def test_real_grib2_through_read_rasters(spark, tmp_path):
+    """End-to-end: binaryFile scan -> grib_decoder (native GRIB2 branch)
+    -> RAW_FORECAST_SCHEMA rows, with cf/pf member filtering."""
+    blob = b"".join(build_message([m, m + 1, m + 2, m + 3, m + 4, m + 5],
+                                  member=m) for m in range(3))
+    (tmp_path / "forecast.grib").write_bytes(blob)
+    df = read_rasters(spark, str(tmp_path) + "/*.grib")
+    rows = df.collect()
+    assert len(rows) == 18
+    assert {r.number for r in rows} == {0, 1, 2}
+    one = [r for r in rows if r.number == 1 and r.longitude == 10.0
+           and r.latitude == 50.0]
+    assert one[0].dis24 == pytest.approx(102.0)  # 100 + X*2, X=1
+    assert one[0].valid_time == one[0].time + H24
+
+    pf = read_rasters(spark, str(tmp_path) + "/*.grib",
+                      member_filter="pf")
+    assert {r.number for r in pf.collect()} == {1, 2}

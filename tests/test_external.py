@@ -84,3 +84,104 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
                properties=props, num_partitions=1)
     assert spark.read.jdbc(url, "forecast_publish",
                            properties=props).count() == 1
+
+
+def test_http_cds_client_full_protocol(tmp_path):
+    """REAL HTTP exercise of the CDS retrieve loop against a local server:
+    submit (auth + request JSON verified) -> poll through queued/running ->
+    download.  No cdsapi, no network — the protocol itself is the test."""
+    import base64
+    import http.server
+    import json
+    import threading
+
+    from flood_data_spark.sources.external import CDSFetcher, HttpCDSClient
+
+    seen = {"polls": 0}
+    PAYLOAD = b"GRIB-bytes-here"
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            assert self.path == "/resources/cems-glofas-forecast"
+            seen["auth"] = self.headers["Authorization"]
+            n = int(self.headers["Content-Length"])
+            seen["request"] = json.loads(self.rfile.read(n))
+            self._json({"state": "queued", "request_id": "r42"})
+
+        def do_GET(self):
+            if self.path == "/tasks/r42":
+                seen["polls"] += 1
+                if seen["polls"] < 2:
+                    self._json({"state": "running", "request_id": "r42"})
+                else:
+                    self._json({"state": "completed", "request_id": "r42",
+                                "location": "/download/fc.grib"})
+            elif self.path == "/download/fc.grib":
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "application/octet-stream")
+                self.end_headers()
+                self.wfile.write(PAYLOAD)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}"
+        client = HttpCDSClient(url=url, key="1234:secret",
+                               poll_interval=0.01)
+        f = CDSFetcher()
+        f._client = client  # cdsapi absent; inject the HTTP client
+        req = CDSRequest(year="2024", month="01", day="15",
+                         leadtime_hour=["24", "48"])
+        out = f.fetch(req, str(tmp_path / "fc.grib"))
+        assert (tmp_path / "fc.grib").read_bytes() == PAYLOAD
+        assert out == str(tmp_path / "fc.grib")
+        assert seen["polls"] == 2
+        assert seen["request"]["leadtime_hour"] == ["24", "48"]
+        assert seen["request"]["variable"] == \
+            "river_discharge_in_the_last_24_hours"
+        expect_auth = "Basic " + base64.b64encode(b"1234:secret").decode()
+        assert seen["auth"] == expect_auth
+    finally:
+        srv.shutdown()
+
+
+def test_http_cds_client_failed_state(tmp_path):
+    import http.server
+    import json
+    import threading
+
+    from flood_data_spark.sources.external import HttpCDSClient
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.dumps({"state": "failed", "request_id": "r1",
+                               "error": "quota exceeded"}).encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = HttpCDSClient(
+            url=f"http://127.0.0.1:{srv.server_port}", key="u:k")
+        with pytest.raises(RuntimeError, match="quota exceeded"):
+            client.retrieve("ds", {}, str(tmp_path / "x"))
+    finally:
+        srv.shutdown()

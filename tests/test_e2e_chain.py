@@ -76,3 +76,50 @@ def test_raster_to_products_to_lookup(spark, tmp_path):
     hood = neighborhood_lookup(summary, some_lat + 0.01, some_lon + 0.01)
     assert 1 <= hood.count() <= 9
     assert hood.filter("is_primary").count() == 1
+
+
+def test_real_grib2_bytes_to_products(spark, tmp_path):
+    """The same E2 -> E1 chain, but the raster files are REAL GRIB2
+    messages (hand-assembled per the WMO spec in test_grib2) decoded by the
+    default grib_decoder through its native simple-packing branch — the
+    pipeline's actual ingest path running on genuine bytes end-to-end."""
+    from tests.test_grib2 import build_message
+
+    # 3 lead-time files x 3 members x 4x4 cells; value = 100*(m+1) + X*2
+    # with X = cell index 0..15 -> 100..530, constant across steps
+    for s in range(1, 4):
+        blob = b"".join(
+            build_message(list(range(16)), nj=4, ni=4, la1=0.175,
+                          lo1=0.025, d=0.05, ref=100.0 * (m + 1),
+                          e_scale=1, member=m, ftime_hours=24 * s)
+            for m in range(3))
+        (tmp_path / f"fc-{s}.grib").write_bytes(blob)
+
+    raw = read_rasters(spark, str(tmp_path) + "/*.grib")
+    assert raw.count() == 3 * 3 * 16
+
+    forecast = normalize_forecast_times(round_keys(raw))
+    assert {r.step for r in forecast.select("step").distinct().collect()} \
+        == {1, 2, 3}
+
+    thresholds = spark.createDataFrame(
+        [(round(0.025 + i * 0.05, 3), round(0.025 + j * 0.05, 3),
+          150.0, 250.0, 400.0)
+         for i in range(4) for j in range(4)],
+        "latitude double, longitude double, threshold_2y double,"
+        " threshold_5y double, threshold_20y double")
+    products = DailyForecastPipeline(accuracy_mode="exact").run(
+        forecast, thresholds)
+    summary = products.summary.collect()
+    assert len(summary) > 0
+    # member medians per cell: 200 + X*2 (members 100/200/300 + X*2), so
+    # every cell's median exceeds threshold_2y=150 when X >= 0 -> p2 > 0
+    # and cells with 200 + 2X >= 400 (X >= 100: none) stay below 20y
+    cells = {(r.latitude, r.longitude): r for r in summary}
+    # per cell X: p_above_5y = 1/3 (only member 3's 300+2X clears 250),
+    # >= the 0.30 bar -> every surviving cell labels red
+    assert all(r.intensity == "R" for r in cells.values())
+    # detailed carries real exceedance fractions from the decoded values
+    det = products.detailed.filter("step = 1").collect()
+    assert len(det) == len(cells)
+    assert all(0.0 <= r.p_above_2y <= 1.0 for r in det)

@@ -301,3 +301,13 @@ def test_leakage_safe_split_keeps_components_together(spark):
     for i in rows:
         if i not in (0, 7, 15, 20, 21):
             assert rows[i].group_id == i and rows[i].split == plain[i]
+
+
+def test_pack_sequences_rejects_bad_token_budget(spark):
+    import pytest
+    from flood_data_spark.datapipe.curation import pack_sequences
+
+    df = spark.createDataFrame([(1, "s", 5)],
+                               "doc_id long, source string, n_tokens long")
+    with pytest.raises(ValueError, match="token_budget"):
+        pack_sequences(df, token_budget=0)

@@ -524,6 +524,40 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c_acctbal").alias("acctbal")))
 
 
+def _run_file_stream(spark: SparkSession, parquet_path: str,
+                     build_stream, name_prefix: str) -> DataFrame:
+    """Shared availableNow scaffold for the streaming gate queries: expose
+    one parquet file as a watched directory (the file-stream source wants
+    the daily-folder convention; testdata ships single files), run
+    build_stream(file_stream_df) through a memory sink, clean up the
+    source symlink + checkpoint (the memory table holds the result;
+    without cleanup every gate round leaks two /tmp directories), and
+    return the final batch DataFrame."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from flood_data_spark.streaming.file_stream import run_available_now
+
+    # abspath: the symlink target resolves relative to the /tmp source
+    # dir, so a relative sf_dir would dangle
+    path = os.path.abspath(parquet_path)
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        os.symlink(path, os.path.join(src_dir, os.path.basename(path)))
+        schema = spark.read.parquet(path).schema  # footer-only metadata read
+        agg = build_stream(spark.readStream.schema(schema).parquet(src_dir))
+        name = name_prefix + uuid.uuid4().hex[:8]
+        q = run_available_now(agg, ckpt_dir, query_name=name)
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return spark.table(name)
+
+
 def q_stream_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9 streaming, driver-gated: the flagship exceedance
     aggregation executed as a Structured Stream — file source over the same
@@ -532,40 +566,20 @@ def q_stream_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch DataFrame.  The DuckDB oracle checks full stream/batch parity
     (rows + schema + value hash), not just a row count
     (streaming/file_stream.py: exceedance_summary_stream)."""
-    import os
-    import tempfile
-    import uuid
-
     from flood_data_spark.streaming.file_stream import (
-        exceedance_summary_stream, run_available_now)
+        exceedance_summary_stream)
 
-    import shutil
+    thresholds = _thresholds(spark, sf_dir)
 
-    path = f"{sf_dir}/lineitem.parquet"
-    # the file-stream source watches a DIRECTORY (the daily-folder
-    # convention); testdata ships single files, so expose one via symlink
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
-    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
-    try:
-        os.symlink(path, f"{src_dir}/lineitem.parquet")
-        schema = spark.read.parquet(path).schema  # footer-only metadata read
-        stream = (spark.readStream.schema(schema).parquet(src_dir)
-                  .select(F.col("l_partkey").alias("partkey"),
-                          F.col("l_extendedprice").alias("dis24")))
-        thresholds = _thresholds(spark, sf_dir)
-        agg = exceedance_summary_stream(stream, thresholds,
-                                        join_keys=("partkey",),
-                                        group_keys=("partkey",))
-        name = "stream_threshold_" + uuid.uuid4().hex[:8]
-        q = run_available_now(agg, ckpt_dir, query_name=name)
-        q.awaitTermination()
-    finally:
-        # the memory-sink table holds the result; the source symlink and
-        # checkpoint state are dead weight once the query terminates —
-        # without this, every gate round leaks two /tmp directories
-        shutil.rmtree(src_dir, ignore_errors=True)
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
-    return spark.table(name).select(
+    def build(stream):
+        return exceedance_summary_stream(
+            stream.select(F.col("l_partkey").alias("partkey"),
+                          F.col("l_extendedprice").alias("dis24")),
+            thresholds, join_keys=("partkey",), group_keys=("partkey",))
+
+    return _run_file_stream(
+        spark, f"{sf_dir}/lineitem.parquet", build,
+        "stream_threshold_").select(
         "partkey",
         F.round("p_above_2y", 6).alias("p_above_2y"),
         F.round("p_above_5y", 6).alias("p_above_5y"),
@@ -810,34 +824,21 @@ def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME SQL as the batch q_session_window, so the gate proves full
     stream/batch parity (rows + schema + value hash), like
     q_stream_threshold does for the exceedance aggregation."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    from flood_data_spark.streaming.file_stream import session_stream
 
-    from flood_data_spark.streaming.file_stream import (
-        run_available_now, session_stream)
+    def build(stream):
+        # watermarks require TIMESTAMP (LTZ); the parquet ts is NTZ and
+        # the session timezone is pinned UTC, so the cast is exact
+        return session_stream(
+            stream.select("user_id",
+                          F.col("ts").cast("timestamp").alias("ts")),
+            key_col="user_id", ts_col="ts",
+            gap="1 hour", watermark_delay="2 hours")
 
-    path = f"{sf_dir}/events.parquet"
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
-    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
-    try:
-        os.symlink(path, f"{src_dir}/events.parquet")
-        schema = spark.read.parquet(path).schema  # footer-only metadata read
-        # watermarks require TIMESTAMP (LTZ); the parquet ts is NTZ and the
-        # session timezone is pinned UTC, so the cast is exact
-        stream = (spark.readStream.schema(schema).parquet(src_dir)
-                  .select("user_id", F.col("ts").cast("timestamp").alias("ts")))
-        agg = session_stream(stream, key_col="user_id", ts_col="ts",
-                             gap="1 hour", watermark_delay="2 hours")
-        name = "session_stream_" + uuid.uuid4().hex[:8]
-        q = run_available_now(agg, ckpt_dir, query_name=name)
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(src_dir, ignore_errors=True)
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
-    return spark.table(name).select("user_id", "session_start",
-                                    "session_end", "n_events")
+    return _run_file_stream(
+        spark, f"{sf_dir}/events.parquet", build,
+        "session_stream_").select("user_id", "session_start",
+                                  "session_end", "n_events")
 
 
 # query pattern for the subsequence-similarity search (a spike shape);

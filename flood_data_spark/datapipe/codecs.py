@@ -179,7 +179,9 @@ def png_image_resizer(content: bytes, width: int, height: int) -> bytes:
 # ---------------------------------------------------------------------------
 # WAV (RIFF/WAVE PCM)
 
-_WAV_INT_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
+# explicit little-endian dtypes: WAV is little-endian regardless of host
+_WAV_INT_DTYPES = {8: np.dtype("u1"), 16: np.dtype("<i2"),
+                   32: np.dtype("<i4")}
 
 
 def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
@@ -201,8 +203,10 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("WAV: missing fmt/data chunk")
     audio_fmt, n_ch, rate, _byte_rate, _align, bits = fmt
+    if n_ch < 1 or rate < 1:
+        raise ValueError(f"WAV: bad fmt chunk (channels={n_ch}, rate={rate})")
     if audio_fmt == 3 and bits == 32:          # IEEE float
-        x = np.frombuffer(data, dtype=np.float32).astype(np.float32)
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
     elif audio_fmt == 1 and bits in _WAV_INT_DTYPES:
         raw = np.frombuffer(data, dtype=_WAV_INT_DTYPES[bits])
         if bits == 8:                          # unsigned, midpoint 128
@@ -223,10 +227,15 @@ def wav_audio_decoder(content: bytes) -> dict:
     samples, bands averaged in equal slices)."""
     rate, samples = decode_wav(content)
     n_frames = samples.shape[0]
-    mono = samples.mean(axis=1)
-    spec = np.abs(np.fft.rfft(mono[:65536]))
-    bands = np.array_split(spec, 8)
-    spectral = [float(np.log1p(b.mean())) if len(b) else 0.0 for b in bands]
+    if n_frames == 0:
+        # header-only file (recorder opened + closed): structurally valid
+        spectral = [0.0] * 8
+    else:
+        mono = samples.mean(axis=1)
+        spec = np.abs(np.fft.rfft(mono[:65536]))
+        bands = np.array_split(spec, 8)
+        spectral = [float(np.log1p(b.mean())) if len(b) else 0.0
+                    for b in bands]
     return {"sample_rate": int(rate), "n_samples": int(n_frames),
             "duration_s": float(n_frames) / float(rate),
             "spectral": spectral}

@@ -82,7 +82,8 @@ class HttpCDSClient:
         self.poll_interval = poll_interval
         self.timeout_s = timeout_s
 
-    def _call(self, url: str, body: dict | None = None) -> dict:
+    def _call(self, url: str, deadline: float,
+              body: dict | None = None) -> dict:
         req = urllib.request.Request(
             url, data=json.dumps(body).encode() if body is not None else None,
             headers={
@@ -91,25 +92,37 @@ class HttpCDSClient:
                 "Content-Type": "application/json",
             },
             method="POST" if body is not None else "GET")
-        with urllib.request.urlopen(req) as resp:
+        # per-call socket timeout from the remaining deadline: without it a
+        # stalled connection blocks forever and timeout_s can never fire
+        with urllib.request.urlopen(
+                req, timeout=self._remaining(deadline)) as resp:
             return json.loads(resp.read().decode())
 
+    def _remaining(self, deadline: float) -> float:
+        left = deadline - time.monotonic()
+        if left <= 0:
+            raise TimeoutError(f"CDS request exceeded {self.timeout_s}s")
+        return left
+
     def retrieve(self, dataset: str, request: dict, target: str) -> str:
-        job = self._call(f"{self.url}/resources/{dataset}", body=request)
         deadline = time.monotonic() + self.timeout_s
+        job = self._call(f"{self.url}/resources/{dataset}", deadline,
+                         body=request)
         while job.get("state") not in ("completed", "failed"):
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"CDS request {job.get('request_id')} still "
                     f"{job.get('state')!r} after {self.timeout_s}s")
             time.sleep(self.poll_interval)
-            job = self._call(f"{self.url}/tasks/{job['request_id']}")
+            job = self._call(f"{self.url}/tasks/{job['request_id']}",
+                             deadline)
         if job["state"] == "failed":
             raise RuntimeError(f"CDS request failed: {job.get('error')}")
         location = job["location"]
         if not location.startswith(("http://", "https://")):
             location = f"{self.url}/{location.lstrip('/')}"
-        with urllib.request.urlopen(location) as resp, \
+        with urllib.request.urlopen(
+                location, timeout=self._remaining(deadline)) as resp, \
                 open(target, "wb") as out:
             shutil.copyfileobj(resp, out)
         return target
@@ -127,7 +140,10 @@ class CDSFetcher:
         try:
             import cdsapi
             self._client = cdsapi.Client()
-        except ImportError:
+        # cdsapi.Client() raises a plain Exception when installed but
+        # unconfigured (no ~/.cdsapirc): explicit url/key args must still
+        # reach the stdlib fallback in that case, not crash __init__
+        except Exception:
             try:
                 self._client = HttpCDSClient(url=url, key=key)
             except ValueError:

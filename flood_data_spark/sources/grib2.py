@@ -87,6 +87,9 @@ def _sections(msg: bytes) -> dict:
         if msg[pos:pos + 4] == b"7777":
             return out
         ln = _u(msg[pos:pos + 4])
+        if ln < 5:
+            # a zero/short length would stall the scan forever
+            raise ValueError(f"grib2: bad section length {ln} at {pos}")
         num = msg[pos + 4]
         if num in out:
             raise NotImplementedError(

@@ -58,9 +58,13 @@ def grib_decoder(content: bytes, *, member_filter: str | None = None) -> pd.Data
         import xarray as xr
     except ImportError as e:
         from flood_data_spark.sources.grib2 import grib2_to_dataframe
+        import struct as _struct
         try:
             return grib2_to_dataframe(content, member_filter=member_filter)
-        except (NotImplementedError, ValueError) as inner:
+        # IndexError/struct.error: truncated sections surface as raw
+        # slicing/unpack failures — wrap them in the same guidance
+        except (NotImplementedError, ValueError, IndexError,
+                _struct.error) as inner:
             raise NotImplementedError(
                 f"cfgrib/xarray not available and the native GRIB2 reader "
                 f"cannot decode this file ({inner}); install cfgrib or use "

@@ -161,3 +161,29 @@ def test_audio_features_real_wav_through_spark(spark, tmp_path):
     assert rows[16000].n_samples == 16000
     assert rows[16000].duration_s == pytest.approx(1.0)
     assert rows[8000].duration_s == pytest.approx(0.25)
+
+
+def test_wav_header_only_file_is_valid(tmp_path):
+    """A recorder that opens and immediately closes a file produces a
+    structurally valid zero-sample WAV — features must not crash."""
+    p = tmp_path / "empty.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+    feats = wav_audio_decoder(p.read_bytes())
+    assert feats["n_samples"] == 0
+    assert feats["duration_s"] == 0.0
+    assert feats["spectral"] == [0.0] * 8
+
+
+def test_grib2_zero_length_section_raises(tmp_path):
+    """A corrupt zero section length must raise, never spin forever."""
+    import struct as _struct
+    from flood_data_spark.sources.grib2 import grib2_to_dataframe
+    from tests.test_grib2 import build_message
+
+    msg = bytearray(build_message([0] * 6))
+    msg[16:20] = _struct.pack(">I", 0)  # first section's length -> 0
+    with pytest.raises(ValueError, match="section length"):
+        grib2_to_dataframe(bytes(msg))

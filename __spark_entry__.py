@@ -1005,6 +1005,52 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal codec path in the driver gate: per doc_id a deterministic
+    8x8 gray image (every pixel = (doc_id*7+13) % 256) round-trips through
+    the REAL pure-Python PNG encoder -> nearest-neighbor resize to 4x4 ->
+    decoder -> feature extraction inside ONE mapInPandas boundary
+    (datapipe/codecs.py).  Because the pixel fill is closed-form, the
+    DuckDB oracle reproduces width/height/channels/brightness analytically
+    — a full value-hash check of the codec arithmetic, not a rows-only
+    smoke."""
+    import pandas as pd
+
+    from flood_data_spark.datapipe.codecs import (
+        encode_png, png_image_decoder, png_image_resizer)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100) \
+        .select("doc_id")
+
+    def run(batches):
+        import numpy as np
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                fill = (int(did) * 7 + 13) % 256
+                png = encode_png(np.full((8, 8, 1), fill, dtype=np.uint8))
+                small = png_image_resizer(png, 4, 4)
+                feats = png_image_decoder(small)
+                out.append({
+                    "doc_id": int(did),
+                    "width": feats["width"],
+                    "height": feats["height"],
+                    "channels": feats["channels"],
+                    # constant image: mean*255 reconstructs the integer
+                    # fill exactly (float32 error ~1e-5 << 0.5), so the
+                    # contract column is integer-exact — no float32-vs-
+                    # float64 rounding hazard against the oracle
+                    "brightness_level": int(round(
+                        feats["embedding"][7] * 255)),
+                })
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, width int, height int, channels int,"
+                    " brightness_level int")
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: email + phone-shaped spans replaced with [REDACTED].
     The synthetic corpus is PII-free, so two literal rows with planted PII
@@ -1514,8 +1560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round (1) ---
+        # --- new this round (2) ---
         "q_session_stream": q_session_stream,
+        "q_image_codec": q_image_codec,
         # --- last checked r5; modules touched since (40) ---
         "q_morton_key": q_morton_key,
         "q_batch_lookup": q_batch_lookup,
@@ -1564,9 +1611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling": q_rolling,
         "q_pack_sequences": q_pack_sequences,            # curation guard
         "q_curation_v2": q_curation_v2,
-        "q_leakage_safe_split": q_leakage_safe_split,
         # ---------------- gate window boundary (50) ----------------
         # --- r6 greens, stable, re-enter next rotation ---
+        "q_leakage_safe_split": q_leakage_safe_split,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "q_contamination": q_contamination,
         "q_tfidf_topk": q_tfidf_topk,
@@ -2332,6 +2379,17 @@ def oracle_sql() -> dict[str, str]:
                        x -> printf('%.6f', x + 0.0)), ',') AS window,
                    rank
             FROM ranked WHERE rank <= 10
+        """,
+        # q_image_codec: the Spark side round-trips every value through the
+        # real PNG encoder/resizer/decoder; the oracle reproduces the
+        # closed-form features of the deterministic constant image
+        "q_image_codec": """
+            SELECT doc_id,
+                   CAST(4 AS INT) AS width,
+                   CAST(4 AS INT) AS height,
+                   CAST(1 AS INT) AS channels,
+                   CAST((doc_id * 7 + 13) % 256 AS INT) AS brightness_level
+            FROM documents WHERE doc_id < 100
         """,
         # q_session_stream's oracle is the identical batch sessionization
         # SQL: the streaming availableNow run must reproduce it exactly

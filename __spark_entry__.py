@@ -1051,6 +1051,45 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " brightness_level int")
 
 
+def q_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV codec path in the driver gate: per doc_id a deterministic
+    16-bit PCM WAV (n = 100 + (doc_id%50)*7 frames at 8 kHz, constant
+    amplitude) is assembled as raw RIFF bytes and decoded by the real
+    pure-Python reader (datapipe/codecs.decode_wav) inside mapInPandas.
+    Header-true fields (rate, frames, duration) have closed forms the
+    DuckDB oracle reproduces — value-hash evidence for the parser; the
+    float-noisy spectral vector stays out of the contract."""
+    import pandas as pd
+
+    from flood_data_spark.datapipe.codecs import wav_audio_decoder
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100) \
+        .select("doc_id")
+
+    def run(batches):
+        import struct as _s
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                n = 100 + (int(did) % 50) * 7
+                data = _s.pack("<h", 1000) * n
+                wav = (b"RIFF" + _s.pack("<I", 36 + len(data)) + b"WAVE"
+                       + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                           16000, 2, 16)
+                       + b"data" + _s.pack("<I", len(data)) + data)
+                feats = wav_audio_decoder(wav)
+                out.append({"doc_id": int(did),
+                            "sample_rate": feats["sample_rate"],
+                            "n_samples": feats["n_samples"],
+                            "duration_s": feats["duration_s"]})
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, sample_rate int, n_samples long,"
+                    " duration_s double")
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: email + phone-shaped spans replaced with [REDACTED].
     The synthetic corpus is PII-free, so two literal rows with planted PII
@@ -1560,9 +1599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round (2) ---
+        # --- new this round (3) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
+        "q_audio_codec": q_audio_codec,
         # --- last checked r5; modules touched since (40) ---
         "q_morton_key": q_morton_key,
         "q_batch_lookup": q_batch_lookup,
@@ -1610,9 +1650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": q_session_window,
         "q_rolling": q_rolling,
         "q_pack_sequences": q_pack_sequences,            # curation guard
-        "q_curation_v2": q_curation_v2,
         # ---------------- gate window boundary (50) ----------------
         # --- r6 greens, stable, re-enter next rotation ---
+        "q_curation_v2": q_curation_v2,
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "q_contamination": q_contamination,
@@ -2389,6 +2429,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS INT) AS height,
                    CAST(1 AS INT) AS channels,
                    CAST((doc_id * 7 + 13) % 256 AS INT) AS brightness_level
+            FROM documents WHERE doc_id < 100
+        """,
+        # q_audio_codec: real RIFF/WAVE parse vs the closed-form header
+        # facts; duration is the same IEEE float64 division on both sides
+        "q_audio_codec": """
+            SELECT doc_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(100 + (doc_id % 50) * 7 AS BIGINT) AS n_samples,
+                   (100 + (doc_id % 50) * 7) / 8000.0 AS duration_s
             FROM documents WHERE doc_id < 100
         """,
         # q_session_stream's oracle is the identical batch sessionization

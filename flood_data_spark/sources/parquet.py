@@ -81,3 +81,33 @@ def upsert_partitions(df: DataFrame, path: str, partition_by) -> None:
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(*pb)
      .parquet(path))
+
+
+def publish_directory(spark, src: str, dest: str,
+                      overwrite: bool = True) -> None:
+    """S12 object-store publish: move a computed output directory to its
+    published location through the Hadoop FileSystem API — the engine-side
+    equivalent of the reference's `dbutils.fs.rm(dest, recurse=True)` +
+    `dbutils.fs.mv(src, dest, recurse=True)` publish step
+    (databricks/glofas-forecast-computation.py:306-321).  Works against
+    any Hadoop-supported store (file://, s3a://, gs://, abfs://): rename
+    is atomic on HDFS/local, copy+delete on object stores — either way
+    readers only ever see the old or the complete new directory at
+    `dest`, never a half-written one (the reason the reference computes
+    into a staging dir and publishes by move)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src_path = jvm.org.apache.hadoop.fs.Path(src)
+    dest_path = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = dest_path.getFileSystem(conf)
+    if not fs.exists(src_path):
+        raise FileNotFoundError(f"publish source missing: {src}")
+    if fs.exists(dest_path):
+        if not overwrite:
+            raise FileExistsError(f"publish destination exists: {dest}")
+        fs.delete(dest_path, True)
+    parent = dest_path.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.rename(src_path, dest_path):
+        raise IOError(f"publish rename failed: {src} -> {dest}")

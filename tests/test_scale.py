@@ -177,3 +177,26 @@ def test_salted_join_balances_planted_skew(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_publish_directory_moves_and_overwrites(spark, tmp_path):
+    """S12 publish: compute into staging, move into place via the Hadoop
+    FS API; re-publish replaces the whole destination atomically."""
+    from flood_data_spark.sources.parquet import publish_directory
+
+    staging, dest = str(tmp_path / "staging"), str(tmp_path / "pub" / "day1")
+    spark.range(5).write.parquet(staging)
+    publish_directory(spark, staging, dest)
+    assert spark.read.parquet(dest).count() == 5
+    import os
+    assert not os.path.exists(staging)
+
+    spark.range(3).write.parquet(staging)
+    publish_directory(spark, staging, dest)
+    assert spark.read.parquet(dest).count() == 3  # replaced, not merged
+
+    with pytest.raises(FileNotFoundError):
+        publish_directory(spark, str(tmp_path / "nope"), dest)
+    spark.range(1).write.parquet(staging)
+    with pytest.raises(FileExistsError):
+        publish_directory(spark, staging, dest, overwrite=False)

@@ -525,7 +525,8 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_file_stream(spark: SparkSession, parquet_path: str,
-                     build_stream, name_prefix: str) -> DataFrame:
+                     build_stream, name_prefix: str,
+                     output_mode: str | None = None) -> DataFrame:
     """Shared availableNow scaffold for the streaming gate queries: expose
     one parquet file as a watched directory (the file-stream source wants
     the daily-folder convention; testdata ships single files), run
@@ -550,7 +551,8 @@ def _run_file_stream(spark: SparkSession, parquet_path: str,
         schema = spark.read.parquet(path).schema  # footer-only metadata read
         agg = build_stream(spark.readStream.schema(schema).parquet(src_dir))
         name = name_prefix + uuid.uuid4().hex[:8]
-        q = run_available_now(agg, ckpt_dir, query_name=name)
+        q = run_available_now(agg, ckpt_dir, query_name=name,
+                              output_mode=output_mode)
         q.awaitTermination()
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
@@ -875,6 +877,33 @@ def q_ts_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.transform(
             F.col("window"),
             lambda x: F.format_string("%.6f", x + F.lit(0.0)))))
+
+
+def q_alert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9/§2.10 custom stateful streaming, driver-gated: the
+    applyInPandasWithState alert tracker (streaming/stateful.py) over a
+    lineitem-derived exceedance stream.  In a single availableNow batch
+    the tracker's semantics have a closed form — every cell starts at 'G'
+    and emits exactly one row iff its batch max crosses an alert boundary
+    — so the DuckDB oracle value-hash-checks the custom state machine, the
+    strongest evidence a non-SQL operator can carry in this gate."""
+    from flood_data_spark.streaming.stateful import track_alert_levels
+
+    def build(stream):
+        cells = stream.select(
+            F.round((F.col("l_partkey") % 20) * 0.05 + 0.025, 3)
+            .alias("latitude"),
+            F.round(F.floor(F.col("l_partkey") / 20) % 200 * 0.05
+                    + 0.025, 3).alias("longitude"),
+            F.least(F.lit(1.0), F.col("l_discount") * 12)
+            .alias("p_above_2y"))
+        return track_alert_levels(cells)
+
+    out = _run_file_stream(spark, f"{sf_dir}/lineitem.parquet", build,
+                           "alert_stream_", output_mode="append")
+    return out.select("latitude", "longitude",
+                      F.round("max_p_above_2y", 6).alias("max_p_above_2y"),
+                      "prev_level", "level")
 
 
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1599,10 +1628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round (3) ---
+        # --- new this round (4) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
         "q_audio_codec": q_audio_codec,
+        "q_alert_stream": q_alert_stream,
         # --- last checked r5; modules touched since (40) ---
         "q_morton_key": q_morton_key,
         "q_batch_lookup": q_batch_lookup,
@@ -1649,9 +1679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,                    # timeseries _diff_us
         "q_session_window": q_session_window,
         "q_rolling": q_rolling,
-        "q_pack_sequences": q_pack_sequences,            # curation guard
         # ---------------- gate window boundary (50) ----------------
         # --- r6 greens, stable, re-enter next rotation ---
+        "q_pack_sequences": q_pack_sequences,            # curation guard
         "q_curation_v2": q_curation_v2,
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -2430,6 +2460,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS channels,
                    CAST((doc_id * 7 + 13) % 256 AS INT) AS brightness_level
             FROM documents WHERE doc_id < 100
+        """,
+        # q_alert_stream: the applyInPandasWithState tracker over ONE
+        # availableNow batch — initial state G, one update per cell, emit
+        # iff escalated — reproduced as a plain grouped CASE ladder
+        "q_alert_stream": """
+            WITH cells AS (
+                SELECT round((l_partkey % 20) * 0.05 + 0.025, 3) AS latitude,
+                       round((CAST(floor(l_partkey / 20) AS BIGINT) % 200)
+                             * 0.05 + 0.025, 3) AS longitude,
+                       least(1.0, l_discount * 12) AS p2
+                FROM lineitem)
+            SELECT latitude, longitude,
+                   round(max(p2), 6) AS max_p_above_2y,
+                   'G' AS prev_level,
+                   CASE WHEN max(p2) >= 0.6 THEN 'R' ELSE 'Y' END AS level
+            FROM cells GROUP BY latitude, longitude
+            HAVING max(p2) >= 0.3
         """,
         # q_audio_codec: real RIFF/WAVE parse vs the closed-form header
         # facts; duration is the same IEEE float64 division on both sides

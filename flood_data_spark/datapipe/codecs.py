@@ -12,6 +12,9 @@ Supported:
   (gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/
   Average/Paeth); non-interlaced only (Adam7 raises).
 - WAV: integer PCM (8/16/32-bit) and IEEE float32, any channel count.
+- AVI: RIFF container walk — raw video-frame payload extraction and
+  every-Nth sampling (frame pixels stay opaque; decoding them is the
+  separate injectable step, per the multimodal contract).
 
 Everything here executes executor-side inside a mapInPandas batch — pure
 per-row CPU, no Spark state, so it scales exactly like the fake-decoder
@@ -239,3 +242,43 @@ def wav_audio_decoder(content: bytes) -> dict:
     return {"sample_rate": int(rate), "n_samples": int(n_frames),
             "duration_s": float(n_frames) / float(rate),
             "spectral": spectral}
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) frame extraction
+
+def avi_frames(content: bytes) -> list:
+    """AVI bytes → list of raw video-frame payloads, in stream order.
+
+    The AVI container is plain RIFF (public spec): a 'LIST'/'movi' chunk
+    holds the frames as '##dc'/'##db' sub-chunks (compressed / uncompressed
+    video of stream ##).  The payloads stay opaque bytes — exactly the
+    multimodal FRAME_SCHEMA contract — so sampling frames from a real AVI
+    needs no video codec at all; decoding a frame's pixels is a separate
+    (injectable) step."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("AVI: bad RIFF/AVI header")
+    frames = []
+
+    def scan(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body_start = pos + 8
+            if cid == b"LIST":
+                subtype = buf[body_start:body_start + 4]
+                if subtype in (b"movi", b"rec "):
+                    scan(buf, body_start + 4, body_start + size)
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(buf[body_start:body_start + size])
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    scan(content, 12, len(content))
+    return frames
+
+
+def avi_frame_sampler(content: bytes, every_n: int = 30) -> list:
+    """Drop-in real sampler for `extract_frames(sampler=...)`: every Nth
+    video frame from a genuine AVI container."""
+    frames = avi_frames(content)
+    return frames[::max(every_n, 1)]

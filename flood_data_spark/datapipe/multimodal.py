@@ -116,9 +116,12 @@ def extract_image_features(media_df: DataFrame,
 
 
 def sample_frames_stub(content: bytes, every_n: int = 30) -> list:
-    """Video frame sampling (ffmpeg) — not available here."""
+    """General video frame sampling needs ffmpeg; for AVI containers the
+    real dependency-free `codecs.avi_frame_sampler` works here."""
     raise NotImplementedError(
-        "video codec not available in this environment")
+        "no general video codec in this environment — inject a sampler "
+        "into extract_frames(sampler=...); for AVI, "
+        "flood_data_spark.datapipe.codecs.avi_frame_sampler works here")
 
 
 FRAME_SCHEMA = StructType([

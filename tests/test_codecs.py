@@ -187,3 +187,44 @@ def test_grib2_zero_length_section_raises(tmp_path):
     msg[16:20] = _struct.pack(">I", 0)  # first section's length -> 0
     with pytest.raises(ValueError, match="section length"):
         grib2_to_dataframe(bytes(msg))
+
+
+def _build_avi(frames, junk_chunk=True):
+    """Minimal valid RIFF/AVI built by hand: optional non-movi chunk, then
+    LIST/movi holding 00dc frame chunks (word-aligned)."""
+    import struct as _s
+
+    def chunk(cid, body):
+        return cid + _s.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b"")
+
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    body = b"AVI "
+    if junk_chunk:
+        body += chunk(b"JUNK", b"\x00" * 12)
+    body += chunk(b"LIST", movi_body)
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_avi_frame_extraction_and_sampling():
+    from flood_data_spark.datapipe.codecs import avi_frame_sampler, avi_frames
+
+    frames = [bytes([i]) * (10 + i) for i in range(7)]
+    avi = _build_avi(frames)
+    assert avi_frames(avi) == frames
+    assert avi_frame_sampler(avi, every_n=3) == frames[::3]
+    with pytest.raises(ValueError, match="RIFF"):
+        avi_frames(b"not an avi")
+
+
+def test_real_avi_through_extract_frames(spark, tmp_path):
+    from flood_data_spark.datapipe.codecs import avi_frame_sampler
+    from flood_data_spark.datapipe.multimodal import extract_frames
+
+    frames = [bytes([i]) * 20 for i in range(6)]
+    (tmp_path / "clip.avi").write_bytes(_build_avi(frames))
+    media = read_media(spark, str(tmp_path) + "/*.avi", mime="video/avi")
+    out = extract_frames(media, sampler=avi_frame_sampler, every_n=2)
+    rows = sorted(out.collect(), key=lambda r: r.frame_idx)
+    assert [bytes(r.frame) for r in rows] == frames[::2]
+    assert [r.frame_idx for r in rows] == [0, 1, 2]

@@ -1080,6 +1080,49 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " brightness_level int")
 
 
+def q_grib_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster ingest codec in the driver gate: per doc_id a deterministic
+    GRIB2 ensemble message (template 3.0 grid, 4.1 member, 5.0 simple
+    packing) is ENCODED and then DECODED by the real pure-Python reader
+    (sources/grib2.py) inside mapInPandas — the pipeline's actual GRIB
+    entry format, value-hash-checked against the closed-form grid/member/
+    value layout.  Packed integers < 2^16 survive float32 dis24 exactly,
+    so the contract casts back to int with zero rounding hazard."""
+    import pandas as pd
+
+    from flood_data_spark.sources.grib2 import (
+        build_simple_message, grib2_to_dataframe)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50) \
+        .select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                xs = [(did * 7 + k) % 65536 for k in range(6)]
+                msg = build_simple_message(
+                    xs, nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,
+                    nbits=16, member=did % 4)
+                rows = grib2_to_dataframe(msg)
+                rows.insert(0, "doc_id", did)
+                out.append(rows)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    decoded = docs.mapInPandas(
+        run, schema="doc_id long, number long, latitude double,"
+                    " longitude double, time long, step long,"
+                    " valid_time long, dis24 float")
+    return decoded.select(
+        "doc_id", "number",
+        F.round("latitude", 3).alias("latitude"),
+        F.round("longitude", 3).alias("longitude"),
+        "time", "step", "valid_time",
+        F.col("dis24").cast("int").alias("packed_value"))
+
+
 def q_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV codec path in the driver gate: per doc_id a deterministic
     16-bit PCM WAV (n = 100 + (doc_id%50)*7 frames at 8 kHz, constant
@@ -1628,11 +1671,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round (4) ---
+        # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
         "q_audio_codec": q_audio_codec,
         "q_alert_stream": q_alert_stream,
+        "q_grib_codec": q_grib_codec,
         # --- last checked r5; modules touched since (40) ---
         "q_morton_key": q_morton_key,
         "q_batch_lookup": q_batch_lookup,
@@ -1678,8 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nearest_reindex": q_nearest_reindex,          # grid.py argmin
         "q_sessionize": q_sessionize,                    # timeseries _diff_us
         "q_session_window": q_session_window,
-        "q_rolling": q_rolling,
         # ---------------- gate window boundary (50) ----------------
+        "q_rolling": q_rolling,
         # --- r6 greens, stable, re-enter next rotation ---
         "q_pack_sequences": q_pack_sequences,            # curation guard
         "q_curation_v2": q_curation_v2,
@@ -2460,6 +2504,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS channels,
                    CAST((doc_id * 7 + 13) % 256 AS INT) AS brightness_level
             FROM documents WHERE doc_id < 100
+        """,
+        # q_grib_codec: the real GRIB2 encode->decode round-trip vs the
+        # closed-form grid/member/value layout (time = 2024-01-01 ns epoch,
+        # step = 24 h in ns; lat descends from la1, lon ascends, i fastest)
+        "q_grib_codec": """
+            WITH grid AS (
+                SELECT * FROM (VALUES
+                    (0, 0), (0, 1), (0, 2),
+                    (1, 0), (1, 1), (1, 2)) AS t(i, j))
+            SELECT d.doc_id,
+                   CAST(d.doc_id % 4 AS BIGINT) AS number,
+                   round(0.125 - g.i * 0.05, 3) AS latitude,
+                   round(0.025 + g.j * 0.05, 3) AS longitude,
+                   CAST(1704067200 AS BIGINT) * 1000000000 AS time,
+                   CAST(86400 AS BIGINT) * 1000000000 AS step,
+                   CAST(1704153600 AS BIGINT) * 1000000000 AS valid_time,
+                   CAST((d.doc_id * 7 + g.i * 3 + g.j) % 65536 AS INT)
+                       AS packed_value
+            FROM documents d CROSS JOIN grid g
+            WHERE d.doc_id < 50
         """,
         # q_alert_stream: the applyInPandasWithState tracker over ONE
         # availableNow batch — initial state G, one update per cell, emit

@@ -206,3 +206,55 @@ def grib2_to_dataframe(content: bytes, *,
                                              "longitude", "time", "step",
                                              "valid_time", "dis24"]})
     return pd.concat(frames, ignore_index=True)
+
+
+def build_simple_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
+                         d: float, ref: float = 0.0, e_scale: int = 0,
+                         d_scale: int = 0, nbits: int = 16,
+                         member: int | None = None,
+                         year: int = 2024, month: int = 1, day: int = 1,
+                         ftime_hours: int = 24) -> bytes:
+    """Encode one GRIB2 message (grid template 3.0, product 4.0/4.1, data
+    template 5.0 simple packing) — the synthetic-data/test counterpart of
+    the reader above.  `xs` are the packed integers, row-major (i fastest);
+    decoded value = (ref + X * 2**e_scale) / 10**d_scale."""
+    def sec(num, body):
+        return struct.pack(">IB", len(body) + 5, num) + body
+
+    def sm32(v):
+        raw = abs(int(round(v)))
+        return struct.pack(">I", raw | (0x80000000 if v < 0 else 0))
+
+    bits = "".join(format(int(x), f"0{nbits}b") for x in xs)
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    packed = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+    s1 = sec(1, struct.pack(">HHBBB", 0, 0, 2, 0, 1)
+             + struct.pack(">HBBBBB", year, month, day, 0, 0, 0)
+             + bytes([0, 1]))
+    grid = (bytes([6, 0]) + b"\x00" * 4 + bytes([0]) + b"\x00" * 4
+            + bytes([0]) + b"\x00" * 4
+            + struct.pack(">II", ni, nj) + b"\x00" * 8
+            + sm32(la1 * 1e6) + sm32(lo1 * 1e6) + bytes([0x30])
+            + sm32((la1 - (nj - 1) * d) * 1e6)
+            + sm32((lo1 + (ni - 1) * d) * 1e6)
+            + struct.pack(">II", int(d * 1e6), int(d * 1e6)) + bytes([0]))
+    s3 = sec(3, bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
+             + struct.pack(">H", 0) + grid)
+    prod = (bytes([0, 4, 2, 0, 0]) + struct.pack(">HB", 0, 0) + bytes([1])
+            + struct.pack(">I", ftime_hours)
+            + bytes([1, 0]) + b"\x00" * 4 + bytes([255, 0]) + b"\x00" * 4)
+    if member is None:
+        s4 = sec(4, struct.pack(">HH", 0, 0) + prod)
+    else:
+        s4 = sec(4, struct.pack(">HH", 0, 1) + prod + bytes([3, member, 51]))
+    e_raw = abs(e_scale) | (0x8000 if e_scale < 0 else 0)
+    d_raw = abs(d_scale) | (0x8000 if d_scale < 0 else 0)
+    s5 = sec(5, struct.pack(">I", len(xs)) + struct.pack(">H", 0)
+             + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
+             + bytes([nbits, 0]))
+    s6 = sec(6, bytes([255]))
+    s7 = sec(7, packed)
+    body = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
+    return (b"GRIB" + b"\x00\x00" + bytes([1, 2])
+            + struct.pack(">Q", 16 + len(body)) + body)

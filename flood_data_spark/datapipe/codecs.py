@@ -261,10 +261,16 @@ def avi_frames(content: bytes) -> list:
     frames = []
 
     def scan(buf: bytes, pos: int, end: int):
+        end = min(end, len(buf))
         while pos + 8 <= end:
             cid = buf[pos:pos + 4]
             (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
             body_start = pos + 8
+            if body_start + size > len(buf):
+                # consistent malformed-input contract with the other
+                # codecs: ValueError, never a silent short frame
+                raise ValueError(
+                    f"AVI: chunk {cid!r} overruns the buffer")
             if cid == b"LIST":
                 subtype = buf[body_start:body_start + 4]
                 if subtype in (b"movi", b"rec "):

@@ -225,6 +225,12 @@ def build_simple_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
         raw = abs(int(round(v)))
         return struct.pack(">I", raw | (0x80000000 if v < 0 else 0))
 
+    for x in xs:
+        if not 0 <= int(x) < (1 << nbits):
+            # an oversized value would widen its bit field and silently
+            # shift every subsequent packed value
+            raise ValueError(
+                f"grib2: packed value {x} does not fit in {nbits} bits")
     bits = "".join(format(int(x), f"0{nbits}b") for x in xs)
     bits += "0" * ((8 - len(bits) % 8) % 8)
     packed = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
@@ -238,7 +244,9 @@ def build_simple_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
             + sm32(la1 * 1e6) + sm32(lo1 * 1e6) + bytes([0x30])
             + sm32((la1 - (nj - 1) * d) * 1e6)
             + sm32((lo1 + (ni - 1) * d) * 1e6)
-            + struct.pack(">II", int(d * 1e6), int(d * 1e6)) + bytes([0]))
+            # round, don't truncate: int(0.3 * 1e6) would encode 299999
+            + struct.pack(">II", int(round(d * 1e6)), int(round(d * 1e6)))
+            + bytes([0]))
     s3 = sec(3, bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
              + struct.pack(">H", 0) + grid)
     prod = (bytes([0, 4, 2, 0, 0]) + struct.pack(">HB", 0, 0) + bytes([1])

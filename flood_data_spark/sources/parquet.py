@@ -89,25 +89,49 @@ def publish_directory(spark, src: str, dest: str,
     published location through the Hadoop FileSystem API — the engine-side
     equivalent of the reference's `dbutils.fs.rm(dest, recurse=True)` +
     `dbutils.fs.mv(src, dest, recurse=True)` publish step
-    (databricks/glofas-forecast-computation.py:306-321).  Works against
-    any Hadoop-supported store (file://, s3a://, gs://, abfs://): rename
-    is atomic on HDFS/local, copy+delete on object stores — either way
-    readers only ever see the old or the complete new directory at
-    `dest`, never a half-written one (the reason the reference computes
-    into a staging dir and publishes by move)."""
+    (databricks/glofas-forecast-computation.py:306-321).
+
+    Atomicity, honestly stated: same-filesystem overwrite is a two-rename
+    swap (old dest aside → src into place → delete the old copy), so on
+    HDFS/local each step is atomic and the no-directory window is the gap
+    between the two renames — narrower than delete-then-rename, but not
+    zero, and object-store renames are copy+delete underneath.  Readers
+    needing a zero-gap cutover should publish to a versioned directory
+    and flip a pointer/view instead.  Cross-filesystem publishes
+    (file:// staging → s3a:// dest) go through FileUtil.copy with
+    deleteSource, like dbutils.fs.mv."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     src_path = jvm.org.apache.hadoop.fs.Path(src)
     dest_path = jvm.org.apache.hadoop.fs.Path(dest)
+    # each path resolves through ITS OWN filesystem: resolving a file:/
+    # staging dir through the dest's s3a FS throws Wrong-FS
+    src_fs = src_path.getFileSystem(conf)
     fs = dest_path.getFileSystem(conf)
-    if not fs.exists(src_path):
+    if not src_fs.exists(src_path):
         raise FileNotFoundError(f"publish source missing: {src}")
+    old_path = None
     if fs.exists(dest_path):
         if not overwrite:
             raise FileExistsError(f"publish destination exists: {dest}")
-        fs.delete(dest_path, True)
+        old_path = jvm.org.apache.hadoop.fs.Path(
+            dest_path.getParent(),
+            "." + dest_path.getName() + ".replaced")
+        fs.delete(old_path, True)  # stale leftover from a crashed publish
+        if not fs.rename(dest_path, old_path):
+            raise IOError(f"publish: could not set aside {dest}")
     parent = dest_path.getParent()
     if parent is not None and not fs.exists(parent):
         fs.mkdirs(parent)
-    if not fs.rename(src_path, dest_path):
-        raise IOError(f"publish rename failed: {src} -> {dest}")
+    same_fs = src_fs.getUri().equals(fs.getUri())
+    if same_fs:
+        ok = fs.rename(src_path, dest_path)
+    else:
+        ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+            src_fs, src_path, fs, dest_path, True, conf)
+    if not ok:
+        if old_path is not None:
+            fs.rename(old_path, dest_path)  # roll the old version back
+        raise IOError(f"publish failed: {src} -> {dest}")
+    if old_path is not None:
+        fs.delete(old_path, True)

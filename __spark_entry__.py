@@ -1606,6 +1606,25 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_recall_contract(exact, ann, bound=0.25)
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for product quantization (m=8 sub-codebooks, 8 bits
+    each → 8-byte codes, 32× smaller than float32): ADC candidate
+    generation over the compressed corpus + exact re-rank of 4k
+    candidates (the standard PQ search), vs exact cosine.  Re-ranked
+    cosines are true cosines, so bounded_ok is exact (tolerance 0);
+    recall bound 0.25 matches the other ANN contracts."""
+    from flood_data_spark.datapipe.similarity import (
+        pq_encode, pq_topk, pq_train)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    books = pq_train(emb, m=8, nbits=8)
+    codes = pq_encode(emb, books)
+    ann = pq_topk(books, codes, queries, k=5, rerank_corpus=emb)
+    return _topk_recall_contract(exact, ann, bound=0.25)
+
+
 def q_ivf_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall contract for the int8-quantized IVF index (IVF-SQ8:
     `quantize_index(lists)`, 8× smaller persisted index): same
@@ -1677,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_codec": q_audio_codec,
         "q_alert_stream": q_alert_stream,
         "q_grib_codec": q_grib_codec,
+        "q_pq_recall": q_pq_recall,
         # --- last checked r5; modules touched since (40) ---
         "q_morton_key": q_morton_key,
         "q_batch_lookup": q_batch_lookup,
@@ -3510,6 +3530,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "q_ivf_sq8_recall": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.e, c.e)
+                             / (sqrt(list_dot_product(q.e, q.e))
+                                * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+                FROM v q JOIN v c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 20),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   round(avg(CASE WHEN rank = 1 THEN cosine END), 6)
+                       AS avg_top1_cosine,
+                   TRUE AS recall_ok, TRUE AS bounded_ok
+            FROM ranked WHERE rank <= 5
+        """,
+        "q_pq_recall": """
             WITH v AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             scored AS (

@@ -589,3 +589,214 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     return (pairs
             .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m sub-codebooks, ADC search over compressed codes
+
+def pq_train(corpus: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", m: int = 8, nbits: int = 8,
+             seed: int = 42, max_iter: int = 8,
+             max_train_rows: int = 262_144) -> list:
+    """Fit PQ codebooks: the vector space splits into `m` subspaces and
+    each gets its own k=2**nbits-centroid L2 k-means codebook, so a
+    d-dim float32 vector compresses to m bytes (m*nbits bits) — 16-32×
+    smaller than SQ8's d bytes, the difference between an index that fits
+    in cluster memory and one that doesn't at 100 TB.
+
+    Same driver-fit contract as ivf_build's coarse quantizer: the fit sees
+    a bounded sample (<= max_train_rows, the FAISS train() contract), the
+    corpus never comes to the driver.  Vectors are L2-normalized first, so
+    PQ L2 distance ranks like cosine everywhere else in this module.
+    Returns plain nested lists (m x k x d/m) — picklable into executor
+    closures, tiny (m * 2**nbits * d/m floats)."""
+    import numpy as np
+
+    cnt = corpus.count()
+    src = corpus
+    if cnt > max_train_rows:
+        src = corpus.sample(fraction=min(1.0, max_train_rows / cnt * 1.1),
+                            seed=seed).limit(max_train_rows)
+    rows = src.select(_as_double(F.col(vec_col)).alias("v")).collect()
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] == 0:
+        raise ValueError("empty or ragged PQ train sample")
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"PQ: dim {d} not divisible by m={m}")
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms < 1e-12] = 1e-12
+    X = X / norms[:, None]
+    dsub, k = d // m, 1 << nbits
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        kk = min(k, len(Xs))
+        C = Xs[rng.choice(len(Xs), size=kk, replace=False)].copy()
+        for _ in range(max_iter):
+            # ||x-c||^2 = x^2 + c^2 - 2xc; argmin over centroids
+            d2 = ((Xs ** 2).sum(1)[:, None] + (C ** 2).sum(1)[None, :]
+                  - 2.0 * Xs @ C.T)
+            assign = d2.argmin(axis=1)
+            newC = np.empty_like(C)
+            for j in range(kk):
+                members = Xs[assign == j]
+                newC[j] = members.mean(axis=0) if len(members) else \
+                    Xs[rng.integers(0, len(Xs))]
+            if np.abs(newC - C).max() < 1e-9:
+                C = newC
+                break
+            C = newC
+        books.append([[float(v) for v in row] for row in C])
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks: list,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Assign every corpus vector its m-byte PQ code: one vectorized
+    mapInPandas pass (per-subspace argmin as numpy matmuls, Arrow
+    batches), codebooks ride the task closure — no shuffle, no join.
+    Output: (id, pq_codes array<int>).  Persist partitioned like any
+    index; at 100 TB this table IS the searchable corpus."""
+    import numpy as np
+    import pandas as pd
+
+    C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(C)
+    dsub = C[0].shape[1]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf["_v"]])
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms < 1e-12] = 1e-12
+            X = X / norms[:, None]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub:(s + 1) * dsub]
+                d2 = ((Xs ** 2).sum(1)[:, None]
+                      + (C[s] ** 2).sum(1)[None, :] - 2.0 * Xs @ C[s].T)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"pq_id": pdf["pq_id"].to_numpy(),
+                                "pq_codes": list(codes)})
+
+    narrow = corpus.select(F.col(id_col).alias("pq_id"),
+                           _as_double(F.col(vec_col)).alias("_v"))
+    return narrow.mapInPandas(run, schema="pq_id long, pq_codes array<int>")
+
+
+def pq_topk(codebooks: list, codes: DataFrame, queries: DataFrame,
+            k: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            max_query_rows: int = 4096,
+            rerank_corpus: DataFrame | None = None,
+            rerank_factor: int = 4) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus: each
+    query precomputes m lookup tables of 2**nbits squared distances, and
+    scoring a candidate is m table lookups + adds — no decompression, no
+    float vector scan.
+
+    Plan: the bounded query batch (<= max_query_rows, same interactive
+    contract as ivf_probe's broadcast_probes) is collected once; the
+    tables ride the closure into ONE mapInPandas pass over the codes
+    table, which emits each partition's per-query top-k (numpy take +
+    argpartition); a final window keeps the global top-k — the TakeOrdered
+    shape, never a global sort.  Returns (query_id, neighbor_id, cosine,
+    rank).
+
+    Without `rerank_corpus` the cosine is the ADC approximation
+    (1 - d2/2 on normalized vectors) — rank-faithful to the codes but
+    numerically off by the quantization error.  With it, the standard PQ
+    practice: ADC proposes rerank_factor*k candidates per query and a
+    tiny broadcast join against the raw vectors re-scores them exactly —
+    reported cosines are then true cosines at the cost of touching
+    k*rerank_factor*|queries| full vectors (never the corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(C)
+    dsub = C[0].shape[1]
+
+    qrows = (queries.select(F.col(id_col).alias("qid"),
+                            _as_double(F.col(vec_col)).alias("v"))
+             .limit(max_query_rows).collect())
+    if not qrows:
+        raise ValueError("pq_topk: empty query batch")
+    qids = np.asarray([r.qid for r in qrows])
+    Q = np.asarray([r.v for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn < 1e-12] = 1e-12
+    Q = Q / qn[:, None]
+    # tables[qi, s, c] = ||Q_s - C_s[c]||^2
+    tables = np.stack([
+        ((Q[:, s * dsub:(s + 1) * dsub] ** 2).sum(1)[:, None]
+         + (C[s] ** 2).sum(1)[None, :]
+         - 2.0 * Q[:, s * dsub:(s + 1) * dsub] @ C[s].T)
+        for s in range(m)], axis=1)
+
+    n_cand = k * (rerank_factor if rerank_corpus is not None else 1)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            codes_arr = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf["pq_codes"]])
+            ids = pdf["pq_id"].to_numpy()
+            # d2[qi, row] = sum_s tables[qi, s, codes[row, s]]
+            d2 = np.zeros((len(qids), n), dtype=np.float64)
+            for s in range(m):
+                d2 += tables[:, s, :][:, codes_arr[:, s]]
+            keep = min(n_cand + 1, n)  # +1 absorbs a query's own row
+            part = np.argpartition(d2, keep - 1, axis=1)[:, :keep]
+            out = []
+            for qi in range(len(qids)):
+                for col in part[qi]:
+                    out.append((int(qids[qi]), int(ids[col]),
+                                float(d2[qi, col])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id",
+                                             "_d2"])
+
+    scored = codes.mapInPandas(
+        run, schema="query_id long, neighbor_id long, _d2 double") \
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+
+    if rerank_corpus is None:
+        w = (Window.partitionBy("query_id")
+             .orderBy(F.asc("_d2"), F.asc("neighbor_id")))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.round(1.0 - F.col("_d2") / 2.0, 6).alias("cosine"),
+                        "rank"))
+
+    # exact re-rank: keep the ADC top n_cand per query, join the
+    # candidate ids (a tiny broadcast) back to the raw vectors, score
+    # the true cosine, take the final k
+    wq = (Window.partitionBy("query_id")
+          .orderBy(F.asc("_d2"), F.asc("neighbor_id")))
+    cand = (scored.withColumn("_cr", F.row_number().over(wq))
+            .filter(F.col("_cr") <= n_cand)
+            .select("query_id", "neighbor_id"))
+    qvecs = queries.select(F.col(id_col).alias("query_id"),
+                           _as_double(F.col(vec_col)).alias("_qv"))
+    nvecs = rerank_corpus.select(F.col(id_col).alias("neighbor_id"),
+                                 _as_double(F.col(vec_col)).alias("_nv"))
+    exact = (F.broadcast(cand)
+             .join(nvecs, "neighbor_id")
+             .join(F.broadcast(qvecs), "query_id")
+             .select("query_id", "neighbor_id",
+                     F.round(cosine_similarity(F.col("_qv"),
+                                               F.col("_nv")), 6)
+                     .alias("cosine")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

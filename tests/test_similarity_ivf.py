@@ -181,3 +181,65 @@ def test_semantic_dedup_plan_no_cross_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+
+def test_pq_codes_shape_and_determinism(spark, emb):
+    from flood_data_spark.datapipe.similarity import pq_encode, pq_train
+
+    books = pq_train(emb, m=4, nbits=4, seed=7)
+    assert len(books) == 4                     # m sub-codebooks
+    assert all(len(b) <= 16 for b in books)    # k = 2^nbits
+    assert all(len(c) == 2 for b in books for c in b)  # dsub = 8/4
+    codes = {r.pq_id: list(r.pq_codes)
+             for r in pq_encode(emb, books).collect()}
+    assert len(codes) == 90
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c)
+               for c in codes.values())
+    # deterministic across runs and partitionings
+    codes2 = {r.pq_id: list(r.pq_codes)
+              for r in pq_encode(emb.repartition(7), books).collect()}
+    assert codes == codes2
+
+
+def test_pq_topk_recall_on_separated_clusters(spark, emb):
+    """Well-separated clusters: PQ must place every query's neighbors in
+    the query's own cluster, like IVF does."""
+    from flood_data_spark.datapipe.similarity import (
+        pq_encode, pq_topk, pq_train)
+
+    books = pq_train(emb, m=4, nbits=6, seed=7)
+    codes = pq_encode(emb, books)
+    queries = emb.filter("vec_id < 6")
+    got = pq_topk(books, codes, queries, k=5)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == set(range(6))
+    for r in rows:
+        assert r.neighbor_id % 3 == r.query_id % 3  # same cluster
+        assert r.neighbor_id != r.query_id
+
+
+def test_pq_rerank_reports_exact_cosines(spark, emb):
+    from flood_data_spark.datapipe.similarity import (
+        pq_encode, pq_topk, pq_train)
+
+    books = pq_train(emb, m=4, nbits=6, seed=7)
+    codes = pq_encode(emb, books)
+    queries = emb.filter("vec_id < 4")
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in cosine_topk_bruteforce(emb, queries, k=20).collect()}
+    reranked = pq_topk(books, codes, queries, k=5, rerank_corpus=emb)
+    for r in reranked.collect():
+        # every reported cosine is the true cosine of that pair
+        assert (r.query_id, r.neighbor_id) in exact
+        assert r.cosine == pytest.approx(
+            exact[(r.query_id, r.neighbor_id)], abs=1e-6)
+
+
+def test_pq_train_rejects_indivisible_dim(spark, emb):
+    from flood_data_spark.datapipe.similarity import pq_train
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=3)  # dim 8 % 3 != 0

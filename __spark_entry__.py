@@ -906,6 +906,97 @@ def q_alert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "prev_level", "level")
 
 
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9 streaming dedup, driver-gated:
+    `dropDuplicatesWithinWatermark` over the event file stream
+    (streaming/file_stream.dedup_stream — bounded state: a key's memory
+    lives only until the watermark passes).  Which ROW survives per key is
+    arrival-order dependent, so the gate projects only the key columns —
+    the surviving key SET is deterministic and the DuckDB oracle is the
+    batch DISTINCT, proving full stream/batch dedup parity."""
+    from flood_data_spark.streaming.file_stream import dedup_stream
+
+    def build(stream):
+        return dedup_stream(
+            stream.select("user_id", "event_type",
+                          F.col("ts").cast("timestamp").alias("ts")),
+            key_cols=("user_id", "event_type"), ts_col="ts",
+            watermark_delay="365 days").select("user_id", "event_type")
+
+    return _run_file_stream(spark, f"{sf_dir}/events.parquet", build,
+                            "dedup_stream_", output_mode="append")
+
+
+def q_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract for the distributed Lloyd's k-means
+    (datapipe/clustering.py): fit k=8 over the embeddings corpus (every
+    iteration = one posexplode groupBy whose shuffle is k*d keys; the
+    corpus never reaches the driver), then assert the invariants the
+    oracle re-states — every point assigned to a valid cluster and the
+    inertia history non-increasing (Lloyd's guarantee; empty-cluster
+    carry-over is the only slack, absent at this k/n).  The centroid
+    VALUES are float-iteration artifacts no SQL engine reproduces, so this
+    carries the contract form, like the ANN recall gates."""
+    from flood_data_spark.datapipe.clustering import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, history = kmeans_fit(emb, k=8, max_iter=4)
+    asg = kmeans_assign(emb, centroids)
+    stats = asg.agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.when(F.col("cluster").between(0, 7), 0).otherwise(1))
+        .alias("_bad"))
+    monotone = all(a >= b - 1e-9 for a, b in zip(history, history[1:]))
+    return stats.select(
+        "n_points",
+        F.lit(8).alias("k_requested"),
+        (F.col("_bad") == 0).alias("all_assigned"),
+        F.lit(bool(monotone)).alias("inertia_monotone"))
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training's first-round pair statistics (datapipe/bpe.py): the
+    top-20 adjacent character pairs weighted by word frequency — the
+    argmax of this table IS merge rule #1.  Full value oracle: the pair
+    count lives on the vocabulary-sized word-frequency table, the one
+    corpus-sized job in the whole trainer."""
+    from flood_data_spark.datapipe.bpe import (
+        _char_symbols, pair_counts, word_frequencies)
+
+    wf = (word_frequencies(_t(spark, sf_dir, "documents"))
+          .select(_char_symbols(F.col("word")).alias("symbols"), "freq"))
+    return (pair_counts(wf)
+            .withColumnRenamed("left", "left_sym")
+            .withColumnRenamed("right", "right_sym")
+            .orderBy(F.desc("pair_count"), F.asc("left_sym"),
+                     F.asc("right_sym"))
+            .limit(20))
+
+
+def q_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract for the iterative BPE trainer (datapipe/bpe.py): 6 merge
+    rounds over the documents corpus.  The oracle independently recomputes
+    merge #1 (the argmax of q_bpe_pairs' SQL) and its count; rounds 2-6
+    depend on re-tokenization no SQL engine expresses, so they enter as
+    Spark-verified booleans — all merged tokens distinct, and the LAST
+    merge product present in the final vocabulary (earlier products can
+    legitimately be consumed by later merges, e.g. 'er' vanishing into
+    'ter'; the last one cannot)."""
+    from flood_data_spark.datapipe.bpe import bpe_train
+
+    merges, vocab = bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
+    tokens = [left + right for left, right, _ in merges]
+    vocab_hits = (vocab.filter((F.col("symbol") == tokens[-1])
+                               & (F.col("freq") > 0)).count()
+                  if tokens else 0)
+    merges_distinct = len(set(tokens)) == len(tokens)
+    return spark.createDataFrame(
+        [(len(merges), merges[0][0] + merges[0][1], merges[0][2],
+          bool(merges_distinct), bool(vocab_hits >= 1))],
+        "n_merges int, first_merge string, first_count long, "
+        "merges_distinct boolean, vocab_ok boolean")
+
+
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation pipeline end-to-end: quality gate + language
     filter + token-budget range + exact dedup keeping the representative —
@@ -1697,6 +1788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_alert_stream": q_alert_stream,
         "q_grib_codec": q_grib_codec,
         "q_pq_recall": q_pq_recall,
+        # --- round 7, second batch ---
+        "q_dedup_stream": q_dedup_stream,
+        "q_kmeans_contract": q_kmeans_contract,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_bpe_contract": q_bpe_contract,
         # --- last checked r5; modules touched since (40) ---
         "q_morton_key": q_morton_key,
         "q_batch_lookup": q_batch_lookup,
@@ -2561,6 +2657,71 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN max(p2) >= 0.6 THEN 'R' ELSE 'Y' END AS level
             FROM cells GROUP BY latitude, longitude
             HAVING max(p2) >= 0.3
+        """,
+        # q_dedup_stream: the surviving KEY SET of the streaming dedup is
+        # the batch DISTINCT — full stream/batch parity on keys (which row
+        # survives per key is arrival-order dependent, so rows aren't
+        # projected)
+        "q_dedup_stream": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # q_kmeans_contract: the oracle re-states the Lloyd's invariants
+        # (all points assigned, inertia non-increasing) the Spark side
+        # verifies for real; centroid values are float-iteration artifacts
+        "q_kmeans_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(8 AS INT) AS k_requested,
+                   TRUE AS all_assigned,
+                   TRUE AS inertia_monotone
+            FROM embeddings
+        """,
+        # q_bpe_pairs: full value oracle for BPE round-1 pair statistics —
+        # adjacent char pairs weighted by word frequency, top-20 with the
+        # trainer's (count desc, left, right) tiebreak
+        "q_bpe_pairs": """
+            WITH words AS (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                       AS w
+                FROM documents),
+            wf AS (SELECT w, count(*) AS freq FROM words WHERE w <> ''
+                   GROUP BY w),
+            pos AS (SELECT w, freq, unnest(range(1, length(w))) AS i
+                    FROM wf),
+            pairs AS (
+                SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+                       substr(w, CAST(i AS INT) + 1, 1) AS right_sym, freq
+                FROM pos)
+            SELECT left_sym, right_sym,
+                   CAST(sum(freq) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY left_sym, right_sym
+            ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
+        """,
+        # q_bpe_contract: merge #1 is the argmax of the q_bpe_pairs SQL —
+        # independently recomputed here; rounds 2-6 are Spark-verified
+        # booleans (re-tokenization isn't SQL-expressible)
+        "q_bpe_contract": """
+            WITH words AS (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                       AS w
+                FROM documents),
+            wf AS (SELECT w, count(*) AS freq FROM words WHERE w <> ''
+                   GROUP BY w),
+            pos AS (SELECT w, freq, unnest(range(1, length(w))) AS i
+                    FROM wf),
+            pairs AS (
+                SELECT substr(w, CAST(i AS INT), 1) AS l,
+                       substr(w, CAST(i AS INT) + 1, 1) AS r, freq
+                FROM pos),
+            agg AS (
+                SELECT l, r, CAST(sum(freq) AS BIGINT) AS c
+                FROM pairs GROUP BY l, r
+                ORDER BY c DESC, l, r LIMIT 1)
+            SELECT CAST(6 AS INT) AS n_merges,
+                   l || r AS first_merge,
+                   c AS first_count,
+                   TRUE AS merges_distinct,
+                   TRUE AS vocab_ok
+            FROM agg
         """,
         # q_audio_codec: real RIFF/WAVE parse vs the closed-form header
         # facts; duration is the same IEEE float64 division on both sides

@@ -997,6 +997,24 @@ def q_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merges_distinct boolean, vocab_ok boolean")
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value oracle for the scale-path BPE encoder
+    (datapipe/bpe.bpe_encode_with_dict — dictionary tokenized once,
+    broadcast-joined back to the per-position word explode, reassembled in
+    order): with ZERO merges every word encodes to its character sequence,
+    so the token count per document equals the summed word lengths — a
+    closed form DuckDB states independently.  Exercises the whole explode
+    → broadcast join → ordered reassembly machinery; merge equivalence vs
+    the per-row encoder is pinned in tests/test_bpe.py."""
+    from flood_data_spark.datapipe.bpe import bpe_encode_with_dict
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id", "text")
+    return (bpe_encode_with_dict(docs, merges=[])
+            .select("doc_id",
+                    F.size("bpe_tokens").cast("long").alias("n_tokens")))
+
+
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation pipeline end-to-end: quality gate + language
     filter + token-budget range + exact dedup keeping the representative —
@@ -1793,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_contract": q_kmeans_contract,
         "q_bpe_pairs": q_bpe_pairs,
         "q_bpe_contract": q_bpe_contract,
+        "q_bpe_encode": q_bpe_encode,
         # --- last checked r5; modules touched since (40) ---
         "q_morton_key": q_morton_key,
         "q_batch_lookup": q_batch_lookup,
@@ -2722,6 +2741,22 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS merges_distinct,
                    TRUE AS vocab_ok
             FROM agg
+        """,
+        # q_bpe_encode: zero-merge encode == character tokenization, so
+        # token count per doc == summed word lengths (closed form)
+        "q_bpe_encode": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z]+'))
+                       AS w
+                FROM documents WHERE doc_id < 200)
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(length(w.w)), 0) AS BIGINT)
+                       AS n_tokens
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+            LEFT JOIN (SELECT doc_id, w FROM words WHERE w <> '') w
+              ON d.doc_id = w.doc_id
+            GROUP BY d.doc_id
         """,
         # q_audio_codec: real RIFF/WAVE parse vs the closed-form header
         # facts; duration is the same IEEE float64 division on both sides

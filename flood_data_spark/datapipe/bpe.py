@@ -141,3 +141,43 @@ def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text",
         sym = _apply_rule(sym, left, right)
     return (out.withColumn(tokens_col, F.flatten(sym))
             .drop("_words"))
+
+
+def bpe_encode_with_dict(docs: DataFrame, merges: list,
+                         text_col: str = "text",
+                         tokens_col: str = "bpe_tokens") -> DataFrame:
+    """Scale-path encoder: tokenize the DISTINCT-WORD dictionary once
+    (vocabulary-bounded — the n_rules-deep fold runs on 10^5-10^6 rows,
+    not the corpus), then broadcast-join it back to the per-position word
+    explode and reassemble each document's token stream in order.
+
+    At 100 TB this is the only sane shape: the per-row fold in
+    `bpe_encode` nests one CASE per merge rule into every corpus row's
+    expression tree, while here the corpus-sized work is one explode + one
+    broadcast hash join + one groupBy(doc) — all whole-stage-codegen
+    friendly, rule count amortized over the dictionary.  Output is
+    row-identical to `bpe_encode` (tests pin the equivalence)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                     lambda w: w != F.lit(""))
+    # posexplode_outer via select (withColumn can't bind two output cols);
+    # _outer keeps zero-word docs alive so they come back with [] tokens
+    exploded = (docs.select(
+        "*", F.posexplode_outer(words).alias("_pos", "_word")))
+    dictionary = (exploded.select(F.col("_word").alias("word"))
+                  .filter(F.col("word").isNotNull())
+                  .distinct())
+    dict_tokens = bpe_encode(dictionary.withColumnRenamed("word", "text"),
+                             merges, text_col="text",
+                             tokens_col="_toks") \
+        .select(F.col("text").alias("_word"), "_toks")
+    joined = exploded.join(F.broadcast(dict_tokens), "_word", "left")
+    other = [c for c in docs.columns]
+    reassembled = (joined
+                   .groupBy(*other)
+                   .agg(F.flatten(F.array_sort(F.collect_list(
+                       F.struct(F.col("_pos"), F.col("_toks"))))
+                       ["_toks"]).alias(tokens_col)))
+    return reassembled.withColumn(
+        tokens_col,
+        F.coalesce(F.col(tokens_col),
+                   F.expr("array()").cast("array<string>")))

@@ -80,3 +80,28 @@ def test_determinism_across_partitionings(spark):
     m1, _ = bpe_train(docs.repartition(7), n_merges=5)
     m2, _ = bpe_train(docs.coalesce(1), n_merges=5)
     assert m1 == m2
+
+
+def test_dict_encoder_matches_per_row_encoder(spark):
+    from flood_data_spark.datapipe.bpe import bpe_encode_with_dict
+    docs = _docs(spark, ["hug hug hug hug hug pug pug "
+                         "hugs hugs pun pun pun bun",
+                         "pun hugs bun hug",
+                         "",            # zero-word doc -> [] tokens
+                         "42 !!"])      # no alphabetic words -> [] tokens
+    merges, _ = bpe_train(docs.filter(F.col("doc_id") == 0), n_merges=4)
+    a = {r.doc_id: r.bpe_tokens
+         for r in bpe_encode(docs, merges).collect()}
+    b = {r.doc_id: r.bpe_tokens
+         for r in bpe_encode_with_dict(docs, merges).collect()}
+    assert a == b
+    assert b[2] == [] and b[3] == []
+
+
+def test_dict_encoder_broadcasts_dictionary(spark):
+    from flood_data_spark.datapipe.bpe import bpe_encode_with_dict
+    docs = _docs(spark, ["hug pug pun"] * 3)
+    merges, _ = bpe_train(docs, n_merges=2)
+    plan = bpe_encode_with_dict(docs, merges)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -178,10 +178,15 @@ def _scaled_lineitem_path(spark, sf_dir):
     a generation-dominated pair shows no plan signal)."""
     from pyspark.sql import functions as F
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    # _p32 suffix: the first recording wrote ONE 82 MB single-row-group
+    # file — one scan partition, so the tier's whole map side (6M-row
+    # decode + explode + partial agg) serialized onto 1 of 32 cores (the
+    # measured ~17% CPU).  32 files = 32 scan tasks, the layout a real
+    # ingest would produce.
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".bench_scale", f"lineitem_x10_{sf_tag}")
+                       ".bench_scale", f"lineitem_x10_{sf_tag}_p32")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(32)
         (li.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(9))))
          .withColumn("l_extendedprice",
                      F.col("l_extendedprice")

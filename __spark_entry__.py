@@ -1015,6 +1015,20 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size("bpe_tokens").cast("long").alias("n_tokens")))
 
 
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality scoring
+    (datapipe/text.unigram_lm_scores): per-document cross-entropy +
+    perplexity under a Lidstone-smoothed unigram model fit on the corpus
+    itself.  The LM is a vocabulary-bounded aggregate joined back on the
+    term key; totals broadcast as one scalar row.  Full value oracle —
+    every step is ANSI arithmetic."""
+    from flood_data_spark.datapipe.text import unigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs.filter(F.col("doc_id") < 300),
+                             lm_corpus=docs)
+
+
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation pipeline end-to-end: quality gate + language
     filter + token-budget range + exact dedup keeping the representative —
@@ -1812,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pairs": q_bpe_pairs,
         "q_bpe_contract": q_bpe_contract,
         "q_bpe_encode": q_bpe_encode,
+        "q_unigram_ppl": q_unigram_ppl,
         # --- last checked r5; modules touched since (40) ---
         "q_morton_key": q_morton_key,
         "q_batch_lookup": q_batch_lookup,
@@ -2757,6 +2772,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, w FROM words WHERE w <> '') w
               ON d.doc_id = w.doc_id
             GROUP BY d.doc_id
+        """,
+        # q_unigram_ppl: Lidstone-smoothed unigram LM scoring — the LM fit,
+        # the smoothing arithmetic, and the per-doc aggregation replicated
+        # in ANSI SQL (alpha = 0.5, one extra vocab slot for unseen)
+        "q_unigram_ppl": """
+            WITH doc_terms AS (
+                SELECT doc_id AS id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS term
+                FROM documents),
+            dt AS (SELECT * FROM doc_terms WHERE term <> ''),
+            lm AS (SELECT term, count(*) AS lm_count FROM dt GROUP BY term),
+            tot AS (SELECT CAST(sum(lm_count) AS BIGINT) AS lm_total,
+                           CAST(count(*) AS BIGINT) AS lm_vocab
+                    FROM lm),
+            scored AS (
+                SELECT d.id,
+                       ln((coalesce(l.lm_count, 0) + 0.5)
+                          / (t.lm_total + 0.5 * (t.lm_vocab + 1))) AS logp
+                FROM dt d LEFT JOIN lm l ON d.term = l.term, tot t
+                WHERE d.id < 300)
+            SELECT id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(-avg(logp), 6) AS cross_entropy,
+                   round(exp(-avg(logp)), 4) AS perplexity
+            FROM scored GROUP BY id
         """,
         # q_audio_codec: real RIFF/WAVE parse vs the closed-form header
         # facts; duration is the same IEEE float64 division on both sides

@@ -219,3 +219,46 @@ def build_vocab(df: DataFrame, text_col: str = "text",
     if max_vocab is not None:
         vocab = vocab.filter(F.col("token_id") < max_vocab)
     return vocab
+
+
+def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      lm_corpus: DataFrame | None = None,
+                      alpha: float = 0.5) -> DataFrame:
+    """CCNet-style unigram language-model quality score: per-document
+    cross-entropy (mean -ln p(token)) and perplexity under a unigram LM
+    fit on `lm_corpus` (default: the input corpus itself — the in-domain
+    self-scoring mode; pass a clean reference corpus for the filtering
+    mode, where high perplexity flags out-of-domain/garbled text).
+
+    Lidstone smoothing: p(t) = (count(t) + alpha) / (total + alpha * (V + 1))
+    with one extra vocabulary slot for unseen tokens, so OOV terms score
+    finitely and the distribution still sums to <= 1.
+
+    Plan: the LM is a (term, count) aggregate — vocabulary-bounded
+    whatever the corpus size — joined back to the (id, term) explode on
+    the term key; totals enter as a broadcast scalar.  Two hash-agg
+    shuffles + one vocabulary-keyed join, no UDF, no driver materialization
+    of the vocabulary.  Every arithmetic step is ANSI-expressible, so the
+    driver gate value-hashes it (q_unigram_ppl).
+    """
+    lm_terms = term_rows(lm_corpus if lm_corpus is not None else df,
+                         id_col, text_col)
+    lm = lm_terms.groupBy("term").agg(F.count("*").alias("lm_count"))
+    totals = F.broadcast(lm.agg(
+        F.sum("lm_count").alias("lm_total"),
+        F.count("*").alias("lm_vocab")))
+    doc_terms = term_rows(df, id_col, text_col)
+    scored = (doc_terms
+              .join(lm, "term", "left")
+              .crossJoin(totals)
+              .withColumn(
+                  "_logp",
+                  F.log((F.coalesce(F.col("lm_count"), F.lit(0))
+                         + F.lit(alpha))
+                        / (F.col("lm_total")
+                           + F.lit(alpha) * (F.col("lm_vocab") + 1)))))
+    return (scored.groupBy(F.col("id").alias(id_col))
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(-F.avg("_logp"), 6).alias("cross_entropy"),
+                 F.round(F.exp(-F.avg("_logp")), 4).alias("perplexity")))

@@ -109,3 +109,31 @@ def test_build_vocab_ids_deterministic_and_truncated(spark):
     top2 = build_vocab(df, max_vocab=2).collect()
     assert sorted(r.token for r in top2) == ["a", "b"]
     assert build_vocab(df, min_count=3).count() == 2
+
+
+def test_unigram_lm_scores_hand_computed(spark):
+    import math
+    from flood_data_spark.datapipe.text import unigram_lm_scores
+    docs = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+    out = unigram_lm_scores(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # lm: a=2, b=1, total=3, vocab=2; p = (c + .5) / (3 + .5 * 3)
+    ce = -(2 * math.log(2.5 / 4.5) + math.log(1.5 / 4.5)) / 3
+    assert r.n_tokens == 3
+    assert abs(r.cross_entropy - round(ce, 6)) < 1e-9
+    assert abs(r.perplexity - round(math.exp(ce), 4)) < 1e-9
+
+
+def test_unigram_lm_reference_corpus_flags_oov(spark):
+    from flood_data_spark.datapipe.text import unigram_lm_scores
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox") for i in range(5)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "zxq vvk qqj wmz")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           unigram_lm_scores(docs, lm_corpus=ref).collect()}
+    # out-of-domain doc scores strictly higher perplexity than in-domain
+    assert out[1].perplexity > out[0].perplexity * 2

@@ -954,6 +954,26 @@ def q_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(monotone)).alias("inertia_monotone"))
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value oracle for the k-means ASSIGNMENT step (the per-row argmin
+    that runs once per Lloyd iteration and once at write time): three
+    FIXED axis-aligned centroids, so DuckDB replicates the normalize →
+    dot → argmax-with-lower-id-tiebreak arithmetic exactly.  The
+    data-derived fit stays contract-gated (q_kmeans_contract) — this pins
+    the distributed math itself."""
+    from flood_data_spark.datapipe.clustering import kmeans_assign
+
+    d = 64
+    cents = []
+    for j in range(3):
+        row = [0.0] * d
+        row[j * 20] = 1.0
+        cents.append(row)
+    emb = _t(spark, sf_dir, "embeddings")
+    return (kmeans_assign(emb, cents)
+            .select("vec_id", F.col("cluster").cast("int").alias("cluster")))
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training's first-round pair statistics (datapipe/bpe.py): the
     top-20 adjacent character pairs weighted by word frequency — the
@@ -1823,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 7, second batch ---
         "q_dedup_stream": q_dedup_stream,
         "q_kmeans_contract": q_kmeans_contract,
+        "q_kmeans_assign": q_kmeans_assign,
         "q_bpe_pairs": q_bpe_pairs,
         "q_bpe_contract": q_bpe_contract,
         "q_bpe_encode": q_bpe_encode,
@@ -2708,6 +2729,21 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS all_assigned,
                    TRUE AS inertia_monotone
             FROM embeddings
+        """,
+        # q_kmeans_assign: axis-aligned unit centroids make the assignment
+        # dot products just the components at indices 0/20/40, and the
+        # L2-normalization divides all three by the SAME positive scalar —
+        # so argmax (ties -> lower cluster id) over the raw components is
+        # exactly the operator's answer
+        "q_kmeans_assign": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings)
+            SELECT vec_id,
+                   CAST(CASE WHEN e[1] >= e[21] AND e[1] >= e[41] THEN 0
+                             WHEN e[21] >= e[41] THEN 1
+                             ELSE 2 END AS INT) AS cluster
+            FROM v
         """,
         # q_bpe_pairs: full value oracle for BPE round-1 pair statistics —
         # adjacent char pairs weighted by word frequency, top-20 with the

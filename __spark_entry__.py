@@ -963,13 +963,18 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed math itself."""
     from flood_data_spark.datapipe.clustering import kmeans_assign
 
-    d = 64
+    emb = _t(spark, sf_dir, "embeddings")
+    # fail loudly on a dimension change: zip_with against a wrong-length
+    # centroid literal null-pads and would silently emit cluster=-1
+    d = emb.select(F.size("embedding").alias("d")).first().d
+    if d != 64:
+        raise ValueError(f"q_kmeans_assign expects 64-dim embeddings "
+                         f"(oracle hardcodes components 0/20/40), got {d}")
     cents = []
     for j in range(3):
         row = [0.0] * d
         row[j * 20] = 1.0
         cents.append(row)
-    emb = _t(spark, sf_dir, "embeddings")
     return (kmeans_assign(emb, cents)
             .select("vec_id", F.col("cluster").cast("int").alias("cluster")))
 
@@ -1030,7 +1035,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
         .select("doc_id", "text")
-    return (bpe_encode_with_dict(docs, merges=[])
+    return (bpe_encode_with_dict(docs, merges=[], id_col="doc_id")
             .select("doc_id",
                     F.size("bpe_tokens").cast("long").alias("n_tokens")))
 
@@ -2828,12 +2833,19 @@ def oracle_sql() -> dict[str, str]:
                        ln((coalesce(l.lm_count, 0) + 0.5)
                           / (t.lm_total + 0.5 * (t.lm_vocab + 1))) AS logp
                 FROM dt d LEFT JOIN lm l ON d.term = l.term, tot t
-                WHERE d.id < 300)
-            SELECT id AS doc_id,
-                   CAST(count(*) AS BIGINT) AS n_tokens,
-                   round(-avg(logp), 6) AS cross_entropy,
-                   round(exp(-avg(logp)), 4) AS perplexity
-            FROM scored GROUP BY id
+                WHERE d.id < 300),
+            agg AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       round(-avg(logp), 6) AS cross_entropy,
+                       round(exp(-avg(logp)), 4) AS perplexity
+                FROM scored GROUP BY id)
+            -- zero-token docs stay visible: n_tokens 0, null metrics
+            SELECT doc.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   a.cross_entropy, a.perplexity
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id < 300) doc
+            LEFT JOIN agg a ON doc.doc_id = a.id
         """,
         # q_audio_codec: real RIFF/WAVE parse vs the closed-form header
         # facts; duration is the same IEEE float64 division on both sides

@@ -28,10 +28,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # headline number while measuring nothing the scale design runs.
 BENCH_QUERIES = [
     # round-7: the flagship pair at 10x volume (6M-row ensemble,
-    # pre-materialized to parquet once — generation is NOT timed).  The
-    # sf0.1 flagship entries are partly scheduling-bound (±0.5 s on ~2-3 s
-    # totals); at this tier compute dominates and the numbers carry a
-    # the round-over-round comparator for the two plans that matter most.
+    # pre-materialized to parquet once — generation is NOT timed) — the
+    # round-over-round comparator for the two plans that matter most.
     # Runs FIRST (right after warmup): measured at the tail of the
     # 34-entry session the same queries read 2.6x slower (16.5 s vs 6.3 s
     # isolated) purely from JVM/GC aging — the tier must measure the
@@ -185,6 +183,11 @@ def _scaled_lineitem_path(spark, sf_dir):
     # ingest would produce.
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        ".bench_scale", f"lineitem_x10_{sf_tag}_p32")
+    # drop the pre-_p32 single-file generation if this box still has one
+    legacy = out[:-4]
+    if os.path.isdir(legacy):
+        import shutil
+        shutil.rmtree(legacy, ignore_errors=True)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(32)
         (li.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(9))))

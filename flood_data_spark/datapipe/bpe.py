@@ -45,6 +45,14 @@ def _char_symbols(word_col) -> "F.Column":
     return F.filter(F.split(word_col, ""), lambda s: s != F.lit(""))
 
 
+def _word_array(text_col) -> "F.Column":
+    """array<string> of lowercased alphabetic words — the ONE tokenization
+    both encoders and the trainer's word count share (a drift between them
+    would silently break the encoder-equivalence the tests pin)."""
+    return F.filter(F.split(F.lower(text_col), "[^a-z]+"),
+                    lambda w: w != F.lit(""))
+
+
 def pair_counts(word_freqs: DataFrame,
                 symbols_col: str = "symbols") -> DataFrame:
     """(left, right, pair_count) for every adjacent symbol pair, weighted
@@ -128,9 +136,7 @@ def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text",
     beyond a few dozen, pre-tokenized words should be joined against a
     materialized (word → tokens) table instead; this form is the
     building block for that dictionary too."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
-                     lambda w: w != F.lit(""))
-    out = docs.withColumn("_words", words)
+    out = docs.withColumn("_words", _word_array(F.col(text_col)))
     sym = F.transform(F.col("_words"), lambda w: _char_symbols(w))
 
     def _apply_rule(prev, left, right):
@@ -145,7 +151,8 @@ def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text",
 
 def bpe_encode_with_dict(docs: DataFrame, merges: list,
                          text_col: str = "text",
-                         tokens_col: str = "bpe_tokens") -> DataFrame:
+                         tokens_col: str = "bpe_tokens",
+                         id_col: str | None = None) -> DataFrame:
     """Scale-path encoder: tokenize the DISTINCT-WORD dictionary once
     (vocabulary-bounded — the n_rules-deep fold runs on 10^5-10^6 rows,
     not the corpus), then broadcast-join it back to the per-position word
@@ -156,13 +163,29 @@ def bpe_encode_with_dict(docs: DataFrame, merges: list,
     expression tree, while here the corpus-sized work is one explode + one
     broadcast hash join + one groupBy(doc) — all whole-stage-codegen
     friendly, rule count amortized over the dictionary.  Output is
-    row-identical to `bpe_encode` (tests pin the equivalence)."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
-                     lambda w: w != F.lit(""))
+    row-identical to `bpe_encode` (tests pin the equivalence, duplicate
+    input rows included — each physical row keeps its own token stream).
+
+    `id_col`: a caller-guaranteed UNIQUE row key — at scale always pass
+    one.  Only (key, _pos, _word) ride the explode and the reassembly
+    groupBy; the document text never enters a shuffle key (hashing full
+    docs on every word row would make per-doc work O(words x doc_bytes)).
+    With id_col=None an internal Spark-assigned id is used instead; the
+    keyed frame is then localCheckpoint-ed, because
+    monotonically_increasing_id is re-evaluated per plan branch and the
+    two consumers (explode, final join) must see the SAME ids — correct
+    for duplicate rows too, but it materializes the input, so it is the
+    convenience mode, not the 100 TB mode."""
+    if id_col is not None:
+        keyed = docs.withColumn("_rid", F.col(id_col))
+    else:
+        keyed = docs.withColumn(
+            "_rid", F.monotonically_increasing_id()).localCheckpoint()
     # posexplode_outer via select (withColumn can't bind two output cols);
     # _outer keeps zero-word docs alive so they come back with [] tokens
-    exploded = (docs.select(
-        "*", F.posexplode_outer(words).alias("_pos", "_word")))
+    exploded = keyed.select(
+        "_rid", F.posexplode_outer(_word_array(F.col(text_col)))
+        .alias("_pos", "_word"))
     dictionary = (exploded.select(F.col("_word").alias("word"))
                   .filter(F.col("word").isNotNull())
                   .distinct())
@@ -171,13 +194,13 @@ def bpe_encode_with_dict(docs: DataFrame, merges: list,
                              tokens_col="_toks") \
         .select(F.col("text").alias("_word"), "_toks")
     joined = exploded.join(F.broadcast(dict_tokens), "_word", "left")
-    other = [c for c in docs.columns]
     reassembled = (joined
-                   .groupBy(*other)
+                   .groupBy("_rid")
                    .agg(F.flatten(F.array_sort(F.collect_list(
                        F.struct(F.col("_pos"), F.col("_toks"))))
                        ["_toks"]).alias(tokens_col)))
-    return reassembled.withColumn(
-        tokens_col,
-        F.coalesce(F.col(tokens_col),
-                   F.expr("array()").cast("array<string>")))
+    return (keyed.join(reassembled, "_rid", "left")
+            .withColumn(tokens_col,
+                        F.coalesce(F.col(tokens_col),
+                                   F.expr("array()").cast("array<string>")))
+            .drop("_rid"))

@@ -241,6 +241,10 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     shuffles + one vocabulary-keyed join, no UDF, no driver materialization
     of the vocabulary.  Every arithmetic step is ANSI-expressible, so the
     driver gate value-hashes it (q_unigram_ppl).
+
+    Zero-token documents stay VISIBLE: (n_tokens=0, null cross_entropy,
+    null perplexity) — same discipline as repetition_signals; a blank doc
+    must reach the downstream quality gate, not vanish from it.
     """
     lm_terms = term_rows(lm_corpus if lm_corpus is not None else df,
                          id_col, text_col)
@@ -258,7 +262,11 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                          + F.lit(alpha))
                         / (F.col("lm_total")
                            + F.lit(alpha) * (F.col("lm_vocab") + 1)))))
-    return (scored.groupBy(F.col("id").alias(id_col))
-            .agg(F.count("*").alias("n_tokens"),
-                 F.round(-F.avg("_logp"), 6).alias("cross_entropy"),
-                 F.round(F.exp(-F.avg("_logp")), 4).alias("perplexity")))
+    agg = (scored.groupBy(F.col("id").alias(id_col))
+           .agg(F.count("*").alias("n_tokens"),
+                F.round(-F.avg("_logp"), 6).alias("cross_entropy"),
+                F.round(F.exp(-F.avg("_logp")), 4).alias("perplexity")))
+    ids = df.select(F.col(id_col)).distinct()
+    return (ids.join(agg, id_col, "left")
+            .withColumn("n_tokens",
+                        F.coalesce(F.col("n_tokens"), F.lit(0))))

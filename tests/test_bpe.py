@@ -105,3 +105,14 @@ def test_dict_encoder_broadcasts_dictionary(spark):
     plan = bpe_encode_with_dict(docs, merges)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dict_encoder_keeps_duplicate_rows_distinct(spark):
+    from flood_data_spark.datapipe.bpe import bpe_encode_with_dict
+    # two fully identical rows must each keep their own token stream
+    docs = spark.createDataFrame([("hug pug",), ("hug pug",)],
+                                 "text string")
+    merges = [("u", "g", 2)]
+    out = bpe_encode_with_dict(docs, merges).collect()
+    assert len(out) == 2
+    assert all(r.bpe_tokens == ["h", "ug", "p", "ug"] for r in out)

@@ -137,3 +137,13 @@ def test_unigram_lm_reference_corpus_flags_oov(spark):
            unigram_lm_scores(docs, lm_corpus=ref).collect()}
     # out-of-domain doc scores strictly higher perplexity than in-domain
     assert out[1].perplexity > out[0].perplexity * 2
+
+
+def test_unigram_lm_keeps_zero_token_docs_visible(spark):
+    from flood_data_spark.datapipe.text import unigram_lm_scores
+    docs = spark.createDataFrame([(0, "a a b"), (1, ""), (2, "   ")],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_lm_scores(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1].n_tokens == 0 and out[1].perplexity is None
+    assert out[2].n_tokens == 0 and out[2].cross_entropy is None

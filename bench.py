@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     # round-6: subsequence similarity search over the full event stream
     # (100k events, all users) — lead()-window shape matching at volume
     "q_ts_pattern_full",
+    # round-7: the iterative BPE trainer over the whole corpus — 8 merge
+    # rounds of (vocabulary-sized pair count + argmax collect + merge
+    # fold).  Measures driver-coordinated iteration overhead, the one
+    # cost mode no single-job entry exercises; the corpus-sized word
+    # count is round 0 of the timing.
+    "q_bpe_train_full",
 ]
 
 _IVF_INDEX = {}
@@ -245,6 +251,16 @@ def _q_peak_timing_x10(spark, sf_dir):
 
 # bench-local callables: same (spark, sf_dir) -> DataFrame contract as
 # __spark_entry__.queries() entries
+def _q_bpe_train_full(spark, sf_dir):
+    """8-round BPE training over all documents; returns the final vocab
+    (the merge loop executes inside this call — one pair-count job + one
+    1-row argmax collect per round — so the timing covers the iteration)."""
+    from flood_data_spark.datapipe.bpe import bpe_train
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, vocab = bpe_train(docs, n_merges=8)
+    return vocab
+
+
 EXTRA_QUERIES = {
     "q_threshold_summary_approx_plain": _q_threshold_summary_approx_plain,
     "q_ivf_build": _q_ivf_build,
@@ -254,6 +270,7 @@ EXTRA_QUERIES = {
     "q_ts_pattern_full": _q_ts_pattern_full,
     "q_threshold_summary_x10": _q_threshold_summary_x10,
     "q_peak_timing_x10": _q_peak_timing_x10,
+    "q_bpe_train_full": _q_bpe_train_full,
 }
 
 
@@ -291,6 +308,14 @@ def main():
      .withColumn("rn", F.row_number().over(
          Window.partitionBy(F.lit(1)).orderBy("k")))
      .write.format("noop").mode("overwrite").save())
+    # prime the higher-order-function codegen path (aggregate folds,
+    # transform lambdas) on a 2-row frame: first use costs ~15-20 s of
+    # class-load/JIT that a long-running cluster pays once at deploy,
+    # not inside any daily job (same argument as the block above)
+    from flood_data_spark.datapipe.bpe import bpe_train as _warm_bpe
+    _warm_bpe(spark.createDataFrame([(0, "ab ab"), (1, "cd")],
+                                    "doc_id long, text string"),
+              n_merges=1)[1].write.format("noop").mode("overwrite").save()
 
     _MIN_OF_2 = {"q_threshold_summary_x10", "q_peak_timing_x10"}
     timings = {}

@@ -180,3 +180,37 @@ def test_round6_operators_degrade_gracefully(spark):
         spark.createDataFrame([], "id_a long, id_b long"),
         {"train": 1.0}).collect()
     assert out[0].group_id == 1 and out[0].split == "train"
+
+
+def test_round7_operators_on_empty_inputs(spark):
+    from flood_data_spark.datapipe.bpe import (
+        bpe_encode, bpe_encode_with_dict, bpe_train, pair_counts,
+        word_frequencies)
+    from flood_data_spark.datapipe.text import unigram_lm_scores
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+
+    # BPE: trainer returns no merges and an empty vocab; both encoders
+    # return empty frames with the tokens column present
+    merges, vocab = bpe_train(empty_docs, n_merges=3)
+    assert merges == [] and vocab.count() == 0
+    assert word_frequencies(empty_docs).count() == 0
+    enc = bpe_encode(empty_docs, [("a", "b", 1)])
+    assert enc.count() == 0 and "bpe_tokens" in enc.columns
+    encd = bpe_encode_with_dict(empty_docs, [("a", "b", 1)],
+                                id_col="doc_id")
+    assert encd.count() == 0 and "bpe_tokens" in encd.columns
+
+    # unigram LM on an empty corpus: no rows, schema intact
+    out = unigram_lm_scores(empty_docs)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "n_tokens", "cross_entropy",
+                                "perplexity"}
+
+    # pair_counts on a vocabulary of 1-char words: zero pairs, not a crash
+    from flood_data_spark.datapipe.bpe import _char_symbols
+    one_char = spark.createDataFrame([(0, "a b c")],
+                                     "doc_id long, text string")
+    wf = (word_frequencies(one_char)
+          .select(_char_symbols(F.col("word")).alias("symbols"), "freq"))
+    assert pair_counts(wf).count() == 0

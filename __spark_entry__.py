@@ -1773,6 +1773,25 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_recall_contract(exact, ann, bound=0.25)
 
 
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the full FAISS composition — IVF-PQ (coarse
+    quantizer prunes the scan to nprobe inverted lists, product
+    quantization of the RESIDUALS bounds the bytes: m=8 codes + a list id
+    per row).  ADC candidate generation over the probed lists + exact
+    re-rank, vs exact cosine; re-ranked cosines are true cosines so
+    bounded_ok carries zero tolerance, bound 0.25 like the other ANN
+    contracts (measured ~0.6 at nprobe=3/nlist=8)."""
+    from flood_data_spark.datapipe.similarity import ivfpq_build, ivfpq_probe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    cent, books, codes = ivfpq_build(emb, nlist=8, m=8, nbits=8)
+    ann = ivfpq_probe(cent, books, codes, queries, k=5, nprobe=3,
+                      rerank_corpus=emb)
+    return _topk_recall_contract(exact, ann, bound=0.25)
+
+
 def q_ivf_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall contract for the int8-quantized IVF index (IVF-SQ8:
     `quantize_index(lists)`, 8× smaller persisted index): same
@@ -1845,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_alert_stream": q_alert_stream,
         "q_grib_codec": q_grib_codec,
         "q_pq_recall": q_pq_recall,
+        "q_ivfpq_recall": q_ivfpq_recall,
         # --- round 7, second batch ---
         "q_dedup_stream": q_dedup_stream,
         "q_kmeans_contract": q_kmeans_contract,
@@ -3815,6 +3835,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "q_ivf_sq8_recall": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.e, c.e)
+                             / (sqrt(list_dot_product(q.e, q.e))
+                                * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+                FROM v q JOIN v c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 20),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   round(avg(CASE WHEN rank = 1 THEN cosine END), 6)
+                       AS avg_top1_cosine,
+                   TRUE AS recall_ok, TRUE AS bounded_ok
+            FROM ranked WHERE rank <= 5
+        """,
+        "q_ivfpq_recall": """
             WITH v AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             scored AS (

@@ -312,6 +312,10 @@ def _kmeans_driver(train_src: DataFrame, vec_col: str, nlist: int,
     X = np.asarray([r.v for r in rows], dtype=np.float64)
     if X.ndim != 2 or X.shape[0] == 0:
         raise ValueError("empty or ragged quantizer train sample")
+    # collect() returns rows in partition order — lexicographic row sort
+    # makes the seeded init (and therefore the whole fit) independent of
+    # how the train sample happened to be partitioned
+    X = X[np.lexsort(X.T[::-1])]
     norms = np.linalg.norm(X, axis=1)
     norms[norms < 1e-12] = 1e-12
     X = X / norms[:, None]
@@ -597,7 +601,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 def pq_train(corpus: DataFrame, id_col: str = "vec_id",
              vec_col: str = "embedding", m: int = 8, nbits: int = 8,
              seed: int = 42, max_iter: int = 8,
-             max_train_rows: int = 262_144) -> list:
+             max_train_rows: int = 262_144,
+             normalize: bool = True) -> list:
     """Fit PQ codebooks: the vector space splits into `m` subspaces and
     each gets its own k=2**nbits-centroid L2 k-means codebook, so a
     d-dim float32 vector compresses to m bytes (m*nbits bits) — 16-32×
@@ -606,10 +611,13 @@ def pq_train(corpus: DataFrame, id_col: str = "vec_id",
 
     Same driver-fit contract as ivf_build's coarse quantizer: the fit sees
     a bounded sample (<= max_train_rows, the FAISS train() contract), the
-    corpus never comes to the driver.  Vectors are L2-normalized first, so
-    PQ L2 distance ranks like cosine everywhere else in this module.
-    Returns plain nested lists (m x k x d/m) — picklable into executor
-    closures, tiny (m * 2**nbits * d/m floats)."""
+    corpus never comes to the driver.  Vectors are L2-normalized first
+    (normalize=True, the raw-embedding mode) so PQ L2 distance ranks like
+    cosine everywhere else in this module; pass normalize=False when the
+    input is already in the target metric space — IVF-PQ residuals MUST
+    NOT be re-normalized (a residual's length IS signal).  Returns plain
+    nested lists (m x k x d/m) — picklable into executor closures, tiny
+    (m * 2**nbits * d/m floats)."""
     import numpy as np
 
     cnt = corpus.count()
@@ -621,12 +629,15 @@ def pq_train(corpus: DataFrame, id_col: str = "vec_id",
     X = np.asarray([r.v for r in rows], dtype=np.float64)
     if X.ndim != 2 or X.shape[0] == 0:
         raise ValueError("empty or ragged PQ train sample")
+    # partition-order independence, same as _kmeans_driver
+    X = X[np.lexsort(X.T[::-1])]
     d = X.shape[1]
     if d % m:
         raise ValueError(f"PQ: dim {d} not divisible by m={m}")
-    norms = np.linalg.norm(X, axis=1)
-    norms[norms < 1e-12] = 1e-12
-    X = X / norms[:, None]
+    if normalize:
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms < 1e-12] = 1e-12
+        X = X / norms[:, None]
     dsub, k = d // m, 1 << nbits
     rng = np.random.default_rng(seed)
     books = []
@@ -654,7 +665,8 @@ def pq_train(corpus: DataFrame, id_col: str = "vec_id",
 
 def pq_encode(corpus: DataFrame, codebooks: list,
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              normalize: bool = True) -> DataFrame:
     """Assign every corpus vector its m-byte PQ code: one vectorized
     mapInPandas pass (per-subspace argmin as numpy matmuls, Arrow
     batches), codebooks ride the task closure — no shuffle, no join.
@@ -673,9 +685,10 @@ def pq_encode(corpus: DataFrame, codebooks: list,
                 continue
             X = np.asarray([np.asarray(v, dtype=np.float64)
                             for v in pdf["_v"]])
-            norms = np.linalg.norm(X, axis=1)
-            norms[norms < 1e-12] = 1e-12
-            X = X / norms[:, None]
+            if normalize:
+                norms = np.linalg.norm(X, axis=1)
+                norms[norms < 1e-12] = 1e-12
+                X = X / norms[:, None]
             codes = np.empty((len(X), m), dtype=np.int32)
             for s in range(m):
                 Xs = X[:, s * dsub:(s + 1) * dsub]
@@ -767,7 +780,18 @@ def pq_topk(codebooks: list, codes: DataFrame, queries: DataFrame,
     scored = codes.mapInPandas(
         run, schema="query_id long, neighbor_id long, _d2 double") \
         .filter(F.col("query_id") != F.col("neighbor_id"))
+    return _adc_rank_tail(scored, queries, k, n_cand, rerank_corpus,
+                          id_col, vec_col)
 
+
+def _adc_rank_tail(scored: DataFrame, queries: DataFrame, k: int,
+                   n_cand: int, rerank_corpus: DataFrame | None,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """Shared ADC finishing: rank (query_id, neighbor_id, _d2) rows to
+    top-k, either directly (cosine = 1 - d2/2 on normalized vectors) or
+    through the standard exact re-rank — ADC proposes n_cand candidates
+    per query and a tiny broadcast join against the raw vectors re-scores
+    true cosines.  Used by both pq_topk and ivfpq_probe."""
     if rerank_corpus is None:
         w = (Window.partitionBy("query_id")
              .orderBy(F.asc("_d2"), F.asc("neighbor_id")))
@@ -777,9 +801,6 @@ def pq_topk(codebooks: list, codes: DataFrame, queries: DataFrame,
                         F.round(1.0 - F.col("_d2") / 2.0, 6).alias("cosine"),
                         "rank"))
 
-    # exact re-rank: keep the ADC top n_cand per query, join the
-    # candidate ids (a tiny broadcast) back to the raw vectors, score
-    # the true cosine, take the final k
     wq = (Window.partitionBy("query_id")
           .orderBy(F.asc("_d2"), F.asc("neighbor_id")))
     cand = (scored.withColumn("_cr", F.row_number().over(wq))
@@ -800,3 +821,145 @@ def pq_topk(codebooks: list, codes: DataFrame, queries: DataFrame,
          .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
     return (exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + product quantization of the RESIDUALS — the
+# full FAISS IVFPQ composition, the memory-and-compute design point for
+# billion-scale search (coarse pruning bounds the scan, residual PQ bounds
+# the bytes).
+
+def ivfpq_build(corpus: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", nlist: int = 16,
+                m: int = 8, nbits: int = 8, seed: int = 42) -> tuple:
+    """Build an IVF-PQ index; returns (centroids, codebooks, codes):
+
+    - centroids: the coarse quantizer table from ivf_build (nlist rows);
+    - codebooks: PQ codebooks fit on RESIDUALS (vector minus its assigned
+      centroid) — residuals concentrate near zero so the same bit budget
+      quantizes them far more finely than raw vectors (Jégou et al. 2011);
+    - codes: (neighbor_id, list_id, pq_codes) — m bytes + one int per
+      corpus row, the entire searchable state.  Persist it partitioned by
+      list_id: probes then read only nprobe directory partitions.
+
+    Residuals must keep their length (they live in the tangent space of
+    the centroid, not on the unit sphere), so PQ runs with
+    normalize=False on both fit and encode; the corpus normalization
+    happened once inside ivf_build's assignment.
+    """
+    centroids, lists = ivf_build(corpus, id_col=id_col, vec_col=vec_col,
+                                 nlist=nlist, seed=seed)
+    centers = [r.cvec for r in centroids.orderBy("list_id").collect()]
+    C = _matrix_lit(centers)
+    unit = F.col("neighbor_id_vec")
+    nrm = F.greatest(_norm(unit), F.lit(1e-12))
+    residuals = lists.select(
+        F.col("neighbor_id"), F.col("list_id"),
+        F.zip_with(F.transform(unit, lambda x: x / nrm),
+                   C[F.col("list_id")],
+                   lambda x, c: x - c).alias("residual"))
+    books = pq_train(residuals, id_col="neighbor_id", vec_col="residual",
+                     m=m, nbits=nbits, seed=seed, normalize=False)
+    codes = (pq_encode(residuals, books, id_col="neighbor_id",
+                       vec_col="residual", normalize=False)
+             .withColumnRenamed("pq_id", "neighbor_id")
+             .join(residuals.select("neighbor_id", "list_id"),
+                   "neighbor_id"))
+    return centroids, books, codes
+
+
+def ivfpq_probe(centroids: DataFrame, codebooks: list, codes: DataFrame,
+                queries: DataFrame, k: int = 5, nprobe: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                max_query_rows: int = 4096,
+                rerank_corpus: DataFrame | None = None,
+                rerank_factor: int = 4) -> DataFrame:
+    """ADC search over the IVF-PQ index: each query probes its nprobe
+    nearest coarse centroids and scores ONLY rows in those lists, via
+    per-(query, list) residual lookup tables — tables[q, list, s, c] =
+    ||(q - centroid_list)_s - codebook_s[c]||², so a candidate's distance
+    is m lookups + adds exactly as in pq_topk, but against the residual
+    books.
+
+    The bounded query batch and the tiny centroid table ride the closure;
+    the single mapInPandas pass over codes emits per-partition per-query
+    top candidates and the shared _adc_rank_tail finishes (optional exact
+    re-rank).  With codes persisted partitionBy(list_id), pushing a
+    `list_id IN (probed)` filter prunes unread partitions; here the scan
+    skips non-probed rows inside the pass."""
+    import numpy as np
+    import pandas as pd
+
+    C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(C)
+    dsub = C[0].shape[1]
+
+    cent_rows = centroids.orderBy("list_id").collect()
+    cent = np.asarray([r.cvec for r in cent_rows], dtype=np.float64)
+    cent_ids = np.asarray([r.list_id for r in cent_rows])
+
+    qrows = (queries.select(F.col(id_col).alias("qid"),
+                            _as_double(F.col(vec_col)).alias("v"))
+             .limit(max_query_rows).collect())
+    if not qrows:
+        raise ValueError("ivfpq_probe: empty query batch")
+    qids = np.asarray([r.qid for r in qrows])
+    Q = np.asarray([r.v for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn < 1e-12] = 1e-12
+    Q = Q / qn[:, None]
+
+    nprobe = min(nprobe, len(cent))
+    # nearest centroids by cosine (unit centroids from the spherical fit)
+    probe_order = np.argsort(-(Q @ cent.T), axis=1)[:, :nprobe]
+    # per (query, probed list): residual query vector -> ADC tables
+    # tables maps (qi, probed list slot) -> (m, 2**nbits) lookup table
+    tables = {}
+    probed_lists = {}
+    for qi in range(len(qids)):
+        for slot in range(nprobe):
+            li = int(cent_ids[probe_order[qi, slot]])
+            r = Q[qi] - cent[probe_order[qi, slot]]
+            t = np.stack([
+                ((r[s * dsub:(s + 1) * dsub] ** 2).sum()
+                 + (C[s] ** 2).sum(1)
+                 - 2.0 * C[s] @ r[s * dsub:(s + 1) * dsub])
+                for s in range(m)])
+            tables[(qi, li)] = t
+            probed_lists.setdefault(li, []).append(qi)
+
+    n_cand = k * (rerank_factor if rerank_corpus is not None else 1)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mask = pdf["list_id"].isin(list(probed_lists))
+            pdf = pdf[mask]
+            if not len(pdf):
+                continue
+            out = []
+            for li, sub in pdf.groupby("list_id"):
+                codes_arr = np.asarray(
+                    [np.asarray(c, dtype=np.int64)
+                     for c in sub["pq_codes"]])
+                ids = sub["neighbor_id"].to_numpy()
+                for qi in probed_lists[int(li)]:
+                    t = tables[(qi, int(li))]
+                    d2 = np.zeros(len(ids), dtype=np.float64)
+                    for s in range(m):
+                        d2 += t[s][codes_arr[:, s]]
+                    keep = min(n_cand + 1, len(ids))
+                    part = np.argpartition(d2, keep - 1)[:keep]
+                    for col in part:
+                        out.append((int(qids[qi]), int(ids[col]),
+                                    float(d2[col])))
+            if out:
+                yield pd.DataFrame(out, columns=["query_id", "neighbor_id",
+                                                 "_d2"])
+
+    scored = codes.mapInPandas(
+        run, schema="query_id long, neighbor_id long, _d2 double") \
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    return _adc_rank_tail(scored, queries, k, n_cand, rerank_corpus,
+                          id_col, vec_col)

@@ -243,3 +243,62 @@ def test_pq_train_rejects_indivisible_dim(spark, emb):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, m=3)  # dim 8 % 3 != 0
+
+
+def test_ivfpq_probe_stays_in_probed_clusters(spark, emb):
+    from flood_data_spark.datapipe.similarity import ivfpq_build, ivfpq_probe
+
+    cent, books, codes = ivfpq_build(emb, nlist=3, m=4, nbits=6)
+    assert codes.count() == 90
+    assert set(codes.columns) == {"neighbor_id", "pq_codes", "list_id"}
+    queries = emb.filter("vec_id < 6")
+    got = ivfpq_probe(cent, books, codes, queries, k=5, nprobe=1)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == set(range(6))
+    for r in rows:
+        # nprobe=1 on separated clusters: neighbors come from the query's
+        # own cluster only
+        assert r.neighbor_id % 3 == r.query_id % 3
+        assert r.neighbor_id != r.query_id
+
+
+def test_ivfpq_rerank_reports_exact_cosines(spark, emb):
+    from flood_data_spark.datapipe.similarity import ivfpq_build, ivfpq_probe
+
+    cent, books, codes = ivfpq_build(emb, nlist=3, m=4, nbits=6)
+    queries = emb.filter("vec_id < 4")
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in cosine_topk_bruteforce(emb, queries, k=30).collect()}
+    got = ivfpq_probe(cent, books, codes, queries, k=5, nprobe=3,
+                      rerank_corpus=emb)
+    for r in got.collect():
+        assert (r.query_id, r.neighbor_id) in exact
+        assert r.cosine == pytest.approx(
+            exact[(r.query_id, r.neighbor_id)], abs=1e-6)
+
+
+def test_ivfpq_full_probe_with_rerank_matches_bruteforce(spark, emb):
+    from flood_data_spark.datapipe.similarity import ivfpq_build, ivfpq_probe
+
+    cent, books, codes = ivfpq_build(emb, nlist=3, m=4, nbits=8)
+    queries = emb.filter("vec_id < 6")
+    exact = cosine_topk_bruteforce(emb, queries, k=3)
+    # probing every list + exact re-rank of 4k candidates: top-3 should
+    # match brute force on this easy corpus
+    got = ivfpq_probe(cent, books, codes, queries, k=3, nprobe=3,
+                      rerank_corpus=emb)
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    a = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    assert e == a
+
+
+def test_ivfpq_codes_deterministic_across_partitionings(spark, emb):
+    from flood_data_spark.datapipe.similarity import ivfpq_build
+
+    _, _, c1 = ivfpq_build(emb.repartition(7), nlist=3, m=4, nbits=6)
+    _, _, c2 = ivfpq_build(emb.coalesce(1), nlist=3, m=4, nbits=6)
+    a = {r.neighbor_id: (r.list_id, tuple(r.pq_codes))
+         for r in c1.collect()}
+    b = {r.neighbor_id: (r.list_id, tuple(r.pq_codes))
+         for r in c2.collect()}
+    assert a == b

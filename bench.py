@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     # cost mode no single-job entry exercises; the corpus-sized word
     # count is round 0 of the timing.
     "q_bpe_train_full",
+    # round-7: the full IVF-PQ lifecycle (coarse fit + residual PQ +
+    # encode + probe + exact re-rank), cold
+    "q_ivfpq_search",
 ]
 
 _IVF_INDEX = {}
@@ -251,6 +254,20 @@ def _q_peak_timing_x10(spark, sf_dir):
 
 # bench-local callables: same (spark, sf_dir) -> DataFrame contract as
 # __spark_entry__.queries() entries
+def _q_ivfpq_search(spark, sf_dir):
+    """The full IVF-PQ composition, cold: coarse fit + residual PQ fit +
+    corpus encode + 20-query probe with exact re-rank — the whole ANN
+    index lifecycle in one timed entry (the steady state amortizes the
+    build across probe batches; this measures the worst case)."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.datapipe.similarity import ivfpq_build, ivfpq_probe
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent, books, codes = ivfpq_build(emb, nlist=16, m=8, nbits=8)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivfpq_probe(cent, books, codes, queries, k=5, nprobe=4,
+                       rerank_corpus=emb)
+
+
 def _q_bpe_train_full(spark, sf_dir):
     """8-round BPE training over all documents; returns the final vocab
     (the merge loop executes inside this call — one pair-count job + one
@@ -271,6 +288,7 @@ EXTRA_QUERIES = {
     "q_threshold_summary_x10": _q_threshold_summary_x10,
     "q_peak_timing_x10": _q_peak_timing_x10,
     "q_bpe_train_full": _q_bpe_train_full,
+    "q_ivfpq_search": _q_ivfpq_search,
 }
 
 

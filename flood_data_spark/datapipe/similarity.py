@@ -823,6 +823,19 @@ def _adc_rank_tail(scored: DataFrame, queries: DataFrame, k: int,
             .filter(F.col("rank") <= k))
 
 
+def _centroid_rows(centroids: DataFrame) -> tuple:
+    """(list_ids, centers) from a centroid table, list_id-ordered.  Reuses
+    the driver-side centers ivf_build attaches (`_ivf_driver_centers`) when
+    present — on local mode every avoided collect saves ~0.5 s of action
+    floor; falls back to one ordered collect for centroids read back from
+    a persisted index."""
+    cached = getattr(centroids, "_ivf_driver_centers", None)
+    if cached is not None:
+        return cached
+    rows = centroids.orderBy("list_id").collect()
+    return [r.list_id for r in rows], [list(r.cvec) for r in rows]
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ: coarse quantizer + product quantization of the RESIDUALS — the
 # full FAISS IVFPQ composition, the memory-and-compute design point for
@@ -849,7 +862,7 @@ def ivfpq_build(corpus: DataFrame, id_col: str = "vec_id",
     """
     centroids, lists = ivf_build(corpus, id_col=id_col, vec_col=vec_col,
                                  nlist=nlist, seed=seed)
-    centers = [r.cvec for r in centroids.orderBy("list_id").collect()]
+    centers = _centroid_rows(centroids)[1]
     C = _matrix_lit(centers)
     unit = F.col("neighbor_id_vec")
     nrm = F.greatest(_norm(unit), F.lit(1e-12))
@@ -894,9 +907,9 @@ def ivfpq_probe(centroids: DataFrame, codebooks: list, codes: DataFrame,
     m = len(C)
     dsub = C[0].shape[1]
 
-    cent_rows = centroids.orderBy("list_id").collect()
-    cent = np.asarray([r.cvec for r in cent_rows], dtype=np.float64)
-    cent_ids = np.asarray([r.list_id for r in cent_rows])
+    ids, centers = _centroid_rows(centroids)
+    cent = np.asarray(centers, dtype=np.float64)
+    cent_ids = np.asarray(ids)
 
     qrows = (queries.select(F.col(id_col).alias("qid"),
                             _as_double(F.col(vec_col)).alias("v"))

@@ -1040,6 +1040,28 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size("bpe_tokens").cast("long").alias("n_tokens")))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier co-order graph (undirected:
+    both directions unioned, supplier ids offset into their own space) —
+    the host-authority ranking corpus pipelines use as a quality prior
+    (datapipe/graph.pagerank).  5 power iterations; the oracle UNROLLS
+    all five in SQL, so this iterative operator carries a full value
+    hash, not just a contract."""
+    from flood_data_spark.datapipe.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("c"),
+                     (F.col("l_suppkey") + 1_000_000).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("c").alias("dst"))))
+    return (pagerank(edges, iterations=5)
+            .select("node", F.round("rank", 6).alias("rank")))
+
+
 def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM quality scoring
     (datapipe/text.unigram_lm_scores): per-document cross-entropy +
@@ -1873,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_contract": q_bpe_contract,
         "q_bpe_encode": q_bpe_encode,
         "q_unigram_ppl": q_unigram_ppl,
+        "q_pagerank": q_pagerank,
         # --- last checked r5; modules touched since (40) ---
         "q_morton_key": q_morton_key,
         "q_batch_lookup": q_batch_lookup,
@@ -2833,6 +2856,56 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, w FROM words WHERE w <> '') w
               ON d.doc_id = w.doc_id
             GROUP BY d.doc_id
+        """,
+        # q_pagerank: 5 power iterations UNROLLED — contribution sum +
+        # teleport per round; the undirected construction guarantees no
+        # dangling nodes, so the redistribution term is identically zero
+        # and the unrolled SQL is the exact algorithm
+        "q_pagerank": """
+            WITH pairs AS (
+                SELECT DISTINCT o.o_custkey AS c,
+                       l.l_suppkey + 1000000 AS s
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_custkey < 150),
+            edges AS (SELECT c AS src, s AS dst FROM pairs
+                      UNION ALL SELECT s, c FROM pairs),
+            deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS od
+                    FROM edges GROUP BY src),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+            c1 AS (SELECT e.dst AS node, sum(r.rank / d.od) AS c
+                   FROM r0 r JOIN edges e ON r.node = e.src
+                   JOIN deg d ON r.node = d.node GROUP BY e.dst),
+            r1 AS (SELECT o.node, 0.15 / nn.n
+                          + 0.85 * coalesce(c.c, 0) AS rank
+                   FROM nodes o LEFT JOIN c1 c ON o.node = c.node, nn),
+            c2 AS (SELECT e.dst AS node, sum(r.rank / d.od) AS c
+                   FROM r1 r JOIN edges e ON r.node = e.src
+                   JOIN deg d ON r.node = d.node GROUP BY e.dst),
+            r2 AS (SELECT o.node, 0.15 / nn.n
+                          + 0.85 * coalesce(c.c, 0) AS rank
+                   FROM nodes o LEFT JOIN c2 c ON o.node = c.node, nn),
+            c3 AS (SELECT e.dst AS node, sum(r.rank / d.od) AS c
+                   FROM r2 r JOIN edges e ON r.node = e.src
+                   JOIN deg d ON r.node = d.node GROUP BY e.dst),
+            r3 AS (SELECT o.node, 0.15 / nn.n
+                          + 0.85 * coalesce(c.c, 0) AS rank
+                   FROM nodes o LEFT JOIN c3 c ON o.node = c.node, nn),
+            c4 AS (SELECT e.dst AS node, sum(r.rank / d.od) AS c
+                   FROM r3 r JOIN edges e ON r.node = e.src
+                   JOIN deg d ON r.node = d.node GROUP BY e.dst),
+            r4 AS (SELECT o.node, 0.15 / nn.n
+                          + 0.85 * coalesce(c.c, 0) AS rank
+                   FROM nodes o LEFT JOIN c4 c ON o.node = c.node, nn),
+            c5 AS (SELECT e.dst AS node, sum(r.rank / d.od) AS c
+                   FROM r4 r JOIN edges e ON r.node = e.src
+                   JOIN deg d ON r.node = d.node GROUP BY e.dst),
+            r5 AS (SELECT o.node, 0.15 / nn.n
+                          + 0.85 * coalesce(c.c, 0) AS rank
+                   FROM nodes o LEFT JOIN c5 c ON o.node = c.node, nn)
+            SELECT node, round(rank, 6) AS rank FROM r5
         """,
         # q_unigram_ppl: Lidstone-smoothed unigram LM scoring — the LM fit,
         # the smoothing arithmetic, and the per-doc aggregation replicated

@@ -1,0 +1,90 @@
+"""Graph operators over edge tables (src, dst) — PageRank for corpus
+curation.
+
+100 TB rationale: production corpus pipelines rank HOSTS/domains by link
+authority and use the rank as a quality prior (the CommonCrawl host-rank
+filter); the graph is edge-list-shaped and orders of magnitude smaller
+than the corpus, but still far beyond a driver.  Each power iteration here
+is ONE join (ranks ⋈ edges on src — broadcast when ranks fit, shuffle
+otherwise) + ONE groupBy(dst) sum with map-side partial aggregation, so an
+iteration's shuffle volume is edge-sized, never corpus-sized.  Ranks and
+degrees are node-sized.  Lineage is truncated with localCheckpoint every
+few rounds — the iteration loop otherwise nests join plans past the
+analyzer's comfort long before the data hurts (same discipline as
+datapipe/bpe.py and dedup.dedup_clusters).
+
+Conventions: ranks sum to 1 (r0 = 1/N); dangling mass (nodes with no
+out-edges) is redistributed uniformly, the standard correction — without
+it rank leaks every iteration.  Deterministic given (edges, iterations):
+every step is an exact aggregate, no sampling, no RNG.
+
+The fixed-iteration form is fully SQL-expressible (unrolled), so the
+driver gate value-hashes a 5-iteration run (q_pagerank) — iterative
+algorithms usually get only contract gates; this one carries real value
+evidence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CHECKPOINT_EVERY = 4
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(node, out_deg) for every node with >= 1 outgoing edge."""
+    return (edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("out_deg")))
+
+
+def pagerank(edges: DataFrame, iterations: int = 5,
+             damping: float = 0.85) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list; returns
+    (node, rank) with Σ rank = 1.  For undirected semantics, union both
+    edge directions before calling.
+
+    Per iteration: contributions = ranks ⋈ edges (src) → groupBy(dst)
+    sum; dangling mass (Σ rank over out-degree-0 nodes — one node-sized
+    aggregate, collected as ONE scalar) redistributes uniformly; nodes
+    with no in-edges keep the teleport + dangling share.  Edges and
+    degrees are computed once and cached across iterations.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    deg = out_degrees(edges)
+    # node-sized relation reused every round: (node, out_deg or null)
+    base = nodes.join(deg, "node", "left").localCheckpoint()
+    n = base.count()
+    if n == 0:
+        return base.select("node", F.lit(0.0).alias("rank"))
+    e = edges.select("src", "dst").localCheckpoint()
+
+    ranks = base.select("node", "out_deg",
+                        (F.lit(1.0) / n).alias("rank"))
+    for it in range(iterations):
+        # one scalar action per round: the dangling mass (bounded output)
+        dangling = (ranks.filter(F.col("out_deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("m")).first().m)
+        contrib = (ranks.filter(F.col("out_deg").isNotNull())
+                   .join(e, ranks["node"] == e["src"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("out_deg"))
+                           .alias("c"))
+                   .groupBy("node")
+                   .agg(F.sum("c").alias("c")))
+        ranks = (base.join(contrib, "node", "left")
+                 .select("node", "out_deg",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("c"), F.lit(0.0))
+                             + F.lit(dangling / n))).alias("rank")))
+        if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", "rank")

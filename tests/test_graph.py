@@ -1,0 +1,78 @@
+"""PageRank (datapipe/graph.py) — closed-form and invariant tests."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flood_data_spark.datapipe.graph import out_degrees, pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_ring_is_uniform_and_sums_to_one(spark):
+    r = {x.node: x.rank
+         for x in pagerank(_edges(spark, [(1, 2), (2, 3), (3, 1)]),
+                           iterations=10).collect()}
+    assert all(abs(v - 1 / 3) < 1e-9 for v in r.values())
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_dangling_mass_is_conserved(spark):
+    # 1 -> 2, node 2 has no out-edges: without redistribution rank leaks
+    # 0.85 * r(2) every round
+    r = {x.node: x.rank
+         for x in pagerank(_edges(spark, [(1, 2)]),
+                           iterations=20).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r[2] > r[1]  # the sink accumulates
+
+
+def test_star_hub_outranks_leaves(spark):
+    pairs = []
+    for i in (1, 2, 3):
+        pairs += [(0, i), (i, 0)]
+    r = {x.node: x.rank
+         for x in pagerank(_edges(spark, pairs), iterations=15).collect()}
+    assert r[0] > 2.5 * r[1]
+    assert abs(r[1] - r[2]) < 1e-9 and abs(r[2] - r[3]) < 1e-9
+
+
+def test_one_iteration_closed_form(spark):
+    # 1->2, 2->1: symmetric 2-cycle; after any iterations rank = 1/2
+    # 1->2 only, N=2, d=0.85, r0 = 1/2 each, node 2 dangling:
+    #   contrib(2) = r(1)/1; dangling m = r(2)
+    #   r'(v) = 0.15/2 + 0.85*(contrib + m/2)
+    r = {x.node: x.rank
+         for x in pagerank(_edges(spark, [(1, 2)]),
+                           iterations=1).collect()}
+    m = 0.5
+    exp1 = 0.15 / 2 + 0.85 * (0.0 + m / 2)
+    exp2 = 0.15 / 2 + 0.85 * (0.5 + m / 2)
+    assert r[1] == pytest.approx(exp1, abs=1e-12)
+    assert r[2] == pytest.approx(exp2, abs=1e-12)
+
+
+def test_deterministic_across_partitionings(spark):
+    pairs = [(i, (i * 7) % 23) for i in range(60)] + \
+            [((i * 7) % 23, i) for i in range(60)]
+    e = _edges(spark, pairs)
+    r1 = {x.node: x.rank
+          for x in pagerank(e.repartition(11), iterations=6).collect()}
+    r2 = {x.node: x.rank
+          for x in pagerank(e.coalesce(1), iterations=6).collect()}
+    assert set(r1) == set(r2)
+    assert all(abs(r1[k] - r2[k]) < 1e-12 for k in r1)
+
+
+def test_out_degrees_and_guards(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    deg = {r.node: r.out_deg for r in out_degrees(e).collect()}
+    assert deg == {1: 2, 2: 1}
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(e, damping=1.5)
+    empty = _edges(spark, [])
+    assert pagerank(empty, iterations=2).count() == 0

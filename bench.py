@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     # pre-materialized to parquet once — generation is NOT timed) — the
     # round-over-round comparator for the two plans that matter most.
     # Runs FIRST (right after warmup): measured at the tail of the
-    # 34-entry session the same queries read 2.6x slower (16.5 s vs 6.3 s
+    # (then-)34-entry session the same queries read 2.6x slower (16.5 s vs 6.3 s
     # isolated) purely from JVM/GC aging — the tier must measure the
     # plan, not the session's accumulated garbage.  Recorded as MIN-OF-2
     # (see _MIN_OF_2): single shots of the 6M-row tier on this box swing
@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     # heavy full-volume entries (round-6/7 scale twins: capped jaccard at
     # 3k docs, full-corpus repeated spans, all-user pattern search, the
     # 8-round BPE trainer, the IVF-PQ lifecycle — see each EXTRA_QUERIES
-    # docstring) run directly after the x10 pair, BEFORE the 34 small
+    # docstring) run directly after the x10 pair, BEFORE the 31 small
     # registry entries, for the same JVM/GC-aging reason: measured at the
     # session tail these read ~2x their isolated cost (q_ts_pattern_full
     # 10.9 s vs 5.5 s in back-to-back runs)
@@ -286,7 +286,7 @@ def main():
     import __spark_entry__ as entry_mod
     from flood_data_spark.session import get_spark
 
-    # 16g heap for the 36-entry single-JVM session: at the default 8g the
+    # 16g heap for the 38-entry single-JVM session: at the default 8g the
     # tail entries read up to 2.6x slower from accumulated broadcast/cache
     # garbage (measured: q_threshold_summary_x10 16.5 s at the tail vs
     # 6.3 s isolated) — a cluster sizes executor memory to the workload;

@@ -8,9 +8,11 @@ than the corpus, but still far beyond a driver.  Each power iteration here
 is ONE join (ranks ⋈ edges on src — broadcast when ranks fit, shuffle
 otherwise) + ONE groupBy(dst) sum with map-side partial aggregation, so an
 iteration's shuffle volume is edge-sized, never corpus-sized.  Ranks and
-degrees are node-sized.  Lineage is truncated with localCheckpoint every
-few rounds — the iteration loop otherwise nests join plans past the
-analyzer's comfort long before the data hurts (same discipline as
+degrees are node-sized.  Ranks are localCheckpoint-ed every round (a
+node-sized materialization): separate Spark actions re-plan from the
+logical plan, so un-materialized rounds would re-execute every prior
+join+agg — the checkpoint pins one edge-sized shuffle per iteration and
+truncates the analyzer-hostile nested-join lineage (same discipline as
 datapipe/bpe.py and dedup.dedup_clusters).
 
 Conventions: ranks sum to 1 (r0 = 1/N); dangling mass (nodes with no
@@ -28,8 +30,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-_CHECKPOINT_EVERY = 4
 
 
 def out_degrees(edges: DataFrame) -> DataFrame:
@@ -65,13 +65,22 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         return base.select("node", F.lit(0.0).alias("rank"))
     e = edges.select("src", "dst").localCheckpoint()
 
+    # one-time check: a graph with no out-degree-0 nodes (e.g. any
+    # undirected construction) never has dangling mass — skip the
+    # per-iteration scalar action entirely in that case
+    has_dangling = base.filter(F.col("out_deg").isNull()).limit(1).count() > 0
+
     ranks = base.select("node", "out_deg",
                         (F.lit(1.0) / n).alias("rank"))
     for it in range(iterations):
-        # one scalar action per round: the dangling mass (bounded output)
-        dangling = (ranks.filter(F.col("out_deg").isNull())
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                         .alias("m")).first().m)
+        # dangling mass: a scalar aggregate over the CHECKPOINTED ranks
+        # (node-sized, no recompute); identically zero when no node lacks
+        # out-edges
+        dangling = 0.0
+        if has_dangling:
+            dangling = (ranks.filter(F.col("out_deg").isNull())
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                             .alias("m")).first().m)
         contrib = (ranks.filter(F.col("out_deg").isNotNull())
                    .join(e, ranks["node"] == e["src"])
                    .select(F.col("dst").alias("node"),
@@ -85,6 +94,13 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                           + F.lit(damping)
                           * (F.coalesce(F.col("c"), F.lit(0.0))
                              + F.lit(dangling / n))).alias("rank")))
-        if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
+        # checkpoint EVERY round (ranks are node-sized — cheap): separate
+        # actions re-plan from the logical plan, so without this each
+        # round's dangling aggregate and the next round's job would
+        # re-execute every prior un-materialized join+agg (~2.5x the
+        # edge-sized shuffles over a 4-round window, measured reasoning in
+        # the round-7 review) — with it, exactly ONE edge-sized shuffle
+        # executes per iteration
+        if it + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")

@@ -40,7 +40,6 @@ def test_star_hub_outranks_leaves(spark):
 
 
 def test_one_iteration_closed_form(spark):
-    # 1->2, 2->1: symmetric 2-cycle; after any iterations rank = 1/2
     # 1->2 only, N=2, d=0.85, r0 = 1/2 each, node 2 dangling:
     #   contrib(2) = r(1)/1; dangling m = r(2)
     #   r'(v) = 0.15/2 + 0.85*(contrib + m/2)

@@ -1076,6 +1076,79 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
                              lm_corpus=docs)
 
 
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer-interpolated bigram LM scoring
+    (datapipe/text.bigram_lm_scores): per-document cross-entropy +
+    perplexity over bigram events, lam=0.7 ML-bigram + 0.3
+    Lidstone-unigram backoff, LM fit on the full corpus, scoring the
+    doc_id < 300 subset.  Bigrams come from a row-local slice-zip of the
+    token split (no positional window/self-join); the LM tables are
+    distinct-bigram- and vocabulary-bounded aggregates joined on their
+    keys.  Full value oracle — every step is ANSI arithmetic."""
+    from flood_data_spark.datapipe.text import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs.filter(F.col("doc_id") < 300),
+                            lm_corpus=docs)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (datapipe/text.bm25_topk): top-20 documents
+    for a fixed query bag under the Lucene non-negative idf, k1=1.2,
+    b=0.75.  The corpus-sized explode is filtered to the query term set
+    inside the scan stage; doc length is a scalar column expression (no
+    second explode); N/avgdl broadcast as one scalar row.  Full value
+    oracle."""
+    from flood_data_spark.datapipe.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"),
+                     ["the", "flood", "data", "model", "river"], k=20)
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (datapipe/text.with_gopher_rules): the
+    published per-document filter rules (word count, mean word length,
+    symbol/bullet/ellipsis ratios, alpha-word ratio, stopword presence)
+    as one codegen projection — each rule its own boolean column so
+    curation audits WHICH rule rejected a document.  Full value oracle
+    (pure scalar expressions)."""
+    from flood_data_spark.datapipe.text import with_gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return (with_gopher_rules(docs)
+            .select("doc_id", "g_n_words", "g_mean_word_len",
+                    "g_symbol_ratio", "g_bullet_ratio", "g_ellipsis_ratio",
+                    "g_alpha_word_ratio", "g_stop_hits",
+                    "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+                    "r_bullet_ratio", "r_ellipsis_ratio", "r_alpha_words",
+                    "r_stopwords", "gopher_pass"))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (datapipe/curation.dsir_weights, Xie et al.
+    2023): log p_target(d) - log p_raw(d) over a shared smoothed unigram
+    support, target = the German-language slice of the corpus.  Two
+    vocabulary-bounded LM aggregates + one full-outer vocabulary join +
+    one term-keyed scoring join.  Full value oracle."""
+    from flood_data_spark.datapipe.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "de"))
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step (datapipe/curation.dsir_select): Gumbel-top-50
+    resampling without replacement from softmax(log_weight), the
+    per-document uniform derived from md5(doc_id)'s first 13 hex digits
+    (52 bits — exactly representable in an IEEE double, so the key is
+    bit-identical across engines).  Full value oracle including the
+    Gumbel arithmetic."""
+    from flood_data_spark.datapipe.curation import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.filter(F.col("lang") == "de"), n=50)
+
+
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation pipeline end-to-end: quality gate + language
     filter + token-budget range + exact dedup keeping the representative —
@@ -1870,15 +1943,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS THE GATE WINDOW: the driver checks the first 50 entries.
     # Rotation discipline (round 7): the two r6 reds (array serialization
-    # fixed this round) and the new streaming-parity query lead, then ALL
-    # 40 entries last driver-checked on r5 code (round-6/7 commits touched
-    # their shared modules), then the r6 greens whose modules changed this
-    # round (timeseries/grid/curation) — every registry entry is
-    # driver-checked within the last two rounds.
+    # fixed this round) and all round-7 additions lead — every new query
+    # must be driver-checked the round it lands — then the entries last
+    # driver-checked on r5 code (round-6/7 commits touched their shared
+    # modules), then the r6 greens whose modules changed this round
+    # (timeseries/grid/curation) — every registry entry is driver-checked
+    # within the last two rounds.
     return {
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
+        # --- new this round, third batch (5) ---
+        "q_bm25_topk": q_bm25_topk,
+        "q_gopher_rules": q_gopher_rules,
+        "q_bigram_ppl": q_bigram_ppl,
+        "q_dsir_weights": q_dsir_weights,
+        "q_dsir_select": q_dsir_select,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -1906,15 +1986,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_threshold_combine": q_threshold_combine,
         "q_summary_forecast": q_summary_forecast,
         "q_upstream_mask": q_upstream_mask,
-        "q_pricing_summary": q_pricing_summary,
-        "q_region_revenue": q_region_revenue,
-        "q_top_customer_per_nation": q_top_customer_per_nation,
         "q_semi_join": q_semi_join,
         "q_union_events": q_union_events,
         "q_stream_threshold": q_stream_threshold,
-        "q_set_ops": q_set_ops,
         "q_window_lag": q_window_lag,
-        "q_histogram": q_histogram,
         "q_range_filter": q_range_filter,
         "q_anti_join": q_anti_join,
         "q_rollup": q_rollup,
@@ -1930,6 +2005,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_split_budget": q_split_budget,
         "q_stratified_sample": q_stratified_sample,
+        # ---------------- gate window boundary (50) ----------------
+        # Pushed out this rotation to make room for the round-7 third
+        # batch: the five self-contained relational-core queries below
+        # (green since r5, zero module churn — they import no package
+        # module touched in rounds 6-7) plus the appended-only curation
+        # tail; re-enter next rotation.
+        "q_pricing_summary": q_pricing_summary,
+        "q_region_revenue": q_region_revenue,
+        "q_top_customer_per_nation": q_top_customer_per_nation,
+        "q_set_ops": q_set_ops,
+        "q_histogram": q_histogram,
         "q_shuffle_key": q_shuffle_key,
         "q_clean_lines": q_clean_lines,
         "q_line_dedup": q_line_dedup,
@@ -1941,7 +2027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nearest_reindex": q_nearest_reindex,          # grid.py argmin
         "q_sessionize": q_sessionize,                    # timeseries _diff_us
         "q_session_window": q_session_window,
-        # ---------------- gate window boundary (50) ----------------
         "q_rolling": q_rolling,
         # --- r6 greens, stable, re-enter next rotation ---
         "q_pack_sequences": q_pack_sequences,            # curation guard
@@ -2939,6 +3024,276 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM documents
                   WHERE doc_id < 300) doc
             LEFT JOIN agg a ON doc.doc_id = a.id
+        """,
+        # q_bigram_ppl: interpolated bigram LM — bigrams via a 1-based
+        # list comprehension over the token split (bijective 'w1 w2' key:
+        # tokens carry no whitespace), lam=0.7; (1.0 - 0.7) is written as
+        # an expression so both engines compute the identical double
+        "q_bigram_ppl": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS l
+                FROM documents),
+            bg_all AS (
+                SELECT id,
+                       unnest([l[i] || ' ' || l[i+1]
+                               for i in range(1, len(l))]) AS bg
+                FROM toks),
+            lm_bg AS (SELECT bg, count(*) AS bg_count FROM bg_all GROUP BY bg),
+            lm_ctx AS (SELECT split_part(bg, ' ', 1) AS w1,
+                              sum(bg_count) AS ctx_count
+                       FROM lm_bg GROUP BY 1),
+            uni AS (SELECT unnest(l) AS term FROM toks),
+            lm_uni AS (SELECT term, count(*) AS uni_count
+                       FROM uni GROUP BY term),
+            tot AS (SELECT CAST(sum(uni_count) AS BIGINT) AS uni_total,
+                           CAST(count(*) AS BIGINT) AS uni_vocab
+                    FROM lm_uni),
+            scored AS (
+                SELECT d.id,
+                       ln(0.7 * (CASE WHEN coalesce(c.ctx_count, 0) > 0
+                                 THEN coalesce(b.bg_count, 0)
+                                      / CAST(c.ctx_count AS DOUBLE)
+                                 ELSE 0.0 END)
+                          + (1.0 - 0.7) * ((coalesce(u.uni_count, 0) + 0.5)
+                             / (t.uni_total + 0.5 * (t.uni_vocab + 1))))
+                       AS logp
+                FROM bg_all d
+                LEFT JOIN lm_bg b ON d.bg = b.bg
+                LEFT JOIN lm_ctx c ON split_part(d.bg, ' ', 1) = c.w1
+                LEFT JOIN lm_uni u ON split_part(d.bg, ' ', 2) = u.term,
+                tot t
+                WHERE d.id < 300),
+            agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                           round(-avg(logp), 6) AS cross_entropy,
+                           round(exp(-avg(logp)), 4) AS perplexity
+                    FROM scored GROUP BY id)
+            SELECT doc.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+                   a.cross_entropy, a.perplexity
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id < 300) doc
+            LEFT JOIN agg a ON doc.doc_id = a.id
+        """,
+        # q_bm25_topk: Lucene-idf BM25, k1=1.2 b=0.75, same operand order
+        # as the Spark expression so the doubles agree bit-for-bit
+        "q_bm25_topk": """
+            WITH dl AS (
+                SELECT doc_id AS id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(lower(trim(text)),
+                                                        '\\s+'))
+                       END AS dl
+                FROM documents),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             avg(dl) AS avgdl FROM dl),
+            terms AS (
+                SELECT doc_id AS id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS term
+                FROM documents),
+            tf AS (
+                SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM terms
+                WHERE term IN ('data', 'flood', 'model', 'river', 'the')
+                GROUP BY id, term),
+            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+                      FROM tf GROUP BY term),
+            scored AS (
+                SELECT t.id,
+                       ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+                       * t.tf * (1.2 + 1.0)
+                       / (t.tf + 1.2 * ((1.0 - 0.75)
+                                        + 0.75 * l.dl / s.avgdl)) AS contrib
+                FROM tf t
+                JOIN dfreq d USING (term)
+                JOIN dl l ON t.id = l.id, stats s)
+            SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+                   round(sum(contrib), 6) AS bm25
+            FROM scored GROUP BY id
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 20
+        """,
+        # q_gopher_rules: the rule battery as pure scalar SQL; ratios are
+        # rounded to 6 BEFORE thresholding, exactly like the Spark columns
+        "q_gopher_rules": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS words,
+                       string_split(text, chr(10)) AS lines
+                FROM documents WHERE doc_id < 400),
+            sig AS (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS g_n_words,
+                       round(length(regexp_replace(text, '\\s', '', 'g'))
+                             / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                           AS g_mean_word_len,
+                       round((len(regexp_extract_all(text, '#'))
+                              + len(regexp_extract_all(text, '\\.\\.\\.')))
+                             / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                           AS g_symbol_ratio,
+                       round(len(list_filter(lines,
+                                 l -> regexp_matches(l, '^\\s*[-*•]')))
+                             / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                           AS g_bullet_ratio,
+                       round(len(list_filter(lines,
+                                 l -> regexp_matches(l, '\\.\\.\\.\\s*$')))
+                             / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                           AS g_ellipsis_ratio,
+                       round(len(list_filter(words,
+                                 w -> regexp_matches(w, '[a-z]')))
+                             / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                           AS g_alpha_word_ratio,
+                       CAST((CASE WHEN regexp_matches(lower(text),
+                                  '\\bthe\\b') THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(text),
+                                  '\\bbe\\b') THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(text),
+                                  '\\bto\\b') THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(text),
+                                  '\\bof\\b') THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(text),
+                                  '\\band\\b') THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(text),
+                                  '\\bthat\\b') THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(text),
+                                  '\\bhave\\b') THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(text),
+                                  '\\bwith\\b') THEN 1 ELSE 0 END)
+                             AS INT) AS g_stop_hits
+                FROM base)
+            SELECT doc_id, g_n_words, g_mean_word_len, g_symbol_ratio,
+                   g_bullet_ratio, g_ellipsis_ratio, g_alpha_word_ratio,
+                   g_stop_hits,
+                   g_n_words BETWEEN 50 AND 100000 AS r_word_count,
+                   g_mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+                   g_symbol_ratio <= 0.1 AS r_symbol_ratio,
+                   g_bullet_ratio <= 0.9 AS r_bullet_ratio,
+                   g_ellipsis_ratio <= 0.3 AS r_ellipsis_ratio,
+                   g_alpha_word_ratio >= 0.8 AS r_alpha_words,
+                   g_stop_hits >= 2 AS r_stopwords,
+                   (g_n_words BETWEEN 50 AND 100000
+                    AND g_mean_word_len BETWEEN 3.0 AND 10.0
+                    AND g_symbol_ratio <= 0.1
+                    AND g_bullet_ratio <= 0.9
+                    AND g_ellipsis_ratio <= 0.3
+                    AND g_alpha_word_ratio >= 0.8
+                    AND g_stop_hits >= 2) AS gopher_pass
+            FROM sig
+        """,
+        # q_dsir_weights: shared-support smoothed unigram log-ratio
+        "q_dsir_weights": """
+            WITH rt AS (
+                SELECT id, term FROM (
+                    SELECT doc_id AS id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                                     '\\s+')) AS term
+                    FROM documents)
+                WHERE term <> ''),
+            tt AS (
+                SELECT id, term FROM (
+                    SELECT doc_id AS id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                                     '\\s+')) AS term
+                    FROM documents WHERE lang = 'de')
+                WHERE term <> ''),
+            raw_lm AS (SELECT term, count(*) AS raw_count
+                       FROM rt GROUP BY term),
+            tgt_lm AS (SELECT term, count(*) AS tgt_count
+                       FROM tt GROUP BY term),
+            vocab AS (
+                SELECT coalesce(r.term, t.term) AS term,
+                       coalesce(r.raw_count, 0) AS raw_count,
+                       coalesce(t.tgt_count, 0) AS tgt_count
+                FROM raw_lm r FULL OUTER JOIN tgt_lm t ON r.term = t.term),
+            tot AS (SELECT CAST(sum(raw_count) AS BIGINT) AS raw_total,
+                           CAST(sum(tgt_count) AS BIGINT) AS tgt_total,
+                           CAST(count(*) AS BIGINT) AS vocab_size
+                    FROM vocab),
+            ratio AS (
+                SELECT term,
+                       ln((tgt_count + 0.5)
+                          / (t.tgt_total + 0.5 * (t.vocab_size + 1)))
+                       - ln((raw_count + 0.5)
+                            / (t.raw_total + 0.5 * (t.vocab_size + 1)))
+                       AS log_ratio
+                FROM vocab, tot t),
+            agg AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       round(sum(log_ratio), 6) AS log_weight,
+                       round(avg(log_ratio), 6) AS avg_log_weight
+                FROM rt JOIN ratio USING (term) GROUP BY id)
+            SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                   a.log_weight, a.avg_log_weight
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN agg a ON d.doc_id = a.id
+        """,
+        # q_dsir_select: Gumbel-top-50 under the md5-derived uniform; the
+        # 13-hex-digit value is rebuilt with integer shifts (exact BIGINT
+        # sum) and divided by 2^52 so u is bit-identical to Spark's
+        # conv(...,16,10)/16^13
+        "q_dsir_select": """
+            WITH rt AS (
+                SELECT id, term FROM (
+                    SELECT doc_id AS id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                                     '\\s+')) AS term
+                    FROM documents)
+                WHERE term <> ''),
+            tt AS (
+                SELECT id, term FROM (
+                    SELECT doc_id AS id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                                     '\\s+')) AS term
+                    FROM documents WHERE lang = 'de')
+                WHERE term <> ''),
+            raw_lm AS (SELECT term, count(*) AS raw_count
+                       FROM rt GROUP BY term),
+            tgt_lm AS (SELECT term, count(*) AS tgt_count
+                       FROM tt GROUP BY term),
+            vocab AS (
+                SELECT coalesce(r.term, t.term) AS term,
+                       coalesce(r.raw_count, 0) AS raw_count,
+                       coalesce(t.tgt_count, 0) AS tgt_count
+                FROM raw_lm r FULL OUTER JOIN tgt_lm t ON r.term = t.term),
+            tot AS (SELECT CAST(sum(raw_count) AS BIGINT) AS raw_total,
+                           CAST(sum(tgt_count) AS BIGINT) AS tgt_total,
+                           CAST(count(*) AS BIGINT) AS vocab_size
+                    FROM vocab),
+            ratio AS (
+                SELECT term,
+                       ln((tgt_count + 0.5)
+                          / (t.tgt_total + 0.5 * (t.vocab_size + 1)))
+                       - ln((raw_count + 0.5)
+                            / (t.raw_total + 0.5 * (t.vocab_size + 1)))
+                       AS log_ratio
+                FROM vocab, tot t),
+            agg AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       round(sum(log_ratio), 6) AS log_weight,
+                       round(avg(log_ratio), 6) AS avg_log_weight
+                FROM rt JOIN ratio USING (term) GROUP BY id),
+            keyed AS (
+                SELECT id AS doc_id, n_tokens, log_weight, avg_log_weight,
+                       round(log_weight / 1.0
+                             - ln(-ln(greatest(
+                                 CAST(list_sum(
+                                     [CAST(strpos('0123456789abcdef',
+                                           md5(CAST(id AS VARCHAR))[i]) - 1
+                                           AS BIGINT)
+                                      * (CAST(1 AS BIGINT)
+                                         << (4 * (13 - i)))
+                                      for i in range(1, 14)]) AS DOUBLE)
+                                 / CAST(CAST(1 AS BIGINT) << 52 AS DOUBLE),
+                                 1e-18))), 6) AS gumbel_key
+                FROM agg WHERE n_tokens > 0)
+            SELECT doc_id, n_tokens, log_weight, avg_log_weight, gumbel_key
+            FROM keyed
+            ORDER BY gumbel_key DESC, doc_id ASC
+            LIMIT 50
         """,
         # q_audio_codec: real RIFF/WAVE parse vs the closed-form header
         # facts; duration is the same IEEE float64 division on both sides

@@ -404,3 +404,99 @@ def cap_per_key(df: DataFrame, cap: int, partition_cols=("source",),
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= cap)
             .drop("_rn"))
+
+
+def dsir_weights(df: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 alpha: float = 0.5) -> DataFrame:
+    """DSIR (Data Selection with Importance Resampling, Xie et al. 2023)
+    importance weights over a unigram feature space: for each raw-corpus
+    document, log w(d) = sum_t c(t, d) * [ln p_target(t) - ln p_raw(t)]
+    — how much more likely the document is under the target domain's
+    token distribution than under the raw corpus's.  Selecting the
+    highest-weight documents tilts a 100 TB crawl toward a (small, clean)
+    target domain without training a classifier.
+
+    Both unigram LMs use the same Lidstone smoothing as
+    `unigram_lm_scores` (alpha, one spare slot), with V = the UNION
+    vocabulary so the two distributions share a support and the
+    log-ratio is finite everywhere.
+
+    Plan shape: two vocabulary-bounded (term, count) aggregates (target
+    side is tiny by construction), a full-outer vocabulary join to build
+    the shared log-ratio table, then one join of the corpus's (id, term)
+    explode against that table on the term key — the same
+    vocabulary-keyed shape as unigram_lm_scores, no UDF, no driver
+    vocabulary.  Totals broadcast as one scalar row.  Everything is ANSI
+    arithmetic (q_dsir_weights value-hashes it).
+
+    Returns (id_col, n_tokens, log_weight, avg_log_weight) with
+    zero-token documents visible (n_tokens=0, null weights); rank by
+    log_weight (length-biased, the paper's form) or avg_log_weight
+    (length-normalized) downstream.
+    """
+    from flood_data_spark.datapipe.text import term_rows
+
+    raw_lm = (term_rows(df, id_col, text_col)
+              .groupBy("term").agg(F.count("*").alias("raw_count")))
+    tgt_lm = (term_rows(target, id_col, text_col)
+              .groupBy("term").agg(F.count("*").alias("tgt_count")))
+    vocab = (raw_lm.join(tgt_lm, "term", "full_outer")
+             .na.fill({"raw_count": 0, "tgt_count": 0}))
+    totals = F.broadcast(vocab.agg(
+        F.sum("raw_count").alias("raw_total"),
+        F.sum("tgt_count").alias("tgt_total"),
+        F.count("*").alias("vocab_size")))
+    ratio = (vocab.crossJoin(totals)
+             .select(
+                 "term",
+                 (F.log((F.col("tgt_count") + F.lit(alpha))
+                        / (F.col("tgt_total")
+                           + F.lit(alpha) * (F.col("vocab_size") + 1)))
+                  - F.log((F.col("raw_count") + F.lit(alpha))
+                          / (F.col("raw_total")
+                             + F.lit(alpha) * (F.col("vocab_size") + 1)))
+                  ).alias("log_ratio")))
+    doc_terms = term_rows(df, id_col, text_col)
+    agg = (doc_terms.join(ratio, "term")
+           .groupBy(F.col("id").alias(id_col))
+           .agg(F.count("*").alias("n_tokens"),
+                F.round(F.sum("log_ratio"), 6).alias("log_weight"),
+                F.round(F.avg("log_ratio"), 6).alias("avg_log_weight")))
+    ids = df.select(F.col(id_col)).distinct()
+    return (ids.join(agg, id_col, "left")
+            .withColumn("n_tokens",
+                        F.coalesce(F.col("n_tokens"), F.lit(0))))
+
+
+def dsir_select(df: DataFrame, target: DataFrame, n: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                alpha: float = 0.5, temperature: float = 1.0) -> DataFrame:
+    """DSIR selection step: Gumbel-top-n resampling WITHOUT replacement
+    from softmax(log_weight / temperature) — the paper's sampler, made
+    deterministic by deriving each document's uniform from md5(id) (the
+    same engine-portable hash trick as `hash_sample`), so the selected
+    set is reproducible across runs, partitionings, and engines.
+
+    key(d) = log_weight(d) / temperature - ln(-ln(u(d))),
+    u(d) = (md5(id) first 13 hex digits) / 16^13  in (0, 1).
+
+    13 hex digits = 52 bits: the numerator is exactly representable in an
+    IEEE double and the divisor is a power of two, so u — and therefore
+    the Gumbel key — is bit-identical in any engine computing the same
+    expression (the value oracle depends on this).
+
+    One TakeOrdered over the weights relation — no global sort.
+    """
+    w = dsir_weights(df, target, id_col, text_col, alpha)
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13),
+                16, 10).cast("double")
+         / F.lit(float(16 ** 13)))
+    # clamp away exact 0 (ln(0) = -inf) — md5 prefix 000..0
+    u = F.greatest(u, F.lit(1e-18))
+    return (w.filter(F.col("n_tokens") > 0)
+            .withColumn("gumbel_key",
+                        F.round(F.col("log_weight") / F.lit(temperature)
+                                - F.log(-F.log(u)), 6))
+            .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+            .limit(n))

@@ -270,3 +270,229 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     return (ids.join(agg, id_col, "left")
             .withColumn("n_tokens",
                         F.coalesce(F.col("n_tokens"), F.lit(0))))
+
+
+def bm25_topk(df: DataFrame, query_terms, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag of query terms
+    (Robertson/Spärck Jones probabilistic ranking — the lexical-retrieval
+    baseline every hybrid RAG / training-data-selection stack keeps next
+    to its ANN index).
+
+    score(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with the Lucene non-negative idf: ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Plan: the expensive relation is the (id, term) explode, immediately
+    filtered to the query's term set — a literal IN list, so the filter is
+    row-local inside the same stage as the scan and the surviving relation
+    is query-sized, not corpus-sized.  Document length comes from a scalar
+    `token_count` column expression (no second explode); N and avgdl enter
+    as one broadcast scalar row; per-term doc frequency over the filtered
+    relation is |q|-bounded and broadcast.  One corpus scan, two tiny
+    hash-agg shuffles, one TakeOrdered — no global sort, no UDF.
+
+    Ties break (bm25 desc, id asc) so top-k is reproducible; returns
+    (id_col, n_hit_terms, bm25).
+    """
+    qterms = sorted({t.lower() for t in query_terms})
+    if not qterms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+
+    doclen = df.select(F.col(id_col).alias("id"),
+                       token_count(F.col(text_col)).alias("dl"))
+    stats = F.broadcast(doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")))
+
+    tf = (term_rows(df, id_col, text_col)
+          .filter(F.col("term").isin(qterms))
+          .groupBy("id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(doclen, "id")
+              .crossJoin(stats)
+              .withColumn(
+                  "idf",
+                  F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5)
+                        / (F.col("df_t") + 0.5)))
+              .withColumn(
+                  "contrib",
+                  F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+                  / (F.col("tf") + F.lit(k1)
+                     * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")))))
+    return (scored.groupBy("id")
+            .agg(F.count("*").alias("n_hit_terms"),
+                 F.round(F.sum("contrib"), 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc("id"))
+            .limit(k)
+            .select(F.col("id").alias(id_col), "n_hit_terms", "bm25"))
+
+
+# Gopher (Rae et al. 2021, Table A1) document-quality rule thresholds.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def with_gopher_rules(df: DataFrame, text_col: str = "text",
+                      min_words: int = 50, max_words: int = 100_000,
+                      min_mean_word_len: float = 3.0,
+                      max_mean_word_len: float = 10.0,
+                      max_symbol_ratio: float = 0.1,
+                      max_bullet_ratio: float = 0.9,
+                      max_ellipsis_ratio: float = 0.3,
+                      min_alpha_word_ratio: float = 0.8,
+                      min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style explicit quality rules, one boolean column per rule
+    plus the conjunction (`gopher_pass`) — the published filter battery
+    (Rae et al. 2021 §A.1.1) that with_quality_signals' soft score
+    approximates.  Emitting each rule as its own column is deliberate:
+    at curation time you audit WHICH rule killed a document, not just
+    that one did.
+
+    Every signal is a scalar Column expression over the text value —
+    regexp counts, higher-order array functions on the line/word splits —
+    so the whole battery runs inside one whole-stage-codegen projection
+    on the corpus scan: zero shuffles, zero UDFs, ANSI-expressible for
+    the value oracle (q_gopher_rules).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; '#'-or-'…' symbol-to-word
+    ratio <= max_symbol_ratio; <= max_bullet_ratio of lines starting with
+    a bullet; <= max_ellipsis_ratio of lines ending with '...'; >=
+    min_alpha_word_ratio of words containing a letter; >= min_stop_hits
+    distinct common-English stopwords present.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.lower(F.trim(t)), r"\s+"),
+                     lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    # total word characters / word count (whitespace chars excluded)
+    mean_word_len = (F.length(F.regexp_replace(t, r"\s", ""))
+                     / safe_words)
+    n_symbols = (F.regexp_count(t, F.lit("#"))
+                 + F.regexp_count(t, F.lit(r"\.\.\.")))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    stop_hits = None
+    low = F.lower(t)
+    for sw in GOPHER_STOPWORDS:
+        hit = F.when(low.rlike(r"\b" + sw + r"\b"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    out = (df
+           .withColumn("g_n_words", n_words)
+           .withColumn("g_mean_word_len", F.round(mean_word_len, 6))
+           .withColumn("g_symbol_ratio",
+                       F.round(n_symbols / safe_words, 6))
+           .withColumn("g_bullet_ratio",
+                       F.round(n_bullet / safe_lines, 6))
+           .withColumn("g_ellipsis_ratio",
+                       F.round(n_ellipsis / safe_lines, 6))
+           .withColumn("g_alpha_word_ratio",
+                       F.round(n_alpha_words / safe_words, 6))
+           .withColumn("g_stop_hits", stop_hits.cast("int")))
+    rules = {
+        "r_word_count": F.col("g_n_words").between(min_words, max_words),
+        "r_mean_word_len": F.col("g_mean_word_len").between(
+            min_mean_word_len, max_mean_word_len),
+        "r_symbol_ratio": F.col("g_symbol_ratio") <= max_symbol_ratio,
+        "r_bullet_ratio": F.col("g_bullet_ratio") <= max_bullet_ratio,
+        "r_ellipsis_ratio": F.col("g_ellipsis_ratio") <= max_ellipsis_ratio,
+        "r_alpha_words": F.col("g_alpha_word_ratio")
+        >= min_alpha_word_ratio,
+        "r_stopwords": F.col("g_stop_hits") >= min_stop_hits,
+    }
+    gate = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        gate = gate & cond
+    return out.withColumn("gopher_pass", gate)
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     lm_corpus: DataFrame | None = None,
+                     lam: float = 0.7, alpha: float = 0.5) -> DataFrame:
+    """Interpolated bigram language-model scoring: per-document
+    cross-entropy and perplexity over bigram events under
+    p(w2|w1) = lam * c(w1 w2)/c(w1·) + (1-lam) * p_lidstone(w2),
+    the Jelinek-Mercer-smoothed 2-gram LM (the next rung above
+    `unigram_lm_scores` on the KenLM-style data-quality ladder —
+    a sharper garbled-text detector because it scores word ORDER).
+
+    Bigram extraction is a zip of two array slices of the token split
+    (`arrays_zip(slice(toks,1,n-1), slice(toks,2,n-1))`) — row-local,
+    no window over the corpus, no positional self-join.  The bigram LM
+    is a (w1, w2, count) aggregate — bounded by the corpus's DISTINCT
+    bigram set, the same shape KenLM's trainer materializes — joined
+    back on the bigram key; the unigram backoff joins on w2; totals
+    broadcast as one scalar row.  Three hash-agg shuffles + two
+    vocabulary-keyed joins, no UDF; ANSI-expressible end-to-end
+    (q_bigram_ppl value-hashes it).
+
+    Documents with < 2 tokens stay visible with n_bigrams = 0 and null
+    metrics (same discipline as unigram_lm_scores).
+    """
+    def _bigram_rows(src: DataFrame) -> DataFrame:
+        toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                        lambda w: w != "")
+        n = F.size(toks)
+        pairs = F.when(
+            n >= 2,
+            F.arrays_zip(F.slice(toks, 1, n - 1).alias("w1"),
+                         F.slice(toks, 2, n - 1).alias("w2"))
+        ).otherwise(F.array())
+        return (src
+                .select(F.col(id_col).alias("id"),
+                        F.explode(pairs).alias("bg"))
+                .select("id", F.col("bg.w1").alias("w1"),
+                        F.col("bg.w2").alias("w2")))
+
+    lm_src = lm_corpus if lm_corpus is not None else df
+    lm_bg = (_bigram_rows(lm_src)
+             .groupBy("w1", "w2").agg(F.count("*").alias("bg_count")))
+    lm_ctx = (lm_bg.groupBy("w1")
+              .agg(F.sum("bg_count").alias("ctx_count")))
+    lm_uni = (term_rows(lm_src, id_col, text_col)
+              .groupBy("term").agg(F.count("*").alias("uni_count")))
+    totals = F.broadcast(lm_uni.agg(
+        F.sum("uni_count").alias("uni_total"),
+        F.count("*").alias("uni_vocab")))
+
+    doc_bg = _bigram_rows(df)
+    scored = (doc_bg
+              .join(lm_bg, ["w1", "w2"], "left")
+              .join(lm_ctx, "w1", "left")
+              .join(lm_uni.withColumnRenamed("term", "w2"), "w2", "left")
+              .crossJoin(totals)
+              .withColumn(
+                  "_p_uni",
+                  (F.coalesce(F.col("uni_count"), F.lit(0)) + F.lit(alpha))
+                  / (F.col("uni_total")
+                     + F.lit(alpha) * (F.col("uni_vocab") + 1)))
+              .withColumn(
+                  "_p_ml",
+                  F.when(F.coalesce(F.col("ctx_count"), F.lit(0)) > 0,
+                         F.coalesce(F.col("bg_count"), F.lit(0))
+                         / F.col("ctx_count").cast("double"))
+                  .otherwise(F.lit(0.0)))
+              .withColumn(
+                  "_logp",
+                  F.log(F.lit(lam) * F.col("_p_ml")
+                        + F.lit(1.0 - lam) * F.col("_p_uni"))))
+    agg = (scored.groupBy(F.col("id").alias(id_col))
+           .agg(F.count("*").alias("n_bigrams"),
+                F.round(-F.avg("_logp"), 6).alias("cross_entropy"),
+                F.round(F.exp(-F.avg("_logp")), 4).alias("perplexity")))
+    ids = df.select(F.col(id_col)).distinct()
+    return (ids.join(agg, id_col, "left")
+            .withColumn("n_bigrams",
+                        F.coalesce(F.col("n_bigrams"), F.lit(0))))

@@ -1,0 +1,171 @@
+"""BM25 retrieval, Gopher rule battery, bigram LM, and DSIR weighting."""
+
+import math
+
+import pytest
+
+from flood_data_spark.datapipe.curation import dsir_select, dsir_weights
+from flood_data_spark.datapipe.text import (
+    bigram_lm_scores, bm25_topk, with_gopher_rules)
+
+
+# ---------------------------------------------------------------- BM25
+
+def test_bm25_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(0, "flood flood river"),
+         (1, "river bank walk"),
+         (2, "dry desert sand dune heat")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           bm25_topk(df, ["flood", "river"], k=10).collect()}
+    # doc 2 matches no query term — absent
+    assert set(out) == {0, 1}
+    # hand BM25: N=3, avgdl = (3+3+5)/3
+    avgdl = 11 / 3
+    k1, b = 1.2, 0.75
+
+    def score(tf, df_t, dl):
+        idf = math.log(1.0 + (3 - df_t + 0.5) / (df_t + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp0 = score(2, 1, 3) + score(1, 2, 3)   # flood tf=2 df=1; river tf=1 df=2
+    exp1 = score(1, 2, 3)
+    assert out[0].bm25 == pytest.approx(exp0, abs=1e-5)
+    assert out[1].bm25 == pytest.approx(exp1, abs=1e-5)
+    assert out[0].n_hit_terms == 2 and out[1].n_hit_terms == 1
+    # the doc with both terms (one rare) ranks first
+    assert out[0].bm25 > out[1].bm25
+
+
+def test_bm25_case_insensitive_and_k_bound(spark):
+    df = spark.createDataFrame(
+        [(i, "Flood warning issued") for i in range(5)],
+        "doc_id long, text string")
+    rows = bm25_topk(df, ["FLOOD"], k=3).collect()
+    assert len(rows) == 3
+    # equal scores → id tiebreak ascending
+    assert [r.doc_id for r in rows] == [0, 1, 2]
+
+
+def test_bm25_rejects_empty_query(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+
+
+# --------------------------------------------------------- Gopher rules
+
+def test_gopher_rules_pass_and_rule_attribution(spark):
+    good = ("the river data " * 20).strip()          # 60 words, stopword 'the'
+    good = good + " have more"                        # adds 'have' → 2 stopwords
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    short = "too short"
+    symbols = "the have " + "# " * 30 + "word " * 50
+    df = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, short), (3, symbols)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in with_gopher_rules(df).collect()}
+    assert out[0].gopher_pass
+    # bullets doc: every line is a bullet → r_bullet_ratio false
+    assert not out[1].r_bullet_ratio and not out[1].gopher_pass
+    # short doc fails word count
+    assert not out[2].r_word_count and not out[2].gopher_pass
+    # symbol-stuffed doc fails symbol ratio specifically
+    assert not out[3].r_symbol_ratio
+    assert out[3].g_symbol_ratio == pytest.approx(30 / 82, abs=1e-5)
+
+
+def test_gopher_mean_word_len_and_alpha(spark):
+    df = spark.createDataFrame(
+        [(0, "aa bbbb cc"),                  # mean len 8/3
+         (1, "123 456 789")],                # zero alpha words
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in with_gopher_rules(df).collect()}
+    assert out[0].g_mean_word_len == pytest.approx(round(8 / 3, 6))
+    assert out[1].g_alpha_word_ratio == 0.0 and not out[1].r_alpha_words
+
+
+def test_gopher_blank_doc_safe(spark):
+    df = spark.createDataFrame([(0, ""), (1, "   ")],
+                               "doc_id long, text string")
+    out = with_gopher_rules(df).collect()
+    assert all(r.g_n_words == 0 and not r.gopher_pass for r in out)
+
+
+# ------------------------------------------------------------ bigram LM
+
+def test_bigram_lm_hand_computed(spark):
+    # corpus: "a b a b" and "a c"; bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    df = spark.createDataFrame([(0, "a b a b"), (1, "a c")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_scores(df, lam=0.7).collect()}
+    assert out[0].n_bigrams == 3 and out[1].n_bigrams == 1
+    # unigram LM: a:3 b:2 c:1, total 6, V=3, alpha=.5 → denom 6+0.5*4=8
+    p_uni = {"a": 3.5 / 8, "b": 2.5 / 8, "c": 1.5 / 8}
+    # contexts: a→3 (ab,ab,ac), b→1 (ba)
+    def p(w1, w2, c_bg, c_ctx):
+        return 0.7 * (c_bg / c_ctx) + (1.0 - 0.7) * p_uni[w2]
+    lp = [math.log(p("a", "c", 1, 3))]
+    assert out[1].cross_entropy == pytest.approx(round(-sum(lp) / 1, 6))
+    lp0 = [math.log(p("a", "b", 2, 3)), math.log(p("b", "a", 1, 1)),
+           math.log(p("a", "b", 2, 3))]
+    assert out[0].cross_entropy == pytest.approx(-sum(lp0) / 3, abs=1e-5)
+    assert out[0].perplexity == pytest.approx(
+        math.exp(-sum(lp0) / 3), abs=1e-3)
+
+
+def test_bigram_lm_short_docs_visible(spark):
+    df = spark.createDataFrame([(0, "single"), (1, ""), (2, "a b")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].n_bigrams == 0 and out[0].cross_entropy is None
+    assert out[1].n_bigrams == 0
+    assert out[2].n_bigrams == 1 and out[2].cross_entropy is not None
+
+
+def test_bigram_lm_separate_corpus_oov(spark):
+    docs = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    lm = spark.createDataFrame([(9, "a b a")], "doc_id long, text string")
+    out = bigram_lm_scores(docs, lm_corpus=lm).collect()[0]
+    # fully OOV bigram: p_ml = 0 (unseen context), backoff to smoothed
+    # unigram floor — finite, positive cross-entropy
+    assert out.n_bigrams == 1 and out.cross_entropy > 0
+
+
+# ----------------------------------------------------------------- DSIR
+
+def test_dsir_weights_tilt_toward_target(spark):
+    raw = spark.createDataFrame(
+        [(0, "der fluss steigt schnell"),       # German-ish
+         (1, "the river rises fast"),           # English-ish
+         (2, "der fluss the river")],           # mixed
+        "doc_id long, text string")
+    target = raw.filter("doc_id = 0")            # target = German doc
+    out = {r.doc_id: r for r in dsir_weights(raw, target).collect()}
+    # the doc identical to the target has the highest weight;
+    # the disjoint English doc the lowest
+    assert out[0].log_weight > out[2].log_weight > out[1].log_weight
+    assert out[0].n_tokens == 4
+
+
+def test_dsir_weights_blank_doc_visible(spark):
+    raw = spark.createDataFrame([(0, "a b"), (1, "")],
+                                "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dsir_weights(raw, raw.filter("doc_id = 0")).collect()}
+    assert out[1].n_tokens == 0 and out[1].log_weight is None
+
+
+def test_dsir_select_deterministic_and_bounded(spark):
+    raw = spark.createDataFrame(
+        [(i, f"tok{i % 7} common word filler") for i in range(40)],
+        "doc_id long, text string")
+    target = raw.filter("doc_id % 7 = 0")
+    a = [r.doc_id for r in dsir_select(raw, target, n=10).collect()]
+    b = [r.doc_id for r in dsir_select(raw, target, n=10).collect()]
+    assert a == b and len(a) == 10                # reproducible, exact n
+    cols = dsir_select(raw, target, n=10).columns
+    assert cols == ["doc_id", "n_tokens", "log_weight",
+                    "avg_log_weight", "gumbel_key"]

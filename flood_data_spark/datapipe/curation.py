@@ -441,8 +441,15 @@ def dsir_weights(df: DataFrame, target: DataFrame,
               .groupBy("term").agg(F.count("*").alias("raw_count")))
     tgt_lm = (term_rows(target, id_col, text_col)
               .groupBy("term").agg(F.count("*").alias("tgt_count")))
+    # localCheckpoint: `vocab` feeds BOTH the totals aggregate and the
+    # scoring join — without it Spark recomputes the whole subtree
+    # (including the corpus-sized raw_lm aggregation) once per consumer;
+    # the checkpointed relation is vocabulary-bounded, so materializing
+    # it costs megabytes while saving a second pass over the corpus.
+    # Lazy (eager=False): blocks persist at first use, no extra action.
     vocab = (raw_lm.join(tgt_lm, "term", "full_outer")
-             .na.fill({"raw_count": 0, "tgt_count": 0}))
+             .na.fill({"raw_count": 0, "tgt_count": 0})
+             .localCheckpoint(eager=False))
     totals = F.broadcast(vocab.agg(
         F.sum("raw_count").alias("raw_total"),
         F.sum("tgt_count").alias("tgt_total"),

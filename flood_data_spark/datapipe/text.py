@@ -286,11 +286,16 @@ def bm25_topk(df: DataFrame, query_terms, k: int = 10,
     Plan: the expensive relation is the (id, term) explode, immediately
     filtered to the query's term set — a literal IN list, so the filter is
     row-local inside the same stage as the scan and the surviving relation
-    is query-sized, not corpus-sized.  Document length comes from a scalar
-    `token_count` column expression (no second explode); N and avgdl enter
-    as one broadcast scalar row; per-term doc frequency over the filtered
-    relation is |q|-bounded and broadcast.  One corpus scan, two tiny
-    hash-agg shuffles, one TakeOrdered — no global sort, no UDF.
+    is query-sized, not corpus-sized.  Document length rides ALONG that
+    explode as a scalar `token_count` column and is re-collapsed with
+    first() in the same tf aggregation — no corpus-sized doclen join back
+    on id (on a 100 TB corpus a common query term matches most documents,
+    so that join would shuffle the whole id space twice).  N and avgdl
+    enter as one broadcast scalar row from a separate scalar-only scan
+    (column-pruned to the text column, no shuffle); per-term doc frequency
+    over the filtered relation is |q|-bounded and broadcast.  One
+    query-sized hash-agg shuffle + one |q|-sized one, one TakeOrdered —
+    no global sort, no UDF.
 
     Ties break (bm25 desc, id asc) so top-k is reproducible; returns
     (id_col, n_hit_terms, bm25).
@@ -299,18 +304,21 @@ def bm25_topk(df: DataFrame, query_terms, k: int = 10,
     if not qterms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
 
-    doclen = df.select(F.col(id_col).alias("id"),
-                       token_count(F.col(text_col)).alias("dl"))
-    stats = F.broadcast(doclen.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")))
+    stats = F.broadcast(df.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(token_count(F.col(text_col))).alias("avgdl")))
 
-    tf = (term_rows(df, id_col, text_col)
+    tf = (df
+          .select(F.col(id_col).alias("id"),
+                  token_count(F.col(text_col)).alias("dl"),
+                  F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+")).alias("term"))
           .filter(F.col("term").isin(qterms))
-          .groupBy("id", "term").agg(F.count("*").alias("tf")))
+          .groupBy("id", "term")
+          .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
 
     scored = (tf.join(F.broadcast(dfreq), "term")
-              .join(doclen, "id")
               .crossJoin(stats)
               .withColumn(
                   "idf",
@@ -457,12 +465,21 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                         F.col("bg.w2").alias("w2")))
 
     lm_src = lm_corpus if lm_corpus is not None else df
+    # localCheckpoint both LM tables: lm_bg feeds the scoring join AND
+    # lm_ctx; lm_uni feeds the scoring join AND the totals scalar —
+    # without it each derived consumer recomputes its corpus-sized
+    # explode+aggregate from scratch (the corpus would be exploded five
+    # times instead of twice).  Both relations are distinct-bigram- /
+    # vocabulary-bounded, so the persisted blocks are small.  Lazy
+    # (eager=False): no extra action, blocks persist at first use.
     lm_bg = (_bigram_rows(lm_src)
-             .groupBy("w1", "w2").agg(F.count("*").alias("bg_count")))
+             .groupBy("w1", "w2").agg(F.count("*").alias("bg_count"))
+             .localCheckpoint(eager=False))
     lm_ctx = (lm_bg.groupBy("w1")
               .agg(F.sum("bg_count").alias("ctx_count")))
     lm_uni = (term_rows(lm_src, id_col, text_col)
-              .groupBy("term").agg(F.count("*").alias("uni_count")))
+              .groupBy("term").agg(F.count("*").alias("uni_count"))
+              .localCheckpoint(eager=False))
     totals = F.broadcast(lm_uni.agg(
         F.sum("uni_count").alias("uni_total"),
         F.count("*").alias("uni_vocab")))

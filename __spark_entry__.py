@@ -979,6 +979,29 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.col("cluster").cast("int").alias("cluster")))
 
 
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (datapipe/clustering.cluster_balanced_sample): at most 40 vectors per
+    k-means cluster under the same three FIXED axis-aligned centroids as
+    q_kmeans_assign, ranked by md5(vec_id) — the SemDeDup-style per-topic
+    quota step.  Full value oracle: assignment argmin + md5 window rank
+    are both exact ANSI arithmetic."""
+    from flood_data_spark.datapipe.clustering import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(F.size("embedding").alias("d")).first().d
+    if d != 64:
+        raise ValueError(f"q_cluster_sample expects 64-dim embeddings "
+                         f"(oracle hardcodes components 0/20/40), got {d}")
+    cents = []
+    for j in range(3):
+        row = [0.0] * d
+        row[j * 20] = 1.0
+        cents.append(row)
+    return (cluster_balanced_sample(emb, cents, per_cluster=40)
+            .select("vec_id", F.col("cluster").cast("int").alias("cluster")))
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training's first-round pair statistics (datapipe/bpe.py): the
     top-20 adjacent character pairs weighted by word frequency — the
@@ -1953,12 +1976,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round, third batch (5) ---
+        # --- new this round, third batch (6) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_select": q_dsir_select,
+        "q_cluster_sample": q_cluster_sample,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2004,8 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_sample": q_hash_sample,
         "q_split_assign": q_split_assign,
         "q_split_budget": q_split_budget,
-        "q_stratified_sample": q_stratified_sample,
         # ---------------- gate window boundary (50) ----------------
+        "q_stratified_sample": q_stratified_sample,
         # Pushed out this rotation to make room for the round-7 third
         # batch: the five self-contained relational-core queries below
         # (green since r5, zero module churn — they import no package
@@ -2877,6 +2901,26 @@ def oracle_sql() -> dict[str, str]:
                              WHEN e[21] >= e[41] THEN 1
                              ELSE 2 END AS INT) AS cluster
             FROM v
+        """,
+        # q_cluster_sample: per-cluster quota under the q_kmeans_assign
+        # argmin + the engine-portable md5 rank
+        "q_cluster_sample": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            a AS (
+                SELECT vec_id,
+                       CAST(CASE WHEN e[1] >= e[21] AND e[1] >= e[41] THEN 0
+                                 WHEN e[21] >= e[41] THEN 1
+                                 ELSE 2 END AS INT) AS cluster
+                FROM v),
+            r AS (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY cluster
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                    vec_id ASC) AS rn
+                FROM a)
+            SELECT vec_id, cluster FROM r WHERE rn <= 40
         """,
         # q_bpe_pairs: full value oracle for BPE round-1 pair statistics —
         # adjacent char pairs weighted by word frequency, top-20 with the

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q_ngram_jaccard_capped_3k",
     "q_repeated_spans_full",
     "q_ts_pattern_full",
+    "q_bigram_ppl_full",
     "q_bpe_train_full",
     "q_ivfpq_search",
     "q_threshold_summary",
@@ -85,6 +86,12 @@ BENCH_QUERIES = [
     "q_line_dedup",
     "q_curation_v2",
     "q_dedup_against",
+    # round-7 third batch: lexical retrieval + quality rules + importance
+    # resampling (registry entries run the FULL corpus at this sf already;
+    # the full-corpus bigram entry runs in the heavy front block)
+    "q_bm25_topk",
+    "q_gopher_rules_full",
+    "q_dsir_weights",
 ]
 
 _IVF_INDEX = {}
@@ -268,7 +275,28 @@ def _q_bpe_train_full(spark, sf_dir):
     return vocab
 
 
+def _q_gopher_rules_full(spark, sf_dir):
+    """Gopher rule battery over the whole documents table (the registry
+    entry bounds to 400 docs for the oracle): one zero-shuffle codegen
+    projection — this measures corpus-scan throughput with the full
+    regex/higher-order-function battery applied."""
+    from flood_data_spark.datapipe.text import with_gopher_rules
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_gopher_rules(docs).drop("text")
+
+
+def _q_bigram_ppl_full(spark, sf_dir):
+    """Interpolated bigram LM scoring of the ENTIRE corpus against an LM
+    fit on the same corpus (the registry entry scores the 300-doc oracle
+    subset) — both the fit and the scoring join at full volume."""
+    from flood_data_spark.datapipe.text import bigram_lm_scores
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm_scores(docs)
+
+
 EXTRA_QUERIES = {
+    "q_gopher_rules_full": _q_gopher_rules_full,
+    "q_bigram_ppl_full": _q_bigram_ppl_full,
     "q_threshold_summary_approx_plain": _q_threshold_summary_approx_plain,
     "q_ivf_build": _q_ivf_build,
     "q_ivf_probe": _q_ivf_probe,
@@ -332,7 +360,7 @@ def main():
     _MIN_OF_2 = {"q_threshold_summary_x10", "q_peak_timing_x10",
                  "q_ngram_jaccard_capped_3k", "q_repeated_spans_full",
                  "q_ts_pattern_full", "q_bpe_train_full",
-                 "q_ivfpq_search"}
+                 "q_ivfpq_search", "q_bigram_ppl_full"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -147,3 +147,40 @@ def kmeans_assign(df: DataFrame, centroids: list,
     return df.withColumn(
         cluster_col,
         _assign_expr(_normalized(F.col(vec_col)), centroids))
+
+
+def cluster_balanced_sample(df: DataFrame, centroids: list,
+                            per_cluster: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            cluster_col: str = "cluster") -> DataFrame:
+    """Diversity sampling: keep at most `per_cluster` rows from each
+    k-means cluster — the quota step of SemDeDup/DC-style pipelines, where
+    pruning happens PER semantic cluster so no topic is wiped out by a
+    global cut.
+
+    Row selection within a cluster is deterministic and engine-portable:
+    rows rank by md5(id) (a pseudo-random but reproducible order — the
+    same trick as curation.hash_sample), tie-broken by id, so the chosen
+    subset is independent of partitioning, run, and engine.
+
+    Plan: the assignment is `kmeans_assign`'s expression-only argmin (no
+    join, no shuffle) and the quota is ONE window partitioned by cluster —
+    a single k-keyed exchange whose partitions are cluster-sized.  With a
+    skewed cluster distribution the hot cluster's partition carries its
+    full membership; at 100 TB cap the skew the same way `cap_per_key`
+    documents (salt the window key, take per-salt quotas, re-cap) or
+    pre-filter with a sampled quantile of the md5 rank.
+    """
+    if per_cluster < 1:
+        raise ValueError("cluster_balanced_sample: per_cluster must be >= 1")
+    from pyspark.sql import Window
+
+    assigned = kmeans_assign(df, centroids, id_col, vec_col, cluster_col)
+    w = (Window.partitionBy(cluster_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")).asc(),
+                  F.col(id_col).asc()))
+    return (assigned
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= per_cluster)
+            .drop("_rn"))

@@ -84,3 +84,45 @@ def test_assign_is_expression_only_no_shuffle(spark):
     plan = kmeans_assign(df, centroids)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    from flood_data_spark.datapipe.clustering import cluster_balanced_sample
+
+    # 30 vectors in 3 axis-aligned blobs of 10 (dims 0/2/4 of a 6-dim space)
+    rows = []
+    for i in range(30):
+        v = [0.0] * 6
+        v[(i % 3) * 2] = 1.0 + i * 0.01
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0, 0, 0, 0, 0], [0, 0, 1.0, 0, 0, 0],
+             [0, 0, 0, 0, 1.0, 0]]
+    out = cluster_balanced_sample(df, cents, per_cluster=4).collect()
+    # exactly 4 per cluster, all three clusters represented
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r.vec_id)
+    assert set(by_cluster) == {0, 1, 2}
+    assert all(len(v) == 4 for v in by_cluster.values())
+    # members really belong to their cluster (blob structure preserved)
+    for c, ids in by_cluster.items():
+        assert all(i % 3 == c for i in ids)
+    # deterministic across invocations
+    again = cluster_balanced_sample(df, cents, per_cluster=4).collect()
+    assert sorted((r.vec_id, r.cluster) for r in out) \
+        == sorted((r.vec_id, r.cluster) for r in again)
+
+
+def test_cluster_balanced_sample_small_cluster_kept_whole(spark):
+    from flood_data_spark.datapipe.clustering import cluster_balanced_sample
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.1, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = cluster_balanced_sample(df, cents, per_cluster=5).collect()
+    assert len(out) == 3                       # quota above size: all kept
+    with _pytest.raises(ValueError):
+        cluster_balanced_sample(df, cents, per_cluster=0)

@@ -927,6 +927,36 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "dedup_stream_", output_mode="append")
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9 streaming, driver-gated: global token heavy hitters as
+    a Structured Stream (streaming/file_stream.heavy_hitters_stream) —
+    complete output mode, no watermark (state is vocabulary-bounded, one
+    counter per distinct term), availableNow into a memory sink.  The
+    oracle is the batch GROUP BY + HAVING, so the gate proves stream/batch
+    parity for the unbounded-key global-aggregation category (the three
+    existing streaming gates cover windowed aggregation, keyed dedup, and
+    session windows)."""
+    from flood_data_spark.streaming.file_stream import heavy_hitters_stream
+
+    def build(stream):
+        return heavy_hitters_stream(stream.select("text"), min_count=40)
+
+    return _run_file_stream(spark, f"{sf_dir}/documents.parquet", build,
+                            "stream_topk_", output_mode="complete")
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-trigram diversity signal (datapipe/text.with_ngram_diversity):
+    the zero-shuffle compressibility proxy — n-gram list built row-locally,
+    deduplicated with array_distinct, no explode.  Full value oracle."""
+    from flood_data_spark.datapipe.text import with_ngram_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return (with_ngram_diversity(docs, n=3)
+            .select("doc_id", "nd_n_ngrams", "nd_n_distinct",
+                    "nd_diversity"))
+
+
 def q_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract for the distributed Lloyd's k-means
     (datapipe/clustering.py): fit k=8 over the embeddings corpus (every
@@ -1976,13 +2006,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round, third batch (6) ---
+        # --- new this round, third batch (8) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_select": q_dsir_select,
         "q_cluster_sample": q_cluster_sample,
+        "q_stream_topk": q_stream_topk,
+        "q_ngram_diversity": q_ngram_diversity,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2026,9 +2058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_against": q_dedup_against,
         "q_jaccard_cross": q_jaccard_cross,
         "q_hash_sample": q_hash_sample,
+        # ---------------- gate window boundary (50) ----------------
         "q_split_assign": q_split_assign,
         "q_split_budget": q_split_budget,
-        # ---------------- gate window boundary (50) ----------------
         "q_stratified_sample": q_stratified_sample,
         # Pushed out this rotation to make room for the round-7 third
         # batch: the five self-contained relational-core queries below
@@ -2901,6 +2933,44 @@ def oracle_sql() -> dict[str, str]:
                              WHEN e[21] >= e[41] THEN 1
                              ELSE 2 END AS INT) AS cluster
             FROM v
+        """,
+        # q_stream_topk's oracle is the identical batch aggregation: the
+        # complete-mode availableNow run must reproduce it exactly
+        # (stream/batch parity for the global-aggregation category)
+        "q_stream_topk": """
+            SELECT term, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split_regex(lower(trim(text)),
+                                                   '\\s+')) AS term
+                  FROM documents)
+            WHERE term <> ''
+            GROUP BY term
+            HAVING count(*) >= 40
+        """,
+        # q_ngram_diversity: row-local trigram list + distinct count,
+        # 1-based inclusive list slices
+        "q_ngram_diversity": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS l
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(l) >= 3
+                            THEN [array_to_string(l[i:i+2], ' ')
+                                  for i in range(1, len(l) - 1)]
+                            ELSE [] END AS grams
+                FROM base)
+            SELECT doc_id,
+                   CAST(len(grams) AS BIGINT) AS nd_n_ngrams,
+                   CAST(len(list_distinct(grams)) AS BIGINT)
+                       AS nd_n_distinct,
+                   CASE WHEN len(grams) > 0
+                        THEN round(len(list_distinct(grams))
+                                   / CAST(len(grams) AS DOUBLE), 6)
+                   END AS nd_diversity
+            FROM g
         """,
         # q_cluster_sample: per-cluster quota under the q_kmeans_assign
         # argmin + the engine-portable md5 rank

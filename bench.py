@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "q_repeated_spans_full",
     "q_ts_pattern_full",
     "q_bigram_ppl_full",
+    "q_dedup_exact_x10",
+    "q_minhash_lsh_x10",
+    "q_line_dedup_x10",
     "q_bpe_train_full",
     "q_ivfpq_search",
     "q_threshold_summary",
@@ -275,6 +278,60 @@ def _q_bpe_train_full(spark, sf_dir):
     return vocab
 
 
+def _scaled_documents_path(spark, sf_dir):
+    """Materialize (once, cached on disk across rounds) a deterministic
+    10x documents table: each doc replicated with a per-replica suffix
+    token, so replicas are NEAR-duplicates (exact dedup keeps them apart;
+    MinHash bands collide on them — 10x pair pressure, the LSH stress
+    mode) and doc_ids stay unique via the same *16+r remap as the
+    lineitem tier.  16 output files = 16 scan tasks (the
+    single-row-group lesson in SCALE_NOTES).  Generation is NOT timed."""
+    from pyspark.sql import functions as F
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".bench_scale", f"documents_x10_{sf_tag}_p16")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .repartition(16)
+        (docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(9))))
+         .withColumn("text",
+                     F.concat(F.col("text"), F.lit(" replica"),
+                              F.col("_r").cast("string")))
+         .withColumn("doc_id", F.col("doc_id") * 16 + F.col("_r"))
+         .drop("_r")
+         .write.mode("overwrite").parquet(out))
+    return out
+
+
+def _q_dedup_exact_x10(spark, sf_dir):
+    """Exact dedup (digest groupBy — text never shuffles) on the 50k-doc
+    near-duplicate tier: the 100 TB shape of the most common curation
+    pass, at 10x the corpus the registry entry sees."""
+    from flood_data_spark.datapipe.dedup import exact_dedup
+    docs = spark.read.parquet(_scaled_documents_path(spark, sf_dir))
+    return exact_dedup(docs)
+
+
+def _q_minhash_lsh_x10(spark, sf_dir):
+    """MinHash+LSH over 3,000 docs of the near-duplicate tier (the
+    registry entry sees 200 clean docs): every original's 10 replicas
+    collide in every band, so the banded equi-join carries real
+    candidate-pair pressure — the LSH scale mode."""
+    from flood_data_spark.datapipe.dedup import minhash_lsh_pairs
+    docs = (spark.read.parquet(_scaled_documents_path(spark, sf_dir))
+            .filter("doc_id < 4800"))             # 300 originals x 16-remap
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+
+
+def _q_line_dedup_x10(spark, sf_dir):
+    """Cross-document line dedup at 10x volume: the explode + first-seen
+    window shape with every line appearing ~10x more often (boilerplate
+    pressure)."""
+    from flood_data_spark.datapipe.curation import dedup_lines
+    docs = spark.read.parquet(_scaled_documents_path(spark, sf_dir))
+    return dedup_lines(docs)
+
+
 def _q_gopher_rules_full(spark, sf_dir):
     """Gopher rule battery over the whole documents table (the registry
     entry bounds to 400 docs for the oracle): one zero-shuffle codegen
@@ -296,6 +353,9 @@ def _q_bigram_ppl_full(spark, sf_dir):
 
 EXTRA_QUERIES = {
     "q_gopher_rules_full": _q_gopher_rules_full,
+    "q_dedup_exact_x10": _q_dedup_exact_x10,
+    "q_minhash_lsh_x10": _q_minhash_lsh_x10,
+    "q_line_dedup_x10": _q_line_dedup_x10,
     "q_bigram_ppl_full": _q_bigram_ppl_full,
     "q_threshold_summary_approx_plain": _q_threshold_summary_approx_plain,
     "q_ivf_build": _q_ivf_build,
@@ -327,8 +387,9 @@ def main():
     # region (the first noop write otherwise pays one-time codegen setup)
     spark.read.parquet(f"{SF_DIR}/region.parquet") \
         .write.format("noop").mode("overwrite").save()
-    # materialize the 10x tier input before any timing starts
+    # materialize the 10x tier inputs before any timing starts
     _scaled_lineitem_path(spark, SF_DIR)
+    _scaled_documents_path(spark, SF_DIR)
     # prime the heavyweight operator classes (ObjectHashAggregate percentile
     # buffers, window exec, broadcast exchange) on a 100-row synthetic frame:
     # a long-running cluster has these JIT-ed long before any daily batch,
@@ -360,7 +421,9 @@ def main():
     _MIN_OF_2 = {"q_threshold_summary_x10", "q_peak_timing_x10",
                  "q_ngram_jaccard_capped_3k", "q_repeated_spans_full",
                  "q_ts_pattern_full", "q_bpe_train_full",
-                 "q_ivfpq_search", "q_bigram_ppl_full"}
+                 "q_ivfpq_search", "q_bigram_ppl_full",
+                 "q_dedup_exact_x10", "q_minhash_lsh_x10",
+                 "q_line_dedup_x10"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -513,3 +513,41 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     return (ids.join(agg, id_col, "left")
             .withColumn("n_bigrams",
                         F.coalesce(F.col("n_bigrams"), F.lit(0))))
+
+
+def with_ngram_diversity(df: DataFrame, n: int = 3,
+                         text_col: str = "text",
+                         prefix: str = "nd_") -> DataFrame:
+    """Distinct-n-gram ratio per document — the cheap compressibility
+    proxy for templated/looping text (Gopher's repetition family at
+    n-gram granularity; low diversity = the doc repeats itself).
+
+    Adds (prefix)n_ngrams, (prefix)n_distinct, (prefix)diversity
+    (distinct/total, null when the doc has < n tokens — too short to
+    judge, same visibility discipline as the LM scorers).
+
+    Entirely scalar: the n-gram list is built row-locally
+    (transform over an index sequence + array slices) and de-duplicated
+    with array_distinct — no explode, no shuffle, whole-stage codegen,
+    ANSI-expressible (q_ngram_diversity value-hashes it).
+    """
+    if n < 1:
+        raise ValueError("with_ngram_diversity: n must be >= 1")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda w: w != "")
+    cnt = F.size(toks)
+    grams = F.when(
+        cnt >= n,
+        F.transform(F.sequence(F.lit(1), cnt - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    return (df
+            .withColumn(prefix + "n_ngrams", n_grams.cast("long"))
+            .withColumn(prefix + "n_distinct",
+                        F.size(F.array_distinct(grams)).cast("long"))
+            .withColumn(
+                prefix + "diversity",
+                F.when(n_grams > 0,
+                       F.round(F.col(prefix + "n_distinct")
+                               / n_grams.cast("double"), 6))))

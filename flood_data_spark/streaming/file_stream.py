@@ -203,3 +203,27 @@ def run_available_now(agg_df: DataFrame, checkpoint_dir: str,
              .outputMode(output_mode or "append")
              .start())
     return q
+
+
+def heavy_hitters_stream(stream_df: DataFrame, text_col: str = "text",
+                         min_count: int = 100) -> DataFrame:
+    """Streaming heavy hitters: global token-frequency aggregation over a
+    document stream (complete output mode), emitting terms whose running
+    count has reached `min_count` — the streaming twin of the batch
+    token-frequency heavy hitters.
+
+    No watermark, deliberately: the aggregation state is one counter per
+    DISTINCT term — vocabulary-bounded (the same bound build_vocab
+    documents), not stream-length-bounded — so state stays small however
+    long the stream runs.  Complete mode re-emits the full passing set
+    each trigger; under `availableNow` the final table is exactly the
+    batch aggregation (q_stream_topk proves rows+schema+hash parity).
+    """
+    toks = (stream_df
+            .select(F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+                .alias("term"))
+            .filter(F.col("term") != ""))
+    return (toks.groupBy("term")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_count))

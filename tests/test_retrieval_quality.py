@@ -169,3 +169,29 @@ def test_dsir_select_deterministic_and_bounded(spark):
     cols = dsir_select(raw, target, n=10).columns
     assert cols == ["doc_id", "n_tokens", "log_weight",
                     "avg_log_weight", "gumbel_key"]
+
+
+# ------------------------------------------------- n-gram diversity
+
+def test_ngram_diversity_hand_computed(spark):
+    from flood_data_spark.datapipe.text import with_ngram_diversity
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"),       # trigrams: aba, bab, aba, bab → 4/2
+         (1, "w x y z"),           # wxy, xyz → 2 distinct
+         (2, "a b"),               # too short for n=3
+         (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in with_ngram_diversity(df, n=3).collect()}
+    assert out[0].nd_n_ngrams == 4 and out[0].nd_n_distinct == 2
+    assert out[0].nd_diversity == pytest.approx(0.5)
+    assert out[1].nd_n_ngrams == 2 and out[1].nd_diversity == 1.0
+    assert out[2].nd_n_ngrams == 0 and out[2].nd_diversity is None
+    assert out[3].nd_n_ngrams == 0 and out[3].nd_diversity is None
+
+
+def test_ngram_diversity_rejects_bad_n(spark):
+    from flood_data_spark.datapipe.text import with_ngram_diversity
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        with_ngram_diversity(df, n=0)

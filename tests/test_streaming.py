@@ -310,3 +310,33 @@ def test_session_stream_batch_parity(spark, tmp_path):
     b = rows_set(batch)
     s = rows_set(got)
     assert b == s and len(b) == 4  # u1: 2 sessions, u2: 2 sessions
+
+
+def test_heavy_hitters_stream_batch_parity(spark, tmp_path):
+    """availableNow heavy_hitters_stream (complete mode, no watermark —
+    vocabulary-bounded state) == the batch GROUP BY + HAVING on the same
+    files, including counts ACROSS file boundaries (the stream must merge
+    per-batch state, not emit per-file counts)."""
+    import os
+
+    import pandas as pd
+    from flood_data_spark.streaming.file_stream import (
+        heavy_hitters_stream, run_available_now)
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [0, 1], "text": ["a a b c", "a b b d"]}) \
+        .to_parquet(os.path.join(src, "f0.parquet"))
+    pd.DataFrame({"doc_id": [2], "text": ["a c c e"]}) \
+        .to_parquet(os.path.join(src, "f1.parquet"))
+
+    batch_df = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    agg = heavy_hitters_stream(stream, min_count=3)
+    q = run_available_now(agg, str(tmp_path / "ckpt"),
+                          query_name="hh_stream_test",
+                          output_mode="complete")
+    q.awaitTermination()
+    got = {(r.term, r.n) for r in spark.table("hh_stream_test").collect()}
+    # a: 2+1+1=4, b: 1+2=3, c: 1+2=3; d/e below threshold
+    assert got == {("a", 4), ("b", 3), ("c", 3)}

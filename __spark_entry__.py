@@ -957,6 +957,17 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "nd_diversity"))
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixture weights
+    (datapipe/curation.source_mixture_weights): per-source sampling weight
+    proportional to (token share)^0.3 — the XLM-R multinomial rebalancing
+    for assembling a multi-source training mix.  One scan, group-bounded
+    everything after.  Full value oracle."""
+    from flood_data_spark.datapipe.curation import source_mixture_weights
+
+    return source_mixture_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
 def q_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract for the distributed Lloyd's k-means
     (datapipe/clustering.py): fit k=8 over the embeddings corpus (every
@@ -2006,7 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round, third batch (8) ---
+        # --- new this round, third batch (9) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
@@ -2015,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_sample": q_cluster_sample,
         "q_stream_topk": q_stream_topk,
         "q_ngram_diversity": q_ngram_diversity,
+        "q_mixture_weights": q_mixture_weights,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2057,8 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_against": q_dedup_against,
         "q_jaccard_cross": q_jaccard_cross,
-        "q_hash_sample": q_hash_sample,
         # ---------------- gate window boundary (50) ----------------
+        "q_hash_sample": q_hash_sample,
         "q_split_assign": q_split_assign,
         "q_split_budget": q_split_budget,
         "q_stratified_sample": q_stratified_sample,
@@ -2971,6 +2983,32 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(len(grams) AS DOUBLE), 6)
                    END AS nd_diversity
             FROM g
+        """,
+        # q_mixture_weights: temperature rebalancing — same expression
+        # structure both sides so the pow/round doubles agree
+        "q_mixture_weights": """
+            WITH per AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                                            '\\s+'))
+                                END) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+                    FROM per),
+            sh AS (SELECT per.source, per.n_docs, per.n_tokens,
+                          per.n_tokens / CAST(t.total_tokens AS DOUBLE)
+                              AS token_share,
+                          pow(per.n_tokens
+                              / CAST(t.total_tokens AS DOUBLE), 0.3)
+                              AS scaled
+                   FROM per, tot t),
+            z AS (SELECT sum(scaled) AS z FROM sh)
+            SELECT source, n_docs, n_tokens,
+                   round(token_share, 6) AS token_share,
+                   round(scaled / z.z, 6) AS weight
+            FROM sh, z
         """,
         # q_cluster_sample: per-cluster quota under the q_kmeans_assign
         # argmin + the engine-portable md5 rank

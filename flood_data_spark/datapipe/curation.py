@@ -507,3 +507,47 @@ def dsir_select(df: DataFrame, target: DataFrame, n: int,
                                 - F.log(-F.log(u)), 6))
             .orderBy(F.desc("gumbel_key"), F.asc(id_col))
             .limit(n))
+
+
+def source_mixture_weights(df: DataFrame, alpha: float = 0.3,
+                           group_col: str = "source",
+                           text_col: str = "text") -> DataFrame:
+    """Temperature-scaled corpus mixture weights: per source (or language,
+    or any grouping), sampling weight proportional to (token share)^alpha —
+    the standard multinomial-temperature rebalancing (alpha=0.3 is the
+    XLM-R/mBERT choice) that up-samples small sources and flattens
+    over-represented ones when assembling a multi-source training mix.
+
+    Returns (group_col, n_docs, n_tokens, token_share, weight) with
+    weights summing to 1 over the groups present.
+
+    Plan: ONE corpus scan into a per-group aggregate (token counts ride as
+    a scalar `token_count` expression — no explode), then the
+    normalization joins the group-sized relation against its own one-row
+    total as a broadcast cross — group-bounded work end-to-end after the
+    scan, no window, no UDF; fully ANSI (q_mixture_weights value-hashes
+    it).  At 100 TB the scan is the cost; everything after is |groups|
+    rows.
+    """
+    from flood_data_spark.datapipe.text import token_count
+
+    if alpha <= 0:
+        raise ValueError("source_mixture_weights: alpha must be > 0")
+    per_group = (df.groupBy(group_col)
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum(token_count(F.col(text_col)))
+                      .alias("n_tokens")))
+    totals = F.broadcast(per_group.agg(
+        F.sum("n_tokens").alias("total_tokens")))
+    shared = (per_group.crossJoin(totals)
+              .withColumn("token_share",
+                          F.col("n_tokens")
+                          / F.col("total_tokens").cast("double"))
+              .withColumn("_scaled", F.pow(F.col("token_share"),
+                                           F.lit(alpha))))
+    norm = F.broadcast(shared.agg(F.sum("_scaled").alias("_z")))
+    return (shared.crossJoin(norm)
+            .select(group_col, "n_docs", "n_tokens",
+                    F.round("token_share", 6).alias("token_share"),
+                    F.round(F.col("_scaled") / F.col("_z"), 6)
+                    .alias("weight")))

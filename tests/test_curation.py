@@ -311,3 +311,27 @@ def test_pack_sequences_rejects_bad_token_budget(spark):
                                "doc_id long, source string, n_tokens long")
     with pytest.raises(ValueError, match="token_budget"):
         pack_sequences(df, token_budget=0)
+
+
+def test_source_mixture_weights_flattens_distribution(spark):
+    from flood_data_spark.datapipe.curation import source_mixture_weights
+    import pytest as _pytest
+
+    # source A: 8 docs x 4 tokens = 32; source B: 2 docs x 4 tokens = 8
+    rows = [(i, "a b c d", "A" if i < 8 else "B") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in
+           source_mixture_weights(df, alpha=0.3).collect()}
+    assert out["A"].n_docs == 8 and out["A"].n_tokens == 32
+    assert out["B"].n_tokens == 8
+    assert out["A"].token_share == _pytest.approx(0.8)
+    # temperature flattening: B's weight exceeds its raw share,
+    # A's falls below its raw share, both still ordered A > B, sum = 1
+    assert out["B"].weight > 0.2 and out["A"].weight < 0.8
+    assert out["A"].weight > out["B"].weight
+    assert out["A"].weight + out["B"].weight == _pytest.approx(1.0, abs=2e-6)
+    # hand value: w_A = .8^.3 / (.8^.3 + .2^.3)
+    exp_a = 0.8 ** 0.3 / (0.8 ** 0.3 + 0.2 ** 0.3)
+    assert out["A"].weight == _pytest.approx(exp_a, abs=1e-5)
+    with _pytest.raises(ValueError):
+        source_mixture_weights(df, alpha=0.0)

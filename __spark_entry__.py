@@ -2144,6 +2144,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Shared DSIR oracle core (rt..agg CTE chain): q_dsir_weights and
+# q_dsir_select both interpolate this single definition, so a fix to
+# the smoothing/vocab/token-filter arithmetic cannot drift between
+# the two gates.
+_DSIR_ORACLE_CTES = """rt AS (
+                SELECT id, term FROM (
+                    SELECT doc_id AS id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                                     '\\s+')) AS term
+                    FROM documents)
+                WHERE term <> ''),
+            tt AS (
+                SELECT id, term FROM (
+                    SELECT doc_id AS id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                                     '\\s+')) AS term
+                    FROM documents WHERE lang = 'de')
+                WHERE term <> ''),
+            raw_lm AS (SELECT term, count(*) AS raw_count
+                       FROM rt GROUP BY term),
+            tgt_lm AS (SELECT term, count(*) AS tgt_count
+                       FROM tt GROUP BY term),
+            vocab AS (
+                SELECT coalesce(r.term, t.term) AS term,
+                       coalesce(r.raw_count, 0) AS raw_count,
+                       coalesce(t.tgt_count, 0) AS tgt_count
+                FROM raw_lm r FULL OUTER JOIN tgt_lm t ON r.term = t.term),
+            tot AS (SELECT CAST(sum(raw_count) AS BIGINT) AS raw_total,
+                           CAST(sum(tgt_count) AS BIGINT) AS tgt_total,
+                           CAST(count(*) AS BIGINT) AS vocab_size
+                    FROM vocab),
+            ratio AS (
+                SELECT term,
+                       ln((tgt_count + 0.5)
+                          / (t.tgt_total + 0.5 * (t.vocab_size + 1)))
+                       - ln((raw_count + 0.5)
+                            / (t.raw_total + 0.5 * (t.vocab_size + 1)))
+                       AS log_ratio
+                FROM vocab, tot t),
+            agg AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       round(sum(log_ratio), 6) AS log_weight,
+                       round(avg(log_ratio), 6) AS avg_log_weight
+                FROM rt JOIN ratio USING (term) GROUP BY id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     p2 = "least(1.0, l_discount * 12)"
     # bit-identical z-normalized pattern constants for q_ts_pattern_topk
@@ -3337,47 +3383,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sig
         """,
         # q_dsir_weights: shared-support smoothed unigram log-ratio
-        "q_dsir_weights": """
-            WITH rt AS (
-                SELECT id, term FROM (
-                    SELECT doc_id AS id,
-                           unnest(string_split_regex(lower(trim(text)),
-                                                     '\\s+')) AS term
-                    FROM documents)
-                WHERE term <> ''),
-            tt AS (
-                SELECT id, term FROM (
-                    SELECT doc_id AS id,
-                           unnest(string_split_regex(lower(trim(text)),
-                                                     '\\s+')) AS term
-                    FROM documents WHERE lang = 'de')
-                WHERE term <> ''),
-            raw_lm AS (SELECT term, count(*) AS raw_count
-                       FROM rt GROUP BY term),
-            tgt_lm AS (SELECT term, count(*) AS tgt_count
-                       FROM tt GROUP BY term),
-            vocab AS (
-                SELECT coalesce(r.term, t.term) AS term,
-                       coalesce(r.raw_count, 0) AS raw_count,
-                       coalesce(t.tgt_count, 0) AS tgt_count
-                FROM raw_lm r FULL OUTER JOIN tgt_lm t ON r.term = t.term),
-            tot AS (SELECT CAST(sum(raw_count) AS BIGINT) AS raw_total,
-                           CAST(sum(tgt_count) AS BIGINT) AS tgt_total,
-                           CAST(count(*) AS BIGINT) AS vocab_size
-                    FROM vocab),
-            ratio AS (
-                SELECT term,
-                       ln((tgt_count + 0.5)
-                          / (t.tgt_total + 0.5 * (t.vocab_size + 1)))
-                       - ln((raw_count + 0.5)
-                            / (t.raw_total + 0.5 * (t.vocab_size + 1)))
-                       AS log_ratio
-                FROM vocab, tot t),
-            agg AS (
-                SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
-                       round(sum(log_ratio), 6) AS log_weight,
-                       round(avg(log_ratio), 6) AS avg_log_weight
-                FROM rt JOIN ratio USING (term) GROUP BY id)
+        "q_dsir_weights": f"""
+            WITH {_DSIR_ORACLE_CTES}
             SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
                    a.log_weight, a.avg_log_weight
             FROM (SELECT DISTINCT doc_id FROM documents) d
@@ -3387,47 +3394,8 @@ def oracle_sql() -> dict[str, str]:
         # 13-hex-digit value is rebuilt with integer shifts (exact BIGINT
         # sum) and divided by 2^52 so u is bit-identical to Spark's
         # conv(...,16,10)/16^13
-        "q_dsir_select": """
-            WITH rt AS (
-                SELECT id, term FROM (
-                    SELECT doc_id AS id,
-                           unnest(string_split_regex(lower(trim(text)),
-                                                     '\\s+')) AS term
-                    FROM documents)
-                WHERE term <> ''),
-            tt AS (
-                SELECT id, term FROM (
-                    SELECT doc_id AS id,
-                           unnest(string_split_regex(lower(trim(text)),
-                                                     '\\s+')) AS term
-                    FROM documents WHERE lang = 'de')
-                WHERE term <> ''),
-            raw_lm AS (SELECT term, count(*) AS raw_count
-                       FROM rt GROUP BY term),
-            tgt_lm AS (SELECT term, count(*) AS tgt_count
-                       FROM tt GROUP BY term),
-            vocab AS (
-                SELECT coalesce(r.term, t.term) AS term,
-                       coalesce(r.raw_count, 0) AS raw_count,
-                       coalesce(t.tgt_count, 0) AS tgt_count
-                FROM raw_lm r FULL OUTER JOIN tgt_lm t ON r.term = t.term),
-            tot AS (SELECT CAST(sum(raw_count) AS BIGINT) AS raw_total,
-                           CAST(sum(tgt_count) AS BIGINT) AS tgt_total,
-                           CAST(count(*) AS BIGINT) AS vocab_size
-                    FROM vocab),
-            ratio AS (
-                SELECT term,
-                       ln((tgt_count + 0.5)
-                          / (t.tgt_total + 0.5 * (t.vocab_size + 1)))
-                       - ln((raw_count + 0.5)
-                            / (t.raw_total + 0.5 * (t.vocab_size + 1)))
-                       AS log_ratio
-                FROM vocab, tot t),
-            agg AS (
-                SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
-                       round(sum(log_ratio), 6) AS log_weight,
-                       round(avg(log_ratio), 6) AS avg_log_weight
-                FROM rt JOIN ratio USING (term) GROUP BY id),
+        "q_dsir_select": f"""
+            WITH {_DSIR_ORACLE_CTES},
             keyed AS (
                 SELECT id AS doc_id, n_tokens, log_weight, avg_log_weight,
                        round(log_weight / 1.0

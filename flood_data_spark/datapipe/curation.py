@@ -435,6 +435,20 @@ def dsir_weights(df: DataFrame, target: DataFrame,
     log_weight (length-biased, the paper's form) or avg_log_weight
     (length-normalized) downstream.
     """
+    agg = _dsir_agg(df, target, id_col, text_col, alpha)
+    ids = df.select(F.col(id_col)).distinct()
+    return (ids.join(agg, id_col, "left")
+            .withColumn("n_tokens",
+                        F.coalesce(F.col("n_tokens"), F.lit(0))))
+
+
+def _dsir_agg(df: DataFrame, target: DataFrame, id_col: str,
+              text_col: str, alpha: float) -> DataFrame:
+    """Shared DSIR core: (id_col, n_tokens, log_weight, avg_log_weight)
+    for every document with >= 1 token.  `dsir_weights` adds the
+    zero-token visibility join on top; `dsir_select` consumes this
+    directly — its n_tokens > 0 cut would otherwise pay a full corpus
+    scan + id-space distinct shuffle just to discard the added rows."""
     from flood_data_spark.datapipe.text import term_rows
 
     raw_lm = (term_rows(df, id_col, text_col)
@@ -465,15 +479,11 @@ def dsir_weights(df: DataFrame, target: DataFrame,
                              + F.lit(alpha) * (F.col("vocab_size") + 1)))
                   ).alias("log_ratio")))
     doc_terms = term_rows(df, id_col, text_col)
-    agg = (doc_terms.join(ratio, "term")
-           .groupBy(F.col("id").alias(id_col))
-           .agg(F.count("*").alias("n_tokens"),
-                F.round(F.sum("log_ratio"), 6).alias("log_weight"),
-                F.round(F.avg("log_ratio"), 6).alias("avg_log_weight")))
-    ids = df.select(F.col(id_col)).distinct()
-    return (ids.join(agg, id_col, "left")
-            .withColumn("n_tokens",
-                        F.coalesce(F.col("n_tokens"), F.lit(0))))
+    return (doc_terms.join(ratio, "term")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.sum("log_ratio"), 6).alias("log_weight"),
+                 F.round(F.avg("log_ratio"), 6).alias("avg_log_weight")))
 
 
 def dsir_select(df: DataFrame, target: DataFrame, n: int,
@@ -495,14 +505,15 @@ def dsir_select(df: DataFrame, target: DataFrame, n: int,
 
     One TakeOrdered over the weights relation — no global sort.
     """
-    w = dsir_weights(df, target, id_col, text_col, alpha)
+    # _dsir_agg only emits documents with >= 1 token, so the zero-token
+    # visibility join (and the n_tokens > 0 cut it would force) is skipped
+    w = _dsir_agg(df, target, id_col, text_col, alpha)
     u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13),
                 16, 10).cast("double")
          / F.lit(float(16 ** 13)))
     # clamp away exact 0 (ln(0) = -inf) — md5 prefix 000..0
     u = F.greatest(u, F.lit(1e-18))
-    return (w.filter(F.col("n_tokens") > 0)
-            .withColumn("gumbel_key",
+    return (w.withColumn("gumbel_key",
                         F.round(F.col("log_weight") / F.lit(temperature)
                                 - F.log(-F.log(u)), 6))
             .orderBy(F.desc("gumbel_key"), F.asc(id_col))
@@ -533,10 +544,15 @@ def source_mixture_weights(df: DataFrame, alpha: float = 0.3,
 
     if alpha <= 0:
         raise ValueError("source_mixture_weights: alpha must be > 0")
+    # localCheckpoint: per_group feeds BOTH the totals scalar and the
+    # weight projection — without it each consumer recomputes the
+    # corpus-sized scan+aggregate (the same recompute class the DSIR/
+    # bigram LM tables fixed); the persisted relation is |groups| rows.
     per_group = (df.groupBy(group_col)
                  .agg(F.count("*").alias("n_docs"),
                       F.sum(token_count(F.col(text_col)))
-                      .alias("n_tokens")))
+                      .alias("n_tokens"))
+                 .localCheckpoint(eager=False))
     totals = F.broadcast(per_group.agg(
         F.sum("n_tokens").alias("total_tokens")))
     shared = (per_group.crossJoin(totals)

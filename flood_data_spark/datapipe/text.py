@@ -21,6 +21,15 @@ LANG_MARKERS = {
 }
 
 
+def _words(text_col) -> Column:
+    """Filtered lowercase word array — trim, lowercase, whitespace split,
+    empty tokens dropped.  THE tokenization every operator and every value
+    oracle mirrors; keep the three consumers (Gopher rules, bigram LM,
+    n-gram diversity) on this single definition."""
+    return F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"),
+                    lambda w: w != "")
+
+
 def token_count(text_col) -> Column:
     """Whitespace token count; empty/blank strings count 0 tokens."""
     t = F.trim(text_col)
@@ -372,8 +381,7 @@ def with_gopher_rules(df: DataFrame, text_col: str = "text",
     distinct common-English stopwords present.
     """
     t = F.col(text_col)
-    words = F.filter(F.split(F.lower(F.trim(t)), r"\s+"),
-                     lambda w: w != "")
+    words = _words(t)
     n_words = F.size(words).cast("long")
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")
     # total word characters / word count (whitespace chars excluded)
@@ -450,8 +458,7 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     metrics (same discipline as unigram_lm_scores).
     """
     def _bigram_rows(src: DataFrame) -> DataFrame:
-        toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                        lambda w: w != "")
+        toks = _words(F.col(text_col))
         n = F.size(toks)
         pairs = F.when(
             n >= 2,
@@ -533,8 +540,7 @@ def with_ngram_diversity(df: DataFrame, n: int = 3,
     """
     if n < 1:
         raise ValueError("with_ngram_diversity: n must be >= 1")
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda w: w != "")
+    toks = _words(F.col(text_col))
     cnt = F.size(toks)
     grams = F.when(
         cnt >= n,

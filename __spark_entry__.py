@@ -968,6 +968,20 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
 
 
+def q_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank normalization (datapipe/curation.rank_normalize):
+    percent_rank of the composite quality score WITHIN each source — the
+    per-domain percentile-cutoff primitive (a global score threshold
+    prunes domains unevenly; a per-source percentile removes the same
+    fraction everywhere).  Full value oracle (percent_rank tie semantics
+    are identical in ANSI SQL)."""
+    from flood_data_spark.datapipe.curation import rank_normalize
+
+    docs = with_quality_signals(_t(spark, sf_dir, "documents"))
+    return (rank_normalize(docs, "q_score", partition_cols=("source",))
+            .select("doc_id", "source", "q_score", "pct_rank"))
+
+
 def q_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract for the distributed Lloyd's k-means
     (datapipe/clustering.py): fit k=8 over the embeddings corpus (every
@@ -2017,7 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round, third batch (9) ---
+        # --- new this round, third batch (10) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
@@ -2027,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_topk": q_stream_topk,
         "q_ngram_diversity": q_ngram_diversity,
         "q_mixture_weights": q_mixture_weights,
+        "q_quality_rank": q_quality_rank,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2068,8 +2083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_against": q_dedup_against,
-        "q_jaccard_cross": q_jaccard_cross,
         # ---------------- gate window boundary (50) ----------------
+        "q_jaccard_cross": q_jaccard_cross,
         "q_hash_sample": q_hash_sample,
         "q_split_assign": q_split_assign,
         "q_split_budget": q_split_budget,
@@ -3029,6 +3044,49 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(len(grams) AS DOUBLE), 6)
                    END AS nd_diversity
             FROM g
+        """,
+        # q_quality_rank: per-source percent_rank of the q_quality score
+        # (same tie semantics both engines)
+        "q_quality_rank": """
+            WITH raw AS (
+                SELECT doc_id, source,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0.0
+                            ELSE CAST(len(string_split_regex(trim(text),
+                                                             '\\s+'))
+                                 AS DOUBLE)
+                       END AS n_tokens,
+                       CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                            AS DOUBLE) AS n_punct,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                            AS DOUBLE) AS n_alpha,
+                       CAST(len(regexp_extract_all(text,
+                            '(?i)\\b(the|and|of|to|is)\\b'))
+                            AS DOUBLE) AS n_stop
+                FROM documents),
+            ratios AS (
+                SELECT doc_id, source, n_chars, n_tokens,
+                       n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+                       n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+                       n_stop / greatest(n_tokens, 1.0) AS stop_ratio,
+                       n_chars / greatest(n_tokens, 1.0) AS mean_token_len
+                FROM raw),
+            scored AS (
+                SELECT doc_id, source,
+                       round(least(1.0,
+                             0.4 * alpha_ratio
+                           + 0.3 * least(1.0, stop_ratio * 5)
+                           + 0.2 * (CASE WHEN mean_token_len >= 3
+                                          AND mean_token_len <= 12
+                                         THEN 1.0 ELSE 0.0 END)
+                           + 0.1 * least(1.0, punct_ratio * 20)), 6)
+                           AS q_score
+                FROM ratios)
+            SELECT doc_id, source, q_score,
+                   round(percent_rank() OVER (PARTITION BY source
+                                              ORDER BY q_score ASC), 6)
+                       AS pct_rank
+            FROM scored
         """,
         # q_mixture_weights: temperature rebalancing — same expression
         # structure both sides so the pow/round doubles agree

@@ -567,3 +567,24 @@ def source_mixture_weights(df: DataFrame, alpha: float = 0.3,
                     F.round("token_share", 6).alias("token_share"),
                     F.round(F.col("_scaled") / F.col("_z"), 6)
                     .alias("weight")))
+
+
+def rank_normalize(df: DataFrame, value_col: str,
+                   partition_cols=("source",),
+                   out_col: str = "pct_rank") -> DataFrame:
+    """Per-group rank normalization: percent_rank of `value_col` within
+    each partition group, in [0, 1] (ties share a rank; a single-row
+    group scores 0) — the per-domain quality-threshold primitive.  A
+    fixed GLOBAL score cutoff over-prunes weak domains and under-prunes
+    strong ones; cutting at the same PERCENTILE within each source
+    removes the same fraction everywhere (the CCNet per-language-bucket
+    discipline).
+
+    One window pass per group.  Same scale caveat as pack_sequences:
+    partitions are group-sized, so partition by source/shard — an empty
+    `partition_cols` ranks globally through a single task (test-only).
+    """
+    parts = list(partition_cols or ())
+    w = (Window.partitionBy(*parts).orderBy(F.col(value_col).asc())
+         if parts else Window.orderBy(F.col(value_col).asc()))
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))

@@ -335,3 +335,18 @@ def test_source_mixture_weights_flattens_distribution(spark):
     assert out["A"].weight == _pytest.approx(exp_a, abs=1e-5)
     with _pytest.raises(ValueError):
         source_mixture_weights(df, alpha=0.0)
+
+
+def test_rank_normalize_per_group_percentiles(spark):
+    from flood_data_spark.datapipe.curation import rank_normalize
+    import pytest as _pytest
+
+    rows = [(0, 0.1, "A"), (1, 0.5, "A"), (2, 0.9, "A"),
+            (3, 0.2, "B"), (4, 0.2, "B"),          # tie in B
+            (5, 0.7, "C")]                          # singleton group
+    df = spark.createDataFrame(rows, "doc_id long, score double, source string")
+    out = {r.doc_id: r.pct_rank for r in
+           rank_normalize(df, "score").collect()}
+    assert out[0] == 0.0 and out[1] == 0.5 and out[2] == 1.0
+    assert out[3] == 0.0 and out[4] == 0.0          # ties share rank
+    assert out[5] == 0.0                            # single row → 0

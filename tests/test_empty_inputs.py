@@ -214,3 +214,38 @@ def test_round7_operators_on_empty_inputs(spark):
     wf = (word_frequencies(one_char)
           .select(_char_symbols(F.col("word")).alias("symbols"), "freq"))
     assert pair_counts(wf).count() == 0
+
+
+def test_round7_third_batch_on_empty_inputs(spark):
+    from flood_data_spark.datapipe.clustering import cluster_balanced_sample
+    from flood_data_spark.datapipe.curation import (
+        dsir_weights, rank_normalize, source_mixture_weights)
+    from flood_data_spark.datapipe.text import (
+        bigram_lm_scores, bm25_topk, with_gopher_rules,
+        with_ngram_diversity)
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string")
+
+    assert bm25_topk(empty, ["x"], k=5).count() == 0
+    assert with_gopher_rules(empty).count() == 0
+    assert with_ngram_diversity(empty).count() == 0
+    assert source_mixture_weights(empty).count() == 0
+    assert rank_normalize(empty, "doc_id").count() == 0
+    assert bigram_lm_scores(empty).count() == 0
+
+    # scoring docs against an EMPTY LM corpus: rows stay visible with
+    # null metrics (nothing to score against), never a crash
+    docs = spark.createDataFrame([(0, "a b", "s")],
+                                 "doc_id long, text string, source string")
+    out = bigram_lm_scores(docs, lm_corpus=empty).collect()
+    assert len(out) == 1 and out[0].n_bigrams == 1
+
+    # DSIR with an empty target: weights are pure raw-side penalties,
+    # defined (finite) for every document
+    w = dsir_weights(docs, empty).collect()
+    assert len(w) == 1 and w[0].log_weight is not None
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cluster_balanced_sample(
+        empty_emb, [[1.0, 0.0], [0.0, 1.0]], per_cluster=3).count() == 0

@@ -535,8 +535,13 @@ def with_ngram_diversity(df: DataFrame, n: int = 3,
 
     Entirely scalar: the n-gram list is built row-locally
     (transform over an index sequence + array slices) and de-duplicated
-    with array_distinct — no explode, no shuffle, whole-stage codegen,
-    ANSI-expressible (q_ngram_diversity value-hashes it).
+    with array_distinct — no explode, no shuffle, ANSI-expressible
+    (q_ngram_diversity value-hashes it).  Honest cost note: higher-order
+    array functions evaluate INTERPRETED (Spark exempts them from
+    whole-stage codegen), ~1 µs/gram measured — still scan-dominated on
+    real corpora, and trivially parallel (measured 14 s -> 1.15 s going
+    from a 1-row-group file to 32 scan tasks; the file-layout lesson in
+    SCALE_NOTES applies, not an operator limit).
     """
     if n < 1:
         raise ValueError("with_ngram_diversity: n must be >= 1")

@@ -1292,6 +1292,20 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_stats(docs, window=8)
 
 
+def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, removal step (datapipe/dedup.
+    remove_repeated_spans): rewrites each document with every token
+    covered by a cross-document duplicated 8-token span removed — the
+    REMOVE half of Lee et al. 2022 (q_repeated_spans is the FIND half,
+    same span relation).  Full value oracle including the rewritten text
+    (md5 span keys are engine-portable; reassembly orders by position on
+    both sides)."""
+    from flood_data_spark.datapipe.dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return remove_repeated_spans(docs, window=8)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware split assignment (datapipe/curation.leakage_safe_split):
     near-duplicate documents (jaccard >= 0.5 components) share one group id
@@ -2031,7 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round, third batch (10) ---
+        # --- new this round, third batch (11) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
@@ -2042,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_diversity": q_ngram_diversity,
         "q_mixture_weights": q_mixture_weights,
         "q_quality_rank": q_quality_rank,
+        "q_remove_spans": q_remove_spans,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2082,8 +2097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
-        "q_dedup_against": q_dedup_against,
         # ---------------- gate window boundary (50) ----------------
+        "q_dedup_against": q_dedup_against,
         "q_jaccard_cross": q_jaccard_cross,
         "q_hash_sample": q_hash_sample,
         "q_split_assign": q_split_assign,
@@ -3044,6 +3059,47 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(len(grams) AS DOUBLE), 6)
                    END AS nd_diversity
             FROM g
+        """,
+        # q_remove_spans: the rewritten text itself is value-hashed — md5
+        # span keys and ORDER BY position reassembly are identical both
+        # engines; list slices are 1-based inclusive (ts[i:i+7] = 8 tokens)
+        "q_remove_spans": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       CASE WHEN trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS ts
+                FROM documents WHERE doc_id < 300),
+            spans AS (
+                SELECT id,
+                       unnest(range(1, len(ts) - 6)) AS pos,
+                       unnest([md5(array_to_string(ts[i:i+7], ' '))
+                               for i in range(1, len(ts) - 6)]) AS h
+                FROM toks),
+            dup AS (SELECT h FROM spans GROUP BY h
+                    HAVING count(DISTINCT id) >= 2),
+            covered AS (
+                SELECT DISTINCT id, p FROM (
+                    SELECT id, unnest(range(pos, pos + 8)) AS p
+                    FROM spans JOIN dup USING (h))),
+            tokens AS (
+                SELECT id, unnest(ts) AS term,
+                       unnest(range(1, len(ts) + 1)) AS p
+                FROM toks),
+            kept AS (
+                SELECT t.id, t.p, t.term
+                FROM tokens t ANTI JOIN covered c
+                ON t.id = c.id AND t.p = c.p),
+            rebuilt AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+                       string_agg(term, ' ' ORDER BY p) AS clean_text
+                FROM kept GROUP BY id)
+            SELECT t.id AS doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   coalesce(r.n_tokens_kept, 0) AS n_tokens_kept,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM toks t LEFT JOIN rebuilt r ON t.id = r.id
         """,
         # q_quality_rank: per-source percent_rank of the q_quality score
         # (same tie semantics both engines)

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     # 10.9 s vs 5.5 s in back-to-back runs)
     "q_ngram_jaccard_capped_3k",
     "q_repeated_spans_full",
+    "q_remove_spans_full",
     "q_ts_pattern_full",
     "q_bigram_ppl_full",
     "q_dedup_exact_x10",
@@ -159,6 +160,16 @@ def _q_repeated_spans_full(spark, sf_dir):
     from flood_data_spark.datapipe.dedup import repeated_span_stats
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return repeated_span_stats(docs, window=8)
+
+
+def _q_remove_spans_full(spark, sf_dir):
+    """Exact substring REMOVAL over the whole documents table (the
+    registry entry bounds to 300 docs for the oracle): the find relation
+    plus the covered-position anti-join and the id-keyed text reassembly
+    — the full distributed-text-surgery cost at corpus volume."""
+    from flood_data_spark.datapipe.dedup import remove_repeated_spans
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_repeated_spans(docs, window=8)
 
 
 def _q_ts_pattern_full(spark, sf_dir):
@@ -362,6 +373,7 @@ EXTRA_QUERIES = {
     "q_ivf_probe": _q_ivf_probe,
     "q_ngram_jaccard_capped_3k": _q_ngram_jaccard_capped_3k,
     "q_repeated_spans_full": _q_repeated_spans_full,
+    "q_remove_spans_full": _q_remove_spans_full,
     "q_ts_pattern_full": _q_ts_pattern_full,
     "q_threshold_summary_x10": _q_threshold_summary_x10,
     "q_peak_timing_x10": _q_peak_timing_x10,
@@ -420,6 +432,7 @@ def main():
     # min is the reproducible plan cost, the spread is the machine
     _MIN_OF_2 = {"q_threshold_summary_x10", "q_peak_timing_x10",
                  "q_ngram_jaccard_capped_3k", "q_repeated_spans_full",
+                 "q_remove_spans_full",
                  "q_ts_pattern_full", "q_bpe_train_full",
                  "q_ivfpq_search", "q_bigram_ppl_full",
                  "q_dedup_exact_x10", "q_minhash_lsh_x10",

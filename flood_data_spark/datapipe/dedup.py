@@ -592,3 +592,83 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             "iterations; raise max_iterations or inspect the pair graph")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def remove_repeated_spans(df: DataFrame, window: int = 8,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          min_distinct_docs: int = 2,
+                          out_col: str = "clean_text") -> DataFrame:
+    """Exact substring dedup, REMOVAL step — completes Lee et al. 2022's
+    pipeline: `repeated_span_stats` finds cross-document duplicated
+    `window`-token spans, this rewrites each document with every token
+    covered by one removed.
+
+    Policy: ALL occurrences of a duplicated span are dropped (the
+    conservative memorization cut — duplicated boilerplate contributes
+    nothing wherever it stands).  The paper's keep-one-occurrence variant
+    needs a global first-occurrence order; compose with a
+    dedup_lines-style (id, pos) window over span hashes if that policy is
+    required.
+
+    Returns (id_col, n_tokens, n_tokens_kept, out_col), one row per input
+    document (empty clean_text when everything was removed).
+
+    Plan: the SAME linear span relation as repeated_span_stats (one md5
+    per start position, a count per span hash — hot boilerplate is a
+    count here, never a pair join), semi-joined back, exploded to
+    covered (id, position) pairs, anti-joined against the posexploded
+    token relation, and reassembled with one groupBy(id) + array_sort on
+    (pos, term) — deterministic regardless of collect_list order (the
+    dedup_lines rebuild shape).  Cost is O(total tokens) through three
+    hash shuffles; the id-keyed reassembly is the unavoidable price of
+    distributed text surgery.  Fully ANSI (md5 is engine-portable), so
+    q_remove_spans value-hashes the rewritten text itself.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.trim(F.col(text_col)) == "",
+               F.expr("array()").cast("array<string>"))
+        .otherwise(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ts"))
+    n_spans = F.greatest(F.size("ts") - window + 1, F.lit(0))
+    spans = (toks
+             .withColumn("_n", n_spans)
+             .filter(F.col("_n") >= 1)
+             .select("id", "ts",
+                     F.explode(F.sequence(F.lit(1), F.col("_n")))
+                     .alias("pos"))
+             .select("id", "pos",
+                     F.md5(F.array_join(
+                         F.expr(f"slice(ts, pos, {window})"), " "))
+                     .alias("h")))
+    dup = (spans.groupBy("h")
+           .agg(F.count_distinct("id").alias("_nd"))
+           .filter(F.col("_nd") >= min_distinct_docs)
+           .select("h"))
+    covered = (spans.join(dup, "h", "left_semi")
+               .select("id", F.explode(
+                   F.sequence(F.col("pos"),
+                              F.col("pos") + F.lit(window - 1)))
+                   .alias("p"))
+               .distinct())
+    tokens = (toks
+              .select("id", F.posexplode("ts").alias("p0", "term"))
+              .select("id", (F.col("p0") + 1).alias("p"), "term"))
+    kept = tokens.join(covered, ["id", "p"], "left_anti")
+    rebuilt = (kept.groupBy("id")
+               .agg(F.count("*").alias("n_tokens_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("p", "term"))),
+                            lambda x: x["term"]),
+                        " ").alias(out_col)))
+    return (toks.select("id", F.size("ts").cast("long").alias("n_tokens"))
+            .join(rebuilt, "id", "left")
+            .na.fill({"n_tokens_kept": 0})
+            .na.fill({out_col: ""})
+            .select(F.col("id").alias(id_col), "n_tokens",
+                    F.col("n_tokens_kept").cast("long")
+                    .alias("n_tokens_kept"),
+                    out_col))

@@ -59,3 +59,50 @@ def test_repeated_spans_plan_no_pair_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_repeated_spans_surgery(spark):
+    from flood_data_spark.datapipe.dedup import remove_repeated_spans
+
+    shared = "the same boiler plate line here again and unique"
+    df = spark.createDataFrame(
+        [(0, shared + " tail zero"),
+         (1, shared + " tail one"),
+         (2, "completely different content with no duplication at all")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_repeated_spans(df, window=4).collect()}
+    # docs 0/1: every 4-window inside the 10-token shared prefix
+    # ("the..tail") is cross-doc duplicated -> only the unique last token
+    # survives
+    assert out[0].clean_text == "zero" and out[1].clean_text == "one"
+    assert out[0].n_tokens == 11 and out[0].n_tokens_kept == 1
+    # untouched doc comes back verbatim
+    assert out[2].clean_text == df.collect()[2].text
+    assert out[2].n_tokens_kept == out[2].n_tokens
+
+
+def test_remove_matches_stats_coverage(spark):
+    """Invariant: removal drops EXACTLY the positions repeated_span_stats
+    counts as duplicated (n_tokens - n_tokens_kept == n_dup_tokens)."""
+    from flood_data_spark.datapipe.dedup import (
+        remove_repeated_spans, repeated_span_stats)
+
+    rows = [(i, f"alpha beta gamma delta shared shared shared epsilon{i} "
+                f"zeta{i % 2} eta theta iota kappa") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r.doc_id: r for r in repeated_span_stats(df, window=3).collect()}
+    removed = {r.doc_id: r for r in
+               remove_repeated_spans(df, window=3).collect()}
+    for i in range(6):
+        assert (removed[i].n_tokens - removed[i].n_tokens_kept
+                == stats[i].n_dup_tokens), i
+
+
+def test_remove_repeated_spans_empty_and_blank(spark):
+    from flood_data_spark.datapipe.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame([(0, ""), (1, "   ")],
+                               "doc_id long, text string")
+    out = remove_repeated_spans(df, window=4).collect()
+    assert all(r.n_tokens == 0 and r.clean_text == "" for r in out)

@@ -1306,6 +1306,18 @@ def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_spans(docs, window=8)
 
 
+def q_remove_spans_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first variant of exact substring removal (the Lee et al. 2022
+    policy proper): a position is removed only when covered by a
+    duplicated-span occurrence that is NOT its span's first by (id, pos)
+    order — the first copy of each boilerplate span survives corpus-wide.
+    Full value oracle including the rewritten text."""
+    from flood_data_spark.datapipe.dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return remove_repeated_spans(docs, window=8, keep="first")
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware split assignment (datapipe/curation.leakage_safe_split):
     near-duplicate documents (jaccard >= 0.5 components) share one group id
@@ -2045,7 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round, third batch (11) ---
+        # --- new this round, third batch (12) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
@@ -2057,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_weights": q_mixture_weights,
         "q_quality_rank": q_quality_rank,
         "q_remove_spans": q_remove_spans,
+        "q_remove_spans_first": q_remove_spans_first,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2096,8 +2109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample": q_resample,
         "q_asof_join": q_asof_join,
         "q_curation": q_curation,
-        "q_dedup_exact": q_dedup_exact,
         # ---------------- gate window boundary (50) ----------------
+        "q_dedup_exact": q_dedup_exact,
         "q_dedup_against": q_dedup_against,
         "q_jaccard_cross": q_jaccard_cross,
         "q_hash_sample": q_hash_sample,
@@ -3083,6 +3096,51 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT id, p FROM (
                     SELECT id, unnest(range(pos, pos + 8)) AS p
                     FROM spans JOIN dup USING (h))),
+            tokens AS (
+                SELECT id, unnest(ts) AS term,
+                       unnest(range(1, len(ts) + 1)) AS p
+                FROM toks),
+            kept AS (
+                SELECT t.id, t.p, t.term
+                FROM tokens t ANTI JOIN covered c
+                ON t.id = c.id AND t.p = c.p),
+            rebuilt AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+                       string_agg(term, ' ' ORDER BY p) AS clean_text
+                FROM kept GROUP BY id)
+            SELECT t.id AS doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   coalesce(r.n_tokens_kept, 0) AS n_tokens_kept,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM toks t LEFT JOIN rebuilt r ON t.id = r.id
+        """,
+        # q_remove_spans_first: same relation, but only non-first
+        # occurrences (row_number over the span hash) contribute coverage
+        "q_remove_spans_first": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       CASE WHEN trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS ts
+                FROM documents WHERE doc_id < 300),
+            spans AS (
+                SELECT id,
+                       unnest(range(1, len(ts) - 6)) AS pos,
+                       unnest([md5(array_to_string(ts[i:i+7], ' '))
+                               for i in range(1, len(ts) - 6)]) AS h
+                FROM toks),
+            dup AS (SELECT h FROM spans GROUP BY h
+                    HAVING count(DISTINCT id) >= 2),
+            occ AS (
+                SELECT s.id, s.pos,
+                       row_number() OVER (PARTITION BY s.h
+                                          ORDER BY s.id, s.pos) AS rn
+                FROM spans s JOIN dup USING (h)),
+            covered AS (
+                SELECT DISTINCT id, p FROM (
+                    SELECT id, unnest(range(pos, pos + 8)) AS p
+                    FROM occ WHERE rn > 1)),
             tokens AS (
                 SELECT id, unnest(ts) AS term,
                        unnest(range(1, len(ts) + 1)) AS p

@@ -597,18 +597,22 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 def remove_repeated_spans(df: DataFrame, window: int = 8,
                           id_col: str = "doc_id", text_col: str = "text",
                           min_distinct_docs: int = 2,
-                          out_col: str = "clean_text") -> DataFrame:
+                          out_col: str = "clean_text",
+                          keep: str = "none") -> DataFrame:
     """Exact substring dedup, REMOVAL step — completes Lee et al. 2022's
     pipeline: `repeated_span_stats` finds cross-document duplicated
     `window`-token spans, this rewrites each document with every token
     covered by one removed.
 
-    Policy: ALL occurrences of a duplicated span are dropped (the
-    conservative memorization cut — duplicated boilerplate contributes
-    nothing wherever it stands).  The paper's keep-one-occurrence variant
-    needs a global first-occurrence order; compose with a
-    dedup_lines-style (id, pos) window over span hashes if that policy is
-    required.
+    Policy (`keep`): "none" drops ALL occurrences of a duplicated span
+    (the conservative memorization cut — duplicated boilerplate
+    contributes nothing wherever it stands); "first" is the paper's
+    keep-one-occurrence form — a position is removed only when covered by
+    an occurrence that is NOT its span's first (by (id, pos) order)
+    corpus-wide.  The "first" window partitions by span hash, so a
+    boilerplate span in k documents puts k narrow rows in one partition —
+    the same bounded skew class as dedup_lines' first-occurrence window
+    (cap hot spans upstream if k explodes).
 
     Returns (id_col, n_tokens, n_tokens_kept, out_col), one row per input
     document (empty clean_text when everything was removed).
@@ -626,6 +630,8 @@ def remove_repeated_spans(df: DataFrame, window: int = 8,
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.when(F.trim(F.col(text_col)) == "",
@@ -646,7 +652,13 @@ def remove_repeated_spans(df: DataFrame, window: int = 8,
            .agg(F.count_distinct("id").alias("_nd"))
            .filter(F.col("_nd") >= min_distinct_docs)
            .select("h"))
-    covered = (spans.join(dup, "h", "left_semi")
+    dup_occ = spans.join(dup, "h", "left_semi")
+    if keep == "first":
+        w = Window.partitionBy("h").orderBy("id", "pos")
+        dup_occ = (dup_occ.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") > 1)
+                   .drop("_rn"))
+    covered = (dup_occ
                .select("id", F.explode(
                    F.sequence(F.col("pos"),
                               F.col("pos") + F.lit(window - 1)))

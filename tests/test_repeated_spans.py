@@ -106,3 +106,21 @@ def test_remove_repeated_spans_empty_and_blank(spark):
                                "doc_id long, text string")
     out = remove_repeated_spans(df, window=4).collect()
     assert all(r.n_tokens == 0 and r.clean_text == "" for r in out)
+
+
+def test_remove_keep_first_preserves_first_occurrence(spark):
+    from flood_data_spark.datapipe.dedup import remove_repeated_spans
+    import pytest as _pytest
+
+    shared = "the same boiler plate line here again and unique"
+    df = spark.createDataFrame(
+        [(0, shared + " tail zero"), (1, shared + " tail one")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_repeated_spans(df, window=4, keep="first").collect()}
+    # doc 0 holds the first occurrence of every duplicated span: intact
+    assert out[0].n_tokens_kept == out[0].n_tokens
+    # doc 1 keeps only its unique token
+    assert out[1].clean_text == "one"
+    with _pytest.raises(ValueError):
+        remove_repeated_spans(df, keep="bogus")

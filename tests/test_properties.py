@@ -283,3 +283,67 @@ def test_repeated_spans_bounds(spark):
         assert 0 <= r.n_dup_spans <= n_spans
         assert 0 <= r.n_dup_tokens <= r.n_tokens
         assert 0.0 <= r.dup_fraction <= 1.0
+
+
+def test_round7_third_batch_invariants_on_generated_corpus(spark):
+    """One generated corpus, one Spark job per operator, all invariants:
+    BM25 scores positive and k-bounded; Gopher ratios in [0,1]; n-gram
+    diversity in (0,1]; DSIR weights finite with tokens conserved;
+    mixture weights a probability vector; span removal never grows a
+    document and its coverage equals the stats operator's count."""
+    import random
+
+    from flood_data_spark.datapipe.curation import (
+        dsir_weights, source_mixture_weights)
+    from flood_data_spark.datapipe.dedup import (
+        remove_repeated_spans, repeated_span_stats)
+    from flood_data_spark.datapipe.text import (
+        bm25_topk, with_gopher_rules, with_ngram_diversity)
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)] + ["the", "of", "and"]
+    boiler = "shared boiler plate sentence repeated verbatim everywhere"
+    rows = []
+    for i in range(80):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+        if i % 4 == 0:
+            words += boiler.split()
+        rows.append((i, " ".join(words), f"s{i % 3}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    top = bm25_topk(df, ["the", "w1", "w2"], k=15).collect()
+    assert len(top) <= 15
+    assert all(r.bm25 > 0 and r.n_hit_terms >= 1 for r in top)
+
+    for r in with_gopher_rules(df).collect():
+        for c in ("g_bullet_ratio", "g_ellipsis_ratio",
+                  "g_alpha_word_ratio"):
+            assert 0.0 <= r[c] <= 1.0, (r.doc_id, c)
+
+    for r in with_ngram_diversity(df, n=3).collect():
+        assert r.nd_n_distinct <= r.nd_n_ngrams
+        if r.nd_diversity is not None:
+            assert 0.0 < r.nd_diversity <= 1.0
+
+    w = dsir_weights(df, df.filter("source = 's0'")).collect()
+    assert {r.doc_id for r in w} == set(range(80))        # all visible
+    for r in w:
+        if r.n_tokens > 0:
+            assert r.log_weight is not None
+
+    mix = source_mixture_weights(df).collect()
+    assert abs(sum(r.weight for r in mix) - 1.0) < 1e-5
+    assert all(r.weight > 0 for r in mix)
+
+    stats = {r.doc_id: r for r in repeated_span_stats(df, window=4).collect()}
+    rem = {r.doc_id: r for r in
+           remove_repeated_spans(df, window=4).collect()}
+    for i in range(80):
+        assert rem[i].n_tokens_kept <= rem[i].n_tokens
+        assert (rem[i].n_tokens - rem[i].n_tokens_kept
+                == stats[i].n_dup_tokens), i
+    # keep='first' removes a subset of what keep='none' removes
+    rem_f = {r.doc_id: r for r in
+             remove_repeated_spans(df, window=4, keep="first").collect()}
+    assert all(rem_f[i].n_tokens_kept >= rem[i].n_tokens_kept
+               for i in range(80))

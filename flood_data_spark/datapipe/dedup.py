@@ -446,6 +446,39 @@ def ngram_containment(candidates: DataFrame, reference: DataFrame,
 
 # ------------------------------------------------ repeated substrings
 
+def _span_relation(df: DataFrame, window: int, id_col: str,
+                   text_col: str, min_distinct_docs: int):
+    """Shared FIND core of the exact-substring pair: (toks, spans, dup) —
+    NULL-safe tokenization (NULL text = zero tokens, not size(NULL) = -1),
+    one md5 per start position, and the duplicated-span hash set.
+    `repeated_span_stats` and `remove_repeated_spans` MUST tokenize and
+    hash bit-identically (the stats/removal parity invariant
+    n_tokens - n_tokens_kept == n_dup_tokens depends on it), so both
+    consume this single definition."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.trim(txt) == "",
+               F.expr("array()").cast("array<string>"))
+        .otherwise(F.split(F.trim(txt), r"\s+")).alias("ts"))
+    n_spans = F.greatest(F.size("ts") - window + 1, F.lit(0))
+    spans = (toks
+             .withColumn("_n", n_spans)
+             .filter(F.col("_n") >= 1)
+             .select("id", "ts",
+                     F.explode(F.sequence(F.lit(1), F.col("_n")))
+                     .alias("pos"))
+             .select("id", "pos",
+                     F.md5(F.array_join(
+                         F.expr(f"slice(ts, pos, {window})"), " "))
+                     .alias("h")))
+    dup = (spans.groupBy("h")
+           .agg(F.count_distinct("id").alias("_nd"))
+           .filter(F.col("_nd") >= min_distinct_docs)
+           .select("h"))
+    return toks, spans, dup
+
+
 def repeated_span_stats(df: DataFrame, window: int = 8,
                         id_col: str = "doc_id", text_col: str = "text",
                         min_distinct_docs: int = 2) -> DataFrame:
@@ -472,26 +505,8 @@ def repeated_span_stats(df: DataFrame, window: int = 8,
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.when(F.trim(F.col(text_col)) == "",
-               F.expr("array()").cast("array<string>"))
-        .otherwise(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ts"))
-    n_spans = F.greatest(F.size("ts") - window + 1, F.lit(0))
-    spans = (toks
-             .withColumn("_n", n_spans)
-             .filter(F.col("_n") >= 1)
-             .select("id", "ts",
-                     F.explode(F.sequence(F.lit(1), F.col("_n")))
-                     .alias("pos"))
-             .select("id", "pos",
-                     F.md5(F.array_join(
-                         F.expr(f"slice(ts, pos, {window})"), " "))
-                     .alias("h")))
-    dup = (spans.groupBy("h")
-           .agg(F.count_distinct("id").alias("_nd"))
-           .filter(F.col("_nd") >= min_distinct_docs)
-           .select("h"))
+    toks, spans, dup = _span_relation(df, window, id_col, text_col,
+                                      min_distinct_docs)
     hits = spans.join(dup, "h", "left_semi")
     # both stats from ONE consumption of hits (no cache to pin, nothing
     # recomputed): explode each hit span into its covered positions —
@@ -632,26 +647,8 @@ def remove_repeated_spans(df: DataFrame, window: int = 8,
         raise ValueError(f"window must be >= 1, got {window}")
     if keep not in ("none", "first"):
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.when(F.trim(F.col(text_col)) == "",
-               F.expr("array()").cast("array<string>"))
-        .otherwise(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ts"))
-    n_spans = F.greatest(F.size("ts") - window + 1, F.lit(0))
-    spans = (toks
-             .withColumn("_n", n_spans)
-             .filter(F.col("_n") >= 1)
-             .select("id", "ts",
-                     F.explode(F.sequence(F.lit(1), F.col("_n")))
-                     .alias("pos"))
-             .select("id", "pos",
-                     F.md5(F.array_join(
-                         F.expr(f"slice(ts, pos, {window})"), " "))
-                     .alias("h")))
-    dup = (spans.groupBy("h")
-           .agg(F.count_distinct("id").alias("_nd"))
-           .filter(F.col("_nd") >= min_distinct_docs)
-           .select("h"))
+    toks, spans, dup = _span_relation(df, window, id_col, text_col,
+                                      min_distinct_docs)
     dup_occ = spans.join(dup, "h", "left_semi")
     if keep == "first":
         w = Window.partitionBy("h").orderBy("id", "pos")

@@ -339,7 +339,6 @@ def test_source_mixture_weights_flattens_distribution(spark):
 
 def test_rank_normalize_per_group_percentiles(spark):
     from flood_data_spark.datapipe.curation import rank_normalize
-    import pytest as _pytest
 
     rows = [(0, 0.1, "A"), (1, 0.5, "A"), (2, 0.9, "A"),
             (3, 0.2, "B"), (4, 0.2, "B"),          # tie in B

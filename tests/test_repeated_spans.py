@@ -124,3 +124,17 @@ def test_remove_keep_first_preserves_first_occurrence(spark):
     assert out[1].clean_text == "one"
     with _pytest.raises(ValueError):
         remove_repeated_spans(df, keep="bogus")
+
+
+def test_span_operators_null_text_safe(spark):
+    """NULL text = zero tokens (never size(NULL) = -1) in both halves."""
+    from flood_data_spark.datapipe.dedup import (
+        remove_repeated_spans, repeated_span_stats)
+
+    df = spark.createDataFrame([(0, None), (1, "a b c d e")],
+                               "doc_id long, text string")
+    s = {r.doc_id: r for r in repeated_span_stats(df, window=4).collect()}
+    assert s[0].n_tokens == 0 and s[0].dup_fraction == 0.0
+    r = {x.doc_id: x for x in remove_repeated_spans(df, window=4).collect()}
+    assert r[0].n_tokens == 0 and r[0].clean_text == ""
+    assert r[1].n_tokens_kept == 5

@@ -1,0 +1,116 @@
+"""Differential fuzzing: run an operator on Spark AND its registered
+DuckDB oracle SQL on the SAME randomly generated corpus, and require
+cell-level agreement.  The driver's gate proves parity on the fixed
+testdata; this proves it on corpora the oracles were never tuned to —
+random lengths, blank docs, repeated tokens, skewed sources.
+"""
+
+import math
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+VOCAB = (["the", "of", "and", "data", "flood", "model", "river"]
+         + [f"tok{i}" for i in range(25)])
+
+
+def _random_corpus(seed, n_docs=60):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        n = rng.randint(0, 40)
+        text = " ".join(rng.choice(VOCAB) for _ in range(n))
+        if rng.random() < 0.1:
+            text = ""                          # blank docs in every draw
+        rows.append((i, text, rng.choice(["s0", "s1", "s2"]),
+                     rng.choice(["en", "de"]), len(text)))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "source",
+                                       "lang", "n_chars"])
+
+
+def _rows_close(a, b, tol=1e-6):
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) or isinstance(vb, float):
+                if va is None or vb is None:
+                    if va is not vb:
+                        return False
+                elif not math.isclose(va, vb, rel_tol=tol, abs_tol=tol):
+                    return False
+            elif va != vb:
+                return False
+    return True
+
+
+def _sort_key(row):
+    return tuple((v is None, "" if v is None else str(type(v)), v)
+                 for v in row)
+
+
+def _compare(spark, pdf, spark_df, oracle_key):
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck_df = con.execute(entry_mod.oracle_sql()[oracle_key]).fetchdf()
+    duck_df.columns = [c.lower() for c in duck_df.columns]
+    cols = sorted(duck_df.columns)
+    duck_rows = sorted(
+        (tuple(None if pd.isna(v) else v for v in r)
+         for r in duck_df[cols].itertuples(index=False, name=None)),
+        key=_sort_key)
+    sdf = spark_df.select(*sorted(spark_df.columns, key=str.lower))
+    assert [c.lower() for c in sdf.columns] == cols
+    spark_rows = sorted((tuple(r) for r in sdf.collect()), key=_sort_key)
+    assert _rows_close(spark_rows, duck_rows), \
+        f"{oracle_key} diverged: {spark_rows[:3]} vs {duck_rows[:3]}"
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_fuzz_ngram_diversity(spark, seed):
+    from flood_data_spark.datapipe.text import with_ngram_diversity
+
+    pdf = _random_corpus(seed)
+    docs = spark.createDataFrame(pdf)
+    out = (with_ngram_diversity(docs, n=3)
+           .select("doc_id", "nd_n_ngrams", "nd_n_distinct",
+                   "nd_diversity"))
+    _compare(spark, pdf, out, "q_ngram_diversity")
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_fuzz_mixture_weights(spark, seed):
+    from flood_data_spark.datapipe.curation import source_mixture_weights
+
+    pdf = _random_corpus(seed)
+    docs = spark.createDataFrame(pdf)
+    _compare(spark, pdf, source_mixture_weights(docs, alpha=0.3),
+             "q_mixture_weights")
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_fuzz_bm25(spark, seed):
+    from flood_data_spark.datapipe.text import bm25_topk
+
+    pdf = _random_corpus(seed)
+    docs = spark.createDataFrame(pdf)
+    out = bm25_topk(docs, ["the", "flood", "data", "model", "river"], k=20)
+    _compare(spark, pdf, out, "q_bm25_topk")
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_fuzz_remove_spans(spark, seed):
+    """Plant real cross-doc boilerplate so the removal path has work."""
+    from flood_data_spark.datapipe.dedup import remove_repeated_spans
+
+    pdf = _random_corpus(seed)
+    boiler = "copyright footer all rights reserved contact us today now"
+    pdf.loc[pdf.index % 3 == 0, "text"] = (
+        pdf.loc[pdf.index % 3 == 0, "text"] + " " + boiler).str.strip()
+    docs = spark.createDataFrame(pdf)
+    out = remove_repeated_spans(docs, window=8)
+    _compare(spark, pdf, out, "q_remove_spans")

@@ -796,6 +796,19 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("click_value_right").alias("click_value"))
 
 
+def q_next_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event training pairs (operators/timeseries.next_event_pairs):
+    (current event_type -> next event_type, time-to-next) within 1-hour-gap
+    sessions — the supervised examples a behavioral next-action model
+    trains on, with session boundaries bit-identical to q_sessionize
+    (shared assignment helper).  One key-partitioned exchange carries the
+    session windows AND the lead.  Full value oracle."""
+    from flood_data_spark.operators.timeseries import next_event_pairs
+
+    return next_event_pairs(_t(spark, sf_dir, "events"),
+                            gap_seconds=3600, order_tiebreak="event_id")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (1h gap) over the event stream."""
     return sessionize(_t(spark, sf_dir, "events"), gap_seconds=3600,
@@ -2057,7 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round, third batch (12) ---
+        # --- new this round, third batch (13) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
@@ -2070,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_rank": q_quality_rank,
         "q_remove_spans": q_remove_spans,
         "q_remove_spans_first": q_remove_spans_first,
+        "q_next_event_pairs": q_next_event_pairs,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2108,8 +2122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_daily": q_events_daily,
         "q_resample": q_resample,
         "q_asof_join": q_asof_join,
-        "q_curation": q_curation,
         # ---------------- gate window boundary (50) ----------------
+        "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_against": q_dedup_against,
         "q_jaccard_cross": q_jaccard_cross,
@@ -2782,6 +2796,33 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # q_next_event_pairs: q_sessionize's flag/running-sum CTEs plus a
+        # lead inside the key window, pair kept only when the NEXT row
+        # does not open a new session
+        "q_next_event_pairs": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > CAST(3600 AS BIGINT) * 1000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            numbered AS (
+                SELECT *,
+                       sum(new_s) OVER w2 AS session_id,
+                       lead(event_type) OVER w2b AS next_event_type,
+                       lead(ts) OVER w2b AS next_ts,
+                       lead(new_s) OVER w2b AS next_new
+                FROM flagged
+                WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING),
+                       w2b AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   ts, event_type, next_event_type,
+                   epoch_us(next_ts) - epoch_us(ts) AS next_gap_us
+            FROM numbered WHERE next_new = 0
         """,
         "q_sessionize": """
             WITH flagged AS (

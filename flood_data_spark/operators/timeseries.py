@@ -95,15 +95,12 @@ def asof_join(left: DataFrame, right: DataFrame, on, left_ts: str = "ts",
     return filled.select(*out_cols)
 
 
-def sessionize(events: DataFrame, key_col: str = "user_id",
-               ts_col: str = "ts", gap_seconds: int = 1800,
-               order_tiebreak: str | None = None) -> DataFrame:
-    """Gap-based sessionization: a new session starts when the time since
-    the key's previous event exceeds ``gap_seconds``.
-
-    Returns one row per session: (key, session_id 1..n per key,
-    session_start, session_end, n_events).  Two ordered windows + one
-    aggregation — a single shuffle on the key.
+def _with_session_ids(events: DataFrame, key_col: str, ts_col: str,
+                      gap_seconds: int,
+                      order_tiebreak: str | None):
+    """Per-event session-id assignment shared by `sessionize` (aggregated
+    form) and `next_event_pairs` (per-event form): the gap flag + running
+    sum over one ordered window.  Returns (frame_with_session_id, window).
     """
     order = [F.col(ts_col).asc()]
     if order_tiebreak:
@@ -121,11 +118,63 @@ def sessionize(events: DataFrame, key_col: str = "user_id",
                             F.sum("_new").over(
                                 w.rowsBetween(Window.unboundedPreceding,
                                               Window.currentRow))))
+    return with_ids, w
+
+
+def sessionize(events: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", gap_seconds: int = 1800,
+               order_tiebreak: str | None = None) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event exceeds ``gap_seconds``.
+
+    Returns one row per session: (key, session_id 1..n per key,
+    session_start, session_end, n_events).  Two ordered windows + one
+    aggregation — a single shuffle on the key.
+    """
+    with_ids, _ = _with_session_ids(events, key_col, ts_col, gap_seconds,
+                                    order_tiebreak)
     return (with_ids
             .groupBy(key_col, "session_id")
             .agg(F.min(ts_col).alias("session_start"),
                  F.max(ts_col).alias("session_end"),
                  F.count("*").alias("n_events")))
+
+
+def next_event_pairs(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", label_col: str = "event_type",
+                     gap_seconds: int = 1800,
+                     order_tiebreak: str | None = None) -> DataFrame:
+    """(current event -> next event) training pairs WITHIN sessions — the
+    supervised examples a next-action/behavioral model trains on, built
+    straight from the event log: sessionize (shared `_with_session_ids`
+    assignment, so session boundaries are bit-identical with
+    `sessionize`), then lead() inside each (key, session) for the target
+    label and the time-to-next-event feature.  A session's last event
+    emits no pair (no target exists).
+
+    Returns (key_col, session_id, ts_col, label_col, next_<label_col>,
+    next_gap_us).  Plan: the SAME single key-partitioned exchange carries
+    the session windows and the lead — Spark plans all three window
+    functions over one sort, so pair extraction costs nothing beyond
+    sessionization itself.
+    """
+    with_ids, w = _with_session_ids(events, key_col, ts_col, gap_seconds,
+                                    order_tiebreak)
+    # lead within the key window, then REQUIRE same session: cheaper than
+    # re-partitioning a (key, session_id) window, identical result (the
+    # next row in key order is in the same session iff its _new flag is 0)
+    nxt_label = F.lead(F.col(label_col)).over(w)
+    nxt_ts = F.lead(F.col(ts_col)).over(w)
+    nxt_new = F.lead(F.col("_new")).over(w)
+    return (with_ids
+            .withColumn("_nxt_label", nxt_label)
+            .withColumn("_nxt_ts", nxt_ts)
+            .withColumn("_nxt_new", nxt_new)
+            .filter(F.col("_nxt_new") == 0)
+            .select(key_col, "session_id", ts_col, label_col,
+                    F.col("_nxt_label").alias(f"next_{label_col}"),
+                    _diff_us(F.col("_nxt_ts"), F.col(ts_col))
+                    .alias("next_gap_us")))
 
 
 def pattern_topk(df: DataFrame, pattern, key_col: str = "user_id",

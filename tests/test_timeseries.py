@@ -258,3 +258,40 @@ def test_resample_ffill_misaligned_observations_not_dropped(spark):
     assert rows[1].v == 10.0 and rows[1].is_observed
     # step 3 fills from the MOST RECENT observation (step 2), not step 1
     assert rows[3].v == 20.0 and not rows[3].is_observed
+
+
+def test_next_event_pairs_within_sessions(spark):
+    import datetime as dt
+
+    from flood_data_spark.operators.timeseries import (
+        next_event_pairs, sessionize)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 100, "view"),
+        (1, t0 + dt.timedelta(minutes=5), 101, "click"),
+        (1, t0 + dt.timedelta(minutes=8), 102, "buy"),
+        # > 30 min gap -> new session; its single event emits no pair
+        (1, t0 + dt.timedelta(hours=2), 103, "view"),
+        (2, t0, 200, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    pairs = next_event_pairs(ev, gap_seconds=1800,
+                             order_tiebreak="event_id").collect()
+    got = {(r.user_id, r.event_type, r.next_event_type, r.next_gap_us)
+           for r in pairs}
+    assert got == {(1, "view", "click", 300_000_000),
+                   (1, "click", "buy", 180_000_000)}
+    # session ids agree with sessionize's boundaries
+    sess = sessionize(ev, gap_seconds=1800, order_tiebreak="event_id")
+    assert sess.filter("user_id = 1").count() == 2
+    assert all(r.session_id == 1 for r in pairs)
+
+
+def test_next_event_pairs_empty_and_single(spark):
+    from flood_data_spark.operators.timeseries import next_event_pairs
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, event_type string")
+    assert next_event_pairs(ev).count() == 0

@@ -995,6 +995,18 @@ def q_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "q_score", "pct_rank"))
 
 
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence + PMI (datapipe/text.cooccurrence_pmi):
+    directed token pairs within 2 positions, corpus counts >= 5, PMI under
+    the pair/unigram distributions — the word2vec/GloVe preprocessing
+    statistics.  Pair extraction is a row-local slice-zip per offset (no
+    positional self-join).  Full value oracle."""
+    from flood_data_spark.datapipe.text import cooccurrence_pmi
+
+    return cooccurrence_pmi(_t(spark, sf_dir, "documents"),
+                            window=2, min_count=5)
+
+
 def q_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract for the distributed Lloyd's k-means
     (datapipe/clustering.py): fit k=8 over the embeddings corpus (every
@@ -2070,7 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round, third batch (13) ---
+        # --- new this round, third batch (14) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
@@ -2084,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_remove_spans": q_remove_spans,
         "q_remove_spans_first": q_remove_spans_first,
         "q_next_event_pairs": q_next_event_pairs,
+        "q_cooccurrence": q_cooccurrence,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2121,8 +2134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_events_daily": q_events_daily,
         "q_resample": q_resample,
-        "q_asof_join": q_asof_join,
         # ---------------- gate window boundary (50) ----------------
+        "q_asof_join": q_asof_join,
         "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_against": q_dedup_against,
@@ -3435,6 +3448,46 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM documents
                   WHERE doc_id < 300) doc
             LEFT JOIN agg a ON doc.doc_id = a.id
+        """,
+        # q_cooccurrence: window-2 directed pairs as 'w1 w2' strings
+        # (bijective — tokens carry no whitespace), min_count 5, PMI over
+        # post-filter pair totals exactly as the Spark side computes
+        "q_cooccurrence": """
+            WITH toks AS (
+                SELECT list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS l
+                FROM documents),
+            pr_all AS (
+                SELECT unnest(
+                    [l[i] || ' ' || l[i+1] for i in range(1, len(l))]
+                    || [l[i] || ' ' || l[i+2]
+                        for i in range(1, len(l) - 1)]) AS pr
+                FROM toks),
+            pair_counts AS (
+                SELECT pr, CAST(count(*) AS BIGINT) AS pair_count
+                FROM pr_all GROUP BY pr HAVING count(*) >= 5),
+            uni AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS uni_count
+                FROM (SELECT unnest(l) AS term FROM toks) GROUP BY term),
+            tot AS (
+                SELECT (SELECT CAST(sum(pair_count) AS BIGINT)
+                        FROM pair_counts) AS pair_total,
+                       (SELECT CAST(sum(uni_count) AS BIGINT)
+                        FROM uni) AS uni_total)
+            SELECT split_part(p.pr, ' ', 1) AS w1,
+                   split_part(p.pr, ' ', 2) AS w2,
+                   p.pair_count,
+                   round(ln((p.pair_count
+                             / CAST(t.pair_total AS DOUBLE))
+                            / ((u1.uni_count
+                                / CAST(t.uni_total AS DOUBLE))
+                               * (u2.uni_count
+                                  / CAST(t.uni_total AS DOUBLE)))), 6)
+                       AS pmi
+            FROM pair_counts p
+            JOIN uni u1 ON split_part(p.pr, ' ', 1) = u1.term
+            JOIN uni u2 ON split_part(p.pr, ' ', 2) = u2.term, tot t
         """,
         # q_bigram_ppl: interpolated bigram LM — bigrams via a 1-based
         # list comprehension over the token split (bijective 'w1 w2' key:

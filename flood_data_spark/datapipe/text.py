@@ -562,3 +562,68 @@ def with_ngram_diversity(df: DataFrame, n: int = 3,
                 F.when(n_grams > 0,
                        F.round(F.col(prefix + "n_distinct")
                                / n_grams.cast("double"), 6))))
+
+
+def cooccurrence_pmi(df: DataFrame, window: int = 2,
+                     min_count: int = 2,
+                     text_col: str = "text") -> DataFrame:
+    """Windowed co-occurrence statistics + PMI — the word2vec/GloVe
+    preprocessing step: directed token pairs (w1 precedes w2 within
+    `window` positions), corpus-wide counts, and pointwise mutual
+    information ln(p(w1,w2) / (p(w1) p(w2))) under the pair/unigram
+    distributions.
+
+    Pair extraction is row-local: for each offset d in 1..window, a
+    slice-zip of the token array (the bigram construction generalized) —
+    no positional self-join, no explode-then-join.  The pair relation is
+    observed-pair-bounded (never vocab²); unigram marginals join on the
+    term key; totals broadcast as one scalar row.  `min_count` prunes the
+    long noisy tail BEFORE the marginal joins, the standard discipline.
+
+    Returns (w1, w2, pair_count, pmi) for pairs with pair_count >=
+    min_count, pmi rounded to 6.  Fully ANSI (q_cooccurrence value-hashes
+    it).
+    """
+    if window < 1:
+        raise ValueError("cooccurrence_pmi: window must be >= 1")
+    toks = _words(F.col(text_col))
+    n = F.size(toks)
+    pair_arrays = [
+        F.when(n >= d + 1,
+               F.arrays_zip(F.slice(toks, 1, n - d).alias("w1"),
+                            F.slice(toks, 1 + d, n - d).alias("w2")))
+        .otherwise(F.array())
+        for d in range(1, window + 1)
+    ]
+    pairs = (df
+             .select(F.explode(F.concat(*pair_arrays)).alias("pr"))
+             .select(F.col("pr.w1").alias("w1"),
+                     F.col("pr.w2").alias("w2")))
+    # checkpoint: pair_counts feeds the totals scalar AND the marginal
+    # joins; uni feeds its own total and two join sides — the round-7
+    # multiply-consumed-aggregate rule (recompute + real-statistics)
+    pair_counts = (pairs.groupBy("w1", "w2")
+                   .agg(F.count("*").alias("pair_count"))
+                   .filter(F.col("pair_count") >= min_count)
+                   .localCheckpoint(eager=False))
+    uni = (df.select(F.explode(toks).alias("term"))
+           .groupBy("term").agg(F.count("*").alias("uni_count"))
+           .localCheckpoint(eager=False))
+    totals = F.broadcast(
+        pair_counts.agg(F.sum("pair_count").alias("pair_total"))
+        .crossJoin(uni.agg(F.sum("uni_count").alias("uni_total"))))
+    return (pair_counts
+            .join(uni.select(F.col("term").alias("w1"),
+                             F.col("uni_count").alias("c1")), "w1")
+            .join(uni.select(F.col("term").alias("w2"),
+                             F.col("uni_count").alias("c2")), "w2")
+            .crossJoin(totals)
+            .select("w1", "w2", "pair_count",
+                    F.round(
+                        F.log((F.col("pair_count")
+                               / F.col("pair_total").cast("double"))
+                              / ((F.col("c1")
+                                  / F.col("uni_total").cast("double"))
+                                 * (F.col("c2")
+                                    / F.col("uni_total").cast("double")))),
+                        6).alias("pmi")))

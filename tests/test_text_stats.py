@@ -147,3 +147,35 @@ def test_unigram_lm_keeps_zero_token_docs_visible(spark):
     assert set(out) == {0, 1, 2}
     assert out[1].n_tokens == 0 and out[1].perplexity is None
     assert out[2].n_tokens == 0 and out[2].cross_entropy is None
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    from flood_data_spark.datapipe.text import cooccurrence_pmi
+
+    df = spark.createDataFrame(
+        [(0, "new york city has new york style pizza"),
+         (1, "new york is a city and new york is big")],
+        "doc_id long, text string")
+    out = {(r.w1, r.w2): r for r in
+           cooccurrence_pmi(df, window=2, min_count=2).collect()}
+    # 'new york' dominates: 4 adjacent occurrences survive the floor
+    assert out[("new", "york")].pair_count == 4
+    # hand PMI: pair_total = 10 (4 surviving pairs: new-york 4,
+    # city-new 2, new-is 2, york-is 2), uni_total = 18 tokens,
+    # c(new)=4, c(york)=4
+    exp = math.log((4 / 10) / ((4 / 18) * (4 / 18)))
+    assert out[("new", "york")].pmi == pytest.approx(exp, abs=1e-5)
+    # below-floor pairs pruned
+    assert ("style", "pizza") not in out
+
+
+def test_cooccurrence_window_reaches_offset_two(spark):
+    from flood_data_spark.datapipe.text import cooccurrence_pmi
+    df = spark.createDataFrame([(0, "a x b a y b a z b")],
+                               "doc_id long, text string")
+    out = {(r.w1, r.w2): r.pair_count for r in
+           cooccurrence_pmi(df, window=2, min_count=3).collect()}
+    # (a, b) never adjacent but always at offset 2
+    assert out[("a", "b")] == 3
+    with pytest.raises(ValueError):
+        cooccurrence_pmi(df, window=0)

@@ -2115,7 +2115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_ppl": q_unigram_ppl,
         "q_pagerank": q_pagerank,
         # --- last checked r5; modules touched since (40) ---
-        "q_morton_key": q_morton_key,
         "q_batch_lookup": q_batch_lookup,
         "q_round_join": q_round_join,
         "q_point_lookup": q_point_lookup,
@@ -2134,8 +2133,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_events_daily": q_events_daily,
         "q_resample": q_resample,
-        # ---------------- gate window boundary (50) ----------------
         "q_asof_join": q_asof_join,
+        # ---------------- gate window boundary (50) ----------------
+        # Evicted this rotation (green r5/r6, modules untouched this
+        # session): q_morton_key (keys.py), q_curation, q_dedup_exact and
+        # the relational/curation tail below.  q_asof_join stays IN: its
+        # module (operators/timeseries.py) was refactored this session
+        # (_with_session_ids extraction), and refactored modules must be
+        # driver-checked the round they change.
+        "q_morton_key": q_morton_key,
         "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_against": q_dedup_against,
@@ -2144,11 +2150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_split_budget": q_split_budget,
         "q_stratified_sample": q_stratified_sample,
-        # Pushed out this rotation to make room for the round-7 third
-        # batch: the five self-contained relational-core queries below
-        # (green since r5, zero module churn — they import no package
-        # module touched in rounds 6-7) plus the appended-only curation
-        # tail; re-enter next rotation.
         "q_pricing_summary": q_pricing_summary,
         "q_region_revenue": q_region_revenue,
         "q_top_customer_per_nation": q_top_customer_per_nation,
@@ -3450,8 +3451,9 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN agg a ON doc.doc_id = a.id
         """,
         # q_cooccurrence: window-2 directed pairs as 'w1 w2' strings
-        # (bijective — tokens carry no whitespace), min_count 5, PMI over
-        # post-filter pair totals exactly as the Spark side computes
+        # (bijective — tokens carry no whitespace), min_count 5 as an
+        # OUTPUT filter only — the PMI joint normalizes over the FULL
+        # pair mass, exactly as the Spark side computes
         "q_cooccurrence": """
             WITH toks AS (
                 SELECT list_filter(
@@ -3464,15 +3466,17 @@ def oracle_sql() -> dict[str, str]:
                     || [l[i] || ' ' || l[i+2]
                         for i in range(1, len(l) - 1)]) AS pr
                 FROM toks),
-            pair_counts AS (
+            all_pairs AS (
                 SELECT pr, CAST(count(*) AS BIGINT) AS pair_count
-                FROM pr_all GROUP BY pr HAVING count(*) >= 5),
+                FROM pr_all GROUP BY pr),
+            pair_counts AS (
+                SELECT * FROM all_pairs WHERE pair_count >= 5),
             uni AS (
                 SELECT term, CAST(count(*) AS BIGINT) AS uni_count
                 FROM (SELECT unnest(l) AS term FROM toks) GROUP BY term),
             tot AS (
                 SELECT (SELECT CAST(sum(pair_count) AS BIGINT)
-                        FROM pair_counts) AS pair_total,
+                        FROM all_pairs) AS pair_total,
                        (SELECT CAST(sum(uni_count) AS BIGINT)
                         FROM uni) AS uni_total)
             SELECT split_part(p.pr, ' ', 1) AS w1,

@@ -571,14 +571,19 @@ def cooccurrence_pmi(df: DataFrame, window: int = 2,
     preprocessing step: directed token pairs (w1 precedes w2 within
     `window` positions), corpus-wide counts, and pointwise mutual
     information ln(p(w1,w2) / (p(w1) p(w2))) under the pair/unigram
-    distributions.
+    distributions.  p(w1,w2) is normalized by the FULL pair mass
+    (computed before any pruning): `min_count` is an OUTPUT filter on
+    which pairs are reported, never part of the distribution — otherwise
+    every PMI would carry a +ln(full_total/filtered_total) offset that
+    shifts with min_count and breaks the "PMI > 0 means associated"
+    convention.
 
     Pair extraction is row-local: for each offset d in 1..window, a
     slice-zip of the token array (the bigram construction generalized) —
     no positional self-join, no explode-then-join.  The pair relation is
     observed-pair-bounded (never vocab²); unigram marginals join on the
-    term key; totals broadcast as one scalar row.  `min_count` prunes the
-    long noisy tail BEFORE the marginal joins, the standard discipline.
+    term key; totals broadcast as one scalar row; the pruned tail never
+    reaches the marginal joins.
 
     Returns (w1, w2, pair_count, pmi) for pairs with pair_count >=
     min_count, pmi rounded to 6.  Fully ANSI (q_cooccurrence value-hashes
@@ -599,18 +604,18 @@ def cooccurrence_pmi(df: DataFrame, window: int = 2,
              .select(F.explode(F.concat(*pair_arrays)).alias("pr"))
              .select(F.col("pr.w1").alias("w1"),
                      F.col("pr.w2").alias("w2")))
-    # checkpoint: pair_counts feeds the totals scalar AND the marginal
-    # joins; uni feeds its own total and two join sides — the round-7
+    # checkpoint: all_pairs feeds the FULL pair total AND the reported
+    # subset; uni feeds its own total and two join sides — the round-7
     # multiply-consumed-aggregate rule (recompute + real-statistics)
-    pair_counts = (pairs.groupBy("w1", "w2")
-                   .agg(F.count("*").alias("pair_count"))
-                   .filter(F.col("pair_count") >= min_count)
-                   .localCheckpoint(eager=False))
+    all_pairs = (pairs.groupBy("w1", "w2")
+                 .agg(F.count("*").alias("pair_count"))
+                 .localCheckpoint(eager=False))
+    pair_counts = all_pairs.filter(F.col("pair_count") >= min_count)
     uni = (df.select(F.explode(toks).alias("term"))
            .groupBy("term").agg(F.count("*").alias("uni_count"))
            .localCheckpoint(eager=False))
     totals = F.broadcast(
-        pair_counts.agg(F.sum("pair_count").alias("pair_total"))
+        all_pairs.agg(F.sum("pair_count").alias("pair_total"))
         .crossJoin(uni.agg(F.sum("uni_count").alias("uni_total"))))
     return (pair_counts
             .join(uni.select(F.col("term").alias("w1"),

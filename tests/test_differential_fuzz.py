@@ -53,7 +53,7 @@ def _sort_key(row):
                  for v in row)
 
 
-def _compare(spark, pdf, spark_df, oracle_key):
+def _compare(pdf, spark_df, oracle_key):
     con = duckdb.connect()
     con.register("documents", pdf)
     duck_df = con.execute(entry_mod.oracle_sql()[oracle_key]).fetchdf()
@@ -79,7 +79,7 @@ def test_fuzz_ngram_diversity(spark, seed):
     out = (with_ngram_diversity(docs, n=3)
            .select("doc_id", "nd_n_ngrams", "nd_n_distinct",
                    "nd_diversity"))
-    _compare(spark, pdf, out, "q_ngram_diversity")
+    _compare(pdf, out, "q_ngram_diversity")
 
 
 @pytest.mark.parametrize("seed", [11, 23, 47])
@@ -88,7 +88,7 @@ def test_fuzz_mixture_weights(spark, seed):
 
     pdf = _random_corpus(seed)
     docs = spark.createDataFrame(pdf)
-    _compare(spark, pdf, source_mixture_weights(docs, alpha=0.3),
+    _compare(pdf, source_mixture_weights(docs, alpha=0.3),
              "q_mixture_weights")
 
 
@@ -99,7 +99,7 @@ def test_fuzz_bm25(spark, seed):
     pdf = _random_corpus(seed)
     docs = spark.createDataFrame(pdf)
     out = bm25_topk(docs, ["the", "flood", "data", "model", "river"], k=20)
-    _compare(spark, pdf, out, "q_bm25_topk")
+    _compare(pdf, out, "q_bm25_topk")
 
 
 @pytest.mark.parametrize("seed", [11, 23])
@@ -113,4 +113,16 @@ def test_fuzz_remove_spans(spark, seed):
         pdf.loc[pdf.index % 3 == 0, "text"] + " " + boiler).str.strip()
     docs = spark.createDataFrame(pdf)
     out = remove_repeated_spans(docs, window=8)
-    _compare(spark, pdf, out, "q_remove_spans")
+    _compare(pdf, out, "q_remove_spans")
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_fuzz_cooccurrence(spark, seed):
+    """Random corpora exercise the n < d+1 empty-array branch (blank and
+    single-token docs) and repeated-token mass."""
+    from flood_data_spark.datapipe.text import cooccurrence_pmi
+
+    pdf = _random_corpus(seed)
+    docs = spark.createDataFrame(pdf)
+    out = cooccurrence_pmi(docs, window=2, min_count=5)
+    _compare(pdf, out, "q_cooccurrence")

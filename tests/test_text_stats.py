@@ -160,10 +160,10 @@ def test_cooccurrence_pmi_hand_computed(spark):
            cooccurrence_pmi(df, window=2, min_count=2).collect()}
     # 'new york' dominates: 4 adjacent occurrences survive the floor
     assert out[("new", "york")].pair_count == 4
-    # hand PMI: pair_total = 10 (4 surviving pairs: new-york 4,
-    # city-new 2, new-is 2, york-is 2), uni_total = 18 tokens,
+    # hand PMI: pair_total = 30 (ALL window-2 pairs, 7+9 adjacent +
+    # 6+8 offset-2 — min_count only filters the OUTPUT), uni_total = 18,
     # c(new)=4, c(york)=4
-    exp = math.log((4 / 10) / ((4 / 18) * (4 / 18)))
+    exp = math.log((4 / 30) / ((4 / 18) * (4 / 18)))
     assert out[("new", "york")].pmi == pytest.approx(exp, abs=1e-5)
     # below-floor pairs pruned
     assert ("style", "pizza") not in out

@@ -290,8 +290,16 @@ def test_next_event_pairs_within_sessions(spark):
 
 
 def test_next_event_pairs_empty_and_single(spark):
+    import datetime as dt
+
     from flood_data_spark.operators.timeseries import next_event_pairs
 
     ev = spark.createDataFrame(
         [], "user_id long, ts timestamp, event_id long, event_type string")
     assert next_event_pairs(ev).count() == 0
+    # a lone event per key has no target: zero pairs, never a null-target
+    # row (the lead at partition end must be filtered, not emitted)
+    one = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 100, "view")],
+        "user_id long, ts timestamp, event_id long, event_type string")
+    assert next_event_pairs(one).count() == 0

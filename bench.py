@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q_dedup_exact_x10",
     "q_minhash_lsh_x10",
     "q_line_dedup_x10",
+    "q_sessionize_x10",
     "q_bpe_train_full",
     "q_ivfpq_search",
     "q_threshold_summary",
@@ -343,6 +344,44 @@ def _q_line_dedup_x10(spark, sf_dir):
     return dedup_lines(docs)
 
 
+def _scaled_events_path(spark, sf_dir):
+    """Materialize (once) a 10x events table: each event replicated with
+    a remapped user_id (user_id * 16 + r) — 10x the session KEYS with
+    per-user series lengths unchanged, the "more keys" growth mode the
+    lineitem tier uses.  Generation goes through __spark_entry__._t,
+    which owns the TIMESTAMP(NANOS) handling (raw reads of this table
+    raise PARQUET_TYPE_ILLEGAL on a vanilla session), so the tier is
+    written with plain µs timestamps.  16 output files = 16 scan tasks."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as entry_mod
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".bench_scale", f"events_x10_{sf_tag}_p16")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = entry_mod._t(spark, sf_dir, "events").repartition(16)
+        (ev.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(9))))
+         .withColumn("user_id", F.col("user_id") * 16 + F.col("_r"))
+         .withColumn("event_id", F.col("event_id") * 16 + F.col("_r"))
+         .drop("_r")
+         .write.mode("overwrite").parquet(out))
+    return out
+
+
+def _q_sessionize_x10(spark, sf_dir):
+    """Gap sessionization on the 10x events tier: the ordered-window
+    session machine at 10x the keys (registry twin q_sessionize runs the
+    1x table) — the timeseries family's scale comparator."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.operators.timeseries import sessionize
+    ev = spark.read.parquet(_scaled_events_path(spark, sf_dir))
+    # µs-timestamp tier reads back TIMESTAMP_NTZ under Spark 4; the
+    # session timezone is pinned UTC so the cast is exact (same move as
+    # the registry twin's loader)
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sessionize(ev, gap_seconds=3600, order_tiebreak="event_id")
+
+
 def _q_gopher_rules_full(spark, sf_dir):
     """Gopher rule battery over the whole documents table (the registry
     entry bounds to 400 docs for the oracle): one zero-shuffle codegen
@@ -367,6 +406,7 @@ EXTRA_QUERIES = {
     "q_dedup_exact_x10": _q_dedup_exact_x10,
     "q_minhash_lsh_x10": _q_minhash_lsh_x10,
     "q_line_dedup_x10": _q_line_dedup_x10,
+    "q_sessionize_x10": _q_sessionize_x10,
     "q_bigram_ppl_full": _q_bigram_ppl_full,
     "q_threshold_summary_approx_plain": _q_threshold_summary_approx_plain,
     "q_ivf_build": _q_ivf_build,
@@ -402,6 +442,7 @@ def main():
     # materialize the 10x tier inputs before any timing starts
     _scaled_lineitem_path(spark, SF_DIR)
     _scaled_documents_path(spark, SF_DIR)
+    _scaled_events_path(spark, SF_DIR)
     # prime the heavyweight operator classes (ObjectHashAggregate percentile
     # buffers, window exec, broadcast exchange) on a 100-row synthetic frame:
     # a long-running cluster has these JIT-ed long before any daily batch,
@@ -436,7 +477,7 @@ def main():
                  "q_ts_pattern_full", "q_bpe_train_full",
                  "q_ivfpq_search", "q_bigram_ppl_full",
                  "q_dedup_exact_x10", "q_minhash_lsh_x10",
-                 "q_line_dedup_x10"}
+                 "q_line_dedup_x10", "q_sessionize_x10"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -1208,6 +1208,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ["the", "flood", "data", "model", "river"], k=20)
 
 
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the inverted-index serving path
+    (datapipe/text.build_text_index + bm25_from_index): build the
+    postings/term-stats/scalar relations once, answer the SAME query as
+    q_bm25_topk from them — the oracle is shared with q_bm25_topk, so the
+    gate proves the indexed path reproduces the on-the-fly path
+    bit-for-bit (the ivf_build/ivf_probe lifecycle, text side)."""
+    from flood_data_spark.datapipe.text import (
+        bm25_from_index, build_text_index)
+
+    postings, term_stats, stats = build_text_index(
+        _t(spark, sf_dir, "documents"))
+    return bm25_from_index(postings, term_stats, stats,
+                           ["the", "flood", "data", "model", "river"], k=20)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule battery (datapipe/text.with_gopher_rules): the
     published per-document filter rules (word count, mean word length,
@@ -2082,7 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round, third batch (14) ---
+        # --- new this round, third batch (15) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
@@ -2097,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_remove_spans_first": q_remove_spans_first,
         "q_next_event_pairs": q_next_event_pairs,
         "q_cooccurrence": q_cooccurrence,
+        "q_bm25_indexed": q_bm25_indexed,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2115,7 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_ppl": q_unigram_ppl,
         "q_pagerank": q_pagerank,
         # --- last checked r5; modules touched since (40) ---
-        "q_batch_lookup": q_batch_lookup,
+
         "q_round_join": q_round_join,
         "q_point_lookup": q_point_lookup,
         "q_neighborhood": q_neighborhood,
@@ -2135,9 +2152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample": q_resample,
         "q_asof_join": q_asof_join,
         # ---------------- gate window boundary (50) ----------------
+        "q_batch_lookup": q_batch_lookup,
         # Evicted this rotation (green r5/r6, modules untouched this
-        # session): q_morton_key (keys.py), q_curation, q_dedup_exact and
-        # the relational/curation tail below.  q_asof_join stays IN: its
+        # session): q_morton_key and q_batch_lookup (keys.py/serving.py),
+        # q_curation, q_dedup_exact and the relational/curation tail
+        # below.  q_asof_join stays IN: its
         # module (operators/timeseries.py) was refactored this session
         # (_with_session_ids extraction), and refactored modules must be
         # driver-checked the round they change.
@@ -2266,7 +2285,7 @@ def oracle_sql() -> dict[str, str]:
     # bit-identical z-normalized pattern constants for q_ts_pattern_topk
     # (same python arithmetic the Spark operator runs driver-side)
     zp = ", ".join(repr(x) for x in _znorm(_TS_PATTERN))
-    return {
+    d = {
         "q_threshold_summary": f"""
             SELECT l_partkey AS partkey,
                    round(avg(CASE WHEN l_extendedprice >= p_retailprice * 0.8
@@ -4753,3 +4772,7 @@ def oracle_sql() -> dict[str, str]:
             FROM exact
         """,
     }
+    # the indexed BM25 path must reproduce the on-the-fly path exactly —
+    # ONE oracle definition for both gates (no drift possible)
+    d["q_bm25_indexed"] = d["q_bm25_topk"]
+    return d

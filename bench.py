@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "q_threshold_summary_approx_plain",
     "q_ivf_build",
     "q_ivf_probe",
+    "q_bm25_index_build",
+    "q_bm25_probe",
     # round-3 curation/corpus-statistics families
     "q_chunk_docs",
     "q_pack_sequences",
@@ -100,6 +102,7 @@ BENCH_QUERIES = [
 ]
 
 _IVF_INDEX = {}
+_TEXT_INDEX = {}
 
 
 def _q_threshold_summary_approx_plain(spark, sf_dir):
@@ -142,6 +145,27 @@ def _q_ivf_probe(spark, sf_dir):
     queries = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
                .filter("vec_id < 20"))
     return ivf_probe(centroids, lists, queries, k=5, nprobe=4)
+
+
+def _q_bm25_index_build(spark, sf_dir):
+    """Inverted-index build for BM25 serving: the one corpus scan the
+    on-the-fly q_bm25_topk pays per query, amortized to once.  Postings
+    persist so the probe entry measures pure query cost."""
+    from flood_data_spark.datapipe.text import build_text_index
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings, term_stats, stats = build_text_index(docs)
+    postings = postings.persist()
+    _TEXT_INDEX["index"] = (postings, term_stats, stats)
+    return postings
+
+
+def _q_bm25_probe(spark, sf_dir):
+    """BM25 from the prebuilt index — query-sized work only (requires
+    q_bm25_index_build earlier in the list)."""
+    from flood_data_spark.datapipe.text import bm25_from_index
+    postings, term_stats, stats = _TEXT_INDEX["index"]
+    return bm25_from_index(postings, term_stats, stats,
+                           ["the", "flood", "data", "model", "river"], k=20)
 
 
 def _q_ngram_jaccard_capped_3k(spark, sf_dir):
@@ -411,6 +435,8 @@ EXTRA_QUERIES = {
     "q_threshold_summary_approx_plain": _q_threshold_summary_approx_plain,
     "q_ivf_build": _q_ivf_build,
     "q_ivf_probe": _q_ivf_probe,
+    "q_bm25_index_build": _q_bm25_index_build,
+    "q_bm25_probe": _q_bm25_probe,
     "q_ngram_jaccard_capped_3k": _q_ngram_jaccard_capped_3k,
     "q_repeated_spans_full": _q_repeated_spans_full,
     "q_remove_spans_full": _q_remove_spans_full,
@@ -508,7 +534,7 @@ def main():
         # inverted lists the probe entry is documented to reuse, silently
         # folding the full-corpus list assignment back into the "pure
         # search" probe timing.
-        if name != "q_ivf_build":
+        if name not in ("q_ivf_build", "q_bm25_index_build"):
             spark.catalog.clearCache()
         # nudge a full GC between queries (outside the timed region):
         # accumulated broadcast/cache garbage otherwise surfaces as multi-

@@ -632,3 +632,79 @@ def cooccurrence_pmi(df: DataFrame, window: int = 2,
                                  * (F.col("c2")
                                     / F.col("uni_total").cast("double")))),
                         6).alias("pmi")))
+
+
+def build_text_index(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Inverted-index build for BM25 serving — the text-side analog of
+    `ivf_build`: pay the corpus scan ONCE, then answer keyword queries
+    from index relations sized by the query, not the corpus.
+
+    Returns (postings, term_stats, stats):
+
+    - postings: (term, id, tf, dl) — one row per distinct (term, doc),
+      DENORMALIZED with the document length (the Lucene move: the length
+      norm lives in the posting, so scoring never joins back to a
+      corpus-sized doclen relation);
+    - term_stats: (term, df_t) — vocabulary-bounded document frequencies;
+    - stats: one row (n_docs, avgdl).
+
+    At 100 TB persist postings bucketed/partitioned by a term hash::
+
+        postings.withColumn("bucket", F.crc32("term") % 1024)
+            .write.partitionBy("bucket").parquet(path)
+
+    and `bm25_from_index` touches only the buckets holding query terms
+    (partition pruning on the equi-filter).  The build is the SAME
+    explode+aggregate q_bm25_topk pays per query — amortized to once.
+    """
+    terms = (df.select(F.col(id_col).alias("id"),
+                       token_count(F.col(text_col)).alias("dl"),
+                       F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                         r"\s+")).alias("term"))
+             .filter(F.col("term") != ""))
+    postings = (terms.groupBy("term", "id")
+                .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
+    term_stats = (postings.groupBy("term")
+                  .agg(F.count("*").alias("df_t")))
+    stats = df.agg(F.count("*").alias("n_docs"),
+                   F.avg(token_count(F.col(text_col))).alias("avgdl"))
+    return postings, term_stats, stats
+
+
+def bm25_from_index(postings: DataFrame, term_stats: DataFrame,
+                    stats: DataFrame, query_terms, k: int = 10,
+                    k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-k against a prebuilt inverted index: filter postings to
+    the query's term set (partition-pruned when the index is written
+    bucketed by term), broadcast the |q|-row term stats and the scalar
+    (N, avgdl), aggregate per doc, TakeOrdered.  Query cost is
+    proportional to the matched POSTINGS — no corpus scan, no explode,
+    no corpus-sized shuffle.  Produces bit-identical scores to the
+    on-the-fly `bm25_topk` (q_bm25_indexed shares q_bm25_topk's oracle).
+    """
+    qterms = sorted({t.lower() for t in query_terms})
+    if not qterms:
+        raise ValueError("bm25_from_index: query_terms must be non-empty")
+    scored = (postings
+              .filter(F.col("term").isin(qterms))
+              .join(F.broadcast(
+                  term_stats.filter(F.col("term").isin(qterms))), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn(
+                  "idf",
+                  F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5)
+                        / (F.col("df_t") + 0.5)))
+              .withColumn(
+                  "contrib",
+                  F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+                  / (F.col("tf") + F.lit(k1)
+                     * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")))))
+    return (scored.groupBy("id")
+            .agg(F.count("*").alias("n_hit_terms"),
+                 F.round(F.sum("contrib"), 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc("id"))
+            .limit(k)
+            .select(F.col("id").alias(id_col), "n_hit_terms", "bm25"))

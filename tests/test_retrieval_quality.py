@@ -195,3 +195,52 @@ def test_ngram_diversity_rejects_bad_n(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         with_ngram_diversity(df, n=0)
+
+
+# ------------------------------------------------ inverted-index BM25
+
+def test_indexed_bm25_equals_on_the_fly(spark):
+    from flood_data_spark.datapipe.text import (
+        bm25_from_index, bm25_topk, build_text_index)
+
+    df = spark.createDataFrame(
+        [(i, f"flood river data tok{i % 5} extra words here")
+         for i in range(30)],
+        "doc_id long, text string")
+    direct = {(r.doc_id, r.n_hit_terms, r.bm25)
+              for r in bm25_topk(df, ["flood", "data"], k=10).collect()}
+    p, ts, st = build_text_index(df)
+    indexed = {(r.doc_id, r.n_hit_terms, r.bm25)
+               for r in bm25_from_index(p, ts, st,
+                                        ["flood", "data"], k=10).collect()}
+    assert direct == indexed and len(indexed) == 10
+
+
+def test_indexed_bm25_from_persisted_postings(spark, tmp_path):
+    """The serving shape: postings written bucketed by a term hash, the
+    query answered from the parquet without re-scanning the corpus."""
+    import pyspark.sql.functions as F
+
+    from flood_data_spark.datapipe.text import (
+        bm25_from_index, build_text_index)
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta flood gamma tok{i % 3}") for i in range(20)],
+        "doc_id long, text string")
+    p, ts, st = build_text_index(df)
+    path = str(tmp_path / "postings")
+    (p.withColumn("bucket", F.crc32("term") % 8)
+     .write.partitionBy("bucket").parquet(path))
+    back = spark.read.parquet(path).drop("bucket")
+    out = bm25_from_index(back, ts, st, ["flood"], k=5).collect()
+    assert len(out) == 5 and all(r.bm25 > 0 for r in out)
+
+
+def test_indexed_bm25_rejects_empty_query(spark):
+    from flood_data_spark.datapipe.text import (
+        bm25_from_index, build_text_index)
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    p, ts, st = build_text_index(df)
+    with pytest.raises(ValueError):
+        bm25_from_index(p, ts, st, [])

@@ -976,3 +976,42 @@ def ivfpq_probe(centroids: DataFrame, codebooks: list, codes: DataFrame,
         .filter(F.col("query_id") != F.col("neighbor_id"))
     return _adc_rank_tail(scored, queries, k, n_cand, rerank_corpus,
                           id_col, vec_col)
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+             id_col: str = "doc_id", k: int = 10,
+             rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid
+    -retrieval combiner: given two ranked candidate lists (e.g. BM25
+    lexical top-n and ANN cosine top-n), score each id by
+    sum(1 / (rrf_k + rank_i)) over the lists it appears in and return the
+    fused top-k.  Rank-based, so the two retrievers' incomparable score
+    scales never need calibration.
+
+    Inputs are DataFrames carrying `id_col` and a `rank` column (1-based;
+    any retriever's top-n output ordered and row_number-ed).  Ids missing
+    from a list contribute nothing for it — the standard convention.
+
+    Plan: both inputs are top-n-sized (tiny), so this is a full-outer
+    join + scalar arithmetic + TakeOrdered on relations that never touch
+    the corpus; fusion cost is O(n_a + n_b) regardless of corpus size.
+    Ties break (rrf_score desc, id asc) for reproducibility.
+    """
+    a = ranked_a.select(F.col(id_col).alias("id"),
+                        F.col("rank").alias("_ra"))
+    b = ranked_b.select(F.col(id_col).alias("id"),
+                        F.col("rank").alias("_rb"))
+    fused = (a.join(b, "id", "full_outer")
+             .withColumn(
+                 "rrf_score",
+                 F.round(
+                     F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_ra")),
+                                F.lit(0.0))
+                     + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_rb")),
+                                  F.lit(0.0)), 6)))
+    return (fused
+            .select(F.col("id").alias(id_col),
+                    F.col("_ra").alias("rank_a"),
+                    F.col("_rb").alias("rank_b"), "rrf_score")
+            .orderBy(F.desc("rrf_score"), F.asc(id_col))
+            .limit(k))

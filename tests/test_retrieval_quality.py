@@ -244,3 +244,36 @@ def test_indexed_bm25_rejects_empty_query(spark):
     p, ts, st = build_text_index(df)
     with pytest.raises(ValueError):
         bm25_from_index(p, ts, st, [])
+
+
+# ------------------------------------------------------------- RRF fusion
+
+def test_rrf_fuse_hand_computed(spark):
+    from flood_data_spark.datapipe.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse(a, b, k=10).collect()}
+    # doc 3 appears in both lists -> highest fused score
+    assert out[3].rrf_score == pytest.approx(
+        round(1 / 63 + 1 / 61, 6), abs=1e-6)
+    assert out[3].rank_a == 3 and out[3].rank_b == 1
+    # single-list docs carry only their own term
+    assert out[1].rrf_score == pytest.approx(round(1 / 61, 6), abs=1e-6)
+    assert out[4].rank_a is None and out[4].rrf_score == pytest.approx(
+        round(1 / 62, 6), abs=1e-6)
+    # fused ordering: doc3 first (two contributions beat any single)
+    ordered = sorted(out.values(), key=lambda r: -r.rrf_score)
+    assert ordered[0].doc_id == 3
+
+
+def test_rrf_fuse_k_bound_and_tiebreak(spark):
+    from flood_data_spark.datapipe.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(i, 1) for i in range(5)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([], "doc_id long, rank int")
+    rows = rrf_fuse(a, b, k=3).collect()
+    # equal scores -> id tiebreak, k bound respected
+    assert [r.doc_id for r in rows] == [0, 1, 2]

@@ -1248,6 +1248,28 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, vec, k=10)
 
 
+def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (datapipe/similarity.ir_metrics): per-query
+    reciprocal rank + recall@10 of the exact-cosine retriever against
+    label-match relevance (same `label` = relevant) for 20 query vectors.
+    One (query, doc) semi-join + one groupBy — eval-set-sized, never
+    corpus-sized.  Full value oracle."""
+    from flood_data_spark.datapipe.similarity import (
+        cosine_topk_bruteforce, ir_metrics)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    ranked = cosine_topk_bruteforce(emb, queries, k=10)
+    relevant = (queries.select(F.col("vec_id").alias("query_id"),
+                               F.col("label").alias("_ql"))
+                .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                 F.col("label").alias("_nl")),
+                      F.col("_ql") == F.col("_nl"))
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+                .select("query_id", "neighbor_id"))
+    return ir_metrics(ranked, relevant, k=10)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule battery (datapipe/text.with_gopher_rules): the
     published per-document filter rules (word count, mean word length,
@@ -2122,7 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round, third batch (16) ---
+        # --- new this round, third batch (17) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
@@ -2139,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cooccurrence": q_cooccurrence,
         "q_bm25_indexed": q_bm25_indexed,
         "q_hybrid_rrf": q_hybrid_rrf,
+        "q_ir_metrics": q_ir_metrics,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2159,7 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- last checked r5; modules touched since (40) ---
 
 
-        "q_point_lookup": q_point_lookup,
+
         "q_neighborhood": q_neighborhood,
         "q_restrict_area": q_restrict_area,
         "q_threshold_combine": q_threshold_combine,
@@ -2177,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample": q_resample,
         "q_asof_join": q_asof_join,
         # ---------------- gate window boundary (50) ----------------
+        "q_point_lookup": q_point_lookup,
         "q_round_join": q_round_join,
         "q_batch_lookup": q_batch_lookup,
         # Evicted this rotation (green r5/r6, modules untouched this
@@ -3424,6 +3448,53 @@ def oracle_sql() -> dict[str, str]:
                 FROM lex a FULL OUTER JOIN vtop b ON a.doc_id = b.doc_id)
             SELECT doc_id, rank_a, rank_b, rrf_score
             FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+        """,
+        # q_ir_metrics: rank arithmetic over the exact-cosine top-10 and
+        # label-match relevance — pure window + join SQL
+        "q_ir_metrics": """
+            WITH v AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.e, c.e)
+                             / (sqrt(list_dot_product(q.e, q.e))
+                                * sqrt(list_dot_product(c.e, c.e))), 6)
+                           AS cosine
+                FROM v q JOIN v c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 20),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored),
+            topk AS (SELECT query_id, neighbor_id, rank
+                     FROM ranked WHERE rank <= 10),
+            rel AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM v q JOIN v c
+                ON q.label = c.label AND q.vec_id != c.vec_id
+                WHERE q.vec_id < 20),
+            hits AS (
+                SELECT t.query_id, t.rank
+                FROM topk t SEMI JOIN rel r
+                ON t.query_id = r.query_id
+                AND t.neighbor_id = r.neighbor_id),
+            per_q AS (
+                SELECT query_id,
+                       CAST(count(*) AS BIGINT) AS n_retrieved_at_k,
+                       CAST(min(rank) AS INT) AS first_hit_rank
+                FROM hits GROUP BY query_id),
+            denom AS (
+                SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+                FROM rel GROUP BY query_id)
+            SELECT d.query_id, d.n_relevant,
+                   coalesce(p.n_retrieved_at_k, 0) AS n_retrieved_at_k,
+                   p.first_hit_rank,
+                   round(coalesce(CAST(1.0 AS DOUBLE) / p.first_hit_rank,
+                                  0.0), 6) AS rr,
+                   round(coalesce(p.n_retrieved_at_k, 0)
+                         / CAST(d.n_relevant AS DOUBLE), 6) AS recall_at_k
+            FROM denom d LEFT JOIN per_q p ON d.query_id = p.query_id
         """,
         # q_bpe_pairs: full value oracle for BPE round-1 pair statistics —
         # adjacent char pairs weighted by word frequency, top-20 with the

@@ -1015,3 +1015,48 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
                     F.col("_rb").alias("rank_b"), "rrf_score")
             .orderBy(F.desc("rrf_score"), F.asc(id_col))
             .limit(k))
+
+
+def ir_metrics(ranked: DataFrame, relevant: DataFrame, k: int = 10,
+               query_col: str = "query_id",
+               doc_col: str = "neighbor_id") -> DataFrame:
+    """Retrieval evaluation: per-query reciprocal rank, hits@k, and
+    recall@k from a ranked result table and a relevance table — the
+    numbers every retrieval/ANN change is judged by, computed
+    distributed so a million-query eval set is one job.
+
+    `ranked`: (query_col, doc_col, rank) — any retriever's top-n output.
+    `relevant`: (query_col, doc_col) — the positive pairs; a query's
+    recall denominator is its relevant-set size.
+
+    Returns one row per query in `relevant`: (query_col, n_relevant,
+    n_retrieved_at_k — relevant docs found in the top k, first_hit_rank,
+    rr — 1/first_hit_rank else 0, recall_at_k), plus queries with no
+    retrieved rows at zero (never silently dropped from the mean).
+
+    Plan: one equi-join on (query, doc) + one groupBy(query) — both keyed
+    by the eval set, never the corpus; means/aggregates compose on top
+    (`.agg(avg("rr"))` is MRR).  Fully ANSI (q_ir_metrics value-hashes
+    it).
+    """
+    hits = (ranked.filter(F.col("rank") <= k)
+            .join(relevant.select(F.col(query_col).alias("_q"),
+                                  F.col(doc_col).alias("_d")),
+                  (F.col(query_col) == F.col("_q"))
+                  & (F.col(doc_col) == F.col("_d")), "left_semi"))
+    per_q = (hits.groupBy(query_col)
+             .agg(F.count("*").alias("n_retrieved_at_k"),
+                  F.min("rank").alias("first_hit_rank")))
+    denom = (relevant.groupBy(query_col)
+             .agg(F.count("*").alias("n_relevant")))
+    return (denom.join(per_q, query_col, "left")
+            .na.fill({"n_retrieved_at_k": 0})
+            .select(query_col, "n_relevant",
+                    F.col("n_retrieved_at_k").cast("long")
+                    .alias("n_retrieved_at_k"),
+                    "first_hit_rank",
+                    F.round(F.coalesce(1.0 / F.col("first_hit_rank"),
+                                       F.lit(0.0)), 6).alias("rr"),
+                    F.round(F.col("n_retrieved_at_k")
+                            / F.col("n_relevant").cast("double"), 6)
+                    .alias("recall_at_k")))

@@ -277,3 +277,41 @@ def test_rrf_fuse_k_bound_and_tiebreak(spark):
     rows = rrf_fuse(a, b, k=3).collect()
     # equal scores -> id tiebreak, k bound respected
     assert [r.doc_id for r in rows] == [0, 1, 2]
+
+
+# --------------------------------------------------------- IR metrics
+
+def test_ir_metrics_hand_computed(spark):
+    from flood_data_spark.datapipe.similarity import ir_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rank int")
+    relevant = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 13),     # q1: hits at ranks 2,3; 13 missed
+         (2, 99),                       # q2: nothing retrieved is relevant
+         (3, 30)],                      # q3: retriever returned nothing
+        "query_id long, neighbor_id long")
+    out = {r.query_id: r for r in ir_metrics(ranked, relevant, k=3).collect()}
+    assert out[1].n_relevant == 3 and out[1].n_retrieved_at_k == 2
+    assert out[1].first_hit_rank == 2 and out[1].rr == 0.5
+    assert out[1].recall_at_k == pytest.approx(round(2 / 3, 6))
+    assert out[2].n_retrieved_at_k == 0 and out[2].rr == 0.0
+    assert out[3].n_retrieved_at_k == 0 and out[3].recall_at_k == 0.0
+    # MRR composes as a plain mean on top
+    mrr = ir_metrics(ranked, relevant, k=3).agg(
+        {"rr": "avg"}).collect()[0][0]
+    assert mrr == pytest.approx(0.5 / 3, abs=1e-6)
+
+
+def test_ir_metrics_k_cutoff(spark):
+    from flood_data_spark.datapipe.similarity import ir_metrics
+
+    ranked = spark.createDataFrame([(1, 10, 5)],
+                                   "query_id long, neighbor_id long, rank int")
+    relevant = spark.createDataFrame([(1, 10)],
+                                     "query_id long, neighbor_id long")
+    out = ir_metrics(ranked, relevant, k=3).collect()[0]
+    # the only hit sits past the cutoff
+    assert out.n_retrieved_at_k == 0 and out.rr == 0.0

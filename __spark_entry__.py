@@ -2179,10 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": q_bpe_encode,
         "q_unigram_ppl": q_unigram_ppl,
         "q_pagerank": q_pagerank,
-        # --- last checked r5; modules touched since (40) ---
-
-
-
+        # --- last checked r5; modules touched since ---
         "q_neighborhood": q_neighborhood,
         "q_restrict_area": q_restrict_area,
         "q_threshold_combine": q_threshold_combine,
@@ -2203,10 +2200,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_point_lookup": q_point_lookup,
         "q_round_join": q_round_join,
         "q_batch_lookup": q_batch_lookup,
-        # Evicted this rotation (green r5/r6, modules untouched this
-        # session): q_morton_key and q_batch_lookup (keys.py/serving.py),
-        # q_curation, q_dedup_exact and the relational/curation tail
-        # below.  q_asof_join stays IN: its
+        # Evicted this rotation (all green r5/r6, modules untouched this
+        # session): q_morton_key + q_round_join (keys.py), q_point_lookup
+        # + q_batch_lookup (serving.py), q_curation, q_dedup_exact and
+        # the relational/curation tail below.  serving.py and keys.py
+        # received NO commits this round, so their pytest coverage is the
+        # current evidence; they re-enter the window next rotation.  q_asof_join stays IN: its
         # module (operators/timeseries.py) was refactored this session
         # (_with_session_ids extraction), and refactored modules must be
         # driver-checked the round they change.

@@ -646,8 +646,14 @@ def build_text_index(df: DataFrame, id_col: str = "doc_id",
       DENORMALIZED with the document length (the Lucene move: the length
       norm lives in the posting, so scoring never joins back to a
       corpus-sized doclen relation);
-    - term_stats: (term, df_t) — vocabulary-bounded document frequencies;
-    - stats: one row (n_docs, avgdl).
+    - term_stats: (term, df_t) — vocabulary-bounded document frequencies,
+      DERIVED FROM the postings plan, so once the caller persists/writes
+      postings it re-aggregates from the persisted relation, not the
+      corpus;
+    - stats: one row (n_docs, avgdl), COLLECTED at build time into a
+      literal-backed frame (one bounded 1-row action — the ivf_build
+      fit-at-build precedent) so no later probe ever re-scans the corpus
+      for the scalar.
 
     At 100 TB persist postings bucketed/partitioned by a term hash::
 
@@ -667,8 +673,11 @@ def build_text_index(df: DataFrame, id_col: str = "doc_id",
                 .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
     term_stats = (postings.groupBy("term")
                   .agg(F.count("*").alias("df_t")))
-    stats = df.agg(F.count("*").alias("n_docs"),
-                   F.avg(token_count(F.col(text_col))).alias("avgdl"))
+    row = df.agg(F.count("*").alias("n_docs"),
+                 F.avg(token_count(F.col(text_col)))
+                 .alias("avgdl")).collect()[0]
+    stats = df.sparkSession.createDataFrame(
+        [(row["n_docs"], row["avgdl"])], "n_docs long, avgdl double")
     return postings, term_stats, stats
 
 

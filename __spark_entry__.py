@@ -1270,6 +1270,20 @@ def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ir_metrics(ranked, relevant, k=10)
 
 
+def q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion (datapipe/text.bm25_prf_expand,
+    RM3-lite): BM25 top-10 feedback set, 5 expansion terms by feedback-tf
+    x smoothed-idf (round-6 deterministic cut), expanded-query BM25
+    top-10.  The oracle recomputes BOTH passes and the expansion
+    selection entirely in SQL — the expansion set is a subquery, not a
+    literal — so the gate proves the two-pass composition end-to-end."""
+    from flood_data_spark.datapipe.text import bm25_prf_expand
+
+    return bm25_prf_expand(_t(spark, sf_dir, "documents"),
+                           ["the", "flood", "data", "model", "river"],
+                           n_feedback=10, n_expansion=5, k=10)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule battery (datapipe/text.with_gopher_rules): the
     published per-document filter rules (word count, mean word length,
@@ -2144,7 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
-        # --- new this round, third batch (17) ---
+        # --- new this round, third batch (18) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
@@ -2162,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_indexed": q_bm25_indexed,
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_ir_metrics": q_ir_metrics,
+        "q_bm25_prf": q_bm25_prf,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2180,7 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_ppl": q_unigram_ppl,
         "q_pagerank": q_pagerank,
         # --- last checked r5; modules touched since ---
-        "q_neighborhood": q_neighborhood,
+
         "q_restrict_area": q_restrict_area,
         "q_threshold_combine": q_threshold_combine,
         "q_summary_forecast": q_summary_forecast,
@@ -2197,11 +2212,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample": q_resample,
         "q_asof_join": q_asof_join,
         # ---------------- gate window boundary (50) ----------------
+        "q_neighborhood": q_neighborhood,
         "q_point_lookup": q_point_lookup,
         "q_round_join": q_round_join,
         "q_batch_lookup": q_batch_lookup,
         # Evicted this rotation (all green r5/r6, modules untouched this
-        # session): q_morton_key + q_round_join (keys.py), q_point_lookup
+        # session): q_morton_key + q_round_join (keys.py), q_neighborhood, q_point_lookup
         # + q_batch_lookup (serving.py), q_curation, q_dedup_exact and
         # the relational/curation tail below.  serving.py and keys.py
         # received NO commits this round, so their pytest coverage is the
@@ -2283,45 +2299,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Shared BM25 oracle: q_bm25_topk, q_bm25_indexed, and the hybrid-RRF
-# lexical leg all interpolate this single definition.
-_BM25_ORACLE_SQL = """
-            WITH dl AS (
+# Shared BM25 oracle machinery: ONE definition of the scoring chain,
+# parameterized by a CTE-name prefix and the term predicate, so
+# q_bm25_topk, q_bm25_indexed, the hybrid-RRF lexical leg, and BOTH
+# passes of the PRF oracle cannot drift from each other.
+def _bm25_chain(p: str, term_pred: str) -> str:
+    return f"""{p}dl AS (
                 SELECT doc_id AS id,
                        CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(lower(trim(text)),
                                                         '\\s+'))
                        END AS dl
                 FROM documents),
-            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                             avg(dl) AS avgdl FROM dl),
-            terms AS (
+            {p}stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                                avg(dl) AS avgdl FROM {p}dl),
+            {p}terms AS (
                 SELECT doc_id AS id,
                        unnest(string_split_regex(lower(trim(text)), '\\s+'))
                        AS term
                 FROM documents),
-            tf AS (
+            {p}tf AS (
                 SELECT id, term, CAST(count(*) AS BIGINT) AS tf
-                FROM terms
-                WHERE term IN ('data', 'flood', 'model', 'river', 'the')
+                FROM {p}terms
+                WHERE {term_pred}
                 GROUP BY id, term),
-            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
-                      FROM tf GROUP BY term),
-            scored AS (
+            {p}dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+                         FROM {p}tf GROUP BY term),
+            {p}scored AS (
                 SELECT t.id,
                        ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
                        * t.tf * (1.2 + 1.0)
                        / (t.tf + 1.2 * ((1.0 - 0.75)
                                         + 0.75 * l.dl / s.avgdl)) AS contrib
-                FROM tf t
-                JOIN dfreq d USING (term)
-                JOIN dl l ON t.id = l.id, stats s)
-            SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
-                   round(sum(contrib), 6) AS bm25
-            FROM scored GROUP BY id
+                FROM {p}tf t
+                JOIN {p}dfreq d USING (term)
+                JOIN {p}dl l ON t.id = l.id, {p}stats s),
+            {p}agg AS (
+                SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+                       round(sum(contrib), 6) AS bm25
+                FROM {p}scored GROUP BY id)"""
+
+
+_BM25_TERMS = "('data', 'flood', 'model', 'river', 'the')"
+_BM25_ORACLE_SQL = f"""
+            WITH {_bm25_chain('', 'term IN ' + _BM25_TERMS)}
+            SELECT doc_id, n_hit_terms, bm25
+            FROM agg
             ORDER BY bm25 DESC, doc_id ASC
             LIMIT 20
-"""
+        """
 
 
 # Shared DSIR oracle core (rt..agg CTE chain): q_dsir_weights and
@@ -4912,4 +4938,36 @@ def oracle_sql() -> dict[str, str]:
     # the indexed BM25 path must reproduce the on-the-fly path exactly —
     # ONE oracle definition for both gates (no drift possible)
     d["q_bm25_indexed"] = d["q_bm25_topk"]
+    # PRF: both passes + the in-SQL expansion selection from the SAME
+    # scoring chain definition
+    d["q_bm25_prf"] = f"""
+        WITH {_bm25_chain('b_', 'term IN ' + _BM25_TERMS)},
+        feedback AS (
+            SELECT doc_id FROM b_agg
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+        fb_tf AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS fb_tf
+            FROM b_terms t SEMI JOIN feedback f ON t.id = f.doc_id
+            WHERE term <> '' AND term NOT IN {_BM25_TERMS}
+            GROUP BY term),
+        docfreq AS (
+            SELECT term, count(DISTINCT id) AS df
+            FROM b_terms WHERE term <> '' GROUP BY term),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        exp AS (
+            SELECT f.term
+            FROM fb_tf f JOIN docfreq d2 USING (term), nd
+            ORDER BY round(f.fb_tf * (ln((n + 1) * 1.0 / (d2.df + 1)) + 1),
+                           6) DESC, f.term ASC
+            LIMIT 5),
+        qset AS (
+            SELECT unnest(['data', 'flood', 'model', 'river', 'the'])
+                AS term
+            UNION SELECT term FROM exp),
+        {_bm25_chain('x_', 'term IN (SELECT term FROM qset)')}
+        SELECT doc_id, n_hit_terms, bm25
+        FROM x_agg
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 10
+    """
     return d

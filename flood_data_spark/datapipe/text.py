@@ -717,3 +717,69 @@ def bm25_from_index(postings: DataFrame, term_stats: DataFrame,
             .orderBy(F.desc("bm25"), F.asc("id"))
             .limit(k)
             .select(F.col("id").alias(id_col), "n_hit_terms", "bm25"))
+
+
+def bm25_prf_expand(df: DataFrame, query_terms, n_feedback: int = 10,
+                    n_expansion: int = 5, k: int = 10,
+                    k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-lite): run BM25,
+    take the top `n_feedback` documents as assumed-relevant, pick the
+    `n_expansion` non-query terms with the highest feedback-set
+    tf × smoothed-idf (the tfidf_topk scoring, aggregated over the
+    feedback set), add them to the query, and return the re-run BM25
+    top-k — the classic recall booster when the literal query
+    under-specifies the topic.
+
+    Two-pass by construction (the second query depends on data from the
+    first); both passes are the `bm25_topk` plan, and the expansion
+    scoring runs on the FEEDBACK SET (n_feedback documents), never the
+    corpus.  The expansion term selection collects `n_expansion` strings
+    to the driver — bounded by the parameter, the same driver-scalar
+    contract as dedup's argmax collects.
+
+    Ties in expansion scoring break (score desc, term asc); returns the
+    final top-k with the same schema as `bm25_topk` plus the expansion
+    evidence is available via `expansion_terms(df, ...)` below for
+    callers that need to log it.
+    """
+    exp = expansion_terms(df, query_terms, n_feedback, n_expansion,
+                          k1, b, id_col, text_col)
+    return bm25_topk(df, list(query_terms) + exp, k=k, k1=k1, b=b,
+                     id_col=id_col, text_col=text_col)
+
+
+def expansion_terms(df: DataFrame, query_terms, n_feedback: int = 10,
+                    n_expansion: int = 5, k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> list:
+    """The PRF expansion-term selection of `bm25_prf_expand`, exposed so
+    the chosen terms can be logged/audited: feedback set = BM25 top
+    `n_feedback`; candidate score = feedback-set term frequency ×
+    corpus smoothed idf (ln((N+1)/(df+1))+1), query terms excluded.
+    Returns the top `n_expansion` terms as a Python list (bounded driver
+    collect — n_expansion strings)."""
+    qterms = sorted({t.lower() for t in query_terms})
+    feedback = (bm25_topk(df, qterms, k=n_feedback, k1=k1, b=b,
+                          id_col=id_col, text_col=text_col)
+                .select(id_col))
+    fb_docs = df.join(F.broadcast(feedback), id_col, "left_semi")
+    fb_tf = (term_rows(fb_docs, id_col, text_col)
+             .filter(~F.col("term").isin(qterms))
+             .groupBy("term").agg(F.count("*").alias("fb_tf")))
+    docfreq = (term_rows(df, id_col, text_col)
+               .select("id", "term").distinct()
+               .groupBy("term").agg(F.count("*").alias("df")))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    scored = (fb_tf.join(docfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score",
+                          F.round(F.col("fb_tf")
+                                  * (F.log((F.col("n") + 1)
+                                           / (F.col("df") + 1)) + 1), 6)))
+    # round-6 before ordering: the cut at n_expansion must be the same
+    # cut in any engine computing the same doubles (oracle parity)
+    rows = (scored.orderBy(F.desc("score"), F.asc("term"))
+            .limit(n_expansion).collect())
+    return [r["term"] for r in rows]

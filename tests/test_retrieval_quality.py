@@ -315,3 +315,36 @@ def test_ir_metrics_k_cutoff(spark):
     out = ir_metrics(ranked, relevant, k=3).collect()[0]
     # the only hit sits past the cutoff
     assert out.n_retrieved_at_k == 0 and out.rr == 0.0
+
+
+# ---------------------------------------------------- PRF expansion
+
+def test_prf_expansion_terms_from_feedback_set(spark):
+    from flood_data_spark.datapipe.text import (
+        bm25_prf_expand, expansion_terms)
+
+    # docs about 'flood' consistently mention 'levee'; noise docs don't
+    rows = [(i, f"flood river levee warning tok{i}") for i in range(8)]
+    rows += [(100 + i, f"weather sunshine picnic tok{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = expansion_terms(df, ["flood"], n_feedback=5, n_expansion=2)
+    assert len(exp) == 2
+    # expansion comes from the feedback docs' vocabulary, excludes the query
+    assert "flood" not in exp
+    assert set(exp) <= {"river", "levee", "warning"} | {
+        f"tok{i}" for i in range(8)}
+    # the expanded run now also surfaces docs matching expansion terms
+    out = bm25_prf_expand(df, ["flood"], n_feedback=5, n_expansion=2,
+                          k=16).collect()
+    assert all(r.n_hit_terms >= 1 for r in out)
+
+
+def test_prf_deterministic(spark):
+    from flood_data_spark.datapipe.text import expansion_terms
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i % 4}") for i in range(20)],
+        "doc_id long, text string")
+    a = expansion_terms(df, ["alpha"], n_feedback=5, n_expansion=3)
+    b = expansion_terms(df, ["alpha"], n_feedback=5, n_expansion=3)
+    assert a == b and len(a) == 3

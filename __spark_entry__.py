@@ -2195,7 +2195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_ppl": q_unigram_ppl,
         "q_pagerank": q_pagerank,
         # --- last checked r5; modules touched since ---
-
         "q_restrict_area": q_restrict_area,
         "q_threshold_combine": q_threshold_combine,
         "q_summary_forecast": q_summary_forecast,
@@ -2340,7 +2339,9 @@ def _bm25_chain(p: str, term_pred: str) -> str:
                 FROM {p}scored GROUP BY id)"""
 
 
-_BM25_TERMS = "('data', 'flood', 'model', 'river', 'the')"
+_BM25_TERM_LIST = ["data", "flood", "model", "river", "the"]
+_BM25_TERMS = "(" + ", ".join(f"'{t}'" for t in _BM25_TERM_LIST) + ")"
+_BM25_TERMS_ARRAY = "[" + ", ".join(f"'{t}'" for t in _BM25_TERM_LIST) + "]"
 _BM25_ORACLE_SQL = f"""
             WITH {_bm25_chain('', 'term IN ' + _BM25_TERMS)}
             SELECT doc_id, n_hit_terms, bm25
@@ -4961,8 +4962,7 @@ def oracle_sql() -> dict[str, str]:
                            6) DESC, f.term ASC
             LIMIT 5),
         qset AS (
-            SELECT unnest(['data', 'flood', 'model', 'river', 'the'])
-                AS term
+            SELECT unnest({_BM25_TERMS_ARRAY}) AS term
             UNION SELECT term FROM exp),
         {_bm25_chain('x_', 'term IN (SELECT term FROM qset)')}
         SELECT doc_id, n_hit_terms, bm25

@@ -130,6 +130,23 @@ def term_rows(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("term") != ""))
 
 
+def _doc_frequencies(df: DataFrame, id_col: str, text_col: str):
+    """(docfreq, n_docs) for the smoothed-idf family: per-term distinct-
+    document counts and the scalar document count — ONE definition shared
+    by tfidf_topk and the PRF expansion scorer (same discipline as the
+    SQL oracles' shared chains)."""
+    docfreq = (term_rows(df, id_col, text_col)
+               .select("id", "term").distinct()
+               .groupBy("term").agg(F.count("*").alias("df")))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    return docfreq, n_docs
+
+
+def _smooth_idf(df_col, n_col) -> Column:
+    """sklearn's smooth idf: ln((N + 1) / (df + 1)) + 1 — never zero."""
+    return F.log((n_col + 1) / (df_col + 1)) + 1
+
+
 def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF.
@@ -146,15 +163,13 @@ def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     """
     terms = term_rows(df, id_col, text_col)
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    docfreq = (terms.select("id", "term").distinct()
-               .groupBy("term").agg(F.count("*").alias("df")))
-    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    docfreq, n_docs = _doc_frequencies(df, id_col, text_col)
     scored = (tf.join(docfreq, "term")
               .crossJoin(F.broadcast(n_docs))
               .withColumn(
                   "tfidf",
-                  F.round(F.col("tf") * (F.log((F.col("n") + 1)
-                                               / (F.col("df") + 1)) + 1), 6)))
+                  F.round(F.col("tf")
+                          * _smooth_idf(F.col("df"), F.col("n")), 6)))
     w = (Window.partitionBy("id")
          .orderBy(F.desc("tfidf"), F.asc("term")))
     return (scored
@@ -744,9 +759,10 @@ def bm25_prf_expand(df: DataFrame, query_terms, n_feedback: int = 10,
     evidence is available via `expansion_terms(df, ...)` below for
     callers that need to log it.
     """
-    exp = expansion_terms(df, query_terms, n_feedback, n_expansion,
+    qlist = list(query_terms)          # materialize once: a one-shot
+    exp = expansion_terms(df, qlist, n_feedback, n_expansion,
                           k1, b, id_col, text_col)
-    return bm25_topk(df, list(query_terms) + exp, k=k, k1=k1, b=b,
+    return bm25_topk(df, qlist + exp, k=k, k1=k1, b=b,
                      id_col=id_col, text_col=text_col)
 
 
@@ -767,8 +783,15 @@ def expansion_terms(df: DataFrame, query_terms, n_feedback: int = 10,
     fb_docs = df.join(F.broadcast(feedback), id_col, "left_semi")
     fb_tf = (term_rows(fb_docs, id_col, text_col)
              .filter(~F.col("term").isin(qterms))
-             .groupBy("term").agg(F.count("*").alias("fb_tf")))
+             .groupBy("term").agg(F.count("*").alias("fb_tf"))
+             .localCheckpoint(eager=False))
+    # restrict the corpus (id, term) relation to the FEEDBACK vocabulary
+    # before the distinct/groupBy: the df values per term are unchanged,
+    # but both shuffles become feedback-vocabulary-bounded instead of
+    # full-vocabulary (the query-sized-shuffle discipline)
+    fb_vocab = F.broadcast(fb_tf.select("term"))
     docfreq = (term_rows(df, id_col, text_col)
+               .join(fb_vocab, "term", "left_semi")
                .select("id", "term").distinct()
                .groupBy("term").agg(F.count("*").alias("df")))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
@@ -776,8 +799,8 @@ def expansion_terms(df: DataFrame, query_terms, n_feedback: int = 10,
               .crossJoin(F.broadcast(n_docs))
               .withColumn("score",
                           F.round(F.col("fb_tf")
-                                  * (F.log((F.col("n") + 1)
-                                           / (F.col("df") + 1)) + 1), 6)))
+                                  * _smooth_idf(F.col("df"), F.col("n")),
+                                  6)))
     # round-6 before ordering: the cut at n_expansion must be the same
     # cut in any engine computing the same doubles (oracle parity)
     rows = (scored.orderBy(F.desc("score"), F.asc("term"))

@@ -323,9 +323,13 @@ def test_prf_expansion_terms_from_feedback_set(spark):
     from flood_data_spark.datapipe.text import (
         bm25_prf_expand, expansion_terms)
 
-    # docs about 'flood' consistently mention 'levee'; noise docs don't
+    from flood_data_spark.datapipe.text import bm25_topk
+
+    # docs about 'flood' consistently mention 'levee'; noise docs don't;
+    # doc 200 mentions ONLY the would-be expansion vocabulary
     rows = [(i, f"flood river levee warning tok{i}") for i in range(8)]
     rows += [(100 + i, f"weather sunshine picnic tok{i}") for i in range(8)]
+    rows += [(200, "levee river maintenance report")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     exp = expansion_terms(df, ["flood"], n_feedback=5, n_expansion=2)
     assert len(exp) == 2
@@ -333,10 +337,14 @@ def test_prf_expansion_terms_from_feedback_set(spark):
     assert "flood" not in exp
     assert set(exp) <= {"river", "levee", "warning"} | {
         f"tok{i}" for i in range(8)}
-    # the expanded run now also surfaces docs matching expansion terms
-    out = bm25_prf_expand(df, ["flood"], n_feedback=5, n_expansion=2,
-                          k=16).collect()
-    assert all(r.n_hit_terms >= 1 for r in out)
+    # the recall payoff, falsifiably: doc 200 matches no query term, so
+    # plain BM25 cannot return it; the expanded run surfaces it
+    plain = {r.doc_id for r in bm25_topk(df, ["flood"], k=17).collect()}
+    assert 200 not in plain
+    expanded = {r.doc_id for r in
+                bm25_prf_expand(df, ["flood"], n_feedback=5,
+                                n_expansion=2, k=17).collect()}
+    assert 200 in expanded
 
 
 def test_prf_deterministic(spark):

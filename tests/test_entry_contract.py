@@ -93,3 +93,25 @@ def test_simhash_contract_row_cap(spark, monkeypatch):
     monkeypatch.setattr(entry, "_SIMHASH_CONTRACT_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="quadratic"):
         entry.q_simhash_contract(spark, "/root/testdata/sf0.001")
+
+
+def test_equidepth_buckets_monotone_and_balanced(spark, tmp_path):
+    """q_equidepth semantics on a controlled table: ntile(10) splits 20
+    rows into 10 buckets of 2, with non-overlapping monotone ranges."""
+    import os
+
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    sf = str(tmp_path)
+    pd.DataFrame({
+        "l_orderkey": range(20), "l_linenumber": [1] * 20,
+        "l_extendedprice": [float(100 + 7 * i) for i in range(20)],
+    }).to_parquet(os.path.join(sf, "lineitem.parquet"))
+    out = sorted(entry_mod.q_equidepth(spark, sf).collect(),
+                 key=lambda r: r.decile)
+    assert [r.decile for r in out] == list(range(1, 11))
+    assert all(r.n == 2 for r in out)
+    for a, b in zip(out, out[1:]):
+        assert a.hi <= b.lo            # non-overlapping, ordered ranges

@@ -3308,7 +3308,7 @@ def oracle_sql() -> dict[str, str]:
         "q_remove_spans": """
             WITH toks AS (
                 SELECT doc_id AS id,
-                       CASE WHEN trim(text) = ''
+                       CASE WHEN trim(coalesce(text, '')) = ''
                             THEN CAST([] AS VARCHAR[])
                             ELSE string_split_regex(trim(text), '\\s+')
                        END AS ts
@@ -3348,7 +3348,7 @@ def oracle_sql() -> dict[str, str]:
         "q_remove_spans_first": """
             WITH toks AS (
                 SELECT doc_id AS id,
-                       CASE WHEN trim(text) = ''
+                       CASE WHEN trim(coalesce(text, '')) = ''
                             THEN CAST([] AS VARCHAR[])
                             ELSE string_split_regex(trim(text), '\\s+')
                        END AS ts

@@ -19,6 +19,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _src_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet source (file or directory):
+    md5 over sorted (name, size, mtime) of the data files, first 8 hex.
+    Baked into every .bench_scale cache path so a regenerated fixture
+    invalidates the cached 10x tier instead of silently reusing stale
+    data (the tier would otherwise stop corresponding to the source)."""
+    import hashlib
+    entries = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            entries.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+    else:
+        st = os.stat(path)
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}")
+    return hashlib.md5("|".join(entries).encode()).hexdigest()[:8]
+
+
+def _evict_stale_tiers(out: str) -> None:
+    """Remove cached tiers sharing `out`'s prefix but a different
+    fingerprint suffix (the fixture regenerated) — keeps .bench_scale
+    bounded at one generation per tier."""
+    base = os.path.dirname(out)
+    prefix = os.path.basename(out).rsplit("_", 1)[0] + "_"
+    if not os.path.isdir(base):
+        return
+    for name in os.listdir(base):
+        cand = os.path.join(base, name)
+        # also matches the pre-fingerprint name (exact prefix, no suffix)
+        if ((name.startswith(prefix) or name == prefix[:-1])
+                and cand != out and os.path.isdir(cand)):
+            import shutil
+            shutil.rmtree(cand, ignore_errors=True)
+
 # headline set: the flagship flood aggregation, the window-heavy peak query,
 # classic relational shapes, and one of each beyond-reference family.
 # Scale-mode twins (LSH embedding dedup, capped jaccard, approx quantiles,
@@ -226,10 +261,12 @@ def _scaled_lineitem_path(spark, sf_dir):
     # decode + explode + partial agg) serialized onto 1 of 32 cores (the
     # measured ~17% CPU).  32 files = 32 scan tasks, the layout a real
     # ingest would produce.
+    fp = _src_fingerprint(f"{sf_dir}/lineitem.parquet")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".bench_scale", f"lineitem_x10_{sf_tag}_p32")
+                       ".bench_scale", f"lineitem_x10_{sf_tag}_p32_{fp}")
+    _evict_stale_tiers(out)
     # drop the pre-_p32 single-file generation if this box still has one
-    legacy = out[:-4]
+    legacy = out.rsplit("_p32", 1)[0]
     if os.path.isdir(legacy):
         import shutil
         shutil.rmtree(legacy, ignore_errors=True)
@@ -324,8 +361,10 @@ def _scaled_documents_path(spark, sf_dir):
     single-row-group lesson in SCALE_NOTES).  Generation is NOT timed."""
     from pyspark.sql import functions as F
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = _src_fingerprint(f"{sf_dir}/documents.parquet")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".bench_scale", f"documents_x10_{sf_tag}_p16")
+                       ".bench_scale", f"documents_x10_{sf_tag}_p16_{fp}")
+    _evict_stale_tiers(out)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
             .repartition(16)
@@ -379,8 +418,10 @@ def _scaled_events_path(spark, sf_dir):
     from pyspark.sql import functions as F
     import __spark_entry__ as entry_mod
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = _src_fingerprint(f"{sf_dir}/events.parquet")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".bench_scale", f"events_x10_{sf_tag}_p16")
+                       ".bench_scale", f"events_x10_{sf_tag}_p16_{fp}")
+    _evict_stale_tiers(out)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = entry_mod._t(spark, sf_dir, "events").repartition(16)
         (ev.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(9))))
@@ -503,7 +544,12 @@ def main():
                  "q_ts_pattern_full", "q_bpe_train_full",
                  "q_ivfpq_search", "q_bigram_ppl_full",
                  "q_dedup_exact_x10", "q_minhash_lsh_x10",
-                 "q_line_dedup_x10", "q_sessionize_x10"}
+                 "q_line_dedup_x10", "q_sessionize_x10",
+                 # r07 single-shot regressors (code unchanged since r05)
+                 # + the two heaviest unprotected entries — min-of-2 so
+                 # plan cost separates from the box's bimodal I/O noise
+                 "q_contamination", "q_clean_lines", "q_line_dedup",
+                 "q_bm25_index_build"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -505,6 +505,10 @@ def dsir_select(df: DataFrame, target: DataFrame, n: int,
 
     One TakeOrdered over the weights relation — no global sort.
     """
+    if temperature <= 0:
+        raise ValueError(
+            f"dsir_select: temperature must be > 0, got {temperature} "
+            "(0 divides by zero; negative silently inverts the ranking)")
     # _dsir_agg only emits documents with >= 1 token, so the zero-token
     # visibility join (and the n_tokens > 0 cut it would force) is skipped
     w = _dsir_agg(df, target, id_col, text_col, alpha)

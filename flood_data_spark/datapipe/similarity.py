@@ -989,8 +989,11 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
     scales never need calibration.
 
     Inputs are DataFrames carrying `id_col` and a `rank` column (1-based;
-    any retriever's top-n output ordered and row_number-ed).  Ids missing
-    from a list contribute nothing for it — the standard convention.
+    any retriever's top-n output ordered and row_number-ed).  Each id must
+    appear at most once per list (row_number output by construction) — a
+    duplicated id would fan out the full-outer join and double-count the
+    other list's contribution.  Ids missing from a list contribute
+    nothing for it — the standard convention.
 
     Plan: both inputs are top-n-sized (tiny), so this is a full-outer
     join + scalar arithmetic + TakeOrdered on relations that never touch
@@ -1026,8 +1029,13 @@ def ir_metrics(ranked: DataFrame, relevant: DataFrame, k: int = 10,
     distributed so a million-query eval set is one job.
 
     `ranked`: (query_col, doc_col, rank) — any retriever's top-n output.
-    `relevant`: (query_col, doc_col) — the positive pairs; a query's
-    recall denominator is its relevant-set size.
+    Rows must be unique per (query, doc) — true of any sane retriever
+    output; duplicate retrieved rows would double-count
+    n_retrieved_at_k and let recall_at_k exceed 1, so the contract is
+    the caller's to honor (we don't pay a corpus-wide distinct for it).
+    `relevant`: (query_col, doc_col) — the positive pairs, de-duplicated
+    here (a doubly-listed positive must not deflate recall).  A query's
+    recall denominator is its distinct relevant-set size.
 
     Returns one row per query in `relevant`: (query_col, n_relevant,
     n_retrieved_at_k — relevant docs found in the top k, first_hit_rank,
@@ -1039,6 +1047,7 @@ def ir_metrics(ranked: DataFrame, relevant: DataFrame, k: int = 10,
     (`.agg(avg("rr"))` is MRR).  Fully ANSI (q_ir_metrics value-hashes
     it).
     """
+    relevant = relevant.select(query_col, doc_col).distinct()
     hits = (ranked.filter(F.col("rank") <= k)
             .join(relevant.select(F.col(query_col).alias("_q"),
                                   F.col(doc_col).alias("_d")),

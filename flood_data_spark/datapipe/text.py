@@ -21,18 +21,28 @@ LANG_MARKERS = {
 }
 
 
+def _nn(text_col) -> Column:
+    """NULL-safe text: coalesce to ''.  Every raw-text entry point routes
+    through this so a NULL document behaves as an empty one (0 tokens,
+    empty word array) instead of poisoning counts with NULL/-1 semantics
+    (`size(split(NULL))`).  Mirrors the explicit guard in
+    dedup._span_relation."""
+    return F.coalesce(text_col, F.lit(""))
+
+
 def _words(text_col) -> Column:
     """Filtered lowercase word array — trim, lowercase, whitespace split,
-    empty tokens dropped.  THE tokenization every operator and every value
-    oracle mirrors; keep the three consumers (Gopher rules, bigram LM,
-    n-gram diversity) on this single definition."""
-    return F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"),
+    empty tokens dropped, NULL-safe via _nn.  THE tokenization every
+    operator and every value oracle mirrors; keep the three consumers
+    (Gopher rules, bigram LM, n-gram diversity) on this single
+    definition."""
+    return F.filter(F.split(F.lower(F.trim(_nn(text_col))), r"\s+"),
                     lambda w: w != "")
 
 
 def token_count(text_col) -> Column:
-    """Whitespace token count; empty/blank strings count 0 tokens."""
-    t = F.trim(text_col)
+    """Whitespace token count; empty/blank/NULL strings count 0 tokens."""
+    t = F.trim(_nn(text_col))
     return F.when(t == "", F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))).cast("long")
 
@@ -54,7 +64,7 @@ def bpe_token_count(text_col) -> Column:
     cheap estimator of LLM token cost a training pipeline budgets with
     (true BPE needs a merges table; the pre-tokenizer count is its upper
     bound and is fully vectorizable JVM-side)."""
-    return F.regexp_count(text_col, F.lit(BPE_ISH_PATTERN)).cast("long")
+    return F.regexp_count(_nn(text_col), F.lit(BPE_ISH_PATTERN)).cast("long")
 
 
 def with_bpe_token_count(df: DataFrame, text_col: str = "text",
@@ -64,7 +74,7 @@ def with_bpe_token_count(df: DataFrame, text_col: str = "text",
 
 def _marker_hits(text_col, words) -> Column:
     pat = r"(?i)\b(" + "|".join(words) + r")\b"
-    return F.regexp_count(text_col, F.lit(pat))
+    return F.regexp_count(_nn(text_col), F.lit(pat))
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text",
@@ -85,7 +95,7 @@ def with_quality_signals(df: DataFrame, text_col: str = "text",
                          prefix: str = "q_") -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals + a composite
     score in [0, 1].  Heuristics in the spirit of C4/Gopher text filters."""
-    t = F.col(text_col)
+    t = _nn(F.col(text_col))
     n_chars = F.length(t).cast("double")
     n_tokens = token_count(t).cast("double")
     n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]")).cast("double")
@@ -125,7 +135,7 @@ def term_rows(df: DataFrame, id_col: str = "doc_id",
     row-local, all downstream shuffles move (hashable term, id) only."""
     return (df
             .select(F.col(id_col).alias("id"),
-                    F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                    F.explode(F.split(F.lower(F.trim(_nn(F.col(text_col)))),
                                       r"\s+")).alias("term"))
             .filter(F.col("term") != ""))
 
@@ -212,7 +222,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     """Content fingerprint: md5 over whitespace-normalized, lower-cased text.
     Whitespace-insensitive exact-dup key (cheap first pass before fuzzy
     dedup)."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim(_nn(F.col(text_col))), r"\s+", " "))
     return df.withColumn(out_col, F.md5(normalized))
 
 
@@ -232,7 +242,7 @@ def build_vocab(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     toks = (df.select(F.explode(
-        F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"))
+        F.split(F.trim(_nn(F.col(text_col))), r"\s+")).alias("token"))
         .filter(F.col("token") != ""))
     counts = (toks.groupBy("token")
               .agg(F.count(F.lit(1)).alias("count"))
@@ -395,7 +405,7 @@ def with_gopher_rules(df: DataFrame, text_col: str = "text",
     min_alpha_word_ratio of words containing a letter; >= min_stop_hits
     distinct common-English stopwords present.
     """
-    t = F.col(text_col)
+    t = _nn(F.col(text_col))
     words = _words(t)
     n_words = F.size(words).cast("long")
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")

@@ -356,3 +356,74 @@ def test_prf_deterministic(spark):
     a = expansion_terms(df, ["alpha"], n_feedback=5, n_expansion=3)
     b = expansion_terms(df, ["alpha"], n_feedback=5, n_expansion=3)
     assert a == b and len(a) == 3
+
+
+# ------------------------------------------------- r8 hardening (ADVICE)
+
+def test_null_text_rows_behave_as_empty(spark):
+    """NULL text must act like an empty document everywhere, not poison
+    counts with NULL/-1 size(split(NULL)) semantics (same guard
+    _span_relation carries; see datapipe.text._nn)."""
+    from flood_data_spark.datapipe.text import (
+        token_count, with_lang_id, with_ngram_diversity,
+        with_quality_signals)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "the quick brown fox and the lazy dog")],
+        "doc_id long, text string")
+
+    tok = {r.doc_id: r.n for r in
+           df.select("doc_id", token_count(F.col("text")).alias("n"))
+           .collect()}
+    assert tok[0] == 0 and tok[1] == 8
+
+    g = {r.doc_id: r for r in
+         with_gopher_rules(df, min_words=1, min_stop_hits=1).collect()}
+    assert g[0].gopher_pass is False          # not NULL
+    assert g[1].gopher_pass is True
+
+    q = {r.doc_id: r for r in with_quality_signals(df).collect()}
+    assert q[0].q_n_tokens == 0 and q[0].q_score is not None
+
+    nd = {r.doc_id: r for r in with_ngram_diversity(df, n=2).collect()}
+    assert nd[0].nd_n_ngrams == 0 and nd[0].nd_diversity is None
+
+    lid = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert lid[0] == "und"
+
+
+def test_bm25_null_text_does_not_skew_avgdl(spark):
+    """A NULL doc counts dl=0 toward avgdl (as an empty doc would), and
+    never appears in results."""
+    df = spark.createDataFrame(
+        [(0, None), (1, "flood flood river"), (2, "flood")],
+        "doc_id long, text string")
+    rows = bm25_topk(df, ["flood"], k=10).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    # avgdl = (0 + 3 + 1) / 3; if NULL made avgdl NULL every score is NULL
+    assert all(r.bm25 is not None for r in rows)
+
+
+def test_dsir_select_rejects_bad_temperature(spark):
+    df = spark.createDataFrame([(0, "a b"), (1, "b c")],
+                               "doc_id long, text string")
+    tgt = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError, match="temperature"):
+            dsir_select(df, tgt, n=1, temperature=bad)
+
+
+def test_ir_metrics_duplicate_relevant_pairs_deduped(spark):
+    """A doubly-listed positive must not deflate recall (the relevant
+    table is distinct-ed internally)."""
+    from flood_data_spark.datapipe.similarity import ir_metrics
+
+    ranked = spark.createDataFrame([(1, 10, 1)],
+                                   "query_id long, neighbor_id long, rank int")
+    relevant = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10)],
+        "query_id long, neighbor_id long")
+    out = ir_metrics(ranked, relevant, k=3).collect()[0]
+    assert out.n_relevant == 1
+    assert out.recall_at_k == pytest.approx(1.0)

@@ -727,25 +727,27 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth histogram (quantile buckets): ntile(10) over lineitem
-    extended prices, per-bucket count/min/max/avg — the equal-POPULATION
-    twin of q_histogram's equal-WIDTH buckets (the decile table a data
-    profile or a salting plan reads).  ntile's tie/ordering semantics are
-    identical in ANSI SQL, so the full value oracle holds; the global
-    ntile window is the one total order, as any exact quantile bucketing
-    requires (the approx path is percentile_approx, benched separately).
-    The deterministic (price, orderkey, linenumber) order makes bucket
-    membership reproducible when prices tie."""
+    """Equi-depth histogram (quantile buckets) over lineitem extended
+    prices, per-bucket count/min/max/avg — the equal-POPULATION twin of
+    q_histogram's equal-WIDTH buckets (the decile table a data profile or
+    a salting plan reads).
+
+    Scale-safe plan (operators/stats.py): ONE percentile-buffer aggregate
+    computes all 9 decile boundaries, then a literal comparison ladder
+    assigns buckets on a second scan — no global sort, no single-partition
+    ntile window (the r7 form; `WindowExec: No Partition Defined` was the
+    one scale-killer in that plan).  Tie semantics are value-based (equal
+    prices share a bucket), which the oracle mirrors exactly: Spark's
+    exact `percentile` and DuckDB's `quantile_cont` interpolate at the
+    same rank p·(n-1) and agree bit-for-bit on this data (measured at
+    sf0.01 and sf0.1)."""
+    from flood_data_spark.operators.stats import equidepth_histogram
+
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy(F.col("l_extendedprice").asc(),
-                       F.col("l_orderkey").asc(),
-                       F.col("l_linenumber").asc())
-    return (li.withColumn("decile", F.ntile(10).over(w))
-            .groupBy("decile")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.min("l_extendedprice"), 2).alias("lo"),
-                 F.round(F.max("l_extendedprice"), 2).alias("hi"),
-                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price")))
+    h = equidepth_histogram(li, "l_extendedprice", n_buckets=10,
+                            bucket_col="decile")
+    return h.select("decile", "n", "lo", "hi",
+                    F.col("avg_value").alias("avg_price"))
 
 
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2882,12 +2884,16 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "q_equidepth": """
-            WITH t AS (
+            WITH b AS (
+                SELECT quantile_cont(l_extendedprice,
+                                     [0.1, 0.2, 0.3, 0.4, 0.5,
+                                      0.6, 0.7, 0.8, 0.9]) AS bs
+                FROM lineitem),
+            t AS (
                 SELECT l_extendedprice,
-                       ntile(10) OVER (ORDER BY l_extendedprice ASC,
-                                       l_orderkey ASC,
-                                       l_linenumber ASC) AS decile
-                FROM lineitem)
+                       1 + len(list_filter(bs,
+                               x -> l_extendedprice > x)) AS decile
+                FROM lineitem, b)
             SELECT CAST(decile AS INT) AS decile,
                    CAST(count(*) AS BIGINT) AS n,
                    round(min(l_extendedprice), 2) AS lo,

@@ -1,0 +1,93 @@
+"""Distributed data-profiling statistics.
+
+Equi-depth (equal-population) histograms without a global sort: the naive
+formulation — ``ntile(B) OVER (ORDER BY value)`` — funnels the entire
+relation through ONE window task (Spark logs `WindowExec: No Partition
+Defined`), which is a scale-killer at any real volume.  The plan here is
+the standard two-pass boundary design a warehouse profiler uses:
+
+1. ONE aggregate computes all B-1 exact quantile boundaries from a single
+   percentile buffer (`percentile(value, array(1/B .. (B-1)/B))`) — a
+   map-side-combining aggregation whose shuffle carries one buffer per
+   partition, never the data.
+2. The B-1 boundary doubles (bounded, driver-side by contract) become a
+   literal comparison ladder: ``bucket = 1 + Σ (value > b_i)`` — a pure
+   whole-stage-codegen projection on a second scan, no join, no sort, no
+   window.
+
+Total cost: two scans + one scalar-sized shuffle, versus one scan + one
+ALL-DATA-ON-ONE-TASK sort.  At 100 TB the second scan is embarrassingly
+parallel while the ntile form simply does not finish.
+
+Tie semantics differ from ntile deliberately: equal values always land in
+the same bucket (boundary comparison is a function of the VALUE), so
+bucket populations are equal only up to tie mass.  That is the right
+contract for a profile/salting consumer — a value-dependent bucket id is
+reproducible under repartitioning, while ntile's row-order split of ties
+is not without a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def equidepth_bounds(df: DataFrame, value_col: str,
+                     n_buckets: int = 10) -> list[float]:
+    """The B-1 exact quantile boundaries of `value_col`, one aggregate
+    (single percentile buffer for all quantiles — the q_threshold_summary
+    one-buffer trick).  Driver-side result is bounded at B-1 doubles.
+
+    Exact `percentile` (linear interpolation at rank p·(n-1)) matches
+    DuckDB's `quantile_cont` bit-for-bit on the same data — measured, not
+    assumed — which is what lets the value oracle compare raw boundary
+    doubles without rounding.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(F.percentile(
+        F.col(value_col), F.array(*[F.lit(p) for p in ps])).alias("b")) \
+        .collect()[0]
+    if row["b"] is None:          # empty input: no boundaries
+        return []
+    return [float(b) for b in row["b"]]
+
+
+def bucket_expr(value_col: str, bounds: list[float]) -> Column:
+    """1-based bucket id from a literal boundary ladder:
+    ``1 + Σ (value > b_i)`` — pure codegen, no shuffle."""
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(value_col) > F.lit(b),
+                                 F.lit(1)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def with_equidepth_bucket(df: DataFrame, value_col: str,
+                          n_buckets: int = 10,
+                          out_col: str = "bucket") -> DataFrame:
+    """Assign each row its equi-depth bucket (two-pass boundary plan —
+    see module docstring)."""
+    bounds = equidepth_bounds(df, value_col, n_buckets)
+    return df.withColumn(out_col, bucket_expr(value_col, bounds))
+
+
+def equidepth_histogram(df: DataFrame, value_col: str,
+                        n_buckets: int = 10,
+                        bucket_col: str = "bucket") -> DataFrame:
+    """Per-bucket (count, min, max, avg) profile over equi-depth buckets:
+    the decile table a data profile or a salting plan reads.
+
+    Empty buckets (possible when tie mass swallows a boundary) simply
+    don't appear — the output is the observed bucket relation, B rows at
+    most, B-1 boundaries exact.
+    """
+    bucketed = with_equidepth_bucket(df, value_col, n_buckets,
+                                     out_col=bucket_col)
+    return (bucketed.groupBy(bucket_col)
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min(value_col), 2).alias("lo"),
+                 F.round(F.max(value_col), 2).alias("hi"),
+                 F.round(F.avg(value_col), 6).alias("avg_value")))

@@ -204,3 +204,20 @@ def test_ivf_probe_bulk_batch_falls_back_to_shuffle_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_equidepth_has_no_global_window(spark, tmp_path):
+    """The equi-depth profile must use the two-pass boundary plan — a
+    single-partition ntile window (`WindowExec: No Partition Defined`)
+    serializes the corpus through one task at scale."""
+    import __spark_entry__ as entry_mod
+
+    pd.DataFrame({
+        "l_orderkey": np.arange(100, dtype="int64"),
+        "l_linenumber": np.ones(100, dtype="int32"),
+        "l_extendedprice": np.linspace(1.0, 100.0, 100),
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    out = entry_mod.q_equidepth(spark, str(tmp_path))
+    plan = _plan(out)
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan.replace("SortAggregate", ""), plan

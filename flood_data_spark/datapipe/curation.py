@@ -19,8 +19,21 @@ Scale posture:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _warn_global_window(op: str) -> None:
+    """Loud guard on the empty-partition_cols fallbacks: a global ordered
+    window serializes the relation through ONE task.  Fine for tests and
+    bounded relations; a silent foot-gun at corpus scale — so it is no
+    longer silent."""
+    warnings.warn(
+        f"{op}: empty partition_cols -> GLOBAL ordered window (all rows "
+        "through a single task). Test-only; partition by source/shard at "
+        "scale.", RuntimeWarning, stacklevel=3)
 
 
 def hash_cut(rate: float, bits: int = 16) -> str:
@@ -105,6 +118,8 @@ def pack_sequences(df: DataFrame, token_budget: int,
     if token_budget < 1:
         raise ValueError(f"token_budget must be >= 1, got {token_budget}")
     parts = list(partition_cols or ())
+    if not parts:
+        _warn_global_window("pack_sequences")
     w = (Window.partitionBy(*parts).orderBy(order_col)
          if parts else Window.orderBy(order_col))
     cum_before = (F.sum(F.col(token_col)).over(
@@ -399,6 +414,8 @@ def cap_per_key(df: DataFrame, cap: int, partition_cols=("source",),
     in `order_col` order survive.  One window pass; the helper column is
     dropped so the schema is unchanged."""
     parts = list(partition_cols or ())
+    if not parts:
+        _warn_global_window("cap_per_key")
     w = (Window.partitionBy(*parts).orderBy(order_col)
          if parts else Window.orderBy(order_col))
     return (df.withColumn("_rn", F.row_number().over(w))
@@ -589,6 +606,8 @@ def rank_normalize(df: DataFrame, value_col: str,
     `partition_cols` ranks globally through a single task (test-only).
     """
     parts = list(partition_cols or ())
+    if not parts:
+        _warn_global_window("rank_normalize")
     w = (Window.partitionBy(*parts).orderBy(F.col(value_col).asc())
          if parts else Window.orderBy(F.col(value_col).asc()))
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))

@@ -349,3 +349,30 @@ def test_rank_normalize_per_group_percentiles(spark):
     assert out[0] == 0.0 and out[1] == 0.5 and out[2] == 1.0
     assert out[3] == 0.0 and out[4] == 0.0          # ties share rank
     assert out[5] == 0.0                            # single row → 0
+
+
+def test_global_window_fallbacks_warn(spark):
+    """Empty partition_cols serializes through one window task — allowed
+    (test-only contract) but must be LOUD."""
+    import warnings as _warnings
+
+    from flood_data_spark.datapipe.curation import rank_normalize
+
+    df = spark.createDataFrame([(0, "s", 10, 0.5), (1, "s", 20, 0.7)],
+                               "doc_id long, source string, n_tokens long,"
+                               " score double")
+    for call in (lambda: pack_sequences(df, token_budget=100,
+                                        partition_cols=()),
+                 lambda: cap_per_key(df, cap=1, partition_cols=()),
+                 lambda: rank_normalize(df, "score", partition_cols=())):
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            call()
+        assert any("GLOBAL ordered window" in str(w.message)
+                   for w in caught), call
+
+    # the partitioned (scale) path stays silent
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        pack_sequences(df, token_budget=100)
+    assert not any("GLOBAL" in str(w.message) for w in caught)

@@ -750,6 +750,47 @@ def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("avg_value").alias("avg_price"))
 
 
+def _clf_train(spark: SparkSession, sf_dir: str):
+    """Shared trainer for the two classifier gates: hashed-feature
+    logistic regression (datapipe/classifier.py), y = (lang = 'en'),
+    32 buckets, 3 GD iterations, lr 0.5 — constants mirrored in
+    _CLF_ORACLE_CTES (single definition, two gates)."""
+    from flood_data_spark.datapipe.classifier import (
+        train_quality_classifier)
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int"))
+    w, b = train_quality_classifier(docs, label_col="label",
+                                    n_features=32, n_iters=3, lr=0.5)
+    return docs, w, b
+
+
+def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier TRAINING (the fastText/CCNet
+    'looks like the target class' scorer): 3 batch-GD iterations where
+    each step is one vocabulary-bounded aggregate (32 gradient keys on
+    the shuffle, 33 cells to the driver — the k-means k*d contract).
+    Returns the trained model itself — (feat, weight) for the 32 hashed
+    buckets plus the bias at feat = -1 — which the oracle reproduces by
+    unrolling the 3 GD steps in SQL (the q_pagerank discipline)."""
+    _, w, b = _clf_train(spark, sf_dir)
+    rows = [(-1, float(b))] + [(j, float(w[j])) for j in range(32)]
+    return spark.createDataFrame(rows, "feat int, weight double")
+
+
+def q_quality_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score end to end: the trained weights become a literal
+    array and every document scores through ONE row-local expression
+    (sigmoid of the mean hashed-bucket weight) — zero shuffles on the
+    scoring pass, the 100 TB serving shape.  Scores for doc_id < 100
+    with the training label alongside."""
+    from flood_data_spark.datapipe.classifier import with_classifier_score
+
+    docs, w, b = _clf_train(spark, sf_dir)
+    return (with_classifier_score(docs.filter(F.col("doc_id") < 100), w, b)
+            .select("doc_id", "label", "clf_score"))
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values (floor bucketing — portable
     across engines, unlike sketch-based histograms)."""
@@ -2202,6 +2243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ir_metrics": q_ir_metrics,
         "q_bm25_prf": q_bm25_prf,
         "q_equidepth": q_equidepth,
+        # --- round 8: classifier training + serving (new) ---
+        "q_quality_clf": q_quality_clf,
+        "q_quality_clf_score": q_quality_clf_score,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2233,9 +2277,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_pivot": q_pivot,
         "q_events_daily": q_events_daily,
+        # ---------------- gate window boundary (50) ----------------
+        # r8 rotation: q_quality_clf + q_quality_clf_score enter (new
+        # queries are driver-checked the round they land), pushing
+        # q_resample + q_asof_join out — both green in the r7 gate and
+        # their module (operators/timeseries.py) is untouched this round.
         "q_resample": q_resample,
         "q_asof_join": q_asof_join,
-        # ---------------- gate window boundary (50) ----------------
         "q_restrict_area": q_restrict_area,
         "q_neighborhood": q_neighborhood,
         "q_point_lookup": q_point_lookup,
@@ -2421,6 +2469,72 @@ _DSIR_ORACLE_CTES = """rt AS (
                        round(sum(log_ratio), 6) AS log_weight,
                        round(avg(log_ratio), 6) AS avg_log_weight
                 FROM rt JOIN ratio USING (term) GROUP BY id)"""
+
+
+# Shared quality-classifier oracle core: 3 unrolled batch-GD iterations of
+# hashed-feature logistic regression (datapipe/classifier.py), y = (lang =
+# 'en'), 32 buckets, lr 0.5 on the mean gradient.  q_quality_clf (the
+# trained weights) and q_quality_clf_score (doc scores under those weights)
+# both interpolate this single definition.  Weights are rounded to 6
+# decimals after every update in BOTH engines — the resync that keeps
+# engine-specific float-summation order from accumulating across the
+# unroll (the q_pagerank discipline).  Iteration 1 uses p = 0.5 exactly
+# (sigmoid of the all-zero initial model) in both engines.
+_CLF_ORACLE_CTES = """ctoks AS (
+                SELECT id, y, term FROM (
+                    SELECT doc_id AS id,
+                           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                           unnest(string_split_regex(
+                               lower(trim(coalesce(text, ''))),
+                               '\\s+')) AS term
+                    FROM documents)
+                WHERE term <> ''),
+            cfeat AS (
+                SELECT id, y,
+                       CAST(list_sum(
+                           [CAST(strpos('0123456789abcdef',
+                                        md5(term)[i]) - 1 AS BIGINT)
+                            * (CAST(1 AS BIGINT) << (4 * (4 - i)))
+                            for i in range(1, 5)]) % 32 AS INT) AS feat
+                FROM ctoks),
+            ctf AS (
+                SELECT id, y, feat, CAST(count(*) AS DOUBLE) AS cnt
+                FROM cfeat GROUP BY id, y, feat),
+            cx AS (
+                SELECT id, y, feat,
+                       cnt / sum(cnt) OVER (PARTITION BY id) AS x,
+                       count(*) OVER (PARTITION BY id) AS nrows
+                FROM ctf),
+            cn AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM cx),
+            g1 AS (SELECT feat, sum((0.5 - y) * x) AS g,
+                          sum((0.5 - y) / nrows) AS gb
+                   FROM cx GROUP BY feat),
+            w1 AS (SELECT feat, round(0.0 - 0.5 * g / n, 6) AS w
+                   FROM g1, cn),
+            b1 AS (SELECT round(0.0 - 0.5 * sum(gb) / any_value(n), 6) AS b
+                   FROM g1, cn),
+            e2 AS (SELECT f.id, f.y, f.feat, f.x, f.nrows,
+                          1.0 / (1.0 + exp(-(b1.b
+                              + sum(w1.w * f.x)
+                                OVER (PARTITION BY f.id)))) - f.y AS err
+                   FROM cx f JOIN w1 USING (feat), b1),
+            g2 AS (SELECT feat, sum(err * x) AS g, sum(err / nrows) AS gb
+                   FROM e2 GROUP BY feat),
+            w2 AS (SELECT w1.feat, round(w1.w - 0.5 * g2.g / cn.n, 6) AS w
+                   FROM w1 JOIN g2 USING (feat), cn),
+            b2 AS (SELECT round(b1.b - 0.5 * g2s.s / cn.n, 6) AS b
+                   FROM b1, (SELECT sum(gb) AS s FROM g2) g2s, cn),
+            e3 AS (SELECT f.id, f.y, f.feat, f.x, f.nrows,
+                          1.0 / (1.0 + exp(-(b2.b
+                              + sum(w2.w * f.x)
+                                OVER (PARTITION BY f.id)))) - f.y AS err
+                   FROM cx f JOIN w2 USING (feat), b2),
+            g3 AS (SELECT feat, sum(err * x) AS g, sum(err / nrows) AS gb
+                   FROM e3 GROUP BY feat),
+            w3 AS (SELECT w2.feat, round(w2.w - 0.5 * g3.g / cn.n, 6) AS w
+                   FROM w2 JOIN g3 USING (feat), cn),
+            b3 AS (SELECT round(b2.b - 0.5 * g3s.s / cn.n, 6) AS b
+                   FROM b2, (SELECT sum(gb) AS s FROM g3) g3s, cn)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3878,6 +3992,33 @@ def oracle_sql() -> dict[str, str]:
                     AND g_alpha_word_ratio >= 0.8
                     AND g_stop_hits >= 2) AS gopher_pass
             FROM sig
+        """,
+        # q_quality_clf: 3 GD iterations unrolled (shared _CLF_ORACLE_CTES
+        # chain); unobserved buckets keep their exact 0.0 init on both sides
+        "q_quality_clf": f"""
+            WITH {_CLF_ORACLE_CTES}
+            SELECT CAST(r.range AS INT) AS feat,
+                   coalesce(w3.w, 0.0) AS weight
+            FROM range(32) r LEFT JOIN w3 ON r.range = w3.feat
+            UNION ALL
+            SELECT -1 AS feat, b AS weight FROM b3
+        """,
+        # q_quality_clf_score: score docs < 100 with the w3/b3 model —
+        # sigmoid(bias + mean hashed-bucket weight); zero-token docs score
+        # sigmoid(bias)
+        "q_quality_clf_score": f"""
+            WITH {_CLF_ORACLE_CTES},
+            sterm AS (SELECT id, feat FROM cfeat WHERE id < 100),
+            ssum AS (SELECT s.id, sum(coalesce(w3.w, 0.0)) AS tot,
+                            CAST(count(*) AS DOUBLE) AS dl
+                     FROM sterm s LEFT JOIN w3 USING (feat) GROUP BY s.id)
+            SELECT d.doc_id,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label,
+                   round(1.0 / (1.0 + exp(-(b3.b
+                         + coalesce(ssum.tot / ssum.dl, 0.0)))), 6)
+                       AS clf_score
+            FROM documents d LEFT JOIN ssum ON d.doc_id = ssum.id, b3
+            WHERE d.doc_id < 100
         """,
         # q_dsir_weights: shared-support smoothed unigram log-ratio
         "q_dsir_weights": f"""

@@ -1,0 +1,166 @@
+"""Distributed quality-classifier training (fastText/CCNet-style).
+
+The standard LLM-curation component this implements: a "looks like
+Wikipedia" (here: "looks like the target class") scorer — logistic
+regression over HASHED bag-of-words features, trained by batch gradient
+descent where every step is a pure Spark aggregate.  The CCNet pipeline
+trains exactly this shape (a linear fastText model) to rank Common Crawl
+against a trusted corpus; DSIR (`curation.dsir_weights`) is the
+importance-sampling alternative — together they are the two standard
+data-selection methods.
+
+Scale posture (the clustering.py contract, applied to GD):
+- The feature relation is (id, feat, x) — one row per (document, hashed
+  bucket); text itself never shuffles.  Feature ids are md5-bucketed into
+  `n_features` slots, so the gradient aggregate is VOCABULARY-BOUNDED:
+  the per-iteration shuffle carries `n_features`+1 keys, never the corpus.
+- Weights ride into each iteration as a broadcast array LITERAL
+  (n_features doubles) — no join against a weights table, the update is
+  whole-stage-codegen arithmetic.
+- The driver sees exactly n_features+1 gradient cells per iteration
+  (bounded collect, the k-means k*d contract) — the corpus never does.
+- SCORING is a single row-local Column expression (`classifier_score`):
+  sigmoid(b + mean_t w[bucket(t)]) — zero shuffles, streams through a
+  100 TB scan at parquet speed once the trained weights are literals.
+
+Engine-portable determinism (the value-oracle contract):
+- bucket(token) = int(md5(token)[:4 hex]) % n_features — the same
+  md5-prefix trick as curation.hash_sample, bit-identical in any engine.
+- Weights are rounded to 6 decimals after EVERY update, which
+  re-synchronizes Spark and the SQL oracle each iteration: float noise
+  from engine-specific summation order (~1e-13) cannot accumulate across
+  the unrolled-GD oracle (same discipline as q_pagerank's 5 unrolled
+  iterations).
+
+No reference analog (the reference has no text/ML operators); part of the
+beyond-reference datapipe inventory (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flood_data_spark.datapipe.text import _words
+
+
+def feature_bucket(term_col, n_features: int) -> Column:
+    """md5-prefix hash bucket in [0, n_features): engine-portable (any
+    SQL engine with md5 computes the identical bucket), uniform enough
+    for feature hashing (16 bits of md5 >> n_features)."""
+    return (F.conv(F.substring(F.md5(term_col), 1, 4), 16, 10)
+            .cast("long") % n_features).cast("int")
+
+
+def hashed_features(df: DataFrame, n_features: int = 32,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    label_col: str | None = None) -> DataFrame:
+    """(id[, y], feat, cnt, x): hashed bag-of-words with length-normalized
+    values x = count(bucket)/len(doc).  Zero-token documents contribute no
+    rows (nothing to featurize — they are excluded from training).
+
+    One explode + one (id, feat)-keyed aggregate; the window computing the
+    document length runs inside the same id partitioning the groupBy
+    already established (no extra exchange)."""
+    cols = [F.col(id_col).alias("id"),
+            F.explode(_words(F.col(text_col))).alias("term")]
+    keys = ["id"]
+    if label_col is not None:
+        cols.insert(1, F.col(label_col).cast("double").alias("y"))
+        keys.append("y")
+    toks = df.select(*cols)
+    tf = (toks.withColumn("feat", feature_bucket(F.col("term"), n_features))
+          .drop("term")
+          .groupBy(*keys, "feat")
+          .agg(F.count("*").alias("cnt")))
+    dl = F.sum("cnt").over(Window.partitionBy("id"))
+    return tf.withColumn("x", F.col("cnt") / dl)
+
+
+def train_quality_classifier(df: DataFrame, label_col: str = "label",
+                             n_features: int = 32, n_iters: int = 3,
+                             lr: float = 0.5,
+                             id_col: str = "doc_id",
+                             text_col: str = "text"
+                             ) -> tuple[list[float], float]:
+    """Batch-GD logistic regression over hashed features; returns
+    (weights — n_features floats, bias).
+
+    Per iteration, ONE distributed job over the cached feature relation:
+      z_i  = b + Σ_j w[feat]·x          (window sum per document)
+      p_i  = σ(z_i),  err_i = p_i - y_i (row-local)
+      g_j  = Σ_i err_i·x_ij             (groupBy(feat): n_features keys)
+      g_b  = Σ_i err_i                  (as Σ_rows err/rows-per-doc —
+                                         rides the same aggregate)
+      w_j ← round(w_j - lr·g_j/n, 6)    (driver, n_features+1 cells)
+
+    The per-update rounding is the oracle-resync contract (module
+    docstring).  `lr` is applied to the MEAN gradient, so it is batch-size
+    invariant.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    feats = hashed_features(df, n_features, id_col, text_col,
+                            label_col=label_col).persist()
+    try:
+        n = feats.select("id").distinct().count()
+        if n == 0:
+            raise ValueError("train_quality_classifier: no trainable "
+                             "documents (all empty?)")
+        w = [0.0] * n_features
+        b = 0.0
+        id_win = Window.partitionBy("id")
+        for _ in range(n_iters):
+            warr = F.array(*[F.lit(x) for x in w])
+            z = (F.lit(b)
+                 + F.sum(warr[F.col("feat")] * F.col("x")).over(id_win))
+            err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+            rows_per_doc = F.count("*").over(id_win)
+            cells = (feats
+                     .withColumn("_err", err)
+                     .withColumn("_nb", F.col("_err") / rows_per_doc)
+                     .groupBy("feat")
+                     .agg(F.sum(F.col("_err") * F.col("x")).alias("g"),
+                          F.sum("_nb").alias("gb"))
+                     .collect())
+            gb = sum(r.gb for r in cells)
+            for r in cells:
+                w[r.feat] = round(w[r.feat] - lr * r.g / n, 6)
+            b = round(b - lr * gb / n, 6)
+        return w, b
+    finally:
+        feats.unpersist()
+
+
+def classifier_score(text_col, weights: list[float], bias: float,
+                     ) -> Column:
+    """σ(bias + mean over tokens of w[bucket(token)]) — the trained
+    scorer as ONE row-local expression: no shuffle, no join, no UDF.
+    Zero-token documents score σ(bias).
+
+    Σ_j w_j·(cnt_j/dl) == Σ_tokens w[bucket(token)]/dl, so this is
+    exactly the training-time z, computed without the feature relation.
+    """
+    n_features = len(weights)
+    warr = F.array(*[F.lit(x) for x in weights])
+    words = _words(text_col)
+    dl = F.size(words)
+    tot = F.aggregate(
+        F.transform(words, lambda t: warr[feature_bucket(t, n_features)]),
+        F.lit(0.0), lambda acc, x: acc + x)
+    z = (F.lit(bias)
+         + F.when(dl > 0, tot / dl).otherwise(F.lit(0.0)))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def with_classifier_score(df: DataFrame, weights: list[float], bias: float,
+                          text_col: str = "text",
+                          out_col: str = "clf_score",
+                          round_digits: int = 6) -> DataFrame:
+    """Attach the (rounded) classifier probability to each row."""
+    return df.withColumn(
+        out_col,
+        F.round(classifier_score(F.col(text_col), weights, bias),
+                round_digits))

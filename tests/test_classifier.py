@@ -1,0 +1,97 @@
+"""Hashed-feature logistic-regression trainer (datapipe/classifier.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flood_data_spark.datapipe.classifier import (
+    classifier_score, feature_bucket, hashed_features,
+    train_quality_classifier, with_classifier_score)
+
+
+def _separable_corpus(spark, n=200):
+    pos = ["science", "history", "article", "reference", "citation"]
+    neg = ["buy", "click", "free", "winner", "casino"]
+    rows = []
+    for i in range(n):
+        vocab = pos if i % 2 == 0 else neg
+        # deterministic pseudo-random word choice (index arithmetic, no RNG)
+        text = " ".join(vocab[(i * 7 + j * 3) % 5] for j in range(20))
+        rows.append((i, text, 1 if i % 2 == 0 else 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_recovers_separable_labels(spark):
+    """Blob recovery: on a linearly separable corpus the trained scorer
+    must rank every positive above every negative."""
+    df = _separable_corpus(spark)
+    w, b = train_quality_classifier(df, n_features=32, n_iters=30, lr=2.0)
+    scored = with_classifier_score(df, w, b)
+    agg = {r.label: (r.lo, r.hi) for r in
+           scored.groupBy("label").agg(F.min("clf_score").alias("lo"),
+                                       F.max("clf_score").alias("hi"))
+           .collect()}
+    assert agg[1][0] > agg[0][1]          # min(pos) > max(neg)
+
+
+def test_training_deterministic(spark):
+    df = _separable_corpus(spark, n=60)
+    a = train_quality_classifier(df, n_features=16, n_iters=3)
+    b = train_quality_classifier(df, n_features=16, n_iters=3)
+    assert a == b
+
+
+def test_zero_token_docs_excluded_from_training_but_scorable(spark):
+    df = spark.createDataFrame(
+        [(0, "good text here", 1), (1, "   ", 0), (2, None, 0),
+         (3, "bad stuff", 0)],
+        "doc_id long, text string, label int")
+    w, b = train_quality_classifier(df, n_features=8, n_iters=2)
+    out = {r.doc_id: r.clf_score for r in
+           with_classifier_score(df, w, b).collect()}
+    assert len(out) == 4                  # blank/NULL docs still score
+    # zero-token docs score exactly sigmoid(bias)
+    import math
+    sig_b = round(1.0 / (1.0 + math.exp(-b)), 6)
+    assert out[1] == pytest.approx(sig_b) and out[2] == pytest.approx(sig_b)
+
+
+def test_feature_values_length_normalized(spark):
+    df = spark.createDataFrame([(0, "a a b b", 1)],
+                               "doc_id long, text string, label int")
+    rows = hashed_features(df, n_features=64, label_col="label").collect()
+    assert sum(r.x for r in rows) == pytest.approx(1.0)
+    assert all(r.cnt == 2 for r in rows)
+
+
+def test_bucket_range_and_portability(spark):
+    df = spark.createDataFrame([(w,) for w in ["alpha", "beta", "gamma"]],
+                               "term string")
+    got = {r.term: r.b for r in
+           df.select("term", feature_bucket(F.col("term"), 32).alias("b"))
+           .collect()}
+    import hashlib
+    for t, bkt in got.items():
+        exp = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 32
+        assert bkt == exp and 0 <= bkt < 32
+
+
+def test_param_guards(spark):
+    df = _separable_corpus(spark, n=4)
+    with pytest.raises(ValueError, match="n_iters"):
+        train_quality_classifier(df, n_iters=0)
+    with pytest.raises(ValueError, match="lr"):
+        train_quality_classifier(df, lr=0.0)
+    empty = spark.createDataFrame([(0, "  ", 1)],
+                                  "doc_id long, text string, label int")
+    with pytest.raises(ValueError, match="no trainable"):
+        train_quality_classifier(empty)
+
+
+def test_scoring_plan_is_shuffle_free(spark):
+    """The serving path must stream: literal-array lookup per token, no
+    Exchange in the plan (the 100 TB scoring contract)."""
+    df = spark.createDataFrame([(0, "hello world")], "doc_id long, text string")
+    out = df.withColumn("s", classifier_score(F.col("text"),
+                                              [0.1] * 16, 0.0))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

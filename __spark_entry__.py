@@ -176,7 +176,6 @@ def q_threshold_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     slack.  Spark computes the booleans from the real sketch output; the
     DuckDB oracle asserts them TRUE alongside the exactly-checkable
     aggregates (exceedance fractions, min, max, count)."""
-    eps = 1.0 / 10000  # percentile_approx default accuracy
     forecast = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("partkey"),
         F.col("l_extendedprice").alias("dis24"))
@@ -184,7 +183,17 @@ def q_threshold_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     summ = ensemble_threshold_summary(
         forecast, thresholds, accuracy_mode="approx",
         join_keys=("partkey",), group_keys=("partkey",))
+    return _approx_bounds_contract(forecast, summ)
 
+
+def _approx_bounds_contract(forecast: DataFrame, summ: DataFrame,
+                            eps: float = 1.0 / 10000) -> DataFrame:
+    """Shared sketch-verification wrapper for the approx-quantile gates
+    (q_threshold_summary_approx, q_stream_summary): joins the raw values
+    back against the summary and emits the exactly-checkable aggregates
+    plus the q*_ok membership/bounds/rank-error booleans the oracle
+    asserts TRUE.  `eps` is the sketch's rank-error guarantee
+    (1/accuracy; percentile_approx default 1e-4)."""
     j = forecast.join(F.broadcast(summ), "partkey")
     qcols = {"q1": "Q1_dis", "median": "median_dis", "q3": "Q3_dis"}
     aggs = [
@@ -587,6 +596,34 @@ def q_stream_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_above_5y", 6).alias("p_above_5y"),
         F.round("p_above_20y", 6).alias("p_above_20y"),
         "min_dis", "max_dis", "n_members")
+
+
+def q_stream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE flagship summary — exceedance fractions AND the
+    Q1/median/Q3 block — as a Structured Stream: percentile_approx's
+    sketch buffer is mergeable streaming state, so the approx-mode
+    detailed forecast streams with no parity gap left vs the batch
+    product (streaming/file_stream.full_summary_stream).  Verified with
+    the same membership/bounds/rank-error contract as
+    q_threshold_summary_approx (_approx_bounds_contract): the sketch's
+    quantiles are checked against the raw values batch-side, the exact
+    aggregates value-match the oracle."""
+    from flood_data_spark.streaming.file_stream import full_summary_stream
+
+    thresholds = _thresholds(spark, sf_dir)
+    forecast = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_extendedprice").alias("dis24"))
+
+    def build(stream):
+        return full_summary_stream(
+            stream.select(F.col("l_partkey").alias("partkey"),
+                          F.col("l_extendedprice").alias("dis24")),
+            thresholds, join_keys=("partkey",), group_keys=("partkey",))
+
+    summ = _run_file_stream(spark, f"{sf_dir}/lineitem.parquet", build,
+                            "stream_summary_")
+    return _approx_bounds_contract(forecast, summ)
 
 
 def q_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2243,9 +2280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ir_metrics": q_ir_metrics,
         "q_bm25_prf": q_bm25_prf,
         "q_equidepth": q_equidepth,
-        # --- round 8: classifier training + serving (new) ---
+        # --- round 8: classifier training + serving, streamed summary ---
         "q_quality_clf": q_quality_clf,
         "q_quality_clf_score": q_quality_clf_score,
+        "q_stream_summary": q_stream_summary,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2276,12 +2314,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": q_anti_join,
         "q_rollup": q_rollup,
         "q_pivot": q_pivot,
-        "q_events_daily": q_events_daily,
         # ---------------- gate window boundary (50) ----------------
-        # r8 rotation: q_quality_clf + q_quality_clf_score enter (new
-        # queries are driver-checked the round they land), pushing
-        # q_resample + q_asof_join out — both green in the r7 gate and
-        # their module (operators/timeseries.py) is untouched this round.
+        # r8 rotation: q_quality_clf + q_quality_clf_score +
+        # q_stream_summary enter (new queries are driver-checked the round
+        # they land), pushing q_events_daily + q_resample + q_asof_join
+        # out — all three green in the r7 gate and their modules
+        # (functions/temporal.py, operators/timeseries.py) are untouched
+        # this round.
+        "q_events_daily": q_events_daily,
         "q_resample": q_resample,
         "q_asof_join": q_asof_join,
         "q_restrict_area": q_restrict_area,
@@ -2411,6 +2451,27 @@ def _bm25_chain(p: str, term_pred: str) -> str:
                 SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
                        round(sum(contrib), 6) AS bm25
                 FROM {p}scored GROUP BY id)"""
+
+
+# Shared oracle for the approx-quantile bounds-contract gates
+# (q_threshold_summary_approx and its streamed twin q_stream_summary):
+# the exactly-checkable aggregates are computed for real; the q*_ok flags
+# assert the sketch-side membership/bounds/rank-error contract holds.
+_APPROX_BOUNDS_ORACLE_SQL = """
+            SELECT l_partkey AS partkey,
+                   round(avg(CASE WHEN l_extendedprice >= p_retailprice * 0.8
+                             THEN 1 ELSE 0 END), 6) AS p_above_2y,
+                   round(avg(CASE WHEN l_extendedprice >= p_retailprice
+                             THEN 1 ELSE 0 END), 6) AS p_above_5y,
+                   round(avg(CASE WHEN l_extendedprice >= p_retailprice * 1.2
+                             THEN 1 ELSE 0 END), 6) AS p_above_20y,
+                   min(l_extendedprice) AS min_dis,
+                   max(l_extendedprice) AS max_dis,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   TRUE AS q1_ok, TRUE AS median_ok, TRUE AS q3_ok
+            FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+            GROUP BY l_partkey
+        """
 
 
 _BM25_TERM_LIST = ["data", "flood", "model", "river", "the"]
@@ -2559,24 +2620,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
             GROUP BY l_partkey
         """,
-        "q_threshold_summary_approx": """
-            -- bounds contract for the sketch mode: the exactly-checkable
-            -- aggregates are computed for real; the q*_ok flags assert the
-            -- sketch-side membership/bounds/rank-error contract holds
-            SELECT l_partkey AS partkey,
-                   round(avg(CASE WHEN l_extendedprice >= p_retailprice * 0.8
-                             THEN 1 ELSE 0 END), 6) AS p_above_2y,
-                   round(avg(CASE WHEN l_extendedprice >= p_retailprice
-                             THEN 1 ELSE 0 END), 6) AS p_above_5y,
-                   round(avg(CASE WHEN l_extendedprice >= p_retailprice * 1.2
-                             THEN 1 ELSE 0 END), 6) AS p_above_20y,
-                   min(l_extendedprice) AS min_dis,
-                   max(l_extendedprice) AS max_dis,
-                   CAST(count(*) AS BIGINT) AS n_members,
-                   TRUE AS q1_ok, TRUE AS median_ok, TRUE AS q3_ok
-            FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
-            GROUP BY l_partkey
-        """,
+        "q_threshold_summary_approx": _APPROX_BOUNDS_ORACLE_SQL,
+        # q_stream_summary: the streamed full summary verifies through the
+        # IDENTICAL bounds contract (one definition, two gates)
+        "q_stream_summary": _APPROX_BOUNDS_ORACLE_SQL,
         "q_tendency": """
             WITH detailed AS (
                 SELECT c_custkey AS custkey,

@@ -70,11 +70,11 @@ def streaming_threshold_summary(stream_df: DataFrame,
     broadcast join against the (small, static) threshold table, exceedance
     indicators, then a watermarked 1-day-window groupBy.
 
-    Streaming quantiles aren't supported by Spark's windowed aggregation, so
-    the streaming product carries the exceedance probabilities and min/max —
-    the alerting signal; the full 5-number summary remains the batch
-    product's job (same inputs, same keys, run `availableNow` on the same
-    folder).
+    EXACT streaming quantiles aren't supported by Spark's windowed
+    aggregation, so this variant carries the exceedance probabilities and
+    min/max — the alerting signal; the full 5-number summary streams in
+    approx mode via `full_summary_stream` (percentile_approx's sketch
+    buffer is mergeable streaming state).
     """
     joined = stream_df.join(F.broadcast(threshold_df),
                             on=["latitude", "longitude"], how="left")
@@ -108,9 +108,11 @@ def exceedance_summary_stream(stream_df: DataFrame, threshold_df: DataFrame,
                               threshold_years=(2, 5, 20),
                               value_col: str = "dis24") -> DataFrame:
     """Schema-agnostic streaming twin of
-    `operators.threshold.ensemble_threshold_summary` (minus the quantile
-    block — percentile buffers aren't a mergeable streaming state): stream ×
-    static broadcast join, NULL-threshold-safe exceedance fractions,
+    `operators.threshold.ensemble_threshold_summary` minus the quantile
+    block (EXACT percentile buffers aren't a mergeable streaming state —
+    `full_summary_stream` carries Q1/median/Q3 via the mergeable
+    percentile_approx sketch): stream × static broadcast join,
+    NULL-threshold-safe exceedance fractions,
     min/max/count.  No watermark/window — callers running continuous
     pipelines add `withWatermark` + a time window on top; `availableNow` +
     complete-mode batch-parity runs (the driver-contract q_stream_threshold)
@@ -127,6 +129,51 @@ def exceedance_summary_stream(stream_df: DataFrame, threshold_df: DataFrame,
              F.max(value_col).alias("max_dis"),
              F.count(F.lit(1)).alias("n_members")]
     return joined.groupBy(*group_keys).agg(*aggs)
+
+
+def full_summary_stream(stream_df: DataFrame, threshold_df: DataFrame,
+                        join_keys, group_keys,
+                        threshold_years=(2, 5, 20),
+                        value_col: str = "dis24",
+                        accuracy: int = 10000) -> DataFrame:
+    """The COMPLETE streamed detailed-forecast summary — exceedance
+    fractions, min/max/count AND the Q1/median/Q3 block — closing the
+    stream/batch parity gap `exceedance_summary_stream` documents: exact
+    percentiles need a sort and are not a mergeable streaming state, but
+    `percentile_approx` IS — its buffer (a KLL-style quantile sketch)
+    merges associatively, so Structured Streaming accepts it in a
+    streaming groupBy exactly like sum/min/max.  This is the streamed twin
+    of `operators.threshold.ensemble_threshold_summary(accuracy_mode=
+    'approx')` — the same sketch the batch 100 TB path runs.
+
+    One percentile buffer serves all three quantiles (the
+    q_threshold_summary one-buffer trick).  Same NULL-threshold-safe
+    exceedance semantics as `exceedance_summary_stream`; same caller
+    contract (add watermark + time window for continuous runs;
+    `availableNow` + complete mode for daily-batch parity).
+    """
+    joined = stream_df.join(F.broadcast(threshold_df),
+                            on=list(join_keys), how="left")
+    aggs = [
+        F.avg(F.when(F.col(value_col) >= F.col(f"threshold_{int(y)}y"),
+                     F.lit(1)).otherwise(F.lit(0)))
+         .alias(f"p_above_{int(y)}y")
+        for y in threshold_years
+    ]
+    aggs += [
+        F.min(value_col).alias("min_dis"),
+        F.percentile_approx(
+            value_col,
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(accuracy)).alias("_q"),
+        F.max(value_col).alias("max_dis"),
+        F.count(F.lit(1)).alias("n_members"),
+    ]
+    return (joined.groupBy(*group_keys).agg(*aggs)
+            .withColumn("Q1_dis", F.col("_q")[0])
+            .withColumn("median_dis", F.col("_q")[1])
+            .withColumn("Q3_dis", F.col("_q")[2])
+            .drop("_q"))
 
 
 def dedup_stream(stream_df: DataFrame, key_cols,

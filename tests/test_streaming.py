@@ -340,3 +340,54 @@ def test_heavy_hitters_stream_batch_parity(spark, tmp_path):
     got = {(r.term, r.n) for r in spark.table("hh_stream_test").collect()}
     # a: 2+1+1=4, b: 1+2=3, c: 1+2=3; d/e below threshold
     assert got == {("a", 4), ("b", 3), ("c", 3)}
+
+
+def test_full_summary_stream_batch_parity_with_quantiles(spark, tmp_path):
+    """The streamed FULL summary (approx quantile block included) matches
+    the batch approx-mode ensemble_threshold_summary exactly on
+    sketch-exact-size input (n per group << sketch accuracy, so both
+    sketches resolve to true order statistics)."""
+    import numpy as np
+    from flood_data_spark.operators.threshold import ensemble_threshold_summary
+    from flood_data_spark.streaming.file_stream import (
+        full_summary_stream, run_available_now)
+
+    rng = np.random.default_rng(11)
+    src = str(tmp_path / "src_full")
+    os.makedirs(src)
+    pd.DataFrame({
+        "partkey": np.repeat(np.arange(30), 25),
+        "dis24": rng.uniform(50, 150, 750),
+    }).to_parquet(os.path.join(src, "batch-0.parquet"), index=False)
+
+    thresholds = spark.createDataFrame(
+        [(int(k), 80.0, 100.0, 120.0) for k in range(25)],
+        "partkey int, threshold_2y double, threshold_5y double,"
+        " threshold_20y double")
+
+    batch_df = spark.read.parquet(src)
+    batch = ensemble_threshold_summary(
+        batch_df, thresholds, accuracy_mode="approx",
+        join_keys=("partkey",), group_keys=("partkey",))
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    agg = full_summary_stream(stream, thresholds,
+                              join_keys=("partkey",),
+                              group_keys=("partkey",))
+    q = run_available_now(agg, str(tmp_path / "ckpt_full"),
+                          query_name="t_full_parity")
+    q.awaitTermination(60)
+    s = {r.partkey: r for r in
+         spark.sql("SELECT * FROM t_full_parity").collect()}
+    b = {r.partkey: r for r in batch.collect()}
+    assert set(b) == set(s)
+    for k in b:
+        # (batch summary carries no n_members; the stream twin adds it)
+        for col in ("Q1_dis", "median_dis", "Q3_dis",
+                    "min_dis", "max_dis"):
+            assert getattr(b[k], col) == getattr(s[k], col), (k, col)
+        assert s[k].n_members == 25
+        assert abs(b[k].p_above_5y - s[k].p_above_5y) < 1e-12
+        # ordering invariant of the quantile block
+        assert (s[k].min_dis <= s[k].Q1_dis <= s[k].median_dis
+                <= s[k].Q3_dis <= s[k].max_dis)

@@ -1,0 +1,512 @@
+"""Pure-Python minimal HDF5 / NetCDF-4 reader.
+
+Modern GloFAS static rasters ship as NetCDF-4, whose container is HDF5 —
+the reference opens them with ``engine='netcdf4'``
+(/root/reference/flood/etl/utils.py:3-14).  Without the libhdf5 stack a
+bare container previously hit NotImplementedError on day one of real-data
+ingestion; this module closes that gap for the file shapes libnetcdf's
+DEFAULT (earliest) format actually writes, straight from the public HDF5
+File Format Specification:
+
+- superblock v0 (and the trivial v2/v3), 8-byte offsets/lengths
+- old-style groups: v1 B-tree + local heap + SNOD symbol tables, plus
+  v2 compact groups via hard Link messages
+- v1 object headers (with continuation blocks)
+- messages: Dataspace, Datatype, Fill Value, Data Layout v3
+  (compact / contiguous / chunked), Filter Pipeline, Attribute (v1-v3),
+  Link, Symbol Table, Object Header Continuation
+- datatypes: fixed-point, IEEE float, fixed/variable strings, object
+  references, variable-length sequences (via the global heap)
+- filters: deflate (stdlib zlib), shuffle, fletcher32 (checksum skipped)
+- NetCDF-4 semantics: dimension-scale datasets (CLASS="DIMENSION_SCALE")
+  name the dims; data variables resolve their dim names through
+  DIMENSION_LIST object references, falling back to unique size matching
+
+Everything else (fractal-heap groups, v2 B-trees, v4 layouts, szip, ...)
+raises NotImplementedError with a message naming the xarray/h5netcdf
+escape hatch — `raster.netcdf_decoder` dispatches there when installed.
+
+Output contract: ``parse_hdf5`` returns the same (dims, variables,
+global_attrs) triple as ``netcdf3.parse_netcdf3`` and ``to_dataframe``
+shares `netcdf3.flatten_grid`, so HDF5-backed rasters flow into the same
+executor-side mapInPandas decode seam as every other format.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+
+SIGNATURE = b"\x89HDF\r\n\x1a\n"
+
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def _u(b: bytes, off: int, n: int) -> int:
+    return int.from_bytes(b[off:off + n], "little")
+
+
+def _need(cond: bool, what: str) -> None:
+    if not cond:
+        raise NotImplementedError(
+            f"hdf5: {what} not supported by the minimal reader "
+            "(install xarray/h5netcdf for full coverage)")
+
+
+# ------------------------------------------------------------- superblock
+
+def _superblock(b: bytes) -> dict:
+    """Root group location from a v0/v1 or v2/v3 superblock at offset 0."""
+    if b[:8] != SIGNATURE:
+        raise ValueError("hdf5: bad signature")
+    if len(b) < 96:
+        raise ValueError("hdf5: truncated file (no complete superblock)")
+    version = b[8]
+    if version in (0, 1):
+        _need(b[13] == 8 and b[14] == 8, "non-8-byte offsets/lengths")
+        # root group symbol table entry: after sig/versions/sizes/ks/
+        # flags + the 4 address fields = offset 56 (v1 inserts 4 bytes of
+        # indexed-storage k before the addresses)
+        ste = 56 if version == 0 else 60
+        return {"root_ohdr": _u(b, ste + 8, 8),
+                "root_btree": _u(b, ste + 24, 8),
+                "root_heap": _u(b, ste + 32, 8)}
+    if version in (2, 3):
+        _need(b[9] == 8 and b[10] == 8, "non-8-byte offsets/lengths")
+        return {"root_ohdr": _u(b, 36, 8),
+                "root_btree": _UNDEF, "root_heap": _UNDEF}
+    raise NotImplementedError(f"hdf5: superblock version {version}")
+
+
+# ---------------------------------------------------------- object header
+
+def _messages_v1(b: bytes, addr: int) -> list[tuple[int, bytes]]:
+    nmsgs = _u(b, addr + 2, 2)
+    hdr_size = _u(b, addr + 8, 4)
+    blocks = [(addr + 16, hdr_size)]
+    msgs: list[tuple[int, bytes]] = []
+    bi = 0
+    while bi < len(blocks) and len(msgs) < nmsgs:
+        pos, remaining = blocks[bi]
+        while remaining >= 8 and len(msgs) < nmsgs:
+            mtype = _u(b, pos, 2)
+            msize = _u(b, pos + 2, 2)
+            data = b[pos + 8:pos + 8 + msize]
+            pos += 8 + msize
+            remaining -= 8 + msize
+            if mtype == 0x0010:             # continuation
+                blocks.append((_u(data, 0, 8), _u(data, 8, 8)))
+            else:
+                msgs.append((mtype, data))
+        bi += 1
+    return msgs
+
+
+def _messages_v2(b: bytes, addr: int) -> list[tuple[int, bytes]]:
+    _need(b[addr:addr + 4] == b"OHDR", "unknown object header version")
+    flags = b[addr + 5]
+    pos = addr + 6
+    if flags & 0x20:
+        pos += 4                             # access/mod/change/birth times
+    if flags & 0x10:
+        pos += 12
+    if flags & 0x02:
+        pos += 4                             # max compact/min dense attrs
+    size_bytes = 1 << (flags & 0x03)
+    chunk0 = _u(b, pos, size_bytes)
+    pos += size_bytes
+    blocks = [(pos, chunk0)]
+    tracked = bool(flags & 0x04)
+    msgs: list[tuple[int, bytes]] = []
+    bi = 0
+    while bi < len(blocks):
+        p, remaining = blocks[bi]
+        while remaining > 4:                 # gap/checksum tail
+            mtype = b[p]
+            msize = _u(b, p + 1, 2)
+            p += 4 + (2 if tracked else 0)
+            remaining -= 4 + (2 if tracked else 0)
+            data = b[p:p + msize]
+            p += msize
+            remaining -= msize
+            if mtype == 0x10:
+                cont, clen = _u(data, 0, 8), _u(data, 8, 8)
+                blocks.append((cont + 4, clen - 8))   # skip OCHK + checksum
+            else:
+                msgs.append((mtype, data))
+        bi += 1
+    return msgs
+
+
+def _object_header(b: bytes, addr: int) -> list[tuple[int, bytes]]:
+    if b[addr] == 1:
+        return _messages_v1(b, addr)
+    return _messages_v2(b, addr)
+
+
+# -------------------------------------------------------------- messages
+
+def _dataspace(data: bytes) -> list[int]:
+    version = data[0]
+    rank = data[1]
+    if version == 1:
+        off = 8
+    elif version == 2:
+        off = 4
+    else:
+        raise NotImplementedError(f"hdf5: dataspace version {version}")
+    return [_u(data, off + 8 * i, 8) for i in range(rank)]
+
+
+def _datatype(data: bytes) -> dict:
+    cls = data[0] & 0x0F
+    bits = data[1:4]
+    size = _u(data, 4, 4)
+    order = ">" if bits[0] & 1 else "<"
+    if cls == 0:                              # fixed-point
+        signed = "i" if bits[0] & 0x08 else "u"
+        return {"cls": 0, "size": size,
+                "dtype": np.dtype(f"{order}{signed}{size}")}
+    if cls == 1:                              # IEEE float
+        _need(size in (4, 8), f"float size {size}")
+        return {"cls": 1, "size": size,
+                "dtype": np.dtype(f"{order}f{size}")}
+    if cls == 3:                              # fixed-size string
+        return {"cls": 3, "size": size}
+    if cls == 7:                              # reference
+        return {"cls": 7, "size": size}
+    if cls == 9:                              # variable-length
+        _need(bits[0] & 0x0F in (0, 1), "vlen flavor")
+        return {"cls": 9, "size": size,
+                "vstring": (bits[0] & 0x0F) == 1,
+                "base": _datatype(data[8:])}
+    raise NotImplementedError(f"hdf5: datatype class {cls}")
+
+
+def _layout(data: bytes) -> dict:
+    version = data[0]
+    _need(version == 3, f"layout message version {version}")
+    cls = data[1]
+    if cls == 0:                              # compact
+        size = _u(data, 2, 2)
+        return {"cls": "compact", "raw": data[4:4 + size]}
+    if cls == 1:                              # contiguous
+        return {"cls": "contiguous", "addr": _u(data, 2, 8),
+                "size": _u(data, 10, 8)}
+    if cls == 2:                              # chunked (v1 B-tree)
+        rank = data[2]                        # ndims + 1 (element size dim)
+        addr = _u(data, 3, 8)
+        dims = [_u(data, 11 + 4 * i, 4) for i in range(rank)]
+        return {"cls": "chunked", "btree": addr,
+                "chunk": dims[:-1], "elem": dims[-1]}
+    raise NotImplementedError(f"hdf5: layout class {cls}")
+
+
+def _filters(data: bytes) -> list[tuple[int, list[int]]]:
+    version = data[0]
+    nfilters = data[1]
+    pos = 8 if version == 1 else 2
+    out = []
+    for _ in range(nfilters):
+        fid = _u(data, pos, 2)
+        if version == 1 or fid >= 256:
+            namelen = _u(data, pos + 2, 2)
+            pos += 4
+        else:
+            namelen = 0
+            pos += 2
+        pos += 4                              # flags + number of values
+        nvals = _u(data, pos - 2, 2)
+        if version == 1:
+            namelen = (namelen + 7) & ~7
+        pos += namelen
+        vals = [_u(data, pos + 4 * i, 4) for i in range(nvals)]
+        pos += 4 * nvals
+        if version == 1 and nvals % 2:
+            pos += 4
+        out.append((fid, vals))
+    return out
+
+
+def _global_heap_object(b: bytes, addr: int, index: int) -> bytes:
+    _need(b[addr:addr + 4] == b"GCOL", "missing global heap collection")
+    size = _u(b, addr + 8, 8)
+    pos = addr + 16
+    end = addr + size
+    while pos < end:
+        idx = _u(b, pos, 2)
+        osize = _u(b, pos + 8, 8)
+        if idx == index:
+            return b[pos + 16:pos + 16 + osize]
+        if idx == 0:
+            break
+        pos += 16 + ((osize + 7) & ~7)
+    raise ValueError(f"hdf5: global heap object {index} not found")
+
+
+def _attr_value(b: bytes, dt: dict, dims: list[int], payload: bytes):
+    n = int(np.prod(dims)) if dims else 1
+    if dt["cls"] == 3:
+        return payload[:dt["size"]].split(b"\x00")[0]
+    if dt["cls"] == 9 and dt.get("vstring"):
+        raw = _global_heap_object(b, _u(payload, 4, 8), _u(payload, 12, 4))
+        return raw[:_u(payload, 0, 4)]
+    if dt["cls"] == 9:                        # vlen sequence per element
+        out = []
+        for i in range(n):
+            ep = payload[16 * i:16 * (i + 1)]
+            cnt = _u(ep, 0, 4)
+            raw = _global_heap_object(b, _u(ep, 4, 8), _u(ep, 12, 4))
+            base = dt["base"]
+            if base["cls"] == 7:
+                out.append([_u(raw, 8 * j, 8) for j in range(cnt)])
+            else:
+                out.append(np.frombuffer(
+                    raw, dtype=base["dtype"], count=cnt))
+        return out
+    if dt["cls"] == 7:
+        return [_u(payload, 8 * j, 8) for j in range(n)]
+    arr = np.frombuffer(payload, dtype=dt["dtype"], count=n)
+    return arr[0] if (not dims or n == 1) else arr
+
+
+def _attribute(b: bytes, data: bytes) -> tuple[str, object]:
+    version = data[0]
+    name_size = _u(data, 2, 2)
+    dt_size = _u(data, 4, 2)
+    ds_size = _u(data, 6, 2)
+    pos = 8 + (1 if version == 3 else 0)
+    pad = (lambda x: (x + 7) & ~7) if version == 1 else (lambda x: x)
+    name = data[pos:pos + name_size].split(b"\x00")[0].decode()
+    pos += pad(name_size)
+    dt = _datatype(data[pos:pos + dt_size])
+    pos += pad(dt_size)
+    dims = _dataspace(data[pos:pos + ds_size]) if ds_size else []
+    pos += pad(ds_size)
+    return name, _attr_value(b, dt, dims, data[pos:])
+
+
+# ----------------------------------------------------------------- groups
+
+def _local_heap_name(b: bytes, heap_addr: int, offset: int) -> str:
+    _need(b[heap_addr:heap_addr + 4] == b"HEAP", "missing local heap")
+    seg = _u(b, heap_addr + 24, 8)
+    end = b.index(b"\x00", seg + offset)
+    return b[seg + offset:end].decode()
+
+
+def _symbol_entries(b: bytes, btree_addr: int, heap_addr: int
+                    ) -> list[tuple[str, int]]:
+    """(name, object header address) pairs from a v1 group B-tree."""
+    out: list[tuple[str, int]] = []
+
+    def walk(addr: int) -> None:
+        _need(b[addr:addr + 4] == b"TREE", "missing group B-tree node")
+        level = b[addr + 5]
+        entries = _u(b, addr + 6, 2)
+        children = [_u(b, addr + 24 + 8 + 16 * i, 8) for i in range(entries)]
+        for child in children:
+            if level > 0:
+                walk(child)
+            else:
+                _need(b[child:child + 4] == b"SNOD", "missing SNOD")
+                nsyms = _u(b, child + 6, 2)
+                for i in range(nsyms):
+                    e = child + 8 + 40 * i
+                    out.append((_local_heap_name(b, heap_addr, _u(b, e, 8)),
+                                _u(b, e + 8, 8)))
+
+    walk(btree_addr)
+    return out
+
+
+def _group_children(b: bytes, ohdr_addr: int,
+                    btree_addr: int = _UNDEF,
+                    heap_addr: int = _UNDEF) -> list[tuple[str, int]]:
+    """Children of a group: old-style symbol table (possibly cached in the
+    superblock entry) or v2 compact Link messages."""
+    children: list[tuple[str, int]] = []
+    msgs = _object_header(b, ohdr_addr)
+    for mtype, data in msgs:
+        if mtype == 0x0011:                   # symbol table message
+            btree_addr, heap_addr = _u(data, 0, 8), _u(data, 8, 8)
+        elif mtype == 0x0006:                 # link message (v2 compact)
+            version, flags = data[0], data[1]
+            pos = 2
+            if flags & 0x08:
+                _need(data[pos] == 0, "soft/external links")
+                pos += 1
+            if flags & 0x04:
+                pos += 8                      # creation order
+            if flags & 0x10:
+                pos += 1                      # charset
+            nlen = _u(data, pos, 1 << (flags & 0x03))
+            pos += 1 << (flags & 0x03)
+            name = data[pos:pos + nlen].decode()
+            children.append((name, _u(data, pos + nlen, 8)))
+        elif mtype == 0x0002:                 # dense link info
+            _need(_u(data, 2 + (8 if data[1] & 1 else 0), 8) == _UNDEF,
+                  "fractal-heap (dense) groups")
+    if btree_addr != _UNDEF:
+        children.extend(_symbol_entries(b, btree_addr, heap_addr))
+    return children
+
+
+# --------------------------------------------------------------- datasets
+
+def _defilter(raw: bytes, filters, elem_size: int) -> bytes:
+    for fid, vals in reversed(filters):
+        if fid == 1:
+            raw = zlib.decompress(raw)
+        elif fid == 2:
+            size = vals[0] if vals else elem_size
+            n = len(raw) // size
+            raw = (np.frombuffer(raw, dtype=np.uint8)
+                   .reshape(size, n).T.tobytes())
+        elif fid == 3:
+            raw = raw[:-4]                    # fletcher32 checksum
+        else:
+            _need(False, f"filter id {fid}")
+    return raw
+
+
+def _read_chunked(b: bytes, layout: dict, filters, shape: list[int],
+                  dtype: np.dtype) -> np.ndarray:
+    rank = len(layout["chunk"])
+    arr = np.zeros(shape, dtype=dtype)
+
+    def walk(addr: int) -> None:
+        _need(b[addr:addr + 4] == b"TREE", "missing chunk B-tree node")
+        _need(b[addr + 4] == 1, "non-chunk B-tree in layout")
+        level = b[addr + 5]
+        entries = _u(b, addr + 6, 2)
+        key_size = 8 + 8 * (rank + 1)
+        pos = addr + 24
+        for _ in range(entries):
+            csize = _u(b, pos, 4)
+            offsets = [_u(b, pos + 8 + 8 * i, 8) for i in range(rank)]
+            child = _u(b, pos + key_size, 8)
+            pos += key_size + 8
+            if level > 0:
+                walk(child)
+                continue
+            raw = _defilter(b[child:child + csize], filters, dtype.itemsize)
+            chunk = np.frombuffer(raw, dtype=dtype).reshape(layout["chunk"])
+            sl, cl = [], []
+            for d in range(rank):
+                lo = offsets[d]
+                hi = min(lo + layout["chunk"][d], shape[d])
+                sl.append(slice(lo, hi))
+                cl.append(slice(0, hi - lo))
+            arr[tuple(sl)] = chunk[tuple(cl)]
+
+    walk(layout["btree"])
+    return arr
+
+
+def _dataset(b: bytes, ohdr_addr: int) -> dict:
+    dims: list[int] = []
+    dt: dict | None = None
+    layout: dict | None = None
+    filters: list = []
+    attrs: dict = {}
+    for mtype, data in _object_header(b, ohdr_addr):
+        if mtype == 0x0001:
+            dims = _dataspace(data)
+        elif mtype == 0x0003:
+            dt = _datatype(data)
+        elif mtype == 0x0008:
+            layout = _layout(data)
+        elif mtype == 0x000B:
+            filters = _filters(data)
+        elif mtype == 0x000C:
+            name, value = _attribute(b, data)
+            attrs[name] = value
+        elif mtype == 0x0015:
+            _need(False, "dense attribute storage")
+    if dt is None or layout is None:
+        raise ValueError("hdf5: dataset missing datatype/layout")
+    _need("dtype" in dt, f"dataset datatype class {dt['cls']}")
+    dtype = dt["dtype"]
+    n = int(np.prod(dims)) if dims else 1
+    if layout["cls"] == "compact":
+        data_arr = np.frombuffer(layout["raw"], dtype=dtype, count=n)
+    elif layout["cls"] == "contiguous":
+        if layout["addr"] == _UNDEF:          # never written: fill zeros
+            data_arr = np.zeros(n, dtype=dtype)
+        else:
+            data_arr = np.frombuffer(
+                b[layout["addr"]:layout["addr"] + n * dtype.itemsize],
+                dtype=dtype, count=n)
+    else:
+        data_arr = _read_chunked(b, layout, filters, dims, dtype)
+    return {"dims_sizes": dims, "attrs": attrs,
+            "data": np.asarray(data_arr).reshape(dims)}
+
+
+# ------------------------------------------------------------ NetCDF-4 API
+
+def parse_hdf5(content: bytes) -> tuple[dict, dict, dict]:
+    """HDF5/NetCDF-4 bytes → (dims, variables, global_attrs), the same
+    triple as `netcdf3.parse_netcdf3`: dims maps name -> size, variables
+    maps name -> dict(dims=[names], attrs={...}, data=ndarray)."""
+    b = bytes(content)
+    sb = _superblock(b)
+    root_attrs: dict = {}
+    for mtype, data in _object_header(b, sb["root_ohdr"]):
+        if mtype == 0x000C:
+            name, value = _attribute(b, data)
+            root_attrs[name] = value
+    children = _group_children(b, sb["root_ohdr"],
+                               sb["root_btree"], sb["root_heap"])
+    datasets: dict[str, dict] = {}
+    addr_to_name: dict[int, str] = {}
+    for name, addr in children:
+        ds = _dataset(b, addr)
+        datasets[name] = ds
+        addr_to_name[addr] = name
+
+    # netCDF-4 dimension scales name the dims
+    scales = {n: ds for n, ds in datasets.items()
+              if ds["attrs"].get("CLASS") == b"DIMENSION_SCALE"}
+    dims = {n: ds["dims_sizes"][0] for n, ds in scales.items()}
+
+    def dim_names(name: str, ds: dict) -> list[str]:
+        if name in scales:
+            return [name]
+        dl = ds["attrs"].get("DIMENSION_LIST")
+        if dl is not None:
+            return [addr_to_name[refs[0]] for refs in dl]
+        # fallback: unique size match against the scales, else phony dims
+        out = []
+        for i, size in enumerate(ds["dims_sizes"]):
+            matches = [n for n, s in dims.items() if s == size]
+            if len(matches) == 1:
+                out.append(matches[0])
+            else:
+                phony = f"phony_dim_{i}"
+                dims.setdefault(phony, size)
+                out.append(phony)
+        return out
+
+    hidden = ("CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST",
+              "_Netcdf4Dimid", "_Netcdf4Coordinates")
+    variables = {}
+    for name, ds in datasets.items():
+        attrs = {k: (v.decode() if isinstance(v, bytes) else v)
+                 for k, v in ds["attrs"].items() if k not in hidden}
+        variables[name] = {"dims": dim_names(name, ds), "attrs": attrs,
+                           "data": ds["data"]}
+    return dims, variables, root_attrs
+
+
+def to_dataframe(content: bytes) -> pd.DataFrame:
+    """NetCDF-4/HDF5 bytes → long-form pandas frame, sharing the classic
+    reader's CF-unpack + cartesian flatten (`netcdf3.flatten_grid`)."""
+    from flood_data_spark.sources.netcdf3 import flatten_grid
+
+    dims, variables, _g = parse_hdf5(content)
+    return flatten_grid(dims, variables, "hdf5")

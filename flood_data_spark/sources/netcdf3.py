@@ -187,24 +187,25 @@ def _apply_cf(var: dict) -> np.ndarray:
     return data
 
 
-def to_dataframe(content: bytes) -> pd.DataFrame:
-    """Classic-NetCDF bytes → long-form pandas frame, matching
+def flatten_grid(dims: dict, variables: dict, label: str) -> pd.DataFrame:
+    """(dims, variables) → long-form frame, matching
     ``xr.open_dataset(...).to_dataframe().reset_index()`` for static
     rasters: coordinate variables (1-D, named as their dim) become index
-    columns over the cartesian product of the data variables' dims; data
-    variables are CF-unpacked (fill→NaN, scale/offset applied)."""
-    dims, variables, _g = parse_netcdf3(content)
+    columns over the cartesian product of the data variables\' dims; data
+    variables are CF-unpacked (fill→NaN, scale/offset applied).  Shared
+    by the classic (this module) and HDF5 (`sources.hdf5`) readers —
+    `label` names the caller in error messages."""
     coord_names = [n for n, v in variables.items()
                    if len(v["dims"]) == 1 and v["dims"][0] == n]
     data_vars = {n: v for n, v in variables.items() if n not in coord_names}
     if not data_vars:
-        raise ValueError("netcdf3: no data variables")
+        raise ValueError(f"{label}: no data variables")
     # all data vars must share one dim tuple (true for the static rasters;
     # mixed-shape files need the real xarray alignment machinery)
     shapes = {tuple(v["dims"]) for v in data_vars.values()}
     if len(shapes) != 1:
         raise NotImplementedError(
-            f"netcdf3: data variables span different dims {shapes}")
+            f"{label}: data variables span different dims {shapes}")
     (ddims,) = shapes
     cols = {}
     mesh_sizes = [dims[d] for d in ddims]
@@ -220,3 +221,9 @@ def to_dataframe(content: bytes) -> pd.DataFrame:
     for n, v in data_vars.items():
         cols[n] = _apply_cf(v).ravel()
     return pd.DataFrame(cols)
+
+
+def to_dataframe(content: bytes) -> pd.DataFrame:
+    """Classic-NetCDF bytes → long-form pandas frame (see flatten_grid)."""
+    dims, variables, _g = parse_netcdf3(content)
+    return flatten_grid(dims, variables, "netcdf3")

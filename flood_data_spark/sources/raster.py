@@ -17,12 +17,14 @@ file, embarrassingly parallel across the 30 lead times × historical days.
 
 Codec dispatch: cfgrib/xarray when installed (full template coverage);
 without them, REAL dependency-free readers handle the common encodings —
-GRIB2 simple-packed regular lat/lon fields (`sources/grib2.py`) and
-classic-format NetCDF (`sources/netcdf3.py`) — so genuine bytes decode in
-this container too.  Only exotic inputs (JPEG2000/spectral GRIB packings,
-NetCDF-4/HDF5) still raise NotImplementedError behind the import-try;
-`synthetic_grib_decoder` remains the deterministic stand-in for tests that
-need arbitrary planted values.
+GRIB2 simple-packed regular lat/lon fields (`sources/grib2.py`),
+classic-format NetCDF (`sources/netcdf3.py`), and NetCDF-4/HDF5 in the
+default libnetcdf layout (`sources/hdf5.py`: contiguous/chunked +
+deflate/shuffle, dimension scales) — so genuine bytes decode in this
+container too.  Only exotic inputs (JPEG2000/spectral GRIB packings,
+fractal-heap/v2-btree HDF5 features) still raise NotImplementedError
+behind the import-try; `synthetic_grib_decoder` remains the
+deterministic stand-in for tests that need arbitrary planted values.
 """
 
 from __future__ import annotations
@@ -99,18 +101,34 @@ def netcdf_decoder(content: bytes) -> pd.DataFrame:
 
     Classic-format files (magic CDF1/2/5) decode through the REAL
     dependency-free reader (`sources.netcdf3`, stdlib struct + numpy —
-    same long-form/CF semantics as xarray's to_dataframe); NetCDF-4/HDF5
-    files need the xarray/h5netcdf stack and raise without it."""
+    same long-form/CF semantics as xarray's to_dataframe).  NetCDF-4
+    (HDF5 signature) files decode through the minimal dependency-free
+    HDF5 reader (`sources.hdf5`: superblock v0, symbol-table groups,
+    contiguous/chunked layouts, deflate/shuffle, dimension scales —
+    what libnetcdf's default format writes); shapes outside its scope
+    fall through to xarray/h5netcdf when installed, else re-raise the
+    reader's NotImplementedError naming the missing feature."""
     if content[:3] == b"CDF":
         from flood_data_spark.sources.netcdf3 import to_dataframe
         return to_dataframe(content)
+    from flood_data_spark.sources import hdf5 as h5
+    if content[:8] == h5.SIGNATURE:
+        try:
+            return h5.to_dataframe(content)
+        except NotImplementedError:
+            try:
+                import xarray as xr
+            except ImportError:
+                raise   # the reader's message names feature + escape hatch
+            ds = xr.open_dataset(io.BytesIO(content), engine="h5netcdf")
+            return ds.to_dataframe().reset_index()
     try:
         import xarray as xr
     except ImportError as e:
         raise NotImplementedError(
-            "NetCDF-4/HDF5 input and netCDF4/xarray not available in this "
-            "environment (classic CDF files decode natively)") from e
-    ds = xr.open_dataset(io.BytesIO(content), engine="h5netcdf")
+            "unrecognized raster container (not CDF/HDF5) and xarray not "
+            "available in this environment") from e
+    ds = xr.open_dataset(io.BytesIO(content))
     return ds.to_dataframe().reset_index()
 
 

@@ -1,0 +1,273 @@
+"""Minimal HDF5/NetCDF-4 reader (sources/hdf5.py).
+
+No HDF5-producing library exists in this container, so the fixture
+builder below writes files BYTE-BY-BYTE from the public HDF5 File Format
+Specification (superblock v0, v1 object headers, symbol-table groups,
+v1 attributes, contiguous/chunked layouts, deflate filter, global heap).
+Structural offsets are asserted against the spec's fixed layout — the
+writer is test scaffolding, the spec is the contract.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from flood_data_spark.sources.hdf5 import (
+    SIGNATURE, parse_hdf5, to_dataframe)
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def _u(n, size):
+    return int(n).to_bytes(size, "little")
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+def _msg(mtype: int, body: bytes) -> bytes:
+    body = _pad8(body)
+    return _u(mtype, 2) + _u(len(body), 2) + b"\x00" * 4 + body
+
+
+def _ohdr(messages: list[bytes]) -> bytes:
+    body = b"".join(messages)
+    return (b"\x01\x00" + _u(len(messages), 2) + _u(1, 4)
+            + _u(len(body), 4) + b"\x00" * 4 + body)
+
+
+def _dataspace(dims) -> bytes:
+    return (b"\x01" + _u(len(dims), 1) + b"\x00" * 6
+            + b"".join(_u(d, 8) for d in dims))
+
+
+DT_F8 = (b"\x11" + b"\x20\x3f\x00" + _u(8, 4)
+         + _u(0, 2) + _u(64, 2) + bytes([52, 11, 0, 52]) + _u(1023, 4))
+DT_I4 = b"\x10" + b"\x08\x00\x00" + _u(4, 4) + _u(0, 2) + _u(32, 2)
+DT_I2 = b"\x10" + b"\x08\x00\x00" + _u(2, 4) + _u(0, 2) + _u(16, 2)
+DT_REF = b"\x17" + b"\x00\x00\x00" + _u(8, 4)
+DT_VLEN_REF = b"\x19" + b"\x00\x00\x00" + _u(16, 4) + DT_REF
+
+
+def _dt_str(n: int) -> bytes:
+    return b"\x13" + b"\x00\x00\x00" + _u(n, 4)
+
+
+def _attr(name: str, dt: bytes, ds: bytes, payload: bytes) -> bytes:
+    nm = name.encode() + b"\x00"
+    body = (b"\x01\x00" + _u(len(nm), 2) + _u(len(dt), 2) + _u(len(ds), 2)
+            + _pad8(nm) + _pad8(dt) + _pad8(ds) + payload)
+    return _msg(0x000C, body)
+
+
+def _str_attr(name: str, value: str) -> bytes:
+    v = value.encode() + b"\x00"
+    return _attr(name, _dt_str(len(v)), b"", v)
+
+
+class MiniH5:
+    """Append-only HDF5 writer: superblock v0 + one symbol-table root
+    group; datasets added before close()."""
+
+    def __init__(self):
+        self.buf = bytearray(96)            # superblock v0 reserved
+        self.buf[0:8] = SIGNATURE
+        self.buf[13] = 8                    # size of offsets
+        self.buf[14] = 8                    # size of lengths
+        self.buf[16:18] = _u(4, 2)          # leaf k
+        self.buf[18:20] = _u(16, 2)         # internal k
+        self.buf[32:40] = _u(UNDEF, 8)      # free-space address
+        self.buf[48:56] = _u(UNDEF, 8)      # driver info
+        self.entries = []                   # (name, ohdr addr)
+
+    def append(self, block: bytes) -> int:
+        addr = len(self.buf)
+        self.buf += block
+        return addr
+
+    def add_dataset(self, name: str, data: np.ndarray, dt: bytes,
+                    attrs=(), chunked_deflate: bool = False,
+                    dim_refs=None) -> int:
+        data = np.ascontiguousarray(data)
+        raw = data.astype(data.dtype.newbyteorder("<")).tobytes()
+        msgs = [_msg(0x0001, _dataspace(data.shape)), _msg(0x0003, dt)]
+        if chunked_deflate:
+            comp = zlib.compress(raw, 6)
+            caddr = self.append(comp)
+            rank = data.ndim + 1
+            key = (_u(len(comp), 4) + _u(0, 4)
+                   + b"".join(_u(0, 8) for _ in range(rank)))
+            endkey = (_u(0, 4) + _u(0, 4)
+                      + b"".join(_u(d, 8) for d in data.shape)
+                      + _u(data.dtype.itemsize, 8))
+            node = (b"TREE" + bytes([1, 0]) + _u(1, 2)
+                    + _u(UNDEF, 8) + _u(UNDEF, 8)
+                    + key + _u(caddr, 8) + endkey)
+            baddr = self.append(node)
+            chunk_dims = list(data.shape) + [data.dtype.itemsize]
+            msgs.append(_msg(0x000B,                      # deflate
+                             b"\x01\x01" + b"\x00" * 6
+                             + _u(1, 2) + _u(0, 2) + _u(0, 2) + _u(1, 2)
+                             + _u(6, 4) + _u(0, 4)))
+            msgs.append(_msg(0x0008,
+                             b"\x03\x02" + _u(len(chunk_dims), 1)
+                             + _u(baddr, 8)
+                             + b"".join(_u(d, 4) for d in chunk_dims)))
+        else:
+            daddr = self.append(raw)
+            msgs.append(_msg(0x0008, b"\x03\x01" + _u(daddr, 8)
+                             + _u(len(raw), 8)))
+        if dim_refs is not None:
+            # DIMENSION_LIST: vlen-of-ref per dim through a global heap
+            payload = b""
+            for ref in dim_refs:
+                obj = _pad8(_u(ref, 8))
+                gcol = (b"GCOL\x01" + b"\x00" * 3 + _u(16 + 16 + len(obj)
+                                                       + 16, 8)
+                        + _u(1, 2) + _u(1, 2) + b"\x00" * 4 + _u(8, 8) + obj
+                        + _u(0, 2) + _u(0, 2) + b"\x00" * 4 + _u(0, 8))
+                gaddr = self.append(gcol)
+                payload += _u(1, 4) + _u(gaddr, 8) + _u(1, 4)
+            msgs.append(_attr("DIMENSION_LIST", DT_VLEN_REF,
+                              _dataspace([data.ndim]), payload))
+        msgs.extend(attrs)
+        addr = self.append(_ohdr(msgs))
+        self.entries.append((name, addr))
+        return addr
+
+    def close(self) -> bytes:
+        # local heap: empty string at 0, then names at 8-byte slots
+        names = sorted(n for n, _ in self.entries)
+        seg = bytearray(8)
+        offsets = {}
+        for n in names:
+            offsets[n] = len(seg)
+            seg += _pad8(n.encode() + b"\x00")
+        heap_hdr = (b"HEAP\x00" + b"\x00" * 3 + _u(len(seg), 8)
+                    + _u(UNDEF, 8))
+        heap_addr = self.append(heap_hdr + _u(0, 8))
+        seg_addr = self.append(bytes(seg))
+        self.buf[heap_addr + 24:heap_addr + 32] = _u(seg_addr, 8)
+
+        snod = (b"SNOD\x01\x00" + _u(len(self.entries), 2)
+                + b"".join(_u(offsets[n], 8) + _u(a, 8) + b"\x00" * 24
+                           for n, a in sorted(self.entries)))
+        snod_addr = self.append(snod)
+        btree = (b"TREE" + bytes([0, 0]) + _u(1, 2)
+                 + _u(UNDEF, 8) + _u(UNDEF, 8)
+                 + _u(0, 8) + _u(snod_addr, 8)
+                 + _u(offsets[names[-1]] if names else 0, 8))
+        btree_addr = self.append(btree)
+        root = self.append(_ohdr(
+            [_msg(0x0011, _u(btree_addr, 8) + _u(heap_addr, 8))]))
+        # superblock root symbol-table entry + EOF
+        self.buf[40:48] = _u(len(self.buf), 8)
+        ste = 56
+        self.buf[ste + 8:ste + 16] = _u(root, 8)
+        self.buf[ste + 16:ste + 20] = _u(1, 4)
+        self.buf[ste + 24:ste + 32] = _u(btree_addr, 8)
+        self.buf[ste + 32:ste + 40] = _u(heap_addr, 8)
+        return bytes(self.buf)
+
+
+def _scale_attrs(dim_name: str):
+    return [_str_attr("CLASS", "DIMENSION_SCALE"), _str_attr("NAME", dim_name)]
+
+
+def _build_raster(chunked=False, with_dim_list=False) -> bytes:
+    w = MiniH5()
+    lat = np.array([10.0, 10.5, 11.0])
+    lon = np.array([20.0, 20.25])
+    grid = np.arange(6, dtype=np.float64).reshape(3, 2) * 1.5
+    a_lat = w.add_dataset("lat", lat, DT_F8, attrs=_scale_attrs("lat"))
+    a_lon = w.add_dataset("lon", lon, DT_F8, attrs=_scale_attrs("lon"))
+    w.add_dataset("uparea", grid, DT_F8, chunked_deflate=chunked,
+                  dim_refs=[a_lat, a_lon] if with_dim_list else None)
+    return w.close()
+
+
+def test_superblock_and_structure():
+    content = _build_raster()
+    assert content[:8] == SIGNATURE and content[8] == 0
+    dims, variables, _ = parse_hdf5(content)
+    assert dims == {"lat": 3, "lon": 2}
+    assert set(variables) == {"lat", "lon", "uparea"}
+    assert variables["uparea"]["dims"] == ["lat", "lon"]   # size match
+
+
+def test_contiguous_values_roundtrip():
+    dims, variables, _ = parse_hdf5(_build_raster())
+    np.testing.assert_array_equal(variables["lat"]["data"],
+                                  [10.0, 10.5, 11.0])
+    np.testing.assert_array_equal(
+        variables["uparea"]["data"],
+        np.arange(6, dtype=np.float64).reshape(3, 2) * 1.5)
+
+
+def test_chunked_deflate_roundtrip():
+    dims, variables, _ = parse_hdf5(_build_raster(chunked=True))
+    np.testing.assert_array_equal(
+        variables["uparea"]["data"],
+        np.arange(6, dtype=np.float64).reshape(3, 2) * 1.5)
+
+
+def test_dimension_list_references_beat_size_matching():
+    """With equal-sized dims only DIMENSION_LIST can order them; build a
+    square grid and check the refs resolve (size matching alone would be
+    ambiguous)."""
+    w = MiniH5()
+    lat = np.array([1.0, 2.0])
+    lon = np.array([5.0, 6.0])
+    a_lat = w.add_dataset("lat", lat, DT_F8, attrs=_scale_attrs("lat"))
+    a_lon = w.add_dataset("lon", lon, DT_F8, attrs=_scale_attrs("lon"))
+    grid = np.array([[1.0, 2.0], [3.0, 4.0]])
+    w.add_dataset("v", grid, DT_F8, dim_refs=[a_lon, a_lat])
+    dims, variables, _ = parse_hdf5(w.close())
+    assert variables["v"]["dims"] == ["lon", "lat"]
+
+
+def test_cf_unpack_and_flatten():
+    """int16 + scale/offset/fill → the same CF semantics as the classic
+    reader (shared flatten_grid)."""
+    w = MiniH5()
+    lat = np.array([0.0, 1.0, 2.0])
+    lon = np.array([10.0, 11.0])
+    w.add_dataset("lat", lat, DT_F8, attrs=_scale_attrs("lat"))
+    w.add_dataset("lon", lon, DT_F8, attrs=_scale_attrs("lon"))
+    packed = np.array([[0, 1], [2, 3], [-999, 5]], dtype=np.int16)
+    attrs = [
+        _attr("scale_factor", DT_F8, b"", struct.pack("<d", 0.5)),
+        _attr("add_offset", DT_F8, b"", struct.pack("<d", 100.0)),
+        _attr("_FillValue", DT_I2, b"", struct.pack("<h", -999)),
+    ]
+    w.add_dataset("thresh", packed, DT_I2, attrs=attrs)
+    pdf = to_dataframe(w.close())
+    assert list(pdf.columns) == ["lat", "lon", "thresh"]
+    assert len(pdf) == 6
+    got = pdf.set_index(["lat", "lon"])["thresh"]
+    assert got[(0.0, 10.0)] == 100.0            # 0*0.5+100
+    assert got[(1.0, 11.0)] == 101.5            # 3*0.5+100
+    assert np.isnan(got[(2.0, 10.0)])           # fill → NaN before scaling
+
+
+def test_netcdf_decoder_dispatches_hdf5_natively():
+    """raster.netcdf_decoder must route HDF5-signature bytes through the
+    dependency-free reader (no xarray in this container)."""
+    from flood_data_spark.sources.raster import netcdf_decoder
+
+    pdf = netcdf_decoder(_build_raster(chunked=True))
+    assert {"lat", "lon", "uparea"} <= set(pdf.columns)
+    assert len(pdf) == 6
+
+
+def test_unsupported_shape_names_escape_hatch():
+    content = bytearray(_build_raster())
+    content[8] = 7                              # bogus superblock version
+    with pytest.raises(NotImplementedError, match="superblock version"):
+        parse_hdf5(bytes(content))
+    # and a genuinely exotic feature points at the xarray path
+    with pytest.raises((NotImplementedError, ValueError)):
+        parse_hdf5(SIGNATURE + b"\x00" * 88)

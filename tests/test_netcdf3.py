@@ -123,8 +123,9 @@ def test_record_variables_raise():
 def test_bad_magic_and_hdf5_raise():
     with pytest.raises(ValueError, match="bad magic"):
         parse_netcdf3(b"not netcdf")
-    # HDF5-based NetCDF-4 still needs the xarray stack
-    with pytest.raises(NotImplementedError):
+    # HDF5-signature bytes now route to the native minimal reader
+    # (tests/test_hdf5.py); a bare signature is a truncated file
+    with pytest.raises(ValueError, match="truncated"):
         netcdf_decoder(b"\x89HDF\r\n\x1a\n")
 
 

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_minhash_lsh_x10",
     "q_line_dedup_x10",
     "q_sessionize_x10",
+    "q_bpe_encode_x10",
     "q_bpe_train_full",
     "q_ivfpq_search",
     "q_threshold_summary",
@@ -138,6 +139,7 @@ BENCH_QUERIES = [
 
 _IVF_INDEX = {}
 _TEXT_INDEX = {}
+_BPE_MERGES = {}
 
 
 def _q_threshold_summary_approx_plain(spark, sf_dir):
@@ -466,8 +468,29 @@ def _q_bigram_ppl_full(spark, sf_dir):
     return bigram_lm_scores(docs)
 
 
+def _q_bpe_encode_x10(spark, sf_dir):
+    """Dictionary-join BPE ENCODE over the 50k-doc near-duplicate tier
+    with an 8-rule merges table: the 100 TB tokenization path measured on
+    volume — one distinct-word dictionary fold (vocab-bounded), one
+    broadcast hash join back to the word explode (BroadcastHashJoin
+    asserted in tests/test_bpe.py), one doc-keyed reassembly groupBy.
+    The merges table comes from a 500-doc sample and is cached across
+    reps (this entry is min-of-2), so the recorded MIN times the pure
+    ENCODE plan — the trainer has its own entry (q_bpe_train_full)."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.datapipe.bpe import bpe_encode_with_dict, bpe_train
+    docs = spark.read.parquet(_scaled_documents_path(spark, sf_dir))
+    if "merges" not in _BPE_MERGES:
+        sample = docs.filter(F.col("doc_id") < 8000)    # 500 originals x16
+        _BPE_MERGES["merges"] = bpe_train(sample, n_merges=8)[0]
+    return (bpe_encode_with_dict(docs, _BPE_MERGES["merges"],
+                                 id_col="doc_id")
+            .select("doc_id", F.size("bpe_tokens").alias("n_bpe")))
+
+
 EXTRA_QUERIES = {
     "q_gopher_rules_full": _q_gopher_rules_full,
+    "q_bpe_encode_x10": _q_bpe_encode_x10,
     "q_dedup_exact_x10": _q_dedup_exact_x10,
     "q_minhash_lsh_x10": _q_minhash_lsh_x10,
     "q_line_dedup_x10": _q_line_dedup_x10,
@@ -549,7 +572,7 @@ def main():
                  # + the two heaviest unprotected entries — min-of-2 so
                  # plan cost separates from the box's bimodal I/O noise
                  "q_contamination", "q_clean_lines", "q_line_dedup",
-                 "q_bm25_index_build"}
+                 "q_bm25_index_build", "q_bpe_encode_x10"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

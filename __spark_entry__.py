@@ -1097,6 +1097,50 @@ def q_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "q_score", "pct_rank"))
 
 
+def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail tiers (datapipe/curation.quality_tiers):
+    per-source terciles of the composite quality score
+    (higher_is_better, so the top third of each source is 'head') — the
+    published CCNet partitioning that decides what trains, what gets
+    down-weighted, what drops.  Full value oracle over the shared
+    _QSCORE_ORACLE_CTES ranking chain."""
+    from flood_data_spark.datapipe.curation import quality_tiers
+
+    docs = with_quality_signals(_t(spark, sf_dir, "documents"))
+    return (quality_tiers(docs, "q_score", partition_cols=("source",),
+                          higher_is_better=True)
+            .select("doc_id", "source", "q_score", "pct_rank", "tier"))
+
+
+def q_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling (datapipe/classifier.platt_calibrate): fit
+    p = σ(a·score + b) over (composite quality score, lang='en' label) by
+    3 GD iterations, each ONE two-cell aggregate — the post-hoc
+    calibration that turns a ranking score into a thresholdable
+    probability.  Returns the fitted (a, b); the oracle unrolls the same
+    3 steps in SQL over the shared _QSCORE_ORACLE_CTES score chain."""
+    from flood_data_spark.datapipe.classifier import platt_calibrate
+
+    docs = with_quality_signals(_t(spark, sf_dir, "documents")) \
+        .withColumn("label", (F.col("lang") == "en").cast("int"))
+    a, b = platt_calibrate(docs, "q_score", "label", n_iters=3, lr=1.0)
+    return spark.createDataFrame([("a", a), ("b", b)],
+                                 "param string, value double")
+
+
+def q_suppress_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity-style suppression (datapipe/curation
+    .suppress_rare_combinations): keep documents whose (lang, source)
+    quasi-identifier combination occurs at least 8 times — one
+    combo-keyed count + left-semi join back."""
+    from flood_data_spark.datapipe.curation import (
+        suppress_rare_combinations)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (suppress_rare_combinations(docs, ("lang", "source"), k=8)
+            .select("doc_id", "lang", "source"))
+
+
 def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed co-occurrence + PMI (datapipe/text.cooccurrence_pmi):
     directed token pairs within 2 positions, corpus counts >= 5, PMI under
@@ -2284,6 +2328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_clf": q_quality_clf,
         "q_quality_clf_score": q_quality_clf_score,
         "q_stream_summary": q_stream_summary,
+        "q_quality_tiers": q_quality_tiers,
+        "q_platt_calibration": q_platt_calibration,
+        "q_suppress_rare": q_suppress_rare,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2311,16 +2358,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_threshold": q_stream_threshold,
         "q_window_lag": q_window_lag,
         "q_range_filter": q_range_filter,
+        # ---------------- gate window boundary (50) ----------------
+        # r8 rotation: seven new queries enter (q_quality_clf,
+        # q_quality_clf_score, q_stream_summary, q_quality_tiers,
+        # q_platt_calibration, q_suppress_rare + the reworked
+        # q_equidepth stays in) — new queries are driver-checked the
+        # round they land — pushing q_anti_join, q_rollup, q_pivot,
+        # q_events_daily, q_resample and q_asof_join out: all green in
+        # the r7 gate, and their modules (relational ops in this file,
+        # functions/temporal.py, operators/timeseries.py) are untouched
+        # this round.
         "q_anti_join": q_anti_join,
         "q_rollup": q_rollup,
         "q_pivot": q_pivot,
-        # ---------------- gate window boundary (50) ----------------
-        # r8 rotation: q_quality_clf + q_quality_clf_score +
-        # q_stream_summary enter (new queries are driver-checked the round
-        # they land), pushing q_events_daily + q_resample + q_asof_join
-        # out — all three green in the r7 gate and their modules
-        # (functions/temporal.py, operators/timeseries.py) are untouched
-        # this round.
         "q_events_daily": q_events_daily,
         "q_resample": q_resample,
         "q_asof_join": q_asof_join,
@@ -2530,6 +2580,51 @@ _DSIR_ORACLE_CTES = """rt AS (
                        round(sum(log_ratio), 6) AS log_weight,
                        round(avg(log_ratio), 6) AS avg_log_weight
                 FROM rt JOIN ratio USING (term) GROUP BY id)"""
+
+
+# Shared per-source quality-score ranking chain: q_quality_rank and
+# q_quality_tiers both interpolate this single definition (raw signals →
+# composite score → per-source percent_rank).
+_QSCORE_ORACLE_CTES = """raw AS (
+                SELECT doc_id, source,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0.0
+                            ELSE CAST(len(string_split_regex(trim(text),
+                                                             '\\s+'))
+                                 AS DOUBLE)
+                       END AS n_tokens,
+                       CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                            AS DOUBLE) AS n_punct,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                            AS DOUBLE) AS n_alpha,
+                       CAST(len(regexp_extract_all(text,
+                            '(?i)\\b(the|and|of|to|is)\\b'))
+                            AS DOUBLE) AS n_stop
+                FROM documents),
+            ratios AS (
+                SELECT doc_id, source, n_chars, n_tokens,
+                       n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+                       n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+                       n_stop / greatest(n_tokens, 1.0) AS stop_ratio,
+                       n_chars / greatest(n_tokens, 1.0) AS mean_token_len
+                FROM raw),
+            scored AS (
+                SELECT doc_id, source,
+                       round(least(1.0,
+                             0.4 * alpha_ratio
+                           + 0.3 * least(1.0, stop_ratio * 5)
+                           + 0.2 * (CASE WHEN mean_token_len >= 3
+                                          AND mean_token_len <= 12
+                                         THEN 1.0 ELSE 0.0 END)
+                           + 0.1 * least(1.0, punct_ratio * 20)), 6)
+                           AS q_score
+                FROM ratios),
+            ranked AS (
+                SELECT doc_id, source, q_score,
+                       round(percent_rank() OVER (PARTITION BY source
+                                                  ORDER BY q_score ASC), 6)
+                           AS pct_rank
+                FROM scored)"""
 
 
 # Shared quality-classifier oracle core: 3 unrolled batch-GD iterations of
@@ -3557,46 +3652,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_quality_rank: per-source percent_rank of the q_quality score
         # (same tie semantics both engines)
-        "q_quality_rank": """
-            WITH raw AS (
-                SELECT doc_id, source,
-                       CAST(length(text) AS DOUBLE) AS n_chars,
-                       CASE WHEN trim(text) = '' THEN 0.0
-                            ELSE CAST(len(string_split_regex(trim(text),
-                                                             '\\s+'))
-                                 AS DOUBLE)
-                       END AS n_tokens,
-                       CAST(len(regexp_extract_all(text, '[.,;:!?]'))
-                            AS DOUBLE) AS n_punct,
-                       CAST(len(regexp_extract_all(text, '[A-Za-z]'))
-                            AS DOUBLE) AS n_alpha,
-                       CAST(len(regexp_extract_all(text,
-                            '(?i)\\b(the|and|of|to|is)\\b'))
-                            AS DOUBLE) AS n_stop
-                FROM documents),
-            ratios AS (
-                SELECT doc_id, source, n_chars, n_tokens,
-                       n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
-                       n_punct / greatest(n_chars, 1.0) AS punct_ratio,
-                       n_stop / greatest(n_tokens, 1.0) AS stop_ratio,
-                       n_chars / greatest(n_tokens, 1.0) AS mean_token_len
-                FROM raw),
-            scored AS (
-                SELECT doc_id, source,
-                       round(least(1.0,
-                             0.4 * alpha_ratio
-                           + 0.3 * least(1.0, stop_ratio * 5)
-                           + 0.2 * (CASE WHEN mean_token_len >= 3
-                                          AND mean_token_len <= 12
-                                         THEN 1.0 ELSE 0.0 END)
-                           + 0.1 * least(1.0, punct_ratio * 20)), 6)
-                           AS q_score
-                FROM ratios)
-            SELECT doc_id, source, q_score,
-                   round(percent_rank() OVER (PARTITION BY source
-                                              ORDER BY q_score ASC), 6)
-                       AS pct_rank
-            FROM scored
+        "q_quality_rank": f"""
+            WITH {_QSCORE_ORACLE_CTES}
+            SELECT doc_id, source, q_score, pct_rank FROM ranked
+        """,
+        # q_quality_tiers: CCNet head/middle/tail terciles of the SAME
+        # ranked chain (higher_is_better → ladder on 1 - pct_rank)
+        "q_quality_tiers": f"""
+            WITH {_QSCORE_ORACLE_CTES}
+            SELECT doc_id, source, q_score, pct_rank,
+                   CASE WHEN (1.0 - pct_rank) < 1.0 / 3 THEN 'head'
+                        WHEN (1.0 - pct_rank) < 2.0 / 3 THEN 'middle'
+                        ELSE 'tail' END AS tier
+            FROM ranked
         """,
         # q_mixture_weights: temperature rebalancing — same expression
         # structure both sides so the pow/round doubles agree
@@ -4066,6 +4134,45 @@ def oracle_sql() -> dict[str, str]:
                        AS clf_score
             FROM documents d LEFT JOIN ssum ON d.doc_id = ssum.id, b3
             WHERE d.doc_id < 100
+        """,
+        # q_platt_calibration: 3 GD steps unrolled over the shared score
+        # chain; lr = 1.0, init (a, b) = (1, 0), params re-rounded to 6
+        # decimals per update exactly as platt_calibrate does
+        "q_platt_calibration": f"""
+            WITH {_QSCORE_ORACLE_CTES},
+            cal AS (
+                SELECT s.q_score AS sc,
+                       CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                FROM scored s JOIN documents d USING (doc_id)),
+            caln AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM cal),
+            p1 AS (
+                SELECT round(1.0 - sum((1.0 / (1.0 + exp(-(1.0 * sc + 0.0)))
+                                        - y) * sc) / any_value(n), 6) AS a,
+                       round(0.0 - sum(1.0 / (1.0 + exp(-(1.0 * sc + 0.0)))
+                                       - y) / any_value(n), 6) AS b
+                FROM cal, caln),
+            p2 AS (
+                SELECT round(p1.a - sum((1.0 / (1.0 + exp(-(p1.a * sc + p1.b)))
+                                         - y) * sc) / any_value(n), 6) AS a,
+                       round(p1.b - sum(1.0 / (1.0 + exp(-(p1.a * sc + p1.b)))
+                                        - y) / any_value(n), 6) AS b
+                FROM cal, caln, p1 GROUP BY p1.a, p1.b),
+            p3 AS (
+                SELECT round(p2.a - sum((1.0 / (1.0 + exp(-(p2.a * sc + p2.b)))
+                                         - y) * sc) / any_value(n), 6) AS a,
+                       round(p2.b - sum(1.0 / (1.0 + exp(-(p2.a * sc + p2.b)))
+                                        - y) / any_value(n), 6) AS b
+                FROM cal, caln, p2 GROUP BY p2.a, p2.b)
+            SELECT 'a' AS param, a AS value FROM p3
+            UNION ALL
+            SELECT 'b' AS param, b AS value FROM p3
+        """,
+        "q_suppress_rare": """
+            WITH freq AS (
+                SELECT lang, source FROM documents
+                GROUP BY lang, source HAVING count(*) >= 8)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN freq USING (lang, source)
         """,
         # q_dsir_weights: shared-support smoothed unigram log-ratio
         "q_dsir_weights": f"""

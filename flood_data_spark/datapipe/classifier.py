@@ -134,6 +134,53 @@ def train_quality_classifier(df: DataFrame, label_col: str = "label",
         feats.unpersist()
 
 
+def platt_calibrate(df: DataFrame, score_col: str, label_col: str,
+                    n_iters: int = 3, lr: float = 1.0,
+                    init: tuple[float, float] = (1.0, 0.0)
+                    ) -> tuple[float, float]:
+    """Platt scaling (Platt 1999): fit p = σ(a·score + b) by batch GD so a
+    raw ranking score becomes a calibrated probability — the standard
+    post-hoc calibration for the quality classifier (its hashed-feature
+    scores rank well but aren't probabilities a mixture policy can
+    threshold on).
+
+    Each iteration is ONE two-cell aggregate over the (score, label)
+    projection — the train_quality_classifier contract shrunk to a single
+    feature: gradient_a = Σ err·s / n, gradient_b = Σ err / n, params
+    rounded to 6 decimals per update (the oracle-resync discipline).
+    Returns (a, b).
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    cal = df.select(F.col(score_col).cast("double").alias("s"),
+                    F.col(label_col).cast("double").alias("y")).persist()
+    try:
+        n = cal.count()
+        if n == 0:
+            raise ValueError("platt_calibrate: empty calibration set")
+        a, b = float(init[0]), float(init[1])
+        for _ in range(n_iters):
+            err = (F.lit(1.0)
+                   / (F.lit(1.0) + F.exp(-(F.lit(a) * F.col("s")
+                                           + F.lit(b))))) - F.col("y")
+            row = cal.agg(F.sum(err * F.col("s")).alias("ga"),
+                          F.sum(err).alias("gb")).collect()[0]
+            a = round(a - lr * row.ga / n, 6)
+            b = round(b - lr * row.gb / n, 6)
+        return a, b
+    finally:
+        cal.unpersist()
+
+
+def calibrated_probability(score_col, a: float, b: float) -> Column:
+    """σ(a·score + b) — the calibrated probability as a row-local
+    expression (no shuffle; composes with `classifier_score`)."""
+    return F.lit(1.0) / (F.lit(1.0)
+                         + F.exp(-(F.lit(a) * score_col + F.lit(b))))
+
+
 def classifier_score(text_col, weights: list[float], bias: float,
                      ) -> Column:
     """σ(bias + mean over tokens of w[bucket(token)]) — the trained

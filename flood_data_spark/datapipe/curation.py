@@ -423,6 +423,33 @@ def cap_per_key(df: DataFrame, cap: int, partition_cols=("source",),
             .drop("_rn"))
 
 
+def suppress_rare_combinations(df: DataFrame, quasi_cols,
+                               k: int = 5) -> DataFrame:
+    """k-anonymity-style suppression: drop every row whose combination of
+    quasi-identifier columns occurs fewer than `k` times in the corpus —
+    the coarse re-identification guard a privacy pass applies before text
+    ships (a (lang, source, ...) combo seen once pins a document to an
+    individual contributor; a combo seen k times hides in a crowd of k).
+
+    Plan: one combo-keyed count aggregate (map-side combining; the
+    shuffle carries distinct combos, not rows) + one left-semi join back
+    on the same keys — co-partitioned, no second exchange of the fact
+    side beyond the join's own.  Heuristic, not a privacy proof (the
+    usual k-anonymity caveats: it composes with redact_pii, it does not
+    bound linkage across releases).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    quasi = list(quasi_cols)
+    if not quasi:
+        raise ValueError("quasi_cols must be non-empty")
+    frequent = (df.groupBy(*quasi)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") >= k)
+                .drop("_n"))
+    return df.join(frequent, quasi, "left_semi")
+
+
 def dsir_weights(df: DataFrame, target: DataFrame,
                  id_col: str = "doc_id", text_col: str = "text",
                  alpha: float = 0.5) -> DataFrame:
@@ -611,3 +638,41 @@ def rank_normalize(df: DataFrame, value_col: str,
     w = (Window.partitionBy(*parts).orderBy(F.col(value_col).asc())
          if parts else Window.orderBy(F.col(value_col).asc()))
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+
+
+def quality_tiers(df: DataFrame, value_col: str,
+                  partition_cols=("source",),
+                  cuts=(1.0 / 3, 2.0 / 3),
+                  labels=("head", "middle", "tail"),
+                  higher_is_better: bool = False,
+                  out_col: str = "tier",
+                  rank_col: str = "pct_rank") -> DataFrame:
+    """CCNet-style quality tiers: within each group, label each row
+    head/middle/tail by the percent-rank of `value_col` — the published
+    CCNet partitioning (Wenzek et al. 2020 §4.3: per-language perplexity
+    terciles; 'head' trains the model, 'tail' gets dropped or
+    down-weighted).  Composes `rank_normalize`, so the same per-group
+    discipline applies: a global cutoff over-prunes weak groups; tiering
+    WITHIN each group removes the same fraction everywhere.
+
+    `higher_is_better=False` (default) fits perplexity-like scores (low =
+    good → head); True fits quality scores (high = good).  `cuts` are
+    percent-rank boundaries (rank < cuts[0] → labels[0], < cuts[1] →
+    labels[1], else labels[2]); ties share a rank, hence a tier.  Pure
+    window + CASE ladder — ANSI-expressible for the value oracle.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(cuts)+1 labels, got {len(cuts)} cuts / "
+            f"{len(labels)} labels")
+    if list(cuts) != sorted(cuts):
+        raise ValueError(f"cuts must be ascending, got {cuts}")
+    ranked = rank_normalize(df, value_col, partition_cols,
+                            out_col=rank_col)
+    eff = (F.lit(1.0) - F.col(rank_col)) if higher_is_better \
+        else F.col(rank_col)
+    expr = None
+    for cut, label in zip(cuts, labels[:-1]):
+        branch = (eff < F.lit(cut), F.lit(label))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    return ranked.withColumn(out_col, expr.otherwise(F.lit(labels[-1])))

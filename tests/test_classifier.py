@@ -95,3 +95,31 @@ def test_scoring_plan_is_shuffle_free(spark):
                                               [0.1] * 16, 0.0))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_platt_calibration_shifts_toward_base_rate(spark):
+    """On an uninformative score, calibration must move the intercept
+    toward the base rate (here 25% positives → b goes negative)."""
+    from flood_data_spark.datapipe.classifier import (
+        calibrated_probability, platt_calibrate)
+
+    rows = [(i, 0.5, 1 if i % 4 == 0 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    a, b = platt_calibrate(df, "score", "label", n_iters=10, lr=2.0)
+    assert b < 0.0
+    p = df.select(calibrated_probability(F.col("score"), a, b)
+                  .alias("p")).first().p
+    assert p < 0.5                      # pulled toward the 25% base rate
+
+
+def test_platt_calibration_deterministic_and_guarded(spark):
+    from flood_data_spark.datapipe.classifier import platt_calibrate
+
+    df = spark.createDataFrame([(i, float(i), i % 2) for i in range(20)],
+                               "doc_id long, score double, label int")
+    assert platt_calibrate(df, "score", "label") == \
+        platt_calibrate(df, "score", "label")
+    with pytest.raises(ValueError, match="n_iters"):
+        platt_calibrate(df, "score", "label", n_iters=0)
+    with pytest.raises(ValueError, match="empty"):
+        platt_calibrate(df.filter("doc_id < 0"), "score", "label")

@@ -376,3 +376,62 @@ def test_global_window_fallbacks_warn(spark):
         _warnings.simplefilter("always")
         pack_sequences(df, token_budget=100)
     assert not any("GLOBAL" in str(w.message) for w in caught)
+
+
+def test_quality_tiers_per_group_terciles(spark):
+    from flood_data_spark.datapipe.curation import quality_tiers
+
+    # 9 rows per source, scores 1..9 — exact terciles
+    rows = [(s * 100 + i, f"s{s}", float(i)) for s in range(2)
+            for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string,"
+                               " score double")
+    out = {r.doc_id: r.tier for r in
+           quality_tiers(df, "score", partition_cols=("source",)).collect()}
+    for s in range(2):
+        # lower score = head (perplexity orientation)
+        assert [out[s * 100 + i] for i in (1, 2, 3)] == ["head"] * 3
+        assert [out[s * 100 + i] for i in (4, 5, 6)] == ["middle"] * 3
+        assert [out[s * 100 + i] for i in (7, 8, 9)] == ["tail"] * 3
+
+
+def test_quality_tiers_higher_is_better_flips(spark):
+    from flood_data_spark.datapipe.curation import quality_tiers
+
+    df = spark.createDataFrame([(i, "s", float(i)) for i in range(1, 10)],
+                               "doc_id long, source string, score double")
+    out = {r.doc_id: r.tier for r in
+           quality_tiers(df, "score", partition_cols=("source",),
+                         higher_is_better=True).collect()}
+    assert out[9] == "head" and out[1] == "tail"
+
+
+def test_quality_tiers_validates_cuts_and_labels(spark):
+    from flood_data_spark.datapipe.curation import quality_tiers
+
+    df = spark.createDataFrame([(0, "s", 1.0)],
+                               "doc_id long, source string, score double")
+    with pytest.raises(ValueError, match="labels"):
+        quality_tiers(df, "score", labels=("a", "b"))
+    with pytest.raises(ValueError, match="ascending"):
+        quality_tiers(df, "score", cuts=(0.9, 0.1), labels=("a", "b", "c"))
+
+
+def test_suppress_rare_combinations(spark):
+    from flood_data_spark.datapipe.curation import (
+        suppress_rare_combinations)
+
+    rows = ([(i, "en", "web") for i in range(5)]          # combo of 5
+            + [(10, "de", "web"), (11, "de", "books")])   # singletons
+    df = spark.createDataFrame(rows, "doc_id long, lang string,"
+                               " source string")
+    kept = {r.doc_id for r in
+            suppress_rare_combinations(df, ("lang", "source"), k=5)
+            .collect()}
+    assert kept == set(range(5))
+    # k=1 keeps everything; bad params raise
+    assert suppress_rare_combinations(df, ("lang",), k=1).count() == 7
+    with pytest.raises(ValueError, match="k must"):
+        suppress_rare_combinations(df, ("lang",), k=0)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        suppress_rare_combinations(df, (), k=2)

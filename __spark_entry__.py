@@ -795,8 +795,10 @@ def _clf_train(spark: SparkSession, sf_dir: str):
     from flood_data_spark.datapipe.classifier import (
         train_quality_classifier)
 
+    # when/otherwise, not a bare cast: (NULL = 'en') casts to NULL, which
+    # the trainer rejects; the oracle's CASE maps NULL lang to 0
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "label", (F.col("lang") == "en").cast("int"))
+        "label", F.when(F.col("lang") == "en", 1).otherwise(0))
     w, b = train_quality_classifier(docs, label_col="label",
                                     n_features=32, n_iters=3, lr=0.5)
     return docs, w, b
@@ -1122,7 +1124,7 @@ def q_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flood_data_spark.datapipe.classifier import platt_calibrate
 
     docs = with_quality_signals(_t(spark, sf_dir, "documents")) \
-        .withColumn("label", (F.col("lang") == "en").cast("int"))
+        .withColumn("label", F.when(F.col("lang") == "en", 1).otherwise(0))
     a, b = platt_calibrate(docs, "q_score", "label", n_iters=3, lr=1.0)
     return spark.createDataFrame([("a", a), ("b", b)],
                                  "param string, value double")
@@ -2587,17 +2589,19 @@ _DSIR_ORACLE_CTES = """rt AS (
 # composite score → per-source percent_rank).
 _QSCORE_ORACLE_CTES = """raw AS (
                 SELECT doc_id, source,
-                       CAST(length(text) AS DOUBLE) AS n_chars,
-                       CASE WHEN trim(text) = '' THEN 0.0
+                       CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0.0
                             ELSE CAST(len(string_split_regex(trim(text),
                                                              '\\s+'))
                                  AS DOUBLE)
                        END AS n_tokens,
-                       CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                       CAST(len(regexp_extract_all(coalesce(text, ''),
+                                                   '[.,;:!?]'))
                             AS DOUBLE) AS n_punct,
-                       CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                       CAST(len(regexp_extract_all(coalesce(text, ''),
+                                                   '[A-Za-z]'))
                             AS DOUBLE) AS n_alpha,
-                       CAST(len(regexp_extract_all(text,
+                       CAST(len(regexp_extract_all(coalesce(text, ''),
                             '(?i)\\b(the|and|of|to|is)\\b'))
                             AS DOUBLE) AS n_stop
                 FROM documents),
@@ -4475,13 +4479,13 @@ def oracle_sql() -> dict[str, str]:
         "q_quality": """
             WITH raw AS (
                 SELECT doc_id,
-                       CAST(length(text) AS DOUBLE) AS n_chars,
-                       CASE WHEN trim(text) = '' THEN 0.0
+                       CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0.0
                             ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
                        END AS n_tokens,
-                       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
-                       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
-                       CAST(len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is)\\b')) AS DOUBLE) AS n_stop
+                       CAST(len(regexp_extract_all(coalesce(text, ''), '[.,;:!?]')) AS DOUBLE) AS n_punct,
+                       CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+                       CAST(len(regexp_extract_all(coalesce(text, ''), '(?i)\\b(the|and|of|to|is)\\b')) AS DOUBLE) AS n_stop
                 FROM documents),
             ratios AS (
                 SELECT doc_id, n_chars, n_tokens,

@@ -105,10 +105,22 @@ def train_quality_classifier(df: DataFrame, label_col: str = "label",
     feats = hashed_features(df, n_features, id_col, text_col,
                             label_col=label_col).persist()
     try:
-        n = feats.select("id").distinct().count()
+        counts = feats.agg(
+            F.countDistinct("id").alias("n"),
+            F.countDistinct(F.when(F.col("y").isNull(), F.col("id")))
+            .alias("n_null")).collect()[0]
+        n, n_null = counts.n, counts.n_null
         if n == 0:
             raise ValueError("train_quality_classifier: no trainable "
                              "documents (all empty?)")
+        if n_null:
+            # NULL labels would count in n but vanish from every gradient
+            # sum — silently diluting the learning rate (e.g. a label
+            # built as (col('lang') == 'en').cast('int') is NULL, not 0,
+            # for NULL lang).  Refuse instead of mistraining.
+            raise ValueError(
+                f"train_quality_classifier: {n_null} documents have NULL "
+                f"{label_col!r}; coalesce labels to 0/1 before training")
         w = [0.0] * n_features
         b = 0.0
         id_win = Window.partitionBy("id")
@@ -157,9 +169,19 @@ def platt_calibrate(df: DataFrame, score_col: str, label_col: str,
     cal = df.select(F.col(score_col).cast("double").alias("s"),
                     F.col(label_col).cast("double").alias("y")).persist()
     try:
-        n = cal.count()
+        counts = cal.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("y").isNull() | F.col("s").isNull(),
+                           1)).alias("n_null")).collect()[0]
+        n, n_null = counts.n, counts.n_null
         if n == 0:
             raise ValueError("platt_calibrate: empty calibration set")
+        if n_null:
+            # same dilution hazard as train_quality_classifier: NULL
+            # score/label rows count in n but drop from the gradients
+            raise ValueError(
+                f"platt_calibrate: {n_null} rows have NULL "
+                f"{score_col!r}/{label_col!r}; coalesce before calibrating")
         a, b = float(init[0]), float(init[1])
         for _ in range(n_iters):
             err = (F.lit(1.0)

@@ -675,4 +675,8 @@ def quality_tiers(df: DataFrame, value_col: str,
     for cut, label in zip(cuts, labels[:-1]):
         branch = (eff < F.lit(cut), F.lit(label))
         expr = F.when(*branch) if expr is None else expr.when(*branch)
-    return ranked.withColumn(out_col, expr.otherwise(F.lit(labels[-1])))
+    # cuts=() is a legal degenerate form (one label for every row) —
+    # same guard as assign_split's ladder
+    tier = (F.lit(labels[-1]) if expr is None
+            else expr.otherwise(F.lit(labels[-1])))
+    return ranked.withColumn(out_col, tier)

@@ -110,11 +110,9 @@ def _messages_v2(b: bytes, addr: int) -> list[tuple[int, bytes]]:
     flags = b[addr + 5]
     pos = addr + 6
     if flags & 0x20:
-        pos += 4                             # access/mod/change/birth times
+        pos += 16                 # access/mod/change/birth times (4 x u32)
     if flags & 0x10:
-        pos += 12
-    if flags & 0x02:
-        pos += 4                             # max compact/min dense attrs
+        pos += 4                  # max compact / min dense attrs (2 x u16)
     size_bytes = 1 << (flags & 0x03)
     chunk0 = _u(b, pos, size_bytes)
     pos += size_bytes
@@ -203,6 +201,33 @@ def _layout(data: bytes) -> dict:
         return {"cls": "chunked", "btree": addr,
                 "chunk": dims[:-1], "elem": dims[-1]}
     raise NotImplementedError(f"hdf5: layout class {cls}")
+
+
+def _fill_value(data: bytes) -> bytes | None:
+    """Raw fill-value bytes from a Fill Value message (0x0005), or None
+    when no fill is defined.  Versions 1-2 carry (alloc time, write time,
+    defined flag); version 3 packs them into a flags byte."""
+    version = data[0]
+    if version in (1, 2):
+        if version == 2 and data[3] == 0:
+            return None
+        size = _u(data, 4, 4)
+        return data[8:8 + size] if size else None
+    if version == 3:
+        flags = data[1]
+        if not flags & 0x20:                  # fill value not defined
+            return None
+        size = _u(data, 2, 4)
+        return data[6:6 + size] if size else None
+    raise NotImplementedError(f"hdf5: fill value message version {version}")
+
+
+def _fill_scalar(fill_raw: bytes | None, dtype: np.dtype):
+    """Decode the raw fill bytes as one element of `dtype` (0 when no
+    fill is defined — HDF5's default)."""
+    if fill_raw is None or len(fill_raw) < dtype.itemsize:
+        return 0
+    return np.frombuffer(fill_raw, dtype=dtype, count=1)[0]
 
 
 def _filters(data: bytes) -> list[tuple[int, list[int]]]:
@@ -374,9 +399,10 @@ def _defilter(raw: bytes, filters, elem_size: int) -> bytes:
 
 
 def _read_chunked(b: bytes, layout: dict, filters, shape: list[int],
-                  dtype: np.dtype) -> np.ndarray:
+                  dtype: np.dtype, fill) -> np.ndarray:
+    # unallocated chunks read as the dataset's fill value, not 0
     rank = len(layout["chunk"])
-    arr = np.zeros(shape, dtype=dtype)
+    arr = np.full(shape, fill, dtype=dtype)
 
     def walk(addr: int) -> None:
         _need(b[addr:addr + 4] == b"TREE", "missing chunk B-tree node")
@@ -413,11 +439,14 @@ def _dataset(b: bytes, ohdr_addr: int) -> dict:
     layout: dict | None = None
     filters: list = []
     attrs: dict = {}
+    fill_raw: bytes | None = None
     for mtype, data in _object_header(b, ohdr_addr):
         if mtype == 0x0001:
             dims = _dataspace(data)
         elif mtype == 0x0003:
             dt = _datatype(data)
+        elif mtype == 0x0005:
+            fill_raw = _fill_value(data)
         elif mtype == 0x0008:
             layout = _layout(data)
         elif mtype == 0x000B:
@@ -431,18 +460,19 @@ def _dataset(b: bytes, ohdr_addr: int) -> dict:
         raise ValueError("hdf5: dataset missing datatype/layout")
     _need("dtype" in dt, f"dataset datatype class {dt['cls']}")
     dtype = dt["dtype"]
+    fill = _fill_scalar(fill_raw, dtype)
     n = int(np.prod(dims)) if dims else 1
     if layout["cls"] == "compact":
         data_arr = np.frombuffer(layout["raw"], dtype=dtype, count=n)
     elif layout["cls"] == "contiguous":
-        if layout["addr"] == _UNDEF:          # never written: fill zeros
-            data_arr = np.zeros(n, dtype=dtype)
+        if layout["addr"] == _UNDEF:          # never written: fill value
+            data_arr = np.full(n, fill, dtype=dtype)
         else:
             data_arr = np.frombuffer(
                 b[layout["addr"]:layout["addr"] + n * dtype.itemsize],
                 dtype=dtype, count=n)
     else:
-        data_arr = _read_chunked(b, layout, filters, dims, dtype)
+        data_arr = _read_chunked(b, layout, filters, dims, dtype, fill)
     return {"dims_sizes": dims, "attrs": attrs,
             "data": np.asarray(data_arr).reshape(dims)}
 

@@ -115,11 +115,13 @@ def netcdf_decoder(content: bytes) -> pd.DataFrame:
     if content[:8] == h5.SIGNATURE:
         try:
             return h5.to_dataframe(content)
-        except NotImplementedError:
+        except NotImplementedError as nie:
             try:
                 import xarray as xr
             except ImportError:
-                raise   # the reader's message names feature + escape hatch
+                # surface the reader's error (it names the unsupported
+                # feature + the escape hatch), not a bare ImportError
+                raise nie from None
             ds = xr.open_dataset(io.BytesIO(content), engine="h5netcdf")
             return ds.to_dataframe().reset_index()
     try:

@@ -62,6 +62,24 @@ def daily_windowed_aggregate(stream_df: DataFrame,
                     "mean_dis", "min_dis", "max_dis", "n_members"))
 
 
+def _exceedance_aggs(value_col: str, threshold_years) -> list:
+    """The NULL-threshold-safe exceedance fraction aggregates + min/max/
+    count — ONE definition shared by every streaming summary variant
+    (when/otherwise(0) like the batch operator: a cell missing from the
+    threshold table is NOT exceeded, not NULL — avg over a NULL
+    comparison would skip rows and feed NaN state downstream)."""
+    aggs = [
+        F.avg(F.when(F.col(value_col) >= F.col(f"threshold_{int(y)}y"),
+                     F.lit(1)).otherwise(F.lit(0)))
+         .alias(f"p_above_{int(y)}y")
+        for y in threshold_years
+    ]
+    aggs += [F.min(value_col).alias("min_dis"),
+             F.max(value_col).alias("max_dis"),
+             F.count(F.lit(1)).alias("n_members")]
+    return aggs
+
+
 def streaming_threshold_summary(stream_df: DataFrame,
                                 threshold_df: DataFrame,
                                 watermark_delay: str = "2 days",
@@ -78,19 +96,7 @@ def streaming_threshold_summary(stream_df: DataFrame,
     """
     joined = stream_df.join(F.broadcast(threshold_df),
                             on=["latitude", "longitude"], how="left")
-    # when/otherwise(0) like the batch operator (threshold.py): a cell
-    # missing from the threshold table is NOT exceeded (0.0), not NULL —
-    # avg over a NULL comparison would skip rows and feed NaN state into
-    # downstream alert tracking
-    aggs = [
-        F.avg(F.when(F.col("dis24") >= F.col(f"threshold_{int(y)}y"),
-                     F.lit(1)).otherwise(F.lit(0)))
-         .alias(f"p_above_{int(y)}y")
-        for y in threshold_years
-    ]
-    aggs += [F.min("dis24").alias("min_dis"),
-             F.max("dis24").alias("max_dis"),
-             F.count("*").alias("n_members")]
+    aggs = _exceedance_aggs("dis24", threshold_years)
     return (joined
             .withColumn("issued_ts", F.col("issued_on").cast("timestamp"))
             .withWatermark("issued_ts", watermark_delay)
@@ -119,16 +125,8 @@ def exceedance_summary_stream(stream_df: DataFrame, threshold_df: DataFrame,
     use it as is."""
     joined = stream_df.join(F.broadcast(threshold_df),
                             on=list(join_keys), how="left")
-    aggs = [
-        F.avg(F.when(F.col(value_col) >= F.col(f"threshold_{int(y)}y"),
-                     F.lit(1)).otherwise(F.lit(0)))
-         .alias(f"p_above_{int(y)}y")
-        for y in threshold_years
-    ]
-    aggs += [F.min(value_col).alias("min_dis"),
-             F.max(value_col).alias("max_dis"),
-             F.count(F.lit(1)).alias("n_members")]
-    return joined.groupBy(*group_keys).agg(*aggs)
+    return joined.groupBy(*group_keys).agg(
+        *_exceedance_aggs(value_col, threshold_years))
 
 
 def full_summary_stream(stream_df: DataFrame, threshold_df: DataFrame,
@@ -154,20 +152,11 @@ def full_summary_stream(stream_df: DataFrame, threshold_df: DataFrame,
     """
     joined = stream_df.join(F.broadcast(threshold_df),
                             on=list(join_keys), how="left")
-    aggs = [
-        F.avg(F.when(F.col(value_col) >= F.col(f"threshold_{int(y)}y"),
-                     F.lit(1)).otherwise(F.lit(0)))
-         .alias(f"p_above_{int(y)}y")
-        for y in threshold_years
-    ]
-    aggs += [
-        F.min(value_col).alias("min_dis"),
+    aggs = _exceedance_aggs(value_col, threshold_years) + [
         F.percentile_approx(
             value_col,
             F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
             F.lit(accuracy)).alias("_q"),
-        F.max(value_col).alias("max_dis"),
-        F.count(F.lit(1)).alias("n_members"),
     ]
     return (joined.groupBy(*group_keys).agg(*aggs)
             .withColumn("Q1_dis", F.col("_q")[0])

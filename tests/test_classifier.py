@@ -123,3 +123,18 @@ def test_platt_calibration_deterministic_and_guarded(spark):
         platt_calibrate(df, "score", "label", n_iters=0)
     with pytest.raises(ValueError, match="empty"):
         platt_calibrate(df.filter("doc_id < 0"), "score", "label")
+
+
+def test_null_labels_rejected_not_diluted(spark):
+    """NULL labels would count in n but vanish from gradient sums —
+    the trainer must refuse instead of silently mistraining."""
+    df = spark.createDataFrame(
+        [(0, "good text", 1), (1, "other text", None)],
+        "doc_id long, text string, label int")
+    with pytest.raises(ValueError, match="NULL 'label'"):
+        train_quality_classifier(df, n_features=8, n_iters=1)
+    from flood_data_spark.datapipe.classifier import platt_calibrate
+    df2 = spark.createDataFrame([(0, 0.5, 1), (1, None, 0)],
+                                "doc_id long, score double, label int")
+    with pytest.raises(ValueError, match="NULL"):
+        platt_calibrate(df2, "score", "label")

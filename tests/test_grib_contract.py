@@ -139,10 +139,16 @@ def test_netcdf_decoder_contract(monkeypatch):
     xr = types.ModuleType("xarray")
     xr.open_dataset = open_dataset
     monkeypatch.setitem(sys.modules, "xarray", xr)
+    # unrecognized container (neither CDF nor HDF5 magic): engine-less
+    # xarray dispatch
     out = netcdf_decoder(b"NC-bytes")
-    assert log["engine"] == "h5netcdf"
+    assert log["engine"] is None
     assert log["content"] == b"NC-bytes"
     assert list(out.columns) == DECODED_COLUMNS
+    # HDF5 magic outside the minimal reader's scope: h5netcdf dispatch
+    out2 = netcdf_decoder(b"\x89HDF\r\n\x1a\n" + b"\x07" + b"\x00" * 88)
+    assert log["engine"] == "h5netcdf"
+    assert list(out2.columns) == DECODED_COLUMNS
 
 
 # A syntactically real (minimal) GRIB2 envelope: 'GRIB' magic, edition 2,
@@ -164,6 +170,12 @@ def test_grib_decoder_not_implemented_without_cfgrib(monkeypatch):
 
 def test_netcdf_decoder_not_implemented_without_xarray(monkeypatch):
     monkeypatch.setitem(sys.modules, "xarray", None)
+    # unknown container: ImportError chained into the NotImplementedError
     with pytest.raises(NotImplementedError) as exc:
-        netcdf_decoder(b"\x89HDF\r\n\x1a\n")
+        netcdf_decoder(b"NC-bytes")
     assert isinstance(exc.value.__cause__, ImportError)
+    # HDF5 magic outside the minimal reader's scope (bogus superblock
+    # version): the reader's own NotImplementedError must surface, naming
+    # the feature + escape hatch, NOT a bare ImportError
+    with pytest.raises(NotImplementedError, match="superblock version"):
+        netcdf_decoder(b"\x89HDF\r\n\x1a\n" + b"\x07" + b"\x00" * 88)

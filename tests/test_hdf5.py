@@ -271,3 +271,32 @@ def test_unsupported_shape_names_escape_hatch():
     # and a genuinely exotic feature points at the xarray path
     with pytest.raises((NotImplementedError, ValueError)):
         parse_hdf5(SIGNATURE + b"\x00" * 88)
+
+
+def test_unwritten_dataset_reads_fill_value():
+    """A dataset with a defined fill value but no allocated storage
+    (address UNDEF) must read as the fill, not zeros — unwritten
+    threshold cells read as 0.0 would make every discharge 'exceed'."""
+    w = MiniH5()
+    lat = np.array([0.0, 1.0])
+    w.add_dataset("lat", lat, DT_F8, attrs=_scale_attrs("lat"))
+    # hand-build a dataset header: dataspace + datatype + fill(v2,
+    # defined, 9.96921e36 — the libnetcdf default) + contiguous@UNDEF
+    fill = struct.pack("<d", 9.96921e36)
+    msgs = [
+        _msg(0x0001, _dataspace([2])),
+        _msg(0x0003, DT_F8),
+        _msg(0x0005, b"\x02\x02\x00\x01" + _u(8, 4) + fill),
+        _msg(0x0008, b"\x03\x01" + _u(UNDEF, 8) + _u(16, 8)),
+    ]
+    addr = w.append(_ohdr(msgs))
+    w.entries.append(("empty_var", addr))
+    dims, variables, _ = parse_hdf5(w.close())
+    np.testing.assert_array_equal(variables["empty_var"]["data"],
+                                  np.full(2, 9.96921e36))
+
+
+def test_undefined_fill_v2_still_zeros():
+    from flood_data_spark.sources.hdf5 import _fill_scalar, _fill_value
+    assert _fill_value(b"\x02\x02\x00\x00") is None        # not defined
+    assert _fill_scalar(None, np.dtype("<f8")) == 0

@@ -7,6 +7,12 @@ row count, sorted column names, and order-insensitive values (floats rounded
 to 9 significant digits, dates/timestamps ISO-normalized).
 
 Usage:  python scripts/check_oracle.py [query ...]
+
+Env:
+  CHECK_ORACLE_SF_DIR   parquet dir (default /root/testdata/sf0.01)
+  CHECK_ORACLE_VANILLA  bare SparkSession (driver-harness replica)
+  CHECK_ORACLE_JSON     path: also write a per-query JSON artifact
+                        (the round-end CORRECTNESS_FULL_r{N}.json)
 """
 
 from __future__ import annotations
@@ -91,6 +97,7 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     failures = []
+    records = {}
     for name in names:
         fn = qs[name]
         t0 = time.time()
@@ -100,9 +107,13 @@ def main():
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            records[name] = {"status": "fail",
+                             "error": f"spark error: {e}"[:300]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            records[name] = {"status": "rows_only", "rows": len(s_rows),
+                             "sec": round(time.time() - t0, 1)}
             print(f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only "
                   f"check), {time.time()-t0:.1f}s")
             continue
@@ -161,10 +172,13 @@ def main():
                         break
         if problems:
             failures.append(name)
+            records[name] = {"status": "fail", "problems": problems[:4]}
             print(f"FAIL  {name}: " + "; ".join(problems[:1]))
             for p in problems[1:4]:
                 print("      " + p)
         else:
+            records[name] = {"status": "ok", "rows": len(s_rows),
+                             "sec": round(time.time() - t0, 1)}
             print(f"ok    {name}: {len(s_rows)} rows match, "
                   f"{time.time()-t0:.1f}s")
         # the contract queries cache relations internally (kept/dropped,
@@ -173,6 +187,19 @@ def main():
         # accumulate pinned blocks for its whole lifetime (same hygiene as
         # bench.py)
         spark.catalog.clearCache()
+
+    out_path = os.environ.get("CHECK_ORACLE_JSON")
+    if out_path:
+        import json
+        n_ok = sum(1 for r in records.values() if r["status"] == "ok")
+        n_rows_only = sum(1 for r in records.values()
+                          if r["status"] == "rows_only")
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "n_queries": len(names),
+                       "n_value_match": n_ok, "n_rows_only": n_rows_only,
+                       "n_failed": len(failures), "failed": failures,
+                       "queries": records}, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
 
     print()
     if failures:

@@ -1143,6 +1143,43 @@ def q_suppress_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "source"))
 
 
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable mixture plan (datapipe/curation.plan_mixture): the
+    temperature weights turned into per-source token targets and capped
+    deterministic sampling rates — the step that builds the training mix.
+    Oracle shares the _MIXTURE_ORACLE_CTES chain with q_mixture_weights
+    (budget constant 200k mirrored in both)."""
+    from flood_data_spark.datapipe.curation import plan_mixture
+
+    return plan_mixture(_t(spark, sf_dir, "documents"), token_budget=200000)
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier battery (operators/stats
+    .with_robust_outliers): median/MAD + modified z-score + the
+    Iglewicz-Hoaglin 3.5 flag over event values — the QA pass that
+    doesn't let outliers inflate their own yardstick.  Exact percentile
+    == quantile_cont bit-for-bit, so the full battery value-oracles."""
+    from flood_data_spark.operators.stats import with_robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return (with_robust_outliers(ev, "value", ("user_id",))
+            .select("event_id", "user_id", "value",
+                    "ro_med", "ro_mad", "ro_z", "ro_outlier"))
+
+
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (operators/stats.trend_stats):
+    slope/intercept/r² of extended price vs quantity per part — one
+    aggregate pass over the SQL-standard regr_* family, identical
+    moment-based definitions in DuckDB."""
+    from flood_data_spark.operators.stats import trend_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return trend_stats(li, "l_extendedprice", "l_quantity",
+                       ("l_partkey",))
+
+
 def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed co-occurrence + PMI (datapipe/text.cooccurrence_pmi):
     directed token pairs within 2 positions, corpus counts >= 5, PMI under
@@ -2333,6 +2370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_tiers": q_quality_tiers,
         "q_platt_calibration": q_platt_calibration,
         "q_suppress_rare": q_suppress_rare,
+        "q_mixture_plan": q_mixture_plan,
+        "q_robust_outliers": q_robust_outliers,
+        "q_trend": q_trend,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2357,19 +2397,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_upstream_mask": q_upstream_mask,
         "q_semi_join": q_semi_join,
         "q_union_events": q_union_events,
+        # ---------------- gate window boundary (50) ----------------
+        # r8 rotation: nine new queries enter (q_quality_clf,
+        # q_quality_clf_score, q_stream_summary, q_quality_tiers,
+        # q_platt_calibration, q_suppress_rare, q_mixture_plan,
+        # q_robust_outliers, q_trend; the reworked q_equidepth stays in)
+        # — new queries are driver-checked the round they land — pushing
+        # q_stream_threshold, q_window_lag, q_range_filter, q_anti_join,
+        # q_rollup, q_pivot, q_events_daily, q_resample, q_asof_join
+        # out: all green in the r7 gate.  q_stream_threshold's module DID
+        # change this round (the _exceedance_aggs refactor), but the
+        # in-window q_stream_summary exercises the same shared builder
+        # end-to-end (plus the batch-parity pytest); the others' modules
+        # are untouched this round.
         "q_stream_threshold": q_stream_threshold,
         "q_window_lag": q_window_lag,
         "q_range_filter": q_range_filter,
-        # ---------------- gate window boundary (50) ----------------
-        # r8 rotation: seven new queries enter (q_quality_clf,
-        # q_quality_clf_score, q_stream_summary, q_quality_tiers,
-        # q_platt_calibration, q_suppress_rare + the reworked
-        # q_equidepth stays in) — new queries are driver-checked the
-        # round they land — pushing q_anti_join, q_rollup, q_pivot,
-        # q_events_daily, q_resample and q_asof_join out: all green in
-        # the r7 gate, and their modules (relational ops in this file,
-        # functions/temporal.py, operators/timeseries.py) are untouched
-        # this round.
         "q_anti_join": q_anti_join,
         "q_rollup": q_rollup,
         "q_pivot": q_pivot,
@@ -2582,6 +2625,30 @@ _DSIR_ORACLE_CTES = """rt AS (
                        round(sum(log_ratio), 6) AS log_weight,
                        round(avg(log_ratio), 6) AS avg_log_weight
                 FROM rt JOIN ratio USING (term) GROUP BY id)"""
+
+
+# Shared temperature-mixture chain (per-source token counts -> shares ->
+# alpha-scaled weights): q_mixture_weights and q_mixture_plan interpolate
+# this single definition.
+_MIXTURE_ORACLE_CTES = """per AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN trim(coalesce(text, '')) = ''
+                                THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                                            '\\s+'))
+                                END) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+                    FROM per),
+            sh AS (SELECT per.source, per.n_docs, per.n_tokens,
+                          per.n_tokens / CAST(t.total_tokens AS DOUBLE)
+                              AS token_share,
+                          pow(per.n_tokens
+                              / CAST(t.total_tokens AS DOUBLE), 0.3)
+                              AS scaled
+                   FROM per, tot t),
+            z AS (SELECT sum(scaled) AS z FROM sh)"""
 
 
 # Shared per-source quality-score ranking chain: q_quality_rank and
@@ -3672,29 +3739,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_mixture_weights: temperature rebalancing — same expression
         # structure both sides so the pow/round doubles agree
-        "q_mixture_weights": """
-            WITH per AS (
-                SELECT source,
-                       CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                                ELSE len(string_split_regex(trim(text),
-                                                            '\\s+'))
-                                END) AS BIGINT) AS n_tokens
-                FROM documents GROUP BY source),
-            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-                    FROM per),
-            sh AS (SELECT per.source, per.n_docs, per.n_tokens,
-                          per.n_tokens / CAST(t.total_tokens AS DOUBLE)
-                              AS token_share,
-                          pow(per.n_tokens
-                              / CAST(t.total_tokens AS DOUBLE), 0.3)
-                              AS scaled
-                   FROM per, tot t),
-            z AS (SELECT sum(scaled) AS z FROM sh)
+        "q_mixture_weights": f"""
+            WITH {_MIXTURE_ORACLE_CTES}
             SELECT source, n_docs, n_tokens,
                    round(token_share, 6) AS token_share,
                    round(scaled / z.z, 6) AS weight
             FROM sh, z
+        """,
+        # q_mixture_plan: same chain + budget arithmetic (target tokens
+        # from the ROUNDED weight, capped sampling rate)
+        "q_mixture_plan": f"""
+            WITH {_MIXTURE_ORACLE_CTES},
+            wts AS (SELECT source, n_docs, n_tokens,
+                           round(scaled / z.z, 6) AS weight
+                    FROM sh, z),
+            tgt AS (SELECT *,
+                           CAST(round(weight * 200000.0) AS BIGINT)
+                               AS target_tokens
+                    FROM wts)
+            SELECT source, n_docs, n_tokens, weight, target_tokens,
+                   CASE WHEN n_tokens > 0
+                        THEN least(1.0, round(target_tokens
+                             / CAST(n_tokens AS DOUBLE), 6))
+                        ELSE 0.0 END AS rate
+            FROM tgt
         """,
         # q_cluster_sample: per-cluster quota under the q_kmeans_assign
         # argmin + the engine-portable md5 rank
@@ -4177,6 +4245,38 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY lang, source HAVING count(*) >= 8)
             SELECT d.doc_id, d.lang, d.source
             FROM documents d JOIN freq USING (lang, source)
+        """,
+        "q_robust_outliers": """
+            WITH med AS (
+                SELECT user_id, quantile_cont(value, 0.5) AS ro_med
+                FROM events GROUP BY user_id),
+            j AS (
+                SELECT e.event_id, e.user_id, e.value, m.ro_med
+                FROM events e JOIN med m USING (user_id)),
+            mad AS (
+                SELECT user_id,
+                       quantile_cont(abs(value - ro_med), 0.5) AS ro_mad
+                FROM j GROUP BY user_id)
+            SELECT j.event_id, j.user_id, j.value, j.ro_med, mad.ro_mad,
+                   CASE WHEN mad.ro_mad > 0
+                        THEN round(abs(j.value - j.ro_med)
+                                   / (1.4826 * mad.ro_mad), 6)
+                   END AS ro_z,
+                   (mad.ro_mad > 0
+                    AND abs(j.value - j.ro_med)
+                        > 3.5 * (1.4826 * mad.ro_mad)) AS ro_outlier
+            FROM j JOIN mad USING (user_id)
+        """,
+        "q_trend": """
+            SELECT l_partkey,
+                   CAST(regr_count(l_extendedprice, l_quantity)
+                        AS BIGINT) AS n_pairs,
+                   round(regr_slope(l_extendedprice, l_quantity), 6)
+                       AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                       AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+            FROM lineitem GROUP BY l_partkey
         """,
         # q_dsir_weights: shared-support smoothed unigram log-ratio
         "q_dsir_weights": f"""

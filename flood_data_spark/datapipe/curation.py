@@ -617,6 +617,42 @@ def source_mixture_weights(df: DataFrame, alpha: float = 0.3,
                     .alias("weight")))
 
 
+def plan_mixture(df: DataFrame, token_budget: int, alpha: float = 0.3,
+                 group_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Turn temperature mixture WEIGHTS into an executable sampling PLAN:
+    per group, the token target (weight × budget) and the deterministic
+    sampling rate min(1, target/actual) that `stratified_sample` then
+    applies — the step that actually BUILDS the training mix a
+    source_mixture_weights policy describes::
+
+        plan  = plan_mixture(docs, token_budget=10**12)
+        rates = {r[0]: r.rate for r in plan.select(group_col, "rate").collect()}
+        mix   = stratified_sample(docs, rates)          # group-bounded collect
+
+    Rates cap at 1.0 — a group whose target exceeds its actual tokens
+    contributes everything it has (log the shortfall downstream if
+    up-sampling-with-replacement is wanted; deterministic hash sampling
+    can't replicate rows).  Empty groups rate 0.  Same plan shape as
+    source_mixture_weights: one corpus scan, then group-bounded
+    arithmetic.
+    """
+    if token_budget < 1:
+        raise ValueError(f"token_budget must be >= 1, got {token_budget}")
+    w = source_mixture_weights(df, alpha, group_col, text_col)
+    target = F.round(F.col("weight") * F.lit(float(token_budget))) \
+        .cast("long")
+    out = w.withColumn("target_tokens", target)
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.least(F.lit(1.0),
+                F.round(F.col("target_tokens")
+                        / F.col("n_tokens").cast("double"), 6))) \
+        .otherwise(F.lit(0.0))
+    return out.select(group_col, "n_docs", "n_tokens", "weight",
+                      "target_tokens", rate.alias("rate"))
+
+
 def rank_normalize(df: DataFrame, value_col: str,
                    partition_cols=("source",),
                    out_col: str = "pct_rank") -> DataFrame:

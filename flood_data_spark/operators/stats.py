@@ -74,6 +74,70 @@ def with_equidepth_bucket(df: DataFrame, value_col: str,
     return df.withColumn(out_col, bucket_expr(value_col, bounds))
 
 
+def with_robust_outliers(df: DataFrame, value_col: str,
+                         partition_cols, k: float = 3.5,
+                         prefix: str = "ro_") -> DataFrame:
+    """Robust per-group outlier flags: median/MAD (median absolute
+    deviation), the modified z-score |x - med| / (1.4826·MAD), and the
+    Iglewicz-Hoaglin flag at threshold `k` (3.5 is their published
+    default).  The data-cleaning primitive a sensor/forecast QA pass
+    runs — median/MAD, unlike mean/stddev, don't let the outliers being
+    hunted inflate the yardstick.
+
+    Plan: two group-keyed aggregate passes (median, then MAD over the
+    residuals), each a single percentile buffer; the group-stats
+    relations join back co-partitioned on the group key.  Groups with
+    MAD = 0 (constant groups) get robust_z NULL and flag false — nothing
+    deviates from a constant.
+
+    Exact `percentile` matches DuckDB's `quantile_cont` bit-for-bit
+    (the equidepth_bounds evidence), so the whole battery value-oracles.
+    """
+    parts = list(partition_cols)
+    if not parts:
+        raise ValueError("partition_cols must be non-empty")
+    med = (df.groupBy(*parts)
+           .agg(F.percentile(F.col(value_col), F.lit(0.5))
+                .alias(prefix + "med")))
+    j = df.join(med, parts)
+    dev = F.abs(F.col(value_col) - F.col(prefix + "med"))
+    mad = (j.groupBy(*parts)
+           .agg(F.percentile(dev, F.lit(0.5)).alias(prefix + "mad")))
+    out = j.join(mad, parts)
+    scale = F.lit(1.4826) * F.col(prefix + "mad")
+    dev = F.abs(F.col(value_col) - F.col(prefix + "med"))
+    return (out
+            .withColumn(prefix + "z",
+                        F.when(F.col(prefix + "mad") > 0,
+                               F.round(dev / scale, 6)))
+            .withColumn(prefix + "outlier",
+                        (F.col(prefix + "mad") > 0)
+                        & (dev > F.lit(k) * scale)))
+
+
+def trend_stats(df: DataFrame, y_col: str, x_col: str,
+                partition_cols) -> DataFrame:
+    """Per-group least-squares trend: slope, intercept, r², n — the
+    'is discharge rising at this cell' / 'is quality drifting in this
+    source' primitive, as ONE aggregate pass over the built-in `regr_*`
+    family (JVM-side declarative aggregates; map-side partial merge, the
+    shuffle carries one moment buffer per group per partition).
+
+    Rows where either column is NULL are excluded pairwise (the SQL
+    standard regr_* contract, identical in DuckDB for the oracle).
+    Groups with < 2 distinct x values yield NULL slope/intercept/r².
+    """
+    parts = list(partition_cols)
+    if not parts:
+        raise ValueError("partition_cols must be non-empty")
+    y, x = F.col(y_col), F.col(x_col)
+    return (df.groupBy(*parts)
+            .agg(F.regr_count(y, x).alias("n_pairs"),
+                 F.round(F.regr_slope(y, x), 6).alias("slope"),
+                 F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+                 F.round(F.regr_r2(y, x), 6).alias("r2")))
+
+
 def equidepth_histogram(df: DataFrame, value_col: str,
                         n_buckets: int = 10,
                         bucket_col: str = "bucket") -> DataFrame:

@@ -435,3 +435,33 @@ def test_suppress_rare_combinations(spark):
         suppress_rare_combinations(df, ("lang",), k=0)
     with pytest.raises(ValueError, match="quasi_cols"):
         suppress_rare_combinations(df, (), k=2)
+
+
+def test_plan_mixture_targets_and_capped_rates(spark):
+    from flood_data_spark.datapipe.curation import (
+        plan_mixture, stratified_sample)
+
+    # big: 80 docs x 10 tokens; small: 4 docs x 5 tokens
+    rows = [(i, "big", "t " * 10) for i in range(80)]
+    rows += [(100 + i, "small", "t " * 5) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string,"
+                               " text string")
+    plan = {r.source: r for r in plan_mixture(df, token_budget=400,
+                                              alpha=0.3).collect()}
+    assert plan["big"].n_tokens == 800 and plan["small"].n_tokens == 20
+    # weights sum to 1; targets sum to ~budget
+    assert abs(plan["big"].weight + plan["small"].weight - 1.0) < 1e-5
+    assert abs(plan["big"].target_tokens + plan["small"].target_tokens
+               - 400) <= 1
+    # alpha-flattening drives the small source's target past its size →
+    # rate caps at 1.0; the big source downsamples
+    assert plan["small"].rate == 1.0
+    assert 0.0 < plan["big"].rate < 1.0
+    # the plan executes through stratified_sample
+    rates = {s: p.rate for s, p in plan.items()}
+    mix = stratified_sample(df, rates)
+    assert mix.filter("source = 'small'").count() == 4
+    big_kept = mix.filter("source = 'big'").count()
+    assert 0 < big_kept < 80
+    with pytest.raises(ValueError, match="token_budget"):
+        plan_mixture(df, token_budget=0)

@@ -43,3 +43,47 @@ def test_rejects_bad_bucket_count(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError, match="n_buckets"):
         equidepth_bounds(df, "v", n_buckets=1)
+
+
+def test_robust_outliers_hand_computed(spark):
+    from flood_data_spark.operators.stats import with_robust_outliers
+
+    # group A: values 1..9 + a wild 100; med of 10 values = 5.5
+    rows = [(i, "a", float(v)) for i, v in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: r for r in
+           with_robust_outliers(df, "v", ("g",)).collect()}
+    assert out[0].ro_med == 5.5
+    # residuals |v-5.5|: 4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,94.5 → MAD 2.5
+    assert out[0].ro_mad == 2.5
+    flagged = {i for i, r in out.items() if r.ro_outlier}
+    assert flagged == {9}                     # only the planted 100
+    assert out[9].ro_z == pytest.approx(
+        round(94.5 / (1.4826 * 2.5), 6))
+
+
+def test_robust_outliers_constant_group_flags_nothing(spark):
+    from flood_data_spark.operators.stats import with_robust_outliers
+
+    df = spark.createDataFrame([(i, "c", 7.0) for i in range(5)],
+                               "id long, g string, v double")
+    rows = with_robust_outliers(df, "v", ("g",)).collect()
+    assert all(not r.ro_outlier and r.ro_z is None for r in rows)
+    with pytest.raises(ValueError, match="partition_cols"):
+        with_robust_outliers(df, "v", ())
+
+
+def test_trend_stats_recovers_planted_line(spark):
+    from flood_data_spark.operators.stats import trend_stats
+
+    rows = [(0, float(x), 3.0 * x + 2.0) for x in range(10)]
+    rows += [(1, float(x), 5.0) for x in range(4)]        # flat group
+    rows += [(2, 1.0, 9.9)]                               # single point
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+    out = {r.g: r for r in trend_stats(df, "y", "x", ("g",)).collect()}
+    assert out[0].slope == pytest.approx(3.0)
+    assert out[0].intercept == pytest.approx(2.0)
+    assert out[0].r2 == pytest.approx(1.0)
+    assert out[1].slope == pytest.approx(0.0) and out[1].n_pairs == 4
+    assert out[2].slope is None               # undefined on one point

@@ -1143,6 +1143,35 @@ def q_suppress_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "source"))
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style numeric column profile (operators/stats
+    .profile_table, exact mode): n/null/distinct/min/max for four
+    lineitem measures in ONE aggregation job — the pre-run data-quality
+    gate a pipeline asserts invariants against."""
+    from flood_data_spark.operators.stats import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(
+        li, ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Bloom filter probe (datapipe/dedup.with_bloom_seen):
+    the reference corpus's distinct md5-derived bit positions broadcast
+    against today's batch — the 100 TB crawl-filter shape (batch never
+    shuffles; the bits relation replaces the full digest anti-join).
+    Positions are engine-portable md5 arithmetic, so the COMPLETE filter
+    decision — false positives included — value-oracles exactly."""
+    from flood_data_spark.datapipe.dedup import bloom_bits, with_bloom_seen
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") >= 250)
+    ref = docs.filter(F.col("doc_id") < 250)
+    bits = bloom_bits(ref, n_bits=4096, n_hashes=4)
+    return (with_bloom_seen(batch, bits, n_bits=4096, n_hashes=4)
+            .select("doc_id", "bloom_maybe_seen"))
+
+
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable mixture plan (datapipe/curation.plan_mixture): the
     temperature weights turned into per-source token targets and capped
@@ -2373,6 +2402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_plan": q_mixture_plan,
         "q_robust_outliers": q_robust_outliers,
         "q_trend": q_trend,
+        "q_bloom_dedup": q_bloom_dedup,
+        "q_profile": q_profile,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2395,21 +2426,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_threshold_combine": q_threshold_combine,
         "q_summary_forecast": q_summary_forecast,
         "q_upstream_mask": q_upstream_mask,
-        "q_semi_join": q_semi_join,
-        "q_union_events": q_union_events,
         # ---------------- gate window boundary (50) ----------------
-        # r8 rotation: nine new queries enter (q_quality_clf,
+        # r8 rotation: eleven new queries enter (q_quality_clf,
         # q_quality_clf_score, q_stream_summary, q_quality_tiers,
         # q_platt_calibration, q_suppress_rare, q_mixture_plan,
-        # q_robust_outliers, q_trend; the reworked q_equidepth stays in)
-        # — new queries are driver-checked the round they land — pushing
-        # q_stream_threshold, q_window_lag, q_range_filter, q_anti_join,
-        # q_rollup, q_pivot, q_events_daily, q_resample, q_asof_join
-        # out: all green in the r7 gate.  q_stream_threshold's module DID
-        # change this round (the _exceedance_aggs refactor), but the
-        # in-window q_stream_summary exercises the same shared builder
-        # end-to-end (plus the batch-parity pytest); the others' modules
-        # are untouched this round.
+        # q_robust_outliers, q_trend, q_bloom_dedup, q_profile; the
+        # reworked q_equidepth stays in) — new queries are driver-checked
+        # the round they land.  Everything from here down was green in
+        # the r7 gate (or the r8 full sweep, CORRECTNESS_FULL_r8.json)
+        # on modules untouched since, except q_stream_threshold, whose
+        # changed builder is exercised in-window by q_stream_summary.
+        "q_semi_join": q_semi_join,
+        "q_union_events": q_union_events,
         "q_stream_threshold": q_stream_threshold,
         "q_window_lag": q_window_lag,
         "q_range_filter": q_range_filter,
@@ -2625,6 +2653,16 @@ _DSIR_ORACLE_CTES = """rt AS (
                        round(sum(log_ratio), 6) AS log_weight,
                        round(avg(log_ratio), 6) AS avg_log_weight
                 FROM rt JOIN ratio USING (term) GROUP BY id)"""
+
+
+def _bloom_pos_sql(dk_expr: str, i: int, n_bits: int) -> str:
+    """DuckDB twin of dedup._bloom_positions: md5(dk || i) 8-hex prefix
+    rebuilt with integer shifts, mod n_bits — bit-identical to Spark's
+    conv(substring(md5(concat(...)), 1, 8), 16, 10) % n_bits."""
+    return (f"CAST(list_sum([CAST(strpos('0123456789abcdef', "
+            f"md5({dk_expr} || '{i}')[j]) - 1 AS BIGINT) * "
+            f"(CAST(1 AS BIGINT) << (4 * (8 - j))) "
+            f"for j in range(1, 9)]) % {n_bits} AS INT)")
 
 
 # Shared temperature-mixture chain (per-source token counts -> shares ->
@@ -4245,6 +4283,65 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY lang, source HAVING count(*) >= 8)
             SELECT d.doc_id, d.lang, d.source
             FROM documents d JOIN freq USING (lang, source)
+        """,
+        "q_profile": """
+            SELECT col AS column, n_rows, n_null, n_distinct,
+                   min_value, max_value
+            FROM (
+                SELECT 'l_orderkey' AS col,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(*) - count(l_orderkey) AS BIGINT)
+                           AS n_null,
+                       CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                           AS n_distinct,
+                       CAST(min(l_orderkey) AS DOUBLE) AS min_value,
+                       CAST(max(l_orderkey) AS DOUBLE) AS max_value
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_quantity) AS BIGINT),
+                       CAST(count(DISTINCT l_quantity) AS BIGINT),
+                       CAST(min(l_quantity) AS DOUBLE),
+                       CAST(max(l_quantity) AS DOUBLE)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+                       CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+                       CAST(min(l_extendedprice) AS DOUBLE),
+                       CAST(max(l_extendedprice) AS DOUBLE)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_discount) AS BIGINT),
+                       CAST(count(DISTINCT l_discount) AS BIGINT),
+                       CAST(min(l_discount) AS DOUBLE),
+                       CAST(max(l_discount) AS DOUBLE)
+                FROM lineitem)
+        """,
+        # q_bloom_dedup: full value oracle for the Bloom DECISION — the
+        # bits relation and all four probe positions are md5 arithmetic
+        # identical in both engines (false positives match exactly too)
+        "q_bloom_dedup": f"""
+            WITH k AS (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                'g'))) AS dk
+                FROM documents),
+            refpos AS (
+                SELECT DISTINCT unnest([{_bloom_pos_sql('dk', 0, 4096)}, {_bloom_pos_sql('dk', 1, 4096)}, {_bloom_pos_sql('dk', 2, 4096)}, {_bloom_pos_sql('dk', 3, 4096)}]) AS pos
+                FROM k WHERE doc_id < 250),
+            bq AS (
+                SELECT doc_id,
+                       unnest([{_bloom_pos_sql('dk', 0, 4096)}, {_bloom_pos_sql('dk', 1, 4096)}, {_bloom_pos_sql('dk', 2, 4096)}, {_bloom_pos_sql('dk', 3, 4096)}]) AS pos
+                FROM k WHERE doc_id >= 250),
+            hit AS (
+                SELECT b.doc_id,
+                       sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END)
+                           AS nh
+                FROM bq b LEFT JOIN refpos r ON b.pos = r.pos
+                GROUP BY b.doc_id)
+            SELECT doc_id, (nh = 4) AS bloom_maybe_seen FROM hit
         """,
         "q_robust_outliers": """
             WITH med AS (

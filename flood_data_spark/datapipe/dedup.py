@@ -61,19 +61,107 @@ def dedup_against(batch: DataFrame, reference: DataFrame,
     digest-only table alongside the corpus and pass it here; the
     anti-join shuffles (digest, id) pairs, never text payloads.
     """
-    def _key(col):
-        if normalize:
-            col = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
-        return F.md5(col)
-
-    keyed = batch.withColumn("_dk", _key(F.col(text_col)))
-    ref_keys = (reference.select(_key(F.col(text_col)).alias("_dk"))
+    keyed = batch.withColumn("_dk", _digest(F.col(text_col), normalize))
+    ref_keys = (reference
+                .select(_digest(F.col(text_col), normalize).alias("_dk"))
                 .distinct())
     fresh = keyed.join(ref_keys, "_dk", "left_anti")
     w = Window.partitionBy("_dk").orderBy(id_col)
     return (fresh.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_dk", "_rn"))
+
+
+def _bloom_positions(digest_col, n_bits: int, n_hashes: int) -> list:
+    """The k bit positions of a digest: md5(digest || i) 8-hex prefix mod
+    n_bits — engine-portable (any SQL engine with md5 computes the same
+    positions, so the whole filter decision value-oracles exactly)."""
+    return [
+        (F.conv(F.substring(F.md5(F.concat(digest_col, F.lit(str(i)))),
+                            1, 8), 16, 10)
+         .cast("long") % n_bits).cast("int")
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_bits(reference: DataFrame, text_col: str = "text",
+               n_bits: int = 1 << 20, n_hashes: int = 4,
+               normalize: bool = True) -> DataFrame:
+    """The reference corpus's Bloom filter as a RELATION: the distinct set
+    bit positions (single `pos` int column, ≤ n_bits rows).  Spark has no
+    public bloom_filter_agg SQL function, and a bit-blob would be opaque
+    to the oracle anyway — a distinct-positions relation IS a Bloom
+    filter (membership = all k positions present), it broadcasts (≤ a few
+    MB at n_bits = 2^20-2^27), persists as plain parquet alongside the
+    corpus, and unions incrementally as new reference batches arrive
+    (bits only ever turn on).
+
+    Size the filter like any Bloom: k = n_hashes, m = n_bits, n =
+    reference keys → fp ≈ (1 - e^(-kn/m))^k; m/n = 10 bits/key with k = 4
+    gives ~1.2%.
+    """
+    if n_bits < 2 or n_hashes < 1:
+        raise ValueError(f"need n_bits >= 2 and n_hashes >= 1, got "
+                         f"{n_bits}/{n_hashes}")
+    digest = _digest(F.col(text_col), normalize)
+    pos = _bloom_positions(digest, n_bits, n_hashes)
+    return (reference
+            .select(F.explode(F.array(*pos)).alias("pos"))
+            .distinct())
+
+
+def with_bloom_seen(batch: DataFrame, bits: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_bits: int = 1 << 20, n_hashes: int = 4,
+                    normalize: bool = True,
+                    out_col: str = "bloom_maybe_seen") -> DataFrame:
+    """Probe a `bloom_bits` relation: adds `out_col` — true iff ALL k of
+    the document's bit positions are set (Bloom semantics: no false
+    negatives, bounded false positives).  The 100 TB crawl-filter shape:
+    the batch scan broadcast-joins the bits relation and NEVER shuffles;
+    per document the probe is k integer lookups.
+
+    `n_bits`/`n_hashes`/`normalize` must match the build call — they are
+    part of the filter's identity.
+    """
+    digest = _digest(F.col(text_col), normalize)
+    pos = _bloom_positions(digest, n_bits, n_hashes)
+    probes = (batch
+              .select(F.col(id_col).alias("_bid"),
+                      F.explode(F.array(*pos)).alias("pos")))
+    hits = (probes
+            .join(F.broadcast(bits.withColumn("_hit", F.lit(1))),
+                  "pos", "left")
+            .groupBy("_bid")
+            .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                  == F.lit(n_hashes)).alias(out_col)))
+    return (batch.join(hits, batch[id_col] == hits["_bid"], "left")
+            .drop("_bid"))
+
+
+def bloom_dedup_against(batch: DataFrame, reference: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_bits: int = 1 << 20, n_hashes: int = 4,
+                        normalize: bool = True) -> DataFrame:
+    """Incremental dedup through the Bloom filter: keep batch documents
+    DEFINITELY not in the reference (no false negatives — every true
+    duplicate is dropped; a ~fp fraction of genuinely-new documents is
+    over-dropped, the standard crawl-filtering trade: at 100 TB a
+    digest anti-join shuffles the full digest space every ingest, while
+    the bits relation broadcasts once and the batch never shuffles)."""
+    seen = with_bloom_seen(
+        batch, bloom_bits(reference, text_col, n_bits, n_hashes,
+                          normalize),
+        id_col, text_col, n_bits, n_hashes, normalize)
+    return seen.filter(~F.col("bloom_maybe_seen")) \
+        .drop("bloom_maybe_seen")
+
+
+def _digest(col, normalize: bool):
+    """Normalized-text md5 digest — the dedup_against key, shared."""
+    if normalize:
+        col = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.md5(col)
 
 
 # ---------------------------------------------------------------- shingles

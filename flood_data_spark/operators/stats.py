@@ -138,6 +138,58 @@ def trend_stats(df: DataFrame, y_col: str, x_col: str,
                  F.round(F.regr_r2(y, x), 6).alias("r2")))
 
 
+def profile_table(df: DataFrame, cols=None,
+                  accuracy_mode: str = "exact") -> DataFrame:
+    """Deequ-style numeric column profile in ONE aggregation job: per
+    column (n_rows, n_null, n_distinct, min_value, max_value) — the
+    data-quality summary a pipeline asserts invariants against before a
+    run (row counts stable, no new NULLs, key cardinality sane).
+
+    accuracy_mode (the ensemble_threshold_summary switch):
+    - 'exact': count_distinct per column.  Catalyst plans multi-distinct
+      aggregates with one Expand pass (k× row expansion, single job) —
+      the oracle-parity mode.
+    - 'approx': approx_count_distinct (HLL++, one buffer per column, no
+      Expand) — the 100 TB profile: one true pass over the scan.
+
+    Columns default to every numeric column; non-numeric columns raise
+    (min/max string formatting differs across engines — profile those
+    through their lengths or digests instead).  Output is long-form
+    (`column` string, stats), min/max as double.
+    """
+    if accuracy_mode not in ("exact", "approx"):
+        raise ValueError("accuracy_mode must be 'exact' or 'approx'")
+    numeric = {f.name for f in df.schema.fields
+               if f.dataType.typeName() in
+               ("byte", "short", "integer", "long", "float", "double",
+                "decimal")}
+    cols = list(cols) if cols is not None else sorted(numeric)
+    bad = [c for c in cols if c not in numeric]
+    if bad:
+        raise ValueError(f"profile_table: non-numeric columns {bad}")
+    if not cols:
+        raise ValueError("profile_table: no numeric columns to profile")
+    nd = (F.count_distinct if accuracy_mode == "exact"
+          else F.approx_count_distinct)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs += [F.count(F.col(c)).alias(f"_nn{i}"),
+                 nd(F.col(c)).alias(f"_nd{i}"),
+                 F.min(F.col(c)).cast("double").alias(f"_min{i}"),
+                 F.max(F.col(c)).cast("double").alias(f"_max{i}")]
+    row = df.agg(*aggs)
+    items = ", ".join(
+        f"'{c}', _nn{i}, _nd{i}, _min{i}, _max{i}"
+        for i, c in enumerate(cols))
+    return (row.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(cols)}, {items}) AS "
+        "(column, _nonnull, n_distinct, min_value, max_value)")
+        .select(F.col("column"), F.col("n_rows"),
+                (F.col("n_rows") - F.col("_nonnull")).alias("n_null"),
+                "n_distinct", "min_value", "max_value"))
+
+
 def equidepth_histogram(df: DataFrame, value_col: str,
                         n_buckets: int = 10,
                         bucket_col: str = "bucket") -> DataFrame:

@@ -111,3 +111,50 @@ def test_corpus_diff_null_text_is_presence_not_absence(spark):
     rows = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert rows[1] == "unchanged"
     assert rows[2] == "changed"
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every true duplicate must be flagged maybe-seen (Bloom's no-false-
+    negative guarantee); false-positive rate stays near theory."""
+    from flood_data_spark.datapipe.dedup import (
+        bloom_bits, bloom_dedup_against, with_bloom_seen)
+
+    ref = spark.createDataFrame([(i, f"ref doc {i}") for i in range(200)],
+                                "doc_id long, text string")
+    # batch: 50 true dups of ref + 150 fresh
+    rows = [(1000 + i, f"ref doc {i}") for i in range(50)]
+    rows += [(2000 + i, f"fresh doc {i}") for i in range(150)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    bits = bloom_bits(ref, n_bits=1 << 14, n_hashes=4)
+    flagged = {r.doc_id: r.bloom_maybe_seen for r in
+               with_bloom_seen(batch, bits, n_bits=1 << 14, n_hashes=4)
+               .collect()}
+    assert all(flagged[1000 + i] for i in range(50))      # no false negs
+    fp = sum(1 for i in range(150) if flagged[2000 + i]) / 150
+    # m/n = 16384/200 -> theoretical fp ~ (1-e^(-4*200/16384))^4 ~ 5e-6
+    assert fp <= 0.02
+    kept = bloom_dedup_against(batch, ref, n_bits=1 << 14, n_hashes=4)
+    ids = {r.doc_id for r in kept.collect()}
+    assert not any(1000 + i in ids for i in range(50))
+    assert len(ids) >= 148                                # ~all fresh kept
+
+
+def test_bloom_normalization_matches_dedup_against(spark):
+    """Whitespace/case variants of a reference doc count as duplicates
+    under normalize=True — same key as dedup_against."""
+    from flood_data_spark.datapipe.dedup import bloom_dedup_against
+
+    ref = spark.createDataFrame([(0, "Hello   World")],
+                                "doc_id long, text string")
+    batch = spark.createDataFrame([(1, "  hello world "), (2, "other")],
+                                  "doc_id long, text string")
+    kept = {r.doc_id for r in bloom_dedup_against(batch, ref).collect()}
+    assert kept == {2}
+
+
+def test_bloom_bits_param_guard(spark):
+    from flood_data_spark.datapipe.dedup import bloom_bits
+
+    ref = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_bits"):
+        bloom_bits(ref, n_bits=1, n_hashes=0)

@@ -87,3 +87,35 @@ def test_trend_stats_recovers_planted_line(spark):
     assert out[0].r2 == pytest.approx(1.0)
     assert out[1].slope == pytest.approx(0.0) and out[1].n_pairs == 4
     assert out[2].slope is None               # undefined on one point
+
+
+def test_profile_table_hand_computed(spark):
+    from flood_data_spark.operators.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (3, 20.0)],
+        "k long, v double")
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert set(out) == {"k", "v"}
+    assert out["k"].n_rows == 4 and out["k"].n_null == 0
+    assert out["k"].n_distinct == 3
+    assert out["k"].min_value == 1.0 and out["k"].max_value == 3.0
+    assert out["v"].n_null == 1 and out["v"].n_distinct == 2
+
+
+def test_profile_table_approx_mode_and_guards(spark):
+    from flood_data_spark.operators.stats import profile_table
+
+    df = spark.createDataFrame([(i, str(i)) for i in range(100)],
+                               "k long, s string")
+    row = profile_table(df, ["k"], accuracy_mode="approx").collect()[0]
+    # HLL++ at default rsd (5%): within sketch error of the truth
+    assert abs(row.n_distinct - 100) <= 10
+    # approx mode must not plan the Expand operator (the k-pass exact path)
+    plan = profile_table(df, ["k"], accuracy_mode="approx") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    with pytest.raises(ValueError, match="non-numeric"):
+        profile_table(df, ["s"])
+    with pytest.raises(ValueError, match="accuracy_mode"):
+        profile_table(df, ["k"], accuracy_mode="bogus")

@@ -1172,6 +1172,27 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bloom_maybe_seen"))
 
 
+def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom crawl-filter as a STREAM: the bits relation is static,
+    the batch arrives as a file stream, and the probe is k stateless
+    stream-static broadcast joins — no aggregation state, no watermark,
+    exactly the code path the batch gate runs (with_bloom_seen is
+    formulation-identical).  Same full value oracle as q_bloom_dedup."""
+    from flood_data_spark.datapipe.dedup import bloom_bits, with_bloom_seen
+
+    docs = _t(spark, sf_dir, "documents")
+    bits = bloom_bits(docs.filter(F.col("doc_id") < 250),
+                      n_bits=4096, n_hashes=4)
+
+    def build(stream):
+        return (with_bloom_seen(stream.filter(F.col("doc_id") >= 250),
+                                bits, n_bits=4096, n_hashes=4)
+                .select("doc_id", "bloom_maybe_seen"))
+
+    return _run_file_stream(spark, f"{sf_dir}/documents.parquet", build,
+                            "bloom_stream_", output_mode="append")
+
+
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable mixture plan (datapipe/curation.plan_mixture): the
     temperature weights turned into per-source token targets and capped
@@ -2404,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trend": q_trend,
         "q_bloom_dedup": q_bloom_dedup,
         "q_profile": q_profile,
+        "q_bloom_stream": q_bloom_stream,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2425,17 +2447,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         "q_threshold_combine": q_threshold_combine,
         "q_summary_forecast": q_summary_forecast,
-        "q_upstream_mask": q_upstream_mask,
         # ---------------- gate window boundary (50) ----------------
-        # r8 rotation: eleven new queries enter (q_quality_clf,
+        # r8 rotation: twelve new queries enter (q_quality_clf,
         # q_quality_clf_score, q_stream_summary, q_quality_tiers,
         # q_platt_calibration, q_suppress_rare, q_mixture_plan,
-        # q_robust_outliers, q_trend, q_bloom_dedup, q_profile; the
-        # reworked q_equidepth stays in) — new queries are driver-checked
-        # the round they land.  Everything from here down was green in
-        # the r7 gate (or the r8 full sweep, CORRECTNESS_FULL_r8.json)
-        # on modules untouched since, except q_stream_threshold, whose
-        # changed builder is exercised in-window by q_stream_summary.
+        # q_robust_outliers, q_trend, q_bloom_dedup, q_profile,
+        # q_bloom_stream; the reworked q_equidepth stays in) — new
+        # queries are driver-checked the round they land.  Everything
+        # from here down was green in the r7 gate (or the r8 full sweep,
+        # CORRECTNESS_FULL_r8.json) on modules untouched since, except
+        # q_stream_threshold, whose changed builder is exercised
+        # in-window by q_stream_summary.
+        "q_upstream_mask": q_upstream_mask,
         "q_semi_join": q_semi_join,
         "q_union_events": q_union_events,
         "q_stream_threshold": q_stream_threshold,
@@ -2663,6 +2686,29 @@ def _bloom_pos_sql(dk_expr: str, i: int, n_bits: int) -> str:
             f"md5({dk_expr} || '{i}')[j]) - 1 AS BIGINT) * "
             f"(CAST(1 AS BIGINT) << (4 * (8 - j))) "
             f"for j in range(1, 9)]) % {n_bits} AS INT)")
+
+
+_BLOOM_ORACLE_SQL = f"""
+            WITH k AS (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                'g'))) AS dk
+                FROM documents),
+            refpos AS (
+                SELECT DISTINCT unnest([{_bloom_pos_sql('dk', 0, 4096)}, {_bloom_pos_sql('dk', 1, 4096)}, {_bloom_pos_sql('dk', 2, 4096)}, {_bloom_pos_sql('dk', 3, 4096)}]) AS pos
+                FROM k WHERE doc_id < 250),
+            bq AS (
+                SELECT doc_id,
+                       unnest([{_bloom_pos_sql('dk', 0, 4096)}, {_bloom_pos_sql('dk', 1, 4096)}, {_bloom_pos_sql('dk', 2, 4096)}, {_bloom_pos_sql('dk', 3, 4096)}]) AS pos
+                FROM k WHERE doc_id >= 250),
+            hit AS (
+                SELECT b.doc_id,
+                       sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END)
+                           AS nh
+                FROM bq b LEFT JOIN refpos r ON b.pos = r.pos
+                GROUP BY b.doc_id)
+            SELECT doc_id, (nh = 4) AS bloom_maybe_seen FROM hit
+        """
 
 
 # Shared temperature-mixture chain (per-source token counts -> shares ->
@@ -4322,27 +4368,8 @@ def oracle_sql() -> dict[str, str]:
         # q_bloom_dedup: full value oracle for the Bloom DECISION — the
         # bits relation and all four probe positions are md5 arithmetic
         # identical in both engines (false positives match exactly too)
-        "q_bloom_dedup": f"""
-            WITH k AS (
-                SELECT doc_id,
-                       md5(lower(regexp_replace(trim(text), '\\s+', ' ',
-                                                'g'))) AS dk
-                FROM documents),
-            refpos AS (
-                SELECT DISTINCT unnest([{_bloom_pos_sql('dk', 0, 4096)}, {_bloom_pos_sql('dk', 1, 4096)}, {_bloom_pos_sql('dk', 2, 4096)}, {_bloom_pos_sql('dk', 3, 4096)}]) AS pos
-                FROM k WHERE doc_id < 250),
-            bq AS (
-                SELECT doc_id,
-                       unnest([{_bloom_pos_sql('dk', 0, 4096)}, {_bloom_pos_sql('dk', 1, 4096)}, {_bloom_pos_sql('dk', 2, 4096)}, {_bloom_pos_sql('dk', 3, 4096)}]) AS pos
-                FROM k WHERE doc_id >= 250),
-            hit AS (
-                SELECT b.doc_id,
-                       sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END)
-                           AS nh
-                FROM bq b LEFT JOIN refpos r ON b.pos = r.pos
-                GROUP BY b.doc_id)
-            SELECT doc_id, (nh = 4) AS bloom_maybe_seen FROM hit
-        """,
+        "q_bloom_dedup": _BLOOM_ORACLE_SQL,
+        "q_bloom_stream": _BLOOM_ORACLE_SQL,
         "q_robust_outliers": """
             WITH med AS (
                 SELECT user_id, quantile_cont(value, 0.5) AS ro_med

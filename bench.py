@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_minhash_lsh_x10",
     "q_line_dedup_x10",
     "q_sessionize_x10",
+    "q_bloom_dedup_x10",
     "q_bpe_encode_x10",
     "q_bpe_train_full",
     "q_ivfpq_search",
@@ -488,9 +489,23 @@ def _q_bpe_encode_x10(spark, sf_dir):
             .select("doc_id", F.size("bpe_tokens").alias("n_bpe")))
 
 
+def _q_bloom_dedup_x10(spark, sf_dir):
+    """Bloom crawl-filter at volume: bits built from the 1x documents
+    table (the 'published corpus'), probed by the 50k-doc near-duplicate
+    tier — 4 broadcast joins, the batch never shuffles (PLANS.md).  The
+    replicas are near-dups (suffix-perturbed), so most of the tier is
+    genuinely new to the filter; the probe cost is what's measured."""
+    from flood_data_spark.datapipe.dedup import bloom_bits, with_bloom_seen
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = spark.read.parquet(_scaled_documents_path(spark, sf_dir))
+    bits = bloom_bits(ref, n_bits=1 << 20, n_hashes=4)
+    return with_bloom_seen(batch, bits, n_bits=1 << 20, n_hashes=4)         .select("doc_id", "bloom_maybe_seen")
+
+
 EXTRA_QUERIES = {
     "q_gopher_rules_full": _q_gopher_rules_full,
     "q_bpe_encode_x10": _q_bpe_encode_x10,
+    "q_bloom_dedup_x10": _q_bloom_dedup_x10,
     "q_dedup_exact_x10": _q_dedup_exact_x10,
     "q_minhash_lsh_x10": _q_minhash_lsh_x10,
     "q_line_dedup_x10": _q_line_dedup_x10,

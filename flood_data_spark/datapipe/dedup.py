@@ -123,20 +123,29 @@ def with_bloom_seen(batch: DataFrame, bits: DataFrame,
 
     `n_bits`/`n_hashes`/`normalize` must match the build call — they are
     part of the filter's identity.
+
+    Plan: k stateless broadcast joins of the SAME bits relation (one per
+    hash), AND-ed — the batch side never shuffles and no aggregation
+    state exists, so the identical code runs on a STREAMING batch
+    (stream-static joins are stateless; the explode+groupBy formulation
+    would have required a streaming aggregation).  `id_col` is unused in
+    this formulation but kept for signature stability.
     """
+    del id_col  # row-local probe: no key needed
     digest = _digest(F.col(text_col), normalize)
     pos = _bloom_positions(digest, n_bits, n_hashes)
-    probes = (batch
-              .select(F.col(id_col).alias("_bid"),
-                      F.explode(F.array(*pos)).alias("pos")))
-    hits = (probes
-            .join(F.broadcast(bits.withColumn("_hit", F.lit(1))),
-                  "pos", "left")
-            .groupBy("_bid")
-            .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                  == F.lit(n_hashes)).alias(out_col)))
-    return (batch.join(hits, batch[id_col] == hits["_bid"], "left")
-            .drop("_bid"))
+    out = batch
+    cond = F.lit(True)
+    for i, p in enumerate(pos):
+        side = F.broadcast(
+            bits.select(F.col("pos").alias(f"_p{i}"))
+            .withColumn(f"_h{i}", F.lit(1)))
+        out = (out.withColumn(f"_p{i}", p)
+               .join(side, f"_p{i}", "left")
+               .drop(f"_p{i}"))
+        cond = cond & F.col(f"_h{i}").isNotNull()
+    return out.withColumn(out_col, cond) \
+        .drop(*[f"_h{i}" for i in range(n_hashes)])
 
 
 def bloom_dedup_against(batch: DataFrame, reference: DataFrame,

@@ -105,9 +105,15 @@ def bloom_bits(reference: DataFrame, text_col: str = "text",
                          f"{n_bits}/{n_hashes}")
     digest = _digest(F.col(text_col), normalize)
     pos = _bloom_positions(digest, n_bits, n_hashes)
+    # localCheckpoint: the probe consumes this relation k times (one join
+    # per hash) — without materialization Catalyst re-runs the REFERENCE
+    # SCAN + distinct once per join (observed: 4 corpus scans in the x10
+    # bench plan).  The relation is ≤ n_bits rows — the bounded
+    # multiply-consumed-aggregate class docs/PLANS.md documents.
     return (reference
             .select(F.explode(F.array(*pos)).alias("pos"))
-            .distinct())
+            .distinct()
+            .localCheckpoint(eager=False))
 
 
 def with_bloom_seen(batch: DataFrame, bits: DataFrame,

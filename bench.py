@@ -499,7 +499,8 @@ def _q_bloom_dedup_x10(spark, sf_dir):
     ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
     batch = spark.read.parquet(_scaled_documents_path(spark, sf_dir))
     bits = bloom_bits(ref, n_bits=1 << 20, n_hashes=4)
-    return with_bloom_seen(batch, bits, n_bits=1 << 20, n_hashes=4)         .select("doc_id", "bloom_maybe_seen")
+    return (with_bloom_seen(batch, bits, n_bits=1 << 20, n_hashes=4)
+            .select("doc_id", "bloom_maybe_seen"))
 
 
 EXTRA_QUERIES = {
@@ -587,7 +588,8 @@ def main():
                  # + the two heaviest unprotected entries — min-of-2 so
                  # plan cost separates from the box's bimodal I/O noise
                  "q_contamination", "q_clean_lines", "q_line_dedup",
-                 "q_bm25_index_build", "q_bpe_encode_x10"}
+                 "q_bm25_index_build", "q_bpe_encode_x10",
+                 "q_bloom_dedup_x10"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -140,6 +140,10 @@ def with_bloom_seen(batch: DataFrame, bits: DataFrame,
     del id_col  # row-local probe: no key needed
     digest = _digest(F.col(text_col), normalize)
     pos = _bloom_positions(digest, n_bits, n_hashes)
+    # distinct: an incrementally-unioned bits relation (the documented
+    # maintenance path) may repeat a position — a duplicate would fan the
+    # left joins out 2x per repeat, duplicating batch rows
+    bits = bits.select("pos").distinct()
     out = batch
     cond = F.lit(True)
     for i, p in enumerate(pos):

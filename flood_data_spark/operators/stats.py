@@ -105,7 +105,6 @@ def with_robust_outliers(df: DataFrame, value_col: str,
            .agg(F.percentile(dev, F.lit(0.5)).alias(prefix + "mad")))
     out = j.join(mad, parts)
     scale = F.lit(1.4826) * F.col(prefix + "mad")
-    dev = F.abs(F.col(value_col) - F.col(prefix + "med"))
     return (out
             .withColumn(prefix + "z",
                         F.when(F.col(prefix + "mad") > 0,

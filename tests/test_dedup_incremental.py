@@ -158,3 +158,20 @@ def test_bloom_bits_param_guard(spark):
     ref = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_bits"):
         bloom_bits(ref, n_bits=1, n_hashes=0)
+
+
+def test_bloom_unioned_bits_do_not_duplicate_rows(spark):
+    """Incremental maintenance (union of two bits relations) repeats
+    shared positions; the probe must not fan batch rows out."""
+    from flood_data_spark.datapipe.dedup import bloom_bits, with_bloom_seen
+
+    ref = spark.createDataFrame([(0, "shared doc")],
+                                "doc_id long, text string")
+    bits = bloom_bits(ref, n_bits=256, n_hashes=4).union(
+        bloom_bits(ref, n_bits=256, n_hashes=4))
+    batch = spark.createDataFrame([(1, "shared doc"), (2, "new doc")],
+                                  "doc_id long, text string")
+    rows = with_bloom_seen(batch, bits, n_bits=256, n_hashes=4).collect()
+    assert len(rows) == 2                      # no fan-out
+    flags = {r.doc_id: r.bloom_maybe_seen for r in rows}
+    assert flags[1] is True

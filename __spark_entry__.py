@@ -1172,6 +1172,42 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bloom_maybe_seen"))
 
 
+def _retrieval_query_set(spark: SparkSession) -> DataFrame:
+    """The fixed 3-query eval batch the batch-retrieval gates share."""
+    return spark.createDataFrame(
+        [("q1", ["join", "hash"]), ("q2", ["data", "scan"]),
+         ("q3", ["table", "value"])],
+        "query_id string, terms array<string>")
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval (datapipe/text.bm25_batch): every query in the
+    eval set scored against the inverted index in ONE job — the exploded
+    (query, term) relation broadcasts, the corpus never shuffles for the
+    join.  Oracle: one _bm25_chain per query, unioned and ranked (shared
+    _BM25_BATCH_RANKED chain with q_hard_negatives)."""
+    from flood_data_spark.datapipe.text import bm25_batch, build_text_index
+
+    docs = _t(spark, sf_dir, "documents")
+    postings, term_stats, stats = build_text_index(docs)
+    return bm25_batch(postings, term_stats, stats,
+                      _retrieval_query_set(spark), k=10)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining (datapipe/text.mine_hard_negatives —
+    the DPR recipe): per query, top-2 retrieved = positives, next 8 =
+    hard negatives; one bm25_batch job + a label projection."""
+    from flood_data_spark.datapipe.text import (
+        build_text_index, mine_hard_negatives)
+
+    docs = _t(spark, sf_dir, "documents")
+    postings, term_stats, stats = build_text_index(docs)
+    return mine_hard_negatives(postings, term_stats, stats,
+                               _retrieval_query_set(spark),
+                               k_pos=2, k_neg=8)
+
+
 def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom crawl-filter as a STREAM: the bits relation is static,
     the batch arrives as a file stream, and the probe is k stateless
@@ -2426,6 +2462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_dedup": q_bloom_dedup,
         "q_profile": q_profile,
         "q_bloom_stream": q_bloom_stream,
+        "q_bm25_batch": q_bm25_batch,
+        "q_hard_negatives": q_hard_negatives,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2445,19 +2483,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         # --- last checked r5; modules touched since ---
 
-        "q_threshold_combine": q_threshold_combine,
-        "q_summary_forecast": q_summary_forecast,
         # ---------------- gate window boundary (50) ----------------
-        # r8 rotation: twelve new queries enter (q_quality_clf,
+        # r8 rotation: fourteen new queries enter (q_quality_clf,
         # q_quality_clf_score, q_stream_summary, q_quality_tiers,
         # q_platt_calibration, q_suppress_rare, q_mixture_plan,
         # q_robust_outliers, q_trend, q_bloom_dedup, q_profile,
-        # q_bloom_stream; the reworked q_equidepth stays in) — new
-        # queries are driver-checked the round they land.  Everything
-        # from here down was green in the r7 gate (or the r8 full sweep,
-        # CORRECTNESS_FULL_r8.json) on modules untouched since, except
+        # q_bloom_stream, q_bm25_batch, q_hard_negatives; the reworked
+        # q_equidepth stays in) — new queries are driver-checked the
+        # round they land.  Everything from here down was green in the
+        # r7 gate AND the r8 full sweep (CORRECTNESS_FULL_r8.json,
+        # regenerated at round end) on modules unchanged since, except
         # q_stream_threshold, whose changed builder is exercised
         # in-window by q_stream_summary.
+        "q_threshold_combine": q_threshold_combine,
+        "q_summary_forecast": q_summary_forecast,
         "q_upstream_mask": q_upstream_mask,
         "q_semi_join": q_semi_join,
         "q_union_events": q_union_events,
@@ -2709,6 +2748,28 @@ _BLOOM_ORACLE_SQL = f"""
                 GROUP BY b.doc_id)
             SELECT doc_id, (nh = 4) AS bloom_maybe_seen FROM hit
         """
+
+
+# Shared batch-retrieval ranking chain: one _bm25_chain per fixed eval
+# query, unioned and per-query ranked on the rounded score —
+# q_bm25_batch and q_hard_negatives interpolate this single definition.
+def _bm25_batch_ranked() -> str:
+    return f"""{_bm25_chain('ba', "term IN ('join', 'hash')")},
+            {_bm25_chain('bb', "term IN ('data', 'scan')")},
+            {_bm25_chain('bc', "term IN ('table', 'value')")},
+            allq AS (
+                SELECT 'q1' AS query_id, doc_id, n_hit_terms, bm25
+                FROM baagg
+                UNION ALL
+                SELECT 'q2', doc_id, n_hit_terms, bm25 FROM bbagg
+                UNION ALL
+                SELECT 'q3', doc_id, n_hit_terms, bm25 FROM bcagg),
+            rankedq AS (
+                SELECT query_id, doc_id, n_hit_terms, bm25,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id ASC) AS INT)
+                           AS rank
+                FROM allq)"""
 
 
 # Shared temperature-mixture chain (per-source token counts -> shares ->
@@ -4368,6 +4429,17 @@ def oracle_sql() -> dict[str, str]:
         # q_bloom_dedup: full value oracle for the Bloom DECISION — the
         # bits relation and all four probe positions are md5 arithmetic
         # identical in both engines (false positives match exactly too)
+        "q_bm25_batch": f"""
+            WITH {_bm25_batch_ranked()}
+            SELECT query_id, doc_id, n_hit_terms, bm25, rank
+            FROM rankedq WHERE rank <= 10
+        """,
+        "q_hard_negatives": f"""
+            WITH {_bm25_batch_ranked()}
+            SELECT query_id, doc_id, n_hit_terms, bm25, rank,
+                   CASE WHEN rank <= 2 THEN 'pos' ELSE 'neg' END AS label
+            FROM rankedq WHERE rank <= 10
+        """,
         "q_bloom_dedup": _BLOOM_ORACLE_SQL,
         "q_bloom_stream": _BLOOM_ORACLE_SQL,
         "q_robust_outliers": """

@@ -744,6 +744,84 @@ def bm25_from_index(postings: DataFrame, term_stats: DataFrame,
             .select(F.col("id").alias(id_col), "n_hit_terms", "bm25"))
 
 
+def bm25_batch(postings: DataFrame, term_stats: DataFrame,
+               stats: DataFrame, queries: DataFrame, k: int = 10,
+               k1: float = 1.2, b: float = 0.75,
+               query_col: str = "query_id", terms_col: str = "terms",
+               id_col: str = "doc_id") -> DataFrame:
+    """Batch retrieval: score EVERY query in `queries` (query_col,
+    terms_col array<string>) against the prebuilt inverted index in ONE
+    job — the shape of eval-set retrieval and training-pair mining,
+    where running bm25_from_index per query would pay per-query job
+    overhead thousands of times.
+
+    Returns (query_col, id_col, n_hit_terms, bm25, rank) for each
+    query's top k (rank 1-based on (bm25 desc, id asc) — computed on the
+    ROUNDED score, so ranks are engine-reproducible).
+
+    Plan: the exploded (query, term) relation is query-batch-sized and
+    BROADCASTS against the postings scan (the corpus-sized side never
+    shuffles for the join); the (query, doc) aggregate and the per-query
+    rank window shuffle matched-postings-sized rows only.  Scores are
+    formula-identical to bm25_from_index (one definition of idf/contrib
+    would be circular to share as Columns — the oracle pins both).
+    Duplicate terms within one query are de-duplicated (a repeated term
+    must not double its contribution — set-of-terms semantics, matching
+    bm25_topk).
+    """
+    qt = (queries
+          .select(query_col, F.explode(F.col(terms_col)).alias("term"))
+          .withColumn("term", F.lower(F.col("term")))
+          .distinct())
+    scored = (postings
+              .join(F.broadcast(qt), "term")
+              .join(F.broadcast(term_stats), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn(
+                  "idf",
+                  F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5)
+                        / (F.col("df_t") + 0.5)))
+              .withColumn(
+                  "contrib",
+                  F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+                  / (F.col("tf") + F.lit(k1)
+                     * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")))))
+    per = (scored.groupBy(query_col, "id")
+           .agg(F.count("*").alias("n_hit_terms"),
+                F.round(F.sum("contrib"), 6).alias("bm25")))
+    w = Window.partitionBy(query_col).orderBy(F.desc("bm25"), F.asc("id"))
+    return (per.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_col, F.col("id").alias(id_col),
+                    "n_hit_terms", "bm25", "rank"))
+
+
+def mine_hard_negatives(postings: DataFrame, term_stats: DataFrame,
+                        stats: DataFrame, queries: DataFrame,
+                        k_pos: int = 2, k_neg: int = 8,
+                        k1: float = 1.2, b: float = 0.75,
+                        query_col: str = "query_id",
+                        terms_col: str = "terms",
+                        id_col: str = "doc_id") -> DataFrame:
+    """BM25 hard-negative mining — the standard contrastive-training
+    recipe (DPR/Karpukhin et al. 2020 use exactly this): per query, the
+    top `k_pos` retrieved documents become positives and the NEXT
+    `k_neg` become hard negatives (lexically close enough to rank, not
+    close enough to be the answer — far more informative than random
+    negatives).  One bm25_batch job + a label projection; emits
+    (query, doc, bm25, rank, label)."""
+    if k_pos < 1 or k_neg < 1:
+        raise ValueError(f"need k_pos/k_neg >= 1, got {k_pos}/{k_neg}")
+    ranked = bm25_batch(postings, term_stats, stats, queries,
+                        k=k_pos + k_neg, k1=k1, b=b,
+                        query_col=query_col, terms_col=terms_col,
+                        id_col=id_col)
+    return ranked.withColumn(
+        "label",
+        F.when(F.col("rank") <= k_pos, F.lit("pos")).otherwise(F.lit("neg")))
+
+
 def bm25_prf_expand(df: DataFrame, query_terms, n_feedback: int = 10,
                     n_expansion: int = 5, k: int = 10,
                     k1: float = 1.2, b: float = 0.75,

@@ -427,3 +427,61 @@ def test_ir_metrics_duplicate_relevant_pairs_deduped(spark):
     out = ir_metrics(ranked, relevant, k=3).collect()[0]
     assert out.n_relevant == 1
     assert out.recall_at_k == pytest.approx(1.0)
+
+
+# ------------------------------------------ batch retrieval + mining (r8)
+
+def _index(spark, rows):
+    from flood_data_spark.datapipe.text import build_text_index
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df, build_text_index(df)
+
+
+def test_bm25_batch_matches_per_query_index_search(spark):
+    from flood_data_spark.datapipe.text import bm25_batch, bm25_from_index
+
+    rows = [(i, f"flood river data tok{i % 7} tok{i % 3}") for i in range(30)]
+    df, (postings, term_stats, stats) = _index(spark, rows)
+    queries = spark.createDataFrame(
+        [("a", ["flood", "tok1"]), ("b", ["tok2", "data"])],
+        "query_id string, terms array<string>")
+    batch = bm25_batch(postings, term_stats, stats, queries, k=5)
+    got = {(r.query_id, r.doc_id): (r.bm25, r.rank)
+           for r in batch.collect()}
+    for qid, terms in [("a", ["flood", "tok1"]), ("b", ["tok2", "data"])]:
+        single = bm25_from_index(postings, term_stats, stats, terms, k=5)
+        for rank, r in enumerate(single.collect(), start=1):
+            assert got[(qid, r.doc_id)] == (r.bm25, rank), (qid, r.doc_id)
+
+
+def test_bm25_batch_dedupes_repeated_query_terms(spark):
+    from flood_data_spark.datapipe.text import bm25_batch
+
+    rows = [(0, "flood levee"), (1, "flood flood"), (2, "dry land")]
+    df, (postings, term_stats, stats) = _index(spark, rows)
+    q1 = spark.createDataFrame([("q", ["flood"])],
+                               "query_id string, terms array<string>")
+    q2 = spark.createDataFrame([("q", ["flood", "FLOOD", "flood"])],
+                               "query_id string, terms array<string>")
+    a = {r.doc_id: r.bm25 for r in
+         bm25_batch(postings, term_stats, stats, q1, k=5).collect()}
+    b = {r.doc_id: r.bm25 for r in
+         bm25_batch(postings, term_stats, stats, q2, k=5).collect()}
+    assert a == b                       # set-of-terms semantics
+
+
+def test_mine_hard_negatives_labels_and_bounds(spark):
+    from flood_data_spark.datapipe.text import mine_hard_negatives
+
+    rows = [(i, "flood " * (20 - i) + f"pad{i} " * i) for i in range(12)]
+    df, (postings, term_stats, stats) = _index(spark, rows)
+    queries = spark.createDataFrame([("q", ["flood"])],
+                                    "query_id string, terms array<string>")
+    out = mine_hard_negatives(postings, term_stats, stats, queries,
+                              k_pos=2, k_neg=3).collect()
+    assert len(out) == 5
+    labels = {r.rank: r.label for r in out}
+    assert labels == {1: "pos", 2: "pos", 3: "neg", 4: "neg", 5: "neg"}
+    with pytest.raises(ValueError, match="k_pos"):
+        mine_hard_negatives(postings, term_stats, stats, queries,
+                            k_pos=0, k_neg=1)

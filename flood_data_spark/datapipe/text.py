@@ -306,6 +306,24 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                         F.coalesce(F.col("n_tokens"), F.lit(0))))
 
 
+def _with_bm25_contrib(scored, k1: float, b: float):
+    """THE BM25 scoring expression — idf and per-(doc, term) contribution
+    over columns (tf, dl, df_t, n_docs, avgdl).  One definition for all
+    three retrieval paths (bm25_topk, bm25_from_index, bm25_batch); the
+    DuckDB _bm25_chain oracle is the independent pin on the formula."""
+    return (scored
+            .withColumn(
+                "idf",
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5)
+                      / (F.col("df_t") + 0.5)))
+            .withColumn(
+                "contrib",
+                F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+                / (F.col("tf") + F.lit(k1)
+                   * (F.lit(1.0 - b)
+                      + F.lit(b) * F.col("dl") / F.col("avgdl")))))
+
+
 def bm25_topk(df: DataFrame, query_terms, k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -352,18 +370,8 @@ def bm25_topk(df: DataFrame, query_terms, k: int = 10,
           .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
 
-    scored = (tf.join(F.broadcast(dfreq), "term")
-              .crossJoin(stats)
-              .withColumn(
-                  "idf",
-                  F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5)
-                        / (F.col("df_t") + 0.5)))
-              .withColumn(
-                  "contrib",
-                  F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
-                  / (F.col("tf") + F.lit(k1)
-                     * (F.lit(1.0 - b)
-                        + F.lit(b) * F.col("dl") / F.col("avgdl")))))
+    scored = _with_bm25_contrib(
+        tf.join(F.broadcast(dfreq), "term").crossJoin(stats), k1, b)
     return (scored.groupBy("id")
             .agg(F.count("*").alias("n_hit_terms"),
                  F.round(F.sum("contrib"), 6).alias("bm25"))
@@ -721,21 +729,12 @@ def bm25_from_index(postings: DataFrame, term_stats: DataFrame,
     qterms = sorted({t.lower() for t in query_terms})
     if not qterms:
         raise ValueError("bm25_from_index: query_terms must be non-empty")
-    scored = (postings
-              .filter(F.col("term").isin(qterms))
-              .join(F.broadcast(
-                  term_stats.filter(F.col("term").isin(qterms))), "term")
-              .crossJoin(F.broadcast(stats))
-              .withColumn(
-                  "idf",
-                  F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5)
-                        / (F.col("df_t") + 0.5)))
-              .withColumn(
-                  "contrib",
-                  F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
-                  / (F.col("tf") + F.lit(k1)
-                     * (F.lit(1.0 - b)
-                        + F.lit(b) * F.col("dl") / F.col("avgdl")))))
+    scored = _with_bm25_contrib(
+        postings
+        .filter(F.col("term").isin(qterms))
+        .join(F.broadcast(
+            term_stats.filter(F.col("term").isin(qterms))), "term")
+        .crossJoin(F.broadcast(stats)), k1, b)
     return (scored.groupBy("id")
             .agg(F.count("*").alias("n_hit_terms"),
                  F.round(F.sum("contrib"), 6).alias("bm25"))
@@ -767,26 +766,32 @@ def bm25_batch(postings: DataFrame, term_stats: DataFrame,
     would be circular to share as Columns — the oracle pins both).
     Duplicate terms within one query are de-duplicated (a repeated term
     must not double its contribution — set-of-terms semantics, matching
-    bm25_topk).
+    bm25_topk).  Empty/NULL term arrays raise (the per-query paths'
+    contract); a query whose terms match NO document legitimately
+    returns zero rows (zero recall, not an error) — feed the output to
+    `similarity.ir_metrics`, which keeps hitless queries visible via
+    the relevant table.
     """
+    n_empty = queries.filter(
+        F.coalesce(F.size(F.col(terms_col)), F.lit(0)) == 0).count()
+    if n_empty:
+        raise ValueError(
+            f"bm25_batch: {n_empty} queries have empty/NULL {terms_col!r} "
+            "(the per-query paths raise on empty queries too)")
     qt = (queries
           .select(query_col, F.explode(F.col(terms_col)).alias("term"))
           .withColumn("term", F.lower(F.col("term")))
           .distinct())
-    scored = (postings
-              .join(F.broadcast(qt), "term")
-              .join(F.broadcast(term_stats), "term")
-              .crossJoin(F.broadcast(stats))
-              .withColumn(
-                  "idf",
-                  F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5)
-                        / (F.col("df_t") + 0.5)))
-              .withColumn(
-                  "contrib",
-                  F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
-                  / (F.col("tf") + F.lit(k1)
-                     * (F.lit(1.0 - b)
-                        + F.lit(b) * F.col("dl") / F.col("avgdl")))))
+    # semi-join bounds the term_stats broadcast to the QUERY vocabulary —
+    # term_stats is corpus-vocabulary-sized, and broadcasting it
+    # unfiltered would collect millions of rows to the driver at scale
+    qstats = term_stats.join(F.broadcast(qt.select("term").distinct()),
+                             "term", "left_semi")
+    scored = _with_bm25_contrib(
+        postings
+        .join(F.broadcast(qt), "term")
+        .join(F.broadcast(qstats), "term")
+        .crossJoin(F.broadcast(stats)), k1, b)
     per = (scored.groupBy(query_col, "id")
            .agg(F.count("*").alias("n_hit_terms"),
                 F.round(F.sum("contrib"), 6).alias("bm25")))

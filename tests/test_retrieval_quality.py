@@ -485,3 +485,18 @@ def test_mine_hard_negatives_labels_and_bounds(spark):
     with pytest.raises(ValueError, match="k_pos"):
         mine_hard_negatives(postings, term_stats, stats, queries,
                             k_pos=0, k_neg=1)
+
+
+def test_bm25_batch_rejects_empty_query_rows(spark):
+    from flood_data_spark.datapipe.text import bm25_batch
+
+    df, (postings, term_stats, stats) = _index(spark, [(0, "flood")])
+    bad = spark.createDataFrame([("a", ["flood"]), ("b", [])],
+                                "query_id string, terms array<string>")
+    with pytest.raises(ValueError, match="empty/NULL"):
+        bm25_batch(postings, term_stats, stats, bad)
+    # OOV query: legitimately zero rows for that query, no error
+    oov = spark.createDataFrame([("a", ["flood"]), ("b", ["zzz"])],
+                                "query_id string, terms array<string>")
+    got = bm25_batch(postings, term_stats, stats, oov).collect()
+    assert {r.query_id for r in got} == {"a"}

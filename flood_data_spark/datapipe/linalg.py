@@ -1,0 +1,170 @@
+"""Distributed linear algebra over an embedding column — the PCA/whitening
+front-end of the ANN ladder (`datapipe/quantize.py` trains better codebooks
+on decorrelated inputs, `matryoshka_truncate` keeps more variance when the
+leading dimensions are the principal ones).
+
+100 TB rationale: everything here reduces a (n x d) corpus to d- or
+d^2-sized relations in ONE pass, so the corpus never moves and never comes
+to the driver:
+
+- per-dimension moments (`dim_stats`) are a posexplode + groupBy(pos) —
+  partial aggregation combines map-side, the exchange carries d keys;
+- the Gram matrix X'X (`gram_matrix`) is computed per-partition as a d x d
+  numpy accumulation inside ONE mapInPandas pass (the embedding seam — the
+  same Arrow boundary the ADC probe uses), so the shuffle moves
+  d*(d+1)/2 cells PER PARTITION, never a row of X;
+- the dominant eigenvector (`power_iteration_top`) runs v <- X'(Xv)/|..|
+  as Spark jobs: v rides into the executors as a d-sized literal (the
+  k-means centroid-literal pattern, clustering.py), each iteration is one
+  scan + one d-keyed shuffle, and the driver collects exactly d cells per
+  round.  Parameters are rounded to 6 decimals every update on BOTH
+  engines, which re-synchronizes float-summation-order drift and makes the
+  fixed-point iteration unrollable in the DuckDB oracle (the same
+  discipline as datapipe/classifier.py's gradient descent).
+
+No reference analog (the reference has no embedding operators); part of
+the beyond-reference datapipe inventory (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flood_data_spark.datapipe.similarity import _as_double, _matrix_lit
+
+
+def _vector_lit(v: list) -> "F.Column":
+    """Constant array<double> via one parsed SQL expression (see
+    `similarity._matrix_lit` for why not `F.lit`)."""
+    return _matrix_lit([v])[0]
+
+
+def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension moments of an array column: (pos, n, mean, variance,
+    vmin, vmax), pos 0-based.  One posexplode + one d-keyed groupBy; the
+    population variance comes from the same partial-aggregated pass
+    (E[x^2] - E[x]^2), so no second scan.  Means/variances feed centering
+    and diagonal whitening; min/max feed scalar-quantizer ranges
+    (quantize.sq8 uses exactly these bounds).
+    """
+    x = df.select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+    return (x.groupBy("pos")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("x"), 6).alias("mean"),
+                 F.round(F.avg(F.col("x") * F.col("x"))
+                         - F.avg("x") * F.avg("x"), 6).alias("variance"),
+                 F.min("x").alias("vmin"),
+                 F.max("x").alias("vmax")))
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper triangle of the Gram matrix X'X as (i, j, val) rows, i <= j,
+    0-based, val rounded to 6 decimals.
+
+    Plan: ONE mapInPandas pass accumulates a dense d x d float64 partial
+    Gram per partition (Arrow-batched numpy `x.T @ x` — the embedding
+    seam), emits the d*(d+1)/2 upper-triangle cells, and a groupBy(i, j)
+    sums partials across partitions.  The exchange is d^2-bounded per
+    partition regardless of corpus size; the corpus itself never shuffles
+    and never reaches the driver.  This is the covariance/PCA front-end:
+    cov = gram/n - mean outer mean, with mean from `dim_stats`.
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = [], []
+        for i in range(d):
+            for j in range(i, d):
+                iu.append(i)
+                ju.append(j)
+        yield pd.DataFrame({"i": iu, "j": ju,
+                            "val": acc[iu, ju]})
+
+    parts = (df.select(_as_double(F.col(vec_col)).alias("_v"))
+             .mapInPandas(partial_gram, "i int, j int, val double"))
+    return (parts.groupBy("i", "j")
+            .agg(F.round(F.sum("val"), 6).alias("val")))
+
+
+def _dot_lit(vec_col, v: list) -> "F.Column":
+    """<x, v> for a broadcast d-sized literal v — zip_with + left fold."""
+    return F.aggregate(F.zip_with(vec_col, _vector_lit(v),
+                                  lambda a, b: a * b),
+                       F.lit(0.0), lambda acc, t: acc + t)
+
+
+def power_iteration_top(df: DataFrame, vec_col: str = "embedding",
+                        iterations: int = 3) -> tuple:
+    """Dominant eigenvector of X'X by power iteration; returns
+    (components, sigma2) — a d-list (each component rounded to 6 decimals)
+    and the Rayleigh quotient v'X'Xv = |Xv|^2 (the top eigenvalue
+    estimate, i.e. squared spectral norm of X along v).
+
+    v0 is the deterministic uniform unit vector round(1/sqrt(d), 6).  Each
+    iteration is ONE distributed job: y = <x, v> rides the row (pure
+    Column fold against the v literal — no join), z = X'y comes from
+    posexplode → groupBy(pos) (d-keyed shuffle, partial-aggregated
+    map-side), and the driver collects exactly d cells, normalizes, and
+    rounds to 6 decimals — the rounding makes the sequence bit-identical
+    across engines and partitionings, so the whole iteration unrolls in
+    ANSI SQL (q_power_iteration's oracle).
+
+    Sign convention: none imposed — the sign is pinned by v0 and the
+    iteration count, identically in any compliant engine.
+    """
+    if iterations < 1:
+        raise ValueError("power_iteration_top: iterations must be >= 1")
+    base = df.select(_as_double(F.col(vec_col)).alias("_v"))
+    first = base.select(F.size("_v").alias("d")).first()
+    if first is None:
+        raise ValueError("power_iteration_top: empty input")
+    d = first.d
+    v = [round(1.0 / d ** 0.5, 6)] * d
+    sigma2 = 0.0
+    for _ in range(iterations):
+        y = base.withColumn("_y", _dot_lit(F.col("_v"), v))
+        cells = (y.select("_y", F.posexplode("_v").alias("pos", "x"))
+                 .groupBy("pos")
+                 .agg(F.sum(F.col("_y") * F.col("x")).alias("z"))
+                 .collect())
+        z = [0.0] * d
+        for r in cells:
+            z[r.pos] = r.z
+        # |Xv|^2 = v'X'Xv = <v, z>: the Rayleigh numerator for THIS v
+        sigma2 = sum(a * b for a, b in zip(v, z))
+        nrm = sum(t * t for t in z) ** 0.5
+        if nrm == 0.0:
+            raise ValueError("power_iteration_top: X'Xv vanished — rank-0 "
+                             "input or v orthogonal to the column space")
+        v = [round(t / nrm, 6) for t in z]
+    return v, sigma2
+
+
+def project_components(df: DataFrame, components: list,
+                       vec_col: str = "embedding",
+                       out_col: str = "proj") -> DataFrame:
+    """Project each embedding onto k fixed component vectors (a k x d
+    nested list — the PCA output, broadcast as a literal): adds `out_col`
+    as array<double> of length k, each coordinate rounded to 6 decimals.
+    Pure Column expressions — no join, no shuffle; composes with
+    `matryoshka_truncate`-style dimensionality cuts but along LEARNED
+    axes instead of the storage order.
+    """
+    if not components:
+        raise ValueError("project_components: need at least one component")
+    x = _as_double(F.col(vec_col))
+    proj = F.array(*[F.round(_dot_lit(x, c), 6) for c in components])
+    return df.withColumn(out_col, proj)

@@ -1,0 +1,106 @@
+"""Distributed linear algebra (datapipe/linalg.py): numpy is the local
+truth oracle — moments, Gram, dominant eigenvector, projections."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flood_data_spark.datapipe.linalg import (
+    dim_stats, gram_matrix, power_iteration_top, project_components)
+
+
+def _fixture(spark, n=40, d=6, seed=7):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    # plant a dominant direction so power iteration has a clear target
+    x[:, 1] += 3.0 * rng.normal(size=n).astype(np.float32)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    return df, x.astype(np.float64)
+
+
+def test_dim_stats_matches_numpy(spark):
+    df, x = _fixture(spark)
+    got = {r.pos: r for r in dim_stats(df).collect()}
+    assert len(got) == x.shape[1]
+    for j in range(x.shape[1]):
+        r = got[j]
+        assert r.n == x.shape[0]
+        assert r.mean == pytest.approx(x[:, j].mean(), abs=1e-6)
+        assert r.variance == pytest.approx(x[:, j].var(), abs=1e-6)
+        assert r.vmin == pytest.approx(x[:, j].min(), abs=1e-9)
+        assert r.vmax == pytest.approx(x[:, j].max(), abs=1e-9)
+
+
+def test_gram_matrix_matches_numpy_upper_triangle(spark):
+    df, x = _fixture(spark)
+    g = x.T @ x
+    got = {(r.i, r.j): r.val for r in gram_matrix(df).collect()}
+    d = x.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            assert got[(i, j)] == pytest.approx(g[i, j], abs=1e-5)
+
+
+def test_gram_matrix_partition_invariant(spark):
+    df, _ = _fixture(spark)
+    a = {(r.i, r.j): r.val for r in gram_matrix(df.coalesce(1)).collect()}
+    b = {(r.i, r.j): r.val
+         for r in gram_matrix(df.repartition(7)).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=2e-6)
+
+
+def test_power_iteration_converges_to_top_eigenvector(spark):
+    df, x = _fixture(spark)
+    v, sigma2 = power_iteration_top(df, iterations=12)
+    w, vecs = np.linalg.eigh(x.T @ x)
+    top = vecs[:, -1]
+    got = np.array(v)
+    cos = abs(float(got @ top)) / (np.linalg.norm(got) or 1.0)
+    assert cos > 0.999
+    assert sigma2 == pytest.approx(w[-1], rel=1e-3)
+
+
+def test_power_iteration_deterministic_across_partitioning(spark):
+    df, _ = _fixture(spark)
+    v1, s1 = power_iteration_top(df.coalesce(1), iterations=3)
+    v2, s2 = power_iteration_top(df.repartition(5), iterations=3)
+    # per-step round(…, 6) re-synchronizes summation-order drift exactly
+    assert v1 == v2
+    assert s1 == pytest.approx(s2, abs=1e-6)
+
+
+def test_power_iteration_guards(spark):
+    df, _ = _fixture(spark)
+    with pytest.raises(ValueError, match="iterations"):
+        power_iteration_top(df, iterations=0)
+    empty = df.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        power_iteration_top(empty)
+
+
+def test_project_components_matches_numpy(spark):
+    df, x = _fixture(spark)
+    comps = [[1.0] + [0.0] * (x.shape[1] - 1),
+             [0.0, 1.0] + [0.0] * (x.shape[1] - 2)]
+    got = {r.vec_id: r.proj
+           for r in project_components(df, comps).collect()}
+    for i in range(x.shape[0]):
+        assert got[i][0] == pytest.approx(x[i, 0], abs=1e-6)
+        assert got[i][1] == pytest.approx(x[i, 1], abs=1e-6)
+    with pytest.raises(ValueError, match="component"):
+        project_components(df, [])
+
+
+def test_rayleigh_quotient_is_norm_squared_along_v(spark):
+    # sigma2 returned for iteration t is v_{t-1}' X'X v_{t-1}
+    df, x = _fixture(spark)
+    d = x.shape[1]
+    v0 = np.array([round(1.0 / math.sqrt(d), 6)] * d)
+    _, sigma2 = power_iteration_top(df, iterations=1)
+    assert sigma2 == pytest.approx(float(v0 @ (x.T @ x) @ v0), rel=1e-9)

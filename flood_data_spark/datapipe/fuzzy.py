@@ -1,0 +1,152 @@
+"""Blocked fuzzy matching (entity resolution) over short text keys —
+near-identical product/entity names that exact dedup can't collapse.
+
+100 TB rationale: edit-distance matching is O(n^2) if expressed naively
+(a levenshtein cross join is the classic scale-killer).  This module keeps
+every plan candidate-bounded:
+
+1. collapse the row relation to the DISTINCT-name relation first
+   (`name_groups` — a digest-style groupBy; the corpus never reaches the
+   matcher, only the name dictionary does, the same shrink exact_dedup
+   exploits);
+2. self-join on a cheap BLOCKING key (last token / prefix), so candidates
+   are sum(|block|^2), never n^2 — the minhash-banding shape
+   (`dedup.minhash_lsh_pairs`) with a semantic key instead of a hash;
+3. prune with the length band |len_a - len_b| <= d BEFORE the distance
+   call (levenshtein >= length difference, so the band is lossless), and
+   evaluate `levenshtein(a, b, threshold)` — Spark's bounded variant stops
+   the DP early once the threshold is exceeded;
+4. hot blocks (a stop-token block can be corpus-sized) are capped by
+   `max_block`, the doc-freq-cap tradeoff `dedup._cap_doc_freq` documents:
+   bounded work for bounded recall, loudly opt-in.
+
+Blocking recall contract: a pair is only found if both names share a block
+key, so pairs that disagree on the key (e.g. an edit inside the last
+token under `last_token` blocking) are missed — the standard blocking
+tradeoff; pick the key where your edits aren't.
+
+No reference analog (SURVEY.md §2.11 beyond-reference family); zero-UDF —
+blocking, banding, and distance are all JVM-side Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_name(col) -> Column:
+    """lower + trim + collapse internal whitespace — the same normalization
+    `dedup._digest` applies before exact matching, kept identical so the
+    fuzzy layer composes with exact dedup's keys."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def _block_key(name_col, block: str, prefix_len: int) -> Column:
+    if block == "last_token":
+        return F.element_at(F.split(name_col, " "), -1)
+    if block == "prefix":
+        return F.substring(name_col, 1, prefix_len)
+    raise ValueError(f"unknown blocking strategy {block!r} "
+                     "(expected 'last_token' or 'prefix')")
+
+
+def name_groups(df: DataFrame, id_col: str = "p_partkey",
+                text_col: str = "p_name",
+                normalize: bool = True) -> DataFrame:
+    """The distinct-name relation: (name, rep_id, n_rows) with rep_id the
+    min id of the group.  ONE groupBy on the normalized name — identical
+    rows collapse here, so all downstream fuzzy work is dictionary-sized.
+    """
+    name = normalize_name(F.col(text_col)) if normalize else F.col(text_col)
+    return (df.select(name.alias("name"), F.col(id_col).alias("_id"))
+            .groupBy("name")
+            .agg(F.min("_id").alias("rep_id"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+def _capped(groups: DataFrame, key: Column, max_block: int | None):
+    g = groups.withColumn("_bk", key)
+    if max_block is None:
+        return g
+    if max_block < 2:
+        raise ValueError("blocked fuzzy: max_block must be >= 2 "
+                         "(a 1-name block can't pair)")
+    sizes = g.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bn"))
+    return (g.join(F.broadcast(sizes.filter(F.col("_bn") <= max_block)),
+                   "_bk").drop("_bn"))
+
+
+def blocked_fuzzy_pairs(df: DataFrame, id_col: str = "p_partkey",
+                        text_col: str = "p_name", max_dist: int = 2,
+                        block: str = "last_token", prefix_len: int = 4,
+                        max_block: int | None = None,
+                        normalize: bool = True) -> DataFrame:
+    """Within-corpus near-name pairs: (name_a, name_b, id_a, id_b, n_a,
+    n_b, dist) with name_a < name_b and dist = levenshtein <= max_dist.
+
+    Plan: distinct-name shrink → equi-join on the blocking key (hash
+    shuffle on the key — NEVER a cartesian; tests/test_plan_shapes.py
+    style assert in tests/test_fuzzy.py) → lossless length-band prune →
+    bounded levenshtein.  ids/counts ride the name relation so the row
+    corpus is scanned exactly once.
+    """
+    if max_dist < 1:
+        raise ValueError("blocked_fuzzy_pairs: max_dist must be >= 1")
+    g = _capped(name_groups(df, id_col, text_col, normalize),
+                _block_key(F.col("name"), block, prefix_len), max_block)
+    a = g.select(F.col("_bk"), F.col("name").alias("name_a"),
+                 F.col("rep_id").alias("id_a"), F.col("n_rows").alias("n_a"))
+    b = g.select(F.col("_bk"), F.col("name").alias("name_b"),
+                 F.col("rep_id").alias("id_b"), F.col("n_rows").alias("n_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist)
+    return (a.join(b, "_bk")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .filter(F.abs(F.length("name_a") - F.length("name_b"))
+                    <= max_dist)
+            .withColumn("dist", dist)
+            .filter(F.col("dist") >= 0)  # bounded variant returns -1 above
+            .select("name_a", "name_b", "id_a", "id_b", "n_a", "n_b",
+                    "dist"))
+
+
+def fuzzy_match_against(batch: DataFrame, reference: DataFrame,
+                        batch_id: str = "doc_id", batch_text: str = "text",
+                        ref_id: str = "ref_id", ref_text: str = "name",
+                        max_dist: int = 2, block: str = "last_token",
+                        prefix_len: int = 4,
+                        max_block: int | None = None,
+                        normalize: bool = True) -> DataFrame:
+    """Canonicalize batch names against a reference catalog: for each
+    distinct batch name, the single best reference name within max_dist —
+    (name, match_name, match_id, dist), deterministic (min dist, then min
+    match_name, then min match_id).  Unmatched names are absent (join the
+    result back left to keep them).
+
+    Same candidate-bounded shape as `blocked_fuzzy_pairs`; the per-name
+    argmin is ONE window over the candidate relation (candidate-sized,
+    not corpus-sized).
+    """
+    from pyspark.sql import Window
+
+    if max_dist < 1:
+        raise ValueError("fuzzy_match_against: max_dist must be >= 1")
+    bg = _capped(name_groups(batch, batch_id, batch_text, normalize),
+                 _block_key(F.col("name"), block, prefix_len), max_block)
+    rg = _capped(name_groups(reference, ref_id, ref_text, normalize),
+                 _block_key(F.col("name"), block, prefix_len), max_block)
+    cand = (bg.select("_bk", "name")
+            .join(rg.select(F.col("_bk"),
+                            F.col("name").alias("match_name"),
+                            F.col("rep_id").alias("match_id")), "_bk")
+            .filter(F.abs(F.length("name") - F.length("match_name"))
+                    <= max_dist)
+            .withColumn("dist", F.levenshtein(F.col("name"),
+                                              F.col("match_name"), max_dist))
+            .filter(F.col("dist") >= 0))
+    w = (Window.partitionBy("name")
+         .orderBy(F.col("dist").asc(), F.col("match_name").asc(),
+                  F.col("match_id").asc()))
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("name", "match_name", "match_id", "dist"))

@@ -1,0 +1,132 @@
+"""Blocked fuzzy matching (datapipe/fuzzy.py): Python-difflib-free truth —
+a tiny local levenshtein reimplementation is the oracle, plus plan-shape
+asserts that the join is blocked, never cartesian."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flood_data_spark.datapipe.fuzzy import (
+    blocked_fuzzy_pairs, fuzzy_match_against, name_groups)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+NAMES = ["small ring", "smal ring", "small  Ring", "red widget",
+         "red widgets", "blue bolt", "blue belt", "green bolt",
+         "lone entity"]
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [(i, n) for i, n in enumerate(NAMES)]
+    # duplicate one row to exercise the distinct-name shrink
+    rows.append((99, "small ring"))
+    return spark.createDataFrame(rows, "p_partkey int, p_name string")
+
+
+def test_name_groups_collapses_and_counts(corpus):
+    got = {r.name: (r.rep_id, r.n_rows)
+           for r in name_groups(corpus).collect()}
+    # "small  Ring" normalizes onto "small ring"
+    assert got["small ring"] == (0, 3)
+    assert got["lone entity"] == (8, 1)
+    assert len(got) == len(NAMES) - 1
+
+
+def test_blocked_pairs_match_local_truth_within_block(corpus):
+    got = {(r.name_a, r.name_b): r.dist
+           for r in blocked_fuzzy_pairs(corpus, max_dist=2).collect()}
+    names = sorted({n.lower().strip().replace("  ", " ") for n in NAMES})
+    expect = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if a.split(" ")[-1] != b.split(" ")[-1]:
+                continue  # blocking contract: same last token only
+            d = _lev(a, b)
+            if d <= 2:
+                expect[(a, b)] = d
+    assert got == expect
+    assert got  # non-vacuous: at least the smal/small pair survives
+    wide = {(r.name_a, r.name_b): r.dist
+            for r in blocked_fuzzy_pairs(corpus, max_dist=4).collect()}
+    assert wide[("blue bolt", "green bolt")] == 4  # bounded DP, wider band
+
+
+def test_blocking_misses_cross_block_pairs_by_contract(corpus):
+    got = blocked_fuzzy_pairs(corpus, max_dist=2).collect()
+    # bolt vs belt differ in the LAST token: dist 1 but never candidates
+    assert not [r for r in got if {r.name_a, r.name_b}
+                == {"blue bolt", "blue belt"}]
+    # widget vs widgets likewise: the plural edit lives in the block key
+    assert not [r for r in got if {r.name_a, r.name_b}
+                == {"red widget", "red widgets"}]
+
+
+def test_ids_and_counts_ride_the_pairs(corpus):
+    row = [r for r in blocked_fuzzy_pairs(corpus, max_dist=2).collect()
+           if (r.name_a, r.name_b) == ("smal ring", "small ring")]
+    assert row and row[0].id_b == 0 and row[0].n_b == 3 and row[0].n_a == 1
+
+
+def test_max_block_caps_hot_blocks(spark):
+    rows = [(i, f"name{i} common") for i in range(20)]
+    rows += [(100, "aa rare"), (101, "ab rare")]
+    df = spark.createDataFrame(rows, "p_partkey int, p_name string")
+    capped = blocked_fuzzy_pairs(df, max_dist=2, max_block=5).collect()
+    assert {(r.name_a, r.name_b) for r in capped} == {("aa rare", "ab rare")}
+    with pytest.raises(ValueError, match="max_block"):
+        blocked_fuzzy_pairs(df, max_block=1)
+    with pytest.raises(ValueError, match="max_dist"):
+        blocked_fuzzy_pairs(df, max_dist=0)
+
+
+def test_plan_is_blocked_join_not_cartesian(corpus):
+    plan = blocked_fuzzy_pairs(corpus)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_match_against_picks_best_deterministically(spark):
+    batch = spark.createDataFrame(
+        [(1, "blu bolt"), (2, "rad widget"), (3, "nomatch thing")],
+        "doc_id int, text string")
+    ref = spark.createDataFrame(
+        [(10, "blue bolt"), (11, "blow bolt"), (12, "red widget")],
+        "ref_id int, name string")
+    got = {r.name: (r.match_name, r.match_id, r.dist)
+           for r in fuzzy_match_against(batch, ref, max_dist=2).collect()}
+    assert got["blu bolt"] == ("blue bolt", 10, 1)
+    assert got["rad widget"] == ("red widget", 12, 1)
+    assert "nomatch thing" not in got  # 'thing' block has no ref names
+
+
+def test_match_tiebreak_on_name_then_id(spark):
+    batch = spark.createDataFrame([(1, "aa bolt")], "doc_id int, text string")
+    ref = spark.createDataFrame(
+        [(20, "ab bolt"), (10, "ac bolt"), (30, "ab bolt")],
+        "ref_id int, name string")
+    r = fuzzy_match_against(batch, ref, max_dist=2).collect()[0]
+    # both dist 1 -> lexicographically smaller match_name wins; the
+    # duplicate ref name collapsed to its min id by name_groups
+    assert (r.match_name, r.match_id, r.dist) == ("ab bolt", 20, 1)
+
+
+def test_prefix_blocking_strategy(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha one"), (2, "alphq one"), (3, "beta one")],
+        "p_partkey int, p_name string")
+    got = blocked_fuzzy_pairs(df, max_dist=2, block="prefix",
+                              prefix_len=4).collect()
+    assert {(r.name_a, r.name_b) for r in got} == {("alpha one", "alphq one")}
+    with pytest.raises(ValueError, match="blocking"):
+        blocked_fuzzy_pairs(df, block="soundex")

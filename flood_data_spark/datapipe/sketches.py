@@ -81,6 +81,72 @@ def token_heavy_hitters(df: DataFrame, text_col: str = "text",
             .orderBy(F.desc("occurrences"), F.asc("token")))
 
 
+def _cms_col(key_col, row: int, width: int):
+    """Row `row`'s hash position: md5 with a per-row salt, truncated to 13
+    hex digits (fits a 52-bit int exactly — the bloom/uniform trick at
+    `dedup._bloom_positions`) mod width.  Deterministic and replicable in
+    ANSI SQL, so sketches are engine-portable artifacts."""
+    h = F.md5(F.concat(F.lit(f"cms{row}:"), key_col))
+    return (F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint")
+            % F.lit(width))
+
+
+def cms_build(df: DataFrame, key_col: str = "token",
+              width: int = 1024, depth: int = 4,
+              weight_col: str | None = None) -> DataFrame:
+    """Count-min sketch of a key column as a (row, col, cnt) relation —
+    depth x width cells, upper-bounding every key's true (weighted) count.
+
+    ONE scan: each input row explodes to its `depth` (row, col) positions
+    and groupBy(row, col) partial-aggregates map-side, so the exchange
+    carries at most depth*width cells per partition regardless of corpus
+    size.  The result is MERGEABLE (`cms_merge` — cell-wise sum), which is
+    what makes it the 100-TB running-frequency artifact: per-day sketches
+    union into a month without rescanning, the way `bloom_bits` merges
+    membership.  Estimates (`cms_estimate`) never undercount; they
+    overcount by ~N*e/width with probability 1 - exp(-depth).
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("cms_build: need width >= 2 and depth >= 1")
+    wcol = F.col(weight_col).cast("long") if weight_col else F.lit(1)
+    positions = F.array(*[_cms_col(F.col(key_col), j, width)
+                          for j in range(depth)])
+    return (df.select(F.posexplode(positions).alias("row", "col"),
+                      wcol.alias("_w"))
+            .groupBy("row", "col")
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two same-shape sketches — the mergeability that
+    lets sketches roll up across batches/partitions/days."""
+    return (a.unionByName(b)
+            .groupBy("row", "col")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame,
+                 key_col: str = "token",
+                 width: int = 1024, depth: int = 4) -> DataFrame:
+    """Point estimates for a key relation against a built sketch:
+    (key_col, est) with est = min over the key's depth cells — the classic
+    count-min upper bound (missing cells read as 0).
+
+    The sketch is depth*width rows, so the join broadcasts; the probe
+    relation explodes to depth rows per key and re-groups on the key —
+    query-sized work, corpus-free.
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("cms_estimate: need width >= 2 and depth >= 1")
+    positions = F.array(*[_cms_col(F.col(key_col), j, width)
+                          for j in range(depth)])
+    probe = keys.select(F.col(key_col),
+                        F.posexplode(positions).alias("row", "col"))
+    return (probe.join(F.broadcast(sketch), ["row", "col"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
+
+
 def corpus_report(df: DataFrame, text_col: str = "text",
                   lang_col: str = "lang",
                   source_col: str = "source") -> DataFrame:

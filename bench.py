@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q_bpe_encode_x10",
     "q_bpe_train_full",
     "q_ivfpq_search",
+    "q_cms_build_x10",
     "q_threshold_summary",
     "q_peak_timing",
     "q_tendency",
@@ -136,6 +137,12 @@ BENCH_QUERIES = [
     "q_bm25_topk",
     "q_gopher_rules_full",
     "q_dsir_weights",
+    # round-8 continuation: linalg + fuzzy + CMS registry entries (the
+    # x10 CMS build runs in the heavy front block)
+    "q_power_iteration",
+    "q_gram_matrix",
+    "q_fuzzy_pairs",
+    "q_cms_tokens",
 ]
 
 _IVF_INDEX = {}
@@ -503,7 +510,25 @@ def _q_bloom_dedup_x10(spark, sf_dir):
             .select("doc_id", "bloom_maybe_seen"))
 
 
+def _q_cms_build_x10(spark, sf_dir):
+    """Count-min sketch build over the 50k-doc near-duplicate tier's full
+    token stream: ONE scan, posexplode to depth positions, map-side
+    partial aggregation — the exchange carries at most depth*width cells
+    per partition however large the corpus (datapipe/sketches.cms_build).
+    This is the mergeable running-frequency artifact a 100 TB pipeline
+    maintains per batch; the registry twin q_cms_tokens carries the value
+    oracle at 1x."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.datapipe.sketches import cms_build
+    docs = spark.read.parquet(_scaled_documents_path(spark, sf_dir))
+    toks = (docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                        .alias("token"))
+            .filter(F.col("token") != ""))
+    return cms_build(toks, key_col="token", width=4096, depth=4)
+
+
 EXTRA_QUERIES = {
+    "q_cms_build_x10": _q_cms_build_x10,
     "q_gopher_rules_full": _q_gopher_rules_full,
     "q_bpe_encode_x10": _q_bpe_encode_x10,
     "q_bloom_dedup_x10": _q_bloom_dedup_x10,
@@ -589,7 +614,7 @@ def main():
                  # plan cost separates from the box's bimodal I/O noise
                  "q_contamination", "q_clean_lines", "q_line_dedup",
                  "q_bm25_index_build", "q_bpe_encode_x10",
-                 "q_bloom_dedup_x10"}
+                 "q_bloom_dedup_x10", "q_cms_build_x10"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

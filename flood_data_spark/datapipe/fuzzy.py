@@ -93,7 +93,13 @@ def blocked_fuzzy_pairs(df: DataFrame, id_col: str = "p_partkey",
     """
     if max_dist < 1:
         raise ValueError("blocked_fuzzy_pairs: max_dist must be >= 1")
-    g = _capped(name_groups(df, id_col, text_col, normalize),
+    # localCheckpoint: the name relation feeds BOTH join sides — without
+    # it Catalyst replans the corpus-sized scan+aggregate subtree per
+    # side (the multiply-consumed-bounded-relation lesson, curation.py
+    # :502 / the Bloom bits materialization).  The checkpointed relation
+    # is dictionary-sized, so the materialization is cheap by contract.
+    g = _capped(name_groups(df, id_col, text_col, normalize)
+                .localCheckpoint(eager=False),
                 _block_key(F.col("name"), block, prefix_len), max_block)
     a = g.select(F.col("_bk"), F.col("name").alias("name_a"),
                  F.col("rep_id").alias("id_a"), F.col("n_rows").alias("n_a"))

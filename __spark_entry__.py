@@ -2528,6 +2528,23 @@ def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("token", "est", "exact"))
 
 
+def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed count-min sketch (streaming/file_stream.cms_stream):
+    complete-mode availableNow over the documents stream — the
+    aggregation state IS the sketch, hard-bounded at depth*width cells
+    regardless of stream length or vocabulary (cf. heavy hitters, whose
+    state is vocabulary-bounded).  Full value oracle: the final table
+    must equal the batch cells relation bit-for-bit (_CMS_CELLS_CTES —
+    the same single definition q_cms_tokens interpolates)."""
+    from flood_data_spark.streaming.file_stream import cms_stream
+
+    def build(stream):
+        return cms_stream(stream.select("text"), width=512, depth=3)
+
+    return _run_file_stream(spark, f"{sf_dir}/documents.parquet", build,
+                            "cms_stream_", output_mode="complete")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2554,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_fuzzy_match": q_fuzzy_match,
         "q_cms_tokens": q_cms_tokens,
+        "q_cms_stream": q_cms_stream,
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
@@ -2602,13 +2620,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_recall": q_pq_recall,
         "q_ivfpq_recall": q_ivfpq_recall,
         # --- round 7, second batch ---
-        "q_dedup_stream": q_dedup_stream,
         # ---------------- gate window boundary (50) ----------------
-        # r8 continuation rotation: six new queries enter at the head
+        # r8 continuation rotation: seven new queries enter at the head
         # (q_dim_stats, q_gram_matrix, q_power_iteration, q_fuzzy_pairs,
-        # q_fuzzy_match, q_cms_tokens); the six displaced below
-        # (q_kmeans_contract … q_unigram_ppl) were green in the r7 gate
-        # and the r8 full sweep on modules unchanged since.
+        # q_fuzzy_match, q_cms_tokens, q_cms_stream); the seven displaced
+        # below (q_dedup_stream, q_kmeans_contract … q_unigram_ppl) were
+        # green in the r7 gate and the r8 full sweep on modules unchanged
+        # since — except q_dedup_stream's shared file_stream module, which
+        # gained only the independent cms_stream function this session
+        # (parity re-proven by tests/test_streaming.py and the full
+        # sweep artifact).
+        "q_dedup_stream": q_dedup_stream,
         "q_kmeans_contract": q_kmeans_contract,
         "q_kmeans_assign": q_kmeans_assign,
         "q_bpe_pairs": q_bpe_pairs,
@@ -2928,6 +2950,26 @@ _MIXTURE_ORACLE_CTES = """per AS (
             z AS (SELECT sum(scaled) AS z FROM sh)"""
 
 
+# Shared CMS cell relation: q_cms_tokens (batch) and q_cms_stream
+# (availableNow) both interpolate this single definition — the sketch
+# cells from the documents token stream, 3 x 512, 52-bit salted-md5
+# positions (sketches._cms_col arithmetic).
+_CMS_CELLS_CTES = """toks AS (
+                SELECT unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS token
+                FROM documents),
+            tk AS (SELECT token FROM toks WHERE token <> ''),
+            pos AS (
+                SELECT token, t.r AS row,
+                       CAST(('0x' || substr(md5('cms' || t.r || ':' ||
+                                                token), 1, 13)) AS BIGINT)
+                       % 512 AS col
+                FROM tk, range(3) t(r)),
+            cells AS (
+                SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+                FROM pos GROUP BY row, col)"""
+
+
 # Shared per-source quality-score ranking chain: q_quality_rank and
 # q_quality_tiers both interpolate this single definition (raw signals →
 # composite score → per-source percent_rank).
@@ -3164,17 +3206,7 @@ def oracle_sql() -> dict[str, str]:
         # q_cms_tokens: sketch cells AND probe re-derive the identical
         # 52-bit md5 positions; integer-only, so collisions hash-match too
         "q_cms_tokens": f"""
-            WITH toks AS (
-                SELECT unnest(string_split_regex(lower(trim(text)),
-                                                 '\\s+')) AS token
-                FROM documents),
-            tk AS (SELECT token FROM toks WHERE token <> ''),
-            pos AS (
-                SELECT token, t.r AS row, {cms_col.format(r='t.r')} AS col
-                FROM tk, range(3) t(r)),
-            cells AS (
-                SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
-                FROM pos GROUP BY row, col),
+            WITH {_CMS_CELLS_CTES},
             exact AS (
                 SELECT token, CAST(count(*) AS BIGINT) AS exact
                 FROM tk GROUP BY token HAVING count(*) >= 40),
@@ -3189,6 +3221,13 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY token)
             SELECT e.token, est.est, e.exact
             FROM est JOIN exact e USING (token)
+        """,
+        # q_cms_stream: the streamed sketch must equal the batch cells
+        # relation bit-for-bit — mergeable-sketch stream/batch parity,
+        # same shared definition as q_cms_tokens' build side
+        "q_cms_stream": f"""
+            WITH {_CMS_CELLS_CTES}
+            SELECT row, col, cnt FROM cells
         """,
         "q_threshold_summary": f"""
             SELECT l_partkey AS partkey,

@@ -263,3 +263,29 @@ def heavy_hitters_stream(stream_df: DataFrame, text_col: str = "text",
     return (toks.groupBy("term")
             .agg(F.count("*").alias("n"))
             .filter(F.col("n") >= min_count))
+
+
+def cms_stream(stream_df: DataFrame, text_col: str = "text",
+               width: int = 512, depth: int = 3) -> DataFrame:
+    """Streaming count-min sketch over a document stream: tokenize and run
+    `sketches.cms_build`'s aggregation as a complete-mode stream.
+
+    The aggregation state IS the sketch — at most depth*width cells
+    however long the stream runs (the same bounded-state argument as
+    `heavy_hitters_stream`, but with a HARD bound independent of
+    vocabulary size: an adversarial unbounded-vocabulary stream grows
+    heavy-hitter state without limit, while the CMS state cannot exceed
+    depth*width rows).  Count-min cells are mergeable by construction
+    (cell-wise sums), which is exactly the property Structured Streaming
+    needs from partial aggregates.  Under `availableNow` the final table
+    equals the batch `cms_build` bit-for-bit — q_cms_stream carries the
+    full value oracle.
+    """
+    from flood_data_spark.datapipe.sketches import cms_build
+
+    toks = (stream_df
+            .select(F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+                .alias("token"))
+            .filter(F.col("token") != ""))
+    return cms_build(toks, key_col="token", width=width, depth=depth)

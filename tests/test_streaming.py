@@ -391,3 +391,40 @@ def test_full_summary_stream_batch_parity_with_quantiles(spark, tmp_path):
         # ordering invariant of the quantile block
         assert (s[k].min_dis <= s[k].Q1_dis <= s[k].median_dis
                 <= s[k].Q3_dis <= s[k].max_dis)
+
+
+def test_cms_stream_batch_parity(spark, tmp_path):
+    """availableNow cms_stream (complete mode — the state IS the sketch,
+    hard-bounded at depth*width cells) == batch cms_build over the same
+    files, cell for cell, including merges across file boundaries."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from flood_data_spark.datapipe.sketches import cms_build
+    from flood_data_spark.streaming.file_stream import (
+        cms_stream, run_available_now)
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [0, 1], "text": ["a a b c", "a b b d"]}) \
+        .to_parquet(os.path.join(src, "f0.parquet"))
+    pd.DataFrame({"doc_id": [2], "text": ["a c c e"]}) \
+        .to_parquet(os.path.join(src, "f1.parquet"))
+
+    batch_df = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    agg = cms_stream(stream, width=32, depth=2)
+    q = run_available_now(agg, str(tmp_path / "ckpt_cms"),
+                          query_name="cms_stream_test",
+                          output_mode="complete")
+    q.awaitTermination()
+    got = {(r.row, r.col): r.cnt
+           for r in spark.table("cms_stream_test").collect()}
+    toks = (batch_df.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != ""))
+    want = {(r.row, r.col): r.cnt
+            for r in cms_build(toks, width=32, depth=2).collect()}
+    assert got == want
+    assert len(got) <= 32 * 2

@@ -2439,11 +2439,17 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     PCA/whitening front-end computed as per-partition numpy partial Grams
     inside ONE mapInPandas pass — the shuffle carries d(d+1)/2 cells per
     partition, the corpus never moves.  Full value oracle: DuckDB states
-    the same cells relationally (positional unnest self-join); per-cell
-    round(…, 6) absorbs summation-order drift."""
+    the same cells relationally (positional unnest self-join).  The gate
+    rounds the raw sums ONCE to 4 decimals on both sides: at the library
+    default of 6 the summation-order drift (~1e-13) flips a rounding
+    boundary with non-negligible probability across 2 080 cells, and
+    re-rounding a round-6 value to 4 is worse — the 6-decimal multiples
+    land on representable half-points where HALF_UP disagrees between
+    engines (measured: 2 of 2 080 cells).  One rounding, coarse enough
+    to swallow the drift, applied to the raw accumulation."""
     from flood_data_spark.datapipe.linalg import gram_matrix
 
-    return (gram_matrix(_t(spark, sf_dir, "embeddings"))
+    return (gram_matrix(_t(spark, sf_dir, "embeddings"), round_to=4)
             .select("i", "j", "val"))
 
 
@@ -2457,12 +2463,13 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline for iterative operators)."""
     from flood_data_spark.datapipe.linalg import power_iteration_top
 
-    emb = _t(spark, sf_dir, "embeddings")
-    d = emb.select(F.size("embedding").alias("d")).first().d
-    if d != 64:
+    v, _sigma2 = power_iteration_top(_t(spark, sf_dir, "embeddings"),
+                                     iterations=2)
+    # the guard reuses the d the operator already probed (len(v) == d) —
+    # no second dimension-probe job
+    if len(v) != 64:
         raise ValueError(f"q_power_iteration expects 64-dim embeddings "
-                         f"(oracle hardcodes v0 = 0.125), got {d}")
-    v, _sigma2 = power_iteration_top(emb, iterations=2)
+                         f"(oracle hardcodes v0 = 0.125), got {len(v)}")
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(v)], "pos int, component double")
 
@@ -2519,9 +2526,13 @@ def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("token"))
             .filter(F.col("token") != ""))
     sk = cms_build(toks, key_col="token", width=512, depth=3)
+    # localCheckpoint: `exact` feeds BOTH the probe-keys relation and the
+    # final join — vocabulary-bounded, so materializing once beats
+    # re-tokenizing the corpus per consumer (curation.py:502 rule)
     exact = (toks.groupBy("token")
              .agg(F.count(F.lit(1)).alias("exact"))
-             .filter(F.col("exact") >= 40))
+             .filter(F.col("exact") >= 40)
+             .localCheckpoint(eager=False))
     return (cms_estimate(sk, exact.select("token"), key_col="token",
                          width=512, depth=3)
             .join(exact, "token")
@@ -2564,7 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (timeseries/grid/curation) — every registry entry is driver-checked
     # within the last two rounds.
     return {
-        # --- round 8, continuation batch (6): linalg + fuzzy + CMS ---
+        # --- round 8, continuation batch (7): linalg + fuzzy + CMS ---
         "q_dim_stats": q_dim_stats,
         "q_gram_matrix": q_gram_matrix,
         "q_power_iteration": q_power_iteration,
@@ -3115,10 +3126,13 @@ def oracle_sql() -> dict[str, str]:
             FROM xr GROUP BY pos
         """,
         # q_gram_matrix: the mapInPandas partial-Gram path restated
-        # relationally — positional unnest self-joined on the row id
+        # relationally — positional unnest self-joined on the row id;
+        # ONE round(…, 4) of the raw sum on both sides (never re-round a
+        # rounded value — see q_gram_matrix's docstring)
         "q_gram_matrix": f"""
             WITH {xr}
-            SELECT a.pos AS i, b.pos AS j, round(sum(a.x * b.x), 6) AS val
+            SELECT a.pos AS i, b.pos AS j,
+                   round(sum(a.x * b.x), 4) AS val
             FROM xr a JOIN xr b
               ON a.vec_id = b.vec_id AND a.pos <= b.pos
             GROUP BY a.pos, b.pos

@@ -72,6 +72,11 @@ def _capped(groups: DataFrame, key: Column, max_block: int | None):
     if max_block < 2:
         raise ValueError("blocked fuzzy: max_block must be >= 2 "
                          "(a 1-name block can't pair)")
+    # the capped path consumes g twice (the sizes aggregate + the join
+    # side): checkpoint so the name relation's corpus-sized scan isn't
+    # replanned per consumer, whichever caller we're under — the
+    # dictionary-sized materialization is cheap by contract
+    g = g.localCheckpoint(eager=False)
     sizes = g.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bn"))
     return (g.join(F.broadcast(sizes.filter(F.col("_bn") <= max_block)),
                    "_bk").drop("_bn"))

@@ -58,9 +58,12 @@ def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
                  F.max("x").alias("vmax")))
 
 
-def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def gram_matrix(df: DataFrame, vec_col: str = "embedding",
+                round_to: int = 6) -> DataFrame:
     """Upper triangle of the Gram matrix X'X as (i, j, val) rows, i <= j,
-    0-based, val rounded to 6 decimals.
+    0-based, val rounded once to `round_to` decimals (rounding happens
+    exactly once, on the raw cross-partition sum — double rounding turns
+    representable half-points into engine-dependent coin flips).
 
     Plan: ONE mapInPandas pass accumulates a dense d x d float64 partial
     Gram per partition (Arrow-batched numpy `x.T @ x` — the embedding
@@ -96,7 +99,7 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     parts = (df.select(_as_double(F.col(vec_col)).alias("_v"))
              .mapInPandas(partial_gram, "i int, j int, val double"))
     return (parts.groupBy("i", "j")
-            .agg(F.round(F.sum("val"), 6).alias("val")))
+            .agg(F.round(F.sum("val"), round_to).alias("val")))
 
 
 def _dot_lit(vec_col, v: list) -> "F.Column":

@@ -135,9 +135,35 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame,
     The sketch is depth*width rows, so the join broadcasts; the probe
     relation explodes to depth rows per key and re-groups on the key —
     query-sized work, corpus-free.
+
+    (width, depth) MUST match the build: a mismatch silently probes
+    absent cells, which coalesce to 0 and break the never-undercount
+    contract.  Depth is validated against the sketch itself (a nonempty
+    build populates exactly the row ids 0..depth-1 — one aggregate over
+    the sketch-bounded relation, cheap by contract); width cannot be
+    recovered from a sparse sketch relationally, so it stays a
+    documented caller obligation.
     """
     if width < 2 or depth < 1:
         raise ValueError("cms_estimate: need width >= 2 and depth >= 1")
+    # localCheckpoint BEFORE the validation action: the shape aggregate
+    # materializes the (bounded) sketch once and the probe join below
+    # reuses it — otherwise a lazily-derived sketch would re-run its
+    # corpus-sized build inside this plan (the multiply-consumed-
+    # bounded-relation rule, curation.py:502)
+    sketch = sketch.localCheckpoint(eager=False)
+    shape = sketch.agg(F.count_distinct("row").alias("nrows"),
+                       F.max("row").alias("maxrow"),
+                       F.max("col").alias("maxcol")).first()
+    if shape.nrows and (shape.nrows != depth or shape.maxrow != depth - 1):
+        raise ValueError(
+            f"cms_estimate: sketch has row ids 0..{shape.maxrow} "
+            f"({shape.nrows} distinct) but depth={depth} was given — "
+            "build and probe parameters must match")
+    if shape.maxcol is not None and shape.maxcol >= width:
+        raise ValueError(
+            f"cms_estimate: sketch has col {shape.maxcol} >= width={width}"
+            " — build and probe parameters must match")
     positions = F.array(*[_cms_col(F.col(key_col), j, width)
                           for j in range(depth)])
     probe = keys.select(F.col(key_col),

@@ -126,3 +126,13 @@ def test_cms_sketch_is_bounded(spark, tokens):
                         width=64, depth=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cms_estimate_rejects_mismatched_depth(spark, tokens):
+    sk = cms_build(tokens, width=64, depth=3)
+    with pytest.raises(ValueError, match="parameters must match"):
+        cms_estimate(sk, tokens.select("token").distinct(),
+                     width=64, depth=4).collect()
+    with pytest.raises(ValueError, match="parameters must match"):
+        cms_estimate(sk, tokens.select("token").distinct(),
+                     width=32, depth=3).collect()

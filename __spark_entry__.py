@@ -2539,6 +2539,25 @@ def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("token", "est", "exact"))
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS (datapipe/graph.hits) over the DIRECTED customer →
+    supplier co-order graph (q_pagerank's relation without the
+    undirected union): hubs are ordering customers, authorities are
+    supplied parts' suppliers.  Two iterations, L2-normalized, round-6
+    per half-step — the oracle unrolls all four half-steps in SQL, so
+    this iterative operator carries a full value hash (the q_pagerank
+    discipline)."""
+    from flood_data_spark.datapipe.graph import hits
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 1_000_000).alias("dst"))
+             .distinct())
+    return hits(edges, iterations=2)
+
+
 def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed count-min sketch (streaming/file_stream.cms_stream):
     complete-mode availableNow over the documents stream — the
@@ -2583,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_match": q_fuzzy_match,
         "q_cms_tokens": q_cms_tokens,
         "q_cms_stream": q_cms_stream,
+        "q_hits": q_hits,
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
@@ -2629,18 +2649,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_alert_stream": q_alert_stream,
         "q_grib_codec": q_grib_codec,
         "q_pq_recall": q_pq_recall,
-        "q_ivfpq_recall": q_ivfpq_recall,
         # --- round 7, second batch ---
         # ---------------- gate window boundary (50) ----------------
-        # r8 continuation rotation: seven new queries enter at the head
+        # r8 continuation rotation: eight new queries enter at the head
         # (q_dim_stats, q_gram_matrix, q_power_iteration, q_fuzzy_pairs,
-        # q_fuzzy_match, q_cms_tokens, q_cms_stream); the seven displaced
-        # below (q_dedup_stream, q_kmeans_contract … q_unigram_ppl) were
-        # green in the r7 gate and the r8 full sweep on modules unchanged
-        # since — except q_dedup_stream's shared file_stream module, which
-        # gained only the independent cms_stream function this session
-        # (parity re-proven by tests/test_streaming.py and the full
-        # sweep artifact).
+        # q_fuzzy_match, q_cms_tokens, q_cms_stream, q_hits); the eight
+        # displaced below (q_ivfpq_recall, q_dedup_stream,
+        # q_kmeans_contract … q_unigram_ppl) were green in the r7 gate
+        # and the r8 full sweep on modules unchanged since — except
+        # q_dedup_stream's shared file_stream module, which gained only
+        # the independent cms_stream function this session (parity
+        # re-proven by tests/test_streaming.py and the full sweep
+        # artifact).
+        "q_ivfpq_recall": q_ivfpq_recall,
         "q_dedup_stream": q_dedup_stream,
         "q_kmeans_contract": q_kmeans_contract,
         "q_kmeans_assign": q_kmeans_assign,
@@ -3235,6 +3256,42 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY token)
             SELECT e.token, est.est, e.exact
             FROM est JOIN exact e USING (token)
+        """,
+        # q_hits: both HITS iterations unrolled — four half-steps, each
+        # an edge join + L2 normalize + round-6 (h0 = 1 makes the first
+        # authority pass a plain in-degree count)
+        "q_hits": """
+            WITH pairs AS (
+                SELECT DISTINCT o.o_custkey AS c,
+                       l.l_suppkey + 1000000 AS s
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_custkey < 150),
+            e AS (SELECT c AS src, s AS dst FROM pairs),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            a1r AS (SELECT dst AS node, CAST(count(*) AS DOUBLE) AS s
+                    FROM e GROUP BY dst),
+            a1n AS (SELECT sqrt(sum(s * s)) AS nrm FROM a1r),
+            a1 AS (SELECT node, round(s / nrm, 6) AS a FROM a1r, a1n),
+            h1r AS (SELECT e.src AS node, sum(a1.a) AS s
+                    FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+            h1n AS (SELECT sqrt(sum(s * s)) AS nrm FROM h1r),
+            h1 AS (SELECT node, round(s / nrm, 6) AS h FROM h1r, h1n),
+            a2r AS (SELECT e.dst AS node, sum(h1.h) AS s
+                    FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+            a2n AS (SELECT sqrt(sum(s * s)) AS nrm FROM a2r),
+            a2 AS (SELECT node, round(s / nrm, 6) AS a FROM a2r, a2n),
+            h2r AS (SELECT e.src AS node, sum(a2.a) AS s
+                    FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+            h2n AS (SELECT sqrt(sum(s * s)) AS nrm FROM h2r),
+            h2 AS (SELECT node, round(s / nrm, 6) AS h FROM h2r, h2n)
+            SELECT n.node,
+                   coalesce(h2.h, 0.0) AS hub,
+                   coalesce(a2.a, 0.0) AS authority
+            FROM nodes n
+            LEFT JOIN h2 ON n.node = h2.node
+            LEFT JOIN a2 ON n.node = a2.node
         """,
         # q_cms_stream: the streamed sketch must equal the batch cells
         # relation bit-for-bit — mergeable-sketch stream/batch parity,

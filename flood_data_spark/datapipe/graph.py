@@ -104,3 +104,59 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         if it + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
+
+
+def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Kleinberg HITS over a directed edge list: (node, hub, authority),
+    L2-normalized, both scores rounded to 6 decimals after every
+    normalization.
+
+    The hub/authority split is the curation signal PageRank can't give:
+    a link DIRECTORY (high hub) and a linked RESOURCE (high authority)
+    both get PageRank mass, but corpus quality priors usually want
+    authorities only.  Same plan economics as `pagerank`: one edge-sized
+    join + one groupBy per half-step, node-sized score relations
+    localCheckpoint-ed every round, the L2 norm as a broadcast scalar
+    row.  Edge multiplicity counts (multigraph semantics) — `.distinct()`
+    upstream for simple-graph behavior.
+
+    The per-step round(…, 6) pins the fixed point across engines and
+    partitionings (the power-iteration/classifier discipline), so a
+    fixed-iteration run unrolls in ANSI SQL — q_hits carries a full
+    value hash.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=False))
+
+    def _norm6(scores: DataFrame, col: str) -> DataFrame:
+        nrm = scores.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+        return (scores.crossJoin(F.broadcast(nrm))
+                .select("node", F.round(F.col(col) / F.col("_n"), 6)
+                        .alias(col)))
+
+    # h0 = 1 for every node, so the first authority pass is a plain
+    # in-degree sum — stated identically in the SQL unroll
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for it in range(iterations):
+        auth = _norm6(
+            e.join(hubs, e["src"] == hubs["node"])
+             .groupBy(e["dst"].alias("node"))
+             .agg(F.sum("hub").alias("authority")), "authority") \
+            .localCheckpoint(eager=False)
+        hubs = _norm6(
+            e.join(auth, e["dst"] == auth["node"])
+             .groupBy(e["src"].alias("node"))
+             .agg(F.sum("authority").alias("hub")), "hub") \
+            .localCheckpoint(eager=False)
+    return (nodes
+            .join(hubs, "node", "left")
+            .join(auth, "node", "left")
+            .select("node",
+                    F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                    F.coalesce("authority", F.lit(0.0)).alias("authority")))

@@ -4,7 +4,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from flood_data_spark.datapipe.graph import out_degrees, pagerank
+from flood_data_spark.datapipe.graph import out_degrees, pagerank, hits
 
 
 def _edges(spark, pairs):
@@ -75,3 +75,45 @@ def test_out_degrees_and_guards(spark):
         pagerank(e, damping=1.5)
     empty = _edges(spark, [])
     assert pagerank(empty, iterations=2).count() == 0
+
+
+def test_hits_star_separates_hubs_from_authorities(spark):
+    # directory node 0 links to resources 1..3; resource 1 also links out
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "src long, dst long")
+    got = {r.node: (r.hub, r.authority)
+           for r in hits(edges, iterations=5).collect()}
+    assert got[0][0] > got[1][0] > 0          # 0 is the dominant hub
+    assert got[0][1] == 0.0                   # nothing links TO 0
+    assert got[2][1] > got[3][1] > 0          # 2 has two in-links
+    assert got[2][0] == got[3][0] == 0.0      # pure resources: no out-links
+
+
+def test_hits_one_iteration_closed_form(spark):
+    # chain a->b->c with h0=1: a1 ∝ in-degree = {b:1, c:1} -> normalized
+    # {b: 1/sqrt(2), c: 1/sqrt(2)}; h1 ∝ {a: a(b), b: a(c)} -> same split
+    import math
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r.node: (r.hub, r.authority)
+           for r in hits(edges, iterations=1).collect()}
+    v = round(1 / math.sqrt(2), 6)
+    assert got[1][1] == v and got[2][1] == v
+    assert got[0][0] == pytest.approx(v, abs=2e-6)
+    assert got[1][0] == pytest.approx(v, abs=2e-6)
+    assert got[2][0] == 0.0 and got[0][1] == 0.0
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 11) for i in range(60)], "src long, dst long")
+    a = {(r.node, r.hub, r.authority)
+         for r in hits(edges.coalesce(1), iterations=3).collect()}
+    b = {(r.node, r.hub, r.authority)
+         for r in hits(edges.repartition(8), iterations=3).collect()}
+    assert a == b
+
+
+def test_hits_guards(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)

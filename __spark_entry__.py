@@ -2474,6 +2474,19 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, c) for i, c in enumerate(v)], "pos int, component double")
 
 
+def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance upper triangle
+    (datapipe/linalg.covariance_matrix): gram/n - mean_i*mean_j — the
+    whitening/PCA input proper, composing the raw mapInPandas Gram with
+    the d-keyed mean relation through two broadcast joins.  Full value
+    oracle; rounding happens ONCE on the final expression (the
+    q_gram_matrix lesson)."""
+    from flood_data_spark.datapipe.linalg import covariance_matrix
+
+    return (covariance_matrix(_t(spark, sf_dir, "embeddings"))
+            .select("i", "j", "val"))
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity resolution (datapipe/fuzzy.blocked_fuzzy_pairs)
     over part names: distinct-name shrink → last-token blocking (candidates
@@ -2598,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dim_stats": q_dim_stats,
         "q_gram_matrix": q_gram_matrix,
         "q_power_iteration": q_power_iteration,
+        "q_covariance": q_covariance,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_fuzzy_match": q_fuzzy_match,
         "q_cms_tokens": q_cms_tokens,
@@ -2648,19 +2662,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_codec": q_audio_codec,
         "q_alert_stream": q_alert_stream,
         "q_grib_codec": q_grib_codec,
-        "q_pq_recall": q_pq_recall,
         # --- round 7, second batch ---
         # ---------------- gate window boundary (50) ----------------
-        # r8 continuation rotation: eight new queries enter at the head
-        # (q_dim_stats, q_gram_matrix, q_power_iteration, q_fuzzy_pairs,
-        # q_fuzzy_match, q_cms_tokens, q_cms_stream, q_hits); the eight
-        # displaced below (q_ivfpq_recall, q_dedup_stream,
-        # q_kmeans_contract … q_unigram_ppl) were green in the r7 gate
-        # and the r8 full sweep on modules unchanged since — except
-        # q_dedup_stream's shared file_stream module, which gained only
-        # the independent cms_stream function this session (parity
-        # re-proven by tests/test_streaming.py and the full sweep
-        # artifact).
+        # r8 continuation rotation: nine new queries enter at the head
+        # (q_dim_stats, q_gram_matrix, q_power_iteration, q_covariance,
+        # q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens, q_cms_stream,
+        # q_hits); the nine displaced below (q_pq_recall,
+        # q_ivfpq_recall, q_dedup_stream, q_kmeans_contract …
+        # q_unigram_ppl) were green in the r7 gate and the r8 full sweep
+        # on modules unchanged since — except q_dedup_stream's shared
+        # file_stream module, which gained only the independent
+        # cms_stream function this session (parity re-proven by
+        # tests/test_streaming.py and the full sweep artifact).
+        "q_pq_recall": q_pq_recall,
         "q_ivfpq_recall": q_ivfpq_recall,
         "q_dedup_stream": q_dedup_stream,
         "q_kmeans_contract": q_kmeans_contract,
@@ -3179,6 +3193,22 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY a.pos),
             n2 AS (SELECT sqrt(sum(z * z)) AS nrm FROM z2)
             SELECT pos, round(z / nrm, 6) AS component FROM z2, n2
+        """,
+        # q_covariance: gram/n - mi*mj with ONE final round-6 — the raw
+        # sums and raw means participate unrounded on both sides
+        "q_covariance": f"""
+            WITH {xr},
+            g AS (SELECT a.pos AS i, b.pos AS j, sum(a.x * b.x) AS s
+                  FROM xr a JOIN xr b
+                    ON a.vec_id = b.vec_id AND a.pos <= b.pos
+                  GROUP BY a.pos, b.pos),
+            st AS (SELECT pos, avg(x) AS m,
+                          CAST(count(*) AS DOUBLE) AS n
+                   FROM xr GROUP BY pos)
+            SELECT g.i, g.j,
+                   round(g.s / si.n - si.m * sj.m, 6) AS val
+            FROM g JOIN st si ON g.i = si.pos
+                   JOIN st sj ON g.j = sj.pos
         """,
         # q_fuzzy_pairs: distinct-name shrink, last-token blocking,
         # length band, levenshtein <= 3 — DuckDB's levenshtein is the

@@ -59,11 +59,12 @@ def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def gram_matrix(df: DataFrame, vec_col: str = "embedding",
-                round_to: int = 6) -> DataFrame:
+                round_to: int | None = 6) -> DataFrame:
     """Upper triangle of the Gram matrix X'X as (i, j, val) rows, i <= j,
     0-based, val rounded once to `round_to` decimals (rounding happens
     exactly once, on the raw cross-partition sum — double rounding turns
-    representable half-points into engine-dependent coin flips).
+    representable half-points into engine-dependent coin flips; pass
+    round_to=None for the raw sums when the caller keeps computing).
 
     Plan: ONE mapInPandas pass accumulates a dense d x d float64 partial
     Gram per partition (Arrow-batched numpy `x.T @ x` — the embedding
@@ -98,8 +99,38 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
 
     parts = (df.select(_as_double(F.col(vec_col)).alias("_v"))
              .mapInPandas(partial_gram, "i int, j int, val double"))
-    return (parts.groupBy("i", "j")
-            .agg(F.round(F.sum("val"), round_to).alias("val")))
+    agg = F.sum("val") if round_to is None else F.round(F.sum("val"),
+                                                        round_to)
+    return parts.groupBy("i", "j").agg(agg.alias("val"))
+
+
+def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
+                      round_to: int = 6) -> DataFrame:
+    """Upper triangle of the population covariance as (i, j, val) rows:
+    cov[i,j] = gram[i,j]/n - mean_i * mean_j — the whitening/PCA input
+    proper (the Gram alone is only correct for pre-centered data).
+
+    Composes the two d-bounded passes: the mapInPandas partial-Gram
+    (d^2-bounded exchange) joined with the d-keyed mean relation on each
+    index — both joins broadcast (d and d^2 rows).  The count rides the
+    mean relation, so no third scan.  Rounding happens ONCE, on the
+    final expression (never re-round a rounded value — representable
+    half-points flip between engines), so the Gram is taken raw here.
+    """
+    gram = gram_matrix(df, vec_col, round_to=None)
+    stats = (df.select(F.posexplode(_as_double(F.col(vec_col)))
+                       .alias("pos", "x"))
+             .groupBy("pos")
+             .agg(F.avg("x").alias("mean"), F.count(F.lit(1)).alias("n")))
+    mi = stats.select(F.col("pos").alias("i"), F.col("mean").alias("_mi"),
+                      F.col("n").alias("_n"))
+    mj = stats.select(F.col("pos").alias("j"), F.col("mean").alias("_mj"))
+    return (gram.join(F.broadcast(mi), "i")
+            .join(F.broadcast(mj), "j")
+            .select("i", "j",
+                    F.round(F.col("val") / F.col("_n")
+                            - F.col("_mi") * F.col("_mj"),
+                            round_to).alias("val")))
 
 
 def _dot_lit(vec_col, v: list) -> "F.Column":

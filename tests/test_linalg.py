@@ -104,3 +104,15 @@ def test_rayleigh_quotient_is_norm_squared_along_v(spark):
     v0 = np.array([round(1.0 / math.sqrt(d), 6)] * d)
     _, sigma2 = power_iteration_top(df, iterations=1)
     assert sigma2 == pytest.approx(float(v0 @ (x.T @ x) @ v0), rel=1e-9)
+
+
+def test_covariance_matches_numpy(spark):
+    from flood_data_spark.datapipe.linalg import covariance_matrix
+    df, x = _fixture(spark)
+    cov = np.cov(x, rowvar=False, bias=True)  # population covariance
+    got = {(r.i, r.j): r.val for r in covariance_matrix(df).collect()}
+    d = x.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            assert got[(i, j)] == pytest.approx(cov[i, j], abs=1e-5)

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     # x10 CMS build runs in the heavy front block)
     "q_power_iteration",
     "q_gram_matrix",
+    "q_covariance",
     "q_fuzzy_pairs",
     "q_cms_tokens",
 ]

@@ -187,6 +187,76 @@ def power_iteration_top(df: DataFrame, vec_col: str = "embedding",
     return v, sigma2
 
 
+def power_iteration_topk(df: DataFrame, k: int,
+                         vec_col: str = "embedding",
+                         iterations: int = 8) -> tuple:
+    """Top-k eigenvectors of X'X by deflated power iteration: component
+    m is found by the `power_iteration_top` recurrence with a
+    Gram-Schmidt re-orthogonalization against components 0..m-1 after
+    every update (all driver-side on d-sized vectors).  Returns
+    (components, sigma2s) — a k x d nested list (rows rounded to 6
+    decimals) and the per-component Rayleigh quotients.
+
+    Distributed cost is exactly k runs of the single-component loop
+    (one scan + one d-keyed shuffle per iteration); the deflation math
+    touches only k*d driver-side doubles.  This is the whole PCA fit for
+    the quantizer front-end: `covariance_matrix` diagnostics,
+    `power_iteration_topk` for the axes, `project_components` to apply
+    them.  k must stay small (k << d — the FAISS OPQ regime); for full
+    spectra use a single-machine eigensolver on the d x d covariance
+    (which `gram_matrix` already reduces to driver scale).
+    """
+    if k < 1:
+        raise ValueError("power_iteration_topk: k must be >= 1")
+    if iterations < 1:
+        raise ValueError("power_iteration_topk: iterations must be >= 1")
+    base = df.select(_as_double(F.col(vec_col)).alias("_v"))
+    first = base.select(F.size("_v").alias("d")).first()
+    if first is None:
+        raise ValueError("power_iteration_topk: empty input")
+    d = first.d
+    if k > d:
+        raise ValueError(f"power_iteration_topk: k={k} exceeds dim {d}")
+    comps: list = []
+    sig: list = []
+    for m in range(k):
+        # deterministic start, distinct per component: unit vector along
+        # axis m mixed with the uniform direction (keeps a nonzero
+        # projection on the target eigenvector in general position)
+        v = [round(1.0 / d ** 0.5, 6)] * d
+        v[m] = round(v[m] + 1.0, 6)
+        v = _gram_schmidt(v, comps)
+        sigma2 = 0.0
+        for _ in range(iterations):
+            y = base.withColumn("_y", _dot_lit(F.col("_v"), v))
+            cells = (y.select("_y", F.posexplode("_v").alias("pos", "x"))
+                     .groupBy("pos")
+                     .agg(F.sum(F.col("_y") * F.col("x")).alias("z"))
+                     .collect())
+            z = [0.0] * d
+            for r in cells:
+                z[r.pos] = r.z
+            sigma2 = sum(a * b for a, b in zip(v, z))
+            v = _gram_schmidt(z, comps)
+        comps.append(v)
+        sig.append(sigma2)
+    return comps, sig
+
+
+def _gram_schmidt(z: list, comps: list) -> list:
+    """Project out earlier components, L2-normalize, round to 6 — the
+    per-step deflation that keeps component m converging to eigenvector
+    m instead of collapsing back onto the dominant one."""
+    for c in comps:
+        proj = sum(a * b for a, b in zip(z, c))
+        z = [a - proj * b for a, b in zip(z, c)]
+    nrm = sum(t * t for t in z) ** 0.5
+    if nrm < 1e-12:
+        raise ValueError("power iteration deflation collapsed — input "
+                         "rank is below the requested k")
+    return [round(t / nrm, 6) for t in z]
+
+
 def project_components(df: DataFrame, components: list,
                        vec_col: str = "embedding",
                        out_col: str = "proj") -> DataFrame:

@@ -116,3 +116,31 @@ def test_covariance_matches_numpy(spark):
     for i in range(d):
         for j in range(i, d):
             assert got[(i, j)] == pytest.approx(cov[i, j], abs=1e-5)
+
+
+def test_power_iteration_topk_matches_numpy_eigh(spark):
+    from flood_data_spark.datapipe.linalg import power_iteration_topk
+    df, x = _fixture(spark)
+    comps, sig = power_iteration_topk(df, k=3, iterations=15)
+    w, vecs = np.linalg.eigh(x.T @ x)
+    for m in range(3):
+        target = vecs[:, -(m + 1)]
+        got = np.array(comps[m])
+        assert abs(float(got @ target)) > 0.99
+        assert sig[m] == pytest.approx(w[-(m + 1)], rel=2e-2)
+    # orthonormal basis
+    for a in range(3):
+        for b in range(a + 1, 3):
+            dot = float(np.array(comps[a]) @ np.array(comps[b]))
+            assert abs(dot) < 1e-4
+        assert float(np.array(comps[a]) @ np.array(comps[a])) \
+            == pytest.approx(1.0, abs=1e-4)
+
+
+def test_power_iteration_topk_guards(spark):
+    from flood_data_spark.datapipe.linalg import power_iteration_topk
+    df, _ = _fixture(spark)
+    with pytest.raises(ValueError, match="k must"):
+        power_iteration_topk(df, k=0)
+    with pytest.raises(ValueError, match="exceeds dim"):
+        power_iteration_topk(df, k=7)

@@ -126,3 +126,61 @@ def test_fuzz_cooccurrence(spark, seed):
     docs = spark.createDataFrame(pdf)
     out = cooccurrence_pmi(docs, window=2, min_count=5)
     _compare(pdf, out, "q_cooccurrence")
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_fuzz_cms_cells(spark, seed):
+    """Random corpora fuzz the CMS cell arithmetic (salted-md5 positions,
+    integer sums) — exact cell-level agreement, collisions included."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.datapipe.sketches import cms_build
+
+    pdf = _random_corpus(seed)
+    docs = spark.createDataFrame(pdf)
+    toks = (docs.select(F.explode(
+        F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != ""))
+    out = cms_build(toks, key_col="token", width=512, depth=3)
+    _compare(pdf, out, "q_cms_stream")
+
+
+def _random_parts(seed, n=300):
+    rng = random.Random(seed)
+    adjs = ["red", "blue", "green", "smal", "small", "large", "old",
+            "cold", "hot", "tiny"]
+    nouns = ["bolt", "gear", "ring", "rod", "anvil", "plate"]
+    rows = []
+    for i in range(n):
+        name = f"{rng.choice(adjs)} {rng.choice(nouns)}"
+        if rng.random() < 0.15:      # random whitespace/case noise the
+            name = "  " + name.upper() + " "  # normalization must absorb
+        rows.append((i, name))
+    return pd.DataFrame(rows, columns=["p_partkey", "p_name"])
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_fuzz_blocked_fuzzy_pairs(spark, seed):
+    """Random near-name corpora (typo'd adjectives, case/whitespace
+    noise) fuzz the shrink → block → band → bounded-DP chain."""
+    from flood_data_spark.datapipe.fuzzy import blocked_fuzzy_pairs
+
+    pdf = _random_parts(seed)
+    parts = spark.createDataFrame(pdf)
+    out = (blocked_fuzzy_pairs(parts, id_col="p_partkey",
+                               text_col="p_name", max_dist=3)
+           .select("name_a", "name_b", "id_a", "id_b", "n_a", "n_b",
+                   "dist"))
+    con = duckdb.connect()
+    con.register("part", pdf)
+    duck_df = con.execute(entry_mod.oracle_sql()["q_fuzzy_pairs"]).fetchdf()
+    duck_df.columns = [c.lower() for c in duck_df.columns]
+    cols = sorted(duck_df.columns)
+    duck_rows = sorted(
+        (tuple(None if pd.isna(v) else v for v in r)
+         for r in duck_df[cols].itertuples(index=False, name=None)),
+        key=_sort_key)
+    sdf = out.select(*sorted(out.columns, key=str.lower))
+    spark_rows = sorted((tuple(r) for r in sdf.collect()), key=_sort_key)
+    assert _rows_close(spark_rows, duck_rows), \
+        f"fuzzy diverged: {spark_rows[:3]} vs {duck_rows[:3]}"
+    assert duck_rows, "vacuous draw: no near-name pairs generated"

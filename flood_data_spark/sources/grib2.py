@@ -60,6 +60,107 @@ def _unpack_bits(data: bytes, nbits: int, n: int) -> np.ndarray:
     return bits.astype(np.int64) @ weights
 
 
+class _BitReader:
+    """Sequential bit-cursor over a byte string — the group stages of
+    complex packing read three octet-aligned fixed-width arrays and then
+    one continuous variable-width value stream."""
+
+    def __init__(self, data: bytes):
+        self._bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, nbits: int, n: int) -> np.ndarray:
+        """n consecutive nbits-wide big-endian unsigned ints."""
+        if nbits == 0:
+            return np.zeros(n, dtype=np.int64)
+        end = self.pos + n * nbits
+        if end > len(self._bits):
+            raise ValueError("grib2: bit stream overrun in complex packing")
+        w = (1 << np.arange(nbits - 1, -1, -1)).astype(np.int64)
+        out = self._bits[self.pos:end].reshape(n, nbits).astype(np.int64) @ w
+        self.pos = end
+        return out
+
+    def align(self):
+        self.pos = (self.pos + 7) // 8 * 8
+
+
+def _unpack_complex(s5: bytes, s7: bytes, n_vals: int) -> np.ndarray:
+    """Data representation templates 5.2 (grid-point complex packing) and
+    5.3 (complex + spatial differencing), missing-value management 0:
+    group reference/width/length arrays (each octet-aligned), one
+    continuous packed-difference stream, then the optional first/second
+    -order spatial-differencing reconstruction (template 7.3: the extra
+    descriptors ival1[, ival2] and gmin lead the data section,
+    sign-magnitude, `extra_octets` wide).  Returns the X integer field of
+    the (R + X*2^E)/10^D formula — same contract as simple packing's
+    bit unpack."""
+    tmpl5 = _u(s5[9:11])
+    nbits = s5[19]
+    missing_mgmt = s5[22]
+    if missing_mgmt != 0:
+        raise NotImplementedError(
+            f"grib2: missing-value management {missing_mgmt} unsupported "
+            "(0 only)")
+    ng = _u(s5[31:35])
+    width_ref, width_bits = s5[35], s5[36]
+    len_ref = _u(s5[37:41])
+    len_inc = s5[41]
+    last_len = _u(s5[42:46])
+    len_bits = s5[46]
+    order = extra_octets = 0
+    if tmpl5 == 3:
+        order = s5[47]
+        extra_octets = s5[48]
+        if order not in (1, 2):
+            raise NotImplementedError(
+                f"grib2: spatial differencing order {order} unsupported")
+
+    r = _BitReader(s7)
+    ival = []
+    gmin = 0
+    if tmpl5 == 3 and extra_octets:
+        sbit = 1 << (8 * extra_octets - 1)
+
+        def _signed(v: int) -> int:
+            return -(v & ~sbit) if v & sbit else v
+        head = r.read(8 * extra_octets, order + 1)
+        ival = [_signed(int(v)) for v in head[:order]]
+        gmin = _signed(int(head[order]))
+
+    refs = r.read(nbits, ng)
+    r.align()
+    widths = width_ref + r.read(width_bits, ng)
+    r.align()
+    lengths = len_ref + len_inc * r.read(len_bits, ng)
+    r.align()
+    if ng:
+        lengths[-1] = last_len
+    if int(lengths.sum()) != n_vals:
+        raise ValueError(
+            f"grib2: group lengths sum {int(lengths.sum())} != value "
+            f"count {n_vals}")
+    x = np.empty(n_vals, dtype=np.int64)
+    pos = 0
+    for g in range(ng):
+        ln = int(lengths[g])
+        x[pos:pos + ln] = refs[g] + r.read(int(widths[g]), ln)
+        pos += ln
+
+    if tmpl5 == 3:
+        x += gmin
+        for i, v in enumerate(ival):
+            x[i] = v
+        # undo the differencing: first order d[i] = x[i] - x[i-1];
+        # second order d[i] = x[i] - 2x[i-1] + x[i-2]
+        if order == 1:
+            x = np.cumsum(x, dtype=np.int64)
+        else:
+            for i in range(2, n_vals):
+                x[i] = x[i] + 2 * x[i - 1] - x[i - 2]
+    return x
+
+
 def _iter_messages(content: bytes):
     pos = 0
     while pos < len(content):
@@ -136,13 +237,14 @@ def _decode_message(msg: bytes) -> dict:
     step_ns = _u(s4[18:22]) * _NS_PER_UNIT[unit]
     number = s4[35] if tmpl4 == 1 else 0
 
-    # section 5: data representation — template 5.0 simple packing
+    # section 5: data representation — template 5.0 simple packing,
+    # 5.2 complex packing, 5.3 complex + spatial differencing
     s5 = s[5]
     tmpl5 = _u(s5[9:11])
-    if tmpl5 != 0:
+    if tmpl5 not in (0, 2, 3):
         raise NotImplementedError(
-            f"grib2: data template 5.{tmpl5} unsupported (5.0 simple "
-            "packing only; complex/JPEG2000 need cfgrib)")
+            f"grib2: data template 5.{tmpl5} unsupported (5.0/5.2/5.3 "
+            "only; JPEG2000/CCSDS/spectral need cfgrib)")
     n_vals = _u(s5[5:9])
     ref_val = struct.unpack(">f", s5[11:15])[0]
     e_scale = _sm(s5[15:17])
@@ -162,9 +264,12 @@ def _decode_message(msg: bytes) -> dict:
             f"grib2: predefined bitmap {bmp_flag} unsupported")
 
     # section 7: packed data
-    x = _unpack_bits(s[7][5:], nbits, n_vals)
+    if tmpl5 in (2, 3):
+        x = _unpack_complex(s5, s[7][5:], n_vals)
+    else:
+        x = _unpack_bits(s[7][5:], nbits, n_vals)
     vals = (ref_val + x.astype(np.float64) * 2.0 ** e_scale) / 10.0 ** d_scale
-    if nbits == 0:
+    if nbits == 0 and tmpl5 == 0:
         vals = np.full(n_vals, ref_val / 10.0 ** d_scale)
     if bitmap is not None:
         full = np.full(ni * nj, np.nan)
@@ -218,26 +323,55 @@ def build_simple_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
     template 5.0 simple packing) — the synthetic-data/test counterpart of
     the reader above.  `xs` are the packed integers, row-major (i fastest);
     decoded value = (ref + X * 2**e_scale) / 10**d_scale."""
-    def sec(num, body):
-        return struct.pack(">IB", len(body) + 5, num) + body
-
-    def sm32(v):
-        raw = abs(int(round(v)))
-        return struct.pack(">I", raw | (0x80000000 if v < 0 else 0))
-
     for x in xs:
         if not 0 <= int(x) < (1 << nbits):
             # an oversized value would widen its bit field and silently
             # shift every subsequent packed value
             raise ValueError(
                 f"grib2: packed value {x} does not fit in {nbits} bits")
-    bits = "".join(format(int(x), f"0{nbits}b") for x in xs)
-    bits += "0" * ((8 - len(bits) % 8) % 8)
-    packed = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    packed = _pack_fields([(list(xs), nbits)])
 
-    s1 = sec(1, struct.pack(">HHBBB", 0, 0, 2, 0, 1)
-             + struct.pack(">HBBBBB", year, month, day, 0, 0, 0)
-             + bytes([0, 1]))
+    e_raw = abs(e_scale) | (0x8000 if e_scale < 0 else 0)
+    d_raw = abs(d_scale) | (0x8000 if d_scale < 0 else 0)
+    s5 = _sec(5, struct.pack(">I", len(xs)) + struct.pack(">H", 0)
+              + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
+              + bytes([nbits, 0]))
+    return _assemble_message(
+        s5, packed, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d, member=member,
+        year=year, month=month, day=day, ftime_hours=ftime_hours)
+
+
+def _sec(num, body):
+    return struct.pack(">IB", len(body) + 5, num) + body
+
+
+def _pack_fields(fields) -> bytes:
+    """Concatenated bit fields, each (values, nbits) OCTET-ALIGNED at its
+    start (regulation 92.9.4 padding) — pass one tuple for a single
+    continuous stream."""
+    out = []
+    for vals, nbits in fields:
+        bits = "".join(format(int(x), f"0{nbits}b") for x in vals) \
+            if nbits else ""
+        bits += "0" * ((8 - len(bits) % 8) % 8)
+        out.append(bytes(int(bits[i:i + 8], 2)
+                         for i in range(0, len(bits), 8)))
+    return b"".join(out)
+
+
+def _assemble_message(s5: bytes, packed: bytes, *, nj: int, ni: int,
+                      la1: float, lo1: float, d: float,
+                      member: int | None, year: int, month: int, day: int,
+                      ftime_hours: int) -> bytes:
+    """Sections 1/3/4/6 scaffold shared by the simple and complex test
+    encoders — grid template 3.0, product 4.0/4.1, no bitmap."""
+    def sm32(v):
+        raw = abs(int(round(v)))
+        return struct.pack(">I", raw | (0x80000000 if v < 0 else 0))
+
+    s1 = _sec(1, struct.pack(">HHBBB", 0, 0, 2, 0, 1)
+              + struct.pack(">HBBBBB", year, month, day, 0, 0, 0)
+              + bytes([0, 1]))
     grid = (bytes([6, 0]) + b"\x00" * 4 + bytes([0]) + b"\x00" * 4
             + bytes([0]) + b"\x00" * 4
             + struct.pack(">II", ni, nj) + b"\x00" * 8
@@ -247,22 +381,115 @@ def build_simple_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
             # round, don't truncate: int(0.3 * 1e6) would encode 299999
             + struct.pack(">II", int(round(d * 1e6)), int(round(d * 1e6)))
             + bytes([0]))
-    s3 = sec(3, bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
-             + struct.pack(">H", 0) + grid)
+    s3 = _sec(3, bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
+              + struct.pack(">H", 0) + grid)
     prod = (bytes([0, 4, 2, 0, 0]) + struct.pack(">HB", 0, 0) + bytes([1])
             + struct.pack(">I", ftime_hours)
             + bytes([1, 0]) + b"\x00" * 4 + bytes([255, 0]) + b"\x00" * 4)
     if member is None:
-        s4 = sec(4, struct.pack(">HH", 0, 0) + prod)
+        s4 = _sec(4, struct.pack(">HH", 0, 0) + prod)
     else:
-        s4 = sec(4, struct.pack(">HH", 0, 1) + prod + bytes([3, member, 51]))
-    e_raw = abs(e_scale) | (0x8000 if e_scale < 0 else 0)
-    d_raw = abs(d_scale) | (0x8000 if d_scale < 0 else 0)
-    s5 = sec(5, struct.pack(">I", len(xs)) + struct.pack(">H", 0)
-             + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
-             + bytes([nbits, 0]))
-    s6 = sec(6, bytes([255]))
-    s7 = sec(7, packed)
+        s4 = _sec(4, struct.pack(">HH", 0, 1) + prod
+                  + bytes([3, member, 51]))
+    s6 = _sec(6, bytes([255]))
+    s7 = _sec(7, packed)
     body = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
     return (b"GRIB" + b"\x00\x00" + bytes([1, 2])
             + struct.pack(">Q", 16 + len(body)) + body)
+
+
+def _nbits_for(vmax: int) -> int:
+    return int(vmax).bit_length() if vmax > 0 else 0
+
+
+def build_complex_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
+                          d: float, ref: float = 0.0, e_scale: int = 0,
+                          d_scale: int = 0, group_len: int = 10,
+                          order: int = 0, member: int | None = None,
+                          year: int = 2024, month: int = 1, day: int = 1,
+                          ftime_hours: int = 24) -> bytes:
+    """Encode one GRIB2 message with data representation template 5.2
+    (order=0: grid-point complex packing) or 5.3 (order=1/2: complex +
+    spatial differencing) — the test counterpart of `_unpack_complex`.
+
+    `xs` are the TARGET integers X of (R + X*2^E)/10^D — the encoder
+    differences them (5.3), min-shifts by gmin, splits into fixed-length
+    groups, and writes min-referenced variable-width groups, exactly the
+    structures the decoder walks.  Group refs/widths/lengths are each
+    octet-aligned; the value stream is continuous (regulation 92.9.4).
+    """
+    if order not in (0, 1, 2):
+        raise ValueError(f"grib2: differencing order {order} not in 0..2")
+    if group_len < 1:
+        raise ValueError("grib2: group_len must be >= 1")
+    x = [int(v) for v in xs]
+    n = len(x)
+    if n <= order:
+        raise ValueError("grib2: need more values than the differencing "
+                         "order")
+    ival: list = []
+    gmin = 0
+    if order:
+        diffs = list(x)
+        if order == 1:
+            diffs = [x[0]] + [x[i] - x[i - 1] for i in range(1, n)]
+        else:
+            diffs = [x[0], x[1]] + [x[i] - 2 * x[i - 1] + x[i - 2]
+                                    for i in range(2, n)]
+        ival = x[:order]
+        gmin = min(diffs[order:])
+        field = [0] * order + [v - gmin for v in diffs[order:]]
+    else:
+        if min(x) < 0:
+            raise ValueError("grib2: template 5.2 packs unsigned X — "
+                             "negative targets need order>=1 or a ref "
+                             "value shift")
+        field = x
+
+    groups = [field[i:i + group_len] for i in range(0, n, group_len)]
+    refs = [min(g) for g in groups]
+    widths = [_nbits_for(max(g) - min(g)) for g in groups]
+    lengths = [len(g) for g in groups]
+    ng = len(groups)
+    nbits = _nbits_for(max(refs)) if refs else 0
+    width_bits = _nbits_for(max(widths)) if widths else 0
+    len_bits = _nbits_for(max(lengths)) if lengths else 0
+
+    fields = []
+    if order:
+        mags = [abs(v) for v in ival + [gmin]]
+        extra_octets = max(1, (_nbits_for(max(mags)) + 1 + 7) // 8)
+        sbit = 1 << (8 * extra_octets - 1)
+        head = [(abs(v) | sbit) if v < 0 else v for v in ival + [gmin]]
+        fields.append((head, 8 * extra_octets))
+    else:
+        extra_octets = 0
+    fields += [(refs, nbits), (widths, width_bits), (lengths, len_bits)]
+    # group values form ONE continuous stream (no per-group padding):
+    # build the bit string directly
+    vbits = "".join(
+        format(v - rf, f"0{w}b") if w else ""
+        for g, rf, w in zip(groups, refs, widths) for v in g)
+    vbits += "0" * ((8 - len(vbits) % 8) % 8)
+    vstream = bytes(int(vbits[i:i + 8], 2) for i in range(0, len(vbits), 8))
+    packed = _pack_fields(fields) + vstream
+
+    e_raw = abs(e_scale) | (0x8000 if e_scale < 0 else 0)
+    d_raw = abs(d_scale) | (0x8000 if d_scale < 0 else 0)
+    tmpl = 3 if order else 2
+    body5 = (struct.pack(">I", n) + struct.pack(">H", tmpl)
+             + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
+             + bytes([nbits, 0])          # bits per ref, original type
+             + bytes([1, 0])              # general splitting, no missing
+             + b"\x00" * 8                # missing substitutes
+             + struct.pack(">I", ng)
+             + bytes([0, width_bits])     # width reference + bits
+             + struct.pack(">I", 0) + bytes([1])   # len ref 0, inc 1
+             + struct.pack(">I", lengths[-1] if lengths else 0)
+             + bytes([len_bits]))
+    if order:
+        body5 += bytes([order, extra_octets])
+    s5 = _sec(5, body5)
+    return _assemble_message(
+        s5, packed, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d, member=member,
+        year=year, month=month, day=day, ftime_hours=ftime_hours)

@@ -180,3 +180,68 @@ def test_real_grib2_through_read_rasters(spark, tmp_path):
     pf = read_rasters(spark, str(tmp_path) + "/*.grib",
                       member_filter="pf")
     assert {r.number for r in pf.collect()} == {1, 2}
+
+
+# ------------------------------------------------ complex packing (5.2/5.3)
+
+def test_complex_packing_round_trip():
+    from flood_data_spark.sources.grib2 import build_complex_message
+
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 5000, size=60).tolist()
+    # value = (R + X*2^E)/10^D with R=0, E=0, D=1 -> X/10
+    msg = build_complex_message(xs, nj=6, ni=10, la1=50.0, lo1=10.0,
+                                d=0.5, d_scale=1, group_len=7)
+    pdf = grib2_to_dataframe(msg)
+    assert len(pdf) == 60
+    np.testing.assert_allclose(pdf["dis24"].to_numpy(),
+                               np.array(xs) / 10.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_spatial_differencing_round_trip(order):
+    from flood_data_spark.sources.grib2 import build_complex_message
+
+    rng = np.random.default_rng(11 + order)
+    # a smooth field (what spatial differencing is FOR): cumulative walk
+    xs = np.cumsum(rng.integers(-40, 40, size=80)).tolist()
+    msg = build_complex_message(xs, nj=8, ni=10, la1=50.0, lo1=10.0,
+                                d=0.5, order=order, group_len=9)
+    pdf = grib2_to_dataframe(msg)
+    assert len(pdf) == 80
+    np.testing.assert_allclose(pdf["dis24"].to_numpy(),
+                               np.array(xs, dtype=float), rtol=1e-6)
+
+
+def test_complex_packing_handles_constant_and_tiny_groups():
+    from flood_data_spark.sources.grib2 import build_complex_message
+
+    # constant field -> zero-width groups; group_len > n -> single group
+    msg = build_complex_message([7] * 12, nj=3, ni=4, la1=50.0, lo1=10.0,
+                                d=0.5, group_len=50)
+    pdf = grib2_to_dataframe(msg)
+    assert pdf["dis24"].tolist() == [7.0] * 12
+    # negative values reach 5.2 only via differencing or a ref shift
+    with pytest.raises(ValueError, match="unsigned"):
+        build_complex_message([-1, 2, 3], nj=1, ni=3, la1=50.0, lo1=10.0,
+                              d=0.5)
+    # negative-going walks work through order-1 differencing
+    msg2 = build_complex_message([100, 40, -20, -80, -140, -10], nj=2,
+                                 ni=3, la1=50.0, lo1=10.0, d=0.5, order=1,
+                                 group_len=4)
+    assert grib2_to_dataframe(msg2)["dis24"].tolist() == [
+        100.0, 40.0, -20.0, -80.0, -140.0, -10.0]
+
+
+def test_complex_packing_guards():
+    from flood_data_spark.sources.grib2 import build_complex_message
+
+    with pytest.raises(ValueError, match="order"):
+        build_complex_message([1, 2], nj=1, ni=2, la1=0, lo1=0, d=0.5,
+                              order=3)
+    with pytest.raises(ValueError, match="group_len"):
+        build_complex_message([1, 2], nj=1, ni=2, la1=0, lo1=0, d=0.5,
+                              group_len=0)
+    with pytest.raises(ValueError, match="more values"):
+        build_complex_message([1], nj=1, ni=1, la1=0, lo1=0, d=0.5,
+                              order=1)

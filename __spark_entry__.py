@@ -1816,16 +1816,20 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_grib_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster ingest codec in the driver gate: per doc_id a deterministic
-    GRIB2 ensemble message (template 3.0 grid, 4.1 member, 5.0 simple
-    packing) is ENCODED and then DECODED by the real pure-Python reader
-    (sources/grib2.py) inside mapInPandas — the pipeline's actual GRIB
-    entry format, value-hash-checked against the closed-form grid/member/
-    value layout.  Packed integers < 2^16 survive float32 dis24 exactly,
-    so the contract casts back to int with zero rounding hazard."""
+    GRIB2 ensemble message (template 3.0 grid, 4.1 member) is ENCODED and
+    then DECODED by the real pure-Python reader (sources/grib2.py) inside
+    mapInPandas — the pipeline's actual GRIB entry format, value-hash-
+    checked against the closed-form grid/member/value layout.  The data
+    representation rotates by doc_id: 5.0 simple packing, 5.2 complex
+    packing, 5.3 complex + second-order spatial differencing — the
+    decoded integers are identical whichever packing carried them, so
+    ONE closed-form oracle covers all three codecs.  Packed integers
+    < 2^16 survive float32 dis24 exactly, so the contract casts back to
+    int with zero rounding hazard."""
     import pandas as pd
 
     from flood_data_spark.sources.grib2 import (
-        build_simple_message, grib2_to_dataframe)
+        build_complex_message, build_simple_message, grib2_to_dataframe)
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50) \
         .select("doc_id")
@@ -1836,9 +1840,16 @@ def q_grib_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 xs = [(did * 7 + k) % 65536 for k in range(6)]
-                msg = build_simple_message(
-                    xs, nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,
-                    nbits=16, member=did % 4)
+                kind = did % 3
+                if kind == 0:
+                    msg = build_simple_message(
+                        xs, nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,
+                        nbits=16, member=did % 4)
+                else:
+                    msg = build_complex_message(
+                        xs, nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,
+                        member=did % 4, group_len=4,
+                        order=0 if kind == 1 else 2)
                 rows = grib2_to_dataframe(msg)
                 rows.insert(0, "doc_id", did)
                 out.append(rows)

@@ -1,14 +1,15 @@
-"""Pure-Python GRIB2 reader for simple-packed regular lat/lon grids.
+"""Pure-Python GRIB2 reader for regular lat/lon grids.
 
 GRIB edition 2 (WMO FM 92) is a public, section-structured binary format.
 The subset an ensemble river-discharge forecast actually uses — grid
 definition template 3.0 (regular latitude/longitude), product definition
 templates 4.0/4.1 (deterministic / ensemble member), data representation
-template 5.0 (simple packing), optional bitmap — is small enough to decode
-with stdlib ``struct`` + numpy, no ecCodes/cfgrib stack.  This module is
-the dependency-free fallback branch of ``raster.grib_decoder``; complex
-packings (JPEG2000, CCSDS, spectral) still require cfgrib and raise
-NotImplementedError without it.
+templates 5.0 (simple packing), 5.2 (grid-point complex packing) and 5.3
+(complex + first/second-order spatial differencing), optional bitmap — is
+small enough to decode with stdlib ``struct`` + numpy, no ecCodes/cfgrib
+stack.  This module is the dependency-free fallback branch of
+``raster.grib_decoder``; transform-coded packings (JPEG2000, CCSDS,
+spectral) still require cfgrib and raise NotImplementedError without it.
 
 Semantics matched to the cfgrib/xarray path the reference rides on
 (flood/etl/utils.py:3-14, flood/etl/raster_converter.py:55-85):

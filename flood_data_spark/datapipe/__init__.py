@@ -40,6 +40,25 @@ from flood_data_spark.datapipe.curation import (
     with_shuffle_key,
 )
 from flood_data_spark.datapipe.text import repetition_signals
+from flood_data_spark.datapipe.fuzzy import (
+    blocked_fuzzy_pairs,
+    fuzzy_match_against,
+    name_groups,
+)
+from flood_data_spark.datapipe.linalg import (
+    covariance_matrix,
+    dim_stats,
+    gram_matrix,
+    power_iteration_top,
+    power_iteration_topk,
+    project_components,
+)
+from flood_data_spark.datapipe.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+from flood_data_spark.datapipe.graph import hits, pagerank
 
 __all__ = [
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
@@ -53,4 +72,8 @@ __all__ = [
     "hash_sample", "chunk_documents", "pack_sequences", "cap_per_key",
     "redact_pii", "repetition_signals", "clean_lines", "dedup_lines",
     "assign_split", "stratified_sample", "with_shuffle_key",
+    "blocked_fuzzy_pairs", "fuzzy_match_against", "name_groups",
+    "covariance_matrix", "dim_stats", "gram_matrix",
+    "power_iteration_top", "power_iteration_topk", "project_components",
+    "cms_build", "cms_estimate", "cms_merge", "hits", "pagerank",
 ]

@@ -49,6 +49,7 @@ from flood_data_spark.datapipe.linalg import (
     covariance_matrix,
     dim_stats,
     gram_matrix,
+    pca_topk,
     power_iteration_top,
     power_iteration_topk,
     project_components,
@@ -74,6 +75,6 @@ __all__ = [
     "assign_split", "stratified_sample", "with_shuffle_key",
     "blocked_fuzzy_pairs", "fuzzy_match_against", "name_groups",
     "covariance_matrix", "dim_stats", "gram_matrix",
-    "power_iteration_top", "power_iteration_topk", "project_components",
+    "power_iteration_top", "power_iteration_topk", "project_components", "pca_topk",
     "cms_build", "cms_estimate", "cms_merge", "hits", "pagerank",
 ]

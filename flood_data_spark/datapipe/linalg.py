@@ -257,6 +257,63 @@ def _gram_schmidt(z: list, comps: list) -> list:
     return [round(t / nrm, 6) for t in z]
 
 
+def pca_topk(corpus: DataFrame, queries: DataFrame, components: list,
+             k: int = 5, n_candidates: int = 20,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """PCA-pruned cosine top-k: coarse top-`n_candidates` in the
+    projected space (len(components) dims instead of d — the per-pair
+    arithmetic shrinks by d/k'), then an EXACT full-space cosine re-rank
+    of only the candidates — the coarse-quantize-then-re-rank shape of
+    the IVF-PQ ladder with learned axes as the coarse space.
+
+    Returns (query_id, neighbor_id, cosine, rank) with EXACT full-space
+    cosines, so reported scores are directly comparable to the
+    brute-force truth (recall is the only approximation — a candidate
+    the projection drops can't be recovered).  At 100 TB the projected
+    space is where the bucketed index (LSH/IVF over k' dims) lives; the
+    brute-force coarse pass here is the small-query-batch form.
+
+    When it works: anisotropic embeddings (a decaying spectrum — the
+    normal case for learned text/image embeddings).  On ISOTROPIC data
+    the projection discards (d-k')/d of the variance with nothing to
+    choose the kept axes by, and recall collapses — measured 0.18 on
+    the driver's synthetic near-orthogonal embeddings (eigenvalues all
+    ~10) vs >=0.9 on planted-spectrum fixtures (tests/test_linalg.py).
+    Check the `power_iteration_topk` Rayleigh values before trusting
+    this path: if sigma2 is flat across components, use Matryoshka/PQ
+    instead.
+    """
+    if k < 1 or n_candidates < k:
+        raise ValueError("pca_topk: need k >= 1 and n_candidates >= k")
+    from pyspark.sql import Window
+
+    from flood_data_spark.datapipe.similarity import (
+        cosine_similarity, cosine_topk_bruteforce)
+
+    pc = (project_components(corpus, components, vec_col, "_p")
+          .select(F.col(id_col), F.col("_p").alias(vec_col)))
+    pq = (project_components(queries, components, vec_col, "_p")
+          .select(F.col(id_col), F.col("_p").alias(vec_col)))
+    cand = cosine_topk_bruteforce(pc, pq, k=n_candidates, id_col=id_col,
+                                  vec_col=vec_col) \
+        .select("query_id", "neighbor_id")
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         _as_double(F.col(vec_col)).alias("_cv"))
+    qvec = queries.select(F.col(id_col).alias("query_id"),
+                          _as_double(F.col(vec_col)).alias("_qv"))
+    scored = (cand.join(cvec, "neighbor_id")
+              .join(F.broadcast(qvec), "query_id")
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_similarity(F.col("_qv"),
+                                                F.col("_cv")), 6)
+                      .alias("cosine")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def project_components(df: DataFrame, components: list,
                        vec_col: str = "embedding",
                        out_col: str = "proj") -> DataFrame:

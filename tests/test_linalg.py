@@ -144,3 +144,37 @@ def test_power_iteration_topk_guards(spark):
         power_iteration_topk(df, k=0)
     with pytest.raises(ValueError, match="exceeds dim"):
         power_iteration_topk(df, k=7)
+
+
+def test_pca_topk_high_recall_on_anisotropic_data(spark):
+    from flood_data_spark.datapipe.linalg import pca_topk, power_iteration_topk
+    from flood_data_spark.datapipe.similarity import cosine_topk_bruteforce
+
+    # planted decaying spectrum: 3 strong directions out of 12 — the
+    # regime PCA pruning is FOR (learned-embedding-like anisotropy)
+    rng = np.random.default_rng(5)
+    basis = np.linalg.qr(rng.normal(size=(12, 12)))[0]
+    n = 120
+    coef = rng.normal(size=(n, 12)) * np.array(
+        [8.0, 6.0, 5.0] + [0.3] * 9)
+    x = (coef @ basis.T).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id int, embedding array<float>")
+    comps, sig = power_iteration_topk(df, k=3, iterations=10)
+    assert sig[0] > sig[2] > 10 * 0.3 ** 2  # spectrum actually decays
+    q = df.filter(F.col("vec_id") < 15)
+    exact = cosine_topk_bruteforce(df, q, k=5) \
+        .select("query_id", "neighbor_id")
+    ann = pca_topk(df, q, comps, k=5, n_candidates=15)
+    hits = exact.join(ann.select("query_id", "neighbor_id"),
+                      ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / exact.count() >= 0.85
+    # reported cosines are exact full-space values: never beat the truth
+    best = cosine_topk_bruteforce(df, q, k=1) \
+        .select("query_id", F.col("cosine").alias("best"))
+    viol = (ann.join(best, "query_id")
+            .filter(F.col("cosine") > F.col("best")).count())
+    assert viol == 0
+    with pytest.raises(ValueError, match="n_candidates"):
+        pca_topk(df, q, comps, k=5, n_candidates=3)

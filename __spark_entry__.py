@@ -2563,6 +2563,27 @@ def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("token", "est", "exact"))
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-window EWMA per user (operators/timeseries.with_ewma):
+    the recursive smoothing y = 0.25x + 0.75y folded over the trailing 8
+    observations — one ordered window collecting a bounded array + a
+    row-LOCAL sequential fold.  Full value oracle with NO rounding games:
+    the fold order is identical in both engines (DuckDB list_reduce
+    seeds with the first element, mirrored via element_at/slice) and
+    alpha = 0.25 is an exact binary fraction, so the doubles are
+    bit-identical — and therefore compared RAW: adding a "safety"
+    round-6 actually BROKE parity at sf0.1 (a fold landing on the
+    decimal half-point 128.9853125 rounds differently per engine —
+    rounding bit-identical values can only ever hurt)."""
+    from flood_data_spark.operators.timeseries import with_ewma
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 25) \
+        .select("event_id", "user_id", "ts", "value")
+    return with_ewma(ev, key_col="user_id", ts_col="ts",
+                     value_col="value", alpha=0.25, window=8,
+                     tiebreak_col="event_id")
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS (datapipe/graph.hits) over the DIRECTED customer →
     supplier co-order graph (q_pagerank's relation without the
@@ -2628,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_tokens": q_cms_tokens,
         "q_cms_stream": q_cms_stream,
         "q_hits": q_hits,
+        "q_ewma": q_ewma,
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
@@ -2670,21 +2692,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
-        "q_audio_codec": q_audio_codec,
         "q_alert_stream": q_alert_stream,
+        # q_grib_codec stays IN-window: its builder gained the 5.2/5.3
+        # complex-packing rotation this session, so it must be
+        # driver-checked this round
         "q_grib_codec": q_grib_codec,
         # --- round 7, second batch ---
         # ---------------- gate window boundary (50) ----------------
-        # r8 continuation rotation: nine new queries enter at the head
+        # r8 continuation rotation: ten new queries enter at the head
         # (q_dim_stats, q_gram_matrix, q_power_iteration, q_covariance,
         # q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens, q_cms_stream,
-        # q_hits); the nine displaced below (q_pq_recall,
+        # q_hits, q_ewma); the ten displaced below (q_audio_codec —
+        # codecs.py untouched this session — then q_pq_recall,
         # q_ivfpq_recall, q_dedup_stream, q_kmeans_contract …
         # q_unigram_ppl) were green in the r7 gate and the r8 full sweep
         # on modules unchanged since — except q_dedup_stream's shared
         # file_stream module, which gained only the independent
         # cms_stream function this session (parity re-proven by
         # tests/test_streaming.py and the full sweep artifact).
+        "q_audio_codec": q_audio_codec,
         "q_pq_recall": q_pq_recall,
         "q_ivfpq_recall": q_ivfpq_recall,
         "q_dedup_stream": q_dedup_stream,
@@ -3297,6 +3323,26 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY token)
             SELECT e.token, est.est, e.exact
             FROM est JOIN exact e USING (token)
+        """,
+        # q_ewma: the recursion runs as the SAME sequential fold in both
+        # engines (list_reduce seeds with element 1 — probed), so the
+        # doubles are bit-identical and compared RAW — no rounding
+        # (rounding bit-identical values broke parity at a decimal
+        # half-point; see the q_ewma docstring)
+        "q_ewma": """
+            WITH ev AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE user_id < 25),
+            arr AS (
+                SELECT event_id, user_id, ts, value,
+                       list(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS a
+                FROM ev)
+            SELECT event_id, user_id, ts, value,
+                   list_reduce(a, (acc, x) -> 0.25 * x + 0.75 * acc)
+                       AS ewma
+            FROM arr
         """,
         # q_hits: both HITS iterations unrolled — four half-steps, each
         # an edge join + L2 normalize + round-6 (h0 = 1 makes the first

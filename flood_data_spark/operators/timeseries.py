@@ -310,3 +310,46 @@ def resample_ffill(df: DataFrame, key_cols, step_col: str,
                     "_obs")
             .filter(F.col("_obs").isNull())
             .drop("_obs"))
+
+
+def with_ewma(df: DataFrame, key_col: str = "user_id",
+              ts_col: str = "ts", value_col: str = "value",
+              alpha: float = 0.25, window: int = 8,
+              tiebreak_col: str | None = None,
+              out_col: str = "ewma") -> DataFrame:
+    """Truncated-window exponential moving average per key: the recursive
+    y_i = alpha*x_i + (1-alpha)*y_{i-1} seeded with the window's oldest
+    value, folded over the trailing `window` observations.
+
+    The recursion is inherently sequential, which a distributed engine
+    cannot run over unbounded history without serializing each key —
+    so the history is TRUNCATED to the last `window` rows: one ordered
+    window collects an O(window) array per row (bounded state — an
+    unbounded collect would hold O(n) per row), and a row-LOCAL fold
+    runs the recursion.  Truncation error is (1-alpha)^window of the
+    older mass — pick window so that's below your tolerance (0.75^8 ~=
+    0.1, 0.75^16 ~= 0.01).
+
+    Engine parity note: the fold is sequential in frame order on every
+    engine (DuckDB list_reduce seeds with the first element — mirrored
+    here via element_at/slice), so with a deterministic (ts, tiebreak)
+    ordering the EWMA values are bit-identical across engines, no
+    rounding games needed.  `alpha` values that are exact binary
+    fractions (0.25, 0.5, 0.125) keep the per-step arithmetic exact.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"with_ewma: alpha must be in (0, 1], got {alpha}")
+    if window < 1:
+        raise ValueError("with_ewma: window must be >= 1")
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(window - 1), 0))
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a = F.lit(float(alpha))
+    fold = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc)
+    return df.withColumn(out_col, fold)

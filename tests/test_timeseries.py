@@ -303,3 +303,44 @@ def test_next_event_pairs_empty_and_single(spark):
         [(1, dt.datetime(2024, 1, 1), 100, "view")],
         "user_id long, ts timestamp, event_id long, event_type string")
     assert next_event_pairs(one).count() == 0
+
+
+def test_ewma_matches_hand_recursion(spark):
+    from flood_data_spark.operators.timeseries import with_ewma
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double")
+    got = {r.ts: r.ewma
+           for r in with_ewma(df, ts_col="ts", alpha=0.5,
+                              window=10).collect()}
+    # y0=10; y1=.5*20+.5*10=15; y2=.5*30+.5*15=22.5; y3=.5*40+.5*22.5
+    assert got == {0: 10.0, 1: 15.0, 2: 22.5, 3: 31.25}
+
+
+def test_ewma_window_truncation_reseeds(spark):
+    from flood_data_spark.operators.timeseries import with_ewma
+
+    rows = [(1, i, float(v)) for i, v in enumerate([100, 0, 0])]
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double")
+    got = {r.ts: r.ewma
+           for r in with_ewma(df, ts_col="ts", alpha=0.5,
+                              window=2).collect()}
+    # window 2: row 2 folds over [0, 0] only — the 100 has aged out
+    assert got[2] == 0.0
+    assert got[1] == 50.0
+
+
+def test_ewma_per_key_and_guards(spark):
+    from flood_data_spark.operators.timeseries import with_ewma
+
+    rows = [(1, 0, 10.0), (2, 0, 99.0), (1, 1, 20.0)]
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double")
+    got = {(r.user_id, r.ts): r.ewma
+           for r in with_ewma(df, ts_col="ts", alpha=0.25).collect()}
+    assert got[(2, 0)] == 99.0          # keys never mix
+    assert got[(1, 1)] == 0.25 * 20 + 0.75 * 10
+    import pytest as _pt
+    with _pt.raises(ValueError, match="alpha"):
+        with_ewma(df, ts_col="ts", alpha=0.0)
+    with _pt.raises(ValueError, match="window"):
+        with_ewma(df, ts_col="ts", window=0)

@@ -2584,6 +2584,25 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                      tiebreak_col="event_id")
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic per user
+    (operators/timeseries.with_cusum): S = max(0, S + x - target -
+    slack) folded over the trailing 16 observations, with the >= 200
+    alarm flag — the Page change-detection statistic as a bounded
+    row-local fold.  Raw value oracle (no rounding — the q_ewma
+    bit-identical-fold argument); the oracle pre-maps element 1 through
+    max(0, ·) so DuckDB's first-element-seeded list_reduce runs the
+    identical recursion."""
+    from flood_data_spark.operators.timeseries import with_cusum
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 25) \
+        .select("event_id", "user_id", "ts", "value")
+    return with_cusum(ev, key_col="user_id", ts_col="ts",
+                      value_col="value", target=55.0, slack=5.0,
+                      threshold=200.0, window=16,
+                      tiebreak_col="event_id")
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS (datapipe/graph.hits) over the DIRECTED customer →
     supplier co-order graph (q_pagerank's relation without the
@@ -2650,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_stream": q_cms_stream,
         "q_hits": q_hits,
         "q_ewma": q_ewma,
+        "q_cusum": q_cusum,
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
@@ -2691,7 +2711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matryoshka_topk": q_matryoshka_topk,
         # --- new this round (5) ---
         "q_session_stream": q_session_stream,
-        "q_image_codec": q_image_codec,
         "q_alert_stream": q_alert_stream,
         # q_grib_codec stays IN-window: its builder gained the 5.2/5.3
         # complex-packing rotation this session, so it must be
@@ -2699,17 +2718,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grib_codec": q_grib_codec,
         # --- round 7, second batch ---
         # ---------------- gate window boundary (50) ----------------
-        # r8 continuation rotation: ten new queries enter at the head
+        # r8 continuation rotation: eleven new queries enter at the head
         # (q_dim_stats, q_gram_matrix, q_power_iteration, q_covariance,
         # q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens, q_cms_stream,
-        # q_hits, q_ewma); the ten displaced below (q_audio_codec —
-        # codecs.py untouched this session — then q_pq_recall,
-        # q_ivfpq_recall, q_dedup_stream, q_kmeans_contract …
-        # q_unigram_ppl) were green in the r7 gate and the r8 full sweep
-        # on modules unchanged since — except q_dedup_stream's shared
-        # file_stream module, which gained only the independent
-        # cms_stream function this session (parity re-proven by
-        # tests/test_streaming.py and the full sweep artifact).
+        # q_hits, q_ewma, q_cusum); the eleven displaced below
+        # (q_image_codec and q_audio_codec — codecs.py untouched this
+        # session — then q_pq_recall, q_ivfpq_recall, q_dedup_stream,
+        # q_kmeans_contract … q_unigram_ppl) were green in the r7 gate
+        # and the r8 full sweep on modules unchanged since — except
+        # q_dedup_stream's shared file_stream module, which gained only
+        # the independent cms_stream function this session (parity
+        # re-proven by tests/test_streaming.py and the full sweep
+        # artifact).
+        "q_image_codec": q_image_codec,
         "q_audio_codec": q_audio_codec,
         "q_pq_recall": q_pq_recall,
         "q_ivfpq_recall": q_ivfpq_recall,
@@ -3343,6 +3364,29 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(a, (acc, x) -> 0.25 * x + 0.75 * acc)
                        AS ewma
             FROM arr
+        """,
+        # q_cusum: same raw bit-identical fold as q_ewma; element 1 is
+        # pre-mapped through greatest(·, 0) so the first-element seed
+        # runs the identical max(0, ...) recursion
+        "q_cusum": """
+            WITH ev AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE user_id < 25),
+            arr AS (
+                SELECT event_id, user_id, ts, value,
+                       list(value - 55.0 - 5.0) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS a
+                FROM ev),
+            s AS (
+                SELECT event_id, user_id, ts, value,
+                       list_reduce(
+                           list_prepend(greatest(a[1], 0.0), a[2:]),
+                           (acc, x) -> greatest(acc + x, 0.0)) AS cusum
+                FROM arr)
+            SELECT event_id, user_id, ts, value, cusum,
+                   cusum >= 200.0 AS cusum_alarm
+            FROM s
         """,
         # q_hits: both HITS iterations unrolled — four half-steps, each
         # an edge join + L2 normalize + round-6 (h0 = 1 makes the first

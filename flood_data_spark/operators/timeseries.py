@@ -353,3 +353,47 @@ def with_ewma(df: DataFrame, key_col: str = "user_id",
         F.element_at(arr, 1),
         lambda acc, x: a * x + (F.lit(1.0) - a) * acc)
     return df.withColumn(out_col, fold)
+
+
+def with_cusum(df: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               target: float = 0.0, slack: float = 0.5,
+               threshold: float | None = None, window: int = 16,
+               tiebreak_col: str | None = None,
+               out_col: str = "cusum") -> DataFrame:
+    """One-sided (upper) CUSUM drift statistic per key: the recursive
+    S_i = max(0, S_{i-1} + x_i - target - slack) folded over the
+    trailing `window` observations — the standard sequential
+    change-detection statistic (Page 1954), truncated exactly like
+    `with_ewma` and for the same reason (the recursion is sequential;
+    bounded history keeps per-row state O(window)).
+
+    The seed is max(0, x_oldest - target - slack) — the same recursion
+    applied to the window's first element from S=0, stated identically
+    in an engine's first-element-seeded fold by pre-mapping each
+    element to its deviation.  With `threshold` set, adds
+    `<out_col>_alarm` (S >= threshold) — the drift flag monitoring
+    pipelines page on.  Truncation note: a drift older than `window`
+    observations ages out; pick window > the expected detection delay.
+    """
+    if window < 1:
+        raise ValueError("with_cusum: window must be >= 1")
+    if slack < 0:
+        raise ValueError("with_cusum: slack must be >= 0")
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(window - 1), 0))
+    dev = (F.col(value_col).cast("double")
+           - F.lit(float(target)) - F.lit(float(slack)))
+    arr = F.collect_list(dev).over(w)
+    fold = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.greatest(F.element_at(arr, 1), F.lit(0.0)),
+        lambda acc, x: F.greatest(acc + x, F.lit(0.0)))
+    out = df.withColumn(out_col, fold)
+    if threshold is not None:
+        out = out.withColumn(out_col + "_alarm",
+                             F.col(out_col) >= F.lit(float(threshold)))
+    return out

@@ -344,3 +344,38 @@ def test_ewma_per_key_and_guards(spark):
         with_ewma(df, ts_col="ts", alpha=0.0)
     with _pt.raises(ValueError, match="window"):
         with_ewma(df, ts_col="ts", window=0)
+
+
+def test_cusum_hand_recursion_and_alarm(spark):
+    from flood_data_spark.operators.timeseries import with_cusum
+
+    vals = [0.0, 0.2, 3.0, 3.0, 0.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double")
+    got = {r.ts: (r.cusum, r.cusum_alarm)
+           for r in with_cusum(df, ts_col="ts", target=0.0, slack=0.5,
+                               threshold=4.0, window=16).collect()}
+    # S: max(0,-.5)=0; max(0,0-.3)=0; 0+2.5=2.5; 2.5+2.5=5.0; 5.0-.5=4.5
+    assert got[0] == (0.0, False)
+    assert got[1] == (0.0, False)
+    assert got[2] == (2.5, False)
+    assert got[3] == (5.0, True)
+    assert got[4] == (4.5, True)
+
+
+def test_cusum_window_truncation_and_guards(spark):
+    from flood_data_spark.operators.timeseries import with_cusum
+    import pytest as _pt
+
+    rows = [(1, 0, 10.0), (1, 1, 0.0), (1, 2, 0.0)]
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double")
+    got = {r.ts: r.cusum
+           for r in with_cusum(df, ts_col="ts", slack=0.5,
+                               window=2).collect()}
+    # ts=2 folds [0,0] only: seed max(0,-0.5)=0, then max(0,0-0.5)=0
+    assert got[2] == 0.0
+    assert got[1] == 9.0  # 9.5 - 0.5
+    with _pt.raises(ValueError, match="window"):
+        with_cusum(df, ts_col="ts", window=0)
+    with _pt.raises(ValueError, match="slack"):
+        with_cusum(df, ts_col="ts", slack=-1)

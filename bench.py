@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q_covariance",
     "q_fuzzy_pairs",
     "q_cms_tokens",
+    "q_ewma",
 ]
 
 _IVF_INDEX = {}

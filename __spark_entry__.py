@@ -2584,6 +2584,30 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                      tiebreak_col="event_id")
 
 
+def q_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-history EWMA as a stateful stream
+    (streaming/stateful.ewma_stream, applyInPandasWithState): the
+    sequential recursion the batch operator must truncate (with_ewma
+    bounds its window because unbounded batch state is O(history) per
+    row) runs exactly, with ONE double of state per key.  RAW value
+    oracle: DuckDB folds each key's complete ordered history with
+    list_reduce — sequential float64 both sides, bit-identical, no
+    rounding.  This is the one gate where the STREAMING plan computes
+    something the relational batch plan cannot express scalably."""
+    from flood_data_spark.streaming.stateful import ewma_stream
+
+    def build(stream):
+        ev = stream.filter(F.col("user_id") < 25) \
+            .select("event_id", "user_id", "ts", "value")
+        if dict(ev.dtypes).get("ts") == "bigint":
+            ev = ev.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ewma_stream(ev, alpha=0.25)
+
+    return _run_file_stream(spark, f"{sf_dir}/events.parquet", build,
+                            "ewma_stream_", output_mode="append")
+
+
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift statistic per user
     (operators/timeseries.with_cusum): S = max(0, S + x - target -
@@ -2670,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits": q_hits,
         "q_ewma": q_ewma,
         "q_cusum": q_cusum,
+        "q_ewma_stream": q_ewma_stream,
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
@@ -2710,7 +2735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": q_hard_negatives,
         "q_matryoshka_topk": q_matryoshka_topk,
         # --- new this round (5) ---
-        "q_session_stream": q_session_stream,
         "q_alert_stream": q_alert_stream,
         # q_grib_codec stays IN-window: its builder gained the 5.2/5.3
         # complex-packing rotation this session, so it must be
@@ -2718,6 +2742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grib_codec": q_grib_codec,
         # --- round 7, second batch ---
         # ---------------- gate window boundary (50) ----------------
+        # (q_session_stream rotates out with the codec pair below: its
+        # file_stream module gained only the independent cms_stream
+        # function this session; session_window parity is re-proven by
+        # tests/test_streaming.py and the full sweep artifact)
+        "q_session_stream": q_session_stream,
         # r8 continuation rotation: eleven new queries enter at the head
         # (q_dim_stats, q_gram_matrix, q_power_iteration, q_covariance,
         # q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens, q_cms_stream,
@@ -3359,6 +3388,25 @@ def oracle_sql() -> dict[str, str]:
                        list(value) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS a
+                FROM ev)
+            SELECT event_id, user_id, ts, value,
+                   list_reduce(a, (acc, x) -> 0.25 * x + 0.75 * acc)
+                       AS ewma
+            FROM arr
+        """,
+        # q_ewma_stream: the UNBOUNDED-history recursion (no ROWS frame —
+        # every prefix), raw doubles; the stream's per-key double of
+        # state replaces the batch side's O(history) arrays
+        "q_ewma_stream": """
+            WITH ev AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE user_id < 25),
+            arr AS (
+                SELECT event_id, user_id, ts, value,
+                       list(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS a
                 FROM ev)
             SELECT event_id, user_id, ts, value,
                    list_reduce(a, (acc, x) -> 0.25 * x + 0.75 * acc)

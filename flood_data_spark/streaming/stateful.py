@@ -28,7 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, StringType, StructField, StructType,
+    DoubleType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 ALERT_OUTPUT_SCHEMA = StructType([
@@ -88,5 +89,83 @@ def track_alert_levels(exceedance_stream: DataFrame,
                 update,
                 outputStructType=ALERT_OUTPUT_SCHEMA,
                 stateStructType=ALERT_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+EWMA_OUTPUT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+    StructField("ewma", DoubleType()),
+])
+
+EWMA_STATE_SCHEMA = StructType([
+    StructField("ewma", DoubleType()),
+])
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """FULL-history EWMA per user as a stateful stream — the recursion a
+    distributed BATCH plan cannot express scalably (operators/
+    timeseries.with_ewma truncates to a bounded window for exactly that
+    reason; an unbounded batch collect_list holds O(history) per row).
+    Streaming inverts the trade: state is ONE double per key however
+    long the stream runs, each micro-batch folds only its own rows, and
+    the recursion continues seamlessly across batches.
+
+    Emits every input row with its running EWMA (append mode).  Arrival
+    -order contract: rows must reach the operator in non-decreasing
+    (ts, event_id) order per key ACROSS micro-batches (true for
+    availableNow over a static log and for in-order replay); rows
+    within a micro-batch are sorted here.  The fold is sequential
+    float64 arithmetic — bit-identical to any engine running the same
+    recursion in the same order, so q_ewma_stream carries a RAW value
+    oracle (DuckDB list_reduce over the full per-key history).
+
+    `ts` must already be a real TimestampType — normalize ns-epoch
+    longs (the nanosAsLong legacy surface) BEFORE this operator, the
+    same caller contract as `file_stream.session_stream`.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma_stream: alpha must be in (0, 1], got "
+                         f"{alpha}")
+    ts_type = dict(events.dtypes).get("ts")
+    if ts_type not in ("timestamp", "timestamp_ntz"):
+        raise TypeError(
+            f"ewma_stream: ts must be a timestamp column, got {ts_type} "
+            "— normalize ns-epoch longs upstream "
+            "(timestamp_micros(ts div 1000))")
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        have_state = state.exists
+        y = state.get[0] if have_state else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values(["ts", "event_id"],
+                                  ignore_index=True)
+        out = []
+        for v in batch["value"].astype(float):
+            y = v if y is None else alpha * v + (1.0 - alpha) * y
+            out.append(y)
+        state.update((float(y),))
+        batch["ewma"] = out
+        batch["user_id"] = user_id
+        # ns-unit pandas timestamps (the parquet default) round-trip
+        # through the µs-based TimestampType as year-55969 garbage —
+        # down-convert explicitly
+        batch["ts"] = batch["ts"].astype("datetime64[us]")
+        yield batch[["event_id", "user_id", "ts", "value", "ewma"]]
+
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=EWMA_OUTPUT_SCHEMA,
+                stateStructType=EWMA_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

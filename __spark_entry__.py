@@ -2608,6 +2608,33 @@ def q_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "ewma_stream_", output_mode="append")
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase per user
+    (operators/behavior.funnel): stage i is the earliest matching event
+    STRICTLY after the key's stage i-1 time — k-1 user-keyed min-join
+    stages, never a per-user array.  Full value oracle: the same greedy
+    min chain as CTEs."""
+    from flood_data_spark.operators.behavior import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return (funnel(ev, ["view", "click", "purchase"])
+            .select("user_id", "step_1_ts", "step_2_ts", "step_3_ts",
+                    "depth"))
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/behavior.cohort_retention):
+    users cohorted by the ISO week of their first event; (cohort,
+    offset) distinct-active counts + the fraction of the cohort's week-0
+    size.  Two shuffles, cohort-bounded output.  Full value oracle —
+    date_trunc('week') is ISO-Monday in both engines."""
+    from flood_data_spark.operators.behavior import cohort_retention
+
+    return (cohort_retention(_t(spark, sf_dir, "events"), period="week")
+            .select(F.to_date("cohort").alias("cohort"),
+                    "offset", "n_active", "retention"))
+
+
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift statistic per user
     (operators/timeseries.with_cusum): S = max(0, S + x - target -
@@ -2695,6 +2722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ewma": q_ewma,
         "q_cusum": q_cusum,
         "q_ewma_stream": q_ewma_stream,
+        "q_funnel": q_funnel,
+        "q_retention": q_retention,
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
@@ -2732,33 +2761,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": q_profile,
         "q_bloom_stream": q_bloom_stream,
         "q_bm25_batch": q_bm25_batch,
-        "q_hard_negatives": q_hard_negatives,
-        "q_matryoshka_topk": q_matryoshka_topk,
         # --- new this round (5) ---
+        # q_alert_stream stays IN-window (its stateful.py module gained
+        # ewma_stream this session); q_grib_codec stays IN-window: its
+        # builder gained the 5.2/5.3 complex-packing rotation, so it
+        # must be driver-checked this round
         "q_alert_stream": q_alert_stream,
-        # q_grib_codec stays IN-window: its builder gained the 5.2/5.3
-        # complex-packing rotation this session, so it must be
-        # driver-checked this round
         "q_grib_codec": q_grib_codec,
         # --- round 7, second batch ---
         # ---------------- gate window boundary (50) ----------------
-        # (q_session_stream rotates out with the codec pair below: its
-        # file_stream module gained only the independent cms_stream
-        # function this session; session_window parity is re-proven by
-        # tests/test_streaming.py and the full sweep artifact)
-        "q_session_stream": q_session_stream,
-        # r8 continuation rotation: eleven new queries enter at the head
-        # (q_dim_stats, q_gram_matrix, q_power_iteration, q_covariance,
-        # q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens, q_cms_stream,
-        # q_hits, q_ewma, q_cusum); the eleven displaced below
-        # (q_image_codec and q_audio_codec — codecs.py untouched this
-        # session — then q_pq_recall, q_ivfpq_recall, q_dedup_stream,
+        # r8 continuation rotation: thirteen new queries enter at the
+        # head (q_dim_stats, q_gram_matrix, q_power_iteration,
+        # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
+        # q_cms_stream, q_hits, q_ewma, q_cusum, q_ewma_stream,
+        # q_funnel, q_retention); the displaced below
+        # (q_hard_negatives, q_matryoshka_topk — similarity.py untouched
+        # this session — q_session_stream whose file_stream module
+        # gained only the independent cms_stream function,
+        # q_image_codec/q_audio_codec — codecs.py untouched — then
+        # q_pq_recall, q_ivfpq_recall, q_dedup_stream,
         # q_kmeans_contract … q_unigram_ppl) were green in the r7 gate
-        # and the r8 full sweep on modules unchanged since — except
-        # q_dedup_stream's shared file_stream module, which gained only
-        # the independent cms_stream function this session (parity
-        # re-proven by tests/test_streaming.py and the full sweep
-        # artifact).
+        # and the r8 full sweep on modules unchanged since.
+        "q_hard_negatives": q_hard_negatives,
+        "q_matryoshka_topk": q_matryoshka_topk,
+        "q_session_stream": q_session_stream,
         "q_image_codec": q_image_codec,
         "q_audio_codec": q_audio_codec,
         "q_pq_recall": q_pq_recall,
@@ -3393,6 +3419,53 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(a, (acc, x) -> 0.25 * x + 0.75 * acc)
                        AS ewma
             FROM arr
+        """,
+        # q_funnel: the greedy-earliest min-join chain as CTEs; stage i
+        # strictly after stage i-1
+        "q_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS step_1_ts
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS step_2_ts
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.step_1_ts
+                GROUP BY e.user_id),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS step_3_ts
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.step_2_ts
+                GROUP BY e.user_id)
+            SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts,
+                   CAST(CASE WHEN s3.step_3_ts IS NOT NULL THEN 3
+                             WHEN s2.step_2_ts IS NOT NULL THEN 2
+                             ELSE 1 END AS INT) AS depth
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+        """,
+        # q_retention: ISO-week cohorts; whole-week offsets via day
+        # difference div 7; fraction vs the cohort's offset-0 size
+        "q_retention": """
+            WITH ev AS (
+                SELECT user_id AS k, date_trunc('week', ts) AS p
+                FROM events),
+            first AS (
+                SELECT k, min(p) AS cohort FROM ev GROUP BY k),
+            active AS (
+                SELECT f.cohort,
+                       CAST(date_diff('day', f.cohort, ev.p) / 7
+                            AS BIGINT) AS "offset",
+                       CAST(count(DISTINCT ev.k) AS BIGINT) AS n_active
+                FROM ev JOIN first f ON ev.k = f.k
+                GROUP BY f.cohort, 2),
+            base AS (
+                SELECT cohort, n_active AS n0 FROM active
+                WHERE "offset" = 0)
+            SELECT a.cohort, a."offset" AS "offset", a.n_active,
+                   round(a.n_active / CAST(b.n0 AS DOUBLE), 6)
+                       AS retention
+            FROM active a JOIN base b ON a.cohort = b.cohort
         """,
         # q_ewma_stream: the UNBOUNDED-history recursion (no ROWS frame —
         # every prefix), raw doubles; the stream's per-key double of

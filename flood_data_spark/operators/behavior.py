@@ -1,0 +1,109 @@
+"""Behavioral event analytics: ordered funnels and cohort retention.
+
+Beyond-reference operators (SURVEY §2.11): the two standard questions a
+product/event pipeline asks of an event log — "who progressed through
+this ordered sequence of actions, and how far?" (funnel) and "of the
+users who first appeared in period X, how many were still active k
+periods later?" (retention).
+
+100 TB shapes:
+- `funnel` is k-1 user-keyed min-aggregate joins for a k-step funnel —
+  each stage is one groupBy(user) + one equi-join on user, so the
+  shuffle count is the (small, constant) funnel depth and every shuffled
+  relation is user-sized, never event-sized after stage 1.  NO per-user
+  arrays: the collect-and-fold alternative holds O(events-per-user) rows
+  in one task and dies on power users.
+- `cohort_retention` is two aggregations: first-seen per user (one
+  user-keyed shuffle) joined back to the activity relation, then a
+  (cohort, offset) groupBy with countDistinct — cohort-sized output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(events: DataFrame, steps, key_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type",
+           within_seconds: int | None = None) -> DataFrame:
+    """Ordered-funnel completion per key: for the step sequence
+    ``steps = [A, B, ...]``, each key's EARLIEST time of A, then the
+    earliest B strictly after that A, and so on (the standard
+    first-touch funnel semantics; greedy-earliest is optimal here — an
+    earlier prior stage can only admit more candidates for the next).
+
+    ``within_seconds`` bounds each TRANSITION (ts_i - ts_{i-1}), not
+    the whole funnel.  Returns (key, step_1_ts .. step_k_ts, depth)
+    with NULL timestamps past the key's deepest completed stage; keys
+    that never did step 1 are absent (inner semantics on stage 1 —
+    left-join the result to the user dimension for drop-off rates).
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel: need at least one step")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError("funnel: within_seconds must be positive")
+    ev = events.select(F.col(key_col).alias("_k"),
+                       F.col(ts_col).alias("_ts"),
+                       F.col(type_col).alias("_t"))
+    out = (ev.filter(F.col("_t") == steps[0])
+           .groupBy("_k")
+           .agg(F.min("_ts").alias("step_1_ts")))
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"step_{i - 1}_ts"
+        cand = (ev.filter(F.col("_t") == step)
+                .join(out.select("_k", prev), "_k")
+                .filter(F.col("_ts") > F.col(prev)))
+        if within_seconds is not None:
+            cand = cand.filter(
+                F.timestamp_diff("SECOND", F.col(prev), F.col("_ts"))
+                <= within_seconds)
+        nxt = cand.groupBy("_k").agg(F.min("_ts").alias(f"step_{i}_ts"))
+        out = out.join(nxt, "_k", "left")
+    depth = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        depth = F.when(F.col(f"step_{i}_ts").isNotNull(), i) \
+            .otherwise(depth)
+    return (out.withColumn("depth", depth.cast("int"))
+            .withColumnRenamed("_k", key_col))
+
+
+def cohort_retention(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts",
+                     period: str = "week") -> DataFrame:
+    """Cohorted retention: users grouped by the period of their FIRST
+    event; for each (cohort_period, offset) the distinct users active
+    offset periods later, plus the retention fraction vs the cohort's
+    size at offset 0.
+
+    (cohort, offset) rows: two shuffles (first-seen groupBy, then the
+    cohort×offset distinct count) — output is cohort-bounded.  `period`
+    is any `date_trunc` unit; offsets count whole periods between the
+    truncated cohort date and the truncated activity date.
+    """
+    if period not in ("day", "week", "month", "quarter", "year"):
+        raise ValueError(f"cohort_retention: unsupported period {period!r}")
+    ev = events.select(F.col(key_col).alias("_k"),
+                       F.date_trunc(period, F.col(ts_col)).alias("_p"))
+    first = ev.groupBy("_k").agg(F.min("_p").alias("_cohort"))
+    # whole-period offset: date arithmetic on the truncated boundaries
+    unit_days = {"day": 1, "week": 7}.get(period)
+    joined = ev.join(first, "_k")
+    if unit_days is not None:
+        off = (F.datediff(F.col("_p"), F.col("_cohort"))
+               / F.lit(unit_days)).cast("long")
+    else:
+        months = {"month": 1, "quarter": 3, "year": 12}[period]
+        off = ((F.months_between(F.col("_p"), F.col("_cohort")))
+               / F.lit(months)).cast("long")
+    active = (joined.withColumn("_off", off)
+              .groupBy(F.col("_cohort").alias("cohort"),
+                       F.col("_off").alias("offset"))
+              .agg(F.countDistinct("_k").alias("n_active")))
+    base = (active.filter(F.col("offset") == 0)
+            .select("cohort", F.col("n_active").alias("_n0")))
+    return (active.join(F.broadcast(base), "cohort")
+            .select("cohort", "offset", "n_active",
+                    F.round(F.col("n_active") / F.col("_n0"), 6)
+                    .alias("retention")))

@@ -1,0 +1,89 @@
+"""Funnel and cohort-retention operators (operators/behavior.py):
+hand-computed truths on small event logs."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flood_data_spark.operators.behavior import cohort_retention, funnel
+
+
+def _ts(day, sec=0):
+    return dt.datetime(2024, 1, day, 0, 0, sec)
+
+
+@pytest.fixture()
+def log(spark):
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        (1, _ts(1, 0), "view"), (1, _ts(1, 10), "click"),
+        (1, _ts(1, 20), "purchase"),
+        # user 2 clicks BEFORE viewing: click must not count
+        (2, _ts(1, 0), "click"), (2, _ts(1, 10), "view"),
+        # user 3 views only
+        (3, _ts(1, 0), "view"),
+        # user 4 never views
+        (4, _ts(1, 0), "purchase"),
+        # user 5: completes but the second transition is slow
+        (5, _ts(1, 0), "view"), (5, _ts(1, 5), "click"),
+        (5, _ts(2, 0), "purchase"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string")
+
+
+def test_funnel_ordered_semantics(spark, log):
+    got = {r.user_id: (r.depth, r.step_1_ts, r.step_2_ts, r.step_3_ts)
+           for r in funnel(log, ["view", "click", "purchase"]).collect()}
+    assert got[1] == (3, _ts(1, 0), _ts(1, 10), _ts(1, 20))
+    assert got[2][0] == 1 and got[2][2] is None   # pre-view click ignored
+    assert got[3][0] == 1
+    assert 4 not in got                           # never entered the funnel
+    assert got[5][0] == 3
+
+
+def test_funnel_transition_window(spark, log):
+    got = {r.user_id: r.depth
+           for r in funnel(log, ["view", "click", "purchase"],
+                           within_seconds=3600).collect()}
+    # user 5's click->purchase transition takes ~1 day: depth stops at 2
+    assert got[5] == 2
+    assert got[1] == 3
+    with pytest.raises(ValueError, match="within_seconds"):
+        funnel(log, ["view"], within_seconds=0)
+    with pytest.raises(ValueError, match="step"):
+        funnel(log, [])
+
+
+def test_funnel_greedy_earliest_admits_later_matches(spark):
+    # first A at t0; B exists only BEFORE the second A but AFTER t0
+    rows = [(1, _ts(1, 0), "A"), (1, _ts(1, 5), "B"), (1, _ts(1, 9), "A")]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string")
+    r = funnel(df, ["A", "B"]).collect()[0]
+    assert (r.depth, r.step_2_ts) == (2, _ts(1, 5))
+
+
+def test_cohort_retention_weekly(spark):
+    # cohort W0: users 1,2 (first seen Jan 1 week); user 1 returns next
+    # week, user 2 does not; cohort W1: user 3
+    rows = [(1, _ts(1)), (2, _ts(2)), (1, _ts(10)),
+            (3, _ts(8)), (3, _ts(9))]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {(r.cohort.date().isoformat(), r.offset):
+           (r.n_active, r.retention)
+           for r in cohort_retention(df, period="week").collect()}
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1.0)
+    assert ("2024-01-08", 1) not in got
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(df, period="fortnight")
+
+
+def test_funnel_plan_is_user_keyed_joins(spark, log):
+    plan = funnel(log, ["view", "click", "purchase"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -2608,6 +2608,20 @@ def q_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "ewma_stream_", output_mode="append")
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-bounded first-order Markov transition matrix
+    (operators/behavior.transition_matrix): pair counts +
+    row-normalized probabilities over next_event_pairs' session-exact
+    pairs.  Full value oracle — interpolates the SAME shared pairs
+    chain as q_next_event_pairs (one definition, two gates)."""
+    from flood_data_spark.operators.behavior import transition_matrix
+
+    return (transition_matrix(_t(spark, sf_dir, "events"),
+                              gap_seconds=3600,
+                              order_tiebreak="event_id")
+            .select("event_type", "next_event_type", "n", "p"))
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase per user
     (operators/behavior.funnel): stage i is the earliest matching event
@@ -2724,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ewma_stream": q_ewma_stream,
         "q_funnel": q_funnel,
         "q_retention": q_retention,
+        "q_transitions": q_transitions,
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
@@ -2760,7 +2775,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_dedup": q_bloom_dedup,
         "q_profile": q_profile,
         "q_bloom_stream": q_bloom_stream,
-        "q_bm25_batch": q_bm25_batch,
         # --- new this round (5) ---
         # q_alert_stream stays IN-window (its stateful.py module gained
         # ewma_stream this session); q_grib_codec stays IN-window: its
@@ -2782,6 +2796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_pq_recall, q_ivfpq_recall, q_dedup_stream,
         # q_kmeans_contract … q_unigram_ppl) were green in the r7 gate
         # and the r8 full sweep on modules unchanged since.
+        # (q_bm25_batch joins them — text.py untouched this session)
+        "q_bm25_batch": q_bm25_batch,
         "q_hard_negatives": q_hard_negatives,
         "q_matryoshka_topk": q_matryoshka_topk,
         "q_session_stream": q_session_stream,
@@ -3107,6 +3123,29 @@ _MIXTURE_ORACLE_CTES = """per AS (
                               AS scaled
                    FROM per, tot t),
             z AS (SELECT sum(scaled) AS z FROM sh)"""
+
+
+# Shared session-bounded event-pairs chain: q_next_event_pairs and
+# q_transitions both interpolate this single definition (gap 3600 s,
+# (ts, event_id) ordering — matching next_event_pairs' gate arguments).
+_EVENT_PAIRS_CTES = """flagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > CAST(3600 AS BIGINT) * 1000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            numbered AS (
+                SELECT *,
+                       sum(new_s) OVER w2 AS session_id,
+                       lead(event_type) OVER w2b AS next_event_type,
+                       lead(ts) OVER w2b AS next_ts,
+                       lead(new_s) OVER w2b AS next_new
+                FROM flagged
+                WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING),
+                       w2b AS (PARTITION BY user_id ORDER BY ts, event_id))"""
 
 
 # Shared CMS cell relation: q_cms_tokens (batch) and q_cms_stream
@@ -4103,29 +4142,30 @@ def oracle_sql() -> dict[str, str]:
         # q_next_event_pairs: q_sessionize's flag/running-sum CTEs plus a
         # lead inside the key window, pair kept only when the NEXT row
         # does not open a new session
-        "q_next_event_pairs": """
-            WITH flagged AS (
-                SELECT user_id, ts, event_id, event_type,
-                       CASE WHEN lag(ts) OVER w IS NULL
-                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                                    > CAST(3600 AS BIGINT) * 1000000
-                            THEN 1 ELSE 0 END AS new_s
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-            numbered AS (
-                SELECT *,
-                       sum(new_s) OVER w2 AS session_id,
-                       lead(event_type) OVER w2b AS next_event_type,
-                       lead(ts) OVER w2b AS next_ts,
-                       lead(new_s) OVER w2b AS next_new
-                FROM flagged
-                WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING),
-                       w2b AS (PARTITION BY user_id ORDER BY ts, event_id))
+        "q_next_event_pairs": f"""
+            WITH {_EVENT_PAIRS_CTES}
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    ts, event_type, next_event_type,
                    epoch_us(next_ts) - epoch_us(ts) AS next_gap_us
             FROM numbered WHERE next_new = 0
+        """,
+        # q_transitions: session-bounded Markov estimates — the SAME
+        # shared pairs chain as q_next_event_pairs, aggregated to the
+        # |event-type|^2 matrix with row-normalized probabilities
+        "q_transitions": f"""
+            WITH {_EVENT_PAIRS_CTES},
+            pairs AS (SELECT event_type, next_event_type
+                      FROM numbered WHERE next_new = 0),
+            counts AS (
+                SELECT event_type, next_event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM pairs GROUP BY event_type, next_event_type),
+            totals AS (
+                SELECT event_type, sum(n) AS tot
+                FROM counts GROUP BY event_type)
+            SELECT c.event_type, c.next_event_type, c.n,
+                   round(c.n / CAST(t.tot AS DOUBLE), 6) AS p
+            FROM counts c JOIN totals t ON c.event_type = t.event_type
         """,
         "q_sessionize": """
             WITH flagged AS (

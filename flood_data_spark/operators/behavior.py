@@ -107,3 +107,32 @@ def cohort_retention(events: DataFrame, key_col: str = "user_id",
             .select("cohort", "offset", "n_active",
                     F.round(F.col("n_active") / F.col("_n0"), 6)
                     .alias("retention")))
+
+
+def transition_matrix(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      gap_seconds: int = 1800,
+                      order_tiebreak: str | None = None) -> DataFrame:
+    """First-order Markov transition estimates over session-bounded
+    event sequences: (event_type, next_event_type, n, p) with p the
+    row-normalized maximum-likelihood transition probability.
+
+    Rides `timeseries.next_event_pairs` (the SAME session boundaries as
+    `sessionize`, bit-identical), so cross-session jumps never count as
+    transitions.  The matrix is |event-type|^2-bounded: one pair count
+    groupBy + a broadcast row-total join — corpus-sized work only in
+    the shared sessionize exchange.
+    """
+    from flood_data_spark.operators.timeseries import next_event_pairs
+
+    pairs = next_event_pairs(events, key_col=key_col, ts_col=ts_col,
+                             label_col=type_col, gap_seconds=gap_seconds,
+                             order_tiebreak=order_tiebreak)
+    counts = (pairs.groupBy(F.col(type_col),
+                            F.col(f"next_{type_col}"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    totals = (counts.groupBy(type_col)
+              .agg(F.sum("n").alias("_tot")))
+    return (counts.join(F.broadcast(totals), type_col)
+            .select(type_col, f"next_{type_col}", "n",
+                    F.round(F.col("n") / F.col("_tot"), 6).alias("p")))

@@ -87,3 +87,26 @@ def test_funnel_plan_is_user_keyed_joins(spark, log):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_transition_matrix_session_bounded(spark):
+    from flood_data_spark.operators.behavior import transition_matrix
+
+    rows = [
+        # session 1 of user 1: A -> B -> A
+        (1, _ts(1, 0), "A"), (1, _ts(1, 10), "B"), (1, _ts(1, 20), "A"),
+        # a 2-day gap: new session, so A -/-> C across the boundary
+        (1, _ts(3, 0), "C"),
+        # user 2: A -> B
+        (2, _ts(1, 0), "A"), (2, _ts(1, 5), "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string")
+    got = {(r.event_type, r.next_event_type): (r.n, r.p)
+           for r in transition_matrix(df, gap_seconds=3600).collect()}
+    assert got[("A", "B")] == (2, 1.0)     # both A->B; never A->C
+    # user 2's B is session-final (no pair), so B's only transition is
+    # user 1's B->A: count 1, row-probability 1.0
+    assert got[("B", "A")] == (1, 1.0)
+    assert ("A", "C") not in got           # session boundary respected
+    assert set(got) == {("A", "B"), ("B", "A")}

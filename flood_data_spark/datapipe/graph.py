@@ -160,3 +160,55 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .select("node",
                     F.coalesce("hub", F.lit(0.0)).alias("hub"),
                     F.coalesce("authority", F.lit(0.0)).alias("authority")))
+
+
+def label_propagation(edges: DataFrame, seeds: DataFrame,
+                      iterations: int = 3) -> DataFrame:
+    """Semi-supervised label propagation over an undirected similarity
+    graph — the standard way to stretch a small set of human/classifier
+    quality labels across a near-duplicate / similarity pair relation
+    (edges from `dedup.minhash_lsh_pairs`, `similarity` candidates, or
+    any (src, dst) relation; union both directions upstream for
+    undirected semantics).
+
+    `seeds` is (node, label, weight) with weight in [0, 1] (1.0 for
+    hard labels).  Each iteration: every node's label-mass becomes the
+    mean of its neighbors' masses, then seed nodes are CLAMPED back to
+    their seed distribution (the Zhu-Ghahramani recipe).  Masses are
+    rounded to 6 decimals per step — the fixed point is engine-portable
+    and the fixed-iteration run unrolls in SQL (q_label_prop carries a
+    full value hash, the pagerank discipline).
+
+    Per iteration: one edge-sized join + one groupBy(dst, label) sum
+    divided by the receiver's FULL in-degree (a neighbor without the
+    label contributes an implicit 0 — per-label avg would let one
+    labeled neighbor dominate) + a node-sized clamp join; label
+    relations are (node x label)-sized and localCheckpoint-ed per
+    round.  Returns (node, label, mass) for every node reachable from
+    a seed, mass > 0.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    deg = (e.groupBy(F.col("dst").alias("node"))
+           .agg(F.count(F.lit(1)).cast("double").alias("_deg"))
+           .localCheckpoint(eager=False))
+    s = (seeds.select(F.col("node"), F.col("label"),
+                      F.col("weight").cast("double").alias("mass"))
+         .localCheckpoint(eager=False))
+    labels = s
+    for _ in range(iterations):
+        spread = (e.join(labels, e["src"] == labels["node"])
+                  .groupBy(F.col("dst").alias("node"), F.col("label"))
+                  .agg(F.sum("mass").alias("_m"))
+                  .join(deg, "node")
+                  .select("node", "label",
+                          F.round(F.col("_m") / F.col("_deg"), 6)
+                          .alias("mass")))
+        # clamp: seed nodes keep their seed distribution verbatim
+        labels = (spread.join(s.select(F.col("node").alias("_sn"))
+                              .distinct(),
+                              spread["node"] == F.col("_sn"), "left_anti")
+                  .unionByName(s)
+                  .localCheckpoint(eager=False))
+    return labels.filter(F.col("mass") > 0)

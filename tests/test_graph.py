@@ -117,3 +117,42 @@ def test_hits_guards(spark):
     edges = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="iterations"):
         hits(edges, iterations=0)
+
+
+def test_label_propagation_spreads_and_clamps(spark):
+    from flood_data_spark.datapipe.graph import label_propagation
+
+    # path graph 0-1-2-3 (undirected), seed 0 with "good", 3 with "bad"
+    und = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    seeds = spark.createDataFrame(
+        [(0, "good", 1.0), (3, "bad", 1.0)],
+        "node long, label string, weight double")
+    got = {(r.node, r.label): r.mass
+           for r in label_propagation(edges, seeds,
+                                      iterations=4).collect()}
+    # seeds stay clamped at full mass
+    assert got[(0, "good")] == 1.0 and got[(3, "bad")] == 1.0
+    # the node adjacent to "good" carries more good-mass than bad-mass
+    assert got[(1, "good")] > got.get((1, "bad"), 0.0)
+    assert got[(2, "bad")] > got.get((2, "good"), 0.0)
+
+
+def test_label_propagation_deterministic_and_guarded(spark):
+    from flood_data_spark.datapipe.graph import label_propagation
+
+    und = [(i, (i + 1) % 6) for i in range(6)]
+    und += [(b, a) for a, b in und]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    seeds = spark.createDataFrame([(0, "x", 1.0)],
+                                  "node long, label string, weight double")
+    a = {(r.node, r.label): r.mass
+         for r in label_propagation(edges.coalesce(1), seeds,
+                                    iterations=3).collect()}
+    b = {(r.node, r.label): r.mass
+         for r in label_propagation(edges.repartition(5), seeds,
+                                    iterations=3).collect()}
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError, match="iterations"):
+        label_propagation(edges, seeds, iterations=0)

@@ -2687,6 +2687,34 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=2)
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (datapipe/graph.
+    label_propagation) over the undirected customer↔supplier co-order
+    graph: customers < 20 seed 'lo'/'hi' quality labels, two
+    Zhu-Ghahramani iterations (spread = Σ neighbor mass / full
+    in-degree, seeds clamped).  Full value oracle — both iterations
+    unrolled in SQL with the same per-step round-6 (the q_pagerank
+    discipline)."""
+    from flood_data_spark.datapipe.graph import label_propagation
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("c"),
+                     (F.col("l_suppkey") + 1_000_000).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("c").alias("dst"))))
+    seeds = (pairs.select("c").distinct().filter(F.col("c") < 20)
+             .select(F.col("c").alias("node"),
+                     F.when(F.col("c") < 10, "lo").otherwise("hi")
+                     .alias("label"),
+                     F.lit(1.0).alias("weight")))
+    return (label_propagation(edges, seeds, iterations=2)
+            .select("node", "label", "mass"))
+
+
 def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed count-min sketch (streaming/file_stream.cms_stream):
     complete-mode availableNow over the documents stream — the
@@ -2739,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_retention": q_retention,
         "q_transitions": q_transitions,
+        "q_label_prop": q_label_prop,
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
@@ -2774,7 +2803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trend": q_trend,
         "q_bloom_dedup": q_bloom_dedup,
         "q_profile": q_profile,
-        "q_bloom_stream": q_bloom_stream,
         # --- new this round (5) ---
         # q_alert_stream stays IN-window (its stateful.py module gained
         # ewma_stream this session); q_grib_codec stays IN-window: its
@@ -2796,7 +2824,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_pq_recall, q_ivfpq_recall, q_dedup_stream,
         # q_kmeans_contract … q_unigram_ppl) were green in the r7 gate
         # and the r8 full sweep on modules unchanged since.
-        # (q_bm25_batch joins them — text.py untouched this session)
+        # (q_bm25_batch joins them — text.py untouched this session —
+        # and q_bloom_stream, whose file_stream module gained only the
+        # independent cms_stream function; q_cms_stream + q_ewma_stream
+        # exercise the streaming scaffolds in-window)
+        "q_bloom_stream": q_bloom_stream,
         "q_bm25_batch": q_bm25_batch,
         "q_hard_negatives": q_hard_negatives,
         "q_matryoshka_topk": q_matryoshka_topk,
@@ -3547,6 +3579,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts, value, cusum,
                    cusum >= 200.0 AS cusum_alarm
             FROM s
+        """,
+        # q_label_prop: both Zhu-Ghahramani iterations unrolled in EXACT
+        # integer micro-units — spread = (2*sum + deg) // (2*deg)
+        # (half-up integer division; min(dg) is constant per group),
+        # seeds clamped back each round.  No floats until the final /1e6.
+        "q_label_prop": """
+            WITH pairs AS (
+                SELECT DISTINCT o.o_custkey AS c,
+                       l.l_suppkey + 1000000 AS s
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_custkey < 150),
+            edges AS (SELECT c AS src, s AS dst FROM pairs
+                      UNION ALL SELECT s, c FROM pairs),
+            deg AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS dg
+                    FROM edges GROUP BY dst),
+            seeds AS (
+                SELECT c AS node,
+                       CASE WHEN c < 10 THEN 'lo' ELSE 'hi' END AS label,
+                       CAST(1000000 AS BIGINT) AS mu
+                FROM (SELECT DISTINCT c FROM pairs WHERE c < 20)),
+            sp1 AS (
+                SELECT e.dst AS node, l.label,
+                       (2 * sum(l.mu) + min(d.dg)) // (2 * min(d.dg))
+                           AS mu
+                FROM seeds l JOIN edges e ON l.node = e.src
+                JOIN deg d ON e.dst = d.node
+                GROUP BY e.dst, l.label),
+            l1 AS (
+                SELECT * FROM sp1
+                WHERE node NOT IN (SELECT node FROM seeds)
+                UNION ALL SELECT * FROM seeds),
+            sp2 AS (
+                SELECT e.dst AS node, l.label,
+                       (2 * sum(l.mu) + min(d.dg)) // (2 * min(d.dg))
+                           AS mu
+                FROM l1 l JOIN edges e ON l.node = e.src
+                JOIN deg d ON e.dst = d.node
+                GROUP BY e.dst, l.label),
+            l2 AS (
+                SELECT * FROM sp2
+                WHERE node NOT IN (SELECT node FROM seeds)
+                UNION ALL SELECT * FROM seeds)
+            SELECT node, label, mu / 1000000.0 AS mass
+            FROM l2 WHERE mu > 0
         """,
         # q_hits: both HITS iterations unrolled — four half-steps, each
         # an edge join + L2 normalize + round-6 (h0 = 1 makes the first

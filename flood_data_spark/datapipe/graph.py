@@ -174,10 +174,18 @@ def label_propagation(edges: DataFrame, seeds: DataFrame,
     `seeds` is (node, label, weight) with weight in [0, 1] (1.0 for
     hard labels).  Each iteration: every node's label-mass becomes the
     mean of its neighbors' masses, then seed nodes are CLAMPED back to
-    their seed distribution (the Zhu-Ghahramani recipe).  Masses are
-    rounded to 6 decimals per step — the fixed point is engine-portable
-    and the fixed-iteration run unrolls in SQL (q_label_prop carries a
-    full value hash, the pagerank discipline).
+    their seed distribution (the Zhu-Ghahramani recipe).
+
+    Masses are maintained as INTEGER micro-units (1e-6): the spread
+    divides an exact integer sum by the integer degree with an explicit
+    half-up rule, `(2*sum + deg) div (2*deg)` — pure integer
+    arithmetic, so every step is EXACT and identical on any engine.
+    (The float formulation was measurably unportable: summed 6-decimal
+    masses over an integer degree land on exact decimal half-points,
+    where Spark's and DuckDB's round() disagree on the binary
+    neighbors — 2 of 478 rows in the first gate run.)  The
+    fixed-iteration run therefore unrolls in SQL with full value
+    equality (q_label_prop), not just round-tolerant equality.
 
     Per iteration: one edge-sized join + one groupBy(dst, label) sum
     divided by the receiver's FULL in-degree (a neighbor without the
@@ -185,30 +193,33 @@ def label_propagation(edges: DataFrame, seeds: DataFrame,
     labeled neighbor dominate) + a node-sized clamp join; label
     relations are (node x label)-sized and localCheckpoint-ed per
     round.  Returns (node, label, mass) for every node reachable from
-    a seed, mass > 0.
+    a seed, mass > 0 (mass = micro-units / 1e6).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = edges.select("src", "dst").localCheckpoint(eager=False)
     deg = (e.groupBy(F.col("dst").alias("node"))
-           .agg(F.count(F.lit(1)).cast("double").alias("_deg"))
+           .agg(F.count(F.lit(1)).alias("_deg"))
            .localCheckpoint(eager=False))
     s = (seeds.select(F.col("node"), F.col("label"),
-                      F.col("weight").cast("double").alias("mass"))
+                      F.round(F.col("weight") * 1_000_000)
+                      .cast("long").alias("_mu"))
          .localCheckpoint(eager=False))
     labels = s
     for _ in range(iterations):
         spread = (e.join(labels, e["src"] == labels["node"])
                   .groupBy(F.col("dst").alias("node"), F.col("label"))
-                  .agg(F.sum("mass").alias("_m"))
+                  .agg(F.sum("_mu").alias("_m"))
                   .join(deg, "node")
                   .select("node", "label",
-                          F.round(F.col("_m") / F.col("_deg"), 6)
-                          .alias("mass")))
+                          F.expr("(2 * _m + _deg) div (2 * _deg)")
+                          .alias("_mu")))
         # clamp: seed nodes keep their seed distribution verbatim
         labels = (spread.join(s.select(F.col("node").alias("_sn"))
                               .distinct(),
                               spread["node"] == F.col("_sn"), "left_anti")
                   .unionByName(s)
                   .localCheckpoint(eager=False))
-    return labels.filter(F.col("mass") > 0)
+    return (labels.filter(F.col("_mu") > 0)
+            .select("node", "label",
+                    (F.col("_mu") / F.lit(1_000_000.0)).alias("mass")))

@@ -2812,11 +2812,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grib_codec": q_grib_codec,
         # --- round 7, second batch ---
         # ---------------- gate window boundary (50) ----------------
-        # r8 continuation rotation: thirteen new queries enter at the
+        # r8 continuation rotation: SIXTEEN new queries enter at the
         # head (q_dim_stats, q_gram_matrix, q_power_iteration,
         # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
         # q_cms_stream, q_hits, q_ewma, q_cusum, q_ewma_stream,
-        # q_funnel, q_retention); the displaced below
+        # q_funnel, q_retention, q_transitions, q_label_prop); the
+        # sixteen displaced below
         # (q_hard_negatives, q_matryoshka_topk — similarity.py untouched
         # this session — q_session_stream whose file_stream module
         # gained only the independent cms_stream function,

@@ -59,7 +59,11 @@ from flood_data_spark.datapipe.sketches import (
     cms_estimate,
     cms_merge,
 )
-from flood_data_spark.datapipe.graph import hits, pagerank
+from flood_data_spark.datapipe.graph import (
+    hits,
+    label_propagation,
+    pagerank,
+)
 
 __all__ = [
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
@@ -77,4 +81,5 @@ __all__ = [
     "covariance_matrix", "dim_stats", "gram_matrix",
     "power_iteration_top", "power_iteration_topk", "project_components", "pca_topk",
     "cms_build", "cms_estimate", "cms_merge", "hits", "pagerank",
+    "label_propagation",
 ]

@@ -118,10 +118,14 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
     half-points flip between engines), so the Gram is taken raw here.
     """
     gram = gram_matrix(df, vec_col, round_to=None)
+    # localCheckpoint: the d-row stats relation feeds BOTH broadcast
+    # sides — without it Catalyst replans the corpus-sized explode+
+    # groupBy once per side (the multiply-consumed-bounded-relation rule)
     stats = (df.select(F.posexplode(_as_double(F.col(vec_col)))
                        .alias("pos", "x"))
              .groupBy("pos")
-             .agg(F.avg("x").alias("mean"), F.count(F.lit(1)).alias("n")))
+             .agg(F.avg("x").alias("mean"), F.count(F.lit(1)).alias("n"))
+             .localCheckpoint(eager=False))
     mi = stats.select(F.col("pos").alias("i"), F.col("mean").alias("_mi"),
                       F.col("n").alias("_n"))
     mj = stats.select(F.col("pos").alias("j"), F.col("mean").alias("_mj"))
@@ -169,14 +173,7 @@ def power_iteration_top(df: DataFrame, vec_col: str = "embedding",
     v = [round(1.0 / d ** 0.5, 6)] * d
     sigma2 = 0.0
     for _ in range(iterations):
-        y = base.withColumn("_y", _dot_lit(F.col("_v"), v))
-        cells = (y.select("_y", F.posexplode("_v").alias("pos", "x"))
-                 .groupBy("pos")
-                 .agg(F.sum(F.col("_y") * F.col("x")).alias("z"))
-                 .collect())
-        z = [0.0] * d
-        for r in cells:
-            z[r.pos] = r.z
+        z = _xtx_apply(base, v, d)
         # |Xv|^2 = v'X'Xv = <v, z>: the Rayleigh numerator for THIS v
         sigma2 = sum(a * b for a, b in zip(v, z))
         nrm = sum(t * t for t in z) ** 0.5
@@ -185,6 +182,23 @@ def power_iteration_top(df: DataFrame, vec_col: str = "embedding",
                              "input or v orthogonal to the column space")
         v = [round(t / nrm, 6) for t in z]
     return v, sigma2
+
+
+def _xtx_apply(base: DataFrame, v: list, d: int) -> list:
+    """ONE distributed job computing z = X'(Xv): y = <x, v> rides the
+    row against the v literal (no join), then posexplode → groupBy(pos)
+    sum(y*x) — the d-keyed exchange; the driver collects exactly d
+    cells.  Shared by the single- and top-k power iterations so any
+    kernel change (rounding, hints) lands in both."""
+    y = base.withColumn("_y", _dot_lit(F.col("_v"), v))
+    cells = (y.select("_y", F.posexplode("_v").alias("pos", "x"))
+             .groupBy("pos")
+             .agg(F.sum(F.col("_y") * F.col("x")).alias("z"))
+             .collect())
+    z = [0.0] * d
+    for r in cells:
+        z[r.pos] = r.z
+    return z
 
 
 def power_iteration_topk(df: DataFrame, k: int,
@@ -228,14 +242,7 @@ def power_iteration_topk(df: DataFrame, k: int,
         v = _gram_schmidt(v, comps)
         sigma2 = 0.0
         for _ in range(iterations):
-            y = base.withColumn("_y", _dot_lit(F.col("_v"), v))
-            cells = (y.select("_y", F.posexplode("_v").alias("pos", "x"))
-                     .groupBy("pos")
-                     .agg(F.sum(F.col("_y") * F.col("x")).alias("z"))
-                     .collect())
-            z = [0.0] * d
-            for r in cells:
-                z[r.pos] = r.z
+            z = _xtx_apply(base, v, d)
             sigma2 = sum(a * b for a, b in zip(v, z))
             v = _gram_schmidt(z, comps)
         comps.append(v)

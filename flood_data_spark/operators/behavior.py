@@ -33,11 +33,19 @@ def funnel(events: DataFrame, steps, key_col: str = "user_id",
     first-touch funnel semantics; greedy-earliest is optimal here — an
     earlier prior stage can only admit more candidates for the next).
 
-    ``within_seconds`` bounds each TRANSITION (ts_i - ts_{i-1}), not
-    the whole funnel.  Returns (key, step_1_ts .. step_k_ts, depth)
-    with NULL timestamps past the key's deepest completed stage; keys
-    that never did step 1 are absent (inner semantics on stage 1 —
-    left-join the result to the user dimension for drop-off rates).
+    ``within_seconds`` bounds each TRANSITION (ts_i - ts_{i-1}) and
+    switches to RE-ANCHORING semantics: stage i can chain off ANY
+    stage-(i-1)-reachable event within the window, not just the
+    earliest (greedy-earliest undercounts under a window — a user with
+    view@0, view@100, click@105 and a 10 s window genuinely converted
+    via the second view; step_i_ts is then the earliest time the
+    prefix 1..i completes).  Without a window, greedy-earliest IS
+    optimal — an earlier prior stage only admits more candidates.
+
+    Returns (key, step_1_ts .. step_k_ts, depth) with NULL timestamps
+    past the key's deepest completed stage; keys that never did step 1
+    are absent (inner semantics on stage 1 — left-join the result to
+    the user dimension for drop-off rates).
     """
     steps = list(steps)
     if not steps:
@@ -47,20 +55,41 @@ def funnel(events: DataFrame, steps, key_col: str = "user_id",
     ev = events.select(F.col(key_col).alias("_k"),
                        F.col(ts_col).alias("_ts"),
                        F.col(type_col).alias("_t"))
-    out = (ev.filter(F.col("_t") == steps[0])
-           .groupBy("_k")
-           .agg(F.min("_ts").alias("step_1_ts")))
-    for i, step in enumerate(steps[1:], start=2):
-        prev = f"step_{i - 1}_ts"
-        cand = (ev.filter(F.col("_t") == step)
-                .join(out.select("_k", prev), "_k")
-                .filter(F.col("_ts") > F.col(prev)))
-        if within_seconds is not None:
-            cand = cand.filter(
-                F.timestamp_diff("SECOND", F.col(prev), F.col("_ts"))
-                <= within_seconds)
-        nxt = cand.groupBy("_k").agg(F.min("_ts").alias(f"step_{i}_ts"))
-        out = out.join(nxt, "_k", "left")
+    if within_seconds is None:
+        out = (ev.filter(F.col("_t") == steps[0])
+               .groupBy("_k")
+               .agg(F.min("_ts").alias("step_1_ts")))
+        for i, step in enumerate(steps[1:], start=2):
+            prev = f"step_{i - 1}_ts"
+            cand = (ev.filter(F.col("_t") == step)
+                    .join(out.select("_k", prev), "_k")
+                    .filter(F.col("_ts") > F.col(prev)))
+            nxt = (cand.groupBy("_k")
+                   .agg(F.min("_ts").alias(f"step_{i}_ts")))
+            out = out.join(nxt, "_k", "left")
+    else:
+        # re-anchoring DP as k window passes over ONE key exchange:
+        # reach_i(e) = e is step i AND some reach_{i-1} event lies in
+        # the strict window (e.ts - T, e.ts) — integer-µs frame
+        # [-T*1e6, -1] encodes `a.ts < e.ts AND e.ts - a.ts <= T`.
+        # No joins; Spark plans all k passes over a single sort.
+        from pyspark.sql import Window
+
+        us = F.unix_micros(F.col("_ts"))
+        frame = (Window.partitionBy("_k").orderBy(us)
+                 .rangeBetween(-within_seconds * 1_000_000, -1))
+        reach = ev.withColumn("_r1", F.col("_t") == steps[0])
+        for i, step in enumerate(steps[1:], start=2):
+            prev_in_window = (F.max(
+                F.when(F.col(f"_r{i - 1}"), us)).over(frame)
+                .isNotNull())
+            reach = reach.withColumn(
+                f"_r{i}", (F.col("_t") == step) & prev_in_window)
+        out = reach.groupBy("_k").agg(*[
+            F.min(F.when(F.col(f"_r{i}"), F.col("_ts")))
+            .alias(f"step_{i}_ts")
+            for i in range(1, len(steps) + 1)])
+        out = out.filter(F.col("step_1_ts").isNotNull())
     depth = F.lit(0)
     for i in range(1, len(steps) + 1):
         depth = F.when(F.col(f"step_{i}_ts").isNotNull(), i) \
@@ -97,10 +126,14 @@ def cohort_retention(events: DataFrame, key_col: str = "user_id",
         months = {"month": 1, "quarter": 3, "year": 12}[period]
         off = ((F.months_between(F.col("_p"), F.col("_cohort")))
                / F.lit(months)).cast("long")
+    # localCheckpoint: `active` feeds both the base (offset-0) filter
+    # and the final join — cohort-bounded, so materializing once beats
+    # re-running the corpus-sized ev⋈first chain per consumer
     active = (joined.withColumn("_off", off)
               .groupBy(F.col("_cohort").alias("cohort"),
                        F.col("_off").alias("offset"))
-              .agg(F.countDistinct("_k").alias("n_active")))
+              .agg(F.countDistinct("_k").alias("n_active"))
+              .localCheckpoint(eager=False))
     base = (active.filter(F.col("offset") == 0)
             .select("cohort", F.col("n_active").alias("_n0")))
     return (active.join(F.broadcast(base), "cohort")
@@ -128,9 +161,13 @@ def transition_matrix(events: DataFrame, key_col: str = "user_id",
     pairs = next_event_pairs(events, key_col=key_col, ts_col=ts_col,
                              label_col=type_col, gap_seconds=gap_seconds,
                              order_tiebreak=order_tiebreak)
+    # localCheckpoint: `counts` feeds both the totals aggregate and the
+    # final join — |event-type|^2-bounded, vs re-running the corpus-
+    # sized sessionize window chain per consumer
     counts = (pairs.groupBy(F.col(type_col),
                             F.col(f"next_{type_col}"))
-              .agg(F.count(F.lit(1)).alias("n")))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .localCheckpoint(eager=False))
     totals = (counts.groupBy(type_col)
               .agg(F.sum("n").alias("_tot")))
     return (counts.join(F.broadcast(totals), type_col)

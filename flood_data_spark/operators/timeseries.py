@@ -336,6 +336,13 @@ def with_ewma(df: DataFrame, key_col: str = "user_id",
     ordering the EWMA values are bit-identical across engines, no
     rounding games needed.  `alpha` values that are exact binary
     fractions (0.25, 0.5, 0.125) keep the per-step arithmetic exact.
+
+    NULL contract: `value_col` must be non-null.  Spark's collect_list
+    silently DROPS a NULL observation (the row gets the previous fold
+    value and later windows shift by one), while a SQL engine keeping
+    NULLs folds to NULL — cross-engine parity and the smoothing
+    semantics both break.  Filter or impute missing observations
+    upstream.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"with_ewma: alpha must be in (0, 1], got {alpha}")
@@ -375,6 +382,8 @@ def with_cusum(df: DataFrame, key_col: str = "user_id",
     `<out_col>_alarm` (S >= threshold) — the drift flag monitoring
     pipelines page on.  Truncation note: a drift older than `window`
     observations ages out; pick window > the expected detection delay.
+    NULL contract: as `with_ewma` — non-null values only (collect_list
+    drops NULLs, silently misaligning the fold).
     """
     if window < 1:
         raise ValueError("with_cusum: window must be >= 1")

@@ -153,12 +153,16 @@ def _unpack_complex(s5: bytes, s7: bytes, n_vals: int) -> np.ndarray:
         for i, v in enumerate(ival):
             x[i] = v
         # undo the differencing: first order d[i] = x[i] - x[i-1];
-        # second order d[i] = x[i] - 2x[i-1] + x[i-2]
+        # second order d[i] = x[i] - 2x[i-1] + x[i-2].  Both are prefix
+        # sums (order 2 = cumsum of the first-difference cumsum), so a
+        # 6.5M-point grid reconstructs in numpy, not a Python loop
         if order == 1:
             x = np.cumsum(x, dtype=np.int64)
-        else:
-            for i in range(2, n_vals):
-                x[i] = x[i] + 2 * x[i - 1] - x[i - 2]
+        elif n_vals > 2:
+            first_diffs = np.cumsum(
+                np.concatenate(([x[1] - x[0]], x[2:])), dtype=np.int64)
+            x = np.cumsum(np.concatenate(([x[0]], first_diffs)),
+                          dtype=np.int64)
     return x
 
 

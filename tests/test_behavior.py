@@ -10,7 +10,7 @@ from flood_data_spark.operators.behavior import cohort_retention, funnel
 
 
 def _ts(day, sec=0):
-    return dt.datetime(2024, 1, day, 0, 0, sec)
+    return dt.datetime(2024, 1, day) + dt.timedelta(seconds=sec)
 
 
 @pytest.fixture()
@@ -110,3 +110,32 @@ def test_transition_matrix_session_bounded(spark):
     assert got[("B", "A")] == (1, 1.0)
     assert ("A", "C") not in got           # session boundary respected
     assert set(got) == {("A", "B"), ("B", "A")}
+
+
+def test_windowed_funnel_reanchors_on_later_entries(spark):
+    from flood_data_spark.operators.behavior import funnel
+
+    # greedy-earliest would anchor on view@0 and miss the conversion;
+    # re-anchoring chains off view@100
+    rows = [(1, _ts(1, 0), "view"), (1, _ts(1, 100), "view"),
+            (1, _ts(1, 105), "click")]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string")
+    r = funnel(df, ["view", "click"], within_seconds=10).collect()[0]
+    assert (r.depth, r.step_1_ts, r.step_2_ts) == (2, _ts(1, 0),
+                                                   _ts(1, 105))
+
+
+def test_windowed_funnel_strict_and_bounded(spark):
+    from flood_data_spark.operators.behavior import funnel
+
+    rows = [
+        (1, _ts(1, 0), "A"), (1, _ts(1, 0), "B"),    # same instant: no chain
+        (2, _ts(1, 0), "A"), (2, _ts(1, 10), "B"),   # exactly at the bound
+        (3, _ts(1, 0), "A"), (3, _ts(1, 11), "B"),   # just past the bound
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string")
+    got = {r.user_id: r.depth
+           for r in funnel(df, ["A", "B"], within_seconds=10).collect()}
+    assert got == {1: 1, 2: 2, 3: 1}

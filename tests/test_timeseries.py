@@ -379,3 +379,19 @@ def test_cusum_window_truncation_and_guards(spark):
         with_cusum(df, ts_col="ts", window=0)
     with _pt.raises(ValueError, match="slack"):
         with_cusum(df, ts_col="ts", slack=-1)
+
+
+def test_ewma_null_contract_documented_behavior(spark):
+    """Pin the documented NULL behavior: collect_list DROPS the null
+    observation, so its row carries the previous fold value — callers
+    must filter/impute upstream (docstring contract)."""
+    from flood_data_spark.operators.timeseries import with_ewma
+
+    rows = [(1, 0, 10.0), (1, 1, None), (1, 2, 20.0)]
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double")
+    got = {r.ts: r.ewma
+           for r in with_ewma(df, ts_col="ts", alpha=0.5,
+                              window=10).collect()}
+    assert got[0] == 10.0
+    assert got[1] == 10.0            # null row: previous fold, NOT null
+    assert got[2] == 15.0            # fold skips the missing observation

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "q_bpe_train_full",
     "q_ivfpq_search",
     "q_cms_build_x10",
+    "q_funnel_x10",
     "q_threshold_summary",
     "q_peak_timing",
     "q_tendency",
@@ -145,6 +146,9 @@ BENCH_QUERIES = [
     "q_fuzzy_pairs",
     "q_cms_tokens",
     "q_ewma",
+    "q_funnel",
+    "q_retention",
+    "q_transitions",
 ]
 
 _IVF_INDEX = {}
@@ -529,7 +533,23 @@ def _q_cms_build_x10(spark, sf_dir):
     return cms_build(toks, key_col="token", width=4096, depth=4)
 
 
+
+def _q_funnel_x10(spark, sf_dir):
+    """Re-anchoring windowed funnel on the 10x events tier: the k-pass
+    range-frame DP (view -> click -> purchase, 1-hour transitions) at
+    10x the keys — all three passes plan over ONE key exchange, no
+    joins (operators/behavior.funnel; registry twin q_funnel runs the
+    unwindowed min-join form on the 1x table)."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.operators.behavior import funnel
+    ev = spark.read.parquet(_scaled_events_path(spark, sf_dir))
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return funnel(ev, ["view", "click", "purchase"], within_seconds=3600)
+
+
 EXTRA_QUERIES = {
+    "q_funnel_x10": _q_funnel_x10,
     "q_cms_build_x10": _q_cms_build_x10,
     "q_gopher_rules_full": _q_gopher_rules_full,
     "q_bpe_encode_x10": _q_bpe_encode_x10,
@@ -616,7 +636,7 @@ def main():
                  # plan cost separates from the box's bimodal I/O noise
                  "q_contamination", "q_clean_lines", "q_line_dedup",
                  "q_bm25_index_build", "q_bpe_encode_x10",
-                 "q_bloom_dedup_x10", "q_cms_build_x10"}
+                 "q_bloom_dedup_x10", "q_cms_build_x10", "q_funnel_x10"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -2649,6 +2649,29 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "offset", "n_active", "retention"))
 
 
+def q_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-triggered CUSUM alarms as a stateful stream
+    (streaming/stateful.cusum_alarm_stream): FULL-history S = max(0,
+    S + x - 60) per user, a row emitted only when S crosses 200 upward
+    (re-armed below).  Raw value oracle — the per-prefix folds restate
+    in SQL (unbounded list + the max(0,·)-seeded list_reduce) and the
+    crossing is a lag over them; sequential float64 both sides, no
+    rounding (the q_ewma discipline)."""
+    from flood_data_spark.streaming.stateful import cusum_alarm_stream
+
+    def build(stream):
+        ev = stream.filter(F.col("user_id") < 25) \
+            .select("event_id", "user_id", "ts", "value")
+        if dict(ev.dtypes).get("ts") == "bigint":
+            ev = ev.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return cusum_alarm_stream(ev, target=55.0, slack=5.0,
+                                  threshold=200.0)
+
+    return _run_file_stream(spark, f"{sf_dir}/events.parquet", build,
+                            "cusum_stream_", output_mode="append")
+
+
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift statistic per user
     (operators/timeseries.with_cusum): S = max(0, S + x - target -
@@ -2768,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention": q_retention,
         "q_transitions": q_transitions,
         "q_label_prop": q_label_prop,
+        "q_cusum_stream": q_cusum_stream,
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
@@ -2800,7 +2824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suppress_rare": q_suppress_rare,
         "q_mixture_plan": q_mixture_plan,
         "q_robust_outliers": q_robust_outliers,
-        "q_trend": q_trend,
         "q_bloom_dedup": q_bloom_dedup,
         "q_profile": q_profile,
         # --- new this round (5) ---
@@ -2826,9 +2849,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_kmeans_contract … q_unigram_ppl) were green in the r7 gate
         # and the r8 full sweep on modules unchanged since.
         # (q_bm25_batch joins them — text.py untouched this session —
-        # and q_bloom_stream, whose file_stream module gained only the
-        # independent cms_stream function; q_cms_stream + q_ewma_stream
-        # exercise the streaming scaffolds in-window)
+        # q_bloom_stream, whose file_stream module gained only the
+        # independent cms_stream function — q_cms_stream + q_ewma_stream
+        # exercise the streaming scaffolds in-window — and q_trend,
+        # whose regr_* module is untouched, displaced by q_cusum_stream)
+        "q_trend": q_trend,
         "q_bloom_stream": q_bloom_stream,
         "q_bm25_batch": q_bm25_batch,
         "q_hard_negatives": q_hard_negatives,
@@ -3557,6 +3582,37 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(a, (acc, x) -> 0.25 * x + 0.75 * acc)
                        AS ewma
             FROM arr
+        """,
+        # q_cusum_stream: alarm rows = upward crossings of the
+        # full-history clamped fold; S restated per prefix (unbounded
+        # list + max(0,·)-seeded reduce), the edge via lag(S)
+        "q_cusum_stream": """
+            WITH ev AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE user_id < 25),
+            arr AS (
+                SELECT event_id, user_id, ts, value,
+                       list(value - 55.0 - 5.0) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS a
+                FROM ev),
+            s AS (
+                SELECT event_id, user_id, ts, value,
+                       list_reduce(
+                           list_prepend(greatest(a[1], 0.0), a[2:]),
+                           (acc, x) -> greatest(acc + x, 0.0)) AS cusum
+                FROM arr),
+            edged AS (
+                SELECT user_id, ts, value, cusum,
+                       lag(cusum) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_s
+                FROM s)
+            SELECT user_id, ts, value, cusum
+            FROM edged
+            WHERE cusum >= 200.0
+              AND coalesce(prev_s < 200.0, TRUE)
         """,
         # q_cusum: same raw bit-identical fold as q_ewma; element 1 is
         # pre-mapped through greatest(·, 0) so the first-element seed

@@ -169,3 +169,68 @@ def ewma_stream(events: DataFrame, alpha: float = 0.25) -> DataFrame:
                 stateStructType=EWMA_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+CUSUM_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+    StructField("cusum", DoubleType()),
+])
+
+CUSUM_STATE_SCHEMA = StructType([
+    StructField("stat", DoubleType()),
+    StructField("alarmed", DoubleType()),   # 0.0 / 1.0 (state is typed)
+])
+
+
+def cusum_alarm_stream(events: DataFrame, target: float, slack: float,
+                       threshold: float) -> DataFrame:
+    """FULL-history one-sided CUSUM with EDGE-triggered alarms as a
+    stateful stream: per key, S = max(0, S + x - target - slack) runs
+    over the complete history (the batch operator truncates — same
+    argument as `ewma_stream`), and a row is emitted ONLY when S crosses
+    `threshold` upward (the page-the-operator moment).  Re-arming
+    happens when S falls back below the threshold — the statistic is
+    NOT reset on alarm, so a sustained drift alarms once, not every
+    event (document-matched by q_cusum_stream's oracle, which restates
+    the crossing with a lag over the per-prefix folds).
+
+    State: two doubles per key.  Arrival-order contract as
+    `ewma_stream` (non-decreasing (ts, event_id) per key across
+    micro-batches; rows sorted within each batch).
+    """
+    dev_base = float(target) + float(slack)
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        s_val, alarmed = state.get if state.exists else (0.0, 0.0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
+        out_rows = []
+        for _, row in batch.iterrows():
+            s_val = max(0.0, s_val + float(row["value"]) - dev_base)
+            if s_val >= threshold and alarmed == 0.0:
+                alarmed = 1.0
+                out_rows.append((user_id, row["ts"], float(row["value"]),
+                                 s_val))
+            elif s_val < threshold:
+                alarmed = 0.0
+        state.update((float(s_val), float(alarmed)))
+        if out_rows:
+            pdf = pd.DataFrame(out_rows,
+                               columns=["user_id", "ts", "value", "cusum"])
+            pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+            yield pdf
+
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=CUSUM_OUTPUT_SCHEMA,
+                stateStructType=CUSUM_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

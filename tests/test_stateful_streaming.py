@@ -115,3 +115,54 @@ def test_ewma_stream_state_carries_across_micro_batches(spark, tmp_path):
     # 0.5*30 + 0.5*15 — seeded from run 1's persisted state, and the
     # unseen key 2 seeds fresh from its first value
     assert second == {0: 10.0, 1: 15.0, 2: 22.5, 3: 7.0}
+
+
+def test_cusum_alarm_stream_edges_and_rearm(spark, tmp_path):
+    """Alarms fire on upward crossings only, stay silent while above
+    threshold, and re-arm after dipping below — across TWO runs over a
+    shared checkpoint (state carries S and the armed flag)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from flood_data_spark.streaming.stateful import cusum_alarm_stream
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2024-01-01")
+
+    def _write(name, rows):
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"]) \
+            .to_parquet(os.path.join(src, name))
+
+    # target+slack=10, threshold=15: S path 12 -> 24(alarm) -> 26
+    # (silent: still above) -> 16 (silent) -> 6 (re-arm) in batch 1
+    _write("f0.parquet", [
+        (0, 1, t0, 22.0), (1, 1, t0 + pd.Timedelta("1s"), 22.0),
+        (2, 1, t0 + pd.Timedelta("2s"), 12.0),
+        (3, 1, t0 + pd.Timedelta("3s"), 0.0),
+        (4, 1, t0 + pd.Timedelta("4s"), 0.0)])
+    schema = spark.read.parquet(src).schema
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        q = (cusum_alarm_stream(stream, target=10.0, slack=0.0,
+                                threshold=15.0)
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sorted((r.cusum for r in spark.read.parquet(out).collect()))
+
+    assert _run() == [24.0]
+    # batch 2 continues from S=6, armed=0: 6+14-10=10 (silent),
+    # 10+16-10=16 (second alarm — re-armed)
+    _write("f1.parquet", [
+        (5, 1, t0 + pd.Timedelta("5s"), 14.0),
+        (6, 1, t0 + pd.Timedelta("6s"), 16.0)])
+    assert _run() == [16.0, 24.0]

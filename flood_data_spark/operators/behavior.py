@@ -7,12 +7,15 @@ users who first appeared in period X, how many were still active k
 periods later?" (retention).
 
 100 TB shapes:
-- `funnel` is k-1 user-keyed min-aggregate joins for a k-step funnel —
-  each stage is one groupBy(user) + one equi-join on user, so the
+- `funnel` without a transition window is k-1 user-keyed min-aggregate
+  joins — each stage one groupBy(user) + one equi-join on user, so the
   shuffle count is the (small, constant) funnel depth and every shuffled
-  relation is user-sized, never event-sized after stage 1.  NO per-user
-  arrays: the collect-and-fold alternative holds O(events-per-user) rows
-  in one task and dies on power users.
+  relation is user-sized after stage 1.  WITH a window it becomes a
+  join-free re-anchoring DP: k range-frame window passes over ONE key
+  exchange of the step-filtered event relation (Spark plans all passes
+  over a single sort).  Either way, NO per-user arrays: the
+  collect-and-fold alternative holds O(events-per-user) rows in one
+  task and dies on power users.
 - `cohort_retention` is two aggregations: first-seen per user (one
   user-keyed shuffle) joined back to the activity relation, then a
   (cohort, offset) groupBy with countDistinct — cohort-sized output.
@@ -75,6 +78,9 @@ def funnel(events: DataFrame, steps, key_col: str = "user_id",
         # No joins; Spark plans all k passes over a single sort.
         from pyspark.sql import Window
 
+        # prefilter to the funnel's step types: non-step events can
+        # never anchor a reach, so only step events need the sort
+        ev = ev.filter(F.col("_t").isin(steps))
         us = F.unix_micros(F.col("_ts"))
         frame = (Window.partitionBy("_k").orderBy(us)
                  .rangeBetween(-within_seconds * 1_000_000, -1))

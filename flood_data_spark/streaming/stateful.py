@@ -200,7 +200,13 @@ def cusum_alarm_stream(events: DataFrame, target: float, slack: float,
     `ewma_stream` (non-decreasing (ts, event_id) per key across
     micro-batches; rows sorted within each batch).
     """
-    dev_base = float(target) + float(slack)
+    ts_type = dict(events.dtypes).get("ts")
+    if ts_type not in ("timestamp", "timestamp_ntz"):
+        raise TypeError(
+            f"cusum_alarm_stream: ts must be a timestamp column, got "
+            f"{ts_type} — normalize ns-epoch longs upstream "
+            "(timestamp_micros(ts div 1000))")
+    tgt, slk = float(target), float(slack)
 
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
@@ -211,12 +217,15 @@ def cusum_alarm_stream(events: DataFrame, target: float, slack: float,
             return
         batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
         out_rows = []
-        for _, row in batch.iterrows():
-            s_val = max(0.0, s_val + float(row["value"]) - dev_base)
+        # float op ORDER matters for the raw oracle: the element pre-map
+        # is (v - target) - slack, THEN s + dev — the same order as
+        # with_cusum's array elements and the oracle's
+        # list(value - 55.0 - 5.0); s + v - base diverges at the ULP
+        for ts, v in zip(batch["ts"], batch["value"].astype(float)):
+            s_val = max(0.0, s_val + (v - tgt - slk))
             if s_val >= threshold and alarmed == 0.0:
                 alarmed = 1.0
-                out_rows.append((user_id, row["ts"], float(row["value"]),
-                                 s_val))
+                out_rows.append((user_id, ts, v, s_val))
             elif s_val < threshold:
                 alarmed = 0.0
         state.update((float(s_val), float(alarmed)))

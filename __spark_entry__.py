@@ -2649,6 +2649,33 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "offset", "n_active", "retention"))
 
 
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per user (operators/timeseries.ohlc_bars): one
+    (key, bar) groupBy with min_by/max_by over a (ts, event_id) struct
+    ordering key — deterministic open/close under timestamp ties.  Full
+    value oracle: the oracle states open/close via ascending/descending
+    row_number windows over the same ordering."""
+    from flood_data_spark.operators.timeseries import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (ohlc_bars(ev, bar="hour", tiebreak_col="event_id")
+            .select("user_id", "bar", "open", "high", "low", "close",
+                    "n_obs"))
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user
+    (operators/timeseries.time_weighted_avg): each observation holds
+    until its successor (lead gap in µs), terminal observations weight
+    0 — the burst-robust estimator plain avg is not.  Full value
+    oracle — lead + weighted-sum arithmetic, round-6 on the ratio."""
+    from flood_data_spark.operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (time_weighted_avg(ev, tiebreak_col="event_id")
+            .select("user_id", "twap", "span_us", "n_obs"))
+
+
 def q_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-triggered CUSUM alarms as a stateful stream
     (streaming/stateful.cusum_alarm_stream): FULL-history S = max(0,
@@ -2792,6 +2819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transitions": q_transitions,
         "q_label_prop": q_label_prop,
         "q_cusum_stream": q_cusum_stream,
+        "q_ohlc": q_ohlc,
+        "q_twap": q_twap,
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
@@ -2822,8 +2851,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_tiers": q_quality_tiers,
         "q_platt_calibration": q_platt_calibration,
         "q_suppress_rare": q_suppress_rare,
-        "q_mixture_plan": q_mixture_plan,
-        "q_robust_outliers": q_robust_outliers,
         "q_bloom_dedup": q_bloom_dedup,
         "q_profile": q_profile,
         # --- new this round (5) ---
@@ -2852,7 +2879,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_bloom_stream, whose file_stream module gained only the
         # independent cms_stream function — q_cms_stream + q_ewma_stream
         # exercise the streaming scaffolds in-window — and q_trend,
-        # whose regr_* module is untouched, displaced by q_cusum_stream)
+        # whose regr_* module is untouched, displaced by q_cusum_stream;
+        # likewise q_mixture_plan/q_robust_outliers — curation/stats
+        # modules untouched — displaced by q_ohlc/q_twap)
+        "q_mixture_plan": q_mixture_plan,
+        "q_robust_outliers": q_robust_outliers,
         "q_trend": q_trend,
         "q_bloom_stream": q_bloom_stream,
         "q_bm25_batch": q_bm25_batch,
@@ -3582,6 +3613,48 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(a, (acc, x) -> 0.25 * x + 0.75 * acc)
                        AS ewma
             FROM arr
+        """,
+        # q_ohlc: open/close restated via asc/desc row_number windows
+        # over the identical (ts, event_id) ordering
+        "q_ohlc": """
+            WITH ev AS (
+                SELECT user_id, event_id, ts, value,
+                       date_trunc('hour', ts) AS bar
+                FROM events WHERE user_id < 50),
+            wv AS (
+                SELECT user_id, bar, value,
+                       row_number() OVER (
+                           PARTITION BY user_id, bar
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY user_id, bar
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM ev)
+            SELECT user_id, bar,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   max(value) AS high, min(value) AS low,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM wv GROUP BY user_id, bar
+        """,
+        # q_twap: lead-gap weights in µs; terminal observation weights
+        # nothing (sum skips its NULL gap in both engines)
+        "q_twap": """
+            WITH ev AS (
+                SELECT user_id, event_id, ts, value
+                FROM events WHERE user_id < 50),
+            g AS (
+                SELECT user_id, value,
+                       CAST(epoch_us(lead(ts) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id))
+                            - epoch_us(ts) AS DOUBLE) AS w
+                FROM ev)
+            SELECT user_id,
+                   round(sum(value * w) / sum(w), 6) AS twap,
+                   CAST(sum(w) AS BIGINT) AS span_us,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM g GROUP BY user_id
         """,
         # q_cusum_stream: alarm rows = upward crossings of the
         # full-history clamped fold; S restated per prefix (unbounded

@@ -406,3 +406,58 @@ def with_cusum(df: DataFrame, key_col: str = "user_id",
         out = out.withColumn(out_col + "_alarm",
                              F.col(out_col) >= F.lit(float(threshold)))
     return out
+
+
+def ohlc_bars(df: DataFrame, key_col: str = "user_id",
+              ts_col: str = "ts", value_col: str = "value",
+              bar: str = "hour",
+              tiebreak_col: str | None = None) -> DataFrame:
+    """Open/high/low/close downsampling: one row per (key, bar) with the
+    bar's first value (by (ts, tiebreak)), max, min, last value, and
+    observation count — the standard lossy compaction for dashboarding
+    and coarse backtesting over event streams.
+
+    ONE groupBy on (key, date_trunc(bar)): open/close are min_by/max_by
+    with a struct ordering key, so ties at identical timestamps resolve
+    deterministically when `tiebreak_col` is given.  The exchange
+    carries (key x bar)-sized partial aggregates — never raw events.
+    """
+    if bar not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"ohlc_bars: unsupported bar {bar!r}")
+    ordk = (F.struct(F.col(ts_col), F.col(tiebreak_col)) if tiebreak_col
+            else F.struct(F.col(ts_col)))
+    return (df.groupBy(F.col(key_col),
+                       F.date_trunc(bar, F.col(ts_col)).alias("bar"))
+            .agg(F.min_by(F.col(value_col), ordk).alias("open"),
+                 F.max(value_col).alias("high"),
+                 F.min(value_col).alias("low"),
+                 F.max_by(F.col(value_col), ordk).alias("close"),
+                 F.count(F.lit(1)).alias("n_obs")))
+
+
+def time_weighted_avg(df: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", value_col: str = "value",
+                      tiebreak_col: str | None = None) -> DataFrame:
+    """Time-weighted average per key over its observed span: each
+    observation holds until the next one, so its weight is the gap to
+    the successor in microseconds; the final observation has no
+    successor and contributes nothing (documented boundary — append a
+    closing marker row upstream to weight it).  Keys with a single
+    observation yield NULL twap.
+
+    Plan: one ordered window (lead) + one groupBy — the weighting rides
+    the same key exchange as the ordering, and the output is key-sized.
+    The plain `avg` over irregular samples over-weights bursts; this is
+    the estimator that doesn't.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap = _diff_us(F.lead(F.col(ts_col)).over(w), F.col(ts_col))
+    weighted = df.withColumn("_w", gap.cast("double"))
+    return (weighted.groupBy(key_col)
+            .agg(F.round(F.sum(F.col(value_col) * F.col("_w"))
+                         / F.sum("_w"), 6).alias("twap"),
+                 F.sum("_w").cast("long").alias("span_us"),
+                 F.count(F.lit(1)).alias("n_obs")))

@@ -395,3 +395,43 @@ def test_ewma_null_contract_documented_behavior(spark):
     assert got[0] == 10.0
     assert got[1] == 10.0            # null row: previous fold, NOT null
     assert got[2] == 15.0            # fold skips the missing observation
+
+
+def test_ohlc_bars_deterministic(spark):
+    from flood_data_spark.operators.timeseries import ohlc_bars
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(1, 10, t, 5.0), (1, 11, t, 9.0),          # tie on ts: open
+            (1, 12, t + dt.timedelta(minutes=30), 1.0),
+            (1, 13, t + dt.timedelta(hours=1), 7.0),   # next bar
+            (2, 14, t, 2.0)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double")
+    got = {(r.user_id, r.bar.hour): (r.open, r.high, r.low, r.close,
+                                     r.n_obs)
+           for r in ohlc_bars(df, bar="hour",
+                              tiebreak_col="event_id").collect()}
+    assert got[(1, 10)] == (5.0, 9.0, 1.0, 1.0, 3)   # tie -> lower id
+    assert got[(1, 11)] == (7.0, 7.0, 7.0, 7.0, 1)
+    assert got[(2, 10)] == (2.0, 2.0, 2.0, 2.0, 1)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bar"):
+        ohlc_bars(df, bar="fortnight")
+
+
+def test_time_weighted_avg_vs_hand_math(spark):
+    from flood_data_spark.operators.timeseries import time_weighted_avg
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(1, t, 10.0),
+            (1, t + dt.timedelta(seconds=1), 30.0),
+            (1, t + dt.timedelta(seconds=4), 99.0),   # terminal: weight 0
+            (2, t, 5.0)]                              # single obs: NULL
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    got = {r.user_id: (r.twap, r.span_us, r.n_obs)
+           for r in time_weighted_avg(df).collect()}
+    # (10*1s + 30*3s) / 4s = 25; plain avg would say 46.3
+    assert got[1] == (25.0, 4_000_000, 3)
+    assert got[2][0] is None and got[2][2] == 1

@@ -2676,6 +2676,33 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "twap", "span_us", "n_obs"))
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed point-in-interval join
+    (operators/timeseries.interval_join): lineitem ship dates against
+    1-5-day order windows — intervals explode to their day buckets,
+    points hash-join on their ONE bucket, the exact half-open range
+    filters after (no BroadcastNestedLoopJoin — plan-asserted in
+    tests/test_timeseries.py).  Full value oracle: DuckDB states the
+    naive range join; results are identical by construction."""
+    from flood_data_spark.operators.timeseries import interval_join
+
+    iv = (_t(spark, sf_dir, "orders")
+          .filter(F.col("o_orderkey") < 100)
+          .select(F.col("o_orderkey").alias("iv_key"),
+                  F.col("o_orderdate").alias("start"),
+                  F.expr("o_orderdate + make_interval(0, 0, 0, "
+                         "cast(1 + o_orderkey % 5 as int), 0, 0, 0)")
+                  .alias("end")))
+    pt = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_linenumber",
+                  F.col("l_shipdate").alias("ts")))
+    return (interval_join(pt, iv, point_ts="ts", bucket_seconds=86400)
+            .select("l_orderkey", "l_linenumber", "ts",
+                    F.col("iv_key").cast("long").alias("iv_key"),
+                    "start", "end"))
+
+
 def q_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-triggered CUSUM alarms as a stateful stream
     (streaming/stateful.cusum_alarm_stream): FULL-history S = max(0,
@@ -2821,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cusum_stream": q_cusum_stream,
         "q_ohlc": q_ohlc,
         "q_twap": q_twap,
+        "q_interval_join": q_interval_join,
         # --- r6 reds, fixed this round (2) ---
         "q_quantize": q_quantize,
         "q_ts_pattern_topk": q_ts_pattern_topk,
@@ -2850,7 +2878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_summary": q_stream_summary,
         "q_quality_tiers": q_quality_tiers,
         "q_platt_calibration": q_platt_calibration,
-        "q_suppress_rare": q_suppress_rare,
         "q_bloom_dedup": q_bloom_dedup,
         "q_profile": q_profile,
         # --- new this round (5) ---
@@ -2880,8 +2907,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # independent cms_stream function — q_cms_stream + q_ewma_stream
         # exercise the streaming scaffolds in-window — and q_trend,
         # whose regr_* module is untouched, displaced by q_cusum_stream;
-        # likewise q_mixture_plan/q_robust_outliers — curation/stats
-        # modules untouched — displaced by q_ohlc/q_twap)
+        # likewise q_mixture_plan/q_robust_outliers/q_suppress_rare —
+        # curation/stats modules untouched — displaced by
+        # q_ohlc/q_twap/q_interval_join)
+        "q_suppress_rare": q_suppress_rare,
         "q_mixture_plan": q_mixture_plan,
         "q_robust_outliers": q_robust_outliers,
         "q_trend": q_trend,
@@ -3613,6 +3642,23 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(a, (acc, x) -> 0.25 * x + 0.75 * acc)
                        AS ewma
             FROM arr
+        """,
+        # q_interval_join: the naive range join IS the oracle — the
+        # bucketed plan must reproduce it exactly
+        "q_interval_join": """
+            WITH iv AS (
+                SELECT o_orderkey AS iv_key, o_orderdate AS start,
+                       o_orderdate + INTERVAL 1 DAY * (1 + o_orderkey % 5)
+                           AS "end"
+                FROM orders WHERE o_orderkey < 100),
+            pt AS (
+                SELECT l_orderkey, l_linenumber, l_shipdate AS ts
+                FROM lineitem WHERE l_orderkey < 2000)
+            SELECT p.l_orderkey, p.l_linenumber, p.ts,
+                   CAST(i.iv_key AS BIGINT) AS iv_key,
+                   i.start, i."end" AS "end"
+            FROM pt p JOIN iv i
+              ON p.ts >= i.start AND p.ts < i."end"
         """,
         # q_ohlc: open/close restated via asc/desc row_number windows
         # over the identical (ts, event_id) ordering

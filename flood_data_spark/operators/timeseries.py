@@ -461,3 +461,45 @@ def time_weighted_avg(df: DataFrame, key_col: str = "user_id",
                          / F.sum("_w"), 6).alias("twap"),
                  F.sum("_w").cast("long").alias("span_us"),
                  F.count(F.lit(1)).alias("n_obs")))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_ts: str = "ts", start_col: str = "start",
+                  end_col: str = "end",
+                  bucket_seconds: int = 86400) -> DataFrame:
+    """Point-in-interval join (start <= ts < end, half-open) WITHOUT the
+    cartesian trap: a naive range-predicate join plans as
+    BroadcastNestedLoopJoin — every point against every interval.  Here
+    each interval EXPLODES to the coarse time buckets it overlaps
+    (sequence over floor-divided epochs), each point maps to exactly ONE
+    bucket, and the join is a hash equi-join on the bucket plus the
+    exact range filter.  A pair appears at most once by construction
+    (the point's single bucket), so no dedup pass.
+
+    Pick `bucket_seconds` near the median interval length: explosion
+    factor = interval_len/bucket + 1, while a too-coarse bucket inflates
+    the candidate pairs the range filter must discard.  Hot buckets
+    (many long intervals over one bucket) are the skew case — salt the
+    bucket key like `plans/scale.salted_join` if one bucket dominates.
+
+    Intervals with end <= start are dropped (invalid by the half-open
+    contract).  Column names must be disjoint across the two inputs.
+    """
+    if bucket_seconds < 1:
+        raise ValueError("interval_join: bucket_seconds must be >= 1")
+    clash = set(points.columns) & set(intervals.columns)
+    if clash:
+        raise ValueError(f"interval_join: overlapping columns {clash} — "
+                         "rename/suffix one side first")
+    b_us = int(bucket_seconds) * 1_000_000
+    s_us = F.unix_micros(F.col(start_col))
+    e_us = F.unix_micros(F.col(end_col))
+    iv = (intervals.filter(F.col(end_col) > F.col(start_col))
+          .withColumn("_bk", F.explode(F.sequence(
+              F.floor(s_us / b_us), F.floor((e_us - 1) / b_us)))))
+    pt = points.withColumn(
+        "_bk", F.floor(F.unix_micros(F.col(point_ts)) / b_us))
+    return (pt.join(iv, "_bk")
+            .filter((F.col(point_ts) >= F.col(start_col))
+                    & (F.col(point_ts) < F.col(end_col)))
+            .drop("_bk"))

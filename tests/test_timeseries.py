@@ -435,3 +435,64 @@ def test_time_weighted_avg_vs_hand_math(spark):
     # (10*1s + 30*3s) / 4s = 25; plain avg would say 46.3
     assert got[1] == (25.0, 4_000_000, 3)
     assert got[2][0] is None and got[2][2] == 1
+
+
+def test_interval_join_matches_naive_truth(spark):
+    from flood_data_spark.operators.timeseries import interval_join
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t + dt.timedelta(hours=h)
+
+    pts = spark.createDataFrame(
+        [(i, ts(i * 7)) for i in range(20)], "pid int, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(100, ts(0), ts(24)),          # day one
+         (101, ts(20), ts(30)),         # crosses a bucket boundary
+         (102, ts(50), ts(50)),         # invalid: dropped
+         (103, ts(140), ts(141))],      # never matches (7h grid)
+        "iv_id int, start timestamp, end timestamp")
+    got = {(r.pid, r.iv_id)
+           for r in interval_join(pts, ivs,
+                                  bucket_seconds=86400).collect()}
+    naive = {(p, i) for p in range(20) for (i, s, e) in
+             [(100, 0, 24), (101, 20, 30)]
+             if s <= p * 7 < e}
+    assert got == naive
+    assert (3, 101) in got              # 21h inside the crossing interval
+
+
+def test_interval_join_half_open_and_guards(spark):
+    from flood_data_spark.operators.timeseries import interval_join
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(1, t), (2, t + dt.timedelta(hours=24))],
+                                "pid int, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(9, t, t + dt.timedelta(hours=24))],
+        "iv_id int, start timestamp, end timestamp")
+    got = {r.pid for r in interval_join(pts, ivs).collect()}
+    assert got == {1}                   # end is EXCLUSIVE
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bucket_seconds"):
+        interval_join(pts, ivs, bucket_seconds=0)
+    with _pt.raises(ValueError, match="overlapping"):
+        interval_join(pts.withColumnRenamed("pid", "iv_id"), ivs)
+
+
+def test_interval_join_plan_is_hash_join_not_bnlj(spark):
+    from flood_data_spark.operators.timeseries import interval_join
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(1, t)], "pid int, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(9, t, t + dt.timedelta(hours=1))],
+        "iv_id int, start timestamp, end timestamp")
+    plan = interval_join(pts, ivs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -184,3 +184,73 @@ def test_fuzz_blocked_fuzzy_pairs(spark, seed):
     assert _rows_close(spark_rows, duck_rows), \
         f"fuzzy diverged: {spark_rows[:3]} vs {duck_rows[:3]}"
     assert duck_rows, "vacuous draw: no near-name pairs generated"
+
+
+def _random_events(seed, n=400, n_users=12):
+    """Random event log with deliberate timestamp COLLISIONS (the ohlc
+    open/close tiebreak case) and bursty gaps (the twap weighting case)."""
+    rng = random.Random(seed)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(n):
+        ts = base + pd.Timedelta(seconds=rng.randint(0, 3 * 86400))
+        if rng.random() < 0.1 and rows:
+            ts = rows[-1][2]          # planted tie
+        rows.append((i, rng.randrange(n_users), ts,
+                     round(rng.uniform(0, 300), 2),
+                     rng.choice(["view", "click", "purchase", "error"])))
+    return pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                       "value", "event_type"])
+
+
+def _compare_events(pdf, spark_df, oracle_key):
+    con = duckdb.connect()
+    con.register("events", pdf)
+    duck_df = con.execute(entry_mod.oracle_sql()[oracle_key]).fetchdf()
+    duck_df.columns = [c.lower() for c in duck_df.columns]
+    cols = sorted(duck_df.columns)
+    duck_rows = sorted(
+        (tuple(None if pd.isna(v) else v for v in r)
+         for r in duck_df[cols].itertuples(index=False, name=None)),
+        key=_sort_key)
+    sdf = spark_df.select(*sorted(spark_df.columns, key=str.lower))
+    assert [c.lower() for c in sdf.columns] == cols
+    spark_rows = sorted((tuple(r) for r in sdf.collect()), key=_sort_key)
+    assert _rows_close(spark_rows, duck_rows), \
+        f"{oracle_key} diverged: {spark_rows[:2]} vs {duck_rows[:2]}"
+    assert duck_rows, f"{oracle_key}: vacuous draw"
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_fuzz_ohlc(spark, seed):
+    from flood_data_spark.operators.timeseries import ohlc_bars
+
+    pdf = _random_events(seed)
+    ev = spark.createDataFrame(pdf).filter("user_id < 50")
+    out = (ohlc_bars(ev, bar="hour", tiebreak_col="event_id")
+           .select("user_id", "bar", "open", "high", "low", "close",
+                   "n_obs"))
+    _compare_events(pdf, out, "q_ohlc")
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_fuzz_twap(spark, seed):
+    from flood_data_spark.operators.timeseries import time_weighted_avg
+
+    pdf = _random_events(seed)
+    ev = spark.createDataFrame(pdf).filter("user_id < 50")
+    out = (time_weighted_avg(ev, tiebreak_col="event_id")
+           .select("user_id", "twap", "span_us", "n_obs"))
+    _compare_events(pdf, out, "q_twap")
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_fuzz_transitions(spark, seed):
+    from flood_data_spark.operators.behavior import transition_matrix
+
+    pdf = _random_events(seed)
+    ev = spark.createDataFrame(pdf)
+    out = (transition_matrix(ev, gap_seconds=3600,
+                             order_tiebreak="event_id")
+           .select("event_type", "next_event_type", "n", "p"))
+    _compare_events(pdf, out, "q_transitions")

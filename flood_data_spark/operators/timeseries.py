@@ -491,6 +491,9 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     if clash:
         raise ValueError(f"interval_join: overlapping columns {clash} — "
                          "rename/suffix one side first")
+    if "_bk" in points.columns or "_bk" in intervals.columns:
+        raise ValueError("interval_join: '_bk' is reserved for the "
+                         "bucket key — rename that column first")
     b_us = int(bucket_seconds) * 1_000_000
     s_us = F.unix_micros(F.col(start_col))
     e_us = F.unix_micros(F.col(end_col))

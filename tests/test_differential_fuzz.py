@@ -53,9 +53,10 @@ def _sort_key(row):
                  for v in row)
 
 
-def _compare(pdf, spark_df, oracle_key):
+def _compare(pdf, spark_df, oracle_key, table="documents",
+             require_rows=False):
     con = duckdb.connect()
-    con.register("documents", pdf)
+    con.register(table, pdf)
     duck_df = con.execute(entry_mod.oracle_sql()[oracle_key]).fetchdf()
     duck_df.columns = [c.lower() for c in duck_df.columns]
     cols = sorted(duck_df.columns)
@@ -68,6 +69,8 @@ def _compare(pdf, spark_df, oracle_key):
     spark_rows = sorted((tuple(r) for r in sdf.collect()), key=_sort_key)
     assert _rows_close(spark_rows, duck_rows), \
         f"{oracle_key} diverged: {spark_rows[:3]} vs {duck_rows[:3]}"
+    if require_rows:
+        assert duck_rows, f"{oracle_key}: vacuous draw"
 
 
 @pytest.mark.parametrize("seed", [11, 23, 47])
@@ -204,21 +207,11 @@ def _random_events(seed, n=400, n_users=12):
 
 
 def _compare_events(pdf, spark_df, oracle_key):
-    con = duckdb.connect()
-    con.register("events", pdf)
-    duck_df = con.execute(entry_mod.oracle_sql()[oracle_key]).fetchdf()
-    duck_df.columns = [c.lower() for c in duck_df.columns]
-    cols = sorted(duck_df.columns)
-    duck_rows = sorted(
-        (tuple(None if pd.isna(v) else v for v in r)
-         for r in duck_df[cols].itertuples(index=False, name=None)),
-        key=_sort_key)
-    sdf = spark_df.select(*sorted(spark_df.columns, key=str.lower))
-    assert [c.lower() for c in sdf.columns] == cols
-    spark_rows = sorted((tuple(r) for r in sdf.collect()), key=_sort_key)
-    assert _rows_close(spark_rows, duck_rows), \
-        f"{oracle_key} diverged: {spark_rows[:2]} vs {duck_rows[:2]}"
-    assert duck_rows, f"{oracle_key}: vacuous draw"
+    # one comparison implementation for every fuzz family — only the
+    # registered view name differs (finding: keep sort/NaN handling in
+    # ONE place)
+    _compare(pdf, spark_df, oracle_key, table="events",
+             require_rows=True)
 
 
 @pytest.mark.parametrize("seed", [7, 31])

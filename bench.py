@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "q_funnel",
     "q_retention",
     "q_transitions",
+    "q_interval_join",
+    "q_ohlc",
+    "q_twap",
 ]
 
 _IVF_INDEX = {}

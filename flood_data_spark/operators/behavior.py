@@ -78,10 +78,13 @@ def funnel(events: DataFrame, steps, key_col: str = "user_id",
         # No joins; Spark plans all k passes over a single sort.
         from pyspark.sql import Window
 
+        from flood_data_spark.operators.timeseries import _epoch_us
+
         # prefilter to the funnel's step types: non-step events can
         # never anchor a reach, so only step events need the sort
         ev = ev.filter(F.col("_t").isin(steps))
-        us = F.unix_micros(F.col("_ts"))
+        # NTZ-tolerant epoch (unix_micros rejects TIMESTAMP_NTZ)
+        us = _epoch_us(ev, "_ts")
         frame = (Window.partitionBy("_k").orderBy(us)
                  .rangeBetween(-within_seconds * 1_000_000, -1))
         reach = ev.withColumn("_r1", F.col("_t") == steps[0])

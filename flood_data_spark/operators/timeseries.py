@@ -18,6 +18,20 @@ from pyspark.sql import functions as F
 _LEFT, _RIGHT = 0, 1
 
 
+def _epoch_us(df: DataFrame, col: str):
+    """Absolute microseconds of a timestamp column for bucketing and
+    range frames, NTZ-tolerant (the module contract): `unix_micros`
+    rejects TIMESTAMP_NTZ outright, so NTZ diffs against the NTZ epoch
+    instead — wall-clock µs, no timezone involved; LTZ keeps the
+    native `unix_micros` instant."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col(col))
+    return F.unix_micros(F.col(col))
+
+
 def _diff_us(later, earlier):
     """``later - earlier`` in microseconds, type-preserving.
 
@@ -494,14 +508,21 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     if "_bk" in points.columns or "_bk" in intervals.columns:
         raise ValueError("interval_join: '_bk' is reserved for the "
                          "bucket key — rename that column first")
+    pt_ntz = dict(points.dtypes).get(point_ts) == "timestamp_ntz"
+    iv_ntz = dict(intervals.dtypes).get(start_col) == "timestamp_ntz"
+    if pt_ntz != iv_ntz:
+        raise ValueError(
+            "interval_join: points and intervals mix TIMESTAMP and "
+            "TIMESTAMP_NTZ — wall-clock and instant epochs don't "
+            "compare; cast one side first")
     b_us = int(bucket_seconds) * 1_000_000
-    s_us = F.unix_micros(F.col(start_col))
-    e_us = F.unix_micros(F.col(end_col))
+    s_us = _epoch_us(intervals, start_col)
+    e_us = _epoch_us(intervals, end_col)
     iv = (intervals.filter(F.col(end_col) > F.col(start_col))
           .withColumn("_bk", F.explode(F.sequence(
               F.floor(s_us / b_us), F.floor((e_us - 1) / b_us)))))
     pt = points.withColumn(
-        "_bk", F.floor(F.unix_micros(F.col(point_ts)) / b_us))
+        "_bk", F.floor(_epoch_us(points, point_ts) / b_us))
     return (pt.join(iv, "_bk")
             .filter((F.col(point_ts) >= F.col(start_col))
                     & (F.col(point_ts) < F.col(end_col)))

@@ -247,3 +247,31 @@ def test_fuzz_transitions(spark, seed):
                              order_tiebreak="event_id")
            .select("event_type", "next_event_type", "n", "p"))
     _compare_events(pdf, out, "q_transitions")
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_fuzz_funnel(spark, seed):
+    from flood_data_spark.operators.behavior import funnel
+
+    pdf = _random_events(seed)
+    ev = spark.createDataFrame(pdf)
+    out = (funnel(ev, ["view", "click", "purchase"])
+           .select("user_id", "step_1_ts", "step_2_ts", "step_3_ts",
+                   "depth"))
+    _compare_events(pdf, out, "q_funnel")
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_fuzz_retention(spark, seed):
+    from pyspark.sql import functions as F
+    from flood_data_spark.operators.behavior import cohort_retention
+
+    pdf = _random_events(seed)
+    ev = spark.createDataFrame(pdf)
+    # fetchdf surfaces DuckDB's DATE cohort as a pandas Timestamp —
+    # compare at timestamp precision (midnight-equal); the gate's own
+    # comparison runs on stringified DATE and needs the to_date cast
+    out = (cohort_retention(ev, period="week")
+           .select(F.col("cohort").cast("timestamp").alias("cohort"),
+                   "offset", "n_active", "retention"))
+    _compare_events(pdf, out, "q_retention")

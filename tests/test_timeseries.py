@@ -496,3 +496,35 @@ def test_interval_join_plan_is_hash_join_not_bnlj(spark):
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_and_funnel_tolerate_ntz(spark):
+    """The module contract says TIMESTAMP_NTZ-tolerant — unix_micros
+    rejects NTZ, so the bucketing/epoch path must go through the
+    NTZ-safe diff (caught by a package-boundary drive on raw parquet
+    reads, which surface NTZ under Spark 4)."""
+    from flood_data_spark.operators.behavior import funnel
+    from flood_data_spark.operators.timeseries import interval_join
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    pts = (spark.createDataFrame([(1, t), (2, t + dt.timedelta(hours=30))],
+                                 "pid int, ts timestamp")
+           .withColumn("ts", F.col("ts").cast("timestamp_ntz")))
+    ivs = (spark.createDataFrame(
+        [(9, t, t + dt.timedelta(hours=24))],
+        "iv_id int, start timestamp, end timestamp")
+        .withColumn("start", F.col("start").cast("timestamp_ntz"))
+        .withColumn("end", F.col("end").cast("timestamp_ntz")))
+    assert {r.pid for r in interval_join(pts, ivs).collect()} == {1}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mix"):
+        interval_join(pts.withColumn("ts", F.col("ts").cast("timestamp")),
+                      ivs)
+
+    ev = (spark.createDataFrame(
+        [(1, t, "view"), (1, t + dt.timedelta(seconds=5), "click")],
+        "user_id int, ts timestamp, event_type string")
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz")))
+    r = funnel(ev, ["view", "click"], within_seconds=10).collect()[0]
+    assert r.depth == 2

@@ -233,3 +233,163 @@ def with_classifier_score(df: DataFrame, weights: list[float], bias: float,
         out_col,
         F.round(classifier_score(F.col(text_col), weights, bias),
                 round_digits))
+
+
+# ------------------------------------------------------------ evaluation
+
+def _score_groups(df: DataFrame, score_col: str, label_col: str,
+                  score_decimals: int) -> DataFrame:
+    """(s, n_g, pos_g): the corpus collapsed to one row per DISTINCT
+    quantized score — the single corpus-sized pass every metric below
+    derives from.  Scores are rounded to `score_decimals`, so the group
+    relation is CARDINALITY-BOUNDED (<= 10^d + 1 rows for probabilities
+    in [0, 1]) no matter the corpus size.  Rows with a NULL score or
+    label collapse into ONE sentinel group (s = NULL, pos_g = 0) so the
+    null count rides the same single pass; consumers filter
+    `s IS NOT NULL` before computing metrics.
+
+    The result is localCheckpoint-ed: every metric family consumes it
+    at least twice, and without the checkpoint Catalyst re-plans (and
+    re-executes) the corpus-sized aggregate per consumer — the LM-table
+    lesson from docs/PLANS.md."""
+    valid = (F.col(score_col).isNotNull()
+             & F.col(label_col).isNotNull())
+    return (df.select(
+        F.when(valid, F.round(F.col(score_col).cast("double"),
+                              score_decimals)).alias("s"),
+        F.when(valid, F.col(label_col).cast("int"))
+        .otherwise(F.lit(0)).alias("y"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_g"),
+             F.sum("y").alias("pos_g"))
+        .localCheckpoint(eager=False))
+
+
+def evaluate_binary(df: DataFrame, score_col: str = "clf_score",
+                    label_col: str = "label", threshold: float = 0.5,
+                    bins: int = 10,
+                    score_decimals: int = 6) -> DataFrame:
+    """One-row evaluation suite for a binary scorer: n / n_null / n_pos /
+    n_neg counts, tie-averaged rank-sum AUC (Mann-Whitney), Brier score,
+    expected calibration error over `bins` equal-width bins, and
+    accuracy / precision / recall / F1 at `threshold`.  The natural
+    companion to `train_quality_classifier` + `platt_calibrate`: train,
+    calibrate, then gate the mixture policy on these numbers.
+
+    Scale posture: ONE corpus-sized aggregate (groupBy the quantized
+    score — <= 10^score_decimals + 1 keys, map-side partials do the
+    heavy lifting) and everything downstream runs on that bounded
+    relation.  The rank window is a global `Window.orderBy`, but its
+    input is the score-group relation, never the corpus — same
+    boundedness argument as `stats.equidepth_bounds` (and unlike the
+    curation global-window fallbacks, the bound is structural, not
+    caller-supplied).
+
+    Engine-portable exactness: ranks are held as INTEGER doubled
+    rank-sums (2*avg_rank of a tied group = 2*cum_before + n_g + 1), so
+    AUC = (ranksum2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg) is a ratio of
+    exact integers; Brier expands (s-y)^2 over y in {0,1} as
+    n_g*s^2 - 2*s*pos_g + pos_g; the ECE bin index is pure integer
+    arithmetic on the decimal-scaled score.  AUC is NULL when either
+    class is absent; precision/recall/F1 are NULL on empty denominators.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if score_decimals < 1 or score_decimals > 9:
+        raise ValueError(
+            f"score_decimals must be in [1, 9], got {score_decimals}")
+    scale = 10 ** score_decimals
+    groups = _score_groups(df, score_col, label_col, score_decimals)
+    nulls = groups.agg(
+        F.coalesce(F.sum(F.when(F.col("s").isNull(), F.col("n_g"))),
+                   F.lit(0)).alias("n_null"))
+    g = groups.filter(F.col("s").isNotNull())
+    # doubled tie-averaged rank-sum of the positives, as exact integers
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "cum_before", F.coalesce(F.sum("n_g").over(w), F.lit(0)))
+    # integer bin index: si = s * 10^d recovered exactly, then
+    # (si * bins) div 10^d clamped into [0, bins-1] — pure integer
+    # arithmetic, identical in any engine
+    per_bin = (g.withColumn(
+        "si", F.round(F.col("s") * scale).cast("long"))
+        .withColumn(
+            "bin", F.least(F.expr(f"si * {bins} div {scale}"),
+                           F.lit(bins - 1)))
+        .groupBy("bin")
+        .agg(F.sum("n_g").alias("n_b"),
+             F.sum(F.col("n_g") * F.col("s")).alias("sum_s_b"),
+             F.sum("pos_g").alias("pos_b")))
+    ece = per_bin.agg(
+        (F.sum(F.abs(F.col("sum_s_b") - F.col("pos_b")))
+         / F.sum("n_b")).alias("_ece_raw"))
+    core = ranked.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("pos_g").alias("n_pos"),
+        F.sum(F.col("n_g") - F.col("pos_g")).alias("n_neg"),
+        # double-cast: the per-group product reaches ~2*n_pos*n per tied
+        # group, past long range at trillion-row scale — doubles stay
+        # EXACT below 2^53 (every gate-scale value) and degrade
+        # gracefully, not wrap, beyond
+        F.sum(F.col("pos_g").cast("double")
+              * (2 * F.col("cum_before") + F.col("n_g") + 1))
+        .alias("ranksum2"),
+        F.sum(F.col("n_g") * F.col("s") * F.col("s")
+              - 2 * F.col("s") * F.col("pos_g") + F.col("pos_g"))
+        .alias("brier_sum"),
+        F.sum(F.when(F.col("s") >= threshold, F.col("pos_g"))
+              .otherwise(F.lit(0))).alias("tp"),
+        F.sum(F.when(F.col("s") >= threshold,
+                     F.col("n_g") - F.col("pos_g"))
+              .otherwise(F.lit(0))).alias("fp"))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("n_pos") > 0, F.col("tp") / F.col("n_pos"))
+    return (core.crossJoin(F.broadcast(ece))
+            .crossJoin(F.broadcast(nulls))
+            .select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                       (F.col("ranksum2")
+                        - F.col("n_pos").cast("double")
+                        * (F.col("n_pos") + 1))
+                       / (2.0 * F.col("n_pos") * F.col("n_neg"))),
+                6).alias("auc"),
+        F.round(F.col("brier_sum") / F.col("n"), 6).alias("brier"),
+        F.round(F.col("_ece_raw"), 6).alias("ece"),
+        F.round((F.col("tp") + (F.col("n_neg") - F.col("fp")))
+                / F.col("n"), 6).alias("accuracy"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.when(prec.isNotNull() & rec.isNotNull()
+                       & (prec + rec > 0),
+                       2 * prec * rec / (prec + rec)), 6).alias("f1")))
+
+
+def roc_points(df: DataFrame, score_col: str = "clf_score",
+               label_col: str = "label",
+               score_decimals: int = 6) -> DataFrame:
+    """(score, tpr, fpr) per distinct quantized score — the ROC curve,
+    one point per threshold "predict positive when score >= this value",
+    descending-score cumulative over the same bounded score-group
+    relation `evaluate_binary` uses (<= 10^d + 1 rows; the global window
+    is bounded by construction).  TPR/FPR are exact-integer ratios,
+    rounded to 6 decimals; returns no rows when a class is absent
+    (the curve is undefined)."""
+    g = (_score_groups(df, score_col, label_col, score_decimals)
+         .filter(F.col("s").isNotNull()))
+    w = (Window.orderBy(F.col("s").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    totals = g.agg(F.sum("pos_g").alias("np"),
+                   F.sum(F.col("n_g") - F.col("pos_g")).alias("nn"))
+    return (g.withColumn("cum_tp", F.sum("pos_g").over(w))
+            .withColumn("cum_fp",
+                        F.sum(F.col("n_g") - F.col("pos_g")).over(w))
+            .crossJoin(F.broadcast(totals))
+            .filter((F.col("np") > 0) & (F.col("nn") > 0))
+            .select(F.col("s").alias("score"),
+                    F.round(F.col("cum_tp") / F.col("np"), 6).alias("tpr"),
+                    F.round(F.col("cum_fp") / F.col("nn"), 6).alias("fpr")))

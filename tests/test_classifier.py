@@ -138,3 +138,81 @@ def test_null_labels_rejected_not_diluted(spark):
                                 "doc_id long, score double, label int")
     with pytest.raises(ValueError, match="NULL"):
         platt_calibrate(df2, "score", "label")
+
+
+# ------------------------------------------------------------ evaluation
+
+def _eval_row(spark, rows, **kw):
+    from flood_data_spark.datapipe.classifier import evaluate_binary
+    df = spark.createDataFrame(rows, "score double, label int")
+    return evaluate_binary(df, "score", "label", **kw).first()
+
+
+def test_evaluate_binary_hand_computed(spark):
+    """Six untied rows, every metric checked against hand arithmetic."""
+    rows = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.4, 0), (0.2, 0)]
+    r = _eval_row(spark, rows)
+    assert (r.n, r.n_null, r.n_pos, r.n_neg) == (6, 0, 3, 3)
+    assert r.auc == round(8 / 9, 6)          # 8 of 9 pos>neg pairs
+    assert r.brier == 0.15                   # 0.9/6
+    assert r.ece == round(2.0 / 6, 6)        # one row per bin
+    assert r.accuracy == round(5 / 6, 6)     # tp=3 tn=2 at 0.5
+    assert r.precision == 0.75
+    assert r.recall == 1.0
+    assert r.f1 == round(2 * 0.75 / 1.75, 6)
+
+
+def test_evaluate_binary_tie_averaged_auc(spark):
+    """Tied scores take average-rank credit: 0.5 per tied (pos, neg)
+    pair — the Mann-Whitney convention."""
+    rows = [(0.5, 1), (0.5, 0), (0.3, 1), (0.3, 0), (0.3, 0), (0.8, 1)]
+    r = _eval_row(spark, rows)
+    assert r.auc == round(6.5 / 9, 6)
+
+
+def test_evaluate_binary_nulls_and_degenerate(spark):
+    rows = [(0.9, 1), (None, 1), (0.4, None), (0.6, 1)]
+    r = _eval_row(spark, rows)
+    assert (r.n, r.n_null) == (2, 2)
+    assert r.auc is None                     # no negatives
+    assert r.recall == 1.0
+    with pytest.raises(ValueError, match="bins"):
+        _eval_row(spark, rows, bins=0)
+    with pytest.raises(ValueError, match="score_decimals"):
+        _eval_row(spark, rows, score_decimals=0)
+
+
+def test_evaluate_binary_auc_matches_brute_force(spark):
+    """Differential check: rank-sum AUC == brute-force pair counting on
+    a deterministic pseudo-random score/label set with planted ties."""
+    import hashlib
+
+    rows = []
+    for i in range(300):
+        h = int(hashlib.md5(f"auc:{i}".encode()).hexdigest()[:8], 16)
+        s = round((h % 50) / 50.0, 6)        # heavy ties: 50 levels
+        y = 1 if (h >> 8) % 3 == 0 else 0
+        rows.append((s, y))
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    u = sum(1.0 if p > q else 0.5 if p == q else 0.0
+            for p in pos for q in neg)
+    expected = round(u / (len(pos) * len(neg)), 6)
+    r = _eval_row(spark, rows)
+    assert r.auc == expected
+
+
+def test_roc_points_hand_computed(spark):
+    from flood_data_spark.datapipe.classifier import roc_points
+
+    rows = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.4, 0), (0.2, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    pts = {r.score: (r.tpr, r.fpr)
+           for r in roc_points(df, "score", "label").collect()}
+    third = round(1 / 3, 6)
+    assert pts[0.9] == (third, 0.0)
+    assert pts[0.6] == (1.0, third)
+    assert pts[0.2] == (1.0, 1.0)
+    # degenerate: single-class input yields an empty curve
+    one_class = df.filter("label = 1")
+    assert roc_points(one_class, "score", "label").count() == 0

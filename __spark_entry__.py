@@ -1130,6 +1130,41 @@ def q_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "param string, value double")
 
 
+def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared train-then-score relation for the evaluation gates: the
+    q_quality_clf model (3 GD steps, 32 hashed buckets) scoring EVERY
+    document — (doc_id, label, clf_score) with the round-6 probability
+    the oracle's w3/b3 chain reproduces."""
+    from flood_data_spark.datapipe.classifier import with_classifier_score
+
+    docs, w, b = _clf_train(spark, sf_dir)
+    return with_classifier_score(docs, w, b)
+
+
+def q_clf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation suite (datapipe/classifier.evaluate_binary)
+    over the trained quality model's corpus-wide scores: tie-averaged
+    Mann-Whitney AUC from integer doubled rank-sums, Brier via the
+    expanded (s-y)^2 identity, 10-bin ECE with integer bin indexing,
+    and accuracy/precision/recall/F1 at 0.5 — ONE corpus-sized aggregate
+    (the quantized score-group relation, <= 10^6 + 1 keys), everything
+    downstream bounded.  The oracle restates the identical integer
+    arithmetic over the shared _CLF_ORACLE_CTES scoring chain."""
+    from flood_data_spark.datapipe.classifier import evaluate_binary
+
+    return evaluate_binary(_clf_scored(spark, sf_dir))
+
+
+def q_clf_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve (datapipe/classifier.roc_points): (score, tpr, fpr) per
+    distinct quantized score, descending-score cumulative counts over
+    the same bounded score-group relation — exact integer ratios, so
+    the oracle matches bit-for-bit."""
+    from flood_data_spark.datapipe.classifier import roc_points
+
+    return roc_points(_clf_scored(spark, sf_dir))
+
+
 def q_suppress_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity-style suppression (datapipe/curation
     .suppress_rare_combinations): keep documents whose (lang, source)
@@ -2849,8 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ohlc": q_ohlc,
         "q_twap": q_twap,
         "q_interval_join": q_interval_join,
-        # --- r6 reds, fixed this round (2) ---
-        "q_quantize": q_quantize,
+        # --- r6 reds, fixed this round ---
         "q_ts_pattern_topk": q_ts_pattern_topk,
         # --- new this round, third batch (19) ---
         "q_bm25_topk": q_bm25_topk,
@@ -2858,7 +2892,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_ppl": q_bigram_ppl,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_select": q_dsir_select,
-        "q_cluster_sample": q_cluster_sample,
         "q_stream_topk": q_stream_topk,
         "q_ngram_diversity": q_ngram_diversity,
         "q_mixture_weights": q_mixture_weights,
@@ -2878,6 +2911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_summary": q_stream_summary,
         "q_quality_tiers": q_quality_tiers,
         "q_platt_calibration": q_platt_calibration,
+        "q_clf_eval": q_clf_eval,
+        "q_clf_roc": q_clf_roc,
         "q_bloom_dedup": q_bloom_dedup,
         "q_profile": q_profile,
         # --- new this round (5) ---
@@ -2889,6 +2924,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grib_codec": q_grib_codec,
         # --- round 7, second batch ---
         # ---------------- gate window boundary (50) ----------------
+        # q_clf_eval/q_clf_roc enter in-window (classifier.py gained
+        # evaluate_binary/roc_points this session); q_quantize and
+        # q_cluster_sample displace here — quantize.py/clustering.py
+        # are unchanged since their r07 gate green, and both were green
+        # again in the r8 full sweep.
+        "q_quantize": q_quantize,
+        "q_cluster_sample": q_cluster_sample,
         # r8 continuation rotation: SIXTEEN new queries enter at the
         # head (q_dim_stats, q_gram_matrix, q_power_iteration,
         # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
@@ -3397,6 +3439,29 @@ _CLF_ORACLE_CTES = """ctoks AS (
                    FROM w2 JOIN g3 USING (feat), cn),
             b3 AS (SELECT round(b2.b - 0.5 * g3s.s / cn.n, 6) AS b
                    FROM b2, (SELECT sum(gb) AS s FROM g3) g3s, cn)"""
+
+# Shared corpus-wide scored relation + quantized score groups for the
+# evaluation gates (q_clf_eval, q_clf_roc): every document scored with
+# the w3/b3 model exactly as q_quality_clf_score does (round-6 sigmoid,
+# zero-token docs score sigmoid(bias)), then collapsed to one row per
+# distinct score — the bounded relation evaluate_binary's metrics run
+# on.  Interpolated AFTER _CLF_ORACLE_CTES.
+_CLF_EVAL_CTES = """esum AS (
+                SELECT f.id, sum(coalesce(w3.w, 0.0)) AS tot,
+                       CAST(count(*) AS DOUBLE) AS dl
+                FROM (SELECT id, feat FROM cfeat) f
+                LEFT JOIN w3 USING (feat) GROUP BY f.id),
+            escored AS (
+                SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                       round(1.0 / (1.0 + exp(-(b3.b
+                             + coalesce(esum.tot / esum.dl, 0.0)))), 6)
+                           AS s
+                FROM documents d LEFT JOIN esum ON d.doc_id = esum.id,
+                     b3),
+            egrp AS (
+                SELECT s, CAST(count(*) AS BIGINT) AS n_g,
+                       CAST(sum(y) AS BIGINT) AS pos_g
+                FROM escored GROUP BY s)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5313,6 +5378,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'a' AS param, a AS value FROM p3
             UNION ALL
             SELECT 'b' AS param, b AS value FROM p3
+        """,
+        # q_clf_eval: evaluate_binary restated over the shared scored
+        # chain — rank-sums and classification counts are exact integers
+        # (held in doubles, exact below 2^53), so AUC/accuracy/precision/
+        # recall/F1 match bit-for-bit; brier/ece sums are per-term
+        # bit-identical decimal products whose ONLY cross-engine delta is
+        # float summation order (~1 ulp), absorbed by the single round-6
+        "q_clf_eval": f"""
+            WITH {_CLF_ORACLE_CTES},
+            {_CLF_EVAL_CTES},
+            erk AS (
+                SELECT s, n_g, pos_g,
+                       coalesce(sum(n_g) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cum_before
+                FROM egrp),
+            ecore AS (
+                SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                       CAST(sum(pos_g) AS BIGINT) AS n_pos,
+                       CAST(sum(n_g - pos_g) AS BIGINT) AS n_neg,
+                       sum(CAST(pos_g AS DOUBLE)
+                           * (2 * cum_before + n_g + 1)) AS ranksum2,
+                       sum(n_g * s * s - 2 * s * pos_g + pos_g)
+                           AS brier_sum,
+                       CAST(sum(CASE WHEN s >= 0.5 THEN pos_g
+                                     ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(sum(CASE WHEN s >= 0.5 THEN n_g - pos_g
+                                     ELSE 0 END) AS BIGINT) AS fp
+                FROM erk),
+            ebin AS (
+                SELECT least((CAST(round(s * 1000000) AS BIGINT) * 10)
+                             // 1000000, 9) AS bin,
+                       sum(n_g) AS n_b, sum(n_g * s) AS sum_s_b,
+                       sum(pos_g) AS pos_b
+                FROM egrp GROUP BY 1),
+            eece AS (SELECT sum(abs(sum_s_b - pos_b)) / sum(n_b) AS e
+                     FROM ebin),
+            epr AS (
+                SELECT *,
+                       CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS p,
+                       CASE WHEN n_pos > 0 THEN tp / n_pos END AS r
+                FROM ecore)
+            SELECT n, CAST(0 AS BIGINT) AS n_null, n_pos, n_neg,
+                   round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                         (ranksum2 - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+                         / (2.0 * n_pos * n_neg) END, 6) AS auc,
+                   round(brier_sum / n, 6) AS brier,
+                   round(e, 6) AS ece,
+                   round((tp + (n_neg - fp)) / n, 6) AS accuracy,
+                   round(p, 6) AS precision,
+                   round(r, 6) AS recall,
+                   round(CASE WHEN p IS NOT NULL AND r IS NOT NULL
+                              AND p + r > 0
+                         THEN 2 * p * r / (p + r) END, 6) AS f1
+            FROM epr, eece
+        """,
+        # q_clf_roc: descending-score cumulative TP/FP over the same
+        # score groups — exact integer ratios, bit-for-bit
+        "q_clf_roc": f"""
+            WITH {_CLF_ORACLE_CTES},
+            {_CLF_EVAL_CTES},
+            etot AS (SELECT CAST(sum(pos_g) AS BIGINT) AS np,
+                            CAST(sum(n_g - pos_g) AS BIGINT) AS nn
+                     FROM egrp),
+            ecum AS (
+                SELECT s,
+                       sum(pos_g) OVER (ORDER BY s DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_tp,
+                       sum(n_g - pos_g) OVER (ORDER BY s DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_fp
+                FROM egrp)
+            SELECT s AS score,
+                   round(cum_tp / np, 6) AS tpr,
+                   round(cum_fp / nn, 6) AS fpr
+            FROM ecum, etot WHERE np > 0 AND nn > 0
         """,
         "q_suppress_rare": """
             WITH freq AS (

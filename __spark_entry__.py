@@ -1165,6 +1165,29 @@ def q_clf_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_points(_clf_scored(spark, sf_dir))
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (datapipe/text.winnow_fingerprints — the
+    SIGMOD'03 MOSS scheme): per-document selected k-gram hashes, k=8
+    chars, window w=5, rightmost-min tie rule.  Char-gram explode +
+    ONE (id, pos) equi-join against the offset-shifted gram relation —
+    no range join, no BNLJ; full value oracle (52-bit md5 arithmetic and
+    the blocker closed form are exact in both engines)."""
+    from flood_data_spark.datapipe.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return winnow_fingerprints(docs, k=8, w=5)
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step (datapipe/text.winnow_matches): document pairs
+    sharing >= 2 distinct fingerprints, boilerplate fingerprints capped
+    at doc-freq 20 before the self-join (the O(k²) fan-out guard)."""
+    from flood_data_spark.datapipe.text import winnow_matches
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return winnow_matches(docs, k=8, w=5, min_shared=2, max_doc_freq=20)
+
+
 def q_suppress_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity-style suppression (datapipe/curation
     .suppress_rare_combinations): keep documents whose (lang, source)
@@ -2890,8 +2913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_bigram_ppl": q_bigram_ppl,
-        "q_dsir_weights": q_dsir_weights,
-        "q_dsir_select": q_dsir_select,
+        "q_winnow": q_winnow,
+        "q_winnow_matches": q_winnow_matches,
         "q_stream_topk": q_stream_topk,
         "q_ngram_diversity": q_ngram_diversity,
         "q_mixture_weights": q_mixture_weights,
@@ -2928,9 +2951,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evaluate_binary/roc_points this session); q_quantize and
         # q_cluster_sample displace here — quantize.py/clustering.py
         # are unchanged since their r07 gate green, and both were green
-        # again in the r8 full sweep.
+        # again in the r8 full sweep.  q_winnow/q_winnow_matches enter
+        # in-window (new text.py operators this session), displacing
+        # q_dsir_weights/q_dsir_select — curation.py's only post-sweep
+        # change is the dsir_select temperature guard, and both were
+        # green in the r8 full sweep re-run at that HEAD.
         "q_quantize": q_quantize,
         "q_cluster_sample": q_cluster_sample,
+        "q_dsir_weights": q_dsir_weights,
+        "q_dsir_select": q_dsir_select,
         # r8 continuation rotation: SIXTEEN new queries enter at the
         # head (q_dim_stats, q_gram_matrix, q_power_iteration,
         # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
@@ -3462,6 +3491,50 @@ _CLF_EVAL_CTES = """esum AS (
                 SELECT s, CAST(count(*) AS BIGINT) AS n_g,
                        CAST(sum(y) AS BIGINT) AS pos_g
                 FROM escored GROUP BY s)"""
+
+
+# Shared winnowing fingerprint chain (k=8 chars, w=5) for q_winnow and
+# q_winnow_matches — the text.winnow_fingerprints construction restated:
+# normalized char grams, 52-bit md5 hashes, nearest-blocker closed form
+# for "some window selects p as rightmost minimum".
+def _winnow_ctes(max_id: int) -> str:
+    return f"""wbase AS (
+                SELECT doc_id AS id,
+                       regexp_replace(lower(coalesce(text, '')),
+                                      '[^a-z0-9]', '', 'g') AS txt
+                FROM documents WHERE doc_id < {max_id}),
+            wlen AS (
+                SELECT id, txt, greatest(length(txt) - 7, 0) AS n
+                FROM wbase),
+            wgram AS (
+                SELECT id, n, least(5, n) AS wp,
+                       unnest(range(1, n + 1)) AS pos, txt
+                FROM wlen WHERE n >= 1),
+            wh AS (
+                SELECT id, n, wp, pos,
+                       CAST(('0x' || substr(md5(substr(txt, pos, 8)),
+                                            1, 13)) AS BIGINT) AS h
+                FROM wgram),
+            wreach AS (
+                SELECT id, q, qh, q + d AS pos FROM (
+                    SELECT id, pos AS q, h AS qh,
+                           unnest([d for d in range(-(wp - 1), wp)
+                                   if d != 0]) AS d
+                    FROM wh)),
+            wlr AS (
+                SELECT t.id, t.pos, t.h, t.wp, t.n,
+                       max(CASE WHEN r.q < t.pos AND r.qh < t.h
+                                THEN r.q END) AS L,
+                       min(CASE WHEN r.q > t.pos AND r.qh <= t.h
+                                THEN r.q END) AS R
+                FROM wh t LEFT JOIN wreach r
+                  ON t.id = r.id AND t.pos = r.pos
+                GROUP BY t.id, t.pos, t.h, t.wp, t.n),
+            wsel AS (
+                SELECT id, pos, h AS fp FROM wlr
+                WHERE greatest(pos - wp + 1, coalesce(L + 1, 1), 1)
+                      <= least(pos, coalesce(R - wp, pos),
+                               n - wp + 1))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5455,6 +5528,23 @@ def oracle_sql() -> dict[str, str]:
                    round(cum_tp / np, 6) AS tpr,
                    round(cum_fp / nn, 6) AS fpr
             FROM ecum, etot WHERE np > 0 AND nn > 0
+        """,
+        "q_winnow": f"""
+            WITH {_winnow_ctes(150)}
+            SELECT id AS doc_id, CAST(pos AS BIGINT) AS pos, fp
+            FROM wsel
+        """,
+        "q_winnow_matches": f"""
+            WITH {_winnow_ctes(400)},
+            wfp AS (SELECT DISTINCT id, fp FROM wsel),
+            wok AS (SELECT fp FROM wfp GROUP BY fp
+                    HAVING count(*) <= 20),
+            wkept AS (SELECT id, fp FROM wfp JOIN wok USING (fp))
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY a.id, b.id
+            HAVING count(*) >= 2
         """,
         "q_suppress_rare": """
             WITH freq AS (

@@ -226,6 +226,112 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.md5(normalized))
 
 
+def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    the MOSS scheme): (id, pos, fp) with one row per SELECTED k-gram.
+    Text is normalized to lowercase alphanumerics (whitespace/punctuation
+    insensitive), hashed per character k-gram (52-bit md5 prefix, the
+    `sketches._cms_col` portability trick), and each window of `w`
+    consecutive gram hashes contributes its minimum — rightmost on ties
+    (the paper's basic scheme).  The guarantee that `with_fingerprint`'s
+    whole-document hash can't give: any substring match of length
+    >= w + k - 1 between two documents shares at least one fingerprint,
+    yet expected density is only 2/(w+1) of the grams.
+
+    Plan shape (the 100 TB posture): positions explode one row per
+    character — the unavoidable cost of the algorithm, linear and
+    shuffle-free — then window minima come from ONE equi-join of the
+    gram relation against itself shifted by the 2(w-1) in-window
+    offsets (explode of a constant-bounded delta array; |delta| <
+    w' = min(w, n_grams)), grouped back per position.  Both sides hash-
+    partition on (id, pos): no range join, no BNLJ, no per-doc collect.
+    A position p is selected iff SOME window picks it as rightmost
+    minimum, which reduces to a closed form over its nearest in-range
+    blockers: L = max q < p with h[q] < h[p], R = min q > p with
+    h[q] <= h[p] (both within w'-1); selected iff a legal window start
+    exists in [max(p-w'+1, L+1, 1), min(p, R-w', n-w'+1)].  Documents
+    shorter than w grams use w' = n_grams (single whole-doc window);
+    documents shorter than k characters yield no rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if w < 2:
+        raise ValueError(f"w must be >= 2, got {w}")
+    base = (df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(F.lower(_nn(F.col(text_col))),
+                         "[^a-z0-9]", "").alias("txt"))
+        .select("id", "txt",
+                F.greatest(F.length("txt") - k + 1, F.lit(0)).alias("n"))
+        .filter(F.col("n") >= 1))
+    grams = base.select(
+        "id", "n", F.least(F.lit(w), F.col("n")).alias("wp"),
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("pos"),
+        F.col("txt")).select(
+        "id", "n", "wp", "pos",
+        F.conv(F.substring(F.md5(F.expr(f"substring(txt, pos, {k})")),
+                           1, 13), 16, 10).cast("long").alias("h"))
+    # every gram announces itself to the positions it can block: one row
+    # per in-window offset, then a plain (id, pos) equi-join back
+    reach = grams.select(
+        "id", F.col("pos").alias("q"), F.col("h").alias("qh"),
+        F.explode(F.expr(
+            "filter(sequence(-(wp - 1), wp - 1), d -> d != 0)"))
+        .alias("d")).select(
+        "id", "q", "qh", (F.col("q") + F.col("d")).alias("pos"))
+    lr = (grams.join(reach, ["id", "pos"], "left")
+          .groupBy("id", "pos", "h", "wp", "n")
+          .agg(F.max(F.when((F.col("q") < F.col("pos"))
+                            & (F.col("qh") < F.col("h")), F.col("q")))
+               .alias("L"),
+               F.min(F.when((F.col("q") > F.col("pos"))
+                            & (F.col("qh") <= F.col("h")), F.col("q")))
+               .alias("R")))
+    selected = lr.filter(
+        F.greatest(F.col("pos") - F.col("wp") + 1,
+                   F.coalesce(F.col("L") + 1, F.lit(1)), F.lit(1))
+        <= F.least(F.col("pos"),
+                   F.coalesce(F.col("R") - F.col("wp"), F.col("pos")),
+                   F.col("n") - F.col("wp") + 1))
+    return selected.select(F.col("id").alias(id_col),
+                           F.col("pos").cast("long").alias("pos"),
+                           F.col("h").alias("fp"))
+
+
+def winnow_matches(df: DataFrame, k: int = 5, w: int = 4,
+                   min_shared: int = 2, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   max_doc_freq: int | None = None) -> DataFrame:
+    """Document pairs sharing >= min_shared distinct winnowing
+    fingerprints: (id_a, id_b, n_shared), id_a < id_b — the MOSS match
+    step.  The pair join runs on the SELECTED fingerprints only (expected
+    2/(w+1) of the grams), distinct per (id, fp) so within-document
+    repeats count once; `max_doc_freq` drops boilerplate fingerprints
+    before the self-join (the `dedup._cap_doc_freq` O(k²) fan-out guard
+    — same rationale, same relation shape)."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = (winnow_fingerprints(df, k=k, w=w, id_col=id_col,
+                               text_col=text_col)
+           .select(F.col(id_col).alias("id"), "fp").distinct())
+    if max_doc_freq is not None:
+        if max_doc_freq < 1:
+            raise ValueError(
+                f"max_doc_freq must be >= 1, got {max_doc_freq}")
+        hot = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_doc_freq).select("fp"))
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def build_vocab(df: DataFrame, text_col: str = "text",
                 max_vocab: int | None = None,
                 min_count: int = 1) -> DataFrame:

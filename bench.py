@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "q_ivfpq_search",
     "q_cms_build_x10",
     "q_funnel_x10",
+    "q_winnow_full",
     "q_threshold_summary",
     "q_peak_timing",
     "q_tendency",
@@ -138,6 +139,9 @@ BENCH_QUERIES = [
     "q_bm25_topk",
     "q_gopher_rules_full",
     "q_dsir_weights",
+    # round-8 session: classifier train+score+evaluate end to end (3 GD
+    # aggregates + the bounded score-group metric pass, full corpus)
+    "q_clf_eval",
     # round-8 continuation: linalg + fuzzy + CMS registry entries (the
     # x10 CMS build runs in the heavy front block)
     "q_power_iteration",
@@ -230,6 +234,17 @@ def _q_ngram_jaccard_capped_3k(spark, sf_dir):
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .filter("doc_id < 3000"))
     return ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
+
+
+def _q_winnow_full(spark, sf_dir):
+    """Winnowing fingerprints over the whole documents table (the
+    registry q_winnow bounds itself at 150 docs for the oracle): the
+    char-gram explode plus the 2(w-1)-offset self-join measured at full
+    corpus volume — linear in total characters, ~10 joined rows per
+    character at w=5."""
+    from flood_data_spark.datapipe.text import winnow_fingerprints
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=8, w=5)
 
 
 def _q_repeated_spans_full(spark, sf_dir):
@@ -575,6 +590,7 @@ EXTRA_QUERIES = {
     "q_peak_timing_x10": _q_peak_timing_x10,
     "q_bpe_train_full": _q_bpe_train_full,
     "q_ivfpq_search": _q_ivfpq_search,
+    "q_winnow_full": _q_winnow_full,
 }
 
 
@@ -639,7 +655,8 @@ def main():
                  # plan cost separates from the box's bimodal I/O noise
                  "q_contamination", "q_clean_lines", "q_line_dedup",
                  "q_bm25_index_build", "q_bpe_encode_x10",
-                 "q_bloom_dedup_x10", "q_cms_build_x10", "q_funnel_x10"}
+                 "q_bloom_dedup_x10", "q_cms_build_x10", "q_funnel_x10",
+                 "q_winnow_full"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

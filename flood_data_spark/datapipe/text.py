@@ -242,18 +242,24 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
 
     Plan shape (the 100 TB posture): positions explode one row per
     character — the unavoidable cost of the algorithm, linear and
-    shuffle-free — then window minima come from ONE equi-join of the
-    gram relation against itself shifted by the 2(w-1) in-window
-    offsets (explode of a constant-bounded delta array; |delta| <
-    w' = min(w, n_grams)), grouped back per position.  Both sides hash-
-    partition on (id, pos): no range join, no BNLJ, no per-doc collect.
-    A position p is selected iff SOME window picks it as rightmost
-    minimum, which reduces to a closed form over its nearest in-range
-    blockers: L = max q < p with h[q] < h[p], R = min q > p with
-    h[q] <= h[p] (both within w'-1); selected iff a legal window start
-    exists in [max(p-w'+1, L+1, 1), min(p, R-w', n-w'+1)].  Documents
-    shorter than w grams use w' = n_grams (single whole-doc window);
-    documents shorter than k characters yield no rows.
+    shuffle-free — then selection is decided per position from its
+    nearest in-range blockers: L = max q < p with h[q] < h[p],
+    R = min q > p with h[q] <= h[p] (both within w'-1,
+    w' = min(w, n_grams)); p is selected iff SOME window picks it as
+    rightmost minimum, i.e. iff a legal window start exists in
+    [max(p-w'+1, L+1, 1), min(p, R-w', n-w'+1)].  Because the blocker
+    horizon is the CONSTANT w-1, L and R are w-1 lag/lead columns over
+    ONE (id, pos) window — a single hash-partition-by-document
+    exchange, no self-join, no row blowup.  (The relational
+    alternative — explode 2(w-1) offset rows and equi-join back — is
+    what the value oracle runs; as a Spark plan it let Catalyst
+    broadcast the exploded side, whose size it misestimates by the
+    fan-out factor: measured 25 s vs 2 s on a 1.2M-gram corpus.)
+    lag/lead return NULL past the document edge, which the coalesce
+    defaults absorb, so short documents (w' = n_grams < w, one
+    whole-doc window) need no special casing; documents shorter than
+    k characters yield no rows.  Keep w modest (<= ~64): the blocker
+    scan is w-1 projection columns per direction, linear in w.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -273,22 +279,15 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
         "id", "n", "wp", "pos",
         F.conv(F.substring(F.md5(F.expr(f"substring(txt, pos, {k})")),
                            1, 13), 16, 10).cast("long").alias("h"))
-    # every gram announces itself to the positions it can block: one row
-    # per in-window offset, then a plain (id, pos) equi-join back
-    reach = grams.select(
-        "id", F.col("pos").alias("q"), F.col("h").alias("qh"),
-        F.explode(F.expr(
-            "filter(sequence(-(wp - 1), wp - 1), d -> d != 0)"))
-        .alias("d")).select(
-        "id", "q", "qh", (F.col("q") + F.col("d")).alias("pos"))
-    lr = (grams.join(reach, ["id", "pos"], "left")
-          .groupBy("id", "pos", "h", "wp", "n")
-          .agg(F.max(F.when((F.col("q") < F.col("pos"))
-                            & (F.col("qh") < F.col("h")), F.col("q")))
-               .alias("L"),
-               F.min(F.when((F.col("q") > F.col("pos"))
-                            & (F.col("qh") <= F.col("h")), F.col("q")))
-               .alias("R")))
+    win = Window.partitionBy("id").orderBy("pos")
+    lefts = [F.when(F.lag("h", d).over(win) < F.col("h"),
+                    F.col("pos") - d) for d in range(1, w)]
+    rights = [F.when(F.lead("h", d).over(win) <= F.col("h"),
+                     F.col("pos") + d) for d in range(1, w)]
+    lr = grams.select(
+        "id", "pos", "h", "wp", "n",
+        (lefts[0] if len(lefts) == 1 else F.greatest(*lefts)).alias("L"),
+        (rights[0] if len(rights) == 1 else F.least(*rights)).alias("R"))
     selected = lr.filter(
         F.greatest(F.col("pos") - F.col("wp") + 1,
                    F.coalesce(F.col("L") + 1, F.lit(1)), F.lit(1))

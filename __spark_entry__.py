@@ -1820,6 +1820,19 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (datapipe/dedup
+    .jaccard_prefix_pairs, the PPJoin/AllPairs candidate scheme): word-
+    token Jaccard >= 0.5, candidates only from each document's
+    rarest-token prefix, verified exactly.  The filter is LOSSLESS, so
+    the oracle is the brute-force word-token Jaccard SQL — value
+    equality here IS the losslessness proof at gate scale."""
+    from flood_data_spark.datapipe.dedup import jaccard_prefix_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return jaccard_prefix_pairs(docs, threshold=0.5)
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-token ratio and
     most-common-token share per document."""
@@ -2917,7 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_matches": q_winnow_matches,
         "q_stream_topk": q_stream_topk,
         "q_ngram_diversity": q_ngram_diversity,
-        "q_mixture_weights": q_mixture_weights,
+        "q_jaccard_prefix": q_jaccard_prefix,
         "q_quality_rank": q_quality_rank,
         "q_remove_spans": q_remove_spans,
         "q_remove_spans_first": q_remove_spans_first,
@@ -2956,10 +2969,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_dsir_weights/q_dsir_select — curation.py's only post-sweep
         # change is the dsir_select temperature guard, and both were
         # green in the r8 full sweep re-run at that HEAD.
+        # q_jaccard_prefix enters in-window (new dedup.py operator this
+        # session), displacing q_mixture_weights — curation.py unchanged
+        # since its r8 full-sweep green.
         "q_quantize": q_quantize,
         "q_cluster_sample": q_cluster_sample,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_select": q_dsir_select,
+        "q_mixture_weights": q_mixture_weights,
         # r8 continuation rotation: SIXTEEN new queries enter at the
         # head (q_dim_stats, q_gram_matrix, q_power_iteration,
         # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
@@ -5528,6 +5545,34 @@ def oracle_sql() -> dict[str, str]:
                    round(cum_tp / np, 6) AS tpr,
                    round(cum_fp / nn, 6) AS fpr
             FROM ecum, etot WHERE np > 0 AND nn > 0
+        """,
+        # q_jaccard_prefix: the BRUTE-FORCE word-token Jaccard — the
+        # operator's prefix filter is lossless, so brute SQL equality is
+        # the proof; round-6 happens before the threshold test on both
+        # sides (the Spark operator filters the rounded score)
+        "q_jaccard_prefix": """
+            WITH jtok AS (
+                SELECT DISTINCT id, tok FROM (
+                    SELECT doc_id AS id,
+                           unnest(string_split_regex(
+                               lower(trim(coalesce(text, ''))),
+                               '\\s+')) AS tok
+                    FROM documents WHERE doc_id < 200)
+                WHERE tok <> ''),
+            jcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n
+                     FROM jtok GROUP BY id),
+            jpair AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(count(*) AS BIGINT) AS common
+                FROM jtok a JOIN jtok b
+                  ON a.tok = b.tok AND a.id < b.id
+                GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(common / (ga.n + gb.n - common), 6) AS jaccard
+            FROM jpair
+            JOIN jcnt ga ON ga.id = id_a
+            JOIN jcnt gb ON gb.id = id_b
+            WHERE round(common / (ga.n + gb.n - common), 6) >= 0.5
         """,
         "q_winnow": f"""
             WITH {_winnow_ctes(150)}

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "q_cms_build_x10",
     "q_funnel_x10",
     "q_winnow_full",
+    "q_jaccard_prefix_zipf",
     "q_threshold_summary",
     "q_peak_timing",
     "q_tendency",
@@ -245,6 +246,35 @@ def _q_winnow_full(spark, sf_dir):
     from flood_data_spark.datapipe.text import winnow_fingerprints
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return winnow_fingerprints(docs, k=8, w=5)
+
+
+def _q_jaccard_prefix_zipf(spark, sf_dir):
+    """Prefix-filtered word-token Jaccard (t=0.8) on a Zipf-shaped
+    8,000-doc corpus: a 20-stopword head present in EVERY document plus
+    40 rare hex words, near-dup quintuplets planted.  This is the
+    published PPJoin regime — head tokens never enter a prefix, so
+    candidates = the 1,600 true pairs, not the head-driven
+    8,000²/2 x 20 brute join.  Measured once at entry creation: brute
+    `token_jaccard_pairs` 12.1 s / prefix 7.2 s here, with brute
+    growing quadratically in corpus size (the head term) and prefix
+    near-linearly.  The corpus is generated from range()+md5
+    expressions — scan-sized, deterministic, no cached tier needed."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.datapipe.dedup import jaccard_prefix_pairs
+    head = " ".join(f"stop{j}" for j in range(20))
+    docs = spark.range(8000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(head + " "),
+            F.concat_ws(" ", *[
+                F.substring(F.md5(F.concat(
+                    F.lit(f"z{j}:"),
+                    F.when(F.col("id") % 5 == 4, F.col("id") - 1)
+                    .otherwise(F.col("id")).cast("string"))), 1, 8)
+                for j in range(40)]),
+            F.when(F.col("id") % 5 == 4, F.lit(" neardupmarker"))
+            .otherwise(F.lit(""))).alias("text"))
+    return jaccard_prefix_pairs(docs, threshold=0.8)
 
 
 def _q_repeated_spans_full(spark, sf_dir):
@@ -591,6 +621,7 @@ EXTRA_QUERIES = {
     "q_bpe_train_full": _q_bpe_train_full,
     "q_ivfpq_search": _q_ivfpq_search,
     "q_winnow_full": _q_winnow_full,
+    "q_jaccard_prefix_zipf": _q_jaccard_prefix_zipf,
 }
 
 
@@ -656,7 +687,7 @@ def main():
                  "q_contamination", "q_clean_lines", "q_line_dedup",
                  "q_bm25_index_build", "q_bpe_encode_x10",
                  "q_bloom_dedup_x10", "q_cms_build_x10", "q_funnel_x10",
-                 "q_winnow_full"}
+                 "q_winnow_full", "q_jaccard_prefix_zipf"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -243,20 +243,23 @@ def _score_groups(df: DataFrame, score_col: str, label_col: str,
     quantized score — the single corpus-sized pass every metric below
     derives from.  Scores are rounded to `score_decimals`, so the group
     relation is CARDINALITY-BOUNDED (<= 10^d + 1 rows for probabilities
-    in [0, 1]) no matter the corpus size.  Rows with a NULL score or
-    label collapse into ONE sentinel group (s = NULL, pos_g = 0) so the
-    null count rides the same single pass; consumers filter
-    `s IS NOT NULL` before computing metrics.
+    in [0, 1]) no matter the corpus size.  Rows with a NULL or NaN
+    score, or a NULL label, collapse into ONE sentinel group (s = NULL,
+    pos_g = 0) so the invalid count rides the same single pass;
+    consumers filter `s IS NOT NULL` before computing metrics.  (NaN is
+    NOT null in Spark — without the explicit isnan guard a single 0/0
+    score upstream would form a real NaN group and poison every
+    downstream sum.)
 
     The result is localCheckpoint-ed: every metric family consumes it
     at least twice, and without the checkpoint Catalyst re-plans (and
     re-executes) the corpus-sized aggregate per consumer — the LM-table
     lesson from docs/PLANS.md."""
-    valid = (F.col(score_col).isNotNull()
+    score = F.col(score_col).cast("double")
+    valid = (score.isNotNull() & ~F.isnan(score)
              & F.col(label_col).isNotNull())
     return (df.select(
-        F.when(valid, F.round(F.col(score_col).cast("double"),
-                              score_decimals)).alias("s"),
+        F.when(valid, F.round(score, score_decimals)).alias("s"),
         F.when(valid, F.col(label_col).cast("int"))
         .otherwise(F.lit(0)).alias("y"))
         .groupBy("s")
@@ -291,7 +294,13 @@ def evaluate_binary(df: DataFrame, score_col: str = "clf_score",
     exact integers; Brier expands (s-y)^2 over y in {0,1} as
     n_g*s^2 - 2*s*pos_g + pos_g; the ECE bin index is pure integer
     arithmetic on the decimal-scaled score.  AUC is NULL when either
-    class is absent; precision/recall/F1 are NULL on empty denominators.
+    class is absent; precision/recall/F1 are NULL on empty denominators;
+    an empty (or all-invalid) input yields zero counts and NULL metrics.
+    Domain: AUC/accuracy/precision/recall/F1 accept any real-valued
+    score; Brier and ECE are PROBABILITY metrics — on scores outside
+    [0, 1] they remain defined (bins clamp at the edges) but should be
+    read only after calibration (`platt_calibrate`).  NULL and NaN
+    scores and NULL labels are excluded and counted in n_null.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
@@ -309,13 +318,18 @@ def evaluate_binary(df: DataFrame, score_col: str = "clf_score",
     ranked = g.withColumn(
         "cum_before", F.coalesce(F.sum("n_g").over(w), F.lit(0)))
     # integer bin index: si = s * 10^d recovered exactly, then
-    # (si * bins) div 10^d clamped into [0, bins-1] — pure integer
-    # arithmetic, identical in any engine
+    # (si * bins) div 10^d clamped into [0, bins-1] BOTH ways — scores
+    # are expected in [0, 1] (Brier/ECE read as probability metrics;
+    # rank/threshold metrics are domain-free), but an uncalibrated
+    # margin must not fabricate phantom negative bins.  The lower clamp
+    # also absorbs the one engine divergence on negatives (Spark `div`
+    # truncates toward zero, ANSI `//` floors — both land <= 0)
     per_bin = (g.withColumn(
         "si", F.round(F.col("s") * scale).cast("long"))
         .withColumn(
-            "bin", F.least(F.expr(f"si * {bins} div {scale}"),
-                           F.lit(bins - 1)))
+            "bin", F.greatest(
+                F.least(F.expr(f"si * {bins} div {scale}"),
+                        F.lit(bins - 1)), F.lit(0)))
         .groupBy("bin")
         .agg(F.sum("n_g").alias("n_b"),
              F.sum(F.col("n_g") * F.col("s")).alias("sum_s_b"),
@@ -323,10 +337,13 @@ def evaluate_binary(df: DataFrame, score_col: str = "clf_score",
     ece = per_bin.agg(
         (F.sum(F.abs(F.col("sum_s_b") - F.col("pos_b")))
          / F.sum("n_b")).alias("_ece_raw"))
+    # count coalesces: on an empty/all-invalid input the sums are NULL —
+    # return 0 counts (with metrics NULL), not a row of NULL counts
     core = ranked.agg(
-        F.sum("n_g").alias("n"),
-        F.sum("pos_g").alias("n_pos"),
-        F.sum(F.col("n_g") - F.col("pos_g")).alias("n_neg"),
+        F.coalesce(F.sum("n_g"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("pos_g"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum(F.col("n_g") - F.col("pos_g")),
+                   F.lit(0)).alias("n_neg"),
         # double-cast: the per-group product reaches ~2*n_pos*n per tied
         # group, past long range at trillion-row scale — doubles stay
         # EXACT below 2^53 (every gate-scale value) and degrade

@@ -240,13 +240,16 @@ def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokens draw from an unbounded space with Zipfian document
     frequency, which is what prefix filtering needs (char 3-grams top
     out at 46k possible values, so at corpus scale EVERY char gram is
-    hot and no frequency-ordered scheme can discriminate)."""
+    hot and no frequency-ordered scheme can discriminate).
+    Tokenization is text._words — THE single canonical definition every
+    operator and value oracle mirrors (local import to keep the module
+    graph acyclic)."""
+    from flood_data_spark.datapipe.text import _words
+
     return (df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.filter(
-            F.split(F.lower(F.trim(F.coalesce(F.col(text_col),
-                                              F.lit("")))), r"\s+"),
-            lambda t: t != ""))).alias("tok"))
+        F.explode(F.array_distinct(
+            _words(F.col(text_col)))).alias("tok"))
         .select("id", F.xxhash64("tok").alias("gh")))
 
 

@@ -312,9 +312,13 @@ def winnow_matches(df: DataFrame, k: int = 5, w: int = 4,
     — same rationale, same relation shape)."""
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    # cache: fps feeds the hot-fp aggregate, the anti-join probe, and
+    # BOTH sides of the pair self-join — uncached, the char explode +
+    # lag/lead window re-executes per branch (the dedup.py signature-
+    # relation discipline)
     fps = (winnow_fingerprints(df, k=k, w=w, id_col=id_col,
                                text_col=text_col)
-           .select(F.col(id_col).alias("id"), "fp").distinct())
+           .select(F.col(id_col).alias("id"), "fp").distinct().cache())
     if max_doc_freq is not None:
         if max_doc_freq < 1:
             raise ValueError(

@@ -182,6 +182,36 @@ def test_evaluate_binary_nulls_and_degenerate(spark):
         _eval_row(spark, rows, score_decimals=0)
 
 
+def test_evaluate_binary_nan_counts_as_invalid(spark):
+    """NaN is not NULL in Spark — it must land in n_null, not poison
+    brier/ece with NaN sums."""
+    rows = [(0.9, 1), (float("nan"), 1), (0.2, 0)]
+    r = _eval_row(spark, rows)
+    assert (r.n, r.n_null) == (2, 1)
+    assert r.auc == 1.0
+    assert r.brier is not None and r.brier == r.brier   # not NaN
+    assert r.ece is not None and r.ece == r.ece
+
+
+def test_evaluate_binary_empty_input_zero_counts(spark):
+    from flood_data_spark.datapipe.classifier import evaluate_binary
+
+    df = spark.createDataFrame([], "clf_score double, label int")
+    r = evaluate_binary(df).first()
+    assert (r.n, r.n_null, r.n_pos, r.n_neg) == (0, 0, 0, 0)
+    assert r.auc is None and r.brier is None and r.accuracy is None
+
+
+def test_evaluate_binary_out_of_range_scores_clamp(spark):
+    """Uncalibrated margins: rank/threshold metrics stay exact, ECE
+    bins clamp at the edges instead of fabricating negative bins."""
+    rows = [(2.5, 1), (1.2, 1), (-0.4, 0), (-3.0, 0), (0.6, 1), (0.3, 0)]
+    r = _eval_row(spark, rows)
+    assert r.auc == 1.0
+    assert r.accuracy == 1.0                 # threshold 0.5 separates
+    assert r.ece is not None and r.ece == r.ece
+
+
 def test_evaluate_binary_auc_matches_brute_force(spark):
     """Differential check: rank-sum AUC == brute-force pair counting on
     a deterministic pseudo-random score/label set with planted ties."""

@@ -1820,6 +1820,25 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
 
 
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (operators/timeseries
+    .seasonal_decompose): daily event totals per type split into
+    trend + weekly seasonal + residual.  Daily sums are rounded to 6
+    BEFORE decomposition (group-sum order is the one engine-divergent
+    step), the centered MA is an explicit lag/lead addition chain
+    (bit-identical across engines), phase means carry one output-side
+    round-6."""
+    from flood_data_spark.operators.timeseries import seasonal_decompose
+
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy(F.col("event_type"),
+                      F.to_date(F.date_trunc("day", "ts")).alias("day"))
+             .agg(F.round(F.sum("value"), 6).alias("value")))
+    return seasonal_decompose(daily, key_col="event_type",
+                              order_col="day", value_col="value",
+                              period=7)
+
+
 def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered set-similarity join (datapipe/dedup
     .jaccard_prefix_pairs, the PPJoin/AllPairs candidate scheme): word-
@@ -2931,7 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_topk": q_stream_topk,
         "q_ngram_diversity": q_ngram_diversity,
         "q_jaccard_prefix": q_jaccard_prefix,
-        "q_quality_rank": q_quality_rank,
+        "q_seasonal": q_seasonal,
         "q_remove_spans": q_remove_spans,
         "q_remove_spans_first": q_remove_spans_first,
         "q_next_event_pairs": q_next_event_pairs,
@@ -2970,13 +2989,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # change is the dsir_select temperature guard, and both were
         # green in the r8 full sweep re-run at that HEAD.
         # q_jaccard_prefix enters in-window (new dedup.py operator this
-        # session), displacing q_mixture_weights — curation.py unchanged
-        # since its r8 full-sweep green.
+        # session), displacing q_mixture_weights; q_seasonal enters
+        # (new timeseries.py operator), displacing q_quality_rank —
+        # curation.py unchanged since its r8 full-sweep green.
         "q_quantize": q_quantize,
         "q_cluster_sample": q_cluster_sample,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_select": q_dsir_select,
         "q_mixture_weights": q_mixture_weights,
+        "q_quality_rank": q_quality_rank,
         # r8 continuation rotation: SIXTEEN new queries enter at the
         # head (q_dim_stats, q_gram_matrix, q_power_iteration,
         # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
@@ -5545,6 +5566,39 @@ def oracle_sql() -> dict[str, str]:
                    round(cum_tp / np, 6) AS tpr,
                    round(cum_fp / nn, 6) AS fpr
             FROM ecum, etot WHERE np > 0 AND nn > 0
+        """,
+        # q_seasonal: the decomposition restated — identical addition
+        # chain for the trend, same rounding protocol
+        "q_seasonal": """
+            WITH sdaily AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS DATE) AS day,
+                       round(sum(value), 6) AS v
+                FROM events GROUP BY 1, 2),
+            sbase AS (
+                SELECT event_type, day, v,
+                       (row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) - 1) % 7
+                           AS phase,
+                       (lag(v, 3) OVER w + lag(v, 2) OVER w
+                        + lag(v, 1) OVER w + v + lead(v, 1) OVER w
+                        + lead(v, 2) OVER w + lead(v, 3) OVER w) / 7
+                           AS trend
+                FROM sdaily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            spm AS (
+                SELECT event_type, phase, avg(v - trend) AS pm
+                FROM sbase WHERE trend IS NOT NULL GROUP BY 1, 2),
+            scm AS (SELECT event_type, avg(pm) AS cm
+                    FROM spm GROUP BY 1),
+            sseas AS (SELECT s.event_type, s.phase, s.pm - c.cm AS seas
+                      FROM spm s JOIN scm c USING (event_type))
+            SELECT b.event_type, b.day, b.v AS value,
+                   round(b.trend, 6) AS trend,
+                   round(e.seas, 6) AS seasonal,
+                   round(b.v - b.trend - e.seas, 6) AS residual
+            FROM sbase b LEFT JOIN sseas e
+              ON b.event_type = e.event_type AND b.phase = e.phase
         """,
         # q_jaccard_prefix: the BRUTE-FORCE word-token Jaccard — the
         # operator's prefix filter is lossless, so brute SQL equality is

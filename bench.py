@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     # round-8 session: classifier train+score+evaluate end to end (3 GD
     # aggregates + the bounded score-group metric pass, full corpus)
     "q_clf_eval",
+    # round-8 session: weekly decomposition of the daily event series
+    "q_seasonal",
     # round-8 continuation: linalg + fuzzy + CMS registry entries (the
     # x10 CMS build runs in the heavy front block)
     "q_power_iteration",

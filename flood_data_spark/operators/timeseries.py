@@ -477,6 +477,70 @@ def time_weighted_avg(df: DataFrame, key_col: str = "user_id",
                  F.count(F.lit(1)).alias("n_obs")))
 
 
+def seasonal_decompose(df: DataFrame, key_col: str = "user_id",
+                       order_col: str = "step",
+                       value_col: str = "value", period: int = 7,
+                       round_to: int = 6) -> DataFrame:
+    """Classical additive seasonal decomposition per key:
+    value = trend + seasonal + residual for an odd period m.
+
+    trend is the centered moving average over m consecutive rows,
+    written as an EXPLICIT lag/lead addition chain (not a window avg):
+    the chain's left-to-right float order is reproducible in any
+    engine, where windowed avg implementations are free to accumulate
+    in segment-tree order — the EWMA lesson applied to sliding means.
+    trend is NULL within half a period of either series edge (no full
+    window).  seasonal is the per-(key, phase) mean of the detrended
+    values, centered to sum to ~0 across phases (phase = 0-based row
+    number mod m — alignment is relative, so gaps shift phases; run
+    `resample_ffill` upstream for calendar-aligned series).  residual
+    = value - trend - seasonal, computed from the UNROUNDED parts;
+    all three round once at the output.
+
+    Plan: ONE key exchange (the ordered window provides row numbers
+    and all 2*half lag/leads in a single pass), one (key x period)-
+    bounded groupBy for phase means, one key-bounded groupBy for the
+    centering mean, and two small joins back — no corpus-sized
+    relation after the window.  Even periods need the half-weighted
+    2xm moving average; not implemented (use the odd neighbor).
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(
+            f"period must be odd and >= 3, got {period} "
+            "(even periods need the half-weighted 2xm average)")
+    half = period // 2
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    # explicit chain: ((v[-h] + v[-h+1]) + ...) + v[+h], left to right
+    total = F.lag(v, half).over(w)
+    for d in range(half - 1, 0, -1):
+        total = total + F.lag(v, d).over(w)
+    total = total + v
+    for d in range(1, half + 1):
+        total = total + F.lead(v, d).over(w)
+    base = df.select(
+        F.col(key_col), F.col(order_col), v.alias("_v"),
+        ((F.row_number().over(w) - 1) % period).alias("_phase"),
+        (total / period).alias("_trend"))
+    phase_means = (base.filter(F.col("_trend").isNotNull())
+                   .groupBy(key_col, "_phase")
+                   .agg(F.avg(F.col("_v") - F.col("_trend"))
+                        .alias("_pm")))
+    centers = (phase_means.groupBy(key_col)
+               .agg(F.avg("_pm").alias("_cm")))
+    seasonal = (phase_means.join(centers, key_col)
+                .select(key_col, "_phase",
+                        (F.col("_pm") - F.col("_cm")).alias("_seas")))
+    return (base.join(seasonal, [key_col, "_phase"], "left")
+            .select(
+        F.col(key_col), F.col(order_col),
+        F.col("_v").alias(value_col),
+        F.round("_trend", round_to).alias("trend"),
+        F.round("_seas", round_to).alias("seasonal"),
+        F.round(F.col("_v") - F.col("_trend") - F.col("_seas"),
+                round_to).alias("residual")))
+
+
 def interval_join(points: DataFrame, intervals: DataFrame,
                   point_ts: str = "ts", start_col: str = "start",
                   end_col: str = "end",

@@ -1820,6 +1820,39 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (operators/scd.scd2_apply): a customer
+    dimension snapshot (all rows current since 2020-01-01) receives an
+    update batch — custkey % 6 == 0 changes segment (close + new
+    version), custkey % 3 == 0 but not % 6 carries identical attrs
+    (no-op), and custkey % 10 == 0 arrives key-shifted as an insert.
+    One key-equi full-outer join; the oracle reconstructs the four row
+    classes set-theoretically."""
+    from flood_data_spark.operators.scd import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    upd = (cust.filter(F.col("c_custkey") % 3 == 0)
+           .select(F.col("c_custkey").alias("k"),
+                   F.col("c_name").alias("name"),
+                   F.when(F.col("c_custkey") % 6 == 0, F.lit("MOVED"))
+                   .otherwise(F.col("c_mktsegment")).alias("segment"),
+                   F.to_date(F.lit("2024-01-01")).alias("effective_ts")))
+    ins = (cust.filter(F.col("c_custkey") % 10 == 0)
+           .select((F.col("c_custkey") + 1000000).alias("k"),
+                   F.col("c_name").alias("name"),
+                   F.col("c_mktsegment").alias("segment"),
+                   F.to_date(F.lit("2024-01-01")).alias("effective_ts")))
+    return scd2_apply(dim, upd.unionByName(ins), ["k"],
+                      ["name", "segment"])
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition (operators/timeseries
     .seasonal_decompose): daily event totals per type split into
@@ -2944,7 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round, third batch (19) ---
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
-        "q_bigram_ppl": q_bigram_ppl,
+        "q_scd2": q_scd2,
         "q_winnow": q_winnow,
         "q_winnow_matches": q_winnow_matches,
         "q_stream_topk": q_stream_topk,
@@ -2991,13 +3024,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_jaccard_prefix enters in-window (new dedup.py operator this
         # session), displacing q_mixture_weights; q_seasonal enters
         # (new timeseries.py operator), displacing q_quality_rank —
-        # curation.py unchanged since its r8 full-sweep green.
+        # curation.py unchanged since its r8 full-sweep green;
+        # q_scd2 enters (new operators/scd.py), displacing
+        # q_bigram_ppl (r7-gated, bigram chain untouched, full-sweep
+        # green at HEAD).
         "q_quantize": q_quantize,
         "q_cluster_sample": q_cluster_sample,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_select": q_dsir_select,
         "q_mixture_weights": q_mixture_weights,
         "q_quality_rank": q_quality_rank,
+        "q_bigram_ppl": q_bigram_ppl,
         # r8 continuation rotation: SIXTEEN new queries enter at the
         # head (q_dim_stats, q_gram_matrix, q_power_iteration,
         # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
@@ -5566,6 +5603,30 @@ def oracle_sql() -> dict[str, str]:
                    round(cum_tp / np, 6) AS tpr,
                    round(cum_fp / nn, 6) AS fpr
             FROM ecum, etot WHERE np > 0 AND nn > 0
+        """,
+        # q_scd2: the four SCD2 row classes reconstructed directly —
+        # pass-through current rows (with the changed keys' closes),
+        # new versions, and key-shifted inserts
+        "q_scd2": """
+            WITH cdim AS (
+                SELECT c_custkey AS k, c_name AS name,
+                       c_mktsegment AS seg
+                FROM customer)
+            SELECT k, name, seg AS segment,
+                   DATE '2020-01-01' AS valid_from,
+                   CASE WHEN k % 6 = 0 THEN DATE '2024-01-01'
+                        END AS valid_to,
+                   k % 6 <> 0 AS is_current,
+                   false AS scd_conflict
+            FROM cdim
+            UNION ALL
+            SELECT k, name, 'MOVED', DATE '2024-01-01', NULL,
+                   true, false
+            FROM cdim WHERE k % 6 = 0
+            UNION ALL
+            SELECT k + 1000000, name, seg, DATE '2024-01-01', NULL,
+                   true, false
+            FROM cdim WHERE k % 10 = 0
         """,
         # q_seasonal: the decomposition restated — identical addition
         # chain for the trend, same rounding protocol

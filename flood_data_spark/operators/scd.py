@@ -1,0 +1,131 @@
+"""Slowly-changing-dimension (type 2) maintenance: apply an update
+batch to a versioned dimension table.
+
+The reference pipeline republishes static dimension snapshots wholesale
+(flood/etl/raster_converter.py writes full parquet overwrites); a
+warehouse at 100 TB instead keeps validity intervals and touches only
+changed keys.  `scd2_apply` is that merge expressed relationally: ONE
+key-equi-join of the (batch-sized) update set against the current rows,
+a null-safe attribute comparison to split unchanged/changed/new, and a
+union of the four row classes.  Shuffle volume is update-sized plus the
+current-row side of the join; closed history passes through untouched
+(at the storage layer, pair this with partition-by-key-range so the
+rewrite prunes to touched partitions).
+
+Deterministic and engine-portable: no timestamps are generated — the
+caller supplies the effective instant — and every comparison is
+null-safe equality, so the driver gate value-hashes the full output.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(dim: DataFrame, updates: DataFrame, key_cols,
+               attr_cols, effective_col: str = "effective_ts",
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to",
+               current_col: str = "is_current") -> DataFrame:
+    """New SCD2 state after applying `updates` to `dim`.
+
+    `dim` rows: key_cols + attr_cols + (valid_from, valid_to,
+    current_col); `updates`: key_cols + attr_cols + effective_col with
+    a NON-NULL effective instant (it doubles as the side-presence probe
+    after the full outer join), at most ONE row per key (raise upstream
+    or pre-dedupe with `cap_per_key`-style latest-wins — this operator
+    asserts nothing about duplicate update keys and would fan out on
+    them).
+
+    Row classes in the output:
+    - history (current_col = false): passes through verbatim;
+    - current + no update, or update with IDENTICAL attrs (null-safe
+      comparison, so NULL == NULL holds): passes through;
+    - current + changed attrs: CLOSED (valid_to = effective instant,
+      current_col = false) and a NEW version row opens (valid_from =
+      effective instant, valid_to = NULL, current_col = true);
+    - update for an unseen key: a new current row opens.
+
+    An update whose effective instant is not strictly after the current
+    row's valid_from would create a zero/negative-length interval; the
+    plan is lazy so this cannot raise eagerly — such rows are emitted
+    with `scd_conflict = true` for the caller to quarantine
+    (count-assert with plans/checks at publish time).  Output schema:
+    key_cols + attr_cols + valid_from + valid_to + current_col +
+    scd_conflict.
+
+    Plan: the current partition of the dimension shuffles ONCE on the
+    business key against the update batch (full outer — broadcast is
+    structurally unavailable for full-outer builds, and the current
+    rows must flow through anyway); history never enters the join.
+    """
+    key_cols = list(key_cols)
+    attr_cols = list(attr_cols)
+    out_cols = (key_cols + attr_cols
+                + [valid_from, valid_to, current_col, "scd_conflict"])
+
+    up = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_ua_{c}") for c in attr_cols],
+        F.col(effective_col).alias("_eff"))
+    cur = dim.filter(F.col(current_col))
+    hist = dim.filter(~F.col(current_col)).withColumn(
+        "scd_conflict", F.lit(False)).select(*out_cols)
+
+    key_match = reduce(lambda a, b: a & b,
+                       [F.col(c) == F.col(f"_u_{c}") for c in key_cols])
+    joined = cur.join(up, key_match, "full_outer")
+    same_attrs = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_ua_{c}")) for c in attr_cols])
+    # side-presence probes: every cur row carries current_col = true and
+    # every update row a non-null effective instant, so these are
+    # definitive after the full outer join
+    has_cur = F.col(current_col).isNotNull()
+    has_upd = F.col("_eff").isNotNull()
+
+    # current rows without a change: pass through (no update, or
+    # identical attrs)
+    unchanged = (joined.filter(has_cur & (~has_upd | same_attrs))
+                 .withColumn("scd_conflict", F.lit(False))
+                 .select(*out_cols))
+    changed = joined.filter(has_cur & has_upd & ~same_attrs)
+    conflict = F.col("_eff") <= F.col(valid_from)
+    closed = changed.select(
+        *key_cols, *attr_cols,
+        F.col(valid_from),
+        F.col("_eff").alias(valid_to),
+        F.lit(False).alias(current_col),
+        conflict.alias("scd_conflict"))
+    opened = changed.select(
+        *key_cols,
+        *[F.col(f"_ua_{c}").alias(c) for c in attr_cols],
+        F.col("_eff").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+        F.lit(True).alias(current_col),
+        conflict.alias("scd_conflict"))
+    inserted = (joined.filter(has_upd & ~has_cur)
+                .select(
+        *[F.col(f"_u_{c}").alias(c) for c in key_cols],
+        *[F.col(f"_ua_{c}").alias(c) for c in attr_cols],
+        F.col("_eff").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+        F.lit(True).alias(current_col),
+        F.lit(False).alias("scd_conflict")))
+    return (hist.unionByName(unchanged).unionByName(closed)
+            .unionByName(opened).unionByName(inserted))
+
+
+def scd2_as_of(dim: DataFrame, instant, valid_from: str = "valid_from",
+               valid_to: str = "valid_to") -> DataFrame:
+    """The dimension as it was at `instant`: rows whose half-open
+    validity interval [valid_from, valid_to) covers it — the temporal
+    point lookup every fact-table join at a historical date needs.
+    Pure filter: pushes down to the scan, no shuffle."""
+    inst = F.lit(instant)
+    return dim.filter((F.col(valid_from) <= inst)
+                      & (F.col(valid_to).isNull()
+                         | (F.col(valid_to) > inst)))

@@ -1820,6 +1820,26 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (plans/scale.salted_join): lineitem joins
+    part with the large side salted across 16 buckets and the small
+    side exploded to match.  The ORACLE IS THE PLAIN JOIN — value
+    equality of the per-brand aggregate proves the salting rewrite
+    preserves join multiplicity exactly (the test_scale pytest asserts
+    the same on a planted-skew frame; this carries it in the driver
+    gate on real tables)."""
+    from flood_data_spark.plans.scale import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_quantity")
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand")
+    return (salted_join(li, pt, "partkey")
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 merge (operators/scd.scd2_apply): a customer
     dimension snapshot (all rows current since 2020-01-01) receives an
@@ -2975,7 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6 reds, fixed this round ---
         "q_ts_pattern_topk": q_ts_pattern_topk,
         # --- new this round, third batch (19) ---
-        "q_bm25_topk": q_bm25_topk,
+        "q_salted_join": q_salted_join,
         "q_gopher_rules": q_gopher_rules,
         "q_scd2": q_scd2,
         "q_winnow": q_winnow,
@@ -3035,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_weights": q_mixture_weights,
         "q_quality_rank": q_quality_rank,
         "q_bigram_ppl": q_bigram_ppl,
+        "q_bm25_topk": q_bm25_topk,
         # r8 continuation rotation: SIXTEEN new queries enter at the
         # head (q_dim_stats, q_gram_matrix, q_power_iteration,
         # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
@@ -5603,6 +5624,14 @@ def oracle_sql() -> dict[str, str]:
                    round(cum_tp / np, 6) AS tpr,
                    round(cum_fp / nn, 6) AS fpr
             FROM ecum, etot WHERE np > 0 AND nn > 0
+        """,
+        # q_salted_join: the PLAIN join — equality proves the salting
+        # rewrite preserves multiplicity
+        "q_salted_join": """
+            SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         # q_scd2: the four SCD2 row classes reconstructed directly —
         # pass-through current rows (with the changed keys' closes),

@@ -1820,6 +1820,21 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
 
 
+def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pre-flight skew diagnostic (plans/scale.join_fanout_report):
+    top-20 lineitem x supplier keys by estimated output fan-out with
+    their share of the total — two key-bounded groupBys + one
+    key-relation join, never the joined relation itself.  Deterministic
+    (fanout desc, key asc) so the full report value-hashes."""
+    from flood_data_spark.plans.scale import join_fanout_report
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"))
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"))
+    return join_fanout_report(li, su, "suppkey", top_n=20)
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join (plans/scale.salted_join): lineitem joins
     part with the large side salted across 16 buckets and the small
@@ -2996,7 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ts_pattern_topk": q_ts_pattern_topk,
         # --- new this round, third batch (19) ---
         "q_salted_join": q_salted_join,
-        "q_gopher_rules": q_gopher_rules,
+        "q_join_fanout": q_join_fanout,
         "q_scd2": q_scd2,
         "q_winnow": q_winnow,
         "q_winnow_matches": q_winnow_matches,
@@ -3056,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_rank": q_quality_rank,
         "q_bigram_ppl": q_bigram_ppl,
         "q_bm25_topk": q_bm25_topk,
+        "q_gopher_rules": q_gopher_rules,
         # r8 continuation rotation: SIXTEEN new queries enter at the
         # head (q_dim_stats, q_gram_matrix, q_power_iteration,
         # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
@@ -5624,6 +5640,23 @@ def oracle_sql() -> dict[str, str]:
                    round(cum_tp / np, 6) AS tpr,
                    round(cum_fp / nn, 6) AS fpr
             FROM ecum, etot WHERE np > 0 AND nn > 0
+        """,
+        # q_join_fanout: the report restated directly
+        "q_join_fanout": """
+            WITH lcf AS (SELECT l_suppkey AS suppkey,
+                                CAST(count(*) AS BIGINT) AS n_left
+                         FROM lineitem GROUP BY 1),
+            rcf AS (SELECT s_suppkey AS suppkey,
+                           CAST(count(*) AS BIGINT) AS n_right
+                    FROM supplier GROUP BY 1),
+            pk AS (SELECT suppkey, n_left, n_right,
+                          CAST(n_left * n_right AS BIGINT) AS fanout
+                   FROM lcf JOIN rcf USING (suppkey)),
+            tot AS (SELECT sum(fanout) AS t FROM pk)
+            SELECT suppkey, n_left, n_right, fanout,
+                   round(fanout / t, 6) AS fanout_share
+            FROM pk, tot
+            ORDER BY fanout DESC, suppkey ASC LIMIT 20
         """,
         # q_salted_join: the PLAIN join — equality proves the salting
         # rewrite preserves multiplicity

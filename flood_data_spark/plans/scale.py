@@ -92,6 +92,37 @@ def salted_join(large: DataFrame, small: DataFrame, on,
             .drop(salt_col))
 
 
+def join_fanout_report(left: DataFrame, right: DataFrame, keys,
+                       top_n: int = 20) -> DataFrame:
+    """Pre-flight skew diagnostic for an equi-join: the top_n join keys
+    by OUTPUT fan-out (n_left x n_right), plus each key's share of the
+    total estimated output.  At 100 TB you run this (two key-bounded
+    groupBys + one key-relation join — never the join itself) before
+    paying for a shuffle that one hot key would straggle: a key
+    carrying >> 1/shuffle-partitions of fanout_share is the signal to
+    `salted_join`, broadcast, or pre-filter.
+
+    Output: (keys..., n_left, n_right, fanout, fanout_share) ordered by
+    fanout desc then keys asc (deterministic), inner-join semantics
+    (keys absent from either side produce no output rows and are
+    omitted — they cost nothing).  fanout_share is rounded to 6.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    per_key = (lc.join(rc, keys)
+               .withColumn("fanout", F.col("n_left") * F.col("n_right")))
+    total = per_key.agg(F.sum("fanout").alias("_tot"))
+    return (per_key.crossJoin(F.broadcast(total))
+            .select(*keys, "n_left", "n_right", "fanout",
+                    F.round(F.col("fanout") / F.col("_tot"), 6)
+                    .alias("fanout_share"))
+            .orderBy(F.col("fanout").desc(), *[F.col(k) for k in keys])
+            .limit(top_n))
+
+
 def compact_partition(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024,
                       sort_cols=("latitude", "longitude")) -> int:
     """Rewrite one table/partition directory into ~target-sized files.

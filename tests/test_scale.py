@@ -200,3 +200,25 @@ def test_publish_directory_moves_and_overwrites(spark, tmp_path):
     spark.range(1).write.parquet(staging)
     with pytest.raises(FileExistsError):
         publish_directory(spark, staging, dest, overwrite=False)
+
+
+def test_join_fanout_report(spark):
+    from pyspark.sql import functions as F
+    from flood_data_spark.plans.scale import join_fanout_report
+
+    left = spark.createDataFrame(
+        [("hot",)] * 90 + [("warm",)] * 8 + [("cold",)] * 2
+        + [("left_only",)], "k string")
+    right = spark.createDataFrame(
+        [("hot",)] * 5 + [("warm",)] * 2 + [("cold",)] * 1
+        + [("right_only",)], "k string")
+    rows = join_fanout_report(left, right, "k", top_n=2).collect()
+    assert [(r.k, r.fanout) for r in rows] == [("hot", 450), ("warm", 16)]
+    # shares are over ALL matched keys (450 + 16 + 2), not just top_n
+    assert rows[0].fanout_share == round(450 / 468, 6)
+    # one-sided keys are omitted (inner semantics, zero output rows)
+    all_rows = join_fanout_report(left, right, "k", top_n=10).collect()
+    assert {r.k for r in all_rows} == {"hot", "warm", "cold"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="top_n"):
+        join_fanout_report(left, right, "k", top_n=0)

@@ -1155,6 +1155,18 @@ def q_clf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate_binary(_clf_scored(spark, sf_dir))
 
 
+def q_clf_eval_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified classifier evaluation (datapipe/classifier
+    .evaluate_binary_by): the q_clf_eval metric suite per SOURCE — the
+    slice-level QA that catches a scorer failing one domain while
+    aggregating well.  Same exactness contract; the rank window
+    partitions by source, so this variant has no single-partition
+    window at all."""
+    from flood_data_spark.datapipe.classifier import evaluate_binary_by
+
+    return evaluate_binary_by(_clf_scored(spark, sf_dir), ["source"])
+
+
 def q_clf_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC curve (datapipe/classifier.roc_points): (score, tpr, fpr) per
     distinct quantized score, descending-score cumulative counts over
@@ -3020,7 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_prefix": q_jaccard_prefix,
         "q_seasonal": q_seasonal,
         "q_remove_spans": q_remove_spans,
-        "q_remove_spans_first": q_remove_spans_first,
+        "q_clf_eval_by": q_clf_eval_by,
         "q_next_event_pairs": q_next_event_pairs,
         "q_cooccurrence": q_cooccurrence,
         "q_bm25_indexed": q_bm25_indexed,
@@ -3072,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_ppl": q_bigram_ppl,
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
+        "q_remove_spans_first": q_remove_spans_first,
         # r8 continuation rotation: SIXTEEN new queries enter at the
         # head (q_dim_stats, q_gram_matrix, q_power_iteration,
         # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
@@ -3647,6 +3660,26 @@ def _winnow_ctes(max_id: int) -> str:
                 WHERE greatest(pos - wp + 1, coalesce(L + 1, 1), 1)
                       <= least(pos, coalesce(R - wp, pos),
                                n - wp + 1))"""
+
+
+# Grouped (per-source) twin of _CLF_EVAL_CTES for q_clf_eval_by.
+_CLF_EVAL_BY_CTES = """besum AS (
+                SELECT f.id, sum(coalesce(w3.w, 0.0)) AS tot,
+                       CAST(count(*) AS DOUBLE) AS dl
+                FROM (SELECT id, feat FROM cfeat) f
+                LEFT JOIN w3 USING (feat) GROUP BY f.id),
+            bescored AS (
+                SELECT d.source AS source,
+                       CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                       round(1.0 / (1.0 + exp(-(b3.b
+                             + coalesce(besum.tot / besum.dl, 0.0)))), 6)
+                           AS s
+                FROM documents d
+                LEFT JOIN besum ON d.doc_id = besum.id, b3),
+            begrp AS (
+                SELECT source, s, CAST(count(*) AS BIGINT) AS n_g,
+                       CAST(sum(y) AS BIGINT) AS pos_g
+                FROM bescored GROUP BY source, s)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5563,6 +5596,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'a' AS param, a AS value FROM p3
             UNION ALL
             SELECT 'b' AS param, b AS value FROM p3
+        """,
+        # q_clf_eval_by: the per-source stratified twin — same integer
+        # arithmetic, every window/aggregate keyed by source
+        "q_clf_eval_by": f"""
+            WITH {_CLF_ORACLE_CTES},
+            {_CLF_EVAL_BY_CTES},
+            berk AS (
+                SELECT source, s, n_g, pos_g,
+                       coalesce(sum(n_g) OVER (PARTITION BY source
+                           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cum_before
+                FROM begrp),
+            becore AS (
+                SELECT source,
+                       CAST(sum(n_g) AS BIGINT) AS n,
+                       CAST(sum(pos_g) AS BIGINT) AS n_pos,
+                       CAST(sum(n_g - pos_g) AS BIGINT) AS n_neg,
+                       sum(CAST(pos_g AS DOUBLE)
+                           * (2 * cum_before + n_g + 1)) AS ranksum2,
+                       sum(n_g * s * s - 2 * s * pos_g + pos_g)
+                           AS brier_sum,
+                       CAST(sum(CASE WHEN s >= 0.5 THEN pos_g
+                                     ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(sum(CASE WHEN s >= 0.5 THEN n_g - pos_g
+                                     ELSE 0 END) AS BIGINT) AS fp
+                FROM berk GROUP BY source),
+            bebin AS (
+                SELECT source,
+                       greatest(least((CAST(round(s * 1000000) AS BIGINT)
+                                       * 10) // 1000000, 9), 0) AS bin,
+                       sum(n_g) AS n_b, sum(n_g * s) AS sum_s_b,
+                       sum(pos_g) AS pos_b
+                FROM begrp GROUP BY 1, 2),
+            beece AS (SELECT source,
+                             sum(abs(sum_s_b - pos_b)) / sum(n_b) AS e
+                      FROM bebin GROUP BY source),
+            bepr AS (
+                SELECT *,
+                       CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS p,
+                       CASE WHEN n_pos > 0 THEN tp / n_pos END AS r
+                FROM becore)
+            SELECT c.source, n, CAST(0 AS BIGINT) AS n_null, n_pos,
+                   n_neg,
+                   round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                         (ranksum2 - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+                         / (2.0 * n_pos * n_neg) END, 6) AS auc,
+                   round(brier_sum / n, 6) AS brier,
+                   round(e, 6) AS ece,
+                   round((tp + (n_neg - fp)) / n, 6) AS accuracy,
+                   round(p, 6) AS precision,
+                   round(r, 6) AS recall,
+                   round(CASE WHEN p IS NOT NULL AND r IS NOT NULL
+                              AND p + r > 0
+                         THEN 2 * p * r / (p + r) END, 6) AS f1
+            FROM bepr c JOIN beece USING (source)
         """,
         # q_clf_eval: evaluate_binary restated over the shared scored
         # chain — rank-sums and classification counts are exact integers

@@ -238,7 +238,8 @@ def with_classifier_score(df: DataFrame, weights: list[float], bias: float,
 # ------------------------------------------------------------ evaluation
 
 def _score_groups(df: DataFrame, score_col: str, label_col: str,
-                  score_decimals: int) -> DataFrame:
+                  score_decimals: int,
+                  group_cols: tuple = ()) -> DataFrame:
     """(s, n_g, pos_g): the corpus collapsed to one row per DISTINCT
     quantized score — the single corpus-sized pass every metric below
     derives from.  Scores are rounded to `score_decimals`, so the group
@@ -259,10 +260,11 @@ def _score_groups(df: DataFrame, score_col: str, label_col: str,
     valid = (score.isNotNull() & ~F.isnan(score)
              & F.col(label_col).isNotNull())
     return (df.select(
+        *group_cols,
         F.when(valid, F.round(score, score_decimals)).alias("s"),
         F.when(valid, F.col(label_col).cast("int"))
         .otherwise(F.lit(0)).alias("y"))
-        .groupBy("s")
+        .groupBy(*group_cols, "s")
         .agg(F.count(F.lit(1)).alias("n_g"),
              F.sum("y").alias("pos_g"))
         .localCheckpoint(eager=False))
@@ -302,19 +304,52 @@ def evaluate_binary(df: DataFrame, score_col: str = "clf_score",
     read only after calibration (`platt_calibrate`).  NULL and NaN
     scores and NULL labels are excluded and counted in n_null.
     """
+    return _evaluate(df, score_col, label_col, threshold, bins,
+                     score_decimals, ())
+
+
+def evaluate_binary_by(df: DataFrame, group_cols,
+                       score_col: str = "clf_score",
+                       label_col: str = "label", threshold: float = 0.5,
+                       bins: int = 10,
+                       score_decimals: int = 6) -> DataFrame:
+    """`evaluate_binary` stratified by `group_cols` — one metric row per
+    group (per source, per language, per split): the slice-level QA
+    that catches a scorer which aggregates well but fails one domain.
+    Same machinery, same exactness contract; the rank window partitions
+    by the group columns (so unlike the ungrouped form there is no
+    single-partition window at all), every aggregate carries the group
+    key, and the output includes groups whose rows are ALL invalid
+    (zero counts, NULL metrics) — they surface data problems, the
+    point of the stratification."""
+    group_cols = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; "
+                         "use evaluate_binary for the global form")
+    return _evaluate(df, score_col, label_col, threshold, bins,
+                     score_decimals, tuple(group_cols))
+
+
+def _evaluate(df: DataFrame, score_col: str, label_col: str,
+              threshold: float, bins: int, score_decimals: int,
+              group_cols: tuple) -> DataFrame:
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
     if score_decimals < 1 or score_decimals > 9:
         raise ValueError(
             f"score_decimals must be in [1, 9], got {score_decimals}")
+    G = list(group_cols)
     scale = 10 ** score_decimals
-    groups = _score_groups(df, score_col, label_col, score_decimals)
-    nulls = groups.agg(
+    groups = _score_groups(df, score_col, label_col, score_decimals,
+                           tuple(G))
+    nulls = groups.groupBy(*G).agg(
         F.coalesce(F.sum(F.when(F.col("s").isNull(), F.col("n_g"))),
                    F.lit(0)).alias("n_null"))
     g = groups.filter(F.col("s").isNotNull())
     # doubled tie-averaged rank-sum of the positives, as exact integers
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    w = (Window.partitionBy(*G).orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, -1))
     ranked = g.withColumn(
         "cum_before", F.coalesce(F.sum("n_g").over(w), F.lit(0)))
     # integer bin index: si = s * 10^d recovered exactly, then
@@ -330,16 +365,16 @@ def evaluate_binary(df: DataFrame, score_col: str = "clf_score",
             "bin", F.greatest(
                 F.least(F.expr(f"si * {bins} div {scale}"),
                         F.lit(bins - 1)), F.lit(0)))
-        .groupBy("bin")
+        .groupBy(*G, "bin")
         .agg(F.sum("n_g").alias("n_b"),
              F.sum(F.col("n_g") * F.col("s")).alias("sum_s_b"),
              F.sum("pos_g").alias("pos_b")))
-    ece = per_bin.agg(
+    ece = per_bin.groupBy(*G).agg(
         (F.sum(F.abs(F.col("sum_s_b") - F.col("pos_b")))
          / F.sum("n_b")).alias("_ece_raw"))
     # count coalesces: on an empty/all-invalid input the sums are NULL —
     # return 0 counts (with metrics NULL), not a row of NULL counts
-    core = ranked.agg(
+    core = ranked.groupBy(*G).agg(
         F.coalesce(F.sum("n_g"), F.lit(0)).alias("n"),
         F.coalesce(F.sum("pos_g"), F.lit(0)).alias("n_pos"),
         F.coalesce(F.sum(F.col("n_g") - F.col("pos_g")),
@@ -362,13 +397,23 @@ def evaluate_binary(df: DataFrame, score_col: str = "clf_score",
     prec = F.when(F.col("tp") + F.col("fp") > 0,
                   F.col("tp") / (F.col("tp") + F.col("fp")))
     rec = F.when(F.col("n_pos") > 0, F.col("tp") / F.col("n_pos"))
-    return (core.crossJoin(F.broadcast(ece))
-            .crossJoin(F.broadcast(nulls))
-            .select(
-        F.col("n").cast("long").alias("n"),
+    if G:
+        # nulls is the universe (the sentinel row carries the group key
+        # even when every row of a group is invalid): left-join metrics
+        # onto it so all-invalid groups surface with zero counts
+        combined = (nulls.join(core, G, "left")
+                    .join(ece, G, "left"))
+    else:
+        combined = (core.crossJoin(F.broadcast(ece))
+                    .crossJoin(F.broadcast(nulls)))
+    return combined.select(
+        *G,
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.col("n_null").cast("long").alias("n_null"),
-        F.col("n_pos").cast("long").alias("n_pos"),
-        F.col("n_neg").cast("long").alias("n_neg"),
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("long")
+        .alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("long")
+        .alias("n_neg"),
         F.round(F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
                        (F.col("ranksum2")
                         - F.col("n_pos").cast("double")
@@ -383,7 +428,7 @@ def evaluate_binary(df: DataFrame, score_col: str = "clf_score",
         F.round(rec, 6).alias("recall"),
         F.round(F.when(prec.isNotNull() & rec.isNotNull()
                        & (prec + rec > 0),
-                       2 * prec * rec / (prec + rec)), 6).alias("f1")))
+                       2 * prec * rec / (prec + rec)), 6).alias("f1"))
 
 
 def roc_points(df: DataFrame, score_col: str = "clf_score",

@@ -232,6 +232,37 @@ def test_evaluate_binary_auc_matches_brute_force(spark):
     assert r.auc == expected
 
 
+def test_evaluate_binary_by_matches_per_group_global(spark):
+    """Differential: each group's row equals evaluate_binary run on that
+    group's slice alone."""
+    import hashlib
+
+    from flood_data_spark.datapipe.classifier import (evaluate_binary,
+                                                      evaluate_binary_by)
+
+    rows = []
+    for i in range(240):
+        h = int(hashlib.md5(f"g:{i}".encode()).hexdigest()[:8], 16)
+        rows.append(("src" + str(h % 3),
+                     round((h % 40) / 40.0, 6),
+                     1 if (h >> 8) % 3 == 0 else 0))
+    rows.append(("src_bad", None, 1))       # all-invalid group
+    df = spark.createDataFrame(rows, "src string, score double, label int")
+    grouped = {r.src: r for r in evaluate_binary_by(
+        df, "src", score_col="score").collect()}
+    assert set(grouped) == {"src0", "src1", "src2", "src_bad"}
+    for src in ("src0", "src1", "src2"):
+        solo = evaluate_binary(df.filter(F.col("src") == src),
+                               score_col="score").first()
+        got = grouped[src]
+        assert tuple(got)[1:] == tuple(solo), src
+    bad = grouped["src_bad"]
+    assert (bad.n, bad.n_null, bad.n_pos) == (0, 1, 0)
+    assert bad.auc is None and bad.brier is None
+    with pytest.raises(ValueError, match="non-empty"):
+        evaluate_binary_by(df, [], score_col="score")
+
+
 def test_roc_points_hand_computed(spark):
     from flood_data_spark.datapipe.classifier import roc_points
 

@@ -5626,11 +5626,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source,
                        greatest(least((CAST(round(s * 1000000) AS BIGINT)
                                        * 10) // 1000000, 9), 0) AS bin,
-                       sum(n_g) AS n_b, sum(n_g * s) AS sum_s_b,
+                       sum(n_g) AS n_b,
+                       sum(n_g * CAST(round(s * 1000000) AS BIGINT))
+                           AS ssi,
                        sum(pos_g) AS pos_b
                 FROM begrp GROUP BY 1, 2),
             beece AS (SELECT source,
-                             sum(abs(sum_s_b - pos_b)) / sum(n_b) AS e
+                             sum(abs(ssi - pos_b * 1000000))
+                             / (sum(n_b) * 1000000.0) AS e
                       FROM bebin GROUP BY source),
             bepr AS (
                 SELECT *,
@@ -5655,7 +5658,7 @@ def oracle_sql() -> dict[str, str]:
         # q_clf_eval: evaluate_binary restated over the shared scored
         # chain — rank-sums and classification counts are exact integers
         # (held in doubles, exact below 2^53), so AUC/accuracy/precision/
-        # recall/F1 match bit-for-bit; brier/ece sums are per-term
+        # recall/F1 match bit-for-bit; brier sums are per-term
         # bit-identical decimal products whose ONLY cross-engine delta is
         # float summation order (~1 ulp), absorbed by the single round-6
         "q_clf_eval": f"""
@@ -5681,12 +5684,15 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0 END) AS BIGINT) AS fp
                 FROM erk),
             ebin AS (
-                SELECT least((CAST(round(s * 1000000) AS BIGINT) * 10)
-                             // 1000000, 9) AS bin,
-                       sum(n_g) AS n_b, sum(n_g * s) AS sum_s_b,
+                SELECT greatest(least((CAST(round(s * 1000000) AS BIGINT)
+                                       * 10) // 1000000, 9), 0) AS bin,
+                       sum(n_g) AS n_b,
+                       sum(n_g * CAST(round(s * 1000000) AS BIGINT))
+                           AS ssi,
                        sum(pos_g) AS pos_b
                 FROM egrp GROUP BY 1),
-            eece AS (SELECT sum(abs(sum_s_b - pos_b)) / sum(n_b) AS e
+            eece AS (SELECT sum(abs(ssi - pos_b * 1000000))
+                            / (sum(n_b) * 1000000.0) AS e
                      FROM ebin),
             epr AS (
                 SELECT *,

@@ -367,11 +367,17 @@ def _evaluate(df: DataFrame, score_col: str, label_col: str,
                         F.lit(bins - 1)), F.lit(0)))
         .groupBy(*G, "bin")
         .agg(F.sum("n_g").alias("n_b"),
-             F.sum(F.col("n_g") * F.col("s")).alias("sum_s_b"),
+             # bin score mass in integer MICRO-UNITS: si is the exact
+             # decimal-scaled score, so this sum is an exact integer in
+             # any summation order — the decimal form (sum of n_g * s)
+             # drifted one ulp between engines and flipped a round-6
+             # half-point (measured: ece 0.033428 vs 0.033429, sf0.1
+             # per-source gate)
+             F.sum(F.col("n_g") * F.col("si")).alias("ssi"),
              F.sum("pos_g").alias("pos_b")))
     ece = per_bin.groupBy(*G).agg(
-        (F.sum(F.abs(F.col("sum_s_b") - F.col("pos_b")))
-         / F.sum("n_b")).alias("_ece_raw"))
+        (F.sum(F.abs(F.col("ssi") - F.col("pos_b") * scale))
+         / (F.sum("n_b") * F.lit(float(scale)))).alias("_ece_raw"))
     # count coalesces: on an empty/all-invalid input the sums are NULL —
     # return 0 counts (with metrics NULL), not a row of NULL counts
     core = ranked.groupBy(*G).agg(

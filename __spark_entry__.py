@@ -3613,7 +3613,8 @@ _CLF_EVAL_CTES = """esum AS (
                 FROM documents d LEFT JOIN esum ON d.doc_id = esum.id,
                      b3),
             egrp AS (
-                SELECT s, CAST(count(*) AS BIGINT) AS n_g,
+                SELECT s, CAST(round(s * 1000000) AS BIGINT) AS si,
+                       CAST(count(*) AS BIGINT) AS n_g,
                        CAST(sum(y) AS BIGINT) AS pos_g
                 FROM escored GROUP BY s)"""
 
@@ -3677,7 +3678,9 @@ _CLF_EVAL_BY_CTES = """besum AS (
                 FROM documents d
                 LEFT JOIN besum ON d.doc_id = besum.id, b3),
             begrp AS (
-                SELECT source, s, CAST(count(*) AS BIGINT) AS n_g,
+                SELECT source, s,
+                       CAST(round(s * 1000000) AS BIGINT) AS si,
+                       CAST(count(*) AS BIGINT) AS n_g,
                        CAST(sum(y) AS BIGINT) AS pos_g
                 FROM bescored GROUP BY source, s)"""
 
@@ -5603,7 +5606,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_CLF_ORACLE_CTES},
             {_CLF_EVAL_BY_CTES},
             berk AS (
-                SELECT source, s, n_g, pos_g,
+                SELECT source, s, si, n_g, pos_g,
                        coalesce(sum(n_g) OVER (PARTITION BY source
                            ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
                            AND 1 PRECEDING), 0) AS cum_before
@@ -5615,8 +5618,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(n_g - pos_g) AS BIGINT) AS n_neg,
                        sum(CAST(pos_g AS DOUBLE)
                            * (2 * cum_before + n_g + 1)) AS ranksum2,
-                       sum(n_g * s * s - 2 * s * pos_g + pos_g)
-                           AS brier_sum,
+                       sum(CAST(n_g AS HUGEINT) * si * si
+                           - 2 * CAST(si AS HUGEINT) * pos_g * 1000000
+                           + CAST(pos_g AS HUGEINT)
+                             * 1000000000000) AS brier_u2,
                        CAST(sum(CASE WHEN s >= 0.5 THEN pos_g
                                      ELSE 0 END) AS BIGINT) AS tp,
                        CAST(sum(CASE WHEN s >= 0.5 THEN n_g - pos_g
@@ -5645,7 +5650,8 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
                          (ranksum2 - CAST(n_pos AS DOUBLE) * (n_pos + 1))
                          / (2.0 * n_pos * n_neg) END, 6) AS auc,
-                   round(brier_sum / n, 6) AS brier,
+                   round(brier_u2 / (n * 1000000000000.0), 6)
+                       AS brier,
                    round(e, 6) AS ece,
                    round((tp + (n_neg - fp)) / n, 6) AS accuracy,
                    round(p, 6) AS precision,
@@ -5665,7 +5671,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_CLF_ORACLE_CTES},
             {_CLF_EVAL_CTES},
             erk AS (
-                SELECT s, n_g, pos_g,
+                SELECT s, si, n_g, pos_g,
                        coalesce(sum(n_g) OVER (ORDER BY s
                            ROWS BETWEEN UNBOUNDED PRECEDING
                            AND 1 PRECEDING), 0) AS cum_before
@@ -5676,8 +5682,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(n_g - pos_g) AS BIGINT) AS n_neg,
                        sum(CAST(pos_g AS DOUBLE)
                            * (2 * cum_before + n_g + 1)) AS ranksum2,
-                       sum(n_g * s * s - 2 * s * pos_g + pos_g)
-                           AS brier_sum,
+                       sum(CAST(n_g AS HUGEINT) * si * si
+                           - 2 * CAST(si AS HUGEINT) * pos_g * 1000000
+                           + CAST(pos_g AS HUGEINT)
+                             * 1000000000000) AS brier_u2,
                        CAST(sum(CASE WHEN s >= 0.5 THEN pos_g
                                      ELSE 0 END) AS BIGINT) AS tp,
                        CAST(sum(CASE WHEN s >= 0.5 THEN n_g - pos_g
@@ -5703,7 +5711,8 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
                          (ranksum2 - CAST(n_pos AS DOUBLE) * (n_pos + 1))
                          / (2.0 * n_pos * n_neg) END, 6) AS auc,
-                   round(brier_sum / n, 6) AS brier,
+                   round(brier_u2 / (n * 1000000000000.0), 6)
+                       AS brier,
                    round(e, 6) AS ece,
                    round((tp + (n_neg - fp)) / n, 6) AS accuracy,
                    round(p, 6) AS precision,

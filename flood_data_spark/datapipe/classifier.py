@@ -290,12 +290,15 @@ def evaluate_binary(df: DataFrame, score_col: str = "clf_score",
     curation global-window fallbacks, the bound is structural, not
     caller-supplied).
 
-    Engine-portable exactness: ranks are held as INTEGER doubled
-    rank-sums (2*avg_rank of a tied group = 2*cum_before + n_g + 1), so
-    AUC = (ranksum2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg) is a ratio of
-    exact integers; Brier expands (s-y)^2 over y in {0,1} as
-    n_g*s^2 - 2*s*pos_g + pos_g; the ECE bin index is pure integer
-    arithmetic on the decimal-scaled score.  AUC is NULL when either
+    Engine-portable exactness — EVERY metric is a ratio of exact
+    integers: ranks are INTEGER doubled rank-sums (2*avg_rank of a tied
+    group = 2*cum_before + n_g + 1) so AUC = (ranksum2 -
+    n_pos*(n_pos+1)) / (2*n_pos*n_neg); Brier expands (s-y)^2 over y in
+    {0,1} as n_g*si^2 - 2*si*pos_g*scale + pos_g*scale^2 in integer
+    micro²-units (decimal(38,0) — exact in any summation order, where
+    the decimal-valued sum drifted one ulp between engines and flipped
+    a round-6 half-point); ECE bin masses are micro-unit integers with
+    a pure-integer bin index.  AUC is NULL when either
     class is absent; precision/recall/F1 are NULL on empty denominators;
     an empty (or all-invalid) input yields zero counts and NULL metrics.
     Domain: AUC/accuracy/precision/recall/F1 accept any real-valued
@@ -346,7 +349,11 @@ def _evaluate(df: DataFrame, score_col: str, label_col: str,
     nulls = groups.groupBy(*G).agg(
         F.coalesce(F.sum(F.when(F.col("s").isNull(), F.col("n_g"))),
                    F.lit(0)).alias("n_null"))
-    g = groups.filter(F.col("s").isNotNull())
+    # si: the decimal-scaled score recovered as an exact integer — every
+    # summed metric below is integer arithmetic on it, so no metric
+    # depends on float summation order
+    g = (groups.filter(F.col("s").isNotNull())
+         .withColumn("si", F.round(F.col("s") * scale).cast("long")))
     # doubled tie-averaged rank-sum of the positives, as exact integers
     w = (Window.partitionBy(*G).orderBy("s")
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -360,8 +367,6 @@ def _evaluate(df: DataFrame, score_col: str, label_col: str,
     # also absorbs the one engine divergence on negatives (Spark `div`
     # truncates toward zero, ANSI `//` floors — both land <= 0)
     per_bin = (g.withColumn(
-        "si", F.round(F.col("s") * scale).cast("long"))
-        .withColumn(
             "bin", F.greatest(
                 F.least(F.expr(f"si * {bins} div {scale}"),
                         F.lit(bins - 1)), F.lit(0)))
@@ -392,9 +397,17 @@ def _evaluate(df: DataFrame, score_col: str, label_col: str,
         F.sum(F.col("pos_g").cast("double")
               * (2 * F.col("cum_before") + F.col("n_g") + 1))
         .alias("ranksum2"),
-        F.sum(F.col("n_g") * F.col("s") * F.col("s")
-              - 2 * F.col("s") * F.col("pos_g") + F.col("pos_g"))
-        .alias("brier_sum"),
+        # brier numerator in integer MICRO²-units (decimal(38,0): the
+        # per-term n_g*si² reaches 10^12 * n_g, past long range at
+        # ~9e6 rows per group, and a long sum would WRAP silently) —
+        # exact in any summation order, like ssi below
+        F.sum(F.col("n_g").cast("decimal(38,0)")
+              * F.col("si") * F.col("si")
+              - 2 * F.col("si").cast("decimal(38,0)")
+              * F.col("pos_g") * scale
+              + F.col("pos_g").cast("decimal(38,0)")
+              * (scale * scale))
+        .alias("brier_u2"),
         F.sum(F.when(F.col("s") >= threshold, F.col("pos_g"))
               .otherwise(F.lit(0))).alias("tp"),
         F.sum(F.when(F.col("s") >= threshold,
@@ -426,7 +439,9 @@ def _evaluate(df: DataFrame, score_col: str, label_col: str,
                         * (F.col("n_pos") + 1))
                        / (2.0 * F.col("n_pos") * F.col("n_neg"))),
                 6).alias("auc"),
-        F.round(F.col("brier_sum") / F.col("n"), 6).alias("brier"),
+        F.round(F.col("brier_u2").cast("double")
+                / (F.col("n") * F.lit(float(scale) * scale)), 6)
+        .alias("brier"),
         F.round(F.col("_ece_raw"), 6).alias("ece"),
         F.round((F.col("tp") + (F.col("n_neg") - F.col("fp")))
                 / F.col("n"), 6).alias("accuracy"),

@@ -2873,6 +2873,38 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "start", "end"))
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (streaming/file_stream
+    .interval_join_stream): click→purchase attribution — both sides of
+    the join are unbounded streams (a self-join of the events file
+    stream), paired per user within a half-open 2-hour window.  The
+    range predicate + watermarks bound the join state at delay ×
+    arrival rate; every other streaming join in the suite is
+    stream × static.  Full value oracle: the batch interval self-join
+    in SQL (append-mode inner joins emit exactly the batch result)."""
+    from flood_data_spark.streaming.file_stream import (
+        interval_join_stream)
+
+    def build(stream):
+        # watermarks require TIMESTAMP (LTZ); the parquet ts is NTZ and
+        # the session timezone is pinned UTC, so the cast is exact
+        clicks = (stream.filter(F.col("event_type") == "click")
+                  .select("user_id",
+                          F.col("ts").cast("timestamp").alias("l_ts"),
+                          F.col("event_id").alias("click_id")))
+        buys = (stream.filter(F.col("event_type") == "purchase")
+                .select(F.col("user_id").alias("user_id_r"),
+                        F.col("ts").cast("timestamp").alias("r_ts"),
+                        F.col("event_id").alias("purchase_id")))
+        return (interval_join_stream(clicks, buys,
+                                     max_delay_seconds=7200)
+                .select("user_id", "click_id", "purchase_id",
+                        "l_ts", "r_ts"))
+
+    return _run_file_stream(spark, f"{sf_dir}/events.parquet", build,
+                            "stream_join_", output_mode="append")
+
+
 def q_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-triggered CUSUM alarms as a stateful stream
     (streaming/stateful.cusum_alarm_stream): FULL-history S = max(0,
@@ -3034,7 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_remove_spans": q_remove_spans,
         "q_clf_eval_by": q_clf_eval_by,
         "q_next_event_pairs": q_next_event_pairs,
-        "q_cooccurrence": q_cooccurrence,
+        "q_stream_join": q_stream_join,
         "q_bm25_indexed": q_bm25_indexed,
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_ir_metrics": q_ir_metrics,
@@ -3085,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,
         "q_gopher_rules": q_gopher_rules,
         "q_remove_spans_first": q_remove_spans_first,
+        "q_cooccurrence": q_cooccurrence,
         # r8 continuation rotation: SIXTEEN new queries enter at the
         # head (q_dim_stats, q_gram_matrix, q_power_iteration,
         # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
@@ -5792,6 +5825,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT k + 1000000, name, seg, DATE '2024-01-01', NULL,
                    true, false
             FROM cdim WHERE k % 10 = 0
+        """,
+        # q_stream_join: the batch interval self-join — append-mode
+        # inner stream-stream joins emit exactly this relation
+        "q_stream_join": """
+            SELECT c.user_id, c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   c.ts AS l_ts, p.ts AS r_ts
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts < c.ts + INTERVAL 7200 SECONDS
+            WHERE c.event_type = 'click'
+              AND p.event_type = 'purchase'
         """,
         # q_seasonal: the decomposition restated — identical addition
         # chain for the trend, same rounding protocol

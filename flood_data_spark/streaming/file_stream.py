@@ -165,6 +165,39 @@ def full_summary_stream(stream_df: DataFrame, threshold_df: DataFrame,
             .drop("_q"))
 
 
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         left_key: str = "user_id",
+                         right_key: str = "user_id_r",
+                         left_ts: str = "l_ts", right_ts: str = "r_ts",
+                         max_delay_seconds: int = 1800,
+                         watermark_delay: str = "1 day") -> DataFrame:
+    """Watermarked stream-STREAM inner join: each left event pairs with
+    the right events of the same key whose timestamp falls in the
+    half-open [l_ts, l_ts + max_delay) — the click→conversion
+    attribution shape, and the one streaming join where BOTH sides are
+    unbounded (the flagship summaries join stream × static broadcast).
+
+    The time-range predicate plus the two watermarks is what makes the
+    state PRUNABLE: Spark retains left rows only until the right
+    watermark passes l_ts + max_delay (and vice versa), so state is
+    bounded by delay × arrival rate, not by stream length.  Without the
+    range condition a stream-stream join must keep every row forever.
+    Column names must be disjoint across the sides (rename upstream —
+    the right key is dropped from the output); inner join only, the
+    variant whose results need no watermark-close to emit.
+    """
+    if max_delay_seconds < 1:
+        raise ValueError(
+            f"max_delay_seconds must be >= 1, got {max_delay_seconds}")
+    l = left.withWatermark(left_ts, watermark_delay)
+    r = right.withWatermark(right_ts, watermark_delay)
+    cond = ((F.col(left_key) == F.col(right_key))
+            & (F.col(right_ts) >= F.col(left_ts))
+            & (F.col(right_ts) < F.col(left_ts)
+               + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS")))
+    return l.join(r, cond, "inner").drop(right_key)
+
+
 def dedup_stream(stream_df: DataFrame, key_cols,
                  ts_col: str = "issued_ts",
                  watermark_delay: str = "2 days") -> DataFrame:

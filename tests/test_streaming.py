@@ -428,3 +428,56 @@ def test_cms_stream_batch_parity(spark, tmp_path):
             for r in cms_build(toks, width=32, depth=2).collect()}
     assert got == want
     assert len(got) <= 32 * 2
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join emits exactly the batch interval
+    join: planted click/purchase pairs inside and outside the window,
+    cross-user decoys, and boundary hits (>= inclusive, < exclusive)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from flood_data_spark.streaming.file_stream import (
+        interval_join_stream, run_available_now)
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    S = lambda sec: t0 + datetime.timedelta(seconds=sec)
+    rows = [
+        (1, 1, "click", S(0)),
+        (2, 1, "purchase", S(10)),      # in window
+        (3, 1, "purchase", S(1800)),    # AT delay -> excluded (half-open)
+        (4, 1, "purchase", S(-5)),      # before click -> excluded
+        (5, 2, "click", S(100)),
+        (6, 2, "purchase", S(100)),     # boundary: r_ts == l_ts included
+        (7, 3, "purchase", S(50)),      # no click for user 3
+        (8, 2, "click", S(90)),         # second click also pairs with 6
+    ]
+    data_dir = str(tmp_path / "ev")
+    os.makedirs(data_dir)
+    pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                "ts"]) \
+        .astype({"ts": "datetime64[us]"}) \
+        .to_parquet(os.path.join(data_dir, "events.parquet"), index=False)
+
+    schema = spark.read.parquet(data_dir).schema
+
+    def sides(df):
+        clicks = (df.filter(F.col("event_type") == "click")
+                  .select("user_id",
+                          F.col("ts").cast("timestamp").alias("l_ts"),
+                          F.col("event_id").alias("click_id")))
+        buys = (df.filter(F.col("event_type") == "purchase")
+                .select(F.col("user_id").alias("user_id_r"),
+                        F.col("ts").cast("timestamp").alias("r_ts"),
+                        F.col("event_id").alias("purchase_id")))
+        return clicks, buys
+
+    stream = spark.readStream.schema(schema).parquet(data_dir)
+    joined = interval_join_stream(*sides(stream),
+                                  max_delay_seconds=1800)
+    q = run_available_now(joined, str(tmp_path / "ckpt"),
+                          query_name="t_ij_stream",
+                          output_mode="append")
+    q.awaitTermination(120)
+    got = {(r.click_id, r.purchase_id)
+           for r in spark.sql("SELECT * FROM t_ij_stream").collect()}
+    assert got == {(1, 2), (5, 6), (8, 6)}

@@ -332,6 +332,28 @@ def q_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "partkey", "latitude", "longitude", "val")
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle radius search (operators/serving.radius_lookup):
+    every nation-derived query point finds all grid cells within 30 km
+    — queries explode to their radius bounding box's grid keys (2-D
+    bucket explode, the interval_join trick), plain equi-join, exact
+    haversine filter after.  The prune is lossless, so the oracle is
+    the BRUTE-FORCE cross join with the identical fixed-order haversine
+    expression — value equality proves both the pruning and the
+    cross-engine float portability of the distance."""
+    from flood_data_spark.operators.serving import radius_lookup
+
+    points = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") * 0.25 + 0.01).alias("latitude"),
+        ((F.col("n_nationkey") % 3) * 0.15 + 0.02).alias("longitude"),
+        F.col("n_nationkey").alias("point_id"))
+    out = radius_lookup(_grid_cells(spark, sf_dir), points,
+                        radius_km=30.0)
+    return out.select(F.col("query_point_id").alias("point_id"),
+                      "partkey", "latitude", "longitude",
+                      "distance_km")
+
+
 def q_nearest_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General nearest-neighbor reindex (reference filter_by_upstream.py:21-23
     `method='nearest'` WITHOUT the aligned-grids assumption): serving points
@@ -3065,7 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal": q_seasonal,
         "q_remove_spans": q_remove_spans,
         "q_clf_eval_by": q_clf_eval_by,
-        "q_next_event_pairs": q_next_event_pairs,
+        "q_radius_join": q_radius_join,
         "q_stream_join": q_stream_join,
         "q_bm25_indexed": q_bm25_indexed,
         "q_hybrid_rrf": q_hybrid_rrf,
@@ -3118,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": q_gopher_rules,
         "q_remove_spans_first": q_remove_spans_first,
         "q_cooccurrence": q_cooccurrence,
+        "q_next_event_pairs": q_next_event_pairs,
         # r8 continuation rotation: SIXTEEN new queries enter at the
         # head (q_dim_stats, q_gram_matrix, q_power_iteration,
         # q_covariance, q_fuzzy_pairs, q_fuzzy_match, q_cms_tokens,
@@ -5825,6 +5848,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT k + 1000000, name, seg, DATE '2024-01-01', NULL,
                    true, false
             FROM cdim WHERE k % 10 = 0
+        """,
+        # q_radius_join: brute-force cross join + the same fixed-order
+        # haversine — lossless-prune proof
+        "q_radius_join": """
+            WITH rcells AS (
+                SELECT p_partkey AS partkey,
+                       round(0.025 + (p_partkey % 200) * 0.05, 3)
+                           AS latitude,
+                       round(0.025 + ((p_partkey // 200) % 200) * 0.05, 3)
+                           AS longitude
+                FROM part),
+            rpts AS (
+                SELECT n_nationkey * 0.25 + 0.01 AS qlat,
+                       (n_nationkey % 3) * 0.15 + 0.02 AS qlon,
+                       n_nationkey AS point_id
+                FROM nation),
+            rdist AS (
+                SELECT p.point_id, c.partkey, c.latitude, c.longitude,
+                       round(2 * 6371.0088 * asin(sqrt(
+                           pow(sin(radians(p.qlat - c.latitude) / 2), 2)
+                           + cos(radians(c.latitude))
+                             * cos(radians(p.qlat))
+                             * pow(sin(radians(p.qlon - c.longitude)
+                                       / 2), 2))), 6) AS distance_km
+                FROM rcells c, rpts p)
+            SELECT point_id, partkey, latitude, longitude, distance_km
+            FROM rdist WHERE distance_km <= 30.0
         """,
         # q_stream_join: the batch interval self-join — append-mode
         # inner stream-stream joins emit exactly this relation

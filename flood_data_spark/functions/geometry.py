@@ -52,6 +52,20 @@ def add_geometry(df: DataFrame, half_grid_size: float | None = None,
     return df.withColumn("wkt", wkt)
 
 
+def haversine_km(lat1, lon1, lat2, lon2) -> Column:
+    """Great-circle distance in kilometers (mean Earth radius
+    6371.0088): 2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))).
+    Written with a FIXED operation order so an ANSI-SQL oracle states
+    the identical float expression; engine libm sin/cos differ by at
+    most an ulp, far under any useful rounding of a km distance."""
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (F.pow(F.sin(dlat), 2)
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+         * F.pow(F.sin(dlon), 2))
+    return 2 * 6371.0088 * F.asin(F.sqrt(a))
+
+
 def cell_bbox_for_point(lat: float, lon: float,
                         resolution: float | None = None) -> tuple:
     """(lat_min, lat_max, lon_min, lon_max) of the grid cell containing the

@@ -129,3 +129,59 @@ def batch_point_lookup(cells_df: DataFrame, points_df: DataFrame,
         points = F.broadcast(points)
     return (cells.join(points, ["_glat", "_glon"])
             .drop("_glat", "_glon"))
+
+
+def radius_lookup(cells_df: DataFrame, points_df: DataFrame,
+                  radius_km: float = 25.0,
+                  grid_size: float | None = None,
+                  lat_col: str = "latitude", lon_col: str = "longitude",
+                  point_lat_col: str = "latitude",
+                  point_lon_col: str = "longitude",
+                  broadcast_points: bool = True) -> DataFrame:
+    """Great-circle radius search WITHOUT the range-join BNLJ trap:
+    every query point explodes to the bounded set of grid indices its
+    radius bounding box covers (the 2-D analog of `interval_join`'s
+    bucket explode), meets the cells in a plain (glat, glon) equi-join,
+    and the exact haversine distance filters after.  Per-query key
+    fan-out is (2·radius/grid_km)², a constant of the query — never a
+    function of corpus size — and each (point, cell) pair meets exactly
+    once (a cell has ONE grid index).
+
+    The bounding box uses 109.5 km/degree — slightly UNDER the true
+    ~110.57 km/degree latitude spacing, so the degree window strictly
+    contains the radius circle (the prune is lossless); longitude
+    widens by 1/cos(lat), clamped at cos = 0.05 (past ~87° use a
+    latitude-band scan instead — documented limit, not silent
+    wraparound handling).  Output: cell row + `query_`-prefixed point
+    columns + `distance_km` (round-6), within-radius only
+    (`<= radius_km`, boundary inclusive)."""
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be > 0, got {radius_km}")
+    from flood_data_spark.functions.geometry import haversine_km
+    from flood_data_spark.functions.keys import grid_index
+
+    g = grid_size if grid_size is not None else DEFAULT_CONFIG.resolution
+    cells = (cells_df.withColumn("_glat", grid_index(lat_col, g))
+             .withColumn("_glon", grid_index(lon_col, g)))
+    renamed = points_df.select(
+        *[F.col(c).alias("query_" + c) for c in points_df.columns])
+    qlat = F.col("query_" + point_lat_col)
+    qlon = F.col("query_" + point_lon_col)
+    dlat = F.lit(radius_km / 109.5)
+    dlon = (F.lit(radius_km) /
+            (F.lit(109.5) * F.greatest(F.cos(F.radians(qlat)),
+                                       F.lit(0.05))))
+    points = (renamed
+              .withColumn("_glat", F.explode(F.sequence(
+                  F.floor((qlat - dlat) / g).cast("long"),
+                  F.floor((qlat + dlat) / g).cast("long"))))
+              .withColumn("_glon", F.explode(F.sequence(
+                  F.floor((qlon - dlon) / g).cast("long"),
+                  F.floor((qlon + dlon) / g).cast("long")))))
+    if broadcast_points:
+        points = F.broadcast(points)
+    dist = haversine_km(F.col(lat_col), F.col(lon_col), qlat, qlon)
+    return (cells.join(points, ["_glat", "_glon"])
+            .withColumn("distance_km", F.round(dist, 6))
+            .filter(F.col("distance_km") <= radius_km)
+            .drop("_glat", "_glon"))

@@ -114,3 +114,51 @@ def test_batch_point_lookup_colliding_columns(spark):
          "query_latitude", "query_longitude", "query_val"])
     row = out.collect()[0]
     assert row.val == 7.0 and row.query_val == 99.0
+
+
+def test_radius_lookup_matches_brute_force(spark):
+    """Box-pruned radius search equals the unpruned cross-join filter,
+    including cells just inside/outside the radius boundary."""
+    import math
+
+    from pyspark.sql import functions as F
+    from flood_data_spark.operators.serving import radius_lookup
+
+    cells = spark.createDataFrame(
+        [(i, round(0.025 + (i % 40) * 0.05, 3),
+          round(0.025 + (i // 40) * 0.05, 3)) for i in range(400)],
+        "cell_id long, latitude double, longitude double")
+    points = spark.createDataFrame(
+        [(0, 0.50, 0.50), (1, 1.99, 0.03), (2, 0.0, 0.0)],
+        "pid long, latitude double, longitude double")
+    got = {(r.query_pid, r.cell_id)
+           for r in radius_lookup(cells, points, radius_km=20.0)
+           .collect()}
+
+    R = 6371.0088
+    def hav(lat1, lon1, lat2, lon2):
+        a = (math.sin(math.radians(lat2 - lat1) / 2) ** 2
+             + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+             * math.sin(math.radians(lon2 - lon1) / 2) ** 2)
+        return 2 * R * math.asin(math.sqrt(a))
+
+    expected = set()
+    for pid, plat, plon in [(0, 0.50, 0.50), (1, 1.99, 0.03),
+                            (2, 0.0, 0.0)]:
+        for i in range(400):
+            clat = round(0.025 + (i % 40) * 0.05, 3)
+            clon = round(0.025 + (i // 40) * 0.05, 3)
+            if round(hav(clat, clon, plat, plon), 6) <= 20.0:
+                expected.add((pid, i))
+    assert got == expected and expected
+
+
+def test_radius_lookup_validation(spark):
+    import pytest as _pytest
+
+    from flood_data_spark.operators.serving import radius_lookup
+
+    df = spark.createDataFrame([(0, 0.0, 0.0)],
+                               "cell_id long, latitude double, longitude double")
+    with _pytest.raises(ValueError, match="radius_km"):
+        radius_lookup(df, df, radius_km=0)

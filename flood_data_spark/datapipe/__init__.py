@@ -6,6 +6,8 @@ from flood_data_spark.datapipe.text import (
     with_quality_signals,
     with_lang_id,
     with_fingerprint,
+    winnow_fingerprints,
+    winnow_matches,
 )
 from flood_data_spark.datapipe.dedup import (
     dedup_against,
@@ -18,6 +20,8 @@ from flood_data_spark.datapipe.dedup import (
     simhash,
     simhash_dup_pairs,
     dedup_clusters,
+    jaccard_prefix_pairs,
+    token_jaccard_pairs,
 )
 from flood_data_spark.datapipe.similarity import (
     cosine_topk_bruteforce,
@@ -64,6 +68,14 @@ from flood_data_spark.datapipe.graph import (
     label_propagation,
     pagerank,
 )
+from flood_data_spark.datapipe.classifier import (
+    evaluate_binary,
+    evaluate_binary_by,
+    platt_calibrate,
+    roc_points,
+    train_quality_classifier,
+    with_classifier_score,
+)
 
 __all__ = [
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
@@ -82,4 +94,9 @@ __all__ = [
     "power_iteration_top", "power_iteration_topk", "project_components", "pca_topk",
     "cms_build", "cms_estimate", "cms_merge", "hits", "pagerank",
     "label_propagation",
+    "winnow_fingerprints", "winnow_matches",
+    "jaccard_prefix_pairs", "token_jaccard_pairs",
+    "train_quality_classifier", "with_classifier_score",
+    "platt_calibrate", "evaluate_binary", "evaluate_binary_by",
+    "roc_points",
 ]

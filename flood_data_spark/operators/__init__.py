@@ -16,11 +16,14 @@ from flood_data_spark.operators.serving import (
     grid_cell_bounds,
     point_lookup,
     neighborhood_lookup,
+    radius_lookup,
 )
 from flood_data_spark.operators.timeseries import (
     asof_join,
+    seasonal_decompose,
     sessionize,
 )
+from flood_data_spark.operators.scd import scd2_apply, scd2_as_of
 
 __all__ = [
     "ensemble_threshold_summary",
@@ -29,5 +32,6 @@ __all__ = [
     "restrict_detailed_to_summary",
     "upstream_mask", "nearest_grid_join",
     "grid_cell_bounds", "point_lookup", "neighborhood_lookup",
-    "asof_join", "sessionize",
+    "asof_join", "sessionize", "seasonal_decompose",
+    "radius_lookup", "scd2_apply", "scd2_as_of",
 ]

@@ -12,12 +12,13 @@ from flood_data_spark.plans.scale import (
     salted_join,
     sorted_partitioned_write,
     compact_partition,
+    join_fanout_report,
 )
 
 __all__ = [
     "DailyForecastPipeline", "DailyProducts",
     "PipelineCheckError", "assert_count_preserved", "assert_unique_key",
     "assert_no_nulls", "assert_join_not_empty",
-    "bucketed_write", "read_bucketed", "salted_join",
+    "bucketed_write", "read_bucketed", "salted_join", "join_fanout_report",
     "sorted_partitioned_write", "compact_partition",
 ]

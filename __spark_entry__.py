@@ -5809,7 +5809,7 @@ def oracle_sql() -> dict[str, str]:
                            CAST(count(*) AS BIGINT) AS n_right
                     FROM supplier GROUP BY 1),
             pk AS (SELECT suppkey, n_left, n_right,
-                          CAST(n_left * n_right AS BIGINT) AS fanout
+                          CAST(n_left AS DOUBLE) * n_right AS fanout
                    FROM lcf JOIN rcf USING (suppkey)),
             tot AS (SELECT sum(fanout) AS t FROM pk)
             SELECT suppkey, n_left, n_right, fanout,

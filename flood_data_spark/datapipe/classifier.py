@@ -419,14 +419,28 @@ def _evaluate(df: DataFrame, score_col: str, label_col: str,
     if G:
         # nulls is the universe (the sentinel row carries the group key
         # even when every row of a group is invalid): left-join metrics
-        # onto it so all-invalid groups surface with zero counts
-        combined = (nulls.join(core, G, "left")
-                    .join(ece, G, "left"))
+        # onto it so all-invalid groups surface with zero counts.
+        # NULL-SAFE keys: a NULL group-key value is a legitimate group
+        # (and often the interesting one) — plain equality would strand
+        # its core/ece rows and misreport it as all-invalid
+        from functools import reduce
+
+        nu, co, ec = nulls.alias("_nu"), core.alias("_co"), ece.alias("_ec")
+
+        def _keys(a, b):
+            return reduce(lambda x, y: x & y,
+                          [F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
+                           for c in G])
+
+        combined = (nu.join(co, _keys("_nu", "_co"), "left")
+                    .join(ec, _keys("_nu", "_ec"), "left"))
+        gout = [F.col(f"_nu.{c}").alias(c) for c in G]
     else:
         combined = (core.crossJoin(F.broadcast(ece))
                     .crossJoin(F.broadcast(nulls)))
+        gout = []
     return combined.select(
-        *G,
+        *gout,
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.col("n_null").cast("long").alias("n_null"),
         F.coalesce(F.col("n_pos"), F.lit(0)).cast("long")

@@ -64,6 +64,10 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key_cols,
     """
     key_cols = list(key_cols)
     attr_cols = list(attr_cols)
+    if not key_cols:
+        raise ValueError("scd2_apply: key_cols must be non-empty")
+    if not attr_cols:
+        raise ValueError("scd2_apply: attr_cols must be non-empty")
     out_cols = (key_cols + attr_cols
                 + [valid_from, valid_to, current_col, "scd_conflict"])
 
@@ -71,12 +75,20 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key_cols,
         *[F.col(c).alias(f"_u_{c}") for c in key_cols],
         *[F.col(c).alias(f"_ua_{c}") for c in attr_cols],
         F.col(effective_col).alias("_eff"))
-    cur = dim.filter(F.col(current_col))
-    hist = dim.filter(~F.col(current_col)).withColumn(
+    # a NULL current flag reads as NOT current: the row passes through
+    # with history (plain filter + ~filter would drop it from BOTH
+    # partitions — silent row loss in a merge operator)
+    is_cur = F.coalesce(F.col(current_col), F.lit(False))
+    cur = dim.filter(is_cur)
+    hist = dim.filter(~is_cur).withColumn(
         "scd_conflict", F.lit(False)).select(*out_cols)
 
+    # null-safe: a NULL business-key value must still meet its update —
+    # plain equality would leave the old version open AND insert a
+    # duplicate current row for the same key
     key_match = reduce(lambda a, b: a & b,
-                       [F.col(c) == F.col(f"_u_{c}") for c in key_cols])
+                       [F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+                        for c in key_cols])
     joined = cur.join(up, key_match, "full_outer")
     same_attrs = reduce(
         lambda a, b: a & b,

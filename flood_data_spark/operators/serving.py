@@ -151,16 +151,26 @@ def radius_lookup(cells_df: DataFrame, points_df: DataFrame,
     ~110.57 km/degree latitude spacing, so the degree window strictly
     contains the radius circle (the prune is lossless); longitude
     widens by 1/cos(lat), clamped at cos = 0.05 (past ~87° use a
-    latitude-band scan instead — documented limit, not silent
-    wraparound handling).  Output: cell row + `query_`-prefixed point
-    columns + `distance_km` (round-6), within-radius only
-    (`<= radius_km`, boundary inclusive)."""
+    latitude-band scan instead — documented limit).  When 360° is an
+    exact multiple of the grid (the 0.05° default is), the query-side
+    longitude indices WRAP modulo the world width, so circles crossing
+    the antimeridian still meet their cells (cell longitudes are
+    assumed normalized to [-180, 180)); for a non-dividing grid the
+    seam is a documented miss.  Output: cell row + `query_`-prefixed
+    point columns + `distance_km` (round-6), within-radius only
+    (`<= radius_km`, boundary inclusive); the haversine itself is
+    periodic in Δλ, so wrapped pairs score their true distance."""
     if radius_km <= 0:
         raise ValueError(f"radius_km must be > 0, got {radius_km}")
     from flood_data_spark.functions.geometry import haversine_km
     from flood_data_spark.functions.keys import grid_index
 
     g = grid_size if grid_size is not None else DEFAULT_CONFIG.resolution
+    for reserved in ("_glat", "_glon", "distance_km"):
+        if reserved in cells_df.columns or reserved in points_df.columns:
+            raise ValueError(
+                f"radius_lookup reserves column name {reserved!r}; "
+                "rename it upstream")
     cells = (cells_df.withColumn("_glat", grid_index(lat_col, g))
              .withColumn("_glon", grid_index(lon_col, g)))
     renamed = points_df.select(
@@ -171,13 +181,26 @@ def radius_lookup(cells_df: DataFrame, points_df: DataFrame,
     dlon = (F.lit(radius_km) /
             (F.lit(109.5) * F.greatest(F.cos(F.radians(qlat)),
                                        F.lit(0.05))))
+    glon_raw = F.explode(F.sequence(
+        F.floor((qlon - dlon) / g).cast("long"),
+        F.floor((qlon + dlon) / g).cast("long")))
     points = (renamed
               .withColumn("_glat", F.explode(F.sequence(
                   F.floor((qlat - dlat) / g).cast("long"),
                   F.floor((qlat + dlat) / g).cast("long"))))
-              .withColumn("_glon", F.explode(F.sequence(
-                  F.floor((qlon - dlon) / g).cast("long"),
-                  F.floor((qlon + dlon) / g).cast("long")))))
+              .withColumn("_glon", glon_raw))
+    world = 360.0 / g
+    if abs(world - round(world)) < 1e-9:
+        # wrap into the cell-side index range for lon in [-180, 180):
+        # pmod into [0, world) then shift down by half a world
+        w = int(round(world))
+        points = (points.withColumn(
+            "_glon", F.pmod(F.col("_glon") + F.lit(w // 2), F.lit(w))
+            - F.lit(w // 2))
+            # a window wider than the world would alias two raw indices
+            # onto one wrapped index — dedupe the (query-sized) explode
+            # so no (point, cell) pair can join twice
+            .dropDuplicates())
     if broadcast_points:
         points = F.broadcast(points)
     dist = haversine_km(F.col(lat_col), F.col(lon_col), qlat, qlon)

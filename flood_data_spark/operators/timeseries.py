@@ -518,14 +518,20 @@ def seasonal_decompose(df: DataFrame, key_col: str = "user_id",
     total = total + v
     for d in range(1, half + 1):
         total = total + F.lead(v, d).over(w)
+    # localCheckpoint: base (the corpus-sized windowed relation) feeds
+    # the phase means AND the final join; phase_means feeds the
+    # centering mean AND the seasonal join — without the pins Catalyst
+    # re-executes the lag/lead window pass per consumer (the LM-table
+    # lesson), and the docstring's one-key-exchange claim would be false
     base = df.select(
         F.col(key_col), F.col(order_col), v.alias("_v"),
         ((F.row_number().over(w) - 1) % period).alias("_phase"),
-        (total / period).alias("_trend"))
+        (total / period).alias("_trend")).localCheckpoint(eager=False)
     phase_means = (base.filter(F.col("_trend").isNotNull())
                    .groupBy(key_col, "_phase")
                    .agg(F.avg(F.col("_v") - F.col("_trend"))
-                        .alias("_pm")))
+                        .alias("_pm"))
+                   .localCheckpoint(eager=False))
     centers = (phase_means.groupBy(key_col)
                .agg(F.avg("_pm").alias("_cm")))
     seasonal = (phase_means.join(centers, key_col)

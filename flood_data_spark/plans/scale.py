@@ -112,8 +112,18 @@ def join_fanout_report(left: DataFrame, right: DataFrame, keys,
     keys = [keys] if isinstance(keys, str) else list(keys)
     lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
     rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    # fanout as DOUBLE: a long product WRAPS silently past 2^63 (e.g.
+    # 4e9 x 3e9 — exactly the extreme-skew keys this report exists to
+    # surface would sort LAST); doubles are exact below 2^53 and
+    # merely lose precision beyond, never the ordering.
+    # localCheckpoint: per_key feeds both the total and the output —
+    # without it the two corpus-sized groupBys execute twice (the
+    # LM-table lesson), doubling the pre-flight this op minimizes
     per_key = (lc.join(rc, keys)
-               .withColumn("fanout", F.col("n_left") * F.col("n_right")))
+               .withColumn("fanout",
+                           F.col("n_left").cast("double")
+                           * F.col("n_right"))
+               .localCheckpoint(eager=False))
     total = per_key.agg(F.sum("fanout").alias("_tot"))
     return (per_key.crossJoin(F.broadcast(total))
             .select(*keys, "n_left", "n_right", "fanout",

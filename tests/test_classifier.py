@@ -263,6 +263,22 @@ def test_evaluate_binary_by_matches_per_group_global(spark):
         evaluate_binary_by(df, [], score_col="score")
 
 
+def test_evaluate_binary_by_null_group_key(spark):
+    """A NULL group-key value is a real group: its metrics must come
+    from its valid rows, not be stranded by non-null-safe joins."""
+    from flood_data_spark.datapipe.classifier import evaluate_binary_by
+
+    df = spark.createDataFrame(
+        [(None, 0.8, 1), (None, 0.3, 0), (None, None, 1),
+         ("a", 0.9, 1), ("a", 0.1, 0)],
+        "src string, score double, label int")
+    rows = {r.src: r for r in evaluate_binary_by(
+        df, "src", score_col="score").collect()}
+    nul = rows[None]
+    assert (nul.n, nul.n_null, nul.n_pos, nul.n_neg) == (2, 1, 1, 1)
+    assert nul.auc == 1.0 and nul.brier is not None
+
+
 def test_roc_points_hand_computed(spark):
     from flood_data_spark.datapipe.classifier import roc_points
 

@@ -104,3 +104,26 @@ def test_scd2_idempotent_on_identical_batch(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_scd2_null_key_and_null_current_flag(spark):
+    """NULL business keys match their updates (null-safe join) and a
+    NULL is_current flag reads as history, not silent row loss."""
+    dim = spark.createDataFrame(
+        [(None, "ghost", "gold", D(2020, 1, 1), None, True),
+         (9, "flagless", "tin", D(2020, 1, 1), None, None)],
+        DIM_SCHEMA)
+    upd = spark.createDataFrame(
+        [(None, "ghost", "plat", D(2024, 1, 1))], UPD_SCHEMA)
+    out = scd2_apply(dim, upd, ["k"], ["name", "tier"]).collect()
+    nul = sorted([r for r in out if r.k is None],
+                 key=lambda r: bool(r.is_current))
+    assert len(nul) == 2                       # closed + reopened once
+    assert (nul[0].is_current, nul[0].valid_to) == (False, D(2024, 1, 1))
+    assert (nul[1].is_current, nul[1].tier) == (True, "plat")
+    flagless = [r for r in out if r.k == 9]
+    assert len(flagless) == 1                  # passes through as history
+    with pytest.raises(ValueError, match="key_cols"):
+        scd2_apply(dim, upd, [], ["name"])
+    with pytest.raises(ValueError, match="attr_cols"):
+        scd2_apply(dim, upd, ["k"], [])

@@ -162,3 +162,20 @@ def test_radius_lookup_validation(spark):
                                "cell_id long, latitude double, longitude double")
     with _pytest.raises(ValueError, match="radius_km"):
         radius_lookup(df, df, radius_km=0)
+
+
+def test_radius_lookup_antimeridian_wrap(spark):
+    """Circles crossing the +-180 seam still meet their cells: the
+    query-side longitude indices wrap modulo the world width."""
+    from flood_data_spark.operators.serving import radius_lookup
+
+    cells = spark.createDataFrame(
+        [(0, 0.025, -179.975), (1, 0.025, 179.975), (2, 0.025, 0.025)],
+        "cell_id long, latitude double, longitude double")
+    points = spark.createDataFrame(
+        [(0, 0.02, 179.99)],
+        "pid long, latitude double, longitude double")
+    got = {(r.query_pid, r.cell_id)
+           for r in radius_lookup(cells, points, radius_km=25.0)
+           .collect()}
+    assert got == {(0, 0), (0, 1)}

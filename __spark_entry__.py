@@ -3037,6 +3037,75 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def _co_part_edges(spark: SparkSession, sf_dir: str,
+                   order_cap: int = 4000) -> DataFrame:
+    """One-mode projection of the order↔part bipartite relation: parts
+    co-appearing in an order (l_orderkey < order_cap) become an
+    undirected edge — the standard co-purchase graph construction, and
+    (unlike the near-complete supplier projection or the bipartite
+    customer↔supplier graph) it is sparse AND triangle-rich at every SF
+    (sf0.01: 2k nodes / 31k edges / 45k triangles).  Distinct canonical
+    pairs (pa < pb)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < order_cap)
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("s")))
+    a = li.select("ok", F.col("s").alias("src"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("s").alias("dst"))
+    return (a.join(b, a["ok"] == b["ok2"])
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst").distinct())
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    part co-purchase graph (datapipe/graph.triangle_counts) — the
+    degree-orientation plan (wedge fan-out bounded by m^1.5, each
+    triangle found exactly once at its lowest-(degree, id) corner).
+    All-integer arithmetic; lcc is one round-6 division — full value
+    oracle."""
+    from flood_data_spark.datapipe.graph import triangle_counts
+
+    return triangle_counts(_co_part_edges(spark, sf_dir))
+
+
+def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part co-purchase graph
+    (datapipe/graph.adamic_adar): distance-2 non-adjacent pairs scored by
+    Σ 1/ln(deg(z)) over shared neighbors — held in INTEGER micro-units
+    (each center's weight rounded to a BIGINT once, pair scores as exact
+    integer sums), so the gate value-hashes despite the irrational
+    per-center weights.  max_degree=60 exercises the hub cap; top 50 by
+    (aa_mu DESC, a, b) — a deterministic total order."""
+    from flood_data_spark.datapipe.graph import adamic_adar
+
+    return adamic_adar(_co_part_edges(spark, sf_dir),
+                       max_degree=60, top_k=50)
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (datapipe/graph.bfs_distances) over the
+    customer↔supplier co-order graph (q_pagerank's relation): hop
+    distance from the customers with c_custkey < 5, 3 hops unrolled.
+    Integer distances, frontier-only expansion, one edge-sized shuffle
+    per hop — the relational Pregel plan.  Full value oracle (3-hop SQL
+    unroll)."""
+    from flood_data_spark.datapipe.graph import bfs_distances
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("c"),
+                     (F.col("l_suppkey") + 1_000_000).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("c").alias("dst"))))
+    sources = (pairs.filter(F.col("c") < 5)
+               .select(F.col("c").alias("node")).distinct())
+    return bfs_distances(edges, sources, max_hops=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -3052,6 +3121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (timeseries/grid/curation) — every registry entry is driver-checked
     # within the last two rounds.
     return {
+        # --- round 8, session 3: graph analytics (new graph.py fns) ---
+        "q_triangles": q_triangles,
+        "q_link_pred": q_link_pred,
+        "q_bfs": q_bfs,
         # --- round 8, continuation batch (7): linalg + fuzzy + CMS ---
         "q_dim_stats": q_dim_stats,
         "q_gram_matrix": q_gram_matrix,
@@ -5397,6 +5470,122 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85 * coalesce(c.c, 0) AS rank
                    FROM nodes o LEFT JOIN c5 c ON o.node = c.node, nn)
             SELECT node, round(rank, 6) AS rank FROM r5
+        """,
+        # q_triangles: the degree-orientation triangle count replicated in
+        # SQL — canonical edges, (degree, id)-oriented DAG, wedge
+        # self-join, closing-edge join, 3-corner credit explode.  All
+        # integers; lcc is the one round-6 division, stated in the same
+        # operand order as the Spark side.
+        "q_triangles": """
+            WITH li AS (
+                SELECT l_orderkey AS ok, l_partkey AS s
+                FROM lineitem WHERE l_orderkey < 4000),
+            ce AS (
+                SELECT DISTINCT a.s AS u, b.s AS v
+                FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT u AS node FROM ce
+                      UNION ALL SELECT v FROM ce)
+                GROUP BY node),
+            orient AS (
+                SELECT CASE WHEN du.degree < dv.degree
+                              OR (du.degree = dv.degree AND ce.u < ce.v)
+                            THEN ce.u ELSE ce.v END AS lo,
+                       CASE WHEN du.degree < dv.degree
+                              OR (du.degree = dv.degree AND ce.u < ce.v)
+                            THEN ce.v ELSE ce.u END AS hi
+                FROM ce JOIN deg du ON ce.u = du.node
+                        JOIN deg dv ON ce.v = dv.node),
+            tri AS (
+                SELECT w1.lo AS piv, w1.hi AS b, w2.hi AS c
+                FROM orient w1 JOIN orient w2
+                  ON w1.lo = w2.lo AND w1.hi < w2.hi
+                JOIN ce ON ce.u = w1.hi AND ce.v = w2.hi),
+            credits AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS triangles
+                FROM (SELECT piv AS node FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+                GROUP BY node)
+            SELECT d.node, d.degree,
+                   coalesce(t.triangles, 0) AS triangles,
+                   CASE WHEN d.degree < 2 THEN 0.0
+                        ELSE round(coalesce(t.triangles, 0) * 2.0
+                                   / (d.degree * (d.degree - 1)), 6)
+                   END AS lcc
+            FROM deg d LEFT JOIN credits t ON d.node = t.node
+        """,
+        # q_link_pred: Adamic-Adar in integer micro-units — each wedge
+        # center's 1/ln(deg) rounded to a BIGINT once, pair scores as
+        # exact integer sums; existing edges removed by NOT EXISTS on the
+        # canonical pair; deterministic (aa_mu DESC, a, b) top-50.
+        "q_link_pred": """
+            WITH li AS (
+                SELECT l_orderkey AS ok, l_partkey AS s
+                FROM lineitem WHERE l_orderkey < 4000),
+            ce AS (
+                SELECT DISTINCT a.s AS u, b.s AS v
+                FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT u AS node FROM ce
+                      UNION ALL SELECT v FROM ce)
+                GROUP BY node),
+            centers AS (
+                SELECT node AS z,
+                       CAST(round(1000000.0 / ln(degree)) AS BIGINT)
+                       AS w_mu
+                FROM deg WHERE degree >= 2 AND degree <= 60),
+            adj AS (
+                SELECT c.z, c.w_mu, e.n
+                FROM (SELECT u AS z, v AS n FROM ce
+                      UNION ALL SELECT v, u FROM ce) e
+                JOIN centers c ON e.z = c.z),
+            pairs AS (
+                SELECT l.n AS a, r.n AS b,
+                       CAST(count(*) AS BIGINT) AS common,
+                       CAST(sum(l.w_mu) AS BIGINT) AS aa_mu
+                FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n
+                GROUP BY l.n, r.n)
+            SELECT a, b, common, aa_mu
+            FROM pairs p
+            WHERE NOT EXISTS (SELECT 1 FROM ce
+                              WHERE ce.u = p.a AND ce.v = p.b)
+            ORDER BY aa_mu DESC, a, b
+            LIMIT 50
+        """,
+        # q_bfs: 3 hops unrolled — each layer is the previous frontier's
+        # out-neighbors minus everything already settled; distances are
+        # exact integers.
+        "q_bfs": """
+            WITH pairs AS (
+                SELECT DISTINCT o.o_custkey AS c,
+                       l.l_suppkey + 1000000 AS s
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_custkey < 150),
+            edges AS (SELECT c AS src, s AS dst FROM pairs
+                      UNION ALL SELECT s, c FROM pairs),
+            d0 AS (SELECT DISTINCT c AS node FROM pairs WHERE c < 5),
+            f1 AS (SELECT DISTINCT e.dst AS node
+                   FROM d0 JOIN edges e ON d0.node = e.src
+                   WHERE NOT EXISTS (SELECT 1 FROM d0 x
+                                     WHERE x.node = e.dst)),
+            s1 AS (SELECT node FROM d0 UNION ALL SELECT node FROM f1),
+            f2 AS (SELECT DISTINCT e.dst AS node
+                   FROM f1 JOIN edges e ON f1.node = e.src
+                   WHERE NOT EXISTS (SELECT 1 FROM s1 x
+                                     WHERE x.node = e.dst)),
+            s2 AS (SELECT node FROM s1 UNION ALL SELECT node FROM f2),
+            f3 AS (SELECT DISTINCT e.dst AS node
+                   FROM f2 JOIN edges e ON f2.node = e.src
+                   WHERE NOT EXISTS (SELECT 1 FROM s2 x
+                                     WHERE x.node = e.dst))
+            SELECT node, 0 AS dist FROM d0
+            UNION ALL SELECT node, 1 FROM f1
+            UNION ALL SELECT node, 2 FROM f2
+            UNION ALL SELECT node, 3 FROM f3
         """,
         # q_unigram_ppl: Lidstone-smoothed unigram LM scoring — the LM fit,
         # the smoothing arithmetic, and the per-doc aggregation replicated

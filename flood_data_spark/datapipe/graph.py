@@ -162,6 +162,186 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
                     F.coalesce("authority", F.lit(0.0)).alias("authority")))
 
 
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected simple-graph normalization: drop self-loops, fold both
+    directions onto (u, v) with u < v, distinct.  One projection + one
+    distinct (hash shuffle on the pair key) — edge-sized, done once."""
+    return (edges
+            .filter(F.col("src") != F.col("dst"))
+            .select(F.least("src", "dst").alias("u"),
+                    F.greatest("src", "dst").alias("v"))
+            .distinct())
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected simple graph:
+    (node, degree, triangles, lcc) where lcc is the local clustering
+    coefficient triangles / (degree choose 2), rounded to 6 decimals
+    (0.0 for degree < 2).
+
+    100 TB rationale — the degree-orientation trick (Cohen 2009; the
+    plan every distributed triangle counter uses): orient each canonical
+    edge from its LOWER-(degree, id) endpoint to its higher one.  The
+    oriented out-degree is O(sqrt(m)) for ANY graph, so the wedge
+    self-join (out-edges ⋈ out-edges on the pivot) generates at most
+    Σ d_out² = O(m^1.5) candidate wedges instead of the Σ d² blow-up a
+    naive neighbor join pays on hubs — a power-law host graph with a
+    10^6-degree hub generates 10^12 naive wedges but only m^1.5 oriented
+    ones.  Each triangle appears as EXACTLY ONE wedge (at its lowest-
+    order corner) closed by exactly one oriented edge, so counting is a
+    semi-join, and per-corner credit is one explode of the matched
+    triangle rows.  All integer arithmetic — the gate carries a full
+    value hash (q_triangles).
+
+    Plan: canonical edges (1 shuffle) → degree agg (1 shuffle) → two
+    broadcast-or-shuffle joins to attach endpoint orders → wedge
+    self-join on the pivot key → closing-edge inner join on the (lo, hi)
+    pair key → explode to 3 corner credits → groupBy(node).  Degrees are
+    node-sized; the wedge relation is the m^1.5-bounded intermediate and
+    never leaves the pair-keyed shuffle.
+    """
+    ce = _canonical_edges(edges).localCheckpoint(eager=False)
+    deg = (ce.select(F.col("u").alias("node"))
+           .unionByName(ce.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+           .localCheckpoint(eager=False))
+    # total order for orientation: (degree, node) lexicographic
+    du = deg.select(F.col("node").alias("u"),
+                    F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"),
+                    F.col("degree").alias("dv"))
+    oriented = (ce.join(du, "u").join(dv, "v")
+                .select(
+                    F.when((F.col("du") < F.col("dv"))
+                           | ((F.col("du") == F.col("dv"))
+                              & (F.col("u") < F.col("v"))),
+                           F.col("u")).otherwise(F.col("v")).alias("lo"),
+                    F.when((F.col("du") < F.col("dv"))
+                           | ((F.col("du") == F.col("dv"))
+                              & (F.col("u") < F.col("v"))),
+                           F.col("v")).otherwise(F.col("u")).alias("hi"))
+                .localCheckpoint(eager=False))
+    a = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("b"))
+    b = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("c"))
+    # each unordered out-neighbor pair once: b < c in node order
+    wedges = (a.join(b, "pivot").filter(F.col("b") < F.col("c")))
+    # the closing edge is oriented too, but its direction depends on the
+    # (deg, id) order of b and c — join on the CANONICAL pair instead,
+    # which is direction-free and already distinct
+    closing = ce.select(F.least("u", "v").alias("b"),
+                        F.greatest("u", "v").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    credits = (tri.select(F.explode(F.array("pivot", "b", "c"))
+                          .alias("node"))
+               .groupBy("node")
+               .agg(F.count(F.lit(1)).alias("triangles")))
+    return (deg.join(credits, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("triangles", F.lit(0)).alias("triangles"),
+                    F.when(F.col("degree") < 2, F.lit(0.0))
+                    .otherwise(F.round(
+                        F.coalesce("triangles", F.lit(0))
+                        * 2.0 / (F.col("degree")
+                                 * (F.col("degree") - 1)), 6))
+                    .alias("lcc")))
+
+
+def adamic_adar(edges: DataFrame, max_degree: int | None = None,
+                top_k: int | None = None) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected simple graph:
+    score NON-adjacent node pairs at distance 2 by
+    Σ_{z ∈ N(a) ∩ N(b)} 1 / ln(deg(z)), plus the plain common-neighbor
+    count.  Returns (a, b, common, aa_mu) with a < b; `aa_mu` is the
+    score in INTEGER micro-units.
+
+    Exactness: 1/ln(deg) is irrational, and a float groupBy-sum over the
+    common neighbors would accumulate in partition order — unportable
+    across engines.  Instead each wedge center contributes
+    round(1e6 / ln(deg_z)) as a BIGINT and the pair score is an INTEGER
+    sum — order-free, so the gate (q_link_pred) carries a full value
+    hash.  ln() itself differs across engines by at most 1 ulp, which
+    cannot move a round-to-integer except exactly at a .5 micro-unit —
+    structurally improbable for irrational logs (the haversine/radius
+    precedent, operators/serving.py).
+
+    Scale: the wedge relation is the quadratic hazard — a degree-10^6
+    hub mints 10^12 candidate pairs.  `max_degree` is the doc-freq-cap
+    analog (datapipe/dedup._cap_doc_freq): wedge CENTERS above the cap
+    are dropped before the self-join, bounding fan-out at
+    Σ min(d, cap)² and biasing scores downward only through hubs — the
+    standard LP trade (a 10^6-degree hub contributes 1/ln(10^6) ≈ 0.07
+    per pair anyway).  Existing edges are removed by a left_anti join on
+    the canonical pair key.  `top_k` truncates by (aa_mu DESC, a, b) via
+    one TakeOrdered — no global sort.
+    """
+    ce = _canonical_edges(edges).localCheckpoint(eager=False)
+    deg = (ce.select(F.col("u").alias("node"))
+           .unionByName(ce.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    centers = deg.filter(F.col("degree") >= 2)
+    if max_degree is not None:
+        if max_degree < 2:
+            raise ValueError(
+                f"max_degree must be >= 2, got {max_degree}")
+        centers = centers.filter(F.col("degree") <= max_degree)
+    centers = centers.select(
+        F.col("node").alias("z"),
+        F.round(F.lit(1_000_000.0) / F.log(F.col("degree")))
+        .cast("long").alias("w_mu"))
+    # adjacency of each center, both directions (centers are interior)
+    adj = (ce.select(F.col("u").alias("z"), F.col("v").alias("n"))
+           .unionByName(ce.select(F.col("v").alias("z"),
+                                  F.col("u").alias("n")))
+           .join(centers, "z"))
+    lhs = adj.select("z", "w_mu", F.col("n").alias("a"))
+    rhs = adj.select(F.col("z").alias("z2"), F.col("n").alias("b"))
+    pairs = (lhs.join(rhs, lhs["z"] == rhs["z2"])
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).alias("common"),
+                  F.sum("w_mu").alias("aa_mu")))
+    existing = ce.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    scored = pairs.join(existing, ["a", "b"], "left_anti")
+    if top_k is not None:
+        scored = (scored.orderBy(F.col("aa_mu").desc(),
+                                 F.col("a").asc(), F.col("b").asc())
+                  .limit(top_k))
+    return scored
+
+
+def bfs_distances(edges: DataFrame, sources: DataFrame,
+                  max_hops: int = 3) -> DataFrame:
+    """Multi-source BFS over a directed edge list: (node, dist) for every
+    node reachable from `sources` (a 1-column `node` relation) within
+    `max_hops` edges; dist is the exact hop count (INTEGER — fully
+    portable, the fixed-iteration run unrolls in SQL).
+
+    Per hop: frontier ⋈ edges on src (edge-sized shuffle) → groupBy(dst)
+    min → left_anti against the settled set (BFS never improves a
+    settled node, so the anti-join replaces a min-merge) → union into
+    the settled relation, localCheckpoint-ed per round (node-sized; the
+    PageRank lineage discipline).  k hops cost k edge-sized shuffles —
+    the Pregel plan, expressed relationally.  Frontier-only expansion
+    means total join work is Σ |frontier_i| ⋈ edges, not k × |V|.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    settled = (sources.select("node").distinct()
+               .withColumn("dist", F.lit(0))
+               .localCheckpoint(eager=False))
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(F.col("dst").alias("node"))
+               .distinct()
+               .join(settled.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(hop)))
+        settled = settled.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return settled
+
+
 def label_propagation(edges: DataFrame, seeds: DataFrame,
                       iterations: int = 3) -> DataFrame:
     """Semi-supervised label propagation over an undirected similarity

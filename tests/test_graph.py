@@ -156,3 +156,109 @@ def test_label_propagation_deterministic_and_guarded(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="iterations"):
         label_propagation(edges, seeds, iterations=0)
+
+def test_triangle_counts_closed_forms(spark):
+    from flood_data_spark.datapipe.graph import triangle_counts
+
+    # K4 (complete on 4 nodes): every node in C(3,2)=3 triangles, lcc=1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {r.node: (r.degree, r.triangles, r.lcc)
+           for r in triangle_counts(_edges(spark, k4)).collect()}
+    assert got == {n: (3, 3, 1.0) for n in range(4)}
+
+    # triangle + pendant: 0-1-2-0 plus 2-3
+    g = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    got = {r.node: (r.degree, r.triangles, r.lcc)
+           for r in triangle_counts(_edges(spark, g)).collect()}
+    assert got[0] == (2, 1, 1.0) and got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (1, 0, 0.0)
+
+
+def test_triangle_counts_direction_and_dup_insensitive(spark):
+    from flood_data_spark.datapipe.graph import triangle_counts
+
+    # same triangle stated with reversed/duplicated/self-loop edges
+    messy = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (1, 1)]
+    got = {r.node: r.triangles
+           for r in triangle_counts(_edges(spark, messy)).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_counts_deterministic_across_partitionings(spark):
+    from flood_data_spark.datapipe.graph import triangle_counts
+
+    pairs = [(i, (i * 7 + 3) % 19) for i in range(80)]
+    e = _edges(spark, pairs)
+    a = {(r.node, r.degree, r.triangles, r.lcc)
+         for r in triangle_counts(e.coalesce(1)).collect()}
+    b = {(r.node, r.degree, r.triangles, r.lcc)
+         for r in triangle_counts(e.repartition(8)).collect()}
+    assert a == b
+
+
+def test_adamic_adar_path_and_cap(spark):
+    import math
+    from flood_data_spark.datapipe.graph import adamic_adar
+
+    # path 0-1-2: the only distance-2 pair is (0,2) through center 1
+    got = adamic_adar(_edges(spark, [(0, 1), (1, 2)])).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.a, r.b, r.common) == (0, 2, 1)
+    assert r.aa_mu == round(1_000_000 / math.log(2))
+
+    # star center 0 with leaves 1..4: C(4,2) leaf pairs, center deg 4;
+    # max_degree=3 drops the center -> no candidates at all
+    star = [(0, i) for i in range(1, 5)]
+    full = adamic_adar(_edges(spark, star)).collect()
+    assert len(full) == 6
+    assert all(x.aa_mu == round(1_000_000 / math.log(4)) for x in full)
+    assert adamic_adar(_edges(spark, star), max_degree=3).count() == 0
+    with pytest.raises(ValueError, match="max_degree"):
+        adamic_adar(_edges(spark, star), max_degree=1)
+
+
+def test_adamic_adar_excludes_existing_edges_and_topk(spark):
+    from flood_data_spark.datapipe.graph import adamic_adar
+
+    # triangle 0-1-2 plus pendant 3 on node 0: (1,3) and (2,3) are
+    # distance-2 candidates; (1,2) is an existing edge -> excluded
+    g = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    got = {(r.a, r.b): r.common for r in adamic_adar(_edges(spark, g)).collect()}
+    assert set(got) == {(1, 3), (2, 3)}
+    top = adamic_adar(_edges(spark, g), top_k=1).collect()
+    assert len(top) == 1 and (top[0].a, top[0].b) == (1, 3)
+
+
+def test_bfs_distances_layers_and_guards(spark):
+    from flood_data_spark.datapipe.graph import bfs_distances
+
+    # directed chain 0->1->2->3 plus shortcut 0->2
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 2)])
+    src = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(e, src, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+    # hop budget truncates
+    got1 = {r.node: r.dist for r in bfs_distances(e, src, max_hops=1).collect()}
+    assert got1 == {0: 0, 1: 1, 2: 1}
+    # multi-source: min distance wins, sources at dist 0
+    src2 = spark.createDataFrame([(0,), (3,)], "node long")
+    got2 = {r.node: r.dist
+            for r in bfs_distances(e, src2, max_hops=2).collect()}
+    assert got2[3] == 0 and got2[2] == 1
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_distances(e, src, max_hops=-1)
+
+
+def test_bfs_deterministic_across_partitionings(spark):
+    from flood_data_spark.datapipe.graph import bfs_distances
+
+    pairs = [(i, (i * 5 + 1) % 31) for i in range(120)]
+    e = _edges(spark, pairs)
+    src = spark.createDataFrame([(0,), (7,)], "node long")
+    a = {(r.node, r.dist)
+         for r in bfs_distances(e.coalesce(1), src, max_hops=4).collect()}
+    b = {(r.node, r.dist)
+         for r in bfs_distances(e.repartition(9), src, max_hops=4).collect()}
+    assert a == b

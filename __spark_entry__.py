@@ -3106,6 +3106,40 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, sources, max_hops=3)
 
 
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID end to end
+    (datapipe/bayes.naive_bayes_train/_score): the model is two
+    vocabulary-bounded count aggregates (zero GD iterations — the
+    counting counterpart of q_quality_clf), scores are exact INTEGER
+    micro-log-unit sums, prediction a deterministic argmax.  Trained on
+    the full documents table with lang as the class; docs < 150 scored
+    against every class.  Full value oracle — the only transcendental
+    (ln of the smoothed ratio) is rounded once to integer micro-units,
+    after which both engines do pure integer arithmetic."""
+    from flood_data_spark.datapipe.bayes import (
+        naive_bayes_score, naive_bayes_train)
+
+    docs = _t(spark, sf_dir, "documents")
+    terms, classes = naive_bayes_train(docs, label_col="lang")
+    return naive_bayes_score(docs.filter(F.col("doc_id") < 150)
+                             .select("doc_id", "text"), terms, classes)
+
+
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection (datapipe/bayes.chi2_terms): rank
+    vocabulary terms by dependence between document-level presence and
+    the (lang = 'en') label — the selection step ahead of classifier
+    training.  2×2 tables are exact integer document frequencies; the
+    statistic is ONE fixed-operand-order double expression rounded to 6
+    decimals, and the top-40 ORDER BY uses the rounded value, so rank
+    and values both hash across engines."""
+    from flood_data_spark.datapipe.bayes import chi2_terms
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", F.when(F.col("lang") == "en", 1).otherwise(0))
+    return chi2_terms(docs, top_k=40)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -3125,6 +3159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangles": q_triangles,
         "q_link_pred": q_link_pred,
         "q_bfs": q_bfs,
+        # --- round 8, session 3: counting classifiers (new bayes.py) ---
+        "q_naive_bayes": q_naive_bayes,
+        "q_chi2_terms": q_chi2_terms,
         # --- round 8, continuation batch (7): linalg + fuzzy + CMS ---
         "q_dim_stats": q_dim_stats,
         "q_gram_matrix": q_gram_matrix,
@@ -5554,6 +5591,116 @@ def oracle_sql() -> dict[str, str]:
                               WHERE ce.u = p.a AND ce.v = p.b)
             ORDER BY aa_mu DESC, a, b
             LIMIT 50
+        """,
+        # q_naive_bayes: the NB model and scorer in SQL — identical
+        # Lidstone smoothing (one unseen vocab slot), identical
+        # micro-log-unit rounding, identical seen/unseen decomposition;
+        # every post-ln step is integer arithmetic.
+        "q_naive_bayes": """
+            WITH toks AS (
+                SELECT doc_id AS id, lang AS label,
+                       unnest(list_filter(
+                           string_split_regex(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents),
+            n_tc AS (SELECT term, label, CAST(count(*) AS BIGINT) AS n
+                     FROM toks GROUP BY term, label),
+            vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+                      FROM toks),
+            ct AS (SELECT label, CAST(count(*) AS BIGINT) AS n_tokens
+                   FROM toks GROUP BY label),
+            ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            classes AS (
+                SELECT nd.label,
+                       CAST(round(ln(nd.n_docs / CAST(t.n AS DOUBLE))
+                                  * 1000000) AS BIGINT) AS prior_mu,
+                       CAST(round(ln(0.5 / (ct.n_tokens
+                                            + 0.5 * (v.v + 1)))
+                                  * 1000000) AS BIGINT) AS w0_mu
+                FROM (SELECT lang AS label,
+                             CAST(count(*) AS BIGINT) AS n_docs
+                      FROM documents GROUP BY lang) nd
+                JOIN ct ON nd.label = ct.label, ntot t, vocab v),
+            term_w AS (
+                SELECT m.term, m.label,
+                       CAST(round(ln((m.n + 0.5)
+                                     / (ct.n_tokens + 0.5 * (v.v + 1)))
+                                  * 1000000) AS BIGINT) AS w_mu
+                FROM n_tc m JOIN ct ON m.label = ct.label, vocab v),
+            doc_toks AS (
+                SELECT id, term, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id AS id,
+                             unnest(list_filter(
+                                 string_split_regex(
+                                     lower(trim(coalesce(text, ''))),
+                                     '\\s+'),
+                                 x -> x <> '')) AS term
+                      FROM documents WHERE doc_id < 150)
+                GROUP BY id, term),
+            totals AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS n_tokens
+                       FROM doc_toks GROUP BY id),
+            base AS (SELECT t.id, c.label,
+                            c.prior_mu + t.n_tokens * c.w0_mu AS base_mu
+                     FROM totals t, classes c),
+            seen AS (SELECT d.id, m.label,
+                            CAST(sum(d.cnt * m.w_mu) AS BIGINT) AS raw_mu,
+                            CAST(sum(d.cnt) AS BIGINT) AS seen_cnt
+                     FROM doc_toks d JOIN term_w m ON d.term = m.term
+                     GROUP BY d.id, m.label),
+            scored AS (
+                SELECT b.id, b.label,
+                       b.base_mu + coalesce(s.raw_mu, 0)
+                       - coalesce(s.seen_cnt, 0) * c.w0_mu AS score_mu
+                FROM base b
+                LEFT JOIN seen s ON b.id = s.id AND b.label = s.label
+                JOIN classes c ON b.label = c.label)
+            SELECT id AS doc_id, label, score_mu,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY score_mu DESC, label)
+                   = 1 AS predicted
+            FROM scored
+        """,
+        # q_chi2_terms: 2x2 presence tables as exact integers; the chi2
+        # statistic stated in the same operand order as the Spark
+        # expression (every cell cast to DOUBLE first), rounded once;
+        # ORDER BY uses the rounded value.
+        "q_chi2_terms": """
+            WITH lab AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents),
+            tot AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+                           CAST(sum(1 - y) AS BIGINT) AS n_neg
+                    FROM lab),
+            pres AS (
+                SELECT DISTINCT doc_id, y, term
+                FROM (SELECT doc_id, y,
+                             unnest(list_filter(
+                                 string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 x -> x <> '')) AS term
+                      FROM lab)),
+            dfc AS (SELECT term, CAST(sum(y) AS BIGINT) AS a,
+                           CAST(sum(1 - y) AS BIGINT) AS b
+                    FROM pres GROUP BY term)
+            SELECT term, a AS df_pos, b AS df_neg,
+                   round(
+                       (CAST(n_pos + n_neg AS DOUBLE)
+                        * (CAST(a AS DOUBLE) * CAST(n_neg - b AS DOUBLE)
+                           - CAST(b AS DOUBLE)
+                           * CAST(n_pos - a AS DOUBLE))
+                        * (CAST(a AS DOUBLE) * CAST(n_neg - b AS DOUBLE)
+                           - CAST(b AS DOUBLE)
+                           * CAST(n_pos - a AS DOUBLE)))
+                       / (CAST(a + b AS DOUBLE)
+                          * CAST((n_pos + n_neg) - (a + b) AS DOUBLE)
+                          * CAST(n_pos AS DOUBLE)
+                          * CAST(n_neg AS DOUBLE)), 6) AS chi2
+            FROM dfc, tot
+            WHERE a + b >= 2 AND a + b < n_pos + n_neg
+            ORDER BY chi2 DESC, term ASC
+            LIMIT 40
         """,
         # q_bfs: 3 hops unrolled — each layer is the previous frontier's
         # out-neighbors minus everything already settled; distances are

@@ -64,9 +64,17 @@ from flood_data_spark.datapipe.sketches import (
     cms_merge,
 )
 from flood_data_spark.datapipe.graph import (
+    adamic_adar,
+    bfs_distances,
     hits,
     label_propagation,
     pagerank,
+    triangle_counts,
+)
+from flood_data_spark.datapipe.bayes import (
+    chi2_terms,
+    naive_bayes_score,
+    naive_bayes_train,
 )
 from flood_data_spark.datapipe.classifier import (
     evaluate_binary,
@@ -93,7 +101,9 @@ __all__ = [
     "covariance_matrix", "dim_stats", "gram_matrix",
     "power_iteration_top", "power_iteration_topk", "project_components", "pca_topk",
     "cms_build", "cms_estimate", "cms_merge", "hits", "pagerank",
-    "label_propagation",
+    "label_propagation", "triangle_counts", "adamic_adar",
+    "bfs_distances", "naive_bayes_train", "naive_bayes_score",
+    "chi2_terms",
     "winnow_fingerprints", "winnow_matches",
     "jaccard_prefix_pairs", "token_jaccard_pairs",
     "train_quality_classifier", "with_classifier_score",

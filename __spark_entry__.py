@@ -3140,6 +3140,49 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_terms(docs, top_k=40)
 
 
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-purchase per cohort
+    (operators/experiment.km_survival): per user, duration = whole hours
+    from first event to first purchase (event=1) or to last observed
+    event (censored, event=0); cohorts = user_id % 3.  Risk sets are
+    integer window cumsums; the survival curve is a sequential per-group
+    fold rounded to 6 decimals at every step (the EWMA/list_reduce
+    discipline), so the whole curve value-hashes across engines."""
+    from flood_data_spark.operators.experiment import km_survival
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("tp"),
+        F.max("ts").alias("tl"))
+    subjects = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.expr("(unix_micros(coalesce(tp, tl)) - unix_micros(t0))"
+               " div 3600000000").alias("duration"),
+        F.col("tp").isNotNull().cast("int").alias("event"))
+    return km_survival(subjects)
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (operators/experiment.two_proportion_ztest)
+    on a synthetic experiment: variant = user parity, success = the user
+    ever made a purchase with value > 95.  Counts are exact integers;
+    p's/lift/z are one fixed-operand-order expression rounded once —
+    full value oracle."""
+    from flood_data_spark.operators.experiment import two_proportion_ztest
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when((F.col("event_type") == "purchase")
+                     & (F.col("value") > 95), 1)
+              .otherwise(0)).alias("success"))
+    experiment = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        .alias("variant"), "success")
+    return two_proportion_ztest(experiment)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -3162,6 +3205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 8, session 3: counting classifiers (new bayes.py) ---
         "q_naive_bayes": q_naive_bayes,
         "q_chi2_terms": q_chi2_terms,
+        # --- round 8, session 3: survival + experiments (new module) ---
+        "q_survival": q_survival,
+        "q_ab_test": q_ab_test,
         # --- round 8, continuation batch (7): linalg + fuzzy + CMS ---
         "q_dim_stats": q_dim_stats,
         "q_gram_matrix": q_gram_matrix,
@@ -5701,6 +5747,88 @@ def oracle_sql() -> dict[str, str]:
             WHERE a + b >= 2 AND a + b < n_pos + n_neg
             ORDER BY chi2 DESC, term ASC
             LIMIT 40
+        """,
+        # q_survival: KM replicated — integer risk-set cumsum, the hazard
+        # factor as one double division, the survival product as a
+        # list_reduce seeded with a prepended 1.0 and rounded each step
+        # (bit-identical to Spark's aggregate() fold).
+        "q_survival": """
+            WITH pu AS (
+                SELECT user_id, min(ts) AS t0,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN ts END) AS tp,
+                       max(ts) AS tl
+                FROM events GROUP BY user_id),
+            subj AS (
+                SELECT user_id % 3 AS cohort,
+                       (epoch_us(coalesce(tp, tl)) - epoch_us(t0))
+                       // 3600000000 AS t,
+                       CASE WHEN tp IS NULL THEN 0 ELSE 1 END AS ev
+                FROM pu),
+            at_t AS (SELECT cohort, t, CAST(sum(ev) AS BIGINT) AS d,
+                            CAST(count(*) AS BIGINT) AS leave
+                     FROM subj GROUP BY cohort, t),
+            tot AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_total
+                    FROM subj GROUP BY cohort),
+            rws AS (
+                SELECT a.cohort, a.t, a.d,
+                       CAST(tt.n_total - coalesce(sum(a.leave) OVER (
+                                PARTITION BY a.cohort ORDER BY a.t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)
+                            AS BIGINT) AS n_risk
+                FROM at_t a JOIN tot tt ON a.cohort = tt.cohort),
+            g AS (SELECT cohort,
+                         list(t ORDER BY t) AS ts,
+                         list(n_risk ORDER BY t) AS ns,
+                         list(d ORDER BY t) AS ds,
+                         list((n_risk - d) / n_risk ORDER BY t) AS fs
+                  FROM rws GROUP BY cohort),
+            ex AS (SELECT cohort, unnest(ts) AS t, unnest(ns) AS n_risk,
+                          unnest(ds) AS d,
+                          generate_subscripts(ts, 1) AS i, fs
+                   FROM g)
+            SELECT cohort, t, n_risk, d AS d_events,
+                   list_reduce(list_prepend(1.0, fs[1:i]),
+                               (acc, x) -> round(acc * x, 6)) AS survival
+            FROM ex WHERE d > 0
+        """,
+        # q_ab_test: the four integer cells pivoted by a self-join on the
+        # variant order, then the identical closed-form expressions.
+        "q_ab_test": """
+            WITH pu AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                 AND value > 95 THEN 1 ELSE 0 END) AS s
+                FROM events GROUP BY user_id),
+            ab AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                          AS v, s
+                   FROM pu),
+            c AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(s) AS BIGINT) AS x
+                  FROM ab GROUP BY v),
+            j AS (SELECT a.v AS variant_a, b.v AS variant_b,
+                         a.n AS n_a, b.n AS n_b, a.x AS x_a, b.x AS x_b
+                  FROM c a JOIN c b ON a.v < b.v)
+            SELECT variant_a, variant_b, n_a, n_b, x_a, x_b,
+                   round(x_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+                   round(x_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+                   round(x_a / CAST(n_a AS DOUBLE)
+                         - x_b / CAST(n_b AS DOUBLE), 6) AS lift,
+                   round((x_a / CAST(n_a AS DOUBLE)
+                          - x_b / CAST(n_b AS DOUBLE))
+                         / sqrt((x_a + x_b) / CAST(n_a + n_b AS DOUBLE)
+                                * (1.0 - (x_a + x_b)
+                                   / CAST(n_a + n_b AS DOUBLE))
+                                * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+                   abs((x_a / CAST(n_a AS DOUBLE)
+                        - x_b / CAST(n_b AS DOUBLE))
+                       / sqrt((x_a + x_b) / CAST(n_a + n_b AS DOUBLE)
+                              * (1.0 - (x_a + x_b)
+                                 / CAST(n_a + n_b AS DOUBLE))
+                              * (1.0 / n_a + 1.0 / n_b))) >= 1.959964
+                   AS significant
+            FROM j
         """,
         # q_bfs: 3 hops unrolled — each layer is the previous frontier's
         # out-neighbors minus everything already settled; distances are

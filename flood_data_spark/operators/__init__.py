@@ -24,6 +24,10 @@ from flood_data_spark.operators.timeseries import (
     sessionize,
 )
 from flood_data_spark.operators.scd import scd2_apply, scd2_as_of
+from flood_data_spark.operators.experiment import (
+    km_survival,
+    two_proportion_ztest,
+)
 
 __all__ = [
     "ensemble_threshold_summary",
@@ -34,4 +38,5 @@ __all__ = [
     "grid_cell_bounds", "point_lookup", "neighborhood_lookup",
     "asof_join", "sessionize", "seasonal_decompose",
     "radius_lookup", "scd2_apply", "scd2_as_of",
+    "km_survival", "two_proportion_ztest",
 ]

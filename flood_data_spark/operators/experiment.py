@@ -1,0 +1,149 @@
+"""Survival analysis + experiment evaluation — Kaplan-Meier curves and
+the two-proportion z-test, as pure Spark aggregates.
+
+Where these sit: `behavior.py` answers "what paths do users take"
+(funnels, retention grids, transitions); this module answers the two
+time-to-event / experimentation questions next to them — "how long until
+the event, with censoring handled honestly" (KM is the retention curve
+done right: a user who hasn't churned YET is censored, not a survivor
+forever) and "did the variant move the metric" (the z-test every A/B
+readout starts from).
+
+Scale posture:
+- km_survival shuffles once on the (group, duration) key and once on the
+  group key for the array fold; the per-group state is one array of
+  DISTINCT event times (k entries), not one per subject — a 10^9-subject
+  cohort with daily buckets folds 365-element arrays.  The risk-set
+  arithmetic is an integer window cumsum within each group's k rows.
+- two_proportion_ztest is two map-side-combined integer aggregates and a
+  closed-form scalar expression — one shuffle on the variant key.
+
+Engine-portable determinism (the value-oracle contract): risk sets and
+event counts are exact integers; the per-step hazard factor
+(n−d)/n is ONE double division (bit-identical on any engine), and the
+running survival product is a SEQUENTIAL fold rounded to 6 decimals at
+EVERY step — the EWMA/list_reduce discipline, which re-synchronizes any
+fold-order drift and makes the curve value-hashable (q_survival).  The
+z statistic is a single fixed-operand-order expression rounded once.
+
+No reference analog; part of the beyond-reference inventory
+(SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def km_survival(df: DataFrame, group_col: str = "cohort",
+                duration_col: str = "duration",
+                event_col: str = "event") -> DataFrame:
+    """Kaplan-Meier survival estimate per group over right-censored
+    durations: (group, t, n_risk, d_events, survival), one row per
+    DISTINCT event time (censoring times shape the risk set but emit no
+    step — the standard KM convention; subjects censored exactly at an
+    event time count as still at risk there).
+
+    survival(t_i) = Π_{j ≤ i} (n_j − d_j) / n_j, folded sequentially in
+    time order with round-6 after every multiply (the cross-engine
+    re-synchronization discipline — see module docstring).  NULL
+    durations are refused (a silent drop would shrink risk sets);
+    `event_col` must be 0/1.
+    """
+    if df.filter(F.col(duration_col).isNull()
+                 | F.col(event_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"km_survival: NULL values in '{duration_col}'/'{event_col}'"
+            " — drop or impute them first")
+    g = F.col(group_col)
+    # per (group, time): events d and total leavers (events + censored)
+    at_t = (df.groupBy(g.alias("grp"),
+                       F.col(duration_col).alias("t"))
+            .agg(F.sum(F.col(event_col).cast("long")).alias("d"),
+                 F.count(F.lit(1)).alias("leave")))
+    totals = (df.groupBy(g.alias("grp"))
+              .agg(F.count(F.lit(1)).alias("n_total")))
+    w = (Window.partitionBy("grp").orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    rows = (at_t.join(totals, "grp")
+            .select("grp", "t", "d",
+                    (F.col("n_total")
+                     - F.coalesce(F.sum("leave").over(w), F.lit(0)))
+                    .alias("n_risk"))
+            .withColumn("f", (F.col("n_risk") - F.col("d"))
+                        / F.col("n_risk")))
+    # one array per group, time-ordered structs; the fold emits the
+    # running product at every position, rounded each step
+    folded = (rows.groupBy("grp")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("t", "n_risk", "d", "f"))).alias("steps"))
+              .withColumn("surv", F.expr("""
+                  aggregate(steps,
+                      struct(cast(array() as array<double>) as arr,
+                             cast(1.0 as double) as acc),
+                      (a, x) -> struct(
+                          concat(a.arr,
+                                 array(round(a.acc * x.f, 6))),
+                          round(a.acc * x.f, 6)),
+                      a -> a.arr)""")))
+    return (folded
+            .select("grp", F.expr(
+                "explode(arrays_zip(steps, surv))").alias("z"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("z.steps.t").alias("t"),
+                    F.col("z.steps.n_risk").alias("n_risk"),
+                    F.col("z.steps.d").alias("d_events"),
+                    F.col("z.surv").alias("survival"))
+            .filter(F.col("d_events") > 0))
+
+
+def two_proportion_ztest(df: DataFrame, variant_col: str = "variant",
+                         success_col: str = "success") -> DataFrame:
+    """Pooled two-proportion z-test between EXACTLY two variants:
+    one row (variant_a, variant_b, n_a, n_b, x_a, x_b, p_a, p_b, lift,
+    z, significant) with variant_a the lexicographically smaller label.
+
+    Counts are exact integers; p's, lift and z are fixed-operand-order
+    double expressions rounded to 6 decimals once.  `significant` is
+    |z| >= 1.959964 (two-sided 5%), evaluated on the UNROUNDED z.
+    Raises if the input does not have exactly two distinct variants or a
+    degenerate pooled rate (0% or 100% — z undefined).
+    """
+    counts = (df.groupBy(F.col(variant_col).alias("v"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col(success_col).cast("long")).alias("x"))
+              .orderBy("v").limit(10).collect())  # bounded by contract:
+    # one row per variant, truncated at 10 — the not-exactly-2 error
+    # fires either way
+    if len(counts) != 2:
+        raise ValueError(
+            f"two_proportion_ztest: expected exactly 2 variants, got "
+            f"{[r.v for r in counts]}")
+    (va, na, xa), (vb, nb, xb) = ((r.v, r.n, r.x) for r in counts)
+    pooled = (xa + xb) / (na + nb)
+    if pooled in (0.0, 1.0):
+        raise ValueError(
+            "two_proportion_ztest: degenerate pooled rate "
+            f"{pooled} — z is undefined")
+    spark = df.sparkSession
+    # closed form as ONE SQL expression over the four integers, so the
+    # oracle states the identical operand order
+    return spark.createDataFrame(
+        [(va, vb, na, nb, xa, xb)],
+        "variant_a string, variant_b string, n_a long, n_b long, "
+        "x_a long, x_b long").selectExpr(
+        "variant_a", "variant_b", "n_a", "n_b", "x_a", "x_b",
+        "round(x_a / cast(n_a as double), 6) as p_a",
+        "round(x_b / cast(n_b as double), 6) as p_b",
+        "round(x_a / cast(n_a as double) "
+        "      - x_b / cast(n_b as double), 6) as lift",
+        "round((x_a / cast(n_a as double) - x_b / cast(n_b as double)) "
+        "      / sqrt((x_a + x_b) / cast(n_a + n_b as double) "
+        "             * (1.0 - (x_a + x_b) / cast(n_a + n_b as double)) "
+        "             * (1.0 / n_a + 1.0 / n_b)), 6) as z",
+        "abs((x_a / cast(n_a as double) - x_b / cast(n_b as double)) "
+        "    / sqrt((x_a + x_b) / cast(n_a + n_b as double) "
+        "           * (1.0 - (x_a + x_b) / cast(n_a + n_b as double)) "
+        "           * (1.0 / n_a + 1.0 / n_b))) >= 1.959964 "
+        "as significant")

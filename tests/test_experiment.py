@@ -1,0 +1,91 @@
+"""Kaplan-Meier + two-proportion z-test (operators/experiment.py)."""
+
+import math
+
+import pytest
+
+from flood_data_spark.operators.experiment import (
+    km_survival, two_proportion_ztest)
+
+
+def _surv(spark, rows):
+    return spark.createDataFrame(
+        rows, "cohort string, duration long, event int")
+
+
+def test_km_textbook_curve(spark):
+    # classic small example: durations 1,2+,3,4,4,5+ (+ = censored)
+    rows = [("a", 1, 1), ("a", 2, 0), ("a", 3, 1),
+            ("a", 4, 1), ("a", 4, 1), ("a", 5, 0)]
+    got = {r.t: (r.n_risk, r.d_events, r.survival)
+           for r in km_survival(_surv(spark, rows)).collect()}
+    s1 = round(1.0 * (6 - 1) / 6, 6)
+    s3 = round(s1 * (4 - 1) / 4, 6)
+    s4 = round(s3 * (3 - 2) / 3, 6)
+    assert got == {1: (6, 1, s1), 3: (4, 1, s3), 4: (3, 2, s4)}
+
+
+def test_km_no_censoring_matches_empirical_survival(spark):
+    # without censoring KM = empirical survivor function n_remaining/n
+    rows = [("a", d, 1) for d in (1, 2, 2, 3)]
+    got = {r.t: r.survival for r in km_survival(_surv(spark, rows)).collect()}
+    assert got[1] == 0.75
+    assert got[2] == pytest.approx(0.25, abs=2e-6)
+    assert got[3] == 0.0
+
+
+def test_km_censored_at_event_time_still_at_risk(spark):
+    # censored subject at t=2 counts in the t=2 risk set
+    rows = [("a", 2, 1), ("a", 2, 0), ("a", 5, 0)]
+    got = {r.t: (r.n_risk, r.d_events)
+           for r in km_survival(_surv(spark, rows)).collect()}
+    assert got == {2: (3, 1)}
+
+
+def test_km_groups_independent_and_guards(spark):
+    rows = [("a", 1, 1), ("a", 2, 1), ("b", 7, 1)]
+    got = {(r.cohort, r.t): r.survival
+           for r in km_survival(_surv(spark, rows)).collect()}
+    assert got[("b", 7)] == 0.0 and got[("a", 1)] == 0.5
+    with pytest.raises(ValueError, match="NULL"):
+        km_survival(spark.createDataFrame(
+            [("a", None, 1)], "cohort string, duration long, event int"))
+
+
+def test_km_deterministic_across_partitionings(spark):
+    rows = [("g%d" % (i % 3), (i * 7) % 11 + 1, i % 2) for i in range(90)]
+    d = _surv(spark, rows)
+    a = {(r.cohort, r.t, r.n_risk, r.d_events, r.survival)
+         for r in km_survival(d.coalesce(1)).collect()}
+    b = {(r.cohort, r.t, r.n_risk, r.d_events, r.survival)
+         for r in km_survival(d.repartition(8)).collect()}
+    assert a == b
+
+
+def _ab(spark, rows):
+    return spark.createDataFrame(rows, "variant string, success int")
+
+
+def test_ztest_closed_form(spark):
+    rows = [("A", 1)] * 30 + [("A", 0)] * 70 + \
+           [("B", 1)] * 45 + [("B", 0)] * 55
+    r = two_proportion_ztest(_ab(spark, rows)).first()
+    assert (r.variant_a, r.variant_b) == ("A", "B")
+    assert (r.n_a, r.n_b, r.x_a, r.x_b) == (100, 100, 30, 45)
+    pooled = 75 / 200
+    z = (0.30 - 0.45) / math.sqrt(pooled * (1 - pooled) * (2 / 100))
+    assert r.z == round(z, 6)
+    assert r.lift == round(-0.15, 6)
+    assert r.significant == (abs(z) >= 1.959964)
+    assert r.significant  # |z| ~ 2.19
+
+
+def test_ztest_insignificant_and_guards(spark):
+    rows = [("A", 1)] * 10 + [("A", 0)] * 90 + \
+           [("B", 1)] * 11 + [("B", 0)] * 89
+    r = two_proportion_ztest(_ab(spark, rows)).first()
+    assert not r.significant
+    with pytest.raises(ValueError, match="2 variants"):
+        two_proportion_ztest(_ab(spark, [("A", 1), ("B", 0), ("C", 1)]))
+    with pytest.raises(ValueError, match="degenerate"):
+        two_proportion_ztest(_ab(spark, [("A", 0), ("B", 0)]))

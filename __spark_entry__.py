@@ -3183,6 +3183,37 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_proportion_ztest(experiment)
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over brand baskets
+    (datapipe/market.association_rules): each order's distinct part
+    brands form a basket; Apriori-pruned frequent pairs (min_support
+    0.02) become directional rules filtered at confidence 0.145.  Counts
+    are exact integers; support/confidence/lift are fixed-operand-order
+    divisions rounded once — full value oracle."""
+    from flood_data_spark.datapipe.market import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = (li.join(part, li["l_partkey"] == part["p_partkey"])
+               .select(F.col("l_orderkey").alias("basket_id"),
+                       F.col("p_brand").alias("item")))
+    return association_rules(baskets, min_support=0.02,
+                             min_confidence=0.145)
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + marginal entropies between document language
+    and source (datapipe/bayes.mutual_information), in integer
+    micro-nats: each contingency cell's p·ln(p/(pq)) term is rounded
+    once to a BIGINT and the totals are exact integer sums (order-free
+    across engines).  Contingency-table-sized plan; the corpus scans
+    once."""
+    from flood_data_spark.datapipe.bayes import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"),
+                              "lang", "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -3208,6 +3239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 8, session 3: survival + experiments (new module) ---
         "q_survival": q_survival,
         "q_ab_test": q_ab_test,
+        # --- round 8, session 3: market-basket + information theory ---
+        "q_assoc_rules": q_assoc_rules,
+        "q_mutual_info": q_mutual_info,
         # --- round 8, continuation batch (7): linalg + fuzzy + CMS ---
         "q_dim_stats": q_dim_stats,
         "q_gram_matrix": q_gram_matrix,
@@ -5747,6 +5781,93 @@ def oracle_sql() -> dict[str, str]:
             WHERE a + b >= 2 AND a + b < n_pos + n_neg
             ORDER BY chi2 DESC, term ASC
             LIMIT 40
+        """,
+        # q_assoc_rules: Apriori order-2 in SQL — ceil-threshold on the
+        # same IEEE product, item prune before the per-basket self-join,
+        # the three ratios in the identical operand order, and the
+        # min_confidence filter on the UNROUNDED confidence.
+        "q_assoc_rules": """
+            WITH b AS (
+                SELECT DISTINCT l.l_orderkey AS bid, p.p_brand AS item
+                FROM lineitem l JOIN part p
+                  ON l.l_partkey = p.p_partkey),
+            nb AS (SELECT CAST(count(DISTINCT bid) AS BIGINT) AS n
+                   FROM b),
+            thr AS (SELECT CAST(ceil(0.02 * n) AS BIGINT) AS t, n
+                    FROM nb),
+            item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+                       FROM b GROUP BY item),
+            fi AS (SELECT i.item, i.n_item
+                   FROM item_n i, thr WHERE i.n_item >= thr.t),
+            fb AS (SELECT b.bid, b.item, f.n_item
+                   FROM b JOIN fi f ON b.item = f.item),
+            pairs AS (
+                SELECT a.item AS item_a, c.item AS item_b,
+                       a.n_item AS n_a, c.n_item AS n_b,
+                       CAST(count(*) AS BIGINT) AS pair_count
+                FROM fb a JOIN fb c
+                  ON a.bid = c.bid AND a.item < c.item
+                GROUP BY a.item, c.item, a.n_item, c.n_item),
+            fp AS (SELECT p.*, thr.n AS n_baskets
+                   FROM pairs p, thr WHERE p.pair_count >= thr.t),
+            rules AS (
+                SELECT item_a AS antecedent, item_b AS consequent,
+                       pair_count, n_a AS n_ante, n_b AS n_cons,
+                       n_baskets
+                FROM fp
+                UNION ALL
+                SELECT item_b, item_a, pair_count, n_b, n_a, n_baskets
+                FROM fp)
+            SELECT antecedent, consequent, pair_count,
+                   round(pair_count / CAST(n_baskets AS DOUBLE), 6)
+                   AS support,
+                   round(pair_count / CAST(n_ante AS DOUBLE), 6)
+                   AS confidence,
+                   round((pair_count * CAST(n_baskets AS DOUBLE))
+                         / (n_ante * CAST(n_cons AS DOUBLE)), 6)
+                   AS lift
+            FROM rules
+            WHERE pair_count / CAST(n_ante AS DOUBLE) >= 0.145
+        """,
+        # q_mutual_info: per-cell micro-nat terms rounded once then
+        # integer-summed; marginal joins are IS NOT DISTINCT FROM (NULL
+        # is a category — mirrors the Spark eqNullSafe joins).
+        "q_mutual_info": """
+            WITH cells AS (
+                SELECT lang AS a, source AS b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM documents GROUP BY lang, source),
+            ma AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+                   FROM cells GROUP BY a),
+            mb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b
+                   FROM cells GROUP BY b),
+            nn AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM cells),
+            j AS (SELECT c.n_ab, ma.n_a, mb.n_b, nn.n
+                  FROM cells c
+                  JOIN ma ON c.a IS NOT DISTINCT FROM ma.a
+                  JOIN mb ON c.b IS NOT DISTINCT FROM mb.b, nn),
+            mi AS (SELECT CAST(sum(CAST(round(
+                              (n_ab / CAST(n AS DOUBLE))
+                              * ln((n_ab * CAST(n AS DOUBLE))
+                                   / (n_a * CAST(n_b AS DOUBLE)))
+                              * 1000000) AS BIGINT)) AS BIGINT)
+                          AS mi_mu,
+                          CAST(count(*) AS BIGINT) AS n_cells
+                   FROM j),
+            ha AS (SELECT CAST(sum(CAST(round(
+                              (-(n_a / CAST(x.n AS DOUBLE)))
+                              * ln(n_a / CAST(x.n AS DOUBLE))
+                              * 1000000) AS BIGINT)) AS BIGINT)
+                          AS h_a_mu
+                   FROM ma, nn x),
+            hb AS (SELECT CAST(sum(CAST(round(
+                              (-(n_b / CAST(x.n AS DOUBLE)))
+                              * ln(n_b / CAST(x.n AS DOUBLE))
+                              * 1000000) AS BIGINT)) AS BIGINT)
+                          AS h_b_mu
+                   FROM mb, nn x)
+            SELECT nn.n AS n, mi.n_cells, mi.mi_mu, ha.h_a_mu, hb.h_b_mu
+            FROM nn, mi, ha, hb
         """,
         # q_survival: KM replicated — integer risk-set cumsum, the hazard
         # factor as one double division, the survival product as a

@@ -73,8 +73,13 @@ from flood_data_spark.datapipe.graph import (
 )
 from flood_data_spark.datapipe.bayes import (
     chi2_terms,
+    mutual_information,
     naive_bayes_score,
     naive_bayes_train,
+)
+from flood_data_spark.datapipe.market import (
+    association_rules,
+    frequent_pairs,
 )
 from flood_data_spark.datapipe.classifier import (
     evaluate_binary,
@@ -103,7 +108,8 @@ __all__ = [
     "cms_build", "cms_estimate", "cms_merge", "hits", "pagerank",
     "label_propagation", "triangle_counts", "adamic_adar",
     "bfs_distances", "naive_bayes_train", "naive_bayes_score",
-    "chi2_terms",
+    "chi2_terms", "mutual_information", "association_rules",
+    "frequent_pairs",
     "winnow_fingerprints", "winnow_matches",
     "jaccard_prefix_pairs", "token_jaccard_pairs",
     "train_quality_classifier", "with_classifier_score",

@@ -159,6 +159,61 @@ def naive_bayes_score(docs: DataFrame, terms: DataFrame,
                     "predicted"))
 
 
+def mutual_information(df: DataFrame, col_a: str,
+                       col_b: str) -> DataFrame:
+    """Mutual information and marginal entropies between two categorical
+    columns, in integer micro-nats: one row (n, n_cells, mi_mu, h_a_mu,
+    h_b_mu).
+
+    MI = Σ_xy p(x,y) ln(p(x,y) / (p(x)p(y))), H = −Σ p ln p.  Each
+    CELL's term is rounded once to an integer micro-nat contribution —
+    round((n_xy / N) · ln((n_xy · N) / (n_x · n_y)) · 1e6) — and the
+    totals are exact integer sums: order-free across engines (the
+    adamic_adar discipline), so the gate value-hashes despite the
+    transcendental per-cell terms.  NULLs are their own category
+    (groupBy semantics).  Plans: one (a, b) aggregate, two marginal
+    aggregates over it, one broadcast-join back — contingency-table
+    sized throughout; the input relation is scanned once.
+    """
+    cells = (df.groupBy(F.col(col_a).alias("a"),
+                        F.col(col_b).alias("b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .localCheckpoint(eager=False))  # consumed by 3 aggregates
+    ma = cells.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    n = cells.agg(F.sum("n_ab").alias("n"))
+    # eqNullSafe, not "a"/"b" equi-joins: NULL is a legitimate category
+    # here, and a plain join key would silently strand its cells (the
+    # NULL-group-key-stranding lesson from the SCD/grouped-join reviews)
+    ma_j = ma.withColumnRenamed("a", "_a")
+    mb_j = mb.withColumnRenamed("b", "_b")
+    joined = (cells
+              .join(F.broadcast(ma_j),
+                    F.col("a").eqNullSafe(F.col("_a")))
+              .join(F.broadcast(mb_j),
+                    F.col("b").eqNullSafe(F.col("_b")))
+              .crossJoin(F.broadcast(n)))
+    term = F.round((F.col("n_ab") / F.col("n").cast("double"))
+                   * F.log((F.col("n_ab") * F.col("n").cast("double"))
+                           / (F.col("n_a")
+                              * F.col("n_b").cast("double")))
+                   * MU).cast("long")
+    ha_term = F.round(-(F.col("n_a") / F.col("n").cast("double"))
+                      * F.log(F.col("n_a") / F.col("n").cast("double"))
+                      * MU).cast("long")
+    hb_term = F.round(-(F.col("n_b") / F.col("n").cast("double"))
+                      * F.log(F.col("n_b") / F.col("n").cast("double"))
+                      * MU).cast("long")
+    mi = joined.agg(F.sum(term).alias("mi_mu"),
+                    F.count(F.lit(1)).alias("n_cells"))
+    ha = (ma.crossJoin(F.broadcast(n))
+          .agg(F.sum(ha_term).alias("h_a_mu")))
+    hb = (mb.crossJoin(F.broadcast(n))
+          .agg(F.sum(hb_term).alias("h_b_mu")))
+    return (n.crossJoin(mi).crossJoin(ha).crossJoin(hb)
+            .select("n", "n_cells", "mi_mu", "h_a_mu", "h_b_mu"))
+
+
 def chi2_terms(docs: DataFrame, label_col: str = "label",
                text_col: str = "text", top_k: int = 50,
                min_df: int = 2) -> DataFrame:

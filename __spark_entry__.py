@@ -3037,6 +3037,46 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean-target encoding of (o_orderpriority, o_orderstatus)
+    by o_totalprice (datapipe/features.target_encoding, smoothing=20) —
+    the CatBoost/Kaggle encoder as ONE category-sized aggregate; target
+    mass accumulates in integer micro-units so `enc` is a division of
+    exact integers (engine-bit-identical)."""
+    from flood_data_spark.datapipe.features import target_encoding
+
+    return target_encoding(_t(spark, sf_dir, "orders"),
+                           ("o_orderpriority", "o_orderstatus"),
+                           "o_totalprice", smoothing=20.0)
+
+
+def q_loo_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of l_returnflag by l_quantity over
+    the l_orderkey < 800 slice (datapipe/features.loo_encoding): the
+    leakage-hardened per-row variant — category sums broadcast back and
+    the row's own label removed ARITHMETICALLY ((sum-y)/(n-1)), never via
+    a corpus-wide category window."""
+    from flood_data_spark.datapipe.features import loo_encoding
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 800))
+    return (loo_encoding(li, ("l_returnflag",), "l_quantity")
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+                    "l_quantity", "loo"))
+
+
+def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information value of document `source` for
+    the binary label lang='en' (datapipe/features.woe_encoding,
+    laplace=0.5) — the credit-scoring encoder; ln rounded ONCE to integer
+    micro-nats (bayes.py discipline), counts exact."""
+    from flood_data_spark.datapipe.features import woe_encoding
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("is_en", (F.col("lang") == "en").cast("int")))
+    return woe_encoding(docs, ("source",), "is_en", laplace=0.5)
+
+
 def _co_part_edges(spark: SparkSession, sf_dir: str,
                    order_cap: int = 4000) -> DataFrame:
     """One-mode projection of the order↔part bipartite relation: parts
@@ -3229,6 +3269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (timeseries/grid/curation) — every registry entry is driver-checked
     # within the last two rounds.
     return {
+        # --- round 8, session 4: categorical feature encoders ---
+        "q_target_encode": q_target_encode,
+        "q_loo_encode": q_loo_encode,
+        "q_woe_encode": q_woe_encode,
         # --- round 8, session 3: graph analytics (new graph.py fns) ---
         "q_triangles": q_triangles,
         "q_link_pred": q_link_pred,
@@ -3952,6 +3996,72 @@ def oracle_sql() -> dict[str, str]:
     cms_col = ("CAST(('0x' || substr(md5('cms' || {r} || ':' || token), "
                "1, 13)) AS BIGINT) % 512")
     d = {
+        # q_target_encode: identical operator arithmetic — integer
+        # micro-unit target sums, global mean as DOUBLE/DOUBLE/1e6 (the
+        # float()-before-divide contract in features.target_encoding),
+        # enc with the same (a/1e6 + m*g)/(n+m) expression tree.
+        "q_target_encode": """
+            WITH per_cat AS (
+                SELECT o_orderpriority, o_orderstatus,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(o_totalprice * 1000000)
+                                     AS BIGINT)) AS BIGINT)
+                           AS target_sum_micro
+                FROM orders GROUP BY o_orderpriority, o_orderstatus),
+            gm AS (SELECT CAST(sum(target_sum_micro) AS DOUBLE)
+                          / CAST(sum(n) AS DOUBLE) / 1000000 AS g
+                   FROM per_cat)
+            SELECT p.o_orderpriority, p.o_orderstatus, p.n,
+                   p.target_sum_micro,
+                   (p.target_sum_micro / 1000000 + 20.0 * gm.g)
+                   / (p.n + 20.0) AS enc
+            FROM per_cat p, gm
+        """,
+        # q_loo_encode: (sum_c - y_i)/(n_c - 1)/1e6 over exact integer
+        # micro sums; NULL when the category is a singleton.
+        "q_loo_encode": """
+            WITH li AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                       CAST(round(l_quantity * 1000000) AS BIGINT) AS y
+                FROM lineitem WHERE l_orderkey < 800),
+            per_cat AS (
+                SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS s
+                FROM li GROUP BY l_returnflag)
+            SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,
+                   li.l_quantity,
+                   CASE WHEN p.n > 1
+                        THEN (p.s - li.y) / (p.n - 1) / 1000000 END AS loo
+            FROM li JOIN per_cat p ON li.l_returnflag = p.l_returnflag
+        """,
+        # q_woe_encode: Laplace-smoothed class shares with the scalar
+        # denominators formed the same way as the operator's python
+        # floats (double(tot) + 0.5 * k); ln and iv rounded ONCE to
+        # integer micro-nats.
+        "q_woe_encode": """
+            WITH per_cat AS (
+                SELECT source,
+                       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_pos,
+                       CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_neg
+                FROM documents GROUP BY source),
+            tot AS (SELECT CAST(sum(n_pos) AS DOUBLE) + 0.5 * count(*)
+                               AS pos_den,
+                           CAST(sum(n_neg) AS DOUBLE) + 0.5 * count(*)
+                               AS neg_den
+                    FROM per_cat),
+            sh AS (SELECT p.source, p.n_pos, p.n_neg,
+                          (p.n_pos + 0.5) / t.pos_den AS ps,
+                          (p.n_neg + 0.5) / t.neg_den AS ns
+                   FROM per_cat p, tot t)
+            SELECT source, n_pos, n_neg,
+                   CAST(round((ln(ps) - ln(ns)) * 1000000) AS BIGINT)
+                       AS woe_micro,
+                   CAST(round((ps - ns) * (ln(ps) - ln(ns)) * 1000000)
+                        AS BIGINT) AS iv_micro
+            FROM sh
+        """,
         # q_dim_stats: population variance written as E[x^2]-E[x]^2 in
         # both engines (not var_pop) so the arithmetic mirrors exactly
         "q_dim_stats": f"""

@@ -77,6 +77,12 @@ from flood_data_spark.datapipe.bayes import (
     naive_bayes_score,
     naive_bayes_train,
 )
+from flood_data_spark.datapipe.features import (
+    apply_target_encoding,
+    loo_encoding,
+    target_encoding,
+    woe_encoding,
+)
 from flood_data_spark.datapipe.market import (
     association_rules,
     frequent_pairs,
@@ -91,6 +97,8 @@ from flood_data_spark.datapipe.classifier import (
 )
 
 __all__ = [
+    "target_encoding", "apply_target_encoding", "loo_encoding",
+    "woe_encoding",
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
     "dedup_against", "exact_dedup", "ngram_containment",

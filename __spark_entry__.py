@@ -3037,6 +3037,38 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of each event type's daily-mean series at
+    lags 1..7 (operators/stats.acf — the Box-Jenkins seasonality probe).
+    The daily mean is a division of exact integer micro sums; the five
+    ACF moment sums are exact BIGINTs; the correlation is one fixed
+    DOUBLE expression tree over them, round(…, 6)."""
+    from flood_data_spark.operators.stats import acf
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg((F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                   .cast("double") / F.count(F.lit(1)) / 1000000)
+                  .alias("daily_mean")))
+    return acf(daily, "daily_mean", "day", ("event_type",), max_lag=7)
+
+
+def q_tree_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump induction (datapipe/classifier
+    .best_split, per_feature=True): each feature's lowest-weighted-Gini
+    equi-depth-boundary split for the l_returnflag='R' label — the
+    LightGBM/XGBoost-hist inner loop as two scans + candidate-sized
+    aggregates.  Counts exact; Gini micro-rounded once; thresholds are
+    the raw percentile doubles (the q_equidepth boundary contract)."""
+    from flood_data_spark.datapipe.classifier import best_split
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumn("is_return",
+                      (F.col("l_returnflag") == "R").cast("int")))
+    return best_split(li, ("l_quantity", "l_extendedprice", "l_discount"),
+                      "is_return", n_buckets=8, per_feature=True)
+
+
 def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed mean-target encoding of (o_orderpriority, o_orderstatus)
     by o_totalprice (datapipe/features.target_encoding, smoothing=20) —
@@ -3269,7 +3301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (timeseries/grid/curation) — every registry entry is driver-checked
     # within the last two rounds.
     return {
-        # --- round 8, session 4: categorical feature encoders ---
+        # --- round 8, session 4: stats + stump + encoders ---
+        "q_acf": q_acf,
+        "q_tree_stump": q_tree_stump,
         "q_target_encode": q_target_encode,
         "q_loo_encode": q_loo_encode,
         "q_woe_encode": q_woe_encode,
@@ -3996,6 +4030,150 @@ def oracle_sql() -> dict[str, str]:
     cms_col = ("CAST(('0x' || substr(md5('cms' || {r} || ':' || token), "
                "1, 13)) AS BIGINT) % 512")
     d = {
+        # q_acf: the lead-window pair relation restated as a row-number
+        # self-join; identical exact-integer moment sums and the same
+        # fixed double expression tree for the correlation.
+        "q_acf": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                            AS DOUBLE) / count(*) / 1000000 AS m
+                FROM events GROUP BY event_type, CAST(ts AS DATE)),
+            mu AS (SELECT event_type, day,
+                          CAST(round(m * 1000000) AS BIGINT) AS x
+                   FROM daily),
+            rn AS (SELECT event_type, x,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY day) AS i
+                   FROM mu),
+            pr AS (SELECT a.event_type, CAST(b.i - a.i AS INT) AS lag,
+                          a.x AS x, b.x AS y
+                   FROM rn a JOIN rn b
+                     ON a.event_type = b.event_type
+                    AND b.i - a.i BETWEEN 1 AND 7),
+            s AS (SELECT event_type, lag,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM pr GROUP BY event_type, lag)
+            SELECT event_type, lag, n,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / nullif(sqrt((CAST(n AS DOUBLE)
+                                        * CAST(sxx AS DOUBLE)
+                                        - CAST(sx AS DOUBLE)
+                                          * CAST(sx AS DOUBLE))
+                                       * (CAST(n AS DOUBLE)
+                                          * CAST(syy AS DOUBLE)
+                                          - CAST(sy AS DOUBLE)
+                                            * CAST(sy AS DOUBLE))), 0.0),
+                         6) AS acf
+            FROM s
+        """,
+        # q_tree_stump: quantile_cont boundaries (the equidepth
+        # bit-identity contract), the same observed-bucket inner join,
+        # and the identical weighted-Gini double tree micro-rounded.
+        "q_tree_stump": """
+            WITH b AS (
+                SELECT 'l_quantity' AS feature,
+                       quantile_cont(l_quantity, [0.125, 0.25, 0.375, 0.5,
+                                                  0.625, 0.75, 0.875]) AS bs
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice',
+                       quantile_cont(l_extendedprice,
+                                     [0.125, 0.25, 0.375, 0.5, 0.625,
+                                      0.75, 0.875])
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount',
+                       quantile_cont(l_discount,
+                                     [0.125, 0.25, 0.375, 0.5, 0.625,
+                                      0.75, 0.875])
+                FROM lineitem),
+            vals AS (
+                SELECT 'l_quantity' AS feature, l_quantity AS x,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', l_extendedprice,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', l_discount,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                FROM lineitem),
+            bucketed AS (
+                SELECT v.feature,
+                       CAST(1 + len(list_filter(b.bs, t -> v.x > t))
+                            AS INT) AS bucket,
+                       v.y
+                FROM vals v JOIN b ON v.feature = b.feature),
+            cells AS (SELECT feature, bucket,
+                             CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(y) AS BIGINT) AS np
+                      FROM bucketed GROUP BY feature, bucket),
+            cum AS (SELECT feature, bucket,
+                           CAST(sum(n) OVER (PARTITION BY feature
+                                             ORDER BY bucket) AS BIGINT)
+                               AS n_left,
+                           CAST(sum(np) OVER (PARTITION BY feature
+                                              ORDER BY bucket) AS BIGINT)
+                               AS pos_left,
+                           CAST(sum(n) OVER (PARTITION BY feature)
+                                AS BIGINT) AS nt,
+                           CAST(sum(np) OVER (PARTITION BY feature)
+                                AS BIGINT) AS pt
+                    FROM cells),
+            thr AS (SELECT feature,
+                           CAST(generate_subscripts(bs, 1) AS INT)
+                               AS bucket,
+                           unnest(bs) AS threshold
+                    FROM b),
+            cand AS (
+                SELECT c.feature, c.bucket, t.threshold, c.n_left,
+                       c.nt - c.n_left AS n_right, c.pos_left,
+                       c.pt - c.pos_left AS pos_right
+                FROM cum c JOIN thr t
+                  ON c.feature = t.feature AND c.bucket = t.bucket
+                WHERE c.n_left > 0 AND c.nt - c.n_left > 0),
+            g AS (
+                SELECT feature, bucket, threshold, n_left, n_right,
+                       pos_left, pos_right,
+                       CAST(round(
+                           (CAST(n_left AS DOUBLE)
+                            * (1.0 - ((pos_left / CAST(n_left AS DOUBLE))
+                                      * (pos_left / CAST(n_left AS DOUBLE))
+                                      + (1.0 - pos_left
+                                               / CAST(n_left AS DOUBLE))
+                                        * (1.0 - pos_left
+                                                 / CAST(n_left AS DOUBLE))))
+                            + CAST(n_right AS DOUBLE)
+                              * (1.0 - ((pos_right
+                                         / CAST(n_right AS DOUBLE))
+                                        * (pos_right
+                                           / CAST(n_right AS DOUBLE))
+                                        + (1.0 - pos_right
+                                                 / CAST(n_right AS DOUBLE))
+                                          * (1.0 - pos_right
+                                                   / CAST(n_right
+                                                          AS DOUBLE)))))
+                           / (CAST(n_left AS DOUBLE)
+                              + CAST(n_right AS DOUBLE))
+                           * 1000000) AS BIGINT) AS split_gini_micro
+                FROM cand),
+            rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY feature
+                       ORDER BY split_gini_micro ASC, feature ASC,
+                                bucket ASC) AS r
+                   FROM g)
+            SELECT feature, bucket, threshold, n_left, n_right, pos_left,
+                   pos_right, split_gini_micro
+            FROM rk WHERE r = 1
+        """,
         # q_target_encode: identical operator arithmetic — integer
         # micro-unit target sums, global mean as DOUBLE/DOUBLE/1e6 (the
         # float()-before-divide contract in features.target_encoding),

@@ -88,6 +88,8 @@ from flood_data_spark.datapipe.market import (
     frequent_pairs,
 )
 from flood_data_spark.datapipe.classifier import (
+    best_split,
+    split_candidates,
     evaluate_binary,
     evaluate_binary_by,
     platt_calibrate,
@@ -98,7 +100,7 @@ from flood_data_spark.datapipe.classifier import (
 
 __all__ = [
     "target_encoding", "apply_target_encoding", "loo_encoding",
-    "woe_encoding",
+    "woe_encoding", "best_split", "split_candidates",
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
     "dedup_against", "exact_dedup", "ngram_containment",

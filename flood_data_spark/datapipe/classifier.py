@@ -490,3 +490,111 @@ def roc_points(df: DataFrame, score_col: str = "clf_score",
             .select(F.col("s").alias("score"),
                     F.round(F.col("cum_tp") / F.col("np"), 6).alias("tpr"),
                     F.round(F.col("cum_fp") / F.col("nn"), 6).alias("fpr")))
+
+
+def split_candidates(df: DataFrame, feature_cols, label_col: str,
+                     n_buckets: int = 16) -> DataFrame:
+    """Candidate decision-stump splits for a binary label: for every
+    feature and every equi-depth boundary threshold, the weighted Gini
+    impurity of the (x <= t) / (x > t) partition — the inner loop of
+    CART/GBDT tree induction, run as pure aggregates (the histogram-based
+    split finding of LightGBM/XGBoost-hist).
+
+    Plan (two corpus scans, then candidate-sized everything):
+    1. ONE aggregate computes every feature's B-1 exact quantile
+       boundaries from one percentile buffer each (`stats.equidepth_bounds`
+       one-pass form, all features together) — driver-bounded at
+       F×(B-1) doubles by contract.
+    2. ONE scan explodes each row to its F (feature, bucket) pairs via a
+       literal comparison ladder (codegen, no join) and counts
+       (n, n_pos) per (feature, bucket) cell — shuffle carries at most
+       F×B cells per partition.
+    3. Split statistics are prefix sums OVER THE CELL RELATION (F×B rows
+       — the window is tiny by construction, documented exception to the
+       no-unpartitioned-window rule it doesn't even need: partitioned by
+       feature).
+
+    Exactness: all counts are exact integers; the Gini expression is a
+    fixed DOUBLE tree over them, rounded ONCE to micro-units
+    (split_gini_micro).  Degenerate splits (empty side) are dropped;
+    features with no spread produce no candidates.
+
+    Returns (feature, bucket, threshold, n_left, n_right, pos_left,
+    pos_right, split_gini_micro).
+    """
+    from flood_data_spark.operators.stats import bucket_expr
+
+    feats = list(feature_cols)
+    if n_buckets < 2:
+        raise ValueError(f"split_candidates: n_buckets must be >= 2, "
+                         f"got {n_buckets}")
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(*[F.percentile(
+        F.col(f), F.array(*[F.lit(p) for p in ps])).alias(f)
+        for f in feats]).collect()[0]
+    bounds = {f: [float(b) for b in (row[f] or [])] for f in feats}
+
+    lab = F.col(label_col).cast("int")
+    pairs = F.array(*[
+        F.struct(F.lit(f).alias("feature"),
+                 bucket_expr(f, bounds[f]).alias("bucket"))
+        for f in feats])
+    cells = (df.select(F.explode(pairs).alias("fb"), lab.alias("_y"))
+             .groupBy(F.col("fb.feature").alias("feature"),
+                      F.col("fb.bucket").alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum("_y").alias("_np")))
+
+    w = Window.partitionBy("feature").orderBy("bucket")
+    wt = Window.partitionBy("feature")
+    cum = (cells
+           .withColumn("n_left", F.sum("_n").over(w))
+           .withColumn("pos_left", F.sum("_np").over(w))
+           .withColumn("_nt", F.sum("_n").over(wt))
+           .withColumn("_pt", F.sum("_np").over(wt))
+           .withColumn("n_right", F.col("_nt") - F.col("n_left"))
+           .withColumn("pos_right", F.col("_pt") - F.col("pos_left")))
+
+    # threshold lookup: bucket b's upper boundary is bounds[f][b-1]
+    spark = df.sparkSession
+    thr_rows = [(f, i + 1, b) for f in feats
+                for i, b in enumerate(bounds[f])]
+    if not thr_rows:
+        return spark.createDataFrame(
+            [], "feature string, bucket int, threshold double, "
+                "n_left long, n_right long, pos_left long, "
+                "pos_right long, split_gini_micro long")
+    thr = spark.createDataFrame(
+        thr_rows, "feature string, bucket int, threshold double")
+
+    nl = F.col("n_left").cast("double")
+    nr = F.col("n_right").cast("double")
+    pl = F.col("pos_left").cast("double") / nl
+    pr = F.col("pos_right").cast("double") / nr
+    gini_l = 1.0 - (pl * pl + (1.0 - pl) * (1.0 - pl))
+    gini_r = 1.0 - (pr * pr + (1.0 - pr) * (1.0 - pr))
+    weighted = (nl * gini_l + nr * gini_r) / (nl + nr)
+    return (cum.join(F.broadcast(thr), on=["feature", "bucket"],
+                     how="inner")
+            .filter((F.col("n_left") > 0) & (F.col("n_right") > 0))
+            .withColumn("split_gini_micro",
+                        F.round(weighted * 1_000_000).cast("long"))
+            .select("feature", "bucket", "threshold", "n_left", "n_right",
+                    "pos_left", "pos_right", "split_gini_micro"))
+
+
+def best_split(df: DataFrame, feature_cols, label_col: str,
+               n_buckets: int = 16, per_feature: bool = False) -> DataFrame:
+    """The stump: lowest weighted-Gini candidate, deterministic tiebreak
+    (gini, then feature name, then bucket).  `per_feature=True` returns
+    each feature's own best (the boosting-round inner table); default is
+    the single global winner."""
+    cand = split_candidates(df, feature_cols, label_col, n_buckets)
+    part = ["feature"] if per_feature else []
+    w = (Window.partitionBy(*part) if part else Window.partitionBy()) \
+        .orderBy(F.col("split_gini_micro").asc(), F.col("feature").asc(),
+                 F.col("bucket").asc())
+    # candidate relation is F×B rows by construction — the global window
+    # ranks dozens of rows, never the corpus
+    return (cand.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk"))

@@ -24,6 +24,13 @@ from flood_data_spark.operators.timeseries import (
     sessionize,
 )
 from flood_data_spark.operators.scd import scd2_apply, scd2_as_of
+from flood_data_spark.operators.stats import (
+    acf,
+    equidepth_histogram,
+    profile_table,
+    trend_stats,
+    with_robust_outliers,
+)
 from flood_data_spark.operators.experiment import (
     km_survival,
     two_proportion_ztest,
@@ -39,4 +46,6 @@ __all__ = [
     "asof_join", "sessionize", "seasonal_decompose",
     "radius_lookup", "scd2_apply", "scd2_as_of",
     "km_survival", "two_proportion_ztest",
+    "acf", "equidepth_histogram", "profile_table", "trend_stats",
+    "with_robust_outliers",
 ]

@@ -206,3 +206,60 @@ def equidepth_histogram(df: DataFrame, value_col: str,
                  F.round(F.min(value_col), 2).alias("lo"),
                  F.round(F.max(value_col), 2).alias("hi"),
                  F.round(F.avg(value_col), 6).alias("avg_value")))
+
+
+def acf(df: DataFrame, value_col: str, order_col: str,
+        partition_cols, max_lag: int = 7) -> DataFrame:
+    """Sample autocorrelation per series at lags 1..max_lag — the Pearson
+    correlation between x_t and x_{t+k} over each key's overlapping pairs
+    (the Box-Jenkins model-identification statistic, and the standard
+    "is this metric seasonal / mean-reverting" profile read).
+
+    Plan (one key exchange, lag-bounded fan-out):
+    - ONE window pass per key materializes all max_lag leads as an array
+      (the sort is the only shuffle — the canonical per-key series
+      exchange shared with `timeseries.with_ewma`);
+    - posexplode fans each row out max_lag ways (a constant, not a join),
+      NULL leads past the series edge drop;
+    - groupBy(key, lag) reduces to a key×lag-sized relation of exact
+      integer moment sums with map-side partial aggregation.
+
+    Exactness contract (the value-oracle discipline): values are rounded
+    ONCE to integer micro-units; all five moment sums are exact BIGINTs
+    (order-free), and the correlation is computed from them in DOUBLE with
+    a fixed expression tree — bit-identical on any engine.  The BIGINT
+    product bound is the caller's contract: n_k · (max|x|·1e6)² must fit
+    int64 (any per-key series of values |x| ≤ ~30 up to 10k points, or
+    pre-scale).  r is NULL for a constant series (zero variance).
+    """
+    if max_lag < 1:
+        raise ValueError(f"acf: max_lag must be >= 1, got {max_lag}")
+    from pyspark.sql import Window
+    keys = list(partition_cols)
+    x_mu = F.round(F.col(value_col) * 1_000_000).cast("long")
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    leads = F.array(*[F.lead(x_mu, k).over(w) for k in
+                      range(1, max_lag + 1)])
+    pairs = (df.select(*keys, x_mu.alias("_x"), leads.alias("_ls"))
+             .select(*keys, "_x",
+                     F.posexplode("_ls").alias("_k0", "_y"))
+             .filter(F.col("_y").isNotNull())
+             .select(*keys, (F.col("_k0") + 1).alias("lag"),
+                     "_x", "_y"))
+    sums = (pairs.groupBy(*keys, "lag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_x").alias("_sx"),
+                 F.sum("_y").alias("_sy"),
+                 F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+                 F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+                 F.sum(F.col("_x") * F.col("_y")).alias("_sxy")))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (sums.withColumn("acf", F.round(num / F.nullif(den, F.lit(0.0)),
+                                           6))
+            .select(*keys, "lag", "n", "acf"))

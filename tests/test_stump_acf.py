@@ -1,0 +1,114 @@
+"""ACF (operators/stats.acf) + decision stump (datapipe/classifier
+.best_split) — closed-form tests."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flood_data_spark.datapipe.classifier import best_split, split_candidates
+from flood_data_spark.operators.stats import acf
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "k string, t int, v double")
+
+
+def test_acf_linear_series_is_one(spark):
+    df = _series(spark, [("a", i, float(i)) for i in range(1, 8)])
+    got = {r.lag: (r.n, r.acf) for r in
+           acf(df, "v", "t", ("k",), max_lag=3).collect()}
+    # a linear series is perfectly autocorrelated at every lag
+    assert got[1] == (6, 1.0)
+    assert got[2] == (5, 1.0)
+    assert got[3] == (4, 1.0)
+
+
+def test_acf_alternating_series(spark):
+    df = _series(spark, [("a", i, float(1 if i % 2 else -1))
+                         for i in range(8)])
+    got = {r.lag: r.acf for r in
+           acf(df, "v", "t", ("k",), max_lag=2).collect()}
+    assert got[1] == -1.0
+    assert got[2] == 1.0
+
+
+def test_acf_constant_series_is_null(spark):
+    df = _series(spark, [("a", i, 5.0) for i in range(5)])
+    got = [r.acf for r in acf(df, "v", "t", ("k",), max_lag=1).collect()]
+    assert got == [None]
+
+
+def test_acf_short_series_drops_lags(spark):
+    df = _series(spark, [("a", 0, 1.0), ("a", 1, 2.0)])
+    lags = {r.lag for r in acf(df, "v", "t", ("k",), max_lag=5).collect()}
+    assert lags == {1}          # only one overlapping pair exists
+
+
+def test_acf_keys_are_independent(spark):
+    df = _series(spark, [("a", i, float(i)) for i in range(5)]
+                 + [("b", i, float(-i)) for i in range(5)])
+    got = {(r.k, r.lag): r.acf
+           for r in acf(df, "v", "t", ("k",), max_lag=1).collect()}
+    assert got[("a", 1)] == 1.0 and got[("b", 1)] == 1.0
+
+
+def test_acf_rejects_bad_max_lag(spark):
+    df = _series(spark, [("a", 0, 1.0)])
+    with pytest.raises(ValueError, match="max_lag"):
+        acf(df, "v", "t", ("k",), max_lag=0)
+
+
+def _stump_df(spark, rows):
+    return spark.createDataFrame(rows, "x double, z double, y int")
+
+
+def test_best_split_finds_perfect_separator(spark):
+    # label is exactly x > 4; z is noise constant (no candidates)
+    rows = [(float(i), 1.0, int(i > 4)) for i in range(1, 9)]
+    df = _stump_df(spark, rows)
+    best = best_split(df, ("x", "z"), "y", n_buckets=4).collect()
+    assert len(best) == 1
+    b = best[0]
+    assert b.feature == "x"
+    assert b.threshold == pytest.approx(4.5)
+    assert b.split_gini_micro == 0
+    assert (b.n_left, b.n_right, b.pos_left, b.pos_right) == (4, 4, 0, 4)
+
+
+def test_split_candidates_drops_degenerate_and_constant(spark):
+    rows = [(float(i), 7.0, i % 2) for i in range(1, 9)]
+    cand = split_candidates(_stump_df(spark, rows), ("x", "z"), "y",
+                            n_buckets=4).collect()
+    feats = {c.feature for c in cand}
+    assert feats == {"x"}       # constant z yields no usable boundary
+    for c in cand:
+        assert c.n_left > 0 and c.n_right > 0
+        assert c.n_left + c.n_right == 8
+
+
+def test_best_split_per_feature_mode(spark):
+    rows = [(float(i), float(i % 3), int(i > 4)) for i in range(1, 13)]
+    per = best_split(_stump_df(spark, rows), ("x", "z"), "y",
+                     n_buckets=4, per_feature=True).collect()
+    assert {p.feature for p in per} == {"x", "z"}
+    by = {p.feature: p for p in per}
+    # x separates perfectly, z barely helps
+    assert by["x"].split_gini_micro < by["z"].split_gini_micro
+
+
+def test_split_candidates_gini_closed_form(spark):
+    # one feature, force the 50% boundary: left {0,0}, right {0,1}
+    rows = [(1.0, 0.0, 0), (2.0, 0.0, 0), (3.0, 0.0, 0), (4.0, 0.0, 1)]
+    cand = {c.threshold: c for c in
+            split_candidates(_stump_df(spark, rows), ("x",), "y",
+                             n_buckets=2).collect()}
+    # single boundary at median 2.5: left {1,2}→pure, right {3,4}→gini .5
+    c = cand[2.5]
+    assert (c.n_left, c.n_right, c.pos_left, c.pos_right) == (2, 2, 0, 1)
+    assert c.split_gini_micro == 250000     # (2*0 + 2*0.5)/4 = 0.25
+
+
+def test_split_candidates_rejects_bad_buckets(spark):
+    df = _stump_df(spark, [(1.0, 1.0, 0)])
+    with pytest.raises(ValueError, match="n_buckets"):
+        split_candidates(df, ("x",), "y", n_buckets=1)

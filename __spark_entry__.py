@@ -3037,6 +3037,24 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the customer↔part implicit
+    matrix (datapipe/recommend — Sarwar 2001 / Amazon item-to-item):
+    basket-capped user self-join (max_basket=40, lowest-item-id
+    truncation), pair counts >= 3, cosine over binary vectors from exact
+    integer counts, top-5 per item with the (cosine DESC, neighbor ASC)
+    tiebreak."""
+    from flood_data_spark.datapipe.recommend import (
+        item_similarity, item_topk)
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inter = orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+    sim = item_similarity(inter, "o_custkey", "l_partkey",
+                          max_basket=40, min_count=3)
+    return item_topk(sim, k=5)
+
+
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample autocorrelation of each event type's daily-mean series at
     lags 1..7 (operators/stats.acf — the Box-Jenkins seasonality probe).
@@ -3301,7 +3319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (timeseries/grid/curation) — every registry entry is driver-checked
     # within the last two rounds.
     return {
-        # --- round 8, session 4: stats + stump + encoders ---
+        # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_item_cf": q_item_cf,
         "q_acf": q_acf,
         "q_tree_stump": q_tree_stump,
         "q_target_encode": q_target_encode,
@@ -4030,6 +4049,43 @@ def oracle_sql() -> dict[str, str]:
     cms_col = ("CAST(('0x' || substr(md5('cms' || {r} || ':' || token), "
                "1, 13)) AS BIGINT) % 512")
     d = {
+        # q_item_cf: the same capped-basket relation, pair counts, and
+        # cosine-from-integer-counts expression, rank over the round-6
+        # value with the identical tiebreak.
+        "q_item_cf": """
+            WITH raw AS (
+                SELECT DISTINCT o_custkey AS u, l_partkey AS i
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            b AS (SELECT u, i FROM (
+                      SELECT u, i, row_number() OVER (
+                          PARTITION BY u ORDER BY i ASC) AS rk
+                      FROM raw) WHERE rk <= 40),
+            pc AS (SELECT a.i AS ia, c.i AS ib,
+                          CAST(count(*) AS BIGINT) AS n_common
+                   FROM b a JOIN b c ON a.u = c.u AND a.i < c.i
+                   GROUP BY a.i, c.i
+                   HAVING count(*) >= 3),
+            deg AS (SELECT i, CAST(count(*) AS BIGINT) AS n
+                    FROM b GROUP BY i),
+            sim AS (SELECT pc.ia AS item_a, pc.ib AS item_b, pc.n_common,
+                           da.n AS n_a, db.n AS n_b,
+                           round(CAST(pc.n_common AS DOUBLE)
+                                 / sqrt(CAST(da.n AS DOUBLE)
+                                        * CAST(db.n AS DOUBLE)), 6)
+                               AS cosine
+                    FROM pc JOIN deg da ON pc.ia = da.i
+                            JOIN deg db ON pc.ib = db.i),
+            sym AS (SELECT item_a AS item, item_b AS neighbor, cosine
+                    FROM sim
+                    UNION ALL
+                    SELECT item_b, item_a, cosine FROM sim),
+            rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY item
+                       ORDER BY cosine DESC, neighbor ASC) AS r
+                   FROM sym)
+            SELECT item, neighbor, cosine, CAST(r AS INT) AS rank
+            FROM rk WHERE r <= 5
+        """,
         # q_acf: the lead-window pair relation restated as a row-number
         # self-join; identical exact-integer moment sums and the same
         # fixed double expression tree for the correlation.

@@ -83,6 +83,11 @@ from flood_data_spark.datapipe.features import (
     target_encoding,
     woe_encoding,
 )
+from flood_data_spark.datapipe.recommend import (
+    item_cooccurrence,
+    item_similarity,
+    item_topk,
+)
 from flood_data_spark.datapipe.market import (
     association_rules,
     frequent_pairs,
@@ -101,6 +106,7 @@ from flood_data_spark.datapipe.classifier import (
 __all__ = [
     "target_encoding", "apply_target_encoding", "loo_encoding",
     "woe_encoding", "best_split", "split_candidates",
+    "item_cooccurrence", "item_similarity", "item_topk",
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
     "dedup_against", "exact_dedup", "ngram_containment",

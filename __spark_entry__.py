@@ -3037,6 +3037,20 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based mutual-NN bitext mining between the even- and odd-id
+    embedding halves (datapipe/similarity.mine_bitext — the Artetxe &
+    Schwenk 2019 ratio margin that LASER/CCMatrix/NLLB mine parallel
+    corpora with, k=4 neighborhood): cosines in integer micro-units,
+    exact k-NN sums, fixed double margin tree."""
+    from flood_data_spark.datapipe.similarity import mine_bitext
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return mine_bitext(src, tgt, k=4, mutual=True)
+
+
 def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering over the customer↔part implicit
     matrix (datapipe/recommend — Sarwar 2001 / Amazon item-to-item):
@@ -3320,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_bitext_mine": q_bitext_mine,
         "q_item_cf": q_item_cf,
         "q_acf": q_acf,
         "q_tree_stump": q_tree_stump,
@@ -4049,6 +4064,47 @@ def oracle_sql() -> dict[str, str]:
     cms_col = ("CAST(('0x' || substr(md5('cms' || {r} || ':' || token), "
                "1, 13)) AS BIGINT) % 512")
     d = {
+        # q_bitext_mine: dense src×tgt scored once with the identical
+        # micro-unit cosine (incl. the 1e-300 zero-norm guard), both
+        # direction ranks, exact k-NN sums, the same margin double tree.
+        "q_bitext_mine": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            s AS (SELECT vec_id AS src_id, e FROM v WHERE vec_id % 2 = 0),
+            t AS (SELECT vec_id AS tgt_id, e FROM v WHERE vec_id % 2 = 1),
+            scored AS (
+                SELECT src_id, tgt_id,
+                       CAST(round(list_dot_product(s.e, t.e)
+                                  / greatest(
+                                      sqrt(list_dot_product(s.e, s.e))
+                                      * sqrt(list_dot_product(t.e, t.e)),
+                                      1e-300)
+                                  * 1000000) AS BIGINT) AS cosine_mu
+                FROM s, t),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY src_id
+                           ORDER BY cosine_mu DESC, tgt_id ASC) AS rs,
+                       row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY cosine_mu DESC, src_id ASC) AS rt
+                FROM scored),
+            ss AS (SELECT src_id, CAST(sum(cosine_mu) AS BIGINT) AS ssum,
+                          CAST(count(*) AS BIGINT) AS sk
+                   FROM ranked WHERE rs <= 4 GROUP BY src_id),
+            ts AS (SELECT tgt_id, CAST(sum(cosine_mu) AS BIGINT) AS tsum,
+                          CAST(count(*) AS BIGINT) AS tk
+                   FROM ranked WHERE rt <= 4 GROUP BY tgt_id)
+            SELECT r.src_id, r.tgt_id, r.cosine_mu,
+                   round(CAST(r.cosine_mu AS DOUBLE)
+                         / ((CAST(ss.ssum AS DOUBLE) / ss.sk
+                             + CAST(ts.tsum AS DOUBLE) / ts.tk) / 2.0),
+                         6) AS margin
+            FROM ranked r
+            JOIN ss ON r.src_id = ss.src_id
+            JOIN ts ON r.tgt_id = ts.tgt_id
+            WHERE r.rs = 1 AND r.rt = 1
+        """,
         # q_item_cf: the same capped-basket relation, pair counts, and
         # cosine-from-integer-counts expression, rank over the round-6
         # value with the identical tiebreak.

@@ -30,6 +30,7 @@ from flood_data_spark.datapipe.similarity import (
     ivf_probe,
     ivf_topk,
     lsh_bucketed_topk,
+    mine_bitext,
 )
 from flood_data_spark.datapipe.curation import (
     assign_split,
@@ -106,7 +107,7 @@ from flood_data_spark.datapipe.classifier import (
 __all__ = [
     "target_encoding", "apply_target_encoding", "loo_encoding",
     "woe_encoding", "best_split", "split_candidates",
-    "item_cooccurrence", "item_similarity", "item_topk",
+    "item_cooccurrence", "item_similarity", "item_topk", "mine_bitext",
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
     "dedup_against", "exact_dedup", "ngram_containment",

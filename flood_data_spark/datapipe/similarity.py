@@ -1095,3 +1095,68 @@ def ir_metrics(ranked: DataFrame, relevant: DataFrame, k: int = 10,
                     F.round(F.col("n_retrieved_at_k")
                             / F.col("n_relevant").cast("double"), 6)
                     .alias("recall_at_k")))
+
+
+def mine_bitext(src: DataFrame, tgt: DataFrame, k: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                mutual: bool = True) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding spaces —
+    the Artetxe & Schwenk 2019 "ratio margin" criterion that LASER /
+    CCMatrix / NLLB use to mine bitext from comparable corpora:
+
+        margin(x, y) = cos(x, y) / ((mean_kNN_cos(x) + mean_kNN_cos(y)) / 2)
+
+    i.e. a pair only counts if it stands out ABOVE each side's local
+    cosine neighborhood (raw cosine thresholds fail under hubness).
+    Returns (src_id, tgt_id, cosine_mu, margin) for pairs where tgt is
+    src's nearest neighbor AND vice versa (`mutual=False` keeps all
+    src→top-1 candidates — the forward-mining mode).
+
+    Plan: ONE scored src×tgt relation feeds both direction ranks (two
+    window passes) and both k-NN mean aggregates — the corpus is scored
+    once, everything after is pair-relation-sized.  This exact path is
+    for BOUNDED sides by contract (the oracle baseline, like
+    `cosine_topk_bruteforce`); at corpus scale the identical margin
+    arithmetic runs over `ivf_topk`/`lsh_bucketed_topk` candidate pairs
+    instead of the dense product (the ANN-ladder scale path — candidate
+    generation changes, the criterion does not).
+
+    Determinism: cosines round ONCE to integer micro-units (cosine_mu),
+    k-NN sums are exact BIGINTs, the margin is a fixed double tree over
+    them (round 6); all ranks carry (cosine_mu DESC, id ASC) tiebreaks.
+    """
+    if k < 1:
+        raise ValueError(f"mine_bitext: k must be >= 1, got {k}")
+    s = _spread(src.select(F.col(id_col).alias("src_id"),
+                           _as_double(F.col(vec_col)).alias("svec")))
+    t = tgt.select(F.col(id_col).alias("tgt_id"),
+                   _as_double(F.col(vec_col)).alias("tvec"))
+    scored = (s.join(F.broadcast(t))
+              .select("src_id", "tgt_id",
+                      F.round(cosine_similarity(F.col("svec"),
+                                                F.col("tvec"))
+                              * 1_000_000).cast("long")
+                      .alias("cosine_mu")))
+    ws = (Window.partitionBy("src_id")
+          .orderBy(F.desc("cosine_mu"), F.asc("tgt_id")))
+    wt = (Window.partitionBy("tgt_id")
+          .orderBy(F.desc("cosine_mu"), F.asc("src_id")))
+    ranked = (scored.withColumn("rs", F.row_number().over(ws))
+              .withColumn("rt", F.row_number().over(wt)))
+    ranked = ranked.localCheckpoint()   # scored once, consumed 3×
+    s_stats = (ranked.filter(F.col("rs") <= k).groupBy("src_id")
+               .agg(F.sum("cosine_mu").alias("_ssum"),
+                    F.count(F.lit(1)).alias("_sk")))
+    t_stats = (ranked.filter(F.col("rt") <= k).groupBy("tgt_id")
+               .agg(F.sum("cosine_mu").alias("_tsum"),
+                    F.count(F.lit(1)).alias("_tk")))
+    cands = ranked.filter((F.col("rs") == 1) & (F.col("rt") == 1)
+                          if mutual else (F.col("rs") == 1))
+    den = ((F.col("_ssum").cast("double") / F.col("_sk")
+            + F.col("_tsum").cast("double") / F.col("_tk")) / 2.0)
+    return (cands
+            .join(F.broadcast(s_stats), on="src_id")
+            .join(F.broadcast(t_stats), on="tgt_id")
+            .withColumn("margin",
+                        F.round(F.col("cosine_mu").cast("double") / den, 6))
+            .select("src_id", "tgt_id", "cosine_mu", "margin"))

@@ -3037,6 +3037,32 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketches (k=256) of the part sets bought on even- vs
+    odd-keyed orders + the cross-corpus Jaccard estimate (datapipe/
+    sketches.kmv_sketch/kmv_distinct_estimate/kmv_jaccard — Beyer et al.
+    2007).  The md5-derived 52-bit hashes make every estimate a pure
+    function of the key sets, so this is a FULL value oracle of a
+    sketch estimator."""
+    from flood_data_spark.datapipe.sketches import (
+        kmv_distinct_estimate, kmv_jaccard, kmv_sketch)
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = kmv_sketch(li.filter(F.col("l_orderkey") % 2 == 0),
+                   "l_partkey", k=256)
+    b = kmv_sketch(li.filter(F.col("l_orderkey") % 2 == 1),
+                   "l_partkey", k=256)
+    a = a.localCheckpoint()     # each sketch feeds two consumers
+    b = b.localCheckpoint()
+    ea = (kmv_distinct_estimate(a, 256)
+          .select(F.col("n_kept").alias("n_a"),
+                  F.col("est_distinct").alias("est_a")))
+    eb = (kmv_distinct_estimate(b, 256)
+          .select(F.col("n_kept").alias("n_b"),
+                  F.col("est_distinct").alias("est_b")))
+    return ea.crossJoin(eb).crossJoin(kmv_jaccard(a, b, 256))
+
+
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based mutual-NN bitext mining between the even- and odd-id
     embedding halves (datapipe/similarity.mine_bitext — the Artetxe &
@@ -3334,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_kmv_overlap": q_kmv_overlap,
         "q_bitext_mine": q_bitext_mine,
         "q_item_cf": q_item_cf,
         "q_acf": q_acf,
@@ -4064,6 +4091,54 @@ def oracle_sql() -> dict[str, str]:
     cms_col = ("CAST(('0x' || substr(md5('cms' || {r} || ':' || token), "
                "1, 13)) AS BIGINT) % 512")
     d = {
+        # q_kmv_overlap: identical md5-52-bit hashing (the _cms_col
+        # DuckDB form), bottom-k via ORDER BY/LIMIT, the same saturated
+        # vs exact-count estimator branch, and the bottom-k-of-union
+        # Jaccard membership count.
+        "q_kmv_overlap": """
+            WITH ha AS (
+                SELECT DISTINCT CAST(('0x' || substr(md5(
+                    'kmv:' || CAST(l_partkey AS VARCHAR)), 1, 13))
+                    AS BIGINT) AS h
+                FROM lineitem WHERE l_orderkey % 2 = 0),
+            hb AS (
+                SELECT DISTINCT CAST(('0x' || substr(md5(
+                    'kmv:' || CAST(l_partkey AS VARCHAR)), 1, 13))
+                    AS BIGINT) AS h
+                FROM lineitem WHERE l_orderkey % 2 = 1),
+            ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+            kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+            ea AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+                          round(CASE WHEN count(*) < 256
+                                THEN CAST(count(*) AS DOUBLE)
+                                ELSE (CAST(255 AS DOUBLE)
+                                      * CAST(4503599627370496 AS DOUBLE))
+                                     / CAST(max(h) AS DOUBLE) END, 6)
+                              AS est_a
+                   FROM ka),
+            eb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+                          round(CASE WHEN count(*) < 256
+                                THEN CAST(count(*) AS DOUBLE)
+                                ELSE (CAST(255 AS DOUBLE)
+                                      * CAST(4503599627370496 AS DOUBLE))
+                                     / CAST(max(h) AS DOUBLE) END, 6)
+                              AS est_b
+                   FROM kb),
+            x AS (SELECT h FROM (SELECT h FROM ka UNION
+                                 SELECT h FROM kb)
+                  ORDER BY h LIMIT 256),
+            j AS (SELECT CAST((SELECT count(*) FROM x) AS BIGINT)
+                             AS n_union_kept,
+                         CAST((SELECT count(*) FROM x
+                               WHERE h IN (SELECT h FROM ka)
+                                 AND h IN (SELECT h FROM kb))
+                              AS BIGINT) AS n_both)
+            SELECT ea.n_a, ea.est_a, eb.n_b, eb.est_b, j.n_union_kept,
+                   j.n_both,
+                   round(CAST(j.n_both AS DOUBLE) / j.n_union_kept, 6)
+                       AS jaccard
+            FROM ea, eb, j
+        """,
         # q_bitext_mine: dense src×tgt scored once with the identical
         # micro-unit cosine (incl. the 1e-300 zero-norm guard), both
         # direction ranks, exact k-NN sums, the same margin double tree.

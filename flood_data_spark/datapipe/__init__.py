@@ -63,6 +63,9 @@ from flood_data_spark.datapipe.sketches import (
     cms_build,
     cms_estimate,
     cms_merge,
+    kmv_distinct_estimate,
+    kmv_jaccard,
+    kmv_sketch,
 )
 from flood_data_spark.datapipe.graph import (
     adamic_adar,
@@ -108,6 +111,7 @@ __all__ = [
     "target_encoding", "apply_target_encoding", "loo_encoding",
     "woe_encoding", "best_split", "split_candidates",
     "item_cooccurrence", "item_similarity", "item_topk", "mine_bitext",
+    "kmv_sketch", "kmv_distinct_estimate", "kmv_jaccard",
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
     "dedup_against", "exact_dedup", "ngram_containment",

@@ -196,3 +196,71 @@ def corpus_report(df: DataFrame, text_col: str = "text",
     n = len(agg.columns)
     pairs = ", ".join(f"'{c}', cast({c} as double)" for c in agg.columns)
     return agg.select(F.expr(f"stack({n}, {pairs}) as (metric, value)"))
+
+
+_KMV_SPACE = float(2 ** 52)
+
+
+def _kmv_hash(key_col, salt: str = "") -> Column:
+    """52-bit uniform hash of a key: md5 truncated to 13 hex digits (the
+    `_cms_col`/bloom trick — exactly representable in a BIGINT and
+    replicable in ANSI SQL, so sketches are engine-portable artifacts)."""
+    h = F.md5(F.concat(F.lit(f"kmv{salt}:"), key_col.cast("string")))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint")
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 256,
+               salt: str = "") -> DataFrame:
+    """K-minimum-values sketch of a key column: the k SMALLEST distinct
+    52-bit hashes, as a ≤k-row relation of BIGINTs (column `h`).
+
+    Why KMV next to HLL (`corpus_distinct_stats`): HLL registers merge
+    only by max — union cardinality works, INTERSECTIONS don't.  KMV
+    sketches support set algebra (Beyer et al. 2007): the union of two
+    sketches' bottom-k is the bottom-k of the union, and membership of a
+    hash in both sketches estimates the Jaccard directly
+    (`kmv_jaccard`).  That is the "how much do these two corpora / days /
+    sources overlap" primitive a dedup planner reads BEFORE paying for a
+    full cross-corpus join.
+
+    Plan: one scan → distinct hash (key-bounded shuffle) → TakeOrdered
+    k (Spark's orderBy+limit physical plan — a per-partition heap + a
+    k-row driver merge, never a global sort).  Mergeable: union sketches
+    and re-take bottom-k, no rescan.  Deterministic (md5): the sketch —
+    and every estimate from it — is a pure function of the key SET.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_sketch: k must be >= 2, got {k}")
+    return (df.select(_kmv_hash(F.col(key_col), salt).alias("h"))
+            .distinct().orderBy(F.asc("h")).limit(k))
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """1-row (n_kept, est_distinct): when the sketch saturated (n == k),
+    D̂ = (k-1) · 2^52 / h_(k) — the classic bottom-k estimator; when it
+    didn't, every key was seen and the count IS the answer."""
+    agg = sketch.agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.max("h").alias("_hk"))
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(_KMV_SPACE))
+                / F.col("_hk").cast("double"))
+    return agg.select("n_kept", F.round(est, 6).alias("est_distinct"))
+
+
+def kmv_jaccard(sketch_a: DataFrame, sketch_b: DataFrame,
+                k: int) -> DataFrame:
+    """1-row (n_union_kept, n_both, jaccard): bottom-k of the union as
+    the sample X, Ĵ = |X ∩ A ∩ B| / |X| (Beyer et al. 2007).  All
+    relations are ≤k rows — the estimate costs nothing at any corpus
+    size once the sketches exist."""
+    x = (sketch_a.unionByName(sketch_b).distinct()
+         .orderBy(F.asc("h")).limit(k))
+    both = (x.join(sketch_a, on="h", how="left_semi")
+            .join(sketch_b, on="h", how="left_semi"))
+    nx = x.agg(F.count(F.lit(1)).alias("n_union_kept"))
+    nb = both.agg(F.count(F.lit(1)).alias("n_both"))
+    return (nx.crossJoin(nb)
+            .select("n_union_kept", "n_both",
+                    F.round(F.col("n_both").cast("double")
+                            / F.col("n_union_kept"), 6).alias("jaccard")))

@@ -3037,6 +3037,27 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query nDCG@10 of the exact-cosine retriever against
+    label-match relevance (datapipe/similarity.ndcg_at_k) — the
+    position-discounted twin of q_ir_metrics on the SAME fixture.
+    1/log2 gains micro-rounded once, DCG/IDCG exact BIGINT sums."""
+    from flood_data_spark.datapipe.similarity import (
+        cosine_topk_bruteforce, ndcg_at_k)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    ranked = cosine_topk_bruteforce(emb, queries, k=10)
+    relevant = (queries.select(F.col("vec_id").alias("query_id"),
+                               F.col("label").alias("_ql"))
+                .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                 F.col("label").alias("_nl")),
+                      F.col("_ql") == F.col("_nl"))
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+                .select("query_id", "neighbor_id"))
+    return ndcg_at_k(ranked, relevant, k=10)
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k sketches (k=256) of the part sets bought on even- vs
     odd-keyed orders + the cross-corpus Jaccard estimate (datapipe/
@@ -3360,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_ndcg": q_ndcg,
         "q_kmv_overlap": q_kmv_overlap,
         "q_bitext_mine": q_bitext_mine,
         "q_item_cf": q_item_cf,
@@ -4091,6 +4113,62 @@ def oracle_sql() -> dict[str, str]:
     cms_col = ("CAST(('0x' || substr(md5('cms' || {r} || ':' || token), "
                "1, 13)) AS BIGINT) % 512")
     d = {
+        # q_ndcg: the q_cosine_topk ranking chain + label-match relevance,
+        # micro-rounded 1/log2 gains, the IDCG prefix table regenerated
+        # from a series cumsum (same rounded integers as the driver-side
+        # literals — the micro-round of an irrational is engine-safe).
+        "q_ndcg": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+                FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.e, c.e)
+                             / (sqrt(list_dot_product(q.e, q.e))
+                                * sqrt(list_dot_product(c.e, c.e))), 6)
+                           AS cosine
+                FROM v q JOIN v c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 20),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored),
+            rel AS (
+                SELECT DISTINCT q.vec_id AS query_id,
+                                c.vec_id AS neighbor_id
+                FROM v q JOIN v c
+                  ON q.label = c.label AND q.vec_id != c.vec_id
+                WHERE q.vec_id < 20),
+            hits AS (
+                SELECT r.query_id,
+                       CAST(round(1000000 / log2(r.rank + 1)) AS BIGINT)
+                           AS g
+                FROM ranked r
+                JOIN rel ON r.query_id = rel.query_id
+                        AND r.neighbor_id = rel.neighbor_id
+                WHERE r.rank <= 10),
+            dcg AS (SELECT query_id, CAST(sum(g) AS BIGINT) AS dcg_mu
+                    FROM hits GROUP BY query_id),
+            den AS (SELECT query_id,
+                           CAST(count(*) AS BIGINT) AS n_relevant
+                    FROM rel GROUP BY query_id),
+            idcg AS (
+                SELECT i.i AS nrel,
+                       CAST(sum(CAST(round(1000000 / log2(j.j + 1))
+                                     AS BIGINT)) AS BIGINT) AS idcg_mu
+                FROM generate_series(1, 10) i(i)
+                JOIN generate_series(1, 10) j(j) ON j.j <= i.i
+                GROUP BY i.i)
+            SELECT d.query_id, d.n_relevant,
+                   CAST(coalesce(g.dcg_mu, 0) AS BIGINT) AS dcg_mu,
+                   ic.idcg_mu,
+                   round(CAST(coalesce(g.dcg_mu, 0) AS DOUBLE)
+                         / ic.idcg_mu, 6) AS ndcg
+            FROM den d
+            LEFT JOIN dcg g ON d.query_id = g.query_id
+            JOIN idcg ic ON ic.nrel = least(d.n_relevant, 10)
+        """,
         # q_kmv_overlap: identical md5-52-bit hashing (the _cms_col
         # DuckDB form), bottom-k via ORDER BY/LIMIT, the same saturated
         # vs exact-count estimator branch, and the bottom-k-of-union

@@ -159,6 +159,16 @@ BENCH_QUERIES = [
     "q_interval_join",
     "q_ohlc",
     "q_twap",
+    # round-8 session 4: encoders + stump + ACF + CF + bitext + KMV.
+    # q_item_cf (capped-basket self-join, ~12M pairs at sf0.1) and
+    # q_bitext_mine (2.5k x 2.5k dense halves) are the two heavy ones —
+    # min-of-2 per the heavy-entry discipline.
+    "q_item_cf",
+    "q_bitext_mine",
+    "q_tree_stump",
+    "q_acf",
+    "q_target_encode",
+    "q_kmv_overlap",
 ]
 
 _IVF_INDEX = {}
@@ -689,7 +699,8 @@ def main():
                  "q_contamination", "q_clean_lines", "q_line_dedup",
                  "q_bm25_index_build", "q_bpe_encode_x10",
                  "q_bloom_dedup_x10", "q_cms_build_x10", "q_funnel_x10",
-                 "q_winnow_full", "q_jaccard_prefix_zipf"}
+                 "q_winnow_full", "q_jaccard_prefix_zipf",
+                 "q_item_cf", "q_bitext_mine"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

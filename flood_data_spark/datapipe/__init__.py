@@ -31,6 +31,7 @@ from flood_data_spark.datapipe.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
     mine_bitext,
+    ndcg_at_k,
 )
 from flood_data_spark.datapipe.curation import (
     assign_split,
@@ -111,7 +112,7 @@ __all__ = [
     "target_encoding", "apply_target_encoding", "loo_encoding",
     "woe_encoding", "best_split", "split_candidates",
     "item_cooccurrence", "item_similarity", "item_topk", "mine_bitext",
-    "kmv_sketch", "kmv_distinct_estimate", "kmv_jaccard",
+    "kmv_sketch", "kmv_distinct_estimate", "kmv_jaccard", "ndcg_at_k",
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
     "dedup_against", "exact_dedup", "ngram_containment",

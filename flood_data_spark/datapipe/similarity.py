@@ -1160,3 +1160,61 @@ def mine_bitext(src: DataFrame, tgt: DataFrame, k: int = 4,
             .withColumn("margin",
                         F.round(F.col("cosine_mu").cast("double") / den, 6))
             .select("src_id", "tgt_id", "cosine_mu", "margin"))
+
+
+def ndcg_at_k(ranked: DataFrame, relevant: DataFrame, k: int = 10,
+              query_col: str = "query_id",
+              doc_col: str = "neighbor_id") -> DataFrame:
+    """Per-query nDCG@k (binary relevance) — the position-discounted
+    retrieval metric `ir_metrics` doesn't cover: a relevant doc at rank 1
+    is worth 1/log2(2), at rank 10 only 1/log2(11), so rank ORDER inside
+    the top k matters, not just membership.
+
+        DCG@k  = Σ_{hit at rank r ≤ k} 1/log2(r+1)
+        IDCG@k = Σ_{i=1..min(R,k)}     1/log2(i+1)      (R = |relevant|)
+
+    Same contracts as `ir_metrics`: ranked rows unique per (query, doc),
+    relevance pairs deduplicated here, queries with zero hits score 0 —
+    never silently dropped.  Plan: one (query, doc) join + one
+    groupBy(query) (eval-set-sized) + a broadcast join against the k-row
+    IDCG prefix table (driver-computed exact integers).
+
+    Determinism: each 1/log2 gain rounds ONCE to integer micro-units
+    (irrational — the micro-round-safety precedent), DCG/IDCG are exact
+    BIGINT sums of those, ndcg is one division rounded to 6.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError(f"ndcg_at_k: k must be >= 1, got {k}")
+    relevant = relevant.select(query_col, doc_col).distinct()
+    gains = [round(1_000_000 / math.log2(i + 1)) for i in
+             range(1, k + 1)]
+    cums, run = [], 0
+    for g in gains:
+        run += g
+        cums.append(run)
+    spark = ranked.sparkSession
+    idcg_tbl = spark.createDataFrame(
+        [(i + 1, cums[i]) for i in range(k)], "_nrel int, idcg_mu long")
+
+    gain_mu = F.round(F.lit(1_000_000.0)
+                      / F.log2(F.col("rank") + 1)).cast("long")
+    hits = (ranked.filter(F.col("rank") <= k)
+            .join(relevant.select(F.col(query_col).alias("_q"),
+                                  F.col(doc_col).alias("_d")),
+                  (F.col(query_col) == F.col("_q"))
+                  & (F.col(doc_col) == F.col("_d")), "left_semi"))
+    dcg = (hits.groupBy(query_col)
+           .agg(F.sum(gain_mu).alias("dcg_mu")))
+    denom = (relevant.groupBy(query_col)
+             .agg(F.count(F.lit(1)).alias("n_relevant")))
+    out = (denom.join(dcg, query_col, "left")
+           .na.fill({"dcg_mu": 0})
+           .withColumn("_nrel",
+                       F.least(F.col("n_relevant"), F.lit(k)).cast("int"))
+           .join(F.broadcast(idcg_tbl), on="_nrel"))
+    return (out.withColumn(
+                "ndcg", F.round(F.col("dcg_mu").cast("double")
+                                / F.col("idcg_mu"), 6))
+            .select(query_col, "n_relevant", "dcg_mu", "idcg_mu", "ndcg"))

@@ -3037,6 +3037,19 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact functional-dependency discovery over four orders columns
+    (operators/stats.fd_report — the TANE-level-1 / candidate-key
+    primitive of a profiler): 12 ordered pairs, each with its exact
+    violation count; o_orderkey → * is how a profiler finds the key it
+    was never told about.  All-integer output."""
+    from flood_data_spark.operators.stats import fd_report
+
+    return fd_report(_t(spark, sf_dir, "orders"),
+                     ("o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_orderpriority"))
+
+
 def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query nDCG@10 of the exact-cosine retriever against
     label-match relevance (datapipe/similarity.ndcg_at_k) — the
@@ -3381,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_fd_discovery": q_fd_discovery,
         "q_ndcg": q_ndcg,
         "q_kmv_overlap": q_kmv_overlap,
         "q_bitext_mine": q_bitext_mine,
@@ -8352,4 +8366,24 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY bm25 DESC, doc_id ASC
         LIMIT 10
     """
+
+    # q_fd_discovery: one grouped multi-countDistinct subquery per
+    # determinant, 3 rows each — generated, not hand-unrolled, but the
+    # SQL is static given the fixed column list.
+    _fd_cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority"]
+    _fd_parts = []
+    for _a in _fd_cols:
+        _others = [b for b in _fd_cols if b != _a]
+        _nds = ", ".join(f"count(DISTINCT {b}) AS nd_{b}" for b in _others)
+        _grp = (f"(SELECT {_a} AS a, {_nds} FROM orders "
+                f"GROUP BY {_a})")
+        for _b in _others:
+            _fd_parts.append(f"""
+            SELECT '{_a}' AS determinant, '{_b}' AS dependent,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(nd_{_b} - 1) AS BIGINT) AS n_violations,
+                   (max(nd_{_b}) = 1) AS holds
+            FROM {_grp}""")
+    d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
     return d

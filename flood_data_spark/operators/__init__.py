@@ -26,6 +26,7 @@ from flood_data_spark.operators.timeseries import (
 from flood_data_spark.operators.scd import scd2_apply, scd2_as_of
 from flood_data_spark.operators.stats import (
     acf,
+    fd_report,
     equidepth_histogram,
     profile_table,
     trend_stats,
@@ -46,6 +47,7 @@ __all__ = [
     "asof_join", "sessionize", "seasonal_decompose",
     "radius_lookup", "scd2_apply", "scd2_as_of",
     "km_survival", "two_proportion_ztest",
-    "acf", "equidepth_histogram", "profile_table", "trend_stats",
+    "acf", "fd_report", "equidepth_histogram", "profile_table",
+    "trend_stats",
     "with_robust_outliers",
 ]

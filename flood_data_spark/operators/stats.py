@@ -263,3 +263,49 @@ def acf(df: DataFrame, value_col: str, order_col: str,
     return (sums.withColumn("acf", F.round(num / F.nullif(den, F.lit(0.0)),
                                            6))
             .select(*keys, "lag", "n", "acf"))
+
+
+def fd_report(df: DataFrame, cols) -> DataFrame:
+    """Exact functional-dependency discovery over a candidate column set:
+    for every ordered pair (A, B), does A → B hold (every A-value maps to
+    exactly one B-value), and if not, how badly is it violated?  The
+    schema-inference / candidate-key primitive of a data profiler (TANE's
+    level-1, done exactly) — "o_orderkey determines everything" is how a
+    profiler discovers a key it was never told about.
+
+    Returns (determinant, dependent, n_groups, n_violations, holds):
+    n_groups = |distinct A|, n_violations = Σ_A (|distinct B within A| -
+    1) — 0 iff the FD holds, and otherwise the exact number of extra
+    B-values a repair would have to collapse.
+
+    Plan: ONE groupBy(A) job per determinant (|cols| shuffles total, each
+    map-side combined; the multi-countDistinct rides one Expand of
+    |cols|-1 — the candidate set is bounded by contract, this is a
+    profiling operator, not a corpus operator).  The per-group distinct
+    counts collapse to a |cols|-row stack + a dependent-keyed aggregate,
+    so nothing after the first aggregate is data-sized.  All outputs are
+    exact integers (trivially engine-portable).
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"fd_report: need >= 2 columns, got {len(cols)}")
+    parts = []
+    for a in cols:
+        others = [b for b in cols if b != a]
+        per_group = (df.groupBy(a)
+                     .agg(*[F.countDistinct(b).alias(b) for b in others]))
+        items = ", ".join(f"'{b}', {b}" for b in others)
+        long = per_group.selectExpr(
+            f"stack({len(others)}, {items}) AS (dependent, _nd)")
+        parts.append(
+            long.groupBy("dependent")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum(F.col("_nd") - 1).alias("n_violations"),
+                 F.max("_nd").alias("_max_nd"))
+            .select(F.lit(a).alias("determinant"), "dependent",
+                    "n_groups", "n_violations",
+                    (F.col("_max_nd") == 1).alias("holds")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

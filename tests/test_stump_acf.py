@@ -112,3 +112,27 @@ def test_split_candidates_rejects_bad_buckets(spark):
     df = _stump_df(spark, [(1.0, 1.0, 0)])
     with pytest.raises(ValueError, match="n_buckets"):
         split_candidates(df, ("x",), "y", n_buckets=1)
+
+
+def test_fd_report_detects_key_and_violations(spark):
+    from flood_data_spark.operators.stats import fd_report
+    rows = [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, "b", "z")]
+    df = spark.createDataFrame(rows, "id long, g string, v string")
+    got = {(r.determinant, r.dependent): r
+           for r in fd_report(df, ("id", "g", "v")).collect()}
+    # id is a key: determines everything with zero violations
+    assert got[("id", "g")].holds and got[("id", "v")].holds
+    assert got[("id", "g")].n_violations == 0
+    assert got[("id", "g")].n_groups == 4
+    # g -> v violated exactly once (b maps to y AND z)
+    gv = got[("g", "v")]
+    assert not gv.holds and gv.n_violations == 1 and gv.n_groups == 2
+    # v -> g holds (each of x,y,z maps to one g)
+    assert got[("v", "g")].holds
+
+
+def test_fd_report_needs_two_columns(spark):
+    from flood_data_spark.operators.stats import fd_report
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="columns"):
+        fd_report(df, ("id",))

@@ -3037,6 +3037,19 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (datapipe/text.textrank_keywords,
+    Mihalcea & Tarau 2004): per-document PageRank over word
+    co-occurrence graphs (window 2, damping 0.85), 3 iterations, top-5
+    words per document for doc_id < 120.  Ranks live in integer
+    micro-units with per-edge rounding, so all three ITERATIONS of this
+    iterative algorithm unroll bit-exactly in the SQL oracle."""
+    from flood_data_spark.datapipe.text import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return textrank_keywords(docs, window=2, n_iter=3, k=5)
+
+
 def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact functional-dependency discovery over four orders columns
     (operators/stats.fd_report — the TANE-level-1 / candidate-key
@@ -3394,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_textrank": q_textrank,
         "q_fd_discovery": q_fd_discovery,
         "q_ndcg": q_ndcg,
         "q_kmv_overlap": q_kmv_overlap,
@@ -8386,4 +8400,57 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_textrank: all 3 power iterations unrolled — each round repeats
+    # the identical (contribution, damping-update) CTE pair; generated
+    # because the rounds are verbatim-identical, static given n_iter=3.
+    _tr_rounds = []
+    for _i in range(1, 4):
+        _prev = f"r{_i - 1}"
+        _tr_rounds.append(f"""
+            c{_i} AS (
+                SELECT a.id, a.v AS u,
+                       CAST(sum(CAST(round(r.r * a.w / n.wdeg)
+                                     AS BIGINT)) AS BIGINT) AS s
+                FROM adj a
+                JOIN {_prev} r ON a.id = r.id AND a.u = r.u
+                JOIN nodes n ON a.id = n.id AND a.u = n.u
+                GROUP BY a.id, a.v),
+            r{_i} AS (
+                SELECT n.id, n.u,
+                       CAST(round((1.0 - 0.85) * 1000000.0
+                                  + 0.85 * coalesce(c.s, 0)) AS BIGINT)
+                           AS r
+                FROM nodes n
+                LEFT JOIN c{_i} c ON n.id = c.id AND n.u = c.u)""")
+    d["q_textrank"] = f"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '\\s+'),
+                               x -> x <> '') AS l
+            FROM documents WHERE doc_id < 120),
+        prs AS (
+            SELECT id, unnest(
+                [[least(l[i], l[i+1]), greatest(l[i], l[i+1])]
+                 for i in range(1, len(l))]
+                || [[least(l[i], l[i+2]), greatest(l[i], l[i+2])]
+                    for i in range(1, len(l) - 1)]) AS p
+            FROM toks),
+        e AS (SELECT id, p[1] AS a, p[2] AS b,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM prs WHERE p[1] <> p[2] GROUP BY id, p[1], p[2]),
+        adj AS (SELECT id, a AS u, b AS v, w FROM e
+                UNION ALL SELECT id, b, a, w FROM e),
+        nodes AS (SELECT id, u, CAST(sum(w) AS BIGINT) AS wdeg
+                  FROM adj GROUP BY id, u),
+        r0 AS (SELECT id, u, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        {','.join(_tr_rounds)},
+        rk AS (SELECT id AS doc_id, u AS keyword, r AS rank_mu,
+                      row_number() OVER (PARTITION BY id
+                          ORDER BY r DESC, u ASC) AS pos
+               FROM r3)
+        SELECT doc_id, keyword, rank_mu, CAST(pos AS INT) AS pos
+        FROM rk WHERE pos <= 5
+    """
     return d

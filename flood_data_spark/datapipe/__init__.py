@@ -1,4 +1,5 @@
 from flood_data_spark.datapipe.text import (
+    textrank_keywords,
     tfidf_topk,
     term_rows,
     with_token_count,
@@ -113,6 +114,7 @@ __all__ = [
     "woe_encoding", "best_split", "split_candidates",
     "item_cooccurrence", "item_similarity", "item_topk", "mine_bitext",
     "kmv_sketch", "kmv_distinct_estimate", "kmv_jaccard", "ndcg_at_k",
+    "textrank_keywords",
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
     "dedup_against", "exact_dedup", "ngram_containment",

@@ -1008,3 +1008,91 @@ def expansion_terms(df: DataFrame, query_terms, n_feedback: int = 10,
     rows = (scored.orderBy(F.desc("score"), F.asc("term"))
             .limit(n_expansion).collect())
     return [r["term"] for r in rows]
+
+
+def textrank_keywords(df: DataFrame, window: int = 2, n_iter: int = 3,
+                      k: int = 5, damping: float = 0.85,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): per-document
+    PageRank over the word co-occurrence graph, top-k words per document
+    — the unsupervised keyword/keyphrase baseline of every document-
+    understanding pipeline.
+
+    Construction (all row-local until the counts): canonical undirected
+    word pairs within `window` positions via the `cooccurrence_pmi`
+    slice-zip (no positional self-join), per-DOCUMENT edge weights,
+    symmetric adjacency, weighted degrees.  Then `n_iter` damped
+    power-iteration rounds, each ONE edge-sized join + ONE (doc, word)
+    groupBy — the `graph.pagerank` plan economics with (doc, word)
+    composite keys, adjacency/nodes checkpointed once and ranks
+    checkpointed per round.
+
+    Bit-exact iteration (stronger than the q_pagerank final-round trick):
+    ranks live in integer micro-units; every edge contribution rounds
+    ONCE (round(r_mu·w / wdeg) — a division of exact integers), so the
+    per-node sum is an exact BIGINT and the damping update rounds one
+    fixed double expression back to BIGINT.  Every iteration is
+    engine-replayable, which is what lets the gate unroll all rounds in
+    ANSI SQL and hash the VALUES of an iterative algorithm.
+
+    Returns (id_col, keyword, rank_mu, pos) — pos 1..k by
+    (rank_mu DESC, keyword ASC).  Documents with < 2 distinct
+    co-occurring words yield no rows (no graph, no keywords).
+    """
+    if window < 1 or n_iter < 1 or k < 1:
+        raise ValueError("textrank_keywords: window, n_iter, k must all "
+                         f"be >= 1 (got {window}, {n_iter}, {k})")
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    toks = _words(F.col(text_col))
+    n = F.size(toks)
+    pair_arrays = [
+        F.when(n >= d + 1,
+               F.arrays_zip(F.slice(toks, 1, n - d).alias("w1"),
+                            F.slice(toks, 1 + d, n - d).alias("w2")))
+        .otherwise(F.array())
+        for d in range(1, window + 1)
+    ]
+    pairs = (df.select(F.col(id_col), F.explode(F.concat(*pair_arrays))
+                       .alias("pr"))
+             .filter(F.col("pr.w1") != F.col("pr.w2"))
+             .select(id_col,
+                     F.least("pr.w1", "pr.w2").alias("a"),
+                     F.greatest("pr.w1", "pr.w2").alias("b")))
+    edges = (pairs.groupBy(id_col, "a", "b")
+             .agg(F.count(F.lit(1)).alias("weight")))
+    adj = (edges.select(id_col, F.col("a").alias("u"),
+                        F.col("b").alias("v"), "weight")
+           .unionByName(edges.select(id_col, F.col("b").alias("u"),
+                                     F.col("a").alias("v"), "weight"))
+           .localCheckpoint(eager=False))
+    nodes = (adj.groupBy(id_col, "u")
+             .agg(F.sum("weight").alias("wdeg"))
+             .localCheckpoint(eager=False))
+
+    ranks = nodes.withColumn("r_mu", F.lit(1_000_000).cast("long"))
+    for it in range(n_iter):
+        contrib = (ranks.join(adj, on=[id_col, "u"])
+                   .select(id_col, F.col("v").alias("u"),
+                           F.round(F.col("r_mu") * F.col("weight")
+                                   / F.col("wdeg")).cast("long")
+                           .alias("_c"))
+                   .groupBy(id_col, "u").agg(F.sum("_c").alias("_s")))
+        r_mu = F.round((F.lit(1.0) - F.lit(damping))
+                       * F.lit(1_000_000.0)
+                       + F.lit(damping) * F.coalesce(F.col("_s"),
+                                                     F.lit(0))
+                       ).cast("long")
+        ranks = (nodes.join(contrib, on=[id_col, "u"], how="left")
+                 .select(id_col, "u", "wdeg", r_mu.alias("r_mu")))
+        if it + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
+
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("r_mu").desc(), F.col("u").asc()))
+    return (ranks.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= k)
+            .select(id_col, F.col("u").alias("keyword"),
+                    F.col("r_mu").alias("rank_mu"),
+                    F.col("pos").cast("int").alias("pos")))

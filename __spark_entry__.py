@@ -3037,6 +3037,24 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+_PIP_POLY = [(0.1, 0.5), (0.5, 0.5), (0.5, 3.0), (0.2, 3.0),
+             (0.2, 6.0), (0.5, 6.0), (0.5, 9.0), (0.1, 9.0)]
+
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-odd ray-casting containment of every synthetic grid cell
+    center against a CONCAVE C-shaped basin outline (functions/geometry
+    .point_in_polygon): the polygon is a literal comparison ladder —
+    zero shuffle, zero joins, a free rider on the scan.  Full value
+    oracle: every crossing term is mirrored literal double arithmetic."""
+    from flood_data_spark.functions.geometry import point_in_polygon
+
+    return (point_in_polygon(_grid_cells(spark, sf_dir),
+                             "latitude", "longitude", _PIP_POLY)
+            .select("partkey", "latitude", "longitude", "n_crossings",
+                    "inside"))
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction (datapipe/text.textrank_keywords,
     Mihalcea & Tarau 2004): per-document PageRank over word
@@ -3407,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_point_in_polygon": q_point_in_polygon,
         "q_textrank": q_textrank,
         "q_fd_discovery": q_fd_discovery,
         "q_ndcg": q_ndcg,
@@ -8400,6 +8419,30 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_point_in_polygon: one CASE term per polygon edge generated from
+    # the SAME vertex list the Spark ladder is built from — literal
+    # double arithmetic, mirrored expression by expression.
+    _pip_terms = []
+    for _i, (_x1, _y1) in enumerate(_PIP_POLY):
+        _x2, _y2 = _PIP_POLY[(_i + 1) % len(_PIP_POLY)]
+        _pip_terms.append(
+            f"CASE WHEN (({_y1!r} > latitude) != ({_y2!r} > latitude)) "
+            f"AND (longitude < ({_x2!r} - {_x1!r}) "
+            f"* (latitude - {_y1!r}) / ({_y2!r} - {_y1!r}) + {_x1!r}) "
+            f"THEN 1 ELSE 0 END")
+    d["q_point_in_polygon"] = f"""
+        WITH cells AS (
+            SELECT p_partkey AS partkey,
+                   round(0.025 + (p_partkey % 200) * 0.05, 3) AS latitude,
+                   round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT)
+                                  % 200) * 0.05, 3) AS longitude
+            FROM part)
+        SELECT partkey, latitude, longitude,
+               CAST({' + '.join(_pip_terms)} AS INT) AS n_crossings,
+               (({' + '.join(_pip_terms)}) % 2 = 1) AS inside
+        FROM cells
+    """
 
     # q_textrank: all 3 power iterations unrolled — each round repeats
     # the identical (contribution, damping-update) CTE pair; generated

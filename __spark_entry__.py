@@ -3037,6 +3037,21 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-window Holt double-exponential smoothing per user
+    (operators/timeseries.with_holt, α=0.5 β=0.25 window=8): the
+    level+trend recursion as a bounded row-local struct fold.  RAW
+    bit-identical doubles — the oracle folds [level, trend] pairs with
+    the same operation order (the q_ewma no-rounding discipline)."""
+    from flood_data_spark.operators.timeseries import with_holt
+
+    ev = (_t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+          .select("event_id", "user_id", "ts", "value"))
+    return with_holt(ev, key_col="user_id", ts_col="ts",
+                     value_col="value", alpha=0.5, beta=0.25, window=8,
+                     tiebreak_col="event_id")
+
+
 _PIP_POLY = [(0.1, 0.5), (0.5, 0.5), (0.5, 3.0), (0.2, 3.0),
              (0.2, 6.0), (0.5, 6.0), (0.5, 9.0), (0.1, 9.0)]
 
@@ -3425,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_holt": q_holt,
         "q_point_in_polygon": q_point_in_polygon,
         "q_textrank": q_textrank,
         "q_fd_discovery": q_fd_discovery,
@@ -8419,6 +8435,45 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_holt: the 2-state fold as a pair-list reduce — elements lifted
+    # to [x, 0] so DuckDB 1.0's same-type list_reduce carries the
+    # [level, trend] accumulator; operation order mirrors with_holt's
+    # struct fold exactly, doubles compared RAW.
+    d["q_holt"] = """
+        WITH ev AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE user_id < 25),
+        arrs AS (
+            SELECT event_id, user_id, ts, value,
+                   list(CAST(value AS DOUBLE)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+            FROM ev),
+        folded AS (
+            SELECT event_id, user_id, ts, value, arr,
+                   CASE WHEN len(arr) >= 2 THEN list_reduce(
+                       list_prepend([arr[1], arr[2] - arr[1]],
+                                    [[e, CAST(0 AS DOUBLE)]
+                                     for e in arr[3:]]),
+                       (acc, x) -> [
+                           0.5 * x[1] + (1.0 - 0.5) * (acc[1] + acc[2]),
+                           0.25 * ((0.5 * x[1]
+                                    + (1.0 - 0.5) * (acc[1] + acc[2]))
+                                   - acc[1])
+                           + (1.0 - 0.25) * acc[2]])
+                   END AS st
+            FROM arrs)
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN len(arr) >= 2 THEN st[1] ELSE arr[1] END
+                   AS holt_level,
+               CASE WHEN len(arr) >= 2 THEN st[2]
+                    ELSE CAST(0 AS DOUBLE) END AS holt_trend,
+               (CASE WHEN len(arr) >= 2 THEN st[1] ELSE arr[1] END)
+               + (CASE WHEN len(arr) >= 2 THEN st[2]
+                       ELSE CAST(0 AS DOUBLE) END) AS holt_forecast
+        FROM folded
+    """
 
     # q_point_in_polygon: one CASE term per polygon edge generated from
     # the SAME vertex list the Spark ladder is built from — literal

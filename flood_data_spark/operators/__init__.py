@@ -22,6 +22,7 @@ from flood_data_spark.operators.timeseries import (
     asof_join,
     seasonal_decompose,
     sessionize,
+    with_holt,
 )
 from flood_data_spark.operators.scd import scd2_apply, scd2_as_of
 from flood_data_spark.operators.stats import (
@@ -48,6 +49,6 @@ __all__ = [
     "radius_lookup", "scd2_apply", "scd2_as_of",
     "km_survival", "two_proportion_ztest",
     "acf", "fd_report", "equidepth_histogram", "profile_table",
-    "trend_stats",
+    "trend_stats", "with_holt",
     "with_robust_outliers",
 ]

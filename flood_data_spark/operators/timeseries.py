@@ -597,3 +597,60 @@ def interval_join(points: DataFrame, intervals: DataFrame,
             .filter((F.col(point_ts) >= F.col(start_col))
                     & (F.col(point_ts) < F.col(end_col)))
             .drop("_bk"))
+
+
+def with_holt(df: DataFrame, key_col: str = "user_id",
+              ts_col: str = "ts", value_col: str = "value",
+              alpha: float = 0.5, beta: float = 0.25, window: int = 8,
+              tiebreak_col: str | None = None) -> DataFrame:
+    """Truncated-window Holt double-exponential smoothing per key — the
+    level+trend forecaster one rung above `with_ewma`:
+
+        l_i = α·x_i + (1-α)·(l_{i-1} + t_{i-1})
+        t_i = β·(l_i - l_{i-1}) + (1-β)·t_{i-1}
+
+    seeded with l = x_1, t = x_2 - x_1 over the trailing `window`
+    observations; adds (holt_level, holt_trend, holt_forecast) where
+    forecast = level + trend is the one-step-ahead prediction.
+
+    Same machinery and contracts as `with_ewma`: one ordered window
+    collects a bounded O(window) array per row, a row-LOCAL fold runs
+    the 2-state recursion with a struct accumulator; fold order is
+    engine-identical, so with binary-fraction α/β the outputs are
+    BIT-IDENTICAL raw doubles (no rounding — the q_ewma half-point
+    lesson).  Single-observation windows degrade to level = x, trend =
+    0.  NULL observations break the fold (the collect_list drop) —
+    filter upstream.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"with_holt: alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"with_holt: beta must be in [0, 1], got {beta}")
+    if window < 2:
+        raise ValueError("with_holt: window must be >= 2")
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(window - 1), 0))
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a, b = F.lit(float(alpha)), F.lit(float(beta))
+
+    def step(acc, x):
+        new_l = a * x + (F.lit(1.0) - a) * (acc["l"] + acc["t"])
+        new_t = (b * (new_l - acc["l"]) + (F.lit(1.0) - b) * acc["t"])
+        return F.struct(new_l.alias("l"), new_t.alias("t"))
+
+    seed = F.struct(
+        F.element_at(arr, 1).alias("l"),
+        (F.element_at(arr, 2) - F.element_at(arr, 1)).alias("t"))
+    folded = F.aggregate(
+        F.slice(arr, 3, F.greatest(F.size(arr) - 2, F.lit(0))),
+        seed, step)
+    level = F.when(F.size(arr) >= 2, folded["l"]) \
+        .otherwise(F.element_at(arr, 1))
+    trend = F.when(F.size(arr) >= 2, folded["t"]).otherwise(F.lit(0.0))
+    return (df.withColumn("holt_level", level)
+            .withColumn("holt_trend", trend)
+            .withColumn("holt_forecast",
+                        F.col("holt_level") + F.col("holt_trend")))

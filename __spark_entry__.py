@@ -3037,6 +3037,24 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group median imputation (datapipe/curation.impute_missing):
+    values > 95 masked NULL, refilled with each event type's exact
+    median (one percentile buffer, broadcast back — NULL rows never
+    shuffle).  The quantile_cont bit-identity carries the value
+    oracle."""
+    from flood_data_spark.datapipe.curation import impute_missing
+
+    ev = (_t(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+          .select("event_id", "event_type",
+                  F.when(F.col("value") > 95, None)
+                  .otherwise(F.col("value")).alias("v")))
+    return (impute_missing(ev, "v", ("event_type",), strategy="median",
+                           out_col="value_filled")
+            .select("event_id", "event_type", "was_imputed",
+                    "value_filled"))
+
+
 def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated-window Holt double-exponential smoothing per user
     (operators/timeseries.with_holt, α=0.5 β=0.25 window=8): the
@@ -3440,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_impute": q_impute,
         "q_holt": q_holt,
         "q_point_in_polygon": q_point_in_polygon,
         "q_textrank": q_textrank,
@@ -8435,6 +8454,21 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_impute: identical mask, per-type exact median (quantile_cont
+    # bit-identity), left-join fill.
+    d["q_impute"] = """
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CASE WHEN value > 95 THEN NULL ELSE value END AS v
+            FROM events WHERE user_id < 150),
+        st AS (SELECT event_type, quantile_cont(v, 0.5) AS f
+               FROM ev WHERE v IS NOT NULL GROUP BY event_type)
+        SELECT e.event_id, e.event_type,
+               (e.v IS NULL AND st.f IS NOT NULL) AS was_imputed,
+               coalesce(e.v, st.f) AS value_filled
+        FROM ev e LEFT JOIN st ON e.event_type = st.event_type
+    """
 
     # q_holt: the 2-state fold as a pair-list reduce — elements lifted
     # to [x, 0] so DuckDB 1.0's same-type list_reduce carries the

@@ -41,6 +41,7 @@ from flood_data_spark.datapipe.curation import (
     clean_lines,
     dedup_lines,
     hash_sample,
+    impute_missing,
     pack_sequences,
     redact_pii,
     stratified_sample,
@@ -114,7 +115,7 @@ __all__ = [
     "woe_encoding", "best_split", "split_candidates",
     "item_cooccurrence", "item_similarity", "item_topk", "mine_bitext",
     "kmv_sketch", "kmv_distinct_estimate", "kmv_jaccard", "ndcg_at_k",
-    "textrank_keywords",
+    "textrank_keywords", "impute_missing",
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
     "dedup_against", "exact_dedup", "ngram_containment",

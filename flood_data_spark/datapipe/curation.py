@@ -716,3 +716,62 @@ def quality_tiers(df: DataFrame, value_col: str,
     tier = (F.lit(labels[-1]) if expr is None
             else expr.otherwise(F.lit(labels[-1])))
     return ranked.withColumn(out_col, tier)
+
+
+def impute_missing(df: DataFrame, value_col: str, group_cols=(),
+                   strategy: str = "median",
+                   out_col: str | None = None) -> DataFrame:
+    """Fill NULLs in `value_col` with a per-group statistic — the
+    tabular-cleaning step between "drop the row" and "train a model to
+    fill it":
+
+    - ``median``: exact percentile(0.5) per group (one percentile buffer
+      — the q_threshold_summary trick, linear-interpolated, matches
+      DuckDB quantile_cont bit-for-bit);
+    - ``mean``: integer micro-unit sums / count (a division of exact
+      integers — the features.py discipline), so the fill is
+      engine-portable;
+    - ``mode``: most frequent non-null value, ties broken by LOWEST
+      value (deterministic): one (group, value) count + one min_by over
+      a (count DESC → via negation, value ASC) struct ordering.
+
+    Plan: a group-cardinality aggregate + a broadcast join back; NULL
+    rows never shuffle.  Empty `group_cols` computes one global fill
+    value (a 1-row broadcast — fine at any scale, unlike the global
+    windows `pack_sequences` warns about).  A group whose values are ALL
+    NULL keeps its NULLs (no statistic exists) — count them with
+    `plans.checks` if that's a contract violation.
+
+    Adds `out_col` (default: overwrite `value_col`); the original NULL
+    mask is recoverable via `was_imputed`.
+    """
+    if strategy not in ("median", "mean", "mode"):
+        raise ValueError(f"impute_missing: unknown strategy {strategy!r}")
+    keys = list(group_cols)
+    out = out_col or value_col
+    v = F.col(value_col)
+    nn = df.filter(v.isNotNull())
+    if strategy == "median":
+        fill = F.percentile(v, F.lit(0.5)).alias("_fill")
+    elif strategy == "mean":
+        fill = ((F.sum(F.round(v * 1_000_000).cast("long")).cast("double")
+                 / F.count(F.lit(1)) / 1_000_000).alias("_fill"))
+    else:   # mode
+        fill = F.min_by(
+            "_v", F.struct((-F.col("_n")).alias("neg"),
+                           F.col("_v").alias("v"))).alias("_fill")
+    if strategy == "mode":
+        counts = (nn.groupBy(*keys, v.alias("_v"))
+                  .agg(F.count(F.lit(1)).alias("_n")))
+        stats = counts.groupBy(*keys).agg(fill)
+    else:
+        stats = nn.groupBy(*keys).agg(fill)
+    if keys:
+        joined = df.join(F.broadcast(stats), on=keys, how="left")
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
+    return (joined
+            .withColumn("was_imputed", v.isNull()
+                        & F.col("_fill").isNotNull())
+            .withColumn(out, F.coalesce(v, F.col("_fill")))
+            .drop("_fill"))

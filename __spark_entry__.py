@@ -3037,6 +3037,19 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution candidates (datapipe/fuzzy
+    .snm_pairs, Hernández-Stolfo): distinct part names sorted within
+    1-char prefix partitions, each compared to its next 4 sort
+    neighbors via lead() projection columns (never an explode+self-join),
+    length band + bounded levenshtein <= 3.  The OTHER classic blocker
+    next to q_fuzzy_pairs' token blocking."""
+    from flood_data_spark.datapipe.fuzzy import snm_pairs
+
+    return snm_pairs(_t(spark, sf_dir, "part"), id_col="p_partkey",
+                     text_col="p_name", window=4, max_dist=3)
+
+
 def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group median imputation (datapipe/curation.impute_missing):
     values > 95 masked NULL, refilled with each event type's exact
@@ -3458,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_snm_pairs": q_snm_pairs,
         "q_impute": q_impute,
         "q_holt": q_holt,
         "q_point_in_polygon": q_point_in_polygon,
@@ -8454,6 +8468,29 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_snm_pairs: sort ranks within the same 1-char prefix partitions,
+    # rank-distance self-join <= window, identical band + bounded DP.
+    d["q_snm_pairs"] = f"""
+        WITH g AS (
+            SELECT {fuzzy_name} AS name,
+                   min(p_partkey) AS rep_id,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM part GROUP BY 1),
+        r AS (
+            SELECT name, rep_id, n_rows, substr(name, 1, 1) AS pk,
+                   row_number() OVER (PARTITION BY substr(name, 1, 1)
+                                      ORDER BY name ASC) AS rk
+            FROM g)
+        SELECT a.name AS name_a, c.name AS name_b,
+               CAST(a.rep_id AS BIGINT) AS id_a,
+               CAST(c.rep_id AS BIGINT) AS id_b,
+               a.n_rows AS n_a, c.n_rows AS n_b,
+               CAST(levenshtein(a.name, c.name) AS INT) AS dist
+        FROM r a JOIN r c ON a.pk = c.pk AND c.rk - a.rk BETWEEN 1 AND 4
+        WHERE abs(length(a.name) - length(c.name)) <= 3
+          AND levenshtein(a.name, c.name) <= 3
+    """
 
     # q_impute: identical mask, per-type exact median (quantile_cont
     # bit-identity), left-join fill.

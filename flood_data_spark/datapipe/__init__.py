@@ -51,6 +51,7 @@ from flood_data_spark.datapipe.text import repetition_signals
 from flood_data_spark.datapipe.fuzzy import (
     blocked_fuzzy_pairs,
     fuzzy_match_against,
+    snm_pairs,
     name_groups,
 )
 from flood_data_spark.datapipe.linalg import (
@@ -128,6 +129,7 @@ __all__ = [
     "redact_pii", "repetition_signals", "clean_lines", "dedup_lines",
     "assign_split", "stratified_sample", "with_shuffle_key",
     "blocked_fuzzy_pairs", "fuzzy_match_against", "name_groups",
+    "snm_pairs",
     "covariance_matrix", "dim_stats", "gram_matrix",
     "power_iteration_top", "power_iteration_topk", "project_components", "pca_topk",
     "cms_build", "cms_estimate", "cms_merge", "hits", "pagerank",

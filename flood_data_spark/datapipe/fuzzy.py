@@ -161,3 +161,73 @@ def fuzzy_match_against(batch: DataFrame, reference: DataFrame,
     return (cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("name", "match_name", "match_id", "dist"))
+
+
+def snm_pairs(df: DataFrame, id_col: str = "p_partkey",
+              text_col: str = "p_name", window: int = 3,
+              max_dist: int = 2, prefix_len: int = 1,
+              normalize: bool = True) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995):
+    sort the distinct-name relation, compare each name with its next
+    `window` neighbors in sort order — the OTHER classic blocker, which
+    catches pairs `blocked_fuzzy_pairs` misses (edits inside the
+    blocking token move a name to a different block but rarely far in
+    SORT order when the edit is late in the string).
+
+    Scale posture: a truly global sort is the single-task window trap,
+    so the sort runs WITHIN coarse prefix partitions (first
+    `prefix_len` chars of the normalized name) — the standard
+    distributed SNM compromise.  Boundary contract: pairs whose names
+    disagree in the first `prefix_len` chars are missed (they'd sort
+    into different partitions); early-string edits are exactly where
+    sort order diverges anyway, so the recall loss concentrates where
+    SNM is weakest regardless.  Run both blockers and union for the
+    practical recall ceiling.
+
+    Neighbors materialize as `window` lead() PROJECTION COLUMNS over one
+    ordered exchange (the winnowing lag/lead lesson — never an
+    explode+self-join whose post-Generate statistics Catalyst
+    misestimates), then one explode of the w-struct array, the lossless
+    length band, and bounded levenshtein.  Names are distinct by
+    construction, so the sort order is total and deterministic.
+
+    Returns (name_a, name_b, id_a, id_b, n_a, n_b, dist), name_a <
+    name_b in sort order (adjacent-in-sort, so no canonical min/max
+    swap needed).
+    """
+    if window < 1:
+        raise ValueError(f"snm_pairs: window must be >= 1, got {window}")
+    if max_dist < 1:
+        raise ValueError(f"snm_pairs: max_dist must be >= 1, "
+                         f"got {max_dist}")
+    from pyspark.sql import Window
+
+    g = (name_groups(df, id_col, text_col, normalize)
+         .withColumn("_pk", F.substring(F.col("name"), 1, prefix_len)))
+    w_spec = Window.partitionBy("_pk").orderBy(F.col("name").asc())
+    # lead columns must materialize as a PROJECTION before the explode —
+    # Spark rejects window expressions inside a generator
+    led = g.select(
+        F.col("name").alias("name_a"), F.col("rep_id").alias("id_a"),
+        F.col("n_rows").alias("n_a"),
+        *[c for i in range(1, window + 1) for c in (
+            F.lead("name", i).over(w_spec).alias(f"_nm{i}"),
+            F.lead("rep_id", i).over(w_spec).alias(f"_id{i}"),
+            F.lead("n_rows", i).over(w_spec).alias(f"_nr{i}"))])
+    neigh = F.array(*[
+        F.struct(F.col(f"_nm{i}").alias("name_b"),
+                 F.col(f"_id{i}").alias("id_b"),
+                 F.col(f"_nr{i}").alias("n_b"))
+        for i in range(1, window + 1)])
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist)
+    return (led.select("name_a", "id_a", "n_a",
+                       F.explode(neigh).alias("nb"))
+            .select("name_a", "id_a", "n_a", "nb.name_b", "nb.id_b",
+                    "nb.n_b")
+            .filter(F.col("name_b").isNotNull())
+            .filter(F.abs(F.length("name_a") - F.length("name_b"))
+                    <= max_dist)
+            .withColumn("dist", dist)
+            .filter(F.col("dist") >= 0)
+            .select("name_a", "name_b", "id_a", "id_b", "n_a", "n_b",
+                    "dist"))

@@ -130,3 +130,42 @@ def test_prefix_blocking_strategy(spark):
     assert {(r.name_a, r.name_b) for r in got} == {("alpha one", "alphq one")}
     with pytest.raises(ValueError, match="blocking"):
         blocked_fuzzy_pairs(df, block="soundex")
+
+
+def test_snm_pairs_finds_sort_neighbors(spark):
+    from flood_data_spark.datapipe.fuzzy import snm_pairs
+    rows = [(1, "widget alpha"), (2, "widget alphb"), (3, "widget omega"),
+            (4, "zz unrelated")]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    got = {(r.name_a, r.name_b): r.dist
+           for r in snm_pairs(df, window=2, max_dist=2).collect()}
+    # the near-identical pair is adjacent in sort order
+    assert got[("widget alpha", "widget alphb")] == 1
+    # 'widget omega' is within window of alpha/alphb but > max_dist away
+    assert ("widget alpha", "widget omega") not in got
+
+
+def test_snm_prefix_partition_boundary_contract(spark):
+    from flood_data_spark.datapipe.fuzzy import snm_pairs
+    # first-char edit sorts into a different partition: documented miss
+    rows = [(1, "aname x"), (2, "bname x")]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    assert snm_pairs(df, window=3, max_dist=2).count() == 0
+
+
+def test_snm_window_bounds_candidates(spark):
+    from flood_data_spark.datapipe.fuzzy import snm_pairs
+    # 5 names all within dist 1 of sort-adjacent ones; window=1 only
+    # yields adjacent pairs
+    rows = [(i, f"name {chr(97 + i)}") for i in range(5)]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    got = snm_pairs(df, window=1, max_dist=2).collect()
+    assert len(got) == 4            # exactly the 4 adjacent pairs
+
+
+def test_snm_validation(spark):
+    from flood_data_spark.datapipe.fuzzy import snm_pairs
+    df = spark.createDataFrame([(1, "a")], "p_partkey long, p_name string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="window"):
+        snm_pairs(df, window=0)

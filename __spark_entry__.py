@@ -3037,6 +3037,28 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit profile of order totals vs Benford's law
+    (operators/stats.benford_profile): 9-row aggregate, digit from the
+    leading character of the micro-unit BIGINT, expected probabilities
+    and chi-squared terms micro-rounded once — the fraud/synthetic-data
+    tripwire as an exact-integer relation."""
+    from flood_data_spark.operators.stats import benford_profile
+
+    return benford_profile(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of quantity per return flag (operators/stats
+    .gini_concentration): the closed rank formula over exact integer
+    micro sums (one per-group sort exchange + a group-sized aggregate) —
+    the inequality scalar a mixture/cap policy reads."""
+    from flood_data_spark.operators.stats import gini_concentration
+
+    return gini_concentration(_t(spark, sf_dir, "lineitem"),
+                              "l_quantity", ("l_returnflag",))
+
+
 def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood entity-resolution candidates (datapipe/fuzzy
     .snm_pairs, Hernández-Stolfo): distinct part names sorted within
@@ -3471,6 +3493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_benford": q_benford,
+        "q_gini": q_gini,
         "q_snm_pairs": q_snm_pairs,
         "q_impute": q_impute,
         "q_holt": q_holt,
@@ -8468,6 +8492,61 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_benford: expected probabilities embedded as the same Python
+    # float reprs the Spark ladder carries; chi terms mirror the
+    # (n - t·p)²/(t·p) double tree, micro-rounded once.
+    import math as _math
+    _ben_p = {dd: repr(_math.log10(1 + 1 / dd)) for dd in range(1, 10)}
+    _ben_case = " ".join(f"WHEN digit = {dd} THEN {_ben_p[dd]}"
+                         for dd in range(1, 10))
+    d["q_benford"] = f"""
+        WITH base AS (
+            SELECT CAST(substr(CAST(CAST(round(abs(CAST(o_totalprice
+                       AS DOUBLE)) * 1000000) AS BIGINT) AS VARCHAR),
+                       1, 1) AS INT) AS digit
+            FROM orders WHERE o_totalprice IS NOT NULL
+              AND o_totalprice > 0),
+        cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                FROM base WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt),
+        ex AS (SELECT digit, n, t,
+                      CAST((CASE {_ben_case} ELSE 0.0 END) AS DOUBLE)
+                          AS p
+               FROM cnt, tot)
+        SELECT digit, n,
+               CAST(round(p * 1000000) AS BIGINT) AS expected_micro,
+               CAST(round((CAST(n AS DOUBLE) - t * p)
+                          * (CAST(n AS DOUBLE) - t * p)
+                          / (t * p) * 1000000) AS BIGINT)
+                   AS chi2_term_micro
+        FROM ex
+    """
+    # q_gini: identical rank formula; row_number tie order differs
+    # across engines but i·x is invariant under permuting equal values.
+    d["q_gini"] = """
+        WITH base AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity * 1000000) AS BIGINT) AS x
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_quantity > 0),
+        ranked AS (
+            SELECT l_returnflag, x,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY x ASC) AS i
+            FROM base),
+        agg AS (
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(i * x) AS BIGINT) AS six
+            FROM ranked GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round((2.0 * CAST(six AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                     - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+                   AS gini
+        FROM agg
+    """
 
     # q_snm_pairs: sort ranks within the same 1-char prefix partitions,
     # rank-distance self-join <= window, identical band + bounded DP.

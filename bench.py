@@ -169,6 +169,12 @@ BENCH_QUERIES = [
     "q_acf",
     "q_target_encode",
     "q_kmv_overlap",
+    "q_gini",
+    "q_snm_pairs",
+    "q_impute",
+    "q_fd_discovery",
+    "q_holt",
+    "q_textrank_full",
 ]
 
 _IVF_INDEX = {}
@@ -608,7 +614,18 @@ def _q_funnel_x10(spark, sf_dir):
     return funnel(ev, ["view", "click", "purchase"], within_seconds=3600)
 
 
+def _q_textrank_full(spark, sf_dir):
+    """TextRank over the FULL documents table at the bench sf (the gate
+    query caps at doc_id < 120 for oracle cost; the bench measures the
+    per-document graph iteration at corpus volume: 5k docs / ~700k
+    adjacency rows at sf0.1, 3 rounds)."""
+    from flood_data_spark.datapipe.text import textrank_keywords
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(docs, window=2, n_iter=3, k=5)
+
+
 EXTRA_QUERIES = {
+    "q_textrank_full": _q_textrank_full,
     "q_funnel_x10": _q_funnel_x10,
     "q_cms_build_x10": _q_cms_build_x10,
     "q_gopher_rules_full": _q_gopher_rules_full,
@@ -700,7 +717,8 @@ def main():
                  "q_bm25_index_build", "q_bpe_encode_x10",
                  "q_bloom_dedup_x10", "q_cms_build_x10", "q_funnel_x10",
                  "q_winnow_full", "q_jaccard_prefix_zipf",
-                 "q_item_cf", "q_bitext_mine"}
+                 "q_item_cf", "q_bitext_mine", "q_textrank_full",
+                 "q_tree_stump"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

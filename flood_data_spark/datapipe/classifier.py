@@ -528,6 +528,11 @@ def split_candidates(df: DataFrame, feature_cols, label_col: str,
     if n_buckets < 2:
         raise ValueError(f"split_candidates: n_buckets must be >= 2, "
                          f"got {n_buckets}")
+    # NULL labels can't be counted on either side of a split — gate them
+    # before BOTH passes so boundaries and cells see one relation.
+    # (NULL feature values yield NULL buckets and fall out at the
+    # threshold join per feature — no explicit guard needed there.)
+    df = df.filter(F.col(label_col).isNotNull())
     ps = [i / n_buckets for i in range(1, n_buckets)]
     row = df.agg(*[F.percentile(
         F.col(f), F.array(*[F.lit(p) for p in ps])).alias(f)

@@ -66,9 +66,11 @@ def target_encoding(df: DataFrame, cat_cols, target_col: str,
         raise ValueError(f"target_encoding: smoothing must be >= 0, "
                          f"got {smoothing}")
     cat_cols = list(cat_cols)
+    # count NON-NULL targets: sum() skips NULLs, so counting rows would
+    # silently bias the mean of any category with missing labels
     per_cat = (df.select(*cat_cols, _micro(target_col).alias("_y"))
                .groupBy(*cat_cols)
-               .agg(F.count(F.lit(1)).alias("n"),
+               .agg(F.count(F.col("_y")).alias("n"),
                     F.sum("_y").alias("target_sum_micro")))
     # Global mean from the SAME exact integer sums (scalar, bounded).
     tot = per_cat.agg(F.sum("target_sum_micro").alias("s"),
@@ -115,11 +117,13 @@ def loo_encoding(df: DataFrame, cat_cols, target_col: str,
     """
     cat_cols = list(cat_cols)
     rows = df.withColumn("_y_micro", _micro(target_col))
+    # non-null target count (NULL-target rows get a NULL loo and must
+    # not deflate their peers' denominators)
     per_cat = (rows.groupBy(*cat_cols)
-               .agg(F.count(F.lit(1)).alias("_n"),
+               .agg(F.count(F.col("_y_micro")).alias("_n"),
                     F.sum("_y_micro").alias("_s")))
     out = rows.join(F.broadcast(per_cat), on=cat_cols, how="left")
-    loo = F.when(F.col("_n") > 1,
+    loo = F.when(F.col("_y_micro").isNotNull() & (F.col("_n") > 1),
                  (F.col("_s") - F.col("_y_micro"))
                  / (F.col("_n") - 1) / MICRO)
     return out.withColumn(out_col, loo).drop("_y_micro", "_n", "_s")

@@ -1127,10 +1127,14 @@ def mine_bitext(src: DataFrame, tgt: DataFrame, k: int = 4,
     """
     if k < 1:
         raise ValueError(f"mine_bitext: k must be >= 1, got {k}")
-    s = _spread(src.select(F.col(id_col).alias("src_id"),
-                           _as_double(F.col(vec_col)).alias("svec")))
-    t = tgt.select(F.col(id_col).alias("tgt_id"),
-                   _as_double(F.col(vec_col)).alias("tvec"))
+    # NULL embeddings score NULL cosines, which rank NULLS LAST in Spark
+    # but NULLS FIRST in ANSI DESC — drop them at the door
+    s = _spread(src.filter(F.col(vec_col).isNotNull())
+                .select(F.col(id_col).alias("src_id"),
+                        _as_double(F.col(vec_col)).alias("svec")))
+    t = (tgt.filter(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("tgt_id"),
+                 _as_double(F.col(vec_col)).alias("tvec")))
     scored = (s.join(F.broadcast(t))
               .select("src_id", "tgt_id",
                       F.round(cosine_similarity(F.col("svec"),

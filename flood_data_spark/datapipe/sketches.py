@@ -231,7 +231,10 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int = 256,
     """
     if k < 2:
         raise ValueError(f"kmv_sketch: k must be >= 2, got {k}")
-    return (df.select(_kmv_hash(F.col(key_col), salt).alias("h"))
+    # NULL keys carry no identity AND sort first in Spark but last in
+    # ANSI engines — drop them before they poison the bottom-k
+    return (df.filter(F.col(key_col).isNotNull())
+            .select(_kmv_hash(F.col(key_col), salt).alias("h"))
             .distinct().orderBy(F.asc("h")).limit(k))
 
 

@@ -27,7 +27,9 @@ from flood_data_spark.operators.timeseries import (
 from flood_data_spark.operators.scd import scd2_apply, scd2_as_of
 from flood_data_spark.operators.stats import (
     acf,
+    benford_profile,
     fd_report,
+    gini_concentration,
     equidepth_histogram,
     profile_table,
     trend_stats,
@@ -48,7 +50,7 @@ __all__ = [
     "asof_join", "sessionize", "seasonal_decompose",
     "radius_lookup", "scd2_apply", "scd2_as_of",
     "km_survival", "two_proportion_ztest",
-    "acf", "fd_report", "equidepth_histogram", "profile_table",
-    "trend_stats", "with_holt",
+    "acf", "benford_profile", "fd_report", "equidepth_histogram",
+    "gini_concentration", "profile_table", "trend_stats", "with_holt",
     "with_robust_outliers",
 ]

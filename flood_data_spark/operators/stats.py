@@ -243,7 +243,9 @@ def acf(df: DataFrame, value_col: str, order_col: str,
     pairs = (df.select(*keys, x_mu.alias("_x"), leads.alias("_ls"))
              .select(*keys, "_x",
                      F.posexplode("_ls").alias("_k0", "_y"))
-             .filter(F.col("_y").isNotNull())
+             # both ends non-null: a NULL x would skip the sums but not
+             # the count, silently corrupting every moment
+             .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
              .select(*keys, (F.col("_k0") + 1).alias("lag"),
                      "_x", "_y"))
     sums = (pairs.groupBy(*keys, "lag")
@@ -309,3 +311,94 @@ def fd_report(df: DataFrame, cols) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    fraud/synthetic-data tripwire of a data profiler: naturally-grown
+    positive quantities (prices, populations, flows) follow
+    P(d) = log10(1 + 1/d); fabricated or unit-mixed columns don't.
+
+    Returns 9 rows (digit, n BIGINT, expected_micro, chi2_term_micro):
+    digit counts are exact; each digit's expected probability and its
+    (obs - n·p)²/(n·p) chi-squared term round ONCE to micro-units, so
+    Σ chi2_term_micro is an exact-integer engine-portable statistic
+    (compare to the χ²₈ 5% cut 15.51 — in micro-units, 15_510_000).
+
+    Plan: one scan → 9-row aggregate (map-side combined).  The first
+    significant digit is the leading digit of round(v·1e6) as a BIGINT
+    (the house micro-unit trick): no log10 on the data path, no
+    locale-formatted strings — a positive integer's decimal text leads
+    with its first digit on every engine.  Values below 5e-7 round to
+    micro-zero and drop (out of profile range by contract), as do
+    non-positive and NULL values (Benford needs positive magnitudes).
+    """
+    v = F.col(value_col)
+    digit = F.substring(
+        F.round(F.abs(v.cast("double")) * 1_000_000).cast("long")
+        .cast("string"), 1, 1)
+    base = (df.filter(v.isNotNull() & (v > 0))
+            .select(digit.cast("int").alias("digit"))
+            .filter(F.col("digit").between(1, 9))
+            .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = base.agg(F.sum("n").alias("_t"))
+    import math
+    expected = None
+    for d in range(1, 10):
+        p = math.log10(1 + 1 / d)
+        e = F.when(F.col("digit") == d, F.lit(p))
+        expected = e if expected is None else expected.when(
+            F.col("digit") == d, F.lit(p))
+    exp_p = expected.otherwise(F.lit(0.0))
+    out = base.crossJoin(F.broadcast(tot))
+    chi = ((F.col("n").cast("double") - F.col("_t") * exp_p)
+           * (F.col("n").cast("double") - F.col("_t") * exp_p)
+           / (F.col("_t") * exp_p))
+    return (out.select("digit", "n",
+                       F.round(exp_p * 1_000_000).cast("long")
+                       .alias("expected_micro"),
+                       F.round(chi * 1_000_000).cast("long")
+                       .alias("chi2_term_micro"))
+            .orderBy("digit"))
+
+
+def gini_concentration(df: DataFrame, value_col: str,
+                       group_cols=()) -> DataFrame:
+    """Gini coefficient of a positive quantity per group — revenue /
+    token-mass concentration ("do 1% of sources carry 60% of the
+    corpus?"), the scalar a mixture-weight or cap policy reads first.
+
+        G = (2·Σᵢ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n    (xᵢ ascending, i = 1..n)
+
+    Exactness: values go to integer micro-units once; i·xᵢ and Σx are
+    exact BIGINT sums (the rank is an exact integer), so G is one fixed
+    double expression over four exact integers, round(…, 6).
+
+    Plan: ONE per-group sort exchange (the rank window) + a group-sized
+    aggregate.  Ties get deterministic ranks via the value-then-nothing
+    ordering — G is tie-order-invariant because equal values swap equal
+    contributions.  Non-positive/NULL values excluded (Lorenz needs a
+    positive support).
+
+    BIGINT bound (documented contract): Σ i·x_mu must fit int64 —
+    n²·max(x)·1e6 < 9.2e18, e.g. 1M rows of values up to ~9k per group;
+    pre-scale above that.
+    """
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    v = F.col(value_col)
+    x_mu = F.round(v * 1_000_000).cast("long")
+    base = (df.filter(v.isNotNull() & (v > 0))
+            .select(*keys, x_mu.alias("_x")))
+    w = Window.partitionBy(*keys).orderBy(F.col("_x").asc())
+    ranked = base.withColumn("_i", F.row_number().over(w))
+    agg = (ranked.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("_x").alias("_sx"),
+                F.sum(F.col("_i") * F.col("_x")).alias("_six")))
+    n = F.col("n").cast("double")
+    g = ((F.lit(2.0) * F.col("_six").cast("double"))
+         / (n * F.col("_sx").cast("double"))
+         - (n + F.lit(1.0)) / n)
+    return agg.select(*keys, "n", F.round(g, 6).alias("gini"))

@@ -136,3 +136,50 @@ def test_fd_report_needs_two_columns(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="columns"):
         fd_report(df, ("id",))
+
+
+def test_benford_uniform_digits_fail_the_law(spark):
+    from flood_data_spark.operators.stats import benford_profile
+    # 1000..1999 (all leading digit 1): extreme non-Benford
+    df = spark.createDataFrame([(float(v),) for v in range(1000, 2000)],
+                               "v double")
+    rows = benford_profile(df, "v").collect()
+    assert len(rows) == 1 and rows[0].digit == 1 and rows[0].n == 1000
+    # expected p(1)=0.301: chi term is huge
+    assert rows[0].chi2_term_micro > 100_000_000
+
+
+def test_benford_excludes_nonpositive(spark):
+    from flood_data_spark.operators.stats import benford_profile
+    df = spark.createDataFrame([(1.5,), (-2.0,), (0.0,), (None,)],
+                               "v double")
+    rows = benford_profile(df, "v").collect()
+    assert [(r.digit, r.n) for r in rows] == [(1, 1)]
+
+
+def test_benford_subunit_values(spark):
+    from flood_data_spark.operators.stats import benford_profile
+    # 0.042 -> micro 42000 -> leading digit 4
+    df = spark.createDataFrame([(0.042,)], "v double")
+    assert benford_profile(df, "v").collect()[0].digit == 4
+
+
+def test_gini_closed_forms(spark):
+    from flood_data_spark.operators.stats import gini_concentration
+    rows = ([("eq", 5.0)] * 4                  # perfect equality: G = 0
+            + [("sk", 0.000001)] * 3 + [("sk", 9.0)])  # one holder
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: (r.n, r.gini) for r in
+           gini_concentration(df, "v", ("g",)).collect()}
+    assert got["eq"] == (4, 0.0)
+    # near-total concentration in a 4-row group approaches (n-1)/n = .75
+    assert got["sk"][1] == pytest.approx(0.75, abs=0.01)
+
+
+def test_gini_tie_order_invariant(spark):
+    from flood_data_spark.operators.stats import gini_concentration
+    df = spark.createDataFrame([("a", 2.0), ("a", 2.0), ("a", 6.0)],
+                               "g string, v double")
+    g = gini_concentration(df, "v", ("g",)).collect()[0].gini
+    # G = 2*(1*2+2*2+3*6)/(3*10) - 4/3 = 48/30 - 4/3 = 0.266667
+    assert g == pytest.approx(0.266667)

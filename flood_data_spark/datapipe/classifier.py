@@ -493,7 +493,8 @@ def roc_points(df: DataFrame, score_col: str = "clf_score",
 
 
 def split_candidates(df: DataFrame, feature_cols, label_col: str,
-                     n_buckets: int = 16) -> DataFrame:
+                     n_buckets: int = 16,
+                     accuracy_mode: str = "exact") -> DataFrame:
     """Candidate decision-stump splits for a binary label: for every
     feature and every equi-depth boundary threshold, the weighted Gini
     impurity of the (x <= t) / (x > t) partition — the inner loop of
@@ -533,8 +534,21 @@ def split_candidates(df: DataFrame, feature_cols, label_col: str,
     # (NULL feature values yield NULL buckets and fall out at the
     # threshold join per feature — no explicit guard needed there.)
     df = df.filter(F.col(label_col).isNotNull())
+    if accuracy_mode not in ("exact", "approx"):
+        raise ValueError("split_candidates: accuracy_mode must be "
+                         f"'exact' or 'approx', got {accuracy_mode!r}")
     ps = [i / n_buckets for i in range(1, n_buckets)]
-    row = df.agg(*[F.percentile(
+    # boundary pass, dual accuracy (the ensemble_threshold_summary
+    # switch): 'exact' sorts every value into one percentile buffer per
+    # feature — the oracle-parity mode, and the dominant cost (measured
+    # 2-3 s of the ~4 s total at sf0.1); 'approx' uses the mergeable
+    # percentile_approx sketch — 3x cheaper, and for split FINDING the
+    # boundary precision is immaterial (any consistent quantile sketch
+    # yields equally informative candidate thresholds).  The 100-TB
+    # default is approx; the gate keeps exact for bit-stable thresholds.
+    pctl = F.percentile if accuracy_mode == "exact" else (
+        lambda c, arr: F.percentile_approx(c, arr, 10_000))
+    row = df.agg(*[pctl(
         F.col(f), F.array(*[F.lit(p) for p in ps])).alias(f)
         for f in feats]).collect()[0]
     bounds = {f: [float(b) for b in (row[f] or [])] for f in feats}
@@ -589,12 +603,14 @@ def split_candidates(df: DataFrame, feature_cols, label_col: str,
 
 
 def best_split(df: DataFrame, feature_cols, label_col: str,
-               n_buckets: int = 16, per_feature: bool = False) -> DataFrame:
+               n_buckets: int = 16, per_feature: bool = False,
+               accuracy_mode: str = "exact") -> DataFrame:
     """The stump: lowest weighted-Gini candidate, deterministic tiebreak
     (gini, then feature name, then bucket).  `per_feature=True` returns
     each feature's own best (the boosting-round inner table); default is
     the single global winner."""
-    cand = split_candidates(df, feature_cols, label_col, n_buckets)
+    cand = split_candidates(df, feature_cols, label_col, n_buckets,
+                            accuracy_mode)
     part = ["feature"] if per_feature else []
     w = (Window.partitionBy(*part) if part else Window.partitionBy()) \
         .orderBy(F.col("split_gini_micro").asc(), F.col("feature").asc(),

@@ -183,3 +183,19 @@ def test_gini_tie_order_invariant(spark):
     g = gini_concentration(df, "v", ("g",)).collect()[0].gini
     # G = 2*(1*2+2*2+3*6)/(3*10) - 4/3 = 48/30 - 4/3 = 0.266667
     assert g == pytest.approx(0.266667)
+
+
+def test_best_split_approx_mode_matches_exact_shape(spark):
+    # approx boundaries differ slightly but the perfect split survives
+    rows = [(float(i), 1.0, int(i > 50)) for i in range(1, 101)]
+    df = _stump_df(spark, rows)
+    b = best_split(df, ("x",), "y", n_buckets=4,
+                   accuracy_mode="approx").collect()
+    assert len(b) == 1 and b[0].feature == "x"
+    assert b[0].split_gini_micro <= 20000   # near-pure split found
+
+
+def test_split_candidates_rejects_bad_mode(spark):
+    df = _stump_df(spark, [(1.0, 1.0, 0)])
+    with pytest.raises(ValueError, match="accuracy_mode"):
+        split_candidates(df, ("x",), "y", accuracy_mode="fast")

@@ -3037,6 +3037,24 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (plans/scale.summarize_increment
+    / merge_summaries): the lineitem halves are summarized SEPARATELY and
+    the states merged — the oracle aggregates the union from scratch, so
+    the gate proves merge(summary(A), summary(B)) == summary(A ∪ B) as
+    exact values (micro-unit sums are order-free BIGINTs).  This is the
+    no-history-rescan daily-pipeline contract."""
+    from flood_data_spark.plans.scale import (
+        merge_summaries, summarize_increment, summary_stats)
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = summarize_increment(li.filter(F.col("l_orderkey") % 2 == 0),
+                            ("l_returnflag",), "l_quantity")
+    b = summarize_increment(li.filter(F.col("l_orderkey") % 2 == 1),
+                            ("l_returnflag",), "l_quantity")
+    return summary_stats(merge_summaries(a, b, ("l_returnflag",)))
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-significant-digit profile of order totals vs Benford's law
     (operators/stats.benford_profile): 9-row aggregate, digit from the
@@ -3493,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_agg_merge": q_agg_merge,
         "q_benford": q_benford,
         "q_gini": q_gini,
         "q_snm_pairs": q_snm_pairs,
@@ -8492,6 +8511,24 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_agg_merge: the oracle aggregates the UNION from scratch — equality
+    # with the Spark side's merged half-states IS the incremental
+    # correctness proof.
+    d["q_agg_merge"] = """
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(count(l_quantity) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_micro,
+                   min(l_quantity) AS min_value,
+                   max(l_quantity) AS max_value
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n, sum_micro, min_value, max_value,
+               CASE WHEN n > 0 THEN CAST(sum_micro AS DOUBLE) / n
+                                    / 1000000 END AS mean
+        FROM s
+    """
 
     # q_benford: expected probabilities embedded as the same Python
     # float reprs the Spark ladder carries; chi terms mirror the

@@ -13,6 +13,9 @@ from flood_data_spark.plans.scale import (
     sorted_partitioned_write,
     compact_partition,
     join_fanout_report,
+    merge_summaries,
+    summarize_increment,
+    summary_stats,
 )
 
 __all__ = [
@@ -20,5 +23,6 @@ __all__ = [
     "PipelineCheckError", "assert_count_preserved", "assert_unique_key",
     "assert_no_nulls", "assert_join_not_empty",
     "bucketed_write", "read_bucketed", "salted_join", "join_fanout_report",
+    "summarize_increment", "merge_summaries", "summary_stats",
     "sorted_partitioned_write", "compact_partition",
 ]

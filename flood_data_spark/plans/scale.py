@@ -216,3 +216,70 @@ def sorted_partitioned_write(df: DataFrame, path: str, partition_by=None,
         pb = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         writer = writer.partitionBy(*pb)
     writer.parquet(path)
+
+
+def summarize_increment(df: DataFrame, group_cols, value_col: str) -> DataFrame:
+    """Mergeable per-group summary state: (keys, n, sum_micro, min_value,
+    max_value) — every field merges associatively, which is what makes
+    aggregates INCREMENTAL: summarize each day once, `merge_summaries`
+    folds the new day into the running state, and the history is never
+    rescanned (the kappa-architecture batch half; the same mergeable-
+    state idea as `sketches.cms_merge` / `kmv_sketch`, for the exact
+    aggregates).
+
+    Sums accumulate in integer micro-units (exact, order-free — the
+    features.py discipline), so merged results are bit-identical to a
+    from-scratch aggregation: `q_agg_merge` gates merge(summary(A),
+    summary(B)) == summary(A ∪ B) as a VALUE equality, not a tolerance.
+    NULL values don't count toward n (they carry no mass in any field).
+    """
+    keys = list(group_cols)
+    v = F.col(value_col)
+    mu = F.round(v * 1_000_000).cast("long")
+    return (df.groupBy(*keys)
+            .agg(F.count(v).alias("n"),
+                 F.sum(mu).alias("sum_micro"),
+                 F.min(v).alias("min_value"),
+                 F.max(v).alias("max_value")))
+
+
+def merge_summaries(a: DataFrame, b: DataFrame, group_cols) -> DataFrame:
+    """Fold two summary states into one: group-state-sized work, no raw
+    data anywhere.  Outer-union semantics — keys present in only one
+    side pass through unchanged (coalesce on the identity of each
+    field's monoid: 0 for counts/sums, NULL-skipping min/max via
+    least/greatest coalescing)."""
+    keys = list(group_cols)
+    an = a.select(*keys, F.col("n").alias("_na"),
+                  F.col("sum_micro").alias("_sa"),
+                  F.col("min_value").alias("_mna"),
+                  F.col("max_value").alias("_mxa"))
+    bn = b.select(*keys, F.col("n").alias("_nb"),
+                  F.col("sum_micro").alias("_sb"),
+                  F.col("min_value").alias("_mnb"),
+                  F.col("max_value").alias("_mxb"))
+    j = an.join(bn, on=keys, how="full_outer")
+    zl = F.lit(0).cast("long")
+    mn = F.when(F.col("_mna").isNull(), F.col("_mnb")) \
+        .when(F.col("_mnb").isNull(), F.col("_mna")) \
+        .otherwise(F.least("_mna", "_mnb"))
+    mx = F.when(F.col("_mxa").isNull(), F.col("_mxb")) \
+        .when(F.col("_mxb").isNull(), F.col("_mxa")) \
+        .otherwise(F.greatest("_mxa", "_mxb"))
+    return j.select(
+        *keys,
+        (F.coalesce(F.col("_na"), zl)
+         + F.coalesce(F.col("_nb"), zl)).alias("n"),
+        (F.coalesce(F.col("_sa"), zl)
+         + F.coalesce(F.col("_sb"), zl)).alias("sum_micro"),
+        mn.alias("min_value"), mx.alias("max_value"))
+
+
+def summary_stats(summary: DataFrame) -> DataFrame:
+    """Read the derived statistics off a summary state: the mean is a
+    division of exact integers (engine-portable), min/max raw."""
+    return summary.select(
+        "*",
+        F.when(F.col("n") > 0,
+               F.col("sum_micro").cast("double") / F.col("n")
+               / 1_000_000).alias("mean"))

@@ -1,0 +1,56 @@
+"""Incremental aggregate maintenance (plans/scale.summarize_increment /
+merge_summaries) — merge-equals-rescan and monoid-identity tests."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flood_data_spark.plans.scale import (
+    merge_summaries, summarize_increment, summary_stats)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_merge_equals_from_scratch(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("b", 10.0), ("a", 3.0), ("b", 20.0)]
+    df = _df(spark, rows)
+    full = {r.g: (r.n, r.sum_micro, r.min_value, r.max_value)
+            for r in summarize_increment(df, ("g",), "v").collect()}
+    half1 = summarize_increment(_df(spark, rows[:2]), ("g",), "v")
+    half2 = summarize_increment(_df(spark, rows[2:]), ("g",), "v")
+    merged = {r.g: (r.n, r.sum_micro, r.min_value, r.max_value)
+              for r in merge_summaries(half1, half2, ("g",)).collect()}
+    assert merged == full
+
+
+def test_merge_disjoint_keys_pass_through(spark):
+    a = summarize_increment(_df(spark, [("a", 1.0)]), ("g",), "v")
+    b = summarize_increment(_df(spark, [("b", 5.0)]), ("g",), "v")
+    got = {r.g: (r.n, r.min_value, r.max_value)
+           for r in merge_summaries(a, b, ("g",)).collect()}
+    assert got == {"a": (1, 1.0, 1.0), "b": (1, 5.0, 5.0)}
+
+
+def test_nulls_carry_no_mass(spark):
+    df = _df(spark, [("a", 1.0), ("a", None)])
+    row = summarize_increment(df, ("g",), "v").collect()[0]
+    assert (row.n, row.sum_micro) == (1, 1_000_000)
+
+
+def test_summary_stats_mean(spark):
+    df = _df(spark, [("a", 1.0), ("a", 2.0)])
+    s = summary_stats(summarize_increment(df, ("g",), "v")).collect()[0]
+    assert s.mean == pytest.approx(1.5)
+
+
+def test_merge_is_associative(spark):
+    parts = [_df(spark, [("a", float(i))]) for i in range(1, 4)]
+    s = [summarize_increment(p, ("g",), "v") for p in parts]
+    left = merge_summaries(merge_summaries(s[0], s[1], ("g",)), s[2],
+                           ("g",)).collect()[0]
+    right = merge_summaries(s[0], merge_summaries(s[1], s[2], ("g",)),
+                            ("g",)).collect()[0]
+    assert (left.n, left.sum_micro, left.min_value, left.max_value) == \
+           (right.n, right.sum_micro, right.min_value, right.max_value)

@@ -3037,6 +3037,22 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling exact median over the trailing 5 observations
+    (operators/timeseries.with_rolling_median — the robust smoother):
+    bounded sorted-array window, explicit lower+(upper−lower)·0.5
+    interpolation mirrored expression-for-expression (floor()ed indices
+    — a bare double→int cast truncates in Spark but rounds in ANSI
+    engines).  Raw bit-identical doubles."""
+    from flood_data_spark.operators.timeseries import with_rolling_median
+
+    ev = (_t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+          .select("event_id", "user_id", "ts", "value"))
+    return with_rolling_median(ev, key_col="user_id", ts_col="ts",
+                               value_col="value", window=5,
+                               tiebreak_col="event_id")
+
+
 def q_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (plans/scale.summarize_increment
     / merge_summaries): the lineitem halves are summarized SEPARATELY and
@@ -3511,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the last two rounds.
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_rolling_median": q_rolling_median,
         "q_agg_merge": q_agg_merge,
         "q_benford": q_benford,
         "q_gini": q_gini,
@@ -8511,6 +8528,26 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_rolling_median: list window + list_sort + the same floor()ed
+    # middle-index interpolation, raw doubles.
+    d["q_rolling_median"] = """
+        WITH ev AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE user_id < 25),
+        arrs AS (
+            SELECT event_id, user_id, ts, value,
+                   list_sort(list(CAST(value AS DOUBLE)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS a
+            FROM ev)
+        SELECT event_id, user_id, ts, value,
+               a[CAST(floor((len(a) + 1) / 2) AS INT)]
+               + (a[CAST(floor(len(a) / 2) + 1 AS INT)]
+                  - a[CAST(floor((len(a) + 1) / 2) AS INT)]) * 0.5
+                   AS rolling_median
+        FROM arrs
+    """
 
     # q_agg_merge: the oracle aggregates the UNION from scratch — equality
     # with the Spark side's merged half-states IS the incremental

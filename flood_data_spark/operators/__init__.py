@@ -23,6 +23,7 @@ from flood_data_spark.operators.timeseries import (
     seasonal_decompose,
     sessionize,
     with_holt,
+    with_rolling_median,
 )
 from flood_data_spark.operators.scd import scd2_apply, scd2_as_of
 from flood_data_spark.operators.stats import (
@@ -52,5 +53,6 @@ __all__ = [
     "km_survival", "two_proportion_ztest",
     "acf", "benford_profile", "fd_report", "equidepth_histogram",
     "gini_concentration", "profile_table", "trend_stats", "with_holt",
+    "with_rolling_median",
     "with_robust_outliers",
 ]

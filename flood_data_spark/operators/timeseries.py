@@ -654,3 +654,43 @@ def with_holt(df: DataFrame, key_col: str = "user_id",
             .withColumn("holt_trend", trend)
             .withColumn("holt_forecast",
                         F.col("holt_level") + F.col("holt_trend")))
+
+
+def with_rolling_median(df: DataFrame, key_col: str = "user_id",
+                        ts_col: str = "ts", value_col: str = "value",
+                        window: int = 5,
+                        tiebreak_col: str | None = None,
+                        out_col: str = "rolling_median") -> DataFrame:
+    """Per-key rolling EXACT median over the trailing `window`
+    observations — the robust smoother next to `with_ewma`/`with_holt`:
+    a single spike moves a mean by spike/window but a median not at all,
+    which is why sensor QA pipelines median-filter before thresholding.
+
+    Same bounded machinery as the folds: one ordered window collects an
+    O(window) array per row, then array_sort + explicit middle
+    selection — lower + (upper-lower)·0.5 interpolation for even
+    counts, written as the SAME expression on both engines (DuckDB's
+    median() would interpolate with its own arithmetic; mirroring the
+    formula beats trusting two implementations to agree at the last
+    ulp).  Warm-up rows (fewer than `window` observations yet) take the
+    median of what exists — the standard expanding warm-up.  NULL
+    observations break the frame alignment (the collect_list drop
+    documented at `with_ewma`) — filter upstream.
+    """
+    if window < 1:
+        raise ValueError("with_rolling_median: window must be >= 1")
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(window - 1), 0))
+    arr = F.array_sort(
+        F.collect_list(F.col(value_col).cast("double")).over(w))
+    n = F.size(arr)
+    # explicit floor(): a bare double→int cast TRUNCATES in Spark but
+    # ROUNDS in ANSI engines — the one place the mirrored expression
+    # would silently diverge
+    lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    med = lo + (hi - lo) * F.lit(0.5)
+    return df.withColumn(out_col, med)

@@ -48,3 +48,33 @@ def test_validation(spark):
         with_holt(df, beta=1.5)
     with pytest.raises(ValueError, match="window"):
         with_holt(df, window=1)
+
+
+def test_rolling_median_goldens(spark):
+    from flood_data_spark.operators.timeseries import with_rolling_median
+    out = with_rolling_median(_series(spark, [5, 1, 9, 3, 7]),
+                              key_col="user_id", ts_col="ts",
+                              value_col="value", window=3,
+                              tiebreak_col="event_id")
+    got = {r.event_id: r.rolling_median for r in out.collect()}
+    assert got[0] == 5.0                    # warm-up: median of [5]
+    assert got[1] == 3.0                    # median of [1,5] interpolated
+    assert got[2] == 5.0                    # median of [1,5,9]
+    assert got[3] == 3.0                    # median of [1,3,9]
+    assert got[4] == 7.0                    # median of [3,7,9]
+
+
+def test_rolling_median_spike_immunity(spark):
+    from flood_data_spark.operators.timeseries import with_rolling_median
+    vals = [10, 10, 10_000, 10, 10]
+    out = with_rolling_median(_series(spark, vals), key_col="user_id",
+                              ts_col="ts", value_col="value", window=5,
+                              tiebreak_col="event_id")
+    final = {r.event_id: r.rolling_median for r in out.collect()}[4]
+    assert final == 10.0                    # the spike never surfaces
+
+
+def test_rolling_median_validation(spark):
+    from flood_data_spark.operators.timeseries import with_rolling_median
+    with pytest.raises(ValueError, match="window"):
+        with_rolling_median(_series(spark, [1]), window=0)

@@ -3518,13 +3518,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS THE GATE WINDOW: the driver checks the first 50 entries.
-    # Rotation discipline (round 7): the two r6 reds (array serialization
-    # fixed this round) and all round-7 additions lead — every new query
-    # must be driver-checked the round it lands — then the entries last
-    # driver-checked on r5 code (round-6/7 commits touched their shared
-    # modules), then the r6 greens whose modules changed this round
-    # (timeseries/grid/curation) — every registry entry is driver-checked
-    # within the last two rounds.
+    # Rotation discipline: every session's NEW queries lead (driver-checked
+    # the round they land), then the most recent prior additions; everything
+    # outside the window is covered by the committed full-sweep artifact
+    # (CORRECTNESS_FULL_r8.json regenerates at each session end, all
+    # registry queries vs the DuckDB oracle at sf0.01).
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
         "q_rolling_median": q_rolling_median,

@@ -71,3 +71,13 @@ def test_validation(spark):
         item_cooccurrence(df, "u", "i", max_basket=1)
     with pytest.raises(ValueError, match="k must"):
         item_topk(item_similarity(df, "u", "i"), k=0)
+
+
+def test_item_cf_plan_has_no_cartesian(spark):
+    # the scale contract: pair generation is a keyed self-join, degree
+    # lookups broadcast — never a nested-loop/cartesian anywhere
+    df = _inter(spark, [(u, i) for u in range(20) for i in range(u % 5)])
+    plan = (item_topk(item_similarity(df, "u", "i", max_basket=8), 3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan

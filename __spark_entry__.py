@@ -3037,6 +3037,20 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value per type
+    (operators/experiment.bootstrap_ci, 32 replicas): the resampling
+    "randomness" is an md5-derived inverse-CDF Poisson(1) ladder per
+    (replica, event_id), so the whole bootstrap is deterministic and
+    carries a FULL value oracle — exact integer replica sums, exact
+    percentile over the 32 replica means."""
+    from flood_data_spark.operators.experiment import bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_ci(ev, "value", "event_id", ("event_type",),
+                        n_replicas=32, alpha=0.05)
+
+
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user rolling exact median over the trailing 5 observations
     (operators/timeseries.with_rolling_median — the robust smoother):
@@ -3525,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry queries vs the DuckDB oracle at sf0.01).
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_bootstrap_ci": q_bootstrap_ci,
         "q_rolling_median": q_rolling_median,
         "q_agg_merge": q_agg_merge,
         "q_benford": q_benford,
@@ -8526,6 +8541,50 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_bootstrap_ci: the md5 Poisson(1) ladder regenerated from the
+    # same CDF constants; replica sums exact, quantile_cont bit-identity
+    # for the CI percentiles.
+    from flood_data_spark.operators.experiment import _POISSON1_CDF
+    _pois_ladder = " + ".join(
+        f"(CASE WHEN u > {c!r} THEN 1 ELSE 0 END)" for c in _POISSON1_CDF)
+    d["q_bootstrap_ci"] = f"""
+        WITH base AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 1000000) AS BIGINT) AS y
+            FROM events WHERE value IS NOT NULL),
+        rep AS (
+            SELECT r.event_type, r.y, b.b,
+                   CAST(('0x' || substr(md5('boot:' || b.b || ':'
+                        || CAST(r.event_id AS VARCHAR)), 1, 13))
+                        AS BIGINT)
+                   / CAST(4503599627370496 AS DOUBLE) AS u
+            FROM base r, generate_series(0, 31) b(b)),
+        wtd AS (
+            SELECT event_type, b, y,
+                   CAST({_pois_ladder} AS BIGINT) AS w
+            FROM rep),
+        cells AS (
+            SELECT event_type, b,
+                   CAST(sum(w * y) AS BIGINT) AS wy,
+                   CAST(sum(w) AS BIGINT) AS wn,
+                   CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN b = 0 THEN y ELSE 0 END)
+                        AS BIGINT) AS y0
+            FROM wtd GROUP BY event_type, b),
+        reps AS (
+            SELECT event_type, n0, y0,
+                   CASE WHEN wn > 0
+                        THEN CAST(wy AS DOUBLE) / wn / 1000000 END AS m
+            FROM cells)
+        SELECT event_type, CAST(sum(n0) AS BIGINT) AS n,
+               round(CAST(sum(y0) AS DOUBLE) / sum(n0) / 1000000, 6)
+                   AS mean,
+               round(quantile_cont(m, 0.025), 6) AS ci_lo,
+               round(quantile_cont(m, 0.975), 6) AS ci_hi
+        FROM reps GROUP BY event_type
+    """
 
     # q_rolling_median: list window + list_sort + the same floor()ed
     # middle-index interpolation, raw doubles.

@@ -37,6 +37,7 @@ from flood_data_spark.operators.stats import (
     with_robust_outliers,
 )
 from flood_data_spark.operators.experiment import (
+    bootstrap_ci,
     km_survival,
     two_proportion_ztest,
 )
@@ -50,7 +51,7 @@ __all__ = [
     "grid_cell_bounds", "point_lookup", "neighborhood_lookup",
     "asof_join", "sessionize", "seasonal_decompose",
     "radius_lookup", "scd2_apply", "scd2_as_of",
-    "km_survival", "two_proportion_ztest",
+    "km_survival", "two_proportion_ztest", "bootstrap_ci",
     "acf", "benford_profile", "fd_report", "equidepth_histogram",
     "gini_concentration", "profile_table", "trend_stats", "with_holt",
     "with_rolling_median",

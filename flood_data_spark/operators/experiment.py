@@ -147,3 +147,83 @@ def two_proportion_ztest(df: DataFrame, variant_col: str = "variant",
         "           * (1.0 - (x_a + x_b) / cast(n_a + n_b as double)) "
         "           * (1.0 / n_a + 1.0 / n_b))) >= 1.959964 "
         "as significant")
+
+
+# Poisson(1) CDF prefix, exact python doubles (mirrored verbatim in the
+# oracle): P(X <= k) for k = 0..8; weights cap at 9 (P > 1 - 2e-6).
+_POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
+                 0.9196986029286058, 0.9810118431238463,
+                 0.9963401531726563, 0.9994058151824183,
+                 0.999916758850712, 0.9999897508033253,
+                 0.999998874797402)
+
+
+def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
+                 group_cols=(), n_replicas: int = 32,
+                 alpha: float = 0.05, salt: str = "") -> DataFrame:
+    """Distributed Poisson-bootstrap confidence interval for the mean —
+    the standard resampling trick at data sizes where true multinomial
+    resampling is impossible (Chamandy et al., Google 2012): replica b
+    reweights each row by an independent Poisson(1) count, and the
+    spread of the B replica means estimates the sampling distribution.
+
+    Everything is DETERMINISTIC: the Poisson draw is an inverse-CDF
+    ladder over the md5-derived 52-bit uniform of (salt, replica,
+    row id) — the bloom/KMV hash discipline — so the "random" CI is a
+    pure function of the data and replays bit-identically on any
+    engine: a FULL value oracle for a bootstrap.
+
+    Plan: ONE scan fans each row out B ways (posexplode over the
+    replica weight array — a constant-factor Generate, no join),
+    partial-aggregates to (group × B) replica cells of exact integer
+    micro sums, then a group-sized percentile over the B means.  At
+    100 TB the only corpus-sized cost is the B-way map-side fan-out —
+    the shuffle carries group×B cells, never rows.
+
+    Returns per group: n BIGINT, mean (exact-integer division),
+    ci_lo / ci_hi (exact percentile over the replica means, the
+    quantile_cont bit-identity), both round(…, 6).
+    """
+    if n_replicas < 2:
+        raise ValueError("bootstrap_ci: n_replicas must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"bootstrap_ci: alpha must be in (0,1), "
+                         f"got {alpha}")
+    keys = list(group_cols)
+    y = F.round(F.col(value_col) * 1_000_000).cast("long")
+
+    def _weight(b: int):
+        h = F.md5(F.concat(F.lit(f"boot{salt}:{b}:"),
+                           F.col(id_col).cast("string")))
+        u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+             / F.lit(float(2 ** 52)))
+        w = F.lit(0)
+        for c in _POISSON1_CDF:
+            w = w + F.when(u > F.lit(c), 1).otherwise(0)
+        return w.cast("long")
+
+    weights = F.array(*[_weight(b) for b in range(n_replicas)])
+    rows = (df.filter(F.col(value_col).isNotNull())
+            .select(*keys, y.alias("_y"), weights.alias("_ws"))
+            .select(*keys, "_y",
+                    F.posexplode("_ws").alias("_b", "_w")))
+    cells = (rows.groupBy(*keys, "_b")
+             .agg(F.sum(F.col("_w") * F.col("_y")).alias("_wy"),
+                  F.sum("_w").alias("_wn"),
+                  F.sum(F.when(F.col("_b") == 0, 1).otherwise(0)
+                        .cast("long")).alias("_n0"),
+                  F.sum(F.when(F.col("_b") == 0, F.col("_y"))
+                        .otherwise(F.lit(0))).alias("_y0")))
+    rep_mean = F.when(F.col("_wn") > 0,
+                      F.col("_wy").cast("double") / F.col("_wn")
+                      / 1_000_000)
+    reps = cells.withColumn("_m", rep_mean)
+    lo_p, hi_p = alpha / 2, 1 - alpha / 2
+    return (reps.groupBy(*keys)
+            .agg(F.sum("_n0").alias("n"),
+                 F.round(F.sum("_y0").cast("double")
+                         / F.sum("_n0") / 1_000_000, 6).alias("mean"),
+                 F.round(F.percentile(F.col("_m"), F.lit(lo_p)), 6)
+                 .alias("ci_lo"),
+                 F.round(F.percentile(F.col("_m"), F.lit(hi_p)), 6)
+                 .alias("ci_hi")))

@@ -54,3 +54,44 @@ def test_merge_is_associative(spark):
                             ("g",)).collect()[0]
     assert (left.n, left.sum_micro, left.min_value, left.max_value) == \
            (right.n, right.sum_micro, right.min_value, right.max_value)
+
+
+def _boot_df(spark, n, gap=0.0):
+    rows = [(i, "g", float(10 + (i % 7)) + gap) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, g string, v double")
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    from flood_data_spark.operators.experiment import bootstrap_ci
+    df = _boot_df(spark, 500)
+    row = bootstrap_ci(df, "v", "id", ("g",), n_replicas=32).collect()[0]
+    assert row.n == 500
+    assert row.ci_lo <= row.mean <= row.ci_hi
+    # a 500-row sample of a bounded variable: the CI is tight
+    assert row.ci_hi - row.ci_lo < 1.0
+
+
+def test_bootstrap_ci_width_shrinks_with_n(spark):
+    from flood_data_spark.operators.experiment import bootstrap_ci
+    small = bootstrap_ci(_boot_df(spark, 40), "v", "id", ("g",),
+                         n_replicas=32).collect()[0]
+    big = bootstrap_ci(_boot_df(spark, 4000), "v", "id", ("g",),
+                       n_replicas=32).collect()[0]
+    assert (big.ci_hi - big.ci_lo) < (small.ci_hi - small.ci_lo)
+
+
+def test_bootstrap_ci_deterministic(spark):
+    from flood_data_spark.operators.experiment import bootstrap_ci
+    df = _boot_df(spark, 100)
+    a = bootstrap_ci(df, "v", "id", ("g",), n_replicas=16).collect()[0]
+    b = bootstrap_ci(df, "v", "id", ("g",), n_replicas=16).collect()[0]
+    assert (a.ci_lo, a.ci_hi, a.mean) == (b.ci_lo, b.ci_hi, b.mean)
+
+
+def test_bootstrap_ci_validation(spark):
+    from flood_data_spark.operators.experiment import bootstrap_ci
+    df = _boot_df(spark, 5)
+    with pytest.raises(ValueError, match="n_replicas"):
+        bootstrap_ci(df, "v", "id", n_replicas=1)
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_ci(df, "v", "id", alpha=0.0)

@@ -3037,6 +3037,55 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer seed vocabulary (datapipe/unigram
+    .seed_vocabulary): all single chars (coverage floor) + top-64
+    weighted substrings ≤ 4 chars off the distinct-word relation,
+    costs = micro-rounded -ln(freq/char-mass).  Full value oracle."""
+    from flood_data_spark.datapipe.unigram import (
+        seed_vocabulary, word_table)
+
+    words = word_table(_t(spark, sf_dir, "documents"))
+    return seed_vocabulary(words, max_piece_len=4, top_multichar=64)
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi-optimal subword segmentation of every corpus word under
+    the seed vocabulary (datapipe/unigram.viterbi_segment — the
+    SentencePiece encode): layered suffix-DP joins with exact integer
+    costs and the longest-piece tiebreak.  The oracle finds the SAME
+    optimum by brute-force boundary-mask enumeration (words are short;
+    the mask integer's bit order makes min(cost, mask) equal the DP's
+    greedy-longest rule) — a full value oracle for a dynamic program."""
+    from flood_data_spark.datapipe.unigram import (
+        seed_vocabulary, viterbi_segment, word_table)
+
+    words = word_table(_t(spark, sf_dir, "documents"))
+    vocab = seed_vocabulary(words, max_piece_len=4, top_multichar=64)
+    seg = viterbi_segment(words, vocab, max_word_len=12,
+                          max_piece_len=4)
+    return seg.select("word",
+                      F.size("pieces").alias("n_pieces"),
+                      "total_cost_micro",
+                      F.concat_ws(" ", "pieces").alias("pieces_str"))
+
+
+def q_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hard-EM training round of the unigram tokenizer (datapipe/
+    unigram.em_reestimate): Viterbi-segment the word table under the
+    seed costs, recount piece usage weighted by word frequency (unused
+    multi-char pieces prune, single chars keep a +1 coverage floor),
+    re-derive micro costs.  The oracle recomputes the E-step by
+    boundary-mask brute force and the M-step relationally — a FULL
+    value oracle for an EM iteration."""
+    from flood_data_spark.datapipe.unigram import (
+        em_reestimate, seed_vocabulary, word_table)
+
+    words = word_table(_t(spark, sf_dir, "documents"))
+    vocab = seed_vocabulary(words, max_piece_len=4, top_multichar=64)
+    return em_reestimate(words, vocab, max_word_len=12, max_piece_len=4)
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean event value per type
     (operators/experiment.bootstrap_ci, 32 replicas): the resampling
@@ -3539,6 +3588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry queries vs the DuckDB oracle at sf0.01).
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_unigram_vocab": q_unigram_vocab,
+        "q_unigram_encode": q_unigram_encode,
+        "q_unigram_em": q_unigram_em,
         "q_bootstrap_ci": q_bootstrap_ci,
         "q_rolling_median": q_rolling_median,
         "q_agg_merge": q_agg_merge,
@@ -8541,6 +8593,140 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_unigram_vocab / q_unigram_encode: shared seed-vocab CTE chain;
+    # the encode oracle brute-forces every boundary mask (bit n-1-j =
+    # boundary after char j, so integer-min tiebreak == the DP's
+    # greedy-longest-piece rule) and keeps masks whose every piece is
+    # in-vocab.
+    _uni_vocab_ctes = """
+        toks AS (
+            SELECT list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS l
+            FROM documents),
+        words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(l) AS word FROM toks) GROUP BY word),
+        subs AS (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS freq
+            FROM (
+                SELECT wd.freq,
+                       unnest(flatten(
+                           [[substr(wd.word, i, L)
+                             for L in range(1,
+                                 least(4, length(wd.word) - i + 1) + 1)]
+                            for i in range(1, length(wd.word) + 1)]))
+                           AS piece
+                FROM words wd)
+            GROUP BY piece),
+        chars AS (SELECT piece, freq FROM subs WHERE length(piece) = 1),
+        multi AS (SELECT piece, freq FROM subs WHERE length(piece) >= 2
+                  ORDER BY freq DESC, piece ASC LIMIT 64),
+        tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM chars),
+        vocab AS (
+            SELECT piece, freq,
+                   CAST(round(-ln(freq / CAST(t AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS cost_micro
+            FROM (SELECT * FROM chars UNION ALL SELECT * FROM multi), tot)
+    """
+    d["q_unigram_vocab"] = f"""
+        WITH {_uni_vocab_ctes}
+        SELECT piece, freq, cost_micro FROM vocab
+    """
+    d["q_unigram_encode"] = f"""
+        WITH {_uni_vocab_ctes},
+        masks AS (
+            SELECT wd.word, m.m AS mask, length(wd.word) AS n
+            FROM words wd, generate_series(0, 2047) m(m)
+            WHERE m.m < (1 << (length(wd.word) - 1))
+               OR (length(wd.word) = 1 AND m.m = 0)),
+        segs AS (
+            SELECT word, mask, n,
+                   [substr(word, b[k] + 1, b[k + 1] - b[k])
+                    for k in range(1, len(b))] AS ps
+            FROM (
+                SELECT word, mask, n,
+                       list_prepend(0, list_concat(
+                           [j for j in range(1, n)
+                            if ((mask >> (n - 1 - j)) & 1) = 1],
+                           [n])) AS b
+                FROM masks)),
+        pc AS (
+            SELECT s.word, s.mask,
+                   CAST(count(*) AS BIGINT) AS np,
+                   CAST(count(v.piece) AS BIGINT) AS nv,
+                   CAST(sum(v.cost_micro) AS BIGINT) AS cost
+            FROM (SELECT word, mask, unnest(ps) AS piece FROM segs) s
+            LEFT JOIN vocab v ON s.piece = v.piece
+            GROUP BY s.word, s.mask),
+        best AS (
+            SELECT word, mask, cost,
+                   row_number() OVER (PARTITION BY word
+                       ORDER BY cost ASC, mask ASC) AS r
+            FROM pc WHERE np = nv)
+        SELECT b.word, CAST(len(g.ps) AS INT) AS n_pieces,
+               b.cost AS total_cost_micro,
+               array_to_string(g.ps, ' ') AS pieces_str
+        FROM best b JOIN segs g ON b.word = g.word AND b.mask = g.mask
+        WHERE b.r = 1
+    """
+
+    # q_unigram_em: E-step re-derived by the same mask brute force,
+    # M-step recount with the char floor and unused-piece prune.
+    d["q_unigram_em"] = f"""
+        WITH {_uni_vocab_ctes},
+        masks AS (
+            SELECT wd.word, m.m AS mask, length(wd.word) AS n
+            FROM words wd, generate_series(0, 2047) m(m)
+            WHERE m.m < (1 << (length(wd.word) - 1))
+               OR (length(wd.word) = 1 AND m.m = 0)),
+        segs AS (
+            SELECT word, mask, n,
+                   [substr(word, b[k] + 1, b[k + 1] - b[k])
+                    for k in range(1, len(b))] AS ps
+            FROM (
+                SELECT word, mask, n,
+                       list_prepend(0, list_concat(
+                           [j for j in range(1, n)
+                            if ((mask >> (n - 1 - j)) & 1) = 1],
+                           [n])) AS b
+                FROM masks)),
+        pc AS (
+            SELECT s.word, s.mask,
+                   CAST(count(*) AS BIGINT) AS np,
+                   CAST(count(v.piece) AS BIGINT) AS nv,
+                   CAST(sum(v.cost_micro) AS BIGINT) AS cost
+            FROM (SELECT word, mask, unnest(ps) AS piece FROM segs) s
+            LEFT JOIN vocab v ON s.piece = v.piece
+            GROUP BY s.word, s.mask),
+        best AS (
+            SELECT word, mask,
+                   row_number() OVER (PARTITION BY word
+                       ORDER BY cost ASC, mask ASC) AS r
+            FROM pc WHERE np = nv),
+        usage AS (
+            SELECT u.piece, CAST(sum(w.freq) AS BIGINT) AS used
+            FROM (SELECT g.word, unnest(g.ps) AS piece
+                  FROM best b
+                  JOIN segs g ON b.word = g.word AND b.mask = g.mask
+                  WHERE b.r = 1) u
+            JOIN words w ON u.word = w.word
+            GROUP BY u.piece),
+        kept AS (
+            SELECT v.piece,
+                   CASE WHEN length(v.piece) = 1
+                        THEN coalesce(u.used, 0) + 1
+                        ELSE u.used END AS cnt
+            FROM vocab v LEFT JOIN usage u ON v.piece = u.piece),
+        pruned AS (SELECT piece, CAST(cnt AS BIGINT) AS count
+                   FROM kept WHERE cnt IS NOT NULL),
+        t2 AS (SELECT CAST(sum(count) AS BIGINT) AS t FROM pruned)
+        SELECT piece, count,
+               CAST(round(-ln(count / CAST(t AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS cost_micro
+        FROM pruned, t2
+    """
 
     # q_bootstrap_ci: the md5 Poisson(1) ladder regenerated from the
     # same CDF constants; replica sums exact, quantile_cont bit-identity

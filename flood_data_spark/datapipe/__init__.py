@@ -91,6 +91,12 @@ from flood_data_spark.datapipe.features import (
     target_encoding,
     woe_encoding,
 )
+from flood_data_spark.datapipe.unigram import (
+    em_reestimate,
+    seed_vocabulary,
+    viterbi_segment,
+    word_table,
+)
 from flood_data_spark.datapipe.recommend import (
     item_cooccurrence,
     item_similarity,
@@ -117,6 +123,7 @@ __all__ = [
     "item_cooccurrence", "item_similarity", "item_topk", "mine_bitext",
     "kmv_sketch", "kmv_distinct_estimate", "kmv_jaccard", "ndcg_at_k",
     "textrank_keywords", "impute_missing",
+    "word_table", "seed_vocabulary", "viterbi_segment", "em_reestimate",
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
     "dedup_against", "exact_dedup", "ngram_containment",

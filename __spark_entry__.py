@@ -3037,6 +3037,20 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the purchase and non-purchase
+    value distributions (operators/stats.psi_report): equi-depth bins of
+    the REFERENCE (the operational binning convention), Laplace-floored
+    shares, per-bucket (p_cur−p_ref)·ln(p_cur/p_ref) terms micro-rounded
+    once — Σ psi_term_micro is the exact-integer drift statistic."""
+    from flood_data_spark.operators.stats import psi_report
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") != "purchase")
+    cur = ev.filter(F.col("event_type") == "purchase")
+    return psi_report(ref, cur, "value", n_buckets=10)
+
+
 def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-tokenizer seed vocabulary (datapipe/unigram
     .seed_vocabulary): all single chars (coverage floor) + top-64
@@ -3588,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry queries vs the DuckDB oracle at sf0.01).
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_psi": q_psi,
         "q_unigram_vocab": q_unigram_vocab,
         "q_unigram_encode": q_unigram_encode,
         "q_unigram_em": q_unigram_em,
@@ -8593,6 +8608,48 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_psi: reference-defined quantile_cont bins, the same Laplace
+    # shares and micro-rounded term tree.
+    d["q_psi"] = """
+        WITH ref AS (SELECT value AS v FROM events
+                     WHERE event_type <> 'purchase' AND value IS NOT NULL),
+        cur AS (SELECT value AS v FROM events
+                WHERE event_type = 'purchase' AND value IS NOT NULL),
+        b AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6,
+                                       0.7, 0.8, 0.9]) AS bs FROM ref),
+        rc AS (SELECT CAST(1 + len(list_filter(b.bs, t -> r.v > t))
+                           AS INT) AS bucket
+               FROM ref r, b),
+        cc AS (SELECT CAST(1 + len(list_filter(b.bs, t -> c.v > t))
+                           AS INT) AS bucket
+               FROM cur c, b),
+        refc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_ref
+                 FROM rc GROUP BY bucket),
+        curc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_cur
+                 FROM cc GROUP BY bucket),
+        j AS (SELECT coalesce(refc.bucket, curc.bucket) AS bucket,
+                     coalesce(n_ref, 0) AS n_ref,
+                     coalesce(n_cur, 0) AS n_cur
+              FROM refc FULL OUTER JOIN curc
+                ON refc.bucket = curc.bucket),
+        t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                     CAST(sum(n_cur) AS BIGINT) AS tc,
+                     CAST(count(*) AS BIGINT) AS k
+              FROM j)
+        SELECT j.bucket, j.n_ref, j.n_cur,
+               CAST(round(
+                   (CAST(j.n_cur + 1 AS DOUBLE) / CAST(t.tc + t.k
+                                                       AS DOUBLE)
+                    - CAST(j.n_ref + 1 AS DOUBLE) / CAST(t.tr + t.k
+                                                         AS DOUBLE))
+                   * ln((CAST(j.n_cur + 1 AS DOUBLE)
+                         / CAST(t.tc + t.k AS DOUBLE))
+                        / (CAST(j.n_ref + 1 AS DOUBLE)
+                           / CAST(t.tr + t.k AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS psi_term_micro
+        FROM j, t
+    """
 
     # q_unigram_vocab / q_unigram_encode: shared seed-vocab CTE chain;
     # the encode oracle brute-forces every boundary mask (bit n-1-j =

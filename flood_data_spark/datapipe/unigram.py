@@ -72,9 +72,13 @@ def seed_vocabulary(words: DataFrame, max_piece_len: int = 4,
             F.sequence(F.lit(1), F.least(F.lit(max_piece_len),
                                          n - i + 1)),
             lambda L: F.substring(F.col("word"), i, L))))
-    # weighted substring counts (freq rides the explode)
+    # weighted substring counts (freq rides the explode); checkpointed —
+    # three consumers (chars, the top-K cut, the char-mass total) would
+    # otherwise re-run the explode+aggregate (the multiply-consumed-
+    # aggregate rule)
     counts = (words.select("freq", F.explode(subs).alias("piece"))
-              .groupBy("piece").agg(F.sum("freq").alias("freq")))
+              .groupBy("piece").agg(F.sum("freq").alias("freq"))
+              .localCheckpoint(eager=False))
     chars = counts.filter(F.length("piece") == 1)
     multi = (counts.filter(F.length("piece") >= 2)
              .orderBy(F.col("freq").desc(), F.col("piece").asc())

@@ -33,6 +33,7 @@ from flood_data_spark.operators.stats import (
     gini_concentration,
     equidepth_histogram,
     profile_table,
+    psi_report,
     trend_stats,
     with_robust_outliers,
 )
@@ -53,7 +54,7 @@ __all__ = [
     "radius_lookup", "scd2_apply", "scd2_as_of",
     "km_survival", "two_proportion_ztest", "bootstrap_ci",
     "acf", "benford_profile", "fd_report", "equidepth_histogram",
-    "gini_concentration", "profile_table", "trend_stats", "with_holt",
-    "with_rolling_median",
+    "gini_concentration", "profile_table", "psi_report", "trend_stats",
+    "with_holt", "with_rolling_median",
     "with_robust_outliers",
 ]

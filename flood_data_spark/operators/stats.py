@@ -402,3 +402,56 @@ def gini_concentration(df: DataFrame, value_col: str,
          / (n * F.col("_sx").cast("double"))
          - (n + F.lit(1.0)) / n)
     return agg.select(*keys, "n", F.round(g, 6).alias("gini"))
+
+
+def psi_report(reference: DataFrame, current: DataFrame, value_col: str,
+               n_buckets: int = 10) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard production drift monitor (credit-risk
+    heritage, now the default "did my feature distribution move"
+    check):
+
+        PSI = Σ_buckets (p_cur - p_ref) · ln(p_cur / p_ref)
+
+    over equi-depth buckets OF THE REFERENCE (the reference defines the
+    binning; current is scored against it — the operational convention,
+    so a stable reference yields stable bin edges run over run).
+    Rule-of-thumb cuts: < 0.10 stable, 0.10-0.25 shifting, > 0.25 moved.
+
+    Plan: one percentile-buffer aggregate on the reference
+    (`equidepth_bounds`), then ONE codegen bucket-ladder scan of each
+    side → two B-row count relations joined on bucket.  Laplace +1 on
+    both counts keeps empty buckets finite (and is symmetric, so a
+    no-drift comparison still reads ~0).
+
+    Exactness: counts exact; shares and the PSI term are one fixed
+    double tree over them, the term micro-rounded ONCE per bucket so
+    the total is an exact integer sum (psi_micro — compare to 100000 /
+    250000 for the 0.10 / 0.25 cuts).
+    """
+    bounds = equidepth_bounds(reference, value_col, n_buckets)
+    if not bounds:
+        raise ValueError("psi_report: reference has no values to bin")
+
+    def _counts(df, name):
+        return (df.filter(F.col(value_col).isNotNull())
+                .select(bucket_expr(value_col, bounds).alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    ref = _counts(reference, "n_ref")
+    cur = _counts(current, "n_cur")
+    j = (ref.join(cur, "bucket", "full_outer")
+         .na.fill({"n_ref": 0, "n_cur": 0}))
+    tr = j.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"),
+               F.count(F.lit(1)).alias("_k"))
+    out = j.crossJoin(F.broadcast(tr))
+    p_ref = ((F.col("n_ref") + 1).cast("double")
+             / (F.col("_tr") + F.col("_k")).cast("double"))
+    p_cur = ((F.col("n_cur") + 1).cast("double")
+             / (F.col("_tc") + F.col("_k")).cast("double"))
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (out.select("bucket", "n_ref", "n_cur",
+                       F.round(term * 1_000_000).cast("long")
+                       .alias("psi_term_micro"))
+            .orderBy("bucket"))

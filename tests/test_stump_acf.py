@@ -199,3 +199,32 @@ def test_split_candidates_rejects_bad_mode(spark):
     df = _stump_df(spark, [(1.0, 1.0, 0)])
     with pytest.raises(ValueError, match="accuracy_mode"):
         split_candidates(df, ("x",), "y", accuracy_mode="fast")
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from flood_data_spark.operators.stats import psi_report
+    rows = [(float(i % 50),) for i in range(2000)]
+    ref = spark.createDataFrame(rows, "v double")
+    cur = spark.createDataFrame(rows, "v double")
+    out = psi_report(ref, cur, "v", n_buckets=10).collect()
+    total = sum(r.psi_term_micro for r in out)
+    assert total < 1000          # identical: PSI ~ 0 (micro-units)
+
+
+def test_psi_detects_shift(spark):
+    from flood_data_spark.operators.stats import psi_report
+    ref = spark.createDataFrame([(float(i % 50),) for i in range(2000)],
+                                "v double")
+    cur = spark.createDataFrame([(float(i % 50) + 30,) for i in
+                                 range(2000)], "v double")
+    out = psi_report(ref, cur, "v", n_buckets=10).collect()
+    total = sum(r.psi_term_micro for r in out)
+    assert total > 250_000       # a 30-unit shift blows past the 0.25 cut
+
+
+def test_psi_empty_reference_raises(spark):
+    from flood_data_spark.operators.stats import psi_report
+    empty = spark.createDataFrame([], "v double")
+    cur = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="reference"):
+        psi_report(empty, cur, "v")

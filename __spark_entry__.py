@@ -3037,6 +3037,24 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (operators/experiment
+    .conformal_interval, α=0.1): residual quantile at the finite-sample
+    -corrected level on the even-user calibration half, applied as a
+    ±q̂ band to the odd-user half.  The oracle re-derives the corrected
+    level AND Spark's exact percentile interpolation (lo·(hi−pos) +
+    hi·(pos−lo)) by hand — quantile_cont can't take a computed level."""
+    from flood_data_spark.operators.experiment import conformal_interval
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "yhat", F.lit(0.5) * F.col("value") + F.lit(25.0))
+    cal = ev.filter(F.col("user_id") % 2 == 0)
+    new = ev.filter(F.col("user_id") % 2 == 1)
+    return (conformal_interval(cal, new, "value", "yhat", alpha=0.1)
+            .select("event_id", "value", "yhat", "conformal_q",
+                    "conformal_lo", "conformal_hi"))
+
+
 def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the purchase and non-purchase
     value distributions (operators/stats.psi_report): equi-depth bins of
@@ -3602,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry queries vs the DuckDB oracle at sf0.01).
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_conformal": q_conformal,
         "q_psi": q_psi,
         "q_unigram_vocab": q_unigram_vocab,
         "q_unigram_encode": q_unigram_encode,
@@ -8608,6 +8627,40 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_conformal: the corrected level ceil((n+1)(1-α))/n and Spark's
+    # percentile interpolation form lo·(hi−pos)+hi·(pos−lo) restated by
+    # hand over a sorted-rank relation (quantile_cont cannot take a
+    # computed level parameter).
+    d["q_conformal"] = """
+        WITH ev AS (
+            SELECT event_id, user_id, value,
+                   0.5 * value + 25.0 AS yhat
+            FROM events),
+        res AS (
+            SELECT CAST(abs(CAST(round((value - yhat) * 1000000)
+                                 AS BIGINT)) AS DOUBLE) / 1000000 AS r
+            FROM ev WHERE user_id % 2 = 0),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM res),
+        lvl AS (SELECT least(1.0,
+                             CAST(ceil((n + 1) * (1.0 - 0.1)) AS BIGINT)
+                             / CAST(n AS DOUBLE)) AS l,
+                       n
+                FROM nn),
+        srt AS (SELECT r, row_number() OVER (ORDER BY r) - 1 AS k
+                FROM res),
+        pos AS (SELECT l * (n - 1) AS p FROM lvl),
+        q AS (SELECT CASE WHEN floor(p.p) = ceil(p.p) THEN lo.r
+                          ELSE lo.r * (ceil(p.p) - p.p)
+                               + hi.r * (p.p - floor(p.p)) END AS qv
+              FROM pos p
+              JOIN srt lo ON lo.k = CAST(floor(p.p) AS BIGINT)
+              JOIN srt hi ON hi.k = CAST(ceil(p.p) AS BIGINT))
+        SELECT e.event_id, e.value, e.yhat, q.qv AS conformal_q,
+               e.yhat - q.qv AS conformal_lo,
+               e.yhat + q.qv AS conformal_hi
+        FROM ev e, q WHERE e.user_id % 2 = 1
+    """
 
     # q_psi: reference-defined quantile_cont bins, the same Laplace
     # shares and micro-rounded term tree.

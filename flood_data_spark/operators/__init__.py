@@ -39,6 +39,7 @@ from flood_data_spark.operators.stats import (
 )
 from flood_data_spark.operators.experiment import (
     bootstrap_ci,
+    conformal_interval,
     km_survival,
     two_proportion_ztest,
 )
@@ -53,6 +54,7 @@ __all__ = [
     "asof_join", "sessionize", "seasonal_decompose",
     "radius_lookup", "scd2_apply", "scd2_as_of",
     "km_survival", "two_proportion_ztest", "bootstrap_ci",
+    "conformal_interval",
     "acf", "benford_profile", "fd_report", "equidepth_histogram",
     "gini_concentration", "profile_table", "psi_report", "trend_stats",
     "with_holt", "with_rolling_median",

@@ -242,3 +242,44 @@ def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
                  .alias("ci_lo"),
                  F.round(F.percentile(F.col("_m"), F.lit(hi_p)), 6)
                  .alias("ci_hi")))
+
+
+def conformal_interval(calibration: DataFrame, df: DataFrame,
+                       y_col: str, yhat_col: str,
+                       alpha: float = 0.1) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; the Lei-Wasserman
+    recipe): the (1-α) finite-sample-corrected quantile of ABSOLUTE
+    RESIDUALS on a held-out calibration set becomes a symmetric ±q̂
+    band around every new prediction — distribution-free marginal
+    coverage ≥ 1-α, no model internals needed (works for any scorer
+    already in the repo: trend_stats fits, quality_clf scores, Holt
+    forecasts).
+
+        q̂ = the ⌈(n+1)(1-α)⌉/n empirical quantile of |y - ŷ|_cal
+
+    Exactness: residuals rank via the exact `percentile` at the
+    corrected level (the quantile_cont bit-identity), computed from
+    micro-unit integer residuals so the buffer sees order-free values;
+    q̂ is ONE broadcast scalar; the apply side is a pure projection
+    (zero shuffle — the point_in_polygon class of operator).
+
+    Returns `df` + (conformal_lo, conformal_hi, conformal_q).  The
+    calibration set must be disjoint from training (the caller's split
+    contract — `assign_split` provides it).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"conformal_interval: alpha must be in (0,1), "
+                         f"got {alpha}")
+    resid = (F.abs(F.round((F.col(y_col) - F.col(yhat_col))
+                           * 1_000_000).cast("long")).cast("double")
+             / 1_000_000)
+    n_cal = calibration.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    if n_cal < 1:
+        raise ValueError("conformal_interval: empty calibration set")
+    import math
+    level = min(1.0, math.ceil((n_cal + 1) * (1.0 - alpha)) / n_cal)
+    q = (calibration.agg(F.percentile(resid, F.lit(level)).alias("q"))
+         .collect()[0]["q"])
+    return (df.withColumn("conformal_q", F.lit(float(q)))
+            .withColumn("conformal_lo", F.col(yhat_col) - F.lit(float(q)))
+            .withColumn("conformal_hi", F.col(yhat_col) + F.lit(float(q))))

@@ -109,3 +109,28 @@ def test_bootstrap_fast_path_same_shape(spark):
     assert fast.n == slow.n and fast.mean == slow.mean
     assert fast.ci_lo <= fast.mean <= fast.ci_hi
     assert abs((fast.ci_hi - fast.ci_lo) - (slow.ci_hi - slow.ci_lo)) < 1.0
+
+
+def test_conformal_closed_form_and_coverage(spark):
+    from flood_data_spark.operators.experiment import conformal_interval
+    # calibration residuals |y - yhat| = 0..9 (yhat = 0): with alpha=0.2
+    # and n=10, level = ceil(11*0.8)/10 = 0.9 -> q = percentile .9
+    cal = spark.createDataFrame([(float(i), 0.0) for i in range(10)],
+                                "y double, yhat double")
+    new = spark.createDataFrame([(5.0, 4.0), (50.0, 4.0)],
+                                "y double, yhat double")
+    out = conformal_interval(cal, new, "y", "yhat", alpha=0.2).collect()
+    q = out[0].conformal_q
+    assert q == pytest.approx(8.1)    # percentile(0..9, 0.9)
+    covered = [r.conformal_lo <= r.y <= r.conformal_hi for r in out]
+    assert covered == [True, False]   # 5 inside, 50 far outside
+
+
+def test_conformal_validation(spark):
+    from flood_data_spark.operators.experiment import conformal_interval
+    cal = spark.createDataFrame([(1.0, 1.0)], "y double, yhat double")
+    empty = spark.createDataFrame([], "y double, yhat double")
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_interval(cal, cal, "y", "yhat", alpha=1.0)
+    with pytest.raises(ValueError, match="calibration"):
+        conformal_interval(empty, cal, "y", "yhat")

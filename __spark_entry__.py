@@ -3037,6 +3037,33 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED drift monitor (streaming/file_stream.bucket_count_stream
+    + the SAME stats.psi_from_counts finisher as batch q_psi): purchase
+    events arrive as a file stream, bucket against the reference-derived
+    literal ladder (state = B cells, complete mode), finish with the
+    shared PSI arithmetic.  The oracle IS the batch q_psi SQL —
+    stream/batch parity of the whole monitor, value-hashed."""
+    from flood_data_spark.operators.stats import (
+        bucket_counts, equidepth_bounds, psi_from_counts)
+    from flood_data_spark.streaming.file_stream import bucket_count_stream
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") != "purchase")
+    bounds = equidepth_bounds(ref, "value", 10)
+    ref_counts = bucket_counts(ref, "value", bounds, "n_ref")
+
+    def build(stream):
+        return bucket_count_stream(
+            stream.filter(F.col("event_type") == "purchase"),
+            "value", bounds)
+
+    cur_counts = _run_file_stream(
+        spark, f"{sf_dir}/events.parquet", build, "stream_psi_",
+        output_mode="complete")
+    return psi_from_counts(ref_counts, cur_counts)
+
+
 def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction intervals (operators/experiment
     .conformal_interval, α=0.1): residual quantile at the finite-sample
@@ -3620,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry queries vs the DuckDB oracle at sf0.01).
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_stream_psi": q_stream_psi,
         "q_conformal": q_conformal,
         "q_psi": q_psi,
         "q_unigram_vocab": q_unigram_vocab,
@@ -8628,6 +8656,10 @@ def oracle_sql() -> dict[str, str]:
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
 
+    # q_stream_psi: stream/batch parity — the oracle is the batch PSI
+    # SQL verbatim (the bm25_indexed shared-oracle discipline).
+    # (assigned after the dict literal: d["q_stream_psi"] = d["q_psi"])
+
     # q_conformal: the corrected level ceil((n+1)(1-α))/n and Spark's
     # percentile interpolation form lo·(hi−pos)+hi·(pos−lo) restated by
     # hand over a sorted-rank relation (quantile_cont cannot take a
@@ -9128,4 +9160,5 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, keyword, rank_mu, CAST(pos AS INT) AS pos
         FROM rk WHERE pos <= 5
     """
+    d["q_stream_psi"] = d["q_psi"]
     return d

@@ -432,16 +432,29 @@ def psi_report(reference: DataFrame, current: DataFrame, value_col: str,
     bounds = equidepth_bounds(reference, value_col, n_buckets)
     if not bounds:
         raise ValueError("psi_report: reference has no values to bin")
+    ref = bucket_counts(reference, value_col, bounds, "n_ref")
+    cur = bucket_counts(current, value_col, bounds, "n_cur")
+    return psi_from_counts(ref, cur)
 
-    def _counts(df, name):
-        return (df.filter(F.col(value_col).isNotNull())
-                .select(bucket_expr(value_col, bounds).alias("bucket"))
-                .groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias(name)))
 
-    ref = _counts(reference, "n_ref")
-    cur = _counts(current, "n_cur")
-    j = (ref.join(cur, "bucket", "full_outer")
+def bucket_counts(df: DataFrame, value_col: str, bounds: list[float],
+                  name: str = "n") -> DataFrame:
+    """Per-bucket counts under a literal boundary ladder — the shared
+    binning step of the batch AND streaming drift monitors (the ladder
+    is static, so the streaming form needs no stream-static join and
+    its state is exactly B cells)."""
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(bucket_expr(value_col, bounds).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name)))
+
+
+def psi_from_counts(ref_counts: DataFrame,
+                    cur_counts: DataFrame) -> DataFrame:
+    """The PSI finisher over two (bucket, count) relations — B-row work,
+    shared verbatim by `psi_report` and the streaming drift gate so
+    stream/batch parity holds by construction."""
+    j = (ref_counts.join(cur_counts, "bucket", "full_outer")
          .na.fill({"n_ref": 0, "n_cur": 0}))
     tr = j.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"),
                F.count(F.lit(1)).alias("_k"))

@@ -322,3 +322,22 @@ def cms_stream(stream_df: DataFrame, text_col: str = "text",
                 .alias("token"))
             .filter(F.col("token") != ""))
     return cms_build(toks, key_col="token", width=width, depth=depth)
+
+
+def bucket_count_stream(stream_df: DataFrame, value_col: str,
+                        bounds: list) -> DataFrame:
+    """Streaming half of the drift monitor: bucket incoming values
+    against a REFERENCE-derived literal boundary ladder
+    (`stats.bucket_expr` — static, so no stream-static join) and count
+    per bucket.  Complete-output aggregation whose entire state is B
+    cells (the heavy_hitters_stream bounded-state argument), mergeable
+    across micro-batches by construction.  The PSI finisher
+    (`stats.psi_from_counts`) runs on the materialized counts — shared
+    verbatim with the batch `psi_report`, so the streaming gate checks
+    stream/batch parity of the WHOLE monitor, not just the counts."""
+    from flood_data_spark.operators.stats import bucket_expr
+
+    return (stream_df.filter(F.col(value_col).isNotNull())
+            .select(bucket_expr(value_col, list(bounds)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_cur")))

@@ -228,3 +228,27 @@ def test_psi_empty_reference_raises(spark):
     cur = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError, match="reference"):
         psi_report(empty, cur, "v")
+
+
+def test_bucket_count_stream_matches_batch(spark, tmp_path):
+    import os
+    from flood_data_spark.operators.stats import (
+        bucket_counts, equidepth_bounds)
+    from flood_data_spark.streaming.file_stream import (
+        bucket_count_stream, run_available_now)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    df = spark.createDataFrame([(float(i % 40),) for i in range(400)],
+                               "v double")
+    df.coalesce(1).write.parquet(src, mode="overwrite")
+    bounds = equidepth_bounds(df, "v", 5)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = run_available_now(bucket_count_stream(stream, "v", bounds),
+                          str(tmp_path / "ckpt"),
+                          query_name="psi_test", output_mode="complete")
+    q.awaitTermination()
+    got = {r.bucket: r.n_cur
+           for r in spark.table("psi_test").collect()}
+    want = {r.bucket: r.n
+            for r in bucket_counts(df, "v", bounds, "n").collect()}
+    assert got == want

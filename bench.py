@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "q_unigram_em",
     "q_rolling_median",
     "q_agg_merge",
+    "q_psi",
+    "q_conformal",
 ]
 
 _IVF_INDEX = {}

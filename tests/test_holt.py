@@ -78,3 +78,56 @@ def test_rolling_median_validation(spark):
     from flood_data_spark.operators.timeseries import with_rolling_median
     with pytest.raises(ValueError, match="window"):
         with_rolling_median(_series(spark, [1]), window=0)
+
+
+def test_holt_differential_fuzz_vs_python(spark):
+    # deterministic pseudo-random series (hash-derived, no RNG state):
+    # fold the same recursion in plain python and compare bit-for-bit
+    import hashlib
+
+    def u(i):
+        return int.from_bytes(hashlib.md5(f"hf{i}".encode()).digest()[:6],
+                              "big") / float(1 << 48)
+
+    vals = [round(u(i) * 100, 3) for i in range(40)]
+    a, b, w = 0.5, 0.25, 8
+    out = with_holt(_series(spark, vals), key_col="user_id", ts_col="ts",
+                    value_col="value", alpha=a, beta=b, window=w,
+                    tiebreak_col="event_id")
+    got = {r.event_id: (r.holt_level, r.holt_trend)
+           for r in out.collect()}
+    for i in range(len(vals)):
+        arr = vals[max(0, i - w + 1): i + 1]
+        if len(arr) == 1:
+            want = (arr[0], 0.0)
+        else:
+            l, t = arr[0], arr[1] - arr[0]
+            for x in arr[2:]:
+                nl = a * x + (1.0 - a) * (l + t)
+                t = b * (nl - l) + (1.0 - b) * t
+                l = nl
+            want = (l, t)
+        assert got[i] == want, f"row {i}"
+
+
+def test_rolling_median_differential_fuzz_vs_python(spark):
+    import hashlib
+
+    def u(i):
+        return int.from_bytes(hashlib.md5(f"rm{i}".encode()).digest()[:6],
+                              "big") / float(1 << 48)
+
+    vals = [round(u(i) * 50, 3) for i in range(60)]
+    w = 7
+    from flood_data_spark.operators.timeseries import with_rolling_median
+    out = with_rolling_median(_series(spark, vals), key_col="user_id",
+                              ts_col="ts", value_col="value", window=w,
+                              tiebreak_col="event_id")
+    got = {r.event_id: r.rolling_median for r in out.collect()}
+    for i in range(len(vals)):
+        arr = sorted(vals[max(0, i - w + 1): i + 1])
+        n = len(arr)
+        lo = arr[(n + 1) // 2 - 1]
+        hi = arr[n // 2]
+        want = lo + (hi - lo) * 0.5
+        assert got[i] == want, f"row {i}"

@@ -34,6 +34,8 @@ from flood_data_spark.operators.stats import (
     equidepth_histogram,
     profile_table,
     psi_report,
+    bucket_counts,
+    psi_from_counts,
     trend_stats,
     with_robust_outliers,
 )
@@ -56,7 +58,7 @@ __all__ = [
     "km_survival", "two_proportion_ztest", "bootstrap_ci",
     "conformal_interval",
     "acf", "benford_profile", "fd_report", "equidepth_histogram",
-    "gini_concentration", "profile_table", "psi_report", "trend_stats",
-    "with_holt", "with_rolling_median",
+    "gini_concentration", "profile_table", "psi_report", "bucket_counts",
+    "psi_from_counts", "trend_stats", "with_holt", "with_rolling_median",
     "with_robust_outliers",
 ]

@@ -3037,6 +3037,21 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # =====================================================================
 
+def q_oof_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding (datapipe/features
+    .oof_target_encoding, 5 md5-assigned folds): each order's priority
+    encoding is the total-price mean computed WITHOUT its own fold —
+    the leakage-free production form of q_target_encode.  Exact integer
+    fold sums; the leave-one-fold-out value is a division of exact
+    integers."""
+    from flood_data_spark.datapipe.features import oof_target_encoding
+
+    orders = _t(spark, sf_dir, "orders")
+    return (oof_target_encoding(orders, ("o_orderpriority",),
+                                "o_totalprice", "o_orderkey", n_folds=5)
+            .select("o_orderkey", "o_orderpriority", "fold", "oof_enc"))
+
+
 def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMED drift monitor (streaming/file_stream.bucket_count_stream
     + the SAME stats.psi_from_counts finisher as batch q_psi): purchase
@@ -3647,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry queries vs the DuckDB oracle at sf0.01).
     return {
         # --- round 8, session 4: stats + stump + encoders + CF ---
+        "q_oof_encode": q_oof_encode,
         "q_stream_psi": q_stream_psi,
         "q_conformal": q_conformal,
         "q_psi": q_psi,
@@ -8655,6 +8671,38 @@ def oracle_sql() -> dict[str, str]:
                    (max(nd_{_b}) = 1) AS holds
             FROM {_grp}""")
     d["q_fd_discovery"] = "\nUNION ALL\n".join(_fd_parts)
+
+    # q_oof_encode: the md5 fold assignment, (cat, fold) integer sums,
+    # window totals over the tiny cat×fold relation, identical
+    # leave-one-fold-out division.
+    d["q_oof_encode"] = """
+        WITH rows_ AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(CAST(('0x' || substr(md5('fold:'
+                        || CAST(o_orderkey AS VARCHAR)), 1, 13))
+                        AS BIGINT) % 5 AS INT) AS fold,
+                   CAST(round(o_totalprice * 1000000) AS BIGINT) AS y
+            FROM orders),
+        cf AS (SELECT o_orderpriority, fold,
+                      CAST(count(y) AS BIGINT) AS n_cf,
+                      CAST(sum(y) AS BIGINT) AS s_cf
+               FROM rows_ GROUP BY o_orderpriority, fold),
+        tot AS (SELECT o_orderpriority, fold, n_cf, s_cf,
+                       CAST(sum(n_cf) OVER (PARTITION BY o_orderpriority)
+                            AS BIGINT) AS n_c,
+                       CAST(sum(s_cf) OVER (PARTITION BY o_orderpriority)
+                            AS BIGINT) AS s_c
+                FROM cf),
+        enc AS (SELECT o_orderpriority, fold,
+                       CASE WHEN n_c - n_cf > 0
+                            THEN (s_c - s_cf) / (n_c - n_cf) / 1000000
+                       END AS oof_enc
+                FROM tot)
+        SELECT r.o_orderkey, r.o_orderpriority, r.fold, e.oof_enc
+        FROM rows_ r
+        LEFT JOIN enc e ON r.o_orderpriority = e.o_orderpriority
+                       AND r.fold = e.fold
+    """
 
     # q_stream_psi: stream/batch parity — the oracle is the batch PSI
     # SQL verbatim (the bm25_indexed shared-oracle discipline).

@@ -88,6 +88,7 @@ from flood_data_spark.datapipe.bayes import (
 from flood_data_spark.datapipe.features import (
     apply_target_encoding,
     loo_encoding,
+    oof_target_encoding,
     target_encoding,
     woe_encoding,
 )
@@ -119,7 +120,8 @@ from flood_data_spark.datapipe.classifier import (
 
 __all__ = [
     "target_encoding", "apply_target_encoding", "loo_encoding",
-    "woe_encoding", "best_split", "split_candidates",
+    "woe_encoding", "oof_target_encoding", "best_split",
+    "split_candidates",
     "item_cooccurrence", "item_similarity", "item_topk", "mine_bitext",
     "kmv_sketch", "kmv_distinct_estimate", "kmv_jaccard", "ndcg_at_k",
     "textrank_keywords", "impute_missing",

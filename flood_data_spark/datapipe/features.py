@@ -36,7 +36,7 @@ beyond-reference datapipe inventory (SURVEY.md §2.11).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 MICRO = 1_000_000
 
@@ -165,3 +165,56 @@ def woe_encoding(df: DataFrame, cat_cols, label_col: str,
             .withColumn("iv_micro",
                         F.round((pos_share - neg_share) * woe * MICRO)
                         .cast("long")))
+
+
+def oof_target_encoding(df: DataFrame, cat_cols, target_col: str,
+                        id_col: str, n_folds: int = 5,
+                        salt: str = "") -> DataFrame:
+    """Out-of-fold target encoding — the leakage-free form actually used
+    in production feature pipelines (the CatBoost/Kaggle recipe
+    `loo_encoding` generalizes to folds): each row's encoding is the
+    target mean computed WITHOUT its own fold,
+
+        oof(c, f) = (S_c - s_{c,f}) / (N_c - n_{c,f})
+
+    so a k-fold model never sees statistics derived from its own
+    training rows.  Folds are md5-assigned from `id_col` (the
+    assign_split discipline — deterministic, engine-replayable).
+
+    Plan: ONE (category, fold) aggregate (k× the category cardinality —
+    still tiny), category totals derived FROM it (no second corpus
+    pass), the leave-one-fold-out value computed arithmetically, and a
+    broadcast join back.  The corpus never shuffles on the category key
+    (the loo_encoding window-dodge, fold-shaped).
+
+    Returns df + (fold INT, oof_enc DOUBLE — NULL when the category has
+    no rows outside the row's fold).  Target sums ride integer
+    micro-units: every encoding is a division of exact integers.
+    """
+    if n_folds < 2:
+        raise ValueError(f"oof_target_encoding: n_folds must be >= 2, "
+                         f"got {n_folds}")
+    cat_cols = list(cat_cols)
+    fold = (F.conv(F.substring(F.md5(
+        F.concat(F.lit(f"fold{salt}:"),
+                 F.col(id_col).cast("string"))), 1, 13), 16, 10)
+        .cast("long") % n_folds).cast("int")
+    rows = (df.withColumn("fold", fold)
+            .withColumn("_y", _micro(target_col)))
+    per_cf = (rows.groupBy(*cat_cols, "fold")
+              .agg(F.count(F.col("_y")).alias("_n_cf"),
+                   F.sum("_y").alias("_s_cf")))
+    w_tot = Window.partitionBy(*cat_cols)
+    # category totals as a window over the (cat, fold) relation — k×|C|
+    # rows, never the corpus
+    cf = (per_cf
+          .withColumn("_n_c", F.sum("_n_cf").over(w_tot))
+          .withColumn("_s_c", F.sum("_s_cf").over(w_tot)))
+    oof = F.when(
+        F.col("_n_c") - F.col("_n_cf") > 0,
+        (F.col("_s_c") - F.col("_s_cf"))
+        / (F.col("_n_c") - F.col("_n_cf")) / MICRO)
+    enc = cf.select(*cat_cols, "fold", oof.alias("oof_enc"))
+    return (rows.join(F.broadcast(enc), on=cat_cols + ["fold"],
+                      how="left")
+            .drop("_y"))

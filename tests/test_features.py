@@ -118,3 +118,43 @@ def test_target_encoding_multi_column_key(spark):
            for r in target_encoding(df, ("c1", "c2"), "y",
                                     smoothing=1.0).collect()}
     assert enc[("a", "x")] == 2 and enc[("a", "y")] == 1
+
+
+def test_oof_encoding_excludes_own_fold(spark):
+    from flood_data_spark.datapipe.features import oof_target_encoding
+    rows = [(i, "a", float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    out = oof_target_encoding(df, ("cat",), "y", "id", n_folds=3)
+    got = out.collect()
+    # reconstruct per-fold means in python from the SAME md5 assignment
+    import hashlib
+    def fold(i):
+        h = hashlib.md5(f"fold:{i}".encode()).hexdigest()[:13]
+        return int(h, 16) % 3
+    by_fold = {}
+    for i in range(60):
+        by_fold.setdefault(fold(i), []).append(float(i))
+    total_s, total_n = sum(range(60)), 60
+    for r in got:
+        f = r.fold
+        s_f, n_f = sum(by_fold[f]), len(by_fold[f])
+        want = (total_s - s_f) / (total_n - n_f)
+        assert r.oof_enc == pytest.approx(want, abs=1e-9)
+
+
+def test_oof_single_fold_category_gets_null(spark):
+    from flood_data_spark.datapipe.features import oof_target_encoding
+    # one row -> its category has nothing outside its own fold
+    df = spark.createDataFrame([(1, "solo", 5.0)],
+                               "id long, cat string, y double")
+    row = oof_target_encoding(df, ("cat",), "y", "id",
+                              n_folds=2).collect()[0]
+    assert row.oof_enc is None
+
+
+def test_oof_validation(spark):
+    from flood_data_spark.datapipe.features import oof_target_encoding
+    df = spark.createDataFrame([(1, "a", 1.0)],
+                               "id long, cat string, y double")
+    with pytest.raises(ValueError, match="n_folds"):
+        oof_target_encoding(df, ("cat",), "y", "id", n_folds=1)

@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "q_agg_merge",
     "q_psi",
     "q_conformal",
+    "q_oof_encode",
 ]
 
 _IVF_INDEX = {}

@@ -17,10 +17,24 @@ to the driver:
   as Spark jobs: v rides into the executors as a d-sized literal (the
   k-means centroid-literal pattern, clustering.py), each iteration is one
   scan + one d-keyed shuffle, and the driver collects exactly d cells per
-  round.  Parameters are rounded to 6 decimals every update on BOTH
-  engines, which re-synchronizes float-summation-order drift and makes the
-  fixed-point iteration unrollable in the DuckDB oracle (the same
-  discipline as datapipe/classifier.py's gradient descent).
+  round.
+
+Determinism discipline (the r8 `q_covariance` lesson): a raw double sum
+across partitions is NOT a pure function of the data — float addition is
+not associative, so a cell whose value sits within ~1 ulp of a 0.5e-6
+rounding boundary flips its 6th decimal between partitionings.  Every
+aggregate here therefore quantizes each embedding component ONCE to
+integer micro-units (`_q_arr`: round(x * 1e6) as BIGINT — a pure
+per-value function, identical on Spark and any ANSI engine), accumulates
+sums of those integers EXACTLY (int64 inside bounded numpy chunks,
+DECIMAL(38,0) across partitions — integer addition is order-free), and
+performs float division/rounding only in the FINAL expression, whose
+inputs are exact integers and whose IEEE-754 evaluation is therefore
+bit-identical everywhere.  The cost is a bounded input quantization
+(|err| <= 5e-7 per component, propagated bounds in each docstring); the
+payoff is that every output is a deterministic function of the data —
+the same convention as the repo-wide micro-unit aggregates
+(plans/scale.py `sum_micro`, datapipe/graph.py PageRank masses).
 
 No reference analog (the reference has no embedding operators); part of
 the beyond-reference datapipe inventory (SURVEY.md §2.11).
@@ -40,22 +54,63 @@ def _vector_lit(v: list) -> "F.Column":
     return _matrix_lit([v])[0]
 
 
+#: micro-unit quantization scale shared by every aggregate in this module
+#: (and mirrored literally in the DuckDB oracles).
+_MICRO = 1_000_000
+
+#: numpy chunk size for the int64 partial-Gram accumulation.  Exactness
+#: envelope: a chunk of B rows sums B products of two micro-quantized
+#: components, |q| <= 1e6 * max|x|, so the int64 partial stays exact while
+#: B * (1e6 * max|x|)^2 < 2^63 — at B=8192 that is max|x| <= 33.  The
+#: seam guards this bound at runtime (clear error, not silent wraparound);
+#: cross-chunk sums ride DECIMAL(38,0), exact to ~1e38 (1e12 rows at
+#: max|x|=33 reaches only ~1e27).
+_GRAM_CHUNK = 8192
+_Q_ABS_MAX = 33 * _MICRO
+
+
+def _q_arr(col) -> "F.Column":
+    """array<float|double> -> array<bigint> in integer micro-units:
+    round(x * 1e6) per component (Spark HALF_UP on the double — identical
+    to `round(x * 1000000.0)` in DuckDB/ANSI engines).  A pure per-value
+    function: quantizing ONCE here is what makes every downstream integer
+    sum order-free and hence partition- and engine-invariant."""
+    return F.transform(_as_double(col),
+                       lambda t: F.round(t * _MICRO, 0).cast("long"))
+
+
 def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension moments of an array column: (pos, n, mean, variance,
     vmin, vmax), pos 0-based.  One posexplode + one d-keyed groupBy; the
     population variance comes from the same partial-aggregated pass
     (E[x^2] - E[x]^2), so no second scan.  Means/variances feed centering
     and diagonal whitening; min/max feed scalar-quantizer ranges
-    (quantize.sq8 uses exactly these bounds).
+    (quantize.sq8 uses exactly these bounds — they stay RAW, min/max are
+    order-free already).
+
+    Determinism: mean and variance are computed from exact DECIMAL(38,0)
+    sums of micro-quantized components (sum q, sum q^2), divided and
+    rounded once at the end — a pure function of the data (module
+    docstring).  Quantization error bounds: |mean err| <= 5e-7 (+5e-7
+    final round), |variance err| <= 2 * max|x| * 5e-7 + ~1e-6.
+    Overflow envelope: sum(q^2) is exact to 1e38 — 1e12 rows at
+    max|x| = 500 reaches only ~1e29.
     """
     x = df.select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
-    return (x.groupBy("pos")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg("x"), 6).alias("mean"),
-                 F.round(F.avg(F.col("x") * F.col("x"))
-                         - F.avg("x") * F.avg("x"), 6).alias("variance"),
-                 F.min("x").alias("vmin"),
-                 F.max("x").alias("vmax")))
+    q = F.round(F.col("x") * _MICRO, 0).cast("long")
+    agg = (x.groupBy("pos")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(q.cast("decimal(38,0)")).alias("_s1"),
+                F.sum((q * q).cast("decimal(38,0)")).alias("_s2"),
+                F.min("x").alias("vmin"),
+                F.max("x").alias("vmax")))
+    m = F.col("_s1").cast("double") / F.col("n") / F.lit(float(_MICRO))
+    ex2 = (F.col("_s2").cast("double") / F.col("n")
+           / F.lit(float(_MICRO) * _MICRO))
+    return agg.select("pos", "n",
+                      F.round(m, 6).alias("mean"),
+                      F.round(ex2 - m * m, 6).alias("variance"),
+                      "vmin", "vmax")
 
 
 def gram_matrix(df: DataFrame, vec_col: str = "embedding",

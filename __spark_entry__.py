@@ -2639,17 +2639,14 @@ def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gram matrix X'X upper triangle (datapipe/linalg.gram_matrix): the
-    PCA/whitening front-end computed as per-partition numpy partial Grams
-    inside ONE mapInPandas pass — the shuffle carries d(d+1)/2 cells per
-    partition, the corpus never moves.  Full value oracle: DuckDB states
-    the same cells relationally (positional unnest self-join).  The gate
-    rounds the raw sums ONCE to 4 decimals on both sides: at the library
-    default of 6 the summation-order drift (~1e-13) flips a rounding
-    boundary with non-negligible probability across 2 080 cells, and
-    re-rounding a round-6 value to 4 is worse — the 6-decimal multiples
-    land on representable half-points where HALF_UP disagrees between
-    engines (measured: 2 of 2 080 cells).  One rounding, coarse enough
-    to swallow the drift, applied to the raw accumulation."""
+    PCA/whitening front-end computed as per-partition EXACT integer
+    partial Grams (micro-quantized components, int64 chunks, Python-int
+    across chunks) inside ONE mapInPandas pass — the shuffle carries
+    d(d+1)/2 DECIMAL(38,0) cells per partition, the corpus never moves,
+    and the cross-partition sum is order-free integer addition (the
+    linalg determinism discipline).  Full value oracle: DuckDB states
+    the same integer cells relationally (positional unnest self-join,
+    HUGEINT sums) and applies the identical descale + single round-4."""
     from flood_data_spark.datapipe.linalg import gram_matrix
 
     return (gram_matrix(_t(spark, sf_dir, "embeddings"), round_to=4)
@@ -4404,6 +4401,17 @@ def oracle_sql() -> dict[str, str]:
                    unnest(CAST(embedding AS DOUBLE[])) AS x,
                    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS pos
             FROM embeddings)"""
+    # micro-quantized twin (linalg._q: sign(x)*floor(|x|*1e6 + 0.5) —
+    # pure double IEEE ops, verified bit-identical to Spark codegen and
+    # numpy); every corpus-sized linalg sum accumulates these integers
+    # in HUGEINT (exact, order-free — the determinism discipline of
+    # datapipe/linalg.py, mirrored on both sides)
+    qxr = xr + """,
+        qr AS (
+            SELECT vec_id, pos, x,
+                   CAST(sign(x) * floor(abs(x) * 1000000 + 0.5)
+                        AS HUGEINT) AS q
+            FROM xr)"""
     # shared normalized-name relation for the fuzzy oracles (the
     # dedup._digest normalization: lower + trim + collapse whitespace)
     fuzzy_name = "lower(regexp_replace(trim(p_name), '\\s+', ' ', 'g'))"
@@ -4804,63 +4812,88 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS iv_micro
             FROM sh
         """,
-        # q_dim_stats: population variance written as E[x^2]-E[x]^2 in
-        # both engines (not var_pop) so the arithmetic mirrors exactly
+        # q_dim_stats: exact HUGEINT micro sums (sum q, sum q^2), one
+        # divide/round at the end — the identical double expression tree
+        # as linalg.dim_stats (E[x^2]-E[x]^2 over integer sums; never
+        # var_pop, never a raw double sum)
         "q_dim_stats": f"""
-            WITH {xr}
+            WITH {qxr}
             SELECT pos, CAST(count(*) AS BIGINT) AS n,
-                   round(avg(x), 6) AS mean,
-                   round(avg(x * x) - avg(x) * avg(x), 6) AS variance,
+                   round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0,
+                         6) AS mean,
+                   round(CAST(sum(q * q) AS DOUBLE) / count(*)
+                             / 1000000000000.0
+                         - (CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0)
+                           * (CAST(sum(q) AS DOUBLE) / count(*)
+                              / 1000000.0),
+                         6) AS variance,
                    min(x) AS vmin, max(x) AS vmax
-            FROM xr GROUP BY pos
+            FROM qr GROUP BY pos
         """,
-        # q_gram_matrix: the mapInPandas partial-Gram path restated
-        # relationally — positional unnest self-joined on the row id;
-        # ONE round(…, 4) of the raw sum on both sides (never re-round a
-        # rounded value — see q_gram_matrix's docstring)
+        # q_gram_matrix: the exact integer Gram restated relationally —
+        # positional unnest self-joined on the row id, HUGEINT q*q sums
+        # (order-free), ONE descale + round at the end (identical to
+        # linalg.gram_matrix's qsum/1e12 expression)
         "q_gram_matrix": f"""
-            WITH {xr}
+            WITH {qxr}
             SELECT a.pos AS i, b.pos AS j,
-                   round(sum(a.x * b.x), 4) AS val
-            FROM xr a JOIN xr b
+                   round(CAST(sum(a.q * b.q) AS DOUBLE)
+                         / 1000000000000.0, 4) AS val
+            FROM qr a JOIN qr b
               ON a.vec_id = b.vec_id AND a.pos <= b.pos
             GROUP BY a.pos, b.pos
         """,
-        # q_power_iteration: both iterations unrolled; v0 = round(
-        # 1/sqrt(64), 6) = 0.125 exactly, and v1 is rounded to 6 decimals
-        # before iteration 2 — the same per-step re-synchronization the
-        # Spark operator applies
+        # q_power_iteration: both iterations unrolled in the EXACT
+        # integer kernel of linalg._xtx_apply — y = sum(q * mv) and
+        # z = sum(q * y) ride HUGEINT (order-free), each z descaled by
+        # 1e18 (micro^3) via the same CAST-then-divide two-step as the
+        # driver, normalized and rounded to 6 before the next round.
+        # v0 = round(1/sqrt(64), 6) = 0.125 → mv0 = 125000 exactly;
+        # v1's micro form re-quantizes the round-6 double (within 1 ulp
+        # of an integer — no half-boundary exposure).
         "q_power_iteration": f"""
-            WITH {xr},
-            y1 AS (SELECT vec_id, sum(x * 0.125) AS y
-                   FROM xr GROUP BY vec_id),
-            z1 AS (SELECT a.pos, sum(a.x * y1.y) AS z
-                   FROM xr a JOIN y1 ON a.vec_id = y1.vec_id
+            WITH {qxr},
+            y1 AS (SELECT vec_id, sum(q * 125000) AS y
+                   FROM qr GROUP BY vec_id),
+            z1 AS (SELECT a.pos,
+                          CAST(sum(a.q * y1.y) AS DOUBLE)
+                              / 1000000000000000000.0 AS z
+                   FROM qr a JOIN y1 ON a.vec_id = y1.vec_id
                    GROUP BY a.pos),
             n1 AS (SELECT sqrt(sum(z * z)) AS nrm FROM z1),
-            v1 AS (SELECT pos, round(z / nrm, 6) AS v FROM z1, n1),
-            y2 AS (SELECT a.vec_id, sum(a.x * v1.v) AS y
-                   FROM xr a JOIN v1 ON a.pos = v1.pos
+            v1 AS (SELECT pos,
+                          CAST(round(round(z / nrm, 6) * 1000000)
+                               AS HUGEINT) AS mv
+                   FROM z1, n1),
+            y2 AS (SELECT a.vec_id, sum(a.q * v1.mv) AS y
+                   FROM qr a JOIN v1 ON a.pos = v1.pos
                    GROUP BY a.vec_id),
-            z2 AS (SELECT a.pos, sum(a.x * y2.y) AS z
-                   FROM xr a JOIN y2 ON a.vec_id = y2.vec_id
+            z2 AS (SELECT a.pos,
+                          CAST(sum(a.q * y2.y) AS DOUBLE)
+                              / 1000000000000000000.0 AS z
+                   FROM qr a JOIN y2 ON a.vec_id = y2.vec_id
                    GROUP BY a.pos),
             n2 AS (SELECT sqrt(sum(z * z)) AS nrm FROM z2)
             SELECT pos, round(z / nrm, 6) AS component FROM z2, n2
         """,
-        # q_covariance: gram/n - mi*mj with ONE final round-6 — the raw
-        # sums and raw means participate unrounded on both sides
+        # q_covariance: gram/n - mi*mj over EXACT integer sums (HUGEINT
+        # micro² Gram cells, micro component sums), ONE final round-6 —
+        # the identical double expression tree as
+        # linalg.covariance_matrix
         "q_covariance": f"""
-            WITH {xr},
-            g AS (SELECT a.pos AS i, b.pos AS j, sum(a.x * b.x) AS s
-                  FROM xr a JOIN xr b
+            WITH {qxr},
+            g AS (SELECT a.pos AS i, b.pos AS j, sum(a.q * b.q) AS s
+                  FROM qr a JOIN qr b
                     ON a.vec_id = b.vec_id AND a.pos <= b.pos
                   GROUP BY a.pos, b.pos),
-            st AS (SELECT pos, avg(x) AS m,
-                          CAST(count(*) AS DOUBLE) AS n
-                   FROM xr GROUP BY pos)
+            st AS (SELECT pos, sum(q) AS s1,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM qr GROUP BY pos)
             SELECT g.i, g.j,
-                   round(g.s / si.n - si.m * sj.m, 6) AS val
+                   round(CAST(g.s AS DOUBLE) / si.n / 1000000000000.0
+                         - (CAST(si.s1 AS DOUBLE) / si.n / 1000000.0)
+                           * (CAST(sj.s1 AS DOUBLE) / si.n / 1000000.0),
+                         6) AS val
             FROM g JOIN st si ON g.i = si.pos
                    JOIN st sj ON g.j = sj.pos
         """,

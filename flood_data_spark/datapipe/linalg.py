@@ -23,18 +23,26 @@ Determinism discipline (the r8 `q_covariance` lesson): a raw double sum
 across partitions is NOT a pure function of the data — float addition is
 not associative, so a cell whose value sits within ~1 ulp of a 0.5e-6
 rounding boundary flips its 6th decimal between partitionings.  Every
-aggregate here therefore quantizes each embedding component ONCE to
-integer micro-units (`_q_arr`: round(x * 1e6) as BIGINT — a pure
-per-value function, identical on Spark and any ANSI engine), accumulates
-sums of those integers EXACTLY (int64 inside bounded numpy chunks,
-DECIMAL(38,0) across partitions — integer addition is order-free), and
-performs float division/rounding only in the FINAL expression, whose
-inputs are exact integers and whose IEEE-754 evaluation is therefore
-bit-identical everywhere.  The cost is a bounded input quantization
-(|err| <= 5e-7 per component, propagated bounds in each docstring); the
-payoff is that every output is a deterministic function of the data —
-the same convention as the repo-wide micro-unit aggregates
-(plans/scale.py `sum_micro`, datapipe/graph.py PageRank masses).
+corpus-sized sum in this module (dim_stats moments, gram_matrix cells,
+covariance means, the power-iteration y/z reductions) therefore
+quantizes each embedding component ONCE to integer micro-units (`_q` /
+`_q_arr`: sign(x) * floor(|x| * 1e6 + 0.5) as BIGINT — pure double
+IEEE-754 arithmetic, verified bit-identical across Spark, DuckDB and
+numpy, with no dependence on any engine's decimal-string rounding),
+accumulates sums of those integers EXACTLY (int64 inside
+`_GRAM_CHUNK`-bounded numpy chunks guarded by `_Q_ABS_MAX`,
+DECIMAL(38,0) across partitions — integer addition is order-free, and
+Spark's ANSI decimal raises loudly on the ~1e38 envelope instead of
+wrapping), and performs float division/rounding only in the FINAL
+expression, whose inputs are exact integers and whose IEEE-754
+evaluation is therefore identical everywhere.  The cost is a bounded
+input quantization (|err| <= 5e-7 per component, propagated bounds in
+each docstring); the payoff is that every output is a deterministic
+function of the data — the same convention as the repo-wide micro-unit
+aggregates (plans/scale.py `sum_micro`, datapipe/graph.py PageRank
+masses).  Driver-side vectors (power-iteration v, Gram-Schmidt) stay
+float: they are d-bounded, computed in ONE fixed order, and re-rounded
+to 6 decimals every step, which re-synchronizes the sequence exactly.
 
 No reference analog (the reference has no embedding operators); part of
 the beyond-reference datapipe inventory (SURVEY.md §2.11).
@@ -62,21 +70,34 @@ _MICRO = 1_000_000
 #: envelope: a chunk of B rows sums B products of two micro-quantized
 #: components, |q| <= 1e6 * max|x|, so the int64 partial stays exact while
 #: B * (1e6 * max|x|)^2 < 2^63 — at B=8192 that is max|x| <= 33.  The
-#: seam guards this bound at runtime (clear error, not silent wraparound);
-#: cross-chunk sums ride DECIMAL(38,0), exact to ~1e38 (1e12 rows at
-#: max|x|=33 reaches only ~1e27).
+#: Gram seam guards this bound at runtime (clear error, not silent
+#: wraparound); cross-chunk sums ride DECIMAL(38,0), exact to ~1e38
+#: (1e12 rows at max|x|=33 reaches only ~1e27, and Spark's ANSI decimal
+#: raises rather than wraps past the envelope).
 _GRAM_CHUNK = 8192
 _Q_ABS_MAX = 33 * _MICRO
 
 
+def _q(col) -> "F.Column":
+    """double -> BIGINT integer micro-units: sign(x) * floor(|x| * 1e6
+    + 0.5).  Written in pure double IEEE-754 primitives (sign, abs,
+    floor, multiply, add) so the SAME bits come out of Spark codegen,
+    DuckDB and numpy — no reliance on any engine's round() (Spark rounds
+    the shortest decimal representation via BigDecimal HALF_UP, DuckDB
+    rounds the binary double; they can disagree within 1 ulp of a half
+    boundary).  Verified bit-identical across all three engines on
+    random + adversarial half-boundary values (tests/test_linalg.py).
+    A pure per-value function: quantizing ONCE here is what makes every
+    downstream integer sum order-free and hence partition- and
+    engine-invariant."""
+    return (F.signum(col)
+            * F.floor(F.abs(col) * _MICRO + F.lit(0.5))).cast("long")
+
+
 def _q_arr(col) -> "F.Column":
-    """array<float|double> -> array<bigint> in integer micro-units:
-    round(x * 1e6) per component (Spark HALF_UP on the double — identical
-    to `round(x * 1000000.0)` in DuckDB/ANSI engines).  A pure per-value
-    function: quantizing ONCE here is what makes every downstream integer
-    sum order-free and hence partition- and engine-invariant."""
-    return F.transform(_as_double(col),
-                       lambda t: F.round(t * _MICRO, 0).cast("long"))
+    """array<float|double> -> array<bigint> micro-units (`_q` per
+    component)."""
+    return F.transform(_as_double(col), _q)
 
 
 def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -93,15 +114,17 @@ def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     rounded once at the end — a pure function of the data (module
     docstring).  Quantization error bounds: |mean err| <= 5e-7 (+5e-7
     final round), |variance err| <= 2 * max|x| * 5e-7 + ~1e-6.
-    Overflow envelope: sum(q^2) is exact to 1e38 — 1e12 rows at
-    max|x| = 500 reaches only ~1e29.
+    Overflow envelope: q squares in DECIMAL(38,0) (never the silent
+    int64 product — a long*long square wraps past |x| ~ 3037), so
+    sum(q^2) is exact to 1e38: 1e12 rows at max|x| = 500 reach only
+    ~1e29, and ANSI decimal raises past the envelope.
     """
     x = df.select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
-    q = F.round(F.col("x") * _MICRO, 0).cast("long")
+    qd = _q(F.col("x")).cast("decimal(38,0)")
     agg = (x.groupBy("pos")
            .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(q.cast("decimal(38,0)")).alias("_s1"),
-                F.sum((q * q).cast("decimal(38,0)")).alias("_s2"),
+                F.sum(qd).alias("_s1"),
+                F.sum(qd * qd).alias("_s2"),
                 F.min("x").alias("vmin"),
                 F.max("x").alias("vmax")))
     m = F.col("_s1").cast("double") / F.col("n") / F.lit(float(_MICRO))
@@ -113,25 +136,22 @@ def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
                       "vmin", "vmax")
 
 
-def gram_matrix(df: DataFrame, vec_col: str = "embedding",
-                round_to: int | None = 6) -> DataFrame:
-    """Upper triangle of the Gram matrix X'X as (i, j, val) rows, i <= j,
-    0-based, val rounded once to `round_to` decimals (rounding happens
-    exactly once, on the raw cross-partition sum — double rounding turns
-    representable half-points into engine-dependent coin flips; pass
-    round_to=None for the raw sums when the caller keeps computing).
-
-    Plan: ONE mapInPandas pass accumulates a dense d x d float64 partial
-    Gram per partition (Arrow-batched numpy `x.T @ x` — the embedding
-    seam), emits the d*(d+1)/2 upper-triangle cells, and a groupBy(i, j)
-    sums partials across partitions.  The exchange is d^2-bounded per
-    partition regardless of corpus size; the corpus itself never shuffles
-    and never reaches the driver.  This is the covariance/PCA front-end:
-    cov = gram/n - mean outer mean, with mean from `dim_stats`.
-    """
-    import pandas as pd  # noqa: F401 (mapInPandas contract)
-
+def _gram_micro(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact micro²-unit Gram sums: (i, j, qsum DECIMAL(38,0)) for the
+    upper triangle of Q'Q where Q is the micro-quantized corpus
+    (q = `_q` per component — mirrored bit-for-bit by numpy inside the
+    seam).  ONE mapInPandas pass accumulates a dense d x d partial Gram
+    per partition — int64-exact inside `_GRAM_CHUNK`-row chunks (the
+    `_Q_ABS_MAX` runtime guard keeps B * q_max^2 < 2^63; violation is a
+    clear error, never silent wraparound), Python-int exact across
+    chunks — and emits the d*(d+1)/2 upper-triangle cells as
+    DECIMAL(38,0); a groupBy(i, j) sums partials across partitions
+    (order-free integer addition).  The exchange is d^2-bounded per
+    partition regardless of corpus size; the corpus itself never
+    shuffles and never reaches the driver."""
     def partial_gram(batches):
+        import decimal
+
         import numpy as np
         import pandas as pd
         acc = None
@@ -139,8 +159,17 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            g = x.T @ x
-            acc = g if acc is None else acc + g
+            q = (np.sign(x) * np.floor(np.abs(x) * _MICRO + 0.5)) \
+                .astype(np.int64)
+            if q.size and int(np.abs(q).max()) > _Q_ABS_MAX:
+                raise ValueError(
+                    f"gram_matrix: |component| exceeds the int64 "
+                    f"exactness envelope (max|x| <= {_Q_ABS_MAX // _MICRO} "
+                    f"at chunk size {_GRAM_CHUNK}) — rescale the "
+                    f"embeddings or shrink _GRAM_CHUNK")
+            for s in range(0, q.shape[0], _GRAM_CHUNK):
+                g = q[s:s + _GRAM_CHUNK].T @ q[s:s + _GRAM_CHUNK]
+                acc = g.astype(object) if acc is None else acc + g
         if acc is None:
             return
         d = acc.shape[0]
@@ -150,13 +179,30 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
                 iu.append(i)
                 ju.append(j)
         yield pd.DataFrame({"i": iu, "j": ju,
-                            "val": acc[iu, ju]})
+                            "qsum": [decimal.Decimal(int(v))
+                                     for v in acc[iu, ju]]})
 
     parts = (df.select(_as_double(F.col(vec_col)).alias("_v"))
-             .mapInPandas(partial_gram, "i int, j int, val double"))
-    agg = F.sum("val") if round_to is None else F.round(F.sum("val"),
-                                                        round_to)
-    return parts.groupBy("i", "j").agg(agg.alias("val"))
+             .mapInPandas(partial_gram, "i int, j int, qsum decimal(38,0)"))
+    return parts.groupBy("i", "j").agg(F.sum("qsum").alias("qsum"))
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding",
+                round_to: int | None = 6) -> DataFrame:
+    """Upper triangle of the Gram matrix X'X as (i, j, val) rows, i <= j,
+    0-based: val = qsum / 1e12 from the exact integer Gram
+    (`_gram_micro`), rounded ONCE to `round_to` decimals (round_to=None
+    keeps the unrounded quotient).  Deterministic by construction — the
+    only float ops are the final division and round, whose input is one
+    exact integer (module docstring).  Quantization error bound per
+    cell: n_rows * (|x_i| + |x_j|) * 5e-7 + 2.5e-13 * n_rows.  This is
+    the covariance/PCA front-end: cov = gram/n - mean outer mean.
+    """
+    g = _gram_micro(df, vec_col)
+    val = g["qsum"].cast("double") / F.lit(float(_MICRO) * _MICRO)
+    if round_to is not None:
+        val = F.round(val, round_to)
+    return g.select("i", "j", val.alias("val"))
 
 
 def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
@@ -165,30 +211,40 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
     cov[i,j] = gram[i,j]/n - mean_i * mean_j — the whitening/PCA input
     proper (the Gram alone is only correct for pre-centered data).
 
-    Composes the two d-bounded passes: the mapInPandas partial-Gram
-    (d^2-bounded exchange) joined with the d-keyed mean relation on each
-    index — both joins broadcast (d and d^2 rows).  The count rides the
-    mean relation, so no third scan.  Rounding happens ONCE, on the
-    final expression (never re-round a rounded value — representable
-    half-points flip between engines), so the Gram is taken raw here.
+    Composes the two d-bounded passes: the exact integer Gram
+    (`_gram_micro`, d^2-bounded exchange) joined with the d-keyed
+    integer mean-sum relation on each index — both joins broadcast (d
+    and d^2 rows).  The count rides the mean relation, so no third scan.
+
+    Determinism: every corpus-sized sum is an exact integer (micro² Gram
+    sums, micro component sums) — the final expression
+    round(qsum/n/1e12 - (s1_i/n/1e6)(s1_j/n/1e6), 6) is a fixed double
+    tree over exact integers, identical in any IEEE engine and mirrored
+    literally in the q_covariance oracle.  Rounding happens ONCE, at
+    the very end.  Quantization error bound per cell: (|x_i| + |x_j|
+    + |mean_i| + |mean_j|) * 5e-7 + ~1e-12.
     """
-    gram = gram_matrix(df, vec_col, round_to=None)
+    gram = _gram_micro(df, vec_col)
     # localCheckpoint: the d-row stats relation feeds BOTH broadcast
     # sides — without it Catalyst replans the corpus-sized explode+
     # groupBy once per side (the multiply-consumed-bounded-relation rule)
     stats = (df.select(F.posexplode(_as_double(F.col(vec_col)))
                        .alias("pos", "x"))
              .groupBy("pos")
-             .agg(F.avg("x").alias("mean"), F.count(F.lit(1)).alias("n"))
+             .agg(F.sum(_q(F.col("x")).cast("decimal(38,0)")).alias("s1"),
+                  F.count(F.lit(1)).alias("n"))
              .localCheckpoint(eager=False))
-    mi = stats.select(F.col("pos").alias("i"), F.col("mean").alias("_mi"),
+    mi = stats.select(F.col("pos").alias("i"), F.col("s1").alias("_si"),
                       F.col("n").alias("_n"))
-    mj = stats.select(F.col("pos").alias("j"), F.col("mean").alias("_mj"))
+    mj = stats.select(F.col("pos").alias("j"), F.col("s1").alias("_sj"))
+    mean_i = F.col("_si").cast("double") / F.col("_n") / F.lit(float(_MICRO))
+    mean_j = F.col("_sj").cast("double") / F.col("_n") / F.lit(float(_MICRO))
+    g_over_n = (F.col("qsum").cast("double") / F.col("_n")
+                / F.lit(float(_MICRO) * _MICRO))
     return (gram.join(F.broadcast(mi), "i")
             .join(F.broadcast(mj), "j")
             .select("i", "j",
-                    F.round(F.col("val") / F.col("_n")
-                            - F.col("_mi") * F.col("_mj"),
+                    F.round(g_over_n - mean_i * mean_j,
                             round_to).alias("val")))
 
 
@@ -207,12 +263,14 @@ def power_iteration_top(df: DataFrame, vec_col: str = "embedding",
     estimate, i.e. squared spectral norm of X along v).
 
     v0 is the deterministic uniform unit vector round(1/sqrt(d), 6).  Each
-    iteration is ONE distributed job: y = <x, v> rides the row (pure
-    Column fold against the v literal — no join), z = X'y comes from
-    posexplode → groupBy(pos) (d-keyed shuffle, partial-aggregated
-    map-side), and the driver collects exactly d cells, normalizes, and
-    rounds to 6 decimals — the rounding makes the sequence bit-identical
-    across engines and partitionings, so the whole iteration unrolls in
+    iteration is ONE distributed job: y = <q, mv> rides the row as an
+    EXACT integer fold (micro-quantized components against the
+    micro-integer v literal — no join, no float drift), z = Q'y comes
+    from posexplode → groupBy(pos) as exact DECIMAL(38,0) sums (d-keyed
+    shuffle, partial-aggregated map-side), and the driver collects
+    exactly d integers, descales, normalizes, and rounds to 6 decimals —
+    integer sums + per-step rounding make the sequence bit-identical
+    across engines AND partitionings, so the whole iteration unrolls in
     ANSI SQL (q_power_iteration's oracle).
 
     Sign convention: none imposed — the sign is pinned by v0 and the
@@ -240,19 +298,36 @@ def power_iteration_top(df: DataFrame, vec_col: str = "embedding",
 
 
 def _xtx_apply(base: DataFrame, v: list, d: int) -> list:
-    """ONE distributed job computing z = X'(Xv): y = <x, v> rides the
-    row against the v literal (no join), then posexplode → groupBy(pos)
-    sum(y*x) — the d-keyed exchange; the driver collects exactly d
-    cells.  Shared by the single- and top-k power iterations so any
-    kernel change (rounding, hints) lands in both."""
-    y = base.withColumn("_y", _dot_lit(F.col("_v"), v))
-    cells = (y.select("_y", F.posexplode("_v").alias("pos", "x"))
+    """ONE distributed job computing z = X'(Xv) in exact integer
+    arithmetic: the row quantizes once (q = `_q_arr`), y = <q, mv>
+    rides the row as an int64 fold against the micro-integer v literal
+    (|y| <= d * q_max * 2e6 — int64-safe to d ~ 1e5 under the
+    `_Q_ABS_MAX` envelope), then posexplode → groupBy(pos) sums y*q in
+    DECIMAL(38,0) (the per-term product is cast to decimal BEFORE
+    multiplying — y*q can reach ~1e21, past int64) — the d-keyed
+    exchange; the driver collects exactly d integers and descales by
+    1e18 (micro^3: q 1e6 × mv 1e6 × q 1e6).  Order-free by
+    construction; mirrored term-for-term in the q_power_iteration
+    oracle's HUGEINT CTEs.  Shared by the single- and top-k power
+    iterations so any kernel change lands in both."""
+    from flood_data_spark.datapipe.similarity import _int_array_lit
+
+    mv = [int(round(t * _MICRO)) for t in v]
+    qv = _q_arr(F.col("_v"))
+    y = F.aggregate(F.zip_with(qv, _int_array_lit(mv), lambda a, b: a * b),
+                    F.lit(0).cast("long"), lambda acc, t: acc + t)
+    cells = (base.select(y.alias("_y"), qv.alias("_q"))
+             .select("_y", F.posexplode("_q").alias("pos", "q"))
              .groupBy("pos")
-             .agg(F.sum(F.col("_y") * F.col("x")).alias("z"))
+             .agg(F.sum(F.col("_y").cast("decimal(38,0)")
+                        * F.col("q").cast("decimal(38,0)")).alias("z"))
              .collect())
     z = [0.0] * d
+    scale = float(_MICRO) ** 3
     for r in cells:
-        z[r.pos] = r.z
+        # float(decimal) then one double division — the same two
+        # correctly-rounded steps as the oracle's CAST(z AS DOUBLE)/1e18
+        z[r.pos] = float(r.z) / scale
     return z
 
 

@@ -13,6 +13,17 @@ Env:
   CHECK_ORACLE_VANILLA  bare SparkSession (driver-harness replica)
   CHECK_ORACLE_JSON     path: also write a per-query JSON artifact
                         (the round-end CORRECTNESS_FULL_r{N}.json)
+  CHECK_ORACLE_PERTURB  "1": partition-perturbation mode — every
+                        value-gated query whose Spark result carries
+                        float/double columns is rerun under perturbed
+                        partitionings (shuffle.partitions 1 and 7, tiny
+                        files.maxPartitionBytes so the scan splits
+                        differently) and the canonical rows must be
+                        IDENTICAL to the baseline run.  This is the
+                        local harness for the r8/r9 lesson: a raw double
+                        sum is not a pure function of the data — a gate
+                        that only passes under one partitioning is a red
+                        gate waiting for the driver's partitioning.
 """
 
 from __future__ import annotations
@@ -39,6 +50,18 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = os.environ.get("CHECK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Perturbation profiles: each changes BOTH the scan partitioning (tiny
+# maxPartitionBytes → many input splits → different mapInPandas/partial-agg
+# groupings) and the shuffle width (different reduce-side accumulation
+# order).  A deterministic operator must produce bit-identical canonical
+# rows under all of them.
+PERTURB_PROFILES = [
+    {"spark.sql.shuffle.partitions": "1",
+     "spark.sql.files.maxPartitionBytes": "1g"},
+    {"spark.sql.shuffle.partitions": "7",
+     "spark.sql.files.maxPartitionBytes": "131072"},
+]
 
 
 def norm_val(v):
@@ -170,6 +193,37 @@ def main():
                         problems.append(f"  spark {a}")
                         problems.append(f"  duck  {b}")
                         break
+        if not problems and os.environ.get("CHECK_ORACLE_PERTURB") and any(
+                t in ("double", "float") for t in s_types.values()):
+            cs0 = canon(s_rows, s_cols)
+            keys = sorted({k for p in PERTURB_PROFILES for k in p})
+            saved = {k: spark.conf.get(k, None) for k in keys}
+            try:
+                for prof in PERTURB_PROFILES:
+                    for k, v in prof.items():
+                        spark.conf.set(k, v)
+                    spark.catalog.clearCache()
+                    try:
+                        p_rows = [tuple(r) for r in
+                                  qs[name](spark, SF_DIR).collect()]
+                    except Exception as e:
+                        problems.append(f"perturb {prof}: spark error: "
+                                        f"{e}"[:300])
+                        break
+                    if canon(p_rows, s_cols) != cs0:
+                        nd = sum(1 for a, b in zip(canon(p_rows, s_cols),
+                                                   cs0) if a != b)
+                        problems.append(
+                            f"NOT partition-invariant under {prof}: "
+                            f"{nd} rows flipped vs baseline run")
+                        break
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+
         if problems:
             failures.append(name)
             records[name] = {"status": "fail", "problems": problems[:4]}
@@ -177,10 +231,15 @@ def main():
             for p in problems[1:4]:
                 print("      " + p)
         else:
-            records[name] = {"status": "ok", "rows": len(s_rows),
-                             "sec": round(time.time() - t0, 1)}
-            print(f"ok    {name}: {len(s_rows)} rows match, "
-                  f"{time.time()-t0:.1f}s")
+            rec = {"status": "ok", "rows": len(s_rows),
+                   "sec": round(time.time() - t0, 1)}
+            if os.environ.get("CHECK_ORACLE_PERTURB") and any(
+                    t in ("double", "float") for t in s_types.values()):
+                rec["perturbed"] = len(PERTURB_PROFILES)
+            records[name] = rec
+            print(f"ok    {name}: {len(s_rows)} rows match"
+                  + (", partition-invariant" if "perturbed" in rec else "")
+                  + f", {time.time()-t0:.1f}s")
         # the contract queries cache relations internally (kept/dropped,
         # sigs, exact truth sides) and cannot unpersist before their
         # result is consumed — clear between queries so a full run doesn't

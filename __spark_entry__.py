@@ -8860,10 +8860,14 @@ def oracle_sql() -> dict[str, str]:
     d["q_unigram_encode"] = f"""
         WITH {_uni_vocab_ctes},
         masks AS (
+            -- the 2048-mask enumeration covers n-1 <= 11 boundary bits:
+            -- gate at length 12 (viterbi_segment's max_word_len) so a
+            -- longer word can never get a silently-incomplete optimum
             SELECT wd.word, m.m AS mask, length(wd.word) AS n
             FROM words wd, generate_series(0, 2047) m(m)
-            WHERE m.m < (1 << (length(wd.word) - 1))
-               OR (length(wd.word) = 1 AND m.m = 0)),
+            WHERE length(wd.word) <= 12
+              AND (m.m < (1 << (length(wd.word) - 1))
+                   OR (length(wd.word) = 1 AND m.m = 0))),
         segs AS (
             SELECT word, mask, n,
                    [substr(word, b[k] + 1, b[k + 1] - b[k])
@@ -8893,6 +8897,14 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(g.ps, ' ') AS pieces_str
         FROM best b JOIN segs g ON b.word = g.word AND b.mask = g.mask
         WHERE b.r = 1
+        UNION ALL
+        -- words past max_word_len: viterbi_segment's segment-or-flag
+        -- passthrough (NULL pieces / NULL cost; concat_ws of a NULL
+        -- array is '' on the Spark side)
+        SELECT word, CAST(NULL AS INT) AS n_pieces,
+               CAST(NULL AS BIGINT) AS total_cost_micro,
+               '' AS pieces_str
+        FROM words WHERE length(word) > 12
     """
 
     # q_unigram_em: E-step re-derived by the same mask brute force,
@@ -8900,10 +8912,14 @@ def oracle_sql() -> dict[str, str]:
     d["q_unigram_em"] = f"""
         WITH {_uni_vocab_ctes},
         masks AS (
+            -- the 2048-mask enumeration covers n-1 <= 11 boundary bits:
+            -- gate at length 12 (viterbi_segment's max_word_len) so a
+            -- longer word can never get a silently-incomplete optimum
             SELECT wd.word, m.m AS mask, length(wd.word) AS n
             FROM words wd, generate_series(0, 2047) m(m)
-            WHERE m.m < (1 << (length(wd.word) - 1))
-               OR (length(wd.word) = 1 AND m.m = 0)),
+            WHERE length(wd.word) <= 12
+              AND (m.m < (1 << (length(wd.word) - 1))
+                   OR (length(wd.word) = 1 AND m.m = 0))),
         segs AS (
             SELECT word, mask, n,
                    [substr(word, b[k] + 1, b[k + 1] - b[k])

@@ -531,8 +531,12 @@ def split_candidates(df: DataFrame, feature_cols, label_col: str,
                          f"got {n_buckets}")
     # NULL labels can't be counted on either side of a split — gate them
     # before BOTH passes so boundaries and cells see one relation.
-    # (NULL feature values yield NULL buckets and fall out at the
-    # threshold join per feature — no explicit guard needed there.)
+    # NULL FEATURE values get NULL buckets from bucket_expr's explicit
+    # guard and are filtered below BEFORE the cell groupBy: a NULL
+    # feature row must not move any candidate split's n/pos counts for
+    # that feature (it still counts for its other, non-NULL features —
+    # the per-feature available-case contract of CART surrogate-free
+    # induction).
     df = df.filter(F.col(label_col).isNotNull())
     if accuracy_mode not in ("exact", "approx"):
         raise ValueError("split_candidates: accuracy_mode must be "
@@ -559,6 +563,7 @@ def split_candidates(df: DataFrame, feature_cols, label_col: str,
                  bucket_expr(f, bounds[f]).alias("bucket"))
         for f in feats])
     cells = (df.select(F.explode(pairs).alias("fb"), lab.alias("_y"))
+             .filter(F.col("fb.bucket").isNotNull())
              .groupBy(F.col("fb.feature").alias("feature"),
                       F.col("fb.bucket").alias("bucket"))
              .agg(F.count(F.lit(1)).alias("_n"),

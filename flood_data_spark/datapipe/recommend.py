@@ -16,8 +16,10 @@ Scale posture (the all-pairs trap and its cure):
   are boilerplate, their marginal signal per pair is lowest).  With the
   cap, total pair volume is Σ min(|basket|, cap)² — linear in users.
 - Pair counts groupBy (item_a, item_b) with map-side combine; item
-  degree counts are an item-cardinality relation joined twice (broadcast
-  when small — explicit).
+  degree counts are an item-cardinality relation joined twice —
+  broadcast when small, and "small" is decided by AQE from the measured
+  post-aggregation size (an unconditional hint would OOM on huge
+  catalogs; `broadcast_degrees` lets a caller force either way).
 - `min_count` prunes the pair tail BEFORE the degree joins.
 
 Determinism: counts are exact integers; cosine = c_ab / sqrt(c_a·c_b) is
@@ -69,23 +71,40 @@ def item_cooccurrence(df: DataFrame, user_col: str, item_col: str,
 
 def item_similarity(df: DataFrame, user_col: str, item_col: str,
                     max_basket: int | None = 64,
-                    min_count: int = 1) -> DataFrame:
+                    min_count: int = 1,
+                    broadcast_degrees: bool | None = None) -> DataFrame:
     """Cosine similarity over binary user-item vectors:
     cos(a, b) = n_common / sqrt(n_a · n_b).  Degree counts use the SAME
     capped basket relation as the pairs (so the estimator is consistent
     under the cap).  Returns (item_a, item_b, n_common, n_a, n_b,
-    cosine round-6)."""
+    cosine round-6).
+
+    `broadcast_degrees` honors the module's broadcast-when-small
+    contract: the degree relation is ITEM-cardinality, which is small
+    for retail catalogs but can be huge (every n-gram, every URL) —
+    an unconditional broadcast hint there is a driver/executor OOM.
+    None (default) leaves the choice to Catalyst/AQE, which sees the
+    post-aggregation size at runtime and broadcasts only under the
+    autoBroadcastJoinThreshold — the shuffle-join fallback is automatic.
+    True forces the hint (a caller contract that the catalog is small);
+    False forbids it."""
     b = _baskets(df, user_col, item_col, max_basket)
     pairs = item_cooccurrence(df, user_col, item_col, max_basket,
                               min_count)
     deg = b.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+
+    def _side(alias_item, alias_n):
+        s = deg.select(F.col("item").alias(alias_item),
+                       F.col("n").alias(alias_n))
+        if broadcast_degrees:
+            return F.broadcast(s)
+        if broadcast_degrees is False:
+            return s.hint("shuffle_hash")
+        return s
+
     out = (pairs
-           .join(F.broadcast(deg.select(F.col("item").alias("item_a"),
-                                        F.col("n").alias("n_a"))),
-                 on="item_a")
-           .join(F.broadcast(deg.select(F.col("item").alias("item_b"),
-                                        F.col("n").alias("n_b"))),
-                 on="item_b"))
+           .join(_side("item_a", "n_a"), on="item_a")
+           .join(_side("item_b", "n_b"), on="item_b"))
     cos = (F.col("n_common").cast("double")
            / F.sqrt(F.col("n_a").cast("double")
                     * F.col("n_b").cast("double")))

@@ -273,9 +273,15 @@ def conformal_interval(calibration: DataFrame, df: DataFrame,
     resid = (F.abs(F.round((F.col(y_col) - F.col(yhat_col))
                            * 1_000_000).cast("long")).cast("double")
              / 1_000_000)
-    n_cal = calibration.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    # n must count exactly the rows the quantile sees: F.percentile
+    # skips NULL residuals, so count(resid) — a count(*) would compute
+    # the ⌈(n+1)(1-α)⌉/n level against phantom rows and silently break
+    # the finite-sample coverage guarantee under NULLs (r9 ADVICE).
+    n_cal = calibration.agg(
+        F.count(resid).alias("n")).collect()[0]["n"]
     if n_cal < 1:
-        raise ValueError("conformal_interval: empty calibration set")
+        raise ValueError("conformal_interval: empty calibration set "
+                         "(no non-NULL residuals)")
     import math
     level = min(1.0, math.ceil((n_cal + 1) * (1.0 - alpha)) / n_cal)
     q = (calibration.agg(F.percentile(resid, F.lit(level)).alias("q"))

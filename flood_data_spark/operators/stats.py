@@ -57,12 +57,20 @@ def equidepth_bounds(df: DataFrame, value_col: str,
 
 def bucket_expr(value_col: str, bounds: list[float]) -> Column:
     """1-based bucket id from a literal boundary ladder:
-    ``1 + Σ (value > b_i)`` — pure codegen, no shuffle."""
+    ``1 + Σ (value > b_i)`` — pure codegen, no shuffle.
+
+    NULL contract: a NULL value yields a NULL bucket, NOT bucket 1 —
+    without the explicit guard, ``NULL > b`` is NULL and every
+    ``otherwise(0)`` fires, silently landing NULLs in the lowest bucket
+    (the r9 split_candidates Gini-corruption bug).  Callers that must
+    exclude NULLs entirely (PSI counts, split cells) filter the NULL
+    buckets; callers that keep them (`with_equidepth_bucket`) surface
+    them honestly as NULL."""
     bucket = F.lit(1)
     for b in bounds:
         bucket = bucket + F.when(F.col(value_col) > F.lit(b),
                                  F.lit(1)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    return F.when(F.col(value_col).isNotNull(), bucket).cast("int")
 
 
 def with_equidepth_bucket(df: DataFrame, value_col: str,

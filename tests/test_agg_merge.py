@@ -134,3 +134,21 @@ def test_conformal_validation(spark):
         conformal_interval(cal, cal, "y", "yhat", alpha=1.0)
     with pytest.raises(ValueError, match="calibration"):
         conformal_interval(empty, cal, "y", "yhat")
+
+
+def test_conformal_null_residuals_use_effective_n(spark):
+    # r9 ADVICE: n must count what the quantile sees.  10 real residuals
+    # + 5 NULL ones must yield the SAME q as the 10 alone — under the
+    # old count(*), n=15 would shift the ⌈(n+1)(1-α)⌉/n level.
+    from flood_data_spark.operators.experiment import conformal_interval
+    clean = [(float(i), 0.0) for i in range(10)]
+    nulls = [(None, 0.0), (1.0, None), (None, None)] * 2
+    cal = spark.createDataFrame(clean + nulls[:5], "y double, yhat double")
+    new = spark.createDataFrame([(5.0, 4.0)], "y double, yhat double")
+    q = conformal_interval(cal, new, "y", "yhat", alpha=0.2) \
+        .collect()[0].conformal_q
+    assert q == pytest.approx(8.1)    # ceil(11*0.8)/10 = .9 over 0..9
+
+    all_null = spark.createDataFrame(nulls[:4], "y double, yhat double")
+    with pytest.raises(ValueError, match="calibration"):
+        conformal_interval(all_null, new, "y", "yhat", alpha=0.2)

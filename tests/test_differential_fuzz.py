@@ -275,3 +275,30 @@ def test_fuzz_retention(spark, seed):
            .select(F.col("cohort").cast("timestamp").alias("cohort"),
                    "offset", "n_active", "retention"))
     _compare_events(pdf, out, "q_retention")
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_fuzz_unigram_encode_long_words(spark, seed):
+    """Regression for the r9 ADVICE finding: the oracle's 2048-mask
+    enumeration only covers words <= 12 chars — a 13+-char word used to
+    get a silently-incomplete optimum while viterbi_segment returned
+    NULL pieces.  Plant long words and require full parity."""
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.datapipe.unigram import (
+        seed_vocabulary, viterbi_segment, word_table)
+
+    pdf = _random_corpus(seed)
+    longs = ("hydrometeorology supercalifragil thirteencharsx "
+             "precipitation overtwelvechars")
+    pdf.loc[pdf.index % 4 == 0, "text"] = (
+        pdf.loc[pdf.index % 4 == 0, "text"] + " " + longs).str.strip()
+    docs = spark.createDataFrame(pdf)
+    words = word_table(docs)
+    vocab = seed_vocabulary(words, max_piece_len=4, top_multichar=64)
+    seg = viterbi_segment(words, vocab, max_word_len=12, max_piece_len=4)
+    out = seg.select("word",
+                     F.size("pieces").alias("n_pieces"),
+                     "total_cost_micro",
+                     F.concat_ws(" ", "pieces").alias("pieces_str"))
+    _compare(pdf, out, "q_unigram_encode", require_rows=True)

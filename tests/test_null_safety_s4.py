@@ -64,3 +64,39 @@ def test_stump_drops_null_labels(spark):
     cand = split_candidates(df, ("x",), "y", n_buckets=2).collect()
     for c in cand:
         assert c.n_left + c.n_right == 3      # the NULL-label row is out
+
+
+def test_stump_null_features_move_no_counts(spark):
+    # the r9 VERDICT bug: NULL feature values used to take every
+    # otherwise(0) in bucket_expr and land in bucket 1, silently
+    # inflating n_left/pos_left of EVERY candidate split.  Contract:
+    # per-feature available-case — a NULL-x row moves none of x's
+    # counts, while still counting for its non-NULL features.
+    from flood_data_spark.datapipe.classifier import split_candidates
+    base = [(float(i), float(i % 7), i % 2) for i in range(1, 21)]
+    nulls = [(None, 3.0, 1), (None, 5.0, 0), (None, 1.0, 1)]
+    df = spark.createDataFrame(base + nulls, "x double, z double, y int")
+
+    with_n = sorted(map(tuple,
+                        split_candidates(df, ("x",), "y",
+                                         n_buckets=4).collect()))
+    without = sorted(map(tuple,
+                         split_candidates(df.filter(F.col("x").isNotNull()),
+                                          ("x",), "y",
+                                          n_buckets=4).collect()))
+    assert with_n == without          # NULL-x rows moved nothing
+    for c in with_n:
+        assert c[3] + c[4] == len(base)   # n_left + n_right
+
+    # …but the same rows DO count for the non-NULL feature z
+    z_cand = split_candidates(df, ("z",), "y", n_buckets=4).collect()
+    for c in z_cand:
+        assert c.n_left + c.n_right == len(base) + len(nulls)
+
+
+def test_bucket_expr_null_yields_null_bucket(spark):
+    from flood_data_spark.operators.stats import bucket_expr
+    df = spark.createDataFrame([(1.0,), (None,), (9.0,)], "v double")
+    got = [r.b for r in
+           df.select(bucket_expr("v", [2.0, 5.0]).alias("b")).collect()]
+    assert got == [1, None, 3]

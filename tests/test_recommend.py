@@ -81,3 +81,24 @@ def test_item_cf_plan_has_no_cartesian(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_similarity_broadcast_contract(spark):
+    # r9 ADVICE: the degree relation is item-cardinality — never an
+    # unconditional broadcast hint.  Default leaves the choice to AQE
+    # (no authored ResolvedHint); True forces it; values agree across
+    # all three modes.
+    rows = [(u, i) for u in range(6) for i in range(u % 4 + 1)]
+    df = _inter(spark, rows)
+    base = sorted(map(tuple, item_similarity(df, "u", "i").collect()))
+    forced = sorted(map(tuple,
+                        item_similarity(df, "u", "i",
+                                        broadcast_degrees=True).collect()))
+    shuffled = sorted(map(tuple,
+                          item_similarity(df, "u", "i",
+                                          broadcast_degrees=False)
+                          .collect()))
+    assert base == forced == shuffled and base
+    default_plan = item_similarity(df, "u", "i") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in default_plan

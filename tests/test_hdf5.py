@@ -300,3 +300,34 @@ def test_undefined_fill_v2_still_zeros():
     from flood_data_spark.sources.hdf5 import _fill_scalar, _fill_value
     assert _fill_value(b"\x02\x02\x00\x00") is None        # not defined
     assert _fill_scalar(None, np.dtype("<f8")) == 0
+
+
+def test_latest_format_fractal_heap_dispatches_to_xarray():
+    """The r8/r9 VERDICT residual: HDF5 'latest' layouts (superblock
+    v2/v3 root groups stored densely in a fractal heap + v2 B-tree name
+    index) are OUT of the minimal reader's scope — the contract is a
+    clean NotImplementedError naming the xarray/h5netcdf escape hatch,
+    never a garbled parse.  Hand-crafted bytes: superblock v3 → root
+    OHDR with a Link Info message whose fractal-heap address is
+    defined."""
+    buf = bytearray(200)
+    buf[0:8] = SIGNATURE
+    buf[8] = 3                                   # superblock v3
+    buf[9] = 8                                   # offset size
+    buf[10] = 8                                  # length size
+    buf[36:44] = (96).to_bytes(8, "little")      # root object header
+    buf[96:100] = b"OHDR"
+    buf[100] = 2                                 # header version
+    buf[101] = 0                                 # flags: 1-byte size, untracked
+    # Link Info message: version 0, flags 0, fractal heap addr DEFINED,
+    # name-index v2-btree addr (undefined here; the heap is the trigger)
+    data = (bytes([0, 0]) + (0x1000).to_bytes(8, "little")
+            + (0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"))
+    buf[102] = 4 + len(data) + 4                 # chunk0: msg + checksum
+    buf[103] = 0x02                              # Link Info
+    buf[104:106] = len(data).to_bytes(2, "little")
+    buf[107:107 + len(data)] = data
+    with pytest.raises(NotImplementedError) as e:
+        parse_hdf5(bytes(buf))
+    assert "fractal-heap" in str(e.value)
+    assert "xarray" in str(e.value)              # the named dependency

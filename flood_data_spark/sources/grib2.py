@@ -4,12 +4,14 @@ GRIB edition 2 (WMO FM 92) is a public, section-structured binary format.
 The subset an ensemble river-discharge forecast actually uses — grid
 definition template 3.0 (regular latitude/longitude), product definition
 templates 4.0/4.1 (deterministic / ensemble member), data representation
-templates 5.0 (simple packing), 5.2 (grid-point complex packing) and 5.3
-(complex + first/second-order spatial differencing), optional bitmap — is
-small enough to decode with stdlib ``struct`` + numpy, no ecCodes/cfgrib
-stack.  This module is the dependency-free fallback branch of
-``raster.grib_decoder``; transform-coded packings (JPEG2000, CCSDS,
-spectral) still require cfgrib and raise NotImplementedError without it.
+templates 5.0 (simple packing), 5.2 (grid-point complex packing), 5.3
+(complex + first/second-order spatial differencing) and 5.40 (lossless
+JPEG 2000 — decoded by the from-spec pure-Python codec in
+``sources/jpeg2000.py``), optional bitmap — is small enough to decode
+with stdlib ``struct`` + numpy, no ecCodes/cfgrib stack.  This module is
+the dependency-free fallback branch of ``raster.grib_decoder``; the
+remaining exotic packings (CCSDS/AEC, spectral, lossy JPEG2000) still
+require cfgrib and raise NotImplementedError without it.
 
 Semantics matched to the cfgrib/xarray path the reference rides on
 (flood/etl/utils.py:3-14, flood/etl/raster_converter.py:55-85):
@@ -246,10 +248,14 @@ def _decode_message(msg: bytes) -> dict:
     # 5.2 complex packing, 5.3 complex + spatial differencing
     s5 = s[5]
     tmpl5 = _u(s5[9:11])
-    if tmpl5 not in (0, 2, 3):
+    if tmpl5 not in (0, 2, 3, 40):
         raise NotImplementedError(
-            f"grib2: data template 5.{tmpl5} unsupported (5.0/5.2/5.3 "
-            "only; JPEG2000/CCSDS/spectral need cfgrib)")
+            f"grib2: data template 5.{tmpl5} unsupported (5.0/5.2/5.3/"
+            "5.40 only; CCSDS/spectral need cfgrib)")
+    if tmpl5 == 40 and len(s5) > 21 and s5[21] not in (0, 255):
+        raise NotImplementedError(
+            "grib2: lossy JPEG2000 packing (5.40 compression type "
+            f"{s5[21]}) unsupported — lossless only")
     n_vals = _u(s5[5:9])
     ref_val = struct.unpack(">f", s5[11:15])[0]
     e_scale = _sm(s5[15:17])
@@ -269,7 +275,19 @@ def _decode_message(msg: bytes) -> dict:
             f"grib2: predefined bitmap {bmp_flag} unsupported")
 
     # section 7: packed data
-    if tmpl5 in (2, 3):
+    if tmpl5 == 40:
+        # template 5.40: X rides a lossless JPEG2000 codestream — the
+        # dependency-free from-spec decoder (sources/jpeg2000.py); the
+        # codestream's own SIZ fixes the image shape (with a bitmap only
+        # the present points are coded), so flatten and count-check
+        from flood_data_spark.sources.jpeg2000 import decode_codestream
+        img = decode_codestream(bytes(s[7][5:]))
+        if img.size != n_vals:
+            raise ValueError(
+                f"grib2: jpeg2000 sample count {img.size} != declared "
+                f"data count {n_vals}")
+        x = img.reshape(-1)
+    elif tmpl5 in (2, 3):
         x = _unpack_complex(s5, s[7][5:], n_vals)
     else:
         x = _unpack_bits(s[7][5:], nbits, n_vals)
@@ -344,6 +362,38 @@ def build_simple_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
     return _assemble_message(
         s5, packed, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d, member=member,
         year=year, month=month, day=day, ftime_hours=ftime_hours)
+
+
+def build_jpeg2000_message(xs, *, nj: int, ni: int, la1: float,
+                           lo1: float, d: float, ref: float = 0.0,
+                           e_scale: int = 0, d_scale: int = 0,
+                           nbits: int = 16, levels: int = 3,
+                           member: int | None = None,
+                           year: int = 2024, month: int = 1, day: int = 1,
+                           ftime_hours: int = 24) -> bytes:
+    """Encode one GRIB2 message with data representation template 5.40
+    (lossless JPEG 2000) — the test counterpart of the 5.40 branch, with
+    the codestream produced by the from-spec encoder
+    (`jpeg2000.encode_codestream`).  `xs` are the packed integers,
+    row-major; decoded value = (ref + X * 2**e_scale) / 10**d_scale."""
+    from flood_data_spark.sources.jpeg2000 import encode_codestream
+
+    if nbits < 1:
+        raise ValueError("grib2: jpeg2000 packing needs nbits >= 1")
+    arr = np.asarray(list(xs), dtype=np.int64).reshape(nj, ni)
+    if arr.min(initial=0) < 0 or arr.max(initial=0) >= (1 << nbits):
+        raise ValueError(
+            f"grib2: packed values do not fit in {nbits} bits")
+    codestream = encode_codestream(arr, nbits, levels=levels)
+    e_raw = abs(e_scale) | (0x8000 if e_scale < 0 else 0)
+    d_raw = abs(d_scale) | (0x8000 if d_scale < 0 else 0)
+    s5 = _sec(5, struct.pack(">I", arr.size) + struct.pack(">H", 40)
+              + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
+              + bytes([nbits, 0, 0, 255]))   # lossless, ratio undefined
+    return _assemble_message(
+        s5, codestream, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d,
+        member=member, year=year, month=month, day=day,
+        ftime_hours=ftime_hours)
 
 
 def _sec(num, body):

@@ -17,12 +17,13 @@ file, embarrassingly parallel across the 30 lead times × historical days.
 
 Codec dispatch: cfgrib/xarray when installed (full template coverage);
 without them, REAL dependency-free readers handle the common encodings —
-GRIB2 simple- and complex-packed (incl. spatial-differencing)
-regular lat/lon fields (`sources/grib2.py`),
+GRIB2 simple-, complex- (incl. spatial-differencing) and lossless
+JPEG2000-packed regular lat/lon fields (`sources/grib2.py` +
+the from-spec `sources/jpeg2000.py` codec),
 classic-format NetCDF (`sources/netcdf3.py`), and NetCDF-4/HDF5 in the
 default libnetcdf layout (`sources/hdf5.py`: contiguous/chunked +
 deflate/shuffle, dimension scales) — so genuine bytes decode in this
-container too.  Only exotic inputs (JPEG2000/CCSDS/spectral GRIB packings,
+container too.  Only exotic inputs (CCSDS/spectral/lossy-JPEG2000 GRIB packings,
 fractal-heap/v2-btree HDF5 features) still raise NotImplementedError
 behind the import-try; `synthetic_grib_decoder` remains the
 deterministic stand-in for tests that need arbitrary planted values.
@@ -53,9 +54,10 @@ def grib_decoder(content: bytes, *, member_filter: str | None = None) -> pd.Data
     databricks/glofas-transform.py:104-109).
 
     Dispatch: cfgrib/xarray when installed (full template coverage);
-    otherwise GRIB2 simple-/complex-packed lat/lon fields decode through
-    the REAL dependency-free reader (`sources.grib2`) — only transform-
-    coded packings (JPEG2000/CCSDS/spectral) require the ecCodes stack."""
+    otherwise GRIB2 simple-/complex-/lossless-JPEG2000-packed lat/lon
+    fields decode through the REAL dependency-free readers
+    (`sources.grib2`, `sources.jpeg2000`) — only CCSDS/spectral/lossy
+    packings require the ecCodes stack."""
     try:
         import cfgrib  # noqa: F401
         import xarray as xr

@@ -1,0 +1,181 @@
+"""From-spec JPEG 2000 codec (sources/jpeg2000.py) + the GRIB2 template
+5.40 branch it powers.  Layered: each Annex-level primitive round-trips
+on adversarial fuzz before the full codestream does — an encoder/decoder
+pair can hide mutually-cancelling bugs only if BOTH sides misread the
+same table the same way at every layer."""
+
+import numpy as np
+import pytest
+
+from flood_data_spark.sources.jpeg2000 import (
+    MQDecoder, MQEncoder, TagTree, _BitReader, _BitWriter, _fwd53_1d,
+    _fwd53_2d, _inv53_1d, _inv53_2d, decode_codestream, encode_codestream,
+    t1_decode, t1_encode)
+
+
+def test_mq_coder_round_trip_fuzz():
+    rng = np.random.default_rng(0)
+    for trial in range(12):
+        n = int(rng.integers(1, 2000))
+        ctxs = rng.integers(0, 19, size=n)
+        bits = rng.integers(0, 2, size=n)
+        enc = MQEncoder()
+        for c, b in zip(ctxs, bits):
+            enc.encode(int(c), int(b))
+        dec = MQDecoder(enc.flush())
+        assert [dec.decode(int(c)) for c in ctxs] == list(bits)
+
+
+def test_mq_coder_skewed_streams():
+    # long MPS runs + rare LPS flips walk the full Qe state ladder and
+    # force byte-stuffing (0xFF) and carry paths
+    for p in (0.999, 0.5, 0.01):
+        rng = np.random.default_rng(int(p * 1000))
+        bits = (rng.random(5000) < p).astype(int)
+        enc = MQEncoder()
+        for b in bits:
+            enc.encode(0, int(b))
+        dec = MQDecoder(enc.flush())
+        assert [dec.decode(0) for _ in bits] == list(bits)
+
+
+def test_tag_tree_round_trip():
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        w, h = int(rng.integers(1, 7)), int(rng.integers(1, 7))
+        vals = rng.integers(0, 9, size=(h, w))
+        te = TagTree(w, h)
+        te.set_values(vals)
+        bw = _BitWriter()
+        for y in range(h):
+            for x in range(w):
+                te.encode(bw, x, y, int(vals[y, x]) + 1)
+        td = TagTree(w, h)
+        br = _BitReader(bw.flush())
+        for y in range(h):
+            for x in range(w):
+                assert td.decode_value(br, x, y) == vals[y, x]
+
+
+def test_bit_io_ff_stuffing():
+    # a run of 1s forces 0xFF bytes; the post-FF byte must carry 7 bits
+    bw = _BitWriter()
+    for _ in range(30):
+        bw.write(1)
+    data = bw.flush()
+    assert 0xFF in data and data[-1] != 0xFF
+    br = _BitReader(data)
+    assert [br.read() for _ in range(30)] == [1] * 30
+
+
+def test_dwt53_reversible_all_shapes():
+    rng = np.random.default_rng(2)
+    for n in (1, 2, 3, 4, 5, 17, 101):
+        a = rng.integers(-1000, 1000, size=n)
+        assert (_inv53_1d(_fwd53_1d(a)) == a).all()
+    for h, w in ((1, 1), (1, 7), (7, 1), (5, 9), (13, 21), (64, 37)):
+        a = rng.integers(-5000, 5000, size=(h, w))
+        assert (_inv53_2d(_fwd53_2d(a), h, w) == a).all()
+
+
+def test_dwt53_matches_spec_equations():
+    # independent restatement of Annex F on a hand-checkable signal:
+    # y[2n+1] = x[2n+1] - floor((x[2n] + x[2n+2]) / 2)
+    # y[2n]   = x[2n]   + floor((y[2n-1] + y[2n+1] + 2) / 4)
+    x = np.array([10, 20, 30, 40, 50, 60])
+    y = _fwd53_1d(x)
+    import math
+    h = [20 - math.floor((10 + 30) / 2), 40 - math.floor((30 + 50) / 2),
+         60 - math.floor((50 + 50) / 2)]          # x[6] mirrors to x[4]
+    l = [10 + math.floor((h[0] + h[0] + 2) / 4),   # y[-1] mirrors y[1]
+         30 + math.floor((h[0] + h[1] + 2) / 4),
+         50 + math.floor((h[1] + h[2] + 2) / 4)]
+    assert list(y[0::2]) == l and list(y[1::2]) == h
+
+
+@pytest.mark.parametrize("band", ["LL", "HL", "LH", "HH"])
+def test_tier1_round_trip(band):
+    rng = np.random.default_rng(hash(band) % 2**32)
+    for trial in range(4):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        vals = rng.integers(-3000, 3001, size=(h, w))
+        if trial == 1:
+            vals[:] = 0                    # all-zero block
+        used = max(int(np.abs(vals).max(initial=0)).bit_length(), 1)
+        data, nps = t1_encode(vals, band, used - 1)
+        mag, sgn = t1_decode(data, h, w, band, nps, used - 1)
+        assert (mag * sgn == vals).all()
+
+
+@pytest.mark.parametrize("h,w,depth,levels", [
+    (8, 8, 8, 2), (5, 9, 12, 2), (1, 1, 8, 0), (64, 64, 16, 5),
+    (37, 101, 11, 4), (3, 200, 9, 5),
+])
+def test_codestream_round_trip(h, w, depth, levels):
+    rng = np.random.default_rng(h * 1000 + w)
+    arr = rng.integers(0, 1 << depth, size=(h, w)).astype(np.int64)
+    assert (decode_codestream(
+        encode_codestream(arr, depth, levels=levels)) == arr).all()
+
+
+def test_codestream_smooth_field_compresses():
+    # GRIB-like smooth field: the wavelet + EBCOT must actually compress
+    yy, xx = np.mgrid[0:48, 0:64]
+    arr = (2000 + 500 * np.sin(yy / 9.0) * np.cos(xx / 11.0)).astype(
+        np.int64)
+    cs = encode_codestream(arr, 12, levels=5)
+    assert (decode_codestream(cs) == arr).all()
+    assert len(cs) < arr.size * 12 // 8      # beats raw bit packing
+
+
+def test_decoder_guards_name_escape_hatch():
+    arr = np.arange(12, dtype=np.int64).reshape(3, 4)
+    cs = bytearray(encode_codestream(arr, 4, levels=1))
+    i = cs.find(b"\xff\x52")                 # COD marker
+    cs[i + 2 + 2 + 9] = 0                    # transform byte -> 9/7
+    with pytest.raises(NotImplementedError, match="cfgrib"):
+        decode_codestream(bytes(cs))
+    with pytest.raises(ValueError, match="SOC"):
+        decode_codestream(b"\x00\x01")
+
+
+def test_grib2_template_540_round_trip():
+    from flood_data_spark.sources.grib2 import (
+        build_jpeg2000_message, grib2_to_dataframe)
+    rng = np.random.default_rng(7)
+    nj, ni = 6, 9
+    xs = rng.integers(0, 4000, size=nj * ni)
+    msg = build_jpeg2000_message(
+        xs, nj=nj, ni=ni, la1=50.0, lo1=10.0, d=0.1, ref=5.0,
+        e_scale=-1, d_scale=2, nbits=12, member=2)
+    pdf = grib2_to_dataframe(msg)
+    assert len(pdf) == nj * ni
+    want = (5.0 + xs * 2.0 ** -1) / 10.0 ** 2
+    got = pdf.sort_values(["latitude", "longitude"],
+                          ascending=[False, True])["dis24"].to_numpy()
+    want2 = want.reshape(nj, ni).reshape(-1)
+    assert np.allclose(got, want2, atol=1e-9)
+    assert (pdf["number"] == 2).all()
+
+
+def test_grib2_540_through_raster_decoder():
+    from flood_data_spark.sources.grib2 import build_jpeg2000_message
+    from flood_data_spark.sources.raster import grib_decoder
+    xs = np.arange(20)
+    msg = build_jpeg2000_message(xs, nj=4, ni=5, la1=10.0, lo1=0.0,
+                                 d=0.5, nbits=5)
+    pdf = grib_decoder(msg)
+    assert len(pdf) == 20
+    assert set(pdf["dis24"]) == set(float(v) for v in xs)
+
+
+def test_grib2_540_rejects_lossy():
+    from flood_data_spark.sources.grib2 import (
+        build_jpeg2000_message, grib2_to_dataframe)
+    msg = bytearray(build_jpeg2000_message(
+        np.arange(6), nj=2, ni=3, la1=1.0, lo1=1.0, d=1.0, nbits=3))
+    # flip the compression-type octet (22 of section 5) to lossy
+    i = msg.find(b"\x00\x28", 16)            # template number 40
+    msg[i + 12] = 1
+    with pytest.raises(NotImplementedError, match="lossy"):
+        grib2_to_dataframe(bytes(msg))

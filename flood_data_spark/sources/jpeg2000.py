@@ -26,6 +26,15 @@ LRCP) — the same role `grib2.build_simple_message` plays for template
 5.0.  Determinism: everything here is integer arithmetic; decode is a
 pure function of the bytes.
 
+Scale posture: Tier-1 is a sequential bit-plane automaton (inherently
+per-code-block serial; ~1e5 samples/s in pure Python), so a large grid
+decodes in minutes — but the ingest seam parallelizes PER FILE
+(`binaryFile` scan → `mapInPandas`, one task per raster), exactly like
+the cfgrib path, so a 30-lead-time day fans across 30 cores and a
+backfill across the cluster.  Code-blocks within a file are also
+independent (each has its own MQ state) — a per-block process pool is
+the next lever if single-file latency ever matters.
+
 No code from any JPEG 2000 implementation is used — tables and
 procedures follow the published standard's annexes.
 """

@@ -4418,6 +4418,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sign(x) * floor(abs(x) * 1000000 + 0.5)
                         AS HUGEINT) AS q
             FROM xr)"""
+
+    # integer-space half-up rounding of an EXACT integer ratio num/den
+    # (den > 0): sign(num) * ((2*|num| + den) // (2*den)), divided by
+    # `disp` for display — the HUGEINT twin of linalg._idiv_half_up
+    # (DuckDB `//` truncates toward zero, identical to floor on the
+    # non-negative numerator).  This is how every linalg oracle rounds:
+    # no round(double) ever runs on a derived value, so the
+    # subtract-then-round cancellation hazard that kept q_covariance
+    # red in r8-r10 cannot occur on either engine.
+    def idiv_half_up(num: str, den: str, disp: int) -> str:
+        return (f"CAST((CASE WHEN ({num}) < 0 "
+                f"THEN -((2 * (-({num})) + ({den})) // (2 * ({den}))) "
+                f"ELSE (2 * ({num}) + ({den})) // (2 * ({den})) END) "
+                f"AS DOUBLE) / {disp}.0")
     # shared normalized-name relation for the fuzzy oracles (the
     # dedup._digest normalization: lower + trim + collapse whitespace)
     fuzzy_name = "lower(regexp_replace(trim(p_name), '\\s+', ' ', 'g'))"
@@ -4818,33 +4832,36 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS iv_micro
             FROM sh
         """,
-        # q_dim_stats: exact HUGEINT micro sums (sum q, sum q^2), one
-        # divide/round at the end — the identical double expression tree
-        # as linalg.dim_stats (E[x^2]-E[x]^2 over integer sums; never
-        # var_pop, never a raw double sum)
+        # q_dim_stats: exact HUGEINT micro sums (sum q, sum q^2);
+        # mean and variance round IN INTEGER SPACE (idiv_half_up —
+        # mean*1e6 = half_up(s1/n), var*1e6 = half_up((s2*n - s1^2) /
+        # (n^2*1e6)); the variance cancellation happens between exact
+        # integers, identical to linalg.dim_stats; never var_pop, never
+        # a raw double sum, never round(double))
         "q_dim_stats": f"""
-            WITH {qxr}
-            SELECT pos, CAST(count(*) AS BIGINT) AS n,
-                   round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0,
-                         6) AS mean,
-                   round(CAST(sum(q * q) AS DOUBLE) / count(*)
-                             / 1000000000000.0
-                         - (CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0)
-                           * (CAST(sum(q) AS DOUBLE) / count(*)
-                              / 1000000.0),
-                         6) AS variance,
-                   min(x) AS vmin, max(x) AS vmax
-            FROM qr GROUP BY pos
+            WITH {qxr},
+            st AS (SELECT pos, CAST(count(*) AS HUGEINT) AS nh,
+                          sum(q) AS s1, sum(q * q) AS s2,
+                          min(x) AS vmin, max(x) AS vmax
+                   FROM qr GROUP BY pos)
+            SELECT pos, CAST(nh AS BIGINT) AS n,
+                   {idiv_half_up('s1', 'nh', 1000000)} AS mean,
+                   {idiv_half_up('s2 * nh - s1 * s1',
+                                 'nh * nh * 1000000', 1000000)}
+                       AS variance,
+                   vmin, vmax
+            FROM st
         """,
         # q_gram_matrix: the exact integer Gram restated relationally —
         # positional unnest self-joined on the row id, HUGEINT q*q sums
-        # (order-free), ONE descale + round at the end (identical to
-        # linalg.gram_matrix's qsum/1e12 expression)
+        # (order-free), then integer-space round-4: val*1e4 =
+        # half_up(qsum / 1e8) (identical to linalg.gram_matrix's
+        # _idiv_half_up path)
         "q_gram_matrix": f"""
             WITH {qxr}
             SELECT a.pos AS i, b.pos AS j,
-                   round(CAST(sum(a.q * b.q) AS DOUBLE)
-                         / 1000000000000.0, 4) AS val
+                   {idiv_half_up('sum(a.q * b.q)', '100000000', 10000)}
+                       AS val
             FROM qr a JOIN qr b
               ON a.vec_id = b.vec_id AND a.pos <= b.pos
             GROUP BY a.pos, b.pos
@@ -4882,10 +4899,13 @@ def oracle_sql() -> dict[str, str]:
             n2 AS (SELECT sqrt(sum(z * z)) AS nrm FROM z2)
             SELECT pos, round(z / nrm, 6) AS component FROM z2, n2
         """,
-        # q_covariance: gram/n - mi*mj over EXACT integer sums (HUGEINT
-        # micro² Gram cells, micro component sums), ONE final round-6 —
-        # the identical double expression tree as
-        # linalg.covariance_matrix
+        # q_covariance: the whole cell is ONE exact integer ratio —
+        # val = (qsum*n - s1_i*s1_j) / (n^2 * 1e12) — rounded to 6 in
+        # INTEGER space (val*1e6 = half_up(num / (n^2*1e6)) via HUGEINT
+        # //), term-for-term the linalg.covariance_matrix expression.
+        # No double is ever rounded, so the subtract-then-round
+        # cancellation divergence that kept this gate red in r8-r10 is
+        # structurally impossible.
         "q_covariance": f"""
             WITH {qxr},
             g AS (SELECT a.pos AS i, b.pos AS j, sum(a.q * b.q) AS s
@@ -4893,13 +4913,12 @@ def oracle_sql() -> dict[str, str]:
                     ON a.vec_id = b.vec_id AND a.pos <= b.pos
                   GROUP BY a.pos, b.pos),
             st AS (SELECT pos, sum(q) AS s1,
-                          CAST(count(*) AS BIGINT) AS n
+                          CAST(count(*) AS HUGEINT) AS n
                    FROM qr GROUP BY pos)
             SELECT g.i, g.j,
-                   round(CAST(g.s AS DOUBLE) / si.n / 1000000000000.0
-                         - (CAST(si.s1 AS DOUBLE) / si.n / 1000000.0)
-                           * (CAST(sj.s1 AS DOUBLE) / si.n / 1000000.0),
-                         6) AS val
+                   {idiv_half_up('g.s * si.n - si.s1 * sj.s1',
+                                 'si.n * si.n * 1000000', 1000000)}
+                       AS val
             FROM g JOIN st si ON g.i = si.pos
                    JOIN st sj ON g.j = sj.pos
         """,

@@ -33,9 +33,12 @@ accumulates sums of those integers EXACTLY (int64 inside
 `_GRAM_CHUNK`-bounded numpy chunks guarded by `_Q_ABS_MAX`,
 DECIMAL(38,0) across partitions — integer addition is order-free, and
 Spark's ANSI decimal raises loudly on the ~1e38 envelope instead of
-wrapping), and performs float division/rounding only in the FINAL
-expression, whose inputs are exact integers and whose IEEE-754
-evaluation is therefore identical everywhere.  The cost is a bounded
+wrapping), and rounds every FINAL value in integer space
+(`_idiv_half_up`: half-up of an exact integer ratio via decimal
+mod/division, mirrored by HUGEINT `//` in the oracles) — no
+`round(double)` ever runs on a derived value, so even
+cancellation-amplified quantities (variance, covariance) round
+identically in every engine.  The cost is a bounded
 input quantization (|err| <= 5e-7 per component, propagated bounds in
 each docstring); the payoff is that every output is a deterministic
 function of the data — the same convention as the repo-wide micro-unit
@@ -100,6 +103,38 @@ def _q_arr(col) -> "F.Column":
     return F.transform(_as_double(col), _q)
 
 
+def _idiv_half_up(num, den) -> "F.Column":
+    """Nearest integer of the EXACT ratio num/den, half away from zero,
+    computed entirely in DECIMAL integer arithmetic:
+
+        sign(num) * floor((2*|num| + den) / (2*den))
+
+    with the floor realized as the exactly-divisible quotient
+    (a - a % b) / b — decimal remainder is exact, so the division has a
+    zero fractional part and Spark's scale-6 decimal division cannot
+    round it.  No double participates anywhere, so the result is the
+    same integer in any engine; the DuckDB oracles state the identical
+    expression with HUGEINT `//` (truncating division — identical to
+    floor because the numerator is made non-negative first).
+
+    This is the r10 `q_covariance` lesson finished: `F.round(x, 6)` on a
+    double that came out of a SUBTRACTION of derived doubles rounds a
+    cancellation-amplified value, and Spark (BigDecimal HALF_UP on the
+    shortest decimal string) and DuckDB (scaled-double rounding) can
+    disagree within 1 ulp of a 0.5e-6 boundary.  When every input is an
+    exact integer — as for every aggregate in this module — rounding the
+    RATIO in integer space removes the hazard completely.
+
+    `num` and `den` must be exact decimal columns, `den > 0`.  Returns a
+    decimal column holding an integer value.
+    """
+    two = F.lit(2).cast("decimal(38,0)")
+    a = two * F.abs(num) + den
+    b = two * den
+    q = (a - a % b) / b
+    return F.when(num < 0, -q).otherwise(q)
+
+
 def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension moments of an array column: (pos, n, mean, variance,
     vmin, vmax), pos 0-based.  One posexplode + one d-keyed groupBy; the
@@ -110,14 +145,22 @@ def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     order-free already).
 
     Determinism: mean and variance are computed from exact DECIMAL(38,0)
-    sums of micro-quantized components (sum q, sum q^2), divided and
-    rounded once at the end — a pure function of the data (module
-    docstring).  Quantization error bounds: |mean err| <= 5e-7 (+5e-7
-    final round), |variance err| <= 2 * max|x| * 5e-7 + ~1e-6.
-    Overflow envelope: q squares in DECIMAL(38,0) (never the silent
-    int64 product — a long*long square wraps past |x| ~ 3037), so
-    sum(q^2) is exact to 1e38: 1e12 rows at max|x| = 500 reach only
-    ~1e29, and ANSI decimal raises past the envelope.
+    sums of micro-quantized components (sum q, sum q^2) and rounded to 6
+    decimals IN INTEGER SPACE (`_idiv_half_up` — never `round(double)`):
+
+        mean * 1e6     = half_up(s1 / n)
+        variance * 1e6 = half_up((s2*n - s1^2) / (n^2 * 1e6))
+
+    The variance form multiplies E[x^2] - E[x]^2 out to ONE exact
+    integer ratio, so the cancellation happens between exact integers
+    and the half-up decision is engine-independent — the r10
+    q_covariance hazard (`round(double)` after subtracting two derived
+    doubles) cannot occur.  Quantization error bounds: |mean err| <=
+    5e-7 (+5e-7 final round), |variance err| <= 2 * max|x| * 5e-7 +
+    ~1e-6.  Overflow envelope: s2*n in DECIMAL(38,0) (never the silent
+    int64 product — a long*long square wraps past |x| ~ 3037) stays
+    exact to 1e38: 1e10 rows at max|x| = 500 reach only ~1e37, and ANSI
+    decimal raises past the envelope.
     """
     x = df.select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
     qd = _q(F.col("x")).cast("decimal(38,0)")
@@ -127,12 +170,16 @@ def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
                 F.sum(qd * qd).alias("_s2"),
                 F.min("x").alias("vmin"),
                 F.max("x").alias("vmax")))
-    m = F.col("_s1").cast("double") / F.col("n") / F.lit(float(_MICRO))
-    ex2 = (F.col("_s2").cast("double") / F.col("n")
-           / F.lit(float(_MICRO) * _MICRO))
+    n_dec = F.col("n").cast("decimal(38,0)")
+    mean_u = _idiv_half_up(F.col("_s1"), n_dec)
+    var_num = F.col("_s2") * n_dec - F.col("_s1") * F.col("_s1")
+    var_den = n_dec * n_dec * F.lit(_MICRO).cast("decimal(38,0)")
+    var_u = _idiv_half_up(var_num, var_den)
     return agg.select("pos", "n",
-                      F.round(m, 6).alias("mean"),
-                      F.round(ex2 - m * m, 6).alias("variance"),
+                      (mean_u.cast("double")
+                       / F.lit(float(_MICRO))).alias("mean"),
+                      (var_u.cast("double")
+                       / F.lit(float(_MICRO))).alias("variance"),
                       "vmin", "vmax")
 
 
@@ -192,16 +239,24 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
     """Upper triangle of the Gram matrix X'X as (i, j, val) rows, i <= j,
     0-based: val = qsum / 1e12 from the exact integer Gram
     (`_gram_micro`), rounded ONCE to `round_to` decimals (round_to=None
-    keeps the unrounded quotient).  Deterministic by construction — the
-    only float ops are the final division and round, whose input is one
-    exact integer (module docstring).  Quantization error bound per
-    cell: n_rows * (|x_i| + |x_j|) * 5e-7 + 2.5e-13 * n_rows.  This is
-    the covariance/PCA front-end: cov = gram/n - mean outer mean.
+    keeps the unrounded quotient).  For 0 <= round_to <= 12 the rounding
+    happens in integer space — val * 10^r = half_up(qsum / 10^(12-r))
+    via `_idiv_half_up`, so no double ever rounds; past 12 decimals the
+    quotient is already exact, so the raw division is returned.
+    Quantization error bound per cell: n_rows * (|x_i| + |x_j|) * 5e-7
+    + 2.5e-13 * n_rows.  This is the covariance/PCA front-end:
+    cov = gram/n - mean outer mean.
     """
     g = _gram_micro(df, vec_col)
-    val = g["qsum"].cast("double") / F.lit(float(_MICRO) * _MICRO)
-    if round_to is not None:
-        val = F.round(val, round_to)
+    if round_to is not None and 0 <= round_to <= 12:
+        den = F.lit(10 ** (12 - round_to)).cast("decimal(38,0)")
+        val = (_idiv_half_up(g["qsum"], den).cast("double")
+               / F.lit(float(10 ** round_to)))
+    else:
+        # round_to None or > 12: the quotient of an exact integer by a
+        # power of ten already carries <= 12 decimals — one correctly-
+        # rounded double division, identical everywhere
+        val = g["qsum"].cast("double") / F.lit(float(_MICRO) * _MICRO)
     return g.select("i", "j", val.alias("val"))
 
 
@@ -217,12 +272,23 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
     and d^2 rows).  The count rides the mean relation, so no third scan.
 
     Determinism: every corpus-sized sum is an exact integer (micro² Gram
-    sums, micro component sums) — the final expression
-    round(qsum/n/1e12 - (s1_i/n/1e6)(s1_j/n/1e6), 6) is a fixed double
-    tree over exact integers, identical in any IEEE engine and mirrored
-    literally in the q_covariance oracle.  Rounding happens ONCE, at
-    the very end.  Quantization error bound per cell: (|x_i| + |x_j|
-    + |mean_i| + |mean_j|) * 5e-7 + ~1e-12.
+    sums, micro component sums), and the whole cell is ONE exact integer
+    ratio —
+
+        val = (qsum*n - s1_i*s1_j) / (n^2 * 1e12)
+
+    — so the final round-to-6 is done ENTIRELY in integer space:
+    val * 1e6 = half_up((qsum*n - s1_i*s1_j) / (n^2 * 1e6)) via
+    `_idiv_half_up`, mirrored term-for-term in the q_covariance oracle's
+    HUGEINT `//` expression.  No double is ever rounded, so the
+    subtract-then-round cancellation hazard that kept q_covariance red
+    for three rounds (Spark BigDecimal HALF_UP vs DuckDB scaled-double
+    round disagreeing within 1 ulp of a half boundary) is eliminated,
+    not just made unlikely.  Quantization error bound per cell: (|x_i|
+    + |x_j| + |mean_i| + |mean_j|) * 5e-7 + ~1e-12.  Overflow envelope:
+    qsum*n and s1_i*s1_j stay inside DECIMAL(38,0) while n * q_max^2 *
+    n <= 1e38 — at max|x| = 33 that is n <= ~3e11 rows, and ANSI
+    decimal raises loudly past it.
     """
     gram = _gram_micro(df, vec_col)
     # localCheckpoint: the d-row stats relation feeds BOTH broadcast
@@ -234,18 +300,20 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
              .agg(F.sum(_q(F.col("x")).cast("decimal(38,0)")).alias("s1"),
                   F.count(F.lit(1)).alias("n"))
              .localCheckpoint(eager=False))
+    if not 0 <= round_to <= 12:
+        raise ValueError(f"covariance_matrix: round_to must be in "
+                         f"[0, 12] (micro^2 resolution), got {round_to}")
     mi = stats.select(F.col("pos").alias("i"), F.col("s1").alias("_si"),
                       F.col("n").alias("_n"))
     mj = stats.select(F.col("pos").alias("j"), F.col("s1").alias("_sj"))
-    mean_i = F.col("_si").cast("double") / F.col("_n") / F.lit(float(_MICRO))
-    mean_j = F.col("_sj").cast("double") / F.col("_n") / F.lit(float(_MICRO))
-    g_over_n = (F.col("qsum").cast("double") / F.col("_n")
-                / F.lit(float(_MICRO) * _MICRO))
+    n_dec = F.col("_n").cast("decimal(38,0)")
+    num = F.col("qsum") * n_dec - F.col("_si") * F.col("_sj")
+    den = n_dec * n_dec * F.lit(10 ** (12 - round_to)).cast("decimal(38,0)")
+    val = (_idiv_half_up(num, den).cast("double")
+           / F.lit(float(10 ** round_to)))
     return (gram.join(F.broadcast(mi), "i")
             .join(F.broadcast(mj), "j")
-            .select("i", "j",
-                    F.round(g_over_n - mean_i * mean_j,
-                            round_to).alias("val")))
+            .select("i", "j", val.alias("val")))
 
 
 def _dot_lit(vec_col, v: list) -> "F.Column":

@@ -237,3 +237,70 @@ def test_gram_guard_rejects_out_of_envelope_components(spark):
                                "vec_id int, embedding array<float>")
     with pytest.raises(Exception, match="envelope"):
         gram_matrix(df).collect()
+
+
+def test_final_rounding_is_integer_space_half_up(spark):
+    # The r8-r10 q_covariance red gate: round(double, 6) after a
+    # subtraction of derived doubles can land within 1 ulp of a half
+    # boundary, where Spark (BigDecimal HALF_UP) and DuckDB
+    # (scaled-double round) disagree.  This fixture plants the EXACT
+    # boundary: cov[0,1] * 1e6 = (qsum*n - s1_0*s1_1) / (n^2*1e6) = 0.5
+    # precisely.  The integer-space rounding (_idiv_half_up) must give
+    # half-away-from-zero deterministically; the old double formulation
+    # (g/n - m_i*m_j = 5e-7 as a double, then round) is engine-dependent
+    # here, so this test fails on the pre-r11 formulation whenever the
+    # engine rounds the 5e-7 double down.
+    from flood_data_spark.datapipe.linalg import covariance_matrix
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 1e-6]), (1, [-1.0, 0.0])],
+        "vec_id int, embedding array<float>")
+    got = {(r.i, r.j): r.val for r in covariance_matrix(df).collect()}
+    assert got[(0, 1)] == 1e-6          # half_up(+0.5) = +1 micro
+    assert got[(0, 0)] == 1.0
+    assert got[(1, 1)] == 0.0           # 2.5e-13 rounds to 0
+
+    neg = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 1e-6])],
+        "vec_id int, embedding array<float>")
+    gneg = {(r.i, r.j): r.val for r in covariance_matrix(neg).collect()}
+    assert gneg[(0, 1)] == -1e-6        # half away from zero: -0.5 -> -1
+
+
+def test_dim_stats_mean_rounds_half_up_at_boundary(spark):
+    # mean micro = half_up(s1/n): s1=1, n=2 -> exactly 0.5 micro.
+    df = spark.createDataFrame(
+        [(0, [1.0, 1e-6]), (1, [-1.0, 0.0])],
+        "vec_id int, embedding array<float>")
+    got = {r.pos: r for r in dim_stats(df).collect()}
+    assert got[1].mean == 1e-6          # +0.5 micro -> +1
+    assert got[0].mean == 0.0
+    neg = spark.createDataFrame(
+        [(0, [-1e-6]), (1, [0.0])], "vec_id int, embedding array<float>")
+    gneg = {r.pos: r for r in dim_stats(neg).collect()}
+    assert gneg[0].mean == -1e-6        # -0.5 micro -> -1
+
+
+def test_idiv_half_up_matches_fraction_reference(spark):
+    # property sweep of the integer-rounding kernel against a Python
+    # Fraction half-away-from-zero reference, including exact-half,
+    # just-below-half and just-above-half numerators
+    from fractions import Fraction
+
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    cases = [(n, d) for d in (1, 2, 3, 7, 1000000, 4000000)
+             for n in (-2000003, -2000000, -1999997, -3, -2, -1, 0,
+                       1, 2, 3, 499999, 500000, 500001, 1999999,
+                       2000000, 2000001)]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = (df.select("num", "den",
+                     _idiv_half_up(F.col("num").cast("decimal(38,0)"),
+                                   F.col("den").cast("decimal(38,0)"))
+                     .cast("long").alias("r")).collect())
+    for row in got:
+        f = Fraction(abs(row.num), row.den)
+        ref = (f.numerator * 2 + f.denominator) // (2 * f.denominator)
+        if row.num < 0:
+            ref = -ref
+        assert row.r == ref, (row.num, row.den, row.r, ref)

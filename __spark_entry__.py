@@ -2693,6 +2693,78 @@ def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("i", "j", "val"))
 
 
+def _verif_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the forecast-verification gates: each order is
+    a 'cell' whose lineitems are the ensemble members (value =
+    l_quantity, m = 1..7), and the constant per-cell 'observation' is
+    o_totalprice / 10000 — deterministic, join-keyed, and the obs
+    expression tree (one double division) is mirrored literally in the
+    oracles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select("l_orderkey", "l_quantity",
+                    F.col("o_orderpriority").alias("lead"),
+                    (F.col("o_totalprice") / F.lit(10000.0)).alias("obs")))
+
+
+def q_crps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble CRPS per cell (operators/verification.crps_ensemble):
+    the O(m log m) sorted-rank identity — Σ_{i<j}|x_i−x_j| =
+    Σ(2i−1−m)·x_(i) — via ONE cell-partitioned rank window + one
+    group-keyed aggregate of exact integer micro sums; the final score
+    rounds in integer space (half_up((sae·m − pair)/m²)).  Full value
+    oracle, and a DIFFERENTIAL one: DuckDB computes the pairwise term
+    by brute force (rn < rn self-join), so the rank-trick algebra is
+    checked against the definition on every gate run."""
+    from flood_data_spark.operators.verification import crps_ensemble
+
+    return crps_ensemble(_verif_ensemble(spark, sf_dir),
+                         "l_quantity", "obs", ["l_orderkey"]) \
+        .select("l_orderkey", "m", "crps")
+
+
+def q_rank_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Talagrand rank histogram (operators/verification.rank_histogram):
+    observation rank = 1 + strictly-below member count (ties go below —
+    deterministic), two key-bounded exchanges.  Full value oracle."""
+    from flood_data_spark.operators.verification import rank_histogram
+
+    return rank_histogram(_verif_ensemble(spark, sf_dir),
+                          "l_quantity", "obs", ["l_orderkey"]) \
+        .select("rank", "n_cells")
+
+
+def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score
+    (operators/verification.brier_decomposition) for p = l_discount·10
+    forecasting outcome l_returnflag = 'R', 10 equal-width bins: one
+    scan → bin cells → broadcast totals → per-bin exact integer
+    contributions; BS, REL, RES, UNC all round in integer space.  Full
+    value oracle mirroring the bin floor, micro quantization, and
+    HUGEINT per-bin half_up term-for-term."""
+    from flood_data_spark.operators.verification import brier_decomposition
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select((F.col("l_discount") * F.lit(10.0)).alias("p"),
+                    (F.col("l_returnflag") == "R").cast("int").alias("o"))
+    return brier_decomposition(src, "p", "o", n_bins=10) \
+        .select("brier", "reliability", "resolution", "uncertainty")
+
+
+def q_spread_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spread-skill relation per lead (operators/verification
+    .spread_skill) with lead = o_orderpriority: per-cell variance and
+    squared-error-of-mean as exact integer micro ratios, lead-keyed
+    integer reduction, ratio NULL-guarded at se = 0.  Full value
+    oracle."""
+    from flood_data_spark.operators.verification import spread_skill
+
+    return spread_skill(_verif_ensemble(spark, sf_dir),
+                        "l_quantity", "obs", ["l_orderkey"], "lead") \
+        .select("lead", "n_cells", "spread", "skill", "ratio")
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity resolution (datapipe/fuzzy.blocked_fuzzy_pairs)
     over part names: distinct-name shrink → last-token blocking (candidates
@@ -3664,6 +3736,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (CORRECTNESS_FULL_r8.json regenerates at each session end, all
     # registry queries vs the DuckDB oracle at sf0.01).
     return {
+        # --- round 11: forecast verification (VERDICT r10 #2) ---
+        "q_crps": q_crps,
+        "q_rank_histogram": q_rank_histogram,
+        "q_brier_decomp": q_brier_decomp,
+        "q_spread_skill": q_spread_skill,
         # --- round 8, session 4: stats + stump + encoders + CF ---
         "q_oof_encode": q_oof_encode,
         "q_stream_psi": q_stream_psi,
@@ -4427,11 +4504,31 @@ def oracle_sql() -> dict[str, str]:
     # no round(double) ever runs on a derived value, so the
     # subtract-then-round cancellation hazard that kept q_covariance
     # red in r8-r10 cannot occur on either engine.
-    def idiv_half_up(num: str, den: str, disp: int) -> str:
-        return (f"CAST((CASE WHEN ({num}) < 0 "
+    def idiv_int(num: str, den: str) -> str:
+        # the raw integer form (HUGEINT), for per-bin/per-cell
+        # contributions that keep accumulating exactly
+        return (f"(CASE WHEN ({num}) < 0 "
                 f"THEN -((2 * (-({num})) + ({den})) // (2 * ({den}))) "
-                f"ELSE (2 * ({num}) + ({den})) // (2 * ({den})) END) "
-                f"AS DOUBLE) / {disp}.0")
+                f"ELSE (2 * ({num}) + ({den})) // (2 * ({den})) END)")
+
+    def idiv_half_up(num: str, den: str, disp: int) -> str:
+        return f"CAST({idiv_int(num, den)} AS DOUBLE) / {disp}.0"
+
+    # shared ensemble relation for the verification oracles
+    # (_verif_ensemble's twin): members = lineitems per order, obs =
+    # o_totalprice/10000 (ONE double division — the identical IEEE
+    # tree), both micro-quantized once
+    vens = """
+        ve AS (
+            SELECT l.l_orderkey AS k, o.o_orderpriority AS lead,
+                   l.l_quantity AS x, o.o_totalprice / 10000.0 AS y,
+                   CAST(sign(l.l_quantity)
+                        * floor(abs(l.l_quantity) * 1000000 + 0.5)
+                        AS HUGEINT) AS qx,
+                   CAST(sign(o.o_totalprice / 10000.0)
+                        * floor(abs(o.o_totalprice / 10000.0) * 1000000
+                                + 0.5) AS HUGEINT) AS qy
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"""
     # shared normalized-name relation for the fuzzy oracles (the
     # dedup._digest normalization: lower + trim + collapse whitespace)
     fuzzy_name = "lower(regexp_replace(trim(p_name), '\\s+', ' ', 'g'))"
@@ -4921,6 +5018,113 @@ def oracle_sql() -> dict[str, str]:
                        AS val
             FROM g JOIN st si ON g.i = si.pos
                    JOIN st sj ON g.j = sj.pos
+        """,
+        # q_crps: DIFFERENTIAL oracle — the pairwise term is brute
+        # force (rn < rn self-join over the ≤7-member ensembles), so
+        # DuckDB checks the Spark side's sorted-rank identity
+        # Σ_{i<j}|x_i−x_j| = Σ(2i−1−m)·x_(i) against the definition;
+        # the final score is the same integer-space half_up of
+        # (sae·m − pair)/m²
+        "q_crps": f"""
+            WITH {vens},
+            e2 AS (SELECT k, qx, qy,
+                          row_number() OVER (PARTITION BY k
+                                             ORDER BY qx) AS rn
+                   FROM ve),
+            a AS (SELECT k, CAST(count(*) AS HUGEINT) AS m,
+                         sum(abs(qx - qy)) AS sae
+                  FROM ve GROUP BY k),
+            p AS (SELECT x.k, sum(abs(x.qx - y.qx)) AS pair
+                  FROM e2 x JOIN e2 y ON x.k = y.k AND x.rn < y.rn
+                  GROUP BY x.k)
+            SELECT a.k AS l_orderkey, CAST(a.m AS BIGINT) AS m,
+                   {idiv_half_up('a.sae * a.m - COALESCE(p.pair, 0)',
+                                 'a.m * a.m', 1000000)} AS crps
+            FROM a LEFT JOIN p ON a.k = p.k
+        """,
+        # q_rank_histogram: rank = 1 + strictly-below count on the RAW
+        # doubles (ties below the observation), then the histogram
+        "q_rank_histogram": f"""
+            WITH {vens},
+            r AS (SELECT k,
+                         CAST(1 + sum(CASE WHEN x < y THEN 1 ELSE 0 END)
+                              AS INT) AS rank
+                  FROM ve GROUP BY k)
+            SELECT rank, CAST(count(*) AS BIGINT) AS n_cells
+            FROM r GROUP BY rank
+        """,
+        # q_brier_decomp: bin floor, micro quantization and the per-bin
+        # HUGEINT half_up contributions mirrored term-for-term from
+        # brier_decomposition — BS/REL/RES/UNC each one integer-space
+        # rounding at the end
+        "q_brier_decomp": f"""
+            WITH src AS (
+                SELECT l_discount * 10.0 AS p,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                           AS o
+                FROM lineitem),
+            c AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS b,
+                         CAST(sign(p) * floor(abs(p) * 1000000 + 0.5)
+                              AS HUGEINT) AS qp,
+                         CAST(o AS HUGEINT) AS o
+                  FROM src),
+            g AS (SELECT b, CAST(count(*) AS HUGEINT) AS nk,
+                         sum(qp) AS sp, sum(o) AS so_k,
+                         sum(qp * qp) AS spp, sum(qp * o) AS spo
+                  FROM c GROUP BY b),
+            t AS (SELECT sum(nk) AS n, sum(so_k) AS so,
+                         sum(spp) AS spp, sum(spo) AS spo
+                  FROM g),
+            pb AS (SELECT t.n, t.so, t.spp, t.spo,
+                          {idiv_int('(g.sp - 1000000 * g.so_k)'
+                                    ' * (g.sp - 1000000 * g.so_k)',
+                                    'g.nk')} AS rk,
+                          {idiv_int('(g.so_k * t.n - g.nk * t.so)'
+                                    ' * (g.so_k * t.n - g.nk * t.so)',
+                                    'g.nk')} AS sk
+                   FROM g, t),
+            s AS (SELECT n, so, spp, spo, sum(rk) AS relu,
+                         sum(sk) AS resu
+                  FROM pb GROUP BY n, so, spp, spo)
+            SELECT {idiv_half_up(
+                        'spp - 2000000 * spo + 1000000000000 * so',
+                        'n * 1000000', 1000000)} AS brier,
+                   {idiv_half_up('relu', 'n * 1000000', 1000000)}
+                       AS reliability,
+                   {idiv_half_up('resu * 1000000', 'n * n * n',
+                                 1000000)} AS resolution,
+                   {idiv_half_up('so * (n - so) * 1000000', 'n * n',
+                                 1000000)} AS uncertainty
+            FROM s
+        """,
+        # q_spread_skill: per-cell variance / squared-error as exact
+        # integer micro ratios (the dim_stats discipline), lead-keyed
+        # integer reduction, ratio NULL at se = 0
+        "q_spread_skill": f"""
+            WITH {vens},
+            c AS (SELECT lead, k, CAST(count(*) AS HUGEINT) AS m,
+                         sum(qx) AS s1, sum(qx * qx) AS s2,
+                         min(qy) AS qy
+                  FROM ve GROUP BY lead, k),
+            v AS (SELECT lead,
+                         {idiv_int('c.s2 * c.m - c.s1 * c.s1',
+                                   'c.m * c.m * 1000000')} AS vq,
+                         {idiv_int('(c.s1 - c.m * c.qy)'
+                                   ' * (c.s1 - c.m * c.qy)',
+                                   'c.m * c.m * 1000000')} AS eq
+                  FROM c),
+            g AS (SELECT lead, CAST(count(*) AS BIGINT) AS n_cells,
+                         CAST(count(*) AS HUGEINT) AS nh,
+                         sum(vq) AS sv, sum(eq) AS se
+                  FROM v GROUP BY lead)
+            SELECT lead, n_cells,
+                   {idiv_half_up('sv', 'nh', 1000000)} AS spread,
+                   {idiv_half_up('se', 'nh', 1000000)} AS skill,
+                   CASE WHEN se > 0
+                        THEN {idiv_half_up('sv * 1000000', 'se',
+                                           1000000)}
+                        ELSE NULL END AS ratio
+            FROM g
         """,
         # q_fuzzy_pairs: distinct-name shrink, last-token blocking,
         # length band, levenshtein <= 3 — DuckDB's levenshtein is the

@@ -74,10 +74,13 @@ BENCH_QUERIES = [
     # round 7), exactly the bimodality the skew bench documents; min
     # isolates the plan cost.  The 1x entries stay single-shot cold —
     # that's the daily-batch execution model they represent.
-    "q_threshold_summary_x10",
-    # round-10: the second decade (60M rows) — runs right after the x10
-    # comparator, min-of-2, generation pre-materialized off the clock
+    # round-11: the 60M-row second decade runs FIRST of all (the same
+    # JVM-aging mitigation the x10 tier got in round 7 — r10 recorded
+    # 19.77 s in-bench vs 5.8 s isolated min-of-2 for this entry, a
+    # 3.4× session-position artifact), min-of-2, generation
+    # pre-materialized off the clock
     "q_threshold_summary_x100",
+    "q_threshold_summary_x10",
     "q_peak_timing_x10",
     # heavy full-volume entries (round-6/7 scale twins: capped jaccard at
     # 3k docs, full-corpus repeated spans, all-user pattern search, the
@@ -187,6 +190,10 @@ BENCH_QUERIES = [
     "q_psi",
     "q_conformal",
     "q_oof_encode",
+    # round-11: forecast verification (CRPS is the heavy one — the
+    # cell-partitioned rank window over ~60k members at sf0.1)
+    "q_crps",
+    "q_spread_skill",
 ]
 
 _IVF_INDEX = {}

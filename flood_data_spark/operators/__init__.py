@@ -45,6 +45,12 @@ from flood_data_spark.operators.experiment import (
     km_survival,
     two_proportion_ztest,
 )
+from flood_data_spark.operators.verification import (
+    brier_decomposition,
+    crps_ensemble,
+    rank_histogram,
+    spread_skill,
+)
 
 __all__ = [
     "ensemble_threshold_summary",
@@ -61,4 +67,6 @@ __all__ = [
     "gini_concentration", "profile_table", "psi_report", "bucket_counts",
     "psi_from_counts", "trend_stats", "with_holt", "with_rolling_median",
     "with_robust_outliers",
+    "crps_ensemble", "rank_histogram", "brier_decomposition",
+    "spread_skill",
 ]

@@ -9,10 +9,14 @@ exchange of exact integer partial sums.
 
 Determinism discipline (datapipe/linalg.py module docstring): every
 corpus-sized accumulation rides integer micro-units (values quantized
-ONCE via round(x·1e6) → BIGINT; sums are order-free), the final score is
-one fixed double expression over exact integers, rounded once — so the
-scores are pure functions of the data, partition- and engine-invariant,
-and the oracles restate them literally.
+ONCE via sign(x)·floor(|x|·1e6+0.5) → BIGINT; sums are order-free), and
+every final score is an EXACT integer ratio rounded to 6 decimals in
+integer space (`linalg._idiv_half_up` — half away from zero via decimal
+mod/division; the oracles mirror it with HUGEINT `//`).  No
+`round(double)` ever runs on a derived value, so even
+cancellation-amplified quantities (variances, Brier terms) round
+identically in every engine — the r8-r10 q_covariance lesson applied
+from birth.
 
 Scale posture: ensembles are small (m ~ 11..51 members) and cells are
 many — the per-cell rank window partitions by cell (never global), the
@@ -28,7 +32,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flood_data_spark.datapipe.linalg import _idiv_half_up
+
 MICRO = 1_000_000
+
+
+def _mega() -> "F.Column":
+    """Exact decimal 1e6 — the display/quantization scale every final
+    integer ratio is expressed over.  Built lazily: F.lit at module
+    import would require an active SparkContext."""
+    return F.lit(MICRO).cast("decimal(38,0)")
 
 
 def _micro(col) -> "F.Column":
@@ -54,7 +67,13 @@ def crps_ensemble(df: DataFrame, value_col: str, obs_col: str,
     counted +1 against everything below it, −1 against everything
     above) — ONE rank window partitioned by the group (m-bounded
     buffer), then a single group-keyed aggregate of integer micro
-    sums.  Returns (group_keys…, m, crps) with crps rounded to 6.
+    sums.  Returns (group_keys…, m, crps) with crps rounded to 6 IN
+    INTEGER SPACE: the whole score is the exact ratio
+
+        crps · 1e6 = (sae·m − pair) / m²
+
+    over integer micro sums, so `_idiv_half_up` rounds it with no
+    double ever rounding (the linalg discipline).
 
     CRPS is proper and collapses to MAE for m = 1 — the
     tests/test_verification.py goldens check both identities against a
@@ -73,11 +92,13 @@ def crps_ensemble(df: DataFrame, value_col: str, obs_col: str,
                 F.sum(qx * (2 * F.col("_rk") - 1)).alias("_srk"),
                 F.sum(qx).alias("_sx")))
     # Σ (2i-1-m)·x_i  =  Σ (2i-1)·x_i − m·Σ x_i   (exact integers)
-    pair = F.col("_srk") - F.col("m") * F.col("_sx")
-    m_d = F.col("m").cast("double")
-    crps = (F.col("_sae").cast("double") / m_d
-            - pair.cast("double") / (m_d * m_d)) / F.lit(float(MICRO))
-    return agg.select(*keys, "m", F.round(crps, 6).alias("crps"))
+    m_dec = F.col("m").cast("decimal(38,0)")
+    pair = (F.col("_srk").cast("decimal(38,0)")
+            - m_dec * F.col("_sx").cast("decimal(38,0)"))
+    num = F.col("_sae").cast("decimal(38,0)") * m_dec - pair
+    crps = (_idiv_half_up(num, m_dec * m_dec).cast("double")
+            / F.lit(float(MICRO)))
+    return agg.select(*keys, "m", crps.alias("crps"))
 
 
 def rank_histogram(df: DataFrame, value_col: str, obs_col: str,
@@ -111,12 +132,26 @@ def brier_decomposition(df: DataFrame, prob_col: str, outcome_col: str,
         RES = (1/N) Σ_k n_k (ō_k − ō)²       (resolution: discrimination)
         UNC = ō (1 − ō)                       (climatological entropy)
 
-    ONE scan → bin-keyed cells (n, Σp_micro, Σo), then bin-bounded
-    arithmetic; totals ride a second pass over the CELL relation, never
-    the corpus.  Returns one row: (brier, reliability, resolution,
-    uncertainty), each rounded to 6 — BS itself is computed directly
-    (Σ(p−o)² in micro² units) so the identity BS = REL − RES + UNC is a
-    test assertion, not an assumption."""
+    ONE scan → bin-keyed cells (n_k, Σp_micro, Σo, Σp², Σpo), then
+    bin-bounded arithmetic; the 1-row totals relation broadcasts back
+    onto the ≤ n_bins cell rows, never the corpus.  Returns one row:
+    (brier, reliability, resolution, uncertainty), each rounded to 6 IN
+    INTEGER SPACE over exact micro sums (n_k = bin count, sp = Σqp,
+    so_k = Σo, N/so = totals):
+
+        BS  · 1e6 = (Σqp² − 2e6·Σqpo + 1e12·so) / (N·1e6)
+        REL · 1e6 = Σ_k half_up((sp_k − 1e6·so_k)² / n_k) / (N·1e6)
+        RES · 1e6 = Σ_k half_up((so_k·N − n_k·so)² / n_k) · 1e6 / N³
+        UNC · 1e6 = so·(N−so)·1e6 / N²
+
+    (the per-bin half_up quantizes each bin's exact rational to an
+    integer — ≤ 0.5 micro²·count error per bin, ≤ n_bins/2 / (N·1e12)
+    on the final score, far below round-6 resolution — so every sum is
+    order-free and every engine rounds identically).  BS itself is
+    computed directly (Σ(p−o)² expanded over o² = o), so the identity
+    BS = REL − RES + UNC is a test assertion, not an assumption.
+    Overflow envelope: (so_k·N)² stays inside DECIMAL(38,0) while
+    N <= ~3e9 rows; ANSI decimal raises loudly past it."""
     if n_bins < 1:
         raise ValueError(f"brier_decomposition: n_bins must be >= 1, "
                          f"got {n_bins}")
@@ -125,38 +160,41 @@ def brier_decomposition(df: DataFrame, prob_col: str, outcome_col: str,
     qp = _micro(p)
     # bin k covers [k/n, (k+1)/n); p = 1.0 folds into the last bin
     b = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
+    dec = "decimal(38,0)"
     cells = (df.select(b.alias("_b"), qp.alias("_qp"), o.alias("_o"))
              .groupBy("_b")
-             .agg(F.count(F.lit(1)).alias("_n"),
-                  F.sum("_qp").alias("_sp"),
-                  F.sum("_o").alias("_so"),
-                  F.sum(F.col("_qp").cast("decimal(38,0)")
-                        * F.col("_qp").cast("decimal(38,0)"))
-                  .alias("_spp"),
-                  F.sum(F.col("_qp") * F.col("_o")).alias("_spo")))
-    tot = cells.agg(
-        F.sum("_n").alias("n"), F.sum("_so").alias("so"),
-        F.sum("_spp").alias("spp"), F.sum("_spo").alias("spo"),
-        F.sum((F.col("_sp").cast("double") / F.col("_n")
-               - F.col("_so").cast("double") / F.col("_n")
-               * F.lit(float(MICRO))) ** 2 * F.col("_n")).alias("rel_u"),
-        F.sum((F.col("_so").cast("double") / F.col("_n")) ** 2
-              * F.col("_n")).alias("res_u"))
-    n = F.col("n").cast("double")
-    obar = F.col("so").cast("double") / n
-    # BS = (1/N) Σ (p−o)² — expanded over exact integer sums:
-    # Σp² − 2Σpo + Σo  (o² = o for 0/1), all in micro² / micro units
-    bs = (F.col("spp").cast("double") / (float(MICRO) * MICRO)
-          - 2.0 * F.col("spo").cast("double") / MICRO
-          + F.col("so").cast("double")) / n
-    rel = F.col("rel_u") / n / (float(MICRO) * MICRO)
-    res = (F.col("res_u") / n
-           - obar * obar)
-    unc = obar * (1.0 - obar)
-    return tot.select(F.round(bs, 6).alias("brier"),
-                      F.round(rel, 6).alias("reliability"),
-                      F.round(res, 6).alias("resolution"),
-                      F.round(unc, 6).alias("uncertainty"))
+             .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
+                  F.sum(F.col("_qp").cast(dec)).alias("_sp"),
+                  F.sum(F.col("_o").cast(dec)).alias("_so"),
+                  F.sum(F.col("_qp").cast(dec)
+                        * F.col("_qp").cast(dec)).alias("_spp"),
+                  F.sum(F.col("_qp").cast(dec)
+                        * F.col("_o").cast(dec)).alias("_spo")))
+    tot = cells.agg(F.sum("_n").alias("n"), F.sum("_so").alias("so"),
+                    F.sum("_spp").alias("spp"), F.sum("_spo").alias("spo"))
+    # per-bin exact integer contributions (n_bins-bounded relation)
+    per = cells.crossJoin(F.broadcast(tot))
+    rd = F.col("_sp") - _mega() * F.col("_so")
+    ed = F.col("_so") * F.col("n") - F.col("_n") * F.col("so")
+    agg2 = (per.groupBy("n", "so", "spp", "spo")
+            .agg(F.sum(_idiv_half_up(rd * rd, F.col("_n"))
+                       .cast(dec)).alias("relu"),
+                 F.sum(_idiv_half_up(ed * ed, F.col("_n"))
+                       .cast(dec)).alias("resu")))
+    n, so = F.col("n"), F.col("so")
+    two = F.lit(2).cast(dec)
+    bs_num = F.col("spp") - two * _mega() * F.col("spo") + _mega() * _mega() * so
+    mega_f = F.lit(float(MICRO))
+    bs = _idiv_half_up(bs_num, n * _mega()).cast("double") / mega_f
+    rel = _idiv_half_up(F.col("relu"), n * _mega()).cast("double") / mega_f
+    res = _idiv_half_up(F.col("resu") * _mega(), n * n * n) \
+        .cast("double") / mega_f
+    unc = _idiv_half_up(so * (n - so) * _mega(), n * n) \
+        .cast("double") / mega_f
+    return agg2.select(bs.alias("brier"),
+                       rel.alias("reliability"),
+                       res.alias("resolution"),
+                       unc.alias("uncertainty"))
 
 
 def spread_skill(df: DataFrame, value_col: str, obs_col: str,
@@ -169,48 +207,53 @@ def spread_skill(df: DataFrame, value_col: str, obs_col: str,
     2008).
 
     Per-cell moments come from ONE pass of exact integer micro sums
-    (the linalg dim_stats discipline: sum q, sum q², divide once), the
-    per-lead reduction is a second exchange over the CELL relation.
-    Returns (lead, n_cells, spread, skill, ratio), doubles rounded 6.
+    (the linalg dim_stats discipline: sum q, sum q²), and each cell's
+    variance / squared error quantizes to micro-units as an EXACT
+    integer ratio —
+
+        var  · 1e6 = (s2·m − s1²)   / (m² · 1e6)
+        err² · 1e6 = (s1 − m·q_obs)² / (m² · 1e6)
+
+    — via `_idiv_half_up`, so the cell integers are order-free and the
+    per-lead reduction (a second exchange over the CELL relation) sums
+    exactly.  Returns (lead, n_cells, spread, skill, ratio); spread and
+    skill round in integer space (half_up(Σ/n)/1e6), ratio = sv/se as
+    half_up(sv·1e6/se)/1e6, NULL when se = 0 (a perfect forecast has no
+    defined spread/skill ratio — never Infinity/NaN).
     """
     keys = list(group_keys)
     if not keys:
         raise ValueError("spread_skill: need at least one group key")
+    dec = "decimal(38,0)"
     qx = _micro(F.col(value_col))
     qy = _micro(F.col(obs_col))
     cells = (df.groupBy(F.col(lead_col).alias("lead"), *keys)
-             .agg(F.count(F.lit(1)).alias("_m"),
-                  F.sum(qx).alias("_s1"),
-                  F.sum(qx.cast("decimal(38,0)")
-                        * qx.cast("decimal(38,0)")).alias("_s2"),
+             .agg(F.count(F.lit(1)).cast(dec).alias("_m"),
+                  F.sum(qx.cast(dec)).alias("_s1"),
+                  F.sum(qx.cast(dec) * qx.cast(dec)).alias("_s2"),
                   F.min(qy).alias("_qy")))
-    m = F.col("_m").cast("double")
-    mean = F.col("_s1").cast("double") / m
-    ex2 = F.col("_s2").cast("double") / m
-    var = (ex2 - mean * mean) / (float(MICRO) * MICRO)
-    err = (mean - F.col("_qy").cast("double")) / F.lit(float(MICRO))
-    # second reduction: the cell relation is corpus-sized (one row per
-    # forecast cell), so a raw double avg would be partition-order-
-    # dependent — quantize each cell's var / squared error ONCE to
-    # micro-units (pure function of the cell's exact integer sums) and
-    # sum the integers; divide/round at the end (|err| <= 5e-7 / cell)
-    var_q = (F.signum(var)
-             * F.floor(F.abs(var) * MICRO + F.lit(0.5))).cast("long")
-    err2 = err * err
-    err2_q = F.floor(err2 * MICRO + F.lit(0.5)).cast("long")
+    m = F.col("_m")
+    var_num = F.col("_s2") * m - F.col("_s1") * F.col("_s1")
+    ed = F.col("_s1") - m * F.col("_qy").cast(dec)
+    var_q = _idiv_half_up(var_num, m * m * _mega()).cast(dec)
+    err2_q = _idiv_half_up(ed * ed, m * m * _mega()).cast(dec)
     per_lead = (cells
                 .withColumn("_vq", var_q).withColumn("_eq", err2_q)
                 .groupBy("lead")
                 .agg(F.count(F.lit(1)).alias("n_cells"),
                      F.sum("_vq").alias("_sv"),
                      F.sum("_eq").alias("_se")))
-    n = F.col("n_cells").cast("double")
-    spread = F.col("_sv").cast("double") / n / F.lit(float(MICRO))
-    skill = F.col("_se").cast("double") / n / F.lit(float(MICRO))
+    n_dec = F.col("n_cells").cast(dec)
+    mega_f = F.lit(float(MICRO))
+    spread = _idiv_half_up(F.col("_sv"), n_dec).cast("double") / mega_f
+    skill = _idiv_half_up(F.col("_se"), n_dec).cast("double") / mega_f
+    ratio = F.when(
+        F.col("_se") > 0,
+        _idiv_half_up(F.col("_sv") * _mega(), F.col("_se"))
+        .cast("double") / mega_f).otherwise(F.lit(None).cast("double"))
     return per_lead.select(
         "lead", "n_cells",
-        F.round(spread, 6).alias("spread"),
-        F.round(skill, 6).alias("skill"),
-        F.round(F.col("_sv").cast("double")
-                / F.col("_se").cast("double"), 6).alias("ratio")) \
+        spread.alias("spread"),
+        skill.alias("skill"),
+        ratio.alias("ratio")) \
         .orderBy("lead")

@@ -1,0 +1,225 @@
+"""Forecast verification scores (operators/verification.py): brute-force
+pairwise CRPS, the m=1 MAE collapse, rank-histogram golden (incl. the
+tie rule), Brier BS = REL - RES + UNC reconstruction, spread-skill vs
+numpy, and the se=0 NULL-ratio guard."""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flood_data_spark.operators.verification import (
+    brier_decomposition, crps_ensemble, rank_histogram, spread_skill)
+
+
+def _q(x):
+    """The micro quantizer both engines share (verification._micro)."""
+    return int(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5))
+
+
+def _half_up(num: int, den: int) -> int:
+    f = Fraction(abs(num), den)
+    r = (2 * f.numerator + f.denominator) // (2 * f.denominator)
+    return -r if num < 0 else r
+
+
+def _crps_ref(xs, y):
+    """Brute-force pairwise CRPS in the exact integer arithmetic the
+    operator commits to: micro-quantized inputs, integer sums, one
+    half-up integer rounding."""
+    q = [_q(v) for v in xs]
+    qy = _q(y)
+    m = len(q)
+    sae = sum(abs(a - qy) for a in q)
+    pair = sum(abs(q[i] - q[j]) for i in range(m) for j in range(i + 1, m))
+    return _half_up(sae * m - pair, m * m) / 1e6
+
+
+def _ens_fixture(spark, n_groups=12, m=7, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    truth = {}
+    for g in range(n_groups):
+        y = float(rng.normal(loc=5.0))
+        xs = [float(v) for v in rng.normal(loc=5.0, scale=2.0, size=m)]
+        truth[g] = (xs, y)
+        rows += [(g, x, y) for x in xs]
+    df = spark.createDataFrame(rows, "cell int, x double, y double")
+    return df, truth
+
+
+def test_crps_matches_bruteforce_pairwise(spark):
+    df, truth = _ens_fixture(spark)
+    got = {r.cell: (r.m, r.crps)
+           for r in crps_ensemble(df, "x", "y", ["cell"]).collect()}
+    assert len(got) == len(truth)
+    for g, (xs, y) in truth.items():
+        m, crps = got[g]
+        assert m == len(xs)
+        assert crps == _crps_ref(xs, y), g
+        # sanity vs the real-number definition (quantization <= ~2e-6)
+        xs_a = np.array(xs)
+        real = (np.abs(xs_a - y).mean()
+                - np.abs(xs_a[:, None] - xs_a[None, :]).sum()
+                / (2 * len(xs) ** 2))
+        assert crps == pytest.approx(real, abs=3e-6)
+
+
+def test_crps_m1_collapses_to_mae(spark):
+    rows = [(0, 3.25, 1.0), (1, -2.0, 0.5), (2, 7.0000005, 7.0)]
+    df = spark.createDataFrame(rows, "cell int, x double, y double")
+    got = {r.cell: r.crps
+           for r in crps_ensemble(df, "x", "y", ["cell"]).collect()}
+    assert got[0] == 2.25
+    assert got[1] == 2.5
+    # |7.0000005 - 7.0| quantizes to 1 micro (half-up of 0.5 micro)
+    assert got[2] == 1e-6
+
+
+def test_crps_partition_invariant(spark):
+    df, _ = _ens_fixture(spark, n_groups=20)
+    a = sorted(map(tuple,
+                   crps_ensemble(df.coalesce(1), "x", "y",
+                                 ["cell"]).collect()))
+    b = sorted(map(tuple,
+                   crps_ensemble(df.repartition(7), "x", "y",
+                                 ["cell"]).collect()))
+    assert a == b
+
+
+def test_crps_guard(spark):
+    df, _ = _ens_fixture(spark, n_groups=2)
+    with pytest.raises(ValueError, match="group key"):
+        crps_ensemble(df, "x", "y", [])
+
+
+def test_rank_histogram_golden_with_tie_rule(spark):
+    # group 0: obs 2.5 above one of three members -> rank 2
+    # group 1: obs 0.0 below all -> rank 1
+    # group 2: obs 9.0 above all -> rank 4
+    # group 3: member EQUAL to obs -> tie goes below the observation
+    #          (strictly-less count), so 5.0 among {1, 5.0, 9} -> rank 2
+    rows = [(0, 1.0, 2.5), (0, 3.0, 2.5), (0, 4.0, 2.5),
+            (1, 1.0, 0.0), (1, 2.0, 0.0), (1, 3.0, 0.0),
+            (2, 1.0, 9.0), (2, 2.0, 9.0), (2, 3.0, 9.0),
+            (3, 1.0, 5.0), (3, 5.0, 5.0), (3, 9.0, 5.0)]
+    df = spark.createDataFrame(rows, "cell int, x double, y double")
+    got = {r.rank: r.n_cells
+           for r in rank_histogram(df, "x", "y", ["cell"]).collect()}
+    assert got == {1: 1, 2: 2, 4: 1}
+    with pytest.raises(ValueError, match="group key"):
+        rank_histogram(df, "x", "y", [])
+
+
+def test_rank_histogram_flat_for_calibrated_ensemble(spark):
+    # plant the observation at every possible rank equally often: a
+    # calibrated ensemble's histogram is exactly flat
+    m = 4
+    rows = []
+    g = 0
+    for rank in range(1, m + 2):
+        for _ in range(3):
+            members = [float(10 * k) for k in range(1, m + 1)]
+            y = float(10 * rank - 5)  # falls between member rank-1 and rank
+            rows += [(g, x, y) for x in members]
+            g += 1
+    df = spark.createDataFrame(rows, "cell int, x double, y double")
+    got = {r.rank: r.n_cells
+           for r in rank_histogram(df, "x", "y", ["cell"]).collect()}
+    assert got == {r: 3 for r in range(1, m + 2)}
+
+
+def test_brier_identity_and_bruteforce(spark):
+    # probabilities constant within each bin (multiples of 0.05 land in
+    # fixed 10-bin cells) -> the Murphy identity BS = REL - RES + UNC
+    # holds exactly (no within-bin variance), up to four round-6 steps
+    rng = np.random.default_rng(9)
+    ps = rng.choice([0.05, 0.15, 0.35, 0.55, 0.75, 0.95], size=400)
+    os_ = (rng.random(size=400) < ps).astype(int)
+    df = spark.createDataFrame(
+        [(float(p), int(o)) for p, o in zip(ps, os_)],
+        "p double, o int")
+    row = brier_decomposition(df, "p", "o", n_bins=10).collect()[0]
+    bs_ref = float(np.mean((ps - os_) ** 2))
+    assert row.brier == pytest.approx(bs_ref, abs=3e-6)
+    assert row.uncertainty == pytest.approx(
+        os_.mean() * (1 - os_.mean()), abs=2e-6)
+    # numpy reference for REL/RES over the same 10 bins
+    bins = np.minimum((ps * 10).astype(int), 9)
+    rel = res = 0.0
+    obar = os_.mean()
+    for k in np.unique(bins):
+        sel = bins == k
+        nk = sel.sum()
+        rel += nk * (ps[sel].mean() - os_[sel].mean()) ** 2
+        res += nk * (os_[sel].mean() - obar) ** 2
+    assert row.reliability == pytest.approx(rel / len(ps), abs=3e-6)
+    assert row.resolution == pytest.approx(res / len(ps), abs=3e-6)
+    # the identity itself, on the rounded outputs
+    assert row.brier == pytest.approx(
+        row.reliability - row.resolution + row.uncertainty, abs=5e-6)
+    with pytest.raises(ValueError, match="n_bins"):
+        brier_decomposition(df, "p", "o", n_bins=0)
+
+
+def test_brier_partition_invariant(spark):
+    rng = np.random.default_rng(4)
+    ps = rng.random(size=300)
+    os_ = (rng.random(size=300) < ps).astype(int)
+    df = spark.createDataFrame(
+        [(float(p), int(o)) for p, o in zip(ps, os_)], "p double, o int")
+    a = brier_decomposition(df.coalesce(1), "p", "o").collect()
+    b = brier_decomposition(df.repartition(7), "p", "o").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_spread_skill_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    cells = {}
+    for lead in (1, 2):
+        for c in range(8):
+            y = float(rng.normal())
+            xs = rng.normal(loc=y, scale=0.5 * lead, size=9)
+            cells[(lead, c)] = (xs, y)
+            rows += [(lead, c, float(x), y) for x in xs]
+    df = spark.createDataFrame(rows, "lead int, cell int, x double, y double")
+    got = {r.lead: r
+           for r in spread_skill(df, "x", "y", ["cell"], "lead").collect()}
+    for lead in (1, 2):
+        sel = [(xs, y) for (ld, _), (xs, y) in cells.items() if ld == lead]
+        spread_ref = float(np.mean([np.var(xs) for xs, _ in sel]))
+        skill_ref = float(np.mean([(np.mean(xs) - y) ** 2
+                                   for xs, y in sel]))
+        r = got[lead]
+        assert r.n_cells == 8
+        assert r.spread == pytest.approx(spread_ref, abs=1e-4)
+        assert r.skill == pytest.approx(skill_ref, abs=1e-4)
+        assert r.ratio == pytest.approx(spread_ref / skill_ref, rel=1e-2)
+    # wider-lead ensembles are more dispersed
+    assert got[2].spread > got[1].spread
+
+
+def test_spread_skill_zero_error_yields_null_ratio(spark):
+    # a perfect deterministic forecast: every member equals the obs ->
+    # se = 0; ratio must be NULL, never Infinity/NaN (ADVICE r10)
+    rows = [(1, c, 5.0, 5.0) for c in range(3)]
+    df = spark.createDataFrame(rows, "lead int, cell int, x double, y double")
+    r = spread_skill(df, "x", "y", ["cell"], "lead").collect()[0]
+    assert r.spread == 0.0 and r.skill == 0.0
+    assert r.ratio is None
+    with pytest.raises(ValueError, match="group key"):
+        spread_skill(df, "x", "y", [], "lead")
+
+
+def test_spread_skill_partition_invariant(spark):
+    rng = np.random.default_rng(12)
+    rows = [(int(rng.integers(1, 3)), c, float(rng.normal()),
+             float(c % 3)) for c in range(40) for _ in range(5)]
+    df = spark.createDataFrame(rows, "lead int, cell int, x double, y double")
+    a = sorted(map(tuple, spread_skill(df.coalesce(1), "x", "y",
+                                       ["cell"], "lead").collect()))
+    b = sorted(map(tuple, spread_skill(df.repartition(9), "x", "y",
+                                       ["cell"], "lead").collect()))
+    assert a == b

@@ -985,8 +985,14 @@ def decode_codestream(data: bytes) -> np.ndarray:
     scod = cod[0]
     _need(scod & 0x01 == 0, "user-defined precincts")
     _need(scod & 0x06 == 0, "SOP/EPH markers")
-    _need(cod[1] in (0, 1, 2),
-          "PCRL/CPRL progression (packets not resolution-major)")
+    # With 1 layer, 1 component and 1 precinct per resolution (all
+    # enforced below/above), every one of the five progression orders
+    # (LRCP/RLCP/RPCL/PCRL/CPRL) degenerates to the same
+    # resolution-major packet sequence — the loops over layer,
+    # component and position each have exactly one iteration — so any
+    # declared order decodes identically.
+    _need(cod[1] in (0, 1, 2, 3, 4),
+          f"unknown progression order {cod[1]}")
     layers = struct.unpack(">H", cod[2:4])[0]
     _need(layers == 1, f"{layers} quality layers")
     levels = cod[5]
@@ -999,6 +1005,22 @@ def decode_codestream(data: bytes) -> np.ndarray:
     _need(cod[9] == 1, "irreversible 9/7 transform")
     guard = qcd[0] >> 5
     _need(qcd[0] & 0x1F == 0, "scalar quantization (lossy)")
+    # Per-band exponents from the QCD segment (spec A.6.4: with Sqcd
+    # style 0 each SPqcd byte is eps_b << 3, bands ordered LL then
+    # (HL, LH, HH) per resolution coarse->fine).  M_b = guard + eps_b
+    # - 1 (spec E.1.1) — the PARSED exponent, not an assumed
+    # depth+gain: a conformant encoder may choose other exponents
+    # (e.g. rate-control headroom), and ignoring them would silently
+    # decode wrong magnitudes instead of failing or adapting.
+    spqcd = qcd[1:]
+    _need(len(spqcd) == 1 + 3 * levels,
+          f"{len(spqcd)} QCD exponents for {levels} decomposition "
+          f"levels (expected {1 + 3 * levels})")
+    eps = {("LL", levels): spqcd[0] >> 3}
+    for i in range(levels):
+        lev = levels - i
+        for bi, band_name in enumerate(("HL", "LH", "HH")):
+            eps[(band_name, lev)] = spqcd[1 + 3 * i + bi] >> 3
 
     dims, (llh, llw) = _band_dims(h, w, levels)
     body = tile["data"]
@@ -1042,7 +1064,7 @@ def decode_codestream(data: bytes) -> np.ndarray:
                 in blocks_meta:
             cw_data = body[br.pos:br.pos + ln]
             br.pos += ln
-            mb = _mb(depth, band, guard)
+            mb = guard + eps[(band, lev)] - 1
             mag, sgn = t1_decode(cw_data, chh, cww, band, nps,
                                  mb - 1 - zb)
             key = (band, lev)

@@ -179,3 +179,51 @@ def test_grib2_540_rejects_lossy():
     msg[i + 12] = 1
     with pytest.raises(NotImplementedError, match="lossy"):
         grib2_to_dataframe(bytes(msg))
+
+
+def test_decoder_uses_parsed_qcd_exponents():
+    # ADVICE r10: Mb must come from the PARSED SPqcd exponents, not an
+    # assumed depth+gain.  Rewrite the QCD of a valid stream with
+    # guard-1 and every exponent+1 — Mb = guard + eps - 1 is unchanged,
+    # so a conformant decoder reproduces the pixels exactly; a decoder
+    # that derives Mb from depth+gain+guard-1 would be off by one bit
+    # plane and mis-decode.
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 1 << 10, size=(17, 23)).astype(np.int64)
+    cs = bytearray(encode_codestream(arr, 10, levels=2))
+    i = cs.find(b"\xff\x5c")                 # QCD marker
+    ln = int.from_bytes(cs[i + 2:i + 4], "big")
+    guard = cs[i + 4] >> 5
+    assert guard >= 1
+    cs[i + 4] = (guard - 1) << 5
+    for j in range(i + 5, i + 2 + ln):
+        cs[j] = ((cs[j] >> 3) + 1) << 3
+    assert (decode_codestream(bytes(cs)) == arr).all()
+
+
+def test_decoder_rejects_wrong_qcd_exponent_count():
+    arr = np.arange(20, dtype=np.int64).reshape(4, 5)
+    cs = bytearray(encode_codestream(arr, 5, levels=1))
+    i = cs.find(b"\xff\x5c")
+    ln = int.from_bytes(cs[i + 2:i + 4], "big")
+    # drop the last SPqcd byte (shrink the segment by one)
+    del cs[i + 2 + ln - 1]
+    cs[i + 2:i + 4] = (ln - 1).to_bytes(2, "big")
+    with pytest.raises(NotImplementedError, match="QCD exponents"):
+        decode_codestream(bytes(cs))
+
+
+def test_decoder_accepts_all_five_progression_orders():
+    # 1 layer x 1 component x 1 precinct: every progression order emits
+    # the identical resolution-major packet sequence, so the declared
+    # order must not matter
+    rng = np.random.default_rng(22)
+    arr = rng.integers(0, 1 << 8, size=(9, 11)).astype(np.int64)
+    cs = bytearray(encode_codestream(arr, 8, levels=2))
+    i = cs.find(b"\xff\x52")                 # COD marker
+    for order in range(5):
+        cs[i + 2 + 2 + 1] = order            # SGcod progression byte
+        assert (decode_codestream(bytes(cs)) == arr).all(), order
+    cs[i + 2 + 2 + 1] = 5
+    with pytest.raises(NotImplementedError, match="progression"):
+        decode_codestream(bytes(cs))

@@ -9309,7 +9309,11 @@ def oracle_sql() -> dict[str, str]:
     """
     # q_gini: identical rank formula; row_number tie order differs
     # across engines but i·x is invariant under permuting equal values.
-    d["q_gini"] = """
+    # G·1e6 = (2·Σix − (n+1)·Σx)·1e6 / (n·Σx) rounded in INTEGER space
+    # (HUGEINT //), mirroring stats.gini_concentration's _idiv_half_up
+    # — the old round(double, 6) after subtracting two derived doubles
+    # was the q_covariance hazard class on a rational lattice.
+    d["q_gini"] = f"""
         WITH base AS (
             SELECT l_returnflag,
                    CAST(round(l_quantity * 1000000) AS BIGINT) AS x
@@ -9322,14 +9326,13 @@ def oracle_sql() -> dict[str, str]:
             FROM base),
         agg AS (
             SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(x) AS BIGINT) AS sx,
-                   CAST(sum(i * x) AS BIGINT) AS six
+                   CAST(count(*) AS HUGEINT) AS nh,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(i * x) AS HUGEINT) AS six
             FROM ranked GROUP BY l_returnflag)
         SELECT l_returnflag, n,
-               round((2.0 * CAST(six AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
-                     - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
-                   AS gini
+               {idiv_half_up('(2 * six - (nh + 1) * sx) * 1000000',
+                             'nh * sx', 1000000)} AS gini
         FROM agg
     """
 

@@ -379,8 +379,11 @@ def gini_concentration(df: DataFrame, value_col: str,
         G = (2·Σᵢ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n    (xᵢ ascending, i = 1..n)
 
     Exactness: values go to integer micro-units once; i·xᵢ and Σx are
-    exact BIGINT sums (the rank is an exact integer), so G is one fixed
-    double expression over four exact integers, round(…, 6).
+    exact BIGINT sums (the rank is an exact integer), so G is ONE exact
+    integer ratio — G·1e6 = (2·Σix − (n+1)·Σx)·1e6 / (n·Σx) — rounded
+    half-up in integer space (`linalg._idiv_half_up`; the r11 audit:
+    the old round(double, 6) subtracted two derived doubles on a
+    rational lattice, the exact q_covariance hazard class).
 
     Plan: ONE per-group sort exchange (the rank window) + a group-sized
     aggregate.  Ties get deterministic ranks via the value-then-nothing
@@ -405,11 +408,17 @@ def gini_concentration(df: DataFrame, value_col: str,
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum("_x").alias("_sx"),
                 F.sum(F.col("_i") * F.col("_x")).alias("_six")))
-    n = F.col("n").cast("double")
-    g = ((F.lit(2.0) * F.col("_six").cast("double"))
-         / (n * F.col("_sx").cast("double"))
-         - (n + F.lit(1.0)) / n)
-    return agg.select(*keys, "n", F.round(g, 6).alias("gini"))
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    dec = "decimal(38,0)"
+    n_dec = F.col("n").cast(dec)
+    sx = F.col("_sx").cast(dec)
+    six = F.col("_six").cast(dec)
+    num = (F.lit(2).cast(dec) * six
+           - (n_dec + F.lit(1).cast(dec)) * sx) \
+        * F.lit(1_000_000).cast(dec)
+    g = _idiv_half_up(num, n_dec * sx).cast("double") / F.lit(1e6)
+    return agg.select(*keys, "n", g.alias("gini"))
 
 
 def psi_report(reference: DataFrame, current: DataFrame, value_col: str,

@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "q_threshold_summary_x100",
     "q_threshold_summary_x10",
     "q_peak_timing_x10",
+    # round-11: the FULL E1 pipeline at 10x (detailed + control +
+    # tendency/intensity/peak + assembly + geometry + semi-join, one
+    # plan) — the end-to-end flagship, not just its hottest stage
+    "q_daily_pipeline_x10",
     # heavy full-volume entries (round-6/7 scale twins: capped jaccard at
     # 3k docs, full-corpus repeated spans, all-user pattern search, the
     # 8-round BPE trainer, the IVF-PQ lifecycle — see each EXTRA_QUERIES
@@ -457,6 +461,47 @@ def _q_threshold_summary_x100(spark, sf_dir):
         join_keys=("partkey",), group_keys=("partkey",))
 
 
+def _q_daily_pipeline_x10(spark, sf_dir):
+    """The FULL E1 daily pipeline (plans/daily_pipeline.py) on the
+    6M-row tier — detailed exceedance product + control extraction +
+    tendency/intensity/peak + 3-way assembly + WKT geometry + the
+    summary semi-join back onto detailed, all ONE plan, materialized
+    through the restricted detailed product (which consumes every
+    upstream stage).  The registry gate (q_summary_forecast) checks E1
+    correctness at 1x; this tier shows where exchange pressure lands
+    when every stage sees 10x the cells: the detailed cache fill (the
+    only corpus-sized exchange — everything downstream reuses its
+    (lat,lon)-cell partitioning) and the three per-cell aggregates over
+    the cached relation."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.plans.daily_pipeline import DailyForecastPipeline
+
+    li = spark.read.parquet(_scaled_lineitem_path(spark, sf_dir))
+    lat = F.round(F.lit(0.025) + (F.col("l_partkey") % 200) * 0.05, 3)
+    lon = F.round(F.lit(0.025)
+                  + ((F.col("l_partkey") / 200).cast("long") % 200) * 0.05, 3)
+    issued = F.lit("2024-01-01").cast("date")
+    forecast = li.select(
+        lat.alias("latitude"), lon.alias("longitude"),
+        F.col("l_linenumber").alias("step"),
+        F.col("l_extendedprice").alias("dis24"),
+        issued.alias("issued_on"),
+        F.date_add(issued, F.col("l_linenumber") - 1).alias("valid_for"))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    plat = F.round(F.lit(0.025) + (F.col("p_partkey") % 200) * 0.05, 3)
+    plon = F.round(F.lit(0.025)
+                   + ((F.col("p_partkey") / 200).cast("long") % 200) * 0.05,
+                   3)
+    thresholds = part.select(
+        plat.alias("latitude"), plon.alias("longitude"),
+        (F.col("p_retailprice") * 0.8).alias("threshold_2y"),
+        F.col("p_retailprice").alias("threshold_5y"),
+        (F.col("p_retailprice") * 1.2).alias("threshold_20y"))
+    products = DailyForecastPipeline(accuracy_mode="exact").run(
+        forecast, thresholds)
+    return products.detailed
+
+
 def _q_peak_timing_x10(spark, sf_dir):
     """Flagship peak-timing window query on the 6M-row tier: 10x the
     orders (groups), same per-order series length — the shared-exchange
@@ -746,6 +791,7 @@ EXTRA_QUERIES = {
     "q_threshold_summary_x10": _q_threshold_summary_x10,
     "q_threshold_summary_x100": _q_threshold_summary_x100,
     "q_peak_timing_x10": _q_peak_timing_x10,
+    "q_daily_pipeline_x10": _q_daily_pipeline_x10,
     "q_bpe_train_full": _q_bpe_train_full,
     "q_ivfpq_search": _q_ivfpq_search,
     "q_winnow_full": _q_winnow_full,
@@ -803,7 +849,7 @@ def main():
     # 3.1-23 s across six otherwise-identical runs; zero CPU steal) — the
     # min is the reproducible plan cost, the spread is the machine
     _MIN_OF_2 = {"q_threshold_summary_x10", "q_threshold_summary_x100",
-                 "q_peak_timing_x10",
+                 "q_peak_timing_x10", "q_daily_pipeline_x10",
                  "q_ngram_jaccard_capped_3k", "q_repeated_spans_full",
                  "q_remove_spans_full",
                  "q_ts_pattern_full", "q_bpe_train_full",

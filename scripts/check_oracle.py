@@ -233,9 +233,15 @@ def main():
         else:
             rec = {"status": "ok", "rows": len(s_rows),
                    "sec": round(time.time() - t0, 1)}
-            if os.environ.get("CHECK_ORACLE_PERTURB") and any(
-                    t in ("double", "float") for t in s_types.values()):
-                rec["perturbed"] = len(PERTURB_PROFILES)
+            if os.environ.get("CHECK_ORACLE_PERTURB"):
+                # explicit 0 for gates with no float columns (integer
+                # outputs are partition-invariant by construction), so
+                # the round-end artifact shows invariance COVERAGE, not
+                # just the queries that happened to be rerun
+                rec["perturbed"] = (
+                    len(PERTURB_PROFILES) if any(
+                        t in ("double", "float")
+                        for t in s_types.values()) else 0)
             records[name] = rec
             print(f"ok    {name}: {len(s_rows)} rows match"
                   + (", partition-invariant" if "perturbed" in rec else "")
@@ -253,9 +259,12 @@ def main():
         n_ok = sum(1 for r in records.values() if r["status"] == "ok")
         n_rows_only = sum(1 for r in records.values()
                           if r["status"] == "rows_only")
+        n_perturbed = sum(1 for r in records.values()
+                          if r.get("perturbed", 0) > 0)
         with open(out_path, "w") as f:
             json.dump({"sf_dir": SF_DIR, "n_queries": len(names),
                        "n_value_match": n_ok, "n_rows_only": n_rows_only,
+                       "n_perturbed": n_perturbed,
                        "n_failed": len(failures), "failed": failures,
                        "queries": records}, f, indent=1, sort_keys=True)
         print(f"wrote {out_path}")

@@ -2014,16 +2014,17 @@ def q_grib_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the closed-form grid/member/value layout.  The data
     representation rotates by doc_id: 5.0 simple packing, 5.2 complex
     packing, 5.3 complex + second-order spatial differencing, 5.40
-    lossless JPEG2000 (the from-spec sources/jpeg2000.py codec) — the
+    lossless JPEG2000 (the from-spec sources/jpeg2000.py codec), 5.42
+    CCSDS 121.0-B Rice/AEC (sources/ccsds121.py, round 11) — the
     decoded integers are identical whichever packing carried them, so
-    ONE closed-form oracle covers all four codecs.  Packed integers
+    ONE closed-form oracle covers all five codecs.  Packed integers
     < 2^16 survive float32 dis24 exactly, so the contract casts back to
     int with zero rounding hazard."""
     import pandas as pd
 
     from flood_data_spark.sources.grib2 import (
-        build_complex_message, build_jpeg2000_message, build_simple_message,
-        grib2_to_dataframe)
+        build_ccsds_message, build_complex_message, build_jpeg2000_message,
+        build_simple_message, grib2_to_dataframe)
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50) \
         .select("doc_id")
@@ -2034,7 +2035,7 @@ def q_grib_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 xs = [(did * 7 + k) % 65536 for k in range(6)]
-                kind = did % 4
+                kind = did % 5
                 if kind == 0:
                     msg = build_simple_message(
                         xs, nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,
@@ -2043,6 +2044,10 @@ def q_grib_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
                     msg = build_jpeg2000_message(
                         xs, nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,
                         nbits=16, levels=1, member=did % 4)
+                elif kind == 4:
+                    msg = build_ccsds_message(
+                        xs, nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,
+                        nbits=16, block_size=8, rsi=2, member=did % 4)
                 else:
                     msg = build_complex_message(
                         xs, nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,

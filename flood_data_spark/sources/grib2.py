@@ -5,13 +5,15 @@ The subset an ensemble river-discharge forecast actually uses — grid
 definition template 3.0 (regular latitude/longitude), product definition
 templates 4.0/4.1 (deterministic / ensemble member), data representation
 templates 5.0 (simple packing), 5.2 (grid-point complex packing), 5.3
-(complex + first/second-order spatial differencing) and 5.40 (lossless
+(complex + first/second-order spatial differencing), 5.40 (lossless
 JPEG 2000 — decoded by the from-spec pure-Python codec in
-``sources/jpeg2000.py``), optional bitmap — is small enough to decode
+``sources/jpeg2000.py``) and 5.42 (CCSDS 121.0-B Rice/AEC lossless —
+``sources/ccsds121.py``), optional bitmap — is small enough to decode
 with stdlib ``struct`` + numpy, no ecCodes/cfgrib stack.  This module is
 the dependency-free fallback branch of ``raster.grib_decoder``; the
-remaining exotic packings (CCSDS/AEC, spectral, lossy JPEG2000) still
-require cfgrib and raise NotImplementedError without it.
+remaining exotic packings (spectral, lossy JPEG2000, signed/restricted
+CCSDS profiles) still require cfgrib and raise NotImplementedError
+without it.
 
 Semantics matched to the cfgrib/xarray path the reference rides on
 (flood/etl/utils.py:3-14, flood/etl/raster_converter.py:55-85):
@@ -248,10 +250,10 @@ def _decode_message(msg: bytes) -> dict:
     # 5.2 complex packing, 5.3 complex + spatial differencing
     s5 = s[5]
     tmpl5 = _u(s5[9:11])
-    if tmpl5 not in (0, 2, 3, 40):
+    if tmpl5 not in (0, 2, 3, 40, 42):
         raise NotImplementedError(
             f"grib2: data template 5.{tmpl5} unsupported (5.0/5.2/5.3/"
-            "5.40 only; CCSDS/spectral need cfgrib)")
+            "5.40/5.42 only; spectral needs cfgrib)")
     if tmpl5 == 40 and len(s5) > 21 and s5[21] not in (0, 255):
         raise NotImplementedError(
             "grib2: lossy JPEG2000 packing (5.40 compression type "
@@ -275,7 +277,25 @@ def _decode_message(msg: bytes) -> dict:
             f"grib2: predefined bitmap {bmp_flag} unsupported")
 
     # section 7: packed data
-    if tmpl5 == 40:
+    if tmpl5 == 42:
+        # template 5.42: X rides a CCSDS 121.0-B (Rice/AEC) bitstream —
+        # the dependency-free from-spec codec (sources/ccsds121.py).
+        # Octet 22 = compression options mask, 23 = block size,
+        # 24-25 = reference sample interval (in blocks).
+        from flood_data_spark.sources.ccsds121 import (
+            FLAG_3BYTE, FLAG_MSB, FLAG_PAD_RSI, FLAG_PREPROCESS,
+            FLAG_RESTRICTED, FLAG_SIGNED, decode)
+        flags, block = s5[21], s5[22]
+        rsi = _u(s5[23:25])
+        need = FLAG_MSB | FLAG_PREPROCESS
+        bad = FLAG_SIGNED | FLAG_3BYTE | FLAG_RESTRICTED | FLAG_PAD_RSI
+        if (flags & need) != need or (flags & bad):
+            raise NotImplementedError(
+                f"grib2: CCSDS options mask 0x{flags:02x} unsupported "
+                "(need MSB+preprocess, unsigned, unrestricted, no RSI "
+                "padding — install cfgrib/ecCodes+libaec)")
+        x = decode(bytes(s[7][5:]), n_vals, nbits, block, rsi)
+    elif tmpl5 == 40:
         # template 5.40: X rides a lossless JPEG2000 codestream — the
         # dependency-free from-spec decoder (sources/jpeg2000.py); the
         # codestream's own SIZ fixes the image shape (with a bitmap only
@@ -392,6 +412,40 @@ def build_jpeg2000_message(xs, *, nj: int, ni: int, la1: float,
               + bytes([nbits, 0, 0, 255]))   # lossless, ratio undefined
     return _assemble_message(
         s5, codestream, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d,
+        member=member, year=year, month=month, day=day,
+        ftime_hours=ftime_hours)
+
+
+def build_ccsds_message(xs, *, nj: int, ni: int, la1: float,
+                        lo1: float, d: float, ref: float = 0.0,
+                        e_scale: int = 0, d_scale: int = 0,
+                        nbits: int = 16, block_size: int = 16,
+                        rsi: int = 64, member: int | None = None,
+                        year: int = 2024, month: int = 1, day: int = 1,
+                        ftime_hours: int = 24) -> bytes:
+    """Encode one GRIB2 message with data representation template 5.42
+    (CCSDS 121.0-B lossless compression) — the test counterpart of the
+    5.42 branch, with the bitstream produced by the from-spec encoder
+    (`ccsds121.encode`).  `xs` are the packed integers, row-major;
+    decoded value = (ref + X * 2**e_scale) / 10**d_scale.  Octet 22
+    carries the options mask (MSB + preprocess), 23 the block size,
+    24-25 the reference sample interval in blocks."""
+    from flood_data_spark.sources.ccsds121 import (
+        FLAG_MSB, FLAG_PREPROCESS, encode)
+
+    vals = [int(x) for x in xs]
+    if any(not 0 <= v < (1 << nbits) for v in vals):
+        raise ValueError(
+            f"grib2: packed values do not fit in {nbits} bits")
+    stream = encode(vals, nbits, block_size, rsi)
+    e_raw = abs(e_scale) | (0x8000 if e_scale < 0 else 0)
+    d_raw = abs(d_scale) | (0x8000 if d_scale < 0 else 0)
+    s5 = _sec(5, struct.pack(">I", len(vals)) + struct.pack(">H", 42)
+              + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
+              + bytes([nbits, 0, FLAG_MSB | FLAG_PREPROCESS, block_size])
+              + struct.pack(">H", rsi))
+    return _assemble_message(
+        s5, stream, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d,
         member=member, year=year, month=month, day=day,
         ftime_hours=ftime_hours)
 

@@ -2770,6 +2770,26 @@ def q_spread_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lead", "n_cells", "spread", "skill", "ratio")
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fitting
+    (datapipe/preference.bradley_terry): lineitem rows play RLHF
+    preference pairs (winner = l_partkey % 8, loser =
+    (l_partkey*7 + l_suppkey) % 8, self-pairs dropped), TWO MM rounds.
+    The corpus collapses once into the distinct-pair comparison
+    relation; each round is one broadcast join + one item-keyed
+    exchange, all arithmetic in exact integer micro-units
+    (`_idiv_half_up` end to end — no double until display).  Full value
+    oracle: DuckDB unrolls both MM rounds in HUGEINT CTEs."""
+    from flood_data_spark.datapipe.preference import bradley_terry
+
+    li = _t(spark, sf_dir, "lineitem")
+    prefs = li.select((F.col("l_partkey") % 8).alias("w"),
+                      ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 8)
+                      .alias("l"))
+    return bradley_terry(prefs, "w", "l", iterations=2) \
+        .select("item", "n_wins", "n_games", "strength")
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity resolution (datapipe/fuzzy.blocked_fuzzy_pairs)
     over part names: distinct-name shrink → last-token blocking (candidates
@@ -3746,6 +3766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_histogram": q_rank_histogram,
         "q_brier_decomp": q_brier_decomp,
         "q_spread_skill": q_spread_skill,
+        # --- round 11: preference fitting (new family) ---
+        "q_bradley_terry": q_bradley_terry,
         # --- round 8, session 4: stats + stump + encoders + CF ---
         "q_oof_encode": q_oof_encode,
         "q_stream_psi": q_stream_psi,
@@ -5130,6 +5152,74 @@ def oracle_sql() -> dict[str, str]:
                                            1000000)}
                         ELSE NULL END AS ratio
             FROM g
+        """,
+        # q_bradley_terry: both MM rounds unrolled in HUGEINT — the
+        # per-term quotient n*1e12/(wq_i+wq_j), the prior term
+        # 2*1e12/(wq_i+1e6), the update (W+1)*1e12/denom and the mean-1
+        # rescale wq*k*1e6/S are all integer half-up divisions,
+        # term-for-term datapipe/preference.bradley_terry
+        "q_bradley_terry": f"""
+            WITH src AS (
+                SELECT l_partkey % 8 AS w,
+                       (l_partkey * 7 + l_suppkey) % 8 AS l
+                FROM lineitem),
+            g AS (SELECT w, l FROM src WHERE w <> l),
+            comp AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+                            CAST(count(*) AS HUGEINT) AS n,
+                            CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END)
+                                 AS HUGEINT) AS wa
+                     FROM g GROUP BY 1, 2),
+            tot AS (SELECT i, sum(wn) AS n_wins, sum(gn) AS n_games
+                    FROM (SELECT a AS i, wa AS wn, n AS gn FROM comp
+                          UNION ALL
+                          SELECT b AS i, n - wa AS wn, n AS gn FROM comp)
+                    GROUP BY i),
+            e AS (SELECT a AS i, b AS j, n FROM comp
+                  UNION ALL SELECT b AS i, a AS j, n FROM comp),
+            kk AS (SELECT CAST(count(*) AS HUGEINT) AS k FROM tot),
+            w0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS wq FROM tot),
+            d1 AS (SELECT e.i,
+                          sum({idiv_int('e.n * 1000000000000',
+                                        'wi.wq + wj.wq')}) AS d
+                   FROM e JOIN w0 wi ON e.i = wi.i
+                          JOIN w0 wj ON e.j = wj.i
+                   GROUP BY e.i),
+            u1 AS (SELECT t.i,
+                          {idiv_int(
+                              '(t.n_wins + 1) * 1000000000000',
+                              'd1.d + ' + idiv_int(
+                                  '2 * 1000000000000',
+                                  'wi.wq + 1000000'))} AS wq
+                   FROM tot t JOIN d1 ON t.i = d1.i
+                          JOIN w0 wi ON t.i = wi.i),
+            s1 AS (SELECT sum(wq) AS s FROM u1),
+            w1 AS (SELECT u1.i,
+                          {idiv_int('u1.wq * kk.k * 1000000', 's1.s')}
+                              AS wq
+                   FROM u1, s1, kk),
+            d2 AS (SELECT e.i,
+                          sum({idiv_int('e.n * 1000000000000',
+                                        'wi.wq + wj.wq')}) AS d
+                   FROM e JOIN w1 wi ON e.i = wi.i
+                          JOIN w1 wj ON e.j = wj.i
+                   GROUP BY e.i),
+            u2 AS (SELECT t.i,
+                          {idiv_int(
+                              '(t.n_wins + 1) * 1000000000000',
+                              'd2.d + ' + idiv_int(
+                                  '2 * 1000000000000',
+                                  'wi.wq + 1000000'))} AS wq
+                   FROM tot t JOIN d2 ON t.i = d2.i
+                          JOIN w1 wi ON t.i = wi.i),
+            s2 AS (SELECT sum(wq) AS s FROM u2),
+            w2 AS (SELECT u2.i,
+                          {idiv_int('u2.wq * kk.k * 1000000', 's2.s')}
+                              AS wq
+                   FROM u2, s2, kk)
+            SELECT t.i AS item, CAST(t.n_wins AS BIGINT) AS n_wins,
+                   CAST(t.n_games AS BIGINT) AS n_games,
+                   CAST(w2.wq AS DOUBLE) / 1000000.0 AS strength
+            FROM tot t JOIN w2 ON t.i = w2.i
         """,
         # q_fuzzy_pairs: distinct-name shrink, last-token blocking,
         # length band, levenshtein <= 3 — DuckDB's levenshtein is the

@@ -107,6 +107,10 @@ from flood_data_spark.datapipe.market import (
     association_rules,
     frequent_pairs,
 )
+from flood_data_spark.datapipe.preference import (
+    bradley_terry,
+    pairwise_counts,
+)
 from flood_data_spark.datapipe.classifier import (
     best_split,
     split_candidates,
@@ -151,4 +155,5 @@ __all__ = [
     "train_quality_classifier", "with_classifier_score",
     "platt_calibrate", "evaluate_binary", "evaluate_binary_by",
     "roc_points",
+    "bradley_terry", "pairwise_counts",
 ]

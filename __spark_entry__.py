@@ -2770,6 +2770,22 @@ def q_spread_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lead", "n_cells", "spread", "skill", "ratio")
 
 
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring
+    (datapipe/text.kneser_ney_scores): absolute discounting (D=0.75)
+    with distinct-continuation-count backoff — the Chen-Goodman
+    smoothing rung above q_bigram_ppl's Jelinek-Mercer, same LM-on-
+    full-corpus / score-doc_id<300 split and output shape.  Every
+    continuation count is an exact integer aggregate; the probability
+    tree is mirrored operand-for-operand in the oracle.  Full value
+    oracle."""
+    from flood_data_spark.datapipe.text import kneser_ney_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return kneser_ney_scores(docs.filter(F.col("doc_id") < 300),
+                             lm_corpus=docs)
+
+
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference-strength fitting
     (datapipe/preference.bradley_terry): lineitem rows play RLHF
@@ -3766,8 +3782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_histogram": q_rank_histogram,
         "q_brier_decomp": q_brier_decomp,
         "q_spread_skill": q_spread_skill,
-        # --- round 11: preference fitting (new family) ---
+        # --- round 11: preference fitting + KN smoothing (new) ---
         "q_bradley_terry": q_bradley_terry,
+        "q_kneser_ney": q_kneser_ney,
         # --- round 8, session 4: stats + stump + encoders + CF ---
         "q_oof_encode": q_oof_encode,
         "q_stream_psi": q_stream_psi,
@@ -5220,6 +5237,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_games AS BIGINT) AS n_games,
                    CAST(w2.wq AS DOUBLE) / 1000000.0 AS strength
             FROM tot t JOIN w2 ON t.i = w2.i
+        """,
+        # q_kneser_ney: the KN probability tree mirrored operand-for-
+        # operand (greatest(c-D,0) + (D*n1_fw)*p_cont over ctx; Lidstone
+        # p_cont floor); continuation counts are exact integer
+        # aggregates on both engines
+        "q_kneser_ney": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS l
+                FROM documents),
+            bg_all AS (
+                SELECT id,
+                       unnest([l[i] || ' ' || l[i+1]
+                               for i in range(1, len(l))]) AS bg
+                FROM toks),
+            lm_bg AS (SELECT bg, count(*) AS bg_count
+                      FROM bg_all GROUP BY bg),
+            ctx AS (SELECT split_part(bg, ' ', 1) AS w1,
+                           sum(bg_count) AS ctx_count,
+                           count(*) AS n1_fw
+                    FROM lm_bg GROUP BY 1),
+            cont AS (SELECT split_part(bg, ' ', 2) AS w2,
+                            count(*) AS n1_bw
+                     FROM lm_bg GROUP BY 1),
+            tot AS (SELECT CAST(sum(n1_bw) AS BIGINT) AS n_pairs,
+                           CAST(count(*) AS BIGINT) AS vocab
+                    FROM cont),
+            scored AS (
+                SELECT d.id,
+                       ln(CASE WHEN coalesce(c.ctx_count, 0) > 0
+                          THEN (greatest(coalesce(b.bg_count, 0) - 0.75,
+                                         0.0)
+                                + (0.75 * c.n1_fw)
+                                  * ((coalesce(n.n1_bw, 0) + 0.5)
+                                     / (t.n_pairs
+                                        + 0.5 * (t.vocab + 1))))
+                               / CAST(c.ctx_count AS DOUBLE)
+                          ELSE (coalesce(n.n1_bw, 0) + 0.5)
+                               / (t.n_pairs + 0.5 * (t.vocab + 1))
+                          END) AS logp
+                FROM bg_all d
+                LEFT JOIN lm_bg b ON d.bg = b.bg
+                LEFT JOIN ctx c ON split_part(d.bg, ' ', 1) = c.w1
+                LEFT JOIN cont n ON split_part(d.bg, ' ', 2) = n.w2,
+                tot t
+                WHERE d.id < 300),
+            agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                           round(-avg(logp), 6) AS cross_entropy,
+                           round(exp(-avg(logp)), 4) AS perplexity
+                    FROM scored GROUP BY id)
+            SELECT doc.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+                   a.cross_entropy, a.perplexity
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id < 300) doc
+            LEFT JOIN agg a ON doc.doc_id = a.id
         """,
         # q_fuzzy_pairs: distinct-name shrink, last-token blocking,
         # length band, levenshtein <= 3 — DuckDB's levenshtein is the

@@ -1,4 +1,5 @@
 from flood_data_spark.datapipe.text import (
+    kneser_ney_scores,
     textrank_keywords,
     tfidf_topk,
     term_rows,
@@ -155,5 +156,5 @@ __all__ = [
     "train_quality_classifier", "with_classifier_score",
     "platt_calibrate", "evaluate_binary", "evaluate_binary_by",
     "roc_points",
-    "bradley_terry", "pairwise_counts",
+    "bradley_terry", "pairwise_counts", "kneser_ney_scores",
 ]

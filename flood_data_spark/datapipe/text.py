@@ -664,6 +664,94 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                         F.coalesce(F.col("n_bigrams"), F.lit(0))))
 
 
+def kneser_ney_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      lm_corpus: DataFrame | None = None,
+                      discount: float = 0.75,
+                      alpha: float = 0.5) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing that wins
+    on real text (Chen & Goodman 1999): absolute discounting with a
+    CONTINUATION-count backoff,
+
+        p_kn(w2|w1) = (max(c(w1 w2) - D, 0) + D * N1+(w1 ·) * p_cont(w2))
+                      / c(w1 ·)
+        p_cont(w2)  = (N1+(· w2) + alpha) / (N_pairs + alpha * (V + 1))
+
+    where N1+(w1 ·) / N1+(· w2) are distinct continuation counts and
+    N_pairs the distinct-bigram total.  The Lidstone floor on p_cont
+    (a documented deviation from the textbook form) keeps OOV events
+    finite; an unseen CONTEXT (c(w1 ·) = 0) backs off fully to p_cont.
+    Per-document cross-entropy and perplexity, same output shape and
+    <2-token visibility contract as `bigram_lm_scores` (this is the
+    next rung of that data-quality ladder: "san francisco" stops
+    inflating p(francisco | anything) because francisco follows almost
+    nothing else — the classic continuation-count win).
+
+    Plan (identical skeleton to `bigram_lm_scores`): the LM tables are
+    distinct-bigram-/vocabulary-bounded aggregates localCheckpoint-ed
+    once; scoring is three vocabulary-keyed left joins + one broadcast
+    totals row; no UDF, ANSI-expressible end-to-end (q_kneser_ney
+    value-hashes it).  All continuation counts are EXACT integers; the
+    only doubles are the final fixed expression tree (log — lattice-
+    free, the round-11 audit class that needs no integer rounding).
+    """
+    def _bigram_rows(src: DataFrame) -> DataFrame:
+        toks = _words(F.col(text_col))
+        n = F.size(toks)
+        pairs = F.when(
+            n >= 2,
+            F.arrays_zip(F.slice(toks, 1, n - 1).alias("w1"),
+                         F.slice(toks, 2, n - 1).alias("w2"))
+        ).otherwise(F.array())
+        return (src
+                .select(F.col(id_col).alias("id"),
+                        F.explode(pairs).alias("bg"))
+                .select("id", F.col("bg.w1").alias("w1"),
+                        F.col("bg.w2").alias("w2")))
+
+    lm_src = lm_corpus if lm_corpus is not None else df
+    lm_bg = (_bigram_rows(lm_src)
+             .groupBy("w1", "w2").agg(F.count("*").alias("bg_count"))
+             .localCheckpoint(eager=False))
+    ctx = (lm_bg.groupBy("w1")
+           .agg(F.sum("bg_count").alias("ctx_count"),
+                F.count("*").alias("n1_fw")))
+    cont = (lm_bg.groupBy("w2")
+            .agg(F.count("*").alias("n1_bw"))
+            .localCheckpoint(eager=False))
+    totals = F.broadcast(cont.agg(
+        F.sum("n1_bw").alias("n_pairs"),
+        F.count("*").alias("vocab")))
+
+    d = F.lit(discount)
+    doc_bg = _bigram_rows(df)
+    p_cont = ((F.coalesce(F.col("n1_bw"), F.lit(0)) + F.lit(alpha))
+              / (F.col("n_pairs")
+                 + F.lit(alpha) * (F.col("vocab") + 1)))
+    p_kn = F.when(
+        F.coalesce(F.col("ctx_count"), F.lit(0)) > 0,
+        (F.greatest(F.coalesce(F.col("bg_count"), F.lit(0)) - d,
+                    F.lit(0.0))
+         + d * F.col("n1_fw") * F.col("_p_cont"))
+        / F.col("ctx_count").cast("double")
+    ).otherwise(F.col("_p_cont"))
+    scored = (doc_bg
+              .join(lm_bg, ["w1", "w2"], "left")
+              .join(ctx, "w1", "left")
+              .join(cont, "w2", "left")
+              .crossJoin(totals)
+              .withColumn("_p_cont", p_cont)
+              .withColumn("_logp", F.log(p_kn)))
+    agg = (scored.groupBy(F.col("id").alias(id_col))
+           .agg(F.count("*").alias("n_bigrams"),
+                F.round(-F.avg("_logp"), 6).alias("cross_entropy"),
+                F.round(F.exp(-F.avg("_logp")), 4).alias("perplexity")))
+    ids = df.select(F.col(id_col)).distinct()
+    return (ids.join(agg, id_col, "left")
+            .withColumn("n_bigrams",
+                        F.coalesce(F.col("n_bigrams"), F.lit(0))))
+
+
 def with_ngram_diversity(df: DataFrame, n: int = 3,
                          text_col: str = "text",
                          prefix: str = "nd_") -> DataFrame:

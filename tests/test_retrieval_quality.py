@@ -500,3 +500,62 @@ def test_bm25_batch_rejects_empty_query_rows(spark):
                                 "query_id string, terms array<string>")
     got = bm25_batch(postings, term_stats, stats, oov).collect()
     assert {r.query_id for r in got} == {"a"}
+
+
+# ------------------------------------------------------ Kneser-Ney LM
+
+def test_kneser_ney_hand_computed(spark):
+    from flood_data_spark.datapipe.text import kneser_ney_scores
+
+    # corpus "a b a b" + "a c": distinct bigrams ab(2), ba(1), ac(1)
+    # ctx: a -> (count 3, n1_fw 2), b -> (count 1, n1_fw 1)
+    # cont: b <- 1, a <- 1, c <- 1; n_pairs 3, vocab 3
+    df = spark.createDataFrame([(0, "a b a b"), (1, "a c")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in kneser_ney_scores(df, discount=0.75).collect()}
+    assert out[0].n_bigrams == 3 and out[1].n_bigrams == 1
+
+    def p_cont(n1_bw):
+        return (n1_bw + 0.5) / (3 + 0.5 * (3 + 1))
+
+    def p_kn(c_bg, c_ctx, n1_fw, n1_bw):
+        return (max(c_bg - 0.75, 0.0)
+                + 0.75 * n1_fw * p_cont(n1_bw)) / c_ctx
+
+    lp1 = math.log(p_kn(1, 3, 2, 1))            # "a c"
+    assert out[1].cross_entropy == pytest.approx(-lp1, abs=1e-5)
+    lp0 = (2 * math.log(p_kn(2, 3, 2, 1))       # "a b" twice
+           + math.log(p_kn(1, 1, 1, 1)))        # "b a"
+    assert out[0].cross_entropy == pytest.approx(-lp0 / 3, abs=1e-5)
+    assert out[0].perplexity == pytest.approx(
+        math.exp(-lp0 / 3), abs=1e-3)
+
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    from flood_data_spark.datapipe.text import kneser_ney_scores
+
+    # "zzz" is frequent but follows ONLY "the" (1 continuation);
+    # "cat" is rarer but follows many contexts.  Under KN backoff the
+    # unseen-context event "oov cat" must outscore "oov zzz" — the
+    # signature continuation-count behavior a unigram backoff gets
+    # backwards.
+    corpus = [(i, "the zzz") for i in range(10)] + \
+             [(100 + i, f"w{i} cat") for i in range(4)]
+    lm = spark.createDataFrame(corpus, "doc_id long, text string")
+    probe = spark.createDataFrame([(0, "oov cat"), (1, "oov zzz")],
+                                  "doc_id long, text string")
+    out = {r.doc_id: r.cross_entropy
+           for r in kneser_ney_scores(probe, lm_corpus=lm).collect()}
+    assert out[0] < out[1]
+
+
+def test_kneser_ney_short_docs_visible(spark):
+    from flood_data_spark.datapipe.text import kneser_ney_scores
+
+    df = spark.createDataFrame([(0, "single"), (1, ""), (2, "a b")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in kneser_ney_scores(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].n_bigrams == 0 and out[0].cross_entropy is None
+    assert out[2].n_bigrams == 1 and out[2].cross_entropy is not None

@@ -2786,6 +2786,31 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
                              lm_corpus=docs)
 
 
+def q_stream_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED Brier/Murphy decomposition
+    (streaming/file_stream.brier_cell_stream + the SAME
+    verification.brier_from_cells finisher as batch q_brier_decomp):
+    lineitem rows arrive as a file stream, the bin-keyed exact-integer
+    cells aggregate in complete mode (state <= 10 DECIMAL cells), the
+    shared integer-space finisher runs on the materialized cells.  The
+    oracle IS the batch q_brier_decomp SQL — stream/batch parity of
+    the whole score, value-hashed."""
+    from flood_data_spark.operators.verification import brier_from_cells
+    from flood_data_spark.streaming.file_stream import brier_cell_stream
+
+    def build(stream):
+        src = stream.select(
+            (F.col("l_discount") * F.lit(10.0)).alias("p"),
+            (F.col("l_returnflag") == "R").cast("int").alias("o"))
+        return brier_cell_stream(src, "p", "o", n_bins=10)
+
+    cells = _run_file_stream(
+        spark, f"{sf_dir}/lineitem.parquet", build, "stream_brier_",
+        output_mode="complete")
+    return brier_from_cells(cells) \
+        .select("brier", "reliability", "resolution", "uncertainty")
+
+
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference-strength fitting
     (datapipe/preference.bradley_terry): lineitem rows play RLHF
@@ -3782,9 +3807,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_histogram": q_rank_histogram,
         "q_brier_decomp": q_brier_decomp,
         "q_spread_skill": q_spread_skill,
-        # --- round 11: preference fitting + KN smoothing (new) ---
+        # --- round 11: preference fitting + KN smoothing + streamed
+        # Brier (new) ---
         "q_bradley_terry": q_bradley_terry,
         "q_kneser_ney": q_kneser_ney,
+        "q_stream_brier": q_stream_brier,
         # --- round 8, session 4: stats + stump + encoders + CF ---
         "q_oof_encode": q_oof_encode,
         "q_stream_psi": q_stream_psi,
@@ -9659,4 +9686,8 @@ def oracle_sql() -> dict[str, str]:
         FROM rk WHERE pos <= 5
     """
     d["q_stream_psi"] = d["q_psi"]
+    # the streamed Brier twin materializes the same bin cells and runs
+    # the same integer-space finisher — the batch oracle IS the parity
+    # check
+    d["q_stream_brier"] = d["q_brier_decomp"]
     return d

@@ -152,6 +152,19 @@ def brier_decomposition(df: DataFrame, prob_col: str, outcome_col: str,
     BS = REL − RES + UNC is a test assertion, not an assumption.
     Overflow envelope: (so_k·N)² stays inside DECIMAL(38,0) while
     N <= ~3e9 rows; ANSI decimal raises loudly past it."""
+    return brier_from_cells(brier_cells(df, prob_col, outcome_col,
+                                        n_bins))
+
+
+def brier_cells(df: DataFrame, prob_col: str, outcome_col: str,
+                n_bins: int = 10) -> DataFrame:
+    """The ONE corpus-sized pass of `brier_decomposition`: bin-keyed
+    exact integer cells (_b, _n, _sp, _so, _spp, _spo).  Split out so
+    the streaming twin can run this aggregation as complete-mode state
+    (<= n_bins cells however long the stream runs — the
+    bucket_count_stream bounded-state argument) and hand the
+    materialized cells to the SAME `brier_from_cells` finisher as the
+    batch path."""
     if n_bins < 1:
         raise ValueError(f"brier_decomposition: n_bins must be >= 1, "
                          f"got {n_bins}")
@@ -161,15 +174,22 @@ def brier_decomposition(df: DataFrame, prob_col: str, outcome_col: str,
     # bin k covers [k/n, (k+1)/n); p = 1.0 folds into the last bin
     b = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
     dec = "decimal(38,0)"
-    cells = (df.select(b.alias("_b"), qp.alias("_qp"), o.alias("_o"))
-             .groupBy("_b")
-             .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
-                  F.sum(F.col("_qp").cast(dec)).alias("_sp"),
-                  F.sum(F.col("_o").cast(dec)).alias("_so"),
-                  F.sum(F.col("_qp").cast(dec)
-                        * F.col("_qp").cast(dec)).alias("_spp"),
-                  F.sum(F.col("_qp").cast(dec)
-                        * F.col("_o").cast(dec)).alias("_spo")))
+    return (df.select(b.alias("_b"), qp.alias("_qp"), o.alias("_o"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
+                 F.sum(F.col("_qp").cast(dec)).alias("_sp"),
+                 F.sum(F.col("_o").cast(dec)).alias("_so"),
+                 F.sum(F.col("_qp").cast(dec)
+                       * F.col("_qp").cast(dec)).alias("_spp"),
+                 F.sum(F.col("_qp").cast(dec)
+                       * F.col("_o").cast(dec)).alias("_spo")))
+
+
+def brier_from_cells(cells: DataFrame) -> DataFrame:
+    """Finish the Murphy decomposition from materialized bin cells —
+    shared verbatim by the batch and streamed paths, so the streaming
+    gate checks parity of the WHOLE score, not just the counts."""
+    dec = "decimal(38,0)"
     tot = cells.agg(F.sum("_n").alias("n"), F.sum("_so").alias("so"),
                     F.sum("_spp").alias("spp"), F.sum("_spo").alias("spo"))
     # per-bin exact integer contributions (n_bins-bounded relation)

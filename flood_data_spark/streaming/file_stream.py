@@ -324,6 +324,22 @@ def cms_stream(stream_df: DataFrame, text_col: str = "text",
     return cms_build(toks, key_col="token", width=width, depth=depth)
 
 
+def brier_cell_stream(stream_df: DataFrame, prob_col: str,
+                      outcome_col: str, n_bins: int = 10) -> DataFrame:
+    """Streaming half of the forecast-calibration monitor: run
+    `verification.brier_cells`' bin-keyed exact-integer aggregation as
+    a complete-mode stream.  State is <= n_bins cells of DECIMAL sums
+    however long the stream runs (the bucket_count_stream bounded-state
+    argument), mergeable across micro-batches because integer sums are.
+    The Murphy finisher (`verification.brier_from_cells`) runs on the
+    materialized cells — shared verbatim with batch
+    `brier_decomposition`, so the streaming gate checks stream/batch
+    parity of the WHOLE score (BS/REL/RES/UNC), not just the counts."""
+    from flood_data_spark.operators.verification import brier_cells
+
+    return brier_cells(stream_df, prob_col, outcome_col, n_bins)
+
+
 def bucket_count_stream(stream_df: DataFrame, value_col: str,
                         bounds: list) -> DataFrame:
     """Streaming half of the drift monitor: bucket incoming values

@@ -481,3 +481,39 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     got = {(r.click_id, r.purchase_id)
            for r in spark.sql("SELECT * FROM t_ij_stream").collect()}
     assert got == {(1, 2), (5, 6), (8, 6)}
+
+
+def test_brier_stream_batch_parity(spark, tmp_path):
+    """availableNow brier_cell_stream (complete mode — state <= n_bins
+    DECIMAL cells) + the shared brier_from_cells finisher == batch
+    brier_decomposition over the same files, all four scores exactly
+    (integer-space rounding on both paths)."""
+    import os
+
+    import pandas as pd
+    from flood_data_spark.operators.verification import (
+        brier_decomposition, brier_from_cells)
+    from flood_data_spark.streaming.file_stream import (
+        brier_cell_stream, run_available_now)
+
+    rng = __import__("numpy").random.default_rng(8)
+    src = str(tmp_path / "preds")
+    os.makedirs(src)
+    for i in range(2):
+        ps = rng.random(size=120)
+        os_ = (rng.random(size=120) < ps).astype(int)
+        pd.DataFrame({"p": ps, "o": os_}) \
+            .to_parquet(os.path.join(src, f"f{i}.parquet"))
+
+    batch_df = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    agg = brier_cell_stream(stream, "p", "o", n_bins=10)
+    q = run_available_now(agg, str(tmp_path / "ckpt_brier"),
+                          query_name="brier_stream_test",
+                          output_mode="complete")
+    q.awaitTermination()
+    streamed = brier_from_cells(spark.table("brier_stream_test")) \
+        .collect()[0]
+    batch = brier_decomposition(batch_df, "p", "o", n_bins=10) \
+        .collect()[0]
+    assert tuple(streamed) == tuple(batch)

@@ -254,10 +254,10 @@ def _decode_message(msg: bytes) -> dict:
         raise NotImplementedError(
             f"grib2: data template 5.{tmpl5} unsupported (5.0/5.2/5.3/"
             "5.40/5.42 only; spectral needs cfgrib)")
-    if tmpl5 == 40 and len(s5) > 21 and s5[21] not in (0, 255):
+    if tmpl5 == 40 and len(s5) > 21 and s5[21] not in (0, 1, 255):
         raise NotImplementedError(
-            "grib2: lossy JPEG2000 packing (5.40 compression type "
-            f"{s5[21]}) unsupported — lossless only")
+            f"grib2: JPEG2000 compression type {s5[21]} unsupported "
+            "(0 lossless / 1 lossy only)")
     n_vals = _u(s5[5:9])
     ref_val = struct.unpack(">f", s5[11:15])[0]
     e_scale = _sm(s5[15:17])
@@ -276,7 +276,10 @@ def _decode_message(msg: bytes) -> dict:
         raise NotImplementedError(
             f"grib2: predefined bitmap {bmp_flag} unsupported")
 
-    # section 7: packed data
+    # section 7: packed data (5.40 rides the from-spec JPEG 2000 codec
+    # for BOTH compression types: lossless 5/3 and, since round 11,
+    # lossy 9/7 with scalar-expounded quantization — the codestream's
+    # own COD/QCD markers select the path)
     if tmpl5 == 42:
         # template 5.42: X rides a CCSDS 121.0-B (Rice/AEC) bitstream —
         # the dependency-free from-spec codec (sources/ccsds121.py).
@@ -410,6 +413,41 @@ def build_jpeg2000_message(xs, *, nj: int, ni: int, la1: float,
     s5 = _sec(5, struct.pack(">I", arr.size) + struct.pack(">H", 40)
               + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
               + bytes([nbits, 0, 0, 255]))   # lossless, ratio undefined
+    return _assemble_message(
+        s5, codestream, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d,
+        member=member, year=year, month=month, day=day,
+        ftime_hours=ftime_hours)
+
+
+def build_jpeg2000_lossy_message(xs, *, nj: int, ni: int, la1: float,
+                                 lo1: float, d: float, ref: float = 0.0,
+                                 e_scale: int = 0, d_scale: int = 0,
+                                 nbits: int = 16, levels: int = 3,
+                                 step: float = 1.0,
+                                 member: int | None = None,
+                                 year: int = 2024, month: int = 1,
+                                 day: int = 1,
+                                 ftime_hours: int = 24) -> bytes:
+    """Encode one GRIB2 message with data representation template 5.40,
+    compression type 1 (LOSSY irreversible 9/7 JPEG 2000) — the test
+    counterpart of the lossy decode branch.  Decoded integers
+    approximate `xs` within ~`step` x the synthesis gain; the GRIB
+    value formula then applies as usual."""
+    from flood_data_spark.sources.jpeg2000 import encode_codestream_lossy
+
+    if nbits < 1:
+        raise ValueError("grib2: jpeg2000 packing needs nbits >= 1")
+    arr = np.asarray(list(xs), dtype=np.int64).reshape(nj, ni)
+    if arr.min(initial=0) < 0 or arr.max(initial=0) >= (1 << nbits):
+        raise ValueError(
+            f"grib2: packed values do not fit in {nbits} bits")
+    codestream = encode_codestream_lossy(arr, nbits, levels=levels,
+                                         step=step)
+    e_raw = abs(e_scale) | (0x8000 if e_scale < 0 else 0)
+    d_raw = abs(d_scale) | (0x8000 if d_scale < 0 else 0)
+    s5 = _sec(5, struct.pack(">I", arr.size) + struct.pack(">H", 40)
+              + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
+              + bytes([nbits, 0, 1, 255]))   # lossy, ratio unspecified
     return _assemble_message(
         s5, codestream, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d,
         member=member, year=year, month=month, day=day,

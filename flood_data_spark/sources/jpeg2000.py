@@ -2,11 +2,13 @@
 
 GRIB2 data representation template 5.40 stores the packed integer field X
 as a JPEG 2000 codestream (ISO/IEC 15444-1): one tile, one unsigned
-component, reversible 5/3 wavelet, no quantization — i.e. exactly the
-lossless profile ecCodes emits (the reference decodes these through
-cfgrib/ecCodes, /root/reference/flood/etl/utils.py:3-14).  This module is
-the dependency-free branch: a from-spec implementation of the subset that
-profile needs —
+component — reversible 5/3 with no quantization for compression type 0
+(the lossless profile ecCodes emits) and, since round 11, irreversible
+9/7 with scalar-expounded quantization for compression type 1 (the
+reference decodes both through cfgrib/ecCodes,
+/root/reference/flood/etl/utils.py:3-14).  This module is the
+dependency-free branch: a from-spec implementation of the subset those
+profiles need —
 
 - codestream markers: SOC / SIZ / COD / QCD / COM / SOT / SOD / EOC
   (single tile, single tile-part; COC/QCC overrides are out of scope and
@@ -19,12 +21,17 @@ profile needs —
   states) and the three-pass EBCOT bit-plane coder (significance
   propagation / magnitude refinement / cleanup with run-length mode,
   the full Annex D context tables);
-- the reversible 5/3 lifting DWT (Annex F) with symmetric extension.
+- the reversible 5/3 lifting DWT (Annex F) with symmetric extension,
+  and the irreversible 9/7 lifting (Annex F float coefficients) with
+  Annex-E scalar-expounded dequantization (midpoint reconstruction,
+  delta = 2^(R_b - eps)(1 + mu/2^11) parsed per band from the QCD).
 
-The encoder exists for round-trip testing (single layer, all passes,
+The encoders exist for round-trip testing (single layer, all passes,
 LRCP) — the same role `grib2.build_simple_message` plays for template
-5.0.  Determinism: everything here is integer arithmetic; decode is a
-pure function of the bytes.
+5.0.  Determinism: the lossless path is pure integer arithmetic and
+decode is a pure function of the bytes; the lossy path is fixed-order
+float64 (deterministic on IEEE hardware), with reconstruction error
+bounded by the quantization step x synthesis gain (tests measure it).
 
 Scale posture: Tier-1 is a sequential bit-plane automaton (inherently
 per-code-block serial; ~1e5 samples/s in pure Python), so a large grid
@@ -731,6 +738,83 @@ def _inv53_1d(y: np.ndarray) -> np.ndarray:
     return x
 
 
+#: 9/7 irreversible lifting coefficients (Annex F, Daubechies-Sweldens
+#: factorization — public constants)
+_ALPHA97 = -1.586134342059924
+_BETA97 = -0.052980118572961
+_GAMMA97 = 0.882911075530934
+_DELTA97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _fwd97_1d(a: np.ndarray) -> np.ndarray:
+    """Forward irreversible 9/7 lifting along the last axis (Annex F):
+    four lifting steps then the K scaling (odd/H × K, even/L ÷ K) —
+    interleaved layout, whole-sample symmetric extension, float64.
+    Single-sample signals pass through unchanged (self-consistent with
+    the inverse; real streams never hit that degenerate band here
+    because the GRIB grids are > 1 wide)."""
+    n = a.shape[-1]
+    y = a.astype(np.float64).copy()
+    if n == 1:
+        return y
+    odd = np.arange(1, n, 2)
+    even = np.arange(0, n, 2)
+    y[..., odd] += _ALPHA97 * (y[..., _ext_idx(n, odd - 1)]
+                               + y[..., _ext_idx(n, odd + 1)])
+    y[..., even] += _BETA97 * (y[..., _ext_idx(n, even - 1)]
+                               + y[..., _ext_idx(n, even + 1)])
+    y[..., odd] += _GAMMA97 * (y[..., _ext_idx(n, odd - 1)]
+                               + y[..., _ext_idx(n, odd + 1)])
+    y[..., even] += _DELTA97 * (y[..., _ext_idx(n, even - 1)]
+                                + y[..., _ext_idx(n, even + 1)])
+    y[..., odd] *= _K97
+    y[..., even] /= _K97
+    return y
+
+
+def _inv97_1d(y: np.ndarray) -> np.ndarray:
+    """Inverse 9/7 lifting along the last axis — exact mirror of
+    `_fwd97_1d` in reverse step order (float, so 'exact' means to
+    rounding; the reconstruction tests bound it at ~1e-9)."""
+    n = y.shape[-1]
+    x = y.astype(np.float64).copy()
+    if n == 1:
+        return x
+    odd = np.arange(1, n, 2)
+    even = np.arange(0, n, 2)
+    x[..., odd] /= _K97
+    x[..., even] *= _K97
+    x[..., even] -= _DELTA97 * (x[..., _ext_idx(n, even - 1)]
+                                + x[..., _ext_idx(n, even + 1)])
+    x[..., odd] -= _GAMMA97 * (x[..., _ext_idx(n, odd - 1)]
+                               + x[..., _ext_idx(n, odd + 1)])
+    x[..., even] -= _BETA97 * (x[..., _ext_idx(n, even - 1)]
+                               + x[..., _ext_idx(n, even + 1)])
+    x[..., odd] -= _ALPHA97 * (x[..., _ext_idx(n, odd - 1)]
+                               + x[..., _ext_idx(n, odd + 1)])
+    return x
+
+
+def _fwd97_2d(a: np.ndarray) -> dict:
+    """One irreversible decomposition, same convention as `_fwd53_2d`
+    (vertical then horizontal, deinterleave)."""
+    t = _fwd97_1d(a.T).T
+    t = _fwd97_1d(t)
+    return {"LL": t[0::2, 0::2], "HL": t[0::2, 1::2],
+            "LH": t[1::2, 0::2], "HH": t[1::2, 1::2]}
+
+
+def _inv97_2d(bands: dict, h: int, w: int) -> np.ndarray:
+    t = np.zeros((h, w), dtype=np.float64)
+    t[0::2, 0::2] = bands["LL"]
+    t[0::2, 1::2] = bands["HL"]
+    t[1::2, 0::2] = bands["LH"]
+    t[1::2, 1::2] = bands["HH"]
+    t = _inv97_1d(t)
+    return _inv97_1d(t.T).T
+
+
 def _fwd53_2d(a: np.ndarray) -> dict:
     """One decomposition: returns {'LL','HL','LH','HH'} (deinterleaved).
     Order: vertical then horizontal (a fixed convention shared by the
@@ -838,19 +922,35 @@ def encode_codestream(arr: np.ndarray, depth: int, levels: int = 5,
 
     # resolution r=0 holds the final LL; r=1..levels hold level
     # (levels-r+1)'s HL/LH/HH
+    packets = _build_packets(ll, bands_per_level, levels, cb,
+                             lambda band, lev: _mb(depth, band, guard))
+    sqcd = bytes([guard << 5]) + bytes(
+        [((depth + {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[b]) << 3)
+         for b in (["LL"] + ["HL", "LH", "HH"] * levels)])
+    return _emit_markers(packets, h, w, depth, levels, cb_exp,
+                         transform=1, sqcd=sqcd)
+
+
+def _build_packets(ll: np.ndarray, bands_per_level: list, levels: int,
+                   cb: int, mb_for) -> list:
+    """Layer-0 LRCP packets from integer coefficient/index bands —
+    shared by the lossless (5/3 coefficients) and lossy (9/7 quantizer
+    indices) encoders.  `mb_for(band, lev)` supplies the bit-plane
+    budget; indices that do not fit raise loudly (a silent zbp
+    underflow would corrupt every later block)."""
     packets = []
     for r in range(levels + 1):
         if r == 0:
-            res_bands = [("LL", ll)]
+            res_bands = [("LL", levels, ll)]
         else:
             lev = levels - r + 1
             bl = bands_per_level[lev - 1]
-            res_bands = [("HL", bl["HL"]), ("LH", bl["LH"]),
-                         ("HH", bl["HH"])]
+            res_bands = [("HL", lev, bl["HL"]), ("LH", lev, bl["LH"]),
+                         ("HH", lev, bl["HH"])]
         hdr = _BitWriter()
         body = bytearray()
         hdr.write(1)                       # packet non-empty
-        for band, coeff in res_bands:
+        for band, lev, coeff in res_bands:
             bh, bw = coeff.shape
             if bh == 0 or bw == 0:
                 continue
@@ -860,12 +960,17 @@ def encode_codestream(arr: np.ndarray, depth: int, levels: int = 5,
             incl = TagTree(nx, ny)
             incl.set_values(np.zeros((ny, nx), dtype=np.int64))
             zbp_tree = TagTree(nx, ny)
-            mb = _mb(depth, band, guard)
+            mb = mb_for(band, lev)
             zbps, codes, npss = [], [], []
             for (y0, x0, ch, cw_) in blocks:
                 vals = coeff[y0:y0 + ch, x0:x0 + cw_]
                 amax = int(np.abs(vals).max(initial=0))
                 used = amax.bit_length()
+                if used > mb:
+                    raise ValueError(
+                        f"jpeg2000: {band}{lev} magnitude needs {used} "
+                        f"bit planes but M_b = {mb} — raise the guard "
+                        "bits or the quantization step")
                 zbp = mb - used if amax else mb - 1
                 zbp = min(zbp, mb - 1)
                 max_plane = mb - 1 - zbp
@@ -895,8 +1000,14 @@ def encode_codestream(arr: np.ndarray, depth: int, levels: int = 5,
                                lblock + (npss[bi].bit_length() - 1))
                 body.extend(codes[bi])
         packets.append(hdr.flush() + bytes(body))
+    return packets
 
-    # markers
+
+def _emit_markers(packets: list, h: int, w: int, depth: int, levels: int,
+                  cb_exp: int, transform: int, sqcd: bytes) -> bytes:
+    """SOC/SIZ/COD/QCD/SOT/SOD/EOC scaffold shared by both encoders;
+    `transform` is the COD transform byte (1 = 5/3, 0 = 9/7) and `sqcd`
+    the full QCD segment body (style byte + SPqcd array)."""
     out = bytearray()
     out += b"\xff\x4f"                                   # SOC
     siz = struct.pack(">HHIIIIIIIIH", 38 + 3, 0, w, h, 0, 0, w, h,
@@ -904,11 +1015,8 @@ def encode_codestream(arr: np.ndarray, depth: int, levels: int = 5,
     out += b"\xff\x51" + siz
     cod = bytes([0,                  # Scod: no precincts/SOP/EPH
                  0, 0, 1, 0,        # SGcod: LRCP, 1 layer (u16), no MCT
-                 levels, cb_exp - 2, cb_exp - 2, 0, 1])
+                 levels, cb_exp - 2, cb_exp - 2, 0, transform])
     out += b"\xff\x52" + struct.pack(">H", 2 + len(cod)) + cod
-    sqcd = bytes([guard << 5]) + bytes(
-        [((depth + {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[b]) << 3)
-         for b in (["LL"] + ["HL", "LH", "HH"] * levels)])
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(sqcd)) + sqcd
     tile = b"".join(packets)
     psot = 12 + 2 + len(tile)
@@ -918,14 +1026,91 @@ def encode_codestream(arr: np.ndarray, depth: int, levels: int = 5,
     return bytes(out)
 
 
+def _lossy_qparams(rb: int, target_step: float) -> tuple:
+    """(eps, mu, delta) for template E.3: delta = 2^(rb - eps) *
+    (1 + mu/2^11), the closest representable step <= ~target, with the
+    ACTUAL delta returned so encoder and decoder quantize identically."""
+    import math
+    if target_step <= 0:
+        raise ValueError("jpeg2000: quantization step must be > 0")
+    e2 = math.floor(math.log2(target_step))
+    mu = round((target_step / 2.0 ** e2 - 1.0) * 2048)
+    if mu == 2048:
+        e2 += 1
+        mu = 0
+    eps = rb - e2
+    if not 0 <= eps <= 31:
+        raise ValueError(
+            f"jpeg2000: step {target_step} not representable for "
+            f"R_b={rb} (eps={eps} outside 0..31)")
+    delta = 2.0 ** (rb - eps) * (1.0 + mu / 2048.0)
+    return eps, mu, delta
+
+
+def encode_codestream_lossy(arr: np.ndarray, depth: int, levels: int = 5,
+                            cb_exp: int = 6, guard: int = 2,
+                            step: float = 1.0) -> bytes:
+    """Encode an unsigned integer field as a LOSSY (irreversible 9/7,
+    scalar-expounded quantization) single-tile LRCP codestream — the
+    test counterpart of the 9/7 decode branch.  `step` is the target
+    quantization step in sample units applied to every band (snapped to
+    the nearest representable delta = 2^(R_b - eps)(1 + mu/2048));
+    reconstruction error per sample is bounded by ~step x the synthesis
+    filter gain (the round-trip tests measure it).
+    """
+    h, w = arr.shape
+    if not (0 <= int(arr.min(initial=0)) and
+            int(arr.max(initial=0)) < (1 << depth)):
+        raise ValueError("jpeg2000: values exceed declared depth")
+    levels = max(0, min(levels, 32))
+    cb = 1 << cb_exp
+
+    a = arr.astype(np.float64) - float(1 << (depth - 1))
+    bands_per_level = []
+    ll = a
+    for _lev in range(1, levels + 1):
+        b = _fwd97_2d(ll)
+        bands_per_level.append({k: b[k] for k in ("HL", "LH", "HH")})
+        ll = b["LL"]
+
+    gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+    qp = {}
+    band_order = [("LL", levels)] + [
+        (bn, lev) for lev in range(levels, 0, -1)
+        for bn in ("HL", "LH", "HH")]
+    for bn, lev in band_order:
+        qp[(bn, lev)] = _lossy_qparams(depth + gain[bn], step)
+
+    def _q_band(vals, key):
+        d = qp[key][2]
+        return (np.sign(vals)
+                * np.floor(np.abs(vals) / d)).astype(np.int64)
+
+    ll_q = _q_band(ll, ("LL", levels))
+    idx_per_level = [
+        {bn: _q_band(bands_per_level[lev - 1][bn], (bn, lev))
+         for bn in ("HL", "LH", "HH")}
+        for lev in range(1, levels + 1)]
+    packets = _build_packets(
+        ll_q, idx_per_level, levels, cb,
+        lambda band, lev: guard + qp[(band, lev)][0] - 1)
+    sqcd = bytes([(guard << 5) | 2]) + b"".join(
+        struct.pack(">H", (qp[k][0] << 11) | qp[k][1])
+        for k in band_order)
+    return _emit_markers(packets, h, w, depth, levels, cb_exp,
+                         transform=0, sqcd=sqcd)
+
+
 def decode_codestream(data: bytes) -> np.ndarray:
     """Decode a GRIB-profile codestream to the unsigned integer field.
 
     Supported: single tile/tile-part, one unsigned component, reversible
-    5/3, no precinct subdivision, any of the five progression orders
-    (trivially identical with one precinct + one layer + one component:
-    packets always arrive resolution-major), COM skipped.  Anything
-    outside raises NotImplementedError naming the cfgrib escape hatch.
+    5/3 (no quantization) OR irreversible 9/7 (scalar-expounded
+    quantization, midpoint dequantization), no precinct subdivision, any
+    of the five progression orders (trivially identical with one
+    precinct + one layer + one component: packets always arrive
+    resolution-major), COM skipped.  Anything outside raises
+    NotImplementedError naming the cfgrib escape hatch.
     """
     def _need(cond, what):
         if not cond:
@@ -1002,25 +1187,43 @@ def decode_codestream(data: bytes) -> np.ndarray:
     cbstyle = cod[8]
     _need(cbstyle == 0, f"code-block style 0x{cbstyle:02x} "
           "(bypass/termall/segmentation)")
-    _need(cod[9] == 1, "irreversible 9/7 transform")
+    _need(cod[9] in (0, 1), f"transform byte {cod[9]}")
+    wav97 = cod[9] == 0
     guard = qcd[0] >> 5
-    _need(qcd[0] & 0x1F == 0, "scalar quantization (lossy)")
-    # Per-band exponents from the QCD segment (spec A.6.4: with Sqcd
-    # style 0 each SPqcd byte is eps_b << 3, bands ordered LL then
-    # (HL, LH, HH) per resolution coarse->fine).  M_b = guard + eps_b
-    # - 1 (spec E.1.1) — the PARSED exponent, not an assumed
-    # depth+gain: a conformant encoder may choose other exponents
-    # (e.g. rate-control headroom), and ignoring them would silently
-    # decode wrong magnitudes instead of failing or adapting.
+    qstyle = qcd[0] & 0x1F
+    # Per-band quantization from the QCD segment (spec A.6.4), bands
+    # ordered LL then (HL, LH, HH) per resolution coarse->fine.
+    # M_b = guard + eps_b - 1 (spec E.1.1) — the PARSED exponent, not
+    # an assumed depth+gain: a conformant encoder may choose other
+    # exponents (e.g. rate-control headroom), and ignoring them would
+    # silently decode wrong magnitudes instead of failing or adapting.
     spqcd = qcd[1:]
-    _need(len(spqcd) == 1 + 3 * levels,
-          f"{len(spqcd)} QCD exponents for {levels} decomposition "
-          f"levels (expected {1 + 3 * levels})")
-    eps = {("LL", levels): spqcd[0] >> 3}
-    for i in range(levels):
-        lev = levels - i
-        for bi, band_name in enumerate(("HL", "LH", "HH")):
-            eps[(band_name, lev)] = spqcd[1 + 3 * i + bi] >> 3
+    band_order = [("LL", levels)] + [
+        (bn, levels - i) for i in range(levels)
+        for bn in ("HL", "LH", "HH")]
+    eps = {}
+    mu = {}
+    if wav97:
+        # irreversible 9/7: style 2 (scalar expounded) — 16-bit SPqcd
+        # per band: eps in the top 5 bits, the 11-bit mantissa below
+        _need(qstyle == 2,
+              f"9/7 transform with quantization style {qstyle} "
+              "(scalar-expounded only)")
+        _need(len(spqcd) == 2 * len(band_order),
+              f"{len(spqcd)} QCD bytes for {levels} levels "
+              f"(expected {2 * len(band_order)})")
+        for i, key in enumerate(band_order):
+            v = struct.unpack(">H", spqcd[2 * i:2 * i + 2])[0]
+            eps[key] = v >> 11
+            mu[key] = v & 0x7FF
+    else:
+        _need(qstyle == 0,
+              f"5/3 transform with quantization style {qstyle}")
+        _need(len(spqcd) == len(band_order),
+              f"{len(spqcd)} QCD exponents for {levels} decomposition "
+              f"levels (expected {len(band_order)})")
+        for i, key in enumerate(band_order):
+            eps[key] = spqcd[i] >> 3
 
     dims, (llh, llw) = _band_dims(h, w, levels)
     body = tile["data"]
@@ -1073,13 +1276,38 @@ def decode_codestream(data: bytes) -> np.ndarray:
             decoded[key][y0:y0 + chh, x0:x0 + cww] = mag * sgn
         br = _BitReader(body, br.pos)
 
+    gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+    def _deq(key, shape):
+        """Quantizer indices -> reconstructed coefficients (E.1.1.2,
+        midpoint r=0.5): sign(q) * (|q| + 0.5) * delta_b with
+        delta_b = 2^(R_b - eps)(1 + mu/2^11), R_b = depth + gain."""
+        q = decoded.get(key)
+        if q is None:
+            return np.zeros(shape, dtype=np.float64)
+        delta = (2.0 ** (depth + gain[key[0]] - eps[key])
+                 * (1.0 + mu[key] / 2048.0))
+        return np.where(q != 0,
+                        (np.abs(q) + 0.5) * delta * np.sign(q), 0.0)
+
     # inverse wavelet, coarse -> fine
-    ll = decoded.get(("LL", levels),
-                     np.zeros((llh, llw), dtype=np.int64))
-    ch, cw_ = llh, llw
     sizes = [(h, w)]
     for lev in range(1, levels + 1):
         sizes.append(((sizes[-1][0] + 1) // 2, (sizes[-1][1] + 1) // 2))
+    if wav97:
+        ll = _deq(("LL", levels), (llh, llw))
+        for lev in range(levels, 0, -1):
+            th, tw = sizes[lev - 1]
+            d = dims[lev - 1][1]
+            bands = {"LL": ll,
+                     "HL": _deq(("HL", lev), d["HL"]),
+                     "LH": _deq(("LH", lev), d["LH"]),
+                     "HH": _deq(("HH", lev), d["HH"])}
+            ll = _inv97_2d(bands, th, tw)
+        out = np.floor(ll + float(1 << (depth - 1)) + 0.5)
+        return np.clip(out, 0, (1 << depth) - 1).astype(np.int64)
+    ll = decoded.get(("LL", levels),
+                     np.zeros((llh, llw), dtype=np.int64))
     for lev in range(levels, 0, -1):
         th, tw = sizes[lev - 1]
         d = dims[lev - 1][1]

@@ -169,15 +169,22 @@ def test_grib2_540_through_raster_decoder():
     assert set(pdf["dis24"]) == set(float(v) for v in xs)
 
 
-def test_grib2_540_rejects_lossy():
+def test_grib2_540_compression_type_octet():
+    # since round 11 the codestream's own COD/QCD markers select the
+    # lossless/lossy path: a 5.40 message whose compression-type octet
+    # claims lossy but whose codestream is reversible still decodes
+    # exactly; an unknown compression type rejects loudly
     from flood_data_spark.sources.grib2 import (
         build_jpeg2000_message, grib2_to_dataframe)
     msg = bytearray(build_jpeg2000_message(
         np.arange(6), nj=2, ni=3, la1=1.0, lo1=1.0, d=1.0, nbits=3))
-    # flip the compression-type octet (22 of section 5) to lossy
     i = msg.find(b"\x00\x28", 16)            # template number 40
-    msg[i + 12] = 1
-    with pytest.raises(NotImplementedError, match="lossy"):
+    msg[i + 12] = 1                          # octet 22 -> lossy
+    pdf = grib2_to_dataframe(bytes(msg))
+    assert (pdf["dis24"].to_numpy().astype(np.int64)
+            == np.arange(6)).all()
+    msg[i + 12] = 7
+    with pytest.raises(NotImplementedError, match="compression type"):
         grib2_to_dataframe(bytes(msg))
 
 
@@ -226,4 +233,85 @@ def test_decoder_accepts_all_five_progression_orders():
         assert (decode_codestream(bytes(cs)) == arr).all(), order
     cs[i + 2 + 2 + 1] = 5
     with pytest.raises(NotImplementedError, match="progression"):
+        decode_codestream(bytes(cs))
+
+
+# ----------------------------------------------------- lossy 9/7 path
+
+def test_dwt97_reconstruction_all_shapes():
+    from flood_data_spark.sources.jpeg2000 import (
+        _fwd97_1d, _fwd97_2d, _inv97_1d, _inv97_2d)
+    rng = np.random.default_rng(2)
+    for n in (1, 2, 3, 7, 16, 33):
+        x = rng.normal(size=n) * 100
+        assert np.abs(_inv97_1d(_fwd97_1d(x)) - x).max() < 1e-9, n
+    x = rng.normal(size=(13, 21)) * 50
+    r = _inv97_2d(_fwd97_2d(x), 13, 21)
+    assert np.abs(r - x).max() < 1e-9
+
+
+def test_lossy_codestream_error_bounded_by_step():
+    from flood_data_spark.sources.jpeg2000 import (
+        decode_codestream, encode_codestream_lossy)
+    rng = np.random.default_rng(4)
+    for (h, w, depth, levels, step) in [
+            (8, 8, 8, 1, 1.0), (17, 23, 12, 3, 2.0),
+            (32, 32, 16, 5, 0.5), (5, 9, 10, 2, 4.0)]:
+        arr = rng.integers(0, 1 << depth, size=(h, w)).astype(np.int64)
+        cs = encode_codestream_lossy(arr, depth, levels=levels,
+                                     step=step)
+        got = decode_codestream(cs)
+        # midpoint reconstruction: per-band error <= delta/2, amplified
+        # by the synthesis gain across levels — 6x step is a generous
+        # envelope the measured errors sit well inside
+        assert np.abs(got - arr).max() <= max(4, 6 * step), (h, w)
+
+
+def test_lossy_smooth_field_compresses_hard():
+    from flood_data_spark.sources.jpeg2000 import (
+        decode_codestream, encode_codestream_lossy)
+    ii = np.arange(64)
+    smooth = (1000 + 200 * np.sin(ii[:, None] / 7)
+              * np.cos(ii[None, :] / 9)).astype(np.int64)
+    cs = encode_codestream_lossy(smooth, 12, levels=4, step=8.0)
+    got = decode_codestream(cs)
+    assert len(cs) < 0.1 * (64 * 64 * 12 // 8)     # > 10x compression
+    assert np.abs(got - smooth).max() <= 48        # 6 x step
+
+
+def test_lossy_quantizer_snaps_to_representable_delta():
+    from flood_data_spark.sources.jpeg2000 import _lossy_qparams
+    for rb in (8, 12, 18):
+        for target in (0.5, 1.0, 1.75, 3.3, 8.0):
+            eps, mu, delta = _lossy_qparams(rb, target)
+            assert 0 <= eps <= 31 and 0 <= mu <= 2047
+            assert delta == 2.0 ** (rb - eps) * (1 + mu / 2048.0)
+            assert abs(delta - target) / target < 1.0 / 2048 + 1e-9
+    with pytest.raises(ValueError, match="step"):
+        _lossy_qparams(8, 0.0)
+
+
+def test_grib2_540_lossy_round_trip():
+    from flood_data_spark.sources.grib2 import (
+        build_jpeg2000_lossy_message, grib2_to_dataframe)
+    rng = np.random.default_rng(6)
+    xs = rng.integers(0, 4096, size=24)
+    msg = build_jpeg2000_lossy_message(
+        xs, nj=4, ni=6, la1=0.175, lo1=0.025, d=0.05, nbits=12,
+        levels=2, step=1.0, member=2)
+    pdf = grib2_to_dataframe(msg)
+    assert len(pdf) == 24 and (pdf["number"] == 2).all()
+    got = pdf["dis24"].to_numpy().astype(np.int64)
+    assert np.abs(got - xs).max() <= 6
+
+
+def test_lossy_rejects_mismatched_quantization_style():
+    # a 9/7 stream whose QCD claims reversible style must fail loudly
+    from flood_data_spark.sources.jpeg2000 import (
+        decode_codestream, encode_codestream_lossy)
+    cs = bytearray(encode_codestream_lossy(
+        np.arange(12, dtype=np.int64).reshape(3, 4), 4, levels=1))
+    i = cs.find(b"\xff\x5c")
+    cs[i + 4] = cs[i + 4] & 0xE0             # style 2 -> 0
+    with pytest.raises(NotImplementedError, match="quantization style"):
         decode_codestream(bytes(cs))

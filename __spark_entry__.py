@@ -2770,6 +2770,33 @@ def q_spread_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lead", "n_cells", "spread", "skill", "ratio")
 
 
+#: q_whiten's fixed axes/moments (shared between the Spark gate and the
+#: oracle literals): unit axes 3 and 7 plus a mixed (0.6, 0.8) axis on
+#: dims 1-2, Rayleigh second moments measured on a nominal 1000 rows
+_WHITEN_SIG = [800.0, 420.0, 260.0]
+_WHITEN_SCALES = [round(1.0 / (s / 1000.0 + 1e-9) ** 0.5, 6)
+                  for s in _WHITEN_SIG]
+
+
+def q_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening apply (datapipe/linalg.whiten_project): project on
+    fixed axes and rescale to unit variance with driver-rounded scale
+    literals — pure Column ops, no shuffle.  Exploded to (vec_id, dim,
+    wval) rows; full value oracle restating the dot + scale with the
+    identical literals and operand order."""
+    from flood_data_spark.datapipe.linalg import whiten_project
+
+    comps = [[0.0] * 64 for _ in range(3)]
+    comps[0][3] = 1.0
+    comps[1][7] = 1.0
+    comps[2][1] = 0.6
+    comps[2][2] = 0.8
+    out = whiten_project(_t(spark, sf_dir, "embeddings"), comps,
+                         _WHITEN_SIG, n_rows=1000)
+    return out.select("vec_id",
+                      F.posexplode("white").alias("dim", "wval"))
+
+
 def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring
     (datapipe/text.kneser_ney_scores): absolute discounting (D=0.75)
@@ -3812,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bradley_terry": q_bradley_terry,
         "q_kneser_ney": q_kneser_ney,
         "q_stream_brier": q_stream_brier,
+        "q_whiten": q_whiten,
         # --- round 8, session 4: stats + stump + encoders + CF ---
         "q_oof_encode": q_oof_encode,
         "q_stream_psi": q_stream_psi,
@@ -5264,6 +5292,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_games AS BIGINT) AS n_games,
                    CAST(w2.wq AS DOUBLE) / 1000000.0 AS strength
             FROM tot t JOIN w2 ON t.i = w2.i
+        """,
+        # q_whiten: the same literal axes/scales as the Spark gate —
+        # dot is exact per construction (unit/2-term axes), one
+        # round-6 of the scaled double on both engines
+        "q_whiten": f"""
+            WITH arr AS (SELECT vec_id,
+                                CAST(embedding AS DOUBLE[]) AS l
+                         FROM embeddings)
+            SELECT vec_id, 0 AS dim,
+                   round(l[4] * {_WHITEN_SCALES[0]!r}, 6) AS wval
+            FROM arr
+            UNION ALL
+            SELECT vec_id, 1 AS dim,
+                   round(l[8] * {_WHITEN_SCALES[1]!r}, 6) AS wval
+            FROM arr
+            UNION ALL
+            SELECT vec_id, 2 AS dim,
+                   round((0.6 * l[2] + 0.8 * l[3])
+                         * {_WHITEN_SCALES[2]!r}, 6) AS wval
+            FROM arr
         """,
         # q_kneser_ney: the KN probability tree mirrored operand-for-
         # operand (greatest(c-D,0) + (D*n1_fw)*p_cont over ctx; Lidstone

@@ -519,6 +519,42 @@ def pca_topk(corpus: DataFrame, queries: DataFrame, components: list,
             .filter(F.col("rank") <= k))
 
 
+def whiten_project(df: DataFrame, components: list, sigma2s: list,
+                   n_rows: int, vec_col: str = "embedding",
+                   out_col: str = "white",
+                   eps: float = 1e-9) -> DataFrame:
+    """PCA-whitening apply: project each embedding onto the k component
+    axes and rescale every coordinate to unit variance —
+
+        white_j = round(<x, c_j> * s_j, 6),
+        s_j     = round(1 / sqrt(sigma2_j / n_rows + eps), 6)
+
+    with `sigma2s` the Rayleigh quotients `power_iteration_topk`
+    returns (v'X'Xv — the unnormalized second moment along each axis)
+    and `n_rows` the corpus size they were measured on.  Whitened
+    inputs are what the quantizer ladder wants (quantize.sq8 ranges
+    become uniform across dimensions; k-means balls become round).
+
+    The scales are computed DRIVER-SIDE from k floats and rounded to 6
+    before broadcasting as literals (the power-iteration per-step
+    convention), so the executor expression is a fixed literal tree —
+    pure Column ops, no join, no shuffle; the oracle restates it with
+    the same literals.  eps floors a zero-variance axis instead of
+    dividing by zero.
+    """
+    if len(components) != len(sigma2s):
+        raise ValueError("whiten_project: components and sigma2s must "
+                         "pair up")
+    if n_rows < 1:
+        raise ValueError("whiten_project: n_rows must be >= 1")
+    scales = [round(1.0 / (max(s2, 0.0) / n_rows + eps) ** 0.5, 6)
+              for s2 in sigma2s]
+    x = _as_double(F.col(vec_col))
+    proj = F.array(*[F.round(_dot_lit(x, c) * F.lit(s), 6)
+                     for c, s in zip(components, scales)])
+    return df.withColumn(out_col, proj)
+
+
 def project_components(df: DataFrame, components: list,
                        vec_col: str = "embedding",
                        out_col: str = "proj") -> DataFrame:

@@ -304,3 +304,38 @@ def test_idiv_half_up_matches_fraction_reference(spark):
         if row.num < 0:
             ref = -ref
         assert row.r == ref, (row.num, row.den, row.r, ref)
+
+
+def test_whiten_project_normalizes_variance(spark):
+    from flood_data_spark.datapipe.linalg import whiten_project
+
+    rng = np.random.default_rng(13)
+    n = 400
+    x = np.zeros((n, 4))
+    x[:, 0] = rng.normal(scale=9.0, size=n)
+    x[:, 2] = rng.normal(scale=0.5, size=n)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id int, embedding array<float>")
+    comps = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    sig = [float((x[:, 0] ** 2).sum()), float((x[:, 2] ** 2).sum())]
+    out = whiten_project(df, comps, sig, n_rows=n)
+    w = np.array([r.white for r in out.collect()])
+    # both whitened coordinates have ~unit second moment despite the
+    # 18x input scale gap (float32 storage + round-6 loosen it slightly)
+    for j in (0, 1):
+        assert abs(float((w[:, j] ** 2).mean()) - 1.0) < 0.01, j
+    with pytest.raises(ValueError, match="pair up"):
+        whiten_project(df, comps, [1.0], n_rows=n)
+    with pytest.raises(ValueError, match="n_rows"):
+        whiten_project(df, comps, sig, n_rows=0)
+
+
+def test_whiten_project_zero_variance_axis_stays_finite(spark):
+    from flood_data_spark.datapipe.linalg import whiten_project
+
+    df = spark.createDataFrame([(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+                               "vec_id int, embedding array<float>")
+    out = whiten_project(df, [[0.0, 1.0]], [0.0], n_rows=2).collect()
+    for r in out:
+        assert all(np.isfinite(v) for v in r.white)

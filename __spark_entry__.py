@@ -2797,6 +2797,21 @@ def q_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.posexplode("white").alias("dim", "wval"))
 
 
+def q_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-curve points (operators/verification
+    .reliability_diagram) over the q_brier_decomp forecast (p =
+    l_discount·10, outcome = returnflag 'R', 10 bins): per-bin mean
+    forecast probability, observed rate, and their gap — each rounded
+    as its OWN exact integer ratio.  Full value oracle."""
+    from flood_data_spark.operators.verification import reliability_diagram
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select((F.col("l_discount") * F.lit(10.0)).alias("p"),
+                    (F.col("l_returnflag") == "R").cast("int").alias("o"))
+    return reliability_diagram(src, "p", "o", n_bins=10) \
+        .select("bin", "n", "p_mean", "o_rate", "gap")
+
+
 def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring
     (datapipe/text.kneser_ney_scores): absolute discounting (D=0.75)
@@ -3840,6 +3855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kneser_ney": q_kneser_ney,
         "q_stream_brier": q_stream_brier,
         "q_whiten": q_whiten,
+        "q_reliability": q_reliability,
         # --- round 8, session 4: stats + stump + encoders + CF ---
         "q_oof_encode": q_oof_encode,
         "q_stream_psi": q_stream_psi,
@@ -5292,6 +5308,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_games AS BIGINT) AS n_games,
                    CAST(w2.wq AS DOUBLE) / 1000000.0 AS strength
             FROM tot t JOIN w2 ON t.i = w2.i
+        """,
+        # q_reliability: the q_brier_decomp bin cells finished as
+        # calibration-curve points; p_mean/o_rate/gap each rounded as
+        # its OWN integer ratio (HUGEINT //)
+        "q_reliability": f"""
+            WITH src AS (
+                SELECT l_discount * 10.0 AS p,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                           AS o
+                FROM lineitem),
+            c AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS b,
+                         CAST(sign(p) * floor(abs(p) * 1000000 + 0.5)
+                              AS HUGEINT) AS qp,
+                         CAST(o AS HUGEINT) AS o
+                  FROM src),
+            g AS (SELECT b, CAST(count(*) AS HUGEINT) AS nk,
+                         sum(qp) AS sp, sum(o) AS so_k
+                  FROM c GROUP BY b)
+            SELECT b AS bin, CAST(nk AS BIGINT) AS n,
+                   {idiv_half_up('sp', 'nk', 1000000)} AS p_mean,
+                   {idiv_half_up('so_k * 1000000', 'nk', 1000000)}
+                       AS o_rate,
+                   {idiv_half_up('sp - 1000000 * so_k', 'nk', 1000000)}
+                       AS gap
+            FROM g
         """,
         # q_whiten: the same literal axes/scales as the Spark gate —
         # dot is exact per construction (unit/2-term axes), one

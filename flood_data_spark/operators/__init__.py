@@ -49,6 +49,7 @@ from flood_data_spark.operators.verification import (
     brier_decomposition,
     crps_ensemble,
     rank_histogram,
+    reliability_diagram,
     spread_skill,
 )
 
@@ -68,5 +69,5 @@ __all__ = [
     "psi_from_counts", "trend_stats", "with_holt", "with_rolling_median",
     "with_robust_outliers",
     "crps_ensemble", "rank_histogram", "brier_decomposition",
-    "spread_skill",
+    "spread_skill", "reliability_diagram",
 ]

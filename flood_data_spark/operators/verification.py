@@ -217,6 +217,39 @@ def brier_from_cells(cells: DataFrame) -> DataFrame:
                        unc.alias("uncertainty"))
 
 
+def reliability_diagram(df: DataFrame, prob_col: str, outcome_col: str,
+                        n_bins: int = 10) -> DataFrame:
+    """Calibration-curve points from the SAME bin cells as
+    `brier_decomposition`: per occupied bin (bin, n, p_mean, o_rate,
+    gap) where p_mean is the mean forecast probability, o_rate the
+    observed frequency and gap = p_mean − o_rate (the per-bin
+    reliability residual a calibration plot draws).  One corpus pass
+    (`brier_cells`), then bin-bounded arithmetic; both ratios round in
+    integer space over the exact micro sums:
+
+        p_mean · 1e6 = half_up(sp_k / n_k)
+        o_rate · 1e6 = half_up(so_k · 1e6 / n_k)
+        gap    · 1e6 = half_up((sp_k − 1e6·so_k) / n_k)
+
+    (gap is computed from its OWN integer ratio, not as a difference of
+    the two rounded ratios — the covariance lesson).  Sorted by bin.
+    """
+    cells = brier_cells(df, prob_col, outcome_col, n_bins)
+    mega_f = F.lit(float(MICRO))
+    n_k = F.col("_n")
+    p_mean = _idiv_half_up(F.col("_sp"), n_k).cast("double") / mega_f
+    o_rate = (_idiv_half_up(F.col("_so") * _mega(), n_k).cast("double")
+              / mega_f)
+    gap = (_idiv_half_up(F.col("_sp") - _mega() * F.col("_so"), n_k)
+           .cast("double") / mega_f)
+    return (cells.select(F.col("_b").alias("bin"),
+                         F.col("_n").cast("long").alias("n"),
+                         p_mean.alias("p_mean"),
+                         o_rate.alias("o_rate"),
+                         gap.alias("gap"))
+            .orderBy("bin"))
+
+
 def spread_skill(df: DataFrame, value_col: str, obs_col: str,
                  group_keys, lead_col: str) -> DataFrame:
     """Spread-skill relation per lead time: ensemble spread (mean

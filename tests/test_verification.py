@@ -223,3 +223,41 @@ def test_spread_skill_partition_invariant(spark):
     b = sorted(map(tuple, spread_skill(df.repartition(9), "x", "y",
                                        ["cell"], "lead").collect()))
     assert a == b
+
+
+def test_reliability_diagram_matches_numpy(spark):
+    from flood_data_spark.operators.verification import reliability_diagram
+
+    rng = np.random.default_rng(15)
+    ps = rng.random(size=500)
+    os_ = (rng.random(size=500) < ps).astype(int)
+    df = spark.createDataFrame(
+        [(float(p), int(o)) for p, o in zip(ps, os_)], "p double, o int")
+    got = {r.bin: r for r in reliability_diagram(df, "p", "o").collect()}
+    bins = np.minimum((ps * 10).astype(int), 9)
+    for k in np.unique(bins):
+        sel = bins == k
+        r = got[int(k)]
+        assert r.n == int(sel.sum())
+        assert r.p_mean == pytest.approx(ps[sel].mean(), abs=2e-6)
+        assert r.o_rate == pytest.approx(os_[sel].mean(), abs=2e-6)
+        assert r.gap == pytest.approx(ps[sel].mean() - os_[sel].mean(),
+                                      abs=3e-6)
+    # a well-calibrated simulation keeps every gap small
+    assert all(abs(r.gap) < 0.15 for r in got.values())
+
+
+def test_reliability_diagram_partition_invariant(spark):
+    from flood_data_spark.operators.verification import reliability_diagram
+
+    rng = np.random.default_rng(16)
+    ps = rng.random(size=300)
+    os_ = (rng.random(size=300) < 0.4).astype(int)
+    df = spark.createDataFrame(
+        [(float(p), int(o)) for p, o in zip(ps, os_)], "p double, o int")
+    a = sorted(map(tuple,
+                   reliability_diagram(df.coalesce(1), "p", "o").collect()))
+    b = sorted(map(tuple,
+                   reliability_diagram(df.repartition(7), "p",
+                                       "o").collect()))
+    assert a == b

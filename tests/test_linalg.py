@@ -339,3 +339,37 @@ def test_whiten_project_zero_variance_axis_stays_finite(spark):
     out = whiten_project(df, [[0.0, 1.0]], [0.0], n_rows=2).collect()
     for r in out:
         assert all(np.isfinite(v) for v in r.white)
+
+
+def test_oracle_idiv_helper_matches_fraction_reference():
+    # the DuckDB side of the integer-rounding convention: oracle_sql's
+    # idiv_int/idiv_half_up emit HUGEINT CASE expressions — sweep them
+    # against the same Fraction half-away-from-zero reference the Spark
+    # kernel is tested with (no Spark session needed)
+    from fractions import Fraction
+
+    import duckdb
+
+    import __spark_entry__  # noqa: F401  (its oracles embed the helper)
+
+    def idiv_sql(num, den):
+        return (f"CAST((CASE WHEN ({num}) < 0 "
+                f"THEN -((2 * (-({num})) + ({den})) // (2 * ({den}))) "
+                f"ELSE (2 * ({num}) + ({den})) // (2 * ({den})) END) "
+                f"AS BIGINT)")
+
+    cases = [(n, d) for d in (1, 2, 3, 7, 1000000, 4000000)
+             for n in (-2000003, -2000000, -3, -1, 0, 1, 3, 499999,
+                       500000, 500001, 2000000, 2000001)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n HUGEINT, d HUGEINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    got = con.execute(
+        f"SELECT n, d, {idiv_sql('n', 'd')} FROM t ORDER BY n, d"
+    ).fetchall()
+    for n, d, r in got:
+        f = Fraction(abs(int(n)), int(d))
+        ref = (2 * f.numerator + f.denominator) // (2 * f.denominator)
+        if n < 0:
+            ref = -ref
+        assert r == ref, (n, d, r, ref)

@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     # tendency/intensity/peak + assembly + geometry + semi-join, one
     # plan) — the end-to-end flagship, not just its hottest stage
     "q_daily_pipeline_x10",
+    # round-11: the verification family's scale tier (6M-row CRPS
+    # through the cell-partitioned rank window)
+    "q_crps_x10",
     # heavy full-volume entries (round-6/7 scale twins: capped jaccard at
     # 3k docs, full-corpus repeated spans, all-user pattern search, the
     # 8-round BPE trainer, the IVF-PQ lifecycle — see each EXTRA_QUERIES
@@ -502,6 +505,23 @@ def _q_daily_pipeline_x10(spark, sf_dir):
     return products.detailed
 
 
+def _q_crps_x10(spark, sf_dir):
+    """Ensemble CRPS on the 6M-row tier: 10x the cells through the ONE
+    cell-partitioned rank window + integer aggregate (the sorted-rank
+    identity — pairs never materialize).  The observation derives from
+    the order key arithmetically (the scaled tier remaps orderkeys, so
+    the 1x gate's orders join would not match); the plan under test is
+    identical."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.operators.verification import crps_ensemble
+
+    li = spark.read.parquet(_scaled_lineitem_path(spark, sf_dir))
+    src = li.select("l_orderkey", "l_quantity",
+                    ((F.col("l_orderkey") % 997) * F.lit(0.1))
+                    .alias("obs"))
+    return crps_ensemble(src, "l_quantity", "obs", ["l_orderkey"])
+
+
 def _q_peak_timing_x10(spark, sf_dir):
     """Flagship peak-timing window query on the 6M-row tier: 10x the
     orders (groups), same per-order series length — the shared-exchange
@@ -792,6 +812,7 @@ EXTRA_QUERIES = {
     "q_threshold_summary_x100": _q_threshold_summary_x100,
     "q_peak_timing_x10": _q_peak_timing_x10,
     "q_daily_pipeline_x10": _q_daily_pipeline_x10,
+    "q_crps_x10": _q_crps_x10,
     "q_bpe_train_full": _q_bpe_train_full,
     "q_ivfpq_search": _q_ivfpq_search,
     "q_winnow_full": _q_winnow_full,
@@ -850,6 +871,7 @@ def main():
     # min is the reproducible plan cost, the spread is the machine
     _MIN_OF_2 = {"q_threshold_summary_x10", "q_threshold_summary_x100",
                  "q_peak_timing_x10", "q_daily_pipeline_x10",
+                 "q_crps_x10",
                  "q_ngram_jaccard_capped_3k", "q_repeated_spans_full",
                  "q_remove_spans_full",
                  "q_ts_pattern_full", "q_bpe_train_full",

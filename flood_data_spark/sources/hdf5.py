@@ -10,7 +10,10 @@ File Format Specification:
 
 - superblock v0 (and the trivial v2/v3), 8-byte offsets/lengths
 - old-style groups: v1 B-tree + local heap + SNOD symbol tables, plus
-  v2 compact groups via hard Link messages
+  v2 compact groups via hard Link messages, plus (round 11) v2 DENSE
+  groups — Link Info → link-name v2 B-tree (single BTLF leaf) →
+  fractal heap (single root direct block, managed v0 IDs), the
+  libver='latest' layout libnetcdf emits past the compact threshold
 - v1 object headers (with continuation blocks)
 - messages: Dataspace, Datatype, Fill Value, Data Layout v3
   (compact / contiguous / chunked), Filter Pipeline, Attribute (v1-v3),
@@ -22,9 +25,10 @@ File Format Specification:
   name the dims; data variables resolve their dim names through
   DIMENSION_LIST object references, falling back to unique size matching
 
-Everything else (fractal-heap groups, v2 B-trees, v4 layouts, szip, ...)
-raises NotImplementedError with a message naming the xarray/h5netcdf
-escape hatch — `raster.netcdf_decoder` dispatches there when installed.
+Everything else (multi-level v2 B-trees, multi-block/filtered fractal
+heaps, huge/tiny heap objects, v4 layouts, szip, ...) raises
+NotImplementedError with a message naming the xarray/h5netcdf escape
+hatch — `raster.netcdf_decoder` dispatches there when installed.
 
 Output contract: ``parse_hdf5`` returns the same (dims, variables,
 global_attrs) triple as ``netcdf3.parse_netcdf3`` and ``to_dataframe``
@@ -348,33 +352,124 @@ def _symbol_entries(b: bytes, btree_addr: int, heap_addr: int
     return out
 
 
+def _parse_link_message(data: bytes) -> tuple[str, int]:
+    """Hard Link message body -> (name, object header address) — shared
+    by compact (in-header) links and dense links stored as fractal-heap
+    objects (the byte layout is identical, spec IV.A.2.g)."""
+    flags = data[1]
+    pos = 2
+    if flags & 0x08:
+        _need(data[pos] == 0, "soft/external links")
+        pos += 1
+    if flags & 0x04:
+        pos += 8                              # creation order
+    if flags & 0x10:
+        pos += 1                              # charset
+    nlen = _u(data, pos, 1 << (flags & 0x03))
+    pos += 1 << (flags & 0x03)
+    name = data[pos:pos + nlen].decode()
+    return name, _u(data, pos + nlen, 8)
+
+
+def _v2_btree_heap_ids(b: bytes, addr: int) -> list[bytes]:
+    """All heap IDs from a 'link name' v2 B-tree (spec III.A.2): BTHD
+    header -> the root BTLF leaf's records (4-byte name hash + heap ID).
+    Profile: depth 0 only — one leaf holds node_size/record_size links
+    (~370 at the 4 KiB default), the whole regime libnetcdf's
+    latest-format groups occupy; deeper trees dispatch to xarray."""
+    _need(b[addr:addr + 4] == b"BTHD", "missing v2 B-tree header")
+    _need(b[addr + 4] == 0, f"v2 B-tree version {b[addr + 4]}")
+    btype = b[addr + 5]
+    _need(btype == 5, f"v2 B-tree record type {btype} (link-name only)")
+    rec_size = _u(b, addr + 10, 2)
+    depth = _u(b, addr + 12, 2)
+    _need(depth == 0, f"v2 B-tree depth {depth} (single-leaf only)")
+    root = _u(b, addr + 16, 8)
+    nrec = _u(b, addr + 24, 2)
+    _need(b[root:root + 4] == b"BTLF", "missing v2 B-tree leaf")
+    _need(b[root + 4] == 0 and b[root + 5] == 5, "v2 leaf version/type")
+    out = []
+    pos = root + 6
+    for _ in range(nrec):
+        out.append(b[pos + 4:pos + rec_size])   # skip the name hash
+        pos += rec_size
+    return out
+
+
+def _fractal_heap_object(b: bytes, frhp_addr: int,
+                         heap_id: bytes) -> bytes:
+    """Resolve a MANAGED fractal-heap ID to its object bytes (spec
+    III.G).  Profile: root is a single direct block (current rows in
+    the root indirect block = 0 — libnetcdf's link heaps stay under the
+    starting block size), no I/O filters, no huge/tiny objects; the
+    managed ID is version-0: offset sized by Maximum Heap Size bits,
+    length sized by Maximum Size of Managed Objects."""
+    _need(b[frhp_addr:frhp_addr + 4] == b"FRHP",
+          "missing fractal heap header")
+    _need(b[frhp_addr + 4] == 0,
+          f"fractal heap version {b[frhp_addr + 4]}")
+    # header field offsets per spec IV.A.2, relative to just past
+    # signature+version: id len(2), filter len(2), flags(1), max
+    # managed obj(4), next huge id(8), huge btree(8), free space(8),
+    # free-space mgr(8), managed space(8), allocated(8), iterator(8),
+    # n managed(8), huge size(8), n huge(8), tiny size(8), n tiny(8),
+    # table width(2), start block(8), max direct(8), max heap bits(2),
+    # start rows(2), root addr(8), current rows(2)
+    p = frhp_addr + 5
+    heap_id_len = _u(b, p, 2)
+    filt_len = _u(b, p + 2, 2)
+    _need(filt_len == 0, "filtered fractal heap blocks")
+    max_obj = _u(b, p + 5, 4)
+    n_huge = _u(b, p + 81, 8)
+    n_tiny = _u(b, p + 97, 8)
+    _need(n_huge == 0 and n_tiny == 0, "huge/tiny fractal-heap objects")
+    max_heap_bits = _u(b, p + 123, 2)
+    root_addr = _u(b, p + 127, 8)
+    cur_rows = _u(b, p + 135, 2)
+    _need(cur_rows == 0,
+          "multi-block fractal heaps (root indirect block)")
+    off_w = (max_heap_bits + 7) // 8
+    len_w = max((max_obj.bit_length() + 7) // 8, 1)
+    _need(len(heap_id) >= 1 + off_w + len_w
+          and heap_id_len == 1 + off_w + len_w,
+          f"fractal heap ID length {heap_id_len}")
+    idv = heap_id[0]
+    _need(idv >> 4 == 0 and idv & 0x30 == 0,
+          f"fractal heap ID type 0x{idv:02x} (managed v0 only)")
+    off = int.from_bytes(heap_id[1:1 + off_w], "little")
+    ln = int.from_bytes(heap_id[1 + off_w:1 + off_w + len_w], "little")
+    _need(b[root_addr:root_addr + 4] == b"FHDB",
+          "missing fractal heap direct block")
+    # heap offsets address the managed space, which INCLUDES the direct
+    # block header; the root block's own offset is 0, so file position
+    # is simply block address + heap offset (checksum presence rides
+    # header flags bit 1 but sits inside the header region either way)
+    return b[root_addr + off:root_addr + off + ln]
+
+
 def _group_children(b: bytes, ohdr_addr: int,
                     btree_addr: int = _UNDEF,
                     heap_addr: int = _UNDEF) -> list[tuple[str, int]]:
-    """Children of a group: old-style symbol table (possibly cached in the
-    superblock entry) or v2 compact Link messages."""
+    """Children of a group: old-style symbol table (possibly cached in
+    the superblock entry), v2 compact Link messages, or v2 DENSE link
+    storage (Link Info -> fractal heap + link-name v2 B-tree — the
+    libver='latest' layout libnetcdf emits past the compact
+    threshold)."""
     children: list[tuple[str, int]] = []
     msgs = _object_header(b, ohdr_addr)
     for mtype, data in msgs:
         if mtype == 0x0011:                   # symbol table message
             btree_addr, heap_addr = _u(data, 0, 8), _u(data, 8, 8)
         elif mtype == 0x0006:                 # link message (v2 compact)
-            version, flags = data[0], data[1]
-            pos = 2
-            if flags & 0x08:
-                _need(data[pos] == 0, "soft/external links")
-                pos += 1
-            if flags & 0x04:
-                pos += 8                      # creation order
-            if flags & 0x10:
-                pos += 1                      # charset
-            nlen = _u(data, pos, 1 << (flags & 0x03))
-            pos += 1 << (flags & 0x03)
-            name = data[pos:pos + nlen].decode()
-            children.append((name, _u(data, pos + nlen, 8)))
-        elif mtype == 0x0002:                 # dense link info
-            _need(_u(data, 2 + (8 if data[1] & 1 else 0), 8) == _UNDEF,
-                  "fractal-heap (dense) groups")
+            children.append(_parse_link_message(data))
+        elif mtype == 0x0002:                 # link info (dense storage)
+            pos = 2 + (8 if data[1] & 1 else 0)
+            fheap = _u(data, pos, 8)
+            name_bt = _u(data, pos + 8, 8)
+            if fheap != _UNDEF:
+                for hid in _v2_btree_heap_ids(b, name_bt):
+                    obj = _fractal_heap_object(b, fheap, hid)
+                    children.append(_parse_link_message(obj))
     if btree_addr != _UNDEF:
         children.extend(_symbol_entries(b, btree_addr, heap_addr))
     return children

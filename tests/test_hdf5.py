@@ -303,13 +303,13 @@ def test_undefined_fill_v2_still_zeros():
 
 
 def test_latest_format_fractal_heap_dispatches_to_xarray():
-    """The r8/r9 VERDICT residual: HDF5 'latest' layouts (superblock
-    v2/v3 root groups stored densely in a fractal heap + v2 B-tree name
-    index) are OUT of the minimal reader's scope — the contract is a
-    clean NotImplementedError naming the xarray/h5netcdf escape hatch,
-    never a garbled parse.  Hand-crafted bytes: superblock v3 → root
-    OHDR with a Link Info message whose fractal-heap address is
-    defined."""
+    """Since round 11 in-profile dense layouts PARSE
+    (test_dense_links_match_symbol_table_layout); the remaining
+    contract is that malformed/out-of-profile dense metadata still
+    fails LOUDLY with the xarray/h5netcdf escape hatch named, never a
+    garbled parse.  Hand-crafted bytes: superblock v3 → root OHDR with
+    a Link Info message whose fractal-heap address is defined but whose
+    name-index B-tree address points at nothing."""
     buf = bytearray(200)
     buf[0:8] = SIGNATURE
     buf[8] = 3                                   # superblock v3
@@ -329,5 +329,127 @@ def test_latest_format_fractal_heap_dispatches_to_xarray():
     buf[107:107 + len(data)] = data
     with pytest.raises(NotImplementedError) as e:
         parse_hdf5(bytes(buf))
-    assert "fractal-heap" in str(e.value)
+    assert "v2 B-tree" in str(e.value)
     assert "xarray" in str(e.value)              # the named dependency
+
+
+class MiniH5Dense(MiniH5):
+    """v2 superblock + DENSE root-group links (fractal heap + link-name
+    v2 B-tree) — the libver='latest' layout libnetcdf emits past the
+    compact-link threshold.  Written byte-by-byte from spec sections
+    III.A.2 (v2 B-trees) and III.G (fractal heap): one root direct
+    block, managed v0 heap IDs, single BTLF leaf.  Name hashes in the
+    leaf records are fake increasing values — the reader enumerates the
+    whole leaf and never consults them (documented profile)."""
+
+    def __init__(self):
+        self.buf = bytearray(48)
+        self.buf[0:8] = SIGNATURE
+        self.buf[8] = 2                      # superblock v2
+        self.buf[9] = 8                      # offsets
+        self.buf[10] = 8                     # lengths
+        self.buf[20:28] = _u(UNDEF, 8)       # superblock extension
+        self.entries = []
+
+    def close(self) -> bytes:
+        off_w = len_w = 2                    # 16-bit heap, 512-max objs
+        links = []
+        for name, addr in sorted(self.entries):
+            nb = name.encode()
+            links.append(bytes([1, 0, len(nb)]) + nb + _u(addr, 8))
+        frhp_addr = len(self.buf)
+        h = bytearray(146)                   # 5 + 137 fields + checksum
+        h[0:4] = b"FRHP"
+        p = 5
+        h[p:p + 2] = _u(1 + off_w + len_w, 2)      # heap ID length
+        h[p + 5:p + 9] = _u(512, 4)                # max managed object
+        h[p + 17:p + 25] = _u(UNDEF, 8)            # huge-object B-tree
+        h[p + 33:p + 41] = _u(UNDEF, 8)            # free-space manager
+        h[p + 41:p + 49] = _u(512, 8)              # managed space
+        h[p + 49:p + 57] = _u(512, 8)              # allocated space
+        h[p + 65:p + 73] = _u(len(links), 8)       # n managed objects
+        h[p + 105:p + 107] = _u(4, 2)              # table width
+        h[p + 107:p + 115] = _u(512, 8)            # starting block size
+        h[p + 115:p + 123] = _u(512, 8)            # max direct block
+        h[p + 123:p + 125] = _u(16, 2)             # max heap size (bits)
+        h[p + 135:p + 137] = _u(0, 2)              # current rows: direct
+        self.append(bytes(h))
+        db = bytearray(b"FHDB" + bytes([0]) + _u(frhp_addr, 8)
+                       + _u(0, off_w))
+        ids = []
+        for ln in links:
+            ids.append(bytes([0]) + _u(len(db), off_w)
+                       + _u(len(ln), len_w))
+            db += ln
+        db += b"\x00" * (512 - len(db))
+        db_addr = self.append(bytes(db))
+        self.buf[frhp_addr + 5 + 127:frhp_addr + 5 + 135] = _u(db_addr, 8)
+        recs = b"".join(_u(i, 4) + hid for i, hid in enumerate(ids))
+        leaf_addr = self.append(b"BTLF" + bytes([0, 5]) + recs + _u(0, 4))
+        bthd_addr = self.append(
+            b"BTHD" + bytes([0, 5]) + _u(4096, 4) + _u(9, 2) + _u(0, 2)
+            + bytes([100, 40]) + _u(leaf_addr, 8) + _u(len(ids), 2)
+            + _u(len(ids), 8) + _u(0, 4))
+        root = self.append(_ohdr(
+            [_msg(0x0002, bytes([0, 0]) + _u(frhp_addr, 8)
+                  + _u(bthd_addr, 8))]))
+        self.buf[28:36] = _u(len(self.buf), 8)     # EOF
+        self.buf[36:44] = _u(root, 8)              # root object header
+        return bytes(self.buf)
+
+
+def _build_dense_raster() -> bytes:
+    w = MiniH5Dense()
+    lat = np.array([10.0, 10.5, 11.0])
+    lon = np.array([20.0, 20.25])
+    grid = np.arange(6, dtype=np.float64).reshape(3, 2) * 1.5
+    w.add_dataset("lat", lat, DT_F8, attrs=_scale_attrs("lat"))
+    w.add_dataset("lon", lon, DT_F8, attrs=_scale_attrs("lon"))
+    w.add_dataset("uparea", grid, DT_F8)
+    return w.close()
+
+
+def test_dense_links_match_symbol_table_layout():
+    # the SAME logical file through both group layouts must parse
+    # identically — dense (fractal heap + v2 B-tree) vs old-style
+    dims_d, vars_d, _ = parse_hdf5(_build_dense_raster())
+    dims_s, vars_s, _ = parse_hdf5(_build_raster())
+    assert dims_d == dims_s == {"lat": 3, "lon": 2}
+    assert set(vars_d) == set(vars_s)
+    np.testing.assert_array_equal(vars_d["uparea"]["data"],
+                                  vars_s["uparea"]["data"])
+    np.testing.assert_array_equal(vars_d["lat"]["data"],
+                                  vars_s["lat"]["data"])
+
+
+def test_dense_links_to_dataframe():
+    pdf = to_dataframe(_build_dense_raster())
+    assert len(pdf) == 6
+    assert set(pdf.columns) == {"lat", "lon", "uparea"}
+    assert pdf["uparea"].tolist() == [0.0, 1.5, 3.0, 4.5, 6.0, 7.5]
+
+
+def test_dense_profile_guards_fail_loudly():
+    content = bytearray(_build_dense_raster())
+    # multi-level v2 B-tree -> loud dispatch
+    i = content.find(b"BTHD")
+    patched = bytearray(content)
+    patched[i + 12:i + 14] = _u(1, 2)        # depth 1
+    with pytest.raises(NotImplementedError, match="depth"):
+        parse_hdf5(bytes(patched))
+    # filtered fractal heap -> loud dispatch
+    j = content.find(b"FRHP")
+    patched = bytearray(content)
+    patched[j + 5 + 2:j + 5 + 4] = _u(12, 2)   # I/O filter length
+    with pytest.raises(NotImplementedError, match="filtered"):
+        parse_hdf5(bytes(patched))
+    # root indirect block (multi-block heap) -> loud dispatch
+    patched = bytearray(content)
+    patched[j + 5 + 135:j + 5 + 137] = _u(2, 2)
+    with pytest.raises(NotImplementedError, match="indirect"):
+        parse_hdf5(bytes(patched))
+    # huge objects -> loud dispatch
+    patched = bytearray(content)
+    patched[j + 5 + 81:j + 5 + 89] = _u(1, 8)
+    with pytest.raises(NotImplementedError, match="huge"):
+        parse_hdf5(bytes(patched))

@@ -5282,8 +5282,9 @@ def oracle_sql() -> dict[str, str]:
                           JOIN w0 wi ON t.i = wi.i),
             s1 AS (SELECT sum(wq) AS s FROM u1),
             w1 AS (SELECT u1.i,
-                          {idiv_int('u1.wq * kk.k * 1000000', 's1.s')}
-                              AS wq
+                          greatest({idiv_int('u1.wq * kk.k * 1000000',
+                                             's1.s')},
+                                   CAST(1 AS HUGEINT)) AS wq
                    FROM u1, s1, kk),
             d2 AS (SELECT e.i,
                           sum({idiv_int('e.n * 1000000000000',
@@ -5301,8 +5302,9 @@ def oracle_sql() -> dict[str, str]:
                           JOIN w1 wi ON t.i = wi.i),
             s2 AS (SELECT sum(wq) AS s FROM u2),
             w2 AS (SELECT u2.i,
-                          {idiv_int('u2.wq * kk.k * 1000000', 's2.s')}
-                              AS wq
+                          greatest({idiv_int('u2.wq * kk.k * 1000000',
+                                             's2.s')},
+                                   CAST(1 AS HUGEINT)) AS wq
                    FROM u2, s2, kk)
             SELECT t.i AS item, CAST(t.n_wins AS BIGINT) AS n_wins,
                    CAST(t.n_games AS BIGINT) AS n_games,
@@ -5401,10 +5403,26 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN cont n ON split_part(d.bg, ' ', 2) = n.w2,
                 tot t
                 WHERE d.id < 300),
-            agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                           round(-avg(logp), 6) AS cross_entropy,
-                           round(exp(-avg(logp)), 4) AS perplexity
-                    FROM scored GROUP BY id)
+            q AS (SELECT id, CAST(round(logp * 1000000) AS BIGINT)
+                             AS lp
+                  FROM scored),
+            agg0 AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                            CAST(sum(lp) AS HUGEINT) AS s
+                     FROM q GROUP BY id),
+            agg AS (SELECT id, n_bigrams,
+                           CAST((CASE WHEN (-s) < 0
+                                 THEN -((2 * (-(-s))
+                                         + CAST(n_bigrams AS HUGEINT))
+                                        // (2 * CAST(n_bigrams
+                                                     AS HUGEINT)))
+                                 ELSE (2 * (-s)
+                                       + CAST(n_bigrams AS HUGEINT))
+                                      // (2 * CAST(n_bigrams
+                                                   AS HUGEINT)) END)
+                                AS DOUBLE) / 1000000.0 AS cross_entropy,
+                           round(exp(CAST(-s AS DOUBLE) / n_bigrams
+                                     / 1000000.0), 4) AS perplexity
+                    FROM agg0)
             SELECT doc.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
                    a.cross_entropy, a.perplexity
             FROM (SELECT DISTINCT doc_id FROM documents
@@ -7499,10 +7517,26 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN lm_uni u ON split_part(d.bg, ' ', 2) = u.term,
                 tot t
                 WHERE d.id < 300),
-            agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                           round(-avg(logp), 6) AS cross_entropy,
-                           round(exp(-avg(logp)), 4) AS perplexity
-                    FROM scored GROUP BY id)
+            q AS (SELECT id, CAST(round(logp * 1000000) AS BIGINT)
+                             AS lp
+                  FROM scored),
+            agg0 AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                            CAST(sum(lp) AS HUGEINT) AS s
+                     FROM q GROUP BY id),
+            agg AS (SELECT id, n_bigrams,
+                           CAST((CASE WHEN (-s) < 0
+                                 THEN -((2 * (-(-s))
+                                         + CAST(n_bigrams AS HUGEINT))
+                                        // (2 * CAST(n_bigrams
+                                                     AS HUGEINT)))
+                                 ELSE (2 * (-s)
+                                       + CAST(n_bigrams AS HUGEINT))
+                                      // (2 * CAST(n_bigrams
+                                                   AS HUGEINT)) END)
+                                AS DOUBLE) / 1000000.0 AS cross_entropy,
+                           round(exp(CAST(-s AS DOUBLE) / n_bigrams
+                                     / 1000000.0), 4) AS perplexity
+                    FROM agg0)
             SELECT doc.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
                    a.cross_entropy, a.perplexity
             FROM (SELECT DISTINCT doc_id FROM documents

@@ -247,6 +247,9 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
     + 2.5e-13 * n_rows.  This is the covariance/PCA front-end:
     cov = gram/n - mean outer mean.
     """
+    if round_to is not None and round_to < 0:
+        raise ValueError(f"gram_matrix: round_to must be >= 0 or None, "
+                         f"got {round_to}")
     g = _gram_micro(df, vec_col)
     if round_to is not None and 0 <= round_to <= 12:
         den = F.lit(10 ** (12 - round_to)).cast("decimal(38,0)")

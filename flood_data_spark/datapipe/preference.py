@@ -120,12 +120,21 @@ def bradley_terry(df: DataFrame, winner_col: str, loser_col: str,
                                        F.col("_wi") + mega).cast(_DEC))
                    .cast(_DEC).alias("wq")))
         s_row = upd.agg(F.sum("wq").alias("_s"))
+        # floor at 1 micro: an item crushed badly enough can round to 0
+        # micro-units, and a comparison between TWO zero-weight items
+        # would divide by zero next round (r11 self-review finding) —
+        # the dummy-opponent prior bounds weights away from zero in the
+        # real-number recurrence, so the floor only repairs the
+        # quantization, never masks the model
         weights = (upd.crossJoin(F.broadcast(s_row))
                    .crossJoin(F.broadcast(k_row))
                    .select("i",
-                           _idiv_half_up(
-                               F.col("wq") * F.col("_k").cast(_DEC) * mega,
-                               F.col("_s")).cast(_DEC).alias("wq"))
+                           F.greatest(
+                               _idiv_half_up(
+                                   F.col("wq")
+                                   * F.col("_k").cast(_DEC) * mega,
+                                   F.col("_s")).cast(_DEC),
+                               F.lit(1).cast(_DEC)).alias("wq"))
                    .localCheckpoint(eager=False))
     return (totals.join(weights, "i")
             .select(F.col("i").alias("item"), "n_wins", "n_games",

@@ -575,6 +575,59 @@ def with_gopher_rules(df: DataFrame, text_col: str = "text",
     return out.withColumn("gopher_pass", gate)
 
 
+def _bigram_rows(src: DataFrame, id_col: str,
+                 text_col: str) -> DataFrame:
+    """(id, w1, w2) bigram events from a row-local slice-zip of the
+    token split — shared by both bigram LM scorers (JM and KN) so the
+    tokenization / pairing / <2-token contract cannot diverge."""
+    toks = _words(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(F.slice(toks, 1, n - 1).alias("w1"),
+                     F.slice(toks, 2, n - 1).alias("w2"))
+    ).otherwise(F.array())
+    return (src
+            .select(F.col(id_col).alias("id"),
+                    F.explode(pairs).alias("bg"))
+            .select("id", F.col("bg.w1").alias("w1"),
+                    F.col("bg.w2").alias("w2")))
+
+
+def _lm_finish(scored: DataFrame, df: DataFrame,
+               id_col: str) -> DataFrame:
+    """Per-document (n_bigrams, cross_entropy, perplexity) from a
+    scored event relation carrying `_logp` — shared by both bigram LM
+    scorers.  Each event's log-probability quantizes ONCE to integer
+    micro-nats (the WoE/PSI transcendental convention), so the
+    per-document reduction is an order-free BIGINT sum and the final
+    cross-entropy rounds in integer space (`_idiv_half_up`) — a raw
+    double avg would be partition-order-dependent (the r11 self-review
+    finding; the q_covariance hazard class applied to avg).  Perplexity
+    exponentiates the same deterministic integer ratio, round-4."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    lp = F.round(F.col("_logp") * F.lit(1_000_000.0)).cast("long")
+    agg0 = (scored.withColumn("_lp", lp)
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("_lp").alias("_s")))
+    n_dec = F.col("n_bigrams").cast("decimal(38,0)")
+    s_dec = F.col("_s").cast("decimal(38,0)")
+    ce = (_idiv_half_up(-s_dec, n_dec).cast("double")
+          / F.lit(1_000_000.0))
+    ppl = F.round(
+        F.exp((-F.col("_s")).cast("double") / F.col("n_bigrams")
+              / F.lit(1_000_000.0)), 4)
+    agg = agg0.select(id_col, "n_bigrams",
+                      ce.alias("cross_entropy"),
+                      ppl.alias("perplexity"))
+    ids = df.select(F.col(id_col)).distinct()
+    return (ids.join(agg, id_col, "left")
+            .withColumn("n_bigrams",
+                        F.coalesce(F.col("n_bigrams"), F.lit(0))))
+
+
 def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      lm_corpus: DataFrame | None = None,
@@ -597,22 +650,10 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     (q_bigram_ppl value-hashes it).
 
     Documents with < 2 tokens stay visible with n_bigrams = 0 and null
-    metrics (same discipline as unigram_lm_scores).
+    metrics (same discipline as unigram_lm_scores).  Per-event log
+    probabilities quantize once to integer micro-nats and the document
+    reduction is an order-free BIGINT sum (`_lm_finish`).
     """
-    def _bigram_rows(src: DataFrame) -> DataFrame:
-        toks = _words(F.col(text_col))
-        n = F.size(toks)
-        pairs = F.when(
-            n >= 2,
-            F.arrays_zip(F.slice(toks, 1, n - 1).alias("w1"),
-                         F.slice(toks, 2, n - 1).alias("w2"))
-        ).otherwise(F.array())
-        return (src
-                .select(F.col(id_col).alias("id"),
-                        F.explode(pairs).alias("bg"))
-                .select("id", F.col("bg.w1").alias("w1"),
-                        F.col("bg.w2").alias("w2")))
-
     lm_src = lm_corpus if lm_corpus is not None else df
     # localCheckpoint both LM tables: lm_bg feeds the scoring join AND
     # lm_ctx; lm_uni feeds the scoring join AND the totals scalar —
@@ -621,7 +662,7 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     # times instead of twice).  Both relations are distinct-bigram- /
     # vocabulary-bounded, so the persisted blocks are small.  Lazy
     # (eager=False): no extra action, blocks persist at first use.
-    lm_bg = (_bigram_rows(lm_src)
+    lm_bg = (_bigram_rows(lm_src, id_col, text_col)
              .groupBy("w1", "w2").agg(F.count("*").alias("bg_count"))
              .localCheckpoint(eager=False))
     lm_ctx = (lm_bg.groupBy("w1")
@@ -633,7 +674,7 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
         F.sum("uni_count").alias("uni_total"),
         F.count("*").alias("uni_vocab")))
 
-    doc_bg = _bigram_rows(df)
+    doc_bg = _bigram_rows(df, id_col, text_col)
     scored = (doc_bg
               .join(lm_bg, ["w1", "w2"], "left")
               .join(lm_ctx, "w1", "left")
@@ -654,14 +695,7 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                   "_logp",
                   F.log(F.lit(lam) * F.col("_p_ml")
                         + F.lit(1.0 - lam) * F.col("_p_uni"))))
-    agg = (scored.groupBy(F.col("id").alias(id_col))
-           .agg(F.count("*").alias("n_bigrams"),
-                F.round(-F.avg("_logp"), 6).alias("cross_entropy"),
-                F.round(F.exp(-F.avg("_logp")), 4).alias("perplexity")))
-    ids = df.select(F.col(id_col)).distinct()
-    return (ids.join(agg, id_col, "left")
-            .withColumn("n_bigrams",
-                        F.coalesce(F.col("n_bigrams"), F.lit(0))))
+    return _lm_finish(scored, df, id_col)
 
 
 def kneser_ney_scores(df: DataFrame, id_col: str = "doc_id",
@@ -695,22 +729,8 @@ def kneser_ney_scores(df: DataFrame, id_col: str = "doc_id",
     only doubles are the final fixed expression tree (log — lattice-
     free, the round-11 audit class that needs no integer rounding).
     """
-    def _bigram_rows(src: DataFrame) -> DataFrame:
-        toks = _words(F.col(text_col))
-        n = F.size(toks)
-        pairs = F.when(
-            n >= 2,
-            F.arrays_zip(F.slice(toks, 1, n - 1).alias("w1"),
-                         F.slice(toks, 2, n - 1).alias("w2"))
-        ).otherwise(F.array())
-        return (src
-                .select(F.col(id_col).alias("id"),
-                        F.explode(pairs).alias("bg"))
-                .select("id", F.col("bg.w1").alias("w1"),
-                        F.col("bg.w2").alias("w2")))
-
     lm_src = lm_corpus if lm_corpus is not None else df
-    lm_bg = (_bigram_rows(lm_src)
+    lm_bg = (_bigram_rows(lm_src, id_col, text_col)
              .groupBy("w1", "w2").agg(F.count("*").alias("bg_count"))
              .localCheckpoint(eager=False))
     ctx = (lm_bg.groupBy("w1")
@@ -724,7 +744,7 @@ def kneser_ney_scores(df: DataFrame, id_col: str = "doc_id",
         F.count("*").alias("vocab")))
 
     d = F.lit(discount)
-    doc_bg = _bigram_rows(df)
+    doc_bg = _bigram_rows(df, id_col, text_col)
     p_cont = ((F.coalesce(F.col("n1_bw"), F.lit(0)) + F.lit(alpha))
               / (F.col("n_pairs")
                  + F.lit(alpha) * (F.col("vocab") + 1)))
@@ -742,14 +762,7 @@ def kneser_ney_scores(df: DataFrame, id_col: str = "doc_id",
               .crossJoin(totals)
               .withColumn("_p_cont", p_cont)
               .withColumn("_logp", F.log(p_kn)))
-    agg = (scored.groupBy(F.col("id").alias(id_col))
-           .agg(F.count("*").alias("n_bigrams"),
-                F.round(-F.avg("_logp"), 6).alias("cross_entropy"),
-                F.round(F.exp(-F.avg("_logp")), 4).alias("perplexity")))
-    ids = df.select(F.col(id_col)).distinct()
-    return (ids.join(agg, id_col, "left")
-            .withColumn("n_bigrams",
-                        F.coalesce(F.col("n_bigrams"), F.lit(0))))
+    return _lm_finish(scored, df, id_col)
 
 
 def with_ngram_diversity(df: DataFrame, n: int = 3,

@@ -192,15 +192,21 @@ def brier_from_cells(cells: DataFrame) -> DataFrame:
     dec = "decimal(38,0)"
     tot = cells.agg(F.sum("_n").alias("n"), F.sum("_so").alias("so"),
                     F.sum("_spp").alias("spp"), F.sum("_spo").alias("spo"))
-    # per-bin exact integer contributions (n_bins-bounded relation)
+    # per-bin exact integer contributions (n_bins-bounded relation);
+    # the REL/RES sums run as a second GLOBAL aggregate and rejoin the
+    # 1-row totals via crossJoin, so empty input yields ONE all-null
+    # row (the global-agg contract) rather than zero rows (r11
+    # self-review: a grouped finisher dropped the row, breaking
+    # .first()['brier'] callers and the empty-stream twin)
     per = cells.crossJoin(F.broadcast(tot))
     rd = F.col("_sp") - _mega() * F.col("_so")
     ed = F.col("_so") * F.col("n") - F.col("_n") * F.col("so")
-    agg2 = (per.groupBy("n", "so", "spp", "spo")
-            .agg(F.sum(_idiv_half_up(rd * rd, F.col("_n"))
-                       .cast(dec)).alias("relu"),
-                 F.sum(_idiv_half_up(ed * ed, F.col("_n"))
-                       .cast(dec)).alias("resu")))
+    sums = per.agg(
+        F.sum(_idiv_half_up(rd * rd, F.col("_n")).cast(dec))
+        .alias("relu"),
+        F.sum(_idiv_half_up(ed * ed, F.col("_n")).cast(dec))
+        .alias("resu"))
+    agg2 = tot.crossJoin(F.broadcast(sums))
     n, so = F.col("n"), F.col("so")
     two = F.lit(2).cast(dec)
     bs_num = F.col("spp") - two * _mega() * F.col("spo") + _mega() * _mega() * so

@@ -317,14 +317,21 @@ def decode(data: bytes, n: int, nbits: int, block_size: int = 16,
             if is_ref:
                 _fail("a zero-block run starting at a reference block")
             f = r.read_fs()
+            next_ref = (b // rsi + 1) * rsi
+            allowed = min(seg_end, next_ref, nblocks) - b
             if f < 4:
                 q = f + 1
             elif f == 4:
-                next_ref = (b // rsi + 1) * rsi
-                q = min(seg_end, next_ref, nblocks) - b
+                q = allowed
             else:
                 q = f
-            q = min(q, nblocks - b)
+            if q > allowed:
+                # a conformant stream never runs zeros across a segment
+                # or reference boundary (the encoder emits ROS there) —
+                # clamping would silently skip a required raw reference
+                # sample, so fail loudly instead (r11 self-review)
+                _fail(f"a zero-block run of {q} crossing a segment/"
+                      f"reference boundary ({allowed} blocks remain)")
             out.extend([prev] * (q * block_size))
             b += q
             continue

@@ -244,7 +244,8 @@ def main():
                         for t in s_types.values()) else 0)
             records[name] = rec
             print(f"ok    {name}: {len(s_rows)} rows match"
-                  + (", partition-invariant" if "perturbed" in rec else "")
+                  + (", partition-invariant"
+                     if rec.get("perturbed", 0) > 0 else "")
                   + f", {time.time()-t0:.1f}s")
         # the contract queries cache relations internally (kept/dropped,
         # sigs, exact truth sides) and cannot unpersist before their

@@ -169,3 +169,21 @@ def test_grib2_542_rejects_unsupported_option_masks():
     msg[pos + 21] |= 1                   # flip AEC_DATA_SIGNED
     with pytest.raises(NotImplementedError, match="options mask"):
         grib2_to_dataframe(bytes(msg))
+
+
+def test_zero_run_crossing_boundary_rejected():
+    # hand-assemble a nonconformant stream: a valid reference block
+    # followed by an explicit zero run of 10 blocks where only 3 fit
+    # before the next reference sample (rsi=4) — the decoder must fail
+    # loudly, never silently skip the required raw reference (r11
+    # self-review; a conformant encoder emits ROS at the boundary)
+    w = _BitWriter()
+    w.write_bits(1, 3)            # block 0: split k=0 (ref block)
+    w.write_bits(42, 8)           # raw reference sample
+    for _ in range(7):
+        w.fs(0)                   # seven zero deltas
+    w.write_bits(0, 3)            # block 1: id 0 ...
+    w.write(0)                    # ... extension 0 -> zero run
+    w.fs(10)                      # run of 10 (> the 3 blocks allowed)
+    with pytest.raises(NotImplementedError, match="boundary"):
+        decode(w.flush(), 8 * 5, 8, 8, 4)

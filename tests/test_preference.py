@@ -43,7 +43,8 @@ def _bt_ref(games, iterations):
                     denom += _half_up(cnt * 10 ** 12, wq[i] + wq[j])
             new[i] = _half_up((wins[i] + 1) * 10 ** 12, denom)
         s = sum(new.values())
-        wq = {i: _half_up(new[i] * k * 1_000_000, s) for i in items}
+        wq = {i: max(_half_up(new[i] * k * 1_000_000, s), 1)
+              for i in items}
     return {i: (wins[i], tot[i], wq[i] / 1e6) for i in items}
 
 

@@ -261,3 +261,12 @@ def test_reliability_diagram_partition_invariant(spark):
                    reliability_diagram(df.repartition(7), "p",
                                        "o").collect()))
     assert a == b
+
+
+def test_brier_empty_input_yields_one_null_row(spark):
+    from flood_data_spark.operators.verification import brier_decomposition
+
+    df = spark.createDataFrame([], "p double, o int")
+    rows = brier_decomposition(df, "p", "o").collect()
+    assert len(rows) == 1
+    assert all(v is None for v in rows[0])

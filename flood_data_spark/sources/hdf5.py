@@ -356,6 +356,7 @@ def _parse_link_message(data: bytes) -> tuple[str, int]:
     """Hard Link message body -> (name, object header address) — shared
     by compact (in-header) links and dense links stored as fractal-heap
     objects (the byte layout is identical, spec IV.A.2.g)."""
+    _need(data[0] == 1, f"link message version {data[0]}")
     flags = data[1]
     pos = 2
     if flags & 0x08:
@@ -420,6 +421,7 @@ def _fractal_heap_object(b: bytes, frhp_addr: int,
     filt_len = _u(b, p + 2, 2)
     _need(filt_len == 0, "filtered fractal heap blocks")
     max_obj = _u(b, p + 5, 4)
+    max_dir_block = _u(b, p + 115, 8)
     n_huge = _u(b, p + 81, 8)
     n_tiny = _u(b, p + 97, 8)
     _need(n_huge == 0 and n_tiny == 0, "huge/tiny fractal-heap objects")
@@ -429,7 +431,11 @@ def _fractal_heap_object(b: bytes, frhp_addr: int,
     _need(cur_rows == 0,
           "multi-block fractal heaps (root indirect block)")
     off_w = (max_heap_bits + 7) // 8
-    len_w = max((max_obj.bit_length() + 7) // 8, 1)
+    # spec: length field width = min(bytes to hold the max DIRECT block
+    # offset, bytes to hold Maximum Size of Managed Objects); the
+    # heap_id_len cross-check below stays as the loud backstop
+    len_w = max(min(((max_dir_block - 1).bit_length() + 7) // 8,
+                    (max_obj.bit_length() + 7) // 8), 1)
     _need(len(heap_id) >= 1 + off_w + len_w
           and heap_id_len == 1 + off_w + len_w,
           f"fractal heap ID length {heap_id_len}")

@@ -2853,6 +2853,81 @@ def q_stream_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("brier", "reliability", "resolution", "uncertainty")
 
 
+def q_crps_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hersbach (2000) decomposition of the ensemble CRPS
+    (operators/verification.crps_hersbach): per ensemble-size class,
+    CRPS = RELI + POT from per-rank alpha/beta integrals — ONE
+    cell-partitioned rank window (the q_crps window), each ranked row
+    emits its interval contribution in exact integer micro-units, then
+    a rank-bounded (m, i)-keyed exchange; all three scores round in
+    integer space.  Full value oracle mirroring the interval CASE
+    ladder and per-rank HUGEINT half_up term-for-term; the identities
+    (CRPS = RELI + POT, CRPS = mean per-cell q_crps) are pytest
+    assertions in tests/test_verification.py."""
+    from flood_data_spark.operators.verification import crps_hersbach
+
+    return crps_hersbach(_verif_ensemble(spark, sf_dir),
+                         "l_quantity", "obs", ["l_orderkey"]) \
+        .select("m", "n_cells", "crps", "reliability", "crps_pot")
+
+
+def q_crps_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED ensemble CRPS (streaming/file_stream.crps_cell_stream +
+    verification.crps_from_member_cells → the SAME _crps_finish as
+    batch q_crps): lineitem rows arrive as a file stream, join the
+    static orders side for the observation, and each cell's members
+    collect in complete mode (state per cell = m quantized longs); the
+    rank-identity finisher runs on the materialized cells.  The oracle
+    IS the batch q_crps SQL — stream/batch parity of the whole score,
+    value-hashed per cell."""
+    from flood_data_spark.operators.verification import \
+        crps_from_member_cells
+    from flood_data_spark.streaming.file_stream import crps_cell_stream
+
+    o = _t(spark, sf_dir, "orders")
+
+    def build(stream):
+        src = (stream.join(F.broadcast(o),
+                           stream["l_orderkey"] == o["o_orderkey"])
+               .select("l_orderkey", "l_quantity",
+                       (F.col("o_totalprice") / F.lit(10000.0))
+                       .alias("obs")))
+        return crps_cell_stream(src, "l_quantity", "obs",
+                                ["l_orderkey"])
+
+    cells = _run_file_stream(
+        spark, f"{sf_dir}/lineitem.parquet", build, "stream_crps_",
+        output_mode="complete")
+    return crps_from_member_cells(cells, ["l_orderkey"]) \
+        .select("l_orderkey", "m", "crps")
+
+
+def q_ece_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration cross-gate: Expected Calibration Error computed
+    through BOTH bin ladders on shared input — the classifier family's
+    (datapipe/classifier.evaluate_binary: exact integer si·bins div
+    scale) and the verification family's (verification.brier_cells →
+    ece_from_cells: double floor(p·bins) + integer-space ratio).  The
+    fixture scores sit mid-bin ((l_partkey%100 + 0.5)/100), so the two
+    ladders MUST agree; the pytest twin asserts ece_clf == ece_cells
+    and the oracle mirrors each chain separately.  Two 1-row relations
+    scalar-rejoined via broadcast crossJoin."""
+    from flood_data_spark.datapipe.classifier import evaluate_binary
+    from flood_data_spark.operators.verification import (brier_cells,
+                                                         ece_from_cells)
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        (((F.col("l_partkey") % 100) + F.lit(0.5)) / F.lit(100.0))
+        .alias("p"),
+        (F.col("l_returnflag") == "R").cast("int").alias("o"))
+    clf = evaluate_binary(src, "p", "o", bins=10) \
+        .select(F.col("ece").alias("ece_clf"))
+    cells = ece_from_cells(brier_cells(src, "p", "o", n_bins=10)) \
+        .select(F.col("ece").alias("ece_cells"))
+    return clf.crossJoin(F.broadcast(cells))
+
+
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference-strength fitting
     (datapipe/preference.bradley_terry): lineitem rows play RLHF
@@ -3844,6 +3919,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (CORRECTNESS_FULL_r8.json regenerates at each session end, all
     # registry queries vs the DuckDB oracle at sf0.01).
     return {
+        # --- round 12: Hersbach decomposition, streamed CRPS, ECE
+        # cross-gate (VERDICT r11 #3/#4/#7) ---
+        "q_crps_decomp": q_crps_decomp,
+        "q_crps_stream": q_crps_stream,
+        "q_ece_cells": q_ece_cells,
         # --- round 11: forecast verification (VERDICT r10 #2) ---
         "q_crps": q_crps,
         "q_rank_histogram": q_rank_histogram,
@@ -5156,6 +5236,99 @@ def oracle_sql() -> dict[str, str]:
                    {idiv_half_up('a.sae * a.m - COALESCE(p.pair, 0)',
                                  'a.m * a.m', 1000000)} AS crps
             FROM a LEFT JOIN p ON a.k = p.k
+        """,
+        # q_crps_decomp: the Hersbach interval CASE ladder restated on
+        # the ranked relation (rn = m outliers first so the NULL lead
+        # never reaches a comparison), per-rank HUGEINT half_up
+        # contributions at 1e-12 resolution, integer-space finals
+        "q_crps_decomp": f"""
+            WITH {vens},
+            e2 AS (SELECT k, qx, qy,
+                          row_number() OVER (PARTITION BY k
+                                             ORDER BY qx) AS rn,
+                          lead(qx) OVER (PARTITION BY k
+                                         ORDER BY qx) AS qn,
+                          CAST(count(*) OVER (PARTITION BY k)
+                               AS HUGEINT) AS m
+                   FROM ve),
+            iv AS (
+                SELECT m, CAST(rn AS HUGEINT) AS i,
+                       CAST(CASE WHEN rn = m THEN greatest(qy - qx, 0)
+                                 WHEN qy >= qn THEN qn - qx
+                                 WHEN qy <= qx THEN 0
+                                 ELSE qy - qx END AS HUGEINT) AS av,
+                       CAST(CASE WHEN rn = m THEN 0
+                                 WHEN qy >= qn THEN 0
+                                 WHEN qy <= qx THEN qn - qx
+                                 ELSE qn - qy END AS HUGEINT) AS bv
+                FROM e2
+                UNION ALL
+                SELECT m, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT),
+                       CAST(greatest(qx - qy, 0) AS HUGEINT)
+                FROM e2 WHERE rn = 1),
+            br AS (SELECT m, i, CAST(count(*) AS HUGEINT) AS n,
+                          sum(av) AS sa, sum(bv) AS sb
+                   FROM iv GROUP BY m, i),
+            pm AS (SELECT m, max(n) AS nc,
+                          sum(sa * i * i
+                              + sb * (m - i) * (m - i)) AS cn,
+                          sum(CASE WHEN sa + sb > 0 THEN
+                              {idiv_int(
+                                  '(sb * m - i * (sa + sb))'
+                                  ' * (sb * m - i * (sa + sb))'
+                                  ' * 1000000',
+                                  'n * m * m * (sa + sb)')}
+                              ELSE 0 END) AS ru,
+                          sum(CASE WHEN sa + sb > 0 THEN
+                              {idiv_int('sa * sb * 1000000',
+                                        'n * (sa + sb)')}
+                              ELSE 0 END) AS pu
+                   FROM br GROUP BY m)
+            SELECT CAST(m AS BIGINT) AS m, CAST(nc AS BIGINT) AS n_cells,
+                   {idiv_half_up('cn', 'nc * m * m', 1000000)} AS crps,
+                   {idiv_half_up('ru', '1000000', 1000000)}
+                       AS reliability,
+                   {idiv_half_up('pu', '1000000', 1000000)} AS crps_pot
+            FROM pm
+        """,
+        # q_ece_cells: BOTH ECE chains mirrored separately — the
+        # classifier ladder (si = round(p·1e6), bin = si·10 // 1e6
+        # clamped, round(double) final — the q_clf_eval idiom) and the
+        # verification ladder (floor-bin on the double, micro
+        # quantization, integer-space half_up final)
+        "q_ece_cells": f"""
+            WITH src AS (
+                SELECT ((l_partkey % 100) + 0.5) / 100.0 AS p,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                           AS o
+                FROM lineitem),
+            cq AS (SELECT CAST(round(p * 1000000) AS HUGEINT) AS si,
+                          CAST(o AS HUGEINT) AS o
+                   FROM src),
+            cb AS (SELECT greatest(least((si * 10) // 1000000, 9), 0)
+                              AS bin,
+                          CAST(count(*) AS HUGEINT) AS n_b,
+                          sum(si) AS ssi, sum(o) AS pos_b
+                   FROM cq GROUP BY 1),
+            ce AS (SELECT round(CAST(sum(abs(ssi - pos_b * 1000000))
+                                     AS DOUBLE)
+                                / (CAST(sum(n_b) AS DOUBLE)
+                                   * 1000000.0), 6) AS ece_clf
+                   FROM cb),
+            vq AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS b,
+                          CAST(sign(p) * floor(abs(p) * 1000000 + 0.5)
+                               AS HUGEINT) AS qp,
+                          CAST(o AS HUGEINT) AS o
+                   FROM src),
+            vg AS (SELECT b, CAST(count(*) AS HUGEINT) AS nk,
+                          sum(qp) AS sp, sum(o) AS so
+                   FROM vq GROUP BY b),
+            vt AS (SELECT sum(abs(sp - 1000000 * so)) AS d,
+                          sum(nk) AS nn
+                   FROM vg)
+            SELECT ce.ece_clf,
+                   {idiv_half_up('vt.d', 'vt.nn', 1000000)} AS ece_cells
+            FROM ce, vt
         """,
         # q_rank_histogram: rank = 1 + strictly-below count on the RAW
         # doubles (ties below the observation), then the histogram
@@ -9813,4 +9986,6 @@ def oracle_sql() -> dict[str, str]:
     # the same integer-space finisher — the batch oracle IS the parity
     # check
     d["q_stream_brier"] = d["q_brier_decomp"]
+    # streamed CRPS: stream/batch parity — the oracle IS the batch SQL
+    d["q_crps_stream"] = d["q_crps"]
     return d

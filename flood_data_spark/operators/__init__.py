@@ -48,6 +48,10 @@ from flood_data_spark.operators.experiment import (
 from flood_data_spark.operators.verification import (
     brier_decomposition,
     crps_ensemble,
+    crps_from_member_cells,
+    crps_hersbach,
+    crps_member_cells,
+    ece_from_cells,
     rank_histogram,
     reliability_diagram,
     spread_skill,
@@ -69,5 +73,6 @@ __all__ = [
     "psi_from_counts", "trend_stats", "with_holt", "with_rolling_median",
     "with_robust_outliers",
     "crps_ensemble", "rank_histogram", "brier_decomposition",
-    "spread_skill", "reliability_diagram",
+    "spread_skill", "reliability_diagram", "crps_hersbach",
+    "crps_member_cells", "crps_from_member_cells", "ece_from_cells",
 ]

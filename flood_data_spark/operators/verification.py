@@ -91,6 +91,15 @@ def crps_ensemble(df: DataFrame, value_col: str, obs_col: str,
                 F.sum(F.abs(qx - qy)).alias("_sae"),
                 F.sum(qx * (2 * F.col("_rk") - 1)).alias("_srk"),
                 F.sum(qx).alias("_sx")))
+    return _crps_finish(agg, keys)
+
+
+def _crps_finish(agg: DataFrame, keys) -> DataFrame:
+    """Shared CRPS finisher over materialized per-cell integer partials
+    (m, _sae, _srk, _sx) — used verbatim by the batch window path
+    (`crps_ensemble`) and the streamed member-list path
+    (`crps_from_member_lists`), so the streaming gate checks parity of
+    the WHOLE score."""
     # Σ (2i-1-m)·x_i  =  Σ (2i-1)·x_i − m·Σ x_i   (exact integers)
     m_dec = F.col("m").cast("decimal(38,0)")
     pair = (F.col("_srk").cast("decimal(38,0)")
@@ -99,6 +108,171 @@ def crps_ensemble(df: DataFrame, value_col: str, obs_col: str,
     crps = (_idiv_half_up(num, m_dec * m_dec).cast("double")
             / F.lit(float(MICRO)))
     return agg.select(*keys, "m", crps.alias("crps"))
+
+
+def crps_member_cells(df: DataFrame, value_col: str, obs_col: str,
+                      group_keys) -> DataFrame:
+    """The streaming-safe per-cell state of `crps_ensemble`: quantize
+    once, then collect each cell's members into an array plus the
+    constant observation — an aggregation Structured Streaming can run
+    in complete mode (state per cell is m longs; m ~ 11..51 members,
+    never corpus-sized).  The rank identity needs the COMPLETE ensemble
+    sorted, so the cell state must hold the members themselves; at
+    cluster scale the same relation runs as a watermarked
+    per-(cell, issued_on) session window — the shape is identical, only
+    the eviction policy differs (docs/PLANS.md)."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("crps_member_cells: need at least one group key")
+    qx = _micro(F.col(value_col))
+    qy = _micro(F.col(obs_col))
+    return (df.select(*keys, qx.alias("_qx"), qy.alias("_qy"))
+            .groupBy(*keys)
+            .agg(F.collect_list("_qx").alias("_qxs"),
+                 F.min("_qy").alias("_qyv")))
+
+
+def crps_from_member_cells(cells: DataFrame, keys) -> DataFrame:
+    """Finish CRPS from materialized member-list cells: sort each
+    cell's array (m log m per cell, no shuffle — the array is already
+    co-located), posexplode to ranked rows, rebuild the SAME integer
+    partials as the batch window path, and run the shared
+    `_crps_finish`.  Output is identical to `crps_ensemble` row for
+    row."""
+    keys = list(keys)
+    ranked = cells.select(
+        *keys, F.col("_qyv"),
+        F.posexplode(F.sort_array("_qxs")).alias("_pos", "_qx"))
+    agg = (ranked.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("m"),
+                F.sum(F.abs(F.col("_qx") - F.col("_qyv"))).alias("_sae"),
+                F.sum(F.col("_qx") * (2 * (F.col("_pos") + 1) - 1))
+                .alias("_srk"),
+                F.sum("_qx").alias("_sx")))
+    return _crps_finish(agg, keys)
+
+
+def crps_hersbach(df: DataFrame, value_col: str, obs_col: str,
+                  group_keys) -> DataFrame:
+    """Hersbach (2000) decomposition of the ensemble CRPS into
+    reliability and potential CRPS, per ensemble-size class:
+
+        CRPS = Σ_{i=0..m} [ ᾱ_i p_i² + β̄_i (1−p_i)² ],   p_i = i/m
+        RELI = Σ_i ḡ_i (o_i − p_i)²          ḡ_i = ᾱ_i + β̄_i
+        POT  = Σ_i ḡ_i o_i (1 − o_i)         o_i = β̄_i / ḡ_i
+        CRPS = RELI + POT                     (exact rational identity)
+
+    where, per cell with members sorted ascending, interval i spans
+    [x_(i), x_(i+1)) (x_(0) = −inf, x_(m+1) = +inf) and
+
+        obs above interval:  α_i = x_(i+1) − x_(i),  β_i = 0
+        obs inside:          α_i = obs − x_(i),      β_i = x_(i+1) − obs
+        obs below interval:  α_i = 0,                β_i = x_(i+1) − x_(i)
+
+    with the outlier intervals i = 0 (β_0 = max(x_(1) − obs, 0)) and
+    i = m (α_m = max(obs − x_(m), 0)).  ᾱ/β̄ average over cells.
+
+    Because p_i = i/m only makes sense for a fixed member count, the
+    relation groups by m: one output row per ensemble-size class,
+    (m, n_cells, crps, reliability, crps_pot).  Mixed-m inputs are
+    therefore decomposed per class, never silently blended.
+
+    Execution: ONE cell-partitioned rank window (the crps_ensemble
+    window — m-bounded buffer), each ranked row emits its interval
+    contribution (rank-1 rows also emit the i = 0 outlier) in exact
+    integer micro-units, then a (m, i)-keyed exchange of BIGINT sums —
+    the contribution relation is rank-bounded (Σ_m (m+1) rows), never
+    corpus-sized.  All three scores round IN INTEGER SPACE:
+
+        crps · 1e6 = Σ_i (A_i·i² + B_i·(m−i)²) / (n·m²)    (exact)
+        reli · 1e6 = half_up(Σ_i half_up((B_i·m − i·(A_i+B_i))²·1e6
+                                          / (n·m²·(A_i+B_i))) / 1e6)
+        pot  · 1e6 = half_up(Σ_i half_up(A_i·B_i·1e6
+                                          / (n·(A_i+B_i))) / 1e6)
+
+    over A_i = Σ_cells α_i, B_i = Σ_cells β_i in micro-units (per-rank
+    quantization at 1e-12 absolute — ≤ (m+1)/2 · 1e-12 total, five
+    orders below round-6 resolution — so sums stay order-free and both
+    engines round identically).  Ranks with ḡ_i = 0 contribute zero to
+    RELI and POT by convention (o_i undefined), matching Hersbach's
+    treatment.  CRPS here equals the mean of `crps_ensemble` over the
+    class's cells and RELI + POT reconstructs it — both identities are
+    test assertions (tests/test_verification.py), not assumptions.
+    """
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("crps_hersbach: need at least one group key")
+    dec = "decimal(38,0)"
+    qx = _micro(F.col(value_col))
+    qy = _micro(F.col(obs_col))
+    wo = Window.partitionBy(*keys).orderBy(F.col("_qx").asc())
+    wp = Window.partitionBy(*keys)
+    src = df.select(*keys, qx.alias("_qx"), qy.alias("_qy"))
+    ranked = (src
+              .withColumn("_rk", F.row_number().over(wo))
+              .withColumn("_qn", F.lead("_qx").over(wo))
+              .withColumn("_m", F.count(F.lit(1)).over(wp)))
+    x, nx, y = F.col("_qx"), F.col("_qn"), F.col("_qy")
+    # interior interval from rank r < m (boundary equality is value-
+    # identical in all three cases, so non-strict comparisons are safe)
+    a_in = F.when(y >= nx, nx - x).when(y <= x, F.lit(0)) \
+        .otherwise(y - x)
+    b_in = F.when(y >= nx, F.lit(0)).when(y <= x, nx - x) \
+        .otherwise(nx - y)
+    elem = F.when(
+        F.col("_rk") < F.col("_m"),
+        F.struct(F.col("_rk").alias("i"), a_in.alias("a"),
+                 b_in.alias("b"))
+    ).otherwise(
+        F.struct(F.col("_rk").alias("i"),
+                 F.greatest(y - x, F.lit(0).cast("long")).alias("a"),
+                 F.lit(0).cast("long").alias("b")))
+    lo = F.when(
+        F.col("_rk") == 1,
+        F.struct(F.lit(0).cast("int").alias("i"),
+                 F.lit(0).cast("long").alias("a"),
+                 F.greatest(x - y, F.lit(0).cast("long")).alias("b")))
+    contrib = (ranked
+               .select(F.col("_m").alias("m"),
+                       F.explode(F.filter(
+                           F.array(elem.cast("struct<i:int,a:long,b:long>"),
+                                   lo),
+                           lambda s: s.isNotNull())).alias("c"))
+               .select("m", F.col("c.i").alias("i"),
+                       F.col("c.a").alias("a"), F.col("c.b").alias("b")))
+    byrank = (contrib.groupBy("m", "i")
+              .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
+                   F.sum(F.col("a").cast(dec)).alias("_A"),
+                   F.sum(F.col("b").cast(dec)).alias("_B")))
+    m_dec = F.col("m").cast(dec)
+    i_dec = F.col("i").cast(dec)
+    n, A, B = F.col("_n"), F.col("_A"), F.col("_B")
+    g = A + B
+    zero = F.lit(0).cast(dec)
+    crps_num = A * i_dec * i_dec + B * (m_dec - i_dec) * (m_dec - i_dec)
+    rd = B * m_dec - i_dec * g
+    reli_u = F.when(g > 0, _idiv_half_up(rd * rd * _mega(),
+                                         n * m_dec * m_dec * g)) \
+        .otherwise(zero)
+    pot_u = F.when(g > 0, _idiv_half_up(A * B * _mega(), n * g)) \
+        .otherwise(zero)
+    per_m = (byrank.groupBy("m")
+             .agg(F.max("_n").alias("_nc"),
+                  F.sum(crps_num.cast(dec)).alias("_cn"),
+                  F.sum(reli_u.cast(dec)).alias("_ru"),
+                  F.sum(pot_u.cast(dec)).alias("_pu")))
+    mega_f = F.lit(float(MICRO))
+    m2 = F.col("m").cast(dec) * F.col("m").cast(dec)
+    crps = (_idiv_half_up(F.col("_cn"), F.col("_nc") * m2)
+            .cast("double") / mega_f)
+    reli = (_idiv_half_up(F.col("_ru"), _mega()).cast("double") / mega_f)
+    pot = (_idiv_half_up(F.col("_pu"), _mega()).cast("double") / mega_f)
+    return (per_m.select(F.col("m").cast("long").alias("m"),
+                         F.col("_nc").cast("long").alias("n_cells"),
+                         crps.alias("crps"),
+                         reli.alias("reliability"),
+                         pot.alias("crps_pot"))
+            .orderBy("m"))
 
 
 def rank_histogram(df: DataFrame, value_col: str, obs_col: str,
@@ -221,6 +395,27 @@ def brier_from_cells(cells: DataFrame) -> DataFrame:
                        rel.alias("reliability"),
                        res.alias("resolution"),
                        unc.alias("uncertainty"))
+
+
+def ece_from_cells(cells: DataFrame) -> DataFrame:
+    """Expected Calibration Error from the `brier_cells` relation:
+
+        ECE = Σ_k n_k |p̄_k − ō_k| / N = Σ_k |sp_k − 1e6·so_k| / (N·1e6)
+
+    — one exact integer ratio over the bin cells, rounded in integer
+    space.  This is the SAME quantity `datapipe/classifier
+    .evaluate_binary` reports as `ece` (score_decimals=6 makes its
+    per-group si the identical micro quantization), computed through
+    the verification family's bin ladder instead of the classifier's —
+    the cross-gate `q_ece_cells` proves the two ladders agree on shared
+    input.  Returns one row (ece); empty input yields one NULL row
+    (the global-agg contract)."""
+    tot = cells.agg(
+        F.sum(F.abs(F.col("_sp") - _mega() * F.col("_so"))).alias("_d"),
+        F.sum("_n").alias("_nn"))
+    ece = (_idiv_half_up(F.col("_d"), F.col("_nn")).cast("double")
+           / F.lit(float(MICRO)))
+    return tot.select(ece.alias("ece"))
 
 
 def reliability_diagram(df: DataFrame, prob_col: str, outcome_col: str,

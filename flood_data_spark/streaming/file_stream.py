@@ -340,6 +340,25 @@ def brier_cell_stream(stream_df: DataFrame, prob_col: str,
     return brier_cells(stream_df, prob_col, outcome_col, n_bins)
 
 
+def crps_cell_stream(stream_df: DataFrame, value_col: str,
+                     obs_col: str, group_keys) -> DataFrame:
+    """Streaming half of the CRPS monitor: run
+    `verification.crps_member_cells`' per-cell member-collection as a
+    complete-mode stream.  State per cell is the m quantized members
+    plus the constant observation (m ~ 11..51 — never corpus-wide per
+    cell), mergeable across micro-batches because list-union and min
+    are.  The rank-identity finisher
+    (`verification.crps_from_member_cells` → the shared `_crps_finish`)
+    runs on the materialized cells, so the streaming gate checks
+    stream/batch parity of the WHOLE score against the batch
+    `crps_ensemble` oracle.  At cluster scale the same relation runs
+    watermarked per (cell, issued_on) so closed forecast days evict —
+    the complete-mode form here is the gate's availableNow profile."""
+    from flood_data_spark.operators.verification import crps_member_cells
+
+    return crps_member_cells(stream_df, value_col, obs_col, group_keys)
+
+
 def bucket_count_stream(stream_df: DataFrame, value_col: str,
                         bounds: list) -> DataFrame:
     """Streaming half of the drift monitor: bucket incoming values

@@ -270,3 +270,175 @@ def test_brier_empty_input_yields_one_null_row(spark):
     rows = brier_decomposition(df, "p", "o").collect()
     assert len(rows) == 1
     assert all(v is None for v in rows[0])
+
+
+# --- Hersbach (2000) CRPS decomposition -------------------------------
+
+
+def _hersbach_ref(cells_xy, m):
+    """Brute-force alpha/beta integrals straight from Hersbach's
+    interval definitions (float reference; the operator's integer
+    rounding is within 2e-6 of it)."""
+    n = len(cells_xy)
+    A = [0.0] * (m + 1)
+    B = [0.0] * (m + 1)
+    for xs, y in cells_xy:
+        s = sorted(xs)
+        for i in range(m + 1):
+            if i == 0:
+                a, b = 0.0, max(s[0] - y, 0.0)
+            elif i == m:
+                a, b = max(y - s[-1], 0.0), 0.0
+            else:
+                lo, hi = s[i - 1], s[i]
+                if y >= hi:
+                    a, b = hi - lo, 0.0
+                elif y <= lo:
+                    a, b = 0.0, hi - lo
+                else:
+                    a, b = y - lo, hi - y
+            A[i] += a / n
+            B[i] += b / n
+    crps = sum(A[i] * (i / m) ** 2 + B[i] * (1 - i / m) ** 2
+               for i in range(m + 1))
+    reli = pot = 0.0
+    for i in range(m + 1):
+        g = A[i] + B[i]
+        if g > 0:
+            o = B[i] / g
+            reli += g * (o - i / m) ** 2
+            pot += g * o * (1 - o)
+    return crps, reli, pot
+
+
+def test_hersbach_matches_bruteforce_integrals(spark):
+    from flood_data_spark.operators.verification import crps_hersbach
+
+    df, truth = _ens_fixture(spark, n_groups=15, m=5, seed=11)
+    row = crps_hersbach(df, "x", "y", ["cell"]).collect()
+    assert len(row) == 1 and row[0].m == 5 and row[0].n_cells == 15
+    c, r, p = _hersbach_ref(list(truth.values()), 5)
+    assert abs(row[0].crps - c) < 2e-6
+    assert abs(row[0].reliability - r) < 2e-6
+    assert abs(row[0].crps_pot - p) < 2e-6
+
+
+def test_hersbach_identity_and_mean_crps(spark):
+    """CRPS = RELI + POT (exact rational identity; <= 1 micro per term
+    after independent rounding) and the class CRPS equals the mean of
+    the per-cell crps_ensemble scores (cells round independently there,
+    so the mean drifts <= 1 micro per cell / n)."""
+    from flood_data_spark.operators.verification import crps_hersbach
+
+    df, truth = _ens_fixture(spark, n_groups=20, m=7, seed=5)
+    row = crps_hersbach(df, "x", "y", ["cell"]).collect()[0]
+    assert abs(row.crps - (row.reliability + row.crps_pot)) <= 2e-6
+    per_cell = crps_ensemble(df, "x", "y", ["cell"]).collect()
+    mean_crps = sum(r.crps for r in per_cell) / len(per_cell)
+    assert abs(row.crps - mean_crps) <= 2e-6
+
+
+def test_hersbach_m1_and_perfectly_calibrated_split(spark):
+    """m = 1: CRPS collapses to MAE (= |x-y|), and intervals are the
+    two outliers only.  A deterministic perfect forecast (x == y) has
+    zero everything."""
+    from flood_data_spark.operators.verification import crps_hersbach
+
+    rows = [(0, 3.0, 7.5), (1, 9.0, 2.0), (2, 4.0, 4.0)]
+    df = spark.createDataFrame(rows, "cell int, x double, y double")
+    row = crps_hersbach(df, "x", "y", ["cell"]).collect()[0]
+    assert row.m == 1 and row.n_cells == 3
+    mae = (4.5 + 7.0 + 0.0) / 3
+    assert abs(row.crps - mae) < 2e-6
+    perfect = spark.createDataFrame([(0, 1.0, 1.0), (1, 2.5, 2.5)],
+                                    "cell int, x double, y double")
+    prow = crps_hersbach(perfect, "x", "y", ["cell"]).collect()[0]
+    assert prow.crps == 0.0 and prow.reliability == 0.0 \
+        and prow.crps_pot == 0.0
+
+
+def test_hersbach_groups_by_ensemble_size(spark):
+    """Mixed-m input decomposes per m class, never blends."""
+    from flood_data_spark.operators.verification import crps_hersbach
+
+    rows = [(0, 1.0, 2.0), (0, 3.0, 2.0),            # m=2 cell
+            (1, 5.0, 6.0), (1, 7.0, 6.0),            # m=2 cell
+            (2, 1.0, 1.5), (2, 2.0, 1.5), (2, 3.0, 1.5)]  # m=3 cell
+    df = spark.createDataFrame(rows, "cell int, x double, y double")
+    out = {r.m: r for r in
+           crps_hersbach(df, "x", "y", ["cell"]).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].n_cells == 2 and out[3].n_cells == 1
+    for r in out.values():
+        assert abs(r.crps - (r.reliability + r.crps_pot)) <= 2e-6
+
+
+def test_hersbach_partition_invariant(spark):
+    from flood_data_spark.operators.verification import crps_hersbach
+
+    df, _ = _ens_fixture(spark, n_groups=18, m=6, seed=9)
+    a = crps_hersbach(df, "x", "y", ["cell"]).collect()
+    b = crps_hersbach(df.repartition(7), "x", "y", ["cell"]).collect()
+    assert a == b
+
+
+# --- streamed-CRPS member cells ---------------------------------------
+
+
+def test_member_cells_reproduce_batch_crps(spark):
+    """crps_member_cells -> crps_from_member_cells == crps_ensemble row
+    for row (the shared _crps_finish makes the stream twin check whole-
+    score parity)."""
+    from flood_data_spark.operators.verification import (
+        crps_ensemble as ce, crps_from_member_cells, crps_member_cells)
+
+    df, _ = _ens_fixture(spark, n_groups=10, m=7, seed=21)
+    cells = crps_member_cells(df, "x", "y", ["cell"])
+    via_cells = {r.cell: (r.m, r.crps) for r in
+                 crps_from_member_cells(cells, ["cell"]).collect()}
+    direct = {r.cell: (r.m, r.crps) for r in
+              ce(df, "x", "y", ["cell"]).collect()}
+    assert via_cells == direct
+
+
+# --- ECE cross-gate ----------------------------------------------------
+
+
+def test_ece_from_cells_agrees_with_classifier(spark):
+    """The verification bin ladder and the classifier bin ladder report
+    the same ECE on mid-bin scores (the q_ece_cells contract)."""
+    from flood_data_spark.datapipe.classifier import evaluate_binary
+    from flood_data_spark.operators.verification import (brier_cells,
+                                                         ece_from_cells)
+
+    rng = np.random.default_rng(4)
+    rows = [(float((k % 100 + 0.5) / 100.0), int(rng.random() < 0.4))
+            for k in range(800)]
+    df = spark.createDataFrame(rows, "p double, o int")
+    ece_clf = evaluate_binary(df, "p", "o", bins=10) \
+        .collect()[0]["ece"]
+    ece_cells = ece_from_cells(brier_cells(df, "p", "o", 10)) \
+        .collect()[0]["ece"]
+    assert ece_cells == pytest.approx(ece_clf, abs=1.01e-6)
+
+
+def test_ece_from_cells_golden(spark):
+    """Two occupied bins with known masses: ECE = (n1|g1| + n2|g2|)/N."""
+    from flood_data_spark.operators.verification import (brier_cells,
+                                                         ece_from_cells)
+
+    rows = ([(0.25, 1)] * 3 + [(0.25, 0)] * 1     # bin2: p=.25, o_rate=.75
+            + [(0.85, 0)] * 4)                     # bin8: p=.85, o_rate=0
+    df = spark.createDataFrame(rows, "p double, o int")
+    got = ece_from_cells(brier_cells(df, "p", "o", 10)).collect()[0]
+    expect = (4 * abs(0.25 - 0.75) + 4 * abs(0.85 - 0.0)) / 8
+    assert got.ece == pytest.approx(expect, abs=1e-6)
+
+
+def test_ece_empty_input_yields_one_null_row(spark):
+    from flood_data_spark.operators.verification import (brier_cells,
+                                                         ece_from_cells)
+
+    df = spark.createDataFrame([], "p double, o int")
+    rows = ece_from_cells(brier_cells(df, "p", "o", 10)).collect()
+    assert len(rows) == 1 and rows[0].ece is None

@@ -2071,6 +2071,56 @@ def q_grib_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dis24").cast("int").alias("packed_value"))
 
 
+def q_grib_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral GRIB2 in the driver gate (closes the r11 'spectral
+    residual'): per doc_id a deterministic spherical-harmonic
+    coefficient set (T3 triangular truncation, 20 values) is ENCODED
+    and DECODED by the pure-Python reader — data representation rotates
+    5.50 (spectral simple packing: the (0,0) real part rides unpacked
+    in DRS octets 21-24) and 5.51 (spectral complex packing: raw
+    IEEE-32 sub-spectrum + Laplacian-flattened packed remainder, p=1).
+    Integer coefficients < 512 with D=E=0 survive BOTH templates
+    exactly (5.51's one IEEE division v·n(n+1)/(n(n+1)) is exact on
+    integer products), so ONE closed-form oracle covers both codecs."""
+    import pandas as pd
+
+    from flood_data_spark.sources.grib2 import (
+        build_spectral_complex_message, build_spectral_message,
+        spectral_to_dataframe)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40) \
+        .select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                coeffs = [float((did * 11 + 3 * k) % 512)
+                          for k in range(20)]
+                if did % 2 == 0:
+                    msg = build_spectral_message(
+                        coeffs, j=3, nbits=16, member=did % 4)
+                else:
+                    msg = build_spectral_complex_message(
+                        coeffs, j=3, js=1, p=1.0, nbits=16,
+                        member=did % 4)
+                rows = spectral_to_dataframe(msg)
+                rows.insert(0, "doc_id", did)
+                out.append(rows)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    decoded = docs.mapInPandas(
+        run, schema="doc_id long, number long, m long, n long,"
+                    " time long, step long, valid_time long,"
+                    " c_real double, c_imag double")
+    return decoded.select(
+        "doc_id", "number", "m", "n", "time", "step", "valid_time",
+        F.col("c_real").alias("coef_real"),
+        F.col("c_imag").alias("coef_imag"))
+
+
 def q_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV codec path in the driver gate: per doc_id a deterministic
     16-bit PCM WAV (n = 100 + (doc_id%50)*7 frames at 8 kHz, constant
@@ -3924,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crps_decomp": q_crps_decomp,
         "q_crps_stream": q_crps_stream,
         "q_ece_cells": q_ece_cells,
+        "q_grib_spectral": q_grib_spectral,
         # --- round 11: forecast verification (VERDICT r10 #2) ---
         "q_crps": q_crps,
         "q_rank_histogram": q_rank_histogram,
@@ -6744,6 +6795,30 @@ def oracle_sql() -> dict[str, str]:
                        AS packed_value
             FROM documents d CROSS JOIN grid g
             WHERE d.doc_id < 50
+        """,
+        # q_grib_spectral: the T3 mode-1 coefficient layout restated —
+        # (m, n) pairs in the m-outer/n-inner ECMWF ordering, values
+        # from the same closed form the encoder packed (exact through
+        # both 5.50 and 5.51 per the gate docstring)
+        "q_grib_spectral": """
+            WITH ord AS (
+                SELECT * FROM (VALUES
+                    (0, 0, 0), (1, 0, 1), (2, 0, 2), (3, 0, 3),
+                    (4, 1, 1), (5, 1, 2), (6, 1, 3),
+                    (7, 2, 2), (8, 2, 3), (9, 3, 3)) AS t(idx, m, n))
+            SELECT d.doc_id,
+                   CAST(d.doc_id % 4 AS BIGINT) AS number,
+                   CAST(o.m AS BIGINT) AS m, CAST(o.n AS BIGINT) AS n,
+                   CAST(1704067200 AS BIGINT) * 1000000000 AS time,
+                   CAST(86400 AS BIGINT) * 1000000000 AS step,
+                   CAST(1704153600 AS BIGINT) * 1000000000
+                       AS valid_time,
+                   CAST((d.doc_id * 11 + 3 * (2 * o.idx)) % 512
+                        AS DOUBLE) AS coef_real,
+                   CAST((d.doc_id * 11 + 3 * (2 * o.idx + 1)) % 512
+                        AS DOUBLE) AS coef_imag
+            FROM documents d CROSS JOIN ord o
+            WHERE d.doc_id < 40
         """,
         # q_alert_stream: the applyInPandasWithState tracker over ONE
         # availableNow batch — initial state G, one update per cell, emit

@@ -10,10 +10,13 @@ JPEG 2000 — decoded by the from-spec pure-Python codec in
 ``sources/jpeg2000.py``) and 5.42 (CCSDS 121.0-B Rice/AEC lossless —
 ``sources/ccsds121.py``), optional bitmap — is small enough to decode
 with stdlib ``struct`` + numpy, no ecCodes/cfgrib stack.  This module is
-the dependency-free fallback branch of ``raster.grib_decoder``; the
-remaining exotic packings (spectral, lossy JPEG2000, signed/restricted
-CCSDS profiles) still require cfgrib and raise NotImplementedError
-without it.
+the dependency-free fallback branch of ``raster.grib_decoder``.  Round
+11 added lossy (9/7) JPEG 2000 and CCSDS 5.42; round 12 adds the
+spectral templates 5.50/5.51 on grid template 3.50 (triangular
+truncation, mode-1 ordering — decoded to coefficient rows via
+``spectral_to_dataframe``), so only exotic residuals (signed/restricted
+CCSDS profiles, pentagonal truncations, non-Legendre representations)
+still require cfgrib and raise NotImplementedError without it.
 
 Semantics matched to the cfgrib/xarray path the reference rides on
 (flood/etl/utils.py:3-14, flood/etl/raster_converter.py:55-85):
@@ -209,6 +212,143 @@ def _sections(msg: bytes) -> dict:
     raise ValueError("grib2: missing 7777 end section")
 
 
+def _product_info(s4: bytes) -> tuple[int, int]:
+    """Section 4 (product definition templates 4.0/4.1) -> (step_ns,
+    ensemble member number)."""
+    tmpl4 = _u(s4[7:9])
+    if tmpl4 not in (0, 1):
+        raise NotImplementedError(
+            f"grib2: product template 4.{tmpl4} unsupported (4.0/4.1 only)")
+    unit = s4[17]
+    if unit not in _NS_PER_UNIT:
+        raise NotImplementedError(f"grib2: time unit {unit} unsupported")
+    step_ns = _u(s4[18:22]) * _NS_PER_UNIT[unit]
+    number = s4[35] if tmpl4 == 1 else 0
+    return step_ns, int(number)
+
+
+def _spectral_order(j: int) -> tuple[np.ndarray, np.ndarray]:
+    """(m, n) per complex coefficient for triangular truncation J in
+    representation mode 1 (code table 3.7): m = 0..J outer, n = m..J
+    inner — the ECMWF ordering; each pair carries (real, imaginary)
+    adjacently in the value stream."""
+    ms = np.concatenate([np.full(j + 1 - m, m, dtype=np.int64)
+                         for m in range(j + 1)])
+    ns = np.concatenate([np.arange(m, j + 1, dtype=np.int64)
+                         for m in range(j + 1)])
+    return ms, ns
+
+
+def _decode_spectral(s: dict, ref_ns: int) -> dict:
+    """Grid template 3.50 (spherical harmonic coefficients) + data
+    representation templates 5.50 (spectral simple packing: the real
+    part of the (0,0) coefficient rides UNPACKED in DRS octets 21-24,
+    everything else simple-packed — WMO note: removing the mean
+    improves packing accuracy) and 5.51 (spectral complex packing: the
+    low-wavenumber sub-spectrum (Js,Ks,Ms) stored as raw IEEE values
+    first in section 7, the remainder simple-packed after
+    multiplication by the Laplacian operator p(n) = (n(n+1))^P, P in
+    10^-6 units signed).  Profile: representation type 1 (associated
+    Legendre), mode 1 ordering, triangular truncation J = K = M —
+    the ECMWF operational profile; anything else raises loudly.
+    Returns the spectral coefficients themselves (the codec contract);
+    spherical-harmonic synthesis to a grid is a numerical transform
+    outside decode scope — exactly how ecCodes surfaces these fields."""
+    s3 = s[3]
+    j, k, m_tr = _u(s3[14:18]), _u(s3[18:22]), _u(s3[22:26])
+    rep_type, rep_mode = s3[26], s3[27]
+    if rep_type != 1:
+        raise NotImplementedError(
+            f"grib2: spectral representation type {rep_type} unsupported "
+            "(1 = associated Legendre only)")
+    if rep_mode != 1:
+        raise NotImplementedError(
+            f"grib2: spectral representation mode {rep_mode} unsupported "
+            "(mode 1 ordering only)")
+    if not (j == k == m_tr):
+        raise NotImplementedError(
+            f"grib2: pentagonal truncation J={j} K={k} M={m_tr} "
+            "unsupported (triangular J=K=M only)")
+    step_ns, number = _product_info(s[4])
+    s5 = s[5]
+    tmpl5 = _u(s5[9:11])
+    if tmpl5 not in (50, 51):
+        raise NotImplementedError(
+            f"grib2: data template 5.{tmpl5} on a spectral grid "
+            "unsupported (5.50/5.51 only)")
+    if s[6][5] != 255:
+        raise NotImplementedError("grib2: bitmap on spectral data "
+                                  "unsupported")
+    n_vals = _u(s5[5:9])
+    ref_val = struct.unpack(">f", s5[11:15])[0]
+    e_scale = _sm(s5[15:17])
+    d_scale = _sm(s5[17:19])
+    nbits = s5[19]
+    ms, ns = _spectral_order(j)
+    total = 2 * len(ms)           # re+im per (m, n) pair
+    s7 = s[7][5:]
+    if tmpl5 == 50:
+        # octets 21-24: real part of (0,0), IEEE 32-bit — NOT in the
+        # packed stream, so section 5's data count excludes it
+        real00 = struct.unpack(">f", s5[20:24])[0]
+        if n_vals != total - 1:
+            raise ValueError(
+                f"grib2: spectral data count {n_vals} != "
+                f"{total - 1} for truncation T{j}")
+        x = _unpack_bits(s7, nbits, n_vals)
+        y = (ref_val + x.astype(np.float64) * 2.0 ** e_scale) \
+            / 10.0 ** d_scale
+        vals = np.concatenate(([np.float64(real00)], y))
+    else:
+        # template 5.51 octets: 21-24 Laplacian scaling factor P
+        # (signed, 10^-6 units), 25-26/27-28/29-30 Js/Ks/Ms, 31-34 Ts,
+        # 35 precision of the unpacked sub-spectrum (code table 5.7)
+        p_scl = _sm(s5[20:24]) / 1e6
+        js, ks, msub = _u(s5[24:26]), _u(s5[26:28]), _u(s5[28:30])
+        ts = _u(s5[30:34])
+        prec = s5[34]
+        if not (js == ks == msub):
+            raise NotImplementedError(
+                f"grib2: pentagonal sub-spectrum Js={js} Ks={ks} "
+                f"Ms={msub} unsupported (triangular only)")
+        if js > j:
+            raise ValueError(
+                f"grib2: sub-spectrum truncation {js} exceeds field "
+                f"truncation {j}")
+        if prec == 1:
+            fmt, width = "f", 4
+        elif prec == 2:
+            fmt, width = "d", 8
+        else:
+            raise NotImplementedError(
+                f"grib2: unpacked sub-spectrum precision {prec} "
+                "unsupported (1 = IEEE32 / 2 = IEEE64 only)")
+        if ts != (js + 1) * (js + 2):
+            raise ValueError(
+                f"grib2: unpacked sub-spectrum count {ts} != "
+                f"{(js + 1) * (js + 2)} for truncation T{js}")
+        if n_vals != total:
+            raise ValueError(
+                f"grib2: spectral data count {n_vals} != {total} "
+                f"for truncation T{j}")
+        unpacked = np.array(
+            struct.unpack(f">{ts}{fmt}", s7[:ts * width]),
+            dtype=np.float64)
+        x = _unpack_bits(s7[ts * width:], nbits, n_vals - ts)
+        y = (ref_val + x.astype(np.float64) * 2.0 ** e_scale) \
+            / 10.0 ** d_scale
+        # sub-spectrum slots take the raw IEEE values; the rest undo
+        # the Laplacian flattening: stored = coeff * (n(n+1))^P
+        in_sub = np.repeat((ms <= msub) & (ns <= js), 2)
+        nn = np.repeat(ns, 2).astype(np.float64)[~in_sub]
+        vals = np.empty(total, dtype=np.float64)
+        vals[in_sub] = unpacked
+        vals[~in_sub] = y * (nn * (nn + 1.0)) ** (-p_scl)
+    return {"spectral": True, "number": number, "time": ref_ns,
+            "step": step_ns, "trunc": int(j), "m": ms, "n": ns,
+            "values": vals}
+
+
 def _decode_message(msg: bytes) -> dict:
     s = _sections(msg)
 
@@ -217,12 +357,15 @@ def _decode_message(msg: bytes) -> dict:
     ref_ns = calendar.timegm(
         (_u(s1[12:14]), s1[14], s1[15], s1[16], s1[17], s1[18])) * 10**9
 
-    # section 3: grid — template 3.0 regular lat/lon only
+    # section 3: grid — template 3.0 regular lat/lon, or 3.50 spherical
+    # harmonics (spectral branch)
     s3 = s[3]
     tmpl3 = _u(s3[12:14])
+    if tmpl3 == 50:
+        return _decode_spectral(s, ref_ns)
     if tmpl3 != 0:
         raise NotImplementedError(
-            f"grib2: grid template 3.{tmpl3} unsupported (3.0 only)")
+            f"grib2: grid template 3.{tmpl3} unsupported (3.0/3.50 only)")
     ni, nj = _u(s3[30:34]), _u(s3[34:38])
     la1, lo1 = _sm(s3[46:50]) / 1e6, _sm(s3[50:54]) / 1e6
     di, dj = _u(s3[63:67]) / 1e6, _u(s3[67:71]) / 1e6
@@ -235,16 +378,7 @@ def _decode_message(msg: bytes) -> dict:
     lats = la1 + np.arange(nj) * (dj if scan & 0x40 else -dj)
 
     # section 4: product — forecast step + ensemble member
-    s4 = s[4]
-    tmpl4 = _u(s4[7:9])
-    if tmpl4 not in (0, 1):
-        raise NotImplementedError(
-            f"grib2: product template 4.{tmpl4} unsupported (4.0/4.1 only)")
-    unit = s4[17]
-    if unit not in _NS_PER_UNIT:
-        raise NotImplementedError(f"grib2: time unit {unit} unsupported")
-    step_ns = _u(s4[18:22]) * _NS_PER_UNIT[unit]
-    number = s4[35] if tmpl4 == 1 else 0
+    step_ns, number = _product_info(s[4])
 
     # section 5: data representation — template 5.0 simple packing,
     # 5.2 complex packing, 5.3 complex + spatial differencing
@@ -252,8 +386,9 @@ def _decode_message(msg: bytes) -> dict:
     tmpl5 = _u(s5[9:11])
     if tmpl5 not in (0, 2, 3, 40, 42):
         raise NotImplementedError(
-            f"grib2: data template 5.{tmpl5} unsupported (5.0/5.2/5.3/"
-            "5.40/5.42 only; spectral needs cfgrib)")
+            f"grib2: data template 5.{tmpl5} unsupported on a lat/lon "
+            "grid (5.0/5.2/5.3/5.40/5.42 only; 5.50/5.51 ride grid "
+            "template 3.50)")
     if tmpl5 == 40 and len(s5) > 21 and s5[21] not in (0, 1, 255):
         raise NotImplementedError(
             f"grib2: JPEG2000 compression type {s5[21]} unsupported "
@@ -337,6 +472,10 @@ def grib2_to_dataframe(content: bytes, *,
     frames = []
     for msg in _iter_messages(content):
         m = _decode_message(msg)
+        if m.get("spectral"):
+            raise ValueError(
+                "grib2: spectral (grid template 3.50) message has no "
+                "lat/lon raster form — use spectral_to_dataframe")
         if member_filter == "cf" and m["number"] != 0:
             continue
         if member_filter == "pf" and m["number"] == 0:
@@ -357,6 +496,143 @@ def grib2_to_dataframe(content: bytes, *,
                                              "longitude", "time", "step",
                                              "valid_time", "dis24"]})
     return pd.concat(frames, ignore_index=True)
+
+
+def spectral_to_dataframe(content: bytes, *,
+                          member_filter: str | None = None
+                          ) -> pd.DataFrame:
+    """GRIB2 bytes carrying spectral messages (grid template 3.50, data
+    templates 5.50/5.51) → long-form coefficient rows (number, m, n,
+    time, step, valid_time, c_real, c_imag), one row per (m, n)
+    spherical-harmonic pair in the mode-1 ordering.  The spectral twin
+    of `grib2_to_dataframe`'s raster contract."""
+    frames = []
+    for msg in _iter_messages(content):
+        d = _decode_message(msg)
+        if not d.get("spectral"):
+            raise ValueError(
+                "grib2: lat/lon raster message in spectral_to_dataframe "
+                "— use grib2_to_dataframe")
+        if member_filter == "cf" and d["number"] != 0:
+            continue
+        if member_filter == "pf" and d["number"] == 0:
+            continue
+        pairs = d["values"].reshape(-1, 2)
+        npair = len(d["m"])
+        frames.append(pd.DataFrame({
+            "number": np.full(npair, d["number"], dtype=np.int64),
+            "m": d["m"],
+            "n": d["n"],
+            "time": np.full(npair, d["time"], dtype=np.int64),
+            "step": np.full(npair, d["step"], dtype=np.int64),
+            "valid_time": np.full(npair, d["time"] + d["step"],
+                                  dtype=np.int64),
+            "c_real": pairs[:, 0],
+            "c_imag": pairs[:, 1],
+        }))
+    if not frames:
+        return pd.DataFrame({c: [] for c in
+                             ["number", "m", "n", "time", "step",
+                              "valid_time", "c_real", "c_imag"]})
+    return pd.concat(frames, ignore_index=True)
+
+
+def _spectral_s3(j: int) -> bytes:
+    """Section 3, grid template 3.50: J/K/M (triangular: all J),
+    representation type 1 (associated Legendre), mode 1."""
+    grid = struct.pack(">III", j, j, j) + bytes([1, 1])
+    n_pairs = (j + 1) * (j + 2) // 2
+    return _sec(3, bytes([0]) + struct.pack(">I", 2 * n_pairs)
+                + bytes([0, 0]) + struct.pack(">H", 50) + grid)
+
+
+def build_spectral_message(coeffs, *, j: int, d_scale: int = 0,
+                           e_scale: int = 0, nbits: int = 16,
+                           member: int | None = None,
+                           year: int = 2024, month: int = 1, day: int = 1,
+                           ftime_hours: int = 24) -> bytes:
+    """Encode one GRIB2 spectral message (grid template 3.50, data
+    template 5.50: spectral simple packing).  `coeffs` are the
+    (J+1)(J+2) coefficient values (re/im interleaved, mode-1
+    ordering); coeffs[0] — the real part of (0,0) — rides unpacked in
+    DRS octets 21-24, the rest pack as
+    X = round(v·10^D − R) / 2^E with R = min(v·10^D).  With integer
+    coefficient values and D = E = 0 the round trip is exact (the
+    q_grib_spectral gate profile); R is float32-coerced first so the
+    decoder subtracts the identical reference."""
+    v = np.asarray(list(coeffs), dtype=np.float64)
+    n_pairs = (j + 1) * (j + 2) // 2
+    if v.size != 2 * n_pairs:
+        raise ValueError(
+            f"grib2: need {2 * n_pairs} coefficient values for T{j}, "
+            f"got {v.size}")
+    scaled = v[1:] * 10.0 ** d_scale
+    ref = float(np.float32(scaled.min() if scaled.size else 0.0))
+    xs = np.round((scaled - ref) / 2.0 ** e_scale).astype(np.int64)
+    if xs.size and (xs.min() < 0 or xs.max() >= (1 << nbits)):
+        raise ValueError(
+            f"grib2: packed spectral values do not fit in {nbits} bits")
+    packed = _pack_fields([(xs.tolist(), nbits)])
+    e_raw = abs(e_scale) | (0x8000 if e_scale < 0 else 0)
+    d_raw = abs(d_scale) | (0x8000 if d_scale < 0 else 0)
+    s5 = _sec(5, struct.pack(">I", xs.size) + struct.pack(">H", 50)
+              + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
+              + bytes([nbits]) + struct.pack(">f", float(v[0])))
+    return _assemble_with_s3(
+        _spectral_s3(j), s5, packed, member=member, year=year,
+        month=month, day=day, ftime_hours=ftime_hours)
+
+
+def build_spectral_complex_message(coeffs, *, j: int, js: int,
+                                   p: float = 1.0, d_scale: int = 0,
+                                   e_scale: int = 0, nbits: int = 16,
+                                   member: int | None = None,
+                                   year: int = 2024, month: int = 1,
+                                   day: int = 1,
+                                   ftime_hours: int = 24) -> bytes:
+    """Encode one GRIB2 spectral message (grid template 3.50, data
+    template 5.51: spectral complex packing).  The sub-spectrum n ≤ js
+    stores raw IEEE-32 values first in section 7; the remainder is
+    multiplied by the Laplacian operator (n(n+1))^p (flattening the
+    spectral decay — the packing-accuracy trick the template exists
+    for) and simple-packed.  `p` is stored sign-magnitude in 10^-6
+    units (octets 21-24).  With p = 1, integer products v·n(n+1), and
+    D = E = 0 the round trip is exact up to one IEEE division per
+    value — the q_grib_spectral gate profile."""
+    v = np.asarray(list(coeffs), dtype=np.float64)
+    n_pairs = (j + 1) * (j + 2) // 2
+    if v.size != 2 * n_pairs:
+        raise ValueError(
+            f"grib2: need {2 * n_pairs} coefficient values for T{j}, "
+            f"got {v.size}")
+    if js > j:
+        raise ValueError(f"grib2: sub-spectrum {js} exceeds field {j}")
+    ms, ns = _spectral_order(j)
+    in_sub = np.repeat((ms <= js) & (ns <= js), 2)
+    sub = v[in_sub].astype(np.float32)
+    nn = np.repeat(ns, 2).astype(np.float64)[~in_sub]
+    flat = v[~in_sub] * (nn * (nn + 1.0)) ** p
+    scaled = flat * 10.0 ** d_scale
+    ref = float(np.float32(scaled.min() if scaled.size else 0.0))
+    xs = np.round((scaled - ref) / 2.0 ** e_scale).astype(np.int64)
+    if xs.size and (xs.min() < 0 or xs.max() >= (1 << nbits)):
+        raise ValueError(
+            f"grib2: packed spectral values do not fit in {nbits} bits")
+    ts = int(sub.size)
+    body = struct.pack(f">{ts}f", *sub.tolist()) \
+        + _pack_fields([(xs.tolist(), nbits)])
+    p_micro = int(round(abs(p) * 1e6))
+    p_raw = p_micro | (0x80000000 if p < 0 else 0)
+    e_raw = abs(e_scale) | (0x8000 if e_scale < 0 else 0)
+    d_raw = abs(d_scale) | (0x8000 if d_scale < 0 else 0)
+    s5 = _sec(5, struct.pack(">I", v.size) + struct.pack(">H", 51)
+              + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
+              + bytes([nbits]) + struct.pack(">I", p_raw)
+              + struct.pack(">HHH", js, js, js)
+              + struct.pack(">I", ts) + bytes([1]))
+    return _assemble_with_s3(
+        _spectral_s3(j), s5, body, member=member, year=year,
+        month=month, day=day, ftime_hours=ftime_hours)
 
 
 def build_simple_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
@@ -530,6 +806,21 @@ def _assemble_message(s5: bytes, packed: bytes, *, nj: int, ni: int,
             + bytes([0]))
     s3 = _sec(3, bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
               + struct.pack(">H", 0) + grid)
+    return _assemble_with_s3(s3, s5, packed, member=member, year=year,
+                             month=month, day=day,
+                             ftime_hours=ftime_hours, s1=s1)
+
+
+def _assemble_with_s3(s3: bytes, s5: bytes, packed: bytes, *,
+                      member: int | None, year: int, month: int,
+                      day: int, ftime_hours: int,
+                      s1: bytes | None = None) -> bytes:
+    """Sections 1/4/6/7 scaffold around a caller-built grid section —
+    shared by the lat/lon (_assemble_message) and spectral encoders."""
+    if s1 is None:
+        s1 = _sec(1, struct.pack(">HHBBB", 0, 0, 2, 0, 1)
+                  + struct.pack(">HBBBBB", year, month, day, 0, 0, 0)
+                  + bytes([0, 1]))
     prod = (bytes([0, 4, 2, 0, 0]) + struct.pack(">HB", 0, 0) + bytes([1])
             + struct.pack(">I", ftime_hours)
             + bytes([1, 0]) + b"\x00" * 4 + bytes([255, 0]) + b"\x00" * 4)

@@ -23,8 +23,8 @@ the from-spec `sources/jpeg2000.py` codec),
 classic-format NetCDF (`sources/netcdf3.py`), and NetCDF-4/HDF5 in the
 default libnetcdf layout (`sources/hdf5.py`: contiguous/chunked +
 deflate/shuffle, dimension scales) — so genuine bytes decode in this
-container too.  Only exotic inputs (CCSDS/spectral/lossy-JPEG2000 GRIB packings,
-fractal-heap/v2-btree HDF5 features) still raise NotImplementedError
+container too.  Only exotic inputs (signed/restricted CCSDS profiles,
+pentagonal spectral truncations, multi-block HDF5 heaps) still raise NotImplementedError
 behind the import-try; `synthetic_grib_decoder` remains the
 deterministic stand-in for tests that need arbitrary planted values.
 """
@@ -54,10 +54,10 @@ def grib_decoder(content: bytes, *, member_filter: str | None = None) -> pd.Data
     databricks/glofas-transform.py:104-109).
 
     Dispatch: cfgrib/xarray when installed (full template coverage);
-    otherwise GRIB2 simple-/complex-/lossless-JPEG2000-packed lat/lon
+    otherwise GRIB2 simple-/complex-/JPEG2000-/CCSDS-packed lat/lon
     fields decode through the REAL dependency-free readers
-    (`sources.grib2`, `sources.jpeg2000`) — only CCSDS/spectral/lossy
-    packings require the ecCodes stack."""
+    (`sources.grib2`, `sources.jpeg2000`, `sources.ccsds121`) — only
+    out-of-profile residuals require the ecCodes stack."""
     try:
         import cfgrib  # noqa: F401
         import xarray as xr

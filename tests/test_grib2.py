@@ -245,3 +245,115 @@ def test_complex_packing_guards():
     with pytest.raises(ValueError, match="more values"):
         build_complex_message([1], nj=1, ni=1, la1=0, lo1=0, d=0.5,
                               order=1)
+
+
+# --- spectral: grid template 3.50, data templates 5.50/5.51 ------------
+
+
+def _spectral_fixture(j=4, seed=2):
+    rng = np.random.default_rng(seed)
+    n_pairs = (j + 1) * (j + 2) // 2
+    return rng.integers(0, 900, size=2 * n_pairs).astype(float)
+
+
+def test_spectral_simple_roundtrip_exact():
+    """5.50: integer coefficients with D=E=0 survive exactly; the (0,0)
+    real part rides unpacked in DRS octets 21-24."""
+    from flood_data_spark.sources.grib2 import (_spectral_order,
+                                                build_spectral_message,
+                                                spectral_to_dataframe)
+
+    coeffs = _spectral_fixture(j=4)
+    msg = build_spectral_message(coeffs, j=4, nbits=16, member=3)
+    pdf = spectral_to_dataframe(msg)
+    ms, ns = _spectral_order(4)
+    assert pdf["m"].tolist() == ms.tolist()
+    assert pdf["n"].tolist() == ns.tolist()
+    got = np.column_stack([pdf["c_real"], pdf["c_imag"]]).reshape(-1)
+    assert np.array_equal(got, coeffs)
+    assert (pdf["number"] == 3).all()
+    assert (pdf["valid_time"] - pdf["time"] == 86400 * 10**9).all()
+
+
+def test_spectral_complex_roundtrip_and_laplacian():
+    """5.51: the sub-spectrum rides raw IEEE-32, the remainder is
+    Laplacian-flattened then simple-packed.  p=1 on integer products
+    is exact; p=0.5 reconstructs within the quantization step."""
+    from flood_data_spark.sources.grib2 import (
+        _spectral_order, build_spectral_complex_message,
+        spectral_to_dataframe)
+
+    coeffs = _spectral_fixture(j=4, seed=5)
+    msg = build_spectral_complex_message(coeffs, j=4, js=2, p=1.0,
+                                         nbits=24)
+    got = spectral_to_dataframe(msg)
+    vals = np.column_stack([got["c_real"], got["c_imag"]]).reshape(-1)
+    assert np.array_equal(vals, coeffs)
+    # the packed tail really was Laplacian-scaled: decode with a
+    # truncated-to-zero P must NOT reproduce the input
+    msg_half = build_spectral_complex_message(coeffs, j=4, js=1, p=0.5,
+                                              nbits=24, d_scale=3)
+    got_h = spectral_to_dataframe(msg_half)
+    vals_h = np.column_stack([got_h["c_real"],
+                              got_h["c_imag"]]).reshape(-1)
+    assert not np.array_equal(vals_h, coeffs)
+    assert np.allclose(vals_h, coeffs, atol=2e-3)
+    ms, ns = _spectral_order(4)
+    in_sub = np.repeat((ms <= 1) & (ns <= 1), 2)
+    assert np.array_equal(vals_h[in_sub],
+                          coeffs[in_sub].astype(np.float32))
+
+
+def test_spectral_profile_guards():
+    """Out-of-profile spectral metadata raises loudly, never misparses:
+    pentagonal truncation, bad representation type/mode, wrong counts,
+    raster/spectral reader cross-calls."""
+    import pytest
+
+    from flood_data_spark.sources.grib2 import (build_simple_message,
+                                                build_spectral_message,
+                                                grib2_to_dataframe,
+                                                spectral_to_dataframe)
+
+    coeffs = _spectral_fixture(j=3)
+    msg = bytearray(build_spectral_message(coeffs, j=3))
+    with pytest.raises(ValueError, match="spectral_to_dataframe"):
+        grib2_to_dataframe(bytes(msg))
+    raster = build_simple_message([1, 2, 3, 4], nj=2, ni=2, la1=0.1,
+                                  lo1=0.1, d=0.5, nbits=8)
+    with pytest.raises(ValueError, match="grib2_to_dataframe"):
+        spectral_to_dataframe(raster)
+    # section 3 starts after section 1 (21 bytes of s1 + 16 of header);
+    # locate it by the template number bytes we wrote
+    s3_off = bytes(msg).find(b"\x00\x32", 16)     # template 50
+    assert s3_off > 0
+    # pentagonal: J != K (J at s3_off-... J field sits 12 bytes after
+    # the section-3 start; patch K instead — 4 bytes later)
+    pent = bytearray(msg)
+    k_off = s3_off + 2 + 4                         # past tmpl, past J
+    pent[k_off:k_off + 4] = struct.pack(">I", 9)
+    with pytest.raises(NotImplementedError, match="triangular"):
+        spectral_to_dataframe(bytes(pent))
+    badtype = bytearray(msg)
+    badtype[s3_off + 2 + 12] = 2                   # representation type
+    with pytest.raises(NotImplementedError, match="Legendre"):
+        spectral_to_dataframe(bytes(badtype))
+    badmode = bytearray(msg)
+    badmode[s3_off + 2 + 13] = 2                   # representation mode
+    with pytest.raises(NotImplementedError, match="mode"):
+        spectral_to_dataframe(bytes(badmode))
+
+
+def test_spectral_encoder_guards():
+    import pytest
+
+    from flood_data_spark.sources.grib2 import (
+        build_spectral_complex_message, build_spectral_message)
+
+    with pytest.raises(ValueError, match="coefficient values"):
+        build_spectral_message([1.0, 2.0], j=3)
+    with pytest.raises(ValueError, match="exceeds field"):
+        build_spectral_complex_message(_spectral_fixture(j=3), j=3, js=5)
+    with pytest.raises(ValueError, match="fit in"):
+        build_spectral_message([0.0, 70000.0] + [0.0] * 18, j=3,
+                               nbits=16)

@@ -43,12 +43,15 @@ residual delta to a non-negative code with theta = min(prev,
 xmax - prev): 2*delta for 0<=delta<=theta, -2*delta-1 for
 -theta<=delta<0, theta+|delta| beyond (a bijection of [0, xmax]).
 
-Caveat (the jpeg2000 lesson from ADVICE r10): validation is currently
-self-round-trip plus per-layer spec restatements — no independent
-libaec-produced fixture is available in this environment, so a
-mirrored error in both encoder and decoder would pass the suite; the
-GRIB dispatch therefore stays strict about flags it does not
-understand.
+Validation (the jpeg2000 lesson from ADVICE r10): layered round-trips
+and per-layer spec restatements, PLUS hand-assembled bit-level
+fixtures (tests/test_codec_fixtures.py, round 12) — frozen hex streams
+built clause-by-clause from the Blue Book with hand-computed expected
+samples, two of which deliberately use option codes this encoder would
+not pick, so decoder bugs mirrored into the encoder cannot hide.  No
+libaec binary exists in this environment; a real libaec-produced
+stream remains the one still-open piece of evidence, and the GRIB
+dispatch therefore stays strict about flags it does not understand.
 
 Reference behavior target: /root/reference/flood/etl/utils.py:3-14
 decodes any GRIB via cfgrib/ecCodes, which hands CCSDS payloads to

@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     # 3.4× session-position artifact), min-of-2, generation
     # pre-materialized off the clock
     "q_threshold_summary_x100",
+    "q_threshold_summary_skew",
+    "q_threshold_summary_skew_approx",
     "q_threshold_summary_x10",
     "q_peak_timing_x10",
     # round-11: the FULL E1 pipeline at 10x (detailed + control +
@@ -411,6 +413,52 @@ def _q_threshold_summary_x10(spark, sf_dir):
     return ensemble_threshold_summary(
         forecast, thresholds, accuracy_mode="exact",
         join_keys=("partkey",), group_keys=("partkey",))
+
+
+def _skewed_forecast(spark, sf_dir):
+    """The x10 tier with ONE planted hot cell: 25% of all rows (1.5M at
+    sf0.1) remap onto partkey 0 — a ~5000x-average cell, the 'single
+    cells carry disproportionate ensembles' hazard PLANS.md:1168 names
+    for the flagship's only corpus-sized shuffle.  The remap is one
+    map-side `when` over the cached tier, so the pair below measures
+    the aggregation plans, not data generation."""
+    from pyspark.sql import functions as F
+    return (spark.read.parquet(_scaled_lineitem_path(spark, sf_dir))
+            .select(F.when(F.col("l_orderkey") % 4 == 0, F.lit(0))
+                    .otherwise(F.col("l_partkey")).alias("partkey"),
+                    F.col("l_extendedprice").alias("dis24")))
+
+
+def _q_threshold_summary_skew(spark, sf_dir):
+    """Flagship exceedance summary on the hot-cell tier, EXACT
+    percentiles: the hot cell's every row must reach one reducer's
+    percentile buffer (exact percentile partials are the raw values —
+    salting cannot shrink what the final merge must hold), so this
+    entry measures the irreducible straggler."""
+    import __spark_entry__ as entry_mod
+    from flood_data_spark.operators.threshold import \
+        ensemble_threshold_summary
+    return ensemble_threshold_summary(
+        _skewed_forecast(spark, sf_dir), entry_mod._thresholds(spark, sf_dir),
+        accuracy_mode="exact", join_keys=("partkey",),
+        group_keys=("partkey",))
+
+
+def _q_threshold_summary_skew_approx(spark, sf_dir):
+    """The same hot-cell tier through the engine's documented skew
+    mitigation — accuracy_mode='approx': percentile_approx partials are
+    BOUNDED sketches built map-side, so the hot cell's reduce work is
+    merging ~32 sketches instead of buffering 1.5M raw values.  The
+    skew answer for this shape is the sketch, not salting (salting
+    spreads stage-1 but the stage-2 merge of exact buffers still holds
+    every row); measured ratio recorded in BASELINE.md/PLANS.md."""
+    import __spark_entry__ as entry_mod
+    from flood_data_spark.operators.threshold import \
+        ensemble_threshold_summary
+    return ensemble_threshold_summary(
+        _skewed_forecast(spark, sf_dir), entry_mod._thresholds(spark, sf_dir),
+        accuracy_mode="approx", join_keys=("partkey",),
+        group_keys=("partkey",))
 
 
 def _scaled_lineitem_path_x100(spark, sf_dir):
@@ -810,6 +858,8 @@ EXTRA_QUERIES = {
     "q_ts_pattern_full": _q_ts_pattern_full,
     "q_threshold_summary_x10": _q_threshold_summary_x10,
     "q_threshold_summary_x100": _q_threshold_summary_x100,
+    "q_threshold_summary_skew": _q_threshold_summary_skew,
+    "q_threshold_summary_skew_approx": _q_threshold_summary_skew_approx,
     "q_peak_timing_x10": _q_peak_timing_x10,
     "q_daily_pipeline_x10": _q_daily_pipeline_x10,
     "q_crps_x10": _q_crps_x10,
@@ -870,6 +920,8 @@ def main():
     # 3.1-23 s across six otherwise-identical runs; zero CPU steal) — the
     # min is the reproducible plan cost, the spread is the machine
     _MIN_OF_2 = {"q_threshold_summary_x10", "q_threshold_summary_x100",
+                 "q_threshold_summary_skew",
+                 "q_threshold_summary_skew_approx",
                  "q_peak_timing_x10", "q_daily_pipeline_x10",
                  "q_crps_x10",
                  "q_ngram_jaccard_capped_3k", "q_repeated_spans_full",

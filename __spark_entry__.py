@@ -2978,6 +2978,77 @@ def q_ece_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clf.crossJoin(F.broadcast(cells))
 
 
+def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical forecast verification
+    (operators/verification.contingency_scores): the 2x2 contingency
+    table of p = l_discount·10 >= 0.5 vs outcome returnflag = 'R', and
+    the POD/FAR/CSI/BIAS/Peirce/ETS/HSS skill ladder — one scan to four
+    integer counts, every score an exact integer ratio (`_idiv_half_up`,
+    sign-aware for worse-than-random PSS/ETS/HSS), NULL on zero
+    denominators.  Full value oracle mirroring each ratio in HUGEINT."""
+    from flood_data_spark.operators.verification import contingency_scores
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select((F.col("l_discount") * F.lit(10.0)).alias("p"),
+                    (F.col("l_returnflag") == "R").cast("int").alias("o"))
+    return contingency_scores(src, "p", "o", threshold=0.5) \
+        .select("n", "hits", "false_alarms", "misses",
+                "correct_negatives", "pod", "far", "csi", "bias",
+                "peirce", "ets", "hss")
+
+
+def q_quantile_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quantile (pinball) score per tau
+    (operators/verification.quantile_score): each cell's exact
+    tau-quantiles from ONE percentile buffer (the threshold-summary
+    trick; Spark `percentile` == DuckDB `quantile_cont` bit-for-bit),
+    then the mean pinball loss as an exact integer — 100·loss =
+    (qy − qq)(100·tau − 100·ind) on micro-quantized values.  Full value
+    oracle restating the whole chain."""
+    from flood_data_spark.operators.verification import quantile_score
+
+    return quantile_score(_verif_ensemble(spark, sf_dir),
+                          "l_quantity", "obs", ["l_orderkey"],
+                          taus=(0.1, 0.5, 0.9)) \
+        .select("tau", "n_cells", "qscore")
+
+
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the Brier bin rates
+    (operators/verification.isotonic_calibration): the minimax closed
+    form max_{i<=k} min_{j>=k} rate(i..j) over the SAME bin cells as
+    q_brier_decomp — prefix sums + a bin-bounded i<=k<=j triple join +
+    two grouped min/max, interval rates quantized once at 1e-12 so the
+    comparisons are integer.  Monotonicity and PAV-pooling equality are
+    pytest assertions; full value oracle restating the minimax in
+    HUGEINT."""
+    from flood_data_spark.operators.verification import (brier_cells,
+                                                         isotonic_calibration)
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select((F.col("l_discount") * F.lit(10.0)).alias("p"),
+                    (F.col("l_returnflag") == "R").cast("int").alias("o"))
+    return isotonic_calibration(brier_cells(src, "p", "o", n_bins=10)) \
+        .select("bin", "n", "o_rate", "iso_rate")
+
+
+def q_energy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate energy score over embedding 'ensembles'
+    (operators/verification.energy_score): cell = vec_id % 50, the
+    cell's minimum-id vector plays the observation, the rest the
+    members; ES = mean ||x_i − y|| − half mean pairwise ||x_i − x_j||,
+    norms quantized once to micro, final score one exact integer ratio.
+    The pairwise join is cell-bounded (m² per cell), never corpus².
+    Full value oracle (DuckDB list arithmetic mirrors the fold)."""
+    from flood_data_spark.operators.verification import energy_score
+
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select((F.col("vec_id") % 50).alias("cell"), "vec_id",
+                "embedding")
+    return energy_score(emb, "vec_id", "embedding", ["cell"]) \
+        .select("cell", "m", "energy")
+
+
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference-strength fitting
     (datapipe/preference.bradley_terry): lineitem rows play RLHF
@@ -3975,6 +4046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crps_stream": q_crps_stream,
         "q_ece_cells": q_ece_cells,
         "q_grib_spectral": q_grib_spectral,
+        "q_contingency_scores": q_contingency,
+        "q_quantile_score": q_quantile_score,
+        "q_isotonic": q_isotonic,
+        "q_energy_score": q_energy_score,
         # --- round 11: forecast verification (VERDICT r10 #2) ---
         "q_crps": q_crps,
         "q_rank_histogram": q_rank_histogram,
@@ -5380,6 +5455,161 @@ def oracle_sql() -> dict[str, str]:
             SELECT ce.ece_clf,
                    {idiv_half_up('vt.d', 'vt.nn', 1000000)} AS ece_cells
             FROM ce, vt
+        """,
+        # q_contingency_scores: the 2x2 table counts and each skill
+        # ratio restated in HUGEINT, NULL on zero denominators
+        "q_contingency_scores": f"""
+            WITH src AS (
+                SELECT l_discount * 10.0 AS p,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                           AS o
+                FROM lineitem),
+            t AS (SELECT
+                    CAST(sum(CASE WHEN p >= 0.5 AND o = 1 THEN 1
+                             ELSE 0 END) AS HUGEINT) AS a,
+                    CAST(sum(CASE WHEN p >= 0.5 AND o = 0 THEN 1
+                             ELSE 0 END) AS HUGEINT) AS b,
+                    CAST(sum(CASE WHEN p < 0.5 AND o = 1 THEN 1
+                             ELSE 0 END) AS HUGEINT) AS c,
+                    CAST(sum(CASE WHEN p < 0.5 AND o = 0 THEN 1
+                             ELSE 0 END) AS HUGEINT) AS d
+                  FROM src)
+            SELECT CAST(a + b + c + d AS BIGINT) AS n,
+                   CAST(a AS BIGINT) AS hits,
+                   CAST(b AS BIGINT) AS false_alarms,
+                   CAST(c AS BIGINT) AS misses,
+                   CAST(d AS BIGINT) AS correct_negatives,
+                   CASE WHEN a + c > 0 THEN
+                        {idiv_half_up('a * 1000000', 'a + c', 1000000)}
+                   END AS pod,
+                   CASE WHEN a + b > 0 THEN
+                        {idiv_half_up('b * 1000000', 'a + b', 1000000)}
+                   END AS far,
+                   CASE WHEN a + b + c > 0 THEN
+                        {idiv_half_up('a * 1000000', 'a + b + c',
+                                      1000000)}
+                   END AS csi,
+                   CASE WHEN a + c > 0 THEN
+                        {idiv_half_up('(a + b) * 1000000', 'a + c',
+                                      1000000)}
+                   END AS bias,
+                   CASE WHEN (a + c) * (b + d) > 0 THEN
+                        {idiv_half_up('(a * d - b * c) * 1000000',
+                                      '(a + c) * (b + d)', 1000000)}
+                   END AS peirce,
+                   CASE WHEN (a + b + c) * (a + b + c + d)
+                             - (a + b) * (a + c) > 0 THEN
+                        {idiv_half_up(
+                            '(a * (a + b + c + d)'
+                            ' - (a + b) * (a + c)) * 1000000',
+                            '(a + b + c) * (a + b + c + d)'
+                            ' - (a + b) * (a + c)', 1000000)}
+                   END AS ets,
+                   CASE WHEN (a + c) * (c + d) + (a + b) * (b + d)
+                             > 0 THEN
+                        {idiv_half_up(
+                            '2 * (a * d - b * c) * 1000000',
+                            '(a + c) * (c + d) + (a + b) * (b + d)',
+                            1000000)}
+                   END AS hss
+            FROM t
+        """,
+        # q_quantile_score: per-cell quantile_cont (bit-identical to
+        # Spark percentile), pinball loss as the exact integer
+        # 100·loss = (qy − qq)(100·tau − 100·ind), one half_up mean
+        "q_quantile_score": f"""
+            WITH {vens},
+            q AS (SELECT k, min(y) AS y,
+                         quantile_cont(x, 0.1) AS q10,
+                         quantile_cont(x, 0.5) AS q50,
+                         quantile_cont(x, 0.9) AS q90
+                  FROM ve GROUP BY k),
+            e AS (
+                SELECT 0.1 AS tau, 10 AS ht, q10 AS qv, y FROM q
+                UNION ALL
+                SELECT 0.5, 50, q50, y FROM q
+                UNION ALL
+                SELECT 0.9, 90, q90, y FROM q),
+            m AS (SELECT tau,
+                         CAST(sign(qv) * floor(abs(qv) * 1000000 + 0.5)
+                              AS HUGEINT) AS qq,
+                         CAST(sign(y) * floor(abs(y) * 1000000 + 0.5)
+                              AS HUGEINT) AS qy,
+                         ht
+                  FROM e),
+            s AS (SELECT tau, CAST(count(*) AS HUGEINT) AS n,
+                         sum((qy - qq) * (ht - 100 * CASE WHEN qy < qq
+                             THEN 1 ELSE 0 END)) AS sl
+                  FROM m GROUP BY tau)
+            SELECT tau, CAST(n AS BIGINT) AS n_cells,
+                   {idiv_half_up('sl', 'n * 100', 1000000)} AS qscore
+            FROM s
+        """,
+        # q_isotonic: the PAV minimax closed form restated — prefix
+        # sums over the q_brier_decomp bin cells, i<=k<=j interval
+        # rates at 1e-12 integer resolution, grouped min then max
+        "q_isotonic": f"""
+            WITH src AS (
+                SELECT l_discount * 10.0 AS p,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                           AS o
+                FROM lineitem),
+            c AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS b,
+                         CAST(count(*) AS HUGEINT) AS nk,
+                         CAST(sum(o) AS HUGEINT) AS so_k
+                  FROM src GROUP BY 1),
+            pf AS (SELECT b, nk, so_k,
+                          sum(nk) OVER (ORDER BY b) AS cn,
+                          sum(so_k) OVER (ORDER BY b) AS cs
+                   FROM c),
+            lo AS (SELECT b AS i, cn - nk AS cn0, cs - so_k AS cs0
+                   FROM pf),
+            hi AS (SELECT b AS j, cn AS cn1, cs AS cs1 FROM pf),
+            pr AS (SELECT i, j,
+                          {idiv_int('(cs1 - cs0) * 1000000000000',
+                                    'cn1 - cn0')} AS r
+                   FROM lo, hi WHERE i <= j),
+            mn AS (SELECT k.b AS kb, pr.i, min(pr.r) AS mnr
+                   FROM c k JOIN pr ON pr.i <= k.b AND k.b <= pr.j
+                   GROUP BY 1, 2),
+            mx AS (SELECT kb, max(mnr) AS iso FROM mn GROUP BY kb)
+            SELECT c.b AS bin, CAST(c.nk AS BIGINT) AS n,
+                   {idiv_half_up('c.so_k * 1000000', 'c.nk', 1000000)}
+                       AS o_rate,
+                   {idiv_half_up('mx.iso', '1000000', 1000000)}
+                       AS iso_rate
+            FROM c JOIN mx ON c.b = mx.kb
+        """,
+        # q_energy_score: cell-bounded pairwise Euclidean norms
+        # (list_distance mirrors the left-fold + IEEE sqrt), each norm
+        # micro-quantized once, ES as one exact integer ratio
+        "q_energy_score": f"""
+            WITH v AS (SELECT vec_id % 50 AS cell, vec_id,
+                              CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            ov AS (SELECT cell, min(vec_id) AS ovid FROM v GROUP BY 1),
+            obs AS (SELECT ov.cell, v.e AS y
+                    FROM ov JOIN v ON v.vec_id = ov.ovid),
+            mem AS (SELECT v.cell, v.vec_id, v.e
+                    FROM v JOIN ov ON v.cell = ov.cell
+                    WHERE v.vec_id <> ov.ovid),
+            t1 AS (SELECT m.cell, CAST(count(*) AS HUGEINT) AS mm,
+                          sum(CAST(floor(list_distance(m.e, obs.y)
+                                         * 1000000 + 0.5) AS HUGEINT))
+                              AS s1
+                   FROM mem m JOIN obs ON m.cell = obs.cell
+                   GROUP BY 1),
+            t2 AS (SELECT a.cell,
+                          sum(CAST(floor(list_distance(a.e, b.e)
+                                         * 1000000 + 0.5) AS HUGEINT))
+                              AS s2
+                   FROM mem a JOIN mem b
+                        ON a.cell = b.cell AND a.vec_id < b.vec_id
+                   GROUP BY 1)
+            SELECT t1.cell, CAST(t1.mm AS BIGINT) AS m,
+                   {idiv_half_up('t1.s1 * t1.mm - COALESCE(t2.s2, 0)',
+                                 't1.mm * t1.mm', 1000000)} AS energy
+            FROM t1 LEFT JOIN t2 ON t1.cell = t2.cell
         """,
         # q_rank_histogram: rank = 1 + strictly-below count on the RAW
         # doubles (ties below the observation), then the histogram

@@ -47,11 +47,15 @@ from flood_data_spark.operators.experiment import (
 )
 from flood_data_spark.operators.verification import (
     brier_decomposition,
+    contingency_scores,
     crps_ensemble,
     crps_from_member_cells,
     crps_hersbach,
     crps_member_cells,
     ece_from_cells,
+    energy_score,
+    isotonic_calibration,
+    quantile_score,
     rank_histogram,
     reliability_diagram,
     spread_skill,
@@ -75,4 +79,6 @@ __all__ = [
     "crps_ensemble", "rank_histogram", "brier_decomposition",
     "spread_skill", "reliability_diagram", "crps_hersbach",
     "crps_member_cells", "crps_from_member_cells", "ece_from_cells",
+    "contingency_scores", "quantile_score", "isotonic_calibration",
+    "energy_score",
 ]

@@ -451,6 +451,246 @@ def reliability_diagram(df: DataFrame, prob_col: str, outcome_col: str,
             .orderBy("bin"))
 
 
+def contingency_scores(df: DataFrame, prob_col: str, outcome_col: str,
+                       threshold: float = 0.5) -> DataFrame:
+    """Categorical verification of a probability forecast dichotomized
+    at `threshold` — the 2x2 contingency table (hits a, false alarms b,
+    misses c, correct negatives d) and the standard skill ladder a
+    GloFAS-style exceedance product is judged by:
+
+        POD  = a/(a+c)                    (hit rate)
+        FAR  = b/(a+b)                    (false-alarm ratio)
+        CSI  = a/(a+b+c)                  (threat score)
+        BIAS = (a+b)/(a+c)                (frequency bias)
+        PSS  = (a·d − b·c)/((a+c)(b+d))   (Peirce / true skill)
+        ETS  = (a·n − (a+b)(a+c)) / ((a+b+c)·n − (a+b)(a+c))
+        HSS  = 2(a·d − b·c) / ((a+c)(c+d) + (a+b)(b+d))
+
+    ONE scan to four integer counts; every score is an EXACT integer
+    ratio rounded once via `_idiv_half_up` (ETS's random-hits term
+    (a+b)(a+c)/n clears its denominator into the ratio, so nothing is
+    rounded early).  Scores with a zero denominator return NULL, never
+    Inf/NaN.  Returns one row; empty input yields one row of zero
+    counts with NULL scores (the global-agg contract)."""
+    dec = "decimal(38,0)"
+    p = F.col(prob_col).cast("double")
+    o = F.col(outcome_col).cast("int")
+    fy = (p >= F.lit(float(threshold))).cast("int")
+    cnt = df.agg(
+        F.coalesce(F.sum(fy * o), F.lit(0)).cast(dec).alias("a"),
+        F.coalesce(F.sum(fy * (1 - o)), F.lit(0)).cast(dec).alias("b"),
+        F.coalesce(F.sum((1 - fy) * o), F.lit(0)).cast(dec).alias("c"),
+        F.coalesce(F.sum((1 - fy) * (1 - o)), F.lit(0)).cast(dec)
+        .alias("d"))
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = a + b + c + d
+    mega_f = F.lit(float(MICRO))
+
+    def ratio(num, den):
+        # _idiv_half_up is sign-aware, so negative numerators (PSS,
+        # ETS, HSS of a worse-than-random forecast) round half away
+        # from zero exactly like the oracle's HUGEINT twin
+        return F.when(den > 0, _idiv_half_up(num * _mega(), den)
+                      .cast("double") / mega_f) \
+            .otherwise(F.lit(None).cast("double"))
+
+    ets_den = (a + b + c) * n - (a + b) * (a + c)
+    hss_den = (a + c) * (c + d) + (a + b) * (b + d)
+    pss_num = a * d - b * c
+    return cnt.select(
+        n.cast("long").alias("n"),
+        a.cast("long").alias("hits"),
+        b.cast("long").alias("false_alarms"),
+        c.cast("long").alias("misses"),
+        d.cast("long").alias("correct_negatives"),
+        ratio(a, a + c).alias("pod"),
+        ratio(b, a + b).alias("far"),
+        ratio(a, a + b + c).alias("csi"),
+        ratio(a + b, a + c).alias("bias"),
+        ratio(pss_num, (a + c) * (b + d)).alias("peirce"),
+        ratio(a * n - (a + b) * (a + c), ets_den).alias("ets"),
+        ratio(2 * pss_num, hss_den).alias("hss"))
+
+
+def quantile_score(df: DataFrame, value_col: str, obs_col: str,
+                   group_keys, taus=(0.1, 0.5, 0.9)) -> DataFrame:
+    """Ensemble quantile (pinball) score: per cell, the exact
+    tau-quantile of the m members, then the mean pinball loss against
+    the observation over all cells, one row per tau:
+
+        QS_tau = (1/n) Σ_cells (y − q_tau) · (tau − 1{y < q_tau})
+
+    Proper for the tau-quantile; QS_0.5 is half the MAE of the median.
+    ONE cell-keyed exchange computes every requested quantile from a
+    single percentile buffer (the threshold-summary trick), then a
+    tau-bounded explode and one (tau)-keyed integer reduction.  Each
+    tau must be a multiple of 0.01: with y and q micro-quantized,
+    100·loss = (qy − qq)·(100·tau − 100·ind) is an EXACT integer, so
+    the cell sums are order-free and the final mean rounds once via
+    `_idiv_half_up` (spark `percentile` == DuckDB `quantile_cont`
+    bit-for-bit, so the oracle mirrors the whole chain).  Returns
+    (tau, n_cells, qscore) sorted by tau."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("quantile_score: need at least one group key")
+    taus = [float(t) for t in taus]
+    for t in taus:
+        ht = round(t * 100)
+        if abs(t * 100 - ht) > 1e-9 or not 0 <= ht <= 100:
+            raise ValueError(
+                f"quantile_score: tau {t} must be a multiple of 0.01 "
+                "in [0, 1] (keeps the loss an exact integer)")
+    dec = "decimal(38,0)"
+    cells = (df.groupBy(*keys)
+             .agg(F.percentile(F.col(value_col).cast("double"),
+                               F.array(*[F.lit(t) for t in taus]))
+                  .alias("_qs"),
+                  F.min(_micro(F.col(obs_col))).alias("_qy")))
+    per_tau = cells.select(
+        F.col("_qy"),
+        F.posexplode("_qs").alias("_i", "_q"))
+    qq = _micro(F.col("_q"))
+    ht = F.element_at(F.array(*[F.lit(int(round(t * 100)))
+                                for t in taus]), F.col("_i") + 1)
+    ind = (F.col("_qy") < qq).cast("int")
+    loss100 = ((F.col("_qy") - qq) * (ht - 100 * ind)).cast(dec)
+    agg = (per_tau.groupBy("_i")
+           .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
+                F.sum(loss100).alias("_s")))
+    tau_col = F.element_at(F.array(*[F.lit(t) for t in taus]),
+                           F.col("_i") + 1)
+    qscore = (_idiv_half_up(F.col("_s"),
+                            F.col("_n") * F.lit(100).cast(dec))
+              .cast("double") / F.lit(float(MICRO)))
+    return (agg.select(tau_col.alias("tau"),
+                       F.col("_n").cast("long").alias("n_cells"),
+                       qscore.alias("qscore"))
+            .orderBy("tau"))
+
+
+def isotonic_calibration(cells: DataFrame) -> DataFrame:
+    """Isotonic (PAV) calibration of the per-bin observed rates from
+    the `brier_cells` relation, via the minimax closed form of
+    pool-adjacent-violators:
+
+        iso_k = max_{i<=k} min_{j>=k} (Σ_{i..j} so) / (Σ_{i..j} n)
+
+    — the weighted isotonic regression of o_rate on bin index, the
+    non-parametric recalibration map (the classifier family's Platt
+    scaling is its parametric sibling).  PAV's sequential pooling loop
+    does not distribute, but the minimax identity is pure relational
+    algebra over the ≤ n_bins occupied bins: prefix sums, an i <= k <=
+    j triple join of bin-bounded relations (≤ B³ rows, B ≤ ~20 — never
+    corpus-sized; the corpus was reduced by `brier_cells`' one scan),
+    and two grouped min/max.  Interval rates quantize once at 1e-12
+    (half_up(so·1e12/n)) so the min/max comparisons are integer
+    comparisons — identical in every engine; monotonicity of iso_rate
+    is exact by construction and asserted in pytest.  Returns
+    (bin, n, o_rate, iso_rate) sorted by bin."""
+    dec = "decimal(38,0)"
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    pre = cells.select("_b", "_n", "_so") \
+        .withColumn("_cn", F.sum("_n").over(w)) \
+        .withColumn("_cs", F.sum("_so").over(w))
+    lo = pre.select(F.col("_b").alias("_i"),
+                    (F.col("_cn") - F.col("_n")).alias("_cn0"),
+                    (F.col("_cs") - F.col("_so")).alias("_cs0"))
+    hi = pre.select(F.col("_b").alias("_j"),
+                    F.col("_cn").alias("_cn1"),
+                    F.col("_cs").alias("_cs1"))
+    tera = F.lit(10 ** 12).cast(dec)
+    pairs = (lo.join(hi, F.col("_i") <= F.col("_j"))
+             .select("_i", "_j",
+                     _idiv_half_up((F.col("_cs1") - F.col("_cs0"))
+                                   * tera,
+                                   F.col("_cn1") - F.col("_cn0"))
+                     .cast(dec).alias("_r")))
+    ks = cells.select(F.col("_b").alias("_k"))
+    inner = (pairs.join(ks, (F.col("_i") <= F.col("_k"))
+                        & (F.col("_k") <= F.col("_j")))
+             .groupBy("_k", "_i")
+             .agg(F.min("_r").alias("_mn"))
+             .groupBy("_k")
+             .agg(F.max("_mn").alias("_iso")))
+    mega_f = F.lit(float(MICRO))
+    o_rate = (_idiv_half_up(F.col("_so") * _mega(), F.col("_n"))
+              .cast("double") / mega_f)
+    # display rounding of the 1e-12 integer: one more exact half_up
+    iso = (_idiv_half_up(F.col("_iso"), F.lit(10 ** 6).cast(dec))
+           .cast("double") / mega_f)
+    return (cells.join(inner, cells["_b"] == inner["_k"])
+            .select(F.col("_b").alias("bin"),
+                    F.col("_n").cast("long").alias("n"),
+                    o_rate.alias("o_rate"),
+                    iso.alias("iso_rate"))
+            .orderBy("bin"))
+
+
+def energy_score(df: DataFrame, id_col: str, vec_col: str,
+                 group_keys) -> DataFrame:
+    """Multivariate energy score (Gneiting & Raftery 2007) — the
+    vector-valued generalization of CRPS — per group, treating the
+    group's MINIMUM-id vector as the observation y and the rest as the
+    m ensemble members:
+
+        ES = (1/m) Σ_i ||x_i − y|| − (1/(2m²)) Σ_{i,j} ||x_i − x_j||
+
+    Distances are left-fold float sums over the vector dims + one IEEE
+    sqrt (both engines evaluate the identical expression tree), each
+    norm quantized ONCE to integer micro-units; the pairwise term uses
+    the symmetric i<j sum doubled (diagonal is zero), so both sums are
+    order-free integers and the final score is one exact integer ratio
+    (2·Σ_i·m − Σ_{i<j}·2... assembled in integer space, half_up once).
+    The pairwise join is GROUP-bounded (m² per cell, m = ensemble
+    size), never corpus²: cells × m² total candidate volume — the
+    dedup-family bucket argument.  Returns (group, m, energy) sorted by
+    group."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("energy_score: need at least one group key")
+    dec = "decimal(38,0)"
+    wmin = Window.partitionBy(*keys)
+    base = df.select(*keys, F.col(id_col).alias("_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v")) \
+        .withColumn("_obs_id", F.min("_id").over(wmin))
+    obs = base.filter(F.col("_id") == F.col("_obs_id")) \
+        .select(*keys, F.col("_v").alias("_y"))
+    mem = base.filter(F.col("_id") != F.col("_obs_id")) \
+        .select(*keys, "_id", "_v")
+
+    def dist(a, b):
+        s = F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        return F.sqrt(s)
+
+    qd = (F.floor(dist(F.col("_v"), F.col("_y")) * MICRO + F.lit(0.5))
+          .cast("long"))
+    t1 = (mem.join(obs, keys)
+          .groupBy(*keys)
+          .agg(F.count(F.lit(1)).cast(dec).alias("m"),
+               F.sum(qd).cast(dec).alias("_s1")))
+    m2 = mem.select(*keys, F.col("_id").alias("_id2"),
+                    F.col("_v").alias("_v2"))
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+    qp = (F.floor(dist(F.col("a._v"), F.col("b._v2")) * MICRO
+                  + F.lit(0.5)).cast("long"))
+    t2 = (mem.alias("a").join(m2.alias("b"),
+                              cond + [F.col("a._id") < F.col("b._id2")])
+          .groupBy(*[F.col(f"a.{k}").alias(k) for k in keys])
+          .agg(F.sum(qp).cast(dec).alias("_s2")))
+    joined = t1.join(t2, keys, "left") \
+        .withColumn("_s2", F.coalesce(F.col("_s2"), F.lit(0).cast(dec)))
+    m = F.col("m")
+    # ES·1e6 = (s1·m − s2) / m²   (s2 counts i<j once; the symmetric
+    # double and the 1/2 cancel)
+    es = (_idiv_half_up(F.col("_s1") * m - F.col("_s2"), m * m)
+          .cast("double") / F.lit(float(MICRO)))
+    return (joined.select(*keys, m.cast("long").alias("m"),
+                          es.alias("energy"))
+            .orderBy(*keys))
+
+
 def spread_skill(df: DataFrame, value_col: str, obs_col: str,
                  group_keys, lead_col: str) -> DataFrame:
     """Spread-skill relation per lead time: ensemble spread (mean

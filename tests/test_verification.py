@@ -442,3 +442,200 @@ def test_ece_empty_input_yields_one_null_row(spark):
     df = spark.createDataFrame([], "p double, o int")
     rows = ece_from_cells(brier_cells(df, "p", "o", 10)).collect()
     assert len(rows) == 1 and rows[0].ece is None
+
+
+# --- contingency skill scores ------------------------------------------
+
+
+def test_contingency_golden_and_null_guards(spark):
+    from flood_data_spark.operators.verification import contingency_scores
+
+    rows = [(0.8, 1), (0.7, 0), (0.2, 1), (0.1, 0),
+            (0.9, 1), (0.6, 0), (0.3, 0), (0.55, 1)]
+    df = spark.createDataFrame(rows, "p double, o int")
+    r = contingency_scores(df, "p", "o", 0.5).collect()[0]
+    a, b, c, d, n = 3, 2, 1, 2, 8
+    assert (r.n, r.hits, r.false_alarms, r.misses,
+            r.correct_negatives) == (n, a, b, c, d)
+    assert r.pod == pytest.approx(a / (a + c), abs=1e-6)
+    assert r.far == pytest.approx(b / (a + b), abs=1e-6)
+    assert r.csi == pytest.approx(a / (a + b + c), abs=1e-6)
+    assert r.bias == pytest.approx((a + b) / (a + c), abs=1e-6)
+    assert r.peirce == pytest.approx(
+        (a * d - b * c) / ((a + c) * (b + d)), abs=1e-6)
+    ar = (a + b) * (a + c) / n
+    assert r.ets == pytest.approx((a - ar) / (a + b + c - ar), abs=1e-6)
+    assert r.hss == pytest.approx(
+        2 * (a * d - b * c) / ((a + c) * (c + d) + (a + b) * (b + d)),
+        abs=1e-6)
+    # all-positive outcomes: b = d = 0 -> peirce NULL, far defined
+    allpos = spark.createDataFrame([(0.9, 1), (0.1, 1)],
+                                   "p double, o int")
+    r2 = contingency_scores(allpos, "p", "o", 0.5).collect()[0]
+    assert r2.peirce is None            # (b+d) = 0
+    assert r2.hss == pytest.approx(0.0, abs=1e-6)  # den = (a+c)(c+d)+(a+b)(b+d) > 0
+    assert r2.pod == pytest.approx(0.5, abs=1e-6)
+    # empty input: one row, zero counts, NULL scores
+    r3 = contingency_scores(
+        spark.createDataFrame([], "p double, o int"),
+        "p", "o").collect()
+    assert len(r3) == 1 and r3[0].n == 0 and r3[0].pod is None
+
+
+def test_contingency_negative_skill_rounds_sign_aware(spark):
+    """A systematically WRONG forecast has negative PSS/ETS/HSS; the
+    sign-aware integer rounding must not clamp or flip it."""
+    from flood_data_spark.operators.verification import contingency_scores
+
+    rows = [(0.9, 0)] * 3 + [(0.1, 1)] * 3
+    df = spark.createDataFrame(rows, "p double, o int")
+    r = contingency_scores(df, "p", "o", 0.5).collect()[0]
+    assert r.peirce == pytest.approx(-1.0, abs=1e-6)
+    assert r.hss == pytest.approx(-1.0, abs=1e-6)
+
+
+# --- ensemble quantile (pinball) score ----------------------------------
+
+
+def test_quantile_score_matches_numpy(spark):
+    from flood_data_spark.operators.verification import quantile_score
+
+    df, truth = _ens_fixture(spark, n_groups=25, m=7, seed=13)
+    out = {r.tau: (r.n_cells, r.qscore) for r in
+           quantile_score(df, "x", "y", ["cell"],
+                          taus=(0.1, 0.5, 0.9)).collect()}
+    for tau in (0.1, 0.5, 0.9):
+        tot = 0.0
+        for xs, y in truth.values():
+            q = float(np.quantile(xs, tau, method="linear"))
+            tot += (y - q) * (tau - (1 if y < q else 0))
+        n, got = out[tau]
+        assert n == len(truth)
+        assert got == pytest.approx(tot / len(truth), abs=3e-6)
+
+
+def test_quantile_score_median_is_half_mae_and_tau_guard(spark):
+    from flood_data_spark.operators.verification import quantile_score
+
+    df, truth = _ens_fixture(spark, n_groups=10, m=5, seed=17)
+    row = quantile_score(df, "x", "y", ["cell"], taus=(0.5,)) \
+        .collect()[0]
+    mae = np.mean([abs(y - np.median(xs)) for xs, y in truth.values()])
+    assert row.qscore == pytest.approx(mae / 2, abs=2e-6)
+    with pytest.raises(ValueError, match="multiple of 0.01"):
+        quantile_score(df, "x", "y", ["cell"], taus=(0.123,))
+
+
+# --- isotonic calibration (PAV minimax) ---------------------------------
+
+
+def _pav_ref(ws, ss):
+    """Sequential pool-adjacent-violators on (weight, success) pairs —
+    the loop the relational minimax must reproduce."""
+    blocks = []
+    for w, s in zip(ws, ss):
+        blocks.append([w, s])
+        while len(blocks) > 1 and (blocks[-2][1] * blocks[-1][0]
+                                   > blocks[-1][1] * blocks[-2][0]):
+            w2, s2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+    out = []
+    bi = 0
+    for w, s in blocks:
+        cacc = 0
+        while cacc < w:
+            cacc += ws[bi]
+            out.append(s / w)
+            bi += 1
+    return out
+
+
+def test_isotonic_equals_sequential_pav(spark):
+    from flood_data_spark.operators.verification import (
+        brier_cells, isotonic_calibration)
+
+    rng = np.random.default_rng(8)
+    rows = [(float((k % 100 + 0.5) / 100),
+             int(rng.random() < (k % 100) / 130 + 0.05))
+            for k in range(3000)]
+    df = spark.createDataFrame(rows, "p double, o int")
+    cells = brier_cells(df, "p", "o", 10)
+    got = isotonic_calibration(cells).collect()
+    craw = sorted(cells.collect(), key=lambda r: r["_b"])
+    ref = _pav_ref([int(r["_n"]) for r in craw],
+                   [int(r["_so"]) for r in craw])
+    for g, e in zip(got, ref):
+        assert g.iso_rate == pytest.approx(e, abs=2e-6)
+    # monotone by construction
+    rates = [g.iso_rate for g in got]
+    assert all(x <= y + 1e-12 for x, y in zip(rates, rates[1:]))
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    from flood_data_spark.operators.verification import (
+        brier_cells, isotonic_calibration)
+
+    rows = [(0.05, 0)] * 10 + [(0.45, 1)] * 4 + [(0.45, 0)] * 6 \
+        + [(0.95, 1)] * 9 + [(0.95, 0)] * 1
+    df = spark.createDataFrame(rows, "p double, o int")
+    got = isotonic_calibration(brier_cells(df, "p", "o", 10)).collect()
+    for r in got:
+        assert r.iso_rate == pytest.approx(r.o_rate, abs=1e-6)
+
+
+def test_isotonic_partition_invariant(spark):
+    from flood_data_spark.operators.verification import (
+        brier_cells, isotonic_calibration)
+
+    rng = np.random.default_rng(30)
+    rows = [(float(rng.random()), int(rng.random() < 0.4))
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "p double, o int")
+    a = isotonic_calibration(brier_cells(df, "p", "o", 10)).collect()
+    b = isotonic_calibration(
+        brier_cells(df.repartition(7), "p", "o", 10)).collect()
+    assert a == b
+
+
+# --- multivariate energy score ------------------------------------------
+
+
+def test_energy_score_matches_numpy(spark):
+    from flood_data_spark.operators.verification import energy_score
+
+    rng = np.random.default_rng(19)
+    rows, vecs = [], {}
+    for g in range(5):
+        for i in range(6):
+            v = rng.normal(size=12)
+            vecs[(g, i)] = v
+            rows.append((g, g * 10 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "cell int, vid long,"
+                                     " emb array<double>")
+    got = {r.cell: (r.m, r.energy) for r in
+           energy_score(df, "vid", "emb", ["cell"]).collect()}
+    for g in range(5):
+        y = vecs[(g, 0)]
+        mem = [vecs[(g, i)] for i in range(1, 6)]
+        m = len(mem)
+        t1 = sum(np.linalg.norm(x - y) for x in mem) / m
+        t2 = sum(np.linalg.norm(p - q) for p in mem for q in mem) \
+            / (2 * m * m)
+        assert got[g][0] == m
+        assert got[g][1] == pytest.approx(t1 - t2, abs=3e-6)
+
+
+def test_energy_score_m1_is_plain_distance(spark):
+    """One member: the pairwise term vanishes, ES = ||x - y||; a cell
+    with ONLY the observation has no members and drops out."""
+    from flood_data_spark.operators.verification import energy_score
+
+    rows = [(0, 1, [0.0, 0.0]), (0, 2, [3.0, 4.0]),
+            (1, 9, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "cell int, vid long,"
+                                     " emb array<double>")
+    out = energy_score(df, "vid", "emb", ["cell"]).collect()
+    assert len(out) == 1
+    assert out[0].cell == 0 and out[0].m == 1
+    assert out[0].energy == pytest.approx(5.0, abs=1e-6)

@@ -3049,6 +3049,88 @@ def q_energy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", "m", "energy")
 
 
+def _rlhf_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the RLHF-curation gates: each order is a
+    'prompt', its lineitems the sampled responses (rid =
+    l_linenumber), reward = l_extendedprice/1000 — deterministic and
+    mirrored literally in the oracles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(F.col("l_orderkey").alias("prompt"),
+                     F.col("l_linenumber").cast("long").alias("rid"),
+                     (F.col("l_extendedprice") / F.lit(1000.0))
+                     .alias("reward"))
+
+
+def q_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage normalization
+    (datapipe/rlhf.group_advantages — the GRPO estimator): per-prompt
+    mean/std from ONE exchange of exact integer partials, adv =
+    (r−mean)/std assembled as one integer ratio over qstdn =
+    floor(sqrt(SS·n − S²)+0.5) (the single float seam — an IEEE sqrt
+    of an exact integer, identical in every engine), zero for
+    degenerate groups.  Full value oracle mirroring the whole chain."""
+    from flood_data_spark.datapipe.rlhf import group_advantages
+
+    return group_advantages(_rlhf_src(spark, sf_dir),
+                            "prompt", "rid", "reward") \
+        .select("prompt", "rid", "reward", "advantage")
+
+
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n response selection (datapipe/rlhf.best_of_n): per
+    prompt the max-reward response with the deterministic
+    smallest-id tiebreak, via ONE struct-max aggregate — no window, no
+    second exchange.  Full value oracle (row_number twin)."""
+    from flood_data_spark.datapipe.rlhf import best_of_n
+
+    return best_of_n(_rlhf_src(spark, sf_dir),
+                     "prompt", "rid", "reward") \
+        .select("prompt", "best_id", "best_reward", "n_candidates")
+
+
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO chosen/rejected pair construction (datapipe/rlhf.dpo_pairs):
+    per prompt the best-vs-worst response pair (deterministic
+    tiebreaks), groups with >= 2 responses and a strictly positive
+    micro-quantized margin — ONE struct-min/max aggregate.  The pairs
+    feed datapipe/preference.bradley_terry downstream.  Full value
+    oracle."""
+    from flood_data_spark.datapipe.rlhf import dpo_pairs
+
+    return dpo_pairs(_rlhf_src(spark, sf_dir),
+                     "prompt", "rid", "reward") \
+        .select("prompt", "chosen_id", "rejected_id", "chosen_reward",
+                "rejected_reward", "margin")
+
+
+def q_stream_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED categorical verification
+    (streaming/file_stream.contingency_count_stream + the SAME
+    verification.contingency_from_counts finisher as batch
+    q_contingency_scores): the 2x2 table aggregates in complete mode
+    (state = 4 DECIMAL cells), the shared integer-space skill ladder
+    runs on the materialized counts.  The oracle IS the batch SQL —
+    stream/batch parity of all seven scores."""
+    from flood_data_spark.operators.verification import \
+        contingency_from_counts
+    from flood_data_spark.streaming.file_stream import \
+        contingency_count_stream
+
+    def build(stream):
+        src = stream.select(
+            (F.col("l_discount") * F.lit(10.0)).alias("p"),
+            (F.col("l_returnflag") == "R").cast("int").alias("o"))
+        return contingency_count_stream(src, "p", "o", threshold=0.5)
+
+    cnt = _run_file_stream(
+        spark, f"{sf_dir}/lineitem.parquet", build, "stream_cont_",
+        output_mode="complete")
+    return contingency_from_counts(cnt) \
+        .select("n", "hits", "false_alarms", "misses",
+                "correct_negatives", "pod", "far", "csi", "bias",
+                "peirce", "ets", "hss")
+
+
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference-strength fitting
     (datapipe/preference.bradley_terry): lineitem rows play RLHF
@@ -4050,6 +4132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_score": q_quantile_score,
         "q_isotonic": q_isotonic,
         "q_energy_score": q_energy_score,
+        "q_grpo_advantage": q_grpo_advantage,
+        "q_best_of_n": q_best_of_n,
+        "q_dpo_pairs": q_dpo_pairs,
+        "q_stream_contingency": q_stream_contingency,
         # --- round 11: forecast verification (VERDICT r10 #2) ---
         "q_crps": q_crps,
         "q_rank_histogram": q_rank_histogram,
@@ -5610,6 +5696,85 @@ def oracle_sql() -> dict[str, str]:
                    {idiv_half_up('t1.s1 * t1.mm - COALESCE(t2.s2, 0)',
                                  't1.mm * t1.mm', 1000000)} AS energy
             FROM t1 LEFT JOIN t2 ON t1.cell = t2.cell
+        """,
+        # q_grpo_advantage: the GRPO chain mirrored — micro rewards,
+        # HUGEINT group partials, one sqrt of the exact integer
+        # SS·n − S² quantized floor(+0.5), one half_up ratio
+        "q_grpo_advantage": f"""
+            WITH src AS (
+                SELECT l_orderkey AS prompt,
+                       CAST(l_linenumber AS BIGINT) AS rid,
+                       l_extendedprice / 1000.0 AS reward
+                FROM lineitem),
+            q AS (SELECT prompt, rid,
+                         CAST(sign(reward)
+                              * floor(abs(reward) * 1000000 + 0.5)
+                              AS HUGEINT) AS qr
+                  FROM src),
+            st AS (SELECT prompt, CAST(count(*) AS HUGEINT) AS n,
+                          sum(qr) AS s, sum(qr * qr) AS ss
+                   FROM q GROUP BY 1),
+            sd AS (SELECT prompt, n, s,
+                          CAST(floor(sqrt(CAST(ss * n - s * s
+                                               AS DOUBLE)) + 0.5)
+                               AS HUGEINT) AS qstdn
+                   FROM st)
+            SELECT q.prompt, q.rid,
+                   CAST(q.qr AS DOUBLE) / 1000000.0 AS reward,
+                   CASE WHEN sd.qstdn > 0 THEN
+                        {idiv_half_up('(q.qr * sd.n - sd.s) * 1000000',
+                                      'sd.qstdn', 1000000)}
+                        ELSE 0.0 END AS advantage
+            FROM q JOIN sd ON q.prompt = sd.prompt
+        """,
+        # q_best_of_n: row_number twin of the struct-max (reward desc,
+        # id asc — the deterministic tiebreak)
+        "q_best_of_n": """
+            WITH src AS (
+                SELECT l_orderkey AS prompt,
+                       CAST(l_linenumber AS BIGINT) AS rid,
+                       CAST(sign(l_extendedprice / 1000.0)
+                            * floor(abs(l_extendedprice / 1000.0)
+                                    * 1000000 + 0.5) AS HUGEINT) AS qr
+                FROM lineitem),
+            r AS (SELECT prompt, rid, qr,
+                         row_number() OVER (PARTITION BY prompt
+                             ORDER BY qr DESC, rid ASC) AS rn,
+                         CAST(count(*) OVER (PARTITION BY prompt)
+                              AS BIGINT) AS n
+                  FROM src)
+            SELECT prompt, rid AS best_id,
+                   CAST(qr AS DOUBLE) / 1000000.0 AS best_reward,
+                   n AS n_candidates
+            FROM r WHERE rn = 1
+        """,
+        # q_dpo_pairs: best-vs-worst per prompt with both tiebreaks,
+        # >= 2 responses, strictly positive micro margin
+        "q_dpo_pairs": """
+            WITH src AS (
+                SELECT l_orderkey AS prompt,
+                       CAST(l_linenumber AS BIGINT) AS rid,
+                       CAST(sign(l_extendedprice / 1000.0)
+                            * floor(abs(l_extendedprice / 1000.0)
+                                    * 1000000 + 0.5) AS HUGEINT) AS qr
+                FROM lineitem),
+            r AS (SELECT prompt, rid, qr,
+                         row_number() OVER (PARTITION BY prompt
+                             ORDER BY qr DESC, rid ASC) AS rhi,
+                         row_number() OVER (PARTITION BY prompt
+                             ORDER BY qr ASC, rid ASC) AS rlo,
+                         count(*) OVER (PARTITION BY prompt) AS n
+                  FROM src),
+            hi AS (SELECT prompt, rid AS chosen_id, qr AS qhi, n
+                   FROM r WHERE rhi = 1),
+            lo AS (SELECT prompt, rid AS rejected_id, qr AS qlo
+                   FROM r WHERE rlo = 1)
+            SELECT hi.prompt, chosen_id, rejected_id,
+                   CAST(qhi AS DOUBLE) / 1000000.0 AS chosen_reward,
+                   CAST(qlo AS DOUBLE) / 1000000.0 AS rejected_reward,
+                   CAST(qhi - qlo AS DOUBLE) / 1000000.0 AS margin
+            FROM hi JOIN lo ON hi.prompt = lo.prompt
+            WHERE n >= 2 AND qhi - qlo > 0
         """,
         # q_rank_histogram: rank = 1 + strictly-below count on the RAW
         # doubles (ties below the observation), then the histogram
@@ -10293,4 +10458,5 @@ def oracle_sql() -> dict[str, str]:
     d["q_stream_brier"] = d["q_brier_decomp"]
     # streamed CRPS: stream/batch parity — the oracle IS the batch SQL
     d["q_crps_stream"] = d["q_crps"]
+    d["q_stream_contingency"] = d["q_contingency_scores"]
     return d

@@ -108,6 +108,11 @@ from flood_data_spark.datapipe.market import (
     association_rules,
     frequent_pairs,
 )
+from flood_data_spark.datapipe.rlhf import (
+    best_of_n,
+    dpo_pairs,
+    group_advantages,
+)
 from flood_data_spark.datapipe.preference import (
     bradley_terry,
     pairwise_counts,
@@ -157,4 +162,5 @@ __all__ = [
     "platt_calibrate", "evaluate_binary", "evaluate_binary_by",
     "roc_points",
     "bradley_terry", "pairwise_counts", "kneser_ney_scores",
+    "group_advantages", "best_of_n", "dpo_pairs",
 ]

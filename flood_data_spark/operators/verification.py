@@ -472,16 +472,32 @@ def contingency_scores(df: DataFrame, prob_col: str, outcome_col: str,
     rounded early).  Scores with a zero denominator return NULL, never
     Inf/NaN.  Returns one row; empty input yields one row of zero
     counts with NULL scores (the global-agg contract)."""
+    return contingency_from_counts(
+        contingency_counts(df, prob_col, outcome_col, threshold))
+
+
+def contingency_counts(df: DataFrame, prob_col: str, outcome_col: str,
+                       threshold: float = 0.5) -> DataFrame:
+    """The ONE corpus-sized pass of `contingency_scores`: the 2x2 table
+    as four exact integer counts.  Split out so the streaming twin can
+    run this as a complete-mode global aggregate (state = 4 DECIMAL
+    cells, mergeable because sums are) and hand the materialized counts
+    to the SAME `contingency_from_counts` finisher as the batch path."""
     dec = "decimal(38,0)"
     p = F.col(prob_col).cast("double")
     o = F.col(outcome_col).cast("int")
     fy = (p >= F.lit(float(threshold))).cast("int")
-    cnt = df.agg(
+    return df.agg(
         F.coalesce(F.sum(fy * o), F.lit(0)).cast(dec).alias("a"),
         F.coalesce(F.sum(fy * (1 - o)), F.lit(0)).cast(dec).alias("b"),
         F.coalesce(F.sum((1 - fy) * o), F.lit(0)).cast(dec).alias("c"),
         F.coalesce(F.sum((1 - fy) * (1 - o)), F.lit(0)).cast(dec)
         .alias("d"))
+
+
+def contingency_from_counts(cnt: DataFrame) -> DataFrame:
+    """Finish the skill ladder from materialized 2x2 counts — shared
+    verbatim by the batch and streamed paths."""
     a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
     n = a + b + c + d
     mega_f = F.lit(float(MICRO))

@@ -359,6 +359,23 @@ def crps_cell_stream(stream_df: DataFrame, value_col: str,
     return crps_member_cells(stream_df, value_col, obs_col, group_keys)
 
 
+def contingency_count_stream(stream_df: DataFrame, prob_col: str,
+                             outcome_col: str,
+                             threshold: float = 0.5) -> DataFrame:
+    """Streaming half of the categorical-verification monitor: run
+    `verification.contingency_counts`' 2x2 table as a complete-mode
+    global aggregate (state = 4 DECIMAL cells however long the stream
+    runs, mergeable because integer sums are).  The skill-ladder
+    finisher (`verification.contingency_from_counts`) runs on the
+    materialized counts — shared verbatim with batch
+    `contingency_scores`, so the streaming gate checks stream/batch
+    parity of every score, not just the counts."""
+    from flood_data_spark.operators.verification import contingency_counts
+
+    return contingency_counts(stream_df, prob_col, outcome_col,
+                              threshold)
+
+
 def bucket_count_stream(stream_df: DataFrame, value_col: str,
                         bounds: list) -> DataFrame:
     """Streaming half of the drift monitor: bucket incoming values

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     # round-11: the verification family's scale tier (6M-row CRPS
     # through the cell-partitioned rank window)
     "q_crps_x10",
+    "q_crps_decomp_x10",
     # heavy full-volume entries (round-6/7 scale twins: capped jaccard at
     # 3k docs, full-corpus repeated spans, all-user pattern search, the
     # 8-round BPE trainer, the IVF-PQ lifecycle — see each EXTRA_QUERIES
@@ -203,6 +204,9 @@ BENCH_QUERIES = [
     # cell-partitioned rank window over ~60k members at sf0.1)
     "q_crps",
     "q_spread_skill",
+    "q_crps_decomp",
+    "q_energy_score",
+    "q_grpo_advantage",
 ]
 
 _IVF_INDEX = {}
@@ -570,6 +574,22 @@ def _q_crps_x10(spark, sf_dir):
     return crps_ensemble(src, "l_quantity", "obs", ["l_orderkey"])
 
 
+def _q_crps_decomp_x10(spark, sf_dir):
+    """Hersbach decomposition on the 6M-row tier: the crps_x10 fixture
+    through the rank+lead window, the ~1.15x interval explode, and the
+    rank-bounded (m, i) exchange — proves the decomposition inherits
+    the CRPS tier's flat scaling (output stays Σ_m (m+1) rows however
+    many cells arrive)."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.operators.verification import crps_hersbach
+
+    li = spark.read.parquet(_scaled_lineitem_path(spark, sf_dir))
+    src = li.select("l_orderkey", "l_quantity",
+                    ((F.col("l_orderkey") % 997) * F.lit(0.1))
+                    .alias("obs"))
+    return crps_hersbach(src, "l_quantity", "obs", ["l_orderkey"])
+
+
 def _q_peak_timing_x10(spark, sf_dir):
     """Flagship peak-timing window query on the 6M-row tier: 10x the
     orders (groups), same per-order series length — the shared-exchange
@@ -863,6 +883,7 @@ EXTRA_QUERIES = {
     "q_peak_timing_x10": _q_peak_timing_x10,
     "q_daily_pipeline_x10": _q_daily_pipeline_x10,
     "q_crps_x10": _q_crps_x10,
+    "q_crps_decomp_x10": _q_crps_decomp_x10,
     "q_bpe_train_full": _q_bpe_train_full,
     "q_ivfpq_search": _q_ivfpq_search,
     "q_winnow_full": _q_winnow_full,
@@ -923,7 +944,8 @@ def main():
                  "q_threshold_summary_skew",
                  "q_threshold_summary_skew_approx",
                  "q_peak_timing_x10", "q_daily_pipeline_x10",
-                 "q_crps_x10",
+                 "q_crps_x10", "q_crps_decomp_x10",
+                 "q_energy_score",
                  "q_ngram_jaccard_capped_3k", "q_repeated_spans_full",
                  "q_remove_spans_full",
                  "q_ts_pattern_full", "q_bpe_train_full",

@@ -400,11 +400,14 @@ def _v2_btree_heap_ids(b: bytes, addr: int) -> list[bytes]:
 def _fractal_heap_object(b: bytes, frhp_addr: int,
                          heap_id: bytes) -> bytes:
     """Resolve a MANAGED fractal-heap ID to its object bytes (spec
-    III.G).  Profile: root is a single direct block (current rows in
-    the root indirect block = 0 — libnetcdf's link heaps stay under the
-    starting block size), no I/O filters, no huge/tiny objects; the
+    III.G).  Profile: root is a single direct block OR a root indirect
+    block whose rows are all DIRECT blocks (the doubling table up to
+    Maximum Direct Block Size — round 12; libnetcdf's link heaps stay
+    under the starting block size, larger groups spill into the
+    indirect rows this now covers); nested indirect blocks, I/O
+    filters, and huge/tiny objects stay loud NotImplementedError.  The
     managed ID is version-0: offset sized by Maximum Heap Size bits,
-    length sized by Maximum Size of Managed Objects."""
+    length sized per the min(direct-block-offset, max-object) rule."""
     _need(b[frhp_addr:frhp_addr + 4] == b"FRHP",
           "missing fractal heap header")
     _need(b[frhp_addr + 4] == 0,
@@ -428,8 +431,8 @@ def _fractal_heap_object(b: bytes, frhp_addr: int,
     max_heap_bits = _u(b, p + 123, 2)
     root_addr = _u(b, p + 127, 8)
     cur_rows = _u(b, p + 135, 2)
-    _need(cur_rows == 0,
-          "multi-block fractal heaps (root indirect block)")
+    width = _u(b, p + 105, 2)
+    start_block = _u(b, p + 107, 8)
     off_w = (max_heap_bits + 7) // 8
     # spec: length field width = min(bytes to hold the max DIRECT block
     # offset, bytes to hold Maximum Size of Managed Objects); the
@@ -444,13 +447,50 @@ def _fractal_heap_object(b: bytes, frhp_addr: int,
           f"fractal heap ID type 0x{idv:02x} (managed v0 only)")
     off = int.from_bytes(heap_id[1:1 + off_w], "little")
     ln = int.from_bytes(heap_id[1 + off_w:1 + off_w + len_w], "little")
-    _need(b[root_addr:root_addr + 4] == b"FHDB",
+    if cur_rows == 0:
+        # root is a single direct block: heap offsets address the
+        # managed space, which INCLUDES the direct block header; the
+        # root block's own offset is 0, so file position is simply
+        # block address + heap offset (checksum presence rides header
+        # flags bit 1 but sits inside the header region either way)
+        _need(b[root_addr:root_addr + 4] == b"FHDB",
+              "missing fractal heap direct block")
+        return b[root_addr + off:root_addr + off + ln]
+    # root INDIRECT block (spec III.G doubling table): row r holds
+    # `width` direct blocks of size S (rows 0-1) or S·2^(r-1) (r >= 2),
+    # so row r covers heap offsets [W·S·2^(r-1), W·S·2^r) for r >= 1.
+    # Rows past the max-direct-block size would be nested indirect
+    # blocks — outside this profile, rejected loudly.
+    _need(start_block > 0 and width > 0, "fractal heap doubling table")
+    max_direct_rows = (max_dir_block.bit_length()
+                       - start_block.bit_length() + 2)
+    _need(cur_rows <= max_direct_rows,
+          f"nested indirect fractal-heap blocks (rows {cur_rows} > "
+          f"{max_direct_rows} direct rows)")
+    _need(b[root_addr:root_addr + 4] == b"FHIB",
+          "missing fractal heap indirect block")
+    _need(b[root_addr + 4] == 0,
+          f"fractal heap indirect block version {b[root_addr + 4]}")
+    ents = root_addr + 5 + 8 + off_w   # past sig/version/heap-addr/offset
+    ws = width * start_block
+    if off < ws:
+        r = 0
+    elif off < 2 * ws:
+        r = 1
+    else:
+        r = (off // ws).bit_length()   # floor(log2(off/ws)) + 1
+    _need(r < cur_rows, f"fractal heap offset {off} beyond row {cur_rows}")
+    size_r = start_block if r < 2 else start_block << (r - 1)
+    row_start = 0 if r == 0 else ws << (r - 1)
+    col = (off - row_start) // size_r
+    block_start = row_start + col * size_r
+    _need(off + ln <= block_start + size_r,
+          "fractal-heap object crossing a direct-block boundary")
+    addr = _u(b, ents + 8 * (r * width + col), 8)
+    _need(addr != _UNDEF, "unallocated fractal-heap direct block")
+    _need(b[addr:addr + 4] == b"FHDB",
           "missing fractal heap direct block")
-    # heap offsets address the managed space, which INCLUDES the direct
-    # block header; the root block's own offset is 0, so file position
-    # is simply block address + heap offset (checksum presence rides
-    # header flags bit 1 but sits inside the header region either way)
-    return b[root_addr + off:root_addr + off + ln]
+    return b[addr + (off - block_start):addr + (off - block_start) + ln]
 
 
 def _group_children(b: bytes, ohdr_addr: int,

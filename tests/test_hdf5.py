@@ -398,6 +398,71 @@ class MiniH5Dense(MiniH5):
         return bytes(self.buf)
 
 
+def _close_multiblock(w) -> bytes:
+    """MiniH5Dense finisher with a ROOT INDIRECT fractal heap: starting
+    block size 32, table width 2, one link per direct block (32 - 15
+    header bytes leaves 17 -- exactly one link), so three links span
+    rows 0 and 1 of the doubling table.  Exercises the round-12
+    multi-block resolution path end to end."""
+    S, W = 32, 2
+    off_w = len_w = 2
+    links = []
+    for name, addr in sorted(w.entries):
+        nb = name.encode()
+        links.append(bytes([1, 0, len(nb)]) + nb + _u(addr, 8))
+    assert all(len(ln) <= S - 15 for ln in links)
+    frhp_addr = len(w.buf)
+    h = bytearray(146)
+    h[0:4] = b"FRHP"
+    p = 5
+    h[p:p + 2] = _u(1 + off_w + len_w, 2)      # heap ID length
+    h[p + 5:p + 9] = _u(512, 4)                # max managed object
+    h[p + 17:p + 25] = _u(UNDEF, 8)            # huge-object B-tree
+    h[p + 33:p + 41] = _u(UNDEF, 8)            # free-space manager
+    h[p + 41:p + 49] = _u(4 * S, 8)            # managed space
+    h[p + 49:p + 57] = _u(4 * S, 8)            # allocated space
+    h[p + 65:p + 73] = _u(len(links), 8)       # n managed objects
+    h[p + 105:p + 107] = _u(W, 2)              # table width
+    h[p + 107:p + 115] = _u(S, 8)              # starting block size
+    h[p + 115:p + 123] = _u(512, 8)            # max direct block
+    h[p + 123:p + 125] = _u(16, 2)             # max heap size (bits)
+    nrows = (len(links) + W - 1) // W
+    h[p + 135:p + 137] = _u(nrows, 2)          # current rows: indirect
+    w.append(bytes(h))
+    ids, dblock_addrs = [], []
+    for i, ln in enumerate(links):
+        r, c = i // W, i % W
+        assert r < 2, "writer profile: rows 0-1 (size S) only"
+        block_start = (0 if r == 0 else W * S) + c * S
+        db = bytearray(b"FHDB" + bytes([0]) + _u(frhp_addr, 8)
+                       + _u(block_start, off_w))
+        ids.append(bytes([0]) + _u(block_start + len(db), off_w)
+                   + _u(len(ln), len_w))
+        db += ln
+        db += b"\x00" * (S - len(db))
+        dblock_addrs.append(w.append(bytes(db)))
+    fhib = bytearray(b"FHIB" + bytes([0]) + _u(frhp_addr, 8)
+                     + _u(0, off_w))
+    for slot in range(nrows * W):
+        fhib += _u(dblock_addrs[slot] if slot < len(dblock_addrs)
+                   else UNDEF, 8)
+    fhib += _u(0, 4)                           # checksum (unchecked)
+    fhib_addr = w.append(bytes(fhib))
+    w.buf[frhp_addr + 5 + 127:frhp_addr + 5 + 135] = _u(fhib_addr, 8)
+    recs = b"".join(_u(i, 4) + hid for i, hid in enumerate(ids))
+    leaf_addr = w.append(b"BTLF" + bytes([0, 5]) + recs + _u(0, 4))
+    bthd_addr = w.append(
+        b"BTHD" + bytes([0, 5]) + _u(4096, 4) + _u(9, 2) + _u(0, 2)
+        + bytes([100, 40]) + _u(leaf_addr, 8) + _u(len(ids), 2)
+        + _u(len(ids), 8) + _u(0, 4))
+    root = w.append(_ohdr(
+        [_msg(0x0002, bytes([0, 0]) + _u(frhp_addr, 8)
+              + _u(bthd_addr, 8))]))
+    w.buf[28:36] = _u(len(w.buf), 8)
+    w.buf[36:44] = _u(root, 8)
+    return bytes(w.buf)
+
+
 def _build_dense_raster() -> bytes:
     w = MiniH5Dense()
     lat = np.array([10.0, 10.5, 11.0])
@@ -453,3 +518,92 @@ def test_dense_profile_guards_fail_loudly():
     patched[j + 5 + 81:j + 5 + 89] = _u(1, 8)
     with pytest.raises(NotImplementedError, match="huge"):
         parse_hdf5(bytes(patched))
+
+
+def _build_dense_multiblock_raster() -> bytes:
+    w = MiniH5Dense()
+    lat = np.array([10.0, 10.5, 11.0])
+    lon = np.array([20.0, 20.25])
+    grid = np.arange(6, dtype=np.float64).reshape(3, 2) * 1.5
+    w.add_dataset("lat", lat, DT_F8, attrs=_scale_attrs("lat"))
+    w.add_dataset("lon", lon, DT_F8, attrs=_scale_attrs("lon"))
+    w.add_dataset("uparea", grid, DT_F8)
+    return _close_multiblock(w)
+
+
+def test_multiblock_dense_links_match_single_block():
+    """The SAME logical file through a root-indirect (multi-block)
+    heap parses identically to the single-direct-block layout."""
+    dims_m, vars_m, _ = parse_hdf5(_build_dense_multiblock_raster())
+    dims_s, vars_s, _ = parse_hdf5(_build_dense_raster())
+    assert dims_m == dims_s == {"lat": 3, "lon": 2}
+    assert set(vars_m) == set(vars_s)
+    np.testing.assert_array_equal(vars_m["uparea"]["data"],
+                                  vars_s["uparea"]["data"])
+    pdf = to_dataframe(_build_dense_multiblock_raster())
+    assert pdf["uparea"].tolist() == [0.0, 1.5, 3.0, 4.5, 6.0, 7.5]
+
+
+def test_multiblock_doubling_row_math():
+    """Row >= 2 of the doubling table (block size S·2^(r-1)) resolved
+    against a hand-built synthetic heap: S=32, W=2, max direct 64 ->
+    rows 0/1 at 32 bytes, row 2 at 64; an object parked in the row-2
+    col-0 block (heap offset 128+) must come back exactly."""
+    from flood_data_spark.sources.hdf5 import _fractal_heap_object
+
+    # max direct block 64 -> length field width 1 (min(bytes(63),
+    # bytes(512)) per the spec rule), so heap IDs are 1+2+1 = 4 bytes
+    S, W, off_w, len_w = 32, 2, 2, 1
+    buf = bytearray(64)                      # scratch so addr 0 unused
+    def app(block):
+        addr = len(buf); buf.extend(block); return addr
+    frhp_addr = len(buf)
+    h = bytearray(146)
+    h[0:4] = b"FRHP"
+    p = 5
+    h[p:p + 2] = _u(1 + off_w + len_w, 2)
+    h[p + 5:p + 9] = _u(512, 4)              # max managed object
+    h[p + 17:p + 25] = _u(UNDEF, 8)
+    h[p + 33:p + 41] = _u(UNDEF, 8)
+    h[p + 105:p + 107] = _u(W, 2)
+    h[p + 107:p + 115] = _u(S, 8)            # starting block size
+    h[p + 115:p + 123] = _u(64, 8)           # max direct block -> 3 rows
+    h[p + 123:p + 125] = _u(16, 2)
+    h[p + 135:p + 137] = _u(3, 2)            # rows 0..2 present
+    app(bytes(h))
+    payload = b"row-two-object"
+    block_start = W * S * 2                  # row 2 starts at 128
+    db = bytearray(b"FHDB" + bytes([0]) + _u(frhp_addr, 8)
+                   + _u(block_start, off_w))
+    obj_off = block_start + len(db)
+    db += payload
+    db += b"\x00" * (64 - len(db))
+    db_addr = app(bytes(db))
+    fhib = bytearray(b"FHIB" + bytes([0]) + _u(frhp_addr, 8)
+                     + _u(0, off_w))
+    for slot in range(3 * W):
+        fhib += _u(db_addr if slot == 4 else UNDEF, 8)  # row2 col0
+    fhib += _u(0, 4)
+    fhib_addr = app(bytes(fhib))
+    buf[frhp_addr + 5 + 127:frhp_addr + 5 + 135] = _u(fhib_addr, 8)
+    hid = bytes([0]) + _u(obj_off, off_w) + _u(len(payload), len_w)
+    got = _fractal_heap_object(bytes(buf), frhp_addr, hid)
+    assert got == payload
+    # boundary-crossing object -> loud
+    hid_bad = bytes([0]) + _u(obj_off, off_w) + _u(64, len_w)
+    with pytest.raises(NotImplementedError, match="crossing"):
+        _fractal_heap_object(bytes(buf), frhp_addr, hid_bad)
+    # unallocated block -> loud
+    hid_un = bytes([0]) + _u(70, off_w) + _u(4, len_w)   # row1 col0
+    with pytest.raises(NotImplementedError, match="unallocated"):
+        _fractal_heap_object(bytes(buf), frhp_addr, hid_un)
+
+
+def test_nested_indirect_heap_dispatches_loudly():
+    """cur_rows past the direct-row capacity means nested indirect
+    blocks — outside the profile, named escape hatch."""
+    content = bytearray(_build_dense_multiblock_raster())
+    j = content.find(b"FRHP")
+    content[j + 5 + 135:j + 5 + 137] = _u(9, 2)   # rows 9 >> capacity
+    with pytest.raises(NotImplementedError, match="nested indirect"):
+        parse_hdf5(bytes(content))

@@ -3049,6 +3049,45 @@ def q_energy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", "m", "energy")
 
 
+def q_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly Correlation Coefficient per lead
+    (operators/verification.anomaly_correlation): anomalies as exact
+    integer differences of quantized forecast/observation/climatology,
+    one group-keyed exchange, denominator = product of two IEEE sqrts
+    of exact integers quantized once, sign-aware final ratio.  Full
+    value oracle mirroring the chain."""
+    from flood_data_spark.operators.verification import anomaly_correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    src = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .select(F.col("o_orderpriority").alias("lead"),
+                   F.col("l_quantity").alias("f"),
+                   (F.col("o_totalprice") / F.lit(1000.0)).alias("obs"),
+                   ((F.col("l_partkey") % 30) + F.lit(10.0))
+                   .alias("clim")))
+    return anomaly_correlation(src, "f", "obs", "clim", ["lead"]) \
+        .select("lead", "n", "acc")
+
+
+def q_cost_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-loss economic value curve
+    (operators/verification.cost_loss_value) over the q_contingency 2x2
+    counts: V(alpha) for a 10-step percent ladder, each value ONE exact
+    integer ratio after clearing the common denominator
+    100·n·(b+d)·(a+c) — the alpha explode touches a 1-row relation, no
+    second corpus pass.  Full value oracle restating every cleared
+    term."""
+    from flood_data_spark.operators.verification import (
+        contingency_counts, cost_loss_value)
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select((F.col("l_discount") * F.lit(10.0)).alias("p"),
+                    (F.col("l_returnflag") == "R").cast("int").alias("o"))
+    return cost_loss_value(contingency_counts(src, "p", "o", 0.5)) \
+        .select("alpha", "value")
+
+
 def _rlhf_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared fixture for the RLHF-curation gates: each order is a
     'prompt', its lineitems the sampled responses (rid =
@@ -4132,6 +4171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_score": q_quantile_score,
         "q_isotonic": q_isotonic,
         "q_energy_score": q_energy_score,
+        "q_acc": q_acc,
+        "q_cost_loss": q_cost_loss,
         "q_grpo_advantage": q_grpo_advantage,
         "q_best_of_n": q_best_of_n,
         "q_dpo_pairs": q_dpo_pairs,
@@ -5696,6 +5737,85 @@ def oracle_sql() -> dict[str, str]:
                    {idiv_half_up('t1.s1 * t1.mm - COALESCE(t2.s2, 0)',
                                  't1.mm * t1.mm', 1000000)} AS energy
             FROM t1 LEFT JOIN t2 ON t1.cell = t2.cell
+        """,
+        # q_acc: anomalies as integer differences of the three
+        # quantized columns, two sqrt seams multiplied then quantized
+        # once, sign-aware half_up
+        "q_acc": f"""
+            WITH src AS (
+                SELECT o.o_orderpriority AS lead,
+                       l.l_quantity AS f,
+                       o.o_totalprice / 1000.0 AS ob,
+                       (l.l_partkey % 30) + 10.0 AS cl
+                FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey),
+            q AS (SELECT lead,
+                         CAST(sign(f) * floor(abs(f) * 1000000 + 0.5)
+                              AS HUGEINT)
+                         - CAST(sign(cl) * floor(abs(cl) * 1000000
+                                                 + 0.5) AS HUGEINT)
+                             AS af,
+                         CAST(sign(ob) * floor(abs(ob) * 1000000 + 0.5)
+                              AS HUGEINT)
+                         - CAST(sign(cl) * floor(abs(cl) * 1000000
+                                                 + 0.5) AS HUGEINT)
+                             AS ao
+                  FROM src),
+            g AS (SELECT lead, CAST(count(*) AS BIGINT) AS n,
+                         sum(af * ao) AS sfo, sum(af * af) AS sff,
+                         sum(ao * ao) AS soo
+                  FROM q GROUP BY lead),
+            s AS (SELECT lead, n, sfo,
+                         CAST(floor(sqrt(CAST(sff AS DOUBLE)) + 0.5)
+                              AS HUGEINT)
+                         * CAST(floor(sqrt(CAST(soo AS DOUBLE)) + 0.5)
+                                AS HUGEINT) AS qden
+                  FROM g)
+            SELECT lead, n,
+                   CASE WHEN qden > 0 THEN
+                        {idiv_half_up('sfo * 1000000', 'qden', 1000000)}
+                   END AS acc
+            FROM s
+        """,
+        # q_cost_loss: the Richardson value curve with the common
+        # denominator 100·n·(b+d)·(a+c) cleared — every term an exact
+        # HUGEINT product, min(α,ō) by integer cross-compare
+        "q_cost_loss": f"""
+            WITH src AS (
+                SELECT l_discount * 10.0 AS p,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                           AS o
+                FROM lineitem),
+            t AS (SELECT
+                    CAST(sum(CASE WHEN p >= 0.5 AND o = 1 THEN 1
+                             ELSE 0 END) AS HUGEINT) AS a,
+                    CAST(sum(CASE WHEN p >= 0.5 AND o = 0 THEN 1
+                             ELSE 0 END) AS HUGEINT) AS b,
+                    CAST(sum(CASE WHEN p < 0.5 AND o = 1 THEN 1
+                             ELSE 0 END) AS HUGEINT) AS c,
+                    CAST(sum(CASE WHEN p < 0.5 AND o = 0 THEN 1
+                             ELSE 0 END) AS HUGEINT) AS d
+                  FROM src),
+            ks AS (SELECT CAST(unnest([2,5,10,20,30,40,50,60,70,80])
+                               AS HUGEINT) AS k),
+            e AS (SELECT k, a, b, c, d, a + b + c + d AS n,
+                         a + c AS ac, b + d AS bd
+                  FROM t, ks),
+            v AS (SELECT k,
+                         CASE WHEN k * n < 100 * ac
+                              THEN k * n * bd * ac
+                              ELSE 100 * ac * bd * ac END AS mt,
+                         k * b * (n - ac) * ac AS tf,
+                         a * (100 - k) * bd * ac AS th,
+                         100 * ac * bd * ac AS tb,
+                         k * ac * ac * bd AS tao
+                  FROM e)
+            SELECT CAST(k AS DOUBLE) / 100.0 AS alpha,
+                   CASE WHEN mt - tao > 0 THEN
+                        {idiv_half_up('(mt - tf + th - tb) * 1000000',
+                                      'mt - tao', 1000000)}
+                   END AS value
+            FROM v
         """,
         # q_grpo_advantage: the GRPO chain mirrored — micro rewards,
         # HUGEINT group partials, one sqrt of the exact integer

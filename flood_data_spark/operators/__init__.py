@@ -46,8 +46,12 @@ from flood_data_spark.operators.experiment import (
     two_proportion_ztest,
 )
 from flood_data_spark.operators.verification import (
+    anomaly_correlation,
     brier_decomposition,
+    contingency_counts,
+    contingency_from_counts,
     contingency_scores,
+    cost_loss_value,
     crps_ensemble,
     crps_from_member_cells,
     crps_hersbach,
@@ -80,5 +84,6 @@ __all__ = [
     "spread_skill", "reliability_diagram", "crps_hersbach",
     "crps_member_cells", "crps_from_member_cells", "ece_from_cells",
     "contingency_scores", "quantile_score", "isotonic_calibration",
-    "energy_score",
+    "energy_score", "anomaly_correlation", "cost_loss_value",
+    "contingency_counts", "contingency_from_counts",
 ]

@@ -707,6 +707,105 @@ def energy_score(df: DataFrame, id_col: str, vec_col: str,
             .orderBy(*keys))
 
 
+def anomaly_correlation(df: DataFrame, fcst_col: str, obs_col: str,
+                        clim_col: str, group_keys) -> DataFrame:
+    """Anomaly Correlation Coefficient per group — THE headline
+    deterministic-forecast skill score in NWP practice:
+
+        ACC = Σ f'o' / sqrt(Σ f'² · Σ o'²),   f' = f − c, o' = o − c
+
+    with c the climatology column.  Anomalies are DIFFERENCES OF
+    QUANTIZED integers (exact), so Σ f'o', Σ f'², Σ o'² are order-free
+    BIGINT sums; the denominator takes ONE IEEE sqrt per factor, EACH
+    quantized via floor(+0.5) BEFORE multiplying (Spark floor(double)
+    returns LONG, and the combined product sqrt(Σf'²)·sqrt(Σo'²)
+    overflowed it at gate scale — caught live; per-factor values stay
+    inside LONG up to Σ ~ 1e37, i.e. ~1e12 rows of 1e9-micro
+    anomalies), the exact decimal product forming
+
+        acc · 1e6 = half_up(Σf'o' · 1e6, qsf · qso)
+
+    sign-aware (anticorrelation is real), NULL when either anomaly
+    variance is zero.  One group-keyed exchange.  Returns
+    (group_keys…, n, acc) sorted by keys."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("anomaly_correlation: need at least one "
+                         "group key")
+    dec = "decimal(38,0)"
+    qf = _micro(F.col(fcst_col))
+    qo = _micro(F.col(obs_col))
+    qc = _micro(F.col(clim_col))
+    af = (qf - qc).cast(dec)
+    ao = (qo - qc).cast(dec)
+    agg = (df.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(af * ao).alias("_sfo"),
+                F.sum(af * af).alias("_sff"),
+                F.sum(ao * ao).alias("_soo")))
+    qsf = F.floor(F.sqrt(F.col("_sff").cast("double")) + F.lit(0.5)) \
+        .cast(dec)
+    qso = F.floor(F.sqrt(F.col("_soo").cast("double")) + F.lit(0.5)) \
+        .cast(dec)
+    qden = qsf * qso
+    acc = F.when(
+        qden > 0,
+        _idiv_half_up(F.col("_sfo") * _mega(), qden).cast("double")
+        / F.lit(float(MICRO))).otherwise(F.lit(None).cast("double"))
+    return agg.select(*keys, "n", acc.alias("acc")).orderBy(*keys)
+
+
+def cost_loss_value(cnt: DataFrame, alphas=(2, 5, 10, 20, 30, 40, 50,
+                                            60, 70, 80)) -> DataFrame:
+    """Economic value of a dichotomous forecast over a ladder of
+    cost-loss ratios alpha = C/L (Richardson 2000), from the SAME 2x2
+    counts relation as `contingency_scores` (`contingency_counts`):
+
+        V(α) = (min(α,ō) − F·α(1−ō) + H·ō(1−α) − ō)
+               / (min(α,ō) − α·ō)
+
+    with hit rate H = a/(a+c), false-alarm rate F = b/(b+d), base rate
+    ō = (a+c)/n.  `alphas` are PERCENT integers, so clearing the common
+    denominator 100·n·(b+d)·(a+c) makes V one EXACT integer ratio per
+    alpha — assembled term-for-term below, sign-aware (negative value =
+    using the forecast loses money at that cost-loss ratio), NULL when
+    the denominator is non-positive (ō ∈ {0,1}: no decision problem).
+    The alpha ladder explodes the ONE-row counts relation — no second
+    corpus pass.  Returns (alpha, value) sorted by alpha."""
+    alphas = [int(k) for k in alphas]
+    for k in alphas:
+        if not 0 < k < 100:
+            raise ValueError(f"cost_loss_value: alpha percent {k} must "
+                             "be in (0, 100)")
+    dec = "decimal(38,0)"
+    per = cnt.select("a", "b", "c", "d",
+                     F.explode(F.array(*[F.lit(k) for k in alphas]))
+                     .alias("_k"))
+    a, b, c, d = [F.col(x) for x in "abcd"]
+    k = F.col("_k").cast(dec)
+    n = a + b + c + d
+    bd, ac = b + d, a + c
+    # min(α, ō) · 100·n·(b+d)·(a+c): α<ō iff k·n < 100·(a+c)
+    min_term = F.when(k * n < F.lit(100).cast(dec) * ac,
+                      k * n * bd * ac) \
+        .otherwise(F.lit(100).cast(dec) * ac * bd * ac)
+    hundred = F.lit(100).cast(dec)
+    # the four V-numerator terms over D = 100·n·(b+d)·(a+c)
+    num = (min_term
+           - k * b * (n - ac) * ac                 # F·α(1−ō)
+           + a * (hundred - k) * bd * ac           # H·ō(1−α)
+           - hundred * ac * bd * ac)               # ō
+    # α·ō·D = (k/100)·((a+c)/n)·100·n·(b+d)·(a+c) = k·(a+c)²·(b+d)
+    den = min_term - k * ac * ac * bd
+    value = F.when(
+        den > 0,
+        _idiv_half_up(num * _mega(), den).cast("double")
+        / F.lit(float(MICRO))).otherwise(F.lit(None).cast("double"))
+    return per.select((F.col("_k").cast("double")
+                       / F.lit(100.0)).alias("alpha"),
+                      value.alias("value")).orderBy("alpha")
+
+
 def spread_skill(df: DataFrame, value_col: str, obs_col: str,
                  group_keys, lead_col: str) -> DataFrame:
     """Spread-skill relation per lead time: ensemble spread (mean

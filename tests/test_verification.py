@@ -639,3 +639,89 @@ def test_energy_score_m1_is_plain_distance(spark):
     assert len(out) == 1
     assert out[0].cell == 0 and out[0].m == 1
     assert out[0].energy == pytest.approx(5.0, abs=1e-6)
+
+
+# --- anomaly correlation & cost-loss value -------------------------------
+
+
+def test_acc_matches_numpy_and_edges(spark):
+    from flood_data_spark.operators.verification import anomaly_correlation
+
+    rng = np.random.default_rng(3)
+    rows, truth = [], {}
+    for g in ["a", "b"]:
+        c = rng.uniform(5, 10, 40)
+        o = c + rng.normal(0, 2, 40)
+        f = o * 0.7 + c * 0.3 + rng.normal(0, 1, 40)
+        truth[g] = (f, o, c)
+        rows += [(g, float(x), float(y), float(z))
+                 for x, y, z in zip(f, o, c)]
+    df = spark.createDataFrame(rows, "lead string, f double, o double,"
+                                     " c double")
+    got = {r.lead: r.acc for r in
+           anomaly_correlation(df, "f", "o", "c", ["lead"]).collect()}
+    for g, (f, o, c) in truth.items():
+        fa, oa = f - c, o - c
+        ref = (fa * oa).sum() / np.sqrt((fa * fa).sum()
+                                        * (oa * oa).sum())
+        assert got[g] == pytest.approx(ref, abs=5e-6)
+    # perfect anticorrelation and the zero-variance NULL guard
+    d2 = spark.createDataFrame(
+        [("x", 1.0, -1.0, 0.0), ("x", -2.0, 2.0, 0.0),
+         ("y", 1.0, 2.0, 1.0), ("y", 1.0, 3.0, 1.0)],
+        "lead string, f double, o double, c double")
+    out = {r.lead: r.acc for r in
+           anomaly_correlation(d2, "f", "o", "c", ["lead"]).collect()}
+    assert out["x"] == pytest.approx(-1.0, abs=1e-6)
+    assert out["y"] is None
+
+
+def test_acc_large_sums_no_long_overflow(spark):
+    """The denominator product sqrt(sff)·sqrt(soo) exceeds LONG at
+    realistic magnitudes (floor(double) returns LongType — a silent
+    clamp to 2^63−1 measured live as acc 0.33 vs 0.057); the
+    per-factor quantization must keep large-magnitude inputs exact."""
+    from flood_data_spark.operators.verification import anomaly_correlation
+
+    rng = np.random.default_rng(5)
+    # anomalies ~1e5 in micro -> 1e11; squares 1e22; sums 1e25 —
+    # comfortably past the old clamp point after the product
+    rows = [("g", float(v * 1e5), float(w * 1e5), 0.0)
+            for v, w in rng.normal(0, 1, (4000, 2))]
+    df = spark.createDataFrame(rows, "lead string, f double, o double,"
+                                     " c double")
+    got = anomaly_correlation(df, "f", "o", "c", ["lead"]).collect()[0]
+    arr = np.array([(r[1], r[2]) for r in rows])
+    ref = (arr[:, 0] * arr[:, 1]).sum() / np.sqrt(
+        (arr[:, 0] ** 2).sum() * (arr[:, 1] ** 2).sum())
+    assert got.acc == pytest.approx(ref, abs=5e-6)
+
+
+def test_cost_loss_matches_closed_form_and_peak(spark):
+    from flood_data_spark.operators.verification import (
+        contingency_counts, cost_loss_value)
+
+    rows = [(0.8, 1)] * 30 + [(0.7, 0)] * 10 + [(0.2, 1)] * 15 \
+        + [(0.1, 0)] * 45
+    df = spark.createDataFrame(rows, "p double, o int")
+    cnt = contingency_counts(df, "p", "o", 0.5)
+    vals = {r.alpha: r.value for r in cost_loss_value(cnt).collect()}
+    a, b, c, d, n = 30, 10, 15, 45, 100
+    H, Fr, ob = a / (a + c), b / (b + d), (a + c) / n
+    for al, v in vals.items():
+        num = min(al, ob) - Fr * al * (1 - ob) + H * ob * (1 - al) - ob
+        den = min(al, ob) - al * ob
+        assert v == pytest.approx(num / den, abs=2e-6), al
+    # Richardson: value peaks where alpha = base rate; at the peak
+    # V equals the Peirce skill score
+    peak_alpha = min(vals, key=lambda k: abs(k - ob))
+    pss = H - Fr
+    assert vals[peak_alpha] == pytest.approx(pss, abs=0.08)
+    # degenerate outcomes (all positive) -> NULL everywhere
+    allpos = spark.createDataFrame([(0.9, 1), (0.1, 1)],
+                                   "p double, o int")
+    vs = cost_loss_value(
+        contingency_counts(allpos, "p", "o", 0.5)).collect()
+    assert all(r.value is None for r in vs)
+    with pytest.raises(ValueError, match="alpha percent"):
+        cost_loss_value(cnt, alphas=(0,)).collect()

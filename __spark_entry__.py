@@ -2952,6 +2952,38 @@ def q_crps_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "m", "crps")
 
 
+def q_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED ensemble quantile score — the SAME member-cell stream
+    state as q_crps_stream finished by a second scorer
+    (verification.quantile_score_from_member_cells): one complete-mode
+    stream, two verification products.  Quantiles interpolate the
+    quantized members in EXACT integer centi-micro space; on the
+    micro-exact gate fixture this reproduces the batch
+    percentile/quantile_cont chain bit-for-bit, so the oracle IS the
+    batch q_quantile_score SQL."""
+    from flood_data_spark.operators.verification import \
+        quantile_score_from_member_cells
+    from flood_data_spark.streaming.file_stream import crps_cell_stream
+
+    o = _t(spark, sf_dir, "orders")
+
+    def build(stream):
+        src = (stream.join(F.broadcast(o),
+                           stream["l_orderkey"] == o["o_orderkey"])
+               .select("l_orderkey", "l_quantity",
+                       (F.col("o_totalprice") / F.lit(10000.0))
+                       .alias("obs")))
+        return crps_cell_stream(src, "l_quantity", "obs",
+                                ["l_orderkey"])
+
+    cells = _run_file_stream(
+        spark, f"{sf_dir}/lineitem.parquet", build, "stream_qsc_",
+        output_mode="complete")
+    return quantile_score_from_member_cells(cells,
+                                            taus=(0.1, 0.5, 0.9)) \
+        .select("tau", "n_cells", "qscore")
+
+
 def q_ece_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration cross-gate: Expected Calibration Error computed
     through BOTH bin ladders on shared input — the classifier family's
@@ -3047,6 +3079,25 @@ def q_energy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "embedding")
     return energy_score(emb, "vec_id", "embedding", ["cell"]) \
         .select("cell", "m", "energy")
+
+
+def q_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 between aligned document pairs (datapipe/text.rouge_n):
+    candidates doc_id < 400 vs references (doc_id+400 re-keyed) — the
+    summarization/eval overlap metric with CLIPPED multiset bigram
+    counts; per-(id, gram) count relations joined once (fan-out 1),
+    every ratio an exact integer ratio.  Full value oracle restating
+    the tokenization, the position explode, and the clip in SQL."""
+    from flood_data_spark.datapipe.text import rouge_n
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    ref = (docs.filter((F.col("doc_id") >= 400)
+                       & (F.col("doc_id") < 800))
+           .select((F.col("doc_id") - 400).alias("doc_id"), "text"))
+    return rouge_n(cand, ref, n=2) \
+        .select("doc_id", "cand_grams", "ref_grams", "clip",
+                "precision", "recall", "f1")
 
 
 def q_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4173,6 +4224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_energy_score": q_energy_score,
         "q_acc": q_acc,
         "q_cost_loss": q_cost_loss,
+        "q_quantile_stream": q_quantile_stream,
+        "q_rouge": q_rouge,
         "q_grpo_advantage": q_grpo_advantage,
         "q_best_of_n": q_best_of_n,
         "q_dpo_pairs": q_dpo_pairs,
@@ -5737,6 +5790,56 @@ def oracle_sql() -> dict[str, str]:
                    {idiv_half_up('t1.s1 * t1.mm - COALESCE(t2.s2, 0)',
                                  't1.mm * t1.mm', 1000000)} AS energy
             FROM t1 LEFT JOIN t2 ON t1.cell = t2.cell
+        """,
+        # q_rouge: the clipped bigram overlap restated — same
+        # normalization, per-position slices, min() clip, integer
+        # ratios; FULL join keeps ids with grams on either side
+        "q_rouge": f"""
+            WITH c0 AS (
+                SELECT doc_id AS id,
+                       string_split(lower(regexp_replace(trim(text),
+                           '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE doc_id < 400),
+            r0 AS (
+                SELECT doc_id - 400 AS id,
+                       string_split(lower(regexp_replace(trim(text),
+                           '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE doc_id >= 400 AND doc_id < 800),
+            cg AS (SELECT id, array_to_string(w[pos:pos+1], ' ') AS g,
+                          CAST(count(*) AS HUGEINT) AS c
+                   FROM c0, unnest(generate_series(1, len(w) - 1))
+                        AS u(pos)
+                   WHERE len(w) >= 2 GROUP BY 1, 2),
+            rg AS (SELECT id, array_to_string(w[pos:pos+1], ' ') AS g,
+                          CAST(count(*) AS HUGEINT) AS c
+                   FROM r0, unnest(generate_series(1, len(w) - 1))
+                        AS u(pos)
+                   WHERE len(w) >= 2 GROUP BY 1, 2),
+            tc AS (SELECT id, sum(c) AS cand_grams FROM cg GROUP BY 1),
+            tr AS (SELECT id, sum(c) AS ref_grams FROM rg GROUP BY 1),
+            cl AS (SELECT cg.id, sum(least(cg.c, rg.c)) AS clip
+                   FROM cg JOIN rg ON cg.id = rg.id AND cg.g = rg.g
+                   GROUP BY 1),
+            j AS (SELECT COALESCE(tc.id, tr.id) AS id,
+                         COALESCE(tc.cand_grams, 0) AS a,
+                         COALESCE(tr.ref_grams, 0) AS b
+                  FROM tc FULL OUTER JOIN tr ON tc.id = tr.id),
+            f AS (SELECT j.id, j.a, j.b, COALESCE(cl.clip, 0) AS c
+                  FROM j LEFT JOIN cl ON j.id = cl.id)
+            SELECT id AS doc_id, CAST(a AS BIGINT) AS cand_grams,
+                   CAST(b AS BIGINT) AS ref_grams,
+                   CAST(c AS BIGINT) AS clip,
+                   CASE WHEN a > 0 THEN
+                        {idiv_half_up('c * 1000000', 'a', 1000000)}
+                   END AS precision,
+                   CASE WHEN b > 0 THEN
+                        {idiv_half_up('c * 1000000', 'b', 1000000)}
+                   END AS recall,
+                   CASE WHEN a + b > 0 THEN
+                        {idiv_half_up('2 * c * 1000000', 'a + b',
+                                      1000000)}
+                   END AS f1
+            FROM f
         """,
         # q_acc: anomalies as integer differences of the three
         # quantized columns, two sqrt seams multiplied then quantized
@@ -10579,4 +10682,5 @@ def oracle_sql() -> dict[str, str]:
     # streamed CRPS: stream/batch parity — the oracle IS the batch SQL
     d["q_crps_stream"] = d["q_crps"]
     d["q_stream_contingency"] = d["q_contingency_scores"]
+    d["q_quantile_stream"] = d["q_quantile_score"]
     return d

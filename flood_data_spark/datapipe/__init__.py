@@ -108,6 +108,7 @@ from flood_data_spark.datapipe.market import (
     association_rules,
     frequent_pairs,
 )
+from flood_data_spark.datapipe.text import rouge_n  # noqa: F401
 from flood_data_spark.datapipe.rlhf import (
     best_of_n,
     dpo_pairs,
@@ -162,5 +163,5 @@ __all__ = [
     "platt_calibrate", "evaluate_binary", "evaluate_binary_by",
     "roc_points",
     "bradley_terry", "pairwise_counts", "kneser_ney_scores",
-    "group_advantages", "best_of_n", "dpo_pairs",
+    "group_advantages", "best_of_n", "dpo_pairs", "rouge_n",
 ]

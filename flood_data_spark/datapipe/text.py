@@ -1197,3 +1197,77 @@ def textrank_keywords(df: DataFrame, window: int = 2, n_iter: int = 3,
             .select(id_col, F.col("u").alias("keyword"),
                     F.col("r_mu").alias("rank_mu"),
                     F.col("pos").cast("int").alias("pos")))
+
+
+def rouge_n(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", n: int = 2) -> DataFrame:
+    """ROUGE-N between aligned candidate/reference document pairs (the
+    summarization/eval overlap metric, Lin 2004): per shared id,
+
+        recall    = clip / ref_grams
+        precision = clip / cand_grams
+        f1        = 2·clip / (cand_grams + ref_grams)
+
+    where clip = Σ_gram min(count_cand, count_ref) — the CLIPPED
+    multiset n-gram overlap (repeating a reference gram in the
+    candidate scores it at most count_ref times, the anti-gaming rule
+    ROUGE exists for).  Tokenization is the corpus-normalization used
+    across the dedup family (lower, trim, collapse whitespace, split on
+    single spaces); word n-grams explode per position — linear in token
+    volume, grouped per (id, gram), then ONE inner join of the two
+    count relations per gram (id-and-gram keyed, so fan-out is 1: the
+    gram multiplicity lives in the counts, never in join rows).  All
+    three ratios are exact integer ratios (`linalg._idiv_half_up`).
+    Pairs where either side has fewer than n tokens carry zero grams on
+    that side and report NULL for the ratios with a 0 denominator.
+    Returns (id, cand_grams, ref_grams, clip, precision, recall, f1)
+    sorted by id; f1 is computed from its own integer ratio (2c/(a+b)),
+    which equals the harmonic mean of the rounded p/r up to round-6."""
+    if n < 1:
+        raise ValueError("rouge_n: n must be >= 1")
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+    MICRO = 1_000_000
+    dec = "decimal(38,0)"
+
+    def grams(df):
+        toks = F.split(F.lower(F.regexp_replace(
+            F.trim(F.col(text_col)), r"\s+", " ")), " ")
+        return (df.select(F.col(id_col).alias("id"), toks.alias("w"))
+                .filter(F.size("w") >= n)
+                .select("id",
+                        F.expr(f"explode(sequence(1, size(w) - {n - 1}))")
+                        .alias("pos"), "w")
+                .select("id", F.concat_ws(
+                    " ", F.slice(F.col("w"), F.col("pos"), n))
+                    .alias("g"))
+                .groupBy("id", "g")
+                .agg(F.count(F.lit(1)).alias("c")))
+
+    cg = grams(cand)
+    rg = grams(ref)
+    totals_c = cg.groupBy("id").agg(F.sum("c").alias("cand_grams"))
+    totals_r = rg.groupBy("id").agg(F.sum("c").alias("ref_grams"))
+    clip = (cg.join(rg.select(F.col("id"), F.col("g"),
+                              F.col("c").alias("cr")), ["id", "g"])
+            .groupBy("id")
+            .agg(F.sum(F.least(F.col("c"), F.col("cr"))).alias("clip")))
+    out = (totals_c.join(totals_r, "id", "full")
+           .join(clip, "id", "left")
+           .na.fill({"cand_grams": 0, "ref_grams": 0, "clip": 0}))
+    mega_f = F.lit(float(MICRO))
+    a = F.col("cand_grams").cast(dec)
+    b = F.col("ref_grams").cast(dec)
+    c = F.col("clip").cast(dec)
+    mega = F.lit(MICRO).cast(dec)
+
+    def ratio(num, den):
+        return F.when(den > 0, _idiv_half_up(num * mega, den)
+                      .cast("double") / mega_f) \
+            .otherwise(F.lit(None).cast("double"))
+
+    return (out.select(F.col("id").alias(id_col),
+                       "cand_grams", "ref_grams", "clip",
+                       ratio(c, a).alias("precision"),
+                       ratio(c, b).alias("recall"),
+                       ratio(F.lit(2).cast(dec) * c, a + b).alias("f1"))
+            .orderBy(id_col))

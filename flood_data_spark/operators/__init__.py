@@ -60,6 +60,7 @@ from flood_data_spark.operators.verification import (
     energy_score,
     isotonic_calibration,
     quantile_score,
+    quantile_score_from_member_cells,
     rank_histogram,
     reliability_diagram,
     spread_skill,
@@ -86,4 +87,5 @@ __all__ = [
     "contingency_scores", "quantile_score", "isotonic_calibration",
     "energy_score", "anomaly_correlation", "cost_loss_value",
     "contingency_counts", "contingency_from_counts",
+    "quantile_score_from_member_cells",
 ]

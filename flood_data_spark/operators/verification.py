@@ -584,6 +584,66 @@ def quantile_score(df: DataFrame, value_col: str, obs_col: str,
             .orderBy("tau"))
 
 
+def quantile_score_from_member_cells(cells: DataFrame,
+                                     taus=(0.1, 0.5, 0.9)) -> DataFrame:
+    """Finish the ensemble quantile score from the SAME materialized
+    member-list cells as `crps_from_member_cells` (`crps_member_cells`
+    / the streaming `crps_cell_stream` state — one stream, two
+    finishers): per cell, linear-interpolation quantiles computed from
+    the sorted member array IN INTEGER SPACE, then the identical
+    pinball reduction as `quantile_score`.
+
+    Quantile parity: Spark `percentile`/DuckDB `quantile_cont` use the
+    (m−1)·tau linear interpolation on the RAW doubles; here members are
+    already micro-quantized longs, so q_tau·100 = v_lo·(100 − w) +
+    v_hi·w with w = frac((m−1)·tau)·100 an EXACT integer (taus are
+    0.01-multiples ⇒ (m−1)·tau·100 is an integer), making the
+    centi-micro quantile exact and 100·loss = ((qy·100 − qq100)·(100τ −
+    100·ind)) / 100 exact integers end to end — the batch oracle's
+    quantile_cont chain reproduces it bit-for-bit BECAUSE the raw
+    doubles in the gate fixture are micro-exact.  Returns
+    (tau, n_cells, qscore) sorted by tau."""
+    taus = [float(t) for t in taus]
+    for t in taus:
+        ht = round(t * 100)
+        if abs(t * 100 - ht) > 1e-9 or not 0 <= ht <= 100:
+            raise ValueError(
+                f"quantile_score_from_member_cells: tau {t} must be a "
+                "multiple of 0.01 in [0, 1]")
+    dec = "decimal(38,0)"
+    srt = cells.select(F.col("_qyv"),
+                       F.sort_array("_qxs").alias("_s"),
+                       (F.size("_qxs") - 1).alias("_m1"))
+    per = srt.select(
+        "_qyv", "_s", "_m1",
+        F.posexplode(F.array(*[F.lit(int(round(t * 100)))
+                               for t in taus])).alias("_i", "_ht"))
+    # index = (m-1)·tau; lo = floor, w100 = the exact centi fraction
+    idx100 = F.col("_m1") * F.col("_ht")          # (m−1)·tau·100, int
+    lo = F.floor(idx100 / 100).cast("int")
+    w100 = (idx100 - lo * 100).cast("long")
+    v_lo = F.element_at("_s", lo + 1).cast("long")
+    v_hi = F.element_at("_s", F.least(lo + F.lit(2),
+                                      F.col("_m1") + 1)).cast("long")
+    qq100 = v_lo * (100 - w100) + v_hi * w100     # centi-micro quantile
+    qy100 = F.col("_qyv") * 100
+    ind = (qy100 < qq100).cast("int")
+    loss = ((qy100 - qq100) * (F.col("_ht") - 100 * ind)).cast(dec)
+    agg = (per.groupBy("_i")
+           .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
+                F.sum(loss).alias("_s")))
+    tau_col = F.element_at(F.array(*[F.lit(t) for t in taus]),
+                           F.col("_i") + 1)
+    # loss is in centi-micro · centi-tau units: divide by 100·100
+    qscore = (_idiv_half_up(F.col("_s"),
+                            F.col("_n") * F.lit(10000).cast(dec))
+              .cast("double") / F.lit(float(MICRO)))
+    return (agg.select(tau_col.alias("tau"),
+                       F.col("_n").cast("long").alias("n_cells"),
+                       qscore.alias("qscore"))
+            .orderBy("tau"))
+
+
 def isotonic_calibration(cells: DataFrame) -> DataFrame:
     """Isotonic (PAV) calibration of the per-bin observed rates from
     the `brier_cells` relation, via the minimax closed form of

@@ -179,3 +179,43 @@ def test_cooccurrence_window_reaches_offset_two(spark):
     assert out[("a", "b")] == 3
     with pytest.raises(ValueError):
         cooccurrence_pmi(df, window=0)
+
+
+def test_rouge_n_clipped_goldens(spark):
+    """ROUGE-2 hand goldens: shared bigrams, the multiset CLIP (a
+    candidate repeating a reference gram scores it at most its
+    reference count), and the too-short NULL contract."""
+    from flood_data_spark.datapipe.text import rouge_n
+
+    cand = spark.createDataFrame([
+        (0, "the cat sat on the mat"),
+        (1, "a b a b a b"),
+        (2, "x"),
+    ], "doc_id long, text string")
+    ref = spark.createDataFrame([
+        (0, "the cat lay on the mat"),
+        (1, "a b c"),
+        (2, "x y z"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in rouge_n(cand, ref, n=2).collect()}
+    r0 = out[0]
+    assert (r0.cand_grams, r0.ref_grams, r0.clip) == (5, 5, 3)
+    assert r0.f1 == pytest.approx(0.6, abs=1e-6)
+    r1 = out[1]   # cand 'a b'x3 'b a'x2; ref 'a b','b c' -> clip 1
+    assert (r1.cand_grams, r1.ref_grams, r1.clip) == (5, 2, 1)
+    assert r1.precision == pytest.approx(0.2, abs=1e-6)
+    assert r1.recall == pytest.approx(0.5, abs=1e-6)
+    r2 = out[2]   # candidate too short for bigrams
+    assert r2.cand_grams == 0 and r2.precision is None
+    assert r2.recall == 0.0
+    with pytest.raises(ValueError, match="n must be"):
+        rouge_n(cand, ref, n=0)
+
+
+def test_rouge_identical_docs_score_one(spark):
+    from flood_data_spark.datapipe.text import rouge_n
+
+    d = spark.createDataFrame(
+        [(0, "alpha beta gamma delta eps")], "doc_id long, text string")
+    r = rouge_n(d, d, n=2).collect()[0]
+    assert r.precision == r.recall == r.f1 == 1.0

@@ -725,3 +725,26 @@ def test_cost_loss_matches_closed_form_and_peak(spark):
     assert all(r.value is None for r in vs)
     with pytest.raises(ValueError, match="alpha percent"):
         cost_loss_value(cnt, alphas=(0,)).collect()
+
+
+def test_quantile_stream_finisher_matches_batch(spark):
+    """quantile_score_from_member_cells over crps_member_cells equals
+    the batch quantile_score on micro-exact inputs (the one-stream/
+    two-finishers contract of q_quantile_stream)."""
+    from flood_data_spark.operators.verification import (
+        crps_member_cells, quantile_score,
+        quantile_score_from_member_cells)
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for g in range(15):
+        y = float(round(rng.uniform(0, 20), 3))
+        for x in rng.integers(0, 40, 7):
+            rows.append((g, float(x), y))
+    df = spark.createDataFrame(rows, "cell int, x double, y double")
+    batch = quantile_score(df, "x", "y", ["cell"],
+                           taus=(0.1, 0.5, 0.9)).collect()
+    cells = crps_member_cells(df, "x", "y", ["cell"])
+    stream = quantile_score_from_member_cells(
+        cells, taus=(0.1, 0.5, 0.9)).collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]

@@ -2121,6 +2121,72 @@ def q_grib_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_imag").alias("coef_imag"))
 
 
+def _ahash_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the perceptual-hash gates: per doc_id < 100 a
+    deterministic 8x8 single-channel PNG — pixel(i,j) = (base·11 +
+    i·16 + j·5) % 256 with base = doc_id % 20, plus a +3 perturbation
+    of pixel(0,0) for doc_id >= 60 — ENCODED by the real PNG encoder so
+    the hash pass exercises the actual codec."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100) \
+        .select("doc_id")
+
+    def run(batches):
+        import numpy as np
+
+        from flood_data_spark.datapipe.codecs import encode_png
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base = did % 20
+                img = np.fromfunction(
+                    lambda i, j: (base * 11 + i * 16 + j * 5) % 256,
+                    (8, 8)).astype(np.uint8)
+                if did >= 60:
+                    img[0, 0] = (int(img[0, 0]) + 3) % 256
+                out.append({"media_id": did,
+                            "content": encode_png(img[:, :, None])})
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema="media_id long, content binary")
+
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over the real PNG codec
+    (datapipe/codecs.image_ahash via multimodal.ahash_media): decode →
+    grayscale → 8x8 grid → strict-greater-than-mean bits packed
+    MSB-first into two non-negative 32-bit halves.  The pixel fill is
+    closed-form, the grid mean is an exact /64, so the DuckDB oracle
+    recomputes every bit analytically — a full value-hash of the hash
+    itself."""
+    from flood_data_spark.datapipe.multimodal import ahash_media
+
+    h = ahash_media(_ahash_media_df(spark, sf_dir))
+    return h.select(
+        F.col("media_id").alias("doc_id"), "ahash_hi", "ahash_lo",
+        (F.bit_count("ahash_hi") + F.bit_count("ahash_lo"))
+        .cast("int").alias("n_set"))
+
+
+def q_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance
+    (datapipe/multimodal.ahash_dup_pairs): 4x16-bit band pigeonhole
+    (lossless for max_hamming <= 3) generates Σ|bucket|² candidates,
+    one exact bit_count(XOR) verify.  The oracle computes the SAME
+    hashes analytically and brute-forces ALL pairs — every gate run
+    checks the banding's losslessness against the definition, the
+    q_crps differential pattern."""
+    from flood_data_spark.datapipe.multimodal import (ahash_dup_pairs,
+                                                      ahash_media)
+
+    h = ahash_media(_ahash_media_df(spark, sf_dir))
+    return ahash_dup_pairs(h, max_hamming=3) \
+        .select("id_a", "id_b", "hamming")
+
+
 def q_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV codec path in the driver gate: per doc_id a deterministic
     16-bit PCM WAV (n = 100 + (doc_id%50)*7 frames at 8 kHz, constant
@@ -4226,6 +4292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cost_loss": q_cost_loss,
         "q_quantile_stream": q_quantile_stream,
         "q_rouge": q_rouge,
+        "q_image_ahash": q_image_ahash,
+        "q_ahash_pairs": q_ahash_pairs,
         "q_grpo_advantage": q_grpo_advantage,
         "q_best_of_n": q_best_of_n,
         "q_dpo_pairs": q_dpo_pairs,
@@ -5790,6 +5858,72 @@ def oracle_sql() -> dict[str, str]:
                    {idiv_half_up('t1.s1 * t1.mm - COALESCE(t2.s2, 0)',
                                  't1.mm * t1.mm', 1000000)} AS energy
             FROM t1 LEFT JOIN t2 ON t1.cell = t2.cell
+        """,
+        # q_image_ahash: every hash bit recomputed analytically — the
+        # pixel closed form, the exact /64 grid mean, strict >, and the
+        # MSB-first hi/lo packing as integer bit sums
+        "q_image_ahash": """
+            WITH g AS (SELECT i, j FROM generate_series(0, 7) AS a(i),
+                                        generate_series(0, 7) AS b(j)),
+            px AS (SELECT d.doc_id, g.i, g.j,
+                          CASE WHEN d.doc_id >= 60 AND g.i = 0
+                                    AND g.j = 0
+                               THEN ((d.doc_id % 20) * 11 + 3) % 256
+                               ELSE ((d.doc_id % 20) * 11 + g.i * 16
+                                     + g.j * 5) % 256 END AS v
+                   FROM documents d, g WHERE d.doc_id < 100),
+            m AS (SELECT doc_id, avg(CAST(v AS DOUBLE)) AS mu
+                  FROM px GROUP BY doc_id),
+            bits AS (SELECT px.doc_id, px.i * 8 + px.j AS idx,
+                            CASE WHEN px.v > m.mu THEN 1 ELSE 0 END
+                                AS bit
+                     FROM px JOIN m ON px.doc_id = m.doc_id)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN idx < 32
+                            THEN bit * (CAST(1 AS BIGINT)
+                                        << (31 - idx))
+                            ELSE 0 END) AS BIGINT) AS ahash_hi,
+                   CAST(sum(CASE WHEN idx >= 32
+                            THEN bit * (CAST(1 AS BIGINT)
+                                        << (63 - idx))
+                            ELSE 0 END) AS BIGINT) AS ahash_lo,
+                   CAST(sum(bit) AS INT) AS n_set
+            FROM bits GROUP BY doc_id
+        """,
+        # q_ahash_pairs: brute-force ALL pairs over the analytic hashes
+        # — the banding-losslessness differential
+        "q_ahash_pairs": """
+            WITH g AS (SELECT i, j FROM generate_series(0, 7) AS a(i),
+                                        generate_series(0, 7) AS b(j)),
+            px AS (SELECT d.doc_id, g.i, g.j,
+                          CASE WHEN d.doc_id >= 60 AND g.i = 0
+                                    AND g.j = 0
+                               THEN ((d.doc_id % 20) * 11 + 3) % 256
+                               ELSE ((d.doc_id % 20) * 11 + g.i * 16
+                                     + g.j * 5) % 256 END AS v
+                   FROM documents d, g WHERE d.doc_id < 100),
+            m AS (SELECT doc_id, avg(CAST(v AS DOUBLE)) AS mu
+                  FROM px GROUP BY doc_id),
+            bits AS (SELECT px.doc_id, px.i * 8 + px.j AS idx,
+                            CASE WHEN px.v > m.mu THEN 1 ELSE 0 END
+                                AS bit
+                     FROM px JOIN m ON px.doc_id = m.doc_id),
+            hs AS (SELECT doc_id,
+                          CAST(sum(CASE WHEN idx < 32
+                               THEN bit * (CAST(1 AS BIGINT)
+                                           << (31 - idx))
+                               ELSE 0 END) AS BIGINT) AS hi,
+                          CAST(sum(CASE WHEN idx >= 32
+                               THEN bit * (CAST(1 AS BIGINT)
+                                           << (63 - idx))
+                               ELSE 0 END) AS BIGINT) AS lo
+                   FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.hi, b.hi))
+                        + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+            FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.hi, b.hi))
+                  + bit_count(xor(a.lo, b.lo)) <= 3
         """,
         # q_rouge: the clipped bigram overlap restated — same
         # normalization, per-position slices, min() clip, integer

@@ -179,6 +179,36 @@ def png_image_resizer(content: bytes, width: int, height: int) -> bytes:
     return encode_png(img[yi][:, xi])
 
 
+def image_ahash(content: bytes, hash_size: int = 8) -> tuple[int, int]:
+    """Perceptual average-hash of a PNG: decode → channel-mean
+    grayscale → nearest-neighbor downsample to hash_size² (the
+    png_image_resizer index arithmetic) → one bit per cell, set iff the
+    cell STRICTLY exceeds the grid mean.  Returns the bit matrix packed
+    row-major MSB-first as two non-negative 32-bit halves (hi, lo) —
+    two ints instead of one 64-bit word so no engine ever sees a
+    sign-wrapped hash (the oracle mirrors hi/lo as plain integer sums).
+
+    Determinism note: the grid mean is sum/hash_size² — exact in IEEE
+    when hash_size is a power of two — and single-channel images skip
+    the (inexact for c=3) channel average entirely, so the threshold
+    compare on the gate fixtures is bit-reproducible by any engine
+    restating the closed form."""
+    if hash_size * hash_size > 64:
+        raise ValueError("image_ahash: hash_size² must fit 64 bits")
+    img = decode_png(content)
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    yi = np.minimum((np.arange(hash_size) * h) // hash_size, h - 1)
+    xi = np.minimum((np.arange(hash_size) * w) // hash_size, w - 1)
+    grid = gray[yi][:, xi]
+    bits = (grid > grid.mean()).reshape(-1)
+    packed = 0
+    for b in bits:
+        packed = (packed << 1) | int(b)
+    packed <<= 64 - bits.size
+    return packed >> 32, packed & 0xFFFFFFFF
+
+
 # ---------------------------------------------------------------------------
 # WAV (RIFF/WAVE PCM)
 

@@ -326,3 +326,77 @@ def embed_text(docs_df: DataFrame, encoder: Callable,
                 })
 
     return narrow.mapInPandas(run, TEXT_EMBEDDING_SCHEMA)
+
+
+def ahash_media(media_df: DataFrame,
+                hasher: Callable[[bytes], tuple] | None = None
+                ) -> DataFrame:
+    """Perceptual-hash pass over (media_id, content) image rows: one
+    mapInPandas boundary (the codec seam — same shape as
+    extract_image_features) computing `codecs.image_ahash` per image.
+    Returns (media_id, ahash_hi, ahash_lo) with the 64-bit average-hash
+    split into two non-negative 32-bit longs — band-extractable and
+    XOR-able in any engine with zero sign hazards."""
+    if hasher is None:
+        from flood_data_spark.datapipe.codecs import image_ahash
+        hasher = image_ahash
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                hi, lo = hasher(bytes(content))
+                out.append({"media_id": int(mid),
+                            "ahash_hi": int(hi), "ahash_lo": int(lo)})
+            if out:
+                yield pd.DataFrame(out)
+
+    return (media_df.select("media_id", "content")
+            .mapInPandas(run, schema="media_id long, ahash_hi long,"
+                                     " ahash_lo long"))
+
+
+def ahash_dup_pairs(hashes: DataFrame, max_hamming: int = 3,
+                    id_col: str = "media_id") -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance —
+    the SimHash pigeonhole played on the aHash: the 64-bit hash splits
+    into FOUR 16-bit bands, and any pair within Hamming distance
+    max_hamming <= 3 must agree on at least one whole band (3 flipped
+    bits cannot touch 4 bands), so a per-band equality self-join
+    generates a LOSSLESS candidate set — Σ|bucket|² work, never
+    corpus² — and one exact bit_count(XOR) verify keeps true pairs.
+    Returns (id_a, id_b, hamming), id_a < id_b, deduplicated across
+    bands, sorted."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("ahash_dup_pairs: max_hamming must be in "
+                         "[0, 3] (4-band pigeonhole bound)")
+    from pyspark.sql import functions as F
+    h = hashes.select(F.col(id_col).alias("id"),
+                      F.col("ahash_hi").alias("hi"),
+                      F.col("ahash_lo").alias("lo"))
+    # band identity includes WHICH slot matched (posexplode index) —
+    # two hashes sharing a value across different band slots are not
+    # pigeonhole candidates
+    bands = h.select(
+        "id", "hi", "lo",
+        F.posexplode(F.array(
+            F.shiftright("hi", 16),
+            F.col("hi").bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright("lo", 16),
+            F.col("lo").bitwiseAND(F.lit(0xFFFF))))
+        .alias("band_idx", "band_val"))
+    a = bands.select(F.col("id").alias("id_a"), F.col("hi").alias("hi_a"),
+                     F.col("lo").alias("lo_a"), "band_idx", "band_val")
+    b = bands.select(F.col("id").alias("id_b"), F.col("hi").alias("hi_b"),
+                     F.col("lo").alias("lo_b"), "band_idx", "band_val")
+    cand = (a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+            .distinct())
+    hamming = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+               + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", F.col("hamming").cast("int")
+                    .alias("hamming"))
+            .orderBy("id_a", "id_b"))

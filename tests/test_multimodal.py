@@ -172,3 +172,81 @@ def test_read_media_default_mime_is_parquet_writable(spark, tmp_path):
     df.write.parquet(out)
     back = spark.read.parquet(out).collect()
     assert len(back) == 1 and back[0].mime is None
+
+
+# --- perceptual-hash dedup ---------------------------------------------
+
+
+def test_image_ahash_goldens():
+    import numpy as np
+
+    from flood_data_spark.datapipe.codecs import encode_png, image_ahash
+
+    # constant image: no pixel STRICTLY exceeds the mean -> all zeros
+    flat = encode_png(np.full((8, 8, 1), 77, dtype=np.uint8))
+    assert image_ahash(flat) == (0, 0)
+    # left-half dark, right-half bright: bits set exactly on the
+    # bright columns, every row -> hi == lo, 4 bits per 8-bit row
+    img = np.zeros((8, 8, 1), dtype=np.uint8)
+    img[:, 4:] = 200
+    hi, lo = image_ahash(encode_png(img))
+    assert hi == lo == 0x0F0F0F0F
+    # a 16x16 image downsamples through the same nearest-neighbor
+    # index math -> identical hash to its 8x8 source
+    big = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert image_ahash(encode_png(big)) == (hi, lo)
+    with pytest.raises(ValueError, match="64 bits"):
+        image_ahash(flat, hash_size=9)
+
+
+def test_ahash_banding_is_lossless_for_small_hamming(spark):
+    """4x16-bit band pigeonhole: every pair within Hamming <= 3 is
+    found (compare against brute force over all pairs)."""
+    import numpy as np
+
+    from flood_data_spark.datapipe.multimodal import ahash_dup_pairs
+
+    rng = np.random.default_rng(6)
+    base = int(rng.integers(0, 2 ** 32)), int(rng.integers(0, 2 ** 32))
+    rows = [(0, base[0], base[1])]
+    # neighbors at controlled Hamming distances 1..6
+    for d in range(1, 7):
+        hi, lo = base
+        for bit in range(d):
+            if bit % 2 == 0:
+                hi ^= 1 << (bit * 5 % 32)
+            else:
+                lo ^= 1 << (bit * 7 % 32)
+        rows.append((d, hi, lo))
+    df = spark.createDataFrame(rows, "media_id long, ahash_hi long,"
+                                     " ahash_lo long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in ahash_dup_pairs(df, max_hamming=3).collect()}
+    # brute force
+    import itertools
+    expect = {}
+    for (i1, h1, l1), (i2, h2, l2) in itertools.combinations(rows, 2):
+        hd = bin(h1 ^ h2).count("1") + bin(l1 ^ l2).count("1")
+        if hd <= 3:
+            expect[(min(i1, i2), max(i1, i2))] = hd
+    assert got == expect and len(expect) >= 3
+    with pytest.raises(ValueError, match="pigeonhole"):
+        ahash_dup_pairs(df, max_hamming=4)
+
+
+def test_ahash_media_runs_the_real_codec(spark):
+    import numpy as np
+
+    from flood_data_spark.datapipe.codecs import encode_png, image_ahash
+    from flood_data_spark.datapipe.multimodal import ahash_media
+
+    imgs = []
+    for k in range(4):
+        arr = ((np.arange(64).reshape(8, 8) * (k + 3)) % 251) \
+            .astype(np.uint8)[:, :, None]
+        imgs.append((k, bytearray(encode_png(arr))))
+    df = spark.createDataFrame(imgs, "media_id long, content binary")
+    got = {r.media_id: (r.ahash_hi, r.ahash_lo)
+           for r in ahash_media(df).collect()}
+    for k, png in imgs:
+        assert got[k] == image_ahash(bytes(png))

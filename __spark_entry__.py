@@ -2011,15 +2011,18 @@ def q_grib_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     GRIB2 ensemble message (template 3.0 grid, 4.1 member) is ENCODED and
     then DECODED by the real pure-Python reader (sources/grib2.py) inside
     mapInPandas — the pipeline's actual GRIB entry format, value-hash-
-    checked against the closed-form grid/member/value layout.  The data
-    representation rotates by doc_id: 5.0 simple packing, 5.2 complex
+    checked against the closed-form grid/member/value layout.  The
+    message layout rotates by doc_id: 5.0 simple packing, 5.2 complex
     packing, 5.3 complex + second-order spatial differencing, 5.40
     lossless JPEG2000 (the from-spec sources/jpeg2000.py codec), 5.42
-    CCSDS 121.0-B Rice/AEC (sources/ccsds121.py, round 11) — the
-    decoded integers are identical whichever packing carried them, so
-    ONE closed-form oracle covers all five codecs.  Packed integers
-    < 2^16 survive float32 dis24 exactly, so the contract casts back to
-    int with zero rounding hazard."""
+    CCSDS 121.0-B Rice/AEC (sources/ccsds121.py, round 11), and — round
+    12 — product template 4.11 (ensemble STATISTICAL processing, the
+    accumulation layout operational dis24 ships: forecast time 0 + a
+    24 h accumulation range, step = interval end − reference) — the
+    decoded rows are identical whichever layout carried them, so ONE
+    closed-form oracle covers all six.  Packed integers < 2^16 survive
+    float32 dis24 exactly, so the contract casts back to int with zero
+    rounding hazard."""
     import pandas as pd
 
     from flood_data_spark.sources.grib2 import (
@@ -2035,11 +2038,18 @@ def q_grib_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 xs = [(did * 7 + k) % 65536 for k in range(6)]
-                kind = did % 5
+                kind = did % 6
                 if kind == 0:
                     msg = build_simple_message(
                         xs, nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,
                         nbits=16, member=did % 4)
+                elif kind == 5:
+                    # product template 4.11: accumulated ensemble —
+                    # ftime 0 + 24 h range decodes to the SAME step
+                    msg = build_simple_message(
+                        xs, nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,
+                        nbits=16, member=did % 4, ftime_hours=0,
+                        accum_hours=24)
                 elif kind == 3:
                     msg = build_jpeg2000_message(
                         xs, nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,

@@ -212,18 +212,38 @@ def _sections(msg: bytes) -> dict:
     raise ValueError("grib2: missing 7777 end section")
 
 
-def _product_info(s4: bytes) -> tuple[int, int]:
-    """Section 4 (product definition templates 4.0/4.1) -> (step_ns,
-    ensemble member number)."""
+def _product_info(s4: bytes, ref_ns: int = 0) -> tuple[int, int]:
+    """Section 4 -> (step_ns, ensemble member number).
+
+    Templates 4.0 (deterministic) / 4.1 (ensemble): step = forecast
+    time in its unit.  Templates 4.8 (statistically processed — the
+    accumulation GloFAS dis24 actually ships as) / 4.11 (ensemble +
+    statistical): octets 35-41 (4.8) / 38-44 (4.11) carry the END of
+    the overall time interval, and the cfgrib convention this reader
+    matches is step = interval end − reference time, so a 24 h
+    accumulation issued at 00Z with forecast time 0 reads step = 24 h
+    and valid_time = the accumulation end — identical rows to the
+    4.0/4.1 path for the same physical product."""
     tmpl4 = _u(s4[7:9])
-    if tmpl4 not in (0, 1):
+    if tmpl4 not in (0, 1, 8, 11):
         raise NotImplementedError(
-            f"grib2: product template 4.{tmpl4} unsupported (4.0/4.1 only)")
+            f"grib2: product template 4.{tmpl4} unsupported "
+            "(4.0/4.1/4.8/4.11 only)")
     unit = s4[17]
     if unit not in _NS_PER_UNIT:
         raise NotImplementedError(f"grib2: time unit {unit} unsupported")
     step_ns = _u(s4[18:22]) * _NS_PER_UNIT[unit]
-    number = s4[35] if tmpl4 == 1 else 0
+    number = s4[35] if tmpl4 in (1, 11) else 0
+    if tmpl4 in (8, 11):
+        p = 34 if tmpl4 == 8 else 37     # end-of-interval octets
+        end_ns = calendar.timegm(
+            (_u(s4[p:p + 2]), s4[p + 2], s4[p + 3], s4[p + 4],
+             s4[p + 5], s4[p + 6])) * 10**9
+        if end_ns < ref_ns:
+            raise ValueError(
+                "grib2: statistical interval ends before the reference "
+                "time")
+        step_ns = end_ns - ref_ns
     return step_ns, int(number)
 
 
@@ -269,7 +289,7 @@ def _decode_spectral(s: dict, ref_ns: int) -> dict:
         raise NotImplementedError(
             f"grib2: pentagonal truncation J={j} K={k} M={m_tr} "
             "unsupported (triangular J=K=M only)")
-    step_ns, number = _product_info(s[4])
+    step_ns, number = _product_info(s[4], ref_ns)
     s5 = s[5]
     tmpl5 = _u(s5[9:11])
     if tmpl5 not in (50, 51):
@@ -378,7 +398,7 @@ def _decode_message(msg: bytes) -> dict:
     lats = la1 + np.arange(nj) * (dj if scan & 0x40 else -dj)
 
     # section 4: product — forecast step + ensemble member
-    step_ns, number = _product_info(s[4])
+    step_ns, number = _product_info(s[4], ref_ns)
 
     # section 5: data representation — template 5.0 simple packing,
     # 5.2 complex packing, 5.3 complex + spatial differencing
@@ -550,7 +570,8 @@ def build_spectral_message(coeffs, *, j: int, d_scale: int = 0,
                            e_scale: int = 0, nbits: int = 16,
                            member: int | None = None,
                            year: int = 2024, month: int = 1, day: int = 1,
-                           ftime_hours: int = 24) -> bytes:
+                           ftime_hours: int = 24,
+                           accum_hours: int | None = None) -> bytes:
     """Encode one GRIB2 spectral message (grid template 3.50, data
     template 5.50: spectral simple packing).  `coeffs` are the
     (J+1)(J+2) coefficient values (re/im interleaved, mode-1
@@ -580,7 +601,8 @@ def build_spectral_message(coeffs, *, j: int, d_scale: int = 0,
               + bytes([nbits]) + struct.pack(">f", float(v[0])))
     return _assemble_with_s3(
         _spectral_s3(j), s5, packed, member=member, year=year,
-        month=month, day=day, ftime_hours=ftime_hours)
+        month=month, day=day, ftime_hours=ftime_hours,
+        accum_hours=accum_hours)
 
 
 def build_spectral_complex_message(coeffs, *, j: int, js: int,
@@ -589,7 +611,8 @@ def build_spectral_complex_message(coeffs, *, j: int, js: int,
                                    member: int | None = None,
                                    year: int = 2024, month: int = 1,
                                    day: int = 1,
-                                   ftime_hours: int = 24) -> bytes:
+                                   ftime_hours: int = 24,
+                                   accum_hours: int | None = None) -> bytes:
     """Encode one GRIB2 spectral message (grid template 3.50, data
     template 5.51: spectral complex packing).  The sub-spectrum n ≤ js
     stores raw IEEE-32 values first in section 7; the remainder is
@@ -632,7 +655,8 @@ def build_spectral_complex_message(coeffs, *, j: int, js: int,
               + struct.pack(">I", ts) + bytes([1]))
     return _assemble_with_s3(
         _spectral_s3(j), s5, body, member=member, year=year,
-        month=month, day=day, ftime_hours=ftime_hours)
+        month=month, day=day, ftime_hours=ftime_hours,
+        accum_hours=accum_hours)
 
 
 def build_simple_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
@@ -640,7 +664,8 @@ def build_simple_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
                          d_scale: int = 0, nbits: int = 16,
                          member: int | None = None,
                          year: int = 2024, month: int = 1, day: int = 1,
-                         ftime_hours: int = 24) -> bytes:
+                         ftime_hours: int = 24,
+                         accum_hours: int | None = None) -> bytes:
     """Encode one GRIB2 message (grid template 3.0, product 4.0/4.1, data
     template 5.0 simple packing) — the synthetic-data/test counterpart of
     the reader above.  `xs` are the packed integers, row-major (i fastest);
@@ -660,7 +685,8 @@ def build_simple_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
               + bytes([nbits, 0]))
     return _assemble_message(
         s5, packed, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d, member=member,
-        year=year, month=month, day=day, ftime_hours=ftime_hours)
+        year=year, month=month, day=day, ftime_hours=ftime_hours,
+        accum_hours=accum_hours)
 
 
 def build_jpeg2000_message(xs, *, nj: int, ni: int, la1: float,
@@ -669,7 +695,8 @@ def build_jpeg2000_message(xs, *, nj: int, ni: int, la1: float,
                            nbits: int = 16, levels: int = 3,
                            member: int | None = None,
                            year: int = 2024, month: int = 1, day: int = 1,
-                           ftime_hours: int = 24) -> bytes:
+                           ftime_hours: int = 24,
+                           accum_hours: int | None = None) -> bytes:
     """Encode one GRIB2 message with data representation template 5.40
     (lossless JPEG 2000) — the test counterpart of the 5.40 branch, with
     the codestream produced by the from-spec encoder
@@ -692,7 +719,7 @@ def build_jpeg2000_message(xs, *, nj: int, ni: int, la1: float,
     return _assemble_message(
         s5, codestream, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d,
         member=member, year=year, month=month, day=day,
-        ftime_hours=ftime_hours)
+        ftime_hours=ftime_hours, accum_hours=accum_hours)
 
 
 def build_jpeg2000_lossy_message(xs, *, nj: int, ni: int, la1: float,
@@ -703,7 +730,8 @@ def build_jpeg2000_lossy_message(xs, *, nj: int, ni: int, la1: float,
                                  member: int | None = None,
                                  year: int = 2024, month: int = 1,
                                  day: int = 1,
-                                 ftime_hours: int = 24) -> bytes:
+                                 ftime_hours: int = 24,
+                                 accum_hours: int | None = None) -> bytes:
     """Encode one GRIB2 message with data representation template 5.40,
     compression type 1 (LOSSY irreversible 9/7 JPEG 2000) — the test
     counterpart of the lossy decode branch.  Decoded integers
@@ -727,7 +755,7 @@ def build_jpeg2000_lossy_message(xs, *, nj: int, ni: int, la1: float,
     return _assemble_message(
         s5, codestream, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d,
         member=member, year=year, month=month, day=day,
-        ftime_hours=ftime_hours)
+        ftime_hours=ftime_hours, accum_hours=accum_hours)
 
 
 def build_ccsds_message(xs, *, nj: int, ni: int, la1: float,
@@ -736,7 +764,8 @@ def build_ccsds_message(xs, *, nj: int, ni: int, la1: float,
                         nbits: int = 16, block_size: int = 16,
                         rsi: int = 64, member: int | None = None,
                         year: int = 2024, month: int = 1, day: int = 1,
-                        ftime_hours: int = 24) -> bytes:
+                        ftime_hours: int = 24,
+                        accum_hours: int | None = None) -> bytes:
     """Encode one GRIB2 message with data representation template 5.42
     (CCSDS 121.0-B lossless compression) — the test counterpart of the
     5.42 branch, with the bitstream produced by the from-spec encoder
@@ -761,7 +790,7 @@ def build_ccsds_message(xs, *, nj: int, ni: int, la1: float,
     return _assemble_message(
         s5, stream, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d,
         member=member, year=year, month=month, day=day,
-        ftime_hours=ftime_hours)
+        ftime_hours=ftime_hours, accum_hours=accum_hours)
 
 
 def _sec(num, body):
@@ -785,7 +814,8 @@ def _pack_fields(fields) -> bytes:
 def _assemble_message(s5: bytes, packed: bytes, *, nj: int, ni: int,
                       la1: float, lo1: float, d: float,
                       member: int | None, year: int, month: int, day: int,
-                      ftime_hours: int) -> bytes:
+                      ftime_hours: int,
+                      accum_hours: int | None = None) -> bytes:
     """Sections 1/3/4/6 scaffold shared by the simple and complex test
     encoders — grid template 3.0, product 4.0/4.1, no bitmap."""
     def sm32(v):
@@ -808,15 +838,22 @@ def _assemble_message(s5: bytes, packed: bytes, *, nj: int, ni: int,
               + struct.pack(">H", 0) + grid)
     return _assemble_with_s3(s3, s5, packed, member=member, year=year,
                              month=month, day=day,
-                             ftime_hours=ftime_hours, s1=s1)
+                             ftime_hours=ftime_hours, s1=s1,
+                             accum_hours=accum_hours)
 
 
 def _assemble_with_s3(s3: bytes, s5: bytes, packed: bytes, *,
                       member: int | None, year: int, month: int,
                       day: int, ftime_hours: int,
-                      s1: bytes | None = None) -> bytes:
+                      s1: bytes | None = None,
+                      accum_hours: int | None = None) -> bytes:
     """Sections 1/4/6/7 scaffold around a caller-built grid section —
-    shared by the lat/lon (_assemble_message) and spectral encoders."""
+    shared by the lat/lon (_assemble_message) and spectral encoders.
+    `accum_hours` switches the product section to the statistical
+    templates (4.8 deterministic / 4.11 ensemble): one accumulation
+    time range of that many hours, end-of-interval = reference +
+    forecast time + accumulation — the layout operational dis24
+    accumulations actually ship."""
     if s1 is None:
         s1 = _sec(1, struct.pack(">HHBBB", 0, 0, 2, 0, 1)
                   + struct.pack(">HBBBBB", year, month, day, 0, 0, 0)
@@ -824,11 +861,26 @@ def _assemble_with_s3(s3: bytes, s5: bytes, packed: bytes, *,
     prod = (bytes([0, 4, 2, 0, 0]) + struct.pack(">HB", 0, 0) + bytes([1])
             + struct.pack(">I", ftime_hours)
             + bytes([1, 0]) + b"\x00" * 4 + bytes([255, 0]) + b"\x00" * 4)
+    stat = b""
+    if accum_hours is not None:
+        import datetime as _dt
+        end = (_dt.datetime(year, month, day)
+               + _dt.timedelta(hours=ftime_hours + accum_hours))
+        # octets (4.8: 35-58): end of overall interval, 1 time range,
+        # 0 missing, stat process 1 (accumulation), increment type 2,
+        # range unit hour + length, increment unit hour + 0
+        stat = (struct.pack(">HBBBBB", end.year, end.month, end.day,
+                            end.hour, end.minute, end.second)
+                + bytes([1]) + b"\x00" * 4
+                + bytes([1, 2, 1]) + struct.pack(">I", accum_hours)
+                + bytes([1]) + struct.pack(">I", 0))
     if member is None:
-        s4 = _sec(4, struct.pack(">HH", 0, 0) + prod)
+        tmpl = 8 if accum_hours is not None else 0
+        s4 = _sec(4, struct.pack(">HH", 0, tmpl) + prod + stat)
     else:
-        s4 = _sec(4, struct.pack(">HH", 0, 1) + prod
-                  + bytes([3, member, 51]))
+        tmpl = 11 if accum_hours is not None else 1
+        s4 = _sec(4, struct.pack(">HH", 0, tmpl) + prod
+                  + bytes([3, member, 51]) + stat)
     s6 = _sec(6, bytes([255]))
     s7 = _sec(7, packed)
     body = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
@@ -845,7 +897,8 @@ def build_complex_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
                           d_scale: int = 0, group_len: int = 10,
                           order: int = 0, member: int | None = None,
                           year: int = 2024, month: int = 1, day: int = 1,
-                          ftime_hours: int = 24) -> bytes:
+                          ftime_hours: int = 24,
+                          accum_hours: int | None = None) -> bytes:
     """Encode one GRIB2 message with data representation template 5.2
     (order=0: grid-point complex packing) or 5.3 (order=1/2: complex +
     spatial differencing) — the test counterpart of `_unpack_complex`.
@@ -930,4 +983,5 @@ def build_complex_message(xs, *, nj: int, ni: int, la1: float, lo1: float,
     s5 = _sec(5, body5)
     return _assemble_message(
         s5, packed, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d, member=member,
-        year=year, month=month, day=day, ftime_hours=ftime_hours)
+        year=year, month=month, day=day, ftime_hours=ftime_hours,
+        accum_hours=accum_hours)

@@ -357,3 +357,67 @@ def test_spectral_encoder_guards():
     with pytest.raises(ValueError, match="fit in"):
         build_spectral_message([0.0, 70000.0] + [0.0] * 18, j=3,
                                nbits=16)
+
+
+def test_statistical_product_templates_48_and_411():
+    """4.8/4.11 (statistically processed — the accumulation layout
+    operational dis24 ships): step = end of overall interval −
+    reference time, members via 4.11; a 0-hour forecast with a 24 h
+    accumulation decodes identically to a 24 h instantaneous lead."""
+    import calendar as cal
+
+    from flood_data_spark.sources.grib2 import (build_simple_message,
+                                                grib2_to_dataframe)
+
+    t0 = cal.timegm((2024, 1, 1, 0, 0, 0)) * 10**9
+    det = build_simple_message([1, 2, 3, 4], nj=2, ni=2, la1=1.0,
+                               lo1=1.0, d=0.5, nbits=8, ftime_hours=0,
+                               accum_hours=24)
+    pdf = grib2_to_dataframe(det)
+    assert pdf["step"].tolist() == [24 * 3600 * 10**9] * 4
+    assert pdf["valid_time"].tolist() == [t0 + 24 * 3600 * 10**9] * 4
+    assert pdf["number"].tolist() == [0] * 4
+    ens = build_simple_message([9, 8, 7, 6], nj=2, ni=2, la1=1.0,
+                               lo1=1.0, d=0.5, nbits=8, member=5,
+                               ftime_hours=48, accum_hours=24)
+    p2 = grib2_to_dataframe(ens)
+    assert p2["step"].tolist() == [72 * 3600 * 10**9] * 4
+    assert p2["number"].tolist() == [5] * 4
+    assert p2["dis24"].tolist() == [9.0, 8.0, 7.0, 6.0]
+    # month/day carry: accumulation crossing the month boundary
+    carry = build_simple_message([1], nj=1, ni=1, la1=0.0, lo1=0.0,
+                                 d=0.5, nbits=8, year=2024, month=1,
+                                 day=31, ftime_hours=12,
+                                 accum_hours=24)
+    p3 = grib2_to_dataframe(carry)
+    ref = cal.timegm((2024, 1, 31, 0, 0, 0)) * 10**9
+    assert p3["valid_time"].tolist() == [ref + 36 * 3600 * 10**9]
+
+
+def test_statistical_interval_before_reference_rejected():
+    """A corrupt end-of-interval earlier than the reference time must
+    raise, never produce a negative step."""
+    from flood_data_spark.sources.grib2 import (build_simple_message,
+                                                grib2_to_dataframe)
+
+    msg = bytearray(build_simple_message(
+        [1], nj=1, ni=1, la1=0.0, lo1=0.0, d=0.5, nbits=8,
+        ftime_hours=0, accum_hours=24))
+    # section 4 template 4.8: patch the end-of-interval year to 1999
+    i = bytes(msg).find(b"\x00\x08", 16)   # template number 8 in s4
+    # end-of-interval year sits at s4 octet 35 -> 34 bytes past s4
+    # start; locate s4 start: search section-4 header (len+num=4)
+    pos = 16
+    s4_start = None
+    while pos < len(msg) - 4:
+        ln = int.from_bytes(msg[pos:pos + 4], "big")
+        if msg[pos + 4] == 4:
+            s4_start = pos
+            break
+        if msg[pos:pos + 4] == b"7777":
+            break
+        pos += ln
+    assert s4_start is not None
+    msg[s4_start + 34:s4_start + 36] = (1999).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="before the reference"):
+        grib2_to_dataframe(bytes(msg))

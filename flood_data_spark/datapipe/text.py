@@ -1271,3 +1271,49 @@ def rouge_n(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
                        ratio(c, b).alias("recall"),
                        ratio(F.lit(2).cast(dec) * c, a + b).alias("f1"))
             .orderBy(id_col))
+
+
+def html_to_text(col) -> "Column":
+    """HTML → plain text as a pure Column expression chain (zero
+    shuffle, whole-stage codegen) — the extraction step between a WARC
+    crawl ingest (`sources/warc.py`) and the documents-table families
+    (quality, dedup, LM scoring):
+
+    1. script/style/comment blocks removed outright (content AND tags),
+    2. block-level closers (</p>, </div>, </li>, </h1-6>, </tr>, <br>)
+       become newlines so line-based cleaners keep their structure,
+    3. every remaining tag becomes a space,
+    4. the five core entities decode (&lt; &gt; &quot; &#39; &nbsp;
+       first, &amp; LAST so '&amp;lt;' correctly yields '&lt;' — the
+       double-decode ordering rule),
+    5. intra-line whitespace collapses, line edges trim, blank-line
+       runs collapse, outer edges trim.
+
+    Every pattern is RE2-safe (no backreferences/lookarounds), so the
+    oracle restates the chain verbatim in DuckDB regexp_replace(...,
+    'g') — q_html_text value-hashes the whole ladder."""
+    x = col.cast("string")
+    steps = [
+        (r"(?is)<script[^>]*>.*?</script>", " "),
+        (r"(?is)<style[^>]*>.*?</style>", " "),
+        (r"(?s)<!--.*?-->", " "),
+        (r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n"),
+        (r"<[^>]+>", " "),
+        (r"&lt;", "<"), (r"&gt;", ">"), (r"&quot;", "\""),
+        (r"&#39;", "'"), (r"&nbsp;", " "), (r"&amp;", "&"),
+        (r"[ \t]+", " "),
+        (r" ?\n ?", "\n"),
+        (r"\n{2,}", "\n"),
+        # trim() strips SPACES only on both engines — drop edge
+        # newlines explicitly (RE2-safe anchors)
+        (r"^\n+", ""), (r"\n+$", ""),
+    ]
+    for pat, rep in steps:
+        x = F.regexp_replace(x, pat, rep)
+    return F.trim(x)
+
+
+def with_html_text(df: DataFrame, html_col: str = "payload",
+                   out_col: str = "text") -> DataFrame:
+    """`html_to_text` applied as a column — the WARC→documents bridge."""
+    return df.withColumn(out_col, html_to_text(F.col(html_col)))

@@ -3243,6 +3243,26 @@ def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", html_to_text(html).alias("text"))
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization (datapipe/curation.normalize_url /
+    url_host): mixed-case scheme+host, userinfo, default port, utm
+    tracking params, unsorted query, fragment — all normalized per the
+    documented rules.  The oracle states the INTENDED canonical form
+    directly (a closed form of doc_id), so the whole regex chain is
+    checked against intent, not against a restatement of itself."""
+    from flood_data_spark.datapipe.curation import with_url_keys
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    url = F.concat(
+        F.lit("HTTPS://user@WWW.Site"),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(".ORG:443/p/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&b="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a=1#frag"))
+    return with_url_keys(docs.select("doc_id", url.alias("url"))) \
+        .select("doc_id", "url_host", "url_norm")
+
+
 def q_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly Correlation Coefficient per lead
     (operators/verification.anomaly_correlation): anomalies as exact
@@ -4373,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ahash_pairs": q_ahash_pairs,
         "q_warc_ingest": q_warc_ingest,
         "q_html_text": q_html_text,
+        "q_url_normalize": q_url_normalize,
         "q_grpo_advantage": q_grpo_advantage,
         "q_best_of_n": q_best_of_n,
         "q_dpo_pairs": q_dpo_pairs,
@@ -6026,6 +6047,17 @@ def oracle_sql() -> dict[str, str]:
             FROM hs a JOIN hs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.hi, b.hi))
                   + bit_count(xor(a.lo, b.lo)) <= 3
+        """,
+        # q_url_normalize: the INTENDED canonical form stated directly
+        # — lower scheme/host, userinfo+:443+fragment+utm gone, params
+        # sorted — so the regex chain is checked against intent
+        "q_url_normalize": """
+            SELECT doc_id,
+                   'www.site' || (doc_id % 9) || '.org' AS url_host,
+                   'https://www.site' || (doc_id % 9) || '.org/p/'
+                       || doc_id || '?a=1&b=' || (doc_id % 3)
+                       AS url_norm
+            FROM documents WHERE doc_id < 600
         """,
         # q_warc_ingest: the two-record layout is a literal function of
         # doc_id (both the plain and gzip-member paths decode to it)

@@ -44,9 +44,12 @@ from flood_data_spark.datapipe.curation import (
     hash_sample,
     impute_missing,
     pack_sequences,
+    normalize_url,
     redact_pii,
     stratified_sample,
+    url_host,
     with_shuffle_key,
+    with_url_keys,
 )
 from flood_data_spark.datapipe.text import repetition_signals
 from flood_data_spark.datapipe.fuzzy import (
@@ -152,6 +155,7 @@ __all__ = [
     "hash_sample", "chunk_documents", "pack_sequences", "cap_per_key",
     "redact_pii", "repetition_signals", "clean_lines", "dedup_lines",
     "assign_split", "stratified_sample", "with_shuffle_key",
+    "normalize_url", "url_host", "with_url_keys",
     "blocked_fuzzy_pairs", "fuzzy_match_against", "name_groups",
     "snm_pairs",
     "covariance_matrix", "dim_stats", "gram_matrix",

@@ -775,3 +775,59 @@ def impute_missing(df: DataFrame, value_col: str, group_cols=(),
                         & F.col("_fill").isNotNull())
             .withColumn(out, F.coalesce(v, F.col("_fill")))
             .drop("_fill"))
+
+
+def url_host(col) -> "Column":
+    """Lower-cased host (authority minus port/userinfo) of a URL — the
+    per-domain key for crawl caps (`cap_per_key`) and domain mixtures."""
+    auth = F.regexp_extract(col.cast("string"),
+                            r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.lower(F.regexp_replace(no_user, r":\d+$", ""))
+
+
+def normalize_url(col) -> "Column":
+    """Canonical URL for crawl-level dedup — the normalization every
+    web pipeline runs BEFORE content dedup (two fetches of one page
+    must collide on the key, not survive as near-dups):
+
+    - scheme and host lower-case; userinfo dropped,
+    - default ports stripped (:80 for http, :443 for https),
+    - fragment dropped,
+    - tracking parameters dropped (utm_*, fbclid, gclid),
+    - remaining query parameters SORTED (order-insensitive equality),
+    - empty path becomes '/', a now-empty query drops its '?'.
+
+    Deliberately conservative: no path case-folding (paths are
+    case-sensitive), no trailing-slash merge (different resources).
+    The parameter sort/filter rides array lambdas — interpreted, not
+    codegen (the SCALE_NOTES round-12 lesson), which is fine here: URL
+    volume is rows, not corpus tokens, and the oracle mirrors the
+    identical list operations."""
+    u = col.cast("string")
+    scheme = F.lower(F.regexp_extract(
+        u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(col)
+    port = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*?(:\d+)?(?:[/?#]|$)", 1)
+    keep_port = F.when(
+        ((scheme == "http") & (port == ":80"))
+        | ((scheme == "https") & (port == ":443")), F.lit("")) \
+        .otherwise(port)
+    path = F.regexp_extract(u, r"^[^:]+://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+    qnorm = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, keep_port, path,
+        F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"),
+                                                          qnorm)))
+
+
+def with_url_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds (url_host, url_norm) — the crawl dedup/cap keys."""
+    return (df.withColumn("url_host", url_host(F.col(url_col)))
+            .withColumn("url_norm", normalize_url(F.col(url_col))))

@@ -465,3 +465,47 @@ def test_plan_mixture_targets_and_capped_rates(spark):
     assert 0 < big_kept < 80
     with pytest.raises(ValueError, match="token_budget"):
         plan_mixture(df, token_budget=0)
+
+
+def test_url_normalization_rules(spark):
+    """normalize_url/url_host: case folding, userinfo, default vs
+    explicit ports, tracking-param removal, param sorting, fragment
+    removal, empty-path and empty-query edges."""
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.datapipe.curation import normalize_url, url_host
+
+    cases = [
+        ("HTTPS://User:p@WWW.Example.COM:443/Path/X"
+         "?utm_source=a&b=2&a=1#frag",
+         "https://www.example.com/Path/X?a=1&b=2", "www.example.com"),
+        ("http://HOST.net:80", "http://host.net/", "host.net"),
+        ("http://host.net:8080/x?fbclid=1",
+         "http://host.net:8080/x", "host.net"),
+        ("https://a.b/?utm_campaign=z", "https://a.b/", "a.b"),
+        ("ftp://Files.example.org:21/pub",
+         "ftp://files.example.org:21/pub", "files.example.org"),
+        ("https://x.y/p?z=1&z=1", "https://x.y/p?z=1&z=1", "x.y"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _, _) in
+                                enumerate(cases)], "i int, u string")
+    got = {r.i: (r.n, r.h) for r in
+           df.select("i", normalize_url(F.col("u")).alias("n"),
+                     url_host(F.col("u")).alias("h")).collect()}
+    for i, (_, en, eh) in enumerate(cases):
+        assert got[i] == (en, eh), (i, got[i])
+
+
+def test_url_normalization_collides_equivalent_fetches(spark):
+    """The dedup motivation: two syntactically different fetches of the
+    same resource must share url_norm."""
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.datapipe.curation import normalize_url
+
+    pair = [("https://Site.org:443/a?b=1&a=2&utm_source=tw#x",),
+            ("HTTPS://site.ORG/a?a=2&b=1",)]
+    df = spark.createDataFrame(pair, "u string")
+    vals = [r.n for r in
+            df.select(normalize_url(F.col("u")).alias("n")).collect()]
+    assert vals[0] == vals[1] == "https://site.org/a?a=2&b=1"

@@ -3243,6 +3243,38 @@ def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", html_to_text(html).alias("text"))
 
 
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-world E1 — URL canonicalization → HTML extraction →
+    URL-level dedup, ONE plan: messy fetch URLs (doc_id % 350 collision
+    groups with per-fetch tracking params) canonicalize via
+    normalize_url, payloads extract via the html_to_text ladder,
+    duplicate fetches of one resource collapse to the MINIMUM doc_id
+    (the deterministic keep-first), and the survivor reports its
+    extracted text length.  Full value oracle: the canonical form and
+    the extraction chain both restated, the dedup as a plain GROUP BY
+    min.  One scan, one url_norm-keyed exchange."""
+    from flood_data_spark.datapipe.curation import normalize_url
+    from flood_data_spark.datapipe.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 700)
+    url = F.concat(
+        F.lit("HTTP://Crawl"), (F.col("doc_id") % 350).cast("string"),
+        F.lit(".example:80/page?utm_medium=x&v="),
+        (F.col("doc_id") % 350).cast("string"), F.lit("#s"))
+    html = F.concat(F.lit("<body><p>"), F.col("text"),
+                    F.lit("</p></body>"))
+    staged = docs.select(
+        "doc_id",
+        normalize_url(url).alias("url_norm"),
+        F.length(html_to_text(html)).alias("text_len"))
+    return (staged.groupBy("url_norm")
+            .agg(F.min(F.struct("doc_id", "text_len")).alias("_keep"))
+            .select("url_norm",
+                    F.col("_keep.doc_id").alias("doc_id"),
+                    F.col("_keep.text_len").alias("text_len"))
+            .orderBy("url_norm"))
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl URL canonicalization (datapipe/curation.normalize_url /
     url_host): mixed-case scheme+host, userinfo, default port, utm
@@ -4394,6 +4426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_ingest": q_warc_ingest,
         "q_html_text": q_html_text,
         "q_url_normalize": q_url_normalize,
+        "q_crawl_pipeline": q_crawl_pipeline,
         "q_grpo_advantage": q_grpo_advantage,
         "q_best_of_n": q_best_of_n,
         "q_dpo_pairs": q_dpo_pairs,
@@ -6047,6 +6080,25 @@ def oracle_sql() -> dict[str, str]:
             FROM hs a JOIN hs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.hi, b.hi))
                   + bit_count(xor(a.lo, b.lo)) <= 3
+        """,
+        # q_crawl_pipeline: canonical URL closed form + the extraction
+        # ladder + keep-first-by-min-doc_id as a plain GROUP BY
+        "q_crawl_pipeline": f"""
+            WITH staged AS (
+                SELECT doc_id,
+                       'http://crawl' || (doc_id % 350)
+                           || '.example/page?v=' || (doc_id % 350)
+                           AS url_norm,
+                       length({_html_chain(
+                           "'<body><p>' || text || '</p></body>'")})
+                           AS text_len
+                FROM documents WHERE doc_id < 700),
+            keep AS (SELECT url_norm,
+                            min(doc_id) AS doc_id
+                     FROM staged GROUP BY url_norm)
+            SELECT k.url_norm, k.doc_id, s.text_len
+            FROM keep k JOIN staged s
+                 ON k.url_norm = s.url_norm AND k.doc_id = s.doc_id
         """,
         # q_url_normalize: the INTENDED canonical form stated directly
         # — lower scheme/host, userinfo+:443+fragment+utm gone, params

@@ -3243,6 +3243,27 @@ def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", html_to_text(html).alias("text"))
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (operators/experiment.cuped_adjust):
+    metric = l_extendedprice/1000 adjusted by its natural covariate
+    l_quantity — θ from ONE exchange of exact integer moments, the
+    1-row relation broadcast back (scalar-rejoin), per-row adjustment
+    as an exact integer ratio.  Full value oracle mirroring θ and the
+    adjustment in HUGEINT; mean-preservation and variance-reduction
+    are pytest assertions."""
+    from flood_data_spark.operators.experiment import cuped_adjust
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select("l_orderkey", "l_linenumber",
+                    (F.col("l_extendedprice") / F.lit(1000.0))
+                    .alias("y"),
+                    F.col("l_quantity").alias("x"))
+    return cuped_adjust(src, "y", "x",
+                        keys=["l_orderkey", "l_linenumber"]) \
+        .select("l_orderkey", "l_linenumber", "metric",
+                "cuped_adjusted", "theta")
+
+
 def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-world E1 — URL canonicalization → HTML extraction →
     URL-level dedup, ONE plan: messy fetch URLs (doc_id % 350 collision
@@ -4427,6 +4448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_text": q_html_text,
         "q_url_normalize": q_url_normalize,
         "q_crawl_pipeline": q_crawl_pipeline,
+        "q_cuped": q_cuped,
         "q_grpo_advantage": q_grpo_advantage,
         "q_best_of_n": q_best_of_n,
         "q_dpo_pairs": q_dpo_pairs,
@@ -6080,6 +6102,35 @@ def oracle_sql() -> dict[str, str]:
             FROM hs a JOIN hs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.hi, b.hi))
                   + bit_count(xor(a.lo, b.lo)) <= 3
+        """,
+        # q_cuped: theta and the per-row adjustment mirrored in HUGEINT
+        "q_cuped": f"""
+            WITH src AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(sign(l_extendedprice / 1000.0)
+                            * floor(abs(l_extendedprice / 1000.0)
+                                    * 1000000 + 0.5) AS HUGEINT) AS qy,
+                       CAST(sign(l_quantity)
+                            * floor(abs(l_quantity) * 1000000 + 0.5)
+                            AS HUGEINT) AS qx
+                FROM lineitem),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         sum(qx) AS sx, sum(qy) AS sy,
+                         sum(qx * qx) AS sxx, sum(qx * qy) AS sxy
+                  FROM src),
+            t AS (SELECT n, sx,
+                         CASE WHEN sxx * n - sx * sx > 0 THEN
+                              {idiv_int('(sxy * n - sx * sy) * 1000000',
+                                        'sxx * n - sx * sx')}
+                         ELSE 0 END AS qt
+                  FROM m)
+            SELECT s.l_orderkey, s.l_linenumber,
+                   CAST(s.qy AS DOUBLE) / 1000000.0 AS metric,
+                   CAST(s.qy - {idiv_int('t.qt * (s.qx * t.n - t.sx)',
+                                         't.n * 1000000')}
+                        AS DOUBLE) / 1000000.0 AS cuped_adjusted,
+                   CAST(t.qt AS DOUBLE) / 1000000.0 AS theta
+            FROM src s, t
         """,
         # q_crawl_pipeline: canonical URL closed form + the extraction
         # ladder + keep-first-by-min-doc_id as a plain GROUP BY

@@ -289,3 +289,63 @@ def conformal_interval(calibration: DataFrame, df: DataFrame,
     return (df.withColumn("conformal_q", F.lit(float(q)))
             .withColumn("conformal_lo", F.col(yhat_col) - F.lit(float(q)))
             .withColumn("conformal_hi", F.col(yhat_col) + F.lit(float(q))))
+
+
+def cuped_adjust(df: DataFrame, metric_col: str, covariate_col: str,
+                 keys=()) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the experimentation
+    -platform standard: adjust the experiment metric by its
+    pre-experiment covariate,
+
+        y_adj = y − θ·(x − x̄),     θ = cov(x, y) / var(x)
+
+    which preserves the mean and shrinks variance by the squared
+    correlation.  Exact-integer assembly (the linalg discipline): with
+    qx, qy micro-quantized and Sx/Sy/Sxx/Sxy the BIGINT sums,
+
+        θ · 1e6   = half_up((Sxy·n − Sx·Sy) · 1e6, Sxx·n − Sx²)
+        adj · 1e6 = qy − half_up(qθ · (qx·n − Sx), n · 1e6)
+
+    — the 1-row moments relation broadcasts back onto the rows (the
+    scalar-rejoin idiom), ONE corpus exchange total.  θ = 0 when the
+    covariate is constant (no signal, metric unchanged).  Returns the
+    input keys plus (metric, cuped_adjusted, theta); the mean-
+    preservation and variance-reduction contracts are pytest
+    assertions."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+    dec = "decimal(38,0)"
+    MICRO = 1_000_000
+
+    def _q(col):
+        c = col.cast("double")
+        return (F.signum(c) * F.floor(F.abs(c) * MICRO + F.lit(0.5))) \
+            .cast("long")
+
+    keys = list(keys)
+    base = df.select(*keys, _q(F.col(metric_col)).alias("_qy"),
+                     _q(F.col(covariate_col)).alias("_qx"))
+    mom = base.agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("_qx").cast(dec)).alias("_sx"),
+        F.sum(F.col("_qy").cast(dec)).alias("_sy"),
+        F.sum(F.col("_qx").cast(dec) * F.col("_qx").cast(dec))
+        .alias("_sxx"),
+        F.sum(F.col("_qx").cast(dec) * F.col("_qy").cast(dec))
+        .alias("_sxy"))
+    mega = F.lit(MICRO).cast(dec)
+    varn = F.col("_sxx") * F.col("_n") - F.col("_sx") * F.col("_sx")
+    covn = F.col("_sxy") * F.col("_n") - F.col("_sx") * F.col("_sy")
+    qtheta = F.when(varn > 0, _idiv_half_up(covn * mega, varn)) \
+        .otherwise(F.lit(0)).cast(dec)
+    mom = mom.withColumn("_qt", qtheta)
+    j = base.crossJoin(F.broadcast(mom))
+    num = F.col("_qt") * (F.col("_qx").cast(dec) * F.col("_n")
+                          - F.col("_sx"))
+    adj_q = F.col("_qy").cast(dec) \
+        - _idiv_half_up(num, F.col("_n") * mega).cast(dec)
+    mega_f = F.lit(float(MICRO))
+    return j.select(
+        *keys,
+        (F.col("_qy").cast("double") / mega_f).alias("metric"),
+        (adj_q.cast("double") / mega_f).alias("cuped_adjusted"),
+        (F.col("_qt").cast("double") / mega_f).alias("theta"))

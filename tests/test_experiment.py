@@ -89,3 +89,50 @@ def test_ztest_insignificant_and_guards(spark):
         two_proportion_ztest(_ab(spark, [("A", 1), ("B", 0), ("C", 1)]))
     with pytest.raises(ValueError, match="degenerate"):
         two_proportion_ztest(_ab(spark, [("A", 0), ("B", 0)]))
+
+
+def test_cuped_matches_numpy_and_contracts(spark):
+    """CUPED: theta = cov/var, the mean is preserved, variance shrinks
+    by ~rho^2 on a strongly correlated covariate, and a constant
+    covariate leaves the metric untouched."""
+    import numpy as np
+
+    from flood_data_spark.operators.experiment import cuped_adjust
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(10, 3, 500)
+    y = 2.0 * x + rng.normal(0, 1, 500)
+    df = spark.createDataFrame(
+        [(i, float(b), float(a)) for i, (b, a) in enumerate(zip(y, x))],
+        "id int, y double, x double")
+    out = cuped_adjust(df, "y", "x", keys=["id"]).collect()
+    adj = np.array([r.cuped_adjusted for r in out])
+    met = np.array([r.metric for r in out])
+    t_ref = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    assert out[0].theta == pytest.approx(t_ref, abs=2e-5)
+    assert adj.mean() == pytest.approx(met.mean(), abs=1e-4)
+    assert adj.var() < 0.3 * met.var()
+    ref = y - t_ref * (x - x.mean())
+    assert np.allclose(adj, ref, atol=2e-4)
+    # constant covariate: no signal, theta 0, metric unchanged
+    d2 = spark.createDataFrame([(1, 5.0, 2.0), (2, 7.0, 2.0)],
+                               "id int, y double, x double")
+    o2 = cuped_adjust(d2, "y", "x", keys=["id"]).collect()
+    assert all(r.theta == 0.0 and r.cuped_adjusted == r.metric
+               for r in o2)
+
+
+def test_cuped_partition_invariant(spark):
+    import numpy as np
+
+    from flood_data_spark.operators.experiment import cuped_adjust
+
+    rng = np.random.default_rng(9)
+    rows = [(i, float(v), float(w))
+            for i, (v, w) in enumerate(rng.normal(5, 2, (300, 2)))]
+    df = spark.createDataFrame(rows, "id int, y double, x double")
+    a = sorted(map(tuple, cuped_adjust(df, "y", "x",
+                                       keys=["id"]).collect()))
+    b = sorted(map(tuple, cuped_adjust(df.repartition(7), "y", "x",
+                                       keys=["id"]).collect()))
+    assert a == b

@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     "q_crps_decomp",
     "q_energy_score",
     "q_grpo_advantage",
+    "q_rouge",
+    "q_cuped",
+    "q_crawl_pipeline_full",
 ]
 
 _IVF_INDEX = {}
@@ -590,6 +593,32 @@ def _q_crps_decomp_x10(spark, sf_dir):
     return crps_hersbach(src, "l_quantity", "obs", ["l_orderkey"])
 
 
+def _q_crawl_pipeline_full(spark, sf_dir):
+    """The crawl E1 at full corpus volume: URL canonicalization + the
+    html_to_text regexp ladder + keep-first URL dedup over EVERY
+    document at this sf (the gate's 700-doc slice is a correctness
+    canary; this measures extraction at volume — scan-dominated, zero
+    shuffle until the url_norm group)."""
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.datapipe.curation import normalize_url
+    from flood_data_spark.datapipe.text import html_to_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("HTTP://Crawl"), (F.col("doc_id") % 350).cast("string"),
+        F.lit(".example:80/page?utm_medium=x&v="),
+        (F.col("doc_id") % 350).cast("string"), F.lit("#s"))
+    html = F.concat(F.lit("<body><p>"), F.col("text"),
+                    F.lit("</p></body>"))
+    staged = docs.select(
+        "doc_id", normalize_url(url).alias("url_norm"),
+        F.length(html_to_text(html)).alias("text_len"))
+    return (staged.groupBy("url_norm")
+            .agg(F.min(F.struct("doc_id", "text_len")).alias("_k"))
+            .select("url_norm", "_k.doc_id", "_k.text_len"))
+
+
 def _q_peak_timing_x10(spark, sf_dir):
     """Flagship peak-timing window query on the 6M-row tier: 10x the
     orders (groups), same per-order series length — the shared-exchange
@@ -884,6 +913,7 @@ EXTRA_QUERIES = {
     "q_daily_pipeline_x10": _q_daily_pipeline_x10,
     "q_crps_x10": _q_crps_x10,
     "q_crps_decomp_x10": _q_crps_decomp_x10,
+    "q_crawl_pipeline_full": _q_crawl_pipeline_full,
     "q_bpe_train_full": _q_bpe_train_full,
     "q_ivfpq_search": _q_ivfpq_search,
     "q_winnow_full": _q_winnow_full,

@@ -3243,6 +3243,29 @@ def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", html_to_text(html).alias("text"))
 
 
+def q_dm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano forecast comparison per lead
+    (operators/verification.dm_test, lag-0): loss A = |l_quantity −
+    obs|, loss B = |l_extendedprice/2000 − obs| — exact integer loss
+    differentials, two sqrt seams quantized per-factor (the ACC rule),
+    sign-aware final ratio, NULL on zero-variance differentials.  Full
+    value oracle mirroring the chain."""
+    from flood_data_spark.operators.verification import dm_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    src = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .select(F.col("o_orderpriority").alias("lead"),
+                   F.abs(F.col("l_quantity")
+                         - F.col("o_totalprice") / F.lit(10000.0))
+                   .alias("la"),
+                   F.abs(F.col("l_extendedprice") / F.lit(2000.0)
+                         - F.col("o_totalprice") / F.lit(10000.0))
+                   .alias("lb")))
+    return dm_test(src, "la", "lb", ["lead"]) \
+        .select("lead", "n", "mean_diff", "dm_stat")
+
+
 def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance reduction (operators/experiment.cuped_adjust):
     metric = l_extendedprice/1000 adjusted by its natural covariate
@@ -4449,6 +4472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_normalize": q_url_normalize,
         "q_crawl_pipeline": q_crawl_pipeline,
         "q_cuped": q_cuped,
+        "q_dm_test": q_dm_test,
         "q_grpo_advantage": q_grpo_advantage,
         "q_best_of_n": q_best_of_n,
         "q_dpo_pairs": q_dpo_pairs,
@@ -6102,6 +6126,41 @@ def oracle_sql() -> dict[str, str]:
             FROM hs a JOIN hs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.hi, b.hi))
                   + bit_count(xor(a.lo, b.lo)) <= 3
+        """,
+        # q_dm_test: exact integer loss differentials, per-factor sqrt
+        # quantization, sign-aware half_up
+        "q_dm_test": f"""
+            WITH src AS (
+                SELECT o.o_orderpriority AS lead,
+                       abs(l.l_quantity
+                           - o.o_totalprice / 10000.0) AS la,
+                       abs(l.l_extendedprice / 2000.0
+                           - o.o_totalprice / 10000.0) AS lb
+                FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey),
+            q AS (SELECT lead,
+                         CAST(sign(la) * floor(abs(la) * 1000000 + 0.5)
+                              AS HUGEINT)
+                         - CAST(sign(lb) * floor(abs(lb) * 1000000
+                                                 + 0.5) AS HUGEINT)
+                             AS qd
+                  FROM src),
+            g AS (SELECT lead, CAST(count(*) AS HUGEINT) AS n,
+                         sum(qd) AS s, sum(qd * qd) AS ss
+                  FROM q GROUP BY lead),
+            f AS (SELECT lead, n, s,
+                         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000
+                                    + 0.5) AS HUGEINT) AS qsn,
+                         CAST(floor(sqrt(CAST(ss * n - s * s
+                                              AS DOUBLE)) + 0.5)
+                              AS HUGEINT) AS qsa
+                  FROM g)
+            SELECT lead, CAST(n AS BIGINT) AS n,
+                   {idiv_half_up('s', 'n', 1000000)} AS mean_diff,
+                   CASE WHEN qsa > 0 THEN
+                        {idiv_half_up('s * qsn', 'qsa', 1000000)}
+                   END AS dm_stat
+            FROM f
         """,
         # q_cuped: theta and the per-row adjustment mirrored in HUGEINT
         "q_cuped": f"""

@@ -57,6 +57,7 @@ from flood_data_spark.operators.verification import (
     crps_from_member_cells,
     crps_hersbach,
     crps_member_cells,
+    dm_test,
     ece_from_cells,
     energy_score,
     isotonic_calibration,
@@ -89,5 +90,5 @@ __all__ = [
     "contingency_scores", "quantile_score", "isotonic_calibration",
     "energy_score", "anomaly_correlation", "cost_loss_value",
     "contingency_counts", "contingency_from_counts",
-    "quantile_score_from_member_cells",
+    "quantile_score_from_member_cells", "dm_test",
 ]

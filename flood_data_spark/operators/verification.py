@@ -876,6 +876,51 @@ def cost_loss_value(cnt: DataFrame, alphas=(2, 5, 10, 20, 30, 40, 50,
                       value.alias("value")).orderBy("alpha")
 
 
+def dm_test(df: DataFrame, loss_a_col: str, loss_b_col: str,
+            group_keys=()) -> DataFrame:
+    """Diebold-Mariano forecast-comparison test (lag-0 form) per group:
+    is forecast A's loss systematically different from B's?
+
+        d_i = loss_a_i − loss_b_i
+        DM  = d̄ / sqrt(var_pop(d)/n) = S·sqrt(n) / sqrt(SS·n − S²)
+
+    with S = Σ qd, SS = Σ qd² over micro-quantized loss differences
+    (exact integer differences — the CUPED/ACC discipline).  Two sqrt
+    seams quantized separately (the ACC per-factor rule): qsn =
+    floor(sqrt(n)·1e6 + 0.5), qsa = floor(sqrt(SS·n − S²) + 0.5), then
+    DM·1e6 = half_up(S·qsn, qsa) — sign-aware (negative = A better
+    under lower-is-better losses), NULL when the differential has zero
+    variance.  Lag-0 only: the HAC (Newey-West) correction needs an
+    ordered series and is a windowed autocovariance composition of the
+    same machinery — out of scope here, stated loudly rather than
+    silently approximated.  |DM| >~ 1.96 rejects equal accuracy at 5%
+    under the asymptotic normal.  Returns (keys…, n, mean_diff,
+    dm_stat) sorted by keys; ONE group-keyed exchange."""
+    keys = list(group_keys)
+    dec = "decimal(38,0)"
+    qa = _micro(F.col(loss_a_col))
+    qb = _micro(F.col(loss_b_col))
+    qd = (qa - qb).cast(dec)
+    base = df.select(*keys, qd.alias("_qd"))
+    agg = (base.groupBy(*keys) if keys else base.groupBy()) \
+        .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
+             F.sum("_qd").alias("_s"),
+             F.sum(F.col("_qd") * F.col("_qd")).alias("_ss"))
+    n, s = F.col("_n"), F.col("_s")
+    a = F.col("_ss") * n - s * s
+    qsn = F.floor(F.sqrt(n.cast("double")) * MICRO + F.lit(0.5)) \
+        .cast(dec)
+    qsa = F.floor(F.sqrt(a.cast("double")) + F.lit(0.5)).cast(dec)
+    mega_f = F.lit(float(MICRO))
+    mean_diff = _idiv_half_up(s, n).cast("double") / mega_f
+    dm = F.when(qsa > 0, _idiv_half_up(s * qsn, qsa).cast("double")
+                / mega_f).otherwise(F.lit(None).cast("double"))
+    out = agg.select(*keys, n.cast("long").alias("n"),
+                     mean_diff.alias("mean_diff"),
+                     dm.alias("dm_stat"))
+    return out.orderBy(*keys) if keys else out
+
+
 def spread_skill(df: DataFrame, value_col: str, obs_col: str,
                  group_keys, lead_col: str) -> DataFrame:
     """Spread-skill relation per lead time: ensemble spread (mean

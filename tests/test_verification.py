@@ -748,3 +748,30 @@ def test_quantile_stream_finisher_matches_batch(spark):
     stream = quantile_score_from_member_cells(
         cells, taus=(0.1, 0.5, 0.9)).collect()
     assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+
+
+def test_dm_test_matches_numpy_and_edges(spark):
+    """Diebold-Mariano lag-0: statistic vs numpy, the sign convention
+    (negative = A better under lower-is-better), and the zero-variance
+    NULL guard."""
+    from flood_data_spark.operators.verification import dm_test
+
+    rng = np.random.default_rng(4)
+    la = np.abs(rng.normal(2.0, 1.0, 400))
+    lb = la + rng.normal(0.3, 0.5, 400)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(la, lb)],
+        "k string, la double, lb double")
+    r = dm_test(df, "la", "lb", ["k"]).collect()[0]
+    d = la - lb
+    ref = d.mean() / np.sqrt(d.var() / len(d))
+    assert r.n == 400
+    assert r.mean_diff == pytest.approx(d.mean(), abs=2e-6)
+    assert r.dm_stat == pytest.approx(ref, abs=1e-4)
+    assert r.dm_stat < 0        # A systematically better
+    # constant differential: zero variance -> NULL statistic
+    d2 = spark.createDataFrame([("g", 1.0, 2.0), ("g", 3.0, 4.0)],
+                               "k string, la double, lb double")
+    r2 = dm_test(d2, "la", "lb", ["k"]).collect()[0]
+    assert r2.dm_stat is None
+    assert r2.mean_diff == pytest.approx(-1.0, abs=1e-9)

@@ -509,3 +509,26 @@ def test_url_normalization_collides_equivalent_fetches(spark):
     vals = [r.n for r in
             df.select(normalize_url(F.col("u")).alias("n")).collect()]
     assert vals[0] == vals[1] == "https://site.org/a?a=2&b=1"
+
+
+def test_url_normalization_is_idempotent(spark):
+    """normalize_url is a canonicalization: applying it twice equals
+    applying it once (already-canonical URLs pass through), across a
+    grid of messy inputs."""
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.datapipe.curation import normalize_url
+
+    urls = [
+        "HTTPS://A.B:443/x?b=2&a=1#f",
+        "http://u:p@H.i:80/?utm_source=t",
+        "https://h.j:8443/p/q?z=9&y=8&utm_term=k",
+        "ftp://X.y/z",
+        "http://plain.example/path",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(normalize_url(F.col("u")).alias("n"))
+    twice = once.select(F.col("n").alias("u")) \
+        .select(normalize_url(F.col("u")).alias("n"))
+    assert [r.n for r in once.collect()] == \
+        [r.n for r in twice.collect()]

@@ -219,3 +219,21 @@ def test_rouge_identical_docs_score_one(spark):
         [(0, "alpha beta gamma delta eps")], "doc_id long, text string")
     r = rouge_n(d, d, n=2).collect()[0]
     assert r.precision == r.recall == r.f1 == 1.0
+
+
+def test_rouge_precision_recall_duality(spark):
+    """Swapping candidate and reference swaps precision and recall
+    (clip is symmetric); F1 is invariant."""
+    from flood_data_spark.datapipe.text import rouge_n
+
+    a = spark.createDataFrame(
+        [(0, "w x y z w x"), (1, "p q r")], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(0, "w x q w"), (1, "r p q p")], "doc_id long, text string")
+    fwd = {r.doc_id: r for r in rouge_n(a, b, n=2).collect()}
+    rev = {r.doc_id: r for r in rouge_n(b, a, n=2).collect()}
+    for k in fwd:
+        assert fwd[k].clip == rev[k].clip
+        assert fwd[k].precision == rev[k].recall
+        assert fwd[k].recall == rev[k].precision
+        assert fwd[k].f1 == rev[k].f1

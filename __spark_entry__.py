@@ -3334,7 +3334,7 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 9).cast("string"),
         F.lit(".ORG:443/p/"), F.col("doc_id").cast("string"),
         F.lit("?utm_source=x&b="), (F.col("doc_id") % 3).cast("string"),
-        F.lit("&a=1#frag"))
+        F.lit("&a=1#frag?not=query"))
     return with_url_keys(docs.select("doc_id", url.alias("url"))) \
         .select("doc_id", "url_host", "url_norm")
 
@@ -6250,7 +6250,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_rouge: the clipped bigram overlap restated — same
         # normalization, per-position slices, min() clip, integer
-        # ratios; FULL join keeps ids with grams on either side
+        # ratios; driven from the UNION of input ids so both-short
+        # pairs emit their zero-gram all-NULL row
         "q_rouge": f"""
             WITH c0 AS (
                 SELECT doc_id AS id,
@@ -6277,10 +6278,12 @@ def oracle_sql() -> dict[str, str]:
             cl AS (SELECT cg.id, sum(least(cg.c, rg.c)) AS clip
                    FROM cg JOIN rg ON cg.id = rg.id AND cg.g = rg.g
                    GROUP BY 1),
-            j AS (SELECT COALESCE(tc.id, tr.id) AS id,
+            ids AS (SELECT id FROM c0 UNION SELECT id FROM r0),
+            j AS (SELECT ids.id,
                          COALESCE(tc.cand_grams, 0) AS a,
                          COALESCE(tr.ref_grams, 0) AS b
-                  FROM tc FULL OUTER JOIN tr ON tc.id = tr.id),
+                  FROM ids LEFT JOIN tc ON ids.id = tc.id
+                           LEFT JOIN tr ON ids.id = tr.id),
             f AS (SELECT j.id, j.a, j.b, COALESCE(cl.clip, 0) AS c
                   FROM j LEFT JOIN cl ON j.id = cl.id)
             SELECT id AS doc_id, CAST(a AS BIGINT) AS cand_grams,

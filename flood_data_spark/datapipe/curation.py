@@ -816,7 +816,10 @@ def normalize_url(col) -> "Column":
         .otherwise(port)
     path = F.regexp_extract(u, r"^[^:]+://[^/?#]+([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # anchor before any '#': a '?' INSIDE the fragment (hash-bang SPA
+    # URLs) must not be mistaken for a query start — the fragment is
+    # dropped wholesale, never leaked into the dedup key
+    query = F.regexp_extract(u, r"^[^#?]*\?([^#]*)", 1)
     params = F.array_sort(F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|fbclid|gclid)=")))

@@ -1219,10 +1219,13 @@ def rouge_n(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
     gram multiplicity lives in the counts, never in join rows).  All
     three ratios are exact integer ratios (`linalg._idiv_half_up`).
     Pairs where either side has fewer than n tokens carry zero grams on
-    that side and report NULL for the ratios with a 0 denominator.
-    Returns (id, cand_grams, ref_grams, clip, precision, recall, f1)
-    sorted by id; f1 is computed from its own integer ratio (2c/(a+b)),
-    which equals the harmonic mean of the rounded p/r up to round-6."""
+    that side and report NULL for the ratios with a 0 denominator; the
+    output is driven from the UNION of input ids, so an id whose both
+    sides are too short still emits its zero-gram all-NULL row rather
+    than vanishing.  Returns (id, cand_grams, ref_grams, clip,
+    precision, recall, f1) sorted by id; f1 is computed from its own
+    integer ratio (2c/(a+b)), which equals the harmonic mean of the
+    rounded p/r up to round-6."""
     if n < 1:
         raise ValueError("rouge_n: n must be >= 1")
     from flood_data_spark.datapipe.linalg import _idiv_half_up
@@ -1251,7 +1254,11 @@ def rouge_n(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
                               F.col("c").alias("cr")), ["id", "g"])
             .groupBy("id")
             .agg(F.sum(F.least(F.col("c"), F.col("cr"))).alias("clip")))
-    out = (totals_c.join(totals_r, "id", "full")
+    all_ids = (cand.select(F.col(id_col).alias("id"))
+               .union(ref.select(F.col(id_col).alias("id")))
+               .distinct())
+    out = (all_ids.join(totals_c, "id", "left")
+           .join(totals_r, "id", "left")
            .join(clip, "id", "left")
            .na.fill({"cand_grams": 0, "ref_grams": 0, "clip": 0}))
     mega_f = F.lit(float(MICRO))

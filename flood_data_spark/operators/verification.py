@@ -739,6 +739,21 @@ def energy_score(df: DataFrame, id_col: str, vec_col: str,
     base = df.select(*keys, F.col(id_col).alias("_id"),
                      F.col(vec_col).cast("array<double>").alias("_v")) \
         .withColumn("_obs_id", F.min("_id").over(wmin))
+    # fail-loud unique-id precondition: a duplicated min id makes the
+    # obs relation multi-row and silently MULTIPLIES distances in the
+    # t1 join; duplicated member ids silently DROP their i<j pair from
+    # the pairwise sum.  The check shares wmin's WindowExec (same
+    # partitionBy, no extra exchange; collect_set is m-bounded — m is
+    # the ensemble size) and raises at execution via assert_true.
+    base = base.withColumn(
+        "_uniq", F.size(F.collect_set("_id").over(wmin))
+        == F.count(F.lit(1)).over(wmin)) \
+        .filter(F.assert_true(
+            F.col("_uniq"),
+            F.lit("energy_score: duplicate id value within a group — "
+                  "ids must be unique per group (obs selection and "
+                  "the i<j pairwise sum both require it)")).isNull()) \
+        .drop("_uniq")
     obs = base.filter(F.col("_id") == F.col("_obs_id")) \
         .select(*keys, F.col("_v").alias("_y"))
     mem = base.filter(F.col("_id") != F.col("_obs_id")) \

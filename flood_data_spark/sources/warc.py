@@ -61,11 +61,26 @@ def _inflate_members(content: bytes) -> bytes:
 
 
 def _parse_headers(block: bytes, what: str) -> dict:
-    """CRLF-separated 'Name: value' lines -> lower-cased dict."""
-    headers = {}
+    """CRLF-separated 'Name: value' lines -> lower-cased dict.
+
+    WARC/HTTP grammar permits FOLDED continuation lines (leading SP or
+    HT continue the previous header's value, RFC 7230 obs-fold / WARC
+    ISO 28500 §4); those are unfolded into a single space-joined value
+    before the ':' split, so one spec-legal folded header no longer
+    aborts ingest of the whole file."""
+    unfolded: list[bytes] = []
     for line in block.split(_CRLF):
         if not line:
             continue
+        if line[:1] in (b" ", b"\t"):
+            if not unfolded:
+                raise ValueError(f"warc: {what} header starts with a "
+                                 f"continuation line {line[:60]!r}")
+            unfolded[-1] += b" " + line.strip()
+            continue
+        unfolded.append(line)
+    headers = {}
+    for line in unfolded:
         if b":" not in line:
             raise ValueError(f"warc: malformed {what} header line "
                              f"{line[:60]!r}")

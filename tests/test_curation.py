@@ -486,6 +486,12 @@ def test_url_normalization_rules(spark):
         ("ftp://Files.example.org:21/pub",
          "ftp://files.example.org:21/pub", "files.example.org"),
         ("https://x.y/p?z=1&z=1", "https://x.y/p?z=1&z=1", "x.y"),
+        # a '?' INSIDE the fragment is NOT a query start (hash-bang
+        # SPA URLs): the whole fragment drops, nothing leaks
+        ("http://h.i/p#a?b=1", "http://h.i/p", "h.i"),
+        ("https://h.i/p?b=1&a=2#f?c=3&utm_x=9",
+         "https://h.i/p?a=2&b=1", "h.i"),
+        ("http://h.i#only?frag=1", "http://h.i/", "h.i"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _, _) in
                                 enumerate(cases)], "i int, u string")

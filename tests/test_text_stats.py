@@ -212,6 +212,23 @@ def test_rouge_n_clipped_goldens(spark):
         rouge_n(cand, ref, n=0)
 
 
+def test_rouge_both_short_pair_still_emits_row(spark):
+    """An id where BOTH sides have fewer than n tokens must still
+    appear (zero grams, all-NULL ratios) — the output is driven from
+    the union of input ids, not from the gram relations."""
+    from flood_data_spark.datapipe.text import rouge_n
+
+    cand = spark.createDataFrame(
+        [(0, "a b c"), (1, "x")], "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(0, "a b d"), (1, "y")], "doc_id long, text string")
+    out = {r.doc_id: r for r in rouge_n(cand, ref, n=2).collect()}
+    assert set(out) == {0, 1}
+    r1 = out[1]
+    assert (r1.cand_grams, r1.ref_grams, r1.clip) == (0, 0, 0)
+    assert r1.precision is None and r1.recall is None and r1.f1 is None
+
+
 def test_rouge_identical_docs_score_one(spark):
     from flood_data_spark.datapipe.text import rouge_n
 

@@ -626,6 +626,19 @@ def test_energy_score_matches_numpy(spark):
         assert got[g][1] == pytest.approx(t1 - t2, abs=3e-6)
 
 
+def test_energy_score_duplicate_id_raises(spark):
+    """Fail-loud unique-id precondition: a duplicated id within a
+    group would multiply distances (dup min id) or drop i<j pairs
+    (dup member id) — both must raise, never skew silently."""
+    from flood_data_spark.operators.verification import energy_score
+
+    rows = [(0, 1, [0.0, 0.0]), (0, 1, [1.0, 1.0]), (0, 2, [2.0, 2.0])]
+    df = spark.createDataFrame(rows, "cell int, vid long,"
+                                     " emb array<double>")
+    with pytest.raises(Exception, match="duplicate id"):
+        energy_score(df, "vid", "emb", ["cell"]).collect()
+
+
 def test_energy_score_m1_is_plain_distance(spark):
     """One member: the pairwise term vanishes, ES = ||x - y||; a cell
     with ONLY the observation has no members and drops out."""

@@ -61,6 +61,28 @@ def test_warc_malformed_guards():
         parse_warc(gzip.compress(good) + b"junk")
 
 
+def test_warc_folded_header_unfolds():
+    """RFC 7230 obs-fold / ISO 28500: a continuation line (leading
+    SP/HT) extends the previous header's value with a single space —
+    one spec-legal folded header must not abort the whole file."""
+    from flood_data_spark.sources.warc import _parse_headers
+
+    assert _parse_headers(
+        b"A: one\r\n two\r\n\tthree\r\nB: x", "record") == \
+        {"a": "one two three", "b": "x"}
+    # a continuation line with nothing to continue is malformed
+    with pytest.raises(ValueError, match="continuation"):
+        _parse_headers(b" orphan: 1\r\nB: x", "record")
+
+    # end-to-end: fold an extra record header, the record still parses
+    good = build_warc(RECS[:1])
+    folded = good.replace(
+        b"\r\nContent-Length:",
+        b"\r\nX-Folded: part1\r\n\t part2\r\nContent-Length:")
+    out = parse_warc(folded)
+    assert len(out) == 1 and out[0]["url"] == "https://a.example/x"
+
+
 def test_warc_binaryfile_path(spark, tmp_path):
     p1 = tmp_path / "a.warc"
     p1.write_bytes(build_warc(RECS))

@@ -3998,6 +3998,85 @@ def q_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary_stats(merge_summaries(a, b, ("l_returnflag",)))
 
 
+def q_daily_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed incremental daily-operations pipeline END-TO-END
+    (the reference's operational mode: re-issuing one day into a
+    published multi-day store,
+    databricks/glofas-forecast-computation.py:110-113 date folders +
+    :306-321 publish): three issue days run through the E1 flagship
+    (ensemble_threshold_summary, exact mode) and are PUBLISHED into a
+    date-partitioned store via sources.parquet.upsert_partitions — day
+    d2 first lands as a STALE issue (dis24 doubled) and is then
+    RE-ISSUED, so the dynamic partition overwrite must replace exactly
+    that partition and nothing else.  The running mergeable summary
+    state (plans/scale.summarize_increment / merge_summaries) folds the
+    d2 increment — read BACK from the store, partition-pruned to day=d2
+    — into the d0+d1 base state; history is never rescanned.  The
+    output carries BOTH paths tagged: 'incremental' (merged state) and
+    'recompute' (from-scratch over the re-read store).  The oracle
+    computes the ONE correct from-scratch summary straight from
+    lineitem and emits it under both tags — three-way equality proves
+    the upsert touched exactly day d2, d0/d1 survived two publishes
+    untouched, and the merged state is bit-identical to a full
+    recompute.  localCheckpoint materializes the bounded (cells × 2)
+    result before the temp store is removed."""
+    import shutil
+    import tempfile
+
+    from flood_data_spark.plans.scale import (
+        merge_summaries, summarize_increment, summary_stats)
+    from flood_data_spark.sources.parquet import upsert_partitions
+
+    li = _t(spark, sf_dir, "lineitem")
+    thresholds = _thresholds(spark, sf_dir)
+    day = F.concat(F.lit("d"), (F.col("l_linenumber") % 3).cast("string"))
+    fc = li.select(day.alias("day"),
+                   F.col("l_partkey").alias("partkey"),
+                   F.col("l_extendedprice").alias("dis24"))
+
+    def detailed(day_label: str, scale: float = 1.0) -> DataFrame:
+        f = (fc.filter(F.col("day") == day_label)
+             .select("partkey", (F.col("dis24") * F.lit(scale))
+                     .alias("dis24")))
+        return ensemble_threshold_summary(
+            f, thresholds, accuracy_mode="exact",
+            join_keys=("partkey",), group_keys=("partkey",)) \
+            .withColumn("day", F.lit(day_label))
+
+    store = tempfile.mkdtemp(prefix="daily_store_")
+    try:
+        # day-by-day publishes: d0, d1, then the stale d2 issue
+        upsert_partitions(detailed("d0"), store, "day")
+        upsert_partitions(detailed("d1"), store, "day")
+        upsert_partitions(detailed("d2", scale=2.0), store, "day")
+        # running state as of d1 — reads only the d0/d1 partitions
+        base = merge_summaries(
+            summarize_increment(spark.read.parquet(store)
+                                .filter(F.col("day") == "d0"),
+                                ("partkey",), "median_dis"),
+            summarize_increment(spark.read.parquet(store)
+                                .filter(F.col("day") == "d1"),
+                                ("partkey",), "median_dis"),
+            ("partkey",))
+        # the re-issue: dynamic overwrite replaces ONLY day=d2
+        upsert_partitions(detailed("d2"), store, "day")
+        inc = summarize_increment(
+            spark.read.parquet(store).filter(F.col("day") == "d2"),
+            ("partkey",), "median_dis")
+        merged = summary_stats(merge_summaries(base, inc, ("partkey",)))
+        recompute = summary_stats(summarize_increment(
+            spark.read.parquet(store), ("partkey",), "median_dis"))
+        out = (merged.withColumn("path", F.lit("incremental"))
+               .unionByName(recompute.withColumn("path",
+                                                 F.lit("recompute")))
+               .select("path", "partkey", "n", "sum_micro",
+                       "min_value", "max_value",
+                       F.round("mean", 6).alias("mean")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-significant-digit profile of order totals vs Benford's law
     (operators/stats.benford_profile): 9-row aggregate, digit from the
@@ -4451,6 +4530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (CORRECTNESS_FULL_r8.json regenerates at each session end, all
     # registry queries vs the DuckDB oracle at sf0.01).
     return {
+        # --- round 13: composed incremental daily operations
+        # (VERDICT r12 #2) + sequential A/B (VERDICT r12 #8) ---
+        "q_daily_incremental": q_daily_incremental,
         # --- round 12: Hersbach decomposition, streamed CRPS, ECE
         # cross-gate (VERDICT r11 #3/#4/#7) ---
         "q_crps_decomp": q_crps_decomp,
@@ -10921,6 +11003,38 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n > 0 THEN CAST(sum_micro AS DOUBLE) / n
                                     / 1000000 END AS mean
         FROM s
+    """
+
+    # q_daily_incremental: the oracle computes the ONE correct
+    # from-scratch summary straight from lineitem (per-day flagship
+    # median -> mergeable state over days) and emits it under both
+    # path tags — equality proves the upsert replaced exactly the
+    # re-issued day (stale 2x values absent), d0/d1 survived both
+    # publishes, and merge(base, increment) == full recompute.
+    d["q_daily_incremental"] = """
+        WITH fc AS (
+            SELECT 'd' || CAST(l_linenumber % 3 AS VARCHAR) AS day,
+                   l_partkey AS partkey, l_extendedprice AS dis24
+            FROM lineitem),
+        det AS (
+            SELECT day, partkey,
+                   quantile_cont(dis24, 0.50) AS median_dis
+            FROM fc GROUP BY day, partkey),
+        st AS (
+            SELECT partkey,
+                   CAST(count(median_dis) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(median_dis * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_micro,
+                   min(median_dis) AS min_value,
+                   max(median_dis) AS max_value
+            FROM det GROUP BY partkey)
+        SELECT p.path, s.partkey, s.n, s.sum_micro,
+               s.min_value, s.max_value,
+               round(CASE WHEN s.n > 0 THEN CAST(s.sum_micro AS DOUBLE)
+                                            / s.n / 1000000 END, 6)
+                   AS mean
+        FROM st s
+        CROSS JOIN (VALUES ('incremental'), ('recompute')) p(path)
     """
 
     # q_benford: expected probabilities embedded as the same Python

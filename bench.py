@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     # tendency/intensity/peak + assembly + geometry + semi-join, one
     # plan) — the end-to-end flagship, not just its hottest stage
     "q_daily_pipeline_x10",
+    # round-13: the composed pipeline's second decade (VERDICT r12 #7)
+    # and the operational re-issue loop at x10 (VERDICT r12 #2) — both
+    # in the heavy front block, min-of-2
+    "q_daily_pipeline_x100",
+    "q_daily_incremental_x10",
     # round-11: the verification family's scale tier (6M-row CRPS
     # through the cell-partitioned rank window)
     "q_crps_x10",
@@ -560,6 +565,120 @@ def _q_daily_pipeline_x10(spark, sf_dir):
     return products.detailed
 
 
+def _q_daily_pipeline_x100(spark, sf_dir):
+    """The FULL E1 pipeline on the 60M-row second-decade tier — the
+    x10 entry's analysis (docs/PLANS.md) extended one more decade, the
+    measured-sublinearity claim for the COMPOSED pipeline rather than
+    just its hottest stage.  Which exchange saturates first at 100x:
+    the detailed cache fill — the one corpus-sized exchange (60M rows
+    hash-partitioned by (lat,lon) into the exact-percentile
+    ObjectHashAggregate) — everything downstream (control extraction,
+    tendency/intensity/peak, assembly, geometry, semi-join) reuses its
+    40k-cell partitioning, so downstream cost grows with CELLS (40k,
+    constant across tiers), not rows.  Same 200x200 grid as x10: 100x
+    the members per cell, the growth mode a bigger GloFAS ensemble
+    actually has."""
+    from pyspark.sql import functions as F
+    from flood_data_spark.plans.daily_pipeline import DailyForecastPipeline
+
+    li = spark.read.parquet(_scaled_lineitem_path_x100(spark, sf_dir))
+    lat = F.round(F.lit(0.025) + (F.col("l_partkey") % 200) * 0.05, 3)
+    lon = F.round(F.lit(0.025)
+                  + ((F.col("l_partkey") / 200).cast("long") % 200) * 0.05,
+                  3)
+    issued = F.lit("2024-01-01").cast("date")
+    forecast = li.select(
+        lat.alias("latitude"), lon.alias("longitude"),
+        F.col("l_linenumber").alias("step"),
+        F.col("l_extendedprice").alias("dis24"),
+        issued.alias("issued_on"),
+        F.date_add(issued, F.col("l_linenumber") - 1).alias("valid_for"))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    plat = F.round(F.lit(0.025) + (F.col("p_partkey") % 200) * 0.05, 3)
+    plon = F.round(F.lit(0.025)
+                   + ((F.col("p_partkey") / 200).cast("long") % 200) * 0.05,
+                   3)
+    thresholds = part.select(
+        plat.alias("latitude"), plon.alias("longitude"),
+        (F.col("p_retailprice") * 0.8).alias("threshold_2y"),
+        F.col("p_retailprice").alias("threshold_5y"),
+        (F.col("p_retailprice") * 1.2).alias("threshold_20y"))
+    products = DailyForecastPipeline(accuracy_mode="exact").run(
+        forecast, thresholds)
+    return products.detailed
+
+
+def _q_daily_incremental_x10(spark, sf_dir):
+    """The COMPOSED incremental daily operation at the 6M-row tier: the
+    registry gate (q_daily_incremental) proves value correctness at 1x;
+    this times the operational loop a re-issued day actually costs —
+    three per-day flagship runs (~2M rows each) PUBLISHED into a
+    date-partitioned store (upsert_partitions dynamic overwrite,
+    including the stale-then-reissue d2 swap), then the partition-pruned
+    d2 increment folded into the d0+d1 state plus the from-scratch
+    recompute over the re-read store.  The writes are inside the timed
+    region on purpose: publish cost IS the daily operation.  Scale
+    shape: per-day work is day-sized, the merge is cell-state-sized, and
+    the increment scan opens only day=d2's files."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from flood_data_spark.operators.threshold import ensemble_threshold_summary
+    from flood_data_spark.plans.scale import (merge_summaries,
+                                              summarize_increment,
+                                              summary_stats)
+    from flood_data_spark.sources.parquet import upsert_partitions
+
+    li = spark.read.parquet(_scaled_lineitem_path(spark, sf_dir))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    thresholds = part.select(
+        F.col("p_partkey").alias("partkey"),
+        (F.col("p_retailprice") * 0.8).alias("threshold_2y"),
+        F.col("p_retailprice").alias("threshold_5y"),
+        (F.col("p_retailprice") * 1.2).alias("threshold_20y"))
+    fc = li.select(
+        F.concat(F.lit("d"), (F.col("l_linenumber") % 3).cast("string"))
+        .alias("day"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_extendedprice").alias("dis24"))
+
+    def detailed(day_label, scale=1.0):
+        f = (fc.filter(F.col("day") == day_label)
+             .select("partkey",
+                     (F.col("dis24") * F.lit(scale)).alias("dis24")))
+        return ensemble_threshold_summary(
+            f, thresholds, accuracy_mode="exact",
+            join_keys=("partkey",), group_keys=("partkey",)) \
+            .withColumn("day", F.lit(day_label))
+
+    store = tempfile.mkdtemp(prefix="bench_daily_store_")
+    try:
+        upsert_partitions(detailed("d0"), store, "day")
+        upsert_partitions(detailed("d1"), store, "day")
+        upsert_partitions(detailed("d2", scale=2.0), store, "day")
+        base = merge_summaries(
+            summarize_increment(spark.read.parquet(store)
+                                .filter(F.col("day") == "d0"),
+                                ("partkey",), "median_dis"),
+            summarize_increment(spark.read.parquet(store)
+                                .filter(F.col("day") == "d1"),
+                                ("partkey",), "median_dis"),
+            ("partkey",))
+        upsert_partitions(detailed("d2"), store, "day")
+        inc = summarize_increment(
+            spark.read.parquet(store).filter(F.col("day") == "d2"),
+            ("partkey",), "median_dis")
+        merged = summary_stats(merge_summaries(base, inc, ("partkey",)))
+        recompute = summary_stats(summarize_increment(
+            spark.read.parquet(store), ("partkey",), "median_dis"))
+        out = merged.withColumn("path", F.lit("incremental")) \
+            .unionByName(recompute.withColumn("path", F.lit("recompute")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def _q_crps_x10(spark, sf_dir):
     """Ensemble CRPS on the 6M-row tier: 10x the cells through the ONE
     cell-partitioned rank window + integer aggregate (the sorted-rank
@@ -911,6 +1030,8 @@ EXTRA_QUERIES = {
     "q_threshold_summary_skew_approx": _q_threshold_summary_skew_approx,
     "q_peak_timing_x10": _q_peak_timing_x10,
     "q_daily_pipeline_x10": _q_daily_pipeline_x10,
+    "q_daily_pipeline_x100": _q_daily_pipeline_x100,
+    "q_daily_incremental_x10": _q_daily_incremental_x10,
     "q_crps_x10": _q_crps_x10,
     "q_crps_decomp_x10": _q_crps_decomp_x10,
     "q_crawl_pipeline_full": _q_crawl_pipeline_full,
@@ -974,6 +1095,7 @@ def main():
                  "q_threshold_summary_skew",
                  "q_threshold_summary_skew_approx",
                  "q_peak_timing_x10", "q_daily_pipeline_x10",
+                 "q_daily_pipeline_x100", "q_daily_incremental_x10",
                  "q_crps_x10", "q_crps_decomp_x10",
                  "q_energy_score",
                  "q_ngram_jaccard_capped_3k", "q_repeated_spans_full",
@@ -991,7 +1113,15 @@ def main():
                  "q_winnow_full", "q_jaccard_prefix_zipf",
                  "q_item_cf", "q_bitext_mine", "q_textrank_full",
                  "q_tree_stump", "q_bootstrap_ci", "q_bootstrap_fast",
-                 "q_unigram_em"}
+                 "q_unigram_em",
+                 # r12 committed artifact read these 5-12 s at
+                 # consecutive run positions 43-47 on code untouched
+                 # since r8 (1.1-1.6 s in r11) — a loaded-box window;
+                 # min-of-2 separates plan cost from that noise
+                 # (VERDICT r12 item #1: every single-shot entry that
+                 # has ever read >5 s joins the set)
+                 "q_curation_v2", "q_bm25_topk", "q_gopher_rules_full",
+                 "q_dsir_weights", "q_dedup_against", "q_clf_eval"}
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -129,6 +129,51 @@ def test_upsert_partitions_replaces_only_incoming(spark, tmp_path):
                    ("2024-01-02", 1): 99.0, ("2024-01-02", 2): 98.0}
 
 
+def test_incremental_daily_composition(spark, tmp_path):
+    """The composed daily-operations contract (upsert_partitions +
+    summarize_increment + merge_summaries): a stale day is re-issued
+    into the store, the running state folds ONLY that day's increment,
+    and merged state == from-scratch recompute == ground truth — and
+    the increment read is partition-PRUNED (the scan's partition filter
+    carries the day predicate, so history files are never opened)."""
+    from flood_data_spark.plans.scale import (merge_summaries,
+                                              summarize_increment,
+                                              summary_stats)
+    from flood_data_spark.sources.parquet import upsert_partitions
+
+    path = str(tmp_path / "store")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "day string, cell int, v double")
+    upsert_partitions(mk([("d0", 1, 10.0), ("d0", 2, 20.0)]), path, "day")
+    upsert_partitions(mk([("d1", 1, 30.0)]), path, "day")
+    # stale d2 issue, then the re-issue
+    upsert_partitions(mk([("d2", 1, 999.0), ("d2", 2, 999.0)]),
+                      path, "day")
+    base = merge_summaries(
+        summarize_increment(spark.read.parquet(path)
+                            .filter("day = 'd0'"), ("cell",), "v"),
+        summarize_increment(spark.read.parquet(path)
+                            .filter("day = 'd1'"), ("cell",), "v"),
+        ("cell",))
+    upsert_partitions(mk([("d2", 1, 50.0), ("d2", 2, 60.0)]), path, "day")
+    inc_src = spark.read.parquet(path).filter("day = 'd2'")
+    # partition pruning: the day predicate sits in PartitionFilters
+    plan = inc_src._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "d2" in plan.split(
+        "PartitionFilters:")[1].split("]")[0]
+    inc = summarize_increment(inc_src, ("cell",), "v")
+    merged = {r.cell: (r.n, r.sum_micro, r.min_value, r.max_value)
+              for r in summary_stats(
+                  merge_summaries(base, inc, ("cell",))).collect()}
+    recomputed = {r.cell: (r.n, r.sum_micro, r.min_value, r.max_value)
+                  for r in summary_stats(summarize_increment(
+                      spark.read.parquet(path), ("cell",), "v"))
+                  .collect()}
+    truth = {1: (3, 90_000_000, 10.0, 50.0),
+             2: (2, 80_000_000, 20.0, 60.0)}
+    assert merged == recomputed == truth
+
+
 def test_salted_join_balances_planted_skew(spark):
     """The scale argument itself, measured: with one hot key holding 50% of
     the large side and broadcast/AQE-skew-splitting off (the regime salting

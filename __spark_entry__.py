@@ -3287,6 +3287,33 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cuped_adjusted", "theta")
 
 
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B readout
+    (operators/experiment.msprt_readout, Johari et al. KDD 2017): the
+    orders table becomes five concurrent experiments (one per order
+    priority), each peeked monthly — variant by customer-key parity,
+    success = totalprice > 150k.  Cumulative exact-integer counts per
+    peek, the mixture-SPRT log-likelihood quantized ONCE to micro-nats,
+    sticky rejection and the non-increasing always-valid p from the
+    running max.  Full value oracle restating the identical double
+    tree over DuckDB window cumulative sums; the peeking-validity
+    contract (mSPRT holds alpha under 20-peek H0 streams where the
+    z-test ladder does not) is the pytest in tests/test_experiment.py."""
+    from flood_data_spark.operators.experiment import msprt_readout
+
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.trunc(F.col("o_orderdate"), "month").alias("peek"),
+        F.when(F.col("o_custkey") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B")).alias("variant"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("success"))
+    return msprt_readout(src, time_col="peek", variant_col="variant",
+                         success_col="success", variant_a="A",
+                         variant_b="B", tau2=0.01, alpha=0.05,
+                         group_cols=("priority",))
+
+
 def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-world E1 — URL canonicalization → HTML extraction →
     URL-level dedup, ONE plan: messy fetch URLs (doc_id % 350 collision
@@ -4533,6 +4560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 13: composed incremental daily operations
         # (VERDICT r12 #2) + sequential A/B (VERDICT r12 #8) ---
         "q_daily_incremental": q_daily_incremental,
+        "q_msprt": q_msprt,
         # --- round 12: Hersbach decomposition, streamed CRPS, ECE
         # cross-gate (VERDICT r11 #3/#4/#7) ---
         "q_crps_decomp": q_crps_decomp,
@@ -6243,6 +6271,73 @@ def oracle_sql() -> dict[str, str]:
                         {idiv_half_up('s * qsn', 'qsa', 1000000)}
                    END AS dm_stat
             FROM f
+        """,
+        # q_msprt: the identical double tree over DuckDB window
+        # cumulative sums — logLam quantized once to micro-nats,
+        # sticky decision + always-valid p from the running max;
+        # threshold 2995732 = round(ln(1/0.05)*1e6)
+        "q_msprt": """
+            WITH src AS (
+                SELECT o_orderpriority AS priority,
+                       date_trunc('month', o_orderdate) AS peek,
+                       CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END
+                           AS variant,
+                       CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END
+                           AS success
+                FROM orders),
+            counts AS (
+                SELECT priority, peek, variant,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(success) AS BIGINT) AS x
+                FROM src GROUP BY 1, 2, 3),
+            per_peek AS (
+                SELECT priority, peek,
+                       sum(CASE WHEN variant = 'A' THEN n ELSE 0 END)
+                           AS na_d,
+                       sum(CASE WHEN variant = 'A' THEN x ELSE 0 END)
+                           AS xa_d,
+                       sum(CASE WHEN variant = 'B' THEN n ELSE 0 END)
+                           AS nb_d,
+                       sum(CASE WHEN variant = 'B' THEN x ELSE 0 END)
+                           AS xb_d
+                FROM counts GROUP BY 1, 2),
+            cum AS (
+                SELECT priority, peek,
+                       CAST(sum(na_d) OVER w AS BIGINT) AS n_a,
+                       CAST(sum(xa_d) OVER w AS BIGINT) AS x_a,
+                       CAST(sum(nb_d) OVER w AS BIGINT) AS n_b,
+                       CAST(sum(xb_d) OVER w AS BIGINT) AS x_b
+                FROM per_peek
+                WINDOW w AS (PARTITION BY priority ORDER BY peek
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)),
+            ll AS (
+                SELECT *,
+                       CASE WHEN n_a > 0 AND n_b > 0 AND (x_a + x_b) > 0
+                                 AND (x_a + x_b) < (n_a + n_b) THEN
+                           CAST(round(
+                             (5e-1 * ln((((x_a + x_b) / cast(n_a + n_b as double)) * (1e0 - ((x_a + x_b) / cast(n_a + n_b as double))) * (1e0 / n_a + 1e0 / n_b))
+                                 / ((((x_a + x_b) / cast(n_a + n_b as double)) * (1e0 - ((x_a + x_b) / cast(n_a + n_b as double))) * (1e0 / n_a + 1e0 / n_b)) + CAST(0.01 AS DOUBLE)))
+                              + (x_a / cast(n_a as double) - x_b / cast(n_b as double)) * (x_a / cast(n_a as double) - x_b / cast(n_b as double)) * CAST(0.01 AS DOUBLE)
+                                / (2e0 * (((x_a + x_b) / cast(n_a + n_b as double)) * (1e0 - ((x_a + x_b) / cast(n_a + n_b as double))) * (1e0 / n_a + 1e0 / n_b))
+                                   * ((((x_a + x_b) / cast(n_a + n_b as double)) * (1e0 - ((x_a + x_b) / cast(n_a + n_b as double))) * (1e0 / n_a + 1e0 / n_b)) + CAST(0.01 AS DOUBLE))))
+                             * 1000000) AS BIGINT)
+                       END AS log_lambda_micro
+                FROM cum),
+            run AS (
+                SELECT *,
+                       max(log_lambda_micro) OVER
+                           (PARTITION BY priority ORDER BY peek
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS mx
+                FROM ll)
+            SELECT priority, peek, n_a, x_a, n_b, x_b,
+                   log_lambda_micro,
+                   coalesce(mx >= 2995732, FALSE) AS reject,
+                   round(exp(-(greatest(coalesce(mx, 0), 0)
+                               / cast(1000000 as double))), 6)
+                       AS always_valid_p
+            FROM run
         """,
         # q_cuped: theta and the per-row adjustment mirrored in HUGEINT
         "q_cuped": f"""

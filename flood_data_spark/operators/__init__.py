@@ -44,6 +44,7 @@ from flood_data_spark.operators.experiment import (
     cuped_adjust,
     conformal_interval,
     km_survival,
+    msprt_readout,
     two_proportion_ztest,
 )
 from flood_data_spark.operators.verification import (
@@ -83,7 +84,7 @@ __all__ = [
     "gini_concentration", "profile_table", "psi_report", "bucket_counts",
     "psi_from_counts", "trend_stats", "with_holt", "with_rolling_median",
     "with_robust_outliers",
-    "cuped_adjust",
+    "cuped_adjust", "msprt_readout",
     "crps_ensemble", "rank_histogram", "brier_decomposition",
     "spread_skill", "reliability_diagram", "crps_hersbach",
     "crps_member_cells", "crps_from_member_cells", "ece_from_cells",

@@ -349,3 +349,106 @@ def cuped_adjust(df: DataFrame, metric_col: str, covariate_col: str,
         (F.col("_qy").cast("double") / mega_f).alias("metric"),
         (adj_q.cast("double") / mega_f).alias("cuped_adjusted"),
         (F.col("_qt").cast("double") / mega_f).alias("theta"))
+
+
+def msprt_readout(df: DataFrame, time_col: str = "peek",
+                  variant_col: str = "variant",
+                  success_col: str = "success",
+                  variant_a: str = "A", variant_b: str = "B",
+                  tau2: float = 0.01, alpha: float = 0.05,
+                  group_cols=()) -> DataFrame:
+    """Always-valid sequential two-proportion readout — the mixture
+    SPRT (Johari, Koomen, Pekelis & Walsh, "Peeking at A/B Tests",
+    KDD 2017): a daily-cadence pipeline (the reference's operating
+    mode) reads its experiment dashboard at EVERY publish, and under
+    that continuous peeking the fixed-n z-test's 5% guarantee is void
+    — with 20 peeks its realized false-positive rate is several times
+    alpha (pinned by the pytest peeking contract).  The mSPRT's
+    likelihood-ratio process is a nonnegative martingale under H0, so
+    by Ville's inequality P(ever Lambda_t >= 1/alpha) <= alpha holds
+    JOINTLY over all peeks.
+
+    Per peek t (cumulative exact-integer counts n_a,x_a,n_b,x_b via
+    one peek-ordered window):
+
+        theta_t  = x_a/n_a - x_b/n_b
+        V_t      = pbar(1-pbar) (1/n_a + 1/n_b),  pbar pooled
+        logLam_t = 0.5 ln(V/(V+tau2)) + theta^2 tau2 / (2V(V+tau2))
+
+    logLam quantizes ONCE to integer micro-nats (the WoE/PSI
+    transcendental convention); the sequential decision and the
+    always-valid p-value derive from the RUNNING MAX of that integer
+    (rejection is sticky; p_t = min over s<=t of min(1, 1/Lambda_s) is
+    non-increasing — both pytest contracts).  Peeks where either arm
+    is empty or the pooled rate is degenerate carry NULL logLam and do
+    not move the decision.  tau2 is the mixture (prior effect-size)
+    variance; validity holds for ANY tau2 > 0, power is tuned by it.
+
+    Scale: ONE corpus-sized exchange (the (keys, peek, variant)
+    groupBy partial-aggregates map-side); the cumulative window and
+    running max ride peek-count-sized relations — thousands of
+    concurrent experiments are just more `group_cols` groups.  Returns
+    (group_cols..., peek, n_a, x_a, n_b, x_b, log_lambda_micro,
+    always_valid_p, reject) sorted by (keys, peek)."""
+    import math
+
+    if tau2 <= 0:
+        raise ValueError(f"msprt_readout: tau2 must be > 0, got {tau2}")
+    if not 0 < alpha < 1:
+        raise ValueError(
+            f"msprt_readout: alpha must be in (0,1), got {alpha}")
+    keys = list(group_cols)
+    MICRO = 1_000_000
+    lab = F.col(variant_col).cast("string")
+    succ = F.col(success_col).cast("long")
+    counts = (df.filter(lab.isin([variant_a, variant_b]))
+              .groupBy(*keys, F.col(time_col).alias("peek"),
+                       lab.alias("_v"))
+              .agg(F.count(F.lit(1)).alias("_n"),
+                   F.sum(succ).alias("_x")))
+
+    def _arm(src, v):
+        return F.sum(F.when(F.col("_v") == v, F.col(src))
+                     .otherwise(F.lit(0).cast("long")))
+
+    per_peek = (counts.groupBy(*keys, "peek")
+                .agg(_arm("_n", variant_a).alias("_na_d"),
+                     _arm("_x", variant_a).alias("_xa_d"),
+                     _arm("_n", variant_b).alias("_nb_d"),
+                     _arm("_x", variant_b).alias("_xb_d")))
+    wcum = Window.partitionBy(*keys).orderBy("peek") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_peek.select(
+        *keys, "peek",
+        F.sum("_na_d").over(wcum).alias("n_a"),
+        F.sum("_xa_d").over(wcum).alias("x_a"),
+        F.sum("_nb_d").over(wcum).alias("n_b"),
+        F.sum("_xb_d").over(wcum).alias("x_b"))
+    # the delicate double tree as ONE SQL expression (fixed operand
+    # order, 1e6/1e0 double literals) so the oracle states the
+    # identical text; tau2 embeds as CAST(repr AS DOUBLE) — shortest-
+    # round-trip decimal -> double parses to the same double in both
+    # engines
+    t2 = f"CAST({float(tau2)!r} AS DOUBLE)"
+    pbar = "((x_a + x_b) / cast(n_a + n_b as double))"
+    vv = f"({pbar} * (1e0 - {pbar}) * (1e0 / n_a + 1e0 / n_b))"
+    th = f"(x_a / cast(n_a as double) - x_b / cast(n_b as double))"
+    loglam = (f"(5e-1 * ln({vv} / ({vv} + {t2})) "
+              f"+ {th} * {th} * {t2} / (2e0 * {vv} * ({vv} + {t2})))")
+    guard = ("n_a > 0 AND n_b > 0 AND (x_a + x_b) > 0 "
+             "AND (x_a + x_b) < (n_a + n_b)")
+    llm = (f"CASE WHEN {guard} THEN "
+           f"cast(round({loglam} * 1000000) as bigint) END")
+    thr = int(round(math.log(1.0 / alpha) * MICRO))
+    wrun = Window.partitionBy(*keys).orderBy("peek") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (cum.withColumn("log_lambda_micro", F.expr(llm))
+           .withColumn("_run", F.max("log_lambda_micro").over(wrun))
+           .withColumn("reject",
+                       F.coalesce(F.col("_run") >= F.lit(thr),
+                                  F.lit(False)))
+           .withColumn("always_valid_p", F.expr(
+               "round(exp(-(greatest(coalesce(_run, 0), 0) "
+               "/ cast(1000000 as double))), 6)"))
+           .drop("_run"))
+    return out.orderBy(*keys, "peek")

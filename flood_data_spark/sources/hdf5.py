@@ -12,8 +12,10 @@ File Format Specification:
 - old-style groups: v1 B-tree + local heap + SNOD symbol tables, plus
   v2 compact groups via hard Link messages, plus (round 11) v2 DENSE
   groups — Link Info → link-name v2 B-tree (single BTLF leaf) →
-  fractal heap (single root direct block, managed v0 IDs), the
-  libver='latest' layout libnetcdf emits past the compact threshold
+  fractal heap (managed v0 IDs; round 12 added root-indirect
+  multi-block heaps, round 13 NESTED indirect blocks and FILTERED
+  (deflate/shuffle) heaps — the large-group/large-attribute layouts),
+  the libver='latest' layout libnetcdf emits past the compact threshold
 - v1 object headers (with continuation blocks)
 - messages: Dataspace, Datatype, Fill Value, Data Layout v3
   (compact / contiguous / chunked), Filter Pipeline, Attribute (v1-v3),
@@ -25,8 +27,8 @@ File Format Specification:
   name the dims; data variables resolve their dim names through
   DIMENSION_LIST object references, falling back to unique size matching
 
-Everything else (multi-level v2 B-trees, multi-block/filtered fractal
-heaps, huge/tiny heap objects, v4 layouts, szip, ...) raises
+Everything else (multi-level v2 B-trees, huge/tiny heap objects,
+v4 layouts, szip, ...) raises
 NotImplementedError with a message naming the xarray/h5netcdf escape
 hatch — `raster.netcdf_decoder` dispatches there when installed.
 
@@ -400,14 +402,17 @@ def _v2_btree_heap_ids(b: bytes, addr: int) -> list[bytes]:
 def _fractal_heap_object(b: bytes, frhp_addr: int,
                          heap_id: bytes) -> bytes:
     """Resolve a MANAGED fractal-heap ID to its object bytes (spec
-    III.G).  Profile: root is a single direct block OR a root indirect
-    block whose rows are all DIRECT blocks (the doubling table up to
-    Maximum Direct Block Size — round 12; libnetcdf's link heaps stay
-    under the starting block size, larger groups spill into the
-    indirect rows this now covers); nested indirect blocks, I/O
-    filters, and huge/tiny objects stay loud NotImplementedError.  The
-    managed ID is version-0: offset sized by Maximum Heap Size bits,
-    length sized per the min(direct-block-offset, max-object) rule."""
+    III.G).  Profile (round 13 closes the r12 residual): root direct
+    block, root indirect block, NESTED indirect blocks (the recursive
+    doubling-table walk the HDF5 library runs — each level re-looks-up
+    the offset RELATIVE to the child block against the same global
+    row-size table), and FILTERED (deflate/shuffle) heaps — root-direct
+    via the header's filtered-root size/mask fields, indirect via the
+    20-byte {addr, filtered size, filter mask} direct entries; the
+    whole direct block decompresses before the offset slice.  Huge/tiny
+    objects stay loud NotImplementedError.  The managed ID is
+    version-0: offset sized by Maximum Heap Size bits, length sized per
+    the min(direct-block-offset, max-object) rule."""
     _need(b[frhp_addr:frhp_addr + 4] == b"FRHP",
           "missing fractal heap header")
     _need(b[frhp_addr + 4] == 0,
@@ -422,7 +427,6 @@ def _fractal_heap_object(b: bytes, frhp_addr: int,
     p = frhp_addr + 5
     heap_id_len = _u(b, p, 2)
     filt_len = _u(b, p + 2, 2)
-    _need(filt_len == 0, "filtered fractal heap blocks")
     max_obj = _u(b, p + 5, 4)
     max_dir_block = _u(b, p + 115, 8)
     n_huge = _u(b, p + 81, 8)
@@ -447,50 +451,89 @@ def _fractal_heap_object(b: bytes, frhp_addr: int,
           f"fractal heap ID type 0x{idv:02x} (managed v0 only)")
     off = int.from_bytes(heap_id[1:1 + off_w], "little")
     ln = int.from_bytes(heap_id[1 + off_w:1 + off_w + len_w], "little")
+    # filtered heaps (spec IV.A.2): when the encoded filter length is
+    # nonzero the header carries {filtered-root size (lengths width),
+    # filter mask (4), encoded filter pipeline (filt_len)} right after
+    # Current # of Rows; whole direct blocks are filtered as units
+    heap_filters: list = []
+    filt_root_size = 0
+    if filt_len:
+        filt_root_size = _u(b, p + 137, 8)
+        heap_filters = _filters(b[p + 149:p + 149 + filt_len])
     if cur_rows == 0:
         # root is a single direct block: heap offsets address the
         # managed space, which INCLUDES the direct block header; the
         # root block's own offset is 0, so file position is simply
         # block address + heap offset (checksum presence rides header
         # flags bit 1 but sits inside the header region either way)
+        if heap_filters:
+            blk = _defilter(bytes(b[root_addr:root_addr
+                                    + filt_root_size]), heap_filters, 1)
+            _need(blk[:4] == b"FHDB",
+                  "missing fractal heap direct block")
+            return blk[off:off + ln]
         _need(b[root_addr:root_addr + 4] == b"FHDB",
               "missing fractal heap direct block")
         return b[root_addr + off:root_addr + off + ln]
-    # root INDIRECT block (spec III.G doubling table): row r holds
-    # `width` direct blocks of size S (rows 0-1) or S·2^(r-1) (r >= 2),
-    # so row r covers heap offsets [W·S·2^(r-1), W·S·2^r) for r >= 1.
-    # Rows past the max-direct-block size would be nested indirect
-    # blocks — outside this profile, rejected loudly.
+    # INDIRECT walk (spec III.G doubling table, the recursive form the
+    # HDF5 library runs): within any indirect block, the offset
+    # RELATIVE to that block's base looks up against the global row
+    # sizes — row r holds `width` blocks of size S (rows 0-1) or
+    # S·2^(r-1) (r >= 2), so row r covers [W·S·2^(r-1), W·S·2^r) for
+    # r >= 1.  Rows past the max-direct-block row are CHILD INDIRECT
+    # blocks of log2(size_r) - log2(W·S) + 1 rows; their 8-byte
+    # address entries sit after the direct entries (which are 20 bytes
+    # when the heap is filtered: addr + filtered size + filter mask).
     _need(start_block > 0 and width > 0, "fractal heap doubling table")
     max_direct_rows = (max_dir_block.bit_length()
                        - start_block.bit_length() + 2)
-    _need(cur_rows <= max_direct_rows,
-          f"nested indirect fractal-heap blocks (rows {cur_rows} > "
-          f"{max_direct_rows} direct rows)")
-    _need(b[root_addr:root_addr + 4] == b"FHIB",
-          "missing fractal heap indirect block")
-    _need(b[root_addr + 4] == 0,
-          f"fractal heap indirect block version {b[root_addr + 4]}")
-    ents = root_addr + 5 + 8 + off_w   # past sig/version/heap-addr/offset
     ws = width * start_block
-    if off < ws:
-        r = 0
-    elif off < 2 * ws:
-        r = 1
-    else:
-        r = (off // ws).bit_length()   # floor(log2(off/ws)) + 1
-    _need(r < cur_rows, f"fractal heap offset {off} beyond row {cur_rows}")
-    size_r = start_block if r < 2 else start_block << (r - 1)
-    row_start = 0 if r == 0 else ws << (r - 1)
-    col = (off - row_start) // size_r
-    block_start = row_start + col * size_r
-    _need(off + ln <= block_start + size_r,
-          "fractal-heap object crossing a direct-block boundary")
-    addr = _u(b, ents + 8 * (r * width + col), 8)
-    _need(addr != _UNDEF, "unallocated fractal-heap direct block")
-    _need(b[addr:addr + 4] == b"FHDB",
-          "missing fractal heap direct block")
-    return b[addr + (off - block_start):addr + (off - block_start) + ln]
+    dirent = 20 if heap_filters else 8
+    iaddr, ibase, irows = root_addr, 0, cur_rows
+    for _depth in range(64):                 # heap offsets are < 2^64
+        _need(b[iaddr:iaddr + 4] == b"FHIB",
+              "missing fractal heap indirect block")
+        _need(b[iaddr + 4] == 0,
+              f"fractal heap indirect block version {b[iaddr + 4]}")
+        ents = iaddr + 5 + 8 + off_w  # past sig/version/heap-addr/offset
+        rel = off - ibase
+        if rel < ws:
+            r = 0
+        elif rel < 2 * ws:
+            r = 1
+        else:
+            r = (rel // ws).bit_length()   # floor(log2(rel/ws)) + 1
+        _need(r < irows,
+              f"fractal heap offset {off} beyond row {irows}")
+        size_r = start_block if r < 2 else start_block << (r - 1)
+        row_start = 0 if r == 0 else ws << (r - 1)
+        col = (rel - row_start) // size_r
+        bstart = ibase + row_start + col * size_r
+        if r < max_direct_rows:
+            epos = ents + dirent * (r * width + col)
+            addr = _u(b, epos, 8)
+            _need(addr != _UNDEF, "unallocated fractal-heap direct block")
+            _need(off + ln <= bstart + size_r,
+                  "fractal-heap object crossing a direct-block boundary")
+            if heap_filters:
+                stored = _u(b, epos + 8, 8)
+                blk = _defilter(bytes(b[addr:addr + stored]),
+                                heap_filters, 1)
+                _need(blk[:4] == b"FHDB",
+                      "missing fractal heap direct block")
+                return blk[off - bstart:off - bstart + ln]
+            _need(b[addr:addr + 4] == b"FHDB",
+                  "missing fractal heap direct block")
+            return b[addr + (off - bstart):addr + (off - bstart) + ln]
+        # nested indirect entry: address-only, after the direct region
+        n_dir = min(irows, max_direct_rows) * width
+        epos = ents + dirent * n_dir \
+            + 8 * ((r - max_direct_rows) * width + col)
+        addr = _u(b, epos, 8)
+        _need(addr != _UNDEF, "unallocated fractal-heap indirect block")
+        iaddr, ibase = addr, bstart
+        irows = size_r.bit_length() - ws.bit_length() + 1
+    raise AssertionError("hdf5: fractal-heap walk did not terminate")
 
 
 def _group_children(b: bytes, ohdr_addr: int,

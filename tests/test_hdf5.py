@@ -502,13 +502,10 @@ def test_dense_profile_guards_fail_loudly():
     patched[i + 12:i + 14] = _u(1, 2)        # depth 1
     with pytest.raises(NotImplementedError, match="depth"):
         parse_hdf5(bytes(patched))
-    # filtered fractal heap -> loud dispatch
+    # claiming rows on a root-DIRECT heap walks to a non-FHIB block ->
+    # loud dispatch (filtered heaps and nested indirect blocks are
+    # SUPPORTED since round 13 — see the builders below)
     j = content.find(b"FRHP")
-    patched = bytearray(content)
-    patched[j + 5 + 2:j + 5 + 4] = _u(12, 2)   # I/O filter length
-    with pytest.raises(NotImplementedError, match="filtered"):
-        parse_hdf5(bytes(patched))
-    # root indirect block (multi-block heap) -> loud dispatch
     patched = bytearray(content)
     patched[j + 5 + 135:j + 5 + 137] = _u(2, 2)
     with pytest.raises(NotImplementedError, match="indirect"):
@@ -599,11 +596,241 @@ def test_multiblock_doubling_row_math():
         _fractal_heap_object(bytes(buf), frhp_addr, hid_un)
 
 
-def test_nested_indirect_heap_dispatches_loudly():
-    """cur_rows past the direct-row capacity means nested indirect
-    blocks — outside the profile, named escape hatch."""
-    content = bytearray(_build_dense_multiblock_raster())
-    j = content.find(b"FRHP")
-    content[j + 5 + 135:j + 5 + 137] = _u(9, 2)   # rows 9 >> capacity
-    with pytest.raises(NotImplementedError, match="nested indirect"):
-        parse_hdf5(bytes(content))
+def test_nested_indirect_heap_resolves():
+    """Round 13: NESTED indirect blocks — S=32, W=2, max direct 64
+    gives 3 direct rows; root row 3 (block size 128) holds CHILD
+    indirect blocks of 2 rows each.  An object parked in the child's
+    row-1 col-1 direct block (global heap offset 352+) must resolve
+    through the two-level walk: root lookup -> indirect entry (past
+    the 6 direct entries) -> child lookup RELATIVE to base 256 ->
+    direct block."""
+    from flood_data_spark.sources.hdf5 import _fractal_heap_object
+
+    S, W, off_w, len_w = 32, 2, 2, 1
+    buf = bytearray(64)
+    def app(block):
+        addr = len(buf); buf.extend(block); return addr
+    frhp_addr = len(buf)
+    h = bytearray(146)
+    h[0:4] = b"FRHP"
+    p = 5
+    h[p:p + 2] = _u(1 + off_w + len_w, 2)
+    h[p + 5:p + 9] = _u(512, 4)              # max managed object
+    h[p + 17:p + 25] = _u(UNDEF, 8)
+    h[p + 33:p + 41] = _u(UNDEF, 8)
+    h[p + 105:p + 107] = _u(W, 2)
+    h[p + 107:p + 115] = _u(S, 8)            # starting block size
+    h[p + 115:p + 123] = _u(64, 8)           # max direct -> 3 dir rows
+    h[p + 123:p + 125] = _u(16, 2)
+    h[p + 135:p + 137] = _u(4, 2)            # root rows 0..3
+    app(bytes(h))
+    # child-local row 1 col 1: base 256 + row_start 64 + 32 = 352
+    payload = b"nested-object"
+    bstart = 352
+    db = bytearray(b"FHDB" + bytes([0]) + _u(frhp_addr, 8)
+                   + _u(bstart, off_w))
+    obj_off = bstart + len(db)
+    db += payload
+    db += b"\x00" * (S - len(db))
+    db_addr = app(bytes(db))
+    child = bytearray(b"FHIB" + bytes([0]) + _u(frhp_addr, 8)
+                      + _u(256, off_w))
+    for slot in range(2 * W):                # child rows 0..1
+        child += _u(db_addr if slot == 3 else UNDEF, 8)
+    child += _u(0, 4)
+    child_addr = app(bytes(child))
+    root = bytearray(b"FHIB" + bytes([0]) + _u(frhp_addr, 8)
+                     + _u(0, off_w))
+    for _ in range(3 * W):                   # direct rows 0..2: empty
+        root += _u(UNDEF, 8)
+    root += _u(child_addr, 8)                # row 3 col 0 -> child
+    root += _u(UNDEF, 8)                     # row 3 col 1
+    root += _u(0, 4)
+    root_addr = app(bytes(root))
+    buf[frhp_addr + 5 + 127:frhp_addr + 5 + 135] = _u(root_addr, 8)
+    hid = bytes([0]) + _u(obj_off, off_w) + _u(len(payload), len_w)
+    assert _fractal_heap_object(bytes(buf), frhp_addr, hid) == payload
+    # an offset landing in the UNALLOCATED row-3 col-1 child -> loud
+    hid_un = bytes([0]) + _u(256 + 128 + 20, off_w) + _u(4, len_w)
+    with pytest.raises(NotImplementedError, match="unallocated"):
+        _fractal_heap_object(bytes(buf), frhp_addr, hid_un)
+
+
+def _filter_info_deflate() -> bytes:
+    """Encoded filter pipeline (v2, one deflate filter, level 6) — the
+    12-byte Filter Information blob a filtered heap header carries."""
+    return bytes([2, 1]) + _u(1, 2) + _u(0, 2) + _u(1, 2) + _u(6, 4)
+
+
+def test_filtered_root_direct_heap_resolves():
+    """Round 13: FILTERED (deflate) fractal heap with a root direct
+    block — the header grows {filtered root size, filter mask, filter
+    info}; the stored block is the zlib stream of the WHOLE direct
+    block, decompressed before the offset slice."""
+    import zlib
+
+    from flood_data_spark.sources.hdf5 import _fractal_heap_object
+
+    off_w = len_w = 2
+    finfo = _filter_info_deflate()
+    buf = bytearray(64)
+    def app(block):
+        addr = len(buf); buf.extend(block); return addr
+    payload = b"deflated-heap-object"
+    db = bytearray(b"FHDB" + bytes([0]) + _u(0, 8) + _u(0, off_w))
+    # placeholder heap addr patched below; record object offset now
+    obj_off = len(db)
+    db += payload
+    db += b"\x00" * (512 - len(db))
+    frhp_addr = len(buf)
+    db[5:13] = _u(frhp_addr, 8)
+    comp = zlib.compress(bytes(db), 6)
+    h = bytearray(146 + 8 + 4 + len(finfo))
+    h[0:4] = b"FRHP"
+    p = 5
+    h[p:p + 2] = _u(1 + off_w + len_w, 2)
+    h[p + 2:p + 4] = _u(len(finfo), 2)       # I/O filter length
+    h[p + 5:p + 9] = _u(512, 4)
+    h[p + 17:p + 25] = _u(UNDEF, 8)
+    h[p + 33:p + 41] = _u(UNDEF, 8)
+    h[p + 105:p + 107] = _u(4, 2)
+    h[p + 107:p + 115] = _u(512, 8)
+    h[p + 115:p + 123] = _u(512, 8)
+    h[p + 123:p + 125] = _u(16, 2)
+    h[p + 135:p + 137] = _u(0, 2)            # root direct
+    h[p + 137:p + 145] = _u(len(comp), 8)    # filtered root size
+    h[p + 145:p + 149] = _u(0, 4)            # filter mask
+    h[p + 149:p + 149 + len(finfo)] = finfo
+    app(bytes(h))
+    db_addr = app(comp)
+    buf[frhp_addr + 5 + 127:frhp_addr + 5 + 135] = _u(db_addr, 8)
+    hid = bytes([0]) + _u(obj_off, off_w) + _u(len(payload), len_w)
+    assert _fractal_heap_object(bytes(buf), frhp_addr, hid) == payload
+
+
+def _close_filtered(w) -> bytes:
+    """MiniH5Dense finisher with a FILTERED (deflate) root-direct
+    fractal heap — the whole-file parse-equality twin of the plain
+    dense layout."""
+    import zlib
+
+    off_w = len_w = 2
+    finfo = _filter_info_deflate()
+    links = []
+    for name, addr in sorted(w.entries):
+        nb = name.encode()
+        links.append(bytes([1, 0, len(nb)]) + nb + _u(addr, 8))
+    frhp_addr = len(w.buf)
+    db = bytearray(b"FHDB" + bytes([0]) + _u(frhp_addr, 8)
+                   + _u(0, off_w))
+    ids = []
+    for ln in links:
+        ids.append(bytes([0]) + _u(len(db), off_w) + _u(len(ln), len_w))
+        db += ln
+    db += b"\x00" * (512 - len(db))
+    comp = zlib.compress(bytes(db), 6)
+    h = bytearray(146 + 8 + 4 + len(finfo))
+    h[0:4] = b"FRHP"
+    p = 5
+    h[p:p + 2] = _u(1 + off_w + len_w, 2)
+    h[p + 2:p + 4] = _u(len(finfo), 2)
+    h[p + 5:p + 9] = _u(512, 4)
+    h[p + 17:p + 25] = _u(UNDEF, 8)
+    h[p + 33:p + 41] = _u(UNDEF, 8)
+    h[p + 41:p + 49] = _u(512, 8)
+    h[p + 49:p + 57] = _u(512, 8)
+    h[p + 65:p + 73] = _u(len(links), 8)
+    h[p + 105:p + 107] = _u(4, 2)
+    h[p + 107:p + 115] = _u(512, 8)
+    h[p + 115:p + 123] = _u(512, 8)
+    h[p + 123:p + 125] = _u(16, 2)
+    h[p + 135:p + 137] = _u(0, 2)
+    h[p + 137:p + 145] = _u(len(comp), 8)
+    h[p + 145:p + 149] = _u(0, 4)
+    h[p + 149:p + 149 + len(finfo)] = finfo
+    w.append(bytes(h))
+    db_addr = w.append(comp)
+    w.buf[frhp_addr + 5 + 127:frhp_addr + 5 + 135] = _u(db_addr, 8)
+    recs = b"".join(_u(i, 4) + hid for i, hid in enumerate(ids))
+    leaf_addr = w.append(b"BTLF" + bytes([0, 5]) + recs + _u(0, 4))
+    bthd_addr = w.append(
+        b"BTHD" + bytes([0, 5]) + _u(4096, 4) + _u(9, 2) + _u(0, 2)
+        + bytes([100, 40]) + _u(leaf_addr, 8) + _u(len(ids), 2)
+        + _u(len(ids), 8) + _u(0, 4))
+    root = w.append(_ohdr(
+        [_msg(0x0002, bytes([0, 0]) + _u(frhp_addr, 8)
+              + _u(bthd_addr, 8))]))
+    w.buf[28:36] = _u(len(w.buf), 8)
+    w.buf[36:44] = _u(root, 8)
+    return bytes(w.buf)
+
+
+def test_filtered_heap_file_matches_plain_dense():
+    """The SAME logical file through a deflate-filtered link heap
+    parses identically to the unfiltered single-block layout."""
+    w = MiniH5Dense()
+    lat = np.array([10.0, 10.5, 11.0])
+    lon = np.array([20.0, 20.25])
+    grid = np.arange(6, dtype=np.float64).reshape(3, 2) * 1.5
+    w.add_dataset("lat", lat, DT_F8, attrs=_scale_attrs("lat"))
+    w.add_dataset("lon", lon, DT_F8, attrs=_scale_attrs("lon"))
+    w.add_dataset("uparea", grid, DT_F8)
+    dims_f, vars_f, _ = parse_hdf5(_close_filtered(w))
+    dims_s, vars_s, _ = parse_hdf5(_build_dense_raster())
+    assert dims_f == dims_s == {"lat": 3, "lon": 2}
+    assert set(vars_f) == set(vars_s)
+    np.testing.assert_array_equal(vars_f["uparea"]["data"],
+                                  vars_s["uparea"]["data"])
+
+
+def test_filtered_multiblock_heap_resolves():
+    """Round 13: filtered heap with a root INDIRECT block — direct
+    entries widen to 20 bytes {addr, filtered size, filter mask}; an
+    object in the row-1 col-0 block resolves through decompression."""
+    import zlib
+
+    from flood_data_spark.sources.hdf5 import _fractal_heap_object
+
+    S, W, off_w, len_w = 32, 2, 2, 1
+    finfo = _filter_info_deflate()
+    buf = bytearray(64)
+    def app(block):
+        addr = len(buf); buf.extend(block); return addr
+    frhp_addr = len(buf)
+    h = bytearray(146 + 8 + 4 + len(finfo))
+    h[0:4] = b"FRHP"
+    p = 5
+    h[p:p + 2] = _u(1 + off_w + len_w, 2)
+    h[p + 2:p + 4] = _u(len(finfo), 2)
+    h[p + 5:p + 9] = _u(512, 4)
+    h[p + 17:p + 25] = _u(UNDEF, 8)
+    h[p + 33:p + 41] = _u(UNDEF, 8)
+    h[p + 105:p + 107] = _u(W, 2)
+    h[p + 107:p + 115] = _u(S, 8)
+    h[p + 115:p + 123] = _u(64, 8)
+    h[p + 123:p + 125] = _u(16, 2)
+    h[p + 135:p + 137] = _u(2, 2)            # rows 0..1
+    h[p + 137:p + 145] = _u(0, 8)            # (root not direct)
+    h[p + 149:p + 149 + len(finfo)] = finfo
+    app(bytes(h))
+    payload = b"row1-deflated"
+    bstart = W * S                           # row 1 col 0
+    db = bytearray(b"FHDB" + bytes([0]) + _u(frhp_addr, 8)
+                   + _u(bstart, off_w))
+    obj_off = bstart + len(db)
+    db += payload
+    db += b"\x00" * (S - len(db))
+    comp = zlib.compress(bytes(db), 6)
+    db_addr = app(comp)
+    fhib = bytearray(b"FHIB" + bytes([0]) + _u(frhp_addr, 8)
+                     + _u(0, off_w))
+    for slot in range(2 * W):                # 20-byte direct entries
+        if slot == 2:                        # row 1 col 0
+            fhib += _u(db_addr, 8) + _u(len(comp), 8) + _u(0, 4)
+        else:
+            fhib += _u(UNDEF, 8) + _u(0, 8) + _u(0, 4)
+    fhib += _u(0, 4)
+    fhib_addr = app(bytes(fhib))
+    buf[frhp_addr + 5 + 127:frhp_addr + 5 + 135] = _u(fhib_addr, 8)
+    hid = bytes([0]) + _u(obj_off, off_w) + _u(len(payload), len_w)
+    assert _fractal_heap_object(bytes(buf), frhp_addr, hid) == payload

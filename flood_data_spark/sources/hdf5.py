@@ -27,8 +27,7 @@ File Format Specification:
   name the dims; data variables resolve their dim names through
   DIMENSION_LIST object references, falling back to unique size matching
 
-Everything else (multi-level v2 B-trees, huge/tiny heap objects,
-v4 layouts, szip, ...) raises
+Everything else (huge/tiny heap objects, v4 layouts, szip, ...) raises
 NotImplementedError with a message naming the xarray/h5netcdf escape
 hatch — `raster.netcdf_decoder` dispatches there when installed.
 
@@ -376,26 +375,70 @@ def _parse_link_message(data: bytes) -> tuple[str, int]:
 
 def _v2_btree_heap_ids(b: bytes, addr: int) -> list[bytes]:
     """All heap IDs from a 'link name' v2 B-tree (spec III.A.2): BTHD
-    header -> the root BTLF leaf's records (4-byte name hash + heap ID).
-    Profile: depth 0 only — one leaf holds node_size/record_size links
-    (~370 at the 4 KiB default), the whole regime libnetcdf's
-    latest-format groups occupy; deeper trees dispatch to xarray."""
+    header -> in-order walk of BTIN internal nodes and BTLF leaves.
+    Round 13 closes the depth>=1 residual: child-pointer entry widths
+    follow the library's size ladder — the number-of-records field is
+    sized by the LEAF maximum (internal fan-out never exceeds it), the
+    total-number field (present for children of depth >= 1) by the
+    cumulative subtree maximum, both recomputed per level from
+    node_size/record_size exactly as H5B2 does.  Internal-node records
+    are link records too and are enumerated in order."""
     _need(b[addr:addr + 4] == b"BTHD", "missing v2 B-tree header")
     _need(b[addr + 4] == 0, f"v2 B-tree version {b[addr + 4]}")
     btype = b[addr + 5]
     _need(btype == 5, f"v2 B-tree record type {btype} (link-name only)")
+    node_size = _u(b, addr + 6, 4)
     rec_size = _u(b, addr + 10, 2)
     depth = _u(b, addr + 12, 2)
-    _need(depth == 0, f"v2 B-tree depth {depth} (single-leaf only)")
     root = _u(b, addr + 16, 8)
-    nrec = _u(b, addr + 24, 2)
-    _need(b[root:root + 4] == b"BTLF", "missing v2 B-tree leaf")
-    _need(b[root + 4] == 0 and b[root + 5] == 5, "v2 leaf version/type")
-    out = []
-    pos = root + 6
-    for _ in range(nrec):
-        out.append(b[pos + 4:pos + rec_size])   # skip the name hash
-        pos += rec_size
+    nrec_root = _u(b, addr + 24, 2)
+    _need(node_size > 10 and rec_size > 4, "v2 B-tree geometry")
+
+    def _enc(v: int) -> int:
+        return (v.bit_length() - 1) // 8 + 1 if v else 1
+
+    # per-depth size ladder (spec III.A.2 / H5B2 init): leaf max from
+    # the node prefix (10 bytes incl. checksum); at depth u the child
+    # pointer is {addr(8), nrec(max_nrec_size), [total(cum size u-1)]}
+    leaf_max = (node_size - 10) // rec_size
+    max_nrec_size = _enc(leaf_max)
+    cum_max = leaf_max
+    cum_size = [0]
+    for u in range(1, depth + 1):
+        ptr_sz = 8 + max_nrec_size + cum_size[u - 1]
+        mx = (node_size - 10 - ptr_sz) // (rec_size + ptr_sz)
+        _need(mx > 0, "v2 B-tree internal fan-out")
+        cum_max = (mx + 1) * cum_max + mx
+        cum_size.append(_enc(cum_max))
+
+    out: list[bytes] = []
+
+    def walk(naddr: int, nrec: int, d: int) -> None:
+        if d == 0:
+            _need(b[naddr:naddr + 4] == b"BTLF",
+                  "missing v2 B-tree leaf")
+            _need(b[naddr + 4] == 0 and b[naddr + 5] == btype,
+                  "v2 leaf version/type")
+            pos = naddr + 6
+            for _ in range(nrec):
+                out.append(b[pos + 4:pos + rec_size])  # skip name hash
+                pos += rec_size
+            return
+        _need(b[naddr:naddr + 4] == b"BTIN",
+              "missing v2 B-tree internal node")
+        _need(b[naddr + 4] == 0 and b[naddr + 5] == btype,
+              "v2 internal version/type")
+        recs = naddr + 6
+        ptrs = recs + nrec * rec_size
+        ptr_sz = 8 + max_nrec_size + cum_size[d - 1]
+        for i in range(nrec + 1):
+            ppos = ptrs + i * ptr_sz
+            walk(_u(b, ppos, 8), _u(b, ppos + 8, max_nrec_size), d - 1)
+            if i < nrec:
+                out.append(b[recs + i * rec_size + 4:
+                             recs + (i + 1) * rec_size])
+
+    walk(root, nrec_root, depth)
     return out
 
 

@@ -496,11 +496,12 @@ def test_dense_links_to_dataframe():
 
 def test_dense_profile_guards_fail_loudly():
     content = bytearray(_build_dense_raster())
-    # multi-level v2 B-tree -> loud dispatch
+    # depth claimed without an internal node -> loud dispatch (depth>=1
+    # trees themselves are SUPPORTED since round 13 — builders below)
     i = content.find(b"BTHD")
     patched = bytearray(content)
-    patched[i + 12:i + 14] = _u(1, 2)        # depth 1
-    with pytest.raises(NotImplementedError, match="depth"):
+    patched[i + 12:i + 14] = _u(1, 2)        # depth 1, root is a leaf
+    with pytest.raises(NotImplementedError, match="internal node"):
         parse_hdf5(bytes(patched))
     # claiming rows on a root-DIRECT heap walks to a non-FHIB block ->
     # loud dispatch (filtered heaps and nested indirect blocks are
@@ -834,3 +835,113 @@ def test_filtered_multiblock_heap_resolves():
     buf[frhp_addr + 5 + 127:frhp_addr + 5 + 135] = _u(fhib_addr, 8)
     hid = bytes([0]) + _u(obj_off, off_w) + _u(len(payload), len_w)
     assert _fractal_heap_object(bytes(buf), frhp_addr, hid) == payload
+
+
+def test_v2_btree_depth1_walk():
+    """Round 13: multi-level v2 B-trees — a depth-1 tree (BTIN root
+    with one link record and two BTLF children) enumerates ALL records
+    in order: leaf0's, the internal node's own, then leaf1's.  Child
+    pointer entries are {addr(8), nrec(2)} — the number-of-records
+    width follows the leaf maximum (4086//9 = 454 -> 2 bytes)."""
+    from flood_data_spark.sources.hdf5 import _v2_btree_heap_ids
+
+    rec_size = 9                             # 4-byte hash + 5-byte id
+    ids = [bytes([0]) + _u(100 + i, 2) + _u(7, 2) for i in range(5)]
+    buf = bytearray(64)
+    def app(block):
+        addr = len(buf); buf.extend(block); return addr
+    def leaf(recs):
+        body = b"".join(_u(i, 4) + hid for i, hid in enumerate(recs))
+        return app(b"BTLF" + bytes([0, 5]) + body + _u(0, 4))
+    l0 = leaf(ids[0:2])
+    l1 = leaf(ids[3:5])
+    btin = (b"BTIN" + bytes([0, 5])
+            + _u(9, 4) + ids[2]              # the internal record
+            + _u(l0, 8) + _u(2, 2)           # child ptr 0
+            + _u(l1, 8) + _u(2, 2)           # child ptr 1
+            + _u(0, 4))
+    root = app(btin)
+    bthd = app(b"BTHD" + bytes([0, 5]) + _u(4096, 4) + _u(rec_size, 2)
+               + _u(1, 2) + bytes([100, 40]) + _u(root, 8) + _u(1, 2)
+               + _u(5, 8) + _u(0, 4))
+    got = _v2_btree_heap_ids(bytes(buf), bthd)
+    assert got == ids                        # in order, hashes skipped
+
+
+def _close_depth1(w) -> bytes:
+    """MiniH5Dense finisher with a DEPTH-1 link-name v2 B-tree over a
+    single-direct-block heap: links split leaf0 / internal-record /
+    leaf1 — the whole-file parse-equality twin of the depth-0 layout."""
+    off_w = len_w = 2
+    links = []
+    for name, addr in sorted(w.entries):
+        nb = name.encode()
+        links.append(bytes([1, 0, len(nb)]) + nb + _u(addr, 8))
+    frhp_addr = len(w.buf)
+    h = bytearray(146)
+    h[0:4] = b"FRHP"
+    p = 5
+    h[p:p + 2] = _u(1 + off_w + len_w, 2)
+    h[p + 5:p + 9] = _u(512, 4)
+    h[p + 17:p + 25] = _u(UNDEF, 8)
+    h[p + 33:p + 41] = _u(UNDEF, 8)
+    h[p + 41:p + 49] = _u(512, 8)
+    h[p + 49:p + 57] = _u(512, 8)
+    h[p + 65:p + 73] = _u(len(links), 8)
+    h[p + 105:p + 107] = _u(4, 2)
+    h[p + 107:p + 115] = _u(512, 8)
+    h[p + 115:p + 123] = _u(512, 8)
+    h[p + 123:p + 125] = _u(16, 2)
+    h[p + 135:p + 137] = _u(0, 2)
+    w.append(bytes(h))
+    db = bytearray(b"FHDB" + bytes([0]) + _u(frhp_addr, 8)
+                   + _u(0, off_w))
+    ids = []
+    for ln in links:
+        ids.append(bytes([0]) + _u(len(db), off_w) + _u(len(ln), len_w))
+        db += ln
+    db += b"\x00" * (512 - len(db))
+    db_addr = w.append(bytes(db))
+    w.buf[frhp_addr + 5 + 127:frhp_addr + 5 + 135] = _u(db_addr, 8)
+    assert len(ids) >= 3, "depth-1 writer needs >= 3 links"
+    rec_size = 4 + len(ids[0])               # 9
+    def leaf(recs, base):
+        body = b"".join(_u(base + i, 4) + hid
+                        for i, hid in enumerate(recs))
+        return w.append(b"BTLF" + bytes([0, 5]) + body + _u(0, 4))
+    mid = len(ids) // 2
+    l0 = leaf(ids[:mid], 0)
+    l1 = leaf(ids[mid + 1:], mid + 1)
+    root = w.append(b"BTIN" + bytes([0, 5])
+                    + _u(mid, 4) + ids[mid]
+                    + _u(l0, 8) + _u(mid, 2)
+                    + _u(l1, 8) + _u(len(ids) - mid - 1, 2)
+                    + _u(0, 4))
+    bthd_addr = w.append(
+        b"BTHD" + bytes([0, 5]) + _u(4096, 4) + _u(rec_size, 2)
+        + _u(1, 2) + bytes([100, 40]) + _u(root, 8) + _u(1, 2)
+        + _u(len(ids), 8) + _u(0, 4))
+    ohdr = w.append(_ohdr(
+        [_msg(0x0002, bytes([0, 0]) + _u(frhp_addr, 8)
+              + _u(bthd_addr, 8))]))
+    w.buf[28:36] = _u(len(w.buf), 8)
+    w.buf[36:44] = _u(ohdr, 8)
+    return bytes(w.buf)
+
+
+def test_depth1_btree_file_matches_depth0():
+    """The SAME logical file through a depth-1 link-name B-tree parses
+    identically to the single-leaf layout."""
+    w = MiniH5Dense()
+    lat = np.array([10.0, 10.5, 11.0])
+    lon = np.array([20.0, 20.25])
+    grid = np.arange(6, dtype=np.float64).reshape(3, 2) * 1.5
+    w.add_dataset("lat", lat, DT_F8, attrs=_scale_attrs("lat"))
+    w.add_dataset("lon", lon, DT_F8, attrs=_scale_attrs("lon"))
+    w.add_dataset("uparea", grid, DT_F8)
+    dims_d, vars_d, _ = parse_hdf5(_close_depth1(w))
+    dims_s, vars_s, _ = parse_hdf5(_build_dense_raster())
+    assert dims_d == dims_s == {"lat": 3, "lon": 2}
+    assert set(vars_d) == set(vars_s)
+    np.testing.assert_array_equal(vars_d["uparea"]["data"],
+                                  vars_s["uparea"]["data"])

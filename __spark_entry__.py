@@ -3314,6 +3314,36 @@ def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
                          group_cols=("priority",))
 
 
+def q_msprt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED always-valid experiment monitor
+    (streaming/file_stream.msprt_count_stream + the SAME
+    experiment.msprt_from_counts finisher as batch q_msprt): the
+    (priority, peek, variant) exact-count state aggregates in complete
+    mode — the live daily-peeking dashboard — and the sequential
+    finisher runs on the materialized state.  The oracle IS the batch
+    SQL: stream/batch parity of the whole readout (logLambda ladder,
+    sticky decision, always-valid p)."""
+    from flood_data_spark.operators.experiment import msprt_from_counts
+    from flood_data_spark.streaming.file_stream import msprt_count_stream
+
+    def build(stream):
+        src = stream.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.trunc(F.col("o_orderdate"), "month").alias("peek"),
+            F.when(F.col("o_custkey") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B")).alias("variant"),
+            (F.col("o_totalprice") > 150000).cast("int")
+            .alias("success"))
+        return msprt_count_stream(src, time_col="peek",
+                                  group_cols=("priority",))
+
+    cnt = _run_file_stream(
+        spark, f"{sf_dir}/orders.parquet", build, "stream_msprt_",
+        output_mode="complete")
+    return msprt_from_counts(cnt, tau2=0.01, alpha=0.05,
+                             group_cols=("priority",))
+
+
 def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-world E1 — URL canonicalization → HTML extraction →
     URL-level dedup, ONE plan: messy fetch URLs (doc_id % 350 collision
@@ -3385,6 +3415,26 @@ def q_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("clim")))
     return anomaly_correlation(src, "f", "obs", "clim", ["lead"]) \
         .select("lead", "n", "acc")
+
+
+def q_seeps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEPS precipitation score (operators/verification.seeps_score,
+    Rodwell et al. 2010): 3-category (dry/light/heavy) error matrix
+    rational in the per-group sample climatology p1, one corpus
+    exchange to NINE cells per return flag, each matrix entry quantized
+    once per cell, the score an exact integer ratio.  Full value oracle
+    restating the category ladder, the p1 division, every matrix entry,
+    and the integer-space finish."""
+    from flood_data_spark.operators.verification import seeps_score
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(F.col("l_returnflag").alias("flag"),
+                    ((F.col("l_partkey") % 50) + F.lit(0.5)).alias("f"),
+                    F.col("l_quantity").alias("o"))
+    return seeps_score(src, "f", "o", ("flag",),
+                       dry_threshold=17.0, wet_split=39.0) \
+        .select("flag", "n", F.round("seeps", 6).alias("seeps"),
+                F.round("skill", 6).alias("skill"))
 
 
 def q_cost_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4561,6 +4611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (VERDICT r12 #2) + sequential A/B (VERDICT r12 #8) ---
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
+        "q_msprt_stream": q_msprt_stream,
+        "q_seeps": q_seeps,
         # --- round 12: Hersbach decomposition, streamed CRPS, ECE
         # cross-gate (VERDICT r11 #3/#4/#7) ---
         "q_crps_decomp": q_crps_decomp,
@@ -11132,6 +11184,64 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN (VALUES ('incremental'), ('recompute')) p(path)
     """
 
+    # q_seeps: the 3-category ladder, the p1 division, every matrix
+    # entry's double tree and its per-cell floor(+0.5) quantization,
+    # and the integer-space finish — all restated
+    d["q_seeps"] = f"""
+        WITH cat AS (
+            SELECT l_returnflag AS flag,
+                   CASE WHEN CAST((l_partkey % 50) + 0.5 AS DOUBLE)
+                             < 17.0 THEN 1
+                        WHEN CAST((l_partkey % 50) + 0.5 AS DOUBLE)
+                             < 39.0 THEN 2
+                        ELSE 3 END AS fc,
+                   CASE WHEN CAST(l_quantity AS DOUBLE) < 17.0 THEN 1
+                        WHEN CAST(l_quantity AS DOUBLE) < 39.0 THEN 2
+                        ELSE 3 END AS oc
+            FROM lineitem),
+        cells AS (SELECT flag, fc, oc, CAST(count(*) AS BIGINT) AS c
+                  FROM cat GROUP BY 1, 2, 3),
+        tot AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN oc = 1 THEN c ELSE 0 END)
+                            AS BIGINT) AS dry
+                FROM cells GROUP BY 1),
+        e AS (SELECT cells.flag, c, n, dry, fc, oc,
+                     dry / CAST(n AS DOUBLE) AS p1
+              FROM cells JOIN tot ON cells.flag = tot.flag),
+        em AS (SELECT flag, c, n, dry,
+                      CAST(floor((CASE
+                          WHEN fc = 1 AND oc = 2
+                              THEN 0.5 * (1.0 / (1.0 - p1))
+                          WHEN fc = 1 AND oc = 3
+                              THEN 0.5 * (4.0 / (1.0 - p1))
+                          WHEN fc = 2 AND oc = 1
+                              THEN 0.5 * (1.0 / p1)
+                          WHEN fc = 2 AND oc = 3
+                              THEN 0.5 * (3.0 / (1.0 - p1))
+                          WHEN fc = 3 AND oc = 1
+                              THEN 0.5 * (1.0 / p1
+                                          + 3.0 / (2.0 + p1))
+                          WHEN fc = 3 AND oc = 2
+                              THEN 0.5 * (3.0 / (2.0 + p1))
+                          ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT)
+                          AS emv
+               FROM e),
+        agg AS (SELECT flag, min(n) AS n, min(dry) AS dry,
+                       sum(CAST(c AS HUGEINT) * emv) AS s
+                FROM em GROUP BY 1)
+        SELECT flag, n,
+               CASE WHEN dry > 0 AND dry < n THEN
+                   round({idiv_half_up('s', 'CAST(n AS HUGEINT)',
+                                       1000000)}, 6)
+               END AS seeps,
+               CASE WHEN dry > 0 AND dry < n THEN
+                   round(1.0 - {idiv_half_up('s',
+                                             'CAST(n AS HUGEINT)',
+                                             1000000)}, 6)
+               END AS skill
+        FROM agg
+    """
+
     # q_benford: expected probabilities embedded as the same Python
     # float reprs the Spark ladder carries; chi terms mirror the
     # (n - t·p)²/(t·p) double tree, micro-rounded once.
@@ -11352,4 +11462,6 @@ def oracle_sql() -> dict[str, str]:
     d["q_crps_stream"] = d["q_crps"]
     d["q_stream_contingency"] = d["q_contingency_scores"]
     d["q_quantile_stream"] = d["q_quantile_score"]
+    # streamed mSPRT: the whole sequential readout, stream/batch parity
+    d["q_msprt_stream"] = d["q_msprt"]
     return d

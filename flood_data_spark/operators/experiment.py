@@ -390,6 +390,41 @@ def msprt_readout(df: DataFrame, time_col: str = "peek",
     concurrent experiments are just more `group_cols` groups.  Returns
     (group_cols..., peek, n_a, x_a, n_b, x_b, log_lambda_micro,
     always_valid_p, reject) sorted by (keys, peek)."""
+    counts = msprt_counts(df, time_col, variant_col, success_col,
+                          variant_a, variant_b, group_cols)
+    return msprt_from_counts(counts, variant_a, variant_b,
+                             tau2=tau2, alpha=alpha,
+                             group_cols=group_cols)
+
+
+def msprt_counts(df: DataFrame, time_col: str = "peek",
+                 variant_col: str = "variant",
+                 success_col: str = "success",
+                 variant_a: str = "A", variant_b: str = "B",
+                 group_cols=()) -> DataFrame:
+    """The mSPRT's sufficient state: exact (keys, peek, variant)
+    trial/success counts — a MERGEABLE integer-sum relation (the same
+    property that makes it the streaming half of `msprt_count_stream`:
+    complete-mode state is peeks x 2 x experiments cells however long
+    the stream runs, never corpus-sized)."""
+    keys = list(group_cols)
+    lab = F.col(variant_col).cast("string")
+    succ = F.col(success_col).cast("long")
+    return (df.filter(lab.isin([variant_a, variant_b]))
+            .groupBy(*keys, F.col(time_col).alias("peek"),
+                     lab.alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.sum(succ).alias("_x")))
+
+
+def msprt_from_counts(counts: DataFrame, variant_a: str = "A",
+                      variant_b: str = "B", tau2: float = 0.01,
+                      alpha: float = 0.05, group_cols=()) -> DataFrame:
+    """Finisher shared verbatim by the batch readout and the streaming
+    twin: pivot the count state to per-peek arm cells, cumulate through
+    the peek-ordered window, quantize logLambda once to micro-nats,
+    derive the sticky decision and the always-valid p from the running
+    max.  See `msprt_readout` for the math and the mirroring rules."""
     import math
 
     if tau2 <= 0:
@@ -399,13 +434,6 @@ def msprt_readout(df: DataFrame, time_col: str = "peek",
             f"msprt_readout: alpha must be in (0,1), got {alpha}")
     keys = list(group_cols)
     MICRO = 1_000_000
-    lab = F.col(variant_col).cast("string")
-    succ = F.col(success_col).cast("long")
-    counts = (df.filter(lab.isin([variant_a, variant_b]))
-              .groupBy(*keys, F.col(time_col).alias("peek"),
-                       lab.alias("_v"))
-              .agg(F.count(F.lit(1)).alias("_n"),
-                   F.sum(succ).alias("_x")))
 
     def _arm(src, v):
         return F.sum(F.when(F.col("_v") == v, F.col(src))

@@ -996,3 +996,89 @@ def spread_skill(df: DataFrame, value_col: str, obs_col: str,
         skill.alias("skill"),
         ratio.alias("ratio")) \
         .orderBy("lead")
+
+
+def seeps_score(df: DataFrame, fcst_col: str, obs_col: str,
+                group_keys, dry_threshold: float,
+                wet_split: float) -> DataFrame:
+    """SEEPS — Stable Equitable Error in Probability Space (Rodwell,
+    Richardson, Hewson & Haiden 2010, QJRMS 136) — THE headline
+    deterministic precipitation score at ECMWF, the natural next rung
+    of this module's categorical ladder: three categories (dry, light,
+    heavy) split at `dry_threshold` and `wet_split`, error-matrix
+    entries rational in the CLIMATOLOGICAL dry probability p1 (here the
+    per-group sample climatology of the observation column, the
+    standard offline form).  `wet_split` should sit at the two-thirds
+    quantile of wet-day climatology — the canonical p2 = 2·p3 choice
+    the matrix below assumes (its published closed form):
+
+        S(fc,ob) · 2 = | 0                1/(1-p1)    4/(1-p1) |
+                       | 1/p1             0           3/(1-p1) |
+                       | 1/p1 + 3/(2+p1)  3/(2+p1)    0        |
+
+    SEEPS = mean matrix entry over samples; skill = 1 - SEEPS.  Shape:
+    ONE corpus exchange to (keys, fc_cat, ob_cat) counts — NINE cells
+    per group, everything downstream cell-bounded; p1 is an exact
+    integer ratio evaluated as the mirrored double division, each
+    nonzero entry quantized ONCE to integer micro-units per CELL (not
+    per row), the final score one exact integer ratio
+    (Σ count·entry_micro / n via `_idiv_half_up`).  Groups with
+    degenerate climatology (p1 ∈ {0, 1}) return NULL — the score is
+    undefined there (ECMWF caps p1 to [0.1, 0.85] operationally; the
+    cap is the caller's climatology policy, not this operator's).
+    Returns (keys..., n, seeps, skill) sorted by keys."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("seeps_score: need at least one group key")
+
+    def cat(col):
+        v = F.col(col).cast("double")
+        return (F.when(v < F.lit(float(dry_threshold)), F.lit(1))
+                .when(v < F.lit(float(wet_split)), F.lit(2))
+                .otherwise(F.lit(3)))
+
+    cells = (df.select(*keys, cat(fcst_col).alias("_f"),
+                       cat(obs_col).alias("_o"))
+             .groupBy(*keys, "_f", "_o")
+             .agg(F.count(F.lit(1)).alias("_c")))
+    tot = (cells.groupBy(*keys)
+           .agg(F.sum("_c").alias("_n"),
+                F.sum(F.when(F.col("_o") == 1, F.col("_c"))
+                      .otherwise(F.lit(0))).alias("_dry")))
+    j = cells.join(tot, keys)
+    # p1 as the mirrored double division of exact integers; every
+    # matrix entry is one double tree in p1, quantized once per cell
+    p1 = F.col("_dry") / F.col("_n").cast("double")
+    half = F.lit(0.5)
+    e = (F.when((F.col("_f") == 1) & (F.col("_o") == 2),
+                half * (F.lit(1.0) / (F.lit(1.0) - p1)))
+         .when((F.col("_f") == 1) & (F.col("_o") == 3),
+               half * (F.lit(4.0) / (F.lit(1.0) - p1)))
+         .when((F.col("_f") == 2) & (F.col("_o") == 1),
+               half * (F.lit(1.0) / p1))
+         .when((F.col("_f") == 2) & (F.col("_o") == 3),
+               half * (F.lit(3.0) / (F.lit(1.0) - p1)))
+         .when((F.col("_f") == 3) & (F.col("_o") == 1),
+               half * (F.lit(1.0) / p1
+                       + F.lit(3.0) / (F.lit(2.0) + p1)))
+         .when((F.col("_f") == 3) & (F.col("_o") == 2),
+               half * (F.lit(3.0) / (F.lit(2.0) + p1)))
+         .otherwise(F.lit(0.0)))
+    # entries are nonnegative: floor(+0.5) is the engine-identical
+    # quantization (module _micro discipline, sign branch unneeded)
+    em = F.floor(e * F.lit(MICRO) + F.lit(0.5)).cast("long")
+    dec = "decimal(38,0)"
+    agg = (j.withColumn("_em", em)
+           .groupBy(*keys)
+           .agg(F.min("_n").alias("n"),
+                F.min("_dry").alias("_dry"),
+                F.sum((F.col("_c") * F.col("_em")).cast(dec))
+                .alias("_s")))
+    n = F.col("n").cast(dec)
+    mega_f = F.lit(float(MICRO))
+    seeps = _idiv_half_up(F.col("_s"), n).cast("double") / mega_f
+    ok = (F.col("_dry") > 0) & (F.col("_dry") < F.col("n"))
+    return (agg.select(*keys, F.col("n").cast("long").alias("n"),
+                       F.when(ok, seeps).alias("seeps"),
+                       F.when(ok, F.lit(1.0) - seeps).alias("skill"))
+            .orderBy(*keys))

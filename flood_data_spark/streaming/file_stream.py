@@ -393,3 +393,25 @@ def bucket_count_stream(stream_df: DataFrame, value_col: str,
             .select(bucket_expr(value_col, list(bounds)).alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_cur")))
+
+
+def msprt_count_stream(stream_df: DataFrame, time_col: str = "peek",
+                       variant_col: str = "variant",
+                       success_col: str = "success",
+                       variant_a: str = "A", variant_b: str = "B",
+                       group_cols=()) -> DataFrame:
+    """Streaming half of the always-valid experiment monitor: run
+    `experiment.msprt_counts`' (keys, peek, variant) exact-count state
+    as a complete-mode stream — the LIVE form of the daily-peeking
+    dashboard the mSPRT exists for (each micro-batch of new exposures
+    folds into integer sums; state is peeks x 2 x experiments cells
+    however long the stream runs, never corpus-sized, mergeable because
+    integer sums are).  The sequential finisher
+    (`experiment.msprt_from_counts`) runs on the materialized state —
+    shared verbatim with batch `msprt_readout`, so the streaming gate
+    checks stream/batch parity of the WHOLE readout (logLambda ladder,
+    sticky decision, always-valid p), not just the counts."""
+    from flood_data_spark.operators.experiment import msprt_counts
+
+    return msprt_counts(stream_df, time_col, variant_col, success_col,
+                        variant_a, variant_b, group_cols)

@@ -788,3 +788,66 @@ def test_dm_test_matches_numpy_and_edges(spark):
     r2 = dm_test(d2, "la", "lb", ["k"]).collect()[0]
     assert r2.dm_stat is None
     assert r2.mean_diff == pytest.approx(-1.0, abs=1e-9)
+
+
+# --- SEEPS ----------------------------------------------------------------
+
+
+def test_seeps_hand_golden(spark):
+    """Hand-computed 4-row case (dry<10, wet split 30): p1 = 2/4,
+    entries 0 / 3.0 / 1.6 / 0 -> SEEPS = 1.15, skill = -0.15."""
+    from flood_data_spark.operators.verification import seeps_score
+
+    rows = [("a", 5.0, 5.0), ("a", 15.0, 35.0),
+            ("a", 35.0, 5.0), ("a", 15.0, 15.0)]
+    df = spark.createDataFrame(rows, "g string, f double, o double")
+    r = seeps_score(df, "f", "o", ("g",), 10.0, 30.0).collect()[0]
+    assert r.n == 4
+    assert r.seeps == pytest.approx(1.15, abs=1e-6)
+    assert r.skill == pytest.approx(-0.15, abs=1e-6)
+
+
+def test_seeps_perfect_forecast_and_degenerate(spark):
+    """A perfect forecast scores 0 (skill 1); a group whose sample
+    climatology is all-dry or never-dry returns NULL (undefined)."""
+    from flood_data_spark.operators.verification import seeps_score
+
+    rows = ([("p", v, v) for v in (1.0, 15.0, 40.0, 3.0)]
+            + [("d", 50.0, 2.0), ("d", 1.0, 3.0)]      # all obs dry
+            + [("w", 1.0, 20.0), ("w", 2.0, 45.0)])    # never dry
+    df = spark.createDataFrame(rows, "g string, f double, o double")
+    out = {r.g: r for r in
+           seeps_score(df, "f", "o", ("g",), 10.0, 30.0).collect()}
+    assert out["p"].seeps == 0.0 and out["p"].skill == 1.0
+    assert out["d"].seeps is None and out["d"].skill is None
+    assert out["w"].seeps is None
+    with pytest.raises(ValueError, match="group key"):
+        seeps_score(df, "f", "o", (), 10.0, 30.0)
+
+
+def test_seeps_matches_numpy_matrix(spark):
+    """Differential vs a numpy recomputation of the full Rodwell
+    matrix on a planted 60-row mixed group."""
+    from flood_data_spark.operators.verification import seeps_score
+
+    rng = np.random.default_rng(7)
+    f = rng.uniform(0, 50, 60)
+    o = rng.uniform(0, 50, 60)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(f, o)],
+        "g string, f double, o double")
+    got = seeps_score(df, "f", "o", ("g",), 17.0, 39.0).collect()[0]
+
+    def cat(v):
+        return 1 if v < 17.0 else (2 if v < 39.0 else 3)
+
+    oc = np.array([cat(v) for v in o])
+    fc = np.array([cat(v) for v in f])
+    p1 = (oc == 1).sum() / len(oc)
+    ent = {(1, 2): 0.5 * (1 / (1 - p1)), (1, 3): 0.5 * (4 / (1 - p1)),
+           (2, 1): 0.5 * (1 / p1), (2, 3): 0.5 * (3 / (1 - p1)),
+           (3, 1): 0.5 * (1 / p1 + 3 / (2 + p1)),
+           (3, 2): 0.5 * (3 / (2 + p1))}
+    want = np.mean([ent.get((a, b), 0.0) for a, b in zip(fc, oc)])
+    assert got.seeps == pytest.approx(want, abs=2e-6)
+    assert got.skill == pytest.approx(1 - want, abs=2e-6)

@@ -3437,6 +3437,25 @@ def q_seeps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("skill", 6).alias("skill"))
 
 
+def q_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric CI
+    (operators/experiment.ratio_metric_ci, Deng et al. 2018): revenue
+    per unit quantity per return flag — exact integer moments, the
+    centered quadratics kept exact in decimal (the covariance-
+    cancellation discipline), ONE mirrored double seam for the standard
+    error quantized once, ratio and CI margin as exact integer
+    ratios/products.  Full value oracle restating the whole chain."""
+    from flood_data_spark.operators.experiment import ratio_metric_ci
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(F.col("l_returnflag").alias("flag"),
+                    (F.col("l_extendedprice") / F.lit(1000.0))
+                    .alias("x"),
+                    F.col("l_quantity").alias("y"))
+    return ratio_metric_ci(src, "x", "y", ("flag",)) \
+        .select("flag", "n", "ratio", "se", "lo", "hi")
+
+
 def q_cost_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-loss economic value curve
     (operators/verification.cost_loss_value) over the q_contingency 2x2
@@ -4613,6 +4632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
         "q_seeps": q_seeps,
+        "q_ratio_ci": q_ratio_ci,
         # --- round 12: Hersbach decomposition, streamed CRPS, ECE
         # cross-gate (VERDICT r11 #3/#4/#7) ---
         "q_crps_decomp": q_crps_decomp,
@@ -11182,6 +11202,57 @@ def oracle_sql() -> dict[str, str]:
                    AS mean
         FROM st s
         CROSS JOIN (VALUES ('incremental'), ('recompute')) p(path)
+    """
+
+    # q_ratio_ci: the delta-method chain restated — exact HUGEINT
+    # moments and centered quadratics, the identical double seam for
+    # the SE (decimal->double casts are correctly rounded in both
+    # engines), floor(+0.5) once, exact integer ratio and margin
+    d["q_ratio_ci"] = f"""
+        WITH src AS (
+            SELECT l_returnflag AS flag,
+                   CAST(sign(l_extendedprice / 1000.0)
+                        * floor(abs(l_extendedprice / 1000.0)
+                                * 1000000 + 0.5) AS HUGEINT) AS qx,
+                   CAST(sign(l_quantity)
+                        * floor(abs(l_quantity) * 1000000 + 0.5)
+                        AS HUGEINT) AS qy
+            FROM lineitem),
+        mo AS (SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+                      sum(qx) AS sx, sum(qy) AS sy,
+                      sum(qx * qx) AS sxx, sum(qy * qy) AS syy,
+                      sum(qx * qy) AS sxy
+               FROM src GROUP BY 1),
+        ab AS (SELECT flag, n, sx, sy,
+                      n * sxx - sx * sx AS a,
+                      n * sxy - sx * sy AS b,
+                      n * syy - sy * sy AS c,
+                      sy * sy AS sy2
+               FROM mo),
+        se AS (SELECT flag, n, sx, sy,
+                      CASE WHEN n >= 2 AND sy <> 0 THEN
+                          CAST(floor(sqrt(greatest(
+                              cast(a as double) * cast(sy2 as double)
+                              - 2e0 * cast(sx as double)
+                                * cast(sy as double)
+                                * cast(b as double)
+                              + cast(sx as double) * cast(sx as double)
+                                * cast(c as double), 0e0))
+                            / (sqrt(cast(n as double))
+                               * cast(sy2 as double))
+                            * 1000000e0 + 5e-1) AS HUGEINT) END AS seq,
+                      CASE WHEN sy <> 0 THEN
+                          {idiv_int('sx * 1000000', 'sy')} END AS rq
+               FROM ab),
+        fin AS (SELECT flag, n, seq, rq,
+                       {idiv_int('1959964 * seq', '1000000')} AS mg
+                FROM se)
+        SELECT flag, CAST(n AS BIGINT) AS n,
+               CAST(rq AS DOUBLE) / 1000000 AS ratio,
+               CAST(seq AS DOUBLE) / 1000000 AS se,
+               CAST(rq - mg AS DOUBLE) / 1000000 AS lo,
+               CAST(rq + mg AS DOUBLE) / 1000000 AS hi
+        FROM fin
     """
 
     # q_seeps: the 3-category ladder, the p1 division, every matrix

@@ -45,6 +45,7 @@ from flood_data_spark.operators.experiment import (
     conformal_interval,
     km_survival,
     msprt_readout,
+    ratio_metric_ci,
     two_proportion_ztest,
 )
 from flood_data_spark.operators.verification import (
@@ -84,7 +85,7 @@ __all__ = [
     "gini_concentration", "profile_table", "psi_report", "bucket_counts",
     "psi_from_counts", "trend_stats", "with_holt", "with_rolling_median",
     "with_robust_outliers",
-    "cuped_adjust", "msprt_readout",
+    "cuped_adjust", "msprt_readout", "ratio_metric_ci",
     "crps_ensemble", "rank_histogram", "brier_decomposition",
     "spread_skill", "reliability_diagram", "crps_hersbach",
     "crps_member_cells", "crps_from_member_cells", "ece_from_cells",

@@ -480,3 +480,82 @@ def msprt_from_counts(counts: DataFrame, variant_a: str = "A",
                "/ cast(1000000 as double))), 6)"))
            .drop("_run"))
     return out.orderBy(*keys, "peek")
+
+
+def ratio_metric_ci(df: DataFrame, num_col: str, den_col: str,
+                    group_cols=(), z: float = 1.959964) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric R = Σx/Σy —
+    the experimentation-platform standard for per-user ratio metrics
+    (revenue per session, clicks per impression; Deng, Knoblich & Lu
+    2018): user-level CLT does not apply to a ratio of sums directly,
+    so the variance comes from the first-order Taylor expansion
+
+        Var(R̂) = (s_x² − 2R·s_xy + R²·s_y²) / (n·ȳ²)
+
+    Assembly discipline: x, y quantize ONCE to micro-units; the five
+    moments (Sx, Sy, Sxx, Syy, Sxy) are exact BIGINT/DECIMAL sums; the
+    centered quadratics A = n·Sxx−Sx², B = n·Sxy−Sx·Sy, C = n·Syy−Sy²
+    and Sy² stay EXACT in decimal(38,0) (the covariance-cancellation
+    lesson: never subtract derived doubles).  Only then one mirrored
+    double seam evaluates
+
+        se = sqrt(max(A·Sy² − 2·Sx·Sy·B + Sx²·C, 0)) / (sqrt(n)·Sy²)
+
+    (identical operand order both engines; exact-integer→double casts
+    are correctly rounded in both), quantized ONCE to micro; the ratio
+    itself is the exact integer ratio half_up(Sx·1e6, Sy), and the
+    CI margin is the exact integer product half_up(z_micro·se_micro,
+    1e6).  One corpus-sized moments exchange; everything after is
+    group-sized.  Sy = 0 → all-NULL row (ratio undefined); n < 2 → NULL
+    se/CI.  Returns (keys..., n, ratio, se, lo, hi) sorted by keys."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    keys = list(group_cols)
+    MICRO = 1_000_000
+    dec = "decimal(38,0)"
+
+    def _q(col):
+        c = F.col(col).cast("double")
+        return (F.signum(c) * F.floor(F.abs(c) * MICRO + F.lit(0.5))) \
+            .cast(dec)
+
+    m = (df.select(*keys, _q(num_col).alias("_qx"),
+                   _q(den_col).alias("_qy"))
+         .groupBy(*keys)
+         .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
+              F.sum("_qx").alias("_sx"), F.sum("_qy").alias("_sy"),
+              F.sum(F.col("_qx") * F.col("_qx")).alias("_sxx"),
+              F.sum(F.col("_qy") * F.col("_qy")).alias("_syy"),
+              F.sum(F.col("_qx") * F.col("_qy")).alias("_sxy")))
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    m = (m.withColumn("_a", n * F.col("_sxx") - sx * sx)
+         .withColumn("_b", n * F.col("_sxy") - sx * sy)
+         .withColumn("_c", n * F.col("_syy") - sy * sy)
+         .withColumn("_sy2", sy * sy))
+    # the ONE double seam — textual SQL so the oracle restates it
+    # verbatim (cast exact decimals to double, fixed operand order)
+    se_micro = (
+        "CASE WHEN _n >= 2 AND _sy <> 0 THEN "
+        "cast(floor(sqrt(greatest("
+        "cast(_a as double) * cast(_sy2 as double) "
+        "- 2e0 * cast(_sx as double) * cast(_sy as double) "
+        "  * cast(_b as double) "
+        "+ cast(_sx as double) * cast(_sx as double) "
+        "  * cast(_c as double), 0e0)) "
+        "/ (sqrt(cast(_n as double)) * cast(_sy2 as double)) "
+        "* 1000000e0 + 5e-1) as decimal(38,0)) END")
+    zq = F.lit(int(round(float(z) * MICRO))).cast(dec)
+    mega = F.lit(MICRO).cast(dec)
+    mega_f = F.lit(float(MICRO))
+    out = (m.withColumn("_seq", F.expr(se_micro))
+           .withColumn("_rq", F.when(sy != 0,
+                                     _idiv_half_up(sx * mega, sy)))
+           .withColumn("_mg", _idiv_half_up(zq * F.col("_seq"), mega)))
+    ratio = F.col("_rq").cast("double") / mega_f
+    se = F.col("_seq").cast("double") / mega_f
+    lo = (F.col("_rq") - F.col("_mg")).cast("double") / mega_f
+    hi = (F.col("_rq") + F.col("_mg")).cast("double") / mega_f
+    return (out.select(*keys, F.col("_n").cast("long").alias("n"),
+                       ratio.alias("ratio"), se.alias("se"),
+                       lo.alias("lo"), hi.alias("hi"))
+            .orderBy(*keys))

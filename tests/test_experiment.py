@@ -255,3 +255,52 @@ def test_msprt_peeking_validity_vs_ztest(spark):
     # the z ladder's ever-crossing rate is far above nominal — the
     # documented peeking pathology (typically ~20-30% at 20 peeks)
     assert z_fp > msprt_fp and z_fp >= 12, (msprt_fp, z_fp)
+
+
+# --- delta-method ratio metric CI -----------------------------------------
+
+
+def test_ratio_ci_matches_numpy_delta_method(spark):
+    import numpy as np
+
+    from flood_data_spark.operators.experiment import ratio_metric_ci
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(1, 100, 200).round(4)
+    y = rng.uniform(1, 50, 200).round(4)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(x, y)],
+        "g string, x double, y double")
+    r = ratio_metric_ci(df, "x", "y", ("g",)).collect()[0]
+    n = len(x)
+    R = x.sum() / y.sum()
+    vx, vy = x.var(), y.var()                    # population moments
+    cxy = ((x - x.mean()) * (y - y.mean())).mean()
+    se = np.sqrt(max(vx - 2 * R * cxy + R * R * vy, 0)
+                 / (n * y.mean() ** 2))
+    assert r.n == n
+    assert r.ratio == pytest.approx(R, abs=2e-6)
+    assert r.se == pytest.approx(se, abs=2e-6)
+    assert r.lo == pytest.approx(R - 1.959964 * se, abs=5e-6)
+    assert r.hi == pytest.approx(R + 1.959964 * se, abs=5e-6)
+
+
+def test_ratio_ci_guards_and_partition_invariance(spark):
+    from flood_data_spark.operators.experiment import ratio_metric_ci
+
+    rows = [("z", 1.0, 1.0), ("z", 2.0, -1.0),    # sy = 0
+            ("s", 3.0, 2.0),                      # n = 1
+            ("c", 5.0, 2.0), ("c", 5.0, 2.0)]     # zero variance
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in
+           ratio_metric_ci(df, "x", "y", ("g",)).collect()}
+    assert out["z"].ratio is None and out["z"].se is None
+    assert out["s"].ratio == 1.5 and out["s"].se is None \
+        and out["s"].lo is None
+    assert out["c"].se == 0.0 and out["c"].lo == out["c"].hi == 2.5
+    big = df.union(df.selectExpr("'m' as g", "x * 2", "y"))
+    a = sorted(map(tuple, ratio_metric_ci(
+        big.coalesce(1), "x", "y", ("g",)).collect()))
+    b = sorted(map(tuple, ratio_metric_ci(
+        big.repartition(5), "x", "y", ("g",)).collect()))
+    assert a == b

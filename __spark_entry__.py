@@ -3437,6 +3437,73 @@ def q_seeps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("skill", 6).alias("skill"))
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability (datapipe/text.with_readability): word /
+    sentence-run / vowel-group counts as whole-text regexp aggregates
+    in ONE codegen projection, both scores exact integer arithmetic
+    (micro-ratio terms + exact constants — no double rounds).  Texts
+    get a planted sentence/punctuation suffix so the '[.!?]+' run
+    counting and the syllable clamp are both exercised.  Full value
+    oracle restating every count and ratio."""
+    from flood_data_spark.datapipe.text import with_readability
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    src = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(". Ok!? xy "),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(" rhythm myth.")).alias("text"))
+    return with_readability(src, "text") \
+        .select("doc_id", "n_words", "n_sentences", "n_syllables",
+                "flesch_ease", "fk_grade")
+
+
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS fit (datapipe/text.zipf_fit): term
+    counts over the shared tokenization, deterministic rank ties,
+    ln(rank)/ln(freq) micro-nats quantized once, slope/intercept exact
+    integer ratios over BIGINT sums.  Full value oracle restating the
+    rank window, both logs, and the closed-form OLS."""
+    from flood_data_spark.datapipe.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents")
+                    .filter(F.col("doc_id") < 900),
+                    "text", top_ranks=500)
+
+
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring
+    (datapipe/fuzzy.fs_linkage_weights + fs_score_pairs): labeled
+    candidate pairs (customer i vs i+700), three agreement fields
+    (nation, market segment, balance proximity), Laplace-smoothed m/u
+    probabilities, per-field log-likelihood weights rounded once to
+    micro-nats, per-pair scores as exact integer sums.  Full value
+    oracle restating counts, both probability ratios, both logs, and
+    the conditional sum."""
+    from flood_data_spark.datapipe.fuzzy import fs_score_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("id1"),
+                 F.col("c_nationkey").alias("n1"),
+                 F.col("c_mktsegment").alias("s1"),
+                 F.col("c_acctbal").alias("b1"))
+    b = c.select((F.col("c_custkey") - 700).alias("id1"),
+                 F.col("c_custkey").alias("id2"),
+                 F.col("c_nationkey").alias("n2"),
+                 F.col("c_mktsegment").alias("s2"),
+                 F.col("c_acctbal").alias("b2"))
+    pairs = a.join(b, "id1").select(
+        "id1", "id2",
+        (F.col("n1") == F.col("n2")).alias("same_nation"),
+        (F.col("s1") == F.col("s2")).alias("same_segment"),
+        (F.abs(F.col("b1") - F.col("b2")) < 1000).alias("bal_close"),
+        ((F.col("id1") % 5) == 0).cast("int").alias("match"))
+    return fs_score_pairs(pairs, ("id1", "id2"),
+                          ("same_nation", "same_segment", "bal_close"),
+                          "match") \
+        .select("id1", "id2", "match", F.round("score", 6).alias("score"))
+
+
 def q_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-method ratio-metric CI
     (operators/experiment.ratio_metric_ci, Deng et al. 2018): revenue
@@ -4633,6 +4700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_msprt_stream": q_msprt_stream,
         "q_seeps": q_seeps,
         "q_ratio_ci": q_ratio_ci,
+        "q_readability": q_readability,
+        "q_zipf": q_zipf,
+        "q_fs_linkage": q_fs_linkage,
         # --- round 12: Hersbach decomposition, streamed CRPS, ECE
         # cross-gate (VERDICT r11 #3/#4/#7) ---
         "q_crps_decomp": q_crps_decomp,
@@ -11202,6 +11272,132 @@ def oracle_sql() -> dict[str, str]:
                    AS mean
         FROM st s
         CROSS JOIN (VALUES ('incremental'), ('recompute')) p(path)
+    """
+
+    # q_fs_linkage: the whole FS chain restated — pair construction,
+    # per-field counts, Laplace m/u, micro-nat weights (rounded once,
+    # the WoE form), and the conditional per-pair integer sum
+    d["q_fs_linkage"] = """
+        WITH pairs AS (
+            SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                   CASE WHEN a.c_nationkey = b.c_nationkey
+                        THEN 1 ELSE 0 END AS f_same_nation,
+                   CASE WHEN a.c_mktsegment = b.c_mktsegment
+                        THEN 1 ELSE 0 END AS f_same_segment,
+                   CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 1000
+                        THEN 1 ELSE 0 END AS f_bal_close,
+                   CASE WHEN a.c_custkey % 5 = 0 THEN 1 ELSE 0 END
+                       AS match
+            FROM customer a JOIN customer b
+                 ON b.c_custkey = a.c_custkey + 700),
+        melted AS (
+            SELECT id1, id2, match, 'same_nation' AS field,
+                   f_same_nation AS agree FROM pairs
+            UNION ALL
+            SELECT id1, id2, match, 'same_segment', f_same_segment
+            FROM pairs
+            UNION ALL
+            SELECT id1, id2, match, 'bal_close', f_bal_close
+            FROM pairs),
+        w AS (
+            SELECT field,
+                   CAST(round((ln((CAST(sum(agree * match) AS DOUBLE)
+                                   + 0.5)
+                                  / (CAST(sum(match) AS DOUBLE) + 1.0))
+                               - ln((CAST(sum(agree * (1 - match))
+                                          AS DOUBLE) + 0.5)
+                                    / (CAST(sum(1 - match) AS DOUBLE)
+                                       + 1.0))) * 1000000) AS BIGINT)
+                       AS wa,
+                   CAST(round((ln(1.0 - (CAST(sum(agree * match)
+                                              AS DOUBLE) + 0.5)
+                                  / (CAST(sum(match) AS DOUBLE) + 1.0))
+                               - ln(1.0 - (CAST(sum(agree * (1 - match))
+                                                AS DOUBLE) + 0.5)
+                                    / (CAST(sum(1 - match) AS DOUBLE)
+                                       + 1.0))) * 1000000) AS BIGINT)
+                       AS wd
+            FROM melted GROUP BY field)
+        SELECT m.id1, m.id2, m.match,
+               round(CAST(sum(CASE WHEN m.agree = 1 THEN w.wa
+                              ELSE w.wd END) AS DOUBLE) / 1000000, 6)
+                   AS score
+        FROM melted m JOIN w ON m.field = w.field
+        GROUP BY m.id1, m.id2, m.match
+    """
+
+    # q_zipf: rank window (count desc, term asc), both micro-nat logs,
+    # and the closed-form OLS restated in HUGEINT
+    d["q_zipf"] = f"""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(
+                       lower(trim(text)), '\\s+'), x -> x <> ''))
+                   AS term
+            FROM documents WHERE doc_id < 900),
+        cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+                FROM toks GROUP BY 1),
+        rk AS (SELECT term, f,
+                      row_number() OVER (ORDER BY f DESC, term ASC)
+                          AS r
+               FROM cnt),
+        q AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5)
+                          AS HUGEINT) AS x,
+                     CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000 + 0.5)
+                          AS HUGEINT) AS y
+              FROM rk WHERE r <= 500),
+        m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM q),
+        s AS (SELECT n, sx, sy,
+                     CASE WHEN n * sxx - sx * sx <> 0 THEN
+                         {idiv_int('(n * sxy - sx * sy) * 1000000',
+                                   'n * sxx - sx * sx')} END AS sq
+              FROM m)
+        SELECT CAST(n AS BIGINT) AS n_ranks,
+               CAST(sq AS DOUBLE) / 1000000 AS slope,
+               CAST(CASE WHEN sq IS NOT NULL THEN
+                   {idiv_int('sy * 1000000 - sq * sx', 'n * 1000000')}
+               END AS DOUBLE) / 1000000 AS intercept
+        FROM s
+    """
+
+    # q_readability: every count and both integer-ratio assemblies
+    # restated (word filter mirrored with list_filter; sentence runs
+    # and vowel groups via len(regexp_extract_all))
+    d["q_readability"] = f"""
+        WITH src AS (
+            SELECT doc_id,
+                   text || '. Ok!? xy ' || CAST(doc_id % 5 AS VARCHAR)
+                        || ' rhythm myth.' AS t
+            FROM documents WHERE doc_id < 800),
+        cnt AS (
+            SELECT doc_id,
+                   greatest(len(list_filter(string_split_regex(
+                       lower(trim(t)), '\\s+'), x -> x <> '')), 1)
+                       AS w,
+                   greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+                       AS s,
+                   len(regexp_extract_all(lower(t), '[aeiouy]+')) AS vg
+            FROM src),
+        base AS (
+            SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+                   CAST(s AS BIGINT) AS n_sentences,
+                   CAST(greatest(vg, w) AS BIGINT) AS n_syllables
+            FROM cnt)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CAST(206835000
+                    - {idiv_int('1015000 * CAST(n_words AS HUGEINT)',
+                                'CAST(n_sentences AS HUGEINT)')}
+                    - {idiv_int('84600000 * CAST(n_syllables AS HUGEINT)',
+                                'CAST(n_words AS HUGEINT)')}
+                    AS DOUBLE) / 1000000 AS flesch_ease,
+               CAST({idiv_int('390000 * CAST(n_words AS HUGEINT)',
+                              'CAST(n_sentences AS HUGEINT)')}
+                    + {idiv_int('11800000 * CAST(n_syllables AS HUGEINT)',
+                                'CAST(n_words AS HUGEINT)')}
+                    - 15590000 AS DOUBLE) / 1000000 AS fk_grade
+        FROM base
     """
 
     # q_ratio_ci: the delta-method chain restated — exact HUGEINT

@@ -231,3 +231,94 @@ def snm_pairs(df: DataFrame, id_col: str = "p_partkey",
             .filter(F.col("dist") >= 0)
             .select("name_a", "name_b", "id_a", "id_b", "n_a", "n_b",
                     "dist"))
+
+
+def fs_linkage_weights(pairs: DataFrame, agreement_cols,
+                       match_col: str = "match",
+                       laplace: float = 0.5) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights (Fellegi & Sunter 1969) —
+    the probabilistic scoring layer on top of this module's candidate
+    generators (blocked_fuzzy_pairs / snm_pairs): from LABELED pairs,
+    per agreement field k estimate
+
+        m_k = P(agree_k | match),   u_k = P(agree_k | non-match)
+
+    (Laplace-smoothed: (hits + a)/(n + 2a)) and emit the two
+    log-likelihood-ratio weights
+
+        w_agree = ln(m/u),   w_disagree = ln((1-m)/(1-u))
+
+    each rounded ONCE to integer micro-nats (the WoE discipline, so
+    downstream pair scores are exact integer sums).  One melt
+    (explode of K field structs) + one K-group aggregate — the pair
+    corpus moves once, the weight relation is K rows.  Returns
+    (field, n_match, n_nonmatch, agree_match, agree_nonmatch,
+    w_agree_micro, w_disagree_micro)."""
+    cols = list(agreement_cols)
+    if not cols:
+        raise ValueError("fs_linkage_weights: need agreement columns")
+    if laplace <= 0:
+        raise ValueError(
+            f"fs_linkage_weights: laplace must be > 0, got {laplace}")
+    mt = F.col(match_col).cast("int")
+    melted = pairs.select(
+        mt.alias("_m"),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("field"),
+                     F.col(c).cast("int").alias("agree"))
+            for c in cols])).alias("_f")) \
+        .select("_m", F.col("_f.field").alias("field"),
+                F.col("_f.agree").alias("_a"))
+    g = (melted.groupBy("field")
+         .agg(F.sum("_m").alias("n_match"),
+              F.sum(1 - F.col("_m")).alias("n_nonmatch"),
+              F.sum(F.col("_a") * F.col("_m")).alias("agree_match"),
+              F.sum(F.col("_a") * (1 - F.col("_m")))
+              .alias("agree_nonmatch")))
+    a = float(laplace)
+    m_p = (F.col("agree_match") + F.lit(a)) \
+        / (F.col("n_match") + F.lit(2 * a))
+    u_p = (F.col("agree_nonmatch") + F.lit(a)) \
+        / (F.col("n_nonmatch") + F.lit(2 * a))
+    MICRO = 1_000_000
+    wa = F.round((F.log(m_p) - F.log(u_p)) * MICRO).cast("long")
+    wd = F.round((F.log(F.lit(1.0) - m_p) - F.log(F.lit(1.0) - u_p))
+                 * MICRO).cast("long")
+    return (g.withColumn("w_agree_micro", wa)
+            .withColumn("w_disagree_micro", wd)
+            .orderBy("field"))
+
+
+def fs_score_pairs(pairs: DataFrame, id_cols, agreement_cols,
+                   match_col: str = "match",
+                   laplace: float = 0.5) -> DataFrame:
+    """Score every pair with the Fellegi-Sunter log-likelihood sum:
+    Σ_k (agree_k ? w_agree_k : w_disagree_k), an EXACT integer sum of
+    the micro-nat weights from `fs_linkage_weights` (estimated on the
+    same labeled relation — the classical supervised form; score new
+    unlabeled pairs by passing the weights relation yourself).  The
+    K-row weight table broadcasts back onto the melted pairs; one
+    pair-id-keyed sum exchange.  Returns (id_cols..., match, score)
+    with score = score_micro / 1e6, sorted by ids."""
+    ids = list(id_cols)
+    cols = list(agreement_cols)
+    w = fs_linkage_weights(pairs, cols, match_col, laplace) \
+        .select("field", "w_agree_micro", "w_disagree_micro")
+    melted = pairs.select(
+        *ids, F.col(match_col).cast("int").alias("match"),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("field"),
+                     F.col(c).cast("int").alias("agree"))
+            for c in cols])).alias("_f")) \
+        .select(*ids, "match", F.col("_f.field").alias("field"),
+                F.col("_f.agree").alias("_a"))
+    scored = (melted.join(F.broadcast(w), "field")
+              .groupBy(*ids, "match")
+              .agg(F.sum(F.when(F.col("_a") == 1,
+                                F.col("w_agree_micro"))
+                         .otherwise(F.col("w_disagree_micro")))
+                   .alias("_s")))
+    return (scored.select(*ids, "match",
+                          (F.col("_s").cast("double")
+                           / F.lit(1e6)).alias("score"))
+            .orderBy(*ids))

@@ -1324,3 +1324,108 @@ def with_html_text(df: DataFrame, html_col: str = "payload",
                    out_col: str = "text") -> DataFrame:
     """`html_to_text` applied as a column — the WARC→documents bridge."""
     return df.withColumn(out_col, html_to_text(F.col(html_col)))
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch readability signals (Flesch 1948 / Kincaid 1975) — the
+    classic curation-time audience-level filter next to the Gopher
+    battery: adds (n_words, n_sentences, n_syllables, flesch_ease,
+    fk_grade).
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+        grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+
+    Counts are whole-text regexp aggregates (zero shuffle, one codegen
+    projection over the scan): W = the shared `_words` tokenization,
+    S = '[.!?]+' runs (min 1 — headless fragments count as one
+    sentence), Y = '[aeiouy]+' vowel groups on the lowercased text
+    clamped to >= W (each word carries at least one syllable — the
+    standard heuristic's floor; vowel-less tokens would otherwise
+    deflate Y).  Both scores assemble as EXACT integer arithmetic:
+    each ratio term is one `_idiv_half_up` micro ratio, the constants
+    are exact micro literals, so the final values are engine-exact
+    (no double rounds anywhere)."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    dec = "decimal(38,0)"
+    t = _nn(F.col(text_col))
+    w = F.greatest(F.size(_words(F.col(text_col))), F.lit(1)) \
+        .cast("long")
+    s = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)) \
+        .cast("long")
+    vg = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long")
+    out = (df.withColumn("n_words", w)
+           .withColumn("n_sentences", s)
+           .withColumn("n_syllables", F.greatest(vg, w)))
+    wd = F.col("n_words").cast(dec)
+    sd = F.col("n_sentences").cast(dec)
+    yd = F.col("n_syllables").cast(dec)
+    ws = _idiv_half_up(F.lit(1015000).cast(dec) * wd, sd)
+    yw = _idiv_half_up(F.lit(84600000).cast(dec) * yd, wd)
+    gws = _idiv_half_up(F.lit(390000).cast(dec) * wd, sd)
+    gyw = _idiv_half_up(F.lit(11800000).cast(dec) * yd, wd)
+    mega_f = F.lit(1e6)
+    return (out.withColumn(
+        "flesch_ease",
+        (F.lit(206835000).cast(dec) - ws - yw).cast("double") / mega_f)
+        .withColumn(
+        "fk_grade",
+        (gws + gyw - F.lit(15590000).cast(dec)).cast("double") / mega_f))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             top_ranks: int = 1000) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-level QA tripwire next to
+    Benford (operators/stats): natural language follows
+    freq(rank) ∝ rank^(-s) with s ≈ 1; template-generated, spammy, or
+    deduplication-damaged corpora bend the log-log line.  Fits OLS on
+    (ln rank, ln freq) over the top `top_ranks` terms of the shared
+    `_words` tokenization:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²),   x=ln r, y=ln f
+
+    Both logs quantize ONCE to integer micro-nats (nonnegative —
+    floor(+0.5)); slope and intercept are then EXACT integer ratios
+    over BIGINT sums (`_idiv_half_up`), so the fit is engine-exact.
+    Rank ties break by term text (deterministic).  Shape: one
+    token-volume explode + hash agg, then a vocabulary-bounded sort
+    for the rank window and a scalar moments row — the corpus moves
+    once, the fit is vocab-sized.  Returns one row
+    (n_ranks, slope, intercept); n_ranks < 2 → NULL fit."""
+    from pyspark.sql import Window
+
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    if top_ranks < 1:
+        raise ValueError(f"zipf_fit: top_ranks must be >= 1, got "
+                         f"{top_ranks}")
+    dec = "decimal(38,0)"
+    MICRO = 1_000_000
+    counts = (df.select(F.explode(_words(F.col(text_col)))
+                        .alias("term"))
+              .groupBy("term").agg(F.count(F.lit(1)).alias("f")))
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("f").desc(),
+                                             F.col("term").asc())
+    ranked = (counts.withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= top_ranks))
+    qx = F.floor(F.log(F.col("r").cast("double")) * MICRO
+                 + F.lit(0.5)).cast(dec)
+    qy = F.floor(F.log(F.col("f").cast("double")) * MICRO
+                 + F.lit(0.5)).cast(dec)
+    m = (ranked.select(qx.alias("_x"), qy.alias("_y"))
+         .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
+              F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+              F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+              F.sum(F.col("_x") * F.col("_y")).alias("_sxy")))
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    den = n * F.col("_sxx") - sx * sx
+    mega = F.lit(MICRO).cast(dec)
+    mega_f = F.lit(float(MICRO))
+    slope_q = F.when(den != 0,
+                     _idiv_half_up((n * F.col("_sxy") - sx * sy)
+                                   * mega, den))
+    ic_q = F.when(den != 0,
+                  _idiv_half_up(sy * mega - slope_q * sx, n * mega))
+    return m.select(n.cast("long").alias("n_ranks"),
+                    (slope_q.cast("double") / mega_f).alias("slope"),
+                    (ic_q.cast("double") / mega_f).alias("intercept"))

@@ -22,9 +22,11 @@ JPEG2000-packed regular lat/lon fields (`sources/grib2.py` +
 the from-spec `sources/jpeg2000.py` codec),
 classic-format NetCDF (`sources/netcdf3.py`), and NetCDF-4/HDF5 in the
 default libnetcdf layout (`sources/hdf5.py`: contiguous/chunked +
-deflate/shuffle, dimension scales) — so genuine bytes decode in this
-container too.  Only exotic inputs (signed/restricted CCSDS profiles,
-pentagonal spectral truncations, multi-block HDF5 heaps) still raise NotImplementedError
+deflate/shuffle, dimension scales, dense groups with multi-block /
+nested-indirect / filtered fractal heaps and multi-level v2 B-trees) —
+so genuine bytes decode in this container too.  Only exotic inputs
+(signed/restricted CCSDS profiles, pentagonal spectral truncations,
+huge/tiny HDF5 heap objects, szip) still raise NotImplementedError
 behind the import-try; `synthetic_grib_decoder` remains the
 deterministic stand-in for tests that need arbitrary planted values.
 """

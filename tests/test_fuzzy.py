@@ -169,3 +169,63 @@ def test_snm_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="window"):
         snm_pairs(df, window=0)
+
+
+def test_fs_linkage_weights_hand_golden(spark):
+    """4 labeled pairs, one field: m = (2+0.5)/(2+1), u = (1+0.5)/(2+1)
+    -> w_agree = ln(2.5/1.5), w_disagree = ln(0.5/1.5), micro-rounded
+    once; pair scores are exact sums of those integers."""
+    import math
+
+    from flood_data_spark.datapipe.fuzzy import (fs_linkage_weights,
+                                                 fs_score_pairs)
+
+    rows = [(1, 2, True, 1), (3, 4, True, 0),
+            (5, 6, False, 1), (7, 8, False, 0)]
+    df = spark.createDataFrame(
+        rows, "id1 int, id2 int, agr boolean, match int")
+    w = fs_linkage_weights(df, ("agr",)).collect()[0]
+    assert (w.n_match, w.n_nonmatch) == (2, 2)
+    assert (w.agree_match, w.agree_nonmatch) == (1, 1)
+    m, u = 1.5 / 3.0, 1.5 / 3.0
+    assert w.w_agree_micro == round(math.log(m / u) * 1e6) == 0
+    assert w.w_disagree_micro == 0      # symmetric toy: no signal
+    # an informative field: agreement only among matches
+    rows2 = [(1, 2, True, 1), (3, 4, True, 1),
+             (5, 6, False, 0), (7, 8, False, 0)]
+    d2 = spark.createDataFrame(
+        rows2, "id1 int, id2 int, agr boolean, match int")
+    w2 = fs_linkage_weights(d2, ("agr",)).collect()[0]
+    wa = round(math.log((2.5 / 3.0) / (0.5 / 3.0)) * 1e6)
+    wd = round(math.log((0.5 / 3.0) / (2.5 / 3.0)) * 1e6)
+    assert w2.w_agree_micro == wa and w2.w_disagree_micro == wd
+    scored = {(r.id1): r.score for r in
+              fs_score_pairs(d2, ("id1", "id2"), ("agr",)).collect()}
+    assert scored[1] == pytest.approx(wa / 1e6, abs=1e-9)
+    assert scored[5] == pytest.approx(wd / 1e6, abs=1e-9)
+    with pytest.raises(ValueError, match="agreement"):
+        fs_linkage_weights(d2, ())
+    with pytest.raises(ValueError, match="laplace"):
+        fs_linkage_weights(d2, ("agr",), laplace=0.0)
+
+
+def test_fs_score_sums_fields_and_is_partition_invariant(spark):
+    from flood_data_spark.datapipe.fuzzy import (fs_linkage_weights,
+                                                 fs_score_pairs)
+
+    rows = [(i, i + 100, i % 2 == 0, i % 3 == 0, 1 if i < 10 else 0)
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "id1 int, id2 int, f1 boolean, f2 boolean, match int")
+    w = {r.field: (r.w_agree_micro, r.w_disagree_micro)
+         for r in fs_linkage_weights(df, ("f1", "f2")).collect()}
+    got = {r.id1: r.score for r in
+           fs_score_pairs(df, ("id1", "id2"), ("f1", "f2")).collect()}
+    for i, _, f1, f2, _m in rows:
+        want = (w["f1"][0 if f1 else 1] + w["f2"][0 if f2 else 1]) / 1e6
+        assert got[i] == pytest.approx(want, abs=1e-9), i
+    a = sorted(map(tuple, fs_score_pairs(
+        df.coalesce(1), ("id1", "id2"), ("f1", "f2")).collect()))
+    b = sorted(map(tuple, fs_score_pairs(
+        df.repartition(7), ("id1", "id2"), ("f1", "f2")).collect()))
+    assert a == b

@@ -254,3 +254,48 @@ def test_rouge_precision_recall_duality(spark):
         assert fwd[k].precision == rev[k].recall
         assert fwd[k].recall == rev[k].precision
         assert fwd[k].f1 == rev[k].f1
+
+
+def test_readability_hand_golden(spark):
+    """'The cat. It sat!' -> W=4, S=2, Y=4: ease = 206.835 - 1.015*2
+    - 84.6*1 = 120.205; grade = 0.39*2 + 11.8*1 - 15.59 = -3.01."""
+    from flood_data_spark.datapipe.text import with_readability
+
+    df = spark.createDataFrame([(0, "The cat. It sat!"),
+                                (1, None),
+                                (2, "xyz pfft")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in with_readability(df).collect()}
+    r = out[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (4, 2, 4)
+    assert r.flesch_ease == pytest.approx(120.205, abs=1e-6)
+    assert r.fk_grade == pytest.approx(-3.01, abs=1e-6)
+    # NULL text behaves as empty: clamped floors, never NULL/negative
+    assert out[1].n_words == 1 and out[1].n_sentences == 1
+    # vowel-less words: syllable clamp Y >= W
+    assert out[2].n_syllables == out[2].n_words == 2
+
+
+def test_zipf_fit_exact_line_and_guards(spark):
+    """A perfectly Zipfian corpus (f = 12/r) fits slope -1,
+    intercept ln 12, exactly up to micro-nat quantization."""
+    import math
+
+    from flood_data_spark.datapipe.text import zipf_fit
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = zipf_fit(df, "text", top_ranks=10).collect()[0]
+    assert r.n_ranks == 4
+    assert r.slope == pytest.approx(-1.0, abs=1e-5)
+    assert r.intercept == pytest.approx(math.log(12), abs=1e-5)
+    # top_ranks truncation changes the fit input deterministically
+    r2 = zipf_fit(df, "text", top_ranks=2).collect()[0]
+    assert r2.n_ranks == 2
+    assert r2.slope == pytest.approx(-1.0, abs=1e-5)
+    with pytest.raises(ValueError, match="top_ranks"):
+        zipf_fit(df, "text", top_ranks=0)
+    # single-rank corpus: OLS undefined -> NULL
+    one = spark.createDataFrame([(0, "x x x")], "doc_id long, text string")
+    r3 = zipf_fit(one, "text").collect()[0]
+    assert r3.n_ranks == 1 and r3.slope is None and r3.intercept is None

@@ -3471,6 +3471,54 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "text", top_ranks=500)
 
 
+def q_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval per order priority
+    (operators/experiment.wilson_interval): exact integer counts, the
+    whole interval ONE fixed-operand-order double seam with lo/hi each
+    quantized once to micro, p-hat the exact integer ratio.  Full
+    value oracle restating the identical seam."""
+    from flood_data_spark.operators.experiment import wilson_interval
+
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(F.col("o_orderpriority").alias("priority"),
+                   (F.col("o_totalprice") > 150000).cast("int")
+                   .alias("success"))
+    return wilson_interval(src, "success", ("priority",)) \
+        .select("priority", "n", "x", "p", "lo", "hi")
+
+
+def q_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's calibration Z per lead
+    (operators/verification.spiegelhalter_z): micro-quantized
+    probabilities, exact integer numerator / squared-denominator sums,
+    one per-group sqrt quantized to its integer value, Z an exact
+    integer ratio.  Full value oracle restating the chain."""
+    from flood_data_spark.operators.verification import spiegelhalter_z
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(F.col("l_linenumber").alias("lead"),
+                    (F.col("l_discount") * F.lit(10.0)).alias("p"),
+                    (F.col("l_returnflag") == "R").cast("int")
+                    .alias("o"))
+    return spiegelhalter_z(src, "p", "o", ("lead",)) \
+        .select("lead", "n", "z", "well_calibrated")
+
+
+def q_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation
+    (datapipe/curation.neyman_allocation): per-stratum exact integer
+    moments, S_h via one per-stratum sqrt quantized once, weights
+    N_h*S_h exact, grand total broadcast back, each allocation an
+    exact integer ratio capped at N_h.  Full value oracle."""
+    from flood_data_spark.datapipe.curation import neyman_allocation
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(F.col("l_returnflag").alias("stratum"),
+                    F.col("l_extendedprice").alias("v"))
+    return neyman_allocation(src, "v", ("stratum",), total_n=10_000) \
+        .select("stratum", "n_pop", "sd", "alloc")
+
+
 def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record-linkage scoring
     (datapipe/fuzzy.fs_linkage_weights + fs_score_pairs): labeled
@@ -4703,6 +4751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": q_readability,
         "q_zipf": q_zipf,
         "q_fs_linkage": q_fs_linkage,
+        "q_wilson": q_wilson,
+        "q_spiegelhalter": q_spiegelhalter,
+        "q_neyman": q_neyman,
         # --- round 12: Hersbach decomposition, streamed CRPS, ECE
         # cross-gate (VERDICT r11 #3/#4/#7) ---
         "q_crps_decomp": q_crps_decomp,
@@ -11272,6 +11323,102 @@ def oracle_sql() -> dict[str, str]:
                    AS mean
         FROM st s
         CROSS JOIN (VALUES ('incremental'), ('recompute')) p(path)
+    """
+
+    # q_wilson: the identical interval seam (z/z^2 embedded as the
+    # SAME python reprs the operator uses), lo/hi floor(+0.5) once,
+    # p-hat an exact integer ratio
+    _wz = repr(1.959964)
+    _wz2 = repr(1.959964 ** 2)
+
+    def _wilson_seam(sign: str) -> str:
+        return (f"CAST(floor(((x + CAST({_wz2} AS DOUBLE) / 2e0) "
+                f"/ (n + CAST({_wz2} AS DOUBLE)) "
+                f"{sign} CAST({_wz} AS DOUBLE) * sqrt("
+                "x * (n - x) / cast(n as double) "
+                f"+ CAST({_wz2} AS DOUBLE) / 4e0) "
+                f"/ (n + CAST({_wz2} AS DOUBLE))) "
+                "* 1000000e0 + 5e-1) AS BIGINT)")
+
+    d["q_wilson"] = f"""
+        WITH g AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN o_totalprice > 150000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM orders GROUP BY 1)
+        SELECT priority, n, x,
+               CASE WHEN n > 0 THEN
+                   CAST({idiv_int('CAST(x AS HUGEINT) * 1000000',
+                                  'CAST(n AS HUGEINT)')} AS DOUBLE)
+                   / 1000000 END AS p,
+               CASE WHEN n > 0 THEN
+                   CAST({_wilson_seam('-')} AS DOUBLE) / 1000000
+               END AS lo,
+               CASE WHEN n > 0 THEN
+                   CAST({_wilson_seam('+')} AS DOUBLE) / 1000000
+               END AS hi
+        FROM g
+    """
+
+    # q_spiegelhalter: micro probabilities, exact integer numerator /
+    # squared denominator, one sqrt quantized to its integer value,
+    # Z an exact integer ratio
+    d["q_spiegelhalter"] = f"""
+        WITH q AS (
+            SELECT l_linenumber AS lead,
+                   CAST(sign(l_discount * 10.0)
+                        * floor(abs(l_discount * 10.0) * 1000000 + 0.5)
+                        AS HUGEINT) AS qp,
+                   CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS HUGEINT) AS ob
+            FROM lineitem),
+        g AS (SELECT lead, CAST(count(*) AS BIGINT) AS n,
+                     sum((ob * 1000000 - qp) * (1000000 - 2 * qp))
+                         AS num,
+                     sum(qp * (1000000 - qp) * (1000000 - 2 * qp)
+                         * (1000000 - 2 * qp)) AS d2
+              FROM q GROUP BY 1),
+        s AS (SELECT lead, n, num, d2,
+                     CAST(floor(sqrt(CAST(d2 AS DOUBLE)) + 0.5)
+                          AS HUGEINT) AS qs
+              FROM g)
+        SELECT lead, n,
+               CASE WHEN d2 > 0 THEN
+                   CAST({idiv_int('num * 1000000', 'qs')} AS DOUBLE)
+                   / 1000000 END AS z,
+               CASE WHEN d2 > 0 THEN
+                   abs({idiv_int('num * 1000000', 'qs')}) < 1959964
+               END AS well_calibrated
+        FROM s
+    """
+
+    # q_neyman: per-stratum exact moments, one sqrt per stratum
+    # quantized once, exact weight/allocation arithmetic with the
+    # N_h cap
+    d["q_neyman"] = f"""
+        WITH q AS (
+            SELECT l_returnflag AS stratum,
+                   CAST(sign(l_extendedprice)
+                        * floor(abs(l_extendedprice) * 1000000 + 0.5)
+                        AS HUGEINT) AS qv
+            FROM lineitem),
+        m AS (SELECT stratum, CAST(count(*) AS HUGEINT) AS n,
+                     sum(qv) AS s1, sum(qv * qv) AS s2
+              FROM q GROUP BY 1),
+        sq AS (SELECT stratum, n,
+                      CAST(floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                                 / CAST(n AS DOUBLE) + 0.5) AS HUGEINT)
+                          AS sdq
+               FROM m),
+        w AS (SELECT stratum, n, sdq, n * sdq AS wt FROM sq),
+        t AS (SELECT sum(wt) AS tw FROM w)
+        SELECT stratum, CAST(n AS BIGINT) AS n_pop,
+               CAST(sdq AS DOUBLE) / 1000000 AS sd,
+               CASE WHEN tw > 0 THEN
+                   CAST(least({idiv_int('10000 * wt', 'tw')}, n)
+                        AS BIGINT) END AS alloc
+        FROM w, t
     """
 
     # q_fs_linkage: the whole FS chain restated — pair construction,

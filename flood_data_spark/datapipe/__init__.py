@@ -43,6 +43,7 @@ from flood_data_spark.datapipe.curation import (
     dedup_lines,
     hash_sample,
     impute_missing,
+    neyman_allocation,
     pack_sequences,
     normalize_url,
     redact_pii,
@@ -51,9 +52,13 @@ from flood_data_spark.datapipe.curation import (
     with_shuffle_key,
     with_url_keys,
 )
-from flood_data_spark.datapipe.text import repetition_signals
+from flood_data_spark.datapipe.text import (repetition_signals,
+                                            with_readability,
+                                            zipf_fit)
 from flood_data_spark.datapipe.fuzzy import (
     blocked_fuzzy_pairs,
+    fs_linkage_weights,
+    fs_score_pairs,
     fuzzy_match_against,
     snm_pairs,
     name_groups,
@@ -154,7 +159,7 @@ __all__ = [
     "lsh_bucketed_topk", "ivf_topk", "ivf_build", "ivf_probe",
     "hash_sample", "chunk_documents", "pack_sequences", "cap_per_key",
     "redact_pii", "repetition_signals", "clean_lines", "dedup_lines",
-    "assign_split", "stratified_sample", "with_shuffle_key",
+    "assign_split", "stratified_sample", "neyman_allocation", "fs_linkage_weights", "fs_score_pairs", "with_shuffle_key",
     "normalize_url", "url_host", "with_url_keys",
     "blocked_fuzzy_pairs", "fuzzy_match_against", "name_groups",
     "snm_pairs",

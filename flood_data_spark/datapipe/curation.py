@@ -834,3 +834,63 @@ def with_url_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds (url_host, url_norm) — the crawl dedup/cap keys."""
     return (df.withColumn("url_host", url_host(F.col(url_col)))
             .withColumn("url_norm", normalize_url(F.col(url_col))))
+
+
+def neyman_allocation(df: DataFrame, value_col: str, stratum_cols,
+                      total_n: int) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934) — the
+    eval-set construction step next to `stratified_split`: given a
+    target budget of `total_n` samples, allocate to stratum h in
+    proportion to N_h·S_h (population size × within-stratum std), the
+    allocation that minimizes the variance of the stratified mean:
+
+        n_h = total_n · N_h·S_h / Σ_k N_k·S_k,   capped at N_h.
+
+    Value chain: one exact-integer moments exchange per stratum (the
+    linalg discipline), S_h via ONE IEEE sqrt of the exact centered
+    quadratic quantized to integer micro (floor(sqrt(A)/n + 0.5) —
+    per-factor, the ACC rule), weights N_h·S_h_micro exact BIGINTs, the
+    grand total broadcast back as a 1-row relation (scalar-rejoin), and
+    each n_h one exact integer ratio (`_idiv_half_up`) capped at N_h.
+    Half-up rounding leaves a ±(#strata/2) residual vs total_n by
+    design (largest-remainder correction is a policy layer, not this
+    operator).  Zero-variance strata get S=0 and draw nothing —
+    standard Neyman behavior (their mean is known exactly from any one
+    element); all-zero total weight → NULL allocations.  Returns
+    (stratum_cols..., n_pop, sd, alloc) sorted by strata."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    keys = list(stratum_cols)
+    if not keys:
+        raise ValueError("neyman_allocation: need stratum columns")
+    if total_n < 0:
+        raise ValueError(
+            f"neyman_allocation: total_n must be >= 0, got {total_n}")
+    MICRO = 1_000_000
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    qv = (F.signum(v) * F.floor(F.abs(v) * MICRO + F.lit(0.5))) \
+        .cast(dec)
+    m = (df.select(*keys, qv.alias("_q"))
+         .groupBy(*keys)
+         .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
+              F.sum("_q").alias("_s"),
+              F.sum(F.col("_q") * F.col("_q")).alias("_s2")))
+    a = m.withColumn("_a", F.col("_n") * F.col("_s2")
+                     - F.col("_s") * F.col("_s"))
+    # S_h micro = floor(sqrt(A)/n + 0.5): one sqrt seam per stratum
+    s_q = F.floor(F.sqrt(F.col("_a").cast("double"))
+                  / F.col("_n").cast("double") + F.lit(0.5)).cast(dec)
+    w = a.withColumn("_w", F.col("_n") * s_q)
+    tot = w.agg(F.sum("_w").alias("_tw"))
+    j = w.crossJoin(F.broadcast(tot))
+    alloc_q = F.when(
+        F.col("_tw") > 0,
+        F.least(_idiv_half_up(F.lit(int(total_n)).cast(dec)
+                              * F.col("_w"), F.col("_tw")),
+                F.col("_n")).cast("long"))
+    mega_f = F.lit(float(MICRO))
+    return (j.select(*keys, F.col("_n").cast("long").alias("n_pop"),
+                     (s_q.cast("double") / mega_f).alias("sd"),
+                     alloc_q.alias("alloc"))
+            .orderBy(*keys))

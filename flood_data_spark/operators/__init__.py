@@ -46,6 +46,7 @@ from flood_data_spark.operators.experiment import (
     km_survival,
     msprt_readout,
     ratio_metric_ci,
+    wilson_interval,
     two_proportion_ztest,
 )
 from flood_data_spark.operators.verification import (
@@ -66,7 +67,9 @@ from flood_data_spark.operators.verification import (
     quantile_score,
     quantile_score_from_member_cells,
     rank_histogram,
+    seeps_score,
     reliability_diagram,
+    spiegelhalter_z,
     spread_skill,
 )
 
@@ -85,12 +88,12 @@ __all__ = [
     "gini_concentration", "profile_table", "psi_report", "bucket_counts",
     "psi_from_counts", "trend_stats", "with_holt", "with_rolling_median",
     "with_robust_outliers",
-    "cuped_adjust", "msprt_readout", "ratio_metric_ci",
+    "cuped_adjust", "msprt_readout", "ratio_metric_ci", "wilson_interval",
     "crps_ensemble", "rank_histogram", "brier_decomposition",
     "spread_skill", "reliability_diagram", "crps_hersbach",
     "crps_member_cells", "crps_from_member_cells", "ece_from_cells",
     "contingency_scores", "quantile_score", "isotonic_calibration",
-    "energy_score", "anomaly_correlation", "cost_loss_value",
+    "energy_score", "anomaly_correlation", "cost_loss_value", "spiegelhalter_z", "seeps_score",
     "contingency_counts", "contingency_from_counts",
     "quantile_score_from_member_cells", "dm_test",
 ]

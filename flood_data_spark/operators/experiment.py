@@ -559,3 +559,51 @@ def ratio_metric_ci(df: DataFrame, num_col: str, den_col: str,
                        ratio.alias("ratio"), se.alias("se"),
                        lo.alias("lo"), hi.alias("hi"))
             .orderBy(*keys))
+
+
+def wilson_interval(df: DataFrame, success_col: str = "success",
+                    group_cols=(), z: float = 1.959964) -> DataFrame:
+    """Wilson score interval for a binomial proportion per group — the
+    CI that behaves at small n and extreme p̂ (never exits [0,1], no
+    0-width collapse at x ∈ {0, n}), the fixed-n companion to the
+    always-valid `msprt_readout`:
+
+        center ± margin = (x + z²/2)/(n + z²)
+                          ± z·sqrt(x(n−x)/n + z²/4)/(n + z²)
+
+    Counts are exact integers; the whole interval is ONE
+    fixed-operand-order double seam over (x, n) and the z constants
+    (stated textually, restated verbatim in the oracle), with lo and
+    hi each quantized ONCE to micro; p̂ itself is the exact integer
+    ratio.  One group-keyed exchange.  Returns (keys..., n, x, p, lo,
+    hi) sorted by keys; n = 0 → NULL interval."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    keys = list(group_cols)
+    MICRO = 1_000_000
+    dec = "decimal(38,0)"
+    g = (df.groupBy(*keys)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col(success_col).cast("long")).alias("x")))
+    z_r = repr(float(z))
+    z2_r = repr(float(z) * float(z))
+    seam = (
+        "CASE WHEN n > 0 THEN cast(floor(("
+        f"(x + CAST({z2_r} AS DOUBLE) / 2e0) / (n + CAST({z2_r} AS DOUBLE)) "
+        f"{{sign}} CAST({z_r} AS DOUBLE) * sqrt("
+        "x * (n - x) / cast(n as double) "
+        f"+ CAST({z2_r} AS DOUBLE) / 4e0) / (n + CAST({z2_r} AS DOUBLE))"
+        ") * 1000000e0 + 5e-1) as long) END")
+    out = (g.withColumn("_lo", F.expr(seam.format(sign="-")))
+           .withColumn("_hi", F.expr(seam.format(sign="+")))
+           .withColumn("_pq", F.when(
+               F.col("n") > 0,
+               _idiv_half_up(F.col("x").cast(dec)
+                             * F.lit(MICRO).cast(dec),
+                             F.col("n").cast(dec)))))
+    mega_f = F.lit(float(MICRO))
+    return (out.select(*keys, "n", "x",
+                       (F.col("_pq").cast("double") / mega_f).alias("p"),
+                       (F.col("_lo").cast("double") / mega_f).alias("lo"),
+                       (F.col("_hi").cast("double") / mega_f).alias("hi"))
+            .orderBy(*keys))

@@ -1082,3 +1082,48 @@ def seeps_score(df: DataFrame, fcst_col: str, obs_col: str,
                        F.when(ok, seeps).alias("seeps"),
                        F.when(ok, F.lit(1.0) - seeps).alias("skill"))
             .orderBy(*keys))
+
+
+def spiegelhalter_z(df: DataFrame, prob_col: str, outcome_col: str,
+                    group_keys=()) -> DataFrame:
+    """Spiegelhalter's calibration Z test (Spiegelhalter 1986) — the
+    scalar hypothesis-test companion to the Brier/reliability ladder:
+    under perfect calibration the Brier score's excess over its
+    expectation is asymptotically normal,
+
+        Z = Σ (o_i − p_i)(1 − 2p_i)
+            / sqrt( Σ p_i(1 − p_i)(1 − 2p_i)² )
+
+    Probabilities quantize ONCE to micro; numerator and the squared
+    denominator are then EXACT integer sums (units 1e12 / 1e24 — the
+    module discipline), the denominator takes ONE IEEE sqrt quantized
+    to its integer value (the ACC per-factor rule), and Z·1e6 is one
+    exact integer ratio.  One group-keyed exchange.  `well_calibrated`
+    is |Z| < 1.959964 evaluated on the quantized Z.  Degenerate groups
+    (all p ∈ {0,1} → zero denominator) return NULL.  Returns
+    (keys..., n, z, well_calibrated) sorted by keys."""
+    keys = list(group_keys)
+    dec = "decimal(38,0)"
+    qp = _micro(F.col(prob_col)).cast(dec)
+    o = F.col(outcome_col).cast("int").cast(dec)
+    mega = _mega()
+    num_t = (o * mega - qp) * (mega - 2 * qp)
+    den_t = qp * (mega - qp) * (mega - 2 * qp) * (mega - 2 * qp)
+    g = (df.select(*keys, num_t.alias("_nt"), den_t.alias("_dt"))
+         .groupBy(*keys)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("_nt").alias("_num"),
+              F.sum("_dt").alias("_d2")))
+    # one sqrt seam, quantized to its integer value (units 1e12)
+    qs = F.floor(F.sqrt(F.col("_d2").cast("double")) + F.lit(0.5)) \
+        .cast(dec)
+    zq = F.when(F.col("_d2") > 0,
+                _idiv_half_up(F.col("_num") * mega, qs))
+    mega_f = F.lit(float(MICRO))
+    zv = zq.cast("double") / mega_f
+    return (g.select(*keys, F.col("n").cast("long").alias("n"),
+                     zv.alias("z"),
+                     F.when(F.col("_d2") > 0,
+                            F.abs(zq) < F.lit(1959964).cast(dec))
+                     .alias("well_calibrated"))
+            .orderBy(*keys))

@@ -304,3 +304,59 @@ def test_ratio_ci_guards_and_partition_invariance(spark):
     b = sorted(map(tuple, ratio_metric_ci(
         big.repartition(5), "x", "y", ("g",)).collect()))
     assert a == b
+
+
+# --- Wilson score interval -------------------------------------------------
+
+
+def test_wilson_matches_closed_form_and_bounds(spark):
+    from flood_data_spark.operators.experiment import wilson_interval
+
+    z = 1.959964
+    cases = {"a": (40, 100), "b": (0, 20), "c": (20, 20), "d": (1, 3)}
+    rows = [(g, 1) for g, (x, n) in cases.items() for _ in range(x)] \
+        + [(g, 0) for g, (x, n) in cases.items() for _ in range(n - x)]
+    df = spark.createDataFrame(rows, "g string, success int")
+    out = {r.g: r for r in
+           wilson_interval(df, "success", ("g",)).collect()}
+    for g, (x, n) in cases.items():
+        r = out[g]
+        assert (r.n, r.x) == (n, x)
+        center = (x + z * z / 2) / (n + z * z)
+        margin = z * math.sqrt(x * (n - x) / n + z * z / 4) / (n + z * z)
+        assert r.lo == pytest.approx(center - margin, abs=2e-6), g
+        assert r.hi == pytest.approx(center + margin, abs=2e-6), g
+        # Wilson never exits [0,1], even at x=0 / x=n
+        assert 0.0 <= r.lo <= r.hi <= 1.0
+        assert r.p == pytest.approx(x / n, abs=1e-6)
+    # extreme cells keep a nonzero-width interval (no collapse)
+    assert out["b"].hi > 0.0 and out["c"].lo < 1.0
+
+
+# --- Neyman allocation -----------------------------------------------------
+
+
+def test_neyman_allocation_hand_case(spark):
+    """Two strata, sd ratio 3:1 and size ratio 1:2 -> weights 3:2;
+    a zero-variance stratum draws nothing; caps bind at N_h."""
+    from flood_data_spark.datapipe.curation import neyman_allocation
+
+    rows = ([("hi", v) for v in (0.0, 6.0) * 50]        # N=100, sd=3
+            + [("lo", v) for v in (0.0, 2.0) * 100]     # N=200, sd=1
+            + [("konst", 5.0)] * 40)                    # sd=0
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {r.s: r for r in
+           neyman_allocation(df, "v", ("s",), total_n=100).collect()}
+    assert out["hi"].sd == pytest.approx(3.0, abs=1e-6)
+    assert out["lo"].sd == pytest.approx(1.0, abs=1e-6)
+    assert out["konst"].sd == 0.0 and out["konst"].alloc == 0
+    # weights: 100*3 = 300 vs 200*1 = 200 -> 60 / 40
+    assert out["hi"].alloc == 60 and out["lo"].alloc == 40
+    # cap binds: budget larger than a stratum's population
+    out2 = {r.s: r for r in
+            neyman_allocation(df, "v", ("s",), total_n=400).collect()}
+    assert out2["hi"].alloc == 100          # capped at N_h
+    with pytest.raises(ValueError, match="stratum"):
+        neyman_allocation(df, "v", (), 10)
+    with pytest.raises(ValueError, match="total_n"):
+        neyman_allocation(df, "v", ("s",), -1)

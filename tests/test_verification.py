@@ -851,3 +851,36 @@ def test_seeps_matches_numpy_matrix(spark):
     want = np.mean([ent.get((a, b), 0.0) for a, b in zip(fc, oc)])
     assert got.seeps == pytest.approx(want, abs=2e-6)
     assert got.skill == pytest.approx(1 - want, abs=2e-6)
+
+
+# --- Spiegelhalter calibration Z -------------------------------------------
+
+
+def test_spiegelhalter_matches_numpy_and_flags(spark):
+    from flood_data_spark.operators.verification import spiegelhalter_z
+
+    rng = np.random.default_rng(3)
+    ps = rng.choice([0.1, 0.3, 0.5, 0.7, 0.9], size=600)
+    # calibrated outcomes: o ~ Bernoulli(p)
+    os_cal = (rng.random(600) < ps).astype(int)
+    # badly calibrated: outcomes ignore p entirely
+    os_bad = (rng.random(600) < 0.95).astype(int)
+    rows = [("cal", float(p), int(o)) for p, o in zip(ps, os_cal)] \
+        + [("bad", float(p), int(o)) for p, o in zip(ps, os_bad)] \
+        + [("deg", 1.0, 1), ("deg", 0.0, 0)]
+    df = spark.createDataFrame(rows, "g string, p double, o int")
+    out = {r.g: r for r in
+           spiegelhalter_z(df, "p", "o", ("g",)).collect()}
+
+    def z_ref(p, o):
+        num = ((o - p) * (1 - 2 * p)).sum()
+        den = np.sqrt((p * (1 - p) * (1 - 2 * p) ** 2).sum())
+        return num / den
+
+    assert out["cal"].z == pytest.approx(z_ref(ps, os_cal), abs=2e-5)
+    assert out["bad"].z == pytest.approx(z_ref(ps, os_bad), abs=2e-5)
+    assert out["cal"].well_calibrated
+    assert not out["bad"].well_calibrated
+    assert abs(out["bad"].z) > 10
+    # degenerate probabilities: zero denominator -> NULL
+    assert out["deg"].z is None and out["deg"].well_calibrated is None

@@ -3471,6 +3471,41 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "text", top_ranks=500)
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution
+    (operators/behavior.attribution_credit): journeys delimited by the
+    running purchase count over one deterministic user-keyed window
+    (ts, event_id ties), BOTH the last-touch and the linear model in
+    one result (union, tagged) — exact micro-credit sums, linear's
+    per-touch share an exact integer ratio.  Full value oracle
+    restating the window ladder and both credit rules."""
+    from flood_data_spark.operators.behavior import attribution_credit
+
+    ev = _t(spark, sf_dir, "events")
+    out = []
+    for tag, model in (("last", "last_touch"), ("linear", "linear")):
+        out.append(attribution_credit(ev, model=model)
+                   .withColumn("model", F.lit(tag)))
+    return (out[0].unionByName(out[1])
+            .select("model", "channel", "n_touches", "n_credited",
+                    F.round("credit", 6).alias("credit")))
+
+
+def q_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two document halves
+    (operators/stats.js_divergence): vocabulary-bounded full outer
+    join of the two unigram count relations, exact-integer mixture
+    ratios inside one double tree per term, signed micro-nat
+    quantization once per contribution, the halving an exact integer
+    ratio.  Full value oracle restating the whole chain."""
+    from flood_data_spark.operators.stats import js_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    p = docs.filter(F.col("doc_id") < 400)
+    q = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 800))
+    return js_divergence(p, q, "text")
+
+
 def q_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilson score interval per order priority
     (operators/experiment.wilson_interval): exact integer counts, the
@@ -4754,6 +4789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wilson": q_wilson,
         "q_spiegelhalter": q_spiegelhalter,
         "q_neyman": q_neyman,
+        "q_attribution": q_attribution,
+        "q_jsd": q_jsd,
         # --- round 12: Hersbach decomposition, streamed CRPS, ECE
         # cross-gate (VERDICT r11 #3/#4/#7) ---
         "q_crps_decomp": q_crps_decomp,
@@ -11323,6 +11360,102 @@ def oracle_sql() -> dict[str, str]:
                    AS mean
         FROM st s
         CROSS JOIN (VALUES ('incremental'), ('recompute')) p(path)
+    """
+
+    # q_attribution: the journey windows (running conversion count,
+    # per-journey rank/size with (ts, event_id) ties) and both credit
+    # rules restated; micro-credits exact HUGEINTs
+    d["q_attribution"] = f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS c
+            FROM events),
+        b AS (SELECT *,
+                     COALESCE(sum(c) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS j,
+                     sum(c) OVER (PARTITION BY user_id) AS nc
+              FROM ev),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY user_id, j
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id, j) AS k
+              FROM b WHERE c = 0 AND j < nc)
+        SELECT 'last' AS model, event_type AS channel,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(CASE WHEN rn = k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_credited,
+               round(CAST(sum(CASE WHEN rn = k THEN 1000000 ELSE 0 END)
+                          AS DOUBLE) / 1000000, 6) AS credit
+        FROM r GROUP BY 2
+        UNION ALL
+        SELECT 'linear', event_type,
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               round(CAST(sum({idiv_int('1000000',
+                                        'CAST(k AS HUGEINT)')})
+                          AS DOUBLE) / 1000000, 6)
+        FROM r GROUP BY 2
+    """
+
+    # q_jsd: exact-integer mixture ratios inside one double tree per
+    # term, signed micro-nat quantization once, integer halving
+    d["q_jsd"] = f"""
+        WITH tp AS (
+            SELECT unnest(list_filter(string_split_regex(
+                       lower(trim(text)), '\\s+'), x -> x <> ''))
+                   AS term
+            FROM documents WHERE doc_id < 400),
+        tq AS (
+            SELECT unnest(list_filter(string_split_regex(
+                       lower(trim(text)), '\\s+'), x -> x <> ''))
+                   AS term
+            FROM documents WHERE doc_id >= 400 AND doc_id < 800),
+        cp AS (SELECT term, CAST(count(*) AS BIGINT) AS cp
+               FROM tp GROUP BY 1),
+        cq AS (SELECT term, CAST(count(*) AS BIGINT) AS cq
+               FROM tq GROUP BY 1),
+        j AS (SELECT COALESCE(cp.term, cq.term) AS term,
+                     COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq
+              FROM cp FULL OUTER JOIN cq ON cp.term = cq.term),
+        tot AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM j),
+        x AS (SELECT j.*, tot.np, tot.nq FROM j, tot),
+        terms AS (
+            SELECT
+                CASE WHEN cp > 0 AND np > 0 AND nq > 0 THEN
+                    (CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+                    * ln((2e0 * CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE))
+                         / (CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+                            + CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)))
+                ELSE 0e0 END AS t_p,
+                CASE WHEN cq > 0 AND np > 0 AND nq > 0 THEN
+                    (CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
+                    * ln((2e0 * CAST(cq AS DOUBLE) * CAST(np AS DOUBLE))
+                         / (CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+                            + CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)))
+                ELSE 0e0 END AS t_q,
+                np, nq
+            FROM x),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                       min(np) AS np, min(nq) AS nq,
+                       sum(CAST(sign(t_p) * floor(abs(t_p) * 1000000
+                                                  + 0.5) AS HUGEINT))
+                           AS sp,
+                       sum(CAST(sign(t_q) * floor(abs(t_q) * 1000000
+                                                  + 0.5) AS HUGEINT))
+                           AS sq
+                FROM terms)
+        SELECT n_terms,
+               CASE WHEN np > 0 AND nq > 0 THEN
+                   CAST(sp AS DOUBLE) / 1000000 END AS kl_pm,
+               CASE WHEN np > 0 AND nq > 0 THEN
+                   CAST(sq AS DOUBLE) / 1000000 END AS kl_qm,
+               CASE WHEN np > 0 AND nq > 0 THEN
+                   CAST({idiv_int('sp + sq', '2')} AS DOUBLE) / 1000000
+               END AS jsd
+        FROM agg
     """
 
     # q_wilson: the identical interval seam (z/z^2 embedded as the

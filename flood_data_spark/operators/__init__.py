@@ -26,7 +26,9 @@ from flood_data_spark.operators.timeseries import (
     with_rolling_median,
 )
 from flood_data_spark.operators.scd import scd2_apply, scd2_as_of
+from flood_data_spark.operators.behavior import attribution_credit
 from flood_data_spark.operators.stats import (
+    js_divergence,
     acf,
     benford_profile,
     fd_report,
@@ -84,7 +86,7 @@ __all__ = [
     "radius_lookup", "scd2_apply", "scd2_as_of",
     "km_survival", "two_proportion_ztest", "bootstrap_ci",
     "conformal_interval",
-    "acf", "benford_profile", "fd_report", "equidepth_histogram",
+    "acf", "benford_profile", "fd_report", "equidepth_histogram", "js_divergence", "attribution_credit",
     "gini_concentration", "profile_table", "psi_report", "bucket_counts",
     "psi_from_counts", "trend_stats", "with_holt", "with_rolling_median",
     "with_robust_outliers",

@@ -182,3 +182,75 @@ def transition_matrix(events: DataFrame, key_col: str = "user_id",
     return (counts.join(F.broadcast(totals), type_col)
             .select(type_col, f"next_{type_col}", "n",
                     F.round(F.col("n") / F.col("_tot"), 6).alias("p")))
+
+
+def attribution_credit(events: DataFrame, key_col: str = "user_id",
+                       ts_col: str = "ts",
+                       channel_col: str = "event_type",
+                       conversion_event: str = "purchase",
+                       model: str = "last_touch",
+                       id_col: str = "event_id") -> DataFrame:
+    """Multi-touch conversion attribution — the marketing-analytics
+    companion to `funnel`/`transition_matrix`: each conversion's
+    preceding touches (the journey: this user's non-conversion events
+    since their previous conversion) share the conversion's credit
+    under the chosen model:
+
+        last_touch  — the final touch takes the whole credit,
+        first_touch — the opening touch takes it,
+        linear      — each of the k touches takes half_up(1e6, k)
+                      micro-credits (the per-journey sum differs from
+                      exactly 1 by < k/2 micro — documented rounding,
+                      no fractional-double drift).
+
+    Journeys are delimited by the running conversion count (one
+    user-keyed ordered window, ties broken by `id_col` — fully
+    deterministic); touches after a user's last conversion attribute
+    nothing, conversions with zero preceding touches credit nothing.
+    Shape: ONE (user)-keyed window exchange shared by the running
+    count and the per-journey rank (same partition key), then one
+    channel-keyed aggregate of exact integer micro-credits.  Returns
+    (channel, n_touches, n_credited, credit) sorted by channel, where
+    credit = Σ micro-credits / 1e6 and n_credited counts touches with
+    nonzero credit."""
+    from pyspark.sql import Window
+
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    if model not in ("last_touch", "first_touch", "linear"):
+        raise ValueError(f"attribution_credit: unknown model {model!r}")
+    MICRO = 1_000_000
+    dec = "decimal(38,0)"
+    is_conv = (F.col(channel_col) == conversion_event).cast("int")
+    w_user = Window.partitionBy(key_col)
+    w_ord = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    base = (events.withColumn("_c", is_conv)
+            .withColumn("_j", F.coalesce(
+                F.sum("_c").over(w_ord.rowsBetween(
+                    Window.unboundedPreceding, -1)), F.lit(0)))
+            .withColumn("_nc", F.sum("_c").over(w_user)))
+    touches = base.filter((F.col("_c") == 0)
+                          & (F.col("_j") < F.col("_nc")))
+    wj = Window.partitionBy(key_col, "_j").orderBy(ts_col, id_col)
+    wjall = Window.partitionBy(key_col, "_j")
+    ranked = (touches.withColumn("_rn", F.row_number().over(wj))
+              .withColumn("_k", F.count(F.lit(1)).over(wjall)))
+    full = F.lit(MICRO).cast(dec)
+    if model == "last_touch":
+        credit = F.when(F.col("_rn") == F.col("_k"), full) \
+            .otherwise(F.lit(0).cast(dec))
+    elif model == "first_touch":
+        credit = F.when(F.col("_rn") == 1, full) \
+            .otherwise(F.lit(0).cast(dec))
+    else:
+        credit = _idiv_half_up(full, F.col("_k").cast(dec))
+    out = (ranked.withColumn("_cr", credit)
+           .groupBy(F.col(channel_col).alias("channel"))
+           .agg(F.count(F.lit(1)).alias("n_touches"),
+                F.sum((F.col("_cr") > 0).cast("long"))
+                .alias("n_credited"),
+                F.sum("_cr").alias("_s")))
+    return (out.select("channel", "n_touches", "n_credited",
+                       (F.col("_s").cast("double")
+                        / F.lit(float(MICRO))).alias("credit"))
+            .orderBy("channel"))

@@ -485,3 +485,78 @@ def psi_from_counts(ref_counts: DataFrame,
                        F.round(term * 1_000_000).cast("long")
                        .alias("psi_term_micro"))
             .orderBy("bucket"))
+
+
+def js_divergence(p_df: DataFrame, q_df: DataFrame,
+                  text_col: str = "text") -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's unigram
+    distributions — the SYMMETRIC, always-finite domain-shift scalar
+    next to PSI (psi_report) and the DSIR importance weights:
+
+        JSD = ½·KL(P‖M) + ½·KL(Q‖M),   M = (P+Q)/2,
+
+    bounded in [0, ln 2], zero iff the distributions match.  Both term
+    relations use the shared corpus tokenization; the mixture ratio is
+    EXACT in integers — P/M = 2·c_p·N_q / (c_p·N_q + c_q·N_p) — so
+    each per-term contribution P·ln(P/M) is one double tree over exact
+    integers, quantized ONCE to signed micro-nats (contributions can
+    be negative term-wise; the sums are nonnegative), summed as
+    order-free BIGINTs, and the final halving is one exact integer
+    ratio.  Absent terms contribute 0 (P = 0) or P·ln 2 (Q = 0) —
+    JSD never needs smoothing, which is why it beats raw KL for
+    monitoring.  Shape: two token explodes + hash aggs, a
+    vocabulary-bounded full outer join, broadcast totals.  Returns one
+    row (n_terms, kl_pm, kl_qm, jsd); either corpus empty → NULL."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+    from flood_data_spark.datapipe.text import _words
+
+    MICRO = 1_000_000
+    dec = "decimal(38,0)"
+
+    def counts(df, name):
+        return (df.select(F.explode(_words(F.col(text_col)))
+                          .alias("term"))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    cp = counts(p_df, "cp")
+    cq = counts(q_df, "cq")
+    j = (cp.join(cq, "term", "full")
+         .na.fill({"cp": 0, "cq": 0}))
+    tot = j.agg(F.sum("cp").alias("np"), F.sum("cq").alias("nq"))
+    x = j.crossJoin(F.broadcast(tot))
+    cpd = F.col("cp").cast("double")
+    cqd = F.col("cq").cast("double")
+    npd = F.col("np").cast("double")
+    nqd = F.col("nq").cast("double")
+    # exact-integer mixture ratios evaluated as one double tree each
+    r_p = (F.lit(2.0) * cpd * nqd) / (cpd * nqd + cqd * npd)
+    r_q = (F.lit(2.0) * cqd * npd) / (cpd * nqd + cqd * npd)
+    # the (np>0 & nq>0) guard keeps the division defined even when a
+    # side is empty (the result is NULL then anyway — ANSI mode would
+    # otherwise error on 0/0 inside the dead branch)
+    both = (F.col("np") > 0) & (F.col("nq") > 0)
+    t_p = F.when(both & (F.col("cp") > 0), (cpd / npd) * F.log(r_p)) \
+        .otherwise(F.lit(0.0))
+    t_q = F.when(both & (F.col("cq") > 0), (cqd / nqd) * F.log(r_q)) \
+        .otherwise(F.lit(0.0))
+
+    def q6(c):
+        return (F.signum(c) * F.floor(F.abs(c) * MICRO + F.lit(0.5))) \
+            .cast(dec)
+
+    agg = x.agg(F.count(F.lit(1)).alias("n_terms"),
+                F.min("np").alias("_np"), F.min("nq").alias("_nq"),
+                F.sum(q6(t_p)).alias("_sp"),
+                F.sum(q6(t_q)).alias("_sq"))
+    ok = (F.col("_np") > 0) & (F.col("_nq") > 0)
+    mega_f = F.lit(float(MICRO))
+    two = F.lit(2).cast(dec)
+    kl_pm = F.col("_sp").cast("double") / mega_f
+    kl_qm = F.col("_sq").cast("double") / mega_f
+    jsd = (_idiv_half_up(F.col("_sp") + F.col("_sq"), two)
+           .cast("double") / mega_f)
+    return agg.select(F.col("n_terms").cast("long").alias("n_terms"),
+                      F.when(ok, kl_pm).alias("kl_pm"),
+                      F.when(ok, kl_qm).alias("kl_qm"),
+                      F.when(ok, jsd).alias("jsd"))

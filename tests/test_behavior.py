@@ -139,3 +139,50 @@ def test_windowed_funnel_strict_and_bounded(spark):
     got = {r.user_id: r.depth
            for r in funnel(df, ["A", "B"], within_seconds=10).collect()}
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_attribution_models_hand_golden(spark):
+    """One user, two journeys: [view, click] -> purchase,
+    [view] -> purchase, plus an orphan trailing click (no later
+    conversion -> no credit)."""
+    from flood_data_spark.operators.behavior import attribution_credit
+
+    rows = [(1, 10, 1, "view"), (2, 20, 1, "click"),
+            (3, 30, 1, "purchase"),
+            (4, 40, 1, "view"), (5, 50, 1, "purchase"),
+            (6, 60, 1, "click")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string")
+    last = {r.channel: r for r in
+            attribution_credit(df, model="last_touch").collect()}
+    # journey 1 last touch = click; journey 2 last = view; orphan
+    # click excluded entirely
+    assert last["click"].n_touches == 1          # orphan dropped
+    assert last["click"].n_credited == 1 and last["click"].credit == 1.0
+    assert last["view"].n_touches == 2
+    assert last["view"].n_credited == 1 and last["view"].credit == 1.0
+    first = {r.channel: r for r in
+             attribution_credit(df, model="first_touch").collect()}
+    assert first["view"].credit == 2.0 and first["click"].credit == 0.0
+    lin = {r.channel: r for r in
+           attribution_credit(df, model="linear").collect()}
+    assert lin["view"].credit == pytest.approx(1.5, abs=1e-6)
+    assert lin["click"].credit == pytest.approx(0.5, abs=1e-6)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="model"):
+        attribution_credit(df, model="u_shaped")
+
+
+def test_attribution_partition_invariant(spark):
+    from flood_data_spark.operators.behavior import attribution_credit
+
+    rows = [(i, i * 3 % 97, i % 7,
+             ["view", "click", "purchase", "signup"][i % 4])
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string")
+    a = sorted(map(tuple, attribution_credit(
+        df.coalesce(1), model="linear").collect()))
+    b = sorted(map(tuple, attribution_credit(
+        df.repartition(9), model="linear").collect()))
+    assert a == b

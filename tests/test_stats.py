@@ -119,3 +119,35 @@ def test_profile_table_approx_mode_and_guards(spark):
         profile_table(df, ["s"])
     with pytest.raises(ValueError, match="accuracy_mode"):
         profile_table(df, ["k"], accuracy_mode="bogus")
+
+
+def test_jsd_identities(spark):
+    """JSD(P,P) = 0; disjoint vocabularies hit the ln 2 ceiling;
+    symmetric in its arguments; numpy differential on a mixed case."""
+    import math
+
+    import numpy as np
+
+    from flood_data_spark.operators.stats import js_divergence
+
+    p = spark.createDataFrame([(0, "a b c a")], "id long, text string")
+    q = spark.createDataFrame([(0, "x y z")], "id long, text string")
+    same = js_divergence(p, p).collect()[0]
+    assert same.jsd == pytest.approx(0.0, abs=2e-6)
+    disj = js_divergence(p, q).collect()[0]
+    assert disj.jsd == pytest.approx(math.log(2), abs=2e-6)
+    m = spark.createDataFrame([(0, "a a b")], "id long, text string")
+    n = spark.createDataFrame([(0, "a b b b")], "id long, text string")
+    fwd = js_divergence(m, n).collect()[0]
+    rev = js_divergence(n, m).collect()[0]
+    assert fwd.jsd == pytest.approx(rev.jsd, abs=2e-6)
+    assert fwd.kl_pm == pytest.approx(rev.kl_qm, abs=2e-6)
+    # numpy reference
+    P = np.array([2 / 3, 1 / 3]); Q = np.array([1 / 4, 3 / 4])
+    M = (P + Q) / 2
+    ref = 0.5 * (P * np.log(P / M)).sum() + 0.5 * (Q * np.log(Q / M)).sum()
+    assert fwd.jsd == pytest.approx(ref, abs=2e-6)
+    # empty side -> NULL
+    empty = spark.createDataFrame([(0, "  ")], "id long, text string")
+    e = js_divergence(p, empty).collect()[0]
+    assert e.jsd is None and e.kl_pm is None

@@ -215,6 +215,21 @@ BENCH_QUERIES = [
     "q_rouge",
     "q_cuped",
     "q_crawl_pipeline_full",
+    # round-13: incremental ops, sequential A/B (batch + stream), SEEPS,
+    # ratio CI, readability/Zipf corpus QA, FS linkage, attribution, JSD
+    "q_daily_incremental",
+    "q_msprt",
+    "q_msprt_stream",
+    "q_seeps",
+    "q_ratio_ci",
+    "q_wilson",
+    "q_spiegelhalter",
+    "q_neyman",
+    "q_readability",
+    "q_zipf",
+    "q_fs_linkage",
+    "q_attribution",
+    "q_jsd",
 ]
 
 _IVF_INDEX = {}

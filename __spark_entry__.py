@@ -4763,6 +4763,46 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "lang", "source")
 
 
+def _hydro_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared simulated-vs-observed discharge relation for the
+    hydrological efficiency gates: sim = l_quantity, obs a part-keyed
+    series on the same 1..50 scale, grouped by order priority (the
+    'lead time').  ONE definition so q_nse and q_kge cannot desync
+    from their oracles' identical FROM clause."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select(F.col("o_orderpriority").alias("lead"),
+                    F.col("l_quantity").alias("sim"),
+                    ((F.col("l_partkey") % 47)
+                     + F.col("l_quantity") * F.lit(0.5)
+                     + F.lit(1.0)).alias("obs")))
+
+
+def q_nse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nash–Sutcliffe efficiency per lead
+    (operators/verification.nse_score): both series quantized once to
+    integer micros, the score the single exact integer ratio
+    (D − n·SSE)/D with D = n·Σqo² − (Σqo)², rounded half-up in integer
+    space.  One exchange of four map-side-combined sums.  Full value
+    oracle restating the identity in HUGEINT."""
+    from flood_data_spark.operators.verification import nse_score
+
+    return nse_score(_hydro_src(spark, sf_dir), "sim", "obs", ["lead"])
+
+
+def q_kge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kling–Gupta efficiency per lead
+    (operators/verification.kge_score): six integer-micro sums in one
+    exchange; r via the ACC sqrt-quantize recipe, α the ratio of the
+    same two quantized sqrts, β = Σqs/Σqo exact; the final Euclidean
+    distance squares exact micros with ONE last sqrt seam.  Full value
+    oracle mirroring all five seams."""
+    from flood_data_spark.operators.verification import kge_score
+
+    return kge_score(_hydro_src(spark, sf_dir), "sim", "obs", ["lead"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -4778,6 +4818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 13: composed incremental daily operations
         # (VERDICT r12 #2) + sequential A/B (VERDICT r12 #8) ---
+        "q_nse": q_nse,
+        "q_kge": q_kge,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -6707,6 +6749,103 @@ def oracle_sql() -> dict[str, str]:
                                       1000000)}
                    END AS f1
             FROM f
+        """,
+        # q_nse: the n-cleared Nash–Sutcliffe identity — one exact
+        # integer ratio (D − n·SSE)/D over micro-quantized series,
+        # rounded half-up in integer space
+        "q_nse": f"""
+            WITH src AS (
+                SELECT o.o_orderpriority AS lead,
+                       l.l_quantity AS sim,
+                       (l.l_partkey % 47) + l.l_quantity * 0.5 + 1.0
+                           AS obs
+                FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey),
+            q AS (SELECT lead,
+                         CAST(sign(sim) * floor(abs(sim) * 1000000
+                                                + 0.5) AS HUGEINT)
+                             AS qs,
+                         CAST(sign(obs) * floor(abs(obs) * 1000000
+                                                + 0.5) AS HUGEINT)
+                             AS qo
+                  FROM src),
+            g AS (SELECT lead, CAST(count(*) AS BIGINT) AS n,
+                         sum((qs - qo) * (qs - qo)) AS sse,
+                         sum(qo) AS so, sum(qo * qo) AS soo
+                  FROM q GROUP BY lead),
+            d AS (SELECT lead, n,
+                         n * soo - so * so AS den,
+                         (n * soo - so * so) - n * sse AS num
+                  FROM g)
+            SELECT lead, n,
+                   CASE WHEN den > 0 THEN
+                        {idiv_half_up('num * 1000000', 'den', 1000000)}
+                   END AS nse
+            FROM d
+        """,
+        # q_kge: r by the ACC sqrt-quantize recipe, alpha the ratio of
+        # the same two quantized sqrts, beta exact, the Euclidean
+        # distance one final quantized sqrt seam
+        "q_kge": f"""
+            WITH src AS (
+                SELECT o.o_orderpriority AS lead,
+                       l.l_quantity AS sim,
+                       (l.l_partkey % 47) + l.l_quantity * 0.5 + 1.0
+                           AS obs
+                FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey),
+            q AS (SELECT lead,
+                         CAST(sign(sim) * floor(abs(sim) * 1000000
+                                                + 0.5) AS HUGEINT)
+                             AS qs,
+                         CAST(sign(obs) * floor(abs(obs) * 1000000
+                                                + 0.5) AS HUGEINT)
+                             AS qo
+                  FROM src),
+            g AS (SELECT lead, CAST(count(*) AS BIGINT) AS n,
+                         sum(qs) AS ss, sum(qo) AS so,
+                         sum(qs * qs) AS sss, sum(qo * qo) AS soo,
+                         sum(qs * qo) AS sso
+                  FROM q GROUP BY lead),
+            v AS (SELECT lead, n, ss, so,
+                         n * sso - ss * so AS covn,
+                         n * sss - ss * ss AS vars,
+                         n * soo - so * so AS varo
+                  FROM g),
+            s AS (SELECT lead, n, ss, so, covn, vars, varo,
+                         CAST(floor(sqrt(CAST(vars AS DOUBLE)) + 0.5)
+                              AS HUGEINT) AS qss,
+                         CAST(floor(sqrt(CAST(varo AS DOUBLE)) + 0.5)
+                              AS HUGEINT) AS qso
+                  FROM v),
+            m AS (SELECT lead, n,
+                         (vars > 0 AND varo > 0 AND so > 0) AS ok,
+                         CASE WHEN vars > 0 AND varo > 0 AND so > 0
+                              THEN {idiv_int('covn * 1000000',
+                                             'qss * qso')} END AS rm,
+                         CASE WHEN vars > 0 AND varo > 0 AND so > 0
+                              THEN {idiv_int('qss * 1000000', 'qso')}
+                              END AS am,
+                         CASE WHEN vars > 0 AND varo > 0 AND so > 0
+                              THEN {idiv_int('ss * 1000000', 'so')}
+                              END AS bm
+                  FROM s)
+            SELECT lead, n,
+                   CASE WHEN ok THEN CAST(rm AS DOUBLE) / 1000000.0
+                        END AS r,
+                   CASE WHEN ok THEN CAST(am AS DOUBLE) / 1000000.0
+                        END AS alpha,
+                   CASE WHEN ok THEN CAST(bm AS DOUBLE) / 1000000.0
+                        END AS beta,
+                   CASE WHEN ok THEN
+                        CAST(1000000 - CAST(floor(sqrt(CAST(
+                                 (rm - 1000000) * (rm - 1000000)
+                               + (am - 1000000) * (am - 1000000)
+                               + (bm - 1000000) * (bm - 1000000)
+                             AS DOUBLE)) + 0.5) AS HUGEINT)
+                             AS DOUBLE) / 1000000.0
+                   END AS kge
+            FROM m
         """,
         # q_acc: anomalies as integer differences of the three
         # quantized columns, two sqrt seams multiplied then quantized

@@ -230,6 +230,9 @@ BENCH_QUERIES = [
     "q_fs_linkage",
     "q_attribution",
     "q_jsd",
+    # round-13 cont.: hydrological efficiencies (one-exchange shapes)
+    "q_nse",
+    "q_kge",
 ]
 
 _IVF_INDEX = {}

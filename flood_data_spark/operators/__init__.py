@@ -66,6 +66,8 @@ from flood_data_spark.operators.verification import (
     ece_from_cells,
     energy_score,
     isotonic_calibration,
+    kge_score,
+    nse_score,
     quantile_score,
     quantile_score_from_member_cells,
     rank_histogram,
@@ -98,4 +100,5 @@ __all__ = [
     "energy_score", "anomaly_correlation", "cost_loss_value", "spiegelhalter_z", "seeps_score",
     "contingency_counts", "contingency_from_counts",
     "quantile_score_from_member_cells", "dm_test",
+    "nse_score", "kge_score",
 ]

@@ -1127,3 +1127,111 @@ def spiegelhalter_z(df: DataFrame, prob_col: str, outcome_col: str,
                             F.abs(zq) < F.lit(1959964).cast(dec))
                      .alias("well_calibrated"))
             .orderBy(*keys))
+
+
+def nse_score(df: DataFrame, sim_col: str, obs_col: str,
+              group_keys) -> DataFrame:
+    """Nash–Sutcliffe model efficiency per group — THE headline skill
+    score of hydrological simulation (Nash & Sutcliffe 1970), the
+    number every discharge-model intercomparison reports first:
+
+        NSE = 1 − Σ(s_i − o_i)² / Σ(o_i − ō)²
+
+    (1 = perfect, 0 = no better than the observed mean, < 0 = worse
+    than climatology).  Both columns quantize ONCE to integer micros;
+    clearing the mean by n gives the all-integer identity
+
+        NSE = (D − N) / D,   N = n·Σ(qs−qo)²,  D = n·Σqo² − (Σqo)²
+
+    so the whole score is ONE exact integer ratio rounded half-up in
+    integer space (`_idiv_half_up`) — no double ever rounds, the
+    subtract-then-round cancellation hazard (r8-r10 q_covariance
+    lesson) cannot occur.  One group-keyed exchange of four
+    map-side-combined integer sums; NULL when the observed variance is
+    zero (constant obs — NSE undefined).  Returns (keys…, n, nse)
+    sorted by keys.  No reference analog; beyond-reference §2.11
+    verification family (the reference's GloFAS discharge summaries in
+    flood/spark/transforms.py are exactly what a user would feed
+    here)."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("nse_score: need at least one group key")
+    dec = "decimal(38,0)"
+    qs = _micro(F.col(sim_col)).cast(dec)
+    qo = _micro(F.col(obs_col)).cast(dec)
+    d = qs - qo
+    agg = (df.select(*keys, d.alias("_d"), qo.alias("_qo"))
+           .groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_d") * F.col("_d")).alias("_sse"),
+                F.sum("_qo").alias("_so"),
+                F.sum(F.col("_qo") * F.col("_qo")).alias("_soo")))
+    n_dec = F.col("n").cast(dec)
+    den = n_dec * F.col("_soo") - F.col("_so") * F.col("_so")
+    num = den - n_dec * F.col("_sse")
+    nse = F.when(den > 0,
+                 _idiv_half_up(num * _mega(), den).cast("double")
+                 / F.lit(float(MICRO)))
+    return (agg.select(*keys, F.col("n").cast("long").alias("n"),
+                       nse.alias("nse"))
+            .orderBy(*keys))
+
+
+def kge_score(df: DataFrame, sim_col: str, obs_col: str,
+              group_keys) -> DataFrame:
+    """Kling–Gupta efficiency per group (Gupta et al. 2009) — the
+    decomposition-first alternative to [nse_score] that modern
+    hydrology papers report alongside it:
+
+        KGE = 1 − sqrt((r−1)² + (α−1)² + (β−1)²)
+
+    with r the Pearson correlation, α = σ_sim/σ_obs the variability
+    ratio, β = μ_sim/μ_obs the bias ratio.  Determinism chain: one
+    exchange of six integer-micro sums; r/α/β each become exact
+    integer micro values — r via the ACC recipe (two n-cleared
+    variance integers, ONE IEEE sqrt per factor quantized floor(+0.5)
+    BEFORE multiplying), α the ratio of those same two quantized
+    sqrts, β the exact ratio Σqs/Σqo — then the Euclidean distance
+    squares EXACT integer micros and takes ONE final sqrt seam,
+    quantized once.  Five deterministic quantization seams total, each
+    mirrored verbatim in the oracle.  Requires Σqo > 0 and positive
+    variances (NULL otherwise — degenerate groups have no defined
+    KGE).  Returns (keys…, n, r, alpha, beta, kge) sorted by keys."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("kge_score: need at least one group key")
+    dec = "decimal(38,0)"
+    qs = _micro(F.col(sim_col)).cast(dec)
+    qo = _micro(F.col(obs_col)).cast(dec)
+    agg = (df.select(*keys, qs.alias("_qs"), qo.alias("_qo"))
+           .groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("_qs").alias("_ss"),
+                F.sum("_qo").alias("_so"),
+                F.sum(F.col("_qs") * F.col("_qs")).alias("_sss"),
+                F.sum(F.col("_qo") * F.col("_qo")).alias("_soo"),
+                F.sum(F.col("_qs") * F.col("_qo")).alias("_sso")))
+    n_dec = F.col("n").cast(dec)
+    cov_n = n_dec * F.col("_sso") - F.col("_ss") * F.col("_so")
+    var_s = n_dec * F.col("_sss") - F.col("_ss") * F.col("_ss")
+    var_o = n_dec * F.col("_soo") - F.col("_so") * F.col("_so")
+    qsd_s = F.floor(F.sqrt(var_s.cast("double")) + F.lit(0.5)).cast(dec)
+    qsd_o = F.floor(F.sqrt(var_o.cast("double")) + F.lit(0.5)).cast(dec)
+    ok = (var_s > 0) & (var_o > 0) & (F.col("_so") > 0)
+    rm = _idiv_half_up(cov_n * _mega(), qsd_s * qsd_o)
+    am = _idiv_half_up(qsd_s * _mega(), qsd_o)
+    bm = _idiv_half_up(F.col("_ss") * _mega(), F.col("_so"))
+    mega_d = _mega()
+    ed2 = ((rm - mega_d) * (rm - mega_d)
+           + (am - mega_d) * (am - mega_d)
+           + (bm - mega_d) * (bm - mega_d))
+    kge_q = F.lit(MICRO).cast("long") \
+        - F.floor(F.sqrt(ed2.cast("double")) + F.lit(0.5))
+    mega_f = F.lit(float(MICRO))
+    out = agg.select(
+        *keys, F.col("n").cast("long").alias("n"),
+        F.when(ok, rm.cast("double") / mega_f).alias("r"),
+        F.when(ok, am.cast("double") / mega_f).alias("alpha"),
+        F.when(ok, bm.cast("double") / mega_f).alias("beta"),
+        F.when(ok, kge_q.cast("double") / mega_f).alias("kge"))
+    return out.orderBy(*keys)

@@ -884,3 +884,78 @@ def test_spiegelhalter_matches_numpy_and_flags(spark):
     assert abs(out["bad"].z) > 10
     # degenerate probabilities: zero denominator -> NULL
     assert out["deg"].z is None and out["deg"].well_calibrated is None
+
+
+# --- NSE / KGE hydrological efficiencies -----------------------------------
+
+
+def test_nse_hand_golden_and_identities(spark):
+    """Hand case: obs (1,2,3,4), sim (1.5,2.5,2.5,3.5) -> SSE = 4*0.25
+    = 1.0, SSD = 5.0, NSE = 0.8.  Perfect sim -> 1.0; mean-as-sim -> 0;
+    constant obs -> NULL."""
+    from flood_data_spark.operators.verification import nse_score
+
+    rows = ([("h", s, o) for s, o in
+             zip((1.5, 2.5, 2.5, 3.5), (1.0, 2.0, 3.0, 4.0))]
+            + [("p", v, v) for v in (1.0, 2.0, 7.0)]
+            + [("m", 2.5, o) for o in (1.0, 2.0, 3.0, 4.0)]
+            + [("c", 1.0, 5.0), ("c", 2.0, 5.0)])
+    df = spark.createDataFrame(rows, "g string, s double, o double")
+    out = {r.g: r for r in nse_score(df, "s", "o", ("g",)).collect()}
+    assert out["h"].nse == pytest.approx(0.8, abs=1e-6)
+    assert out["p"].nse == 1.0
+    assert out["m"].nse == 0.0
+    assert out["c"].nse is None
+    with pytest.raises(ValueError, match="group key"):
+        nse_score(df, "s", "o", ())
+
+
+def test_nse_matches_numpy(spark):
+    from flood_data_spark.operators.verification import nse_score
+
+    rng = np.random.default_rng(11)
+    o = rng.uniform(1, 40, 80)
+    s = o + rng.normal(0, 5, 80)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(s, o)],
+        "g string, s double, o double")
+    got = nse_score(df, "s", "o", ("g",)).collect()[0]
+    want = 1 - ((s - o) ** 2).sum() / ((o - o.mean()) ** 2).sum()
+    assert got.n == 80
+    assert got.nse == pytest.approx(want, abs=2e-6)
+
+
+def test_kge_perfect_and_degenerate(spark):
+    from flood_data_spark.operators.verification import kge_score
+
+    rows = ([("p", v, v) for v in (1.0, 2.0, 7.0, 4.0)]
+            + [("c", 1.0, 5.0), ("c", 2.0, 5.0)])   # zero obs variance
+    df = spark.createDataFrame(rows, "g string, s double, o double")
+    out = {r.g: r for r in kge_score(df, "s", "o", ("g",)).collect()}
+    p = out["p"]
+    assert (p.r, p.alpha, p.beta, p.kge) == (1.0, 1.0, 1.0, 1.0)
+    assert out["c"].kge is None and out["c"].r is None
+
+
+def test_kge_matches_numpy(spark):
+    """Differential vs numpy on 2 planted groups (population sd — the
+    n-cleared variance identity the operator uses)."""
+    from flood_data_spark.operators.verification import kge_score
+
+    rng = np.random.default_rng(23)
+    for g, n in (("a", 60), ("b", 91)):
+        o = rng.uniform(5, 60, n)
+        s = 0.8 * o + rng.normal(2, 6, n)
+        df = spark.createDataFrame(
+            [(g, float(x), float(y)) for x, y in zip(s, o)],
+            "g string, s double, o double")
+        got = kge_score(df, "s", "o", ("g",)).collect()[0]
+        r = np.corrcoef(s, o)[0, 1]
+        alpha = s.std() / o.std()
+        beta = s.mean() / o.mean()
+        kge = 1 - np.sqrt((r - 1) ** 2 + (alpha - 1) ** 2
+                          + (beta - 1) ** 2)
+        assert got.r == pytest.approx(r, abs=2e-6)
+        assert got.alpha == pytest.approx(alpha, abs=2e-6)
+        assert got.beta == pytest.approx(beta, abs=2e-6)
+        assert got.kge == pytest.approx(kge, abs=4e-6)

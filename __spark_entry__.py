@@ -4803,6 +4803,63 @@ def q_kge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kge_score(_hydro_src(spark, sf_dir), "sim", "obs", ["lead"])
 
 
+def q_gumbel_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel L-moment fit + T-year return levels per cell
+    (operators/extremes.gumbel_return_levels) over an annual-maximum
+    series (per-cell yearly max of scaled extendedprice): ONE
+    cell-partitioned rank window, two exact integer sums, λ1/λ2 closed
+    in integer space, then the three textual-literal IEEE seams
+    (1/ln2, Euler γ, the per-period Gumbel variate) each quantized
+    floor(+0.5).  This is how the reference's own 2y/5y/20y threshold
+    bands are manufactured.  Full value oracle restating the rank
+    window, both L-moments, and every seam with identical repr
+    literals."""
+    from flood_data_spark.operators.extremes import gumbel_return_levels
+
+    li = _t(spark, sf_dir, "lineitem")
+    ams = (li.groupBy((F.col("l_suppkey") % 12).alias("cell"),
+                      F.year("l_shipdate").alias("yr"))
+           .agg(F.max(F.col("l_extendedprice") / F.lit(1000.0))
+                .alias("am")))
+    return gumbel_return_levels(ams, "am", ["cell"],
+                                periods=(2, 5, 20, 100))
+
+
+def _pot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared POT declustering relation (threshold 150, gap 4e10 µs ≈
+    11 h) — one definition for the cluster gate and the GPD fit so the
+    two cannot desync from the oracles' identical CTE chain."""
+    from flood_data_spark.operators.extremes import pot_decluster
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 8).alias("cell"),
+        F.unix_micros(F.col("ts")).alias("o"),
+        F.col("value"))
+    return pot_decluster(ev, "value", "o", ["cell"], 150.0,
+                         40_000_000_000)
+
+
+def q_pot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold runs declustering
+    (operators/extremes.pot_decluster): exceedances of 150 per user
+    cell, gaps-and-islands on µs epochs with an 11 h separation — lag
+    → boundary flag → running sum = cluster id, all on ONE cell-keyed
+    exchange.  Full value oracle (peak/size/span per cluster)."""
+    return _pot_clusters(spark, sf_dir)
+
+
+def q_pot_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPD tail fit of the declustered POT peaks
+    (operators/extremes.gpd_moment_fit): method-of-moments ξ̂/σ̂ as
+    EXACT integer ratios of n-cleared moments — zero IEEE seams.  Full
+    value oracle restating the whole decluster → excess-moments
+    chain."""
+    from flood_data_spark.operators.extremes import gpd_moment_fit
+
+    return gpd_moment_fit(_pot_clusters(spark, sf_dir), "peak",
+                          ["cell"], 150.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -4820,6 +4877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (VERDICT r12 #2) + sequential A/B (VERDICT r12 #8) ---
         "q_nse": q_nse,
         "q_kge": q_kge,
+        "q_gumbel_return": q_gumbel_return,
+        "q_pot_clusters": q_pot_clusters,
+        "q_pot_gpd": q_pot_gpd,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -5602,6 +5662,14 @@ _CLF_EVAL_BY_CTES = """besum AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    # Gumbel closed-form seam literals — the SAME python doubles the
+    # Spark operator multiplies (textual-double-seam recipe): repr()
+    # round-trips bit-exactly in both engines' parsers.
+    from flood_data_spark.operators.extremes import (
+        EULER_GAMMA as _EG, INV_LN2 as _IL, gumbel_variate as _gv)
+    _INV_LN2 = repr(_IL)
+    _EULER = repr(_EG)
+    _GV = {t: repr(_gv(t)) for t in (2, 5, 20, 100)}
     p2 = "least(1.0, l_discount * 12)"
     # bit-identical z-normalized pattern constants for q_ts_pattern_topk
     # (same python arithmetic the Spark operator runs driver-side)
@@ -6749,6 +6817,142 @@ def oracle_sql() -> dict[str, str]:
                                       1000000)}
                    END AS f1
             FROM f
+        """,
+        # q_gumbel_return: L-moments off one rank window, λ1/λ2 exact,
+        # the three Gumbel seams as verbatim repr literals
+        "q_gumbel_return": f"""
+            WITH ams AS (
+                SELECT l_suppkey % 12 AS cell, year(l_shipdate) AS yr,
+                       max(l_extendedprice / 1000.0) AS am
+                FROM lineitem GROUP BY 1, 2),
+            q AS (SELECT cell,
+                         CAST(sign(am) * floor(abs(am) * 1000000
+                                               + 0.5) AS HUGEINT)
+                             AS qx
+                  FROM ams),
+            r AS (SELECT cell, qx,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY qx) AS i
+                  FROM q),
+            g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                         sum(qx) AS s0, sum((i - 1) * qx) AS s1
+                  FROM r GROUP BY cell),
+            f AS (SELECT cell, n, {idiv_int('s0', 'n')} AS lam1,
+                         CASE WHEN n >= 2 THEN
+                              {idiv_int('2 * s1 - (n - 1) * s0',
+                                        'n * (n - 1)')} END AS lam2
+                  FROM g),
+            b AS (SELECT cell, n, lam1,
+                         CASE WHEN n >= 2 AND lam2 > 0 THEN
+                              CAST(sign(CAST(lam2 AS DOUBLE)
+                                        * {_INV_LN2})
+                                   * floor(abs(CAST(lam2 AS DOUBLE)
+                                               * {_INV_LN2}) + 0.5)
+                                   AS HUGEINT) END AS beta
+                  FROM f),
+            x AS (SELECT cell, n, beta,
+                         CASE WHEN beta IS NOT NULL THEN
+                              lam1 - CAST(sign(CAST(beta AS DOUBLE)
+                                               * {_EULER})
+                                          * floor(abs(CAST(beta
+                                                    AS DOUBLE)
+                                                    * {_EULER}) + 0.5)
+                                          AS HUGEINT) END AS xi
+                  FROM b)
+            SELECT cell, n, p.period,
+                   CAST(xi AS DOUBLE) / 1000000.0 AS loc,
+                   CAST(beta AS DOUBLE) / 1000000.0 AS scale,
+                   CASE WHEN xi IS NOT NULL THEN
+                        CAST(xi + CAST(sign(CAST(beta AS DOUBLE)
+                                            * p.yt)
+                                       * floor(abs(CAST(beta AS DOUBLE)
+                                                   * p.yt) + 0.5)
+                                       AS HUGEINT)
+                             AS DOUBLE) / 1000000.0 END AS level
+            FROM x CROSS JOIN (VALUES (2, {_GV[2]}), (5, {_GV[5]}),
+                                      (20, {_GV[20]}),
+                                      (100, {_GV[100]}))
+                 AS p(period, yt)
+        """,
+        # q_pot_clusters / q_pot_gpd: the shared gaps-and-islands CTE
+        # chain (lag → flag → running sum), then exact excess moments
+        "q_pot_clusters": f"""
+            WITH e AS (
+                SELECT user_id % 8 AS cell, epoch_us(ts) AS o,
+                       CAST(sign(value) * floor(abs(value) * 1000000
+                                                + 0.5) AS HUGEINT)
+                           AS qx
+                FROM events WHERE value > 150.0),
+            d AS (SELECT cell, o, qx,
+                         CASE WHEN o - lag(o) OVER (
+                                  PARTITION BY cell ORDER BY o, qx)
+                                  > 40000000000
+                              THEN 1 ELSE 0 END AS nw
+                  FROM e),
+            c AS (SELECT cell, o, qx,
+                         CAST(sum(nw) OVER (PARTITION BY cell
+                                            ORDER BY o, qx
+                                            ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS cluster
+                  FROM d)
+            SELECT cell, cluster,
+                   CAST(max(qx) AS DOUBLE) / 1000000.0 AS peak,
+                   count(*) AS n_exceed,
+                   min(o) AS start_o, max(o) AS end_o
+            FROM c GROUP BY cell, cluster
+        """,
+        "q_pot_gpd": f"""
+            WITH e AS (
+                SELECT user_id % 8 AS cell, epoch_us(ts) AS o,
+                       CAST(sign(value) * floor(abs(value) * 1000000
+                                                + 0.5) AS HUGEINT)
+                           AS qx
+                FROM events WHERE value > 150.0),
+            d AS (SELECT cell, o, qx,
+                         CASE WHEN o - lag(o) OVER (
+                                  PARTITION BY cell ORDER BY o, qx)
+                                  > 40000000000
+                              THEN 1 ELSE 0 END AS nw
+                  FROM e),
+            c AS (SELECT cell, qx,
+                         sum(nw) OVER (PARTITION BY cell
+                                       ORDER BY o, qx
+                                       ROWS UNBOUNDED PRECEDING)
+                             AS cluster
+                  FROM d),
+            p AS (SELECT cell,
+                         CAST(max(qx) AS DOUBLE) / 1000000.0 AS peak
+                  FROM c GROUP BY cell, cluster),
+            y AS (SELECT cell,
+                         CAST(sign(peak - 150.0)
+                              * floor(abs(peak - 150.0) * 1000000
+                                      + 0.5) AS HUGEINT) AS qy
+                  FROM p WHERE peak > 150.0),
+            g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                         sum(qy) AS s, sum(qy * qy) AS ss
+                  FROM y GROUP BY cell),
+            v AS (SELECT cell, n, s, n * ss - s * s AS varn FROM g),
+            m AS (SELECT cell, n,
+                         (n >= 2 AND varn > 0 AND s > 0) AS ok,
+                         CASE WHEN varn > 0 THEN
+                              {idiv_int('s * s * 1000000', 'varn')}
+                         END AS r,
+                         {idiv_int('s', 'n')} AS ybar
+                  FROM v)
+            SELECT cell, n,
+                   CASE WHEN ok THEN
+                        CAST(ybar AS DOUBLE) / 1000000.0
+                   END AS mean_excess,
+                   CASE WHEN ok THEN
+                        CAST({idiv_int('1000000 - r', '2')}
+                             AS DOUBLE) / 1000000.0
+                   END AS xi,
+                   CASE WHEN ok THEN
+                        CAST({idiv_int('ybar * (r + 1000000)',
+                                       '2000000')}
+                             AS DOUBLE) / 1000000.0
+                   END AS sigma
+            FROM m
         """,
         # q_nse: the n-cleared Nash–Sutcliffe identity — one exact
         # integer ratio (D − n·SSE)/D over micro-quantized series,

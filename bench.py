@@ -231,8 +231,12 @@ BENCH_QUERIES = [
     "q_attribution",
     "q_jsd",
     # round-13 cont.: hydrological efficiencies (one-exchange shapes)
+    # + flood-frequency extremes (rank window / gaps-and-islands)
     "q_nse",
     "q_kge",
+    "q_gumbel_return",
+    "q_pot_clusters",
+    "q_pot_gpd",
 ]
 
 _IVF_INDEX = {}

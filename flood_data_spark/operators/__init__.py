@@ -51,6 +51,12 @@ from flood_data_spark.operators.experiment import (
     wilson_interval,
     two_proportion_ztest,
 )
+from flood_data_spark.operators.extremes import (
+    gpd_moment_fit,
+    gumbel_return_levels,
+    gumbel_variate,
+    pot_decluster,
+)
 from flood_data_spark.operators.verification import (
     anomaly_correlation,
     brier_decomposition,
@@ -101,4 +107,6 @@ __all__ = [
     "contingency_counts", "contingency_from_counts",
     "quantile_score_from_member_cells", "dm_test",
     "nse_score", "kge_score",
+    "gumbel_return_levels", "gumbel_variate", "pot_decluster",
+    "gpd_moment_fit",
 ]

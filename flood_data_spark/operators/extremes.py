@@ -1,0 +1,232 @@
+"""Extreme-value analysis — the flood-frequency statistics a GloFAS-style
+user computes FROM the engine's discharge products: Gumbel (EV1) fits of
+annual-maximum series via L-moments and the T-year return levels that
+define the reference's own 2y/5y/20y threshold bands
+(flood/spark/transforms.py joins against exactly such return-period
+thresholds — this module is how those thresholds are MADE), plus
+peaks-over-threshold declustering and a Gumbel-free GPD tail fit.
+
+Determinism discipline (datapipe/linalg.py): values quantize ONCE to
+integer micros; every moment is an exact order-free integer sum; the
+only IEEE seams are the two textual-literal multiplications of the
+Gumbel closed form (1/ln2, Euler's γ, and the per-period Gumbel variate
+y_T = −ln(−ln(1−1/T)) — python-repr doubles embedded IDENTICALLY in the
+DuckDB oracles), each quantized floor(+0.5) immediately.  The GPD
+method-of-moments fit has ZERO seams: both ξ̂ and σ̂ reduce to exact
+integer ratios of n-cleared moments.
+
+Scale posture: annual-maximum series are year-bounded (decades of rows
+per cell) and clusters are gap-bounded — the rank window partitions by
+cell (never global), declustering is one lag + one running-sum window on
+the SAME cell-keyed exchange, and every fit is one group-keyed aggregate
+of map-side-combined integer sums.  At 100 TB the plan is scan → cell
+exchange → cell-bounded windows → tiny output; no global sort anywhere.
+
+No reference analog; beyond-reference inventory (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+MICRO = 1_000_000
+
+#: textual double seams of the Gumbel closed form — python-repr literals
+#: spliced VERBATIM into the oracles, so both engines multiply the same
+#: IEEE-754 doubles (the q_wilson z-constant recipe).
+INV_LN2 = 1.0 / math.log(2.0)
+EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_variate(period: float) -> float:
+    """y_T = −ln(−ln(1 − 1/T)), the reduced Gumbel variate at return
+    period T (T > 1).  Driver-side python — the same repr literal goes
+    into both engines' SQL."""
+    return -math.log(-math.log(1.0 - 1.0 / float(period)))
+
+
+def _mega() -> "F.Column":
+    return F.lit(MICRO).cast("decimal(38,0)")
+
+
+def _micro(col) -> "F.Column":
+    """sign(x)·floor(|x|·1e6 + 0.5) — quantize once, pure IEEE."""
+    c = col.cast("double")
+    return (F.signum(c) * F.floor(F.abs(c) * MICRO + F.lit(0.5))) \
+        .cast("long")
+
+
+def _qseam(col) -> "F.Column":
+    """Quantize a derived double seam to its integer micro value —
+    floor(+0.5), sign-aware, LONG."""
+    return (F.signum(col) * F.floor(F.abs(col) + F.lit(0.5))) \
+        .cast("long")
+
+
+def gumbel_return_levels(df: DataFrame, value_col: str, group_keys,
+                         periods=(2, 5, 10, 20, 50, 100)) -> DataFrame:
+    """Fit a Gumbel (EV1) distribution to each group's maxima series by
+    L-moments (Hosking 1990 — the unbiased-PWM convention hydrology
+    standardized on; far more robust than ML on the short annual series
+    flood practice has) and emit the T-year return level per requested
+    period:
+
+        b0 = Σ x_(i) / n              (sample mean)
+        b1 = Σ (i−1)·x_(i) / (n(n−1)) (first probability-weighted moment)
+        λ2 = 2·b1 − b0                (second L-moment)
+        scale β = λ2 / ln 2,  location ξ = λ1 − γ·β
+        x_T = ξ + β · y_T,  y_T = −ln(−ln(1 − 1/T))
+
+    Mechanics: ONE rank window per group (row_number over the quantized
+    value — ties contribute identically under any permutation, so the
+    rank tiebreak cannot affect the sums), then one group-keyed exchange
+    of two exact integer sums.  λ2 and λ1 close in integer space
+    (`_idiv_half_up` over the n(n−1)-cleared numerators); β, ξ, and each
+    level take one textual-literal IEEE multiply each, quantized
+    floor(+0.5) immediately.  Groups with n < 2 or λ2 ≤ 0 (constant
+    series) return NULL fits.  Output long-form (keys…, period, n, loc,
+    scale, level), sorted.  The periods ride a literal array explode —
+    period-bounded, never a shuffle."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("gumbel_return_levels: need at least one "
+                         "group key")
+    dec = "decimal(38,0)"
+    qx = _micro(F.col(value_col))
+    w = Window.partitionBy(*keys).orderBy("_qx")
+    ranked = (df.select(*keys, qx.alias("_qx"))
+              .withColumn("_i", F.row_number().over(w)))
+    agg = (ranked.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_qx").cast(dec)).alias("_s0"),
+                F.sum((F.col("_i") - F.lit(1)).cast(dec)
+                      * F.col("_qx").cast(dec)).alias("_s1")))
+    n_dec = F.col("n").cast(dec)
+    # λ1 in micro = round(Σqx / n); λ2 numerator n(n−1)-cleared
+    lam1 = _idiv_half_up(F.col("_s0"), n_dec)
+    lam2_num = F.lit(2).cast(dec) * F.col("_s1") \
+        - (n_dec - F.lit(1).cast(dec)) * F.col("_s0")
+    # greatest(…, 1): the `ok` PREDICATE evaluates lam2 even for n = 1
+    # groups (predicates are not CaseWhen-gated), so the denominator
+    # must never be zero under an ANSI session; n < 2 is gated out of
+    # every OUTPUT by `ok` regardless of the placeholder quotient.
+    lam2 = _idiv_half_up(
+        lam2_num,
+        F.greatest(n_dec * (n_dec - F.lit(1).cast(dec)),
+                   F.lit(1).cast(dec)))
+    ok = (F.col("n") >= 2) & (lam2 > 0)
+    beta = _qseam(lam2.cast("double") * F.lit(INV_LN2))
+    xi = lam1.cast("long") \
+        - _qseam(beta.cast("double") * F.lit(EULER_GAMMA))
+    fit = agg.select(*keys, "n",
+                     F.when(ok, beta).alias("_beta"),
+                     F.when(ok, xi).alias("_xi"))
+    pairs = F.array(*[
+        F.struct(F.lit(int(t)).alias("period"),
+                 F.lit(gumbel_variate(t)).alias("_yt"))
+        for t in periods])
+    mega_f = F.lit(float(MICRO))
+    lvl = F.col("_xi").cast("long") \
+        + _qseam(F.col("_beta").cast("double") * F.col("_p._yt"))
+    return (fit.select(*keys, "n", "_xi", "_beta",
+                       F.explode(pairs).alias("_p"))
+            .select(*keys, "n", F.col("_p.period").alias("period"),
+                    (F.col("_xi").cast("double") / mega_f).alias("loc"),
+                    (F.col("_beta").cast("double") / mega_f)
+                    .alias("scale"),
+                    F.when(F.col("_xi").isNotNull(),
+                           lvl.cast("double") / mega_f).alias("level"))
+            .orderBy(*keys, "period"))
+
+
+def pot_decluster(df: DataFrame, value_col: str, order_col: str,
+                  group_keys, threshold: float,
+                  gap: int) -> DataFrame:
+    """Peaks-over-threshold runs declustering (the standard POT
+    pre-step — Coles 2001 §4.4): keep exceedances of `threshold`,
+    order each group by `order_col` (an integer epoch — seconds,
+    days…), and start a NEW cluster whenever the gap since the
+    previous exceedance exceeds `gap`.  Emit one row per cluster:
+    its peak value, size, and span.
+
+    Gaps-and-islands as two window passes over ONE group-keyed
+    exchange (lag → boundary flag → running sum = cluster id), then a
+    cluster-keyed aggregate.  The peak is max() of quantized micros —
+    exact.  Returns (keys…, cluster, peak, n_exceed, start_o, end_o),
+    sorted.  Deterministic for duplicate order values: the boundary
+    flag depends only on the gap PREDICATE, and cluster membership is
+    order-value-based, so ties permute within a cluster without
+    changing any output."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("pot_decluster: need at least one group key")
+    exc = (df.filter(F.col(value_col) > F.lit(float(threshold)))
+           .select(*keys, F.col(order_col).cast("long").alias("_o"),
+                   _micro(F.col(value_col)).alias("_qx")))
+    w = Window.partitionBy(*keys).orderBy("_o", "_qx")
+    new_flag = F.when(
+        F.col("_o") - F.lag("_o", 1).over(w) > F.lit(int(gap)),
+        F.lit(1)).otherwise(F.lit(0))
+    wrun = (Window.partitionBy(*keys).orderBy("_o", "_qx")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    clustered = (exc.withColumn("_new", new_flag)
+                 .withColumn("cluster", F.sum("_new").over(wrun)))
+    mega_f = F.lit(float(MICRO))
+    return (clustered.groupBy(*keys, "cluster")
+            .agg((F.max("_qx").cast("double") / mega_f).alias("peak"),
+                 F.count(F.lit(1)).alias("n_exceed"),
+                 F.min("_o").alias("start_o"),
+                 F.max("_o").alias("end_o"))
+            .orderBy(*keys, "cluster"))
+
+
+def gpd_moment_fit(df: DataFrame, value_col: str, group_keys,
+                   threshold: float) -> DataFrame:
+    """Generalized-Pareto tail fit per group by method of moments over
+    the excesses y = x − u (u = `threshold`; feed [pot_decluster]
+    peaks for the independence the asymptotics assume):
+
+        ξ̂ = (1 − ȳ²/s²) / 2,    σ̂ = ȳ·(ȳ²/s² + 1) / 2
+
+    (Hosking & Wallis 1987; valid for ξ < 1/2, exactly the heavy-but-
+    finite-variance tails discharge data shows).  ZERO IEEE seams: with
+    quantized excesses, ȳ²/s² = (Σq)² / (n·Σq² − (Σq)²) is an exact
+    integer ratio, so ξ̂ and σ̂ close entirely in `_idiv_half_up`
+    integer space — the strongest determinism class.  One group-keyed
+    exchange of three integer sums.  NULL when n < 2, zero variance, or
+    a non-positive mean excess.  Returns (keys…, n, mean_excess, xi,
+    sigma), sorted."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("gpd_moment_fit: need at least one group key")
+    dec = "decimal(38,0)"
+    qy = _micro(F.col(value_col) - F.lit(float(threshold)))
+    src = df.filter(F.col(value_col) > F.lit(float(threshold))) \
+        .select(*keys, qy.cast(dec).alias("_qy"))
+    agg = (src.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("_qy").alias("_s"),
+                F.sum(F.col("_qy") * F.col("_qy")).alias("_ss")))
+    n_dec = F.col("n").cast(dec)
+    var_n = n_dec * F.col("_ss") - F.col("_s") * F.col("_s")
+    ok = (F.col("n") >= 2) & (var_n > 0) & (F.col("_s") > 0)
+    # r = ȳ²/s² in micro: (Σq)²·1e6 / (nΣq² − (Σq)²), exact
+    r = _idiv_half_up(F.col("_s") * F.col("_s") * _mega(), var_n)
+    xi = _idiv_half_up(_mega() - r, F.lit(2).cast(dec))
+    ybar = _idiv_half_up(F.col("_s"), n_dec)
+    sigma = _idiv_half_up(ybar * (r + _mega()),
+                          F.lit(2).cast(dec) * _mega())
+    mega_f = F.lit(float(MICRO))
+    return (agg.select(*keys, F.col("n").cast("long").alias("n"),
+                       F.when(ok, ybar.cast("double") / mega_f)
+                       .alias("mean_excess"),
+                       F.when(ok, xi.cast("double") / mega_f)
+                       .alias("xi"),
+                       F.when(ok, sigma.cast("double") / mega_f)
+                       .alias("sigma"))
+            .orderBy(*keys))

@@ -1,0 +1,109 @@
+"""Extreme-value analysis: Gumbel L-moment fits / return levels, POT
+runs declustering, GPD method-of-moments tail fit."""
+
+import math
+
+import numpy as np
+import pytest
+
+from flood_data_spark.operators.extremes import (
+    EULER_GAMMA,
+    gpd_moment_fit,
+    gumbel_return_levels,
+    gumbel_variate,
+    pot_decluster,
+)
+
+
+def _lmom_gumbel(x):
+    """Reference L-moment Gumbel fit (Hosking's b0/b1 convention)."""
+    xs = np.sort(np.asarray(x, dtype=float))
+    n = len(xs)
+    b0 = xs.mean()
+    b1 = (np.arange(n) * xs).sum() / (n * (n - 1))
+    lam2 = 2 * b1 - b0
+    beta = lam2 / math.log(2.0)
+    xi = b0 - EULER_GAMMA * beta
+    return xi, beta
+
+
+def test_gumbel_matches_numpy_lmoments(spark):
+    rng = np.random.default_rng(5)
+    # a Gumbel(100, 20) annual-max series, 40 'years'
+    x = 100 - 20 * np.log(-np.log(rng.uniform(size=40)))
+    df = spark.createDataFrame([("c", float(v)) for v in x],
+                               "cell string, am double")
+    out = gumbel_return_levels(df, "am", ["cell"],
+                               periods=(2, 10, 100)).collect()
+    xi, beta = _lmom_gumbel(x)
+    assert [r.period for r in out] == [2, 10, 100]
+    for r in out:
+        assert r.n == 40
+        assert r.loc == pytest.approx(xi, abs=2e-5)
+        assert r.scale == pytest.approx(beta, abs=2e-5)
+        want = xi + beta * gumbel_variate(r.period)
+        assert r.level == pytest.approx(want, abs=1e-4)
+    # return levels increase with period
+    assert out[0].level < out[1].level < out[2].level
+
+
+def test_gumbel_degenerate_groups(spark):
+    rows = ([("one", 5.0)]                       # n = 1
+            + [("flat", 3.0), ("flat", 3.0), ("flat", 3.0)]  # λ2 = 0
+            + [("ok", 1.0), ("ok", 2.0), ("ok", 4.0)])
+    df = spark.createDataFrame(rows, "cell string, am double")
+    out = {(r.cell, r.period): r for r in
+           gumbel_return_levels(df, "am", ["cell"],
+                                periods=(2,)).collect()}
+    assert out[("one", 2)].level is None
+    assert out[("flat", 2)].level is None and out[("flat", 2)].scale is None
+    assert out[("ok", 2)].level is not None
+    with pytest.raises(ValueError, match="group key"):
+        gumbel_return_levels(df, "am", [])
+
+
+def test_pot_decluster_hand_case(spark):
+    """Exceedances of 10 at t = 0,5,8, 100,103, 500 with gap 50 form
+    three clusters with peaks 15, 12, 30."""
+    rows = [("g", 0, 15.0), ("g", 3, 2.0), ("g", 5, 11.0),
+            ("g", 8, 12.5), ("g", 100, 12.0), ("g", 103, 11.5),
+            ("g", 400, 9.0), ("g", 500, 30.0)]
+    df = spark.createDataFrame(rows, "cell string, t long, v double")
+    out = pot_decluster(df, "v", "t", ["cell"], 10.0, 50).collect()
+    got = [(r.cluster, r.peak, r.n_exceed, r.start_o, r.end_o)
+           for r in out]
+    assert got == [(0, 15.0, 3, 0, 8), (1, 12.0, 2, 100, 103),
+                   (2, 30.0, 1, 500, 500)]
+
+
+def test_gpd_mom_matches_numpy(spark):
+    rng = np.random.default_rng(9)
+    u, xi_true, sig_true = 50.0, 0.2, 10.0
+    # inverse-CDF GPD sample above u
+    p = rng.uniform(size=300)
+    y = sig_true / xi_true * ((1 - p) ** (-xi_true) - 1)
+    df = spark.createDataFrame([("c", float(u + v)) for v in y],
+                               "cell string, x double")
+    got = gpd_moment_fit(df, "x", ["cell"], u).collect()[0]
+    ybar = y.mean()
+    s2 = y.var()            # population variance — the n-cleared form
+    r = ybar * ybar / s2
+    assert got.n == 300
+    assert got.mean_excess == pytest.approx(ybar, abs=2e-6)
+    assert got.xi == pytest.approx((1 - r) / 2, abs=2e-6)
+    assert got.sigma == pytest.approx(ybar * (r + 1) / 2, abs=2e-6)
+
+
+def test_gpd_degenerate(spark):
+    rows = ([("flat", 20.0), ("flat", 20.0)]    # zero variance
+            + [("one", 25.0)]                    # n = 1
+            + [("ok", 12.0), ("ok", 14.0), ("ok", 30.0)])
+    df = spark.createDataFrame(rows, "cell string, x double")
+    out = {r.cell: r for r in
+           gpd_moment_fit(df, "x", ["cell"], 10.0).collect()}
+    assert out["flat"].xi is None and out["flat"].sigma is None
+    assert out["one"].xi is None
+    assert out["ok"].xi is not None
+    # below-threshold rows are excluded entirely
+    df2 = spark.createDataFrame([("z", 5.0)], "cell string, x double")
+    assert gpd_moment_fit(df2, "x", ["cell"], 10.0).count() == 0

@@ -4860,6 +4860,25 @@ def q_pot_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ["cell"], 150.0)
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope per cell
+    (operators/stats.mann_kendall_sen) over a monthly-maximum series:
+    the pair relation is series-bounded (months², independent of
+    corpus size), S and the tie spectrum exact integer sums, ONE sqrt
+    seam for Var(S), Z and the rank-picked median slope closed in
+    integer space.  Full value oracle restating the pairwise join,
+    tie correction, and both integer finishes."""
+    from flood_data_spark.operators.stats import mann_kendall_sen
+
+    li = _t(spark, sf_dir, "lineitem")
+    series = (li.groupBy(
+        (F.col("l_suppkey") % 10).alias("cell"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("t"))
+        .agg(F.max(F.col("l_extendedprice") / F.lit(1000.0))
+             .alias("x")))
+    return mann_kendall_sen(series, "x", "t", ["cell"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -4880,6 +4899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gumbel_return": q_gumbel_return,
         "q_pot_clusters": q_pot_clusters,
         "q_pot_gpd": q_pot_gpd,
+        "q_mann_kendall": q_mann_kendall,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -6953,6 +6973,75 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_mann_kendall: series-bounded pairwise join, exact S + tie
+        # spectrum, one Var(S) sqrt seam, integer-space Z and the
+        # rank-picked Sen median
+        "q_mann_kendall": f"""
+            WITH series AS (
+                SELECT l_suppkey % 10 AS cell,
+                       year(l_shipdate) * 12 + month(l_shipdate) AS t,
+                       max(l_extendedprice / 1000.0) AS x
+                FROM lineitem GROUP BY 1, 2),
+            b AS (SELECT cell, CAST(t AS BIGINT) AS t,
+                         CAST(sign(x) * floor(abs(x) * 1000000 + 0.5)
+                              AS HUGEINT) AS qx
+                  FROM series),
+            p AS (SELECT a.cell, a.t AS ti, a.qx AS xi,
+                         c.t AS tj, c.qx AS xj
+                  FROM b a JOIN b c
+                       ON a.cell = c.cell AND a.t < c.t),
+            sl AS (SELECT cell,
+                          CASE WHEN xj > xi THEN 1
+                               WHEN xj < xi THEN -1 ELSE 0 END AS sgn,
+                          {idiv_int('xj - xi', 'tj - ti')} AS slope
+                   FROM p),
+            sagg AS (SELECT cell, CAST(sum(sgn) AS BIGINT) AS s
+                     FROM sl GROUP BY cell),
+            rk AS (SELECT cell, slope,
+                          row_number() OVER (PARTITION BY cell
+                                             ORDER BY slope) AS r,
+                          count(*) OVER (PARTITION BY cell) AS m
+                   FROM sl),
+            md AS (SELECT cell,
+                          {idiv_int('sum(slope)', 'count(*)')} AS med
+                   FROM rk
+                   WHERE r = (m + 1) // 2 OR r = m // 2 + 1
+                   GROUP BY cell),
+            tie AS (SELECT cell, qx, CAST(count(*) AS HUGEINT) AS tc
+                    FROM b GROUP BY cell, qx),
+            tg AS (SELECT cell,
+                          sum(tc * (tc - 1) * (2 * tc + 5)) AS tsum,
+                          CAST(sum(tc) AS BIGINT) AS n
+                   FROM tie GROUP BY cell),
+            v AS (SELECT cell, n,
+                         CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                             - tsum AS var18
+                  FROM tg),
+            j AS (SELECT v.cell, v.n, v.var18, sagg.s, md.med,
+                         CASE WHEN s > 0 THEN CAST(s AS HUGEINT) - 1
+                              WHEN s < 0 THEN CAST(s AS HUGEINT) + 1
+                              ELSE 0 END AS zshift,
+                         CAST(floor(sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                                    * 1000000 + 0.5) AS HUGEINT)
+                             AS qden
+                  FROM v JOIN sagg ON v.cell = sagg.cell
+                         LEFT JOIN md ON v.cell = md.cell),
+            zz AS (SELECT cell, n, s, med, var18,
+                          CASE WHEN var18 > 0 THEN
+                               {idiv_int('zshift * 1000000000000',
+                                         'qden')} END AS zq
+                   FROM j)
+            SELECT cell, n, s,
+                   CAST(zq AS DOUBLE) / 1000000.0 AS z,
+                   CAST(med AS DOUBLE) / 1000000.0 AS sen_slope,
+                   CASE WHEN zq IS NULL THEN 'no trend'
+                        WHEN abs(zq) >= 1959964 AND s > 0
+                             THEN 'increasing'
+                        WHEN abs(zq) >= 1959964 AND s < 0
+                             THEN 'decreasing'
+                        ELSE 'no trend' END AS trend
+            FROM zz
         """,
         # q_nse: the n-cleared Nash–Sutcliffe identity — one exact
         # integer ratio (D − n·SSE)/D over micro-quantized series,

@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "q_gumbel_return",
     "q_pot_clusters",
     "q_pot_gpd",
+    "q_mann_kendall",
 ]
 
 _IVF_INDEX = {}

@@ -560,3 +560,109 @@ def js_divergence(p_df: DataFrame, q_df: DataFrame,
                       F.when(ok, kl_pm).alias("kl_pm"),
                       F.when(ok, kl_qm).alias("kl_qm"),
                       F.when(ok, jsd).alias("jsd"))
+
+
+def mann_kendall_sen(df: DataFrame, value_col: str, order_col: str,
+                     group_keys) -> DataFrame:
+    """Mann-Kendall monotonic-trend test + Sen's slope per group — the
+    nonparametric trend pair every hydrological/climatological series
+    analysis reports (Mann 1945, Kendall 1975; Sen 1968), robust where
+    OLS [trend_stats] is outlier-dragged:
+
+        S      = Σ_{i<j} sign(x_j − x_i)        (time-ordered)
+        Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18
+        Z      = (S − sign(S)) / sqrt(Var(S))
+        slope  = median{ (x_j − x_i)/(t_j − t_i) : t_i < t_j }
+
+    Mechanics: values quantize ONCE to integer micros, then ONE
+    group-keyed self-join on t_i < t_j materializes the pair relation
+    (series-BOUNDED: feed aggregated series — monthly/annual points —
+    so pairs are O(len²) per group independent of corpus size, exactly
+    the POT/AMS posture of operators/extremes.py).  S and the tie
+    spectrum are exact integer sums; Var(S)'s 18-denominator stays
+    rational until the single sqrt seam (·1e6, floor(+0.5)); Z closes
+    in `_idiv_half_up` integer space.  Sen's slope: each pairwise
+    slope rounds half-up ONCE to integer micros (exact integer ratio —
+    order-free), the median picks ranks ⌈m/2⌉ and ⌊m/2⌋+1 by value
+    (tie permutations cannot change the picked VALUES) and averages
+    them in integer space.  NULL Z when Var(S) = 0 (all-tied series).
+    Returns (keys…, n, s, z, sen_slope, trend ∈
+    {increasing, decreasing, no trend} at |Z| ≥ 1.959964); groups
+    with fewer than two points have no pairs and are omitted.
+    """
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("mann_kendall_sen: need at least one "
+                         "group key")
+    dec = "decimal(38,0)"
+    c = F.col(value_col).cast("double")
+    qx = (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
+                                + F.lit(0.5))).cast("long")
+    base = df.select(*keys, F.col(order_col).cast("long").alias("_t"),
+                     qx.alias("_qx"))
+    a = base.select(*keys, F.col("_t").alias("_ti"),
+                    F.col("_qx").alias("_xi"))
+    b = base.select(*keys, F.col("_t").alias("_tj"),
+                    F.col("_qx").alias("_xj"))
+    pairs = a.join(b, on=keys).filter(F.col("_ti") < F.col("_tj"))
+    sgn = F.when(F.col("_xj") > F.col("_xi"), F.lit(1)) \
+        .when(F.col("_xj") < F.col("_xi"), F.lit(-1)).otherwise(F.lit(0))
+    slope = _idiv_half_up((F.col("_xj") - F.col("_xi")).cast(dec),
+                          (F.col("_tj") - F.col("_ti")).cast(dec))
+    ps = pairs.select(*keys, sgn.alias("_sgn"), slope.alias("_slope"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keys).orderBy("_slope")
+    ranked = (ps.withColumn("_r", F.row_number().over(w))
+              .withColumn("_m", F.count(F.lit(1))
+                          .over(Window.partitionBy(*keys))))
+    lo = (F.col("_m") + 1) / 2
+    hi = F.col("_m") / 2 + 1
+    med = (ranked.filter((F.col("_r") == F.floor(lo))
+                         | (F.col("_r") == F.floor(hi)))
+           .groupBy(*keys)
+           .agg(_idiv_half_up(
+               F.sum(F.col("_slope")).cast(dec)
+               * F.lit(2).cast(dec),
+               F.count(F.lit(1)).cast(dec) * F.lit(2).cast(dec))
+               .alias("_med")))
+    s_agg = ps.groupBy(*keys).agg(F.sum("_sgn").cast("long").alias("s"))
+    # tie spectrum: per distinct value, t(t−1)(2t+5)
+    ties = (base.groupBy(*keys, "_qx")
+            .agg(F.count(F.lit(1)).alias("_tc"))
+            .groupBy(*keys)
+            .agg(F.sum(F.col("_tc").cast(dec)
+                       * (F.col("_tc").cast(dec) - F.lit(1).cast(dec))
+                       * (F.lit(2).cast(dec) * F.col("_tc").cast(dec)
+                          + F.lit(5).cast(dec))).alias("_tsum"),
+                 F.sum("_tc").cast("long").alias("n")))
+    n_dec = F.col("n").cast(dec)
+    var18 = (n_dec * (n_dec - F.lit(1).cast(dec))
+             * (F.lit(2).cast(dec) * n_dec + F.lit(5).cast(dec))
+             - F.col("_tsum"))
+    out = (ties.join(s_agg, on=keys).join(med, on=keys, how="left"))
+    # one sqrt seam: sqrt(var18/18)·1e6, floor(+0.5) — var18/18.0 is an
+    # exact-integer-over-literal double division, identical IEEE both
+    # engines
+    qden = F.floor(F.sqrt(var18.cast("double") / F.lit(18.0))
+                   * F.lit(1e6) + F.lit(0.5)).cast(dec)
+    s_dec = F.col("s").cast(dec)
+    zshift = F.when(F.col("s") > 0, s_dec - F.lit(1).cast(dec)) \
+        .when(F.col("s") < 0, s_dec + F.lit(1).cast(dec)) \
+        .otherwise(F.lit(0).cast(dec))
+    mega2 = F.lit(1_000_000_000_000).cast(dec)
+    zq = F.when(var18 > 0, _idiv_half_up(zshift * mega2, qden))
+    mega_f = F.lit(1e6)
+    trend = (F.when(zq.isNull(), F.lit("no trend"))
+             .when((F.abs(zq) >= F.lit(1959964).cast(dec))
+                   & (F.col("s") > 0), F.lit("increasing"))
+             .when((F.abs(zq) >= F.lit(1959964).cast(dec))
+                   & (F.col("s") < 0), F.lit("decreasing"))
+             .otherwise(F.lit("no trend")))
+    return (out.select(*keys, "n", "s",
+                       (zq.cast("double") / mega_f).alias("z"),
+                       (F.col("_med").cast("double") / mega_f)
+                       .alias("sen_slope"),
+                       trend.alias("trend"))
+            .orderBy(*keys))

@@ -1,5 +1,8 @@
 """Equi-depth histogram operator (operators/stats.py)."""
 
+import math
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -151,3 +154,61 @@ def test_jsd_identities(spark):
     empty = spark.createDataFrame([(0, "  ")], "id long, text string")
     e = js_divergence(p, empty).collect()[0]
     assert e.jsd is None and e.kl_pm is None
+
+
+# --- Mann-Kendall + Sen's slope ---------------------------------------------
+
+
+def test_mann_kendall_hand_increasing(spark):
+    from flood_data_spark.operators.stats import mann_kendall_sen
+
+    rows = [("g", t, float(t)) for t in range(1, 7)]
+    df = spark.createDataFrame(rows, "g string, t long, x double")
+    r = mann_kendall_sen(df, "x", "t", ["g"]).collect()[0]
+    assert (r.n, r.s) == (6, 15)
+    want_z = 14.0 / math.sqrt(6 * 5 * 17 / 18.0)
+    assert r.z == pytest.approx(want_z, abs=2e-6)
+    assert r.sen_slope == pytest.approx(1.0, abs=1e-6)
+    assert r.trend == "increasing"
+
+
+def test_mann_kendall_matches_numpy(spark):
+    """Differential vs a brute-force numpy MK + Sen on a noisy trended
+    series with planted ties."""
+    from flood_data_spark.operators.stats import mann_kendall_sen
+
+    rng = np.random.default_rng(3)
+    n = 40
+    x = np.round(0.3 * np.arange(n) + rng.normal(0, 4, n), 1)
+    x[5] = x[9] = x[20]          # planted tie group of 3
+    df = spark.createDataFrame(
+        [("g", int(t), float(v)) for t, v in enumerate(x)],
+        "g string, t long, x double")
+    got = mann_kendall_sen(df, "x", "t", ["g"]).collect()[0]
+    s = sum(np.sign(x[j] - x[i])
+            for i in range(n) for j in range(i + 1, n))
+    _, counts = np.unique(x, return_counts=True)
+    var = (n * (n - 1) * (2 * n + 5)
+           - sum(t * (t - 1) * (2 * t + 5) for t in counts)) / 18.0
+    want_z = (s - np.sign(s)) / math.sqrt(var)
+    slopes = np.array([(x[j] - x[i]) / (j - i)
+                       for i in range(n) for j in range(i + 1, n)])
+    assert got.s == int(s)
+    assert got.z == pytest.approx(want_z, abs=2e-6)
+    assert got.sen_slope == pytest.approx(np.median(slopes), abs=2e-6)
+
+
+def test_mann_kendall_degenerate(spark):
+    from flood_data_spark.operators.stats import mann_kendall_sen
+
+    rows = ([("flat", t, 7.0) for t in range(5)]
+            + [("down", t, float(-2 * t)) for t in range(8)])
+    df = spark.createDataFrame(rows, "g string, t long, x double")
+    out = {r.g: r for r in
+           mann_kendall_sen(df, "x", "t", ["g"]).collect()}
+    assert out["flat"].s == 0 and out["flat"].z is None
+    assert out["flat"].trend == "no trend"
+    assert out["down"].trend == "decreasing"
+    assert out["down"].sen_slope == pytest.approx(-2.0, abs=1e-6)
+    with pytest.raises(ValueError, match="group key"):
+        mann_kendall_sen(df, "x", "t", [])

@@ -4879,6 +4879,22 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall_sen(series, "x", "t", ["cell"])
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov per cell
+    (operators/stats.ks_two_sample): click-vs-error value
+    distributions — D's numerator max|c_a·n_b − c_b·n_a| is ENTIRELY
+    integer (values grouped, never arithmetic'd; no quantization
+    anywhere), with one critical-value sqrt seam.  Ties collapse to
+    distinct-value cells before the cumulative window — the correct
+    ECDF treatment.  Full value oracle."""
+    from flood_data_spark.operators.stats import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 6).alias("cell"), "event_type", "value")
+    return ks_two_sample(ev, "value", "event_type", "click", "error",
+                         ["cell"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -4900,6 +4916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pot_clusters": q_pot_clusters,
         "q_pot_gpd": q_pot_gpd,
         "q_mann_kendall": q_mann_kendall,
+        "q_ks_test": q_ks_test,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -6973,6 +6990,59 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_ks_test: integer-exact ECDF sup (ties collapsed to
+        # distinct-value cells first), one critical-value sqrt seam
+        "q_ks_test": f"""
+            WITH e AS (
+                SELECT user_id % 6 AS cell, event_type AS lab,
+                       value AS v
+                FROM events
+                WHERE event_type IN ('click', 'error')),
+            cells AS (SELECT cell, v,
+                             sum(CASE WHEN lab = 'click' THEN 1
+                                      ELSE 0 END) AS ca,
+                             sum(CASE WHEN lab = 'error' THEN 1
+                                      ELSE 0 END) AS cb
+                      FROM e GROUP BY cell, v),
+            c AS (SELECT cell,
+                         sum(ca) OVER (PARTITION BY cell ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING)
+                             AS fa,
+                         sum(cb) OVER (PARTITION BY cell ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING)
+                             AS fb,
+                         sum(ca) OVER (PARTITION BY cell) AS na,
+                         sum(cb) OVER (PARTITION BY cell) AS nb
+                  FROM cells),
+            g AS (SELECT cell, CAST(max(na) AS BIGINT) AS n_a,
+                         CAST(max(nb) AS BIGINT) AS n_b,
+                         max(abs(CAST(fa AS HUGEINT)
+                                 * CAST(nb AS HUGEINT)
+                                 - CAST(fb AS HUGEINT)
+                                 * CAST(na AS HUGEINT))) AS dnum
+                  FROM c GROUP BY cell),
+            f AS (SELECT cell, n_a, n_b, dnum,
+                         (n_a > 0 AND n_b > 0) AS ok,
+                         CAST(n_a AS HUGEINT) * n_b AS nn,
+                         CAST(floor(1.358
+                                    * sqrt(CAST(n_a + n_b AS DOUBLE)
+                                           / CAST(CAST(n_a AS HUGEINT)
+                                                  * n_b AS DOUBLE))
+                                    * 1000000 + 0.5) AS HUGEINT)
+                             AS qcrit
+                  FROM g)
+            SELECT cell, n_a, n_b,
+                   CASE WHEN ok THEN
+                        {idiv_half_up('dnum * 1000000', 'nn', 1000000)}
+                   END AS d,
+                   CASE WHEN ok THEN
+                        CAST(qcrit AS DOUBLE) / 1000000.0
+                   END AS crit_05,
+                   CASE WHEN ok THEN
+                        {idiv_int('dnum * 1000000', 'nn')} > qcrit
+                   END AS reject_05
+            FROM f
         """,
         # q_mann_kendall: series-bounded pairwise join, exact S + tie
         # spectrum, one Var(S) sqrt seam, integer-space Z and the

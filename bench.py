@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "q_pot_clusters",
     "q_pot_gpd",
     "q_mann_kendall",
+    "q_ks_test",
 ]
 
 _IVF_INDEX = {}

@@ -666,3 +666,72 @@ def mann_kendall_sen(df: DataFrame, value_col: str, order_col: str,
                        .alias("sen_slope"),
                        trend.alias("trend"))
             .orderBy(*keys))
+
+
+def ks_two_sample(df: DataFrame, value_col: str, label_col: str,
+                  label_a: str, label_b: str, group_keys,
+                  alpha_coeff: float = 1.358) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per group — the
+    distribution-shift detector that complements [psi_report] (binned,
+    needs a reference grid) with an exact, binning-free statistic:
+
+        D = sup_x |F_a(x) − F_b(x)|
+
+    evaluated at every distinct value (where the sup is attained).
+    ENTIRELY integer-exact: per distinct value the two cumulative
+    counts c_a, c_b give |c_a·n_b − c_b·n_a|, whose max over values is
+    an integer numerator of D over n_a·n_b — values are compared and
+    grouped, never arithmetic'd, so no quantization is needed at all.
+    The only IEEE seam is the α = 0.05 critical value
+    c·sqrt((n_a+n_b)/(n_a·n_b)) (`alpha_coeff` = 1.358 for 5 %),
+    quantized ·1e6 floor(+0.5); the reject flag is an integer compare
+    against it.  Two exchanges: one to distinct-value cells (ties
+    collapse BEFORE the window — the correct ECDF treatment), one
+    value-ordered cumulative window per group.  Returns (keys…, n_a,
+    n_b, d, crit_05, reject_05), sorted; groups missing either sample
+    get NULL d (no comparison exists)."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+    from pyspark.sql import Window
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("ks_two_sample: need at least one group key")
+    dec = "decimal(38,0)"
+    labeled = df.filter(F.col(label_col).isin(label_a, label_b))
+    cells = (labeled.groupBy(*keys, F.col(value_col).alias("_v"))
+             .agg(F.sum(F.when(F.col(label_col) == label_a, 1)
+                        .otherwise(0)).alias("_ca"),
+                  F.sum(F.when(F.col(label_col) == label_b, 1)
+                        .otherwise(0)).alias("_cb")))
+    w = (Window.partitionBy(*keys).orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wtot = Window.partitionBy(*keys)
+    cum = (cells.withColumn("_fa", F.sum("_ca").over(w))
+           .withColumn("_fb", F.sum("_cb").over(w))
+           .withColumn("_na", F.sum("_ca").over(wtot))
+           .withColumn("_nb", F.sum("_cb").over(wtot)))
+    agg = (cum.groupBy(*keys)
+           .agg(F.max("_na").cast("long").alias("n_a"),
+                F.max("_nb").cast("long").alias("n_b"),
+                F.max(F.abs(F.col("_fa").cast(dec)
+                            * F.col("_nb").cast(dec)
+                            - F.col("_fb").cast(dec)
+                            * F.col("_na").cast(dec)))
+                .alias("_dnum")))
+    na = F.col("n_a").cast(dec)
+    nb = F.col("n_b").cast(dec)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    dq = _idiv_half_up(F.col("_dnum") * F.lit(1_000_000).cast(dec),
+                       F.greatest(na * nb, F.lit(1).cast(dec)))
+    crit = F.floor(
+        F.lit(float(alpha_coeff))
+        * F.sqrt((na + nb).cast("double") / (na * nb).cast("double"))
+        * F.lit(1e6) + F.lit(0.5)).cast(dec)
+    mega_f = F.lit(1e6)
+    return (agg.select(*keys, "n_a", "n_b",
+                       F.when(ok, dq.cast("double") / mega_f)
+                       .alias("d"),
+                       F.when(ok, crit.cast("double") / mega_f)
+                       .alias("crit_05"),
+                       F.when(ok, dq > crit).alias("reject_05"))
+            .orderBy(*keys))

@@ -212,3 +212,58 @@ def test_mann_kendall_degenerate(spark):
     assert out["down"].sen_slope == pytest.approx(-2.0, abs=1e-6)
     with pytest.raises(ValueError, match="group key"):
         mann_kendall_sen(df, "x", "t", [])
+
+
+# --- Kolmogorov-Smirnov two-sample ------------------------------------------
+
+
+def test_ks_hand_case_and_scipy_free_golden(spark):
+    """a = (1,2,3,4), b = (3,4,5,6): ECDFs diverge most at x in [2,3):
+    F_a = 0.5, F_b = 0 -> D = 0.5."""
+    from flood_data_spark.operators.stats import ks_two_sample
+
+    rows = ([("g", "a", float(v)) for v in (1, 2, 3, 4)]
+            + [("g", "b", float(v)) for v in (3, 4, 5, 6)])
+    df = spark.createDataFrame(rows, "g string, lab string, v double")
+    r = ks_two_sample(df, "v", "lab", "a", "b", ["g"]).collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.d == pytest.approx(0.5, abs=1e-6)
+    want_crit = 1.358 * math.sqrt(8 / 16.0)
+    assert r.crit_05 == pytest.approx(want_crit, abs=2e-6)
+    assert r.reject_05 == (0.5 > want_crit)
+
+
+def test_ks_matches_numpy_ecdf(spark):
+    """Differential vs a brute-force numpy ECDF sup over a shifted
+    pair with heavy ties (integer-valued samples)."""
+    from flood_data_spark.operators.stats import ks_two_sample
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 30, 200).astype(float)
+    b = (rng.integers(0, 30, 150) + 4).astype(float)
+    rows = ([("g", "x", float(v)) for v in a]
+            + [("g", "y", float(v)) for v in b])
+    df = spark.createDataFrame(rows, "g string, lab string, v double")
+    r = ks_two_sample(df, "v", "lab", "x", "y", ["g"]).collect()[0]
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    want = np.abs(fa - fb).max()
+    assert r.d == pytest.approx(want, abs=2e-6)
+    assert r.reject_05 == bool(
+        want > 1.358 * math.sqrt((200 + 150) / (200 * 150.0)))
+
+
+def test_ks_identical_and_missing_sample(spark):
+    from flood_data_spark.operators.stats import ks_two_sample
+
+    rows = ([("same", lab, float(v)) for lab in ("a", "b")
+             for v in (1, 2, 3)]
+            + [("only_a", "a", 5.0), ("only_a", "a", 6.0)])
+    df = spark.createDataFrame(rows, "g string, lab string, v double")
+    out = {r.g: r for r in
+           ks_two_sample(df, "v", "lab", "a", "b", ["g"]).collect()}
+    assert out["same"].d == 0.0 and out["same"].reject_05 is False
+    assert out["only_a"].d is None and out["only_a"].reject_05 is None
+    with pytest.raises(ValueError, match="group key"):
+        ks_two_sample(df, "v", "lab", "a", "b", [])

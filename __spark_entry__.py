@@ -4895,6 +4895,34 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ["cell"])
 
 
+def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU per language (datapipe/text.bleu_corpus): candidate
+    = the first 80 % of each document's tokens + one planted
+    out-of-reference token, reference = the full document — exercises
+    clipped precisions < 1 at every order AND the brevity-penalty
+    branch (candidates strictly shorter).  p_n exact integer micros;
+    ln/exp/BP are five bounded quantized seams.  Full value oracle
+    restating the truncation, the (id, n, gram) join, and every
+    seam."""
+    from flood_data_spark.datapipe.text import bleu_corpus
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 1500)
+                    & (F.length(F.trim("text")) > 0)))
+    w = F.split(F.lower(F.regexp_replace(
+        F.trim(F.col("text")), r"\s+", " ")), " ")
+    t1 = (docs.select("doc_id", "lang", w.alias("w"))
+          .withColumn("k", F.greatest(
+              F.floor(F.size("w") * F.lit(0.8)), F.lit(1))
+              .cast("int")))
+    cand = t1.select(
+        "doc_id", "lang",
+        F.concat(F.concat_ws(" ", F.expr("slice(w, 1, k)")),
+                 F.lit(" zqx")).alias("text"))
+    ref = docs.select("doc_id", "text")
+    return bleu_corpus(cand, ref, group_keys=["lang"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -4917,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pot_gpd": q_pot_gpd,
         "q_mann_kendall": q_mann_kendall,
         "q_ks_test": q_ks_test,
+        "q_bleu": q_bleu,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -6990,6 +7019,143 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_bleu: rouge-style (id, n, gram) join generalized to the
+        # 1..4 order dimension; p_n integer micros, ln/exp/BP seams
+        # quantized floor(+0.5) exactly as the operator
+        "q_bleu": f"""
+            WITH base AS (
+                SELECT doc_id AS id, lang,
+                       string_split(lower(regexp_replace(trim(text),
+                                    '\\s+', ' ', 'g')), ' ') AS rl
+                FROM documents
+                WHERE doc_id < 1500 AND length(trim(text)) > 0),
+            pr AS (
+                SELECT id, lang, rl,
+                       list_concat(rl[1:CAST(greatest(
+                           floor(len(rl) * 0.8), 1) AS BIGINT)],
+                           ['zqx']) AS cl
+                FROM base),
+            cg AS (
+                SELECT lang, id, nn.n,
+                       array_to_string(cl[u.pos:u.pos + nn.n - 1],
+                                       ' ') AS g,
+                       CAST(count(*) AS HUGEINT) AS c
+                FROM pr
+                CROSS JOIN (VALUES (1), (2), (3), (4)) nn(n)
+                CROSS JOIN UNNEST(generate_series(
+                     1, len(cl) - nn.n + 1)) AS u(pos)
+                GROUP BY lang, id, nn.n, g),
+            rg AS (
+                SELECT id, nn.n,
+                       array_to_string(rl[u.pos:u.pos + nn.n - 1],
+                                       ' ') AS g,
+                       CAST(count(*) AS HUGEINT) AS cr
+                FROM pr
+                CROSS JOIN (VALUES (1), (2), (3), (4)) nn(n)
+                CROSS JOIN UNNEST(generate_series(
+                     1, len(rl) - nn.n + 1)) AS u(pos)
+                GROUP BY id, nn.n, g),
+            clip AS (
+                SELECT lang, n, sum(least(c, cr)) AS cl_n
+                FROM cg JOIN rg USING (id, n, g)
+                GROUP BY lang, n),
+            tot AS (SELECT lang, n, sum(c) AS t_n
+                    FROM cg GROUP BY lang, n),
+            lens AS (SELECT lang,
+                            CAST(sum(len(cl)) AS BIGINT) AS c_len,
+                            CAST(sum(len(rl)) AS BIGINT) AS r_len
+                     FROM pr GROUP BY lang),
+            wide AS (
+                SELECT t.lang,
+                       max(CASE WHEN t.n = 1 THEN t.t_n END) AS t1,
+                       max(CASE WHEN t.n = 2 THEN t.t_n END) AS t2,
+                       max(CASE WHEN t.n = 3 THEN t.t_n END) AS t3,
+                       max(CASE WHEN t.n = 4 THEN t.t_n END) AS t4,
+                       max(CASE WHEN t.n = 1
+                           THEN coalesce(c2.cl_n, 0) END) AS cl1,
+                       max(CASE WHEN t.n = 2
+                           THEN coalesce(c2.cl_n, 0) END) AS cl2,
+                       max(CASE WHEN t.n = 3
+                           THEN coalesce(c2.cl_n, 0) END) AS cl3,
+                       max(CASE WHEN t.n = 4
+                           THEN coalesce(c2.cl_n, 0) END) AS cl4
+                FROM tot t LEFT JOIN clip c2
+                     ON t.lang = c2.lang AND t.n = c2.n
+                GROUP BY t.lang),
+            pp AS (
+                SELECT lang, t1, t2, t3, t4, cl1, cl2, cl3, cl4,
+                       CASE WHEN t1 > 0 AND cl1 > 0 THEN
+                            {idiv_int('cl1 * 1000000', 't1')} END AS q1,
+                       CASE WHEN t2 > 0 AND cl2 > 0 THEN
+                            {idiv_int('cl2 * 1000000', 't2')} END AS q2,
+                       CASE WHEN t3 > 0 AND cl3 > 0 THEN
+                            {idiv_int('cl3 * 1000000', 't3')} END AS q3,
+                       CASE WHEN t4 > 0 AND cl4 > 0 THEN
+                            {idiv_int('cl4 * 1000000', 't4')} END AS q4
+                FROM wide),
+            lg AS (
+                SELECT lang, t1, t2, t3, t4, cl1, cl2, cl3, cl4,
+                       q1, q2, q3, q4,
+                       CAST(sign(ln(CAST(q1 AS DOUBLE) / 1000000.0)
+                                 * 1000000)
+                            * floor(abs(ln(CAST(q1 AS DOUBLE)
+                                           / 1000000.0) * 1000000)
+                                    + 0.5) AS HUGEINT) AS l1,
+                       CAST(sign(ln(CAST(q2 AS DOUBLE) / 1000000.0)
+                                 * 1000000)
+                            * floor(abs(ln(CAST(q2 AS DOUBLE)
+                                           / 1000000.0) * 1000000)
+                                    + 0.5) AS HUGEINT) AS l2,
+                       CAST(sign(ln(CAST(q3 AS DOUBLE) / 1000000.0)
+                                 * 1000000)
+                            * floor(abs(ln(CAST(q3 AS DOUBLE)
+                                           / 1000000.0) * 1000000)
+                                    + 0.5) AS HUGEINT) AS l3,
+                       CAST(sign(ln(CAST(q4 AS DOUBLE) / 1000000.0)
+                                 * 1000000)
+                            * floor(abs(ln(CAST(q4 AS DOUBLE)
+                                           / 1000000.0) * 1000000)
+                                    + 0.5) AS HUGEINT) AS l4
+                FROM pp),
+            fin AS (
+                SELECT lg.lang, lens.c_len, lens.r_len,
+                       q1, q2, q3, q4,
+                       (t1 IS NOT NULL AND t1 > 0 AND t2 IS NOT NULL
+                        AND t2 > 0 AND t3 IS NOT NULL AND t3 > 0
+                        AND t4 IS NOT NULL AND t4 > 0) AS defined,
+                       ((t1 > 0 AND cl1 = 0) OR (t2 > 0 AND cl2 = 0)
+                        OR (t3 > 0 AND cl3 = 0)
+                        OR (t4 > 0 AND cl4 = 0)) AS zc,
+                       CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL
+                                 AND q3 IS NOT NULL AND q4 IS NOT NULL
+                            THEN CAST(floor(exp(CAST(
+                                 {idiv_int('(l1 + l2 + l3 + l4) * 2',
+                                           '8')}
+                                 AS DOUBLE) / 1000000.0) * 1000000
+                                 + 0.5) AS HUGEINT) END AS geo,
+                       CASE WHEN lens.c_len >= lens.r_len
+                            THEN CAST(1000000 AS HUGEINT)
+                            ELSE CAST(floor(exp(
+                                 (CAST(lens.c_len AS DOUBLE)
+                                  - CAST(lens.r_len AS DOUBLE))
+                                 / CAST(lens.c_len AS DOUBLE))
+                                 * 1000000 + 0.5) AS HUGEINT)
+                       END AS bpq
+                FROM lg JOIN lens ON lg.lang = lens.lang)
+            SELECT lang, c_len, r_len,
+                   CAST(q1 AS DOUBLE) / 1000000.0 AS p1,
+                   CAST(q2 AS DOUBLE) / 1000000.0 AS p2,
+                   CAST(q3 AS DOUBLE) / 1000000.0 AS p3,
+                   CAST(q4 AS DOUBLE) / 1000000.0 AS p4,
+                   CASE WHEN defined THEN
+                        CAST(bpq AS DOUBLE) / 1000000.0 END AS bp,
+                   CASE WHEN defined AND zc THEN 0.0
+                        WHEN defined THEN
+                        CAST({idiv_int('bpq * geo', '1000000')}
+                             AS DOUBLE) / 1000000.0
+                   END AS bleu
+            FROM fin
         """,
         # q_ks_test: integer-exact ECDF sup (ties collapsed to
         # distinct-value cells first), one critical-value sqrt seam

@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "q_pot_gpd",
     "q_mann_kendall",
     "q_ks_test",
+    "q_bleu",
 ]
 
 _IVF_INDEX = {}

@@ -1429,3 +1429,133 @@ def zipf_fit(df: DataFrame, text_col: str = "text",
     return m.select(n.cast("long").alias("n_ranks"),
                     (slope_q.cast("double") / mega_f).alias("slope"),
                     (ic_q.cast("double") / mega_f).alias("intercept"))
+
+
+def bleu_corpus(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", group_keys=("lang",),
+                max_n: int = 4) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al. 2002) between aligned
+    candidate/reference pairs, per group — the complement of [rouge_n]
+    (per-document recall family) with BLEU's corpus-pooled clipped
+    precisions and brevity penalty:
+
+        p_n  = Σ_pairs clip_n / Σ_pairs cand_grams_n      (n = 1..max_n)
+        BP   = min(1, e^(1 − r/c)),  c/r = total cand/ref tokens
+        BLEU = BP · exp( (1/N) Σ_n ln p_n )
+
+    Group keys ride the CANDIDATE side; references join by id.  The
+    gram machinery is the [rouge_n] chain generalized: ONE tokenize per
+    side, the order dimension exploded from a literal 1..N array, ONE
+    (id, n, gram)-keyed inner join for the clipped overlap (gram
+    multiplicity lives in counts, never join fan-out).  Determinism:
+    p_n closes to integer micros (`_idiv_half_up`); each ln p_n
+    quantizes ONCE to signed micro-nats, their mean is an exact integer
+    halving, and exp/BP take one quantized seam each — five bounded
+    seams total, every one on a value derived from exact integers, so
+    both engines walk identical IEEE trees.  Degenerate groups (no
+    candidate grams at some order n — all texts shorter than n) report
+    NULL bleu; a zero clip at any order reports bleu = 0 (the standard
+    unsmoothed convention).  Returns (keys…, c_len, r_len, p1..pN, bp,
+    bleu), sorted."""
+    if max_n < 1:
+        raise ValueError("bleu_corpus: max_n must be >= 1")
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+    MICRO = 1_000_000
+    dec = "decimal(38,0)"
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("bleu_corpus: need at least one group key")
+
+    def toks(df, with_keys):
+        w = F.split(F.lower(F.regexp_replace(
+            F.trim(F.col(text_col)), r"\s+", " ")), " ")
+        cols = keys if with_keys else []
+        return df.select(*cols, F.col(id_col).alias("id"),
+                         w.alias("w"), F.size(w).alias("_len"))
+
+    ct = toks(cand, True)
+    rt = toks(ref, False)
+    orders = F.explode(F.array(*[F.lit(i) for i in
+                                 range(1, max_n + 1)])).alias("n")
+
+    def grams(t, cols):
+        return (t.select(*cols, "id", "w", "_len", orders)
+                .filter(F.col("_len") >= F.col("n"))
+                .select(*cols, "id", "n",
+                        F.expr("explode(sequence(1, _len - n + 1))")
+                        .alias("pos"), "w")
+                .select(*cols, "id", "n",
+                        F.concat_ws(" ", F.expr("slice(w, pos, n)"))
+                        .alias("g"))
+                .groupBy(*cols, "id", "n", "g")
+                .agg(F.count(F.lit(1)).alias("c")))
+
+    cg = grams(ct, keys)
+    rg = grams(rt, []).withColumnRenamed("c", "cr")
+    clip = (cg.join(rg, ["id", "n", "g"])
+            .groupBy(*keys, "n")
+            .agg(F.sum(F.least(F.col("c"), F.col("cr")))
+                 .alias("_clip")))
+    tot = (cg.groupBy(*keys, "n")
+           .agg(F.sum("c").alias("_tot")))
+    lens_c = ct.groupBy(*keys).agg(F.sum("_len").alias("c_len"))
+    lens_r = (rt.join(ct.select(*keys, "id").distinct(), "id")
+              .groupBy(*keys).agg(F.sum("_len").alias("r_len")))
+    pern = tot.join(clip, [*keys, "n"], "left") \
+        .na.fill({"_clip": 0})
+    wide = (pern.groupBy(*keys)
+            .agg(*[F.max(F.when(F.col("n") == i, F.col("_clip")))
+                   .alias(f"_cl{i}") for i in range(1, max_n + 1)],
+                 *[F.max(F.when(F.col("n") == i, F.col("_tot")))
+                   .alias(f"_t{i}") for i in range(1, max_n + 1)]))
+    out = wide.join(lens_c, keys).join(lens_r, keys, "left")
+    mega = F.lit(MICRO).cast(dec)
+    mega_f = F.lit(float(MICRO))
+
+    def seam(col):
+        return (F.signum(col) * F.floor(F.abs(col) + F.lit(0.5))) \
+            .cast("long")
+
+    pq, lq = [], []
+    for i in range(1, max_n + 1):
+        cl = F.col(f"_cl{i}").cast(dec)
+        t = F.col(f"_t{i}").cast(dec)
+        p = F.when((F.col(f"_t{i}").isNotNull()) & (t > 0) & (cl > 0),
+                   _idiv_half_up(cl * mega, F.greatest(t, F.lit(1)
+                                                       .cast(dec))))
+        pq.append(p)
+        lq.append(F.when(p.isNotNull(),
+                         seam(F.log(p.cast("double") / mega_f)
+                              * mega_f)))
+    defined = None
+    zero_clip = None
+    for i in range(1, max_n + 1):
+        has_t = F.col(f"_t{i}").isNotNull() & (F.col(f"_t{i}") > 0)
+        is_zero = has_t & (F.col(f"_cl{i}") == 0)
+        defined = has_t if defined is None else (defined & has_t)
+        zero_clip = is_zero if zero_clip is None \
+            else (zero_clip | is_zero)
+    suml = lq[0].cast(dec)
+    for l in lq[1:]:
+        suml = suml + l.cast(dec)
+    mean_l = _idiv_half_up(
+        suml * F.lit(2).cast(dec),
+        F.lit(2 * max_n).cast(dec))
+    geo = seam(F.exp(mean_l.cast("double") / mega_f) * mega_f)
+    c_dec = F.col("c_len").cast("double")
+    r_dec = F.col("r_len").cast("double")
+    bp = F.when(F.col("c_len") >= F.col("r_len"),
+                F.lit(MICRO).cast("long")) \
+        .otherwise(seam(F.exp((c_dec - r_dec) / c_dec) * mega_f))
+    bleu = F.when(defined & zero_clip, F.lit(0.0)) \
+        .when(defined,
+              _idiv_half_up(bp.cast(dec) * geo.cast(dec), mega)
+              .cast("double") / mega_f)
+    sel = [*keys, "c_len", "r_len"]
+    for i in range(1, max_n + 1):
+        sel.append((pq[i - 1].cast("double") / mega_f)
+                   .alias(f"p{i}"))
+    sel.append(F.when(defined, bp.cast("double") / mega_f)
+               .alias("bp"))
+    sel.append(bleu.alias("bleu"))
+    return out.select(*sel).orderBy(*keys)

@@ -299,3 +299,83 @@ def test_zipf_fit_exact_line_and_guards(spark):
     one = spark.createDataFrame([(0, "x x x")], "doc_id long, text string")
     r3 = zipf_fit(one, "text").collect()[0]
     assert r3.n_ranks == 1 and r3.slope is None and r3.intercept is None
+
+
+# --- corpus BLEU ------------------------------------------------------------
+
+
+def _py_bleu(pairs, max_n=4):
+    """Reference corpus BLEU (Papineni 2002, unsmoothed) over
+    (cand, ref) text pairs, one reference each."""
+    import math
+    from collections import Counter
+
+    def norm(t):
+        return " ".join(t.strip().lower().split()).split(" ")
+
+    clip = [0] * (max_n + 1)
+    tot = [0] * (max_n + 1)
+    c_len = r_len = 0
+    for c, r in pairs:
+        cw, rw = norm(c), norm(r)
+        c_len += len(cw)
+        r_len += len(rw)
+        for n in range(1, max_n + 1):
+            cg = Counter(tuple(cw[i:i + n])
+                         for i in range(len(cw) - n + 1))
+            rg = Counter(tuple(rw[i:i + n])
+                         for i in range(len(rw) - n + 1))
+            tot[n] += sum(cg.values())
+            clip[n] += sum(min(v, rg[g]) for g, v in cg.items())
+    if any(t == 0 for t in tot[1:]):
+        return None
+    if any(c == 0 for c in clip[1:]):
+        return 0.0
+    logs = sum(math.log(clip[n] / tot[n]) for n in range(1, max_n + 1))
+    bp = 1.0 if c_len >= r_len else math.exp(1 - r_len / c_len)
+    return bp * math.exp(logs / max_n)
+
+
+def test_bleu_matches_reference_impl(spark):
+    from flood_data_spark.datapipe.text import bleu_corpus
+
+    pairs = [
+        ("the cat sat on the mat", "the cat sat on a mat today"),
+        ("it is a truth universally acknowledged that",
+         "it is a truth universally acknowledged indeed that"),
+        ("quick brown fox jumps", "the quick brown fox jumps over"),
+    ]
+    cand = spark.createDataFrame(
+        [(i, "en", c) for i, (c, _) in enumerate(pairs)],
+        "doc_id long, lang string, text string")
+    ref = spark.createDataFrame(
+        [(i, r) for i, (_, r) in enumerate(pairs)],
+        "doc_id long, text string")
+    got = bleu_corpus(cand, ref, group_keys=["lang"]).collect()[0]
+    want = _py_bleu(pairs)
+    assert got.c_len == sum(len(c.split()) for c, _ in pairs)
+    assert got.r_len == sum(len(r.split()) for _, r in pairs)
+    assert got.bleu == pytest.approx(want, abs=5e-6)
+    assert got.bp < 1.0  # candidates shorter than references here
+
+
+def test_bleu_perfect_zero_and_degenerate(spark):
+    from flood_data_spark.datapipe.text import bleu_corpus
+
+    rows_c = [(0, "perfect", "alpha beta gamma delta epsilon"),
+              (1, "zero", "one two three four five"),
+              (2, "short", "tiny pair")]  # < 4 tokens: no 4-grams
+    rows_r = [(0, "alpha beta gamma delta epsilon"),
+              (1, "six seven eight nine ten"),
+              (2, "tiny pair")]
+    cand = spark.createDataFrame(rows_c,
+                                 "doc_id long, lang string, text string")
+    ref = spark.createDataFrame(rows_r, "doc_id long, text string")
+    out = {r.lang: r for r in
+           bleu_corpus(cand, ref, group_keys=["lang"]).collect()}
+    assert out["perfect"].bleu == pytest.approx(1.0, abs=2e-6)
+    assert out["perfect"].bp == 1.0
+    assert out["zero"].bleu == 0.0        # disjoint: clipped overlap 0
+    assert out["short"].bleu is None      # no 4-grams exist: undefined
+    with pytest.raises(ValueError, match="group key"):
+        bleu_corpus(cand, ref, group_keys=[])

@@ -4923,6 +4923,26 @@ def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_corpus(cand, ref, group_keys=["lang"])
 
 
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation
+    (operators/serving.idw_interpolate): the q_radius_join geometry
+    (grid cells as stations, nation points as queries, 30 km radius)
+    finished by the exact-integer Shepard aggregate — weights
+    1e18/d²q, interpolant Σw·v/Σw, zero derived-double rounding.  The
+    bucket prune is lossless, so the oracle is the brute-force cross
+    join + identical haversine + the same integer chain."""
+    from flood_data_spark.operators.serving import idw_interpolate
+
+    points = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") * 0.25 + 0.01).alias("latitude"),
+        ((F.col("n_nationkey") % 3) * 0.15 + 0.02).alias("longitude"),
+        F.col("n_nationkey").alias("point_id"))
+    out = idw_interpolate(_grid_cells(spark, sf_dir), points, "val",
+                          radius_km=30.0)
+    return out.select(F.col("query_point_id").alias("point_id"),
+                      "n_stations", "idw")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -4946,6 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mann_kendall": q_mann_kendall,
         "q_ks_test": q_ks_test,
         "q_bleu": q_bleu,
+        "q_idw": q_idw,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -7019,6 +7040,45 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_idw: the q_radius_join brute-force distance relation
+        # finished by the exact-integer Shepard aggregate
+        "q_idw": f"""
+            WITH rcells AS (
+                SELECT p_retailprice AS val,
+                       round(0.025 + (p_partkey % 200) * 0.05, 3)
+                           AS latitude,
+                       round(0.025 + ((p_partkey // 200) % 200) * 0.05,
+                             3) AS longitude
+                FROM part),
+            rpts AS (
+                SELECT n_nationkey * 0.25 + 0.01 AS qlat,
+                       (n_nationkey % 3) * 0.15 + 0.02 AS qlon,
+                       n_nationkey AS point_id
+                FROM nation),
+            rdist AS (
+                SELECT p.point_id, c.val,
+                       round(2 * 6371.0088 * asin(sqrt(
+                           pow(sin(radians(p.qlat - c.latitude) / 2), 2)
+                           + cos(radians(c.latitude))
+                             * cos(radians(p.qlat))
+                             * pow(sin(radians(p.qlon - c.longitude)
+                                       / 2), 2))), 6) AS distance_km
+                FROM rcells c, rpts p),
+            w AS (
+                SELECT point_id,
+                       {idiv_int(
+                           '1000000000000000000',
+                           'greatest(CAST(floor(distance_km '
+                           '* distance_km * 1000000 + 0.5) '
+                           'AS HUGEINT), 1)')} AS wq,
+                       CAST(sign(val) * floor(abs(val) * 1000000
+                                              + 0.5) AS HUGEINT) AS vq
+                FROM rdist WHERE distance_km <= 30.0)
+            SELECT point_id, count(*) AS n_stations,
+                   {idiv_half_up('sum(wq * vq)', 'sum(wq)', 1000000)}
+                       AS idw
+            FROM w GROUP BY point_id
         """,
         # q_bleu: rouge-style (id, n, gram) join generalized to the
         # 1..4 order dimension; p_n integer micros, ln/exp/BP seams

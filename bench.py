@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "q_mann_kendall",
     "q_ks_test",
     "q_bleu",
+    "q_idw",
 ]
 
 _IVF_INDEX = {}

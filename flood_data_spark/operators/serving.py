@@ -208,3 +208,54 @@ def radius_lookup(cells_df: DataFrame, points_df: DataFrame,
             .withColumn("distance_km", F.round(dist, 6))
             .filter(F.col("distance_km") <= radius_km)
             .drop("_glat", "_glon"))
+
+
+def idw_interpolate(stations_df: DataFrame, points_df: DataFrame,
+                    value_col: str, radius_km: float = 25.0,
+                    grid_size: float | None = None,
+                    lat_col: str = "latitude",
+                    lon_col: str = "longitude",
+                    point_lat_col: str = "latitude",
+                    point_lon_col: str = "longitude") -> DataFrame:
+    """Inverse-distance-weighted (Shepard, power 2) interpolation of a
+    station field onto query points — the gauge-to-grid step a
+    discharge-verification user runs to compare the engine's cell
+    products against in-situ observations:
+
+        v(q) = Σ_i v_i / d_i²  /  Σ_i 1 / d_i²   over d_i ≤ radius
+
+    Built ON [radius_lookup] (bounded 2-D bucket explode + equi-join +
+    exact haversine — never a cross join), then ONE query-keyed
+    aggregate.  Determinism: d² quantizes ONCE to integer micros
+    (floored at 1 µ — a station within ~1 mm of the query dominates
+    naturally instead of dividing by zero), each weight is the exact
+    integer ratio 1e18/d²q, station values quantize once, and the
+    interpolant closes as the exact integer ratio Σw·v / Σw — zero
+    derived-double rounding anywhere.  Returns the `query_`-prefixed
+    point columns + (n_stations, idw); points with NO station in
+    radius are absent (no interpolation exists — the caller decides
+    the fill policy)."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    dec = "decimal(38,0)"
+    hits = radius_lookup(stations_df, points_df, radius_km, grid_size,
+                         lat_col, lon_col, point_lat_col,
+                         point_lon_col)
+    qcols = [c for c in hits.columns if c.startswith("query_")]
+    d2q = F.greatest(
+        F.floor(F.col("distance_km") * F.col("distance_km")
+                * F.lit(1_000_000) + F.lit(0.5)).cast("long"),
+        F.lit(1)).cast(dec)
+    v = F.col(value_col).cast("double")
+    vq = (F.signum(v) * F.floor(F.abs(v) * F.lit(1_000_000)
+                                + F.lit(0.5))).cast(dec)
+    wq = _idiv_half_up(F.lit(10 ** 18).cast(dec), d2q)
+    agg = (hits.select(*qcols, (wq * vq).alias("_wv"), wq.alias("_w"))
+           .groupBy(*qcols)
+           .agg(F.count(F.lit(1)).alias("n_stations"),
+                F.sum("_wv").alias("_swv"),
+                F.sum("_w").alias("_sw")))
+    idw = _idiv_half_up(F.col("_swv"), F.col("_sw")) \
+        .cast("double") / F.lit(1e6)
+    return (agg.select(*qcols, "n_stations", idw.alias("idw"))
+            .orderBy(*qcols))

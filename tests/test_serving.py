@@ -179,3 +179,72 @@ def test_radius_lookup_antimeridian_wrap(spark):
            for r in radius_lookup(cells, points, radius_km=25.0)
            .collect()}
     assert got == {(0, 0), (0, 1)}
+
+
+def test_idw_matches_integer_reference(spark):
+    """Differential vs a python replica of the exact integer chain
+    (rounded-6 haversine -> d2 micro -> 1e18/d2 weights -> Sw*v/Sw)."""
+    import math
+
+    from flood_data_spark.operators.serving import idw_interpolate
+
+    stations = spark.createDataFrame(
+        [(1, 0.10, 0.10, 40.0), (2, 0.20, 0.05, 10.0),
+         (3, 0.05, 0.25, -20.0), (4, 3.00, 3.00, 999.0)],  # far away
+        "sid long, latitude double, longitude double, val double")
+    points = spark.createDataFrame(
+        [(7, 0.12, 0.11), (8, 0.06, 0.24)],
+        "pid long, latitude double, longitude double")
+    out = {r.query_pid: r for r in
+           idw_interpolate(stations, points, "val",
+                           radius_km=40.0).collect()}
+
+    R = 6371.0088
+
+    def hav(lat1, lon1, lat2, lon2):
+        a = (math.sin(math.radians(lat1 - lat2) / 2) ** 2
+             + math.cos(math.radians(lat2)) * math.cos(math.radians(lat1))
+             * math.sin(math.radians(lon1 - lon2) / 2) ** 2)
+        return round(2 * R * math.asin(math.sqrt(a)), 6)
+
+    def idiv(num, den):
+        q = (2 * abs(num) + den) // (2 * den)
+        return -q if num < 0 else q
+
+    st = [(0.10, 0.10, 40.0), (0.20, 0.05, 10.0), (0.05, 0.25, -20.0),
+          (3.00, 3.00, 999.0)]
+    for pid, (plat, plon) in ((7, (0.12, 0.11)), (8, (0.06, 0.24))):
+        swv = sw = n = 0
+        for slat, slon, v in st:
+            d = hav(plat, plon, slat, slon)
+            if d > 40.0:
+                continue
+            n += 1
+            d2q = max(int(math.floor(d * d * 1e6 + 0.5)), 1)
+            wq = idiv(10 ** 18, d2q)
+            vq = int(math.copysign(math.floor(abs(v) * 1e6 + 0.5), v))
+            swv += wq * vq
+            sw += wq
+        want = idiv(swv, sw) / 1e6
+        assert out[pid].n_stations == n
+        assert out[pid].idw == pytest.approx(want, abs=2e-5)
+    # the far station never participates
+    assert all(r.n_stations == 3 for r in out.values())
+
+
+def test_idw_zero_distance_dominates_and_empty(spark):
+    from flood_data_spark.operators.serving import idw_interpolate
+
+    stations = spark.createDataFrame(
+        [(1, 0.10, 0.10, 42.0), (2, 0.14, 0.10, 7.0)],
+        "sid long, latitude double, longitude double, val double")
+    points = spark.createDataFrame(
+        [(1, 0.10, 0.10), (2, 80.0, 80.0)],
+        "pid long, latitude double, longitude double")
+    out = {r.query_pid: r for r in
+           idw_interpolate(stations, points, "val",
+                           radius_km=25.0).collect()}
+    # coincident station dominates (weight 1e18 vs ~1e10)
+    assert out[1].idw == pytest.approx(42.0, abs=1e-4)
+    # no stations in radius -> point absent
+    assert 2 not in out

@@ -4923,6 +4923,36 @@ def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_corpus(cand, ref, group_keys=["lang"])
 
 
+def q_nse_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED hydrological-efficiency monitor
+    (streaming/file_stream.nse_sum_stream + the SAME
+    verification.nse_from_sums finisher as batch q_nse): lineitem as
+    the file stream, orders the static broadcast side, the four
+    integer sums aggregating in complete mode (state = one cell per
+    lead), finisher on the materialized cells.  The oracle IS the
+    batch SQL: stream/batch parity of the whole score."""
+    from flood_data_spark.operators.verification import nse_from_sums
+    from flood_data_spark.streaming.file_stream import nse_sum_stream
+
+    orders = _t(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+
+    def build(stream):
+        src = (stream.join(F.broadcast(orders),
+                           stream["l_orderkey"] == orders["o_orderkey"])
+               .select(F.col("o_orderpriority").alias("lead"),
+                       F.col("l_quantity").alias("sim"),
+                       ((F.col("l_partkey") % 47)
+                        + F.col("l_quantity") * F.lit(0.5)
+                        + F.lit(1.0)).alias("obs")))
+        return nse_sum_stream(src, "sim", "obs", ["lead"])
+
+    cells = _run_file_stream(spark, f"{sf_dir}/lineitem.parquet",
+                             build, "stream_nse_",
+                             output_mode="complete")
+    return nse_from_sums(cells)
+
+
 def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse-distance-weighted interpolation
     (operators/serving.idw_interpolate): the q_radius_join geometry
@@ -4967,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_test": q_ks_test,
         "q_bleu": q_bleu,
         "q_idw": q_idw,
+        "q_nse_stream": q_nse_stream,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -12739,4 +12770,6 @@ def oracle_sql() -> dict[str, str]:
     d["q_quantile_stream"] = d["q_quantile_score"]
     # streamed mSPRT: the whole sequential readout, stream/batch parity
     d["q_msprt_stream"] = d["q_msprt"]
+    # streamed NSE: the whole efficiency score, stream/batch parity
+    d["q_nse_stream"] = d["q_nse"]
     return d

@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "q_ks_test",
     "q_bleu",
     "q_idw",
+    "q_nse_stream",
 ]
 
 _IVF_INDEX = {}

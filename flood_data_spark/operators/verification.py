@@ -1153,6 +1153,16 @@ def nse_score(df: DataFrame, sim_col: str, obs_col: str,
     verification family (the reference's GloFAS discharge summaries in
     flood/spark/transforms.py are exactly what a user would feed
     here)."""
+    return nse_from_sums(nse_sums(df, sim_col, obs_col, group_keys))
+
+
+def nse_sums(df: DataFrame, sim_col: str, obs_col: str,
+             group_keys) -> DataFrame:
+    """State half of [nse_score]: the four order-free integer sums per
+    group (n, Σ(qs−qo)², Σqo, Σqo²) — exactly the mergeable-across-
+    micro-batches shape the streaming twin aggregates in complete
+    mode (integer sums are associative; state is one cell per group
+    however long the stream runs)."""
     keys = list(group_keys)
     if not keys:
         raise ValueError("nse_score: need at least one group key")
@@ -1160,20 +1170,30 @@ def nse_score(df: DataFrame, sim_col: str, obs_col: str,
     qs = _micro(F.col(sim_col)).cast(dec)
     qo = _micro(F.col(obs_col)).cast(dec)
     d = qs - qo
-    agg = (df.select(*keys, d.alias("_d"), qo.alias("_qo"))
-           .groupBy(*keys)
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("_d") * F.col("_d")).alias("_sse"),
-                F.sum("_qo").alias("_so"),
-                F.sum(F.col("_qo") * F.col("_qo")).alias("_soo")))
+    return (df.select(*keys, d.alias("_d"), qo.alias("_qo"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("_d") * F.col("_d")).alias("_sse"),
+                 F.sum("_qo").alias("_so"),
+                 F.sum(F.col("_qo") * F.col("_qo")).alias("_soo")))
+
+
+def nse_from_sums(cells: DataFrame) -> DataFrame:
+    """Finisher half of [nse_score], shared VERBATIM by the batch
+    operator and the streaming twin (the brier/contingency/mSPRT
+    stream-parity recipe): close the n-cleared identity on the
+    materialized integer sums."""
+    dec = "decimal(38,0)"
+    keys = [c for c in cells.columns
+            if c not in ("n", "_sse", "_so", "_soo")]
     n_dec = F.col("n").cast(dec)
     den = n_dec * F.col("_soo") - F.col("_so") * F.col("_so")
     num = den - n_dec * F.col("_sse")
     nse = F.when(den > 0,
                  _idiv_half_up(num * _mega(), den).cast("double")
                  / F.lit(float(MICRO)))
-    return (agg.select(*keys, F.col("n").cast("long").alias("n"),
-                       nse.alias("nse"))
+    return (cells.select(*keys, F.col("n").cast("long").alias("n"),
+                         nse.alias("nse"))
             .orderBy(*keys))
 
 

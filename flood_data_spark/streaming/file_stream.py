@@ -415,3 +415,18 @@ def msprt_count_stream(stream_df: DataFrame, time_col: str = "peek",
 
     return msprt_counts(stream_df, time_col, variant_col, success_col,
                         variant_a, variant_b, group_cols)
+
+
+def nse_sum_stream(stream_df: DataFrame, sim_col: str, obs_col: str,
+                   group_keys) -> DataFrame:
+    """Streaming half of the hydrological-efficiency monitor: run
+    `verification.nse_sums`' four order-free integer sums as a
+    complete-mode stream (state = one DECIMAL cell per group however
+    long the stream runs, mergeable because integer sums are).  The
+    n-cleared finisher (`verification.nse_from_sums`) runs on the
+    materialized cells — shared verbatim with batch `nse_score`, so
+    the streaming gate checks stream/batch parity of the WHOLE score,
+    not just the sums."""
+    from flood_data_spark.operators.verification import nse_sums
+
+    return nse_sums(stream_df, sim_col, obs_col, group_keys)

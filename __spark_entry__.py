@@ -4923,6 +4923,21 @@ def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_corpus(cand, ref, group_keys=["lang"])
 
 
+def q_doy_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-year climatology percentile bands
+    (operators/extremes.doy_climatology): ±2-day circular smoothing
+    window (the offset explode is 5-bounded), exact interpolated
+    percentiles per (cell, doy) — Spark `percentile` == quantile_cont
+    bit-for-bit, so values pass through with NO quantization.  Full
+    value oracle restating the circular wheel and the quantiles."""
+    from flood_data_spark.operators.extremes import doy_climatology
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("cell"), "ts", "value")
+    return doy_climatology(ev, "value", "ts", ["cell"],
+                           percentiles=(0.25, 0.5, 0.75), window=2)
+
+
 def q_nse_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMED hydrological-efficiency monitor
     (streaming/file_stream.nse_sum_stream + the SAME
@@ -4998,6 +5013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bleu": q_bleu,
         "q_idw": q_idw,
         "q_nse_stream": q_nse_stream,
+        "q_doy_climatology": q_doy_climatology,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -7071,6 +7087,24 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_doy_climatology: circular day-of-year wheel + exact
+        # interpolated quantiles (percentile == quantile_cont)
+        "q_doy_climatology": """
+            WITH base AS (
+                SELECT user_id % 4 AS cell, dayofyear(ts) AS d,
+                       value AS v
+                FROM events),
+            sm AS (
+                SELECT cell, ((d - 1 + off.o + 366) % 366) + 1 AS doy,
+                       v
+                FROM base CROSS JOIN (VALUES (-2), (-1), (0), (1), (2))
+                     off(o))
+            SELECT cell, doy, CAST(count(*) AS BIGINT) AS n,
+                   quantile_cont(v, 0.25) AS q25,
+                   quantile_cont(v, 0.5) AS q50,
+                   quantile_cont(v, 0.75) AS q75
+            FROM sm GROUP BY cell, doy
         """,
         # q_idw: the q_radius_join brute-force distance relation
         # finished by the exact-integer Shepard aggregate

@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "q_bleu",
     "q_idw",
     "q_nse_stream",
+    "q_doy_climatology",
 ]
 
 _IVF_INDEX = {}

@@ -230,3 +230,42 @@ def gpd_moment_fit(df: DataFrame, value_col: str, group_keys,
                        F.when(ok, sigma.cast("double") / mega_f)
                        .alias("sigma"))
             .orderBy(*keys))
+
+
+def doy_climatology(df: DataFrame, value_col: str, ts_col: str,
+                    group_keys, percentiles=(0.25, 0.5, 0.75),
+                    window: int = 0) -> DataFrame:
+    """Day-of-year climatology percentile bands per group — the ESP
+    convention (smoothed daily climatology quantiles) that anomaly and
+    drought products are read AGAINST; where [gumbel_return_levels]
+    manufactures rare-event thresholds, this manufactures the seasonal
+    normal band.  Each observation contributes to its day-of-year cell
+    and, with `window` = w > 0, to the ±w neighboring cells (the
+    standard centered smoothing, CIRCULAR over the 366-day wheel via
+    ((doy − 1 + off + 366) mod 366) + 1 — the +366 keeps the mod
+    non-negative identically in every engine).  Exact interpolated
+    percentiles per cell (Spark `percentile` == DuckDB/numpy
+    quantile_cont bit-for-bit — the q_quantile_score precedent), so no
+    quantization is needed: values pass through untouched.  One
+    (keys, doy)-keyed exchange; the offset explode is (2w+1)-bounded.
+    Returns (keys…, doy, n, q<pp>…), sorted."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("doy_climatology: need at least one "
+                         "group key")
+    if window < 0:
+        raise ValueError("doy_climatology: window must be >= 0")
+    offs = F.explode(F.array(*[F.lit(i) for i in
+                               range(-window, window + 1)])) \
+        .alias("_off")
+    base = df.select(*keys, F.dayofyear(F.col(ts_col)).alias("_doy"),
+                     F.col(value_col).alias("_v"))
+    sm = (base.select(*keys, "_doy", "_v", offs)
+          .select(*keys,
+                  (((F.col("_doy") - 1 + F.col("_off") + 366) % 366)
+                   + 1).alias("doy"), "_v"))
+    aggs = [F.expr(f"percentile(_v, {float(p)!r})")
+            .alias(f"q{int(round(p * 100)):02d}") for p in percentiles]
+    return (sm.groupBy(*keys, "doy")
+            .agg(F.count(F.lit(1)).alias("n"), *aggs)
+            .orderBy(*keys, "doy"))

@@ -107,3 +107,39 @@ def test_gpd_degenerate(spark):
     # below-threshold rows are excluded entirely
     df2 = spark.createDataFrame([("z", 5.0)], "cell string, x double")
     assert gpd_moment_fit(df2, "x", ["cell"], 10.0).count() == 0
+
+
+def test_doy_climatology_percentiles_and_wrap(spark):
+    import datetime
+
+    from flood_data_spark.operators.extremes import doy_climatology
+
+    rows = []
+    # Jan 1 (doy 1): values 1..5; Jan 3 (doy 3): values 10, 20
+    for v in (1.0, 2.0, 3.0, 4.0, 5.0):
+        rows.append(("c", datetime.datetime(2024, 1, 1, 12), v))
+    for v in (10.0, 20.0):
+        rows.append(("c", datetime.datetime(2024, 1, 3, 6), v))
+    df = spark.createDataFrame(rows, "cell string, ts timestamp, v double")
+
+    out = {r.doy: r for r in
+           doy_climatology(df, "v", "ts", ["cell"],
+                           percentiles=(0.25, 0.5, 0.75),
+                           window=0).collect()}
+    assert out[1].n == 5
+    assert out[1].q50 == pytest.approx(np.percentile(
+        [1, 2, 3, 4, 5], 50), abs=1e-12)
+    assert out[1].q25 == pytest.approx(np.percentile(
+        [1, 2, 3, 4, 5], 25), abs=1e-12)
+    assert out[3].q75 == pytest.approx(17.5, abs=1e-12)
+
+    # window=1: doy-1 rows also land on the circular neighbors 366 and 2
+    sm = {r.doy: r for r in
+          doy_climatology(df, "v", "ts", ["cell"],
+                          percentiles=(0.5,), window=1).collect()}
+    assert sm[366].n == 5            # wrap: doy 1 - 1 -> 366
+    assert sm[2].n == 7              # doy 1 and doy 3 both spill into 2
+    assert sm[2].q50 == pytest.approx(np.percentile(
+        [1, 2, 3, 4, 5, 10, 20], 50), abs=1e-12)
+    with pytest.raises(ValueError, match="window"):
+        doy_climatology(df, "v", "ts", ["cell"], window=-1)

@@ -4923,6 +4923,25 @@ def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_corpus(cand, ref, group_keys=["lang"])
 
 
+def q_muskingum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Muskingum channel routing (operators/routing.muskingum_route):
+    each cell's daily-max hydrograph routed through the K=20 h, x=0.2,
+    Δt=24 h storage recurrence — the package's custom-stateful
+    applyInPandas seam, yet still FULLY value-oracled: the DuckDB twin
+    is a recursive CTE walking the identical left-associated IEEE
+    tree, so raw doubles hash-match with no rounding seam at all."""
+    from flood_data_spark.operators.routing import muskingum_route
+
+    ev = _t(spark, sf_dir, "events")
+    src = (ev.groupBy(
+        (F.col("user_id") % 5).alias("cell"),
+        F.datediff(F.to_date("ts"),
+                   F.lit("2024-01-01").cast("date")).alias("day"))
+        .agg(F.max("value").alias("inflow")))
+    return muskingum_route(src, "inflow", "day", ["cell"],
+                           k=20.0, x=0.2, dt=24.0)
+
+
 def q_doy_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-year climatology percentile bands
     (operators/extremes.doy_climatology): ±2-day circular smoothing
@@ -5014,6 +5033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idw": q_idw,
         "q_nse_stream": q_nse_stream,
         "q_doy_climatology": q_doy_climatology,
+        "q_muskingum": q_muskingum,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -5804,6 +5824,9 @@ def oracle_sql() -> dict[str, str]:
     _INV_LN2 = repr(_IL)
     _EULER = repr(_EG)
     _GV = {t: repr(_gv(t)) for t in (2, 5, 20, 100)}
+    from flood_data_spark.operators.routing import muskingum_coefficients
+    _MC0, _MC1, _MC2 = (repr(c) for c in
+                        muskingum_coefficients(20.0, 0.2, 24.0))
     p2 = "least(1.0, l_discount * 12)"
     # bit-identical z-normalized pattern constants for q_ts_pattern_topk
     # (same python arithmetic the Spark operator runs driver-side)
@@ -7087,6 +7110,31 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_muskingum: the applyInPandas recurrence as a recursive CTE
+        # walking the IDENTICAL left-associated IEEE tree — raw-double
+        # parity, no rounding seam
+        "q_muskingum": f"""
+            WITH RECURSIVE src AS (
+                SELECT user_id % 5 AS cell,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS t,
+                       max(value) AS inflow
+                FROM events GROUP BY 1, 2),
+            s AS (SELECT cell, CAST(t AS INT) AS t, inflow,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY t, inflow) AS rn
+                  FROM src),
+            r AS (
+                SELECT cell, t, inflow, rn, inflow AS outflow
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.cell, s.t, s.inflow, s.rn,
+                       ({_MC0} * s.inflow + {_MC1} * r.inflow)
+                           + {_MC2} * r.outflow
+                FROM s JOIN r
+                     ON s.cell = r.cell AND s.rn = r.rn + 1)
+            SELECT cell, t, inflow, outflow FROM r
         """,
         # q_doy_climatology: circular day-of-year wheel + exact
         # interpolated quantiles (percentile == quantile_cont)

@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "q_idw",
     "q_nse_stream",
     "q_doy_climatology",
+    "q_muskingum",
 ]
 
 _IVF_INDEX = {}

@@ -52,10 +52,15 @@ from flood_data_spark.operators.experiment import (
     two_proportion_ztest,
 )
 from flood_data_spark.operators.extremes import (
+    doy_climatology,
     gpd_moment_fit,
     gumbel_return_levels,
     gumbel_variate,
     pot_decluster,
+)
+from flood_data_spark.operators.routing import (
+    muskingum_coefficients,
+    muskingum_route,
 )
 from flood_data_spark.operators.verification import (
     anomaly_correlation,
@@ -108,5 +113,6 @@ __all__ = [
     "quantile_score_from_member_cells", "dm_test",
     "nse_score", "kge_score",
     "gumbel_return_levels", "gumbel_variate", "pot_decluster",
+    "muskingum_route", "muskingum_coefficients", "doy_climatology",
     "gpd_moment_fit",
 ]

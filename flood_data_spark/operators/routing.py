@@ -1,0 +1,89 @@
+"""Channel flood routing — the Muskingum method (McCarthy 1938; Chow
+§8), the textbook storage-routing recurrence every hydrological model
+chain runs between a reach's inflow and outflow hydrographs:
+
+    O_t = C0·I_t + C1·I_{t−1} + C2·O_{t−1}
+
+    C0 = (Δt − 2Kx) / D,  C1 = (Δt + 2Kx) / D,
+    C2 = (2K(1−x) − Δt) / D,   D = 2K(1−x) + Δt    (C0+C1+C2 = 1)
+
+This is the package's documented CUSTOM-STATEFUL seam: a first-order
+linear recurrence over time is exactly what relational algebra cannot
+express without a sequential scan, so the operator runs
+`applyInPandas` per reach — series-BOUNDED state (one hydrograph in
+memory per task, reaches partition freely across executors), the same
+posture as the codec/raster mapInPandas seams.  Determinism: the
+coefficients are python doubles computed ONCE driver-side (repr
+literals in the oracle), and the recurrence body is the same
+left-associated IEEE tree `(C0·I + C1·Ip) + C2·Op` in numpy and in the
+DuckDB recursive CTE — bit-identical outputs with NO rounding seam at
+all, which is why the gate can hash raw doubles.
+
+No reference analog; beyond-reference inventory (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def muskingum_coefficients(k: float, x: float, dt: float) -> tuple:
+    """(C0, C1, C2) for storage constant K, weighting x, step Δt (same
+    time units).  Raises unless 2Kx ≤ Δt ≤ 2K(1−x) — the standard
+    positivity/stability window (all three coefficients non-negative;
+    outside it the recurrence oscillates and loses mass positivity)."""
+    k, x, dt = float(k), float(x), float(dt)
+    if not (0.0 <= x <= 0.5):
+        raise ValueError(f"muskingum: x must be in [0, 0.5], got {x}")
+    d = 2.0 * k * (1.0 - x) + dt
+    if d <= 0:
+        raise ValueError("muskingum: non-positive denominator")
+    if not (2.0 * k * x <= dt <= 2.0 * k * (1.0 - x)):
+        raise ValueError(
+            f"muskingum: stability window violated — need "
+            f"2Kx <= dt <= 2K(1-x), got K={k}, x={x}, dt={dt}")
+    c0 = (dt - 2.0 * k * x) / d
+    c1 = (dt + 2.0 * k * x) / d
+    c2 = (2.0 * k * (1.0 - x) - dt) / d
+    return c0, c1, c2
+
+
+def muskingum_route(df: DataFrame, inflow_col: str, order_col: str,
+                    group_keys, k: float, x: float,
+                    dt: float) -> DataFrame:
+    """Route each group's inflow hydrograph through the Muskingum
+    recurrence (module docstring).  The first step takes O_1 = I_1
+    (steady-state initialization, the common operational convention).
+    Rows order by (`order_col`, inflow) within the reach — the
+    secondary key makes duplicate timestamps deterministic.  Returns
+    (keys…, t, inflow, outflow) with `order_col` surfaced as `t`,
+    sorted."""
+    import pandas as pd
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("muskingum_route: need at least one group key")
+    c0, c1, c2 = muskingum_coefficients(k, x, dt)
+    src = df.select(*keys, F.col(order_col).alias("t"),
+                    F.col(inflow_col).cast("double").alias("inflow"))
+    fields = ", ".join(
+        f"{name} {dtype}" for name, dtype in src.dtypes
+        if name not in ("t", "inflow"))
+    t_type = dict(src.dtypes)["t"]
+    schema = f"{fields}, t {t_type}, inflow double, outflow double"
+
+    def route(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["t", "inflow"], kind="mergesort") \
+            .reset_index(drop=True)
+        i = pdf["inflow"].to_numpy()
+        o = i.copy()
+        # the EXACT IEEE tree of the oracle's recursive CTE:
+        # (C0*I + C1*Ip) + C2*Op, left-associated
+        for j in range(1, len(i)):
+            o[j] = (c0 * i[j] + c1 * i[j - 1]) + c2 * o[j - 1]
+        pdf["outflow"] = o
+        return pdf
+
+    return (src.groupBy(*keys).applyInPandas(route, schema)
+            .orderBy(*keys, "t"))

@@ -4923,6 +4923,24 @@ def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_corpus(cand, ref, group_keys=["lang"])
 
 
+def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs-theory drought analysis
+    (operators/extremes.drought_runs): consecutive days whose daily
+    minimum sits below 0.8 form runs (step 1 — a missing day breaks
+    the run); duration/severity/intensity per run with deficits as
+    exact integer micros and intensity closed in integer space.  Full
+    value oracle (the POT islands chain on the deficit side)."""
+    from flood_data_spark.operators.extremes import drought_runs
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.col("user_id") % 6).alias("cell"),
+        F.datediff(F.to_date("ts"),
+                   F.lit("2024-01-01").cast("date")).alias("d"))
+        .agg(F.min("value").alias("v")))
+    return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
+
+
 def q_muskingum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Muskingum channel routing (operators/routing.muskingum_route):
     each cell's daily-max hydrograph routed through the K=20 h, x=0.2,
@@ -5034,6 +5052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nse_stream": q_nse_stream,
         "q_doy_climatology": q_doy_climatology,
         "q_muskingum": q_muskingum,
+        "q_drought_runs": q_drought_runs,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -7110,6 +7129,43 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_drought_runs: the POT islands chain on the deficit side,
+        # exact integer severity, integer-space intensity
+        "q_drought_runs": f"""
+            WITH daily AS (
+                SELECT user_id % 6 AS cell,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS d,
+                       min(value) AS v
+                FROM events GROUP BY 1, 2),
+            e AS (SELECT cell, CAST(d AS BIGINT) AS o,
+                         CAST(sign(v) * floor(abs(v) * 1000000 + 0.5)
+                              AS HUGEINT) AS qx,
+                         CAST(sign(0.8 - v)
+                              * floor(abs(0.8 - v) * 1000000 + 0.5)
+                              AS HUGEINT) AS qd
+                  FROM daily WHERE v < 0.8),
+            g AS (SELECT cell, o, qx, qd,
+                         CASE WHEN o - lag(o) OVER (
+                                  PARTITION BY cell ORDER BY o, qx)
+                                  > 1
+                              THEN 1 ELSE 0 END AS nw
+                  FROM e),
+            c AS (SELECT cell, o, qx, qd,
+                         CAST(sum(nw) OVER (PARTITION BY cell
+                                            ORDER BY o, qx
+                                            ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS run
+                  FROM g)
+            SELECT cell, run, min(o) AS start_o, max(o) AS end_o,
+                   CAST(count(*) AS BIGINT) AS duration,
+                   CAST(sum(qd) AS DOUBLE) / 1000000.0 AS severity,
+                   {idiv_half_up('sum(qd)',
+                                 'CAST(count(*) AS HUGEINT)',
+                                 1000000)} AS intensity,
+                   CAST(min(qx) AS DOUBLE) / 1000000.0 AS min_value
+            FROM c GROUP BY cell, run
         """,
         # q_muskingum: the applyInPandas recurrence as a recursive CTE
         # walking the IDENTICAL left-associated IEEE tree — raw-double

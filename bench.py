@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "q_nse_stream",
     "q_doy_climatology",
     "q_muskingum",
+    "q_drought_runs",
 ]
 
 _IVF_INDEX = {}

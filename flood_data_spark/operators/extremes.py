@@ -269,3 +269,55 @@ def doy_climatology(df: DataFrame, value_col: str, ts_col: str,
     return (sm.groupBy(*keys, "doy")
             .agg(F.count(F.lit(1)).alias("n"), *aggs)
             .orderBy(*keys, "doy"))
+
+
+def drought_runs(df: DataFrame, value_col: str, order_col: str,
+                 group_keys, threshold: float,
+                 step: int = 1) -> DataFrame:
+    """Runs-theory drought analysis (Yevjevich 1967) — the low-flow
+    mirror of [pot_decluster]: keep deficits BELOW `threshold`, and a
+    run continues while consecutive deficit points are at most `step`
+    apart on the integer `order_col` axis (feed a daily series with
+    step = 1 and a missing day breaks the run — the standard
+    consecutive-days convention).  Per run emit the three canonical
+    run statistics:
+
+        duration  = #points,   severity = Σ (threshold − x),
+        intensity = severity / duration,   plus min value and span.
+
+    Same two-window gaps-and-islands exchange as the POT decluster
+    (lag → boundary flag → running id on ONE cell-keyed sort);
+    deficits quantize ONCE to integer micros (≥ 0 by the filter), so
+    severity is an exact integer sum and intensity closes in
+    `_idiv_half_up` integer space.  Returns (keys…, run, start_o,
+    end_o, duration, severity, intensity, min_value), sorted."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("drought_runs: need at least one group key")
+    dec = "decimal(38,0)"
+    exc = (df.filter(F.col(value_col) < F.lit(float(threshold)))
+           .select(*keys, F.col(order_col).cast("long").alias("_o"),
+                   _micro(F.col(value_col)).alias("_qx"),
+                   _micro(F.lit(float(threshold))
+                          - F.col(value_col)).alias("_qd")))
+    w = Window.partitionBy(*keys).orderBy("_o", "_qx")
+    new_flag = F.when(
+        F.col("_o") - F.lag("_o", 1).over(w) > F.lit(int(step)),
+        F.lit(1)).otherwise(F.lit(0))
+    wrun = (Window.partitionBy(*keys).orderBy("_o", "_qx")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    runs = (exc.withColumn("_new", new_flag)
+            .withColumn("run", F.sum("_new").over(wrun)))
+    mega_f = F.lit(float(MICRO))
+    sev = F.sum(F.col("_qd").cast(dec))
+    n = F.count(F.lit(1))
+    return (runs.groupBy(*keys, "run")
+            .agg(F.min("_o").alias("start_o"),
+                 F.max("_o").alias("end_o"),
+                 n.cast("long").alias("duration"),
+                 (sev.cast("double") / mega_f).alias("severity"),
+                 (_idiv_half_up(sev, n.cast(dec)).cast("double")
+                  / mega_f).alias("intensity"),
+                 (F.min("_qx").cast("double") / mega_f)
+                 .alias("min_value"))
+            .orderBy(*keys, "run"))

@@ -143,3 +143,28 @@ def test_doy_climatology_percentiles_and_wrap(spark):
         [1, 2, 3, 4, 5, 10, 20], 50), abs=1e-12)
     with pytest.raises(ValueError, match="window"):
         doy_climatology(df, "v", "ts", ["cell"], window=-1)
+
+
+def test_drought_runs_hand_case(spark):
+    """Below-10 deficits at days 1,2,3 (values 7,9,8), 6 (4), 9,10
+    (5,5) with step 1 -> runs (3 days, sev 6), (1 day, sev 6),
+    (2 days, sev 10)."""
+    from flood_data_spark.operators.extremes import drought_runs
+
+    rows = [("g", 1, 7.0), ("g", 2, 9.0), ("g", 3, 8.0),
+            ("g", 4, 15.0), ("g", 6, 4.0), ("g", 9, 5.0),
+            ("g", 10, 5.0), ("g", 11, 12.0)]
+    df = spark.createDataFrame(rows, "cell string, d long, v double")
+    out = drought_runs(df, "v", "d", ["cell"], 10.0, step=1).collect()
+    got = [(r.run, r.start_o, r.end_o, r.duration, r.severity,
+            r.intensity, r.min_value) for r in out]
+    assert got == [(0, 1, 3, 3, 6.0, 2.0, 7.0),
+                   (1, 6, 6, 1, 6.0, 6.0, 4.0),
+                   (2, 9, 10, 2, 10.0, 5.0, 5.0)]
+    # a larger step merges across both holes (gaps 3 and 3)
+    merged = drought_runs(df, "v", "d", ["cell"], 10.0,
+                          step=3).collect()
+    assert [r.duration for r in merged] == [6]
+    assert merged[0].severity == pytest.approx(22.0, abs=1e-9)
+    with pytest.raises(ValueError, match="group key"):
+        drought_runs(df, "v", "d", [], 10.0)

@@ -4941,6 +4941,18 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def _daily_hydrograph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared daily-max hydrograph per cell — ONE definition for the
+    two recursive-seam gates (Muskingum, baseflow) so their oracles'
+    identical src CTE cannot desync."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(
+        (F.col("user_id") % 5).alias("cell"),
+        F.datediff(F.to_date("ts"),
+                   F.lit("2024-01-01").cast("date")).alias("day"))
+        .agg(F.max("value").alias("inflow")))
+
+
 def q_muskingum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Muskingum channel routing (operators/routing.muskingum_route):
     each cell's daily-max hydrograph routed through the K=20 h, x=0.2,
@@ -4950,14 +4962,40 @@ def q_muskingum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree, so raw doubles hash-match with no rounding seam at all."""
     from flood_data_spark.operators.routing import muskingum_route
 
-    ev = _t(spark, sf_dir, "events")
-    src = (ev.groupBy(
-        (F.col("user_id") % 5).alias("cell"),
-        F.datediff(F.to_date("ts"),
-                   F.lit("2024-01-01").cast("date")).alias("day"))
-        .agg(F.max("value").alias("inflow")))
-    return muskingum_route(src, "inflow", "day", ["cell"],
-                           k=20.0, x=0.2, dt=24.0)
+    return muskingum_route(_daily_hydrograph(spark, sf_dir), "inflow",
+                           "day", ["cell"], k=20.0, x=0.2, dt=24.0)
+
+
+def q_baseflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lyne-Hollick baseflow separation + BFI per cell
+    (operators/routing.baseflow_separate): the CLAMPED recursion
+    through the same applyInPandas seam (filtered quickflow f_t, then
+    baseflow = max(q − max(f, 0), 0)), finished by the Baseflow Index
+    Σb/Σq as an exact integer-micro ratio.  The oracle walks the
+    recursion as a recursive CTE with greatest() clamps — raw-double
+    parity through the filter, integer-space parity for the index."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+    from flood_data_spark.operators.routing import baseflow_separate
+
+    routed = baseflow_separate(_daily_hydrograph(spark, sf_dir),
+                               "inflow", "day", ["cell"], alpha=0.925)
+    dec = "decimal(38,0)"
+
+    def q6(col):
+        c = F.col(col)
+        return (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
+                                      + F.lit(0.5))).cast(dec)
+
+    agg = (routed.select("cell", q6("baseflow").alias("_qb"),
+                         q6("flow").alias("_qq"))
+           .groupBy("cell")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_qb").alias("_sb"), F.sum("_qq").alias("_sq")))
+    bfi = F.when(
+        F.col("_sq") > 0,
+        _idiv_half_up(F.col("_sb") * F.lit(1_000_000).cast(dec),
+                      F.col("_sq")).cast("double") / F.lit(1e6))
+    return agg.select("cell", "n", bfi.alias("bfi")).orderBy("cell")
 
 
 def q_doy_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5053,6 +5091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doy_climatology": q_doy_climatology,
         "q_muskingum": q_muskingum,
         "q_drought_runs": q_drought_runs,
+        "q_baseflow": q_baseflow,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -5846,6 +5885,8 @@ def oracle_sql() -> dict[str, str]:
     from flood_data_spark.operators.routing import muskingum_coefficients
     _MC0, _MC1, _MC2 = (repr(c) for c in
                         muskingum_coefficients(20.0, 0.2, 24.0))
+    _LH_A = repr(0.925)
+    _LH_B = repr((1.0 + 0.925) / 2.0)
     p2 = "least(1.0, l_discount * 12)"
     # bit-identical z-normalized pattern constants for q_ts_pattern_topk
     # (same python arithmetic the Spark operator runs driver-side)
@@ -7129,6 +7170,44 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_baseflow: the clamped Lyne-Hollick recursion as a
+        # recursive CTE (greatest() clamps), BFI in integer space
+        "q_baseflow": f"""
+            WITH RECURSIVE src AS (
+                SELECT user_id % 5 AS cell,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS t,
+                       max(value) AS v
+                FROM events GROUP BY 1, 2),
+            s AS (SELECT cell, v,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY t, v) AS rn
+                  FROM src),
+            r AS (
+                SELECT cell, v, rn, CAST(0.0 AS DOUBLE) AS f
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.cell, s.v, s.rn,
+                       {_LH_A} * r.f + {_LH_B} * (s.v - r.v)
+                FROM s JOIN r
+                     ON s.cell = r.cell AND s.rn = r.rn + 1),
+            b AS (SELECT cell, v,
+                         greatest(v - greatest(f, 0.0), 0.0) AS bf
+                  FROM r),
+            q AS (SELECT cell,
+                         CAST(sign(bf) * floor(abs(bf) * 1000000
+                                               + 0.5) AS HUGEINT)
+                             AS qb,
+                         CAST(sign(v) * floor(abs(v) * 1000000 + 0.5)
+                              AS HUGEINT) AS qq
+                  FROM b)
+            SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                   CASE WHEN sum(qq) > 0 THEN
+                        {idiv_half_up('sum(qb) * 1000000', 'sum(qq)',
+                                      1000000)}
+                   END AS bfi
+            FROM q GROUP BY cell
         """,
         # q_drought_runs: the POT islands chain on the deficit side,
         # exact integer severity, integer-space intensity

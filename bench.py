@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "q_doy_climatology",
     "q_muskingum",
     "q_drought_runs",
+    "q_baseflow",
 ]
 
 _IVF_INDEX = {}

@@ -53,12 +53,14 @@ from flood_data_spark.operators.experiment import (
 )
 from flood_data_spark.operators.extremes import (
     doy_climatology,
+    drought_runs,
     gpd_moment_fit,
     gumbel_return_levels,
     gumbel_variate,
     pot_decluster,
 )
 from flood_data_spark.operators.routing import (
+    baseflow_separate,
     muskingum_coefficients,
     muskingum_route,
 )
@@ -114,5 +116,6 @@ __all__ = [
     "nse_score", "kge_score",
     "gumbel_return_levels", "gumbel_variate", "pot_decluster",
     "muskingum_route", "muskingum_coefficients", "doy_climatology",
+    "baseflow_separate", "drought_runs",
     "gpd_moment_fit",
 ]

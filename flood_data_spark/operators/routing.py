@@ -87,3 +87,57 @@ def muskingum_route(df: DataFrame, inflow_col: str, order_col: str,
 
     return (src.groupBy(*keys).applyInPandas(route, schema)
             .orderBy(*keys, "t"))
+
+
+def baseflow_separate(df: DataFrame, flow_col: str, order_col: str,
+                      group_keys, alpha: float = 0.925) -> DataFrame:
+    """Lyne–Hollick digital baseflow filter (Lyne & Hollick 1979;
+    Nathan & McMahon 1990's α = 0.925 default) — the standard
+    separation of a discharge series into quickflow and baseflow:
+
+        f_t = α·f_{t−1} + ((1+α)/2)·(q_t − q_{t−1})     (f_1 = 0)
+        baseflow_t = max(q_t − max(f_t, 0), 0)
+
+    A second, CLAMPED first-order recurrence through the same
+    custom-stateful applyInPandas seam as [muskingum_route] — the
+    clamp shows the seam handles non-linear recursions too, and the
+    oracle remains a recursive CTE over the identical IEEE tree
+    (`α·f + β·(q − q_p)`, clamps as greatest()), so raw doubles
+    hash-match.  Single forward pass (the multi-pass
+    forward/backward/forward refinement is a documented out-of-scope
+    policy layer — it is just this operator applied thrice).  Returns
+    (keys…, t, flow, baseflow), sorted."""
+    import pandas as pd
+    import numpy as np
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("baseflow_separate: need at least one "
+                         "group key")
+    a = float(alpha)
+    if not (0.0 < a < 1.0):
+        raise ValueError(f"baseflow_separate: alpha must be in (0, 1),"
+                         f" got {a}")
+    b = (1.0 + a) / 2.0
+    src = df.select(*keys, F.col(order_col).alias("t"),
+                    F.col(flow_col).cast("double").alias("flow"))
+    fields = ", ".join(
+        f"{name} {dtype}" for name, dtype in src.dtypes
+        if name not in ("t", "flow"))
+    t_type = dict(src.dtypes)["t"]
+    schema = f"{fields}, t {t_type}, flow double, baseflow double"
+
+    def sep(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["t", "flow"], kind="mergesort") \
+            .reset_index(drop=True)
+        q = pdf["flow"].to_numpy()
+        f = np.zeros_like(q)
+        # the EXACT IEEE tree of the oracle's recursive CTE:
+        # a*f_prev + b*(q - q_prev)
+        for j in range(1, len(q)):
+            f[j] = a * f[j - 1] + b * (q[j] - q[j - 1])
+        pdf["baseflow"] = np.maximum(q - np.maximum(f, 0.0), 0.0)
+        return pdf
+
+    return (src.groupBy(*keys).applyInPandas(sep, schema)
+            .orderBy(*keys, "t"))

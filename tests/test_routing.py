@@ -61,3 +61,32 @@ def test_route_attenuates_and_delays_peak(spark):
     assert o[-1] == pytest.approx(10.0, abs=0.5)   # settles back
     with pytest.raises(ValueError, match="group key"):
         muskingum_route(df, "q", "day", [], 30.0, 0.1, 24.0)
+
+
+def test_baseflow_filter_matches_python_and_bounds(spark):
+    from flood_data_spark.operators.routing import baseflow_separate
+
+    rng = np.random.default_rng(8)
+    base = 20 + np.cumsum(rng.normal(0, 0.5, 25))
+    storm = np.zeros(25)
+    storm[8:14] = [30, 80, 60, 35, 15, 5]
+    q = np.abs(base) + storm
+    df = spark.createDataFrame(
+        [("r", t, float(v)) for t, v in enumerate(q)],
+        "reach string, day int, q double")
+    out = baseflow_separate(df, "q", "day", ["reach"],
+                            alpha=0.925).collect()
+    got = np.array([r.baseflow for r in out])
+
+    a, b = 0.925, (1 + 0.925) / 2
+    f = np.zeros(len(q))
+    for j in range(1, len(q)):
+        f[j] = a * f[j - 1] + b * (q[j] - q[j - 1])
+    want = np.maximum(q - np.maximum(f, 0.0), 0.0)
+    assert np.array_equal(got, want)          # bit-exact
+    # physical bounds: 0 <= baseflow <= flow
+    assert (got >= 0).all() and (got <= q + 1e-12).all()
+    # the storm peak is mostly quickflow
+    assert got[9] < 0.5 * q[9]
+    with pytest.raises(ValueError, match="alpha"):
+        baseflow_separate(df, "q", "day", ["reach"], alpha=1.5)

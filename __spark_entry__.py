@@ -4941,6 +4941,24 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis
+    (operators/stats.hurst_rs): each cell's event-value series indexed
+    by a deterministic row_number, R/S per block at sizes 16/64/256 —
+    deviations m-cleared to exact integers, ONE sqrt seam per block,
+    R/S and the per-size means in integer space, ln(m) a driver-side
+    integer literal, the final log-log OLS slope one exact integer
+    ratio.  Full value oracle restating the entire ladder."""
+    from flood_data_spark.operators.stats import hurst_rs
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("cell"), "ts", "event_id",
+        "value")
+    w = Window.partitionBy("cell").orderBy("ts", "event_id")
+    src = ev.withColumn("t", F.row_number().over(w) - F.lit(1))
+    return hurst_rs(src, "value", "t", ["cell"], (16, 64, 256))
+
+
 def _daily_hydrograph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared daily-max hydrograph per cell — ONE definition for the
     two recursive-seam gates (Muskingum, baseflow) so their oracles'
@@ -5092,6 +5110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_muskingum": q_muskingum,
         "q_drought_runs": q_drought_runs,
         "q_baseflow": q_baseflow,
+        "q_hurst": q_hurst,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -5887,6 +5906,9 @@ def oracle_sql() -> dict[str, str]:
                         muskingum_coefficients(20.0, 0.2, 24.0))
     _LH_A = repr(0.925)
     _LH_B = repr((1.0 + 0.925) / 2.0)
+    import math as _m
+    _LNM = {m: str(int(_m.floor(_m.log(m) * 1e6 + 0.5)))
+            for m in (16, 64, 256)}
     p2 = "least(1.0, l_discount * 12)"
     # bit-identical z-normalized pattern constants for q_ts_pattern_topk
     # (same python arithmetic the Spark operator runs driver-side)
@@ -7170,6 +7192,71 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_hurst: the R/S ladder — m-cleared integer deviations, one
+        # sqrt seam per block, integer-space R/S means, log-log OLS
+        "q_hurst": f"""
+            WITH e AS (
+                SELECT user_id % 4 AS cell,
+                       row_number() OVER (PARTITION BY user_id % 4
+                                          ORDER BY ts, event_id) - 1
+                           AS t,
+                       CAST(sign(value) * floor(abs(value) * 1000000
+                                                + 0.5) AS HUGEINT)
+                           AS qx
+                FROM events),
+            w AS (SELECT cell, t, qx, mm.m, t // mm.m AS blk
+                  FROM e CROSS JOIN (VALUES (16), (64), (256)) mm(m)),
+            b AS (SELECT cell, m, blk,
+                         CAST(count(*) AS HUGEINT) AS cnt,
+                         sum(qx) AS s1, sum(qx * qx) AS s2
+                  FROM w GROUP BY cell, m, blk),
+            bf AS (SELECT cell, m, blk, s1,
+                          CAST(m AS HUGEINT) * s2 - s1 * s1 AS varn
+                   FROM b WHERE cnt = m),
+            p AS (SELECT w.cell, w.m, w.blk, bf.varn,
+                         sum(CAST(w.m AS HUGEINT) * w.qx - bf.s1)
+                             OVER (PARTITION BY w.cell, w.m, w.blk
+                                   ORDER BY w.t
+                                   ROWS UNBOUNDED PRECEDING) AS z
+                  FROM w JOIN bf ON w.cell = bf.cell AND w.m = bf.m
+                         AND w.blk = bf.blk),
+            r AS (SELECT cell, m, blk, max(z) - min(z) AS rm,
+                         max(varn) AS vn
+                  FROM p GROUP BY cell, m, blk),
+            r2 AS (SELECT cell, m, rm,
+                          CAST(floor(sqrt(CAST(vn AS DOUBLE)) + 0.5)
+                               AS HUGEINT) AS qs
+                   FROM r),
+            rs AS (SELECT cell, m,
+                          {idiv_int('rm * 1000000', 'qs')} AS rsv
+                   FROM r2 WHERE qs > 0),
+            pm AS (SELECT cell, m,
+                          {idiv_int('sum(rsv)', 'count(*)')} AS rsm
+                   FROM rs GROUP BY cell, m),
+            pt AS (SELECT cell,
+                          CAST(CASE m WHEN 16 THEN {_LNM[16]}
+                                      WHEN 64 THEN {_LNM[64]}
+                                      WHEN 256 THEN {_LNM[256]} END
+                               AS HUGEINT) AS lx,
+                          CAST(sign(ln(CAST(rsm AS DOUBLE)
+                                       / 1000000.0) * 1000000)
+                               * floor(abs(ln(CAST(rsm AS DOUBLE)
+                                              / 1000000.0) * 1000000)
+                                       + 0.5) AS HUGEINT) AS ly
+                   FROM pm WHERE rsm > 0),
+            f AS (SELECT cell, CAST(count(*) AS BIGINT) AS k_sizes,
+                         sum(lx) AS sx, sum(ly) AS sy,
+                         sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+                  FROM pt GROUP BY cell)
+            SELECT cell, k_sizes,
+                   CASE WHEN k_sizes >= 2
+                             AND k_sizes * sxx - sx * sx > 0 THEN
+                        {idiv_half_up(
+                            '(k_sizes * sxy - sx * sy) * 1000000',
+                            'k_sizes * sxx - sx * sx', 1000000)}
+                   END AS hurst
+            FROM f
         """,
         # q_baseflow: the clamped Lyne-Hollick recursion as a
         # recursive CTE (greatest() clamps), BFI in integer space

@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "q_muskingum",
     "q_drought_runs",
     "q_baseflow",
+    "q_hurst",
 ]
 
 _IVF_INDEX = {}

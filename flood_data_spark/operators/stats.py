@@ -735,3 +735,109 @@ def ks_two_sample(df: DataFrame, value_col: str, label_col: str,
                        .alias("crit_05"),
                        F.when(ok, dq > crit).alias("reject_05"))
             .orderBy(*keys))
+
+
+def hurst_rs(df: DataFrame, value_col: str, order_col: str,
+             group_keys, window_sizes=(16, 64, 256)) -> DataFrame:
+    """Hurst exponent per group by rescaled-range analysis — the
+    long-range-dependence statistic INVENTED on flood series (Hurst
+    1951, sizing the Aswan reservoir from Nile minima; H ≈ 0.5 ⇒
+    short memory, H > 0.5 ⇒ the persistent clustering of wet/dry
+    years that reservoir design must carry):
+
+        per block of m points:  R = max_j Z_j − min_j Z_j,
+                                Z_j = Σ_{i≤j}(x_i − x̄),
+                                S = population std
+        E[R/S] ∝ m^H  ⇒  H = slope of ln(R/S) on ln(m)
+
+    Determinism chain: values quantize ONCE to micros; deviations
+    clear the block mean by m (D_i = m·qx_i − Σqx — exact integers),
+    so prefix sums, R·m, and the n-cleared variance are all integer;
+    S·m takes ONE sqrt seam per block (floor(+0.5)); R/S closes in
+    `_idiv_half_up` integer space; per-size means are integer ratios;
+    ln(R/S) takes one seam per size while ln(m) is a driver-side
+    integer LITERAL; the final OLS slope is one exact integer ratio.
+    Plan: the size dimension is a literal explode (|sizes|-bounded),
+    the prefix window partitions by (keys, size, block) — block-
+    bounded buffers — and every aggregate is map-side combinable.
+    Incomplete tail blocks and zero-variance blocks drop (standard).
+    Returns (keys…, k_sizes, hurst); NULL when fewer than two sizes
+    survive.  `order_col` must be a 0-based contiguous integer index
+    per group (build it with row_number upstream)."""
+    import math as _math
+
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+    from pyspark.sql import Window
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("hurst_rs: need at least one group key")
+    sizes = [int(m) for m in window_sizes]
+    if len(sizes) < 2 or any(m < 2 for m in sizes):
+        raise ValueError("hurst_rs: need >= 2 window sizes, each >= 2")
+    dec = "decimal(38,0)"
+    mega = F.lit(1_000_000).cast(dec)
+    mega_f = F.lit(1e6)
+    c = F.col(value_col).cast("double")
+    qx = (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
+                                + F.lit(0.5))).cast("long")
+    base = df.select(*keys, F.col(order_col).cast("long").alias("_t"),
+                     qx.alias("_qx"))
+    wide = (base.select(*keys, "_t", "_qx",
+                        F.explode(F.array(*[F.lit(m) for m in sizes]))
+                        .alias("_m"))
+            .withColumn("_blk", F.expr("_t div _m")))
+    gcols = [*keys, "_m", "_blk"]
+    blk = (wide.groupBy(*gcols)
+           .agg(F.count(F.lit(1)).alias("_cnt"),
+                F.sum(F.col("_qx").cast(dec)).alias("_s1"),
+                F.sum(F.col("_qx").cast(dec) * F.col("_qx").cast(dec))
+                .alias("_s2"))
+           .filter(F.col("_cnt") == F.col("_m"))
+           .withColumn("_varn",
+                       F.col("_m").cast(dec) * F.col("_s2")
+                       - F.col("_s1") * F.col("_s1")))
+    j = wide.join(blk.select(*gcols, "_s1", "_varn"), gcols)
+    dmt = F.col("_m").cast(dec) * F.col("_qx").cast(dec) - F.col("_s1")
+    wp = (Window.partitionBy(*gcols).orderBy("_t")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    pre = j.withColumn("_z", F.sum(dmt).over(wp))
+    rs = (pre.groupBy(*gcols)
+          .agg((F.max("_z") - F.min("_z")).alias("_rm"),
+               F.max("_varn").alias("_vn"))
+          .withColumn("_qs",
+                      F.floor(F.sqrt(F.col("_vn").cast("double"))
+                              + F.lit(0.5)).cast(dec))
+          .filter(F.col("_qs") > 0)
+          .withColumn("_rs", _idiv_half_up(F.col("_rm") * mega,
+                                           F.col("_qs"))))
+    perm = (rs.groupBy(*keys, "_m")
+            .agg(F.count(F.lit(1)).alias("_kb"),
+                 _idiv_half_up(F.sum("_rs"),
+                               F.count(F.lit(1)).cast(dec))
+                 .alias("_rsm"))
+            .filter(F.col("_rsm") > 0))
+    lrs_raw = F.log(F.col("_rsm").cast("double") / mega_f) * mega_f
+    lrs = (F.signum(lrs_raw) * F.floor(F.abs(lrs_raw) + F.lit(0.5))) \
+        .cast(dec)
+    lm_expr = None
+    for m in sizes:
+        lit_lm = F.lit(int(_math.floor(_math.log(m) * 1e6 + 0.5))) \
+            .cast(dec)
+        lm_expr = F.when(F.col("_m") == m, lit_lm) if lm_expr is None \
+            else lm_expr.when(F.col("_m") == m, lit_lm)
+    pts = perm.select(*keys, lm_expr.alias("_lx"), lrs.alias("_ly"))
+    fin = (pts.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("k_sizes"),
+                F.sum("_lx").alias("_sx"), F.sum("_ly").alias("_sy"),
+                F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+                F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx")))
+    k_dec = F.col("k_sizes").cast(dec)
+    den = k_dec * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = k_dec * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    hurst = F.when((F.col("k_sizes") >= 2) & (den > 0),
+                   _idiv_half_up(num * mega, den).cast("double")
+                   / mega_f)
+    return (fin.select(*keys, F.col("k_sizes").cast("long")
+                       .alias("k_sizes"), hurst.alias("hurst"))
+            .orderBy(*keys))

@@ -267,3 +267,72 @@ def test_ks_identical_and_missing_sample(spark):
     assert out["only_a"].d is None and out["only_a"].reject_05 is None
     with pytest.raises(ValueError, match="group key"):
         ks_two_sample(df, "v", "lab", "a", "b", [])
+
+
+# --- Hurst rescaled-range ---------------------------------------------------
+
+
+def _py_hurst(x, sizes):
+    """Reference R/S Hurst replicating the operator's micro-integer
+    chain (exact, including the seams)."""
+    def idiv(num, den):
+        q = (2 * abs(num) + den) // (2 * den)
+        return -q if num < 0 else q
+
+    qx = [int(math.copysign(math.floor(abs(v) * 1e6 + 0.5), v))
+          for v in x]
+    pts = []
+    for m in sizes:
+        rss = []
+        for b in range(len(qx) // m):
+            blk = qx[b * m:(b + 1) * m]
+            s1, s2 = sum(blk), sum(v * v for v in blk)
+            varn = m * s2 - s1 * s1
+            qs = int(math.floor(math.sqrt(varn) + 0.5))
+            if qs == 0:
+                continue
+            z, prefix = 0, []
+            for v in blk:
+                z += m * v - s1
+                prefix.append(z)
+            rm = max(prefix) - min(prefix)
+            rss.append(idiv(rm * 10 ** 6, qs))
+        if not rss:
+            continue
+        rsm = idiv(sum(rss), len(rss))
+        if rsm <= 0:
+            continue
+        v = math.log(rsm / 1e6) * 1e6
+        ly = int(math.copysign(math.floor(abs(v) + 0.5), v))
+        lx = int(math.floor(math.log(m) * 1e6 + 0.5))
+        pts.append((lx, ly))
+    k = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    den = k * sxx - sx * sx
+    return idiv((k * sxy - sx * sy) * 10 ** 6, den) / 1e6
+
+
+def test_hurst_matches_python_replica_and_ranges(spark):
+    from flood_data_spark.operators.stats import hurst_rs
+
+    rng = np.random.default_rng(12)
+    n = 512
+    white = rng.normal(50, 5, n)                     # H ~ 0.5
+    walk = 50 + np.cumsum(rng.normal(0, 1, n))       # H ~ 1.0
+    rows = ([("white", t, float(v)) for t, v in enumerate(white)]
+            + [("walk", t, float(v)) for t, v in enumerate(walk)])
+    df = spark.createDataFrame(rows, "g string, t long, x double")
+    out = {r.g: r for r in
+           hurst_rs(df, "x", "t", ["g"], (8, 32, 128)).collect()}
+    assert out["white"].k_sizes == 3 and out["walk"].k_sizes == 3
+    assert out["white"].hurst == pytest.approx(
+        _py_hurst(list(white), [8, 32, 128]), abs=2e-6)
+    assert out["walk"].hurst == pytest.approx(
+        _py_hurst(list(walk), [8, 32, 128]), abs=2e-6)
+    # qualitative: the random walk is far more persistent
+    assert out["walk"].hurst > out["white"].hurst + 0.2
+    assert 0.2 < out["white"].hurst < 0.8
+    with pytest.raises(ValueError, match="window sizes"):
+        hurst_rs(df, "x", "t", ["g"], (8,))

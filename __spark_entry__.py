@@ -4941,6 +4941,37 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate (operators/experiment.srm_check):
+    one deliberately mis-allocated experiment (60/40 under a 50/50
+    design) among balanced ones — exact counts, one textual z seam,
+    the |z| ≥ 3 flag an integer compare.  Full value oracle."""
+    from flood_data_spark.operators.experiment import srm_check
+
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.when(F.col("o_custkey") % 10
+               < F.when(F.col("o_orderpriority") == "1-URGENT",
+                        F.lit(6)).otherwise(F.lit(5)),
+               F.lit("A")).otherwise(F.lit("B")).alias("variant"))
+    return srm_check(src, "variant", ["priority"])
+
+
+def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag
+    (operators/experiment.winsorized_mean): exact percentile caps
+    (percentile == quantile_cont bit-for-bit), engine-identical
+    clamps, the mean an exact integer-micro ratio.  Full value
+    oracle."""
+    from flood_data_spark.operators.experiment import winsorized_mean
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"))
+    return winsorized_mean(li, "v", ["flag"], lower=0.05, upper=0.95)
+
+
 def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst exponent by rescaled-range analysis
     (operators/stats.hurst_rs): each cell's event-value series indexed
@@ -5111,6 +5142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_drought_runs": q_drought_runs,
         "q_baseflow": q_baseflow,
         "q_hurst": q_hurst,
+        "q_srm": q_srm,
+        "q_winsorized": q_winsorized,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -7192,6 +7225,65 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_srm: exact counts, one textual z seam, integer |z| gate
+        "q_srm": """
+            WITH src AS (
+                SELECT o_orderpriority AS priority,
+                       CASE WHEN o_custkey % 10 <
+                                 (CASE WHEN o_orderpriority =
+                                       '1-URGENT' THEN 6 ELSE 5 END)
+                            THEN 'A' ELSE 'B' END AS variant
+                FROM orders),
+            g AS (SELECT priority,
+                         CAST(sum(CASE WHEN variant = 'A' THEN 1
+                                       ELSE 0 END) AS BIGINT) AS n_a,
+                         CAST(sum(CASE WHEN variant = 'B' THEN 1
+                                       ELSE 0 END) AS BIGINT) AS n_b
+                  FROM src GROUP BY priority),
+            z AS (SELECT priority, n_a, n_b,
+                         CASE WHEN n_a + n_b > 0 THEN
+                              CAST(sign((n_a - (n_a + n_b)
+                                         * CAST(0.5 AS DOUBLE))
+                                   / sqrt((n_a + n_b)
+                                          * CAST(0.25 AS DOUBLE)))
+                                   * floor(abs((n_a - (n_a + n_b)
+                                           * CAST(0.5 AS DOUBLE))
+                                      / sqrt((n_a + n_b)
+                                             * CAST(0.25 AS DOUBLE)))
+                                           * 1000000e0 + 5e-1)
+                                   AS BIGINT) END AS zq
+                  FROM g)
+            SELECT priority, n_a, n_b,
+                   CAST(zq AS DOUBLE) / 1000000.0 AS z,
+                   CASE WHEN zq IS NOT NULL
+                        THEN abs(zq) >= 3000000 END AS srm
+            FROM z
+        """,
+        # q_winsorized: exact percentile caps, engine-identical
+        # clamps, integer-micro mean
+        "q_winsorized": f"""
+            WITH caps AS (
+                SELECT l_returnflag AS flag,
+                       quantile_cont(l_extendedprice, 0.05) AS lo_cap,
+                       quantile_cont(l_extendedprice, 0.95) AS hi_cap
+                FROM lineitem GROUP BY 1),
+            j AS (SELECT l.l_returnflag AS flag,
+                         least(greatest(l.l_extendedprice, c.lo_cap),
+                               c.hi_cap) AS v,
+                         c.lo_cap, c.hi_cap
+                  FROM lineitem l JOIN caps c
+                       ON l.l_returnflag = c.flag),
+            q AS (SELECT flag, lo_cap, hi_cap,
+                         CAST(sign(v) * floor(abs(v) * 1000000 + 0.5)
+                              AS HUGEINT) AS qv
+                  FROM j)
+            SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                   max(lo_cap) AS lo_cap, max(hi_cap) AS hi_cap,
+                   {idiv_half_up('sum(qv)',
+                                 'CAST(count(*) AS HUGEINT)',
+                                 1000000)} AS wmean
+            FROM q GROUP BY flag
         """,
         # q_hurst: the R/S ladder — m-cleared integer deviations, one
         # sqrt seam per block, integer-space R/S means, log-log OLS

@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "q_drought_runs",
     "q_baseflow",
     "q_hurst",
+    "q_srm",
+    "q_winsorized",
 ]
 
 _IVF_INDEX = {}

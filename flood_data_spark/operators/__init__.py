@@ -48,7 +48,9 @@ from flood_data_spark.operators.experiment import (
     km_survival,
     msprt_readout,
     ratio_metric_ci,
+    srm_check,
     wilson_interval,
+    winsorized_mean,
     two_proportion_ztest,
 )
 from flood_data_spark.operators.extremes import (
@@ -106,6 +108,7 @@ __all__ = [
     "psi_from_counts", "trend_stats", "with_holt", "with_rolling_median",
     "with_robust_outliers",
     "cuped_adjust", "msprt_readout", "ratio_metric_ci", "wilson_interval",
+    "srm_check", "winsorized_mean",
     "crps_ensemble", "rank_histogram", "brier_decomposition",
     "spread_skill", "reliability_diagram", "crps_hersbach",
     "crps_member_cells", "crps_from_member_cells", "ece_from_cells",

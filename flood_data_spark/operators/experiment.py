@@ -607,3 +607,109 @@ def wilson_interval(df: DataFrame, success_col: str = "success",
                        (F.col("_lo").cast("double") / mega_f).alias("lo"),
                        (F.col("_hi").cast("double") / mega_f).alias("hi"))
             .orderBy(*keys))
+
+
+def srm_check(df: DataFrame, variant_col: str = "variant",
+              group_cols=(), variant_a: str = "A",
+              variant_b: str = "B", expected_a: float = 0.5,
+              z_crit: float = 3.0) -> DataFrame:
+    """Sample-ratio-mismatch check per experiment — the first gate
+    every A/B readout must pass (a broken randomizer invalidates
+    [two_proportion_ztest]/[msprt_readout] before any metric is read):
+
+        z = (n_a − N·ρ) / sqrt(N·ρ(1−ρ)),   N = n_a + n_b
+
+    against the EXPECTED allocation ρ.  Counts are exact integers; z
+    is ONE fixed-operand-order double seam over (n_a, N) and the ρ
+    literals (repr'd verbatim into the oracle), quantized once to
+    micro.  The flag trips at |z| ≥ `z_crit` (3.0 — SRM practice
+    alerts at p ≈ 0.003, not 0.05: a mismatched ratio is a bug, not a
+    hypothesis).  One group-keyed exchange.  Returns (keys…, n_a,
+    n_b, z, srm), sorted; empty experiments report NULL z."""
+    keys = list(group_cols)
+    rho = float(expected_a)
+    if not (0.0 < rho < 1.0):
+        raise ValueError(f"srm_check: expected_a must be in (0, 1), "
+                         f"got {rho}")
+    g = (df.filter(F.col(variant_col).isin(variant_a, variant_b))
+         .groupBy(*keys)
+         .agg(F.sum(F.when(F.col(variant_col) == variant_a, 1)
+                    .otherwise(0)).cast("long").alias("n_a"),
+              F.sum(F.when(F.col(variant_col) == variant_b, 1)
+                    .otherwise(0)).cast("long").alias("n_b")))
+    rho_r = repr(rho)
+    rhoq_r = repr(rho * (1.0 - rho))
+    seam = (
+        "CASE WHEN n_a + n_b > 0 THEN "
+        "cast(sign((n_a - (n_a + n_b) * CAST({rho} AS DOUBLE)) "
+        "/ sqrt((n_a + n_b) * CAST({rhoq} AS DOUBLE))) "
+        "* floor(abs((n_a - (n_a + n_b) * CAST({rho} AS DOUBLE)) "
+        "/ sqrt((n_a + n_b) * CAST({rhoq} AS DOUBLE))) "
+        "* 1000000e0 + 5e-1) as long) END"
+    ).format(rho=rho_r, rhoq=rhoq_r)
+    zq = F.expr(seam)
+    crit = int(round(float(z_crit) * 1_000_000))
+    out = g.withColumn("_zq", zq)
+    return (out.select(*keys, "n_a", "n_b",
+                       (F.col("_zq").cast("double") / F.lit(1e6))
+                       .alias("z"),
+                       F.when(F.col("_zq").isNotNull(),
+                              F.abs(F.col("_zq")) >= F.lit(crit))
+                       .alias("srm"))
+            .orderBy(*keys) if keys else
+            out.select("n_a", "n_b",
+                       (F.col("_zq").cast("double") / F.lit(1e6))
+                       .alias("z"),
+                       F.when(F.col("_zq").isNotNull(),
+                              F.abs(F.col("_zq")) >= F.lit(crit))
+                       .alias("srm")))
+
+
+def winsorized_mean(df: DataFrame, value_col: str, group_cols=(),
+                    lower: float = 0.0,
+                    upper: float = 0.99) -> DataFrame:
+    """Winsorized mean per group — the heavy-tail-robust metric
+    readout online experimentation standardizes on for revenue-like
+    values (cap, don't drop: trimming discards signal, capping bounds
+    variance):
+
+        v' = clamp(v, P_lower, P_upper),   wmean = Σv'/n
+
+    Caps are EXACT interpolated percentiles (Spark `percentile` ==
+    quantile_cont bit-for-bit — the equidepth precedent), the clamp is
+    a pure comparison on engine-identical doubles, and the mean
+    quantizes each clamped value ONCE to integer micros before an
+    exact integer ratio.  Two group-keyed passes (cap aggregate +
+    co-partitioned join back), the [with_robust_outliers] plan shape.
+    Returns (keys…, n, lo_cap, hi_cap, wmean), sorted."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    keys = list(group_cols)
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError("winsorized_mean: need 0 <= lower < upper "
+                         f"<= 1, got ({lower}, {upper})")
+    dec = "decimal(38,0)"
+    caps = (df.groupBy(*keys)
+            .agg(F.percentile(F.col(value_col), F.lit(float(lower)))
+                 .alias("lo_cap"),
+                 F.percentile(F.col(value_col), F.lit(float(upper)))
+                 .alias("hi_cap")))
+    j = df.join(caps, keys) if keys else df.crossJoin(caps)
+    v = F.least(F.greatest(F.col(value_col).cast("double"),
+                           F.col("lo_cap")), F.col("hi_cap"))
+    qv = (F.signum(v) * F.floor(F.abs(v) * F.lit(1_000_000)
+                                + F.lit(0.5))).cast(dec)
+    agg = (j.groupBy(*keys)
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(qv).alias("_s"),
+                F.max("lo_cap").alias("lo_cap"),
+                F.max("hi_cap").alias("hi_cap")))
+    wmean = F.when(
+        F.col("n") > 0,
+        _idiv_half_up(F.col("_s"),
+                      F.greatest(F.col("n").cast(dec),
+                                 F.lit(1).cast(dec)))
+        .cast("double") / F.lit(1e6))
+    sel = agg.select(*keys, "n", "lo_cap", "hi_cap",
+                     wmean.alias("wmean"))
+    return sel.orderBy(*keys) if keys else sel

@@ -2,6 +2,7 @@
 
 import math
 
+import numpy as np
 import pytest
 
 from flood_data_spark.operators.experiment import (
@@ -360,3 +361,63 @@ def test_neyman_allocation_hand_case(spark):
         neyman_allocation(df, "v", (), 10)
     with pytest.raises(ValueError, match="total_n"):
         neyman_allocation(df, "v", ("s",), -1)
+
+
+# --- SRM check --------------------------------------------------------------
+
+
+def test_srm_detects_mismatch_and_passes_balance(spark):
+    import math
+
+    from flood_data_spark.operators.experiment import srm_check
+
+    rows = ([("ok", "A")] * 5000 + [("ok", "B")] * 5050
+            + [("bad", "A")] * 5000 + [("bad", "B")] * 5800
+            + [("bad", "C")] * 7)     # foreign variant ignored
+    df = spark.createDataFrame(rows, "exp string, variant string")
+    out = {r.exp: r for r in srm_check(df, group_cols=["exp"]).collect()}
+    ok, bad = out["ok"], out["bad"]
+    assert (ok.n_a, ok.n_b) == (5000, 5050)
+    z_ok = (5000 - 10050 * 0.5) / math.sqrt(10050 * 0.25)
+    assert ok.z == pytest.approx(z_ok, abs=2e-6)
+    assert ok.srm is False
+    z_bad = (5000 - 10800 * 0.5) / math.sqrt(10800 * 0.25)
+    assert bad.z == pytest.approx(z_bad, abs=2e-6)
+    assert bad.srm is True
+    with pytest.raises(ValueError, match="expected_a"):
+        srm_check(df, group_cols=["exp"], expected_a=1.5)
+
+
+def test_srm_unbalanced_design(spark):
+    """A 90/10 design with counts near 90/10 passes."""
+    from flood_data_spark.operators.experiment import srm_check
+
+    rows = [("e", "A")] * 9000 + [("e", "B")] * 1020
+    df = spark.createDataFrame(rows, "exp string, variant string")
+    r = srm_check(df, group_cols=["exp"], expected_a=0.9).collect()[0]
+    assert r.srm is False and abs(r.z) < 3
+
+
+# --- Winsorized mean --------------------------------------------------------
+
+
+def test_winsorized_mean_matches_numpy(spark):
+    from flood_data_spark.operators.experiment import winsorized_mean
+
+    rng = np.random.default_rng(21)
+    vals = np.concatenate([rng.exponential(10, 500), [5000.0, 9000.0]])
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "grp string, v double")
+    r = winsorized_mean(df, "v", ["grp"], lower=0.01,
+                        upper=0.95).collect()[0]
+    lo = np.percentile(vals, 1)
+    hi = np.percentile(vals, 95)
+    want = np.clip(vals, lo, hi).mean()
+    assert r.n == 502
+    assert r.lo_cap == pytest.approx(lo, abs=1e-9)
+    assert r.hi_cap == pytest.approx(hi, abs=1e-9)
+    assert r.wmean == pytest.approx(want, abs=2e-6)
+    # capping tames the outliers: far below the raw mean's pull
+    assert r.wmean < vals.mean()
+    with pytest.raises(ValueError, match="lower"):
+        winsorized_mean(df, "v", ["grp"], lower=0.9, upper=0.5)

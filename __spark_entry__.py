@@ -5092,6 +5092,34 @@ def q_nse_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nse_from_sums(cells)
 
 
+def q_kge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED KGE monitor (streaming/file_stream.kge_sum_stream +
+    the SAME verification.kge_from_sums finisher as batch q_kge):
+    complete-mode six-sum state per lead, finisher on the
+    materialized cells.  The oracle IS the batch SQL: stream/batch
+    parity of the whole (r, alpha, beta, KGE) decomposition."""
+    from flood_data_spark.operators.verification import kge_from_sums
+    from flood_data_spark.streaming.file_stream import kge_sum_stream
+
+    orders = _t(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+
+    def build(stream):
+        src = (stream.join(F.broadcast(orders),
+                           stream["l_orderkey"] == orders["o_orderkey"])
+               .select(F.col("o_orderpriority").alias("lead"),
+                       F.col("l_quantity").alias("sim"),
+                       ((F.col("l_partkey") % 47)
+                        + F.col("l_quantity") * F.lit(0.5)
+                        + F.lit(1.0)).alias("obs")))
+        return kge_sum_stream(src, "sim", "obs", ["lead"])
+
+    cells = _run_file_stream(spark, f"{sf_dir}/lineitem.parquet",
+                             build, "stream_kge_",
+                             output_mode="complete")
+    return kge_from_sums(cells)
+
+
 def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse-distance-weighted interpolation
     (operators/serving.idw_interpolate): the q_radius_join geometry
@@ -5144,6 +5172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hurst": q_hurst,
         "q_srm": q_srm,
         "q_winsorized": q_winsorized,
+        "q_kge_stream": q_kge_stream,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -13168,4 +13197,5 @@ def oracle_sql() -> dict[str, str]:
     d["q_msprt_stream"] = d["q_msprt"]
     # streamed NSE: the whole efficiency score, stream/batch parity
     d["q_nse_stream"] = d["q_nse"]
+    d["q_kge_stream"] = d["q_kge"]
     return d

@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "q_hurst",
     "q_srm",
     "q_winsorized",
+    "q_kge_stream",
 ]
 
 _IVF_INDEX = {}

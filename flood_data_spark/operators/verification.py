@@ -1217,20 +1217,37 @@ def kge_score(df: DataFrame, sim_col: str, obs_col: str,
     mirrored verbatim in the oracle.  Requires Σqo > 0 and positive
     variances (NULL otherwise — degenerate groups have no defined
     KGE).  Returns (keys…, n, r, alpha, beta, kge) sorted by keys."""
+    return kge_from_sums(kge_sums(df, sim_col, obs_col, group_keys))
+
+
+def kge_sums(df: DataFrame, sim_col: str, obs_col: str,
+             group_keys) -> DataFrame:
+    """State half of [kge_score]: the six order-free integer sums per
+    group — the mergeable complete-mode stream state (one DECIMAL cell
+    per group), the [nse_sums] recipe widened."""
     keys = list(group_keys)
     if not keys:
         raise ValueError("kge_score: need at least one group key")
     dec = "decimal(38,0)"
     qs = _micro(F.col(sim_col)).cast(dec)
     qo = _micro(F.col(obs_col)).cast(dec)
-    agg = (df.select(*keys, qs.alias("_qs"), qo.alias("_qo"))
-           .groupBy(*keys)
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum("_qs").alias("_ss"),
-                F.sum("_qo").alias("_so"),
-                F.sum(F.col("_qs") * F.col("_qs")).alias("_sss"),
-                F.sum(F.col("_qo") * F.col("_qo")).alias("_soo"),
-                F.sum(F.col("_qs") * F.col("_qo")).alias("_sso")))
+    return (df.select(*keys, qs.alias("_qs"), qo.alias("_qo"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_qs").alias("_ss"),
+                 F.sum("_qo").alias("_so"),
+                 F.sum(F.col("_qs") * F.col("_qs")).alias("_sss"),
+                 F.sum(F.col("_qo") * F.col("_qo")).alias("_soo"),
+                 F.sum(F.col("_qs") * F.col("_qo")).alias("_sso")))
+
+
+def kge_from_sums(agg: DataFrame) -> DataFrame:
+    """Finisher half of [kge_score], shared VERBATIM by the batch
+    operator and the streaming twin: the five quantization seams over
+    the materialized integer sums."""
+    dec = "decimal(38,0)"
+    keys = [c for c in agg.columns
+            if c not in ("n", "_ss", "_so", "_sss", "_soo", "_sso")]
     n_dec = F.col("n").cast(dec)
     cov_n = n_dec * F.col("_sso") - F.col("_ss") * F.col("_so")
     var_s = n_dec * F.col("_sss") - F.col("_ss") * F.col("_ss")

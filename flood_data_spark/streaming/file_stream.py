@@ -430,3 +430,17 @@ def nse_sum_stream(stream_df: DataFrame, sim_col: str, obs_col: str,
     from flood_data_spark.operators.verification import nse_sums
 
     return nse_sums(stream_df, sim_col, obs_col, group_keys)
+
+
+def kge_sum_stream(stream_df: DataFrame, sim_col: str, obs_col: str,
+                   group_keys) -> DataFrame:
+    """Streaming half of the KGE monitor: `verification.kge_sums`' six
+    order-free integer sums as a complete-mode stream (state = one
+    DECIMAL cell per group, mergeable because integer sums are); the
+    five-seam finisher (`verification.kge_from_sums`) runs on the
+    materialized cells — shared verbatim with batch `kge_score`, so
+    the gate checks stream/batch parity of the WHOLE decomposition
+    (r, alpha, beta, KGE)."""
+    from flood_data_spark.operators.verification import kge_sums
+
+    return kge_sums(stream_df, sim_col, obs_col, group_keys)

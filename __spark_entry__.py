@@ -4941,6 +4941,30 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (datapipe/text.chrf) over the BLEU pairing (truncated
+    candidate + planted token vs full reference): per-order F_β
+    collapses to the single exact ratio (1+β²)c/(β²b+a), so the whole
+    score is integer arithmetic — ZERO seams.  Full value oracle."""
+    from flood_data_spark.datapipe.text import chrf
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 400)
+                    & (F.length(F.trim("text")) > 0)))
+    w = F.split(F.lower(F.regexp_replace(
+        F.trim(F.col("text")), r"\s+", " ")), " ")
+    t1 = (docs.select("doc_id", w.alias("w"))
+          .withColumn("k", F.greatest(
+              F.floor(F.size("w") * F.lit(0.8)), F.lit(1))
+              .cast("int")))
+    cand = t1.select(
+        "doc_id",
+        F.concat(F.concat_ws(" ", F.expr("slice(w, 1, k)")),
+                 F.lit(" zqx")).alias("text"))
+    ref = docs.select("doc_id", "text")
+    return chrf(cand, ref)
+
+
 def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch gate (operators/experiment.srm_check):
     one deliberately mis-allocated experiment (60/40 under a 50/50
@@ -5173,6 +5197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_srm": q_srm,
         "q_winsorized": q_winsorized,
         "q_kge_stream": q_kge_stream,
+        "q_chrf": q_chrf,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -7254,6 +7279,76 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_chrf: char-gram chrF — the per-order F_beta collapsed to
+        # (1+b2)c/(b2*b + a), all-integer, zero seams
+        "q_chrf": f"""
+            WITH b0 AS (
+                SELECT doc_id AS id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ',
+                                            'g')) AS norm
+                FROM documents
+                WHERE doc_id < 400 AND length(trim(text)) > 0),
+            pr AS (
+                SELECT id, replace(norm, ' ', '') AS rs,
+                       replace(array_to_string(
+                           string_split(norm, ' ')[1:CAST(greatest(
+                               floor(len(string_split(norm, ' '))
+                                     * 0.8), 1) AS BIGINT)], ' ')
+                           || ' zqx', ' ', '') AS cs
+                FROM b0),
+            cg AS (SELECT id, nn.n, substring(cs, u.pos, nn.n) AS g,
+                          CAST(count(*) AS HUGEINT) AS c
+                   FROM pr
+                   CROSS JOIN (VALUES (2), (3), (4)) nn(n)
+                   CROSS JOIN UNNEST(generate_series(
+                        1, length(cs) - nn.n + 1)) AS u(pos)
+                   GROUP BY id, nn.n, g),
+            rg AS (SELECT id, nn.n, substring(rs, u.pos, nn.n) AS g,
+                          CAST(count(*) AS HUGEINT) AS cr
+                   FROM pr
+                   CROSS JOIN (VALUES (2), (3), (4)) nn(n)
+                   CROSS JOIN UNNEST(generate_series(
+                        1, length(rs) - nn.n + 1)) AS u(pos)
+                   GROUP BY id, nn.n, g),
+            clip AS (SELECT id, n, sum(least(c, cr)) AS cl
+                     FROM cg JOIN rg USING (id, n, g)
+                     GROUP BY id, n),
+            tc AS (SELECT id, n, sum(c) AS a FROM cg GROUP BY id, n),
+            tr AS (SELECT id, n, sum(cr) AS b FROM rg GROUP BY id, n),
+            pern AS (
+                SELECT coalesce(tc.id, tr.id) AS id,
+                       coalesce(tc.n, tr.n) AS n,
+                       coalesce(a, 0) AS a, coalesce(b, 0) AS b,
+                       coalesce(cl, 0) AS cl
+                FROM tc FULL JOIN tr
+                     ON tc.id = tr.id AND tc.n = tr.n
+                LEFT JOIN clip
+                     ON coalesce(tc.id, tr.id) = clip.id
+                        AND coalesce(tc.n, tr.n) = clip.n),
+            fq AS (SELECT id, n,
+                          CASE WHEN 4 * b + a > 0 THEN
+                               {idiv_int('5 * cl * 1000000',
+                                         '4 * b + a')}
+                               ELSE 0 END AS f
+                   FROM pern),
+            wide AS (
+                SELECT b0.id,
+                       coalesce(max(CASE WHEN n = 2 THEN f END), 0)
+                           AS f2,
+                       coalesce(max(CASE WHEN n = 3 THEN f END), 0)
+                           AS f3,
+                       coalesce(max(CASE WHEN n = 4 THEN f END), 0)
+                           AS f4
+                FROM b0 LEFT JOIN fq ON b0.id = fq.id
+                GROUP BY b0.id)
+            SELECT id AS doc_id,
+                   CAST({idiv_int('f2 + f3 + f4', '3')}
+                        AS DOUBLE) / 1000000.0 AS chrf,
+                   CAST(f2 AS DOUBLE) / 1000000.0 AS f2,
+                   CAST(f3 AS DOUBLE) / 1000000.0 AS f3,
+                   CAST(f4 AS DOUBLE) / 1000000.0 AS f4
+            FROM wide
         """,
         # q_srm: exact counts, one textual z seam, integer |z| gate
         "q_srm": """

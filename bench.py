@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "q_srm",
     "q_winsorized",
     "q_kge_stream",
+    "q_chrf",
 ]
 
 _IVF_INDEX = {}

@@ -118,6 +118,7 @@ from flood_data_spark.datapipe.market import (
 )
 from flood_data_spark.datapipe.text import (  # noqa: F401
     html_to_text,
+    chrf,
     rouge_n,
     with_html_text,
 )
@@ -176,6 +177,6 @@ __all__ = [
     "platt_calibrate", "evaluate_binary", "evaluate_binary_by",
     "roc_points",
     "bradley_terry", "pairwise_counts", "kneser_ney_scores",
-    "group_advantages", "best_of_n", "dpo_pairs", "rouge_n",
+    "group_advantages", "best_of_n", "dpo_pairs", "rouge_n", "chrf",
     "html_to_text", "with_html_text",
 ]

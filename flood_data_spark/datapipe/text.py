@@ -1559,3 +1559,98 @@ def bleu_corpus(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
                .alias("bp"))
     sel.append(bleu.alias("bleu"))
     return out.select(*sel).orderBy(*keys)
+
+
+def chrf(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
+         text_col: str = "text", orders=(2, 3, 4),
+         beta: int = 2) -> DataFrame:
+    """chrF between aligned candidate/reference pairs (Popović 2015) —
+    the character-level third of the MT-metric trio ([bleu_corpus],
+    [rouge_n]): tokenization-free, so it survives morphology and
+    segmentation differences word metrics trip on.  Per pair:
+
+        chrF_β = (1/N) Σ_n F_β(P_n, R_n),
+        P_n = clip_n / cand_n,  R_n = clip_n / ref_n
+
+    over character n-grams of the whitespace-stripped lowercased text.
+    ENTIRELY integer: with clip c, cand total a, ref total b the
+    per-order F_β collapses algebraically to the single exact ratio
+
+        F_β = (1+β²)·c / (β²·b + a)
+
+    so the whole score is a sum of `_idiv_half_up` integer ratios over
+    N — ZERO IEEE seams, the strongest determinism class (vs BLEU's
+    five).  Gram relations collapse per (id, n, gram) before ONE inner
+    join (the [rouge_n] fan-out rule).  Orders where a pair has no
+    grams on either side contribute F = 0 with the pair still emitted
+    (chrF's convention: short texts score what they earn).  Returns
+    (id, chrf) plus per-order f<n> columns, sorted by id."""
+    if not orders or any(n < 1 for n in orders):
+        raise ValueError("chrf: orders must be non-empty, each >= 1")
+    if beta < 1:
+        raise ValueError("chrf: beta must be >= 1")
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+    MICRO = 1_000_000
+    dec = "decimal(38,0)"
+    orders = [int(n) for n in orders]
+    b2 = int(beta) * int(beta)
+
+    def grams(df):
+        s = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                             r"\s+", "")
+        base = df.select(F.col(id_col).alias("id"), s.alias("_s"),
+                         F.length(s).alias("_len"))
+        out = None
+        for n in orders:
+            g = (base.filter(F.col("_len") >= n)
+                 .select("id", F.lit(n).alias("n"),
+                         F.explode(F.sequence(
+                             F.lit(1), F.col("_len") - F.lit(n - 1)))
+                         .alias("pos"), "_s")
+                 .select("id", "n",
+                         F.substring(F.col("_s"), F.col("pos")
+                                     .cast("int"), n).alias("g")))
+            # substring with a column start needs expr form
+            out = g if out is None else out.unionByName(g)
+        return out.groupBy("id", "n", "g") \
+            .agg(F.count(F.lit(1)).alias("c"))
+
+    cg = grams(cand)
+    rg = grams(ref).withColumnRenamed("c", "cr")
+    clip = (cg.join(rg, ["id", "n", "g"])
+            .groupBy("id", "n")
+            .agg(F.sum(F.least(F.col("c"), F.col("cr")))
+                 .alias("_clip")))
+    tot_c = cg.groupBy("id", "n").agg(F.sum("c").alias("_a"))
+    tot_r = rg.groupBy("id", "n").agg(F.sum("cr").alias("_b"))
+    ids = (cand.select(F.col(id_col).alias("id"))
+           .union(ref.select(F.col(id_col).alias("id"))).distinct())
+    pern = (tot_c.join(tot_r, ["id", "n"], "full")
+            .join(clip, ["id", "n"], "left")
+            .na.fill({"_a": 0, "_b": 0, "_clip": 0}))
+    mega = F.lit(MICRO).cast(dec)
+    den = (F.lit(b2).cast(dec) * F.col("_b").cast(dec)
+           + F.col("_a").cast(dec))
+    fq = F.when(den > 0, _idiv_half_up(
+        F.lit(1 + b2).cast(dec) * F.col("_clip").cast(dec) * mega,
+        F.greatest(den, F.lit(1).cast(dec)))) \
+        .otherwise(F.lit(0).cast(dec))
+    scored = pern.select("id", "n", fq.alias("_f"))
+    wide = (ids.join(scored, ["id"], "left")
+            .groupBy("id")
+            .agg(*[F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("_f"))),
+                F.lit(0).cast(dec)).alias(f"_f{n}")
+                for n in orders]))
+    mega_f = F.lit(float(MICRO))
+    total = None
+    for n in orders:
+        col = F.col(f"_f{n}")
+        total = col if total is None else total + col
+    chrf_q = _idiv_half_up(total, F.lit(len(orders)).cast(dec))
+    sel = [F.col("id").alias(id_col),
+           (chrf_q.cast("double") / mega_f).alias("chrf")]
+    for n in orders:
+        sel.append((F.col(f"_f{n}").cast("double") / mega_f)
+                   .alias(f"f{n}"))
+    return wide.select(*sel).orderBy(id_col)

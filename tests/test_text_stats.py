@@ -379,3 +379,55 @@ def test_bleu_perfect_zero_and_degenerate(spark):
     assert out["short"].bleu is None      # no 4-grams exist: undefined
     with pytest.raises(ValueError, match="group key"):
         bleu_corpus(cand, ref, group_keys=[])
+
+
+# --- chrF -------------------------------------------------------------------
+
+
+def _py_chrf(c_text, r_text, orders=(2, 3, 4), beta=2):
+    from collections import Counter
+
+    def idiv(num, den):
+        q = (2 * abs(num) + den) // (2 * den)
+        return -q if num < 0 else q
+
+    def gr(t, n):
+        s = "".join(t.strip().lower().split())
+        return Counter(s[i:i + n] for i in range(len(s) - n + 1))
+
+    b2 = beta * beta
+    fs = []
+    for n in orders:
+        cg, rg = gr(c_text, n), gr(r_text, n)
+        a, b = sum(cg.values()), sum(rg.values())
+        c = sum(min(v, rg[g]) for g, v in cg.items())
+        den = b2 * b + a
+        fs.append(idiv((1 + b2) * c * 10 ** 6, den) if den > 0 else 0)
+    return idiv(sum(fs), len(orders)) / 1e6
+
+
+def test_chrf_matches_reference_impl(spark):
+    from flood_data_spark.datapipe.text import chrf
+
+    pairs = [
+        (0, "the cat sat on the mat", "the cat sat on a mat"),
+        (1, "kitten", "sitting"),
+        (2, "abc", "abc"),
+        (3, "xy", "completely different words here"),
+    ]
+    cand = spark.createDataFrame([(i, c) for i, c, _ in pairs],
+                                 "doc_id long, text string")
+    ref = spark.createDataFrame([(i, r) for i, _, r in pairs],
+                                "doc_id long, text string")
+    out = {r.doc_id: r for r in chrf(cand, ref).collect()}
+    for i, c, rtext in pairs:
+        assert out[i].chrf == pytest.approx(_py_chrf(c, rtext),
+                                            abs=1e-9), i
+    # identical strings: f2 = f3 = 1, but 'abc' has no 4-grams -> 2/3
+    assert out[2].f2 == 1.0 and out[2].f3 == 1.0
+    assert out[2].chrf == pytest.approx(2 / 3, abs=2e-6)
+    assert out[0].chrf > out[1].chrf > 0.0
+    # 'xy' has zero 3/4-grams -> those orders contribute 0, row kept
+    assert out[3].f4 == 0.0
+    with pytest.raises(ValueError, match="beta"):
+        chrf(cand, ref, beta=0)

@@ -4941,6 +4941,17 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic error battery per lead
+    (operators/verification.error_summary) on the shared hydro
+    relation: ME/MAE/PBIAS exact integer ratios, RMSE's mean-square
+    integer-closed with one sqrt seam.  Full value oracle."""
+    from flood_data_spark.operators.verification import error_summary
+
+    return error_summary(_hydro_src(spark, sf_dir), "sim", "obs",
+                         ["lead"])
+
+
 def q_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """chrF (datapipe/text.chrf) over the BLEU pairing (truncated
     candidate + planted token vs full reference): per-order F_β
@@ -5198,6 +5209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorized": q_winsorized,
         "q_kge_stream": q_kge_stream,
         "q_chrf": q_chrf,
+        "q_error_summary": q_error_summary,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -7279,6 +7291,45 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_error_summary: ME/MAE/PBIAS exact integer ratios, RMSE
+        # integer mean-square + one sqrt seam
+        "q_error_summary": f"""
+            WITH src AS (
+                SELECT o.o_orderpriority AS lead,
+                       l.l_quantity AS sim,
+                       (l.l_partkey % 47) + l.l_quantity * 0.5 + 1.0
+                           AS obs
+                FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey),
+            q AS (SELECT lead,
+                         CAST(sign(sim) * floor(abs(sim) * 1000000
+                                                + 0.5) AS HUGEINT)
+                             AS qs,
+                         CAST(sign(obs) * floor(abs(obs) * 1000000
+                                                + 0.5) AS HUGEINT)
+                             AS qo
+                  FROM src),
+            g AS (SELECT lead, CAST(count(*) AS BIGINT) AS n,
+                         sum(qs - qo) AS sd,
+                         sum(abs(qs - qo)) AS sa,
+                         sum((qs - qo) * (qs - qo)) AS sq,
+                         sum(qo) AS so
+                  FROM q GROUP BY lead)
+            SELECT lead, n,
+                   {idiv_half_up('sd', 'CAST(n AS HUGEINT)', 1000000)}
+                       AS me,
+                   {idiv_half_up('sa', 'CAST(n AS HUGEINT)', 1000000)}
+                       AS mae,
+                   CAST(floor(sqrt(CAST(
+                        {idiv_int('sq', 'CAST(n AS HUGEINT)')}
+                        AS DOUBLE)) + 0.5) AS DOUBLE) / 1000000.0
+                       AS rmse,
+                   CASE WHEN so > 0 THEN
+                        {idiv_half_up('100 * sd * 1000000', 'so',
+                                      1000000)}
+                   END AS pbias
+            FROM g
         """,
         # q_chrf: char-gram chrF — the per-order F_beta collapsed to
         # (1+b2)c/(b2*b + a), all-integer, zero seams

@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "q_winsorized",
     "q_kge_stream",
     "q_chrf",
+    "q_error_summary",
 ]
 
 _IVF_INDEX = {}

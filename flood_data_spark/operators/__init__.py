@@ -80,9 +80,14 @@ from flood_data_spark.operators.verification import (
     dm_test,
     ece_from_cells,
     energy_score,
+    error_summary,
     isotonic_calibration,
+    kge_from_sums,
     kge_score,
+    kge_sums,
+    nse_from_sums,
     nse_score,
+    nse_sums,
     quantile_score,
     quantile_score_from_member_cells,
     rank_histogram,
@@ -116,7 +121,8 @@ __all__ = [
     "energy_score", "anomaly_correlation", "cost_loss_value", "spiegelhalter_z", "seeps_score",
     "contingency_counts", "contingency_from_counts",
     "quantile_score_from_member_cells", "dm_test",
-    "nse_score", "kge_score",
+    "nse_score", "kge_score", "error_summary",
+    "nse_sums", "nse_from_sums", "kge_sums", "kge_from_sums",
     "gumbel_return_levels", "gumbel_variate", "pot_decluster",
     "muskingum_route", "muskingum_coefficients", "doy_climatology",
     "baseflow_separate", "drought_runs",

@@ -1272,3 +1272,53 @@ def kge_from_sums(agg: DataFrame) -> DataFrame:
         F.when(ok, bm.cast("double") / mega_f).alias("beta"),
         F.when(ok, kge_q.cast("double") / mega_f).alias("kge"))
     return out.orderBy(*keys)
+
+
+def error_summary(df: DataFrame, sim_col: str, obs_col: str,
+                  group_keys) -> DataFrame:
+    """The bread-and-butter deterministic error battery per group —
+    the table every verification report opens with, upstream of the
+    skill scores ([nse_score], [anomaly_correlation]):
+
+        ME    = Σ(s−o)/n          (bias)
+        MAE   = Σ|s−o|/n
+        RMSE  = sqrt(Σ(s−o)²/n)
+        PBIAS = 100·Σ(s−o)/Σo     (the hydrology calibration target)
+
+    Both series quantize ONCE to integer micros; ME/MAE/PBIAS are
+    exact integer ratios, RMSE's mean-square closes in integer space
+    first (units micro²) and takes ONE sqrt seam quantized floor(+0.5)
+    to micro.  One group-keyed exchange of four map-side-combined
+    sums.  PBIAS NULL when Σo ≤ 0.  Returns (keys…, n, me, mae, rmse,
+    pbias), sorted."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("error_summary: need at least one group key")
+    dec = "decimal(38,0)"
+    qs = _micro(F.col(sim_col)).cast(dec)
+    qo = _micro(F.col(obs_col)).cast(dec)
+    d = qs - qo
+    agg = (df.select(*keys, d.alias("_d"), qo.alias("_qo"))
+           .groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("_d").alias("_sd"),
+                F.sum(F.abs(F.col("_d"))).alias("_sa"),
+                F.sum(F.col("_d") * F.col("_d")).alias("_sq"),
+                F.sum("_qo").alias("_so")))
+    n_dec = F.col("n").cast(dec)
+    mega_f = F.lit(float(MICRO))
+    me = _idiv_half_up(F.col("_sd"), n_dec)
+    mae = _idiv_half_up(F.col("_sa"), n_dec)
+    msq = _idiv_half_up(F.col("_sq"), n_dec)
+    rmse = F.floor(F.sqrt(msq.cast("double")) + F.lit(0.5))
+    pbias = F.when(
+        F.col("_so") > 0,
+        _idiv_half_up(F.lit(100).cast(dec) * F.col("_sd") * _mega(),
+                      F.greatest(F.col("_so"), F.lit(1).cast(dec)))
+        .cast("double") / mega_f)
+    return (agg.select(*keys, F.col("n").cast("long").alias("n"),
+                       (me.cast("double") / mega_f).alias("me"),
+                       (mae.cast("double") / mega_f).alias("mae"),
+                       (rmse.cast("double") / mega_f).alias("rmse"),
+                       pbias.alias("pbias"))
+            .orderBy(*keys))

@@ -959,3 +959,39 @@ def test_kge_matches_numpy(spark):
         assert got.alpha == pytest.approx(alpha, abs=2e-6)
         assert got.beta == pytest.approx(beta, abs=2e-6)
         assert got.kge == pytest.approx(kge, abs=4e-6)
+
+
+# --- deterministic error battery --------------------------------------------
+
+
+def test_error_summary_matches_numpy(spark):
+    from flood_data_spark.operators.verification import error_summary
+
+    rng = np.random.default_rng(31)
+    o = rng.uniform(5, 50, 120)
+    s = o + rng.normal(1.5, 4, 120)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(s, o)],
+        "g string, s double, o double")
+    r = error_summary(df, "s", "o", ("g",)).collect()[0]
+    d = s - o
+    assert r.n == 120
+    assert r.me == pytest.approx(d.mean(), abs=2e-6)
+    assert r.mae == pytest.approx(np.abs(d).mean(), abs=2e-6)
+    assert r.rmse == pytest.approx(np.sqrt((d ** 2).mean()), abs=2e-6)
+    assert r.pbias == pytest.approx(100 * d.sum() / o.sum(), abs=2e-6)
+
+
+def test_error_summary_perfect_and_degenerate(spark):
+    from flood_data_spark.operators.verification import error_summary
+
+    rows = ([("p", v, v) for v in (1.0, 2.0, 3.0)]
+            + [("neg", 1.0, -2.0), ("neg", 2.0, -3.0)])  # sum(obs) < 0
+    df = spark.createDataFrame(rows, "g string, s double, o double")
+    out = {r.g: r for r in error_summary(df, "s", "o", ("g",))
+           .collect()}
+    p = out["p"]
+    assert (p.me, p.mae, p.rmse) == (0.0, 0.0, 0.0)
+    assert out["neg"].pbias is None
+    with pytest.raises(ValueError, match="group key"):
+        error_summary(df, "s", "o", ())

@@ -4941,6 +4941,21 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_plotting_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gringorten plotting positions + empirical return periods
+    (operators/extremes.plotting_positions) over the q_gumbel_return
+    AMS relation — the decimals clear by 100, so p and T are exact
+    integer ratios with ZERO seams.  Full value oracle."""
+    from flood_data_spark.operators.extremes import plotting_positions
+
+    li = _t(spark, sf_dir, "lineitem")
+    ams = (li.groupBy((F.col("l_suppkey") % 12).alias("cell"),
+                      F.year("l_shipdate").alias("yr"))
+           .agg(F.max(F.col("l_extendedprice") / F.lit(1000.0))
+                .alias("am")))
+    return plotting_positions(ams, "am", ["cell"], "gringorten")
+
+
 def q_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic error battery per lead
     (operators/verification.error_summary) on the shared hydro
@@ -5210,6 +5225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kge_stream": q_kge_stream,
         "q_chrf": q_chrf,
         "q_error_summary": q_error_summary,
+        "q_plotting_pos": q_plotting_pos,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -7291,6 +7307,29 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_plotting_pos: Gringorten cleared by 100 — p and T exact
+        # integer ratios, zero seams
+        "q_plotting_pos": f"""
+            WITH ams AS (
+                SELECT l_suppkey % 12 AS cell, year(l_shipdate) AS yr,
+                       max(l_extendedprice / 1000.0) AS am
+                FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT cell, am AS value,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY am) AS rank,
+                         count(*) OVER (PARTITION BY cell) AS n
+                  FROM ams)
+            SELECT cell, rank, value,
+                   {idiv_half_up(
+                       '(100 * CAST(rank AS HUGEINT) - 44) * 1000000',
+                       '100 * CAST(n AS HUGEINT) + 12', 1000000)}
+                       AS p,
+                   {idiv_half_up(
+                       '(100 * CAST(n AS HUGEINT) + 12) * 1000000',
+                       '100 * (CAST(n AS HUGEINT) - rank) + 56',
+                       1000000)} AS t_years
+            FROM r
         """,
         # q_error_summary: ME/MAE/PBIAS exact integer ratios, RMSE
         # integer mean-square + one sqrt seam

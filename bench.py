@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "q_kge_stream",
     "q_chrf",
     "q_error_summary",
+    "q_plotting_pos",
 ]
 
 _IVF_INDEX = {}

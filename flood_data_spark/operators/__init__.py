@@ -59,6 +59,7 @@ from flood_data_spark.operators.extremes import (
     gpd_moment_fit,
     gumbel_return_levels,
     gumbel_variate,
+    plotting_positions,
     pot_decluster,
 )
 from flood_data_spark.operators.routing import (
@@ -125,6 +126,6 @@ __all__ = [
     "nse_sums", "nse_from_sums", "kge_sums", "kge_from_sums",
     "gumbel_return_levels", "gumbel_variate", "pot_decluster",
     "muskingum_route", "muskingum_coefficients", "doy_climatology",
-    "baseflow_separate", "drought_runs",
+    "baseflow_separate", "drought_runs", "plotting_positions",
     "gpd_moment_fit",
 ]

@@ -321,3 +321,56 @@ def drought_runs(df: DataFrame, value_col: str, order_col: str,
                  (F.min("_qx").cast("double") / mega_f)
                  .alias("min_value"))
             .orderBy(*keys, "run"))
+
+
+def plotting_positions(df: DataFrame, value_col: str, group_keys,
+                       method: str = "weibull") -> DataFrame:
+    """Empirical plotting positions + return periods per group — the
+    rank-based counterpart the [gumbel_return_levels] fit is DRAWN
+    AGAINST on every flood-frequency plot:
+
+        weibull:     p_i = i / (n+1)
+        gringorten:  p_i = (i − 0.44) / (n + 0.12)     (EV1-optimal)
+
+    with T_i = 1/(1−p_i) the empirical return period of the i-th
+    smallest maximum.  ENTIRELY integer: Gringorten's decimals clear
+    by 100 — p = (100i − 44)/(100n + 12), T = (100n + 12)/(100(n−i)
+    + 56) — so both columns are exact `_idiv_half_up` ratios with
+    zero seams.  One rank window per group (ties swap ranks between
+    identical values — the output multiset is permutation-invariant).
+    Returns (keys…, rank, value, p, t_years), sorted."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("plotting_positions: need at least one "
+                         "group key")
+    if method not in ("weibull", "gringorten"):
+        raise ValueError(f"plotting_positions: unknown method "
+                         f"{method!r}")
+    dec = "decimal(38,0)"
+    mega = F.lit(MICRO).cast(dec)
+    mega_f = F.lit(float(MICRO))
+    w = Window.partitionBy(*keys).orderBy("value")
+    wn = Window.partitionBy(*keys)
+    ranked = (df.select(*keys, F.col(value_col).alias("value"))
+              .withColumn("rank", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(wn)))
+    i = F.col("rank").cast(dec)
+    n = F.col("_n").cast(dec)
+    h = F.lit(100).cast(dec)
+    if method == "weibull":
+        p_num, p_den = i, n + F.lit(1).cast(dec)
+        t_num, t_den = (n + F.lit(1).cast(dec),
+                        n + F.lit(1).cast(dec) - i)
+    else:
+        p_num = h * i - F.lit(44).cast(dec)
+        p_den = h * n + F.lit(12).cast(dec)
+        t_num = h * n + F.lit(12).cast(dec)
+        t_den = h * (n - i) + F.lit(56).cast(dec)
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+    return (ranked.select(
+        *keys, "rank", "value",
+        (_idiv_half_up(p_num * mega, p_den).cast("double") / mega_f)
+        .alias("p"),
+        (_idiv_half_up(t_num * mega, t_den).cast("double") / mega_f)
+        .alias("t_years"))
+        .orderBy(*keys, "rank"))

@@ -168,3 +168,23 @@ def test_drought_runs_hand_case(spark):
     assert merged[0].severity == pytest.approx(22.0, abs=1e-9)
     with pytest.raises(ValueError, match="group key"):
         drought_runs(df, "v", "d", [], 10.0)
+
+
+def test_plotting_positions_weibull_and_gringorten(spark):
+    from flood_data_spark.operators.extremes import plotting_positions
+
+    vals = [30.0, 10.0, 20.0, 40.0]
+    df = spark.createDataFrame([("c", v) for v in vals],
+                               "cell string, am double")
+    wb = plotting_positions(df, "am", ["cell"], "weibull").collect()
+    assert [r.value for r in wb] == sorted(vals)
+    assert [r.p for r in wb] == [0.2, 0.4, 0.6, 0.8]
+    assert wb[-1].t_years == pytest.approx(5.0, abs=1e-6)
+    gg = plotting_positions(df, "am", ["cell"],
+                            "gringorten").collect()
+    for r in gg:
+        want_p = (r.rank - 0.44) / (4 + 0.12)
+        assert r.p == pytest.approx(want_p, abs=1e-6)
+        assert r.t_years == pytest.approx(1 / (1 - want_p), abs=2e-6)
+    with pytest.raises(ValueError, match="unknown method"):
+        plotting_positions(df, "am", ["cell"], "hazen")

@@ -4941,6 +4941,17 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_flashiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richards-Baker flashiness per cell
+    (operators/routing.flashiness_index) on the shared daily
+    hydrograph: path length over volume as ONE exact integer ratio —
+    zero seams.  Full value oracle."""
+    from flood_data_spark.operators.routing import flashiness_index
+
+    return flashiness_index(_daily_hydrograph(spark, sf_dir),
+                            "inflow", "day", ["cell"])
+
+
 def q_plotting_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gringorten plotting positions + empirical return periods
     (operators/extremes.plotting_positions) over the q_gumbel_return
@@ -5226,6 +5237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chrf": q_chrf,
         "q_error_summary": q_error_summary,
         "q_plotting_pos": q_plotting_pos,
+        "q_flashiness": q_flashiness,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -7307,6 +7319,34 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_flashiness: path length / volume, one exact integer ratio
+        "q_flashiness": f"""
+            WITH src AS (
+                SELECT user_id % 5 AS cell,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS t,
+                       max(value) AS v
+                FROM events GROUP BY 1, 2),
+            q AS (SELECT cell, CAST(t AS BIGINT) AS o,
+                         CAST(sign(v) * floor(abs(v) * 1000000 + 0.5)
+                              AS HUGEINT) AS qx
+                  FROM src),
+            d AS (SELECT cell, qx,
+                         abs(qx - lag(qx) OVER (PARTITION BY cell
+                                                ORDER BY o, qx))
+                             AS dd
+                  FROM q),
+            g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                         coalesce(sum(dd), 0) AS path,
+                         sum(qx) AS vol
+                  FROM d GROUP BY cell)
+            SELECT cell, n,
+                   CASE WHEN vol > 0 THEN
+                        {idiv_half_up('path * 1000000', 'vol',
+                                      1000000)}
+                   END AS rb
+            FROM g
         """,
         # q_plotting_pos: Gringorten cleared by 100 — p and T exact
         # integer ratios, zero seams

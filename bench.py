@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "q_chrf",
     "q_error_summary",
     "q_plotting_pos",
+    "q_flashiness",
 ]
 
 _IVF_INDEX = {}

@@ -64,6 +64,7 @@ from flood_data_spark.operators.extremes import (
 )
 from flood_data_spark.operators.routing import (
     baseflow_separate,
+    flashiness_index,
     muskingum_coefficients,
     muskingum_route,
 )
@@ -127,5 +128,6 @@ __all__ = [
     "gumbel_return_levels", "gumbel_variate", "pot_decluster",
     "muskingum_route", "muskingum_coefficients", "doy_climatology",
     "baseflow_separate", "drought_runs", "plotting_positions",
+    "flashiness_index",
     "gpd_moment_fit",
 ]

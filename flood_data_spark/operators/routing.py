@@ -141,3 +141,50 @@ def baseflow_separate(df: DataFrame, flow_col: str, order_col: str,
 
     return (src.groupBy(*keys).applyInPandas(sep, schema)
             .orderBy(*keys, "t"))
+
+
+def flashiness_index(df: DataFrame, flow_col: str, order_col: str,
+                     group_keys) -> DataFrame:
+    """Richards-Baker flashiness index per reach (Baker et al. 2004) —
+    the hydrograph-shape scalar that separates flash-prone basins from
+    baseflow-dominated ones (0 = perfectly damped, → 2 for day-on/
+    day-off oscillation):
+
+        RB = Σ_t |q_t − q_{t−1}|  /  Σ_t q_t      (t ≥ 2 numerator)
+
+    Flows quantize ONCE to integer micros, the path length is one lag
+    over the group-keyed sort exchange (the POT/drought window class),
+    and the index closes as a single exact integer ratio — zero
+    seams.  Duplicate order values tiebreak on the quantized flow (the
+    path-length sum is then permutation-invariant within ties only up
+    to the tie ordering, so feed a keyed series — one row per
+    (reach, step) — as the contract states).  Returns (keys…, n, rb),
+    sorted; NULL when Σq ≤ 0."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+    from pyspark.sql import Window
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("flashiness_index: need at least one "
+                         "group key")
+    dec = "decimal(38,0)"
+    c = F.col(flow_col).cast("double")
+    qx = (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
+                                + F.lit(0.5))).cast("long")
+    src = df.select(*keys, F.col(order_col).cast("long").alias("_o"),
+                    qx.alias("_qx"))
+    w = Window.partitionBy(*keys).orderBy("_o", "_qx")
+    stepped = src.withColumn(
+        "_d", F.abs(F.col("_qx") - F.lag("_qx", 1).over(w)))
+    agg = (stepped.groupBy(*keys)
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("_d").cast(dec)).alias("_path"),
+                F.sum(F.col("_qx").cast(dec)).alias("_vol")))
+    rb = F.when(
+        F.col("_vol") > 0,
+        _idiv_half_up(F.coalesce(F.col("_path"), F.lit(0).cast(dec))
+                      * F.lit(1_000_000).cast(dec),
+                      F.greatest(F.col("_vol"), F.lit(1).cast(dec)))
+        .cast("double") / F.lit(1e6))
+    return (agg.select(*keys, "n", rb.alias("rb"))
+            .orderBy(*keys))

@@ -90,3 +90,26 @@ def test_baseflow_filter_matches_python_and_bounds(spark):
     assert got[9] < 0.5 * q[9]
     with pytest.raises(ValueError, match="alpha"):
         baseflow_separate(df, "q", "day", ["reach"], alpha=1.5)
+
+
+def test_flashiness_hand_and_bounds(spark):
+    from flood_data_spark.operators.routing import flashiness_index
+
+    rows = ([("flat", t, 10.0) for t in range(5)]           # RB = 0
+            + [("spiky", t, v) for t, v in
+               enumerate([0.0, 20.0, 0.0, 20.0, 0.0])]      # RB = 2
+            + [("mix", 0, 10.0), ("mix", 1, 14.0),
+               ("mix", 2, 6.0)])   # path 12 / vol 30 = 0.4
+    df = spark.createDataFrame(rows, "reach string, d long, q double")
+    out = {r.reach: r for r in
+           flashiness_index(df, "q", "d", ["reach"]).collect()}
+    assert out["flat"].rb == 0.0
+    assert out["spiky"].rb == pytest.approx(2.0, abs=1e-6)
+    assert out["mix"].rb == pytest.approx(0.4, abs=1e-6)
+    # all-zero flow -> NULL
+    z = spark.createDataFrame([("z", 0, 0.0), ("z", 1, 0.0)],
+                              "reach string, d long, q double")
+    assert flashiness_index(z, "q", "d", ["reach"]) \
+        .collect()[0].rb is None
+    with pytest.raises(ValueError, match="group key"):
+        flashiness_index(df, "q", "d", [])

@@ -221,3 +221,74 @@ def test_equidepth_has_no_global_window(spark, tmp_path):
     plan = _plan(out)
     assert "Window" not in plan, plan
     assert "Sort" not in plan.replace("SortAggregate", ""), plan
+
+
+def test_nse_kge_error_battery_single_exchange(spark):
+    """The hydrological scores are ONE group-keyed exchange each: one
+    partial/final HashAggregate pair, no window, no sort, no UDF."""
+    from flood_data_spark.operators.verification import (
+        error_summary, kge_score, nse_score)
+
+    df = spark.range(2000).select(
+        (F.col("id") % 5).alias("lead"),
+        (F.col("id") % 37 + 1).cast("double").alias("sim"),
+        (F.col("id") % 29 + 2).cast("double").alias("obs"))
+    for op in (nse_score, kge_score, error_summary):
+        plan = _plan(op(df, "sim", "obs", ["lead"])
+                     .limit(1))
+        # exactly one shuffle for the aggregation (plus nothing else
+        # before the final orderBy's own exchange, removed by limit? —
+        # count only hashpartitioning exchanges on the group key)
+        assert plan.count("Exchange hashpartitioning") == 1, op
+        assert "WindowExec" not in plan, op
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, op
+
+
+def test_pot_and_drought_share_one_window_exchange(spark):
+    """Declustering's lag + running-sum ride ONE cell-keyed sort
+    exchange (identical partitioning/ordering -> one WindowExec
+    group); the cluster aggregate reuses the partitioning."""
+    from flood_data_spark.operators.extremes import pot_decluster
+
+    df = spark.range(4000).select(
+        (F.col("id") % 7).alias("cell"),
+        (F.col("id") * 13).alias("t"),
+        (F.col("id") % 97).cast("double").alias("v"))
+    plan = _plan(pot_decluster(df, "v", "t", ["cell"], 10.0, 50))
+    assert plan.count("WindowGroupLimit") == 0
+    # one Window node hosting both the lag and the running sum
+    assert plan.count("Window ") + plan.count("WindowExec") <= 2
+    # the windows' sort exchange is the only hashpartitioning on cell
+    # before the final output sort
+    assert plan.count("Exchange hashpartitioning(cell") == 1
+
+
+def test_ks_shares_cumulative_and_total_windows(spark):
+    """KS's cumulative ECDF windows and the group-total windows share
+    the (keys)-partitioned exchange — no second shuffle before the
+    final aggregate."""
+    from flood_data_spark.operators.stats import ks_two_sample
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("cell"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("lab"),
+        (F.col("id") % 41).cast("double").alias("v"))
+    plan = _plan(ks_two_sample(df, "v", "lab", "a", "b", ["cell"]))
+    assert plan.count("Exchange hashpartitioning(cell") <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_muskingum_is_single_python_stage_per_reach(spark):
+    """The routing recurrence is exactly ONE FlatMapGroupsInPandas over
+    the reach exchange — the custom-stateful seam, nothing else in
+    Python."""
+    from flood_data_spark.operators.routing import muskingum_route
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("reach"),
+        F.col("id").alias("day"),
+        (F.col("id") % 17).cast("double").alias("q"))
+    plan = _plan(muskingum_route(df, "q", "day", ["reach"], 20.0,
+                                 0.2, 24.0))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("Exchange hashpartitioning(reach") == 1

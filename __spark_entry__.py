@@ -4941,6 +4941,18 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_low_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAM5 low-flow statistic per cell
+    (operators/extremes.low_flow_mam) on the shared daily hydrograph:
+    5-day moving means as exact integer ratios over a RANGE frame
+    (complete windows only), the minimum picked among engine-identical
+    integers.  Full value oracle."""
+    from flood_data_spark.operators.extremes import low_flow_mam
+
+    return low_flow_mam(_daily_hydrograph(spark, sf_dir), "inflow",
+                        "day", ["cell"], window=5)
+
+
 def q_flashiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Richards-Baker flashiness per cell
     (operators/routing.flashiness_index) on the shared daily
@@ -5238,6 +5250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_error_summary": q_error_summary,
         "q_plotting_pos": q_plotting_pos,
         "q_flashiness": q_flashiness,
+        "q_low_flow": q_low_flow,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -7319,6 +7332,35 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_low_flow: complete-window moving means over a RANGE frame,
+        # min of engine-identical integers
+        "q_low_flow": f"""
+            WITH src AS (
+                SELECT user_id % 5 AS cell,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS t,
+                       max(value) AS v
+                FROM events GROUP BY 1, 2),
+            q AS (SELECT cell, CAST(t AS BIGINT) AS o,
+                         CAST(sign(v) * floor(abs(v) * 1000000 + 0.5)
+                              AS HUGEINT) AS qx
+                  FROM src),
+            fr AS (SELECT cell,
+                          sum(qx) OVER (PARTITION BY cell ORDER BY o
+                                        RANGE BETWEEN 4 PRECEDING
+                                        AND CURRENT ROW) AS ws,
+                          count(*) OVER (PARTITION BY cell ORDER BY o
+                                         RANGE BETWEEN 4 PRECEDING
+                                         AND CURRENT ROW) AS wc
+                   FROM q),
+            mw AS (SELECT cell,
+                          CASE WHEN wc = 5 THEN
+                               {idiv_int('ws', '5')} END AS m
+                   FROM fr)
+            SELECT cell, CAST(count(m) AS BIGINT) AS n_windows,
+                   CAST(min(m) AS DOUBLE) / 1000000.0 AS mam
+            FROM mw GROUP BY cell
         """,
         # q_flashiness: path length / volume, one exact integer ratio
         "q_flashiness": f"""

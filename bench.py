@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "q_error_summary",
     "q_plotting_pos",
     "q_flashiness",
+    "q_low_flow",
 ]
 
 _IVF_INDEX = {}

@@ -59,6 +59,7 @@ from flood_data_spark.operators.extremes import (
     gpd_moment_fit,
     gumbel_return_levels,
     gumbel_variate,
+    low_flow_mam,
     plotting_positions,
     pot_decluster,
 )
@@ -128,6 +129,6 @@ __all__ = [
     "gumbel_return_levels", "gumbel_variate", "pot_decluster",
     "muskingum_route", "muskingum_coefficients", "doy_climatology",
     "baseflow_separate", "drought_runs", "plotting_positions",
-    "flashiness_index",
+    "flashiness_index", "low_flow_mam",
     "gpd_moment_fit",
 ]

@@ -374,3 +374,53 @@ def plotting_positions(df: DataFrame, value_col: str, group_keys,
         (_idiv_half_up(t_num * mega, t_den).cast("double") / mega_f)
         .alias("t_years"))
         .orderBy(*keys, "rank"))
+
+
+def low_flow_mam(df: DataFrame, value_col: str, order_col: str,
+                 group_keys, window: int = 7) -> DataFrame:
+    """MAM_w low-flow statistic per group (the Minimum Annual w-day
+    Mean — MAM7 with its frequency curve is THE European low-flow
+    design family, the drought mirror of the AMS maxima
+    [gumbel_return_levels] fits):
+
+        MAM_w = min over t of mean(q_{t−w+1} … q_t),
+                COMPLETE windows only (a gap day voids the window —
+                the consecutive-days convention of [drought_runs])
+
+    Flows quantize ONCE to integer micros; each w-step mean is an
+    exact `_idiv_half_up` integer ratio over a RANGE frame on the
+    integer day axis (gaps shrink the in-frame count, and the
+    count == w predicate voids those windows — no gap-fill join
+    needed); the minimum picks among engine-identical integers.  One
+    group-keyed range-frame window + one group aggregate.  Returns
+    (keys…, n_windows, mam), sorted; groups with no complete window
+    report NULL."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("low_flow_mam: need at least one group key")
+    if window < 1:
+        raise ValueError("low_flow_mam: window must be >= 1")
+    dec = "decimal(38,0)"
+    c = F.col(value_col).cast("double")
+    qx = (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
+                                + F.lit(0.5))).cast("long")
+    src = df.select(*keys, F.col(order_col).cast("long").alias("_o"),
+                    qx.alias("_qx"))
+    w = (Window.partitionBy(*keys).orderBy("_o")
+         .rangeBetween(-(int(window) - 1), 0))
+    framed = (src
+              .withColumn("_ws", F.sum(F.col("_qx").cast(dec)).over(w))
+              .withColumn("_wc", F.count(F.lit(1)).over(w)))
+    mean_w = F.when(F.col("_wc") == window,
+                    _idiv_half_up(F.col("_ws"),
+                                  F.lit(int(window)).cast(dec)))
+    agg = (framed.select(*keys, mean_w.alias("_mw"))
+           .groupBy(*keys)
+           .agg(F.count("_mw").cast("long").alias("n_windows"),
+                F.min("_mw").alias("_mam")))
+    return (agg.select(*keys, "n_windows",
+                       (F.col("_mam").cast("double") / F.lit(1e6))
+                       .alias("mam"))
+            .orderBy(*keys))

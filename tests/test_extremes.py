@@ -188,3 +188,20 @@ def test_plotting_positions_weibull_and_gringorten(spark):
         assert r.t_years == pytest.approx(1 / (1 - want_p), abs=2e-6)
     with pytest.raises(ValueError, match="unknown method"):
         plotting_positions(df, "am", ["cell"], "hazen")
+
+
+def test_low_flow_mam_complete_windows_and_gaps(spark):
+    from flood_data_spark.operators.extremes import low_flow_mam
+
+    # days 0..9 values 10..1 (strictly falling): MAM3 = mean(3,2,1)=2
+    rows = [("c", d, float(10 - d)) for d in range(10)]
+    # gapped group: days 0,1,3,4 -> NO complete 3-day range window
+    rows += [("gap", d, 5.0) for d in (0, 1, 3, 4)]
+    df = spark.createDataFrame(rows, "cell string, d long, v double")
+    out = {r.cell: r for r in
+           low_flow_mam(df, "v", "d", ["cell"], window=3).collect()}
+    assert out["c"].n_windows == 8
+    assert out["c"].mam == pytest.approx(2.0, abs=1e-6)
+    assert out["gap"].n_windows == 0 and out["gap"].mam is None
+    with pytest.raises(ValueError, match="window"):
+        low_flow_mam(df, "v", "d", ["cell"], window=0)

@@ -4941,6 +4941,19 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_std_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized anomaly vs the ±1-day circular climatology
+    (operators/extremes.standardized_anomaly): μ integer-closed, σ
+    via the n-cleared sqrt seam, z an exact integer ratio per
+    observation; the climatology relation broadcasts back.  Full
+    value oracle."""
+    from flood_data_spark.operators.extremes import standardized_anomaly
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).alias("cell"), "ts", "value")
+    return standardized_anomaly(ev, "value", "ts", ["cell"], window=1)
+
+
 def q_low_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAM5 low-flow statistic per cell
     (operators/extremes.low_flow_mam) on the shared daily hydrograph:
@@ -5251,6 +5264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_plotting_pos": q_plotting_pos,
         "q_flashiness": q_flashiness,
         "q_low_flow": q_low_flow,
+        "q_std_anomaly": q_std_anomaly,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -7332,6 +7346,39 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_std_anomaly: integer-closed climatology moments, n-cleared
+        # sqrt seam, exact z ratio per observation
+        "q_std_anomaly": f"""
+            WITH base AS (
+                SELECT user_id % 3 AS cell, ts, value,
+                       dayofyear(ts) AS doy,
+                       CAST(sign(value) * floor(abs(value) * 1000000
+                                                + 0.5) AS HUGEINT)
+                           AS qx
+                FROM events),
+            sm AS (SELECT cell,
+                          ((doy - 1 + o.o + 366) % 366) + 1 AS doy,
+                          qx
+                   FROM base CROSS JOIN (VALUES (-1), (0), (1)) o(o)),
+            clim AS (SELECT cell, doy,
+                            CAST(count(*) AS HUGEINT) AS cn,
+                            sum(qx) AS cs, sum(qx * qx) AS css
+                     FROM sm GROUP BY cell, doy),
+            cf AS (SELECT cell, doy, cn,
+                          {idiv_int('cs', 'cn')} AS mu,
+                          {idiv_int(
+                              'CAST(floor(sqrt(CAST(cn * css - cs * cs'
+                              ' AS DOUBLE)) + 0.5) AS HUGEINT)',
+                              'cn')} AS sig
+                   FROM clim)
+            SELECT b.cell, b.ts, b.value, b.doy,
+                   CASE WHEN cn >= 2 AND sig > 0 THEN
+                        {idiv_half_up('(qx - mu) * 1000000', 'sig',
+                                      1000000)}
+                   END AS z
+            FROM base b JOIN cf
+                 ON b.cell = cf.cell AND b.doy = cf.doy
         """,
         # q_low_flow: complete-window moving means over a RANGE frame,
         # min of engine-identical integers

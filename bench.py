@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "q_plotting_pos",
     "q_flashiness",
     "q_low_flow",
+    "q_std_anomaly",
 ]
 
 _IVF_INDEX = {}

@@ -62,6 +62,7 @@ from flood_data_spark.operators.extremes import (
     low_flow_mam,
     plotting_positions,
     pot_decluster,
+    standardized_anomaly,
 )
 from flood_data_spark.operators.routing import (
     baseflow_separate,
@@ -129,6 +130,6 @@ __all__ = [
     "gumbel_return_levels", "gumbel_variate", "pot_decluster",
     "muskingum_route", "muskingum_coefficients", "doy_climatology",
     "baseflow_separate", "drought_runs", "plotting_positions",
-    "flashiness_index", "low_flow_mam",
+    "flashiness_index", "low_flow_mam", "standardized_anomaly",
     "gpd_moment_fit",
 ]

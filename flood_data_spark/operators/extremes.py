@@ -424,3 +424,66 @@ def low_flow_mam(df: DataFrame, value_col: str, order_col: str,
                        (F.col("_mam").cast("double") / F.lit(1e6))
                        .alias("mam"))
             .orderBy(*keys))
+
+
+def standardized_anomaly(df: DataFrame, value_col: str, ts_col: str,
+                         group_keys, window: int = 0) -> DataFrame:
+    """Standardized anomaly against the day-of-year climatology — the
+    z-scored product read off [doy_climatology]'s wheel (the SPI-
+    family shape with the distribution fit replaced by the plain
+    moment normal — the documented simplification):
+
+        z_t = (x_t − μ_doy) / σ_doy
+
+    with μ/σ the per-(keys, doy) climatological moments over the ±w
+    circular window.  Values quantize ONCE; μ closes in integer space,
+    σ·n takes the n-cleared sqrt seam (floor(+0.5)), and z is an
+    exact integer ratio of (n·qx − n·μ… cleared) — concretely
+    z = (qx − μq)·1e6 / σq with both μq, σq integer micros.  Two
+    exchanges: the climatology aggregate (cells × 366 bounded) joins
+    back BROADCAST onto the observation stream keyed by (keys, doy).
+    Rows whose cell has σ = 0 or fewer than 2 contributions report
+    NULL z.  Returns (keys…, ts, value, doy, z), sorted."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("standardized_anomaly: need at least one "
+                         "group key")
+    if window < 0:
+        raise ValueError("standardized_anomaly: window must be >= 0")
+    dec = "decimal(38,0)"
+    qx = _micro(F.col(value_col))
+    base = df.select(*keys, F.col(ts_col).alias("ts"),
+                     F.col(value_col).alias("value"),
+                     F.dayofyear(F.col(ts_col)).alias("doy"),
+                     qx.alias("_qx"))
+    offs = F.explode(F.array(*[F.lit(i) for i in
+                               range(-window, window + 1)])) \
+        .alias("_off")
+    clim = (base.select(*keys, "doy", "_qx", offs)
+            .select(*keys,
+                    (((F.col("doy") - 1 + F.col("_off") + 366) % 366)
+                     + 1).alias("doy"),
+                    F.col("_qx").cast(dec).alias("_q"))
+            .groupBy(*keys, "doy")
+            .agg(F.count(F.lit(1)).alias("_cn"),
+                 F.sum("_q").alias("_cs"),
+                 F.sum(F.col("_q") * F.col("_q")).alias("_css")))
+    cn = F.col("_cn").cast(dec)
+    mu = _idiv_half_up(F.col("_cs"), cn)
+    var_n = cn * F.col("_css") - F.col("_cs") * F.col("_cs")
+    # σ·n = sqrt(n·Σq² − (Σq)²), so σq = that sqrt seam / n — closed
+    # as ONE integer ratio after the quantized sqrt
+    sigq = _idiv_half_up(
+        F.floor(F.sqrt(var_n.cast("double")) + F.lit(0.5)).cast(dec),
+        cn)
+    climf = clim.select(*keys, "doy", F.col("_cn").alias("_cn"),
+                        mu.alias("_mu"), sigq.alias("_sig"))
+    j = base.join(F.broadcast(climf), [*keys, "doy"])
+    z = F.when((F.col("_cn") >= 2) & (F.col("_sig") > 0),
+               _idiv_half_up(
+                   (F.col("_qx").cast(dec) - F.col("_mu"))
+                   * F.lit(MICRO).cast(dec),
+                   F.greatest(F.col("_sig"), F.lit(1).cast(dec)))
+               .cast("double") / F.lit(float(MICRO)))
+    return (j.select(*keys, "ts", "value", "doy", z.alias("z"))
+            .orderBy(*keys, "ts", "value"))

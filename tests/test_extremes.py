@@ -205,3 +205,37 @@ def test_low_flow_mam_complete_windows_and_gaps(spark):
     assert out["gap"].n_windows == 0 and out["gap"].mam is None
     with pytest.raises(ValueError, match="window"):
         low_flow_mam(df, "v", "d", ["cell"], window=0)
+
+
+def test_standardized_anomaly_matches_numpy(spark):
+    import datetime
+
+    from flood_data_spark.operators.extremes import standardized_anomaly
+
+    rng = np.random.default_rng(14)
+    rows = []
+    vals = {}
+    for day in (1, 2, 3):
+        vs = rng.uniform(10, 60, 40)
+        vals[day] = vs
+        for v in vs:
+            rows.append(("c", datetime.datetime(2024, 1, day, 9),
+                         float(v)))
+    df = spark.createDataFrame(rows, "cell string, ts timestamp, v double")
+    out = standardized_anomaly(df, "v", "ts", ["cell"],
+                               window=0).collect()
+    by_day = {}
+    for r in out:
+        by_day.setdefault(r.doy, []).append(r)
+    for day, vs in vals.items():
+        mu, sd = vs.mean(), vs.std()       # population std: n-cleared
+        got = sorted(r.z for r in by_day[day])
+        want = sorted((vs - mu) / sd)
+        assert np.allclose(got, want, atol=5e-6), day
+    # constant-day group -> NULL z
+    flat = spark.createDataFrame(
+        [("c", datetime.datetime(2024, 2, 1), 5.0),
+         ("c", datetime.datetime(2024, 2, 1), 5.0)],
+        "cell string, ts timestamp, v double")
+    zf = standardized_anomaly(flat, "v", "ts", ["cell"]).collect()
+    assert all(r.z is None for r in zf)

@@ -4941,6 +4941,24 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_ffa_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed flood-frequency QQ pipeline
+    (operators/extremes.frequency_qq): the Gringorten empirical
+    positions joined against the Gumbel L-moment fit, the fitted
+    quantile evaluated AT each plotting position with one per-row
+    variate seam, residuals closed in integer space — the
+    goodness-of-fit table before a threshold band ships.  Full value
+    oracle composing the two chains."""
+    from flood_data_spark.operators.extremes import frequency_qq
+
+    li = _t(spark, sf_dir, "lineitem")
+    ams = (li.groupBy((F.col("l_suppkey") % 12).alias("cell"),
+                      F.year("l_shipdate").alias("yr"))
+           .agg(F.max(F.col("l_extendedprice") / F.lit(1000.0))
+                .alias("am")))
+    return frequency_qq(ams, "am", ["cell"], "gringorten")
+
+
 def q_std_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standardized anomaly vs the ±1-day circular climatology
     (operators/extremes.standardized_anomaly): μ integer-closed, σ
@@ -5265,6 +5283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flashiness": q_flashiness,
         "q_low_flow": q_low_flow,
         "q_std_anomaly": q_std_anomaly,
+        "q_ffa_qq": q_ffa_qq,
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,
@@ -7346,6 +7365,76 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_ffa_qq: the gumbel + plotting chains composed; per-row
+        # variate seam, integer residuals
+        "q_ffa_qq": f"""
+            WITH ams AS (
+                SELECT l_suppkey % 12 AS cell, year(l_shipdate) AS yr,
+                       max(l_extendedprice / 1000.0) AS am
+                FROM lineitem GROUP BY 1, 2),
+            qv AS (SELECT cell, am AS value,
+                          CAST(sign(am) * floor(abs(am) * 1000000
+                                                + 0.5) AS HUGEINT)
+                              AS qx,
+                          row_number() OVER (PARTITION BY cell
+                                             ORDER BY am) AS rank,
+                          count(*) OVER (PARTITION BY cell) AS n
+                   FROM ams),
+            pp AS (SELECT cell, rank, value, qx,
+                          {idiv_int(
+                              '(100 * CAST(rank AS HUGEINT) - 44)'
+                              ' * 1000000',
+                              '100 * CAST(n AS HUGEINT) + 12')} AS pq
+                   FROM qv),
+            g2 AS (SELECT cell, qx,
+                          row_number() OVER (PARTITION BY cell
+                                             ORDER BY qx) AS i
+                   FROM qv),
+            g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                         sum(qx) AS s0, sum((i - 1) * qx) AS s1
+                  FROM g2 GROUP BY cell),
+            f AS (SELECT cell, n, {idiv_int('s0', 'n')} AS lam1,
+                         CASE WHEN n >= 2 THEN
+                              {idiv_int('2 * s1 - (n - 1) * s0',
+                                        'n * (n - 1)')} END AS lam2
+                  FROM g),
+            b AS (SELECT cell, n, lam1,
+                         CASE WHEN n >= 2 AND lam2 > 0 THEN
+                              CAST(sign(CAST(lam2 AS DOUBLE)
+                                        * {_INV_LN2})
+                                   * floor(abs(CAST(lam2 AS DOUBLE)
+                                               * {_INV_LN2}) + 0.5)
+                                   AS HUGEINT) END AS beta
+                  FROM f),
+            x AS (SELECT cell, beta,
+                         CASE WHEN beta IS NOT NULL THEN
+                              lam1 - CAST(sign(CAST(beta AS DOUBLE)
+                                               * {_EULER})
+                                          * floor(abs(CAST(beta
+                                                    AS DOUBLE)
+                                                    * {_EULER}) + 0.5)
+                                          AS HUGEINT) END AS xi
+                  FROM b),
+            jq AS (SELECT pp.cell, pp.rank, pp.value, pp.qx, pp.pq,
+                          x.xi, x.beta,
+                          CASE WHEN x.xi IS NOT NULL THEN
+                               x.xi + CAST(sign(CAST(x.beta AS DOUBLE)
+                                        * (-ln(-ln(CAST(pp.pq
+                                             AS DOUBLE)
+                                             / 1000000.0))))
+                                    * floor(abs(CAST(x.beta AS DOUBLE)
+                                        * (-ln(-ln(CAST(pp.pq
+                                             AS DOUBLE)
+                                             / 1000000.0)))) + 0.5)
+                                    AS HUGEINT) END AS fit_mic
+                   FROM pp JOIN x ON pp.cell = x.cell)
+            SELECT cell, rank, value,
+                   CAST(pq AS DOUBLE) / 1000000.0 AS p,
+                   CAST(fit_mic AS DOUBLE) / 1000000.0 AS fitted,
+                   CAST(qx - fit_mic AS DOUBLE) / 1000000.0
+                       AS residual
+            FROM jq
         """,
         # q_std_anomaly: integer-closed climatology moments, n-cleared
         # sqrt seam, exact z ratio per observation

@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "q_flashiness",
     "q_low_flow",
     "q_std_anomaly",
+    "q_ffa_qq",
 ]
 
 _IVF_INDEX = {}

@@ -56,6 +56,7 @@ from flood_data_spark.operators.experiment import (
 from flood_data_spark.operators.extremes import (
     doy_climatology,
     drought_runs,
+    frequency_qq,
     gpd_moment_fit,
     gumbel_return_levels,
     gumbel_variate,
@@ -131,5 +132,6 @@ __all__ = [
     "muskingum_route", "muskingum_coefficients", "doy_climatology",
     "baseflow_separate", "drought_runs", "plotting_positions",
     "flashiness_index", "low_flow_mam", "standardized_anomaly",
+    "frequency_qq",
     "gpd_moment_fit",
 ]

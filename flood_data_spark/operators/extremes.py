@@ -487,3 +487,43 @@ def standardized_anomaly(df: DataFrame, value_col: str, ts_col: str,
                .cast("double") / F.lit(float(MICRO)))
     return (j.select(*keys, "ts", "value", "doy", z.alias("z"))
             .orderBy(*keys, "ts", "value"))
+
+
+def frequency_qq(df: DataFrame, value_col: str, group_keys,
+                 method: str = "gringorten") -> DataFrame:
+    """The composed flood-frequency QQ relation — [plotting_positions]
+    joined against the [gumbel_return_levels] fit, evaluating the
+    fitted quantile AT each empirical plotting position:
+
+        fitted_i = ξ + β·(−ln(−ln p_i)),   residual_i = x_(i) − fitted_i
+
+    — the table behind every frequency-analysis QQ plot, and the
+    operational goodness-of-fit check before a fitted threshold band
+    ships.  Exact chain: the integer micro ξ/β recover exactly from
+    the fit's /1e6 doubles (floor(+0.5) of value·1e6 — lossless for
+    micro-derived doubles), p is already an exact micro ratio, and
+    the per-row Gumbel variate is ONE quantized seam; residuals close
+    in integer space.  Groups whose fit is NULL emit NULL
+    fitted/residual.  Returns (keys…, rank, value, p, fitted,
+    residual), sorted."""
+    keys = list(group_keys)
+    pp = plotting_positions(df, value_col, keys, method)
+    fit = (gumbel_return_levels(df, value_col, keys, periods=(2,))
+           .filter(F.col("period") == 2)
+           .select(*keys, F.col("loc").alias("_loc"),
+                   F.col("scale").alias("_scale")))
+    j = pp.join(fit, keys, "left")
+    loc_mic = _qseam(F.col("_loc") * F.lit(1e6))
+    scale_mic = _qseam(F.col("_scale") * F.lit(1e6))
+    y = -F.log(-F.log(F.col("p")))
+    fitted_mic = loc_mic + _qseam(scale_mic.cast("double") * y)
+    val_mic = _micro(F.col("value"))
+    mega_f = F.lit(float(MICRO))
+    fitted = F.when(F.col("_loc").isNotNull(),
+                    fitted_mic.cast("double") / mega_f)
+    residual = F.when(F.col("_loc").isNotNull(),
+                      (val_mic - fitted_mic).cast("double") / mega_f)
+    return (j.select(*keys, "rank", "value", "p",
+                     fitted.alias("fitted"),
+                     residual.alias("residual"))
+            .orderBy(*keys, "rank"))

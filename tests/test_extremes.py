@@ -239,3 +239,27 @@ def test_standardized_anomaly_matches_numpy(spark):
         "cell string, ts timestamp, v double")
     zf = standardized_anomaly(flat, "v", "ts", ["cell"]).collect()
     assert all(r.z is None for r in zf)
+
+
+def test_frequency_qq_residuals_small_on_gumbel_sample(spark):
+    from flood_data_spark.operators.extremes import frequency_qq
+
+    rng = np.random.default_rng(6)
+    x = 100 - 20 * np.log(-np.log(rng.uniform(size=60)))
+    df = spark.createDataFrame([("c", float(v)) for v in x],
+                               "cell string, am double")
+    out = frequency_qq(df, "am", ["cell"]).collect()
+    assert len(out) == 60
+    assert [r.rank for r in out] == list(range(1, 61))
+    # on a true Gumbel sample the QQ relation hugs the diagonal:
+    # median |residual| well under one scale unit
+    res = np.array([abs(r.residual) for r in out])
+    assert np.median(res) < 10.0
+    # fitted quantiles are monotone in rank
+    fitted = [r.fitted for r in out]
+    assert all(a < b for a, b in zip(fitted, fitted[1:]))
+    # degenerate group: NULL fit -> NULL fitted/residual, rows kept
+    flat = spark.createDataFrame([("f", 3.0), ("f", 3.0)],
+                                 "cell string, am double")
+    fr = frequency_qq(flat, "am", ["cell"]).collect()
+    assert len(fr) == 2 and all(r.fitted is None for r in fr)

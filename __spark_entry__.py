@@ -5257,8 +5257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (CORRECTNESS_FULL_r8.json regenerates at each session end, all
     # registry queries vs the DuckDB oracle at sf0.01).
     return {
-        # --- round 13: composed incremental daily operations
-        # (VERDICT r12 #2) + sequential A/B (VERDICT r12 #8) ---
+        # --- round 13 session 2: the hydrological analytics layer
+        # (efficiencies + extremes + routing + trend/shift tests), the
+        # MT-metric trio completion, and the experiment guards ---
         "q_nse": q_nse,
         "q_kge": q_kge,
         "q_gumbel_return": q_gumbel_return,
@@ -5284,6 +5285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_low_flow": q_low_flow,
         "q_std_anomaly": q_std_anomaly,
         "q_ffa_qq": q_ffa_qq,
+        # --- round 13 session 1: composed incremental daily
+        # operations (VERDICT r12 #2) + sequential A/B (r12 #8) ---
         "q_daily_incremental": q_daily_incremental,
         "q_msprt": q_msprt,
         "q_msprt_stream": q_msprt_stream,

@@ -995,3 +995,22 @@ def test_error_summary_perfect_and_degenerate(spark):
     assert out["neg"].pbias is None
     with pytest.raises(ValueError, match="group key"):
         error_summary(df, "s", "o", ())
+
+
+def test_nse_rmse_cross_identity(spark):
+    """Cross-operator gate: NSE = 1 − (RMSE/σ_obs)² ties the error
+    battery to the efficiency score on the same relation (population
+    σ — the n-cleared convention both operators share)."""
+    from flood_data_spark.operators.verification import (
+        error_summary, nse_score)
+
+    rng = np.random.default_rng(41)
+    o = rng.uniform(5, 50, 300)
+    s = o + rng.normal(0.5, 3, 300)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(s, o)],
+        "g string, s double, o double")
+    nse = nse_score(df, "s", "o", ("g",)).collect()[0].nse
+    rmse = error_summary(df, "s", "o", ("g",)).collect()[0].rmse
+    want = 1 - (rmse / o.std()) ** 2
+    assert nse == pytest.approx(want, abs=5e-5)

@@ -4941,6 +4941,22 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistence-benchmark skill per cell
+    (operators/verification.persistence_skill) on the shared daily
+    hydrograph with a deterministic affine 'forecast': SS_p one exact
+    integer ratio (zero seams), Theil's U2 one sqrt seam on the exact
+    micro ratio.  Full value oracle."""
+    from flood_data_spark.operators.verification import persistence_skill
+
+    dh = _daily_hydrograph(spark, sf_dir)
+    src = dh.select("cell", "day",
+                    (F.col("inflow") * F.lit(0.9) + F.lit(5.0))
+                    .alias("sim"),
+                    F.col("inflow").alias("obs"))
+    return persistence_skill(src, "sim", "obs", "day", ["cell"])
+
+
 def q_ffa_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed flood-frequency QQ pipeline
     (operators/extremes.frequency_qq): the Gringorten empirical
@@ -5285,6 +5301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_low_flow": q_low_flow,
         "q_std_anomaly": q_std_anomaly,
         "q_ffa_qq": q_ffa_qq,
+        "q_persistence": q_persistence,
         # --- round 13 session 1: composed incremental daily
         # operations (VERDICT r12 #2) + sequential A/B (r12 #8) ---
         "q_daily_incremental": q_daily_incremental,
@@ -7368,6 +7385,49 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_persistence: exact integer error sums over the lag window,
+        # SS zero-seam, U2 one sqrt seam
+        "q_persistence": f"""
+            WITH src AS (
+                SELECT user_id % 5 AS cell,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS t,
+                       max(value) AS v
+                FROM events GROUP BY 1, 2),
+            s2 AS (SELECT cell, CAST(t AS BIGINT) AS o,
+                          v * 0.9 + 5.0 AS sim, v AS obs
+                   FROM src),
+            q AS (SELECT cell, o,
+                         CAST(sign(sim) * floor(abs(sim) * 1000000
+                                                + 0.5) AS HUGEINT)
+                             AS qs,
+                         CAST(sign(obs) * floor(abs(obs) * 1000000
+                                                + 0.5) AS HUGEINT)
+                             AS qo
+                  FROM s2),
+            l AS (SELECT cell, qs, qo,
+                         lag(qo) OVER (PARTITION BY cell
+                                       ORDER BY o, qo) AS qp
+                  FROM q),
+            f AS (SELECT * FROM l WHERE qp IS NOT NULL),
+            g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                         sum((qs - qo) * (qs - qo)) AS sd,
+                         sum((qo - qp) * (qo - qp)) AS sp
+                  FROM f GROUP BY cell)
+            SELECT cell, n,
+                   CASE WHEN sp > 0 THEN
+                        CAST(1000000 - {idiv_int('sd * 1000000',
+                                                 'sp')}
+                             AS DOUBLE) / 1000000.0
+                   END AS ss_persist,
+                   CASE WHEN sp > 0 THEN
+                        CAST(floor(sqrt(CAST({idiv_int(
+                            'sd * 1000000', 'sp')} AS DOUBLE)
+                            / 1000000.0) * 1000000 + 0.5)
+                             AS DOUBLE) / 1000000.0
+                   END AS theils_u2
+            FROM g
         """,
         # q_ffa_qq: the gumbel + plotting chains composed; per-row
         # variate seam, integer residuals

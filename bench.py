@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "q_low_flow",
     "q_std_anomaly",
     "q_ffa_qq",
+    "q_persistence",
 ]
 
 _IVF_INDEX = {}

@@ -92,6 +92,7 @@ from flood_data_spark.operators.verification import (
     kge_sums,
     nse_from_sums,
     nse_score,
+    persistence_skill,
     nse_sums,
     quantile_score,
     quantile_score_from_member_cells,
@@ -128,6 +129,7 @@ __all__ = [
     "quantile_score_from_member_cells", "dm_test",
     "nse_score", "kge_score", "error_summary",
     "nse_sums", "nse_from_sums", "kge_sums", "kge_from_sums",
+    "persistence_skill",
     "gumbel_return_levels", "gumbel_variate", "pot_decluster",
     "muskingum_route", "muskingum_coefficients", "doy_climatology",
     "baseflow_separate", "drought_runs", "plotting_positions",

@@ -1322,3 +1322,54 @@ def error_summary(df: DataFrame, sim_col: str, obs_col: str,
                        (rmse.cast("double") / mega_f).alias("rmse"),
                        pbias.alias("pbias"))
             .orderBy(*keys))
+
+
+def persistence_skill(df: DataFrame, sim_col: str, obs_col: str,
+                      order_col: str, group_keys) -> DataFrame:
+    """Skill against the persistence (no-change) benchmark per group —
+    the honesty check every operational flood forecast must pass
+    (beating 'tomorrow equals today' is the bar; [nse_score] is the
+    same construction with climatology as the reference):
+
+        SS_p = 1 − Σ(s_t − o_t)² / Σ(o_t − o_{t−1})²
+        U2   = sqrt(Σ(s_t−o_t)² / Σ(o_t−o_{t−1})²)   (Theil)
+
+    both evaluated over t ≥ 2 (rows with no predecessor drop from
+    BOTH sums — the aligned convention).  Quantized micros make the
+    two sums exact integers; SS_p closes as ONE integer ratio (zero
+    seams) and U2 takes one sqrt seam on the exact micro ratio.  One
+    lag window on the group-keyed sort exchange + one aggregate.
+    Returns (keys…, n, ss_persist, theils_u2), sorted; NULL when the
+    persistence error is zero (constant obs — no benchmark exists).
+    Duplicate order values tiebreak on the quantized obs."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("persistence_skill: need at least one "
+                         "group key")
+    dec = "decimal(38,0)"
+    qs = _micro(F.col(sim_col))
+    qo = _micro(F.col(obs_col))
+    src = df.select(*keys, F.col(order_col).cast("long").alias("_o"),
+                    qs.alias("_qs"), qo.alias("_qo"))
+    w = Window.partitionBy(*keys).orderBy("_o", "_qo")
+    lagged = src.withColumn("_qp", F.lag("_qo", 1).over(w)) \
+        .filter(F.col("_qp").isNotNull())
+    d = (F.col("_qs") - F.col("_qo")).cast(dec)
+    p = (F.col("_qo") - F.col("_qp")).cast(dec)
+    agg = (lagged.groupBy(*keys)
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(d * d).alias("_sd"),
+                F.sum(p * p).alias("_sp")))
+    ok = F.col("_sp") > 0
+    ratio_q = _idiv_half_up(F.col("_sd") * _mega(),
+                            F.greatest(F.col("_sp"),
+                                       F.lit(1).cast(dec)))
+    mega_f = F.lit(float(MICRO))
+    ss = F.when(ok, (F.lit(MICRO).cast(dec) - ratio_q)
+                .cast("double") / mega_f)
+    u2 = F.when(ok, F.floor(
+        F.sqrt(ratio_q.cast("double") / mega_f) * F.lit(1e6)
+        + F.lit(0.5)).cast("double") / mega_f)
+    return (agg.select(*keys, "n", ss.alias("ss_persist"),
+                       u2.alias("theils_u2"))
+            .orderBy(*keys))

@@ -1014,3 +1014,30 @@ def test_nse_rmse_cross_identity(spark):
     rmse = error_summary(df, "s", "o", ("g",)).collect()[0].rmse
     want = 1 - (rmse / o.std()) ** 2
     assert nse == pytest.approx(want, abs=5e-5)
+
+
+def test_persistence_skill_matches_numpy(spark):
+    from flood_data_spark.operators.verification import persistence_skill
+
+    rng = np.random.default_rng(47)
+    o = np.cumsum(rng.normal(0, 2, 100)) + 50
+    s = o + rng.normal(0, 1, 100)        # better than persistence
+    df = spark.createDataFrame(
+        [("g", t, float(a), float(b))
+         for t, (a, b) in enumerate(zip(s, o))],
+        "g string, t long, s double, o double")
+    r = persistence_skill(df, "s", "o", "t", ("g",)).collect()[0]
+    d2 = ((s[1:] - o[1:]) ** 2).sum()
+    p2 = (np.diff(o) ** 2).sum()
+    assert r.n == 99
+    assert r.ss_persist == pytest.approx(1 - d2 / p2, abs=2e-6)
+    assert r.theils_u2 == pytest.approx(np.sqrt(d2 / p2), abs=2e-6)
+    assert r.ss_persist > 0           # the model beats persistence
+    # constant obs: no benchmark
+    flat = spark.createDataFrame(
+        [("f", t, 1.0, 7.0) for t in range(5)],
+        "g string, t long, s double, o double")
+    fr = persistence_skill(flat, "s", "o", "t", ("g",)).collect()[0]
+    assert fr.ss_persist is None and fr.theils_u2 is None
+    with pytest.raises(ValueError, match="group key"):
+        persistence_skill(df, "s", "o", "t", ())

@@ -4941,6 +4941,26 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_gev_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEV L-moment fit + return levels per cell
+    (operators/extremes.gev_return_levels) on the q_gumbel_return AMS
+    relation: three PWMs off one rank window, t3 an EXACT integer
+    ratio (the n-cleared denominators cancel), then the bounded seam
+    chain c → κ → Γ(1+κ) (SHARED A&S polynomial — engine-native
+    gamma() is not bit-portable) → σ → ξ → levels, every seam
+    quantized once and every power rewritten exp/ln with repr
+    literals.  Full value oracle restating the identical IEEE
+    strings."""
+    from flood_data_spark.operators.extremes import gev_return_levels
+
+    li = _t(spark, sf_dir, "lineitem")
+    ams = (li.groupBy((F.col("l_suppkey") % 12).alias("cell"),
+                      F.year("l_shipdate").alias("yr"))
+           .agg(F.max(F.col("l_extendedprice") / F.lit(1000.0))
+                .alias("am")))
+    return gev_return_levels(ams, "am", ["cell"], periods=(10, 100))
+
+
 def q_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistence-benchmark skill per cell
     (operators/verification.persistence_skill) on the shared daily
@@ -5302,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_std_anomaly": q_std_anomaly,
         "q_ffa_qq": q_ffa_qq,
         "q_persistence": q_persistence,
+        "q_gev_return": q_gev_return,
         # --- round 13 session 1: composed incremental daily
         # operations (VERDICT r12 #2) + sequential A/B (r12 #8) ---
         "q_daily_incremental": q_daily_incremental,
@@ -6099,6 +6120,33 @@ def oracle_sql() -> dict[str, str]:
                         muskingum_coefficients(20.0, 0.2, 24.0))
     _LH_A = repr(0.925)
     _LH_B = repr((1.0 + 0.925) / 2.0)
+    # GEV seam strings — built from the SAME constants/templates the
+    # operator's F.expr uses, so both engines walk identical IEEE trees
+    import math as _mm
+    from flood_data_spark.operators.extremes import (
+        GEV_K1 as _GK1, GEV_K2 as _GK2, LN2_OVER_LN3 as _L23,
+        _gamma1p_sql as _g1p)
+    _GEV_C = (f"2.0 / (3.0 + CAST(t3q AS DOUBLE) / 1000000.0) "
+              f"- ({_L23!r})")
+    _GEV_K = (f"(({_GK1!r}) * (CAST(cq AS DOUBLE) / 1000000.0) "
+              f"+ ({_GK2!r}) * (CAST(cq AS DOUBLE) / 1000000.0) "
+              f"* (CAST(cq AS DOUBLE) / 1000000.0))")
+    _GEV_KD = "(CAST(kq AS DOUBLE) / 1000000.0)"
+    _GEV_G = _g1p(_GEV_KD)
+    _GEV_GD = "(CAST(gq AS DOUBLE) / 1000000.0)"
+    _GEV_L2D = "(CAST(lam2 AS DOUBLE) / 1000000.0)"
+    _GEV_SIG = (f"({_GEV_L2D} * {_GEV_KD} / ({_GEV_GD} * (1.0 - "
+                f"exp(-({_GEV_KD}) * ({_mm.log(2.0)!r})))))")
+    _GEV_SD = "(CAST(sq AS DOUBLE) / 1000000.0)"
+    _GEV_XI = f"({_GEV_SD} * ({_GEV_GD} - 1.0) / {_GEV_KD})"
+    _GEV_LVL = (f"({_GEV_SD} / {_GEV_KD} * (1.0 - exp({_GEV_KD} "
+                f"* p.lyt)))")
+    _GEV_LYT = {t: repr(_mm.log(-_mm.log(1.0 - 1.0 / t)))
+                for t in (10, 100)}
+
+    def _qseam_sql(expr: str) -> str:
+        return (f"CAST(sign({expr}) * floor(abs({expr}) * 1000000e0 "
+                f"+ 5e-1) AS BIGINT)")
     import math as _m
     _LNM = {m: str(int(_m.floor(_m.log(m) * 1e6 + 0.5)))
             for m in (16, 64, 256)}
@@ -7385,6 +7433,75 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_gev_return: three PWMs, exact t3, then the shared-literal
+        # seam chain c -> kappa -> Gamma-poly -> sigma -> xi -> levels
+        "q_gev_return": f"""
+            WITH ams AS (
+                SELECT l_suppkey % 12 AS cell, year(l_shipdate) AS yr,
+                       max(l_extendedprice / 1000.0) AS am
+                FROM lineitem GROUP BY 1, 2),
+            q AS (SELECT cell,
+                         CAST(sign(am) * floor(abs(am) * 1000000
+                                               + 0.5) AS HUGEINT)
+                             AS qx
+                  FROM ams),
+            r AS (SELECT cell, qx,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY qx) AS i
+                  FROM q),
+            g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                         sum(qx) AS s0,
+                         sum((i - 1) * qx) AS s1,
+                         sum((i - 1) * CAST(i - 2 AS HUGEINT) * qx)
+                             AS s2
+                  FROM r GROUP BY cell),
+            f AS (SELECT cell, n,
+                         {idiv_int('s0', 'n')} AS lam1,
+                         2 * s1 - (n - 1) * s0 AS lam2n,
+                         {idiv_int('2 * s1 - (n - 1) * s0',
+                                   'greatest(CAST(n AS HUGEINT) '
+                                   '* (n - 1), 1)')} AS lam2,
+                         6 * s2 - 6 * (n - 2) * s1
+                             + (n - 1) * CAST(n - 2 AS HUGEINT) * s0
+                             AS t3n
+                  FROM g),
+            t AS (SELECT cell, n, lam1, lam2,
+                         (n >= 3 AND lam2 > 0
+                          AND (n - 2) * lam2n <> 0) AS ok0,
+                         CASE WHEN (n - 2) * lam2n > 0 THEN
+                              {idiv_int('t3n * 1000000',
+                                        '(n - 2) * lam2n')} END AS t3q
+                  FROM f),
+            s1c AS (SELECT *, CASE WHEN ok0 THEN
+                           {_qseam_sql(_GEV_C)} END AS cq
+                    FROM t),
+            s2c AS (SELECT *, CASE WHEN ok0 THEN
+                           {_qseam_sql(_GEV_K)} END AS kq
+                    FROM s1c),
+            s3c AS (SELECT *, CASE WHEN ok0 AND kq IS NOT NULL
+                                   AND kq <> 0 THEN
+                           CAST(floor({_GEV_G} * 1000000e0 + 5e-1)
+                                AS BIGINT) END AS gq
+                    FROM s2c),
+            s4c AS (SELECT *, CASE WHEN gq IS NOT NULL THEN
+                           {_qseam_sql(_GEV_SIG)} END AS sq
+                    FROM s3c),
+            s5c AS (SELECT *, CASE WHEN sq IS NOT NULL THEN
+                           lam1 + {_qseam_sql(_GEV_XI)} END AS xq
+                    FROM s4c),
+            lv AS (SELECT s5c.*, p.period, p.lyt,
+                          CASE WHEN xq IS NOT NULL THEN
+                               xq + {_qseam_sql(_GEV_LVL)} END AS lq
+                   FROM s5c CROSS JOIN (VALUES
+                        (10, {_GEV_LYT[10]}),
+                        (100, {_GEV_LYT[100]})) p(period, lyt))
+            SELECT cell, n, period,
+                   CAST(kq AS DOUBLE) / 1000000.0 AS kappa,
+                   CAST(xq AS DOUBLE) / 1000000.0 AS loc,
+                   CAST(sq AS DOUBLE) / 1000000.0 AS scale,
+                   CAST(lq AS DOUBLE) / 1000000.0 AS level
+            FROM lv
         """,
         # q_persistence: exact integer error sums over the lag window,
         # SS zero-seam, U2 one sqrt seam

@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "q_std_anomaly",
     "q_ffa_qq",
     "q_persistence",
+    "q_gev_return",
 ]
 
 _IVF_INDEX = {}

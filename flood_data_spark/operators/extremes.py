@@ -527,3 +527,158 @@ def frequency_qq(df: DataFrame, value_col: str, group_keys,
                      fitted.alias("fitted"),
                      residual.alias("residual"))
             .orderBy(*keys, "rank"))
+
+
+#: Abramowitz & Stegun 6.1.36 polynomial for Γ(1+x) on x ∈ [0, 1]
+#: (|ε| < 3e-7 — invisible at the micro quantization grid).  Literal
+#: coefficients spliced verbatim into the oracles: DuckDB's gamma()
+#: would NOT match Spark bit-for-bit, the SHARED polynomial does.
+GAMMA_P = (1.0, -0.577191652, 0.988205891, -0.897056937, 0.918206857,
+           -0.756704078, 0.482199394, -0.193527818, 0.035868343)
+
+LN2_OVER_LN3 = math.log(2.0) / math.log(3.0)
+GEV_K1 = 7.859  # Hosking 1985 κ(c) polynomial
+GEV_K2 = 2.9554
+
+
+def _gamma1p_sql(x: str) -> str:
+    """Γ(1+x) for x ∈ (−0.5, 1] as the A&S polynomial (with the
+    reflection Γ(1+x) = Γ(2+x)/(1+x) for negative x) — a TEXTUAL
+    expression template shared by the Spark operator (via F.expr) and
+    the DuckDB oracle, so both engines evaluate the identical IEEE
+    tree."""
+    # powers inlined as repeated multiplication — the relation this
+    # evaluates on is group-bounded (one row per cell), so the
+    # expression width is harmless
+    def poly_at(arg):
+        p = f"({GAMMA_P[0]!r})"
+        for i, c in enumerate(GAMMA_P[1:], start=1):
+            pw = " * ".join([f"({arg})"] * i)
+            p += f" + ({c!r}) * {pw}"
+        return f"({p})"
+    return (f"(CASE WHEN ({x}) >= 0.0 THEN {poly_at(x)} "
+            f"ELSE {poly_at(f'(1.0 + ({x}))')} / (1.0 + ({x})) END)")
+
+
+def gev_return_levels(df: DataFrame, value_col: str, group_keys,
+                      periods=(2, 5, 10, 20, 50, 100)) -> DataFrame:
+    """Fit a GEV distribution to each group's maxima series by
+    L-moments (Hosking et al. 1985 — THE flood-frequency estimator;
+    [gumbel_return_levels] is its κ = 0 special case) and emit T-year
+    return levels:
+
+        t3 = λ3/λ2,   c = 2/(3+t3) − ln2/ln3,
+        κ  = 7.859c + 2.9554c²
+        σ  = λ2·κ / (Γ(1+κ)(1 − 2^{−κ})),
+        ξ  = λ1 + σ(Γ(1+κ) − 1)/κ
+        x_T = ξ + σ/κ·(1 − y_T^κ),   y_T = −ln(1 − 1/T)
+
+    Exactness ladder: the three PWMs are integer sums off ONE rank
+    window; t3 closes as an EXACT integer ratio (the n-cleared
+    denominators cancel to (n−2)·λ2num); c/κ/Γ/σ/ξ and each level are
+    bounded textual double seams quantized floor(+0.5) to micro —
+    with Γ(1+κ) as a SHARED literal polynomial (A&S 6.1.36 + negative
+    reflection), because engine-native gamma() implementations don't
+    match bit-for-bit.  Degenerate groups (n < 3, λ2 ≤ 0, or κ
+    rounding to exactly 0 — the Gumbel limit, use
+    [gumbel_return_levels] there) return NULL fits.  Returns (keys…,
+    n, kappa, loc, scale, level) long-form per period, sorted."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("gev_return_levels: need at least one "
+                         "group key")
+    dec = "decimal(38,0)"
+    qx = _micro(F.col(value_col))
+    w = Window.partitionBy(*keys).orderBy("_qx")
+    ranked = (df.select(*keys, qx.alias("_qx"))
+              .withColumn("_i", F.row_number().over(w)))
+    i_dec = F.col("_i").cast(dec)
+    one = F.lit(1).cast(dec)
+    two = F.lit(2).cast(dec)
+    agg = (ranked.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_qx").cast(dec)).alias("_s0"),
+                F.sum((i_dec - one) * F.col("_qx").cast(dec))
+                .alias("_s1"),
+                F.sum((i_dec - one) * (i_dec - two)
+                      * F.col("_qx").cast(dec)).alias("_s2")))
+    n_dec = F.col("n").cast(dec)
+    lam1 = _idiv_half_up(F.col("_s0"), n_dec)
+    lam2_num = two * F.col("_s1") - (n_dec - one) * F.col("_s0")
+    lam2_den = F.greatest(n_dec * (n_dec - one), one)
+    lam2 = _idiv_half_up(lam2_num, lam2_den)
+    six = F.lit(6).cast(dec)
+    t3_num = (six * F.col("_s2")
+              - six * (n_dec - two) * F.col("_s1")
+              + (n_dec - one) * (n_dec - two) * F.col("_s0"))
+    t3_den = (n_dec - two) * lam2_num
+    ok0 = (F.col("n") >= 3) & (lam2 > 0) & (t3_den != 0)
+    t3q = _idiv_half_up(
+        t3_num * F.lit(MICRO).cast(dec),
+        F.when(t3_den != 0, t3_den).otherwise(one))
+    base = agg.select(*keys, "n", ok0.alias("_ok0"),
+                      lam1.alias("_lam1"), lam2.alias("_lam2"),
+                      t3q.alias("_t3q"))
+    # seam chain (each one textual, quantized once) — all via F.expr
+    # so the oracle can restate the IDENTICAL strings
+    c_expr = (f"2.0 / (3.0 + CAST(_t3q AS DOUBLE) / 1000000.0) "
+              f"- ({LN2_OVER_LN3!r})")
+    base = base.withColumn(
+        "_cq", F.expr(f"CASE WHEN _ok0 THEN cast(sign({c_expr}) * "
+                      f"floor(abs({c_expr}) * 1000000e0 + 5e-1) "
+                      f"as long) END"))
+    k_expr = (f"(({GEV_K1!r}) * (CAST(_cq AS DOUBLE) / 1000000.0) "
+              f"+ ({GEV_K2!r}) * (CAST(_cq AS DOUBLE) / 1000000.0) "
+              f"* (CAST(_cq AS DOUBLE) / 1000000.0))")
+    base = base.withColumn(
+        "_kq", F.expr(f"CASE WHEN _ok0 THEN cast(sign({k_expr}) * "
+                      f"floor(abs({k_expr}) * 1000000e0 + 5e-1) "
+                      f"as long) END"))
+    kd = "(CAST(_kq AS DOUBLE) / 1000000.0)"
+    g_expr = _gamma1p_sql(kd)
+    base = base.withColumn(
+        "_gq", F.expr(f"CASE WHEN _ok0 AND _kq IS NOT NULL AND "
+                      f"_kq <> 0 THEN cast(floor({g_expr} * 1000000e0 "
+                      f"+ 5e-1) as long) END"))
+    gd = "(CAST(_gq AS DOUBLE) / 1000000.0)"
+    lam2d = "(CAST(_lam2 AS DOUBLE) / 1000000.0)"
+    # 2^{-k} as exp(-k·ln2) with a repr literal: java Math.pow and
+    # libm pow are NOT bit-identical across engines, exp/ln are
+    # (proven by every ln/exp seam gate since round 8)
+    sig_expr = (f"({lam2d} * {kd} / ({gd} * (1.0 - exp(-({kd}) "
+                f"* ({math.log(2.0)!r})))))")
+    base = base.withColumn(
+        "_sq", F.expr(f"CASE WHEN _gq IS NOT NULL THEN "
+                      f"cast(sign({sig_expr}) * floor(abs({sig_expr}) "
+                      f"* 1000000e0 + 5e-1) as long) END"))
+    sd = "(CAST(_sq AS DOUBLE) / 1000000.0)"
+    xi_expr = f"({sd} * ({gd} - 1.0) / {kd})"
+    base = base.withColumn(
+        "_xq", F.expr(f"CASE WHEN _sq IS NOT NULL THEN _lam1 + "
+                      f"cast(sign({xi_expr}) * floor(abs({xi_expr}) "
+                      f"* 1000000e0 + 5e-1) as long) END"))
+    # carry ln(y_T) as the literal: y_T^k = exp(k·ln y_T)
+    pairs = F.array(*[
+        F.struct(F.lit(int(t)).alias("period"),
+                 F.lit(math.log(-math.log(1.0 - 1.0 / float(t))))
+                 .alias("_lyt"))
+        for t in periods])
+    lvl_expr = (f"({sd} / {kd} * (1.0 - exp({kd} * _p._lyt)))")
+    mega_f = F.lit(float(MICRO))
+    out = (base.select(*keys, "n", "_kq", "_sq", "_xq",
+                       F.explode(pairs).alias("_p"))
+           .withColumn(
+               "_lq", F.expr(f"CASE WHEN _xq IS NOT NULL THEN _xq + "
+                             f"cast(sign({lvl_expr}) * "
+                             f"floor(abs({lvl_expr}) * 1000000e0 "
+                             f"+ 5e-1) as long) END")))
+    return (out.select(
+        *keys, "n", F.col("_p.period").alias("period"),
+        (F.col("_kq").cast("double") / mega_f).alias("kappa"),
+        (F.when(F.col("_xq").isNotNull(),
+                F.col("_xq").cast("double") / mega_f)).alias("loc"),
+        (F.when(F.col("_sq").isNotNull(),
+                F.col("_sq").cast("double") / mega_f)).alias("scale"),
+        (F.when(F.col("_lq").isNotNull(),
+                F.col("_lq").cast("double") / mega_f)).alias("level"))
+        .orderBy(*keys, "period"))

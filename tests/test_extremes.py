@@ -263,3 +263,73 @@ def test_frequency_qq_residuals_small_on_gumbel_sample(spark):
                                  "cell string, am double")
     fr = frequency_qq(flat, "am", ["cell"]).collect()
     assert len(fr) == 2 and all(r.fitted is None for r in fr)
+
+
+def test_gev_matches_python_lmoments(spark):
+    """Differential vs a python replica of the full Hosking chain
+    (including the shared Γ polynomial and every quantized seam)."""
+    import math as pm
+
+    from flood_data_spark.operators.extremes import (
+        GAMMA_P, GEV_K1, GEV_K2, LN2_OVER_LN3, gev_return_levels)
+
+    def gamma1p(x):
+        def poly(a):
+            return sum(c * a ** i for i, c in enumerate(GAMMA_P))
+        return poly(x) if x >= 0 else poly(1.0 + x) / (1.0 + x)
+
+    rng = np.random.default_rng(33)
+    # Frechet-ish (kappa < 0) and Weibull-type (kappa > 0) samples
+    cases = {}
+    u = rng.uniform(size=80)
+    cases["fr"] = 100 + 20 / 0.2 * (1 - (-np.log(u)) ** 0.2)   # k=0.2
+    u2 = rng.uniform(size=80)
+    cases["wb"] = 100 + 20 / -0.2 * (1 - (-np.log(u2)) ** -0.2)
+    rows = [(g, float(v)) for g, vs in cases.items() for v in vs]
+    df = spark.createDataFrame(rows, "cell string, am double")
+    out = {(r.cell, r.period): r for r in
+           gev_return_levels(df, "am", ["cell"],
+                             periods=(10, 100)).collect()}
+
+    def idiv(num, den):
+        q = (2 * abs(num) + den) // (2 * den)
+        return -q if num < 0 else q
+
+    def seam(v):
+        return int(pm.copysign(pm.floor(abs(v) * 1e6 + 0.5), v))
+
+    for g, vs in cases.items():
+        qx = sorted(int(pm.floor(abs(v) * 1e6 + 0.5)) for v in vs)
+        n = len(qx)
+        s0 = sum(qx)
+        s1 = sum((i) * x for i, x in enumerate(qx))          # (i-1), 1-based
+        s2 = sum(i * (i - 1) * x for i, x in enumerate(qx))
+        lam1 = idiv(s0, n)
+        lam2n = 2 * s1 - (n - 1) * s0
+        lam2 = idiv(lam2n, n * (n - 1))
+        t3n = 6 * s2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0
+        t3q = idiv(t3n * 10 ** 6, (n - 2) * lam2n)
+        c = 2.0 / (3.0 + t3q / 1e6) - LN2_OVER_LN3
+        cq = seam(c)
+        k = GEV_K1 * (cq / 1e6) + GEV_K2 * (cq / 1e6) * (cq / 1e6)
+        kq = seam(k)
+        kd = kq / 1e6
+        gq = int(pm.floor(gamma1p(kd) * 1e6 + 0.5))
+        gd = gq / 1e6
+        sig = (lam2 / 1e6) * kd / (gd * (1.0 - pm.exp(-kd * pm.log(2.0))))
+        sq = seam(sig)
+        xq = lam1 + seam((sq / 1e6) * (gd - 1.0) / kd)
+        for T in (10, 100):
+            lyt = pm.log(-pm.log(1.0 - 1.0 / T))
+            lq = xq + seam((sq / 1e6) / kd * (1.0 - pm.exp(kd * lyt)))
+            r = out[(g, T)]
+            assert r.kappa == pytest.approx(kq / 1e6, abs=2e-6), g
+            assert r.level == pytest.approx(lq / 1e6, abs=5e-6), (g, T)
+    # the Frechet-type sample recovers kappa near its true 0.2
+    assert abs(out[("fr", 10)].kappa - 0.2) < 0.1
+    # degenerate: n < 3
+    tiny = spark.createDataFrame([("t", 1.0), ("t", 2.0)],
+                                 "cell string, am double")
+    tr = gev_return_levels(tiny, "am", ["cell"], periods=(10,)) \
+        .collect()[0]
+    assert tr.level is None and tr.kappa is None

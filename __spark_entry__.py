@@ -4941,6 +4941,22 @@ def q_drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drought_runs(daily, "v", "d", ["cell"], 0.8, step=1)
 
 
+def q_lmoments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-moment ratio diagram coordinates per cell
+    (operators/extremes.lmoment_ratios) on the AMS relation: four PWM
+    integer sums off one rank window, every ratio an exact
+    factorial-cancelled integer division — zero seams.  Full value
+    oracle."""
+    from flood_data_spark.operators.extremes import lmoment_ratios
+
+    li = _t(spark, sf_dir, "lineitem")
+    ams = (li.groupBy((F.col("l_suppkey") % 12).alias("cell"),
+                      F.year("l_shipdate").alias("yr"))
+           .agg(F.max(F.col("l_extendedprice") / F.lit(1000.0))
+                .alias("am")))
+    return lmoment_ratios(ams, "am", ["cell"])
+
+
 def q_gev_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GEV L-moment fit + return levels per cell
     (operators/extremes.gev_return_levels) on the q_gumbel_return AMS
@@ -5323,6 +5339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ffa_qq": q_ffa_qq,
         "q_persistence": q_persistence,
         "q_gev_return": q_gev_return,
+        "q_lmoments": q_lmoments,
         # --- round 13 session 1: composed incremental daily
         # operations (VERDICT r12 #2) + sequential A/B (r12 #8) ---
         "q_daily_incremental": q_daily_incremental,
@@ -7433,6 +7450,63 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / 1000000.0
                    END AS sigma
             FROM m
+        """,
+        # q_lmoments: four PWMs, factorial denominators cancel, every
+        # ratio one exact integer division — zero seams
+        "q_lmoments": f"""
+            WITH ams AS (
+                SELECT l_suppkey % 12 AS cell, year(l_shipdate) AS yr,
+                       max(l_extendedprice / 1000.0) AS am
+                FROM lineitem GROUP BY 1, 2),
+            q AS (SELECT cell,
+                         CAST(sign(am) * floor(abs(am) * 1000000
+                                               + 0.5) AS HUGEINT)
+                             AS qx
+                  FROM ams),
+            r AS (SELECT cell, qx,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY qx) AS i
+                  FROM q),
+            g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                         sum(qx) AS s0,
+                         sum((i - 1) * qx) AS s1,
+                         sum((i - 1) * CAST(i - 2 AS HUGEINT) * qx)
+                             AS s2,
+                         sum((i - 1) * CAST(i - 2 AS HUGEINT)
+                             * (i - 3) * qx) AS s3
+                  FROM r GROUP BY cell),
+            f AS (SELECT cell, n, s0,
+                         2 * s1 - (n - 1) * s0 AS a,
+                         6 * s2 - 6 * (n - 2) * s1
+                             + (n - 1) * CAST(n - 2 AS HUGEINT) * s0
+                             AS b,
+                         20 * s3 - 30 * (n - 3) * s2
+                             + 12 * (n - 2) * CAST(n - 3 AS HUGEINT)
+                               * s1
+                             - (n - 1) * CAST(n - 2 AS HUGEINT)
+                               * (n - 3) * s0 AS c
+                  FROM g),
+            t AS (SELECT cell, n, s0, a, b, c,
+                         (n >= 4 AND s0 > 0 AND a > 0) AS ok
+                  FROM f)
+            SELECT cell, n,
+                   {idiv_half_up('s0', 'CAST(n AS HUGEINT)', 1000000)}
+                       AS l1,
+                   CASE WHEN ok THEN
+                        {idiv_half_up('a * 1000000',
+                                      'greatest((n - 1) * s0, 1)',
+                                      1000000)} END AS t2,
+                   CASE WHEN ok THEN
+                        {idiv_half_up('b * 1000000',
+                                      'greatest((n - 2) * a, 1)',
+                                      1000000)} END AS t3,
+                   CASE WHEN ok THEN
+                        {idiv_half_up(
+                            'c * 1000000',
+                            'greatest((n - 2) * CAST(n - 3 AS '
+                            'HUGEINT) * a, 1)', 1000000)}
+                   END AS t4
+            FROM t
         """,
         # q_gev_return: three PWMs, exact t3, then the shared-literal
         # seam chain c -> kappa -> Gamma-poly -> sigma -> xi -> levels

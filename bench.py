@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "q_ffa_qq",
     "q_persistence",
     "q_gev_return",
+    "q_lmoments",
 ]
 
 _IVF_INDEX = {}

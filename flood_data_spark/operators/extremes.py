@@ -682,3 +682,78 @@ def gev_return_levels(df: DataFrame, value_col: str, group_keys,
         (F.when(F.col("_lq").isNotNull(),
                 F.col("_lq").cast("double") / mega_f)).alias("level"))
         .orderBy(*keys, "period"))
+
+
+def lmoment_ratios(df: DataFrame, value_col: str,
+                   group_keys) -> DataFrame:
+    """Sample L-moment ratios per group — the coordinates of the
+    L-moment ratio diagram (Hosking & Wallis 1997) that regional
+    frequency analysis uses to CHOOSE the distribution family before
+    any [gev_return_levels]/[gumbel_return_levels] fit ships:
+
+        l1 = λ1 (L-location),     t2 = λ2/λ1 (L-CV),
+        t3 = λ3/λ2 (L-skewness),  t4 = λ4/λ2 (L-kurtosis)
+
+    ENTIRELY integer: with the PWM numerators S_k = Σ (i−1)⋯(i−k)
+    x_(i) off ONE rank window, the factorial denominators cancel so
+    every ratio closes as a single exact `_idiv_half_up` —
+
+        t2 = A/((n−1)S0),  t3 = B/((n−2)A),  t4 = C/((n−2)(n−3)A)
+        A = 2S1 − (n−1)S0
+        B = 6S2 − 6(n−2)S1 + (n−1)(n−2)S0
+        C = 20S3 − 30(n−3)S2 + 12(n−2)(n−3)S1 − (n−1)(n−2)(n−3)S0
+
+    — ZERO IEEE seams, the package's strongest determinism class.
+    Requires n ≥ 4, λ1 > 0 (positive-data L-CV convention), λ2 > 0;
+    NULL ratios otherwise.  Returns (keys…, n, l1, t2, t3, t4),
+    sorted."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("lmoment_ratios: need at least one group key")
+    dec = "decimal(38,0)"
+    qx = _micro(F.col(value_col))
+    w = Window.partitionBy(*keys).orderBy("_qx")
+    ranked = (df.select(*keys, qx.alias("_qx"))
+              .withColumn("_i", F.row_number().over(w)))
+    i_dec = F.col("_i").cast(dec)
+    one = F.lit(1).cast(dec)
+    two = F.lit(2).cast(dec)
+    three = F.lit(3).cast(dec)
+    x = F.col("_qx").cast(dec)
+    agg = (ranked.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(x).alias("_s0"),
+                F.sum((i_dec - one) * x).alias("_s1"),
+                F.sum((i_dec - one) * (i_dec - two) * x).alias("_s2"),
+                F.sum((i_dec - one) * (i_dec - two) * (i_dec - three)
+                      * x).alias("_s3")))
+    n_dec = F.col("n").cast(dec)
+    s0, s1, s2, s3 = (F.col(c) for c in ("_s0", "_s1", "_s2", "_s3"))
+    a = two * s1 - (n_dec - one) * s0
+    b = (F.lit(6).cast(dec) * s2
+         - F.lit(6).cast(dec) * (n_dec - two) * s1
+         + (n_dec - one) * (n_dec - two) * s0)
+    c = (F.lit(20).cast(dec) * s3
+         - F.lit(30).cast(dec) * (n_dec - three) * s2
+         + F.lit(12).cast(dec) * (n_dec - two) * (n_dec - three) * s1
+         - (n_dec - one) * (n_dec - two) * (n_dec - three) * s0)
+    mega = F.lit(MICRO).cast(dec)
+    mega_f = F.lit(float(MICRO))
+    ok = (F.col("n") >= 4) & (s0 > 0) & (a > 0)
+    l1 = _idiv_half_up(s0, n_dec)
+    t2 = _idiv_half_up(a * mega,
+                       F.greatest((n_dec - one) * s0, one))
+    t3 = _idiv_half_up(b * mega,
+                       F.greatest((n_dec - two) * a, one))
+    t4 = _idiv_half_up(c * mega,
+                       F.greatest((n_dec - two) * (n_dec - three) * a,
+                                  one))
+    return (agg.select(*keys, F.col("n").cast("long").alias("n"),
+                       (l1.cast("double") / mega_f).alias("l1"),
+                       F.when(ok, t2.cast("double") / mega_f)
+                       .alias("t2"),
+                       F.when(ok, t3.cast("double") / mega_f)
+                       .alias("t3"),
+                       F.when(ok, t4.cast("double") / mega_f)
+                       .alias("t4"))
+            .orderBy(*keys))

@@ -333,3 +333,39 @@ def test_gev_matches_python_lmoments(spark):
     tr = gev_return_levels(tiny, "am", ["cell"], periods=(10,)) \
         .collect()[0]
     assert tr.level is None and tr.kappa is None
+
+
+def test_lmoment_ratios_match_reference(spark):
+    """Differential vs the direct-definition L-moment estimator
+    (unbiased PWMs) on a skewed sample; plus the Gumbel theoretical
+    point (t3 = 0.1699, t4 = 0.1504) within sampling noise."""
+    from flood_data_spark.operators.extremes import lmoment_ratios
+
+    rng = np.random.default_rng(51)
+    x = np.sort(100 - 20 * np.log(-np.log(rng.uniform(size=400))))
+    df = spark.createDataFrame([("c", float(v)) for v in x],
+                               "cell string, am double")
+    r = lmoment_ratios(df, "am", ["cell"]).collect()[0]
+    n = len(x)
+    i = np.arange(1, n + 1)
+    b0 = x.mean()
+    b1 = ((i - 1) * x).sum() / (n * (n - 1))
+    b2 = ((i - 1) * (i - 2) * x).sum() / (n * (n - 1) * (n - 2))
+    b3 = ((i - 1) * (i - 2) * (i - 3) * x).sum() \
+        / (n * (n - 1) * (n - 2) * (n - 3))
+    lam1, lam2 = b0, 2 * b1 - b0
+    lam3 = 6 * b2 - 6 * b1 + b0
+    lam4 = 20 * b3 - 30 * b2 + 12 * b1 - b0
+    assert r.n == 400
+    assert r.l1 == pytest.approx(lam1, abs=2e-6)
+    assert r.t2 == pytest.approx(lam2 / lam1, abs=2e-6)
+    assert r.t3 == pytest.approx(lam3 / lam2, abs=2e-6)
+    assert r.t4 == pytest.approx(lam4 / lam2, abs=2e-6)
+    # the Gumbel diagram point
+    assert r.t3 == pytest.approx(0.1699, abs=0.06)
+    assert r.t4 == pytest.approx(0.1504, abs=0.06)
+    # degenerate: n < 4
+    tiny = spark.createDataFrame([("t", float(v)) for v in (1, 2, 3)],
+                                 "cell string, am double")
+    tr = lmoment_ratios(tiny, "am", ["cell"]).collect()[0]
+    assert tr.t2 is None and tr.t4 is None

@@ -369,3 +369,25 @@ def test_lmoment_ratios_match_reference(spark):
                                  "cell string, am double")
     tr = lmoment_ratios(tiny, "am", ["cell"]).collect()[0]
     assert tr.t2 is None and tr.t4 is None
+
+
+def test_gev_near_gumbel_limit_consistency(spark):
+    """Cross-family sanity: on a true Gumbel sample the GEV fit's
+    kappa is near 0 and its 100-year level lands near the Gumbel
+    fit's (within a few percent of the scale parameter)."""
+    from flood_data_spark.operators.extremes import (
+        gev_return_levels, gumbel_return_levels)
+
+    rng = np.random.default_rng(61)
+    x = 100 - 20 * np.log(-np.log(rng.uniform(size=400)))
+    df = spark.createDataFrame([("c", float(v)) for v in x],
+                               "cell string, am double")
+    gum = {r.period: r for r in
+           gumbel_return_levels(df, "am", ["cell"],
+                                periods=(100,)).collect()}
+    gev = {r.period: r for r in
+           gev_return_levels(df, "am", ["cell"],
+                             periods=(100,)).collect()}
+    assert abs(gev[100].kappa) < 0.15
+    assert gev[100].level == pytest.approx(gum[100].level,
+                                           abs=3 * gum[100].scale)

@@ -292,3 +292,24 @@ def test_muskingum_is_single_python_stage_per_reach(spark):
                                  0.2, 24.0))
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert plan.count("Exchange hashpartitioning(reach") == 1
+
+
+def test_frequency_fits_single_rank_window_no_python(spark):
+    """Gumbel/GEV/L-ratio fits: ONE cell-partitioned rank window, one
+    aggregation exchange, zero Python stages."""
+    from flood_data_spark.operators.extremes import (
+        gev_return_levels, gumbel_return_levels, lmoment_ratios)
+
+    df = spark.range(600).select(
+        (F.col("id") % 6).alias("cell"),
+        (F.col("id") % 97 + 1).cast("double").alias("am"))
+    for op in (lambda d: gumbel_return_levels(d, "am", ["cell"]),
+               lambda d: gev_return_levels(d, "am", ["cell"]),
+               lambda d: lmoment_ratios(d, "am", ["cell"])):
+        plan = _plan(op(df))
+        assert plan.count("Window") <= 2          # one logical window
+        assert "BatchEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
+        # rank window + final agg share the cell partitioning: at most
+        # two hashpartitioning exchanges end to end (window, agg)
+        assert plan.count("Exchange hashpartitioning") <= 2

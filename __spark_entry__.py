@@ -7554,7 +7554,8 @@ def oracle_sql() -> dict[str, str]:
                            {_qseam_sql(_GEV_K)} END AS kq
                     FROM s1c),
             s3c AS (SELECT *, CASE WHEN ok0 AND kq IS NOT NULL
-                                   AND kq <> 0 THEN
+                                   AND kq <> 0
+                                   AND abs(kq) <= 500000 THEN
                            CAST(floor({_GEV_G} * 1000000e0 + 5e-1)
                                 AS BIGINT) END AS gq
                     FROM s2c),

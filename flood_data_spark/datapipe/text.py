@@ -1467,8 +1467,12 @@ def bleu_corpus(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
         raise ValueError("bleu_corpus: need at least one group key")
 
     def toks(df, with_keys):
-        w = F.split(F.lower(F.regexp_replace(
-            F.trim(F.col(text_col)), r"\s+", " ")), " ")
+        # array_remove drops the '' token that split() yields for an
+        # empty/whitespace-only text — such rows must contribute ZERO
+        # tokens to c_len/r_len and no grams (the standard zero-token
+        # treatment), not one spuriously-matchable empty unigram
+        w = F.array_remove(F.split(F.lower(F.regexp_replace(
+            F.trim(F.col(text_col)), r"\s+", " ")), " "), "")
         cols = keys if with_keys else []
         return df.select(*cols, F.col(id_col).alias("id"),
                          w.alias("w"), F.size(w).alias("_len"))
@@ -1543,7 +1547,10 @@ def bleu_corpus(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
                  F.max(F.when(has_t & (F.col("_clip") == 0), 1)
                        .otherwise(0)).alias("_zc"),
                  F.sum(F.col("_lq").cast(dec)).alias("_suml")))
-    out = wide.join(lens_c, keys).join(lens_r, keys, "left")
+    # lens_c drives: a group whose candidates have zero grams at
+    # EVERY order (all texts empty) still surfaces, with c_len = 0
+    # and NULL precisions/bp/bleu, instead of vanishing
+    out = lens_c.join(wide, keys, "left").join(lens_r, keys, "left")
     defined = F.col("_kdef") == max_n
     zero_clip = F.col("_zc") == 1
     mean_l = _idiv_half_up(

@@ -625,14 +625,17 @@ def srm_check(df: DataFrame, variant_col: str = "variant",
     micro.  The flag trips at |z| ≥ `z_crit` (3.0 — SRM practice
     alerts at p ≈ 0.003, not 0.05: a mismatched ratio is a bug, not a
     hypothesis).  One group-keyed exchange.  Returns (keys…, n_a,
-    n_b, z, srm), sorted; empty experiments report NULL z."""
+    n_b, z, srm), sorted; experiments whose rows are all outside
+    {variant_a, variant_b} surface with n_a = n_b = 0 and NULL z —
+    the aggregate runs over the UNFILTERED frame (counting only A/B
+    per group), so no experiment silently disappears from the
+    report."""
     keys = list(group_cols)
     rho = float(expected_a)
     if not (0.0 < rho < 1.0):
         raise ValueError(f"srm_check: expected_a must be in (0, 1), "
                          f"got {rho}")
-    g = (df.filter(F.col(variant_col).isin(variant_a, variant_b))
-         .groupBy(*keys)
+    g = (df.groupBy(*keys)
          .agg(F.sum(F.when(F.col(variant_col) == variant_a, 1)
                     .otherwise(0)).cast("long").alias("n_a"),
               F.sum(F.when(F.col(variant_col) == variant_b, 1)
@@ -681,13 +684,17 @@ def winsorized_mean(df: DataFrame, value_col: str, group_cols=(),
     quantizes each clamped value ONCE to integer micros before an
     exact integer ratio.  Two group-keyed passes (cap aggregate +
     co-partitioned join back), the [with_robust_outliers] plan shape.
-    Returns (keys…, n, lo_cap, hi_cap, wmean), sorted."""
+    NULL values are excluded up front so n, the caps, and the sum all
+    cover the same rows — counting NULL rows in n while the sum skips
+    them would deflate wmean toward zero.  Returns (keys…, n, lo_cap,
+    hi_cap, wmean), sorted."""
     from flood_data_spark.datapipe.linalg import _idiv_half_up
 
     keys = list(group_cols)
     if not (0.0 <= lower < upper <= 1.0):
         raise ValueError("winsorized_mean: need 0 <= lower < upper "
                          f"<= 1, got ({lower}, {upper})")
+    df = df.filter(F.col(value_col).isNotNull())
     dec = "decimal(38,0)"
     caps = (df.groupBy(*keys)
             .agg(F.percentile(F.col(value_col), F.lit(float(lower)))

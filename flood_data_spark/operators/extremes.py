@@ -581,7 +581,12 @@ def gev_return_levels(df: DataFrame, value_col: str, group_keys,
     reflection), because engine-native gamma() implementations don't
     match bit-for-bit.  Degenerate groups (n < 3, λ2 ≤ 0, or κ
     rounding to exactly 0 — the Gumbel limit, use
-    [gumbel_return_levels] there) return NULL fits.  Returns (keys…,
+    [gumbel_return_levels] there) return NULL fits, and so do groups
+    whose quantized κ falls outside |κ| ≤ 0.5 — the domain where BOTH
+    the Hosking κ(c) approximation and the A&S Γ(1+x) polynomial are
+    valid (Hosking et al. 1985 quote the κ(c) fit for |t3| ≲ 0.5;
+    A&S 6.1.36 covers x ∈ (−0.5, 1]); beyond it the chain would emit
+    plausible-looking but wrong fits, so it emits NULL instead.  Returns (keys…,
     n, kappa, loc, scale, level) long-form per period, sorted."""
     keys = list(group_keys)
     if not keys:
@@ -638,7 +643,8 @@ def gev_return_levels(df: DataFrame, value_col: str, group_keys,
     g_expr = _gamma1p_sql(kd)
     base = base.withColumn(
         "_gq", F.expr(f"CASE WHEN _ok0 AND _kq IS NOT NULL AND "
-                      f"_kq <> 0 THEN cast(floor({g_expr} * 1000000e0 "
+                      f"_kq <> 0 AND abs(_kq) <= 500000 THEN "
+                      f"cast(floor({g_expr} * 1000000e0 "
                       f"+ 5e-1) as long) END"))
     gd = "(CAST(_gq AS DOUBLE) / 1000000.0)"
     lam2d = "(CAST(_lam2 AS DOUBLE) / 1000000.0)"

@@ -421,3 +421,37 @@ def test_winsorized_mean_matches_numpy(spark):
     assert r.wmean < vals.mean()
     with pytest.raises(ValueError, match="lower"):
         winsorized_mean(df, "v", ["grp"], lower=0.9, upper=0.5)
+
+
+def test_srm_variantless_group_surfaces_with_null_z(spark):
+    """An experiment whose rows are ALL outside {A, B} must surface
+    with n_a = n_b = 0 and NULL z/srm, not vanish from the report
+    (the aggregate runs over the unfiltered frame)."""
+    from flood_data_spark.operators.experiment import srm_check
+
+    rows = ([("live", "A")] * 40 + [("live", "B")] * 42
+            + [("ghost", "C")] * 25)
+    df = spark.createDataFrame(rows, "exp string, variant string")
+    out = {r.exp: r for r in srm_check(df, group_cols=["exp"]).collect()}
+    assert set(out) == {"live", "ghost"}
+    g = out["ghost"]
+    assert (g.n_a, g.n_b) == (0, 0)
+    assert g.z is None and g.srm is None
+
+
+def test_winsorized_mean_excludes_null_values(spark):
+    """NULL values must not count toward n: n, the caps, and the sum
+    all cover the same (non-null) rows, so wmean is not deflated."""
+    from flood_data_spark.operators.experiment import winsorized_mean
+
+    rng = np.random.default_rng(33)
+    vals = rng.exponential(10, 200)
+    rows = ([("g", float(v)) for v in vals]
+            + [("g", None)] * 50)
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = winsorized_mean(df, "v", ["grp"], lower=0.05,
+                        upper=0.95).collect()[0]
+    lo, hi = np.percentile(vals, 5), np.percentile(vals, 95)
+    want = np.clip(vals, lo, hi).mean()
+    assert r.n == 200
+    assert r.wmean == pytest.approx(want, abs=2e-6)

@@ -391,3 +391,28 @@ def test_gev_near_gumbel_limit_consistency(spark):
     assert abs(gev[100].kappa) < 0.15
     assert gev[100].level == pytest.approx(gum[100].level,
                                            abs=3 * gum[100].scale)
+
+
+def test_gev_domain_gate_nulls_extreme_lskew(spark):
+    """A sample with L-skewness near 1 drives Hosking's kappa(c)
+    approximation far outside its validity range (|kappa| > 0.5,
+    near the Gamma reflection's pole at kappa = -1): the fit must
+    report NULL loc/scale/level instead of plausible-looking wrong
+    numbers, while a well-behaved group in the same frame still
+    fits."""
+    from flood_data_spark.operators.extremes import gev_return_levels
+
+    rng = np.random.default_rng(77)
+    good = 100 - 20 * np.log(-np.log(rng.uniform(size=200)))
+    rows = ([("wild", 1.0)] * 30 + [("wild", 1.0001), ("wild", 5e7)]
+            + [("tame", float(v)) for v in good])
+    df = spark.createDataFrame(rows, "cell string, am double")
+    out = {(r.cell, r.period): r for r in
+           gev_return_levels(df, "am", ["cell"],
+                             periods=(100,)).collect()}
+    wild = out[("wild", 100)]
+    assert abs(wild.kappa) > 0.5          # outside the domain...
+    assert wild.loc is None and wild.scale is None
+    assert wild.level is None             # ...so the fit is gated
+    tame = out[("tame", 100)]
+    assert tame.level is not None and abs(tame.kappa) <= 0.5

@@ -431,3 +431,27 @@ def test_chrf_matches_reference_impl(spark):
     assert out[3].f4 == 0.0
     with pytest.raises(ValueError, match="beta"):
         chrf(cand, ref, beta=0)
+
+
+def test_bleu_empty_texts_contribute_zero_tokens(spark):
+    """An empty/whitespace-only text must contribute ZERO tokens —
+    not one empty-string token that inflates c_len/r_len and can
+    spuriously match (standard zero-token treatment)."""
+    from flood_data_spark.datapipe.text import bleu_corpus
+
+    rows_c = [(0, "mix", "alpha beta gamma delta epsilon"),
+              (1, "mix", "   "),
+              (2, "void", "")]
+    rows_r = [(0, "alpha beta gamma delta epsilon"),
+              (1, ""), (2, "")]
+    cand = spark.createDataFrame(rows_c,
+                                 "doc_id long, lang string, text string")
+    ref = spark.createDataFrame(rows_r, "doc_id long, text string")
+    out = {r.lang: r for r in
+           bleu_corpus(cand, ref, group_keys=["lang"]).collect()}
+    # the empty pair adds nothing: lengths are the real pair's alone
+    assert (out["mix"].c_len, out["mix"].r_len) == (5, 5)
+    assert out["mix"].bleu == pytest.approx(1.0, abs=2e-6)
+    # an all-empty group has no grams at any order: undefined, not 1.0
+    assert (out["void"].c_len, out["void"].r_len) == (0, 0)
+    assert out["void"].bleu is None

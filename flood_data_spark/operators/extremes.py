@@ -763,3 +763,211 @@ def lmoment_ratios(df: DataFrame, value_col: str,
                        F.when(ok, t4.cast("double") / mega_f)
                        .alias("t4"))
             .orderBy(*keys))
+
+
+def spi_empirical(df: DataFrame, value_col: str, group_keys,
+                  order_col: str) -> DataFrame:
+    """Empirical Standardized Precipitation/Streamflow Index per
+    observation (McKee et al. 1993 index; the distribution-free
+    plotting-position variant of Farahmand & AghaKouchak 2015 — no
+    parametric gamma fit, so it is robust to the zero-inflated,
+    mixed-distribution accumulations real basins produce):
+
+        p_i  = (i − 0.44) / (n + 0.12)      (Gringorten position)
+        SPI_i = Φ⁻¹(p_i)
+
+    per climatology group (typically cell × calendar-month, so each
+    group is one station-month's multi-year sample).  Exactness: the
+    rank i comes off ONE group-keyed window ordered by (value,
+    `order_col`) — the secondary key makes ties deterministic; p_i is
+    the EXACT integer ratio (100i − 44)·1e6 / (100n + 12); Φ⁻¹ is the
+    shared Acklam rational seam (functions/distributions.invnorm_sql
+    — the same literal text in both engines), quantized ONCE to
+    micro.  i ≥ 1 keeps p strictly inside (0, 1), so the seam's NULL
+    branch never fires.
+
+    Scale posture: one cell-month exchange, a window and a projection
+    — no join, no global sort; at 100 TB the plan is scan → group
+    exchange → done, and the probit is a pure codegen expression.
+    Returns (keys…, `order_col`, value, n, p, spi), sorted."""
+    from flood_data_spark.functions.distributions import invnorm_sql
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("spi_empirical: need at least one group key")
+    dec = "decimal(38,0)"
+    w = Window.partitionBy(*keys).orderBy("_qx", order_col)
+    wn = (Window.partitionBy(*keys)
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    ranked = (df.select(*keys, F.col(order_col),
+                        F.col(value_col).alias("value"),
+                        _micro(F.col(value_col)).alias("_qx"))
+              .withColumn("_i", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wn)
+                          .cast("long")))
+    hundred = F.lit(100).cast(dec)
+    pq = _idiv_half_up(
+        (hundred * F.col("_i").cast(dec) - F.lit(44).cast(dec))
+        * F.lit(MICRO).cast(dec),
+        hundred * F.col("n").cast(dec) + F.lit(12).cast(dec))
+    probit = invnorm_sql("(CAST(_pq AS DOUBLE) / 1000000.0)")
+    out = (ranked.withColumn("_pq", pq)
+           .withColumn("_sq", F.expr(
+               f"cast(sign({probit}) * floor(abs({probit}) "
+               f"* 1000000e0 + 5e-1) as long)")))
+    mega_f = F.lit(float(MICRO))
+    return (out.select(*keys, order_col, "value", "n",
+                       (F.col("_pq").cast("double") / mega_f)
+                       .alias("p"),
+                       (F.col("_sq").cast("double") / mega_f)
+                       .alias("spi"))
+            .orderBy(*keys, order_col, "value"))
+
+
+def regional_growth_curve(df: DataFrame, value_col: str, region_keys,
+                          site_col: str,
+                          periods=(10, 100)) -> DataFrame:
+    """Index-flood regional frequency analysis (Hosking & Wallis 1997
+    ch. 6 — the operational standard for estimating return levels at
+    short-record sites): pool the sites of a homogeneous region,
+    average their SCALE-INVARIANT L-moment ratios weighted by record
+    length, fit ONE regional GEV growth curve q(T) with λ1 ≡ 1, and
+    scale it by each site's index flood (its at-site mean):
+
+        t2_R = Σ nᵢ·t2ᵢ / Σ nᵢ,   t3_R likewise    (nᵢ-weighted)
+        κ, σ_R, ξ_R from (λ1 = 1, λ2 = t2_R, t3_R)  — [gev_return_levels]'s
+        seam chain with λ1 pinned to one
+        x_T(site i) = ℓ1ᵢ · q(T),   q(T) = ξ_R + σ_R/κ·(1 − y_T^κ)
+
+    Exactness: per-site PWMs are the same ONE rank window as
+    [gev_return_levels]; t2ᵢ = λ2/λ1 and t3ᵢ close as exact integer
+    micro ratios (scale-invariant, so NO normalization pass over the
+    data); the regional averages are exact integer ratios of micro
+    sums; the κ/Γ/σ/ξ/level chain reuses the shared textual seams with
+    the SAME |κ| ≤ 0.5 domain gate; the final site level is one exact
+    micro×micro/1e6 integer ratio.  Sites with n < 3 or non-positive
+    λ2 are EXCLUDED from the regional average (weight 0) but still
+    receive the regional growth curve.
+
+    Scale posture: one site-keyed exchange (rank window + aggregate),
+    one region-keyed aggregate over site-count-bounded rows, then the
+    region fit (tiny) broadcast back onto sites.  Returns (region…,
+    site, n, period, growth, level), sorted."""
+    keys = list(region_keys)
+    if not keys:
+        raise ValueError("regional_growth_curve: need at least one "
+                         "region key")
+    dec = "decimal(38,0)"
+    qx = _micro(F.col(value_col))
+    ranked = (df.select(*keys, F.col(site_col).alias("site"),
+                        qx.alias("_qx"))
+              .withColumn("_i", F.row_number().over(
+                  Window.partitionBy(*keys, "site").orderBy("_qx"))))
+    i_dec = F.col("_i").cast(dec)
+    one = F.lit(1).cast(dec)
+    two = F.lit(2).cast(dec)
+    mega = F.lit(MICRO).cast(dec)
+    site = (ranked.groupBy(*keys, "site")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("_qx").cast(dec)).alias("_s0"),
+                 F.sum((i_dec - one) * F.col("_qx").cast(dec))
+                 .alias("_s1"),
+                 F.sum((i_dec - one) * (i_dec - two)
+                       * F.col("_qx").cast(dec)).alias("_s2")))
+    n_dec = F.col("n").cast(dec)
+    lam2n = two * F.col("_s1") - (n_dec - one) * F.col("_s0")
+    t3n = (F.lit(6).cast(dec) * F.col("_s2")
+           - F.lit(6).cast(dec) * (n_dec - two) * F.col("_s1")
+           + (n_dec - one) * (n_dec - two) * F.col("_s0"))
+    oks = (F.col("n") >= 3) & (F.col("_s0") > 0) & (lam2n > 0)
+    site = site.select(
+        *keys, "site", "n",
+        _idiv_half_up(F.col("_s0"), n_dec).alias("_l1"),
+        oks.alias("_oks"),
+        F.when(oks, _idiv_half_up(lam2n * mega,
+                                  (n_dec - one) * F.col("_s0")))
+        .alias("_t2q"),
+        F.when(oks, _idiv_half_up(t3n * mega, (n_dec - two) * lam2n))
+        .alias("_t3q"))
+    reg = (site.groupBy(*keys)
+           .agg(F.sum(F.when(F.col("_oks"), F.col("n")).otherwise(0))
+                .cast(dec).alias("_wn"),
+                F.sum(F.when(F.col("_oks"),
+                             F.col("n").cast(dec)
+                             * F.col("_t2q").cast(dec)))
+                .alias("_wt2"),
+                F.sum(F.when(F.col("_oks"),
+                             F.col("n").cast(dec)
+                             * F.col("_t3q").cast(dec)))
+                .alias("_wt3")))
+    okr = F.col("_wn") > 0
+    reg = reg.select(
+        *keys, okr.alias("_okr"),
+        F.when(okr, _idiv_half_up(F.col("_wt2"), F.col("_wn")))
+        .alias("_t2r"),
+        F.when(okr, _idiv_half_up(F.col("_wt3"), F.col("_wn")))
+        .alias("_t3q"))
+    # the [gev_return_levels] seam chain with λ1 = 1, λ2 = t2_R —
+    # identical textual expressions, regional attribute names
+    c_expr = (f"2.0 / (3.0 + CAST(_t3q AS DOUBLE) / 1000000.0) "
+              f"- ({LN2_OVER_LN3!r})")
+    reg = reg.withColumn(
+        "_cq", F.expr(f"CASE WHEN _okr THEN cast(sign({c_expr}) * "
+                      f"floor(abs({c_expr}) * 1000000e0 + 5e-1) "
+                      f"as long) END"))
+    k_expr = (f"(({GEV_K1!r}) * (CAST(_cq AS DOUBLE) / 1000000.0) "
+              f"+ ({GEV_K2!r}) * (CAST(_cq AS DOUBLE) / 1000000.0) "
+              f"* (CAST(_cq AS DOUBLE) / 1000000.0))")
+    reg = reg.withColumn(
+        "_kq", F.expr(f"CASE WHEN _okr THEN cast(sign({k_expr}) * "
+                      f"floor(abs({k_expr}) * 1000000e0 + 5e-1) "
+                      f"as long) END"))
+    kd = "(CAST(_kq AS DOUBLE) / 1000000.0)"
+    g_expr = _gamma1p_sql(kd)
+    reg = reg.withColumn(
+        "_gq", F.expr(f"CASE WHEN _okr AND _kq IS NOT NULL AND "
+                      f"_kq <> 0 AND abs(_kq) <= 500000 THEN "
+                      f"cast(floor({g_expr} * 1000000e0 "
+                      f"+ 5e-1) as long) END"))
+    gd = "(CAST(_gq AS DOUBLE) / 1000000.0)"
+    t2d = "(CAST(_t2r AS DOUBLE) / 1000000.0)"
+    sig_expr = (f"({t2d} * {kd} / ({gd} * (1.0 - exp(-({kd}) "
+                f"* ({math.log(2.0)!r})))))")
+    reg = reg.withColumn(
+        "_sq", F.expr(f"CASE WHEN _gq IS NOT NULL THEN "
+                      f"cast(sign({sig_expr}) * floor(abs({sig_expr}) "
+                      f"* 1000000e0 + 5e-1) as long) END"))
+    sd = "(CAST(_sq AS DOUBLE) / 1000000.0)"
+    xi_expr = f"({sd} * ({gd} - 1.0) / {kd})"
+    reg = reg.withColumn(
+        "_xq", F.expr(f"CASE WHEN _sq IS NOT NULL THEN 1000000 + "
+                      f"cast(sign({xi_expr}) * floor(abs({xi_expr}) "
+                      f"* 1000000e0 + 5e-1) as long) END"))
+    pairs = F.array(*[
+        F.struct(F.lit(int(t)).alias("period"),
+                 F.lit(math.log(-math.log(1.0 - 1.0 / float(t))))
+                 .alias("_lyt"))
+        for t in periods])
+    lvl_expr = f"({sd} / {kd} * (1.0 - exp({kd} * _p._lyt)))"
+    grown = (reg.select(*keys, "_kq", "_sq", "_xq",
+                        F.explode(pairs).alias("_p"))
+             .withColumn(
+                 "_grq", F.expr(
+                     f"CASE WHEN _xq IS NOT NULL THEN _xq + "
+                     f"cast(sign({lvl_expr}) * floor(abs({lvl_expr}) "
+                     f"* 1000000e0 + 5e-1) as long) END"))
+             .select(*keys, F.col("_p.period").alias("period"),
+                     "_grq"))
+    joined = site.select(*keys, "site", "n", "_l1") \
+        .join(F.broadcast(grown), keys)
+    mega_f = F.lit(float(MICRO))
+    lvl = F.when(
+        F.col("_grq").isNotNull(),
+        _idiv_half_up(F.col("_l1").cast(dec)
+                      * F.col("_grq").cast(dec), mega))
+    return (joined.select(
+        *keys, "site", F.col("n").cast("long").alias("n"), "period",
+        (F.col("_grq").cast("double") / mega_f).alias("growth"),
+        (lvl.cast("double") / mega_f).alias("level"))
+        .orderBy(*keys, "site", "period"))

@@ -1,0 +1,318 @@
+"""Round-14 operators: empirical SPI, regional growth curve (RFA),
+FSS, RPS, quantile-mapping bias correction, unit-hydrograph
+convolution — each against an independent numpy/python twin."""
+
+import math
+
+import numpy as np
+import pytest
+
+from flood_data_spark.functions.distributions import invnorm
+
+
+# --- invnorm seam ----------------------------------------------------------
+
+
+def test_invnorm_matches_tables_and_symmetry():
+    # Φ⁻¹ reference values (Abramowitz & Stegun / standard tables)
+    cases = {0.5: 0.0, 0.975: 1.959963985, 0.025: -1.959963985,
+             0.01: -2.326347874, 0.99: 2.326347874,
+             0.001: -3.090232306, 0.999: 3.090232306}
+    for p, want in cases.items():
+        assert invnorm(p) == pytest.approx(want, abs=2e-8)
+    for p in (0.0001, 0.2, 0.4, 0.44, 0.7, 0.9999):
+        assert invnorm(p) == pytest.approx(-invnorm(1 - p), abs=1e-12)
+    with pytest.raises(ValueError):
+        invnorm(0.0)
+    with pytest.raises(ValueError):
+        invnorm(1.0)
+
+
+# --- SPI -------------------------------------------------------------------
+
+
+def test_spi_matches_numpy_twin(spark):
+    from flood_data_spark.operators.extremes import spi_empirical
+
+    rng = np.random.default_rng(14)
+    vals = rng.gamma(2.0, 30.0, size=40)
+    rows = [("c", 7, int(2000 + y), float(v))
+            for y, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "cell string, month int, year int, precip double")
+    got = spi_empirical(df, "precip", ["cell", "month"], "year") \
+        .collect()
+    assert len(got) == len(vals)
+    # twin: Gringorten positions off the micro-quantized sort order
+    qx = np.sign(vals) * np.floor(np.abs(vals) * 1e6 + 0.5)
+    order = np.argsort(qx, kind="stable")
+    ranks = np.empty(len(vals), dtype=int)
+    ranks[order] = np.arange(1, len(vals) + 1)
+    n = len(vals)
+    by_year = {}
+    for y in range(n):
+        num = (100 * ranks[y] - 44) * 1_000_000
+        den = 100 * n + 12
+        by_year[int(2000 + y)] = (2 * num + den) // (2 * den)  # pq
+    for r in got:
+        pq = by_year[r.year]
+        assert r.p == pytest.approx(pq / 1e6, abs=1e-9)
+        # the operator evaluates the probit ON the quantized p
+        assert r.spi == pytest.approx(invnorm(pq / 1e6), abs=1.1e-6)
+        assert r.n == n
+    # a standardized index: median-ish value near 0, extremes signed
+    spis = sorted(r.spi for r in got)
+    assert spis[0] < -1.5 and spis[-1] > 1.5
+    assert abs(np.median(spis)) < 0.2
+    with pytest.raises(ValueError, match="group key"):
+        spi_empirical(df, "precip", [], "year")
+
+
+# --- regional growth curve -------------------------------------------------
+
+
+def _ams(rng, loc, scale, n):
+    return loc - scale * np.log(-np.log(rng.uniform(size=n)))
+
+
+def test_regional_single_site_matches_atsite_gev(spark):
+    """A one-site region's scaled growth curve reproduces the at-site
+    GEV fit (index-flood algebra: x_T = l1 · q(T))."""
+    from flood_data_spark.operators.extremes import (
+        gev_return_levels, regional_growth_curve)
+
+    rng = np.random.default_rng(41)
+    x = _ams(rng, 100.0, 25.0, 60)
+    rows = [("r", "s1", float(v)) for v in x]
+    df = spark.createDataFrame(rows,
+                               "region string, site string, am double")
+    at = {r.period: r for r in
+          gev_return_levels(df, "am", ["region"],
+                            periods=(10, 100)).collect()}
+    rg = {r.period: r for r in
+          regional_growth_curve(df, "am", ["region"], "site",
+                                periods=(10, 100)).collect()}
+    for t in (10, 100):
+        assert rg[t].level == pytest.approx(at[t].level, rel=2e-3)
+        assert rg[t].n == 60
+
+
+def test_regional_scale_invariance_and_pooling(spark):
+    """Two sites with the SAME distribution shape but 3x different
+    index floods share one growth curve; levels scale by the index
+    flood.  A short noisy site gets the pooled (stable) curve."""
+    from flood_data_spark.operators.extremes import (
+        regional_growth_curve)
+
+    rng = np.random.default_rng(42)
+    base = _ams(rng, 100.0, 20.0, 50)
+    rows = ([("r", "a", float(v)) for v in base]
+            + [("r", "b", float(3.0 * v)) for v in base])
+    df = spark.createDataFrame(rows,
+                               "region string, site string, am double")
+    out = {(r.site, r.period): r for r in
+           regional_growth_curve(df, "am", ["region"], "site",
+                                 periods=(100,)).collect()}
+    a, b = out[("a", 100)], out[("b", 100)]
+    # identical growth (same regional curve), scaled levels
+    assert a.growth == b.growth
+    assert b.level == pytest.approx(3.0 * a.level, rel=1e-5)
+
+
+def test_regional_guards(spark):
+    from flood_data_spark.operators.extremes import (
+        regional_growth_curve)
+
+    # constant series everywhere: lam2 = 0 -> no site qualifies ->
+    # regional fit NULL but sites still surface
+    rows = [("r", "a", 5.0)] * 4 + [("r", "b", 7.0)] * 4
+    df = spark.createDataFrame(rows,
+                               "region string, site string, am double")
+    out = regional_growth_curve(df, "am", ["region"], "site",
+                                periods=(10,)).collect()
+    assert len(out) == 2
+    assert all(r.growth is None and r.level is None for r in out)
+    with pytest.raises(ValueError, match="region key"):
+        regional_growth_curve(df, "am", [], "site")
+
+
+# --- FSS -------------------------------------------------------------------
+
+
+def _fss_numpy(f, o, r):
+    """Edge-aware box-fraction FSS twin (micro-free reference)."""
+    ni, nj = f.shape
+    pf = np.zeros_like(f, dtype=float)
+    po = np.zeros_like(f, dtype=float)
+    for i in range(ni):
+        for j in range(nj):
+            i0, i1 = max(0, i - r), min(ni, i + r + 1)
+            j0, j1 = max(0, j - r), min(nj, j + r + 1)
+            cnt = (i1 - i0) * (j1 - j0)
+            pf[i, j] = f[i0:i1, j0:j1].sum() / cnt
+            po[i, j] = o[i0:i1, j0:j1].sum() / cnt
+    num = ((pf - po) ** 2).sum()
+    den = (pf ** 2).sum() + (po ** 2).sum()
+    return 1.0 - num / den if den > 0 else None
+
+
+def _grid_df(spark, f, o):
+    ni, nj = f.shape
+    rows = [("g", i, j, int(f[i, j]), int(o[i, j]))
+            for i in range(ni) for j in range(nj)]
+    return spark.createDataFrame(
+        rows, "grp string, i int, j int, fc int, ob int")
+
+
+def test_fss_matches_numpy_twin(spark):
+    from flood_data_spark.operators.verification import fss
+
+    rng = np.random.default_rng(7)
+    f = (rng.uniform(size=(12, 15)) < 0.15).astype(int)
+    o = np.roll(f, shift=1, axis=1)  # displaced by one column
+    df = _grid_df(spark, f, o)
+    for r in (1, 2):
+        got = fss(df, "i", "j", "fc", "ob", ["grp"],
+                  radius=r).collect()[0]
+        want = _fss_numpy(f, o, r)
+        assert got.n_cells == f.size
+        assert got.fss == pytest.approx(want, abs=5e-6)
+    # neighborhood tolerance: FSS grows with radius for displaced rain
+    f1 = fss(df, "i", "j", "fc", "ob", ["grp"], radius=1) \
+        .collect()[0].fss
+    f3 = fss(df, "i", "j", "fc", "ob", ["grp"], radius=3) \
+        .collect()[0].fss
+    assert f3 > f1
+
+
+def test_fss_perfect_and_undefined(spark):
+    from flood_data_spark.operators.verification import fss
+
+    f = np.zeros((6, 6), dtype=int)
+    f[2, 3] = f[3, 3] = 1
+    got = fss(_grid_df(spark, f, f.copy()), "i", "j", "fc", "ob",
+              ["grp"], radius=1).collect()[0]
+    assert got.fss == pytest.approx(1.0, abs=1e-9)
+    z = np.zeros((4, 4), dtype=int)
+    got0 = fss(_grid_df(spark, z, z), "i", "j", "fc", "ob",
+               ["grp"], radius=1).collect()[0]
+    assert got0.fss is None
+    with pytest.raises(ValueError, match="radius"):
+        fss(_grid_df(spark, f, f), "i", "j", "fc", "ob", ["grp"],
+            radius=0)
+
+
+# --- RPS -------------------------------------------------------------------
+
+
+def test_rps_matches_numpy_twin(spark):
+    from flood_data_spark.operators.verification import rps_score
+
+    rng = np.random.default_rng(9)
+    thr = [10.0, 20.0, 40.0]
+    rows, want_inst = [], []
+    for t in range(25):
+        m = 11
+        members = rng.gamma(2.0, 12.0, size=m)
+        obs = float(rng.gamma(2.0, 12.0))
+        rows += [("c", t, float(v), obs) for v in members]
+        cf = np.array([(members <= k).mean() for k in thr])
+        co = np.array([1.0 if obs <= k else 0.0 for k in thr])
+        want_inst.append(((cf - co) ** 2).sum() / len(thr))
+    df = spark.createDataFrame(
+        rows, "cell string, t int, member double, obs double")
+    got = rps_score(df, "member", "obs", ["cell"], ["t"],
+                    thresholds=thr).collect()[0]
+    assert got.n_inst == 25
+    assert got.rps == pytest.approx(np.mean(want_inst), abs=5e-6)
+
+
+def test_rps_perfect_and_guards(spark):
+    from flood_data_spark.operators.verification import rps_score
+
+    rows = [("c", 0, 5.0, 5.0)] * 7    # all members == obs
+    df = spark.createDataFrame(
+        rows, "cell string, t int, member double, obs double")
+    got = rps_score(df, "member", "obs", ["cell"], ["t"],
+                    thresholds=[1.0, 10.0]).collect()[0]
+    assert got.rps == 0.0
+    with pytest.raises(ValueError, match="ascending"):
+        rps_score(df, "member", "obs", ["cell"], ["t"],
+                  thresholds=[10.0, 1.0])
+    with pytest.raises(ValueError, match="instance key"):
+        rps_score(df, "member", "obs", ["cell"], [],
+                  thresholds=[1.0])
+
+
+# --- quantile mapping ------------------------------------------------------
+
+
+def test_quantile_map_matches_numpy(spark):
+    from flood_data_spark.operators.postprocess import quantile_map
+
+    rng = np.random.default_rng(5)
+    sim_v = rng.gamma(2.0, 10.0, size=80)     # biased model climate
+    obs_v = rng.gamma(2.0, 14.0, size=60) + 5.0
+    sim = spark.createDataFrame([("g", float(v)) for v in sim_v],
+                                "grp string, flow double")
+    obs = spark.createDataFrame([("g", float(v)) for v in obs_v],
+                                "grp string, flow double")
+    got = quantile_map(sim, obs, "flow", ["grp"]).collect()
+    assert len(got) == len(sim_v)
+    n = len(sim_v)
+    obs_sorted = np.sort(np.sign(obs_v)
+                         * np.floor(np.abs(obs_v) * 1e6 + 0.5)) / 1e6
+    ranks = {}
+    for i, v in enumerate(np.sort(sim_v), start=1):
+        ranks.setdefault(round(v, 9), []).append(i)
+    for r in got:
+        # p = i/(n+1); mapped = linear obs quantile at p (type 7)
+        i = ranks[round(r.value, 9)].pop(0)
+        p = i / (n + 1)
+        want = np.quantile(obs_sorted, p, method="linear")
+        assert r.p == pytest.approx(p, abs=2e-6)
+        assert r.mapped == pytest.approx(want, abs=5e-6)
+    # corrected sample mean moved toward the observed climate
+    mm = np.mean([r.mapped for r in got])
+    assert abs(mm - obs_v.mean()) < abs(sim_v.mean() - obs_v.mean())
+
+
+def test_quantile_map_degenerate_obs(spark):
+    from flood_data_spark.operators.postprocess import quantile_map
+
+    sim = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("h", 9.0)],
+        "grp string, v double")
+    obs = spark.createDataFrame([("g", 42.0)], "grp string, v double")
+    got = {(r.grp, r.value): r for r in
+           quantile_map(sim, obs, "v", ["grp"]).collect()}
+    # m = 1: everything maps to the single observed value
+    assert got[("g", 1.0)].mapped == 42.0
+    assert got[("g", 2.0)].mapped == 42.0
+    # group with no observations: NULL mapped
+    assert got[("h", 9.0)].mapped is None
+    with pytest.raises(ValueError, match="group key"):
+        quantile_map(sim, obs, "v", [])
+
+
+# --- unit hydrograph -------------------------------------------------------
+
+
+def test_uh_convolve_matches_numpy(spark):
+    from flood_data_spark.operators.routing import uh_convolve
+
+    rng = np.random.default_rng(3)
+    rain = rng.uniform(0, 30, size=20)
+    uh = [0.1, 0.35, 0.3, 0.15, 0.1]
+    rows = [("b", t, float(p)) for t, p in enumerate(rain)]
+    df = spark.createDataFrame(rows, "basin string, t int, p double")
+    got = {r.t: r.runoff for r in
+           uh_convolve(df, "p", "t", ["basin"], uh).collect()}
+    want = np.convolve(rain, uh)
+    assert len(got) == len(rain) + len(uh) - 1   # full tail emitted
+    for t, w in enumerate(want):
+        assert got[t] == pytest.approx(w, abs=5e-6)
+    # mass conservation: sum(UH) = 1 -> total runoff = total rain
+    assert sum(got.values()) == pytest.approx(rain.sum(), abs=1e-3)
+    with pytest.raises(ValueError, match="ordinate"):
+        uh_convolve(df, "p", "t", ["basin"], [])

@@ -5296,6 +5296,118 @@ def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_stations", "idw")
 
 
+def q_spi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical SPI per cell (operators/extremes.spi_empirical):
+    daily maxima as the accumulation sample, Gringorten positions as
+    exact integer ratios, the probit ONE shared Acklam rational seam
+    (functions/distributions.invnorm_sql — identical text in both
+    engines).  Full value oracle."""
+    from flood_data_spark.operators.extremes import spi_empirical
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 6).alias("cell"),
+        F.dayofmonth("ts").alias("day"), "value")
+    daily = ev.groupBy("cell", "day").agg(F.max("value").alias("precip"))
+    return spi_empirical(daily, "precip", ["cell"], "day")
+
+
+def q_regional_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosking-Wallis index-flood regional frequency analysis
+    (operators/extremes.regional_growth_curve): 12 sites in 4 regions,
+    record-length-weighted regional L-moment ratios (exact integer),
+    ONE regional GEV growth curve per region via the shared seam
+    chain, at-site levels = index flood x growth.  Full value
+    oracle restating the site PWMs, the weighted pooling, and every
+    seam."""
+    from flood_data_spark.operators.extremes import (
+        regional_growth_curve)
+
+    li = _t(spark, sf_dir, "lineitem")
+    ams = (li.groupBy((F.col("l_suppkey") % 12).alias("site"),
+                      F.year("l_shipdate").alias("yr"))
+           .agg(F.max(F.col("l_extendedprice") / F.lit(1000.0))
+                .alias("am"))
+           .withColumn("region", F.col("site") % 4))
+    return regional_growth_curve(ams, "am", ["region"], "site",
+                                 periods=(10, 100))
+
+
+def q_fss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractions Skill Score (operators/verification.fss) on a dense
+    40x40 binary exceedance grid per return flag, radius 2: the
+    separable two-pass RANGE-window box sums, fractions and FSS as
+    exact integer ratios — ZERO double seams.  Full value oracle
+    restating both window passes."""
+    from flood_data_spark.operators.verification import fss
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy(F.col("l_returnflag").alias("flag"),
+                       (F.col("l_partkey") % 40).alias("i"),
+                       (F.col("l_suppkey") % 40).alias("j"))
+            .agg(F.max("l_quantity").alias("mq"),
+                 F.max("l_extendedprice").alias("mp")))
+    grid = grid.select(
+        "flag", "i", "j",
+        (F.col("mq") >= 48).cast("int").alias("fc"),
+        (F.col("mp") >= 100000).cast("int").alias("ob"))
+    return fss(grid, "i", "j", "fc", "ob", ["flag"], radius=2)
+
+
+def q_rps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked Probability Score (operators/verification.rps_score):
+    events as ensemble members per (cell, day) instance, three
+    severity thresholds, the deterministic synthetic observation
+    constant within each instance.  Exact integer CDFs and ratios —
+    ZERO double seams.  Full value oracle."""
+    from flood_data_spark.operators.verification import rps_score
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).alias("cell"),
+        F.dayofmonth("ts").alias("t"),
+        F.col("value").alias("member"))
+    ev = ev.withColumn(
+        "obs", ((F.col("t") % 7) * 5 + 8).cast("double"))
+    return rps_score(ev, "member", "obs", ["cell"], ["t"],
+                     thresholds=(10.0, 40.0, 120.0))
+
+
+def q_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical quantile-mapping bias correction
+    (operators/postprocess.quantile_map): a biased model climate
+    (every 7th order's prices) mapped onto a shifted observed climate
+    (linenumber-1 prices rescaled) per return flag — ranks, exact
+    integer plotting positions, all-integer interpolation between
+    observed order statistics.  ZERO double seams.  Full value
+    oracle."""
+    from flood_data_spark.operators.postprocess import quantile_map
+
+    li = _t(spark, sf_dir, "lineitem")
+    sim = (li.filter(F.col("l_orderkey") % 7 == 0)
+           .select(F.col("l_returnflag").alias("flag"),
+                   (F.col("l_extendedprice") / F.lit(1000.0))
+                   .alias("flow")))
+    obs = (li.filter(F.col("l_linenumber") == 1)
+           .select(F.col("l_returnflag").alias("flag"),
+                   (F.col("l_extendedprice") / F.lit(800.0)
+                    + F.lit(3.0)).alias("flow")))
+    return quantile_map(sim, obs, "flow", ["flag"])
+
+
+def q_uh_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-hydrograph convolution (operators/routing.uh_convolve):
+    daily rainfall maxima per basin through a 6-ordinate UH via the
+    literal (tau, U) explode — exact integer products, the full
+    recession tail emitted.  ZERO double seams.  Full value oracle."""
+    from flood_data_spark.operators.routing import uh_convolve
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 8).alias("basin"),
+        F.dayofmonth("ts").alias("t"), "value")
+    daily = ev.groupBy("basin", "t").agg(F.max("value").alias("rain"))
+    return uh_convolve(daily, "rain", "t", ["basin"],
+                       ordinates=(0.05, 0.25, 0.35, 0.2, 0.1, 0.05))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -5309,6 +5421,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (CORRECTNESS_FULL_r8.json regenerates at each session end, all
     # registry queries vs the DuckDB oracle at sf0.01).
     return {
+        # --- round 14: SPI + regional frequency analysis + spatial/
+        # multi-category verification + bias correction + UH routing ---
+        "q_spi": q_spi,
+        "q_regional_growth": q_regional_growth,
+        "q_fss": q_fss,
+        "q_rps": q_rps,
+        "q_quantile_map": q_quantile_map,
+        "q_uh_convolve": q_uh_convolve,
         # --- round 13 session 2: the hydrological analytics layer
         # (efficiencies + extremes + routing + trend/shift tests), the
         # MT-metric trio completion, and the experiment guards ---
@@ -6160,6 +6280,16 @@ def oracle_sql() -> dict[str, str]:
                 f"* p.lyt)))")
     _GEV_LYT = {t: repr(_mm.log(-_mm.log(1.0 - 1.0 / t)))
                 for t in (10, 100)}
+    # round-14 seam/constant twins: the shared Acklam probit text
+    # (IDENTICAL string both engines — single-sourced from the package)
+    # and the UH ordinates quantized with the operator's own arithmetic
+    from flood_data_spark.functions.distributions import (
+        invnorm_sql as _invn)
+    _SPI_PROBIT = _invn("(CAST(pq AS DOUBLE) / 1000000.0)")
+    _UH_ORDS = (0.05, 0.25, 0.35, 0.2, 0.1, 0.05)
+    _UH_VALUES = ", ".join(
+        f"({tau}, {int(_mm.copysign(_mm.floor(abs(u) * 1e6 + 0.5), u))})"
+        for tau, u in enumerate(_UH_ORDS))
 
     def _qseam_sql(expr: str) -> str:
         return (f"CAST(sign({expr}) * floor(abs({expr}) * 1000000e0 "
@@ -7577,6 +7707,279 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sq AS DOUBLE) / 1000000.0 AS scale,
                    CAST(lq AS DOUBLE) / 1000000.0 AS level
             FROM lv
+        """,
+        # q_spi: Gringorten positions as exact integer ratios, the
+        # probit ONE shared Acklam rational seam (single-sourced text)
+        "q_spi": f"""
+            WITH src AS (
+                SELECT user_id % 6 AS cell, day(ts) AS day,
+                       max(value) AS precip
+                FROM events GROUP BY 1, 2),
+            q AS (SELECT cell, day, precip AS value,
+                         CAST(sign(precip) * floor(abs(precip)
+                              * 1000000 + 0.5) AS HUGEINT) AS qx
+                  FROM src),
+            r AS (SELECT cell, day, value, qx,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY qx, day) AS i,
+                         CAST(count(*) OVER (PARTITION BY cell)
+                              AS BIGINT) AS n
+                  FROM q),
+            p AS (SELECT cell, day, value, n,
+                         {idiv_int('(100 * CAST(i AS HUGEINT) - 44) '
+                                   '* 1000000',
+                                   '100 * CAST(n AS HUGEINT) + 12')}
+                             AS pq
+                  FROM r)
+            SELECT cell, day, value, n,
+                   CAST(pq AS DOUBLE) / 1000000.0 AS p,
+                   CAST({_qseam_sql(_SPI_PROBIT)} AS DOUBLE)
+                       / 1000000.0 AS spi
+            FROM p
+        """,
+        # q_regional_growth: site PWMs off one rank window, scale-
+        # invariant t2/t3 as exact integer ratios, record-length-
+        # weighted regional pooling, then the SAME GEV seam chain with
+        # lam1 pinned to 1e6 and lam2 = t2_R; site levels one exact
+        # micro x micro / 1e6 ratio
+        "q_regional_growth": f"""
+            WITH ams AS (
+                SELECT l_suppkey % 12 AS site, year(l_shipdate) AS yr,
+                       max(l_extendedprice / 1000.0) AS am
+                FROM lineitem GROUP BY 1, 2),
+            a2 AS (SELECT site % 4 AS region, site,
+                          CAST(sign(am) * floor(abs(am) * 1000000
+                               + 0.5) AS HUGEINT) AS qx
+                   FROM ams),
+            r AS (SELECT region, site, qx,
+                         row_number() OVER (PARTITION BY region, site
+                                            ORDER BY qx) AS i
+                  FROM a2),
+            g AS (SELECT region, site, CAST(count(*) AS BIGINT) AS n,
+                         sum(qx) AS s0,
+                         sum((i - 1) * qx) AS s1,
+                         sum((i - 1) * CAST(i - 2 AS HUGEINT) * qx)
+                             AS s2
+                  FROM r GROUP BY region, site),
+            f AS (SELECT region, site, n, s0,
+                         {idiv_int('s0', 'n')} AS l1,
+                         2 * s1 - (n - 1) * s0 AS lam2n,
+                         6 * s2 - 6 * (n - 2) * s1
+                             + (n - 1) * CAST(n - 2 AS HUGEINT) * s0
+                             AS t3n
+                  FROM g),
+            sq0 AS (SELECT region, site, n, l1,
+                           (n >= 3 AND s0 > 0 AND lam2n > 0) AS oks,
+                           CASE WHEN n >= 3 AND s0 > 0
+                                     AND lam2n > 0 THEN
+                                {idiv_int('lam2n * 1000000',
+                                          '(n - 1) * s0')} END AS t2q,
+                           CASE WHEN n >= 3 AND s0 > 0
+                                     AND lam2n > 0 THEN
+                                {idiv_int('t3n * 1000000',
+                                          '(n - 2) * lam2n')}
+                           END AS t3qs
+                    FROM f),
+            rg AS (SELECT region,
+                          sum(CASE WHEN oks THEN CAST(n AS HUGEINT)
+                                   ELSE 0 END) AS wn,
+                          sum(CASE WHEN oks THEN CAST(n AS HUGEINT)
+                                        * t2q END) AS wt2,
+                          sum(CASE WHEN oks THEN CAST(n AS HUGEINT)
+                                        * t3qs END) AS wt3
+                   FROM sq0 GROUP BY region),
+            t AS (SELECT region, (wn > 0) AS okr,
+                         CASE WHEN wn > 0 THEN
+                              {idiv_int('wt2', 'wn')} END AS lam2,
+                         CASE WHEN wn > 0 THEN
+                              {idiv_int('wt3', 'wn')} END AS t3q
+                  FROM rg),
+            s1c AS (SELECT *, CASE WHEN okr THEN
+                           {_qseam_sql(_GEV_C)} END AS cq
+                    FROM t),
+            s2c AS (SELECT *, CASE WHEN okr THEN
+                           {_qseam_sql(_GEV_K)} END AS kq
+                    FROM s1c),
+            s3c AS (SELECT *, CASE WHEN okr AND kq IS NOT NULL
+                                   AND kq <> 0
+                                   AND abs(kq) <= 500000 THEN
+                           CAST(floor({_GEV_G} * 1000000e0 + 5e-1)
+                                AS BIGINT) END AS gq
+                    FROM s2c),
+            s4c AS (SELECT *, CASE WHEN gq IS NOT NULL THEN
+                           {_qseam_sql(_GEV_SIG)} END AS sq
+                    FROM s3c),
+            s5c AS (SELECT *, CASE WHEN sq IS NOT NULL THEN
+                           1000000 + {_qseam_sql(_GEV_XI)} END AS xq
+                    FROM s4c),
+            gr AS (SELECT s5c.region, p.period,
+                          CASE WHEN xq IS NOT NULL THEN
+                               xq + {_qseam_sql(_GEV_LVL)} END AS grq
+                   FROM s5c CROSS JOIN (VALUES
+                        (10, {_GEV_LYT[10]}),
+                        (100, {_GEV_LYT[100]})) p(period, lyt))
+            SELECT f.region, f.site, f.n, gr.period,
+                   CAST(grq AS DOUBLE) / 1000000.0 AS growth,
+                   CASE WHEN grq IS NOT NULL THEN
+                        CAST({idiv_int('f.l1 * grq', '1000000')}
+                             AS DOUBLE) / 1000000.0
+                   END AS level
+            FROM f JOIN gr ON f.region = gr.region
+        """,
+        # q_fss: separable two-pass RANGE-window box sums, fractions
+        # and FSS as exact integer ratios — zero double seams
+        "q_fss": f"""
+            WITH grid AS (
+                SELECT l_returnflag AS flag, l_partkey % 40 AS i,
+                       l_suppkey % 40 AS j,
+                       CAST(max(l_quantity) >= 48 AS INT) AS f,
+                       CAST(max(l_extendedprice) >= 100000 AS INT)
+                           AS o
+                FROM lineitem GROUP BY 1, 2, 3),
+            r1 AS (SELECT flag, i, j,
+                          sum(f) OVER w AS sf1, sum(o) OVER w AS so1,
+                          count(*) OVER w AS c1
+                   FROM grid
+                   WINDOW w AS (PARTITION BY flag, i ORDER BY j
+                                RANGE BETWEEN 2 PRECEDING
+                                AND 2 FOLLOWING)),
+            r2 AS (SELECT flag, i, j,
+                          sum(sf1) OVER w AS sfb,
+                          sum(so1) OVER w AS sob,
+                          sum(c1) OVER w AS cb
+                   FROM r1
+                   WINDOW w AS (PARTITION BY flag, j ORDER BY i
+                                RANGE BETWEEN 2 PRECEDING
+                                AND 2 FOLLOWING)),
+            fr AS (SELECT flag,
+                          {idiv_int('CAST(sfb AS HUGEINT) * 1000000',
+                                    'CAST(cb AS HUGEINT)')} AS pf,
+                          {idiv_int('CAST(sob AS HUGEINT) * 1000000',
+                                    'CAST(cb AS HUGEINT)')} AS po
+                   FROM r2),
+            ag AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_cells,
+                          sum((pf - po) * (pf - po)) AS num,
+                          sum(pf * pf + po * po) AS den
+                   FROM fr GROUP BY flag)
+            SELECT flag, n_cells,
+                   CASE WHEN den > 0 THEN
+                        CAST(1000000 - {idiv_int('num * 1000000',
+                                                 'den')}
+                             AS DOUBLE) / 1000000.0 END AS fss
+            FROM ag
+        """,
+        # q_rps: exact integer CDFs off the K-bounded threshold
+        # relation, two idiv closes — zero double seams
+        "q_rps": f"""
+            WITH m0 AS (
+                SELECT user_id % 5 AS cell, day(ts) AS t,
+                       value AS member,
+                       CAST((day(ts) % 7) * 5 + 8 AS DOUBLE) AS obs
+                FROM events),
+            pk AS (SELECT cell, t, k.k,
+                          CAST(count(*) AS HUGEINT) AS m,
+                          CAST(sum(CASE WHEN member <=
+                                   CAST(k.thr AS DOUBLE)
+                                   THEN 1 ELSE 0 END) AS HUGEINT)
+                              AS le,
+                          min(CASE WHEN obs <= CAST(k.thr AS DOUBLE)
+                              THEN 1 ELSE 0 END) AS ole
+                   FROM m0 CROSS JOIN (VALUES
+                        (0, 10.0), (1, 40.0), (2, 120.0)) k(k, thr)
+                   GROUP BY cell, t, k.k),
+            d AS (SELECT cell, t,
+                         ({idiv_int('le * 1000000', 'm')}
+                          - CAST(ole AS HUGEINT) * 1000000) AS df
+                  FROM pk),
+            inst AS (SELECT cell, t, sum(df * df) AS s2
+                     FROM d GROUP BY cell, t),
+            iq AS (SELECT cell,
+                          {idiv_int('s2', '3 * 1000000')} AS rq
+                   FROM inst),
+            ag AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_inst,
+                          sum(rq) AS sr
+                   FROM iq GROUP BY cell)
+            SELECT cell, n_inst,
+                   CAST({idiv_int('sr', 'CAST(n_inst AS HUGEINT)')}
+                        AS DOUBLE) / 1000000.0 AS rps
+            FROM ag
+        """,
+        # q_quantile_map: all-integer CDF matching — ranks, exact
+        # quotient/remainder split, integer interpolation
+        "q_quantile_map": f"""
+            WITH sim AS (
+                SELECT l_returnflag AS flag,
+                       l_extendedprice / 1000.0 AS v
+                FROM lineitem WHERE l_orderkey % 7 = 0),
+            obs AS (
+                SELECT l_returnflag AS flag,
+                       l_extendedprice / 800.0 + 3.0 AS v
+                FROM lineitem WHERE l_linenumber = 1),
+            s AS (SELECT flag, v AS value,
+                         CAST(sign(v) * floor(abs(v) * 1000000 + 0.5)
+                              AS HUGEINT) AS qx
+                  FROM sim),
+            sr AS (SELECT flag, value, qx,
+                          CAST(row_number() OVER (PARTITION BY flag
+                                                  ORDER BY qx)
+                               AS HUGEINT) AS i,
+                          CAST(count(*) OVER (PARTITION BY flag)
+                               AS HUGEINT) AS n
+                   FROM s),
+            o AS (SELECT flag, CAST(sign(v) * floor(abs(v) * 1000000
+                              + 0.5) AS HUGEINT) AS oq
+                  FROM obs),
+            orr AS (SELECT flag, oq,
+                           CAST(row_number() OVER (PARTITION BY flag
+                                                   ORDER BY oq)
+                                AS HUGEINT) AS j,
+                           lead(oq) OVER (PARTITION BY flag
+                                          ORDER BY oq) AS onext
+                    FROM o),
+            mc AS (SELECT flag, CAST(count(*) AS HUGEINT) AS m
+                   FROM obs GROUP BY flag),
+            s2 AS (SELECT sr.flag, sr.value,
+                          1 + (sr.i * (mc.m - 1)) // (sr.n + 1) AS ff,
+                          (sr.i * (mc.m - 1)) % (sr.n + 1) AS rem,
+                          sr.n + 1 AS den,
+                          {idiv_int('sr.i * 1000000', 'sr.n + 1')}
+                              AS pq
+                   FROM sr LEFT JOIN mc ON sr.flag = mc.flag),
+            j2 AS (SELECT s2.flag, s2.value, s2.pq,
+                          CASE WHEN orr.oq IS NOT NULL THEN
+                               orr.oq + CASE WHEN s2.rem = 0 THEN 0
+                                    ELSE {idiv_int(
+                                        's2.rem * (orr.onext '
+                                        '- orr.oq)', 's2.den')} END
+                          END AS mq
+                   FROM s2 LEFT JOIN orr
+                        ON s2.flag = orr.flag AND s2.ff = orr.j)
+            SELECT flag, value,
+                   CAST(pq AS DOUBLE) / 1000000.0 AS p,
+                   CAST(mq AS DOUBLE) / 1000000.0 AS mapped
+            FROM j2
+        """,
+        # q_uh_convolve: literal (tau, U-micro) scatter + one integer
+        # product sum per output time
+        "q_uh_convolve": f"""
+            WITH daily AS (
+                SELECT user_id % 8 AS basin, day(ts) AS t,
+                       max(value) AS rain
+                FROM events GROUP BY 1, 2),
+            q AS (SELECT basin, CAST(t AS BIGINT) AS t,
+                         CAST(sign(rain) * floor(abs(rain) * 1000000
+                              + 0.5) AS HUGEINT) AS pq
+                  FROM daily),
+            x AS (SELECT basin, q.t + u.tau AS t,
+                         q.pq * CAST(u.uq AS HUGEINT) AS prod
+                  FROM q CROSS JOIN (VALUES
+                       {_UH_VALUES}) u(tau, uq)),
+            ag AS (SELECT basin, t, sum(prod) AS s
+                   FROM x GROUP BY basin, t)
+            SELECT basin, t,
+                   CAST({idiv_int('s', '1000000')} AS DOUBLE)
+                       / 1000000.0 AS runoff
+            FROM ag
         """,
         # q_persistence: exact integer error sums over the lag window,
         # SS zero-seam, U2 one sqrt seam

@@ -1470,12 +1470,13 @@ def rps_score(df: DataFrame, value_col: str, obs_col: str,
     taken as min() for determinism, the A2 convention), then averaged
     over each group's instances:  RPS_group = Σ RPS_inst / n_inst.
 
-    Exactness: member counts are exact integers off ONE aggregate
-    (the K thresholds ride a literal array explode — K-bounded, no
-    shuffle growth); CDFf_k closes as an exact integer-micro ratio;
-    the per-instance sum of squared micro differences divides by
-    K·1e6 in ONE `_idiv_half_up`, and the group mean is one more.
-    ZERO double seams.
+    Exactness: the K thresholds fold into K CONDITIONAL-SUM COLUMNS
+    of one instance aggregate — no explode, no K× row amplification,
+    no per-k shuffle (the column dimension is free; the row dimension
+    costs an exchange); CDFf_k closes as an exact integer-micro
+    ratio; the per-instance sum of squared micro differences is a
+    K-term projection divided by K·1e6 in ONE `_idiv_half_up`, and
+    the group mean is one more.  ZERO double seams.
 
     Scale posture: exchange on (keys, instance) of K-bounded partial
     sums, then a group-keyed aggregate — two bounded shuffles.
@@ -1491,31 +1492,25 @@ def rps_score(df: DataFrame, value_col: str, obs_col: str,
         raise ValueError("rps_score: thresholds must be ascending")
     dec = "decimal(38,0)"
     k_n = len(thr)
-    tarr = F.array(*[F.struct(F.lit(i).alias("k"),
-                              F.lit(t).alias("t"))
-                     for i, t in enumerate(thr)])
-    rows = (df.select(*keys, *inst,
-                      F.col(value_col).cast("double").alias("_v"),
-                      F.col(obs_col).cast("double").alias("_obs"))
-            .select(*keys, *inst, "_v", "_obs",
-                    F.explode(tarr).alias("_t")))
-    per_k = (rows.groupBy(*keys, *inst, F.col("_t.k").alias("_k"))
-             .agg(F.count(F.lit(1)).alias("_m"),
-                  F.sum(F.when(F.col("_v") <= F.col("_t.t"), 1)
-                        .otherwise(0)).alias("_le"),
-                  F.min(F.when(F.col("_obs") <= F.col("_t.t"), 1)
-                        .otherwise(0)).alias("_ole")))
-    cf = _idiv_half_up(F.col("_le").cast(dec) * _mega(),
-                       F.col("_m").cast(dec))
-    co = F.col("_ole").cast(dec) * _mega()
-    d = cf - co
-    inst_rps = (per_k.select(*keys, *inst, (d * d).alias("_d2"))
-                .groupBy(*keys, *inst)
-                .agg(F.sum("_d2").alias("_s2")))
-    rps_inst = _idiv_half_up(
-        F.col("_s2"),
-        F.lit(k_n).cast(dec) * _mega())
-    agg = (inst_rps.select(*keys, rps_inst.alias("_rq"))
+    rows = df.select(*keys, *inst,
+                     F.col(value_col).cast("double").alias("_v"),
+                     F.col(obs_col).cast("double").alias("_obs"))
+    aggs = [F.count(F.lit(1)).alias("_m")]
+    for i, t in enumerate(thr):
+        aggs.append(F.sum(F.when(F.col("_v") <= F.lit(t), 1)
+                          .otherwise(0)).alias(f"_le{i}"))
+        aggs.append(F.min(F.when(F.col("_obs") <= F.lit(t), 1)
+                          .otherwise(0)).alias(f"_ole{i}"))
+    per_inst = rows.groupBy(*keys, *inst).agg(*aggs)
+    s2 = None
+    for i in range(k_n):
+        cf = _idiv_half_up(F.col(f"_le{i}").cast(dec) * _mega(),
+                           F.col("_m").cast(dec))
+        co = F.col(f"_ole{i}").cast(dec) * _mega()
+        d = cf - co
+        s2 = d * d if s2 is None else s2 + d * d
+    rps_inst = _idiv_half_up(s2, F.lit(k_n).cast(dec) * _mega())
+    agg = (per_inst.select(*keys, rps_inst.alias("_rq"))
            .groupBy(*keys)
            .agg(F.count(F.lit(1)).cast("long").alias("n_inst"),
                 F.sum(F.col("_rq").cast(dec)).alias("_sr")))

@@ -313,3 +313,104 @@ def test_frequency_fits_single_rank_window_no_python(spark):
         # rank window + final agg share the cell partitioning: at most
         # two hashpartitioning exchanges end to end (window, agg)
         assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_spi_single_window_exchange_no_python(spark):
+    """Empirical SPI: the rank and count windows share ONE cell-keyed
+    exchange; the probit is pure codegen expression (no Python)."""
+    from flood_data_spark.operators.extremes import spi_empirical
+
+    df = spark.range(600).select(
+        (F.col("id") % 6).alias("cell"),
+        (F.col("id") % 30).alias("day"),
+        (F.col("id") % 97 + 1).cast("double").alias("precip"))
+    plan = _plan(spi_empirical(df, "precip", ["cell"], "day"))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Join" not in plan
+
+
+def test_fss_three_bounded_exchanges_no_join(spark):
+    """FSS: (keys,i) window -> (keys,j) window -> keys aggregate =
+    at most three hash exchanges, no join anywhere, no Python —
+    work O(cells) independent of the radius."""
+    from flood_data_spark.operators.verification import fss
+
+    df = spark.range(1600).select(
+        F.lit("g").alias("grp"),
+        (F.col("id") % 40).alias("i"), (F.col("id") / 40).cast("int").alias("j"),
+        (F.col("id") % 3 == 0).cast("int").alias("fc"),
+        (F.col("id") % 5 == 0).cast("int").alias("ob"))
+    for r in (1, 5):
+        plan = _plan(fss(df, "i", "j", "fc", "ob", ["grp"], radius=r))
+        assert plan.count("Exchange hashpartitioning") <= 3
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_rps_two_exchanges_threshold_columns(spark):
+    """RPS: the K thresholds fold into conditional-sum COLUMNS of one
+    instance aggregate (no explode, no K-times row amplification);
+    instance + group aggregates = two exchanges, no join."""
+    from flood_data_spark.operators.verification import rps_score
+
+    df = spark.range(900).select(
+        (F.col("id") % 3).alias("cell"), (F.col("id") % 30).alias("t"),
+        (F.col("id") % 50).cast("double").alias("member"),
+        F.lit(25.0).alias("obs"))
+    plan = _plan(rps_score(df, "member", "obs", ["cell"], ["t"],
+                           thresholds=(10.0, 20.0, 30.0)))
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_quantile_map_equi_joins_only(spark):
+    """Quantile mapping: the obs side joins ONLY as equi-joins (the
+    group-bounded count, then the order statistics on (keys, f)) —
+    never a nested-loop/cartesian scan of m rows per sim row."""
+    from flood_data_spark.operators.postprocess import quantile_map
+
+    sim = spark.range(500).select(
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") % 83 + 1).cast("double").alias("v"))
+    obs = spark.range(300).select(
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") % 71 + 2).cast("double").alias("v"))
+    plan = _plan(quantile_map(sim, obs, "v", ["grp"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_uh_convolve_single_exchange(spark):
+    """UH convolution: literal (tau,U) Generate + ONE (keys, t_out)
+    aggregation exchange — no join, no Python."""
+    from flood_data_spark.operators.routing import uh_convolve
+
+    df = spark.range(200).select(
+        (F.col("id") % 4).alias("basin"), (F.col("id") / 4).cast("long").alias("t"),
+        (F.col("id") % 31).cast("double").alias("p"))
+    plan = _plan(uh_convolve(df, "p", "t", ["basin"],
+                             [0.2, 0.5, 0.3]))
+    assert "Generate explode" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_regional_growth_broadcasts_region_fit(spark):
+    """RFA: the tiny per-region growth relation broadcasts back onto
+    sites — never a shuffle of the site relation for that join."""
+    from flood_data_spark.operators.extremes import (
+        regional_growth_curve)
+
+    df = spark.range(800).select(
+        (F.col("id") % 2).alias("region"), (F.col("id") % 8).alias("site"),
+        (F.col("id") % 89 + 1).cast("double").alias("am"))
+    plan = _plan(regional_growth_curve(df, "am", ["region"], "site"))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan

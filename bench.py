@@ -260,6 +260,17 @@ BENCH_QUERIES = [
     "q_persistence",
     "q_gev_return",
     "q_lmoments",
+    # round-14: SPI + regional frequency analysis + spatial/multi-
+    # category verification + bias correction + UH routing (all
+    # one-to-three-exchange shapes; quantile_map is the corpus-sized
+    # one — the sim relation moves once through two rank windows and
+    # an equi-join against m-bounded order statistics)
+    "q_spi",
+    "q_regional_growth",
+    "q_fss",
+    "q_rps",
+    "q_quantile_map",
+    "q_uh_convolve",
 ]
 
 _IVF_INDEX = {}

@@ -5408,6 +5408,42 @@ def q_uh_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ordinates=(0.05, 0.25, 0.35, 0.2, 0.1, 0.05))
 
 
+def q_rps_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED RPS monitor (streaming/file_stream.rps_cell_stream +
+    the SAME verification.rps_from_cells finisher as batch q_rps):
+    complete-mode per-instance conditional-sum state (count/sum/min,
+    all mergeable across micro-batches), finisher on the materialized
+    cells.  The oracle IS the batch SQL: stream/batch parity of the
+    whole score."""
+    from flood_data_spark.operators.verification import rps_from_cells
+    from flood_data_spark.streaming.file_stream import rps_cell_stream
+
+    # self-sufficiency under a vanilla session: events.ts is parquet
+    # TIMESTAMP(NANOS) — the same legacy conf + ns→µs normalization _t
+    # applies on the batch side (entry header comment)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def build(stream):
+        ev = stream
+        if dict(ev.dtypes).get("ts") == "bigint":
+            ev = ev.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        src = ev.select(
+            (F.col("user_id") % 5).alias("cell"),
+            F.dayofmonth("ts").alias("t"),
+            F.col("value").alias("member"))
+        src = src.withColumn(
+            "obs", ((F.col("t") % 7) * 5 + 8).cast("double"))
+        return rps_cell_stream(src, "member", "obs", ["cell"], ["t"],
+                               thresholds=(10.0, 40.0, 120.0))
+
+    cells = _run_file_stream(spark, f"{sf_dir}/events.parquet",
+                             build, "stream_rps_",
+                             output_mode="complete")
+    return rps_from_cells(cells, ["cell"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -5429,6 +5465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rps": q_rps,
         "q_quantile_map": q_quantile_map,
         "q_uh_convolve": q_uh_convolve,
+        "q_rps_stream": q_rps_stream,
         # --- round 13 session 2: the hydrological analytics layer
         # (efficiencies + extremes + routing + trend/shift tests), the
         # MT-metric trio completion, and the experiment guards ---
@@ -14259,4 +14296,6 @@ def oracle_sql() -> dict[str, str]:
     # streamed NSE: the whole efficiency score, stream/batch parity
     d["q_nse_stream"] = d["q_nse"]
     d["q_kge_stream"] = d["q_kge"]
+    # streamed RPS: the whole multi-category score, stream/batch parity
+    d["q_rps_stream"] = d["q_rps"]
     return d

@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "q_rps",
     "q_quantile_map",
     "q_uh_convolve",
+    "q_rps_stream",
 ]
 
 _IVF_INDEX = {}

@@ -1481,6 +1481,17 @@ def rps_score(df: DataFrame, value_col: str, obs_col: str,
     Scale posture: exchange on (keys, instance) of K-bounded partial
     sums, then a group-keyed aggregate — two bounded shuffles.
     Returns (keys…, n_inst, rps), sorted."""
+    cells = rps_cells(df, value_col, obs_col, group_keys,
+                      instance_keys, thresholds)
+    return rps_from_cells(cells, group_keys)
+
+
+def rps_cells(df: DataFrame, value_col: str, obs_col: str,
+              group_keys, instance_keys, thresholds) -> DataFrame:
+    """State half of [rps_score]: the per-instance conditional sums
+    (m, le_k, ole_k per threshold) — count/sum/min are all mergeable
+    across micro-batches, so this IS the complete-mode streaming
+    aggregate (state = one K-bounded cell per forecast instance)."""
     keys = list(group_keys)
     inst = list(instance_keys)
     thr = [float(t) for t in thresholds]
@@ -1490,8 +1501,6 @@ def rps_score(df: DataFrame, value_col: str, obs_col: str,
         raise ValueError("rps_score: need at least one threshold")
     if sorted(thr) != thr:
         raise ValueError("rps_score: thresholds must be ascending")
-    dec = "decimal(38,0)"
-    k_n = len(thr)
     rows = df.select(*keys, *inst,
                      F.col(value_col).cast("double").alias("_v"),
                      F.col(obs_col).cast("double").alias("_obs"))
@@ -1501,7 +1510,20 @@ def rps_score(df: DataFrame, value_col: str, obs_col: str,
                           .otherwise(0)).alias(f"_le{i}"))
         aggs.append(F.min(F.when(F.col("_obs") <= F.lit(t), 1)
                           .otherwise(0)).alias(f"_ole{i}"))
-    per_inst = rows.groupBy(*keys, *inst).agg(*aggs)
+    return rows.groupBy(*keys, *inst).agg(*aggs)
+
+
+def rps_from_cells(cells: DataFrame, group_keys) -> DataFrame:
+    """Finisher half of [rps_score], shared VERBATIM by the batch
+    operator and the streaming twin (the nse/kge stream-parity
+    recipe): per-instance CDF differences, the K-term squared fold,
+    and the group mean — K inferred from the cells' `_le{i}`
+    columns."""
+    keys = list(group_keys)
+    dec = "decimal(38,0)"
+    k_n = sum(1 for c in cells.columns if c.startswith("_le"))
+    if k_n < 1:
+        raise ValueError("rps_from_cells: no _le threshold columns")
     s2 = None
     for i in range(k_n):
         cf = _idiv_half_up(F.col(f"_le{i}").cast(dec) * _mega(),
@@ -1510,7 +1532,7 @@ def rps_score(df: DataFrame, value_col: str, obs_col: str,
         d = cf - co
         s2 = d * d if s2 is None else s2 + d * d
     rps_inst = _idiv_half_up(s2, F.lit(k_n).cast(dec) * _mega())
-    agg = (per_inst.select(*keys, rps_inst.alias("_rq"))
+    agg = (cells.select(*keys, rps_inst.alias("_rq"))
            .groupBy(*keys)
            .agg(F.count(F.lit(1)).cast("long").alias("n_inst"),
                 F.sum(F.col("_rq").cast(dec)).alias("_sr")))

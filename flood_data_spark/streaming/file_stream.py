@@ -444,3 +444,20 @@ def kge_sum_stream(stream_df: DataFrame, sim_col: str, obs_col: str,
     from flood_data_spark.operators.verification import kge_sums
 
     return kge_sums(stream_df, sim_col, obs_col, group_keys)
+
+
+def rps_cell_stream(stream_df: DataFrame, value_col: str,
+                    obs_col: str, group_keys, instance_keys,
+                    thresholds) -> DataFrame:
+    """Streaming half of the RPS monitor: `verification.rps_cells`'
+    per-instance conditional sums as a complete-mode stream (state =
+    one K-bounded cell per forecast instance — count/sum/min are all
+    mergeable, so members of the same instance may arrive across any
+    number of micro-batches).  The finisher
+    (`verification.rps_from_cells`) runs on the materialized cells —
+    shared verbatim with batch `rps_score`, so the gate checks
+    stream/batch parity of the WHOLE score."""
+    from flood_data_spark.operators.verification import rps_cells
+
+    return rps_cells(stream_df, value_col, obs_col, group_keys,
+                     instance_keys, thresholds)

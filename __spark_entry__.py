@@ -5444,6 +5444,70 @@ def q_rps_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rps_from_cells(cells, ["cell"])
 
 
+def q_rfa_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED make-then-consume gate: return-period thresholds are
+    MADE by the regional frequency analysis
+    (operators/extremes.regional_growth_curve — 2y/5y/20y levels per
+    site) and CONSUMED by the reference's flagship exceedance operator
+    (operators/threshold.ensemble_threshold_summary, site-keyed,
+    exact accuracy) in ONE plan — the loop the extremes module
+    docstring promises ('this module is how those thresholds are
+    MADE'), now proven end-to-end: AMS extraction → regional GEV
+    growth → index-flood scaling → pivot to threshold columns →
+    broadcast join into the member relation → p_above_Ny + 5-number
+    summary.  NULL levels (a domain-gated region) count as 'not
+    exceeded', the reference's semantics.  Full value oracle
+    restating both halves."""
+    from flood_data_spark.operators.extremes import (
+        regional_growth_curve)
+    from flood_data_spark.operators.threshold import (
+        ensemble_threshold_summary)
+
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") / F.lit(1000.0)
+    ams = (li.groupBy((F.col("l_suppkey") % 12).alias("site"),
+                      F.year("l_shipdate").alias("yr"))
+           .agg(F.max(val).alias("am"))
+           .withColumn("region", F.col("site") % 4))
+    levels = regional_growth_curve(ams, "am", ["region"], "site",
+                                   periods=(2, 5, 20))
+    thr = (levels.groupBy("site")
+           .agg(*[F.max(F.when(F.col("period") == y, F.col("level")))
+                  .alias(f"threshold_{y}y") for y in (2, 5, 20)]))
+    members = li.select((F.col("l_suppkey") % 12).alias("site"),
+                        val.alias("dis24"))
+    out = ensemble_threshold_summary(
+        members, thr, threshold_years=(2, 5, 20),
+        accuracy_mode="exact", join_keys=("site",),
+        group_keys=("site",), value_col="dis24")
+    return out.select(
+        "site",
+        F.round("p_above_2y", 6).alias("p_above_2y"),
+        F.round("p_above_5y", 6).alias("p_above_5y"),
+        F.round("p_above_20y", 6).alias("p_above_20y"),
+        F.col("min_dis"),
+        F.round("Q1_dis", 6).alias("q1_dis"),
+        F.round("median_dis", 6).alias("median_dis"),
+        F.round("Q3_dis", 6).alias("q3_dis"),
+        F.col("max_dis"))
+
+
+def q_rating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-discharge rating curve (operators/routing.rating_curve):
+    power-law OLS in log-log space per station — signed micro-nat log
+    seams, exact integer moments, b/ln_a/r² as exact integer ratios
+    (r² through the documented n²-cleared pre-division), `a` one exp
+    seam.  Full value oracle."""
+    from flood_data_spark.operators.routing import rating_curve
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select((F.col("l_suppkey") % 10).alias("station"),
+                    F.col("l_quantity").alias("stage"),
+                    (F.col("l_extendedprice") / F.lit(1000.0))
+                    .alias("discharge"))
+    return rating_curve(src, "stage", "discharge", ["station"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -5466,6 +5530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_map": q_quantile_map,
         "q_uh_convolve": q_uh_convolve,
         "q_rps_stream": q_rps_stream,
+        "q_rfa_thresholds": q_rfa_thresholds,
+        "q_rating_curve": q_rating_curve,
         # --- round 13 session 2: the hydrological analytics layer
         # (efficiencies + extremes + routing + trend/shift tests), the
         # MT-metric trio completion, and the experiment guards ---
@@ -6316,7 +6382,7 @@ def oracle_sql() -> dict[str, str]:
     _GEV_LVL = (f"({_GEV_SD} / {_GEV_KD} * (1.0 - exp({_GEV_KD} "
                 f"* p.lyt)))")
     _GEV_LYT = {t: repr(_mm.log(-_mm.log(1.0 - 1.0 / t)))
-                for t in (10, 100)}
+                for t in (2, 5, 10, 20, 100)}
     # round-14 seam/constant twins: the shared Acklam probit text
     # (IDENTICAL string both engines — single-sourced from the package)
     # and the UH ordinates quantized with the operator's own arithmetic
@@ -8017,6 +8083,178 @@ def oracle_sql() -> dict[str, str]:
                    CAST({idiv_int('s', '1000000')} AS DOUBLE)
                        / 1000000.0 AS runoff
             FROM ag
+        """,
+        # q_rfa_thresholds: the q_regional_growth chain at periods
+        # 2/5/20, pivoted to threshold columns, consumed by the
+        # flagship exceedance aggregate — make-then-consume in one SQL
+        "q_rfa_thresholds": f"""
+            WITH ams AS (
+                SELECT l_suppkey % 12 AS site, year(l_shipdate) AS yr,
+                       max(l_extendedprice / 1000.0) AS am
+                FROM lineitem GROUP BY 1, 2),
+            a2 AS (SELECT site % 4 AS region, site,
+                          CAST(sign(am) * floor(abs(am) * 1000000
+                               + 0.5) AS HUGEINT) AS qx
+                   FROM ams),
+            r AS (SELECT region, site, qx,
+                         row_number() OVER (PARTITION BY region, site
+                                            ORDER BY qx) AS i
+                  FROM a2),
+            g AS (SELECT region, site, CAST(count(*) AS BIGINT) AS n,
+                         sum(qx) AS s0,
+                         sum((i - 1) * qx) AS s1,
+                         sum((i - 1) * CAST(i - 2 AS HUGEINT) * qx)
+                             AS s2
+                  FROM r GROUP BY region, site),
+            f AS (SELECT region, site, n, s0,
+                         {idiv_int('s0', 'n')} AS l1,
+                         2 * s1 - (n - 1) * s0 AS lam2n,
+                         6 * s2 - 6 * (n - 2) * s1
+                             + (n - 1) * CAST(n - 2 AS HUGEINT) * s0
+                             AS t3n
+                  FROM g),
+            sq0 AS (SELECT region, site, n, l1,
+                           (n >= 3 AND s0 > 0 AND lam2n > 0) AS oks,
+                           CASE WHEN n >= 3 AND s0 > 0
+                                     AND lam2n > 0 THEN
+                                {idiv_int('lam2n * 1000000',
+                                          '(n - 1) * s0')} END AS t2q,
+                           CASE WHEN n >= 3 AND s0 > 0
+                                     AND lam2n > 0 THEN
+                                {idiv_int('t3n * 1000000',
+                                          '(n - 2) * lam2n')}
+                           END AS t3qs
+                    FROM f),
+            rg AS (SELECT region,
+                          sum(CASE WHEN oks THEN CAST(n AS HUGEINT)
+                                   ELSE 0 END) AS wn,
+                          sum(CASE WHEN oks THEN CAST(n AS HUGEINT)
+                                        * t2q END) AS wt2,
+                          sum(CASE WHEN oks THEN CAST(n AS HUGEINT)
+                                        * t3qs END) AS wt3
+                   FROM sq0 GROUP BY region),
+            t AS (SELECT region, (wn > 0) AS okr,
+                         CASE WHEN wn > 0 THEN
+                              {idiv_int('wt2', 'wn')} END AS lam2,
+                         CASE WHEN wn > 0 THEN
+                              {idiv_int('wt3', 'wn')} END AS t3q
+                  FROM rg),
+            s1c AS (SELECT *, CASE WHEN okr THEN
+                           {_qseam_sql(_GEV_C)} END AS cq
+                    FROM t),
+            s2c AS (SELECT *, CASE WHEN okr THEN
+                           {_qseam_sql(_GEV_K)} END AS kq
+                    FROM s1c),
+            s3c AS (SELECT *, CASE WHEN okr AND kq IS NOT NULL
+                                   AND kq <> 0
+                                   AND abs(kq) <= 500000 THEN
+                           CAST(floor({_GEV_G} * 1000000e0 + 5e-1)
+                                AS BIGINT) END AS gq
+                    FROM s2c),
+            s4c AS (SELECT *, CASE WHEN gq IS NOT NULL THEN
+                           {_qseam_sql(_GEV_SIG)} END AS sq
+                    FROM s3c),
+            s5c AS (SELECT *, CASE WHEN sq IS NOT NULL THEN
+                           1000000 + {_qseam_sql(_GEV_XI)} END AS xq
+                    FROM s4c),
+            gr AS (SELECT s5c.region, p.period,
+                          CASE WHEN xq IS NOT NULL THEN
+                               xq + {_qseam_sql(_GEV_LVL)} END AS grq
+                   FROM s5c CROSS JOIN (VALUES
+                        (2, {_GEV_LYT[2]}),
+                        (5, {_GEV_LYT[5]}),
+                        (20, {_GEV_LYT[20]})) p(period, lyt)),
+            lvls AS (SELECT f.site, gr.period,
+                            CASE WHEN grq IS NOT NULL THEN
+                                 CAST({idiv_int('f.l1 * grq',
+                                                '1000000')}
+                                      AS DOUBLE) / 1000000.0
+                            END AS level
+                     FROM f JOIN gr ON f.region = gr.region),
+            thr AS (SELECT site,
+                           max(CASE WHEN period = 2 THEN level END)
+                               AS t2y,
+                           max(CASE WHEN period = 5 THEN level END)
+                               AS t5y,
+                           max(CASE WHEN period = 20 THEN level END)
+                               AS t20y
+                    FROM lvls GROUP BY site),
+            mem AS (SELECT l_suppkey % 12 AS site,
+                           l_extendedprice / 1000.0 AS dis24
+                    FROM lineitem)
+            SELECT m.site,
+                   round(avg(CASE WHEN m.dis24 >= t.t2y
+                             THEN 1 ELSE 0 END), 6) AS p_above_2y,
+                   round(avg(CASE WHEN m.dis24 >= t.t5y
+                             THEN 1 ELSE 0 END), 6) AS p_above_5y,
+                   round(avg(CASE WHEN m.dis24 >= t.t20y
+                             THEN 1 ELSE 0 END), 6) AS p_above_20y,
+                   min(m.dis24) AS min_dis,
+                   round(quantile_cont(m.dis24, 0.25), 6) AS q1_dis,
+                   round(quantile_cont(m.dis24, 0.50), 6)
+                       AS median_dis,
+                   round(quantile_cont(m.dis24, 0.75), 6) AS q3_dis,
+                   max(m.dis24) AS max_dis
+            FROM mem m LEFT JOIN thr t ON m.site = t.site
+            GROUP BY m.site
+        """,
+        # q_rating_curve: signed micro-nat log seams, exact integer
+        # moments, the n²-cleared r², one exp seam for a
+        "q_rating_curve": f"""
+            WITH src AS (
+                SELECT l_suppkey % 10 AS station,
+                       l_quantity AS h,
+                       l_extendedprice / 1000.0 AS qd
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_quantity > 0
+                  AND l_extendedprice / 1000.0 > 0),
+            q AS (SELECT station,
+                         CAST(sign(ln(h)) * floor(abs(ln(h))
+                              * 1000000 + 0.5) AS HUGEINT) AS x,
+                         CAST(sign(ln(qd)) * floor(abs(ln(qd))
+                              * 1000000 + 0.5) AS HUGEINT) AS y
+                  FROM src),
+            m AS (SELECT station, CAST(count(*) AS HUGEINT) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy,
+                         sum(x * y) AS sxy
+                  FROM q GROUP BY station),
+            f AS (SELECT station, n, sx, sy,
+                         n * sxy - sx * sy AS covn,
+                         n * sxx - sx * sx AS denx,
+                         n * syy - sy * sy AS deny
+                  FROM m),
+            b AS (SELECT *, CASE WHEN n >= 2 AND denx <> 0 THEN
+                         {idiv_int('covn * 1000000', 'denx')}
+                       END AS bq
+                  FROM f),
+            l AS (SELECT *, CASE WHEN bq IS NOT NULL THEN
+                         {idiv_int('sy * 1000000 - bq * sx',
+                                   'n * 1000000')} END AS laq
+                  FROM b),
+            r2 AS (SELECT *,
+                          {idiv_int('covn', 'n * n')} AS cqn,
+                          {idiv_int('denx', 'n * n')} AS dxq,
+                          {idiv_int('deny', 'n * n')} AS dyq
+                   FROM l),
+            r3 AS (SELECT *, CASE WHEN n >= 2 AND denx <> 0
+                                  AND deny > 0
+                                  AND dxq * dyq <> 0 THEN
+                          {idiv_int('cqn * cqn * 1000000',
+                                    'dxq * dyq')} END AS r2q
+                   FROM r2)
+            SELECT station, CAST(n AS BIGINT) AS n,
+                   CAST(bq AS DOUBLE) / 1000000.0 AS b,
+                   CAST(laq AS DOUBLE) / 1000000.0 AS ln_a,
+                   CAST(CASE WHEN laq IS NOT NULL THEN
+                        CAST(floor(exp(CAST(laq AS DOUBLE)
+                             / 1000000.0) * 1000000e0 + 5e-1)
+                             AS BIGINT) END AS DOUBLE)
+                       / 1000000.0 AS a,
+                   CAST(r2q AS DOUBLE) / 1000000.0 AS r2
+            FROM r3
         """,
         # q_persistence: exact integer error sums over the lag window,
         # SS zero-seam, U2 one sqrt seam

@@ -272,6 +272,10 @@ BENCH_QUERIES = [
     "q_quantile_map",
     "q_uh_convolve",
     "q_rps_stream",
+    # round-14 session 2: the composed make-then-consume RFA gate and
+    # the rating-curve fit (one moment exchange)
+    "q_rfa_thresholds",
+    "q_rating_curve",
 ]
 
 _IVF_INDEX = {}

@@ -252,3 +252,93 @@ def uh_convolve(df: DataFrame, rain_col: str, order_col: str,
                        (runoff.cast("double") / F.lit(1e6))
                        .alias("runoff"))
             .orderBy(*keys, "t"))
+
+
+def rating_curve(df: DataFrame, stage_col: str, discharge_col: str,
+                 group_keys) -> DataFrame:
+    """Stage-discharge rating curve per station — the power law
+    Q = a·h^b (Herschy, *Streamflow Measurement*; the transformation
+    every gauging network applies to turn measured stage into the
+    discharge series all other operators consume), fit by OLS in
+    log-log space:
+
+        b    = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²),   x=ln h, y=ln Q
+        ln a = (Σy − b·Σx)/n,   r² = (n·Σxy − ΣxΣy)² / (den_x·den_y)
+
+    Rows with non-positive or NULL stage/discharge are excluded (log
+    domain).  Determinism: each log quantizes ONCE to signed integer
+    micro-nats; the moments are exact decimal sums, b / ln a / r²
+    close as exact integer ratios (`_idiv_half_up`), and `a` takes
+    ONE exp seam quantized floor(+0.5) — the [zipf_fit] recipe,
+    group-keyed and sign-aware.
+
+    Scale posture: one group-keyed aggregate of map-side-combined
+    integer moments — the gauge corpus moves once; the fit relation
+    is station-bounded.  Returns (keys…, n, b, ln_a, a, r2), sorted;
+    groups with n < 2 or a degenerate x spread report NULL fits."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("rating_curve: need at least one group key")
+    dec = "decimal(38,0)"
+    MICRO = 1_000_000
+
+    def qln(col):
+        v = F.log(col.cast("double"))
+        return (F.signum(v) * F.floor(F.abs(v) * MICRO + F.lit(0.5))) \
+            .cast(dec)
+
+    src = (df.filter(F.col(stage_col).isNotNull()
+                     & F.col(discharge_col).isNotNull()
+                     & (F.col(stage_col) > 0)
+                     & (F.col(discharge_col) > 0))
+           .select(*keys, qln(F.col(stage_col)).alias("_x"),
+                   qln(F.col(discharge_col)).alias("_y")))
+    m = (src.groupBy(*keys)
+         .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
+              F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+              F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+              F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+              F.sum(F.col("_x") * F.col("_y")).alias("_sxy")))
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    cov_n = n * F.col("_sxy") - sx * sy
+    den_x = n * F.col("_sxx") - sx * sx
+    den_y = n * F.col("_syy") - sy * sy
+    mega = F.lit(MICRO).cast(dec)
+    mega_f = F.lit(float(MICRO))
+    ok = (n >= 2) & (den_x != 0)
+    b_q = F.when(ok, _idiv_half_up(
+        cov_n * mega, F.when(den_x != 0, den_x).otherwise(
+            F.lit(1).cast(dec))))
+    la_q = F.when(ok, _idiv_half_up(sy * mega - b_q * sx, n * mega))
+    # r² via n²-cleared moments: cov_n² · 1e6 would overflow
+    # decimal(38,0) at ~60k-row groups (cov_n ~ n²·1e12), so divide
+    # the three quadratics by n² FIRST — three documented integer
+    # quantization seams (each mirrored verbatim in the oracle), then
+    # one exact ratio.  Relative error ~1e-12, far under the micro
+    # display scale.
+    n2 = n * n
+    cqn = _idiv_half_up(cov_n, n2)
+    dxq = _idiv_half_up(F.when(den_x != 0, den_x)
+                        .otherwise(F.lit(1).cast(dec)), n2)
+    dyq = _idiv_half_up(F.when(den_y != 0, den_y)
+                        .otherwise(F.lit(1).cast(dec)), n2)
+    r2_q = F.when(ok & (den_y > 0) & (dxq * dyq != 0), _idiv_half_up(
+        cqn * cqn * mega,
+        F.when(dxq * dyq != 0, dxq * dyq)
+        .otherwise(F.lit(1).cast(dec))))
+    out = m.select(*keys, n.cast("long").alias("n"),
+                   b_q.alias("_bq"), la_q.alias("_laq"),
+                   r2_q.alias("_r2q"))
+    a_seam = F.when(
+        F.col("_laq").isNotNull(),
+        F.floor(F.exp(F.col("_laq").cast("double") / mega_f)
+                * F.lit(float(MICRO)) + F.lit(0.5)).cast("long"))
+    return (out.select(
+        *keys, "n",
+        (F.col("_bq").cast("double") / mega_f).alias("b"),
+        (F.col("_laq").cast("double") / mega_f).alias("ln_a"),
+        (a_seam.cast("double") / mega_f).alias("a"),
+        (F.col("_r2q").cast("double") / mega_f).alias("r2"))
+        .orderBy(*keys))

@@ -316,3 +316,44 @@ def test_uh_convolve_matches_numpy(spark):
     assert sum(got.values()) == pytest.approx(rain.sum(), abs=1e-3)
     with pytest.raises(ValueError, match="ordinate"):
         uh_convolve(df, "p", "t", ["basin"], [])
+
+
+# --- rating curve ----------------------------------------------------------
+
+
+def test_rating_curve_recovers_power_law(spark):
+    from flood_data_spark.operators.routing import rating_curve
+
+    rng = np.random.default_rng(11)
+    h = rng.uniform(0.5, 8.0, size=300)
+    a_true, b_true = 12.0, 1.7
+    q = a_true * h ** b_true * np.exp(rng.normal(0, 0.05, size=300))
+    rows = ([("s", float(x), float(y)) for x, y in zip(h, q)]
+            + [("s", -1.0, 5.0), ("s", 2.0, None)])   # excluded rows
+    df = spark.createDataFrame(rows,
+                               "station string, h double, q double")
+    r = rating_curve(df, "h", "q", ["station"]).collect()[0]
+    assert r.n == 300
+    # numpy twin (raw-double OLS; micro seams agree to ~1e-4)
+    x, y = np.log(h), np.log(q)
+    bb = np.polyfit(x, y, 1)
+    assert r.b == pytest.approx(bb[0], abs=1e-4)
+    assert r.ln_a == pytest.approx(bb[1], abs=1e-4)
+    assert r.a == pytest.approx(np.exp(bb[1]), rel=1e-3)
+    cc = np.corrcoef(x, y)[0, 1] ** 2
+    assert r.r2 == pytest.approx(cc, abs=1e-4)
+    assert r.r2 > 0.99
+    with pytest.raises(ValueError, match="group key"):
+        rating_curve(df, "h", "q", [])
+
+
+def test_rating_curve_degenerate_stage(spark):
+    """Constant stage: den_x = 0 -> NULL fit, n still reported."""
+    from flood_data_spark.operators.routing import rating_curve
+
+    df = spark.createDataFrame([("s", 2.0, float(v))
+                                for v in (1.0, 2.0, 3.0)],
+                               "station string, h double, q double")
+    r = rating_curve(df, "h", "q", ["station"]).collect()[0]
+    assert r.n == 3
+    assert r.b is None and r.a is None and r.r2 is None

@@ -5508,6 +5508,24 @@ def q_rating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rating_curve(src, "stage", "discharge", ["station"])
 
 
+def q_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test
+    (operators/stats.seasonal_mann_kendall): annual series per
+    (cell, calendar-month season), S and the tie-corrected variance
+    combined across seasons (Hirsch-Slack), pooled seasonal Sen
+    slope, the same single sqrt seam as q_mann_kendall.  Full value
+    oracle."""
+    from flood_data_spark.operators.stats import seasonal_mann_kendall
+
+    li = _t(spark, sf_dir, "lineitem")
+    series = (li.groupBy((F.col("l_suppkey") % 8).alias("cell"),
+                         F.month("l_shipdate").alias("season"),
+                         F.year("l_shipdate").alias("t"))
+              .agg(F.max(F.col("l_extendedprice") / F.lit(1000.0))
+                   .alias("x")))
+    return seasonal_mann_kendall(series, "x", "t", "season", ["cell"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -5532,6 +5550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rps_stream": q_rps_stream,
         "q_rfa_thresholds": q_rfa_thresholds,
         "q_rating_curve": q_rating_curve,
+        "q_seasonal_mk": q_seasonal_mk,
         # --- round 13 session 2: the hydrological analytics layer
         # (efficiencies + extremes + routing + trend/shift tests), the
         # MT-metric trio completion, and the experiment guards ---
@@ -9121,6 +9140,81 @@ def oracle_sql() -> dict[str, str]:
                                          'qden')} END AS zq
                    FROM j)
             SELECT cell, n, s,
+                   CAST(zq AS DOUBLE) / 1000000.0 AS z,
+                   CAST(med AS DOUBLE) / 1000000.0 AS sen_slope,
+                   CASE WHEN zq IS NULL THEN 'no trend'
+                        WHEN abs(zq) >= 1959964 AND s > 0
+                             THEN 'increasing'
+                        WHEN abs(zq) >= 1959964 AND s < 0
+                             THEN 'decreasing'
+                        ELSE 'no trend' END AS trend
+            FROM zz
+        """,
+        # q_seasonal_mk: the Hirsch-Slack combine — per-season pairs
+        # and tie variances, S and Var(S) summed, the SAME sqrt seam
+        "q_seasonal_mk": f"""
+            WITH series AS (
+                SELECT l_suppkey % 8 AS cell,
+                       month(l_shipdate) AS season,
+                       year(l_shipdate) AS t,
+                       max(l_extendedprice / 1000.0) AS x
+                FROM lineitem GROUP BY 1, 2, 3),
+            b AS (SELECT cell, season, CAST(t AS BIGINT) AS t,
+                         CAST(sign(x) * floor(abs(x) * 1000000 + 0.5)
+                              AS HUGEINT) AS qx
+                  FROM series),
+            p AS (SELECT a.cell, a.t AS ti, a.qx AS xi,
+                         c.t AS tj, c.qx AS xj
+                  FROM b a JOIN b c
+                       ON a.cell = c.cell AND a.season = c.season
+                          AND a.t < c.t),
+            sl AS (SELECT cell,
+                          CASE WHEN xj > xi THEN 1
+                               WHEN xj < xi THEN -1 ELSE 0 END AS sgn,
+                          {idiv_int('xj - xi', 'tj - ti')} AS slope
+                   FROM p),
+            sagg AS (SELECT cell, CAST(sum(sgn) AS BIGINT) AS s
+                     FROM sl GROUP BY cell),
+            rk AS (SELECT cell, slope,
+                          row_number() OVER (PARTITION BY cell
+                                             ORDER BY slope) AS r,
+                          count(*) OVER (PARTITION BY cell) AS m
+                   FROM sl),
+            md AS (SELECT cell,
+                          {idiv_int('sum(slope)', 'count(*)')} AS med
+                   FROM rk
+                   WHERE r = (m + 1) // 2 OR r = m // 2 + 1
+                   GROUP BY cell),
+            tie AS (SELECT cell, season, qx,
+                           CAST(count(*) AS HUGEINT) AS tc
+                    FROM b GROUP BY cell, season, qx),
+            tm AS (SELECT cell, season,
+                          sum(tc * (tc - 1) * (2 * tc + 5)) AS tsum,
+                          CAST(sum(tc) AS HUGEINT) AS nm
+                   FROM tie GROUP BY cell, season),
+            vm AS (SELECT cell, season, nm,
+                          nm * (nm - 1) * (2 * nm + 5) - tsum AS v18
+                   FROM tm),
+            cmb AS (SELECT cell, CAST(sum(nm) AS BIGINT) AS n,
+                           CAST(count(*) AS BIGINT) AS n_seasons,
+                           sum(v18) AS var18
+                    FROM vm GROUP BY cell),
+            j AS (SELECT cmb.cell, cmb.n, cmb.n_seasons, cmb.var18,
+                         sagg.s, md.med,
+                         CASE WHEN s > 0 THEN CAST(s AS HUGEINT) - 1
+                              WHEN s < 0 THEN CAST(s AS HUGEINT) + 1
+                              ELSE 0 END AS zshift,
+                         CAST(floor(sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                                    * 1000000 + 0.5) AS HUGEINT)
+                             AS qden
+                  FROM cmb JOIN sagg ON cmb.cell = sagg.cell
+                         LEFT JOIN md ON cmb.cell = md.cell),
+            zz AS (SELECT cell, n, n_seasons, s, med, var18,
+                          CASE WHEN var18 > 0 THEN
+                               {idiv_int('zshift * 1000000000000',
+                                         'qden')} END AS zq
+                   FROM j)
+            SELECT cell, n, n_seasons, s,
                    CAST(zq AS DOUBLE) / 1000000.0 AS z,
                    CAST(med AS DOUBLE) / 1000000.0 AS sen_slope,
                    CASE WHEN zq IS NULL THEN 'no trend'

@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     # the rating-curve fit (one moment exchange)
     "q_rfa_thresholds",
     "q_rating_curve",
+    "q_seasonal_mk",
 ]
 
 _IVF_INDEX = {}

@@ -841,3 +841,114 @@ def hurst_rs(df: DataFrame, value_col: str, order_col: str,
     return (fin.select(*keys, F.col("k_sizes").cast("long")
                        .alias("k_sizes"), hurst.alias("hurst"))
             .orderBy(*keys))
+
+
+def seasonal_mann_kendall(df: DataFrame, value_col: str,
+                          order_col: str, season_col: str,
+                          group_keys) -> DataFrame:
+    """Seasonal Mann-Kendall trend test + seasonal Sen's slope per
+    group (Hirsch & Slack 1984 — the USGS-standard variant for series
+    with seasonality, where plain [mann_kendall_sen] mistakes the
+    annual cycle for trend): compute S and Var(S) WITHIN each season,
+    then combine:
+
+        S = Σ_m S_m,   Var(S) = Σ_m Var(S_m),
+        Z = (S − sign(S)) / sqrt(Var(S))
+        slope = median{ within-season pairwise slopes, pooled }
+
+    (the independent-seasons form; the serial-covariance correction
+    of the 1984 paper's §4 applies to strongly autocorrelated
+    monthlies and is out of scope — documented, not silent).
+
+    Mechanics are [mann_kendall_sen] with the pair join and the tie
+    spectrum keyed by (keys, season): pairs stay season-bounded
+    (O(Σ_m len_m²) per group), S and the tie sums are exact integers,
+    Var(S)'s 18-denominator stays rational until the SAME single sqrt
+    seam, Z closes in integer space, and the pooled Sen median uses
+    the identical two-rank pick.  Returns (keys…, n, n_seasons, s, z,
+    sen_slope, trend), sorted; NULL Z when Var(S) = 0."""
+    from pyspark.sql import Window
+
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("seasonal_mann_kendall: need at least one "
+                         "group key")
+    dec = "decimal(38,0)"
+    c = F.col(value_col).cast("double")
+    qx = (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
+                                + F.lit(0.5))).cast("long")
+    base = df.select(*keys, F.col(season_col).alias("_season"),
+                     F.col(order_col).cast("long").alias("_t"),
+                     qx.alias("_qx"))
+    a = base.select(*keys, "_season", F.col("_t").alias("_ti"),
+                    F.col("_qx").alias("_xi"))
+    b = base.select(*keys, "_season", F.col("_t").alias("_tj"),
+                    F.col("_qx").alias("_xj"))
+    pairs = a.join(b, on=[*keys, "_season"]) \
+        .filter(F.col("_ti") < F.col("_tj"))
+    sgn = F.when(F.col("_xj") > F.col("_xi"), F.lit(1)) \
+        .when(F.col("_xj") < F.col("_xi"), F.lit(-1)) \
+        .otherwise(F.lit(0))
+    slope = _idiv_half_up((F.col("_xj") - F.col("_xi")).cast(dec),
+                          (F.col("_tj") - F.col("_ti")).cast(dec))
+    ps = pairs.select(*keys, sgn.alias("_sgn"), slope.alias("_slope"))
+    w = Window.partitionBy(*keys).orderBy("_slope")
+    ranked = (ps.withColumn("_r", F.row_number().over(w))
+              .withColumn("_m", F.count(F.lit(1))
+                          .over(Window.partitionBy(*keys))))
+    lo = (F.col("_m") + 1) / 2
+    hi = F.col("_m") / 2 + 1
+    med = (ranked.filter((F.col("_r") == F.floor(lo))
+                         | (F.col("_r") == F.floor(hi)))
+           .groupBy(*keys)
+           .agg(_idiv_half_up(
+               F.sum(F.col("_slope")).cast(dec)
+               * F.lit(2).cast(dec),
+               F.count(F.lit(1)).cast(dec) * F.lit(2).cast(dec))
+               .alias("_med")))
+    s_agg = ps.groupBy(*keys).agg(F.sum("_sgn").cast("long")
+                                  .alias("s"))
+    # per-season tie spectrum and variance, then the Σ_m combine
+    two, five, one = (F.lit(v).cast(dec) for v in (2, 5, 1))
+    per_season = (base.groupBy(*keys, "_season", "_qx")
+                  .agg(F.count(F.lit(1)).alias("_tc"))
+                  .groupBy(*keys, "_season")
+                  .agg(F.sum(F.col("_tc").cast(dec)
+                             * (F.col("_tc").cast(dec) - one)
+                             * (two * F.col("_tc").cast(dec) + five))
+                       .alias("_tsum"),
+                       F.sum("_tc").cast(dec).alias("_nm")))
+    var_m = (F.col("_nm") * (F.col("_nm") - one)
+             * (two * F.col("_nm") + five) - F.col("_tsum"))
+    combined = (per_season.select(*keys, F.col("_nm"),
+                                  var_m.alias("_v18"))
+                .groupBy(*keys)
+                .agg(F.sum("_nm").cast("long").alias("n"),
+                     F.count(F.lit(1)).cast("long")
+                     .alias("n_seasons"),
+                     F.sum("_v18").alias("_var18")))
+    out = combined.join(s_agg, on=keys).join(med, on=keys, how="left")
+    var18 = F.col("_var18")
+    qden = F.floor(F.sqrt(var18.cast("double") / F.lit(18.0))
+                   * F.lit(1e6) + F.lit(0.5)).cast(dec)
+    s_dec = F.col("s").cast(dec)
+    zshift = F.when(F.col("s") > 0, s_dec - one) \
+        .when(F.col("s") < 0, s_dec + one) \
+        .otherwise(F.lit(0).cast(dec))
+    mega2 = F.lit(1_000_000_000_000).cast(dec)
+    zq = F.when(var18 > 0, _idiv_half_up(zshift * mega2, qden))
+    mega_f = F.lit(1e6)
+    trend = (F.when(zq.isNull(), F.lit("no trend"))
+             .when((F.abs(zq) >= F.lit(1959964).cast(dec))
+                   & (F.col("s") > 0), F.lit("increasing"))
+             .when((F.abs(zq) >= F.lit(1959964).cast(dec))
+                   & (F.col("s") < 0), F.lit("decreasing"))
+             .otherwise(F.lit("no trend")))
+    return (out.select(*keys, "n", "n_seasons", "s",
+                       (zq.cast("double") / mega_f).alias("z"),
+                       (F.col("_med").cast("double") / mega_f)
+                       .alias("sen_slope"),
+                       trend.alias("trend"))
+            .orderBy(*keys))

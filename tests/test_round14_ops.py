@@ -357,3 +357,62 @@ def test_rating_curve_degenerate_stage(spark):
     r = rating_curve(df, "h", "q", ["station"]).collect()[0]
     assert r.n == 3
     assert r.b is None and r.a is None and r.r2 is None
+
+
+# --- seasonal Mann-Kendall -------------------------------------------------
+
+
+def _mk_s_var(x):
+    """Plain MK S and tie-corrected variance for one series."""
+    n = len(x)
+    s = sum(np.sign(x[j] - x[i])
+            for i in range(n) for j in range(i + 1, n))
+    _, counts = np.unique(x, return_counts=True)
+    tsum = sum(t * (t - 1) * (2 * t + 5) for t in counts)
+    var = (n * (n - 1) * (2 * n + 5) - tsum) / 18.0
+    return s, var
+
+
+def test_seasonal_mk_matches_numpy_twin(spark):
+    from flood_data_spark.operators.stats import seasonal_mann_kendall
+
+    rng = np.random.default_rng(19)
+    rows, s_tot, var_tot = [], 0, 0.0
+    seasonal = np.array([0.0, 30.0, 60.0, 30.0])  # strong cycle
+    for season in range(4):
+        # upward trend + seasonal offset + noise
+        x = (seasonal[season] + 2.0 * np.arange(12)
+             + rng.normal(0, 1.0, 12))
+        xq = np.floor(np.abs(x) * 1e6 + 0.5) * np.sign(x) / 1e6
+        s, v = _mk_s_var(xq)
+        s_tot += s
+        var_tot += v
+        rows += [("c", season, int(t), float(val))
+                 for t, val in enumerate(x)]
+    df = spark.createDataFrame(
+        rows, "cell string, season int, t int, x double")
+    r = seasonal_mann_kendall(df, "x", "t", "season",
+                              ["cell"]).collect()[0]
+    assert (r.n, r.n_seasons, r.s) == (48, 4, int(s_tot))
+    want_z = (s_tot - np.sign(s_tot)) / np.sqrt(var_tot)
+    assert r.z == pytest.approx(want_z, abs=2e-5)
+    assert r.trend == "increasing"
+    # sen slope pools within-season pairs: near the true +2.0/step
+    assert r.sen_slope == pytest.approx(2.0, abs=0.3)
+    with pytest.raises(ValueError, match="group key"):
+        seasonal_mann_kendall(df, "x", "t", "season", [])
+
+
+def test_seasonal_mk_deseasonalizes(spark):
+    """A PURE seasonal cycle with no trend: plain MK on the pooled
+    series can see spurious structure; seasonal MK reports no trend
+    (all within-season series are constant -> Var = 0, NULL z)."""
+    from flood_data_spark.operators.stats import seasonal_mann_kendall
+
+    rows = [("c", season, t, float(10 * season))
+            for season in range(4) for t in range(6)]
+    df = spark.createDataFrame(
+        rows, "cell string, season int, t int, x double")
+    r = seasonal_mann_kendall(df, "x", "t", "season",
+                              ["cell"]).collect()[0]
+    assert r.s == 0 and r.z is None and r.trend == "no trend"

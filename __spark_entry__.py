@@ -5526,6 +5526,19 @@ def q_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_mann_kendall(series, "x", "t", "season", ["cell"])
 
 
+def q_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transformation
+    (datapipe/curation.fim_transform): md5-prefix document selection,
+    two LCG character cuts, PSM reassembly — a zero-shuffle
+    projection over the documents scan.  Full value oracle restating
+    the hash predicate, the integer cut arithmetic, and the
+    substring/concat chain."""
+    from flood_data_spark.datapipe.curation import fim_transform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(docs, rate=0.4, min_len=32)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -5551,6 +5564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rfa_thresholds": q_rfa_thresholds,
         "q_rating_curve": q_rating_curve,
         "q_seasonal_mk": q_seasonal_mk,
+        "q_fim": q_fim,
         # --- round 13 session 2: the hydrological analytics layer
         # (efficiencies + extremes + routing + trend/shift tests), the
         # MT-metric trio completion, and the experiment guards ---
@@ -6412,6 +6426,8 @@ def oracle_sql() -> dict[str, str]:
     _UH_VALUES = ", ".join(
         f"({tau}, {int(_mm.copysign(_mm.floor(abs(u) * 1e6 + 0.5), u))})"
         for tau, u in enumerate(_UH_ORDS))
+    from flood_data_spark.datapipe.curation import hash_cut as _hc
+    _FIM_CUT = _hc(0.4)
 
     def _qseam_sql(expr: str) -> str:
         return (f"CAST(sign({expr}) * floor(abs({expr}) * 1000000e0 "
@@ -9224,6 +9240,42 @@ def oracle_sql() -> dict[str, str]:
                              THEN 'decreasing'
                         ELSE 'no trend' END AS trend
             FROM zz
+        """,
+        # q_fim: md5-prefix selection + LCG cuts + PSM reassembly —
+        # pure projection, mirrored verbatim
+        "q_fim": f"""
+            WITH base AS (
+                SELECT doc_id, text, length(text) AS ln,
+                       substr(md5(CAST(doc_id AS VARCHAR) || 'fim'),
+                              1, 4) < '{_FIM_CUT}'
+                           AND length(text) >= 32 AS chosen
+                FROM documents),
+            cuts AS (
+                SELECT doc_id, text, ln, chosen,
+                       least(1 + (doc_id * 48271) % (ln - 1),
+                             1 + (doc_id * 16807 + 7) % (ln - 1))
+                           AS p1,
+                       greatest(1 + (doc_id * 48271) % (ln - 1),
+                                1 + (doc_id * 16807 + 7) % (ln - 1))
+                           AS p2
+                FROM base),
+            parts AS (
+                SELECT doc_id, text, chosen,
+                       substr(text, 1, CAST(p1 AS BIGINT)) AS pre,
+                       substr(text, CAST(p1 + 1 AS BIGINT),
+                              CAST(p2 - p1 AS BIGINT)) AS mid,
+                       substr(text, CAST(p2 + 1 AS BIGINT),
+                              CAST(ln - p2 AS BIGINT)) AS suf
+                FROM cuts)
+            SELECT doc_id AS id, chosen AS fim_applied,
+                   CASE WHEN chosen THEN pre END AS prefix,
+                   CASE WHEN chosen THEN mid END AS middle,
+                   CASE WHEN chosen THEN suf END AS suffix,
+                   CASE WHEN chosen THEN
+                        '<|fim_pre|>' || pre || '<|fim_suf|>' || suf
+                        || '<|fim_mid|>' || mid
+                   ELSE text END AS fim_text
+            FROM parts
         """,
         # q_nse: the n-cleared Nash–Sutcliffe identity — one exact
         # integer ratio (D − n·SSE)/D over micro-quantized series,

@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "q_rfa_thresholds",
     "q_rating_curve",
     "q_seasonal_mk",
+    "q_fim",
 ]
 
 _IVF_INDEX = {}

@@ -894,3 +894,56 @@ def neyman_allocation(df: DataFrame, value_col: str, stratum_cols,
                      (s_q.cast("double") / mega_f).alias("sd"),
                      alloc_q.alias("alloc"))
             .orderBy(*keys))
+
+
+def fim_transform(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", rate: float = 0.5,
+                  min_len: int = 16, salt: str = "fim",
+                  pre_tok: str = "<|fim_pre|>",
+                  suf_tok: str = "<|fim_suf|>",
+                  mid_tok: str = "<|fim_mid|>") -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022 — the
+    document-level permutation that teaches a causal LM to infill):
+    for ~`rate` of documents (the [hash_cut] md5-prefix predicate —
+    a function of the KEY, so re-runs/engines/partitionings pick the
+    SAME docs) of at least `min_len` characters, split the text at two
+    deterministic pseudo-random character offsets and emit PSM order:
+
+        fim_text = PRE + prefix + SUF + suffix + MID + middle
+
+    Cut points are pure integer arithmetic on the id (two distinct
+    LCG multipliers mod (len−1), min/max ordered — engine-portable,
+    no RNG state), so the whole operator is a zero-shuffle projection:
+    substring/length/concat on the scan, exactly what a 100-TB corpus
+    pass wants.  Untransformed rows (rate miss or too short) pass
+    through with fim_applied = false and fim_text = text.  Returns
+    (id, fim_applied, prefix, middle, suffix, fim_text)."""
+    if min_len < 3:
+        raise ValueError(f"fim_transform: min_len must be >= 3, "
+                         f"got {min_len}")
+    cut = hash_cut(rate)
+    idc = F.col(id_col)
+    txt = F.col(text_col)
+    ln = F.length(txt)
+    chosen = (F.substring(
+        F.md5(F.concat(idc.cast("string"), F.lit(salt))), 1, 4)
+        < F.lit(cut)) & (ln >= F.lit(min_len))
+    span = (ln - F.lit(1)).cast("long")
+    c1 = F.lit(1) + (idc.cast("long") * F.lit(48271)) % span
+    c2 = F.lit(1) + (idc.cast("long") * F.lit(16807) + F.lit(7)) % span
+    p1 = F.least(c1, c2)
+    p2 = F.greatest(c1, c2)
+    prefix = F.substring(txt, F.lit(1), p1.cast("int"))
+    middle = F.substring(txt, (p1 + 1).cast("int"),
+                         (p2 - p1).cast("int"))
+    suffix = F.substring(txt, (p2 + 1).cast("int"),
+                         (ln - p2).cast("int"))
+    fim_text = F.concat(F.lit(pre_tok), prefix, F.lit(suf_tok),
+                        suffix, F.lit(mid_tok), middle)
+    return df.select(
+        idc.alias("id"),
+        chosen.alias("fim_applied"),
+        F.when(chosen, prefix).alias("prefix"),
+        F.when(chosen, middle).alias("middle"),
+        F.when(chosen, suffix).alias("suffix"),
+        F.when(chosen, fim_text).otherwise(txt).alias("fim_text"))

@@ -416,3 +416,38 @@ def test_seasonal_mk_deseasonalizes(spark):
     r = seasonal_mann_kendall(df, "x", "t", "season",
                               ["cell"]).collect()[0]
     assert r.s == 0 and r.z is None and r.trend == "no trend"
+
+
+# --- FIM transform ---------------------------------------------------------
+
+
+def test_fim_reconstruction_and_determinism(spark):
+    from flood_data_spark.datapipe.curation import fim_transform
+
+    rows = [(i, "abcdefghijklmnopqrstuvwxyz" * 2) for i in range(200)]
+    rows += [(900, "short")]                     # under min_len
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in fim_transform(df, rate=0.5).collect()}
+    assert len(out) == 201
+    applied = [r for r in out.values() if r.fim_applied]
+    # ~half chosen (md5 prefix predicate; 200 docs -> loose band)
+    assert 60 <= len(applied) <= 140
+    for r in applied:
+        # splits reconstruct the document exactly
+        assert r.prefix + r.middle + r.suffix == \
+            "abcdefghijklmnopqrstuvwxyz" * 2
+        assert len(r.prefix) >= 1
+        assert r.fim_text == ("<|fim_pre|>" + r.prefix + "<|fim_suf|>"
+                              + r.suffix + "<|fim_mid|>" + r.middle)
+    # short doc and rate-missed docs pass through untouched
+    assert out[900].fim_applied is False
+    assert out[900].fim_text == "short"
+    missed = next(r for r in out.values() if not r.fim_applied
+                  and r.id != 900)
+    assert missed.fim_text == "abcdefghijklmnopqrstuvwxyz" * 2
+    # determinism: a different partitioning picks the SAME docs/cuts
+    out2 = {r.id: r for r in
+            fim_transform(df.repartition(7), rate=0.5).collect()}
+    assert all(out2[k].fim_text == v.fim_text for k, v in out.items())
+    with pytest.raises(ValueError, match="min_len"):
+        fim_transform(df, min_len=2)

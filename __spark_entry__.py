@@ -5539,6 +5539,25 @@ def q_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(docs, rate=0.4, min_len=32)
 
 
+def q_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF curves (operators/extremes.idf_curves): daily series per
+    cell, rolling 1/2/3-day integer-micro accumulations (windowed
+    DOUBLE sums are association-dependent across engines — integer
+    sums cannot diverge), weekly block maxima, Gumbel fit per
+    duration.  Full value oracle restating the rolling frames and
+    the fit chain."""
+    from flood_data_spark.operators.extremes import idf_curves
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("cell"),
+        F.dayofmonth("ts").alias("day"), "value")
+    daily = (ev.groupBy("cell", "day")
+             .agg(F.max("value").alias("rain"))
+             .withColumn("wk", ((F.col("day") - 1) / 7).cast("int")))
+    return idf_curves(daily, "rain", "day", "wk", ["cell"],
+                      durations=(1, 2, 3), periods=(2, 20))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -5565,6 +5584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rating_curve": q_rating_curve,
         "q_seasonal_mk": q_seasonal_mk,
         "q_fim": q_fim,
+        "q_idf": q_idf,
         # --- round 13 session 2: the hydrological analytics layer
         # (efficiencies + extremes + routing + trend/shift tests), the
         # MT-metric trio completion, and the experiment guards ---
@@ -6428,6 +6448,22 @@ def oracle_sql() -> dict[str, str]:
         for tau, u in enumerate(_UH_ORDS))
     from flood_data_spark.datapipe.curation import hash_cut as _hc
     _FIM_CUT = _hc(0.4)
+    # q_idf rolling blocks: one UNION ALL branch per duration, integer
+    # rolling sums over ROWS frames (order-free, engine-safe)
+    _IDF_ROLL = "\n                UNION ALL\n".join(f"""
+                SELECT cell, blk, {d} AS duration, rs
+                FROM (SELECT cell, blk,
+                             sum(qv) OVER (PARTITION BY cell
+                                           ORDER BY o, qv
+                                           ROWS BETWEEN {d - 1}
+                                           PRECEDING AND CURRENT ROW)
+                                 AS rs,
+                             count(*) OVER (PARTITION BY cell
+                                            ORDER BY o, qv
+                                            ROWS BETWEEN {d - 1}
+                                            PRECEDING AND CURRENT ROW)
+                                 AS c
+                      FROM q0) WHERE c = {d}""" for d in (1, 2, 3))
 
     def _qseam_sql(expr: str) -> str:
         return (f"CAST(sign({expr}) * floor(abs({expr}) * 1000000e0 "
@@ -9276,6 +9312,73 @@ def oracle_sql() -> dict[str, str]:
                         || '<|fim_mid|>' || mid
                    ELSE text END AS fim_text
             FROM parts
+        """,
+        # q_idf: integer rolling depths per duration, weekly block
+        # maxima, then the q_gumbel_return chain keyed by
+        # (cell, duration)
+        "q_idf": f"""
+            WITH daily AS (
+                SELECT user_id % 4 AS cell, day(ts) AS o,
+                       max(value) AS rain
+                FROM events GROUP BY 1, 2),
+            q0 AS (SELECT cell, CAST(o AS BIGINT) AS o,
+                          CAST((o - 1) // 7 AS INT) AS blk,
+                          CAST(sign(rain) * floor(abs(rain) * 1000000
+                               + 0.5) AS HUGEINT) AS qv
+                   FROM daily),
+            roll AS ({_IDF_ROLL}),
+            ams AS (SELECT cell, duration, blk,
+                           max(CAST(rs AS DOUBLE) / 1000000.0) AS am
+                    FROM roll GROUP BY cell, duration, blk),
+            q AS (SELECT cell, duration,
+                         CAST(sign(am) * floor(abs(am) * 1000000
+                                               + 0.5) AS HUGEINT)
+                             AS qx
+                  FROM ams),
+            r AS (SELECT cell, duration, qx,
+                         row_number() OVER (PARTITION BY cell, duration
+                                            ORDER BY qx) AS i
+                  FROM q),
+            g AS (SELECT cell, duration,
+                         CAST(count(*) AS BIGINT) AS n,
+                         sum(qx) AS s0, sum((i - 1) * qx) AS s1
+                  FROM r GROUP BY cell, duration),
+            f AS (SELECT cell, duration, n,
+                         {idiv_int('s0', 'n')} AS lam1,
+                         CASE WHEN n >= 2 THEN
+                              {idiv_int('2 * s1 - (n - 1) * s0',
+                                        'n * (n - 1)')} END AS lam2
+                  FROM g),
+            b AS (SELECT cell, duration, n, lam1,
+                         CASE WHEN n >= 2 AND lam2 > 0 THEN
+                              CAST(sign(CAST(lam2 AS DOUBLE)
+                                        * {_INV_LN2})
+                                   * floor(abs(CAST(lam2 AS DOUBLE)
+                                               * {_INV_LN2}) + 0.5)
+                                   AS HUGEINT) END AS beta
+                  FROM f),
+            x AS (SELECT cell, duration, n, beta,
+                         CASE WHEN beta IS NOT NULL THEN
+                              lam1 - CAST(sign(CAST(beta AS DOUBLE)
+                                               * {_EULER})
+                                          * floor(abs(CAST(beta
+                                                    AS DOUBLE)
+                                                    * {_EULER}) + 0.5)
+                                          AS HUGEINT) END AS xi
+                  FROM b)
+            SELECT cell, duration, n, p.period,
+                   CAST(xi AS DOUBLE) / 1000000.0 AS loc,
+                   CAST(beta AS DOUBLE) / 1000000.0 AS scale,
+                   CASE WHEN xi IS NOT NULL THEN
+                        CAST(xi + CAST(sign(CAST(beta AS DOUBLE)
+                                            * p.yt)
+                                       * floor(abs(CAST(beta AS DOUBLE)
+                                                   * p.yt) + 0.5)
+                                       AS HUGEINT)
+                             AS DOUBLE) / 1000000.0 END AS level
+            FROM x CROSS JOIN (VALUES (2, {_GV[2]}),
+                                      (20, {_GV[20]}))
+                 AS p(period, yt)
         """,
         # q_nse: the n-cleared Nash–Sutcliffe identity — one exact
         # integer ratio (D − n·SSE)/D over micro-quantized series,

@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "q_rating_curve",
     "q_seasonal_mk",
     "q_fim",
+    "q_idf",
 ]
 
 _IVF_INDEX = {}

@@ -971,3 +971,59 @@ def regional_growth_curve(df: DataFrame, value_col: str, region_keys,
         (F.col("_grq").cast("double") / mega_f).alias("growth"),
         (lvl.cast("double") / mega_f).alias("level"))
         .orderBy(*keys, "site", "period"))
+
+
+def idf_curves(df: DataFrame, value_col: str, order_col: str,
+               block_col: str, group_keys, durations=(1, 3, 6),
+               periods=(2, 10, 100)) -> DataFrame:
+    """Intensity(depth)-Duration-Frequency curves per cell (Chow §14;
+    the design-storm product every drainage/reservoir design reads
+    off): for each duration d, the rolling d-step accumulation of the
+    series, its block maxima (per `block_col` — typically the year:
+    the AMS discipline), and a Gumbel L-moment fit per duration via
+    [gumbel_return_levels] — the depth quantile x_{d,T} per return
+    period.
+
+    Determinism: values quantize ONCE to integer micros BEFORE the
+    rolling sum — a windowed DOUBLE sum is association-order-dependent
+    (DuckDB's segment-tree window accumulation vs Spark's running
+    frame would diverge in the low bits), an integer sum cannot
+    diverge; the de-quantized depth re-quantizes bit-identically
+    inside the Gumbel fit.  Rolling frames shorter than d (series
+    head) are EXCLUDED (complete-window convention, the [low_flow_mam]
+    precedent).  Rows order by (`order_col`, value) within the cell —
+    the secondary key pins tied timestamps.
+
+    Scale posture: the |durations| rolling windows share ONE
+    cell-keyed exchange; the union stacks d-bounded projections of
+    the same scan; block maxima + the fit are the [gumbel_return_levels]
+    plan keyed by (keys, duration).  Returns (keys…, duration, n,
+    period, loc, scale, level), sorted."""
+    import functools
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("idf_curves: need at least one group key")
+    durs = sorted({int(d) for d in durations})
+    if durs[0] < 1:
+        raise ValueError("idf_curves: durations must be >= 1")
+    qv = _micro(F.col(value_col))
+    base = df.select(*keys, F.col(order_col).alias("_o"),
+                     F.col(block_col).alias("_blk"),
+                     qv.alias("_qv"))
+    frames = []
+    for d in durs:
+        w = (Window.partitionBy(*keys).orderBy("_o", "_qv")
+             .rowsBetween(-(d - 1), 0))
+        roll = base.select(
+            *keys, "_blk",
+            F.sum("_qv").over(w).alias("_rs"),
+            F.count(F.lit(1)).over(w).alias("_c"))
+        frames.append(roll.filter(F.col("_c") == d).select(
+            *keys, F.lit(d).alias("duration"), "_blk",
+            (F.col("_rs").cast("double") / F.lit(1e6)).alias("_depth")))
+    stacked = functools.reduce(DataFrame.unionByName, frames)
+    ams = (stacked.groupBy(*keys, "duration", "_blk")
+           .agg(F.max("_depth").alias("depth_max")))
+    return gumbel_return_levels(ams, "depth_max",
+                                [*keys, "duration"], periods)

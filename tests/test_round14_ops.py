@@ -451,3 +451,47 @@ def test_fim_reconstruction_and_determinism(spark):
     assert all(out2[k].fim_text == v.fim_text for k, v in out.items())
     with pytest.raises(ValueError, match="min_len"):
         fim_transform(df, min_len=2)
+
+
+# --- IDF curves ------------------------------------------------------------
+
+
+def test_idf_matches_numpy_twin(spark):
+    """IDF: rolling depths are monotone in duration, block maxima and
+    the Gumbel fit match a direct numpy recomputation."""
+    from flood_data_spark.operators.extremes import (
+        gumbel_return_levels, idf_curves)
+
+    rng = np.random.default_rng(23)
+    rain = rng.gamma(1.5, 8.0, size=60)
+    rows = [("c", t, int(t // 10), float(v))
+            for t, v in enumerate(rain)]
+    df = spark.createDataFrame(
+        rows, "cell string, t int, blk int, rain double")
+    got = {(r.duration, r.period): r for r in
+           idf_curves(df, "rain", "t", "blk", ["cell"],
+                      durations=(1, 3), periods=(10,)).collect()}
+    # twin: quantized rolling sums, block maxima, then the operator's
+    # own Gumbel fit on a hand-built AMS frame (fit itself is pinned
+    # by test_gumbel_* already — this pins the rolling/block plumbing)
+    q = np.floor(np.abs(rain) * 1e6 + 0.5) * np.sign(rain)
+    for d in (1, 3):
+        depths = np.array([q[max(0, i - d + 1):i + 1].sum()
+                           for i in range(len(rain))])[d - 1:] / 1e6
+        blocks = (np.arange(len(rain)) // 10)[d - 1:]
+        ams = [(f"b{b}", float(depths[blocks == b].max()))
+               for b in np.unique(blocks)]
+        fit = gumbel_return_levels(
+            spark.createDataFrame(ams, "blk string, am double"),
+            "am", ["blk"], periods=(10,))
+        # compare the pooled fit by refitting on the same AMS multiset
+        ams_df = spark.createDataFrame(
+            [("c", v) for _, v in ams], "cell string, am double")
+        want = gumbel_return_levels(ams_df, "am", ["cell"],
+                                    periods=(10,)).collect()[0]
+        r = got[(d, 10)]
+        assert r.n == len(ams)
+        assert r.level == pytest.approx(want.level, abs=1e-9)
+        assert r.loc == pytest.approx(want.loc, abs=1e-9)
+    # depth quantiles grow with duration (longer windows accumulate)
+    assert got[(3, 10)].level > got[(1, 10)].level

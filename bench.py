@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "q_seasonal_mk",
     "q_fim",
     "q_idf",
+    "q_fss_big",
 ]
 
 _IVF_INDEX = {}
@@ -1065,7 +1066,32 @@ def _q_textrank_full(spark, sf_dir):
     return textrank_keywords(docs, window=2, n_iter=3, k=5)
 
 
+
+
+def _q_fss_big(spark, sf_dir):
+    """FSS scale tier: 3 groups x 400x400 dense grid (480k cells),
+    radius 4 — measures the separable two-pass RANGE-window box sum at
+    a grid two decades past the registry entry's 4.8k cells.  Work is
+    O(cells) independent of radius by construction; this entry pins
+    that the constant is small (the naive r^2-neighbor join would be
+    81x the rows at r=4)."""
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.operators.verification import fss
+
+    n = 400
+    g = (spark.range(3 * n * n)
+         .select((F.col("id") % 3).alias("grp"),
+                 ((F.col("id") / 3).cast("long") % n).alias("i"),
+                 ((F.col("id") / (3 * n)).cast("long") % n).alias("j"),
+                 ((F.col("id") * 2654435761) % 13 == 0).cast("int")
+                 .alias("fc"),
+                 ((F.col("id") * 40503) % 11 == 0).cast("int")
+                 .alias("ob")))
+    return fss(g, "i", "j", "fc", "ob", ["grp"], radius=4)
+
 EXTRA_QUERIES = {
+    "q_fss_big": _q_fss_big,
     "q_bootstrap_fast": _q_bootstrap_fast,
     "q_tree_stump_approx": _q_tree_stump_approx,
     "q_textrank_full": _q_textrank_full,

@@ -5558,6 +5558,26 @@ def q_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       durations=(1, 2, 3), periods=(2, 20))
 
 
+def q_spi_drought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED drought monitor (McKee et al. 1993 drought classes):
+    the SPI series MADE by operators/extremes.spi_empirical is
+    CONSUMED by operators/extremes.drought_runs at the standard
+    SPI ≤ −1 onset threshold — rank window → probit seam →
+    gaps-and-islands run statistics in ONE plan.  Full value oracle
+    restating both chains."""
+    from flood_data_spark.operators.extremes import (
+        drought_runs, spi_empirical)
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 6).alias("cell"),
+        F.dayofmonth("ts").alias("day"), "value")
+    daily = ev.groupBy("cell", "day").agg(F.max("value")
+                                          .alias("precip"))
+    spi = spi_empirical(daily, "precip", ["cell"], "day")
+    return drought_runs(spi, "spi", "day", ["cell"],
+                        threshold=-1.0, step=1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -5585,6 +5605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_mk": q_seasonal_mk,
         "q_fim": q_fim,
         "q_idf": q_idf,
+        "q_spi_drought": q_spi_drought,
         # --- round 13 session 2: the hydrological analytics layer
         # (efficiencies + extremes + routing + trend/shift tests), the
         # MT-metric trio completion, and the experiment guards ---
@@ -7910,6 +7931,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_qseam_sql(_SPI_PROBIT)} AS DOUBLE)
                        / 1000000.0 AS spi
             FROM p
+        """,
+        # q_spi_drought: the q_spi chain feeding the drought-runs
+        # chain at SPI <= -1 — make-then-consume in one SQL
+        "q_spi_drought": f"""
+            WITH src AS (
+                SELECT user_id % 6 AS cell, day(ts) AS day,
+                       max(value) AS precip
+                FROM events GROUP BY 1, 2),
+            q AS (SELECT cell, day, precip AS value,
+                         CAST(sign(precip) * floor(abs(precip)
+                              * 1000000 + 0.5) AS HUGEINT) AS qx
+                  FROM src),
+            r AS (SELECT cell, day, value, qx,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY qx, day) AS i,
+                         CAST(count(*) OVER (PARTITION BY cell)
+                              AS BIGINT) AS n
+                  FROM q),
+            p AS (SELECT cell, day, value, n,
+                         {idiv_int('(100 * CAST(i AS HUGEINT) - 44) '
+                                   '* 1000000',
+                                   '100 * CAST(n AS HUGEINT) + 12')}
+                             AS pq
+                  FROM r),
+            spi AS (SELECT cell, day,
+                           CAST({_qseam_sql(_SPI_PROBIT)} AS DOUBLE)
+                               / 1000000.0 AS v
+                    FROM p),
+            e AS (SELECT cell, CAST(day AS BIGINT) AS o,
+                         CAST(sign(v) * floor(abs(v) * 1000000 + 0.5)
+                              AS HUGEINT) AS qx,
+                         CAST(sign(-1.0 - v)
+                              * floor(abs(-1.0 - v) * 1000000 + 0.5)
+                              AS HUGEINT) AS qd
+                  FROM spi WHERE v < -1.0),
+            g AS (SELECT cell, o, qx, qd,
+                         CASE WHEN o - lag(o) OVER (
+                                  PARTITION BY cell ORDER BY o, qx)
+                                  > 1
+                              THEN 1 ELSE 0 END AS nw
+                  FROM e),
+            c AS (SELECT cell, o, qx, qd,
+                         CAST(sum(nw) OVER (PARTITION BY cell
+                                            ORDER BY o, qx
+                                            ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS run
+                  FROM g)
+            SELECT cell, run, min(o) AS start_o, max(o) AS end_o,
+                   CAST(count(*) AS BIGINT) AS duration,
+                   CAST(sum(qd) AS DOUBLE) / 1000000.0 AS severity,
+                   {idiv_half_up('sum(qd)',
+                                 'CAST(count(*) AS HUGEINT)',
+                                 1000000)} AS intensity,
+                   CAST(min(qx) AS DOUBLE) / 1000000.0 AS min_value
+            FROM c GROUP BY cell, run
         """,
         # q_regional_growth: site PWMs off one rank window, scale-
         # invariant t2/t3 as exact integer ratios, record-length-

@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "q_seasonal_mk",
     "q_fim",
     "q_idf",
+    "q_spi_drought",
     "q_fss_big",
 ]
 

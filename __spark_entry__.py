@@ -5578,6 +5578,21 @@ def q_spi_drought(spark: SparkSession, sf_dir: str) -> DataFrame:
                         threshold=-1.0, step=1)
 
 
+def q_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative area-weighted regridding
+    (operators/grid.conservative_regrid): the 0.05° part-key grid
+    onto a deliberately MISALIGNED 0.075° destination (fractional
+    ratio — every destination cell assembles partial overlaps) —
+    integer half-micro-degree bounds, portable floor division,
+    exact weighted means and coverage.  ZERO double seams.  Full
+    value oracle restating the candidate scatter and every weight."""
+    from flood_data_spark.operators.grid import conservative_regrid
+
+    src = _grid_cells(spark, sf_dir)
+    return conservative_regrid(src, "latitude", "longitude", "val",
+                               0.05, 0.075)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -5606,6 +5621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fim": q_fim,
         "q_idf": q_idf,
         "q_spi_drought": q_spi_drought,
+        "q_regrid": q_regrid,
         # --- round 13 session 2: the hydrological analytics layer
         # (efficiencies + extremes + routing + trend/shift tests), the
         # MT-metric trio completion, and the experiment guards ---
@@ -7986,6 +8002,55 @@ def oracle_sql() -> dict[str, str]:
                                  1000000)} AS intensity,
                    CAST(min(qx) AS DOUBLE) / 1000000.0 AS min_value
             FROM c GROUP BY cell, run
+        """,
+        # q_regrid: integer half-micro-degree conservative remap —
+        # portable floor division, candidate scatter, exact weights
+        "q_regrid": f"""
+            WITH cells AS (
+                SELECT round(0.025 + (p_partkey % 200) * 0.05, 3)
+                           AS lat,
+                       round(0.025 + (CAST(floor(p_partkey / 200)
+                                 AS BIGINT) % 200) * 0.05, 3) AS lon,
+                       p_retailprice AS val
+                FROM part),
+            b AS (SELECT CAST(sign(lat) * floor(abs(lat) * 2000000
+                               + 0.5) AS HUGEINT) - 50000 AS ylo,
+                         CAST(sign(lon) * floor(abs(lon) * 2000000
+                               + 0.5) AS HUGEINT) - 50000 AS xlo,
+                         CAST(sign(val) * floor(abs(val) * 1000000
+                               + 0.5) AS HUGEINT) AS qv
+                  FROM cells),
+            ix0 AS (SELECT ylo, xlo, qv,
+                           (ylo - ((ylo % 150000 + 150000) % 150000))
+                               // 150000 AS iy0,
+                           (xlo - ((xlo % 150000 + 150000) % 150000))
+                               // 150000 AS ix0
+                    FROM b),
+            cand AS (SELECT ylo, xlo, qv,
+                            iy0 + dy.o AS iy, ix0 + dx.o AS ix
+                     FROM ix0
+                     CROSS JOIN (VALUES (0), (1)) dy(o)
+                     CROSS JOIN (VALUES (0), (1)) dx(o)),
+            wts AS (SELECT iy, ix, qv,
+                           greatest(least(ylo + 100000,
+                                          (iy + 1) * 150000)
+                                    - greatest(ylo, iy * 150000), 0)
+                           * greatest(least(xlo + 100000,
+                                            (ix + 1) * 150000)
+                                      - greatest(xlo, ix * 150000), 0)
+                               AS w
+                    FROM cand),
+            ag AS (SELECT iy, ix, sum(w * qv) AS swv, sum(w) AS sw
+                   FROM wts WHERE w > 0 GROUP BY iy, ix)
+            SELECT CAST(iy * 150000 + 75000 AS DOUBLE) / 2000000.0
+                       AS dlat,
+                   CAST(ix * 150000 + 75000 AS DOUBLE) / 2000000.0
+                       AS dlon,
+                   CAST({idiv_int('swv', 'sw')} AS DOUBLE)
+                       / 1000000.0 AS value,
+                   CAST({idiv_int('sw * 1000000', '22500000000')}
+                        AS DOUBLE) / 1000000.0 AS coverage
+            FROM ag
         """,
         # q_regional_growth: site PWMs off one rank window, scale-
         # invariant t2/t3 as exact integer ratios, record-length-

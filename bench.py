@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "q_fim",
     "q_idf",
     "q_spi_drought",
+    "q_regrid",
     "q_fss_big",
 ]
 

@@ -156,3 +156,113 @@ def upstream_mask(forecast_df: DataFrame, upstream_df: DataFrame,
         broadcast_right=broadcast_upstream,
     )
     return masked.filter(F.col("uparea") >= t).drop("uparea")
+
+
+def conservative_regrid(df: DataFrame, lat_col: str, lon_col: str,
+                        value_col: str, src_res: float,
+                        dst_res: float, group_keys=()) -> DataFrame:
+    """First-order conservative (area-weighted) regridding between two
+    axis-aligned regular lat/lon grids (Jones 1999, the SCRIP/ESMF
+    `conserve` method restricted to rectangular cells — where the
+    overlap integral is a product of two 1-D interval intersections):
+    each source cell scatters onto every destination cell it overlaps
+    with weight = overlap_lat · overlap_lon, and the destination
+    value is the weight-averaged source value — the regrid GloFAS-
+    class products undergo between native (~0.05°) and user (~0.1°)
+    resolutions.  Both grids are cell-centered with boundaries at
+    integer multiples of their resolution (the repo's half-offset
+    grid convention: center = (k + ½)·res).
+
+    EXACTNESS — zero double seams: coordinates and resolutions
+    quantize ONCE to integer half-micro-degrees (×2e6, so half-cells
+    stay integral); cell bounds, destination indices (floor division
+    via the truncating-% identity, portable to any engine), axis
+    overlaps, and weights are pure integer arithmetic; the weighted
+    mean and the coverage fraction close as exact `_idiv_half_up`
+    ratios.
+
+    SCALE — the candidate explode is ⌈src/dst⌉+1 per axis (a LITERAL
+    sequence — 4 candidates for 2× refinement, never data-dependent),
+    and the single exchange keys on the destination cell: at 100 TB
+    the raster corpus moves once, amplified by the bounded candidate
+    count, into grid-bounded groups.  No join at all.  Returns
+    (keys…, dlat, dlon, value, coverage), sorted; `coverage` is the
+    covered fraction of each destination cell (edge cells < 1)."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    keys = list(group_keys)
+    if not (src_res > 0 and dst_res > 0):
+        raise ValueError("conservative_regrid: resolutions must be "
+                         "positive")
+    U = 2_000_000  # half-micro-degrees per degree
+    rs = int(round(float(src_res) * U))
+    rd = int(round(float(dst_res) * U))
+    if rs % 2 or rd % 2:
+        raise ValueError("conservative_regrid: resolution must be an "
+                         "even number of half-micro-degrees")
+    # max dst cells a src cell can touch per axis: ⌈rs/rd⌉ + 1 — the
+    # +1 covers a cell straddling one more boundary than the integer
+    # ratio suggests (misaligned grids; rs//rd + 1 would silently DROP
+    # the last sliver, pinned by test_regrid_misaligned_grids)
+    span = (rs + rd - 1) // rd + 1
+    dec = "decimal(38,0)"
+
+    def u(col):
+        c = col.cast("double")
+        return (F.signum(c) * F.floor(F.abs(c) * U + F.lit(0.5))) \
+            .cast("long")
+
+    def fdiv(a, b: int):
+        # floor division for any sign via the truncating-% identity
+        # ((a % b) + b) % b — identical in Spark and DuckDB
+        bb = F.lit(b)
+        pm = ((a % bb) + bb) % bb
+        return ((a - pm) / bb).cast("long")
+
+    base = df.select(
+        *keys,
+        (u(F.col(lat_col)) - F.lit(rs // 2)).alias("_ylo"),
+        (u(F.col(lon_col)) - F.lit(rs // 2)).alias("_xlo"),
+        F.col(value_col).cast("double").alias("_v"))
+    base = base.select(
+        *keys, "_ylo", "_xlo", "_v",
+        (F.signum(F.col("_v"))
+         * F.floor(F.abs(F.col("_v")) * F.lit(1_000_000)
+                   + F.lit(0.5))).cast("long").alias("_qv"),
+        fdiv(F.col("_ylo"), rd).alias("_iy0"),
+        fdiv(F.col("_xlo"), rd).alias("_ix0"))
+    offs = F.array(*[F.lit(k) for k in range(span)])
+    cand = (base.select(*keys, "_ylo", "_xlo", "_qv", "_iy0", "_ix0",
+                        F.explode(offs).alias("_dy"))
+            .select(*keys, "_ylo", "_xlo", "_qv", "_ix0",
+                    (F.col("_iy0") + F.col("_dy")).alias("_iy"),
+                    F.explode(offs).alias("_dx"))
+            .select(*keys, "_ylo", "_xlo", "_qv", "_iy",
+                    (F.col("_ix0") + F.col("_dx")).alias("_ix")))
+    rd_l = F.lit(rd).cast("long")
+    oy = (F.least(F.col("_ylo") + F.lit(rs), (F.col("_iy") + 1) * rd_l)
+          - F.greatest(F.col("_ylo"), F.col("_iy") * rd_l))
+    ox = (F.least(F.col("_xlo") + F.lit(rs), (F.col("_ix") + 1) * rd_l)
+          - F.greatest(F.col("_xlo"), F.col("_ix") * rd_l))
+    w = (F.greatest(oy, F.lit(0)).cast(dec)
+         * F.greatest(ox, F.lit(0)).cast(dec))
+    agg = (cand.select(*keys, "_iy", "_ix",
+                       w.alias("_w"), F.col("_qv").cast(dec).alias("_qv"))
+           .filter(F.col("_w") > 0)
+           .groupBy(*keys, "_iy", "_ix")
+           .agg(F.sum(F.col("_w") * F.col("_qv")).alias("_swv"),
+                F.sum("_w").alias("_sw")))
+    mega_f = F.lit(1e6)
+    val = _idiv_half_up(F.col("_swv"), F.col("_sw"))
+    cov = _idiv_half_up(F.col("_sw") * F.lit(1_000_000).cast(dec),
+                        F.lit(rd).cast(dec) * F.lit(rd).cast(dec))
+    half = F.lit(rd // 2).cast("long")
+    return (agg.select(
+        *keys,
+        ((F.col("_iy") * rd_l + half).cast("double")
+         / F.lit(float(U))).alias("dlat"),
+        ((F.col("_ix") * rd_l + half).cast("double")
+         / F.lit(float(U))).alias("dlon"),
+        (val.cast("double") / mega_f).alias("value"),
+        (cov.cast("double") / mega_f).alias("coverage"))
+        .orderBy(*keys, "dlat", "dlon"))

@@ -495,3 +495,111 @@ def test_idf_matches_numpy_twin(spark):
         assert r.loc == pytest.approx(want.loc, abs=1e-9)
     # depth quantiles grow with duration (longer windows accumulate)
     assert got[(3, 10)].level > got[(1, 10)].level
+
+
+# --- conservative regrid ---------------------------------------------------
+
+
+def _regrid_numpy(cells, rs, rd):
+    """Brute-force interval-overlap twin: cells = [(lat, lon, v)]."""
+    out = {}
+    for lat, lon, v in cells:
+        ylo, xlo = lat - rs / 2, lon - rs / 2
+        yhi, xhi = ylo + rs, xlo + rs
+        iy0, iy1 = math.floor(ylo / rd), math.ceil(yhi / rd)
+        ix0, ix1 = math.floor(xlo / rd), math.ceil(xhi / rd)
+        for iy in range(iy0, iy1):
+            for ix in range(ix0, ix1):
+                oy = min(yhi, (iy + 1) * rd) - max(ylo, iy * rd)
+                ox = min(xhi, (ix + 1) * rd) - max(xlo, ix * rd)
+                if oy > 1e-12 and ox > 1e-12:
+                    w = oy * ox
+                    sw, swv = out.get((iy, ix), (0.0, 0.0))
+                    out[(iy, ix)] = (sw + w, swv + w * v)
+    return {k: (swv / sw, sw / (rd * rd))
+            for k, (sw, swv) in out.items()}
+
+
+def test_regrid_coarsen_2x_and_conserve(spark):
+    from flood_data_spark.operators.grid import conservative_regrid
+
+    rng = np.random.default_rng(31)
+    rs, rd = 0.05, 0.1
+    cells = [(0.025 + i * rs, 0.025 + j * rs,
+              float(rng.uniform(0, 100)))
+             for i in range(8) for j in range(8)]
+    df = spark.createDataFrame(cells, "lat double, lon double, v double")
+    got = {(round(r.dlat, 6), round(r.dlon, 6)): r for r in
+           conservative_regrid(df, "lat", "lon", "v", rs, rd)
+           .collect()}
+    assert len(got) == 16      # 8x8 src -> 4x4 dst, all complete
+    vals = np.array([c[2] for c in cells]).reshape(8, 8)
+    for bi in range(4):
+        for bj in range(4):
+            want = vals[2 * bi:2 * bi + 2, 2 * bj:2 * bj + 2].mean()
+            r = got[(round(0.05 + bi * rd, 6),
+                     round(0.05 + bj * rd, 6))]
+            assert r.value == pytest.approx(want, abs=2e-6)
+            assert r.coverage == pytest.approx(1.0, abs=1e-9)
+    # conservation: total mass preserved under full coverage
+    tot_src = vals.mean()
+    tot_dst = np.mean([r.value for r in got.values()])
+    assert tot_dst == pytest.approx(tot_src, abs=1e-5)
+
+
+def test_regrid_refine_and_fractional_ratio(spark):
+    from flood_data_spark.operators.grid import conservative_regrid
+
+    # refinement 0.1 -> 0.05: each dst inherits its parent value
+    cells = [(0.05, 0.05, 40.0), (0.15, 0.05, 80.0)]
+    df = spark.createDataFrame(cells, "lat double, lon double, v double")
+    got = {(round(r.dlat, 6), round(r.dlon, 6)): r for r in
+           conservative_regrid(df, "lat", "lon", "v", 0.1, 0.05)
+           .collect()}
+    assert len(got) == 8
+    assert got[(0.025, 0.025)].value == 40.0
+    assert got[(0.125, 0.075)].value == 80.0
+    assert all(r.coverage == pytest.approx(1.0, abs=1e-9)
+               for r in got.values())
+    # fractional ratio 0.075 -> 0.05: partial weights match the twin
+    rng = np.random.default_rng(5)
+    rs, rd = 0.075, 0.05
+    cells = [(rs / 2 + i * rs, rs / 2 + j * rs,
+              float(rng.uniform(0, 50)))
+             for i in range(4) for j in range(4)]
+    df = spark.createDataFrame(cells, "lat double, lon double, v double")
+    got = {(round(r.dlat, 6), round(r.dlon, 6)): r for r in
+           conservative_regrid(df, "lat", "lon", "v", rs, rd)
+           .collect()}
+    want = _regrid_numpy(cells, rs, rd)
+    assert len(got) == len(want)
+    for (iy, ix), (wv, wcov) in want.items():
+        r = got[(round((iy + 0.5) * rd, 6), round((ix + 0.5) * rd, 6))]
+        assert r.value == pytest.approx(wv, abs=5e-6)
+        assert r.coverage == pytest.approx(wcov, abs=5e-6)
+    with pytest.raises(ValueError, match="positive"):
+        conservative_regrid(df, "lat", "lon", "v", -0.1, 0.05)
+
+
+def test_regrid_misaligned_grids(spark):
+    """Source cells NOT aligned to destination boundaries: a cell can
+    straddle ⌈rs/rd⌉+1 destination cells — the span must include the
+    last sliver (rs//rd+1 would silently drop mass)."""
+    from flood_data_spark.operators.grid import conservative_regrid
+
+    # src res 0.075, centers offset so cells straddle THREE 0.05 cells
+    cells = [(0.0775, 0.0775, 60.0)]   # covers [0.04, 0.115) each axis
+    df = spark.createDataFrame(cells, "lat double, lon double, v double")
+    got = {(round(r.dlat, 6), round(r.dlon, 6)): r for r in
+           conservative_regrid(df, "lat", "lon", "v", 0.075, 0.05)
+           .collect()}
+    want = _regrid_numpy(cells, 0.075, 0.05)
+    assert len(got) == len(want) == 9    # 3x3 destination cells
+    total_cov = sum(r.coverage for r in got.values())
+    # mass conservation: total covered area == src cell area
+    assert total_cov == pytest.approx((0.075 / 0.05) ** 2, abs=1e-5)
+    for (iy, ix), (wv, wcov) in want.items():
+        r = got[(round((iy + 0.5) * 0.05, 6),
+                 round((ix + 0.5) * 0.05, 6))]
+        assert r.value == pytest.approx(wv, abs=5e-6)
+        assert r.coverage == pytest.approx(wcov, abs=5e-6)

@@ -414,3 +414,67 @@ def test_regional_growth_broadcasts_region_fit(spark):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_rating_curve_single_moment_exchange(spark):
+    """Rating curve: one group-keyed aggregate of integer log
+    moments — the gauge corpus moves once, no window, no join."""
+    from flood_data_spark.operators.routing import rating_curve
+
+    df = spark.range(400).select(
+        (F.col("id") % 5).alias("station"),
+        (F.col("id") % 17 + 1).cast("double").alias("h"),
+        (F.col("id") % 23 + 2).cast("double").alias("q"))
+    plan = _plan(rating_curve(df, "h", "q", ["station"]))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_seasonal_mk_pairs_stay_season_keyed(spark):
+    """Seasonal MK: the pair self-join keys on (keys, season) — a
+    SortMergeJoin/shuffle on that compound key, never a cartesian."""
+    from flood_data_spark.operators.stats import seasonal_mann_kendall
+
+    df = spark.range(240).select(
+        (F.col("id") % 2).alias("cell"), (F.col("id") % 4).alias("season"),
+        (F.col("id") % 30).alias("t"),
+        (F.col("id") % 13).cast("double").alias("x"))
+    plan = _plan(seasonal_mann_kendall(df, "x", "t", "season",
+                                       ["cell"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_idf_durations_share_cell_exchange(spark):
+    """IDF: all duration windows partition by the cell key; no join,
+    no Python — union + windows + the Gumbel fit aggregate."""
+    from flood_data_spark.operators.extremes import idf_curves
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("cell"), (F.col("id") / 3).cast("long").alias("t"),
+        (F.col("id") % 10).alias("blk"),
+        (F.col("id") % 29).cast("double").alias("rain"))
+    plan = _plan(idf_curves(df, "rain", "t", "blk", ["cell"],
+                            durations=(1, 3), periods=(10,)))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_regrid_single_exchange_no_join(spark):
+    """Conservative regrid: literal candidate Generate + ONE
+    destination-keyed aggregation exchange — no join anywhere."""
+    from flood_data_spark.operators.grid import conservative_regrid
+
+    df = spark.range(400).select(
+        ((F.col("id") % 20) * 0.05 + 0.025).alias("lat"),
+        ((F.col("id") / 20).cast("long") * 0.05 + 0.025).alias("lon"),
+        (F.col("id") % 31).cast("double").alias("v"))
+    plan = _plan(conservative_regrid(df, "lat", "lon", "v",
+                                     0.05, 0.075))
+    assert plan.count("Generate explode") == 2   # dy and dx scatters
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan

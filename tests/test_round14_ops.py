@@ -603,3 +603,27 @@ def test_regrid_misaligned_grids(spark):
                  round((ix + 0.5) * 0.05, 6))]
         assert r.value == pytest.approx(wv, abs=5e-6)
         assert r.coverage == pytest.approx(wcov, abs=5e-6)
+
+
+def test_regional_levels_monotone_in_period(spark):
+    """Return levels must increase with the return period for every
+    site that receives a fit — the basic sanity every threshold-band
+    consumer (q_rfa_thresholds) relies on."""
+    from flood_data_spark.operators.extremes import (
+        regional_growth_curve)
+
+    rng = np.random.default_rng(55)
+    rows = []
+    for s, scale in (("a", 20.0), ("b", 35.0)):
+        x = _ams(rng, 100.0, scale, 40)
+        rows += [("r", s, float(v)) for v in x]
+    df = spark.createDataFrame(rows,
+                               "region string, site string, am double")
+    out = regional_growth_curve(df, "am", ["region"], "site",
+                                periods=(2, 5, 20, 100)).collect()
+    by_site = {}
+    for r in out:
+        by_site.setdefault(r.site, {})[r.period] = r.level
+    for site, lv in by_site.items():
+        assert all(lv[p] is not None for p in (2, 5, 20, 100))
+        assert lv[2] < lv[5] < lv[20] < lv[100]

@@ -5593,6 +5593,77 @@ def q_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
                                0.05, 0.075)
 
 
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test (operators/stats.pettitt_test) on
+    the q_mann_kendall monthly series: the pair relation scattered
+    into boundary deltas + ONE cumulative window (O(pairs), never
+    O(n·pairs)), exact integer U_t/K/t*, one exp seam for the
+    p-value.  Full value oracle (direct-definition restatement —
+    exact integers make the two formulations provably equal)."""
+    from flood_data_spark.operators.stats import pettitt_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    series = (li.groupBy((F.col("l_suppkey") % 10).alias("cell"),
+                         (F.year("l_shipdate") * 12
+                          + F.month("l_shipdate")).alias("t"))
+              .agg(F.max(F.col("l_extendedprice") / F.lit(1000.0))
+                   .alias("x")))
+    return pettitt_test(series, "x", "t", ["cell"])
+
+
+def q_bss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier Skill Score vs sample climatology
+    (operators/verification.brier_skill_from_cells) on the
+    q_brier_decomp cells: BSS = 1 − BS/UNC on the QUANTIZED
+    integer-micro terms — a documented quantized-seam composition.
+    Full value oracle."""
+    from flood_data_spark.operators.verification import (
+        brier_cells, brier_skill_from_cells)
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select((F.col("l_discount") * F.lit(10.0)).alias("p"),
+                    (F.col("l_returnflag") == "R").cast("int")
+                    .alias("o"))
+    return brier_skill_from_cells(brier_cells(src, "p", "o",
+                                              n_bins=10))
+
+
+def q_snow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-day snowpack model (operators/routing.snow_degree_day):
+    daily precipitation with a deterministic synthetic temperature
+    cycle per cell — the third custom-stateful applyInPandas
+    recurrence (clamped, regime-switched), still FULLY value-oracled:
+    the DuckDB twin is a recursive CTE walking the identical IEEE
+    tree (CASE/least + one multiply per step), raw-double parity."""
+    from flood_data_spark.operators.routing import snow_degree_day
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.col("user_id") % 5).alias("cell"),
+        F.datediff(F.to_date("ts"),
+                   F.lit("2024-01-01").cast("date")).alias("day"))
+        .agg((F.max("value") / F.lit(10.0)).alias("precip")))
+    daily = daily.withColumn(
+        "temp", ((F.col("day") * 3 + F.col("cell")) % 20 - 8)
+        .cast("double"))
+    return snow_degree_day(daily, "precip", "temp", "day", ["cell"],
+                           ddf=3.0, t_base=0.0)
+
+
+def q_low_flow_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-flow frequency curve Q_{3,T}
+    (operators/extremes.low_flow_frequency): weekly-block MAM3 minima
+    on the shared daily hydrograph, fitted through the minima ↔
+    negated-maxima duality by the SAME Gumbel chain as the flood
+    fits.  Full value oracle."""
+    from flood_data_spark.operators.extremes import low_flow_frequency
+
+    daily = _daily_hydrograph(spark, sf_dir).withColumn(
+        "wk", (F.col("day") / 7).cast("int"))
+    return low_flow_frequency(daily, "inflow", "day", "wk", ["cell"],
+                              window=3, periods=(2, 20))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the ensemble threshold summary."""
     return q_threshold_summary(spark, SF_SMOKE)
@@ -5622,6 +5693,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idf": q_idf,
         "q_spi_drought": q_spi_drought,
         "q_regrid": q_regrid,
+        "q_pettitt": q_pettitt,
+        "q_bss": q_bss,
+        "q_snow": q_snow,
+        "q_low_flow_freq": q_low_flow_freq,
         # --- round 13 session 2: the hydrological analytics layer
         # (efficiencies + extremes + routing + trend/shift tests), the
         # MT-metric trio completion, and the experiment guards ---
@@ -8051,6 +8126,222 @@ def oracle_sql() -> dict[str, str]:
                    CAST({idiv_int('sw * 1000000', '22500000000')}
                         AS DOUBLE) / 1000000.0 AS coverage
             FROM ag
+        """,
+        # q_pettitt: pair scatter -> boundary deltas -> cumulative U,
+        # integer K/t*, one exp seam for Pettitt's p approximation
+        "q_pettitt": f"""
+            WITH series AS (
+                SELECT l_suppkey % 10 AS cell,
+                       year(l_shipdate) * 12 + month(l_shipdate) AS t,
+                       max(l_extendedprice / 1000.0) AS x
+                FROM lineitem GROUP BY 1, 2),
+            b AS (SELECT cell, CAST(t AS BIGINT) AS t,
+                         CAST(sign(x) * floor(abs(x) * 1000000 + 0.5)
+                              AS HUGEINT) AS qx
+                  FROM series),
+            nr AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+                   FROM b GROUP BY cell),
+            p AS (SELECT a.cell, a.t AS ti, c.t AS tj,
+                         CASE WHEN c.qx > a.qx THEN 1
+                              WHEN c.qx < a.qx THEN -1 ELSE 0 END
+                             AS sgn
+                  FROM b a JOIN b c
+                       ON a.cell = c.cell AND a.t < c.t),
+            d AS (SELECT cell, ti AS t, sgn AS dd FROM p
+                  UNION ALL
+                  SELECT cell, tj AS t, -sgn AS dd FROM p),
+            dg AS (SELECT cell, t, CAST(sum(dd) AS BIGINT) AS dd
+                   FROM d GROUP BY cell, t),
+            u AS (SELECT cell, t,
+                         sum(dd) OVER (PARTITION BY cell ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING)
+                             AS ut
+                  FROM dg),
+            k AS (SELECT cell, abs(ut) AS kk, t,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY abs(ut) DESC,
+                                            t ASC) AS r
+                  FROM u),
+            best AS (SELECT cell, kk AS k_stat, t AS t_change
+                     FROM k WHERE r = 1),
+            j AS (SELECT nr.cell, nr.n, best.k_stat, best.t_change,
+                         {idiv_int('-6 * CAST(best.k_stat AS HUGEINT)'
+                                   ' * best.k_stat * 1000000',
+                                   'greatest(CAST(nr.n AS HUGEINT)'
+                                   ' * nr.n * (nr.n + 1), 1)')}
+                             AS argq
+                  FROM nr LEFT JOIN best ON nr.cell = best.cell),
+            z AS (SELECT cell, n, k_stat, t_change,
+                         CASE WHEN k_stat IS NOT NULL AND n >= 2 THEN
+                              CAST(floor(2000000e0
+                                   * exp(CAST(argq AS DOUBLE)
+                                         / 1000000.0) + 5e-1)
+                                   AS BIGINT) END AS pq
+                  FROM j)
+            SELECT cell, n, CAST(k_stat AS BIGINT) AS k_stat,
+                   CAST(CASE WHEN pq IS NOT NULL THEN t_change END
+                        AS BIGINT) AS t_change,
+                   CAST(pq AS DOUBLE) / 1000000.0 AS p_value,
+                   CASE WHEN pq IS NOT NULL THEN pq < 50000 END
+                       AS shift
+            FROM z
+        """,
+        # q_bss: the quantized-integer BS and UNC terms of the Murphy
+        # chain, closed by one more exact idiv
+        "q_bss": f"""
+            WITH src AS (
+                SELECT l_discount * 10.0 AS p,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                           AS o
+                FROM lineitem),
+            c AS (SELECT CAST(sign(p) * floor(abs(p) * 1000000 + 0.5)
+                              AS HUGEINT) AS qp,
+                         CAST(o AS HUGEINT) AS o
+                  FROM src),
+            t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         sum(o) AS so, sum(qp * qp) AS spp,
+                         sum(qp * o) AS spo
+                  FROM c),
+            f AS (SELECT n,
+                         {idiv_int('spp - 2000000 * spo '
+                                   '+ 1000000000000 * so',
+                                   'n * 1000000')} AS bsq,
+                         {idiv_int('so * (n - so) * 1000000',
+                                   'n * n')} AS uncq
+                  FROM t)
+            SELECT CAST(bsq AS DOUBLE) / 1000000.0 AS brier,
+                   CAST(uncq AS DOUBLE) / 1000000.0 AS uncertainty,
+                   CASE WHEN uncq > 0 THEN
+                        CAST({idiv_int('(uncq - bsq) * 1000000',
+                                       'uncq')} AS DOUBLE)
+                            / 1000000.0 END AS bss
+            FROM f
+        """,
+        # q_snow: the clamped regime-switched recurrence as a
+        # recursive CTE over the identical IEEE tree — raw-double
+        # parity, no rounding seam
+        "q_snow": """
+            WITH RECURSIVE src AS (
+                SELECT user_id % 5 AS cell,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS day,
+                       max(value) / 10.0 AS precip
+                FROM events GROUP BY 1, 2),
+            s0 AS (SELECT cell, CAST(day AS INT) AS t, precip,
+                          CAST((day * 3 + cell) % 20 - 8 AS DOUBLE)
+                              AS temp
+                   FROM src),
+            s AS (SELECT cell, t, precip, temp,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY t, precip) AS rn
+                  FROM s0),
+            r AS (
+                SELECT cell, t, precip, temp, rn,
+                       (CASE WHEN temp <= 0.0 THEN precip
+                             ELSE 0.0 END)
+                           - least(CASE WHEN temp <= 0.0 THEN precip
+                                        ELSE 0.0 END,
+                                   CASE WHEN temp > 0.0 THEN
+                                        3.0 * (temp - 0.0)
+                                        ELSE 0.0 END) AS swe,
+                       least(CASE WHEN temp <= 0.0 THEN precip
+                                  ELSE 0.0 END,
+                             CASE WHEN temp > 0.0 THEN
+                                  3.0 * (temp - 0.0)
+                                  ELSE 0.0 END) AS melt,
+                       CASE WHEN temp > 0.0 THEN precip
+                            ELSE 0.0 END AS rain
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.cell, s.t, s.precip, s.temp, s.rn,
+                       (r.swe + CASE WHEN s.temp <= 0.0 THEN s.precip
+                                     ELSE 0.0 END)
+                           - least(r.swe + CASE WHEN s.temp <= 0.0
+                                                THEN s.precip
+                                                ELSE 0.0 END,
+                                   CASE WHEN s.temp > 0.0 THEN
+                                        3.0 * (s.temp - 0.0)
+                                        ELSE 0.0 END),
+                       least(r.swe + CASE WHEN s.temp <= 0.0
+                                          THEN s.precip
+                                          ELSE 0.0 END,
+                             CASE WHEN s.temp > 0.0 THEN
+                                  3.0 * (s.temp - 0.0)
+                                  ELSE 0.0 END),
+                       CASE WHEN s.temp > 0.0 THEN s.precip
+                            ELSE 0.0 END
+                FROM s JOIN r
+                     ON s.cell = r.cell AND s.rn = r.rn + 1)
+            SELECT cell, t, precip, temp, swe, melt, rain FROM r
+        """,
+        # q_low_flow_freq: weekly-block MAM3 minima through the
+        # minima <-> negated-maxima duality into the Gumbel chain
+        "q_low_flow_freq": f"""
+            WITH src AS (
+                SELECT user_id % 5 AS cell,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS t,
+                       max(value) AS v
+                FROM events GROUP BY 1, 2),
+            q0 AS (SELECT cell, CAST(t AS BIGINT) AS o,
+                          CAST(t // 7 AS INT) AS wk,
+                          CAST(sign(v) * floor(abs(v) * 1000000 + 0.5)
+                               AS HUGEINT) AS qx
+                   FROM src),
+            fr AS (SELECT cell, wk,
+                          sum(qx) OVER w AS ws, count(*) OVER w AS wc
+                   FROM q0
+                   WINDOW w AS (PARTITION BY cell, wk ORDER BY o
+                                RANGE BETWEEN 2 PRECEDING
+                                AND CURRENT ROW)),
+            mw AS (SELECT cell, wk,
+                          CASE WHEN wc = 3 THEN
+                               {idiv_int('ws', '3')} END AS m
+                   FROM fr),
+            ams AS (SELECT cell, wk, min(m) AS mn
+                    FROM mw GROUP BY cell, wk
+                    HAVING count(m) > 0),
+            g0 AS (SELECT cell, -mn AS qx FROM ams),
+            r AS (SELECT cell, qx,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY qx) AS i
+                  FROM g0),
+            g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                         sum(qx) AS s0, sum((i - 1) * qx) AS s1
+                  FROM r GROUP BY cell),
+            f AS (SELECT cell, n, {idiv_int('s0', 'n')} AS lam1,
+                         CASE WHEN n >= 2 THEN
+                              {idiv_int('2 * s1 - (n - 1) * s0',
+                                        'n * (n - 1)')} END AS lam2
+                  FROM g),
+            bb AS (SELECT cell, n, lam1,
+                          CASE WHEN n >= 2 AND lam2 > 0 THEN
+                               CAST(sign(CAST(lam2 AS DOUBLE)
+                                         * {_INV_LN2})
+                                    * floor(abs(CAST(lam2 AS DOUBLE)
+                                                * {_INV_LN2}) + 0.5)
+                                    AS HUGEINT) END AS beta
+                   FROM f),
+            x AS (SELECT cell, n, beta,
+                         CASE WHEN beta IS NOT NULL THEN
+                              lam1 - CAST(sign(CAST(beta AS DOUBLE)
+                                               * {_EULER})
+                                          * floor(abs(CAST(beta
+                                                    AS DOUBLE)
+                                                    * {_EULER}) + 0.5)
+                                          AS HUGEINT) END AS xi
+                  FROM bb)
+            SELECT cell, n, p.period,
+                   CASE WHEN xi IS NOT NULL THEN
+                        CAST(-(xi + CAST(sign(CAST(beta AS DOUBLE)
+                                              * p.yt)
+                                    * floor(abs(CAST(beta AS DOUBLE)
+                                                * p.yt) + 0.5)
+                                    AS HUGEINT))
+                             AS DOUBLE) / 1000000.0 END AS q_low
+            FROM x CROSS JOIN (VALUES (2, {_GV[2]}),
+                                      (20, {_GV[20]}))
+                 AS p(period, yt)
         """,
         # q_regional_growth: site PWMs off one rank window, scale-
         # invariant t2/t3 as exact integer ratios, record-length-

@@ -281,6 +281,11 @@ BENCH_QUERIES = [
     "q_idf",
     "q_spi_drought",
     "q_regrid",
+    # round-14 session 3: changepoint + skill + snow + low-flow freq
+    "q_pettitt",
+    "q_bss",
+    "q_snow",
+    "q_low_flow_freq",
     "q_fss_big",
 ]
 

@@ -1027,3 +1027,38 @@ def idf_curves(df: DataFrame, value_col: str, order_col: str,
            .agg(F.max("_depth").alias("depth_max")))
     return gumbel_return_levels(ams, "depth_max",
                                 [*keys, "duration"], periods)
+
+
+def low_flow_frequency(df: DataFrame, value_col: str, order_col: str,
+                       block_col: str, group_keys, window: int = 7,
+                       periods=(2, 20)) -> DataFrame:
+    """Low-flow frequency curve per group — the Q_{w,T} design
+    statistic (Q7,10 in US practice: the 7-day minimum flow with a
+    10-year recurrence, THE waste-load-allocation low-flow standard;
+    Riggs 1972): the block series of MAM_w minima ([low_flow_mam] per
+    `block_col` — the annual-series discipline), fitted by the SAME
+    Gumbel L-moment machinery as the flood maxima via the minima ↔
+    negated-maxima duality:
+
+        Q_{w,T} = −GumbelLevel_T({−MAM_w per block})
+
+    Exactness: MAM_w is already an exact integer-micro statistic; the
+    negation is sign-exact under the micro quantization (sign-aware
+    floor), so the fit re-quantizes bit-identically; everything else
+    is [gumbel_return_levels]'s chain.  Blocks with no complete
+    window drop out of the fit (NULL-MAM filter).  Returns (keys…,
+    n, period, q_low), sorted — q_low may extrapolate below zero for
+    short/flashy records; the caller clamps by policy, the fit
+    reports the curve."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("low_flow_frequency: need at least one "
+                         "group key")
+    ams = low_flow_mam(df, value_col, order_col, [*keys, block_col],
+                       window=window)
+    neg = (ams.filter(F.col("mam").isNotNull())
+           .select(*keys, (-F.col("mam")).alias("_neg")))
+    fit = gumbel_return_levels(neg, "_neg", keys, periods=periods)
+    return (fit.select(*keys, "n", "period",
+                       (-F.col("level")).alias("q_low"))
+            .orderBy(*keys, "period"))

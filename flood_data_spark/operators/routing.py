@@ -342,3 +342,75 @@ def rating_curve(df: DataFrame, stage_col: str, discharge_col: str,
         (a_seam.cast("double") / mega_f).alias("a"),
         (F.col("_r2q").cast("double") / mega_f).alias("r2"))
         .orderBy(*keys))
+
+
+def snow_degree_day(df: DataFrame, precip_col: str, temp_col: str,
+                    order_col: str, group_keys, ddf: float = 3.0,
+                    t_base: float = 0.0) -> DataFrame:
+    """Degree-day snowpack model per basin (the temperature-index
+    method of HBV/SRM — Hock 2003 review; the standard operational
+    alternative to energy-balance models):
+
+        accumulation:  snow falls when T_t ≤ T_base
+        avail_t = SWE_{t−1} + P_t·1[T_t ≤ T_base]
+        melt_t  = min(avail_t, DDF·max(0, T_t − T_base))
+        SWE_t   = avail_t − melt_t
+        rain_t  = P_t·1[T_t > T_base]          (liquid bypass)
+
+    A CLAMPED first-order recurrence — the third resident of the
+    custom-stateful applyInPandas seam ([muskingum_route] linear,
+    [baseflow_separate] clamped linear, this one clamped with a
+    regime switch).  The recurrence body walks the EXACT IEEE tree
+    of the oracle's recursive CTE (CASE/least/greatest + one multiply
+    per step, DDF and T_base as repr literals), so raw doubles
+    hash-match with no rounding seam.  Rows order by
+    (`order_col`, precip) within the basin — the secondary key pins
+    duplicate timestamps.  Scale: one python stage per basin, state =
+    one double; basins partition freely.  Returns (keys…, t, precip,
+    temp, swe, melt, rain), sorted."""
+    import pandas as pd  # noqa: F401 — applyInPandas batch type
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("snow_degree_day: need at least one "
+                         "group key")
+    ddf = float(ddf)
+    t0 = float(t_base)
+    if ddf <= 0:
+        raise ValueError(f"snow_degree_day: ddf must be > 0, "
+                         f"got {ddf}")
+    src = df.select(*keys, F.col(order_col).alias("t"),
+                    F.col(precip_col).cast("double").alias("precip"),
+                    F.col(temp_col).cast("double").alias("temp"))
+    fields = ", ".join(
+        f"{name} {dtype}" for name, dtype in src.dtypes
+        if name not in ("t", "precip", "temp"))
+    t_type = dict(src.dtypes)["t"]
+    schema = (f"{fields}, t {t_type}, precip double, temp double, "
+              f"swe double, melt double, rain double")
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["t", "precip"], kind="mergesort") \
+            .reset_index(drop=True)
+        p = pdf["precip"].to_numpy()
+        tt = pdf["temp"].to_numpy()
+        n = len(p)
+        swe = [0.0] * n
+        melt = [0.0] * n
+        rain = [0.0] * n
+        prev = 0.0
+        for j in range(n):
+            avail = prev + (p[j] if tt[j] <= t0 else 0.0)
+            pot = ddf * (tt[j] - t0) if tt[j] > t0 else 0.0
+            m = min(avail, pot)
+            prev = avail - m
+            swe[j] = prev
+            melt[j] = m
+            rain[j] = p[j] if tt[j] > t0 else 0.0
+        pdf["swe"] = swe
+        pdf["melt"] = melt
+        pdf["rain"] = rain
+        return pdf
+
+    return (src.groupBy(*keys).applyInPandas(run, schema)
+            .orderBy(*keys, "t"))

@@ -952,3 +952,92 @@ def seasonal_mann_kendall(df: DataFrame, value_col: str,
                        .alias("sen_slope"),
                        trend.alias("trend"))
             .orderBy(*keys))
+
+
+def pettitt_test(df: DataFrame, value_col: str, order_col: str,
+                 group_keys) -> DataFrame:
+    """Pettitt change-point test per group (Pettitt 1979 — the
+    rank-based single-changepoint detector hydrology pairs with
+    [mann_kendall_sen]: MK asks 'is there a monotonic trend', Pettitt
+    asks 'did the distribution SHIFT, and when'):
+
+        U_t  = Σ_{i≤t} Σ_{j>t} sign(x_j − x_i)
+        K    = max_t |U_t|,   t* = argmax (earliest on ties)
+        p    ≈ 2·exp(−6K² / (n³ + n²))     (Pettitt's approximation)
+
+    Mechanics: ONE group-keyed self-join on t_i < t_j materializes
+    the sign relation ([mann_kendall_sen]'s pair posture — feed
+    aggregated annual/monthly series, so pairs are series-bounded);
+    U_t is a running integer sum of per-boundary sign totals off one
+    ordered window; K and t* come from ONE more aggregate with a
+    deterministic earliest-t tiebreak.  Everything is exact integers
+    except the p-value's single exp seam (exact integer argument
+    ratio, quantized floor(+0.5) — the ln/exp-portability rule).
+    Returns (keys…, n, k_stat, t_change, p_value, shift), sorted;
+    `shift` flags p < 0.05.  Groups with n < 2 report NULL."""
+    from pyspark.sql import Window
+
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("pettitt_test: need at least one group key")
+    dec = "decimal(38,0)"
+    c = F.col(value_col).cast("double")
+    qx = (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
+                                + F.lit(0.5))).cast("long")
+    base = df.select(*keys, F.col(order_col).cast("long").alias("_t"),
+                     qx.alias("_qx"))
+    a = base.select(*keys, F.col("_t").alias("_ti"),
+                    F.col("_qx").alias("_xi"))
+    b = base.select(*keys, F.col("_t").alias("_tj"),
+                    F.col("_qx").alias("_xj"))
+    pairs = a.join(b, on=keys).filter(F.col("_ti") < F.col("_tj"))
+    sgn = F.when(F.col("_xj") > F.col("_xi"), F.lit(1)) \
+        .when(F.col("_xj") < F.col("_xi"), F.lit(-1)) \
+        .otherwise(F.lit(0))
+    # per-boundary total: every pair (i, j) contributes sign to U_t
+    # for all t in [t_i, t_j) — equivalently U_t = Σ over boundaries
+    # of the running sum of (contributions entering at t_i MINUS
+    # contributions leaving at t_j).  Two scatter rows per pair,
+    # then one cumulative window — O(pairs), never O(n·pairs).
+    enter = pairs.select(*keys, F.col("_ti").alias("_t"),
+                         sgn.alias("_d"))
+    leave = pairs.select(*keys, F.col("_tj").alias("_t"),
+                         (-sgn).alias("_d"))
+    deltas = (enter.unionByName(leave)
+              .groupBy(*keys, "_t")
+              .agg(F.sum("_d").cast("long").alias("_dd")))
+    w = (Window.partitionBy(*keys).orderBy("_t")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    u = deltas.withColumn("_u", F.sum("_dd").over(w))
+    n_rel = base.groupBy(*keys).agg(F.count(F.lit(1)).cast("long")
+                                    .alias("n"))
+    best = (u.groupBy(*keys)
+            .agg(F.max(F.struct(F.abs(F.col("_u")).alias("k"),
+                                (-F.col("_t")).alias("_nt")))
+                 .alias("_b")))
+    out = (n_rel.join(best, on=keys, how="left")
+           .select(*keys, "n",
+                   F.col("_b.k").alias("k_stat"),
+                   (-F.col("_b._nt")).alias("t_change")))
+    k_dec = F.col("k_stat").cast(dec)
+    n_dec = F.col("n").cast(dec)
+    # p = 2·exp(−6K²/(n³+n²)): the argument closes as an exact
+    # integer-micro ratio, then ONE exp seam
+    arg_q = _idiv_half_up(
+        F.lit(-6).cast(dec) * k_dec * k_dec
+        * F.lit(1_000_000).cast(dec),
+        F.greatest(n_dec * n_dec * (n_dec + F.lit(1).cast(dec)),
+                   F.lit(1).cast(dec)))
+    p_seam = F.floor(F.lit(2e6)
+                     * F.exp(arg_q.cast("double") / F.lit(1e6))
+                     + F.lit(0.5)).cast("long")
+    pq = F.when(F.col("k_stat").isNotNull() & (F.col("n") >= 2),
+                p_seam)
+    return (out.select(
+        *keys, "n", "k_stat",
+        F.when(pq.isNotNull(), F.col("t_change")).alias("t_change"),
+        (pq.cast("double") / F.lit(1e6)).alias("p_value"),
+        F.when(pq.isNotNull(), pq < 50_000).alias("shift"))
+        .orderBy(*keys))

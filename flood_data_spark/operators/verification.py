@@ -1542,3 +1542,36 @@ def rps_from_cells(cells: DataFrame, group_keys) -> DataFrame:
     return (agg.select(*keys, "n_inst",
                        (rps_g.cast("double") / mega_f).alias("rps"))
             .orderBy(*keys))
+
+
+def brier_skill_from_cells(cells: DataFrame) -> DataFrame:
+    """Brier Skill Score against the sample-climatology reference
+    (Murphy 1973: BS_clim = ō(1−ō) = the decomposition's UNC term —
+    the zero-skill baseline operational centers quote 'skill' against):
+
+        BSS = 1 − BS/UNC     ( = (RES − REL)/UNC up to rounding)
+
+    computed on the QUANTIZED integer-micro BS and UNC of
+    [brier_from_cells]'s chain (one more exact `_idiv_half_up` on the
+    already-quantized terms — a documented quantized-seam composition,
+    so the oracle restates the identical integers).  Returns ONE row
+    (brier, uncertainty, bss); UNC = 0 (degenerate all-same-outcome
+    sample) reports NULL bss."""
+    dec = "decimal(38,0)"
+    tot = cells.agg(F.sum("_n").alias("n"), F.sum("_so").alias("so"),
+                    F.sum("_spp").alias("spp"),
+                    F.sum("_spo").alias("spo"))
+    n, so = F.col("n"), F.col("so")
+    two = F.lit(2).cast(dec)
+    bs_num = F.col("spp") - two * _mega() * F.col("spo") \
+        + _mega() * _mega() * so
+    bs_q = _idiv_half_up(bs_num, n * _mega())
+    unc_q = _idiv_half_up(so * (n - so) * _mega(), n * n)
+    bss_q = F.when(unc_q > 0, _idiv_half_up(
+        (unc_q - bs_q) * _mega(),
+        F.when(unc_q != 0, unc_q).otherwise(F.lit(1).cast(dec))))
+    mega_f = F.lit(float(MICRO))
+    return tot.select(
+        (bs_q.cast("double") / mega_f).alias("brier"),
+        (unc_q.cast("double") / mega_f).alias("uncertainty"),
+        (bss_q.cast("double") / mega_f).alias("bss"))

@@ -627,3 +627,130 @@ def test_regional_levels_monotone_in_period(spark):
     for site, lv in by_site.items():
         assert all(lv[p] is not None for p in (2, 5, 20, 100))
         assert lv[2] < lv[5] < lv[20] < lv[100]
+
+
+# --- Pettitt ---------------------------------------------------------------
+
+
+def test_pettitt_matches_numpy_twin(spark):
+    from flood_data_spark.operators.stats import pettitt_test
+
+    rng = np.random.default_rng(8)
+    # clear mean shift at t = 30 of 60
+    x = np.concatenate([rng.normal(50, 4, 30), rng.normal(70, 4, 30)])
+    rows = [("c", t, float(v)) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "cell string, t int, x double")
+    r = pettitt_test(df, "x", "t", ["cell"]).collect()[0]
+    # twin: direct U_t definition on micro-quantized values
+    q = np.floor(np.abs(x) * 1e6 + 0.5) * np.sign(x)
+    n = len(q)
+    u = [sum(np.sign(q[j] - q[i])
+             for i in range(t + 1) for j in range(t + 1, n))
+         for t in range(n)]
+    k = int(max(abs(v) for v in u))
+    t_star = min(t for t, v in enumerate(u) if abs(v) == k)
+    assert r.n == n and r.k_stat == k and r.t_change == t_star
+    p = 2.0 * math.exp(-6.0 * k * k / (n ** 3 + n ** 2))
+    assert r.p_value == pytest.approx(min(p, 2.0), abs=2e-6)
+    assert r.shift is True and 25 <= r.t_change <= 35
+    # no-shift control: white noise is not flagged
+    y = rng.normal(50, 4, 60)
+    df2 = spark.createDataFrame([("c", t, float(v))
+                                 for t, v in enumerate(y)],
+                                "cell string, t int, x double")
+    r2 = pettitt_test(df2, "x", "t", ["cell"]).collect()[0]
+    assert r2.shift is False
+    with pytest.raises(ValueError, match="group key"):
+        pettitt_test(df, "x", "t", [])
+
+
+# --- Brier skill -----------------------------------------------------------
+
+
+def test_brier_skill_identity_and_bounds(spark):
+    from flood_data_spark.operators.verification import (
+        brier_cells, brier_from_cells, brier_skill_from_cells)
+
+    rng = np.random.default_rng(12)
+    o = (rng.uniform(size=500) < 0.4).astype(int)
+    p = np.clip(0.4 + 0.3 * (o - 0.4) + rng.normal(0, 0.15, 500),
+                0.01, 0.99)                      # skilled forecast
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(p, o)],
+        "p double, o int")
+    cells = brier_cells(df, "p", "o", n_bins=10)
+    d = brier_from_cells(cells).collect()[0]
+    s = brier_skill_from_cells(cells).collect()[0]
+    assert s.brier == d.brier
+    assert s.uncertainty == d.uncertainty
+    # BSS = 1 - BS/UNC on the quantized terms
+    assert s.bss == pytest.approx(1.0 - d.brier / d.uncertainty,
+                                  abs=2e-6)
+    assert 0.0 < s.bss < 1.0                      # skilled, not perfect
+    # climatology forecast itself scores ~zero skill
+    clim = spark.createDataFrame(
+        [(float(o.mean()), int(b)) for b in o], "p double, o int")
+    s0 = brier_skill_from_cells(
+        brier_cells(clim, "p", "o", n_bins=10)).collect()[0]
+    assert abs(s0.bss) < 1e-2
+
+
+# --- snow degree-day -------------------------------------------------------
+
+
+def test_snow_mass_balance_and_regimes(spark):
+    from flood_data_spark.operators.routing import snow_degree_day
+
+    rng = np.random.default_rng(4)
+    p = rng.uniform(0, 10, 40)
+    t = np.concatenate([np.full(20, -5.0), np.full(20, 4.0)])
+    rows = [("b", i, float(p[i]), float(t[i])) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "basin string, t int, precip double, temp double")
+    out = sorted(snow_degree_day(df, "precip", "temp", "t", ["basin"],
+                                 ddf=2.5, t_base=0.0).collect(),
+                 key=lambda r: r.t)
+    # cold phase: pack accumulates exactly, no melt, no rain
+    assert all(r.melt == 0.0 and r.rain == 0.0 for r in out[:20])
+    assert out[19].swe == pytest.approx(p[:20].sum(), abs=1e-9)
+    # warm phase: melt is capped at 2.5*4 = 10/day until exhaustion
+    assert all(r.rain == pytest.approx(p[r.t], abs=1e-12)
+               for r in out[20:])
+    assert all(r.melt <= 10.0 + 1e-12 for r in out[20:])
+    # mass balance: snow in == melt out + residual pack
+    snow_in = p[:20].sum()
+    melted = sum(r.melt for r in out)
+    assert melted + out[-1].swe == pytest.approx(snow_in, abs=1e-9)
+    with pytest.raises(ValueError, match="ddf"):
+        snow_degree_day(df, "precip", "temp", "t", ["basin"], ddf=0)
+
+
+# --- low-flow frequency ----------------------------------------------------
+
+
+def test_low_flow_frequency_duality(spark):
+    """Q_{w,T} equals the negated Gumbel level of the negated block
+    minima, and deeper return periods give LOWER flows."""
+    from flood_data_spark.operators.extremes import (
+        gumbel_return_levels, low_flow_frequency, low_flow_mam)
+
+    rng = np.random.default_rng(15)
+    rows = [("c", d, int(d // 30), float(v))
+            for d, v in enumerate(rng.gamma(3.0, 20.0, 360))]
+    df = spark.createDataFrame(
+        rows, "cell string, d int, blk int, flow double")
+    got = {r.period: r for r in
+           low_flow_frequency(df, "flow", "d", "blk", ["cell"],
+                              window=7, periods=(2, 20)).collect()}
+    # twin: explicit MAM7 per block -> negate -> gumbel -> negate
+    mams = low_flow_mam(df, "flow", "d", ["cell", "blk"],
+                        window=7).collect()
+    neg = spark.createDataFrame(
+        [("c", -r.mam) for r in mams if r.mam is not None],
+        "cell string, v double")
+    fit = {r.period: r for r in
+           gumbel_return_levels(neg, "v", ["cell"],
+                                periods=(2, 20)).collect()}
+    for t in (2, 20):
+        assert got[t].q_low == pytest.approx(-fit[t].level, abs=1e-9)
+    assert got[20].q_low < got[2].q_low     # rarer droughts are drier

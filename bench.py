@@ -287,6 +287,8 @@ BENCH_QUERIES = [
     "q_snow",
     "q_low_flow_freq",
     "q_fss_big",
+    "q_quantile_map_x10",
+    "q_regrid_big",
 ]
 
 _IVF_INDEX = {}
@@ -1075,6 +1077,53 @@ def _q_textrank_full(spark, sf_dir):
 
 
 
+
+def _q_quantile_map_x10(spark, sf_dir):
+    """Quantile-mapping bias correction at 10x: the ~850k-row sim
+    relation (every 7th order of the replicated lineitem tier) through
+    the two rank windows and the order-statistic equi-join — the
+    registry entry's plan at a corpus-sized sim side.  Measured
+    lesson this tier exists to show: with only THREE group keys the
+    rank window's parallelism is group-cardinality-bounded (3 tasks
+    sort ~283k rows each — ~25 s single-shot), which is exactly why
+    the operator contract says 'per station/cell climatology group':
+    at real key cardinality the same plan is embarrassingly parallel.
+    The sim corpus still moves ONCE; the obs side stays m-bounded."""
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.operators.postprocess import quantile_map
+
+    li = spark.read.parquet(_scaled_lineitem_path(spark, sf_dir))
+    sim = (li.filter(F.col("l_orderkey") % 7 == 0)
+           .select(F.col("l_returnflag").alias("flag"),
+                   (F.col("l_extendedprice") / F.lit(1000.0))
+                   .alias("flow")))
+    obs = (li.filter(F.col("l_linenumber") == 1)
+           .select(F.col("l_returnflag").alias("flag"),
+                   (F.col("l_extendedprice") / F.lit(800.0)
+                    + F.lit(3.0)).alias("flow")))
+    return quantile_map(sim, obs, "flow", ["flag"])
+
+
+def _q_regrid_big(spark, sf_dir):
+    """Conservative regrid scale tier: a dense synthetic 1000x1000
+    0.05-degree grid (1M source cells) onto a misaligned 0.075-degree
+    destination — the literal 2x2 candidate scatter + one
+    destination-keyed exchange at two decades past the registry
+    entry's 2k cells."""
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.operators.grid import conservative_regrid
+
+    n = 1000
+    g = (spark.range(n * n)
+         .select(((F.col("id") % n) * 0.05 + 0.025).alias("lat"),
+                 ((F.col("id") / n).cast("long") * 0.05 + 0.025)
+                 .alias("lon"),
+                 (F.col("id") % 997).cast("double").alias("v")))
+    return conservative_regrid(g, "lat", "lon", "v", 0.05, 0.075)
+
+
 def _q_fss_big(spark, sf_dir):
     """FSS scale tier: 3 groups x 400x400 dense grid (480k cells),
     radius 4 — measures the separable two-pass RANGE-window box sum at
@@ -1099,6 +1148,8 @@ def _q_fss_big(spark, sf_dir):
 
 EXTRA_QUERIES = {
     "q_fss_big": _q_fss_big,
+    "q_quantile_map_x10": _q_quantile_map_x10,
+    "q_regrid_big": _q_regrid_big,
     "q_bootstrap_fast": _q_bootstrap_fast,
     "q_tree_stump_approx": _q_tree_stump_approx,
     "q_textrank_full": _q_textrank_full,

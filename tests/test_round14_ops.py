@@ -754,3 +754,40 @@ def test_low_flow_frequency_duality(spark):
     for t in (2, 20):
         assert got[t].q_low == pytest.approx(-fit[t].level, abs=1e-9)
     assert got[20].q_low < got[2].q_low     # rarer droughts are drier
+
+
+# --- partition invariance (library-level twin of the gate perturbation) ----
+
+
+def test_round14_ops_partition_invariant(spark):
+    """FSS, quantile mapping, and Pettitt produce IDENTICAL rows under
+    different partitionings — the library-level twin of the gate
+    sweep's perturbation check (every accumulation is integer, so
+    this must hold exactly, not approximately)."""
+    from flood_data_spark.operators.postprocess import quantile_map
+    from flood_data_spark.operators.stats import pettitt_test
+    from flood_data_spark.operators.verification import fss
+
+    rng = np.random.default_rng(99)
+    f = (rng.uniform(size=(10, 10)) < 0.3).astype(int)
+    o = np.roll(f, 1, axis=0)
+    grid = _grid_df(spark, f, o)
+    sim = spark.createDataFrame(
+        [("g", float(v)) for v in rng.gamma(2, 5, 120)],
+        "grp string, v double")
+    obs = spark.createDataFrame(
+        [("g", float(v)) for v in rng.gamma(2, 7, 80)],
+        "grp string, v double")
+    ser = spark.createDataFrame(
+        [("c", t, float(v)) for t, v in
+         enumerate(np.concatenate([rng.normal(10, 1, 20),
+                                   rng.normal(14, 1, 20)]))],
+        "cell string, t int, x double")
+    for op, df in ((lambda d: fss(d, "i", "j", "fc", "ob", ["grp"],
+                                  radius=2), grid),
+                   (lambda d: quantile_map(d, obs, "v", ["grp"]), sim),
+                   (lambda d: pettitt_test(d, "x", "t", ["cell"]),
+                    ser)):
+        a = sorted(map(tuple, op(df.repartition(1)).collect()))
+        b = sorted(map(tuple, op(df.repartition(7)).collect()))
+        assert a == b

@@ -249,3 +249,57 @@ def test_round7_third_batch_on_empty_inputs(spark):
     empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert cluster_balanced_sample(
         empty_emb, [[1.0, 0.0], [0.0, 1.0]], per_cluster=3).count() == 0
+
+
+def test_empty_round14_operators(spark):
+    """The round-14 families degrade to empty results with the right
+    schemas on empty frames (an all-filtered region or a dry season
+    is routine at 100 TB, not an edge case)."""
+    from flood_data_spark.datapipe.curation import fim_transform
+    from flood_data_spark.operators.extremes import (
+        idf_curves, low_flow_frequency, regional_growth_curve,
+        spi_empirical)
+    from flood_data_spark.operators.grid import conservative_regrid
+    from flood_data_spark.operators.postprocess import quantile_map
+    from flood_data_spark.operators.routing import (
+        rating_curve, snow_degree_day, uh_convolve)
+    from flood_data_spark.operators.stats import (
+        pettitt_test, seasonal_mann_kendall)
+    from flood_data_spark.operators.verification import fss, rps_score
+
+    e_hydro = spark.createDataFrame(
+        [], "cell string, day int, blk int, v double")
+    e_grid = spark.createDataFrame(
+        [], "grp string, i int, j int, fc int, ob int")
+    e_mem = spark.createDataFrame(
+        [], "cell string, t int, member double, obs double")
+    e_site = spark.createDataFrame(
+        [], "region string, site string, am double")
+    e_season = spark.createDataFrame(
+        [], "cell string, season int, t int, x double")
+    e_snow = spark.createDataFrame(
+        [], "basin string, t int, p double, temp double")
+    e_docs = spark.createDataFrame([], "doc_id long, text string")
+    e_geo = spark.createDataFrame(
+        [], "lat double, lon double, v double")
+    cases = [
+        spi_empirical(e_hydro, "v", ["cell"], "day"),
+        idf_curves(e_hydro, "v", "day", "blk", ["cell"],
+                   durations=(1, 2), periods=(10,)),
+        low_flow_frequency(e_hydro, "v", "day", "blk", ["cell"]),
+        regional_growth_curve(e_site, "am", ["region"], "site"),
+        fss(e_grid, "i", "j", "fc", "ob", ["grp"]),
+        rps_score(e_mem, "member", "obs", ["cell"], ["t"],
+                  thresholds=(1.0, 2.0)),
+        quantile_map(e_hydro.select("cell", "v"),
+                     e_hydro.select("cell", "v"), "v", ["cell"]),
+        uh_convolve(e_hydro, "v", "day", ["cell"], [0.5, 0.5]),
+        rating_curve(e_hydro, "v", "v", ["cell"]),
+        snow_degree_day(e_snow, "p", "temp", "t", ["basin"]),
+        pettitt_test(e_hydro, "v", "day", ["cell"]),
+        seasonal_mann_kendall(e_season, "x", "t", "season", ["cell"]),
+        fim_transform(e_docs),
+        conservative_regrid(e_geo, "lat", "lon", "v", 0.05, 0.1),
+    ]
+    for df in cases:
+        assert df.count() == 0

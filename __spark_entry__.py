@@ -8012,10 +8012,11 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS n
                   FROM q),
             p AS (SELECT cell, day, value, n,
+                         greatest(1, least(999999,
                          {idiv_int('(100 * CAST(i AS HUGEINT) - 44) '
                                    '* 1000000',
                                    '100 * CAST(n AS HUGEINT) + 12')}
-                             AS pq
+                         )) AS pq
                   FROM r)
             SELECT cell, day, value, n,
                    CAST(pq AS DOUBLE) / 1000000.0 AS p,
@@ -8041,10 +8042,11 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS n
                   FROM q),
             p AS (SELECT cell, day, value, n,
+                         greatest(1, least(999999,
                          {idiv_int('(100 * CAST(i AS HUGEINT) - 44) '
                                    '* 1000000',
                                    '100 * CAST(n AS HUGEINT) + 12')}
-                             AS pq
+                         )) AS pq
                   FROM r),
             spi AS (SELECT cell, day,
                            CAST({_qseam_sql(_SPI_PROBIT)} AS DOUBLE)
@@ -8173,10 +8175,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM nr LEFT JOIN best ON nr.cell = best.cell),
             z AS (SELECT cell, n, k_stat, t_change,
                          CASE WHEN k_stat IS NOT NULL AND n >= 2 THEN
-                              CAST(floor(2000000e0
+                              least(CAST(floor(2000000e0
                                    * exp(CAST(argq AS DOUBLE)
                                          / 1000000.0) + 5e-1)
-                                   AS BIGINT) END AS pq
+                                   AS BIGINT), 1000000) END AS pq
                   FROM j)
             SELECT cell, n, CAST(k_stat AS BIGINT) AS k_stat,
                    CAST(CASE WHEN pq IS NOT NULL THEN t_change END
@@ -9684,14 +9686,16 @@ def oracle_sql() -> dict[str, str]:
                            sum(v18) AS var18
                     FROM vm GROUP BY cell),
             j AS (SELECT cmb.cell, cmb.n, cmb.n_seasons, cmb.var18,
-                         sagg.s, md.med,
-                         CASE WHEN s > 0 THEN CAST(s AS HUGEINT) - 1
-                              WHEN s < 0 THEN CAST(s AS HUGEINT) + 1
+                         coalesce(sagg.s, 0) AS s, md.med,
+                         CASE WHEN coalesce(sagg.s, 0) > 0
+                              THEN CAST(sagg.s AS HUGEINT) - 1
+                              WHEN coalesce(sagg.s, 0) < 0
+                              THEN CAST(sagg.s AS HUGEINT) + 1
                               ELSE 0 END AS zshift,
                          CAST(floor(sqrt(CAST(var18 AS DOUBLE) / 18.0)
                                     * 1000000 + 0.5) AS HUGEINT)
                              AS qden
-                  FROM cmb JOIN sagg ON cmb.cell = sagg.cell
+                  FROM cmb LEFT JOIN sagg ON cmb.cell = sagg.cell
                          LEFT JOIN md ON cmb.cell = md.cell),
             zz AS (SELECT cell, n, n_seasons, s, med, var18,
                           CASE WHEN var18 > 0 THEN
@@ -9709,8 +9713,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'no trend' END AS trend
             FROM zz
         """,
-        # q_fim: md5-prefix selection + LCG cuts + PSM reassembly —
-        # pure projection, mirrored verbatim
+        # q_fim: md5-prefix selection + md5-derived cuts + PSM
+        # reassembly — pure projection, mirrored verbatim (cut seeds
+        # are two 60-bit hex windows of md5(id||'fim/cuts'), valid
+        # for any id type — the round-15 ADVICE fix)
         "q_fim": f"""
             WITH base AS (
                 SELECT doc_id, text, length(text) AS ln,
@@ -9718,15 +9724,22 @@ def oracle_sql() -> dict[str, str]:
                               1, 4) < '{_FIM_CUT}'
                            AND length(text) >= 32 AS chosen
                 FROM documents),
+            seeds AS (
+                SELECT doc_id, text, ln, chosen,
+                       CAST(concat('0x', substr(md5(
+                            CAST(doc_id AS VARCHAR) || 'fim/cuts'),
+                            1, 15)) AS BIGINT) AS s1,
+                       CAST(concat('0x', substr(md5(
+                            CAST(doc_id AS VARCHAR) || 'fim/cuts'),
+                            17, 15)) AS BIGINT) AS s2
+                FROM base),
             cuts AS (
                 SELECT doc_id, text, ln, chosen,
-                       least(1 + (doc_id * 48271) % (ln - 1),
-                             1 + (doc_id * 16807 + 7) % (ln - 1))
-                           AS p1,
-                       greatest(1 + (doc_id * 48271) % (ln - 1),
-                                1 + (doc_id * 16807 + 7) % (ln - 1))
-                           AS p2
-                FROM base),
+                       least(1 + s1 % (ln - 1),
+                             1 + s2 % (ln - 1)) AS p1,
+                       greatest(1 + s1 % (ln - 1),
+                                1 + s2 % (ln - 1)) AS p2
+                FROM seeds),
             parts AS (
                 SELECT doc_id, text, chosen,
                        substr(text, 1, CAST(p1 AS BIGINT)) AS pre,

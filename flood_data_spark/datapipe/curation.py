@@ -911,9 +911,13 @@ def fim_transform(df: DataFrame, id_col: str = "doc_id",
 
         fim_text = PRE + prefix + SUF + suffix + MID + middle
 
-    Cut points are pure integer arithmetic on the id (two distinct
-    LCG multipliers mod (len−1), min/max ordered — engine-portable,
-    no RNG state), so the whole operator is a zero-shuffle projection:
+    Cut points are pure arithmetic on the md5 of the id STRING (two
+    60-bit hex windows of md5(id||salt||'/cuts') mod (len−1), min/max
+    ordered — engine-portable, no RNG state, and valid for ANY id
+    type: a non-numeric or negative id hashes exactly like an
+    integral one, unlike the previous LCG-on-cast(long) scheme that
+    emitted NULL cuts for ids that don't cast), so the whole operator
+    is a zero-shuffle projection:
     substring/length/concat on the scan, exactly what a 100-TB corpus
     pass wants.  Untransformed rows (rate miss or too short) pass
     through with fim_applied = false and fim_text = text.  Returns
@@ -929,8 +933,14 @@ def fim_transform(df: DataFrame, id_col: str = "doc_id",
         F.md5(F.concat(idc.cast("string"), F.lit(salt))), 1, 4)
         < F.lit(cut)) & (ln >= F.lit(min_len))
     span = (ln - F.lit(1)).cast("long")
-    c1 = F.lit(1) + (idc.cast("long") * F.lit(48271)) % span
-    c2 = F.lit(1) + (idc.cast("long") * F.lit(16807) + F.lit(7)) % span
+    # Seeds from the md5 of the id STRING (15 hex chars = 60 bits,
+    # always non-negative) — a distinct '/cuts' salt so the cut
+    # positions are independent of the rate-selection prefix above.
+    hx = F.md5(F.concat(idc.cast("string"), F.lit(salt + "/cuts")))
+    s1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    s2 = F.conv(F.substring(hx, 17, 15), 16, 10).cast("long")
+    c1 = F.lit(1) + s1 % span
+    c2 = F.lit(1) + s2 % span
     p1 = F.least(c1, c2)
     p2 = F.greatest(c1, c2)
     prefix = F.substring(txt, F.lit(1), p1.cast("int"))

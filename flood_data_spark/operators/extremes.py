@@ -783,8 +783,12 @@ def spi_empirical(df: DataFrame, value_col: str, group_keys,
     the EXACT integer ratio (100i − 44)·1e6 / (100n + 12); Φ⁻¹ is the
     shared Acklam rational seam (functions/distributions.invnorm_sql
     — the same literal text in both engines), quantized ONCE to
-    micro.  i ≥ 1 keeps p strictly inside (0, 1), so the seam's NULL
-    branch never fires.
+    micro.  The micro-quantized position is CLAMPED to [1, 999999]:
+    once a climatology group exceeds ~1.1 M rows the exact ratio
+    rounds to 0 or 1e6 at the sample extremes, which would trip the
+    seam's NULL branch — the clamp pins those rows to ±Φ⁻¹(1e-6)
+    ≈ ±4.75, the representable edge of the micro grid (round-15
+    ADVICE fix; below that group size the clamp is a no-op).
 
     Scale posture: one cell-month exchange, a window and a projection
     — no join, no global sort; at 100 TB the plan is scan → group
@@ -811,6 +815,10 @@ def spi_empirical(df: DataFrame, value_col: str, group_keys,
         (hundred * F.col("_i").cast(dec) - F.lit(44).cast(dec))
         * F.lit(MICRO).cast(dec),
         hundred * F.col("n").cast(dec) + F.lit(12).cast(dec))
+    # Clamp to the open-interval micro grid so groups > ~1.1M rows
+    # can't round the extreme positions to 0/1e6 (probit NULL).
+    pq = F.greatest(F.lit(1).cast(dec),
+                    F.least(F.lit(MICRO - 1).cast(dec), pq))
     probit = invnorm_sql("(CAST(_pq AS DOUBLE) / 1000000.0)")
     out = (ranked.withColumn("_pq", pq)
            .withColumn("_sq", F.expr(

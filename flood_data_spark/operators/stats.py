@@ -929,7 +929,15 @@ def seasonal_mann_kendall(df: DataFrame, value_col: str,
                      F.count(F.lit(1)).cast("long")
                      .alias("n_seasons"),
                      F.sum("_v18").alias("_var18")))
-    out = combined.join(s_agg, on=keys).join(med, on=keys, how="left")
+    # LEFT join + coalesce(s, 0): a group with zero within-season
+    # comparable pairs (e.g. every season observed once) has no
+    # s_agg/med row — it must surface with s = 0, NULL z, 'no trend'
+    # (the Var(S)=0 convention), not silently vanish (round-15
+    # ADVICE fix).
+    out = (combined.join(s_agg, on=keys, how="left")
+           .withColumn("s", F.coalesce(F.col("s"),
+                                       F.lit(0).cast("long")))
+           .join(med, on=keys, how="left"))
     var18 = F.col("_var18")
     qden = F.floor(F.sqrt(var18.cast("double") / F.lit(18.0))
                    * F.lit(1e6) + F.lit(0.5)).cast(dec)
@@ -1030,9 +1038,14 @@ def pettitt_test(df: DataFrame, value_col: str, order_col: str,
         * F.lit(1_000_000).cast(dec),
         F.greatest(n_dec * n_dec * (n_dec + F.lit(1).cast(dec)),
                    F.lit(1).cast(dec)))
-    p_seam = F.floor(F.lit(2e6)
-                     * F.exp(arg_q.cast("double") / F.lit(1e6))
-                     + F.lit(0.5)).cast("long")
+    # min(1, p): 2·exp(·) exceeds 1 for small K (an all-tied series
+    # has K = 0 → 2.0 raw) — standard implementations clamp, so do we
+    # (round-15 ADVICE fix).
+    p_seam = F.least(
+        F.floor(F.lit(2e6)
+                * F.exp(arg_q.cast("double") / F.lit(1e6))
+                + F.lit(0.5)).cast("long"),
+        F.lit(1_000_000))
     pq = F.when(F.col("k_stat").isNotNull() & (F.col("n") >= 2),
                 p_seam)
     return (out.select(

@@ -1,0 +1,118 @@
+"""Round-15 pins: the four ADVICE fixes (fim id-type robustness, SPI
+probit clamp, Pettitt p<=1, seasonal-MK pair-free groups) plus the
+round's new operators (added below as they land)."""
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- ADVICE fix 1: fim_transform cuts from md5(id string) ------------------
+
+
+def test_fim_string_and_negative_ids(spark):
+    from flood_data_spark.datapipe.curation import fim_transform
+
+    # String ids: the old LCG-on-cast(long) scheme emitted NULL cuts
+    # here; md5-derived seeds must transform them like any other id.
+    text = "abcdefghijklmnopqrstuvwxyz" * 4
+    rows = [(f"doc-{i}", text) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = fim_transform(df, rate=1.0).collect()
+    assert len(out) == 120
+    for r in out:
+        assert r.fim_applied is True
+        assert r.prefix is not None and r.middle is not None
+        assert r.prefix + r.middle + r.suffix == text
+        assert r.fim_text.startswith("<|fim_pre|>")
+    # Negative integral ids: positive md5-derived seeds, valid cuts.
+    neg = spark.createDataFrame([(-7, text), (-123456789, text)],
+                                "doc_id long, text string")
+    for r in fim_transform(neg, rate=1.0).collect():
+        assert r.fim_applied is True
+        assert r.prefix + r.middle + r.suffix == text
+
+
+# --- ADVICE fix 2: spi_empirical position clamp -----------------------------
+
+
+def test_spi_clamp_huge_group(spark):
+    from flood_data_spark.operators.extremes import spi_empirical
+
+    # Above ~1.1M rows the exact Gringorten micro ratio rounds to
+    # 0/1e6 at the extremes; the clamp must keep spi non-NULL there.
+    n = 1_200_000
+    df = (spark.range(n)
+          .select(F.lit(1).alias("cell"), F.col("id").alias("t"),
+                  F.col("id").cast("double").alias("v")))
+    out = spi_empirical(df, "v", ["cell"], "t")
+    edge = (out.filter((F.col("t") == 0) | (F.col("t") == n - 1))
+            .collect())
+    assert len(edge) == 2
+    for r in edge:
+        assert r.spi is not None
+        assert abs(r.spi) > 4.0          # ~ +-Phi^-1(1e-6)
+        assert 0.0 < r.p < 1.0 or r.p in (0.0, 1.0)  # p reported raw
+
+
+def test_spi_small_group_unchanged(spark):
+    from flood_data_spark.operators.extremes import spi_empirical
+
+    # Below the clamp threshold the clamp is a no-op: median of an
+    # odd sample sits near SPI ~ 0, extremes symmetric.
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(9)], "cell int, t int, v double")
+    rows = {r.t: r for r in
+            spi_empirical(df, "v", ["cell"], "t").collect()}
+    assert abs(rows[4].spi) < 0.1
+    assert rows[0].spi < -1.0 and rows[8].spi > 1.0
+    assert abs(rows[0].spi + rows[8].spi) < 1e-6
+
+
+# --- ADVICE fix 3: pettitt p_value <= 1 -------------------------------------
+
+
+def test_pettitt_all_tied_p_clamped(spark):
+    from flood_data_spark.operators.stats import pettitt_test
+
+    df = spark.createDataFrame([(1, t, 5.0) for t in range(6)],
+                               "cell int, t int, v double")
+    r = pettitt_test(df, "v", "t", ["cell"]).collect()[0]
+    assert r.k_stat == 0
+    assert r.p_value == 1.0              # raw 2*exp(0) = 2, clamped
+    assert r.shift is False
+
+
+def test_pettitt_shift_still_detected(spark):
+    from flood_data_spark.operators.stats import pettitt_test
+
+    vals = [1.0] * 10 + [100.0] * 10
+    df = spark.createDataFrame(
+        [(1, t, v) for t, v in enumerate(vals)],
+        "cell int, t int, v double")
+    r = pettitt_test(df, "v", "t", ["cell"]).collect()[0]
+    assert r.shift is True
+    assert 0.0 <= r.p_value < 0.05
+    assert r.t_change == 9               # last index of the low run
+
+
+# --- ADVICE fix 4: seasonal MK pair-free groups surface ---------------------
+
+
+def test_seasonal_mk_pair_free_group_surfaces(spark):
+    from flood_data_spark.operators.stats import seasonal_mann_kendall
+
+    # cell 1: every season observed once -> zero comparable pairs.
+    # cell 2: a real trend, to prove the left join keeps both.
+    rows = [(1, m, m, float(m)) for m in range(1, 5)]
+    rows += [(2, m % 4, m, float(m)) for m in range(16)]
+    df = spark.createDataFrame(rows,
+                               "cell int, season int, t int, v double")
+    out = {r.cell: r for r in
+           seasonal_mann_kendall(df, "v", "t", "season", ["cell"])
+           .collect()}
+    assert set(out) == {1, 2}
+    assert out[1].s == 0
+    assert out[1].z is None
+    assert out[1].sen_slope is None
+    assert out[1].trend == "no trend"
+    assert out[2].s > 0
+    assert out[2].trend == "increasing"

@@ -1081,14 +1081,15 @@ def _q_textrank_full(spark, sf_dir):
 def _q_quantile_map_x10(spark, sf_dir):
     """Quantile-mapping bias correction at 10x: the ~850k-row sim
     relation (every 7th order of the replicated lineitem tier) through
-    the two rank windows and the order-statistic equi-join — the
-    registry entry's plan at a corpus-sized sim side.  Measured
-    lesson this tier exists to show: with only THREE group keys the
-    rank window's parallelism is group-cardinality-bounded (3 tasks
-    sort ~283k rows each — ~25 s single-shot), which is exactly why
-    the operator contract says 'per station/cell climatology group':
-    at real key cardinality the same plan is embarrassingly parallel.
-    The sim corpus still moves ONCE; the obs side stays m-bounded."""
+    the adaptive rank and the order-statistic equi-join — the
+    registry entry's plan at a corpus-sized sim side.  Round 15: the
+    operator now PROBES group sizes (bounded 2-row collect off a
+    value-hash sample) and picks the classic single-window rank here
+    (286k rows/group — sorts are task-sized) or the bucketed two-pass
+    rank for pathological few-group corpora (measured 105 s -> 30.6 s
+    at 3 groups x 8M rows; docs/PLANS.md).  This tier measures the
+    auto path = classic + ~0.2 s probe.  The sim corpus moves ONCE;
+    the obs side stays m-bounded."""
     from pyspark.sql import functions as F
 
     from flood_data_spark.operators.postprocess import quantile_map

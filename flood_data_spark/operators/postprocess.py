@@ -11,21 +11,54 @@ quantile at p, linearly interpolated between observed order statistics
 
     h = 1 + p·(m−1),   f = ⌊h⌋,   corrected = o_(f) + (h−f)·(o_(f+1) − o_(f))
 
-Determinism discipline (datapipe/linalg.py): ranks are integers off
-one window per side; h splits into EXACT integer quotient/remainder
-(num = i·(m−1), den = n+1 — f = 1 + num div den, rem = num mod den),
-and the interpolation closes as ONE `_idiv_half_up` of
-rem·(o_(f+1) − o_(f)) over den in quantized micro space.  ZERO double
-seams — the whole operator is integer arithmetic, so the oracle
-matches bit-for-bit by construction.  Because i ≤ n implies
-num/den < m−1, f+1 ≤ m always exists; m = 1 degenerates to rem = 0
-and maps everything to the single observed value.
+Determinism discipline (datapipe/linalg.py): ranks are exact integers;
+h splits into EXACT integer quotient/remainder (num = i·(m−1),
+den = n+1 — f = 1 + num div den, rem = num mod den), and the
+interpolation closes as ONE `_idiv_half_up` of rem·(o_(f+1) − o_(f))
+over den in quantized micro space.  ZERO double seams — the whole
+operator is integer arithmetic, so the oracle matches bit-for-bit by
+construction.  Because i ≤ n implies num/den < m−1, f+1 ≤ m always
+exists; m = 1 degenerates to rem = 0 and maps everything to the
+single observed value.
 
-Scale posture: one rank window per side on the SAME group-keyed
-exchange, then ONE equi-join of the sim relation against the
-m-bounded observed order statistics on (group, f) — co-partitioned,
-no broadcast needed when obs is large, broadcastable when it is the
-usual station climatology.  At 100 TB the sim corpus moves once.
+RANK STRATEGY (round-15; VERDICT r14 #3).  A plain per-group rank
+window serializes on group cardinality: a caller with 3 climatology
+groups sorts each group in ONE task — measured 25.3 s cold at x10,
+and a single-task 100M-row sort at 100× data.  But the bucketed
+machinery that fixes it costs ~2 extra corpus passes, which LOSES at
+ordinary scale (measured: 3.9 s classic vs 6.9-9.0 s bucketed at the
+857k-row x10 gate, where each per-group sort is ~1 s).  So the
+operator is ADAPTIVE with a bounded probe:
+
+  - ONE driver-side action collects per side the maximum estimated
+    group size off a deterministic value-hash sample
+    (pmod(xxhash64(value), SAMPLE_RATE) = 0 — membership is a pure
+    function of the value, so the probe is partitioning-invariant).
+    The collected relation is ≤ 2 rows (one per side) — the same
+    bounded-scalar contract as datapipe/unigram.py's corpus stats.
+  - Sides whose largest group stays under `bucket_threshold` keep the
+    classic single-window plan — zero machinery, the measured-fast
+    path at gate scale.
+  - Sides past the threshold switch to the BUCKETED TWO-PASS rank
+    (the r8 equi-depth histogram trick): per-group value-quantile
+    boundaries sketched from the sample (percentile_approx — accuracy
+    only steers LOAD BALANCE, never output values), rows bucket by
+    boundary count (a pure function of the value, so ties never
+    straddle buckets), row_number within (group, bucket), then exact
+    per-bucket prefix-count offsets off a groups×B-bounded broadcast:
+    rank = offset + within-bucket row_number — EXACTLY the global
+    per-group rank, with sort parallelism groups×B instead of groups.
+
+Scale posture: the corpus moves once into its rank exchange (+ the
+sample scan and, on the bucketed path, one counting pass — all cheap
+relative to the serialized sort they replace); boundary/offset
+relations are groups(×B)-bounded broadcasts; the obs successor value
+o_(f+1) is the within-bucket lead patched at bucket edges from the
+offset relation's per-bucket minima (no self-join); and the
+order-statistic lookup stays ONE equi-join of sim against the
+m-bounded observed order statistics on (group, f) — co-partitioned
+when obs is large, broadcastable when it is the usual station
+climatology.
 
 Duplicate sim values: row_number assigns distinct ranks to equal
 values, so tied rows receive adjacent plotting positions — the OUTPUT
@@ -43,48 +76,157 @@ from pyspark.sql import functions as F
 from flood_data_spark.datapipe.linalg import _idiv_half_up
 
 MICRO = 1_000_000
+# 1-in-SAMPLE_RATE value-hash sample feeds the probe and the boundary
+# sketch; groups under BUCKET_THRESHOLD rows keep the single-window
+# plan (a one-task sort of ~2M longs is cheaper than the bucket
+# machinery it would replace — measured, module docstring).
+SAMPLE_RATE = 211
+BUCKET_THRESHOLD = 2_000_000
+
+
+def _classic_rank(df: DataFrame, keys: list, qcol: str,
+                  rank_name: str, n_name: str,
+                  lead_col: str | None = None) -> DataFrame:
+    """Single-window per-group rank (+ optional successor value) —
+    the right plan while per-group sorts stay task-sized."""
+    w = Window.partitionBy(*keys).orderBy(qcol)
+    wn = (Window.partitionBy(*keys)
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    out = (df.withColumn(rank_name,
+                         F.row_number().over(w).cast("long"))
+           .withColumn(n_name, F.count(F.lit(1)).over(wn)
+                       .cast("long")))
+    if lead_col is not None:
+        out = out.withColumn(lead_col, F.lead(qcol).over(w))
+    return out
+
+
+def _bucketed_rank(df: DataFrame, keys: list, qcol: str,
+                   nbuckets: int, rank_name: str, n_name: str,
+                   lead_col: str | None = None) -> DataFrame:
+    """Two-pass exact per-group rank with sort parallelism groups×B
+    (module docstring).  Output contract identical to
+    [_classic_rank]: NULLs rank first, ties in input order within
+    their (value-determined) bucket."""
+    qx = F.col(qcol)
+    probs = [i / nbuckets for i in range(1, nbuckets)]
+    sample = df.filter(
+        F.pmod(F.xxhash64(qx, F.lit("qm-bnd")),
+               F.lit(SAMPLE_RATE)) == 0)
+    bnds = (sample.groupBy(*keys)
+            .agg(F.percentile_approx(qcol, probs).alias("_bnds")))
+    # bucket = #(boundaries <= value): a pure function of the VALUE
+    # (ties share a bucket); NULL values sort first, pinning them to
+    # bucket 0 like the single window's NULLS FIRST; groups absent
+    # from the sample collapse to bucket 0 (small by construction).
+    bkt = F.when(qx.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(
+            F.coalesce(F.col("_bnds"), F.array().cast("array<long>")),
+            lambda b: b <= qx)))
+    d = (df.join(F.broadcast(bnds), keys, "left")
+         .withColumn("_bkt", bkt).drop("_bnds"))
+    # exact per-bucket counts: ONE counting pass (a partial-agg
+    # groupBy — map-side combined, groups×B result), NOT derived from
+    # the window output (a broadcast subtree re-executes its lineage;
+    # exchange reuse across broadcast boundaries measurably does not
+    # fire, so the direct pass is the cheaper plan)
+    cnt = d.groupBy(*keys, "_bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("_bc"),
+        F.min(qcol).alias("_b1"))
+    wp = (Window.partitionBy(*keys).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wt = (Window.partitionBy(*keys)
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    wl = Window.partitionBy(*keys).orderBy("_bkt")
+    ofs = (cnt.withColumn("_ofs",
+                          F.coalesce(F.sum("_bc").over(wp),
+                                     F.lit(0).cast("long")))
+           .withColumn(n_name, F.sum("_bc").over(wt).cast("long"))
+           .withColumn("_nxq", F.lead("_b1").over(wl))
+           .select(*keys, "_bkt", "_ofs", n_name, "_nxq"))
+    wr = Window.partitionBy(*keys, "_bkt").orderBy(qcol)
+    out = (d.join(F.broadcast(ofs), [*keys, "_bkt"])
+           .withColumn("_wr", F.row_number().over(wr).cast("long"))
+           .withColumn(rank_name, F.col("_ofs") + F.col("_wr")))
+    if lead_col is not None:
+        # bucket-edge patch: the last row of a bucket leads into the
+        # next non-empty bucket's minimum (empty buckets don't exist
+        # in cnt, so _nxq is exactly the next value in rank order)
+        out = out.withColumn(
+            lead_col, F.coalesce(F.lead(qcol).over(wr),
+                                 F.col("_nxq")))
+    return out.drop("_bkt", "_ofs", "_wr", "_nxq")
 
 
 def quantile_map(sim: DataFrame, obs: DataFrame, value_col: str,
-                 group_keys) -> DataFrame:
+                 group_keys, nbuckets: int = 32,
+                 bucket_threshold: int = BUCKET_THRESHOLD) -> DataFrame:
     """Map each `sim` row's value onto the observed distribution of
     its group (module docstring).  Both frames need `group_keys` and
     `value_col`; groups present in sim but absent from obs emit NULL
-    mapped values (left join).  Returns (keys…, value, p, mapped),
-    sorted by (keys, value)."""
+    mapped values (left join).  `nbuckets` bounds the bucketed path's
+    per-group sort parallelism and `bucket_threshold` the estimated
+    group size past which it engages (exactness is independent of
+    both; pass 0 to force bucketing, a large value to force the
+    classic window).  Returns (keys…, value, p, mapped), sorted by
+    (keys, value)."""
     keys = list(group_keys)
     if not keys:
         raise ValueError("quantile_map: need at least one group key")
-    dec = "decimal(38,0)"
+    if nbuckets < 2:
+        raise ValueError("quantile_map: nbuckets must be >= 2, "
+                         f"got {nbuckets}")
 
     def q(col):
         c = col.cast("double")
         return (F.signum(c) * F.floor(F.abs(c) * MICRO + F.lit(0.5))) \
             .cast("long")
 
-    ws = Window.partitionBy(*keys).orderBy("_qx")
-    wn = (Window.partitionBy(*keys)
-          .rowsBetween(Window.unboundedPreceding,
-                       Window.unboundedFollowing))
-    s = (sim.select(*keys, F.col(value_col).alias("value"),
+    s0 = sim.select(*keys, F.col(value_col).alias("value"),
                     q(F.col(value_col)).alias("_qx"))
-         .withColumn("_i", F.row_number().over(ws))
-         .withColumn("_n", F.count(F.lit(1)).over(wn)))
-    wo = Window.partitionBy(*keys).orderBy("_oq")
-    won = (Window.partitionBy(*keys)
-           .rowsBetween(Window.unboundedPreceding,
-                        Window.unboundedFollowing))
-    o = (obs.select(*keys, q(F.col(value_col)).alias("_oq"))
-         .withColumn("_j", F.row_number().over(wo))
-         .withColumn("_m", F.count(F.lit(1)).over(won))
-         .withColumn("_onext", F.lead("_oq").over(wo)))
+    o0 = obs.select(*keys, q(F.col(value_col)).alias("_oq"))
+
+    # bounded probe (≤ 2 rows collected): max estimated group size
+    # per side off the deterministic value-hash sample
+    def _samp(d, c):
+        return d.filter(F.pmod(F.xxhash64(F.col(c), F.lit("qm-bnd")),
+                               F.lit(SAMPLE_RATE)) == 0)
+
+    big = {"s": False, "o": False}
+    if bucket_threshold <= 0:
+        big = {"s": True, "o": True}
+    else:
+        probe = (_samp(s0, "_qx").select(F.lit("s").alias("_sd"),
+                                         *keys)
+                 .unionByName(_samp(o0, "_oq")
+                              .select(F.lit("o").alias("_sd"), *keys))
+                 .groupBy("_sd", *keys)
+                 .agg(F.count(F.lit(1)).alias("_sc"))
+                 .groupBy("_sd").agg(F.max("_sc").alias("_mx")))
+        for r in probe.collect():
+            big[r._sd] = r._mx * SAMPLE_RATE > bucket_threshold
+
+    if big["s"]:
+        s = _bucketed_rank(s0, keys, "_qx", nbuckets, "_i", "_n")
+    else:
+        s = _classic_rank(s0, keys, "_qx", "_i", "_n")
+    if big["o"]:
+        o = _bucketed_rank(o0, keys, "_oq", nbuckets, "_j", "_m",
+                           lead_col="_onext")
+    else:
+        o = _classic_rank(o0, keys, "_oq", "_j", "_m",
+                          lead_col="_onext")
+
+    dec = "decimal(38,0)"
     # the group-bounded obs count joins onto sim FIRST (tiny relation,
     # one row per group), so f/rem can be computed before the order-
     # statistic join — which then stays a plain equi-join on (keys, f),
     # never an m-way theta scan per sim row
-    mcnt = obs.groupBy(*keys).agg(F.count(F.lit(1)).alias("_m"))
-    s = s.join(mcnt, keys, "left")
-    num = F.col("_i").cast(dec) * (F.col("_m").cast(dec)
+    mcnt = obs.groupBy(*keys).agg(F.count(F.lit(1)).alias("_mc"))
+    s = s.join(F.broadcast(mcnt), keys, "left")
+    num = F.col("_i").cast(dec) * (F.col("_mc").cast(dec)
                                    - F.lit(1).cast(dec))
     den = F.col("_n").cast(dec) + F.lit(1).cast(dec)
     # f = 1 + num div den via the exact decimal floor-quotient idiom;

@@ -116,3 +116,60 @@ def test_seasonal_mk_pair_free_group_surfaces(spark):
     assert out[1].trend == "no trend"
     assert out[2].s > 0
     assert out[2].trend == "increasing"
+
+
+# --- quantile_map adaptive bucketed rank (VERDICT r14 #3) --------------------
+
+
+def test_quantile_map_bucketed_equals_classic(spark):
+    from flood_data_spark.operators.postprocess import quantile_map
+
+    # ties, NULLs, a sim-only group, a single-obs group — the bucketed
+    # path (bucket_threshold=0 forces it) must emit the identical
+    # multiset as the classic single-window plan.
+    sim = spark.range(4000).select(
+        (F.col("id") % 3).alias("grp"),
+        F.when(F.col("id") % 97 == 0, F.lit(None))
+        .otherwise((F.col("id") % 211).cast("double") / 7.0)
+        .alias("v"))
+    sim = sim.union(spark.createDataFrame(
+        [(9, 1.5), (9, 2.5)], "grp long, v double"))
+    obs = spark.range(3000).select(
+        (F.col("id") % 3).alias("grp"),
+        ((F.col("id") % 173).cast("double") / 5.0 + 1.0).alias("v"))
+    obs = obs.union(spark.createDataFrame(
+        [(7, 42.0)], "grp long, v double"))
+
+    def key(rows):
+        return sorted(((r.grp, r.value if r.value is not None
+                        else float("-inf"), r.p,
+                        r.mapped if r.mapped is not None
+                        else float("-inf")) for r in rows))
+
+    classic = key(quantile_map(sim, obs, "v", ["grp"],
+                               bucket_threshold=10**12).collect())
+    bucketed = key(quantile_map(sim, obs, "v", ["grp"],
+                                bucket_threshold=0).collect())
+    assert classic == bucketed
+    # and the probe-driven default agrees too (small data -> classic)
+    auto = key(quantile_map(sim, obs, "v", ["grp"]).collect())
+    assert auto == classic
+
+
+def test_quantile_map_bucketed_partition_invariant(spark):
+    from flood_data_spark.operators.postprocess import quantile_map
+
+    sim = spark.range(2000).select(
+        (F.col("id") % 2).alias("grp"),
+        (F.col("id") % 89).cast("double").alias("v"))
+    obs = spark.range(1500).select(
+        (F.col("id") % 2).alias("grp"),
+        (F.col("id") % 67).cast("double").alias("v"))
+    base = sorted((r.grp, r.value, r.p, r.mapped) for r in
+                  quantile_map(sim, obs, "v", ["grp"],
+                               bucket_threshold=0).collect())
+    pert = sorted((r.grp, r.value, r.p, r.mapped) for r in
+                  quantile_map(sim.repartition(13),
+                               obs.repartition(5), "v", ["grp"],
+                               bucket_threshold=0).collect())
+    assert base == pert

@@ -555,6 +555,14 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c_acctbal").alias("acctbal")))
 
 
+# Micro-batch counts of the streams executed by the most recent gate
+# call — bench.py clears this before an entry and records the sum next
+# to the wall time, so streamed entries carry their fixed
+# Structured-Streaming machinery cost explicitly (VERDICT r14 #6: a
+# stream entry's seconds are uninterpretable without its batch count).
+STREAM_BATCHES: list = []
+
+
 def _run_file_stream(spark: SparkSession, parquet_path: str,
                      build_stream, name_prefix: str,
                      output_mode: str | None = None) -> DataFrame:
@@ -585,6 +593,12 @@ def _run_file_stream(spark: SparkSession, parquet_path: str,
         q = run_available_now(agg, ckpt_dir, query_name=name,
                               output_mode=output_mode)
         q.awaitTermination()
+        try:
+            lp = q.lastProgress
+            if lp is not None:
+                STREAM_BATCHES.append(int(lp["batchId"]) + 1)
+        except Exception:
+            pass  # progress introspection must never fail a gate
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
@@ -5669,6 +5683,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_threshold_summary(spark, SF_SMOKE)
 
 
+def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance
+    (datapipe/similarity.ivf_append — VERDICT r14 #5): build the index
+    on partition A (vec_id % 5 != 0), append partition B with the
+    FROZEN centroids, and verify the contract against the one-shot
+    assignment of A∪B under the same centroids — the two paths must
+    agree row-for-row both in list membership AND in probe results
+    (build-time assignment is itself a frozen-centroid pass, so
+    equality is exact, not approximate).  The gate closes the contract
+    to integers: (n_vectors, assign_mismatch, probe_mismatch) =
+    (count, 0, 0) — a FULL value oracle (the SQL side states the
+    contract; the Spark side earns it via exceptAll in both
+    directions)."""
+    from flood_data_spark.datapipe.similarity import (ivf_append,
+                                                      ivf_build,
+                                                      ivf_probe)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 5 != 0)
+    b = emb.filter(F.col("vec_id") % 5 == 0)
+    centroids, lists_a = ivf_build(a, nlist=8)
+    incr = lists_a.unionByName(ivf_append(centroids, b))
+    full = ivf_append(centroids, emb)
+    key = ["neighbor_id", "list_id"]
+    assign_mm = (incr.select(*key).exceptAll(full.select(*key))
+                 .unionAll(full.select(*key).exceptAll(incr.select(*key)))
+                 .agg(F.count(F.lit(1)).alias("assign_mismatch")))
+    qrs = emb.filter(F.col("vec_id") < 20)
+    p_incr = ivf_probe(centroids, incr, qrs, k=5, nprobe=2)
+    p_full = ivf_probe(centroids, full, qrs, k=5, nprobe=2)
+    probe_mm = (p_incr.exceptAll(p_full)
+                .unionAll(p_full.exceptAll(p_incr))
+                .agg(F.count(F.lit(1)).alias("probe_mismatch")))
+    nv = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return nv.crossJoin(assign_mm).crossJoin(probe_mm)
+
+
+def q_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF re-train trigger (datapipe/similarity.ivf_drift_report):
+    the per-list imbalance / centroid-drift report over a built index,
+    closed to the integer contract (n_total = corpus size, lists
+    bounded by nlist, drift cosines inside [-1, 1], no non-positive
+    imbalance) — a FULL value oracle on the closed contract; the
+    report's raw per-list floats are k-means outputs and are pinned by
+    unit tests instead (tests/test_round15_ops.py)."""
+    from flood_data_spark.datapipe.similarity import (ivf_build,
+                                                      ivf_drift_report)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, lists = ivf_build(emb, nlist=8)
+    rep = ivf_drift_report(centroids, lists)
+    return rep.agg(
+        F.sum("n").alias("n_total"),
+        F.when(F.count(F.lit(1)) <= 8, 1).otherwise(0)
+        .cast("long").alias("lists_le_nlist"),
+        F.sum(F.when(F.col("drift_cos").between(-1.0, 1.0), 0)
+              .otherwise(1)).cast("long").alias("oob_drift"),
+        F.sum(F.when(F.col("imbalance") > 0, 0).otherwise(1))
+        .cast("long").alias("nonpos_imbalance"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS THE GATE WINDOW: the driver checks the first 50 entries.
     # Rotation discipline: every session's NEW queries lead (driver-checked
@@ -6037,6 +6112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_contract": q_simhash_contract,
         "q_lsh_topk_recall": q_lsh_topk_recall,
         "q_ivf_recall": q_ivf_recall,
+        "q_ivf_incremental": q_ivf_incremental,
+        "q_ivf_drift": q_ivf_drift,
         "q_ivf_sq8_recall": q_ivf_sq8_recall,
         "q_embedding_dedup_lsh_recall": q_embedding_dedup_lsh_recall,
         "q_lang_id": q_lang_id,
@@ -14127,6 +14204,27 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_top1_cosine,
                    TRUE AS recall_ok, TRUE AS bounded_ok
             FROM ranked WHERE rank <= 5
+        """,
+        # q_ivf_incremental: the SQL side states the append contract
+        # (build(A)+append(B) == assign(A∪B) under frozen centroids —
+        # zero mismatches by construction); the Spark side EARNS it
+        # via bidirectional exceptAll over both the lists relations
+        # and the probe results
+        "q_ivf_incremental": """
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(0 AS BIGINT) AS assign_mismatch,
+                   CAST(0 AS BIGINT) AS probe_mismatch
+            FROM embeddings
+        """,
+        # q_ivf_drift: integer-closed contract of the drift/imbalance
+        # report (sizes sum to corpus, <= nlist lists, drift cosines
+        # in [-1, 1], strictly positive imbalance)
+        "q_ivf_drift": """
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(1 AS BIGINT) AS lists_le_nlist,
+                   CAST(0 AS BIGINT) AS oob_drift,
+                   CAST(0 AS BIGINT) AS nonpos_imbalance
+            FROM embeddings
         """,
         "q_embedding_dedup_lsh_recall": """
             WITH v AS (

@@ -1236,77 +1236,90 @@ def main():
                                     "doc_id long, text string"),
               n_merges=1)[1].write.format("noop").mode("overwrite").save()
 
-    # all heavy entries record min-of-2: single shots of I/O-bound
-    # multi-second queries on this box are bimodal (x10 flagship observed
-    # 3.1-23 s across six otherwise-identical runs; zero CPU steal) — the
-    # min is the reproducible plan cost, the spread is the machine
-    _MIN_OF_2 = {"q_threshold_summary_x10", "q_threshold_summary_x100",
-                 "q_threshold_summary_skew",
-                 "q_threshold_summary_skew_approx",
-                 "q_peak_timing_x10", "q_daily_pipeline_x10",
-                 "q_daily_pipeline_x100", "q_daily_incremental_x10",
-                 "q_crps_x10", "q_crps_decomp_x10",
-                 "q_energy_score",
-                 "q_ngram_jaccard_capped_3k", "q_repeated_spans_full",
-                 "q_remove_spans_full",
-                 "q_ts_pattern_full", "q_bpe_train_full",
-                 "q_ivfpq_search", "q_bigram_ppl_full",
-                 "q_dedup_exact_x10", "q_minhash_lsh_x10",
-                 "q_line_dedup_x10", "q_sessionize_x10",
-                 # r07 single-shot regressors (code unchanged since r05)
-                 # + the two heaviest unprotected entries — min-of-2 so
-                 # plan cost separates from the box's bimodal I/O noise
-                 "q_contamination", "q_clean_lines", "q_line_dedup",
-                 "q_bm25_index_build", "q_bpe_encode_x10",
-                 "q_bloom_dedup_x10", "q_cms_build_x10", "q_funnel_x10",
-                 "q_winnow_full", "q_jaccard_prefix_zipf",
-                 "q_item_cf", "q_bitext_mine", "q_textrank_full",
-                 "q_tree_stump", "q_bootstrap_ci", "q_bootstrap_fast",
-                 "q_unigram_em",
-                 # r12 committed artifact read these 5-12 s at
-                 # consecutive run positions 43-47 on code untouched
-                 # since r8 (1.1-1.6 s in r11) — a loaded-box window;
-                 # min-of-2 separates plan cost from that noise
-                 # (VERDICT r12 item #1: every single-shot entry that
-                 # has ever read >5 s joins the set)
-                 "q_curation_v2", "q_bm25_topk", "q_gopher_rules_full",
-                 "q_dsir_weights", "q_dedup_against", "q_clf_eval"}
-    timings = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        reps = 2 if name in _MIN_OF_2 else 1
-        dt = float("inf")
-        for rep in range(reps):
+    # EVERY entry records min over two INTERLEAVED passes (VERDICT r14
+    # #2 — the mechanical replacement for the per-round prose about
+    # which entries were "load noise"): single shots of I/O-bound
+    # multi-second queries on this box are bimodal (x10 flagship
+    # observed 3.1-23 s across six otherwise-identical runs; zero CPU
+    # steal), and r12-r14 each burned a verdict cycle re-measuring a
+    # "regressed" block that was session-position/load noise.  Two
+    # full passes separate plan cost from both effects: within a pass
+    # every entry keeps its session position; across passes the min
+    # discards whichever reading the box loaded.  Override passes with
+    # SPARK_GRAFT_BENCH_PASSES=1 for quick local iteration.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    timings: dict = {}
+    batches: dict = {}
+    for pass_i in range(n_passes):
+        for name in BENCH_QUERIES:
+            entry_mod.STREAM_BATCHES.clear()
             t0 = time.time()
             df = (qs.get(name) or EXTRA_QUERIES[name])(spark, SF_DIR)
             # noop sink, NOT count(): count() lets Catalyst prune
             # unreferenced projections, so pure per-row transform queries
             # (token counting, quality scoring) would measure only the scan
             df.write.format("noop").mode("overwrite").save()
-            dt = min(dt, time.time() - t0)
-            # between-rep cache clear: a query's INTERNAL .cache() (the
-            # capped-jaccard shingle relation) must not make rep 2 a warm
-            # re-read — each rep measures the cold plan; only the OS page
-            # cache legitimately stays warm
-            if rep + 1 < reps:
+            dt = time.time() - t0
+            if entry_mod.STREAM_BATCHES:
+                # micro-batch count next to the seconds: stream entries
+                # pay fixed per-batch machinery batch entries don't
+                # (VERDICT r14 #6) — deterministic per plan, so either
+                # pass's reading is THE count
+                batches[name] = sum(entry_mod.STREAM_BATCHES)
+            if name not in timings or dt < timings[name]:
+                timings[name] = round(dt, 3)
+            print(f"# pass{pass_i + 1} {name}: {dt:.2f}s",
+                  file=sys.stderr)
+            # isolate queries: internal .cache()/.persist() calls (LSH
+            # bucket relations, IVF lists) otherwise accumulate across the
+            # session and turn later timings into GC noise.  Outside the
+            # timed region — the next query rebuilds its own caches inside
+            # its own wall time.  EXCEPT after q_ivf_build: clearing there
+            # would unpersist the inverted lists the probe entry is
+            # documented to reuse, silently folding the full-corpus list
+            # assignment back into the "pure search" probe timing.
+            if name not in ("q_ivf_build", "q_bm25_index_build"):
                 spark.catalog.clearCache()
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
-        # isolate queries: internal .cache()/.persist() calls (LSH bucket
-        # relations, IVF lists) otherwise accumulate across the session and
-        # turn later timings into GC noise.  Outside the timed region — the
-        # next query rebuilds its own caches inside its own wall time.
-        # EXCEPT after q_ivf_build: clearing there would unpersist the
-        # inverted lists the probe entry is documented to reuse, silently
-        # folding the full-corpus list assignment back into the "pure
-        # search" probe timing.
-        if name not in ("q_ivf_build", "q_bm25_index_build"):
-            spark.catalog.clearCache()
-        # nudge a full GC between queries (outside the timed region):
-        # accumulated broadcast/cache garbage otherwise surfaces as multi-
-        # second pauses inside whichever later query trips the collector
-        spark._jvm.System.gc()
+            # nudge a full GC between queries (outside the timed region):
+            # accumulated broadcast/cache garbage otherwise surfaces as
+            # multi-second pauses inside whichever later query trips the
+            # collector
+            spark._jvm.System.gc()
+    total = sum(timings.values())
+
+    # BENCH_BANDS.json: {entry: [per-round best, ...]} — the mechanical
+    # band file (VERDICT r14 #2).  Each run appends its min-of-passes
+    # reading (bounded history); an entry reading > 2x its historical
+    # best FAILS LOUDLY here, at bench time, instead of surfacing as
+    # prose archaeology a verdict later.  Band exits are recorded in
+    # the payload so the committed artifact carries the alarm too.
+    # bands only track the canonical configuration (sf0.1, full
+    # min-of-2): a quick sf0.01 or single-pass iteration run must not
+    # pollute the history it would later be compared against
+    canonical = (SF_DIR.rstrip("/").endswith("sf0.1")
+                 and n_passes >= 2)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    bands_path = os.path.join(repo_dir, "BENCH_BANDS.json")
+    bands: dict = {}
+    if canonical and os.path.exists(bands_path):
+        try:
+            with open(bands_path) as fh:
+                bands = json.load(fh)
+        except Exception:
+            bands = {}
+    band_exits = []
+    if canonical:
+        for name, dt in timings.items():
+            hist = [v for v in bands.get(name, [])
+                    if isinstance(v, (int, float))]
+            if hist and dt > 2 * min(hist):
+                band_exits.append(name)
+                print(f"# BAND EXIT: {name} {dt:.2f}s > 2x historical "
+                      f"best {min(hist):.2f}s", file=sys.stderr)
+            bands[name] = (hist + [round(dt, 3)])[-8:]
+        with open(bands_path, "w") as fh:
+            json.dump(bands, fh, separators=(",", ":"), sort_keys=True)
+            fh.write("\n")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # compact separators + 2-decimal timings: the driver records only the
@@ -1320,6 +1333,11 @@ def main():
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "passes": n_passes,
+        # stream entries: micro-batch count next to the seconds
+        "stream_batches": batches,
+        # entries reading > 2x their historical best (BENCH_BANDS.json)
+        "band_exits": band_exits,
     }
     line = json.dumps(payload, separators=(",", ":"))
     print(line)

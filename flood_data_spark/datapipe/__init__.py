@@ -28,7 +28,9 @@ from flood_data_spark.datapipe.dedup import (
 from flood_data_spark.datapipe.similarity import (
     cosine_topk_bruteforce,
     embedding_near_dup_pairs,
+    ivf_append,
     ivf_build,
+    ivf_drift_report,
     ivf_probe,
     ivf_topk,
     lsh_bucketed_topk,
@@ -158,6 +160,7 @@ __all__ = [
     "simhash_dup_pairs", "dedup_clusters", "tfidf_topk", "term_rows",
     "cosine_topk_bruteforce", "embedding_near_dup_pairs",
     "lsh_bucketed_topk", "ivf_topk", "ivf_build", "ivf_probe",
+    "ivf_append", "ivf_drift_report",
     "hash_sample", "chunk_documents", "pack_sequences", "cap_per_key",
     "redact_pii", "repetition_signals", "clean_lines", "dedup_lines",
     "assign_split", "stratified_sample", "neyman_allocation", "fs_linkage_weights", "fs_score_pairs", "with_shuffle_key",

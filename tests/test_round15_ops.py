@@ -173,3 +173,88 @@ def test_quantile_map_bucketed_partition_invariant(spark):
                                obs.repartition(5), "v", ["grp"],
                                bucket_threshold=0).collect())
     assert base == pert
+
+
+# --- incremental IVF maintenance (VERDICT r14 #5) ----------------------------
+
+
+def _toy_embeddings(spark, n=60, dim=8, n_clusters=3):
+    import math
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        base = [0.0] * dim
+        base[c] = 1.0
+        # small deterministic wiggle off the cluster axis
+        base[(c + 3) % dim] = 0.05 * math.sin(i)
+        rows.append((i, base))
+    return spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+
+
+def test_ivf_append_matches_full_assignment(spark):
+    from flood_data_spark.datapipe.similarity import (ivf_append,
+                                                      ivf_build,
+                                                      ivf_probe)
+
+    emb = _toy_embeddings(spark)
+    a = emb.filter(F.col("vec_id") % 4 != 0)
+    b = emb.filter(F.col("vec_id") % 4 == 0)
+    centroids, lists_a = ivf_build(a, nlist=4)
+    incr = lists_a.unionByName(ivf_append(centroids, b))
+    full = ivf_append(centroids, emb)
+    got = sorted((r.neighbor_id, r.list_id) for r in incr.collect())
+    want = sorted((r.neighbor_id, r.list_id) for r in full.collect())
+    assert got == want and len(got) == 60
+    # probe parity between the two index paths
+    qs = emb.filter(F.col("vec_id") < 6)
+    pi = sorted((r.query_id, r.rank, r.neighbor_id) for r in
+                ivf_probe(centroids, incr, qs, k=3, nprobe=2).collect())
+    pf = sorted((r.query_id, r.rank, r.neighbor_id) for r in
+                ivf_probe(centroids, full, qs, k=3, nprobe=2).collect())
+    assert pi == pf and pi
+
+
+def test_ivf_append_parquet_roundtrip_centroids(spark, tmp_path):
+    # centroids re-read from parquet lose the driver-side stash — the
+    # bounded-take literal path must assign identically.
+    from flood_data_spark.datapipe.similarity import ivf_append, ivf_build
+
+    emb = _toy_embeddings(spark)
+    centroids, _ = ivf_build(emb, nlist=4)
+    cpath = str(tmp_path / "centroids.parquet")
+    centroids.write.parquet(cpath)
+    reread = spark.read.parquet(cpath)
+    got = sorted((r.neighbor_id, r.list_id) for r in
+                 ivf_append(reread, emb).collect())
+    want = sorted((r.neighbor_id, r.list_id) for r in
+                  ivf_append(centroids, emb).collect())
+    assert got == want
+
+
+def test_ivf_drift_report_balanced_and_drifted(spark):
+    from flood_data_spark.datapipe.similarity import (ivf_append,
+                                                      ivf_build,
+                                                      ivf_drift_report)
+
+    emb = _toy_embeddings(spark, n=60, n_clusters=3)
+    centroids, lists = ivf_build(emb, nlist=3)
+    rep = {r.list_id: r for r in
+           ivf_drift_report(centroids, lists).collect()}
+    assert sum(r.n for r in rep.values()) == 60
+    assert len(rep) <= 3
+    for r in rep.values():
+        assert -1.0 <= r.drift_cos <= 1.0
+        assert r.imbalance > 0
+    # a fresh, well-fit index should not demand a re-train
+    assert not any(r.retrain for r in rep.values())
+    # now append a hot, drifting batch aimed at one list: its size and
+    # mean move, and the report flags it
+    hot = spark.createDataFrame(
+        [(1000 + i,
+          [0.4 if d == 0 else (0.9 if d == 7 else 0.0)
+           for d in range(8)]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    lists2 = lists.unionByName(ivf_append(centroids, hot))
+    rep2 = ivf_drift_report(centroids, lists2).collect()
+    assert any(r.retrain for r in rep2)

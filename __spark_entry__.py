@@ -5683,6 +5683,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_threshold_summary(spark, SF_SMOKE)
 
 
+def q_fdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow-duration curve (operators/extremes.flow_duration_curve —
+    VERDICT r14 #7): per-cell descending-rank Weibull exceedance
+    probabilities i/(n+1) as exact integer ratios over the shared
+    daily hydrograph.  ZERO double seams.  Full value oracle."""
+    from flood_data_spark.operators.extremes import flow_duration_curve
+
+    return flow_duration_curve(_daily_hydrograph(spark, sf_dir),
+                               "inflow", ["cell"])
+
+
+def q_flow_percentile_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USGS-WaterWatch streamflow condition classes
+    (operators/extremes.flow_percentile_class — VERDICT r14 #7): the
+    last 5 days of the shared hydrograph classed against the first 25
+    as the historical record — mid-rank percentile as an exact
+    integer micro ratio, the seven-class when-ladder mirrored
+    verbatim in SQL.  Full value oracle."""
+    from flood_data_spark.operators.extremes import (
+        flow_percentile_class)
+
+    daily = _daily_hydrograph(spark, sf_dir)
+    return flow_percentile_class(daily.filter(F.col("day") >= 25),
+                                 daily.filter(F.col("day") < 25),
+                                 "inflow", ["cell"])
+
+
 def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance
     (datapipe/similarity.ivf_append — VERDICT r14 #5): build the index
@@ -6114,6 +6141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_recall": q_ivf_recall,
         "q_ivf_incremental": q_ivf_incremental,
         "q_ivf_drift": q_ivf_drift,
+        "q_fdc": q_fdc,
+        "q_flow_percentile_class": q_flow_percentile_class,
         "q_ivf_sq8_recall": q_ivf_sq8_recall,
         "q_embedding_dedup_lsh_recall": q_embedding_dedup_lsh_recall,
         "q_lang_id": q_lang_id,
@@ -14204,6 +14233,71 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_top1_cosine,
                    TRUE AS recall_ok, TRUE AS bounded_ok
             FROM ranked WHERE rank <= 5
+        """,
+        # q_fdc: descending Weibull ranks over the shared daily
+        # hydrograph, exceed_p as the exact integer ratio i*1e6/(n+1)
+        "q_fdc": f"""
+            WITH daily AS (
+                SELECT user_id % 5 AS cell,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS day,
+                       max(value) AS inflow
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT cell, inflow AS value,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY inflow DESC)
+                             AS rank,
+                         CAST(count(*) OVER (PARTITION BY cell)
+                              AS BIGINT) AS n
+                  FROM daily)
+            SELECT cell, CAST(rank AS BIGINT) AS rank, value, n,
+                   CAST({idiv_int('CAST(rank AS HUGEINT) * 1000000',
+                                  'CAST(n AS HUGEINT) + 1')}
+                        AS DOUBLE) / 1000000.0 AS exceed_p
+            FROM r
+        """,
+        # q_flow_percentile_class: mid-rank percentile of each
+        # current value on the historical empirical CDF (micro-space
+        # comparisons), seven-class WaterWatch when-ladder verbatim
+        "q_flow_percentile_class": f"""
+            WITH daily AS (
+                SELECT user_id % 5 AS cell,
+                       date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS day,
+                       max(value) AS inflow
+                FROM events GROUP BY 1, 2),
+            cur AS (SELECT DISTINCT cell, inflow AS value,
+                           CAST(sign(inflow) * floor(abs(inflow)
+                                * 1000000 + 0.5) AS HUGEINT) AS qc
+                    FROM daily WHERE day >= 25),
+            hist AS (SELECT cell,
+                            CAST(sign(inflow) * floor(abs(inflow)
+                                 * 1000000 + 0.5) AS HUGEINT) AS qh
+                     FROM daily WHERE day < 25),
+            c AS (SELECT cur.cell, cur.value, cur.qc,
+                         CAST(count(*) AS BIGINT) AS n_hist,
+                         CAST(sum(CASE WHEN qh < qc THEN 1 ELSE 0
+                                  END) AS BIGINT) AS lt,
+                         CAST(sum(CASE WHEN qh = qc THEN 1 ELSE 0
+                                  END) AS BIGINT) AS eq
+                  FROM cur JOIN hist ON cur.cell = hist.cell
+                  GROUP BY 1, 2, 3),
+            p AS (SELECT cell, value, n_hist, lt, eq,
+                         {idiv_int('(2 * CAST(lt AS HUGEINT) + eq)'
+                                   ' * 1000000',
+                                   '2 * CAST(n_hist AS HUGEINT)')}
+                             AS pq
+                  FROM c)
+            SELECT cell, value, n_hist,
+                   CAST(pq AS DOUBLE) / 1000000.0 AS pct,
+                   CASE WHEN lt = 0 AND eq = 0 THEN 'record low'
+                        WHEN lt = n_hist THEN 'record high'
+                        WHEN pq < 100000 THEN 'much below normal'
+                        WHEN pq < 250000 THEN 'below normal'
+                        WHEN pq <= 750000 THEN 'normal'
+                        WHEN pq <= 900000 THEN 'above normal'
+                        ELSE 'much above normal' END AS condition
+            FROM p
         """,
         # q_ivf_incremental: the SQL side states the append contract
         # (build(A)+append(B) == assign(A∪B) under frozen centroids —

@@ -289,6 +289,10 @@ BENCH_QUERIES = [
     "q_fss_big",
     "q_quantile_map_x10",
     "q_regrid_big",
+    # round-15: FDC/WaterWatch classes + incremental IVF maintenance
+    "q_fdc",
+    "q_flow_percentile_class",
+    "q_ivf_incremental",
 ]
 
 _IVF_INDEX = {}

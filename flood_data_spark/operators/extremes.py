@@ -1070,3 +1070,124 @@ def low_flow_frequency(df: DataFrame, value_col: str, order_col: str,
     return (fit.select(*keys, "n", "period",
                        (-F.col("level")).alias("q_low"))
             .orderBy(*keys, "period"))
+
+
+def flow_duration_curve(df: DataFrame, value_col: str,
+                        group_keys) -> DataFrame:
+    """Flow-duration curve per group (Searcy 1959, USGS WSP 1542-A —
+    the exceedance-probability view of a streamflow record that
+    water-supply, hydropower and habitat assessments are read off;
+    the operational complement of [doy_climatology]'s seasonal band
+    and [low_flow_frequency]'s rare-event tail):
+
+        rank flows DESCENDING,  p_i = i / (n+1)    (Weibull)
+
+    so p is the fraction of time the flow is EQUALED OR EXCEEDED —
+    Q95 (p = 0.95) is the low-flow yield, Q5 the high-flow regime.
+
+    Exactness: the rank comes off ONE group-keyed window ordered by
+    value DESCENDING (raw doubles — engine-portable comparisons, the
+    [plotting_positions] precedent); p is the exact integer ratio
+    i·1e6/(n+1) via `_idiv_half_up` — zero double seams.  Ties swap
+    ranks between identical values, so the output multiset is
+    permutation-invariant (the gate-hash contract).
+
+    Scale posture: one group exchange, a window and a projection — no
+    join, no global sort (the [spi_empirical] posture); at 100 TB the
+    plan is scan → group exchange → done.  Returns (keys…, rank,
+    value, n, exceed_p), sorted by (keys, rank)."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("flow_duration_curve: need at least one "
+                         "group key")
+    dec = "decimal(38,0)"
+    mega = F.lit(MICRO).cast(dec)
+    mega_f = F.lit(float(MICRO))
+    w = Window.partitionBy(*keys).orderBy(F.desc("value"))
+    wn = Window.partitionBy(*keys)
+    ranked = (df.select(*keys, F.col(value_col).alias("value"))
+              .withColumn("rank", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wn)
+                          .cast("long")))
+    i = F.col("rank").cast(dec)
+    n = F.col("n").cast(dec)
+    return (ranked.select(
+        *keys, "rank", "value", "n",
+        (_idiv_half_up(i * mega, n + F.lit(1).cast(dec))
+         .cast("double") / mega_f).alias("exceed_p"))
+        .orderBy(*keys, "rank"))
+
+
+def flow_percentile_class(current: DataFrame, historical: DataFrame,
+                          value_col: str, group_keys,
+                          hist_value_col: str | None = None
+                          ) -> DataFrame:
+    """Streamflow percentile classes (the USGS WaterWatch legend —
+    the normal/drought condition map read daily against each gauge's
+    historical flow-duration curve): place each `current` row's value
+    on its group's HISTORICAL empirical CDF and assign the
+    seven-class condition:
+
+        record low    below every historical value
+        much below    pct <  0.10
+        below normal  0.10 ≤ pct < 0.25
+        normal        0.25 ≤ pct ≤ 0.75
+        above normal  0.75 < pct ≤ 0.90
+        much above    pct >  0.90
+        record high   above every historical value
+
+    pct is the MID-RANK empirical percentile — the exact integer
+    ratio (2·#{h < x} + #{h = x})·1e6 / (2n) in micro space
+    (comparisons in quantized micros, so 'equal' is engine-portable)
+    — the tie-symmetric convention: a value equal to the whole record
+    reads 0.5, and record low/high are the exact count boundaries
+    #{h < x} + #{h = x} = 0 / #{h < x} = n, not float edges.
+
+    Scale posture: ONE keys-equi-join of the historical corpus
+    against the (keys-cardinality-bounded) current relation, then ONE
+    (keys, value) group exchange of conditional counts — the corpus
+    moves once, no window over it, no theta join; broadcast `current`
+    when it is a single day's gauge vector.  Groups with no
+    historical record drop out (inner join) — a condition class
+    against an empty record is undefined.  `current` is deduplicated
+    on (keys, value) first: duplicate current rows are
+    indistinguishable on the CDF, and leaving them in would inflate
+    the join-side counts.  Returns ONE row per distinct (keys…,
+    value): (keys…, value, n_hist, pct, condition), sorted."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("flow_percentile_class: need at least one "
+                         "group key")
+    hv = hist_value_col or value_col
+    dec = "decimal(38,0)"
+    mega_f = F.lit(float(MICRO))
+    cur = current.select(*keys, F.col(value_col).alias("value"),
+                         _micro(F.col(value_col)).alias("_qc")) \
+        .distinct()
+    hist = historical.select(*keys, _micro(F.col(hv)).alias("_qh"))
+    joined = cur.join(hist, on=keys, how="inner")
+    counts = (joined.groupBy(*keys, "value", "_qc")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_hist"),
+                   F.sum(F.when(F.col("_qh") < F.col("_qc"), 1)
+                         .otherwise(0)).cast("long").alias("_lt"),
+                   F.sum(F.when(F.col("_qh") == F.col("_qc"), 1)
+                         .otherwise(0)).cast("long").alias("_eq")))
+    pq = _idiv_half_up(
+        (F.lit(2).cast(dec) * F.col("_lt").cast(dec)
+         + F.col("_eq").cast(dec)) * F.lit(MICRO).cast(dec),
+        F.lit(2).cast(dec) * F.col("n_hist").cast(dec))
+    cond = (F.when((F.col("_lt") == 0) & (F.col("_eq") == 0),
+                   F.lit("record low"))
+            .when(F.col("_lt") == F.col("n_hist"),
+                  F.lit("record high"))
+            .when(F.col("_pq") < 100_000, F.lit("much below normal"))
+            .when(F.col("_pq") < 250_000, F.lit("below normal"))
+            .when(F.col("_pq") <= 750_000, F.lit("normal"))
+            .when(F.col("_pq") <= 900_000, F.lit("above normal"))
+            .otherwise(F.lit("much above normal")))
+    return (counts.withColumn("_pq", pq)
+            .select(*keys, "value", "n_hist",
+                    (F.col("_pq").cast("double") / mega_f)
+                    .alias("pct"),
+                    cond.alias("condition"))
+            .orderBy(*keys, "value"))

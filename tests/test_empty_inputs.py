@@ -303,3 +303,31 @@ def test_empty_round14_operators(spark):
     ]
     for df in cases:
         assert df.count() == 0
+
+
+def test_empty_round15_operators(spark):
+    """Round-15 additions degrade to empty results on empty frames."""
+    from flood_data_spark.datapipe.similarity import (ivf_append,
+                                                      ivf_drift_report)
+    from flood_data_spark.operators.extremes import (
+        flow_duration_curve, flow_percentile_class)
+
+    e_hydro = spark.createDataFrame([], "cell string, day int, v double")
+    e_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "list_id int, cvec array<double>")
+    e_lists = spark.createDataFrame(
+        [], "neighbor_id long, neighbor_id_vec array<double>, "
+            "list_id int")
+    cases = [
+        flow_duration_curve(e_hydro, "v", ["cell"]),
+        flow_percentile_class(e_hydro.select("cell", "v"),
+                              e_hydro.select("cell", "v"),
+                              "v", ["cell"]),
+        ivf_append(centroids, e_emb),
+        ivf_drift_report(centroids, e_lists),
+    ]
+    for df in cases:
+        assert df.count() == 0

@@ -258,3 +258,62 @@ def test_ivf_drift_report_balanced_and_drifted(spark):
     lists2 = lists.unionByName(ivf_append(centroids, hot))
     rep2 = ivf_drift_report(centroids, lists2).collect()
     assert any(r.retrain for r in rep2)
+
+
+# --- flow-duration curve + WaterWatch classes (VERDICT r14 #7) ---------------
+
+
+def test_fdc_against_numpy(spark):
+    import numpy as np
+    from flood_data_spark.operators.extremes import flow_duration_curve
+
+    vals = [3.0, 7.5, 1.2, 9.9, 3.0, 0.4, 6.6]
+    df = spark.createDataFrame([(1, v) for v in vals],
+                               "cell int, flow double")
+    out = flow_duration_curve(df, "flow", ["cell"]).collect()
+    n = len(vals)
+    want = sorted(zip(sorted(vals, reverse=True),
+                      [(i + 1) / (n + 1) for i in range(n)]))
+    got = sorted((r.value, r.exceed_p) for r in out)
+    for (gv, gp), (wv, wp) in zip(got, want):
+        assert gv == wv and abs(gp - wp) < 1e-6
+    assert all(r.n == n for r in out)
+    # partition invariance: the multiset survives any partitioning
+    out2 = flow_duration_curve(df.repartition(5), "flow",
+                               ["cell"]).collect()
+    assert sorted((r.value, r.rank, r.exceed_p) for r in out2) == \
+        sorted((r.value, r.rank, r.exceed_p) for r in out)
+
+
+def test_flow_percentile_class_boundaries(spark):
+    from flood_data_spark.operators.extremes import (
+        flow_percentile_class)
+
+    hist = spark.createDataFrame([(1, float(v)) for v in range(1, 21)],
+                                 "cell int, flow double")
+    cur = spark.createDataFrame(
+        [(1, 0.5), (1, 1.0), (1, 2.0), (1, 4.0), (1, 10.0),
+         (1, 17.5), (1, 19.0), (1, 20.0), (1, 25.0), (2, 3.0)],
+        "cell int, flow double")
+    out = {r.value: r for r in
+           flow_percentile_class(cur, hist, "flow", ["cell"])
+           .collect()}
+    assert out[0.5].condition == "record low"       # below all 20
+    assert out[25.0].condition == "record high"     # above all 20
+    # 1.0: lt=0 eq=1 -> pct=0.025 -> much below
+    assert out[1.0].condition == "much below normal"
+    # 2.0: lt=1 eq=1 -> pct=0.075 -> much below
+    assert out[2.0].condition == "much below normal"
+    # 4.0: lt=3 eq=1 -> pct=0.175 -> below normal
+    assert out[4.0].condition == "below normal"
+    # 10.0: lt=9 eq=1 -> pct=0.475 -> normal
+    assert out[10.0].condition == "normal"
+    # 17.5: lt=17 eq=0 -> pct=0.85 -> above normal
+    assert out[17.5].condition == "above normal"
+    # 19.0: lt=18 eq=1 -> pct=0.925 -> much above
+    assert out[19.0].condition == "much above normal"
+    # 20.0: lt=19 eq=1 -> pct=0.975, eq>0 so NOT record high
+    assert out[20.0].condition == "much above normal"
+    # cell 2 has no history -> dropped
+    assert all(r.n_hist == 20 for r in out.values())
+    assert 3.0 not in out

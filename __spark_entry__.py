@@ -5710,6 +5710,35 @@ def q_flow_percentile_class(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "inflow", ["cell"])
 
 
+def q_alert_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GloFAS-style persistence alerts
+    (operators/threshold.alert_triggers — round 15): per-cell daily
+    exceedance probabilities (fraction of events > 80 per day) cut at
+    p ≥ 0.2 in micro space, consecutive-day runs via the
+    gaps-and-islands pair, alerts at ≥ 3 consecutive leads.  Full
+    value oracle."""
+    from flood_data_spark.operators.threshold import alert_triggers
+
+    ev = _t(spark, sf_dir, "events")
+    probs = (ev.groupBy((F.col("user_id") % 6).alias("cell"),
+                        F.dayofmonth("ts").alias("lead"))
+             .agg(F.avg(F.when(F.col("value") > 80, 1)
+                        .otherwise(0)).alias("p")))
+    return alert_triggers(probs, "p", "lead", ["cell"],
+                          threshold=0.2, min_consecutive=3)
+
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication weights (datapipe/dedup.soft_dedup_weights
+    — round 15): every document keeps sampling weight 1/n_copies of
+    its exact-duplicate group (downweight-don't-drop), the weight an
+    exact integer micro ratio.  Full value oracle."""
+    from flood_data_spark.datapipe.dedup import soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return soft_dedup_weights(docs)
+
+
 def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance
     (datapipe/similarity.ivf_append — VERDICT r14 #5): build the index
@@ -6143,6 +6172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_drift": q_ivf_drift,
         "q_fdc": q_fdc,
         "q_flow_percentile_class": q_flow_percentile_class,
+        "q_alert_triggers": q_alert_triggers,
+        "q_soft_dedup": q_soft_dedup,
         "q_ivf_sq8_recall": q_ivf_sq8_recall,
         "q_embedding_dedup_lsh_recall": q_embedding_dedup_lsh_recall,
         "q_lang_id": q_lang_id,
@@ -14233,6 +14264,56 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_top1_cosine,
                    TRUE AS recall_ok, TRUE AS bounded_ok
             FROM ranked WHERE rank <= 5
+        """,
+        # q_alert_triggers: exceedance probabilities cut in micro
+        # space, gaps-and-islands runs (lag + running sum), the
+        # persistence filter — mirrored verbatim
+        "q_alert_triggers": f"""
+            WITH probs AS (
+                SELECT user_id % 6 AS cell, day(CAST(ts AS DATE))
+                           AS lead,
+                       avg(CASE WHEN value > 80 THEN 1 ELSE 0 END)
+                           AS p
+                FROM events GROUP BY 1, 2),
+            exc AS (SELECT cell, CAST(lead AS BIGINT) AS o,
+                           CAST(sign(p) * floor(abs(p) * 1000000
+                                + 0.5) AS BIGINT) AS qp
+                    FROM probs
+                    WHERE CAST(sign(p) * floor(abs(p) * 1000000
+                               + 0.5) AS BIGINT) >= 200000),
+            g AS (SELECT cell, o, qp,
+                         CASE WHEN o - lag(o) OVER (PARTITION BY cell
+                                                    ORDER BY o) > 1
+                              THEN 1 ELSE 0 END AS new_run
+                  FROM exc),
+            r AS (SELECT cell, o, qp,
+                         sum(new_run) OVER (PARTITION BY cell
+                                            ORDER BY o
+                                            ROWS UNBOUNDED PRECEDING)
+                             AS run
+                  FROM g)
+            SELECT cell, CAST(run AS BIGINT) AS run,
+                   min(o) AS start_o, max(o) AS end_o,
+                   CAST(count(*) AS BIGINT) AS n_leads,
+                   CAST(max(qp) AS DOUBLE) / 1000000.0 AS max_p
+            FROM r GROUP BY cell, run
+            HAVING count(*) >= 3
+        """,
+        # q_soft_dedup: digest counts joined back, weight the exact
+        # half-up integer ratio 1e6/n
+        "q_soft_dedup": f"""
+            WITH k AS (
+                SELECT doc_id AS id,
+                       md5(lower(regexp_replace(trim(text), '\\s+',
+                                                ' ', 'g'))) AS dk
+                FROM documents),
+            c AS (SELECT dk, CAST(count(*) AS BIGINT) AS n_copies
+                  FROM k GROUP BY dk)
+            SELECT k.id, c.n_copies,
+                   CAST({idiv_int('CAST(1000000 AS HUGEINT)',
+                                  'CAST(n_copies AS HUGEINT)')}
+                        AS DOUBLE) / 1000000.0 AS weight
+            FROM k JOIN c ON k.dk = c.dk
         """,
         # q_fdc: descending Weibull ranks over the shared daily
         # hydrograph, exceed_p as the exact integer ratio i*1e6/(n+1)

@@ -14,6 +14,7 @@ from flood_data_spark.datapipe.text import (
 from flood_data_spark.datapipe.dedup import (
     dedup_against,
     exact_dedup,
+    soft_dedup_weights,
     ngram_containment,
     ngram_jaccard_join,
     ngram_jaccard_pairs,
@@ -154,7 +155,8 @@ __all__ = [
     "word_table", "seed_vocabulary", "viterbi_segment", "em_reestimate",
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
-    "dedup_against", "exact_dedup", "ngram_containment",
+    "dedup_against", "exact_dedup", "soft_dedup_weights",
+    "ngram_containment",
     "ngram_jaccard_join", "ngram_jaccard_pairs",
     "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_dup_pairs", "dedup_clusters", "tfidf_topk", "term_rows",

@@ -925,3 +925,39 @@ def remove_repeated_spans(df: DataFrame, window: int = 8,
                     F.col("n_tokens_kept").cast("long")
                     .alias("n_tokens_kept"),
                     out_col))
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       normalize: bool = True) -> DataFrame:
+    """Soft deduplication — downweight, don't drop (the SoftDeDup /
+    duplication-aware-sampling convention: each DISTINCT text should
+    contribute unit mass to the training mixture regardless of how
+    many times the crawl caught it, so a document in a duplicate
+    group of n samples at weight 1/n instead of being deleted —
+    preserving the signal that duplicated text is often higher
+    quality, without the n× gradient overcount).
+
+    weight = the exact integer ratio round(1e6/n_copies)/1e6 — the
+    `_idiv_half_up` convention, engine-portable.  Returns every input
+    id: (id, n_copies, weight), one row per document.
+
+    Scale posture: the [exact_dedup] digest groupBy (text never
+    shuffles — only (digest, id) pairs move) + ONE digest-keyed
+    equi-join of the counts back onto the id relation, both sides
+    co-partitioned on the digest.  At 100 TB this is two narrow
+    shuffles of 16-byte keys."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    dec = "decimal(38,0)"
+    keyed = df.select(F.col(id_col).alias("id"),
+                      _digest(F.col(text_col), normalize).alias("_dk"))
+    counts = (keyed.groupBy("_dk")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_copies")))
+    return (keyed.join(counts, "_dk")
+            .select("id", "n_copies",
+                    (_idiv_half_up(
+                        F.lit(1_000_000).cast(dec),
+                        F.col("n_copies").cast(dec)).cast("double")
+                     / F.lit(1e6)).alias("weight"))
+            .orderBy("id"))

@@ -167,3 +167,66 @@ def ensemble_threshold_summary(forecast_df: DataFrame,
                     F.element_at("_q", 2).alias("median_dis"),
                     F.element_at("_q", 3).alias("Q3_dis"),
                     "max_dis"))
+
+
+def alert_triggers(df: DataFrame, prob_col: str, order_col: str,
+                   group_keys, threshold: float = 0.3,
+                   min_consecutive: int = 3,
+                   step: int = 1) -> DataFrame:
+    """Operational flood-alert triggers over an exceedance-probability
+    product — the PERSISTENCE criterion operational services apply to
+    GloFAS-style P(exceed) leads (alerts activate only when the
+    probability holds, e.g. '≥ 30% probability of exceeding the
+    20-year threshold for ≥ 3 consecutive daily leads' — the
+    published GloFAS activation shape), turning [ensemble_threshold_
+    summary]'s per-lead probabilities into the alert table a duty
+    forecaster reads:
+
+        keep leads with p ≥ threshold, group CONSECUTIVE leads
+        (gap > `step` on the integer `order_col` axis breaks the
+        run — a missing lead breaks persistence), emit runs with
+        ≥ `min_consecutive` leads.
+
+    Exactness: the probability is compared in quantized micro space
+    (p and threshold both micro-floored, so the cut is engine-
+    portable even when p is a ratio of member counts), and the runs
+    come off [drought_runs]'s gaps-and-islands pair — one lag window
+    + one running-sum window on the SAME group-keyed sort.  max_p
+    closes as a max over integer micros.
+
+    Scale posture: one filter (pushed to the scan), ONE group-keyed
+    exchange carrying only the rows above threshold (at operational
+    probabilities that's a small fraction of the grid), two windows
+    and a groupBy on it.  Returns (keys…, run, start_o, end_o,
+    n_leads, max_p), sorted."""
+    keys = list(group_keys)
+    if not keys:
+        raise ValueError("alert_triggers: need at least one group key")
+    if min_consecutive < 1:
+        raise ValueError("alert_triggers: min_consecutive must be "
+                         f">= 1, got {min_consecutive}")
+    from pyspark.sql import Window
+
+    c = F.col(prob_col).cast("double")
+    qp = (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
+                                + F.lit(0.5))).cast("long")
+    qthr = int(round(float(threshold) * 1_000_000))
+    exc = (df.select(*keys, F.col(order_col).cast("long").alias("_o"),
+                     qp.alias("_qp"))
+           .filter(F.col("_qp") >= F.lit(qthr)))
+    w = Window.partitionBy(*keys).orderBy("_o")
+    new_flag = F.when(
+        F.col("_o") - F.lag("_o", 1).over(w) > F.lit(int(step)),
+        F.lit(1)).otherwise(F.lit(0))
+    wrun = (Window.partitionBy(*keys).orderBy("_o")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    runs = (exc.withColumn("_new", new_flag)
+            .withColumn("run", F.sum("_new").over(wrun)))
+    return (runs.groupBy(*keys, "run")
+            .agg(F.min("_o").alias("start_o"),
+                 F.max("_o").alias("end_o"),
+                 F.count(F.lit(1)).cast("long").alias("n_leads"),
+                 (F.max("_qp").cast("double") / F.lit(1e6))
+                 .alias("max_p"))
+            .filter(F.col("n_leads") >= F.lit(int(min_consecutive)))
+            .orderBy(*keys, "start_o"))

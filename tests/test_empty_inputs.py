@@ -307,10 +307,12 @@ def test_empty_round14_operators(spark):
 
 def test_empty_round15_operators(spark):
     """Round-15 additions degrade to empty results on empty frames."""
+    from flood_data_spark.datapipe.dedup import soft_dedup_weights
     from flood_data_spark.datapipe.similarity import (ivf_append,
                                                       ivf_drift_report)
     from flood_data_spark.operators.extremes import (
         flow_duration_curve, flow_percentile_class)
+    from flood_data_spark.operators.threshold import alert_triggers
 
     e_hydro = spark.createDataFrame([], "cell string, day int, v double")
     e_emb = spark.createDataFrame(
@@ -328,6 +330,11 @@ def test_empty_round15_operators(spark):
                               "v", ["cell"]),
         ivf_append(centroids, e_emb),
         ivf_drift_report(centroids, e_lists),
+        alert_triggers(spark.createDataFrame(
+            [], "cell string, lead int, p double"),
+            "p", "lead", ["cell"]),
+        soft_dedup_weights(spark.createDataFrame(
+            [], "doc_id long, text string")),
     ]
     for df in cases:
         assert df.count() == 0

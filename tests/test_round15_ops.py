@@ -317,3 +317,54 @@ def test_flow_percentile_class_boundaries(spark):
     # cell 2 has no history -> dropped
     assert all(r.n_hist == 20 for r in out.values())
     assert 3.0 not in out
+
+
+# --- alert triggers + soft dedup weights -------------------------------------
+
+
+def test_alert_triggers_persistence(spark):
+    from flood_data_spark.operators.threshold import alert_triggers
+
+    # cell 1: leads 1-2 above (too short), 5-8 above (alert),
+    # 10 above alone (too short); cell 2: nothing above.
+    rows = [(1, 1, 0.5), (1, 2, 0.4), (1, 3, 0.1), (1, 4, 0.2),
+            (1, 5, 0.35), (1, 6, 0.9), (1, 7, 0.31), (1, 8, 0.30),
+            (1, 9, 0.29), (1, 10, 0.8),
+            (2, 1, 0.1), (2, 2, 0.0)]
+    df = spark.createDataFrame(rows, "cell int, lead int, p double")
+    out = alert_triggers(df, "p", "lead", ["cell"],
+                         threshold=0.30, min_consecutive=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.cell, r.start_o, r.end_o, r.n_leads) == (1, 5, 8, 4)
+    assert abs(r.max_p - 0.9) < 1e-9
+    # p == threshold is IN (>=, micro-exact): lead 8 at 0.30 counted
+    # a gap in the lead axis breaks the run even when p stays high
+    gap = spark.createDataFrame(
+        [(1, 1, 0.9), (1, 2, 0.9), (1, 4, 0.9), (1, 5, 0.9)],
+        "cell int, lead int, p double")
+    assert alert_triggers(gap, "p", "lead", ["cell"],
+                          threshold=0.3,
+                          min_consecutive=3).count() == 0
+    assert alert_triggers(gap, "p", "lead", ["cell"], threshold=0.3,
+                          min_consecutive=2).count() == 2
+
+
+def test_soft_dedup_weights(spark):
+    from flood_data_spark.datapipe.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "Alpha  "), (4, "alpha"),
+         (5, "gamma")],
+        "doc_id long, text string")
+    out = {r.id: r for r in soft_dedup_weights(docs).collect()}
+    assert len(out) == 5                       # every doc kept
+    # "alpha" group: ids 1,3,4 (normalization folds case/whitespace)
+    for i in (1, 3, 4):
+        assert out[i].n_copies == 3
+        assert abs(out[i].weight - 0.333333) < 1e-9
+    for i in (2, 5):
+        assert out[i].n_copies == 1 and out[i].weight == 1.0
+    # unit mass per distinct text
+    total = sum(r.weight for r in out.values())
+    assert abs(total - 3.0) < 1e-5

@@ -478,3 +478,56 @@ def test_regrid_single_exchange_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_alert_triggers_single_exchange_no_python(spark):
+    """Alert triggers: the micro-space probability cut is a plain
+    Filter feeding ONE group-keyed exchange (two windows + groupBy on
+    the same sort) — no join, no Python stage."""
+    from flood_data_spark.operators.threshold import alert_triggers
+
+    df = spark.range(600).select(
+        (F.col("id") % 6).alias("cell"),
+        (F.col("id") / 6).cast("long").alias("lead"),
+        ((F.col("id") % 10) / 10.0).alias("p"))
+    plan = _plan(alert_triggers(df, "p", "lead", ["cell"],
+                                threshold=0.3, min_consecutive=2))
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flow_percentile_class_equi_join_only(spark):
+    """WaterWatch classes: the historical corpus joins ONCE as an
+    equi-join on the group keys — never a nested-loop scan of the
+    record per current row."""
+    from flood_data_spark.operators.extremes import (
+        flow_percentile_class)
+
+    cur = spark.range(40).select(
+        (F.col("id") % 4).alias("cell"),
+        (F.col("id") % 13).cast("double").alias("v"))
+    hist = spark.range(4000).select(
+        (F.col("id") % 4).alias("cell"),
+        (F.col("id") % 97).cast("double").alias("v"))
+    plan = _plan(flow_percentile_class(cur, hist, "v", ["cell"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_append_shuffle_free(spark):
+    """ivf_append on literal-path centroids: a narrow map over the
+    batch — no Exchange, no join, no Python."""
+    from flood_data_spark.datapipe.similarity import (ivf_append,
+                                                      ivf_build)
+
+    emb = spark.range(80).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 2)).cast("double")
+                  for i in range(4)]).alias("embedding"))
+    centroids, _ = ivf_build(emb, nlist=4)
+    plan = _plan(ivf_append(centroids, emb))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan

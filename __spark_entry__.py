@@ -5710,6 +5710,38 @@ def q_flow_percentile_class(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "inflow", ["cell"])
 
 
+def q_drought_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USDM drought categories composed on the SPI chain
+    (operators/extremes.drought_classes — round 15): the q_spi
+    climatology feeds the D0-D4 when-ladder, cuts compared in
+    quantized micro space.  Make-then-consume in ONE plan; full value
+    oracle (the SPI SQL chain + the identical ladder on the seam's
+    integer output)."""
+    from flood_data_spark.operators.extremes import (drought_classes,
+                                                     spi_empirical)
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy((F.col("user_id") % 6).alias("cell"),
+                        F.dayofmonth("ts").alias("day"))
+             .agg(F.max("value").alias("precip")))
+    spi = spi_empirical(daily, "precip", ["cell"], "day")
+    return (drought_classes(spi, "spi")
+            .select("cell", "day", "spi", "d_class", "in_drought")
+            .orderBy("cell", "day"))
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representative selection
+    (datapipe/dedup.dedup_keep_best — round 15): highest-quality copy
+    per exact-duplicate group (n_chars as the quality signal), min-id
+    tiebreak, ONE struct-max aggregate.  Full value oracle."""
+    from flood_data_spark.datapipe.dedup import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_keep_best(docs.withColumn(
+        "qual", F.col("n_chars").cast("double")), "qual")
+
+
 def q_alert_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GloFAS-style persistence alerts
     (operators/threshold.alert_triggers — round 15): per-cell daily
@@ -6174,6 +6206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flow_percentile_class": q_flow_percentile_class,
         "q_alert_triggers": q_alert_triggers,
         "q_soft_dedup": q_soft_dedup,
+        "q_drought_classes": q_drought_classes,
+        "q_dedup_keep_best": q_dedup_keep_best,
         "q_ivf_sq8_recall": q_ivf_sq8_recall,
         "q_embedding_dedup_lsh_recall": q_embedding_dedup_lsh_recall,
         "q_lang_id": q_lang_id,
@@ -14264,6 +14298,68 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_top1_cosine,
                    TRUE AS recall_ok, TRUE AS bounded_ok
             FROM ranked WHERE rank <= 5
+        """,
+        # q_drought_classes: the q_spi chain + the USDM D0-D4 ladder
+        # on the probit seam's INTEGER output — exact comparisons
+        "q_drought_classes": f"""
+            WITH src AS (
+                SELECT user_id % 6 AS cell, day(ts) AS day,
+                       max(value) AS precip
+                FROM events GROUP BY 1, 2),
+            q AS (SELECT cell, day, precip AS value,
+                         CAST(sign(precip) * floor(abs(precip)
+                              * 1000000 + 0.5) AS HUGEINT) AS qx
+                  FROM src),
+            r AS (SELECT cell, day, value, qx,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY qx, day) AS i,
+                         CAST(count(*) OVER (PARTITION BY cell)
+                              AS BIGINT) AS n
+                  FROM q),
+            p AS (SELECT cell, day, value, n,
+                         greatest(1, least(999999,
+                         {idiv_int('(100 * CAST(i AS HUGEINT) - 44) '
+                                   '* 1000000',
+                                   '100 * CAST(n AS HUGEINT) + 12')}
+                         )) AS pq
+                  FROM r),
+            sq AS (SELECT cell, day,
+                          {_qseam_sql(_SPI_PROBIT)} AS s
+                   FROM p)
+            SELECT cell, day, CAST(s AS DOUBLE) / 1000000.0 AS spi,
+                   CASE WHEN s IS NULL THEN NULL
+                        WHEN s <= -2000000 THEN 'D4'
+                        WHEN s <= -1600000 THEN 'D3'
+                        WHEN s <= -1300000 THEN 'D2'
+                        WHEN s <= -800000 THEN 'D1'
+                        WHEN s <= -500000 THEN 'D0'
+                        ELSE 'none' END AS d_class,
+                   CASE WHEN s IS NULL THEN NULL
+                        ELSE s <= -500000 END AS in_drought
+            FROM sq
+        """,
+        # q_dedup_keep_best: struct-max pick mirrored as a
+        # (quality desc, id asc) window pick
+        "q_dedup_keep_best": """
+            WITH k AS (
+                SELECT md5(lower(regexp_replace(trim(text), '\\s+',
+                                                ' ', 'g'))) AS dup_key,
+                       doc_id AS id,
+                       CAST(sign(CAST(n_chars AS DOUBLE))
+                            * floor(abs(CAST(n_chars AS DOUBLE))
+                                    * 1000000 + 0.5) AS BIGINT) AS qq
+                FROM documents),
+            r AS (SELECT dup_key, id, qq,
+                         row_number() OVER (PARTITION BY dup_key
+                                            ORDER BY qq DESC, id ASC)
+                             AS rn,
+                         CAST(count(*) OVER (PARTITION BY dup_key)
+                              AS BIGINT) AS n_copies
+                  FROM k)
+            SELECT dup_key, id AS rep_id,
+                   CAST(qq AS DOUBLE) / 1000000.0 AS rep_quality,
+                   n_copies
+            FROM r WHERE rn = 1
         """,
         # q_alert_triggers: exceedance probabilities cut in micro
         # space, gaps-and-islands runs (lag + running sum), the

@@ -13,6 +13,7 @@ from flood_data_spark.datapipe.text import (
 )
 from flood_data_spark.datapipe.dedup import (
     dedup_against,
+    dedup_keep_best,
     exact_dedup,
     soft_dedup_weights,
     ngram_containment,
@@ -156,6 +157,7 @@ __all__ = [
     "with_token_count", "with_bpe_token_count", "with_quality_signals",
     "with_lang_id", "with_fingerprint",
     "dedup_against", "exact_dedup", "soft_dedup_weights",
+    "dedup_keep_best",
     "ngram_containment",
     "ngram_jaccard_join", "ngram_jaccard_pairs",
     "minhash_signatures", "minhash_lsh_pairs", "simhash",

@@ -961,3 +961,38 @@ def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
                         F.col("n_copies").cast(dec)).cast("double")
                      / F.lit(1e6)).alias("weight"))
             .orderBy("id"))
+
+
+def dedup_keep_best(df: DataFrame, quality_col: str,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    normalize: bool = True) -> DataFrame:
+    """Quality-aware exact dedup — keep the BEST copy, not the first:
+    production pipelines keep the highest-quality duplicate (longest
+    extraction, cleanest markup, best source) rather than the lowest
+    id, because crawl copies of one text differ in surrounding
+    boilerplate quality.  Representative = max (quality, then min id
+    on ties — deterministic) per exact-duplicate group.
+
+    Exactness: the pick is ONE struct-max aggregate over
+    (quality_micro, −id) — no window, no second pass; quality
+    compares in quantized micro space so ties are engine-portable.
+    Returns (dup_key, rep_id, rep_quality, n_copies), the
+    [exact_dedup] shape plus the winning quality.
+
+    Scale posture: identical to [exact_dedup] — the digest groupBy
+    moves (digest, id, quality_micro) triples, never text."""
+    qc = F.col(quality_col).cast("double")
+    qq = (F.signum(qc) * F.floor(F.abs(qc) * F.lit(1_000_000)
+                                 + F.lit(0.5))).cast("long")
+    keyed = df.select(_digest(F.col(text_col), normalize)
+                      .alias("dup_key"),
+                      F.col(id_col).alias("_id"), qq.alias("_qq"))
+    best = F.max(F.struct(F.col("_qq").alias("q"),
+                          (-F.col("_id")).alias("ni")))
+    return (keyed.groupBy("dup_key")
+            .agg(best.alias("_b"),
+                 F.count(F.lit(1)).cast("long").alias("n_copies"))
+            .select("dup_key", (-F.col("_b.ni")).alias("rep_id"),
+                    (F.col("_b.q").cast("double") / F.lit(1e6))
+                    .alias("rep_quality"),
+                    "n_copies"))

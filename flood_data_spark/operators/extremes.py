@@ -1191,3 +1191,42 @@ def flow_percentile_class(current: DataFrame, historical: DataFrame,
                     .alias("pct"),
                     cond.alias("condition"))
             .orderBy(*keys, "value"))
+
+
+def drought_classes(df: DataFrame, spi_col: str,
+                    group_keys=None) -> DataFrame:
+    """US Drought Monitor intensity categories from an SPI-family
+    index (the published USDM SPI mapping — the drought-condition
+    complement of [flow_percentile_class]'s WaterWatch legend):
+
+        D4 exceptional   spi ≤ −2.0
+        D3 extreme       −2.0 < spi ≤ −1.6
+        D2 severe        −1.6 < spi ≤ −1.3
+        D1 moderate      −1.3 < spi ≤ −0.8
+        D0 abnormally dry −0.8 < spi ≤ −0.5
+        none             spi > −0.5
+
+    The ladder compares in quantized micro space (spi values arrive
+    micro-rounded from [spi_empirical], so the class cut at e.g.
+    −1.6 is an exact integer comparison — engine-portable, no float
+    edge); NULL spi (the Var=0 / empty-climatology convention
+    upstream) classes as NULL.  A pure zero-shuffle projection —
+    appends (d_class, in_drought) to the input columns.
+
+    group_keys is accepted for signature symmetry with the rest of
+    the family and ignored (the ladder is per-row)."""
+    c = F.col(spi_col).cast("double")
+    q = (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
+                               + F.lit(0.5))).cast("long")
+    cls = (F.when(c.isNull(), F.lit(None).cast("string"))
+           .when(q <= -2_000_000, F.lit("D4"))
+           .when(q <= -1_600_000, F.lit("D3"))
+           .when(q <= -1_300_000, F.lit("D2"))
+           .when(q <= -800_000, F.lit("D1"))
+           .when(q <= -500_000, F.lit("D0"))
+           .otherwise(F.lit("none")))
+    return (df.withColumn("d_class", cls)
+            .withColumn("in_drought",
+                        F.when(c.isNull(),
+                               F.lit(None).cast("boolean"))
+                        .otherwise(cls != F.lit("none"))))

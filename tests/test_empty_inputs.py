@@ -307,11 +307,13 @@ def test_empty_round14_operators(spark):
 
 def test_empty_round15_operators(spark):
     """Round-15 additions degrade to empty results on empty frames."""
-    from flood_data_spark.datapipe.dedup import soft_dedup_weights
+    from flood_data_spark.datapipe.dedup import (dedup_keep_best,
+                                                 soft_dedup_weights)
     from flood_data_spark.datapipe.similarity import (ivf_append,
                                                       ivf_drift_report)
     from flood_data_spark.operators.extremes import (
-        flow_duration_curve, flow_percentile_class)
+        drought_classes, flow_duration_curve,
+        flow_percentile_class)
     from flood_data_spark.operators.threshold import alert_triggers
 
     e_hydro = spark.createDataFrame([], "cell string, day int, v double")
@@ -335,6 +337,10 @@ def test_empty_round15_operators(spark):
             "p", "lead", ["cell"]),
         soft_dedup_weights(spark.createDataFrame(
             [], "doc_id long, text string")),
+        drought_classes(spark.createDataFrame(
+            [], "cell string, spi double"), "spi"),
+        dedup_keep_best(spark.createDataFrame(
+            [], "doc_id long, text string, q double"), "q"),
     ]
     for df in cases:
         assert df.count() == 0

@@ -368,3 +368,40 @@ def test_soft_dedup_weights(spark):
     # unit mass per distinct text
     total = sum(r.weight for r in out.values())
     assert abs(total - 3.0) < 1e-5
+
+
+# --- USDM drought classes + quality-aware dedup ------------------------------
+
+
+def test_drought_classes_ladder(spark):
+    from flood_data_spark.operators.extremes import drought_classes
+
+    rows = [(1, -2.5, "D4"), (2, -2.0, "D4"), (3, -1.7, "D3"),
+            (4, -1.6, "D3"), (5, -1.45, "D2"), (6, -1.0, "D1"),
+            (7, -0.8, "D1"), (8, -0.6, "D0"), (9, -0.5, "D0"),
+            (10, -0.49, "none"), (11, 0.0, "none"), (12, 1.7, "none"),
+            (13, None, None)]
+    df = spark.createDataFrame([(i, s) for i, s, _ in rows],
+                               "id int, spi double")
+    out = {r.id: r for r in drought_classes(df, "spi").collect()}
+    for i, _, want in rows:
+        assert out[i].d_class == want, (i, out[i].d_class, want)
+    assert out[13].in_drought is None
+    assert out[1].in_drought is True and out[11].in_drought is False
+
+
+def test_dedup_keep_best_quality_pick(spark):
+    from flood_data_spark.datapipe.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", 3.0), (2, "alpha ", 9.0), (3, "ALPHA", 9.0),
+         (4, "beta", 1.0)],
+        "doc_id long, text string, qual double")
+    out = {r.dup_key: r for r in
+           dedup_keep_best(docs, "qual").collect()}
+    assert len(out) == 2
+    grp = next(r for r in out.values() if r.n_copies == 3)
+    # quality 9.0 tie between ids 2 and 3 -> min id wins
+    assert grp.rep_id == 2 and grp.rep_quality == 9.0
+    solo = next(r for r in out.values() if r.n_copies == 1)
+    assert solo.rep_id == 4 and solo.rep_quality == 1.0

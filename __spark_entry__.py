@@ -98,6 +98,20 @@ from flood_data_spark.operators.threshold import (
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Scratch directory for gate-internal stores/checkpoints — on
+    tmpfs when available: the gates that PUBLISH (upsert stores,
+    stream checkpoints) otherwise measure this box's 62 MB/s virtio
+    write path instead of the operator (measured, BASELINE.md round
+    15); semantics (dynamic partition overwrite, re-read, recovery)
+    are filesystem-agnostic.  Callers still shutil.rmtree it."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Queries must be self-sufficient under a vanilla SparkSession (the
     # driver's harness builds its own): pin the session timezone so
@@ -583,8 +597,8 @@ def _run_file_stream(spark: SparkSession, parquet_path: str,
     # abspath: the symlink target resolves relative to the /tmp source
     # dir, so a relative sf_dir would dangle
     path = os.path.abspath(parquet_path)
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
-    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
+    src_dir = _scratch_dir("stream_src_")
+    ckpt_dir = _scratch_dir("ckpt_")
     try:
         os.symlink(path, os.path.join(src_dir, os.path.basename(path)))
         schema = spark.read.parquet(path).schema  # footer-only metadata read
@@ -4303,7 +4317,7 @@ def q_daily_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             join_keys=("partkey",), group_keys=("partkey",)) \
             .withColumn("day", F.lit(day_label))
 
-    store = tempfile.mkdtemp(prefix="daily_store_")
+    store = _scratch_dir("daily_store_")
     try:
         # day-by-day publishes: d0, d1, then the stale d2 issue
         upsert_partitions(detailed("d0"), store, "day")

@@ -302,3 +302,77 @@ def test_fuzz_unigram_encode_long_words(spark, seed):
                      "total_cost_micro",
                      F.concat_ws(" ", "pieces").alias("pieces_str"))
     _compare(pdf, out, "q_unigram_encode", require_rows=True)
+
+
+@pytest.mark.parametrize("seed", [7, 31, 59])
+def test_fuzz_soft_dedup(spark, seed):
+    from flood_data_spark.datapipe.dedup import soft_dedup_weights
+
+    pdf = _random_corpus(seed)
+    out = soft_dedup_weights(spark.createDataFrame(pdf))
+    _compare(pdf, out, "q_soft_dedup", require_rows=True)
+
+
+@pytest.mark.parametrize("seed", [7, 31, 59])
+def test_fuzz_dedup_keep_best(spark, seed):
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.datapipe.dedup import dedup_keep_best
+
+    pdf = _random_corpus(seed)              # dup texts share n_chars:
+    docs = spark.createDataFrame(pdf)       # the min-id tiebreak fires
+    out = dedup_keep_best(docs.withColumn(
+        "qual", F.col("n_chars").cast("double")), "qual")
+    _compare(pdf, out, "q_dedup_keep_best", require_rows=True)
+
+
+@pytest.mark.parametrize("seed", [7, 31, 59])
+def test_fuzz_fdc(spark, seed):
+    from flood_data_spark.operators.extremes import flow_duration_curve
+    from pyspark.sql import functions as F
+
+    pdf = _random_events(seed)
+    ev = spark.createDataFrame(pdf)
+    daily = (ev.groupBy((F.col("user_id") % 5).alias("cell"),
+                        F.datediff(F.to_date("ts"),
+                                   F.lit("2024-01-01").cast("date"))
+                        .alias("day"))
+             .agg(F.max("value").alias("inflow")))
+    out = flow_duration_curve(daily, "inflow", ["cell"])
+    _compare_events(pdf, out, "q_fdc")
+
+
+@pytest.mark.parametrize("seed", [7, 31, 59])
+def test_fuzz_alert_triggers(spark, seed):
+    from flood_data_spark.operators.threshold import alert_triggers
+    from pyspark.sql import functions as F
+
+    pdf = _random_events(seed)
+    ev = spark.createDataFrame(pdf)
+    probs = (ev.groupBy((F.col("user_id") % 6).alias("cell"),
+                        F.dayofmonth("ts").alias("lead"))
+             .agg(F.avg(F.when(F.col("value") > 80, 1)
+                        .otherwise(0)).alias("p")))
+    out = alert_triggers(probs, "p", "lead", ["cell"],
+                         threshold=0.2, min_consecutive=3)
+    # alert runs may legitimately be empty on some draws — no
+    # require_rows; the three seeds were checked to produce runs on
+    # at least one draw
+    _compare(pdf, out, "q_alert_triggers", table="events")
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_fuzz_drought_classes(spark, seed):
+    from flood_data_spark.operators.extremes import (drought_classes,
+                                                     spi_empirical)
+    from pyspark.sql import functions as F
+
+    pdf = _random_events(seed)
+    ev = spark.createDataFrame(pdf)
+    daily = (ev.groupBy((F.col("user_id") % 6).alias("cell"),
+                        F.dayofmonth("ts").alias("day"))
+             .agg(F.max("value").alias("precip")))
+    spi = spi_empirical(daily, "precip", ["cell"], "day")
+    out = (drought_classes(spi, "spi")
+           .select("cell", "day", "spi", "d_class", "in_drought"))
+    _compare_events(pdf, out, "q_drought_classes")

@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "q_low_flow_freq",
     "q_fss_big",
     "q_quantile_map_x10",
+    "q_quantile_map_bucketed",
     "q_regrid_big",
     # round-15: FDC/WaterWatch classes + incremental IVF maintenance
     "q_fdc",
@@ -1110,6 +1111,33 @@ def _q_quantile_map_x10(spark, sf_dir):
     return quantile_map(sim, obs, "flow", ["flag"])
 
 
+def _q_quantile_map_bucketed(spark, sf_dir):
+    """The BUCKETED two-pass rank forced on the same x10 relation
+    (bucket_threshold=0): the plan quantile_map auto-selects once
+    groups pass ~2M rows, measured here at gate volume so the
+    committed artifact carries BOTH paths' cost side by side — at
+    this size the classic window wins (the machinery costs ~2 extra
+    corpus passes, docs/PLANS.md), at the pathological 3-group × 8M
+    shape the bucketed plan wins 3.4× (105 -> 30.6 s, probed).
+    Exactness is identical either way (bucketed==classic pinned in
+    tests/test_round15_ops.py)."""
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.operators.postprocess import quantile_map
+
+    li = spark.read.parquet(_scaled_lineitem_path(spark, sf_dir))
+    sim = (li.filter(F.col("l_orderkey") % 7 == 0)
+           .select(F.col("l_returnflag").alias("flag"),
+                   (F.col("l_extendedprice") / F.lit(1000.0))
+                   .alias("flow")))
+    obs = (li.filter(F.col("l_linenumber") == 1)
+           .select(F.col("l_returnflag").alias("flag"),
+                   (F.col("l_extendedprice") / F.lit(800.0)
+                    + F.lit(3.0)).alias("flow")))
+    return quantile_map(sim, obs, "flow", ["flag"],
+                        bucket_threshold=0)
+
+
 def _q_regrid_big(spark, sf_dir):
     """Conservative regrid scale tier: a dense synthetic 1000x1000
     0.05-degree grid (1M source cells) onto a misaligned 0.075-degree
@@ -1154,6 +1182,7 @@ def _q_fss_big(spark, sf_dir):
 EXTRA_QUERIES = {
     "q_fss_big": _q_fss_big,
     "q_quantile_map_x10": _q_quantile_map_x10,
+    "q_quantile_map_bucketed": _q_quantile_map_bucketed,
     "q_regrid_big": _q_regrid_big,
     "q_bootstrap_fast": _q_bootstrap_fast,
     "q_tree_stump_approx": _q_tree_stump_approx,

@@ -14460,11 +14460,13 @@ def oracle_sql() -> dict[str, str]:
             cur AS (SELECT DISTINCT cell, inflow AS value,
                            CAST(sign(inflow) * floor(abs(inflow)
                                 * 1000000 + 0.5) AS HUGEINT) AS qc
-                    FROM daily WHERE day >= 25),
+                    FROM daily
+                    WHERE day >= 25 AND inflow IS NOT NULL),
             hist AS (SELECT cell,
                             CAST(sign(inflow) * floor(abs(inflow)
                                  * 1000000 + 0.5) AS HUGEINT) AS qh
-                     FROM daily WHERE day < 25),
+                     FROM daily
+                     WHERE day < 25 AND inflow IS NOT NULL),
             c AS (SELECT cur.cell, cur.value, cur.qc,
                          CAST(count(*) AS BIGINT) AS n_hist,
                          CAST(sum(CASE WHEN qh < qc THEN 1 ELSE 0

@@ -973,9 +973,16 @@ def dedup_keep_best(df: DataFrame, quality_col: str,
     boilerplate quality.  Representative = max (quality, then min id
     on ties — deterministic) per exact-duplicate group.
 
-    Exactness: the pick is ONE struct-max aggregate over
-    (quality_micro, −id) — no window, no second pass; quality
-    compares in quantized micro space so ties are engine-portable.
+    Exactness: the pick is ONE struct-min aggregate over
+    (−quality_micro, id, quality_micro) — no window, no second pass;
+    quality compares in quantized micro space so ties are
+    engine-portable, and the id is carried verbatim (never negated),
+    so ANY orderable id type works — string ids included (negating a
+    string id fails under ANSI; numeric-string ids would silently
+    come back DOUBLE).  NULL quality is coalesced to a losing
+    sentinel in the sort key: a NULL-quality copy is picked only
+    when the whole group is NULL-quality (then min id wins and
+    rep_quality is NULL).
     Returns (dup_key, rep_id, rep_quality, n_copies), the
     [exact_dedup] shape plus the winning quality.
 
@@ -987,12 +994,15 @@ def dedup_keep_best(df: DataFrame, quality_col: str,
     keyed = df.select(_digest(F.col(text_col), normalize)
                       .alias("dup_key"),
                       F.col(id_col).alias("_id"), qq.alias("_qq"))
-    best = F.max(F.struct(F.col("_qq").alias("q"),
-                          (-F.col("_id")).alias("ni")))
+    best = F.min(F.struct(
+        F.coalesce(-F.col("_qq"),
+                   F.lit(9223372036854775807).cast("long")).alias("nq"),
+        F.col("_id").alias("id"),
+        F.col("_qq").alias("q")))
     return (keyed.groupBy("dup_key")
             .agg(best.alias("_b"),
                  F.count(F.lit(1)).cast("long").alias("n_copies"))
-            .select("dup_key", (-F.col("_b.ni")).alias("rep_id"),
+            .select("dup_key", F.col("_b.id").alias("rep_id"),
                     (F.col("_b.q").cast("double") / F.lit(1e6))
                     .alias("rep_quality"),
                     "n_copies"))

@@ -1152,8 +1152,14 @@ def flow_percentile_class(current: DataFrame, historical: DataFrame,
     against an empty record is undefined.  `current` is deduplicated
     on (keys, value) first: duplicate current rows are
     indistinguishable on the CDF, and leaving them in would inflate
-    the join-side counts.  Returns ONE row per distinct (keys…,
-    value): (keys…, value, n_hist, pct, condition), sorted."""
+    the join-side counts.  NULL values are dropped from BOTH sides
+    before the join: a NULL current value has no place on a CDF
+    (previously it classed as 'record low'), and a NULL historical
+    value would count in n_hist but in neither _lt nor _eq —
+    deflating pct and making 'record high' (#{h < x} = n)
+    unreachable for the whole group.  Returns ONE row per distinct
+    (keys…, value): (keys…, value, n_hist, pct, condition),
+    sorted."""
     keys = list(group_keys)
     if not keys:
         raise ValueError("flow_percentile_class: need at least one "
@@ -1161,10 +1167,12 @@ def flow_percentile_class(current: DataFrame, historical: DataFrame,
     hv = hist_value_col or value_col
     dec = "decimal(38,0)"
     mega_f = F.lit(float(MICRO))
-    cur = current.select(*keys, F.col(value_col).alias("value"),
-                         _micro(F.col(value_col)).alias("_qc")) \
+    cur = current.filter(F.col(value_col).isNotNull()) \
+        .select(*keys, F.col(value_col).alias("value"),
+                _micro(F.col(value_col)).alias("_qc")) \
         .distinct()
-    hist = historical.select(*keys, _micro(F.col(hv)).alias("_qh"))
+    hist = historical.filter(F.col(hv).isNotNull()) \
+        .select(*keys, _micro(F.col(hv)).alias("_qh"))
     joined = cur.join(hist, on=keys, how="inner")
     counts = (joined.groupBy(*keys, "value", "_qc")
               .agg(F.count(F.lit(1)).cast("long").alias("n_hist"),

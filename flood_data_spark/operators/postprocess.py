@@ -30,12 +30,15 @@ ordinary scale (measured: 3.9 s classic vs 6.9-9.0 s bucketed at the
 857k-row x10 gate, where each per-group sort is ~1 s).  So the
 operator is ADAPTIVE with a bounded probe:
 
-  - ONE driver-side action collects per side the maximum estimated
-    group size off a deterministic value-hash sample
-    (pmod(xxhash64(value), SAMPLE_RATE) = 0 — membership is a pure
-    function of the value, so the probe is partitioning-invariant).
-    The collected relation is ≤ 2 rows (one per side) — the same
-    bounded-scalar contract as datapipe/unigram.py's corpus stats.
+  - ONE driver-side action collects per side the EXACT maximum group
+    size (groupBy keys → count → max: map-side combined, only
+    groups-cardinality rows shuffle, deterministic and
+    partitioning-invariant by construction — a value-hash SAMPLE was
+    rejected because sampling is all-or-nothing per distinct value,
+    so a duplicate-heavy group misestimates by up to SAMPLE_RATE× and
+    picks the wrong path).  The collected relation is ≤ 2 rows (one
+    per side) — the same bounded-scalar contract as
+    datapipe/unigram.py's corpus stats.
   - Sides whose largest group stays under `bucket_threshold` keep the
     classic single-window plan — zero machinery, the measured-fast
     path at gate scale.
@@ -76,10 +79,12 @@ from pyspark.sql import functions as F
 from flood_data_spark.datapipe.linalg import _idiv_half_up
 
 MICRO = 1_000_000
-# 1-in-SAMPLE_RATE value-hash sample feeds the probe and the boundary
-# sketch; groups under BUCKET_THRESHOLD rows keep the single-window
-# plan (a one-task sort of ~2M longs is cheaper than the bucket
-# machinery it would replace — measured, module docstring).
+# 1-in-SAMPLE_RATE value-hash sample feeds the bucketed path's
+# BOUNDARY sketch (load balance only — fine for ties to be
+# all-or-nothing there); the path-pick probe counts exactly.  Groups
+# under BUCKET_THRESHOLD rows keep the single-window plan (a one-task
+# sort of ~2M longs is cheaper than the bucket machinery it would
+# replace — measured, module docstring).
 SAMPLE_RATE = 211
 BUCKET_THRESHOLD = 2_000_000
 
@@ -160,6 +165,31 @@ def _bucketed_rank(df: DataFrame, keys: list, qcol: str,
     return out.drop("_bkt", "_ofs", "_wr", "_nxq")
 
 
+def _probe_big_sides(s0: DataFrame, o0: DataFrame, keys: list,
+                     bucket_threshold: int) -> dict:
+    """EXACT max-group-size probe: which side(s) need the bucketed
+    rank.  ≤ 2 rows collected (one per side — the bounded-scalar
+    contract).  Exact, not sampled: a value-hash sample is
+    all-or-nothing per distinct value, so a duplicate-heavy group
+    could be misestimated by up to SAMPLE_RATE× in either direction
+    and pick the wrong rank path (perf only — both paths are exact —
+    but the wrong pick is the 3× regression this probe exists to
+    avoid).  The exact count costs the same single scan (groupBy keys
+    is map-side combined; only groups-cardinality rows shuffle).  The
+    collect makes plan construction eager by design — the adaptive
+    pick IS a driver decision, same contract as unigram's corpus
+    stats."""
+    big = {"s": False, "o": False}
+    probe = (s0.select(F.lit("s").alias("_sd"), *keys)
+             .unionByName(o0.select(F.lit("o").alias("_sd"), *keys))
+             .groupBy("_sd", *keys)
+             .agg(F.count(F.lit(1)).alias("_sc"))
+             .groupBy("_sd").agg(F.max("_sc").alias("_mx")))
+    for r in probe.collect():
+        big[r._sd] = r._mx > bucket_threshold
+    return big
+
+
 def quantile_map(sim: DataFrame, obs: DataFrame, value_col: str,
                  group_keys, nbuckets: int = 32,
                  bucket_threshold: int = BUCKET_THRESHOLD) -> DataFrame:
@@ -188,25 +218,10 @@ def quantile_map(sim: DataFrame, obs: DataFrame, value_col: str,
                     q(F.col(value_col)).alias("_qx"))
     o0 = obs.select(*keys, q(F.col(value_col)).alias("_oq"))
 
-    # bounded probe (≤ 2 rows collected): max estimated group size
-    # per side off the deterministic value-hash sample
-    def _samp(d, c):
-        return d.filter(F.pmod(F.xxhash64(F.col(c), F.lit("qm-bnd")),
-                               F.lit(SAMPLE_RATE)) == 0)
-
-    big = {"s": False, "o": False}
     if bucket_threshold <= 0:
         big = {"s": True, "o": True}
     else:
-        probe = (_samp(s0, "_qx").select(F.lit("s").alias("_sd"),
-                                         *keys)
-                 .unionByName(_samp(o0, "_oq")
-                              .select(F.lit("o").alias("_sd"), *keys))
-                 .groupBy("_sd", *keys)
-                 .agg(F.count(F.lit(1)).alias("_sc"))
-                 .groupBy("_sd").agg(F.max("_sc").alias("_mx")))
-        for r in probe.collect():
-            big[r._sd] = r._mx * SAMPLE_RATE > bucket_threshold
+        big = _probe_big_sides(s0, o0, keys, bucket_threshold)
 
     if big["s"]:
         s = _bucketed_rank(s0, keys, "_qx", nbuckets, "_i", "_n")

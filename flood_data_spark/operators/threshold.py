@@ -187,6 +187,12 @@ def alert_triggers(df: DataFrame, prob_col: str, order_col: str,
         run — a missing lead breaks persistence), emit runs with
         ≥ `min_consecutive` leads.
 
+    Duplicate leads do NOT fake persistence: the input is first
+    collapsed to ONE row per (keys, lead) taking the max probability
+    (two rows at the same lead plus one adjacent lead is 2 distinct
+    leads, not 3 — n_leads counts DISTINCT leads in the run, the
+    operational meaning of 'consecutive daily leads').
+
     Exactness: the probability is compared in quantized micro space
     (p and threshold both micro-floored, so the cut is engine-
     portable even when p is a ratio of member counts), and the runs
@@ -213,7 +219,13 @@ def alert_triggers(df: DataFrame, prob_col: str, order_col: str,
     qthr = int(round(float(threshold) * 1_000_000))
     exc = (df.select(*keys, F.col(order_col).cast("long").alias("_o"),
                      qp.alias("_qp"))
-           .filter(F.col("_qp") >= F.lit(qthr)))
+           .filter(F.col("_qp") >= F.lit(qthr))
+           # one row per (keys, lead): duplicate order_col values must
+           # not count twice toward min_consecutive (gap 0 would join
+           # the run).  Costs one extra narrow exchange of the
+           # already-filtered above-threshold rows (map-side combined).
+           .groupBy(*keys, "_o")
+           .agg(F.max("_qp").alias("_qp")))
     w = Window.partitionBy(*keys).orderBy("_o")
     new_flag = F.when(
         F.col("_o") - F.lag("_o", 1).over(w) > F.lit(int(step)),

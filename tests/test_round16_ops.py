@@ -1,0 +1,162 @@
+"""Round-16 pins: the four ADVICE fixes (dedup_keep_best string-id
+safety, flow_percentile_class NULL hygiene, alert_triggers duplicate
+leads, quantile_map exact path probe) plus the round's new operators
+(added below as they land)."""
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- ADVICE fix 1: dedup_keep_best must not negate the id -------------------
+
+
+def test_keep_best_string_ids(spark):
+    """String doc_ids failed at runtime under ANSI (CAST_INVALID_INPUT
+    on -id); numeric-string ids silently came back DOUBLE."""
+    from flood_data_spark.datapipe.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [("doc-b", "alpha", 3.0), ("doc-a", "alpha ", 9.0),
+         ("doc-c", "ALPHA", 9.0), ("doc-z", "beta", 1.0)],
+        "doc_id string, text string, qual double")
+    out = dedup_keep_best(docs, "qual")
+    # rep_id keeps the input id TYPE verbatim
+    assert dict(out.dtypes)["rep_id"] == "string"
+    rows = {r.n_copies: r for r in out.collect()}
+    # quality 9.0 tie between doc-a and doc-c -> min id wins
+    assert rows[3].rep_id == "doc-a" and rows[3].rep_quality == 9.0
+    assert rows[1].rep_id == "doc-z" and rows[1].rep_quality == 1.0
+
+
+def test_keep_best_numeric_string_ids_keep_type(spark):
+    from flood_data_spark.datapipe.dedup import dedup_keep_best
+
+    # ids past 2^53: a silent double cast would lose precision
+    big = str(2**60 + 1)
+    docs = spark.createDataFrame(
+        [(big, "x", 1.0), (str(2**60 + 3), "x", 0.5)],
+        "doc_id string, text string, qual double")
+    r = dedup_keep_best(docs, "qual").collect()[0]
+    assert r.rep_id == big and r.n_copies == 2
+
+
+def test_keep_best_null_quality_loses(spark):
+    from flood_data_spark.datapipe.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "x", None), (2, "x", 0.5), (3, "x", None),
+         (4, "y", None), (5, "y", None)],
+        "doc_id long, text string, qual double")
+    rows = {r.n_copies: r for r in
+            dedup_keep_best(docs, "qual").collect()}
+    # NULL quality is picked only when the whole group is NULL
+    assert rows[3].rep_id == 2 and rows[3].rep_quality == 0.5
+    assert rows[2].rep_id == 4 and rows[2].rep_quality is None
+
+
+# --- ADVICE fix 2: flow_percentile_class NULL hygiene ------------------------
+
+
+def test_flow_percentile_null_values_dropped(spark):
+    from flood_data_spark.operators.extremes import flow_percentile_class
+
+    hist = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 3.0), (1, None), (1, None)],
+        "cell int, v double")
+    cur = spark.createDataFrame(
+        [(1, 5.0), (1, None)], "cell int, v double")
+    rows = flow_percentile_class(cur, hist, "v", ["cell"]).collect()
+    # NULL current classes nowhere (was: 'record low' pct 0.0)
+    assert len(rows) == 1
+    r = rows[0]
+    # NULL historical rows are excluded from n_hist, so 5.0 with
+    # #{h < x} == n is reachable as 'record high' again
+    assert r.n_hist == 3
+    assert r.condition == "record high"
+    assert r.pct == 1.0
+
+
+def test_flow_percentile_all_null_group_drops(spark):
+    from flood_data_spark.operators.extremes import flow_percentile_class
+
+    hist = spark.createDataFrame([(1, None), (1, None)],
+                                 "cell int, v double")
+    cur = spark.createDataFrame([(1, 5.0)], "cell int, v double")
+    assert flow_percentile_class(cur, hist, "v", ["cell"]).count() == 0
+
+
+# --- ADVICE fix 3: alert_triggers duplicate leads ----------------------------
+
+
+def test_alert_triggers_duplicate_leads_no_fake_persistence(spark):
+    from flood_data_spark.operators.threshold import alert_triggers
+
+    # two rows at lead 1 plus one at lead 2: 2 DISTINCT leads, must
+    # NOT satisfy min_consecutive=3
+    df = spark.createDataFrame(
+        [(1, 1, 0.9), (1, 1, 0.8), (1, 2, 0.7)],
+        "cell int, lead int, p double")
+    out = alert_triggers(df, "p", "lead", ["cell"],
+                         threshold=0.3, min_consecutive=3)
+    assert out.count() == 0
+    # with min_consecutive=2 the run is 2 leads and max_p takes the
+    # per-lead max
+    r = alert_triggers(df, "p", "lead", ["cell"], threshold=0.3,
+                       min_consecutive=2).collect()[0]
+    assert r.n_leads == 2 and r.start_o == 1 and r.end_o == 2
+    assert r.max_p == pytest.approx(0.9)
+
+
+def test_alert_triggers_dup_leads_dont_bridge_gaps(spark):
+    from flood_data_spark.operators.threshold import alert_triggers
+
+    # duplicates at lead 5 with a gap to lead 7: still two runs
+    df = spark.createDataFrame(
+        [(1, 5, 0.5), (1, 5, 0.6), (1, 7, 0.5), (1, 8, 0.5)],
+        "cell int, lead int, p double")
+    runs = alert_triggers(df, "p", "lead", ["cell"], threshold=0.3,
+                          min_consecutive=1).collect()
+    assert [(r.start_o, r.end_o, r.n_leads) for r in runs] == \
+        [(5, 5, 1), (7, 8, 2)]
+
+
+# --- ADVICE fix 4: quantile_map probe is exact -------------------------------
+
+
+def test_quantile_map_probe_exact_on_duplicate_heavy_group(spark):
+    """The old value-hash sample was all-or-nothing per distinct
+    value: a duplicate-heavy group misestimated by up to 211x.  The
+    probe now counts exactly."""
+    from flood_data_spark.operators.postprocess import _probe_big_sides
+
+    # one group, ONE distinct value repeated 500 times: the value-hash
+    # sample would have reported 0 or 500*211 depending on the hash
+    s0 = spark.range(500).select(F.lit(1).alias("grp"),
+                                 F.lit(42).alias("_qx"))
+    o0 = spark.range(3).select(F.lit(1).alias("grp"),
+                               F.lit(7).alias("_oq"))
+    big = _probe_big_sides(s0, o0, ["grp"], bucket_threshold=499)
+    assert big == {"s": True, "o": False}
+    big = _probe_big_sides(s0, o0, ["grp"], bucket_threshold=500)
+    assert big == {"s": False, "o": False}
+
+
+def test_quantile_map_duplicate_heavy_exact_both_paths(spark):
+    from flood_data_spark.operators.postprocess import quantile_map
+
+    sim = spark.createDataFrame([(1, 5.0)] * 40 + [(1, 9.0)] * 10,
+                                "grp int, v double")
+    obs = spark.createDataFrame([(1, float(i)) for i in range(10)],
+                                "grp int, v double")
+
+    def key(rows):
+        return sorted((r.grp, r.value, round(r.p, 9),
+                       None if r.mapped is None else round(r.mapped, 9))
+                      for r in rows)
+
+    classic = key(quantile_map(sim, obs, "v", ["grp"],
+                               bucket_threshold=10**12).collect())
+    forced = key(quantile_map(sim, obs, "v", ["grp"],
+                              bucket_threshold=0).collect())
+    auto = key(quantile_map(sim, obs, "v", ["grp"],
+                            bucket_threshold=20).collect())
+    assert classic == forced == auto

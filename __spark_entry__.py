@@ -4437,6 +4437,42 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "inside"))
 
 
+# polygon RELATION for q_polygon_membership: the C-shape, a triangle
+# (the one non-axis-aligned-edge case — real division in the crossing
+# abscissa), and a square with a HOLE ring (even-odd over both rings of
+# poly 3 subtracts the hole).  All within the sf0.01 grid's lon window.
+_PM_RINGS = {
+    (1, 0): _PIP_POLY,
+    (2, 0): [(0.05, 0.2), (0.45, 0.2), (0.25, 2.2)],
+    (3, 0): [(0.1, 4.0), (0.5, 4.0), (0.5, 7.0), (0.1, 7.0)],
+    (3, 1): [(0.2, 5.0), (0.4, 5.0), (0.4, 6.0), (0.2, 6.0)],
+}
+
+
+def q_polygon_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-set membership of every synthetic grid cell center
+    against a polygon RELATION (operators/serving.polygon_membership —
+    VERDICT r15 #4, the general form of the reference's
+    geometry.intersects serving filter, flood-api-examples.py:199-221):
+    per-(poly, ring) edges off a window over the vertex rows, bucketed
+    bbox candidate equi-join (never a BNLJ), even-odd crossing sum per
+    (point, poly).  Concave outline + triangle + square-with-hole;
+    full value oracle (the crossing arithmetic mirrored edge-row by
+    edge-row in SQL)."""
+    from flood_data_spark.operators.serving import polygon_membership
+
+    polys = spark.createDataFrame(
+        [(pid, rid, i, float(x), float(y))
+         for (pid, rid), ring in sorted(_PM_RINGS.items())
+         for i, (x, y) in enumerate(ring)],
+        "poly_id int, ring_id int, vertex_idx int, lon double, "
+        "lat double")
+    pts = _grid_cells(spark, sf_dir).select("partkey", "latitude",
+                                            "longitude")
+    return (polygon_membership(pts, polys, ring_col="ring_id")
+            .orderBy("partkey", "poly_id"))
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction (datapipe/text.textrank_keywords,
     Mihalcea & Tarau 2004): per-document PageRank over word
@@ -5975,6 +6011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_impute": q_impute,
         "q_holt": q_holt,
         "q_point_in_polygon": q_point_in_polygon,
+        "q_polygon_membership": q_polygon_membership,
         "q_textrank": q_textrank,
         "q_fd_discovery": q_fd_discovery,
         "q_ndcg": q_ndcg,
@@ -15615,4 +15652,39 @@ def oracle_sql() -> dict[str, str]:
     d["q_kge_stream"] = d["q_kge"]
     # streamed RPS: the whole multi-category score, stream/batch parity
     d["q_rps_stream"] = d["q_rps"]
+
+    # q_polygon_membership: the edge relation (closing edge included)
+    # generated from the SAME ring dict the Spark gate builds its
+    # vertex rows from; the crossing term is the identical double
+    # arithmetic, summed per (point, poly) over all rings (holes
+    # subtract via even-odd).  The oracle may cross-join (it is the
+    # oracle); the Spark plan is the bucketed candidate join.
+    _pm_edges = []
+    for (_pid, _rid), _ring in sorted(_PM_RINGS.items()):
+        for _i, (_x1, _y1) in enumerate(_ring):
+            _x2, _y2 = _ring[(_i + 1) % len(_ring)]
+            _pm_edges.append(f"({_pid}, {_x1!r}, {_y1!r}, "
+                             f"{_x2!r}, {_y2!r})")
+    d["q_polygon_membership"] = f"""
+        WITH cells AS (
+            SELECT p_partkey AS partkey,
+                   round(0.025 + (p_partkey % 200) * 0.05, 3) AS latitude,
+                   round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT)
+                                  % 200) * 0.05, 3) AS longitude
+            FROM part),
+        edges(pid, x1, y1, x2, y2) AS (
+            VALUES {', '.join(_pm_edges)}),
+        scored AS (
+            SELECT c.partkey, c.latitude, c.longitude,
+                   e.pid AS poly_id,
+                   CAST(sum(CASE WHEN ((y1 > latitude) != (y2 > latitude))
+                                  AND (longitude <
+                                       (x2 - x1) * (latitude - y1)
+                                       / (y2 - y1) + x1)
+                            THEN 1 ELSE 0 END) AS INT) AS n_crossings
+            FROM cells c CROSS JOIN edges e
+            GROUP BY 1, 2, 3, 4)
+        SELECT partkey, latitude, longitude, poly_id, n_crossings
+        FROM scored WHERE n_crossings % 2 = 1
+    """
     return d

@@ -259,3 +259,123 @@ def idw_interpolate(stations_df: DataFrame, points_df: DataFrame,
         .cast("double") / F.lit(1e6)
     return (agg.select(*qcols, "n_stations", idw.alias("idw"))
             .orderBy(*qcols))
+
+
+def polygon_membership(points_df: DataFrame, polygons_df: DataFrame,
+                       lat_col: str = "latitude",
+                       lon_col: str = "longitude",
+                       poly_id_col: str = "poly_id",
+                       ring_col: str | None = None,
+                       order_col: str = "vertex_idx",
+                       vert_lat_col: str = "lat",
+                       vert_lon_col: str = "lon",
+                       bucket_size: float = 1.0,
+                       broadcast_polygons: bool = True) -> DataFrame:
+    """Point-in-polygon membership against a polygon RELATION — the
+    general form of the reference's serving-time geometry filter
+    (``geometry.intersects`` over a user-supplied basin set,
+    flood-api-examples.py:199-221): which polygons contain each
+    point, for polygons arriving as vertex ROWS
+    (poly_id[, ring_id], vertex_idx, lon, lat) rather than the
+    constant outline `functions.geometry.point_in_polygon` compiles
+    into a literal ladder.
+
+    Even-odd ray casting, one term per edge, same strict-inequality
+    convention as the literal ladder (half-open: a point exactly on a
+    left/bottom edge is claimed, on a right/top edge is not — so
+    adjacent polygons tile the plane without double-claims); rings
+    may be open or explicitly closed (the implied /
+    zero-length closing edge contributes no crossing).  Pass
+    `ring_col` for multi-ring polygons — even-odd over ALL rings of a
+    poly_id means interior holes subtract naturally.
+
+    Plan (the [radius_lookup] candidate shape — never a BNLJ):
+
+      1. edges: per-(poly, ring) lead() over vertex order, closing
+         edge back to first_value — a window over the VERTEX relation
+         only (thousands of rows, never the corpus);
+      2. candidates: each polygon's bbox explodes to the grid buckets
+         it covers (fan-out = bbox area / bucket_size², a property of
+         the polygon set); points bucket ONCE (no explode) and meet
+         the broadcast bucket relation in a plain equi-join, then an
+         exact bbox filter prunes corner candidates;
+      3. verdict: candidates join the broadcast edge relation on
+         poly_id, one crossing term per (point, edge) row, and a
+         (point, poly) groupBy sums crossings — map-side combined, so
+         the only corpus-sized exchange carries candidate pairs, not
+         point×edge rows.
+
+    At 100 TB the point table is scanned once, never exploded and
+    never shuffled beyond the candidate aggregate; polygon-side
+    relations are query-sized broadcasts.  Returns the input point
+    columns + (poly_id, n_crossings) for CONTAINING polygons only
+    (inner semantics — points in no polygon drop out), one output row
+    per (input row, containing poly); duplicate input rows keep their
+    multiplicity.  Engine-portable: every crossing term is the same
+    double arithmetic as the literal ladder, mirrored in the oracle.
+    """
+    if bucket_size <= 0:
+        raise ValueError(f"polygon_membership: bucket_size must be "
+                         f"> 0, got {bucket_size}")
+    from pyspark.sql import Window
+
+    ring = (F.col(ring_col) if ring_col is not None
+            else F.lit(0)).alias("_ring")
+    verts = polygons_df.select(
+        F.col(poly_id_col).alias("poly_id"), ring,
+        F.col(order_col).alias("_vo"),
+        F.col(vert_lon_col).cast("double").alias("_x1"),
+        F.col(vert_lat_col).cast("double").alias("_y1"))
+    w = Window.partitionBy("poly_id", "_ring").orderBy("_vo")
+    wfull = (Window.partitionBy("poly_id", "_ring").orderBy("_vo")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    edges = (verts
+             .withColumn("_x2", F.coalesce(F.lead("_x1").over(w),
+                                           F.first("_x1").over(wfull)))
+             .withColumn("_y2", F.coalesce(F.lead("_y1").over(w),
+                                           F.first("_y1").over(wfull)))
+             .drop("_ring", "_vo"))
+    bbox = (verts.groupBy("poly_id")
+            .agg(F.min("_y1").alias("_ylo"), F.max("_y1").alias("_yhi"),
+                 F.min("_x1").alias("_xlo"), F.max("_x1").alias("_xhi")))
+    b = float(bucket_size)
+    buckets = (bbox
+               .withColumn("_blat", F.explode(F.sequence(
+                   F.floor(F.col("_ylo") / b).cast("long"),
+                   F.floor(F.col("_yhi") / b).cast("long"))))
+               .withColumn("_blon", F.explode(F.sequence(
+                   F.floor(F.col("_xlo") / b).cast("long"),
+                   F.floor(F.col("_xhi") / b).cast("long")))))
+    if broadcast_polygons:
+        buckets = F.broadcast(buckets)
+        edges = F.broadcast(edges)
+    py = F.col(lat_col).cast("double")
+    px = F.col(lon_col).cast("double")
+    pcols = list(points_df.columns)
+    for reserved in ("poly_id", "n_crossings", "_rid"):
+        if reserved in pcols:
+            raise ValueError(
+                f"polygon_membership reserves column name "
+                f"{reserved!r}; rename it upstream")
+    pts = (points_df
+           # surrogate row id: duplicate point rows stay distinct
+           # through the per-(row, poly) crossing aggregate; dropped
+           # before return, so output is layout-independent
+           .withColumn("_rid", F.monotonically_increasing_id())
+           .withColumn("_blat", F.floor(py / b).cast("long"))
+           .withColumn("_blon", F.floor(px / b).cast("long")))
+    cand = (pts.join(buckets, ["_blat", "_blon"])
+            .filter(py.between(F.col("_ylo"), F.col("_yhi"))
+                    & px.between(F.col("_xlo"), F.col("_xhi")))
+            .drop("_blat", "_blon", "_ylo", "_yhi", "_xlo", "_xhi"))
+    straddles = (F.col("_y1") > py) != (F.col("_y2") > py)
+    cross_x = ((F.col("_x2") - F.col("_x1")) * (py - F.col("_y1"))
+               / (F.col("_y2") - F.col("_y1")) + F.col("_x1"))
+    term = F.when(straddles & (px < cross_x), 1).otherwise(0)
+    scored = (cand.join(edges, "poly_id")
+              .select("_rid", "poly_id", *pcols, term.alias("_t"))
+              .groupBy("_rid", "poly_id", *pcols)
+              .agg(F.sum("_t").cast("int").alias("n_crossings"))
+              .filter(F.col("n_crossings") % 2 == 1))
+    return scored.select(*pcols, "poly_id", "n_crossings")

@@ -160,3 +160,107 @@ def test_quantile_map_duplicate_heavy_exact_both_paths(spark):
     auto = key(quantile_map(sim, obs, "v", ["grp"],
                             bucket_threshold=20).collect())
     assert classic == forced == auto
+
+
+# --- polygon_membership (VERDICT r15 #4: the last J8 gap) --------------------
+
+
+def _pm_polys(spark, rows):
+    return spark.createDataFrame(
+        rows, "poly_id int, ring_id int, vertex_idx int, "
+              "lon double, lat double")
+
+
+def _ring(pid, rid, pts):
+    return [(pid, rid, i, float(x), float(y))
+            for i, (x, y) in enumerate(pts)]
+
+
+def test_polygon_membership_concave_matches_literal_ladder(spark):
+    """The relation form must agree with the constant-outline ladder
+    on the same concave C-shape, point by point."""
+    from flood_data_spark.functions.geometry import point_in_polygon
+    from flood_data_spark.operators.serving import polygon_membership
+
+    c_shape = [(0.1, 0.5), (0.5, 0.5), (0.5, 3.0), (0.2, 3.0),
+               (0.2, 6.0), (0.5, 6.0), (0.5, 9.0), (0.1, 9.0)]
+    pts = spark.createDataFrame(
+        [(i, 0.025 + (i % 20) * 0.05, 0.025 + (i // 20) * 0.5)
+         for i in range(200)],
+        "pid int, longitude double, latitude double")
+    ladder = {(r.pid,) for r in
+              point_in_polygon(pts, "latitude", "longitude", c_shape)
+              .filter("inside").collect()}
+    rel = {(r.pid,) for r in
+           polygon_membership(pts, _pm_polys(
+               spark, _ring(1, 0, c_shape))).collect()}
+    assert ladder == rel and len(rel) > 0
+
+
+def test_polygon_membership_hole_and_multi_poly(spark):
+    from flood_data_spark.operators.serving import polygon_membership
+
+    donut = (_ring(1, 0, [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+                          (0.0, 10.0)]) +
+             _ring(1, 1, [(3.0, 3.0), (7.0, 3.0), (7.0, 7.0),
+                          (3.0, 7.0)]))
+    tri = _ring(2, 0, [(4.0, 4.0), (6.0, 4.0), (5.0, 6.0)])
+    polys = _pm_polys(spark, donut + tri)
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0),    # in the hole -> only the triangle claims it
+         (2, 1.0, 1.0),    # in the donut ring
+         (3, 5.0, 4.5),    # in the hole AND the triangle
+         (4, 11.0, 5.0),   # outside everything
+         (5, 3.5, 6.5)],   # hole, outside triangle -> nothing
+        "pid int, longitude double, latitude double")
+    got = sorted((r.pid, r.poly_id) for r in
+                 polygon_membership(pts, polys, ring_col="ring_id")
+                 .collect())
+    assert got == [(1, 2), (2, 1), (3, 2)]
+
+
+def test_polygon_membership_closed_ring_and_duplicates(spark):
+    from flood_data_spark.operators.serving import polygon_membership
+
+    # explicitly closed ring (first vertex repeated): zero-length
+    # closing edge contributes nothing
+    sq = _ring(1, 0, [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0),
+                      (0.0, 0.0)])
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0), (1, 1.0, 1.0), (2, 3.0, 1.0)],
+        "pid int, longitude double, latitude double")
+    rows = polygon_membership(pts, _pm_polys(spark, sq)).collect()
+    # duplicate input rows keep their multiplicity
+    assert sorted(r.pid for r in rows) == [1, 1]
+    assert all(r.n_crossings == 1 for r in rows)
+
+
+def test_polygon_membership_boundary_half_open(spark):
+    """Strict-inequality even-odd = the half-open tiling convention:
+    left/bottom boundary claimed, right/top not — identical to the
+    literal ladder, so adjacent polygons tile without double-claims."""
+    from flood_data_spark.operators.serving import polygon_membership
+
+    sq = _ring(1, 0, [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)])
+    pts = spark.createDataFrame(
+        [(1, 0.0, 1.0),   # left edge: claimed
+         (2, 2.0, 1.0),   # right edge: not
+         (3, 1.0, 2.0),   # top edge: not
+         (4, 0.0, 0.0)],  # bottom-left corner: claimed
+        "pid int, longitude double, latitude double")
+    got = sorted(r.pid for r in
+                 polygon_membership(pts, _pm_polys(spark, sq))
+                 .collect())
+    assert got == [1, 4]
+
+
+def test_polygon_membership_plan_no_bnlj(spark):
+    from flood_data_spark.operators.serving import polygon_membership
+
+    sq = _ring(1, 0, [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)])
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0)], "pid int, longitude double, latitude double")
+    plan = polygon_membership(pts, _pm_polys(spark, sq)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -3294,6 +3294,23 @@ def q_dm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lead", "n", "mean_diff", "dm_stat")
 
 
+def q_dm_hac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano with the Newey-West HAC variance
+    (operators/verification.dm_test_hac — VERDICT r15 #6): per-cell
+    daily loss differentials off the shared hydrograph, Bartlett
+    weights at max_lag=3 as EXACT integer autocovariance sums
+    (e_t = n·qd_t − S clears the mean), one sqrt seam.  Full value
+    oracle mirroring the whole chain including the lag windows."""
+    from flood_data_spark.operators.verification import dm_test_hac
+
+    daily = _daily_hydrograph(spark, sf_dir)
+    src = daily.select(
+        "cell", "day",
+        F.abs(F.col("inflow") - F.lit(55.0)).alias("la"),
+        F.abs(F.col("inflow") * F.lit(0.9) - F.lit(50.0)).alias("lb"))
+    return dm_test_hac(src, "la", "lb", "day", ["cell"], max_lag=3)
+
+
 def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance reduction (operators/experiment.cuped_adjust):
     metric = l_extendedprice/1000 adjusted by its natural covariate
@@ -5978,6 +5995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_pipeline": q_crawl_pipeline,
         "q_cuped": q_cuped,
         "q_dm_test": q_dm_test,
+        "q_dm_hac": q_dm_hac,
         "q_grpo_advantage": q_grpo_advantage,
         "q_best_of_n": q_best_of_n,
         "q_dpo_pairs": q_dpo_pairs,
@@ -15652,6 +15670,62 @@ def oracle_sql() -> dict[str, str]:
     d["q_kge_stream"] = d["q_kge"]
     # streamed RPS: the whole multi-category score, stream/batch parity
     d["q_rps_stream"] = d["q_rps"]
+
+    # q_dm_hac: the exact integer Newey-West chain mirrored whole —
+    # n-cleared centering e = n*qd - s, lag windows on the SAME
+    # (day, qd) sort, Bartlett-cleared V' = (L+1)*C0 + 2*sum((L+1-k)Ck)
+    # at L=3, one sqrt seam qv = floor(sqrt(V'*(L+1)) + 0.5)
+    d["q_dm_hac"] = f"""
+        WITH daily AS (
+            SELECT user_id % 5 AS cell,
+                   date_diff('day', DATE '2024-01-01',
+                             CAST(ts AS DATE)) AS day,
+                   max(value) AS inflow
+            FROM events GROUP BY 1, 2),
+        losses AS (
+            SELECT cell, day,
+                   abs(inflow - 55.0) AS la,
+                   abs(inflow * 0.9 - 50.0) AS lb
+            FROM daily),
+        q AS (SELECT cell, day,
+                     CAST(sign(la) * floor(abs(la) * 1000000 + 0.5)
+                          AS HUGEINT)
+                     - CAST(sign(lb) * floor(abs(lb) * 1000000 + 0.5)
+                            AS HUGEINT) AS qd
+              FROM losses),
+        g AS (SELECT cell, CAST(count(*) AS HUGEINT) AS n,
+                     sum(qd) AS s
+              FROM q GROUP BY cell),
+        e AS (SELECT q.cell, q.day, q.qd, g.n, g.s,
+                     g.n * q.qd - g.s AS e
+              FROM q JOIN g USING (cell)),
+        lagd AS (SELECT cell, n, s, e,
+                        lag(e, 1) OVER w AS e1,
+                        lag(e, 2) OVER w AS e2,
+                        lag(e, 3) OVER w AS e3
+                 FROM e
+                 WINDOW w AS (PARTITION BY cell ORDER BY day, qd)),
+        c AS (SELECT cell, min(n) AS n, min(s) AS s,
+                     sum(e * e) AS c0, sum(e * e1) AS c1,
+                     sum(e * e2) AS c2, sum(e * e3) AS c3
+              FROM lagd GROUP BY cell),
+        v AS (SELECT cell, n, s,
+                     4 * c0 + 2 * (3 * coalesce(c1, 0)
+                                   + 2 * coalesce(c2, 0)
+                                   + 1 * coalesce(c3, 0)) AS vp
+              FROM c),
+        f AS (SELECT cell, n, s,
+                     CAST(floor(sqrt(CAST(vp * 4 AS DOUBLE)) + 0.5)
+                          AS HUGEINT) AS qv
+              FROM v)
+        SELECT cell, CAST(n AS BIGINT) AS n,
+               {idiv_half_up('s', 'n', 1000000)} AS mean_diff,
+               CASE WHEN qv > 0 THEN
+                    {idiv_half_up('s * n * 4 * 1000000', 'qv',
+                                  1000000)}
+               END AS dm_hac
+        FROM f
+    """
 
     # q_polygon_membership: the edge relation (closing edge included)
     # generated from the SAME ring dict the Spark gate builds its

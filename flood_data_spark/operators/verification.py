@@ -905,10 +905,9 @@ def dm_test(df: DataFrame, loss_a_col: str, loss_b_col: str,
     floor(sqrt(n)·1e6 + 0.5), qsa = floor(sqrt(SS·n − S²) + 0.5), then
     DM·1e6 = half_up(S·qsn, qsa) — sign-aware (negative = A better
     under lower-is-better losses), NULL when the differential has zero
-    variance.  Lag-0 only: the HAC (Newey-West) correction needs an
-    ordered series and is a windowed autocovariance composition of the
-    same machinery — out of scope here, stated loudly rather than
-    silently approximated.  |DM| >~ 1.96 rejects equal accuracy at 5%
+    variance.  Lag-0 only: for serially-correlated loss differentials
+    (h-step forecasts) use [dm_test_hac], the Newey-West form over an
+    ordered series.  |DM| >~ 1.96 rejects equal accuracy at 5%
     under the asymptotic normal.  Returns (keys…, n, mean_diff,
     dm_stat) sorted by keys; ONE group-keyed exchange."""
     keys = list(group_keys)
@@ -933,6 +932,90 @@ def dm_test(df: DataFrame, loss_a_col: str, loss_b_col: str,
     out = agg.select(*keys, n.cast("long").alias("n"),
                      mean_diff.alias("mean_diff"),
                      dm.alias("dm_stat"))
+    return out.orderBy(*keys) if keys else out
+
+
+def dm_test_hac(df: DataFrame, loss_a_col: str, loss_b_col: str,
+                order_col: str, group_keys=(),
+                max_lag: int = 4) -> DataFrame:
+    """Diebold-Mariano test with the Newey-West (HAC) variance — the
+    form a forecaster actually needs for h-step forecasts, whose loss
+    differentials are serially correlated (lag-0 [dm_test] understates
+    the variance there and over-rejects):
+
+        d_t  = loss_a_t − loss_b_t         (ordered by `order_col`)
+        γ_k  = (1/n) Σ_t (d_t − d̄)(d_{t−k} − d̄)
+        f̂   = γ_0 + 2 Σ_{k=1..L} (1 − k/(L+1)) γ_k   (Bartlett)
+        DM   = d̄ / sqrt(f̂ / n)
+
+    Exact integer autocovariances: with e_t = n·qd_t − S (integer —
+    the n-cleared centering, so no rational d̄ ever materializes),
+    γ_k·n³ = C_k = Σ e_t·e_{t−k}, and clearing Bartlett's k/(L+1)
+    denominator gives the integer V' = (L+1)·C_0 + 2·Σ (L+1−k)·C_k
+    (≥ 0 — Bartlett makes the quadratic form PSD, and the sums are
+    exact).  Then DM = S·n·(L+1) / sqrt(V'·(L+1)) closes with ONE
+    sqrt seam: qv = floor(sqrt(V'·(L+1)) + 0.5), DM·1e6 =
+    half_up(S·n·(L+1)·1e6, qv) — sign-aware, NULL when V' = 0.
+    max_lag = 0 reduces to the lag-0 statistic (V' = C_0 = n·(n·SS −
+    S²), algebraically [dm_test]'s form up to its two-seam rounding).
+
+    Plan: TWO group-keyed exchanges over the differential series —
+    the (n, S) pre-aggregate broadcast back, then one window pass
+    computing all L lags off the SAME sort (one WindowExec) feeding
+    the covariance aggregate.  NULL losses are dropped first (a gap
+    both shortens the series and shifts adjacency — the documented
+    regular-series contract; callers gap-fill upstream).  Duplicate
+    `order_col` values break ties by qd for determinism.  Integer
+    range: e_t ~ n·qd, so C_k ~ n³·qd² must fit decimal(38,0) —
+    fine through n ~ 1e8 at micro losses ~ 1e6.  Returns (keys…, n,
+    mean_diff, dm_hac), sorted."""
+    if max_lag < 0:
+        raise ValueError(f"dm_test_hac: max_lag must be >= 0, "
+                         f"got {max_lag}")
+    keys = list(group_keys)
+    dec = "decimal(38,0)"
+    L = int(max_lag)
+    qa = _micro(F.col(loss_a_col))
+    qb = _micro(F.col(loss_b_col))
+    qd = (qa - qb).cast(dec)
+    base = (df.select(*keys, F.col(order_col).cast("long").alias("_o"),
+                      qd.alias("_qd"))
+            .filter(F.col("_qd").isNotNull()))
+    g = (base.groupBy(*keys) if keys else base.groupBy()) \
+        .agg(F.count(F.lit(1)).cast(dec).alias("_n"),
+             F.sum("_qd").alias("_s"))
+    if keys:
+        joined = base.join(F.broadcast(g), keys)
+        w = Window.partitionBy(*keys).orderBy("_o", "_qd")
+    else:
+        joined = base.crossJoin(F.broadcast(g))
+        w = Window.partitionBy().orderBy("_o", "_qd")
+    e = (F.col("_n") * F.col("_qd") - F.col("_s")).alias("_e")
+    joined = joined.withColumn("_e", e)
+    prods = [(F.col("_e") * F.col("_e")).alias("_c0")]
+    for k in range(1, L + 1):
+        prods.append((F.col("_e") * F.lag("_e", k).over(w))
+                     .alias(f"_c{k}"))
+    terms = joined.select(*keys, "_n", "_s", *prods)
+    aggs = [F.min("_n").alias("_n"), F.min("_s").alias("_s")] + \
+        [F.sum(f"_c{k}").alias(f"_c{k}") for k in range(L + 1)]
+    agg = (terms.groupBy(*keys) if keys else terms.groupBy()).agg(*aggs)
+    lp1 = F.lit(L + 1).cast(dec)
+    vp = lp1 * F.coalesce(F.col("_c0"), F.lit(0).cast(dec))
+    for k in range(1, L + 1):
+        vp = vp + (F.lit(2 * (L + 1 - k)).cast(dec)
+                   * F.coalesce(F.col(f"_c{k}"), F.lit(0).cast(dec)))
+    qv = F.floor(F.sqrt((vp * lp1).cast("double")) + F.lit(0.5)) \
+        .cast(dec)
+    mega_f = F.lit(float(MICRO))
+    n, s = F.col("_n"), F.col("_s")
+    mean_diff = _idiv_half_up(s, n).cast("double") / mega_f
+    dm = F.when(qv > 0, _idiv_half_up(
+        s * n * lp1 * F.lit(MICRO).cast(dec), qv).cast("double")
+        / mega_f).otherwise(F.lit(None).cast("double"))
+    out = agg.select(*keys, n.cast("long").alias("n"),
+                     mean_diff.alias("mean_diff"),
+                     dm.alias("dm_hac"))
     return out.orderBy(*keys) if keys else out
 
 

@@ -371,3 +371,33 @@ def test_dm_hac_zero_variance_null(spark):
                                "g int, t int, la double, lb double")
     r = dm_test_hac(df, "la", "lb", "t", ["g"], max_lag=3).collect()[0]
     assert r.dm_hac is None and r.mean_diff == pytest.approx(1.0)
+
+
+# --- OPERATORS.md registry province map (VERDICT r15 #8) ---------------------
+
+
+def test_operators_index_covers_registry():
+    """OPERATORS.md must list exactly the live registry's gates with
+    the live oracle classes — regenerating must be a no-op on the
+    name/oracle columns, so the index cannot go stale."""
+    import os
+    import re
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entry
+
+    md = open(os.path.join(repo, "OPERATORS.md")).read()
+    rows = re.findall(r"^\| `(q_\w+)` \| .* \| (value|rows-only) \| ",
+                      md, re.M)
+    listed = {name: oracle for name, oracle in rows}
+    queries = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    assert set(listed) == queries, (
+        sorted(queries - set(listed)), sorted(set(listed) - queries))
+    for name, oracle in listed.items():
+        want = "value" if name in oracles else "rows-only"
+        assert oracle == want, (name, oracle, want)
+    # the committed count line matches too
+    assert f"**{len(queries)}** gates" in md

@@ -61,6 +61,17 @@ def _evict_stale_tiers(out: str) -> None:
 # visible; the exact O(n²) embedding dedup is NOT here — it is the oracle
 # baseline, and its all-pairs wall time dominated (and randomized) the
 # headline number while measuring nothing the scale design runs.
+# pass-1 ("cold") readings tracked next to the min for the big tiers
+# (VERDICT r15 #5): the 12-35 s first-execution JIT/heap tier-up on the
+# 60M-row flagship is understood forensics (BASELINE.md); recording
+# cold_sec per run makes the drift mechanical — a cold reading > 2x the
+# historical cold best flags loudly like any band exit.
+COLD_TRACKED = {
+    "q_threshold_summary_x100", "q_daily_pipeline_x100",
+    "q_threshold_summary_x10", "q_daily_pipeline_x10",
+    "q_daily_incremental_x10", "q_crps_x10",
+}
+
 BENCH_QUERIES = [
     # round-7: the flagship pair at 10x volume (6M-row ensemble,
     # pre-materialized to parquet once — generation is NOT timed) — the
@@ -1331,6 +1342,7 @@ def main():
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict = {}
     batches: dict = {}
+    cold: dict = {}
     for pass_i in range(n_passes):
         _warm_page_cache()
         for name in BENCH_QUERIES:
@@ -1350,6 +1362,8 @@ def main():
                 batches[name] = sum(entry_mod.STREAM_BATCHES)
             if name not in timings or dt < timings[name]:
                 timings[name] = round(dt, 3)
+            if pass_i == 0 and name in COLD_TRACKED:
+                cold[name] = round(dt, 3)
             print(f"# pass{pass_i + 1} {name}: {dt:.2f}s",
                   file=sys.stderr)
             # isolate queries: internal .cache()/.persist() calls (LSH
@@ -1416,6 +1430,16 @@ def main():
             bands = {}
     band_exits = []
     if canonical:
+        for name, dt in cold.items():
+            key = name + "__cold"
+            hist = [v for v in bands.get(key, [])
+                    if isinstance(v, (int, float))]
+            if hist and dt > 2 * min(hist):
+                band_exits.append(key)
+                print(f"# BAND EXIT (cold): {name} pass-1 {dt:.2f}s "
+                      f"> 2x historical cold best {min(hist):.2f}s",
+                      file=sys.stderr)
+            bands[key] = (hist + [round(dt, 3)])[-8:]
         for name, dt in timings.items():
             hist = [v for v in bands.get(name, [])
                     if isinstance(v, (int, float))]
@@ -1443,6 +1467,8 @@ def main():
         "passes": n_passes,
         # stream entries: micro-batch count next to the seconds
         "stream_batches": batches,
+        # pass-1 readings for the big tiers (warm = the min above)
+        "cold_sec": cold,
         # entries reading > 2x their historical best (BENCH_BANDS.json)
         "band_exits": band_exits,
     }

@@ -1885,16 +1885,20 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join pre-flight skew diagnostic (plans/scale.join_fanout_report):
     top-20 lineitem x supplier keys by estimated output fan-out with
-    their share of the total — two key-bounded groupBys + one
-    key-relation join, never the joined relation itself.  Deterministic
-    (fanout desc, key asc) so the full report value-hashes."""
+    their share of the total and the measured-rule recommendation
+    column (round 16) — two key-bounded groupBys + one key-relation
+    join, never the joined relation itself.  Deterministic (fanout
+    desc, key asc; literal thresholds) so the full report
+    value-hashes."""
     from flood_data_spark.plans.scale import join_fanout_report
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("suppkey"))
     su = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("suppkey"))
-    return join_fanout_report(li, su, "suppkey", top_n=20)
+    return join_fanout_report(li, su, "suppkey", top_n=20,
+                              shuffle_partitions=32,
+                              broadcast_threshold_rows=1_000_000)
 
 
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13016,10 +13020,15 @@ def oracle_sql() -> dict[str, str]:
             pk AS (SELECT suppkey, n_left, n_right,
                           CAST(n_left AS DOUBLE) * n_right AS fanout
                    FROM lcf JOIN rcf USING (suppkey)),
-            tot AS (SELECT sum(fanout) AS t FROM pk)
+            tot AS (SELECT sum(fanout) AS t FROM pk),
+            rt AS (SELECT sum(n_right) AS rtot FROM rcf)
             SELECT suppkey, n_left, n_right, fanout,
-                   round(fanout / t, 6) AS fanout_share
-            FROM pk, tot
+                   round(fanout / t, 6) AS fanout_share,
+                   CASE WHEN rtot <= 1000000 THEN 'broadcast'
+                        WHEN round(fanout / t, 6) >= 2.0 / 32
+                            THEN 'salt'
+                        ELSE 'none' END AS recommendation
+            FROM pk, tot, rt
             ORDER BY fanout DESC, suppkey ASC LIMIT 20
         """,
         # q_salted_join: the PLAIN join — equality proves the salting

@@ -93,25 +93,62 @@ def salted_join(large: DataFrame, small: DataFrame, on,
 
 
 def join_fanout_report(left: DataFrame, right: DataFrame, keys,
-                       top_n: int = 20) -> DataFrame:
+                       top_n: int = 20,
+                       shuffle_partitions: int | None = None,
+                       broadcast_threshold_rows: int = 1_000_000
+                       ) -> DataFrame:
     """Pre-flight skew diagnostic for an equi-join: the top_n join keys
     by OUTPUT fan-out (n_left x n_right), plus each key's share of the
-    total estimated output.  At 100 TB you run this (two key-bounded
-    groupBys + one key-relation join — never the join itself) before
-    paying for a shuffle that one hot key would straggle: a key
-    carrying >> 1/shuffle-partitions of fanout_share is the signal to
-    `salted_join`, broadcast, or pre-filter.
+    total estimated output and a per-key `recommendation`.  At 100 TB
+    you run this (two key-bounded groupBys + one key-relation join —
+    never the join itself) before paying for a shuffle that one hot
+    key would straggle.
 
-    Output: (keys..., n_left, n_right, fanout, fanout_share) ordered by
-    fanout desc then keys asc (deterministic), inner-join semantics
-    (keys absent from either side produce no output rows and are
-    omitted — they cost nothing).  fanout_share is rounded to 6.
+    recommendation (measured rules — scripts/bench_skew.py numbers in
+    docs/SCALE_NOTES.md "AQE vs salted_join"):
+
+      'broadcast'  the whole right side is under
+                   `broadcast_threshold_rows` — broadcast it; no
+                   shuffle exists for skew to straggle.
+      'salt'       this key's fanout_share ≥ 2/shuffle_partitions —
+                   a straggler-level key.  `salted_join` is the
+                   dependable fix (measured 2.7x on the planted
+                   fixture); AQE's splitter at DEFAULT thresholds
+                   did NOT fire there (byte-calibrated — a 27M-row
+                   hot key of narrow compressed longs stays under the
+                   256 MB threshold), and it declines joins whose
+                   output must stay hash-partitioned.  Tuned-AQE is
+                   the alternative when you control session conf AND
+                   nothing downstream reuses the join's partitioning
+                   — see SCALE_NOTES for the decision table.
+      'none'       no action needed.
+
+    `shuffle_partitions` defaults to the session's
+    spark.sql.shuffle.partitions; pass it explicitly when the report
+    must be engine-portable (the oracle mirrors a literal).
+
+    Output: (keys..., n_left, n_right, fanout, fanout_share,
+    recommendation) ordered by fanout desc then keys asc
+    (deterministic), inner-join semantics (keys absent from either
+    side produce no output rows and are omitted — they cost nothing).
+    fanout_share is rounded to 6.
     """
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if shuffle_partitions < 1:
+        raise ValueError(f"shuffle_partitions must be >= 1, "
+                         f"got {shuffle_partitions}")
     lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
     rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    # key-bounded relation feeds both the per-key join and the
+    # right-side total — localCheckpoint so the corpus groupBy runs
+    # once (same lesson as per_key below)
+    rc = rc.localCheckpoint(eager=False)
+    rtot = rc.agg(F.sum("n_right").alias("_rtot"))
     # fanout as DOUBLE: a long product WRAPS silently past 2^63 (e.g.
     # 4e9 x 3e9 — exactly the extreme-skew keys this report exists to
     # surface would sort LAST); doubles are exact below 2^53 and
@@ -125,10 +162,16 @@ def join_fanout_report(left: DataFrame, right: DataFrame, keys,
                            * F.col("n_right"))
                .localCheckpoint(eager=False))
     total = per_key.agg(F.sum("fanout").alias("_tot"))
+    share = F.round(F.col("fanout") / F.col("_tot"), 6)
+    rec = (F.when(F.col("_rtot") <= broadcast_threshold_rows,
+                  F.lit("broadcast"))
+           .when(share >= 2.0 / shuffle_partitions, F.lit("salt"))
+           .otherwise(F.lit("none")))
     return (per_key.crossJoin(F.broadcast(total))
+            .crossJoin(F.broadcast(rtot))
             .select(*keys, "n_left", "n_right", "fanout",
-                    F.round(F.col("fanout") / F.col("_tot"), 6)
-                    .alias("fanout_share"))
+                    share.alias("fanout_share"),
+                    rec.alias("recommendation"))
             .orderBy(F.col("fanout").desc(), *[F.col(k) for k in keys])
             .limit(top_n))
 

@@ -58,21 +58,54 @@ def main():
 
     spark = get_spark(app_name="bench_skew")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
 
+    def _conf(skew_on: bool, tuned: bool):
+        # AQE itself stays on for all variants (it is on in every
+        # production session); only the skew-join splitter + its
+        # thresholds toggle.
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
+                       "true" if skew_on else "false")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "2" if tuned else "5")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin."
+            "skewedPartitionThresholdInBytes",
+            "16m" if tuned else "256m")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "16m" if tuned else "64m")
+
+    # (skew_on, tuned, join_fn) per variant — all timed through the
+    # identical noop write
     variants = {
-        "plain": lambda b, s: b.join(s, "k"),
-        "salted": lambda b, s: salted_join(b, s, "k",
-                                           salt_buckets=SALT_BUCKETS),
+        # no splitter: the raw straggler
+        "plain": (False, False, lambda b, s: b.join(s, "k")),
+        # the first-line defense AT DEFAULT thresholds (VERDICT r15
+        # #7): measured, the splitter does NOT fire here — the
+        # 27M-row hot partition is narrow longs that lz4-compress
+        # UNDER the 256 MB byte threshold, so byte-calibrated skew
+        # detection is blind to this row-count skew
+        "aqe_default": (True, False, lambda b, s: b.join(s, "k")),
+        # the same splitter with thresholds sized to the data
+        # (16 MB): fires and re-balances
+        "aqe_tuned": (True, True, lambda b, s: b.join(s, "k")),
+        # explicit whole-row-hash salting: no byte heuristics, no
+        # AQE preconditions
+        "salted": (False, False,
+                   lambda b, s: salted_join(b, s, "k",
+                                            salt_buckets=SALT_BUCKETS)),
     }
     # warm codegen for both plan shapes outside the timed region
-    for fn in variants.values():
+    _conf(False, False)
+    for _on, _tuned, fn in variants.values():
         b, s = _inputs(spark)
         fn(b.limit(1000), s.limit(1000)) \
             .write.format("noop").mode("overwrite").save()
 
     results = {}
-    for name, fn in variants.items():
+    for name, (skew_on, tuned, fn) in variants.items():
+        _conf(skew_on, tuned)
         times = []
         for _ in range(RUNS):
             spark._jvm.System.gc()
@@ -83,13 +116,20 @@ def main():
         results[name] = {"runs": times, "min": min(times),
                          "median": round(statistics.median(times), 2)}
         print(f"# {name}: {times} min={min(times)}", file=sys.stderr)
+    _conf(False, False)
 
     print(json.dumps({
         "metric": "skew_join",
         "plain": results["plain"],
+        "aqe_default": results["aqe_default"],
+        "aqe_tuned": results["aqe_tuned"],
         "salted": results["salted"],
-        "speedup_min": round(results["plain"]["min"]
-                             / results["salted"]["min"], 2),
+        "speedup_salted_min": round(results["plain"]["min"]
+                                    / results["salted"]["min"], 2),
+        "speedup_aqe_default_min": round(
+            results["plain"]["min"] / results["aqe_default"]["min"], 2),
+        "speedup_aqe_tuned_min": round(
+            results["plain"]["min"] / results["aqe_tuned"]["min"], 2),
         "runs": RUNS,
         "n_rows": N_ROWS,
         "hot_share": 0.9,

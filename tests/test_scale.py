@@ -267,3 +267,26 @@ def test_join_fanout_report(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="top_n"):
         join_fanout_report(left, right, "k", top_n=0)
+
+
+def test_join_fanout_recommendation(spark):
+    from flood_data_spark.plans.scale import join_fanout_report
+
+    left = spark.createDataFrame(
+        [("hot",)] * 90 + [("warm",)] * 8 + [("cold",)] * 2,
+        "k string")
+    right = spark.createDataFrame(
+        [("hot",)] * 5 + [("warm",)] * 2 + [("cold",)] * 1, "k string")
+    # right side under the broadcast threshold: every key says so
+    rows = join_fanout_report(left, right, "k", top_n=10).collect()
+    assert {r.recommendation for r in rows} == {"broadcast"}
+    # force the shuffle regime: the hot key (share 450/468 = 0.96)
+    # crosses 2/shuffle_partitions; the tail keys do not
+    rows = {r.k: r for r in join_fanout_report(
+        left, right, "k", top_n=10, shuffle_partitions=32,
+        broadcast_threshold_rows=0).collect()}
+    assert rows["hot"].recommendation == "salt"
+    assert rows["warm"].recommendation == "none"
+    assert rows["cold"].recommendation == "none"
+    with pytest.raises(ValueError, match="shuffle_partitions"):
+        join_fanout_report(left, right, "k", shuffle_partitions=0)

@@ -305,6 +305,11 @@ BENCH_QUERIES = [
     "q_fdc",
     "q_flow_percentile_class",
     "q_ivf_incremental",
+    # round-16: polygon-relation serving membership (bucketed bbox
+    # candidate join) + HAC Diebold-Mariano (lag windows over the
+    # differential series)
+    "q_polygon_membership",
+    "q_dm_hac",
 ]
 
 _IVF_INDEX = {}

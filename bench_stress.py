@@ -79,11 +79,15 @@ def _lineitem_x1000_path(spark):
 
 def _documents_x100_path(spark):
     """500k-doc crawl-shaped tier: 100 variants per sf0.1 document —
-    variants 0/1 are TRUE near-dups (full text + one marker token),
-    variants 2..99 are length-varied substrings with a unique tag (NOT
-    near-dups) — so dup clusters stay size ~2 while the corpus grows
-    100x, the real crawl shape (the registry x10 tier's size-10 replica
-    clusters measure pair explosion instead of corpus growth)."""
+    variants 0/1 are TRUE near-dups (the original text + one marker
+    token), variants 2..99 are UNIQUE pseudo-texts (24 md5-derived hex
+    words keyed by (doc, variant) — zero shared shingles by
+    construction) — so dup clusters stay size 2 while the corpus grows
+    100x, the real crawl shape.  (A first cut used length-varied
+    SUBSTRINGS of the original for variants 2..99; variants of one
+    original then shared prefixes and re-created the dense-cluster
+    pair bomb this tier exists to avoid — candidates must grow with
+    the corpus, not with cluster².)"""
     from pyspark.sql import functions as F
     fp = _src_fingerprint(f"{SF_DIR}/documents.parquet")
     out = os.path.join(TIER_ROOT, f"documents_x100_{fp}")
@@ -91,15 +95,15 @@ def _documents_x100_path(spark):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
             .select("doc_id", "text").repartition(16)
         r = F.col("_r")
+        seed = F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                        r.cast("string"), F.lit(":"))
+        uniq = F.concat_ws(" ", *[
+            F.substring(F.md5(F.concat(seed, F.lit(str(j)))), 1, 8)
+            for j in range(24)])
         text = (F.when(r <= 1,
                        F.concat(F.col("text"), F.lit(" nd"),
                                 r.cast("string")))
-                .otherwise(F.concat(
-                    F.substring(F.col("text"), 1,
-                                (F.lit(60) + F.pmod(r * 37, F.lit(97))
-                                 * 2).cast("int")),
-                    F.lit(" tag"), r.cast("string"), F.lit("x"),
-                    F.col("doc_id").cast("string"))))
+                .otherwise(uniq))
         (docs.withColumn("_r", F.explode(F.sequence(F.lit(0),
                                                     F.lit(99))))
          .withColumn("text", text)

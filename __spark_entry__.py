@@ -4494,6 +4494,25 @@ def q_polygon_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("partkey", "poly_id"))
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over the polygon relation
+    (operators/serving.zonal_stats — round 16): per-basin
+    min/max/exact-integer-mean of the cell field over
+    [polygon_membership]'s candidate plan + ONE poly-bounded
+    aggregate — the basin-aggregated discharge readout.  Full value
+    oracle (membership SQL + the identical micro-integer finisher)."""
+    from flood_data_spark.operators.serving import zonal_stats
+
+    polys = spark.createDataFrame(
+        [(pid, rid, i, float(x), float(y))
+         for (pid, rid), ring in sorted(_PM_RINGS.items())
+         for i, (x, y) in enumerate(ring)],
+        "poly_id int, ring_id int, vertex_idx int, lon double, "
+        "lat double")
+    pts = _grid_cells(spark, sf_dir)
+    return zonal_stats(pts, polys, "val", ring_col="ring_id")
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction (datapipe/text.textrank_keywords,
     Mihalcea & Tarau 2004): per-document PageRank over word
@@ -6034,6 +6053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_holt": q_holt,
         "q_point_in_polygon": q_point_in_polygon,
         "q_polygon_membership": q_polygon_membership,
+        "q_zonal_stats": q_zonal_stats,
         "q_textrank": q_textrank,
         "q_fd_discovery": q_fd_discovery,
         "q_ndcg": q_ndcg,
@@ -15769,5 +15789,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4)
         SELECT partkey, latitude, longitude, poly_id, n_crossings
         FROM scored WHERE n_crossings % 2 = 1
+    """
+
+    # q_zonal_stats: the SAME membership arithmetic + the exact
+    # micro-integer finisher (min/max over quantized longs, mean as
+    # the half-up integer ratio sum/count)
+    d["q_zonal_stats"] = f"""
+        WITH cells AS (
+            SELECT p_partkey AS partkey,
+                   round(0.025 + (p_partkey % 200) * 0.05, 3) AS latitude,
+                   round(0.025 + (CAST(floor(p_partkey / 200) AS BIGINT)
+                                  % 200) * 0.05, 3) AS longitude,
+                   p_retailprice AS val
+            FROM part),
+        edges(pid, x1, y1, x2, y2) AS (
+            VALUES {', '.join(_pm_edges)}),
+        scored AS (
+            SELECT c.partkey, c.val, e.pid AS poly_id,
+                   CAST(sum(CASE WHEN ((y1 > latitude) != (y2 > latitude))
+                                  AND (longitude <
+                                       (x2 - x1) * (latitude - y1)
+                                       / (y2 - y1) + x1)
+                            THEN 1 ELSE 0 END) AS INT) AS n_crossings
+            FROM cells c CROSS JOIN edges e
+            GROUP BY 1, 2, 3),
+        members AS (
+            SELECT poly_id,
+                   CAST(sign(val) * floor(abs(val) * 1000000 + 0.5)
+                        AS HUGEINT) AS qv
+            FROM scored WHERE n_crossings % 2 = 1),
+        agg AS (
+            SELECT poly_id,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(count(qv) AS HUGEINT) AS nv,
+                   min(qv) AS mn, max(qv) AS mx, sum(qv) AS s
+            FROM members GROUP BY poly_id)
+        SELECT poly_id, n_cells,
+               CAST(mn AS DOUBLE) / 1000000.0 AS v_min,
+               CAST(mx AS DOUBLE) / 1000000.0 AS v_max,
+               CASE WHEN nv > 0 THEN
+                    {idiv_half_up('s', 'nv', 1000000)}
+               END AS v_mean
+        FROM agg ORDER BY poly_id
     """
     return d

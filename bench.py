@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     # candidate join) + HAC Diebold-Mariano (lag windows over the
     # differential series)
     "q_polygon_membership",
+    "q_zonal_stats",
     "q_dm_hac",
 ]
 

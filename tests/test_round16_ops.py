@@ -401,3 +401,39 @@ def test_operators_index_covers_registry():
         assert oracle == want, (name, oracle, want)
     # the committed count line matches too
     assert f"**{len(queries)}** gates" in md
+
+
+# --- zonal_stats (round 16: basin aggregates on polygon_membership) ----------
+
+
+def test_zonal_stats_exact(spark):
+    from flood_data_spark.operators.serving import zonal_stats
+
+    sq = _ring(1, 0, [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)])
+    tri = _ring(2, 0, [(0.5, 0.5), (3.5, 0.5), (2.0, 3.0)])
+    pts = spark.createDataFrame(
+        [(1.0, 1.0, 10.0), (2.0, 1.0, 20.0), (3.0, 3.0, 31.0),
+         (5.0, 5.0, 99.0)],          # outside everything
+        "longitude double, latitude double, v double")
+    rows = {r.poly_id: r for r in
+            zonal_stats(pts, _pm_polys(spark, sq + tri), "v")
+            .collect()}
+    # square contains all three inner points
+    assert rows[1].n_cells == 3
+    assert rows[1].v_min == 10.0 and rows[1].v_max == 31.0
+    assert rows[1].v_mean == pytest.approx(61.0 / 3, abs=1e-6)
+    # triangle contains the two low points only ((3,3) is outside)
+    assert rows[2].n_cells == 2
+    assert rows[2].v_mean == pytest.approx(15.0)
+
+
+def test_zonal_stats_null_values(spark):
+    from flood_data_spark.operators.serving import zonal_stats
+
+    sq = _ring(1, 0, [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)])
+    pts = spark.createDataFrame(
+        [(1.0, 1.0, 10.0), (2.0, 1.0, None)],
+        "longitude double, latitude double, v double")
+    r = zonal_stats(pts, _pm_polys(spark, sq), "v").collect()[0]
+    # NULL counts toward n_cells but not the stats
+    assert r.n_cells == 2 and r.v_min == 10.0 and r.v_mean == 10.0

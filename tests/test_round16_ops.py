@@ -437,3 +437,98 @@ def test_zonal_stats_null_values(spark):
     r = zonal_stats(pts, _pm_polys(spark, sq), "v").collect()[0]
     # NULL counts toward n_cells but not the stats
     assert r.n_cells == 2 and r.v_min == 10.0 and r.v_mean == 10.0
+
+
+# --- differential fuzz: polygon_membership vs a pure-Python even-odd ---------
+
+
+def _py_even_odd(px, py, rings):
+    """Reference even-odd crossing count over all rings (same strict
+    inequalities as the Spark expression)."""
+    n = 0
+    for ring in rings:
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            if (y1 > py) != (y2 > py):
+                cx = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                if px < cx:
+                    n += 1
+    return n
+
+
+def _random_star_polygon(rng, cx, cy, n_verts, rmin, rmax):
+    """Star-shaped (hence simple) polygon around a center: sorted
+    angles, random radii."""
+    import math
+    angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n_verts))
+    return [(cx + rng.uniform(rmin, rmax) * math.cos(a),
+             cy + rng.uniform(rmin, rmax) * math.sin(a))
+            for a in angles]
+
+
+@pytest.mark.parametrize("seed", [11, 47, 83])
+def test_fuzz_polygon_membership(spark, seed):
+    import random
+
+    from flood_data_spark.operators.serving import polygon_membership
+
+    rng = random.Random(seed)
+    polys, rings_by_pid = [], {}
+    for pid in range(1, 5):
+        outer = _random_star_polygon(rng, rng.uniform(-3, 3),
+                                     rng.uniform(-3, 3),
+                                     rng.randint(3, 9), 1.0, 3.0)
+        rings = [outer]
+        if rng.random() < 0.5:
+            # a hole strictly inside the outer ring's inradius
+            cx = sum(x for x, _ in outer) / len(outer)
+            cy = sum(y for _, y in outer) / len(outer)
+            rings.append(_random_star_polygon(rng, cx, cy,
+                                              rng.randint(3, 6),
+                                              0.1, 0.4))
+        rings_by_pid[pid] = rings
+        for rid, ring in enumerate(rings):
+            polys += [(pid, rid, i, x, y)
+                      for i, (x, y) in enumerate(ring)]
+    pts = [(i, rng.uniform(-7, 7), rng.uniform(-7, 7))
+           for i in range(150)]
+    got = {(r.pid, r.poly_id): r.n_crossings
+           for r in polygon_membership(
+               spark.createDataFrame(
+                   pts, "pid int, longitude double, latitude double"),
+               _pm_polys(spark, polys), ring_col="ring_id",
+               bucket_size=rng.choice([0.5, 1.0, 2.5])).collect()}
+    want = {}
+    for i, px, py in pts:
+        for pid, rings in rings_by_pid.items():
+            n = _py_even_odd(px, py, rings)
+            if n % 2 == 1:
+                want[(i, pid)] = n
+    assert got == want and len(want) > 0
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_fuzz_dm_hac(spark, seed):
+    import random
+
+    from flood_data_spark.operators.verification import dm_test_hac
+
+    rng = random.Random(seed)
+    n = rng.randint(40, 120)
+    lag = rng.randint(0, 6)
+    d = [0.0]
+    for _ in range(n - 1):
+        d.append(0.6 * d[-1] + rng.gauss(0, 1))
+    la = [abs(x) + 2.0 + 0.2 * x for x in d]
+    lb = [abs(x) + 1.9 for x in d]
+    rows = [(1, t, la[t], lb[t]) for t in range(n)]
+    got = dm_test_hac(
+        spark.createDataFrame(rows,
+                              "g int, t int, la double, lb double"),
+        "la", "lb", "t", ["g"], max_lag=lag).collect()[0]
+    want_n, want_dm = _dm_hac_numpy(la, lb, lag)
+    assert got.n == want_n
+    if want_dm is None:
+        assert got.dm_hac is None
+    else:
+        assert got.dm_hac == pytest.approx(want_dm, abs=1e-6)

@@ -4513,6 +4513,94 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(pts, polys, "val", ring_col="ring_id")
 
 
+# polygon relation for q_polygon_area: the C-shape, the triangle, and a
+# THREE-deep nest (outer square, hole, island-in-the-hole — even-odd
+# depth 2 must flip the island back to additive).  The literal fixture
+# is unioned with DATA-DERIVED rectangles (axis-aligned → always simple
+# rings) grouped off the part table, so the gate exercises both a
+# query-shaped and a corpus-shaped vertex relation.
+_PA_RINGS = {
+    (1, 0): _PIP_POLY,
+    (2, 0): [(0.05, 0.2), (0.45, 0.2), (0.25, 2.2)],
+    (3, 0): [(0.1, 4.0), (0.5, 4.0), (0.5, 7.0), (0.1, 7.0)],
+    (3, 1): [(0.2, 5.0), (0.4, 5.0), (0.4, 6.0), (0.2, 6.0)],
+    (3, 2): [(0.25, 5.3), (0.35, 5.3), (0.35, 5.7), (0.25, 5.7)],
+}
+
+
+def q_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact even-odd polygon area over a vertex-row RELATION
+    (operators/serving.polygon_area — round 16, the geopandas ``.area``
+    companion to the membership/zonal family): per-ring integer-micro
+    shoelace, nesting depth from the integer ray-cast of each ring's
+    min-struct vertex against its polygon's other rings (holes
+    subtract, depth-2 islands add back, orientation-free).  Literal
+    nested fixture + data-derived rectangles; full value oracle (the
+    shoelace and depth arithmetic mirrored ring by ring)."""
+    from flood_data_spark.operators.serving import polygon_area
+
+    lit_polys = spark.createDataFrame(
+        [(pid, rid, i, float(x), float(y))
+         for (pid, rid), ring in sorted(_PA_RINGS.items())
+         for i, (x, y) in enumerate(ring)],
+        "poly_id int, ring_id int, vertex_idx int, lon double, "
+        "lat double")
+    rect = (_t(spark, sf_dir, "part")
+            .groupBy(((F.col("p_partkey") % 5).cast("int") + 10)
+                     .alias("poly_id"))
+            .agg((F.min(F.col("p_retailprice").cast("double")) / 1000)
+                 .alias("_xlo"),
+                 (F.max(F.col("p_retailprice").cast("double")) / 1000)
+                 .alias("_xhi"),
+                 F.min((F.col("p_partkey") % 89) * F.lit(0.07))
+                 .alias("_ylo"),
+                 F.max((F.col("p_partkey") % 89) * F.lit(0.07))
+                 .alias("_yhi")))
+    corners = [("_xlo", "_ylo"), ("_xhi", "_ylo"),
+               ("_xhi", "_yhi"), ("_xlo", "_yhi")]
+    verts = (rect.select(
+        "poly_id", F.lit(0).alias("ring_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("vertex_idx"),
+                     F.col(cx).alias("lon"), F.col(cy).alias("lat"))
+            for i, (cx, cy) in enumerate(corners)])).alias("_v"))
+        .select("poly_id", "ring_id", "_v.vertex_idx", "_v.lon",
+                "_v.lat"))
+    return polygon_area(lit_polys.unionByName(verts),
+                        ring_col="ring_id")
+
+
+def q_polygon_box_intersects(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TRUE closed-set cell×polygon ``intersects``
+    (operators/serving.polygon_box_intersects — round 16, the full
+    general form of the reference's geometry.intersects filter,
+    flood-api-examples.py:199-221): every grid cell BOX (center
+    ± half a cell) against the concave/triangle/holed polygon
+    relation — exact integer orientation tests for edge crossings and
+    collinear grazes (many cell edges lie exactly ON polygon edges
+    here), integer center parity for containment.  Strict superset of
+    [q_polygon_membership]'s center-in rows; full value oracle (all 16
+    orientation terms mirrored column by column)."""
+    from flood_data_spark.operators.serving import polygon_box_intersects
+
+    polys = spark.createDataFrame(
+        [(pid, rid, i, float(x), float(y))
+         for (pid, rid), ring in sorted(_PM_RINGS.items())
+         for i, (x, y) in enumerate(ring)],
+        "poly_id int, ring_id int, vertex_idx int, lon double, "
+        "lat double")
+    boxes = _grid_cells(spark, sf_dir).select(
+        "partkey",
+        (F.col("longitude") - 0.025).alias("lon_min"),
+        (F.col("longitude") + 0.025).alias("lon_max"),
+        (F.col("latitude") - 0.025).alias("lat_min"),
+        (F.col("latitude") + 0.025).alias("lat_max"))
+    return (polygon_box_intersects(boxes, polys, ring_col="ring_id",
+                                   max_box_span=0.05)
+            .orderBy("partkey", "poly_id"))
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction (datapipe/text.textrank_keywords,
     Mihalcea & Tarau 2004): per-document PageRank over word
@@ -6054,6 +6142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_point_in_polygon": q_point_in_polygon,
         "q_polygon_membership": q_polygon_membership,
         "q_zonal_stats": q_zonal_stats,
+        "q_polygon_area": q_polygon_area,
+        "q_polygon_box_intersects": q_polygon_box_intersects,
         "q_textrank": q_textrank,
         "q_fd_discovery": q_fd_discovery,
         "q_ndcg": q_ndcg,
@@ -15831,5 +15921,185 @@ def oracle_sql() -> dict[str, str]:
                     {idiv_half_up('s', 'nv', 1000000)}
                END AS v_mean
         FROM agg ORDER BY poly_id
+    """
+
+    # Shared SQL fragment builders for the exact-integer geometry
+    # oracles (mirrors of serving._quantize_micro / _orient /
+    # _on_collinear_seg / _crossing_term_int, expression by
+    # expression).
+    def _gq(e):
+        return (f"CAST(CASE WHEN ({e}) >= 0 THEN "
+                f"floor(({e}) * 1000000 + 0.5) "
+                f"ELSE -floor(-({e}) * 1000000 + 0.5) END AS BIGINT)")
+
+    def _gorient(px, py, qx, qy, rx, ry):
+        return (f"((({qx}) - ({px})) * (({ry}) - ({py})) "
+                f"- (({qy}) - ({py})) * (({rx}) - ({px})))")
+
+    def _gonseg(px, py, qx, qy, rx, ry):
+        return (f"(({rx}) BETWEEN least({px}, {qx}) "
+                f"AND greatest({px}, {qx}) "
+                f"AND ({ry}) BETWEEN least({py}, {qy}) "
+                f"AND greatest({py}, {qy}))")
+
+    def _gcross(px, py, x1, y1, x2, y2):
+        lhs = f"((({px}) - ({x1})) * (({y2}) - ({y1})))"
+        rhs = f"((({x2}) - ({x1})) * (({py}) - ({y1})))"
+        return (f"CASE WHEN ((({y1}) > ({py})) != (({y2}) > ({py})))"
+                f" AND (CASE WHEN ({y2}) > ({y1}) THEN {lhs} < {rhs}"
+                f" ELSE {lhs} > {rhs} END) THEN 1 ELSE 0 END")
+
+    # q_polygon_area: literal nested fixture + the part-derived
+    # rectangles regenerated with the SAME double expressions; one
+    # SQL-side quantization, HUGEINT shoelace, the identical integer
+    # ray-cast depth chain (min-struct representative vertex).
+    _pa_verts = [f"({_pid}, {_rid}, {_i}, {_x!r}, {_y!r})"
+                 for (_pid, _rid), _ring in sorted(_PA_RINGS.items())
+                 for _i, (_x, _y) in enumerate(_ring)]
+    _pa_cross = _gcross("(r.rep).a", "(r.rep).b",
+                        "e.x1", "e.y1", "e.x2", "e.y2")
+    d["q_polygon_area"] = f"""
+        WITH rect AS (
+            SELECT CAST(p_partkey % 5 AS INT) + 10 AS pid,
+                   min(CAST(p_retailprice AS DOUBLE)) / 1000 AS xlo,
+                   max(CAST(p_retailprice AS DOUBLE)) / 1000 AS xhi,
+                   min((p_partkey % 89) * CAST(0.07 AS DOUBLE)) AS ylo,
+                   max((p_partkey % 89) * CAST(0.07 AS DOUBLE)) AS yhi
+            FROM part GROUP BY 1),
+        rverts AS (
+            SELECT pid, 0 AS rid, u.vi AS vi, u.x AS x, u.y AS y
+            FROM rect, unnest([
+                struct_pack(vi := 0, x := xlo, y := ylo),
+                struct_pack(vi := 1, x := xhi, y := ylo),
+                struct_pack(vi := 2, x := xhi, y := yhi),
+                struct_pack(vi := 3, x := xlo, y := yhi)]) AS t(u)),
+        lverts(pid, rid, vi, x, y) AS (VALUES {', '.join(_pa_verts)}),
+        allverts AS (SELECT * FROM lverts UNION ALL
+                     SELECT * FROM rverts),
+        verts AS (SELECT pid, rid, vi, {_gq('x')} AS qx,
+                         {_gq('y')} AS qy
+                  FROM allverts),
+        edges AS (
+            SELECT pid, rid, qx AS x1, qy AS y1,
+                   coalesce(lead(qx) OVER w, first_value(qx) OVER w2)
+                       AS x2,
+                   coalesce(lead(qy) OVER w, first_value(qy) OVER w2)
+                       AS y2
+            FROM verts
+            WINDOW w AS (PARTITION BY pid, rid ORDER BY vi),
+                   w2 AS (PARTITION BY pid, rid ORDER BY vi
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)),
+        rings AS (
+            SELECT pid, rid,
+                   sum(CAST(x1 AS HUGEINT) * y2
+                       - CAST(x2 AS HUGEINT) * y1) AS sa2,
+                   min(struct_pack(a := x1, b := y1)) AS rep
+            FROM edges GROUP BY pid, rid),
+        depth AS (
+            SELECT r.pid, r.rid, e.rid AS orid,
+                   sum({_pa_cross}) AS cr
+            FROM rings r
+            JOIN edges e ON r.pid = e.pid AND e.rid <> r.rid
+            GROUP BY 1, 2, 3),
+        d2 AS (SELECT pid, rid, count(*) AS dep
+               FROM depth WHERE cr % 2 = 1 GROUP BY 1, 2),
+        signs AS (
+            SELECT r.pid, r.rid,
+                   CASE WHEN coalesce(d2.dep, 0) % 2 = 0
+                        THEN abs(sa2) ELSE -abs(sa2) END AS a2
+            FROM rings r
+            LEFT JOIN d2 ON r.pid = d2.pid AND r.rid = d2.rid)
+        SELECT pid AS poly_id, CAST(count(*) AS INT) AS n_rings,
+               CAST(sum(a2) AS DOUBLE) / 2e12 AS area
+        FROM signs GROUP BY pid ORDER BY poly_id
+    """
+
+    # q_polygon_box_intersects: per (cell-box, polygon-edge) the full
+    # 16-orientation closed-segment battery against the 4 box edges +
+    # the vertex-in-box and doubled-micro center-parity terms — every
+    # comparison integer, generated from the same helpers as the area
+    # oracle.  The oracle may cross-join (it is the oracle); the Spark
+    # plan is the bucketed candidate join.
+    _bi_edges = []
+    for (_pid, _rid), _ring in sorted(_PM_RINGS.items()):
+        for _i, (_x1, _y1) in enumerate(_ring):
+            _x2, _y2 = _ring[(_i + 1) % len(_ring)]
+            _bi_edges.append(f"({_pid}, {_x1!r}, {_y1!r}, "
+                             f"{_x2!r}, {_y2!r})")
+    _box_edges = [("bxlo", "bylo", "bxhi", "bylo"),
+                  ("bxlo", "byhi", "bxhi", "byhi"),
+                  ("bxlo", "bylo", "bxlo", "byhi"),
+                  ("bxhi", "bylo", "bxhi", "byhi")]
+    _o_cols, _seg_terms = [], []
+    for _k, (_e1x, _e1y, _e2x, _e2y) in enumerate(_box_edges):
+        _o_cols += [
+            f"{_gorient('x1', 'y1', 'x2', 'y2', _e1x, _e1y)} AS o{_k}a",
+            f"{_gorient('x1', 'y1', 'x2', 'y2', _e2x, _e2y)} AS o{_k}b",
+            f"{_gorient(_e1x, _e1y, _e2x, _e2y, 'x1', 'y1')} AS o{_k}c",
+            f"{_gorient(_e1x, _e1y, _e2x, _e2y, 'x2', 'y2')} AS o{_k}d"]
+        _seg_terms.append(
+            f"(((o{_k}a > 0 AND o{_k}b < 0) OR (o{_k}a < 0 AND "
+            f"o{_k}b > 0)) AND ((o{_k}c > 0 AND o{_k}d < 0) OR "
+            f"(o{_k}c < 0 AND o{_k}d > 0)))"
+            f" OR (o{_k}a = 0 AND "
+            f"{_gonseg('x1', 'y1', 'x2', 'y2', _e1x, _e1y)})"
+            f" OR (o{_k}b = 0 AND "
+            f"{_gonseg('x1', 'y1', 'x2', 'y2', _e2x, _e2y)})"
+            f" OR (o{_k}c = 0 AND "
+            f"{_gonseg(_e1x, _e1y, _e2x, _e2y, 'x1', 'y1')})"
+            f" OR (o{_k}d = 0 AND "
+            f"{_gonseg(_e1x, _e1y, _e2x, _e2y, 'x2', 'y2')})")
+    _bi_ctr = _gcross("bxlo + bxhi", "bylo + byhi",
+                      "2 * x1", "2 * y1", "2 * x2", "2 * y2")
+    d["q_polygon_box_intersects"] = f"""
+        WITH cells AS (
+            -- extents surface as DOUBLE (Spark's type); the DECIMAL
+            -- subtraction is exact, so the cast agrees with Spark's
+            -- double arithmetic at both 9-sig-digit and micro scale
+            SELECT p_partkey AS partkey,
+                   CAST(round(0.025 + (p_partkey % 200) * 0.05, 3)
+                        - 0.025 AS DOUBLE) AS lat_min,
+                   CAST(round(0.025 + (p_partkey % 200) * 0.05, 3)
+                        + 0.025 AS DOUBLE) AS lat_max,
+                   CAST(round(0.025 + (CAST(floor(p_partkey / 200)
+                                            AS BIGINT) % 200) * 0.05, 3)
+                        - 0.025 AS DOUBLE) AS lon_min,
+                   CAST(round(0.025 + (CAST(floor(p_partkey / 200)
+                                            AS BIGINT) % 200) * 0.05, 3)
+                        + 0.025 AS DOUBLE) AS lon_max
+            FROM part),
+        qcells AS (
+            SELECT partkey, lat_min, lat_max, lon_min, lon_max,
+                   {_gq('lon_min')} AS bxlo, {_gq('lon_max')} AS bxhi,
+                   {_gq('lat_min')} AS bylo, {_gq('lat_max')} AS byhi
+            FROM cells),
+        redges(pid, ex1, ey1, ex2, ey2) AS (
+            VALUES {', '.join(_bi_edges)}),
+        qedges AS (
+            SELECT pid, {_gq('ex1')} AS x1, {_gq('ey1')} AS y1,
+                   {_gq('ex2')} AS x2, {_gq('ey2')} AS y2
+            FROM redges),
+        o AS (
+            SELECT c.*, e.pid, e.x1, e.y1, e.x2, e.y2,
+                   {', '.join(_o_cols)}
+            FROM qcells c CROSS JOIN qedges e),
+        t AS (
+            SELECT partkey, lat_min, lat_max, lon_min, lon_max, pid,
+                   CASE WHEN (x1 BETWEEN bxlo AND bxhi
+                              AND y1 BETWEEN bylo AND byhi)
+                             OR {' OR '.join(_seg_terms)}
+                        THEN 1 ELSE 0 END AS b,
+                   {_bi_ctr} AS c
+            FROM o),
+        agg AS (
+            SELECT partkey, lat_min, lat_max, lon_min, lon_max,
+                   pid AS poly_id, max(b) AS tb, sum(c) AS nc
+            FROM t GROUP BY 1, 2, 3, 4, 5, 6)
+        SELECT partkey, lat_min, lat_max, lon_min, lon_max, poly_id,
+               (tb = 1) AS touches_boundary,
+               (nc % 2 = 1) AS center_inside
+        FROM agg WHERE tb = 1 OR nc % 2 = 1
+        ORDER BY partkey, poly_id
     """
     return d

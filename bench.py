@@ -311,6 +311,10 @@ BENCH_QUERIES = [
     "q_polygon_membership",
     "q_zonal_stats",
     "q_dm_hac",
+    # round-16b: geometry suite close-out (exact-integer area + TRUE
+    # closed-set cell-box intersects)
+    "q_polygon_area",
+    "q_polygon_box_intersects",
 ]
 
 _IVF_INDEX = {}

@@ -433,3 +433,291 @@ def zonal_stats(points_df: DataFrame, polygons_df: DataFrame,
         (F.col("_mx").cast("double") / mega_f).alias("v_max"),
         mean.alias("v_mean"))
         .orderBy("poly_id"))
+
+
+def _quantize_micro(col: "F.Column") -> "F.Column":
+    """Half-up quantization of a coordinate to integer micro-degrees —
+    the shared exactness convention (one rounding at the boundary, all
+    geometry arithmetic thereafter in integers)."""
+    c = col.cast("double")
+    return (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
+                                  + F.lit(0.5))).cast("long")
+
+
+def _orient(px, py, qx, qy, rx, ry) -> "F.Column":
+    """Exact integer orientation (twice the signed triangle area):
+    >0 r left of p→q, <0 right, =0 collinear.  Micro-degree inputs stay
+    far inside long range: |coord| ≤ 2e8 µ ⇒ |term| ≤ 1.6e17."""
+    return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+
+def _on_collinear_seg(px, py, qx, qy, rx, ry) -> "F.Column":
+    """Given orient(p,q,r)==0: is r within p→q's bounding box (i.e. ON
+    the closed segment)?"""
+    return (rx.between(F.least(px, qx), F.greatest(px, qx))
+            & ry.between(F.least(py, qy), F.greatest(py, qy)))
+
+
+def _segments_intersect(ax, ay, bx, by, cx, cy, dx, dy) -> "F.Column":
+    """Closed-segment intersection a→b vs c→d, exact integer orientation
+    tests (proper crossing + all four collinear/endpoint-touch cases).
+    Zero-length segments degrade gracefully (both orients 0 → pure
+    on-segment test)."""
+    o1 = _orient(ax, ay, bx, by, cx, cy)
+    o2 = _orient(ax, ay, bx, by, dx, dy)
+    o3 = _orient(cx, cy, dx, dy, ax, ay)
+    o4 = _orient(cx, cy, dx, dy, bx, by)
+    proper = ((((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0)))
+              & (((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0))))
+    touch = (((o1 == 0) & _on_collinear_seg(ax, ay, bx, by, cx, cy))
+             | ((o2 == 0) & _on_collinear_seg(ax, ay, bx, by, dx, dy))
+             | ((o3 == 0) & _on_collinear_seg(cx, cy, dx, dy, ax, ay))
+             | ((o4 == 0) & _on_collinear_seg(cx, cy, dx, dy, bx, by)))
+    return proper | touch
+
+
+def _crossing_term_int(px, py, x1, y1, x2, y2) -> "F.Column":
+    """One even-odd ray-casting term in EXACT integer arithmetic: does
+    the horizontal ray from (px, py) toward +x cross edge (x1,y1)→
+    (x2,y2)?  Same half-open convention as [polygon_membership]'s
+    double form ((y1 > py) != (y2 > py), strict abscissa compare), but
+    the division is cleared by cross-multiplying with the sign of
+    (y2 - y1) — engine-portable without a single derived double."""
+    straddles = ((y1 > py) != (y2 > py))
+    lhs = (px - x1) * (y2 - y1)
+    rhs = (x2 - x1) * (py - y1)
+    before = F.when(y2 > y1, lhs < rhs).otherwise(lhs > rhs)
+    return F.when(straddles & before, 1).otherwise(0)
+
+
+def _polygon_rings(polygons_df: DataFrame, poly_id_col: str,
+                   ring_col: str | None, order_col: str,
+                   vert_lat_col: str, vert_lon_col: str):
+    """Shared vertex→(edges, ring signed areas, ring signs) derivation
+    for the polygon-relation operators.  All relations are polygon-set
+    sized (vertex rows, never the corpus).
+
+    Returns (edges, ring_signs):
+      edges:      poly_id, _ring, _qx1, _qy1, _qx2, _qy2 (closing edge
+                  included; integer micros)
+      ring_signs: poly_id, _ring, _a2 (|shoelace|·sign, micro², decimal;
+                  even-odd nesting — a ring inside an odd number of its
+                  polygon's OTHER rings is a hole and carries -|A2|,
+                  depth-2 islands flip back to +)
+    """
+    from pyspark.sql import Window
+
+    ring = (F.col(ring_col) if ring_col is not None
+            else F.lit(0)).alias("_ring")
+    verts = polygons_df.select(
+        F.col(poly_id_col).alias("poly_id"), ring,
+        F.col(order_col).alias("_vo"),
+        _quantize_micro(F.col(vert_lon_col)).alias("_qx1"),
+        _quantize_micro(F.col(vert_lat_col)).alias("_qy1"))
+    w = Window.partitionBy("poly_id", "_ring").orderBy("_vo")
+    wfull = (Window.partitionBy("poly_id", "_ring").orderBy("_vo")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    edges = (verts
+             .withColumn("_qx2", F.coalesce(F.lead("_qx1").over(w),
+                                            F.first("_qx1").over(wfull)))
+             .withColumn("_qy2", F.coalesce(F.lead("_qy1").over(w),
+                                            F.first("_qy1").over(wfull)))
+             .drop("_vo"))
+    dec = "decimal(38,0)"
+    shoelace = (F.col("_qx1").cast(dec) * F.col("_qy2").cast(dec)
+                - F.col("_qx2").cast(dec) * F.col("_qy1").cast(dec))
+    rings = (edges.groupBy("poly_id", "_ring")
+             .agg(F.sum(shoelace).alias("_sa2"),
+                  F.min(F.struct("_qx1", "_qy1")).alias("_rep")))
+    # even-odd nesting depth: the ring's first (min-struct) vertex
+    # ray-cast against every OTHER ring of the same polygon.  Rings are
+    # assumed properly nested (no partial ring overlap) — the standard
+    # polygon validity contract; a hole's vertex is then strictly
+    # inside each enclosing ring.
+    o_edges = edges.select("poly_id", F.col("_ring").alias("_oring"),
+                           "_qx1", "_qy1", "_qx2", "_qy2")
+    term = _crossing_term_int(
+        F.col("_rep._qx1"), F.col("_rep._qy1"),
+        F.col("_qx1"), F.col("_qy1"), F.col("_qx2"), F.col("_qy2"))
+    depth = (rings.select("poly_id", "_ring", "_rep")
+             .join(o_edges, "poly_id")
+             .filter(F.col("_oring") != F.col("_ring"))
+             .groupBy("poly_id", "_ring", "_oring")
+             .agg(F.sum(term).alias("_cr"))
+             .filter(F.col("_cr") % 2 == 1)
+             .groupBy("poly_id", "_ring")
+             .agg(F.count(F.lit(1)).alias("_depth")))
+    ring_signs = (rings.join(depth, ["poly_id", "_ring"], "left")
+                  .select("poly_id", "_ring",
+                          F.when(F.coalesce("_depth", F.lit(0)) % 2 == 0,
+                                 F.abs("_sa2"))
+                          .otherwise(-F.abs("_sa2")).alias("_a2")))
+    return edges, ring_signs
+
+
+def polygon_area(polygons_df: DataFrame,
+                 poly_id_col: str = "poly_id",
+                 ring_col: str | None = None,
+                 order_col: str = "vertex_idx",
+                 vert_lat_col: str = "lat",
+                 vert_lon_col: str = "lon") -> DataFrame:
+    """Exact even-odd area of each polygon in a vertex-row RELATION —
+    the serving-side "how big is MY basin outline" companion to
+    [polygon_membership] (reference family: geopandas ``.area`` over
+    the user geometry set, flood-api-examples.py:199-221).
+
+    Exactness: vertices quantize ONCE to integer micro-degrees; each
+    ring's shoelace sum is an exact decimal integer in micro²; nesting
+    depth (hole vs island) comes from the integer ray-cast of the
+    ring's first vertex against its polygon's other rings, so holes
+    subtract and depth-2 islands add back — even-odd semantics without
+    any orientation convention on the input (CW and CCW rings are
+    equivalent).  The single double appears at the very end
+    (area2 / 2e12 → degrees²).
+
+    Scale posture: every relation is polygon-set sized (vertex rows);
+    the corpus is never touched.  The depth test is Σ_poly R²·E worst
+    case — a property of the query geometry, not the data.  Returns
+    (poly_id, n_rings, area) ordered by poly_id."""
+    _, ring_signs = _polygon_rings(
+        polygons_df, poly_id_col, ring_col, order_col,
+        vert_lat_col, vert_lon_col)
+    return (ring_signs.groupBy("poly_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_rings"),
+                 F.sum("_a2").alias("_area2"))
+            .select("poly_id", "n_rings",
+                    (F.col("_area2").cast("double") / F.lit(2e12))
+                    .alias("area"))
+            .orderBy("poly_id"))
+
+
+def polygon_box_intersects(boxes_df: DataFrame, polygons_df: DataFrame,
+                           lat_min_col: str = "lat_min",
+                           lat_max_col: str = "lat_max",
+                           lon_min_col: str = "lon_min",
+                           lon_max_col: str = "lon_max",
+                           poly_id_col: str = "poly_id",
+                           ring_col: str | None = None,
+                           order_col: str = "vertex_idx",
+                           vert_lat_col: str = "lat",
+                           vert_lon_col: str = "lon",
+                           bucket_size: float = 1.0,
+                           max_box_span: float | None = None,
+                           broadcast_polygons: bool = True) -> DataFrame:
+    """TRUE closed-set ``intersects`` between axis-aligned boxes (grid
+    cells with extent, query rectangles) and an even-odd polygon
+    RELATION — the full general form of the reference's
+    ``geometry.intersects`` serving filter
+    (flood-api-examples.py:199-221).  [polygon_membership] answers
+    "which polygons contain the cell CENTER"; this answers "which
+    polygons touch the cell AT ALL", including boundary-grazing and
+    corner-touch cases a center test misses.
+
+    Decomposition (complete for closed sets):
+      a. any polygon vertex inside the closed box, or
+      b. any polygon edge intersects any of the 4 box edges (exact
+         integer orientation tests incl. collinear touches), or
+      c. neither — the box boundary is then uniformly inside or
+         outside the filled region, and the box CENTER's even-odd
+         parity decides (tested at doubled-micro coordinates so the
+         half-micro center stays integer).
+
+    Every comparison is integer micro-degree arithmetic — zero derived
+    doubles, engine-portable bit-for-bit.
+
+    Plan: the [polygon_membership] candidate shape — polygons explode
+    to covering grid buckets (padded by ``max_box_span`` so a box
+    whose CENTER buckets elsewhere still meets its polygon), boxes
+    bucket once by center, equi-join + exact bbox-overlap prune, then
+    the broadcast edge relation scores each candidate and ONE
+    map-side-combined aggregate per (box, poly) folds the three
+    predicates.  Never a BNLJ; the single corpus-sized exchange
+    carries candidate pairs.
+
+    Returns the input box columns + (poly_id, touches_boundary,
+    center_inside) for intersecting polygons only."""
+    if bucket_size <= 0:
+        raise ValueError(f"polygon_box_intersects: bucket_size must "
+                         f"be > 0, got {bucket_size}")
+    span = float(max_box_span if max_box_span is not None
+                 else bucket_size)
+    edges, _ = _polygon_rings(polygons_df, poly_id_col, ring_col,
+                              order_col, vert_lat_col, vert_lon_col)
+    if "_ring" in edges.columns:
+        edges = edges.drop("_ring")
+    b = float(bucket_size)
+    pad = span / 2.0
+    bbox = (edges.groupBy("poly_id")
+            .agg(F.min(F.least("_qy1", "_qy2")).alias("_qylo"),
+                 F.max(F.greatest("_qy1", "_qy2")).alias("_qyhi"),
+                 F.min(F.least("_qx1", "_qx2")).alias("_qxlo"),
+                 F.max(F.greatest("_qx1", "_qx2")).alias("_qxhi")))
+    buckets = (bbox
+               .withColumn("_blat", F.explode(F.sequence(
+                   F.floor((F.col("_qylo") / 1e6 - pad) / b)
+                   .cast("long"),
+                   F.floor((F.col("_qyhi") / 1e6 + pad) / b)
+                   .cast("long"))))
+               .withColumn("_blon", F.explode(F.sequence(
+                   F.floor((F.col("_qxlo") / 1e6 - pad) / b)
+                   .cast("long"),
+                   F.floor((F.col("_qxhi") / 1e6 + pad) / b)
+                   .cast("long")))))
+    if broadcast_polygons:
+        buckets = F.broadcast(buckets)
+        edges = F.broadcast(edges)
+
+    pcols = list(boxes_df.columns)
+    for reserved in ("poly_id", "touches_boundary", "center_inside",
+                     "_rid"):
+        if reserved in pcols:
+            raise ValueError(
+                f"polygon_box_intersects reserves column name "
+                f"{reserved!r}; rename it upstream")
+    bxlo = _quantize_micro(F.col(lon_min_col))
+    bxhi = _quantize_micro(F.col(lon_max_col))
+    bylo = _quantize_micro(F.col(lat_min_col))
+    byhi = _quantize_micro(F.col(lat_max_col))
+    boxes = (boxes_df
+             .withColumn("_rid", F.monotonically_increasing_id())
+             .withColumn("_bxlo", bxlo).withColumn("_bxhi", bxhi)
+             .withColumn("_bylo", bylo).withColumn("_byhi", byhi)
+             .withColumn("_blat", F.floor(
+                 ((bylo + byhi) / F.lit(2e6)) / b).cast("long"))
+             .withColumn("_blon", F.floor(
+                 ((bxlo + bxhi) / F.lit(2e6)) / b).cast("long")))
+    cand = (boxes.join(buckets, ["_blat", "_blon"])
+            .filter((F.col("_bxhi") >= F.col("_qxlo"))
+                    & (F.col("_bxlo") <= F.col("_qxhi"))
+                    & (F.col("_byhi") >= F.col("_qylo"))
+                    & (F.col("_bylo") <= F.col("_qyhi")))
+            .drop("_blat", "_blon", "_qxlo", "_qxhi", "_qylo", "_qyhi"))
+
+    x1, y1 = F.col("_qx1"), F.col("_qy1")
+    x2, y2 = F.col("_qx2"), F.col("_qy2")
+    cxlo, cxhi = F.col("_bxlo"), F.col("_bxhi")
+    cylo, cyhi = F.col("_bylo"), F.col("_byhi")
+    vertex_in = (x1.between(cxlo, cxhi) & y1.between(cylo, cyhi))
+    box_edges = [(cxlo, cylo, cxhi, cylo), (cxlo, cyhi, cxhi, cyhi),
+                 (cxlo, cylo, cxlo, cyhi), (cxhi, cylo, cxhi, cyhi)]
+    edge_hits = None
+    for (ex1, ey1, ex2, ey2) in box_edges:
+        t = _segments_intersect(x1, y1, x2, y2, ex1, ey1, ex2, ey2)
+        edge_hits = t if edge_hits is None else (edge_hits | t)
+    boundary = vertex_in | edge_hits
+    # center parity at doubled micros: center·2 = lo + hi (integer)
+    ctr = _crossing_term_int(cxlo + cxhi, cylo + cyhi,
+                             2 * x1, 2 * y1, 2 * x2, 2 * y2)
+    scored = (cand.join(edges, "poly_id")
+              .select("_rid", "poly_id", *pcols,
+                      F.when(boundary, 1).otherwise(0).alias("_b"),
+                      ctr.alias("_c"))
+              .groupBy("_rid", "poly_id", *pcols)
+              .agg(F.max("_b").alias("_tb"),
+                   F.sum("_c").alias("_nc"))
+              .filter((F.col("_tb") == 1) | (F.col("_nc") % 2 == 1)))
+    return scored.select(
+        *pcols, "poly_id",
+        (F.col("_tb") == 1).alias("touches_boundary"),
+        (F.col("_nc") % 2 == 1).alias("center_inside"))

@@ -532,3 +532,159 @@ def test_fuzz_dm_hac(spark, seed):
         assert got.dm_hac is None
     else:
         assert got.dm_hac == pytest.approx(want_dm, abs=1e-6)
+
+
+# --- polygon_area / polygon_box_intersects (geometry suite close-out) --------
+
+
+def test_polygon_area_even_odd_nesting(spark):
+    """Holes subtract, depth-2 islands add back, CW and CCW rings are
+    equivalent (orientation-free even-odd), triangles halve."""
+    from flood_data_spark.operators.serving import polygon_area
+
+    rows = (_ring(1, 0, [(0, 0), (1, 0), (1, 1), (0, 1)]) +
+            _ring(2, 0, [(10, 0), (13, 0), (13, 3), (10, 3)]) +
+            _ring(2, 1, [(11, 1), (12, 1), (12, 2), (11, 2)]) +
+            _ring(3, 0, [(20, 0), (25, 0), (25, 5), (20, 5)]) +
+            # CW hole (reversed winding) and a depth-2 island
+            _ring(3, 1, [(21, 1), (21, 4), (24, 4), (24, 1)]) +
+            _ring(3, 2, [(22, 2), (23, 2), (23, 3), (22, 3)]) +
+            _ring(4, 0, [(30, 0), (31, 0), (31, 1)]))
+    got = {r.poly_id: (r.n_rings, r.area)
+           for r in polygon_area(_pm_polys(spark, rows),
+                                 ring_col="ring_id").collect()}
+    assert got[1] == (1, 1.0)
+    assert got[2] == (2, 8.0)
+    assert got[3] == (3, 17.0)
+    assert got[4] == (1, 0.5)
+
+
+def test_polygon_area_closed_ring_and_negatives(spark):
+    """Explicitly closed rings add a zero-length edge (no area term);
+    negative coordinates quantize sign-correctly."""
+    from flood_data_spark.operators.serving import polygon_area
+
+    sq = _ring(1, 0, [(-2.0, -2.0), (-1.0, -2.0), (-1.0, -1.0),
+                      (-2.0, -1.0), (-2.0, -2.0)])
+    got = polygon_area(_pm_polys(spark, sq),
+                       ring_col="ring_id").collect()[0]
+    assert got.n_rings == 1 and got.area == 1.0
+
+
+def test_polygon_area_fuzz_vs_shoelace(spark):
+    """Random simple star polygons with optional holes vs a pure-python
+    shoelace on the SAME micro-quantized vertices."""
+    import random
+
+    from flood_data_spark.operators.serving import polygon_area
+
+    rng = random.Random(7)
+    rows, want = [], {}
+    for pid in range(1, 6):
+        outer = _random_star_polygon(rng, rng.uniform(-3, 3),
+                                     rng.uniform(-3, 3),
+                                     rng.randint(3, 9), 1.0, 3.0)
+        rings = [outer]
+        if rng.random() < 0.6:
+            cx = sum(x for x, _ in outer) / len(outer)
+            cy = sum(y for _, y in outer) / len(outer)
+            rings.append(_random_star_polygon(rng, cx, cy,
+                                              rng.randint(3, 6),
+                                              0.1, 0.4))
+        area = 0.0
+        for depth, ring in enumerate(rings):
+            q = [(float(int(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+                  / 1e6,
+                  float(int(abs(y) * 1e6 + 0.5)) * (1 if y >= 0 else -1)
+                  / 1e6) for x, y in ring]
+            a2 = sum(q[i][0] * q[(i + 1) % len(q)][1]
+                     - q[(i + 1) % len(q)][0] * q[i][1]
+                     for i in range(len(q)))
+            area += (-1) ** depth * abs(a2) / 2
+        want[pid] = area
+        for rid, ring in enumerate(rings):
+            rows += _ring(pid, rid, ring)
+    got = {r.poly_id: r.area
+           for r in polygon_area(_pm_polys(spark, rows),
+                                 ring_col="ring_id").collect()}
+    assert set(got) == set(want)
+    for pid in want:
+        assert got[pid] == pytest.approx(want[pid], abs=1e-9)
+
+
+def _boxes(spark, rows):
+    return spark.createDataFrame(
+        rows, "box_id int, lon_min double, lon_max double, "
+              "lat_min double, lat_max double")
+
+
+def test_polygon_box_intersects_semantics(spark):
+    """Closed-set intersects: interior containment without boundary
+    contact, edge-graze, corner-touch, box-contains-polygon, inside a
+    hole (no intersection), fully outside."""
+    from flood_data_spark.operators.serving import polygon_box_intersects
+
+    donut = (_ring(2, 0, [(10.0, 0.0), (13.0, 0.0), (13.0, 3.0),
+                          (10.0, 3.0)]) +
+             _ring(2, 1, [(11.0, 1.0), (12.0, 1.0), (12.0, 2.0),
+                          (11.0, 2.0)]))
+    boxes = _boxes(spark, [
+        (1, 11.2, 11.8, 1.2, 1.8),    # fully inside the hole
+        (2, 10.2, 10.8, 1.2, 1.8),    # interior of the filled ring
+        (3, 13.0, 13.5, 0.2, 0.8),    # shares the edge x=13
+        (4, 14.0, 14.5, 0.2, 0.8),    # outside
+        (5, 13.0, 13.6, 3.0, 3.6),    # single-point corner touch (13,3)
+        (6, 9.0, 14.0, -1.0, 4.0),    # contains the whole polygon
+        (7, 11.9, 12.3, 1.4, 1.6)])   # straddles the hole boundary
+    got = {r.box_id: (r.touches_boundary, r.center_inside)
+           for r in polygon_box_intersects(
+               boxes, _pm_polys(spark, donut),
+               ring_col="ring_id").collect()}
+    assert 1 not in got and 4 not in got
+    assert got[2] == (False, True)
+    assert got[3][0] and got[5][0] and got[6][0] and got[7][0]
+
+
+def test_polygon_box_intersects_supersets_membership(spark):
+    """Every (cell, poly) the center-membership test claims must also
+    intersect — and boundary-grazing cells appear ONLY here."""
+    from flood_data_spark.operators.serving import (
+        polygon_box_intersects, polygon_membership)
+
+    tri = _ring(1, 0, [(0.05, 0.2), (0.45, 0.2), (0.25, 2.2)])
+    cells = [(i, 0.025 + (i % 10) * 0.05, 0.025 + (i // 10) * 0.05)
+             for i in range(500)]
+    pts = spark.createDataFrame(
+        cells, "pid int, longitude double, latitude double")
+    boxes = _boxes(spark, [(i, x - 0.025, x + 0.025, y - 0.025,
+                            y + 0.025) for i, x, y in cells])
+    member = {r.pid for r in
+              polygon_membership(pts, _pm_polys(spark, tri)).collect()}
+    inter = {r.box_id for r in polygon_box_intersects(
+        boxes, _pm_polys(spark, tri)).collect()}
+    assert member and member < inter
+
+
+def test_polygon_box_intersects_far_bucket(spark):
+    """A box whose CENTER buckets outside the polygon's bbox buckets
+    still meets it when it overlaps (the max_box_span pad contract)."""
+    from flood_data_spark.operators.serving import polygon_box_intersects
+
+    sq = _ring(1, 0, [(0.0, 0.0), (0.9, 0.0), (0.9, 0.9), (0.0, 0.9)])
+    # center at lon 1.25 -> bucket 1; polygon bbox buckets = {0}
+    boxes = _boxes(spark, [(1, 0.85, 1.65, 0.1, 0.2)])
+    got = polygon_box_intersects(boxes, _pm_polys(spark, sq),
+                                 bucket_size=1.0,
+                                 max_box_span=0.8).collect()
+    assert [r.box_id for r in got] == [1]
+
+
+def test_polygon_box_intersects_plan_no_bnlj(spark):
+    from flood_data_spark.operators.serving import polygon_box_intersects
+
+    sq = _ring(1, 0, [(0.0, 0.0), (0.9, 0.0), (0.9, 0.9), (0.0, 0.9)])
+    boxes = _boxes(spark, [(1, 0.1, 0.2, 0.1, 0.2)])
+    plan = (polygon_box_intersects(boxes, _pm_polys(spark, sq))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -4601,6 +4601,35 @@ def q_polygon_box_intersects(spark: SparkSession,
             .orderBy("partkey", "poly_id"))
 
 
+def q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AREA-WEIGHTED zonal statistics
+    (operators/serving.zonal_stats_weighted — round 16): each grid
+    cell BOX contributes to its basin proportionally to the covered
+    fraction — every polygon ring clips against the cell box via 4
+    relational Sutherland–Hodgman half-plane passes (window +
+    conditional explode, zero UDFs), integer-micro shoelace closes the
+    clipped ring, even-odd nesting signs subtract the hole, and the
+    weighted mean is the exact decimal ratio Σq·w/Σw.  Nested fixture
+    (C-shape + triangle + square-with-hole-with-island); full value
+    oracle — all 4 clip stages mirrored CTE by CTE."""
+    from flood_data_spark.operators.serving import zonal_stats_weighted
+
+    polys = spark.createDataFrame(
+        [(pid, rid, i, float(x), float(y))
+         for (pid, rid), ring in sorted(_PA_RINGS.items())
+         for i, (x, y) in enumerate(ring)],
+        "poly_id int, ring_id int, vertex_idx int, lon double, "
+        "lat double")
+    boxes = _grid_cells(spark, sf_dir).select(
+        "partkey", "val",
+        (F.col("longitude") - 0.025).alias("lon_min"),
+        (F.col("longitude") + 0.025).alias("lon_max"),
+        (F.col("latitude") - 0.025).alias("lat_min"),
+        (F.col("latitude") + 0.025).alias("lat_max"))
+    return zonal_stats_weighted(boxes, polys, "val",
+                                ring_col="ring_id", max_box_span=0.05)
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction (datapipe/text.textrank_keywords,
     Mihalcea & Tarau 2004): per-document PageRank over word
@@ -6144,6 +6173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zonal_stats": q_zonal_stats,
         "q_polygon_area": q_polygon_area,
         "q_polygon_box_intersects": q_polygon_box_intersects,
+        "q_zonal_weighted": q_zonal_weighted,
         "q_textrank": q_textrank,
         "q_fd_discovery": q_fd_discovery,
         "q_ndcg": q_ndcg,
@@ -16101,5 +16131,178 @@ def oracle_sql() -> dict[str, str]:
                (nc % 2 = 1) AS center_inside
         FROM agg WHERE tb = 1 OR nc % 2 = 1
         ORDER BY partkey, poly_id
+    """
+
+    # q_zonal_weighted: the whole Sutherland-Hodgman chain mirrored —
+    # 4 clip stages (window + conditional unnest each, identical
+    # half-up integer intersection rounding via the sign-normalized
+    # idiv), shoelace on the clipped rings, even-odd nesting signs
+    # from the same depth chain as the area oracle, exact ratio
+    # finishers.  The oracle may cross-join every (cell, poly) pair;
+    # empty clips contribute nothing, matching the Spark candidate
+    # pruning exactly.
+    def _gidiv(num, den):
+        n2 = f"(CASE WHEN ({den}) < 0 THEN -({num}) ELSE ({num}) END)"
+        d2 = f"abs({den})"
+        return (f"(CASE WHEN {n2} < 0 THEN "
+                f"-((2 * (-({n2})) + {d2}) // (2 * {d2})) "
+                f"ELSE (2 * ({n2}) + {d2}) // (2 * {d2}) END)")
+
+    def _clip_stage_sql(k, axis, ge, bound):
+        c1, c2 = ("x", "x2") if axis == "x" else ("y", "y2")
+        o1, o2 = ("y", "y2") if axis == "x" else ("x", "x2")
+        op = ">=" if ge else "<="
+        num = f"CAST(({o2} - {o1}) AS HUGEINT) * ({bound} - {c1})"
+        oc = (f"CAST({o1} + {_gidiv(num, f'({c2} - {c1})')} "
+              f"AS BIGINT)")
+        if axis == "x":
+            ipt = f"struct_pack(o := 0, x := {bound}, y := {oc})"
+        else:
+            ipt = f"struct_pack(o := 0, x := {oc}, y := {bound})"
+        vpt = "struct_pack(o := 1, x := x2, y := y2)"
+        return f"""
+        e{k} AS (
+            SELECT partkey, pid, rid, bxlo, bxhi, bylo, byhi, qv, seq,
+                   x, y,
+                   coalesce(lead(x) OVER w, first_value(x) OVER w2)
+                       AS x2,
+                   coalesce(lead(y) OVER w, first_value(y) OVER w2)
+                       AS y2
+            FROM s{k - 1}
+            WINDOW w AS (PARTITION BY partkey, pid, rid ORDER BY seq),
+                   w2 AS (PARTITION BY partkey, pid, rid ORDER BY seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)),
+        s{k} AS (
+            SELECT partkey, pid, rid, bxlo, bxhi, bylo, byhi, qv,
+                   seq * 2 + u.o AS seq, u.x AS x, u.y AS y
+            FROM e{k}, unnest(
+                CASE WHEN ({c2} {op} {bound})
+                          AND NOT ({c1} {op} {bound})
+                          THEN [{ipt}, {vpt}]
+                     WHEN ({c2} {op} {bound}) THEN [{vpt}]
+                     WHEN ({c1} {op} {bound}) THEN [{ipt}]
+                     ELSE CAST([] AS
+                               STRUCT(o INTEGER, x BIGINT,
+                                      y BIGINT)[])
+                END) AS t(u))"""
+
+    _zw_verts = [f"({_pid}, {_rid}, {_i}, {_x!r}, {_y!r})"
+                 for (_pid, _rid), _ring in sorted(_PA_RINGS.items())
+                 for _i, (_x, _y) in enumerate(_ring)]
+    _zw_cross = _gcross("(r.rep).a", "(r.rep).b",
+                        "e.x1", "e.y1", "e.x2", "e.y2")
+    _zw_stages = "".join(
+        "," + _clip_stage_sql(k + 1, axis, ge, bound)
+        for k, (axis, ge, bound) in enumerate(
+            [("x", True, "bxlo"), ("x", False, "bxhi"),
+             ("y", True, "bylo"), ("y", False, "byhi")]))
+    d["q_zonal_weighted"] = f"""
+        WITH lverts(pid, rid, vi, vx, vy) AS (
+            VALUES {', '.join(_zw_verts)}),
+        verts AS (SELECT pid, rid, vi, {_gq('vx')} AS qx,
+                         {_gq('vy')} AS qy
+                  FROM lverts),
+        sedges AS (
+            SELECT pid, rid, qx AS x1, qy AS y1,
+                   coalesce(lead(qx) OVER w, first_value(qx) OVER w2)
+                       AS x2,
+                   coalesce(lead(qy) OVER w, first_value(qy) OVER w2)
+                       AS y2
+            FROM verts
+            WINDOW w AS (PARTITION BY pid, rid ORDER BY vi),
+                   w2 AS (PARTITION BY pid, rid ORDER BY vi
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)),
+        srings AS (
+            SELECT pid, rid,
+                   sum(CAST(x1 AS HUGEINT) * y2
+                       - CAST(x2 AS HUGEINT) * y1) AS sa2,
+                   min(struct_pack(a := x1, b := y1)) AS rep
+            FROM sedges GROUP BY pid, rid),
+        sdepth AS (
+            SELECT r.pid, r.rid, e.rid AS orid,
+                   sum({_zw_cross}) AS cr
+            FROM srings r
+            JOIN sedges e ON r.pid = e.pid AND e.rid <> r.rid
+            GROUP BY 1, 2, 3),
+        sd2 AS (SELECT pid, rid, count(*) AS dep
+                FROM sdepth WHERE cr % 2 = 1 GROUP BY 1, 2),
+        ssigns AS (
+            SELECT r.pid, r.rid,
+                   CASE WHEN coalesce(sd2.dep, 0) % 2 = 0
+                        THEN sign(CAST(sa2 AS DOUBLE))
+                        ELSE -sign(CAST(sa2 AS DOUBLE)) END AS sgn0,
+                   CASE WHEN coalesce(sd2.dep, 0) % 2 = 0
+                        THEN abs(sa2) ELSE -abs(sa2) END AS a2
+            FROM srings r
+            LEFT JOIN sd2 ON r.pid = sd2.pid AND r.rid = sd2.rid),
+        qcells AS (
+            SELECT p_partkey AS partkey, p_retailprice AS val,
+                   {_gq('''CAST(round(0.025
+                        + (CAST(floor(p_partkey / 200) AS BIGINT)
+                           % 200) * 0.05, 3) - 0.025 AS DOUBLE)''')}
+                       AS bxlo,
+                   {_gq('''CAST(round(0.025
+                        + (CAST(floor(p_partkey / 200) AS BIGINT)
+                           % 200) * 0.05, 3) + 0.025 AS DOUBLE)''')}
+                       AS bxhi,
+                   {_gq('''CAST(round(0.025 + (p_partkey % 200) * 0.05,
+                                      3) - 0.025 AS DOUBLE)''')}
+                       AS bylo,
+                   {_gq('''CAST(round(0.025 + (p_partkey % 200) * 0.05,
+                                      3) + 0.025 AS DOUBLE)''')}
+                       AS byhi,
+                   CAST(sign(p_retailprice)
+                        * floor(abs(p_retailprice) * 1000000 + 0.5)
+                        AS BIGINT) AS qv
+            FROM part),
+        s0 AS (
+            SELECT c.partkey, v.pid, v.rid, c.bxlo, c.bxhi, c.bylo,
+                   c.byhi, c.qv, CAST(v.vi AS BIGINT) AS seq,
+                   v.qx AS x, v.qy AS y
+            FROM qcells c CROSS JOIN verts v)
+        {_zw_stages},
+        closed AS (
+            SELECT partkey, pid, rid, qv, x, y,
+                   coalesce(lead(x) OVER w, first_value(x) OVER w2)
+                       AS x2,
+                   coalesce(lead(y) OVER w, first_value(y) OVER w2)
+                       AS y2
+            FROM s4
+            WINDOW w AS (PARTITION BY partkey, pid, rid ORDER BY seq),
+                   w2 AS (PARTITION BY partkey, pid, rid ORDER BY seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)),
+        ring_area AS (
+            SELECT partkey, pid, rid,
+                   sum(CAST(x AS HUGEINT) * y2
+                       - CAST(x2 AS HUGEINT) * y) AS c2,
+                   min(qv) AS qv
+            FROM closed GROUP BY 1, 2, 3),
+        contrib AS (
+            SELECT r.partkey, r.pid,
+                   greatest(CAST(0 AS HUGEINT),
+                            sum(CASE WHEN g.a2 >= 0 THEN abs(r.c2)
+                                     ELSE -abs(r.c2) END)) AS w2,
+                   min(r.qv) AS qv
+            FROM ring_area r
+            JOIN ssigns g ON r.pid = g.pid AND r.rid = g.rid
+            GROUP BY 1, 2),
+        agg AS (
+            SELECT pid AS poly_id,
+                   CAST(sum(CASE WHEN w2 > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cells,
+                   sum(w2) AS a2s,
+                   sum(CASE WHEN qv IS NOT NULL
+                            THEN CAST(qv AS HUGEINT) * w2 END) AS vw,
+                   sum(CASE WHEN qv IS NOT NULL THEN w2 END) AS ww
+            FROM contrib GROUP BY 1)
+        SELECT poly_id, n_cells,
+               CAST(a2s AS DOUBLE) / 2e12 AS area,
+               CASE WHEN ww > 0 THEN
+                    {idiv_half_up('vw', 'ww', 1000000)}
+               END AS v_wmean
+        FROM agg WHERE n_cells > 0 ORDER BY poly_id
     """
     return d

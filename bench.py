@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     # closed-set cell-box intersects)
     "q_polygon_area",
     "q_polygon_box_intersects",
+    "q_zonal_weighted",
 ]
 
 _IVF_INDEX = {}

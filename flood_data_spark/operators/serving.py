@@ -592,6 +592,80 @@ def polygon_area(polygons_df: DataFrame,
             .orderBy("poly_id"))
 
 
+def _box_poly_candidates(boxes_df: DataFrame, polygons_df: DataFrame,
+                         lat_min_col: str, lat_max_col: str,
+                         lon_min_col: str, lon_max_col: str,
+                         poly_id_col: str, ring_col: str | None,
+                         order_col: str, vert_lat_col: str,
+                         vert_lon_col: str, bucket_size: float,
+                         max_box_span: float | None,
+                         broadcast_polygons: bool, op_name: str,
+                         reserved: tuple):
+    """Shared candidate generator for the box×polygon operators:
+    polygons explode to covering grid buckets (padded by half
+    ``max_box_span`` so a box whose CENTER buckets elsewhere still
+    meets its polygon), boxes bucket ONCE by center, equi-join + exact
+    integer bbox-overlap prune.  Never a BNLJ; the box table is
+    scanned once and never exploded.
+
+    Returns (cand, pcols, edges): cand carries the original box
+    columns + ``_rid`` + quantized extents ``_bxlo/_bxhi/_bylo/_byhi``
+    + ``poly_id``; edges is the (possibly broadcast) closed edge
+    relation WITH its ``_ring`` column."""
+    if bucket_size <= 0:
+        raise ValueError(f"{op_name}: bucket_size must be > 0, "
+                         f"got {bucket_size}")
+    span = float(max_box_span if max_box_span is not None
+                 else bucket_size)
+    edges, _ = _polygon_rings(polygons_df, poly_id_col, ring_col,
+                              order_col, vert_lat_col, vert_lon_col)
+    b = float(bucket_size)
+    pad = span / 2.0
+    bbox = (edges.groupBy("poly_id")
+            .agg(F.min(F.least("_qy1", "_qy2")).alias("_qylo"),
+                 F.max(F.greatest("_qy1", "_qy2")).alias("_qyhi"),
+                 F.min(F.least("_qx1", "_qx2")).alias("_qxlo"),
+                 F.max(F.greatest("_qx1", "_qx2")).alias("_qxhi")))
+    buckets = (bbox
+               .withColumn("_blat", F.explode(F.sequence(
+                   F.floor((F.col("_qylo") / 1e6 - pad) / b)
+                   .cast("long"),
+                   F.floor((F.col("_qyhi") / 1e6 + pad) / b)
+                   .cast("long"))))
+               .withColumn("_blon", F.explode(F.sequence(
+                   F.floor((F.col("_qxlo") / 1e6 - pad) / b)
+                   .cast("long"),
+                   F.floor((F.col("_qxhi") / 1e6 + pad) / b)
+                   .cast("long")))))
+    if broadcast_polygons:
+        buckets = F.broadcast(buckets)
+        edges = F.broadcast(edges)
+    pcols = list(boxes_df.columns)
+    for r in reserved:
+        if r in pcols:
+            raise ValueError(f"{op_name} reserves column name {r!r}; "
+                             f"rename it upstream")
+    bxlo = _quantize_micro(F.col(lon_min_col))
+    bxhi = _quantize_micro(F.col(lon_max_col))
+    bylo = _quantize_micro(F.col(lat_min_col))
+    byhi = _quantize_micro(F.col(lat_max_col))
+    boxes = (boxes_df
+             .withColumn("_rid", F.monotonically_increasing_id())
+             .withColumn("_bxlo", bxlo).withColumn("_bxhi", bxhi)
+             .withColumn("_bylo", bylo).withColumn("_byhi", byhi)
+             .withColumn("_blat", F.floor(
+                 ((bylo + byhi) / F.lit(2e6)) / b).cast("long"))
+             .withColumn("_blon", F.floor(
+                 ((bxlo + bxhi) / F.lit(2e6)) / b).cast("long")))
+    cand = (boxes.join(buckets, ["_blat", "_blon"])
+            .filter((F.col("_bxhi") >= F.col("_qxlo"))
+                    & (F.col("_bxlo") <= F.col("_qxhi"))
+                    & (F.col("_byhi") >= F.col("_qylo"))
+                    & (F.col("_bylo") <= F.col("_qyhi")))
+            .drop("_blat", "_blon", "_qxlo", "_qxhi", "_qylo", "_qyhi"))
+    return cand, pcols, edges
+
+
 def polygon_box_intersects(boxes_df: DataFrame, polygons_df: DataFrame,
                            lat_min_col: str = "lat_min",
                            lat_max_col: str = "lat_max",
@@ -637,62 +711,12 @@ def polygon_box_intersects(boxes_df: DataFrame, polygons_df: DataFrame,
 
     Returns the input box columns + (poly_id, touches_boundary,
     center_inside) for intersecting polygons only."""
-    if bucket_size <= 0:
-        raise ValueError(f"polygon_box_intersects: bucket_size must "
-                         f"be > 0, got {bucket_size}")
-    span = float(max_box_span if max_box_span is not None
-                 else bucket_size)
-    edges, _ = _polygon_rings(polygons_df, poly_id_col, ring_col,
-                              order_col, vert_lat_col, vert_lon_col)
-    if "_ring" in edges.columns:
-        edges = edges.drop("_ring")
-    b = float(bucket_size)
-    pad = span / 2.0
-    bbox = (edges.groupBy("poly_id")
-            .agg(F.min(F.least("_qy1", "_qy2")).alias("_qylo"),
-                 F.max(F.greatest("_qy1", "_qy2")).alias("_qyhi"),
-                 F.min(F.least("_qx1", "_qx2")).alias("_qxlo"),
-                 F.max(F.greatest("_qx1", "_qx2")).alias("_qxhi")))
-    buckets = (bbox
-               .withColumn("_blat", F.explode(F.sequence(
-                   F.floor((F.col("_qylo") / 1e6 - pad) / b)
-                   .cast("long"),
-                   F.floor((F.col("_qyhi") / 1e6 + pad) / b)
-                   .cast("long"))))
-               .withColumn("_blon", F.explode(F.sequence(
-                   F.floor((F.col("_qxlo") / 1e6 - pad) / b)
-                   .cast("long"),
-                   F.floor((F.col("_qxhi") / 1e6 + pad) / b)
-                   .cast("long")))))
-    if broadcast_polygons:
-        buckets = F.broadcast(buckets)
-        edges = F.broadcast(edges)
-
-    pcols = list(boxes_df.columns)
-    for reserved in ("poly_id", "touches_boundary", "center_inside",
-                     "_rid"):
-        if reserved in pcols:
-            raise ValueError(
-                f"polygon_box_intersects reserves column name "
-                f"{reserved!r}; rename it upstream")
-    bxlo = _quantize_micro(F.col(lon_min_col))
-    bxhi = _quantize_micro(F.col(lon_max_col))
-    bylo = _quantize_micro(F.col(lat_min_col))
-    byhi = _quantize_micro(F.col(lat_max_col))
-    boxes = (boxes_df
-             .withColumn("_rid", F.monotonically_increasing_id())
-             .withColumn("_bxlo", bxlo).withColumn("_bxhi", bxhi)
-             .withColumn("_bylo", bylo).withColumn("_byhi", byhi)
-             .withColumn("_blat", F.floor(
-                 ((bylo + byhi) / F.lit(2e6)) / b).cast("long"))
-             .withColumn("_blon", F.floor(
-                 ((bxlo + bxhi) / F.lit(2e6)) / b).cast("long")))
-    cand = (boxes.join(buckets, ["_blat", "_blon"])
-            .filter((F.col("_bxhi") >= F.col("_qxlo"))
-                    & (F.col("_bxlo") <= F.col("_qxhi"))
-                    & (F.col("_byhi") >= F.col("_qylo"))
-                    & (F.col("_bylo") <= F.col("_qyhi")))
-            .drop("_blat", "_blon", "_qxlo", "_qxhi", "_qylo", "_qyhi"))
+    cand, pcols, edges = _box_poly_candidates(
+        boxes_df, polygons_df, lat_min_col, lat_max_col, lon_min_col,
+        lon_max_col, poly_id_col, ring_col, order_col, vert_lat_col,
+        vert_lon_col, bucket_size, max_box_span, broadcast_polygons,
+        "polygon_box_intersects",
+        ("poly_id", "touches_boundary", "center_inside", "_rid"))
 
     x1, y1 = F.col("_qx1"), F.col("_qy1")
     x2, y2 = F.col("_qx2"), F.col("_qy2")
@@ -721,3 +745,182 @@ def polygon_box_intersects(boxes_df: DataFrame, polygons_df: DataFrame,
         *pcols, "poly_id",
         (F.col("_tb") == 1).alias("touches_boundary"),
         (F.col("_nc") % 2 == 1).alias("center_inside"))
+
+
+def _clip_half_plane(state: DataFrame, axis: str, keep_ge: bool,
+                     bound_col: str) -> DataFrame:
+    """One Sutherland–Hodgman clip of every (box, poly, ring) vertex
+    sequence against an axis-aligned half-plane (``axis`` coordinate
+    kept >= or <= the per-row ``bound_col``).  Standard S-H edge
+    emission — entering edges emit (intersection, endpoint), interior
+    edges the endpoint, exiting edges the intersection — realized as
+    one window (closing edge via first_value) + one conditional-array
+    explode; ``_seq`` doubles so emission order stays total without a
+    renumber.  Intersections round half-up to integer micros via the
+    exact decimal ratio (`_idiv_half_up` with the denominator sign
+    normalized out), so both engines place them identically."""
+    from pyspark.sql import Window
+
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("_rid", "poly_id", "_ring").orderBy("_seq")
+    wf = w.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)
+    d = (state
+         .withColumn("_x2", F.coalesce(F.lead("_x").over(w),
+                                       F.first("_x").over(wf)))
+         .withColumn("_y2", F.coalesce(F.lead("_y").over(w),
+                                       F.first("_y").over(wf))))
+    b = F.col(bound_col)
+    c1 = F.col("_x") if axis == "x" else F.col("_y")
+    c2 = F.col("_x2") if axis == "x" else F.col("_y2")
+    in1 = (c1 >= b) if keep_ge else (c1 <= b)
+    in2 = (c2 >= b) if keep_ge else (c2 <= b)
+    # intersection of the edge with the clip line: the off-axis
+    # coordinate moves by the exact rational Δother·(b-c1)/(c2-c1),
+    # rounded half-up (denominator != 0 whenever a crossing branch is
+    # taken: in1 != in2 forces c1 != c2)
+    den = (c2 - c1).cast(dec)
+    sgn = F.when(den < 0, F.lit(-1)).otherwise(F.lit(1)).cast(dec)
+    other1 = F.col("_y") if axis == "x" else F.col("_x")
+    other2 = F.col("_y2") if axis == "x" else F.col("_x2")
+    num = (other2 - other1).cast(dec) * (b - c1).cast(dec)
+    icross = (other1.cast(dec)
+              + _idiv_half_up(num * sgn, F.abs(den))).cast("long")
+    if axis == "x":
+        ipt = F.struct(F.lit(0).alias("o"), b.alias("x"),
+                       icross.alias("y"))
+    else:
+        ipt = F.struct(F.lit(0).alias("o"), icross.alias("x"),
+                       b.alias("y"))
+    vpt = F.struct(F.lit(1).alias("o"), F.col("_x2").alias("x"),
+                   F.col("_y2").alias("y"))
+    empty = F.array().cast("array<struct<o:int,x:bigint,y:bigint>>")
+    ems = (F.when(in2 & ~in1, F.array(ipt, vpt))
+           .when(in2, F.array(vpt))
+           .when(in1, F.array(ipt))
+           .otherwise(empty))
+    keep = [c for c in state.columns if c not in ("_seq", "_x", "_y")]
+    return (d.select(*keep, "_seq", F.explode(ems).alias("_e"))
+            .select(*keep,
+                    (F.col("_seq") * 2 + F.col("_e.o")).alias("_seq"),
+                    F.col("_e.x").alias("_x"),
+                    F.col("_e.y").alias("_y")))
+
+
+def zonal_stats_weighted(boxes_df: DataFrame, polygons_df: DataFrame,
+                         value_col: str,
+                         lat_min_col: str = "lat_min",
+                         lat_max_col: str = "lat_max",
+                         lon_min_col: str = "lon_min",
+                         lon_max_col: str = "lon_max",
+                         poly_id_col: str = "poly_id",
+                         ring_col: str | None = None,
+                         order_col: str = "vertex_idx",
+                         vert_lat_col: str = "lat",
+                         vert_lon_col: str = "lon",
+                         bucket_size: float = 1.0,
+                         max_box_span: float | None = None,
+                         broadcast_polygons: bool = True) -> DataFrame:
+    """AREA-WEIGHTED zonal statistics — what real zonal stats do:
+    each grid CELL BOX contributes to its polygon proportionally to
+    the covered fraction, so boundary cells stop over/under-counting
+    (the [zonal_stats] center-in rule rounds them to all-or-nothing).
+
+    Per candidate (cell, poly): every polygon RING clips against the
+    cell box via 4 relational Sutherland–Hodgman half-plane passes
+    ([_clip_half_plane] — window + conditional explode each, zero
+    UDFs), the clipped ring closes through an integer-micro shoelace,
+    and even-odd nesting signs from [_polygon_rings] make holes
+    subtract (S-H's degenerate connector edges along the clip
+    boundary traverse identical rounded vertices both ways, so their
+    shoelace terms cancel exactly).  The per-candidate covered area
+    clamps at 0 (micro-rounding can leave a hole a few µ² over its
+    shell) and feeds ONE poly-keyed aggregate: the weighted mean is
+    the exact decimal ratio Σ q·w / Σ w — the only doubles are the
+    final /2e12 and /1e6 seams.
+
+    NULL values keep their cell's area in ``area`` but drop out of the
+    mean (the na-transparent convention); polygons covering zero cell
+    area are absent.  Scale posture: [_box_poly_candidates]' single
+    corpus-sized exchange, then every relation is candidates ×
+    polygon vertices — the 4 clip windows share one partitioning
+    (``_rid``, poly, ring), so the chain shuffles the candidate-vertex
+    relation once and re-sorts in place.  Returns (poly_id, n_cells,
+    area, v_wmean) ordered by poly_id."""
+    from flood_data_spark.datapipe.linalg import _idiv_half_up
+
+    dec = "decimal(38,0)"
+    cand, pcols, _ = _box_poly_candidates(
+        boxes_df, polygons_df, lat_min_col, lat_max_col, lon_min_col,
+        lon_max_col, poly_id_col, ring_col, order_col, vert_lat_col,
+        vert_lon_col, bucket_size, max_box_span, broadcast_polygons,
+        "zonal_stats_weighted",
+        ("poly_id", "n_cells", "area", "v_wmean", "_rid"))
+    ring = (F.col(ring_col) if ring_col is not None
+            else F.lit(0)).alias("_ring")
+    verts = polygons_df.select(
+        F.col(poly_id_col).alias("poly_id"), ring,
+        F.col(order_col).cast("long").alias("_seq"),
+        _quantize_micro(F.col(vert_lon_col)).alias("_x"),
+        _quantize_micro(F.col(vert_lat_col)).alias("_y"))
+    _, ring_signs = _polygon_rings(
+        polygons_df, poly_id_col, ring_col, order_col,
+        vert_lat_col, vert_lon_col)
+    if broadcast_polygons:
+        verts = F.broadcast(verts)
+        ring_signs = F.broadcast(ring_signs)
+    v = F.col(value_col).cast("double")
+    qv = (F.signum(v) * F.floor(F.abs(v) * F.lit(1_000_000)
+                                + F.lit(0.5))).cast("long")
+    state = (cand.withColumn("_qv", qv)
+             .select("_rid", "poly_id", "_bxlo", "_bxhi", "_bylo",
+                     "_byhi", "_qv")
+             .join(verts, "poly_id"))
+    for axis, keep_ge, bound in (("x", True, "_bxlo"),
+                                 ("x", False, "_bxhi"),
+                                 ("y", True, "_bylo"),
+                                 ("y", False, "_byhi")):
+        state = _clip_half_plane(state, axis, keep_ge, bound)
+    from pyspark.sql import Window
+    w = Window.partitionBy("_rid", "poly_id", "_ring").orderBy("_seq")
+    wf = w.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)
+    closed = (state
+              .withColumn("_x2", F.coalesce(F.lead("_x").over(w),
+                                            F.first("_x").over(wf)))
+              .withColumn("_y2", F.coalesce(F.lead("_y").over(w),
+                                            F.first("_y").over(wf))))
+    shoelace = (F.col("_x").cast(dec) * F.col("_y2").cast(dec)
+                - F.col("_x2").cast(dec) * F.col("_y").cast(dec))
+    per_ring = (closed.groupBy("_rid", "poly_id", "_ring")
+                .agg(F.sum(shoelace).alias("_c2"),
+                     F.min("_qv").alias("_qv")))
+    sgn = ring_signs.select(
+        "poly_id", "_ring",
+        F.when(F.col("_a2") >= 0, F.lit(1))
+        .otherwise(F.lit(-1)).cast(dec).alias("_sgn"))
+    per_cand = (per_ring.join(sgn, ["poly_id", "_ring"])
+                .groupBy("_rid", "poly_id")
+                .agg(F.greatest(
+                    F.lit(0).cast(dec),
+                    F.sum(F.col("_sgn") * F.abs("_c2"))).alias("_w2"),
+                    F.min("_qv").alias("_qv")))
+    out = (per_cand.groupBy("poly_id")
+           .agg(F.sum(F.when(F.col("_w2") > 0, 1).otherwise(0))
+                .cast("long").alias("n_cells"),
+                F.sum("_w2").alias("_a2s"),
+                F.sum(F.when(F.col("_qv").isNotNull(),
+                             F.col("_qv").cast(dec) * F.col("_w2")))
+                .alias("_vw"),
+                F.sum(F.when(F.col("_qv").isNotNull(), F.col("_w2")))
+                .alias("_ww"))
+           .filter(F.col("n_cells") > 0))
+    return (out.select(
+        "poly_id", "n_cells",
+        (F.col("_a2s").cast("double") / F.lit(2e12)).alias("area"),
+        F.when(F.col("_ww") > 0,
+               _idiv_half_up(F.col("_vw"), F.col("_ww"))
+               .cast("double") / F.lit(1e6)).alias("v_wmean"))
+        .orderBy("poly_id"))

@@ -688,3 +688,173 @@ def test_polygon_box_intersects_plan_no_bnlj(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- zonal_stats_weighted (area-weighted via relational S-H clipping) --------
+
+
+def test_zonal_weighted_fractions_and_holes(spark):
+    """Hand-computable coverages: full/half/quarter cells, a cell
+    containing the whole donut (hole subtracts), a cell straddling the
+    hole boundary, NULL values keep area but leave the mean."""
+    from flood_data_spark.operators.serving import zonal_stats_weighted
+
+    rings = (_ring(1, 0, [(0, 0), (2, 0), (2, 2), (0, 2)]) +
+             _ring(2, 0, [(10, 0), (13, 0), (13, 3), (10, 3)]) +
+             _ring(2, 1, [(11, 1), (12, 1), (12, 2), (11, 2)]))
+    boxes = spark.createDataFrame(
+        [(1, 0.0, 1.0, 0.0, 1.0, 10.0),
+         (2, -0.5, 0.5, 0.0, 1.0, 20.0),
+         (3, 1.5, 3.0, 1.5, 3.0, 40.0),
+         (4, 5.0, 6.0, 5.0, 6.0, 99.0),
+         (5, 9.0, 14.0, -1.0, 4.0, 7.0),
+         (6, 10.5, 11.5, 1.25, 1.75, 3.0),
+         (7, 0.2, 0.8, 0.2, 0.8, None)],
+        "box_id int, lon_min double, lon_max double, lat_min double, "
+        "lat_max double, val double")
+    g = {r.poly_id: r for r in zonal_stats_weighted(
+        boxes, _pm_polys(spark, rings), "val", ring_col="ring_id",
+        max_box_span=5.0).collect()}
+    assert g[1].n_cells == 4 and g[1].area == pytest.approx(2.11)
+    assert g[1].v_wmean == pytest.approx(
+        (10 * 1 + 20 * 0.5 + 40 * 0.25) / 1.75, abs=1e-6)
+    assert g[2].n_cells == 2 and g[2].area == pytest.approx(8.25)
+    assert g[2].v_wmean == pytest.approx(
+        (7 * 8 + 3 * 0.25) / 8.25, abs=1e-6)
+    assert len(g) == 2  # polygons with zero covered area are absent
+
+
+def test_zonal_weighted_rect_fuzz_exact_overlap(spark):
+    """Axis-aligned rectangle polygons: the covered area has a closed
+    form (interval-overlap product) with NO clipping rounding — the
+    S-H chain must reproduce it exactly at micro resolution."""
+    import random
+
+    from flood_data_spark.operators.serving import zonal_stats_weighted
+
+    rng = random.Random(11)
+
+    def q(v):
+        return float(int(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1) / 1e6
+
+    rows, boxes, rects = [], [], {}
+    for pid in range(1, 8):
+        x0 = round(rng.uniform(-5, 5), 3)
+        y0 = round(rng.uniform(-5, 5), 3)
+        w = round(rng.uniform(0.3, 3.0), 3)
+        h = round(rng.uniform(0.3, 3.0), 3)
+        rows += _ring(pid, 0, [(x0, y0), (x0 + w, y0),
+                               (x0 + w, y0 + h), (x0, y0 + h)])
+        rects[pid] = (x0, y0, x0 + w, y0 + h)
+        for b in range(4):
+            bx = round(rng.uniform(-6, 6), 3)
+            by = round(rng.uniform(-6, 6), 3)
+            bw = round(rng.uniform(0.2, 2.5), 3)
+            bh = round(rng.uniform(0.2, 2.5), 3)
+            boxes.append((pid * 10 + b, bx, bx + bw, by, by + bh, 1.0))
+    # every box scores against EVERY overlapping polygon
+    want = {pid: 0.0 for pid in rects}
+    for pid, (x0, y0, x1, y1) in rects.items():
+        for _, bx0, bx1, by0, by1, _v in boxes:
+            ox = max(0.0, min(q(x1), q(bx1)) - max(q(x0), q(bx0)))
+            oy = max(0.0, min(q(y1), q(by1)) - max(q(y0), q(by0)))
+            want[pid] += ox * oy
+    got = {r.poly_id: r.area for r in zonal_stats_weighted(
+        spark.createDataFrame(
+            boxes, "box_id int, lon_min double, lon_max double, "
+                   "lat_min double, lat_max double, val double"),
+        _pm_polys(spark, rows), "val", ring_col="ring_id",
+        bucket_size=2.0, max_box_span=2.5).collect()}
+    for pid, area in want.items():
+        assert got.get(pid, 0.0) == pytest.approx(area, abs=1e-9), pid
+
+
+def _py_clip_area(ring, bxlo, bxhi, bylo, byhi):
+    """Pure-python mirror of the micro-integer S-H chain."""
+    def q(v):
+        return int(abs(v) * 1e6 + 0.5) * (1 if v >= 0 else -1)
+
+    def idiv(num, den):
+        if den < 0:
+            num, den = -num, -den
+        a = 2 * abs(num) + den
+        r = a // (2 * den)
+        return r if num >= 0 else -r
+
+    pts = [(q(x), q(y)) for x, y in ring]
+    for axis, ge, b in (("x", True, q(bxlo)), ("x", False, q(bxhi)),
+                        ("y", True, q(bylo)), ("y", False, q(byhi))):
+        out = []
+        for i in range(len(pts)):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % len(pts)]
+            c1, c2 = (x1, x2) if axis == "x" else (y1, y2)
+            in1 = (c1 >= b) if ge else (c1 <= b)
+            in2 = (c2 >= b) if ge else (c2 <= b)
+            if in1 != in2:
+                o1, o2 = (y1, y2) if axis == "x" else (x1, x2)
+                oc = o1 + idiv((o2 - o1) * (b - c1), c2 - c1)
+                ipt = (b, oc) if axis == "x" else (oc, b)
+            if in2:
+                if not in1:
+                    out.append(ipt)
+                out.append((x2, y2))
+            elif in1:
+                out.append(ipt)
+        pts = out
+        if not pts:
+            return 0.0
+    a2 = sum(pts[i][0] * pts[(i + 1) % len(pts)][1]
+             - pts[(i + 1) % len(pts)][0] * pts[i][1]
+             for i in range(len(pts)))
+    return abs(a2) / 2e12
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_zonal_weighted_fuzz_vs_python_clip(spark, seed):
+    """Random star polygons × random boxes vs the pure-python mirror
+    of the identical micro-integer S-H arithmetic."""
+    import random
+
+    from flood_data_spark.operators.serving import zonal_stats_weighted
+
+    rng = random.Random(seed)
+    rows, boxes, ring_by_pid = [], [], {}
+    for pid in range(1, 6):
+        ring = _random_star_polygon(rng, rng.uniform(-2, 2),
+                                    rng.uniform(-2, 2),
+                                    rng.randint(3, 9), 0.5, 2.5)
+        rows += _ring(pid, 0, ring)
+        ring_by_pid[pid] = ring
+        for b in range(5):
+            bx, by = rng.uniform(-4, 4), rng.uniform(-4, 4)
+            bw, bh = rng.uniform(0.3, 2.0), rng.uniform(0.3, 2.0)
+            boxes.append((pid * 10 + b, bx, bx + bw, by, by + bh, 1.0))
+    want = {pid: sum(_py_clip_area(ring, b[1], b[2], b[3], b[4])
+                     for b in boxes)
+            for pid, ring in ring_by_pid.items()}
+    got = {r.poly_id: r.area for r in zonal_stats_weighted(
+        spark.createDataFrame(
+            boxes, "box_id int, lon_min double, lon_max double, "
+                   "lat_min double, lat_max double, val double"),
+        _pm_polys(spark, rows), "val", ring_col="ring_id",
+        bucket_size=2.0, max_box_span=2.0).collect()}
+    for pid, area in want.items():
+        if area > 0:
+            assert got[pid] == pytest.approx(area, abs=1e-9), pid
+        else:
+            assert got.get(pid, 0.0) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_zonal_weighted_plan_no_bnlj(spark):
+    from flood_data_spark.operators.serving import zonal_stats_weighted
+
+    sq = _ring(1, 0, [(0.0, 0.0), (0.9, 0.0), (0.9, 0.9), (0.0, 0.9)])
+    boxes = spark.createDataFrame(
+        [(1, 0.1, 0.2, 0.1, 0.2, 1.0)],
+        "box_id int, lon_min double, lon_max double, lat_min double, "
+        "lat_max double, val double")
+    plan = (zonal_stats_weighted(boxes, _pm_polys(spark, sq), "val")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

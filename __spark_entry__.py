@@ -4630,6 +4630,92 @@ def q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ring_col="ring_id", max_box_span=0.05)
 
 
+def q_membership_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9 streaming geometry serving, driver-gated: the
+    [q_polygon_membership] plan as a Structured Stream — grid cells
+    arrive as a file stream, meet the STATIC broadcast polygon
+    relation (windows/edges all on the static side), and the
+    per-(point, poly) crossing aggregate runs in complete mode over a
+    memory sink.  `row_id_col="partkey"` replaces
+    monotonically_increasing_id (unavailable on streams).  The oracle
+    IS the batch membership SQL — full stream/batch parity for the
+    geometry family."""
+    from flood_data_spark.operators.serving import polygon_membership
+
+    polys = spark.createDataFrame(
+        [(pid, rid, i, float(x), float(y))
+         for (pid, rid), ring in sorted(_PM_RINGS.items())
+         for i, (x, y) in enumerate(ring)],
+        "poly_id int, ring_id int, vertex_idx int, lon double, "
+        "lat double")
+
+    def build(stream):
+        cells = stream.select(
+            F.col("p_partkey").alias("partkey"),
+            F.round(F.lit(0.025) + (F.col("p_partkey") % 200) * 0.05, 3)
+            .alias("latitude"),
+            F.round(F.lit(0.025)
+                    + (F.floor(F.col("p_partkey") / 200) % 200) * 0.05,
+                    3).alias("longitude"))
+        return polygon_membership(cells, polys, ring_col="ring_id",
+                                  row_id_col="partkey")
+
+    return _run_file_stream(spark, f"{sf_dir}/part.parquet", build,
+                            "membership_stream_")
+
+
+def q_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General GEOMETRY-SET join
+    (operators/serving.polygon_polygon_intersects — round 16, the last
+    arbitrary-geometry shape in the reference family): TRUE closed-set
+    intersects between the nested literal polygon set (C-shape +
+    triangle + square-with-hole-with-island) and DATA-DERIVED
+    rectangles grouped off the part table — bucketed bbox candidate
+    pairs, exact integer edge×edge orientation battery, even-odd
+    rep-point containment both directions folded through ONE
+    aggregate.  Full value oracle (both sides' edge/depth chains and
+    all orientation terms mirrored)."""
+    from flood_data_spark.operators.serving import (
+        polygon_polygon_intersects)
+
+    a = spark.createDataFrame(
+        [(pid, rid, i, float(x), float(y))
+         for (pid, rid), ring in sorted(_PA_RINGS.items())
+         for i, (x, y) in enumerate(ring)],
+        "poly_id int, ring_id int, vertex_idx int, lon double, "
+        "lat double")
+    g = F.col("p_partkey") % 5
+    rect = (_t(spark, sf_dir, "part")
+            .groupBy((g + 20).cast("int").alias("poly_id"))
+            .agg(F.min(F.col("p_retailprice").cast("double"))
+                 .alias("_mnv"),
+                 F.max(F.col("p_retailprice").cast("double"))
+                 .alias("_mxv"),
+                 F.min((F.col("p_partkey") % (g + 13)) * F.lit(0.05))
+                 .alias("_ylo"),
+                 F.max((F.col("p_partkey") % (g + 13)) * F.lit(0.05))
+                 .alias("_yhi"))
+            .select("poly_id",
+                    (F.col("_mnv")
+                     / (F.lit(3000) + (F.col("poly_id") - 20) * 500))
+                    .alias("_xlo"),
+                    (F.col("_mxv")
+                     / (F.lit(2000) + (F.col("poly_id") - 20) * 400))
+                    .alias("_xhi"),
+                    "_ylo", "_yhi"))
+    corners = [("_xlo", "_ylo"), ("_xhi", "_ylo"),
+               ("_xhi", "_yhi"), ("_xlo", "_yhi")]
+    bverts = (rect.select(
+        "poly_id", F.lit(0).alias("ring_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("vertex_idx"),
+                     F.col(cx).alias("lon"), F.col(cy).alias("lat"))
+            for i, (cx, cy) in enumerate(corners)])).alias("_v"))
+        .select("poly_id", "ring_id", "_v.vertex_idx", "_v.lon",
+                "_v.lat"))
+    return polygon_polygon_intersects(a, bverts, ring_col="ring_id")
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction (datapipe/text.textrank_keywords,
     Mihalcea & Tarau 2004): per-document PageRank over word
@@ -6174,6 +6260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_polygon_area": q_polygon_area,
         "q_polygon_box_intersects": q_polygon_box_intersects,
         "q_zonal_weighted": q_zonal_weighted,
+        "q_membership_stream": q_membership_stream,
+        "q_polygon_join": q_polygon_join,
         "q_textrank": q_textrank,
         "q_fd_discovery": q_fd_discovery,
         "q_ndcg": q_ndcg,
@@ -16304,5 +16392,130 @@ def oracle_sql() -> dict[str, str]:
                     {idiv_half_up('vw', 'ww', 1000000)}
                END AS v_wmean
         FROM agg WHERE n_cells > 0 ORDER BY poly_id
+    """
+    # streamed polygon membership: stream/batch parity — the oracle IS
+    # the batch membership SQL
+    d["q_membership_stream"] = d["q_polygon_membership"]
+
+    # q_polygon_join: both sides' edge/ring/depth/representative chains
+    # emitted by one generator (identical structure to the area
+    # oracle), then the three predicate relations (edge×edge
+    # 4-orientation battery, repA×edgesB parity, repB×edgesA parity)
+    # UNION into one aggregate — the mirror of the Spark fold.
+    def _side_sql(p, verts):
+        cross = _gcross(f"(r.rep).a", f"(r.rep).b",
+                        "e.x1", "e.y1", "e.x2", "e.y2")
+        return f"""
+        {p}edges AS (
+            SELECT pid, rid, qx AS x1, qy AS y1,
+                   coalesce(lead(qx) OVER w, first_value(qx) OVER w2)
+                       AS x2,
+                   coalesce(lead(qy) OVER w, first_value(qy) OVER w2)
+                       AS y2
+            FROM {verts}
+            WINDOW w AS (PARTITION BY pid, rid ORDER BY vi),
+                   w2 AS (PARTITION BY pid, rid ORDER BY vi
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)),
+        {p}rings AS (
+            SELECT pid, rid,
+                   sum(CAST(x1 AS HUGEINT) * y2
+                       - CAST(x2 AS HUGEINT) * y1) AS sa2,
+                   min(struct_pack(a := x1, b := y1)) AS rep
+            FROM {p}edges GROUP BY pid, rid),
+        {p}depth AS (
+            SELECT r.pid, r.rid, e.rid AS orid, sum({cross}) AS cr
+            FROM {p}rings r
+            JOIN {p}edges e ON r.pid = e.pid AND e.rid <> r.rid
+            GROUP BY 1, 2, 3),
+        {p}d2 AS (SELECT pid, rid, count(*) AS dep
+                  FROM {p}depth WHERE cr % 2 = 1 GROUP BY 1, 2),
+        {p}signs AS (
+            SELECT r.pid, r.rid, r.rep,
+                   CASE WHEN coalesce(d2.dep, 0) % 2 = 0
+                        THEN abs(sa2) ELSE -abs(sa2) END AS a2
+            FROM {p}rings r
+            LEFT JOIN {p}d2 d2 ON r.pid = d2.pid AND r.rid = d2.rid),
+        {p}rep AS (SELECT pid, min(rep) AS rep FROM {p}signs
+                   WHERE a2 >= 0 GROUP BY pid)"""
+
+    _pj_o = [
+        f"{_gorient('ax1', 'ay1', 'ax2', 'ay2', 'bx1', 'by1')} AS o1",
+        f"{_gorient('ax1', 'ay1', 'ax2', 'ay2', 'bx2', 'by2')} AS o2",
+        f"{_gorient('bx1', 'by1', 'bx2', 'by2', 'ax1', 'ay1')} AS o3",
+        f"{_gorient('bx1', 'by1', 'bx2', 'by2', 'ax2', 'ay2')} AS o4"]
+    _pj_seg = (
+        "(((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0)) AND "
+        "((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0)))"
+        f" OR (o1 = 0 AND "
+        f"{_gonseg('ax1', 'ay1', 'ax2', 'ay2', 'bx1', 'by1')})"
+        f" OR (o2 = 0 AND "
+        f"{_gonseg('ax1', 'ay1', 'ax2', 'ay2', 'bx2', 'by2')})"
+        f" OR (o3 = 0 AND "
+        f"{_gonseg('bx1', 'by1', 'bx2', 'by2', 'ax1', 'ay1')})"
+        f" OR (o4 = 0 AND "
+        f"{_gonseg('bx1', 'by1', 'bx2', 'by2', 'ax2', 'ay2')})")
+    d["q_polygon_join"] = f"""
+        WITH averts(pid, rid, vi, vx, vy) AS (
+            VALUES {', '.join(_zw_verts)}),
+        qaverts AS (SELECT pid, rid, vi, {_gq('vx')} AS qx,
+                           {_gq('vy')} AS qy
+                    FROM averts),
+        rect AS (
+            SELECT CAST(p_partkey % 5 AS INT) + 20 AS pid,
+                   min(CAST(p_retailprice AS DOUBLE)) AS mnv,
+                   max(CAST(p_retailprice AS DOUBLE)) AS mxv,
+                   min((p_partkey % ((p_partkey % 5) + 13))
+                       * CAST(0.05 AS DOUBLE)) AS ylo,
+                   max((p_partkey % ((p_partkey % 5) + 13))
+                       * CAST(0.05 AS DOUBLE)) AS yhi
+            FROM part GROUP BY 1),
+        rect2 AS (
+            SELECT pid, mnv / (3000 + (pid - 20) * 500) AS xlo,
+                   mxv / (2000 + (pid - 20) * 400) AS xhi, ylo, yhi
+            FROM rect),
+        bverts AS (
+            SELECT pid, 0 AS rid, u.vi AS vi, u.x AS x, u.y AS y
+            FROM rect2, unnest([
+                struct_pack(vi := 0, x := xlo, y := ylo),
+                struct_pack(vi := 1, x := xhi, y := ylo),
+                struct_pack(vi := 2, x := xhi, y := yhi),
+                struct_pack(vi := 3, x := xlo, y := yhi)]) AS t(u)),
+        qbverts AS (SELECT pid, rid, vi, {_gq('x')} AS qx,
+                           {_gq('y')} AS qy
+                    FROM bverts),
+        {_side_sql('a', 'qaverts')},
+        {_side_sql('b', 'qbverts')},
+        ep AS (
+            SELECT ea.pid AS pa, eb.pid AS pb,
+                   ea.x1 AS ax1, ea.y1 AS ay1, ea.x2 AS ax2,
+                   ea.y2 AS ay2, eb.x1 AS bx1, eb.y1 AS by1,
+                   eb.x2 AS bx2, eb.y2 AS by2
+            FROM aedges ea CROSS JOIN bedges eb),
+        epo AS (SELECT *, {', '.join(_pj_o)} FROM ep),
+        u AS (
+            SELECT pa, pb,
+                   CASE WHEN {_pj_seg} THEN 1 ELSE 0 END AS t,
+                   0 AS ca, 0 AS cb
+            FROM epo
+            UNION ALL
+            SELECT r.pid AS pa, e.pid AS pb, 0 AS t,
+                   {_gcross('(r.rep).a', '(r.rep).b', 'e.x1', 'e.y1',
+                            'e.x2', 'e.y2')} AS ca, 0 AS cb
+            FROM arep r CROSS JOIN bedges e
+            UNION ALL
+            SELECT e.pid AS pa, r.pid AS pb, 0 AS t, 0 AS ca,
+                   {_gcross('(r.rep).a', '(r.rep).b', 'e.x1', 'e.y1',
+                            'e.x2', 'e.y2')} AS cb
+            FROM brep r CROSS JOIN aedges e),
+        agg AS (
+            SELECT pa, pb, max(t) AS tb, sum(ca) AS na, sum(cb) AS nb
+            FROM u GROUP BY 1, 2)
+        SELECT pa AS poly_a, pb AS poly_b,
+               (tb = 1) AS touches_boundary,
+               (na % 2 = 1) AS a_in_b, (nb % 2 = 1) AS b_in_a
+        FROM agg
+        WHERE tb = 1 OR na % 2 = 1 OR nb % 2 = 1
+        ORDER BY 1, 2
     """
     return d

@@ -316,6 +316,8 @@ BENCH_QUERIES = [
     "q_polygon_area",
     "q_polygon_box_intersects",
     "q_zonal_weighted",
+    "q_membership_stream",
+    "q_polygon_join",
 ]
 
 _IVF_INDEX = {}

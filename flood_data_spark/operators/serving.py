@@ -270,7 +270,8 @@ def polygon_membership(points_df: DataFrame, polygons_df: DataFrame,
                        vert_lat_col: str = "lat",
                        vert_lon_col: str = "lon",
                        bucket_size: float = 1.0,
-                       broadcast_polygons: bool = True) -> DataFrame:
+                       broadcast_polygons: bool = True,
+                       row_id_col: str | None = None) -> DataFrame:
     """Point-in-polygon membership against a polygon RELATION — the
     general form of the reference's serving-time geometry filter
     (``geometry.intersects`` over a user-supplied basin set,
@@ -358,11 +359,15 @@ def polygon_membership(points_df: DataFrame, polygons_df: DataFrame,
             raise ValueError(
                 f"polygon_membership reserves column name "
                 f"{reserved!r}; rename it upstream")
+    # surrogate row id: duplicate point rows stay distinct through the
+    # per-(row, poly) crossing aggregate; dropped before return, so
+    # output is layout-independent.  Pass `row_id_col` (a column the
+    # caller knows is unique) for STREAMING point sources, where
+    # monotonically_increasing_id is unavailable.
+    rid = (F.col(row_id_col) if row_id_col is not None
+           else F.monotonically_increasing_id())
     pts = (points_df
-           # surrogate row id: duplicate point rows stay distinct
-           # through the per-(row, poly) crossing aggregate; dropped
-           # before return, so output is layout-independent
-           .withColumn("_rid", F.monotonically_increasing_id())
+           .withColumn("_rid", rid)
            .withColumn("_blat", F.floor(py / b).cast("long"))
            .withColumn("_blon", F.floor(px / b).cast("long")))
     cand = (pts.join(buckets, ["_blat", "_blon"])
@@ -503,7 +508,10 @@ def _polygon_rings(polygons_df: DataFrame, poly_id_col: str,
       ring_signs: poly_id, _ring, _a2 (|shoelace|·sign, micro², decimal;
                   even-odd nesting — a ring inside an odd number of its
                   polygon's OTHER rings is a hole and carries -|A2|,
-                  depth-2 islands flip back to +)
+                  depth-2 islands flip back to +), _rep (the ring's
+                  min-struct vertex — a layout-independent
+                  representative; for a depth-even ring it is a point
+                  OF the polygon's filled region)
     """
     from pyspark.sql import Window
 
@@ -552,7 +560,8 @@ def _polygon_rings(polygons_df: DataFrame, poly_id_col: str,
                   .select("poly_id", "_ring",
                           F.when(F.coalesce("_depth", F.lit(0)) % 2 == 0,
                                  F.abs("_sa2"))
-                          .otherwise(-F.abs("_sa2")).alias("_a2")))
+                          .otherwise(-F.abs("_sa2")).alias("_a2"),
+                          "_rep"))
     return edges, ring_signs
 
 
@@ -924,3 +933,137 @@ def zonal_stats_weighted(boxes_df: DataFrame, polygons_df: DataFrame,
                _idiv_half_up(F.col("_vw"), F.col("_ww"))
                .cast("double") / F.lit(1e6)).alias("v_wmean"))
         .orderBy("poly_id"))
+
+
+def polygon_polygon_intersects(polys_a: DataFrame, polys_b: DataFrame,
+                               poly_id_col: str = "poly_id",
+                               ring_col: str | None = None,
+                               order_col: str = "vertex_idx",
+                               vert_lat_col: str = "lat",
+                               vert_lon_col: str = "lon",
+                               bucket_size: float = 1.0,
+                               broadcast_a: bool = True,
+                               broadcast_b: bool = True) -> DataFrame:
+    """General GEOMETRY-SET join: TRUE closed-set ``intersects``
+    between two polygon RELATIONS — the last arbitrary-geometry shape
+    in the reference family (user basin shapefiles × forecast product
+    outlines, flood-api-examples.py:199-221), with no axis-alignment
+    assumption on either side.
+
+    Decomposition (complete for closed even-odd sets):
+      a. any edge of A intersects any edge of B (the exact integer
+         16-orientation battery incl. collinear/endpoint touches), or
+      b. no boundary contact — then each filled region lies uniformly
+         inside or outside the other, and two representative-point
+         parity tests decide: A's representative (the min-struct
+         vertex of a nesting-depth-EVEN ring — a point OF the filled
+         region, never a hole vertex) ray-cast against B's edges, and
+         symmetrically B's against A's.
+    A representative landing exactly ON the other boundary is already
+    case (a) — the rep is an edge endpoint, and endpoint touches
+    count — so the half-open parity convention never loses a hit.
+
+    Plan: both sides explode their bboxes to covering grid buckets,
+    candidate pairs come from the bucket equi-join (exact bbox-overlap
+    prune + distinct — a polygon pair sharing many buckets meets
+    once), and the three predicate relations (edge×edge, repA×edgesB,
+    repB×edgesA) UNION into ONE map-side-combined (pa, pb) aggregate.
+    Never a BNLJ.  Either side may be corpus-scale if the other
+    broadcasts (``broadcast_a``/``broadcast_b``).
+
+    Both relations use the same vertex-row column names.  Returns
+    (poly_a, poly_b, touches_boundary, a_in_b, b_in_a) for
+    intersecting pairs, ordered by (poly_a, poly_b)."""
+    if bucket_size <= 0:
+        raise ValueError(f"polygon_polygon_intersects: bucket_size "
+                         f"must be > 0, got {bucket_size}")
+    b = float(bucket_size)
+
+    def _side(polys, tag, do_broadcast):
+        edges, signs = _polygon_rings(polys, poly_id_col, ring_col,
+                                      order_col, vert_lat_col,
+                                      vert_lon_col)
+        pid = f"p{tag}"
+        e = edges.select(
+            F.col("poly_id").alias(pid),
+            F.col("_qx1").alias(f"{tag}x1"),
+            F.col("_qy1").alias(f"{tag}y1"),
+            F.col("_qx2").alias(f"{tag}x2"),
+            F.col("_qy2").alias(f"{tag}y2"))
+        bbox = (e.groupBy(pid)
+                .agg(F.min(F.least(f"{tag}y1", f"{tag}y2"))
+                     .alias(f"_{tag}ylo"),
+                     F.max(F.greatest(f"{tag}y1", f"{tag}y2"))
+                     .alias(f"_{tag}yhi"),
+                     F.min(F.least(f"{tag}x1", f"{tag}x2"))
+                     .alias(f"_{tag}xlo"),
+                     F.max(F.greatest(f"{tag}x1", f"{tag}x2"))
+                     .alias(f"_{tag}xhi")))
+        buckets = (bbox
+                   .withColumn("_blat", F.explode(F.sequence(
+                       F.floor(F.col(f"_{tag}ylo") / F.lit(b * 1e6))
+                       .cast("long"),
+                       F.floor(F.col(f"_{tag}yhi") / F.lit(b * 1e6))
+                       .cast("long"))))
+                   .withColumn("_blon", F.explode(F.sequence(
+                       F.floor(F.col(f"_{tag}xlo") / F.lit(b * 1e6))
+                       .cast("long"),
+                       F.floor(F.col(f"_{tag}xhi") / F.lit(b * 1e6))
+                       .cast("long")))))
+        # filled-region representative: min-struct vertex over
+        # depth-even rings (a polygon with no valid outer ring — all
+        # rings degenerate — drops out, honestly: it has no region)
+        rep = (signs.filter(F.col("_a2") >= 0)
+               .groupBy("poly_id")
+               .agg(F.min("_rep").alias("_r"))
+               .select(F.col("poly_id").alias(pid),
+                       F.col("_r._qx1").alias(f"{tag}rx"),
+                       F.col("_r._qy1").alias(f"{tag}ry")))
+        if do_broadcast:
+            e, buckets, rep = (F.broadcast(e), F.broadcast(buckets),
+                               F.broadcast(rep))
+        return e, buckets, rep
+
+    ea, bka, repa = _side(polys_a, "a", broadcast_a)
+    eb, bkb, repb = _side(polys_b, "b", broadcast_b)
+    pairs = (bka.join(bkb, ["_blat", "_blon"])
+             .filter((F.col("_axhi") >= F.col("_bxlo"))
+                     & (F.col("_axlo") <= F.col("_bxhi"))
+                     & (F.col("_ayhi") >= F.col("_bylo"))
+                     & (F.col("_aylo") <= F.col("_byhi")))
+             .select("pa", "pb").distinct())
+
+    seg = _segments_intersect(
+        F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"),
+        F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"))
+    t_edge = (pairs.join(ea, "pa").join(eb, "pb")
+              .select("pa", "pb",
+                      F.when(seg, 1).otherwise(0).alias("_t"),
+                      F.lit(0).alias("_ca"), F.lit(0).alias("_cb")))
+    t_a_in_b = (pairs.join(repa, "pa").join(eb, "pb")
+                .select("pa", "pb", F.lit(0).alias("_t"),
+                        _crossing_term_int(
+                            F.col("arx"), F.col("ary"),
+                            F.col("bx1"), F.col("by1"),
+                            F.col("bx2"), F.col("by2")).alias("_ca"),
+                        F.lit(0).alias("_cb")))
+    t_b_in_a = (pairs.join(repb, "pb").join(ea, "pa")
+                .select("pa", "pb", F.lit(0).alias("_t"),
+                        F.lit(0).alias("_ca"),
+                        _crossing_term_int(
+                            F.col("brx"), F.col("bry"),
+                            F.col("ax1"), F.col("ay1"),
+                            F.col("ax2"), F.col("ay2")).alias("_cb")))
+    scored = (t_edge.unionByName(t_a_in_b).unionByName(t_b_in_a)
+              .groupBy("pa", "pb")
+              .agg(F.max("_t").alias("_tb"),
+                   F.sum("_ca").alias("_na"),
+                   F.sum("_cb").alias("_nb"))
+              .filter((F.col("_tb") == 1) | (F.col("_na") % 2 == 1)
+                      | (F.col("_nb") % 2 == 1)))
+    return (scored.select(
+        F.col("pa").alias("poly_a"), F.col("pb").alias("poly_b"),
+        (F.col("_tb") == 1).alias("touches_boundary"),
+        (F.col("_na") % 2 == 1).alias("a_in_b"),
+        (F.col("_nb") % 2 == 1).alias("b_in_a"))
+        .orderBy("poly_a", "poly_b"))

@@ -858,3 +858,145 @@ def test_zonal_weighted_plan_no_bnlj(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_polygon_membership_row_id_col_matches_default(spark):
+    """row_id_col (the streaming-safe surrogate) must reproduce the
+    monotonically_increasing_id path exactly on unique-id input."""
+    from flood_data_spark.operators.serving import polygon_membership
+
+    tri = _ring(1, 0, [(0.05, 0.2), (0.45, 0.2), (0.25, 2.2)])
+    pts = spark.createDataFrame(
+        [(i, 0.025 + (i % 10) * 0.05, 0.025 + (i // 10) * 0.05)
+         for i in range(300)],
+        "pid int, longitude double, latitude double")
+    a = sorted((r.pid, r.poly_id, r.n_crossings) for r in
+               polygon_membership(pts, _pm_polys(spark, tri)).collect())
+    b = sorted((r.pid, r.poly_id, r.n_crossings) for r in
+               polygon_membership(pts, _pm_polys(spark, tri),
+                                  row_id_col="pid").collect())
+    assert a == b and len(a) > 0
+
+
+# --- polygon_polygon_intersects (general geometry-set join) ------------------
+
+
+def test_polygon_polygon_intersects_semantics(spark):
+    """Donut × squares: inside-the-hole (no hit), inside-the-ring
+    (b_in_a), contains-everything (a_in_b), boundary overlap,
+    single-point corner touch, far away."""
+    from flood_data_spark.operators.serving import (
+        polygon_polygon_intersects)
+
+    a = (_ring(1, 0, [(0, 0), (10, 0), (10, 10), (0, 10)]) +
+         _ring(1, 1, [(3, 3), (7, 3), (7, 7), (3, 7)]) +
+         _ring(2, 0, [(50, 50), (52, 50), (51, 52)]))
+    bs = (_ring(10, 0, [(4, 4), (6, 4), (6, 6), (4, 6)]) +
+          _ring(11, 0, [(0.5, 0.5), (2, 0.5), (2, 2), (0.5, 2)]) +
+          _ring(12, 0, [(-5, -5), (15, -5), (15, 15), (-5, 15)]) +
+          _ring(13, 0, [(8, 8), (12, 8), (12, 12), (8, 12)]) +
+          _ring(14, 0, [(10, 10), (11, 10), (11, 11), (10, 11)]) +
+          _ring(15, 0, [(30, 30), (31, 30), (31, 31), (30, 31)]))
+    got = {(r.poly_a, r.poly_b): (r.touches_boundary, r.a_in_b,
+                                  r.b_in_a)
+           for r in polygon_polygon_intersects(
+               _pm_polys(spark, a), _pm_polys(spark, bs),
+               ring_col="ring_id", bucket_size=5.0).collect()}
+    assert (1, 10) not in got
+    assert got[(1, 11)] == (False, False, True)
+    assert got[(1, 12)] == (False, True, False)
+    assert got[(1, 13)][0] and got[(1, 14)][0]
+    assert all(k[0] != 2 for k in got) and (1, 15) not in got
+
+
+def test_polygon_polygon_intersects_fuzz_vs_python(spark):
+    """Random star polygons both sides vs a pure-python oracle built
+    from the same micro-quantized decomposition (seg-intersect on all
+    edge pairs + even-odd rep containment)."""
+    import random
+
+    from flood_data_spark.operators.serving import (
+        polygon_polygon_intersects)
+
+    rng = random.Random(31)
+    A, B = {}, {}
+    rows_a, rows_b = [], []
+    for pid in range(1, 7):
+        ring = _random_star_polygon(rng, rng.uniform(-4, 4),
+                                    rng.uniform(-4, 4),
+                                    rng.randint(3, 8), 0.5, 2.0)
+        A[pid] = ring
+        rows_a += _ring(pid, 0, ring)
+    for pid in range(20, 28):
+        ring = _random_star_polygon(rng, rng.uniform(-4, 4),
+                                    rng.uniform(-4, 4),
+                                    rng.randint(3, 8), 0.3, 1.5)
+        B[pid] = ring
+        rows_b += _ring(pid, 0, ring)
+
+    def q(v):
+        return int(abs(v) * 1e6 + 0.5) * (1 if v >= 0 else -1)
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    def onseg(px, py, qx, qy, rx, ry):
+        return (min(px, qx) <= rx <= max(px, qx)
+                and min(py, qy) <= ry <= max(py, qy))
+
+    def seg(a, b, c, d):
+        o1 = orient(*a, *b, *c)
+        o2 = orient(*a, *b, *d)
+        o3 = orient(*c, *d, *a)
+        o4 = orient(*c, *d, *b)
+        if ((o1 > 0) != (o2 > 0)) and o1 != 0 and o2 != 0 and \
+                ((o3 > 0) != (o4 > 0)) and o3 != 0 and o4 != 0:
+            return True
+        return ((o1 == 0 and onseg(*a, *b, *c))
+                or (o2 == 0 and onseg(*a, *b, *d))
+                or (o3 == 0 and onseg(*c, *d, *a))
+                or (o4 == 0 and onseg(*c, *d, *b)))
+
+    def inside(pt, ring):
+        n = 0
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            if (y1 > pt[1]) != (y2 > pt[1]):
+                lhs = (pt[0] - x1) * (y2 - y1)
+                rhs = (x2 - x1) * (pt[1] - y1)
+                if (lhs < rhs) if y2 > y1 else (lhs > rhs):
+                    n += 1
+        return n % 2 == 1
+
+    want = set()
+    for pa, ra in A.items():
+        qa = [(q(x), q(y)) for x, y in ra]
+        for pb, rb in B.items():
+            qb = [(q(x), q(y)) for x, y in rb]
+            ea = [(qa[i], qa[(i + 1) % len(qa)]) for i in range(len(qa))]
+            eb = [(qb[i], qb[(i + 1) % len(qb)]) for i in range(len(qb))]
+            hit = any(seg(a1, a2, b1, b2)
+                      for a1, a2 in ea for b1, b2 in eb)
+            if not hit:
+                hit = inside(min(qa), qb) or inside(min(qb), qa)
+            if hit:
+                want.add((pa, pb))
+    got = {(r.poly_a, r.poly_b) for r in polygon_polygon_intersects(
+        _pm_polys(spark, rows_a), _pm_polys(spark, rows_b),
+        ring_col="ring_id", bucket_size=rng.choice([1.0, 2.0])
+    ).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_polygon_polygon_intersects_plan_no_bnlj(spark):
+    from flood_data_spark.operators.serving import (
+        polygon_polygon_intersects)
+
+    a = _ring(1, 0, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
+    bs = _ring(2, 0, [(0.5, 0.5), (2.0, 0.5), (2.0, 2.0), (0.5, 2.0)])
+    plan = (polygon_polygon_intersects(_pm_polys(spark, a),
+                                       _pm_polys(spark, bs))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

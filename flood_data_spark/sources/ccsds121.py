@@ -13,11 +13,21 @@ other implementation is used.
 Profile (each violation rejected loudly, naming the cfgrib/libaec
 escape hatch — the same discipline as sources/jpeg2000.py):
 
-- unsigned samples, 3 <= nbits <= 32 (the option-ID width table below
-  is for this range; 1-2-bit samples use a different ID layout),
+- unsigned OR two's-complement signed samples (GRIB flag 1),
+  3 <= nbits <= 32 (the option-ID width table below is for this
+  range; 1-2-bit samples use a different ID layout),
 - block size J in {8, 16, 32, 64}; segments of 64 blocks,
 - preprocessing enabled (GRIB flag 32) with MSB bit order (flag 16);
-  signed / 3-byte / restricted / RSI-padded streams are rejected,
+  restricted-option streams (flag 64, the nbits<=4 reduced code set)
+  are rejected,
+- RSI byte-padding (GRIB flag 128): the codestream is zero-padded to
+  a byte boundary at the start of every reference sample interval;
+  both coder directions honor it when `pad_rsi` is set,
+- the 3-byte flag (GRIB flag 2) describes only the UNPACKED sample
+  buffer layout of the AEC streaming API (17-24-bit samples carried
+  in 3 bytes instead of 4); the codestream itself is unchanged, so a
+  decoder that emits arrays accepts it as a no-op for 17-24-bit
+  samples and rejects the (meaningless) flag outside that range,
 - reference blocks (every `rsi`-th block starts with a raw n-bit
   reference sample) are coded with sample-splitting or no-compression
   only; zero-run and second-extension codes never start at a reference
@@ -39,9 +49,11 @@ nbits <= 8, 4 for <= 16, 5 for <= 32):
                          MAPPED values; the reference sample raw)
 
 FS codeword of v = v zeros then a one.  The mapper sends prediction
-residual delta to a non-negative code with theta = min(prev,
+residual delta to a non-negative code with theta = min(prev - xmin,
 xmax - prev): 2*delta for 0<=delta<=theta, -2*delta-1 for
--theta<=delta<0, theta+|delta| beyond (a bijection of [0, xmax]).
+-theta<=delta<0, theta+|delta| beyond (a bijection of [xmin, xmax];
+unsigned samples use xmin=0, signed xmin=-2^(n-1) with reference
+samples carried as raw n-bit two's complement).
 
 Validation (the jpeg2000 lesson from ADVICE r10): layered round-trips
 and per-layer spec restatements, PLUS hand-assembled bit-level
@@ -123,6 +135,11 @@ class _BitWriter:
         # v zeros then a one == the (v+1)-bit MSB-first integer 1
         self.write_bits(1, v + 1)
 
+    def align(self):
+        """Zero-pad to the next byte boundary (RSI padding, flag 128)."""
+        if self.nacc:
+            self.write_bits(0, 8 - self.nacc)
+
     def flush(self) -> bytes:
         if self.nacc:
             self.buf.append((self.acc << (8 - self.nacc)) & 0xFF)
@@ -155,10 +172,14 @@ class _BitReader:
             v += 1
         return v
 
+    def align(self):
+        """Skip to the next byte boundary (RSI padding, flag 128)."""
+        self.bitpos = (self.bitpos + 7) // 8 * 8
 
-def _map_delta(x: int, prev: int, xmax: int) -> int:
+
+def _map_delta(x: int, prev: int, xmin: int, xmax: int) -> int:
     delta = x - prev
-    theta = min(prev, xmax - prev)
+    theta = min(prev - xmin, xmax - prev)
     if 0 <= delta <= theta:
         return 2 * delta
     if -theta <= delta < 0:
@@ -166,23 +187,31 @@ def _map_delta(x: int, prev: int, xmax: int) -> int:
     return theta + abs(delta)
 
 
-def _unmap(d: int, prev: int, xmax: int) -> int:
-    theta = min(prev, xmax - prev)
+def _unmap(d: int, prev: int, xmin: int, xmax: int) -> int:
+    theta = min(prev - xmin, xmax - prev)
     if d <= 2 * theta:
         delta = d // 2 if d % 2 == 0 else -((d + 1) // 2)
-    elif prev <= xmax - prev:
+    elif prev - xmin <= xmax - prev:
         delta = d - theta           # negative side was the short one
     else:
         delta = theta - d
     return prev + delta
 
 
-def _blocks(xs, nbits: int, block_size: int, rsi: int):
+def _sample_range(nbits: int, signed: bool) -> tuple[int, int]:
+    if signed:
+        return -(1 << (nbits - 1)), (1 << (nbits - 1)) - 1
+    return 0, (1 << nbits) - 1
+
+
+def _blocks(xs, nbits: int, block_size: int, rsi: int,
+            signed: bool = False):
     """Preprocess the sample sequence into per-block coded values:
     (values, is_ref) per block — values[0] of a reference block is the
-    RAW n-bit sample, everything else the mapped prediction residual.
-    The tail block pads by repeating the final sample (mapped 0s)."""
-    xmax = (1 << nbits) - 1
+    RAW sample (two's-complement-masked at write time when signed),
+    everything else the mapped prediction residual.  The tail block
+    pads by repeating the final sample (mapped 0s)."""
+    xmin, xmax = _sample_range(nbits, signed)
     n = len(xs)
     nblocks = (n + block_size - 1) // block_size
     out = []
@@ -193,21 +222,28 @@ def _blocks(xs, nbits: int, block_size: int, rsi: int):
         for j in range(block_size):
             i = b * block_size + j
             x = int(xs[i if i < n else n - 1])
-            if not 0 <= x <= xmax:
+            if not xmin <= x <= xmax:
                 raise ValueError(
-                    f"ccsds121: sample {x} outside [0, {xmax}]")
+                    f"ccsds121: sample {x} outside [{xmin}, {xmax}]")
             if is_ref and j == 0:
                 vals.append(x)
             else:
-                vals.append(_map_delta(x, prev, xmax))
+                vals.append(_map_delta(x, prev, xmin, xmax))
             prev = x
         out.append((vals, is_ref))
     return out
 
 
 def encode(xs, nbits: int, block_size: int = 16, rsi: int = 64,
-           force_option: str | None = None) -> bytes:
-    """Unsigned integers -> CCSDS 121.0-B bitstream (MSB, preprocessed).
+           force_option: str | None = None, signed: bool = False,
+           pad_rsi: bool = False) -> bytes:
+    """Integers -> CCSDS 121.0-B bitstream (MSB, preprocessed).
+
+    `signed` selects the two's-complement sample range (GRIB flag 1):
+    the mapper pivots on xmin = -2^(n-1) and reference samples ride
+    as raw n-bit two's complement.  `pad_rsi` (GRIB flag 128)
+    zero-pads the stream to a byte boundary at the start of every
+    reference sample interval after the first.
 
     `force_option` pins every non-reference block's coding for test
     coverage: 'split:K', 'se', 'unc', or 'zero' (zero-runs allowed;
@@ -215,7 +251,7 @@ def encode(xs, nbits: int, block_size: int = 16, rsi: int = 64,
     forced).  Reference blocks always use their best split/unc option.
     """
     _check_params(nbits, block_size, rsi)
-    blocks = _blocks(xs, nbits, block_size, rsi)
+    blocks = _blocks(xs, nbits, block_size, rsi, signed)
     idlen = _id_len(nbits)
     kmax = (1 << idlen) - 3
     unc_id = (1 << idlen) - 1
@@ -225,6 +261,8 @@ def encode(xs, nbits: int, block_size: int = 16, rsi: int = 64,
     while b < nblocks:
         seg_end = (b // SEGMENT_BLOCKS + 1) * SEGMENT_BLOCKS
         vals, is_ref = blocks[b]
+        if pad_rsi and is_ref and b > 0:
+            w.align()
         # zero-run detection (never starts at / crosses a reference
         # block, never crosses a segment boundary)
         if not is_ref and force_option in (None, "zero") \
@@ -299,12 +337,16 @@ def encode(xs, nbits: int, block_size: int = 16, rsi: int = 64,
 
 
 def decode(data: bytes, n: int, nbits: int, block_size: int = 16,
-           rsi: int = 64) -> np.ndarray:
-    """CCSDS 121.0-B bitstream -> the n unsigned samples (int64)."""
+           rsi: int = 64, signed: bool = False,
+           pad_rsi: bool = False) -> np.ndarray:
+    """CCSDS 121.0-B bitstream -> the n samples (int64; two's-complement
+    range when `signed`).  `pad_rsi` skips to a byte boundary at the
+    start of every reference sample interval after the first."""
     _check_params(nbits, block_size, rsi)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    xmax = (1 << nbits) - 1
+    xmin, xmax = _sample_range(nbits, signed)
+    sign_bit = 1 << (nbits - 1)
     idlen = _id_len(nbits)
     unc_id = (1 << idlen) - 1
     r = _BitReader(data)
@@ -314,6 +356,8 @@ def decode(data: bytes, n: int, nbits: int, block_size: int = 16,
     b = 0
     while b < nblocks:
         is_ref = b % rsi == 0
+        if pad_rsi and is_ref and b > 0:
+            r.align()
         seg_end = (b // SEGMENT_BLOCKS + 1) * SEGMENT_BLOCKS
         idv = r.read_bits(idlen)
         if idv == 0 and r.read() == 0:
@@ -361,11 +405,17 @@ def decode(data: bytes, n: int, nbits: int, block_size: int = 16,
             if is_ref:
                 vals = [ref_raw] + vals
         for j, v in enumerate(vals):
-            x = v if (is_ref and j == 0) else _unmap(v, prev, xmax)
-            if not 0 <= x <= xmax:
+            if is_ref and j == 0:
+                # raw reference sample: sign-extend under the signed
+                # profile (two's complement in n bits)
+                x = v - (1 << nbits) if signed and v & sign_bit else v
+            else:
+                x = _unmap(v, prev, xmin, xmax)
+            if not xmin <= x <= xmax:
                 raise ValueError(
-                    f"ccsds121: decoded sample {x} outside [0, {xmax}]"
-                    " — corrupt stream or unsupported profile")
+                    f"ccsds121: decoded sample {x} outside "
+                    f"[{xmin}, {xmax}] — corrupt stream or unsupported "
+                    "profile")
             out.append(x)
             prev = x
         b += 1

@@ -12,16 +12,20 @@ JPEG 2000 — decoded by the from-spec pure-Python codec in
 with stdlib ``struct`` + numpy, no ecCodes/cfgrib stack.  This module is
 the dependency-free fallback branch of ``raster.grib_decoder``.  Round
 11 added lossy (9/7) JPEG 2000 and CCSDS 5.42; round 12 adds the
-spectral templates 5.50/5.51 on grid template 3.50 (triangular
-truncation, mode-1 ordering — decoded to coefficient rows via
-``spectral_to_dataframe``), so only exotic residuals (signed/restricted/
-3-byte/RSI-padded CCSDS profiles, pentagonal truncations, non-Legendre
-representations, non-mode-1 ordering, bitmaps on spectral data)
-still require cfgrib and raise NotImplementedError without it.
+spectral templates 5.50/5.51 on grid template 3.50 (decoded to
+coefficient rows via ``spectral_to_dataframe``); round 16 closed the
+residual list further — signed and RSI-padded CCSDS profiles decode
+from spec, the 3-byte flag is accepted as the no-op it is for 17-24-bit
+samples, and general pentagonal truncations (rhomboidal, trapezoidal)
+ride the mode-1 region enumeration n = m..min(K, J+m).  What still
+requires cfgrib and raises NotImplementedError: restricted CCSDS
+coding (flag 64 — a different option-ID table for nbits<=4),
+non-Legendre representations, non-mode-1 ordering, and bitmaps on
+spectral data.
 
-REJECTION CONTRACT — FINAL (round 13, VERDICT r12 #4): the residuals
-above are deliberately OUT OF SCOPE for this reader, permanently.  Each
-named profile is pinned by a loud-failure test
+REJECTION CONTRACT (round 13, VERDICT r12 #4; narrowed round 16): the
+remaining residuals above are deliberately OUT OF SCOPE for this
+reader.  Each named profile is pinned by a loud-failure test
 (tests/test_grib2.py::test_spectral_guards /
 test_spectral_rejection_contract_is_total,
 tests/test_ccsds121.py::test_profile_guards / the options-mask pins in
@@ -261,15 +265,26 @@ def _product_info(s4: bytes, ref_ns: int = 0) -> tuple[int, int]:
     return step_ns, int(number)
 
 
-def _spectral_order(j: int) -> tuple[np.ndarray, np.ndarray]:
-    """(m, n) per complex coefficient for triangular truncation J in
-    representation mode 1 (code table 3.7): m = 0..J outer, n = m..J
-    inner — the ECMWF ordering; each pair carries (real, imaginary)
-    adjacently in the value stream."""
-    ms = np.concatenate([np.full(j + 1 - m, m, dtype=np.int64)
-                         for m in range(j + 1)])
-    ns = np.concatenate([np.arange(m, j + 1, dtype=np.int64)
-                         for m in range(j + 1)])
+def _spectral_order(j: int, k: int | None = None,
+                    m: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """(m, n) per complex coefficient in representation mode 1 (code
+    table 3.7): zonal wavenumber m = 0..M outer, degree n = m..min(K,
+    J+m) inner — the pentagonal truncation region of FM 92 (grid
+    template 3.50 note 1), of which triangular (J=K=M), rhomboidal
+    (K=J+M) and trapezoidal (J=K>M) are the special cases; each pair
+    carries (real, imaginary) adjacently in the value stream."""
+    k = j if k is None else k
+    m = j if m is None else m
+    if k < m:
+        raise ValueError(
+            f"grib2: degenerate pentagonal truncation J={j} K={k} "
+            f"M={m} (K < M leaves empty wavenumber rows)")
+    ms = np.concatenate([np.full(min(k, j + mm) + 1 - mm, mm,
+                                 dtype=np.int64)
+                         for mm in range(m + 1)])
+    ns = np.concatenate([np.arange(mm, min(k, j + mm) + 1,
+                                   dtype=np.int64)
+                         for mm in range(m + 1)])
     return ms, ns
 
 
@@ -283,8 +298,10 @@ def _decode_spectral(s: dict, ref_ns: int) -> dict:
     first in section 7, the remainder simple-packed after
     multiplication by the Laplacian operator p(n) = (n(n+1))^P, P in
     10^-6 units signed).  Profile: representation type 1 (associated
-    Legendre), mode 1 ordering, triangular truncation J = K = M —
-    the ECMWF operational profile; anything else raises loudly.
+    Legendre), mode 1 ordering, any pentagonal truncation (J, K, M) —
+    triangular J=K=M is the ECMWF operational case, rhomboidal
+    K=J+M and trapezoidal J=K>M decode through the same general
+    region enumeration (round 16); anything else raises loudly.
     Returns the spectral coefficients themselves (the codec contract);
     spherical-harmonic synthesis to a grid is a numerical transform
     outside decode scope — exactly how ecCodes surfaces these fields."""
@@ -299,10 +316,6 @@ def _decode_spectral(s: dict, ref_ns: int) -> dict:
         raise NotImplementedError(
             f"grib2: spectral representation mode {rep_mode} unsupported "
             "(mode 1 ordering only)")
-    if not (j == k == m_tr):
-        raise NotImplementedError(
-            f"grib2: pentagonal truncation J={j} K={k} M={m_tr} "
-            "unsupported (triangular J=K=M only)")
     step_ns, number = _product_info(s[4], ref_ns)
     s5 = s[5]
     tmpl5 = _u(s5[9:11])
@@ -318,7 +331,7 @@ def _decode_spectral(s: dict, ref_ns: int) -> dict:
     e_scale = _sm(s5[15:17])
     d_scale = _sm(s5[17:19])
     nbits = s5[19]
-    ms, ns = _spectral_order(j)
+    ms, ns = _spectral_order(j, k, m_tr)
     total = 2 * len(ms)           # re+im per (m, n) pair
     s7 = s[7][5:]
     if tmpl5 == 50:
@@ -328,7 +341,7 @@ def _decode_spectral(s: dict, ref_ns: int) -> dict:
         if n_vals != total - 1:
             raise ValueError(
                 f"grib2: spectral data count {n_vals} != "
-                f"{total - 1} for truncation T{j}")
+                f"{total - 1} for truncation ({j},{k},{m_tr})")
         x = _unpack_bits(s7, nbits, n_vals)
         y = (ref_val + x.astype(np.float64) * 2.0 ** e_scale) \
             / 10.0 ** d_scale
@@ -341,14 +354,12 @@ def _decode_spectral(s: dict, ref_ns: int) -> dict:
         js, ks, msub = _u(s5[24:26]), _u(s5[26:28]), _u(s5[28:30])
         ts = _u(s5[30:34])
         prec = s5[34]
-        if not (js == ks == msub):
-            raise NotImplementedError(
-                f"grib2: pentagonal sub-spectrum Js={js} Ks={ks} "
-                f"Ms={msub} unsupported (triangular only)")
-        if js > j:
+        if js > j or ks > k or msub > m_tr:
             raise ValueError(
-                f"grib2: sub-spectrum truncation {js} exceeds field "
-                f"truncation {j}")
+                f"grib2: sub-spectrum ({js},{ks},{msub}) exceeds the "
+                f"field truncation ({j},{k},{m_tr})")
+        sub_ms, sub_ns = _spectral_order(js, ks, msub)
+        n_sub = 2 * len(sub_ms)
         if prec == 1:
             fmt, width = "f", 4
         elif prec == 2:
@@ -357,14 +368,14 @@ def _decode_spectral(s: dict, ref_ns: int) -> dict:
             raise NotImplementedError(
                 f"grib2: unpacked sub-spectrum precision {prec} "
                 "unsupported (1 = IEEE32 / 2 = IEEE64 only)")
-        if ts != (js + 1) * (js + 2):
+        if ts != n_sub:
             raise ValueError(
                 f"grib2: unpacked sub-spectrum count {ts} != "
-                f"{(js + 1) * (js + 2)} for truncation T{js}")
+                f"{n_sub} for truncation ({js},{ks},{msub})")
         if n_vals != total:
             raise ValueError(
                 f"grib2: spectral data count {n_vals} != {total} "
-                f"for truncation T{j}")
+                f"for truncation ({j},{k},{m_tr})")
         unpacked = np.array(
             struct.unpack(f">{ts}{fmt}", s7[:ts * width]),
             dtype=np.float64)
@@ -372,8 +383,11 @@ def _decode_spectral(s: dict, ref_ns: int) -> dict:
         y = (ref_val + x.astype(np.float64) * 2.0 ** e_scale) \
             / 10.0 ** d_scale
         # sub-spectrum slots take the raw IEEE values; the rest undo
-        # the Laplacian flattening: stored = coeff * (n(n+1))^P
-        in_sub = np.repeat((ms <= msub) & (ns <= js), 2)
+        # the Laplacian flattening: stored = coeff * (n(n+1))^P.
+        # Membership is the sub-spectrum's own pentagonal region:
+        # m <= Ms and n <= min(Ks, Js + m)
+        in_sub = np.repeat((ms <= msub)
+                           & (ns <= np.minimum(ks, js + ms)), 2)
         nn = np.repeat(ns, 2).astype(np.float64)[~in_sub]
         vals = np.empty(total, dtype=np.float64)
         vals[in_sub] = unpacked
@@ -460,13 +474,24 @@ def _decode_message(msg: bytes) -> dict:
         flags, block = s5[21], s5[22]
         rsi = _u(s5[23:25])
         need = FLAG_MSB | FLAG_PREPROCESS
-        bad = FLAG_SIGNED | FLAG_3BYTE | FLAG_RESTRICTED | FLAG_PAD_RSI
-        if (flags & need) != need or (flags & bad):
+        if (flags & need) != need or (flags & FLAG_RESTRICTED):
+            # restricted coding (flag 64) swaps in the reduced option
+            # set for nbits<=4 — a different ID table, not a parameter
+            # tweak — so it stays a loud dispatch-out
             raise NotImplementedError(
                 f"grib2: CCSDS options mask 0x{flags:02x} unsupported "
-                "(need MSB+preprocess, unsigned, unrestricted, no RSI "
-                "padding — install cfgrib/ecCodes+libaec)")
-        x = decode(bytes(s[7][5:]), n_vals, nbits, block, rsi)
+                "(need MSB+preprocess, unrestricted — install "
+                "cfgrib/ecCodes+libaec)")
+        if (flags & FLAG_3BYTE) and not 17 <= nbits <= 24:
+            # the 3-byte flag only describes the unpacked AEC buffer
+            # layout of 17-24-bit samples; on any other width it marks
+            # a stream this profile does not understand
+            raise NotImplementedError(
+                f"grib2: CCSDS 3-byte flag with {nbits}-bit samples "
+                "unsupported (17-24 only)")
+        x = decode(bytes(s[7][5:]), n_vals, nbits, block, rsi,
+                   signed=bool(flags & FLAG_SIGNED),
+                   pad_rsi=bool(flags & FLAG_PAD_RSI))
     elif tmpl5 == 40:
         # template 5.40: X rides a lossless JPEG2000 codestream — the
         # dependency-free from-spec decoder (sources/jpeg2000.py); the
@@ -571,16 +596,21 @@ def spectral_to_dataframe(content: bytes, *,
     return pd.concat(frames, ignore_index=True)
 
 
-def _spectral_s3(j: int) -> bytes:
-    """Section 3, grid template 3.50: J/K/M (triangular: all J),
-    representation type 1 (associated Legendre), mode 1."""
-    grid = struct.pack(">III", j, j, j) + bytes([1, 1])
-    n_pairs = (j + 1) * (j + 2) // 2
+def _spectral_s3(j: int, k: int | None = None,
+                 m: int | None = None) -> bytes:
+    """Section 3, grid template 3.50: pentagonal J/K/M (triangular
+    when K and M are omitted), representation type 1 (associated
+    Legendre), mode 1."""
+    k = j if k is None else k
+    m = j if m is None else m
+    grid = struct.pack(">III", j, k, m) + bytes([1, 1])
+    n_pairs = len(_spectral_order(j, k, m)[0])
     return _sec(3, bytes([0]) + struct.pack(">I", 2 * n_pairs)
                 + bytes([0, 0]) + struct.pack(">H", 50) + grid)
 
 
-def build_spectral_message(coeffs, *, j: int, d_scale: int = 0,
+def build_spectral_message(coeffs, *, j: int, k: int | None = None,
+                           m: int | None = None, d_scale: int = 0,
                            e_scale: int = 0, nbits: int = 16,
                            member: int | None = None,
                            year: int = 2024, month: int = 1, day: int = 1,
@@ -588,19 +618,20 @@ def build_spectral_message(coeffs, *, j: int, d_scale: int = 0,
                            accum_hours: int | None = None) -> bytes:
     """Encode one GRIB2 spectral message (grid template 3.50, data
     template 5.50: spectral simple packing).  `coeffs` are the
-    (J+1)(J+2) coefficient values (re/im interleaved, mode-1
-    ordering); coeffs[0] — the real part of (0,0) — rides unpacked in
+    coefficient values of the (J, K, M) pentagonal region (re/im
+    interleaved, mode-1 ordering; triangular when k/m omitted);
+    coeffs[0] — the real part of (0,0) — rides unpacked in
     DRS octets 21-24, the rest pack as
     X = round(v·10^D − R) / 2^E with R = min(v·10^D).  With integer
     coefficient values and D = E = 0 the round trip is exact (the
     q_grib_spectral gate profile); R is float32-coerced first so the
     decoder subtracts the identical reference."""
     v = np.asarray(list(coeffs), dtype=np.float64)
-    n_pairs = (j + 1) * (j + 2) // 2
+    n_pairs = len(_spectral_order(j, k, m)[0])
     if v.size != 2 * n_pairs:
         raise ValueError(
-            f"grib2: need {2 * n_pairs} coefficient values for T{j}, "
-            f"got {v.size}")
+            f"grib2: need {2 * n_pairs} coefficient values for "
+            f"({j},{k},{m}), got {v.size}")
     scaled = v[1:] * 10.0 ** d_scale
     ref = float(np.float32(scaled.min() if scaled.size else 0.0))
     xs = np.round((scaled - ref) / 2.0 ** e_scale).astype(np.int64)
@@ -614,12 +645,16 @@ def build_spectral_message(coeffs, *, j: int, d_scale: int = 0,
               + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
               + bytes([nbits]) + struct.pack(">f", float(v[0])))
     return _assemble_with_s3(
-        _spectral_s3(j), s5, packed, member=member, year=year,
+        _spectral_s3(j, k, m), s5, packed, member=member, year=year,
         month=month, day=day, ftime_hours=ftime_hours,
         accum_hours=accum_hours)
 
 
 def build_spectral_complex_message(coeffs, *, j: int, js: int,
+                                   k: int | None = None,
+                                   m: int | None = None,
+                                   ks: int | None = None,
+                                   msub: int | None = None,
                                    p: float = 1.0, d_scale: int = 0,
                                    e_scale: int = 0, nbits: int = 16,
                                    member: int | None = None,
@@ -628,24 +663,31 @@ def build_spectral_complex_message(coeffs, *, j: int, js: int,
                                    ftime_hours: int = 24,
                                    accum_hours: int | None = None) -> bytes:
     """Encode one GRIB2 spectral message (grid template 3.50, data
-    template 5.51: spectral complex packing).  The sub-spectrum n ≤ js
-    stores raw IEEE-32 values first in section 7; the remainder is
+    template 5.51: spectral complex packing).  The (Js, Ks, Ms)
+    sub-spectrum (triangular Js when ks/msub omitted) stores raw
+    IEEE-32 values first in section 7; the remainder is
     multiplied by the Laplacian operator (n(n+1))^p (flattening the
     spectral decay — the packing-accuracy trick the template exists
     for) and simple-packed.  `p` is stored sign-magnitude in 10^-6
     units (octets 21-24).  With p = 1, integer products v·n(n+1), and
     D = E = 0 the round trip is exact up to one IEEE division per
     value — the q_grib_spectral gate profile."""
+    k = j if k is None else k
+    m = j if m is None else m
+    ks = js if ks is None else ks
+    msub = js if msub is None else msub
     v = np.asarray(list(coeffs), dtype=np.float64)
-    n_pairs = (j + 1) * (j + 2) // 2
+    n_pairs = len(_spectral_order(j, k, m)[0])
     if v.size != 2 * n_pairs:
         raise ValueError(
-            f"grib2: need {2 * n_pairs} coefficient values for T{j}, "
-            f"got {v.size}")
-    if js > j:
-        raise ValueError(f"grib2: sub-spectrum {js} exceeds field {j}")
-    ms, ns = _spectral_order(j)
-    in_sub = np.repeat((ms <= js) & (ns <= js), 2)
+            f"grib2: need {2 * n_pairs} coefficient values for "
+            f"({j},{k},{m}), got {v.size}")
+    if js > j or ks > k or msub > m:
+        raise ValueError(
+            f"grib2: sub-spectrum ({js},{ks},{msub}) exceeds field "
+            f"({j},{k},{m})")
+    ms, ns = _spectral_order(j, k, m)
+    in_sub = np.repeat((ms <= msub) & (ns <= np.minimum(ks, js + ms)), 2)
     sub = v[in_sub].astype(np.float32)
     nn = np.repeat(ns, 2).astype(np.float64)[~in_sub]
     flat = v[~in_sub] * (nn * (nn + 1.0)) ** p
@@ -665,10 +707,10 @@ def build_spectral_complex_message(coeffs, *, j: int, js: int,
     s5 = _sec(5, struct.pack(">I", v.size) + struct.pack(">H", 51)
               + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
               + bytes([nbits]) + struct.pack(">I", p_raw)
-              + struct.pack(">HHH", js, js, js)
+              + struct.pack(">HHH", js, ks, msub)
               + struct.pack(">I", ts) + bytes([1]))
     return _assemble_with_s3(
-        _spectral_s3(j), s5, body, member=member, year=year,
+        _spectral_s3(j, k, m), s5, body, member=member, year=year,
         month=month, day=day, ftime_hours=ftime_hours,
         accum_hours=accum_hours)
 
@@ -779,7 +821,9 @@ def build_ccsds_message(xs, *, nj: int, ni: int, la1: float,
                         rsi: int = 64, member: int | None = None,
                         year: int = 2024, month: int = 1, day: int = 1,
                         ftime_hours: int = 24,
-                        accum_hours: int | None = None) -> bytes:
+                        accum_hours: int | None = None,
+                        signed: bool = False,
+                        pad_rsi: bool = False) -> bytes:
     """Encode one GRIB2 message with data representation template 5.42
     (CCSDS 121.0-B lossless compression) — the test counterpart of the
     5.42 branch, with the bitstream produced by the from-spec encoder
@@ -788,18 +832,27 @@ def build_ccsds_message(xs, *, nj: int, ni: int, la1: float,
     carries the options mask (MSB + preprocess), 23 the block size,
     24-25 the reference sample interval in blocks."""
     from flood_data_spark.sources.ccsds121 import (
-        FLAG_MSB, FLAG_PREPROCESS, encode)
+        FLAG_MSB, FLAG_PAD_RSI, FLAG_PREPROCESS, FLAG_SIGNED, encode)
 
     vals = [int(x) for x in xs]
-    if any(not 0 <= v < (1 << nbits) for v in vals):
+    lo = -(1 << (nbits - 1)) if signed else 0
+    hi = (1 << (nbits - 1)) if signed else (1 << nbits)
+    if any(not lo <= v < hi for v in vals):
         raise ValueError(
-            f"grib2: packed values do not fit in {nbits} bits")
-    stream = encode(vals, nbits, block_size, rsi)
+            f"grib2: packed values do not fit in {nbits} "
+            f"{'signed ' if signed else ''}bits")
+    stream = encode(vals, nbits, block_size, rsi,
+                    signed=signed, pad_rsi=pad_rsi)
+    flags = FLAG_MSB | FLAG_PREPROCESS
+    if signed:
+        flags |= FLAG_SIGNED
+    if pad_rsi:
+        flags |= FLAG_PAD_RSI
     e_raw = abs(e_scale) | (0x8000 if e_scale < 0 else 0)
     d_raw = abs(d_scale) | (0x8000 if d_scale < 0 else 0)
     s5 = _sec(5, struct.pack(">I", len(vals)) + struct.pack(">H", 42)
               + struct.pack(">f", ref) + struct.pack(">HH", e_raw, d_raw)
-              + bytes([nbits, 0, FLAG_MSB | FLAG_PREPROCESS, block_size])
+              + bytes([nbits, 0, flags, block_size])
               + struct.pack(">H", rsi))
     return _assemble_message(
         s5, stream, nj=nj, ni=ni, la1=la1, lo1=lo1, d=d,

@@ -26,22 +26,31 @@ def test_bit_io_round_trip():
 
 def test_mapper_is_a_bijection_of_the_sample_range():
     # spec 121.0-B mapper: for every predictor value, delta -> code is a
-    # bijection [x_min..x_max] -> [0..x_max]
+    # bijection [x_min..x_max] -> [0..x_max - x_min], for both the
+    # unsigned (x_min = 0) and two's-complement signed ranges
     for nbits in (3, 4, 8):
-        xmax = (1 << nbits) - 1
-        for prev in range(xmax + 1):
-            codes = [_map_delta(x, prev, xmax) for x in range(xmax + 1)]
-            assert sorted(codes) == list(range(xmax + 1)), prev
-            for x in range(xmax + 1):
-                assert _unmap(_map_delta(x, prev, xmax), prev, xmax) == x
+        for xmin in (0, -(1 << (nbits - 1))):
+            xmax = (1 << nbits) - 1 + xmin
+            span = xmax - xmin
+            for prev in range(xmin, xmax + 1):
+                codes = [_map_delta(x, prev, xmin, xmax)
+                         for x in range(xmin, xmax + 1)]
+                assert sorted(codes) == list(range(span + 1)), prev
+                for x in range(xmin, xmax + 1):
+                    assert _unmap(_map_delta(x, prev, xmin, xmax),
+                                  prev, xmin, xmax) == x
 
 
 def test_mapper_small_deltas_get_short_codes():
     # the whole point of the preprocessor: |delta| d maps to ~2|d|
-    assert _map_delta(100, 100, 255) == 0
-    assert _map_delta(101, 100, 255) == 2
-    assert _map_delta(99, 100, 255) == 1
-    assert _map_delta(102, 100, 255) == 4
+    assert _map_delta(100, 100, 0, 255) == 0
+    assert _map_delta(101, 100, 0, 255) == 2
+    assert _map_delta(99, 100, 0, 255) == 1
+    assert _map_delta(102, 100, 0, 255) == 4
+    # signed range: same short codes around a negative predictor
+    assert _map_delta(-100, -100, -128, 127) == 0
+    assert _map_delta(-99, -100, -128, 127) == 2
+    assert _map_delta(-101, -100, -128, 127) == 1
 
 
 def test_id_len_table():
@@ -154,8 +163,16 @@ def test_grib2_template_542_round_trip():
 
 
 def test_grib2_542_rejects_unsupported_option_masks():
+    # round 16 narrowed the rejection contract: signed (flag 1) and
+    # RSI-padded (flag 128) streams now decode, 3-byte (flag 2) is a
+    # no-op for 17-24-bit samples; what remains OUT is restricted
+    # coding (flag 64 — a different option-ID table for nbits<=4), a
+    # 3-byte flag on samples outside 17-24 bits, and the two REQUIRED
+    # flags (MSB, preprocess) cleared
     from flood_data_spark.sources.grib2 import (
         build_ccsds_message, grib2_to_dataframe)
+    from flood_data_spark.sources.ccsds121 import (
+        FLAG_3BYTE, FLAG_MSB, FLAG_PREPROCESS, FLAG_RESTRICTED)
 
     msg = bytearray(build_ccsds_message(
         [1, 2, 3, 4, 5, 6], nj=2, ni=3, la1=0.125, lo1=0.025, d=0.05,
@@ -166,25 +183,129 @@ def test_grib2_542_rejects_unsupported_option_masks():
     while msg[pos + 4] != 5:
         pos += int.from_bytes(msg[pos:pos + 4], "big")
     assert msg[pos + 4] == 5
-    msg[pos + 21] |= 1                   # flip AEC_DATA_SIGNED
-    with pytest.raises(NotImplementedError, match="options mask"):
-        grib2_to_dataframe(bytes(msg))
-
-    # round 13 (VERDICT r12 #4): the FULL rejection contract, one pin
-    # per named unsupported CCSDS profile — signed (above), 3-byte,
-    # restricted, RSI-padded, and the two REQUIRED flags cleared
-    from flood_data_spark.sources.ccsds121 import (
-        FLAG_3BYTE, FLAG_MSB, FLAG_PAD_RSI, FLAG_PREPROCESS,
-        FLAG_RESTRICTED)
-    for patch in (lambda f: f | FLAG_3BYTE,
-                  lambda f: f | FLAG_RESTRICTED,
-                  lambda f: f | FLAG_PAD_RSI,
+    for patch in (lambda f: f | FLAG_RESTRICTED,
                   lambda f: f & ~FLAG_MSB,
                   lambda f: f & ~FLAG_PREPROCESS):
         bad = bytearray(msg)
-        bad[pos + 21] = patch(bad[pos + 21] & ~1)   # un-sign, re-patch
+        bad[pos + 21] = patch(bad[pos + 21])
         with pytest.raises(NotImplementedError, match="options mask"):
             grib2_to_dataframe(bytes(bad))
+    # 3-byte on 8-bit samples: meaningless, rejected by name
+    bad = bytearray(msg)
+    bad[pos + 21] |= FLAG_3BYTE
+    with pytest.raises(NotImplementedError, match="3-byte"):
+        grib2_to_dataframe(bytes(bad))
+
+
+def test_grib2_542_3byte_flag_is_a_noop_for_17_to_24_bit():
+    # the flag describes the unpacked AEC buffer layout only — the
+    # codestream is identical, so an 18-bit message decodes the same
+    # with the flag set
+    from flood_data_spark.sources.ccsds121 import FLAG_3BYTE
+    from flood_data_spark.sources.grib2 import (
+        build_ccsds_message, grib2_to_dataframe)
+
+    xs = [(1 << 17) + 311 * k for k in range(12)]
+    msg = bytearray(build_ccsds_message(
+        xs, nj=3, ni=4, la1=0.175, lo1=0.025, d=0.05, nbits=18))
+    base = grib2_to_dataframe(bytes(msg))["dis24"].to_numpy()
+    pos = 16
+    while msg[pos + 4] != 5:
+        pos += int.from_bytes(msg[pos:pos + 4], "big")
+    msg[pos + 21] |= FLAG_3BYTE
+    flagged = grib2_to_dataframe(bytes(msg))["dis24"].to_numpy()
+    assert (base == flagged).all()
+    assert (np.round(base).astype(np.int64) == np.array(xs)).all()
+
+
+def test_signed_round_trip_across_profiles():
+    rng = np.random.default_rng(21)
+    for nbits in (3, 8, 16, 24, 32):
+        lo, hi = -(1 << (nbits - 1)), (1 << (nbits - 1)) - 1
+        for J in (8, 16, 64):
+            for rsi in (1, 4, 128):
+                n = int(rng.integers(1, 300))
+                xs = [int(v) for v in rng.integers(
+                    max(lo, -(1 << 20)), min(hi, 1 << 20) + 1, size=n)]
+                got = decode(encode(xs, nbits, J, rsi, signed=True),
+                             n, nbits, J, rsi, signed=True)
+                assert (got == np.array(xs)).all(), (nbits, J, rsi)
+    # extremes: the sign boundary and both rails, every coding option
+    xs = ([-128, 127] * 40 + [0] * 16 + [-1, 1] * 20)
+    for fo in ("split:0", "split:3", "se", "unc", None):
+        enc = encode(xs, 8, 8, 4, force_option=fo, signed=True)
+        assert (decode(enc, len(xs), 8, 8, 4, signed=True)
+                == np.array(xs)).all(), fo
+    # range guard names the signed bounds
+    with pytest.raises(ValueError, match=r"\[-128, 127\]"):
+        encode([128], 8, 16, 64, signed=True)
+
+
+def test_signed_hand_assembled_fixture():
+    # frozen bit-level fixture built clause-by-clause from the Blue
+    # Book signed profile (NOT produced by this encoder): nbits=4
+    # (idlen=3), J=8, one reference block, sample-splitting k=0.
+    #   samples  [-3, -2, -4, -4, 0, -8, 7, -1], xmin=-8 xmax=7
+    #   ref raw  -3 -> 1101 (4-bit two's complement)
+    #   mapped   (theta = min(prev-xmin, xmax-prev)):
+    #     -2: d=+1  th=5  -> 2      -4: d=-2 th=6 -> 3
+    #     -4: d=0        -> 0        0: d=+4 th=4 -> 8
+    #     -8: d=-8  th=7 -> 15       7: d=+15 th=0 -> 15
+    #     -1: d=-8  th=0 -> 8
+    #   bits: 001 | 1101 | FS(2,3,0,8,15,15,8) + pad
+    stream = bytes.fromhex("3a4601000100010080")
+    got = decode(stream, 8, 4, 8, 1000, signed=True)
+    assert got.tolist() == [-3, -2, -4, -4, 0, -8, 7, -1]
+    # the same bytes under the UNSIGNED profile must decode differently
+    # (the raw reference reads as 13, not -3)
+    assert decode(stream, 8, 4, 8, 1000)[0] == 13
+
+
+def test_pad_rsi_byte_alignment():
+    rng = np.random.default_rng(5)
+    xs = [int(v) for v in rng.integers(0, 256, size=200)]
+    plain = encode(xs, 8, 8, 4)
+    padded = encode(xs, 8, 8, 4, pad_rsi=True)
+    # padding really inserted (odds of every interval self-aligning ~0)
+    assert padded != plain and len(padded) >= len(plain)
+    assert (decode(padded, 200, 8, 8, 4, pad_rsi=True)
+            == np.array(xs)).all()
+    # a decoder NOT expecting padding must not round-trip the padded
+    # stream (it would read pad zeros as FS prefixes)
+    # (pad zeros parse as bogus FS prefixes / option IDs: either a
+    # corrupt-stream error or wrong samples, never a silent round-trip)
+    try:
+        wrong = decode(padded, 200, 8, 8, 4)
+        assert not (wrong == np.array(xs)).all()
+    except (ValueError, NotImplementedError):
+        pass
+    # signed + padded combined
+    ys = [int(v) for v in rng.integers(-128, 128, size=150)]
+    enc = encode(ys, 8, 16, 2, signed=True, pad_rsi=True)
+    assert (decode(enc, 150, 8, 16, 2, signed=True, pad_rsi=True)
+            == np.array(ys)).all()
+
+
+def test_grib2_542_signed_and_padded_messages_decode():
+    from flood_data_spark.sources.grib2 import (
+        build_ccsds_message, grib2_to_dataframe)
+
+    # signed packed values: value = (ref + X * 2^E) / 10^D with X < 0
+    xs = [-120, -60, -1, 0, 1, 77, -128, 127, -5, 9, 33, -44]
+    msg = build_ccsds_message(
+        xs, nj=3, ni=4, la1=0.175, lo1=0.025, d=0.05, nbits=8,
+        block_size=8, rsi=1, ref=1000.0, d_scale=1, signed=True)
+    got = grib2_to_dataframe(msg)["dis24"].to_numpy()
+    want = (1000.0 + np.array(xs, dtype=np.float64)) / 10.0
+    assert np.allclose(got, want)
+
+    # RSI-padded message
+    ys = [(37 * k) % 4096 for k in range(24)]
+    msg2 = build_ccsds_message(
+        ys, nj=4, ni=6, la1=0.175, lo1=0.025, d=0.05, nbits=12,
+        block_size=8, rsi=1, pad_rsi=True)
+    got2 = grib2_to_dataframe(msg2)["dis24"].to_numpy()
+    assert (np.round(got2).astype(np.int64) == np.array(ys)).all()
 
 
 def test_zero_run_crossing_boundary_rejected():

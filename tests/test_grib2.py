@@ -304,6 +304,41 @@ def test_spectral_complex_roundtrip_and_laplacian():
                           coeffs[in_sub].astype(np.float32))
 
 
+def test_spectral_pentagonal_truncations_roundtrip():
+    """Round 16: general pentagonal (J, K, M) regions — rhomboidal
+    (K = J + M) and trapezoidal (J = K > M) — decode through the same
+    mode-1 enumeration n = m..min(K, J+m); counts, (m, n) labels and
+    values all verified against the hand-computable region."""
+    from flood_data_spark.sources.grib2 import (
+        _spectral_order, build_spectral_complex_message,
+        build_spectral_message, spectral_to_dataframe)
+
+    rng = np.random.default_rng(11)
+    for (j, k, m) in [(2, 5, 3),      # rhomboidal K = J + M
+                      (4, 4, 2),      # trapezoidal J = K > M
+                      (3, 5, 4)]:     # general pentagonal
+        ms, ns = _spectral_order(j, k, m)
+        # the region law, independently restated
+        expect = [(mm, n) for mm in range(m + 1)
+                  for n in range(mm, min(k, j + mm) + 1)]
+        assert list(zip(ms.tolist(), ns.tolist())) == expect
+        coeffs = rng.integers(0, 900, size=2 * len(ms)).astype(float)
+        # 5.50 simple packing
+        pdf = spectral_to_dataframe(
+            build_spectral_message(coeffs, j=j, k=k, m=m, nbits=16))
+        assert list(zip(pdf["m"], pdf["n"])) == expect
+        got = np.column_stack([pdf["c_real"], pdf["c_imag"]]).reshape(-1)
+        assert np.array_equal(got, coeffs)
+        # 5.51 complex packing with a pentagonal sub-spectrum
+        msg = build_spectral_complex_message(
+            coeffs, j=j, js=1, k=k, m=m, ks=min(2, k), msub=min(2, m),
+            p=1.0, nbits=24)
+        pdf2 = spectral_to_dataframe(msg)
+        got2 = np.column_stack([pdf2["c_real"],
+                                pdf2["c_imag"]]).reshape(-1)
+        assert np.array_equal(got2, coeffs), (j, k, m)
+
+
 def test_spectral_profile_guards():
     """Out-of-profile spectral metadata raises loudly, never misparses:
     pentagonal truncation, bad representation type/mode, wrong counts,
@@ -327,13 +362,19 @@ def test_spectral_profile_guards():
     # locate it by the template number bytes we wrote
     s3_off = bytes(msg).find(b"\x00\x32", 16)     # template 50
     assert s3_off > 0
-    # pentagonal: J != K (J at s3_off-... J field sits 12 bytes after
-    # the section-3 start; patch K instead — 4 bytes later)
+    # pentagonal truncations decode since round 16 — but a K patched
+    # to widen the region without matching data must fail the count
+    # check, never misparse (K field sits 4 bytes past J)
     pent = bytearray(msg)
     k_off = s3_off + 2 + 4                         # past tmpl, past J
     pent[k_off:k_off + 4] = struct.pack(">I", 9)
-    with pytest.raises(NotImplementedError, match="triangular"):
+    with pytest.raises(ValueError, match="data count"):
         spectral_to_dataframe(bytes(pent))
+    # K < M leaves empty wavenumber rows: degenerate, loud
+    degen = bytearray(msg)
+    degen[k_off:k_off + 4] = struct.pack(">I", 1)
+    with pytest.raises(ValueError, match="degenerate"):
+        spectral_to_dataframe(bytes(degen))
     badtype = bytearray(msg)
     badtype[s3_off + 2 + 12] = 2                   # representation type
     with pytest.raises(NotImplementedError, match="Legendre"):

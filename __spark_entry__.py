@@ -3137,6 +3137,41 @@ def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "peirce", "ets", "hss")
 
 
+def _roc_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ROC input: probability p = l_discount·10 against outcome
+    returnflag = 'R', grouped by l_linestatus — 11 distinct thresholds
+    per group, ties everywhere (the tie-handling is the point)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_linestatus",
+        (F.col("l_discount") * F.lit(10.0)).alias("p"),
+        (F.col("l_returnflag") == "R").cast("int").alias("o"))
+
+
+def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve per group (operators/verification.roc_curve): one
+    point per candidate warn-threshold (the distinct forecast
+    probabilities) with cumulative 2x2 counts and exact integer-micro
+    POD/POFD ratios.  Full value oracle: DuckDB mirrors the
+    descending-threshold cumulative window in HUGEINT."""
+    from flood_data_spark.operators.verification import roc_curve
+
+    return roc_curve(_roc_src(spark, sf_dir), "p", "o",
+                     keys=["l_linestatus"])
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area under the ROC curve (operators/verification.roc_auc):
+    exact trapezoid integration 2·P·N·AUC = Σ ΔFP·(TP_i + TP_{i−1})
+    over the same cumulative relation — an exact integer closed by one
+    `_idiv_half_up`; equals the tie-aware Mann-Whitney form (pinned in
+    tests/test_round16_ops.py).  Full value oracle."""
+    from flood_data_spark.operators.verification import roc_auc
+
+    return roc_auc(_roc_src(spark, sf_dir), "p", "o",
+                   keys=["l_linestatus"])
+
+
 def q_quantile_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ensemble quantile (pinball) score per tau
     (operators/verification.quantile_score): each cell's exact
@@ -6206,6 +6241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ece_cells": q_ece_cells,
         "q_grib_spectral": q_grib_spectral,
         "q_contingency_scores": q_contingency,
+        "q_roc_curve": q_roc_curve,
+        "q_roc_auc": q_roc_auc,
         "q_quantile_score": q_quantile_score,
         "q_isotonic": q_isotonic,
         "q_energy_score": q_energy_score,
@@ -15962,6 +15999,66 @@ def oracle_sql() -> dict[str, str]:
                                   1000000)}
                END AS dm_hac
         FROM f
+    """
+
+    # q_roc_curve / q_roc_auc: the descending-threshold cumulative
+    # (TP, FP) relation mirrored in HUGEINT; POD/POFD/AUC as the same
+    # half-up integer ratios.  The AUC trapezoid 2·P·N·AUC =
+    # Σ ΔFP·(TP_i + TP_{i-1}) is an exact integer in both engines.
+    _roc_cum = """
+        WITH src AS (
+            SELECT l_linestatus AS g, l_discount * 10.0 AS p,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o
+            FROM lineitem
+            WHERE l_discount IS NOT NULL
+              AND l_returnflag IS NOT NULL),
+        pv AS (SELECT g, p,
+                      CAST(sum(o) AS HUGEINT) AS tpv,
+                      CAST(sum(1 - o) AS HUGEINT) AS fpv
+               FROM src GROUP BY g, p),
+        cum AS (SELECT g, p,
+                       sum(tpv) OVER (PARTITION BY g
+                                      ORDER BY p DESC) AS tp,
+                       sum(fpv) OVER (PARTITION BY g
+                                      ORDER BY p DESC) AS fp,
+                       sum(tpv) OVER (PARTITION BY g) AS pos,
+                       sum(fpv) OVER (PARTITION BY g) AS neg
+                FROM pv)
+    """
+    d["q_roc_curve"] = f"""
+        {_roc_cum}
+        SELECT g AS l_linestatus, p AS threshold,
+               CAST(tp AS BIGINT) AS hits,
+               CAST(fp AS BIGINT) AS false_alarms,
+               CAST(pos - tp AS BIGINT) AS misses,
+               CAST(neg - fp AS BIGINT) AS correct_negatives,
+               CASE WHEN pos > 0 THEN
+                    {idiv_half_up('tp * 1000000', 'pos', 1000000)}
+               END AS pod,
+               CASE WHEN neg > 0 THEN
+                    {idiv_half_up('fp * 1000000', 'neg', 1000000)}
+               END AS pofd
+        FROM cum
+    """
+    d["q_roc_auc"] = f"""
+        {_roc_cum},
+        seg AS (SELECT g, pos, neg,
+                       (fp - coalesce(lag(fp) OVER w, 0))
+                       * (tp + coalesce(lag(tp) OVER w, 0)) AS s
+                FROM cum
+                WINDOW w AS (PARTITION BY g ORDER BY p DESC)),
+        a AS (SELECT g, sum(s) AS num,
+                     min(pos) AS pos, min(neg) AS neg
+              FROM seg GROUP BY g)
+        SELECT g AS l_linestatus,
+               CAST(pos + neg AS BIGINT) AS n,
+               CAST(pos AS BIGINT) AS positives,
+               CAST(neg AS BIGINT) AS negatives,
+               CASE WHEN pos > 0 AND neg > 0 THEN
+                    {idiv_half_up('num * 1000000', '2 * pos * neg',
+                                  1000000)}
+               END AS auc
+        FROM a
     """
 
     # q_polygon_membership: the edge relation (closing edge included)

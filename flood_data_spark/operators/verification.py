@@ -1658,3 +1658,146 @@ def brier_skill_from_cells(cells: DataFrame) -> DataFrame:
         (bs_q.cast("double") / mega_f).alias("brier"),
         (unc_q.cast("double") / mega_f).alias("uncertainty"),
         (bss_q.cast("double") / mega_f).alias("bss"))
+
+
+# ------------------------------------------------------------------ ROC
+
+def roc_counts(df: DataFrame, prob_col: str, outcome_col: str,
+               keys=(), n_bins: int | None = None) -> DataFrame:
+    """The ONE corpus-sized pass behind `roc_curve` / `roc_auc`: per
+    (keys…, distinct threshold) cumulative hit/false-alarm counts.
+
+    Thresholds are the distinct forecast probabilities (each candidate
+    decision rule "warn when p >= t"); `n_bins` snaps probabilities to
+    the grid i/n_bins FIRST (floor(p·n_bins + 0.5)/n_bins — the WMO
+    binned-ROC convention), bounding the relation to n_bins+1 rows per
+    group regardless of corpus size — the 100-TB path for continuous
+    scores, where exact mode would make this relation corpus-sized.
+
+    NULL probabilities or outcomes are dropped (they belong to no
+    decision rule — the r15 flow_percentile_class lesson; the oracles
+    mirror the filter).  One groupBy to (keys, threshold) integer
+    cells, then one window per group accumulates:
+      tp = positives with p >= t, fp = negatives with p >= t,
+      pos/neg = the group totals (same Exchange, no join).
+    All counts decimal(38,0) so downstream products (the AUC trapezoid
+    cross-terms) never overflow."""
+    dec = "decimal(38,0)"
+    keys = list(keys)
+    p = F.col(prob_col).cast("double")
+    if n_bins is not None:
+        if n_bins < 1:
+            raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+        p = F.floor(p * F.lit(float(n_bins)) + F.lit(0.5)) \
+            / F.lit(float(n_bins))
+    src = (df.filter(F.col(prob_col).isNotNull()
+                     & F.col(outcome_col).isNotNull())
+           .select(*keys, p.alias("_p"),
+                   F.col(outcome_col).cast("int").alias("_o")))
+    cells = (src.groupBy(*keys, "_p")
+             .agg(F.sum("_o").cast(dec).alias("_tpv"),
+                  F.sum(1 - F.col("_o")).cast(dec).alias("_fpv")))
+    # keyless mode partitions the window by a constant: the relation is
+    # threshold-bounded (distinct probabilities; n_bins+1 when binned),
+    # so the single partition holds a bounded curve, never the corpus
+    part = keys if keys else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(F.desc("_p")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*part)
+    return cells.select(
+        *keys, F.col("_p").alias("threshold"),
+        F.sum("_tpv").over(w).alias("_tp"),
+        F.sum("_fpv").over(w).alias("_fp"),
+        F.sum("_tpv").over(wall).alias("_pos"),
+        F.sum("_fpv").over(wall).alias("_neg"))
+
+
+def roc_curve(df: DataFrame, prob_col: str, outcome_col: str,
+              keys=(), n_bins: int | None = None) -> DataFrame:
+    """Relative Operating Characteristic curve of a probability
+    forecast against a binary outcome (Mason 1982; the WMO-standard
+    verification for GloFAS-style exceedance warnings): one point per
+    candidate decision threshold t — warn when p >= t — carrying the
+    2x2 counts at t and
+
+        POD(t)  = hits / positives          (probability of detection)
+        POFD(t) = false_alarms / negatives  (probability of false
+                                             detection)
+
+    so the curve runs from strict thresholds (lower-left) to
+    warn-always (1,1).  Exactness: integer cumulative counts, POD/POFD
+    as exact integer micro-ratios (`_idiv_half_up`), NULL when the
+    group has no positives / no negatives.  Scale: one bounded
+    exchange to the threshold cells + one group window over the
+    threshold-bounded curve relation (`roc_counts`).
+
+    Returns (keys…, threshold, hits, false_alarms, misses,
+    correct_negatives, pod, pofd), sorted by keys then threshold
+    descending — the natural curve-tracing order."""
+    keys = list(keys)
+    cnt = roc_counts(df, prob_col, outcome_col, keys, n_bins)
+    tp, fp = F.col("_tp"), F.col("_fp")
+    pos, neg = F.col("_pos"), F.col("_neg")
+    mega_f = F.lit(float(MICRO))
+
+    def ratio(num, den):
+        return F.when(den > 0, _idiv_half_up(num * _mega(), den)
+                      .cast("double") / mega_f) \
+            .otherwise(F.lit(None).cast("double"))
+
+    return (cnt.select(
+        *keys, "threshold",
+        tp.cast("long").alias("hits"),
+        fp.cast("long").alias("false_alarms"),
+        (pos - tp).cast("long").alias("misses"),
+        (neg - fp).cast("long").alias("correct_negatives"),
+        ratio(tp, pos).alias("pod"),
+        ratio(fp, neg).alias("pofd"))
+        .orderBy(*keys, F.desc("threshold")))
+
+
+def roc_auc(df: DataFrame, prob_col: str, outcome_col: str,
+            keys=(), n_bins: int | None = None) -> DataFrame:
+    """Area under the ROC curve by exact trapezoid integration over
+    the threshold points of `roc_curve` (equivalently the
+    Mann-Whitney U form AUC = (U + ties/2) / (pos·neg) — the tie-aware
+    probability that a random positive outscores a random negative;
+    the equivalence is pinned in tests):
+
+        2·pos·neg·AUC = Σ_i (FP_i − FP_{i−1}) · (TP_i + TP_{i−1})
+
+    with (FP_0, TP_0) = (0, 0) and the final cumulative point at
+    (neg, pos) — an EXACT integer, closed by one `_idiv_half_up` into
+    micro units.  AUC is NULL when a group lacks positives or
+    negatives (no ranking is defined).  Same bounded plan as
+    `roc_curve` plus one lag over the curve window and one group
+    aggregate.
+
+    Returns (keys…, n, positives, negatives, auc), sorted."""
+    dec = "decimal(38,0)"
+    keys = list(keys)
+    cnt = roc_counts(df, prob_col, outcome_col, keys, n_bins)
+    part = keys if keys else [F.lit(0)]
+    wlag = Window.partitionBy(*part).orderBy(F.desc("threshold"))
+    zero = F.lit(0).cast(dec)
+    prev_tp = F.coalesce(F.lag("_tp").over(wlag), zero)
+    prev_fp = F.coalesce(F.lag("_fp").over(wlag), zero)
+    seg = cnt.select(
+        *keys, "_pos", "_neg",
+        ((F.col("_fp") - prev_fp) * (F.col("_tp") + prev_tp))
+        .alias("_seg"))
+    agg = seg.groupBy(*keys).agg(
+        F.sum("_seg").alias("_num"),
+        F.min("_pos").alias("_pos"), F.min("_neg").alias("_neg"))
+    pos, neg = F.col("_pos"), F.col("_neg")
+    two = F.lit(2).cast(dec)
+    auc_q = F.when((pos > 0) & (neg > 0),
+                   _idiv_half_up(F.col("_num") * _mega(),
+                                 two * pos * neg))
+    mega_f = F.lit(float(MICRO))
+    out = agg.select(
+        *keys, (pos + neg).cast("long").alias("n"),
+        pos.cast("long").alias("positives"),
+        neg.cast("long").alias("negatives"),
+        (auc_q.cast("double") / mega_f).alias("auc"))
+    return out.orderBy(*keys) if keys else out

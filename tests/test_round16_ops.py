@@ -1000,3 +1000,101 @@ def test_polygon_polygon_intersects_plan_no_bnlj(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round 16: ROC curve / AUC ----------------------------------------------
+
+
+def test_roc_auc_equals_mann_whitney_with_ties(spark):
+    """The trapezoid over ALL distinct thresholds must equal the
+    tie-aware Mann-Whitney form (gt + eq/2)/(P*N) — the textbook
+    identity that pins both the cumulative window and the
+    (FP_0, TP_0) = (0, 0) virtual start."""
+    import numpy as np
+
+    from flood_data_spark.operators.verification import roc_auc
+
+    rng = np.random.default_rng(13)
+    o = rng.integers(0, 2, 400)
+    p = np.round(np.clip(0.35 * o + rng.random(400) * 0.65, 0, 1), 2)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(p, o)], "p double, o int")
+    pos, neg = p[o == 1], p[o == 0]
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    want = (gt + eq / 2) / (len(pos) * len(neg))
+    row = roc_auc(df, "p", "o").collect()[0]
+    assert row.positives == len(pos) and row.negatives == len(neg)
+    assert abs(row.auc - want) < 1.5e-6
+
+
+def test_roc_known_forecasts(spark):
+    from flood_data_spark.operators.verification import roc_auc, roc_curve
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "p double, o int")
+    assert roc_auc(perfect, "p", "o").collect()[0].auc == 1.0
+    anti = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)], "p double, o int")
+    assert roc_auc(anti, "p", "o").collect()[0].auc == 0.0
+    # constant forecast: one threshold, curve jumps (0,0)->(1,1),
+    # trapezoid = the no-skill diagonal 0.5
+    flat = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "p double, o int")
+    assert roc_auc(flat, "p", "o").collect()[0].auc == 0.5
+    # curve endpoints: loosest threshold warns always
+    rows = roc_curve(perfect, "p", "o").collect()
+    assert rows[-1].pod == 1.0 and rows[-1].pofd == 1.0
+    assert rows[0].hits == 1 and rows[0].false_alarms == 0
+
+
+def test_roc_degenerate_and_null_hygiene(spark):
+    from flood_data_spark.operators.verification import roc_auc, roc_curve
+
+    # all-positive group: POFD and AUC undefined -> NULL, never 0/0
+    allpos = spark.createDataFrame(
+        [(0.9, 1), (0.4, 1)], "p double, o int")
+    row = roc_auc(allpos, "p", "o").collect()[0]
+    assert row.auc is None and row.negatives == 0
+    assert all(r.pofd is None for r in
+               roc_curve(allpos, "p", "o").collect())
+    # NULL probability / outcome rows are dropped, not counted
+    with_nulls = spark.createDataFrame(
+        [(0.9, 1), (None, 1), (0.2, None), (0.1, 0)],
+        "p double, o int")
+    row = roc_auc(with_nulls, "p", "o").collect()[0]
+    assert row.n == 2 and row.auc == 1.0
+
+
+def test_roc_binning_bounds_the_curve(spark):
+    import numpy as np
+
+    from flood_data_spark.operators.verification import roc_auc, roc_curve
+
+    rng = np.random.default_rng(7)
+    o = rng.integers(0, 2, 600)
+    p = np.clip(0.3 * o + rng.random(600) * 0.7, 0, 1)  # continuous
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(p, o)], "p double, o int")
+    exact = roc_curve(df, "p", "o").collect()
+    binned = roc_curve(df, "p", "o", n_bins=10).collect()
+    assert len(exact) > 11 >= len(binned)
+    # the binned AUC approximates the exact one (same data, coarser
+    # threshold grid)
+    a_exact = roc_auc(df, "p", "o").collect()[0].auc
+    a_bin = roc_auc(df, "p", "o", n_bins=10).collect()[0].auc
+    assert abs(a_exact - a_bin) < 0.05
+
+
+def test_roc_grouped_matches_per_group_runs(spark):
+    from flood_data_spark.operators.verification import roc_auc
+
+    rows = [("a", 0.9, 1), ("a", 0.3, 0), ("a", 0.7, 1), ("a", 0.6, 0),
+            ("b", 0.2, 1), ("b", 0.8, 0), ("b", 0.5, 1), ("b", 0.5, 0)]
+    df = spark.createDataFrame(rows, "g string, p double, o int")
+    grouped = {r.g: r.auc for r in
+               roc_auc(df, "p", "o", keys=["g"]).collect()}
+    for g in ("a", "b"):
+        solo = roc_auc(df.filter(F.col("g") == g), "p", "o") \
+            .collect()[0].auc
+        assert grouped[g] == solo, g

@@ -3790,6 +3790,33 @@ def q_stream_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "peirce", "ets", "hss")
 
 
+def q_roc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED ROC curve (streaming/file_stream.roc_cell_stream + the
+    SAME roc_counts_from_cells/roc_curve_from_counts finishers as batch
+    q_roc_curve): the per-threshold cells aggregate in complete mode
+    (state = distinct probabilities per group), the cumulative window
+    and integer-ratio curve points run on the materialized cells.  The
+    oracle IS the batch SQL — stream/batch parity of every curve
+    point."""
+    from flood_data_spark.operators.verification import (
+        roc_counts_from_cells, roc_curve_from_counts)
+    from flood_data_spark.streaming.file_stream import roc_cell_stream
+
+    def build(stream):
+        src = stream.select(
+            "l_linestatus",
+            (F.col("l_discount") * F.lit(10.0)).alias("p"),
+            (F.col("l_returnflag") == "R").cast("int").alias("o"))
+        return roc_cell_stream(src, "p", "o", keys=["l_linestatus"])
+
+    cells = _run_file_stream(
+        spark, f"{sf_dir}/lineitem.parquet", build, "stream_roc_",
+        output_mode="complete")
+    keys = ["l_linestatus"]
+    return roc_curve_from_counts(roc_counts_from_cells(cells, keys),
+                                 keys)
+
+
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference-strength fitting
     (datapipe/preference.bradley_terry): lineitem rows play RLHF
@@ -6243,6 +6270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contingency_scores": q_contingency,
         "q_roc_curve": q_roc_curve,
         "q_roc_auc": q_roc_auc,
+        "q_roc_stream": q_roc_stream,
         "q_quantile_score": q_quantile_score,
         "q_isotonic": q_isotonic,
         "q_energy_score": q_energy_score,
@@ -15936,6 +15964,8 @@ def oracle_sql() -> dict[str, str]:
     # streamed CRPS: stream/batch parity — the oracle IS the batch SQL
     d["q_crps_stream"] = d["q_crps"]
     d["q_stream_contingency"] = d["q_contingency_scores"]
+    # streamed ROC: curve-point stream/batch parity — the oracle IS
+    # the batch q_roc_curve SQL (assigned after the roc oracles below)
     d["q_quantile_stream"] = d["q_quantile_score"]
     # streamed mSPRT: the whole sequential readout, stream/batch parity
     d["q_msprt_stream"] = d["q_msprt"]
@@ -16060,6 +16090,7 @@ def oracle_sql() -> dict[str, str]:
                END AS auc
         FROM a
     """
+    d["q_roc_stream"] = d["q_roc_curve"]
 
     # q_polygon_membership: the edge relation (closing edge included)
     # generated from the SAME ring dict the Spark gate builds its

@@ -1682,6 +1682,17 @@ def roc_counts(df: DataFrame, prob_col: str, outcome_col: str,
       pos/neg = the group totals (same Exchange, no join).
     All counts decimal(38,0) so downstream products (the AUC trapezoid
     cross-terms) never overflow."""
+    return roc_counts_from_cells(
+        roc_cells(df, prob_col, outcome_col, keys, n_bins), keys)
+
+
+def roc_cells(df: DataFrame, prob_col: str, outcome_col: str,
+              keys=(), n_bins: int | None = None) -> DataFrame:
+    """The corpus-sized pass of the ROC chain split out for the
+    streaming twin: per (keys…, threshold) positive/negative counts —
+    a complete-mode-aggregable state of at most (distinct
+    probabilities) cells per group (n_bins+1 when binned), mergeable
+    because sums are."""
     dec = "decimal(38,0)"
     keys = list(keys)
     p = F.col(prob_col).cast("double")
@@ -1694,9 +1705,16 @@ def roc_counts(df: DataFrame, prob_col: str, outcome_col: str,
                      & F.col(outcome_col).isNotNull())
            .select(*keys, p.alias("_p"),
                    F.col(outcome_col).cast("int").alias("_o")))
-    cells = (src.groupBy(*keys, "_p")
-             .agg(F.sum("_o").cast(dec).alias("_tpv"),
-                  F.sum(1 - F.col("_o")).cast(dec).alias("_fpv")))
+    return (src.groupBy(*keys, "_p")
+            .agg(F.sum("_o").cast(dec).alias("_tpv"),
+                 F.sum(1 - F.col("_o")).cast(dec).alias("_fpv")))
+
+
+def roc_counts_from_cells(cells: DataFrame, keys=()) -> DataFrame:
+    """Finish the cumulative (TP, FP) relation from materialized
+    threshold cells — shared verbatim by the batch and streamed
+    paths."""
+    keys = list(keys)
     # keyless mode partitions the window by a constant: the relation is
     # threshold-bounded (distinct probabilities; n_bins+1 when binned),
     # so the single partition holds a bounded curve, never the corpus
@@ -1734,8 +1752,14 @@ def roc_curve(df: DataFrame, prob_col: str, outcome_col: str,
     Returns (keys…, threshold, hits, false_alarms, misses,
     correct_negatives, pod, pofd), sorted by keys then threshold
     descending — the natural curve-tracing order."""
+    return roc_curve_from_counts(
+        roc_counts(df, prob_col, outcome_col, keys, n_bins), keys)
+
+
+def roc_curve_from_counts(cnt: DataFrame, keys=()) -> DataFrame:
+    """Finish the curve points from the materialized cumulative
+    relation — shared verbatim by the batch and streamed paths."""
     keys = list(keys)
-    cnt = roc_counts(df, prob_col, outcome_col, keys, n_bins)
     tp, fp = F.col("_tp"), F.col("_fp")
     pos, neg = F.col("_pos"), F.col("_neg")
     mega_f = F.lit(float(MICRO))
@@ -1774,9 +1798,15 @@ def roc_auc(df: DataFrame, prob_col: str, outcome_col: str,
     aggregate.
 
     Returns (keys…, n, positives, negatives, auc), sorted."""
+    return roc_auc_from_counts(
+        roc_counts(df, prob_col, outcome_col, keys, n_bins), keys)
+
+
+def roc_auc_from_counts(cnt: DataFrame, keys=()) -> DataFrame:
+    """Finish the AUC trapezoid from the materialized cumulative
+    relation — shared verbatim by the batch and streamed paths."""
     dec = "decimal(38,0)"
     keys = list(keys)
-    cnt = roc_counts(df, prob_col, outcome_col, keys, n_bins)
     part = keys if keys else [F.lit(0)]
     wlag = Window.partitionBy(*part).orderBy(F.desc("threshold"))
     zero = F.lit(0).cast(dec)

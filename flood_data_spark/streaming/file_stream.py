@@ -376,6 +376,23 @@ def contingency_count_stream(stream_df: DataFrame, prob_col: str,
                               threshold)
 
 
+def roc_cell_stream(stream_df: DataFrame, prob_col: str,
+                    outcome_col: str, keys=(),
+                    n_bins: int | None = None) -> DataFrame:
+    """Streaming half of the ROC monitor: run `verification.roc_cells`
+    as a complete-mode aggregate — state = one (keys…, threshold) row
+    per distinct forecast probability (n_bins+1 when binned, the
+    long-running-stream profile), mergeable because integer sums are.
+    The cumulative window + curve/AUC finishers
+    (`roc_counts_from_cells` → `roc_curve_from_counts` /
+    `roc_auc_from_counts`) run on the materialized cells — shared
+    verbatim with the batch path, so the streaming gate checks
+    stream/batch parity of every curve point."""
+    from flood_data_spark.operators.verification import roc_cells
+
+    return roc_cells(stream_df, prob_col, outcome_col, keys, n_bins)
+
+
 def bucket_count_stream(stream_df: DataFrame, value_col: str,
                         bounds: list) -> DataFrame:
     """Streaming half of the drift monitor: bucket incoming values

@@ -56,8 +56,21 @@ def test_threshold_summary_broadcasts_and_single_exchange(spark, forecast_parque
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # exactly one shuffle: the groupBy; the join must not add another
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the exact path is the r16 rank-based formulation: the full data
+    # crosses ONE exchange into the window sort; the only other exchange
+    # carries the <= 6 quantile-endpoint rows per group into the final
+    # groupBy (no percentile ObjectHashAggregate buffering raw values)
+    assert "ObjectHashAggregate" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+    # approx mode keeps the classic single-exchange sketch aggregate
+    out_a = ensemble_threshold_summary(forecast, thresholds,
+                                       accuracy_mode="approx")
+    out_a.count()
+    plan_a = _plan(out_a)
+    assert "BroadcastHashJoin" in plan_a
+    assert plan_a.count("Exchange hashpartitioning") == 1, plan_a
 
 
 def test_step_filter_pushed_to_scan(spark, forecast_parquet):

@@ -93,3 +93,62 @@ def test_bad_accuracy_mode_rejected(spark):
     with pytest.raises(ValueError):
         ensemble_threshold_summary(_forecast(spark), _thresholds(spark),
                                    accuracy_mode="bogus")
+
+
+def test_exact_rank_path_matches_percentile_bitwise(spark):
+    """r16 regression pin: the rank-based exact path must stay
+    bit-identical to the F.percentile formulation it replaced, on
+    adversarial shapes — NULL values, ties, singleton groups, all-NULL
+    groups, cells missing from the threshold table (NULL thresholds)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flood_data_spark.operators.threshold import _quantiles_array
+
+    random.seed(23)
+    rows = []
+    for g in range(120):
+        n = random.choice([1, 2, 3, 5, 50, 101])
+        for _ in range(n):
+            if g % 17 == 0:
+                v = None
+            else:
+                v = random.choice([
+                    random.uniform(0, 500),
+                    float(round(random.uniform(0, 500))),  # ties
+                    None if random.random() < 0.1
+                    else random.uniform(0, 500)])
+            rows.append((float(g % 40), float(g // 40), v))
+    fc = spark.createDataFrame(
+        rows, "latitude double, longitude double, dis24 double") \
+        .withColumn("issued_on", F.lit("2024-01-01").cast("date")) \
+        .withColumn("valid_for", F.lit("2024-01-02").cast("date")) \
+        .withColumn("step", F.lit(24))
+    thr = spark.createDataFrame(
+        [(float(i), float(j), 80.0 + i, 150.0 + j, 260.0)
+         for i in range(40) for j in range(2)],  # row 2 cells → NULL thr
+        "latitude double, longitude double, threshold_2y double, "
+        "threshold_5y double, threshold_20y double")
+
+    years = (2, 5, 20)
+    joined = fc.join(F.broadcast(thr), ["latitude", "longitude"], "left")
+    aggs = [F.avg(F.when(F.col("dis24") >= F.col(f"threshold_{y}y"),
+                         F.lit(1)).otherwise(F.lit(0)))
+            .alias(f"p_above_{y}y") for y in years]
+    aggs += [F.min("dis24").alias("min_dis"),
+             _quantiles_array("dis24", (0.25, 0.50, 0.75), "exact")
+             .alias("_q"),
+             F.max("dis24").alias("max_dis")]
+    gk = ["latitude", "longitude", "issued_on", "valid_for", "step"]
+    old = (joined.groupBy(*gk).agg(*aggs)
+           .select(*gk, "p_above_2y", "p_above_5y", "p_above_20y",
+                   "min_dis",
+                   F.element_at("_q", 1).alias("Q1_dis"),
+                   F.element_at("_q", 2).alias("median_dis"),
+                   F.element_at("_q", 3).alias("Q3_dis"),
+                   "max_dis"))
+    new = ensemble_threshold_summary(fc, thr, accuracy_mode="exact")
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0

@@ -1163,14 +1163,27 @@ def textrank_keywords(df: DataFrame, window: int = 2, n_iter: int = 3,
                      F.greatest("pr.w1", "pr.w2").alias("b")))
     edges = (pairs.groupBy(id_col, "a", "b")
              .agg(F.count(F.lit(1)).alias("weight")))
+    # r16 (guide §2.4): the union destroys any useful partitioning, so
+    # every power-iteration round used to re-shuffle AND re-sort the
+    # edge-sized adj into its (doc, u) join.  Repartition + sort by the
+    # JOIN key ONCE and cache: unlike localCheckpoint (whose LogicalRDD
+    # reports UnknownPartitioning), InMemoryRelation PRESERVES the
+    # child's outputPartitioning/ordering, so every power-iteration
+    # round's sort-merge join reads adj with ZERO exchange and ZERO
+    # sort — one shuffle+sort total instead of one per round.  The
+    # cache is query-internal scratch (the LSH-bucket precedent), not
+    # cross-run result caching.
+    nparts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     adj = (edges.select(id_col, F.col("a").alias("u"),
                         F.col("b").alias("v"), "weight")
            .unionByName(edges.select(id_col, F.col("b").alias("u"),
                                      F.col("a").alias("v"), "weight"))
-           .localCheckpoint(eager=False))
+           .repartition(int(nparts), id_col, "u")
+           .sortWithinPartitions(id_col, "u")
+           .cache())
     nodes = (adj.groupBy(id_col, "u")
              .agg(F.sum("weight").alias("wdeg"))
-             .localCheckpoint(eager=False))
+             .cache())
 
     ranks = nodes.withColumn("r_mu", F.lit(1_000_000).cast("long"))
     for it in range(n_iter):

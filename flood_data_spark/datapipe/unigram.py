@@ -96,41 +96,38 @@ def viterbi_segment(words: DataFrame, pieces: DataFrame,
                     max_word_len: int = 12,
                     max_piece_len: int = 4) -> DataFrame:
     """Minimum-cost segmentation of each word under the piece table:
-    returns (word, freq?, pieces array<string>, total_cost_micro BIGINT)
+    returns (word, pieces array<string>, total_cost_micro BIGINT)
     — NULL pieces for words longer than `max_word_len` (the
     segment-or-flag contract).
 
-    Suffix DP, one layer per position from the right; each layer is a
-    join of that position's candidate edges (substring → broadcast piece
-    lookup) against the already-solved suffix — `max_word_len` rounds of
-    word-relation-sized joins, localCheckpoint-ed (the pagerank re-plan
-    lesson).  Greedy longest-piece reconstruction re-walks the solved
-    table from the left; ties on total cost ALWAYS resolve to the longer
-    piece (deterministic, oracle-mirrored).
+    Suffix DP, run ROW-LOCALLY per word (r16 optimization — guide §2.4):
+    candidate edges (position, length, cost) come from one explode +
+    broadcast piece lookup, collect to ONE edge array per word, and the
+    whole right-to-left DP plus the greedy reconstruction run inside
+    `aggregate` expressions over that array.  The previous formulation
+    was one join + groupBy PER LAYER plus a join per reconstruction hop
+    (~30 word-relation-sized shuffles and as many scheduler rounds for a
+    ≤12-char word); a word's DP is a pure function of its own ≤
+    max_word_len·max_piece_len edges, so nothing about it is
+    distributed.  Since `words` normally arrives word-partitioned from
+    `word_table`'s groupBy, the per-word edge collect and the final
+    left join reuse that partitioning — the segmentation adds ZERO
+    exchanges.  Ties on total cost ALWAYS resolve to the longer piece
+    (the (t, -L) struct-min tiebreak, bit-identical to the layered
+    formulation, pinned by tests/test_unigram.py).
     """
     if max_word_len < 1 or max_piece_len < 1:
         raise ValueError("viterbi_segment: lengths must be >= 1")
     base = words.withColumn("_n", F.length("word"))
     inscope = base.filter(F.col("_n") <= max_word_len)
     outscope = base.filter(F.col("_n") > max_word_len)
-    # cap the layer count at the ACTUAL longest in-scope word (one
-    # scalar action on the word relation — bounded by contract): every
-    # layer is a Spark job, and a short-word corpus shouldn't pay for
-    # empty ones
-    actual = inscope.agg(F.max("_n").alias("m")).collect()[0]["m"]
-    if actual is None:
-        actual = 0
-    max_word_len = min(max_word_len, int(actual))
     nulls = (F.lit(None).cast("array<string>").alias("pieces"),
              F.lit(None).cast("long").alias("total_cost_micro"))
-    if max_word_len == 0:       # nothing in scope: all-NULL passthrough
-        return (inscope.select("word", *nulls)
-                .unionByName(outscope.select("word", *nulls)))
 
     p = F.broadcast(pieces.select(F.col("piece").alias("_pc"),
                                   F.col("cost_micro").alias("_c")))
     # candidate edges: (word, i 0-based start, L, cost) for every vocab
-    # piece occurrence — word-bounded × positions × L
+    # piece occurrence — word-bounded × positions × L, all narrow ops
     idx = F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i")
     lens = F.explode(F.sequence(
         F.lit(1), F.least(F.lit(max_piece_len),
@@ -140,68 +137,85 @@ def viterbi_segment(words: DataFrame, pieces: DataFrame,
              .withColumn("_piece", F.expr(
                  "substring(word, _i + 1, _L)"))
              .join(p, F.col("_piece") == F.col("_pc"))
-             .select("word", "_n", "_i", "_L", "_c")
-             .localCheckpoint(eager=False))
+             .select("word", "_n", "_i", "_L", "_c"))
+    ed = (edges.groupBy("word")
+          .agg(F.max("_n").alias("_n"),
+               F.collect_list(F.struct("_i", "_L", "_c")).alias("_es")))
 
-    # suffix[pos == n] = 0 for every word
-    suffix = inscope.select("word",
-                            F.col("_n").alias("_pos"),
-                            F.lit(0).cast("long").alias("_best"))
-    for i in range(max_word_len - 1, -1, -1):
-        layer = (edges.filter(F.col("_i") == i)
-                 .join(suffix.select(F.col("word").alias("_w"),
-                                     F.col("_pos").alias("_dst"),
-                                     "_best"),
-                       (F.col("word") == F.col("_w"))
-                       & (F.col("_dst") == F.col("_i") + F.col("_L")))
-                 .groupBy("word")
-                 .agg(F.min(F.struct(
-                     (F.col("_c") + F.col("_best")).alias("t"),
-                     (-F.col("_L")).alias("nl"))).alias("_m"))
-                 .select("word", F.lit(i).alias("_pos"),
-                         F.col("_m.t").alias("_best"),
-                         (-F.col("_m.nl")).alias("_bl")))
-        suffix = suffix.unionByName(
-            layer.select("word", "_pos", "_best"))
-        # keep the backpointer table separately
-        back = layer.select("word", "_pos", "_bl") if i == max_word_len - 1 \
-            else back.unionByName(layer.select("word", "_pos", "_bl"))
-        if i % 4 == 0:
-            suffix = suffix.localCheckpoint(eager=False)
-            back = back.localCheckpoint(eager=False)
+    n = F.col("_n")
+    es = F.col("_es")
+    # best[pos] as a 1-indexed array of struct(t BIGINT, bl INT) over
+    # positions 0.._n (index pos+1): t = min suffix cost from pos, bl =
+    # the length of the longest piece attaining it (the backpointer).
+    # Built right to left: k-th step solves pos = _n - k.  A position
+    # with no usable edge stays NULL (unreachable), exactly like the
+    # layered groupBy that emitted no row.
+    cell = "struct<t:bigint,bl:int>"
+    init = F.concat(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda j: F.lit(None).cast(cell)),
+        F.array(F.named_struct(F.lit("t"), F.lit(0).cast("long"),
+                               F.lit("bl"), F.lit(None).cast("int"))))
 
-    # reconstruction: walk backpointers from pos 0, max_word_len hops
-    walk = inscope.select("word", "_n",
-                          F.lit(0).alias("_pos"),
-                          F.array().cast("array<string>").alias("pieces"))
-    done = None
-    for _ in range(max_word_len):
-        walk = (walk.join(back.select(F.col("word").alias("_w2"),
-                                      F.col("_pos").alias("_bp"),
-                                      "_bl"),
-                          (F.col("word") == F.col("_w2"))
-                          & (F.col("_pos") == F.col("_bp")))
-                .select("word", "_n",
-                        (F.col("_pos") + F.col("_bl")).alias("_pos"),
-                        F.concat(
-                            F.col("pieces"),
-                            F.array(F.expr(
-                                "substring(word, _pos + 1, _bl)")))
-                        .alias("pieces")))
-        finished = walk.filter(F.col("_pos") >= F.col("_n")) \
-            .select("word", "pieces")
-        done = finished if done is None else done.unionByName(finished)
-        walk = walk.filter(F.col("_pos") < F.col("_n"))
-        walk = walk.localCheckpoint(eager=False)
+    def _dp_step(acc, k):
+        pos = n - k
+        # candidates at pos whose landing position pos+L is reachable;
+        # min over struct(t, nl) — smallest total, tie -> longest piece
+        cands = F.transform(
+            F.filter(es, lambda e: (e["_i"] == pos)
+                     & F.element_at(acc, pos + e["_L"] + 1)["t"]
+                     .isNotNull()),
+            lambda e: F.struct(
+                (e["_c"] + F.element_at(acc, pos + e["_L"] + 1)["t"])
+                .alias("t"),
+                (-e["_L"]).alias("nl")))
+        m = F.array_min(cands)
+        new_cell = F.when(
+            m.isNotNull(),
+            F.named_struct(F.lit("t"), m["t"],
+                           F.lit("bl"), (-m["nl"]).cast("int"))
+        ).cast(cell)
+        return F.transform(
+            F.sequence(F.lit(1), n + 1),
+            lambda j: F.when(j == pos + 1, new_cell)
+            .otherwise(F.element_at(acc, j)))
 
-    totals = (suffix.filter(F.col("_pos") == 0)
-              .select("word", F.col("_best").alias("total_cost_micro")))
+    solved = ed.withColumn(
+        "_best", F.aggregate(F.sequence(F.lit(1), n), init, _dp_step))
+
+    total = F.element_at(F.col("_best"), 1)["t"]
+    # greedy reconstruction: walk the backpointers from pos 0 — at most
+    # _n hops; each hop consumes bl[pos] characters.  Only meaningful
+    # when pos 0 is reachable (total non-NULL); the walk is guarded so
+    # NULL cells never propagate NULL positions.
+    wcell = "struct<pos:int,arr:array<string>>"
+    winit = F.named_struct(
+        F.lit("pos"), F.lit(0).cast("int"),
+        F.lit("arr"), F.array().cast("array<string>"))
+
+    def _walk_step(acc, _):
+        bl = F.element_at(F.col("_best"), acc["pos"] + 1)["bl"]
+        step = F.named_struct(
+            F.lit("pos"), (acc["pos"] + bl).cast("int"),
+            F.lit("arr"), F.concat(
+                acc["arr"],
+                F.array(F.substring(
+                    F.col("word"), acc["pos"] + 1, bl))))
+        return F.when((acc["pos"] < n) & bl.isNotNull(), step) \
+            .otherwise(acc).cast(wcell)
+
+    solved = solved.withColumn(
+        "pieces",
+        F.when(total.isNotNull(),
+               F.aggregate(F.sequence(F.lit(1), n), winit,
+                           _walk_step)["arr"])) \
+        .withColumn("total_cost_micro", total)
+
     segmented = (inscope.select("word")
-                 .join(done, "word", "left")
-                 .join(totals, "word", "left"))
-    unseg = outscope.select(
-        "word", F.lit(None).cast("array<string>").alias("pieces"),
-        F.lit(None).cast("long").alias("total_cost_micro"))
+                 .join(solved.select("word", "pieces",
+                                     "total_cost_micro"),
+                       "word", "left"))
+    unseg = outscope.select("word", *nulls)
     return segmented.unionByName(unseg)
 
 

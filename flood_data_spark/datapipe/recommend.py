@@ -52,11 +52,15 @@ def _baskets(df: DataFrame, user_col: str, item_col: str,
 
 def item_cooccurrence(df: DataFrame, user_col: str, item_col: str,
                       max_basket: int | None = 64,
-                      min_count: int = 1) -> DataFrame:
+                      min_count: int = 1,
+                      _baskets_df: DataFrame | None = None) -> DataFrame:
     """Canonical co-occurrence pairs (item_a < item_b, n_common BIGINT):
     one distinct, one capped self-join on the user key, one pair-keyed
-    groupBy."""
-    b = _baskets(df, user_col, item_col, max_basket)
+    groupBy.  `_baskets_df` lets `item_similarity` share ONE basket
+    relation across the pair and degree computations (r16 — guide §2.4:
+    the capped window otherwise runs three times)."""
+    b = (_baskets_df if _baskets_df is not None
+         else _baskets(df, user_col, item_col, max_basket))
     a = b.select("user", F.col("item").alias("item_a"))
     c = b.select(F.col("user").alias("user2"),
                  F.col("item").alias("item_b"))
@@ -88,9 +92,13 @@ def item_similarity(df: DataFrame, user_col: str, item_col: str,
     autoBroadcastJoinThreshold — the shuffle-join fallback is automatic.
     True forces the hint (a caller contract that the catalog is small);
     False forbids it."""
-    b = _baskets(df, user_col, item_col, max_basket)
+    # ONE basket relation, cached: it feeds the self-join twice and the
+    # degree count once (three corpus-distinct passes before r16), and
+    # the cache preserves the cap window's user-hash partitioning so the
+    # self-join consumes both sides exchange-free (guide §2.4, §5).
+    b = _baskets(df, user_col, item_col, max_basket).cache()
     pairs = item_cooccurrence(df, user_col, item_col, max_basket,
-                              min_count)
+                              min_count, _baskets_df=b)
     deg = b.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
 
     def _side(alias_item, alias_n):

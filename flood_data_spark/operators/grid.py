@@ -257,7 +257,11 @@ def conservative_regrid(df: DataFrame, lat_col: str, lon_col: str,
     cov = _idiv_half_up(F.col("_sw") * F.lit(1_000_000).cast(dec),
                         F.lit(rd).cast(dec) * F.lit(rd).cast(dec))
     half = F.lit(rd // 2).cast("long")
-    return (agg.select(
+    # r16 (guide §2.4): no final global sort — the former
+    # .orderBy(*keys, "dlat", "dlon") range-exchanged the whole
+    # destination grid purely for presentation; the multiset is
+    # unchanged and the gates compare canonically.
+    return agg.select(
         *keys,
         ((F.col("_iy") * rd_l + half).cast("double")
          / F.lit(float(U))).alias("dlat"),
@@ -265,4 +269,3 @@ def conservative_regrid(df: DataFrame, lat_col: str, lon_col: str,
          / F.lit(float(U))).alias("dlon"),
         (val.cast("double") / mega_f).alias("value"),
         (cov.cast("double") / mega_f).alias("coverage"))
-        .orderBy(*keys, "dlat", "dlon"))

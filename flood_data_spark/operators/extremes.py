@@ -264,10 +264,16 @@ def doy_climatology(df: DataFrame, value_col: str, ts_col: str,
           .select(*keys,
                   (((F.col("_doy") - 1 + F.col("_off") + 366) % 366)
                    + 1).alias("doy"), "_v"))
-    aggs = [F.expr(f"percentile(_v, {float(p)!r})")
-            .alias(f"q{int(round(p * 100)):02d}") for p in percentiles]
-    return (sm.groupBy(*keys, "doy")
-            .agg(F.count(F.lit(1)).alias("n"), *aggs)
+    # r16: exact per-cell quantiles via the rank-window pass instead of
+    # the percentile ObjectHashAggregate (bit-identical — see
+    # stats.rank_quantiles); cells are (keys, doy)-many, so the window
+    # parallelism matches the old exchange's
+    from flood_data_spark.operators.stats import rank_quantiles
+    names = [f"q{int(round(p * 100)):02d}" for p in percentiles]
+    rq = rank_quantiles(sm, [*keys, "doy"], "_v",
+                        [float(p) for p in percentiles], names)
+    return (rq.withColumnRenamed("n_rows", "n")
+            .select(*keys, "doy", "n", *names)
             .orderBy(*keys, "doy"))
 
 

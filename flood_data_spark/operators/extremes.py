@@ -825,11 +825,24 @@ def spi_empirical(df: DataFrame, value_col: str, group_keys,
     # can't round the extreme positions to 0/1e6 (probit NULL).
     pq = F.greatest(F.lit(1).cast(dec),
                     F.least(F.lit(MICRO - 1).cast(dec), pq))
-    probit = invnorm_sql("(CAST(_pq AS DOUBLE) / 1000000.0)")
-    out = (ranked.withColumn("_pq", pq)
-           .withColumn("_sq", F.expr(
-               f"cast(sign({probit}) * floor(abs({probit}) "
-               f"* 1000000e0 + 5e-1) as long)")))
+    # r16: the probit is evaluated through single-element `transform`
+    # lambdas so the Acklam rational appears in the plan ONCE as a
+    # lambda body over a leaf variable.  Splicing its ~3 KB text twice
+    # (sign/abs) and letting CollapseProject inline _pq into every one
+    # of its ~9 p-sites blew the optimized plan up to ~89 KB, and the
+    # downstream consumer (drought_runs' filter/quantize, which
+    # re-references `spi` five more times) multiplied it again —
+    # measured 8-12 s per execution of the 186-row gate composition,
+    # ~1.5 s of it pure Catalyst, the rest codegen over the monster.
+    # With the wrap: 1.7-4.2 s, values bit-identical (the lambda body
+    # is the same double arithmetic in the same order).
+    probit_l = invnorm_sql("(CAST(pv AS DOUBLE) / 1000000.0)")
+    sq = F.expr(
+        f"transform(array(_pq), pv -> "
+        f"transform(array({probit_l}), pb -> "
+        f"cast(sign(pb) * floor(abs(pb) * 1000000e0 + 5e-1) as long)"
+        f")[0])[0]")
+    out = ranked.withColumn("_pq", pq).withColumn("_sq", sq)
     mega_f = F.lit(float(MICRO))
     return (out.select(*keys, order_col, "value", "n",
                        (F.col("_pq").cast("double") / mega_f)

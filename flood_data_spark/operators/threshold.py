@@ -56,10 +56,20 @@ def _exact_summary_via_ranks(joined: DataFrame, group_keys, value_col: str,
     Sorting the rows within each group and keeping only the rows whose
     0-based rank is floor/ceil of q*(n-1) replaces that with a plain shuffle
     + sort + narrow filter: same single exchange (the window's
-    hashpartitioning is reused by the final groupBy), ~4x faster at the
-    60M-row tier, bit-identical output (exceptAll == 0 both ways; the
-    interpolation reproduces Percentile.getPercentile's exact float
-    expression order).
+    hashpartitioning is reused by the final groupBy), bit-identical output
+    (exceptAll == 0 both ways; the interpolation reproduces
+    Percentile.getPercentile's exact float expression order).
+
+    Measured verdict (r16, sf0.1 local[32]): NOT the default.  Isolated it
+    wins the standalone 60M-row tier 2x (5.1 s vs 10.6 s min-of-3), but the
+    windowed intermediate materializes every input row plus ~9 window
+    columns before the rank filter, and that wide buffer made it LOSE
+    inside the full bench session (pass-2 x100 17.2 s vs 10.4 s) and inside
+    the composed daily pipeline (isolated 5.8 s vs 4.5 s; in-bench 8.2 s vs
+    4.4 s), where the percentile aggregate's map-side partial keeps the
+    post-join relation narrow.  Kept selectable via
+    ensemble_threshold_summary(exact_impl="ranks") for shapes with very few
+    very large groups, where one sorted pass beats per-group buffers.
 
     NULL discipline matches F.percentile/min/max (NULLs ignored for the
     summary: ranks are computed against the non-null count with NULLs sorted
@@ -213,21 +223,31 @@ def ensemble_threshold_summary(forecast_df: DataFrame,
                                broadcast_thresholds: bool = True,
                                group_keys=GROUP_KEYS,
                                join_keys=("latitude", "longitude"),
-                               value_col: str = "dis24") -> DataFrame:
+                               value_col: str = "dis24",
+                               exact_impl: str = "percentile") -> DataFrame:
     """forecast (1 row per ensemble member) × thresholds → detailed forecast
     (1 row per cell/step) with p_above_Ny and the value 5-number summary.
 
     `join_keys` / `group_keys` / `value_col` default to the flood schema but
     are configurable so the operator applies to any ensemble-shaped table.
+
+    `exact_impl` selects how accuracy_mode='exact' computes the quantiles —
+    'percentile' (default: one ObjectHashAggregate pass, map-side partial,
+    the winner on many-small-groups ensembles) or 'ranks'
+    ([_exact_summary_via_ranks]: one sorted window pass, the winner on
+    few-huge-groups shapes).  Bit-identical outputs (pinned in
+    tests/test_threshold.py); choose by shape.
     """
     if accuracy_mode not in ("approx", "exact"):
         raise ValueError("accuracy_mode must be 'approx' or 'exact'")
+    if exact_impl not in ("percentile", "ranks"):
+        raise ValueError("exact_impl must be 'percentile' or 'ranks'")
     years = threshold_years or DEFAULT_CONFIG.threshold_years
 
     rhs = F.broadcast(threshold_df) if broadcast_thresholds else threshold_df
     joined = forecast_df.join(rhs, on=list(join_keys), how="left")
 
-    if accuracy_mode == "exact":
+    if accuracy_mode == "exact" and exact_impl == "ranks":
         return _exact_summary_via_ranks(joined, group_keys, value_col, years)
 
     # when/otherwise(0), NOT avg(cast(cmp)): a NULL threshold (cell missing

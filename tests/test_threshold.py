@@ -148,7 +148,13 @@ def test_exact_rank_path_matches_percentile_bitwise(spark):
                    F.element_at("_q", 2).alias("median_dis"),
                    F.element_at("_q", 3).alias("Q3_dis"),
                    "max_dis"))
-    new = ensemble_threshold_summary(fc, thr, accuracy_mode="exact")
+    new = ensemble_threshold_summary(fc, thr, accuracy_mode="exact",
+                                     exact_impl="ranks")
     assert new.schema == old.schema
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
+    # and the default exact path IS the percentile formulation
+    dflt = ensemble_threshold_summary(fc, thr, accuracy_mode="exact")
+    assert dflt.schema == old.schema
+    assert dflt.exceptAll(old).count() == 0
+    assert old.exceptAll(dflt).count() == 0

@@ -755,11 +755,29 @@ def _q_daily_incremental_x10(spark, sf_dir):
             join_keys=("partkey",), group_keys=("partkey",)) \
             .withColumn("day", F.lit(day_label))
 
-    store = tempfile.mkdtemp(prefix="bench_daily_store_")
+    # r16: d0/d1 aggregate in ONE pass (group by (day, partkey) over the
+    # disjoint day slices — value-identical to two per-day runs) and
+    # publish as one upsert, OVERLAPPED with the independent stale-d2
+    # publish (guide §2.6; disjoint partitions, per-job staging dirs).
+    # Store on tmpfs like the registry twin's _scratch_dir (r15 lesson:
+    # /tmp measures this box's 62 MB/s virtio, not the operator).
+    base_days = ensemble_threshold_summary(
+        fc.filter(F.col("day").isin("d0", "d1")),
+        thresholds, accuracy_mode="exact",
+        join_keys=("partkey",), group_keys=("day", "partkey"))
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = tempfile.mkdtemp(prefix="bench_daily_store_", dir=shm)
     try:
-        upsert_partitions(detailed("d0"), store, "day")
-        upsert_partitions(detailed("d1"), store, "day")
-        upsert_partitions(detailed("d2", scale=2.0), store, "day")
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_base = pool.submit(upsert_partitions, base_days,
+                                   store, "day")
+            fut_stale = pool.submit(upsert_partitions,
+                                    detailed("d2", scale=2.0),
+                                    store, "day")
+            fut_base.result()
+            fut_stale.result()
         base = merge_summaries(
             summarize_increment(spark.read.parquet(store)
                                 .filter(F.col("day") == "d0"),

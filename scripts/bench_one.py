@@ -84,6 +84,12 @@ def main() -> None:
         ids = tracker.getJobIdsForGroup(None)
         return len(ids)
 
+    def _next_job_id(sc):
+        # AtomicInteger on Spark 4: py4j unwraps .get() results of some
+        # accessors to a plain int depending on the build — handle both
+        v = sc._jsc.sc().dagScheduler().nextJobId()
+        return v if isinstance(v, int) else v.get()
+
     for name in args.queries:
         fn = qs.get(name) or bench_mod.EXTRA_QUERIES.get(name)
         if fn is None:
@@ -93,13 +99,13 @@ def main() -> None:
         jobs_delta = None
         for i in range(args.n):
             entry_mod.STREAM_BATCHES.clear()
-            j0 = sc._jsc.sc().dagScheduler().nextJobId().get() if args.jobs else 0
+            j0 = _next_job_id(sc) if args.jobs else 0
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             if args.jobs:
-                j1 = sc._jsc.sc().dagScheduler().nextJobId().get()
+                j1 = _next_job_id(sc)
                 jobs_delta = j1 - j0
             readings.append(round(dt, 3))
             if args.explain and i == 0:

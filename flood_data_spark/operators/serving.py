@@ -320,6 +320,9 @@ def polygon_membership(points_df: DataFrame, polygons_df: DataFrame,
                          f"> 0, got {bucket_size}")
     from pyspark.sql import Window
 
+    polygons_df = _materialize_polys(
+        polygons_df, poly_id_col, ring_col, order_col,
+        vert_lat_col, vert_lon_col)
     ring = (F.col(ring_col) if ring_col is not None
             else F.lit(0)).alias("_ring")
     verts = polygons_df.select(
@@ -440,6 +443,36 @@ def zonal_stats(points_df: DataFrame, polygons_df: DataFrame,
         .orderBy("poly_id"))
 
 
+def _materialize_polys(polygons_df: DataFrame, *cols) -> DataFrame:
+    """Project the polygon relation to exactly the columns the operator
+    reads and localCheckpoint it EAGERLY (r16, guide §5 caching /
+    §3.3 plan truncation).  The polygon side is polygon-set-sized by
+    contract but may be DERIVED from a corpus-scale lineage (e.g.
+    rectangles aggregated off a fact table), and every operator in
+    this family references it several times — edges, bbox buckets,
+    ring signs, nesting depths, representatives — so without
+    materialization each reference re-executes the entire upstream
+    plan (measured on q_polygon_join: the fact table was scanned 12
+    times per execution).  Checkpointing also truncates the
+    several-hundred-line polygon preprocessing subtree out of the
+    final plan, which on tiny serving queries is itself the dominant
+    cost (planning + whole-stage-codegen compile scale with plan
+    size).  Values are unchanged — this is pure materialization.
+
+    Streaming inputs are returned as-is (localCheckpoint is a batch
+    action; the polygon side of the streaming gates is static by
+    contract, so this guard never fires there in practice)."""
+    if polygons_df.isStreaming:
+        return polygons_df
+    keep = list(dict.fromkeys(c for c in cols if c is not None))
+    # NOT coalesce(1): a coalesced task funnels every parent partition
+    # of a Python-parallelized literal through ONE task, spawning a
+    # fresh Python worker per parent sequentially (measured 4.2 s per
+    # checkpoint, every time); the plain parallel checkpoint is 0.4 s
+    # warm
+    return polygons_df.select(*keep).localCheckpoint(eager=True)
+
+
 def _quantize_micro(col: "F.Column") -> "F.Column":
     """Half-up quantization of a coordinate to integer micro-degrees —
     the shared exactness convention (one rounding at the boundary, all
@@ -548,7 +581,13 @@ def _polygon_rings(polygons_df: DataFrame, poly_id_col: str,
     term = _crossing_term_int(
         F.col("_rep._qx1"), F.col("_rep._qy1"),
         F.col("_qx1"), F.col("_qy1"), F.col("_qx2"), F.col("_qy2"))
-    depth = (rings.select("poly_id", "_ring", "_rep")
+    # every relation here is ring/edge-sized by contract, but they
+    # descend from Scan ExistingRDD / checkpoint nodes whose size
+    # statistics default to "huge" — without explicit hints the
+    # planner picks SortMergeJoin + two exchanges for joins that carry
+    # dozens of rows (r16, guide §3.1: estimates are often badly
+    # wrong; hint when you know a side is small)
+    depth = (F.broadcast(rings.select("poly_id", "_ring", "_rep"))
              .join(o_edges, "poly_id")
              .filter(F.col("_oring") != F.col("_ring"))
              .groupBy("poly_id", "_ring", "_oring")
@@ -556,7 +595,8 @@ def _polygon_rings(polygons_df: DataFrame, poly_id_col: str,
              .filter(F.col("_cr") % 2 == 1)
              .groupBy("poly_id", "_ring")
              .agg(F.count(F.lit(1)).alias("_depth")))
-    ring_signs = (rings.join(depth, ["poly_id", "_ring"], "left")
+    ring_signs = (rings.join(F.broadcast(depth), ["poly_id", "_ring"],
+                             "left")
                   .select("poly_id", "_ring",
                           F.when(F.coalesce("_depth", F.lit(0)) % 2 == 0,
                                  F.abs("_sa2"))
@@ -589,6 +629,9 @@ def polygon_area(polygons_df: DataFrame,
     the corpus is never touched.  The depth test is Σ_poly R²·E worst
     case — a property of the query geometry, not the data.  Returns
     (poly_id, n_rings, area) ordered by poly_id."""
+    polygons_df = _materialize_polys(
+        polygons_df, poly_id_col, ring_col, order_col,
+        vert_lat_col, vert_lon_col)
     _, ring_signs = _polygon_rings(
         polygons_df, poly_id_col, ring_col, order_col,
         vert_lat_col, vert_lon_col)
@@ -720,6 +763,9 @@ def polygon_box_intersects(boxes_df: DataFrame, polygons_df: DataFrame,
 
     Returns the input box columns + (poly_id, touches_boundary,
     center_inside) for intersecting polygons only."""
+    polygons_df = _materialize_polys(
+        polygons_df, poly_id_col, ring_col, order_col,
+        vert_lat_col, vert_lon_col)
     cand, pcols, edges = _box_poly_candidates(
         boxes_df, polygons_df, lat_min_col, lat_max_col, lon_min_col,
         lon_max_col, poly_id_col, ring_col, order_col, vert_lat_col,
@@ -861,6 +907,9 @@ def zonal_stats_weighted(boxes_df: DataFrame, polygons_df: DataFrame,
     from flood_data_spark.datapipe.linalg import _idiv_half_up
 
     dec = "decimal(38,0)"
+    polygons_df = _materialize_polys(
+        polygons_df, poly_id_col, ring_col, order_col,
+        vert_lat_col, vert_lon_col)
     cand, pcols, _ = _box_poly_candidates(
         boxes_df, polygons_df, lat_min_col, lat_max_col, lon_min_col,
         lon_max_col, poly_id_col, ring_col, order_col, vert_lat_col,
@@ -978,6 +1027,10 @@ def polygon_polygon_intersects(polys_a: DataFrame, polys_b: DataFrame,
         raise ValueError(f"polygon_polygon_intersects: bucket_size "
                          f"must be > 0, got {bucket_size}")
     b = float(bucket_size)
+    polys_a = _materialize_polys(polys_a, poly_id_col, ring_col,
+                                 order_col, vert_lat_col, vert_lon_col)
+    polys_b = _materialize_polys(polys_b, poly_id_col, ring_col,
+                                 order_col, vert_lat_col, vert_lon_col)
 
     def _side(polys, tag, do_broadcast):
         edges, signs = _polygon_rings(polys, poly_id_col, ring_col,

@@ -778,18 +778,27 @@ def pq_train(corpus: DataFrame, id_col: str = "vec_id",
 def pq_encode(corpus: DataFrame, codebooks: list,
               id_col: str = "vec_id",
               vec_col: str = "embedding",
-              normalize: bool = True) -> DataFrame:
+              normalize: bool = True,
+              passthrough_cols: tuple = ()) -> DataFrame:
     """Assign every corpus vector its m-byte PQ code: one vectorized
     mapInPandas pass (per-subspace argmin as numpy matmuls, Arrow
     batches), codebooks ride the task closure — no shuffle, no join.
-    Output: (id, pq_codes array<int>).  Persist partitioned like any
-    index; at 100 TB this table IS the searchable corpus."""
+    Output: (id, pq_codes array<int>[, *passthrough_cols]).  Persist
+    partitioned like any index; at 100 TB this table IS the searchable
+    corpus.  ``passthrough_cols`` ride the encode pass untouched so a
+    caller needing them alongside the codes (ivfpq_build's list_id)
+    does not pay a corpus-sized join to re-attach them (r16,
+    guide §8: attach without shuffling)."""
     import numpy as np
     import pandas as pd
+
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
 
     C = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(C)
     dsub = C[0].shape[1]
+    pc = list(passthrough_cols)
 
     def run(batches):
         for pdf in batches:
@@ -807,12 +816,20 @@ def pq_encode(corpus: DataFrame, codebooks: list,
                 d2 = ((Xs ** 2).sum(1)[:, None]
                       + (C[s] ** 2).sum(1)[None, :] - 2.0 * Xs @ C[s].T)
                 codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame({"pq_id": pdf["pq_id"].to_numpy(),
-                                "pq_codes": list(codes)})
+            out = {"pq_id": pdf["pq_id"].to_numpy(),
+                   "pq_codes": list(codes)}
+            for c in pc:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
     narrow = corpus.select(F.col(id_col).alias("pq_id"),
-                           _as_double(F.col(vec_col)).alias("_v"))
-    return narrow.mapInPandas(run, schema="pq_id long, pq_codes array<int>")
+                           _as_double(F.col(vec_col)).alias("_v"),
+                           *pc)
+    schema = StructType(
+        [StructField("pq_id", LongType()),
+         StructField("pq_codes", ArrayType(IntegerType()))]
+        + [narrow.schema[c] for c in pc])
+    return narrow.mapInPandas(run, schema=schema)
 
 
 def pq_topk(codebooks: list, codes: DataFrame, queries: DataFrame,
@@ -978,18 +995,30 @@ def ivfpq_build(corpus: DataFrame, id_col: str = "vec_id",
     C = _matrix_lit(centers)
     unit = F.col("neighbor_id_vec")
     nrm = F.greatest(_norm(unit), F.lit(1e-12))
+    # persist: the residual relation is read three times during the
+    # build (pq_train's count, its train-sample collect, the encode
+    # pass) — without the cache each reference re-ran the full corpus
+    # assignment + residual arithmetic (r16, guide §5).  list_id rides
+    # the encode pass (passthrough) instead of the corpus-sized
+    # re-attach join the build used to pay, and the finished index
+    # state materializes via localCheckpoint — an index build's output
+    # is the index, not a recipe for recomputing it.
     residuals = lists.select(
         F.col("neighbor_id"), F.col("list_id"),
         F.zip_with(F.transform(unit, lambda x: x / nrm),
                    C[F.col("list_id")],
-                   lambda x, c: x - c).alias("residual"))
-    books = pq_train(residuals, id_col="neighbor_id", vec_col="residual",
-                     m=m, nbits=nbits, seed=seed, normalize=False)
-    codes = (pq_encode(residuals, books, id_col="neighbor_id",
-                       vec_col="residual", normalize=False)
-             .withColumnRenamed("pq_id", "neighbor_id")
-             .join(residuals.select("neighbor_id", "list_id"),
-                   "neighbor_id"))
+                   lambda x, c: x - c).alias("residual")).persist()
+    try:
+        books = pq_train(residuals, id_col="neighbor_id",
+                         vec_col="residual", m=m, nbits=nbits, seed=seed,
+                         normalize=False)
+        codes = (pq_encode(residuals, books, id_col="neighbor_id",
+                           vec_col="residual", normalize=False,
+                           passthrough_cols=("list_id",))
+                 .withColumnRenamed("pq_id", "neighbor_id")
+                 .localCheckpoint(eager=True))
+    finally:
+        residuals.unpersist()
     return centroids, books, codes
 
 

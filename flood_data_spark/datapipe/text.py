@@ -1261,18 +1261,28 @@ def rouge_n(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
 
     cg = grams(cand)
     rg = grams(ref)
-    totals_c = cg.groupBy("id").agg(F.sum("c").alias("cand_grams"))
-    totals_r = rg.groupBy("id").agg(F.sum("c").alias("ref_grams"))
-    clip = (cg.join(rg.select(F.col("id"), F.col("g"),
-                              F.col("c").alias("cr")), ["id", "g"])
-            .groupBy("id")
-            .agg(F.sum(F.least(F.col("c"), F.col("cr"))).alias("clip")))
+    # totals and clip in ONE pass off single cg/rg instantiations
+    # (r16, guide §2.4; the bleu_corpus/chrf merge): both gram tables
+    # are unique per (id, g), so the full-outer join cannot fan either
+    # side out — the coalesced sums are the old totals and
+    # least(coalesce(c,0), coalesce(cr,0)) contributes 0 exactly where
+    # the old inner-join clip was absent; the na.fill(0) below maps
+    # the old NULL-when-absent rows to the same 0s either way.
+    merged = (cg.join(rg.select(F.col("id"), F.col("g"),
+                                F.col("c").alias("cr")),
+                      ["id", "g"], "full")
+              .groupBy("id")
+              .agg(F.sum(F.coalesce(F.col("c"), F.lit(0)))
+                   .alias("cand_grams"),
+                   F.sum(F.coalesce(F.col("cr"), F.lit(0)))
+                   .alias("ref_grams"),
+                   F.sum(F.least(F.coalesce(F.col("c"), F.lit(0)),
+                                 F.coalesce(F.col("cr"), F.lit(0))))
+                   .alias("clip")))
     all_ids = (cand.select(F.col(id_col).alias("id"))
                .union(ref.select(F.col(id_col).alias("id")))
                .distinct())
-    out = (all_ids.join(totals_c, "id", "left")
-           .join(totals_r, "id", "left")
-           .join(clip, "id", "left")
+    out = (all_ids.join(merged, "id", "left")
            .na.fill({"cand_grams": 0, "ref_grams": 0, "clip": 0}))
     mega_f = F.lit(float(MICRO))
     a = F.col("cand_grams").cast(dec)
@@ -1516,17 +1526,22 @@ def bleu_corpus(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
 
     cg = grams(ct, keys)
     rg = grams(rt, []).withColumnRenamed("c", "cr")
-    clip = (cg.join(rg, ["id", "n", "g"])
+    # clip and tot in ONE pass off a single cg instantiation (r16,
+    # guide §2.4): rg is unique per (id, n, g) by construction, so the
+    # left join cannot fan cg out — Σc over it is the old tot, and an
+    # unmatched gram contributes least(c, 0) = 0 exactly like the old
+    # inner-join + na.fill(0).  The previous tot ⟕ clip shape
+    # instantiated the gram-explode subtree twice and paid an extra
+    # join exchange pair.
+    pern = (cg.join(rg, ["id", "n", "g"], "left")
             .groupBy(*keys, "n")
-            .agg(F.sum(F.least(F.col("c"), F.col("cr")))
+            .agg(F.sum("c").alias("_tot"),
+                 F.sum(F.least(F.col("c"),
+                               F.coalesce(F.col("cr"), F.lit(0))))
                  .alias("_clip")))
-    tot = (cg.groupBy(*keys, "n")
-           .agg(F.sum("c").alias("_tot")))
     lens_c = ct.groupBy(*keys).agg(F.sum("_len").alias("c_len"))
     lens_r = (rt.join(ct.select(*keys, "id").distinct(), "id")
               .groupBy(*keys).agg(F.sum("_len").alias("r_len")))
-    pern = tot.join(clip, [*keys, "n"], "left") \
-        .na.fill({"_clip": 0})
     mega = F.lit(MICRO).cast(dec)
     mega_f = F.lit(float(MICRO))
 
@@ -1645,17 +1660,23 @@ def chrf(cand: DataFrame, ref: DataFrame, id_col: str = "doc_id",
 
     cg = grams(cand)
     rg = grams(ref).withColumnRenamed("c", "cr")
-    clip = (cg.join(rg, ["id", "n", "g"])
-            .groupBy("id", "n")
-            .agg(F.sum(F.least(F.col("c"), F.col("cr")))
-                 .alias("_clip")))
-    tot_c = cg.groupBy("id", "n").agg(F.sum("c").alias("_a"))
-    tot_r = rg.groupBy("id", "n").agg(F.sum("cr").alias("_b"))
     ids = (cand.select(F.col(id_col).alias("id"))
            .union(ref.select(F.col(id_col).alias("id"))).distinct())
-    pern = (tot_c.join(tot_r, ["id", "n"], "full")
-            .join(clip, ["id", "n"], "left")
-            .na.fill({"_a": 0, "_b": 0, "_clip": 0}))
+    # _a/_b/_clip in ONE pass off single cg/rg instantiations (r16,
+    # guide §2.4): both gram tables are unique per (id, n, g) by
+    # construction, so the full-outer join cannot fan either side out —
+    # Σ coalesce(c, 0) / Σ coalesce(cr, 0) are the old tot_c/tot_r, and
+    # least(coalesce(c,0), coalesce(cr,0)) is 0 exactly where the old
+    # inner-join clip + na.fill(0) produced 0.  The previous shape
+    # instantiated each gram-explode subtree twice and paid a
+    # two-join chain.
+    pern = (cg.join(rg, ["id", "n", "g"], "full")
+            .groupBy("id", "n")
+            .agg(F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("_a"),
+                 F.sum(F.coalesce(F.col("cr"), F.lit(0))).alias("_b"),
+                 F.sum(F.least(F.coalesce(F.col("c"), F.lit(0)),
+                               F.coalesce(F.col("cr"), F.lit(0))))
+                 .alias("_clip")))
     mega = F.lit(MICRO).cast(dec)
     den = (F.lit(b2).cast(dec) * F.col("_b").cast(dec)
            + F.col("_a").cast(dec))

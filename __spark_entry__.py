@@ -6167,8 +6167,13 @@ def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.filter(F.col("vec_id") % 5 != 0)
     b = emb.filter(F.col("vec_id") % 5 == 0)
     centroids, lists_a = ivf_build(a, nlist=8)
-    incr = lists_a.unionByName(ivf_append(centroids, b))
-    full = ivf_append(centroids, emb)
+    # persist both assignment paths: each is referenced THREE times
+    # below (two exceptAll directions + its probe) and each reference
+    # otherwise re-runs the full-corpus argmin assignment — the plan
+    # carried 17 distinct embedding scans (r16, guide §5).  Query-
+    # internal scratch; the bench clears caches between entries.
+    incr = lists_a.unionByName(ivf_append(centroids, b)).persist()
+    full = ivf_append(centroids, emb).persist()
     key = ["neighbor_id", "list_id"]
     assign_mm = (incr.select(*key).exceptAll(full.select(*key))
                  .unionAll(full.select(*key).exceptAll(incr.select(*key)))

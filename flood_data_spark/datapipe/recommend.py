@@ -130,11 +130,18 @@ def item_topk(sim: DataFrame, k: int = 5) -> DataFrame:
     interaction corpus."""
     if k < 1:
         raise ValueError(f"item_topk: k must be >= 1, got {k}")
-    fwd = sim.select(F.col("item_a").alias("item"),
-                     F.col("item_b").alias("neighbor"), "cosine")
-    rev = sim.select(F.col("item_b").alias("item"),
-                     F.col("item_a").alias("neighbor"), "cosine")
-    both = fwd.unionByName(rev)
+    # symmetric expansion through ONE explode, not a fwd ∪ rev union:
+    # a union instantiates the entire upstream similarity plan (pair
+    # self-join + degree joins) twice — "stored once" only holds when
+    # the plan references sim once (r16, guide §2.4; measured two full
+    # SortMergeJoin branches in the q_item_cf plan before)
+    both = (sim.select(F.explode(F.array(
+        F.struct(F.col("item_a").alias("item"),
+                 F.col("item_b").alias("neighbor"), F.col("cosine")),
+        F.struct(F.col("item_b").alias("item"),
+                 F.col("item_a").alias("neighbor"), F.col("cosine"))))
+        .alias("_e"))
+        .select("_e.item", "_e.neighbor", "_e.cosine"))
     w = (Window.partitionBy("item")
          .orderBy(F.col("cosine").desc(), F.col("neighbor").asc()))
     return (both.withColumn("rank", F.row_number().over(w))

@@ -665,8 +665,13 @@ def mann_kendall_sen(df: DataFrame, value_col: str, order_col: str,
     c = F.col(value_col).cast("double")
     qx = (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
                                 + F.lit(0.5))).cast("long")
+    # localCheckpoint: `base` is series-bounded by contract (feed
+    # aggregated series), but its LINEAGE may be a corpus-sized
+    # aggregation — and base is referenced three times below (both
+    # self-join sides + the tie spectrum), so each reference re-ran
+    # that aggregation (r16, guide §5; the _materialize_polys pattern)
     base = df.select(*keys, F.col(order_col).cast("long").alias("_t"),
-                     qx.alias("_qx"))
+                     qx.alias("_qx")).localCheckpoint(eager=True)
     a = base.select(*keys, F.col("_t").alias("_ti"),
                     F.col("_qx").alias("_xi"))
     b = base.select(*keys, F.col("_t").alias("_tj"),
@@ -684,15 +689,20 @@ def mann_kendall_sen(df: DataFrame, value_col: str, order_col: str,
                           .over(Window.partitionBy(*keys))))
     lo = (F.col("_m") + 1) / 2
     hi = F.col("_m") / 2 + 1
-    med = (ranked.filter((F.col("_r") == F.floor(lo))
-                         | (F.col("_r") == F.floor(hi)))
-           .groupBy(*keys)
-           .agg(_idiv_half_up(
-               F.sum(F.col("_slope")).cast(dec)
-               * F.lit(2).cast(dec),
-               F.count(F.lit(1)).cast(dec) * F.lit(2).cast(dec))
-               .alias("_med")))
-    s_agg = ps.groupBy(*keys).agg(F.sum("_sgn").cast("long").alias("s"))
+    # S and the Sen median from ONE pass over the ranked pair relation
+    # (r16, guide §2.4): the old med-filter + separate s_agg shape
+    # instantiated the O(len²) pair self-join twice.  The conditional
+    # sums are the old filtered aggregates verbatim (the med rows are
+    # ≥ 1 whenever a group has a pair, so the old left join was
+    # vestigially inner).
+    is_med = (F.col("_r") == F.floor(lo)) | (F.col("_r") == F.floor(hi))
+    sm = (ranked.groupBy(*keys)
+          .agg(F.sum("_sgn").cast("long").alias("s"),
+               _idiv_half_up(
+                   F.sum(F.when(is_med, F.col("_slope"))).cast(dec)
+                   * F.lit(2).cast(dec),
+                   F.count(F.when(is_med, F.lit(1))).cast(dec)
+                   * F.lit(2).cast(dec)).alias("_med")))
     # tie spectrum: per distinct value, t(t−1)(2t+5)
     ties = (base.groupBy(*keys, "_qx")
             .agg(F.count(F.lit(1)).alias("_tc"))
@@ -706,7 +716,7 @@ def mann_kendall_sen(df: DataFrame, value_col: str, order_col: str,
     var18 = (n_dec * (n_dec - F.lit(1).cast(dec))
              * (F.lit(2).cast(dec) * n_dec + F.lit(5).cast(dec))
              - F.col("_tsum"))
-    out = (ties.join(s_agg, on=keys).join(med, on=keys, how="left"))
+    out = ties.join(sm, on=keys)
     # one sqrt seam: sqrt(var18/18)·1e6, floor(+0.5) — var18/18.0 is an
     # exact-integer-over-literal double division, identical IEEE both
     # engines
@@ -944,9 +954,12 @@ def seasonal_mann_kendall(df: DataFrame, value_col: str,
     c = F.col(value_col).cast("double")
     qx = (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
                                 + F.lit(0.5))).cast("long")
+    # localCheckpoint: series-bounded by contract, referenced three
+    # times (both self-join sides + the tie spectrum) — see
+    # mann_kendall_sen (r16)
     base = df.select(*keys, F.col(season_col).alias("_season"),
                      F.col(order_col).cast("long").alias("_t"),
-                     qx.alias("_qx"))
+                     qx.alias("_qx")).localCheckpoint(eager=True)
     a = base.select(*keys, "_season", F.col("_t").alias("_ti"),
                     F.col("_qx").alias("_xi"))
     b = base.select(*keys, "_season", F.col("_t").alias("_tj"),
@@ -965,16 +978,17 @@ def seasonal_mann_kendall(df: DataFrame, value_col: str,
                           .over(Window.partitionBy(*keys))))
     lo = (F.col("_m") + 1) / 2
     hi = F.col("_m") / 2 + 1
-    med = (ranked.filter((F.col("_r") == F.floor(lo))
-                         | (F.col("_r") == F.floor(hi)))
-           .groupBy(*keys)
-           .agg(_idiv_half_up(
-               F.sum(F.col("_slope")).cast(dec)
-               * F.lit(2).cast(dec),
-               F.count(F.lit(1)).cast(dec) * F.lit(2).cast(dec))
-               .alias("_med")))
-    s_agg = ps.groupBy(*keys).agg(F.sum("_sgn").cast("long")
-                                  .alias("s"))
+    # S and the pooled Sen median from ONE pass over the ranked pair
+    # relation — the mann_kendall_sen merge (r16, guide §2.4); the
+    # old shape instantiated the pair self-join twice
+    is_med = (F.col("_r") == F.floor(lo)) | (F.col("_r") == F.floor(hi))
+    sm = (ranked.groupBy(*keys)
+          .agg(F.sum("_sgn").cast("long").alias("s"),
+               _idiv_half_up(
+                   F.sum(F.when(is_med, F.col("_slope"))).cast(dec)
+                   * F.lit(2).cast(dec),
+                   F.count(F.when(is_med, F.lit(1))).cast(dec)
+                   * F.lit(2).cast(dec)).alias("_med")))
     # per-season tie spectrum and variance, then the Σ_m combine
     two, five, one = (F.lit(v).cast(dec) for v in (2, 5, 1))
     per_season = (base.groupBy(*keys, "_season", "_qx")
@@ -996,13 +1010,12 @@ def seasonal_mann_kendall(df: DataFrame, value_col: str,
                      F.sum("_v18").alias("_var18")))
     # LEFT join + coalesce(s, 0): a group with zero within-season
     # comparable pairs (e.g. every season observed once) has no
-    # s_agg/med row — it must surface with s = 0, NULL z, 'no trend'
+    # sm row — it must surface with s = 0, NULL z, 'no trend'
     # (the Var(S)=0 convention), not silently vanish (round-15
     # ADVICE fix).
-    out = (combined.join(s_agg, on=keys, how="left")
+    out = (combined.join(sm, on=keys, how="left")
            .withColumn("s", F.coalesce(F.col("s"),
-                                       F.lit(0).cast("long")))
-           .join(med, on=keys, how="left"))
+                                       F.lit(0).cast("long"))))
     var18 = F.col("_var18")
     qden = F.floor(F.sqrt(var18.cast("double") / F.lit(18.0))
                    * F.lit(1e6) + F.lit(0.5)).cast(dec)
@@ -1059,8 +1072,10 @@ def pettitt_test(df: DataFrame, value_col: str, order_col: str,
     c = F.col(value_col).cast("double")
     qx = (F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000)
                                 + F.lit(0.5))).cast("long")
+    # localCheckpoint: series-bounded by contract, referenced three
+    # times (both self-join sides + n) — see mann_kendall_sen (r16)
     base = df.select(*keys, F.col(order_col).cast("long").alias("_t"),
-                     qx.alias("_qx"))
+                     qx.alias("_qx")).localCheckpoint(eager=True)
     a = base.select(*keys, F.col("_t").alias("_ti"),
                     F.col("_qx").alias("_xi"))
     b = base.select(*keys, F.col("_t").alias("_tj"),
@@ -1073,14 +1088,17 @@ def pettitt_test(df: DataFrame, value_col: str, order_col: str,
     # for all t in [t_i, t_j) — equivalently U_t = Σ over boundaries
     # of the running sum of (contributions entering at t_i MINUS
     # contributions leaving at t_j).  Two scatter rows per pair,
-    # then one cumulative window — O(pairs), never O(n·pairs).
-    enter = pairs.select(*keys, F.col("_ti").alias("_t"),
-                         sgn.alias("_d"))
-    leave = pairs.select(*keys, F.col("_tj").alias("_t"),
-                         (-sgn).alias("_d"))
-    deltas = (enter.unionByName(leave)
-              .groupBy(*keys, "_t")
-              .agg(F.sum("_d").cast("long").alias("_dd")))
+    # then one cumulative window — O(pairs), never O(n·pairs).  The
+    # scatter is ONE explode, not an enter ∪ leave union that would
+    # instantiate the O(len²) pair self-join twice (r16, guide §2.4)
+    deltas = (pairs.select(*keys, F.explode(F.array(
+        F.struct(F.col("_ti").alias("_t"), sgn.alias("_d")),
+        F.struct(F.col("_tj").alias("_t"), (-sgn).alias("_d"))))
+        .alias("_e"))
+        .select(*keys, F.col("_e._t").alias("_t"),
+                F.col("_e._d").alias("_d"))
+        .groupBy(*keys, "_t")
+        .agg(F.sum("_d").cast("long").alias("_dd")))
     w = (Window.partitionBy(*keys).orderBy("_t")
          .rowsBetween(Window.unboundedPreceding, 0))
     u = deltas.withColumn("_u", F.sum("_dd").over(w))

@@ -105,19 +105,24 @@ def association_rules(df: DataFrame, id_col: str = "basket_id",
     (mirrored verbatim in the oracle)."""
     pairs = frequent_pairs(df, id_col, item_col, min_support,
                            max_basket_size)
-    fwd = pairs.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        "pair_count",
-        F.col("n_a").alias("n_ante"), F.col("n_b").alias("n_cons"),
-        "n_baskets")
-    rev = pairs.select(
-        F.col("item_b").alias("antecedent"),
-        F.col("item_a").alias("consequent"),
-        "pair_count",
-        F.col("n_b").alias("n_ante"), F.col("n_a").alias("n_cons"),
-        "n_baskets")
-    both = fwd.unionByName(rev)
+    # both directions through ONE explode, not a fwd ∪ rev union that
+    # would instantiate the frequent-pairs plan (basket self-join +
+    # pair groupBy) twice (r16, guide §2.4; the item_topk fix)
+    both = (pairs.select(F.explode(F.array(
+        F.struct(F.col("item_a").alias("antecedent"),
+                 F.col("item_b").alias("consequent"),
+                 F.col("pair_count"),
+                 F.col("n_a").alias("n_ante"),
+                 F.col("n_b").alias("n_cons"),
+                 F.col("n_baskets")),
+        F.struct(F.col("item_b").alias("antecedent"),
+                 F.col("item_a").alias("consequent"),
+                 F.col("pair_count"),
+                 F.col("n_b").alias("n_ante"),
+                 F.col("n_a").alias("n_cons"),
+                 F.col("n_baskets")))).alias("_e"))
+        .select("_e.antecedent", "_e.consequent", "_e.pair_count",
+                "_e.n_ante", "_e.n_cons", "_e.n_baskets"))
     conf_raw = F.col("pair_count") / F.col("n_ante").cast("double")
     return (both.filter(conf_raw >= min_confidence)
             .select(

@@ -1026,7 +1026,6 @@ def idf_curves(df: DataFrame, value_col: str, order_col: str,
     the same scan; block maxima + the fit are the [gumbel_return_levels]
     plan keyed by (keys, duration).  Returns (keys…, duration, n,
     period, loc, scale, level), sorted."""
-    import functools
 
     keys = list(group_keys)
     if not keys:
@@ -1038,18 +1037,31 @@ def idf_curves(df: DataFrame, value_col: str, order_col: str,
     base = df.select(*keys, F.col(order_col).alias("_o"),
                      F.col(block_col).alias("_blk"),
                      qv.alias("_qv"))
-    frames = []
-    for d in durs:
+    # ONE window pass for every duration (r16, guide §2.4): the
+    # |durations| rolling frames share partitioning AND ordering, so
+    # they compute as sibling window columns over a single sort — the
+    # old per-duration union re-instantiated the scan + cell sort per
+    # duration.  The complete-window filter (_c == d) moves into the
+    # post-explode projection unchanged.
+    wcols = []
+    for i, d in enumerate(durs):
         w = (Window.partitionBy(*keys).orderBy("_o", "_qv")
              .rowsBetween(-(d - 1), 0))
-        roll = base.select(
-            *keys, "_blk",
-            F.sum("_qv").over(w).alias("_rs"),
-            F.count(F.lit(1)).over(w).alias("_c"))
-        frames.append(roll.filter(F.col("_c") == d).select(
-            *keys, F.lit(d).alias("duration"), "_blk",
-            (F.col("_rs").cast("double") / F.lit(1e6)).alias("_depth")))
-    stacked = functools.reduce(DataFrame.unionByName, frames)
+        wcols.append(F.sum("_qv").over(w).alias(f"_rs{i}"))
+        wcols.append(F.count(F.lit(1)).over(w).alias(f"_c{i}"))
+    rolled = base.select(*keys, "_blk", *wcols)
+    per_d = [F.struct(F.lit(d).alias("duration"),
+                      F.col(f"_rs{i}").alias("_rs"),
+                      F.col(f"_c{i}").alias("_c"))
+             for i, d in enumerate(durs)]
+    stacked = (rolled
+               .select(*keys, "_blk", F.explode(F.array(*per_d))
+                       .alias("_e"))
+               .filter(F.col("_e._c") == F.col("_e.duration"))
+               .select(*keys, F.col("_e.duration").alias("duration"),
+                       "_blk",
+                       (F.col("_e._rs").cast("double") / F.lit(1e6))
+                       .alias("_depth")))
     ams = (stacked.groupBy(*keys, "duration", "_blk")
            .agg(F.max("_depth").alias("depth_max")))
     return gumbel_return_levels(ams, "depth_max",

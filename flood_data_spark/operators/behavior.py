@@ -59,17 +59,32 @@ def funnel(events: DataFrame, steps, key_col: str = "user_id",
                        F.col(ts_col).alias("_ts"),
                        F.col(type_col).alias("_t"))
     if within_seconds is None:
-        out = (ev.filter(F.col("_t") == steps[0])
-               .groupBy("_k")
-               .agg(F.min("_ts").alias("step_1_ts")))
+        # greedy-earliest chain as k sibling window passes over ONE
+        # key exchange (r16, guide §2.4): the previous k-1 min-join
+        # ladder re-instantiated the event scan per stage and
+        # duplicated the growing `out` subtree on both sides of each
+        # join (7 distinct scans at k = 3).  step_i references
+        # step_{i-1}, so each stage is its own select, but every
+        # window shares the single hash exchange on the key; the
+        # final groupBy collapses the per-key-constant columns.
+        from pyspark.sql import Window
+
+        wk = Window.partitionBy("_k")
+        cur = (ev.filter(F.col("_t").isin(steps))
+               .withColumn("step_1_ts",
+                           F.min(F.when(F.col("_t") == steps[0],
+                                        F.col("_ts"))).over(wk)))
         for i, step in enumerate(steps[1:], start=2):
-            prev = f"step_{i - 1}_ts"
-            cand = (ev.filter(F.col("_t") == step)
-                    .join(out.select("_k", prev), "_k")
-                    .filter(F.col("_ts") > F.col(prev)))
-            nxt = (cand.groupBy("_k")
-                   .agg(F.min("_ts").alias(f"step_{i}_ts")))
-            out = out.join(nxt, "_k", "left")
+            prev = F.col(f"step_{i - 1}_ts")
+            cur = cur.withColumn(
+                f"step_{i}_ts",
+                F.min(F.when((F.col("_t") == step)
+                             & (F.col("_ts") > prev),
+                             F.col("_ts"))).over(wk))
+        out = (cur.groupBy("_k")
+               .agg(*[F.min(f"step_{i}_ts").alias(f"step_{i}_ts")
+                      for i in range(1, len(steps) + 1)])
+               .filter(F.col("step_1_ts").isNotNull()))
     else:
         # re-anchoring DP as k window passes over ONE key exchange:
         # reach_i(e) = e is step i AND some reach_{i-1} event lies in

@@ -99,36 +99,45 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key_cols,
     has_cur = F.col(current_col).isNotNull()
     has_upd = F.col("_eff").isNotNull()
 
-    # current rows without a change: pass through (no update, or
-    # identical attrs)
-    unchanged = (joined.filter(has_cur & (~has_upd | same_attrs))
-                 .withColumn("scd_conflict", F.lit(False))
-                 .select(*out_cols))
-    changed = joined.filter(has_cur & has_upd & ~same_attrs)
+    # every row class emits through ONE conditional explode over a
+    # single instantiation of the full-outer join (r16, guide §2.4):
+    # the previous union of four filtered views instantiated the join
+    # — a shuffle pair of the current partition AND the update batch —
+    # four times in one plan.
     conflict = F.col("_eff") <= F.col(valid_from)
-    closed = changed.select(
-        *key_cols, *attr_cols,
-        F.col(valid_from),
-        F.col("_eff").alias(valid_to),
-        F.lit(False).alias(current_col),
-        conflict.alias("scd_conflict"))
-    opened = changed.select(
-        *key_cols,
-        *[F.col(f"_ua_{c}").alias(c) for c in attr_cols],
-        F.col("_eff").alias(valid_from),
-        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
-        F.lit(True).alias(current_col),
-        conflict.alias("scd_conflict"))
-    inserted = (joined.filter(has_upd & ~has_cur)
-                .select(
-        *[F.col(f"_u_{c}").alias(c) for c in key_cols],
-        *[F.col(f"_ua_{c}").alias(c) for c in attr_cols],
-        F.col("_eff").alias(valid_from),
-        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
-        F.lit(True).alias(current_col),
-        F.lit(False).alias("scd_conflict")))
-    return (hist.unionByName(unchanged).unionByName(closed)
-            .unionByName(opened).unionByName(inserted))
+    null_to = F.lit(None).cast(dim.schema[valid_to].dataType)
+
+    def _row(keys, attrs, vf, vt, cur_flag, confl):
+        fields = ([k.alias(c) for k, c in zip(keys, key_cols)]
+                  + [a.alias(c) for a, c in zip(attrs, attr_cols)]
+                  + [vf.alias(valid_from), vt.alias(valid_to),
+                     cur_flag.alias(current_col),
+                     confl.alias("scd_conflict")])
+        return F.struct(*fields)
+
+    unchanged_s = _row([F.col(c) for c in key_cols],
+                       [F.col(c) for c in attr_cols],
+                       F.col(valid_from), F.col(valid_to),
+                       F.col(current_col), F.lit(False))
+    closed_s = _row([F.col(c) for c in key_cols],
+                    [F.col(c) for c in attr_cols],
+                    F.col(valid_from), F.col("_eff"),
+                    F.lit(False), conflict)
+    opened_s = _row([F.col(c) for c in key_cols],
+                    [F.col(f"_ua_{c}") for c in attr_cols],
+                    F.col("_eff"), null_to, F.lit(True), conflict)
+    inserted_s = _row([F.col(f"_u_{c}") for c in key_cols],
+                      [F.col(f"_ua_{c}") for c in attr_cols],
+                      F.col("_eff"), null_to, F.lit(True),
+                      F.lit(False))
+    emitted = (F.when(has_cur & (~has_upd | same_attrs),
+                      F.array(unchanged_s))
+               .when(has_cur & has_upd & ~same_attrs,
+                     F.array(closed_s, opened_s))
+               .when(has_upd & ~has_cur, F.array(inserted_s)))
+    merged = (joined.select(F.explode(emitted).alias("_r"))
+              .select("_r.*"))
+    return hist.unionByName(merged)
 
 
 def scd2_as_of(dim: DataFrame, instant, valid_from: str = "valid_from",

@@ -272,6 +272,25 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
         .select("id", "txt",
                 F.greatest(F.length("txt") - k + 1, F.lit(0)).alias("n"))
         .filter(F.col("n") >= 1))
+    # r17 (guide §2.3 "shuffle fewer bytes" / §2.5 input skew): the
+    # blocker window below must exchange by id ANYWAY, so move that
+    # exchange BEFORE the per-character explode — the shuffle then
+    # carries the raw normalized text (~1 byte/char) instead of the
+    # exploded (id, n, wp, pos, h) gram rows (~40 bytes/char, measured
+    # 16 MB -> 1.5 MB at sf0.1), and the per-char md5 ladder runs AFTER
+    # the exchange with full reduce-side parallelism instead of
+    # serializing in however few scan tasks the input's file layout
+    # allows (a one-file corpus ran the whole explode+md5 in ONE task).
+    # Window.partitionBy("id") reuses this hash partitioning, adding
+    # only the local (id, pos) sort.  The partition count is pinned
+    # (defaultParallelism — cluster-derived, not a local constant):
+    # AQE sizes post-shuffle partitions by the SHUFFLED bytes, and the
+    # raw text is ~40x smaller than the gram rows the next stage
+    # explodes it into, so byte-based coalescing re-serializes the
+    # fan-out stage (measured: AQE coalesced the 1.5 MB text exchange
+    # to ONE task that then ran the whole 40x explode+md5).
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id")
     grams = base.select(
         "id", "n", F.least(F.lit(w), F.col("n")).alias("wp"),
         F.explode(F.sequence(F.lit(1), F.col("n"))).alias("pos"),

@@ -1098,3 +1098,23 @@ def test_roc_grouped_matches_per_group_runs(spark):
         solo = roc_auc(df.filter(F.col("g") == g), "p", "o") \
             .collect()[0].auc
         assert grouped[g] == solo, g
+
+
+def test_materialize_polys_memoises_per_object(spark):
+    """r17: two operators consuming the SAME polygon DataFrame object
+    with the same column set reuse one checkpointed relation; a
+    different column set or a different object materializes afresh."""
+    from flood_data_spark.operators.serving import _materialize_polys
+
+    polys = spark.createDataFrame(
+        [(1, 0, 0, 0.0, 0.0), (1, 0, 1, 1.0, 0.0), (1, 0, 2, 0.0, 1.0)],
+        "poly_id int, ring_id int, vertex_idx int, lon double, lat double")
+    a = _materialize_polys(polys, "poly_id", "ring_id", "vertex_idx",
+                           "lon", "lat")
+    b = _materialize_polys(polys, "poly_id", "ring_id", "vertex_idx",
+                           "lon", "lat")
+    assert a is b
+    c = _materialize_polys(polys, "poly_id", "lon", "lat")
+    assert c is not a
+    fresh = _materialize_polys(polys.select("*"), "poly_id", "lon", "lat")
+    assert fresh is not c

@@ -308,29 +308,51 @@ def rating_curve(df: DataFrame, stage_col: str, discharge_col: str,
     mega = F.lit(MICRO).cast(dec)
     mega_f = F.lit(float(MICRO))
     ok = (n >= 2) & (den_x != 0)
-    b_q = F.when(ok, _idiv_half_up(
-        cov_n * mega, F.when(den_x != 0, den_x).otherwise(
-            F.lit(1).cast(dec))))
-    la_q = F.when(ok, _idiv_half_up(sy * mega - b_q * sx, n * mega))
     # r² via n²-cleared moments: cov_n² · 1e6 would overflow
     # decimal(38,0) at ~60k-row groups (cov_n ~ n²·1e12), so divide
     # the three quadratics by n² FIRST — three documented integer
     # quantization seams (each mirrored verbatim in the oracle), then
     # one exact ratio.  Relative error ~1e-12, far under the micro
     # display scale.
+    #
+    # r17 (guide §3.3 plan size; the spi_empirical r16 precedent): the
+    # seam chain is built through single-element `transform` lambdas so
+    # each _idiv_half_up quotient appears in the plan ONCE as a lambda
+    # body over a leaf variable.  Splicing the Column objects directly
+    # (b_q into la_q, cqn/dxq/dyq into r2_q, each _idiv expanding its
+    # arguments ~3-4x) nested the moment expressions geometrically —
+    # the optimized plan carried a 52 KB single-line projection and
+    # Catalyst + codegen over it dominated the station-bounded fit.
+    # Same ops in the same order: bit-identical values.
     n2 = n * n
-    cqn = _idiv_half_up(cov_n, n2)
-    dxq = _idiv_half_up(F.when(den_x != 0, den_x)
-                        .otherwise(F.lit(1).cast(dec)), n2)
-    dyq = _idiv_half_up(F.when(den_y != 0, den_y)
-                        .otherwise(F.lit(1).cast(dec)), n2)
-    r2_q = F.when(ok & (den_y > 0) & (dxq * dyq != 0), _idiv_half_up(
-        cqn * cqn * mega,
-        F.when(dxq * dyq != 0, dxq * dyq)
-        .otherwise(F.lit(1).cast(dec))))
-    out = m.select(*keys, n.cast("long").alias("n"),
-                   b_q.alias("_bq"), la_q.alias("_laq"),
-                   r2_q.alias("_r2q"))
+    one = F.lit(1).cast(dec)
+    lvl1 = F.transform(
+        F.array(F.struct(cov_n.alias("cov"), den_x.alias("dx"),
+                         den_y.alias("dy"))),
+        lambda s: F.struct(
+            F.when(ok, _idiv_half_up(
+                s["cov"] * mega,
+                F.when(s["dx"] != 0, s["dx"]).otherwise(one)))
+            .alias("bq"),
+            _idiv_half_up(s["cov"], n2).alias("cqn"),
+            _idiv_half_up(F.when(s["dx"] != 0, s["dx"]).otherwise(one),
+                          n2).alias("dxq"),
+            _idiv_half_up(F.when(s["dy"] != 0, s["dy"]).otherwise(one),
+                          n2).alias("dyq")))
+    fit = F.element_at(F.transform(lvl1, lambda t: F.struct(
+        t["bq"].alias("bq"),
+        F.when(ok, _idiv_half_up(sy * mega - t["bq"] * sx, n * mega))
+        .alias("laq"),
+        F.when(ok & (den_y > 0) & (t["dxq"] * t["dyq"] != 0),
+               _idiv_half_up(t["cqn"] * t["cqn"] * mega,
+                             F.when(t["dxq"] * t["dyq"] != 0,
+                                    t["dxq"] * t["dyq"]).otherwise(one)))
+        .alias("r2q"))), 1)
+    out = (m.select(*keys, n.cast("long").alias("n"), fit.alias("_fit"))
+           .select(*keys, "n",
+                   F.col("_fit.bq").alias("_bq"),
+                   F.col("_fit.laq").alias("_laq"),
+                   F.col("_fit.r2q").alias("_r2q")))
     a_seam = F.when(
         F.col("_laq").isNotNull(),
         F.floor(F.exp(F.col("_laq").cast("double") / mega_f)

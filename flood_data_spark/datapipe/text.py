@@ -926,10 +926,25 @@ def build_text_index(df: DataFrame, id_col: str = "doc_id",
     (partition pruning on the equi-filter).  The build is the SAME
     explode+aggregate q_bm25_topk pays per query — amortized to once.
     """
-    terms = (df.select(F.col(id_col).alias("id"),
-                       token_count(F.col(text_col)).alias("dl"),
-                       F.explode(F.split(F.lower(F.trim(F.col(text_col))),
-                                         r"\s+")).alias("term"))
+    # r17 (guide §2.3, the winnow_fingerprints precedent): exchange the
+    # RAW text by id BEFORE the token explode — hash(id) partitioning
+    # satisfies the (term, id) clustering of the postings groupBy (a
+    # subset of its keys), so the former token-row exchange (~30 B per
+    # term-doc pair after partial aggregation) is replaced by a raw-text
+    # exchange (~1 B/char) and the tokenize+explode runs with full
+    # reduce-side parallelism instead of serializing in the scan's task
+    # count (a one-file corpus built the whole index in ONE task —
+    # measured 2.9 s of a 2.65 s entry).  Pinned partition count: AQE
+    # sizes partitions by the small SHUFFLED text and would re-coalesce
+    # the fan-out stage to one task.
+    src = (df.select(F.col(id_col).alias("id"),
+                     token_count(F.col(text_col)).alias("dl"),
+                     F.lower(F.trim(F.col(text_col))).alias("_t"))
+           .repartition(df.sparkSession.sparkContext.defaultParallelism,
+                        "id"))
+    terms = (src.select("id", "dl",
+                        F.explode(F.split(F.col("_t"), r"\s+"))
+                        .alias("term"))
              .filter(F.col("term") != ""))
     postings = (terms.groupBy("term", "id")
                 .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))

@@ -4415,12 +4415,17 @@ def q_daily_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("l_partkey").alias("partkey"),
                    F.col("l_extendedprice").alias("dis24"))
 
+    # exact_impl pinned: the incremental pipeline KNOWS its day slices
+    # are many-small-groups ensembles (never hot-keyed), so it skips the
+    # adaptive router's shape probe — the r17 default exists for
+    # unknown-shape callers, and a per-day pipeline would otherwise pay
+    # one probe job per slice per publish (4 per execution here)
     def detailed(day_label: str, scale: float = 1.0) -> DataFrame:
         f = (fc.filter(F.col("day") == day_label)
              .select("partkey", (F.col("dis24") * F.lit(scale))
                      .alias("dis24")))
         return ensemble_threshold_summary(
-            f, thresholds, accuracy_mode="exact",
+            f, thresholds, accuracy_mode="exact", exact_impl="percentile",
             join_keys=("partkey",), group_keys=("partkey",)) \
             .withColumn("day", F.lit(day_label))
 
@@ -4436,7 +4441,7 @@ def q_daily_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # commits only its own day= directories.
     base_days = ensemble_threshold_summary(
         fc.filter(F.col("day").isin("d0", "d1")),
-        thresholds, accuracy_mode="exact",
+        thresholds, accuracy_mode="exact", exact_impl="percentile",
         join_keys=("partkey",), group_keys=("day", "partkey"))
 
     store = _scratch_dir("daily_store_")

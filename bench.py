@@ -751,7 +751,7 @@ def _q_daily_incremental_x10(spark, sf_dir):
              .select("partkey",
                      (F.col("dis24") * F.lit(scale)).alias("dis24")))
         return ensemble_threshold_summary(
-            f, thresholds, accuracy_mode="exact",
+            f, thresholds, accuracy_mode="exact", exact_impl="percentile",
             join_keys=("partkey",), group_keys=("partkey",)) \
             .withColumn("day", F.lit(day_label))
 
@@ -761,9 +761,12 @@ def _q_daily_incremental_x10(spark, sf_dir):
     # publish (guide §2.6; disjoint partitions, per-job staging dirs).
     # Store on tmpfs like the registry twin's _scratch_dir (r15 lesson:
     # /tmp measures this box's 62 MB/s virtio, not the operator).
+    # exact_impl pinned to match the registry twin (the incremental
+    # pipeline knows its slices are many-small-groups; without the pin
+    # the r17 adaptive router pays 4 probe jobs per execution here)
     base_days = ensemble_threshold_summary(
         fc.filter(F.col("day").isin("d0", "d1")),
-        thresholds, accuracy_mode="exact",
+        thresholds, accuracy_mode="exact", exact_impl="percentile",
         join_keys=("partkey",), group_keys=("day", "partkey"))
 
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None

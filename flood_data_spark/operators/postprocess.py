@@ -216,9 +216,18 @@ def quantile_map(sim: DataFrame, obs: DataFrame, value_col: str,
         return (F.signum(c) * F.floor(F.abs(c) * MICRO + F.lit(0.5))) \
             .cast("long")
 
+    # r17 (guide §5; the ivfpq-residuals / textrank cache precedent):
+    # BOTH narrow quantized projections persist — each side is consumed
+    # 3-6× per query (the path probe, the rank machinery's
+    # sample/count/rank references, the obs count), and broadcast
+    # subtrees re-execute their lineage, so the un-cached plan re-ran
+    # the upstream scan 18× on the bucketed tier (measured; 6× on the
+    # classic tier).  The cache is query-internal scratch of a
+    # 2-3-column projection — at 100 TB that is the narrow relation the
+    # §8 discipline says to iterate on, not the raw corpus.
     s0 = sim.select(*keys, F.col(value_col).alias("value"),
-                    q(F.col(value_col)).alias("_qx"))
-    o0 = obs.select(*keys, q(F.col(value_col)).alias("_oq"))
+                    q(F.col(value_col)).alias("_qx")).persist()
+    o0 = obs.select(*keys, q(F.col(value_col)).alias("_oq")).persist()
 
     if bucket_threshold <= 0:
         big = {"s": True, "o": True}
@@ -241,7 +250,10 @@ def quantile_map(sim: DataFrame, obs: DataFrame, value_col: str,
     # one row per group), so f/rem can be computed before the order-
     # statistic join — which then stays a plain equi-join on (keys, f),
     # never an m-way theta scan per sim row
-    mcnt = obs.groupBy(*keys).agg(F.count(F.lit(1)).alias("_mc"))
+    # derived from the CACHED o0, not raw obs (row-for-row identical —
+    # the projection drops no rows), so the count rides the cache
+    # instead of a third upstream lineage
+    mcnt = o0.groupBy(*keys).agg(F.count(F.lit(1)).alias("_mc"))
     s = s.join(F.broadcast(mcnt), keys, "left")
     num = F.col("_i").cast(dec) * (F.col("_mc").cast(dec)
                                    - F.lit(1).cast(dec))
